@@ -1,0 +1,75 @@
+package graft.search
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.vector.VectorOps
+
+/** Retrieval operators: brute-force kNN top-k, batch similarity join,
+  * rank-ordered context aggregation.
+  *
+  * Reference semantics: `InMemoryVectorDB.search`
+  * (`/root/reference/services/vectorDb.ts:11-24`) scores every chunk,
+  * full-sorts desc, slices top-K. JS `Array.sort` leaves ties
+  * unspecified; we define the total order `sim DESC, id ASC` (SURVEY §5).
+  *
+  * Scale notes:
+  *  - `knn` plans as broadcast(1-row query) + scan + TakeOrderedAndProject:
+  *    per-partition bounded heap, driver merges k rows — strictly better
+  *    than the reference's O(N log N) full sort, and embarrassingly
+  *    parallel over corpus partitions.
+  *  - `similarityJoin` broadcasts the (small) query side across corpus
+  *    partitions; per-query top-k via a window on qid. For huge query
+  *    sides you'd flip to block-partitioned crossJoin; the query side in
+  *    all driver workloads is small, so broadcast is the right plan.
+  */
+object Search {
+
+  /** Top-k most similar corpus rows to a single query vector.
+    * `query` must be a 1-row DataFrame with a vector column `qvec`.
+    * Returns the corpus row plus `sim` (rounded to 6).
+    * Empty corpus → 0 rows (early return in `vectorDb.ts:12-14` — free
+    * with Spark: empty scan yields empty result). */
+  def knn(corpus: DataFrame, query: DataFrame, k: Int,
+          idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
+    corpus
+      .crossJoin(broadcast(query))
+      .withColumn("sim", VectorOps.cosine6(col(vecCol), col("qvec")))
+      .drop("qvec")
+      .orderBy(col("sim").desc, col(idCol).asc)
+      .limit(k)
+
+  /** Batch similarity join: for every row of `queries` (id `qid`, vector
+    * `qvec`), the top-k most similar corpus rows. Broadcast nested-loop
+    * join + per-qid window top-k (`row_number <= k`, total order
+    * `sim DESC, id ASC`). */
+  def similarityJoin(corpus: DataFrame, queries: DataFrame, k: Int,
+                     idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val scored = corpus
+      .crossJoin(broadcast(queries))
+      .withColumn("sim", VectorOps.cosine6(col(vecCol), col("qvec")))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("sim").desc, col(idCol).asc)
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .drop("qvec")
+  }
+
+  /** Rank-ordered concatenation of the top-k texts with the reference's
+    * separator `"\n---\n"` (`/root/reference/App.tsx:192`). Shuffle-safe:
+    * order is carried inside the collected structs, not assumed from row
+    * order. Input needs columns (sim, id, text-ish). */
+  def contextAgg(topK: DataFrame, idCol: Column, textCol: Column, simCol: Column): DataFrame =
+    topK
+      .agg(collect_list(struct((-simCol).as("nsim"), idCol.as("id"), textCol.as("text"))).as("rows"))
+      .select(array_join(transform(sort_array(col("rows")), r => r.getField("text")), "\n---\n").as("context"))
+
+  /** Prompt assembly (`/root/reference/services/geminiService.ts:80-88`):
+    * fixed instruction template interpolating (context, question). */
+  def prompt(context: Column, question: Column): Column =
+    format_string(
+      "Based on the following context, please answer the question. If the answer is not in the context, say you don't know.\n\nContext:\n%s\n\nQuestion:\n%s",
+      context, question)
+}

@@ -1,0 +1,57 @@
+package graft.vector
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Vector math as pure Column builders — builtin higher-order functions,
+  * fully whole-stage-codegen'd, no UDFs on the hot path.
+  *
+  * Semantics replicate the reference cosine kernel
+  * (`/root/reference/services/vectorDb.ts:26-52`):
+  *   - dimension mismatch  → -1.0 (logged-not-thrown there; a value here)
+  *   - either zero norm    →  0.0 (`vectorDb.ts:47-49`)
+  *   - accumulation in doubles (JS numbers are doubles)
+  *
+  * Scale note: each expression is O(d) per row inside codegen — no
+  * shuffle, no driver involvement; on a cluster this vectorizes across
+  * all partitions.
+  */
+object VectorOps {
+
+  /** Σ a_i·b_i accumulated in DoubleType, sequential order (parity with
+    * DuckDB's `list_dot_product` over `DOUBLE[]`). */
+  def dot(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0),
+      (acc, x) => acc + x)
+
+  /** L2 norm, double accumulation. */
+  def l2Norm(a: Column): Column = sqrt(dot(a, a))
+
+  /** Cosine similarity with the reference's edge semantics
+    * (`vectorDb.ts:27-49`): dim mismatch → -1, zero vector → 0. */
+  def cosine(a: Column, b: Column): Column = {
+    val na = l2Norm(a)
+    val nb = l2Norm(b)
+    when(size(a) =!= size(b), lit(-1.0))
+      .when(na === lit(0.0) || nb === lit(0.0), lit(0.0))
+      .otherwise(dot(a, b) / (na * nb))
+  }
+
+  /** Cosine rounded to 6 places — the project-wide float-determinism
+    * contract (SURVEY §5: absorbs last-ulp reduction-order drift vs the
+    * DuckDB oracle). */
+  def cosine6(a: Column, b: Column): Column = round(cosine(a, b), 6)
+
+  /** L2-normalize a vector in double space; zero vector maps to itself
+    * (so downstream dot-products yield 0, matching `vectorDb.ts:47-49`).
+    * Pre-normalizing the corpus at ingest turns cosine into a plain dot
+    * product — the scale optimization the reference misses
+    * (`vectorDb.ts:38-44` recomputes the query magnitude per row). */
+  def l2Normalize(a: Column): Column = {
+    val n = l2Norm(a)
+    when(n === lit(0.0), transform(a, x => x.cast("double")))
+      .otherwise(transform(a, x => x.cast("double") / n))
+  }
+}
