@@ -1,10 +1,14 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
+import graft.analysis.Dedup
+import graft.embed.Featurizer
 import graft.io.Tables
 import graft.search.Search
+import graft.text.{Chunker, TextAnalysis}
 import graft.vector.VectorOps
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -12,14 +16,13 @@ import graft.vector.VectorOps
   * Every implemented operator from SURVEY §2 is a named entry in
   * `queries` with matching DuckDB SQL in `oracleSql`. Column names are
   * aliased identically on both sides (the driver sorts columns by name
-  * before hashing). All float outputs are rounded to absorb
-  * reduction-order drift; every query has a total order.
+  * before hashing). All float outputs are rounded (SURVEY §5) and every
+  * query has a total order.
   */
 object SparkEntry {
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
-    * End-to-end retrieval heart (`/root/reference/services/vectorDb.ts:11-24`):
-    * top-5 nearest neighbours of vector 0 over the embeddings corpus. */
+    * End-to-end retrieval heart (`/root/reference/services/vectorDb.ts:11-24`). */
   def entry(spark: SparkSession): DataFrame =
     queries("knn_top5")(spark, "/root/testdata/sf0.001")
 
@@ -29,50 +32,243 @@ object SparkEntry {
     Tables.embeddings(spark, dir).filter(col("vec_id") === 0)
       .select(col("embedding").as("qvec"))
 
+  private val Question = "how does the engine scan tables"
+
+  /** documents ⋈ embeddings (vec_id = doc_id) scored against the query
+    * vector — the corpus for context/prompt queries. */
+  private def scoredDocs(s: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(s, dir)
+      .join(Tables.documents(s, dir), col("vec_id") === col("doc_id"))
+      .crossJoin(broadcast(queryVec(s, dir)))
+      .withColumn("sim", VectorOps.cosine6(col("embedding"), col("qvec")))
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- A9/A10/A11: cosine scoring + brute-force kNN top-k + projection
-    "knn_top5" -> ((s, dir) => {
+    "knn_top5" -> ((s, dir) =>
       Search.knn(Tables.embeddings(s, dir), queryVec(s, dir), 5)
-        .select(col("vec_id"), col("sim"))
-    }),
-    // cosine over every row (scoring pass alone, deterministic order)
-    "cosine_scores" -> ((s, dir) => {
+        .select(col("vec_id"), col("sim"))),
+    "cosine_scores" -> ((s, dir) =>
       Tables.embeddings(s, dir).crossJoin(broadcast(queryVec(s, dir)))
         .select(col("vec_id"), VectorOps.cosine6(col("embedding"), col("qvec")).as("sim"))
-        .orderBy(col("vec_id"))
+        .orderBy(col("vec_id"))),
+    // ---- A2: sliding-window chunker (size 100 / overlap 20 config)
+    "chunks" -> ((s, dir) =>
+      Chunker.chunk(Tables.documents(s, dir), "text", 100, 20)
+        .select(col("doc_id"), col("pos").cast("long").as("pos"), col("chunk"))
+        .orderBy(col("doc_id"), col("pos"))),
+    // ---- A3: non-empty filter after chunking
+    "chunks_nonempty" -> ((s, dir) =>
+      Chunker.chunk(Tables.documents(s, dir), "text", 100, 20)
+        .filter(Chunker.nonEmpty(col("chunk")))
+        .select(col("doc_id"), col("pos").cast("long").as("pos"), col("chunk"))
+        .orderBy(col("doc_id"), col("pos"))),
+    // ---- A7: dense ordinal chunk ids (two-phase scalable form)
+    "chunk_ids" -> ((s, dir) => {
+      val ch = Chunker.chunk(Tables.documents(s, dir), "text", 100, 20)
+        .filter(Chunker.nonEmpty(col("chunk")))
+      Chunker.withOrdinalIds(ch, "doc_id")
+        .select(col("doc_id"), col("pos").cast("long").as("pos"),
+          col("chunk_id").cast("long").as("chunk_id"))
+        .orderBy(col("doc_id"), col("pos"))
     }),
     // ---- A8: append/union (incremental add, `vectorDb.ts:7-9`)
     "append_union" -> ((s, dir) => {
       val e = Tables.embeddings(s, dir)
-      val lo = e.filter(col("label") < 5)
-      val hi = e.filter(col("label") >= 5)
-      lo.unionByName(hi).groupBy(col("label")).agg(count("*").as("n"))
+      e.filter(col("label") < 5).unionByName(e.filter(col("label") >= 5))
+        .groupBy(col("label")).agg(count(lit(1)).as("n"))
         .orderBy(col("label"))
     }),
     // ---- readiness predicate (`vectorDb.ts:58-60`): count > 0
-    "readiness" -> ((s, dir) => {
-      Tables.embeddings(s, dir).agg(count("*").as("n"))
+    "readiness" -> ((s, dir) =>
+      Tables.embeddings(s, dir).agg(count(lit(1)).as("n"))),
+    // ---- A12: rank-ordered context aggregation over top-5
+    "context_top5" -> ((s, dir) => {
+      val top = scoredDocs(s, dir)
+        .orderBy(col("sim").desc, col("vec_id").asc).limit(5)
+      Search.contextAgg(top, col("vec_id"), col("text"), col("sim"))
+    }),
+    // ---- A13: prompt templating over the retrieved context
+    "ask_prompt" -> ((s, dir) => {
+      val top = scoredDocs(s, dir)
+        .orderBy(col("sim").desc, col("vec_id").asc).limit(5)
+      Search.contextAgg(top, col("vec_id"), col("text"), col("sim"))
+        .select(Search.prompt(col("context"), lit(Question)).as("prompt"))
+    }),
+    // ---- [EXT] batch similarity join: per-query top-3
+    "simjoin_top3" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      val qs = e.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+      Search.similarityJoin(e, qs, 3)
+        .select(col("qid"), col("vec_id"), col("sim"), col("rank").cast("long").as("rank"))
+        .orderBy(col("qid"), col("rank"))
+    }),
+    // ---- [EXT] exact dedup (hash group-by)
+    "dedup_exact" -> ((s, dir) =>
+      Dedup.exact(Tables.documents(s, dir), "doc_id", "text")
+        .orderBy(col("keep_id"))),
+    // ---- [EXT] n-gram Jaccard near-dup pairs (source-blocked)
+    "dedup_jaccard" -> ((s, dir) =>
+      Dedup.ngramJaccardPairs(Tables.documents(s, dir), "doc_id", "text",
+          "source", 5, 0.5)
+        .orderBy(col("id_a"), col("id_b"))),
+    // ---- [EXT] MinHash+LSH near-dup candidates (global, no blocking)
+    "minhash_cands" -> ((s, dir) =>
+      Dedup.minhashCandidates(Tables.documents(s, dir), "doc_id", "text", 5, 32, 8)
+        .orderBy(col("id_a"), col("id_b"))),
+    // ---- [EXT] SimHash fingerprint per document
+    "simhash" -> ((s, dir) =>
+      Tables.documents(s, dir)
+        .select(col("doc_id"), Dedup.simhash32(col("text")).as("simhash"))
+        .orderBy(col("doc_id"))),
+    // ---- [EXT] embedding-cosine near-dup pairs (label-blocked)
+    "embed_neardup" -> ((s, dir) =>
+      Dedup.embeddingNearDup(Tables.embeddings(s, dir), "vec_id", "embedding",
+          "label", 0.35)
+        .orderBy(col("id_a"), col("id_b"))),
+    // ---- [EXT] text stats per language
+    "text_stats" -> ((s, dir) =>
+      Tables.documents(s, dir).groupBy(col("lang")).agg(
+          count(lit(1)).as("n"),
+          round(avg(col("n_chars")), 6).as("avg_chars"),
+          round(avg(TextAnalysis.tokenCount(col("text"))), 6).as("avg_tokens"))
+        .orderBy(col("lang"))),
+    // ---- [EXT] per-document quality scoring
+    "quality" -> ((s, dir) =>
+      Tables.documents(s, dir).select(
+          col("doc_id"),
+          TextAnalysis.tokenCount(col("text")).cast("long").as("token_count"),
+          TextAnalysis.avgTokenLen(col("text")).as("avg_token_len"),
+          TextAnalysis.punctRatio(col("text")).as("punct_ratio"),
+          TextAnalysis.stopwordRatio(col("text")).as("stopword_ratio"),
+          TextAnalysis.qualityScore(col("text")).as("quality_score"))
+        .orderBy(col("doc_id"))),
+    // ---- [EXT] language-ID heuristic
+    "lang_id" -> ((s, dir) =>
+      Tables.documents(s, dir)
+        .select(col("doc_id"), TextAnalysis.langId(col("text")).as("lang_pred"))
+        .orderBy(col("doc_id"))),
+    // ---- [EXT] rolling-hash document fingerprint
+    "fingerprint" -> ((s, dir) =>
+      Tables.documents(s, dir)
+        .select(col("doc_id"), TextAnalysis.fingerprint(col("text")).as("fp"))
+        .orderBy(col("doc_id"))),
+    // ---- A5: deterministic featurizer (zero-egress embed substitution)
+    "featurize_check" -> ((s, dir) => {
+      val vec = Featurizer.featurize(64)(col("text"))
+      Tables.documents(s, dir)
+        .select(col("doc_id"), vec.as("vec"))
+        .select(col("doc_id"),
+          round(aggregate(col("vec"), lit(0.0), (a, x) => a + x), 6).as("vsum"),
+          size(filter(col("vec"), x => x =!= 0.0)).cast("long").as("nnz"))
+        .orderBy(col("doc_id"))
+    }),
+    // ---- [EXT] JSON extraction over events
+    "events_json" -> ((s, dir) =>
+      Tables.events(s, dir).groupBy(col("event_type")).agg(
+          count(lit(1)).as("n"),
+          round(sum(col("value")), 4).as("sum_value"),
+          round(avg(get_json_object(col("props"), "$.k").cast("long")), 6).as("avg_k"))
+        .orderBy(col("event_type"))),
+    // ---- [EXT] event-time tumbling hourly rollup
+    "events_hourly" -> ((s, dir) =>
+      Tables.events(s, dir)
+        .groupBy(date_format(date_trunc("hour", col("ts")), "yyyy-MM-dd HH:mm:ss").as("hour"))
+        .agg(count(lit(1)).as("n"), round(sum(col("value")), 4).as("sum_value"))
+        .orderBy(col("hour"))),
+    // ---- [EXT] TPC-H-style scan-agg (partial+final hash agg)
+    "q1_agg" -> ((s, dir) =>
+      Tables.lineitem(s, dir)
+        .filter(col("l_shipdate") <= lit("1998-09-01"))
+        .groupBy(col("l_returnflag"), col("l_linestatus")).agg(
+          round(sum(col("l_quantity")), 2).as("sum_qty"),
+          round(sum(col("l_extendedprice")), 2).as("sum_base"),
+          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("sum_disc"),
+          round(avg(col("l_quantity")), 6).as("avg_qty"),
+          count(lit(1)).as("n"))
+        .orderBy(col("l_returnflag"), col("l_linestatus"))),
+    // ---- [EXT] TPC-H-style 3-way join + agg + top-k
+    "q3_top10" -> ((s, dir) => {
+      val c = Tables.customer(s, dir).filter(col("c_mktsegment") === "BUILDING")
+      val o = Tables.orders(s, dir).filter(col("o_orderdate") < lit("1995-03-15"))
+      val l = Tables.lineitem(s, dir).filter(col("l_shipdate") > lit("1995-03-15"))
+      l.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+        .groupBy(col("l_orderkey"), col("o_orderdate"))
+        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+        .select(col("l_orderkey"),
+          date_format(col("o_orderdate"), "yyyy-MM-dd").as("o_date"), col("revenue"))
+        .orderBy(col("revenue").desc, col("l_orderkey").asc)
+        .limit(10)
+    }),
+    // ---- [EXT] window function: top-2 orders per customer
+    "window_rank" -> ((s, dir) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      Tables.orders(s, dir)
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 2)
+        .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
+          col("rn").cast("long").as("rn"))
+        .orderBy(col("o_custkey"), col("rn"))
     }),
   )
 
+  // ---------------------------------------------------------------- oracle
+
+  /** Portable cosine (matches VectorOps.cosine6 on non-degenerate rows). */
+  private def cosSql(a: String, b: String): String =
+    s"round(list_dot_product($a::DOUBLE[], $b::DOUBLE[]) / " +
+      s"(sqrt(list_dot_product($a::DOUBLE[], $a::DOUBLE[])) * " +
+      s"sqrt(list_dot_product($b::DOUBLE[], $b::DOUBLE[]))), 6)"
+
+  /** Lowercased whitespace tokens, empties dropped (TextAnalysis.tokens). */
+  private val toksSql = "list_filter(string_split(lower(text), ' '), t -> t <> '')"
+
+  /** Portable polynomial hash of a string expression (Featurizer.tokenHash). */
+  private def polySql(e: String): String =
+    s"list_reduce(list_prepend(7::BIGINT, [ord(x)::BIGINT for x in string_split_regex($e, '')]), " +
+      "(a, b) -> (a * 31 + b) % 1000000007)"
+
+  /** Chunk exploded subquery (size 100 / stride 80), mirrors Chunker.chunk. */
+  private val chunksSql =
+    """SELECT doc_id, pos::BIGINT AS pos, substring(text, pos::INT + 1, 100) AS chunk
+      |FROM (SELECT doc_id, text,
+      |        unnest(range(0, greatest(length(text), 1), 80)) AS pos
+      |      FROM documents)""".stripMargin
+
+  /** Top-5 scored docs (context source), mirrors scoredDocs + limit 5. */
+  private val top5DocsSql =
+    s"""SELECT e.vec_id, d.text, ${cosSql("e.embedding", "q.qvec")} AS sim
+       |FROM embeddings e
+       |JOIN documents d ON e.vec_id = d.doc_id,
+       |     (SELECT embedding AS qvec FROM embeddings WHERE vec_id = 0) q
+       |ORDER BY sim DESC, e.vec_id ASC LIMIT 5""".stripMargin
+
+  private val promptPrefix =
+    "Based on the following context, please answer the question. " +
+      "If the answer is not in the context, say you don''t know."
+
   def oracleSql: Map[String, String] = Map(
     "knn_top5" ->
-      """SELECT vec_id, sim FROM (
-        |  SELECT e.vec_id,
-        |         round(list_dot_product(e.embedding::DOUBLE[], q.qvec::DOUBLE[]) /
-        |               (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[])) *
-        |                sqrt(list_dot_product(q.qvec::DOUBLE[], q.qvec::DOUBLE[]))), 6) AS sim
-        |  FROM embeddings e,
-        |       (SELECT embedding AS qvec FROM embeddings WHERE vec_id = 0) q)
-        |ORDER BY sim DESC, vec_id ASC LIMIT 5""".stripMargin,
+      s"""SELECT vec_id, sim FROM (
+         |  SELECT e.vec_id, ${cosSql("e.embedding", "q.qvec")} AS sim
+         |  FROM embeddings e,
+         |       (SELECT embedding AS qvec FROM embeddings WHERE vec_id = 0) q)
+         |ORDER BY sim DESC, vec_id ASC LIMIT 5""".stripMargin,
     "cosine_scores" ->
-      """SELECT e.vec_id,
-        |       round(list_dot_product(e.embedding::DOUBLE[], q.qvec::DOUBLE[]) /
-        |             (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[])) *
-        |              sqrt(list_dot_product(q.qvec::DOUBLE[], q.qvec::DOUBLE[]))), 6) AS sim
-        |FROM embeddings e,
-        |     (SELECT embedding AS qvec FROM embeddings WHERE vec_id = 0) q
-        |ORDER BY e.vec_id""".stripMargin,
+      s"""SELECT e.vec_id, ${cosSql("e.embedding", "q.qvec")} AS sim
+         |FROM embeddings e,
+         |     (SELECT embedding AS qvec FROM embeddings WHERE vec_id = 0) q
+         |ORDER BY e.vec_id""".stripMargin,
+    "chunks" -> s"SELECT * FROM ($chunksSql) ORDER BY doc_id, pos",
+    "chunks_nonempty" ->
+      s"SELECT * FROM ($chunksSql) WHERE length(trim(chunk)) > 0 ORDER BY doc_id, pos",
+    "chunk_ids" ->
+      s"""SELECT doc_id, pos,
+         |       (row_number() OVER (ORDER BY doc_id, pos) - 1)::BIGINT AS chunk_id
+         |FROM ($chunksSql) WHERE length(trim(chunk)) > 0
+         |ORDER BY doc_id, pos""".stripMargin,
     "append_union" ->
       """SELECT label, count(*) AS n FROM (
         |  SELECT * FROM embeddings WHERE label < 5
@@ -80,5 +276,172 @@ object SparkEntry {
         |  SELECT * FROM embeddings WHERE label >= 5)
         |GROUP BY label ORDER BY label""".stripMargin,
     "readiness" -> "SELECT count(*) AS n FROM embeddings",
+    "context_top5" ->
+      s"""SELECT string_agg(text, chr(10) || '---' || chr(10)
+         |         ORDER BY sim DESC, vec_id ASC) AS context
+         |FROM ($top5DocsSql)""".stripMargin,
+    "ask_prompt" ->
+      s"""SELECT '$promptPrefix' || chr(10) || chr(10) || 'Context:' || chr(10) ||
+         |       context || chr(10) || chr(10) || 'Question:' || chr(10) ||
+         |       '$Question' AS prompt
+         |FROM (SELECT string_agg(text, chr(10) || '---' || chr(10)
+         |               ORDER BY sim DESC, vec_id ASC) AS context
+         |      FROM ($top5DocsSql))""".stripMargin,
+    "simjoin_top3" ->
+      s"""SELECT qid, vec_id, sim, rank::BIGINT AS rank FROM (
+         |  SELECT qid, vec_id, sim,
+         |         row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id ASC) AS rank
+         |  FROM (SELECT q.vec_id AS qid, e.vec_id,
+         |               ${cosSql("e.embedding", "q.embedding")} AS sim
+         |        FROM embeddings e,
+         |             (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 10) q))
+         |WHERE rank <= 3 ORDER BY qid, rank""".stripMargin,
+    "dedup_exact" ->
+      """SELECT md5(text) AS text_hash, min(doc_id) AS keep_id, count(*) AS dup_count
+        |FROM documents GROUP BY 1 ORDER BY keep_id""".stripMargin,
+    "dedup_jaccard" ->
+      """WITH sh AS (
+        |  SELECT DISTINCT doc_id, source, substring(text, g::INT + 1, 5) AS sh
+        |  FROM (SELECT doc_id, source, text,
+        |          unnest(range(0, greatest(length(text) - 4, 1), 1)) AS g
+        |        FROM documents)),
+        |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+        |inter AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+        |  FROM sh a JOIN sh b
+        |    ON a.sh = b.sh AND a.source = b.source AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT id_a, id_b,
+        |       round(i::DOUBLE / (sa.n + sb.n - i), 6) AS jaccard
+        |FROM inter
+        |JOIN sizes sa ON sa.doc_id = id_a
+        |JOIN sizes sb ON sb.doc_id = id_b
+        |WHERE round(i::DOUBLE / (sa.n + sb.n - i), 6) >= 0.5
+        |ORDER BY id_a, id_b""".stripMargin,
+    "minhash_cands" ->
+      s"""WITH sh AS (
+         |  SELECT DISTINCT doc_id, substring(text, g::INT + 1, 5) AS sh
+         |  FROM (SELECT doc_id, text,
+         |          unnest(range(0, greatest(length(text) - 4, 1), 1)) AS g
+         |        FROM documents)),
+         |shh AS (SELECT doc_id, ${polySql("sh")} AS h FROM sh),
+         |m AS (
+         |  SELECT doc_id, i,
+         |         min((h * (2 * i + 1) + (7919 * (i + 1)) % 1000000007) % 1000000007) AS mh
+         |  FROM shh, (SELECT unnest(range(0, 32)) AS i) seeds
+         |  GROUP BY 1, 2),
+         |band AS (
+         |  SELECT doc_id, i // 8 AS band,
+         |         string_agg(mh::VARCHAR, ',' ORDER BY i) AS bandsig
+         |  FROM m GROUP BY 1, 2)
+         |SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         |FROM band a JOIN band b
+         |  ON a.band = b.band AND a.bandsig = b.bandsig AND a.doc_id < b.doc_id
+         |ORDER BY id_a, id_b""".stripMargin,
+    "simhash" ->
+      s"""WITH tok AS (
+         |  SELECT doc_id, unnest($toksSql) AS tok FROM documents),
+         |h AS (SELECT doc_id, ${polySql("tok")} AS h FROM tok),
+         |bits AS (
+         |  SELECT doc_id, j,
+         |         sum(CASE WHEN (h >> j::INT) & 1 = 1 THEN 1 ELSE -1 END) AS s
+         |  FROM h, (SELECT unnest(range(0, 32)) AS j) seeds
+         |  GROUP BY 1, 2)
+         |SELECT doc_id,
+         |       sum(CASE WHEN s > 0 THEN (1::BIGINT << j::INT) ELSE 0 END)::BIGINT AS simhash
+         |FROM bits GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "embed_neardup" ->
+      s"""SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         |       ${cosSql("a.embedding", "b.embedding")} AS sim
+         |FROM embeddings a JOIN embeddings b
+         |  ON a.label = b.label AND a.vec_id < b.vec_id
+         |WHERE ${cosSql("a.embedding", "b.embedding")} >= 0.35
+         |ORDER BY id_a, id_b""".stripMargin,
+    "text_stats" ->
+      s"""SELECT lang, count(*) AS n, round(avg(n_chars), 6) AS avg_chars,
+         |       round(avg(len($toksSql)), 6) AS avg_tokens
+         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+    "quality" ->
+      s"""WITH q AS (
+         |  SELECT doc_id,
+         |         len($toksSql)::BIGINT AS tc,
+         |         round(list_sum(list_transform($toksSql, t -> length(t)))::DOUBLE /
+         |               greatest(len($toksSql), 1), 6) AS atl,
+         |         (length(lower(text)) -
+         |          length(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g')))::DOUBLE /
+         |         greatest(length(text), 1) AS pr,
+         |         len(list_filter($toksSql,
+         |             t -> list_contains(['the','and','of','to','in','is'], t)))::DOUBLE /
+         |         greatest(len($toksSql), 1) AS sr
+         |  FROM documents)
+         |SELECT doc_id, tc AS token_count, atl AS avg_token_len,
+         |       round(pr, 6) AS punct_ratio, round(sr, 6) AS stopword_ratio,
+         |       round(0.4 * least(tc / 50.0, 1.0) + 0.3 * (1.0 - pr) +
+         |             0.3 * least(sr * 5.0, 1.0), 6) AS quality_score
+         |FROM q ORDER BY doc_id""".stripMargin,
+    "lang_id" -> {
+      def hits(ms: Seq[String]): String =
+        s"len(list_filter($toksSql, t -> list_contains([${ms.map("'" + _ + "'").mkString(",")}], t)))"
+      val m = TextAnalysis.LangMarkers
+      s"""SELECT doc_id,
+         |  CASE
+         |    WHEN s_de >= s_en AND s_de >= s_es AND s_de >= s_fr AND s_de >= s_zh THEN 'de'
+         |    WHEN s_en >= s_es AND s_en >= s_fr AND s_en >= s_zh THEN 'en'
+         |    WHEN s_es >= s_fr AND s_es >= s_zh THEN 'es'
+         |    WHEN s_fr >= s_zh THEN 'fr'
+         |    ELSE 'zh' END AS lang_pred
+         |FROM (SELECT doc_id, ${hits(m("de"))} AS s_de, ${hits(m("en"))} AS s_en,
+         |             ${hits(m("es"))} AS s_es, ${hits(m("fr"))} AS s_fr,
+         |             ${hits(m("zh"))} AS s_zh
+         |      FROM documents)
+         |ORDER BY doc_id""".stripMargin
+    },
+    "fingerprint" ->
+      s"SELECT doc_id, ${polySql("text")} AS fp FROM documents ORDER BY doc_id",
+    "featurize_check" ->
+      s"""WITH tok AS (
+         |  SELECT doc_id, unnest($toksSql) AS tok FROM documents),
+         |b AS (
+         |  SELECT doc_id, ${polySql("tok")} % 64 AS bucket, count(*)::DOUBLE AS c
+         |  FROM tok GROUP BY 1, 2)
+         |SELECT doc_id, round(sum(c) / sqrt(sum(c * c)), 6) AS vsum,
+         |       count(*) AS nnz
+         |FROM b GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "events_json" ->
+      """SELECT event_type, count(*) AS n, round(sum(value), 4) AS sum_value,
+        |       round(avg(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT)), 6) AS avg_k
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "events_hourly" ->
+      """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
+        |       count(*) AS n, round(sum(value), 4) AS sum_value
+        |FROM events GROUP BY 1 ORDER BY hour""".stripMargin,
+    "q1_agg" ->
+      """SELECT l_returnflag, l_linestatus,
+        |       round(sum(l_quantity), 2) AS sum_qty,
+        |       round(sum(l_extendedprice), 2) AS sum_base,
+        |       round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc,
+        |       round(avg(l_quantity), 6) AS avg_qty,
+        |       count(*) AS n
+        |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-01'
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "q3_top10" ->
+      """SELECT l_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS o_date,
+        |       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |  AND o_orderdate < TIMESTAMP '1995-03-15'
+        |  AND l_shipdate > TIMESTAMP '1995-03-15'
+        |GROUP BY l_orderkey, o_orderdate
+        |ORDER BY revenue DESC, l_orderkey ASC LIMIT 10""".stripMargin,
+    "window_rank" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice, rn::BIGINT AS rn FROM (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |         row_number() OVER (PARTITION BY o_custkey
+        |                            ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+        |  FROM orders)
+        |WHERE rn <= 2 ORDER BY o_custkey, rn""".stripMargin,
   )
 }

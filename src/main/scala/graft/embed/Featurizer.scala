@@ -1,0 +1,66 @@
+package graft.embed
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Deterministic local featurizer — the zero-egress substitution for the
+  * reference's remote Gemini embedding calls
+  * (`/root/reference/services/geminiService.ts:27-77`): same operator
+  * signature (`string → float[dim]`, batched over rows), but a seeded
+  * hashing-trick term-frequency vector instead of a network call. The
+  * dimension is a config parameter mirroring the model constant
+  * (`constants.ts:6`, 768 for embedding-001; 64 matches the test data).
+  *
+  * The token hash is an engine-portable polynomial
+  * (`h = fold(h*31 + charCode) mod 1e9+7`, h0 = 7) so the DuckDB oracle
+  * can replicate buckets exactly — deliberately NOT Spark's Murmur3
+  * `hash()`, which no other engine reproduces.
+  *
+  * Scale: `featurize` is a scalar map — no shuffle, embarrassingly
+  * parallel; the reference's batch-of-50 + 1 s sleep rate limiting
+  * (`App.tsx:17-18,88-90`) is an API artifact with no analogue once the
+  * model is in-process.
+  */
+object Featurizer {
+
+  val DefaultDim = 64
+  val HashMod: Long = 1000000007L
+  val HashSeed: Long = 7L
+
+  /** Portable polynomial hash of a token (ASCII/UTF-16 char codes). */
+  def tokenHash(s: String): Long = {
+    var h = HashSeed
+    var i = 0
+    while (i < s.length) { h = (h * 31 + s.charAt(i)) % HashMod; i += 1 }
+    h
+  }
+
+  /** Single-text featurize (A6, query path `geminiService.ts:27-48`):
+    * lowercase, split on spaces, hash each token into one of `dim`
+    * buckets, L2-normalize the counts. Empty text → zero vector. */
+  def featurizeText(text: String, dim: Int = DefaultDim): Array[Double] = {
+    val v = new Array[Double](dim)
+    text.toLowerCase.split(" ").foreach { t =>
+      if (t.nonEmpty) v((tokenHash(t) % dim).toInt) += 1.0
+    }
+    val norm = math.sqrt(v.map(x => x * x).sum)
+    if (norm == 0.0) v else v.map(_ / norm)
+  }
+
+  /** Column form (A5, document path `geminiService.ts:57-77`): one fused
+    * JVM pass per row (O(tokens + dim)) — a Scala UDF here beats the
+    * builtin-HOF formulation, which would be O(tokens × dim) per row. */
+  def featurize(dim: Int = DefaultDim): Column => Column = {
+    val f = udf { (text: String) =>
+      if (text == null) new Array[Double](dim) else featurizeText(text, dim)
+    }
+    c => f(c)
+  }
+
+  /** The query text as a 1-row DataFrame with its featurized vector in
+    * `qvec` — the driver-side scalar embed of `App.tsx:190`. */
+  def queryFrame(spark: SparkSession, question: String, dim: Int = DefaultDim): DataFrame = {
+    import spark.implicits._
+    Seq((question, featurizeText(question, dim))).toDF("question", "qvec")
+  }
+}

@@ -1,0 +1,98 @@
+package graft.text
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for the training-data-pipeline extensions
+  * (north star): token counting, quality scoring, language ID,
+  * document fingerprinting. All pure Column builders over builtin
+  * (codegen'd) functions — scalar maps, no shuffle, no UDFs.
+  *
+  * Oracle portability: the fingerprint uses the same engine-portable
+  * polynomial hash as the featurizer (mod 1e9+7, base 31, seed 7), so
+  * DuckDB reproduces it with `list_reduce` over `ord()` codes.
+  */
+object TextAnalysis {
+
+  /** Lowercased whitespace tokens, empties dropped. */
+  def tokens(text: Column): Column =
+    filter(split(lower(text), " "), t => length(t) > 0)
+
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  /** Mean token length, rounded 6. */
+  def avgTokenLen(text: Column): Column = {
+    val ts = tokens(text)
+    round(
+      aggregate(ts, lit(0L), (acc, t) => acc + length(t)).cast("double") /
+        greatest(size(ts), lit(1)).cast("double"), 6)
+  }
+
+  /** Fraction of characters outside [a-z0-9 ] after lowercasing.
+    * Raw (unrounded) — compose before rounding so composites never land
+    * on an exact round-half boundary (a pre-rounded 6-decimal input
+    * times 0.3 yields exact 7th-decimal halves that DuckDB and the JVM
+    * round differently). */
+  def punctRatioRaw(text: Column): Column =
+    (length(lower(text)) - length(regexp_replace(lower(text), "[^a-z0-9 ]", ""))).cast("double") /
+      greatest(length(text), lit(1)).cast("double")
+
+  def punctRatio(text: Column): Column = round(punctRatioRaw(text), 6)
+
+  /** Per-language marker lists for the n-gram/stopword language-ID
+    * heuristic. Deterministic, tiny, broadcast as literals. */
+  val LangMarkers: Map[String, Seq[String]] = Map(
+    "de" -> Seq("der", "die", "das", "und", "nicht", "mit"),
+    "en" -> Seq("the", "and", "of", "to", "in", "is"),
+    "es" -> Seq("el", "la", "los", "que", "de", "y"),
+    "fr" -> Seq("le", "la", "les", "et", "des", "une"),
+    "zh" -> Seq("de", "shi", "bu", "le", "wo", "zai"))
+
+  /** # tokens that appear in `markers`. */
+  def markerHits(text: Column, markers: Seq[String]): Column =
+    size(filter(tokens(text), t => t.isin(markers.map(lit): _*)))
+
+  /** Predicted language: argmax of marker hits, alphabetical tie-break
+    * (deterministic total order over the 5-way score tuple). */
+  def langId(text: Column): Column = {
+    val scored = LangMarkers.toSeq.sortBy(_._1).map { case (lang, ms) =>
+      struct(markerHits(text, ms).as("hits"), lit(lang).as("lang"))
+    }
+    // max by (hits asc, lang desc) == argmax hits with alphabetical-first
+    // tie-break: array_max picks lexicographically-largest struct, i.e.
+    // highest hits then lexicographically-largest lang — invert lang by
+    // sorting descending input order instead: simplest portable form is
+    // greatest() over structs with negated tie key; we keep (hits, revLang)
+    // where revLang sorts reverse-alphabetical so the *first* alphabetical
+    // lang wins ties.
+    val inverted = LangMarkers.toSeq.sortBy(_._1).map { case (lang, ms) =>
+      struct(markerHits(text, ms).as("hits"),
+        lit(LangMarkers.keys.toSeq.sorted.reverse.indexOf(lang)).as("pri"),
+        lit(lang).as("lang"))
+    }
+    greatest(inverted: _*).getField("lang")
+  }
+
+  /** Stopword ratio against the English marker list (quality signal). */
+  def stopwordRatioRaw(text: Column): Column =
+    markerHits(text, LangMarkers("en")).cast("double") /
+      greatest(tokenCount(text), lit(1)).cast("double")
+
+  def stopwordRatio(text: Column): Column = round(stopwordRatioRaw(text), 6)
+
+  /** Composite quality score in [0,1]: length signal + punctuation
+    * cleanliness + stopword naturalness. Fixed deterministic formula
+    * over RAW ratios (see punctRatioRaw), rounded once. */
+  def qualityScore(text: Column): Column =
+    round(
+      lit(0.4) * least(tokenCount(text).cast("double") / 50.0, lit(1.0)) +
+        lit(0.3) * (lit(1.0) - punctRatioRaw(text)) +
+        lit(0.3) * least(stopwordRatioRaw(text) * 5.0, lit(1.0)), 6)
+
+  /** Rolling polynomial fingerprint over the full text: fold
+    * (h*31 + charCode) mod 1e9+7, seed 7 — same hash family as
+    * [[graft.embed.Featurizer]]; one HOF pass per row. */
+  def fingerprint(text: Column): Column =
+    aggregate(split(text, ""), lit(7L),
+      (h, c) => (h * 31 + ascii(c)) % 1000000007L)
+}
