@@ -1,0 +1,53 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.text.Chunker
+
+/** Chunker boundary cases from the reference stride loop
+  * (`/root/reference/App.tsx:56-61`, `constants.ts:9-10`; FIXTURES.md §B). */
+class ChunkerSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("chunkerExact: 2600 chars, size 1000 / overlap 200 → offsets 0,800,1600,2400; last chunk 200") {
+    val text = "x" * 2600
+    val out = Chunker.chunk(Seq((1L, text)).toDF("doc_id", "text"), "text", 1000, 200)
+      .select("pos", "chunk").collect().map(r => (r.getInt(0), r.getString(1).length))
+    assert(out.map(_._1).toSeq == Seq(0, 800, 1600, 2400))
+    assert(out.map(_._2).toSeq == Seq(1000, 1000, 1000, 200))
+  }
+
+  test("chunkerShort: 10-char text → one full-text chunk") {
+    val out = Chunker.chunk(Seq((1L, "0123456789")).toDF("doc_id", "text"), "text", 1000, 200)
+      .select("pos", "chunk").collect()
+    assert(out.length == 1 && out(0).getInt(0) == 0 && out(0).getString(1) == "0123456789")
+  }
+
+  test("chunkerExactMultiple: length == stride·k keeps the overlap tail chunk") {
+    // 1600 chars: offsets 0, 800 — second chunk is the 800-char tail
+    val out = Chunker.chunk(Seq((1L, "y" * 1600)).toDF("doc_id", "text"), "text", 1000, 200)
+      .select("pos", "chunk").collect().map(r => (r.getInt(0), r.getString(1).length))
+    assert(out.toSeq == Seq((0, 1000), (800, 800)))
+  }
+
+  test("chunkerBlank: whitespace-only text filtered out entirely (App.tsx:61)") {
+    val out = Chunker.chunk(Seq((1L, " " * 50)).toDF("doc_id", "text"), "text", 1000, 200)
+      .filter(Chunker.nonEmpty(col("chunk")))
+    assert(out.count() == 0)
+  }
+
+  test("ordinalIds: dense 0-based ids in (doc, pos) order across docs (App.tsx:72-76)") {
+    val docs = Seq((2L, "b" * 1700), (1L, "a" * 700), (3L, "c" * 100 + " " * 900))
+      .toDF("doc_id", "text")
+    val ch = Chunker.chunk(docs, "text", 1000, 200)
+      .filter(Chunker.nonEmpty(col("chunk")))
+    val ids = Chunker.withOrdinalIds(ch, "doc_id")
+      .orderBy("doc_id", "pos")
+      .select("doc_id", "pos", "chunk_id").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    // doc 1: 1 chunk; doc 2: 3 chunks (0,800,1600); doc 3: blank chunk at
+    // 800 dropped, chunk at 0 survives → ids stay dense across the gap
+    assert(ids.toSeq == Seq(
+      (1L, 0, 0L), (2L, 0, 1L), (2L, 800, 2L), (2L, 1600, 3L), (3L, 0, 4L)))
+  }
+}

@@ -1,0 +1,63 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.analysis.Dedup
+
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val docs = Seq(
+    (0L, "the quick brown fox jumps over the lazy dog", "a"),
+    (1L, "the quick brown fox jumps over the lazy dog", "a"), // exact dup of 0
+    (2L, "the quick brown fox jumps over the lazy cat", "a"), // near dup
+    (3L, "completely different text about spark shuffles", "a"),
+    (4L, "zzz yyy xxx www vvv uuu ttt sss", "b"))
+    .toDF("doc_id", "text", "source")
+
+  test("exact dedup keeps min id and counts members") {
+    val out = Dedup.exact(docs, "doc_id", "text")
+      .orderBy("keep_id").collect()
+    assert(out.length == 4)
+    assert(out(0).getLong(1) == 0L && out(0).getLong(2) == 2L) // 0+1 merged
+  }
+
+  test("exactDropped returns the non-representative rows") {
+    val dropped = Dedup.exactDropped(docs, "doc_id", "text")
+      .select("doc_id").collect().map(_.getLong(0))
+    assert(dropped.toSeq == Seq(1L))
+  }
+
+  test("ngram jaccard finds the near-dup pair, not the unrelated one") {
+    val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text", "source", 5, 0.5)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((0L, 1L)) && pairs.contains((0L, 2L)) && pairs.contains((1L, 2L)))
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
+  }
+
+  test("minhash LSH candidates include exact and near dups") {
+    val cands = Dedup.minhashCandidates(docs, "doc_id", "text", 5, 32, 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(cands.contains((0L, 1L))) // identical text always collides
+    assert(!cands.exists(p => p._1 == 4L || p._2 == 4L))
+  }
+
+  test("simhash: identical texts get identical fingerprints; hamming near for near-dups") {
+    val fps = docs.select(col("doc_id"), Dedup.simhash32(col("text")).as("h"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fps(0L) == fps(1L))
+    val hammingNear = java.lang.Long.bitCount(fps(0L) ^ fps(2L))
+    val hammingFar = java.lang.Long.bitCount(fps(0L) ^ fps(4L))
+    assert(hammingNear < hammingFar)
+  }
+
+  test("embedding near-dup finds high-cosine pair within block") {
+    val emb = Seq(
+      (0L, Seq(1f, 0f, 0f), 0), (1L, Seq(0.99f, 0.1f, 0f), 0),
+      (2L, Seq(0f, 1f, 0f), 0), (3L, Seq(1f, 0f, 0f), 1))
+      .toDF("vec_id", "embedding", "label")
+    val pairs = Dedup.embeddingNearDup(emb, "vec_id", "embedding", "label", 0.9)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((0L, 1L))) // 0-3 same vector but different label-block
+  }
+}
