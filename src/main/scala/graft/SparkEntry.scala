@@ -300,24 +300,25 @@ object SparkEntry {
       """SELECT md5(text) AS text_hash, min(doc_id) AS keep_id, count(*) AS dup_count
         |FROM documents GROUP BY 1 ORDER BY keep_id""".stripMargin,
     "dedup_jaccard" ->
-      """WITH sh AS (
-        |  SELECT DISTINCT doc_id, source, substring(text, g::INT + 1, 5) AS sh
-        |  FROM (SELECT doc_id, source, text,
-        |          unnest(range(0, greatest(length(text) - 4, 1), 1)) AS g
-        |        FROM documents)),
-        |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
-        |inter AS (
-        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
-        |  FROM sh a JOIN sh b
-        |    ON a.sh = b.sh AND a.source = b.source AND a.doc_id < b.doc_id
-        |  GROUP BY 1, 2)
-        |SELECT id_a, id_b,
-        |       round(i::DOUBLE / (sa.n + sb.n - i), 6) AS jaccard
-        |FROM inter
-        |JOIN sizes sa ON sa.doc_id = id_a
-        |JOIN sizes sb ON sb.doc_id = id_b
-        |WHERE round(i::DOUBLE / (sa.n + sb.n - i), 6) >= 0.5
-        |ORDER BY id_a, id_b""".stripMargin,
+      s"""WITH sh AS (
+         |  SELECT DISTINCT doc_id, source, substring(text, g::INT + 1, 5) AS sh
+         |  FROM (SELECT doc_id, source, text,
+         |          unnest(range(0, greatest(length(text) - 4, 1), 1)) AS g
+         |        FROM documents)),
+         |shh AS (SELECT DISTINCT doc_id, source, ${polySql("sh")} AS h FROM sh),
+         |sizes AS (SELECT doc_id, count(*) AS n FROM shh GROUP BY 1),
+         |inter AS (
+         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+         |  FROM shh a JOIN shh b
+         |    ON a.h = b.h AND a.source = b.source AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2)
+         |SELECT id_a, id_b,
+         |       round(i::DOUBLE / (sa.n + sb.n - i), 6) AS jaccard
+         |FROM inter
+         |JOIN sizes sa ON sa.doc_id = id_a
+         |JOIN sizes sb ON sb.doc_id = id_b
+         |WHERE round(i::DOUBLE / (sa.n + sb.n - i), 6) >= 0.5
+         |ORDER BY id_a, id_b""".stripMargin,
     "minhash_cands" ->
       s"""WITH sh AS (
          |  SELECT DISTINCT doc_id, substring(text, g::INT + 1, 5) AS sh

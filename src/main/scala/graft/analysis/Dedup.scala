@@ -48,19 +48,33 @@ object Dedup {
     * pairs with jaccard ≥ threshold, (id_a < id_b). */
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
                         groupCol: String, k: Int, threshold: Double): DataFrame = {
-    val sh = df.select(col(idCol).as("id"), col(groupCol).as("grp"),
-        explode(shingles(col(textCol), k)).as("sh"))
-    val sizes = sh.groupBy(col("id")).agg(count(lit(1)).as("n"))
-    val inter = sh.as("a").join(sh.as("b"),
-        col("a.sh") === col("b.sh") && col("a.grp") === col("b.grp") &&
-          col("a.id") < col("b.id"))
-      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
-      .agg(count(lit(1)).as("inter"))
-    inter
-      .join(broadcast(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("n", "na")), "id_a")
-      .join(broadcast(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("n", "nb")), "id_b")
+    // One sorted distinct shingle-HASH array per doc, then a block-local
+    // pair join with a merge-intersect per pair. Versus the exploded
+    // shingle-equijoin (quadratic in per-shingle frequency — repeated
+    // shingles across a block blow up the intermediate), this shuffles
+    // one fixed array per doc and the per-pair work is an allocation-free
+    // primitive-long merge inside codegen
+    // (graft.functions.SortedArrayIntersectCount). Jaccard is defined
+    // over the hashed shingle sets (the MinHash-literature convention);
+    // the portable polynomial hash makes the oracle reproduce identical
+    // sets, collisions included.
+    val sets = df.select(col(idCol).as("id"), col(groupCol).as("grp"),
+      sort_array(shinglesHashes(col(textCol), k)).as("ss"))
+    // Broadcast one side and spread the streamed side across all cores:
+    // a block-key-only join would otherwise ride the source's partition
+    // count (a single parquet split at small sf → near-serial pair
+    // generation). At cluster scale with a non-broadcastable corpus this
+    // flips to a shuffle join on (grp + salt).
+    val a = sets.select(col("id").as("id_a"), col("grp"), col("ss").as("sa"))
+      .repartition(col("id_a"))
+    val b = sets.select(col("id").as("id_b"), col("grp"), col("ss").as("sb"))
+    a.join(broadcast(b), Seq("grp"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("inter",
+        graft.functions.SortedArrayIntersectCount(col("sa"), col("sb")))
       .withColumn("jaccard",
-        round(col("inter").cast("double") / (col("na") + col("nb") - col("inter")).cast("double"), 6))
+        round(col("inter").cast("double") /
+          (size(col("sa")) + size(col("sb")) - col("inter")).cast("double"), 6))
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
@@ -90,6 +104,25 @@ object Dedup {
     aggregate(split(s, ""), lit(Featurizer.HashSeed),
       (h, c) => (h * 31 + ascii(c)) % Featurizer.HashMod)
 
+  /** MinHash signatures as one row per doc with columns mh0..mhN-1.
+    * Shingle hashes are exploded to rows and hashed ONCE; each of the N
+    * permutation minima is then a cheap `min((h·a+b) mod p)` aggregate —
+    * partial (map-side) aggregation makes the shuffle carry only N longs
+    * per doc per partition. (The array-expression formulation recomputes
+    * the shingle hashing N times per row — 30× slower at sf0.1.) */
+  def minhashSignatures(df: DataFrame, idCol: String, textCol: String,
+                        k: Int, numHashes: Int): DataFrame = {
+    val p = Featurizer.HashMod
+    val sh = df.select(col(idCol).as("id"),
+      explode(shinglesHashes(col(textCol), k)).as("h"))
+    val aggs = (0 until numHashes).map { i =>
+      val a = 2L * i + 1
+      val b = 7919L * (i + 1) % p
+      min((col("h") * a + b) % p).as(s"mh$i")
+    }
+    sh.groupBy(col("id")).agg(aggs.head, aggs.tail: _*)
+  }
+
   /** MinHash + LSH candidate pairs: split the signature into bands of
     * `rowsPerBand`, join docs sharing any identical band sub-signature,
     * emit distinct (id_a < id_b) candidates. The band join shuffles by
@@ -97,13 +130,14 @@ object Dedup {
     * probability jaccard^rowsPerBand per band, the LSH S-curve. */
   def minhashCandidates(df: DataFrame, idCol: String, textCol: String,
                         k: Int, numHashes: Int, rowsPerBand: Int): DataFrame = {
-    val sig = df.select(col(idCol).as("id"),
-      minhashSignature(col(textCol), k, numHashes).as("sig"))
+    val sig = minhashSignatures(df, idCol, textCol, k, numHashes)
     val numBands = numHashes / rowsPerBand
-    val banded = sig.select(col("id"),
-        posexplode(transform(sequence(lit(0), lit(numBands - 1)),
-          b => slice(col("sig"), b * rowsPerBand + lit(1), lit(rowsPerBand)))))
-      .select(col("id"), col("pos").as("band"), col("col").as("bandsig"))
+    val bandCols = (0 until numBands).map { b =>
+      struct(lit(b).as("band"),
+        array((0 until rowsPerBand).map(r => col(s"mh${b * rowsPerBand + r}")): _*).as("bandsig"))
+    }
+    val banded = sig.select(col("id"), explode(array(bandCols: _*)).as("bs"))
+      .select(col("id"), col("bs.band").as("band"), col("bs.bandsig").as("bandsig"))
     banded.as("a").join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.bandsig") === col("b.bandsig") &&
           col("a.id") < col("b.id"))

@@ -30,8 +30,17 @@ object VectorOps {
   def l2Norm(a: Column): Column = sqrt(dot(a, a))
 
   /** Cosine similarity with the reference's edge semantics
-    * (`vectorDb.ts:27-49`): dim mismatch → -1, zero vector → 0. */
-  def cosine(a: Column, b: Column): Column = {
+    * (`vectorDb.ts:27-49`): dim mismatch → -1, zero vector → 0.
+    * Backed by the fused codegen kernel
+    * [[graft.functions.CosineSimilarity]] — one allocation-free loop
+    * per row; bit-identical to [[cosineHof]] (asserted in tests). */
+  def cosine(a: Column, b: Column): Column =
+    graft.functions.CosineSimilarity(a, b)
+
+  /** Builtin-HOF formulation of [[cosine]] — three array traversals and
+    * a zip allocation per row; kept as the executable specification the
+    * fused kernel is tested against. */
+  def cosineHof(a: Column, b: Column): Column = {
     val na = l2Norm(a)
     val nb = l2Norm(b)
     when(size(a) =!= size(b), lit(-1.0))
