@@ -7,7 +7,8 @@ import org.apache.spark.sql.functions._
 import graft.analysis.Dedup
 import graft.embed.Featurizer
 import graft.io.Tables
-import graft.search.Search
+import graft.multimodal.Multimodal
+import graft.search.{Ann, Search}
 import graft.text.{Chunker, TextAnalysis}
 import graft.vector.VectorOps
 
@@ -201,6 +202,36 @@ object SparkEntry {
         .orderBy(col("revenue").desc, col("l_orderkey").asc)
         .limit(10)
     }),
+    // ---- A5+A6+A9+A10 end-to-end: featurize corpus AND query, retrieve.
+    // Uses raw-count vectors: cosine is scale-invariant, and integer
+    // counts make every sum exact → bit-exact oracle parity.
+    "rag_top5" -> ((s, dir) => {
+      import s.implicits._
+      val qdf = Seq(Tuple1(Featurizer.featurizeCountsText(Question, 64))).toDF("qvec")
+      Tables.documents(s, dir)
+        .select(col("doc_id"), Featurizer.featurizeCounts(64)(col("text")).as("dvec"))
+        .crossJoin(broadcast(qdf))
+        .withColumn("sim", VectorOps.cosine6(col("dvec"), col("qvec")))
+        .orderBy(col("sim").desc, col("doc_id").asc).limit(5)
+        .select(col("doc_id"), col("sim"))
+    }),
+    // ---- [EXT] multimodal: binary payload + batched stub decode
+    "multimodal_meta" -> ((s, dir) => {
+      val media = Multimodal.asBinary(Tables.documents(s, dir), "doc_id", "text")
+      Multimodal.decodeFeatures(s, media).toDF()
+        .select(col("id").as("doc_id"), col("byte_len"), col("content_hash"),
+          col("width"), col("height"))
+        .orderBy(col("doc_id"))
+    }),
+    // ---- [EXT] ANN: IVF (centroid-probed clusters; exact knn is the
+    // oracle of record, so these two are rows-only checks)
+    "ann_ivf_top5" -> ((s, dir) =>
+      Ann.ivfTopK(Tables.embeddings(s, dir), queryVec(s, dir), 5, 3)
+        .select(col("vec_id"), col("sim"))),
+    // ---- [EXT] ANN: random-hyperplane LSH with Hamming-1 multi-probe
+    "ann_lsh_top5" -> ((s, dir) =>
+      Ann.lshTopK(Tables.embeddings(s, dir), queryVec(s, dir), 5, Ann.planes(64, 8))
+        .select(col("vec_id"), col("sim"))),
     // ---- [EXT] window function: top-2 orders per customer
     "window_rank" -> ((s, dir) => {
       val w = Window.partitionBy(col("o_custkey"))
@@ -408,6 +439,28 @@ object SparkEntry {
          |SELECT doc_id, round(sum(c) / sqrt(sum(c * c)), 6) AS vsum,
          |       count(*) AS nnz
          |FROM b GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "rag_top5" ->
+      s"""WITH tok AS (SELECT doc_id, unnest($toksSql) AS tok FROM documents),
+         |db AS (SELECT doc_id, ${polySql("tok")} % 64 AS b, count(*)::DOUBLE AS c
+         |       FROM tok GROUP BY 1, 2),
+         |dn AS (SELECT doc_id, sqrt(sum(c * c)) AS nrm FROM db GROUP BY 1),
+         |qt AS (SELECT unnest(list_filter(string_split(lower('$Question'), ' '),
+         |                     t -> t <> '')) AS tok),
+         |qb AS (SELECT ${polySql("tok")} % 64 AS b, count(*)::DOUBLE AS c
+         |       FROM qt GROUP BY 1),
+         |qn AS (SELECT sqrt(sum(c * c)) AS nrm FROM qb),
+         |dp AS (SELECT d.doc_id, sum(d.c * q.c) AS dp
+         |       FROM db d JOIN qb q USING (b) GROUP BY 1)
+         |SELECT doc_id,
+         |       round(coalesce(dp.dp, 0) / (dn.nrm * (SELECT nrm FROM qn)), 6) AS sim
+         |FROM dn LEFT JOIN dp USING (doc_id)
+         |ORDER BY sim DESC, doc_id ASC LIMIT 5""".stripMargin,
+    "multimodal_meta" ->
+      """SELECT doc_id, octet_length(encode(text))::BIGINT AS byte_len,
+        |       md5(text) AS content_hash,
+        |       (ord(substring(text, 1, 1)) % 64 + 1)::BIGINT AS width,
+        |       (ord(substring(text, length(text), 1)) % 64 + 1)::BIGINT AS height
+        |FROM documents ORDER BY doc_id""".stripMargin,
     "events_json" ->
       """SELECT event_type, count(*) AS n, round(sum(value), 4) AS sum_value,
         |       round(avg(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT)), 6) AS avg_k

@@ -57,6 +57,25 @@ object Featurizer {
     c => f(c)
   }
 
+  /** Un-normalized bucket counts. Cosine is scale-invariant, so ranking
+    * and similarity match the normalized form — but integer counts make
+    * every dot/norm sum an EXACT double (no rounding at any add), giving
+    * bit-exact parity with a SQL oracle that sums buckets in any order. */
+  def featurizeCountsText(text: String, dim: Int = DefaultDim): Array[Double] = {
+    val v = new Array[Double](dim)
+    text.toLowerCase.split(" ").foreach { t =>
+      if (t.nonEmpty) v((tokenHash(t) % dim).toInt) += 1.0
+    }
+    v
+  }
+
+  def featurizeCounts(dim: Int = DefaultDim): Column => Column = {
+    val f = udf { (text: String) =>
+      if (text == null) new Array[Double](dim) else featurizeCountsText(text, dim)
+    }
+    c => f(c)
+  }
+
   /** The query text as a 1-row DataFrame with its featurized vector in
     * `qvec` — the driver-side scalar embed of `App.tsx:190`. */
   def queryFrame(spark: SparkSession, question: String, dim: Int = DefaultDim): DataFrame = {

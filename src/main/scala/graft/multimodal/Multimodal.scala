@@ -1,0 +1,58 @@
+package graft.multimodal
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal columns: image/audio/video as opaque `binary` payloads
+  * with typed metadata, decoded executor-side in batches.
+  *
+  * The Spark-side plumbing is real — schema, partition-level batched
+  * decode via `mapPartitions` with a typed Encoder, deterministic
+  * feature output — while the codec itself is a clearly-marked STUB
+  * (this container ships no image/audio libraries): `decodeStub`
+  * derives width/height/fingerprint deterministically from the bytes.
+  * Swapping in a real decoder changes only that one function; the
+  * pipeline shape (binary in → struct features out, no driver
+  * involvement, no shuffle) is what runs at 100 TB.
+  */
+object Multimodal {
+
+  /** Decoded-media feature row. */
+  case class MediaFeature(id: Long, modality: String, byte_len: Long,
+                          content_hash: String, width: Long, height: Long)
+
+  /** Attach a binary payload column. In production this is
+    * `spark.read.format("binaryFile")` over a media bucket (the
+    * reference's PDF ArrayBuffer path, `/root/reference/App.tsx:46-47`);
+    * here UTF-8 text bytes stand in. */
+  def asBinary(df: DataFrame, idCol: String, textCol: String,
+               modality: String = "image"): DataFrame =
+    df.select(col(idCol).as("id"), lit(modality).as("modality"),
+      encode(col(textCol), "UTF-8").as("bytes"))
+
+  // ===================== STUB =====================
+  /** Deterministic fake decode of one payload. A real implementation
+    * calls the image/audio codec here (javax.imageio / ffmpeg bindings);
+    * everything around it — batching, encoders, partitioning — is the
+    * production shape. */
+  private def decodeStub(id: Long, modality: String, bytes: Array[Byte]): MediaFeature = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hash = md.digest(bytes).map("%02x".format(_)).mkString
+    val w = if (bytes.isEmpty) 0L else (bytes(0) & 0xff).toLong % 64 + 1
+    val h = if (bytes.isEmpty) 0L else (bytes(bytes.length - 1) & 0xff).toLong % 64 + 1
+    MediaFeature(id, modality, bytes.length.toLong, hash, w, h)
+  }
+  // ================================================
+
+  /** Partition-batched decode: one decoder instance per partition (the
+    * expensive part for real codecs), streaming rows through it. */
+  def decodeFeatures(spark: SparkSession, media: DataFrame): Dataset[MediaFeature] = {
+    import spark.implicits._
+    media.select(col("id"), col("modality"), col("bytes"))
+      .as[(Long, String, Array[Byte])]
+      .mapPartitions { it =>
+        // per-partition decoder setup would go here
+        it.map { case (id, m, b) => decodeStub(id, m, b) }
+      }
+  }
+}

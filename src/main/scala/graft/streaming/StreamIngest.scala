@@ -1,0 +1,66 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.DataStreamWriter
+import org.apache.spark.sql.types._
+
+import graft.embed.Featurizer
+import graft.text.Chunker
+
+/** Structured Streaming ingest — the incremental batch pipeline of the
+  * reference (`/root/reference/App.tsx:67-91`: embed a batch of 50,
+  * append, sleep 1000 ms) re-expressed as a file-source stream:
+  * `maxFilesPerTrigger` is the rate-limit analogue of the inter-batch
+  * sleep, the append-mode sink is the incremental `vectorDB.add`.
+  *
+  * Scale: the stream shards per file split; state is bounded (no
+  * aggregation on the ingest path), so it runs identically on a
+  * 1000-executor cluster with a bigger trigger.
+  */
+object StreamIngest {
+
+  val documentSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("text", StringType),
+    StructField("lang", StringType),
+    StructField("source", StringType),
+    StructField("n_chars", LongType)))
+
+  /** Chunk + filter + featurize, streaming. Pure transformation — the
+    * same operators as the batch path (`Chunker`, `Featurizer`), applied
+    * to a readStream source. */
+  def chunkAndEmbed(docs: DataFrame, chunkSize: Int, overlap: Int, dim: Int): DataFrame =
+    Chunker.chunk(docs, "text", chunkSize, overlap)
+      .filter(Chunker.nonEmpty(col("chunk")))
+      .withColumn("embedding", Featurizer.featurize(dim)(col("chunk")))
+      .select(col("doc_id"), col("pos"), col("chunk"), col("embedding"))
+
+  /** File-source ingest stream over a directory of document parquet. */
+  def ingestStream(spark: SparkSession, srcDir: String,
+                   chunkSize: Int = 1000, overlap: Int = 200, dim: Int = 64,
+                   maxFilesPerTrigger: Int = 1): DataFrame = {
+    val docs = spark.readStream
+      .schema(documentSchema)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .parquet(srcDir)
+    chunkAndEmbed(docs, chunkSize, overlap, dim)
+  }
+
+  /** Append-mode parquet sink (`vectorDB.add` analogue). */
+  def toParquetSink(df: DataFrame, dstDir: String, checkpointDir: String): DataStreamWriter[org.apache.spark.sql.Row] =
+    df.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .format("parquet")
+      .option("path", dstDir)
+
+  /** Event-time tumbling-window counts with a watermark — the streaming
+    * form of the `events_hourly` batch query (SURVEY §2 `[EXT]`). */
+  def eventCountsStream(events: DataFrame, window_ : String = "1 hour",
+                        watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), window_), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
+}

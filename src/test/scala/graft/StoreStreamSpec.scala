@@ -1,0 +1,86 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.multimodal.Multimodal
+import graft.store.CorpusStore
+import graft.streaming.StreamIngest
+
+class StoreStreamSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("CorpusStore: append accumulates, overwrite resets, isReady flips") {
+    val dir = Files.createTempDirectory("graft-store").toString + "/corpus"
+    assert(!CorpusStore.isReady(spark, dir))
+    val a = Seq((1L, "one"), (2L, "two")).toDF("id", "text")
+    CorpusStore.append(a, dir)
+    assert(CorpusStore.isReady(spark, dir))
+    CorpusStore.append(a, dir)
+    assert(CorpusStore.load(spark, dir).count() == 4) // vectorDb.ts:7-9 push semantics
+    CorpusStore.overwrite(a, dir)                     // vectorDb.ts:54-56 reset + reload
+    assert(CorpusStore.load(spark, dir).count() == 2)
+  }
+
+  test("streaming ingest: file source -> chunk+featurize -> append sink") {
+    val src = Files.createTempDirectory("graft-stream-src").toString
+    val dst = Files.createTempDirectory("graft-stream-dst").toString
+    val ckp = Files.createTempDirectory("graft-stream-ckp").toString
+    // two source FILES arriving as separate micro-batches
+    // (maxFilesPerTrigger=1 = the reference's one-batch-at-a-time rate
+    // limit, App.tsx:88-90); the file stream source lists plain files,
+    // so flatten each write's part file out of its output directory
+    def writeAsFile(df: org.apache.spark.sql.DataFrame, name: String): Unit = {
+      val stage = Files.createTempDirectory("graft-stage").toString
+      df.coalesce(1).write.mode("overwrite").parquet(stage)
+      val part = new java.io.File(stage).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      Files.copy(part.toPath, java.nio.file.Paths.get(s"$src/$name"))
+    }
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet").limit(20).cache()
+    writeAsFile(docs.limit(10), "f1.parquet")
+    writeAsFile(docs.orderBy(col("doc_id").desc).limit(10), "f2.parquet")
+    val stream = StreamIngest.ingestStream(spark, src, chunkSize = 100,
+      overlap = 20, dim = 16, maxFilesPerTrigger = 1)
+    val q = StreamIngest.toParquetSink(stream, dst, ckp).start()
+    q.processAllAvailable()
+    q.stop()
+    val out = spark.read.parquet(dst)
+    assert(out.count() > 0)
+    assert(out.columns.toSet == Set("doc_id", "pos", "chunk", "embedding"))
+    // streamed result == batch result over the same inputs
+    val batch = StreamIngest.chunkAndEmbed(spark.read.parquet(s"$src/f1.parquet", s"$src/f2.parquet"), 100, 20, 16)
+    assert(out.count() == batch.count())
+  }
+
+  test("streaming event-time window agg with watermark (memory sink)") {
+    val events = graft.io.Tables.events(spark, sf0001)
+    val src = Files.createTempDirectory("graft-events").toString
+    events.limit(500).write.mode("overwrite").parquet(src)
+    val stream = spark.readStream
+      .schema(spark.read.parquet(src).schema)
+      .parquet(src)
+    val agg = StreamIngest.eventCountsStream(stream)
+    val q = agg.writeStream.outputMode("append")
+      .format("memory").queryName("evt_counts").start()
+    q.processAllAvailable()
+    q.stop()
+    // append mode emits only watermark-closed windows; with one batch the
+    // final windows stay open, so assert the query ran and the schema holds
+    val out = spark.table("evt_counts")
+    assert(out.columns.toSet == Set("window", "event_type", "n", "sum_value"))
+  }
+
+  test("multimodal: batched stub decode preserves ids and determinism") {
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet").limit(10)
+    val feats = Multimodal.decodeFeatures(spark,
+      Multimodal.asBinary(docs, "doc_id", "text")).collect()
+    assert(feats.length == 10)
+    assert(feats.forall(f => f.byte_len > 0 && f.content_hash.length == 32))
+    assert(feats.forall(f => f.width >= 1 && f.width <= 64))
+    val again = Multimodal.decodeFeatures(spark,
+      Multimodal.asBinary(docs, "doc_id", "text")).collect()
+    assert(feats.sortBy(_.id).toSeq == again.sortBy(_.id).toSeq)
+  }
+}
