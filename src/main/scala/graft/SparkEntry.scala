@@ -232,6 +232,31 @@ object SparkEntry {
     "ann_lsh_top5" -> ((s, dir) =>
       Ann.lshTopK(Tables.embeddings(s, dir), queryVec(s, dir), 5, Ann.planes(64, 8))
         .select(col("vec_id"), col("sim"))),
+    // ---- [EXT] anti join (the dedup-subtract shape, SURVEY §2 semi/anti)
+    "anti_join" -> ((s, dir) => {
+      val bigItems = Tables.lineitem(s, dir)
+        .filter(col("l_quantity") > 45).select(col("l_orderkey"))
+      Tables.orders(s, dir)
+        .join(bigItems, col("o_orderkey") === col("l_orderkey"), "left_anti")
+        .groupBy(col("o_orderstatus")).agg(count(lit(1)).as("n"))
+        .orderBy(col("o_orderstatus"))
+    }),
+    // ---- [EXT] distinct aggregates
+    "distinct_parts" -> ((s, dir) =>
+      Tables.lineitem(s, dir).groupBy(col("l_returnflag")).agg(
+          countDistinct(col("l_partkey")).as("n_parts"),
+          countDistinct(col("l_suppkey")).as("n_supps"))
+        .orderBy(col("l_returnflag"))),
+    // ---- [EXT] window frame: running per-user event totals
+    "running_total" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.events(s, dir)
+        .withColumn("run_sum", round(sum(col("value")).over(w), 6))
+        .select(col("event_id"), col("user_id"), col("run_sum"))
+        .orderBy(col("user_id"), col("event_id"))
+    }),
     // ---- [EXT] window function: top-2 orders per customer
     "window_rank" -> ((s, dir) => {
       val w = Window.partitionBy(col("o_custkey"))
@@ -490,6 +515,22 @@ object SparkEntry {
         |  AND l_shipdate > TIMESTAMP '1995-03-15'
         |GROUP BY l_orderkey, o_orderdate
         |ORDER BY revenue DESC, l_orderkey ASC LIMIT 10""".stripMargin,
+    "anti_join" ->
+      """SELECT o_orderstatus, count(*) AS n FROM orders
+        |WHERE NOT EXISTS (SELECT 1 FROM lineitem
+        |                  WHERE l_orderkey = o_orderkey AND l_quantity > 45)
+        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    "distinct_parts" ->
+      """SELECT l_returnflag, count(DISTINCT l_partkey) AS n_parts,
+        |       count(DISTINCT l_suppkey) AS n_supps
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "running_total" ->
+      """SELECT event_id, user_id,
+        |       round(sum(value) OVER (PARTITION BY user_id
+        |                              ORDER BY ts, event_id
+        |                              ROWS BETWEEN UNBOUNDED PRECEDING
+        |                              AND CURRENT ROW), 6) AS run_sum
+        |FROM events ORDER BY user_id, event_id""".stripMargin,
     "window_rank" ->
       """SELECT o_custkey, o_orderkey, o_totalprice, rn::BIGINT AS rn FROM (
         |  SELECT o_custkey, o_orderkey, o_totalprice,

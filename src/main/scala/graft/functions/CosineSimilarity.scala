@@ -66,22 +66,25 @@ case class CosineSimilarity(left: Expression, right: Expression)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (a, b) => {
-      val getA = if (elemIsFloat(left)) s"(double) $a.getFloat(i)" else s"$a.getDouble(i)"
-      val getB = if (elemIsFloat(right)) s"(double) $b.getFloat(i)" else s"$b.getDouble(i)"
       val n = ctx.freshName("n")
       val dot = ctx.freshName("dot")
       val na = ctx.freshName("na")
       val nb = ctx.freshName("nb")
+      val i = ctx.freshName("i")
+      val x = ctx.freshName("x")
+      val y = ctx.freshName("y")
+      val getA = if (elemIsFloat(left)) s"(double) $a.getFloat($i)" else s"$a.getDouble($i)"
+      val getB = if (elemIsFloat(right)) s"(double) $b.getFloat($i)" else s"$b.getDouble($i)"
       s"""
          |final int $n = $a.numElements();
          |if ($n != $b.numElements()) {
          |  ${ev.value} = -1.0;
          |} else {
          |  double $dot = 0.0; double $na = 0.0; double $nb = 0.0;
-         |  for (int i = 0; i < $n; i++) {
-         |    final double x = $getA;
-         |    final double y = $getB;
-         |    $dot += x * y; $na += x * x; $nb += y * y;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    final double $x = $getA;
+         |    final double $y = $getB;
+         |    $dot += $x * $y; $na += $x * $x; $nb += $y * $y;
          |  }
          |  ${ev.value} = ($na == 0.0 || $nb == 0.0)
          |    ? 0.0 : $dot / (java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb));

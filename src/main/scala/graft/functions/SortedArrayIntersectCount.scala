@@ -60,22 +60,31 @@ case class SortedArrayIntersectCount(left: Expression, right: Expression)
     nullSafeCodeGen(ctx, ev, (a, b) => {
       val et = elemType
       val javaType = org.apache.spark.sql.catalyst.expressions.codegen.CodeGenerator.javaType(et)
-      val getA = org.apache.spark.sql.catalyst.expressions.codegen.CodeGenerator.getValue(a, et, "i")
-      val getB = org.apache.spark.sql.catalyst.expressions.codegen.CodeGenerator.getValue(b, et, "j")
+      // every local must be freshName'd: the same expression can appear
+      // more than once in one generated function (e.g. a predicate using
+      // the count in numerator and denominator)
+      val na = ctx.freshName("na")
+      val nb = ctx.freshName("nb")
+      val i = ctx.freshName("i")
+      val j = ctx.freshName("j")
+      val c = ctx.freshName("c")
       val x = ctx.freshName("x")
       val y = ctx.freshName("y")
+      val cmp = ctx.freshName("cmp")
+      val getA = org.apache.spark.sql.catalyst.expressions.codegen.CodeGenerator.getValue(a, et, i)
+      val getB = org.apache.spark.sql.catalyst.expressions.codegen.CodeGenerator.getValue(b, et, j)
       s"""
-         |final int na = $a.numElements();
-         |final int nb = $b.numElements();
-         |int i = 0; int j = 0; long c = 0L;
-         |while (i < na && j < nb) {
+         |final int $na = $a.numElements();
+         |final int $nb = $b.numElements();
+         |int $i = 0; int $j = 0; long $c = 0L;
+         |while ($i < $na && $j < $nb) {
          |  final $javaType $x = $getA;
          |  final $javaType $y = $getB;
-         |  final int cmp = ${ctx.genComp(et, x, y)};
-         |  if (cmp == 0) { c++; i++; j++; }
-         |  else if (cmp < 0) { i++; } else { j++; }
+         |  final int $cmp = ${ctx.genComp(et, x, y)};
+         |  if ($cmp == 0) { $c++; $i++; $j++; }
+         |  else if ($cmp < 0) { $i++; } else { $j++; }
          |}
-         |${ev.value} = c;
+         |${ev.value} = $c;
        """.stripMargin
     })
 
