@@ -1,0 +1,53 @@
+package graft
+
+import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+
+import graft.functions.{CosineSimilarity, MinHashSignature, SortedArrayIntersectCount}
+
+/** Registers the engine's native expressions as SQL functions, so the
+  * full surface is reachable from `spark.sql(...)` as well as the Column
+  * API:
+  *
+  *   spark.sql("SELECT cos_sim(a.embedding, b.embedding) FROM ...")
+  *   spark.sql("SELECT minhash_signature(hashes, 32) FROM ...")
+  *   spark.sql("SELECT sorted_intersect_count(sa, sb) FROM ...")
+  *
+  * Use either as an extension (`--conf spark.sql.extensions=graft.GraftExtensions`
+  * or `.withExtensions(new GraftExtensions)`) for cluster-wide install,
+  * or `GraftExtensions.register(spark)` on a live session.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(e: SparkSessionExtensions): Unit =
+    GraftExtensions.injections.foreach { case (name, info, builder) =>
+      e.injectFunction((FunctionIdentifier(name), info, builder))
+    }
+}
+
+object GraftExtensions {
+
+  private def intArg(e: Expression, fn: String): Int = e match {
+    case Literal(v: Int, _) => v
+    case other => throw new IllegalArgumentException(
+      s"$fn expects a literal int, got $other")
+  }
+
+  private[graft] val injections: Seq[(String, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
+    ("cos_sim",
+      new ExpressionInfo(classOf[CosineSimilarity].getName, "cos_sim"),
+      (es: Seq[Expression]) => CosineSimilarity(es(0), es(1))),
+    ("sorted_intersect_count",
+      new ExpressionInfo(classOf[SortedArrayIntersectCount].getName, "sorted_intersect_count"),
+      (es: Seq[Expression]) => SortedArrayIntersectCount(es(0), es(1))),
+    ("minhash_signature",
+      new ExpressionInfo(classOf[MinHashSignature].getName, "minhash_signature"),
+      (es: Seq[Expression]) => MinHashSignature(es(0), intArg(es(1), "minhash_signature"))))
+
+  /** Register on an already-built session (temp functions). */
+  def register(spark: SparkSession): Unit =
+    injections.foreach { case (name, _, builder) =>
+      spark.sessionState.functionRegistry
+        .createOrReplaceTempFunction(name, builder, "built-in")
+    }
+}

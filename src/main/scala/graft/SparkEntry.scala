@@ -241,6 +241,26 @@ object SparkEntry {
         .groupBy(col("o_orderstatus")).agg(count(lit(1)).as("n"))
         .orderBy(col("o_orderstatus"))
     }),
+    // ---- [EXT] rollup (grouping-sets family; null keys coalesced to a
+    // sentinel so engines agree on ordering)
+    "rollup_stats" -> ((s, dir) =>
+      Tables.lineitem(s, dir)
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n"), round(sum(col("l_quantity")), 2).as("qty"))
+        .select(coalesce(col("l_returnflag"), lit("ALL")).as("rf"),
+          coalesce(col("l_linestatus"), lit("ALL")).as("ls"),
+          col("n"), col("qty"))
+        .orderBy(col("rf"), col("ls"))),
+    // ---- [EXT] dedup subtract: the rows exact-dedup would drop
+    "dedup_dropped" -> ((s, dir) =>
+      Dedup.exactDropped(Tables.documents(s, dir), "doc_id", "text")
+        .select(col("doc_id")).orderBy(col("doc_id"))),
+    // ---- [EXT] sketch-based approx distinct (HLL; engine-specific
+    // estimates → rows-only check, exact twin is distinct_parts)
+    "approx_distinct_parts" -> ((s, dir) =>
+      Tables.lineitem(s, dir).agg(
+        approx_count_distinct(col("l_partkey")).as("approx_parts"),
+        approx_count_distinct(col("l_orderkey")).as("approx_orders"))),
     // ---- [EXT] distinct aggregates
     "distinct_parts" -> ((s, dir) =>
       Tables.lineitem(s, dir).groupBy(col("l_returnflag")).agg(
@@ -520,6 +540,16 @@ object SparkEntry {
         |WHERE NOT EXISTS (SELECT 1 FROM lineitem
         |                  WHERE l_orderkey = o_orderkey AND l_quantity > 45)
         |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    "rollup_stats" ->
+      """SELECT coalesce(l_returnflag, 'ALL') AS rf,
+        |       coalesce(l_linestatus, 'ALL') AS ls,
+        |       count(*) AS n, round(sum(l_quantity), 2) AS qty
+        |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+        |ORDER BY rf, ls""".stripMargin,
+    "dedup_dropped" ->
+      """SELECT doc_id FROM documents
+        |WHERE doc_id NOT IN (SELECT min(doc_id) FROM documents GROUP BY md5(text))
+        |ORDER BY doc_id""".stripMargin,
     "distinct_parts" ->
       """SELECT l_returnflag, count(DISTINCT l_partkey) AS n_parts,
         |       count(DISTINCT l_suppkey) AS n_supps

@@ -59,7 +59,7 @@ object Dedup {
     // the portable polynomial hash makes the oracle reproduce identical
     // sets, collisions included.
     val sets = df.select(col(idCol).as("id"), col(groupCol).as("grp"),
-      sort_array(shinglesHashes(col(textCol), k)).as("ss"))
+      shinglesHashes(col(textCol), k).as("ss")) // already sorted distinct
     // Broadcast one side and spread the streamed side across all cores:
     // a block-key-only join would otherwise ride the source's partition
     // count (a single parquet split at small sf → near-serial pair
@@ -79,49 +79,29 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
 
-  /** MinHash signature: for seed i, min over shingles of
-    * (a_i · h(sh) + b_i) mod p, where h is the portable polynomial hash.
-    * Fixed-size `Array[Long]` signature per doc. */
-  def minhashSignature(text: Column, k: Int, numHashes: Int): Column = {
-    val p = Featurizer.HashMod
-    val base = shinglesHashes(text, k)
-    val perSeed = (0 until numHashes).map { i =>
-      val a = 2L * i + 1 // odd multipliers
-      val b = 7919L * (i + 1) % p
-      array_min(transform(base, h => (h * a + b) % p))
-    }
-    array(perSeed: _*)
-  }
+  /** MinHash signature column: for seed i, min over shingles of
+    * (h·(2i+1) + b_i) mod p over the portable polynomial shingle hashes.
+    * One fused codegen pass per row (graft.functions.MinHashSignature) —
+    * no explode, no shuffle. Null for docs with no shingles. */
+  def minhashSignature(text: Column, k: Int, numHashes: Int): Column =
+    graft.functions.MinHashSignature(shinglesHashes(text, k), numHashes)
 
-  /** Portable polynomial hashes of the distinct k-shingles. */
+  /** Portable polynomial hashes of the distinct k-shingles, sorted —
+    * single-pass native expression (see
+    * [[graft.functions.SortedShingleHashes]]); `shinglesHashesHof` is
+    * the composed-builtin executable specification it is tested against. */
   def shinglesHashes(text: Column, k: Int): Column =
-    array_distinct(transform(
+    graft.functions.SortedShingleHashes(text, k)
+
+  def shinglesHashesHof(text: Column, k: Int): Column =
+    sort_array(array_distinct(transform(
       sequence(lit(0), greatest(length(text) - k, lit(0))),
-      i => polyHash(substring(text, i + lit(1), lit(k)))))
+      i => polyHash(substring(text, i + lit(1), lit(k))))))
 
   /** HOF form of [[Featurizer.tokenHash]]: fold (h*31+code) mod 1e9+7. */
   def polyHash(s: Column): Column =
     aggregate(split(s, ""), lit(Featurizer.HashSeed),
       (h, c) => (h * 31 + ascii(c)) % Featurizer.HashMod)
-
-  /** MinHash signatures as one row per doc with columns mh0..mhN-1.
-    * Shingle hashes are exploded to rows and hashed ONCE; each of the N
-    * permutation minima is then a cheap `min((h·a+b) mod p)` aggregate —
-    * partial (map-side) aggregation makes the shuffle carry only N longs
-    * per doc per partition. (The array-expression formulation recomputes
-    * the shingle hashing N times per row — 30× slower at sf0.1.) */
-  def minhashSignatures(df: DataFrame, idCol: String, textCol: String,
-                        k: Int, numHashes: Int): DataFrame = {
-    val p = Featurizer.HashMod
-    val sh = df.select(col(idCol).as("id"),
-      explode(shinglesHashes(col(textCol), k)).as("h"))
-    val aggs = (0 until numHashes).map { i =>
-      val a = 2L * i + 1
-      val b = 7919L * (i + 1) % p
-      min((col("h") * a + b) % p).as(s"mh$i")
-    }
-    sh.groupBy(col("id")).agg(aggs.head, aggs.tail: _*)
-  }
 
   /** MinHash + LSH candidate pairs: split the signature into bands of
     * `rowsPerBand`, join docs sharing any identical band sub-signature,
@@ -130,14 +110,20 @@ object Dedup {
     * probability jaccard^rowsPerBand per band, the LSH S-curve. */
   def minhashCandidates(df: DataFrame, idCol: String, textCol: String,
                         k: Int, numHashes: Int, rowsPerBand: Int): DataFrame = {
-    val sig = minhashSignatures(df, idCol, textCol, k, numHashes)
+    // No explicit isNotNull filter on sig: a null signature (null text)
+    // is dropped by the non-outer Generate below, and a filter here gets
+    // predicate-pushed BELOW the projection, recomputing the whole
+    // signature per row just to null-check it. Repartition spreads the
+    // signature computation across cores (the doc scan is one split at
+    // small scale).
+    val sig = df.repartition(col(idCol))
+      .select(col(idCol).as("id"),
+        minhashSignature(col(textCol), k, numHashes).as("sig"))
     val numBands = numHashes / rowsPerBand
-    val bandCols = (0 until numBands).map { b =>
-      struct(lit(b).as("band"),
-        array((0 until rowsPerBand).map(r => col(s"mh${b * rowsPerBand + r}")): _*).as("bandsig"))
-    }
-    val banded = sig.select(col("id"), explode(array(bandCols: _*)).as("bs"))
-      .select(col("id"), col("bs.band").as("band"), col("bs.bandsig").as("bandsig"))
+    val banded = sig.select(col("id"),
+        posexplode(transform(sequence(lit(0), lit(numBands - 1)),
+          b => slice(col("sig"), b * rowsPerBand + lit(1), lit(rowsPerBand)))))
+      .select(col("id"), col("pos").as("band"), col("col").as("bandsig"))
     banded.as("a").join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.bandsig") === col("b.bandsig") &&
           col("a.id") < col("b.id"))

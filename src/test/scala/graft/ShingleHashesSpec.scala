@@ -1,0 +1,40 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.analysis.Dedup
+
+/** The single-pass shingle hasher must match the composed-HOF
+  * specification bit-for-bit on real document text. */
+class ShingleHashesSpec extends SparkSpec {
+
+  test("native == HOF on sf0.001 documents (k=5 and k=3)") {
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet").limit(100)
+    Seq(3, 5).foreach { k =>
+      val diff = docs.select(
+          Dedup.shinglesHashes(col("text"), k).as("fast"),
+          Dedup.shinglesHashesHof(col("text"), k).as("spec"))
+        .filter(col("fast") =!= col("spec"))
+      assert(diff.count() == 0, s"mismatch at k=$k")
+    }
+  }
+
+  test("short text (< k) hashes its single truncated shingle") {
+    import spark.implicits._
+    val out = Seq("ab").toDF("text")
+      .select(Dedup.shinglesHashes(col("text"), 5).as("h"))
+      .head().getSeq[Long](0)
+    assert(out.length == 1)
+    // fold: ((7*31+'a') mod p)*31 + 'b' mod p
+    val expect = ((7L * 31 + 'a') % 1000000007L * 31 + 'b') % 1000000007L
+    assert(out.head == expect)
+  }
+
+  test("output is sorted and distinct") {
+    import spark.implicits._
+    val out = Seq("aaaaaaaaaa").toDF("text") // all shingles identical
+      .select(Dedup.shinglesHashes(col("text"), 5).as("h"))
+      .head().getSeq[Long](0)
+    assert(out.length == 1)
+  }
+}

@@ -1,0 +1,50 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.vector.VectorOps
+
+/** The SQL surface: custom expressions registered via GraftExtensions
+  * must be callable from spark.sql and agree with the Column API. */
+class SqlSurfaceSpec extends SparkSpec {
+
+  test("cos_sim / sorted_intersect_count / minhash_signature via spark.sql") {
+    GraftExtensions.register(spark)
+    spark.read.parquet(s"$sf0001/embeddings.parquet").limit(50)
+      .createOrReplaceTempView("emb")
+
+    val sqlSims = spark.sql(
+      """SELECT e.vec_id, round(cos_sim(e.embedding, q.embedding), 6) AS sim
+        |FROM emb e, (SELECT embedding FROM emb WHERE vec_id = 0) q
+        |ORDER BY vec_id""".stripMargin).collect()
+    val colSims = {
+      val e = spark.table("emb")
+      val q = e.filter(col("vec_id") === 0).select(col("embedding").as("qvec"))
+      e.crossJoin(broadcast(q))
+        .select(col("vec_id"), VectorOps.cosine6(col("embedding"), col("qvec")).as("sim"))
+        .orderBy(col("vec_id")).collect()
+    }
+    assert(sqlSims.map(r => (r.getLong(0), r.getDouble(1))).toSeq ==
+      colSims.map(r => (r.getLong(0), r.getDouble(1))).toSeq)
+
+    val ic = spark.sql(
+      "SELECT sorted_intersect_count(array(1L,2L,5L,9L), array(2L,3L,5L,7L,9L)) AS c")
+      .head().getLong(0)
+    assert(ic == 3L)
+
+    val sig = spark.sql(
+      "SELECT minhash_signature(array(42L, 7L, 99L), 8) AS s")
+      .head().getSeq[Long](0)
+    assert(sig.length == 8)
+    val sig2 = spark.sql(
+      "SELECT minhash_signature(array(99L, 42L, 7L), 8) AS s")
+      .head().getSeq[Long](0)
+    assert(sig == sig2) // set semantics: order-independent
+  }
+
+  test("minhash_signature: empty input -> null") {
+    GraftExtensions.register(spark)
+    val r = spark.sql("SELECT minhash_signature(cast(array() as array<bigint>), 4) AS s").head()
+    assert(r.isNullAt(0))
+  }
+}
