@@ -215,6 +215,17 @@ object SparkEntry {
         .orderBy(col("sim").desc, col("doc_id").asc).limit(5)
         .select(col("doc_id"), col("sim"))
     }),
+    // ---- A14: full ask pipeline with the deterministic answerer stub
+    "ask_answer" -> ((s, dir) =>
+      graft.answer.Ask.ask(s, dir, Question, 5, 64)),
+    // ---- [EXT] token counting: whitespace + BPE-ish regex
+    "token_counts" -> ((s, dir) =>
+      Tables.documents(s, dir).select(
+          col("doc_id"),
+          TextAnalysis.tokenCount(col("text")).cast("long").as("ws_tokens"),
+          size(regexp_extract_all(lower(col("text")),
+            lit("[a-z]+|[0-9]+|[^a-z0-9\\s]"), lit(0))).cast("long").as("bpe_tokens"))
+        .orderBy(col("doc_id"))),
     // ---- [EXT] multimodal: binary payload + batched stub decode
     "multimodal_meta" -> ((s, dir) => {
       val media = Multimodal.asBinary(Tables.documents(s, dir), "doc_id", "text")
@@ -500,6 +511,45 @@ object SparkEntry {
          |       round(coalesce(dp.dp, 0) / (dn.nrm * (SELECT nrm FROM qn)), 6) AS sim
          |FROM dn LEFT JOIN dp USING (doc_id)
          |ORDER BY sim DESC, doc_id ASC LIMIT 5""".stripMargin,
+    "ask_answer" -> {
+      // featurized top-5 (as rag_top5) joined back to text, then context,
+      // prompt, and the template answer — the whole ask() pipeline in SQL
+      val top5 =
+        s"""SELECT d.doc_id, d.text, sims.sim
+           |FROM (WITH tok AS (SELECT doc_id, unnest($toksSql) AS tok FROM documents),
+           |      db AS (SELECT doc_id, ${polySql("tok")} % 64 AS b, count(*)::DOUBLE AS c
+           |             FROM tok GROUP BY 1, 2),
+           |      dn AS (SELECT doc_id, sqrt(sum(c * c)) AS nrm FROM db GROUP BY 1),
+           |      qt AS (SELECT unnest(list_filter(string_split(lower('$Question'), ' '),
+           |                           t -> t <> '')) AS tok),
+           |      qb AS (SELECT ${polySql("tok")} % 64 AS b, count(*)::DOUBLE AS c
+           |             FROM qt GROUP BY 1),
+           |      qn AS (SELECT sqrt(sum(c * c)) AS nrm FROM qb),
+           |      dp AS (SELECT d.doc_id, sum(d.c * q.c) AS dp
+           |             FROM db d JOIN qb q USING (b) GROUP BY 1)
+           |      SELECT doc_id,
+           |             round(coalesce(dp.dp, 0) / (dn.nrm * (SELECT nrm FROM qn)), 6) AS sim
+           |      FROM dn LEFT JOIN dp USING (doc_id)) sims
+           |JOIN documents d USING (doc_id)
+           |ORDER BY sims.sim DESC, d.doc_id ASC LIMIT 5""".stripMargin
+      s"""WITH ctxq AS (
+         |  SELECT string_agg(text, chr(10) || '---' || chr(10)
+         |           ORDER BY sim DESC, doc_id ASC) AS context
+         |  FROM ($top5))
+         |SELECT '$Question' AS question, context,
+         |       '$promptPrefix' || chr(10) || chr(10) || 'Context:' || chr(10) ||
+         |       context || chr(10) || chr(10) || 'Question:' || chr(10) ||
+         |       '$Question' AS prompt,
+         |       'Q: ' || '$Question' || ' | top context: ' ||
+         |       substring(string_split(context, chr(10) || '---' || chr(10))[1], 1, 80) ||
+         |       ' | context chars: ' || length(context)::VARCHAR AS answer
+         |FROM ctxq""".stripMargin
+    },
+    "token_counts" ->
+      s"""SELECT doc_id, len($toksSql)::BIGINT AS ws_tokens,
+         |       len(regexp_extract_all(lower(text),
+         |           '[a-z]+|[0-9]+|[^a-z0-9\\s]'))::BIGINT AS bpe_tokens
+         |FROM documents ORDER BY doc_id""".stripMargin,
     "multimodal_meta" ->
       """SELECT doc_id, octet_length(encode(text))::BIGINT AS byte_len,
         |       md5(text) AS content_hash,
