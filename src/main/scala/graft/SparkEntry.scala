@@ -122,6 +122,10 @@ object SparkEntry {
       Tables.documents(s, dir)
         .select(col("doc_id"), Dedup.simhash32(col("text")).as("simhash"))
         .orderBy(col("doc_id"))),
+    // ---- [EXT] SimHash Hamming-distance near-dup pairs (source-blocked)
+    "simhash_pairs" -> ((s, dir) =>
+      Dedup.simhashPairs(Tables.documents(s, dir), "doc_id", "text", "source", 6)
+        .orderBy(col("id_a"), col("id_b"))),
     // ---- [EXT] embedding-cosine near-dup pairs (label-blocked)
     "embed_neardup" -> ((s, dir) =>
       Dedup.embeddingNearDup(Tables.embeddings(s, dir), "vec_id", "embedding",
@@ -438,6 +442,26 @@ object SparkEntry {
          |SELECT doc_id,
          |       sum(CASE WHEN s > 0 THEN (1::BIGINT << j::INT) ELSE 0 END)::BIGINT AS simhash
          |FROM bits GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "simhash_pairs" ->
+      s"""WITH tok AS (
+         |  SELECT doc_id, unnest($toksSql) AS tok FROM documents),
+         |h AS (SELECT doc_id, ${polySql("tok")} AS h FROM tok),
+         |bits AS (
+         |  SELECT doc_id, j,
+         |         sum(CASE WHEN (h >> j::INT) & 1 = 1 THEN 1 ELSE -1 END) AS s
+         |  FROM h, (SELECT unnest(range(0, 32)) AS j) seeds
+         |  GROUP BY 1, 2),
+         |sh AS (
+         |  SELECT doc_id,
+         |         sum(CASE WHEN s > 0 THEN (1::BIGINT << j::INT) ELSE 0 END)::BIGINT AS fp
+         |  FROM bits GROUP BY doc_id),
+         |p AS (SELECT s.doc_id, d.source, s.fp
+         |      FROM sh s JOIN documents d USING (doc_id))
+         |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         |       bit_count(xor(a.fp, b.fp))::BIGINT AS hamming
+         |FROM p a JOIN p b ON a.source = b.source AND a.doc_id < b.doc_id
+         |WHERE bit_count(xor(a.fp, b.fp)) <= 6
+         |ORDER BY id_a, id_b""".stripMargin,
     "embed_neardup" ->
       s"""SELECT a.vec_id AS id_a, b.vec_id AS id_b,
          |       ${cosSql("a.embedding", "b.embedding")} AS sim

@@ -133,8 +133,11 @@ object Dedup {
 
   /** 32-bit SimHash over whitespace tokens: per bit j, sum ±1 weighted by
     * token count depending on bit j of the portable token hash; bit j of
-    * the fingerprint is 1 iff the sum is positive. */
-  def simhash32(text: Column): Column = {
+    * the fingerprint is 1 iff the sum is positive. Single-pass native
+    * expression; `simhash32Hof` is the executable spec it's tested against. */
+  def simhash32(text: Column): Column = graft.functions.SimHash32(text)
+
+  def simhash32Hof(text: Column): Column = {
     val toks = graft.text.TextAnalysis.tokens(text)
     val hashes = transform(toks, t => polyHash(t))
     val bits = (0 until 32).map { j =>
@@ -143,6 +146,25 @@ object Dedup {
       when(s > 0, lit(1L) * (1L << j)).otherwise(lit(0L))
     }
     bits.reduce(_ + _)
+  }
+
+  /** SimHash near-duplicate pairs: fingerprint each doc (simhash32),
+    * then pairs within a blocking group whose Hamming distance is ≤
+    * maxHamming. Fingerprints are 8 bytes regardless of doc size, so the
+    * pair join streams tiny rows; at open scale the block key becomes
+    * the fingerprint's high bits (prefix blocking). */
+  def simhashPairs(df: DataFrame, idCol: String, textCol: String,
+                   groupCol: String, maxHamming: Int): DataFrame = {
+    val fp = df.select(col(idCol).as("id"), col(groupCol).as("grp"),
+      simhash32(col(textCol)).as("fp"))
+    val a = fp.select(col("id").as("id_a"), col("grp"), col("fp").as("fa"))
+      .repartition(col("id_a"))
+    val b = fp.select(col("id").as("id_b"), col("grp"), col("fp").as("fb"))
+    a.join(broadcast(b), Seq("grp"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("hamming", bit_count(col("fa").bitwiseXOR(col("fb"))).cast("long"))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("id_a"), col("id_b"), col("hamming"))
   }
 
   /** Embedding-cosine near-duplicate pairs inside a blocking group

@@ -30,6 +30,15 @@ class ShingleHashesSpec extends SparkSpec {
     assert(out.head == expect)
   }
 
+  test("simhash32 native == HOF spec on sf0.001 documents") {
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet").limit(100)
+    val diff = docs.select(
+        Dedup.simhash32(col("text")).as("fast"),
+        Dedup.simhash32Hof(col("text")).as("spec"))
+      .filter(col("fast") =!= col("spec"))
+    assert(diff.count() == 0)
+  }
+
   test("output is sorted and distinct") {
     import spark.implicits._
     val out = Seq("aaaaaaaaaa").toDF("text") // all shingles identical
