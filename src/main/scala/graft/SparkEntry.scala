@@ -243,6 +243,11 @@ object SparkEntry {
     "ann_ivf_top5" -> ((s, dir) =>
       Ann.ivfTopK(Tables.embeddings(s, dir), queryVec(s, dir), 5, 3)
         .select(col("vec_id"), col("sim"))),
+    // ---- [EXT] ANN: IVF over k-means clusters built with DataFrame ops
+    "ann_kmeans_top5" -> ((s, dir) =>
+      Ann.ivfTopKKMeans(Tables.embeddings(s, dir), queryVec(s, dir), 5, 3,
+          numClusters = 10, iters = 3)
+        .select(col("vec_id"), col("sim"))),
     // ---- [EXT] ANN: random-hyperplane LSH with Hamming-1 multi-probe
     "ann_lsh_top5" -> ((s, dir) =>
       Ann.lshTopK(Tables.embeddings(s, dir), queryVec(s, dir), 5, Ann.planes(64, 8))

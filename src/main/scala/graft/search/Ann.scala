@@ -57,6 +57,65 @@ object Ann {
       idCol, vecCol)
   }
 
+  /** Lloyd's k-means over a vector column — the batch index-construction
+    * path for IVF when no coarse key exists. Centroids are model state
+    * (k × dim doubles — kilobytes), so they live driver-side as literals
+    * between iterations; each iteration is one distributed assign pass
+    * (k fused-cosine evals per row, no join, no shuffle) plus one
+    * per-dim avg aggregation. Deterministic: init = the k lowest-id
+    * vectors; empty clusters keep their previous centroid. */
+  def kmeansCentroids(df: DataFrame, idCol: String, vecCol: String,
+                      k: Int, iters: Int): Seq[Seq[Double]] = {
+    require(k >= 2, "k >= 2")
+    var cents: Seq[Seq[Double]] = df.orderBy(col(idCol)).limit(k)
+      .select(transform(col(vecCol), x => x.cast("double")).as("v"))
+      .collect().map(_.getSeq[Double](0).toSeq).toSeq
+    (0 until iters).foreach { _ =>
+      val updated = df
+        .withColumn("__cluster", assignCluster(col(vecCol), cents))
+        .select(col("__cluster"), posexplode(col(vecCol)).as(Seq("pos", "x")))
+        .groupBy(col("__cluster"), col("pos"))
+        .agg(avg(col("x")).as("cx"))
+        .collect()
+        .groupBy(_.getInt(0))
+        .map { case (c, rows) =>
+          c -> rows.sortBy(_.getInt(1)).map(_.getDouble(2)).toSeq
+        }
+      cents = cents.indices.map(i => updated.getOrElse(i, cents(i)))
+    }
+    cents
+  }
+
+  /** Nearest-centroid id (cosine argmax, lowest id on ties) against a
+    * driver-side centroid list — evaluated inline per row. */
+  def assignCluster(vec: Column, cents: Seq[Seq[Double]]): Column = {
+    val scored = cents.zipWithIndex.map { case (c, i) =>
+      struct(VectorOps.cosine(vec, typedlit(c)).as("sim"), lit(-i).as("ni"))
+    }
+    -greatest(scored: _*).getField("ni")
+  }
+
+  /** IVF search over k-means clusters: build (or reuse) centroids,
+    * bucket the corpus, probe the nprobe query-nearest clusters. */
+  def ivfTopKKMeans(corpus: DataFrame, query: DataFrame, k: Int, nprobe: Int,
+                    numClusters: Int, iters: Int,
+                    idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val cents = kmeansCentroids(corpus, idCol, vecCol, numClusters, iters)
+    val centsDf = cents.zipWithIndex.map { case (c, i) => (i, c) }
+      .toDF("__cluster", "centroid")
+    val probes = centsDf.crossJoin(broadcast(query))
+      .withColumn("csim", VectorOps.cosine(col("centroid"), col("qvec")))
+      .orderBy(col("csim").desc, col("__cluster").asc)
+      .limit(nprobe)
+      .select(col("__cluster"))
+    val bucketed = corpus.withColumn("__cluster", assignCluster(col(vecCol), cents))
+    Search.knn(
+      bucketed.join(broadcast(probes), Seq("__cluster"), "left_semi").drop("__cluster"),
+      query, k, idCol, vecCol)
+  }
+
   /** Deterministic seeded hyperplanes (unit-free; only the sign of the
     * projection matters). */
   def planes(dim: Int, nbits: Int, seed: Long = 42L): Seq[Seq[Double]] = {

@@ -37,6 +37,23 @@ class AnnSpec extends SparkSpec {
     assert((lsh & exact).size >= 2, s"recall too low: $lsh vs $exact")
   }
 
+  test("k-means IVF beats the random-label clustering at equal nprobe") {
+    val km = Ann.ivfTopKKMeans(emb, q, 5, 3, numClusters = 10, iters = 3)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    val labelBased = Ann.ivfTopK(emb, q, 5, 3)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert((km & exact).size >= (labelBased & exact).size,
+      s"kmeans $km vs label $labelBased vs exact $exact")
+    assert((km & exact).size >= 3, s"kmeans recall too low: $km vs $exact")
+  }
+
+  test("kmeans centroids are deterministic and well-formed") {
+    val c1 = Ann.kmeansCentroids(emb, "vec_id", "embedding", 5, 2)
+    val c2 = Ann.kmeansCentroids(emb, "vec_id", "embedding", 5, 2)
+    assert(c1 == c2)
+    assert(c1.size == 5 && c1.forall(_.size == 64))
+  }
+
   test("LSH buckets are deterministic across runs (seeded planes)") {
     val p = Ann.planes(64, 8)
     val b1 = emb.withColumn("b", Ann.lshBucket(col("embedding"), p))
