@@ -219,6 +219,22 @@ object SparkEntry {
         .orderBy(col("sim").desc, col("doc_id").asc).limit(5)
         .select(col("doc_id"), col("sim"))
     }),
+    // ---- A2+A3+A7+A5+A9+A10 in one pipeline: the reference's ingest
+    // path (chunk → filter → dense ids → featurize) feeding retrieval —
+    // top-5 CHUNKS for the question, chunk-granular like the reference
+    "rag_chunks_top5" -> ((s, dir) => {
+      import s.implicits._
+      val qdf = Seq(Tuple1(Featurizer.featurizeCountsText(Question, 64))).toDF("qvec")
+      val ch = Chunker.withOrdinalIds(
+        Chunker.chunk(Tables.documents(s, dir), "text", 100, 20)
+          .filter(Chunker.nonEmpty(col("chunk"))), "doc_id")
+      ch.withColumn("cvec", Featurizer.featurizeCounts(64)(col("chunk")))
+        .crossJoin(broadcast(qdf))
+        .withColumn("sim", VectorOps.cosine6(col("cvec"), col("qvec")))
+        .orderBy(col("sim").desc, col("chunk_id").asc).limit(5)
+        .select(col("chunk_id").cast("long").as("chunk_id"), col("doc_id"),
+          col("pos").cast("long").as("pos"), col("sim"))
+    }),
     // ---- A14: full ask pipeline with the deterministic answerer stub
     "ask_answer" -> ((s, dir) =>
       graft.answer.Ask.ask(s, dir, Question, 5, 64)),
@@ -540,6 +556,28 @@ object SparkEntry {
          |       round(coalesce(dp.dp, 0) / (dn.nrm * (SELECT nrm FROM qn)), 6) AS sim
          |FROM dn LEFT JOIN dp USING (doc_id)
          |ORDER BY sim DESC, doc_id ASC LIMIT 5""".stripMargin,
+    "rag_chunks_top5" -> {
+      val chToks = "list_filter(string_split(lower(chunk), ' '), t -> t <> '')"
+      s"""WITH ch AS (
+         |  SELECT doc_id, pos, chunk,
+         |         (row_number() OVER (ORDER BY doc_id, pos) - 1)::BIGINT AS chunk_id
+         |  FROM ($chunksSql) WHERE length(trim(chunk)) > 0),
+         |tok AS (SELECT chunk_id, unnest($chToks) AS tok FROM ch),
+         |db AS (SELECT chunk_id, ${polySql("tok")} % 64 AS b, count(*)::DOUBLE AS c
+         |       FROM tok GROUP BY 1, 2),
+         |dn AS (SELECT chunk_id, sqrt(sum(c * c)) AS nrm FROM db GROUP BY 1),
+         |qt AS (SELECT unnest(list_filter(string_split(lower('$Question'), ' '),
+         |                     t -> t <> '')) AS tok),
+         |qb AS (SELECT ${polySql("tok")} % 64 AS b, count(*)::DOUBLE AS c
+         |       FROM qt GROUP BY 1),
+         |qn AS (SELECT sqrt(sum(c * c)) AS nrm FROM qb),
+         |dp AS (SELECT d.chunk_id, sum(d.c * q.c) AS dp
+         |       FROM db d JOIN qb q USING (b) GROUP BY 1)
+         |SELECT ch.chunk_id, ch.doc_id, ch.pos,
+         |       round(coalesce(dp.dp, 0) / (dn.nrm * (SELECT nrm FROM qn)), 6) AS sim
+         |FROM ch JOIN dn USING (chunk_id) LEFT JOIN dp USING (chunk_id)
+         |ORDER BY sim DESC, chunk_id ASC LIMIT 5""".stripMargin
+    },
     "ask_answer" -> {
       // featurized top-5 (as rag_top5) joined back to text, then context,
       // prompt, and the template answer — the whole ask() pipeline in SQL
