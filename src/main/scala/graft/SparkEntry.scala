@@ -313,6 +313,33 @@ object SparkEntry {
         .select(col("event_id"), col("user_id"), col("run_sum"))
         .orderBy(col("user_id"), col("event_id"))
     }),
+    // ---- [EXT] 6-way join across the star schema (TPC-H q5 shape)
+    "q5_region_revenue" -> ((s, dir) => {
+      val r = Tables.region(s, dir)
+      val n = Tables.nation(s, dir)
+      val c = Tables.customer(s, dir)
+      val su = Tables.supplier(s, dir)
+      Tables.lineitem(s, dir)
+        .join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
+        .join(c, col("o_custkey") === col("c_custkey"))
+        .join(broadcast(su), col("l_suppkey") === col("s_suppkey") &&
+          col("c_nationkey") === col("s_nationkey"))
+        .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("r_name"), col("n_name"))
+        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+          .as("revenue"), count(lit(1)).as("n"))
+        .orderBy(col("r_name"), col("n_name"))
+    }),
+    // ---- [EXT] scalar subquery: orders above the (rounded) global avg
+    "above_avg_orders" -> ((s, dir) => {
+      val o = Tables.orders(s, dir)
+      val avgDf = o.agg(round(avg(col("o_totalprice")), 2).as("avg_price"))
+      o.crossJoin(broadcast(avgDf))
+        .filter(col("o_totalprice") > col("avg_price"))
+        .groupBy(col("o_orderstatus")).agg(count(lit(1)).as("n"))
+        .orderBy(col("o_orderstatus"))
+    }),
     // ---- [EXT] window function: top-2 orders per customer
     "window_rank" -> ((s, dir) => {
       val w = Window.partitionBy(col("o_custkey"))
@@ -652,6 +679,21 @@ object SparkEntry {
         |  AND l_shipdate > TIMESTAMP '1995-03-15'
         |GROUP BY l_orderkey, o_orderdate
         |ORDER BY revenue DESC, l_orderkey ASC LIMIT 10""".stripMargin,
+    "q5_region_revenue" ->
+      """SELECT r_name, n_name,
+        |       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+        |       count(*) AS n
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name, n_name ORDER BY r_name, n_name""".stripMargin,
+    "above_avg_orders" ->
+      """SELECT o_orderstatus, count(*) AS n FROM orders
+        |WHERE o_totalprice > (SELECT round(avg(o_totalprice), 2) FROM orders)
+        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
     "anti_join" ->
       """SELECT o_orderstatus, count(*) AS n FROM orders
         |WHERE NOT EXISTS (SELECT 1 FROM lineitem
