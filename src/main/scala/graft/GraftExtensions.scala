@@ -4,7 +4,7 @@ import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 
-import graft.functions.{CosineSimilarity, MinHashSignature, SortedArrayIntersectCount}
+import graft.functions.{CosineSimilarity, MinHashSignature, SimHash32, SortedArrayIntersectCount, VectorAvg}
 
 /** Registers the engine's native expressions as SQL functions, so the
   * full surface is reachable from `spark.sql(...)` as well as the Column
@@ -42,7 +42,13 @@ object GraftExtensions {
       (es: Seq[Expression]) => SortedArrayIntersectCount(es(0), es(1))),
     ("minhash_signature",
       new ExpressionInfo(classOf[MinHashSignature].getName, "minhash_signature"),
-      (es: Seq[Expression]) => MinHashSignature(es(0), intArg(es(1), "minhash_signature"))))
+      (es: Seq[Expression]) => MinHashSignature(es(0), intArg(es(1), "minhash_signature"))),
+    ("simhash32",
+      new ExpressionInfo(classOf[SimHash32].getName, "simhash32"),
+      (es: Seq[Expression]) => SimHash32(es(0))),
+    ("vector_avg",
+      new ExpressionInfo(classOf[VectorAvg].getName, "vector_avg"),
+      (es: Seq[Expression]) => VectorAvg(es(0))))
 
   /** Register on an already-built session (temp functions). */
   def register(spark: SparkSession): Unit =

@@ -27,11 +27,18 @@ import graft.vector.VectorOps
   */
 object Ann {
 
-  /** Per-key centroids: posexplode to (key, pos, x), two-phase avg agg,
-    * reassemble ordered arrays. One shuffle of (key × dim) rows — tiny
-    * versus the corpus; at scale this is the classic map-side-combined
-    * centroid build. */
+  /** Per-key centroids via the native vector_avg aggregate
+    * (graft.functions.VectorAvg): one map-side-combined shuffle of a
+    * single double[dim+1] buffer per (key × partition) — versus the
+    * composed form ([[centroidsExploded]]) which explodes dim rows per
+    * vector and aggregates twice. */
   def centroids(df: DataFrame, keyCol: String, vecCol: String): DataFrame =
+    df.groupBy(col(keyCol).as("key"))
+      .agg(graft.functions.VectorAvg(col(vecCol)).as("centroid"))
+
+  /** Composed-builtin centroid build — the executable spec for
+    * [[centroids]], kept for tests. */
+  def centroidsExploded(df: DataFrame, keyCol: String, vecCol: String): DataFrame =
     df.select(col(keyCol).as("key"), posexplode(col(vecCol)).as(Seq("pos", "x")))
       .groupBy(col("key"), col("pos"))
       .agg(avg(col("x")).as("cx"))

@@ -19,6 +19,17 @@ class AnnSpec extends SparkSpec {
     assert(c.forall(_.getSeq[Double](1).size == 64))
   }
 
+  test("vector_avg centroids match the exploded-avg spec within 1e-9") {
+    val fast = Ann.centroids(emb, "label", "embedding").collect()
+      .map(r => r.getInt(0) -> r.getSeq[Double](1)).toMap
+    val spec = Ann.centroidsExploded(emb, "label", "embedding").collect()
+      .map(r => r.getInt(0) -> r.getSeq[Double](1)).toMap
+    assert(fast.keySet == spec.keySet)
+    fast.foreach { case (k, v) =>
+      v.zip(spec(k)).foreach { case (a, b) => assert(math.abs(a - b) < 1e-9) }
+    }
+  }
+
   test("IVF nprobe=3 finds most of exact top-5; nprobe=10 is exact") {
     val ivf = Ann.ivfTopK(emb, q, 5, 3)
       .select("vec_id").collect().map(_.getLong(0)).toSet
