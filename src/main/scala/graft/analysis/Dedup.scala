@@ -68,6 +68,11 @@ object Dedup {
     val a = sets.select(col("id").as("id_a"), col("grp"), col("ss").as("sa"))
       .repartition(col("id_a"))
     val b = sets.select(col("id").as("id_b"), col("grp"), col("ss").as("sb"))
+    // Note: Catalyst folds the jaccard threshold into the join condition,
+    // where the merge-intersect is referenced twice (numerator +
+    // denominator) and so runs twice per pair. A nondeterministic
+    // pushdown barrier was tried and measured SLOWER than the second
+    // merge (it breaks the codegen pipeline) — the double merge stays.
     a.join(broadcast(b), Seq("grp"))
       .filter(col("id_a") < col("id_b"))
       .withColumn("inter",

@@ -80,14 +80,11 @@ object Ann {
     (0 until iters).foreach { _ =>
       val updated = df
         .withColumn("__cluster", assignCluster(col(vecCol), cents))
-        .select(col("__cluster"), posexplode(col(vecCol)).as(Seq("pos", "x")))
-        .groupBy(col("__cluster"), col("pos"))
-        .agg(avg(col("x")).as("cx"))
+        .groupBy(col("__cluster"))
+        .agg(graft.functions.VectorAvg(col(vecCol)).as("centroid"))
         .collect()
-        .groupBy(_.getInt(0))
-        .map { case (c, rows) =>
-          c -> rows.sortBy(_.getInt(1)).map(_.getDouble(2)).toSeq
-        }
+        .map(r => r.getInt(0) -> r.getSeq[Double](1).toSeq)
+        .toMap
       cents = cents.indices.map(i => updated.getOrElse(i, cents(i)))
     }
     cents
