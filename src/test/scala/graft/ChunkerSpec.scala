@@ -36,6 +36,33 @@ class ChunkerSpec extends SparkSpec {
     assert(out.count() == 0)
   }
 
+  test("property: every char covered; consecutive chunks overlap exactly `overlap` except tail (seeded)") {
+    val rnd = new scala.util.Random(7)
+    val lens = Seq(1, 799, 800, 801, 999, 1000, 1001, 1600, 2600) ++
+      Seq.fill(10)(1 + rnd.nextInt(5000))
+    val docs = lens.zipWithIndex.map { case (n, i) => (i.toLong, "x" * n) }
+      .toDF("doc_id", "text")
+    val rows = Chunker.chunk(docs, "text", 1000, 200)
+      .select("doc_id", "pos", "chunk").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getString(2)))
+      .groupBy(_._1)
+    lens.zipWithIndex.foreach { case (n, i) =>
+      val chunks = rows(i.toLong).sortBy(_._2)
+      // coverage: chunk windows tile [0, n)
+      val covered = chunks.flatMap { case (_, p, c) => p until (p + c.length) }.toSet
+      assert(covered == (0 until n).toSet, s"coverage gap for len $n")
+      // stride: consecutive offsets differ by exactly size-overlap=800
+      chunks.map(_._2).sliding(2).foreach {
+        case Array(a, b) => assert(b - a == 800, s"stride break at len $n")
+        case _ =>
+      }
+      // every chunk is clamped by text end: len == min(size, n - pos)
+      chunks.foreach { case (_, p, c) =>
+        assert(c.length == math.min(1000, n - p), s"bad clamp at len $n pos $p")
+      }
+    }
+  }
+
   test("ordinalIds: dense 0-based ids in (doc, pos) order across docs (App.tsx:72-76)") {
     val docs = Seq((2L, "b" * 1700), (1L, "a" * 700), (3L, "c" * 100 + " " * 900))
       .toDF("doc_id", "text")

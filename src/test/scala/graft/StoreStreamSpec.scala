@@ -72,6 +72,25 @@ class StoreStreamSpec extends SparkSpec {
     assert(out.columns.toSet == Set("window", "event_type", "n", "sum_value"))
   }
 
+  test("A1: binaryFile source -> decode pipeline (the PDF ArrayBuffer path)") {
+    // the reference reads one PDF into an ArrayBuffer (App.tsx:46-47);
+    // the cluster form is the binaryFile source over a document bucket
+    val dir = Files.createTempDirectory("graft-bin").toString
+    Files.write(java.nio.file.Paths.get(s"$dir/a.pdf"),
+      "fake pdf payload one".getBytes("UTF-8"))
+    Files.write(java.nio.file.Paths.get(s"$dir/b.pdf"),
+      "another fake payload".getBytes("UTF-8"))
+    val bin = spark.read.format("binaryFile").load(dir)
+      .select(col("path"), col("content"))
+    assert(bin.count() == 2)
+    val media = bin.select(
+      abs(xxhash64(col("path"))).as("id"), lit("pdf").as("modality"),
+      col("content").as("bytes"))
+    val feats = Multimodal.decodeFeatures(spark, media).collect()
+    assert(feats.length == 2)
+    assert(feats.forall(_.byte_len == 20))
+  }
+
   test("multimodal: batched stub decode preserves ids and determinism") {
     val docs = spark.read.parquet(s"$sf0001/documents.parquet").limit(10)
     val feats = Multimodal.decodeFeatures(spark,
