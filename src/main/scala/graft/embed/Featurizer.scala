@@ -40,7 +40,7 @@ object Featurizer {
     * buckets, L2-normalize the counts. Empty text → zero vector. */
   def featurizeText(text: String, dim: Int = DefaultDim): Array[Double] = {
     val v = new Array[Double](dim)
-    text.toLowerCase.split(" ").foreach { t =>
+    text.toLowerCase(java.util.Locale.ROOT).split(" ").foreach { t =>
       if (t.nonEmpty) v((tokenHash(t) % dim).toInt) += 1.0
     }
     val norm = math.sqrt(v.map(x => x * x).sum)
@@ -63,7 +63,7 @@ object Featurizer {
     * bit-exact parity with a SQL oracle that sums buckets in any order. */
   def featurizeCountsText(text: String, dim: Int = DefaultDim): Array[Double] = {
     val v = new Array[Double](dim)
-    text.toLowerCase.split(" ").foreach { t =>
+    text.toLowerCase(java.util.Locale.ROOT).split(" ").foreach { t =>
       if (t.nonEmpty) v((tokenHash(t) % dim).toInt) += 1.0
     }
     v

@@ -32,7 +32,7 @@ case class SimHash32(child: Expression)
   }
 
   override protected def nullSafeEval(input: Any): Any = {
-    val s = input.asInstanceOf[UTF8String].toString.toLowerCase
+    val s = input.asInstanceOf[UTF8String].toString.toLowerCase(java.util.Locale.ROOT)
     val counts = new Array[Long](32)
     var start = 0
     val n = s.length
