@@ -41,6 +41,7 @@ object Retry {
     * quota errors propagate immediately. Deterministic delays (no
     * jitter) keep retries reproducible in tests. */
   def withRetries[T](attempts: Int, baseDelayMs: Long)(f: => T): T = {
+    require(attempts >= 1, s"attempts must be >= 1, got $attempts")
     var attempt = 0
     var lastError: EmbedError = null
     while (attempt < attempts) {
