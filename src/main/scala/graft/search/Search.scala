@@ -57,6 +57,35 @@ object Search {
       .drop("qvec")
   }
 
+  /** Block-partitioned similarity join — the scale path when the query
+    * side is too large to broadcast. The corpus is split into `blocks`
+    * deterministic hash blocks; queries replicate once per block (an
+    * explode, not a broadcast), the scored join shuffles on the block
+    * id, and top-k resolves in two phases: local top-k inside each
+    * (qid, block), then global top-k per qid over the k·blocks
+    * survivors. Neither side ever needs to fit on one node; the shuffle
+    * carries each query row `blocks` times and each corpus row once. */
+  def similarityJoinBlocked(corpus: DataFrame, queries: DataFrame, k: Int,
+                            blocks: Int,
+                            idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val blockedCorpus = corpus.withColumn("__block",
+      pmod(hash(col(idCol)), lit(blocks)))
+    val replicatedQueries = queries.withColumn("__block",
+      explode(sequence(lit(0), lit(blocks - 1))))
+    val scored = blockedCorpus.join(replicatedQueries, Seq("__block"))
+      .withColumn("sim", VectorOps.cosine6(col(vecCol), col("qvec")))
+    val wLocal = Window.partitionBy(col("qid"), col("__block"))
+      .orderBy(col("sim").desc, col(idCol).asc)
+    val wGlobal = Window.partitionBy(col("qid"))
+      .orderBy(col("sim").desc, col(idCol).asc)
+    scored
+      .withColumn("__lr", row_number().over(wLocal))
+      .filter(col("__lr") <= k)
+      .withColumn("rank", row_number().over(wGlobal))
+      .filter(col("rank") <= k)
+      .drop("__lr", "__block", "qvec")
+  }
+
   /** Rank-ordered concatenation of the top-k texts with the reference's
     * separator `"\n---\n"` (`/root/reference/App.tsx:192`). Shuffle-safe:
     * order is carried inside the collected structs, not assumed from row

@@ -53,6 +53,18 @@ class SearchSpec extends SparkSpec {
     assert(out == Set((10L, 1L, 1), (10L, 3L, 2), (20L, 2L, 1), (20L, 3L, 2)))
   }
 
+  test("blocked similarity join == broadcast similarity join on real data") {
+    val emb = spark.read.parquet(s"$sf0001/embeddings.parquet")
+    val qs = emb.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    def norm(df: org.apache.spark.sql.DataFrame) =
+      df.select("qid", "vec_id", "sim", "rank").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
+    val broadcastForm = norm(Search.similarityJoin(emb, qs, 3))
+    val blockedForm = norm(Search.similarityJoinBlocked(emb, qs, 3, blocks = 7))
+    assert(broadcastForm == blockedForm)
+  }
+
   test("prompt template interpolates context and question") {
     val out = Seq(Tuple1("CTX")).toDF("context")
       .select(Search.prompt(col("context"), lit("Q?")).as("p"))
