@@ -297,6 +297,24 @@ object SparkEntry {
       Tables.lineitem(s, dir).agg(
         approx_count_distinct(col("l_partkey")).as("approx_parts"),
         approx_count_distinct(col("l_orderkey")).as("approx_orders"))),
+    // ---- [EXT] semi join (EXISTS)
+    "semi_join" -> ((s, dir) => {
+      val bigItems = Tables.lineitem(s, dir)
+        .filter(col("l_quantity") > 45).select(col("l_orderkey"))
+      Tables.orders(s, dir)
+        .join(bigItems, col("o_orderkey") === col("l_orderkey"), "left_semi")
+        .groupBy(col("o_orderstatus")).agg(count(lit(1)).as("n"))
+        .orderBy(col("o_orderstatus"))
+    }),
+    // ---- [EXT] q6-style range-filter scan agg
+    "q6_revenue" -> ((s, dir) =>
+      Tables.lineitem(s, dir)
+        .filter(col("l_shipdate") >= lit("1994-01-01") &&
+          col("l_shipdate") < lit("1995-01-01") &&
+          col("l_discount").between(0.05, 0.07) &&
+          col("l_quantity") < 24)
+        .agg(round(sum(col("l_extendedprice") * col("l_discount")), 2).as("revenue"),
+          count(lit(1)).as("n"))),
     // ---- [EXT] distinct aggregates
     "distinct_parts" -> ((s, dir) =>
       Tables.lineitem(s, dir).groupBy(col("l_returnflag")).agg(
@@ -711,6 +729,19 @@ object SparkEntry {
       """SELECT doc_id FROM documents
         |WHERE doc_id NOT IN (SELECT min(doc_id) FROM documents GROUP BY md5(text))
         |ORDER BY doc_id""".stripMargin,
+    "semi_join" ->
+      """SELECT o_orderstatus, count(*) AS n FROM orders
+        |WHERE EXISTS (SELECT 1 FROM lineitem
+        |              WHERE l_orderkey = o_orderkey AND l_quantity > 45)
+        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    "q6_revenue" ->
+      """SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue,
+        |       count(*) AS n
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1994-01-01'
+        |  AND l_shipdate < TIMESTAMP '1995-01-01'
+        |  AND l_discount BETWEEN 0.05 AND 0.07
+        |  AND l_quantity < 24""".stripMargin,
     "distinct_parts" ->
       """SELECT l_returnflag, count(DISTINCT l_partkey) AS n_parts,
         |       count(DISTINCT l_suppkey) AS n_supps
