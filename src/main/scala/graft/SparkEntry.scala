@@ -583,10 +583,15 @@ object SparkEntry {
          |  SELECT doc_id, unnest($toksSql) AS tok FROM documents),
          |b AS (
          |  SELECT doc_id, ${polySql("tok")} % 64 AS bucket, count(*)::DOUBLE AS c
-         |  FROM tok GROUP BY 1, 2)
-         |SELECT doc_id, round(sum(c) / sqrt(sum(c * c)), 6) AS vsum,
-         |       count(*) AS nnz
-         |FROM b GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+         |  FROM tok GROUP BY 1, 2),
+         |agg AS (
+         |  SELECT doc_id, round(sum(c) / sqrt(sum(c * c)), 6) AS vsum,
+         |         count(*) AS nnz
+         |  FROM b GROUP BY doc_id)
+         |SELECT d.doc_id, coalesce(agg.vsum, 0.0) AS vsum,
+         |       coalesce(agg.nnz, 0)::BIGINT AS nnz
+         |FROM documents d LEFT JOIN agg USING (doc_id)
+         |ORDER BY doc_id""".stripMargin,
     "rag_top5" ->
       s"""WITH tok AS (SELECT doc_id, unnest($toksSql) AS tok FROM documents),
          |db AS (SELECT doc_id, ${polySql("tok")} % 64 AS b, count(*)::DOUBLE AS c
@@ -599,10 +604,12 @@ object SparkEntry {
          |qn AS (SELECT sqrt(sum(c * c)) AS nrm FROM qb),
          |dp AS (SELECT d.doc_id, sum(d.c * q.c) AS dp
          |       FROM db d JOIN qb q USING (b) GROUP BY 1)
-         |SELECT doc_id,
-         |       round(coalesce(dp.dp, 0) / (dn.nrm * (SELECT nrm FROM qn)), 6) AS sim
-         |FROM dn LEFT JOIN dp USING (doc_id)
-         |ORDER BY sim DESC, doc_id ASC LIMIT 5""".stripMargin,
+         |SELECT d.doc_id,
+         |       CASE WHEN dn.nrm IS NULL THEN 0.0
+         |            ELSE round(coalesce(dp.dp, 0) / (dn.nrm * (SELECT nrm FROM qn)), 6)
+         |       END AS sim
+         |FROM documents d LEFT JOIN dn USING (doc_id) LEFT JOIN dp USING (doc_id)
+         |ORDER BY sim DESC, d.doc_id ASC LIMIT 5""".stripMargin,
     "rag_chunks_top5" -> {
       val chToks = "list_filter(string_split(lower(chunk), ' '), t -> t <> '')"
       s"""WITH ch AS (
@@ -641,9 +648,12 @@ object SparkEntry {
            |      qn AS (SELECT sqrt(sum(c * c)) AS nrm FROM qb),
            |      dp AS (SELECT d.doc_id, sum(d.c * q.c) AS dp
            |             FROM db d JOIN qb q USING (b) GROUP BY 1)
-           |      SELECT doc_id,
-           |             round(coalesce(dp.dp, 0) / (dn.nrm * (SELECT nrm FROM qn)), 6) AS sim
-           |      FROM dn LEFT JOIN dp USING (doc_id)) sims
+           |      SELECT dd.doc_id,
+           |             CASE WHEN dn.nrm IS NULL THEN 0.0
+           |                  ELSE round(coalesce(dp.dp, 0) / (dn.nrm * (SELECT nrm FROM qn)), 6)
+           |             END AS sim
+           |      FROM documents dd LEFT JOIN dn USING (doc_id)
+           |                        LEFT JOIN dp USING (doc_id)) sims
            |JOIN documents d USING (doc_id)
            |ORDER BY sims.sim DESC, d.doc_id ASC LIMIT 5""".stripMargin
       s"""WITH ctxq AS (

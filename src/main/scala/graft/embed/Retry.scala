@@ -47,7 +47,9 @@ object Retry {
     while (attempt < attempts) {
       try return f
       catch {
-        case e: Throwable =>
+        // NonFatal only: OOM/InterruptedException (task kill) must
+        // propagate immediately, not burn backoff sleeps
+        case scala.util.control.NonFatal(e) =>
           classify(e) match {
             case q: QuotaExhausted => throw q
             case t: TransientEmbedFailure =>

@@ -21,9 +21,11 @@ import org.apache.spark.sql.types._
   *
   * Accepts `array<float>` and `array<double>` children in any mix, so
   * parquet float vectors join featurizer double vectors without a
-  * per-row cast allocation. Array elements must be non-null (enforced
-  * by checkInputDataTypes accepting only the two numeric array types;
-  * null *arrays* propagate null via BinaryExpression's default).
+  * per-row cast allocation. Null *arrays* propagate null via
+  * BinaryExpression's default; array ELEMENTS are assumed non-null
+  * (embedding vectors never carry null components) — a null slot is
+  * read as 0.0 by the primitive getters, unlike the HOF spec which
+  * would propagate null. Don't feed it element-nullable data.
   */
 case class CosineSimilarity(left: Expression, right: Expression)
     extends BinaryExpression {

@@ -46,6 +46,11 @@ case class SortedShingleHashes(child: Expression, k: Int)
   override protected def nullSafeEval(input: Any): Any = {
     val s = input.asInstanceOf[UTF8String].toString
     val n = s.length
+    if (n == 0) {
+      // HOF-spec parity: split("", "") yields [""] and ascii("") is 0,
+      // so the empty string hashes one empty shingle: (seed·31 + 0) mod p
+      return new GenericArrayData(Array((Featurizer.HashSeed * 31) % p))
+    }
     val count = math.max(n - k, 0) + 1
     val hs = new Array[Long](count)
     var i = 0

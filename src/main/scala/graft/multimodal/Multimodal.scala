@@ -38,8 +38,11 @@ object Multimodal {
   private def decodeStub(id: Long, modality: String, bytes: Array[Byte]): MediaFeature = {
     val md = java.security.MessageDigest.getInstance("MD5")
     val hash = md.digest(bytes).map("%02x".format(_)).mkString
-    val w = if (bytes.isEmpty) 0L else (bytes(0) & 0xff).toLong % 64 + 1
-    val h = if (bytes.isEmpty) 0L else (bytes(bytes.length - 1) & 0xff).toLong % 64 + 1
+    // fake dimensions from the first/last CODEPOINT of the decoded text
+    // (not raw bytes — keeps the oracle's ord() semantics for non-ASCII)
+    val s = new String(bytes, java.nio.charset.StandardCharsets.UTF_8)
+    val w = if (s.isEmpty) 0L else s.codePointAt(0).toLong % 64 + 1
+    val h = if (s.isEmpty) 0L else s.codePointBefore(s.length).toLong % 64 + 1
     MediaFeature(id, modality, bytes.length.toLong, hash, w, h)
   }
   // ================================================

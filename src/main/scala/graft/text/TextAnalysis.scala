@@ -55,22 +55,15 @@ object TextAnalysis {
   /** Predicted language: argmax of marker hits, alphabetical tie-break
     * (deterministic total order over the 5-way score tuple). */
   def langId(text: Column): Column = {
+    // greatest() over (hits, pri, lang) structs = argmax hits; `pri` is
+    // the reverse-alphabetical index, so on tied hits the greatest pri —
+    // i.e. the alphabetically-FIRST language — wins.
     val scored = LangMarkers.toSeq.sortBy(_._1).map { case (lang, ms) =>
-      struct(markerHits(text, ms).as("hits"), lit(lang).as("lang"))
-    }
-    // max by (hits asc, lang desc) == argmax hits with alphabetical-first
-    // tie-break: array_max picks lexicographically-largest struct, i.e.
-    // highest hits then lexicographically-largest lang — invert lang by
-    // sorting descending input order instead: simplest portable form is
-    // greatest() over structs with negated tie key; we keep (hits, revLang)
-    // where revLang sorts reverse-alphabetical so the *first* alphabetical
-    // lang wins ties.
-    val inverted = LangMarkers.toSeq.sortBy(_._1).map { case (lang, ms) =>
       struct(markerHits(text, ms).as("hits"),
         lit(LangMarkers.keys.toSeq.sorted.reverse.indexOf(lang)).as("pri"),
         lit(lang).as("lang"))
     }
-    greatest(inverted: _*).getField("lang")
+    greatest(scored: _*).getField("lang")
   }
 
   /** Stopword ratio against the English marker list (quality signal). */

@@ -19,6 +19,15 @@ class ShingleHashesSpec extends SparkSpec {
     }
   }
 
+  test("empty string matches the HOF spec (one empty-shingle hash)") {
+    import spark.implicits._
+    val row = Seq("").toDF("text").select(
+      Dedup.shinglesHashes(col("text"), 5).as("fast"),
+      Dedup.shinglesHashesHof(col("text"), 5).as("spec")).head()
+    assert(row.getSeq[Long](0) == row.getSeq[Long](1))
+    assert(row.getSeq[Long](0) == Seq(217L)) // (7·31 + ascii("")) mod p
+  }
+
   test("short text (< k) hashes its single truncated shingle") {
     import spark.implicits._
     val out = Seq("ab").toDF("text")
