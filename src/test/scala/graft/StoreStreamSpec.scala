@@ -72,6 +72,23 @@ class StoreStreamSpec extends SparkSpec {
     assert(out.columns.toSet == Set("window", "event_type", "n", "sum_value"))
   }
 
+  test("streaming exact dedup: duplicates across micro-batches dropped (stateful)") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, String)]
+    val q = input.toDF().toDF("doc_id", "text")
+      .dropDuplicates("text") // keyed state across batches
+      .writeStream.outputMode("append").format("memory")
+      .queryName("stream_dedup").start()
+    input.addData((0L, "alpha"), (1L, "beta"), (2L, "alpha"))
+    q.processAllAvailable()
+    input.addData((3L, "beta"), (4L, "gamma")) // dups from batch 1 + a new text
+    q.processAllAvailable()
+    q.stop()
+    val texts = spark.table("stream_dedup").collect().map(_.getString(1)).sorted
+    assert(texts.toSeq == Seq("alpha", "beta", "gamma"))
+  }
+
   test("A1: binaryFile source -> decode pipeline (the PDF ArrayBuffer path)") {
     // the reference reads one PDF into an ArrayBuffer (App.tsx:46-47);
     // the cluster form is the binaryFile source over a document bucket
