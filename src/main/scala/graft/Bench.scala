@@ -13,24 +13,29 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
     // Warm the session (codegen, parquet footers, shuffle machinery) so
     // per-query numbers measure the operators, not first-use JVM setup.
-    new java.io.File(sfDir).listFiles()
+    Option(new java.io.File(sfDir).listFiles()).getOrElse(Array.empty)
       .filter(_.getName.endsWith(".parquet"))
       .foreach(f => spark.read.parquet(f.getPath).count())
     // best-of-2 per query: first run pays residual codegen/JIT for that
     // query's operators, second measures steady state; report the min.
-    def once(fn: (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
+    // A failing query reports -1 and is listed in "failed" — it must not
+    // masquerade as a fast success.
+    def once(fn: (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame): Option[Double] = {
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => () }
-      (System.nanoTime() - t0) / 1e9
+      try { fn(spark, sfDir).count(); Some((System.nanoTime() - t0) / 1e9) }
+      catch { case scala.util.control.NonFatal(e) =>
+        System.err.println(s"[bench] query failed: ${e.getMessage}"); None }
     }
-    val results: Seq[(String, Double)] =
+    val results: Seq[(String, Option[Double])] =
       SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-        name -> math.min(once(fn), once(fn))
+        name -> once(fn).map(t1 => math.min(t1, once(fn).getOrElse(t1)))
       }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v.getOrElse(-1.0) }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val failed = results.collect { case (k, None) => "\"" + k + "\"" }
+      .mkString("[", ",", "]")
+    val total = results.flatMap(_._2).sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -212,11 +212,9 @@ object SparkEntry {
     "rag_top5" -> ((s, dir) => {
       import s.implicits._
       val qdf = Seq(Tuple1(Featurizer.featurizeCountsText(Question, 64))).toDF("qvec")
-      Tables.documents(s, dir)
+      val corpus = Tables.documents(s, dir)
         .select(col("doc_id"), Featurizer.featurizeCounts(64)(col("text")).as("dvec"))
-        .crossJoin(broadcast(qdf))
-        .withColumn("sim", VectorOps.cosine6(col("dvec"), col("qvec")))
-        .orderBy(col("sim").desc, col("doc_id").asc).limit(5)
+      Search.knn(corpus, qdf, 5, idCol = "doc_id", vecCol = "dvec")
         .select(col("doc_id"), col("sim"))
     }),
     // ---- A2+A3+A7+A5+A9+A10 in one pipeline: the reference's ingest
@@ -228,10 +226,8 @@ object SparkEntry {
       val ch = Chunker.withOrdinalIds(
         Chunker.chunk(Tables.documents(s, dir), "text", 100, 20)
           .filter(Chunker.nonEmpty(col("chunk"))), "doc_id")
-      ch.withColumn("cvec", Featurizer.featurizeCounts(64)(col("chunk")))
-        .crossJoin(broadcast(qdf))
-        .withColumn("sim", VectorOps.cosine6(col("cvec"), col("qvec")))
-        .orderBy(col("sim").desc, col("chunk_id").asc).limit(5)
+        .withColumn("cvec", Featurizer.featurizeCounts(64)(col("chunk")))
+      Search.knn(ch, qdf, 5, idCol = "chunk_id", vecCol = "cvec")
         .select(col("chunk_id").cast("long").as("chunk_id"), col("doc_id"),
           col("pos").cast("long").as("pos"), col("sim"))
     }),
@@ -355,7 +351,9 @@ object SparkEntry {
     // legitimate collect; a broadcast-crossJoin costs an extra exchange).
     "above_avg_orders" -> ((s, dir) => {
       val o = Tables.orders(s, dir)
-      val threshold = o.agg(round(avg(col("o_totalprice")), 2)).head().getDouble(0)
+      val row = o.agg(round(avg(col("o_totalprice")), 2)).head()
+      // empty table → avg is null → SQL comparison matches no rows
+      val threshold = if (row.isNullAt(0)) Double.PositiveInfinity else row.getDouble(0)
       o.filter(col("o_totalprice") > threshold)
         .groupBy(col("o_orderstatus")).agg(count(lit(1)).as("n"))
         .orderBy(col("o_orderstatus"))

@@ -47,7 +47,8 @@ object Dedup {
     * same `groupCol` block; Jaccard = |∩| / |∪| over shingle sets;
     * pairs with jaccard ≥ threshold, (id_a < id_b). */
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
-                        groupCol: String, k: Int, threshold: Double): DataFrame = {
+                        groupCol: String, k: Int, threshold: Double,
+                        broadcastSmallSide: Boolean = true): DataFrame = {
     // One sorted distinct shingle-HASH array per doc, then a block-local
     // pair join with a merge-intersect per pair. Versus the exploded
     // shingle-equijoin (quadratic in per-shingle frequency — repeated
@@ -60,11 +61,13 @@ object Dedup {
     // sets, collisions included.
     val sets = df.select(col(idCol).as("id"), col(groupCol).as("grp"),
       shinglesHashes(col(textCol), k).as("ss")) // already sorted distinct
-    // Broadcast one side and spread the streamed side across all cores:
-    // a block-key-only join would otherwise ride the source's partition
-    // count (a single parquet split at small sf → near-serial pair
-    // generation). At cluster scale with a non-broadcastable corpus this
-    // flips to a shuffle join on (grp + salt).
+    // broadcastSmallSide=true: broadcast one side, spread the streamed
+    // side across all cores (a block-key-only join would ride the
+    // source's partition count — a single parquet split at small sf →
+    // near-serial pair generation). For a corpus past the broadcast
+    // limit, pass false: plain shuffle join on the block key (at open
+    // scale blocking keys are fine-grained — LSH bands — so the shuffle
+    // spreads; pair with Skew.saltedBroadcastJoin for hot blocks).
     val a = sets.select(col("id").as("id_a"), col("grp"), col("ss").as("sa"))
       .repartition(col("id_a"))
     val b = sets.select(col("id").as("id_b"), col("grp"), col("ss").as("sb"))
@@ -73,7 +76,10 @@ object Dedup {
     // denominator) and so runs twice per pair. A nondeterministic
     // pushdown barrier was tried and measured SLOWER than the second
     // merge (it breaks the codegen pipeline) — the double merge stays.
-    a.join(broadcast(b), Seq("grp"))
+    val joined =
+      if (broadcastSmallSide) a.join(broadcast(b), Seq("grp"))
+      else a.join(b, Seq("grp"))
+    joined
       .filter(col("id_a") < col("id_b"))
       .withColumn("inter",
         graft.functions.SortedArrayIntersectCount(col("sa"), col("sb")))
@@ -115,6 +121,8 @@ object Dedup {
     * probability jaccard^rowsPerBand per band, the LSH S-curve. */
   def minhashCandidates(df: DataFrame, idCol: String, textCol: String,
                         k: Int, numHashes: Int, rowsPerBand: Int): DataFrame = {
+    require(rowsPerBand >= 1 && numHashes % rowsPerBand == 0,
+      s"numHashes ($numHashes) must be a positive multiple of rowsPerBand ($rowsPerBand)")
     // No explicit isNotNull filter on sig: a null signature (null text)
     // is dropped by the non-outer Generate below, and a filter here gets
     // predicate-pushed BELOW the projection, recomputing the whole
@@ -159,13 +167,17 @@ object Dedup {
     * pair join streams tiny rows; at open scale the block key becomes
     * the fingerprint's high bits (prefix blocking). */
   def simhashPairs(df: DataFrame, idCol: String, textCol: String,
-                   groupCol: String, maxHamming: Int): DataFrame = {
+                   groupCol: String, maxHamming: Int,
+                   broadcastSmallSide: Boolean = true): DataFrame = {
     val fp = df.select(col(idCol).as("id"), col(groupCol).as("grp"),
       simhash32(col(textCol)).as("fp"))
     val a = fp.select(col("id").as("id_a"), col("grp"), col("fp").as("fa"))
       .repartition(col("id_a"))
     val b = fp.select(col("id").as("id_b"), col("grp"), col("fp").as("fb"))
-    a.join(broadcast(b), Seq("grp"))
+    val joined =
+      if (broadcastSmallSide) a.join(broadcast(b), Seq("grp"))
+      else a.join(b, Seq("grp"))
+    joined
       .filter(col("id_a") < col("id_b"))
       .withColumn("hamming", bit_count(col("fa").bitwiseXOR(col("fb"))).cast("long"))
       .filter(col("hamming") <= maxHamming)

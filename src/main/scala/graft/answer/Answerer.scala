@@ -42,12 +42,11 @@ object Ask {
           answerer: Answerer = TemplateAnswerer): DataFrame = {
     import spark.implicits._
     val qdf = Seq(Tuple1(Featurizer.featurizeCountsText(question, dim))).toDF("qvec")
-    val top = Tables.documents(spark, dir)
+    val corpus = Tables.documents(spark, dir)
       .select(col("doc_id"), col("text"),
         Featurizer.featurizeCounts(dim)(col("text")).as("dvec"))
-      .crossJoin(broadcast(qdf))
-      .withColumn("sim", VectorOps.cosine6(col("dvec"), col("qvec")))
-      .orderBy(col("sim").desc, col("doc_id").asc).limit(k)
+    // one knn implementation owns the total-order contract (sim DESC, id ASC)
+    val top = Search.knn(corpus, qdf, k, idCol = "doc_id", vecCol = "dvec")
     Search.contextAgg(top, col("doc_id"), col("text"), col("sim"))
       .select(lit(question).as("question"), col("context"),
         Search.prompt(col("context"), lit(question)).as("prompt"))

@@ -27,11 +27,17 @@ object Featurizer {
   val HashMod: Long = 1000000007L
   val HashSeed: Long = 7L
 
-  /** Portable polynomial hash of a token (ASCII/UTF-16 char codes). */
+  /** Portable polynomial hash of a token, folded over Unicode CODE
+    * POINTS (not UTF-16 units) — parity with SQL `ascii()`/`ord()`,
+    * which yield codepoints, including for supplementary-plane chars. */
   def tokenHash(s: String): Long = {
     var h = HashSeed
     var i = 0
-    while (i < s.length) { h = (h * 31 + s.charAt(i)) % HashMod; i += 1 }
+    while (i < s.length) {
+      val cp = s.codePointAt(i)
+      h = (h * 31 + cp) % HashMod
+      i += Character.charCount(cp)
+    }
     h
   }
 

@@ -30,11 +30,15 @@ final class TransientEmbedFailure(cause: Throwable)
 object Retry {
 
   /** The reference's message-sniffing classification
-    * (`geminiService.ts:11-17`), typed. */
-  def classify(e: Throwable): EmbedError = {
-    val msg = Option(e.getMessage).getOrElse("")
-    if (msg.contains("RESOURCE_EXHAUSTED")) new QuotaExhausted(e)
-    else new TransientEmbedFailure(e)
+    * (`geminiService.ts:11-17`), typed. Already-typed errors pass
+    * through unchanged (re-sniffing a QuotaExhausted's user-facing
+    * message would demote it to transient). */
+  def classify(e: Throwable): EmbedError = e match {
+    case typed: EmbedError => typed
+    case _ =>
+      val msg = Option(e.getMessage).getOrElse("")
+      if (msg.contains("RESOURCE_EXHAUSTED")) new QuotaExhausted(e)
+      else new TransientEmbedFailure(e)
   }
 
   /** Run `f`, retrying transient failures with exponential backoff;

@@ -40,9 +40,14 @@ case class SimHash32(child: Expression)
     while (i <= n) {
       if (i == n || s.charAt(i) == ' ') {
         if (i > start) {
+          // fold CODE POINTS for parity with the HOF spec's ascii()
           var h = Featurizer.HashSeed
           var j = start
-          while (j < i) { h = (h * 31 + s.charAt(j)) % Featurizer.HashMod; j += 1 }
+          while (j < i) {
+            val cp = s.codePointAt(j)
+            h = (h * 31 + cp) % Featurizer.HashMod
+            j += Character.charCount(cp)
+          }
           var b = 0
           while (b < 32) {
             counts(b) += (if (((h >> b) & 1L) == 1L) 1L else -1L)

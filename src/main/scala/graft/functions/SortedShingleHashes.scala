@@ -44,8 +44,11 @@ case class SortedShingleHashes(child: Expression, k: Int)
   }
 
   override protected def nullSafeEval(input: Any): Any = {
-    val s = input.asInstanceOf[UTF8String].toString
-    val n = s.length
+    // fold CODE POINTS, not UTF-16 units: SQL substring/length/ascii are
+    // codepoint-based, so shingle boundaries and hash terms must be too
+    // (parity breaks on supplementary-plane chars otherwise)
+    val cps = input.asInstanceOf[UTF8String].toString.codePoints().toArray
+    val n = cps.length
     if (n == 0) {
       // HOF-spec parity: split("", "") yields [""] and ascii("") is 0,
       // so the empty string hashes one empty shingle: (seed·31 + 0) mod p
@@ -58,7 +61,7 @@ case class SortedShingleHashes(child: Expression, k: Int)
       var h = Featurizer.HashSeed
       var j = i
       val end = math.min(i + k, n)
-      while (j < end) { h = (h * 31 + s.charAt(j)) % p; j += 1 }
+      while (j < end) { h = (h * 31 + cps(j)) % p; j += 1 }
       hs(i) = h
       i += 1
     }

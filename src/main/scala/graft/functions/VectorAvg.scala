@@ -43,7 +43,9 @@ case class VectorAvg(
       s"vector_avg needs array<float|double>, got ${other.catalogString}")
   }
 
-  private def isFloat: Boolean =
+  // hoisted: TypedImperativeAggregate runs interpreted, and update() is
+  // the per-row hot loop — don't pattern-match the dataType per element
+  @transient private lazy val isFloat: Boolean =
     child.dataType.asInstanceOf[ArrayType].elementType == FloatType
 
   // buffer layout: [sum_0 .. sum_{d-1}, count]; Array.empty = no rows yet

@@ -19,16 +19,31 @@ object AnswerStream {
   case class Token(answerId: Long, seq: Int, token: String)
   case class RunningAnswer(answerId: Long, answer: String)
 
-  def accumulate(spark: SparkSession, tokens: Dataset[Token]): Dataset[RunningAnswer] = {
+  /** `idleTimeout` bounds TOTAL state: an answer idle that long is
+    * considered complete and its state removed — without expiry the
+    * number of retained keys grows with every answer ever streamed.
+    * Pass None to disable expiry (finite/test streams, where
+    * processing-time timeouts would keep the trigger loop spinning). */
+  def accumulate(spark: SparkSession, tokens: Dataset[Token],
+                 idleTimeout: Option[String] = Some("30 minutes")): Dataset[RunningAnswer] = {
     import spark.implicits._
+    val timeoutConf = if (idleTimeout.isDefined) GroupStateTimeout.ProcessingTimeTimeout
+                      else GroupStateTimeout.NoTimeout
     tokens
       .groupByKey(_.answerId)
-      .mapGroupsWithState(GroupStateTimeout.NoTimeout) {
+      .mapGroupsWithState(timeoutConf) {
         (id: Long, batch: Iterator[Token], state: GroupState[String]) =>
-          val appended = batch.toSeq.sortBy(_.seq).map(_.token).mkString
-          val acc = state.getOption.getOrElse("") + appended
-          state.update(acc)
-          RunningAnswer(id, acc)
+          if (state.hasTimedOut) {
+            val finalText = state.getOption.getOrElse("")
+            state.remove()
+            RunningAnswer(id, finalText)
+          } else {
+            val appended = batch.toSeq.sortBy(_.seq).map(_.token).mkString
+            val acc = state.getOption.getOrElse("") + appended
+            state.update(acc)
+            idleTimeout.foreach(state.setTimeoutDuration)
+            RunningAnswer(id, acc)
+          }
       }
   }
 

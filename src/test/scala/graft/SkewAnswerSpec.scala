@@ -42,7 +42,8 @@ class SkewAnswerSpec extends SparkSpec {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[AnswerStream.Token]
     val q = AnswerStream.toMemorySink(
-      AnswerStream.accumulate(spark, input.toDS()), "answers").start()
+      AnswerStream.accumulate(spark, input.toDS(), idleTimeout = None),
+      "answers").start()
     input.addData(AnswerStream.Token(1L, 0, "Hel"), AnswerStream.Token(1L, 1, "lo "))
     q.processAllAvailable()
     input.addData(AnswerStream.Token(1L, 2, "wor"), AnswerStream.Token(1L, 3, "ld"),
