@@ -39,6 +39,30 @@ class ShingleHashesSpec extends SparkSpec {
     assert(out.head == expect)
   }
 
+  test("non-BMP text: native kernels match HOF spec (codepoint folding)") {
+    import spark.implicits._
+    // U+1F600 is a surrogate pair in UTF-16; SQL ascii()/substring are
+    // codepoint-based, so the native kernels must fold codepoints
+    val texts = Seq("hi 😀 there", "😀😁 café", "ascii only text")
+    val df = texts.toDF("text")
+    val sh = df.select(
+      Dedup.shinglesHashes(col("text"), 3).as("fast"),
+      Dedup.shinglesHashesHof(col("text"), 3).as("spec"))
+      .filter(col("fast") =!= col("spec"))
+    assert(sh.count() == 0)
+    val sim = df.select(
+      Dedup.simhash32(col("text")).as("fast"),
+      Dedup.simhash32Hof(col("text")).as("spec"))
+      .filter(col("fast") =!= col("spec"))
+    assert(sim.count() == 0)
+  }
+
+  test("tokenHash folds codepoints (supplementary plane)") {
+    // "😀" = U+1F600: hash must be (7·31 + 128512) mod p, one term
+    val expect = (7L * 31 + 0x1F600) % 1000000007L
+    assert(graft.embed.Featurizer.tokenHash("😀") == expect)
+  }
+
   test("simhash32 native == HOF spec on sf0.001 documents") {
     val docs = spark.read.parquet(s"$sf0001/documents.parquet").limit(100)
     val diff = docs.select(
