@@ -283,6 +283,15 @@ object SparkEntry {
           coalesce(col("l_linestatus"), lit("ALL")).as("ls"),
           col("n"), col("qty"))
         .orderBy(col("rf"), col("ls"))),
+    // ---- [EXT] cube (all grouping-set combinations)
+    "cube_stats" -> ((s, dir) =>
+      Tables.orders(s, dir)
+        .cube(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"), round(sum(col("o_totalprice")), 2).as("total"))
+        .select(coalesce(col("o_orderstatus"), lit("ALL")).as("st"),
+          coalesce(col("o_orderpriority"), lit("ALL")).as("pri"),
+          col("n"), col("total"))
+        .orderBy(col("st"), col("pri"))),
     // ---- [EXT] dedup subtract: the rows exact-dedup would drop
     "dedup_dropped" -> ((s, dir) =>
       Dedup.exactDropped(Tables.documents(s, dir), "doc_id", "text")
@@ -733,6 +742,12 @@ object SparkEntry {
         |       count(*) AS n, round(sum(l_quantity), 2) AS qty
         |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
         |ORDER BY rf, ls""".stripMargin,
+    "cube_stats" ->
+      """SELECT coalesce(o_orderstatus, 'ALL') AS st,
+        |       coalesce(o_orderpriority, 'ALL') AS pri,
+        |       count(*) AS n, round(sum(o_totalprice), 2) AS total
+        |FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
+        |ORDER BY st, pri""".stripMargin,
     "dedup_dropped" ->
       """SELECT doc_id FROM documents
         |WHERE doc_id NOT IN (SELECT min(doc_id) FROM documents GROUP BY md5(text))
