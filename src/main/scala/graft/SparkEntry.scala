@@ -104,6 +104,23 @@ object SparkEntry {
         .select(col("qid"), col("vec_id"), col("sim"), col("rank").cast("long").as("rank"))
         .orderBy(col("qid"), col("rank"))
     }),
+    // ---- [EXT] batch similarity join, block-partitioned form (the
+    // huge-query-side scale path) — verified against the same oracle as
+    // the broadcast form
+    "simjoin_blocked_top3" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      val qs = e.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+      Search.similarityJoinBlocked(e, qs, 3, blocks = 8)
+        .select(col("qid"), col("vec_id"), col("sim"), col("rank").cast("long").as("rank"))
+        .orderBy(col("qid"), col("rank"))
+    }),
+    // ---- [EXT] skew-safe salted aggregation — verified against the
+    // plain GROUP BY oracle (identical semantics by construction)
+    "salted_count" -> ((s, dir) =>
+      graft.plans.Skew.saltedCount(Tables.lineitem(s, dir), "l_returnflag", 16,
+          Seq("l_orderkey", "l_linenumber"))
+        .orderBy(col("l_returnflag"))),
     // ---- [EXT] exact dedup (hash group-by)
     "dedup_exact" -> ((s, dir) =>
       Dedup.exact(Tables.documents(s, dir), "doc_id", "text")
@@ -462,6 +479,18 @@ object SparkEntry {
          |        FROM embeddings e,
          |             (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 10) q))
          |WHERE rank <= 3 ORDER BY qid, rank""".stripMargin,
+    "simjoin_blocked_top3" ->
+      s"""SELECT qid, vec_id, sim, rank::BIGINT AS rank FROM (
+         |  SELECT qid, vec_id, sim,
+         |         row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id ASC) AS rank
+         |  FROM (SELECT q.vec_id AS qid, e.vec_id,
+         |               ${cosSql("e.embedding", "q.embedding")} AS sim
+         |        FROM embeddings e,
+         |             (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 10) q))
+         |WHERE rank <= 3 ORDER BY qid, rank""".stripMargin,
+    "salted_count" ->
+      """SELECT l_returnflag, count(*) AS n FROM lineitem
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "dedup_exact" ->
       """SELECT md5(text) AS text_hash, min(doc_id) AS keep_id, count(*) AS dup_count
         |FROM documents GROUP BY 1 ORDER BY keep_id""".stripMargin,
