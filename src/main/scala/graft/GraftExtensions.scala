@@ -4,7 +4,7 @@ import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 
-import graft.functions.{CosineSimilarity, MinHashSignature, SimHash32, SortedArrayIntersectCount, VectorAvg}
+import graft.functions.{CosineSimilarity, MinHashSignature, SimHash32, SortedArrayIntersectCount, SortedJaccard, VectorAvg}
 
 /** Registers the engine's native expressions as SQL functions, so the
   * full surface is reachable from `spark.sql(...)` as well as the Column
@@ -43,6 +43,9 @@ object GraftExtensions {
     ("minhash_signature",
       new ExpressionInfo(classOf[MinHashSignature].getName, "minhash_signature"),
       (es: Seq[Expression]) => MinHashSignature(es(0), intArg(es(1), "minhash_signature"))),
+    ("sorted_jaccard",
+      new ExpressionInfo(classOf[SortedJaccard].getName, "sorted_jaccard"),
+      (es: Seq[Expression]) => SortedJaccard(es(0), es(1))),
     ("simhash32",
       new ExpressionInfo(classOf[SimHash32].getName, "simhash32"),
       (es: Seq[Expression]) => SimHash32(es(0))),

@@ -71,21 +71,18 @@ object Dedup {
     val a = sets.select(col("id").as("id_a"), col("grp"), col("ss").as("sa"))
       .repartition(col("id_a"))
     val b = sets.select(col("id").as("id_b"), col("grp"), col("ss").as("sb"))
-    // Note: Catalyst folds the jaccard threshold into the join condition,
-    // where the merge-intersect is referenced twice (numerator +
-    // denominator) and so runs twice per pair. A nondeterministic
-    // pushdown barrier was tried and measured SLOWER than the second
-    // merge (it breaks the codegen pipeline) — the double merge stays.
+    // Catalyst folds the jaccard threshold into the join condition; the
+    // fused sorted_jaccard expression keeps that at ONE merge pass per
+    // candidate pair (a numerator/denominator composition of
+    // sorted_intersect_count would run the merge twice there — and a
+    // nondeterministic pushdown barrier measured slower still).
     val joined =
       if (broadcastSmallSide) a.join(broadcast(b), Seq("grp"))
       else a.join(b, Seq("grp"))
     joined
       .filter(col("id_a") < col("id_b"))
-      .withColumn("inter",
-        graft.functions.SortedArrayIntersectCount(col("sa"), col("sb")))
       .withColumn("jaccard",
-        round(col("inter").cast("double") /
-          (size(col("sa")) + size(col("sb")) - col("inter")).cast("double"), 6))
+        round(graft.functions.SortedJaccard(col("sa"), col("sb")), 6))
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }

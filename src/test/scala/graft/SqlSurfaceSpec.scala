@@ -32,6 +32,11 @@ class SqlSurfaceSpec extends SparkSpec {
       .head().getLong(0)
     assert(ic == 3L)
 
+    val jac = spark.sql(
+      "SELECT sorted_jaccard(array(1L,2L,5L,9L), array(2L,3L,5L,7L,9L)) AS j")
+      .head().getDouble(0)
+    assert(math.abs(jac - 3.0 / 6.0) < 1e-12)
+
     val sig = spark.sql(
       "SELECT minhash_signature(array(42L, 7L, 99L), 8) AS s")
       .head().getSeq[Long](0)
