@@ -381,17 +381,14 @@ object SparkEntry {
         .orderBy(col("r_name"), col("n_name"))
     }),
     // ---- [EXT] scalar subquery: orders above the (rounded) global avg.
-    // The scalar aggregate is one value — evaluate it eagerly and fold it
-    // into the filter as a literal (a 1-value driver fetch is the cheap,
-    // legitimate collect; a broadcast-crossJoin costs an extra exchange).
+    // A real ScalarSubquery plan node — lazy end-to-end, no driver fetch
+    // on the query-build path; Spark evaluates the one-value subquery as
+    // a broadcast-ready scalar at execution time.
     "above_avg_orders" -> ((s, dir) => {
-      val o = Tables.orders(s, dir)
-      val row = o.agg(round(avg(col("o_totalprice")), 2)).head()
-      // empty table → avg is null → SQL comparison matches no rows
-      val threshold = if (row.isNullAt(0)) Double.PositiveInfinity else row.getDouble(0)
-      o.filter(col("o_totalprice") > threshold)
-        .groupBy(col("o_orderstatus")).agg(count(lit(1)).as("n"))
-        .orderBy(col("o_orderstatus"))
+      Tables.orders(s, dir).createOrReplaceTempView("graft_orders")
+      s.sql("""SELECT o_orderstatus, count(*) AS n FROM graft_orders
+              |WHERE o_totalprice > (SELECT round(avg(o_totalprice), 2) FROM graft_orders)
+              |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)
     }),
     // ---- [EXT] window function: top-2 orders per customer
     "window_rank" -> ((s, dir) => {
@@ -422,11 +419,13 @@ object SparkEntry {
     s"list_reduce(list_prepend(7::BIGINT, [ord(x)::BIGINT for x in string_split_regex($e, '')]), " +
       "(a, b) -> (a * 31 + b) % 1000000007)"
 
-  /** Chunk exploded subquery (size 100 / stride 80), mirrors Chunker.chunk. */
+  /** Chunk exploded subquery (size 100 / stride 80), mirrors Chunker.chunk.
+    * `range(0, length, 80)` is empty for empty text → zero chunks, the
+    * reference's zero-iteration loop (`App.tsx:57`). */
   private val chunksSql =
     """SELECT doc_id, pos::BIGINT AS pos, substring(text, pos::INT + 1, 100) AS chunk
       |FROM (SELECT doc_id, text,
-      |        unnest(range(0, greatest(length(text), 1), 80)) AS pos
+      |        unnest(range(0, length(text), 80)) AS pos
       |      FROM documents)""".stripMargin
 
   /** Top-5 scored docs (context source), mirrors scoredDocs + limit 5. */

@@ -17,12 +17,16 @@ object Tables {
   def embeddings(spark: SparkSession, dir: String): DataFrame = t(spark, dir, "embeddings")
   /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark's vectorized
     * reader refuses; read nanos as long (legacy conf) and convert to a
-    * micros timestamp with integer division — the same floor-to-micros
-    * DuckDB applies when it reads the file. */
+    * micros timestamp with FLOOR division — the same floor-to-micros
+    * DuckDB applies when it reads the file. Plain `div` truncates toward
+    * zero, which would round pre-epoch (negative) nanos UP by 1µs;
+    * subtracting the non-negative `pmod` remainder first floors for any
+    * sign. */
   def events(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     t(spark, dir, "events")
-      .withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+      .withColumn("ts", org.apache.spark.sql.functions.expr(
+        "timestamp_micros((ts - pmod(ts, 1000)) div 1000)"))
   }
   def lineitem(spark: SparkSession, dir: String): DataFrame   = t(spark, dir, "lineitem")
   def orders(spark: SparkSession, dir: String): DataFrame     = t(spark, dir, "orders")

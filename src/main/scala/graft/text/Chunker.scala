@@ -22,14 +22,16 @@ object Chunker {
   /** Explode `textCol` into (pos, chunk) rows. `pos` is the 0-based char
     * offset (the loop variable of `App.tsx:57`). Keeps all other columns. */
   def chunk(df: DataFrame, textCol: String, size: Int, overlap: Int): DataFrame = {
+    require(overlap >= 0, s"overlap $overlap must be >= 0")
     require(overlap < size, s"overlap $overlap must be < size $size")
     val stride = size - overlap
-    // offsets 0, stride, 2·stride, … < max(len, 1): empty text still
-    // yields one (empty) chunk, exactly like the JS loop runs 0 times →
-    // [] but substring("",1,n)="" after the 1-iteration guard; we emit
-    // one empty chunk which the non-empty filter (A3) then drops.
+    // offsets 0, stride, 2·stride, … < len. Empty text yields ZERO
+    // chunks, exactly like the reference loop (`App.tsx:57` runs 0
+    // times): the `when` leaves the offsets null for len = 0 and the
+    // non-outer explode drops the row.
     df.withColumn("pos",
-        explode(sequence(lit(0), greatest(length(col(textCol)) - 1, lit(0)), lit(stride))))
+        explode(when(length(col(textCol)) > 0,
+          sequence(lit(0), length(col(textCol)) - 1, lit(stride)))))
       .withColumn("chunk", substring(col(textCol), col("pos") + lit(1), lit(size)))
   }
 
@@ -38,30 +40,44 @@ object Chunker {
 
   /** A7 — dense 0-based ordinal chunk ids in (docIdCol, pos) order.
     *
-    * Scale-first two-phase design instead of one global window over all
-    * chunk rows: (1) count chunks per document (distributed agg);
-    * (2) exclusive prefix-sum over the *document-level* table (tiny — one
-    * row per doc) to get each doc's base offset; (3) broadcast the bases
-    * back and add the intra-document rank `pos / stride`. The only
-    * single-partition step touches #docs rows, not #chunks rows — at
-    * 100 TB the chunk table never passes through one node, matching the
-    * dense-id semantics of `App.tsx:72-76` without
+    * Fully distributed two-level prefix sum — NO single-partition stage
+    * anywhere, at either chunk or document granularity:
+    *  1. count chunks per document (distributed agg);
+    *  2. range-partition the per-doc table by doc id (partition p holds a
+    *     contiguous, ordered id range) and run the running sum as a
+    *     window PARTITIONED BY the physical partition id — each task
+    *     scans only its own slice;
+    *  3. partition subtotals (one row per partition — a few hundred rows
+    *     at any scale) turn into exclusive partition offsets via a
+    *     broadcast non-equi self-join, not a global window;
+    *  4. base(doc) = partition offset + local running sum − own count,
+    *     joined back to the chunk rows (Catalyst broadcasts when small;
+    *     at billions of docs it degrades to a shuffle join on doc id,
+    *     which the intra-doc rank window below reuses).
+    * Matches the dense-id semantics of `App.tsx:72-76` without
     * `monotonically_increasing_id` (non-dense, partition-dependent).
     */
   def withOrdinalIds(chunks: DataFrame, docIdCol: String): DataFrame = {
     val perDoc = chunks.groupBy(col(docIdCol)).agg(count(lit(1)).as("__n"))
-    val wDoc = Window.orderBy(col(docIdCol))
+    val parts = perDoc.repartitionByRange(col(docIdCol))
+      .withColumn("__pid", spark_partition_id())
+    val wLocal = Window.partitionBy(col("__pid")).orderBy(col(docIdCol))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val bases = perDoc
-      .withColumn("__base", sum(col("__n")).over(wDoc) - col("__n"))
-      .select(col(docIdCol), col("__base"))
+    val local = parts.withColumn("__run", sum(col("__n")).over(wLocal))
+    val sub = local.groupBy(col("__pid")).agg(sum(col("__n")).as("__pn"))
+    val offsets = sub.as("a")
+      .join(broadcast(sub.as("b")), col("b.__pid") < col("a.__pid"), "left")
+      .groupBy(col("a.__pid").as("__pid"))
+      .agg(coalesce(sum(col("b.__pn")), lit(0L)).as("__poff"))
+    val bases = local.join(broadcast(offsets), Seq("__pid"))
+      .select(col(docIdCol), (col("__poff") + col("__run") - col("__n")).as("__base"))
     // intra-doc rank among *surviving* chunks (ids are assigned after the
     // non-empty filter in the reference, App.tsx:61→72-76) — a window
     // partitioned by document, which shuffles by doc id and stays fully
     // distributed (per-doc chunk counts are small).
     val wIntra = Window.partitionBy(col(docIdCol)).orderBy(col("pos"))
     chunks
-      .join(broadcast(bases), docIdCol)
+      .join(bases, docIdCol)
       .withColumn("chunk_id", col("__base") + row_number().over(wIntra) - 1)
       .drop("__base")
   }

@@ -30,6 +30,17 @@ class ChunkerSpec extends SparkSpec {
     assert(out.toSeq == Seq((0, 1000), (800, 800)))
   }
 
+  test("chunkerEmpty: empty text → zero chunks (the reference loop runs 0 times)") {
+    val out = Chunker.chunk(Seq((1L, "")).toDF("doc_id", "text"), "text", 1000, 200)
+    assert(out.count() == 0)
+  }
+
+  test("chunker rejects negative overlap (stride > size would skip chars)") {
+    intercept[IllegalArgumentException] {
+      Chunker.chunk(Seq((1L, "abc")).toDF("doc_id", "text"), "text", 1000, -5)
+    }
+  }
+
   test("chunkerBlank: whitespace-only text filtered out entirely (App.tsx:61)") {
     val out = Chunker.chunk(Seq((1L, " " * 50)).toDF("doc_id", "text"), "text", 1000, 200)
       .filter(Chunker.nonEmpty(col("chunk")))
