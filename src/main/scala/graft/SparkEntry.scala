@@ -35,6 +35,21 @@ object SparkEntry {
 
   private val Question = "how does the engine scan tables"
 
+  /** Sign-bit LSH hyperplanes for the embed_neardup blocking key. The
+    * planes are driver-side literals (seeded, deterministic), so the
+    * DuckDB oracle inlines the exact same doubles and reproduces the
+    * bucket ids. 4 bits → 16 buckets over the 64-dim embeddings. */
+  private val NearDupPlanes: Seq[Seq[Double]] = Ann.planes(64, 4)
+
+  /** DuckDB form of [[Ann.lshBucket]] over the same plane literals.
+    * Scala's Double.toString is shortest-round-trip, so the SQL parses
+    * back to bit-identical doubles. */
+  private def lshBucketSql(vecExpr: String, planes: Seq[Seq[Double]]): String =
+    planes.zipWithIndex.map { case (p, i) =>
+      s"(CASE WHEN list_dot_product($vecExpr::DOUBLE[], " +
+        s"[${p.mkString(",")}]::DOUBLE[]) > 0 THEN ${1 << i} ELSE 0 END)"
+    }.mkString(" + ")
+
   /** documents ⋈ embeddings (vec_id = doc_id) scored against the query
     * vector — the corpus for context/prompt queries. */
   private def scoredDocs(s: SparkSession, dir: String): DataFrame =
@@ -134,19 +149,30 @@ object SparkEntry {
     "minhash_cands" -> ((s, dir) =>
       Dedup.minhashCandidates(Tables.documents(s, dir), "doc_id", "text", 5, 32, 8)
         .orderBy(col("id_a"), col("id_b"))),
+    // ---- [EXT] scale-first global Jaccard near-dup: LSH band prefilter
+    // → exact fused-merge rerank; no blocking column, no broadcast side
+    "dedup_jaccard_lsh" -> ((s, dir) =>
+      Dedup.minhashJaccardPairs(Tables.documents(s, dir), "doc_id", "text",
+          5, 32, 8, 0.5)
+        .orderBy(col("id_a"), col("id_b"))),
     // ---- [EXT] SimHash fingerprint per document
     "simhash" -> ((s, dir) =>
       Tables.documents(s, dir)
         .select(col("doc_id"), Dedup.simhash32(col("text")).as("simhash"))
         .orderBy(col("doc_id"))),
-    // ---- [EXT] SimHash Hamming-distance near-dup pairs (source-blocked)
+    // ---- [EXT] SimHash Hamming-distance near-dup pairs — EXACT global
+    // semantics via pigeonhole bit-banding (no blocking column). The
+    // synthetic corpus is highly self-similar (median pairwise Hamming
+    // ≈ 6 of 32), so the near-dup cut is 2 bits.
     "simhash_pairs" -> ((s, dir) =>
-      Dedup.simhashPairs(Tables.documents(s, dir), "doc_id", "text", "source", 6)
+      Dedup.simhashPairs(Tables.documents(s, dir), "doc_id", "text", 2)
         .orderBy(col("id_a"), col("id_b"))),
-    // ---- [EXT] embedding-cosine near-dup pairs (label-blocked)
+    // ---- [EXT] embedding-cosine near-dup pairs, blocked by the
+    // sign-bit LSH bucket (fine-grained, data-derived — not a coarse
+    // given label); the oracle inlines the same hyperplane literals
     "embed_neardup" -> ((s, dir) =>
       Dedup.embeddingNearDup(Tables.embeddings(s, dir), "vec_id", "embedding",
-          "label", 0.35)
+          Ann.lshBucket(col("embedding"), NearDupPlanes), 0.35)
         .orderBy(col("id_a"), col("id_b"))),
     // ---- [EXT] text stats per language
     "text_stats" -> ((s, dir) =>
@@ -542,6 +568,39 @@ object SparkEntry {
          |FROM band a JOIN band b
          |  ON a.band = b.band AND a.bandsig = b.bandsig AND a.doc_id < b.doc_id
          |ORDER BY id_a, id_b""".stripMargin,
+    "dedup_jaccard_lsh" ->
+      s"""WITH sh AS (
+         |  SELECT DISTINCT doc_id, substring(text, g::INT + 1, 5) AS sh
+         |  FROM (SELECT doc_id, text,
+         |          unnest(range(0, greatest(length(text) - 4, 1), 1)) AS g
+         |        FROM documents)),
+         |shh AS (SELECT DISTINCT doc_id, ${polySql("sh")} AS h FROM sh),
+         |sizes AS (SELECT doc_id, count(*) AS n FROM shh GROUP BY 1),
+         |m AS (
+         |  SELECT doc_id, i,
+         |         min((h * (2 * i + 1) + (7919 * (i + 1)) % 1000000007) % 1000000007) AS mh
+         |  FROM shh, (SELECT unnest(range(0, 32)) AS i) seeds
+         |  GROUP BY 1, 2),
+         |band AS (
+         |  SELECT doc_id, i // 8 AS band,
+         |         string_agg(mh::VARCHAR, ',' ORDER BY i) AS bandsig
+         |  FROM m GROUP BY 1, 2),
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         |  FROM band a JOIN band b
+         |    ON a.band = b.band AND a.bandsig = b.bandsig AND a.doc_id < b.doc_id),
+         |inter AS (
+         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS ic
+         |  FROM shh a JOIN shh b ON a.h = b.h AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2)
+         |SELECT c.id_a, c.id_b,
+         |       round(x.ic::DOUBLE / (sa.n + sb.n - x.ic), 6) AS jaccard
+         |FROM cand c
+         |JOIN inter x ON x.id_a = c.id_a AND x.id_b = c.id_b
+         |JOIN sizes sa ON sa.doc_id = c.id_a
+         |JOIN sizes sb ON sb.doc_id = c.id_b
+         |WHERE round(x.ic::DOUBLE / (sa.n + sb.n - x.ic), 6) >= 0.5
+         |ORDER BY c.id_a, c.id_b""".stripMargin,
     "simhash" ->
       s"""WITH tok AS (
          |  SELECT doc_id, unnest($toksSql) AS tok FROM documents),
@@ -566,19 +625,21 @@ object SparkEntry {
          |sh AS (
          |  SELECT doc_id,
          |         sum(CASE WHEN s > 0 THEN (1::BIGINT << j::INT) ELSE 0 END)::BIGINT AS fp
-         |  FROM bits GROUP BY doc_id),
-         |p AS (SELECT s.doc_id, d.source, s.fp
-         |      FROM sh s JOIN documents d USING (doc_id))
+         |  FROM bits GROUP BY doc_id)
          |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
          |       bit_count(xor(a.fp, b.fp))::BIGINT AS hamming
-         |FROM p a JOIN p b ON a.source = b.source AND a.doc_id < b.doc_id
-         |WHERE bit_count(xor(a.fp, b.fp)) <= 6
+         |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+         |WHERE bit_count(xor(a.fp, b.fp)) <= 2
          |ORDER BY id_a, id_b""".stripMargin,
     "embed_neardup" ->
-      s"""SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+      s"""WITH p AS (
+         |  SELECT vec_id, embedding,
+         |         ${lshBucketSql("embedding", NearDupPlanes)} AS bucket
+         |  FROM embeddings)
+         |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
          |       ${cosSql("a.embedding", "b.embedding")} AS sim
-         |FROM embeddings a JOIN embeddings b
-         |  ON a.label = b.label AND a.vec_id < b.vec_id
+         |FROM p a JOIN p b
+         |  ON a.bucket = b.bucket AND a.vec_id < b.vec_id
          |WHERE ${cosSql("a.embedding", "b.embedding")} >= 0.35
          |ORDER BY id_a, id_b""".stripMargin,
     "text_stats" ->

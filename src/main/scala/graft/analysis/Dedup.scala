@@ -12,13 +12,16 @@ import graft.embed.Featurizer
   * Scale notes:
   *  - exact dedup is one shuffle on a 128-bit text hash (not the text
   *    itself) — at 100 TB you shuffle 16-byte keys, not documents.
-  *  - n-gram Jaccard self-joins on shingles; the shingle explode stays
-  *    inside partitions and the join shuffles by (shingle, group key).
-  *    The `source` blocking key bounds candidate pairs — the same
-  *    pattern LSH bands generalize.
+  *  - n-gram Jaccard pair joins never broadcast a corpus side: the
+  *    group-blocked form salts pairs across hash sub-blocks
+  *    (blocked-replication join), and the global form prefilters with
+  *    MinHash+LSH bands and reranks candidates with the exact fused
+  *    merge-intersect.
   *  - MinHash signatures are fixed-width (numHashes longs) regardless of
   *    document size; the LSH band join shuffles only (band, bandHash)
   *    pairs, never O(N²).
+  *  - SimHash pairs use pigeonhole bit-banding: exact all-pairs
+  *    Hamming-≤-k semantics from k+1 per-band equi-joins.
   */
 object Dedup {
 
@@ -48,7 +51,7 @@ object Dedup {
     * pairs with jaccard ≥ threshold, (id_a < id_b). */
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
                         groupCol: String, k: Int, threshold: Double,
-                        broadcastSmallSide: Boolean = true): DataFrame = {
+                        blocks: Int = 32): DataFrame = {
     // One sorted distinct shingle-HASH array per doc, then a block-local
     // pair join with a merge-intersect per pair. Versus the exploded
     // shingle-equijoin (quadratic in per-shingle frequency — repeated
@@ -61,26 +64,47 @@ object Dedup {
     // sets, collisions included.
     val sets = df.select(col(idCol).as("id"), col(groupCol).as("grp"),
       shinglesHashes(col(textCol), k).as("ss")) // already sorted distinct
-    // broadcastSmallSide=true: broadcast one side, spread the streamed
-    // side across all cores (a block-key-only join would ride the
-    // source's partition count — a single parquet split at small sf →
-    // near-serial pair generation). For a corpus past the broadcast
-    // limit, pass false: plain shuffle join on the block key (at open
-    // scale blocking keys are fine-grained — LSH bands — so the shuffle
-    // spreads; pair with Skew.saltedBroadcastJoin for hot blocks).
-    val a = sets.select(col("id").as("id_a"), col("grp"), col("ss").as("sa"))
-      .repartition(col("id_a"))
+    // Pair generation is a blocked-replication join (the shape of
+    // Search.similarityJoinBlocked): side `a` lands in one of `blocks`
+    // deterministic hash sub-blocks, side `b` replicates once per
+    // sub-block via an explode, and the join shuffles on
+    // (grp, sub-block). NO side is ever broadcast or collected — each
+    // pair materializes exactly once (at a's sub-block), the merge work
+    // spreads over |grp|·blocks partitions even when the group key is
+    // coarse, and memory per task is bounded by one sub-block. Hot
+    // groups spread the same way (the sub-block is salt).
+    val a = sets.select(col("id").as("id_a"), col("grp"), col("ss").as("sa"),
+      pmod(hash(col("id")), lit(blocks)).as("__blk"))
     val b = sets.select(col("id").as("id_b"), col("grp"), col("ss").as("sb"))
+      .withColumn("__blk", explode(sequence(lit(0), lit(blocks - 1))))
     // Catalyst folds the jaccard threshold into the join condition; the
     // fused sorted_jaccard expression keeps that at ONE merge pass per
     // candidate pair (a numerator/denominator composition of
     // sorted_intersect_count would run the merge twice there — and a
     // nondeterministic pushdown barrier measured slower still).
-    val joined =
-      if (broadcastSmallSide) a.join(broadcast(b), Seq("grp"))
-      else a.join(b, Seq("grp"))
-    joined
+    a.join(b, Seq("grp", "__blk"))
       .filter(col("id_a") < col("id_b"))
+      .withColumn("jaccard",
+        round(graft.functions.SortedJaccard(col("sa"), col("sb")), 6))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+  }
+
+  /** Scale-first n-gram Jaccard near-dup pairs: MinHash+LSH band
+    * candidates ([[minhashCandidates]] — shuffles only (band, sub-sig)
+    * keys, never a coarse-block pair explosion), reranked with the exact
+    * fused merge-intersect Jaccard over the candidates' shingle sets.
+    * No blocking column, no broadcast of any corpus side; recall follows
+    * the LSH S-curve (jaccard^rowsPerBand per band), and every surviving
+    * pair's score is EXACT. */
+  def minhashJaccardPairs(df: DataFrame, idCol: String, textCol: String,
+                          k: Int, numHashes: Int, rowsPerBand: Int,
+                          threshold: Double): DataFrame = {
+    val cands = minhashCandidates(df, idCol, textCol, k, numHashes, rowsPerBand)
+    val sets = df.select(col(idCol).as("id"), shinglesHashes(col(textCol), k).as("ss"))
+    cands
+      .join(sets.select(col("id").as("id_a"), col("ss").as("sa")), Seq("id_a"))
+      .join(sets.select(col("id").as("id_b"), col("ss").as("sb")), Seq("id_b"))
       .withColumn("jaccard",
         round(graft.functions.SortedJaccard(col("sa"), col("sb")), 6))
       .filter(col("jaccard") >= threshold)
@@ -158,36 +182,48 @@ object Dedup {
     bits.reduce(_ + _)
   }
 
-  /** SimHash near-duplicate pairs: fingerprint each doc (simhash32),
-    * then pairs within a blocking group whose Hamming distance is ≤
-    * maxHamming. Fingerprints are 8 bytes regardless of doc size, so the
-    * pair join streams tiny rows; at open scale the block key becomes
-    * the fingerprint's high bits (prefix blocking). */
+  /** SimHash near-duplicate pairs over the WHOLE corpus — EXACT
+    * semantics (every pair with Hamming distance ≤ maxHamming, no
+    * blocking column), generated scale-safely via pigeonhole banding
+    * (Manku et al., WWW'07): split the 32-bit fingerprint into
+    * maxHamming+1 bit-bands; any pair within distance maxHamming agrees
+    * EXACTLY on at least one band, so the union of per-band equi-joins
+    * has full recall. The join shuffles 8-byte (band, band-value) keys —
+    * never O(N²) — and candidates dedup after the Hamming filter. */
   def simhashPairs(df: DataFrame, idCol: String, textCol: String,
-                   groupCol: String, maxHamming: Int,
-                   broadcastSmallSide: Boolean = true): DataFrame = {
-    val fp = df.select(col(idCol).as("id"), col(groupCol).as("grp"),
-      simhash32(col(textCol)).as("fp"))
-    val a = fp.select(col("id").as("id_a"), col("grp"), col("fp").as("fa"))
-      .repartition(col("id_a"))
-    val b = fp.select(col("id").as("id_b"), col("grp"), col("fp").as("fb"))
-    val joined =
-      if (broadcastSmallSide) a.join(broadcast(b), Seq("grp"))
-      else a.join(b, Seq("grp"))
-    joined
-      .filter(col("id_a") < col("id_b"))
-      .withColumn("hamming", bit_count(col("fa").bitwiseXOR(col("fb"))).cast("long"))
+                   maxHamming: Int): DataFrame = {
+    require(maxHamming >= 0 && maxHamming < 32, s"maxHamming in [0,32): $maxHamming")
+    val bands = maxHamming + 1
+    val cuts = (0 to bands).map(i => i * 32 / bands)
+    // repartition before the fingerprint so the single-split small-sf
+    // scan doesn't serialize the SimHash computation
+    val fp = df.repartition(col(idCol))
+      .select(col(idCol).as("id"), simhash32(col(textCol)).as("fp"))
+    val bandVals = (0 until bands).map { i =>
+      val width = cuts(i + 1) - cuts(i)
+      shiftright(col("fp"), cuts(i)).bitwiseAND(lit((1L << width) - 1))
+    }
+    val banded = fp.select(col("id"), col("fp"),
+      posexplode(array(bandVals: _*)).as(Seq("band", "bval")))
+    banded.as("a").join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.bval") === col("b.bval") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        bit_count(col("a.fp").bitwiseXOR(col("b.fp"))).cast("long").as("hamming"))
       .filter(col("hamming") <= maxHamming)
-      .select(col("id_a"), col("id_b"), col("hamming"))
+      .distinct() // a pair can agree on several bands; dedup post-filter
   }
 
-  /** Embedding-cosine near-duplicate pairs inside a blocking group
-    * (label = coarse cluster): pairs with cosine ≥ threshold. The block
-    * join shuffles by group, never crossing the full corpus. */
+  /** Embedding-cosine near-duplicate pairs inside a blocking key
+    * (`blockKey` — typically an LSH bucket, [[graft.search.Ann.lshBucket]],
+    * or an IVF cluster id; fine-grained keys keep the per-block pair
+    * join small and spread): pairs with cosine ≥ threshold. The block
+    * join shuffles by key, never crossing the full corpus. */
   def embeddingNearDup(df: DataFrame, idCol: String, vecCol: String,
-                       groupCol: String, threshold: Double): DataFrame = {
-    val a = df.select(col(idCol).as("id_a"), col(vecCol).as("va"), col(groupCol).as("grp"))
-    val b = df.select(col(idCol).as("id_b"), col(vecCol).as("vb"), col(groupCol).as("grp"))
+                       blockKey: Column, threshold: Double): DataFrame = {
+    val keyed = df.withColumn("grp", blockKey)
+    val a = keyed.select(col(idCol).as("id_a"), col(vecCol).as("va"), col("grp"))
+    val b = keyed.select(col(idCol).as("id_b"), col(vecCol).as("vb"), col("grp"))
     a.join(b, Seq("grp"))
       .filter(col("id_a") < col("id_b"))
       .withColumn("sim", graft.vector.VectorOps.cosine6(col("va"), col("vb")))

@@ -56,8 +56,36 @@ class DedupSpec extends SparkSpec {
       (0L, Seq(1f, 0f, 0f), 0), (1L, Seq(0.99f, 0.1f, 0f), 0),
       (2L, Seq(0f, 1f, 0f), 0), (3L, Seq(1f, 0f, 0f), 1))
       .toDF("vec_id", "embedding", "label")
-    val pairs = Dedup.embeddingNearDup(emb, "vec_id", "embedding", "label", 0.9)
+    val pairs = Dedup.embeddingNearDup(emb, "vec_id", "embedding", col("label"), 0.9)
       .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(pairs == Set((0L, 1L))) // 0-3 same vector but different label-block
+  }
+
+  test("simhash pigeonhole banding is EXACT: pairs match the brute-force all-pairs filter") {
+    // 40 docs with overlapping token sets → a spread of Hamming distances
+    val words = Vector("alpha", "beta", "gamma", "delta", "epsilon", "zeta",
+      "eta", "theta", "iota", "kappa", "lambda", "mu")
+    val rnd = new scala.util.Random(11)
+    val many = (0L until 40L).map { i =>
+      (i, Seq.fill(8)(words(rnd.nextInt(words.size))).mkString(" "))
+    }.toDF("doc_id", "text")
+    val banded = Dedup.simhashPairs(many, "doc_id", "text", 6)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val fps = many.select(col("doc_id"), Dedup.simhash32(col("text")).as("h"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val brute = (for {
+      a <- fps.keys; b <- fps.keys if a < b
+      d = java.lang.Long.bitCount(fps(a) ^ fps(b)) if d <= 6
+    } yield (a, b, d.toLong)).toSet
+    assert(banded == brute)
+    assert(brute.nonEmpty) // the fixture actually exercises the operator
+  }
+
+  test("minhashJaccardPairs rerank scores candidates exactly and keeps obvious dups") {
+    val pairs = Dedup.minhashJaccardPairs(docs, "doc_id", "text", 5, 32, 8, 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val exact = pairs.find(p => p._1 == 0L && p._2 == 1L)
+    assert(exact.exists(_._3 == 1.0)) // identical texts: jaccard exactly 1
+    assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L))
   }
 }
