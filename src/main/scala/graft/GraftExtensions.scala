@@ -4,7 +4,7 @@ import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 
-import graft.functions.{CosineSimilarity, MinHashSignature, SimHash32, SortedArrayIntersectCount, SortedJaccard, VectorAvg}
+import graft.functions.{CosineSimilarity, FeaturizeCounts, MinHashSignature, SimHash32, SortedArrayIntersectCount, SortedJaccard, VectorAvg}
 
 /** Registers the engine's native expressions as SQL functions, so the
   * full surface is reachable from `spark.sql(...)` as well as the Column
@@ -51,7 +51,13 @@ object GraftExtensions {
       (es: Seq[Expression]) => SimHash32(es(0))),
     ("vector_avg",
       new ExpressionInfo(classOf[VectorAvg].getName, "vector_avg"),
-      (es: Seq[Expression]) => VectorAvg(es(0))))
+      (es: Seq[Expression]) => VectorAvg(es(0))),
+    ("featurize",
+      new ExpressionInfo(classOf[FeaturizeCounts].getName, "featurize"),
+      (es: Seq[Expression]) => FeaturizeCounts(es(0), intArg(es(1), "featurize"), normalize = true)),
+    ("featurize_counts",
+      new ExpressionInfo(classOf[FeaturizeCounts].getName, "featurize_counts"),
+      (es: Seq[Expression]) => FeaturizeCounts(es(0), intArg(es(1), "featurize_counts"), normalize = false)))
 
   /** Register on an already-built session (temp functions). */
   def register(spark: SparkSession): Unit =

@@ -53,15 +53,13 @@ object Featurizer {
     if (norm == 0.0) v else v.map(_ / norm)
   }
 
-  /** Column form (A5, document path `geminiService.ts:57-77`): one fused
-    * JVM pass per row (O(tokens + dim)) — a Scala UDF here beats the
-    * builtin-HOF formulation, which would be O(tokens × dim) per row. */
-  def featurize(dim: Int = DefaultDim): Column => Column = {
-    val f = udf { (text: String) =>
-      if (text == null) new Array[Double](dim) else featurizeText(text, dim)
-    }
-    c => f(c)
-  }
+  /** Column form (A5, document path `geminiService.ts:57-77`): the
+    * native Catalyst expression [[graft.functions.FeaturizeCounts]] —
+    * one fused O(tokens + dim) pass per row inside whole-stage codegen,
+    * no UDF serialization on the ingest hot path. Null text propagates
+    * null (standard expression semantics). */
+  def featurize(dim: Int = DefaultDim): Column => Column =
+    c => graft.functions.FeaturizeCounts(c, dim, normalize = true)
 
   /** Un-normalized bucket counts. Cosine is scale-invariant, so ranking
     * and similarity match the normalized form — but integer counts make
@@ -75,12 +73,8 @@ object Featurizer {
     v
   }
 
-  def featurizeCounts(dim: Int = DefaultDim): Column => Column = {
-    val f = udf { (text: String) =>
-      if (text == null) new Array[Double](dim) else featurizeCountsText(text, dim)
-    }
-    c => f(c)
-  }
+  def featurizeCounts(dim: Int = DefaultDim): Column => Column =
+    c => graft.functions.FeaturizeCounts(c, dim, normalize = false)
 
   /** The query text as a 1-row DataFrame with its featurized vector in
     * `qvec` — the driver-side scalar embed of `App.tsx:190`. */

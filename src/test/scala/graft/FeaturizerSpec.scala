@@ -40,4 +40,25 @@ class FeaturizerSpec extends SparkSpec {
     assert(Featurizer.featurizeText("Spark JOIN").toSeq ==
       Featurizer.featurizeText("spark join").toSeq)
   }
+
+  test("native expression matches the JVM kernel (counts + normalized, incl. non-BMP)") {
+    val texts = Seq("alpha beta beta", "", "   ", "emoji 😀🦄 token",
+      "a  b   c", "Spark JOIN agg", "ümlaut ÉTÉ")
+    val df = texts.toDF("text")
+    val got = df.select(col("text"),
+        Featurizer.featurizeCounts(16)(col("text")).as("c"),
+        Featurizer.featurize(16)(col("text")).as("n"))
+      .collect()
+    got.foreach { r =>
+      val t = r.getString(0)
+      assert(r.getSeq[Double](1) == Featurizer.featurizeCountsText(t, 16).toSeq, s"counts for '$t'")
+      assert(r.getSeq[Double](2) == Featurizer.featurizeText(t, 16).toSeq, s"normalized for '$t'")
+    }
+  }
+
+  test("featurize stays native: no ScalaUDF node in the plan") {
+    val df = Seq("x y z").toDF("text")
+      .select(Featurizer.featurize(8)(col("text")).as("v"))
+    assert(!df.queryExecution.executedPlan.toString.contains("ScalaUDF"))
+  }
 }
