@@ -63,6 +63,27 @@ object SparkEntry {
     "knn_top5" -> ((s, dir) =>
       Search.knn(Tables.embeddings(s, dir), queryVec(s, dir), 5)
         .select(col("vec_id"), col("sim"))),
+    // ---- A9/A10 scale variant: normalize at ingest, score with the
+    // fused plain dot product — same top-5 as knn_top5, fewer FLOPs
+    // per (query, row); the optimization the reference misses
+    // (`vectorDb.ts:38-44` recomputes magnitudes per row)
+    "knn_top5_normalized" -> ((s, dir) => {
+      val corpus = Tables.embeddings(s, dir)
+        .select(col("vec_id"), VectorOps.l2Normalize(col("embedding")).as("nvec"))
+      val q = queryVec(s, dir).select(VectorOps.l2Normalize(col("qvec")).as("qvec"))
+      Search.knnDot(corpus, q, 5, vecCol = "nvec")
+        .select(col("vec_id"), col("sim"))
+    }),
+    // ---- [EXT] ANN quality as a verified number: recall@5 of the IVF
+    // probe against the exact scan
+    "ann_recall" -> ((s, dir) => {
+      val exact = Search.knn(Tables.embeddings(s, dir), queryVec(s, dir), 5)
+        .select(col("vec_id"))
+      val ann = Ann.ivfTopK(Tables.embeddings(s, dir), queryVec(s, dir), 5, 3)
+        .select(col("vec_id"))
+      exact.join(ann, Seq("vec_id"), "left_semi")
+        .agg((count(lit(1)) / 5.0).as("recall_at_5"))
+    }),
     "cosine_scores" -> ((s, dir) =>
       Tables.embeddings(s, dir).crossJoin(broadcast(queryVec(s, dir)))
         .select(col("vec_id"), VectorOps.cosine6(col("embedding"), col("qvec")).as("sim"))
@@ -473,6 +494,43 @@ object SparkEntry {
          |  FROM embeddings e,
          |       (SELECT embedding AS qvec FROM embeddings WHERE vec_id = 0) q)
          |ORDER BY sim DESC, vec_id ASC LIMIT 5""".stripMargin,
+    "knn_top5_normalized" ->
+      """WITH nc AS (
+        |  SELECT vec_id,
+        |         CASE WHEN sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) = 0
+        |              THEN embedding::DOUBLE[]
+        |              ELSE list_transform(embedding::DOUBLE[],
+        |                     x -> x / sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])))
+        |         END AS nvec
+        |  FROM embeddings),
+        |q AS (SELECT nvec AS qvec FROM nc WHERE vec_id = 0)
+        |SELECT vec_id, round(list_dot_product(nc.nvec, q.qvec), 6) AS sim
+        |FROM nc, q
+        |ORDER BY sim DESC, vec_id ASC LIMIT 5""".stripMargin,
+    "ann_recall" -> {
+      val rawCos = (a: String, b: String) =>
+        s"list_dot_product($a, $b) / (sqrt(list_dot_product($a, $a)) * sqrt(list_dot_product($b, $b)))"
+      s"""WITH q AS (SELECT embedding AS qvec FROM embeddings WHERE vec_id = 0),
+         |exact5 AS (
+         |  SELECT vec_id FROM (
+         |    SELECT e.vec_id, ${cosSql("e.embedding", "q.qvec")} AS sim
+         |    FROM embeddings e, q)
+         |  ORDER BY sim DESC, vec_id ASC LIMIT 5),
+         |cent AS (
+         |  SELECT label, i, avg(embedding[i]::DOUBLE) AS c
+         |  FROM embeddings, (SELECT unnest(range(1, 65)) AS i) ix
+         |  GROUP BY 1, 2),
+         |centl AS (SELECT label, list(c ORDER BY i) AS centroid FROM cent GROUP BY label),
+         |probes AS (
+         |  SELECT label FROM centl, q
+         |  ORDER BY ${rawCos("centroid", "qvec::DOUBLE[]")} DESC, label ASC LIMIT 3),
+         |ann5 AS (
+         |  SELECT vec_id FROM (
+         |    SELECT e.vec_id, ${cosSql("e.embedding", "q.qvec")} AS sim
+         |    FROM embeddings e JOIN probes USING (label), q)
+         |  ORDER BY sim DESC, vec_id ASC LIMIT 5)
+         |SELECT (SELECT count(*) FROM exact5 JOIN ann5 USING (vec_id)) / 5.0 AS recall_at_5""".stripMargin
+    },
     "cosine_scores" ->
       s"""SELECT e.vec_id, ${cosSql("e.embedding", "q.qvec")} AS sim
          |FROM embeddings e,

@@ -65,6 +65,18 @@ class SearchSpec extends SparkSpec {
     assert(broadcastForm == blockedForm)
   }
 
+  test("knnDot over a normalized corpus returns the same top-k ids as knn on raw vectors") {
+    val emb = spark.read.parquet(s"$sf0001/embeddings.parquet")
+    val q = emb.filter(col("vec_id") === 3).select(col("embedding").as("qvec"))
+    val raw = Search.knn(emb, q, 10).select("vec_id").collect().map(_.getLong(0)).toSeq
+    val nc = emb.select(col("vec_id"),
+      graft.vector.VectorOps.l2Normalize(col("embedding")).as("nvec"))
+    val nq = q.select(graft.vector.VectorOps.l2Normalize(col("qvec")).as("qvec"))
+    val viaDot = Search.knnDot(nc, nq, 10, vecCol = "nvec")
+      .select("vec_id").collect().map(_.getLong(0)).toSeq
+    assert(viaDot == raw)
+  }
+
   test("prompt template interpolates context and question") {
     val out = Seq(Tuple1("CTX")).toDF("context")
       .select(Search.prompt(col("context"), lit("Q?")).as("p"))
