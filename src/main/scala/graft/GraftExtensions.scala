@@ -4,7 +4,7 @@ import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 
-import graft.functions.{CosineSimilarity, DotProduct, FeaturizeCounts, MinHashSignature, SimHash32, SortedArrayIntersectCount, SortedJaccard, VectorAvg}
+import graft.functions.{CosineSimilarity, DotProduct, FeaturizeCounts, L2Normalize, MinHashSignature, SimHash32, SortedArrayIntersectCount, SortedJaccard, VectorAvg}
 
 /** Registers the engine's native expressions as SQL functions, so the
   * full surface is reachable from `spark.sql(...)` as well as the Column
@@ -55,6 +55,9 @@ object GraftExtensions {
     ("dot_product",
       new ExpressionInfo(classOf[DotProduct].getName, "dot_product"),
       (es: Seq[Expression]) => DotProduct(es(0), es(1))),
+    ("l2_normalize",
+      new ExpressionInfo(classOf[L2Normalize].getName, "l2_normalize"),
+      (es: Seq[Expression]) => L2Normalize(es(0))),
     ("featurize",
       new ExpressionInfo(classOf[FeaturizeCounts].getName, "featurize"),
       (es: Seq[Expression]) => FeaturizeCounts(es(0), intArg(es(1), "featurize"), normalize = true)),

@@ -16,9 +16,18 @@ object Scratch {
     spark.sparkContext.setLogLevel("ERROR")
     val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val names = if (args.nonEmpty) args.toSeq else Seq("knn_top5", "q3_top10", "chunks_nonempty", "q1_agg")
+    val time = sys.env.get("SPARK_GRAFT_TIME").contains("1")
     names.foreach { n =>
       println(s"========== $n ==========")
-      SparkEntry.queries(n)(spark, dir).explain("formatted")
+      if (time) {
+        // best-of-2 wall time, same convention as Bench
+        def once(): Double = {
+          val t0 = System.nanoTime()
+          SparkEntry.queries(n)(spark, dir).count()
+          (System.nanoTime() - t0) / 1e9
+        }
+        println(f"[time] $n: ${math.min(once(), once())}%.3f s")
+      } else SparkEntry.queries(n)(spark, dir).explain("formatted")
     }
     spark.stop()
   }

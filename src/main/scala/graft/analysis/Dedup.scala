@@ -12,11 +12,11 @@ import graft.embed.Featurizer
   * Scale notes:
   *  - exact dedup is one shuffle on a 128-bit text hash (not the text
   *    itself) — at 100 TB you shuffle 16-byte keys, not documents.
-  *  - n-gram Jaccard pair joins never broadcast a corpus side: the
-  *    group-blocked form salts pairs across hash sub-blocks
-  *    (blocked-replication join), and the global form prefilters with
-  *    MinHash+LSH bands and reranks candidates with the exact fused
-  *    merge-intersect.
+  *  - n-gram Jaccard pair joins never broadcast a corpus side and never
+  *    enumerate all pairs of any block: the group-blocked form is the
+  *    count-form set-similarity join (equi-join shingle occurrences,
+  *    count shared shingles per pair), the global form prefilters with
+  *    MinHash+LSH bands and reranks with the exact fused merge-intersect.
   *  - MinHash signatures are fixed-width (numHashes longs) regardless of
   *    document size; the LSH band join shuffles only (band, bandHash)
   *    pairs, never O(N²).
@@ -24,6 +24,20 @@ import graft.embed.Featurizer
   *    Hamming-≤-k semantics from k+1 per-band equi-joins.
   */
 object Dedup {
+
+  /** Repartition by `key` with an EXPLICIT partition count (the session's
+    * `spark.sql.shuffle.partitions`). A bare `repartition(col)` emits
+    * `REPARTITION_BY_COL`, which AQE is free to coalesce back down when
+    * the *input bytes* are small — but these exchanges spread downstream
+    * COMPUTE (shingle hashing, fingerprints, and most critically the
+    * pair join+aggregate that rides this partitioning), which AQE's
+    * size-based heuristic cannot see. Measured at sf0.1: the
+    * ngramJaccardPairs join ran on AQE-coalesced partitions at 23.8 s vs
+    * 2.0 s with the count pinned. */
+  private def spread(df: DataFrame, key: Column): DataFrame = {
+    val n = df.sparkSession.conf.get("spark.sql.shuffle.partitions", "200").toInt
+    df.repartition(n, key)
+  }
 
   /** Character shingles (k-grams) of `text`, distinct. Short texts
     * (< k chars) yield their single truncated prefix shingle. */
@@ -46,46 +60,56 @@ object Dedup {
   }
 
   /** n-gram Jaccard near-duplicate pairs within a blocking group.
-    * Distinct k-shingles per doc; pairs sharing ≥1 shingle inside the
-    * same `groupCol` block; Jaccard = |∩| / |∪| over shingle sets;
-    * pairs with jaccard ≥ threshold, (id_a < id_b). */
+    * Distinct k-shingles per doc; Jaccard = |∩| / |∪| over the hashed
+    * shingle sets (the MinHash-literature convention — the portable
+    * polynomial hash makes the oracle reproduce identical sets,
+    * collisions included); pairs with jaccard ≥ threshold, (id_a < id_b).
+    *
+    * Shape: the distributed count-form set-similarity join — explode
+    * each doc's distinct shingle hashes, equi-join occurrences on
+    * (group, shingle-hash), aggregate matches per (id_a, id_b) to get
+    * |∩| directly, then join per-doc set sizes (|∪| = |A| + |B| − |∩|).
+    * Nothing is ever broadcast, collected, or enumerated all-pairs on
+    * the coarse group key (the round-2 scale defect): every stage is a
+    * keyed shuffle of fixed-width (group, hash, id) rows — the shingle
+    * ARRAYS never travel, and the pair aggregation's map-side combine
+    * compresses the join output before its shuffle. Exactness is by
+    * construction (every shared shingle is counted exactly once; a pair
+    * with jaccard ≥ t > 0 shares ≥ 1 shingle, so no qualifying pair is
+    * missed).
+    *
+    * Scale note: the occurrence join emits C(df, 2) rows per distinct
+    * (group, shingle) — quadratic in the document frequency of the
+    * hottest shingle. That is the inherent cost of EXACT pairwise
+    * intersections on dense corpora: measured on the sf0.1 testdata,
+    * 622,451 of the 622,500 in-group pairs (99.99%) share at least one
+    * shingle, so EVERY exact candidate prefilter (shared-shingle,
+    * rarity-ordered PPJoin prefix, length filter) keeps essentially all
+    * pairs and only adds machinery — the candidate set, not the
+    * algorithm, is the lower bound. On heavy-tailed real corpora prefer
+    * [[minhashJaccardPairs]], which trades the exact candidate set for
+    * the LSH S-curve and touches only colliding pairs. */
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
-                        groupCol: String, k: Int, threshold: Double,
-                        blocks: Int = 32): DataFrame = {
-    // One sorted distinct shingle-HASH array per doc, then a block-local
-    // pair join with a merge-intersect per pair. Versus the exploded
-    // shingle-equijoin (quadratic in per-shingle frequency — repeated
-    // shingles across a block blow up the intermediate), this shuffles
-    // one fixed array per doc and the per-pair work is an allocation-free
-    // primitive-long merge inside codegen
-    // (graft.functions.SortedArrayIntersectCount). Jaccard is defined
-    // over the hashed shingle sets (the MinHash-literature convention);
-    // the portable polynomial hash makes the oracle reproduce identical
-    // sets, collisions included.
-    val sets = df.select(col(idCol).as("id"), col(groupCol).as("grp"),
-      shinglesHashes(col(textCol), k).as("ss")) // already sorted distinct
-    // Pair generation is a blocked-replication join (the shape of
-    // Search.similarityJoinBlocked): side `a` lands in one of `blocks`
-    // deterministic hash sub-blocks, side `b` replicates once per
-    // sub-block via an explode, and the join shuffles on
-    // (grp, sub-block). NO side is ever broadcast or collected — each
-    // pair materializes exactly once (at a's sub-block), the merge work
-    // spreads over |grp|·blocks partitions even when the group key is
-    // coarse, and memory per task is bounded by one sub-block. Hot
-    // groups spread the same way (the sub-block is salt).
-    val a = sets.select(col("id").as("id_a"), col("grp"), col("ss").as("sa"),
-      pmod(hash(col("id")), lit(blocks)).as("__blk"))
-    val b = sets.select(col("id").as("id_b"), col("grp"), col("ss").as("sb"))
-      .withColumn("__blk", explode(sequence(lit(0), lit(blocks - 1))))
-    // Catalyst folds the jaccard threshold into the join condition; the
-    // fused sorted_jaccard expression keeps that at ONE merge pass per
-    // candidate pair (a numerator/denominator composition of
-    // sorted_intersect_count would run the merge twice there — and a
-    // nondeterministic pushdown barrier measured slower still).
-    a.join(b, Seq("grp", "__blk"))
-      .filter(col("id_a") < col("id_b"))
+                        groupCol: String, k: Int, threshold: Double): DataFrame = {
+    // spread: the pair join + count aggregate below both RIDE this
+    // partitioning (BHJ preserves the probe side; agg keys (id_a, id_b)
+    // are subsumed by clustering on id), so its partition count is the
+    // join's parallelism — pin it (see `spread`).
+    val sets = spread(df, col(idCol))
+      .select(col(idCol).as("id"), col(groupCol).as("grp"),
+        shinglesHashes(col(textCol), k).as("ss")) // distinct per doc
+    val toks = sets.select(col("id"), col("grp"), explode(col("ss")).as("h"))
+    val sizes = sets.select(col("id"), size(col("ss")).as("n"))
+    val inter = toks.as("a").join(toks.as("b"),
+        col("a.grp") === col("b.grp") && col("a.h") === col("b.h") &&
+          col("a.id") < col("b.id"))
+      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .agg(count(lit(1)).as("ic"))
+    inter
+      .join(sizes.select(col("id").as("id_a"), col("n").as("na")), Seq("id_a"))
+      .join(sizes.select(col("id").as("id_b"), col("n").as("nb")), Seq("id_b"))
       .withColumn("jaccard",
-        round(graft.functions.SortedJaccard(col("sa"), col("sb")), 6))
+        round(col("ic") / (col("na") + col("nb") - col("ic")), 6))
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
@@ -147,10 +171,10 @@ object Dedup {
     // No explicit isNotNull filter on sig: a null signature (null text)
     // is dropped by the non-outer Generate below, and a filter here gets
     // predicate-pushed BELOW the projection, recomputing the whole
-    // signature per row just to null-check it. Repartition spreads the
+    // signature per row just to null-check it. `spread` spreads the
     // signature computation across cores (the doc scan is one split at
-    // small scale).
-    val sig = df.repartition(col(idCol))
+    // small scale) with a pinned partition count AQE can't coalesce.
+    val sig = spread(df, col(idCol))
       .select(col(idCol).as("id"),
         minhashSignature(col(textCol), k, numHashes).as("sig"))
     val numBands = numHashes / rowsPerBand
@@ -195,9 +219,10 @@ object Dedup {
     require(maxHamming >= 0 && maxHamming < 32, s"maxHamming in [0,32): $maxHamming")
     val bands = maxHamming + 1
     val cuts = (0 to bands).map(i => i * 32 / bands)
-    // repartition before the fingerprint so the single-split small-sf
-    // scan doesn't serialize the SimHash computation
-    val fp = df.repartition(col(idCol))
+    // spread before the fingerprint so the single-split small-sf scan
+    // doesn't serialize the SimHash computation (pinned count — AQE
+    // would coalesce a bare by-col repartition of small input bytes)
+    val fp = spread(df, col(idCol))
       .select(col(idCol).as("id"), simhash32(col(textCol)).as("fp"))
     val bandVals = (0 until bands).map { i =>
       val width = cuts(i + 1) - cuts(i)

@@ -57,8 +57,17 @@ object VectorOps {
     * (so downstream dot-products yield 0, matching `vectorDb.ts:47-49`).
     * Pre-normalizing the corpus at ingest turns cosine into a plain dot
     * product — the scale optimization the reference misses
-    * (`vectorDb.ts:38-44` recomputes the query magnitude per row). */
-  def l2Normalize(a: Column): Column = {
+    * (`vectorDb.ts:38-44` recomputes the query magnitude per row).
+    * Backed by the fused O(d) kernel [[graft.functions.L2Normalize]];
+    * [[l2NormalizeHof]] is the executable spec it is tested against. */
+  def l2Normalize(a: Column): Column = graft.functions.L2Normalize(a)
+
+  /** Composed-builtin form of [[l2Normalize]] — kept as the executable
+    * specification only. Catalyst does NOT hoist the loop-invariant norm
+    * out of the `transform` lambda, so this evaluates the full
+    * `sqrt(aggregate(...))` tree per ELEMENT — O(d²) per row. Never put
+    * it on a hot path. */
+  def l2NormalizeHof(a: Column): Column = {
     val n = l2Norm(a)
     when(n === lit(0.0), transform(a, x => x.cast("double")))
       .otherwise(transform(a, x => x.cast("double") / n))

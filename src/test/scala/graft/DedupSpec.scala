@@ -35,6 +35,31 @@ class DedupSpec extends SparkSpec {
     assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
   }
 
+  test("ngram jaccard prefix filter is EXACT: pairs match the all-pairs filter") {
+    // many short docs over a small vocabulary → dense similarity spectrum,
+    // including pairs whose only shared shingles sit deep in one doc's
+    // sorted hash order (the case a naive one-sided prefix would miss)
+    val words = Vector("aaaa", "bbbb", "cccc", "dddd", "eeee", "ffff", "gggg")
+    val rnd = new scala.util.Random(23)
+    val many = (0L until 30L).map { i =>
+      (i, Seq.fill(4 + rnd.nextInt(4))(words(rnd.nextInt(words.size))).mkString(" "), "g")
+    }.toDF("doc_id", "text", "source")
+    val filtered = Dedup.ngramJaccardPairs(many, "doc_id", "text", "source", 5, 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    // brute force: all pairs over the same sorted shingle-hash sets
+    val sets = many.select(col("doc_id"), Dedup.shinglesHashes(col("text"), 5).as("ss"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toSet).toMap
+    val brute = (for {
+      a <- sets.keys; b <- sets.keys if a < b
+      i = (sets(a) & sets(b)).size
+      j = BigDecimal(i.toDouble / (sets(a).size + sets(b).size - i))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      if j >= 0.5
+    } yield (a, b, j)).toSet
+    assert(filtered == brute)
+    assert(brute.nonEmpty) // the fixture actually exercises the operator
+  }
+
   test("minhash LSH candidates include exact and near dups") {
     val cands = Dedup.minhashCandidates(docs, "doc_id", "text", 5, 32, 8)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet

@@ -60,4 +60,41 @@ class VectorOpsSpec extends SparkSpec {
     assert(math.abs(ns(0) - 1.0) < 1e-12)
     assert(ns(1) === 0.0)
   }
+
+  test("l2Normalize fused kernel ≡ HOF spec (seeded, incl. zero vector)") {
+    val rnd = new scala.util.Random(7)
+    val cases = Seq(Seq(0f, 0f, 0f)) ++ (1 to 20).map { _ =>
+      Seq.fill(1 + rnd.nextInt(16))((rnd.nextDouble() * 20 - 10).toFloat)
+    }
+    val rows = cases.toDF("v").select(
+      VectorOps.l2Normalize(col("v")).as("fused"),
+      VectorOps.l2NormalizeHof(col("v")).as("spec"))
+      .collect()
+    rows.foreach { r =>
+      val (f, s) = (r.getSeq[Double](0), r.getSeq[Double](1))
+      assert(f.size === s.size)
+      f.zip(s).foreach { case (x, y) => assert(x === y) } // bit-identical
+    }
+  }
+
+  test("l2Normalize: null element → null result") {
+    val df = spark.sql("SELECT array(1.0D, CAST(NULL AS DOUBLE), 3.0D) AS v")
+      .select(VectorOps.l2Normalize(col("v")).as("n"))
+    assert(df.head().isNullAt(0))
+  }
+
+  test("normalized dot ≡ cosine on raw vectors (the ingest-once identity)") {
+    val rnd = new scala.util.Random(11)
+    val cases = (1 to 20).map { _ =>
+      val n = 1 + rnd.nextInt(16)
+      (Seq.fill(n)((rnd.nextDouble() * 20 - 10).toFloat),
+        Seq.fill(n)((rnd.nextDouble() * 20 - 10).toFloat))
+    } :+ ((Seq(0f, 0f), Seq(1f, 2f))) // zero-vector edge: dot of self-normalized zero = 0 = cosine
+    val rows = cases.toDF("a", "b").select(
+      round(graft.functions.DotProduct(
+        VectorOps.l2Normalize(col("a")), VectorOps.l2Normalize(col("b"))), 6).as("nd"),
+      round(VectorOps.cosine(col("a"), col("b")), 6).as("c"))
+      .collect()
+    rows.foreach(r => assert(r.getDouble(0) === r.getDouble(1)))
+  }
 }
