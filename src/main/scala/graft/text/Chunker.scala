@@ -44,9 +44,20 @@ object Chunker {
     * anywhere, at either chunk or document granularity:
     *  1. count chunks per document (distributed agg);
     *  2. range-partition the per-doc table by doc id (partition p holds a
-    *     contiguous, ordered id range) and run the running sum as a
-    *     window PARTITIONED BY the physical partition id — each task
-    *     scans only its own slice;
+    *     contiguous, ordered id range), stamp the physical partition id,
+    *     run the running sum as a window per partition id, and PERSIST
+    *     the result. The persist is a CORRECTNESS pin, not a perf cache:
+    *     `spark_partition_id()` over a sampled range exchange is
+    *     nondeterministic across executions (RangePartitioner re-samples
+    *     boundaries), and the stamped table feeds TWO branches below —
+    *     without the pin their consistency silently depends on physical
+    *     exchange reuse (an optimization, not a guarantee; AQE plan
+    *     divergence or `spark.sql.exchange.reuse=false` breaks it and
+    *     yields wrong ids with no error). The cache holds one skinny
+    *     (id, count, pid, run) row per doc — GBs at 100 TB corpus scale —
+    *     and recompute-on-block-loss replays the SAME shuffle dependency
+    *     (same sampled boundaries), so the pin holds even under executor
+    *     loss. Auto-unpersisted by the ContextCleaner when unreferenced.
     *  3. partition subtotals (one row per partition — a few hundred rows
     *     at any scale) turn into exclusive partition offsets via a
     *     broadcast non-equi self-join, not a global window;
@@ -58,12 +69,16 @@ object Chunker {
     * `monotonically_increasing_id` (non-dense, partition-dependent).
     */
   def withOrdinalIds(chunks: DataFrame, docIdCol: String): DataFrame = {
+    val p = chunks.sparkSession.conf.get("spark.sql.shuffle.partitions", "200").toInt
     val perDoc = chunks.groupBy(col(docIdCol)).agg(count(lit(1)).as("__n"))
-    val parts = perDoc.repartitionByRange(col(docIdCol))
-      .withColumn("__pid", spark_partition_id())
     val wLocal = Window.partitionBy(col("__pid")).orderBy(col(docIdCol))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val local = parts.withColumn("__run", sum(col("__n")).over(wLocal))
+    // explicit partition count: a bare repartitionByRange(col) is
+    // AQE-coalescible, and this exchange exists to spread the window
+    val local = perDoc.repartitionByRange(p, col(docIdCol))
+      .withColumn("__pid", spark_partition_id())
+      .withColumn("__run", sum(col("__n")).over(wLocal))
+      .persist()
     val sub = local.groupBy(col("__pid")).agg(sum(col("__n")).as("__pn"))
     val offsets = sub.as("a")
       .join(broadcast(sub.as("b")), col("b.__pid") < col("a.__pid"), "left")
