@@ -483,9 +483,20 @@ object SparkEntry {
        |     (SELECT embedding AS qvec FROM embeddings WHERE vec_id = 0) q
        |ORDER BY sim DESC, e.vec_id ASC LIMIT 5""".stripMargin
 
+  /** The reference's verbatim prompt instruction
+    * (`geminiService.ts:80-88`), SQL-escaped (doubled single quote). */
   private val promptPrefix =
-    "Based on the following context, please answer the question. " +
-      "If the answer is not in the context, say you don''t know."
+    "Based on the following context, please provide a comprehensive answer " +
+      "to the user''s question. If the context does not contain the answer, " +
+      "state that you cannot find the answer in the provided document."
+
+  /** DuckDB expression assembling the verbatim reference prompt from a
+    * `context` expression: `---` fences, inline `Question: `, trailing
+    * newline (mirrors [[graft.search.Search.prompt]]). */
+  private def promptSql(contextExpr: String): String =
+    s"'$promptPrefix' || chr(10) || chr(10) || 'Context:' || chr(10) || '---' || chr(10) || " +
+      s"$contextExpr || chr(10) || '---' || chr(10) || chr(10) || " +
+      s"'Question: ' || '$Question' || chr(10)"
 
   def oracleSql: Map[String, String] = Map(
     "knn_top5" ->
@@ -523,7 +534,7 @@ object SparkEntry {
          |centl AS (SELECT label, list(c ORDER BY i) AS centroid FROM cent GROUP BY label),
          |probes AS (
          |  SELECT label FROM centl, q
-         |  ORDER BY ${rawCos("centroid", "qvec::DOUBLE[]")} DESC, label ASC LIMIT 3),
+         |  ORDER BY round(${rawCos("centroid", "qvec::DOUBLE[]")}, 6) DESC, label ASC LIMIT 3),
          |ann5 AS (
          |  SELECT vec_id FROM (
          |    SELECT e.vec_id, ${cosSql("e.embedding", "q.qvec")} AS sim
@@ -556,9 +567,7 @@ object SparkEntry {
          |         ORDER BY sim DESC, vec_id ASC) AS context
          |FROM ($top5DocsSql)""".stripMargin,
     "ask_prompt" ->
-      s"""SELECT '$promptPrefix' || chr(10) || chr(10) || 'Context:' || chr(10) ||
-         |       context || chr(10) || chr(10) || 'Question:' || chr(10) ||
-         |       '$Question' AS prompt
+      s"""SELECT ${promptSql("context")} AS prompt
          |FROM (SELECT string_agg(text, chr(10) || '---' || chr(10)
          |               ORDER BY sim DESC, vec_id ASC) AS context
          |      FROM ($top5DocsSql))""".stripMargin,
@@ -824,9 +833,7 @@ object SparkEntry {
          |           ORDER BY sim DESC, doc_id ASC) AS context
          |  FROM ($top5))
          |SELECT '$Question' AS question, context,
-         |       '$promptPrefix' || chr(10) || chr(10) || 'Context:' || chr(10) ||
-         |       context || chr(10) || chr(10) || 'Question:' || chr(10) ||
-         |       '$Question' AS prompt,
+         |       ${promptSql("context")} AS prompt,
          |       'Q: ' || '$Question' || ' | top context: ' ||
          |       substring(string_split(context, chr(10) || '---' || chr(10))[1], 1, 80) ||
          |       ' | context chars: ' || length(context)::VARCHAR AS answer

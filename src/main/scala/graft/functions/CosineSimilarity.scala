@@ -22,15 +22,20 @@ import org.apache.spark.sql.types._
   * Accepts `array<float>` and `array<double>` children in any mix, so
   * parquet float vectors join featurizer double vectors without a
   * per-row cast allocation. Null *arrays* propagate null via
-  * BinaryExpression's default; array ELEMENTS are assumed non-null
-  * (embedding vectors never carry null components) — a null slot is
-  * read as 0.0 by the primitive getters, unlike the HOF spec which
-  * would propagate null. Don't feed it element-nullable data.
+  * BinaryExpression's default; a null ELEMENT yields NULL too (a
+  * partial vector has no meaningful similarity; failing whole beats
+  * reading nulls as 0) — the single null semantic shared by all three
+  * vector kernels ([[DotProduct]], [[L2Normalize]]). The per-element
+  * null check is emitted only for `containsNull` schemas, so the
+  * common non-nullable path keeps the tight loop.
   */
 case class CosineSimilarity(left: Expression, right: Expression)
     extends BinaryExpression {
 
   override def dataType: DataType = DoubleType
+
+  override def nullable: Boolean =
+    left.nullable || right.nullable || elemNullable(left) || elemNullable(right)
 
   override def checkInputDataTypes(): TypeCheckResult = {
     def ok(dt: DataType): Boolean = dt match {
@@ -46,6 +51,9 @@ case class CosineSimilarity(left: Expression, right: Expression)
   private def elemIsFloat(e: Expression): Boolean =
     e.dataType.asInstanceOf[ArrayType].elementType == FloatType
 
+  private def elemNullable(e: Expression): Boolean =
+    e.dataType.asInstanceOf[ArrayType].containsNull
+
   override protected def nullSafeEval(l: Any, r: Any): Any = {
     val a = l.asInstanceOf[ArrayData]
     val b = r.asInstanceOf[ArrayData]
@@ -53,9 +61,11 @@ case class CosineSimilarity(left: Expression, right: Expression)
     if (n != b.numElements()) -1.0
     else {
       val (af, bf) = (elemIsFloat(left), elemIsFloat(right))
+      val (an, bn) = (elemNullable(left), elemNullable(right))
       var dot = 0.0; var na = 0.0; var nb = 0.0
       var i = 0
       while (i < n) {
+        if ((an && a.isNullAt(i)) || (bn && b.isNullAt(i))) return null
         val x = if (af) a.getFloat(i).toDouble else a.getDouble(i)
         val y = if (bf) b.getFloat(i).toDouble else b.getDouble(i)
         dot += x * y; na += x * x; nb += y * y
@@ -77,6 +87,14 @@ case class CosineSimilarity(left: Expression, right: Expression)
       val y = ctx.freshName("y")
       val getA = if (elemIsFloat(left)) s"(double) $a.getFloat($i)" else s"$a.getDouble($i)"
       val getB = if (elemIsFloat(right)) s"(double) $b.getFloat($i)" else s"$b.getDouble($i)"
+      // null-element checks emitted only for containsNull schemas (the
+      // nullable override guarantees ev.isNull is a real variable then)
+      val nullCheck = (
+        (if (elemNullable(left)) Seq(s"$a.isNullAt($i)") else Nil) ++
+        (if (elemNullable(right)) Seq(s"$b.isNullAt($i)") else Nil)) match {
+        case Nil => ""
+        case cs => s"if (${cs.mkString(" || ")}) { ${ev.isNull} = true; break; }"
+      }
       s"""
          |final int $n = $a.numElements();
          |if ($n != $b.numElements()) {
@@ -84,12 +102,15 @@ case class CosineSimilarity(left: Expression, right: Expression)
          |} else {
          |  double $dot = 0.0; double $na = 0.0; double $nb = 0.0;
          |  for (int $i = 0; $i < $n; $i++) {
+         |    $nullCheck
          |    final double $x = $getA;
          |    final double $y = $getB;
          |    $dot += $x * $y; $na += $x * $x; $nb += $y * $y;
          |  }
-         |  ${ev.value} = ($na == 0.0 || $nb == 0.0)
-         |    ? 0.0 : $dot / (java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb));
+         |  if (!${ev.isNull}) {
+         |    ${ev.value} = ($na == 0.0 || $nb == 0.0)
+         |      ? 0.0 : $dot / (java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb));
+         |  }
          |}
        """.stripMargin
     })

@@ -16,12 +16,17 @@ import org.apache.spark.sql.types._
   * Edge semantics are aligned with [[CosineSimilarity]] so it is a
   * drop-in for normalized data: dimension mismatch → -1.0 (a zero
   * vector L2-normalizes to itself, so its dot is 0.0 — the same value
-  * cosine defines). Accepts float/double arrays in any mix; elements
-  * are assumed non-null, like the cosine kernel. */
+  * cosine defines). Accepts float/double arrays in any mix; a null
+  * ELEMENT yields NULL — the single null semantic shared by all three
+  * vector kernels ([[CosineSimilarity]], [[L2Normalize]]); the check
+  * is emitted only for `containsNull` schemas. */
 case class DotProduct(left: Expression, right: Expression)
     extends BinaryExpression {
 
   override def dataType: DataType = DoubleType
+
+  override def nullable: Boolean =
+    left.nullable || right.nullable || elemNullable(left) || elemNullable(right)
 
   override def checkInputDataTypes(): TypeCheckResult = {
     def ok(dt: DataType): Boolean = dt match {
@@ -37,6 +42,9 @@ case class DotProduct(left: Expression, right: Expression)
   private def elemIsFloat(e: Expression): Boolean =
     e.dataType.asInstanceOf[ArrayType].elementType == FloatType
 
+  private def elemNullable(e: Expression): Boolean =
+    e.dataType.asInstanceOf[ArrayType].containsNull
+
   override protected def nullSafeEval(l: Any, r: Any): Any = {
     val a = l.asInstanceOf[ArrayData]
     val b = r.asInstanceOf[ArrayData]
@@ -44,9 +52,11 @@ case class DotProduct(left: Expression, right: Expression)
     if (n != b.numElements()) -1.0
     else {
       val (af, bf) = (elemIsFloat(left), elemIsFloat(right))
+      val (an, bn) = (elemNullable(left), elemNullable(right))
       var dot = 0.0
       var i = 0
       while (i < n) {
+        if ((an && a.isNullAt(i)) || (bn && b.isNullAt(i))) return null
         val x = if (af) a.getFloat(i).toDouble else a.getDouble(i)
         val y = if (bf) b.getFloat(i).toDouble else b.getDouble(i)
         dot += x * y
@@ -63,6 +73,14 @@ case class DotProduct(left: Expression, right: Expression)
       val i = ctx.freshName("i")
       val getA = if (elemIsFloat(left)) s"(double) $a.getFloat($i)" else s"$a.getDouble($i)"
       val getB = if (elemIsFloat(right)) s"(double) $b.getFloat($i)" else s"$b.getDouble($i)"
+      // null-element checks emitted only for containsNull schemas (the
+      // nullable override guarantees ev.isNull is a real variable then)
+      val nullCheck = (
+        (if (elemNullable(left)) Seq(s"$a.isNullAt($i)") else Nil) ++
+        (if (elemNullable(right)) Seq(s"$b.isNullAt($i)") else Nil)) match {
+        case Nil => ""
+        case cs => s"if (${cs.mkString(" || ")}) { ${ev.isNull} = true; break; }"
+      }
       s"""
          |final int $n = $a.numElements();
          |if ($n != $b.numElements()) {
@@ -70,9 +88,10 @@ case class DotProduct(left: Expression, right: Expression)
          |} else {
          |  double $dot = 0.0;
          |  for (int $i = 0; $i < $n; $i++) {
+         |    $nullCheck
          |    $dot += ($getA) * ($getB);
          |  }
-         |  ${ev.value} = $dot;
+         |  if (!${ev.isNull}) { ${ev.value} = $dot; }
          |}
        """.stripMargin
     })

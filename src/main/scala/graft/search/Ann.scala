@@ -53,8 +53,12 @@ object Ann {
               keyCol: String = "label", idCol: String = "vec_id",
               vecCol: String = "embedding"): DataFrame = {
     val cents = centroids(corpus, keyCol, vecCol)
+    // csim rounded to 6 places (the project-wide float-determinism
+    // contract): probe RANKING must not hinge on the last ulp of a
+    // partial-sum order, or near-tied centroids pick different probe
+    // sets across engines/runs.
     val probes = cents.crossJoin(broadcast(query))
-      .withColumn("csim", VectorOps.cosine(col("centroid"), col("qvec")))
+      .withColumn("csim", round(VectorOps.cosine(col("centroid"), col("qvec")), 6))
       .orderBy(col("csim").desc, col("key").asc)
       .limit(nprobe)
       .select(col("key").as(keyCol))
@@ -109,8 +113,9 @@ object Ann {
     val cents = kmeansCentroids(corpus, idCol, vecCol, numClusters, iters)
     val centsDf = cents.zipWithIndex.map { case (c, i) => (i, c) }
       .toDF("__cluster", "centroid")
+    // rounded for the same probe-ranking determinism as [[ivfTopK]]
     val probes = centsDf.crossJoin(broadcast(query))
-      .withColumn("csim", VectorOps.cosine(col("centroid"), col("qvec")))
+      .withColumn("csim", round(VectorOps.cosine(col("centroid"), col("qvec")), 6))
       .orderBy(col("csim").desc, col("__cluster").asc)
       .limit(nprobe)
       .select(col("__cluster"))

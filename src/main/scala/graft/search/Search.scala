@@ -111,10 +111,13 @@ object Search {
       .agg(collect_list(struct((-simCol).as("nsim"), idCol.as("id"), textCol.as("text"))).as("rows"))
       .select(array_join(transform(sort_array(col("rows")), r => r.getField("text")), "\n---\n").as("context"))
 
-  /** Prompt assembly (`/root/reference/services/geminiService.ts:80-88`):
-    * fixed instruction template interpolating (context, question). */
+  /** Prompt assembly — VERBATIM parity with the reference's template
+    * literal (`/root/reference/services/geminiService.ts:80-88`):
+    * instruction sentence, blank line, `Context:` with `---` fences
+    * around the context, blank line, `Question: ` inline, trailing
+    * newline. */
   def prompt(context: Column, question: Column): Column =
     format_string(
-      "Based on the following context, please answer the question. If the answer is not in the context, say you don't know.\n\nContext:\n%s\n\nQuestion:\n%s",
+      "Based on the following context, please provide a comprehensive answer to the user's question. If the context does not contain the answer, state that you cannot find the answer in the provided document.\n\nContext:\n---\n%s\n---\n\nQuestion: %s\n",
       context, question)
 }

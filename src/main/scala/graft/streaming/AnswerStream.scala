@@ -19,6 +19,16 @@ object AnswerStream {
   case class Token(answerId: Long, seq: Int, token: String)
   case class RunningAnswer(answerId: Long, answer: String)
 
+  /** Per-answer accumulator state: `acc` is the contiguous prefix
+    * (tokens 0 until `next` already appended), `pending` buffers tokens
+    * that arrived AHEAD of a gap — so a token delayed across micro-batch
+    * boundaries slots in where it belongs instead of corrupting the
+    * answer (text only ever appends once its predecessors are in).
+    * `pending` is bounded by the answer's own out-of-order window, not
+    * by stream length; duplicates (seq < next or already buffered) are
+    * dropped idempotently. */
+  case class AnswerState(next: Int, acc: String, pending: Map[Int, String])
+
   /** `idleTimeout` bounds TOTAL state: an answer idle that long is
     * considered complete and its state removed — without expiry the
     * number of retained keys grows with every answer ever streamed.
@@ -32,17 +42,30 @@ object AnswerStream {
     tokens
       .groupByKey(_.answerId)
       .mapGroupsWithState(timeoutConf) {
-        (id: Long, batch: Iterator[Token], state: GroupState[String]) =>
+        (id: Long, batch: Iterator[Token], state: GroupState[AnswerState]) =>
           if (state.hasTimedOut) {
-            val finalText = state.getOption.getOrElse("")
+            val finalText = state.getOption.map(_.acc).getOrElse("")
             state.remove()
             RunningAnswer(id, finalText)
           } else {
-            val appended = batch.toSeq.sortBy(_.seq).map(_.token).mkString
-            val acc = state.getOption.getOrElse("") + appended
-            state.update(acc)
+            val st0 = state.getOption.getOrElse(AnswerState(0, "", Map.empty))
+            // buffer this batch's new tokens (idempotent on duplicates)
+            val pending = batch.foldLeft(st0.pending) { (p, t) =>
+              if (t.seq < st0.next || p.contains(t.seq)) p else p + (t.seq -> t.token)
+            }
+            // drain the now-contiguous run past the gap front
+            var next = st0.next
+            val sb = new StringBuilder(st0.acc)
+            var rest = pending
+            while (rest.contains(next)) {
+              sb.append(rest(next))
+              rest -= next
+              next += 1
+            }
+            val st = AnswerState(next, sb.toString, rest)
+            state.update(st)
             idleTimeout.foreach(state.setTimeoutDuration)
-            RunningAnswer(id, acc)
+            RunningAnswer(id, st.acc)
           }
       }
   }

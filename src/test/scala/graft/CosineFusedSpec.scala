@@ -39,4 +39,22 @@ class CosineFusedSpec extends SparkSpec {
       .head()
     assert(out.isNullAt(0))
   }
+
+  test("null ELEMENT propagates null identically across all three kernels") {
+    // one shared semantic (VERDICT r3 #7): cos_sim, dot_product and
+    // l2_normalize all yield NULL for a vector with a null slot
+    val df = Seq(
+      (Seq[Option[Double]](Some(1.0), None), Seq[Option[Double]](Some(1.0), Some(2.0))),
+      (Seq[Option[Double]](Some(3.0), Some(4.0)), Seq[Option[Double]](Some(4.0), Some(3.0))))
+      .toDF("a", "b")
+    val rows = df.select(
+        graft.functions.CosineSimilarity(col("a"), col("b")).as("cos"),
+        graft.functions.DotProduct(col("a"), col("b")).as("dot"),
+        graft.functions.L2Normalize(col("a")).as("norm"))
+      .collect()
+    assert(rows(0).isNullAt(0) && rows(0).isNullAt(1) && rows(0).isNullAt(2))
+    assert(math.abs(rows(1).getDouble(0) - 0.96) < 1e-12)
+    assert(rows(1).getDouble(1) == 24.0)
+    assert(!rows(1).isNullAt(2))
+  }
 }

@@ -81,7 +81,10 @@ class SearchSpec extends SparkSpec {
     val out = Seq(Tuple1("CTX")).toDF("context")
       .select(Search.prompt(col("context"), lit("Q?")).as("p"))
       .head().getString(0)
-    assert(out.contains("Context:\nCTX") && out.contains("Question:\nQ?"))
-    assert(out.startsWith("Based on the following context"))
+    // verbatim reference template (geminiService.ts:80-88): --- fences
+    // around the context, inline "Question: ", trailing newline
+    assert(out.contains("Context:\n---\nCTX\n---\n") && out.contains("Question: Q?\n"))
+    assert(out.startsWith("Based on the following context, please provide a comprehensive answer"))
+    assert(out.endsWith("\n"))
   }
 }

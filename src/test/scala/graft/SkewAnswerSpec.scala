@@ -57,6 +57,26 @@ class SkewAnswerSpec extends SparkSpec {
     assert(latest(2L) == "hi")
   }
 
+  test("answer accumulation: late lower-seq token across micro-batches slots in, not appended") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[AnswerStream.Token]
+    val q = AnswerStream.toMemorySink(
+      AnswerStream.accumulate(spark, input.toDS(), idleTimeout = None),
+      "answers_ooo").start()
+    // seq 1 and 3 arrive a batch BEFORE seq 0 and 2 — the old
+    // sort-within-batch state machine would emit "lo ld" + "Helwor"
+    input.addData(AnswerStream.Token(1L, 1, "lo "), AnswerStream.Token(1L, 3, "ld"))
+    q.processAllAvailable()
+    input.addData(AnswerStream.Token(1L, 0, "Hel"), AnswerStream.Token(1L, 2, "wor"),
+      AnswerStream.Token(1L, 1, "lo ")) // duplicate delivery: must not double-append
+    q.processAllAvailable()
+    q.stop()
+    val out = spark.table("answers_ooo").as[AnswerStream.RunningAnswer].collect()
+      .filter(_.answerId == 1L).map(_.answer)
+    assert(out.contains("")) // batch 1: nothing contiguous yet (gap at seq 0)
+    assert(out.maxBy(_.length) == "Hello world")
+  }
+
   test("IVF over a label-partitioned corpus prunes partitions") {
     val dir = Files.createTempDirectory("graft-ivf-part").toString + "/corpus"
     val emb = spark.read.parquet(s"$sf0001/embeddings.parquet")
