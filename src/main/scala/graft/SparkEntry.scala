@@ -38,8 +38,11 @@ object SparkEntry {
   /** Sign-bit LSH hyperplanes for the embed_neardup blocking key. The
     * planes are driver-side literals (seeded, deterministic), so the
     * DuckDB oracle inlines the exact same doubles and reproduces the
-    * bucket ids. 4 bits → 16 buckets over the 64-dim embeddings. */
-  private val NearDupPlanes: Seq[Seq[Double]] = Ann.planes(64, 4)
+    * bucket ids. 12 bits → 4096 buckets over the 64-dim embeddings:
+    * bucket bits must scale ~log₂(N/target-block) so per-bucket
+    * self-joins stay bounded (16 buckets was the round-3 scale defect —
+    * each block was ~N/16 and the pair join quadratic at corpus scale). */
+  private val NearDupPlanes: Seq[Seq[Double]] = Ann.planes(64, 12)
 
   /** DuckDB form of [[Ann.lshBucket]] over the same plane literals.
     * Scala's Double.toString is shortest-round-trip, so the SQL parses
@@ -176,15 +179,16 @@ object SparkEntry {
       Dedup.minhashJaccardPairs(Tables.documents(s, dir), "doc_id", "text",
           5, 32, 8, 0.5)
         .orderBy(col("id_a"), col("id_b"))),
-    // ---- [EXT] SimHash fingerprint per document
+    // ---- [EXT] SimHash fingerprint per document (64-bit, two
+    // independent token polynomials — see functions/SimHash64.scala)
     "simhash" -> ((s, dir) =>
       Tables.documents(s, dir)
-        .select(col("doc_id"), Dedup.simhash32(col("text")).as("simhash"))
+        .select(col("doc_id"), Dedup.simhash64(col("text")).as("simhash"))
         .orderBy(col("doc_id"))),
     // ---- [EXT] SimHash Hamming-distance near-dup pairs — EXACT global
-    // semantics via pigeonhole bit-banding (no blocking column). The
-    // synthetic corpus is highly self-similar (median pairwise Hamming
-    // ≈ 6 of 32), so the near-dup cut is 2 bits.
+    // semantics via pigeonhole bit-banding (no blocking column).
+    // maxHamming=2 over 64 bits → 3 bands of 21-22 bits (~2M+ key
+    // values — the scale fix over the 32-bit ≤2^11-value bands).
     "simhash_pairs" -> ((s, dir) =>
       Dedup.simhashPairs(Tables.documents(s, dir), "doc_id", "text", 2)
         .orderBy(col("id_a"), col("id_b"))),
@@ -193,7 +197,7 @@ object SparkEntry {
     // given label); the oracle inlines the same hyperplane literals
     "embed_neardup" -> ((s, dir) =>
       Dedup.embeddingNearDup(Tables.embeddings(s, dir), "vec_id", "embedding",
-          Ann.lshBucket(col("embedding"), NearDupPlanes), 0.35)
+          Ann.lshBucket(col("embedding"), NearDupPlanes), 0.1)
         .orderBy(col("id_a"), col("id_b"))),
     // ---- [EXT] text stats per language
     "text_stats" -> ((s, dir) =>
@@ -466,6 +470,31 @@ object SparkEntry {
     s"list_reduce(list_prepend(7::BIGINT, [ord(x)::BIGINT for x in string_split_regex($e, '')]), " +
       "(a, b) -> (a * 31 + b) % 1000000007)"
 
+  /** Second portable polynomial (simhash64's high half — seed 13, ×37,
+    * mod 998244353; see functions/SimHash64.scala). */
+  private def polyBSql(e: String): String =
+    s"list_reduce(list_prepend(13::BIGINT, [ord(x)::BIGINT for x in string_split_regex($e, '')]), " +
+      "(a, b) -> (a * 37 + b) % 998244353)"
+
+  /** Shared CTE chain computing the 64-bit SimHash fingerprint `fp` per
+    * doc_id (mirrors Dedup.simhash64): bit j<32 from the primary token
+    * polynomial, bit j≥32 from the second. */
+  private val simhashFpSql =
+    s"""tok AS (
+       |  SELECT doc_id, unnest($toksSql) AS tok FROM documents),
+       |h AS (SELECT doc_id, ${polySql("tok")} AS ha, ${polyBSql("tok")} AS hb FROM tok),
+       |bits AS (
+       |  SELECT doc_id, j,
+       |         sum(CASE WHEN (CASE WHEN j < 32 THEN (ha >> j::INT)
+       |                        ELSE (hb >> (j - 32)::INT) END) & 1 = 1
+       |             THEN 1 ELSE -1 END) AS s
+       |  FROM h, (SELECT unnest(range(0, 64)) AS j) seeds
+       |  GROUP BY 1, 2),
+       |sh AS (
+       |  SELECT doc_id,
+       |         sum(CASE WHEN s > 0 THEN (1::BIGINT << j::INT) ELSE 0 END)::BIGINT AS fp
+       |  FROM bits GROUP BY doc_id)""".stripMargin
+
   /** Chunk exploded subquery (size 100 / stride 80), mirrors Chunker.chunk.
     * `range(0, length, 80)` is empty for empty text → zero chunks, the
     * reference's zero-iteration loop (`App.tsx:57`). */
@@ -669,30 +698,11 @@ object SparkEntry {
          |WHERE round(x.ic::DOUBLE / (sa.n + sb.n - x.ic), 6) >= 0.5
          |ORDER BY c.id_a, c.id_b""".stripMargin,
     "simhash" ->
-      s"""WITH tok AS (
-         |  SELECT doc_id, unnest($toksSql) AS tok FROM documents),
-         |h AS (SELECT doc_id, ${polySql("tok")} AS h FROM tok),
-         |bits AS (
-         |  SELECT doc_id, j,
-         |         sum(CASE WHEN (h >> j::INT) & 1 = 1 THEN 1 ELSE -1 END) AS s
-         |  FROM h, (SELECT unnest(range(0, 32)) AS j) seeds
-         |  GROUP BY 1, 2)
-         |SELECT doc_id,
-         |       sum(CASE WHEN s > 0 THEN (1::BIGINT << j::INT) ELSE 0 END)::BIGINT AS simhash
-         |FROM bits GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+      s"""WITH $simhashFpSql
+         |SELECT doc_id, fp AS simhash
+         |FROM sh ORDER BY doc_id""".stripMargin,
     "simhash_pairs" ->
-      s"""WITH tok AS (
-         |  SELECT doc_id, unnest($toksSql) AS tok FROM documents),
-         |h AS (SELECT doc_id, ${polySql("tok")} AS h FROM tok),
-         |bits AS (
-         |  SELECT doc_id, j,
-         |         sum(CASE WHEN (h >> j::INT) & 1 = 1 THEN 1 ELSE -1 END) AS s
-         |  FROM h, (SELECT unnest(range(0, 32)) AS j) seeds
-         |  GROUP BY 1, 2),
-         |sh AS (
-         |  SELECT doc_id,
-         |         sum(CASE WHEN s > 0 THEN (1::BIGINT << j::INT) ELSE 0 END)::BIGINT AS fp
-         |  FROM bits GROUP BY doc_id)
+      s"""WITH $simhashFpSql
          |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
          |       bit_count(xor(a.fp, b.fp))::BIGINT AS hamming
          |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
@@ -707,7 +717,7 @@ object SparkEntry {
          |       ${cosSql("a.embedding", "b.embedding")} AS sim
          |FROM p a JOIN p b
          |  ON a.bucket = b.bucket AND a.vec_id < b.vec_id
-         |WHERE ${cosSql("a.embedding", "b.embedding")} >= 0.35
+         |WHERE ${cosSql("a.embedding", "b.embedding")} >= 0.1
          |ORDER BY id_a, id_b""".stripMargin,
     "text_stats" ->
       s"""SELECT lang, count(*) AS n, round(avg(n_chars), 6) AS avg_chars,

@@ -159,6 +159,13 @@ object Dedup {
     aggregate(split(s, ""), lit(Featurizer.HashSeed),
       (h, c) => (h * 31 + ascii(c)) % Featurizer.HashMod)
 
+  /** HOF form of the second polynomial (simhash64's high half):
+    * fold (h*37+code) mod 998244353, seed 13. */
+  def polyHashB(s: Column): Column =
+    aggregate(split(s, ""), lit(graft.functions.SimHash64.SeedB),
+      (h, c) => (h * graft.functions.SimHash64.MultB + ascii(c)) %
+        graft.functions.SimHash64.ModB)
+
   /** MinHash + LSH candidate pairs: split the signature into bands of
     * `rowsPerBand`, join docs sharing any identical band sub-signature,
     * emit distinct (id_a < id_b) candidates. The band join shuffles by
@@ -189,18 +196,24 @@ object Dedup {
       .distinct()
   }
 
-  /** 32-bit SimHash over whitespace tokens: per bit j, sum ±1 weighted by
-    * token count depending on bit j of the portable token hash; bit j of
-    * the fingerprint is 1 iff the sum is positive. Single-pass native
-    * expression; `simhash32Hof` is the executable spec it's tested against. */
-  def simhash32(text: Column): Column = graft.functions.SimHash32(text)
+  /** 64-bit SimHash over whitespace tokens: per bit j, sum ±1 over
+    * tokens by bit j of the token's bit source (j<32: the portable
+    * polynomial hash; j≥32: a second independent polynomial — one
+    * 30-bit hash alone cannot feed 64 fingerprint bits, see
+    * [[graft.functions.SimHash64]]); fingerprint bit j is 1 iff the sum
+    * is positive. Single-pass native expression; `simhash64Hof` is the
+    * executable spec it's tested against. */
+  def simhash64(text: Column): Column = graft.functions.SimHash64(text)
 
-  def simhash32Hof(text: Column): Column = {
+  def simhash64Hof(text: Column): Column = {
     val toks = graft.text.TextAnalysis.tokens(text)
     val hashes = transform(toks, t => polyHash(t))
-    val bits = (0 until 32).map { j =>
-      val s = aggregate(hashes, lit(0L),
-        (acc, h) => acc + when(shiftright(h, j).bitwiseAND(1) === 1, 1L).otherwise(-1L))
+    val hashesB = transform(toks, t => polyHashB(t))
+    val bits = (0 until 64).map { j =>
+      val hs = if (j < 32) hashes else hashesB
+      val jj = if (j < 32) j else j - 32
+      val s = aggregate(hs, lit(0L),
+        (acc, h) => acc + when(shiftright(h, jj).bitwiseAND(1) === 1, 1L).otherwise(-1L))
       when(s > 0, lit(1L) * (1L << j)).otherwise(lit(0L))
     }
     bits.reduce(_ + _)
@@ -209,24 +222,29 @@ object Dedup {
   /** SimHash near-duplicate pairs over the WHOLE corpus — EXACT
     * semantics (every pair with Hamming distance ≤ maxHamming, no
     * blocking column), generated scale-safely via pigeonhole banding
-    * (Manku et al., WWW'07): split the 32-bit fingerprint into
+    * (Manku et al., WWW'07): split the 64-bit fingerprint into
     * maxHamming+1 bit-bands; any pair within distance maxHamming agrees
     * EXACTLY on at least one band, so the union of per-band equi-joins
     * has full recall. The join shuffles 8-byte (band, band-value) keys —
-    * never O(N²) — and candidates dedup after the Hamming filter. */
+    * never O(N²) — and candidates dedup after the Hamming filter.
+    * At maxHamming=2 each band key spans 21-22 bits (≥19 live after the
+    * 4 structurally-dead modulus bits) — ~2M+ distinct values, versus
+    * the 32-bit fingerprint's ≤2^11 that made band buckets quadratic at
+    * corpus scale (the round-3 defect). */
   def simhashPairs(df: DataFrame, idCol: String, textCol: String,
                    maxHamming: Int): DataFrame = {
-    require(maxHamming >= 0 && maxHamming < 32, s"maxHamming in [0,32): $maxHamming")
+    require(maxHamming >= 0 && maxHamming < 64, s"maxHamming in [0,64): $maxHamming")
     val bands = maxHamming + 1
-    val cuts = (0 to bands).map(i => i * 32 / bands)
+    val cuts = (0 to bands).map(i => i * 64 / bands)
     // spread before the fingerprint so the single-split small-sf scan
     // doesn't serialize the SimHash computation (pinned count — AQE
     // would coalesce a bare by-col repartition of small input bytes)
     val fp = spread(df, col(idCol))
-      .select(col(idCol).as("id"), simhash32(col(textCol)).as("fp"))
+      .select(col(idCol).as("id"), simhash64(col(textCol)).as("fp"))
     val bandVals = (0 until bands).map { i =>
       val width = cuts(i + 1) - cuts(i)
-      shiftright(col("fp"), cuts(i)).bitwiseAND(lit((1L << width) - 1))
+      val mask = if (width >= 64) -1L else (1L << width) - 1 // 1L<<64 wraps to 1
+      shiftright(col("fp"), cuts(i)).bitwiseAND(lit(mask))
     }
     val banded = fp.select(col("id"), col("fp"),
       posexplode(array(bandVals: _*)).as(Seq("band", "bval")))

@@ -68,7 +68,7 @@ class DedupSpec extends SparkSpec {
   }
 
   test("simhash: identical texts get identical fingerprints; hamming near for near-dups") {
-    val fps = docs.select(col("doc_id"), Dedup.simhash32(col("text")).as("h"))
+    val fps = docs.select(col("doc_id"), Dedup.simhash64(col("text")).as("h"))
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(fps(0L) == fps(1L))
     val hammingNear = java.lang.Long.bitCount(fps(0L) ^ fps(2L))
@@ -96,7 +96,7 @@ class DedupSpec extends SparkSpec {
     }.toDF("doc_id", "text")
     val banded = Dedup.simhashPairs(many, "doc_id", "text", 6)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
-    val fps = many.select(col("doc_id"), Dedup.simhash32(col("text")).as("h"))
+    val fps = many.select(col("doc_id"), Dedup.simhash64(col("text")).as("h"))
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     val brute = (for {
       a <- fps.keys; b <- fps.keys if a < b

@@ -51,8 +51,8 @@ class ShingleHashesSpec extends SparkSpec {
       .filter(col("fast") =!= col("spec"))
     assert(sh.count() == 0)
     val sim = df.select(
-      Dedup.simhash32(col("text")).as("fast"),
-      Dedup.simhash32Hof(col("text")).as("spec"))
+      Dedup.simhash64(col("text")).as("fast"),
+      Dedup.simhash64Hof(col("text")).as("spec"))
       .filter(col("fast") =!= col("spec"))
     assert(sim.count() == 0)
   }
@@ -63,11 +63,11 @@ class ShingleHashesSpec extends SparkSpec {
     assert(graft.embed.Featurizer.tokenHash("😀") == expect)
   }
 
-  test("simhash32 native == HOF spec on sf0.001 documents") {
+  test("simhash64 native == HOF spec on sf0.001 documents") {
     val docs = spark.read.parquet(s"$sf0001/documents.parquet").limit(100)
     val diff = docs.select(
-        Dedup.simhash32(col("text")).as("fast"),
-        Dedup.simhash32Hof(col("text")).as("spec"))
+        Dedup.simhash64(col("text")).as("fast"),
+        Dedup.simhash64Hof(col("text")).as("spec"))
       .filter(col("fast") =!= col("spec"))
     assert(diff.count() == 0)
   }

@@ -47,7 +47,7 @@ class SqlSurfaceSpec extends SparkSpec {
     assert(sig == sig2) // set semantics: order-independent
   }
 
-  test("vector_avg and simhash32 via spark.sql") {
+  test("vector_avg and simhash64 via spark.sql") {
     GraftExtensions.register(spark)
     spark.read.parquet(s"$sf0001/embeddings.parquet").limit(50)
       .createOrReplaceTempView("emb_va")
@@ -55,7 +55,7 @@ class SqlSurfaceSpec extends SparkSpec {
       "SELECT label, vector_avg(embedding) AS c FROM emb_va GROUP BY label ORDER BY label")
       .collect()
     assert(avg0.nonEmpty && avg0.forall(_.getSeq[Double](1).size == 64))
-    val sh = spark.sql("SELECT simhash32('hello world hello') AS h").head().getLong(0)
+    val sh = spark.sql("SELECT simhash64('hello world hello') AS h").head().getLong(0)
     assert(sh != 0L)
   }
 
