@@ -319,6 +319,25 @@ object SparkEntry {
           size(regexp_extract_all(lower(col("text")),
             lit("[a-z]+|[0-9]+|[^a-z0-9\\s]"), lit(0))).cast("long").as("bpe_tokens"))
         .orderBy(col("doc_id"))),
+    // ---- A1: PDF source → text → chunks, the reference's first
+    // operator (`App.tsx:46-58`): dependency-free pdf_extract over a
+    // binary column (pages' items joined ' ', '\n' per page), then the
+    // standard 100/20 chunker. The fixture PDF ships in resources
+    // (3 pages: plain, FlateDecode, hex/escaped strings).
+    "pdf_chunks" -> ((s, dir) => {
+      import s.implicits._
+      val bytes = {
+        val in = getClass.getResourceAsStream("/graft/sample.pdf")
+        try in.readAllBytes() finally in.close()
+      }
+      val pdf = Seq((0L, bytes)).toDF("doc_id", "content")
+        .select(col("doc_id"),
+          graft.functions.PdfExtract(col("content")).as("text"))
+      Chunker.chunk(pdf, "text", 100, 20)
+        .filter(Chunker.nonEmpty(col("chunk")))
+        .select(col("pos").cast("long").as("pos"), col("chunk"))
+        .orderBy(col("pos"))
+    }),
     // ---- [EXT] multimodal: binary payload + batched stub decode
     "multimodal_meta" -> ((s, dir) => {
       val media = Multimodal.asBinary(Tables.documents(s, dir), "doc_id", "text")
@@ -848,6 +867,21 @@ object SparkEntry {
          |       substring(string_split(context, chr(10) || '---' || chr(10))[1], 1, 80) ||
          |       ' | context chars: ' || length(context)::VARCHAR AS answer
          |FROM ctxq""".stripMargin
+    },
+    "pdf_chunks" -> {
+      // ground truth of the fixture's extraction (asserted byte-for-byte
+      // in PdfSpec); the oracle re-chunks the same text with the shared
+      // 100/20 window SQL — extraction itself has no DuckDB twin, so the
+      // pinned literal IS the oracle of record for the decode step
+      val p1 = "Graft is a Spark-native analytics engine. It rewrites reference semantics."
+      val p2 = "Chunking splits text into windows of one hundred characters with twenty overlap."
+      val p3 = "Hex strings and escaped (parens) and octal AB"
+      s"""WITH pdf AS (
+         |  SELECT '$p1' || chr(10) || '$p2' || chr(10) || '$p3' || chr(10) AS text)
+         |SELECT * FROM (
+         |  SELECT pos::BIGINT AS pos, substring(text, pos::INT + 1, 100) AS chunk
+         |  FROM (SELECT text, unnest(range(0, length(text), 80)) AS pos FROM pdf))
+         |WHERE length(trim(chunk)) > 0 ORDER BY pos""".stripMargin
     },
     "token_counts" ->
       s"""SELECT doc_id, len($toksSql)::BIGINT AS ws_tokens,
