@@ -179,6 +179,18 @@ object SparkEntry {
       Dedup.minhashJaccardPairs(Tables.documents(s, dir), "doc_id", "text",
           5, 32, 8, 0.5)
         .orderBy(col("id_a"), col("id_b"))),
+    // ---- [EXT] dedup representative selection: connected components
+    // over the global LSH near-dup pairs (A≈B, B≈C ⇒ one kept doc even
+    // when A,C never paired) — every doc_id → min reachable doc_id
+    "dedup_components" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val pairs = Dedup.minhashJaccardPairs(docs, "doc_id", "text", 5, 32, 8, 0.5)
+      val comp = Dedup.components(pairs, "id_a", "id_b")
+      docs.select(col("doc_id"))
+        .join(comp.withColumnRenamed("id", "doc_id"), Seq("doc_id"), "left")
+        .select(col("doc_id"), coalesce(col("comp"), col("doc_id")).as("keep_id"))
+        .orderBy(col("doc_id"))
+    }),
     // ---- [EXT] SimHash fingerprint per document (64-bit, two
     // independent token polynomials — see functions/SimHash64.scala)
     "simhash" -> ((s, dir) =>
@@ -716,6 +728,49 @@ object SparkEntry {
          |JOIN sizes sb ON sb.doc_id = c.id_b
          |WHERE round(x.ic::DOUBLE / (sa.n + sb.n - x.ic), 6) >= 0.5
          |ORDER BY c.id_a, c.id_b""".stripMargin,
+    "dedup_components" ->
+      s"""WITH RECURSIVE sh AS (
+         |  SELECT DISTINCT doc_id, substring(text, g::INT + 1, 5) AS sh
+         |  FROM (SELECT doc_id, text,
+         |          unnest(range(0, greatest(length(text) - 4, 1), 1)) AS g
+         |        FROM documents)),
+         |shh AS (SELECT DISTINCT doc_id, ${polySql("sh")} AS h FROM sh),
+         |sizes AS (SELECT doc_id, count(*) AS n FROM shh GROUP BY 1),
+         |m AS (
+         |  SELECT doc_id, i,
+         |         min((h * (2 * i + 1) + (7919 * (i + 1)) % 1000000007) % 1000000007) AS mh
+         |  FROM shh, (SELECT unnest(range(0, 32)) AS i) seeds
+         |  GROUP BY 1, 2),
+         |band AS (
+         |  SELECT doc_id, i // 8 AS band,
+         |         string_agg(mh::VARCHAR, ',' ORDER BY i) AS bandsig
+         |  FROM m GROUP BY 1, 2),
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         |  FROM band a JOIN band b
+         |    ON a.band = b.band AND a.bandsig = b.bandsig AND a.doc_id < b.doc_id),
+         |inter AS (
+         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS ic
+         |  FROM shh a JOIN shh b ON a.h = b.h AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2),
+         |prs AS (
+         |  SELECT c.id_a, c.id_b
+         |  FROM cand c
+         |  JOIN inter x ON x.id_a = c.id_a AND x.id_b = c.id_b
+         |  JOIN sizes sa ON sa.doc_id = c.id_a
+         |  JOIN sizes sb ON sb.doc_id = c.id_b
+         |  WHERE round(x.ic::DOUBLE / (sa.n + sb.n - x.ic), 6) >= 0.5),
+         |edges AS (
+         |  SELECT id_a AS src, id_b AS dst FROM prs
+         |  UNION SELECT id_b, id_a FROM prs),
+         |reach AS (
+         |  SELECT src AS id, src AS comp FROM edges
+         |  UNION
+         |  SELECT e.src AS id, r.comp FROM edges e JOIN reach r ON r.id = e.dst),
+         |comp AS (SELECT id, min(comp) AS comp FROM reach GROUP BY id)
+         |SELECT d.doc_id, coalesce(c.comp, d.doc_id) AS keep_id
+         |FROM documents d LEFT JOIN comp c ON c.id = d.doc_id
+         |ORDER BY d.doc_id""".stripMargin,
     "simhash" ->
       s"""WITH $simhashFpSql
          |SELECT doc_id, fp AS simhash

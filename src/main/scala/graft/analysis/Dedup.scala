@@ -292,6 +292,76 @@ object Dedup {
       .distinct() // a pair can agree on several bands; dedup post-filter
   }
 
+  /** Connected components over a near-duplicate pair set: every id maps
+    * to the MINIMUM id reachable through pairs (its component
+    * representative) — the step a real dedup pipeline runs after pair
+    * generation, so "A≈B, B≈C" collapses to one kept document even when
+    * A and C never paired directly.
+    *
+    * Algorithm: min-label propagation with a pointer-jumping step each
+    * round (the DataFrame rendition of the MapReduce connected-
+    * components family, cf. Kiveris et al., "Connected Components in
+    * MapReduce and Beyond", SoCC'14): per round, every node takes the
+    * min of its own label and its neighbours' (one keyed join + agg),
+    * then short-circuits to its representative's label (one self-join)
+    * — the jump halves chain depth, so rounds needed are
+    * O(log diameter), not O(diameter). Each round is two keyed shuffles
+    * of (id, label) pairs; nothing is collected driver-side except the
+    * per-round convergence count (one scalar — the same model-state
+    * exception as k-means centroids). Labels are eagerly
+    * `localCheckpoint`ed each round: iterative self-joins otherwise
+    * DOUBLE the logical plan per round (2^rounds nodes — the classic
+    * iterative-Spark OOM), and checkpointing truncates the lineage so
+    * every round plans against materialized blocks. Iterates to a
+    * fixpoint; throws if `maxIters` rounds don't converge (2^maxIters ≥
+    * any real diameter — the default covers components a million hops
+    * deep).
+    *
+    * Input pairs are undirected ((a, b) once is enough, either order);
+    * ids not appearing in any pair are absent from the output (they
+    * represent themselves — join back with a coalesce, see the
+    * `dedup_components` query). */
+  def components(pairs: DataFrame, aCol: String, bCol: String,
+                 maxIters: Int = 20): DataFrame = {
+    // both directions PLUS self-loops in one explode (no self-union of
+    // the pair scan): the self-loop makes "min over neighbours" include
+    // the node's own label, so the loop needs no union either
+    val edges = pairs.select(explode(array(
+        struct(col(aCol).cast("long").as("src"), col(bCol).cast("long").as("dst")),
+        struct(col(bCol).cast("long").as("src"), col(aCol).cast("long").as("dst")),
+        struct(col(aCol).cast("long").as("src"), col(aCol).cast("long").as("dst")),
+        struct(col(bCol).cast("long").as("src"), col(bCol).cast("long").as("dst")))).as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"))
+      .distinct()
+      .persist()
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("comp", col("id"))
+      .localCheckpoint(true)
+    var iters = 0
+    var changed = 1L
+    while (changed > 0 && iters < maxIters) {
+      // min over self + neighbours' labels (self-loops included)
+      val prop = edges
+        .join(labels.select(col("id").as("dst"), col("comp").as("comp")), Seq("dst"))
+        .groupBy(col("src").as("id")).agg(min(col("comp")).as("comp"))
+      // pointer jump: follow the representative's own label
+      val jumped = prop.as("l")
+        .join(prop.select(col("id").as("comp"), col("comp").as("comp2")).as("r"),
+          Seq("comp"), "left")
+        .select(col("id"), least(col("comp"), coalesce(col("comp2"), col("comp"))).as("comp"))
+        .localCheckpoint(true)
+      changed = jumped.as("n")
+        .join(labels.select(col("id").as("id"), col("comp").as("old")), Seq("id"))
+        .filter(col("comp") =!= col("old")).count()
+      labels = jumped
+      iters += 1
+    }
+    edges.unpersist()
+    require(changed == 0,
+      s"components did not converge in $maxIters rounds — raise maxIters")
+    labels
+  }
+
   /** Embedding-cosine near-duplicate pairs inside a blocking key
     * (`blockKey` — typically an LSH bucket, [[graft.search.Ann.lshBucket]],
     * or an IVF cluster id; fine-grained keys keep the per-block pair

@@ -106,6 +106,21 @@ class DedupSpec extends SparkSpec {
     assert(brute.nonEmpty) // the fixture actually exercises the operator
   }
 
+  test("components: chains collapse to min id, clusters stay separate, log-depth converges") {
+    // chain 0-1-2-3-4 (diameter 4), separate cluster {10,11}, pair order mixed
+    val pairs = Seq((1L, 0L), (1L, 2L), (3L, 2L), (3L, 4L), (11L, 10L))
+      .toDF("id_a", "id_b")
+    val comp = Dedup.components(pairs, "id_a", "id_b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert((0L to 4L).forall(comp(_) == 0L))
+    assert(comp(10L) == 0L + 10L && comp(11L) == 10L)
+    // a long chain converges within the default rounds (pointer jumping)
+    val chain = (0L until 64L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val chainComp = Dedup.components(chain, "id_a", "id_b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(chainComp.values.forall(_ == 0L) && chainComp.size == 65)
+  }
+
   test("minhashJaccardPairs rerank scores candidates exactly and keeps obvious dups") {
     val pairs = Dedup.minhashJaccardPairs(docs, "doc_id", "text", 5, 32, 8, 0.5)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
