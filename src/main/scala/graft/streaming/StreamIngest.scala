@@ -63,4 +63,20 @@ object StreamIngest {
       .withWatermark("ts", watermark)
       .groupBy(window(col("ts"), window_), col("event_type"))
       .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
+
+  /** Streaming exact dedup — the incremental form of [[graft.analysis
+    * .Dedup.exact]]: keep the first-seen row per content hash, dropping
+    * later duplicates across micro-batches. State is one 16-byte md5
+    * key per distinct text, sharded by key across executors; the
+    * event-time watermark BOUNDS it — duplicates arriving further apart
+    * than `watermark` may both survive, the standard trade for state
+    * that cannot grow with the corpus (drop-duplicates state without a
+    * watermark is a slow memory leak at ingest scale). */
+  def dedupStream(docs: DataFrame, textCol: String, tsCol: String,
+                  watermark: String = "1 hour"): DataFrame =
+    docs
+      .withColumn("__text_hash", md5(encode(col(textCol), "UTF-8")))
+      .withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark("__text_hash")
+      .drop("__text_hash")
 }

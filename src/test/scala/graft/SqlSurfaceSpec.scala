@@ -64,4 +64,28 @@ class SqlSurfaceSpec extends SparkSpec {
     val r = spark.sql("SELECT minhash_signature(cast(array() as array<bigint>), 4) AS s").head()
     assert(r.isNullAt(0))
   }
+
+  test("dot_product / l2_normalize / featurize / pdf_extract via spark.sql") {
+    GraftExtensions.register(spark)
+    val dot = spark.sql(
+      "SELECT dot_product(array(3.0D, 4.0D), array(4.0D, 3.0D)) AS d").head().getDouble(0)
+    assert(dot == 24.0)
+    val norm = spark.sql(
+      "SELECT l2_normalize(array(3.0D, 4.0D)) AS v").head().getSeq[Double](0)
+    assert(math.abs(norm(0) - 0.6) < 1e-12 && math.abs(norm(1) - 0.8) < 1e-12)
+    // normalized-dot identity, entirely in SQL
+    val one = spark.sql(
+      """SELECT round(dot_product(l2_normalize(array(1.0D, 2.0D, 2.0D)),
+        |                         l2_normalize(array(1.0D, 2.0D, 2.0D))), 6) AS s"""
+        .stripMargin).head().getDouble(0)
+    assert(one == 1.0)
+    val fc = spark.sql("SELECT featurize_counts('a b a', 8) AS v").head().getSeq[Double](0)
+    assert(fc.size == 8 && fc.sum == 3.0) // raw counts: 3 tokens
+    val fn = spark.sql("SELECT featurize('a b a', 8) AS v").head().getSeq[Double](0)
+    assert(math.abs(math.sqrt(fn.map(x => x * x).sum) - 1.0) < 1e-12) // normalized
+    // pdf_extract: non-PDF bytes -> empty string, null -> null
+    val bad = spark.sql("SELECT pdf_extract(encode('nope', 'UTF-8')) AS t").head().getString(0)
+    assert(bad == "")
+    assert(spark.sql("SELECT pdf_extract(cast(null AS BINARY)) AS t").head().isNullAt(0))
+  }
 }

@@ -119,4 +119,24 @@ class StoreStreamSpec extends SparkSpec {
       Multimodal.asBinary(docs, "doc_id", "text")).collect()
     assert(feats.sortBy(_.id).toSeq == again.sortBy(_.id).toSeq)
   }
+
+  test("streaming exact dedup: later duplicate within the watermark is dropped") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val t0 = java.sql.Timestamp.valueOf("2026-01-01 00:00:00")
+    def ts(s: Int) = new java.sql.Timestamp(t0.getTime + s * 1000L)
+    val input = MemoryStream[(Long, String, java.sql.Timestamp)]
+    val deduped = StreamIngest.dedupStream(
+      input.toDF().toDF("doc_id", "text", "ts"), "text", "ts", "10 minutes")
+    val q = deduped.writeStream.outputMode("append")
+      .format("memory").queryName("dedup_stream").start()
+    input.addData((0L, "same text", ts(0)), (1L, "other", ts(1)))
+    q.processAllAvailable()
+    input.addData((2L, "same text", ts(2)), (3L, "third", ts(3))) // dup across batches
+    q.processAllAvailable()
+    q.stop()
+    val ids = spark.table("dedup_stream").select("doc_id")
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(ids == Seq(0L, 1L, 3L)) // 2 dropped: same md5 inside the watermark
+  }
 }
