@@ -106,6 +106,36 @@ class DedupSpec extends SparkSpec {
     assert(brute.nonEmpty) // the fixture actually exercises the operator
   }
 
+  test("ngram jaccard stays EXACT when the hot band dominates (tiny hotCap)") {
+    // hotCap=2 forces most shingles into the hot band → prefixes draw
+    // from the hot fallback; exactness must hold for ANY band split
+    val words = Vector("aaaa", "bbbb", "cccc", "dddd", "eeee")
+    val rnd = new scala.util.Random(7)
+    val many = (0L until 25L).map { i =>
+      (i, Seq.fill(4 + rnd.nextInt(3))(words(rnd.nextInt(words.size))).mkString(" "), "g")
+    }.toDF("doc_id", "text", "source")
+    val sets = many.select(col("doc_id"), Dedup.shinglesHashes(col("text"), 5).as("ss"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toSet).toMap
+    val brute = (for {
+      a <- sets.keys; b <- sets.keys if a < b
+      i = (sets(a) & sets(b)).size
+      j = BigDecimal(i.toDouble / (sets(a).size + sets(b).size - i))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      if j >= 0.5
+    } yield (a, b, j)).toSet
+    for (cap <- Seq(1, 2, 1000)) {
+      val got = Dedup.ngramJaccardPairs(many, "doc_id", "text", "source", 5, 0.5, cap)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(got == brute, s"hotCap=$cap")
+    }
+    assert(brute.nonEmpty)
+  }
+
+  test("components: empty pair set yields empty labels, no throw") {
+    val empty = Seq.empty[(Long, Long)].toDF("id_a", "id_b")
+    assert(Dedup.components(empty, "id_a", "id_b").count() == 0)
+  }
+
   test("components: chains collapse to min id, clusters stay separate, log-depth converges") {
     // chain 0-1-2-3-4 (diameter 4), separate cluster {10,11}, pair order mixed
     val pairs = Seq((1L, 0L), (1L, 2L), (3L, 2L), (3L, 4L), (11L, 10L))
