@@ -1,0 +1,38 @@
+package graft
+
+/** Plan-shape regression guards: the properties PLANS.md reviews must
+  * survive refactors. These assert the INITIAL physical plan (strategy
+  * choice), which is what a code change would silently regress — AQE
+  * can only improve on it at runtime. */
+class PlanShapeSpec extends SparkSpec {
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, sf0001).queryExecution.executedPlan.toString
+
+  test("top-k queries plan as TakeOrderedAndProject, never a global sort+limit") {
+    for (q <- Seq("knn_top5", "knn_top5_normalized", "q3_top10", "rag_top5")) {
+      assert(plan(q).contains("TakeOrderedAndProject"), q)
+    }
+  }
+
+  test("dedup pair joins never plan cartesian or nested-loop strategies") {
+    // every pair generator must stay a keyed equi-join: a refactor that
+    // drops the join keys (or compares on a non-equi condition only)
+    // silently becomes an all-pairs O(N²) stage
+    for (q <- Seq("dedup_jaccard", "dedup_jaccard_lsh", "minhash_cands",
+        "simhash_pairs", "embed_neardup", "dedup_exact")) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), q)
+      assert(!p.contains("BroadcastNestedLoopJoin"), q)
+    }
+  }
+
+  test("range-filter scan-aggs push their filters into the parquet scan") {
+    val p = plan("q6_revenue")
+    assert(p.contains("PushedFilters") && p.contains("l_shipdate"), p.take(2000))
+  }
+
+  test("chunk_ids plans with no SinglePartition exchange") {
+    assert(!plan("chunk_ids").contains("SinglePartition"))
+  }
+}
