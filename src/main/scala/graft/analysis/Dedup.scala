@@ -334,8 +334,10 @@ object Dedup {
       .select(col("e.src").as("src"), col("e.dst").as("dst"))
       .distinct()
       .persist()
-    var labels = edges.select(col("src").as("id")).distinct()
-      .withColumn("comp", col("id"))
+    // init = the first propagation round for free: with identity labels,
+    // min over self+neighbours' labels is just min(dst) per src (self-
+    // loops included) — no join needed
+    var labels = edges.groupBy(col("src").as("id")).agg(min(col("dst")).as("comp"))
       .localCheckpoint(true)
     var iters = 0
     var changed = 1L
