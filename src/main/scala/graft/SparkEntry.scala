@@ -428,6 +428,18 @@ object SparkEntry {
           col("l_quantity") < 24)
         .agg(round(sum(col("l_extendedprice") * col("l_discount")), 2).as("revenue"),
           count(lit(1)).as("n"))),
+    // ---- [EXT] exact percentiles (interpolated) + moment statistics —
+    // Spark's `percentile` is the exact sort-based aggregate (vs the
+    // approx_percentile sketch), interpolation-compatible with
+    // DuckDB's quantile_cont; moments are partial+final combinable
+    "percentile_stats" -> ((s, dir) =>
+      Tables.lineitem(s, dir).groupBy(col("l_returnflag")).agg(
+          round(expr("percentile(l_quantity, 0.5D)"), 6).as("p50_qty"),
+          round(expr("percentile(l_extendedprice, 0.95D)"), 6).as("p95_price"),
+          round(stddev_samp(col("l_quantity")), 6).as("sd_qty"),
+          round(corr(col("l_quantity"), col("l_extendedprice")), 6).as("corr_qp"),
+          round(covar_samp(col("l_quantity"), col("l_extendedprice")), 6).as("cov_qp"))
+        .orderBy(col("l_returnflag"))),
     // ---- [EXT] distinct aggregates
     "distinct_parts" -> ((s, dir) =>
       Tables.lineitem(s, dir).groupBy(col("l_returnflag")).agg(
@@ -1044,6 +1056,14 @@ object SparkEntry {
         |  AND l_shipdate < TIMESTAMP '1995-01-01'
         |  AND l_discount BETWEEN 0.05 AND 0.07
         |  AND l_quantity < 24""".stripMargin,
+    "percentile_stats" ->
+      """SELECT l_returnflag,
+        |       round(quantile_cont(l_quantity, 0.5), 6) AS p50_qty,
+        |       round(quantile_cont(l_extendedprice, 0.95), 6) AS p95_price,
+        |       round(stddev_samp(l_quantity), 6) AS sd_qty,
+        |       round(corr(l_quantity, l_extendedprice), 6) AS corr_qp,
+        |       round(covar_samp(l_quantity, l_extendedprice), 6) AS cov_qp
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "distinct_parts" ->
       """SELECT l_returnflag, count(DISTINCT l_partkey) AS n_parts,
         |       count(DISTINCT l_suppkey) AS n_supps
