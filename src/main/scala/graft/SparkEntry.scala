@@ -428,6 +428,21 @@ object SparkEntry {
           col("l_quantity") < 24)
         .agg(round(sum(col("l_extendedprice") * col("l_discount")), 2).as("revenue"),
           count(lit(1)).as("n"))),
+    // ---- [EXT] deterministic consistent sampling (reproducible corpus
+    // curation: same subset on every run/engine, fractions nest, the
+    // membership filter pushes into the scan — no rand(), no shuffle)
+    "sample_docs" -> ((s, dir) =>
+      graft.analysis.Sampling.consistentSample(
+          Tables.documents(s, dir), "doc_id", 0.2)
+        .select(col("doc_id"), col("lang"))
+        .orderBy(col("doc_id"))),
+    // ---- [EXT] stratified deterministic sampling: per-language rates
+    "sample_stratified" -> ((s, dir) =>
+      graft.analysis.Sampling.stratifiedSample(
+          Tables.documents(s, dir), "doc_id", "lang",
+          Map("en" -> 0.5, "de" -> 0.25), defaultFraction = 0.1)
+        .groupBy(col("lang")).agg(count(lit(1)).as("n"))
+        .orderBy(col("lang"))),
     // ---- [EXT] exact percentiles (interpolated) + moment statistics —
     // Spark's `percentile` is the exact sort-based aggregate (vs the
     // approx_percentile sketch), interpolation-compatible with
@@ -1056,6 +1071,18 @@ object SparkEntry {
         |  AND l_shipdate < TIMESTAMP '1995-01-01'
         |  AND l_discount BETWEEN 0.05 AND 0.07
         |  AND l_quantity < 24""".stripMargin,
+    "sample_docs" ->
+      """SELECT doc_id, lang FROM documents
+        |WHERE ((doc_id % 4294967296) * 2654435761) % 4294967296
+        |      < CAST(0.2 * 4294967296 AS BIGINT)
+        |ORDER BY doc_id""".stripMargin,
+    "sample_stratified" ->
+      """SELECT lang, count(*) AS n FROM documents
+        |WHERE ((doc_id % 4294967296) * 2654435761) % 4294967296
+        |      < (CASE WHEN lang = 'en' THEN CAST(0.5 * 4294967296 AS BIGINT)
+        |              WHEN lang = 'de' THEN CAST(0.25 * 4294967296 AS BIGINT)
+        |              ELSE CAST(0.1 * 4294967296 AS BIGINT) END)
+        |GROUP BY lang ORDER BY lang""".stripMargin,
     "percentile_stats" ->
       """SELECT l_returnflag,
         |       round(quantile_cont(l_quantity, 0.5), 6) AS p50_qty,

@@ -1,0 +1,53 @@
+package graft.analysis
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic sampling for training-data pipelines.
+  *
+  * `rand()`-based sampling is nondeterministic across runs, partitions
+  * and engines — useless for reproducible corpus curation. These
+  * samplers decide membership from a Knuth multiplicative hash of the
+  * row's OWN id, so the same row makes the same call everywhere: the
+  * sample is reproducible, any engine computes the identical subset
+  * (integer arithmetic only — oracle-exact), resampling at a larger
+  * fraction is a SUPERSET of the smaller one (fractions nest, so a 1%
+  * pilot is always contained in the 10% run), and no coordination or
+  * shuffle is needed — membership is a stateless per-row filter
+  * evaluated in the scan stage (codegen'd integer ops; arithmetic
+  * predicates don't become parquet PushedFilters, but they run before
+  * anything wide).
+  */
+object Sampling {
+
+  /** Knuth's multiplicative constant (2^32 / φ, odd). */
+  private val Knuth = 2654435761L
+  private val M = 1L << 32
+
+  /** Sample bucket in [0, 2^32): hash of the id, mod-reduced FIRST so
+    * arbitrary 64-bit ids cannot overflow the multiply. */
+  def bucket(id: Column): Column = pmod(pmod(id, lit(M)) * lit(Knuth), lit(M))
+
+  /** Keep a deterministic `fraction` of rows, decided per row by id
+    * hash. fraction ∈ [0, 1]; fractions nest (0.01 ⊂ 0.1 ⊂ 0.5). */
+  def consistentSample(df: DataFrame, idCol: String, fraction: Double): DataFrame = {
+    require(fraction >= 0.0 && fraction <= 1.0, s"fraction in [0,1]: $fraction")
+    df.filter(bucket(col(idCol)) < lit((fraction * M).toLong))
+  }
+
+  /** Stratified deterministic sample: an independent fraction per
+    * stratum value (e.g. per language), unlisted strata default to
+    * `defaultFraction`. Same per-row determinism and nesting as
+    * [[consistentSample]] — and unlike `DataFrame.stat.sampleBy`, the
+    * result is identical on every run and engine. */
+  def stratifiedSample(df: DataFrame, idCol: String, strataCol: String,
+                       fractions: Map[String, Double],
+                       defaultFraction: Double = 0.0): DataFrame = {
+    require((defaultFraction +: fractions.values.toSeq).forall(f => f >= 0.0 && f <= 1.0),
+      "fractions in [0,1]")
+    val cut = fractions.foldLeft(lit((defaultFraction * M).toLong)) {
+      case (acc, (k, f)) => when(col(strataCol) === k, lit((f * M).toLong)).otherwise(acc)
+    }
+    df.filter(bucket(col(idCol)) < cut)
+  }
+}

@@ -1,0 +1,37 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.analysis.Sampling
+
+class SamplingSpec extends SparkSpec {
+
+  private def docs = spark.read.parquet(s"$sf0001/documents.parquet")
+
+  test("consistent sample: deterministic, near the target rate, fractions nest") {
+    def ids(f: Double): Set[Long] =
+      Sampling.consistentSample(docs, "doc_id", f)
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+    val s5 = ids(0.05); val s20 = ids(0.2); val s50 = ids(0.5)
+    assert(s5.subsetOf(s20) && s20.subsetOf(s50)) // nesting
+    assert(ids(0.2) == s20)                       // rerun-identical
+    val n = docs.count().toDouble
+    assert(math.abs(s20.size / n - 0.2) < 0.08, s"rate ${s20.size / n}")
+    assert(ids(0.0).isEmpty && ids(1.0).size == n.toLong)
+  }
+
+  test("stratified sample honors per-stratum rates and the default") {
+    val out = Sampling.stratifiedSample(docs, "doc_id", "lang",
+        Map("en" -> 1.0, "de" -> 0.0), defaultFraction = 0.2)
+      .groupBy("lang").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val total = docs.groupBy("lang").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(out("en") == total("en"))  // fraction 1.0 keeps everything
+    assert(!out.contains("de"))       // fraction 0.0 keeps nothing
+    val others = total.keySet -- Set("en", "de")
+    val rate = others.toSeq.map(l => out.getOrElse(l, 0L)).sum.toDouble /
+      others.toSeq.map(total).sum
+    assert(math.abs(rate - 0.2) < 0.1, s"default rate $rate")
+  }
+}
