@@ -118,6 +118,19 @@ object SparkEntry {
         .groupBy(col("label")).agg(count(lit(1)).as("n"))
         .orderBy(col("label"))
     }),
+    // ---- [EXT] set ops beyond union: INTERSECT / EXCEPT (distinct
+    // semantics in both engines) over two customer cohorts
+    "set_ops" -> ((s, dir) => {
+      val o = Tables.orders(s, dir)
+      val big = o.filter(col("o_totalprice") > 200000).select(col("o_custkey"))
+      val urgent = o.filter(col("o_orderpriority") === "1-URGENT").select(col("o_custkey"))
+      big.intersect(urgent)
+        .agg(count(lit(1)).as("n")).withColumn("tag", lit("both"))
+        .unionByName(big.except(urgent)
+          .agg(count(lit(1)).as("n")).withColumn("tag", lit("big_only")))
+        .select(col("tag"), col("n"))
+        .orderBy(col("tag"))
+    }),
     // ---- readiness predicate (`vectorDb.ts:58-60`): count > 0
     "readiness" -> ((s, dir) =>
       Tables.embeddings(s, dir).agg(count(lit(1)).as("n"))),
@@ -649,6 +662,17 @@ object SparkEntry {
         |  SELECT * FROM embeddings WHERE label >= 5)
         |GROUP BY label ORDER BY label""".stripMargin,
     "readiness" -> "SELECT count(*) AS n FROM embeddings",
+    "set_ops" ->
+      """SELECT 'both' AS tag, count(*) AS n FROM (
+        |  SELECT o_custkey FROM orders WHERE o_totalprice > 200000
+        |  INTERSECT
+        |  SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT')
+        |UNION ALL
+        |SELECT 'big_only' AS tag, count(*) AS n FROM (
+        |  SELECT o_custkey FROM orders WHERE o_totalprice > 200000
+        |  EXCEPT
+        |  SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT')
+        |ORDER BY tag""".stripMargin,
     "context_top5" ->
       s"""SELECT string_agg(text, chr(10) || '---' || chr(10)
          |         ORDER BY sim DESC, vec_id ASC) AS context
