@@ -474,6 +474,23 @@ object SparkEntry {
           countDistinct(col("l_partkey")).as("n_parts"),
           countDistinct(col("l_suppkey")).as("n_supps"))
         .orderBy(col("l_returnflag"))),
+    // ---- [EXT] as-of join (union-and-carry, no range-join fan-out):
+    // each view event annotated with the user's most recent prior
+    // click's value; right side pre-deduped per (user, ts) via
+    // struct-max for cross-engine determinism
+    "events_asof" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val clicks = ev.filter(col("event_type") === "click")
+        .groupBy(col("user_id"), col("ts"))
+        .agg(max(struct(col("event_id"), col("value"))).as("m"))
+        .select(col("user_id"), col("ts"), col("m.value").as("click_value"))
+      val views = ev.filter(col("event_type") === "view")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      graft.plans.AsOf.asOfJoin(views, clicks, "user_id", "ts", Seq("click_value"))
+        .select(col("event_id"), col("user_id"),
+          round(col("asof_click_value"), 4).as("click_value"))
+        .orderBy(col("event_id"))
+    }),
     // ---- [EXT] window frame: running per-user event totals
     "running_total" -> ((s, dir) => {
       val w = Window.partitionBy(col("user_id"))
@@ -1119,6 +1136,16 @@ object SparkEntry {
       """SELECT l_returnflag, count(DISTINCT l_partkey) AS n_parts,
         |       count(DISTINCT l_suppkey) AS n_supps
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "events_asof" ->
+      """WITH clicks AS (
+        |  SELECT user_id, ts, arg_max(value, event_id) AS click_value
+        |  FROM events WHERE event_type = 'click' GROUP BY user_id, ts),
+        |views AS (
+        |  SELECT event_id, user_id, ts FROM events WHERE event_type = 'view')
+        |SELECT v.event_id, v.user_id, round(c.click_value, 4) AS click_value
+        |FROM views v ASOF LEFT JOIN clicks c
+        |  ON v.user_id = c.user_id AND v.ts >= c.ts
+        |ORDER BY v.event_id""".stripMargin,
     "running_total" ->
       """SELECT event_id, user_id,
         |       round(sum(value) OVER (PARTITION BY user_id

@@ -77,6 +77,21 @@ class SkewAnswerSpec extends SparkSpec {
     assert(out.maxBy(_.length) == "Hello world")
   }
 
+  test("as-of join: latest prior match, inclusive ties, null before first right row") {
+    import graft.plans.AsOf
+    val left = Seq((1L, "u", 10L), (2L, "u", 20L), (3L, "u", 5L), (4L, "v", 10L))
+      .toDF("event_id", "key", "t")
+    val right = Seq(("u", 10L, 1.5), ("u", 15L, 2.5)) // none for key v
+      .toDF("key", "t", "x")
+    val out = AsOf.asOfJoin(left, right, "key", "t", Seq("x"))
+      .select(col("event_id"), col("asof_x")).collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getDouble(1)))).toMap
+    assert(out(1L).contains(1.5)) // inclusive: right at t=10 matches left at t=10
+    assert(out(2L).contains(2.5)) // latest prior (t=15), not first
+    assert(out(3L).isEmpty)       // before any right row -> null
+    assert(out(4L).isEmpty)       // key with no right rows -> null
+  }
+
   test("IVF over a label-partitioned corpus prunes partitions") {
     val dir = Files.createTempDirectory("graft-ivf-part").toString + "/corpus"
     val emb = spark.read.parquet(s"$sf0001/embeddings.parquet")
