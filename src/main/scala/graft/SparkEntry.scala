@@ -491,6 +491,21 @@ object SparkEntry {
           round(col("asof_click_value"), 4).as("click_value"))
         .orderBy(col("event_id"))
     }),
+    // ---- [EXT] range (interval) join, bucketized — view→purchase
+    // conversion pairs within one hour, same user; the bin equi-join
+    // replaces the cartesian range scan
+    "events_range_join" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val views = ev.filter(col("event_type") === "view")
+        .select(col("event_id").as("view_id"), col("user_id"), col("ts").as("view_ts"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("purchase_id"), col("user_id"),
+          col("ts").as("purchase_ts"), col("value"))
+      graft.plans.RangeJoin.intervalJoin(views, purchases,
+          "user_id", "view_ts", "purchase_ts", 0L, 3600L)
+        .select(col("view_id"), col("purchase_id"), round(col("value"), 4).as("value"))
+        .orderBy(col("view_id"), col("purchase_id"))
+    }),
     // ---- [EXT] window frame: running per-user event totals
     "running_total" -> ((s, dir) => {
       val w = Window.partitionBy(col("user_id"))
@@ -1136,6 +1151,15 @@ object SparkEntry {
       """SELECT l_returnflag, count(DISTINCT l_partkey) AS n_parts,
         |       count(DISTINCT l_suppkey) AS n_supps
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "events_range_join" ->
+      """SELECT v.event_id AS view_id, p.event_id AS purchase_id,
+        |       round(p.value, 4) AS value
+        |FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'view') v
+        |JOIN (SELECT event_id, user_id, ts, value FROM events
+        |      WHERE event_type = 'purchase') p
+        |  ON v.user_id = p.user_id
+        | AND p.ts >= v.ts AND p.ts <= v.ts + INTERVAL 1 HOUR
+        |ORDER BY view_id, purchase_id""".stripMargin,
     "events_asof" ->
       """WITH clicks AS (
         |  SELECT user_id, ts, arg_max(value, event_id) AS click_value

@@ -92,6 +92,22 @@ class SkewAnswerSpec extends SparkSpec {
     assert(out(4L).isEmpty)       // key with no right rows -> null
   }
 
+  test("range join: bin-crossing matches kept, bounds inclusive, outside dropped") {
+    import graft.plans.RangeJoin
+    val l = Seq((1L, "u", "2026-01-01 00:59:30"), (2L, "u", "2026-01-01 05:00:00"))
+      .toDF("lid", "key", "lts").withColumn("lts", to_timestamp(col("lts")))
+    val r = Seq(
+        (10L, "u", "2026-01-01 01:30:00"), // in-window, lands in the NEXT bin
+        (11L, "u", "2026-01-01 00:59:30"), // equal ts: inclusive lower bound
+        (12L, "u", "2026-01-01 01:59:30"), // exactly +1h: inclusive upper bound
+        (13L, "u", "2026-01-01 02:00:00"), // past the window: dropped
+        (14L, "v", "2026-01-01 01:00:00")) // different key: dropped
+      .toDF("rid", "key", "rts").withColumn("rts", to_timestamp(col("rts")))
+    val pairs = RangeJoin.intervalJoin(l, r, "key", "lts", "rts", 0L, 3600L)
+      .select("lid", "rid").collect().map(x => (x.getLong(0), x.getLong(1))).toSet
+    assert(pairs == Set((1L, 10L), (1L, 11L), (1L, 12L)))
+  }
+
   test("IVF over a label-partitioned corpus prunes partitions") {
     val dir = Files.createTempDirectory("graft-ivf-part").toString + "/corpus"
     val emb = spark.read.parquet(s"$sf0001/embeddings.parquet")
