@@ -4,7 +4,7 @@ import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 
-import graft.functions.{CosineSimilarity, DotProduct, FeaturizeCounts, L2Normalize, MinHashSignature, PdfExtract, SimHash64, SortedArrayIntersectCount, SortedJaccard, VectorAvg}
+import graft.functions.{CosineSimilarity, DotProduct, FeaturizeCounts, L2Normalize, BloomFilterAgg, BloomMightContain, MinHashSignature, PdfExtract, SimHash64, SortedArrayIntersectCount, SortedJaccard, VectorAvg}
 
 /** Registers the engine's native expressions as SQL functions, so the
   * full surface is reachable from `spark.sql(...)` as well as the Column
@@ -46,6 +46,14 @@ object GraftExtensions {
     ("sorted_jaccard",
       new ExpressionInfo(classOf[SortedJaccard].getName, "sorted_jaccard"),
       (es: Seq[Expression]) => SortedJaccard(es(0), es(1))),
+    ("bloom_agg",
+      new ExpressionInfo(classOf[BloomFilterAgg].getName, "bloom_agg"),
+      (es: Seq[Expression]) => BloomFilterAgg(es(0),
+        intArg(es(1), "bloom_agg"), intArg(es(2), "bloom_agg"))),
+    ("bloom_might_contain",
+      new ExpressionInfo(classOf[BloomMightContain].getName, "bloom_might_contain"),
+      (es: Seq[Expression]) => BloomMightContain(es(0), es(1),
+        intArg(es(2), "bloom_might_contain"))),
     ("pdf_extract",
       new ExpressionInfo(classOf[PdfExtract].getName, "pdf_extract"),
       (es: Seq[Expression]) => PdfExtract(es(0))),

@@ -417,6 +417,20 @@ object SparkEntry {
     "dedup_dropped" -> ((s, dir) =>
       Dedup.exactDropped(Tables.documents(s, dir), "doc_id", "text")
         .select(col("doc_id")).orderBy(col("doc_id"))),
+    // ---- [EXT] engine-portable Bloom filter: build the sketch over
+    // big-order custkeys (one 4096-bit bitmap, map-side OR-combined),
+    // broadcast it, probe every customer in codegen — the shuffle-free
+    // pre-filter shape. Portable hashing makes even the false
+    // positives deterministic, so this sketch IS hash-checkable.
+    "bloom_prefilter" -> ((s, dir) => {
+      val bloom = Tables.orders(s, dir)
+        .filter(col("o_orderpriority") === "1-URGENT" && col("o_totalprice") > 450000)
+        .agg(graft.functions.BloomFilter.agg(col("o_custkey"), 65536, 3).as("bf"))
+      Tables.customer(s, dir).crossJoin(broadcast(bloom))
+        .filter(graft.functions.BloomFilter.mightContain(col("bf"), col("c_custkey"), 3))
+        .select(col("c_custkey"))
+        .orderBy(col("c_custkey"))
+    }),
     // ---- [EXT] sketch-based approx distinct (HLL; engine-specific
     // estimates → rows-only check, exact twin is distinct_parts)
     "approx_distinct_parts" -> ((s, dir) =>
@@ -1147,6 +1161,24 @@ object SparkEntry {
         |       round(corr(l_quantity, l_extendedprice), 6) AS corr_qp,
         |       round(covar_samp(l_quantity, l_extendedprice), 6) AS cov_qp
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "bloom_prefilter" ->
+      """WITH seeds AS (
+        |  SELECT * FROM (VALUES (0, 2654435761), (1, 2246822519), (2, 3266489917))
+        |       AS t(i, a)),
+        |build_pos AS (
+        |  SELECT DISTINCT (((o_custkey % 1000000007) * a + 7919*(i+1))
+        |                   % 1000000007) % 65536 AS pos
+        |  FROM orders, seeds
+        |  WHERE o_orderpriority = '1-URGENT' AND o_totalprice > 450000),
+        |probe_pos AS (
+        |  SELECT c_custkey, (((c_custkey % 1000000007) * a + 7919*(i+1))
+        |                     % 1000000007) % 65536 AS pos
+        |  FROM customer, seeds)
+        |SELECT p.c_custkey
+        |FROM probe_pos p LEFT JOIN build_pos b ON p.pos = b.pos
+        |GROUP BY p.c_custkey
+        |HAVING bool_and(b.pos IS NOT NULL)
+        |ORDER BY c_custkey""".stripMargin,
     "distinct_parts" ->
       """SELECT l_returnflag, count(DISTINCT l_partkey) AS n_parts,
         |       count(DISTINCT l_suppkey) AS n_supps
