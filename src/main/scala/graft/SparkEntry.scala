@@ -520,6 +520,40 @@ object SparkEntry {
         .select(col("view_id"), col("purchase_id"), round(col("value"), 4).as("value"))
         .orderBy(col("view_id"), col("purchase_id"))
     }),
+    // ---- [EXT] pivot / crosstab: order counts by status × priority
+    "pivot_status" -> ((s, dir) =>
+      Tables.orders(s, dir)
+        .groupBy(col("o_orderstatus"))
+        .pivot("o_orderpriority",
+          Seq("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"))
+        .agg(count(lit(1)))
+        .select(col("o_orderstatus").as("st"),
+          coalesce(col("1-URGENT"), lit(0L)).as("p1"),
+          coalesce(col("2-HIGH"), lit(0L)).as("p2"),
+          coalesce(col("3-MEDIUM"), lit(0L)).as("p3"),
+          coalesce(col("4-NOT SPECIFIED"), lit(0L)).as("p4"),
+          coalesce(col("5-LOW"), lit(0L)).as("p5"))
+        .orderBy(col("st"))),
+    // ---- [EXT] ntile bucketing — PER NATION (a keyed window; a global
+    // ntile would be a SinglePartition sort, the anti-pattern the
+    // chunker's ordinal ids exist to avoid)
+    "ntile_quartiles" -> ((s, dir) => {
+      val w = Window.partitionBy(col("c_nationkey"))
+        .orderBy(col("c_acctbal").asc, col("c_custkey").asc)
+      Tables.customer(s, dir)
+        .withColumn("q", ntile(4).over(w).cast("long"))
+        .groupBy(col("c_nationkey"), col("q"))
+        .agg(count(lit(1)).as("n"), round(min(col("c_acctbal")), 2).as("lo"),
+          round(max(col("c_acctbal")), 2).as("hi"))
+        .orderBy(col("c_nationkey"), col("q"))
+    }),
+    // ---- [EXT] corpus vocabulary stats: top-20 tokens by frequency
+    "top_terms" -> ((s, dir) =>
+      Tables.documents(s, dir)
+        .select(explode(TextAnalysis.tokens(col("text"))).as("term"))
+        .groupBy(col("term")).agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("term").asc)
+        .limit(20)),
     // ---- [EXT] window frame: running per-user event totals
     "running_total" -> ((s, dir) => {
       val w = Window.partitionBy(col("user_id"))
@@ -1202,6 +1236,26 @@ object SparkEntry {
         |FROM views v ASOF LEFT JOIN clicks c
         |  ON v.user_id = c.user_id AND v.ts >= c.ts
         |ORDER BY v.event_id""".stripMargin,
+    "pivot_status" ->
+      """SELECT o_orderstatus AS st,
+        |       count(*) FILTER (o_orderpriority = '1-URGENT') AS p1,
+        |       count(*) FILTER (o_orderpriority = '2-HIGH') AS p2,
+        |       count(*) FILTER (o_orderpriority = '3-MEDIUM') AS p3,
+        |       count(*) FILTER (o_orderpriority = '4-NOT SPECIFIED') AS p4,
+        |       count(*) FILTER (o_orderpriority = '5-LOW') AS p5
+        |FROM orders GROUP BY o_orderstatus ORDER BY st""".stripMargin,
+    "ntile_quartiles" ->
+      """SELECT c_nationkey, q, count(*) AS n, round(min(c_acctbal), 2) AS lo,
+        |       round(max(c_acctbal), 2) AS hi
+        |FROM (SELECT c_nationkey, c_acctbal,
+        |        ntile(4) OVER (PARTITION BY c_nationkey
+        |                       ORDER BY c_acctbal ASC, c_custkey ASC)::BIGINT AS q
+        |      FROM customer)
+        |GROUP BY c_nationkey, q ORDER BY c_nationkey, q""".stripMargin,
+    "top_terms" ->
+      s"""SELECT term, count(*) AS n FROM (
+         |  SELECT unnest($toksSql) AS term FROM documents)
+         |GROUP BY term ORDER BY n DESC, term ASC LIMIT 20""".stripMargin,
     "running_total" ->
       """SELECT event_id, user_id,
         |       round(sum(value) OVER (PARTITION BY user_id
