@@ -547,6 +547,17 @@ object SparkEntry {
           round(max(col("c_acctbal")), 2).as("hi"))
         .orderBy(col("c_nationkey"), col("q"))
     }),
+    // ---- [EXT] unpivot / melt: wide per-flag metrics back to long form
+    "unpivot_stats" -> ((s, dir) =>
+      Tables.lineitem(s, dir)
+        .groupBy(col("l_returnflag")).agg(
+          round(sum(col("l_quantity")), 2).as("sum_qty"),
+          round(sum(col("l_extendedprice")), 2).as("sum_base"),
+          count(lit(1)).cast("double").as("n"))
+        .unpivot(Array(col("l_returnflag")),
+          Array(col("sum_qty"), col("sum_base"), col("n")),
+          "metric", "value")
+        .orderBy(col("l_returnflag"), col("metric"))),
     // ---- [EXT] corpus vocabulary stats: top-20 tokens by frequency
     "top_terms" -> ((s, dir) =>
       Tables.documents(s, dir)
@@ -1252,6 +1263,17 @@ object SparkEntry {
         |                       ORDER BY c_acctbal ASC, c_custkey ASC)::BIGINT AS q
         |      FROM customer)
         |GROUP BY c_nationkey, q ORDER BY c_nationkey, q""".stripMargin,
+    "unpivot_stats" ->
+      """WITH w AS (
+        |  SELECT l_returnflag, round(sum(l_quantity), 2) AS sum_qty,
+        |         round(sum(l_extendedprice), 2) AS sum_base,
+        |         count(*)::DOUBLE AS n
+        |  FROM lineitem GROUP BY l_returnflag)
+        |SELECT l_returnflag, metric, value FROM (
+        |  SELECT l_returnflag, 'sum_qty' AS metric, sum_qty AS value FROM w
+        |  UNION ALL SELECT l_returnflag, 'sum_base', sum_base FROM w
+        |  UNION ALL SELECT l_returnflag, 'n', n FROM w)
+        |ORDER BY l_returnflag, metric""".stripMargin,
     "top_terms" ->
       s"""SELECT term, count(*) AS n FROM (
          |  SELECT unnest($toksSql) AS term FROM documents)
