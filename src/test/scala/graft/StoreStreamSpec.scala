@@ -120,6 +120,28 @@ class StoreStreamSpec extends SparkSpec {
     assert(feats.sortBy(_.id).toSeq == again.sortBy(_.id).toSeq)
   }
 
+  test("JSONL and CSV round-trips are lossless for the document corpus") {
+    // JSONL is the interchange format of training-data pipelines; the
+    // engine must read/write it (and CSV) without corrupting text that
+    // contains quotes, commas or newlines-in-values
+    val src = spark.read.parquet(s"$sf0001/documents.parquet")
+      .select(col("doc_id"), col("text"), col("lang"), col("source"), col("n_chars"))
+    def roundTrip(fmt: String): Unit = {
+      val dir = Files.createTempDirectory(s"graft-$fmt").toString + "/docs"
+      val w = src.write.mode("overwrite")
+      (if (fmt == "csv") w.option("header", "true") else w).format(fmt).save(dir)
+      val r = spark.read
+      val back = (if (fmt == "csv")
+          r.option("header", "true").schema(src.schema).format(fmt).load(dir)
+        else r.schema(src.schema).format(fmt).load(dir))
+      val diff = src.exceptAll(back).count() + back.exceptAll(src).count()
+      assert(diff == 0, s"$fmt round-trip lost/changed $diff rows")
+      assert(back.count() == src.count())
+    }
+    roundTrip("json")
+    roundTrip("csv")
+  }
+
   test("streaming exact dedup: later duplicate within the watermark is dropped") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx = spark.sqlContext
