@@ -4,7 +4,7 @@ import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 
-import graft.functions.{CosineSimilarity, DotProduct, FeaturizeCounts, L2Normalize, BloomFilterAgg, BloomMightContain, MinHashSignature, PdfExtract, SimHash64, SortedArrayIntersectCount, SortedJaccard, VectorAvg}
+import graft.functions.{CosineSimilarity, DotProduct, FeaturizeCounts, L2Normalize, BloomFilterAgg, BloomMightContain, GunzipText, MinHashSignature, PdfExtract, SimHash64, SortedArrayIntersectCount, SortedJaccard, VectorAvg}
 
 /** Registers the engine's native expressions as SQL functions, so the
   * full surface is reachable from `spark.sql(...)` as well as the Column
@@ -54,6 +54,9 @@ object GraftExtensions {
       new ExpressionInfo(classOf[BloomMightContain].getName, "bloom_might_contain"),
       (es: Seq[Expression]) => BloomMightContain(es(0), es(1),
         intArg(es(2), "bloom_might_contain"))),
+    ("gunzip_text",
+      new ExpressionInfo(classOf[GunzipText].getName, "gunzip_text"),
+      (es: Seq[Expression]) => GunzipText(es(0))),
     ("pdf_extract",
       new ExpressionInfo(classOf[PdfExtract].getName, "pdf_extract"),
       (es: Seq[Expression]) => PdfExtract(es(0))),

@@ -60,6 +60,27 @@ class PdfSpec extends SparkSpec {
     assert(rows(1).getString(1) == "")
   }
 
+  test("gunzip_text: round-trips real gzip, nulls corrupt bytes, SQL-callable") {
+    def gzip(s: String): Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream()
+      val gz = new java.util.zip.GZIPOutputStream(bos)
+      gz.write(s.getBytes("UTF-8")); gz.close()
+      bos.toByteArray
+    }
+    val text = "compressed web corpus payload — naïve UTF-8 ✓"
+    val df = Seq((0L, gzip(text)), (1L, "not gzip".getBytes), (2L, gzip("")))
+      .toDF("id", "payload")
+      .select(col("id"), graft.functions.GunzipText(col("payload")).as("text"))
+      .orderBy("id")
+    val rows = df.collect()
+    assert(rows(0).getString(1) == text)
+    assert(rows(1).isNullAt(1)) // corrupt bytes -> null, not a throw
+    assert(rows(2).getString(1) == "")
+    GraftExtensions.register(spark)
+    Seq(Tuple1(gzip("via sql"))).toDF("p").createOrReplaceTempView("gz")
+    assert(spark.sql("SELECT gunzip_text(p) AS t FROM gz").head().getString(0) == "via sql")
+  }
+
   test("pdf_chunks query: chunker output over the fixture is non-empty and aligned") {
     val out = SparkEntry.queries("pdf_chunks")(spark, sf0001).collect()
     assert(out.nonEmpty)
