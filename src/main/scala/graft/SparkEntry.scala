@@ -1186,14 +1186,19 @@ object SparkEntry {
         |  AND l_shipdate < TIMESTAMP '1995-01-01'
         |  AND l_discount BETWEEN 0.05 AND 0.07
         |  AND l_quantity < 24""".stripMargin,
+    // The Knuth multiply is split into 16-bit halves mod 2^32 on BOTH
+    // engines: a plain residue*2654435761 overflows BIGINT for residues
+    // >= ~3.47e9 (DuckDB errors; Spark ANSI throws).
     "sample_docs" ->
       """SELECT doc_id, lang FROM documents
-        |WHERE ((doc_id % 4294967296) * 2654435761) % 4294967296
+        |WHERE (((((doc_id % 4294967296) // 65536) * 2654435761) % 4294967296) * 65536
+        |       + ((doc_id % 4294967296) % 65536) * 2654435761) % 4294967296
         |      < CAST(0.2 * 4294967296 AS BIGINT)
         |ORDER BY doc_id""".stripMargin,
     "sample_stratified" ->
       """SELECT lang, count(*) AS n FROM documents
-        |WHERE ((doc_id % 4294967296) * 2654435761) % 4294967296
+        |WHERE (((((doc_id % 4294967296) // 65536) * 2654435761) % 4294967296) * 65536
+        |       + ((doc_id % 4294967296) % 65536) * 2654435761) % 4294967296
         |      < (CASE WHEN lang = 'en' THEN CAST(0.5 * 4294967296 AS BIGINT)
         |              WHEN lang = 'de' THEN CAST(0.25 * 4294967296 AS BIGINT)
         |              ELSE CAST(0.1 * 4294967296 AS BIGINT) END)

@@ -24,9 +24,22 @@ object Sampling {
   private val Knuth = 2654435761L
   private val M = 1L << 32
 
-  /** Sample bucket in [0, 2^32): hash of the id, mod-reduced FIRST so
-    * arbitrary 64-bit ids cannot overflow the multiply. */
-  def bucket(id: Column): Column = pmod(pmod(id, lit(M)) * lit(Knuth), lit(M))
+  /** Sample bucket in [0, 2^32): Knuth multiplicative hash of the id.
+    *
+    * The multiply is split into 16-bit halves so no intermediate ever
+    * exceeds ~2^49: a plain `residue * 2654435761` overflows a signed
+    * Long for residues >= ~3.47e9 (~19% of the residue space) — an
+    * ArithmeticException under Spark's default ANSI mode, and a BIGINT
+    * overflow error in DuckDB. With r = hi*2^16 + lo (hi, lo < 2^16):
+    *   (r*K) mod 2^32 = ((hi*K mod 2^32)*2^16 + lo*K) mod 2^32
+    * where (hi*K mod 2^32)*2^16 < 2^48 and lo*K < 2^48 — overflow-free
+    * pure-Long arithmetic, identical on every engine. */
+  def bucket(id: Column): Column = {
+    val r  = pmod(id, lit(M))
+    val hi = shiftright(r, 16)
+    val lo = r.bitwiseAND(lit(0xFFFFL))
+    pmod(pmod(hi * lit(Knuth), lit(M)) * lit(1L << 16) + lo * lit(Knuth), lit(M))
+  }
 
   /** Keep a deterministic `fraction` of rows, decided per row by id
     * hash. fraction ∈ [0, 1]; fractions nest (0.01 ⊂ 0.1 ⊂ 0.5). */

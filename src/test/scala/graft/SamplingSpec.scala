@@ -20,6 +20,23 @@ class SamplingSpec extends SparkSpec {
     assert(ids(0.0).isEmpty && ids(1.0).size == n.toLong)
   }
 
+  test("bucket is overflow-free under ANSI for ids up to Long.MaxValue") {
+    // Residues >= ~3.47e9 used to overflow the plain Knuth multiply
+    // (ANSI ArithmeticException). Pin the split-multiply result against
+    // BigInt ground truth across the danger zone and the extremes.
+    val ids = Seq(0L, 1L, 3474000000L, (1L << 32) - 1, 1L << 32, 1L << 40,
+      Long.MaxValue, -1L, Long.MinValue)
+    import spark.implicits._
+    val got = ids.toDF("id").repartition(1)
+      .select(col("id"), Sampling.bucket(col("id")).as("b"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val M = BigInt(1) << 32
+    for (i <- ids) {
+      val want = ((BigInt(i).mod(M)) * BigInt(2654435761L)).mod(M).toLong
+      assert(got(i) == want, s"id=$i got=${got(i)} want=$want")
+    }
+  }
+
   test("stratified sample honors per-stratum rates and the default") {
     val out = Sampling.stratifiedSample(docs, "doc_id", "lang",
         Map("en" -> 1.0, "de" -> 0.0), defaultFraction = 0.2)
