@@ -95,8 +95,19 @@ object Ann {
   }
 
   /** Nearest-centroid id (cosine argmax, lowest id on ties) against a
-    * driver-side centroid list — evaluated inline per row. */
-  def assignCluster(vec: Column, cents: Seq[Seq[Double]]): Column = {
+    * driver-side centroid list — one native expression node carrying the
+    * centroid matrix as a reference object
+    * ([[graft.functions.NearestCentroid]]), so the plan stays O(1) in k.
+    * The composed form it replaced ([[assignClusterComposed]]) inlined k
+    * struct literals and hit the plan-size / codegen ceiling near
+    * k ≈ 100; a 100 TB IVF needs k in the thousands. */
+  def assignCluster(vec: Column, cents: Seq[Seq[Double]]): Column =
+    graft.functions.NearestCentroid(vec, cents)
+
+  /** Composed-builtin argmax — the executable specification
+    * [[assignCluster]] is tested against (AnnSpec). Plan size grows
+    * linearly with k; never use on a real index build. */
+  def assignClusterComposed(vec: Column, cents: Seq[Seq[Double]]): Column = {
     val scored = cents.zipWithIndex.map { case (c, i) =>
       struct(VectorOps.cosine(vec, typedlit(c)).as("sim"), lit(-i).as("ni"))
     }

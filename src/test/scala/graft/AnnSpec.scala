@@ -65,6 +65,47 @@ class AnnSpec extends SparkSpec {
     assert(c1.size == 5 && c1.forall(_.size == 64))
   }
 
+  test("native assignCluster matches the composed greatest-struct spec row-for-row") {
+    val cents = Ann.kmeansCentroids(emb, "vec_id", "embedding", 10, 2)
+    val both = emb.select(
+      col("vec_id"),
+      Ann.assignCluster(col("embedding"), cents).as("native"),
+      Ann.assignClusterComposed(col("embedding"), cents).as("composed"))
+    assert(both.filter(col("native") =!= col("composed")).count() == 0)
+  }
+
+  test("assignCluster at k=256 stays a single plan node and evaluates") {
+    val rnd = new scala.util.Random(7)
+    val cents = Seq.fill(256)(Seq.fill(64)(rnd.nextGaussian()))
+    val df = emb.withColumn("c", Ann.assignCluster(col("embedding"), cents))
+    // the plan must not grow with k: the assignment is ONE expression node
+    // carrying the matrix as data (the composed form inlines 256 struct
+    // literals and would dominate this string)
+    val alias = df.queryExecution.analyzed
+      .asInstanceOf[org.apache.spark.sql.catalyst.plans.logical.Project]
+      .projectList.last
+    assert(alias.children.size == 1 &&
+      alias.children.head.isInstanceOf[graft.functions.NearestCentroid])
+    val vals = df.select("c").collect().map(_.getInt(0))
+    assert(vals.forall(c => c >= 0 && c < 256))
+    assert(vals.distinct.length > 1) // real spread, not a constant
+  }
+
+  test("assignCluster edges: dim mismatch → 0, null element → NULL") {
+    import spark.implicits._
+    val cents = Seq(Seq(1.0, 0.0), Seq(0.0, 1.0))
+    val rows = Seq(
+      (1L, Seq[java.lang.Double](3.0, 4.0)),
+      (2L, Seq[java.lang.Double](1.0, 2.0, 3.0)), // dim mismatch: all sims -1 → 0
+      (3L, Seq[java.lang.Double](1.0, null))      // null element → NULL
+    ).toDF("id", "v")
+    val out = rows.select(col("id"), Ann.assignCluster(col("v"), cents).as("c"))
+      .collect().map(r => r.getLong(0) -> (if (r.isNullAt(1)) null else r.getInt(1))).toMap
+    assert(out(1L) == 1)   // closer to (0,1)
+    assert(out(2L) == 0)
+    assert(out(3L) == null)
+  }
+
   test("LSH buckets are deterministic across runs (seeded planes)") {
     val p = Ann.planes(64, 8)
     val b1 = emb.withColumn("b", Ann.lshBucket(col("embedding"), p))
