@@ -87,6 +87,28 @@ object SparkEntry {
       exact.join(ann, Seq("vec_id"), "left_semi")
         .agg((count(lit(1)) / 5.0).as("recall_at_5"))
     }),
+    // ---- [EXT] ANN quality for the k-means IVF path: recall@5 vs the
+    // exact scan, the full Lloyd build (init = k lowest ids, 2
+    // iterations, empty-cluster carry) replicated in the oracle SQL
+    "ann_kmeans_recall" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val exact = Search.knn(emb, queryVec(s, dir), 5).select(col("vec_id"))
+      val ann = Ann.ivfTopKKMeans(emb, queryVec(s, dir), 5, 3,
+        numClusters = 10, iters = 2).select(col("vec_id"))
+      exact.join(ann, Seq("vec_id"), "left_semi")
+        .agg((count(lit(1)) / 5.0).as("recall_at_5"))
+    }),
+    // ---- [EXT] ANN quality for the LSH path: recall@5 vs the exact
+    // scan; the seeded hyperplanes are model state, inlined into the
+    // oracle SQL as double literals
+    "ann_lsh_recall" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val exact = Search.knn(emb, queryVec(s, dir), 5).select(col("vec_id"))
+      val ann = Ann.lshTopK(emb, queryVec(s, dir), 5, Ann.planes(64, 8))
+        .select(col("vec_id"))
+      exact.join(ann, Seq("vec_id"), "left_semi")
+        .agg((count(lit(1)) / 5.0).as("recall_at_5"))
+    }),
     "cosine_scores" -> ((s, dir) =>
       Tables.embeddings(s, dir).crossJoin(broadcast(queryVec(s, dir)))
         .select(col("vec_id"), VectorOps.cosine6(col("embedding"), col("qvec")).as("sim"))
@@ -618,6 +640,14 @@ object SparkEntry {
 
   // ---------------------------------------------------------------- oracle
 
+  /** Unrounded cosine, for oracle-internal RANKING where the Spark side
+    * also compares raw (k-means assignment argmax): both engines drift
+    * only in the last ulp, which flips an argmax only on near-exact
+    * ties — and those break on the deterministic id tiebreaker. */
+  private def rawCosSql(a: String, b: String): String =
+    s"list_dot_product($a, $b) / " +
+      s"(sqrt(list_dot_product($a, $a)) * sqrt(list_dot_product($b, $b)))"
+
   /** Portable cosine (matches VectorOps.cosine6 on non-degenerate rows). */
   private def cosSql(a: String, b: String): String =
     s"round(list_dot_product($a::DOUBLE[], $b::DOUBLE[]) / " +
@@ -730,6 +760,91 @@ object SparkEntry {
          |  SELECT vec_id FROM (
          |    SELECT e.vec_id, ${cosSql("e.embedding", "q.qvec")} AS sim
          |    FROM embeddings e JOIN probes USING (label), q)
+         |  ORDER BY sim DESC, vec_id ASC LIMIT 5)
+         |SELECT (SELECT count(*) FROM exact5 JOIN ann5 USING (vec_id)) / 5.0 AS recall_at_5""".stripMargin
+    },
+    "ann_kmeans_recall" -> {
+      // Lloyd's k-means unrolled: assignment = raw-cosine argmax with
+      // lowest cid on ties (row_number mirror of NearestCentroid),
+      // re-estimation = per-dimension avg, empty clusters carry the
+      // previous centroid — exactly kmeansCentroids(k=10, iters=2).
+      def iter(n: Int, prev: String): String =
+        s"""a$n AS (
+           |  SELECT vec_id, cid FROM (
+           |    SELECT e.vec_id, c.cid,
+           |           row_number() OVER (PARTITION BY e.vec_id
+           |             ORDER BY ${rawCosSql("e.embedding::DOUBLE[]", "c.centroid")} DESC,
+           |                      c.cid ASC) AS rn
+           |    FROM embeddings e CROSS JOIN $prev c) WHERE rn = 1),
+           |m$n AS (
+           |  SELECT a.cid, i, avg(e.embedding[i]::DOUBLE) AS c
+           |  FROM a$n a JOIN embeddings e USING (vec_id),
+           |       (SELECT unnest(range(1, 65)) AS i) ix
+           |  GROUP BY 1, 2),
+           |ml$n AS (SELECT cid, list(c ORDER BY i) AS centroid FROM m$n GROUP BY cid),
+           |c$n AS (
+           |  SELECT p.cid, coalesce(u.centroid, p.centroid) AS centroid
+           |  FROM $prev p LEFT JOIN ml$n u USING (cid))""".stripMargin
+      s"""WITH q AS (SELECT embedding AS qvec FROM embeddings WHERE vec_id = 0),
+         |exact5 AS (
+         |  SELECT vec_id FROM (
+         |    SELECT e.vec_id, ${cosSql("e.embedding", "q.qvec")} AS sim
+         |    FROM embeddings e, q)
+         |  ORDER BY sim DESC, vec_id ASC LIMIT 5),
+         |c0 AS (
+         |  SELECT (row_number() OVER (ORDER BY vec_id)) - 1 AS cid,
+         |         embedding::DOUBLE[] AS centroid
+         |  FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT 10)),
+         |${iter(1, "c0")},
+         |${iter(2, "c1")},
+         |probes AS (
+         |  SELECT cid FROM c2, q
+         |  ORDER BY round(${rawCosSql("centroid", "qvec::DOUBLE[]")}, 6) DESC, cid ASC
+         |  LIMIT 3),
+         |af AS (
+         |  SELECT vec_id, cid FROM (
+         |    SELECT e.vec_id, c.cid,
+         |           row_number() OVER (PARTITION BY e.vec_id
+         |             ORDER BY ${rawCosSql("e.embedding::DOUBLE[]", "c.centroid")} DESC,
+         |                      c.cid ASC) AS rn
+         |    FROM embeddings e CROSS JOIN c2 c) WHERE rn = 1),
+         |ann5 AS (
+         |  SELECT vec_id FROM (
+         |    SELECT e.vec_id, ${cosSql("e.embedding", "q.qvec")} AS sim
+         |    FROM embeddings e JOIN af USING (vec_id) JOIN probes USING (cid), q)
+         |  ORDER BY sim DESC, vec_id ASC LIMIT 5)
+         |SELECT (SELECT count(*) FROM exact5 JOIN ann5 USING (vec_id)) / 5.0 AS recall_at_5""".stripMargin
+    },
+    "ann_lsh_recall" -> {
+      // Seeded hyperplanes (Ann.planes(64, 8)) inlined as exact double
+      // literals — %.17e scientific notation forces DuckDB's DOUBLE
+      // parser (a plain decimal literal would round-trip through DECIMAL
+      // and can lose the last ulp). Bucket id and Hamming-1 multi-probe
+      // mirror Ann.lshBucket / Ann.lshTopK.
+      val planeLits = graft.search.Ann.planes(64, 8).map(p =>
+        p.map(x => "%.17e".formatLocal(java.util.Locale.ROOT, x))
+          .mkString("[", ", ", "]::DOUBLE[]"))
+      def bucketExpr(v: String): String =
+        planeLits.zipWithIndex.map { case (p, i) =>
+          s"(CASE WHEN list_dot_product($v, $p) > 0 THEN ${1 << i} ELSE 0 END)"
+        }.mkString(" + ")
+      s"""WITH q AS (SELECT embedding AS qvec FROM embeddings WHERE vec_id = 0),
+         |exact5 AS (
+         |  SELECT vec_id FROM (
+         |    SELECT e.vec_id, ${cosSql("e.embedding", "q.qvec")} AS sim
+         |    FROM embeddings e, q)
+         |  ORDER BY sim DESC, vec_id ASC LIMIT 5),
+         |bks AS (SELECT vec_id, ${bucketExpr("embedding::DOUBLE[]")} AS bucket
+         |        FROM embeddings),
+         |qb AS (SELECT ${bucketExpr("qvec::DOUBLE[]")} AS qbucket FROM q),
+         |probes AS (
+         |  SELECT DISTINCT xor(qbucket, f) AS bucket FROM qb,
+         |       (SELECT unnest([0, 1, 2, 4, 8, 16, 32, 64, 128]) AS f) fl),
+         |cand AS (SELECT vec_id FROM bks JOIN probes USING (bucket)),
+         |ann5 AS (
+         |  SELECT vec_id FROM (
+         |    SELECT e.vec_id, ${cosSql("e.embedding", "q.qvec")} AS sim
+         |    FROM embeddings e JOIN cand USING (vec_id), q)
          |  ORDER BY sim DESC, vec_id ASC LIMIT 5)
          |SELECT (SELECT count(*) FROM exact5 JOIN ann5 USING (vec_id)) / 5.0 AS recall_at_5""".stripMargin
     },
