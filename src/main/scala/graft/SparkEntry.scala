@@ -385,6 +385,35 @@ object SparkEntry {
         .select(col("pos").cast("long").as("pos"), col("chunk"))
         .orderBy(col("pos"))
     }),
+    // ---- A1 modern variant: the same decode+chunk pipeline over a PDF
+    // 1.5 file whose catalog/page dicts live in a compressed object
+    // stream behind a cross-reference stream (the post-2005 layout;
+    // fixture generated by multimodal/ModernPdf.scala)
+    "pdf_modern_chunks" -> ((s, dir) => {
+      import s.implicits._
+      val pdf = Seq((0L, graft.multimodal.ModernPdf.bytes)).toDF("doc_id", "content")
+        .select(col("doc_id"),
+          graft.functions.PdfExtract(col("content")).as("text"))
+      Chunker.chunk(pdf, "text", 100, 20)
+        .filter(Chunker.nonEmpty(col("chunk")))
+        .select(col("pos").cast("long").as("pos"), col("chunk"))
+        .orderBy(col("pos"))
+    }),
+    // ---- [EXT] multimodal: gzip-compressed text payloads (the WARC /
+    // web-corpus shape) decoded distributed via the native gunzip_text
+    // expression; inputs are deterministic driver-built literals, the
+    // oracle pins the plaintext — so any decode defect breaks the hash
+    "gunzip_text" -> ((s, dir) => {
+      import s.implicits._
+      val rows = Seq(
+        (0L, gzipBytes("A compressed web corpus payload.")),
+        (1L, gzipBytes("")),
+        (2L, gzipBytes("Unicode row: naïve façade ✓")),
+        (3L, "not gzip at all".getBytes("UTF-8"))) // corrupt → NULL
+      rows.toDF("id", "payload")
+        .select(col("id"), graft.functions.GunzipText(col("payload")).as("text"))
+        .orderBy(col("id"))
+    }),
     // ---- [EXT] multimodal: binary payload + batched stub decode
     "multimodal_meta" -> ((s, dir) => {
       val media = Multimodal.asBinary(Tables.documents(s, dir), "doc_id", "text")
@@ -639,6 +668,17 @@ object SparkEntry {
   )
 
   // ---------------------------------------------------------------- oracle
+
+  /** Deterministic gzip of a UTF-8 string (JDK GZIPOutputStream writes
+    * MTIME=0) — driver-side literal construction for the gunzip_text
+    * round-trip query, kilobytes of model-state-like input, not a data
+    * path. */
+  private def gzipBytes(s: String): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    val gz = new java.util.zip.GZIPOutputStream(bos)
+    gz.write(s.getBytes("UTF-8")); gz.close()
+    bos.toByteArray
+  }
 
   /** Unrounded cosine, for oracle-internal RANKING where the Spark side
     * also compares raw (k-means assignment argmax): both engines drift
@@ -1195,6 +1235,26 @@ object SparkEntry {
          |  FROM (SELECT text, unnest(range(0, length(text), 80)) AS pos FROM pdf))
          |WHERE length(trim(chunk)) > 0 ORDER BY pos""".stripMargin
     },
+    "pdf_modern_chunks" -> {
+      // pinned ground truth of the MODERN-layout fixture (ObjStm + xref
+      // stream; byte-for-byte extraction asserted in PdfSpec), re-chunked
+      // with the shared 100/20 window SQL
+      val p1 = graft.multimodal.ModernPdf.Page1
+      val p2 = graft.multimodal.ModernPdf.Page2
+      s"""WITH pdf AS (
+         |  SELECT '$p1' || chr(10) || '$p2' || chr(10) AS text)
+         |SELECT * FROM (
+         |  SELECT pos::BIGINT AS pos, substring(text, pos::INT + 1, 100) AS chunk
+         |  FROM (SELECT text, unnest(range(0, length(text), 80)) AS pos FROM pdf))
+         |WHERE length(trim(chunk)) > 0 ORDER BY pos""".stripMargin
+    },
+    "gunzip_text" ->
+      """SELECT * FROM (VALUES
+        |  (0::BIGINT, 'A compressed web corpus payload.'),
+        |  (1::BIGINT, ''),
+        |  (2::BIGINT, 'Unicode row: naïve façade ✓'),
+        |  (3::BIGINT, CAST(NULL AS VARCHAR))) AS t(id, text)
+        |ORDER BY id""".stripMargin,
     "token_counts" ->
       s"""SELECT doc_id, len($toksSql)::BIGINT AS ws_tokens,
          |       len(regexp_extract_all(lower(text),

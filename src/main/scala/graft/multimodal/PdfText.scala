@@ -27,13 +27,23 @@ import scala.util.matching.Regex
   *    `(…)` strings (escapes, nested parens, octal) and `<…>` hex
   *    strings; each shown string is one text item.
   *
+  *  - modern (PDF 1.5+) file structure: objects packed into compressed
+  *    object streams (`/Type /ObjStm`) are inflated and merged into the
+  *    object table, and cross-reference streams need no special-casing —
+  *    the reader locates objects by scanning, not via xref, and the
+  *    trailer keys (`/Root`) live in the xref stream's PLAIN-TEXT dict.
+  *    Stream payloads are cut by `/Length` when it is a direct integer
+  *    (validated against a following `endstream`), so compressed binary
+  *    that happens to contain `endobj`/`endstream` bytes cannot truncate
+  *    the scan.
+  *
   * Out of scope (documented limits, like the stubbed media codecs):
   * encrypted files, CMap/Type0 composite-font decoding (bytes are read
-  * as Latin-1 — exact for the standard fonts), object streams
-  * (`/ObjStm`), and cross-reference streams. Real ingest at 100 TB
-  * runs this per document inside a scan — the operator shape (binary
-  * column in, string out, no driver round-trip) is what scales; the
-  * decoder handles the simple-PDF core.
+  * as Latin-1 — exact for the standard fonts), and PNG predictors on
+  * `DecodeParms` (predictors appear on xref-stream DATA, which this
+  * reader never needs to decode). Real ingest at 100 TB runs this per
+  * document inside a scan — the operator shape (binary column in,
+  * string out, no driver round-trip) is what scales.
   */
 object PdfText {
 
@@ -44,7 +54,7 @@ object PdfText {
     if (bytes == null || bytes.length < 5) return Nil
     val raw = new String(bytes, java.nio.charset.StandardCharsets.ISO_8859_1)
     if (!raw.startsWith("%PDF")) return Nil
-    val objs = parseObjects(raw)
+    val objs = expandObjectStreams(parseObjects(raw))
     pageObjects(raw, objs).map { dict =>
       contentStreams(dict, objs).map(textItems).flatten match {
         case Nil => ""
@@ -60,11 +70,86 @@ object PdfText {
 
   // ------------------------------------------------------------- objects
 
-  private val ObjRe: Regex = """(?s)(\d+)\s+\d+\s+obj(.*?)endobj""".r
+  private val ObjStartRe = java.util.regex.Pattern.compile("""(\d+)\s+\d+\s+obj""")
+  private val DirectLenRe: Regex = """/Length\s+(\d+)(?!\s+\d+\s+R)""".r
 
-  /** Object number → body (dict + optional stream), by body scan. */
-  private def parseObjects(raw: String): Map[Int, String] =
-    ObjRe.findAllMatchIn(raw).map(m => m.group(1).toInt -> m.group(2)).toMap
+  /** Object number → body (dict + optional stream), by sequential scan.
+    *
+    * A naive `obj(.*?)endobj` regex truncates any object whose
+    * compressed stream happens to contain the bytes `endobj` — routine
+    * in real Flate output. This scanner instead cuts each stream payload
+    * by its `/Length` when that is a direct integer (validated by
+    * checking `endstream` actually follows), falling back to the nearest
+    * `endstream` for indirect lengths, and resumes the object scan AFTER
+    * the payload — binary content can never fabricate or truncate
+    * objects. */
+  private def parseObjects(raw: String): Map[Int, String] = {
+    val out = Map.newBuilder[Int, String]
+    val m = ObjStartRe.matcher(raw)
+    var pos = 0
+    while (pos < raw.length && m.find(pos)) {
+      val num = m.group(1).toInt
+      val bodyStart = m.end
+      val endobjIdx = raw.indexOf("endobj", bodyStart)
+      val streamIdx = raw.indexOf("stream", bodyStart)
+      val hasStream = streamIdx >= 0 && (endobjIdx < 0 || streamIdx < endobjIdx)
+      val end =
+        if (!hasStream) { if (endobjIdx < 0) raw.length else endobjIdx }
+        else {
+          var ps = streamIdx + "stream".length
+          if (ps < raw.length && raw.charAt(ps) == '\r') ps += 1
+          if (ps < raw.length && raw.charAt(ps) == '\n') ps += 1
+          val dict = raw.substring(bodyStart, streamIdx)
+          val byLen = DirectLenRe.findFirstMatchIn(dict).map(_.group(1).toInt)
+            .map(ps + _)
+            // trust /Length only when `endstream` really follows it
+            .filter(pe => pe <= raw.length &&
+              raw.indexOf("endstream", pe) >= 0 &&
+              raw.substring(pe, math.min(pe + 16, raw.length))
+                .dropWhile(c => c == '\r' || c == '\n' || c == ' ')
+                .startsWith("endstream"))
+          val payloadEnd = byLen.getOrElse(raw.indexOf("endstream", ps))
+          if (payloadEnd < 0) raw.length
+          else {
+            val eo = raw.indexOf("endobj", payloadEnd)
+            if (eo < 0) raw.length else eo
+          }
+        }
+      out += num -> raw.substring(bodyStart, end)
+      pos = math.max(end, bodyStart)
+    }
+    out.result()
+  }
+
+  /** Merge objects packed inside `/Type /ObjStm` compressed object
+    * streams (PDF 1.5+) into the object table. The decoded stream is
+    * `N` whitespace-separated (objnum, offset) pairs followed by the
+    * object bodies at `/First` + offset; packed objects are dicts only
+    * (the spec forbids streams inside ObjStm), so the bodies merge
+    * directly. Packed copies override scan copies: in an incrementally
+    * updated file the ObjStm version is the newer one. */
+  private def expandObjectStreams(objs: Map[Int, String]): Map[Int, String] = {
+    val packed = objs.values.toSeq.flatMap { body =>
+      if ("""/Type\s*/ObjStm""".r.findFirstIn(body).isEmpty) Nil
+      else streamPayload(body).toSeq.flatMap { content =>
+        val n = """/N\s+(\d+)""".r.findFirstMatchIn(body)
+          .map(_.group(1).toInt).getOrElse(0)
+        val first = """/First\s+(\d+)""".r.findFirstMatchIn(body)
+          .map(_.group(1).toInt).getOrElse(0)
+        val header = content.substring(0, math.min(first, content.length))
+        val pairs = """\d+""".r.findAllIn(header).map(_.toInt)
+          .grouped(2).collect { case Seq(a, b) => (a, b) }.take(n).toSeq
+        pairs.zipWithIndex.map { case ((num, off), i) =>
+          val start = math.min(first + off, content.length)
+          val stop =
+            if (i + 1 < pairs.length) math.min(first + pairs(i + 1)._2, content.length)
+            else content.length
+          num -> content.substring(start, stop)
+        }
+      }
+    }
+    objs ++ packed
+  }
 
   private def ref(body: String, key: String): Option[Int] =
     (key + """\s+(\d+)\s+\d+\s+R""").r.findFirstMatchIn(body).map(_.group(1).toInt)
@@ -106,19 +191,23 @@ object PdfText {
       case Nil => ref(pageBody, "/Contents").toSeq
       case rs => rs
     }
-    refs.flatMap(objs.get).flatMap { body =>
-      val start = body.indexOf("stream")
-      val end = body.lastIndexOf("endstream")
-      if (start < 0 || end <= start) None
-      else {
-        val payload = body.substring(start + "stream".length, end)
-          .dropWhile(c => c == '\r' || c == '\n')
-          .stripSuffix("\n").stripSuffix("\r")
-        val bytes = payload.getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)
-        if ("""/Filter\s*/FlateDecode""".r.findFirstIn(body.substring(0, start)).isDefined)
-          inflate(bytes)
-        else Some(new String(bytes, java.nio.charset.StandardCharsets.ISO_8859_1))
-      }
+    refs.flatMap(objs.get).flatMap(streamPayload)
+  }
+
+  /** Decoded stream payload of an object body: bytes between `stream`
+    * and the trailing `endstream`, flate-inflated if marked. */
+  private def streamPayload(body: String): Option[String] = {
+    val start = body.indexOf("stream")
+    val end = body.lastIndexOf("endstream")
+    if (start < 0 || end <= start) None
+    else {
+      val payload = body.substring(start + "stream".length, end)
+        .dropWhile(c => c == '\r' || c == '\n')
+        .stripSuffix("\n").stripSuffix("\r")
+      val bytes = payload.getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)
+      if ("""/Filter\s*/FlateDecode""".r.findFirstIn(body.substring(0, start)).isDefined)
+        inflate(bytes)
+      else Some(new String(bytes, java.nio.charset.StandardCharsets.ISO_8859_1))
     }
   }
 

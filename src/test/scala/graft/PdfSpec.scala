@@ -29,6 +29,40 @@ class PdfSpec extends SparkSpec {
     assert(PdfText.extractText(fixture) == s"$P1\n$P2\n$P3\n")
   }
 
+  test("modern layout: ObjStm-packed page tree behind an xref stream decodes") {
+    import graft.multimodal.ModernPdf
+    assert(PdfText.extractPages(ModernPdf.bytes) == Seq(ModernPdf.Page1, ModernPdf.Page2))
+    assert(PdfText.extractText(ModernPdf.bytes) == ModernPdf.ExpectedText)
+  }
+
+  test("stream payloads containing 'endobj'/'endstream' bytes do not truncate the scan") {
+    // real Flate output routinely contains these keywords as byte
+    // coincidences; the /Length-based cut must survive ANY payload, so
+    // plant them literally in an uncompressed stream
+    val payload = "BT (survives inner) Tj ET\n% endobj endstream decoy"
+    val doc =
+      s"""%PDF-1.4
+         |1 0 obj
+         |<</Type/Catalog/Pages 2 0 R>>
+         |endobj
+         |2 0 obj
+         |<</Type/Pages/Kids[3 0 R]/Count 1>>
+         |endobj
+         |3 0 obj
+         |<</Type/Page/Parent 2 0 R/Contents 4 0 R>>
+         |endobj
+         |4 0 obj
+         |<</Length ${payload.length}>>
+         |stream
+         |$payload
+         |endstream
+         |endobj
+         |trailer
+         |<</Size 5/Root 1 0 R>>
+         |%%EOF""".stripMargin
+    assert(PdfText.extractPages(doc.getBytes("ISO-8859-1")) == Seq("survives inner"))
+  }
+
   test("garbage, empty and null bytes yield no text, no throw") {
     assert(PdfText.extractPages(Array.empty[Byte]).isEmpty)
     assert(PdfText.extractPages(null).isEmpty)
