@@ -49,8 +49,13 @@ class StoreStreamSpec extends SparkSpec {
     val out = spark.read.parquet(dst)
     assert(out.count() > 0)
     assert(out.columns.toSet == Set("doc_id", "pos", "chunk", "embedding"))
-    // streamed result == batch result over the same inputs
-    val batch = StreamIngest.chunkAndEmbed(spark.read.parquet(s"$src/f1.parquet", s"$src/f2.parquet"), 100, 20, 16)
+    // streamed result == batch result over the same inputs, ROW-LEVEL:
+    // the symmetric difference must be empty (count-only equality would
+    // pass a reordered, duplicated-and-dropped, or corrupted stream)
+    val batch = StreamIngest.chunkAndEmbed(
+      spark.read.parquet(s"$src/f1.parquet", s"$src/f2.parquet"), 100, 20, 16)
+    val diff = out.exceptAll(batch).count() + batch.exceptAll(out).count()
+    assert(diff == 0, s"stream vs batch symmetric difference: $diff rows")
     assert(out.count() == batch.count())
   }
 
