@@ -76,22 +76,31 @@ object Ann {
     * per-dim avg aggregation. Deterministic: init = the k lowest-id
     * vectors; empty clusters keep their previous centroid. */
   def kmeansCentroids(df: DataFrame, idCol: String, vecCol: String,
-                      k: Int, iters: Int): Seq[Seq[Double]] = {
+                      k: Int, iters: Int,
+                      persistInput: Boolean = false): Seq[Seq[Double]] = {
     require(k >= 2, "k >= 2")
-    var cents: Seq[Seq[Double]] = df.orderBy(col(idCol)).limit(k)
-      .select(transform(col(vecCol), x => x.cast("double")).as("v"))
-      .collect().map(_.getSeq[Double](0).toSeq).toSeq
-    (0 until iters).foreach { _ =>
-      val updated = df
-        .withColumn("__cluster", assignCluster(col(vecCol), cents))
-        .groupBy(col("__cluster"))
-        .agg(graft.functions.VectorAvg(col(vecCol)).as("centroid"))
-        .collect()
-        .map(r => r.getInt(0) -> r.getSeq[Double](1).toSeq)
-        .toMap
-      cents = cents.indices.map(i => updated.getOrElse(i, cents(i)))
-    }
-    cents
+    // The input is scanned iters+1 times (init + one assign pass per
+    // Lloyd iteration). persistInput trades memory for rescans — measured
+    // at sf0.1 it does NOT win against a plain parquet rescan (see
+    // PLANS.md "k-means iteration caching"), so the default stays off;
+    // it exists for inputs behind expensive upstream transforms.
+    val in = if (persistInput) df.select(col(idCol), col(vecCol)).persist() else df
+    try {
+      var cents: Seq[Seq[Double]] = in.orderBy(col(idCol)).limit(k)
+        .select(transform(col(vecCol), x => x.cast("double")).as("v"))
+        .collect().map(_.getSeq[Double](0).toSeq).toSeq
+      (0 until iters).foreach { _ =>
+        val updated = in
+          .withColumn("__cluster", assignCluster(col(vecCol), cents))
+          .groupBy(col("__cluster"))
+          .agg(graft.functions.VectorAvg(col(vecCol)).as("centroid"))
+          .collect()
+          .map(r => r.getInt(0) -> r.getSeq[Double](1).toSeq)
+          .toMap
+        cents = cents.indices.map(i => updated.getOrElse(i, cents(i)))
+      }
+      cents
+    } finally if (persistInput) { in.unpersist(); () }
   }
 
   /** Nearest-centroid id (cosine argmax, lowest id on ties) against a
