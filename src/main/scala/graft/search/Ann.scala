@@ -145,6 +145,56 @@ object Ann {
       query, k, idCol, vecCol)
   }
 
+  /** Probe selection against a driver-side centroid list: nprobe best
+    * clusters by cosine rounded to 6 (the probe-ranking determinism
+    * contract of [[ivfTopK]]), ties to the lowest id. Mirrors the
+    * DataFrame ranking exactly (asserted in AnnSpec); runs driver-side
+    * because centroids are model state — k×dim doubles, kilobytes. */
+  def probeIds(cents: Seq[Seq[Double]], qvec: Seq[Double], nprobe: Int): Seq[Int] = {
+    def cos(a: Seq[Double], b: Seq[Double]): Double = {
+      if (a.size != b.size) return -1.0
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.size) { dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      if (na == 0.0 || nb == 0.0) 0.0 else dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    cents.zipWithIndex
+      .map { case (c, i) =>
+        (BigDecimal(cos(c, qvec)).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble, i)
+      }
+      .sortBy { case (s, i) => (-s, i) }
+      .take(nprobe).map(_._2)
+  }
+
+  /** Materialize an IVF index: the corpus bucketed by nearest centroid
+    * and WRITTEN `partitionBy` the cluster id. This is the 100 TB form
+    * of [[ivfTopKKMeans]]'s left_semi probe: with the cluster as a
+    * physical partition column, a probe filter is PARTITION PRUNING —
+    * files of non-probed clusters are never opened, so an
+    * nprobe/k probe scans ~nprobe/k of the corpus bytes. */
+  def buildIvfIndex(corpus: DataFrame, cents: Seq[Seq[Double]], path: String,
+                    vecCol: String = "embedding"): Unit =
+    corpus.withColumn("__cluster", assignCluster(col(vecCol), cents))
+      .write.partitionBy("__cluster").mode("overwrite").parquet(path)
+
+  /** Search a materialized IVF index: probes are ranked driver-side
+    * ([[probeIds]]) and applied as a LITERAL `IN` filter on the
+    * partition column, so pruning happens at PLAN time — the scan's
+    * PartitionFilters skip non-probed directories before any file is
+    * opened (asserted via scan metrics in AnnSpec). */
+  def ivfIndexTopK(spark: org.apache.spark.sql.SparkSession, path: String,
+                   query: DataFrame, cents: Seq[Seq[Double]], k: Int, nprobe: Int,
+                   idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    // element type may be float or double; widen in DOUBLE space like
+    // the kernels do
+    val qvec = query.select(col("qvec")).head().getSeq[Number](0)
+      .map(_.doubleValue()).toSeq
+    val probes = probeIds(cents, qvec, nprobe)
+    Search.knn(
+      spark.read.parquet(path)
+        .filter(col("__cluster").isin(probes: _*)).drop("__cluster"),
+      query, k, idCol, vecCol)
+  }
+
   /** Deterministic seeded hyperplanes (unit-free; only the sign of the
     * projection matters). */
   def planes(dim: Int, nbits: Int, seed: Long = 42L): Seq[Seq[Double]] = {

@@ -109,6 +109,54 @@ class AnnSpec extends SparkSpec {
     assert(out(3L) == null)
   }
 
+  test("materialized IVF index: probe filter becomes file-level partition pruning") {
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    val cents = Ann.kmeansCentroids(emb, "vec_id", "embedding", 10, 2)
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivf").toString + "/index"
+    Ann.buildIvfIndex(emb, cents, dir)
+    // driver-side probe ranking == the DataFrame round-6 ranking contract
+    import spark.implicits._
+    val qv = q.head().getSeq[Number](0).map(_.doubleValue()).toSeq
+    val probes = Ann.probeIds(cents, qv, 3)
+    val dfProbes = cents.zipWithIndex.map { case (c, i) => (i, c) }
+      .toDF("cid", "centroid").crossJoin(q)
+      .withColumn("csim",
+        round(graft.vector.VectorOps.cosine(col("centroid"), col("qvec")), 6))
+      .orderBy(col("csim").desc, col("cid").asc).limit(3)
+      .select("cid").collect().map(_.getInt(0)).toSeq
+    assert(probes == dfProbes)
+    // index round-trip: written+pruned search == in-memory same-probe filter
+    val res = Ann.ivfIndexTopK(spark, dir, q, cents, 5, 3)
+    val got = res.collect().map(_.getAs[Long]("vec_id")).toSet
+    val mem = Search.knn(
+      emb.withColumn("__cluster", Ann.assignCluster(col("embedding"), cents))
+        .filter(col("__cluster").isin(probes: _*)).drop("__cluster"), q, 5)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(got == mem)
+    assert((got & exact).size >= 3, s"recall too low: $got vs $exact")
+    // the scan must prune at the FILE level: only probed clusters' files open
+    def scans(p: SparkPlan): Seq[FileSourceScanExec] = p match {
+      case a: AdaptiveSparkPlanExec => scans(a.executedPlan)
+      case s: org.apache.spark.sql.execution.adaptive.QueryStageExec => scans(s.plan)
+      case r: org.apache.spark.sql.execution.exchange.ReusedExchangeExec => scans(r.child)
+      case f: FileSourceScanExec => Seq(f)
+      case other => other.children.flatMap(scans)
+    }
+    val scan = scans(res.queryExecution.executedPlan)
+      .find(_.metadata.get("Location").exists(_.contains("graft-ivf")))
+      .getOrElse(fail("no parquet scan over the index found"))
+    assert(scan.toString.contains("PartitionFilters"), "pruning must be static (plan-time)")
+    val totalFiles = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
+      walk(new java.io.File(dir)).count(_.getName.endsWith(".parquet"))
+    }
+    val numFiles = scan.metrics("numFiles").value
+    assert(numFiles > 0 && numFiles < totalFiles,
+      s"expected file skipping: read $numFiles of $totalFiles files")
+  }
+
   test("LSH buckets are deterministic across runs (seeded planes)") {
     val p = Ann.planes(64, 8)
     val b1 = emb.withColumn("b", Ann.lshBucket(col("embedding"), p))
