@@ -4,11 +4,11 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.analysis.Dedup
+import graft.analysis.{Contamination, Dedup}
 import graft.embed.Featurizer
 import graft.io.Tables
 import graft.multimodal.Multimodal
-import graft.search.{Ann, Search}
+import graft.search.{Ann, Lexical, Search}
 import graft.text.{Chunker, TextAnalysis}
 import graft.vector.VectorOps
 
@@ -273,6 +273,43 @@ object SparkEntry {
       Tables.documents(s, dir)
         .select(col("doc_id"), TextAnalysis.fingerprint(col("text")).as("fp"))
         .orderBy(col("doc_id"))),
+    // ---- [EXT] PII redaction: email/phone scrub over planted
+    // deterministic PII (the synthetic corpus carries none of its own)
+    "pii_redact" -> ((s, dir) =>
+      Tables.documents(s, dir)
+        .select(col("doc_id"),
+          concat(col("text"), lit(" contact user"), col("doc_id"),
+            lit("@example.com or +1-555-000-"),
+            lpad(col("doc_id").cast("string"), 4, "0")).as("dirty"))
+        .select(col("doc_id"),
+          TextAnalysis.redactPii(col("dirty")).as("redacted"))
+        .orderBy(col("doc_id"))),
+    // ---- [EXT] benchmark-contamination detection: training docs that
+    // share a 3-token shingle with the held-out benchmark slice
+    // (doc_id % 50 == 0); n is a parameter — 3 keeps the synthetic
+    // fixed-vocabulary corpus producing a non-empty deterministic result
+    "contamination" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      Contamination.contaminated(
+        docs.filter(col("doc_id") % 50 =!= 0),
+        docs.filter(col("doc_id") % 50 === 0),
+        "text", "doc_id", 3)
+        .orderBy(col("doc_id"))
+    }),
+    // ---- [EXT] lexical retrieval: BM25 top-k (Robertson k1=1.2 b=0.75,
+    // Lucene non-negative idf) — the keyword half of a hybrid stack
+    "bm25_top5" -> ((s, dir) =>
+      Lexical.bm25TopK(Tables.documents(s, dir), "text", "doc_id",
+        Seq("spark", "join", "table", "filter"), 5)),
+    // ---- [EXT] hybrid retrieval: reciprocal-rank fusion of the BM25
+    // ranking with the embedding kNN ranking (rrf@60 over two top-20s)
+    "hybrid_rrf_top5" -> ((s, dir) => {
+      val bm = Lexical.bm25TopK(Tables.documents(s, dir), "text", "doc_id",
+        Seq("spark", "join", "table", "filter"), 20)
+      val vec = Search.knn(Tables.embeddings(s, dir), queryVec(s, dir), 20)
+        .select(col("vec_id").as("doc_id"), col("sim"))
+      Lexical.rrfFuse(bm, vec, "doc_id", "score", "sim", 5)
+    }),
     // ---- A5: deterministic featurizer (zero-egress embed substitution)
     "featurize_check" -> ((s, dir) => {
       val vec = Featurizer.featurize(64)(col("text"))
@@ -679,6 +716,33 @@ object SparkEntry {
     gz.write(s.getBytes("UTF-8")); gz.close()
     bos.toByteArray
   }
+
+  /** BM25 scored-docs CTE chain (shared by bm25_top5 / hybrid_rrf_top5).
+    * Constants are PRE-FOLDED (k1+1 → 2.2, 1−b → 0.25) and ::DOUBLE-cast
+    * so DuckDB's DECIMAL literal arithmetic never engages — decimal
+    * folding of (1.2 + 1.0) diverges from the double the Spark side
+    * computes. Association mirrors Lexical.bm25TopK token-for-token. */
+  private lazy val bm25Ctes: String =
+    s"""toks AS (SELECT doc_id, $toksSql AS toks FROM documents),
+       |dl AS (SELECT doc_id, len(toks)::BIGINT AS dl FROM toks),
+       |stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
+       |postings AS (
+       |  SELECT doc_id, term, count(*) AS tf FROM (
+       |    SELECT doc_id, unnest(toks) AS term FROM toks)
+       |  WHERE term IN ('spark', 'join', 'table', 'filter')
+       |  GROUP BY doc_id, term),
+       |dfreq AS (SELECT term, count(*) AS df FROM postings GROUP BY term),
+       |scored AS (
+       |  SELECT p.doc_id,
+       |         round(sum(
+       |           ln(1.0::DOUBLE + (s.n_docs - f.df + 0.5::DOUBLE) / (f.df + 0.5::DOUBLE))
+       |           * p.tf * 2.2::DOUBLE
+       |           / (p.tf + 1.2::DOUBLE * (0.25::DOUBLE + 0.75::DOUBLE * d.dl / s.avgdl))), 6) AS score
+       |  FROM postings p
+       |  JOIN dfreq f USING (term)
+       |  JOIN dl d USING (doc_id)
+       |  CROSS JOIN stats s
+       |  GROUP BY p.doc_id)""".stripMargin
 
   /** Unrounded cosine, for oracle-internal RANKING where the Spark side
     * also compares raw (k-means assignment argmax): both engines drift
@@ -1131,6 +1195,61 @@ object SparkEntry {
     },
     "fingerprint" ->
       s"SELECT doc_id, ${polySql("text")} AS fp FROM documents ORDER BY doc_id",
+    "pii_redact" ->
+      """SELECT doc_id,
+        |       regexp_replace(regexp_replace(
+        |         text || ' contact user' || doc_id::VARCHAR ||
+        |           '@example.com or +1-555-000-' || lpad(doc_id::VARCHAR, 4, '0'),
+        |         '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
+        |         '\+[0-9]{1,2}-[0-9]{3}-[0-9]{3}-[0-9]{3,}', '[PHONE]', 'g') AS redacted
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "contamination" ->
+      // token hashes per position (zipped unnest), gram = the same
+      // polynomial folded over each 3-token slice of the hash list
+      s"""WITH toks AS (SELECT doc_id, $toksSql AS toks FROM documents),
+         |th AS (
+         |  SELECT doc_id, list(h ORDER BY pos) AS hs FROM (
+         |    SELECT doc_id, ${polySql("term")} AS h, pos FROM (
+         |      SELECT doc_id, unnest(toks) AS term,
+         |             unnest(range(1, len(toks) + 1)) AS pos
+         |      FROM toks))
+         |  GROUP BY doc_id),
+         |grams AS (
+         |  SELECT doc_id,
+         |         list_reduce(list_prepend(7::BIGINT, hs[i:i+2]),
+         |                     (a, b) -> (a * 31 + b) % 1000000007) AS gram
+         |  FROM (
+         |    SELECT doc_id, hs, unnest(range(1, greatest(len(hs) - 3, 0) + 2)) AS i
+         |    FROM th)),
+         |bench AS (SELECT DISTINCT gram FROM grams WHERE doc_id % 50 = 0)
+         |SELECT DISTINCT doc_id FROM grams
+         |WHERE doc_id % 50 <> 0 AND gram IN (SELECT gram FROM bench)
+         |ORDER BY doc_id""".stripMargin,
+    "bm25_top5" ->
+      s"""WITH $bm25Ctes
+         |SELECT doc_id, score FROM scored
+         |ORDER BY score DESC, doc_id ASC LIMIT 5""".stripMargin,
+    "hybrid_rrf_top5" ->
+      s"""WITH $bm25Ctes,
+         |b20 AS (SELECT doc_id, score FROM scored
+         |        ORDER BY score DESC, doc_id ASC LIMIT 20),
+         |brank AS (SELECT doc_id,
+         |                 row_number() OVER (ORDER BY score DESC, doc_id ASC) AS ra
+         |          FROM b20),
+         |q AS (SELECT embedding AS qvec FROM embeddings WHERE vec_id = 0),
+         |v20 AS (
+         |  SELECT vec_id AS doc_id, sim FROM (
+         |    SELECT e.vec_id, ${cosSql("e.embedding", "q.qvec")} AS sim
+         |    FROM embeddings e, q)
+         |  ORDER BY sim DESC, vec_id ASC LIMIT 20),
+         |vrank AS (SELECT doc_id,
+         |                 row_number() OVER (ORDER BY sim DESC, doc_id ASC) AS rb
+         |          FROM v20)
+         |SELECT doc_id,
+         |       round(coalesce(1.0::DOUBLE / (60 + ra), 0.0::DOUBLE)
+         |           + coalesce(1.0::DOUBLE / (60 + rb), 0.0::DOUBLE), 6) AS rrf
+         |FROM brank FULL JOIN vrank USING (doc_id)
+         |ORDER BY rrf DESC, doc_id ASC LIMIT 5""".stripMargin,
     "featurize_check" ->
       s"""WITH tok AS (
          |  SELECT doc_id, unnest($toksSql) AS tok FROM documents),

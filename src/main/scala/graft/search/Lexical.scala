@@ -1,0 +1,81 @@
+package graft.search
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.text.TextAnalysis
+
+/** Lexical (keyword) retrieval and hybrid fusion — the other half of a
+  * retrieval stack next to the vector path the reference implements
+  * (`/root/reference/services/vectorDb.ts:11-24` is embedding-only).
+  * Real RAG deployments pair a BM25 ranking with the embedding kNN and
+  * fuse them; at 100 TB the lexical side is the cheap one (integer
+  * postings, no dim-wide float math).
+  *
+  * Scale shape: tokenize → explode → FILTER TO QUERY TERMS → aggregate.
+  * The term filter runs before any shuffle, so the keyed stages move
+  * only |query terms| × |matching docs| rows, not the full postings
+  * list; document frequencies and corpus stats are single-row /
+  * |terms|-row broadcasts.
+  */
+object Lexical {
+
+  /** Standard Robertson BM25 parameters. */
+  val K1 = 1.2
+  val B = 0.75
+
+  /** BM25 top-k of `docs` against a literal bag of query terms.
+    * Scores are `Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1−b+b·dl/avgdl))`
+    * with idf = ln(1 + (N−df+0.5)/(df+0.5)) (the Lucene non-negative
+    * form), rounded to 6 (float-determinism contract). */
+  def bm25TopK(docs: DataFrame, textCol: String, idCol: String,
+               queryTerms: Seq[String], k: Int): DataFrame = {
+    val toks = docs.select(col(idCol), TextAnalysis.tokens(col(textCol)).as("toks"))
+    val dl = toks.select(col(idCol), size(col("toks")).as("dl"))
+    val stats = dl.agg(count(lit(1)).as("n_docs"), avg(col("dl")).as("avgdl"))
+    val postings = toks
+      .select(col(idCol), explode(col("toks")).as("term"))
+      .filter(col("term").isin(queryTerms: _*)) // prune BEFORE the shuffle
+      .groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf"))
+    val dfreq = postings.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    postings
+      .join(broadcast(dfreq), "term")
+      .join(dl, Seq(idCol))
+      .crossJoin(broadcast(stats))
+      // association mirrors the oracle SQL token-for-token, and the
+      // constants are PRE-FOLDED (k1+1 → 2.2, 1−b → 0.25): both engines
+      // then parse the same decimal literal instead of folding
+      // (1.2 + 1.0) in different numeric types; round-6 absorbs the
+      // per-doc sum order
+      .withColumn("w",
+        log(lit(1.0) + (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5))) *
+          col("tf") * lit(2.2) /
+          (col("tf") + lit(K1) * (lit(0.25) + lit(B) * col("dl") / col("avgdl"))))
+      .groupBy(col(idCol)).agg(round(sum(col("w")), 6).as("score"))
+      .orderBy(col("score").desc, col(idCol).asc)
+      .limit(k)
+  }
+
+  /** Reciprocal-rank fusion (`score = Σ 1/(c + rank)`, c = 60 in the
+    * original paper) of two rankings carried as (id, ordering column)
+    * frames that are ALREADY limited to their top `depth` — the
+    * row_number windows here therefore sort ≤ depth rows, never the
+    * corpus (a global rank window would be a SinglePartition sort). */
+  def rrfFuse(a: DataFrame, b: DataFrame, idCol: String, orderColA: String,
+              orderColB: String, k: Int, c: Int = 60): DataFrame = {
+    def ranked(df: DataFrame, ord: String, as: String): DataFrame =
+      df.withColumn(as,
+        row_number().over(Window.orderBy(col(ord).desc, col(idCol).asc)))
+        .select(col(idCol), col(as))
+    val ra = ranked(a, orderColA, "ra")
+    val rb = ranked(b, orderColB, "rb")
+    ra.join(rb, Seq(idCol), "full_outer")
+      .withColumn("rrf", round(
+        coalesce(lit(1.0) / (lit(c) + col("ra")), lit(0.0)) +
+          coalesce(lit(1.0) / (lit(c) + col("rb")), lit(0.0)), 6))
+      .select(col(idCol), col("rrf"))
+      .orderBy(col("rrf").desc, col(idCol).asc)
+      .limit(k)
+  }
+}

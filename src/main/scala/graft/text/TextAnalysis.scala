@@ -82,6 +82,19 @@ object TextAnalysis {
         lit(0.3) * (lit(1.0) - punctRatioRaw(text)) +
         lit(0.3) * least(stopwordRatioRaw(text) * 5.0, lit(1.0)), 6)
 
+  /** PII patterns — a regex subset that behaves identically under
+    * Java's engine and RE2-style engines (no backrefs, no lookaround),
+    * so the DuckDB oracle replays the same scrub. */
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val PhoneRe = "\\+[0-9]{1,2}-[0-9]{3}-[0-9]{3}-[0-9]{3,}"
+
+  /** PII redaction — emails and phone numbers replaced with typed
+    * placeholder tags, the standard pre-training privacy scrub. Pure
+    * per-row regexp_replace: no shuffle, codegen'd, linear in corpus
+    * bytes at any scale. */
+  def redactPii(text: Column): Column =
+    regexp_replace(regexp_replace(text, EmailRe, "[EMAIL]"), PhoneRe, "[PHONE]")
+
   /** Rolling polynomial fingerprint over the full text: fold
     * (h*31 + charCode) mod 1e9+7, seed 7 — same hash family as
     * [[graft.embed.Featurizer]]; one HOF pass per row. */
