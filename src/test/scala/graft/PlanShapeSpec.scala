@@ -35,4 +35,11 @@ class PlanShapeSpec extends SparkSpec {
   test("chunk_ids plans with no SinglePartition exchange") {
     assert(!plan("chunk_ids").contains("SinglePartition"))
   }
+
+  test("bm25 plans a top-k; contamination stays a keyed broadcast semi-join") {
+    assert(plan("bm25_top5").contains("TakeOrderedAndProject"))
+    val c = plan("contamination")
+    assert(!c.contains("CartesianProduct"), "contamination must not go all-pairs")
+    assert(!c.contains("BroadcastNestedLoopJoin"), "gram join must stay an equi-join")
+  }
 }
