@@ -310,6 +310,30 @@ object SparkEntry {
         .select(col("vec_id").as("doc_id"), col("sim"))
       Lexical.rrfFuse(bm, vec, "doc_id", "score", "sim", 5)
     }),
+    // ---- [EXT] sequence packing: docs → fixed-token-capacity training
+    // windows via the distributed exclusive prefix sum (no
+    // SinglePartition stage; contiguous id-order packing)
+    "seq_pack" -> ((s, dir) => {
+      val weighted = Tables.documents(s, dir).select(col("doc_id"),
+        TextAnalysis.tokenCount(col("text")).cast("long").as("weight"))
+      graft.analysis.SeqPack.packWindows(weighted, "doc_id", "weight", 512L)
+        .orderBy(col("doc_id"))
+    }),
+    // ---- [EXT] upsert / merge (SCD-1 last-wins): a re-ingested slice
+    // overrides the base corpus per key — the incremental-corpus-update
+    // shape; keyed window, fully distributed
+    "upsert_latest" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val base = docs.select(col("doc_id"), col("text"), lit(1L).as("version"))
+      val upd = docs.filter(col("doc_id") % 7 === 0)
+        .select(col("doc_id"), upper(col("text")).as("text"), lit(2L).as("version"))
+      val w = Window.partitionBy(col("doc_id")).orderBy(col("version").desc)
+      base.unionByName(upd)
+        .withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") === 1)
+        .select(col("doc_id"), col("version"), md5(col("text")).as("content_hash"))
+        .orderBy(col("doc_id"))
+    }),
     // ---- A5: deterministic featurizer (zero-egress embed substitution)
     "featurize_check" -> ((s, dir) => {
       val vec = Featurizer.featurize(64)(col("text"))
@@ -1229,6 +1253,24 @@ object SparkEntry {
       s"""WITH $bm25Ctes
          |SELECT doc_id, score FROM scored
          |ORDER BY score DESC, doc_id ASC LIMIT 5""".stripMargin,
+    "seq_pack" ->
+      s"""WITH w AS (SELECT doc_id, len($toksSql)::BIGINT AS weight FROM documents),
+         |c AS (SELECT doc_id, weight,
+         |             coalesce(sum(weight) OVER (ORDER BY doc_id
+         |               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum
+         |      FROM w)
+         |SELECT doc_id, weight, (cum // 512)::BIGINT AS window_id
+         |FROM c ORDER BY doc_id""".stripMargin,
+    "upsert_latest" ->
+      """SELECT doc_id, version, md5(text) AS content_hash FROM (
+        |  SELECT doc_id, text, version,
+        |         row_number() OVER (PARTITION BY doc_id ORDER BY version DESC) AS rn
+        |  FROM (
+        |    SELECT doc_id, text, 1::BIGINT AS version FROM documents
+        |    UNION ALL
+        |    SELECT doc_id, upper(text) AS text, 2::BIGINT AS version
+        |    FROM documents WHERE doc_id % 7 = 0))
+        |WHERE rn = 1 ORDER BY doc_id""".stripMargin,
     "hybrid_rrf_top5" ->
       s"""WITH $bm25Ctes,
          |b20 AS (SELECT doc_id, score FROM scored

@@ -32,8 +32,10 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("PushedFilters") && p.contains("l_shipdate"), p.take(2000))
   }
 
-  test("chunk_ids plans with no SinglePartition exchange") {
+  test("chunk_ids and seq_pack plan with no SinglePartition exchange") {
     assert(!plan("chunk_ids").contains("SinglePartition"))
+    // the global prefix sum must stay the two-phase distributed form
+    assert(!plan("seq_pack").contains("SinglePartition"))
   }
 
   test("bm25 plans a top-k; contamination stays a keyed broadcast semi-join") {
