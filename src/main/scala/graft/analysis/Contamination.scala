@@ -27,26 +27,37 @@ object Contamination {
     transform(TextAnalysis.tokens(text), t =>
       aggregate(split(t, ""), lit(7L), (h, c) => (h * 31 + ascii(c)) % 1000000007L))
 
-  /** One hash per n-token shingle: fold the n token hashes with the
-    * same polynomial (token hashes < 2^30, so h·31 + x stays far from
-    * Long overflow). Documents shorter than n yield their single
-    * truncated shingle. */
-  def shingleHashes(text: Column, n: Int): Column = {
-    val th = tokenHashes(text)
+  /** One hash per n-token shingle, given an ALREADY-MATERIALIZED token
+    * hash array column: fold the n token hashes with the same
+    * polynomial (token hashes < 2^30, so h·31 + x stays far from Long
+    * overflow). Documents shorter than n yield their single truncated
+    * shingle.
+    *
+    * `th` must be a bound column, not the [[tokenHashes]] expression
+    * inline: the lambda references it once per shingle index, and
+    * Catalyst re-evaluates a referenced EXPRESSION per reference (the
+    * known HOF recompute trap) — inlining turned the whole pass
+    * O(shingles × tokens × chars) and measured 14 s at sf0.1 vs well
+    * under 1 s materialized. */
+  def shinglesOfHashes(th: Column, n: Int): Column =
     transform(
       sequence(lit(0), greatest(size(th) - n, lit(0))),
       i => aggregate(slice(th, i + 1, lit(n)), lit(7L),
         (h, x) => (h * 31 + x) % 1000000007L))
-  }
+
+  /** Exploded (id, gram) rows with the token-hash array materialized in
+    * its own projection, so each stage is linear in tokens. */
+  private def gramRows(df: DataFrame, textCol: String, cols: Seq[Column],
+                       n: Int): DataFrame =
+    df.select(cols :+ tokenHashes(col(textCol)).as("__th"): _*)
+      .select(cols :+ explode(shinglesOfHashes(col("__th"), n)).as("gram"): _*)
 
   /** Training docs sharing at least one n-gram with the benchmark set:
     * distinct contaminated ids, one per row. */
   def contaminated(train: DataFrame, bench: DataFrame, textCol: String,
                    idCol: String, n: Int): DataFrame = {
-    val trainGrams = train.select(col(idCol),
-      explode(shingleHashes(col(textCol), n)).as("gram"))
-    val benchGrams = bench
-      .select(explode(shingleHashes(col(textCol), n)).as("gram")).distinct()
+    val trainGrams = gramRows(train, textCol, Seq(col(idCol)), n)
+    val benchGrams = gramRows(bench, textCol, Nil, n).distinct()
     trainGrams
       .join(broadcast(benchGrams), Seq("gram"), "left_semi")
       .select(col(idCol)).distinct()
