@@ -4,7 +4,7 @@ import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 
-import graft.functions.{CosineSimilarity, DotProduct, FeaturizeCounts, L2Normalize, BloomFilterAgg, BloomMightContain, GunzipText, MinHashSignature, PdfExtract, SimHash64, SortedArrayIntersectCount, SortedJaccard, VectorAvg}
+import graft.functions.{CosineSimilarity, DotProduct, FeaturizeCounts, L2Normalize, BloomFilterAgg, BloomMightContain, GunzipText, MinHashSignature, PdfExtract, SimHash64, SortedArrayIntersectCount, SortedJaccard, TokenShingleHashes, VectorAvg}
 
 /** Registers the engine's native expressions as SQL functions, so the
   * full surface is reachable from `spark.sql(...)` as well as the Column
@@ -77,7 +77,10 @@ object GraftExtensions {
       (es: Seq[Expression]) => FeaturizeCounts(es(0), intArg(es(1), "featurize"), normalize = true)),
     ("featurize_counts",
       new ExpressionInfo(classOf[FeaturizeCounts].getName, "featurize_counts"),
-      (es: Seq[Expression]) => FeaturizeCounts(es(0), intArg(es(1), "featurize_counts"), normalize = false)))
+      (es: Seq[Expression]) => FeaturizeCounts(es(0), intArg(es(1), "featurize_counts"), normalize = false)),
+    ("token_shingle_hashes",
+      new ExpressionInfo(classOf[TokenShingleHashes].getName, "token_shingle_hashes"),
+      (es: Seq[Expression]) => TokenShingleHashes(es(0), intArg(es(1), "token_shingle_hashes"))))
 
   /** Register on an already-built session (temp functions). */
   def register(spark: SparkSession): Unit =

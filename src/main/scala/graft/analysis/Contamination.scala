@@ -45,12 +45,21 @@ object Contamination {
       i => aggregate(slice(th, i + 1, lit(n)), lit(7L),
         (h, x) => (h * 31 + x) % 1000000007L))
 
-  /** Exploded (id, gram) rows with the token-hash array materialized in
-    * its own projection, so each stage is linear in tokens. */
-  private def gramRows(df: DataFrame, textCol: String, cols: Seq[Column],
-                       n: Int): DataFrame =
+  /** Composed-builtin gram rows — the executable specification of the
+    * fused path below (token-hash array materialized in its own
+    * projection so each stage stays linear in tokens). */
+  private[graft] def gramRowsComposed(df: DataFrame, textCol: String,
+                                      cols: Seq[Column], n: Int): DataFrame =
     df.select(cols :+ tokenHashes(col(textCol)).as("__th"): _*)
       .select(cols :+ explode(shinglesOfHashes(col("__th"), n)).as("gram"): _*)
+
+  /** Exploded (id, gram) rows via the fused single-pass expression
+    * ([[graft.functions.TokenShingleHashes]] — one string walk, no
+    * per-token split allocations, no interpreted lambda frames). */
+  private def gramRows(df: DataFrame, textCol: String, cols: Seq[Column],
+                       n: Int): DataFrame =
+    df.select(cols :+ explode(
+      graft.functions.TokenShingleHashes(col(textCol), n)).as("gram"): _*)
 
   /** Training docs sharing at least one n-gram with the benchmark set:
     * distinct contaminated ids, one per row. */

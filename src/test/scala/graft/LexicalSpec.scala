@@ -54,6 +54,21 @@ class LexicalSpec extends SparkSpec {
     assert(out(1L) == "no pii here @ not-an-email +1-55-1")
   }
 
+  test("fused token_shingle_hashes matches the composed HOF spec, incl. edges") {
+    val real = spark.read.parquet(s"$sf0001/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    val edges = Seq((9001L, ""), (9002L, "   "), (9003L, "one"),
+      (9004L, "a  b c"), (9005L, "MiXeD Case tokens"))
+      .toDF("doc_id", "text")
+    for (df <- Seq(real, edges)) {
+      val composed = Contamination.gramRowsComposed(df, "text", Seq(col("doc_id")), 3)
+      val native = df.select(col("doc_id"),
+        explode(graft.functions.TokenShingleHashes(col("text"), 3)).as("gram"))
+      val diff = native.exceptAll(composed).count() + composed.exceptAll(native).count()
+      assert(diff == 0, s"fused vs composed gram mismatch: $diff rows")
+    }
+  }
+
   test("contamination flags exactly the docs sharing an n-token shingle") {
     val train = Seq(
       (1L, "alpha beta gamma delta"),
