@@ -582,6 +582,14 @@ object SparkEntry {
           Map("en" -> 0.5, "de" -> 0.25), defaultFraction = 0.1)
         .groupBy(col("lang")).agg(count(lit(1)).as("n"))
         .orderBy(col("lang"))),
+    // ---- [EXT] deterministic train/val/test split: hash-bucket cut
+    // points (eighths — exact in 2^32, so no engine disagrees on a
+    // boundary); stable under corpus growth unlike randomSplit
+    "split_assign" -> ((s, dir) =>
+      Tables.documents(s, dir).select(col("doc_id"),
+          graft.analysis.Sampling.splitAssign(col("doc_id"),
+            Seq("train" -> 0.75, "val" -> 0.125, "test" -> 0.125)).as("split"))
+        .orderBy(col("doc_id"))),
     // ---- [EXT] exact percentiles (interpolated) + moment statistics —
     // Spark's `percentile` is the exact sort-based aggregate (vs the
     // approx_percentile sketch), interpolation-compatible with
@@ -1539,6 +1547,16 @@ object SparkEntry {
         |              WHEN lang = 'de' THEN CAST(0.25 * 4294967296 AS BIGINT)
         |              ELSE CAST(0.1 * 4294967296 AS BIGINT) END)
         |GROUP BY lang ORDER BY lang""".stripMargin,
+    "split_assign" ->
+      """SELECT doc_id,
+        |       CASE WHEN bkt < 3221225472 THEN 'train'
+        |            WHEN bkt < 3758096384 THEN 'val'
+        |            ELSE 'test' END AS split
+        |FROM (SELECT doc_id,
+        |             (((((doc_id % 4294967296) // 65536) * 2654435761) % 4294967296) * 65536
+        |              + ((doc_id % 4294967296) % 65536) * 2654435761) % 4294967296 AS bkt
+        |      FROM documents)
+        |ORDER BY doc_id""".stripMargin,
     "percentile_stats" ->
       """SELECT l_returnflag,
         |       round(quantile_cont(l_quantity, 0.5), 6) AS p50_qty,

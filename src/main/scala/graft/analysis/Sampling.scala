@@ -48,6 +48,26 @@ object Sampling {
     df.filter(bucket(col(idCol)) < lit((fraction * M).toLong))
   }
 
+  /** Deterministic named split (train/val/test): assign each row by its
+    * hash bucket against cumulative fraction cut points. Splits are
+    * disjoint, exhaustive, engine-reproducible, and STABLE under corpus
+    * growth — a row's split is a pure function of its own id, so adding
+    * documents never reshuffles existing assignments (the property
+    * `randomSplit` lacks). Prefer fractions that are exact in 2^32
+    * (eighths, sixteenths…): the cut `fraction * 2^32` is then the same
+    * integer under double truncation and DECIMAL rounding, so no engine
+    * disagrees on a boundary bucket. */
+  def splitAssign(id: Column, splits: Seq[(String, Double)]): Column = {
+    require(splits.nonEmpty, "at least one split")
+    require(math.abs(splits.map(_._2).sum - 1.0) < 1e-9, "fractions must sum to 1")
+    val b = bucket(id)
+    val cuts = splits.map(_._2).scanLeft(0.0)(_ + _).tail
+    splits.zip(cuts).dropRight(1).foldRight(lit(splits.last._1): Column) {
+      case (((name, _), cut), acc) =>
+        when(b < lit((cut * M).toLong), lit(name)).otherwise(acc)
+    }
+  }
+
   /** Stratified deterministic sample: an independent fraction per
     * stratum value (e.g. per language), unlisted strata default to
     * `defaultFraction`. Same per-row determinism and nesting as

@@ -145,6 +145,7 @@ class StoreStreamSpec extends SparkSpec {
     }
     roundTrip("json")
     roundTrip("csv")
+    roundTrip("orc") // the other columnar container Spark ships built-in
   }
 
   test("streaming exact dedup: later duplicate within the watermark is dropped") {
