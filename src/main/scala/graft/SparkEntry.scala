@@ -582,6 +582,44 @@ object SparkEntry {
           Map("en" -> 0.5, "de" -> 0.25), defaultFraction = 0.1)
         .groupBy(col("lang")).agg(count(lit(1)).as("n"))
         .orderBy(col("lang"))),
+    // ---- [EXT] text normalization scrub over planted control chars /
+    // space runs (the synthetic corpus is already clean)
+    "normalize_text" -> ((s, dir) =>
+      Tables.documents(s, dir)
+        .select(col("doc_id"),
+          TextAnalysis.normalizeText(
+            concat(col("text"), lit("  tail\tcharshere  "))).as("norm"))
+        .orderBy(col("doc_id"))),
+    // ---- [EXT] packing utilization: docs and tokens per training window
+    "seq_pack_stats" -> ((s, dir) => {
+      val weighted = Tables.documents(s, dir).select(col("doc_id"),
+        TextAnalysis.tokenCount(col("text")).cast("long").as("weight"))
+      graft.analysis.SeqPack.packWindows(weighted, "doc_id", "weight", 512L)
+        .groupBy(col("window_id"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("weight")).as("tokens"))
+        .orderBy(col("window_id"))
+    }),
+    // ---- [EXT] TPC-H Q8-flavored market share: per order year, the
+    // revenue share of one region's suppliers — a 5-table join with all
+    // dimensions broadcast and a conditional aggregate
+    "q8_market_share" -> ((s, dir) => {
+      val supRegion = Tables.supplier(s, dir)
+        .join(broadcast(Tables.nation(s, dir)),
+          col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(Tables.region(s, dir)),
+          col("n_regionkey") === col("r_regionkey"))
+        .select(col("s_suppkey"), col("r_name"))
+      Tables.lineitem(s, dir)
+        .join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(supRegion), col("l_suppkey") === col("s_suppkey"))
+        .withColumn("rev", col("l_extendedprice") * (lit(1) - col("l_discount")))
+        .groupBy(year(col("o_orderdate")).cast("long").as("o_year"))
+        .agg(
+          round(sum(when(col("r_name") === "ASIA", col("rev")).otherwise(lit(0.0)))
+            / sum(col("rev")), 6).as("asia_share"),
+          round(sum(col("rev")), 2).as("total_rev"))
+        .orderBy(col("o_year"))
+    }),
     // ---- [EXT] deterministic train/val/test split: hash-bucket cut
     // points (eighths — exact in 2^32, so no engine disagrees on a
     // boundary); stable under corpus growth unlike randomSplit
@@ -1547,6 +1585,35 @@ object SparkEntry {
         |              WHEN lang = 'de' THEN CAST(0.25 * 4294967296 AS BIGINT)
         |              ELSE CAST(0.1 * 4294967296 AS BIGINT) END)
         |GROUP BY lang ORDER BY lang""".stripMargin,
+    "normalize_text" ->
+      """SELECT doc_id,
+        |       trim(regexp_replace(regexp_replace(
+        |         text || '  tail' || chr(9) || 'charshere  ',
+        |         '[\x00-\x1F\x7F]', ' ', 'g'), ' +', ' ', 'g')) AS norm
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "seq_pack_stats" ->
+      s"""WITH w AS (SELECT doc_id, len($toksSql)::BIGINT AS weight FROM documents),
+         |c AS (SELECT doc_id, weight,
+         |             coalesce(sum(weight) OVER (ORDER BY doc_id
+         |               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum
+         |      FROM w),
+         |p AS (SELECT doc_id, weight, (cum // 512)::BIGINT AS window_id FROM c)
+         |SELECT window_id, count(*) AS n_docs, sum(weight)::BIGINT AS tokens
+         |FROM p GROUP BY window_id ORDER BY window_id""".stripMargin,
+    "q8_market_share" ->
+      """SELECT year(o_orderdate)::BIGINT AS o_year,
+        |       round(sum(CASE WHEN r_name = 'ASIA' THEN rev ELSE 0.0::DOUBLE END)
+        |             / sum(rev), 6) AS asia_share,
+        |       round(sum(rev), 2) AS total_rev
+        |FROM (
+        |  SELECT o.o_orderdate, r.r_name,
+        |         l.l_extendedprice * (1 - l.l_discount) AS rev
+        |  FROM lineitem l
+        |  JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        |  JOIN nation n ON s.s_nationkey = n.n_nationkey
+        |  JOIN region r ON n.n_regionkey = r.r_regionkey)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "split_assign" ->
       """SELECT doc_id,
         |       CASE WHEN bkt < 3221225472 THEN 'train'

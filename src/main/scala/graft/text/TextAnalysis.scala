@@ -95,6 +95,16 @@ object TextAnalysis {
   def redactPii(text: Column): Column =
     regexp_replace(regexp_replace(text, EmailRe, "[EMAIL]"), PhoneRe, "[PHONE]")
 
+  /** Text normalization scrub (standard ingest preprocessing): ASCII
+    * control characters → space, space runs collapsed, ends trimmed.
+    * The run-collapse pattern is a literal `" +"` ON PURPOSE: `\s` class
+    * membership differs between Java regex and RE2 (\x0B), but after
+    * step one only real spaces remain, so the literal is
+    * engine-portable. */
+  def normalizeText(text: Column): Column =
+    trim(regexp_replace(
+      regexp_replace(text, "[\\x00-\\x1F\\x7F]", " "), " +", " "))
+
   /** Rolling polynomial fingerprint over the full text: fold
     * (h*31 + charCode) mod 1e9+7, seed 7 — same hash family as
     * [[graft.embed.Featurizer]]; one HOF pass per row. */
