@@ -525,6 +525,50 @@ object SparkEntry {
           coalesce(col("o_orderpriority"), lit("ALL")).as("pri"),
           col("n"), col("total"))
         .orderBy(col("st"), col("pri"))),
+    // ---- [EXT] explicit GROUPING SETS — a union of groupings that is
+    // neither a rollup prefix chain nor a full cube: per-returnflag and
+    // per-linestatus marginals in one pass (Catalyst expands to a
+    // single Expand + one shuffled aggregate, not two scans)
+    "grouping_sets_stats" -> ((s, dir) =>
+      Tables.lineitem(s, dir)
+        .groupingSets(
+          Seq(Seq(col("l_returnflag")), Seq(col("l_linestatus"))),
+          col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n"), round(avg(col("l_discount")), 6).as("avg_disc"))
+        .select(coalesce(col("l_returnflag"), lit("ALL")).as("rf"),
+          coalesce(col("l_linestatus"), lit("ALL")).as("ls"),
+          col("n"), col("avg_disc"))
+        .orderBy(col("rf"), col("ls"))),
+    // ---- [EXT] left outer join preserving the unmatched side:
+    // per-customer count of big-ticket orders INCLUDING the customers
+    // that have none (count(o_orderkey) skips the null-extended rows;
+    // the filter makes zero-count customers genuinely exist — every
+    // customer has SOME order in this corpus). The aggregate keys on
+    // the join key, so the post-join groupBy reuses the join's hash
+    // partitioning — one shuffle per side, none after.
+    "left_join_counts" -> ((s, dir) =>
+      Tables.customer(s, dir)
+        .join(Tables.orders(s, dir).filter(col("o_totalprice") > 300000),
+          col("c_custkey") === col("o_custkey"), "left_outer")
+        .groupBy(col("c_custkey").as("custkey"))
+        .agg(count(col("o_orderkey")).as("n_big"))
+        .orderBy(col("custkey"))),
+    // ---- [EXT] full outer join with genuinely unmatched keys on BOTH
+    // sides (verified in OuterJoinSpec): customers with URGENT orders
+    // vs customers with LOW-priority orders. Null-side keys coalesce
+    // into one key column; missing counts surface as 0.
+    "outer_join_priorities" -> ((s, dir) => {
+      val o = Tables.orders(s, dir)
+      val urgent = o.filter(col("o_orderpriority") === "1-URGENT")
+        .groupBy(col("o_custkey").as("cu")).agg(count(lit(1)).as("n_urgent"))
+      val low = o.filter(col("o_orderpriority") === "5-LOW")
+        .groupBy(col("o_custkey").as("cl")).agg(count(lit(1)).as("n_low"))
+      urgent.join(low, col("cu") === col("cl"), "full_outer")
+        .select(coalesce(col("cu"), col("cl")).as("custkey"),
+          coalesce(col("n_urgent"), lit(0L)).as("n_urgent"),
+          coalesce(col("n_low"), lit(0L)).as("n_low"))
+        .orderBy(col("custkey"))
+    }),
     // ---- [EXT] dedup subtract: the rows exact-dedup would drop
     "dedup_dropped" -> ((s, dir) =>
       Dedup.exactDropped(Tables.documents(s, dir), "doc_id", "text")
@@ -1551,6 +1595,27 @@ object SparkEntry {
         |       count(*) AS n, round(sum(o_totalprice), 2) AS total
         |FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
         |ORDER BY st, pri""".stripMargin,
+    "grouping_sets_stats" ->
+      """SELECT coalesce(l_returnflag, 'ALL') AS rf,
+        |       coalesce(l_linestatus, 'ALL') AS ls,
+        |       count(*) AS n, round(avg(l_discount), 6) AS avg_disc
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
+        |ORDER BY rf, ls""".stripMargin,
+    "left_join_counts" ->
+      """SELECT c_custkey AS custkey, count(o_orderkey) AS n_big
+        |FROM customer LEFT JOIN (SELECT * FROM orders WHERE o_totalprice > 300000) o
+        |  ON c_custkey = o_custkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "outer_join_priorities" ->
+      """WITH u AS (SELECT o_custkey AS cu, count(*) AS n_urgent FROM orders
+        |            WHERE o_orderpriority = '1-URGENT' GROUP BY 1),
+        |     l AS (SELECT o_custkey AS cl, count(*) AS n_low FROM orders
+        |            WHERE o_orderpriority = '5-LOW' GROUP BY 1)
+        |SELECT coalesce(cu, cl) AS custkey,
+        |       coalesce(n_urgent, 0) AS n_urgent, coalesce(n_low, 0) AS n_low
+        |FROM u FULL OUTER JOIN l ON cu = cl
+        |ORDER BY custkey""".stripMargin,
     "dedup_dropped" ->
       """SELECT doc_id FROM documents
         |WHERE doc_id NOT IN (SELECT min(doc_id) FROM documents GROUP BY md5(text))
