@@ -263,6 +263,12 @@ object SparkEntry {
           TextAnalysis.stopwordRatio(col("text")).as("stopword_ratio"),
           TextAnalysis.qualityScore(col("text")).as("quality_score"))
         .orderBy(col("doc_id"))),
+    // ---- [EXT] Gopher-style repetition signals: duplicate-word
+    // fraction (per-row) + top-bigram character coverage (distributed
+    // mode via explode/count/argmax — linear at any document length)
+    "repetition_stats" -> ((s, dir) =>
+      TextAnalysis.repetitionStats(Tables.documents(s, dir), "doc_id", "text")
+        .orderBy(col("doc_id"))),
     // ---- [EXT] language-ID heuristic
     "lang_id" -> ((s, dir) =>
       Tables.documents(s, dir)
@@ -1290,6 +1296,24 @@ object SparkEntry {
          |       round(0.4 * least(tc / 50.0, 1.0) + 0.3 * (1.0 - pr) +
          |             0.3 * least(sr * 5.0, 1.0), 6) AS quality_score
          |FROM q ORDER BY doc_id""".stripMargin,
+    "repetition_stats" ->
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS ws,
+        |                  length(text) AS nc FROM documents),
+        |     s AS (SELECT doc_id, nc, len(ws) AS nw,
+        |                  len(list_distinct(ws)) AS ndw FROM d),
+        |     bg AS (SELECT doc_id, ws[i] || ' ' || ws[i+1] AS g
+        |            FROM d, LATERAL (SELECT unnest(range(1, len(ws))) AS i) t),
+        |     cnt AS (SELECT doc_id, g, count(*) AS c FROM bg GROUP BY 1, 2),
+        |     top AS (SELECT doc_id, c, g FROM
+        |              (SELECT doc_id, c, g,
+        |                      row_number() OVER (PARTITION BY doc_id
+        |                                         ORDER BY c DESC, g) AS rn
+        |               FROM cnt) WHERE rn = 1)
+        |SELECT s.doc_id AS doc_id,
+        |       round((nw - ndw) / greatest(nw, 1)::DOUBLE, 6) AS dup_word_frac,
+        |       round(coalesce(c * length(g), 0) / greatest(nc, 1)::DOUBLE, 6) AS top2_frac
+        |FROM s LEFT JOIN top ON s.doc_id = top.doc_id
+        |ORDER BY doc_id""".stripMargin,
     "lang_id" -> {
       def hits(ms: Seq[String]): String =
         s"len(list_filter($toksSql, t -> list_contains([${ms.map("'" + _ + "'").mkString(",")}], t)))"

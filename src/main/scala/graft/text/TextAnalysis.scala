@@ -1,6 +1,6 @@
 package graft.text
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Text-analysis operators for the training-data-pipeline extensions
@@ -104,6 +104,47 @@ object TextAnalysis {
   def normalizeText(text: Column): Column =
     trim(regexp_replace(
       regexp_replace(text, "[\\x00-\\x1F\\x7F]", " "), " +", " "))
+
+  /** Gopher-style repetition signals (Rae et al. 2021 §A1.1, public):
+    * heavily repetitious text is a strong low-quality indicator for
+    * pre-training corpora.
+    *
+    *   - `dup_word_frac` — fraction of words that repeat an earlier
+    *     word: (n_words − n_distinct_words) / n_words. Pure per-row
+    *     array math, no shuffle.
+    *   - `top2_frac`    — fraction of characters covered by the most
+    *     frequent word bigram: count × len(bigram) / len(text). The
+    *     bigram mode is computed DISTRIBUTED — explode to (doc, gram)
+    *     rows, count, argmax — because per-row mode via array HOFs is
+    *     O(words × distinct_grams) per document, quadratic on long
+    *     documents; the exploded form shuffles fixed-width (id, gram
+    *     hash) rows and stays linear at any document length.
+    *
+    * Tie-break: greatest count, then lexicographically SMALLEST gram
+    * (`min(struct(-count, gram))` — a string cannot be negated, so the
+    * count is). Words split on single spaces, exactly `string_split`
+    * in the DuckDB oracle. */
+  def repetitionStats(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val ws = split(col(textCol), " ")
+    val nBigrams = greatest(size(ws) - 1, lit(0))
+    val base = docs.select(col(idCol).as("doc_id"),
+      length(col(textCol)).as("nc"),
+      size(ws).as("nw"),
+      size(array_distinct(ws)).as("ndw"),
+      zip_with(slice(ws, lit(1), nBigrams), slice(ws, lit(2), nBigrams),
+        (a, b) => concat_ws(" ", a, b)).as("bigrams"))
+    val top = base.select(col("doc_id"), explode(col("bigrams")).as("g"))
+      .groupBy(col("doc_id"), col("g")).agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"))
+      .agg(min(struct((-col("c")).as("negc"), col("g").as("g"))).as("m"))
+      .select(col("doc_id"), (-col("m.negc")).as("c"), col("m.g").as("g"))
+    base.join(top, Seq("doc_id"), "left_outer")
+      .select(col("doc_id"),
+        round((col("nw") - col("ndw")).cast("double") /
+          greatest(col("nw"), lit(1)).cast("double"), 6).as("dup_word_frac"),
+        round(coalesce(col("c") * length(col("g")), lit(0L)).cast("double") /
+          greatest(col("nc"), lit(1)).cast("double"), 6).as("top2_frac"))
+  }
 
   /** Rolling polynomial fingerprint over the full text: fold
     * (h*31 + charCode) mod 1e9+7, seed 7 — same hash family as

@@ -1,0 +1,37 @@
+package graft
+
+import org.apache.spark.sql.Row
+import graft.text.TextAnalysis
+
+/** Hand-computed pins for the Gopher-style repetition signals. */
+class RepetitionSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def stats(rows: (Long, String)*): Map[Long, (Double, Double)] =
+    TextAnalysis.repetitionStats(
+        rows.toSeq.toDF("doc_id", "text"), "doc_id", "text")
+      .collect()
+      .map { case Row(id: Long, d: Double, t: Double) => id -> (d, t) }
+      .toMap
+
+  test("dup_word_frac and top2_frac on hand-checked documents") {
+    val m = stats(
+      1L -> "a a a b",       // 4 words, 2 distinct → dup 0.5
+                             // bigrams: "a a"×2, "a b"×1 → top "a a"
+                             // top2 = 2*3/7
+      2L -> "x y z",         // all distinct → dup 0; "x y"×1 top2 = 3/5
+      3L -> "w")             // one word: no bigrams → top2 = 0
+    assert(m(1L) == (0.5, math.rint(2.0 * 3 / 7 * 1e6) / 1e6))
+    assert(m(2L) == (0.0, 0.6))
+    assert(m(3L) == (0.0, 0.0))
+  }
+
+  test("bigram-mode tie-break: greatest count, then smallest gram") {
+    // "p q r s p q r s": "p q"×2, "q r"×2, "r s"×2, "s p"×1 — three
+    // bigrams tie at 2; the lexicographically smallest ("p q") must win
+    // (the oracle's row_number ORDER BY c DESC, g picks the same one)
+    val m = stats(1L -> "p q r s p q r s")
+    // nc=15, top2 = 2*3/15 = 0.4; dup = (8-4)/8 = 0.5
+    assert(m(1L) == (0.5, 0.4))
+  }
+}
