@@ -208,6 +208,16 @@ object SparkEntry {
     "minhash_cands" -> ((s, dir) =>
       Dedup.minhashCandidates(Tables.documents(s, dir), "doc_id", "text", 5, 32, 8)
         .orderBy(col("id_a"), col("id_b"))),
+    // ---- [EXT] fuzzy (typo-level) near-dup: MinHash LSH blocking →
+    // exact Levenshtein rerank on a bounded 200-char prefix (per-pair
+    // DP cost fixed regardless of document length; Spark's thresholded
+    // levenshtein early-exits past maxDist)
+    "edit_neardup" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val cands = Dedup.minhashCandidates(docs, "doc_id", "text", 5, 32, 8)
+      Dedup.editRerank(cands, docs, "doc_id", "text", prefixLen = 200, maxDist = 24)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
     // ---- [EXT] scale-first global Jaccard near-dup: LSH band prefilter
     // → exact fused-merge rerank; no blocking column, no broadcast side
     "dedup_jaccard_lsh" -> ((s, dir) =>
@@ -1175,6 +1185,32 @@ object SparkEntry {
          |SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
          |FROM band a JOIN band b
          |  ON a.band = b.band AND a.bandsig = b.bandsig AND a.doc_id < b.doc_id
+         |ORDER BY id_a, id_b""".stripMargin,
+    "edit_neardup" ->
+      s"""WITH sh AS (
+         |  SELECT DISTINCT doc_id, substring(text, g::INT + 1, 5) AS sh
+         |  FROM (SELECT doc_id, text,
+         |          unnest(range(0, greatest(length(text) - 4, 1), 1)) AS g
+         |        FROM documents)),
+         |shh AS (SELECT doc_id, ${polySql("sh")} AS h FROM sh),
+         |m AS (
+         |  SELECT doc_id, i,
+         |         min((h * (2 * i + 1) + (7919 * (i + 1)) % 1000000007) % 1000000007) AS mh
+         |  FROM shh, (SELECT unnest(range(0, 32)) AS i) seeds
+         |  GROUP BY 1, 2),
+         |band AS (
+         |  SELECT doc_id, i // 8 AS band,
+         |         string_agg(mh::VARCHAR, ',' ORDER BY i) AS bandsig
+         |  FROM m GROUP BY 1, 2),
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         |  FROM band a JOIN band b
+         |    ON a.band = b.band AND a.bandsig = b.bandsig AND a.doc_id < b.doc_id)
+         |SELECT id_a, id_b,
+         |       levenshtein(substr(da.text, 1, 200), substr(db.text, 1, 200))::BIGINT AS dist
+         |FROM cand JOIN documents da ON cand.id_a = da.doc_id
+         |          JOIN documents db ON cand.id_b = db.doc_id
+         |WHERE levenshtein(substr(da.text, 1, 200), substr(db.text, 1, 200)) <= 24
          |ORDER BY id_a, id_b""".stripMargin,
     "dedup_jaccard_lsh" ->
       s"""WITH sh AS (

@@ -231,6 +231,31 @@ object Dedup {
       .distinct()
   }
 
+  /** Edit-distance rerank over candidate pairs — the exact-verify
+    * stage of fuzzy (typo-level) dedup. Candidates come from a
+    * blocking stage (MinHash LSH here: [[minhashCandidates]]); this
+    * joins the texts back and keeps pairs whose Levenshtein distance
+    * on the first `prefixLen` chars is ≤ `maxDist`.
+    *
+    * Scale shape: the DP cost is bounded to O(prefixLen²) PER PAIR
+    * regardless of document length, and Spark's thresholded
+    * `levenshtein(l, r, k)` early-exits the DP (banded) once the
+    * distance provably exceeds k — returning -1, which the filter
+    * drops; the DuckDB oracle computes the full distance and filters
+    * `<= maxDist`, an identical survivor set. Both text joins are
+    * keyed equi-joins shuffling (id, prefix) rows only. */
+  def editRerank(pairs: DataFrame, docs: DataFrame, idCol: String, textCol: String,
+                 prefixLen: Int, maxDist: Int): DataFrame = {
+    val a = docs.select(col(idCol).as("id_a"),
+      substring(col(textCol), 1, prefixLen).as("__ta"))
+    val b = docs.select(col(idCol).as("id_b"),
+      substring(col(textCol), 1, prefixLen).as("__tb"))
+    pairs.join(a, Seq("id_a")).join(b, Seq("id_b"))
+      .withColumn("dist", levenshtein(col("__ta"), col("__tb"), maxDist))
+      .filter(col("dist") >= 0)
+      .select(col("id_a"), col("id_b"), col("dist").cast("long").as("dist"))
+  }
+
   /** 64-bit SimHash over whitespace tokens: per bit j, sum ±1 over
     * tokens by bit j of the token's bit source (j<32: the portable
     * polynomial hash; j≥32: a second independent polynomial — one
