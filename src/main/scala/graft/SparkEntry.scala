@@ -77,6 +77,35 @@ object SparkEntry {
       Search.knnDot(corpus, q, 5, vecCol = "nvec")
         .select(col("vec_id"), col("sim"))
     }),
+    // ---- [EXT] int8 scalar quantization of the embedding corpus —
+    // exploded to (vec_id, idx, q) so the oracle pins every quantized
+    // value exactly (the fused kernel and DuckDB's floor-form agree
+    // bit-for-bit; see functions/QuantizeInt8.scala)
+    "quantize_int8" -> ((s, dir) =>
+      Tables.embeddings(s, dir)
+        .select(col("vec_id"), posexplode(VectorOps.quantizeInt8(col("embedding"))))
+        .select(col("vec_id"), col("pos").cast("long").as("idx"),
+          col("col").cast("long").as("q"))
+        .orderBy(col("vec_id"), col("idx"))),
+    // ---- [EXT] retrieval quality after 4× compression: recall@5 of
+    // the int8-quantized cosine scan vs the exact float scan. The
+    // per-vector scale cancels in cosine, so scoring needs no
+    // dequantization; quantized integer dots are exact in double, so
+    // both engines rank identically.
+    "knn_int8_recall" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val exact = Search.knn(emb, queryVec(s, dir), 5).select(col("vec_id"))
+      val qCorpus = emb.select(col("vec_id"),
+        transform(VectorOps.quantizeInt8(col("embedding")), _.cast("double")).as("qv"))
+      val qQuery = queryVec(s, dir).select(
+        transform(VectorOps.quantizeInt8(col("qvec")), _.cast("double")).as("qq"))
+      val approx = qCorpus.crossJoin(broadcast(qQuery))
+        .select(col("vec_id"), VectorOps.cosine6(col("qv"), col("qq")).as("sim"))
+        .orderBy(col("sim").desc, col("vec_id").asc).limit(5)
+        .select(col("vec_id"))
+      exact.join(approx, Seq("vec_id"), "left_semi")
+        .agg((count(lit(1)) / 5.0).as("recall_at_5"))
+    }),
     // ---- [EXT] ANN quality as a verified number: recall@5 of the IVF
     // probe against the exact scan
     "ann_recall" -> ((s, dir) => {
@@ -960,6 +989,37 @@ object SparkEntry {
          |  FROM embeddings e,
          |       (SELECT embedding AS qvec FROM embeddings WHERE vec_id = 0) q)
          |ORDER BY sim DESC, vec_id ASC LIMIT 5""".stripMargin,
+    "quantize_int8" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v,
+        |                  list_max(list_transform(embedding::DOUBLE[], x -> abs(x))) AS m
+        |           FROM embeddings)
+        |SELECT vec_id, r['idx']::BIGINT AS idx, r['q']::BIGINT AS q FROM (
+        |  SELECT vec_id, unnest(list_transform(v, (x, i) ->
+        |    {'idx': i - 1,
+        |     'q': CASE WHEN m = 0 THEN 0 ELSE floor(x / (m / 127.0) + 0.5) END})) AS r
+        |  FROM e)
+        |ORDER BY vec_id, idx""".stripMargin,
+    "knn_int8_recall" ->
+      s"""WITH qz AS (
+         |  SELECT vec_id,
+         |         CASE WHEN m = 0 THEN list_transform(v, x -> 0.0)
+         |              ELSE list_transform(v, x -> floor(x / (m / 127.0) + 0.5)) END AS qv
+         |  FROM (SELECT vec_id, embedding::DOUBLE[] AS v,
+         |               list_max(list_transform(embedding::DOUBLE[], x -> abs(x))) AS m
+         |        FROM embeddings)),
+         |qq AS (SELECT qv AS qvec FROM qz WHERE vec_id = 0),
+         |approx AS (
+         |  SELECT vec_id FROM (
+         |    SELECT qz.vec_id, ${cosSql("qz.qv", "qq.qvec")} AS sim FROM qz, qq)
+         |  ORDER BY sim DESC, vec_id ASC LIMIT 5),
+         |exact AS (
+         |  SELECT vec_id FROM (
+         |    SELECT e.vec_id, ${cosSql("e.embedding", "q.qvec")} AS sim
+         |    FROM embeddings e,
+         |         (SELECT embedding AS qvec FROM embeddings WHERE vec_id = 0) q)
+         |  ORDER BY sim DESC, vec_id ASC LIMIT 5)
+         |SELECT count(*) / 5.0 AS recall_at_5
+         |FROM exact WHERE vec_id IN (SELECT vec_id FROM approx)""".stripMargin,
     "knn_top5_normalized" ->
       """WITH nc AS (
         |  SELECT vec_id,

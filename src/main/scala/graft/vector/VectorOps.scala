@@ -62,6 +62,26 @@ object VectorOps {
     * [[l2NormalizeHof]] is the executable spec it is tested against. */
   def l2Normalize(a: Column): Column = graft.functions.L2Normalize(a)
 
+  /** Symmetric per-vector int8 quantization — `⌊x/(max|x|/127) + ½⌋`,
+    * `array<tinyint>` output (4× smaller than the float corpus column;
+    * the 100 TB index-fits-in-RAM lever). Cosine over quantized
+    * vectors needs no dequantization (the scale cancels) and integer
+    * dots ≤ d·127² are exact in double, so quantized scores reproduce
+    * bit-for-bit cross-engine. Fused O(d) kernel
+    * [[graft.functions.QuantizeInt8]]; [[quantizeInt8Hof]] is the
+    * executable spec it is tested against. */
+  def quantizeInt8(a: Column): Column = graft.functions.QuantizeInt8(a)
+
+  /** Composed-builtin form of [[quantizeInt8]] — executable
+    * specification only: the `m` subtree re-evaluates per element
+    * (same non-hoisting trap as [[l2NormalizeHof]]). */
+  def quantizeInt8Hof(a: Column): Column = {
+    val m = array_max(transform(a, x => abs(x.cast("double"))))
+    when(m === lit(0.0), transform(a, _ => lit(0).cast("byte")))
+      .otherwise(transform(a,
+        x => floor(x.cast("double") / (m / lit(127.0)) + lit(0.5)).cast("byte")))
+  }
+
   /** Composed-builtin form of [[l2Normalize]] — kept as the executable
     * specification only. Catalyst does NOT hoist the loop-invariant norm
     * out of the `transform` lambda, so this evaluates the full
