@@ -308,6 +308,13 @@ object SparkEntry {
     "repetition_stats" -> ((s, dir) =>
       TextAnalysis.repetitionStats(Tables.documents(s, dir), "doc_id", "text")
         .orderBy(col("doc_id"))),
+    // ---- [EXT] corpus-trained bigram LM surprisal (perplexity-style
+    // quality filter): add-k smoothed -ln P(w2|w1) averaged per doc;
+    // the model is data (count tables joined on their keys), not
+    // broadcast driver state — see text/LangModel.scala
+    "bigram_surprisal" -> ((s, dir) =>
+      graft.text.LangModel.bigramSurprisal(Tables.documents(s, dir), "doc_id", "text")
+        .orderBy(col("doc_id"))),
     // ---- [EXT] language-ID heuristic
     "lang_id" -> ((s, dir) =>
       Tables.documents(s, dir)
@@ -1392,6 +1399,20 @@ object SparkEntry {
          |       round(0.4 * least(tc / 50.0, 1.0) + 0.3 * (1.0 - pr) +
          |             0.3 * least(sr * 5.0, 1.0), 6) AS quality_score
          |FROM q ORDER BY doc_id""".stripMargin,
+    "bigram_surprisal" ->
+      s"""WITH t AS (SELECT doc_id, $toksSql AS ts FROM documents),
+         |db AS (SELECT doc_id, ts[i] AS w1, ts[i+1] AS w2
+         |       FROM t, LATERAL (SELECT unnest(range(1, len(ts))) AS i) x),
+         |bc AS (SELECT w1, w2, count(*) AS cb FROM db GROUP BY 1, 2),
+         |uc AS (SELECT unnest(ts) AS w1 FROM t),
+         |ucc AS (SELECT w1, count(*) AS cu FROM uc GROUP BY 1),
+         |vv AS (SELECT count(*)::DOUBLE AS v FROM ucc),
+         |nll AS (SELECT doc_id, -ln((cb + 0.5) / (cu + 0.5 * v)) AS s
+         |        FROM db JOIN bc USING (w1, w2) JOIN ucc USING (w1) CROSS JOIN vv),
+         |agg AS (SELECT doc_id, avg(s) AS s FROM nll GROUP BY 1)
+         |SELECT d.doc_id AS doc_id, round(coalesce(agg.s, 0), 6) AS surprisal
+         |FROM documents d LEFT JOIN agg ON d.doc_id = agg.doc_id
+         |ORDER BY doc_id""".stripMargin,
     "repetition_stats" ->
       """WITH d AS (SELECT doc_id, string_split(text, ' ') AS ws,
         |                  length(text) AS nc FROM documents),

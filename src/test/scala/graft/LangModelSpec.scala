@@ -1,0 +1,37 @@
+package graft
+
+import graft.text.LangModel
+
+/** Hand-computed pin for the bigram-LM surprisal score. */
+class LangModelSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("add-k bigram surprisal matches the closed-form micro model") {
+    // corpus: "a b a b", "a b", "single"
+    // unigrams: a:3 b:3 single:1 → V=3
+    // bigrams: (a,b):3  (b,a):1
+    // P(b|a) = (3+.5)/(3+.5*3) = 3.5/4.5 ; P(a|b) = (1+.5)/(3+1.5) = 1.5/4.5
+    val docs = Seq((1L, "a b a b"), (2L, "a b"), (3L, "single"))
+      .toDF("doc_id", "text")
+    val out = LangModel.bigramSurprisal(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val nllAB = -math.log(3.5 / 4.5)
+    val nllBA = -math.log(1.5 / 4.5)
+    val exp1 = (2 * nllAB + nllBA) / 3
+    assert(math.abs(out(1L) - exp1) < 1e-6, s"doc1 ${out(1L)} vs $exp1")
+    assert(math.abs(out(2L) - nllAB) < 1e-6, s"doc2 ${out(2L)} vs $nllAB")
+    assert(out(3L) == 0.0, "a 1-token doc has no bigrams and scores 0")
+  }
+
+  test("repetitious text scores lower surprisal than novel transitions") {
+    // doc 1 repeats one transition; doc 2 is all fresh transitions of
+    // the same length — the LM must find doc 1 more predictable
+    val docs = Seq(
+      (1L, "x y x y x y x y"),
+      (2L, "p q r s t u v w"))
+      .toDF("doc_id", "text")
+    val out = LangModel.bigramSurprisal(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(out(1L) < out(2L), s"repetitive ${out(1L)} !< novel ${out(2L)}")
+  }
+}
