@@ -106,6 +106,43 @@ object SparkEntry {
       exact.join(approx, Seq("vec_id"), "left_semi")
         .agg((count(lit(1)) / 5.0).as("recall_at_5"))
     }),
+    // ---- [EXT] product quantization codes: every vector compressed to
+    // m=8 byte codes (32× vs the float column) via per-subspace L2
+    // k-means; exploded so the oracle pins every code exactly (the
+    // full per-subspace Lloyd build replays in SQL)
+    "pq_codes" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val cb = graft.search.Pq.train(emb, "vec_id", "embedding", 64, 8, 64, 2)
+      emb.select(col("vec_id"), posexplode(graft.search.Pq.encodeCol(col("embedding"), cb)))
+        .select(col("vec_id"), col("pos").cast("long").as("m"),
+          col("col").cast("long").as("code"))
+        .orderBy(col("vec_id"), col("m"))
+    }),
+    // ---- [EXT] PQ retrieval quality: recall@5 of the ADC cosine scan
+    // (exact query vs 4-byte reconstructed corpus) against the exact
+    // float scan
+    "pq_recall" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val cb = graft.search.Pq.train(emb, "vec_id", "embedding", 64, 8, 64, 2)
+      val exact = Search.knn(emb, queryVec(s, dir), 5).select(col("vec_id"))
+      val approx = graft.search.Pq.adcTopK(emb, queryVec(s, dir), 5, cb)
+        .select(col("vec_id"))
+      exact.join(approx, Seq("vec_id"), "left_semi")
+        .agg((count(lit(1)) / 5.0).as("recall_at_5"))
+    }),
+    // ---- [EXT] the production PQ pipeline: ADC shortlist (top-50
+    // from 8-byte codes) → exact float rerank of only those rows →
+    // recall@5 vs the exact scan. The rerank touches 10% of the
+    // corpus vectors here and a vanishing fraction at scale.
+    "pq_recall_reranked" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val cb = graft.search.Pq.train(emb, "vec_id", "embedding", 64, 8, 64, 2)
+      val exact = Search.knn(emb, queryVec(s, dir), 5).select(col("vec_id"))
+      val rr = graft.search.Pq.adcTopKReranked(emb, queryVec(s, dir), 5, 50, cb)
+        .select(col("vec_id"))
+      exact.join(rr, Seq("vec_id"), "left_semi")
+        .agg((count(lit(1)) / 5.0).as("recall_at_5"))
+    }),
     // ---- [EXT] ANN quality as a verified number: recall@5 of the IVF
     // probe against the exact scan
     "ann_recall" -> ((s, dir) => {
@@ -927,6 +964,60 @@ object SparkEntry {
   /** Lowercased whitespace tokens, empties dropped (TextAnalysis.tokens). */
   private val toksSql = "list_filter(string_split(lower(text), ' '), t -> t <> '')"
 
+  /** PQ geometry shared by the Spark queries and the oracle replay. */
+  private val PqM = 8
+  private val PqSub = 8    // 64 / PqM
+  private val PqKsub = 64
+  private val PqIters = 2
+
+  /** Per-subspace Lloyd training replayed in SQL (mirror of Pq.train):
+    * init = sub-slices of the ksub lowest-id vectors; assignment =
+    * raw squared-L2 argmin (left-fold sum, exactly NearestCentroidL2's
+    * index-order accumulation) with lowest cid on ties; re-estimation =
+    * per-dimension avg; empty clusters carry. Emits cb{mi}_{iters}
+    * (final codebooks) and af{mi} (final assignments) per subspace. */
+  private def pqTrainSql: String = {
+    def lo(mi: Int) = mi * PqSub + 1
+    def hi(mi: Int) = (mi + 1) * PqSub
+    def l2(a: String, b: String) =
+      s"list_reduce(list_transform(range(1, ${PqSub + 1}), " +
+        s"i -> ($a[i] - $b[i]) * ($a[i] - $b[i])), (x, y) -> x + y)"
+    (0 until PqM).flatMap { mi =>
+      val slice = s"(e.embedding::DOUBLE[])[${lo(mi)}:${hi(mi)}]"
+      val c0 =
+        s"""cb${mi}_0 AS (
+           |  SELECT (row_number() OVER (ORDER BY vec_id)) - 1 AS cid,
+           |         (embedding::DOUBLE[])[${lo(mi)}:${hi(mi)}] AS centroid
+           |  FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT $PqKsub))""".stripMargin
+      val its = (1 to PqIters).map { n =>
+        s"""a${mi}_$n AS (
+           |  SELECT vec_id, cid FROM (
+           |    SELECT e.vec_id, c.cid,
+           |           row_number() OVER (PARTITION BY e.vec_id
+           |             ORDER BY ${l2(slice, "c.centroid")} ASC, c.cid ASC) AS rn
+           |    FROM embeddings e CROSS JOIN cb${mi}_${n - 1} c) WHERE rn = 1),
+           |m${mi}_$n AS (
+           |  SELECT a.cid, i, avg(e.embedding[${mi * PqSub} + i]::DOUBLE) AS c
+           |  FROM a${mi}_$n a JOIN embeddings e USING (vec_id),
+           |       (SELECT unnest(range(1, ${PqSub + 1})) AS i) ix
+           |  GROUP BY 1, 2),
+           |ml${mi}_$n AS (SELECT cid, list(c ORDER BY i) AS centroid
+           |               FROM m${mi}_$n GROUP BY cid),
+           |cb${mi}_$n AS (
+           |  SELECT p.cid, coalesce(u.centroid, p.centroid) AS centroid
+           |  FROM cb${mi}_${n - 1} p LEFT JOIN ml${mi}_$n u USING (cid))""".stripMargin
+      }
+      val af =
+        s"""af$mi AS (
+           |  SELECT vec_id, cid FROM (
+           |    SELECT e.vec_id, c.cid,
+           |           row_number() OVER (PARTITION BY e.vec_id
+           |             ORDER BY ${l2(slice, "c.centroid")} ASC, c.cid ASC) AS rn
+           |    FROM embeddings e CROSS JOIN cb${mi}_$PqIters c) WHERE rn = 1)""".stripMargin
+      (c0 +: its) :+ af
+    }.mkString(",\n")
+  }
+
   /** Portable polynomial hash of a string expression (Featurizer.tokenHash). */
   private def polySql(e: String): String =
     s"list_reduce(list_prepend(7::BIGINT, [ord(x)::BIGINT for x in string_split_regex($e, '')]), " +
@@ -996,6 +1087,88 @@ object SparkEntry {
          |  FROM embeddings e,
          |       (SELECT embedding AS qvec FROM embeddings WHERE vec_id = 0) q)
          |ORDER BY sim DESC, vec_id ASC LIMIT 5""".stripMargin,
+    "pq_codes" ->
+      s"""WITH
+         |$pqTrainSql
+         |SELECT vec_id, m::BIGINT AS m, cid::BIGINT AS code FROM (
+         |${(0 until PqM).map(mi => s"  SELECT vec_id, $mi AS m, cid FROM af$mi")
+            .mkString("\n  UNION ALL\n")})
+         |ORDER BY vec_id, m""".stripMargin,
+    "pq_recall" -> {
+      val dots = (0 until PqM).map { mi =>
+        s"""list_dot_product((q.qvec::DOUBLE[])[${mi * PqSub + 1}:${(mi + 1) * PqSub}],
+           |                  c$mi.centroid) AS d$mi,
+           |         list_dot_product(c$mi.centroid, c$mi.centroid) AS n$mi""".stripMargin
+      }.mkString(",\n         ")
+      val joins = (1 until PqM).map(mi =>
+        s"JOIN af$mi ON af0.vec_id = af$mi.vec_id " +
+          s"JOIN cb${mi}_$PqIters c$mi ON af$mi.cid = c$mi.cid").mkString("\n       ")
+      val dSum = (0 until PqM).map(mi => s"d$mi").mkString(" + ")
+      val nSum = (0 until PqM).map(mi => s"n$mi").mkString(" + ")
+      s"""WITH q AS (SELECT embedding AS qvec FROM embeddings WHERE vec_id = 0),
+         |$pqTrainSql,
+         |exact5 AS (
+         |  SELECT vec_id FROM (
+         |    SELECT e.vec_id, ${cosSql("e.embedding", "q.qvec")} AS sim
+         |    FROM embeddings e, q)
+         |  ORDER BY sim DESC, vec_id ASC LIMIT 5),
+         |sc AS (
+         |  SELECT af0.vec_id,
+         |         $dots
+         |  FROM af0 JOIN cb0_$PqIters c0 ON af0.cid = c0.cid
+         |       $joins
+         |       CROSS JOIN q),
+         |qn AS (SELECT sqrt(list_dot_product(qvec::DOUBLE[], qvec::DOUBLE[])) AS qn FROM q),
+         |approx AS (
+         |  SELECT vec_id FROM (
+         |    SELECT sc.vec_id,
+         |           round(CASE WHEN qn.qn = 0 OR ($nSum) = 0 THEN 0
+         |                      ELSE ($dSum) / (qn.qn * sqrt($nSum)) END, 6) AS sim
+         |    FROM sc, qn)
+         |  ORDER BY sim DESC, vec_id ASC LIMIT 5)
+         |SELECT (SELECT count(*) FROM exact5 JOIN approx USING (vec_id)) / 5.0
+         |       AS recall_at_5""".stripMargin
+    },
+    "pq_recall_reranked" -> {
+      val dots = (0 until PqM).map { mi =>
+        s"""list_dot_product((q.qvec::DOUBLE[])[${mi * PqSub + 1}:${(mi + 1) * PqSub}],
+           |                  c$mi.centroid) AS d$mi,
+           |         list_dot_product(c$mi.centroid, c$mi.centroid) AS n$mi""".stripMargin
+      }.mkString(",\n         ")
+      val joins = (1 until PqM).map(mi =>
+        s"JOIN af$mi ON af0.vec_id = af$mi.vec_id " +
+          s"JOIN cb${mi}_$PqIters c$mi ON af$mi.cid = c$mi.cid").mkString("\n       ")
+      val dSum = (0 until PqM).map(mi => s"d$mi").mkString(" + ")
+      val nSum = (0 until PqM).map(mi => s"n$mi").mkString(" + ")
+      s"""WITH q AS (SELECT embedding AS qvec FROM embeddings WHERE vec_id = 0),
+         |$pqTrainSql,
+         |exact5 AS (
+         |  SELECT vec_id FROM (
+         |    SELECT e.vec_id, ${cosSql("e.embedding", "q.qvec")} AS sim
+         |    FROM embeddings e, q)
+         |  ORDER BY sim DESC, vec_id ASC LIMIT 5),
+         |sc AS (
+         |  SELECT af0.vec_id,
+         |         $dots
+         |  FROM af0 JOIN cb0_$PqIters c0 ON af0.cid = c0.cid
+         |       $joins
+         |       CROSS JOIN q),
+         |qn AS (SELECT sqrt(list_dot_product(qvec::DOUBLE[], qvec::DOUBLE[])) AS qn FROM q),
+         |short AS (
+         |  SELECT vec_id FROM (
+         |    SELECT sc.vec_id,
+         |           round(CASE WHEN qn.qn = 0 OR ($nSum) = 0 THEN 0
+         |                      ELSE ($dSum) / (qn.qn * sqrt($nSum)) END, 6) AS sim
+         |    FROM sc, qn)
+         |  ORDER BY sim DESC, vec_id ASC LIMIT 50),
+         |rr AS (
+         |  SELECT vec_id FROM (
+         |    SELECT e.vec_id, ${cosSql("e.embedding", "q.qvec")} AS sim
+         |    FROM embeddings e JOIN short USING (vec_id), q)
+         |  ORDER BY sim DESC, vec_id ASC LIMIT 5)
+         |SELECT (SELECT count(*) FROM exact5 JOIN rr USING (vec_id)) / 5.0
+         |       AS recall_at_5""".stripMargin
+    },
     "quantize_int8" ->
       """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v,
         |                  list_max(list_transform(embedding::DOUBLE[], x -> abs(x))) AS m

@@ -1,0 +1,129 @@
+package graft.search
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.vector.VectorOps
+
+/** Product quantization (Jégou et al., "Product Quantization for
+  * Nearest Neighbor Search", PAMI 2011 — public): split each d-dim
+  * vector into `m` contiguous subspaces, k-means each subspace
+  * independently (`ksub` centroids, squared-L2 assignment), and store
+  * each vector as `m` byte codes. At d=64/m=4 that is 4 bytes per
+  * vector vs 256 for the float column — a 64× index compression, the
+  * step beyond int8 ([[graft.functions.QuantizeInt8]]) when the corpus
+  * must fit cluster RAM at 100 TB.
+  *
+  * Scoring is ADC (asymmetric distance computation): the query stays
+  * exact, each corpus vector is represented by its per-subspace
+  * reconstruction, and
+  * `cos ≈ Σ_m dot(q_m, c_m[code_m]) / (‖q‖ · sqrt(Σ_m ‖c_m[code_m]‖²))`.
+  * Codebooks are driver-side model state (m·ksub·sub doubles —
+  * kilobytes, the documented model-state exception); corpus data never
+  * collects.
+  *
+  * Scale shape: training fuses ALL subspaces into one scan + one keyed
+  * shuffle per Lloyd iteration (explode to (subspace, cluster) keyed
+  * rows, `VectorAvg` partial+final); assignment/encoding is one native
+  * [[graft.functions.NearestCentroidL2]] node per subspace — plan size
+  * O(m), independent of ksub. Scoring is a per-row expression over the
+  * byte codes + a broadcast 1-row query; top-k is
+  * `TakeOrderedAndProject`.
+  */
+object Pq {
+
+  /** `books(mi)(c)` = centroid `c` of subspace `mi`, each of length
+    * `sub` (= d / m). */
+  final case class Codebooks(sub: Int, books: Seq[Seq[Seq[Double]]]) {
+    def m: Int = books.size
+    def ksub: Int = books.head.size
+  }
+
+  /** The mi-th subvector, elements cast to double (1-based slice). */
+  private def subCol(vecCol: Column, mi: Int, sub: Int): Column =
+    transform(slice(vecCol, lit(mi * sub + 1), lit(sub)), x => x.cast("double"))
+
+  /** Train per-subspace codebooks with Lloyd's algorithm: init =
+    * sub-slices of the `ksub` lowest-id vectors (deterministic, the
+    * same convention as [[Ann.kmeansCentroids]]), squared-L2
+    * assignment with lowest-cid ties, per-dimension mean
+    * re-estimation, empty clusters carry the previous centroid. */
+  def train(corpus: DataFrame, idCol: String, vecCol: String,
+            dim: Int, m: Int, ksub: Int, iters: Int): Codebooks = {
+    require(m >= 1 && dim % m == 0, s"m ($m) must divide dim ($dim)")
+    require(ksub >= 2 && ksub <= 128, "2 <= ksub <= 128 (codes are bytes)")
+    val sub = dim / m
+    val init: Seq[Seq[Double]] = corpus.orderBy(col(idCol)).limit(ksub)
+      .select(transform(col(vecCol), x => x.cast("double")).as("v"))
+      .collect().map(_.getSeq[Double](0).toSeq).toSeq
+    require(init.size == ksub, s"corpus has < $ksub rows")
+    val books = Array.tabulate(m)(mi =>
+      init.map(v => v.slice(mi * sub, (mi + 1) * sub)))
+    (0 until iters).foreach { _ =>
+      // one scan + one (subspace, cluster)-keyed shuffle re-estimates
+      // every subspace's centroids together
+      val updated = corpus.select(
+          explode(array((0 until m).map(mi =>
+            struct(lit(mi).as("m"),
+              graft.functions.NearestCentroidL2(
+                subCol(col(vecCol), mi, sub), books(mi).toSeq).as("c"),
+              subCol(col(vecCol), mi, sub).as("v"))): _*)).as("e"))
+        .select(col("e.m").as("m"), col("e.c").as("c"), col("e.v").as("v"))
+        .groupBy(col("m"), col("c"))
+        .agg(graft.functions.VectorAvg(col("v")).as("cent"))
+        .collect()
+        .map(r => (r.getInt(0), r.getInt(1)) -> r.getSeq[Double](2).toSeq)
+        .toMap
+      (0 until m).foreach { mi =>
+        books(mi) = books(mi).indices
+          .map(c => updated.getOrElse((mi, c), books(mi)(c)))
+      }
+    }
+    Codebooks(sub, books.toSeq.map(_.toSeq))
+  }
+
+  /** PQ codes as one `array<tinyint>` of length m. */
+  def encodeCol(vecCol: Column, cb: Codebooks): Column =
+    array((0 until cb.m).map(mi =>
+      graft.functions.NearestCentroidL2(
+        subCol(vecCol, mi, cb.sub), cb.books(mi)).cast("byte")): _*)
+
+  /** ADC cosine top-k: exact query vs PQ-reconstructed corpus. `query`
+    * is a 1-row frame with column `qvec` (broadcast). Per-subspace
+    * dots/norms sum left-to-right in subspace order, matching the
+    * oracle's left-associated `d0+d1+…` exactly. */
+  def adcTopK(corpus: DataFrame, query: DataFrame, k: Int, cb: Codebooks,
+              idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val coded = corpus.select(col(idCol), encodeCol(col(vecCol), cb).as("codes"))
+    def entry(mi: Int): Column =
+      element_at(typedlit(cb.books(mi)), element_at(col("codes"), mi + 1).cast("int") + 1)
+    val dotSum = (0 until cb.m).map(mi =>
+      VectorOps.dot(subCol(col("qvec"), mi, cb.sub), entry(mi))).reduce(_ + _)
+    val normSum = (0 until cb.m).map(mi =>
+      VectorOps.dot(entry(mi), entry(mi))).reduce(_ + _)
+    val qn = VectorOps.l2Norm(col("qvec"))
+    val sim = when(qn === lit(0.0) || normSum === lit(0.0), lit(0.0))
+      .otherwise(dotSum / (qn * sqrt(normSum)))
+    coded.crossJoin(broadcast(query))
+      .select(col(idCol), round(sim, 6).as("sim"))
+      .orderBy(col("sim").desc, col(idCol).asc).limit(k)
+  }
+
+  /** The production PQ pipeline: ADC shortlists `shortlist` candidates
+    * from the compressed codes, then ONLY those rows re-read their
+    * exact vectors for a float-cosine rerank to top-k. At scale the
+    * shortlist join is a broadcast semi-join (k·shortlist ids), so the
+    * exact vectors of the 99.9% non-candidates are never touched —
+    * recall of the exact scan at a fraction of its memory traffic. */
+  def adcTopKReranked(corpus: DataFrame, query: DataFrame, k: Int, shortlist: Int,
+                      cb: Codebooks, idCol: String = "vec_id",
+                      vecCol: String = "embedding"): DataFrame = {
+    val cands = adcTopK(corpus, query, shortlist, cb, idCol, vecCol)
+      .select(col(idCol))
+    corpus.join(broadcast(cands), Seq(idCol), "left_semi")
+      .crossJoin(broadcast(query))
+      .select(col(idCol),
+        round(VectorOps.cosine(col(vecCol), col("qvec")), 6).as("sim"))
+      .orderBy(col("sim").desc, col(idCol).asc).limit(k)
+  }
+}

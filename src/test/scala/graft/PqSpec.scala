@@ -1,0 +1,72 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.search.Pq
+import graft.functions.NearestCentroidL2
+
+/** Pins for product quantization: the L2 assignment kernel, codebook
+  * training determinism, code shape, and ADC scoring sanity. */
+class PqSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("NearestCentroidL2: argmin, lowest index on ties, edge semantics") {
+    val cents = Seq(Seq(0.0, 0.0), Seq(1.0, 1.0))
+    val df = Seq(
+      (1L, Some(Seq(Some(0.9f), Some(0.9f)))),   // nearer (1,1) → 1
+      (2L, Some(Seq(Some(0.5f), Some(0.5f)))),   // exact tie → 0
+      (3L, Some(Seq(Some(0.1f), None))),         // null element → NULL
+      (4L, Some(Seq(Some(1.0f), Some(2.0f), Some(3.0f)))), // dim mismatch → 0
+      (5L, None: Option[Seq[Option[Float]]]))    // null array → NULL
+      .toDF("id", "v")
+    val out = df.select(col("id"), NearestCentroidL2(col("v"), cents).as("c"))
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) None else Some(r.getInt(1)))).toMap
+    assert(out(1L).contains(1))
+    assert(out(2L).contains(0))
+    assert(out(3L).isEmpty)
+    assert(out(4L).contains(0))
+    assert(out(5L).isEmpty)
+  }
+
+  // tiny deterministic corpus: two well-separated groups per half-space
+  private def corpus = (0L until 12L).map { i =>
+    val hi = if (i % 2 == 0) 10.0f else -10.0f
+    (i, Seq(hi, hi, hi + i * 0.01f, hi,
+            -hi, -hi, -hi, -hi + i * 0.01f))
+  }.toDF("vec_id", "embedding")
+
+  test("train: shapes, determinism, and encode code range") {
+    val cb1 = Pq.train(corpus, "vec_id", "embedding", 8, 2, 4, 2)
+    val cb2 = Pq.train(corpus, "vec_id", "embedding", 8, 2, 4, 2)
+    assert(cb1.m == 2 && cb1.ksub == 4 && cb1.sub == 4)
+    assert(cb1 == cb2, "training must be deterministic run-to-run")
+    val codes = corpus.select(Pq.encodeCol(col("embedding"), cb1).as("c"))
+    // containsNull stays true: a null vector element yields a null code
+    assert(codes.schema("c").dataType.asInstanceOf[ArrayType].elementType == ByteType)
+    val vals = codes.collect().flatMap(_.getSeq[Byte](0))
+    assert(vals.forall(c => c >= 0 && c < 4))
+  }
+
+  test("ADC shortlist + exact rerank returns the exact scan's answer") {
+    val cb = Pq.train(corpus, "vec_id", "embedding", 8, 2, 4, 2)
+    val q = corpus.filter(col("vec_id") === 0L)
+      .select(col("embedding").as("qvec"))
+    val exact = graft.search.Search
+      .knn(corpus, q, 3, idCol = "vec_id").select("vec_id")
+      .collect().map(_.getLong(0)).toSeq
+    val rr = Pq.adcTopKReranked(corpus, q, 3, 8, cb)
+      .collect().map(_.getLong(0)).toSeq
+    assert(rr == exact, s"rerank $rr != exact $exact")
+  }
+
+  test("ADC top-k ranks the true neighbors of the query first") {
+    val cb = Pq.train(corpus, "vec_id", "embedding", 8, 2, 4, 2)
+    val q = corpus.filter(col("vec_id") === 0L)
+      .select(col("embedding").as("qvec"))
+    val top = Pq.adcTopK(corpus, q, 6, cb).collect().map(_.getLong(0)).toSet
+    // the 6 even ids share the query's orientation; the odd ids are
+    // antipodal — ADC must keep the two groups apart
+    assert(top == (0L until 12L by 2).toSet, s"got $top")
+  }
+}
