@@ -905,6 +905,22 @@ object SparkEntry {
           col("rn").cast("long").as("rn"))
         .orderBy(col("o_custkey"), col("rn"))
     }),
+    // ---- [EXT] offset window functions (lag/lead) — per-user event
+    // deltas, the session-stitching / time-series shape. One keyed
+    // sort-window pass; the (ts, event_id) order key is total so both
+    // engines agree on neighbors.
+    "window_lag" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts").asc, col("event_id").asc)
+      Tables.events(s, dir)
+        .filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("value"),
+          lag(col("value"), 1).over(w).as("prev_value"),
+          lead(col("value"), 1).over(w).as("next_value"),
+          round(col("value") - coalesce(lag(col("value"), 1).over(w), col("value")), 6)
+            .as("delta"))
+        .orderBy(col("event_id"))
+    }),
   )
 
   // ---------------------------------------------------------------- oracle
@@ -2097,5 +2113,13 @@ object SparkEntry {
         |                            ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
         |  FROM orders)
         |WHERE rn <= 2 ORDER BY o_custkey, rn""".stripMargin,
+    "window_lag" ->
+      """SELECT event_id, user_id, value,
+        |       lag(value, 1) OVER w AS prev_value,
+        |       lead(value, 1) OVER w AS next_value,
+        |       round(value - coalesce(lag(value, 1) OVER w, value), 6) AS delta
+        |FROM events WHERE event_type = 'purchase'
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+        |ORDER BY event_id""".stripMargin,
   )
 }
