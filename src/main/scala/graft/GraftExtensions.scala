@@ -19,10 +19,14 @@ import graft.functions.{CosineSimilarity, DotProduct, FeaturizeCounts, L2Normali
   * or `GraftExtensions.register(spark)` on a live session.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(e: SparkSessionExtensions): Unit =
+  override def apply(e: SparkSessionExtensions): Unit = {
     GraftExtensions.injections.foreach { case (name, info, builder) =>
       e.injectFunction((FunctionIdentifier(name), info, builder))
     }
+    // algebraic rewrite: cosine over normalized inputs → dot product
+    // (see plans/NormalizedCosineRewrite.scala)
+    e.injectOptimizerRule(_ => graft.plans.NormalizedCosineRewrite)
+  }
 }
 
 object GraftExtensions {
