@@ -329,6 +329,47 @@ object SparkEntry {
           round(avg(col("n_chars")), 6).as("avg_chars"),
           round(avg(TextAnalysis.tokenCount(col("text"))), 6).as("avg_tokens"))
         .orderBy(col("lang"))),
+    // ---- [EXT] column profiling (ANALYZE-style data quality stats):
+    // ALL columns' counts/nulls/distincts + numeric min/max computed in
+    // ONE aggregate pass over one scan, then unpivoted to long form —
+    // not one scan per column. Non-numeric columns carry a -1 sentinel
+    // for min/max (a NULL would NaN-mismatch the hash compare).
+    "profile_stats" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+      val one = d.agg(
+        count(lit(1)).as("n"),
+        sum(when(col("lang").isNull, 1L).otherwise(0L)).as("lang_nulls"),
+        countDistinct(col("lang")).as("lang_distinct"),
+        sum(when(col("source").isNull, 1L).otherwise(0L)).as("source_nulls"),
+        countDistinct(col("source")).as("source_distinct"),
+        sum(when(col("n_chars").isNull, 1L).otherwise(0L)).as("nc_nulls"),
+        countDistinct(col("n_chars")).as("nc_distinct"),
+        min(col("n_chars")).cast("double").as("nc_min"),
+        max(col("n_chars")).cast("double").as("nc_max"))
+      one.select(expr(
+        """stack(3,
+          |  'lang',    n, lang_nulls,   lang_distinct,   CAST(-1.0 AS DOUBLE), CAST(-1.0 AS DOUBLE),
+          |  'source',  n, source_nulls, source_distinct, CAST(-1.0 AS DOUBLE), CAST(-1.0 AS DOUBLE),
+          |  'n_chars', n, nc_nulls,     nc_distinct,     nc_min,               nc_max)
+          |  AS (column_name, n, n_nulls, n_distinct, min_val, max_val)""".stripMargin))
+        .orderBy(col("column_name"))
+    }),
+    // ---- [EXT] equi-width histogram with data-derived bounds: the
+    // (lo, hi) scalars ride a 1-row broadcast (above_avg pattern), the
+    // bucketing is pure floor arithmetic in codegen, counts are
+    // partial+final — two scans total, no sort, no collect
+    "value_histogram" -> ((s, dir) => {
+      val li = Tables.lineitem(s, dir)
+      val bounds = li.agg(min(col("l_extendedprice")).cast("double").as("lo"),
+        max(col("l_extendedprice")).cast("double").as("hi"))
+      li.crossJoin(broadcast(bounds))
+        .select(when(col("hi") === col("lo"), lit(0L))
+          .otherwise(least(floor((col("l_extendedprice") - col("lo")) /
+            ((col("hi") - col("lo")) / lit(10.0))).cast("long"), lit(9L)))
+          .as("bucket"))
+        .groupBy(col("bucket")).agg(count(lit(1)).as("n"))
+        .orderBy(col("bucket"))
+    }),
     // ---- [EXT] per-document quality scoring
     "quality" -> ((s, dir) =>
       Tables.documents(s, dir).select(
@@ -1588,6 +1629,34 @@ object SparkEntry {
          |       round(0.4 * least(tc / 50.0, 1.0) + 0.3 * (1.0 - pr) +
          |             0.3 * least(sr * 5.0, 1.0), 6) AS quality_score
          |FROM q ORDER BY doc_id""".stripMargin,
+    "profile_stats" ->
+      """WITH s AS (SELECT count(*) AS n,
+        |                  sum(CASE WHEN lang IS NULL THEN 1 ELSE 0 END)::BIGINT AS lang_nulls,
+        |                  count(DISTINCT lang) AS lang_distinct,
+        |                  sum(CASE WHEN source IS NULL THEN 1 ELSE 0 END)::BIGINT AS source_nulls,
+        |                  count(DISTINCT source) AS source_distinct,
+        |                  sum(CASE WHEN n_chars IS NULL THEN 1 ELSE 0 END)::BIGINT AS nc_nulls,
+        |                  count(DISTINCT n_chars) AS nc_distinct,
+        |                  min(n_chars)::DOUBLE AS nc_min,
+        |                  max(n_chars)::DOUBLE AS nc_max
+        |           FROM documents)
+        |SELECT 'lang' AS column_name, n, lang_nulls AS n_nulls,
+        |       lang_distinct AS n_distinct, -1.0::DOUBLE AS min_val, -1.0::DOUBLE AS max_val
+        |FROM s
+        |UNION ALL
+        |SELECT 'source', n, source_nulls, source_distinct, -1.0::DOUBLE, -1.0::DOUBLE FROM s
+        |UNION ALL
+        |SELECT 'n_chars', n, nc_nulls, nc_distinct, nc_min, nc_max FROM s
+        |ORDER BY column_name""".stripMargin,
+    "value_histogram" ->
+      """WITH b AS (SELECT min(l_extendedprice)::DOUBLE AS lo,
+        |                  max(l_extendedprice)::DOUBLE AS hi FROM lineitem)
+        |SELECT CASE WHEN hi = lo THEN 0
+        |            ELSE least(floor((l_extendedprice - lo) / ((hi - lo) / 10.0))::BIGINT, 9) END
+        |         AS bucket,
+        |       count(*) AS n
+        |FROM lineitem, b
+        |GROUP BY 1 ORDER BY bucket""".stripMargin,
     "bigram_surprisal" ->
       s"""WITH t AS (SELECT doc_id, $toksSql AS ts FROM documents),
          |db AS (SELECT doc_id, ts[i] AS w1, ts[i+1] AS w2
