@@ -143,6 +143,20 @@ object SparkEntry {
       exact.join(rr, Seq("vec_id"), "left_semi")
         .agg((count(lit(1)) / 5.0).as("recall_at_5"))
     }),
+    // ---- [EXT] the composed modern vector index (FAISS-IVFPQ shape):
+    // IVF prunes to 3 probed clusters, PQ codes shortlist inside the
+    // probed set, exact rerank of the shortlist only — recall@5 vs the
+    // exact scan, every stage replayed in the oracle SQL
+    "ivfpq_recall" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val cb = graft.search.Pq.train(emb, "vec_id", "embedding", 64, 8, 64, 2)
+      val exact = Search.knn(emb, queryVec(s, dir), 5).select(col("vec_id"))
+      val got = graft.search.Pq.ivfPqTopK(emb, queryVec(s, dir), 5,
+        nprobe = 3, numClusters = 10, ivfIters = 2, shortlist = 50, cb)
+        .select(col("vec_id"))
+      exact.join(got, Seq("vec_id"), "left_semi")
+        .agg((count(lit(1)) / 5.0).as("recall_at_5"))
+    }),
     // ---- [EXT] ANN quality as a verified number: recall@5 of the IVF
     // probe against the exact scan
     "ann_recall" -> ((s, dir) => {
@@ -1027,6 +1041,46 @@ object SparkEntry {
   private val PqKsub = 64
   private val PqIters = 2
 
+  /** Cosine IVF k-means replayed in SQL (mirror of Ann.kmeansCentroids
+    * — same Lloyd unroll as the ann_kmeans_recall oracle, under ic/ia
+    * CTE name prefixes so it composes with the PQ chain): emits
+    * `ic{iters}` (final centroids) and `iaf` (final assignments). */
+  private def ivfTrainSql(k: Int, iters: Int): String = {
+    def rawCos(a: String, b: String) =
+      s"list_dot_product($a, $b) / (sqrt(list_dot_product($a, $a)) * sqrt(list_dot_product($b, $b)))"
+    def iter(n: Int, prev: String): String =
+      s"""ia$n AS (
+         |  SELECT vec_id, cid FROM (
+         |    SELECT e.vec_id, c.cid,
+         |           row_number() OVER (PARTITION BY e.vec_id
+         |             ORDER BY ${rawCos("e.embedding::DOUBLE[]", "c.centroid")} DESC,
+         |                      c.cid ASC) AS rn
+         |    FROM embeddings e CROSS JOIN $prev c) WHERE rn = 1),
+         |im$n AS (
+         |  SELECT a.cid, i, avg(e.embedding[i]::DOUBLE) AS c
+         |  FROM ia$n a JOIN embeddings e USING (vec_id),
+         |       (SELECT unnest(range(1, 65)) AS i) ix
+         |  GROUP BY 1, 2),
+         |iml$n AS (SELECT cid, list(c ORDER BY i) AS centroid FROM im$n GROUP BY cid),
+         |ic$n AS (
+         |  SELECT p.cid, coalesce(u.centroid, p.centroid) AS centroid
+         |  FROM $prev p LEFT JOIN iml$n u USING (cid))""".stripMargin
+    val c0 =
+      s"""ic0 AS (
+         |  SELECT (row_number() OVER (ORDER BY vec_id)) - 1 AS cid,
+         |         embedding::DOUBLE[] AS centroid
+         |  FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT $k))""".stripMargin
+    val af =
+      s"""iaf AS (
+         |  SELECT vec_id, cid FROM (
+         |    SELECT e.vec_id, c.cid,
+         |           row_number() OVER (PARTITION BY e.vec_id
+         |             ORDER BY ${rawCos("e.embedding::DOUBLE[]", "c.centroid")} DESC,
+         |                      c.cid ASC) AS rn
+         |    FROM embeddings e CROSS JOIN ic$iters c) WHERE rn = 1)""".stripMargin
+    ((c0 +: (1 to iters).map(n => iter(n, s"ic${n - 1}"))) :+ af).mkString(",\n")
+  }
+
   /** Per-subspace Lloyd training replayed in SQL (mirror of Pq.train):
     * init = sub-slices of the ksub lowest-id vectors; assignment =
     * raw squared-L2 argmin (left-fold sum, exactly NearestCentroidL2's
@@ -1184,6 +1238,55 @@ object SparkEntry {
          |    FROM sc, qn)
          |  ORDER BY sim DESC, vec_id ASC LIMIT 5)
          |SELECT (SELECT count(*) FROM exact5 JOIN approx USING (vec_id)) / 5.0
+         |       AS recall_at_5""".stripMargin
+    },
+    "ivfpq_recall" -> {
+      def rawCos(a: String, b: String) =
+        s"list_dot_product($a, $b) / (sqrt(list_dot_product($a, $a)) * sqrt(list_dot_product($b, $b)))"
+      val dots = (0 until PqM).map { mi =>
+        s"""list_dot_product((q.qvec::DOUBLE[])[${mi * PqSub + 1}:${(mi + 1) * PqSub}],
+           |                  c$mi.centroid) AS d$mi,
+           |         list_dot_product(c$mi.centroid, c$mi.centroid) AS n$mi""".stripMargin
+      }.mkString(",\n         ")
+      val joins = (1 until PqM).map(mi =>
+        s"JOIN af$mi ON af0.vec_id = af$mi.vec_id " +
+          s"JOIN cb${mi}_$PqIters c$mi ON af$mi.cid = c$mi.cid").mkString("\n       ")
+      val dSum = (0 until PqM).map(mi => s"d$mi").mkString(" + ")
+      val nSum = (0 until PqM).map(mi => s"n$mi").mkString(" + ")
+      s"""WITH q AS (SELECT embedding AS qvec FROM embeddings WHERE vec_id = 0),
+         |${ivfTrainSql(10, 2)},
+         |probes AS (
+         |  SELECT cid FROM ic2, q
+         |  ORDER BY round(${rawCos("centroid", "qvec::DOUBLE[]")}, 6) DESC, cid ASC
+         |  LIMIT 3),
+         |cand AS (SELECT iaf.vec_id FROM iaf JOIN probes USING (cid)),
+         |$pqTrainSql,
+         |exact5 AS (
+         |  SELECT vec_id FROM (
+         |    SELECT e.vec_id, ${cosSql("e.embedding", "q.qvec")} AS sim
+         |    FROM embeddings e, q)
+         |  ORDER BY sim DESC, vec_id ASC LIMIT 5),
+         |sc AS (
+         |  SELECT af0.vec_id,
+         |         $dots
+         |  FROM af0 JOIN cand ON af0.vec_id = cand.vec_id
+         |       JOIN cb0_$PqIters c0 ON af0.cid = c0.cid
+         |       $joins
+         |       CROSS JOIN q),
+         |qn AS (SELECT sqrt(list_dot_product(qvec::DOUBLE[], qvec::DOUBLE[])) AS qn FROM q),
+         |short AS (
+         |  SELECT vec_id FROM (
+         |    SELECT sc.vec_id,
+         |           round(CASE WHEN qn.qn = 0 OR ($nSum) = 0 THEN 0
+         |                      ELSE ($dSum) / (qn.qn * sqrt($nSum)) END, 6) AS sim
+         |    FROM sc, qn)
+         |  ORDER BY sim DESC, vec_id ASC LIMIT 50),
+         |rr AS (
+         |  SELECT vec_id FROM (
+         |    SELECT e.vec_id, ${cosSql("e.embedding", "q.qvec")} AS sim
+         |    FROM embeddings e JOIN short USING (vec_id), q)
+         |  ORDER BY sim DESC, vec_id ASC LIMIT 5)
+         |SELECT (SELECT count(*) FROM exact5 JOIN rr USING (vec_id)) / 5.0
          |       AS recall_at_5""".stripMargin
     },
     "pq_recall_reranked" -> {

@@ -109,6 +109,34 @@ object Pq {
       .orderBy(col("sim").desc, col(idCol).asc).limit(k)
   }
 
+  /** The composed modern vector index — the FAISS-IVFPQ shape: IVF
+    * coarse clustering prunes the corpus to `nprobe` probed clusters
+    * (partition pruning when the index is written `partitionBy`
+    * cluster, see [[Ann.buildIvfIndex]]), PQ codes stand in for the
+    * float vectors inside the probed set (ADC shortlist), and only the
+    * shortlist re-reads exact vectors for the final rerank. At 100 TB:
+    * scan nprobe/k of the corpus, as 8-byte codes, touching float
+    * vectors only for `shortlist` rows. */
+  def ivfPqTopK(corpus: DataFrame, query: DataFrame, k: Int, nprobe: Int,
+                numClusters: Int, ivfIters: Int, shortlist: Int, cb: Codebooks,
+                idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val cents = Ann.kmeansCentroids(corpus, idCol, vecCol, numClusters, ivfIters)
+    val centsDf = cents.zipWithIndex.map { case (c, i) => (i, c) }
+      .toDF("__cluster", "centroid")
+    val probes = centsDf.crossJoin(broadcast(query))
+      .withColumn("csim", round(VectorOps.cosine(col("centroid"), col("qvec")), 6))
+      .orderBy(col("csim").desc, col("__cluster").asc)
+      .limit(nprobe)
+      .select(col("__cluster"))
+    val cands = corpus
+      .withColumn("__cluster", Ann.assignCluster(col(vecCol), cents))
+      .join(broadcast(probes), Seq("__cluster"), "left_semi")
+      .drop("__cluster")
+    adcTopKReranked(cands, query, k, shortlist, cb, idCol, vecCol)
+  }
+
   /** The production PQ pipeline: ADC shortlists `shortlist` candidates
     * from the compressed codes, then ONLY those rows re-read their
     * exact vectors for a float-cosine rerank to top-k. At scale the

@@ -60,6 +60,21 @@ class PqSpec extends SparkSpec {
     assert(rr == exact, s"rerank $rr != exact $exact")
   }
 
+  test("IVF-PQ composition prunes then still returns the exact answer") {
+    val cb = Pq.train(corpus, "vec_id", "embedding", 8, 2, 4, 2)
+    val q = corpus.filter(col("vec_id") === 0L)
+      .select(col("embedding").as("qvec"))
+    val exact = graft.search.Search
+      .knn(corpus, q, 3, idCol = "vec_id").select("vec_id")
+      .collect().map(_.getLong(0)).toSeq
+    val got = Pq.ivfPqTopK(corpus, q, 3, nprobe = 1, numClusters = 2,
+        ivfIters = 2, shortlist = 6, cb)
+      .collect().map(_.getLong(0)).toSeq
+    // with 2 clusters on an antipodal corpus, probing 1 cluster still
+    // contains the query's whole neighborhood
+    assert(got == exact, s"ivfpq $got != exact $exact")
+  }
+
   test("ADC top-k ranks the true neighbors of the query first") {
     val cb = Pq.train(corpus, "vec_id", "embedding", 8, 2, 4, 2)
     val q = corpus.filter(col("vec_id") === 0L)
