@@ -79,4 +79,31 @@ object StreamIngest {
       .withWatermark(tsCol, watermark)
       .dropDuplicatesWithinWatermark("__text_hash")
       .drop("__text_hash")
+
+  /** Stream-stream inner join with event-time bounds — each view
+    * matched to the same user's clicks in the preceding `joinWindow`
+    * (the streaming form of the events_range_join batch query). Both
+    * sides carry watermarks and the join condition carries a closed
+    * time range, which is what lets Spark EXPIRE buffered state: each
+    * side holds at most watermark+joinWindow of events per user key.
+    * Without the range bound, stream-stream join state grows with the
+    * corpus — the ingest-scale memory leak this operator exists to
+    * avoid. */
+  def clickViewJoinStream(views: DataFrame, clicks: DataFrame,
+                          watermark: String = "1 hour",
+                          joinWindow: String = "1 hour"): DataFrame = {
+    val v = views
+      .select(col("event_id"), col("user_id").as("v_user"), col("ts").as("view_ts"))
+      .withWatermark("view_ts", watermark)
+    val c = clicks
+      .select(col("user_id").as("c_user"), col("ts").as("click_ts"),
+        col("value").as("click_value"))
+      .withWatermark("click_ts", watermark)
+    v.join(c, expr(
+      s"""v_user = c_user AND
+         |click_ts <= view_ts AND
+         |click_ts >= view_ts - interval $joinWindow""".stripMargin))
+      .select(col("event_id"), col("v_user").as("user_id"),
+        col("view_ts"), col("click_ts"), col("click_value"))
+  }
 }

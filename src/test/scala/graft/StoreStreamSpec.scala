@@ -94,6 +94,34 @@ class StoreStreamSpec extends SparkSpec {
     assert(texts.toSeq == Seq("alpha", "beta", "gamma"))
   }
 
+  test("stream-stream time-range join: views pick up prior clicks only") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import java.sql.Timestamp
+    implicit val sqlCtx = spark.sqlContext
+    def ts(min: Int) = new Timestamp(3600_000L + min * 60_000L)
+    val views = MemoryStream[(Long, Long, Timestamp)]
+    val clicks = MemoryStream[(Long, Timestamp, Double)]
+    val joined = StreamIngest.clickViewJoinStream(
+      views.toDF().toDF("event_id", "user_id", "ts"),
+      clicks.toDF().toDF("user_id", "ts", "value"),
+      watermark = "10 minutes", joinWindow = "30 minutes")
+    val q = joined.writeStream.outputMode("append")
+      .format("memory").queryName("ssj").start()
+    // batch 1: user 1 clicks at t+0 (value 7.5); user 2 clicks at t+0
+    clicks.addData((1L, ts(0), 7.5), (2L, ts(0), 1.0))
+    q.processAllAvailable()
+    // batch 2: user 1 views at t+10 (inside window) and t+50 (outside);
+    // user 3 views at t+10 (no click at all)
+    views.addData((100L, 1L, ts(10)), (101L, 1L, ts(50)), (102L, 3L, ts(10)))
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("ssj").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(4))).sorted
+    // only the in-window (view 100, click t+0) pair joins; view 101 is
+    // 50 min after the click (> 30-minute window), view 102 has no click
+    assert(rows.toSeq == Seq((100L, 1L, 7.5)), rows.mkString(","))
+  }
+
   test("A1: binaryFile source -> decode pipeline (the PDF ArrayBuffer path)") {
     // the reference reads one PDF into an ArrayBuffer (App.tsx:46-47);
     // the cluster form is the binaryFile source over a document bucket
