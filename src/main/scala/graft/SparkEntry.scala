@@ -400,6 +400,29 @@ object SparkEntry {
     "repetition_stats" -> ((s, dir) =>
       TextAnalysis.repetitionStats(Tables.documents(s, dir), "doc_id", "text")
         .orderBy(col("doc_id"))),
+    // ---- [EXT] per-document TF-IDF keyword extraction: top-3 terms
+    // by tf·ln(N/df), ranked on the ROUNDED score (the probe-ranking
+    // determinism convention — raw ln drift must not flip ranks) with
+    // term tie-break. df/tf are partial+final aggs; N is a 1-row
+    // broadcast; top-3 is a keyed window, never a global sort.
+    "tfidf_keywords" -> ((s, dir) => {
+      val toks = Tables.documents(s, dir).select(col("doc_id"),
+        explode(TextAnalysis.tokens(col("text"))).as("term"))
+      val tf = toks.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+      val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+      val n = Tables.documents(s, dir).agg(count(lit(1)).cast("double").as("n"))
+      val w = Window.partitionBy(col("doc_id"))
+        .orderBy(col("score").desc, col("term").asc)
+      tf.join(df, Seq("term"))
+        .crossJoin(broadcast(n))
+        .select(col("doc_id"), col("term"),
+          round(col("tf") * log(col("n") / col("df")), 6).as("score"))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 3)
+        .select(col("doc_id"), col("rank").cast("long").as("rank"),
+          col("term"), col("score"))
+        .orderBy(col("doc_id"), col("rank"))
+    }),
     // ---- [EXT] corpus-trained bigram LM surprisal (perplexity-style
     // quality filter): add-k smoothed -ln P(w2|w1) averaged per doc;
     // the model is data (count tables joined on their keys), not
@@ -1760,6 +1783,22 @@ object SparkEntry {
         |       count(*) AS n
         |FROM lineitem, b
         |GROUP BY 1 ORDER BY bucket""".stripMargin,
+    "tfidf_keywords" ->
+      s"""WITH toks AS (SELECT doc_id, unnest($toksSql) AS term FROM documents),
+         |tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+         |df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+         |n AS (SELECT count(*)::DOUBLE AS n FROM documents),
+         |scored AS (
+         |  SELECT tf.doc_id, tf.term,
+         |         round(tf.tf * ln(n.n / df.df), 6) AS score
+         |  FROM tf JOIN df USING (term) CROSS JOIN n)
+         |SELECT doc_id, rank::BIGINT AS rank, term, score FROM (
+         |  SELECT doc_id, term, score,
+         |         row_number() OVER (PARTITION BY doc_id
+         |                            ORDER BY score DESC, term ASC) AS rank
+         |  FROM scored)
+         |WHERE rank <= 3
+         |ORDER BY doc_id, rank""".stripMargin,
     "bigram_surprisal" ->
       s"""WITH t AS (SELECT doc_id, $toksSql AS ts FROM documents),
          |db AS (SELECT doc_id, ts[i] AS w1, ts[i+1] AS w2
