@@ -44,4 +44,24 @@ class PlanShapeSpec extends SparkSpec {
     assert(!c.contains("CartesianProduct"), "contamination must not go all-pairs")
     assert(!c.contains("BroadcastNestedLoopJoin"), "gram join must stay an equi-join")
   }
+
+  test("round-7 pair/score joins stay keyed: no cartesian, no all-pairs") {
+    // edit_neardup: candidate + text joins must key on (band,sig)/ids;
+    // bigram_surprisal / tfidf_keywords: count joins must key on the
+    // gram/term (the 1-row scalar broadcasts are BNLJ by construction
+    // and excluded by checking CartesianProduct only)
+    for (q <- Seq("edit_neardup", "bigram_surprisal", "tfidf_keywords",
+        "repetition_stats")) {
+      assert(!plan(q).contains("CartesianProduct"), q)
+    }
+    assert(!plan("edit_neardup").contains("BroadcastNestedLoopJoin"),
+      "edit_neardup joins must all be equi-joins")
+  }
+
+  test("grouping sets expand once; histogram aggregates partial+final") {
+    val g = plan("grouping_sets_stats")
+    assert(g.contains("Expand"), "grouping sets must plan a single Expand")
+    assert(!g.contains("Union"), "grouping sets must not plan as unioned scans")
+    assert(plan("value_histogram").contains("HashAggregate"))
+  }
 }
