@@ -34,6 +34,28 @@ object CorpusStore {
   def load(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path)
 
+  /** Compaction write — the small-files remedy for an incrementally
+    * appended corpus. Streaming/batch appends leave one file per task
+    * per trigger; at 100 TB that is millions of kilobyte files and an
+    * O(files) planning cost on every read. This rewrites the corpus
+    * range-clustered on `sortCol` (so min/max footer stats make range
+    * predicates prune files) with `maxRecordsPerFile` bounding file
+    * size WITHOUT a repartition-to-exact-count (which would either
+    * skew or over-shuffle): Spark rolls to a new file within each task
+    * at the cap. */
+  def compact(df: DataFrame, path: String, sortCol: String,
+              recordsPerFile: Long, numPartitions: Int = 0): Unit = {
+    val clustered =
+      if (numPartitions > 0)
+        df.repartitionByRange(numPartitions, org.apache.spark.sql.functions.col(sortCol))
+      else df.repartitionByRange(org.apache.spark.sql.functions.col(sortCol))
+    clustered
+      .sortWithinPartitions(sortCol)
+      .write.mode(SaveMode.Overwrite)
+      .option("maxRecordsPerFile", recordsPerFile)
+      .parquet(path)
+  }
+
   /** Readiness predicate (`vectorDb.ts:58-60`): any row exists. Uses a
     * head(1) probe, not count() — no full scan. */
   def isReady(spark: SparkSession, path: String): Boolean =
