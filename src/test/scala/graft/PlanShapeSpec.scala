@@ -58,6 +58,14 @@ class PlanShapeSpec extends SparkSpec {
       "edit_neardup joins must all be equi-joins")
   }
 
+  test("PQ and IVF-PQ retrieval plan bounded top-k, never a global sort") {
+    for (q <- Seq("pq_recall", "pq_recall_reranked", "ivfpq_recall")) {
+      val p = plan(q)
+      assert(p.contains("TakeOrderedAndProject"), q)
+      assert(!p.contains("CartesianProduct"), q)
+    }
+  }
+
   test("grouping sets expand once; histogram aggregates partial+final") {
     val g = plan("grouping_sets_stats")
     assert(g.contains("Expand"), "grouping sets must plan a single Expand")
