@@ -88,13 +88,13 @@ object Pq {
       graft.functions.NearestCentroidL2(
         subCol(vecCol, mi, cb.sub), cb.books(mi)).cast("byte")): _*)
 
-  /** ADC cosine top-k: exact query vs PQ-reconstructed corpus. `query`
-    * is a 1-row frame with column `qvec` (broadcast). Per-subspace
-    * dots/norms sum left-to-right in subspace order, matching the
-    * oracle's left-associated `d0+d1+…` exactly. */
-  def adcTopK(corpus: DataFrame, query: DataFrame, k: Int, cb: Codebooks,
-              idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val coded = corpus.select(col(idCol), encodeCol(col(vecCol), cb).as("codes"))
+  /** ADC cosine top-k over a frame that ALREADY carries a `codes`
+    * column (a materialized index scan, or on-the-fly encoding).
+    * `query` is a 1-row frame with column `qvec` (broadcast).
+    * Per-subspace dots/norms sum left-to-right in subspace order,
+    * matching the oracle's left-associated `d0+d1+…` exactly. */
+  def adcTopKCoded(coded: DataFrame, query: DataFrame, k: Int, cb: Codebooks,
+                   idCol: String = "vec_id"): DataFrame = {
     def entry(mi: Int): Column =
       element_at(typedlit(cb.books(mi)), element_at(col("codes"), mi + 1).cast("int") + 1)
     val dotSum = (0 until cb.m).map(mi =>
@@ -108,6 +108,13 @@ object Pq {
       .select(col(idCol), round(sim, 6).as("sim"))
       .orderBy(col("sim").desc, col(idCol).asc).limit(k)
   }
+
+  /** ADC cosine top-k: exact query vs PQ codes encoded on the fly. */
+  def adcTopK(corpus: DataFrame, query: DataFrame, k: Int, cb: Codebooks,
+              idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
+    adcTopKCoded(
+      corpus.select(col(idCol), encodeCol(col(vecCol), cb).as("codes")),
+      query, k, cb, idCol)
 
   /** The composed modern vector index — the FAISS-IVFPQ shape: IVF
     * coarse clustering prunes the corpus to `nprobe` probed clusters
@@ -135,6 +142,53 @@ object Pq {
       .join(broadcast(probes), Seq("__cluster"), "left_semi")
       .drop("__cluster")
     adcTopKReranked(cands, query, k, shortlist, cb, idCol, vecCol)
+  }
+
+  /** Materialize the IVF-PQ index as a physical layout:
+    *
+    *   `path/codes`   — (id, codes) rows, `partitionBy(__cluster)`:
+    *                    the 8-byte representation, cluster directories
+    *                    prunable at PLAN time;
+    *   `path/vectors` — (id, vector) rows for the exact rerank only.
+    *
+    * A probe then (1) opens ONLY the probed clusters' code files —
+    * file skipping, asserted via scan metrics in PqSpec — (2) ADC-
+    * shortlists over codes without ever reading a float vector, and
+    * (3) re-reads exact vectors for the shortlist ids alone. At 100 TB
+    * the query-path bytes are nprobe/k of the corpus × 1/32 of the
+    * column width, plus `shortlist` float rows. */
+  def buildIvfPqIndex(corpus: DataFrame, cents: Seq[Seq[Double]], cb: Codebooks,
+                      path: String, idCol: String = "vec_id",
+                      vecCol: String = "embedding"): Unit = {
+    corpus
+      .withColumn("__cluster", Ann.assignCluster(col(vecCol), cents))
+      .select(col(idCol), col("__cluster"), encodeCol(col(vecCol), cb).as("codes"))
+      .write.partitionBy("__cluster").mode("overwrite").parquet(s"$path/codes")
+    corpus.select(col(idCol), col(vecCol))
+      .write.mode("overwrite").parquet(s"$path/vectors")
+  }
+
+  /** Probe a materialized IVF-PQ index (see [[buildIvfPqIndex]]):
+    * driver-ranked probes become a literal IN filter on the partition
+    * column (plan-time pruning, same contract as [[Ann.ivfIndexTopK]]),
+    * ADC shortlist over the stored codes, exact rerank from the
+    * vectors table. */
+  def ivfPqIndexTopK(spark: org.apache.spark.sql.SparkSession, path: String,
+                     query: DataFrame, cents: Seq[Seq[Double]], cb: Codebooks,
+                     k: Int, nprobe: Int, shortlist: Int,
+                     idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val qvec = query.select(col("qvec")).head().getSeq[Number](0)
+      .map(_.doubleValue()).toSeq
+    val probes = Ann.probeIds(cents, qvec, nprobe)
+    val codes = spark.read.parquet(s"$path/codes")
+      .filter(col("__cluster").isin(probes: _*)).drop("__cluster")
+    val short = adcTopKCoded(codes, query, shortlist, cb, idCol).select(col(idCol))
+    spark.read.parquet(s"$path/vectors")
+      .join(broadcast(short), Seq(idCol), "left_semi")
+      .crossJoin(broadcast(query))
+      .select(col(idCol),
+        round(VectorOps.cosine(col(vecCol), col("qvec")), 6).as("sim"))
+      .orderBy(col("sim").desc, col(idCol).asc).limit(k)
   }
 
   /** The production PQ pipeline: ADC shortlists `shortlist` candidates

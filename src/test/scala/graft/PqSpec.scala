@@ -75,6 +75,47 @@ class PqSpec extends SparkSpec {
     assert(got == exact, s"ivfpq $got != exact $exact")
   }
 
+  test("materialized IVF-PQ index: code files prune, rerank stays exact") {
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    val emb = graft.io.Tables.embeddings(spark, sf0001)
+    val q = emb.filter(col("vec_id") === 0L).select(col("embedding").as("qvec"))
+    val cents = graft.search.Ann.kmeansCentroids(emb, "vec_id", "embedding", 10, 2)
+    val cb = Pq.train(emb, "vec_id", "embedding", 64, 8, 64, 2)
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivfpq").toString + "/index"
+    Pq.buildIvfPqIndex(emb, cents, cb, dir)
+    val res = Pq.ivfPqIndexTopK(spark, dir, q, cents, cb, 5,
+      nprobe = 3, shortlist = 50)
+    val got = res.collect().map(_.getLong(0)).toSet
+    val exact = graft.search.Search.knn(emb, q, 5)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert((got & exact).size >= 4, s"recall too low: $got vs $exact")
+    // the codes scan must open only probed clusters' files
+    def scans(p: SparkPlan): Seq[FileSourceScanExec] = p match {
+      case a: AdaptiveSparkPlanExec => scans(a.executedPlan)
+      case s: org.apache.spark.sql.execution.adaptive.QueryStageExec => scans(s.plan)
+      case r: org.apache.spark.sql.execution.exchange.ReusedExchangeExec => scans(r.child)
+      case f: FileSourceScanExec => Seq(f)
+      case other => other.children.flatMap(scans)
+    }
+    val codesScan = scans(res.queryExecution.executedPlan)
+      .find(_.metadata.get("Location").exists(_.contains("index/codes")))
+      .getOrElse(fail("no parquet scan over the codes table found"))
+    assert(codesScan.toString.contains("PartitionFilters"),
+      "probe pruning must be static (plan-time)")
+    val totalFiles = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
+      walk(new java.io.File(s"$dir/codes")).count(_.getName.endsWith(".parquet"))
+    }
+    val numFiles = codesScan.metrics("numFiles").value
+    assert(numFiles > 0 && numFiles < totalFiles,
+      s"expected file skipping: read $numFiles of $totalFiles code files")
+    // and the codes scan reads NO float vector column
+    assert(!codesScan.schema.fieldNames.contains("embedding"),
+      "query path must not read float vectors before the rerank")
+  }
+
   test("ADC top-k ranks the true neighbors of the query first") {
     val cb = Pq.train(corpus, "vec_id", "embedding", 8, 2, 4, 2)
     val q = corpus.filter(col("vec_id") === 0L)
