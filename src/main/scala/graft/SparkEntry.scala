@@ -423,6 +423,25 @@ object SparkEntry {
           col("term"), col("score"))
         .orderBy(col("doc_id"), col("rank"))
     }),
+    // ---- [EXT] the curation-funnel endpoint: a keep/drop decision per
+    // document from the verified quality signals (composite quality
+    // score + Gopher repetition), with a deterministic first-failing
+    // reason. All comparisons are on the round-6 signal values, so the
+    // decision reproduces cross-engine exactly.
+    "curation_keep" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val rep = TextAnalysis.repetitionStats(docs, "doc_id", "text")
+      val qual = docs.select(col("doc_id"),
+        TextAnalysis.qualityScore(col("text")).as("qscore"))
+      val reason = when(col("qscore") < 0.45, "low_quality")
+        .when(col("dup_word_frac") > 0.65, "repetitive_words")
+        .when(col("top2_frac") > 0.12, "repetitive_bigram")
+        .otherwise("ok")
+      qual.join(rep, Seq("doc_id"))
+        .select(col("doc_id"), reason.as("reason"),
+          when(reason === "ok", 1L).otherwise(0L).as("keep"))
+        .orderBy(col("doc_id"))
+    }),
     // ---- [EXT] corpus-trained bigram LM surprisal (perplexity-style
     // quality filter): add-k smoothed -ln P(w2|w1) averaged per doc;
     // the model is data (count tables joined on their keys), not
@@ -1783,6 +1802,44 @@ object SparkEntry {
         |       count(*) AS n
         |FROM lineitem, b
         |GROUP BY 1 ORDER BY bucket""".stripMargin,
+    "curation_keep" ->
+      s"""WITH rq AS (
+         |  SELECT doc_id,
+         |         round(0.4 * least(len($toksSql) / 50.0, 1.0) +
+         |               0.3 * (1.0 - (length(lower(text)) -
+         |                 length(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g')))::DOUBLE /
+         |                 greatest(length(text), 1)) +
+         |               0.3 * least((len(list_filter($toksSql,
+         |                   t -> list_contains(['the','and','of','to','in','is'], t)))::DOUBLE /
+         |                 greatest(len($toksSql), 1)) * 5.0, 1.0), 6) AS qscore
+         |  FROM documents),
+         |d AS (SELECT doc_id, string_split(text, ' ') AS ws,
+         |             length(text) AS nc FROM documents),
+         |sst AS (SELECT doc_id, nc, len(ws) AS nw,
+         |               len(list_distinct(ws)) AS ndw FROM d),
+         |bg AS (SELECT doc_id, ws[i] || ' ' || ws[i+1] AS g
+         |       FROM d, LATERAL (SELECT unnest(range(1, len(ws))) AS i) t),
+         |cnt AS (SELECT doc_id, g, count(*) AS c FROM bg GROUP BY 1, 2),
+         |top AS (SELECT doc_id, c, g FROM
+         |         (SELECT doc_id, c, g,
+         |                 row_number() OVER (PARTITION BY doc_id
+         |                                    ORDER BY c DESC, g) AS rn
+         |          FROM cnt) WHERE rn = 1),
+         |rep AS (
+         |  SELECT sst.doc_id,
+         |         round((nw - ndw) / greatest(nw, 1)::DOUBLE, 6) AS dup_word_frac,
+         |         round(coalesce(c * length(g), 0) / greatest(nc, 1)::DOUBLE, 6) AS top2_frac
+         |  FROM sst LEFT JOIN top ON sst.doc_id = top.doc_id),
+         |dec AS (
+         |  SELECT rq.doc_id,
+         |         CASE WHEN qscore < 0.45 THEN 'low_quality'
+         |              WHEN dup_word_frac > 0.65 THEN 'repetitive_words'
+         |              WHEN top2_frac > 0.12 THEN 'repetitive_bigram'
+         |              ELSE 'ok' END AS reason
+         |  FROM rq JOIN rep ON rq.doc_id = rep.doc_id)
+         |SELECT doc_id, reason,
+         |       (CASE WHEN reason = 'ok' THEN 1 ELSE 0 END)::BIGINT AS keep
+         |FROM dec ORDER BY doc_id""".stripMargin,
     "tfidf_keywords" ->
       s"""WITH toks AS (SELECT doc_id, unnest($toksSql) AS term FROM documents),
          |tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
