@@ -176,6 +176,23 @@ object Ann {
     corpus.withColumn("__cluster", assignCluster(col(vecCol), cents))
       .write.partitionBy("__cluster").mode("overwrite").parquet(path)
 
+  /** Incrementally add vectors to a materialized IVF index — the
+    * reference's per-batch `add` (`vectorDb.ts:7-9`, `App.tsx:79`)
+    * composed with the index. Delta rows are assigned against the
+    * EXISTING centroids (no retrain: the standard IVF maintenance
+    * trade — assignment quality drifts with the data distribution
+    * until the next rebuild) and appended into the same
+    * `partitionBy(__cluster)` directory layout, so a probe's partition
+    * pruning is unchanged: append-then-probe ≡ rebuild-with-the-same-
+    * centroids-then-probe row-for-row (pinned in AnnSpec). Repeated
+    * small appends leave a file per batch per cluster; remedy with
+    * [[graft.store.CorpusStore.compact]] on the hot cluster
+    * directories. */
+  def appendToIvfIndex(delta: DataFrame, cents: Seq[Seq[Double]], path: String,
+                       vecCol: String = "embedding"): Unit =
+    delta.withColumn("__cluster", assignCluster(col(vecCol), cents))
+      .write.partitionBy("__cluster").mode("append").parquet(path)
+
   /** Search a materialized IVF index: probes are ranked driver-side
     * ([[probeIds]]) and applied as a LITERAL `IN` filter on the
     * partition column, so pruning happens at PLAN time — the scan's

@@ -1,6 +1,7 @@
 package graft.search
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.vector.VectorOps
@@ -47,7 +48,19 @@ object Pq {
     * sub-slices of the `ksub` lowest-id vectors (deterministic, the
     * same convention as [[Ann.kmeansCentroids]]), squared-L2
     * assignment with lowest-cid ties, per-dimension mean
-    * re-estimation, empty clusters carry the previous centroid. */
+    * re-estimation, empty clusters carry the previous centroid.
+    *
+    * Determinism exposure (documented, accepted): the `pq_codes`
+    * oracle pins every integer code cross-engine, which rides on
+    * bit-identical per-dimension averages between VectorAvg's
+    * partial/final merge order and the oracle's sequential avg feeding
+    * an UNROUNDED L2 argmin — a last-ulp centroid difference on
+    * near-equidistant vectors would flip a code. This holds on the
+    * test corpus (verified every round) but is stricter than the
+    * round-6 score contract; if a future corpus/partitioning breaks
+    * it, verify codes via reconstruction error or recall instead of
+    * exact equality — the retrieval-quality oracles (`pq_recall*`,
+    * `ivfpq_*`) already do. */
   def train(corpus: DataFrame, idCol: String, vecCol: String,
             dim: Int, m: Int, ksub: Int, iters: Int): Codebooks = {
     require(m >= 1 && dim % m == 0, s"m ($m) must divide dim ($dim)")
@@ -88,26 +101,30 @@ object Pq {
       graft.functions.NearestCentroidL2(
         subCol(vecCol, mi, cb.sub), cb.books(mi)).cast("byte")): _*)
 
-  /** ADC cosine top-k over a frame that ALREADY carries a `codes`
-    * column (a materialized index scan, or on-the-fly encoding).
-    * `query` is a 1-row frame with column `qvec` (broadcast).
-    * Per-subspace dots/norms sum left-to-right in subspace order,
-    * matching the oracle's left-associated `d0+d1+…` exactly. */
-  def adcTopKCoded(coded: DataFrame, query: DataFrame, k: Int, cb: Codebooks,
-                   idCol: String = "vec_id"): DataFrame = {
+  /** Raw (unrounded) ADC cosine of the exact query vector `qvec`
+    * against the PQ reconstruction encoded in `codes`. Per-subspace
+    * dots/norms sum left-to-right in subspace order, matching the
+    * oracle's left-associated `d0+d1+…` exactly. */
+  private def adcSim(cb: Codebooks, codes: Column, qvec: Column): Column = {
     def entry(mi: Int): Column =
-      element_at(typedlit(cb.books(mi)), element_at(col("codes"), mi + 1).cast("int") + 1)
+      element_at(typedlit(cb.books(mi)), element_at(codes, mi + 1).cast("int") + 1)
     val dotSum = (0 until cb.m).map(mi =>
-      VectorOps.dot(subCol(col("qvec"), mi, cb.sub), entry(mi))).reduce(_ + _)
+      VectorOps.dot(subCol(qvec, mi, cb.sub), entry(mi))).reduce(_ + _)
     val normSum = (0 until cb.m).map(mi =>
       VectorOps.dot(entry(mi), entry(mi))).reduce(_ + _)
-    val qn = VectorOps.l2Norm(col("qvec"))
-    val sim = when(qn === lit(0.0) || normSum === lit(0.0), lit(0.0))
+    val qn = VectorOps.l2Norm(qvec)
+    when(qn === lit(0.0) || normSum === lit(0.0), lit(0.0))
       .otherwise(dotSum / (qn * sqrt(normSum)))
-    coded.crossJoin(broadcast(query))
-      .select(col(idCol), round(sim, 6).as("sim"))
-      .orderBy(col("sim").desc, col(idCol).asc).limit(k)
   }
+
+  /** ADC cosine top-k over a frame that ALREADY carries a `codes`
+    * column (a materialized index scan, or on-the-fly encoding).
+    * `query` is a 1-row frame with column `qvec` (broadcast). */
+  def adcTopKCoded(coded: DataFrame, query: DataFrame, k: Int, cb: Codebooks,
+                   idCol: String = "vec_id"): DataFrame =
+    coded.crossJoin(broadcast(query))
+      .select(col(idCol), round(adcSim(cb, col("codes"), col("qvec")), 6).as("sim"))
+      .orderBy(col("sim").desc, col(idCol).asc).limit(k)
 
   /** ADC cosine top-k: exact query vs PQ codes encoded on the fly. */
   def adcTopK(corpus: DataFrame, query: DataFrame, k: Int, cb: Codebooks,
@@ -149,14 +166,17 @@ object Pq {
     *   `path/codes`   — (id, codes) rows, `partitionBy(__cluster)`:
     *                    the 8-byte representation, cluster directories
     *                    prunable at PLAN time;
-    *   `path/vectors` — (id, vector) rows for the exact rerank only.
+    *   `path/vectors` — (id, vector) rows, range-clustered and sorted
+    *                    on the id so parquet footer min/max stats make
+    *                    an id filter prune files AND row groups.
     *
     * A probe then (1) opens ONLY the probed clusters' code files —
     * file skipping, asserted via scan metrics in PqSpec — (2) ADC-
     * shortlists over codes without ever reading a float vector, and
-    * (3) re-reads exact vectors for the shortlist ids alone. At 100 TB
-    * the query-path bytes are nprobe/k of the corpus × 1/32 of the
-    * column width, plus `shortlist` float rows. */
+    * (3) re-reads exact vectors for the shortlist ids via a pushed
+    * literal-IN filter over the id-clustered layout. At 100 TB the
+    * query-path bytes are nprobe/k of the corpus × 1/32 of the column
+    * width, plus the row groups containing the `shortlist` float rows. */
   def buildIvfPqIndex(corpus: DataFrame, cents: Seq[Seq[Double]], cb: Codebooks,
                       path: String, idCol: String = "vec_id",
                       vecCol: String = "embedding"): Unit = {
@@ -165,30 +185,169 @@ object Pq {
       .select(col(idCol), col("__cluster"), encodeCol(col(vecCol), cb).as("codes"))
       .write.partitionBy("__cluster").mode("overwrite").parquet(s"$path/codes")
     corpus.select(col(idCol), col(vecCol))
+      .repartitionByRange(col(idCol)).sortWithinPartitions(col(idCol))
       .write.mode("overwrite").parquet(s"$path/vectors")
+  }
+
+  /** Incrementally add vectors to a materialized IVF-PQ index — the
+    * reference's core write path is incremental add
+    * (`/root/reference/services/vectorDb.ts:7-9`, called per embedded
+    * batch `App.tsx:79`); this is that operation composed with the
+    * index. Delta rows are assigned against the EXISTING centroids and
+    * codebooks (no retrain — the standard IVF maintenance trade: the
+    * index drifts from the data distribution until the next rebuild)
+    * and appended into the same `partitionBy(__cluster)` layout, so
+    * plan-time pruning keeps working unchanged. Repeated small appends
+    * leave one file per batch per cluster; remedy with
+    * [[graft.store.CorpusStore.compact]] per cluster directory (codes)
+    * and over `path/vectors` keyed on the id. */
+  def appendToIvfPqIndex(delta: DataFrame, cents: Seq[Seq[Double]], cb: Codebooks,
+                         path: String, idCol: String = "vec_id",
+                         vecCol: String = "embedding"): Unit = {
+    delta
+      .withColumn("__cluster", Ann.assignCluster(col(vecCol), cents))
+      .select(col(idCol), col("__cluster"), encodeCol(col(vecCol), cb).as("codes"))
+      .write.partitionBy("__cluster").mode("append").parquet(s"$path/codes")
+    delta.select(col(idCol), col(vecCol))
+      .repartitionByRange(col(idCol)).sortWithinPartitions(col(idCol))
+      .write.mode("append").parquet(s"$path/vectors")
   }
 
   /** Probe a materialized IVF-PQ index (see [[buildIvfPqIndex]]):
     * driver-ranked probes become a literal IN filter on the partition
     * column (plan-time pruning, same contract as [[Ann.ivfIndexTopK]]),
     * ADC shortlist over the stored codes, exact rerank from the
-    * vectors table. */
-  def ivfPqIndexTopK(spark: org.apache.spark.sql.SparkSession, path: String,
-                     query: DataFrame, cents: Seq[Seq[Double]], cb: Codebooks,
-                     k: Int, nprobe: Int, shortlist: Int,
-                     idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    * vectors table. The shortlist ids (≤ `shortlist` rows — bounded
+    * driver state, like the probe ranking) also become a literal IN
+    * filter, so the vectors scan prunes row groups via the sorted
+    * layout's min/max stats instead of reading every float row. */
+  /** The pruned-codes ADC shortlist of a materialized index probe —
+    * the codes-only half of [[ivfPqIndexTopK]], exposed so scan-metric
+    * tests can assert file skipping on the codes scan directly. */
+  def ivfPqIndexShortlist(spark: org.apache.spark.sql.SparkSession, path: String,
+                          query: DataFrame, cents: Seq[Seq[Double]], cb: Codebooks,
+                          nprobe: Int, shortlist: Int,
+                          idCol: String = "vec_id"): DataFrame = {
     val qvec = query.select(col("qvec")).head().getSeq[Number](0)
       .map(_.doubleValue()).toSeq
     val probes = Ann.probeIds(cents, qvec, nprobe)
     val codes = spark.read.parquet(s"$path/codes")
       .filter(col("__cluster").isin(probes: _*)).drop("__cluster")
-    val short = adcTopKCoded(codes, query, shortlist, cb, idCol).select(col(idCol))
+    adcTopKCoded(codes, query, shortlist, cb, idCol)
+  }
+
+  def ivfPqIndexTopK(spark: org.apache.spark.sql.SparkSession, path: String,
+                     query: DataFrame, cents: Seq[Seq[Double]], cb: Codebooks,
+                     k: Int, nprobe: Int, shortlist: Int,
+                     idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val shortIds = ivfPqIndexShortlist(spark, path, query, cents, cb, nprobe, shortlist, idCol)
+      .select(col(idCol)).collect().map(_.get(0)).toSeq
     spark.read.parquet(s"$path/vectors")
-      .join(broadcast(short), Seq(idCol), "left_semi")
+      .filter(col(idCol).isin(shortIds: _*))
       .crossJoin(broadcast(query))
       .select(col(idCol),
         round(VectorOps.cosine(col(vecCol), col("qvec")), 6).as("sim"))
       .orderBy(col("sim").desc, col(idCol).asc).limit(k)
+  }
+
+  /** Batch IVF-PQ retrieval — the multi-query production shape (the
+    * reference's real workload is a stream of questions, one search per
+    * `handleSendMessage`, `/root/reference/App.tsx:180-224`; a training
+    * pipeline evaluates thousands of queries at once). Everything is a
+    * JOIN, nothing loops per query on the driver:
+    *
+    *   1. probe selection: (queries × broadcast centroids) + per-qid
+    *      window top-nprobe — Q·k scored rows, Q·nprobe probe rows;
+    *   2. candidates: probe rows equi-join corpus codes on the cluster
+    *      id (with the index materialized this is the partition key);
+    *   3. ADC shortlist per qid (window over the probed codes);
+    *   4. exact rerank of shortlist rows only, per-qid window top-k.
+    *
+    * `queries` carries (qid, qvec). Probe/shortlist frames broadcast
+    * here (Q·nprobe and Q·shortlist rows — small for interactive Q);
+    * for a huge query side flip the broadcasts to shuffle joins — the
+    * shapes are already keyed. Returns (qid, id, sim), k rows per qid. */
+  def ivfPqTopKBatch(corpus: DataFrame, queries: DataFrame, k: Int, nprobe: Int,
+                     cents: Seq[Seq[Double]], shortlist: Int, cb: Codebooks,
+                     idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val centsDf = cents.zipWithIndex.map { case (c, i) => (i, c) }
+      .toDF("__cluster", "centroid")
+    // probe RANKING rounds to 6 like the single-query path: near-tied
+    // centroids must pick the same probe set across engines/runs
+    val wProbe = Window.partitionBy(col("qid"))
+      .orderBy(col("csim").desc, col("__cluster").asc)
+    val probes = queries.crossJoin(broadcast(centsDf))
+      .withColumn("csim", round(VectorOps.cosine(col("centroid"), col("qvec")), 6))
+      .withColumn("__rn", row_number().over(wProbe))
+      .filter(col("__rn") <= nprobe)
+      .select(col("qid"), col("__cluster"))
+    val coded = corpus.select(col(idCol),
+      Ann.assignCluster(col(vecCol), cents).as("__cluster"),
+      encodeCol(col(vecCol), cb).as("codes"))
+    val cands = coded.join(broadcast(probes), Seq("__cluster")).drop("__cluster")
+    val wTop = Window.partitionBy(col("qid"))
+      .orderBy(col("sim").desc, col(idCol).asc)
+    val short = cands.join(broadcast(queries), Seq("qid"))
+      .select(col("qid"), col(idCol),
+        round(adcSim(cb, col("codes"), col("qvec")), 6).as("sim"))
+      .withColumn("__rn", row_number().over(wTop))
+      .filter(col("__rn") <= shortlist)
+      .select(col("qid"), col(idCol))
+    corpus.select(col(idCol), col(vecCol))
+      .join(broadcast(short), Seq(idCol))
+      .join(broadcast(queries), Seq("qid"))
+      .select(col("qid"), col(idCol),
+        VectorOps.cosine6(col(vecCol), col("qvec")).as("sim"))
+      .withColumn("__rn", row_number().over(wTop))
+      .filter(col("__rn") <= k)
+      .select(col("qid"), col(idCol), col("sim"))
+  }
+
+  /** Batch probe of a MATERIALIZED IVF-PQ index: per-query probe
+    * selection as a join (as [[ivfPqTopKBatch]]), then the union of all
+    * probed clusters becomes a literal IN on the partition column —
+    * ≤ numClusters ints of driver state — so file skipping still
+    * happens at plan time; per-query restriction to each query's own
+    * probes is the (qid, __cluster) equi-join on the pruned scan. */
+  def ivfPqIndexTopKBatch(spark: org.apache.spark.sql.SparkSession, path: String,
+                          queries: DataFrame, cents: Seq[Seq[Double]], cb: Codebooks,
+                          k: Int, nprobe: Int, shortlist: Int,
+                          idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    import spark.implicits._
+    val centsDf = cents.zipWithIndex.map { case (c, i) => (i, c) }
+      .toDF("__cluster", "centroid")
+    val wProbe = Window.partitionBy(col("qid"))
+      .orderBy(col("csim").desc, col("__cluster").asc)
+    val probes = queries.crossJoin(broadcast(centsDf))
+      .withColumn("csim", round(VectorOps.cosine(col("centroid"), col("qvec")), 6))
+      .withColumn("__rn", row_number().over(wProbe))
+      .filter(col("__rn") <= nprobe)
+      .select(col("qid"), col("__cluster"))
+    // union of probed clusters: bounded by numClusters — model-state
+    // scale, same contract as the driver-side probe ranking
+    val probedClusters = probes.select(col("__cluster")).distinct()
+      .collect().map(_.getInt(0)).toSeq
+    val codes = spark.read.parquet(s"$path/codes")
+      .filter(col("__cluster").isin(probedClusters: _*))
+    val cands = codes.join(broadcast(probes), Seq("__cluster")).drop("__cluster")
+    val wTop = Window.partitionBy(col("qid"))
+      .orderBy(col("sim").desc, col(idCol).asc)
+    val short = cands.join(broadcast(queries), Seq("qid"))
+      .select(col("qid"), col(idCol),
+        round(adcSim(cb, col("codes"), col("qvec")), 6).as("sim"))
+      .withColumn("__rn", row_number().over(wTop))
+      .filter(col("__rn") <= shortlist)
+      .select(col("qid"), col(idCol))
+    spark.read.parquet(s"$path/vectors")
+      .join(broadcast(short), Seq(idCol))
+      .join(broadcast(queries), Seq("qid"))
+      .select(col("qid"), col(idCol),
+        VectorOps.cosine6(col(vecCol), col("qvec")).as("sim"))
+      .withColumn("__rn", row_number().over(wTop))
+      .filter(col("__rn") <= k)
+      .select(col("qid"), col(idCol), col("sim"))
   }
 
   /** The production PQ pipeline: ADC shortlists `shortlist` candidates

@@ -157,6 +157,46 @@ class AnnSpec extends SparkSpec {
       s"expected file skipping: read $numFiles of $totalFiles files")
   }
 
+  test("incremental IVF append: append-then-probe ≡ rebuild-then-probe, pruning intact") {
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    val cents = Ann.kmeansCentroids(emb, "vec_id", "embedding", 10, 2)
+    val tmp = java.nio.file.Files.createTempDirectory("graft-ivf-app").toString
+    val incDir = tmp + "/incremental"
+    val fullDir = tmp + "/rebuilt"
+    // base build on 80% of the corpus, then the remaining 20% arrives in
+    // two delta batches (the reference's per-batch add, App.tsx:79)
+    Ann.buildIvfIndex(emb.filter(col("vec_id") < 400), cents, incDir)
+    Ann.appendToIvfIndex(emb.filter(col("vec_id") >= 400 && col("vec_id") < 450), cents, incDir)
+    Ann.appendToIvfIndex(emb.filter(col("vec_id") >= 450), cents, incDir)
+    Ann.buildIvfIndex(emb, cents, fullDir)
+    val inc = Ann.ivfIndexTopK(spark, incDir, q, cents, 5, 3)
+    val got = inc.collect().map(r => (r.getAs[Long]("vec_id"), r.getAs[Double]("sim"))).toSeq
+    val want = Ann.ivfIndexTopK(spark, fullDir, q, cents, 5, 3)
+      .collect().map(r => (r.getAs[Long]("vec_id"), r.getAs[Double]("sim"))).toSeq
+    assert(got == want, s"append-then-probe $got != rebuild-then-probe $want")
+    // appended files land inside the existing cluster directories, so
+    // the probe's partition pruning still skips non-probed clusters
+    def scans(p: SparkPlan): Seq[FileSourceScanExec] = p match {
+      case a: AdaptiveSparkPlanExec => scans(a.executedPlan)
+      case s: org.apache.spark.sql.execution.adaptive.QueryStageExec => scans(s.plan)
+      case r: org.apache.spark.sql.execution.exchange.ReusedExchangeExec => scans(r.child)
+      case f: FileSourceScanExec => Seq(f)
+      case other => other.children.flatMap(scans)
+    }
+    val scan = scans(inc.queryExecution.executedPlan)
+      .find(_.metadata.get("Location").exists(_.contains("incremental")))
+      .getOrElse(fail("no parquet scan over the appended index found"))
+    val totalFiles = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
+      walk(new java.io.File(incDir)).count(_.getName.endsWith(".parquet"))
+    }
+    val numFiles = scan.metrics("numFiles").value
+    assert(numFiles > 0 && numFiles < totalFiles,
+      s"expected file skipping after append: read $numFiles of $totalFiles files")
+  }
+
   test("LSH buckets are deterministic across runs (seeded planes)") {
     val p = Ann.planes(64, 8)
     val b1 = emb.withColumn("b", Ann.lshBucket(col("embedding"), p))

@@ -66,6 +66,14 @@ class PlanShapeSpec extends SparkSpec {
     }
   }
 
+  test("batch IVF-PQ retrieval: probes are a join, never a cartesian blowup") {
+    // probe selection must stay (queries × broadcast centroids) + window
+    // and candidate generation a keyed equi-join on the cluster id; the
+    // only nested-loop joins are the broadcast query/centroid fan-outs
+    val p = plan("ivfpq_batch_recall")
+    assert(!p.contains("CartesianProduct"), "batch retrieval must never go all-pairs")
+  }
+
   test("grouping sets expand once; histogram aggregates partial+final") {
     val g = plan("grouping_sets_stats")
     assert(g.contains("Expand"), "grouping sets must plan a single Expand")

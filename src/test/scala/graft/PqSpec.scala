@@ -90,7 +90,6 @@ class PqSpec extends SparkSpec {
     val exact = graft.search.Search.knn(emb, q, 5)
       .select("vec_id").collect().map(_.getLong(0)).toSet
     assert((got & exact).size >= 4, s"recall too low: $got vs $exact")
-    // the codes scan must open only probed clusters' files
     def scans(p: SparkPlan): Seq[FileSourceScanExec] = p match {
       case a: AdaptiveSparkPlanExec => scans(a.executedPlan)
       case s: org.apache.spark.sql.execution.adaptive.QueryStageExec => scans(s.plan)
@@ -98,7 +97,13 @@ class PqSpec extends SparkSpec {
       case f: FileSourceScanExec => Seq(f)
       case other => other.children.flatMap(scans)
     }
-    val codesScan = scans(res.queryExecution.executedPlan)
+    // the codes scan must open only probed clusters' files (the
+    // shortlist half runs eagerly inside ivfPqIndexTopK, so assert on
+    // the exposed shortlist frame)
+    val short = Pq.ivfPqIndexShortlist(spark, dir, q, cents, cb,
+      nprobe = 3, shortlist = 50)
+    short.collect()
+    val codesScan = scans(short.queryExecution.executedPlan)
       .find(_.metadata.get("Location").exists(_.contains("index/codes")))
       .getOrElse(fail("no parquet scan over the codes table found"))
     assert(codesScan.toString.contains("PartitionFilters"),
@@ -114,6 +119,42 @@ class PqSpec extends SparkSpec {
     // and the codes scan reads NO float vector column
     assert(!codesScan.schema.fieldNames.contains("embedding"),
       "query path must not read float vectors before the rerank")
+    // the rerank reads vectors through a PUSHED id filter (row-group
+    // min/max pruning on the sorted layout), not a full-table scan
+    val vecScan = scans(res.queryExecution.executedPlan)
+      .find(_.metadata.get("Location").exists(_.contains("index/vectors")))
+      .getOrElse(fail("no parquet scan over the vectors table found"))
+    assert(vecScan.metadata.get("PushedFilters").exists(_.contains("In(vec_id")),
+      s"shortlist must push down as an In filter: ${vecScan.metadata.get("PushedFilters")}")
+  }
+
+  test("incremental IVF-PQ append ≡ rebuild, and batch index probe matches in-memory batch") {
+    val emb = graft.io.Tables.embeddings(spark, sf0001)
+    val cents = graft.search.Ann.kmeansCentroids(emb, "vec_id", "embedding", 10, 2)
+    val cb = Pq.train(emb, "vec_id", "embedding", 64, 8, 64, 2)
+    val tmp = java.nio.file.Files.createTempDirectory("graft-ivfpq-app").toString
+    val incDir = tmp + "/incremental"
+    val fullDir = tmp + "/rebuilt"
+    Pq.buildIvfPqIndex(emb.filter(col("vec_id") < 400), cents, cb, incDir)
+    Pq.appendToIvfPqIndex(emb.filter(col("vec_id") >= 400), cents, cb, incDir)
+    Pq.buildIvfPqIndex(emb, cents, cb, fullDir)
+    val q = emb.filter(col("vec_id") === 0L).select(col("embedding").as("qvec"))
+    val inc = Pq.ivfPqIndexTopK(spark, incDir, q, cents, cb, 5, nprobe = 3, shortlist = 50)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val full = Pq.ivfPqIndexTopK(spark, fullDir, q, cents, cb, 5, nprobe = 3, shortlist = 50)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(inc == full, s"append-then-probe $inc != rebuild-then-probe $full")
+    // the batch index probe (probes as a join + union-of-probes IN
+    // filter) returns exactly the in-memory batch result on the
+    // appended index
+    val qs = emb.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    val viaIndex = Pq.ivfPqIndexTopKBatch(spark, incDir, qs, cents, cb,
+        5, nprobe = 3, shortlist = 50)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq.sorted
+    val inMem = Pq.ivfPqTopKBatch(emb, qs, 5, nprobe = 3, cents, shortlist = 50, cb)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq.sorted
+    assert(viaIndex == inMem, "materialized batch probe must match the in-memory batch")
   }
 
   test("ADC top-k ranks the true neighbors of the query first") {
