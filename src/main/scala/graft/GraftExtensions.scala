@@ -4,7 +4,7 @@ import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 
-import graft.functions.{CosineSimilarity, DotProduct, FeaturizeCounts, L2Normalize, BloomFilterAgg, BloomMightContain, GunzipText, MinHashSignature, PdfExtract, QuantizeInt8, SimHash64, SortedArrayIntersectCount, SortedJaccard, TokenShingleHashes, VectorAvg}
+import graft.functions.{CosineSimilarity, DotProduct, FeaturizeCounts, ImageMeta, L2Normalize, BloomFilterAgg, BloomMightContain, GunzipText, MinHashSignature, PdfExtract, QuantizeInt8, SimHash64, SortedArrayIntersectCount, SortedJaccard, TokenShingleHashes, VectorAvg}
 
 /** Registers the engine's native expressions as SQL functions, so the
   * full surface is reachable from `spark.sql(...)` as well as the Column
@@ -87,7 +87,10 @@ object GraftExtensions {
       (es: Seq[Expression]) => TokenShingleHashes(es(0), intArg(es(1), "token_shingle_hashes"))),
     ("quantize_int8",
       new ExpressionInfo(classOf[QuantizeInt8].getName, "quantize_int8"),
-      (es: Seq[Expression]) => QuantizeInt8(es(0))))
+      (es: Seq[Expression]) => QuantizeInt8(es(0))),
+    ("image_meta",
+      new ExpressionInfo(classOf[ImageMeta].getName, "image_meta"),
+      (es: Seq[Expression]) => ImageMeta(es(0))))
 
   /** Register on an already-built session (temp functions). */
   def register(spark: SparkSession): Unit =

@@ -681,6 +681,36 @@ object SparkEntry {
         .select(col("id"), graft.functions.GunzipText(col("payload")).as("text"))
         .orderBy(col("id"))
     }),
+    // ---- [EXT] multimodal: REAL image decode over the binary column —
+    // dependency-free PNG/JPEG/GIF header parsing (functions/ImageMeta).
+    // Fixtures are driver-built valid files whose dimensions derive from
+    // the row id by arithmetic, so the oracle pins every decoded value
+    // without an image library; corrupt/truncated payloads must decode
+    // to NULL (surfaced as sentinels), never throw.
+    "image_meta" -> ((s, dir) => {
+      import s.implicits._
+      val rows: Seq[(Long, Array[Byte])] = (0 until 40).map { i =>
+        val w = i % 97 + 1
+        val h = (i * 7) % 83 + 1
+        val bytes = (i % 3) match {
+          case 0 => graft.multimodal.ImageFixtures.png(w, h)
+          case 1 => graft.multimodal.ImageFixtures.jpeg(w, h)
+          case _ => graft.multimodal.ImageFixtures.gif(w, h)
+        }
+        (i.toLong, bytes)
+      } ++ Seq(
+        (40L, graft.multimodal.ImageFixtures.png(5, 5).take(20)), // truncated
+        (41L, "definitely not an image".getBytes("UTF-8")),       // garbage
+        (42L, Array.empty[Byte]))                                 // empty
+      rows.toDF("id", "payload")
+        .select(col("id"), graft.functions.ImageMeta(col("payload")).as("m"))
+        .select(col("id"),
+          coalesce(col("m.format"), lit("invalid")).as("format"),
+          coalesce(col("m.width").cast("long"), lit(-1L)).as("width"),
+          coalesce(col("m.height").cast("long"), lit(-1L)).as("height"),
+          coalesce(col("m.bit_depth").cast("long"), lit(-1L)).as("bit_depth"))
+        .orderBy(col("id"))
+    }),
     // ---- [EXT] multimodal: binary payload + batched stub decode
     "multimodal_meta" -> ((s, dir) => {
       val media = Multimodal.asBinary(Tables.documents(s, dir), "doc_id", "text")
@@ -2245,6 +2275,20 @@ object SparkEntry {
          |       len(regexp_extract_all(lower(text),
          |           '[a-z]+|[0-9]+|[^a-z0-9\\s]'))::BIGINT AS bpe_tokens
          |FROM documents ORDER BY doc_id""".stripMargin,
+    // the expected metadata is pure arithmetic on the row id (the
+    // fixture writer derives dimensions the same way), so the oracle
+    // verifies the real byte-level decode without any image library
+    "image_meta" ->
+      """SELECT i::BIGINT AS id,
+        |       CASE i % 3 WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg' ELSE 'gif' END AS format,
+        |       (i % 97 + 1)::BIGINT AS width,
+        |       ((i * 7) % 83 + 1)::BIGINT AS height,
+        |       8::BIGINT AS bit_depth
+        |FROM range(0, 40) t(i)
+        |UNION ALL
+        |SELECT i::BIGINT, 'invalid', (-1)::BIGINT, (-1)::BIGINT, (-1)::BIGINT
+        |FROM range(40, 43) t(i)
+        |ORDER BY id""".stripMargin,
     "multimodal_meta" ->
       """SELECT doc_id, octet_length(encode(text))::BIGINT AS byte_len,
         |       md5(text) AS content_hash,

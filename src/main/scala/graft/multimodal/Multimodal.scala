@@ -6,12 +6,17 @@ import org.apache.spark.sql.functions._
 /** Multimodal columns: image/audio/video as opaque `binary` payloads
   * with typed metadata, decoded executor-side in batches.
   *
-  * The Spark-side plumbing is real — schema, partition-level batched
-  * decode via `mapPartitions` with a typed Encoder, deterministic
-  * feature output — while the codec itself is a clearly-marked STUB
-  * (this container ships no image/audio libraries): `decodeStub`
-  * derives width/height/fingerprint deterministically from the bytes.
-  * Swapping in a real decoder changes only that one function; the
+  * The IMAGE modality has a real decoder: the native
+  * [[graft.functions.ImageMeta]] expression parses PNG/JPEG/GIF
+  * headers byte-for-byte (dependency-free, like [[PdfText]]), and the
+  * `image_meta` oracle query verifies it against arithmetic-derived
+  * expected rows over [[ImageFixtures]]' spec-valid files. This object
+  * keeps the BATCHED-decoder pipeline shape for codecs that need heavy
+  * per-partition setup (audio/video): the Spark-side plumbing — schema,
+  * partition-level batched decode via `mapPartitions` with a typed
+  * Encoder, deterministic feature output — is real, while `decodeStub`
+  * stands in for an ffmpeg-class library this container doesn't ship.
+  * Swapping in such a decoder changes only that one function; the
   * pipeline shape (binary in → struct features out, no driver
   * involvement, no shuffle) is what runs at 100 TB.
   */

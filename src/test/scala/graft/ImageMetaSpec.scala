@@ -1,0 +1,78 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.ImageMeta
+import graft.multimodal.ImageFixtures
+
+/** Pins the real image-metadata decoder: valid PNG/JPEG/GIF parse to
+  * their exact dimensions; truncated/corrupt/unknown payloads are NULL
+  * (the one-bad-file-must-not-poison-the-batch contract), never a
+  * throw. */
+class ImageMetaSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def metaOf(payloads: Seq[(Long, Array[Byte])]): Map[Long, Option[(String, Int, Int, Int)]] =
+    payloads.toDF("id", "payload")
+      .select(col("id"), ImageMeta(col("payload")).as("m"))
+      .select(col("id"), col("m.format"), col("m.width"), col("m.height"), col("m.bit_depth"))
+      .collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) None
+        else Some((r.getString(1), r.getInt(2), r.getInt(3), r.getInt(4)))))
+      .toMap
+
+  test("valid PNG/JPEG/GIF decode to their exact header metadata") {
+    val out = metaOf(Seq(
+      (0L, ImageFixtures.png(640, 480)),
+      (1L, ImageFixtures.jpeg(31, 17)),
+      (2L, ImageFixtures.jpeg(31, 17, precision = 12, sof = 0xc2)), // progressive
+      (3L, ImageFixtures.gif(12, 99)),
+      (4L, ImageFixtures.png(1, 1))))
+    assert(out(0L).contains(("png", 640, 480, 8)))
+    assert(out(1L).contains(("jpeg", 31, 17, 8)))
+    assert(out(2L).contains(("jpeg", 31, 17, 12)))
+    assert(out(3L).contains(("gif", 12, 99, 8)))
+    assert(out(4L).contains(("png", 1, 1, 8)))
+  }
+
+  test("PNG fixtures are real files: a PNG decoder reads the same pixels back") {
+    // the fixture writer must emit a VALID file (CRCs, deflate stream),
+    // not just a recognizable header — javax.imageio ships in the JDK
+    val img = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(ImageFixtures.png(7, 5)))
+    assert(img != null, "JDK decoder rejected the fixture")
+    assert(img.getWidth == 7 && img.getHeight == 5)
+    // deterministic (x+y) ramp: red channel of pixel (2,3) is (2+3)=5
+    assert(((img.getRGB(2, 3) >> 16) & 0xff) == 5)
+  }
+
+  test("truncated, corrupt, unknown, and empty payloads are NULL, never a throw") {
+    val png = ImageFixtures.png(50, 40)
+    val jpg = ImageFixtures.jpeg(50, 40)
+    val cases: Seq[(Long, Array[Byte])] =
+      // every truncation point of the PNG header region
+      (0 until 26).map(n => (100L + n, png.take(n))) ++ Seq(
+        (1L, jpg.take(3)),                        // JPEG cut inside markers
+        (2L, jpg.take(9)),                        // JPEG cut inside APP0
+        (3L, Array(0xff, 0xd8, 0xff, 0xd9).map(_.toByte)), // SOI+EOI, no SOF
+        (4L, "GIF89a".getBytes("US-ASCII")),      // GIF cut before descriptor
+        (5L, "plain text, no image".getBytes("UTF-8")),
+        (6L, Array.empty[Byte]),
+        (7L, { val b = png.clone(); b(12) = 'X'.toByte; b })) // IHDR type corrupted
+    val out = metaOf(cases)
+    out.foreach { case (id, v) => assert(v.isEmpty, s"id $id should be NULL, got $v") }
+  }
+
+  test("null input stays null; SQL registration exposes image_meta to spark.sql") {
+    GraftExtensions.register(spark)
+    val row = Seq((0L, ImageFixtures.gif(3, 4))).toDF("id", "payload")
+    row.createOrReplaceTempView("img_fixture")
+    val viaSql = spark.sql(
+      "SELECT image_meta(payload).width AS w, image_meta(payload).format AS f FROM img_fixture")
+      .collect().head
+    assert(viaSql.getInt(0) == 3 && viaSql.getString(1) == "gif")
+    val nullRow = Seq((0L, null: Array[Byte])).toDF("id", "payload")
+      .select(ImageMeta(col("payload")).as("m")).collect().head
+    assert(nullRow.isNullAt(0))
+  }
+}
