@@ -90,7 +90,11 @@ object GraftExtensions {
       (es: Seq[Expression]) => QuantizeInt8(es(0))),
     ("image_meta",
       new ExpressionInfo(classOf[ImageMeta].getName, "image_meta"),
-      (es: Seq[Expression]) => ImageMeta(es(0))))
+      (es: Seq[Expression]) => ImageMeta(es(0))),
+    ("chunk_text",
+      new ExpressionInfo(classOf[graft.functions.ChunkText].getName, "chunk_text"),
+      (es: Seq[Expression]) => graft.functions.ChunkText(es(0),
+        intArg(es(1), "chunk_text"), intArg(es(2), "chunk_text"))))
 
   /** Register on an already-built session (temp functions). */
   def register(spark: SparkSession): Unit =

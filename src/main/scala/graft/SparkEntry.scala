@@ -622,6 +622,28 @@ object SparkEntry {
         .select(col("chunk_id").cast("long").as("chunk_id"), col("doc_id"),
           col("pos").cast("long").as("pos"), col("sim"))
     }),
+    // ---- [EXT] the same ingest→retrieve pipeline run ENTIRELY through
+    // spark.sql: chunk_text generator (LATERAL VIEW), featurize_counts,
+    // cos_sim — no Column API anywhere. Chunks are keyed by their
+    // natural (doc_id, pos) key rather than the dense ordinal id: the
+    // SQL form of the ordinal would be a single-partition global
+    // window, exactly the plan the engine's Chunker.withOrdinalIds
+    // exists to avoid; the (doc_id, pos) tiebreak selects the same
+    // chunks because ordinal ids are assigned in (doc_id, pos) order.
+    "sql_retrieval_top5" -> ((s, dir) => {
+      GraftExtensions.register(s)
+      Tables.documents(s, dir).createOrReplaceTempView("graft_docs")
+      s.sql(
+        s"""WITH ch AS (
+           |  SELECT doc_id, c.pos, c.chunk
+           |  FROM graft_docs LATERAL VIEW chunk_text(text, 100, 20) c AS pos, chunk
+           |  WHERE length(trim(c.chunk)) > 0)
+           |SELECT CAST(doc_id AS BIGINT) AS doc_id, CAST(pos AS BIGINT) AS pos,
+           |       round(cos_sim(featurize_counts(chunk, 64),
+           |                     featurize_counts('$Question', 64)), 6) AS sim
+           |FROM ch
+           |ORDER BY sim DESC, doc_id ASC, pos ASC LIMIT 5""".stripMargin)
+    }),
     // ---- A14: full ask pipeline with the deterministic answerer stub
     "ask_answer" -> ((s, dir) =>
       graft.answer.Ask.ask(s, dir, Question, 5, 64)),
@@ -2199,6 +2221,27 @@ object SparkEntry {
          |       round(coalesce(dp.dp, 0) / (dn.nrm * (SELECT nrm FROM qn)), 6) AS sim
          |FROM ch JOIN dn USING (chunk_id) LEFT JOIN dp USING (chunk_id)
          |ORDER BY sim DESC, chunk_id ASC LIMIT 5""".stripMargin
+    },
+    "sql_retrieval_top5" -> {
+      val chToks = "list_filter(string_split(lower(chunk), ' '), t -> t <> '')"
+      s"""WITH ch AS (
+         |  SELECT doc_id, pos, chunk FROM ($chunksSql)
+         |  WHERE length(trim(chunk)) > 0),
+         |tok AS (SELECT doc_id, pos, unnest($chToks) AS tok FROM ch),
+         |db AS (SELECT doc_id, pos, ${polySql("tok")} % 64 AS b, count(*)::DOUBLE AS c
+         |       FROM tok GROUP BY 1, 2, 3),
+         |dn AS (SELECT doc_id, pos, sqrt(sum(c * c)) AS nrm FROM db GROUP BY 1, 2),
+         |qt AS (SELECT unnest(list_filter(string_split(lower('$Question'), ' '),
+         |                     t -> t <> '')) AS tok),
+         |qb AS (SELECT ${polySql("tok")} % 64 AS b, count(*)::DOUBLE AS c
+         |       FROM qt GROUP BY 1),
+         |qn AS (SELECT sqrt(sum(c * c)) AS nrm FROM qb),
+         |dp AS (SELECT d.doc_id, d.pos, sum(d.c * q.c) AS dp
+         |       FROM db d JOIN qb q USING (b) GROUP BY 1, 2)
+         |SELECT ch.doc_id, ch.pos,
+         |       round(coalesce(dp.dp, 0) / (dn.nrm * (SELECT nrm FROM qn)), 6) AS sim
+         |FROM ch JOIN dn USING (doc_id, pos) LEFT JOIN dp USING (doc_id, pos)
+         |ORDER BY sim DESC, ch.doc_id ASC, ch.pos ASC LIMIT 5""".stripMargin
     },
     "ask_answer" -> {
       // featurized top-5 (as rag_top5) joined back to text, then context,

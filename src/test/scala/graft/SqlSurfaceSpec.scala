@@ -65,6 +65,48 @@ class SqlSurfaceSpec extends SparkSpec {
     assert(r.isNullAt(0))
   }
 
+  test("chunk_text generator matches the Column-API chunker row-for-row") {
+    GraftExtensions.register(spark)
+    import spark.implicits._
+    Seq((0L, "abcdefghij"), (1L, ""), (2L, "xyz"),
+        (3L, null.asInstanceOf[String]), (4L, "naïve ✓ façade row"))
+      .toDF("doc_id", "text").createOrReplaceTempView("ct_docs")
+    val viaSql = spark.sql(
+      """SELECT doc_id, c.pos, c.chunk
+        |FROM ct_docs LATERAL VIEW chunk_text(text, 4, 1) c AS pos, chunk
+        |ORDER BY doc_id, pos""".stripMargin).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getString(2))).toSeq
+    val viaCol = graft.text.Chunker.chunk(spark.table("ct_docs"), "text", 4, 1)
+      .select(col("doc_id"), col("pos"), col("chunk"))
+      .orderBy(col("doc_id"), col("pos")).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getString(2))).toSeq
+    assert(viaSql == viaCol)
+    assert(viaSql.exists(_._1 == 4L)) // non-ASCII text chunks too
+    assert(!viaSql.exists(r => r._1 == 1L || r._1 == 3L)) // empty/null → 0 rows
+  }
+
+  test("end-to-end SQL retrieval: chunk → featurize → score → top-5, no Column API") {
+    // the full ingest→retrieve path a SQL-only user runs; must agree
+    // with the Column-API pipeline on the same corpus
+    val viaSql = SparkEntry.queries("sql_retrieval_top5")(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(viaSql.size == 5)
+    assert(viaSql.map(_._3) == viaSql.map(_._3).sorted.reverse, "descending by sim")
+    import spark.implicits._
+    val qdf = Seq(Tuple1(graft.embed.Featurizer
+      .featurizeCountsText("how does the engine scan tables", 64))).toDF("qvec")
+    val ch = graft.text.Chunker
+      .chunk(graft.io.Tables.documents(spark, sf0001), "text", 100, 20)
+      .filter(graft.text.Chunker.nonEmpty(col("chunk")))
+      .withColumn("cvec", graft.embed.Featurizer.featurizeCounts(64)(col("chunk")))
+    val viaCol = ch.crossJoin(broadcast(qdf))
+      .select(col("doc_id"), col("pos").cast("long").as("pos"),
+        VectorOps.cosine6(col("cvec"), col("qvec")).as("sim"))
+      .orderBy(col("sim").desc, col("doc_id").asc, col("pos").asc).limit(5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(viaSql == viaCol, s"sql $viaSql != column $viaCol")
+  }
+
   test("dot_product / l2_normalize / featurize / pdf_extract via spark.sql") {
     GraftExtensions.register(spark)
     val dot = spark.sql(
