@@ -443,25 +443,13 @@ object SparkEntry {
           col("term"), col("score"))
         .orderBy(col("doc_id"), col("rank"))
     }),
-    // ---- [EXT] the curation-funnel endpoint: a keep/drop decision per
-    // document from the verified quality signals (composite quality
-    // score + Gopher repetition), with a deterministic first-failing
-    // reason. All comparisons are on the round-6 signal values, so the
-    // decision reproduces cross-engine exactly.
-    "curation_keep" -> ((s, dir) => {
-      val docs = Tables.documents(s, dir)
-      val rep = TextAnalysis.repetitionStats(docs, "doc_id", "text")
-      val qual = docs.select(col("doc_id"),
-        TextAnalysis.qualityScore(col("text")).as("qscore"))
-      val reason = when(col("qscore") < 0.45, "low_quality")
-        .when(col("dup_word_frac") > 0.65, "repetitive_words")
-        .when(col("top2_frac") > 0.12, "repetitive_bigram")
-        .otherwise("ok")
-      qual.join(rep, Seq("doc_id"))
-        .select(col("doc_id"), reason.as("reason"),
-          when(reason === "ok", 1L).otherwise(0L).as("keep"))
-        .orderBy(col("doc_id"))
-    }),
+    // ---- [EXT] the curation-funnel endpoint (analysis/Curation): a
+    // keep/drop decision per document from the verified quality
+    // signals, thresholds as parameters (the oracle pins the defaults,
+    // which are tuned so every branch fires on this corpus).
+    "curation_keep" -> ((s, dir) =>
+      graft.analysis.Curation.keep(Tables.documents(s, dir), "doc_id", "text")
+        .orderBy(col("doc_id"))),
     // ---- [EXT] corpus-trained bigram LM surprisal (perplexity-style
     // quality filter): add-k smoothed -ln P(w2|w1) averaged per doc;
     // the model is data (count tables joined on their keys), not

@@ -18,7 +18,19 @@ object Verify {
     new java.io.File(outDir).mkdirs()
     // Dev-loop subset (unset for the driver's full run):
     // SPARK_GRAFT_ONLY=q1,q2 runs + dumps oracles for just those queries.
-    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
+    // A typo'd name must FAIL, not silently select nothing — and the
+    // filter announces itself so a leaked env var can't make a partial
+    // run (old per-query parquet dirs still present in outDir)
+    // masquerade as a full one.
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").map(_.trim).toSet)
+    only.foreach { names =>
+      val unknown = names -- SparkEntry.queries.keySet
+      require(unknown.isEmpty,
+        s"SPARK_GRAFT_ONLY names not in SparkEntry.queries: ${unknown.toSeq.sorted.mkString(",")}")
+      System.err.println(
+        s"[verify] SUBSET FILTER ACTIVE (${names.size} of ${SparkEntry.queries.size} " +
+          s"queries): ${names.toSeq.sorted.mkString(",")}")
+    }
     def selected(name: String): Boolean = only.forall(_.contains(name))
     SparkEntry.queries.filter(kv => selected(kv._1)).foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
@@ -42,6 +54,15 @@ object Verify {
     val json = SparkEntry.oracleSql.filter(kv => selected(kv._1))
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // Run manifest: which queries THIS invocation produced, and under
+    // what filter — distinguishes a fresh full run from a subset run
+    // over a dir holding stale parquet from earlier invocations.
+    val ran = SparkEntry.queries.keys.filter(selected).toSeq.sorted
+    val manifest = s"""{"filter": ${only.fold("null")(n =>
+        n.toSeq.sorted.map(q).mkString("[", ",", "]"))}, """ +
+      s""""total_queries": ${SparkEntry.queries.size}, """ +
+      s""""ran": ${ran.map(q).mkString("[", ",", "]")}}"""
+    Files.writeString(Paths.get(s"$outDir/manifest.json"), manifest)
     spark.stop()
   }
 }

@@ -22,9 +22,14 @@ import org.apache.spark.sql.types._
   * to collapse adjacent doubles into false ties, which would then
   * tie-break differently cross-engine).
   *
-  * Semantics: dimension mismatch → index 0 (every distance is
-  * meaningless, resolve like the all-tie); null element → NULL (unified
-  * vector-kernel null contract). */
+  * Semantics: dimension mismatch → NULL, null element → NULL (the
+  * unified vector-kernel null contract). The cosine [[NearestCentroid]]
+  * keeps its all-sims-tie-at-−1 → 0 convention for mismatches; HERE a
+  * 0 would be indistinguishable from a genuine assignment to cluster 0
+  * — in a materialized PQ index a corrupted vector would silently
+  * encode as a valid-looking code while the oracle's slice arithmetic
+  * NULL-propagates. NULL keeps both engines agreeing and lets the
+  * ingest path drop or quarantine bad rows explicitly. */
 case class NearestCentroidL2(child: Expression, cents: Seq[Seq[Double]])
     extends UnaryExpression {
 
@@ -48,7 +53,8 @@ case class NearestCentroidL2(child: Expression, cents: Seq[Seq[Double]])
 
   override def dataType: DataType = IntegerType
 
-  override def nullable: Boolean = child.nullable || elemNullable
+  // always nullable: a dimension-mismatched vector yields NULL
+  override def nullable: Boolean = true
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case ArrayType(FloatType, _) | ArrayType(DoubleType, _) =>
@@ -65,7 +71,7 @@ case class NearestCentroidL2(child: Expression, cents: Seq[Seq[Double]])
 
   override protected def nullSafeEval(input: Any): Any = {
     val a = input.asInstanceOf[ArrayData]
-    if (a.numElements() != d) return 0
+    if (a.numElements() != d) return null
     val isF = elemIsFloat
     val nn = elemNullable
     val v = new Array[Double](d)
@@ -111,7 +117,7 @@ case class NearestCentroidL2(child: Expression, cents: Seq[Seq[Double]])
         if (elemNullable) s"if ($a.isNullAt($j)) { ${ev.isNull} = true; break; }" else ""
       s"""
          |if ($a.numElements() != $d) {
-         |  ${ev.value} = 0;
+         |  ${ev.isNull} = true;
          |} else {
          |  for (int $j = 0; $j < $d; $j++) {
          |    $nullCheck

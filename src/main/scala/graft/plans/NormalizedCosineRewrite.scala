@@ -25,6 +25,16 @@ import graft.functions.{CosineSimilarity, DotProduct, L2Normalize}
   * Injection: `spark.sql.extensions=graft.GraftExtensions` installs it
   * session-wide; on a live session use
   * `spark.experimental.extraOptimizations`.
+  *
+  * Comparison-consistency caveat: because the rewrite moves values by
+  * last-ulp amounts, a score computed WITH the rule can round-6 (or
+  * rank) differently from one computed WITHOUT it on a near-boundary
+  * input. Any verify/bench comparison must therefore run the same
+  * extension configuration on both sides — the repo's Verify and Bench
+  * sessions deliberately build PLAIN sessions (rule inactive) to match
+  * the rule-free DuckDB oracle; a production deployment that installs
+  * the extension should validate against baselines produced with it
+  * installed.
   */
 object NormalizedCosineRewrite extends Rule[LogicalPlan] {
   override def apply(plan: LogicalPlan): LogicalPlan =

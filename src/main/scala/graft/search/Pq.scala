@@ -82,6 +82,9 @@ object Pq {
                 subCol(col(vecCol), mi, sub), books(mi).toSeq).as("c"),
               subCol(col(vecCol), mi, sub).as("v"))): _*)).as("e"))
         .select(col("e.m").as("m"), col("e.c").as("c"), col("e.v").as("v"))
+        // dim-mismatched/null-element rows assign to NULL — excluded
+        // from re-estimation rather than polluting a cluster's mean
+        .filter(col("c").isNotNull)
         .groupBy(col("m"), col("c"))
         .agg(graft.functions.VectorAvg(col("v")).as("cent"))
         .collect()

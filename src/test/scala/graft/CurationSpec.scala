@@ -1,0 +1,43 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.analysis.{Curation, CurationThresholds}
+import graft.io.Tables
+
+/** The curation gate is a real parameter surface, not baked constants:
+  * thresholds move the keep/drop boundary, defaults reproduce the
+  * oracle query's decisions. */
+class CurationSpec extends SparkSpec {
+
+  private lazy val docs = Tables.documents(spark, sf0001)
+
+  test("default thresholds fire every branch on the synthetic corpus") {
+    val reasons = Curation.keep(docs, "doc_id", "text")
+      .groupBy(col("reason")).count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(reasons.keySet == Set("ok", "low_quality", "repetitive_words", "repetitive_bigram"),
+      s"expected all four branches, got $reasons")
+  }
+
+  test("thresholds parameterize the gate monotonically") {
+    val everything = Curation.keep(docs, "doc_id", "text",
+      CurationThresholds(minQuality = -1.0, maxDupWordFrac = 2.0, maxTop2Frac = 2.0))
+    assert(everything.filter(col("keep") === 0).count() == 0,
+      "vacuous thresholds must keep every document")
+    val nothing = Curation.keep(docs, "doc_id", "text",
+      CurationThresholds(minQuality = 2.0, maxDupWordFrac = -1.0, maxTop2Frac = -1.0))
+    assert(nothing.filter(col("keep") === 1).count() == 0,
+      "impossible thresholds must drop every document")
+    // tightening ONE threshold can only move rows from keep to drop
+    val default = Curation.keep(docs, "doc_id", "text")
+      .filter(col("keep") === 1).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    val tighter = Curation.keep(docs, "doc_id", "text",
+      CurationThresholds(minQuality = 0.55))
+      .filter(col("keep") === 1).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(tighter.subsetOf(default), "tightening must be monotone")
+    assert(tighter.size < default.size, "0.55 must actually drop more docs here")
+  }
+}

@@ -16,7 +16,7 @@ class PqSpec extends SparkSpec {
       (1L, Some(Seq(Some(0.9f), Some(0.9f)))),   // nearer (1,1) → 1
       (2L, Some(Seq(Some(0.5f), Some(0.5f)))),   // exact tie → 0
       (3L, Some(Seq(Some(0.1f), None))),         // null element → NULL
-      (4L, Some(Seq(Some(1.0f), Some(2.0f), Some(3.0f)))), // dim mismatch → 0
+      (4L, Some(Seq(Some(1.0f), Some(2.0f), Some(3.0f)))), // dim mismatch → NULL
       (5L, None: Option[Seq[Option[Float]]]))    // null array → NULL
       .toDF("id", "v")
     val out = df.select(col("id"), NearestCentroidL2(col("v"), cents).as("c"))
@@ -25,7 +25,9 @@ class PqSpec extends SparkSpec {
     assert(out(1L).contains(1))
     assert(out(2L).contains(0))
     assert(out(3L).isEmpty)
-    assert(out(4L).contains(0))
+    // a corrupted (wrong-dimension) vector must NOT encode as a
+    // valid-looking code 0 — it is NULL, like the null-element case
+    assert(out(4L).isEmpty)
     assert(out(5L).isEmpty)
   }
 
