@@ -745,6 +745,22 @@ object SparkEntry {
     "ann_lsh_top5" -> ((s, dir) =>
       Ann.lshTopK(Tables.embeddings(s, dir), queryVec(s, dir), 5, Ann.planes(64, 8))
         .select(col("vec_id"), col("sim"))),
+    // ---- [EXT] incremental index maintenance THROUGH the correctness
+    // gate: build the materialized IVF index on 80% of the corpus,
+    // append the rest against the existing centroids (the reference's
+    // per-batch add composed with the index), probe the appended
+    // layout. The oracle is the in-memory k-means IVF replay — append
+    // must be invisible to the query.
+    "ann_index_append_top5" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val cents = Ann.kmeansCentroids(emb, "vec_id", "embedding", 10, 2)
+      val path = java.nio.file.Files
+        .createTempDirectory("graft-ivf-append").toString + "/index"
+      Ann.buildIvfIndex(emb.filter(col("vec_id") < 400), cents, path)
+      Ann.appendToIvfIndex(emb.filter(col("vec_id") >= 400), cents, path)
+      Ann.ivfIndexTopK(s, path, queryVec(s, dir), cents, 5, 3)
+        .select(col("vec_id"), col("sim"))
+    }),
     // ---- [EXT] anti join (the dedup-subtract shape, SURVEY §2 semi/anti)
     "anti_join" -> ((s, dir) => {
       val bigItems = Tables.lineitem(s, dir)
@@ -1295,6 +1311,25 @@ object SparkEntry {
       s"$contextExpr || chr(10) || '---' || chr(10) || chr(10) || " +
       s"'Question: ' || '$Question' || chr(10)"
 
+  /** k-means IVF top-5 replay (Lloyd build via [[ivfTrainSql]], probe
+    * ranking at round-6, pruned exact scan) — the oracle of BOTH the
+    * in-memory `ann_kmeans_top5` and the appended materialized index
+    * `ann_index_append_top5`: append must be invisible to the query. */
+  private lazy val kmeansIvfTop5Sql: String = {
+    def rawCos(a: String, b: String) =
+      s"list_dot_product($a, $b) / (sqrt(list_dot_product($a, $a)) * sqrt(list_dot_product($b, $b)))"
+    s"""WITH q AS (SELECT embedding AS qvec FROM embeddings WHERE vec_id = 0),
+       |${ivfTrainSql(10, 2)},
+       |probes AS (
+       |  SELECT cid FROM ic2, q
+       |  ORDER BY round(${rawCos("centroid", "qvec::DOUBLE[]")}, 6) DESC, cid ASC
+       |  LIMIT 3)
+       |SELECT vec_id, sim FROM (
+       |  SELECT e.vec_id, ${cosSql("e.embedding", "q.qvec")} AS sim
+       |  FROM embeddings e JOIN iaf USING (vec_id) JOIN probes USING (cid), q)
+       |ORDER BY sim DESC, vec_id ASC LIMIT 5""".stripMargin
+  }
+
   def oracleSql: Map[String, String] = Map(
     "knn_top5" ->
       s"""SELECT vec_id, sim FROM (
@@ -1472,20 +1507,10 @@ object SparkEntry {
          |  FROM embeddings e JOIN probes USING (label), q)
          |ORDER BY sim DESC, vec_id ASC LIMIT 5""".stripMargin
     },
-    "ann_kmeans_top5" -> {
-      val rawCos = (a: String, b: String) =>
-        s"list_dot_product($a, $b) / (sqrt(list_dot_product($a, $a)) * sqrt(list_dot_product($b, $b)))"
-      s"""WITH q AS (SELECT embedding AS qvec FROM embeddings WHERE vec_id = 0),
-         |${ivfTrainSql(10, 2)},
-         |probes AS (
-         |  SELECT cid FROM ic2, q
-         |  ORDER BY round(${rawCos("centroid", "qvec::DOUBLE[]")}, 6) DESC, cid ASC
-         |  LIMIT 3)
-         |SELECT vec_id, sim FROM (
-         |  SELECT e.vec_id, ${cosSql("e.embedding", "q.qvec")} AS sim
-         |  FROM embeddings e JOIN iaf USING (vec_id) JOIN probes USING (cid), q)
-         |ORDER BY sim DESC, vec_id ASC LIMIT 5""".stripMargin
-    },
+    "ann_kmeans_top5" -> kmeansIvfTop5Sql,
+    // the appended materialized index must answer exactly like the
+    // in-memory k-means IVF probe over the full corpus
+    "ann_index_append_top5" -> kmeansIvfTop5Sql,
     "ann_lsh_top5" -> {
       val planeLits = graft.search.Ann.planes(64, 8).map(p =>
         p.map(x => "%.17e".formatLocal(java.util.Locale.ROOT, x))

@@ -94,6 +94,40 @@ class StoreStreamSpec extends SparkSpec {
     assert(texts.toSeq == Seq("alpha", "beta", "gamma"))
   }
 
+  test("streaming incremental index maintenance: foreachBatch appends, probe ≡ rebuild") {
+    // the reference's core loop — embed batch, add to the index
+    // (App.tsx:79) — as Structured Streaming: each micro-batch assigns
+    // against the FROZEN centroids and appends into the partitioned
+    // layout; after the stream drains, probing the incrementally-built
+    // index matches a from-scratch rebuild row-for-row
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.functions.col
+    implicit val sqlCtx = spark.sqlContext
+    val emb = spark.read.parquet(s"$sf0001/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+    val cents = graft.search.Ann.kmeansCentroids(emb, "vec_id", "embedding", 10, 2)
+    val dir = java.nio.file.Files.createTempDirectory("graft-stream-ivf").toString + "/index"
+    val rows = emb.collect().map(r =>
+      (r.getLong(0), r.getSeq[Float](1).toSeq)).toSeq
+    val input = MemoryStream[(Long, Seq[Float])]
+    val q = input.toDF().toDF("vec_id", "embedding")
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        graft.search.Ann.appendToIvfIndex(batch, cents, dir)
+      }
+      .start()
+    rows.grouped(200).foreach { g => input.addData(g); q.processAllAvailable() }
+    q.stop()
+    val query = emb.filter(col("vec_id") === 0L).select(col("embedding").as("qvec"))
+    val streamed = graft.search.Ann.ivfIndexTopK(spark, dir, query, cents, 5, 3)
+      .collect().map(r => (r.getAs[Long]("vec_id"), r.getAs[Double]("sim"))).toSeq
+    val rebuiltDir = java.nio.file.Files.createTempDirectory("graft-stream-ivf2").toString + "/index"
+    graft.search.Ann.buildIvfIndex(emb, cents, rebuiltDir)
+    val rebuilt = graft.search.Ann.ivfIndexTopK(spark, rebuiltDir, query, cents, 5, 3)
+      .collect().map(r => (r.getAs[Long]("vec_id"), r.getAs[Double]("sim"))).toSeq
+    assert(streamed == rebuilt, s"streamed $streamed != rebuilt $rebuilt")
+  }
+
   test("stream-stream time-range join: views pick up prior clicks only") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import java.sql.Timestamp
