@@ -107,6 +107,57 @@ class SqlSurfaceSpec extends SparkSpec {
     assert(viaSql == viaCol, s"sql $viaSql != column $viaCol")
   }
 
+  test("end-to-end SQL dedup: minhash LSH banding + exact jaccard rerank, no Column API") {
+    // the dedup pipeline a SQL-only user runs from the registered
+    // primitives: shingle → minhash → band self-join → exact rerank
+    GraftExtensions.register(spark)
+    spark.read.parquet(s"$sf0001/documents.parquet")
+      .createOrReplaceTempView("dd_docs")
+    val viaSql = spark.sql(
+      """WITH sig AS (
+        |  SELECT doc_id, minhash_signature(token_shingle_hashes(text, 3), 32) AS sig
+        |  FROM dd_docs),
+        |banded AS (
+        |  SELECT doc_id, band, slice(sig, band * 4 + 1, 4) AS bandsig
+        |  FROM sig LATERAL VIEW explode(sequence(0, 7)) t AS band
+        |  WHERE sig IS NOT NULL),
+        |cands AS (
+        |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM banded a JOIN banded b
+        |    ON a.band = b.band AND a.bandsig = b.bandsig AND a.doc_id < b.doc_id),
+        |sets AS (SELECT doc_id, token_shingle_hashes(text, 3) AS ss FROM dd_docs)
+        |SELECT id_a, id_b, round(sorted_jaccard(sa.ss, sb.ss), 6) AS jaccard
+        |FROM cands JOIN sets sa ON cands.id_a = sa.doc_id
+        |           JOIN sets sb ON cands.id_b = sb.doc_id
+        |WHERE round(sorted_jaccard(sa.ss, sb.ss), 6) >= 0.7
+        |ORDER BY id_a, id_b""".stripMargin).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    // same composition through the Column API
+    import graft.functions.{MinHashSignature, SortedJaccard, TokenShingleHashes}
+    val docs = spark.table("dd_docs")
+    val sig = docs.select(col("doc_id").as("id"),
+      MinHashSignature(TokenShingleHashes(col("text"), 3), 32).as("sig"))
+    val banded = sig.filter(col("sig").isNotNull)
+      .select(col("id"), posexplode(transform(sequence(lit(0), lit(7)),
+        b => slice(col("sig"), b * 4 + lit(1), lit(4)))))
+      .select(col("id"), col("pos").as("band"), col("col").as("bandsig"))
+    val cands = banded.as("a").join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.bandsig") === col("b.bandsig") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b")).distinct()
+    val sets = docs.select(col("doc_id"), TokenShingleHashes(col("text"), 3).as("ss"))
+    val viaCol = cands
+      .join(sets.select(col("doc_id").as("id_a"), col("ss").as("sa")), Seq("id_a"))
+      .join(sets.select(col("doc_id").as("id_b"), col("ss").as("sb")), Seq("id_b"))
+      .select(col("id_a"), col("id_b"),
+        round(SortedJaccard(col("sa"), col("sb")), 6).as("jaccard"))
+      .filter(col("jaccard") >= 0.7)
+      .orderBy(col("id_a"), col("id_b")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(viaSql.nonEmpty, "the corpus plants near-dup pairs; SQL dedup must find some")
+    assert(viaSql == viaCol, s"sql $viaSql != column $viaCol")
+  }
+
   test("dot_product / l2_normalize / featurize / pdf_extract via spark.sql") {
     GraftExtensions.register(spark)
     val dot = spark.sql(
