@@ -504,6 +504,37 @@ object SparkEntry {
         .select(col("vec_id").as("doc_id"), col("sim"))
       Lexical.rrfFuse(bm, vec, "doc_id", "score", "sim", 5)
     }),
+    // ---- [EXT] batch lexical retrieval: BM25 top-3 PER QUERY over a
+    // query TABLE — the per-(doc, term) weight is query-independent and
+    // computed once; queries attach by a keyed term join + per-qid
+    // window. No per-query driver loop.
+    "bm25_batch_top3" -> ((s, dir) => {
+      import s.implicits._
+      val qs = Seq(
+        (0L, Seq("spark", "join")),
+        (1L, Seq("table", "filter")),
+        (2L, Seq("spark", "filter", "table"))).toDF("qid", "terms")
+      Lexical.bm25TopKBatch(Tables.documents(s, dir), "text", "doc_id", qs, 3)
+        .orderBy(col("qid"), col("doc_id"))
+    }),
+    // ---- [EXT] batch hybrid retrieval: per-query RRF fusion of the
+    // batch BM25 ranking with the batch embedding-kNN ranking (qid i
+    // pairs term set i with query vector vec_id = i)
+    "hybrid_rrf_batch_top3" -> ((s, dir) => {
+      import s.implicits._
+      val qs = Seq(
+        (0L, Seq("spark", "join")),
+        (1L, Seq("table", "filter")),
+        (2L, Seq("spark", "filter", "table"))).toDF("qid", "terms")
+      val bm = Lexical.bm25TopKBatch(Tables.documents(s, dir), "text", "doc_id", qs, 20)
+      val emb = Tables.embeddings(s, dir)
+      val vq = emb.filter(col("vec_id") < 3)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+      val vec = Search.similarityJoin(emb, vq, 20)
+        .select(col("qid"), col("vec_id").as("doc_id"), col("sim"))
+      Lexical.rrfFuseBatch(bm, vec, "doc_id", "score", "sim", 3)
+        .orderBy(col("qid"), col("doc_id"))
+    }),
     // ---- [EXT] sequence packing: docs → fixed-token-capacity training
     // windows via the distributed exclusive prefix sum (no
     // SinglePartition stage; contiguous id-order packing)
@@ -1137,6 +1168,37 @@ object SparkEntry {
        |  JOIN dl d USING (doc_id)
        |  CROSS JOIN stats s
        |  GROUP BY p.doc_id)""".stripMargin
+
+  /** Batch-BM25 replay: the literal 3-query term table, postings pruned
+    * to the term union, the query-independent per-(doc, term) weight,
+    * and per-(qid, doc) scores — emits `bscored(qid, doc_id, score)`.
+    * Mirrors [[graft.search.Lexical.bm25TopKBatch]] token-for-token. */
+  private lazy val bm25BatchCtes: String =
+    s"""qt AS (SELECT qid::BIGINT AS qid, term FROM (VALUES
+       |  (0, 'spark'), (0, 'join'),
+       |  (1, 'table'), (1, 'filter'),
+       |  (2, 'spark'), (2, 'filter'), (2, 'table')) AS t(qid, term)),
+       |toks AS (SELECT doc_id, $toksSql AS toks FROM documents),
+       |dl AS (SELECT doc_id, len(toks)::BIGINT AS dl FROM toks),
+       |stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
+       |postings AS (
+       |  SELECT doc_id, term, count(*) AS tf FROM (
+       |    SELECT doc_id, unnest(toks) AS term FROM toks)
+       |  WHERE term IN (SELECT DISTINCT term FROM qt)
+       |  GROUP BY doc_id, term),
+       |dfreq AS (SELECT term, count(*) AS df FROM postings GROUP BY term),
+       |wts AS (
+       |  SELECT p.doc_id, p.term,
+       |         ln(1.0::DOUBLE + (s.n_docs - f.df + 0.5::DOUBLE) / (f.df + 0.5::DOUBLE))
+       |         * p.tf * 2.2::DOUBLE
+       |         / (p.tf + 1.2::DOUBLE * (0.25::DOUBLE + 0.75::DOUBLE * d.dl / s.avgdl)) AS w
+       |  FROM postings p
+       |  JOIN dfreq f USING (term)
+       |  JOIN dl d USING (doc_id)
+       |  CROSS JOIN stats s),
+       |bscored AS (
+       |  SELECT qt.qid, wts.doc_id, round(sum(wts.w), 6) AS score
+       |  FROM wts JOIN qt USING (term) GROUP BY 1, 2)""".stripMargin
 
   /** Unrounded cosine, for oracle-internal RANKING where the Spark side
     * also compares raw (k-means assignment argmax): both engines drift
@@ -2142,6 +2204,42 @@ object SparkEntry {
       s"""WITH $bm25Ctes
          |SELECT doc_id, score FROM scored
          |ORDER BY score DESC, doc_id ASC LIMIT 5""".stripMargin,
+    "bm25_batch_top3" ->
+      s"""WITH $bm25BatchCtes
+         |SELECT qid, doc_id, score FROM (
+         |  SELECT qid, doc_id, score,
+         |         row_number() OVER (PARTITION BY qid
+         |           ORDER BY score DESC, doc_id ASC) AS rn
+         |  FROM bscored) WHERE rn <= 3
+         |ORDER BY qid, doc_id""".stripMargin,
+    "hybrid_rrf_batch_top3" ->
+      s"""WITH $bm25BatchCtes,
+         |brank AS (
+         |  SELECT qid, doc_id, ra FROM (
+         |    SELECT qid, doc_id,
+         |           row_number() OVER (PARTITION BY qid
+         |             ORDER BY score DESC, doc_id ASC) AS ra
+         |    FROM bscored) WHERE ra <= 20),
+         |qs AS (SELECT vec_id AS qid, embedding AS qvec
+         |       FROM embeddings WHERE vec_id < 3),
+         |vrank AS (
+         |  SELECT qid, doc_id, rb FROM (
+         |    SELECT qs.qid, e.vec_id AS doc_id,
+         |           row_number() OVER (PARTITION BY qs.qid
+         |             ORDER BY ${cosSql("e.embedding", "qs.qvec")} DESC,
+         |                      e.vec_id ASC) AS rb
+         |    FROM embeddings e CROSS JOIN qs) WHERE rb <= 20),
+         |fused AS (
+         |  SELECT qid, doc_id,
+         |         round(coalesce(1.0::DOUBLE / (60 + ra), 0.0::DOUBLE)
+         |             + coalesce(1.0::DOUBLE / (60 + rb), 0.0::DOUBLE), 6) AS rrf
+         |  FROM brank FULL JOIN vrank USING (qid, doc_id))
+         |SELECT qid, doc_id, rrf FROM (
+         |  SELECT qid, doc_id, rrf,
+         |         row_number() OVER (PARTITION BY qid
+         |           ORDER BY rrf DESC, doc_id ASC) AS rn
+         |  FROM fused) WHERE rn <= 3
+         |ORDER BY qid, doc_id""".stripMargin,
     "seq_pack" ->
       s"""WITH w AS (SELECT doc_id, len($toksSql)::BIGINT AS weight FROM documents),
          |c AS (SELECT doc_id, weight,

@@ -57,6 +57,70 @@ object Lexical {
       .limit(k)
   }
 
+  /** Batch BM25: top-k per query over a QUERY TABLE (`qid`,
+    * `terms array<string>`) — the multi-query production shape, no
+    * per-query driver loop. The per-(doc, term) BM25 weight is
+    * query-INDEPENDENT (idf, tf, length norm), so it is computed once
+    * over the union of all queries' terms — postings still prune to
+    * that union BEFORE any shuffle — and fanned out to queries by a
+    * keyed join on the term; per-query top-k is a window over each
+    * query's ≤ |terms|·|matching docs| scored rows. Query-side frames
+    * broadcast (Q·terms rows); at a huge Q they become shuffle joins on
+    * the term key — the shapes are already keyed. */
+  def bm25TopKBatch(docs: DataFrame, textCol: String, idCol: String,
+                    queries: DataFrame, k: Int): DataFrame = {
+    val qterms = queries
+      .select(col("qid"), explode(col("terms")).as("term")).distinct()
+    val allTerms = qterms.select(col("term")).distinct()
+    val toks = docs.select(col(idCol), TextAnalysis.tokens(col(textCol)).as("toks"))
+    val dl = toks.select(col(idCol), size(col("toks")).as("dl"))
+    val stats = dl.agg(count(lit(1)).as("n_docs"), avg(col("dl")).as("avgdl"))
+    val postings = toks
+      .select(col(idCol), explode(col("toks")).as("term"))
+      .join(broadcast(allTerms), Seq("term"), "left_semi") // prune BEFORE the shuffle
+      .groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf"))
+    val dfreq = postings.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val weights = postings
+      .join(broadcast(dfreq), "term")
+      .join(dl, Seq(idCol))
+      .crossJoin(broadcast(stats))
+      .withColumn("w",
+        log(lit(1.0) + (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5))) *
+          col("tf") * lit(2.2) /
+          (col("tf") + lit(K1) * (lit(0.25) + lit(B) * col("dl") / col("avgdl"))))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("score").desc, col(idCol).asc)
+    weights
+      .join(broadcast(qterms), Seq("term"))
+      .groupBy(col("qid"), col(idCol)).agg(round(sum(col("w")), 6).as("score"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col(idCol), col("score"))
+  }
+
+  /** Batch reciprocal-rank fusion: [[rrfFuse]] per qid over two batch
+    * rankings (`qid`, id, ordering column), each already limited to its
+    * per-query top `depth` — the rank windows sort ≤ depth rows per
+    * qid, never the corpus. */
+  def rrfFuseBatch(a: DataFrame, b: DataFrame, idCol: String, orderColA: String,
+                   orderColB: String, k: Int, c: Int = 60): DataFrame = {
+    def ranked(df: DataFrame, ord: String, as: String): DataFrame =
+      df.withColumn(as, row_number().over(
+          Window.partitionBy(col("qid")).orderBy(col(ord).desc, col(idCol).asc)))
+        .select(col("qid"), col(idCol), col(as))
+    val ra = ranked(a, orderColA, "ra")
+    val rb = ranked(b, orderColB, "rb")
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("rrf").desc, col(idCol).asc)
+    ra.join(rb, Seq("qid", idCol), "full_outer")
+      .withColumn("rrf", round(
+        coalesce(lit(1.0) / (lit(c) + col("ra")), lit(0.0)) +
+          coalesce(lit(1.0) / (lit(c) + col("rb")), lit(0.0)), 6))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col(idCol), col("rrf"))
+  }
+
   /** Reciprocal-rank fusion (`score = Σ 1/(c + rank)`, c = 60 in the
     * original paper) of two rankings carried as (id, ordering column)
     * frames that are ALREADY limited to their top `depth` — the

@@ -74,6 +74,13 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), "batch retrieval must never go all-pairs")
   }
 
+  test("batch lexical/hybrid retrieval: keyed term joins, no cartesian") {
+    for (q <- Seq("bm25_batch_top3", "hybrid_rrf_batch_top3")) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), q)
+    }
+  }
+
   test("grouping sets expand once; histogram aggregates partial+final") {
     val g = plan("grouping_sets_stats")
     assert(g.contains("Expand"), "grouping sets must plan a single Expand")
