@@ -914,6 +914,17 @@ object SparkEntry {
           Tables.documents(s, dir), "doc_id", 0.2)
         .select(col("doc_id"), col("lang"))
         .orderBy(col("doc_id"))),
+    // ---- [EXT] deterministic WEIGHTED sampling without replacement
+    // (Efraimidis–Spirakis A-ES): quality-weighted corpus subsampling —
+    // here weight = token count, so long documents are favored
+    // proportionally; reproducible (hash-derived u, round-6 key) and
+    // top-k-bounded (TakeOrderedAndProject, never a global sort)
+    "weighted_sample" -> ((s, dir) => {
+      val weighted = Tables.documents(s, dir).select(col("doc_id"),
+        TextAnalysis.tokenCount(col("text")).cast("long").as("weight"))
+      graft.analysis.Sampling.weightedSample(weighted, "doc_id", "weight", 100)
+        .select(col("doc_id"), col("weight"), col("es_key"))
+    }),
     // ---- [EXT] stratified deterministic sampling: per-language rates
     "sample_stratified" -> ((s, dir) =>
       graft.analysis.Sampling.stratifiedSample(
@@ -2582,6 +2593,17 @@ object SparkEntry {
         |              WHEN lang = 'de' THEN CAST(0.25 * 4294967296 AS BIGINT)
         |              ELSE CAST(0.1 * 4294967296 AS BIGINT) END)
         |GROUP BY lang ORDER BY lang""".stripMargin,
+    // A-ES replay: u = (knuth_bucket + 1)/2^32 ∈ (0,1], key = ln(u)/w
+    // rounded to 6 (ln libm drift absorbed; doc_id tiebreak)
+    "weighted_sample" ->
+      s"""WITH w AS (SELECT doc_id, len($toksSql)::BIGINT AS weight FROM documents),
+         |b AS (SELECT doc_id, weight,
+         |             (((((doc_id % 4294967296) // 65536) * 2654435761) % 4294967296) * 65536
+         |              + ((doc_id % 4294967296) % 65536) * 2654435761) % 4294967296 AS bucket
+         |      FROM w WHERE weight > 0)
+         |SELECT doc_id, weight,
+         |       round(ln((bucket + 1) / 4294967296.0) / weight, 6) AS es_key
+         |FROM b ORDER BY es_key DESC, doc_id ASC LIMIT 100""".stripMargin,
     "normalize_text" ->
       """SELECT doc_id,
         |       trim(regexp_replace(regexp_replace(

@@ -68,6 +68,30 @@ object Sampling {
     }
   }
 
+  /** Deterministic WEIGHTED sample of k rows without replacement
+    * (Efraimidis–Spirakis "A-ES", Inf. Proc. Letters 97(5), 2006 —
+    * public): each row draws u ∈ (0,1] from its own id hash and
+    * competes on the key ln(u)/w — the k largest keys are a weighted
+    * sample without replacement, each row's inclusion odds
+    * proportional to its weight. The training-data use is
+    * quality-weighted corpus subsampling: weight = token count or a
+    * quality score, and the sample is reproducible (same corpus →
+    * same rows on every run and engine, integer hash + round-6 key).
+    * Scale shape: per-row arithmetic + `TakeOrderedAndProject` —
+    * a bounded per-partition heap, no shuffle beyond the k-row merge.
+    * Non-positive weights are excluded (inclusion probability 0). */
+  def weightedSample(df: DataFrame, idCol: String, weightCol: String,
+                     k: Int): DataFrame = {
+    // u in (0,1]: (bucket + 1)/2^32 never hits ln(0); keys are ≤ 0 and
+    // larger-is-better (equivalent to maximizing u^(1/w)); round-6 so
+    // libm ln drift cannot flip a rank cross-engine (id tiebreak)
+    val u = (bucket(col(idCol)) + lit(1L)).cast("double") / lit(M.toDouble)
+    df.filter(col(weightCol) > 0)
+      .withColumn("es_key", round(log(u) / col(weightCol), 6))
+      .orderBy(col("es_key").desc, col(idCol).asc)
+      .limit(k)
+  }
+
   /** Stratified deterministic sample: an independent fraction per
     * stratum value (e.g. per language), unlisted strata default to
     * `defaultFraction`. Same per-row determinism and nesting as

@@ -37,6 +37,30 @@ class SamplingSpec extends SparkSpec {
     }
   }
 
+  test("weighted sample: deterministic, weight-proportional, top-k-bounded plan") {
+    import spark.implicits._
+    // two weight classes: heavy rows (w=50) should dominate a sample
+    // over light rows (w=1) roughly in proportion to total weight
+    val rows = (0L until 1000L).map(i => (i, if (i % 2 == 0) 50L else 1L))
+      .toDF("id", "w")
+    val s1 = Sampling.weightedSample(rows, "id", "w", 100)
+      .select("id").collect().map(_.getLong(0)).toSeq
+    val s2 = Sampling.weightedSample(rows, "id", "w", 100)
+      .select("id").collect().map(_.getLong(0)).toSeq
+    assert(s1 == s2, "same corpus must yield the same sample")
+    val heavy = s1.count(_ % 2 == 0)
+    assert(heavy >= 85, s"heavy rows carry ~98% of total weight, got $heavy/100")
+    // zero/negative weights are excluded outright
+    val withZero = (0L until 10L).map(i => (i, if (i < 5) 0L else 10L)).toDF("id", "w")
+    val kept = Sampling.weightedSample(withZero, "id", "w", 10)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(kept == (5L until 10L).toSet)
+    // the plan is a bounded top-k, not a global sort
+    val plan = Sampling.weightedSample(rows, "id", "w", 100)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), plan.take(500))
+  }
+
   test("stratified sample honors per-stratum rates and the default") {
     val out = Sampling.stratifiedSample(docs, "doc_id", "lang",
         Map("en" -> 1.0, "de" -> 0.0), defaultFraction = 0.2)
