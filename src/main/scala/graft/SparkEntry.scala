@@ -663,6 +663,46 @@ object SparkEntry {
            |FROM ch
            |ORDER BY sim DESC, doc_id ASC, pos ASC LIMIT 5""".stripMargin)
     }),
+    // ---- [EXT] document-level retrieval over chunk scores (the "maxP"
+    // passage-aggregation shape): score every chunk, rank DOCUMENTS by
+    // their best chunk — the standard long-document retrieval fix for
+    // chunk-granular scoring. Partial max per doc is an algebraic agg
+    // (map-side combined), then a bounded top-k.
+    "rag_docs_maxp_top5" -> ((s, dir) => {
+      import s.implicits._
+      val qdf = Seq(Tuple1(Featurizer.featurizeCountsText(Question, 64))).toDF("qvec")
+      val ch = Chunker.chunk(Tables.documents(s, dir), "text", 100, 20)
+        .filter(Chunker.nonEmpty(col("chunk")))
+        .withColumn("cvec", Featurizer.featurizeCounts(64)(col("chunk")))
+      ch.crossJoin(broadcast(qdf))
+        .select(col("doc_id"), VectorOps.cosine6(col("cvec"), col("qvec")).as("sim"))
+        .groupBy(col("doc_id")).agg(max(col("sim")).as("maxp"))
+        .orderBy(col("maxp").desc, col("doc_id").asc).limit(5)
+    }),
+    // ---- [EXT] corpus snapshot diff: the incremental-ingest audit op —
+    // which documents were added / removed / changed between two corpus
+    // versions (full outer join on the key, content compared by hash).
+    // The "new version" here is a deterministic mutation of the corpus:
+    // doc_id % 11 == 0 re-texted, % 13 == 0 dropped, + 3 fresh ids.
+    "corpus_diff" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val v1 = docs.select(col("doc_id"), md5(col("text")).as("h1"))
+      val v2 = docs.filter(col("doc_id") % 13 =!= 0)
+        .select(col("doc_id"),
+          md5(when(col("doc_id") % 11 === 0, upper(col("text")))
+            .otherwise(col("text"))).as("h2"))
+        .unionByName(docs.filter(col("doc_id") < 3)
+          .select((col("doc_id") + 100000L).as("doc_id"),
+            md5(col("text")).as("h2")))
+      v1.join(v2, Seq("doc_id"), "full_outer")
+        .select(col("doc_id"),
+          when(col("h1").isNull, "added")
+            .when(col("h2").isNull, "removed")
+            .when(col("h1") =!= col("h2"), "changed")
+            .otherwise("same").as("status"))
+        .groupBy(col("status")).agg(count(lit(1)).as("n"))
+        .orderBy(col("status"))
+    }),
     // ---- A14: full ask pipeline with the deterministic answerer stub
     "ask_answer" -> ((s, dir) =>
       graft.answer.Ask.ask(s, dir, Question, 5, 64)),
@@ -2344,6 +2384,43 @@ object SparkEntry {
          |FROM ch JOIN dn USING (chunk_id) LEFT JOIN dp USING (chunk_id)
          |ORDER BY sim DESC, chunk_id ASC LIMIT 5""".stripMargin
     },
+    "rag_docs_maxp_top5" -> {
+      val chToks = "list_filter(string_split(lower(chunk), ' '), t -> t <> '')"
+      s"""WITH ch AS (
+         |  SELECT doc_id, pos, chunk FROM ($chunksSql)
+         |  WHERE length(trim(chunk)) > 0),
+         |tok AS (SELECT doc_id, pos, unnest($chToks) AS tok FROM ch),
+         |db AS (SELECT doc_id, pos, ${polySql("tok")} % 64 AS b, count(*)::DOUBLE AS c
+         |       FROM tok GROUP BY 1, 2, 3),
+         |dn AS (SELECT doc_id, pos, sqrt(sum(c * c)) AS nrm FROM db GROUP BY 1, 2),
+         |qt AS (SELECT unnest(list_filter(string_split(lower('$Question'), ' '),
+         |                     t -> t <> '')) AS tok),
+         |qb AS (SELECT ${polySql("tok")} % 64 AS b, count(*)::DOUBLE AS c
+         |       FROM qt GROUP BY 1),
+         |qn AS (SELECT sqrt(sum(c * c)) AS nrm FROM qb),
+         |dp AS (SELECT d.doc_id, d.pos, sum(d.c * q.c) AS dp
+         |       FROM db d JOIN qb q USING (b) GROUP BY 1, 2),
+         |sims AS (
+         |  SELECT ch.doc_id,
+         |         round(coalesce(dp.dp, 0) / (dn.nrm * (SELECT nrm FROM qn)), 6) AS sim
+         |  FROM ch JOIN dn USING (doc_id, pos) LEFT JOIN dp USING (doc_id, pos))
+         |SELECT doc_id, max(sim) AS maxp FROM sims
+         |GROUP BY doc_id ORDER BY maxp DESC, doc_id ASC LIMIT 5""".stripMargin
+    },
+    "corpus_diff" ->
+      """WITH v1 AS (SELECT doc_id, md5(text) AS h1 FROM documents),
+        |v2 AS (
+        |  SELECT doc_id,
+        |         md5(CASE WHEN doc_id % 11 = 0 THEN upper(text) ELSE text END) AS h2
+        |  FROM documents WHERE doc_id % 13 <> 0
+        |  UNION ALL
+        |  SELECT doc_id + 100000, md5(text) FROM documents WHERE doc_id < 3)
+        |SELECT status, count(*) AS n FROM (
+        |  SELECT CASE WHEN h1 IS NULL THEN 'added'
+        |              WHEN h2 IS NULL THEN 'removed'
+        |              WHEN h1 <> h2 THEN 'changed' ELSE 'same' END AS status
+        |  FROM v1 FULL JOIN v2 USING (doc_id))
+        |GROUP BY status ORDER BY status""".stripMargin,
     "sql_retrieval_top5" -> {
       val chToks = "list_filter(string_split(lower(chunk), ' '), t -> t <> '')"
       s"""WITH ch AS (
