@@ -94,7 +94,10 @@ object GraftExtensions {
     ("chunk_text",
       new ExpressionInfo(classOf[graft.functions.ChunkText].getName, "chunk_text"),
       (es: Seq[Expression]) => graft.functions.ChunkText(es(0),
-        intArg(es(1), "chunk_text"), intArg(es(2), "chunk_text"))))
+        intArg(es(1), "chunk_text"), intArg(es(2), "chunk_text"))),
+    ("char_entropy",
+      new ExpressionInfo(classOf[graft.functions.CharEntropy].getName, "char_entropy"),
+      (es: Seq[Expression]) => graft.functions.CharEntropy(es(0))))
 
   /** Register on an already-built session (temp functions). */
   def register(spark: SparkSession): Unit =

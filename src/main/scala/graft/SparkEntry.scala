@@ -457,6 +457,14 @@ object SparkEntry {
     "bigram_surprisal" -> ((s, dir) =>
       graft.text.LangModel.bigramSurprisal(Tables.documents(s, dir), "doc_id", "text")
         .orderBy(col("doc_id"))),
+    // ---- [EXT] character-entropy quality signal (the CCNet/Gopher
+    // compression-ratio heuristic, codec-free so the oracle replays it
+    // exactly): low entropy flags repetitive or degenerate text
+    "char_entropy" -> ((s, dir) =>
+      Tables.documents(s, dir)
+        .select(col("doc_id"),
+          round(graft.functions.CharEntropy(col("text")), 6).as("entropy"))
+        .orderBy(col("doc_id"))),
     // ---- [EXT] language-ID heuristic
     "lang_id" -> ((s, dir) =>
       Tables.documents(s, dir)
@@ -2407,6 +2415,18 @@ object SparkEntry {
          |SELECT doc_id, max(sim) AS maxp FROM sims
          |GROUP BY doc_id ORDER BY maxp DESC, doc_id ASC LIMIT 5""".stripMargin
     },
+    "char_entropy" ->
+      """WITH ch AS (
+        |  SELECT doc_id, unnest(string_split_regex(text, '')) AS c FROM documents),
+        |cc AS (SELECT doc_id, c, count(*)::DOUBLE AS n FROM ch WHERE c <> ''
+        |       GROUP BY 1, 2),
+        |tot AS (SELECT doc_id, sum(n) AS t FROM cc GROUP BY 1)
+        |SELECT d.doc_id,
+        |       round(coalesce(-sum((cc.n / tot.t) * ln(cc.n / tot.t)), 0) + 0, 6)
+        |         AS entropy
+        |FROM documents d
+        |LEFT JOIN cc USING (doc_id) LEFT JOIN tot USING (doc_id)
+        |GROUP BY d.doc_id ORDER BY d.doc_id""".stripMargin,
     "corpus_diff" ->
       """WITH v1 AS (SELECT doc_id, md5(text) AS h1 FROM documents),
         |v2 AS (

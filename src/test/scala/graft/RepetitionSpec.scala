@@ -34,4 +34,30 @@ class RepetitionSpec extends SparkSpec {
     // nc=15, top2 = 2*3/15 = 0.4; dup = (8-4)/8 = 0.5
     assert(m(1L) == (0.5, 0.4))
   }
+
+  test("char_entropy: closed-form pins, +0.0 on degenerate text, null, SQL surface") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val rows = Seq(
+      (0L, "aaaa"),          // single symbol → exactly +0.0
+      (1L, "abab"),          // uniform over 2 → ln 2
+      (2L, "abcd"),          // uniform over 4 → ln 4
+      (3L, ""),              // empty → 0.0
+      (4L, null.asInstanceOf[String]),
+      (5L, "naïve✓"))        // code points, not UTF-16 units: 6 symbols → ln 6
+      .toDF("id", "t")
+    val out = rows.select(col("id"), graft.functions.CharEntropy(col("t")).as("e"))
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) None else Some(r.getDouble(1)))).toMap
+    assert(out(0L).contains(0.0))
+    assert(out(0L).exists(v => !(1.0 / v).isNegInfinity), "must be +0.0, not -0.0")
+    assert(out(1L).exists(v => math.abs(v - math.log(2)) < 1e-12))
+    assert(out(2L).exists(v => math.abs(v - math.log(4)) < 1e-12))
+    assert(out(3L).contains(0.0))
+    assert(out(4L).isEmpty)
+    assert(out(5L).exists(v => math.abs(v - math.log(6)) < 1e-12))
+    GraftExtensions.register(spark)
+    val viaSql = spark.sql("SELECT char_entropy('abab') AS e").head().getDouble(0)
+    assert(math.abs(viaSql - math.log(2)) < 1e-12)
+  }
 }
