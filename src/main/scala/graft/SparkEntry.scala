@@ -973,6 +973,19 @@ object SparkEntry {
       graft.analysis.Sampling.weightedSample(weighted, "doc_id", "weight", 100)
         .select(col("doc_id"), col("weight"), col("es_key"))
     }),
+    // ---- [EXT] data-mixture sampling: deterministic per-language TOKEN
+    // budgets (the "x tokens of English, y of German" mixing op); rows
+    // compete in hash order within their stratum, kept while the
+    // exclusive running total is under budget
+    "token_budget_mix" -> ((s, dir) => {
+      val weighted = Tables.documents(s, dir).select(col("doc_id"), col("lang"),
+        TextAnalysis.tokenCount(col("text")).cast("long").as("weight"))
+      graft.analysis.Sampling.tokenBudgetSample(weighted, "doc_id", "weight",
+          "lang", Map("en" -> 3000L, "de" -> 1000L), defaultBudget = 500L)
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("docs"), sum(col("weight")).as("tokens"))
+        .orderBy(col("lang"))
+    }),
     // ---- [EXT] stratified deterministic sampling: per-language rates
     "sample_stratified" -> ((s, dir) =>
       graft.analysis.Sampling.stratifiedSample(
@@ -2690,6 +2703,22 @@ object SparkEntry {
         |              WHEN lang = 'de' THEN CAST(0.25 * 4294967296 AS BIGINT)
         |              ELSE CAST(0.1 * 4294967296 AS BIGINT) END)
         |GROUP BY lang ORDER BY lang""".stripMargin,
+    "token_budget_mix" ->
+      s"""WITH w AS (
+         |  SELECT doc_id, lang, len($toksSql)::BIGINT AS weight,
+         |         (((((doc_id % 4294967296) // 65536) * 2654435761) % 4294967296) * 65536
+         |          + ((doc_id % 4294967296) % 65536) * 2654435761) % 4294967296 AS bucket
+         |  FROM documents),
+         |c AS (
+         |  SELECT lang, weight,
+         |         coalesce(sum(weight) OVER (PARTITION BY lang
+         |           ORDER BY bucket ASC, doc_id ASC
+         |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum
+         |  FROM w)
+         |SELECT lang, count(*) AS docs, sum(weight)::BIGINT AS tokens
+         |FROM c
+         |WHERE cum < (CASE lang WHEN 'en' THEN 3000 WHEN 'de' THEN 1000 ELSE 500 END)
+         |GROUP BY lang ORDER BY lang""".stripMargin,
     // A-ES replay: u = (knuth_bucket + 1)/2^32 ∈ (0,1], key = ln(u)/w
     // rounded to 6 (ln libm drift absorbed; doc_id tiebreak)
     "weighted_sample" ->

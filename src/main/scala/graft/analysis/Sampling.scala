@@ -92,6 +92,36 @@ object Sampling {
       .limit(k)
   }
 
+  /** Deterministic token-budget sampling per stratum — the data-MIXING
+    * op of a training pipeline: "x billion tokens of English, y of
+    * code, …". Rows compete in Knuth-hash order (id tiebreak) inside
+    * their stratum and are kept while the stratum's EXCLUSIVE running
+    * token total is under its budget, so membership is reproducible,
+    * growing a budget yields a superset (prefixes nest along the hash
+    * order), and the overshoot is bounded by one document. Unlisted
+    * strata get `defaultBudget`.
+    *
+    * Scale shape: one window per stratum (cumulative sum ordered by the
+    * hash) — strata are few but can be huge; a stratum too large for
+    * one task's sort should switch to the two-phase distributed prefix
+    * sum ([[graft.text.Chunker.withOrdinalIds]] / [[SeqPack]]) keyed by
+    * (stratum, hash-range) — the same restructuring PLANS.md's skew
+    * measurements motivate for any hot-key window. */
+  def tokenBudgetSample(df: DataFrame, idCol: String, weightCol: String,
+                        strataCol: String, budgets: Map[String, Long],
+                        defaultBudget: Long = 0L): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(strataCol))
+      .orderBy(bucket(col(idCol)).asc, col(idCol).asc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val budget = budgets.foldLeft(lit(defaultBudget)) {
+      case (acc, (k, b)) => when(col(strataCol) === k, lit(b)).otherwise(acc)
+    }
+    df.withColumn("__cum", coalesce(sum(col(weightCol)).over(w), lit(0L)))
+      .filter(col("__cum") < budget)
+      .drop("__cum")
+  }
+
   /** Stratified deterministic sample: an independent fraction per
     * stratum value (e.g. per language), unlisted strata default to
     * `defaultFraction`. Same per-row determinism and nesting as

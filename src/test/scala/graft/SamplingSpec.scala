@@ -61,6 +61,26 @@ class SamplingSpec extends SparkSpec {
     assert(plan.contains("TakeOrderedAndProject"), plan.take(500))
   }
 
+  test("token-budget mix: budgets nest, overshoot bounded by one document") {
+    val weighted = docs.select(col("doc_id"), col("lang"),
+      graft.text.TextAnalysis.tokenCount(col("text")).cast("long").as("weight"))
+    def ids(budget: Long): Set[Long] =
+      Sampling.tokenBudgetSample(weighted, "doc_id", "weight", "lang",
+          Map("en" -> budget), defaultBudget = 0L)
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+    val small = ids(500L)
+    val big = ids(2000L)
+    assert(small.nonEmpty && small.subsetOf(big), "growing a budget must be a superset")
+    // the kept token total exceeds the budget by AT MOST the last doc
+    val kept = Sampling.tokenBudgetSample(weighted, "doc_id", "weight", "lang",
+        Map("en" -> 500L), defaultBudget = 0L)
+      .agg(sum(col("weight")).as("t"), max(col("weight")).as("m")).collect().head
+    assert(kept.getLong(0) < 500L + kept.getLong(1),
+      s"total ${kept.getLong(0)} must be < budget + one doc (${500L + kept.getLong(1)})")
+    // deterministic across runs
+    assert(ids(500L) == small)
+  }
+
   test("stratified sample honors per-stratum rates and the default") {
     val out = Sampling.stratifiedSample(docs, "doc_id", "lang",
         Map("en" -> 1.0, "de" -> 0.0), defaultFraction = 0.2)
