@@ -336,6 +336,30 @@ object SparkEntry {
         .select(col("doc_id"), coalesce(col("comp"), col("doc_id")).as("keep_id"))
         .orderBy(col("doc_id"))
     }),
+    // ---- [EXT] curation-grade dedup: within each near-dup component,
+    // keep the HIGHEST-QUALITY document (not the arbitrary min-id) —
+    // the representative-selection policy a real pipeline wants when
+    // duplicates differ in cleanliness. Ranking on the round-6 quality
+    // with an id tiebreak, so the choice reproduces cross-engine.
+    "dedup_best_rep" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val pairs = Dedup.minhashJaccardPairs(docs, "doc_id", "text", 5, 32, 8, 0.5)
+      val comp = Dedup.components(pairs, "id_a", "id_b")
+        .withColumnRenamed("id", "doc_id")
+      val withComp = docs
+        .select(col("doc_id"), TextAnalysis.qualityScore(col("text")).as("q"))
+        .join(comp, Seq("doc_id"), "left")
+        .withColumn("comp", coalesce(col("comp"), col("doc_id")))
+      val w = Window.partitionBy(col("comp"))
+        .orderBy(col("q").desc, col("doc_id").asc)
+      val reps = withComp.withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") === 1)
+        .select(col("comp"), col("doc_id").as("rep_id"))
+      withComp.join(reps, Seq("comp"))
+        .select(col("doc_id"), col("rep_id"),
+          when(col("doc_id") === col("rep_id"), 1L).otherwise(0L).as("keep"))
+        .orderBy(col("doc_id"))
+    }),
     // ---- [EXT] SimHash fingerprint per document (64-bit, two
     // independent token polynomials — see functions/SimHash64.scala)
     "simhash" -> ((s, dir) =>
@@ -1272,6 +1296,53 @@ object SparkEntry {
        |  SELECT qt.qid, wts.doc_id, round(sum(wts.w), 6) AS score
        |  FROM wts JOIN qt USING (term) GROUP BY 1, 2)""".stripMargin
 
+  /** Near-dup connected components replayed in SQL (MinHash-LSH band
+    * candidates → exact Jaccard ≥ 0.5 pairs → recursive-CTE reachability
+    * with min labels) — mirrors `Dedup.minhashJaccardPairs` +
+    * `Dedup.components`; emits `comp(id, comp)`. Shared by the
+    * `dedup_components` and `dedup_best_rep` oracles (use after
+    * WITH RECURSIVE). */
+  private lazy val nearDupComponentsCtes: String =
+    s"""sh AS (
+       |  SELECT DISTINCT doc_id, substring(text, g::INT + 1, 5) AS sh
+       |  FROM (SELECT doc_id, text,
+       |          unnest(range(0, greatest(length(text) - 4, 1), 1)) AS g
+       |        FROM documents)),
+       |shh AS (SELECT DISTINCT doc_id, ${polySql("sh")} AS h FROM sh),
+       |sizes AS (SELECT doc_id, count(*) AS n FROM shh GROUP BY 1),
+       |m AS (
+       |  SELECT doc_id, i,
+       |         min((h * (2 * i + 1) + (7919 * (i + 1)) % 1000000007) % 1000000007) AS mh
+       |  FROM shh, (SELECT unnest(range(0, 32)) AS i) seeds
+       |  GROUP BY 1, 2),
+       |band AS (
+       |  SELECT doc_id, i // 8 AS band,
+       |         string_agg(mh::VARCHAR, ',' ORDER BY i) AS bandsig
+       |  FROM m GROUP BY 1, 2),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+       |  FROM band a JOIN band b
+       |    ON a.band = b.band AND a.bandsig = b.bandsig AND a.doc_id < b.doc_id),
+       |inter AS (
+       |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS ic
+       |  FROM shh a JOIN shh b ON a.h = b.h AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2),
+       |prs AS (
+       |  SELECT c.id_a, c.id_b
+       |  FROM cand c
+       |  JOIN inter x ON x.id_a = c.id_a AND x.id_b = c.id_b
+       |  JOIN sizes sa ON sa.doc_id = c.id_a
+       |  JOIN sizes sb ON sb.doc_id = c.id_b
+       |  WHERE round(x.ic::DOUBLE / (sa.n + sb.n - x.ic), 6) >= 0.5),
+       |edges AS (
+       |  SELECT id_a AS src, id_b AS dst FROM prs
+       |  UNION SELECT id_b, id_a FROM prs),
+       |reach AS (
+       |  SELECT src AS id, src AS comp FROM edges
+       |  UNION
+       |  SELECT e.src AS id, r.comp FROM edges e JOIN reach r ON r.id = e.dst),
+       |comp AS (SELECT id, min(comp) AS comp FROM reach GROUP BY id)""".stripMargin
+
   /** Unrounded cosine, for oracle-internal RANKING where the Spark side
     * also compares raw (k-means assignment argmax): both engines drift
     * only in the last ulp, which flips an argmax only on near-exact
@@ -2023,48 +2094,37 @@ object SparkEntry {
          |WHERE round(x.ic::DOUBLE / (sa.n + sb.n - x.ic), 6) >= 0.5
          |ORDER BY c.id_a, c.id_b""".stripMargin,
     "dedup_components" ->
-      s"""WITH RECURSIVE sh AS (
-         |  SELECT DISTINCT doc_id, substring(text, g::INT + 1, 5) AS sh
-         |  FROM (SELECT doc_id, text,
-         |          unnest(range(0, greatest(length(text) - 4, 1), 1)) AS g
-         |        FROM documents)),
-         |shh AS (SELECT DISTINCT doc_id, ${polySql("sh")} AS h FROM sh),
-         |sizes AS (SELECT doc_id, count(*) AS n FROM shh GROUP BY 1),
-         |m AS (
-         |  SELECT doc_id, i,
-         |         min((h * (2 * i + 1) + (7919 * (i + 1)) % 1000000007) % 1000000007) AS mh
-         |  FROM shh, (SELECT unnest(range(0, 32)) AS i) seeds
-         |  GROUP BY 1, 2),
-         |band AS (
-         |  SELECT doc_id, i // 8 AS band,
-         |         string_agg(mh::VARCHAR, ',' ORDER BY i) AS bandsig
-         |  FROM m GROUP BY 1, 2),
-         |cand AS (
-         |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-         |  FROM band a JOIN band b
-         |    ON a.band = b.band AND a.bandsig = b.bandsig AND a.doc_id < b.doc_id),
-         |inter AS (
-         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS ic
-         |  FROM shh a JOIN shh b ON a.h = b.h AND a.doc_id < b.doc_id
-         |  GROUP BY 1, 2),
-         |prs AS (
-         |  SELECT c.id_a, c.id_b
-         |  FROM cand c
-         |  JOIN inter x ON x.id_a = c.id_a AND x.id_b = c.id_b
-         |  JOIN sizes sa ON sa.doc_id = c.id_a
-         |  JOIN sizes sb ON sb.doc_id = c.id_b
-         |  WHERE round(x.ic::DOUBLE / (sa.n + sb.n - x.ic), 6) >= 0.5),
-         |edges AS (
-         |  SELECT id_a AS src, id_b AS dst FROM prs
-         |  UNION SELECT id_b, id_a FROM prs),
-         |reach AS (
-         |  SELECT src AS id, src AS comp FROM edges
-         |  UNION
-         |  SELECT e.src AS id, r.comp FROM edges e JOIN reach r ON r.id = e.dst),
-         |comp AS (SELECT id, min(comp) AS comp FROM reach GROUP BY id)
+      s"""WITH RECURSIVE $nearDupComponentsCtes
          |SELECT d.doc_id, coalesce(c.comp, d.doc_id) AS keep_id
          |FROM documents d LEFT JOIN comp c ON c.id = d.doc_id
          |ORDER BY d.doc_id""".stripMargin,
+    // components + per-component argmax on the round-6 quality score
+    // (id tiebreak): keep the cleanest duplicate, not the min id
+    "dedup_best_rep" ->
+      s"""WITH RECURSIVE $nearDupComponentsCtes,
+         |labels AS (
+         |  SELECT d.doc_id, coalesce(c.comp, d.doc_id) AS comp
+         |  FROM documents d LEFT JOIN comp c ON c.id = d.doc_id),
+         |qs AS (
+         |  SELECT doc_id,
+         |         round(0.4 * least(len($toksSql) / 50.0, 1.0)
+         |             + 0.3 * (1.0 - (length(lower(text)) -
+         |                 length(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g')))::DOUBLE /
+         |                 greatest(length(text), 1))
+         |             + 0.3 * least(len(list_filter($toksSql,
+         |                 t -> list_contains(['the','and','of','to','in','is'], t)))::DOUBLE /
+         |                 greatest(len($toksSql), 1) * 5.0, 1.0), 6) AS q
+         |  FROM documents),
+         |ranked AS (
+         |  SELECT l.doc_id, l.comp,
+         |         row_number() OVER (PARTITION BY l.comp
+         |           ORDER BY qs.q DESC, l.doc_id ASC) AS rn
+         |  FROM labels l JOIN qs ON l.doc_id = qs.doc_id),
+         |reps AS (SELECT comp, doc_id AS rep_id FROM ranked WHERE rn = 1)
+         |SELECT l.doc_id, r.rep_id,
+         |       (CASE WHEN l.doc_id = r.rep_id THEN 1 ELSE 0 END)::BIGINT AS keep
+         |FROM labels l JOIN reps r USING (comp)
+         |ORDER BY l.doc_id""".stripMargin,
     "simhash" ->
       s"""WITH $simhashFpSql
          |SELECT doc_id, fp AS simhash
