@@ -193,6 +193,22 @@ object Ann {
     delta.withColumn("__cluster", assignCluster(col(vecCol), cents))
       .write.partitionBy("__cluster").mode("append").parquet(path)
 
+  /** Compact an incrementally appended IVF index into a fresh layout:
+    * one shuffle clustering rows by the partition key, rewritten
+    * `partitionBy(__cluster)` with `maxRecordsPerFile` bounding file
+    * size — the index-shaped form of
+    * [[graft.store.CorpusStore.compact]]'s small-files remedy (a batch
+    * of appends leaves one file per batch per cluster; at 100 TB that
+    * is an O(files) planning cost on every probe). Probe results are
+    * unchanged — the layout moves, the rows don't (pinned in AnnSpec). */
+  def compactIvfIndex(spark: org.apache.spark.sql.SparkSession, srcPath: String,
+                      dstPath: String, recordsPerFile: Long = 1L << 20): Unit =
+    spark.read.parquet(srcPath)
+      .repartition(col("__cluster"))
+      .write.partitionBy("__cluster")
+      .option("maxRecordsPerFile", recordsPerFile)
+      .mode("overwrite").parquet(dstPath)
+
   /** Search a materialized IVF index: probes are ranked driver-side
     * ([[probeIds]]) and applied as a LITERAL `IN` filter on the
     * partition column, so pruning happens at PLAN time — the scan's

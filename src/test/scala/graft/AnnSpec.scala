@@ -195,6 +195,20 @@ class AnnSpec extends SparkSpec {
     val numFiles = scan.metrics("numFiles").value
     assert(numFiles > 0 && numFiles < totalFiles,
       s"expected file skipping after append: read $numFiles of $totalFiles files")
+    // compaction: the small-files remedy must not move a single row —
+    // same probe answer, strictly fewer files
+    def countFiles(d: String): Int = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
+      walk(new java.io.File(d)).count(_.getName.endsWith(".parquet"))
+    }
+    val compactDir = tmp + "/compacted"
+    Ann.compactIvfIndex(spark, incDir, compactDir)
+    assert(countFiles(compactDir) < countFiles(incDir),
+      s"compaction must reduce files: ${countFiles(compactDir)} vs ${countFiles(incDir)}")
+    val compacted = Ann.ivfIndexTopK(spark, compactDir, q, cents, 5, 3)
+      .collect().map(r => (r.getAs[Long]("vec_id"), r.getAs[Double]("sim"))).toSeq
+    assert(compacted == got, s"compaction changed the probe: $compacted vs $got")
   }
 
   test("LSH buckets are deterministic across runs (seeded planes)") {
