@@ -20,7 +20,7 @@ class PlanShapeSpec extends SparkSpec {
     // drops the join keys (or compares on a non-equi condition only)
     // silently becomes an all-pairs O(N²) stage
     for (q <- Seq("dedup_jaccard", "dedup_jaccard_lsh", "minhash_cands",
-        "simhash_pairs", "embed_neardup", "dedup_exact")) {
+        "simhash_pairs", "embed_neardup", "dedup_exact", "dedup_best_rep")) {
       val p = plan(q)
       assert(!p.contains("CartesianProduct"), q)
       assert(!p.contains("BroadcastNestedLoopJoin"), q)
