@@ -97,7 +97,10 @@ object GraftExtensions {
         intArg(es(1), "chunk_text"), intArg(es(2), "chunk_text"))),
     ("char_entropy",
       new ExpressionInfo(classOf[graft.functions.CharEntropy].getName, "char_entropy"),
-      (es: Seq[Expression]) => graft.functions.CharEntropy(es(0))))
+      (es: Seq[Expression]) => graft.functions.CharEntropy(es(0))),
+    ("nfc_normalize",
+      new ExpressionInfo(classOf[graft.functions.NfcNormalize].getName, "nfc_normalize"),
+      (es: Seq[Expression]) => graft.functions.NfcNormalize(es(0))))
 
   /** Register on an already-built session (temp functions). */
   def register(spark: SparkSession): Unit =

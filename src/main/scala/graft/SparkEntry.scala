@@ -1017,6 +1017,25 @@ object SparkEntry {
           Map("en" -> 0.5, "de" -> 0.25), defaultFraction = 0.1)
         .groupBy(col("lang")).agg(count(lit(1)).as("n"))
         .orderBy(col("lang"))),
+    // ---- [EXT] Unicode NFC canonical normalization over planted
+    // composed/decomposed fixtures (the ASCII corpus carries none):
+    // the ingest step that keeps exact-dedup hashes and token identity
+    // stable across sources that emit é as one codepoint or two
+    "nfc_text" -> ((s, dir) => {
+      import s.implicits._
+      val rows = Seq(
+        (0L, "plain ascii"),
+        (1L, "caf" + "e\u0301" + " au lait"),        // decomposed e + combining acute
+        (2L, "café au lait"),                     // composed é (already NFC)
+        (3L, "A\u030A ring and o\u0308 umlaut"), // decomposed ring/umlaut
+        (4L, ""))
+        .toDF("id", "text")
+      rows.select(col("id"),
+          graft.functions.NfcNormalize(col("text")).as("norm"),
+          when(graft.functions.NfcNormalize(col("text")) =!= col("text"), 1L)
+            .otherwise(0L).as("changed"))
+        .orderBy(col("id"))
+    }),
     // ---- [EXT] text normalization scrub over planted control chars /
     // space runs (the synthetic corpus is already clean)
     "normalize_text" -> ((s, dir) =>
@@ -2790,6 +2809,19 @@ object SparkEntry {
          |SELECT doc_id, weight,
          |       round(ln((bucket + 1) / 4294967296.0) / weight, 6) AS es_key
          |FROM b ORDER BY es_key DESC, doc_id ASC LIMIT 100""".stripMargin,
+    // decomposed fixtures built with chr() so the SQL stays ASCII-safe
+    // through the driver's JSON round-trip
+    "nfc_text" ->
+      """WITH t(id, text) AS (VALUES
+        |  (0, 'plain ascii'),
+        |  (1, 'caf' || 'e' || chr(769) || ' au lait'),
+        |  (2, 'caf' || chr(233) || ' au lait'),
+        |  (3, 'A' || chr(778) || ' ring and o' || chr(776) || ' umlaut'),
+        |  (4, ''))
+        |SELECT id::BIGINT AS id, nfc_normalize(text) AS norm,
+        |       (CASE WHEN nfc_normalize(text) <> text THEN 1 ELSE 0 END)::BIGINT
+        |         AS changed
+        |FROM t ORDER BY id""".stripMargin,
     "normalize_text" ->
       """SELECT doc_id,
         |       trim(regexp_replace(regexp_replace(

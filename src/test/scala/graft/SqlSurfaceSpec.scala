@@ -59,6 +59,27 @@ class SqlSurfaceSpec extends SparkSpec {
     assert(sh != 0L)
   }
 
+  test("nfc_normalize: composes decomposed text, identity on NFC, null-safe, via SQL") {
+    GraftExtensions.register(spark)
+    import spark.implicits._
+    val rows = Seq((0L, "café"), (1L, "café"), (2L, ""),
+      (3L, null.asInstanceOf[String])).toDF("id", "t")
+    val out = rows.select(col("id"), graft.functions.NfcNormalize(col("t")).as("n"))
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) None else Some(r.getString(1)))).toMap
+    assert(out(0L).contains("café"), "decomposed must compose")
+    assert(out(1L).contains("café"))
+    assert(out(2L).contains(""))
+    assert(out(3L).isEmpty)
+    // NFC at ingest makes exact-dedup hashes agree across source
+    // encodings (chars embedded directly: Spark SQL's chr() is
+    // byte-level, not code-point like DuckDB's)
+    val viaSql = spark.sql(
+      "SELECT md5(nfc_normalize('café')) = md5(nfc_normalize('café')) AS eq")
+      .head().getBoolean(0)
+    assert(viaSql, "composed and decomposed forms must hash identically after NFC")
+  }
+
   test("minhash_signature: empty input -> null") {
     GraftExtensions.register(spark)
     val r = spark.sql("SELECT minhash_signature(cast(array() as array<bigint>), 4) AS s").head()
