@@ -106,6 +106,67 @@ object SparkEntry {
       exact.join(approx, Seq("vec_id"), "left_semi")
         .agg((count(lit(1)) / 5.0).as("recall_at_5"))
     }),
+    // ---- [EXT] 1-bit (binary) quantization: sign bits packed into two
+    // 32-bit words (64x smaller than floats), ranked by Hamming
+    // distance — the coarsest point on the compression ladder, integer
+    // end-to-end so both engines rank identically with no rounding
+    "binary_hamming_top5" -> ((s, dir) => {
+      val packed = Tables.embeddings(s, dir).select(col("vec_id"),
+        VectorOps.signBits(col("embedding"), 0, 32).as("lo"),
+        VectorOps.signBits(col("embedding"), 32, 64).as("hi"))
+      val q = packed.filter(col("vec_id") === 0)
+        .select(col("lo").as("qlo"), col("hi").as("qhi"))
+      packed.crossJoin(broadcast(q))
+        .select(col("vec_id"),
+          (VectorOps.hamming(col("lo"), col("qlo")) +
+            VectorOps.hamming(col("hi"), col("qhi"))).cast("long").as("hamming"))
+        .orderBy(col("hamming").asc, col("vec_id").asc).limit(5)
+    }),
+    // ---- [EXT] binary-quantization retrieval quality: recall@5 of the
+    // Hamming ranking against the exact float scan
+    "binary_quant_recall" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val exact = Search.knn(emb, queryVec(s, dir), 5).select(col("vec_id"))
+      val packed = emb.select(col("vec_id"),
+        VectorOps.signBits(col("embedding"), 0, 32).as("lo"),
+        VectorOps.signBits(col("embedding"), 32, 64).as("hi"))
+      val q = packed.filter(col("vec_id") === 0)
+        .select(col("lo").as("qlo"), col("hi").as("qhi"))
+      val approx = packed.crossJoin(broadcast(q))
+        .select(col("vec_id"),
+          (VectorOps.hamming(col("lo"), col("qlo")) +
+            VectorOps.hamming(col("hi"), col("qhi"))).as("hamming"))
+        .orderBy(col("hamming").asc, col("vec_id").asc).limit(5)
+        .select(col("vec_id"))
+      exact.join(approx, Seq("vec_id"), "left_semi")
+        .agg((count(lit(1)) / 5.0).as("recall_at_5"))
+    }),
+    // ---- [EXT] the production use of the binary tier: Hamming
+    // shortlist (top-50 from the 8-byte packed bits) → exact float
+    // rerank of only those rows — the same shortlist→rerank shape as
+    // PQ, at the cheapest scoring tier
+    "binary_rerank_recall" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val exact = Search.knn(emb, queryVec(s, dir), 5).select(col("vec_id"))
+      val packed = emb.select(col("vec_id"),
+        VectorOps.signBits(col("embedding"), 0, 32).as("lo"),
+        VectorOps.signBits(col("embedding"), 32, 64).as("hi"))
+      val q = packed.filter(col("vec_id") === 0)
+        .select(col("lo").as("qlo"), col("hi").as("qhi"))
+      val short = packed.crossJoin(broadcast(q))
+        .select(col("vec_id"),
+          (VectorOps.hamming(col("lo"), col("qlo")) +
+            VectorOps.hamming(col("hi"), col("qhi"))).as("hamming"))
+        .orderBy(col("hamming").asc, col("vec_id").asc).limit(50)
+        .select(col("vec_id"))
+      val rr = emb.join(broadcast(short), Seq("vec_id"), "left_semi")
+        .crossJoin(broadcast(queryVec(s, dir)))
+        .select(col("vec_id"), VectorOps.cosine6(col("embedding"), col("qvec")).as("sim"))
+        .orderBy(col("sim").desc, col("vec_id").asc).limit(5)
+        .select(col("vec_id"))
+      exact.join(rr, Seq("vec_id"), "left_semi")
+        .agg((count(lit(1)) / 5.0).as("recall_at_5"))
+    }),
     // ---- [EXT] product quantization codes: every vector compressed to
     // m=8 byte codes (32× vs the float column) via per-subspace L2
     // k-means; exploded so the oracle pins every code exactly (the
@@ -1561,6 +1622,72 @@ object SparkEntry {
          |  FROM embeddings e,
          |       (SELECT embedding AS qvec FROM embeddings WHERE vec_id = 0) q)
          |ORDER BY sim DESC, vec_id ASC LIMIT 5""".stripMargin,
+    "binary_hamming_top5" -> {
+      def packSql(lo: Int): String = (1 to 32).map(i =>
+        s"(CASE WHEN embedding[${lo + i}] > 0 THEN ${1L << (i - 1)} ELSE 0 END)")
+        .mkString(" + ")
+      s"""WITH p AS (
+         |  SELECT vec_id, (${packSql(0)})::BIGINT AS lo,
+         |         (${packSql(32)})::BIGINT AS hi
+         |  FROM embeddings),
+         |q AS (SELECT lo AS qlo, hi AS qhi FROM p WHERE vec_id = 0)
+         |SELECT vec_id,
+         |       (bit_count(xor(lo, qlo)) + bit_count(xor(hi, qhi)))::BIGINT AS hamming
+         |FROM p, q ORDER BY hamming ASC, vec_id ASC LIMIT 5""".stripMargin
+    },
+    "binary_quant_recall" -> {
+      def packSql(lo: Int): String = (1 to 32).map(i =>
+        s"(CASE WHEN embedding[${lo + i}] > 0 THEN ${1L << (i - 1)} ELSE 0 END)")
+        .mkString(" + ")
+      s"""WITH p AS (
+         |  SELECT vec_id, (${packSql(0)})::BIGINT AS lo,
+         |         (${packSql(32)})::BIGINT AS hi
+         |  FROM embeddings),
+         |q AS (SELECT lo AS qlo, hi AS qhi FROM p WHERE vec_id = 0),
+         |approx AS (
+         |  SELECT vec_id FROM (
+         |    SELECT vec_id,
+         |           bit_count(xor(lo, qlo)) + bit_count(xor(hi, qhi)) AS hamming
+         |    FROM p, q)
+         |  ORDER BY hamming ASC, vec_id ASC LIMIT 5),
+         |fq AS (SELECT embedding AS qvec FROM embeddings WHERE vec_id = 0),
+         |exact5 AS (
+         |  SELECT vec_id FROM (
+         |    SELECT e.vec_id, ${cosSql("e.embedding", "fq.qvec")} AS sim
+         |    FROM embeddings e, fq)
+         |  ORDER BY sim DESC, vec_id ASC LIMIT 5)
+         |SELECT (SELECT count(*) FROM exact5 JOIN approx USING (vec_id)) / 5.0
+         |       AS recall_at_5""".stripMargin
+    },
+    "binary_rerank_recall" -> {
+      def packSql(lo: Int): String = (1 to 32).map(i =>
+        s"(CASE WHEN embedding[${lo + i}] > 0 THEN ${1L << (i - 1)} ELSE 0 END)")
+        .mkString(" + ")
+      s"""WITH p AS (
+         |  SELECT vec_id, (${packSql(0)})::BIGINT AS lo,
+         |         (${packSql(32)})::BIGINT AS hi
+         |  FROM embeddings),
+         |q AS (SELECT lo AS qlo, hi AS qhi FROM p WHERE vec_id = 0),
+         |short AS (
+         |  SELECT vec_id FROM (
+         |    SELECT vec_id,
+         |           bit_count(xor(lo, qlo)) + bit_count(xor(hi, qhi)) AS hamming
+         |    FROM p, q)
+         |  ORDER BY hamming ASC, vec_id ASC LIMIT 50),
+         |fq AS (SELECT embedding AS qvec FROM embeddings WHERE vec_id = 0),
+         |rr AS (
+         |  SELECT vec_id FROM (
+         |    SELECT e.vec_id, ${cosSql("e.embedding", "fq.qvec")} AS sim
+         |    FROM embeddings e JOIN short USING (vec_id), fq)
+         |  ORDER BY sim DESC, vec_id ASC LIMIT 5),
+         |exact5 AS (
+         |  SELECT vec_id FROM (
+         |    SELECT e.vec_id, ${cosSql("e.embedding", "fq.qvec")} AS sim
+         |    FROM embeddings e, fq)
+         |  ORDER BY sim DESC, vec_id ASC LIMIT 5)
+         |SELECT (SELECT count(*) FROM exact5 JOIN rr USING (vec_id)) / 5.0
+         |       AS recall_at_5""".stripMargin
+    },
     "pq_codes" ->
       s"""WITH
          |$pqTrainSql

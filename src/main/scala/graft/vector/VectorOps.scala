@@ -92,4 +92,24 @@ object VectorOps {
     when(n === lit(0.0), transform(a, x => x.cast("double")))
       .otherwise(transform(a, x => x.cast("double") / n))
   }
+
+  /** 1-BIT (binary) quantization: the sign bits of dimensions
+    * [from, until) packed into one BIGINT — 64× smaller than the float
+    * column, scored by Hamming distance (`bit_count(a XOR b)`), the
+    * coarsest point on the float→int8→PQ→binary compression ladder
+    * (public binary-embedding practice). Pack ≤ 32 dims per word (two
+    * words for d = 64): bit 63 would need 2^63, which overflows BIGINT
+    * in the oracle engine — and integer-only packing + popcount means
+    * the ranking reproduces EXACTLY cross-engine, no rounding contract
+    * needed. */
+  def signBits(a: Column, from: Int, until: Int): Column = {
+    require(from >= 0 && until > from && until - from <= 32,
+      "pack at most 32 sign bits per word")
+    (from until until).map(i =>
+      when(element_at(a, i + 1) > 0, lit(1L << (i - from))).otherwise(lit(0L)))
+      .reduce(_ + _)
+  }
+
+  /** Hamming distance between two packed sign-bit words. */
+  def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
 }
