@@ -885,6 +885,24 @@ object SparkEntry {
           coalesce(col("m.bit_depth").cast("long"), lit(-1L)).as("bit_depth"))
         .orderBy(col("id"))
     }),
+    // ---- [EXT] multimodal: REAL pixel decode (JDK ImageIO inflates the
+    // PNG scanlines executor-side through the partition-batched
+    // pipeline); the fixture ramp (x+y) has closed-form channel means,
+    // so the oracle pins the decoded pixels by pure arithmetic —
+    // mean = (w + h - 2) / 2 exactly, no image library in DuckDB
+    "image_pixel_stats" -> ((s, dir) => {
+      import s.implicits._
+      val rows: Seq[(Long, Array[Byte])] = (0 until 20).map { i =>
+        (i.toLong, graft.multimodal.ImageFixtures.png(i % 13 + 3, (i * 5) % 11 + 3))
+      } ++ Seq(
+        (20L, graft.multimodal.ImageFixtures.jpeg(5, 5)), // header-only: no scan data
+        (21L, "not an image".getBytes("UTF-8")))
+      val media = rows.toDF("id", "bytes")
+      graft.multimodal.Multimodal.decodePixelStats(s, media).toDF()
+        .select(col("id"), col("format"), col("width"), col("height"),
+          round(col("mean_rgb"), 6).as("mean_rgb"))
+        .orderBy(col("id"))
+    }),
     // ---- [EXT] multimodal: binary payload + batched stub decode
     "multimodal_meta" -> ((s, dir) => {
       val media = Multimodal.asBinary(Tables.documents(s, dir), "doc_id", "text")
@@ -2756,6 +2774,19 @@ object SparkEntry {
          |       len(regexp_extract_all(lower(text),
          |           '[a-z]+|[0-9]+|[^a-z0-9\\s]'))::BIGINT AS bpe_tokens
          |FROM documents ORDER BY doc_id""".stripMargin,
+    // decoded-pixel means pinned by arithmetic: the fixture ramp value
+    // at pixel (x, y) is (x + y) on every channel, so the image mean is
+    // exactly (w - 1)/2 + (h - 1)/2
+    "image_pixel_stats" ->
+      """SELECT i::BIGINT AS id, 'png' AS format,
+        |       (i % 13 + 3)::BIGINT AS width,
+        |       ((i * 5) % 11 + 3)::BIGINT AS height,
+        |       round(((i % 13 + 3) + ((i * 5) % 11 + 3) - 2) / 2.0, 6) AS mean_rgb
+        |FROM range(0, 20) t(i)
+        |UNION ALL
+        |SELECT i::BIGINT, 'invalid', (-1)::BIGINT, (-1)::BIGINT, -1.0
+        |FROM range(20, 22) t(i)
+        |ORDER BY id""".stripMargin,
     // the expected metadata is pure arithmetic on the row id (the
     // fixture writer derives dimensions the same way), so the oracle
     // verifies the real byte-level decode without any image library

@@ -63,4 +63,53 @@ object Multimodal {
         it.map { case (id, m, b) => decodeStub(id, m, b) }
       }
   }
+
+  /** Decoded-pixel feature row: container metadata + the mean of the
+    * per-pixel channel means. Sentinels (-1) rather than NULLs on
+    * undecodable payloads, per the comparator convention. */
+  case class ImagePixels(id: Long, format: String, width: Long, height: Long,
+                         mean_rgb: Double)
+
+  /** REAL pixel decode for the image modality — `javax.imageio` ships
+    * in the JDK, so unlike the audio/video stub this path actually
+    * decompresses the bitstream (the PNG fixtures' deflate scanlines
+    * included) executor-side, through the same partition-batched
+    * pipeline shape as [[decodeFeatures]]. Header metadata comes from
+    * [[graft.functions.ImageMeta]]'s parser; pixels from the decoder.
+    * The per-pixel sum runs in row-major order — integer-valued
+    * doubles, exact up to 2^53 — so the mean reproduces exactly and an
+    * arithmetic oracle can pin it. Undecodable bytes (including our
+    * metadata-only JPEG fixtures, which carry no scan data) map to
+    * sentinel rows, never a throw. */
+  def decodePixelStats(spark: SparkSession, media: DataFrame): Dataset[ImagePixels] = {
+    import spark.implicits._
+    media.select(col("id"), col("bytes"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, b) =>
+          val invalid = ImagePixels(id, "invalid", -1L, -1L, -1.0)
+          try {
+            val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(b))
+            if (img == null) invalid
+            else {
+              val meta = graft.functions.ImageMeta.parse(b)
+              val fmt = if (meta == null) "unknown" else meta._1
+              val (w, h) = (img.getWidth, img.getHeight)
+              var sum = 0.0
+              var y = 0
+              while (y < h) {
+                var x = 0
+                while (x < w) {
+                  val rgb = img.getRGB(x, y)
+                  sum += (((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)) / 3.0
+                  x += 1
+                }
+                y += 1
+              }
+              ImagePixels(id, fmt, w.toLong, h.toLong, sum / (w.toLong * h))
+            }
+          } catch { case scala.util.control.NonFatal(_) => invalid }
+        }
+      }
+  }
 }
