@@ -1266,6 +1266,21 @@ object SparkEntry {
         .select(col("event_id"), col("user_id"), col("run_sum"))
         .orderBy(col("user_id"), col("event_id"))
     }),
+    // ---- [EXT] value-based RANGE frame (vs running_total's ROWS
+    // frame): per-user moving 1-hour sum — the frame is defined by the
+    // ORDER value (floored epoch seconds, identical both engines), so
+    // peers with equal timestamps are all included regardless of tie
+    // order
+    "events_moving_sum" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("epoch"))
+        .rangeBetween(-3600L, 0L)
+      Tables.events(s, dir)
+        .withColumn("epoch", col("ts").cast("long"))
+        .withColumn("hour_sum", round(sum(col("value")).over(w), 6))
+        .select(col("event_id"), col("user_id"), col("hour_sum"))
+        .orderBy(col("user_id"), col("event_id"))
+    }),
     // ---- [EXT] 6-way join across the star schema (TPC-H q5 shape)
     "q5_region_revenue" -> ((s, dir) => {
       val r = Tables.region(s, dir)
@@ -3121,5 +3136,11 @@ object SparkEntry {
         |FROM events WHERE event_type = 'purchase'
         |WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
         |ORDER BY event_id""".stripMargin,
+    "events_moving_sum" ->
+      """SELECT event_id, user_id,
+        |       round(sum(value) OVER (PARTITION BY user_id
+        |         ORDER BY (epoch_ms(ts) // 1000)
+        |         RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW), 6) AS hour_sum
+        |FROM events ORDER BY user_id, event_id""".stripMargin,
   )
 }
