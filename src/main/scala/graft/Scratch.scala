@@ -14,6 +14,14 @@ object Scratch {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    // SPARK_GRAFT_CODEGEN_DEBUG=1: dump generated Java on compile failure
+    // (CodeGenerator logs the formatted source at INFO when a cook fails).
+    if (sys.env.get("SPARK_GRAFT_CODEGEN_DEBUG").contains("1")) {
+      spark.conf.set("spark.sql.codegen.logging.maxLines", "10000")
+      org.apache.logging.log4j.core.config.Configurator.setLevel(
+        "org.apache.spark.sql.catalyst.expressions.codegen.CodeGenerator",
+        org.apache.logging.log4j.Level.INFO)
+    }
     val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val names = if (args.nonEmpty) args.toSeq else Seq("knn_top5", "q3_top10", "chunks_nonempty", "q1_agg")
     val time = sys.env.get("SPARK_GRAFT_TIME").contains("1")

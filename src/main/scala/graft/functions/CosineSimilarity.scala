@@ -88,13 +88,26 @@ case class CosineSimilarity(left: Expression, right: Expression)
       val getA = if (elemIsFloat(left)) s"(double) $a.getFloat($i)" else s"$a.getDouble($i)"
       val getB = if (elemIsFloat(right)) s"(double) $b.getFloat($i)" else s"$b.getDouble($i)"
       // null-element checks emitted only for containsNull schemas (the
-      // nullable override guarantees ev.isNull is a real variable then)
+      // nullable override guarantees ev.isNull is a real variable then).
+      // With NO containsNull side, the template must not mention
+      // ev.isNull at all: if the children are also non-nullable,
+      // nullSafeCodeGen's non-nullable branch rebinds isNull to a
+      // FalseLiteral AFTER this template is built and never declares
+      // the captured variable name — referencing it is a whole-stage
+      // compile failure ("… is not an rvalue") with silent interpreted
+      // fallback.
+      val anyElemNullable = elemNullable(left) || elemNullable(right)
       val nullCheck = (
         (if (elemNullable(left)) Seq(s"$a.isNullAt($i)") else Nil) ++
         (if (elemNullable(right)) Seq(s"$b.isNullAt($i)") else Nil)) match {
         case Nil => ""
         case cs => s"if (${cs.mkString(" || ")}) { ${ev.isNull} = true; break; }"
       }
+      val finish =
+        s"""${ev.value} = ($na == 0.0 || $nb == 0.0)
+           |  ? 0.0 : $dot / (java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb));""".stripMargin
+      val guardedFinish =
+        if (anyElemNullable) s"if (!${ev.isNull}) {\n$finish\n}" else finish
       s"""
          |final int $n = $a.numElements();
          |if ($n != $b.numElements()) {
@@ -107,10 +120,7 @@ case class CosineSimilarity(left: Expression, right: Expression)
          |    final double $y = $getB;
          |    $dot += $x * $y; $na += $x * $x; $nb += $y * $y;
          |  }
-         |  if (!${ev.isNull}) {
-         |    ${ev.value} = ($na == 0.0 || $nb == 0.0)
-         |      ? 0.0 : $dot / (java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb));
-         |  }
+         |  $guardedFinish
          |}
        """.stripMargin
     })

@@ -74,13 +74,20 @@ case class DotProduct(left: Expression, right: Expression)
       val getA = if (elemIsFloat(left)) s"(double) $a.getFloat($i)" else s"$a.getDouble($i)"
       val getB = if (elemIsFloat(right)) s"(double) $b.getFloat($i)" else s"$b.getDouble($i)"
       // null-element checks emitted only for containsNull schemas (the
-      // nullable override guarantees ev.isNull is a real variable then)
+      // nullable override guarantees ev.isNull is a real variable then).
+      // With NO containsNull side the template must not mention
+      // ev.isNull: under non-nullable children nullSafeCodeGen never
+      // declares that name (see [[CosineSimilarity.doGenCode]]).
+      val anyElemNullable = elemNullable(left) || elemNullable(right)
       val nullCheck = (
         (if (elemNullable(left)) Seq(s"$a.isNullAt($i)") else Nil) ++
         (if (elemNullable(right)) Seq(s"$b.isNullAt($i)") else Nil)) match {
         case Nil => ""
         case cs => s"if (${cs.mkString(" || ")}) { ${ev.isNull} = true; break; }"
       }
+      val finish = s"${ev.value} = $dot;"
+      val guardedFinish =
+        if (anyElemNullable) s"if (!${ev.isNull}) { $finish }" else finish
       s"""
          |final int $n = $a.numElements();
          |if ($n != $b.numElements()) {
@@ -91,7 +98,7 @@ case class DotProduct(left: Expression, right: Expression)
          |    $nullCheck
          |    $dot += ($getA) * ($getB);
          |  }
-         |  if (!${ev.isNull}) { ${ev.value} = $dot; }
+         |  $guardedFinish
          |}
        """.stripMargin
     })

@@ -75,9 +75,20 @@ case class L2Normalize(child: Expression) extends UnaryExpression {
       val x = ctx.freshName("x")
       val get = if (elemIsFloat) s"(double) $a.getFloat($i)" else s"$a.getDouble($i)"
       // The null-element check is emitted only for containsNull schemas —
-      // the common embeddings path (non-null elements) keeps the tight loop.
+      // the common embeddings path (non-null elements) keeps the tight
+      // loop. Without it the template must not mention ev.isNull: under
+      // a non-nullable child nullSafeCodeGen never declares that name
+      // (see [[CosineSimilarity.doGenCode]]).
       val nullCheck =
         if (elemNullable) s"if ($a.isNullAt($i)) { ${ev.isNull} = true; break; }" else ""
+      val finish =
+        s"""final double $norm = java.lang.Math.sqrt($sq);
+           |if ($norm != 0.0) {
+           |  for (int $i = 0; $i < $n; $i++) { $out[$i] /= $norm; }
+           |}
+           |${ev.value} = org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray($out);""".stripMargin
+      val guardedFinish =
+        if (elemNullable) s"if (!${ev.isNull}) {\n$finish\n}" else finish
       s"""
          |final int $n = $a.numElements();
          |final double[] $out = new double[$n];
@@ -88,13 +99,7 @@ case class L2Normalize(child: Expression) extends UnaryExpression {
          |  $out[$i] = $x;
          |  $sq += $x * $x;
          |}
-         |if (!${ev.isNull}) {
-         |  final double $norm = java.lang.Math.sqrt($sq);
-         |  if ($norm != 0.0) {
-         |    for (int $i = 0; $i < $n; $i++) { $out[$i] /= $norm; }
-         |  }
-         |  ${ev.value} = org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray($out);
-         |}
+         |$guardedFinish
        """.stripMargin
     })
 

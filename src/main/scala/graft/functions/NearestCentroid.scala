@@ -138,9 +138,30 @@ case class NearestCentroid(child: Expression, cents: Seq[Seq[Double]])
       val off = ctx.freshName("off")
       val sim = ctx.freshName("sim")
       val getX = if (elemIsFloat) s"(double) $a.getFloat($j)" else s"$a.getDouble($j)"
+      // Null-element check only for containsNull schemas; without it the
+      // template must not mention ev.isNull — under a non-nullable child
+      // nullSafeCodeGen never declares that name (see
+      // [[CosineSimilarity.doGenCode]]).
       val nullCheck =
         if (elemNullable) s"if ($a.isNullAt($j)) { ${ev.isNull} = true; break; }"
         else ""
+      val finish =
+        s"""final double $sqna = java.lang.Math.sqrt($na);
+           |double $best = Double.NEGATIVE_INFINITY;
+           |int $bestI = 0;
+           |for (int $i = 0; $i < $k; $i++) {
+           |  double $dot = 0.0;
+           |  final int $off = $i * $d;
+           |  for (int $jj = 0; $jj < $d; $jj++) {
+           |    $dot += $matRef[$off + $jj] * $scratch[$jj];
+           |  }
+           |  final double $sim = ($na == 0.0 || $normsRef[$i] == 0.0)
+           |    ? 0.0 : $dot / ($sqna * $normsRef[$i]);
+           |  if ($sim > $best) { $best = $sim; $bestI = $i; }
+           |}
+           |${ev.value} = $bestI;""".stripMargin
+      val guardedFinish =
+        if (elemNullable) s"if (!${ev.isNull}) {\n$finish\n}" else finish
       s"""
          |final int $n = $a.numElements();
          |if ($n != $d) {
@@ -152,22 +173,7 @@ case class NearestCentroid(child: Expression, cents: Seq[Seq[Double]])
          |    final double $x = $getX;
          |    $scratch[$j] = $x; $na += $x * $x;
          |  }
-         |  if (!${ev.isNull}) {
-         |    final double $sqna = java.lang.Math.sqrt($na);
-         |    double $best = Double.NEGATIVE_INFINITY;
-         |    int $bestI = 0;
-         |    for (int $i = 0; $i < $k; $i++) {
-         |      double $dot = 0.0;
-         |      final int $off = $i * $d;
-         |      for (int $jj = 0; $jj < $d; $jj++) {
-         |        $dot += $matRef[$off + $jj] * $scratch[$jj];
-         |      }
-         |      final double $sim = ($na == 0.0 || $normsRef[$i] == 0.0)
-         |        ? 0.0 : $dot / ($sqna * $normsRef[$i]);
-         |      if ($sim > $best) { $best = $sim; $bestI = $i; }
-         |    }
-         |    ${ev.value} = $bestI;
-         |  }
+         |  $guardedFinish
          |}
        """.stripMargin
     })

@@ -90,8 +90,23 @@ case class QuantizeInt8(child: Expression) extends UnaryExpression {
       val i = ctx.freshName("i")
       val x = ctx.freshName("x")
       val get = if (elemIsFloat) s"(double) $a.getFloat($i)" else s"$a.getDouble($i)"
+      // Null-element check only for containsNull schemas; without it the
+      // template must not mention ev.isNull — under a non-nullable child
+      // nullSafeCodeGen never declares that name (see
+      // [[CosineSimilarity.doGenCode]]).
       val nullCheck =
         if (elemNullable) s"if ($a.isNullAt($i)) { ${ev.isNull} = true; break; }" else ""
+      val finish =
+        s"""final byte[] $out = new byte[$n];
+           |if ($m != 0.0) {
+           |  final double $scale = $m / 127.0;
+           |  for (int $i = 0; $i < $n; $i++) {
+           |    $out[$i] = (byte) java.lang.Math.floor($xs[$i] / $scale + 0.5);
+           |  }
+           |}
+           |${ev.value} = org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray($out);""".stripMargin
+      val guardedFinish =
+        if (elemNullable) s"if (!${ev.isNull}) {\n$finish\n}" else finish
       s"""
          |final int $n = $a.numElements();
          |final double[] $xs = new double[$n];
@@ -103,16 +118,7 @@ case class QuantizeInt8(child: Expression) extends UnaryExpression {
          |  final double $ax = java.lang.Math.abs($x);
          |  if ($ax > $m) { $m = $ax; }
          |}
-         |if (!${ev.isNull}) {
-         |  final byte[] $out = new byte[$n];
-         |  if ($m != 0.0) {
-         |    final double $scale = $m / 127.0;
-         |    for (int $i = 0; $i < $n; $i++) {
-         |      $out[$i] = (byte) java.lang.Math.floor($xs[$i] / $scale + 0.5);
-         |    }
-         |  }
-         |  ${ev.value} = org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray($out);
-         |}
+         |$guardedFinish
        """.stripMargin
     })
 
