@@ -101,15 +101,66 @@ object Sampling {
     * order), and the overshoot is bounded by one document. Unlisted
     * strata get `defaultBudget`.
     *
-    * Scale shape: one window per stratum (cumulative sum ordered by the
-    * hash) — strata are few but can be huge; a stratum too large for
-    * one task's sort should switch to the two-phase distributed prefix
-    * sum ([[graft.text.Chunker.withOrdinalIds]] / [[SeqPack]]) keyed by
-    * (stratum, hash-range) — the same restructuring PLANS.md's skew
-    * measurements motivate for any hot-key window. */
+    * Scale shape: a TWO-PHASE distributed prefix sum, never a window
+    * over a whole stratum. Strata are few and huge (at 100 TB "en" is
+    * billions of rows — one cumulative-sum window per stratum would
+    * sort a whole stratum in ONE task, the hot-key shape PLANS.md's
+    * skew measurements rule out). Instead the hash order is cut into
+    * `rangeBuckets` ranges by the top bits of the Knuth bucket (the
+    * range boundaries ARE hash-order boundaries, so ordering is
+    * preserved across buckets):
+    *  1. per-(stratum, range) INCLUSIVE running sums via a window over
+    *     that bucket only — parallelism = strata × rangeBuckets;
+    *  2. per-(stratum, range) subtotals (map-side-combined agg, one row
+    *     per group) → exclusive range offsets via a broadcast non-equi
+    *     self-join (the [[SeqPack.packWindows]] machinery);
+    *  3. exclusive cum = offset + running − own weight; keep while
+    *     under budget.
+    * The subtotal branch re-scans the source, but pruned to the three
+    * id/weight/stratum columns and combined map-side to
+    * strata × rangeBuckets rows — cheaper than persisting the corpus
+    * or sorting a stratum in one task. */
   def tokenBudgetSample(df: DataFrame, idCol: String, weightCol: String,
                         strataCol: String, budgets: Map[String, Long],
-                        defaultBudget: Long = 0L): DataFrame = {
+                        defaultBudget: Long = 0L,
+                        rangeBuckets: Int = 256): DataFrame = {
+    require(rangeBuckets >= 1 && (rangeBuckets & (rangeBuckets - 1)) == 0,
+      s"rangeBuckets must be a power of two: $rangeBuckets")
+    val shift = 32 - java.lang.Integer.numberOfTrailingZeros(rangeBuckets)
+    val budget = budgets.foldLeft(lit(defaultBudget)) {
+      case (acc, (k, b)) => when(col(strataCol) === k, lit(b)).otherwise(acc)
+    }
+    val keyed = df
+      .withColumn("__b", bucket(col(idCol)))
+      .withColumn("__hb", shiftright(col("__b"), shift))
+    val wLocal = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(strataCol), col("__hb"))
+      .orderBy(col("__b").asc, col(idCol).asc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val sub = keyed.groupBy(col(strataCol), col("__hb"))
+      .agg(sum(col(weightCol).cast("long")).as("__pn"))
+    val offsets = sub.as("a")
+      .join(broadcast(sub.as("b")),
+        col(s"a.$strataCol") === col(s"b.$strataCol") &&
+          col("b.__hb") < col("a.__hb"), "left")
+      .groupBy(col(s"a.$strataCol").as(strataCol), col("a.__hb").as("__hb"))
+      .agg(coalesce(sum(col("b.__pn")), lit(0L)).as("__poff"))
+    keyed
+      .withColumn("__run", sum(col(weightCol).cast("long")).over(wLocal))
+      .join(broadcast(offsets), Seq(strataCol, "__hb"))
+      .filter(col("__poff") + col("__run") - col(weightCol) < budget)
+      .drop("__b", "__hb", "__run", "__poff")
+  }
+
+  /** The one-window-per-stratum form of [[tokenBudgetSample]] — the
+    * direct transcription of the semantics, and the shape the DuckDB
+    * oracle replays. NOT the production path (a whole stratum sorts in
+    * one task); kept as the executable specification the two-phase
+    * implementation is equivalence-tested against. */
+  private[graft] def tokenBudgetSampleWindow(
+      df: DataFrame, idCol: String, weightCol: String,
+      strataCol: String, budgets: Map[String, Long],
+      defaultBudget: Long = 0L): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col(strataCol))
       .orderBy(bucket(col(idCol)).asc, col(idCol).asc)

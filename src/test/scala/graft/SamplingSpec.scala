@@ -81,6 +81,38 @@ class SamplingSpec extends SparkSpec {
     assert(ids(500L) == small)
   }
 
+  test("token-budget two-phase prefix sum ≡ the one-window-per-stratum spec") {
+    val weighted = docs.select(col("doc_id"), col("lang"),
+      graft.text.TextAnalysis.tokenCount(col("text")).cast("long").as("weight"))
+    val budgets = Map("en" -> 3000L, "de" -> 1000L)
+    // tiny rangeBuckets forces real cross-bucket offset stitching even
+    // on the 100-doc fixture; 256 exercises many empty buckets
+    for (rb <- Seq(4, 256)) {
+      val twoPhase = Sampling.tokenBudgetSample(weighted, "doc_id", "weight",
+          "lang", budgets, defaultBudget = 500L, rangeBuckets = rb)
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      val windowed = Sampling.tokenBudgetSampleWindow(weighted, "doc_id",
+          "weight", "lang", budgets, defaultBudget = 500L)
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      assert(twoPhase == windowed, s"rangeBuckets=$rb: " +
+        s"only-two-phase=${twoPhase -- windowed}, only-window=${windowed -- twoPhase}")
+    }
+  }
+
+  test("token-budget plan: no window partitioned by the stratum alone") {
+    // the hot-key guard: every Window in the plan must partition by the
+    // hash-range bucket too, or a 100 TB stratum sorts in one task
+    val weighted = docs.select(col("doc_id"), col("lang"),
+      graft.text.TextAnalysis.tokenCount(col("text")).cast("long").as("weight"))
+    val plan = Sampling.tokenBudgetSample(weighted, "doc_id", "weight",
+        "lang", Map("en" -> 3000L), defaultBudget = 500L)
+      .queryExecution.executedPlan.toString
+    val windowLines = plan.linesIterator.filter(_.contains("Window")).toSeq
+    assert(windowLines.nonEmpty, plan.take(800))
+    assert(windowLines.forall(_.contains("__hb")),
+      s"window not keyed by hash-range bucket:\n${windowLines.mkString("\n")}")
+  }
+
   test("stratified sample honors per-stratum rates and the default") {
     val out = Sampling.stratifiedSample(docs, "doc_id", "lang",
         Map("en" -> 1.0, "de" -> 0.0), defaultFraction = 0.2)
