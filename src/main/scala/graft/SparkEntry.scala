@@ -610,6 +610,28 @@ object SparkEntry {
       Lexical.bm25TopKBatch(Tables.documents(s, dir), "text", "doc_id", qs, 3)
         .orderBy(col("qid"), col("doc_id"))
     }),
+    // ---- [EXT] MATERIALIZED lexical index probed without touching the
+    // corpus: postings/stats persisted once (80% build + 20% append —
+    // incremental maintenance through the gate, the lexical twin of
+    // ann_index_append_top5), then batch BM25 reads only the query
+    // terms' hash-bucket partitions. Oracle recomputes from raw docs —
+    // the index must reproduce the from-scratch ranking exactly.
+    "bm25_index_batch_top3" -> ((s, dir) => {
+      import s.implicits._
+      val qs = Seq(
+        (0L, Seq("spark", "join")),
+        (1L, Seq("table", "filter")),
+        (2L, Seq("spark", "filter", "table"))).toDF("qid", "terms")
+      val docs = Tables.documents(s, dir)
+      val path = java.nio.file.Files
+        .createTempDirectory("graft-bm25-idx").toString + "/index"
+      Lexical.buildBm25Index(docs.filter(col("doc_id") % 5 =!= 0),
+        "text", "doc_id", path)
+      Lexical.appendToBm25Index(docs.filter(col("doc_id") % 5 === 0),
+        "text", "doc_id", path)
+      Lexical.bm25IndexTopKBatch(s, path, qs, 3)
+        .orderBy(col("qid"), col("doc_id"))
+    }),
     // ---- [EXT] batch hybrid retrieval: per-query RRF fusion of the
     // batch BM25 ranking with the batch embedding-kNN ranking (qid i
     // pairs term set i with query vector vec_id = i)
@@ -2516,6 +2538,16 @@ object SparkEntry {
          |SELECT doc_id, score FROM scored
          |ORDER BY score DESC, doc_id ASC LIMIT 5""".stripMargin,
     "bm25_batch_top3" ->
+      s"""WITH $bm25BatchCtes
+         |SELECT qid, doc_id, score FROM (
+         |  SELECT qid, doc_id, score,
+         |         row_number() OVER (PARTITION BY qid
+         |           ORDER BY score DESC, doc_id ASC) AS rn
+         |  FROM bscored) WHERE rn <= 3
+         |ORDER BY qid, doc_id""".stripMargin,
+    // the index probe must reproduce the from-scratch batch ranking —
+    // same oracle as bm25_batch_top3, recomputed over the raw corpus
+    "bm25_index_batch_top3" ->
       s"""WITH $bm25BatchCtes
          |SELECT qid, doc_id, score FROM (
          |  SELECT qid, doc_id, score,

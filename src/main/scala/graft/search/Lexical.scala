@@ -25,10 +25,25 @@ object Lexical {
   val K1 = 1.2
   val B = 0.75
 
+  /** The per-(doc, term) BM25 weight — query-INDEPENDENT, so every
+    * ranking path (single, batch, index probe) shares this ONE
+    * definition over columns `tf, df, dl, n_docs, avgdl`:
+    * `idf(t) · tf·(k1+1) / (tf + k1·(1−b+b·dl/avgdl))` with
+    * idf = ln(1 + (N−df+0.5)/(df+0.5)) (the Lucene non-negative form).
+    * The association mirrors the oracle SQL token-for-token, and the
+    * constants are PRE-FOLDED (k1+1 → 2.2, 1−b → 0.25): both engines
+    * then parse the same decimal literal instead of folding (1.2 + 1.0)
+    * in different numeric types; the final per-doc sum is round-6 to
+    * absorb accumulation order. A change to K1/B must update the folded
+    * literals here AND in the oracle CTEs together. */
+  private def bm25Weight: Column =
+    log(lit(1.0) + (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5))) *
+      col("tf") * lit(2.2) /
+      (col("tf") + lit(K1) * (lit(0.25) + lit(B) * col("dl") / col("avgdl")))
+
   /** BM25 top-k of `docs` against a literal bag of query terms.
-    * Scores are `Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1−b+b·dl/avgdl))`
-    * with idf = ln(1 + (N−df+0.5)/(df+0.5)) (the Lucene non-negative
-    * form), rounded to 6 (float-determinism contract). */
+    * Scores are `Σ_t` [[bm25Weight]], rounded to 6 (float-determinism
+    * contract). */
   def bm25TopK(docs: DataFrame, textCol: String, idCol: String,
                queryTerms: Seq[String], k: Int): DataFrame = {
     val toks = docs.select(col(idCol), TextAnalysis.tokens(col(textCol)).as("toks"))
@@ -43,15 +58,7 @@ object Lexical {
       .join(broadcast(dfreq), "term")
       .join(dl, Seq(idCol))
       .crossJoin(broadcast(stats))
-      // association mirrors the oracle SQL token-for-token, and the
-      // constants are PRE-FOLDED (k1+1 → 2.2, 1−b → 0.25): both engines
-      // then parse the same decimal literal instead of folding
-      // (1.2 + 1.0) in different numeric types; round-6 absorbs the
-      // per-doc sum order
-      .withColumn("w",
-        log(lit(1.0) + (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5))) *
-          col("tf") * lit(2.2) /
-          (col("tf") + lit(K1) * (lit(0.25) + lit(B) * col("dl") / col("avgdl"))))
+      .withColumn("w", bm25Weight)
       .groupBy(col(idCol)).agg(round(sum(col("w")), 6).as("score"))
       .orderBy(col("score").desc, col(idCol).asc)
       .limit(k)
@@ -84,18 +91,123 @@ object Lexical {
       .join(broadcast(dfreq), "term")
       .join(dl, Seq(idCol))
       .crossJoin(broadcast(stats))
-      .withColumn("w",
-        log(lit(1.0) + (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5))) *
-          col("tf") * lit(2.2) /
-          (col("tf") + lit(K1) * (lit(0.25) + lit(B) * col("dl") / col("avgdl"))))
+      .withColumn("w", bm25Weight)
+    rankPerQuery(weights.join(broadcast(qterms), Seq("term")), idCol, k)
+  }
+
+  /** Per-query top-k over scored (qid, id, w) rows: round-6 per-doc sum
+    * then a per-qid rank window (WindowGroupLimit-bounded). */
+  private def rankPerQuery(scored: DataFrame, idCol: String, k: Int): DataFrame = {
     val w = Window.partitionBy(col("qid"))
       .orderBy(col("score").desc, col(idCol).asc)
-    weights
-      .join(broadcast(qterms), Seq("term"))
+    scored
       .groupBy(col("qid"), col(idCol)).agg(round(sum(col("w")), 6).as("score"))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("qid"), col(idCol), col("score"))
+  }
+
+  /** Materialize a lexical (BM25) index — the ingest-once/query-many
+    * shape for the keyword side, mirroring [[Ann.buildIvfIndex]]'s
+    * contract on the vector side. Without it every batch re-tokenizes
+    * the corpus and recomputes tf/df/dl; at 100 TB the re-derivation
+    * dominates every query batch.
+    *
+    * Layout under `path`:
+    *   - `postings/`: one row per (term, doc) — `term, <idCol>, tf, dl`
+    *     — written `partitionBy` the term's hash bucket `__tb`
+    *     (portable polynomial hash mod `termBuckets`), so a probe's
+    *     bucket filter is PARTITION PRUNING: files of non-probed
+    *     buckets are never opened. dl is denormalized into the posting
+    *     row (one int) to spare the probe a doc-length join.
+    *   - `stats/`: MERGEABLE corpus stats `(n_docs, sum_dl)` — sums,
+    *     not averages, so incremental appends just add a row and the
+    *     probe aggregates (avgdl = sum_dl/n_docs exactly reproduces
+    *     `avg(dl)`: token counts are small integers, their double sum
+    *     is exact far past any corpus size).
+    */
+  def buildBm25Index(docs: DataFrame, textCol: String, idCol: String,
+                     path: String, termBuckets: Int = 64): Unit = {
+    require(termBuckets >= 1, s"termBuckets >= 1: $termBuckets")
+    val withDl = docs
+      .select(col(idCol), TextAnalysis.tokens(col(textCol)).as("toks"))
+      .withColumn("dl", size(col("toks")))
+    withDl
+      .select(col(idCol), col("dl"), explode(col("toks")).as("term"))
+      .groupBy(col("term"), col(idCol), col("dl")).agg(count(lit(1)).as("tf"))
+      .withColumn("__tb",
+        pmod(TextAnalysis.fingerprint(col("term")), lit(termBuckets.toLong)))
+      .write.partitionBy("__tb").mode("overwrite").parquet(s"$path/postings")
+    withDl
+      .agg(count(lit(1)).as("n_docs"), sum(col("dl").cast("long")).as("sum_dl"))
+      .withColumn("term_buckets", lit(termBuckets.toLong))
+      .write.mode("overwrite").parquet(s"$path/stats")
+  }
+
+  /** Incrementally add NEW documents to a materialized BM25 index (the
+    * lexical twin of [[Ann.appendToIvfIndex]]). Delta postings append
+    * into the same bucket layout; stats append a second mergeable row.
+    * Same maintenance trade as the vector side: ids must be new (a
+    * re-ingested id would double-count), repeated small appends leave a
+    * file per batch per bucket — compact with
+    * [[graft.store.CorpusStore.compact]] on the bucket directories. */
+  def appendToBm25Index(delta: DataFrame, textCol: String, idCol: String,
+                        path: String): Unit = {
+    val spark = delta.sparkSession
+    val termBuckets = spark.read.parquet(s"$path/stats")
+      .agg(max(col("term_buckets"))).head().getLong(0)
+    val withDl = delta
+      .select(col(idCol), TextAnalysis.tokens(col(textCol)).as("toks"))
+      .withColumn("dl", size(col("toks")))
+    withDl
+      .select(col(idCol), col("dl"), explode(col("toks")).as("term"))
+      .groupBy(col("term"), col(idCol), col("dl")).agg(count(lit(1)).as("tf"))
+      .withColumn("__tb",
+        pmod(TextAnalysis.fingerprint(col("term")), lit(termBuckets)))
+      .write.partitionBy("__tb").mode("append").parquet(s"$path/postings")
+    withDl
+      .agg(count(lit(1)).as("n_docs"), sum(col("dl").cast("long")).as("sum_dl"))
+      .withColumn("term_buckets", lit(termBuckets))
+      .write.mode("append").parquet(s"$path/stats")
+  }
+
+  /** Batch BM25 probe of a materialized index — [[bm25TopKBatch]]
+    * semantics without touching the corpus: the scan reads only the
+    * query terms' hash-bucket partitions. The union of query terms is
+    * collected driver-side to derive the bucket LITERALS (bounded by
+    * the query batch, never the corpus — the [[Ann.probeIds]]
+    * precedent), so pruning happens at PLAN time; the exact term
+    * filter stays a data-driven semi join. df/avgdl/N reconstruct
+    * exactly: a term's postings live in exactly one bucket, so pruned
+    * postings carry that term's full document list, and the stats rows
+    * merge by summation. */
+  def bm25IndexTopKBatch(spark: org.apache.spark.sql.SparkSession, path: String,
+                         queries: DataFrame, k: Int,
+                         idCol: String = "doc_id"): DataFrame = {
+    val qterms = queries
+      .select(col("qid"), explode(col("terms")).as("term")).distinct()
+    val allTerms = qterms.select(col("term")).distinct()
+    val statsRaw = spark.read.parquet(s"$path/stats")
+    val termBuckets = statsRaw.agg(max(col("term_buckets"))).head().getLong(0)
+    val stats = statsRaw.agg(
+      sum(col("n_docs")).as("n_docs"),
+      (sum(col("sum_dl")).cast("double") /
+        sum(col("n_docs")).cast("double")).as("avgdl"))
+    // driver-side: |union of query terms| bucket literals -> plan-time
+    // pruning; derived with the SAME column expression the build used,
+    // so build/probe bucketing can never drift
+    val buckets = allTerms
+      .select(pmod(TextAnalysis.fingerprint(col("term")), lit(termBuckets)).as("tb"))
+      .distinct().collect().map(_.getLong(0)).toSeq
+    val postings = spark.read.parquet(s"$path/postings")
+      .filter(col("__tb").isin(buckets: _*)) // partition pruning
+      .join(broadcast(allTerms), Seq("term"), "left_semi")
+    val dfreq = postings.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val weights = postings
+      .join(broadcast(dfreq), "term")
+      .crossJoin(broadcast(stats))
+      .withColumn("w", bm25Weight)
+    rankPerQuery(weights.join(broadcast(qterms), Seq("term")), idCol, k)
   }
 
   /** Batch reciprocal-rank fusion: [[rrfFuse]] per qid over two batch

@@ -32,6 +32,52 @@ class LexicalSpec extends SparkSpec {
     assert(out.sameElements(again))
   }
 
+  test("materialized BM25 index ≡ in-memory batch, probe scans only matching buckets") {
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+    val qs = Seq(
+      (0L, Seq("spark", "join")),
+      (1L, Seq("table", "filter")),
+      (2L, Seq("spark", "filter", "table"))).toDF("qid", "terms")
+    val path = java.nio.file.Files
+      .createTempDirectory("graft-bm25-spec").toString + "/index"
+    // base + two appends: incremental maintenance must be invisible
+    Lexical.buildBm25Index(docs.filter(col("doc_id") % 5 =!= 0), "text", "doc_id", path)
+    Lexical.appendToBm25Index(docs.filter(col("doc_id") % 5 === 0 && col("doc_id") < 25),
+      "text", "doc_id", path)
+    Lexical.appendToBm25Index(docs.filter(col("doc_id") % 5 === 0 && col("doc_id") >= 25),
+      "text", "doc_id", path)
+    val probe = Lexical.bm25IndexTopKBatch(spark, path, qs, 3)
+    // collect probe ITSELF (not a derived orderBy Dataset) so the scan
+    // metrics below belong to the plan that actually ran
+    val got = probe.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq.sorted
+    val mem = Lexical.bm25TopKBatch(docs, "text", "doc_id", qs, 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq.sorted
+    assert(got == mem, s"index probe $got != in-memory batch $mem")
+    // the probe must read ONLY the query terms' bucket partitions
+    def scans(p: SparkPlan): Seq[FileSourceScanExec] = p match {
+      case a: AdaptiveSparkPlanExec => scans(a.executedPlan)
+      case s: org.apache.spark.sql.execution.adaptive.QueryStageExec => scans(s.plan)
+      case r: org.apache.spark.sql.execution.exchange.ReusedExchangeExec => scans(r.child)
+      case f: FileSourceScanExec => Seq(f)
+      case other => other.children.flatMap(scans)
+    }
+    val scan = scans(probe.queryExecution.executedPlan)
+      .find(_.metadata.get("Location").exists(_.contains("postings")))
+      .getOrElse(fail("no parquet scan over the postings found"))
+    assert(scan.toString.contains("PartitionFilters"), "pruning must be static (plan-time)")
+    val totalFiles = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
+      walk(new java.io.File(s"$path/postings")).count(_.getName.endsWith(".parquet"))
+    }
+    val numFiles = scan.metrics("numFiles").value
+    assert(numFiles > 0 && numFiles < totalFiles,
+      s"expected bucket skipping: read $numFiles of $totalFiles files")
+  }
+
   test("rrf: agreement across both rankings beats a single first place") {
     val a = Seq((10L, 0.9), (20L, 0.8), (30L, 0.7)).toDF("id", "sa")
     val b = Seq((10L, 0.95), (40L, 0.85)).toDF("id", "sb")
