@@ -1186,7 +1186,13 @@ object SparkEntry {
     // ---- [EXT] exact percentiles (interpolated) + moment statistics —
     // Spark's `percentile` is the exact sort-based aggregate (vs the
     // approx_percentile sketch), interpolation-compatible with
-    // DuckDB's quantile_cont; moments are partial+final combinable
+    // DuckDB's quantile_cont; moments are partial+final combinable.
+    // SCALE NOTE: exact percentile's aggregation buffer is a
+    // value→count map per group — on a high-cardinality column it
+    // approaches the group's row count (unbounded). Use it where exact
+    // semantics are required and cardinality is known-bounded; the
+    // bounded-state path is `percentile_sketch`
+    // ([[graft.analysis.Quantiles.histogramQuantiles]]).
     "percentile_stats" -> ((s, dir) =>
       Tables.lineitem(s, dir).groupBy(col("l_returnflag")).agg(
           round(expr("percentile(l_quantity, 0.5D)"), 6).as("p50_qty"),
@@ -1195,6 +1201,17 @@ object SparkEntry {
           round(corr(col("l_quantity"), col("l_extendedprice")), 6).as("corr_qp"),
           round(covar_samp(col("l_quantity"), col("l_extendedprice")), 6).as("cov_qp"))
         .orderBy(col("l_returnflag"))),
+    // ---- [EXT] bounded-state quantile SKETCH — the scale-path twin of
+    // percentile_stats: fixed-width bucket histogram (algebraic counts,
+    // O(range/width) state per group at ANY row count), quantile = first
+    // bucket reaching ceil(q·n), midpoint estimate, error ≤ width/2.
+    // Deterministic on every engine (floor + integer counts), unlike
+    // KLL/GK/t-digest whose merges are order-dependent.
+    "percentile_sketch" -> ((s, dir) =>
+      graft.analysis.Quantiles.histogramQuantiles(
+          Tables.lineitem(s, dir), "l_extendedprice", "l_returnflag",
+          100.0, Seq(0.5, 0.95, 0.99))
+        .orderBy(col("l_returnflag"), col("q"))),
     // ---- [EXT] distinct aggregates
     "distinct_parts" -> ((s, dir) =>
       Tables.lineitem(s, dir).groupBy(col("l_returnflag")).agg(
@@ -3074,6 +3091,26 @@ object SparkEntry {
         |       round(corr(l_quantity, l_extendedprice), 6) AS corr_qp,
         |       round(covar_samp(l_quantity, l_extendedprice), 6) AS cov_qp
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    // the histogram sketch replayed verbatim: same buckets, same
+    // ceil(q*n) rank, same midpoint estimate — the estimate itself
+    // reproduces exactly (integer counts + IEEE floor), like the Bloom
+    // filter's false positives
+    "percentile_sketch" ->
+      """WITH c AS (
+        |  SELECT l_returnflag, floor(l_extendedprice / 100.0)::BIGINT AS b,
+        |         count(*)::BIGINT AS c
+        |  FROM lineitem GROUP BY 1, 2),
+        |n AS (SELECT l_returnflag, sum(c)::BIGINT AS n FROM c GROUP BY 1),
+        |cum AS (
+        |  SELECT l_returnflag, b,
+        |         sum(c) OVER (PARTITION BY l_returnflag ORDER BY b)::BIGINT AS cum
+        |  FROM c),
+        |qs AS (SELECT unnest([0.5, 0.95, 0.99])::DOUBLE AS q)
+        |SELECT cum.l_returnflag, qs.q, round((min(b) + 0.5) * 100.0, 6) AS est
+        |FROM cum JOIN n USING (l_returnflag) CROSS JOIN qs
+        |WHERE cum >= ceil(qs.q * n.n)
+        |GROUP BY 1, 2
+        |ORDER BY l_returnflag, q""".stripMargin,
     "bloom_prefilter" ->
       """WITH seeds AS (
         |  SELECT * FROM (VALUES (0, 2654435761), (1, 2246822519), (2, 3266489917))

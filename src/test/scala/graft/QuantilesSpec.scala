@@ -1,0 +1,59 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.analysis.Quantiles
+
+/** Histogram-sketch quantiles: error bound against the exact rank
+  * value, partition-order invariance (the mergeability claim), and the
+  * bounded-state shape. */
+class QuantilesSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val li = spark.read.parquet(s"$sf0001/lineitem.parquet")
+
+  test("estimate is within width/2 of the exact rank value") {
+    val width = 100.0
+    val qs = Seq(0.5, 0.95)
+    val est = Quantiles.histogramQuantiles(li, "l_extendedprice", "l_returnflag",
+        width, qs)
+      .collect().map(r => (r.getString(0), r.getDouble(1)) -> r.getDouble(2)).toMap
+    val byFlag = li.select(col("l_returnflag"), col("l_extendedprice"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sorted).toMap
+    for ((flag, vals) <- byFlag; q <- qs) {
+      val rankValue = vals(math.ceil(q * vals.length).toInt - 1)
+      val e = est((flag, q))
+      assert(math.abs(e - rankValue) <= width / 2.0 + 1e-9,
+        s"$flag q=$q: est $e vs exact $rankValue exceeds width/2")
+    }
+  }
+
+  test("result is invariant to partitioning (merge order): 1 vs 16 partitions") {
+    def run(parts: Int): Seq[(String, Double, Double)] =
+      Quantiles.histogramQuantiles(li.repartition(parts), "l_extendedprice",
+          "l_returnflag", 100.0, Seq(0.25, 0.5, 0.75, 0.95, 0.99))
+        .collect().map(r => (r.getString(0), r.getDouble(1), r.getDouble(2)))
+        .toSeq.sorted
+    assert(run(1) == run(16))
+  }
+
+  test("constant column collapses to one bucket; estimate is its midpoint") {
+    val df = Seq.fill(100)(("g", 250.0)).toDF("g", "v")
+    val out = Quantiles.histogramQuantiles(df, "v", "g", 100.0, Seq(0.5, 0.99))
+      .collect().map(_.getDouble(2)).toSeq
+    assert(out == Seq(250.0, 250.0)) // bucket 2 → midpoint (2+0.5)*100
+  }
+
+  test("bucket counts keep the cumulative window off the data rows") {
+    // the window input must be the aggregated histogram (≤ range/width
+    // rows per group), never raw rows: Window must sit ABOVE the
+    // partial+final aggregate in the plan
+    val plan = Quantiles.histogramQuantiles(li, "l_extendedprice", "l_returnflag",
+        100.0, Seq(0.5)).queryExecution.executedPlan.toString
+    val winIdx = plan.indexOf("Window")
+    val aggIdx = plan.indexOf("HashAggregate")
+    assert(winIdx >= 0 && aggIdx >= 0 && winIdx < aggIdx,
+      s"window must consume aggregated buckets:\n${plan.take(1500)}")
+  }
+}
