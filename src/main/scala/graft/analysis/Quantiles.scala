@@ -34,6 +34,11 @@ object Quantiles {
     * Output: one row per (group, q) — `(groupCol, q, est)` with
     * `est = (bucket + 0.5) · width` rounded to 6.
     *
+    * NULL values are ignored (matching `percentile()` semantics): a
+    * null would otherwise land in a null bucket that inflates the group
+    * total and sorts differently across engines (Spark orders nulls
+    * first ascending, DuckDB last).
+    *
     * Scale shape: bucket counts via groupBy (partial+final, bounded
     * state); the cumulative window per group runs over BUCKET rows
     * (≤ range/width, thousands), never data rows — a group a billion
@@ -45,6 +50,7 @@ object Quantiles {
     val spark = df.sparkSession
     import spark.implicits._
     val counts = df
+      .filter(col(valueCol).isNotNull)
       .select(col(groupCol), floor(col(valueCol) / lit(width)).cast("long").as("__b"))
       .groupBy(col(groupCol), col("__b")).agg(count(lit(1)).as("__c"))
     val totals = counts.groupBy(col(groupCol)).agg(sum(col("__c")).as("__n"))

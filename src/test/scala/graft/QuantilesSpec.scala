@@ -49,11 +49,28 @@ class QuantilesSpec extends SparkSpec {
     // the window input must be the aggregated histogram (≤ range/width
     // rows per group), never raw rows: Window must sit ABOVE the
     // partial+final aggregate in the plan
+    // NOTE: plans render top-down, and the quantile SELECTION step
+    // (min(__b) per (group, q)) is itself a HashAggregate that sits
+    // ABOVE the Window — so anchor on the count-aggregate BELOW the
+    // window, not the first HashAggregate in the string.
     val plan = Quantiles.histogramQuantiles(li, "l_extendedprice", "l_returnflag",
         100.0, Seq(0.5)).queryExecution.executedPlan.toString
     val winIdx = plan.indexOf("Window")
-    val aggIdx = plan.indexOf("HashAggregate")
-    assert(winIdx >= 0 && aggIdx >= 0 && winIdx < aggIdx,
-      s"window must consume aggregated buckets:\n${plan.take(1500)}")
+    assert(winIdx >= 0, s"no Window in plan:\n${plan.take(1500)}")
+    val below = plan.substring(winIdx)
+    val countAgg = below.linesIterator.find(l =>
+      l.contains("HashAggregate") && l.contains("count("))
+    assert(countAgg.isDefined,
+      s"window must consume the count-aggregated buckets (no count-HashAggregate " +
+        s"below the Window):\n${plan.take(1500)}")
+  }
+
+  test("null values are ignored, matching percentile() semantics") {
+    val df = (Seq.fill(99)(("g", Some(250.0))) :+ (("g", None: Option[Double])))
+      .toDF("g", "v")
+    val out = Quantiles.histogramQuantiles(df, "v", "g", 100.0, Seq(0.5, 0.99))
+      .collect().map(_.getDouble(2)).toSeq
+    // the null row must not land in a null bucket or inflate __n
+    assert(out == Seq(250.0, 250.0))
   }
 }
