@@ -1055,12 +1055,18 @@ object SparkEntry {
         .select(col("c_custkey"))
         .orderBy(col("c_custkey"))
     }),
-    // ---- [EXT] sketch-based approx distinct (HLL; engine-specific
-    // estimates → rows-only check, exact twin is distinct_parts)
+    // ---- [EXT] sketch-based approx distinct — KMV bottom-k on the
+    // portable polynomial hash (NOT HLL: HLL estimates are
+    // implementation-defined, KMV's "k smallest distinct hashes" is a
+    // set property any engine replays exactly, so even the ESTIMATE is
+    // hash-checkable). O(k) state per group, merge-order-free; exact
+    // twin is distinct_parts.
     "approx_distinct_parts" -> ((s, dir) =>
       Tables.lineitem(s, dir).agg(
-        approx_count_distinct(col("l_partkey")).as("approx_parts"),
-        approx_count_distinct(col("l_orderkey")).as("approx_orders"))),
+        round(graft.functions.KmvSketch.distinctEstimate(col("l_partkey"), 1024), 6)
+          .as("approx_parts"),
+        round(graft.functions.KmvSketch.distinctEstimate(col("l_orderkey"), 1024), 6)
+          .as("approx_orders"))),
     // ---- [EXT] semi join (EXISTS)
     "semi_join" -> ((s, dir) => {
       val bigItems = Tables.lineitem(s, dir)
@@ -3133,6 +3139,24 @@ object SparkEntry {
       """SELECT l_returnflag, count(DISTINCT l_partkey) AS n_parts,
         |       count(DISTINCT l_suppkey) AS n_supps
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    // KMV replay: k smallest distinct portable hashes + the same
+    // estimator arithmetic, bit-for-bit (see KmvSketch.hashSql).
+    "approx_distinct_parts" ->
+      s"""WITH kp AS (
+        |  SELECT DISTINCT ${graft.functions.KmvSketch.hashSql("l_partkey")} AS hv
+        |  FROM lineitem ORDER BY hv LIMIT 1024),
+        |ko AS (
+        |  SELECT DISTINCT ${graft.functions.KmvSketch.hashSql("l_orderkey")} AS hv
+        |  FROM lineitem ORDER BY hv LIMIT 1024)
+        |SELECT
+        |  round(CASE WHEN (SELECT count(*) FROM kp) < 1024
+        |        THEN (SELECT count(*) FROM kp)::DOUBLE
+        |        ELSE 1023 * 1000000007.0 / (SELECT max(hv) FROM kp) END, 6)
+        |    AS approx_parts,
+        |  round(CASE WHEN (SELECT count(*) FROM ko) < 1024
+        |        THEN (SELECT count(*) FROM ko)::DOUBLE
+        |        ELSE 1023 * 1000000007.0 / (SELECT max(hv) FROM ko) END, 6)
+        |    AS approx_orders""".stripMargin,
     "events_range_join" ->
       """SELECT v.event_id AS view_id, p.event_id AS purchase_id,
         |       round(p.value, 4) AS value

@@ -1,0 +1,66 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.KmvSketch
+
+/** KMV bottom-k distinct sketch: error bound, merge-order invariance
+  * (the set-property claim), exact-below-k behavior, null handling,
+  * and grouped use. */
+class KmvSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val li = spark.read.parquet(s"$sf0001/lineitem.parquet")
+
+  test("estimate is within the 1/sqrt(k) band of the exact distinct count") {
+    val k = 1024
+    val exact = li.select(col("l_orderkey")).distinct().count().toDouble
+    val est = li.agg(KmvSketch.distinctEstimate(col("l_orderkey"), k))
+      .collect()(0).getDouble(0)
+    // relative error ~ 1/sqrt(k-2) ≈ 3.1%; allow 4 sigma
+    assert(math.abs(est - exact) / exact < 4.0 / math.sqrt(k - 2.0),
+      s"est $est vs exact $exact")
+  }
+
+  test("estimate is invariant to partitioning (merge order): 1 vs 16 partitions") {
+    def run(parts: Int): Double =
+      li.repartition(parts)
+        .agg(KmvSketch.distinctEstimate(col("l_orderkey"), 256))
+        .collect()(0).getDouble(0)
+    assert(run(1) == run(16))
+  }
+
+  test("fewer than k distinct keys: reports the exact distinct-hash count") {
+    val df = (1L to 500L).flatMap(i => Seq(i, i)).toDF("x") // 500 distinct, k=1024
+    val est = df.agg(KmvSketch.distinctEstimate(col("x"), 1024))
+      .collect()(0).getDouble(0)
+    assert(est == 500.0)
+  }
+
+  test("nulls are ignored") {
+    val df = ((1L to 100L).map(Option(_)) ++ Seq.fill(50)(None: Option[Long])).toDF("x")
+    val est = df.agg(KmvSketch.distinctEstimate(col("x"), 1024))
+      .collect()(0).getDouble(0)
+    assert(est == 100.0)
+  }
+
+  test("grouped sketches: per-group bounded state, independent estimates") {
+    val out = li.groupBy(col("l_returnflag"))
+      .agg(KmvSketch.distinctEstimate(col("l_partkey"), 64).as("d"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val exact = li.groupBy(col("l_returnflag"))
+      .agg(countDistinct(col("l_partkey")).as("d"))
+      .collect().map(r => r.getString(0) -> r.getLong(1).toDouble).toMap
+    for ((flag, e) <- exact)
+      assert(math.abs(out(flag) - e) / e < 4.0 / math.sqrt(62.0),
+        s"$flag: est ${out(flag)} vs exact $e")
+  }
+
+  test("Scala hash and its SQL replay fragment agree") {
+    val keys = Seq(-5L, 0L, 1L, 7919L, 1000000007L, 123456789012L)
+    val sqlHashes = spark.sql(
+      s"SELECT ${KmvSketch.hashSql("x")} FROM VALUES ${keys.map(k => s"($k)").mkString(",")} AS t(x)")
+      .collect().map(_.getLong(0))
+    assert(sqlHashes.toSeq == keys.map(KmvSketch.hash))
+  }
+}
