@@ -35,6 +35,24 @@ object SparkEntry {
 
   private val Question = "how does the engine scan tables"
 
+  /** Per-JVM scratch root for queries that materialize an index before
+    * probing it, deleted on JVM exit — repeated harness/bench runs must
+    * not leak disk. One fixed root per process (not per invocation):
+    * re-running a query overwrites its own subdirectory. */
+  private lazy val scratchRoot: java.nio.file.Path = {
+    val root = java.nio.file.Files.createTempDirectory("graft-scratch")
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      def rm(p: java.io.File): Unit = {
+        val cs = p.listFiles(); if (cs != null) cs.foreach(rm); p.delete(): Unit
+      }
+      rm(root.toFile)
+    }))
+    root
+  }
+
+  private def scratchDir(name: String): String =
+    scratchRoot.resolve(name).toString
+
   /** Sign-bit LSH hyperplanes for the embed_neardup blocking key. The
     * planes are driver-side literals (seeded, deterministic), so the
     * DuckDB oracle inlines the exact same doubles and reproduces the
@@ -421,6 +439,26 @@ object SparkEntry {
           when(col("doc_id") === col("rep_id"), 1L).otherwise(0L).as("keep"))
         .orderBy(col("doc_id"))
     }),
+    // ---- [EXT] INCREMENTAL dedup: the 80% "corpus" persists its
+    // MinHash/LSH signature store once; the 20% "delta" batch is then
+    // deduped against store ∪ itself WITHOUT re-shingling the corpus —
+    // band-bucket partition pruning on the store scan, exact rerank
+    // over persisted shingle sets. dup_of = smallest qualifying
+    // partner (store doc, or smaller-id delta doc); -1 sentinel = keep.
+    // Oracle recomputes from raw docs: the store must reproduce the
+    // batch pipeline's pairs exactly (same contract as
+    // bm25_index_batch_top3 / ann_index_append_top5).
+    "dedup_delta" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val path = scratchDir("dedup-sigs")
+      Dedup.writeSignatureStore(docs.filter(col("doc_id") % 5 =!= 0),
+        "doc_id", "text", 5, 32, 8, path)
+      Dedup.dedupDelta(docs.filter(col("doc_id") % 5 === 0),
+          "doc_id", "text", path, 0.5)
+        .select(col("doc_id"), coalesce(col("dup_of"), lit(-1L)).as("dup_of"),
+          col("keep"))
+        .orderBy(col("doc_id"))
+    }),
     // ---- [EXT] SimHash fingerprint per document (64-bit, two
     // independent token polynomials — see functions/SimHash64.scala)
     "simhash" -> ((s, dir) =>
@@ -623,8 +661,7 @@ object SparkEntry {
         (1L, Seq("table", "filter")),
         (2L, Seq("spark", "filter", "table"))).toDF("qid", "terms")
       val docs = Tables.documents(s, dir)
-      val path = java.nio.file.Files
-        .createTempDirectory("graft-bm25-idx").toString + "/index"
+      val path = scratchDir("bm25-idx")
       Lexical.buildBm25Index(docs.filter(col("doc_id") % 5 =!= 0),
         "text", "doc_id", path)
       Lexical.appendToBm25Index(docs.filter(col("doc_id") % 5 === 0),
@@ -1460,7 +1497,10 @@ object SparkEntry {
     * `Dedup.components`; emits `comp(id, comp)`. Shared by the
     * `dedup_components` and `dedup_best_rep` oracles (use after
     * WITH RECURSIVE). */
-  private lazy val nearDupComponentsCtes: String =
+  /** CTE chain up to `prs` — the global LSH near-dup pairs (k=5,
+    * 32 hashes, 8 rows/band, jaccard ≥ 0.5), shared by the batch
+    * components oracles and the incremental dedup_delta oracle. */
+  private lazy val nearDupPairsCtes: String =
     s"""sh AS (
        |  SELECT DISTINCT doc_id, substring(text, g::INT + 1, 5) AS sh
        |  FROM (SELECT doc_id, text,
@@ -1491,7 +1531,10 @@ object SparkEntry {
        |  JOIN inter x ON x.id_a = c.id_a AND x.id_b = c.id_b
        |  JOIN sizes sa ON sa.doc_id = c.id_a
        |  JOIN sizes sb ON sb.doc_id = c.id_b
-       |  WHERE round(x.ic::DOUBLE / (sa.n + sb.n - x.ic), 6) >= 0.5),
+       |  WHERE round(x.ic::DOUBLE / (sa.n + sb.n - x.ic), 6) >= 0.5)""".stripMargin
+
+  private lazy val nearDupComponentsCtes: String =
+    s"""$nearDupPairsCtes,
        |edges AS (
        |  SELECT id_a AS src, id_b AS dst FROM prs
        |  UNION SELECT id_b, id_a FROM prs),
@@ -2349,6 +2392,24 @@ object SparkEntry {
          |       (CASE WHEN l.doc_id = r.rep_id THEN 1 ELSE 0 END)::BIGINT AS keep
          |FROM labels l JOIN reps r USING (comp)
          |ORDER BY l.doc_id""".stripMargin,
+    // incremental dedup replay: the same global pair set, restricted to
+    // the 20% delta; a partner qualifies if it is a corpus doc
+    // (doc_id % 5 <> 0) or a smaller-id delta doc
+    "dedup_delta" ->
+      s"""WITH $nearDupPairsCtes,
+         |delta AS (SELECT doc_id FROM documents WHERE doc_id % 5 = 0),
+         |directed AS (
+         |  SELECT id_a AS id, id_b AS other FROM prs
+         |  UNION ALL SELECT id_b, id_a FROM prs),
+         |qual AS (
+         |  SELECT d.doc_id, x.other
+         |  FROM delta d JOIN directed x ON x.id = d.doc_id
+         |  WHERE x.other % 5 <> 0 OR x.other < d.doc_id)
+         |SELECT d.doc_id, coalesce(min(q.other), -1) AS dup_of,
+         |       (min(q.other) IS NULL) AS keep
+         |FROM delta d LEFT JOIN qual q ON q.doc_id = d.doc_id
+         |GROUP BY d.doc_id
+         |ORDER BY d.doc_id""".stripMargin,
     "simhash" ->
       s"""WITH $simhashFpSql
          |SELECT doc_id, fp AS simhash

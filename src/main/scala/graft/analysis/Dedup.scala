@@ -208,27 +208,38 @@ object Dedup {
     * probability jaccard^rowsPerBand per band, the LSH S-curve. */
   def minhashCandidates(df: DataFrame, idCol: String, textCol: String,
                         k: Int, numHashes: Int, rowsPerBand: Int): DataFrame = {
-    require(rowsPerBand >= 1 && numHashes % rowsPerBand == 0,
-      s"numHashes ($numHashes) must be a positive multiple of rowsPerBand ($rowsPerBand)")
-    // No explicit isNotNull filter on sig: a null signature (null text)
-    // is dropped by the non-outer Generate below, and a filter here gets
-    // predicate-pushed BELOW the projection, recomputing the whole
-    // signature per row just to null-check it. `spread` spreads the
-    // signature computation across cores (the doc scan is one split at
-    // small scale) with a pinned partition count AQE can't coalesce.
-    val sig = spread(df, col(idCol))
-      .select(col(idCol).as("id"),
-        minhashSignature(col(textCol), k, numHashes).as("sig"))
-    val numBands = numHashes / rowsPerBand
-    val banded = sig.select(col("id"),
-        posexplode(transform(sequence(lit(0), lit(numBands - 1)),
-          b => slice(col("sig"), b * rowsPerBand + lit(1), lit(rowsPerBand)))))
-      .select(col("id"), col("pos").as("band"), col("col").as("bandsig"))
+    val banded = bandedSignatures(df, idCol, textCol, k, numHashes, rowsPerBand)
     banded.as("a").join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.bandsig") === col("b.bandsig") &&
           col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .distinct()
+  }
+
+  /** LSH band rows of a corpus: `(id, band, bandsig)` — the signature
+    * split into `numHashes / rowsPerBand` sub-signatures. Two docs
+    * share a `(band, bandsig)` key with probability
+    * jaccard^rowsPerBand per band (the LSH S-curve); every candidate
+    * join in this family is an equi-join on this key.
+    *
+    * No explicit isNotNull filter on sig: a null signature (null text)
+    * is dropped by the non-outer Generate below, and a filter here gets
+    * predicate-pushed BELOW the projection, recomputing the whole
+    * signature per row just to null-check it. `spread` spreads the
+    * signature computation across cores (the doc scan is one split at
+    * small scale) with a pinned partition count AQE can't coalesce. */
+  def bandedSignatures(df: DataFrame, idCol: String, textCol: String,
+                       k: Int, numHashes: Int, rowsPerBand: Int): DataFrame = {
+    require(rowsPerBand >= 1 && numHashes % rowsPerBand == 0,
+      s"numHashes ($numHashes) must be a positive multiple of rowsPerBand ($rowsPerBand)")
+    val sig = spread(df, col(idCol))
+      .select(col(idCol).as("id"),
+        minhashSignature(col(textCol), k, numHashes).as("sig"))
+    val numBands = numHashes / rowsPerBand
+    sig.select(col("id"),
+        posexplode(transform(sequence(lit(0), lit(numBands - 1)),
+          b => slice(col("sig"), b * rowsPerBand + lit(1), lit(rowsPerBand)))))
+      .select(col("id"), col("pos").as("band"), col("col").as("bandsig"))
   }
 
   /** Edit-distance rerank over candidate pairs — the exact-verify
@@ -394,6 +405,174 @@ object Dedup {
     * or an IVF cluster id; fine-grained keys keep the per-block pair
     * join small and spread): pairs with cosine ≥ threshold. The block
     * join shuffles by key, never crossing the full corpus. */
+  /** Persisted MinHash/LSH signature store — the INCREMENTAL form of
+    * near-dup dedup. Every other dedup op here is a whole-corpus batch
+    * job; the production arrival shape is "dedup this batch against the
+    * existing corpus", which must not re-shingle 100 TB per batch. The
+    * store materializes exactly what the batch pipeline derives from
+    * the corpus (reference analogue: per-upload `add`, vectorDb.ts:7-9;
+    * the lexical/vector twins are `Lexical.buildBm25Index` and
+    * `Ann.appendToIvfIndex`):
+    *
+    *   - `bands/`: `(id, band, bandsig)` rows partitioned by
+    *     `__bb = pmod(hash(band, bandsig), bandBuckets)` — a probe
+    *     collects its delta's ≤ `bandBuckets` bucket ids driver-side
+    *     (bounded by the BUCKET SPACE, never the corpus or the delta)
+    *     and prunes unprobed partitions at PLAN time, the
+    *     `Lexical.bm25IndexTopKBatch` trick. `hash()` here is Spark's
+    *     Murmur3 — physical layout only, never replayed by an oracle,
+    *     so portability is not required (build and probe derive it
+    *     with the same expression and cannot drift).
+    *   - `sets/`: `(id, ss)` sorted shingle hashes, the exact-rerank
+    *     input, so candidate scoring never touches document text.
+    *   - `stats/`: one mergeable row per write/append carrying
+    *     `(n_docs, k, num_hashes, rows_per_band, band_buckets)`; reads
+    *     assert the config columns AGREE across rows (an inconsistent
+    *     store must fail loudly, not silently mis-bucket a probe).
+    */
+  def writeSignatureStore(df: DataFrame, idCol: String, textCol: String,
+                          k: Int, numHashes: Int, rowsPerBand: Int,
+                          path: String, bandBuckets: Int = 64): Unit = {
+    require(bandBuckets >= 1, s"bandBuckets >= 1: $bandBuckets")
+    bandedSignatures(df, idCol, textCol, k, numHashes, rowsPerBand)
+      .withColumn("__bb", pmod(hash(col("band"), col("bandsig")), lit(bandBuckets)))
+      .write.partitionBy("__bb").mode("overwrite").parquet(s"$path/bands")
+    df.select(col(idCol).as("id"), shinglesHashes(col(textCol), k).as("ss"))
+      .write.mode("overwrite").parquet(s"$path/sets")
+    // row count from the just-written parquet footers (metadata-only
+    // count pushdown) — no extra scan of the source
+    val nDocs = df.sparkSession.read.parquet(s"$path/sets").count()
+    df.sparkSession.range(1).select(
+        lit(nDocs).as("n_docs"), lit(k.toLong).as("k"),
+        lit(numHashes.toLong).as("num_hashes"),
+        lit(rowsPerBand.toLong).as("rows_per_band"),
+        lit(bandBuckets.toLong).as("band_buckets"))
+      .write.mode("overwrite").parquet(s"$path/stats")
+  }
+
+  /** Read the store's config row, asserting the stats rows agree — the
+    * consistency guard an append/probe needs before trusting the
+    * layout. Fails with a clear message on a missing or mixed store. */
+  private def signatureStoreConfig(
+      spark: org.apache.spark.sql.SparkSession, path: String): (Int, Int, Int, Int) = {
+    val stats =
+      try spark.read.parquet(s"$path/stats")
+      catch {
+        case e: org.apache.spark.sql.AnalysisException =>
+          throw new IllegalStateException(
+            s"signature store at $path has no stats/ — not a store built by " +
+              s"writeSignatureStore", e)
+      }
+    val agg = stats.agg(
+      countDistinct(col("k"), col("num_hashes"), col("rows_per_band"),
+        col("band_buckets")).as("variants"),
+      max(col("k")), max(col("num_hashes")), max(col("rows_per_band")),
+      max(col("band_buckets"))).head()
+    require(agg.getLong(0) == 1L,
+      s"signature store at $path has ${agg.getLong(0)} conflicting config rows " +
+        s"in stats/ — appends must use the builder's (k, numHashes, rowsPerBand, " +
+        s"bandBuckets)")
+    (agg.getLong(1).toInt, agg.getLong(2).toInt, agg.getLong(3).toInt,
+      agg.getLong(4).toInt)
+  }
+
+  /** Incrementally add NEW documents to a signature store. Bands append
+    * into the same bucket layout (config read from stats/, so
+    * build/append bucketing cannot drift); stats append a mergeable
+    * row. Ids must be new — a re-ingested id would pair with itself at
+    * jaccard 1.0 on the next probe. Repeated small appends leave a file
+    * per batch per bucket: compact with
+    * [[graft.store.CorpusStore.compact]] on the bucket directories. */
+  def appendToSignatureStore(delta: DataFrame, idCol: String, textCol: String,
+                             path: String): Unit = {
+    val (k, numHashes, rowsPerBand, bandBuckets) =
+      signatureStoreConfig(delta.sparkSession, path)
+    bandedSignatures(delta, idCol, textCol, k, numHashes, rowsPerBand)
+      .withColumn("__bb", pmod(hash(col("band"), col("bandsig")), lit(bandBuckets)))
+      .write.partitionBy("__bb").mode("append").parquet(s"$path/bands")
+    delta.select(col(idCol).as("id"), shinglesHashes(col(textCol), k).as("ss"))
+      .write.mode("append").parquet(s"$path/sets")
+    delta.sparkSession.range(1).select(
+        lit(delta.count()).as("n_docs"), lit(k.toLong).as("k"),
+        lit(numHashes.toLong).as("num_hashes"),
+        lit(rowsPerBand.toLong).as("rows_per_band"),
+        lit(bandBuckets.toLong).as("band_buckets"))
+      .write.mode("append").parquet(s"$path/stats")
+  }
+
+  /** Near-dup pairs of a DELTA against a signature store ∪ itself —
+    * [[minhashJaccardPairs]] over (store ∪ delta) restricted to pairs
+    * that involve at least one delta doc, WITHOUT touching the store's
+    * documents (the spec pins this equivalence). Emits
+    * `(id_a, id_b, jaccard)`, `id_a < id_b`, exact scores.
+    *
+    * Scale shape: the store scan reads only the delta's band-bucket
+    * partitions (plan-time pruning; the driver collects ≤ bandBuckets
+    * literals); both candidate joins shuffle on (band, bandsig) LSH
+    * keys; reranks join shingle sets by id — keyed shuffles all the
+    * way, no broadcast of either corpus side, no pair explosion beyond
+    * the LSH S-curve. The delta (assumed small next to the store) is
+    * signature-hashed twice — once for the store probe, once for the
+    * internal self-join — which beats caching it for the common case
+    * where the delta itself is still millions of rows. */
+  def deltaDupPairs(delta: DataFrame, idCol: String, textCol: String,
+                    path: String, threshold: Double): DataFrame = {
+    val spark = delta.sparkSession
+    val (k, numHashes, rowsPerBand, bandBuckets) =
+      signatureStoreConfig(spark, path)
+    val dBanded = bandedSignatures(delta, idCol, textCol, k, numHashes, rowsPerBand)
+      .withColumn("__bb", pmod(hash(col("band"), col("bandsig")), lit(bandBuckets)))
+    val dBuckets = dBanded.select(col("__bb")).distinct()
+      .collect().map(_.getInt(0)).toSeq
+    val storeBands = spark.read.parquet(s"$path/bands")
+      .filter(col("__bb").isin(dBuckets: _*)) // partition pruning
+    val storeCands = dBanded.as("d").join(storeBands.as("s"),
+        col("d.band") === col("s.band") && col("d.bandsig") === col("s.bandsig"))
+      .select(col("d.id").as("did"), col("s.id").as("sid"))
+      .distinct()
+    val internalCands = dBanded.as("a").join(dBanded.as("b"),
+        col("a.band") === col("b.band") && col("a.bandsig") === col("b.bandsig") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("did"), col("b.id").as("sid"))
+      .distinct()
+    val dSets = delta.select(col(idCol).as("id"), shinglesHashes(col(textCol), k).as("ss"))
+    val storeSets = spark.read.parquet(s"$path/sets")
+    def rerank(cands: DataFrame, otherSets: DataFrame): DataFrame = cands
+      .join(dSets.select(col("id").as("did"), col("ss").as("sa")), Seq("did"))
+      .join(otherSets.select(col("id").as("sid"), col("ss").as("sb")), Seq("sid"))
+      .withColumn("jaccard",
+        round(graft.functions.SortedJaccard(col("sa"), col("sb")), 6))
+      .filter(col("jaccard") >= threshold)
+      .select(least(col("did"), col("sid")).as("id_a"),
+        greatest(col("did"), col("sid")).as("id_b"), col("jaccard"))
+    rerank(storeCands, storeSets).unionAll(rerank(internalCands, dSets))
+  }
+
+  /** Keep/drop decision for a delta batch against a signature store:
+    * one row per delta doc with `dup_of` = the SMALLEST qualifying
+    * near-dup partner (null → `keep`). A partner qualifies if it is a
+    * store doc (the corpus always wins — it was ingested first) or a
+    * smaller-id delta doc (min-id-wins inside the batch, the
+    * [[exact]] convention). Pair-level, deliberately: transitive
+    * closure across the store is [[components]]' job on the batch
+    * pipeline; an ingest gate wants the direct-evidence decision. */
+  def dedupDelta(delta: DataFrame, idCol: String, textCol: String,
+                 path: String, threshold: Double): DataFrame = {
+    val pairs = deltaDupPairs(delta, idCol, textCol, path, threshold)
+    val deltaIds = delta.select(col(idCol).as("id"))
+    val directed = pairs.select(col("id_a").as("id"), col("id_b").as("other"))
+      .unionAll(pairs.select(col("id_b").as("id"), col("id_a").as("other")))
+      .join(deltaIds, Seq("id"), "left_semi")
+    val qualifying = directed
+      .join(deltaIds.select(col("id").as("other"), lit(true).as("__isd")),
+        Seq("other"), "left")
+      .filter(!coalesce(col("__isd"), lit(false)) || col("other") < col("id"))
+    deltaIds
+      .join(qualifying.groupBy(col("id")).agg(min(col("other")).as("dup_of")),
+        Seq("id"), "left")
+      .select(col("id").as(idCol), col("dup_of"), col("dup_of").isNull.as("keep"))
+  }
+
   def embeddingNearDup(df: DataFrame, idCol: String, vecCol: String,
                        blockKey: Column, threshold: Double): DataFrame = {
     val keyed = df.withColumn("grp", blockKey)
