@@ -962,6 +962,49 @@ object SparkEntry {
           round(col("mean_rgb"), 6).as("mean_rgb"))
         .orderBy(col("id"))
     }),
+    // ---- [EXT] multimodal: REAL audio decode — JDK javax.sound.sampled
+    // parses the RIFF/fmt headers executor-side through the batched
+    // pipeline. Fixtures are driver-built VALID PCM WAV files whose
+    // layout derives from the row id by arithmetic, so the oracle pins
+    // every decoded field; corrupt payloads → sentinels, never a throw.
+    "wav_meta" -> ((s, dir) => {
+      import s.implicits._
+      val rows: Seq[(Long, Array[Byte])] = (0 until 10).map { i =>
+        val rate = Seq(8000, 16000, 44100)(i % 3)
+        val bits = if (i % 4 < 2) 16 else 8
+        (i.toLong, graft.multimodal.AudioFixtures.wav(rate, i % 2 + 1, bits,
+          i * 97 + 50, graft.multimodal.AudioFixtures.rampSample(i.toLong, bits)))
+      } ++ Seq(
+        (10L, graft.multimodal.AudioFixtures.wav(8000, 1, 16, 50,
+          graft.multimodal.AudioFixtures.rampSample(10L, 16)).take(20)), // truncated
+        (11L, "definitely not audio".getBytes("UTF-8")),                 // garbage
+        (12L, Array.empty[Byte]))                                        // empty
+      rows.toDF("id", "bytes").transform(m =>
+        graft.multimodal.Multimodal.decodeWavMeta(s, m).toDF())
+        .select(col("id"), col("format"), col("sample_rate"), col("channels"),
+          col("bit_depth"), col("n_frames"), round(col("duration_ms"), 6).as("duration_ms"))
+        .orderBy(col("id"))
+    }),
+    // ---- [EXT] multimodal: REAL PCM decode — the sample stream itself
+    // (not just headers) read through javax.sound.sampled and reduced
+    // to O(1) stats inside the decode pass. The fixture ramp is pure
+    // integer arithmetic, so the oracle recomputes the exact per-sample
+    // values in SQL and aggregates them — any decode defect (sign,
+    // endianness, channel interleave, 8-bit recentering) breaks the hash.
+    "audio_sample_stats" -> ((s, dir) => {
+      import s.implicits._
+      val rows: Seq[(Long, Array[Byte])] = (0 until 10).map { i =>
+        val rate = Seq(8000, 16000, 44100)(i % 3)
+        val bits = if (i % 4 < 2) 16 else 8
+        (i.toLong, graft.multimodal.AudioFixtures.wav(rate, i % 2 + 1, bits,
+          i * 97 + 50, graft.multimodal.AudioFixtures.rampSample(i.toLong, bits)))
+      } ++ Seq((10L, "not audio".getBytes("UTF-8")))
+      rows.toDF("id", "bytes").transform(m =>
+        graft.multimodal.Multimodal.decodeWavStats(s, m).toDF())
+        .select(col("id"), col("n_samples"), round(col("mean_sample"), 6).as("mean_sample"),
+          col("peak"), round(col("rms"), 6).as("rms"))
+        .orderBy(col("id"))
+    }),
     // ---- [EXT] multimodal: binary payload + batched stub decode
     "multimodal_meta" -> ((s, dir) => {
       val media = Multimodal.asBinary(Tables.documents(s, dir), "doc_id", "text")
@@ -2931,6 +2974,52 @@ object SparkEntry {
         |UNION ALL
         |SELECT i::BIGINT, 'invalid', (-1)::BIGINT, (-1)::BIGINT, (-1)::BIGINT
         |FROM range(40, 43) t(i)
+        |ORDER BY id""".stripMargin,
+    // WAV header fields are pure arithmetic on the row id (the fixture
+    // writer derives its layout the same way); duration replays the
+    // same double division
+    "wav_meta" ->
+      """WITH params AS (
+        |  SELECT i::BIGINT AS id,
+        |         CASE i % 3 WHEN 0 THEN 8000 WHEN 1 THEN 16000 ELSE 44100 END::BIGINT AS rate,
+        |         (i % 2 + 1)::BIGINT AS channels,
+        |         (CASE WHEN i % 4 < 2 THEN 16 ELSE 8 END)::BIGINT AS bits,
+        |         (i * 97 + 50)::BIGINT AS frames
+        |  FROM range(0, 10) t(i))
+        |SELECT id, 'wav' AS format, rate AS sample_rate, channels,
+        |       bits AS bit_depth, frames AS n_frames,
+        |       round(frames * 1000.0 / rate, 6) AS duration_ms
+        |FROM params
+        |UNION ALL
+        |SELECT i::BIGINT, 'invalid', -1, -1, -1, -1, -1.0
+        |FROM range(10, 13) t(i)
+        |ORDER BY id""".stripMargin,
+    // the decoded samples replay in SQL: sample k of file id (frame
+    // k // channels, channel k % channels) is the fixture ramp value,
+    // aggregated with the same double arithmetic
+    "audio_sample_stats" ->
+      """WITH params AS (
+        |  SELECT i::BIGINT AS id,
+        |         (i % 2 + 1)::BIGINT AS channels,
+        |         (CASE WHEN i % 4 < 2 THEN 16 ELSE 8 END)::BIGINT AS bits,
+        |         (i * 97 + 50)::BIGINT AS frames
+        |  FROM range(0, 10) t(i)),
+        |vals AS (
+        |  SELECT id,
+        |         CASE bits WHEN 16
+        |           THEN ((k // channels) * 37 + (k % channels) * 11 + id) % 2001 - 1000
+        |           ELSE ((k // channels) * 37 + (k % channels) * 11 + id) % 256 - 128
+        |         END AS v
+        |  FROM (SELECT id, channels, bits,
+        |               unnest(range(0, frames * channels)) AS k
+        |        FROM params))
+        |SELECT id, count(*)::BIGINT AS n_samples,
+        |       round(avg(v), 6) AS mean_sample,
+        |       max(abs(v))::BIGINT AS peak,
+        |       round(sqrt(avg((v * v)::DOUBLE)), 6) AS rms
+        |FROM vals GROUP BY id
+        |UNION ALL
+        |SELECT 10::BIGINT, -1, -1.0, -1, -1.0
         |ORDER BY id""".stripMargin,
     "multimodal_meta" ->
       """SELECT doc_id, octet_length(encode(text))::BIGINT AS byte_len,

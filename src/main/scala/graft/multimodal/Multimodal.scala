@@ -6,19 +6,26 @@ import org.apache.spark.sql.functions._
 /** Multimodal columns: image/audio/video as opaque `binary` payloads
   * with typed metadata, decoded executor-side in batches.
   *
-  * The IMAGE modality has a real decoder: the native
-  * [[graft.functions.ImageMeta]] expression parses PNG/JPEG/GIF
-  * headers byte-for-byte (dependency-free, like [[PdfText]]), and the
-  * `image_meta` oracle query verifies it against arithmetic-derived
-  * expected rows over [[ImageFixtures]]' spec-valid files. This object
-  * keeps the BATCHED-decoder pipeline shape for codecs that need heavy
-  * per-partition setup (audio/video): the Spark-side plumbing — schema,
-  * partition-level batched decode via `mapPartitions` with a typed
-  * Encoder, deterministic feature output — is real, while `decodeStub`
-  * stands in for an ffmpeg-class library this container doesn't ship.
-  * Swapping in such a decoder changes only that one function; the
-  * pipeline shape (binary in → struct features out, no driver
-  * involvement, no shuffle) is what runs at 100 TB.
+  * Two of three modalities have REAL decoders:
+  *   - IMAGE: the native [[graft.functions.ImageMeta]] expression
+  *     parses PNG/JPEG/GIF headers byte-for-byte, and
+  *     [[decodePixelStats]] decompresses actual pixels through JDK
+  *     `javax.imageio`.
+  *   - AUDIO: [[decodeWavMeta]] / [[decodeWavStats]] decode RIFF/WAVE
+  *     PCM through JDK `javax.sound.sampled` — header metadata AND the
+  *     decompressed sample stream, verified against
+  *     [[AudioFixtures]]' arithmetic ramp by the `wav_meta` /
+  *     `audio_sample_stats` oracles.
+  *
+  * This object keeps the BATCHED-decoder pipeline shape for codecs
+  * that need heavy per-partition setup (video / compressed audio): the
+  * Spark-side plumbing — schema, partition-level batched decode via
+  * `mapPartitions` with a typed Encoder, deterministic feature
+  * output — is real, while `decodeStub` stands in for an ffmpeg-class
+  * library this container doesn't ship. Swapping in such a decoder
+  * changes only that one function; the pipeline shape (binary in →
+  * struct features out, no driver involvement, no shuffle) is what
+  * runs at 100 TB.
   */
 object Multimodal {
 
@@ -107,6 +114,91 @@ object Multimodal {
                 y += 1
               }
               ImagePixels(id, fmt, w.toLong, h.toLong, sum / (w.toLong * h))
+            }
+          } catch { case scala.util.control.NonFatal(_) => invalid }
+        }
+      }
+  }
+
+  /** WAV container metadata row — header fields only; sentinels on
+    * undecodable payloads, per the comparator convention. */
+  case class WavMeta(id: Long, format: String, sample_rate: Long,
+                     channels: Long, bit_depth: Long, n_frames: Long,
+                     duration_ms: Double)
+
+  /** Decoded-PCM sample stats: every sample (all channels interleaved)
+    * as its SIGNED value — 8-bit unsigned bytes recentered by −128 —
+    * aggregated executor-side inside the decode pass, so the feature
+    * row is O(1) per file regardless of duration. Integer-valued
+    * doubles: sums exact to 2^53, so mean/peak/rms reproduce exactly
+    * and an arithmetic oracle can pin them. */
+  case class WavStats(id: Long, n_samples: Long, mean_sample: Double,
+                      peak: Long, rms: Double)
+
+  /** REAL audio metadata decode — JDK `javax.sound.sampled` parses the
+    * RIFF/fmt headers (no audio device touched; pure stream parsing),
+    * through the same partition-batched pipeline shape as
+    * [[decodePixelStats]]. Corrupt/truncated payloads map to sentinel
+    * rows, never a throw. */
+  def decodeWavMeta(spark: SparkSession, media: DataFrame): Dataset[WavMeta] = {
+    import spark.implicits._
+    media.select(col("id"), col("bytes"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, b) =>
+          try {
+            val aff = javax.sound.sampled.AudioSystem.getAudioFileFormat(
+              new java.io.ByteArrayInputStream(b))
+            val f = aff.getFormat
+            val frames = aff.getFrameLength.toLong
+            WavMeta(id, aff.getType.getExtension, f.getSampleRate.toLong,
+              f.getChannels.toLong, f.getSampleSizeInBits.toLong, frames,
+              frames * 1000.0 / f.getSampleRate.toLong)
+          } catch {
+            case scala.util.control.NonFatal(_) =>
+              WavMeta(id, "invalid", -1L, -1L, -1L, -1L, -1.0)
+          }
+        }
+      }
+  }
+
+  /** REAL PCM decode: `javax.sound.sampled` opens the stream, the
+    * interleaved little-endian frames are read to exhaustion and
+    * reduced to (count, mean, peak, rms) in one pass. Supports the PCM
+    * WAV layouts (8-bit unsigned, 16-bit signed LE). */
+  def decodeWavStats(spark: SparkSession, media: DataFrame): Dataset[WavStats] = {
+    import spark.implicits._
+    media.select(col("id"), col("bytes"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, b) =>
+          val invalid = WavStats(id, -1L, -1.0, -1L, -1.0)
+          try {
+            val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+              new java.io.ByteArrayInputStream(b))
+            val f = ais.getFormat
+            val bits = f.getSampleSizeInBits
+            if ((bits != 8 && bits != 16) || f.isBigEndian) invalid
+            else {
+              val data = ais.readAllBytes()
+              val bytesPer = bits / 8
+              val n = data.length / bytesPer
+              var i = 0
+              var sum = 0.0
+              var sumSq = 0.0
+              var peak = 0L
+              while (i < n) {
+                val v =
+                  if (bits == 16)
+                    ((data(2 * i + 1) << 8) | (data(2 * i) & 0xff)).toLong
+                  else (data(i) & 0xff).toLong - 128L
+                sum += v
+                sumSq += (v * v).toDouble
+                if (math.abs(v) > peak) peak = math.abs(v)
+                i += 1
+              }
+              if (n == 0) WavStats(id, 0L, 0.0, 0L, 0.0)
+              else WavStats(id, n.toLong, sum / n, peak, math.sqrt(sumSq / n))
             }
           } catch { case scala.util.control.NonFatal(_) => invalid }
         }
