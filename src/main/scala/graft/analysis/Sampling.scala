@@ -149,7 +149,10 @@ object Sampling {
       .withColumn("__run", sum(col(weightCol).cast("long")).over(wLocal))
       .join(broadcast(offsets), Seq(strataCol, "__hb"))
       .filter(col("__poff") + col("__run") - col(weightCol) < budget)
-      .drop("__b", "__hb", "__run", "__poff")
+      // the using-join moved strataCol/__hb to the front; restore the
+      // input's column order so positional consumers see the same
+      // schema as the windowed spec
+      .select(df.columns.map(col).toIndexedSeq: _*)
   }
 
   /** The one-window-per-stratum form of [[tokenBudgetSample]] — the

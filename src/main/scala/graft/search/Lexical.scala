@@ -144,6 +144,33 @@ object Lexical {
       .write.mode("overwrite").parquet(s"$path/stats")
   }
 
+  /** The index's term-bucket count, with the consistency guard every
+    * append/probe needs before trusting the bucket layout: all stats
+    * rows must agree on `term_buckets` (a mixed value would silently
+    * bucket delta postings differently from the build, and probes would
+    * miss them), and a missing stats/ — an append to a path that never
+    * saw [[buildBm25Index]] — fails with a clear message instead of an
+    * AnalysisException deep in a plan. Ids must also be NEW on append:
+    * a re-ingested id double-counts df/tf (documented contract; the
+    * store cannot cheaply detect it without a full id scan). */
+  private def bm25IndexBuckets(spark: org.apache.spark.sql.SparkSession,
+                               path: String): Long = {
+    val stats =
+      try spark.read.parquet(s"$path/stats")
+      catch {
+        case e: org.apache.spark.sql.AnalysisException =>
+          throw new IllegalStateException(
+            s"BM25 index at $path has no stats/ — not an index built by " +
+              s"buildBm25Index", e)
+      }
+    val agg = stats.agg(countDistinct(col("term_buckets")).as("v"),
+      max(col("term_buckets"))).head()
+    require(agg.getLong(0) == 1L,
+      s"BM25 index at $path has ${agg.getLong(0)} conflicting term_buckets " +
+        s"values in stats/ — build and appends must share one bucket layout")
+    agg.getLong(1)
+  }
+
   /** Incrementally add NEW documents to a materialized BM25 index (the
     * lexical twin of [[Ann.appendToIvfIndex]]). Delta postings append
     * into the same bucket layout; stats append a second mergeable row.
@@ -154,8 +181,7 @@ object Lexical {
   def appendToBm25Index(delta: DataFrame, textCol: String, idCol: String,
                         path: String): Unit = {
     val spark = delta.sparkSession
-    val termBuckets = spark.read.parquet(s"$path/stats")
-      .agg(max(col("term_buckets"))).head().getLong(0)
+    val termBuckets = bm25IndexBuckets(spark, path)
     val withDl = delta
       .select(col(idCol), TextAnalysis.tokens(col(textCol)).as("toks"))
       .withColumn("dl", size(col("toks")))
@@ -187,8 +213,8 @@ object Lexical {
     val qterms = queries
       .select(col("qid"), explode(col("terms")).as("term")).distinct()
     val allTerms = qterms.select(col("term")).distinct()
+    val termBuckets = bm25IndexBuckets(spark, path)
     val statsRaw = spark.read.parquet(s"$path/stats")
-    val termBuckets = statsRaw.agg(max(col("term_buckets"))).head().getLong(0)
     val stats = statsRaw.agg(
       sum(col("n_docs")).as("n_docs"),
       (sum(col("sum_dl")).cast("double") /

@@ -216,14 +216,24 @@ object Pq {
       .write.mode("append").parquet(s"$path/vectors")
   }
 
-  /** Probe a materialized IVF-PQ index (see [[buildIvfPqIndex]]):
-    * driver-ranked probes become a literal IN filter on the partition
-    * column (plan-time pruning, same contract as [[Ann.ivfIndexTopK]]),
-    * ADC shortlist over the stored codes, exact rerank from the
-    * vectors table. The shortlist ids (≤ `shortlist` rows — bounded
-    * driver state, like the probe ranking) also become a literal IN
-    * filter, so the vectors scan prunes row groups via the sorted
-    * layout's min/max stats instead of reading every float row. */
+  /** Re-sort an appended index's VECTORS side into one id-ordered
+    * layout — the rerank-path twin of [[Ann.compactIvfIndex]] (which
+    * handles the codes side). Each append writes its own id-sorted
+    * files, so after many appends every file's id range overlaps every
+    * other's and the rerank's shortlist-IN filter stops skipping row
+    * groups; one range-shuffle rewrite restores global id order (and
+    * min/max-pruned scans) without touching the codes or the probe
+    * path. Results are unchanged — the layout moves, the rows don't
+    * (pinned in PqSpec). */
+  def compactIvfPqVectors(spark: org.apache.spark.sql.SparkSession,
+                          srcPath: String, dstPath: String,
+                          recordsPerFile: Long = 1L << 20,
+                          idCol: String = "vec_id"): Unit =
+    spark.read.parquet(s"$srcPath/vectors")
+      .repartitionByRange(col(idCol)).sortWithinPartitions(col(idCol))
+      .write.option("maxRecordsPerFile", recordsPerFile)
+      .mode("overwrite").parquet(s"$dstPath/vectors")
+
   /** The pruned-codes ADC shortlist of a materialized index probe —
     * the codes-only half of [[ivfPqIndexTopK]], exposed so scan-metric
     * tests can assert file skipping on the codes scan directly. */
@@ -239,6 +249,16 @@ object Pq {
     adcTopKCoded(codes, query, shortlist, cb, idCol)
   }
 
+  /** Probe a materialized IVF-PQ index (see [[buildIvfPqIndex]]):
+    * driver-ranked probes become a literal IN filter on the partition
+    * column (plan-time pruning, same contract as [[Ann.ivfIndexTopK]]),
+    * ADC shortlist over the stored codes, exact rerank from the
+    * vectors table. The shortlist ids (≤ `shortlist` rows — bounded
+    * driver state, like the probe ranking) also become a literal IN
+    * filter, so the vectors scan prunes row groups via the sorted
+    * layout's min/max stats instead of reading every float row.
+    * [[appendToIvfPqIndex]] appends break that sorted layout one file
+    * per batch — restore it with [[compactIvfPqVectors]]. */
   def ivfPqIndexTopK(spark: org.apache.spark.sql.SparkSession, path: String,
                      query: DataFrame, cents: Seq[Seq[Double]], cb: Codebooks,
                      k: Int, nprobe: Int, shortlist: Int,

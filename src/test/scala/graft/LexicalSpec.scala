@@ -78,6 +78,26 @@ class LexicalSpec extends SparkSpec {
       s"expected bucket skipping: read $numFiles of $totalFiles files")
   }
 
+  test("BM25 index append guards: missing stats/ and conflicting bucket layouts fail loudly") {
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+    val none = java.nio.file.Files.createTempDirectory("graft-bm25-none").toString
+    val e = intercept[IllegalStateException] {
+      Lexical.appendToBm25Index(docs.limit(5), "text", "doc_id", none)
+    }
+    assert(e.getMessage.contains("no stats/"))
+    val mixed = java.nio.file.Files
+      .createTempDirectory("graft-bm25-mixed").toString + "/index"
+    Lexical.buildBm25Index(docs.filter(col("doc_id") < 20), "text", "doc_id", mixed)
+    // forge a second stats row with a different bucket layout
+    spark.range(1).select(lit(1L).as("n_docs"), lit(100L).as("sum_dl"),
+        lit(99L).as("term_buckets"))
+      .write.mode("append").parquet(s"$mixed/stats")
+    val e2 = intercept[IllegalArgumentException] {
+      Lexical.appendToBm25Index(docs.limit(5), "text", "doc_id", mixed)
+    }
+    assert(e2.getMessage.contains("conflicting term_buckets"))
+  }
+
   test("rrf: agreement across both rankings beats a single first place") {
     val a = Seq((10L, 0.9), (20L, 0.8), (30L, 0.7)).toDF("id", "sa")
     val b = Seq((10L, 0.95), (40L, 0.85)).toDF("id", "sb")

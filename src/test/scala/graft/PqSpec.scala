@@ -157,6 +157,22 @@ class PqSpec extends SparkSpec {
     val inMem = Pq.ivfPqTopKBatch(emb, qs, 5, nprobe = 3, cents, shortlist = 50, cb)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq.sorted
     assert(viaIndex == inMem, "materialized batch probe must match the in-memory batch")
+    // vectors-side compaction: one id-ordered rewrite (fewer files, no
+    // overlapping id ranges) with identical probe results
+    val compDir = tmp + "/compacted"
+    Pq.compactIvfPqVectors(spark, incDir, compDir, recordsPerFile = 1000)
+    def vecFiles(p: String) = {
+      val d = new java.io.File(s"$p/vectors")
+      d.listFiles().count(_.getName.endsWith(".parquet"))
+    }
+    assert(vecFiles(compDir) < vecFiles(incDir),
+      s"compaction must merge the per-append files: ${vecFiles(compDir)} vs ${vecFiles(incDir)}")
+    // codes stay where they were; probe against compacted vectors
+    org.apache.commons.io.FileUtils.copyDirectory(
+      new java.io.File(s"$incDir/codes"), new java.io.File(s"$compDir/codes"))
+    val comp = Pq.ivfPqIndexTopK(spark, compDir, q, cents, cb, 5, nprobe = 3, shortlist = 50)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(comp == inc, "compaction must not change probe results")
   }
 
   test("ADC top-k ranks the true neighbors of the query first") {

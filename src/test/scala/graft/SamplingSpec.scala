@@ -97,6 +97,12 @@ class SamplingSpec extends SparkSpec {
       assert(twoPhase == windowed, s"rangeBuckets=$rb: " +
         s"only-two-phase=${twoPhase -- windowed}, only-window=${windowed -- twoPhase}")
     }
+    // schema parity with the spec: the using-join inside the two-phase
+    // path must not reorder the input's columns
+    val outCols = Sampling.tokenBudgetSample(weighted, "doc_id", "weight",
+      "lang", budgets, defaultBudget = 500L).columns.toSeq
+    assert(outCols == weighted.columns.toSeq,
+      s"two-phase path reordered columns: $outCols")
   }
 
   test("token-budget plan: no window partitioned by the stratum alone") {
