@@ -855,6 +855,30 @@ object SparkEntry {
         .groupBy(col("status")).agg(count(lit(1)).as("n"))
         .orderBy(col("status"))
     }),
+    // ---- [EXT] NAMED corpus snapshots (the reference's reset-per-
+    // upload generalized to kept history): two uploads land as
+    // snapshots of ONE partitioned store, then diff by name — reading
+    // a snapshot is partition pruning, diffing scans exactly two
+    // partitions. Emits the non-same rows (the per-id audit corpus_diff
+    // aggregates away).
+    "snapshot_diff" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val path = scratchDir("snapshots")
+      // snapshot writes APPEND (history is the point) — the per-run
+      // fixture must clear its own directory to stay idempotent
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(path))
+      graft.store.Snapshots.write(docs.select(col("doc_id"), col("text")), path, "v1")
+      val v2 = docs.filter(col("doc_id") % 13 =!= 0)
+        .select(col("doc_id"),
+          when(col("doc_id") % 11 === 0, upper(col("text")))
+            .otherwise(col("text")).as("text"))
+        .unionByName(docs.filter(col("doc_id") < 3)
+          .select((col("doc_id") + 100000L).as("doc_id"), col("text")))
+      graft.store.Snapshots.write(v2, path, "v2")
+      graft.store.Snapshots.diff(s, path, "v1", "v2", "doc_id", "text")
+        .filter(col("status") =!= "same")
+        .orderBy(col("doc_id"))
+    }),
     // ---- A14: full ask pipeline with the deterministic answerer stub
     "ask_answer" -> ((s, dir) =>
       graft.answer.Ask.ask(s, dir, Question, 5, 64)),
@@ -2852,6 +2876,24 @@ object SparkEntry {
         |              WHEN h1 <> h2 THEN 'changed' ELSE 'same' END AS status
         |  FROM v1 FULL JOIN v2 USING (doc_id))
         |GROUP BY status ORDER BY status""".stripMargin,
+    // the snapshot store's diff has the same semantics per id; the
+    // oracle recomputes both "uploads" from raw documents
+    "snapshot_diff" ->
+      """WITH v1 AS (SELECT doc_id, md5(text) AS h1 FROM documents),
+        |v2 AS (
+        |  SELECT doc_id,
+        |         md5(CASE WHEN doc_id % 11 = 0 THEN upper(text) ELSE text END) AS h2
+        |  FROM documents WHERE doc_id % 13 <> 0
+        |  UNION ALL
+        |  SELECT doc_id + 100000, md5(text) FROM documents WHERE doc_id < 3)
+        |SELECT doc_id, status FROM (
+        |  SELECT doc_id,
+        |         CASE WHEN h1 IS NULL THEN 'added'
+        |              WHEN h2 IS NULL THEN 'removed'
+        |              WHEN h1 <> h2 THEN 'changed' ELSE 'same' END AS status
+        |  FROM v1 FULL JOIN v2 USING (doc_id))
+        |WHERE status <> 'same'
+        |ORDER BY doc_id""".stripMargin,
     "sql_retrieval_top5" -> {
       val chToks = "list_filter(string_split(lower(chunk), ' '), t -> t <> '')"
       s"""WITH ch AS (

@@ -1,0 +1,87 @@
+package graft.store
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** NAMED corpus snapshots — the reference's reset-per-upload lifecycle
+  * (`/root/reference/App.tsx:41`: one corpus live at a time, history
+  * destroyed on every upload) generalized to a multi-corpus store that
+  * KEEPS history: each upload lands as a named snapshot, any snapshot
+  * stays independently queryable, and any two diff against each other.
+  *
+  * Layout: one parquet table partitioned by `__snap`, so
+  *   - reading a snapshot is PARTITION PRUNING (the scan opens only
+  *     that snapshot's directory — file skipping, not filtering);
+  *   - writing a snapshot is a pure append of a new partition — no
+  *     rewrite of history, safe for concurrent readers of older names;
+  *   - a snapshot's name doubles as its retention unit: dropping one
+  *     is deleting one directory.
+  *
+  * At 100 TB each snapshot directory carries its own file statistics;
+  * a diff of two snapshots scans exactly two partitions and shuffles
+  * only by id. Compose with [[CorpusStore.compact]] per snapshot
+  * directory for the small-files remedy.
+  */
+object Snapshots {
+
+  private val SnapCol = "__snap"
+
+  /** Write `df` as snapshot `name`. Appending an EXISTING name merges
+    * into that snapshot (the [[CorpusStore.append]] semantics inside
+    * one snapshot); use a fresh name for upload-as-new-corpus. */
+  def write(df: DataFrame, path: String, name: String): Unit = {
+    require(!name.contains("/") && name.nonEmpty, s"snapshot name must be a simple id: $name")
+    df.withColumn(SnapCol, lit(name))
+      .write.partitionBy(SnapCol).mode("append").parquet(path)
+  }
+
+  /** Read one snapshot — the `__snap` filter is a partition filter, so
+    * only that snapshot's files are opened (asserted via scan metrics
+    * in SnapshotsSpec). */
+  def read(spark: SparkSession, path: String, name: String): DataFrame =
+    spark.read.parquet(path).filter(col(SnapCol) === name).drop(SnapCol)
+
+  /** Snapshot names present in the store, from partition-directory
+    * listing only (no data files read). */
+  def names(spark: SparkSession, path: String): Seq[String] =
+    spark.read.parquet(path).select(col(SnapCol).cast("string")).distinct()
+      .collect().map(_.getString(0)).toSeq.sorted
+
+  /** Diff snapshot `a` → `b` by content hash: one row per id present
+    * in either, with status `added` (only in b), `removed` (only in
+    * a), `changed`, or `same` — the persisted-store composition of the
+    * `corpus_diff` operator. Scans exactly the two snapshots'
+    * partitions; the full-outer join shuffles by id only. */
+  def diff(spark: SparkSession, path: String, a: String, b: String,
+           idCol: String, contentCol: String): DataFrame = {
+    val ha = read(spark, path, a)
+      .select(col(idCol), md5(col(contentCol)).as("__ha"))
+    val hb = read(spark, path, b)
+      .select(col(idCol), md5(col(contentCol)).as("__hb"))
+    ha.join(hb, Seq(idCol), "full_outer")
+      .select(col(idCol),
+        when(col("__ha").isNull, "added")
+          .when(col("__hb").isNull, "removed")
+          .when(col("__ha") =!= col("__hb"), "changed")
+          .otherwise("same").as("status"))
+  }
+
+  /** The latest row per id ACROSS a sequence of snapshots — last-wins
+    * SCD-1 (the `upsert_latest` operator composed with the store):
+    * snapshot order is the precedence order, later names win. */
+  def latest(spark: SparkSession, path: String, order: Seq[String],
+             idCol: String): DataFrame = {
+    require(order.nonEmpty, "need at least one snapshot name")
+    val prec = order.zipWithIndex.foldLeft(lit(-1)) {
+      case (acc, (n, i)) => when(col(SnapCol) === n, lit(i)).otherwise(acc)
+    }
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(idCol)).orderBy(col("__prec").desc)
+    spark.read.parquet(path)
+      .filter(col(SnapCol).isin(order: _*))
+      .withColumn("__prec", prec)
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .drop(SnapCol, "__prec", "__rn")
+  }
+}

@@ -55,6 +55,31 @@ object StreamIngest {
       .format("parquet")
       .option("path", dstDir)
 
+  /** Streaming maintenance of a materialized BM25 index: each
+    * micro-batch of documents appends its postings into the index's
+    * bucket layout (`Lexical.appendToBm25Index` through foreachBatch —
+    * the IVF-index streaming precedent in StoreStreamSpec made an
+    * operator). The FIRST batch builds the index if the path has no
+    * stats/, so the stream is self-initializing; later batches append
+    * under the stats-consistency guard. Exactly-once caveat shared by
+    * every foreachBatch sink: a replayed micro-batch re-appends, so on
+    * restart-after-crash the checkpoint must sit next to an idempotent
+    * downstream (or the index be rebuilt) — documented, not hidden.
+    * Probe ≡ from-scratch build after the stream drains is pinned in
+    * StoreStreamSpec. */
+  def bm25MaintenanceSink(docs: DataFrame, textCol: String, idCol: String,
+                          path: String): DataStreamWriter[org.apache.spark.sql.Row] =
+    docs.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (batch.isEmpty) ()
+        else try graft.search.Lexical.appendToBm25Index(batch, textCol, idCol, path)
+        catch {
+          case _: IllegalStateException => // no stats/ yet: first batch builds
+            graft.search.Lexical.buildBm25Index(batch, textCol, idCol, path)
+        }
+      }
+
   /** Event-time tumbling-window counts with a watermark — the streaming
     * form of the `events_hourly` batch query (SURVEY §2 `[EXT]`). */
   def eventCountsStream(events: DataFrame, window_ : String = "1 hour",

@@ -1,0 +1,74 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.store.Snapshots
+
+/** Named corpus snapshots: isolation between names, plan-time
+  * partition pruning on single-snapshot reads, diff statuses, and
+  * last-wins precedence across snapshots. */
+class SnapshotsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def freshStore(): String =
+    java.nio.file.Files.createTempDirectory("graft-snaps").toString + "/store"
+
+  test("snapshots are isolated: writing v2 does not change v1 reads") {
+    val path = freshStore()
+    Snapshots.write(Seq((1L, "a"), (2L, "b")).toDF("id", "text"), path, "v1")
+    val before = Snapshots.read(spark, path, "v1").collect().map(_.getLong(0)).sorted
+    Snapshots.write(Seq((1L, "A"), (3L, "c")).toDF("id", "text"), path, "v2")
+    val after = Snapshots.read(spark, path, "v1").collect().map(_.getLong(0)).sorted
+    assert(before.toSeq == Seq(1L, 2L) && after.toSeq == Seq(1L, 2L))
+    assert(Snapshots.names(spark, path) == Seq("v1", "v2"))
+  }
+
+  test("reading one snapshot opens only that snapshot's files") {
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    val path = freshStore()
+    for (n <- Seq("v1", "v2", "v3"))
+      Snapshots.write(Seq((1L, n)).toDF("id", "text"), path, n)
+    val one = Snapshots.read(spark, path, "v2")
+    assert(one.collect().map(_.getString(1)).toSeq == Seq("v2"))
+    def scans(p: SparkPlan): Seq[FileSourceScanExec] = p match {
+      case a: AdaptiveSparkPlanExec => scans(a.executedPlan)
+      case s: org.apache.spark.sql.execution.adaptive.QueryStageExec => scans(s.plan)
+      case f: FileSourceScanExec => Seq(f)
+      case other => other.children.flatMap(scans)
+    }
+    val scan = scans(one.queryExecution.executedPlan).headOption
+      .getOrElse(fail("no parquet scan found"))
+    assert(scan.toString.contains("PartitionFilters"))
+    val numFiles = scan.metrics("numFiles").value
+    val totalFiles = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
+      walk(new java.io.File(path)).count(_.getName.endsWith(".parquet"))
+    }
+    assert(numFiles < totalFiles,
+      s"expected snapshot pruning: read $numFiles of $totalFiles files")
+  }
+
+  test("diff classifies added / removed / changed / same per id") {
+    val path = freshStore()
+    Snapshots.write(Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "text"), path, "v1")
+    Snapshots.write(Seq((1L, "a"), (2L, "B"), (4L, "d")).toDF("id", "text"), path, "v2")
+    val out = Snapshots.diff(spark, path, "v1", "v2", "id", "text")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out == Map(1L -> "same", 2L -> "changed", 3L -> "removed", 4L -> "added"))
+  }
+
+  test("latest: later snapshot names win per id, untouched ids carry through") {
+    val path = freshStore()
+    Snapshots.write(Seq((1L, "a1"), (2L, "b1")).toDF("id", "text"), path, "v1")
+    Snapshots.write(Seq((2L, "b2"), (3L, "c2")).toDF("id", "text"), path, "v2")
+    val out = Snapshots.latest(spark, path, Seq("v1", "v2"), "id")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out == Map(1L -> "a1", 2L -> "b2", 3L -> "c2"))
+    // reversed precedence flips the overlap
+    val rev = Snapshots.latest(spark, path, Seq("v2", "v1"), "id")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(rev(2L) == "b1")
+  }
+}

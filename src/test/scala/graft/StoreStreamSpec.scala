@@ -128,6 +128,32 @@ class StoreStreamSpec extends SparkSpec {
     assert(streamed == rebuilt, s"streamed $streamed != rebuilt $rebuilt")
   }
 
+  test("streaming BM25 maintenance: first batch builds, later batches append, probe ≡ rebuild") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.functions.col
+    implicit val sqlCtx = spark.sqlContext
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    val dir = java.nio.file.Files.createTempDirectory("graft-stream-bm25").toString + "/index"
+    val rows = docs.collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    val input = MemoryStream[(Long, String)]
+    val q = graft.streaming.StreamIngest.bm25MaintenanceSink(
+      input.toDF().toDF("doc_id", "text"), "text", "doc_id", dir).start()
+    rows.grouped(40).foreach { g => input.addData(g); q.processAllAvailable() }
+    q.stop()
+    val qs = Seq(
+      (0L, Seq("spark", "join")),
+      (1L, Seq("table", "filter"))).toDF("qid", "terms")
+    val streamed = graft.search.Lexical.bm25IndexTopKBatch(spark, dir, qs, 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq.sorted
+    val rebuiltDir = java.nio.file.Files
+      .createTempDirectory("graft-stream-bm25r").toString + "/index"
+    graft.search.Lexical.buildBm25Index(docs, "text", "doc_id", rebuiltDir)
+    val rebuilt = graft.search.Lexical.bm25IndexTopKBatch(spark, rebuiltDir, qs, 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq.sorted
+    assert(streamed == rebuilt, s"streamed $streamed != rebuilt $rebuilt")
+  }
+
   test("stream-stream time-range join: views pick up prior clicks only") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import java.sql.Timestamp
