@@ -27,10 +27,30 @@ object Bench {
     } catch { case scala.util.control.NonFatal(_) => Map.empty }
   }
 
+  /** Block until the 1-minute loadavg drops below `threshold`
+    * (bounded): a bench taken on a busy box measures the box, not the
+    * engine — two judged rounds had to be re-run by hand for exactly
+    * this. Polls every 15 s up to `maxWaitSec`, logging progress to
+    * stderr; returns (loadavg at release, seconds waited). Platforms
+    * reporting -1 pass immediately. */
+  private def awaitQuiet(threshold: Double, maxWaitSec: Int): (Double, Long) = {
+    val t0 = System.nanoTime()
+    var l = loadAvg
+    while (l > threshold && (System.nanoTime() - t0) / 1e9 < maxWaitSec) {
+      System.err.println(f"[bench] loadavg $l%.1f > $threshold%.1f - waiting for a quiet box")
+      Thread.sleep(15000)
+      l = loadAvg
+    }
+    (l, ((System.nanoTime() - t0) / 1e9).toLong)
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val ambientLoad = loadAvg // read BEFORE Spark spins up 32 threads
+    // Gate on ambient load BEFORE Spark spins up its threads: retry
+    // (bounded at 10 min) rather than publish a number the judge has to
+    // re-measure. The released loadavg is the recorded ambient.
+    val (ambientLoad, waitedStart) = awaitQuiet(2.0, 600)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -78,7 +98,13 @@ object Bench {
       .map { case (name, fn0) => name -> overrides.getOrElse(name, fn0) }
     def pass(): Seq[(String, Option[Double])] =
       named.map { case (name, fn) => name -> once(fn) }
-    val p1 = pass(); val p2 = pass()
+    val loadPass1 = loadAvg
+    val p1 = pass()
+    // let pass 1's own 1-minute load signature decay (and temporally
+    // separate the passes) before reading the gate again — the decay
+    // wait is bounded so a genuinely busy box still benches
+    val (loadPass2, waitedMid) = awaitQuiet(2.0, 180)
+    val p2 = pass()
     val results: Seq[(String, Option[Double])] = p1.zip(p2).map {
       case ((name, a), (_, b)) =>
         name -> (a.toSeq ++ b.toSeq).reduceOption[Double](math.min)
@@ -108,7 +134,7 @@ object Bench {
       if (refCarried > 0)
         f""","carried_total":$carried%.3f,"ref_total":$refCarried%.3f,"ref_queries":${common.size},"inflation":$inflation%.3f"""
       else ""
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir","loadavg_start":$ambientLoad%.2f,"loadavg_end":$loadAvg%.2f$refPart$note}""")
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir","loadavg_start":$ambientLoad%.2f,"loadavg_pass1":$loadPass1%.2f,"loadavg_pass2":$loadPass2%.2f,"waited_sec":${waitedStart + waitedMid},"loadavg_end":$loadAvg%.2f$refPart$note}""")
     spark.stop()
   }
 }
