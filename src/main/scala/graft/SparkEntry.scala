@@ -669,6 +669,30 @@ object SparkEntry {
       Lexical.bm25IndexTopKBatch(s, path, qs, 3)
         .orderBy(col("qid"), col("doc_id"))
     }),
+    // ---- [EXT] index DELETE — the missing quarter of the index
+    // lifecycle: build on the full corpus, tombstone-delete 20%, probe.
+    // The oracle recomputes BM25 from the SURVIVING corpus only, so the
+    // logical delete must shrink df, n_docs, and avgdl exactly like a
+    // rebuild (tombstones subtract from stats; anti-join runs before
+    // the df count).
+    "bm25_index_delete_top3" -> ((s, dir) => {
+      import s.implicits._
+      val qs = Seq(
+        (0L, Seq("spark", "join")),
+        (1L, Seq("table", "filter")),
+        (2L, Seq("spark", "filter", "table"))).toDF("qid", "terms")
+      val docs = Tables.documents(s, dir)
+      val path = scratchDir("bm25-del-idx")
+      Lexical.buildBm25Index(docs, "text", "doc_id", path)
+      // overwrite-built index + per-JVM fixed path: clear stale
+      // tombstones from a previous run of this query in the same JVM
+      org.apache.commons.io.FileUtils.deleteQuietly(
+        new java.io.File(s"$path/tombstones"))
+      Lexical.deleteFromBm25Index(
+        docs.filter(col("doc_id") % 5 === 0).select(col("doc_id")), "doc_id", path)
+      Lexical.bm25IndexTopKBatch(s, path, qs, 3)
+        .orderBy(col("qid"), col("doc_id"))
+    }),
     // ---- [EXT] batch hybrid retrieval: per-query RRF fusion of the
     // batch BM25 ranking with the batch embedding-kNN ranking (qid i
     // pairs term set i with query vector vec_id = i)
@@ -1531,12 +1555,17 @@ object SparkEntry {
     * to the term union, the query-independent per-(doc, term) weight,
     * and per-(qid, doc) scores — emits `bscored(qid, doc_id, score)`.
     * Mirrors [[graft.search.Lexical.bm25TopKBatch]] token-for-token. */
-  private lazy val bm25BatchCtes: String =
+  private lazy val bm25BatchCtes: String = bm25BatchCtesOver("documents")
+
+  /** The batch-BM25 CTE chain over an arbitrary document source —
+    * shared by the in-memory, materialized-index, and index-delete
+    * oracles (the delete oracle recomputes over the SURVIVING corpus). */
+  private def bm25BatchCtesOver(docsSql: String): String =
     s"""qt AS (SELECT qid::BIGINT AS qid, term FROM (VALUES
        |  (0, 'spark'), (0, 'join'),
        |  (1, 'table'), (1, 'filter'),
        |  (2, 'spark'), (2, 'filter'), (2, 'table')) AS t(qid, term)),
-       |toks AS (SELECT doc_id, $toksSql AS toks FROM documents),
+       |toks AS (SELECT doc_id, $toksSql AS toks FROM $docsSql),
        |dl AS (SELECT doc_id, len(toks)::BIGINT AS dl FROM toks),
        |stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
        |postings AS (
@@ -2700,6 +2729,16 @@ object SparkEntry {
     // same oracle as bm25_batch_top3, recomputed over the raw corpus
     "bm25_index_batch_top3" ->
       s"""WITH $bm25BatchCtes
+         |SELECT qid, doc_id, score FROM (
+         |  SELECT qid, doc_id, score,
+         |         row_number() OVER (PARTITION BY qid
+         |           ORDER BY score DESC, doc_id ASC) AS rn
+         |  FROM bscored) WHERE rn <= 3
+         |ORDER BY qid, doc_id""".stripMargin,
+    // after the tombstone delete the index must answer as if built on
+    // the surviving corpus — the oracle IS that from-scratch build
+    "bm25_index_delete_top3" ->
+      s"""WITH ${bm25BatchCtesOver("(SELECT * FROM documents WHERE doc_id % 5 <> 0)")}
          |SELECT qid, doc_id, score FROM (
          |  SELECT qid, doc_id, score,
          |         row_number() OVER (PARTITION BY qid

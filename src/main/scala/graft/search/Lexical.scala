@@ -125,6 +125,12 @@ object Lexical {
     *     probe aggregates (avgdl = sum_dl/n_docs exactly reproduces
     *     `avg(dl)`: token counts are small integers, their double sum
     *     is exact far past any corpus size).
+    *   - `doclens/`: one `(<idCol>, dl)` row per doc — the side table
+    *     [[deleteFromBm25Index]] reads so a delete can subtract the
+    *     doc's exact stats contribution without scanning postings.
+    *   - `tombstones/` (created by deletes): `(<idCol>, dl)` rows the
+    *     probe subtracts logically; [[compactBm25Index]] applies them
+    *     physically.
     */
   def buildBm25Index(docs: DataFrame, textCol: String, idCol: String,
                      path: String, termBuckets: Int = 64): Unit = {
@@ -138,6 +144,8 @@ object Lexical {
       .withColumn("__tb",
         pmod(TextAnalysis.fingerprint(col("term")), lit(termBuckets.toLong)))
       .write.partitionBy("__tb").mode("overwrite").parquet(s"$path/postings")
+    withDl.select(col(idCol), col("dl"))
+      .write.mode("overwrite").parquet(s"$path/doclens")
     withDl
       .agg(count(lit(1)).as("n_docs"), sum(col("dl").cast("long")).as("sum_dl"))
       .withColumn("term_buckets", lit(termBuckets.toLong))
@@ -191,10 +199,67 @@ object Lexical {
       .withColumn("__tb",
         pmod(TextAnalysis.fingerprint(col("term")), lit(termBuckets)))
       .write.partitionBy("__tb").mode("append").parquet(s"$path/postings")
+    withDl.select(col(idCol), col("dl"))
+      .write.mode("append").parquet(s"$path/doclens")
     withDl
       .agg(count(lit(1)).as("n_docs"), sum(col("dl").cast("long")).as("sum_dl"))
       .withColumn("term_buckets", lit(termBuckets))
       .write.mode("append").parquet(s"$path/stats")
+  }
+
+  /** Tombstone-delete documents from a materialized BM25 index — the
+    * missing quarter of the index lifecycle (build/append/probe/
+    * DELETE; an update is delete + append). Postings are immutable
+    * parquet, so a delete is LOGICAL: the doc's `(id, dl)` row — dl
+    * read from `doclens/`, never recomputed — appends to
+    * `tombstones/`, and the probe subtracts tombstoned docs from both
+    * the candidate postings (anti-join) and the corpus stats
+    * (n_docs/sum_dl sums), reproducing a from-scratch build on the
+    * surviving corpus EXACTLY (df shrinks because the anti-join runs
+    * before the df count; avgdl shrinks through the stats rows) —
+    * spec-pinned. Unknown ids are ignored (the doclens join drops
+    * them); deleting an id twice is idempotent (the probe reads
+    * tombstones distinct). [[compactBm25Index]] applies tombstones
+    * physically when their count stops being "bounded". */
+  def deleteFromBm25Index(ids: DataFrame, idCol: String, path: String): Unit = {
+    val spark = ids.sparkSession
+    bm25IndexBuckets(spark, path): Unit // consistency guard only
+    spark.read.parquet(s"$path/doclens")
+      .join(ids.select(col(idCol)), Seq(idCol), "left_semi")
+      .write.mode("append").parquet(s"$path/tombstones")
+  }
+
+  /** The index's distinct tombstone rows, or None when nothing was
+    * ever deleted. Bounded by contract: deletes are batched and
+    * compacted away ([[compactBm25Index]]), so the probe may broadcast
+    * them. */
+  private def bm25Tombstones(spark: org.apache.spark.sql.SparkSession,
+                             path: String): Option[DataFrame] =
+    if (!new java.io.File(s"$path/tombstones").exists()) None
+    else Some(spark.read.parquet(s"$path/tombstones").distinct())
+
+  /** Physically apply tombstones: rewrite postings without tombstoned
+    * docs (same bucket layout, so probes are unchanged), collapse
+    * stats to one corrected row, refresh doclens, clear tombstones.
+    * The small-files remedy AND the delete remedy in one pass —
+    * [[Ann.compactIvfIndex]]'s contract extended with deletes. */
+  def compactBm25Index(spark: org.apache.spark.sql.SparkSession,
+                       srcPath: String, dstPath: String, idCol: String,
+                       recordsPerFile: Long = 1L << 20): Unit = {
+    val termBuckets = bm25IndexBuckets(spark, srcPath)
+    val tombs = bm25Tombstones(spark, srcPath)
+    def dropTombs(df: DataFrame): DataFrame =
+      tombs.fold(df)(t => df.join(broadcast(t.select(col(idCol))), Seq(idCol), "left_anti"))
+    dropTombs(spark.read.parquet(s"$srcPath/postings"))
+      .repartition(col("__tb"))
+      .write.partitionBy("__tb").option("maxRecordsPerFile", recordsPerFile)
+      .mode("overwrite").parquet(s"$dstPath/postings")
+    val doclens = dropTombs(spark.read.parquet(s"$srcPath/doclens"))
+    doclens.write.mode("overwrite").parquet(s"$dstPath/doclens")
+    doclens
+      .agg(count(lit(1)).as("n_docs"), sum(col("dl").cast("long")).as("sum_dl"))
+      .withColumn("term_buckets", lit(termBuckets))
+      .write.mode("overwrite").parquet(s"$dstPath/stats")
   }
 
   /** Batch BM25 probe of a materialized index — [[bm25TopKBatch]]
@@ -215,19 +280,32 @@ object Lexical {
     val allTerms = qterms.select(col("term")).distinct()
     val termBuckets = bm25IndexBuckets(spark, path)
     val statsRaw = spark.read.parquet(s"$path/stats")
+    // tombstoned docs leave the corpus logically: their (id, dl) rows
+    // subtract from the stats sums here and anti-join the candidate
+    // postings below — so df, n_docs, and avgdl all reproduce a
+    // from-scratch build on the surviving corpus exactly
+    val tombs = bm25Tombstones(spark, path)
+    val tombAgg = tombs.map(_.agg(
+      count(lit(1)).cast("long").as("t_docs"),
+      coalesce(sum(col("dl").cast("long")), lit(0L)).as("t_dl")).head())
+    val (tDocs, tDl) = tombAgg.fold((0L, 0L))(r => (r.getLong(0), r.getLong(1)))
     val stats = statsRaw.agg(
-      sum(col("n_docs")).as("n_docs"),
-      (sum(col("sum_dl")).cast("double") /
-        sum(col("n_docs")).cast("double")).as("avgdl"))
+      (sum(col("n_docs")) - lit(tDocs)).as("n_docs"),
+      ((sum(col("sum_dl")) - lit(tDl)).cast("double") /
+        (sum(col("n_docs")) - lit(tDocs)).cast("double")).as("avgdl"))
     // driver-side: |union of query terms| bucket literals -> plan-time
     // pruning; derived with the SAME column expression the build used,
     // so build/probe bucketing can never drift
     val buckets = allTerms
       .select(pmod(TextAnalysis.fingerprint(col("term")), lit(termBuckets)).as("tb"))
       .distinct().collect().map(_.getLong(0)).toSeq
-    val postings = spark.read.parquet(s"$path/postings")
+    val postingsLive = spark.read.parquet(s"$path/postings")
       .filter(col("__tb").isin(buckets: _*)) // partition pruning
       .join(broadcast(allTerms), Seq("term"), "left_semi")
+    // tombstone anti-join BEFORE the df count, so deleted docs shrink
+    // document frequencies exactly like a rebuild would
+    val postings = tombs.fold(postingsLive)(t =>
+      postingsLive.join(broadcast(t.select(col(idCol))), Seq(idCol), "left_anti"))
     val dfreq = postings.groupBy(col("term")).agg(count(lit(1)).as("df"))
     val weights = postings
       .join(broadcast(dfreq), "term")

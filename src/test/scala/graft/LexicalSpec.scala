@@ -78,6 +78,37 @@ class LexicalSpec extends SparkSpec {
       s"expected bucket skipping: read $numFiles of $totalFiles files")
   }
 
+  test("BM25 index delete: probe ≡ rebuild on survivors; idempotent; compaction applies") {
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+    val qs = Seq(
+      (0L, Seq("spark", "join")),
+      (1L, Seq("table", "filter"))).toDF("qid", "terms")
+    val tmp = java.nio.file.Files.createTempDirectory("graft-bm25-del").toString
+    val idx = tmp + "/full"
+    Lexical.buildBm25Index(docs, "text", "doc_id", idx)
+    // delete 20% + an unknown id; delete one batch TWICE (idempotence)
+    val dels = docs.filter(col("doc_id") % 5 === 0).select(col("doc_id"))
+    Lexical.deleteFromBm25Index(dels, "doc_id", idx)
+    Lexical.deleteFromBm25Index(
+      dels.limit(3).unionAll(Seq(999999L).toDF("doc_id")), "doc_id", idx)
+    def probe(p: String) = Lexical.bm25IndexTopKBatch(spark, p, qs, 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq.sorted
+    val deleted = probe(idx)
+    val survivors = tmp + "/survivors"
+    Lexical.buildBm25Index(docs.filter(col("doc_id") % 5 =!= 0), "text", "doc_id", survivors)
+    assert(deleted == probe(survivors),
+      "tombstoned probe must reproduce a from-scratch build on the survivors")
+    assert(deleted.map(_._2).forall(_ % 5 != 0), "no deleted doc may rank")
+    // physical compaction: tombstones applied, stats collapsed, same answers
+    val compacted = tmp + "/compacted"
+    Lexical.compactBm25Index(spark, idx, compacted, "doc_id")
+    assert(probe(compacted) == deleted, "compaction must not change probe results")
+    assert(!new java.io.File(s"$compacted/tombstones").exists())
+    val stats = spark.read.parquet(s"$compacted/stats").collect()
+    assert(stats.length == 1 &&
+      stats.head.getAs[Long]("n_docs") == docs.filter(col("doc_id") % 5 =!= 0).count())
+  }
+
   test("BM25 index append guards: missing stats/ and conflicting bucket layouts fail loudly") {
     val docs = spark.read.parquet(s"$sf0001/documents.parquet")
     val none = java.nio.file.Files.createTempDirectory("graft-bm25-none").toString
