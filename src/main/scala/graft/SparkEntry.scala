@@ -1093,6 +1093,23 @@ object SparkEntry {
       Ann.ivfIndexTopK(s, path, queryVec(s, dir), cents, 5, 3)
         .select(col("vec_id"), col("sim"))
     }),
+    // ---- [EXT] vector-index DELETE: build on the full corpus (the
+    // k-means training SAW the deleted rows — deletes don't retrain),
+    // tombstone 20% (including vec_id 0, the query vector itself — its
+    // sim-1.0 self-hit must vanish), probe. Oracle = the same trained
+    // probe replay over SURVIVING candidates only.
+    "ann_index_delete_top5" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val cents = Ann.kmeansCentroids(emb, "vec_id", "embedding", 10, 2)
+      val path = scratchDir("ivf-delete")
+      Ann.buildIvfIndex(emb, cents, path)
+      org.apache.commons.io.FileUtils.deleteQuietly(
+        new java.io.File(s"$path.tombstones"))
+      Ann.deleteFromIvfIndex(
+        emb.filter(col("vec_id") % 5 === 0).select(col("vec_id")), path)
+      Ann.ivfIndexTopK(s, path, queryVec(s, dir), cents, 5, 3)
+        .select(col("vec_id"), col("sim"))
+    }),
     // ---- [EXT] anti join (the dedup-subtract shape, SURVEY §2 semi/anti)
     "anti_join" -> ((s, dir) => {
       val bigItems = Tables.lineitem(s, dir)
@@ -1817,7 +1834,14 @@ object SparkEntry {
     * ranking at round-6, pruned exact scan) — the oracle of BOTH the
     * in-memory `ann_kmeans_top5` and the appended materialized index
     * `ann_index_append_top5`: append must be invisible to the query. */
-  private lazy val kmeansIvfTop5Sql: String = {
+  private lazy val kmeansIvfTop5Sql: String = kmeansIvfTop5SqlWhere("")
+
+  /** The IVF probe replay with an optional survivor filter on the
+    * final candidate scan — `""` for the plain probes, a
+    * `" AND …"`-style predicate for the index-delete oracle (training
+    * ran on the FULL corpus before the delete, so the Lloyd CTEs stay
+    * unfiltered). */
+  private def kmeansIvfTop5SqlWhere(candWhere: String): String = {
     def rawCos(a: String, b: String) =
       s"list_dot_product($a, $b) / (sqrt(list_dot_product($a, $a)) * sqrt(list_dot_product($b, $b)))"
     s"""WITH q AS (SELECT embedding AS qvec FROM embeddings WHERE vec_id = 0),
@@ -1828,7 +1852,7 @@ object SparkEntry {
        |  LIMIT 3)
        |SELECT vec_id, sim FROM (
        |  SELECT e.vec_id, ${cosSql("e.embedding", "q.qvec")} AS sim
-       |  FROM embeddings e JOIN iaf USING (vec_id) JOIN probes USING (cid), q)
+       |  FROM embeddings e JOIN iaf USING (vec_id) JOIN probes USING (cid), q$candWhere)
        |ORDER BY sim DESC, vec_id ASC LIMIT 5""".stripMargin
   }
 
@@ -2079,6 +2103,8 @@ object SparkEntry {
     // the appended materialized index must answer exactly like the
     // in-memory k-means IVF probe over the full corpus
     "ann_index_append_top5" -> kmeansIvfTop5Sql,
+    "ann_index_delete_top5" ->
+      kmeansIvfTop5SqlWhere("\n  WHERE e.vec_id % 5 <> 0"),
     "ann_lsh_top5" -> {
       val planeLits = graft.search.Ann.planes(64, 8).map(p =>
         p.map(x => "%.17e".formatLocal(java.util.Locale.ROOT, x))

@@ -193,17 +193,46 @@ object Ann {
     delta.withColumn("__cluster", assignCluster(col(vecCol), cents))
       .write.partitionBy("__cluster").mode("append").parquet(path)
 
+  /** Tombstone-delete vectors from a materialized IVF index — the
+    * vector twin of [[Lexical.deleteFromBm25Index]], completing the
+    * build/append/probe/DELETE lifecycle (an update is delete +
+    * append). The cluster files are immutable, so the delete is
+    * LOGICAL: ids append to `<path>.tombstones/`; probes anti-join
+    * them (kNN has no corpus stats to correct, unlike BM25), and
+    * [[compactIvfIndex]] applies them physically. Tombstones are
+    * bounded by contract (deletes are batched and compacted away), so
+    * probes broadcast them. Deleting an unknown or already-deleted id
+    * is harmless — the anti-join is idempotent. */
+  def deleteFromIvfIndex(ids: DataFrame, path: String,
+                         idCol: String = "vec_id"): Unit =
+    ids.select(col(idCol)).write.mode("append").parquet(s"$path.tombstones")
+
+  /** The index's tombstoned ids, or None when nothing was deleted. */
+  private[search] def tombstoneIds(spark: org.apache.spark.sql.SparkSession,
+                                   path: String): Option[DataFrame] =
+    if (!new java.io.File(s"$path.tombstones").exists()) None
+    else Some(spark.read.parquet(s"$path.tombstones").distinct())
+
+  private[search] def dropTombstones(df: DataFrame, path: String,
+                                     idCol: String): DataFrame =
+    tombstoneIds(df.sparkSession, path).fold(df)(t =>
+      df.join(broadcast(t.withColumnRenamed(t.columns.head, idCol)),
+        Seq(idCol), "left_anti"))
+
   /** Compact an incrementally appended IVF index into a fresh layout:
     * one shuffle clustering rows by the partition key, rewritten
     * `partitionBy(__cluster)` with `maxRecordsPerFile` bounding file
     * size — the index-shaped form of
     * [[graft.store.CorpusStore.compact]]'s small-files remedy (a batch
     * of appends leaves one file per batch per cluster; at 100 TB that
-    * is an O(files) planning cost on every probe). Probe results are
-    * unchanged — the layout moves, the rows don't (pinned in AnnSpec). */
+    * is an O(files) planning cost on every probe). Tombstoned rows are
+    * dropped during the rewrite (the physical half of
+    * [[deleteFromIvfIndex]]); surviving probe results are unchanged —
+    * the layout moves, the rows don't (pinned in AnnSpec). */
   def compactIvfIndex(spark: org.apache.spark.sql.SparkSession, srcPath: String,
-                      dstPath: String, recordsPerFile: Long = 1L << 20): Unit =
-    spark.read.parquet(srcPath)
+                      dstPath: String, recordsPerFile: Long = 1L << 20,
+                      idCol: String = "vec_id"): Unit =
+    dropTombstones(spark.read.parquet(srcPath), srcPath, idCol)
       .repartition(col("__cluster"))
       .write.partitionBy("__cluster")
       .option("maxRecordsPerFile", recordsPerFile)
@@ -223,8 +252,10 @@ object Ann {
       .map(_.doubleValue()).toSeq
     val probes = probeIds(cents, qvec, nprobe)
     Search.knn(
-      spark.read.parquet(path)
-        .filter(col("__cluster").isin(probes: _*)).drop("__cluster"),
+      dropTombstones(
+        spark.read.parquet(path)
+          .filter(col("__cluster").isin(probes: _*)).drop("__cluster"),
+        path, idCol),
       query, k, idCol, vecCol)
   }
 

@@ -216,6 +216,17 @@ object Pq {
       .write.mode("append").parquet(s"$path/vectors")
   }
 
+  /** Tombstone-delete vectors from a materialized IVF-PQ index —
+    * [[Ann.deleteFromIvfIndex]]'s contract on the composed index. The
+    * anti-join happens on the CODES side only: the rerank reads
+    * vectors by shortlist ids, and deleted ids can never enter the
+    * shortlist. [[compactIvfPqVectors]] + a codes-side
+    * [[Ann.compactIvfIndex]] on `<path>/codes` apply deletes
+    * physically. */
+  def deleteFromIvfPqIndex(ids: DataFrame, path: String,
+                           idCol: String = "vec_id"): Unit =
+    Ann.deleteFromIvfIndex(ids, s"$path/codes", idCol)
+
   /** Re-sort an appended index's VECTORS side into one id-ordered
     * layout — the rerank-path twin of [[Ann.compactIvfIndex]] (which
     * handles the codes side). Each append writes its own id-sorted
@@ -244,8 +255,10 @@ object Pq {
     val qvec = query.select(col("qvec")).head().getSeq[Number](0)
       .map(_.doubleValue()).toSeq
     val probes = Ann.probeIds(cents, qvec, nprobe)
-    val codes = spark.read.parquet(s"$path/codes")
-      .filter(col("__cluster").isin(probes: _*)).drop("__cluster")
+    val codes = Ann.dropTombstones(
+      spark.read.parquet(s"$path/codes")
+        .filter(col("__cluster").isin(probes: _*)).drop("__cluster"),
+      s"$path/codes", idCol)
     adcTopKCoded(codes, query, shortlist, cb, idCol)
   }
 
@@ -352,8 +365,10 @@ object Pq {
     // scale, same contract as the driver-side probe ranking
     val probedClusters = probes.select(col("__cluster")).distinct()
       .collect().map(_.getInt(0)).toSeq
-    val codes = spark.read.parquet(s"$path/codes")
-      .filter(col("__cluster").isin(probedClusters: _*))
+    val codes = Ann.dropTombstones(
+      spark.read.parquet(s"$path/codes")
+        .filter(col("__cluster").isin(probedClusters: _*)),
+      s"$path/codes", idCol)
     val cands = codes.join(broadcast(probes), Seq("__cluster")).drop("__cluster")
     val wTop = Window.partitionBy(col("qid"))
       .orderBy(col("sim").desc, col(idCol).asc)

@@ -211,6 +211,40 @@ class AnnSpec extends SparkSpec {
     assert(compacted == got, s"compaction changed the probe: $compacted vs $got")
   }
 
+  test("IVF tombstone delete: probe ≡ survivors rebuild; compaction applies; PQ codes covered") {
+    import spark.implicits._
+    val cents = Ann.kmeansCentroids(emb, "vec_id", "embedding", 10, 2)
+    val tmp = java.nio.file.Files.createTempDirectory("graft-ivf-del").toString
+    val idx = tmp + "/full"
+    Ann.buildIvfIndex(emb, cents, idx)
+    // delete 20% including the query vector itself; repeat one id
+    Ann.deleteFromIvfIndex(emb.filter(col("vec_id") % 5 === 0).select(col("vec_id")), idx)
+    Ann.deleteFromIvfIndex(Seq(0L, 999999L).toDF("vec_id"), idx)
+    def top(p: String) = Ann.ivfIndexTopK(spark, p, q, cents, 5, 3)
+      .collect().map(r => (r.getAs[Long]("vec_id"), r.getAs[Double]("sim"))).toSeq
+    val deleted = top(idx)
+    assert(deleted.forall(_._1 % 5 != 0), "no deleted id may rank (self-hit gone)")
+    val survivors = tmp + "/survivors"
+    Ann.buildIvfIndex(emb.filter(col("vec_id") % 5 =!= 0), cents, survivors)
+    assert(deleted == top(survivors),
+      "tombstoned probe must reproduce a from-scratch build on the survivors")
+    val compacted = tmp + "/compacted"
+    Ann.compactIvfIndex(spark, idx, compacted)
+    assert(top(compacted) == deleted, "compaction must not change probe results")
+    assert(spark.read.parquet(compacted).filter(col("vec_id") % 5 === 0).count() == 0)
+    // composed IVF-PQ index: deleting on the codes side removes the id
+    // from shortlists (and therefore from reranked results)
+    val cb = graft.search.Pq.train(emb, "vec_id", "embedding", 64, 8, 64, 2)
+    val pqIdx = tmp + "/ivfpq"
+    graft.search.Pq.buildIvfPqIndex(emb, cents, cb, pqIdx)
+    graft.search.Pq.deleteFromIvfPqIndex(
+      emb.filter(col("vec_id") % 5 === 0).select(col("vec_id")), pqIdx)
+    val pqTop = graft.search.Pq.ivfPqIndexTopK(spark, pqIdx, q, cents, cb,
+        5, nprobe = 3, shortlist = 50)
+      .collect().map(_.getLong(0)).toSeq
+    assert(pqTop.nonEmpty && pqTop.forall(_ % 5 != 0))
+  }
+
   test("LSH buckets are deterministic across runs (seeded planes)") {
     val p = Ann.planes(64, 8)
     val b1 = emb.withColumn("b", Ann.lshBucket(col("embedding"), p))
