@@ -693,6 +693,39 @@ object SparkEntry {
       Lexical.bm25IndexTopKBatch(s, path, qs, 3)
         .orderBy(col("qid"), col("doc_id"))
     }),
+    // ---- [EXT] snapshot-driven index SYNC — the full update path:
+    // index built on upload v1, corpus moves to v2 (removes, changes,
+    // adds), diff drives delete → compact → append. The oracle is a
+    // from-scratch BM25 build on v2 only — any sync defect (a changed
+    // doc's old postings surviving, or its new ones tombstoned away)
+    // breaks the hash.
+    "bm25_index_sync_top3" -> ((s, dir) => {
+      import s.implicits._
+      val qs = Seq(
+        (0L, Seq("spark", "join")),
+        (1L, Seq("table", "filter")),
+        (2L, Seq("spark", "filter", "table"))).toDF("qid", "terms")
+      val docs = Tables.documents(s, dir)
+      val snaps = scratchDir("sync-snaps")
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(snaps))
+      graft.store.Snapshots.write(docs.select(col("doc_id"), col("text")), snaps, "v1")
+      val v2 = docs.filter(col("doc_id") % 13 =!= 0)
+        .select(col("doc_id"),
+          when(col("doc_id") % 11 === 0, concat(col("text"), lit(" spark")))
+            .otherwise(col("text")).as("text"))
+        .unionByName(docs.filter(col("doc_id") < 3)
+          .select((col("doc_id") + 100000L).as("doc_id"), col("text")))
+      graft.store.Snapshots.write(v2, snaps, "v2")
+      val srcIdx = scratchDir("sync-idx-v1")
+      val dstIdx = scratchDir("sync-idx-v2")
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(srcIdx))
+      Lexical.buildBm25Index(graft.store.Snapshots.read(s, snaps, "v1"),
+        "text", "doc_id", srcIdx)
+      graft.store.Snapshots.syncBm25Index(s, snaps, "v1", "v2",
+        "doc_id", "text", srcIdx, dstIdx)
+      Lexical.bm25IndexTopKBatch(s, dstIdx, qs, 3)
+        .orderBy(col("qid"), col("doc_id"))
+    }),
     // ---- [EXT] batch hybrid retrieval: per-query RRF fusion of the
     // batch BM25 ranking with the batch embedding-kNN ranking (qid i
     // pairs term set i with query vector vec_id = i)
@@ -2755,6 +2788,21 @@ object SparkEntry {
     // same oracle as bm25_batch_top3, recomputed over the raw corpus
     "bm25_index_batch_top3" ->
       s"""WITH $bm25BatchCtes
+         |SELECT qid, doc_id, score FROM (
+         |  SELECT qid, doc_id, score,
+         |         row_number() OVER (PARTITION BY qid
+         |           ORDER BY score DESC, doc_id ASC) AS rn
+         |  FROM bscored) WHERE rn <= 3
+         |ORDER BY qid, doc_id""".stripMargin,
+    // after the snapshot sync the index must answer as if built on the
+    // v2 corpus from scratch
+    "bm25_index_sync_top3" ->
+      s"""WITH ${bm25BatchCtesOver(
+             "(SELECT doc_id, CASE WHEN doc_id % 11 = 0 " +
+               "THEN text || ' spark' ELSE text END AS text " +
+               "FROM documents WHERE doc_id % 13 <> 0 " +
+               "UNION ALL SELECT doc_id + 100000, text " +
+               "FROM documents WHERE doc_id < 3)")}
          |SELECT qid, doc_id, score FROM (
          |  SELECT qid, doc_id, score,
          |         row_number() OVER (PARTITION BY qid

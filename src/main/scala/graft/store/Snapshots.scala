@@ -66,6 +66,32 @@ object Snapshots {
           .otherwise("same").as("status"))
   }
 
+  /** Sync a materialized BM25 index from snapshot `from` to snapshot
+    * `to` — the [[diff]] applied as index maintenance, composing the
+    * whole lifecycle: removed and changed docs tombstone-delete,
+    * compaction applies the tombstones PHYSICALLY, then added docs and
+    * the `to`-versions of changed docs append. The compact step is not
+    * optional: tombstones are id-based, so re-appending a changed doc
+    * before they are applied would anti-join the NEW postings away
+    * too — delete → merge → add is the segment-rewrite order every
+    * immutable-file index (Lucene-style) uses for updates. `srcIdx` is
+    * consumed (it carries the sync's tombstones afterwards); the
+    * synced index lands at `dstIdx`. Probe-for-probe ≡ a fresh build
+    * on the `to` snapshot (spec-pinned, oracle-pinned). */
+  def syncBm25Index(spark: SparkSession, path: String, from: String, to: String,
+                    idCol: String, textCol: String,
+                    srcIdx: String, dstIdx: String): Unit = {
+    val d = diff(spark, path, from, to, idCol, textCol)
+    graft.search.Lexical.deleteFromBm25Index(
+      d.filter(col("status").isin("removed", "changed")).select(col(idCol)),
+      idCol, srcIdx)
+    graft.search.Lexical.compactBm25Index(spark, srcIdx, dstIdx, idCol)
+    val fresh = read(spark, path, to).join(
+      d.filter(col("status").isin("added", "changed")).select(col(idCol)),
+      Seq(idCol), "left_semi")
+    graft.search.Lexical.appendToBm25Index(fresh, textCol, idCol, dstIdx)
+  }
+
   /** The latest row per id ACROSS a sequence of snapshots — last-wins
     * SCD-1 (the `upsert_latest` operator composed with the store):
     * snapshot order is the precedence order, later names win. */

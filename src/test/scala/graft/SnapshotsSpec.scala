@@ -59,6 +59,35 @@ class SnapshotsSpec extends SparkSpec {
     assert(out == Map(1L -> "same", 2L -> "changed", 3L -> "removed", 4L -> "added"))
   }
 
+  test("syncBm25Index: delete → compact → append reproduces a fresh v2 build") {
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    val snaps = freshStore()
+    Snapshots.write(docs, snaps, "v1")
+    // v2: remove %13, CHANGE %11 (new 'spark' posting — old postings
+    // must die AND new ones must survive the tombstones), add 2
+    val v2 = docs.filter(col("doc_id") % 13 =!= 0)
+      .select(col("doc_id"),
+        when(col("doc_id") % 11 === 0, concat(col("text"), lit(" spark")))
+          .otherwise(col("text")).as("text"))
+      .unionByName(docs.filter(col("doc_id") < 2)
+        .select((col("doc_id") + 100000L).as("doc_id"), col("text")))
+    Snapshots.write(v2, snaps, "v2")
+    val tmp = java.nio.file.Files.createTempDirectory("graft-sync").toString
+    graft.search.Lexical.buildBm25Index(
+      Snapshots.read(spark, snaps, "v1"), "text", "doc_id", tmp + "/v1idx")
+    Snapshots.syncBm25Index(spark, snaps, "v1", "v2", "doc_id", "text",
+      tmp + "/v1idx", tmp + "/synced")
+    graft.search.Lexical.buildBm25Index(
+      Snapshots.read(spark, snaps, "v2"), "text", "doc_id", tmp + "/fresh")
+    val qs = Seq((0L, Seq("spark", "join")), (1L, Seq("table", "filter")))
+      .toDF("qid", "terms")
+    def probe(p: String) = graft.search.Lexical.bm25IndexTopKBatch(spark, p, qs, 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq.sorted
+    assert(probe(tmp + "/synced") == probe(tmp + "/fresh"),
+      "synced index must probe identically to a fresh build on v2")
+  }
+
   test("latest: later snapshot names win per id, untouched ids carry through") {
     val path = freshStore()
     Snapshots.write(Seq((1L, "a1"), (2L, "b1")).toDF("id", "text"), path, "v1")
