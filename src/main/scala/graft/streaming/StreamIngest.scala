@@ -80,6 +80,36 @@ object StreamIngest {
         }
       }
 
+  /** Streaming ingest-time dedup GATE against a persisted signature
+    * store: each arriving micro-batch is deduped against the corpus ∪
+    * itself ([[graft.analysis.Dedup.dedupDelta]]), the kept docs are
+    * handed to `onKept` (write to the corpus, append to indexes, …),
+    * and the batch's signatures join the store so LATER batches dedup
+    * against it — the arrival-shaped composition of the incremental
+    * dedup operator. Same foreachBatch replay caveat as
+    * [[bm25MaintenanceSink]]. The store must have been built on a
+    * non-empty initial corpus
+    * ([[graft.analysis.Dedup.writeSignatureStore]]) — a missing store
+    * fails loudly on the first batch rather than silently admitting
+    * duplicates. */
+  def dedupGateSink(docs: DataFrame, textCol: String, idCol: String,
+                    sigPath: String, threshold: Double)(
+      onKept: DataFrame => Unit): DataStreamWriter[org.apache.spark.sql.Row] =
+    docs.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty) {
+          val kept = batch.join(
+            graft.analysis.Dedup.dedupDelta(batch, idCol, textCol, sigPath, threshold)
+              .filter(col("keep")).select(col(idCol)),
+            Seq(idCol), "left_semi")
+          onKept(kept)
+          // only KEPT docs enter the store: a dropped duplicate must
+          // not become a future batch's dedup target
+          graft.analysis.Dedup.appendToSignatureStore(kept, idCol, textCol, sigPath)
+        }
+      }
+
   /** Event-time tumbling-window counts with a watermark — the streaming
     * form of the `events_hourly` batch query (SURVEY §2 `[EXT]`). */
   def eventCountsStream(events: DataFrame, window_ : String = "1 hour",

@@ -154,6 +154,33 @@ class StoreStreamSpec extends SparkSpec {
     assert(streamed == rebuilt, s"streamed $streamed != rebuilt $rebuilt")
   }
 
+  test("streaming dedup gate: arriving duplicates are dropped, kept docs guard later batches") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.functions.col
+    implicit val sqlCtx = spark.sqlContext
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    val corpus = docs.filter(col("doc_id") < 50)
+    val sig = java.nio.file.Files.createTempDirectory("graft-gate").toString + "/sigs"
+    graft.analysis.Dedup.writeSignatureStore(corpus, "doc_id", "text", 5, 32, 8, sig)
+    // batch 1: one corpus duplicate (re-text of doc 3 under a new id) +
+    // one fresh doc; batch 2: a duplicate OF THE KEPT BATCH-1 DOC — it
+    // must be dropped because batch 1's signatures entered the store
+    val d3 = docs.filter(col("doc_id") === 3).head().getString(1)
+    val fresh = "a genuinely new document about distributed query engines and shuffles"
+    val kept = scala.collection.mutable.ArrayBuffer[Long]()
+    val input = MemoryStream[(Long, String)]
+    val q = graft.streaming.StreamIngest.dedupGateSink(
+      input.toDF().toDF("doc_id", "text"), "text", "doc_id", sig, 0.5) { b =>
+      kept ++= b.collect().map(_.getLong(0))
+    }.start()
+    input.addData(Seq((1000L, d3), (1001L, fresh))); q.processAllAvailable()
+    input.addData(Seq((1002L, fresh + " !"))); q.processAllAvailable()
+    q.stop()
+    assert(kept.sorted == Seq(1001L),
+      s"expected only the fresh doc kept (1000 dups corpus, 1002 dups 1001): $kept")
+  }
+
   test("stream-stream time-range join: views pick up prior clicks only") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import java.sql.Timestamp
