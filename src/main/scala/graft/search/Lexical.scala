@@ -146,7 +146,9 @@ object Lexical {
       .write.partitionBy("__tb").mode("overwrite").parquet(s"$path/postings")
     withDl.select(col(idCol), col("dl"))
       .write.mode("overwrite").parquet(s"$path/doclens")
-    withDl
+    // stats from the just-written doclens (tiny (id, dl) read) — NOT a
+    // third tokenization pass over the corpus
+    docs.sparkSession.read.parquet(s"$path/doclens")
       .agg(count(lit(1)).as("n_docs"), sum(col("dl").cast("long")).as("sum_dl"))
       .withColumn("term_buckets", lit(termBuckets.toLong))
       .write.mode("overwrite").parquet(s"$path/stats")
@@ -201,6 +203,9 @@ object Lexical {
       .write.partitionBy("__tb").mode("append").parquet(s"$path/postings")
     withDl.select(col(idCol), col("dl"))
       .write.mode("append").parquet(s"$path/doclens")
+    // re-deriving the delta's stats tokenizes the DELTA a third time —
+    // deltas are small by contract; the build path (corpus-sized)
+    // aggregates its written doclens instead
     withDl
       .agg(count(lit(1)).as("n_docs"), sum(col("dl").cast("long")).as("sum_dl"))
       .withColumn("term_buckets", lit(termBuckets))
