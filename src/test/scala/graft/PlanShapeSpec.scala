@@ -20,7 +20,8 @@ class PlanShapeSpec extends SparkSpec {
     // drops the join keys (or compares on a non-equi condition only)
     // silently becomes an all-pairs O(N²) stage
     for (q <- Seq("dedup_jaccard", "dedup_jaccard_lsh", "minhash_cands",
-        "simhash_pairs", "embed_neardup", "dedup_exact", "dedup_best_rep")) {
+        "simhash_pairs", "embed_neardup", "dedup_exact", "dedup_best_rep",
+        "dedup_delta")) {
       val p = plan(q)
       assert(!p.contains("CartesianProduct"), q)
       assert(!p.contains("BroadcastNestedLoopJoin"), q)
@@ -75,7 +76,8 @@ class PlanShapeSpec extends SparkSpec {
   }
 
   test("batch lexical/hybrid retrieval: keyed term joins, no cartesian") {
-    for (q <- Seq("bm25_batch_top3", "hybrid_rrf_batch_top3")) {
+    for (q <- Seq("bm25_batch_top3", "hybrid_rrf_batch_top3",
+        "bm25_index_delete_top3", "bm25_index_sync_top3", "snapshot_diff")) {
       val p = plan(q)
       assert(!p.contains("CartesianProduct"), q)
     }
