@@ -143,6 +143,11 @@ object Lexical {
       .groupBy(col("term"), col(idCol), col("dl")).agg(count(lit(1)).as("tf"))
       .withColumn("__tb",
         pmod(TextAnalysis.fingerprint(col("term")), lit(termBuckets.toLong)))
+      // cluster by bucket before the partitioned write: without this,
+      // every shuffle task writes a sliver into every bucket directory
+      // (tasks × buckets tiny files per build — 2048 locally, worse at
+      // scale); clustered, each bucket is written by one task
+      .repartition(col("__tb"))
       .write.partitionBy("__tb").mode("overwrite").parquet(s"$path/postings")
     withDl.select(col(idCol), col("dl"))
       .write.mode("overwrite").parquet(s"$path/doclens")
@@ -164,7 +169,15 @@ object Lexical {
     * a re-ingested id double-counts df/tf (documented contract; the
     * store cannot cheaply detect it without a full id scan). */
   private def bm25IndexBuckets(spark: org.apache.spark.sql.SparkSession,
-                               path: String): Long = {
+                               path: String): Long =
+    bm25IndexStats(spark, path)._1
+
+  /** One guarded driver read of `stats/`: `(term_buckets, n_docs,
+    * sum_dl)` — the mergeable rows summed, the config column checked
+    * for agreement. One job serves guard AND corpus stats, so a probe
+    * never scans stats twice. */
+  private def bm25IndexStats(spark: org.apache.spark.sql.SparkSession,
+                             path: String): (Long, Long, Long) = {
     val stats =
       try spark.read.parquet(s"$path/stats")
       catch {
@@ -174,11 +187,12 @@ object Lexical {
               s"buildBm25Index", e)
       }
     val agg = stats.agg(countDistinct(col("term_buckets")).as("v"),
-      max(col("term_buckets"))).head()
+      max(col("term_buckets")), sum(col("n_docs")).cast("long"),
+      sum(col("sum_dl")).cast("long")).head()
     require(agg.getLong(0) == 1L,
       s"BM25 index at $path has ${agg.getLong(0)} conflicting term_buckets " +
         s"values in stats/ — build and appends must share one bucket layout")
-    agg.getLong(1)
+    (agg.getLong(1), agg.getLong(2), agg.getLong(3))
   }
 
   /** Incrementally add NEW documents to a materialized BM25 index (the
@@ -200,6 +214,7 @@ object Lexical {
       .groupBy(col("term"), col(idCol), col("dl")).agg(count(lit(1)).as("tf"))
       .withColumn("__tb",
         pmod(TextAnalysis.fingerprint(col("term")), lit(termBuckets)))
+      .repartition(col("__tb")) // one file per bucket per append
       .write.partitionBy("__tb").mode("append").parquet(s"$path/postings")
     withDl.select(col(idCol), col("dl"))
       .write.mode("append").parquet(s"$path/doclens")
@@ -283,8 +298,7 @@ object Lexical {
     val qterms = queries
       .select(col("qid"), explode(col("terms")).as("term")).distinct()
     val allTerms = qterms.select(col("term")).distinct()
-    val termBuckets = bm25IndexBuckets(spark, path)
-    val statsRaw = spark.read.parquet(s"$path/stats")
+    val (termBuckets, rawDocs, rawDl) = bm25IndexStats(spark, path)
     // tombstoned docs leave the corpus logically: their (id, dl) rows
     // subtract from the stats sums here and anti-join the candidate
     // postings below — so df, n_docs, and avgdl all reproduce a
@@ -294,10 +308,11 @@ object Lexical {
       count(lit(1)).cast("long").as("t_docs"),
       coalesce(sum(col("dl").cast("long")), lit(0L)).as("t_dl")).head())
     val (tDocs, tDl) = tombAgg.fold((0L, 0L))(r => (r.getLong(0), r.getLong(1)))
-    val stats = statsRaw.agg(
-      (sum(col("n_docs")) - lit(tDocs)).as("n_docs"),
-      ((sum(col("sum_dl")) - lit(tDl)).cast("double") /
-        (sum(col("n_docs")) - lit(tDocs)).cast("double")).as("avgdl"))
+    // corpus stats become driver literals (two scalars) — no 1-row
+    // broadcast join in the plan; the division happens in the same
+    // double arithmetic as before
+    val nDocs = rawDocs - tDocs
+    val avgdl = (rawDl - tDl).toDouble / (rawDocs - tDocs).toDouble
     // driver-side: |union of query terms| bucket literals -> plan-time
     // pruning; derived with the SAME column expression the build used,
     // so build/probe bucketing can never drift
@@ -314,7 +329,8 @@ object Lexical {
     val dfreq = postings.groupBy(col("term")).agg(count(lit(1)).as("df"))
     val weights = postings
       .join(broadcast(dfreq), "term")
-      .crossJoin(broadcast(stats))
+      .withColumn("n_docs", lit(nDocs))
+      .withColumn("avgdl", lit(avgdl))
       .withColumn("w", bm25Weight)
     rankPerQuery(weights.join(broadcast(qterms), Seq("term")), idCol, k)
   }
