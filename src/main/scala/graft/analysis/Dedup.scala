@@ -436,6 +436,7 @@ object Dedup {
     require(bandBuckets >= 1, s"bandBuckets >= 1: $bandBuckets")
     bandedSignatures(df, idCol, textCol, k, numHashes, rowsPerBand)
       .withColumn("__bb", pmod(hash(col("band"), col("bandsig")), lit(bandBuckets)))
+      .repartition(col("__bb")) // cluster: one task (not every task) writes a bucket
       .write.partitionBy("__bb").mode("overwrite").parquet(s"$path/bands")
     df.select(col(idCol).as("id"), shinglesHashes(col(textCol), k).as("ss"))
       .write.mode("overwrite").parquet(s"$path/sets")
@@ -489,6 +490,7 @@ object Dedup {
       signatureStoreConfig(delta.sparkSession, path)
     bandedSignatures(delta, idCol, textCol, k, numHashes, rowsPerBand)
       .withColumn("__bb", pmod(hash(col("band"), col("bandsig")), lit(bandBuckets)))
+      .repartition(col("__bb")) // one file per bucket per append
       .write.partitionBy("__bb").mode("append").parquet(s"$path/bands")
     delta.select(col(idCol).as("id"), shinglesHashes(col(textCol), k).as("ss"))
       .write.mode("append").parquet(s"$path/sets")

@@ -174,6 +174,7 @@ object Ann {
   def buildIvfIndex(corpus: DataFrame, cents: Seq[Seq[Double]], path: String,
                     vecCol: String = "embedding"): Unit =
     corpus.withColumn("__cluster", assignCluster(col(vecCol), cents))
+      .repartition(col("__cluster")) // cluster: one task (not every task) writes a partition
       .write.partitionBy("__cluster").mode("overwrite").parquet(path)
 
   /** Incrementally add vectors to a materialized IVF index — the
@@ -191,6 +192,7 @@ object Ann {
   def appendToIvfIndex(delta: DataFrame, cents: Seq[Seq[Double]], path: String,
                        vecCol: String = "embedding"): Unit =
     delta.withColumn("__cluster", assignCluster(col(vecCol), cents))
+      .repartition(col("__cluster")) // one file per cluster per append
       .write.partitionBy("__cluster").mode("append").parquet(path)
 
   /** Tombstone-delete vectors from a materialized IVF index — the

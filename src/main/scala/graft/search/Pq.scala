@@ -186,6 +186,7 @@ object Pq {
     corpus
       .withColumn("__cluster", Ann.assignCluster(col(vecCol), cents))
       .select(col(idCol), col("__cluster"), encodeCol(col(vecCol), cb).as("codes"))
+      .repartition(col("__cluster")) // cluster: one task (not every task) writes a partition
       .write.partitionBy("__cluster").mode("overwrite").parquet(s"$path/codes")
     corpus.select(col(idCol), col(vecCol))
       .repartitionByRange(col(idCol)).sortWithinPartitions(col(idCol))
@@ -210,6 +211,7 @@ object Pq {
     delta
       .withColumn("__cluster", Ann.assignCluster(col(vecCol), cents))
       .select(col(idCol), col("__cluster"), encodeCol(col(vecCol), cb).as("codes"))
+      .repartition(col("__cluster")) // one file per cluster per append
       .write.partitionBy("__cluster").mode("append").parquet(s"$path/codes")
     delta.select(col(idCol), col(vecCol))
       .repartitionByRange(col(idCol)).sortWithinPartitions(col(idCol))
