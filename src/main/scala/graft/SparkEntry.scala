@@ -936,6 +936,26 @@ object SparkEntry {
         .filter(col("status") =!= "same")
         .orderBy(col("doc_id"))
     }),
+    // ---- [EXT] last-wins read across snapshot history: ids changed in
+    // v2 take v2's content, ids only in v1 (including v2-removed ones —
+    // absence is not deletion under last-wins) keep v1's. Content
+    // reported as md5 so the 500-row audit stays narrow.
+    "snapshot_latest" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val path = scratchDir("snapshots-latest")
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(path))
+      graft.store.Snapshots.write(docs.select(col("doc_id"), col("text")), path, "v1")
+      val v2 = docs.filter(col("doc_id") % 13 =!= 0)
+        .select(col("doc_id"),
+          when(col("doc_id") % 11 === 0, upper(col("text")))
+            .otherwise(col("text")).as("text"))
+        .unionByName(docs.filter(col("doc_id") < 3)
+          .select((col("doc_id") + 100000L).as("doc_id"), col("text")))
+      graft.store.Snapshots.write(v2, path, "v2")
+      graft.store.Snapshots.latest(s, path, Seq("v1", "v2"), "doc_id")
+        .select(col("doc_id"), md5(col("text")).as("text_hash"))
+        .orderBy(col("doc_id"))
+    }),
     // ---- A14: full ask pipeline with the deterministic answerer stub
     "ask_answer" -> ((s, dir) =>
       graft.answer.Ask.ask(s, dir, Question, 5, 64)),
@@ -3006,6 +3026,22 @@ object SparkEntry {
         |              WHEN h1 <> h2 THEN 'changed' ELSE 'same' END AS status
         |  FROM v1 FULL JOIN v2 USING (doc_id))
         |WHERE status <> 'same'
+        |ORDER BY doc_id""".stripMargin,
+    // last-wins across the same two uploads: later snapshot precedence
+    // per id; removed-from-v2 ids keep their v1 content
+    "snapshot_latest" ->
+      """WITH u AS (
+        |  SELECT doc_id, text, 0 AS prec FROM documents
+        |  UNION ALL
+        |  SELECT doc_id, CASE WHEN doc_id % 11 = 0 THEN upper(text) ELSE text END, 1
+        |  FROM documents WHERE doc_id % 13 <> 0
+        |  UNION ALL
+        |  SELECT doc_id + 100000, text, 1 FROM documents WHERE doc_id < 3)
+        |SELECT doc_id, md5(text) AS text_hash FROM (
+        |  SELECT doc_id, text,
+        |         row_number() OVER (PARTITION BY doc_id ORDER BY prec DESC) AS rn
+        |  FROM u)
+        |WHERE rn = 1
         |ORDER BY doc_id""".stripMargin,
     "sql_retrieval_top5" -> {
       val chToks = "list_filter(string_split(lower(chunk), ' '), t -> t <> '')"
