@@ -54,6 +54,10 @@ object GraftExtensions {
       new ExpressionInfo(classOf[BloomFilterAgg].getName, "bloom_agg"),
       (es: Seq[Expression]) => BloomFilterAgg(es(0),
         intArg(es(1), "bloom_agg"), intArg(es(2), "bloom_agg"))),
+    ("kmv_distinct",
+      new ExpressionInfo(classOf[graft.functions.KmvSketchAgg].getName, "kmv_distinct"),
+      (es: Seq[Expression]) => graft.functions.KmvSketchAgg(es(0),
+        intArg(es(1), "kmv_distinct"))),
     ("bloom_might_contain",
       new ExpressionInfo(classOf[BloomMightContain].getName, "bloom_might_contain"),
       (es: Seq[Expression]) => BloomMightContain(es(0), es(1),

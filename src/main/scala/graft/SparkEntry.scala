@@ -1265,6 +1265,18 @@ object SparkEntry {
           .as("approx_parts"),
         round(graft.functions.KmvSketch.distinctEstimate(col("l_orderkey"), 1024), 6)
           .as("approx_orders"))),
+    // ---- [EXT] per-group KMV distinct sketches through the SQL
+    // surface (kmv_distinct registered via GraftExtensions): one
+    // bounded O(k) sketch PER GROUP, map-side combined — the
+    // "distinct users per language" shape at 100 TB. Oracle replays
+    // each group's bottom-k hash set and the estimator arithmetic.
+    "kmv_distinct_groups" -> ((s, dir) => {
+      GraftExtensions.register(s)
+      Tables.lineitem(s, dir).createOrReplaceTempView("graft_li_kmv")
+      s.sql(
+        """SELECT l_returnflag, round(kmv_distinct(l_partkey, 256), 6) AS approx_parts
+          |FROM graft_li_kmv GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)
+    }),
     // ---- [EXT] semi join (EXISTS)
     "semi_join" -> ((s, dir) => {
       val bigItems = Tables.lineitem(s, dir)
@@ -3498,6 +3510,24 @@ object SparkEntry {
         |        THEN (SELECT count(*) FROM ko)::DOUBLE
         |        ELSE 1023 * 1000000007.0 / (SELECT max(hv) FROM ko) END, 6)
         |    AS approx_orders""".stripMargin,
+    // per-group KMV replay: bottom-256 distinct hashes per group via a
+    // rank window, the same estimator arithmetic
+    "kmv_distinct_groups" ->
+      s"""WITH h AS (
+        |  SELECT DISTINCT l_returnflag,
+        |         ${graft.functions.KmvSketch.hashSql("l_partkey")} AS hv
+        |  FROM lineitem),
+        |r AS (
+        |  SELECT l_returnflag, hv,
+        |         row_number() OVER (PARTITION BY l_returnflag ORDER BY hv) AS rn,
+        |         count(*) OVER (PARTITION BY l_returnflag) AS nh
+        |  FROM h)
+        |SELECT l_returnflag,
+        |       round(CASE WHEN max(nh) < 256 THEN max(nh)::DOUBLE
+        |             ELSE 255 * 1000000007.0 /
+        |                  max(CASE WHEN rn = 256 THEN hv END) END, 6) AS approx_parts
+        |FROM r WHERE rn <= 256
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "events_range_join" ->
       """SELECT v.event_id AS view_id, p.event_id AS purchase_id,
         |       round(p.value, 4) AS value

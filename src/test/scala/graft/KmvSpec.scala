@@ -56,6 +56,19 @@ class KmvSpec extends SparkSpec {
         s"$flag: est ${out(flag)} vs exact $e")
   }
 
+  test("registered SQL aggregate ≡ Column API, grouped") {
+    graft.GraftExtensions.register(spark)
+    li.createOrReplaceTempView("kmv_li")
+    val viaSql = spark.sql(
+      """SELECT l_returnflag, kmv_distinct(l_partkey, 128) AS d
+        |FROM kmv_li GROUP BY l_returnflag""".stripMargin)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val viaCol = li.groupBy(col("l_returnflag"))
+      .agg(KmvSketch.distinctEstimate(col("l_partkey"), 128).as("d"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(viaSql == viaCol)
+  }
+
   test("Scala hash and its SQL replay fragment agree") {
     val keys = Seq(-5L, 0L, 1L, 7919L, 1000000007L, 123456789012L)
     val sqlHashes = spark.sql(
