@@ -55,28 +55,44 @@ object StreamIngest {
       .format("parquet")
       .option("path", dstDir)
 
+  /** Replay guard for foreachBatch sinks whose effect is an APPEND (not
+    * an idempotent overwrite): Structured Streaming re-delivers the
+    * in-flight micro-batch after a restart with the SAME batchId, so
+    * the sink records applied ids as marker files and skips a batch it
+    * has seen. The unprotected window shrinks from "every restart
+    * double-appends" to "a crash between the append completing and the
+    * marker write" — stated, not hidden; a sink needing true
+    * exactly-once puts the marker and the data in one transactional
+    * store. */
+  private[graft] def oncePerBatch(markerDir: String, batchId: Long)(body: => Unit): Unit = {
+    val dir = new java.io.File(markerDir)
+    dir.mkdirs()
+    val marker = new java.io.File(dir, s"batch-$batchId")
+    if (!marker.exists()) { body; marker.createNewFile(): Unit }
+  }
+
   /** Streaming maintenance of a materialized BM25 index: each
     * micro-batch of documents appends its postings into the index's
     * bucket layout (`Lexical.appendToBm25Index` through foreachBatch —
     * the IVF-index streaming precedent in StoreStreamSpec made an
     * operator). The FIRST batch builds the index if the path has no
     * stats/, so the stream is self-initializing; later batches append
-    * under the stats-consistency guard. Exactly-once caveat shared by
-    * every foreachBatch sink: a replayed micro-batch re-appends, so on
-    * restart-after-crash the checkpoint must sit next to an idempotent
-    * downstream (or the index be rebuilt) — documented, not hidden.
-    * Probe ≡ from-scratch build after the stream drains is pinned in
-    * StoreStreamSpec. */
+    * under the stats-consistency guard. Batch-id markers
+    * ([[oncePerBatch]]) make restart replays no-ops instead of double
+    * appends. Probe ≡ from-scratch build after the stream drains is
+    * pinned in StoreStreamSpec, as is replay idempotence. */
   def bm25MaintenanceSink(docs: DataFrame, textCol: String, idCol: String,
                           path: String): DataStreamWriter[org.apache.spark.sql.Row] =
     docs.writeStream
       .outputMode("append")
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        if (batch.isEmpty) ()
-        else try graft.search.Lexical.appendToBm25Index(batch, textCol, idCol, path)
-        catch {
-          case _: IllegalStateException => // no stats/ yet: first batch builds
-            graft.search.Lexical.buildBm25Index(batch, textCol, idCol, path)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        oncePerBatch(s"$path/_applied_batches", batchId) {
+          if (batch.isEmpty) ()
+          else try graft.search.Lexical.appendToBm25Index(batch, textCol, idCol, path)
+          catch {
+            case _: IllegalStateException => // no stats/ yet: first batch builds
+              graft.search.Lexical.buildBm25Index(batch, textCol, idCol, path)
+          }
         }
       }
 
@@ -86,8 +102,10 @@ object StreamIngest {
     * handed to `onKept` (write to the corpus, append to indexes, …),
     * and the batch's signatures join the store so LATER batches dedup
     * against it — the arrival-shaped composition of the incremental
-    * dedup operator. Same foreachBatch replay caveat as
-    * [[bm25MaintenanceSink]]. The store must have been built on a
+    * dedup operator. Replays are no-ops via the same batch-id markers
+    * as [[bm25MaintenanceSink]] (note: a replayed batch also skips
+    * `onKept` — the caller's sink shares the marker's idempotence
+    * boundary). The store must have been built on a
     * non-empty initial corpus
     * ([[graft.analysis.Dedup.writeSignatureStore]]) — a missing store
     * fails loudly on the first batch rather than silently admitting
@@ -97,16 +115,18 @@ object StreamIngest {
       onKept: DataFrame => Unit): DataStreamWriter[org.apache.spark.sql.Row] =
     docs.writeStream
       .outputMode("append")
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        if (!batch.isEmpty) {
-          val kept = batch.join(
-            graft.analysis.Dedup.dedupDelta(batch, idCol, textCol, sigPath, threshold)
-              .filter(col("keep")).select(col(idCol)),
-            Seq(idCol), "left_semi")
-          onKept(kept)
-          // only KEPT docs enter the store: a dropped duplicate must
-          // not become a future batch's dedup target
-          graft.analysis.Dedup.appendToSignatureStore(kept, idCol, textCol, sigPath)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        oncePerBatch(s"$sigPath/_applied_batches", batchId) {
+          if (!batch.isEmpty) {
+            val kept = batch.join(
+              graft.analysis.Dedup.dedupDelta(batch, idCol, textCol, sigPath, threshold)
+                .filter(col("keep")).select(col(idCol)),
+              Seq(idCol), "left_semi")
+            onKept(kept)
+            // only KEPT docs enter the store: a dropped duplicate must
+            // not become a future batch's dedup target
+            graft.analysis.Dedup.appendToSignatureStore(kept, idCol, textCol, sigPath)
+          }
         }
       }
 

@@ -154,6 +154,15 @@ class StoreStreamSpec extends SparkSpec {
     assert(streamed == rebuilt, s"streamed $streamed != rebuilt $rebuilt")
   }
 
+  test("foreachBatch replay guard: a re-delivered batch id is a no-op") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-once").toString + "/markers"
+    var applied = 0
+    graft.streaming.StreamIngest.oncePerBatch(dir, 7L) { applied += 1 }
+    graft.streaming.StreamIngest.oncePerBatch(dir, 7L) { applied += 1 } // restart replay
+    graft.streaming.StreamIngest.oncePerBatch(dir, 8L) { applied += 1 }
+    assert(applied == 2, s"batch 7 must apply once, batch 8 once: $applied")
+  }
+
   test("streaming dedup gate: arriving duplicates are dropped, kept docs guard later batches") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import org.apache.spark.sql.functions.col
