@@ -33,6 +33,19 @@ object SparkEntry {
     Tables.embeddings(spark, dir).filter(col("vec_id") === 0)
       .select(col("embedding").as("qvec"))
 
+  /** The shared "second upload" fixture for diff/snapshot/sync
+    * queries: remove doc_id %13 docs, transform %11 docs' text via
+    * `mutate`, add the 3 lowest ids again under +100000. Every oracle
+    * replays exactly this shape — keep them in lockstep. */
+  private def secondUpload(docs: DataFrame,
+                           mutate: org.apache.spark.sql.Column => org.apache.spark.sql.Column): DataFrame =
+    docs.filter(col("doc_id") % 13 =!= 0)
+      .select(col("doc_id"),
+        when(col("doc_id") % 11 === 0, mutate(col("text")))
+          .otherwise(col("text")).as("text"))
+      .unionByName(docs.filter(col("doc_id") < 3)
+        .select((col("doc_id") + 100000L).as("doc_id"), col("text")))
+
   private val Question = "how does the engine scan tables"
 
   /** Per-JVM scratch root for queries that materialize an index before
@@ -683,11 +696,7 @@ object SparkEntry {
         (2L, Seq("spark", "filter", "table"))).toDF("qid", "terms")
       val docs = Tables.documents(s, dir)
       val path = scratchDir("bm25-del-idx")
-      Lexical.buildBm25Index(docs, "text", "doc_id", path)
-      // overwrite-built index + per-JVM fixed path: clear stale
-      // tombstones from a previous run of this query in the same JVM
-      org.apache.commons.io.FileUtils.deleteQuietly(
-        new java.io.File(s"$path/tombstones"))
+      Lexical.buildBm25Index(docs, "text", "doc_id", path) // clears old tombstones
       Lexical.deleteFromBm25Index(
         docs.filter(col("doc_id") % 5 === 0).select(col("doc_id")), "doc_id", path)
       Lexical.bm25IndexTopKBatch(s, path, qs, 3)
@@ -709,13 +718,8 @@ object SparkEntry {
       val snaps = scratchDir("sync-snaps")
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(snaps))
       graft.store.Snapshots.write(docs.select(col("doc_id"), col("text")), snaps, "v1")
-      val v2 = docs.filter(col("doc_id") % 13 =!= 0)
-        .select(col("doc_id"),
-          when(col("doc_id") % 11 === 0, concat(col("text"), lit(" spark")))
-            .otherwise(col("text")).as("text"))
-        .unionByName(docs.filter(col("doc_id") < 3)
-          .select((col("doc_id") + 100000L).as("doc_id"), col("text")))
-      graft.store.Snapshots.write(v2, snaps, "v2")
+      graft.store.Snapshots.write(
+        secondUpload(docs, t => concat(t, lit(" spark"))), snaps, "v2")
       val srcIdx = scratchDir("sync-idx-v1")
       val dstIdx = scratchDir("sync-idx-v2")
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(srcIdx))
@@ -896,13 +900,8 @@ object SparkEntry {
     "corpus_diff" -> ((s, dir) => {
       val docs = Tables.documents(s, dir)
       val v1 = docs.select(col("doc_id"), md5(col("text")).as("h1"))
-      val v2 = docs.filter(col("doc_id") % 13 =!= 0)
-        .select(col("doc_id"),
-          md5(when(col("doc_id") % 11 === 0, upper(col("text")))
-            .otherwise(col("text"))).as("h2"))
-        .unionByName(docs.filter(col("doc_id") < 3)
-          .select((col("doc_id") + 100000L).as("doc_id"),
-            md5(col("text")).as("h2")))
+      val v2 = secondUpload(docs, upper)
+        .select(col("doc_id"), md5(col("text")).as("h2"))
       v1.join(v2, Seq("doc_id"), "full_outer")
         .select(col("doc_id"),
           when(col("h1").isNull, "added")
@@ -925,13 +924,7 @@ object SparkEntry {
       // fixture must clear its own directory to stay idempotent
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(path))
       graft.store.Snapshots.write(docs.select(col("doc_id"), col("text")), path, "v1")
-      val v2 = docs.filter(col("doc_id") % 13 =!= 0)
-        .select(col("doc_id"),
-          when(col("doc_id") % 11 === 0, upper(col("text")))
-            .otherwise(col("text")).as("text"))
-        .unionByName(docs.filter(col("doc_id") < 3)
-          .select((col("doc_id") + 100000L).as("doc_id"), col("text")))
-      graft.store.Snapshots.write(v2, path, "v2")
+      graft.store.Snapshots.write(secondUpload(docs, upper), path, "v2")
       graft.store.Snapshots.diff(s, path, "v1", "v2", "doc_id", "text")
         .filter(col("status") =!= "same")
         .orderBy(col("doc_id"))
@@ -945,13 +938,7 @@ object SparkEntry {
       val path = scratchDir("snapshots-latest")
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(path))
       graft.store.Snapshots.write(docs.select(col("doc_id"), col("text")), path, "v1")
-      val v2 = docs.filter(col("doc_id") % 13 =!= 0)
-        .select(col("doc_id"),
-          when(col("doc_id") % 11 === 0, upper(col("text")))
-            .otherwise(col("text")).as("text"))
-        .unionByName(docs.filter(col("doc_id") < 3)
-          .select((col("doc_id") + 100000L).as("doc_id"), col("text")))
-      graft.store.Snapshots.write(v2, path, "v2")
+      graft.store.Snapshots.write(secondUpload(docs, upper), path, "v2")
       graft.store.Snapshots.latest(s, path, Seq("v1", "v2"), "doc_id")
         .select(col("doc_id"), md5(col("text")).as("text_hash"))
         .orderBy(col("doc_id"))
@@ -1155,9 +1142,7 @@ object SparkEntry {
       val emb = Tables.embeddings(s, dir)
       val cents = Ann.kmeansCentroids(emb, "vec_id", "embedding", 10, 2)
       val path = scratchDir("ivf-delete")
-      Ann.buildIvfIndex(emb, cents, path)
-      org.apache.commons.io.FileUtils.deleteQuietly(
-        new java.io.File(s"$path.tombstones"))
+      Ann.buildIvfIndex(emb, cents, path) // clears old tombstones
       Ann.deleteFromIvfIndex(
         emb.filter(col("vec_id") % 5 === 0).select(col("vec_id")), path)
       Ann.ivfIndexTopK(s, path, queryVec(s, dir), cents, 5, 3)
@@ -1902,10 +1887,10 @@ object SparkEntry {
   private lazy val kmeansIvfTop5Sql: String = kmeansIvfTop5SqlWhere("")
 
   /** The IVF probe replay with an optional survivor filter on the
-    * final candidate scan — `""` for the plain probes, a
-    * `" AND …"`-style predicate for the index-delete oracle (training
-    * ran on the FULL corpus before the delete, so the Lloyd CTEs stay
-    * unfiltered). */
+    * final candidate scan — `""` for the plain probes, a LEADING
+    * `"\n  WHERE …"` clause for the index-delete oracle (the insertion
+    * point has no WHERE of its own; training ran on the FULL corpus
+    * before the delete, so the Lloyd CTEs stay unfiltered). */
   private def kmeansIvfTop5SqlWhere(candWhere: String): String = {
     def rawCos(a: String, b: String) =
       s"list_dot_product($a, $b) / (sqrt(list_dot_product($a, $a)) * sqrt(list_dot_product($b, $b)))"

@@ -425,8 +425,8 @@ object Dedup {
     *     with the same expression and cannot drift).
     *   - `sets/`: `(id, ss)` sorted shingle hashes, the exact-rerank
     *     input, so candidate scoring never touches document text.
-    *   - `stats/`: one mergeable row per write/append carrying
-    *     `(n_docs, k, num_hashes, rows_per_band, band_buckets)`; reads
+    *   - `stats/`: one config row per write/append carrying
+    *     `(k, num_hashes, rows_per_band, band_buckets)`; reads
     *     assert the config columns AGREE across rows (an inconsistent
     *     store must fail loudly, not silently mis-bucket a probe).
     */
@@ -434,18 +434,18 @@ object Dedup {
                           k: Int, numHashes: Int, rowsPerBand: Int,
                           path: String, bandBuckets: Int = 64): Unit = {
     require(bandBuckets >= 1, s"bandBuckets >= 1: $bandBuckets")
+    // a fresh store resets streaming batch markers (see
+    // StreamIngest.oncePerBatch — stale ids would swallow a new
+    // stream's first batches)
+    graft.io.Fs.delete(df.sparkSession, s"$path/_applied_batches")
     bandedSignatures(df, idCol, textCol, k, numHashes, rowsPerBand)
       .withColumn("__bb", pmod(hash(col("band"), col("bandsig")), lit(bandBuckets)))
       .repartition(col("__bb")) // cluster: one task (not every task) writes a bucket
       .write.partitionBy("__bb").mode("overwrite").parquet(s"$path/bands")
     df.select(col(idCol).as("id"), shinglesHashes(col(textCol), k).as("ss"))
       .write.mode("overwrite").parquet(s"$path/sets")
-    // row count from the just-written parquet footers (metadata-only
-    // count pushdown) — no extra scan of the source
-    val nDocs = df.sparkSession.read.parquet(s"$path/sets").count()
     df.sparkSession.range(1).select(
-        lit(nDocs).as("n_docs"), lit(k.toLong).as("k"),
-        lit(numHashes.toLong).as("num_hashes"),
+        lit(k.toLong).as("k"), lit(numHashes.toLong).as("num_hashes"),
         lit(rowsPerBand.toLong).as("rows_per_band"),
         lit(bandBuckets.toLong).as("band_buckets"))
       .write.mode("overwrite").parquet(s"$path/stats")
@@ -494,9 +494,10 @@ object Dedup {
       .write.partitionBy("__bb").mode("append").parquet(s"$path/bands")
     delta.select(col(idCol).as("id"), shinglesHashes(col(textCol), k).as("ss"))
       .write.mode("append").parquet(s"$path/sets")
+    // config row only — no per-delta count job: unlike the BM25 index,
+    // no reader derives anything from a store row count
     delta.sparkSession.range(1).select(
-        lit(delta.count()).as("n_docs"), lit(k.toLong).as("k"),
-        lit(numHashes.toLong).as("num_hashes"),
+        lit(k.toLong).as("k"), lit(numHashes.toLong).as("num_hashes"),
         lit(rowsPerBand.toLong).as("rows_per_band"),
         lit(bandBuckets.toLong).as("band_buckets"))
       .write.mode("append").parquet(s"$path/stats")
@@ -513,10 +514,10 @@ object Dedup {
     * literals); both candidate joins shuffle on (band, bandsig) LSH
     * keys; reranks join shingle sets by id — keyed shuffles all the
     * way, no broadcast of either corpus side, no pair explosion beyond
-    * the LSH S-curve. The delta (assumed small next to the store) is
-    * signature-hashed twice — once for the store probe, once for the
-    * internal self-join — which beats caching it for the common case
-    * where the delta itself is still millions of rows. */
+    * the LSH S-curve. The delta's band rows and shingle sets are each
+    * MATERIALIZED ONCE (localCheckpoint) — the bucket collect, the
+    * store probe, the internal self-join, and both reranks all reuse
+    * them instead of re-hashing the delta per consumer. */
   def deltaDupPairs(delta: DataFrame, idCol: String, textCol: String,
                     path: String, threshold: Double): DataFrame = {
     val spark = delta.sparkSession
@@ -524,6 +525,7 @@ object Dedup {
       signatureStoreConfig(spark, path)
     val dBanded = bandedSignatures(delta, idCol, textCol, k, numHashes, rowsPerBand)
       .withColumn("__bb", pmod(hash(col("band"), col("bandsig")), lit(bandBuckets)))
+      .localCheckpoint(true)
     val dBuckets = dBanded.select(col("__bb")).distinct()
       .collect().map(_.getInt(0)).toSeq
     val storeBands = spark.read.parquet(s"$path/bands")
@@ -538,6 +540,7 @@ object Dedup {
       .select(col("a.id").as("did"), col("b.id").as("sid"))
       .distinct()
     val dSets = delta.select(col(idCol).as("id"), shinglesHashes(col(textCol), k).as("ss"))
+      .localCheckpoint(true)
     val storeSets = spark.read.parquet(s"$path/sets")
     def rerank(cands: DataFrame, otherSets: DataFrame): DataFrame = cands
       .join(dSets.select(col("id").as("did"), col("ss").as("sa")), Seq("did"))

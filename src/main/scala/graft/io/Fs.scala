@@ -1,0 +1,36 @@
+package graft.io
+
+import org.apache.spark.sql.SparkSession
+
+/** Hadoop-filesystem helpers for index-path METADATA (tombstones,
+  * applied-batch markers). `java.io.File` only sees the driver's local
+  * disk — on a real cluster these paths live on HDFS/S3, so existence
+  * checks and lifecycle deletes must go through the Hadoop FS API the
+  * write path already uses. */
+object Fs {
+
+  private def fs(spark: SparkSession, dir: String) = {
+    val p = new org.apache.hadoop.fs.Path(dir)
+    (p.getFileSystem(spark.sparkContext.hadoopConfiguration), p)
+  }
+
+  def exists(spark: SparkSession, dir: String): Boolean = {
+    val (f, p) = fs(spark, dir); f.exists(p)
+  }
+
+  def delete(spark: SparkSession, dir: String): Unit = {
+    val (f, p) = fs(spark, dir); f.delete(p, true): Unit
+  }
+
+  /** Create `dir/name` iff absent; true when THIS call created it. */
+  def createMarker(spark: SparkSession, dir: String, name: String): Boolean = {
+    val (f, p) = fs(spark, dir)
+    f.mkdirs(p)
+    f.createNewFile(new org.apache.hadoop.fs.Path(p, name))
+  }
+
+  def listDirNames(spark: SparkSession, dir: String): Seq[String] = {
+    val (f, p) = fs(spark, dir)
+    f.listStatus(p).toSeq.filter(_.isDirectory).map(_.getPath.getName)
+  }
+}

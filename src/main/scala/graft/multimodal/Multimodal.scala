@@ -146,17 +146,21 @@ object Multimodal {
       .as[(Long, Array[Byte])]
       .mapPartitions { it =>
         it.map { case (id, b) =>
+          val invalid = WavMeta(id, "invalid", -1L, -1L, -1L, -1L, -1.0)
           try {
             val aff = javax.sound.sampled.AudioSystem.getAudioFileFormat(
               new java.io.ByteArrayInputStream(b))
             val f = aff.getFormat
             val frames = aff.getFrameLength.toLong
-            WavMeta(id, aff.getType.getExtension, f.getSampleRate.toLong,
+            // a header can declare rate 0 without tripping the parser —
+            // the division below must not emit Infinity/NaN (non-finite
+            // cells break the hash comparator)
+            if (f.getSampleRate <= 0) invalid
+            else WavMeta(id, aff.getType.getExtension, f.getSampleRate.toLong,
               f.getChannels.toLong, f.getSampleSizeInBits.toLong, frames,
               frames * 1000.0 / f.getSampleRate.toLong)
           } catch {
-            case scala.util.control.NonFatal(_) =>
-              WavMeta(id, "invalid", -1L, -1L, -1L, -1L, -1.0)
+            case scala.util.control.NonFatal(_) => invalid
           }
         }
       }
@@ -178,7 +182,16 @@ object Multimodal {
               new java.io.ByteArrayInputStream(b))
             val f = ais.getFormat
             val bits = f.getSampleSizeInBits
-            if ((bits != 8 && bits != 16) || f.isBigEndian) invalid
+            // guard the ENCODING, not just the width: javax.sound parses
+            // a-law/µ-law WAVs fine and reports them 8-bit — decoding
+            // their companded bytes as PCM would emit plausible-looking
+            // wrong stats instead of the sentinel. WAV convention: 8-bit
+            // PCM is unsigned, 16-bit is signed.
+            val enc = f.getEncoding
+            val pcmOk =
+              (bits == 8 && enc == javax.sound.sampled.AudioFormat.Encoding.PCM_UNSIGNED) ||
+                (bits == 16 && enc == javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED)
+            if (!pcmOk || f.isBigEndian) invalid
             else {
               val data = ais.readAllBytes()
               val bytesPer = bits / 8

@@ -172,10 +172,14 @@ object Ann {
     * files of non-probed clusters are never opened, so an
     * nprobe/k probe scans ~nprobe/k of the corpus bytes. */
   def buildIvfIndex(corpus: DataFrame, cents: Seq[Seq[Double]], path: String,
-                    vecCol: String = "embedding"): Unit =
+                    vecCol: String = "embedding"): Unit = {
+    // a fresh build resets the sibling tombstones — stale ones would
+    // anti-join valid vectors out of the new index
+    graft.io.Fs.delete(corpus.sparkSession, s"$path.tombstones")
     corpus.withColumn("__cluster", assignCluster(col(vecCol), cents))
       .repartition(col("__cluster")) // cluster: one task (not every task) writes a partition
       .write.partitionBy("__cluster").mode("overwrite").parquet(path)
+  }
 
   /** Incrementally add vectors to a materialized IVF index — the
     * reference's per-batch `add` (`vectorDb.ts:7-9`, `App.tsx:79`)
@@ -212,7 +216,7 @@ object Ann {
   /** The index's tombstoned ids, or None when nothing was deleted. */
   private[search] def tombstoneIds(spark: org.apache.spark.sql.SparkSession,
                                    path: String): Option[DataFrame] =
-    if (!new java.io.File(s"$path.tombstones").exists()) None
+    if (!graft.io.Fs.exists(spark, s"$path.tombstones")) None
     else Some(spark.read.parquet(s"$path.tombstones").distinct())
 
   private[search] def dropTombstones(df: DataFrame, path: String,

@@ -135,6 +135,12 @@ object Lexical {
   def buildBm25Index(docs: DataFrame, textCol: String, idCol: String,
                      path: String, termBuckets: Int = 64): Unit = {
     require(termBuckets >= 1, s"termBuckets >= 1: $termBuckets")
+    // a fresh build resets the path's METADATA too: stale tombstones
+    // would anti-join valid docs out of the new index, and stale
+    // streaming batch markers would make a new stream (batch ids
+    // restarting at 0) silently skip its first appends
+    graft.io.Fs.delete(docs.sparkSession, s"$path/tombstones")
+    graft.io.Fs.delete(docs.sparkSession, s"$path/_applied_batches")
     val withDl = docs
       .select(col(idCol), TextAnalysis.tokens(col(textCol)).as("toks"))
       .withColumn("dl", size(col("toks")))
@@ -255,7 +261,7 @@ object Lexical {
     * them. */
   private def bm25Tombstones(spark: org.apache.spark.sql.SparkSession,
                              path: String): Option[DataFrame] =
-    if (!new java.io.File(s"$path/tombstones").exists()) None
+    if (!graft.io.Fs.exists(spark, s"$path/tombstones")) None
     else Some(spark.read.parquet(s"$path/tombstones").distinct())
 
   /** Physically apply tombstones: rewrite postings without tombstoned

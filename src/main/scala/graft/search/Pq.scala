@@ -188,6 +188,9 @@ object Pq {
       .select(col(idCol), col("__cluster"), encodeCol(col(vecCol), cb).as("codes"))
       .repartition(col("__cluster")) // cluster: one task (not every task) writes a partition
       .write.partitionBy("__cluster").mode("overwrite").parquet(s"$path/codes")
+    // fresh build resets delete metadata (stale tombstones would
+    // shortlist-exclude valid vectors)
+    graft.io.Fs.delete(corpus.sparkSession, s"$path/codes.tombstones")
     corpus.select(col(idCol), col(vecCol))
       .repartitionByRange(col(idCol)).sortWithinPartitions(col(idCol))
       .write.mode("overwrite").parquet(s"$path/vectors")

@@ -42,10 +42,15 @@ object Snapshots {
     spark.read.parquet(path).filter(col(SnapCol) === name).drop(SnapCol)
 
   /** Snapshot names present in the store, from partition-directory
-    * listing only (no data files read). */
+    * listing only — a real filesystem listing (Spark's metadata-only
+    * distinct is disabled by default, so a DataFrame distinct over the
+    * partition column would scan the store's files). Partition
+    * directory names are URL-encoded by the writer; decode back. */
   def names(spark: SparkSession, path: String): Seq[String] =
-    spark.read.parquet(path).select(col(SnapCol).cast("string")).distinct()
-      .collect().map(_.getString(0)).toSeq.sorted
+    graft.io.Fs.listDirNames(spark, path)
+      .filter(_.startsWith(s"$SnapCol="))
+      .map(n => java.net.URLDecoder.decode(n.stripPrefix(s"$SnapCol="), "UTF-8"))
+      .sorted
 
   /** Diff snapshot `a` → `b` by content hash: one row per id present
     * in either, with status `added` (only in b), `removed` (only in

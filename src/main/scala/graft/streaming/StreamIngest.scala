@@ -59,17 +59,21 @@ object StreamIngest {
     * an idempotent overwrite): Structured Streaming re-delivers the
     * in-flight micro-batch after a restart with the SAME batchId, so
     * the sink records applied ids as marker files and skips a batch it
-    * has seen. The unprotected window shrinks from "every restart
-    * double-appends" to "a crash between the append completing and the
-    * marker write" — stated, not hidden; a sink needing true
-    * exactly-once puts the marker and the data in one transactional
-    * store. */
-  private[graft] def oncePerBatch(markerDir: String, batchId: Long)(body: => Unit): Unit = {
-    val dir = new java.io.File(markerDir)
-    dir.mkdirs()
-    val marker = new java.io.File(dir, s"batch-$batchId")
-    if (!marker.exists()) { body; marker.createNewFile(): Unit }
-  }
+    * has seen (markers live NEXT TO THE DATA on the index's
+    * filesystem — a restarted driver on another node sees them). The
+    * unprotected window shrinks from "every restart double-appends" to
+    * "a crash between the append completing and the marker write" —
+    * stated, not hidden; a sink needing true exactly-once puts the
+    * marker and the data in one transactional store. A fresh
+    * build/writeSignatureStore at the path CLEARS the markers (batch
+    * ids restart with a new stream — stale markers would silently
+    * swallow its first batches). */
+  private[graft] def oncePerBatch(spark: SparkSession, markerDir: String,
+                                  batchId: Long)(body: => Unit): Unit =
+    if (!graft.io.Fs.exists(spark, s"$markerDir/batch-$batchId")) {
+      body
+      graft.io.Fs.createMarker(spark, markerDir, s"batch-$batchId"): Unit
+    }
 
   /** Streaming maintenance of a materialized BM25 index: each
     * micro-batch of documents appends its postings into the index's
@@ -86,7 +90,7 @@ object StreamIngest {
     docs.writeStream
       .outputMode("append")
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        oncePerBatch(s"$path/_applied_batches", batchId) {
+        oncePerBatch(batch.sparkSession, s"$path/_applied_batches", batchId) {
           if (batch.isEmpty) ()
           else try graft.search.Lexical.appendToBm25Index(batch, textCol, idCol, path)
           catch {
@@ -116,7 +120,7 @@ object StreamIngest {
     docs.writeStream
       .outputMode("append")
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        oncePerBatch(s"$sigPath/_applied_batches", batchId) {
+        oncePerBatch(batch.sparkSession, s"$sigPath/_applied_batches", batchId) {
           if (!batch.isEmpty) {
             val kept = batch.join(
               graft.analysis.Dedup.dedupDelta(batch, idCol, textCol, sigPath, threshold)

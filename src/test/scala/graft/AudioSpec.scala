@@ -46,6 +46,29 @@ class AudioSpec extends SparkSpec {
     assert(s.peak == 128L)
   }
 
+  test("non-PCM encodings and degenerate headers yield sentinels, not wrong numbers") {
+    def patched(b: Array[Byte], off: Int, vals: Int*): Array[Byte] = {
+      val c = b.clone()
+      vals.zipWithIndex.foreach { case (v, i) => c(off + i) = v.toByte }
+      c
+    }
+    val pcm8 = AudioFixtures.wav(8000, 1, 8, 20, (f, _) => f % 7)
+    val pcm16 = AudioFixtures.wav(8000, 1, 16, 20, (f, _) => f % 7)
+    val media = Seq(
+      (0L, patched(pcm8, 20, 6, 0)),       // fmt code 6: a-law, NOT PCM
+      (1L, patched(pcm8, 20, 7, 0)),       // fmt code 7: µ-law
+      (2L, patched(pcm16, 24, 0, 0, 0, 0)) // declared sample rate 0
+    ).toDF("id", "bytes")
+    val stats = Multimodal.decodeWavStats(spark, media).collect()
+      .map(s => s.id -> s).toMap
+    assert(stats(0L).n_samples == -1L && stats(1L).n_samples == -1L,
+      "companded encodings must not be decoded as PCM")
+    val metas = Multimodal.decodeWavMeta(spark, media).collect()
+      .map(m => m.id -> m).toMap
+    assert(metas(2L).format == "invalid" && metas(2L).duration_ms == -1.0,
+      "rate-0 header must not emit a non-finite duration")
+  }
+
   test("corrupt, truncated, and empty payloads yield sentinels, never throw") {
     val media = Seq(
       (0L, "not audio".getBytes("UTF-8")),

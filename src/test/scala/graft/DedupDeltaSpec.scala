@@ -78,7 +78,7 @@ class DedupDeltaSpec extends SparkSpec {
   test("inconsistent or missing store fails loudly") {
     val path = freshStore("dedup-delta-guard")
     // forge a conflicting stats row (as if an append used different LSH params)
-    spark.range(1).select(lit(1L).as("n_docs"), lit(7L).as("k"),
+    spark.range(1).select(lit(7L).as("k"),
         lit(32L).as("num_hashes"), lit(8L).as("rows_per_band"),
         lit(64L).as("band_buckets"))
       .write.mode("append").parquet(s"$path/stats")

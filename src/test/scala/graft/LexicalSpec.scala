@@ -107,6 +107,13 @@ class LexicalSpec extends SparkSpec {
     val stats = spark.read.parquet(s"$compacted/stats").collect()
     assert(stats.length == 1 &&
       stats.head.getAs[Long]("n_docs") == docs.filter(col("doc_id") % 5 =!= 0).count())
+    // REBUILD at the tombstoned path: stale delete metadata must not
+    // leak into the new index — the rebuilt probe sees the full corpus
+    Lexical.buildBm25Index(docs, "text", "doc_id", idx)
+    val fullIdx = tmp + "/fullref"
+    Lexical.buildBm25Index(docs, "text", "doc_id", fullIdx)
+    assert(probe(idx) == probe(fullIdx),
+      "a fresh build must clear stale tombstones at the path")
   }
 
   test("BM25 index append guards: missing stats/ and conflicting bucket layouts fail loudly") {
