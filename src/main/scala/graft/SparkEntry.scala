@@ -472,6 +472,16 @@ object SparkEntry {
           col("keep"))
         .orderBy(col("doc_id"))
     }),
+    // ---- [EXT] cross-corpus boilerplate removal (CCNet/Gopher):
+    // 4-token segments recurring in ≥2 documents are dropped from
+    // EVERY document — the chrome/header/license pattern no per-doc
+    // signal catches. Output is the cleaned token stream in order
+    // plus the per-doc drop count; the oracle recomputes the full
+    // segment → df → anti-join → reassemble pipeline.
+    "boilerplate_removed" -> ((s, dir) =>
+      graft.analysis.Boilerplate.dropCommonSegments(
+          Tables.documents(s, dir), "doc_id", "text", 4, 2)
+        .orderBy(col("doc_id"))),
     // ---- [EXT] SimHash fingerprint per document (64-bit, two
     // independent token polynomials — see functions/SimHash64.scala)
     "simhash" -> ((s, dir) =>
@@ -2581,6 +2591,26 @@ object SparkEntry {
          |       (min(q.other) IS NULL) AS keep
          |FROM delta d LEFT JOIN qual q ON q.doc_id = d.doc_id
          |GROUP BY d.doc_id
+         |ORDER BY d.doc_id""".stripMargin,
+    "boilerplate_removed" ->
+      s"""WITH toks AS (SELECT doc_id, $toksSql AS ts FROM documents),
+         |segs AS (
+         |  SELECT doc_id, g,
+         |         list_aggregate(ts[(g*4+1):(g*4+4)], 'string_agg', ' ') AS seg
+         |  FROM (SELECT doc_id, ts, unnest(range(0, (len(ts)+3)//4)) AS g
+         |        FROM toks)),
+         |fp AS (SELECT doc_id, g, seg, ${polySql("seg")} AS h FROM segs),
+         |hot AS (SELECT h FROM fp GROUP BY h HAVING count(DISTINCT doc_id) >= 2),
+         |kept AS (SELECT * FROM fp WHERE h NOT IN (SELECT h FROM hot)),
+         |agg AS (
+         |  SELECT doc_id, count(*) AS kept_n,
+         |         string_agg(seg, ' ' ORDER BY g) AS clean_text
+         |  FROM kept GROUP BY doc_id),
+         |tot AS (SELECT doc_id, count(*) AS total_n FROM fp GROUP BY doc_id)
+         |SELECT d.doc_id, coalesce(a.clean_text, '') AS clean_text,
+         |       (coalesce(t.total_n, 0) - coalesce(a.kept_n, 0))::BIGINT AS n_dropped
+         |FROM documents d
+         |LEFT JOIN tot t USING (doc_id) LEFT JOIN agg a USING (doc_id)
          |ORDER BY d.doc_id""".stripMargin,
     "simhash" ->
       s"""WITH $simhashFpSql
