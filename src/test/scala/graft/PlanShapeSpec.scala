@@ -21,7 +21,7 @@ class PlanShapeSpec extends SparkSpec {
     // silently becomes an all-pairs O(N²) stage
     for (q <- Seq("dedup_jaccard", "dedup_jaccard_lsh", "minhash_cands",
         "simhash_pairs", "embed_neardup", "dedup_exact", "dedup_best_rep",
-        "dedup_delta")) {
+        "dedup_delta", "boilerplate_removed")) {
       val p = plan(q)
       assert(!p.contains("CartesianProduct"), q)
       assert(!p.contains("BroadcastNestedLoopJoin"), q)
