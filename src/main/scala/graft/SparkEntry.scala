@@ -502,6 +502,45 @@ object SparkEntry {
       Dedup.embeddingNearDup(Tables.embeddings(s, dir), "vec_id", "embedding",
           Ann.lshBucket(col("embedding"), NearDupPlanes), 0.1)
         .orderBy(col("id_a"), col("id_b"))),
+    // ---- [EXT] SemDeDup (Abbas 2023): semantic dedup with the pair
+    // term bounded to k-means clusters — the published scale path when
+    // no LSH bucket is fine enough. Same Lloyd build as the IVF index
+    // (k=10, iters=2), greedy lowest-id-wins keep rule; the oracle
+    // replays the full clustering + within-cluster pair join.
+    "semdedup" -> ((s, dir) =>
+      Dedup.semDedup(Tables.embeddings(s, dir), "vec_id", "embedding",
+          k = 10, iters = 2, threshold = 0.3)
+        .orderBy(col("vec_id"))),
+    // ---- [EXT] retrieval-quality eval: MRR@10 and nDCG@10 over a
+    // 20-query batch (vec_id % 25 = 0) against the rest of the corpus,
+    // binary relevance = label match. The offline gate for any index /
+    // embedding change; one batch top-k join + O(queries·k) reduction.
+    "retrieval_eval" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      graft.analysis.Eval.retrievalEval(
+        emb.filter(col("vec_id") % 25 =!= 0),
+        emb.filter(col("vec_id") % 25 === 0)
+          .select(col("vec_id").as("qid"), col("embedding").as("qvec"),
+            col("label").as("qlabel")),
+        k = 10)
+    }),
+    // ---- [EXT] per-source document caps (the Dolma/C4 "domain cap"
+    // curation primitive): rank docs inside each source by quality
+    // score (ties → doc_id), keep the top 10, report the per-source
+    // keep/drop split. One keyed window — never a global sort.
+    "source_caps" -> ((s, dir) => {
+      val w = Window.partitionBy(col("source"))
+        .orderBy(col("q").desc, col("doc_id").asc)
+      Tables.documents(s, dir)
+        .select(col("doc_id"), col("source"),
+          TextAnalysis.qualityScore(col("text")).as("q"))
+        .withColumn("kept", row_number().over(w) <= 10)
+        .groupBy(col("source")).agg(
+          count(lit(1)).as("n_docs"),
+          sum(col("kept").cast("long")).as("n_kept"),
+          round(min(when(col("kept"), col("q"))), 6).as("min_kept_quality"))
+        .orderBy(col("source"))
+    }),
     // ---- [EXT] text stats per language
     "text_stats" -> ((s, dir) =>
       Tables.documents(s, dir).groupBy(col("lang")).agg(
@@ -2634,6 +2673,83 @@ object SparkEntry {
          |  ON a.bucket = b.bucket AND a.vec_id < b.vec_id
          |WHERE ${cosSql("a.embedding", "b.embedding")} >= 0.1
          |ORDER BY id_a, id_b""".stripMargin,
+    "semdedup" ->
+      // full SemDeDup replay: the unrolled Lloyd build (ivfTrainSql —
+      // same k=10/iters=2 as the Spark side), within-cluster pairs at
+      // round-6 cosine >= 0.3, greedy lowest-id dup_of
+      s"""WITH ${ivfTrainSql(10, 2)},
+         |p AS (
+         |  SELECT b.vec_id AS id_b, min(a.vec_id) AS dup_of
+         |  FROM embeddings a JOIN iaf ca ON ca.vec_id = a.vec_id
+         |       JOIN iaf cb ON cb.cid = ca.cid
+         |       JOIN embeddings b ON b.vec_id = cb.vec_id
+         |                        AND a.vec_id < b.vec_id
+         |  WHERE ${cosSql("a.embedding", "b.embedding")} >= 0.3
+         |  GROUP BY 1)
+         |SELECT e.vec_id, coalesce(p.dup_of, -1)::BIGINT AS dup_of,
+         |       p.dup_of IS NULL AS keep
+         |FROM embeddings e LEFT JOIN p ON p.id_b = e.vec_id
+         |ORDER BY e.vec_id""".stripMargin,
+    "retrieval_eval" ->
+      // literals forced to DOUBLE (1e0 / 0e0) — a bare 1.0 is DECIMAL
+      // in DuckDB and its division semantics would diverge from Spark
+      s"""WITH qs AS (SELECT vec_id AS qid, embedding AS qvec, label AS qlabel
+         |            FROM embeddings WHERE vec_id % 25 = 0),
+         |corpus AS (SELECT * FROM embeddings WHERE vec_id % 25 <> 0),
+         |ranked AS (
+         |  SELECT q.qid, q.qlabel, c.vec_id, c.label,
+         |         row_number() OVER (PARTITION BY q.qid
+         |           ORDER BY ${cosSql("c.embedding", "q.qvec")} DESC,
+         |                    c.vec_id ASC) AS rank
+         |  FROM corpus c CROSS JOIN qs q),
+         |top AS (SELECT * FROM ranked WHERE rank <= 10),
+         |perq AS (
+         |  SELECT qid, qlabel,
+         |         coalesce(1e0 / min(CASE WHEN label = qlabel THEN rank END),
+         |                  0e0) AS rr,
+         |         sum(CASE WHEN label = qlabel THEN 1e0 / log2(rank + 1)
+         |                  ELSE 0e0 END) AS dcg
+         |  FROM top GROUP BY 1, 2),
+         |rc AS (SELECT label AS qlabel, count(*)::BIGINT AS n_rel
+         |       FROM corpus GROUP BY 1),
+         |wi AS (
+         |  SELECT perq.qid, perq.rr, perq.dcg,
+         |         CASE WHEN coalesce(rc.n_rel, 0) >= 1 THEN
+         |           list_reduce(list_transform(range(1, least(rc.n_rel, 10) + 1),
+         |             i -> 1e0 / log2((i + 1)::DOUBLE)), (x, y) -> x + y)
+         |         ELSE 0e0 END AS idcg
+         |  FROM perq LEFT JOIN rc USING (qlabel))
+         |SELECT count(*)::BIGINT AS n_queries,
+         |       round(avg(rr), 6) AS mrr_at_10,
+         |       round(avg(CASE WHEN idcg > 0 THEN dcg / idcg ELSE 0e0 END),
+         |             6) AS ndcg_at_10
+         |FROM wi""".stripMargin,
+    "source_caps" ->
+      // quality score replay copied verbatim from the `quality` oracle
+      s"""WITH q AS (
+         |  SELECT doc_id, source,
+         |         len($toksSql)::BIGINT AS tc,
+         |         (length(lower(text)) -
+         |          length(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g')))::DOUBLE /
+         |         greatest(length(text), 1) AS pr,
+         |         len(list_filter($toksSql,
+         |             t -> list_contains(['the','and','of','to','in','is'], t)))::DOUBLE /
+         |         greatest(len($toksSql), 1) AS sr
+         |  FROM documents),
+         |scored AS (
+         |  SELECT doc_id, source,
+         |         round(0.4 * least(tc / 50.0, 1.0) + 0.3 * (1.0 - pr) +
+         |               0.3 * least(sr * 5.0, 1.0), 6) AS qs
+         |  FROM q),
+         |r AS (
+         |  SELECT source, qs,
+         |         row_number() OVER (PARTITION BY source
+         |           ORDER BY qs DESC, doc_id ASC) AS rk
+         |  FROM scored)
+         |SELECT source, count(*)::BIGINT AS n_docs,
+         |       sum(CASE WHEN rk <= 10 THEN 1 ELSE 0 END)::BIGINT AS n_kept,
+         |       round(min(CASE WHEN rk <= 10 THEN qs END), 6) AS min_kept_quality
+         |FROM r GROUP BY source ORDER BY source""".stripMargin,
     "text_stats" ->
       s"""SELECT lang, count(*) AS n, round(avg(n_chars), 6) AS avg_chars,
          |       round(avg(len($toksSql)), 6) AS avg_tokens

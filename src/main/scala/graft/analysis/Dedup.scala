@@ -578,6 +578,38 @@ object Dedup {
       .select(col("id").as(idCol), col("dup_of"), col("dup_of").isNull.as("keep"))
   }
 
+  /** SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic dedup at
+    * corpus scale by bounding the pairwise term to k-means clusters.
+    * Embeddings are clustered (the [[graft.search.Ann.kmeansCentroids]]
+    * Lloyd build — centroids are kilobytes of driver-side model state),
+    * cosine pairs are computed only WITHIN a cluster, and every row
+    * with a smaller-id same-cluster neighbor at `threshold`-or-above
+    * similarity is dropped — the same greedy lowest-id-wins convention
+    * as [[exact]] and [[dedupDelta]], so `dup_of` composes with the
+    * rest of the dedup family.
+    *
+    * Output: one row per input id — (idCol, `dup_of` = smallest
+    * qualifying neighbor or -1, `keep`).
+    *
+    * Scale shape: cluster assignment is one fused-expression pass (no
+    * shuffle, no join — [[graft.search.Ann.assignCluster]] carries the
+    * centroid matrix as a literal); the pair join shuffles on the
+    * cluster id only, so the quadratic term is bounded by the largest
+    * cluster. k is the published algorithm's knob: at 100 TB you raise
+    * k until N/k rows fit a partition's pair budget, and the Lloyd
+    * build cost stays one scan per iteration. */
+  def semDedup(df: DataFrame, idCol: String, vecCol: String,
+               k: Int, iters: Int, threshold: Double): DataFrame = {
+    val cents = graft.search.Ann.kmeansCentroids(df, idCol, vecCol, k, iters)
+    val pairs = embeddingNearDup(df, idCol, vecCol,
+      graft.search.Ann.assignCluster(col(vecCol), cents), threshold)
+    df.select(col(idCol))
+      .join(pairs.groupBy(col("id_b")).agg(min(col("id_a")).as("dup_of")),
+        col(idCol) === col("id_b"), "left")
+      .select(col(idCol), coalesce(col("dup_of"), lit(-1L)).as("dup_of"),
+        col("dup_of").isNull.as("keep"))
+  }
+
   def embeddingNearDup(df: DataFrame, idCol: String, vecCol: String,
                        blockKey: Column, threshold: Double): DataFrame = {
     val keyed = df.withColumn("grp", blockKey)

@@ -1,0 +1,64 @@
+package graft.analysis
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.search.Search
+
+/** Retrieval-quality evaluation over a labeled query batch — the
+  * offline eval loop every retrieval stack runs after an index or
+  * embedding change (reference analogue: eyeballing the top-k list,
+  * `/root/reference/App.tsx:181-195`; this is its measurable form).
+  *
+  * Relevance is binary: a corpus row is relevant to a query iff their
+  * labels match. Metrics:
+  *   - MRR@k  = mean over queries of 1/rank of the FIRST relevant hit
+  *     (0 when no relevant row reaches the top-k);
+  *   - nDCG@k = mean over queries of DCG@k / IDCG@k, with
+  *     DCG = Σ rel_i / log2(i+1) over ranks i = 1..k and IDCG the same
+  *     sum truncated at min(#relevant-in-corpus, k). Queries whose
+  *     label has no relevant corpus row contribute 0 (never NULL — a
+  *     NULL cell would NaN-mismatch the oracle hash compare).
+  *
+  * Scale shape: one batch top-k ([[Search.similarityJoin]] — broadcast
+  * queries × corpus scan + per-qid window, the `simjoin_top3` path;
+  * swap in [[Search.similarityJoinBlocked]] when the query batch
+  * outgrows a broadcast), then per-query aggregates over ≤ k rows each
+  * and one label-keyed count join. Nothing here scans pairs beyond the
+  * top-k join; the metric reduction is O(queries · k).
+  */
+object Eval {
+
+  /** One-row frame: `n_queries`, `mrr_at_<k>`, `ndcg_at_<k>` (both
+    * rounded to 6). `queries` must carry `qid`, `qvec`, `qlabel`;
+    * `corpus` carries `idCol`, `vecCol`, `labelCol`. Rank order is the
+    * engine-wide retrieval total order: round-6 cosine DESC, id ASC. */
+  def retrievalEval(corpus: DataFrame, queries: DataFrame, k: Int,
+                    idCol: String = "vec_id", vecCol: String = "embedding",
+                    labelCol: String = "label"): DataFrame = {
+    val top = Search.similarityJoin(corpus, queries, k, idCol, vecCol)
+      .withColumn("rel", (col(labelCol) === col("qlabel")).cast("int"))
+    val perQuery = top.groupBy(col("qid"), col("qlabel")).agg(
+      coalesce(lit(1.0) / min(when(col("rel") === 1, col("rank"))), lit(0.0))
+        .as("rr"),
+      sum(when(col("rel") === 1, lit(1.0) / log2(col("rank") + lit(1)))
+        .otherwise(lit(0.0))).as("dcg"))
+    // #relevant per label — the IDCG truncation point. Labels absent
+    // from the corpus coalesce to 0 so the ideal gain is 0, not NULL.
+    val relCounts = corpus.groupBy(col(labelCol).as("qlabel"))
+      .agg(count(lit(1)).as("n_rel"))
+    perQuery.join(relCounts, Seq("qlabel"), "left")
+      .withColumn("n_rel", coalesce(col("n_rel"), lit(0L)))
+      .withColumn("idcg",
+        when(col("n_rel") >= 1,
+          aggregate(sequence(lit(1), least(col("n_rel"), lit(k.toLong)).cast("int")),
+            lit(0.0),
+            (acc, i) => acc + lit(1.0) / log2(i.cast("double") + lit(1.0))))
+          .otherwise(lit(0.0)))
+      .agg(
+        count(lit(1)).as("n_queries"),
+        round(avg(col("rr")), 6).as(s"mrr_at_$k"),
+        round(avg(when(col("idcg") > 0, col("dcg") / col("idcg"))
+          .otherwise(lit(0.0))), 6).as(s"ndcg_at_$k"))
+  }
+}

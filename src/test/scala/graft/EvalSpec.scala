@@ -1,0 +1,98 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.analysis.{Dedup, Eval}
+
+/** Retrieval eval metrics (closed-form fixtures) and SemDeDup keep-set
+  * invariants. */
+class EvalSpec extends SparkSpec {
+  import spark.implicits._
+
+  // Axis-aligned vectors make cosine exact: e0·e0 = 1, e0·e1 = 0, and
+  // a mix like (3,4)/5-style directions gives strictly ordered sims.
+  private def vec(xs: Double*): Array[Float] = xs.map(_.toFloat).toArray
+
+  test("MRR and nDCG match hand-computed values on a closed-form fixture") {
+    // corpus: 4 docs on 2 labels. Query q0 (label 0) has sims
+    // 1.0 (id 0, label 0), 0.8 (id 1, label 1), 0.6 (id 2, label 1),
+    // 0.0 (id 3, label 0)  →  relevant at ranks 1 and 4.
+    val corpus = Seq(
+      (0L, vec(1, 0), 0),
+      (1L, vec(0.8, 0.6), 1),
+      (2L, vec(0.6, 0.8), 1),
+      (3L, vec(0, 1), 0)
+    ).toDF("vec_id", "embedding", "label")
+    val queries = Seq((100L, vec(1, 0), 0)).toDF("qid", "qvec", "qlabel")
+
+    val row = Eval.retrievalEval(corpus, queries, k = 4).collect().head
+    assert(row.getLong(0) == 1)
+    assert(row.getDouble(1) == 1.0) // first relevant at rank 1
+    // DCG = 1/log2(2) + 1/log2(5); IDCG (2 relevant) = 1/log2(2) + 1/log2(3)
+    val dcg = 1.0 + 1.0 / (math.log(5) / math.log(2))
+    val idcg = 1.0 + 1.0 / (math.log(3) / math.log(2))
+    assert(math.abs(row.getDouble(2) - math.rint(dcg / idcg * 1e6) / 1e6) < 1e-9)
+  }
+
+  test("query with no relevant corpus rows contributes 0, never NULL") {
+    val corpus = Seq((0L, vec(1, 0), 0)).toDF("vec_id", "embedding", "label")
+    val queries = Seq(
+      (1L, vec(1, 0), 0),   // perfect: rr = ndcg = 1
+      (2L, vec(1, 0), 99)   // label absent from corpus: contributes 0
+    ).toDF("qid", "qvec", "qlabel")
+    val row = Eval.retrievalEval(corpus, queries, k = 3).collect().head
+    assert(row.getLong(0) == 2)
+    assert(row.getDouble(1) == 0.5)
+    assert(row.getDouble(2) == 0.5)
+  }
+
+  test("metrics are invariant to corpus partitioning") {
+    val emb = spark.read.parquet(s"$sf0001/embeddings.parquet")
+    def run(parts: Int) = Eval.retrievalEval(
+      emb.filter(col("vec_id") % 25 =!= 0).repartition(parts),
+      emb.filter(col("vec_id") % 25 === 0)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec"),
+          col("label").as("qlabel")),
+      k = 10).collect().toSeq
+    assert(run(1) == run(16))
+  }
+
+  test("semDedup: dropped rows have a kept-or-dropped smaller same-cluster " +
+      "neighbor above threshold; kept rows have none") {
+    val emb = spark.read.parquet(s"$sf0001/embeddings.parquet")
+    val t = 0.3
+    val out = Dedup.semDedup(emb, "vec_id", "embedding", k = 5, iters = 2, t)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+    assert(out.length == emb.count())
+    // recompute ground truth: same centroids (deterministic build),
+    // same assignment, exact pairwise within cluster
+    val cents = graft.search.Ann.kmeansCentroids(emb, "vec_id", "embedding", 5, 2)
+    val assigned = emb.withColumn("c",
+        graft.search.Ann.assignCluster(col("embedding"), cents))
+      .select(col("vec_id"), col("c"), col("embedding"))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getSeq[Float](2).toArray))
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0
+      for (i <- a.indices) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i) }
+      math.rint(d / (math.sqrt(na) * math.sqrt(nb)) * 1e6) / 1e6
+    }
+    val expected = assigned.map { case (id, c, v) =>
+      val smaller = assigned.filter { case (id2, c2, v2) =>
+        c2 == c && id2 < id && cos(v2, v) >= t
+      }
+      id -> (if (smaller.isEmpty) (-1L, true) else (smaller.map(_._1).min, false))
+    }.toMap
+    for ((id, dupOf, keep) <- out) {
+      assert((dupOf, keep) == expected(id), s"vec_id=$id")
+    }
+    // the fixture must exercise both outcomes
+    assert(out.exists(!_._3) && out.exists(_._3))
+  }
+
+  test("semDedup pair join stays keyed on the cluster id (no cartesian)") {
+    val emb = spark.read.parquet(s"$sf0001/embeddings.parquet")
+    val p = Dedup.semDedup(emb, "vec_id", "embedding", 5, 1, 0.3)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct"), p.take(1500))
+  }
+}
