@@ -524,6 +524,20 @@ object SparkEntry {
             col("label").as("qlabel")),
         k = 10)
     }),
+    // ---- [EXT] hard-negative mining (contrastive retriever
+    // training): per query, top-3 highest-cosine label-MISMATCHED
+    // corpus rows; ranks computed over the filtered subset so a
+    // relevant row never occupies a negative's slot.
+    "hard_negatives" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      graft.analysis.Eval.hardNegatives(
+          emb.filter(col("vec_id") % 25 =!= 0),
+          emb.filter(col("vec_id") % 25 === 0)
+            .select(col("vec_id").as("qid"), col("embedding").as("qvec"),
+              col("label").as("qlabel")),
+          k = 3)
+        .orderBy(col("qid"), col("rank"))
+    }),
     // ---- [EXT] per-source document caps (the Dolma/C4 "domain cap"
     // curation primitive): rank docs inside each source by quality
     // score (ties → doc_id), keep the top 10, report the per-source
@@ -2724,6 +2738,20 @@ object SparkEntry {
          |       round(avg(CASE WHEN idcg > 0 THEN dcg / idcg ELSE 0e0 END),
          |             6) AS ndcg_at_10
          |FROM wi""".stripMargin,
+    "hard_negatives" ->
+      s"""WITH qs AS (SELECT vec_id AS qid, embedding AS qvec, label AS qlabel
+         |            FROM embeddings WHERE vec_id % 25 = 0),
+         |corpus AS (SELECT * FROM embeddings WHERE vec_id % 25 <> 0),
+         |ranked AS (
+         |  SELECT q.qid, c.vec_id, c.label,
+         |         ${cosSql("c.embedding", "q.qvec")} AS sim,
+         |         row_number() OVER (PARTITION BY q.qid
+         |           ORDER BY ${cosSql("c.embedding", "q.qvec")} DESC,
+         |                    c.vec_id ASC) AS rank
+         |  FROM corpus c CROSS JOIN qs q
+         |  WHERE c.label <> q.qlabel)
+         |SELECT qid, rank, vec_id, label, sim
+         |FROM ranked WHERE rank <= 3 ORDER BY qid, rank""".stripMargin,
     "source_caps" ->
       // quality score replay copied verbatim from the `quality` oracle
       s"""WITH q AS (

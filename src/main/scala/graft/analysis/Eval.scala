@@ -1,9 +1,11 @@
 package graft.analysis
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.search.Search
+import graft.vector.VectorOps
 
 /** Retrieval-quality evaluation over a labeled query batch — the
   * offline eval loop every retrieval stack runs after an index or
@@ -60,5 +62,26 @@ object Eval {
         round(avg(col("rr")), 6).as(s"mrr_at_$k"),
         round(avg(when(col("idcg") > 0, col("dcg") / col("idcg"))
           .otherwise(lit(0.0))), 6).as(s"ndcg_at_$k"))
+  }
+
+  /** Hard-negative mining for contrastive retriever training: per
+    * query, the k highest-cosine corpus rows whose label does NOT
+    * match — the near-misses that make the strongest training
+    * negatives. The rank is computed over the non-relevant subset
+    * (filter BEFORE the window, so a relevant row never occupies a
+    * negative's rank slot). Same scale shape as the eval top-k: one
+    * broadcast-query scored scan + a per-qid window over the filtered
+    * rows; the filter is codegen'd into the scan side of the join. */
+  def hardNegatives(corpus: DataFrame, queries: DataFrame, k: Int,
+                    idCol: String = "vec_id", vecCol: String = "embedding",
+                    labelCol: String = "label"): DataFrame = {
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("sim").desc, col(idCol).asc)
+    corpus.crossJoin(broadcast(queries))
+      .filter(col(labelCol) =!= col("qlabel"))
+      .withColumn("sim", VectorOps.cosine6(col(vecCol), col("qvec")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("rank"), col(idCol), col(labelCol), col("sim"))
   }
 }

@@ -46,6 +46,20 @@ class EvalSpec extends SparkSpec {
     assert(row.getDouble(2) == 0.5)
   }
 
+  test("hardNegatives: only label-mismatched rows, ranked over the filtered subset") {
+    val corpus = Seq(
+      (0L, vec(1, 0), 0),      // relevant, sim 1.0 — must NOT take a slot
+      (1L, vec(0.8, 0.6), 1),
+      (2L, vec(0.6, 0.8), 1),
+      (3L, vec(0, 1), 0)
+    ).toDF("vec_id", "embedding", "label")
+    val queries = Seq((100L, vec(1, 0), 0)).toDF("qid", "qvec", "qlabel")
+    val out = Eval.hardNegatives(corpus, queries, k = 2).orderBy("rank").collect()
+    assert(out.map(_.getLong(2)).toSeq == Seq(1L, 2L))
+    assert(out.map(_.getInt(1)).toSeq == Seq(1, 2))
+    assert(out.forall(_.getInt(3) == 1), "a relevant row leaked into the negatives")
+  }
+
   test("metrics are invariant to corpus partitioning") {
     val emb = spark.read.parquet(s"$sf0001/embeddings.parquet")
     def run(parts: Int) = Eval.retrievalEval(
