@@ -1,0 +1,37 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.plans.logical
+
+/** Diagnostic sweep: flags every query whose optimized plan contains a
+  * window (or window-group-limit) with an EMPTY partition spec — the
+  * single-partition global-sort shape that serializes at scale. Walks
+  * the optimized LOGICAL plan (the physical tree hides inside
+  * `AdaptiveSparkPlanExec` until execution, and rendered-string
+  * regexes can't tell a partitioned `WindowGroupLimit [part], [ord]`
+  * from an unpartitioned `Window [funcs], [ord]`). */
+object WinScan {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder()
+      .master("local[8]")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (n, fn) =>
+      try {
+        val plan = fn(spark, "/root/testdata/sf0.001").queryExecution.optimizedPlan
+        val hits = plan.collect {
+          case w: logical.Window if w.partitionSpec.isEmpty =>
+            s"Window(order=${w.orderSpec.map(_.sql).mkString(",").take(60)})"
+          case w: logical.WindowGroupLimit if w.partitionSpec.isEmpty =>
+            s"WindowGroupLimit(order=${w.orderSpec.map(_.sql).mkString(",").take(60)})"
+        }
+        if (hits.nonEmpty) println(s"UNPARTITIONED: $n ${hits.mkString(" | ")}")
+      } catch { case e: Throwable => println(s"ERR $n: ${String.valueOf(e.getMessage).take(100)}") }
+    }
+    spark.stop()
+  }
+}
