@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.analysis.{Contamination, Dedup}
+import graft.analysis.{Contamination, Dedup, FreqSketch}
 import graft.embed.Featurizer
 import graft.io.Tables
 import graft.multimodal.Multimodal
@@ -1559,6 +1559,15 @@ object SparkEntry {
         .groupBy(col("term")).agg(count(lit(1)).as("n"))
         .orderBy(col("n").desc, col("term").asc)
         .limit(20)),
+    // ---- [EXT] count-min heavy hitters: top_terms' bounded-state twin
+    // (analysis/FreqSketch) — depth x width counter cells regardless of
+    // vocabulary size, estimates replayed bit-for-bit by the oracle
+    // through the portable hash family.
+    "cmin_heavy_hitters" -> ((s, dir) => {
+      val toks = Tables.documents(s, dir)
+        .select(explode(TextAnalysis.tokens(col("text"))).as("term"))
+      FreqSketch.heavyHitters(toks, "term", 3, 64, 10)
+    }),
     // ---- [EXT] window frame: running per-user event totals
     "running_total" -> ((s, dir) => {
       val w = Window.partitionBy(col("user_id"))
@@ -3737,6 +3746,23 @@ object SparkEntry {
       s"""SELECT term, count(*) AS n FROM (
          |  SELECT unnest($toksSql) AS term FROM documents)
          |GROUP BY term ORDER BY n DESC, term ASC LIMIT 20""".stripMargin,
+    "cmin_heavy_hitters" ->
+      s"""WITH tok AS (SELECT unnest($toksSql) AS term FROM documents),
+         |fp AS (SELECT term, ${polySql("term")} AS f FROM tok),
+         |js AS (SELECT unnest(range(0, 3)) AS j),
+         |cells AS (
+         |  SELECT j, ${graft.analysis.FreqSketch.cellSql("f", "j", 64)} AS c,
+         |         count(*) AS cnt
+         |  FROM fp CROSS JOIN js GROUP BY 1, 2),
+         |probes AS (SELECT DISTINCT term, f FROM fp),
+         |est AS (
+         |  SELECT p.term, min(coalesce(cl.cnt, 0)) AS est
+         |  FROM probes p CROSS JOIN js
+         |  LEFT JOIN cells cl ON cl.j = js.j
+         |   AND cl.c = ${graft.analysis.FreqSketch.cellSql("p.f", "js.j", 64)}
+         |  GROUP BY 1)
+         |SELECT term, est::BIGINT AS est FROM est
+         |ORDER BY est DESC, term ASC LIMIT 10""".stripMargin,
     "running_total" ->
       """SELECT event_id, user_id,
         |       round(sum(value) OVER (PARTITION BY user_id

@@ -1,0 +1,52 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.analysis.FreqSketch
+
+/** Count-min sketch: the one-sided error guarantee (estimates never
+  * undercount), exactness when the geometry is collision-free,
+  * cell-sum mergeability across corpus shards, and the bounded-state
+  * claim (cell count <= depth*width at any input size). */
+class FreqSketchSpec extends SparkSpec {
+  import spark.implicits._
+
+  // skewed fixture: term t0 x 32, t1 x 16, ..., t5 x 1
+  private lazy val skewed = (0 to 5)
+    .flatMap(i => Seq.fill(32 >> i)(s"t$i"))
+    .toDF("term")
+
+  private def exact = skewed.groupBy("term").agg(count(lit(1)).as("n"))
+
+  test("estimates are upper bounds on the true counts (one-sided error)") {
+    // deliberately tiny width => collisions are likely; est >= true must hold
+    val sk = FreqSketch.sketch(skewed, "term", 2, 4)
+    val joined = FreqSketch.estimate(sk, skewed, "term", 2, 4)
+      .join(exact, "term").collect()
+    assert(joined.length == 6)
+    joined.foreach { r =>
+      assert(r.getAs[Long]("est") >= r.getAs[Long]("n"),
+        s"undercount for ${r.getAs[String]("term")}: $r")
+    }
+  }
+
+  test("collision-free geometry reproduces the exact counts and ranking") {
+    val got = FreqSketch.heavyHitters(skewed, "term", 3, 512, 6)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val want = (0 to 5).map(i => (s"t$i", (32 >> i).toLong))
+    assert(got.toSeq == want, s"got ${got.toSeq}")
+  }
+
+  test("merging per-shard sketches equals the whole-corpus sketch") {
+    val (a, b) = (skewed.filter(col("term") <= "t2"), skewed.filter(col("term") > "t2"))
+    val merged = FreqSketch.merge(
+      FreqSketch.sketch(a, "term", 3, 64), FreqSketch.sketch(b, "term", 3, 64))
+    val whole = FreqSketch.sketch(skewed, "term", 3, 64)
+    assert(merged.exceptAll(whole).isEmpty && whole.exceptAll(merged).isEmpty)
+  }
+
+  test("state is bounded by depth*width regardless of key cardinality") {
+    val many = (0 until 10000).map(i => s"k$i").toDF("term")
+    assert(FreqSketch.sketch(many, "term", 3, 64).count() <= 3L * 64)
+  }
+}
