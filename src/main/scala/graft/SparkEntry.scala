@@ -198,6 +198,49 @@ object SparkEntry {
       exact.join(rr, Seq("vec_id"), "left_semi")
         .agg((count(lit(1)) / 5.0).as("recall_at_5"))
     }),
+    // ---- [EXT] Rademacher random projection (VectorOps.randomProject):
+    // 64→16 dims through a hash-derived ±1 literal matrix — map-only,
+    // no shuffle, no stored model — then top-10 in the projected space
+    // scored against the exact top-10. The JL-lemma compression step
+    // that precedes ANN indexing at scale.
+    "rproj_recall" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val signs = VectorOps.rpSigns(64, 16)
+      val exact = Search.knn(emb, queryVec(s, dir), 10).select(col("vec_id"))
+      val proj = emb.select(col("vec_id"),
+        VectorOps.randomProject(col("embedding"), signs).as("p"))
+      val q = proj.filter(col("vec_id") === 0).select(col("p").as("qp"))
+      val approx = proj.crossJoin(broadcast(q))
+        .select(col("vec_id"), VectorOps.cosine6(col("p"), col("qp")).as("sim"))
+        .orderBy(col("sim").desc, col("vec_id").asc).limit(10)
+        .select(col("vec_id"))
+      exact.join(approx, Seq("vec_id"), "left_semi")
+        .agg((count(lit(1)) / 10.0).as("recall_at_10"))
+    }),
+    // ---- [EXT] the production use of the projection: top-100 shortlist
+    // in 16-dim space (4× cheaper per candidate) → exact 64-dim rerank
+    // of only those rows — the shortlist→rerank shape shared by the
+    // binary and PQ tiers. Shortlist depth is the recall knob: these
+    // uniform-positive embeddings put all cosines in a near-tie band
+    // (the hardest case for any compressed tier), so the demo uses 20%
+    // depth where the binary tier's planted structure gets away with 10%.
+    "rproj_rerank_recall" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val signs = VectorOps.rpSigns(64, 16)
+      val exact = Search.knn(emb, queryVec(s, dir), 10).select(col("vec_id"))
+      val proj = emb.select(col("vec_id"),
+        VectorOps.randomProject(col("embedding"), signs).as("p"))
+      val q = proj.filter(col("vec_id") === 0).select(col("p").as("qp"))
+      val short = proj.crossJoin(broadcast(q))
+        .select(col("vec_id"), VectorOps.cosine6(col("p"), col("qp")).as("sim"))
+        .orderBy(col("sim").desc, col("vec_id").asc).limit(100)
+        .select(col("vec_id"))
+      val rr = Search.knn(emb.join(short, Seq("vec_id"), "left_semi"),
+          queryVec(s, dir), 10)
+        .select(col("vec_id"))
+      exact.join(rr, Seq("vec_id"), "left_semi")
+        .agg((count(lit(1)) / 10.0).as("recall_at_10"))
+    }),
     // ---- [EXT] product quantization codes: every vector compressed to
     // m=8 byte codes (32× vs the float column) via per-subspace L2
     // k-means; exploded so the oracle pins every code exactly (the
@@ -2051,6 +2094,55 @@ object SparkEntry {
          |SELECT (SELECT count(*) FROM exact5 JOIN rr USING (vec_id)) / 5.0
          |       AS recall_at_5""".stripMargin
     },
+    "rproj_recall" ->
+      s"""WITH fq AS (SELECT embedding AS qvec FROM embeddings WHERE vec_id = 0),
+         |exact10 AS (
+         |  SELECT vec_id FROM (
+         |    SELECT e.vec_id, ${cosSql("e.embedding", "fq.qvec")} AS sim
+         |    FROM embeddings e, fq)
+         |  ORDER BY sim DESC, vec_id ASC LIMIT 10),
+         |proj AS (
+         |  SELECT vec_id, list_transform(range(0, 16), i ->
+         |    list_dot_product(embedding::DOUBLE[], list_transform(range(0, 64),
+         |      j -> CASE WHEN ((i * 64 + j) * 2654435761 + 7919)
+         |                      % 1000000007 % 2 = 0
+         |                 THEN 1.0 ELSE -1.0 END))) AS p
+         |  FROM embeddings),
+         |pq AS (SELECT p AS qp FROM proj WHERE vec_id = 0),
+         |approx AS (
+         |  SELECT vec_id FROM (
+         |    SELECT proj.vec_id, ${cosSql("proj.p", "pq.qp")} AS sim
+         |    FROM proj, pq)
+         |  ORDER BY sim DESC, vec_id ASC LIMIT 10)
+         |SELECT (SELECT count(*) FROM exact10 JOIN approx USING (vec_id)) / 10.0
+         |       AS recall_at_10""".stripMargin,
+    "rproj_rerank_recall" ->
+      s"""WITH fq AS (SELECT embedding AS qvec FROM embeddings WHERE vec_id = 0),
+         |exact10 AS (
+         |  SELECT vec_id FROM (
+         |    SELECT e.vec_id, ${cosSql("e.embedding", "fq.qvec")} AS sim
+         |    FROM embeddings e, fq)
+         |  ORDER BY sim DESC, vec_id ASC LIMIT 10),
+         |proj AS (
+         |  SELECT vec_id, list_transform(range(0, 16), i ->
+         |    list_dot_product(embedding::DOUBLE[], list_transform(range(0, 64),
+         |      j -> CASE WHEN ((i * 64 + j) * 2654435761 + 7919)
+         |                      % 1000000007 % 2 = 0
+         |                 THEN 1.0 ELSE -1.0 END))) AS p
+         |  FROM embeddings),
+         |pq AS (SELECT p AS qp FROM proj WHERE vec_id = 0),
+         |short AS (
+         |  SELECT vec_id FROM (
+         |    SELECT proj.vec_id, ${cosSql("proj.p", "pq.qp")} AS sim
+         |    FROM proj, pq)
+         |  ORDER BY sim DESC, vec_id ASC LIMIT 100),
+         |rr AS (
+         |  SELECT vec_id FROM (
+         |    SELECT e.vec_id, ${cosSql("e.embedding", "fq.qvec")} AS sim
+         |    FROM embeddings e JOIN short USING (vec_id), fq)
+         |  ORDER BY sim DESC, vec_id ASC LIMIT 10)
+         |SELECT (SELECT count(*) FROM exact10 JOIN rr USING (vec_id)) / 10.0
+         |       AS recall_at_10""".stripMargin,
     "pq_codes" ->
       s"""WITH
          |$pqTrainSql

@@ -112,4 +112,27 @@ object VectorOps {
 
   /** Hamming distance between two packed sign-bit words. */
   def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+
+  /** Deterministic ±1 random-projection sign matrix (`outDim × inDim`).
+    * Dense Rademacher projection (Achlioptas 2003: ±1 entries satisfy
+    * the Johnson–Lindenstrauss bound; no Gaussian sampling needed) with
+    * entries drawn from the engine's portable polynomial hash
+    * ([[graft.functions.KmvSketch.hash]] seed family) on the flattened
+    * index `i·inDim + j` — every engine, and the SQL oracle, rebuilds
+    * the SAME matrix from the two dims alone; nothing is stored. */
+  def rpSigns(inDim: Int, outDim: Int): Seq[Seq[Double]] =
+    (0 until outDim).map { i =>
+      (0 until inDim).map { j =>
+        if (graft.functions.KmvSketch.hash(i.toLong * inDim + j) % 2 == 0) 1.0
+        else -1.0
+      }
+    }
+
+  /** Project a vector through [[rpSigns]]: `p_i = Σ_j v_j·s_ij`, double
+    * accumulation in index order (parity with `list_dot_product`). The
+    * matrix rides the plan as a literal — a map-only pass, no shuffle,
+    * no model table to join; the standard pre-ANN compression step
+    * (4× fewer multiply-adds per cosine at 64→16). */
+  def randomProject(vec: Column, signs: Seq[Seq[Double]]): Column =
+    transform(typedlit(signs), row => dot(vec, row))
 }
