@@ -699,6 +699,13 @@ object SparkEntry {
     "bigram_surprisal" -> ((s, dir) =>
       graft.text.LangModel.bigramSurprisal(Tables.documents(s, dir), "doc_id", "text")
         .orderBy(col("doc_id"))),
+    // ---- [EXT] BPE merge training (text/Bpe): k distributed pair-count
+    // iterations over the word-frequency dict; the merge table is model
+    // state (k rows, like centroids). Oracle unrolls every iteration as
+    // a CTE chain — each argmax and dictionary rewrite replays exactly.
+    "bpe_merges" -> ((s, dir) =>
+      graft.text.Bpe.merges(Tables.documents(s, dir), "text", 6)
+        .orderBy(col("step"))),
     // ---- [EXT] character-entropy quality signal (the CCNet/Gopher
     // compression-ratio heuristic, codec-free so the oracle replays it
     // exactly): low entropy flags repetitive or degenerate text
@@ -1938,6 +1945,57 @@ object SparkEntry {
     s"list_reduce(list_prepend(7::BIGINT, [ord(x)::BIGINT for x in string_split_regex($e, '')]), " +
       "(a, b) -> (a * 31 + b) % 1000000007)"
 
+  /** BPE merge training replayed in SQL (mirror of Bpe.merges): the
+    * word-frequency dict as `|`-delimited symbol strings, then one CTE
+    * triple per iteration — pair counts (g), argmax under
+    * `(count DESC, pair ASC)` (b), dictionary rewrite by literal
+    * replace (w) — unrolled `k` times, the Lloyd-unroll precedent
+    * (ivfTrainSql) applied to tokenizer training. */
+  private def bpeSql(k: Int): String = {
+    val sb = new StringBuilder
+    sb.append(
+      s"""WITH tok AS (SELECT unnest($toksSql) AS term FROM documents),
+         |w0 AS (
+         |  SELECT regexp_replace(term, '(.)', '|\\1', 'g') || '|' AS s,
+         |         count(*) AS f
+         |  FROM tok GROUP BY term),
+         |""".stripMargin)
+    for (i <- 0 until k) {
+      sb.append(
+        s"""g$i AS (
+           |  SELECT pr, sum(f) AS c FROM (
+           |    SELECT unnest(list_transform(range(1, len(arr)),
+           |                  n -> arr[n] || ' ' || arr[n + 1])) AS pr, f
+           |    FROM (SELECT list_filter(string_split(s, '|'), x -> x <> '') AS arr, f
+           |          FROM w$i))
+           |  GROUP BY pr),
+           |b$i AS (SELECT pr, c FROM g$i ORDER BY c DESC, pr ASC LIMIT 1),
+           |""".stripMargin)
+      if (i < k - 1) sb.append(
+        // greedy single-scan merge application — the same fold as
+        // Bpe.applyMerge (lambda captures b's pair columns)
+        s"""w${i + 1} AS (
+           |  SELECT list_reduce(
+           |    list_prepend('|', list_filter(string_split(w.s, '|'), x -> x <> '')),
+           |    (acc, x) -> CASE
+           |      WHEN x = split_part(b.pr, ' ', 2)
+           |       AND ends_with(acc, '|' || split_part(b.pr, ' ', 1) || '|')
+           |      THEN substr(acc, 1,
+           |                  length(acc) - length(split_part(b.pr, ' ', 1)) - 1)
+           |           || replace(b.pr, ' ', '') || '|'
+           |      ELSE acc || x || '|' END) AS s, w.f
+           |  FROM w$i w, b$i b),
+           |""".stripMargin)
+    }
+    sb.setLength(sb.length - 2) // drop the last CTE's trailing ",\n"
+    sb.append("\n")
+    sb.append((0 until k).map(i =>
+      s"SELECT ${i + 1}::BIGINT AS step, split_part(pr, ' ', 1) AS lhs, " +
+        s"split_part(pr, ' ', 2) AS rhs, c::BIGINT AS cnt FROM b$i")
+      .mkString("", "\nUNION ALL\n", "\nORDER BY step"))
+    sb.toString
+  }
+
   /** Second portable polynomial (simhash64's high half — seed 13, ×37,
     * mod 998244353; see functions/SimHash64.scala). */
   private def polyBSql(e: String): String =
@@ -2997,6 +3055,7 @@ object SparkEntry {
          |SELECT d.doc_id AS doc_id, round(coalesce(agg.s, 0), 6) AS surprisal
          |FROM documents d LEFT JOIN agg ON d.doc_id = agg.doc_id
          |ORDER BY doc_id""".stripMargin,
+    "bpe_merges" -> bpeSql(6),
     "repetition_stats" ->
       """WITH d AS (SELECT doc_id, string_split(text, ' ') AS ws,
         |                  length(text) AS nc FROM documents),

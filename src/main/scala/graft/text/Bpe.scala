@@ -1,0 +1,106 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Byte-pair-encoding merge training (Sennrich et al. 2016) — the
+  * tokenizer-construction half of an LLM data pipeline (the counting
+  * side of which is `token_counts` / `top_terms`).
+  *
+  * Classic BPE trains on the WORD-FREQUENCY DICTIONARY, not the raw
+  * corpus: one corpus-scale pass builds `(word, freq)` (vocabulary-
+  * sized — Heaps' law keeps it orders of magnitude below corpus rows),
+  * and every merge iteration is then a distributed aggregation over
+  * that dictionary: explode adjacent symbol pairs, `sum(freq)` per
+  * pair (map-side combined), take the argmax under the total order
+  * `(count DESC, pair ASC)`, and rewrite the dictionary by applying
+  * the merge. The learned merge table is MODEL state — k rows of
+  * `(left, right)` — exactly like k-means centroids, so the per-
+  * iteration single-row collect is bounded by construction.
+  *
+  * Words are carried as `|`-delimited symbol strings (`"join"` →
+  * `"|j|o|i|n|"`); applying a merge is a single left-to-right fold
+  * over the symbols (emit, or coalesce with the accumulator's tail
+  * when it is exactly `|l|` and the next symbol is `r`) — the greedy
+  * single-scan semantics of the original algorithm, including
+  * self-overlapping runs (`aaaa` + merge (a,a) → `aa aa`, never an
+  * alternating leftover — spec-pinned). A plain substring replace of
+  * `"|a|b|"` gets this WRONG: adjacent occurrences share the boundary
+  * `|`, so non-overlapping replacement merges only alternate pairs.
+  * The fold is expressible identically in any SQL engine with lambda
+  * folds, so every iteration replays bit-for-bit as an unrolled CTE
+  * chain in the oracle.
+  */
+object Bpe {
+  /** `"join"` → `"|j|o|i|n|"`. */
+  def piped(word: Column): Column =
+    concat(regexp_replace(word, "(.)", "\\|$1"), lit("|"))
+
+  /** Adjacent symbol pairs of a piped word as `"a b"` strings (space
+    * join — symbols are `|`-free AND space-free, so the pair key is
+    * unambiguous). Empty for single-symbol words. */
+  def pairs(piped: Column): Column = {
+    val arr = filter(split(piped, "\\|"), t => length(t) > 0)
+    when(size(arr) >= 2,
+      transform(sequence(lit(1), size(arr) - 1),
+        i => concat(element_at(arr, i), lit(" "), element_at(arr, i + 1))))
+      .otherwise(array().cast("array<string>"))
+  }
+
+  /** Greedy single-scan application of merge (l, r) to a piped word:
+    * fold symbols left-to-right; when the accumulator ends in `|l|`
+    * and the next symbol is `r`, rewrite that tail to `|lr|` (the
+    * just-merged token's tail is `lr|`, so it can never chain-merge
+    * within the same scan — exactly Sennrich's semantics). */
+  def applyMerge(s: Column, l: String, r: String): Column = {
+    val arr = filter(split(s, "\\|"), t => length(t) > 0)
+    aggregate(arr, lit("|"), (acc, x) =>
+      when(x === lit(r) && acc.endsWith(lit("|" + l + "|")),
+        concat(acc.substr(lit(1), length(acc) - lit(l.length + 1)),
+          lit(l + r + "|")))
+        .otherwise(concat(acc, x, lit("|"))))
+  }
+
+  /** Learn `k` merges over the word dictionary of `textCol`. Returns
+    * `(step, lhs, rhs, cnt)` — merge rank, the two merged symbols, and
+    * the pair's dictionary-weighted count at selection time. */
+  def merges(docs: DataFrame, textCol: String, k: Int): DataFrame = {
+    val spark = docs.sparkSession
+    // the one corpus-scale pass; everything after runs on the dict
+    val dict = docs
+      .select(explode(TextAnalysis.tokens(col(textCol))).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("f"))
+      .select(piped(col("w")).as("s"), col("f"))
+      .cache()
+    try {
+      val out = Seq.newBuilder[Row]
+      var words = dict
+      var step = 1
+      var done = false
+      while (step <= k && !done) {
+        val best = words
+          .select(explode(pairs(col("s"))).as("p"), col("f"))
+          .groupBy("p").agg(sum(col("f")).as("c"))
+          .orderBy(col("c").desc, col("p").asc)
+          .limit(1).collect()
+        if (best.isEmpty) done = true
+        else {
+          val pair = best(0).getString(0)
+          val cnt = best(0).getLong(1)
+          val Array(l, r) = pair.split(" ", 2)
+          out += Row(step.toLong, l, r, cnt)
+          words = words.withColumn("s", applyMerge(col("s"), l, r))
+          step += 1
+        }
+      }
+      val schema = StructType(Seq(
+        StructField("step", LongType, nullable = false),
+        StructField("lhs", StringType, nullable = false),
+        StructField("rhs", StringType, nullable = false),
+        StructField("cnt", LongType, nullable = false)))
+      spark.createDataFrame(
+        spark.sparkContext.parallelize(out.result(), 1), schema)
+    } finally dict.unpersist()
+  }
+}

@@ -1,0 +1,48 @@
+package graft
+
+import graft.text.Bpe
+
+/** BPE merge training against hand-computed fixtures: the exact merge
+  * sequence (frequency-weighted argmax with the (count DESC, pair ASC)
+  * tie-break), greedy non-overlapping merge application, and merges
+  * composing on earlier merges' output symbols. */
+class BpeSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("merge sequence matches the hand computation on a closed-form dict") {
+    // dict: "aaab" x2, "ab" x1
+    // iter1: (a,a)=4 (two per "aaab" occurrence), (a,b)=3 -> merge (a,a)
+    // iter2: "aaab"->|aa|a|b|: (aa,a)=2, (a,b)=2+1=3      -> merge (a,b)
+    // iter3: "aaab"->|aa|ab|:  (aa,ab)=2                  -> merge (aa,ab)
+    val docs = Seq("aaab aaab ab").toDF("text")
+    val got = Bpe.merges(docs, "text", 3)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3)))
+    assert(got.toSeq == Seq((1L, "a", "a", 4L), (2L, "a", "b", 3L),
+      (3L, "aa", "ab", 2L)), s"got ${got.toSeq}")
+  }
+
+  test("merge application is greedy non-overlapping left-to-right") {
+    // "aaaa": iter1 merges (a,a) [3 adjacent pairs], applied
+    // left-to-right non-overlapping -> |aa|aa| (NOT |aaa|a| or |aaaa|);
+    // iter2 must therefore see exactly one (aa,aa) pair.
+    val got = Bpe.merges(Seq("aaaa").toDF("text"), "text", 2)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3)))
+    assert(got.toSeq == Seq((1L, "a", "a", 3L), (2L, "aa", "aa", 1L)),
+      s"got ${got.toSeq}")
+  }
+
+  test("runs out of pairs gracefully (fewer merges than requested)") {
+    // "ab" has exactly one pair; after merging it the dict is a single
+    // symbol per word and iteration 2 finds nothing.
+    val got = Bpe.merges(Seq("ab ab").toDF("text"), "text", 5)
+      .collect().map(r => (r.getString(1), r.getString(2), r.getLong(3)))
+    assert(got.toSeq == Seq(("a", "b", 2L)), s"got ${got.toSeq}")
+  }
+
+  test("ties break lexicographically on the pair string") {
+    // "xy" and "ab" both have count 1; (a,b) sorts before (x,y)
+    val got = Bpe.merges(Seq("xy ab").toDF("text"), "text", 1)
+      .collect().map(r => (r.getString(1), r.getString(2)))
+    assert(got.toSeq == Seq(("a", "b")), s"got ${got.toSeq}")
+  }
+}
