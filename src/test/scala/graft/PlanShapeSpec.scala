@@ -10,9 +10,16 @@ class PlanShapeSpec extends SparkSpec {
     SparkEntry.queries(name)(spark, sf0001).queryExecution.executedPlan.toString
 
   test("top-k queries plan as TakeOrderedAndProject, never a global sort+limit") {
-    for (q <- Seq("knn_top5", "knn_top5_normalized", "q3_top10", "rag_top5")) {
+    for (q <- Seq("knn_top5", "knn_top5_normalized", "q3_top10", "rag_top5",
+        "cmin_heavy_hitters")) {
       assert(plan(q).contains("TakeOrderedAndProject"), q)
     }
+  }
+
+  test("count-min probe joins the broadcast sketch; no shuffle join, no cartesian") {
+    val p = plan("cmin_heavy_hitters")
+    assert(p.contains("BroadcastHashJoin"), p.take(2000))
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"), p.take(2000))
   }
 
   test("dedup pair joins never plan cartesian or nested-loop strategies") {
