@@ -902,6 +902,17 @@ object SparkEntry {
           round(sum(col("value")), 4).as("sum_value"),
           round(avg(get_json_object(col("props"), "$.k").cast("long")), 6).as("avg_k"))
         .orderBy(col("event_type"))),
+    // ---- [EXT] Z-order (Morton) cell assignment (store/ZOrder): the
+    // write-clustering key behind multi-dimensional file skipping —
+    // integer bit-interleave, so the cell of every row replays exactly
+    // cross-engine; the layout benefit itself is scan-metric-pinned in
+    // ZOrderSpec (value-only predicates skip on a z-clustered layout,
+    // full-scan on a 1-D-sorted one).
+    "zorder_cells" -> ((s, dir) =>
+      Tables.events(s, dir).select(col("event_id"),
+        graft.store.ZOrder.zValue(col("user_id"),
+          floor(col("value")).cast("long"), 11).as("z"))
+        .orderBy(col("event_id"))),
     // ---- [EXT] event-time tumbling hourly rollup
     "events_hourly" -> ((s, dir) =>
       Tables.events(s, dir)
@@ -3553,6 +3564,11 @@ object SparkEntry {
       """SELECT event_type, count(*) AS n, round(sum(value), 4) AS sum_value,
         |       round(avg(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT)), 6) AS avg_k
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "zorder_cells" ->
+      s"""SELECT event_id,
+         |  (${graft.store.ZOrder.zSql("user_id", "floor(value)::BIGINT", 11)}
+         |  )::BIGINT AS z
+         |FROM events ORDER BY event_id""".stripMargin,
     "events_hourly" ->
       """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
         |       count(*) AS n, round(sum(value), 4) AS sum_value
