@@ -706,6 +706,12 @@ object SparkEntry {
     "bpe_merges" -> ((s, dir) =>
       graft.text.Bpe.merges(Tables.documents(s, dir), "text", 6)
         .orderBy(col("step"))),
+    // ---- [EXT] the ENCODE side of BPE: corpus symbol vocabulary after
+    // the 6 learned merges (frequency-weighted) — what a trained
+    // tokenizer ships.
+    "bpe_vocab" -> ((s, dir) =>
+      graft.text.Bpe.vocab(Tables.documents(s, dir), "text", 6)
+        .orderBy(col("symbol"))),
     // ---- [EXT] character-entropy quality signal (the CCNet/Gopher
     // compression-ratio heuristic, codec-free so the oracle replays it
     // exactly): low entropy flags repetitive or degenerate text
@@ -1962,7 +1968,10 @@ object SparkEntry {
     * `(count DESC, pair ASC)` (b), dictionary rewrite by literal
     * replace (w) — unrolled `k` times, the Lloyd-unroll precedent
     * (ivfTrainSql) applied to tokenizer training. */
-  private def bpeSql(k: Int): String = {
+  /** The shared WITH chain: w0 (char-piped word dict) then per
+    * iteration g/b/w CTE triples through w{k} (the fully rewritten
+    * dict — unreferenced CTEs cost nothing in the oracle engine). */
+  private def bpeChainSql(k: Int): String = {
     val sb = new StringBuilder
     sb.append(
       s"""WITH tok AS (SELECT unnest($toksSql) AS term FROM documents),
@@ -1982,7 +1991,7 @@ object SparkEntry {
            |  GROUP BY pr),
            |b$i AS (SELECT pr, c FROM g$i ORDER BY c DESC, pr ASC LIMIT 1),
            |""".stripMargin)
-      if (i < k - 1) sb.append(
+      sb.append(
         // greedy single-scan merge application — the same fold as
         // Bpe.applyMerge (lambda captures b's pair columns)
         s"""w${i + 1} AS (
@@ -2000,12 +2009,21 @@ object SparkEntry {
     }
     sb.setLength(sb.length - 2) // drop the last CTE's trailing ",\n"
     sb.append("\n")
-    sb.append((0 until k).map(i =>
-      s"SELECT ${i + 1}::BIGINT AS step, split_part(pr, ' ', 1) AS lhs, " +
-        s"split_part(pr, ' ', 2) AS rhs, c::BIGINT AS cnt FROM b$i")
-      .mkString("", "\nUNION ALL\n", "\nORDER BY step"))
     sb.toString
   }
+
+  private def bpeSql(k: Int): String =
+    bpeChainSql(k) + (0 until k).map(i =>
+      s"SELECT ${i + 1}::BIGINT AS step, split_part(pr, ' ', 1) AS lhs, " +
+        s"split_part(pr, ' ', 2) AS rhs, c::BIGINT AS cnt FROM b$i")
+      .mkString("", "\nUNION ALL\n", "\nORDER BY step")
+
+  private def bpeVocabSql(k: Int): String =
+    bpeChainSql(k) +
+      s"""SELECT sym AS symbol, sum(f)::BIGINT AS n FROM (
+         |  SELECT unnest(list_filter(string_split(s, '|'), x -> x <> '')) AS sym, f
+         |  FROM w$k)
+         |GROUP BY 1 ORDER BY symbol""".stripMargin
 
   /** Second portable polynomial (simhash64's high half — seed 13, ×37,
     * mod 998244353; see functions/SimHash64.scala). */
@@ -3067,6 +3085,7 @@ object SparkEntry {
          |FROM documents d LEFT JOIN agg ON d.doc_id = agg.doc_id
          |ORDER BY doc_id""".stripMargin,
     "bpe_merges" -> bpeSql(6),
+    "bpe_vocab" -> bpeVocabSql(6),
     "repetition_stats" ->
       """WITH d AS (SELECT doc_id, string_split(text, ' ') AS ws,
         |                  length(text) AS nc FROM documents),

@@ -86,4 +86,67 @@ object FreqSketch {
       .orderBy(col("est").desc, col(termCol).asc)
       .limit(k)
   }
+
+  // ---- persisted sketch store: because cells are SUMS, the append
+  // path needs no read-modify-write — delta cell rows land next to the
+  // base rows and the read side aggregates. The ingest-once/query-many
+  // shape the BM25 and IVF indexes already follow, at sketch size.
+
+  /** Write a fresh sketch store: `cells/` (append-mergeable rows) +
+    * `config/` (one (depth, width) row — the geometry guard). Clears
+    * stale streaming batch markers, matching `buildBm25Index`. */
+  def writeSketch(items: DataFrame, termCol: String, depth: Int, width: Int,
+                  path: String): Unit = {
+    val spark = items.sparkSession
+    import spark.implicits._
+    graft.io.Fs.delete(spark, s"$path/_applied_batches")
+    sketch(items, termCol, depth, width)
+      .write.mode("overwrite").parquet(s"$path/cells")
+    Seq((depth, width)).toDF("depth", "width")
+      .write.mode("overwrite").parquet(s"$path/config")
+  }
+
+  /** The store's geometry, failing loudly on a missing/inconsistent
+    * store (the `bm25IndexBuckets` guard convention). */
+  def sketchGeometry(spark: org.apache.spark.sql.SparkSession,
+                     path: String): (Int, Int) = {
+    require(graft.io.Fs.exists(spark, s"$path/config"),
+      s"no sketch store at $path (write one with writeSketch)")
+    val rows = spark.read.parquet(s"$path/config").distinct().collect()
+    require(rows.length == 1, s"inconsistent sketch config rows at $path")
+    (rows(0).getInt(0), rows(0).getInt(1))
+  }
+
+  /** Append a delta corpus into the store: build the delta's cells with
+    * the STORE's geometry and drop the rows next to the base cells —
+    * no read-modify-write, merge happens at read time (cells are
+    * sums). Duplicate-item re-appends double-count, same contract as
+    * `appendToBm25Index`. */
+  def appendToSketch(items: DataFrame, termCol: String, path: String): Unit = {
+    val (depth, width) = sketchGeometry(items.sparkSession, path)
+    sketch(items, termCol, depth, width)
+      .write.mode("append").parquet(s"$path/cells")
+  }
+
+  /** Read the store's merged cell table. */
+  def readSketch(spark: org.apache.spark.sql.SparkSession, path: String): DataFrame =
+    spark.read.parquet(s"$path/cells")
+      .groupBy("__row", "__col").agg(sum("cnt").as("cnt"))
+
+  /** Probe the persisted store for every distinct term of `probes`. */
+  def estimateFromStore(probes: DataFrame, termCol: String, path: String): DataFrame = {
+    val (depth, width) = sketchGeometry(probes.sparkSession, path)
+    estimate(readSketch(probes.sparkSession, path), probes, termCol, depth, width)
+  }
+
+  /** Re-aggregate an appended store's cell rows into one compact file
+    * (bounded: ≤ depth·width rows, so the driver round-trip is model-
+    * state-sized) — the small-files remedy. */
+  def compactSketch(spark: org.apache.spark.sql.SparkSession, path: String): Unit = {
+    import spark.implicits._
+    val merged = readSketch(spark, path).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    merged.toDF("__row", "__col", "cnt")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/cells")
+  }
 }

@@ -100,6 +100,27 @@ object StreamIngest {
         }
       }
 
+  /** Streaming maintenance of a persisted count-min sketch
+    * ([[graft.analysis.FreqSketch]]): each micro-batch's cells append
+    * next to the store's (cells are sums — no read-modify-write, the
+    * cheapest incremental index in the repo), the first batch
+    * self-initializes the store, and batch-id markers make restart
+    * replays no-ops. Estimates after the stream drains ≡ a sketch
+    * built over the whole corpus at once (spec-pinned) — frequency
+    * monitoring over an unbounded stream in depth·width cells. */
+  def sketchMaintenanceSink(items: DataFrame, termCol: String, depth: Int,
+                            width: Int, path: String): DataStreamWriter[org.apache.spark.sql.Row] =
+    items.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        oncePerBatch(batch.sparkSession, s"$path/_applied_batches", batchId) {
+          if (batch.isEmpty) ()
+          else if (!graft.io.Fs.exists(batch.sparkSession, s"$path/config"))
+            graft.analysis.FreqSketch.writeSketch(batch, termCol, depth, width, path)
+          else graft.analysis.FreqSketch.appendToSketch(batch, termCol, path)
+        }
+      }
+
   /** Streaming ingest-time dedup GATE against a persisted signature
     * store: each arriving micro-batch is deduped against the corpus ∪
     * itself ([[graft.analysis.Dedup.dedupDelta]]), the kept docs are

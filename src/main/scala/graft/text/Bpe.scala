@@ -62,11 +62,10 @@ object Bpe {
         .otherwise(concat(acc, x, lit("|"))))
   }
 
-  /** Learn `k` merges over the word dictionary of `textCol`. Returns
-    * `(step, lhs, rhs, cnt)` — merge rank, the two merged symbols, and
-    * the pair's dictionary-weighted count at selection time. */
-  def merges(docs: DataFrame, textCol: String, k: Int): DataFrame = {
-    val spark = docs.sparkSession
+  /** Train `k` merges and return both the merge table rows and the
+    * final (rewritten) dictionary the last merge produced. */
+  private def train(docs: DataFrame, textCol: String,
+                    k: Int): (Seq[Row], DataFrame) = {
     // the one corpus-scale pass; everything after runs on the dict
     val dict = docs
       .select(explode(TextAnalysis.tokens(col(textCol))).as("w"))
@@ -94,13 +93,35 @@ object Bpe {
           step += 1
         }
       }
-      val schema = StructType(Seq(
-        StructField("step", LongType, nullable = false),
-        StructField("lhs", StringType, nullable = false),
-        StructField("rhs", StringType, nullable = false),
-        StructField("cnt", LongType, nullable = false)))
-      spark.createDataFrame(
-        spark.sparkContext.parallelize(out.result(), 1), schema)
+      // materialize the final dict's lineage before releasing the cache
+      (out.result(), words.localCheckpoint(eager = true))
     } finally dict.unpersist()
+  }
+
+  /** Learn `k` merges over the word dictionary of `textCol`. Returns
+    * `(step, lhs, rhs, cnt)` — merge rank, the two merged symbols, and
+    * the pair's dictionary-weighted count at selection time. */
+  def merges(docs: DataFrame, textCol: String, k: Int): DataFrame = {
+    val spark = docs.sparkSession
+    val schema = StructType(Seq(
+      StructField("step", LongType, nullable = false),
+      StructField("lhs", StringType, nullable = false),
+      StructField("rhs", StringType, nullable = false),
+      StructField("cnt", LongType, nullable = false)))
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(train(docs, textCol, k)._1, 1), schema)
+  }
+
+  /** The ENCODE side: corpus symbol vocabulary after `k` learned
+    * merges — every word's post-merge symbols, counted weighted by
+    * word frequency. This is the table a tokenizer ships: symbol →
+    * corpus occurrence count (and its size tracks how far k compressed
+    * the character alphabet toward whole words). */
+  def vocab(docs: DataFrame, textCol: String, k: Int): DataFrame = {
+    val (_, words) = train(docs, textCol, k)
+    words
+      .select(explode(filter(split(col("s"), "\\|"), t => length(t) > 0))
+        .as("symbol"), col("f"))
+      .groupBy("symbol").agg(sum(col("f")).as("n"))
   }
 }

@@ -45,4 +45,17 @@ class BpeSpec extends SparkSpec {
       .collect().map(r => (r.getString(1), r.getString(2)))
     assert(got.toSeq == Seq(("a", "b")), s"got ${got.toSeq}")
   }
+
+  test("vocab after k merges is the rewritten dict's symbols, freq-weighted") {
+    // "aaab" x2, "ab" x1 after 3 merges (see first test): "aaab" ->
+    // |aaab| (merge 3 joined aa+ab), "ab" -> |ab|.
+    // symbols: aaab x2, ab x1
+    val got = Bpe.vocab(Seq("aaab aaab ab").toDF("text"), "text", 3)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq.sorted
+    assert(got == Seq(("aaab", 2L), ("ab", 1L)), s"got $got")
+    // and with zero merges the vocab is the character alphabet
+    val chars = Bpe.vocab(Seq("aaab aaab ab").toDF("text"), "text", 0)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq.sorted
+    assert(chars == Seq(("a", 7L), ("b", 3L)), s"got $chars")
+  }
 }

@@ -49,4 +49,45 @@ class FreqSketchSpec extends SparkSpec {
     val many = (0 until 10000).map(i => s"k$i").toDF("term")
     assert(FreqSketch.sketch(many, "term", 3, 64).count() <= 3L * 64)
   }
+
+  private def estimates(df: org.apache.spark.sql.DataFrame): Seq[(String, Long)] =
+    df.collect().map(r => (r.getAs[String]("term"), r.getAs[Long]("est"))).toSeq.sorted
+
+  test("persisted store: write + append + compact all preserve estimates") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-cmsk").toString + "/sk"
+    val (a, b) = (skewed.filter(col("term") <= "t2"), skewed.filter(col("term") > "t2"))
+    FreqSketch.writeSketch(a, "term", 3, 64, dir)
+    FreqSketch.appendToSketch(b, "term", dir)
+    val whole = estimates(
+      FreqSketch.estimate(FreqSketch.sketch(skewed, "term", 3, 64), skewed, "term", 3, 64))
+    assert(estimates(FreqSketch.estimateFromStore(skewed, "term", dir)) == whole)
+    FreqSketch.compactSketch(spark, dir)
+    assert(estimates(FreqSketch.estimateFromStore(skewed, "term", dir)) == whole)
+    // compaction actually compacted: one cell file
+    val files = new java.io.File(s"$dir/cells").listFiles()
+      .count(_.getName.endsWith(".parquet"))
+    assert(files == 1, s"expected 1 compacted cell file, got $files")
+  }
+
+  test("probing a missing store fails loudly") {
+    val e = intercept[IllegalArgumentException] {
+      FreqSketch.estimateFromStore(skewed, "term", "/tmp/graft-no-such-store")
+    }
+    assert(e.getMessage.contains("no sketch store"))
+  }
+
+  test("streaming maintenance: drained stream's estimates ≡ batch-built sketch") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft-cmstream").toString + "/sk"
+    val rows = skewed.collect().map(_.getString(0)).toSeq
+    val input = MemoryStream[String]
+    val q = graft.streaming.StreamIngest.sketchMaintenanceSink(
+      input.toDF().toDF("term"), "term", 3, 64, dir).start()
+    rows.grouped(13).foreach { g => input.addData(g); q.processAllAvailable() }
+    q.stop()
+    val whole = estimates(
+      FreqSketch.estimate(FreqSketch.sketch(skewed, "term", 3, 64), skewed, "term", 3, 64))
+    assert(estimates(FreqSketch.estimateFromStore(skewed, "term", dir)) == whole)
+  }
 }
