@@ -919,6 +919,18 @@ object SparkEntry {
         graft.store.ZOrder.zValue(col("user_id"),
           floor(col("value")).cast("long"), 11).as("z"))
         .orderBy(col("event_id"))),
+    // ---- [EXT] resample + gap-fill (analysis/TimeSeries): irregular
+    // events -> aligned daily panel with last-observation-carried-
+    // forward; keyed shuffles only, calendar bounds are two broadcast
+    // scalars, pre-first-observation rows carry a -1 sentinel (never
+    // NULL — hash-compare poison).
+    "events_gapfill" -> ((s, dir) =>
+      graft.analysis.TimeSeries.resampleDailyLocf(
+          Tables.events(s, dir), "user_id", "ts", "value", "event_id")
+        .select(col("user_id"),
+          date_format(col("day"), "yyyy-MM-dd").as("day"),
+          round(col("filled"), 6).as("filled"), col("is_gap"))
+        .orderBy(col("user_id"), col("day"))),
     // ---- [EXT] event-time tumbling hourly rollup
     "events_hourly" -> ((s, dir) =>
       Tables.events(s, dir)
@@ -3588,6 +3600,28 @@ object SparkEntry {
          |  (${graft.store.ZOrder.zSql("user_id", "floor(value)::BIGINT", 11)}
          |  )::BIGINT AS z
          |FROM events ORDER BY event_id""".stripMargin,
+    "events_gapfill" ->
+      """WITH pd AS (
+        |  SELECT user_id, date_trunc('day', ts) AS d, value,
+        |         row_number() OVER (PARTITION BY user_id, date_trunc('day', ts)
+        |                            ORDER BY ts DESC, event_id DESC) AS rn
+        |  FROM events),
+        |daily AS (SELECT user_id, d, value FROM pd WHERE rn = 1),
+        |b AS (SELECT min(d) AS lo, max(d) AS hi FROM daily),
+        |cal AS (
+        |  SELECT u.user_id, unnest(generate_series(b.lo, b.hi, INTERVAL 1 DAY)) AS d
+        |  FROM (SELECT DISTINCT user_id FROM events) u, b),
+        |j AS (
+        |  SELECT cal.user_id, cal.d, daily.value,
+        |         last_value(daily.value IGNORE NULLS) OVER (
+        |           PARTITION BY cal.user_id ORDER BY cal.d
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS lv
+        |  FROM cal LEFT JOIN daily
+        |    ON cal.user_id = daily.user_id AND cal.d = daily.d)
+        |SELECT user_id, strftime(d, '%Y-%m-%d') AS day,
+        |       round(coalesce(lv, -1), 6) AS filled,
+        |       (CASE WHEN value IS NULL THEN 1 ELSE 0 END)::BIGINT AS is_gap
+        |FROM j ORDER BY user_id, day""".stripMargin,
     "events_hourly" ->
       """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
         |       count(*) AS n, round(sum(value), 4) AS sum_value

@@ -1,0 +1,59 @@
+package graft.analysis
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Time-series regularization: resample an irregular event stream to a
+  * fixed grid and fill the gaps — the feature-engineering step between
+  * raw event logs and anything windowed/trained downstream (daily
+  * activity features, LOCF sensor panels).
+  *
+  * Shape at scale: one keyed aggregation to the grid (partial+final),
+  * one calendar explode of `keys × buckets` rows driven by two global
+  * scalars (min/max bucket — a 1-row broadcast, the `value_histogram`
+  * bounds precedent), one keyed left join, and one per-key ordered
+  * window for the carry-forward. Nothing global except the 2-scalar
+  * bounds; every heavy stage shuffles on the series key.
+  */
+object TimeSeries {
+  /** Daily resample with last-observation-carried-forward.
+    *
+    * Per (key, day): the LAST observation of the day under the total
+    * order `(tsCol, tieCol)`. Days with no observation appear with the
+    * previous day's value (`is_gap = 1`); days before a key's first
+    * observation carry the `noData` sentinel rather than NULL (NULL
+    * cells poison cross-engine hash comparison, and a sentinel keeps
+    * the column non-null for downstream schema contracts). The
+    * calendar spans the CORPUS min..max day for every key, so all
+    * series align on one grid (the panel-data convention).
+    */
+  def resampleDailyLocf(df: DataFrame, keyCol: String, tsCol: String,
+                        valCol: String, tieCol: String,
+                        noData: Double = -1.0): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val day = date_trunc("day", col(tsCol))
+    // last observation per (key, day) under a total order
+    val perDay = df
+      .withColumn("__day", day)
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy(col(keyCol), col("__day"))
+          .orderBy(col(tsCol).desc, col(tieCol).desc)))
+      .filter(col("__rn") === 1)
+      .select(col(keyCol), col("__day"), col(valCol).as("__v"))
+    // corpus-wide day bounds: two scalars on a 1-row broadcast
+    val bounds = perDay.agg(min(col("__day")).as("__lo"), max(col("__day")).as("__hi"))
+    val calendar = df.select(col(keyCol)).distinct()
+      .crossJoin(broadcast(bounds))
+      .select(col(keyCol),
+        explode(sequence(col("__lo"), col("__hi"),
+          expr("interval 1 day"))).as("__day"))
+    val w = Window.partitionBy(col(keyCol)).orderBy(col("__day"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    calendar
+      .join(perDay, Seq(keyCol, "__day"), "left")
+      .withColumn("filled", coalesce(
+        last(col("__v"), ignoreNulls = true).over(w), lit(noData)))
+      .withColumn("is_gap", when(col("__v").isNull, 1L).otherwise(0L))
+      .select(col(keyCol), col("__day").as("day"), col("filled"), col("is_gap"))
+  }
+}

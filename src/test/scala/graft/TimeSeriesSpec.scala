@@ -1,0 +1,63 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+
+import graft.analysis.TimeSeries
+
+/** Resample + LOCF gap-fill against a closed-form fixture: last-of-day
+  * selection under the total order, multi-day carry-forward, the
+  * pre-first-observation sentinel, and grid alignment across keys. */
+class TimeSeriesSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  test("gap-fill: last-of-day, LOCF across gaps, sentinel before first obs") {
+    val events = Seq(
+      // key A, day 1: two observations -> later ts wins
+      ("A", ts("2024-01-01 08:00:00"), 10.0, 1L),
+      ("A", ts("2024-01-01 17:00:00"), 11.0, 2L),
+      // key A, day 3 (day 2 is a gap)
+      ("A", ts("2024-01-03 09:00:00"), 33.0, 3L),
+      // key B: only day 2 (day 1 precedes its first observation)
+      ("B", ts("2024-01-02 12:00:00"), 20.0, 4L)
+    ).toDF("k", "t", "v", "id")
+    val got = TimeSeries.resampleDailyLocf(events, "k", "t", "v", "id")
+      .select(col("k"), date_format(col("day"), "yyyy-MM-dd").as("d"),
+        col("filled"), col("is_gap"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getDouble(2), r.getLong(3)))
+      .toSeq.sorted
+    assert(got == Seq(
+      ("A", "2024-01-01", 11.0, 0L), // last of day 1
+      ("A", "2024-01-02", 11.0, 1L), // gap: carried forward
+      ("A", "2024-01-03", 33.0, 0L),
+      ("B", "2024-01-01", -1.0, 1L), // before B's first observation
+      ("B", "2024-01-02", 20.0, 0L),
+      ("B", "2024-01-03", 20.0, 1L)  // carried to the corpus grid's end
+    ), s"got $got")
+  }
+
+  test("same-timestamp ties break on the tie column (higher id wins)") {
+    val events = Seq(
+      ("A", ts("2024-01-01 08:00:00"), 1.0, 1L),
+      ("A", ts("2024-01-01 08:00:00"), 2.0, 2L)
+    ).toDF("k", "t", "v", "id")
+    val got = TimeSeries.resampleDailyLocf(events, "k", "t", "v", "id")
+      .collect().map(_.getDouble(2))
+    assert(got.toSeq == Seq(2.0))
+  }
+
+  test("every stage shuffles on the series key: no single-partition window") {
+    val events = graft.io.Tables.events(spark, sf0001)
+    val plan = TimeSeries.resampleDailyLocf(events, "user_id", "ts", "value", "event_id")
+      .queryExecution.optimizedPlan
+    import org.apache.spark.sql.catalyst.plans.logical
+    val unpartitioned = plan.collect {
+      case w: logical.Window if w.partitionSpec.isEmpty => w
+      case w: logical.WindowGroupLimit if w.partitionSpec.isEmpty => w
+    }
+    assert(unpartitioned.isEmpty, s"single-partition window in:\n$plan")
+  }
+}
