@@ -1235,6 +1235,30 @@ object SparkEntry {
           col("peak"), round(col("rms"), 6).as("rms"))
         .orderBy(col("id"))
     }),
+    // ---- [EXT] multimodal: REAL video-container metadata — a RIFF/AVI
+    // chunk walker over raw bytes (the WAV path's container family; no
+    // codec). Fixture header fields are pure id arithmetic, so the
+    // oracle recomputes every parsed number; corrupt rows include a
+    // CROSS-MODALITY payload (a WAV fed to the AVI parser).
+    "avi_meta" -> ((s, dir) => {
+      import s.implicits._
+      val rows: Seq[(Long, Array[Byte])] = (0 until 10).map { i =>
+        val us = Seq(40000L, 33333L, 41667L)(i % 3)
+        (i.toLong, graft.multimodal.VideoFixtures.avi(us, i * 13L + 7, i % 2 + 1,
+          160L * (i % 3 + 1), 120L * (i % 3 + 1)))
+      } ++ Seq(
+        (10L, graft.multimodal.VideoFixtures.avi(40000L, 7, 1, 160, 120).take(30)),
+        (11L, graft.multimodal.AudioFixtures.wav(8000, 1, 16, 10,
+          graft.multimodal.AudioFixtures.rampSample(0L, 16))), // RIFF but WAVE
+        (12L, "definitely not video".getBytes("UTF-8")),
+        (13L, Array.empty[Byte]))
+      rows.toDF("id", "bytes").transform(m =>
+        graft.multimodal.Multimodal.decodeAviMeta(s, m).toDF())
+        .select(col("id"), col("format"), col("width"), col("height"),
+          col("n_frames"), col("n_streams"), round(col("fps"), 6).as("fps"),
+          round(col("duration_ms"), 6).as("duration_ms"))
+        .orderBy(col("id"))
+    }),
     // ---- [EXT] multimodal: binary payload + batched stub decode
     "multimodal_meta" -> ((s, dir) => {
       val media = Multimodal.asBinary(Tables.documents(s, dir), "doc_id", "text")
@@ -3584,6 +3608,25 @@ object SparkEntry {
         |FROM vals GROUP BY id
         |UNION ALL
         |SELECT 10::BIGINT, -1, -1.0, -1, -1.0
+        |ORDER BY id""".stripMargin,
+    "avi_meta" ->
+      """WITH params AS (
+        |  SELECT i::BIGINT AS id,
+        |         CASE i % 3 WHEN 0 THEN 40000 WHEN 1 THEN 33333
+        |                    ELSE 41667 END::BIGINT AS us,
+        |         (i * 13 + 7)::BIGINT AS frames,
+        |         (i % 2 + 1)::BIGINT AS streams,
+        |         (160 * (i % 3 + 1))::BIGINT AS w,
+        |         (120 * (i % 3 + 1))::BIGINT AS h
+        |  FROM range(0, 10) t(i))
+        |SELECT id, 'avi' AS format, w AS width, h AS height,
+        |       frames AS n_frames, streams AS n_streams,
+        |       round(1000000.0 / us, 6) AS fps,
+        |       round(frames * us / 1000.0, 6) AS duration_ms
+        |FROM params
+        |UNION ALL
+        |SELECT i::BIGINT, 'invalid', -1, -1, -1, -1, -1.0, -1.0
+        |FROM range(10, 14) t(i)
         |ORDER BY id""".stripMargin,
     "multimodal_meta" ->
       """SELECT doc_id, octet_length(encode(text))::BIGINT AS byte_len,

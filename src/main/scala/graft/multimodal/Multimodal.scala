@@ -166,6 +166,73 @@ object Multimodal {
       }
   }
 
+  /** AVI container metadata row — header fields only; sentinels on
+    * undecodable payloads, per the comparator convention. */
+  case class AviMeta(id: Long, format: String, width: Long, height: Long,
+                     n_frames: Long, n_streams: Long, fps: Double,
+                     duration_ms: Double)
+
+  /** REAL video-container metadata decode: a RIFF/AVI chunk walker
+    * over the raw bytes (the video twin of the WAV path — same
+    * container family, zero dependencies; frame DATA stays behind the
+    * codec stub boundary, see [[decodeFeatures]]). Walks
+    * `RIFF('AVI ') → LIST('hdrl') → avih` with bounds-checked
+    * little-endian reads: truncated, garbage, or cross-modality RIFF
+    * payloads (a WAV fed to the AVI parser) map to sentinel rows,
+    * never a throw. */
+  def decodeAviMeta(spark: SparkSession, media: DataFrame): Dataset[AviMeta] = {
+    import spark.implicits._
+    media.select(col("id"), col("bytes"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, b) =>
+          val invalid = AviMeta(id, "invalid", -1L, -1L, -1L, -1L, -1.0, -1.0)
+          def u32(off: Int): Long =
+            if (off + 4 > b.length) -1L
+            else (b(off) & 0xffL) | ((b(off + 1) & 0xffL) << 8) |
+              ((b(off + 2) & 0xffL) << 16) | ((b(off + 3) & 0xffL) << 24)
+          def fourcc(off: Int): String =
+            if (off + 4 > b.length) ""
+            else new String(b.slice(off, off + 4), "US-ASCII")
+          try {
+            if (fourcc(0) != "RIFF" || fourcc(8) != "AVI ") invalid
+            else {
+              // walk top-level chunks for LIST('hdrl'), then its
+              // subchunks for avih — chunk sizes are validated against
+              // the buffer so a truncated header degrades to invalid
+              var off = 12
+              var avih = -1
+              while (avih < 0 && off + 12 <= b.length) {
+                val size = u32(off + 4)
+                if (fourcc(off) == "LIST" && fourcc(off + 8) == "hdrl") {
+                  var sub = off + 12
+                  val end = math.min(off + 8 + size, b.length.toLong).toInt
+                  while (avih < 0 && sub + 8 <= end) {
+                    if (fourcc(sub) == "avih") avih = sub
+                    else sub += 8 + u32(sub + 4).toInt + (u32(sub + 4).toInt & 1)
+                  }
+                }
+                off += 8 + size.toInt + (size.toInt & 1) // chunks pad to even
+              }
+              if (avih < 0 || avih + 8 + 56 > b.length) invalid
+              else {
+                val usPerFrame = u32(avih + 8)
+                val frames = u32(avih + 8 + 16)
+                val streams = u32(avih + 8 + 24)
+                val width = u32(avih + 8 + 32)
+                val height = u32(avih + 8 + 36)
+                if (usPerFrame <= 0) invalid
+                else AviMeta(id, "avi", width, height, frames, streams,
+                  1000000.0 / usPerFrame, frames * usPerFrame / 1000.0)
+              }
+            }
+          } catch {
+            case scala.util.control.NonFatal(_) => invalid
+          }
+        }
+      }
+  }
+
   /** REAL PCM decode: `javax.sound.sampled` opens the stream, the
     * interleaved little-endian frames are read to exhaustion and
     * reduced to (count, mean, peak, rms) in one pass. Supports the PCM

@@ -1,0 +1,53 @@
+package graft.multimodal
+
+import java.io.ByteArrayOutputStream
+
+/** Deterministic AVI-container writer for the video metadata path —
+  * the video sibling of [[AudioFixtures]]: driver-built literal
+  * payloads whose header fields derive from the row id by pure
+  * integer arithmetic, so the decode oracle pins every parsed number
+  * in SQL without a codec.
+  *
+  * Emits a structurally VALID RIFF/AVI prefix: `RIFF('AVI ')`
+  * containing `LIST('hdrl')` whose first subchunk is the canonical
+  * 56-byte `avih` main header (OpenDML/VfW layout: microseconds per
+  * frame, max bytes/sec, padding, flags, total frames, initial
+  * frames, stream count, suggested buffer, width, height + 4
+  * reserved dwords). Frame DATA is out of scope — container METADATA
+  * is the Spark-side feature; decoding pixels needs a codec this
+  * environment doesn't ship (the documented stub boundary in
+  * [[Multimodal.decodeFeatures]]). */
+object VideoFixtures {
+
+  private def le32(v: Long): Array[Byte] =
+    Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+      ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
+
+  /** Valid AVI header-only container with the given main-header
+    * fields. */
+  def avi(usPerFrame: Long, totalFrames: Long, streams: Long,
+          width: Long, height: Long): Array[Byte] = {
+    val avih = new ByteArrayOutputStream()
+    avih.write("avih".getBytes("US-ASCII"))
+    avih.write(le32(56L))          // avih payload size
+    avih.write(le32(usPerFrame))
+    avih.write(le32(0L))           // dwMaxBytesPerSec
+    avih.write(le32(0L))           // dwPaddingGranularity
+    avih.write(le32(0x10L))        // dwFlags (AVIF_HASINDEX)
+    avih.write(le32(totalFrames))
+    avih.write(le32(0L))           // dwInitialFrames
+    avih.write(le32(streams))
+    avih.write(le32(0L))           // dwSuggestedBufferSize
+    avih.write(le32(width))
+    avih.write(le32(height))
+    (0 until 4).foreach(_ => avih.write(le32(0L))) // dwReserved[4]
+    val hdrl = "hdrl".getBytes("US-ASCII") ++ avih.toByteArray
+    val out = new ByteArrayOutputStream()
+    val listBytes = "LIST".getBytes("US-ASCII") ++ le32(hdrl.length.toLong) ++ hdrl
+    out.write("RIFF".getBytes("US-ASCII"))
+    out.write(le32(4L + listBytes.length)) // 'AVI ' + payload
+    out.write("AVI ".getBytes("US-ASCII"))
+    out.write(listBytes)
+    out.toByteArray
+  }
+}

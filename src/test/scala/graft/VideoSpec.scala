@@ -1,0 +1,38 @@
+package graft
+
+import graft.multimodal.{AudioFixtures, Multimodal, VideoFixtures}
+
+/** AVI container metadata decode: field-exact parse of the fixture
+  * header, and hostile-input robustness — every truncation prefix of a
+  * valid file must produce a row (parse or sentinel), never a throw. */
+class VideoSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("parses the avih fields exactly") {
+    val b = VideoFixtures.avi(33333L, 240L, 2L, 1920L, 1080L)
+    val got = Multimodal.decodeAviMeta(spark, Seq((1L, b)).toDF("id", "bytes"))
+      .collect()(0)
+    assert(got.format == "avi" && got.width == 1920L && got.height == 1080L &&
+      got.n_frames == 240L && got.n_streams == 2L)
+    assert(math.abs(got.fps - 30.00030000300003) < 1e-9)
+    assert(math.abs(got.duration_ms - 240 * 33333 / 1000.0) < 1e-9)
+  }
+
+  test("every truncation prefix yields a row, never a throw") {
+    val full = VideoFixtures.avi(40000L, 100L, 1L, 640L, 480L)
+    val rows = full.indices.map(n => (n.toLong, full.take(n)))
+    val got = Multimodal.decodeAviMeta(spark, rows.toDF("id", "bytes")).collect()
+    assert(got.length == full.length)
+    // only the complete header parses; every prefix is a sentinel row
+    assert(got.forall(r => r.format == "invalid" || r.id == full.length - 1 ||
+      r.format == "avi"))
+    assert(got.count(_.format == "avi") <= 1)
+  }
+
+  test("cross-modality RIFF payloads are rejected (WAV is not AVI)") {
+    val wav = AudioFixtures.wav(8000, 1, 16, 10, AudioFixtures.rampSample(0L, 16))
+    val got = Multimodal.decodeAviMeta(spark, Seq((1L, wav)).toDF("id", "bytes"))
+      .collect()(0)
+    assert(got.format == "invalid")
+  }
+}
