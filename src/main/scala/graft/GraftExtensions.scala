@@ -58,6 +58,23 @@ object GraftExtensions {
       new ExpressionInfo(classOf[graft.functions.KmvSketchAgg].getName, "kmv_distinct"),
       (es: Seq[Expression]) => graft.functions.KmvSketchAgg(es(0),
         intArg(es(1), "kmv_distinct"))),
+    ("zvalue",
+      new ExpressionInfo(graft.store.ZOrder.getClass.getName, "zvalue"),
+      (es: Seq[Expression]) => {
+        // the same sum-of-shifts as ZOrder.zValue, built as raw
+        // catalyst nodes (a functions._ Column bridged here stays an
+        // unresolved ColumnNode wrapper the analyzer won't touch)
+        import org.apache.spark.sql.catalyst.expressions.{Add, BitwiseAnd, Literal, Multiply, ShiftRight}
+        val bits = intArg(es(2), "zvalue")
+        require(bits >= 1 && bits <= 31, s"zvalue: 1 <= bits <= 31: $bits")
+        (0 until bits).map { b =>
+          Add(
+            Multiply(BitwiseAnd(ShiftRight(es(0), Literal(b)), Literal(1L)),
+              Literal(1L << (2 * b))),
+            Multiply(BitwiseAnd(ShiftRight(es(1), Literal(b)), Literal(1L)),
+              Literal(1L << (2 * b + 1))))
+        }.reduce[Expression]((a, c) => Add(a, c))
+      }),
     ("bloom_might_contain",
       new ExpressionInfo(classOf[BloomMightContain].getName, "bloom_might_contain"),
       (es: Seq[Expression]) => BloomMightContain(es(0), es(1),

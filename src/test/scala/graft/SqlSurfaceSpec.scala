@@ -59,6 +59,18 @@ class SqlSurfaceSpec extends SparkSpec {
     assert(sh != 0L)
   }
 
+  test("zvalue via spark.sql matches the Column API and hand Morton codes") {
+    GraftExtensions.register(spark)
+    val z = spark.sql("SELECT zvalue(2L, 1L, 4) AS z, zvalue(3L, 3L, 2) AS z2").head()
+    assert(z.getLong(0) == 6L && z.getLong(1) == 15L)
+    import spark.implicits._
+    val viaCol = Seq((7L, 5L)).toDF("x", "y")
+      .select(graft.store.ZOrder.zValue(col("x"), col("y"), 8)).head().getLong(0)
+    Seq((7L, 5L)).toDF("x", "y").createOrReplaceTempView("zv_t")
+    val viaSql = spark.sql("SELECT zvalue(x, y, 8) FROM zv_t").head().getLong(0)
+    assert(viaCol == viaSql)
+  }
+
   test("nfc_normalize: composes decomposed text, identity on NFC, null-safe, via SQL") {
     GraftExtensions.register(spark)
     import spark.implicits._
