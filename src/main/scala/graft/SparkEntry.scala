@@ -931,6 +931,17 @@ object SparkEntry {
           date_format(col("day"), "yyyy-MM-dd").as("day"),
           round(col("filled"), 6).as("filled"), col("is_gap"))
         .orderBy(col("user_id"), col("day"))),
+    // ---- [EXT] the two-sided fill: linear interpolation between the
+    // surrounding observations (flat at the edges), kind = observed /
+    // interpolated / edge. Integer day arithmetic keeps the weights
+    // exact rationals.
+    "events_interp" -> ((s, dir) =>
+      graft.analysis.TimeSeries.resampleDailyInterp(
+          Tables.events(s, dir), "user_id", "ts", "value", "event_id")
+        .select(col("user_id"),
+          date_format(col("day"), "yyyy-MM-dd").as("day"),
+          round(col("filled"), 6).as("filled"), col("kind"))
+        .orderBy(col("user_id"), col("day"))),
     // ---- [EXT] event-time tumbling hourly rollup
     "events_hourly" -> ((s, dir) =>
       Tables.events(s, dir)
@@ -3664,6 +3675,41 @@ object SparkEntry {
         |SELECT user_id, strftime(d, '%Y-%m-%d') AS day,
         |       round(coalesce(lv, -1), 6) AS filled,
         |       (CASE WHEN value IS NULL THEN 1 ELSE 0 END)::BIGINT AS is_gap
+        |FROM j ORDER BY user_id, day""".stripMargin,
+    "events_interp" ->
+      """WITH pd AS (
+        |  SELECT user_id, date_trunc('day', ts) AS d, value,
+        |         row_number() OVER (PARTITION BY user_id, date_trunc('day', ts)
+        |                            ORDER BY ts DESC, event_id DESC) AS rn
+        |  FROM events),
+        |daily AS (SELECT user_id, d, value FROM pd WHERE rn = 1),
+        |b AS (SELECT min(d) AS lo, max(d) AS hi FROM daily),
+        |cal AS (
+        |  SELECT u.user_id, unnest(generate_series(b.lo, b.hi, INTERVAL 1 DAY)) AS d
+        |  FROM (SELECT DISTINCT user_id FROM events) u, b),
+        |j AS (
+        |  SELECT cal.user_id, cal.d, daily.value AS v,
+        |         last_value(daily.value IGNORE NULLS) OVER wback AS pv,
+        |         last_value(CASE WHEN daily.value IS NOT NULL THEN cal.d END
+        |                    IGNORE NULLS) OVER wback AS pdy,
+        |         first_value(daily.value IGNORE NULLS) OVER wfwd AS nv,
+        |         first_value(CASE WHEN daily.value IS NOT NULL THEN cal.d END
+        |                     IGNORE NULLS) OVER wfwd AS ndy
+        |  FROM cal LEFT JOIN daily
+        |    ON cal.user_id = daily.user_id AND cal.d = daily.d
+        |  WINDOW wback AS (PARTITION BY cal.user_id ORDER BY cal.d
+        |                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+        |         wfwd AS (PARTITION BY cal.user_id ORDER BY cal.d
+        |                  ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+        |SELECT user_id, strftime(d, '%Y-%m-%d') AS day,
+        |       round(CASE WHEN v IS NOT NULL THEN v
+        |                  WHEN pv IS NULL THEN nv
+        |                  WHEN nv IS NULL THEN pv
+        |                  ELSE pv + (nv - pv) * date_diff('day', pdy, d)
+        |                            / date_diff('day', pdy, ndy) END, 6) AS filled,
+        |       (CASE WHEN v IS NOT NULL THEN 0
+        |             WHEN pv IS NULL OR nv IS NULL THEN 2
+        |             ELSE 1 END)::BIGINT AS kind
         |FROM j ORDER BY user_id, day""".stripMargin,
     "events_hourly" ->
       """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,

@@ -56,4 +56,56 @@ object TimeSeries {
       .withColumn("is_gap", when(col("__v").isNull, 1L).otherwise(0L))
       .select(col(keyCol), col("__day").as("day"), col("filled"), col("is_gap"))
   }
+
+  /** Daily resample with LINEAR interpolation — the two-sided fill:
+    * a gap day between observations gets
+    * `prev + (next − prev) · elapsed/gap_span`; before the first /
+    * after the last observation the nearest observation extends flat
+    * (`kind` distinguishes `0` observed, `1` interpolated, `2` edge).
+    * Same grid/keyed-shuffle shape as [[resampleDailyLocf]], plus the
+    * mirrored forward window for the next observation — still one
+    * partition pass per direction, per key. Day arithmetic is integer
+    * (datediff), so the interpolation weights are exact small
+    * rationals and the result replays cross-engine under round-6. */
+  def resampleDailyInterp(df: DataFrame, keyCol: String, tsCol: String,
+                          valCol: String, tieCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val day = date_trunc("day", col(tsCol))
+    val perDay = df
+      .withColumn("__day", day)
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy(col(keyCol), col("__day"))
+          .orderBy(col(tsCol).desc, col(tieCol).desc)))
+      .filter(col("__rn") === 1)
+      .select(col(keyCol), col("__day"), col(valCol).as("__v"))
+    val bounds = perDay.agg(min(col("__day")).as("__lo"), max(col("__day")).as("__hi"))
+    val calendar = df.select(col(keyCol)).distinct()
+      .crossJoin(broadcast(bounds))
+      .select(col(keyCol),
+        explode(sequence(col("__lo"), col("__hi"),
+          expr("interval 1 day"))).as("__day"))
+    val back = Window.partitionBy(col(keyCol)).orderBy(col("__day"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val fwd = Window.partitionBy(col(keyCol)).orderBy(col("__day"))
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val obsDay = when(col("__v").isNotNull, col("__day"))
+    calendar
+      .join(perDay, Seq(keyCol, "__day"), "left")
+      .withColumn("__pv", last(col("__v"), ignoreNulls = true).over(back))
+      .withColumn("__pd", last(obsDay, ignoreNulls = true).over(back))
+      .withColumn("__nv", first(col("__v"), ignoreNulls = true).over(fwd))
+      .withColumn("__nd", first(obsDay, ignoreNulls = true).over(fwd))
+      .withColumn("filled",
+        when(col("__v").isNotNull, col("__v"))
+          .when(col("__pv").isNull, col("__nv")) // before first obs
+          .when(col("__nv").isNull, col("__pv")) // after last obs
+          .otherwise(col("__pv") + (col("__nv") - col("__pv")) *
+            datediff(col("__day"), col("__pd")) /
+            datediff(col("__nd"), col("__pd"))))
+      .withColumn("kind",
+        when(col("__v").isNotNull, 0L)
+          .when(col("__pv").isNull || col("__nv").isNull, 2L)
+          .otherwise(1L))
+      .select(col(keyCol), col("__day").as("day"), col("filled"), col("kind"))
+  }
 }

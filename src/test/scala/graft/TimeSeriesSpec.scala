@@ -49,6 +49,29 @@ class TimeSeriesSpec extends SparkSpec {
     assert(got.toSeq == Seq(2.0))
   }
 
+  test("linear interpolation: exact weights between obs, flat at the edges") {
+    val events = Seq(
+      ("A", ts("2024-01-01 08:00:00"), 12.0, 1L),
+      ("A", ts("2024-01-04 08:00:00"), 42.0, 2L),
+      ("B", ts("2024-01-02 12:00:00"), 20.0, 3L)
+    ).toDF("k", "t", "v", "id")
+    val got = TimeSeries.resampleDailyInterp(events, "k", "t", "v", "id")
+      .select(col("k"), date_format(col("day"), "yyyy-MM-dd").as("d"),
+        round(col("filled"), 6).as("f"), col("kind"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getDouble(2), r.getLong(3)))
+      .toSeq.sorted
+    assert(got == Seq(
+      ("A", "2024-01-01", 12.0, 0L),
+      ("A", "2024-01-02", 22.0, 1L), // 12 + 30*(1/3)
+      ("A", "2024-01-03", 32.0, 1L), // 12 + 30*(2/3)
+      ("A", "2024-01-04", 42.0, 0L),
+      ("B", "2024-01-01", 20.0, 2L), // edge: back-filled flat
+      ("B", "2024-01-02", 20.0, 0L),
+      ("B", "2024-01-03", 20.0, 2L),
+      ("B", "2024-01-04", 20.0, 2L)
+    ), s"got $got")
+  }
+
   test("every stage shuffles on the series key: no single-partition window") {
     val events = graft.io.Tables.events(spark, sf0001)
     val plan = TimeSeries.resampleDailyLocf(events, "user_id", "ts", "value", "event_id")
