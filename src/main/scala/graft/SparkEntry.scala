@@ -942,6 +942,14 @@ object SparkEntry {
           date_format(col("day"), "yyyy-MM-dd").as("day"),
           round(col("filled"), 6).as("filled"), col("kind"))
         .orderBy(col("user_id"), col("day"))),
+    // ---- [EXT] half-life decayed counters: recency-weighted activity
+    // per event_type (the batch fold of an exponentially-decayed
+    // streaming counter). Weights are exact powers of two, so the
+    // decayed count needs no float-order contract.
+    "events_decayed" -> ((s, dir) =>
+      graft.analysis.TimeSeries.halfLifeDecayed(
+          Tables.events(s, dir), "event_type", "ts", "value", 7)
+        .orderBy(col("event_type"))),
     // ---- [EXT] event-time tumbling hourly rollup
     "events_hourly" -> ((s, dir) =>
       Tables.events(s, dir)
@@ -3711,6 +3719,17 @@ object SparkEntry {
         |             WHEN pv IS NULL OR nv IS NULL THEN 2
         |             ELSE 1 END)::BIGINT AS kind
         |FROM j ORDER BY user_id, day""".stripMargin,
+    "events_decayed" ->
+      """WITH b AS (SELECT max(date_trunc('day', ts)) AS mx FROM events),
+        |w AS (
+        |  SELECT event_type, value,
+        |         pow(2.0, -floor(date_diff('day', date_trunc('day', ts), b.mx)
+        |                         / 7.0)) AS wt
+        |  FROM events, b)
+        |SELECT event_type, count(*) AS n_raw,
+        |       round(sum(wt), 6) AS n_decayed,
+        |       round(sum(value * wt), 4) AS value_decayed
+        |FROM w GROUP BY event_type ORDER BY event_type""".stripMargin,
     "events_hourly" ->
       """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
         |       count(*) AS n, round(sum(value), 4) AS sum_value

@@ -108,4 +108,31 @@ object TimeSeries {
           .otherwise(1L))
       .select(col(keyCol), col("__day").as("day"), col("filled"), col("kind"))
   }
+
+  /** Half-life decayed counters per key — the batch replay of an
+    * exponentially-decayed streaming counter (recency-weighted
+    * activity, trending detection): each event contributes
+    * `2^(−floor(days_ago / halfLifeDays))` toward its key, anchored at
+    * the corpus max day (one broadcast scalar). The weights are exact
+    * powers of two, so the decayed COUNT is a sum of exact dyadic
+    * rationals — order-independent, bit-identical on any engine with
+    * no float-summation contract; the value-weighted sum inherits the
+    * usual round-to-absorb-reduction-order rule. One scan, partial+
+    * final aggregation — at stream scale this is what the counter
+    * state folds to on every read. */
+  def halfLifeDecayed(df: DataFrame, keyCol: String, tsCol: String,
+                      valCol: String, halfLifeDays: Int): DataFrame = {
+    require(halfLifeDays >= 1, s"halfLifeDays >= 1: $halfLifeDays")
+    val day = date_trunc("day", col(tsCol))
+    val bounds = df.agg(max(day).as("__mx"))
+    df.withColumn("__day", day)
+      .crossJoin(broadcast(bounds))
+      .withColumn("__w", pow(lit(2.0),
+        -floor(datediff(col("__mx"), col("__day")) / lit(halfLifeDays.toDouble))
+          .cast("double")))
+      .groupBy(col(keyCol))
+      .agg(count(lit(1)).as("n_raw"),
+        round(sum(col("__w")), 6).as("n_decayed"),
+        round(sum(col(valCol) * col("__w")), 4).as("value_decayed"))
+  }
 }

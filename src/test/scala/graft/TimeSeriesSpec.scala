@@ -72,6 +72,22 @@ class TimeSeriesSpec extends SparkSpec {
     ), s"got $got")
   }
 
+  test("half-life decay: exact dyadic weights, anchored at corpus max day") {
+    val events = Seq(
+      ("A", ts("2024-01-15 10:00:00"), 8.0, 1L),  // day 0: weight 1
+      ("A", ts("2024-01-08 10:00:00"), 8.0, 2L),  // 7 days ago: 1/2
+      ("A", ts("2024-01-01 10:00:00"), 8.0, 3L),  // 14 days ago: 1/4
+      ("B", ts("2024-01-09 10:00:00"), 4.0, 4L)   // 6 days ago: weight 1
+    ).toDF("k", "t", "v", "id")
+    val got = TimeSeries.halfLifeDecayed(events, "k", "t", "v", 7)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+      .toSeq.sorted
+    assert(got == Seq(
+      ("A", 3L, 1.75, 14.0), // 1 + 1/2 + 1/4; 8*(1 + .5 + .25)
+      ("B", 1L, 1.0, 4.0)
+    ), s"got $got")
+  }
+
   test("every stage shuffles on the series key: no single-partition window") {
     val events = graft.io.Tables.events(spark, sf0001)
     val plan = TimeSeries.resampleDailyLocf(events, "user_id", "ts", "value", "event_id")
