@@ -1690,6 +1690,15 @@ object SparkEntry {
         .select(explode(TextAnalysis.tokens(col("text"))).as("term"))
       FreqSketch.heavyHitters(toks, "term", 3, 64, 10)
     }),
+    // ---- [EXT] per-domain vocabulary profile with per-group bounded
+    // state: one sketch per source, top-3 terms per source by a keyed
+    // window (the kmv_distinct_groups shape for frequency).
+    "cmin_by_source" -> ((s, dir) => {
+      val toks = Tables.documents(s, dir)
+        .select(col("source"), explode(TextAnalysis.tokens(col("text"))).as("term"))
+      FreqSketch.heavyHittersByGroup(toks, "source", "term", 3, 64, 3)
+        .orderBy(col("source"), col("rk"))
+    }),
     // ---- [EXT] window frame: running per-user event totals
     "running_total" -> ((s, dir) => {
       val w = Window.partitionBy(col("user_id"))
@@ -4091,6 +4100,26 @@ object SparkEntry {
          |  GROUP BY 1)
          |SELECT term, est::BIGINT AS est FROM est
          |ORDER BY est DESC, term ASC LIMIT 10""".stripMargin,
+    "cmin_by_source" ->
+      s"""WITH tok AS (SELECT source, unnest($toksSql) AS term FROM documents),
+         |fp AS (SELECT source, term, ${polySql("term")} AS f FROM tok),
+         |js AS (SELECT unnest(range(0, 3)) AS j),
+         |cells AS (
+         |  SELECT source, j, ${graft.analysis.FreqSketch.cellSql("f", "j", 64)} AS c,
+         |         count(*) AS cnt
+         |  FROM fp CROSS JOIN js GROUP BY 1, 2, 3),
+         |probes AS (SELECT DISTINCT source, term, f FROM fp),
+         |est AS (
+         |  SELECT p.source, p.term, min(coalesce(cl.cnt, 0)) AS est
+         |  FROM probes p CROSS JOIN js
+         |  LEFT JOIN cells cl ON cl.source = p.source AND cl.j = js.j
+         |   AND cl.c = ${graft.analysis.FreqSketch.cellSql("p.f", "js.j", 64)}
+         |  GROUP BY 1, 2),
+         |rk AS (SELECT source, row_number() OVER (PARTITION BY source
+         |                ORDER BY est DESC, term ASC) AS rk, term, est
+         |       FROM est)
+         |SELECT source, rk::BIGINT AS rk, term, est::BIGINT AS est
+         |FROM rk WHERE rk <= 3 ORDER BY source, rk""".stripMargin,
     "running_total" ->
       """SELECT event_id, user_id,
         |       round(sum(value) OVER (PARTITION BY user_id

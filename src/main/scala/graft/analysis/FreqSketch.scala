@@ -87,6 +87,39 @@ object FreqSketch {
       .limit(k)
   }
 
+  /** Per-group heavy hitters with per-group bounded state: one sketch
+    * per `groupCol` value (state = groups × depth × width, the
+    * `kmv_distinct` grouped precedent), probed by each group's own
+    * candidates, top-k per group by a keyed window — per-domain
+    * vocabulary profiling where the exact per-group term counts would
+    * shuffle a row per (group, term). */
+  def heavyHittersByGroup(items: DataFrame, groupCol: String, termCol: String,
+                          depth: Int, width: Int, k: Int): DataFrame = {
+    require(depth >= 1 && width >= 2, s"depth >= 1, width >= 2: $depth x $width")
+    val sk = items
+      .select(col(groupCol), TextAnalysis.fingerprint(col(termCol)).as("__fp"))
+      .select(col(groupCol),
+        explode(sequence(lit(0L), lit(depth - 1L))).as("__row"), col("__fp"))
+      .groupBy(col(groupCol), col("__row"),
+        cell(col("__fp"), col("__row"), width).as("__col"))
+      .agg(count(lit(1)).as("cnt"))
+    val est = items
+      .select(col(groupCol), col(termCol)).distinct()
+      .withColumn("__fp", TextAnalysis.fingerprint(col(termCol)))
+      .withColumn("__row", explode(sequence(lit(0L), lit(depth - 1L))))
+      .withColumn("__col", cell(col("__fp"), col("__row"), width))
+      .join(sk, Seq(groupCol, "__row", "__col"), "left")
+      .groupBy(col(groupCol), col(termCol))
+      .agg(min(coalesce(col("cnt"), lit(0L))).as("est"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(groupCol))
+      .orderBy(col("est").desc, col(termCol).asc)
+    est.withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") <= k)
+      .select(col(groupCol), col("__rk").cast("long").as("rk"),
+        col(termCol), col("est"))
+  }
+
   // ---- persisted sketch store: because cells are SUMS, the append
   // path needs no read-modify-write — delta cell rows land next to the
   // base rows and the read side aggregates. The ingest-once/query-many

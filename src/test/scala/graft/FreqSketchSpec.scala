@@ -50,6 +50,16 @@ class FreqSketchSpec extends SparkSpec {
     assert(FreqSketch.sketch(many, "term", 3, 64).count() <= 3L * 64)
   }
 
+  test("grouped heavy hitters: sketches are isolated per group") {
+    // group g1 is heavy on "x", g2 on "y" — cross-group leakage (a
+    // shared cell table) would inflate the other group's estimate
+    val items = (Seq.fill(10)(("g1", "x")) ++ Seq.fill(2)(("g1", "y")) ++
+      Seq.fill(10)(("g2", "y")) ++ Seq.fill(2)(("g2", "x"))).toDF("g", "term")
+    val got = FreqSketch.heavyHittersByGroup(items, "g", "term", 3, 512, 1)
+      .collect().map(r => (r.getString(0), r.getString(2), r.getLong(3))).toSeq.sorted
+    assert(got == Seq(("g1", "x", 10L), ("g2", "y", 10L)), s"got $got")
+  }
+
   private def estimates(df: org.apache.spark.sql.DataFrame): Seq[(String, Long)] =
     df.collect().map(r => (r.getAs[String]("term"), r.getAs[Long]("est"))).toSeq.sorted
 
