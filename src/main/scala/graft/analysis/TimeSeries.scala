@@ -42,7 +42,10 @@ object TimeSeries {
       .select(col(keyCol), col("__day"), col(valCol).as("__v"))
     // corpus-wide day bounds: two scalars on a 1-row broadcast
     val bounds = perDay.agg(min(col("__day")).as("__lo"), max(col("__day")).as("__hi"))
-    val calendar = df.select(col(keyCol)).distinct()
+    // keys from perDay, not the raw table: identical key set (every
+    // event yields a perDay row) and the shared subplan lets Spark
+    // reuse the aggregation exchange instead of rescanning the source
+    val calendar = perDay.select(col(keyCol)).distinct()
       .crossJoin(broadcast(bounds))
       .select(col(keyCol),
         explode(sequence(col("__lo"), col("__hi"),
@@ -79,7 +82,10 @@ object TimeSeries {
       .filter(col("__rn") === 1)
       .select(col(keyCol), col("__day"), col(valCol).as("__v"))
     val bounds = perDay.agg(min(col("__day")).as("__lo"), max(col("__day")).as("__hi"))
-    val calendar = df.select(col(keyCol)).distinct()
+    // keys from perDay, not the raw table: identical key set (every
+    // event yields a perDay row) and the shared subplan lets Spark
+    // reuse the aggregation exchange instead of rescanning the source
+    val calendar = perDay.select(col(keyCol)).distinct()
       .crossJoin(broadcast(bounds))
       .select(col(keyCol),
         explode(sequence(col("__lo"), col("__hi"),

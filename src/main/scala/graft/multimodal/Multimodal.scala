@@ -200,19 +200,25 @@ object Multimodal {
               // walk top-level chunks for LIST('hdrl'), then its
               // subchunks for avih — chunk sizes are validated against
               // the buffer so a truncated header degrades to invalid
+              // a hostile 32-bit size truncates to a negative Int and
+              // would stall the walk — clamp every advance to forward
+              // progress and bail on sizes the buffer can't contain
+              def step(size: Long): Int =
+                if (size < 0 || size > b.length) b.length // hostile: jump to end
+                else 8 + size.toInt + (size.toInt & 1)    // chunks pad to even
               var off = 12
               var avih = -1
-              while (avih < 0 && off + 12 <= b.length) {
+              while (avih < 0 && off >= 0 && off + 12 <= b.length) {
                 val size = u32(off + 4)
                 if (fourcc(off) == "LIST" && fourcc(off + 8) == "hdrl") {
                   var sub = off + 12
                   val end = math.min(off + 8 + size, b.length.toLong).toInt
-                  while (avih < 0 && sub + 8 <= end) {
+                  while (avih < 0 && sub >= 0 && sub + 8 <= end) {
                     if (fourcc(sub) == "avih") avih = sub
-                    else sub += 8 + u32(sub + 4).toInt + (u32(sub + 4).toInt & 1)
+                    else sub += step(u32(sub + 4))
                   }
                 }
-                off += 8 + size.toInt + (size.toInt & 1) // chunks pad to even
+                off += step(size)
               }
               if (avih < 0 || avih + 8 + 56 > b.length) invalid
               else {

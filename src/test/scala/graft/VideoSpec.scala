@@ -29,6 +29,21 @@ class VideoSpec extends SparkSpec {
     assert(got.count(_.format == "avi") <= 1)
   }
 
+  test("hostile chunk sizes terminate: negative/oversized u32 cannot stall the walk") {
+    // 0xFFFFFFF8 truncates to Int -8, which without a guard makes the
+    // chunk step 8 + (-8) + 0 = 0 — an infinite loop. Craft a RIFF/AVI
+    // whose first top-level chunk declares that size.
+    def le32(v: Long): Array[Byte] =
+      Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+        ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
+    val hostile = "RIFF".getBytes("US-ASCII") ++ le32(100L) ++
+      "AVI ".getBytes("US-ASCII") ++
+      "JUNK".getBytes("US-ASCII") ++ le32(0xFFFFFFF8L) ++ Array.fill(64)(0.toByte)
+    val got = Multimodal.decodeAviMeta(spark, Seq((1L, hostile)).toDF("id", "bytes"))
+      .collect()(0)
+    assert(got.format == "invalid")
+  }
+
   test("cross-modality RIFF payloads are rejected (WAV is not AVI)") {
     val wav = AudioFixtures.wav(8000, 1, 16, 10, AudioFixtures.rampSample(0L, 16))
     val got = Multimodal.decodeAviMeta(spark, Seq((1L, wav)).toDF("id", "bytes"))
