@@ -49,6 +49,7 @@ object FreqSketch {
   def sketch(items: DataFrame, termCol: String, depth: Int, width: Int): DataFrame = {
     require(depth >= 1 && width >= 2, s"depth >= 1, width >= 2: $depth x $width")
     items
+      .filter(col(termCol).isNotNull) // NULL keys are ignored, like count(col)
       .select(TextAnalysis.fingerprint(col(termCol)).as("__fp"))
       .select(explode(sequence(lit(0L), lit(depth - 1L))).as("__row"), col("__fp"))
       .groupBy(col("__row"), cell(col("__fp"), col("__row"), width).as("__col"))
@@ -68,6 +69,7 @@ object FreqSketch {
   def estimate(sk: DataFrame, probes: DataFrame, termCol: String,
                depth: Int, width: Int): DataFrame =
     probes
+      .filter(col(termCol).isNotNull)
       .select(col(termCol)).distinct()
       .withColumn("__fp", TextAnalysis.fingerprint(col(termCol)))
       .withColumn("__row", explode(sequence(lit(0L), lit(depth - 1L))))
@@ -96,14 +98,15 @@ object FreqSketch {
   def heavyHittersByGroup(items: DataFrame, groupCol: String, termCol: String,
                           depth: Int, width: Int, k: Int): DataFrame = {
     require(depth >= 1 && width >= 2, s"depth >= 1, width >= 2: $depth x $width")
-    val sk = items
+    val clean = items.filter(col(termCol).isNotNull)
+    val sk = clean
       .select(col(groupCol), TextAnalysis.fingerprint(col(termCol)).as("__fp"))
       .select(col(groupCol),
         explode(sequence(lit(0L), lit(depth - 1L))).as("__row"), col("__fp"))
       .groupBy(col(groupCol), col("__row"),
         cell(col("__fp"), col("__row"), width).as("__col"))
       .agg(count(lit(1)).as("cnt"))
-    val est = items
+    val est = clean
       .select(col(groupCol), col(termCol)).distinct()
       .withColumn("__fp", TextAnalysis.fingerprint(col(termCol)))
       .withColumn("__row", explode(sequence(lit(0L), lit(depth - 1L))))
