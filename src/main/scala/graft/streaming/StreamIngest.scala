@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.DataStreamWriter
 import org.apache.spark.sql.types._
@@ -179,6 +179,59 @@ object StreamIngest {
       .withWatermark(tsCol, watermark)
       .dropDuplicatesWithinWatermark("__text_hash")
       .drop("__text_hash")
+
+  /** Per-key state of a half-life-decayed streaming counter: counters
+    * decayed to `anchorDay` (the latest event day seen for the key). */
+  case class DecayState(anchorDay: Int, nDec: Double, vDec: Double, nRaw: Long)
+
+  /** A key's decayed counters as of its latest event. */
+  case class DecayedCount(key: String, n_raw: Long, n_decayed: Double,
+                          value_decayed: Double)
+
+  /** Streaming half-life-decayed counters — the stateful twin of
+    * [[graft.analysis.TimeSeries.halfLifeDecayed]] at `halfLifeDays =
+    * 1` (per-day halving): O(1) state per key (`mapGroupsWithState`),
+    * each event folds in with weight `2^(−days_before_anchor)` and a
+    * newer day RESCALES the counters by an exact power of two before
+    * re-anchoring. Day weights compose exactly at per-day granularity
+    * (`2^-(d−e) = 2^-(a−e) · 2^-(d−a)` — integer exponents), so the
+    * decayed COUNT of a drained stream equals the batch fold
+    * bit-for-bit regardless of arrival order or batch boundaries
+    * (spec-pinned); the value-weighted sum agrees under rounding
+    * (reduction order). Coarser half-lives do not compose across
+    * re-anchoring (floor((d−e)/h) ≠ floor((a−e)/h) + floor((d−a)/h)) —
+    * use the batch fold for those. */
+  def decayedCountsStream(events: DataFrame, keyCol: String, tsCol: String,
+                          valCol: String): Dataset[DecayedCount] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .select(col(keyCol).cast("string").as("k"),
+        datediff(date_trunc("day", col(tsCol)), lit("1970-01-01").cast("date"))
+          .cast("int").as("d"),
+        col(valCol).cast("double").as("v"))
+      .as[(String, Int, Double)]
+      .groupByKey(_._1)
+      .mapGroupsWithState[DecayState, DecayedCount](
+        org.apache.spark.sql.streaming.GroupStateTimeout.NoTimeout) {
+        (k, it, state) =>
+          var s = state.getOption.getOrElse(DecayState(Int.MinValue, 0.0, 0.0, 0L))
+          it.foreach { case (_, d, v) =>
+            s =
+              if (s.anchorDay == Int.MinValue) DecayState(d, 1.0, v, 1L)
+              else if (d <= s.anchorDay) {
+                val w = math.pow(2.0, (d - s.anchorDay).toDouble) // late event
+                DecayState(s.anchorDay, s.nDec + w, s.vDec + v * w, s.nRaw + 1)
+              } else {
+                val f = math.pow(2.0, (s.anchorDay - d).toDouble) // re-anchor
+                DecayState(d, s.nDec * f + 1.0, s.vDec * f + v, s.nRaw + 1)
+              }
+          }
+          state.update(s)
+          DecayedCount(k, s.nRaw,
+            math.rint(s.nDec * 1e6) / 1e6, math.rint(s.vDec * 1e4) / 1e4)
+      }
+  }
 
   /** Stream-stream inner join with event-time bounds — each view
     * matched to the same user's clicks in the preceding `joinWindow`

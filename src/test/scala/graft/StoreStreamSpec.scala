@@ -307,4 +307,38 @@ class StoreStreamSpec extends SparkSpec {
       .collect().map(_.getLong(0)).sorted.toSeq
     assert(ids == Seq(0L, 1L, 3L)) // 2 dropped: same md5 inside the watermark
   }
+
+  test("streaming decayed counters: drained stream ≡ batch fold at h=1") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val events = graft.io.Tables.events(spark, sf0001)
+      .select(col("event_type"), col("ts"), col("value"))
+    val rows = events.collect()
+      .map(r => (r.getString(0), r.getTimestamp(1), r.getDouble(2))).toSeq
+    val input = MemoryStream[(String, java.sql.Timestamp, Double)]
+    val q = StreamIngest.decayedCountsStream(
+        input.toDF().toDF("event_type", "ts", "value"),
+        "event_type", "ts", "value")
+      .writeStream.outputMode("update").format("memory")
+      .queryName("decay_sink").start()
+    rows.grouped(137).foreach { g => input.addData(g); q.processAllAvailable() }
+    q.stop()
+    // the last update per key is the one with the key's full n_raw
+    val streamed = spark.table("decay_sink")
+      .collect().map(r => (r.getString(0), (r.getLong(1), r.getDouble(2), r.getDouble(3))))
+      .groupBy(_._1).map { case (k, vs) => (k, vs.map(_._2).maxBy(_._1)) }
+    val batch = graft.analysis.TimeSeries
+      .halfLifeDecayed(events, "event_type", "ts", "value", 1)
+      .collect().map(r => (r.getString(0), (r.getLong(1), r.getDouble(2), r.getDouble(3))))
+      .toMap
+    assert(streamed.keySet == batch.keySet)
+    streamed.foreach { case (k, (nRaw, nDec, vDec)) =>
+      val (bRaw, bDec, bVal) = batch(k)
+      assert(nRaw == bRaw, s"$k n_raw")
+      // decayed count: exact dyadics on both paths — tight agreement
+      assert(math.abs(nDec - bDec) < 1e-9, s"$k n_decayed $nDec vs $bDec")
+      // value-weighted sum: different reduction order — rounding-level
+      assert(math.abs(vDec - bVal) < 1e-3, s"$k value_decayed $vDec vs $bVal")
+    }
+  }
 }
