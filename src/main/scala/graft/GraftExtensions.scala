@@ -58,6 +58,11 @@ object GraftExtensions {
       new ExpressionInfo(classOf[graft.functions.KmvSketchAgg].getName, "kmv_distinct"),
       (es: Seq[Expression]) => graft.functions.KmvSketchAgg(es(0),
         intArg(es(1), "kmv_distinct"))),
+    ("random_project",
+      new ExpressionInfo(classOf[graft.functions.RandomProject].getName, "random_project"),
+      (es: Seq[Expression]) => graft.functions.RandomProject(es(0),
+        graft.vector.VectorOps.rpSigns(intArg(es(1), "random_project"),
+          intArg(es(2), "random_project")))),
     ("zvalue",
       new ExpressionInfo(graft.store.ZOrder.getClass.getName, "zvalue"),
       (es: Seq[Expression]) => {

@@ -129,10 +129,20 @@ object VectorOps {
     }
 
   /** Project a vector through [[rpSigns]]: `p_i = Σ_j v_j·s_ij`, double
-    * accumulation in index order (parity with `list_dot_product`). The
-    * matrix rides the plan as a literal — a map-only pass, no shuffle,
-    * no model table to join; the standard pre-ANN compression step
-    * (4× fewer multiply-adds per cosine at 64→16). */
+    * accumulation in index order (parity with `list_dot_product`).
+    * Backed by the fused codegen kernel
+    * [[graft.functions.RandomProject]] — the matrix rides as one
+    * reference object and the projection is a single allocation-free
+    * loop; a map-only pass, no shuffle, no model table to join; the
+    * standard pre-ANN compression step (4× fewer multiply-adds per
+    * cosine at 64→16). Bit-identical to [[randomProjectHof]]
+    * (asserted in tests). */
   def randomProject(vec: Column, signs: Seq[Seq[Double]]): Column =
+    graft.functions.RandomProject(vec, signs)
+
+  /** Builtin-HOF formulation of [[randomProject]] — outDim zip
+    * allocations per row; kept as the executable specification the
+    * fused kernel is tested against. */
+  def randomProjectHof(vec: Column, signs: Seq[Seq[Double]]): Column =
     transform(typedlit(signs), row => dot(vec, row))
 }

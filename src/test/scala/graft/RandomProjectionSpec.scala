@@ -74,6 +74,24 @@ class RandomProjectionSpec extends SparkSpec {
     assert(c48 > 0.1, s"48-dim projection should track exact cosine: $c48")
   }
 
+  test("fused kernel ≡ HOF reference bit-for-bit; null/shape edges") {
+    val signs = VectorOps.rpSigns(64, 16)
+    val both = emb.select(
+      VectorOps.randomProject(col("embedding"), signs).as("k"),
+      VectorOps.randomProjectHof(col("embedding"), signs).as("h"))
+      .collect()
+    both.foreach { r =>
+      assert(r.getSeq[Double](0) == r.getSeq[Double](1), "kernel != HOF")
+    }
+    // dimension mismatch and null input -> NULL (never a truncated
+    // projection, which would silently mis-rank)
+    import spark.implicits._
+    val bad = Seq(Seq(1.0, 2.0), null).toDF("v")
+      .select(VectorOps.randomProject(col("v"), signs).as("p"))
+      .collect()
+    assert(bad.forall(_.isNullAt(0)))
+  }
+
   test("projection is map-only: plan has no exchange below the project") {
     val signs = VectorOps.rpSigns(64, 16)
     val plan = emb.select(VectorOps.randomProject(col("embedding"), signs))

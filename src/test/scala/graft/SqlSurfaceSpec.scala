@@ -59,6 +59,20 @@ class SqlSurfaceSpec extends SparkSpec {
     assert(sh != 0L)
   }
 
+  test("random_project via spark.sql matches the Column API") {
+    GraftExtensions.register(spark)
+    spark.read.parquet(s"$sf0001/embeddings.parquet").limit(20)
+      .createOrReplaceTempView("emb_rp")
+    val viaSql = spark.sql(
+      "SELECT random_project(embedding, 64, 16) AS p FROM emb_rp ORDER BY vec_id")
+      .collect().map(_.getSeq[Double](0))
+    val viaCol = spark.table("emb_rp")
+      .select(graft.vector.VectorOps.randomProject(col("embedding"),
+        graft.vector.VectorOps.rpSigns(64, 16)).as("p"))
+      .orderBy(col("vec_id")).collect().map(_.getSeq[Double](0))
+    assert(viaSql.toSeq == viaCol.toSeq)
+  }
+
   test("zvalue via spark.sql matches the Column API and hand Morton codes") {
     GraftExtensions.register(spark)
     val z = spark.sql("SELECT zvalue(2L, 1L, 4) AS z, zvalue(3L, 3L, 2) AS z2").head()
