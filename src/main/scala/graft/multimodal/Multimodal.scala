@@ -180,60 +180,69 @@ object Multimodal {
     * little-endian reads: truncated, garbage, or cross-modality RIFF
     * payloads (a WAV fed to the AVI parser) map to sentinel rows,
     * never a throw. */
+  /** The pure parse: `Some((usPerFrame, frames, streams, width,
+    * height))` when the walk reaches a complete `avih`, else None.
+    * Total on ANY byte input (property-fuzzed): every advance clamps
+    * to forward progress, so hostile sizes cannot stall the loop. */
+  private[graft] def parseAvi(b: Array[Byte]): Option[(Long, Long, Long, Long, Long)] = {
+    def u32(off: Int): Long =
+      if (off < 0 || off + 4 > b.length) -1L
+      else (b(off) & 0xffL) | ((b(off + 1) & 0xffL) << 8) |
+        ((b(off + 2) & 0xffL) << 16) | ((b(off + 3) & 0xffL) << 24)
+    def fourcc(off: Int): String =
+      if (off < 0 || off + 4 > b.length) ""
+      else new String(b.slice(off, off + 4), "US-ASCII")
+    try {
+      if (fourcc(0) != "RIFF" || fourcc(8) != "AVI ") None
+      else {
+        // walk top-level chunks for LIST('hdrl'), then its subchunks
+        // for avih — chunk sizes are validated against the buffer so a
+        // truncated header degrades to None. A hostile 32-bit size
+        // truncates to a negative Int and would stall the walk — clamp
+        // every advance to forward progress and bail on sizes the
+        // buffer can't contain.
+        def step(size: Long): Int =
+          if (size < 0 || size > b.length) b.length // hostile: jump to end
+          else 8 + size.toInt + (size.toInt & 1)    // chunks pad to even
+        var off = 12
+        var avih = -1
+        while (avih < 0 && off >= 0 && off + 12 <= b.length) {
+          val size = u32(off + 4)
+          if (fourcc(off) == "LIST" && fourcc(off + 8) == "hdrl") {
+            var sub = off + 12
+            val end = math.min(off + 8 + size, b.length.toLong).toInt
+            while (avih < 0 && sub >= 0 && sub + 8 <= end) {
+              if (fourcc(sub) == "avih") avih = sub
+              else sub += step(u32(sub + 4))
+            }
+          }
+          off += step(size)
+        }
+        if (avih < 0 || avih + 8 + 56 > b.length) None
+        else {
+          val usPerFrame = u32(avih + 8)
+          if (usPerFrame <= 0) None
+          else Some((usPerFrame, u32(avih + 8 + 16), u32(avih + 8 + 24),
+            u32(avih + 8 + 32), u32(avih + 8 + 36)))
+        }
+      }
+    } catch {
+      case scala.util.control.NonFatal(_) => None
+    }
+  }
+
   def decodeAviMeta(spark: SparkSession, media: DataFrame): Dataset[AviMeta] = {
     import spark.implicits._
     media.select(col("id"), col("bytes"))
       .as[(Long, Array[Byte])]
       .mapPartitions { it =>
         it.map { case (id, b) =>
-          val invalid = AviMeta(id, "invalid", -1L, -1L, -1L, -1L, -1.0, -1.0)
-          def u32(off: Int): Long =
-            if (off + 4 > b.length) -1L
-            else (b(off) & 0xffL) | ((b(off + 1) & 0xffL) << 8) |
-              ((b(off + 2) & 0xffL) << 16) | ((b(off + 3) & 0xffL) << 24)
-          def fourcc(off: Int): String =
-            if (off + 4 > b.length) ""
-            else new String(b.slice(off, off + 4), "US-ASCII")
-          try {
-            if (fourcc(0) != "RIFF" || fourcc(8) != "AVI ") invalid
-            else {
-              // walk top-level chunks for LIST('hdrl'), then its
-              // subchunks for avih — chunk sizes are validated against
-              // the buffer so a truncated header degrades to invalid
-              // a hostile 32-bit size truncates to a negative Int and
-              // would stall the walk — clamp every advance to forward
-              // progress and bail on sizes the buffer can't contain
-              def step(size: Long): Int =
-                if (size < 0 || size > b.length) b.length // hostile: jump to end
-                else 8 + size.toInt + (size.toInt & 1)    // chunks pad to even
-              var off = 12
-              var avih = -1
-              while (avih < 0 && off >= 0 && off + 12 <= b.length) {
-                val size = u32(off + 4)
-                if (fourcc(off) == "LIST" && fourcc(off + 8) == "hdrl") {
-                  var sub = off + 12
-                  val end = math.min(off + 8 + size, b.length.toLong).toInt
-                  while (avih < 0 && sub >= 0 && sub + 8 <= end) {
-                    if (fourcc(sub) == "avih") avih = sub
-                    else sub += step(u32(sub + 4))
-                  }
-                }
-                off += step(size)
-              }
-              if (avih < 0 || avih + 8 + 56 > b.length) invalid
-              else {
-                val usPerFrame = u32(avih + 8)
-                val frames = u32(avih + 8 + 16)
-                val streams = u32(avih + 8 + 24)
-                val width = u32(avih + 8 + 32)
-                val height = u32(avih + 8 + 36)
-                if (usPerFrame <= 0) invalid
-                else AviMeta(id, "avi", width, height, frames, streams,
-                  1000000.0 / usPerFrame, frames * usPerFrame / 1000.0)
-              }
-            }
-          } catch {
-            case scala.util.control.NonFatal(_) => invalid
+          parseAvi(b) match {
+            case Some((us, frames, streams, width, height)) =>
+              AviMeta(id, "avi", width, height, frames, streams,
+                1000000.0 / us, frames * us / 1000.0)
+            case None =>
+              AviMeta(id, "invalid", -1L, -1L, -1L, -1L, -1.0, -1.0)
           }
         }
       }

@@ -84,7 +84,11 @@ class CodegenCleanSpec extends SparkSpec {
       graft.functions.NearestCentroid(col("a"),
         Seq(Seq(1.0, 0.0), Seq(0.0, 1.0))).as("nc"),
       graft.functions.NearestCentroidL2(col("a"),
-        Seq(Seq(1.0, 0.0), Seq(0.0, 1.0))).as("ncl2"))
+        Seq(Seq(1.0, 0.0), Seq(0.0, 1.0))).as("ncl2"),
+      // overrides nullable=true even under a non-nullable child (its
+      // mismatch/null-element paths need ev.isNull to exist)
+      graft.functions.RandomProject(col("a"),
+        Seq(Seq(1.0, -1.0), Seq(-1.0, 1.0))).as("rp"))
     val (errors, plan) = runCaptured(df)
     assert(errors.isEmpty, s"CodeGenerator ERRORs:\n${errors.mkString("\n")}")
     assert(codegenLines(plan).exists(_.contains("cos_sim")),

@@ -71,6 +71,31 @@ class Round10PropertySpec extends AnyFunSuite {
     acc.split("\\|").filter(_.nonEmpty).toList
   }
 
+  test("AVI walker total on arbitrary bytes: parses or rejects, never hangs/throws") {
+    // drive the same chunk walk the executor runs, over random byte
+    // soups seeded with RIFF/AVI magics so the walker actually enters
+    // its loops (pure random bytes die at the magic check)
+    val gen = for {
+      seed <- org.scalacheck.Gen.listOfN(80, org.scalacheck.Gen.chooseNum(-128, 127))
+      riff <- org.scalacheck.Gen.oneOf(true, false)
+    } yield {
+      val bytes = seed.map(_.toByte).toArray
+      if (riff && bytes.length >= 12) {
+        "RIFF".getBytes("US-ASCII").copyToArray(bytes, 0)
+        "AVI ".getBytes("US-ASCII").copyToArray(bytes, 8)
+      }
+      bytes
+    }
+    passes(Prop.forAll(gen) { bytes =>
+      // the property is termination + no throw on the hostile-input
+      // space; field-exact parsing on VALID files is VideoSpec's job
+      val f = scala.concurrent.Future {
+        graft.multimodal.Multimodal.parseAvi(bytes); true
+      }(scala.concurrent.ExecutionContext.global)
+      scala.concurrent.Await.result(f, scala.concurrent.duration.Duration(10, "s"))
+    })
+  }
+
   test("BPE fold merge ≡ reference greedy scan on random symbol strings") {
     val sym = Gen.oneOf("a", "b", "ab", "aa", "c")
     val gen = for {
