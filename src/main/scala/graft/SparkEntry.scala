@@ -712,6 +712,18 @@ object SparkEntry {
     "bpe_vocab" -> ((s, dir) =>
       graft.text.Bpe.vocab(Tables.documents(s, dir), "text", 6)
         .orderBy(col("symbol"))),
+    // ---- [EXT] BPE ENCODE over documents with the trained merge
+    // table — the per-document ingest-time operator (training is
+    // bpe_merges; this applies its 6 merges to every token through the
+    // native BpeEncode kernel, merge table as a reference object).
+    // Output: per-(doc, symbol) counts. Oracle re-trains the table in
+    // SQL and replays the same greedy fold per token per merge.
+    "bpe_encode" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val table = graft.text.Bpe.mergeTable(docs, "text", 6)
+      graft.text.Bpe.encodeSymbols(docs, "doc_id", "text", table)
+        .orderBy(col("doc_id"), col("symbol"))
+    }),
     // ---- [EXT] character-entropy quality signal (the CCNet/Gopher
     // compression-ratio heuristic, codec-free so the oracle replays it
     // exactly): low entropy flags repetitive or degenerate text
@@ -1331,6 +1343,56 @@ object SparkEntry {
       Ann.deleteFromIvfIndex(
         emb.filter(col("vec_id") % 5 === 0).select(col("vec_id")), path)
       Ann.ivfIndexTopK(s, path, queryVec(s, dir), cents, 5, 3)
+        .select(col("vec_id"), col("sim"))
+    }),
+    // ---- [EXT] index RETRAIN — the end of the maintenance lifecycle
+    // the append path leaves open (appends assign against the original
+    // centroids forever; recall decays under drift): build on 80%,
+    // append 20%, retrain from the index's CURRENT contents, probe.
+    // The trainer is deterministic (init = k lowest-id rows), so the
+    // retrained index must answer exactly like a fresh full-corpus
+    // k-means build — the same oracle as ann_kmeans_top5.
+    "ann_index_retrain_top5" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val cents80 = Ann.kmeansCentroids(
+        emb.filter(col("vec_id") < 400), "vec_id", "embedding", 10, 2)
+      val src = scratchDir("ivf-retrain-src")
+      val dst = scratchDir("ivf-retrain-dst")
+      Ann.buildIvfIndex(emb.filter(col("vec_id") < 400), cents80, src)
+      Ann.appendToIvfIndex(emb.filter(col("vec_id") >= 400), cents80, src)
+      val cents = Ann.retrainIvfIndex(s, src, dst, 10, 2)
+      Ann.ivfIndexTopK(s, dst, queryVec(s, dir), cents, 5, 3)
+        .select(col("vec_id"), col("sim"))
+    }),
+    // ---- [EXT] assignment-quality DRIFT — the "retrain now?" scalar:
+    // label centroids recorded at build over the first 80%, the rest
+    // appended against them; drift compares the recorded build-time
+    // mean row↔assigned-centroid cosine with the current contents'.
+    // The oracle replays both means as avg-of-max-centroid-cosine
+    // (assignment is the argmax, so its similarity IS the max).
+    "ann_index_drift" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val build = emb.filter(col("vec_id") < 400)
+      val cents: Seq[Seq[Double]] = Ann.centroids(build, "label", "embedding")
+        .orderBy(col("key")).collect().map(_.getSeq[Double](1).toSeq).toSeq
+      val path = scratchDir("ivf-drift")
+      Ann.buildIvfIndex(build, cents, path)
+      Ann.recordIvfModel(s, path, cents)
+      Ann.appendToIvfIndex(emb.filter(col("vec_id") >= 400), cents, path)
+      Ann.assignmentDrift(s, path)
+    }),
+    // ---- [EXT] FILTERED ANN — "top-k WHERE …" composed with the IVF
+    // index: the predicate runs INSIDE the probed partitions (pruning
+    // unchanged), with an exact-count fallback to the full index when
+    // the probed clusters hold fewer than k matches (documented in
+    // Ann.ivfIndexTopKFiltered; not triggered here — spec covers it).
+    "ann_filtered_top5" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val cents = Ann.kmeansCentroids(emb, "vec_id", "embedding", 10, 2)
+      val path = scratchDir("ivf-filtered")
+      Ann.buildIvfIndex(emb, cents, path)
+      Ann.ivfIndexTopKFiltered(s, path, queryVec(s, dir), cents,
+          col("vec_id") % 3 =!= 0, 5, 3)
         .select(col("vec_id"), col("sim"))
     }),
     // ---- [EXT] anti join (the dedup-subtract shape, SURVEY §2 semi/anti)
@@ -2089,6 +2151,44 @@ object SparkEntry {
          |  FROM w$k)
          |GROUP BY 1 ORDER BY symbol""".stripMargin
 
+  /** ENCODE replay: train the merge table (the [[bpeChainSql]] chain's
+    * b0..b{k-1}), then apply each merge IN RANK ORDER to every
+    * document's tokens with the same greedy `list_reduce` fold the
+    * dictionary rewrite uses — mirroring
+    * [[graft.functions.BpeEncode]]'s per-word kernel step for step. */
+  private def bpeEncodeSql(k: Int): String = {
+    val sb = new StringBuilder(bpeChainSql(k))
+    sb.append(
+      s""",
+         |e0 AS (
+         |  SELECT doc_id, regexp_replace(term, '(.)', '|\\1', 'g') || '|' AS s
+         |  FROM (SELECT doc_id, unnest($toksSql) AS term FROM documents)),
+         |""".stripMargin)
+    for (i <- 0 until k) {
+      sb.append(
+        s"""e${i + 1} AS (
+           |  SELECT w.doc_id, list_reduce(
+           |    list_prepend('|', list_filter(string_split(w.s, '|'), x -> x <> '')),
+           |    (acc, x) -> CASE
+           |      WHEN x = split_part(b.pr, ' ', 2)
+           |       AND ends_with(acc, '|' || split_part(b.pr, ' ', 1) || '|')
+           |      THEN substr(acc, 1,
+           |                  length(acc) - length(split_part(b.pr, ' ', 1)) - 1)
+           |           || replace(b.pr, ' ', '') || '|'
+           |      ELSE acc || x || '|' END) AS s
+           |  FROM e$i w, b$i b),
+           |""".stripMargin)
+    }
+    sb.setLength(sb.length - 2)
+    sb.append(
+      s"""
+         |SELECT doc_id, sym AS symbol, count(*)::BIGINT AS n FROM (
+         |  SELECT doc_id, unnest(list_filter(string_split(s, '|'), x -> x <> '')) AS sym
+         |  FROM e$k)
+         |GROUP BY 1, 2 ORDER BY doc_id, symbol""".stripMargin)
+    sb.toString
+  }
+
   /** Second portable polynomial (simhash64's high half — seed 13, ×37,
     * mod 998244353; see functions/SimHash64.scala). */
   private def polyBSql(e: String): String =
@@ -2470,6 +2570,31 @@ object SparkEntry {
     "ann_index_append_top5" -> kmeansIvfTop5Sql,
     "ann_index_delete_top5" ->
       kmeansIvfTop5SqlWhere("\n  WHERE e.vec_id % 5 <> 0"),
+    // retrain from current contents (= the full corpus after the 80/20
+    // append) with the deterministic trainer ≡ fresh full-corpus build
+    "ann_index_retrain_top5" -> kmeansIvfTop5Sql,
+    // the filter runs inside the probed clusters: same probe ranking,
+    // predicate on the candidate scan
+    "ann_filtered_top5" ->
+      kmeansIvfTop5SqlWhere("\n  WHERE e.vec_id % 3 <> 0"),
+    "ann_index_drift" -> {
+      def rawCos(a: String, b: String) =
+        s"list_dot_product($a, $b) / (sqrt(list_dot_product($a, $a)) * sqrt(list_dot_product($b, $b)))"
+      s"""WITH bc AS (
+         |  SELECT label, i, avg(embedding[i]::DOUBLE) AS c
+         |  FROM embeddings, (SELECT unnest(range(1, 65)) AS i) ix
+         |  WHERE vec_id < 400
+         |  GROUP BY 1, 2),
+         |bcl AS (SELECT label, list(c ORDER BY i) AS centroid FROM bc GROUP BY label),
+         |sims AS (
+         |  SELECT e.vec_id, max(${rawCos("e.embedding::DOUBLE[]", "c.centroid")}) AS ms
+         |  FROM embeddings e CROSS JOIN bcl c GROUP BY e.vec_id),
+         |b AS (SELECT round(avg(ms), 6) AS build_mean_sim FROM sims WHERE vec_id < 400),
+         |cu AS (SELECT round(avg(ms), 6) AS current_mean_sim FROM sims)
+         |SELECT build_mean_sim, current_mean_sim,
+         |       round(build_mean_sim - current_mean_sim, 6) AS drift
+         |FROM b, cu""".stripMargin
+    },
     "ann_lsh_top5" -> {
       val planeLits = graft.search.Ann.planes(64, 8).map(p =>
         p.map(x => "%.17e".formatLocal(java.util.Locale.ROOT, x))
@@ -3150,6 +3275,7 @@ object SparkEntry {
          |ORDER BY doc_id""".stripMargin,
     "bpe_merges" -> bpeSql(6),
     "bpe_vocab" -> bpeVocabSql(6),
+    "bpe_encode" -> bpeEncodeSql(6),
     "repetition_stats" ->
       """WITH d AS (SELECT doc_id, string_split(text, ' ') AS ws,
         |                  length(text) AS nc FROM documents),

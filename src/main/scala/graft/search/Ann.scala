@@ -265,6 +265,113 @@ object Ann {
       query, k, idCol, vecCol)
   }
 
+  /** FILTERED index probe — the production shape "top-k WHERE
+    * lang = 'en'" composed with the IVF index. The predicate is applied
+    * INSIDE the probed partitions (pushed below the exact top-k, next
+    * to the pruned scan, so non-probed directories still never open and
+    * non-matching rows never reach the ranking), with an exact-count
+    * fallback: a selective predicate can leave fewer than `k` matches
+    * inside the probed clusters — the probe checks (one bounded driver
+    * count on the PRUNED scan, `limit(k).count()` so it stops at k) and
+    * widens to the full index when short. The fallback is the
+    * exact-filtered answer at full filtered-scan cost — the documented
+    * trade; production over-fetch (raising nprobe stepwise) sits
+    * between the two and composes by calling this with a larger
+    * `nprobe`. Guarantee: returns min(k, matching survivors) rows —
+    * never silently fewer because of cluster pruning. */
+  def ivfIndexTopKFiltered(spark: org.apache.spark.sql.SparkSession, path: String,
+                           query: DataFrame, cents: Seq[Seq[Double]],
+                           predicate: Column, k: Int, nprobe: Int,
+                           idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val qvec = query.select(col("qvec")).head().getSeq[Number](0)
+      .map(_.doubleValue()).toSeq
+    val probes = probeIds(cents, qvec, nprobe)
+    def survivors(df: DataFrame): DataFrame =
+      dropTombstones(df, path, idCol).filter(predicate).drop("__cluster")
+    val probed = survivors(
+      spark.read.parquet(path).filter(col("__cluster").isin(probes: _*)))
+    val cand =
+      if (probed.limit(k).count() < k) survivors(spark.read.parquet(path))
+      else probed
+    Search.knn(cand, query, k, idCol, vecCol)
+  }
+
+  /** Record an index's model state next to its data: the centroid
+    * table at `<path>.model/` and the current mean assignment
+    * similarity at `<path>.stats/` — the drift BASELINE. Call right
+    * after [[buildIvfIndex]] (and after a retrain): appends then move
+    * the data distribution while the centroids stand still, and
+    * [[assignmentDrift]] measures how far. */
+  def recordIvfModel(spark: org.apache.spark.sql.SparkSession, path: String,
+                     cents: Seq[Seq[Double]],
+                     idCol: String = "vec_id", vecCol: String = "embedding"): Unit = {
+    import spark.implicits._
+    cents.zipWithIndex.map { case (c, i) => (i, c) }
+      .toDF("__cluster", "centroid")
+      .coalesce(1) // model state: k × dim doubles, one file
+      .write.mode("overwrite").parquet(s"$path.model")
+    Seq(meanAssignSim(spark, path, idCol, vecCol)).toDF("mean_sim")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path.stats")
+  }
+
+  /** Mean cosine between each surviving index row and its ASSIGNED
+    * centroid — since assignment is the cosine argmax, this is the
+    * per-row MAX centroid similarity averaged over the index: one scan
+    * of the index joined to the broadcast k-row model. */
+  private def meanAssignSim(spark: org.apache.spark.sql.SparkSession, path: String,
+                            idCol: String, vecCol: String): Double =
+    dropTombstones(spark.read.parquet(path), path, idCol)
+      .join(broadcast(spark.read.parquet(s"$path.model")), Seq("__cluster"))
+      .agg(avg(VectorOps.cosine(col(vecCol), col("centroid"))).as("m"))
+      .head().getDouble(0)
+
+  /** Assignment-quality drift of a maintained index vs its recorded
+    * build-time baseline — the "is it time to retrain?" scalar the
+    * append path otherwise hides: [[appendToIvfIndex]] assigns deltas
+    * against the ORIGINAL centroids forever, so under distribution
+    * drift the mean row↔assigned-centroid similarity decays while
+    * probes silently lose recall. One row `(build_mean_sim,
+    * current_mean_sim, drift)` (round-6, the float-determinism
+    * contract); drift > 0 means the current contents sit farther from
+    * their centroids than the build corpus did — schedule
+    * [[retrainIvfIndex]] when it crosses the deployment's threshold. */
+  def assignmentDrift(spark: org.apache.spark.sql.SparkSession, path: String,
+                      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    import spark.implicits._
+    // HALF_UP like the SQL round() both engines use (rint would be
+    // half-even — the probeIds rounding precedent)
+    def r6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val b6 = r6(spark.read.parquet(s"$path.stats").head().getDouble(0))
+    val c6 = r6(meanAssignSim(spark, path, idCol, vecCol))
+    Seq((b6, c6, r6(b6 - c6)))
+      .toDF("build_mean_sim", "current_mean_sim", "drift")
+  }
+
+  /** Re-train an appended/deleted index from its CURRENT contents and
+    * rewrite it at `dstPath` — the missing end of the maintenance
+    * lifecycle (build → append/delete → drift → RETRAIN): fresh Lloyd
+    * over the surviving rows (deterministic init = the k lowest-id
+    * rows, like [[kmeansCentroids]] everywhere), fresh partition
+    * layout, fresh model/stats baseline. Retrained ≡ a from-scratch
+    * [[buildIvfIndex]] on the same surviving rows, row-for-row
+    * (spec-pinned in AnnSpec) — because the retrain reads exactly the
+    * survivors and the trainer is deterministic. `dstPath` must differ
+    * from `srcPath` (immutable-layout rewrite, the [[compactIvfIndex]]
+    * convention — no read-overwrite races); returns the new centroids
+    * for subsequent probes. */
+  def retrainIvfIndex(spark: org.apache.spark.sql.SparkSession, srcPath: String,
+                      dstPath: String, k: Int, iters: Int,
+                      idCol: String = "vec_id", vecCol: String = "embedding"): Seq[Seq[Double]] = {
+    require(srcPath != dstPath, "retrain rewrites the layout: dstPath must differ from srcPath")
+    val contents = dropTombstones(spark.read.parquet(srcPath), srcPath, idCol)
+      .drop("__cluster")
+    val cents = kmeansCentroids(contents, idCol, vecCol, k, iters)
+    buildIvfIndex(contents, cents, dstPath, vecCol)
+    recordIvfModel(spark, dstPath, cents, idCol, vecCol)
+    cents
+  }
+
   /** Deterministic seeded hyperplanes (unit-free; only the sign of the
     * projection matters). */
   def planes(dim: Int, nbits: Int, seed: Long = 42L): Seq[Seq[Double]] = {

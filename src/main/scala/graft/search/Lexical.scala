@@ -43,20 +43,28 @@ object Lexical {
 
   /** BM25 top-k of `docs` against a literal bag of query terms.
     * Scores are `Σ_t` [[bm25Weight]], rounded to 6 (float-determinism
-    * contract). */
+    * contract).
+    *
+    * The doc length rides THROUGH the explode as a grouping column
+    * (functionally dependent on the id — [[buildBm25Index]]'s layout),
+    * so the plan has no corpus-sized doc-length join, and the corpus is
+    * tokenized twice (stats branch + postings branch), not three times
+    * — the in-memory twin of the fix `buildBm25Index` got in round 10.
+    * The query-term prune happens INSIDE the token array (a codegen'd
+    * array filter) so the generator only emits matching terms. */
   def bm25TopK(docs: DataFrame, textCol: String, idCol: String,
                queryTerms: Seq[String], k: Int): DataFrame = {
-    val toks = docs.select(col(idCol), TextAnalysis.tokens(col(textCol)).as("toks"))
-    val dl = toks.select(col(idCol), size(col("toks")).as("dl"))
-    val stats = dl.agg(count(lit(1)).as("n_docs"), avg(col("dl")).as("avgdl"))
-    val postings = toks
-      .select(col(idCol), explode(col("toks")).as("term"))
-      .filter(col("term").isin(queryTerms: _*)) // prune BEFORE the shuffle
-      .groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf"))
+    val withDl = docs
+      .select(col(idCol), TextAnalysis.tokens(col(textCol)).as("toks"))
+      .withColumn("dl", size(col("toks")))
+    val stats = withDl.agg(count(lit(1)).as("n_docs"), avg(col("dl")).as("avgdl"))
+    val postings = withDl
+      .select(col(idCol), col("dl"),
+        explode(filter(col("toks"), t => t.isin(queryTerms: _*))).as("term"))
+      .groupBy(col(idCol), col("term"), col("dl")).agg(count(lit(1)).as("tf"))
     val dfreq = postings.groupBy(col("term")).agg(count(lit(1)).as("df"))
     postings
       .join(broadcast(dfreq), "term")
-      .join(dl, Seq(idCol))
       .crossJoin(broadcast(stats))
       .withColumn("w", bm25Weight)
       .groupBy(col(idCol)).agg(round(sum(col("w")), 6).as("score"))
@@ -79,17 +87,20 @@ object Lexical {
     val qterms = queries
       .select(col("qid"), explode(col("terms")).as("term")).distinct()
     val allTerms = qterms.select(col("term")).distinct()
-    val toks = docs.select(col(idCol), TextAnalysis.tokens(col(textCol)).as("toks"))
-    val dl = toks.select(col(idCol), size(col("toks")).as("dl"))
-    val stats = dl.agg(count(lit(1)).as("n_docs"), avg(col("dl")).as("avgdl"))
-    val postings = toks
-      .select(col(idCol), explode(col("toks")).as("term"))
+    val withDl = docs
+      .select(col(idCol), TextAnalysis.tokens(col(textCol)).as("toks"))
+      .withColumn("dl", size(col("toks")))
+    val stats = withDl.agg(count(lit(1)).as("n_docs"), avg(col("dl")).as("avgdl"))
+    // dl rides through the explode as a grouping column (functionally
+    // dependent on the id), so there is no corpus-sized doc-length join
+    // and tokenization runs twice (stats + postings), not three times
+    val postings = withDl
+      .select(col(idCol), col("dl"), explode(col("toks")).as("term"))
       .join(broadcast(allTerms), Seq("term"), "left_semi") // prune BEFORE the shuffle
-      .groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf"))
+      .groupBy(col(idCol), col("term"), col("dl")).agg(count(lit(1)).as("tf"))
     val dfreq = postings.groupBy(col("term")).agg(count(lit(1)).as("df"))
     val weights = postings
       .join(broadcast(dfreq), "term")
-      .join(dl, Seq(idCol))
       .crossJoin(broadcast(stats))
       .withColumn("w", bm25Weight)
     rankPerQuery(weights.join(broadcast(qterms), Seq("term")), idCol, k)

@@ -45,24 +45,59 @@ object Snapshots {
     * listing only — a real filesystem listing (Spark's metadata-only
     * distinct is disabled by default, so a DataFrame distinct over the
     * partition column would scan the store's files). Partition
-    * directory names are URL-encoded by the writer; decode back. */
+    * directory names are Hive-escaped by the writer (`%XX` for the
+    * chars in its escape set); decode ONLY `%XX` sequences — a full
+    * URL decode would also turn a literal `+` into a space, and the
+    * writer never escapes `+`, so `v1+hotfix` would list back as
+    * `v1 hotfix`. */
   def names(spark: SparkSession, path: String): Seq[String] =
     graft.io.Fs.listDirNames(spark, path)
       .filter(_.startsWith(s"$SnapCol="))
-      .map(n => java.net.URLDecoder.decode(n.stripPrefix(s"$SnapCol="), "UTF-8"))
+      .map(n => unescapePathName(n.stripPrefix(s"$SnapCol=")))
       .sorted
+
+  /** Inverse of Hive-style `escapePathName`: `%XX` (two hex digits) →
+    * the char with that code; everything else — including `+` — passes
+    * through verbatim. A `%` not followed by two hex digits is kept
+    * literally, matching Spark's own lenient unescape. */
+  private[store] def unescapePathName(s: String): String = {
+    val sb = new StringBuilder(s.length)
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '%' && i + 2 < s.length) {
+        val hi = Character.digit(s.charAt(i + 1), 16)
+        val lo = Character.digit(s.charAt(i + 2), 16)
+        if (hi >= 0 && lo >= 0) { sb.append(((hi << 4) + lo).toChar); i += 3 }
+        else { sb.append(c); i += 1 }
+      } else { sb.append(c); i += 1 }
+    }
+    sb.toString
+  }
 
   /** Diff snapshot `a` → `b` by content hash: one row per id present
     * in either, with status `added` (only in b), `removed` (only in
     * a), `changed`, or `same` — the persisted-store composition of the
     * `corpus_diff` operator. Scans exactly the two snapshots'
-    * partitions; the full-outer join shuffles by id only. */
+    * partitions; the full-outer join shuffles by id only.
+    *
+    * The comparison key is a `(is_null, md5(coalesce(content, "")))`
+    * STRUCT, not a bare `md5(content)`: md5 of a NULL content is NULL,
+    * which would make a present-with-null-content row indistinguishable
+    * from an ABSENT row — through [[syncBm25Index]] that row would be
+    * re-appended without tombstoning its old postings, double-counting
+    * n_docs/sum_dl. The struct is never null for a present row (its
+    * fields encode nullness), so `isNull` on it means exactly "id
+    * absent from that snapshot", and null-content vs empty-content
+    * rows compare distinct. */
   def diff(spark: SparkSession, path: String, a: String, b: String,
            idCol: String, contentCol: String): DataFrame = {
+    def key(c: org.apache.spark.sql.Column) =
+      struct(c.isNull.as("n"), md5(coalesce(c, lit(""))).as("h"))
     val ha = read(spark, path, a)
-      .select(col(idCol), md5(col(contentCol)).as("__ha"))
+      .select(col(idCol), key(col(contentCol)).as("__ha"))
     val hb = read(spark, path, b)
-      .select(col(idCol), md5(col(contentCol)).as("__hb"))
+      .select(col(idCol), key(col(contentCol)).as("__hb"))
     ha.join(hb, Seq(idCol), "full_outer")
       .select(col(idCol),
         when(col("__ha").isNull, "added")

@@ -184,9 +184,22 @@ object StreamIngest {
     * decayed to `anchorDay` (the latest event day seen for the key). */
   case class DecayState(anchorDay: Int, nDec: Double, vDec: Double, nRaw: Long)
 
-  /** A key's decayed counters as of its latest event. */
-  case class DecayedCount(key: String, n_raw: Long, n_decayed: Double,
-                          value_decayed: Double)
+  /** A key's decayed counters as of ITS OWN latest event day
+    * (`anchor_day`, days since 1970-01-01). A stream cannot know the
+    * corpus-global max day the batch fold anchors at — a stale key's
+    * counters would silently re-inflate every time any OTHER key saw a
+    * newer event — so the stream emits the per-key anchor and the
+    * UNROUNDED sums, and the reader rescales to any common anchor `g`
+    * by `2^(anchor_day − g)`: day weights compose exactly at per-day
+    * granularity (integer exponents, power-of-two multiply is exact in
+    * binary), so the rescaled count reproduces the batch fold
+    * bit-for-bit even for keys whose last event predates the corpus
+    * max day (spec-pinned, stale-key case included). Rounding before
+    * the rescale would break that — `round6(x)·2^k ≠ round6(x·2^k)` —
+    * which is why these are raw doubles where the batch columns are
+    * round-6/round-4. */
+  case class DecayedCount(key: String, anchor_day: Int, n_raw: Long,
+                          n_decayed: Double, value_decayed: Double)
 
   /** Streaming half-life-decayed counters — the stateful twin of
     * [[graft.analysis.TimeSeries.halfLifeDecayed]] at `halfLifeDays =
@@ -194,13 +207,14 @@ object StreamIngest {
     * each event folds in with weight `2^(−days_before_anchor)` and a
     * newer day RESCALES the counters by an exact power of two before
     * re-anchoring. Day weights compose exactly at per-day granularity
-    * (`2^-(d−e) = 2^-(a−e) · 2^-(d−a)` — integer exponents), so the
-    * decayed COUNT of a drained stream equals the batch fold
-    * bit-for-bit regardless of arrival order or batch boundaries
-    * (spec-pinned); the value-weighted sum agrees under rounding
-    * (reduction order). Coarser half-lives do not compose across
-    * re-anchoring (floor((d−e)/h) ≠ floor((a−e)/h) + floor((d−a)/h)) —
-    * use the batch fold for those. */
+    * (`2^-(d−e) = 2^-(a−e) · 2^-(d−a)` — integer exponents), so after
+    * rescaling each key from its emitted `anchor_day` to the corpus
+    * anchor (see [[DecayedCount]]) the decayed COUNT of a drained
+    * stream equals the batch fold bit-for-bit regardless of arrival
+    * order or batch boundaries (spec-pinned); the value-weighted sum
+    * agrees under rounding (reduction order). Coarser half-lives do
+    * not compose across re-anchoring (floor((d−e)/h) ≠ floor((a−e)/h)
+    * + floor((d−a)/h)) — use the batch fold for those. */
   def decayedCountsStream(events: DataFrame, keyCol: String, tsCol: String,
                           valCol: String): Dataset[DecayedCount] = {
     val spark = events.sparkSession
@@ -228,8 +242,7 @@ object StreamIngest {
               }
           }
           state.update(s)
-          DecayedCount(k, s.nRaw,
-            math.rint(s.nDec * 1e6) / 1e6, math.rint(s.vDec * 1e4) / 1e4)
+          DecayedCount(k, s.anchorDay, s.nRaw, s.nDec, s.vDec)
       }
   }
 

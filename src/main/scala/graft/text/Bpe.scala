@@ -124,4 +124,27 @@ object Bpe {
         .as("symbol"), col("f"))
       .groupBy("symbol").agg(sum(col("f")).as("n"))
   }
+
+  /** Collect a trained merge table into the driver-side model form
+    * [[graft.functions.BpeEncode]] carries: `(lhs, rhs)` in rank
+    * order. Model state — k rows, the centroid-collect precedent. */
+  def mergeTable(docs: DataFrame, textCol: String, k: Int): Seq[(String, String)] =
+    merges(docs, textCol, k).orderBy(col("step")).collect()
+      .map(r => (r.getString(1), r.getString(2))).toSeq
+
+  /** Encode a document column with a TRAINED merge table — the
+    * per-document ingest-time operator a tokenizer user actually runs
+    * (training sees the corpus once; THIS runs on every new document
+    * forever after, with the table as a fixed reference object). One
+    * row per `(id, symbol)` with its occurrence count in the doc —
+    * fully keyed shuffle, no driver path; the encode itself is the
+    * native [[graft.functions.BpeEncode]] kernel applied per token
+    * inside whole-stage codegen. */
+  def encodeSymbols(docs: DataFrame, idCol: String, textCol: String,
+                    merges: Seq[(String, String)]): DataFrame =
+    docs
+      .select(col(idCol), explode(TextAnalysis.tokens(col(textCol))).as("__w"))
+      .select(col(idCol),
+        explode(graft.functions.BpeEncode(col("__w"), merges)).as("symbol"))
+      .groupBy(col(idCol), col("symbol")).agg(count(lit(1)).as("n"))
 }

@@ -245,6 +245,82 @@ class AnnSpec extends SparkSpec {
     assert(pqTop.nonEmpty && pqTop.forall(_ % 5 != 0))
   }
 
+  test("retrain from current contents ≡ fresh build on the same rows; drift resets") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft-ivf-retrain").toString
+    val build = emb.filter(col("vec_id") < 80)
+    val delta = emb.filter(col("vec_id") >= 80 && col("vec_id") < 120)
+    val cents0 = Ann.kmeansCentroids(build, "vec_id", "embedding", 5, 2)
+    val src = tmp + "/src"
+    Ann.buildIvfIndex(build, cents0, src)
+    Ann.recordIvfModel(spark, src, cents0)
+    Ann.appendToIvfIndex(delta, cents0, src)
+    // delete a few appended rows too — retrain must read SURVIVORS only
+    Ann.deleteFromIvfIndex(Seq(85L, 90L).toDF("vec_id"), src)
+    val dst = tmp + "/dst"
+    val cents1 = Ann.retrainIvfIndex(spark, src, dst, 5, 2)
+    // fresh build on exactly the surviving rows with a fresh trainer
+    val survivors = emb.filter(
+      col("vec_id") < 120 && !col("vec_id").isin(85L, 90L))
+    val centsFresh = Ann.kmeansCentroids(survivors, "vec_id", "embedding", 5, 2)
+    assert(cents1 == centsFresh, "deterministic trainer: retrain == fresh train")
+    val fresh = tmp + "/fresh"
+    Ann.buildIvfIndex(survivors, centsFresh, fresh)
+    def top(p: String, cs: Seq[Seq[Double]]) =
+      Ann.ivfIndexTopK(spark, p, q, cs, 5, 3)
+        .collect().map(r => (r.getAs[Long]("vec_id"), r.getAs[Double]("sim"))).toSeq
+    assert(top(dst, cents1) == top(fresh, centsFresh),
+      "retrained index must answer exactly like a fresh build on the survivors")
+    // retrain re-records the baseline: drift of the just-retrained
+    // index against itself is zero
+    val d = Ann.assignmentDrift(spark, dst).head()
+    assert(d.getDouble(2) == 0.0, s"fresh baseline must show zero drift, got $d")
+  }
+
+  test("assignmentDrift: appends against stale centroids push drift above zero") {
+    // build on the low-id half, record, then append the rest — the
+    // appended rows are assigned to centroids trained without them, so
+    // their mean assigned-centroid similarity is lower and drift > 0
+    val tmp = java.nio.file.Files.createTempDirectory("graft-ivf-drift").toString
+    val build = emb.filter(col("vec_id") < 100)
+    val cents = Ann.kmeansCentroids(build, "vec_id", "embedding", 5, 2)
+    val idx = tmp + "/idx"
+    Ann.buildIvfIndex(build, cents, idx)
+    Ann.recordIvfModel(spark, idx, cents)
+    val before = Ann.assignmentDrift(spark, idx).head()
+    assert(before.getDouble(2) == 0.0, "no appends yet: zero drift")
+    Ann.appendToIvfIndex(emb.filter(col("vec_id") >= 100), cents, idx)
+    val after = Ann.assignmentDrift(spark, idx).head()
+    assert(after.getDouble(0) == before.getDouble(0), "baseline is immutable")
+    assert(after.getDouble(2) > 0.0,
+      s"appended distribution must sit farther from the stale centroids: $after")
+  }
+
+  test("filtered probe: predicate inside probed clusters; short clusters trigger exact fallback") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft-ivf-filt").toString
+    val cents = Ann.kmeansCentroids(emb, "vec_id", "embedding", 10, 2)
+    val idx = tmp + "/idx"
+    Ann.buildIvfIndex(emb, cents, idx)
+    // permissive predicate: probed clusters hold ≥ k matches — results
+    // must equal the plain probe's ranking restricted to matches
+    val perm = Ann.ivfIndexTopKFiltered(spark, idx, q, cents,
+        col("vec_id") % 3 =!= 0, 5, 3)
+      .collect().map(_.getLong(0)).toSeq
+    val plain = Ann.ivfIndexTopK(spark, idx, q, cents, 200, 3)
+      .collect().map(_.getLong(0)).filter(_ % 3 != 0).take(5).toSeq
+    assert(perm == plain, "filtered probe = plain probe ranking ∩ predicate")
+    // selective predicate: only 3 matching rows EXIST in the whole
+    // corpus (fewer than k) — the fallback must widen to the full index
+    // and return all of them, not just those inside probed clusters
+    val ids = Seq(7L, 11L, 13L)
+    val rare = Ann.ivfIndexTopKFiltered(spark, idx, q, cents,
+        col("vec_id").isin(ids: _*), 5, 1)
+      .collect().map(_.getLong(0)).toSet
+    assert(rare == ids.toSet,
+      s"fallback must surface every matching row corpus-wide, got $rare")
+  }
+
   test("LSH buckets are deterministic across runs (seeded planes)") {
     val p = Ann.planes(64, 8)
     val b1 = emb.withColumn("b", Ann.lshBucket(col("embedding"), p))

@@ -58,4 +58,44 @@ class BpeSpec extends SparkSpec {
       .collect().map(r => (r.getString(0), r.getLong(1))).toSeq.sorted
     assert(chars == Seq(("a", 7L), ("b", 3L)), s"got $chars")
   }
+
+  test("native BpeEncode ≡ the chained applyMerge folds, including unseen words") {
+    import org.apache.spark.sql.functions._
+    // table learned on one corpus, applied to words the trainer never
+    // saw (the ingest-time shape) — plus self-overlapping runs
+    val merges = Seq(("a", "a"), ("a", "b"), ("aa", "ab"))
+    val words = Seq("aaab", "ab", "aaaa", "aaaaa", "ababab", "x", "", "bbaab",
+      "aabab", "zaaabz").toDF("w")
+    val composed = merges.foldLeft(
+        graft.text.Bpe.piped(col("w"))) { case (acc, (l, r)) =>
+        graft.text.Bpe.applyMerge(acc, l, r)
+      }
+    val got = words.select(
+        col("w"),
+        graft.functions.BpeEncode(col("w"), merges).as("fast"),
+        filter(split(composed, "\\|"), t => length(t) > 0).as("spec"))
+      .collect()
+    got.foreach { r =>
+      assert(r.getSeq[String](1) == r.getSeq[String](2),
+        s"word '${r.getString(0)}': native ${r.getSeq[String](1)} vs spec ${r.getSeq[String](2)}")
+    }
+    // null word → NULL array
+    val n = Seq(Tuple1[String](null)).toDF("w")
+      .select(graft.functions.BpeEncode(col("w"), merges)).head()
+    assert(n.isNullAt(0))
+  }
+
+  test("encodeSymbols: per-doc symbol counts with a trained table") {
+    // train on the closed-form corpus, encode a NEW document
+    val train = Seq("aaab aaab ab").toDF("text")
+    val table = Bpe.mergeTable(train, "text", 3)
+    assert(table == Seq(("a", "a"), ("a", "b"), ("aa", "ab")))
+    val docs = Seq((1L, "aaab ab aaaa"), (2L, "ba")).toDF("doc_id", "text")
+    val got = Bpe.encodeSymbols(docs, "doc_id", "text", table)
+      .collect().map(r => ((r.getLong(0), r.getString(1)), r.getLong(2))).toMap
+    // doc 1: "aaab"→[aaab], "ab"→[ab], "aaaa"→[aa,aa]
+    // doc 2: "ba"→[b,a] (no merge applies: (a,b) needs a then b)
+    assert(got == Map((1L, "aaab") -> 1L, (1L, "ab") -> 1L, (1L, "aa") -> 2L,
+      (2L, "b") -> 1L, (2L, "a") -> 1L), s"got $got")
+  }
 }

@@ -59,6 +59,37 @@ class SnapshotsSpec extends SparkSpec {
     assert(out == Map(1L -> "same", 2L -> "changed", 3L -> "removed", 4L -> "added"))
   }
 
+  test("diff distinguishes null content from absence and from empty content") {
+    val path = freshStore()
+    // id 1: null → "x" (changed); id 2: null → null (same); id 3: null
+    // in v1 only (removed — NOT conflated with absence); id 4: "" → null
+    // (changed — null and empty are different contents); id 5 absent
+    // from v1 (added)
+    Snapshots.write(
+      Seq((1L, null), (2L, null), (3L, null), (4L, ""))
+        .toDF("id", "text"), path, "v1")
+    Snapshots.write(
+      Seq((1L, "x"), (2L, null), (4L, null), (5L, "y"))
+        .toDF("id", "text"), path, "v2")
+    val out = Snapshots.diff(spark, path, "v1", "v2", "id", "text")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out == Map(1L -> "changed", 2L -> "same", 3L -> "removed",
+      4L -> "changed", 5L -> "added"))
+  }
+
+  test("names round-trips snapshot ids containing '+' and escaped chars") {
+    val path = freshStore()
+    // '+' is NOT escaped by the partition writer, so a URL decode would
+    // list 'v1+hotfix' back as 'v1 hotfix'; ':' IS Hive-escaped (%3A)
+    // and must decode back
+    for (n <- Seq("v1+hotfix", "rel:2026-08", "plain"))
+      Snapshots.write(Seq((1L, "a")).toDF("id", "text"), path, n)
+    assert(Snapshots.names(spark, path) == Seq("plain", "rel:2026-08", "v1+hotfix"))
+    // and each listed name actually reads back its rows
+    for (n <- Seq("v1+hotfix", "rel:2026-08"))
+      assert(Snapshots.read(spark, path, n).count() == 1)
+  }
+
   test("syncBm25Index: delete → compact → append reproduces a fresh v2 build") {
     val docs = spark.read.parquet(s"$sf0001/documents.parquet")
       .select(col("doc_id"), col("text"))

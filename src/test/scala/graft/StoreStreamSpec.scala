@@ -323,22 +323,78 @@ class StoreStreamSpec extends SparkSpec {
       .queryName("decay_sink").start()
     rows.grouped(137).foreach { g => input.addData(g); q.processAllAvailable() }
     q.stop()
+    // the batch fold anchors every key at the CORPUS max day; the
+    // stream anchors each key at ITS OWN max day and emits it — the
+    // reader rescales by an exact power of two (see DecayedCount)
+    val globalAnchor = events
+      .agg(datediff(date_trunc("day", max(col("ts"))),
+        lit("1970-01-01").cast("date")).cast("int"))
+      .head().getInt(0)
     // the last update per key is the one with the key's full n_raw
     val streamed = spark.table("decay_sink")
-      .collect().map(r => (r.getString(0), (r.getLong(1), r.getDouble(2), r.getDouble(3))))
-      .groupBy(_._1).map { case (k, vs) => (k, vs.map(_._2).maxBy(_._1)) }
+      .collect()
+      .map(r => (r.getString(0), (r.getInt(1), r.getLong(2), r.getDouble(3), r.getDouble(4))))
+      .groupBy(_._1).map { case (k, vs) => (k, vs.map(_._2).maxBy(_._2)) }
     val batch = graft.analysis.TimeSeries
       .halfLifeDecayed(events, "event_type", "ts", "value", 1)
       .collect().map(r => (r.getString(0), (r.getLong(1), r.getDouble(2), r.getDouble(3))))
       .toMap
     assert(streamed.keySet == batch.keySet)
-    streamed.foreach { case (k, (nRaw, nDec, vDec)) =>
+    streamed.foreach { case (k, (anchor, nRaw, nDec, vDec)) =>
       val (bRaw, bDec, bVal) = batch(k)
+      val scale = math.pow(2.0, (anchor - globalAnchor).toDouble)
       assert(nRaw == bRaw, s"$k n_raw")
-      // decayed count: exact dyadics on both paths — tight agreement
-      assert(math.abs(nDec - bDec) < 1e-9, s"$k n_decayed $nDec vs $bDec")
+      // decayed count: exact dyadics on both paths, but the stream is
+      // UNROUNDED while the batch column is round-6 — half-ulp bound
+      assert(math.abs(nDec * scale - bDec) < 1e-6, s"$k n_decayed ${nDec * scale} vs $bDec")
       // value-weighted sum: different reduction order — rounding-level
-      assert(math.abs(vDec - bVal) < 1e-3, s"$k value_decayed $vDec vs $bVal")
+      assert(math.abs(vDec * scale - bVal) < 1e-3, s"$k value_decayed ${vDec * scale} vs $bVal")
+    }
+  }
+
+  test("streaming decayed counters: STALE key rescales to the batch anchor exactly") {
+    // 'stale' last fires on day 1 while 'hot' runs to day 2 (the corpus
+    // max) — the case the sf0.001 fixture cannot exercise (every
+    // event_type there has an event on the global max day). The batch
+    // fold weights stale's events by the GLOBAL anchor; the stream
+    // anchors stale at day 1 and the emitted anchor_day closes the gap
+    // by an exact power of two.
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    def ts(day: Int) = java.sql.Timestamp.valueOf(f"2026-03-${day + 1}%02d 12:00:00")
+    val rows = Seq(
+      ("hot", ts(0), 1.0), ("hot", ts(2), 2.0),
+      ("stale", ts(0), 4.0), ("stale", ts(1), 8.0))
+    val input = MemoryStream[(String, java.sql.Timestamp, Double)]
+    val q = StreamIngest.decayedCountsStream(
+        input.toDF().toDF("event_type", "ts", "value"),
+        "event_type", "ts", "value")
+      .writeStream.outputMode("update").format("memory")
+      .queryName("decay_stale_sink").start()
+    rows.grouped(1).foreach { g => input.addData(g); q.processAllAvailable() }
+    q.stop()
+    val events = spark.createDataFrame(rows).toDF("event_type", "ts", "value")
+    val globalAnchor = events
+      .agg(datediff(date_trunc("day", max(col("ts"))),
+        lit("1970-01-01").cast("date")).cast("int"))
+      .head().getInt(0)
+    val streamed = spark.table("decay_stale_sink")
+      .collect()
+      .map(r => (r.getString(0), (r.getInt(1), r.getLong(2), r.getDouble(3), r.getDouble(4))))
+      .groupBy(_._1).map { case (k, vs) => (k, vs.map(_._2).maxBy(_._2)) }
+    val batch = graft.analysis.TimeSeries
+      .halfLifeDecayed(events, "event_type", "ts", "value", 1)
+      .collect().map(r => (r.getString(0), (r.getLong(1), r.getDouble(2), r.getDouble(3))))
+      .toMap
+    // stale's stream anchor is a day BEHIND the corpus anchor
+    assert(streamed("stale")._1 == globalAnchor - 1)
+    streamed.foreach { case (k, (anchor, nRaw, nDec, vDec)) =>
+      val (bRaw, bDec, bVal) = batch(k)
+      val scale = math.pow(2.0, (anchor - globalAnchor).toDouble)
+      assert(nRaw == bRaw, s"$k n_raw")
+      // dyadic values throughout — rescaled stream ≡ batch EXACTLY
+      assert(nDec * scale == bDec, s"$k n_decayed ${nDec * scale} vs $bDec")
+      assert(vDec * scale == bVal, s"$k value_decayed ${vDec * scale} vs $bVal")
     }
   }
 }
