@@ -931,6 +931,16 @@ object SparkEntry {
         graft.store.ZOrder.zValue(col("user_id"),
           floor(col("value")).cast("long"), 11).as("z"))
         .orderBy(col("event_id"))),
+    // ---- [EXT] N-column z-order (lakehouse OPTIMIZE ZORDER BY takes a
+    // column list): 3-D Morton cells over (user, value grid, hour) —
+    // bit b of dim i lands at z-bit 3b+i, integer arithmetic replayed
+    // exactly by the oracle via the same generated SQL fragment.
+    "zorder3_cells" -> ((s, dir) =>
+      Tables.events(s, dir).select(col("event_id"),
+        graft.store.ZOrder.zValueN(Seq(col("user_id"),
+          floor(col("value")).cast("long"),
+          hour(col("ts")).cast("long")), 10).as("z"))
+        .orderBy(col("event_id"))),
     // ---- [EXT] resample + gap-fill (analysis/TimeSeries): irregular
     // events -> aligned daily panel with last-observation-carried-
     // forward; keyed shuffles only, calendar bounds are two broadcast
@@ -3795,6 +3805,12 @@ object SparkEntry {
     "zorder_cells" ->
       s"""SELECT event_id,
          |  (${graft.store.ZOrder.zSql("user_id", "floor(value)::BIGINT", 11)}
+         |  )::BIGINT AS z
+         |FROM events ORDER BY event_id""".stripMargin,
+    "zorder3_cells" ->
+      s"""SELECT event_id,
+         |  (${graft.store.ZOrder.zSqlN(Seq("user_id", "floor(value)::BIGINT",
+                "datepart('hour', ts)::BIGINT"), 10)}
          |  )::BIGINT AS z
          |FROM events ORDER BY event_id""".stripMargin,
     "events_gapfill" ->

@@ -9,8 +9,23 @@ import org.apache.spark.sql.catalyst.plans.logical
   * the optimized LOGICAL plan (the physical tree hides inside
   * `AdaptiveSparkPlanExec` until execution, and rendered-string
   * regexes can't tell a partitioned `WindowGroupLimit [part], [ord]`
-  * from an unpartitioned `Window [funcs], [ord]`). */
+  * from an unpartitioned `Window [funcs], [ord]`).
+  *
+  * Queries here are ALLOWLISTED: their unpartitioned window runs over
+  * a provably bounded row count (stated per entry), so the
+  * single-partition sort is O(bound), not O(corpus) — the sweep
+  * reports them as `ALLOWED` and a zero-hit sweep means "no
+  * UNBOUNDED unpartitioned window", by policy. */
 object WinScan {
+
+  /** query name → why its unpartitioned window is bounded. */
+  val allowlist: Map[String, String] = Map(
+    "hybrid_rrf_top5" ->
+      ("rrfFuse ranks two inputs ALREADY limited to their top-20 " +
+        "(bm25TopK limit + knn TakeOrderedAndProject), so the " +
+        "row_number windows sort <= 20 rows and the fused full-outer " +
+        "frame <= 40 - bounded by the fusion depth, never the corpus"))
+
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder()
       .master("local[8]")
@@ -29,7 +44,11 @@ object WinScan {
           case w: logical.WindowGroupLimit if w.partitionSpec.isEmpty =>
             s"WindowGroupLimit(order=${w.orderSpec.map(_.sql).mkString(",").take(60)})"
         }
-        if (hits.nonEmpty) println(s"UNPARTITIONED: $n ${hits.mkString(" | ")}")
+        if (hits.nonEmpty) {
+          if (allowlist.contains(n))
+            println(s"ALLOWED: $n (${allowlist(n)})")
+          else println(s"UNPARTITIONED: $n ${hits.mkString(" | ")}")
+        }
       } catch { case e: Throwable => println(s"ERR $n: ${String.valueOf(e.getMessage).take(100)}") }
     }
     spark.stop()

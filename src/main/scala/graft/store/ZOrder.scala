@@ -37,21 +37,45 @@ object ZOrder {
     * minutes — the caller picks the grid, exactly as lakehouse
     * OPTIMIZE ZORDER implementations normalize columns to range ids
     * before interleaving. */
-  def zValue(x: Column, y: Column, bits: Int): Column = {
-    require(bits >= 1 && bits <= 31, s"1 <= bits <= 31: $bits")
-    (0 until bits).map { b =>
-      shiftright(x, b).bitwiseAND(lit(1L)) * lit(1L << (2 * b)) +
-        shiftright(y, b).bitwiseAND(lit(1L)) * lit(1L << (2 * b + 1))
+  def zValue(x: Column, y: Column, bits: Int): Column =
+    zValueN(Seq(x, y), bits)
+
+  /** N-COLUMN Morton interleave — lakehouse `OPTIMIZE ZORDER BY (c1,
+    * …, cn)` takes any column list, so the kernel does too: bit `b` of
+    * dimension `i` lands at z-bit `b·n + i` (the 2-D layout is the
+    * n = 2 case: x even, y odd). The bit-width scaling contract
+    * generalizes unchanged — all n dimensions must be scaled to
+    * comparable integer grids or the wide one dominates the high bits
+    * (see [[zValue]]); total interleaved width `n·bits` must fit a
+    * signed 64-bit value. More dimensions = coarser per-dimension
+    * resolution at fixed width: skipping weakens as n grows (each
+    * file's bounding box tightens in every dimension but by fewer bits
+    * each) — the standard lakehouse guidance of z-ordering by the few
+    * genuinely-filtered columns, not every column. */
+  def zValueN(cols: Seq[Column], bits: Int): Column = {
+    val n = cols.size
+    require(n >= 1, "at least one dimension")
+    require(bits >= 1 && n * bits <= 63,
+      s"1 <= bits and n*bits <= 63 (n=$n, bits=$bits): the interleave must fit a signed long")
+    (0 until bits).flatMap { b =>
+      cols.zipWithIndex.map { case (c, i) =>
+        shiftright(c, b).bitwiseAND(lit(1L)) * lit(1L << (n * b + i))
+      }
     }.reduce(_ + _)
   }
 
   /** SQL fragment computing [[zValue]] — kept beside the Scala so the
     * two can't drift (the `KmvSketch.hashSql` convention). */
-  def zSql(x: String, y: String, bits: Int): String =
-    (0 until bits).map(b =>
-      s"((($x) >> $b) & 1) * ${1L << (2 * b)} + " +
-        s"((($y) >> $b) & 1) * ${1L << (2 * b + 1)}")
-      .mkString(" + ")
+  def zSql(x: String, y: String, bits: Int): String = zSqlN(Seq(x, y), bits)
+
+  /** SQL fragment computing [[zValueN]]. */
+  def zSqlN(cols: Seq[String], bits: Int): String = {
+    val n = cols.size
+    (0 until bits).flatMap(b =>
+      cols.zipWithIndex.map { case (c, i) =>
+        s"((($c) >> $b) & 1) * ${1L << (n * b + i)}"
+      }).mkString(" + ")
+  }
 
   /** Write `df` as `files` parquet files range-clustered by the
     * z-value of (x, y) — column expressions, so derived dimensions

@@ -28,6 +28,34 @@ class ZOrderSpec extends SparkSpec {
       (1L, 17L))) // x=5: 2 bits keep only 0b01 -> 1; 4 bits see 0b101 -> 17
   }
 
+  test("N-column interleave: 2-D case ≡ zValue; 3-D hand codes; SQL fragment agrees") {
+    // n=2 must reproduce the classic layout bit for bit
+    val two = Seq((5L, 3L), (0L, 7L), (6L, 6L)).toDF("x", "y")
+      .select(ZOrder.zValue(col("x"), col("y"), 5).as("a"),
+        ZOrder.zValueN(Seq(col("x"), col("y")), 5).as("b"))
+      .collect()
+    two.foreach(r => assert(r.getLong(0) == r.getLong(1)))
+    // 3-D: bit b of dim i lands at 3b+i. z(1,1,1,1bit)=0b111=7;
+    // z(1,0,0)=1, z(0,1,0)=2, z(0,0,1)=4; z(2,0,0,2bits)=bit1 of x at
+    // slot 3 -> 8; z(1,2,3,2bits)= x:1->1; y:0b10->bit1 at 3+1=16;
+    // z:0b11->bit0 at 2 (4) + bit1 at 5 (32) = 36; total 1+16+36=53
+    val three = Seq((1L, 1L, 1L), (1L, 0L, 0L), (0L, 1L, 0L), (0L, 0L, 1L),
+        (2L, 0L, 0L), (1L, 2L, 3L)).toDF("x", "y", "w")
+      .select(ZOrder.zValueN(Seq(col("x"), col("y"), col("w")), 2).as("z"))
+      .collect().map(_.getLong(0))
+    assert(three.toSeq == Seq(7L, 1L, 2L, 4L, 8L, 53L), s"got ${three.toSeq}")
+    // the generated SQL fragment replays the Scala kernel exactly
+    Seq((9L, 4L, 13L), (31L, 0L, 31L), (1023L, 512L, 7L))
+      .toDF("x", "y", "w").createOrReplaceTempView("zn_probe")
+    val viaSql = spark.sql(
+      s"SELECT ${ZOrder.zSqlN(Seq("x", "y", "w"), 10)} AS z FROM zn_probe")
+      .collect().map(_.getLong(0)).toSeq
+    val viaCol = spark.table("zn_probe")
+      .select(ZOrder.zValueN(Seq(col("x"), col("y"), col("w")), 10).as("z"))
+      .collect().map(_.getLong(0)).toSeq
+    assert(viaSql == viaCol, s"SQL $viaSql vs Column $viaCol")
+  }
+
   private def scanRows(df: DataFrame, location: String): Long = {
     df.collect() // run THIS plan so the metrics belong to it
     def scans(p: SparkPlan): Seq[FileSourceScanExec] = p match {
