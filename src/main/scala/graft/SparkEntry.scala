@@ -292,6 +292,31 @@ object SparkEntry {
       exact.join(got, Seq("vec_id"), "left_semi")
         .agg((count(lit(1)) / 5.0).as("recall_at_5"))
     }),
+    // ---- [EXT] IVF-PQ index RETRAIN: build the materialized index on
+    // 80% (coarse centroids + PQ codebooks trained on the 80%), append
+    // the rest against those stale models, then retrain BOTH models
+    // from the index's current contents and probe — recall@5 vs the
+    // exact scan. Deterministic trainers make the retrained index
+    // answer exactly like the in-memory full-corpus IVF-PQ replay.
+    "ivfpq_retrain_recall" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val build = emb.filter(col("vec_id") < 400)
+      val cents80 = Ann.kmeansCentroids(build, "vec_id", "embedding", 10, 2)
+      val cb80 = graft.search.Pq.train(build, "vec_id", "embedding", 64, 8, 64, 2)
+      val src = scratchDir("ivfpq-retrain-src")
+      val dst = scratchDir("ivfpq-retrain-dst")
+      graft.search.Pq.buildIvfPqIndex(build, cents80, cb80, src)
+      graft.search.Pq.appendToIvfPqIndex(
+        emb.filter(col("vec_id") >= 400), cents80, cb80, src)
+      val (cents, cb) = graft.search.Pq.retrainIvfPqIndex(
+        s, src, dst, 10, 2, 64, 8, 64, 2)
+      val exact = Search.knn(emb, queryVec(s, dir), 5).select(col("vec_id"))
+      val got = graft.search.Pq.ivfPqIndexTopK(s, dst, queryVec(s, dir),
+          cents, cb, 5, nprobe = 3, shortlist = 50)
+        .select(col("vec_id"))
+      exact.join(got, Seq("vec_id"), "left_semi")
+        .agg((count(lit(1)) / 5.0).as("recall_at_5"))
+    }),
     // ---- [EXT] batch IVF-PQ retrieval quality: MEAN recall@5 over 50
     // query vectors — the reference's real workload shape (a stream of
     // questions, one search per handleSendMessage, App.tsx:180-224) and
@@ -2282,6 +2307,62 @@ object SparkEntry {
        |ORDER BY sim DESC, vec_id ASC LIMIT 5""".stripMargin
   }
 
+  /** Full IVF-PQ recall@5 replay (coarse Lloyd + per-subspace PQ
+    * training + probe + ADC shortlist + exact rerank) over the full
+    * corpus — the oracle of the in-memory `ivfpq_recall` AND the
+    * retrained materialized index `ivfpq_retrain_recall` (retraining
+    * from the post-append contents = the full corpus, deterministic
+    * trainers). */
+  private lazy val ivfPqRecallSql: String = {
+    def rawCos(a: String, b: String) =
+      s"list_dot_product($a, $b) / (sqrt(list_dot_product($a, $a)) * sqrt(list_dot_product($b, $b)))"
+    val dots = (0 until PqM).map { mi =>
+      s"""list_dot_product((q.qvec::DOUBLE[])[${mi * PqSub + 1}:${(mi + 1) * PqSub}],
+         |                  c$mi.centroid) AS d$mi,
+         |         list_dot_product(c$mi.centroid, c$mi.centroid) AS n$mi""".stripMargin
+    }.mkString(",\n         ")
+    val joins = (1 until PqM).map(mi =>
+      s"JOIN af$mi ON af0.vec_id = af$mi.vec_id " +
+        s"JOIN cb${mi}_$PqIters c$mi ON af$mi.cid = c$mi.cid").mkString("\n       ")
+    val dSum = (0 until PqM).map(mi => s"d$mi").mkString(" + ")
+    val nSum = (0 until PqM).map(mi => s"n$mi").mkString(" + ")
+    s"""WITH q AS (SELECT embedding AS qvec FROM embeddings WHERE vec_id = 0),
+       |${ivfTrainSql(10, 2)},
+       |probes AS (
+       |  SELECT cid FROM ic2, q
+       |  ORDER BY round(${rawCos("centroid", "qvec::DOUBLE[]")}, 6) DESC, cid ASC
+       |  LIMIT 3),
+       |cand AS (SELECT iaf.vec_id FROM iaf JOIN probes USING (cid)),
+       |$pqTrainSql,
+       |exact5 AS (
+       |  SELECT vec_id FROM (
+       |    SELECT e.vec_id, ${cosSql("e.embedding", "q.qvec")} AS sim
+       |    FROM embeddings e, q)
+       |  ORDER BY sim DESC, vec_id ASC LIMIT 5),
+       |sc AS (
+       |  SELECT af0.vec_id,
+       |         $dots
+       |  FROM af0 JOIN cand ON af0.vec_id = cand.vec_id
+       |       JOIN cb0_$PqIters c0 ON af0.cid = c0.cid
+       |       $joins
+       |       CROSS JOIN q),
+       |qn AS (SELECT sqrt(list_dot_product(qvec::DOUBLE[], qvec::DOUBLE[])) AS qn FROM q),
+       |short AS (
+       |  SELECT vec_id FROM (
+       |    SELECT sc.vec_id,
+       |           round(CASE WHEN qn.qn = 0 OR ($nSum) = 0 THEN 0
+       |                      ELSE ($dSum) / (qn.qn * sqrt($nSum)) END, 6) AS sim
+       |    FROM sc, qn)
+       |  ORDER BY sim DESC, vec_id ASC LIMIT 50),
+       |rr AS (
+       |  SELECT vec_id FROM (
+       |    SELECT e.vec_id, ${cosSql("e.embedding", "q.qvec")} AS sim
+       |    FROM embeddings e JOIN short USING (vec_id), q)
+       |  ORDER BY sim DESC, vec_id ASC LIMIT 5)
+       |SELECT (SELECT count(*) FROM exact5 JOIN rr USING (vec_id)) / 5.0
+       |       AS recall_at_5""".stripMargin
+  }
+
   def oracleSql: Map[String, String] = Map(
     "knn_top5" ->
       s"""SELECT vec_id, sim FROM (
@@ -2446,55 +2527,11 @@ object SparkEntry {
          |SELECT (SELECT count(*) FROM exact5 JOIN approx USING (vec_id)) / 5.0
          |       AS recall_at_5""".stripMargin
     },
-    "ivfpq_recall" -> {
-      def rawCos(a: String, b: String) =
-        s"list_dot_product($a, $b) / (sqrt(list_dot_product($a, $a)) * sqrt(list_dot_product($b, $b)))"
-      val dots = (0 until PqM).map { mi =>
-        s"""list_dot_product((q.qvec::DOUBLE[])[${mi * PqSub + 1}:${(mi + 1) * PqSub}],
-           |                  c$mi.centroid) AS d$mi,
-           |         list_dot_product(c$mi.centroid, c$mi.centroid) AS n$mi""".stripMargin
-      }.mkString(",\n         ")
-      val joins = (1 until PqM).map(mi =>
-        s"JOIN af$mi ON af0.vec_id = af$mi.vec_id " +
-          s"JOIN cb${mi}_$PqIters c$mi ON af$mi.cid = c$mi.cid").mkString("\n       ")
-      val dSum = (0 until PqM).map(mi => s"d$mi").mkString(" + ")
-      val nSum = (0 until PqM).map(mi => s"n$mi").mkString(" + ")
-      s"""WITH q AS (SELECT embedding AS qvec FROM embeddings WHERE vec_id = 0),
-         |${ivfTrainSql(10, 2)},
-         |probes AS (
-         |  SELECT cid FROM ic2, q
-         |  ORDER BY round(${rawCos("centroid", "qvec::DOUBLE[]")}, 6) DESC, cid ASC
-         |  LIMIT 3),
-         |cand AS (SELECT iaf.vec_id FROM iaf JOIN probes USING (cid)),
-         |$pqTrainSql,
-         |exact5 AS (
-         |  SELECT vec_id FROM (
-         |    SELECT e.vec_id, ${cosSql("e.embedding", "q.qvec")} AS sim
-         |    FROM embeddings e, q)
-         |  ORDER BY sim DESC, vec_id ASC LIMIT 5),
-         |sc AS (
-         |  SELECT af0.vec_id,
-         |         $dots
-         |  FROM af0 JOIN cand ON af0.vec_id = cand.vec_id
-         |       JOIN cb0_$PqIters c0 ON af0.cid = c0.cid
-         |       $joins
-         |       CROSS JOIN q),
-         |qn AS (SELECT sqrt(list_dot_product(qvec::DOUBLE[], qvec::DOUBLE[])) AS qn FROM q),
-         |short AS (
-         |  SELECT vec_id FROM (
-         |    SELECT sc.vec_id,
-         |           round(CASE WHEN qn.qn = 0 OR ($nSum) = 0 THEN 0
-         |                      ELSE ($dSum) / (qn.qn * sqrt($nSum)) END, 6) AS sim
-         |    FROM sc, qn)
-         |  ORDER BY sim DESC, vec_id ASC LIMIT 50),
-         |rr AS (
-         |  SELECT vec_id FROM (
-         |    SELECT e.vec_id, ${cosSql("e.embedding", "q.qvec")} AS sim
-         |    FROM embeddings e JOIN short USING (vec_id), q)
-         |  ORDER BY sim DESC, vec_id ASC LIMIT 5)
-         |SELECT (SELECT count(*) FROM exact5 JOIN rr USING (vec_id)) / 5.0
-         |       AS recall_at_5""".stripMargin
-    },
+    "ivfpq_recall" -> ivfPqRecallSql,
+    // retrain from the index's current survivors (= the full corpus
+    // after the 80/20 append) with the deterministic trainers ≡ the
+    // in-memory full-corpus IVF-PQ replay
+    "ivfpq_retrain_recall" -> ivfPqRecallSql,
     "ivfpq_batch_recall" -> {
       def rawCos(a: String, b: String) =
         s"list_dot_product($a, $b) / (sqrt(list_dot_product($a, $a)) * sqrt(list_dot_product($b, $b)))"

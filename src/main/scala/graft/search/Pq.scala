@@ -232,6 +232,35 @@ object Pq {
                            idCol: String = "vec_id"): Unit =
     Ann.deleteFromIvfIndex(ids, s"$path/codes", idCol)
 
+  /** Re-train an appended/deleted IVF-PQ index from its CURRENT
+    * survivors and rewrite it at `dstPath` — [[Ann.retrainIvfIndex]]'s
+    * contract on the composed index, closing the drift loop BOTH
+    * append paths leave open (coarse centroids AND PQ codebooks are
+    * frozen at build; under distribution drift the cluster assignment
+    * skews and the ADC quantization error grows together). Survivors
+    * come from the VECTORS side anti-joined against the codes-side
+    * tombstones (the codes side owns delete state —
+    * [[deleteFromIvfPqIndex]]); both trainers are deterministic
+    * (init = lowest-id rows), so retrained ≡ a from-scratch
+    * [[buildIvfPqIndex]] on the same surviving rows, probe-for-probe
+    * (spec-pinned in PqSpec). `dstPath` must differ from `srcPath`;
+    * returns the fresh models for subsequent probes. */
+  def retrainIvfPqIndex(spark: org.apache.spark.sql.SparkSession,
+                        srcPath: String, dstPath: String,
+                        numClusters: Int, ivfIters: Int,
+                        dim: Int, m: Int, ksub: Int, pqIters: Int,
+                        idCol: String = "vec_id",
+                        vecCol: String = "embedding"): (Seq[Seq[Double]], Codebooks) = {
+    require(srcPath != dstPath,
+      "retrain rewrites the layout: dstPath must differ from srcPath")
+    val survivors = Ann.dropTombstones(
+      spark.read.parquet(s"$srcPath/vectors"), s"$srcPath/codes", idCol)
+    val cents = Ann.kmeansCentroids(survivors, idCol, vecCol, numClusters, ivfIters)
+    val cb = train(survivors, idCol, vecCol, dim, m, ksub, pqIters)
+    buildIvfPqIndex(survivors, cents, cb, dstPath, idCol, vecCol)
+    (cents, cb)
+  }
+
   /** Re-sort an appended index's VECTORS side into one id-ordered
     * layout — the rerank-path twin of [[Ann.compactIvfIndex]] (which
     * handles the codes side). Each append writes its own id-sorted

@@ -175,6 +175,38 @@ class PqSpec extends SparkSpec {
     assert(comp == inc, "compaction must not change probe results")
   }
 
+  test("IVF-PQ retrain from survivors ≡ fresh build (both models re-fit)") {
+    import spark.implicits._
+    val emb = graft.io.Tables.embeddings(spark, sf0001)
+    val tmp = java.nio.file.Files.createTempDirectory("graft-ivfpq-rt").toString
+    val build = emb.filter(col("vec_id") < 300)
+    val cents0 = graft.search.Ann.kmeansCentroids(build, "vec_id", "embedding", 8, 2)
+    val cb0 = Pq.train(build, "vec_id", "embedding", 64, 8, 32, 2)
+    val src = tmp + "/src"
+    Pq.buildIvfPqIndex(build, cents0, cb0, src)
+    Pq.appendToIvfPqIndex(emb.filter(col("vec_id") >= 300), cents0, cb0, src)
+    // delete a few rows (one from the build set, one appended) —
+    // retrain must train on SURVIVORS only
+    Pq.deleteFromIvfPqIndex(Seq(100L, 350L).toDF("vec_id"), src)
+    val dst = tmp + "/dst"
+    val (cents1, cb1) = Pq.retrainIvfPqIndex(spark, src, dst, 8, 2, 64, 8, 32, 2)
+    val survivors = emb.filter(!col("vec_id").isin(100L, 350L))
+    val centsFresh = graft.search.Ann.kmeansCentroids(survivors, "vec_id", "embedding", 8, 2)
+    val cbFresh = Pq.train(survivors, "vec_id", "embedding", 64, 8, 32, 2)
+    assert(cents1 == centsFresh && cb1 == cbFresh,
+      "deterministic trainers: retrain == fresh train on the survivors")
+    val fresh = tmp + "/fresh"
+    Pq.buildIvfPqIndex(survivors, centsFresh, cbFresh, fresh)
+    val q = emb.filter(col("vec_id") === 0L).select(col("embedding").as("qvec"))
+    def top(p: String, cs: Seq[Seq[Double]], b: Pq.Codebooks) =
+      Pq.ivfPqIndexTopK(spark, p, q, cs, b, 5, nprobe = 3, shortlist = 50)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(top(dst, cents1, cb1) == top(fresh, centsFresh, cbFresh),
+      "retrained index must answer exactly like a fresh build on the survivors")
+    // deleted ids can no longer surface (fresh build has no tombstones)
+    assert(top(dst, cents1, cb1).forall(r => r._1 != 100L && r._1 != 350L))
+  }
+
   test("ADC top-k ranks the true neighbors of the query first") {
     val cb = Pq.train(corpus, "vec_id", "embedding", 8, 2, 4, 2)
     val q = corpus.filter(col("vec_id") === 0L)
