@@ -241,6 +241,45 @@ object SparkEntry {
       exact.join(rr, Seq("vec_id"), "left_semi")
         .agg((count(lit(1)) / 10.0).as("recall_at_10"))
     }),
+    // ---- [EXT] Matryoshka-style PREFIX truncation (Kusupati 2022):
+    // the first 16 of 64 dims as the cheap scoring tier — no
+    // projection matrix at all (MRL-trained embeddings front-load
+    // information into the prefix; this synthetic corpus has no such
+    // training, so the measured recall is the data's ceiling — the
+    // structural contract slice → score → recall is what's pinned)
+    "mrl_recall" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val exact = Search.knn(emb, queryVec(s, dir), 10).select(col("vec_id"))
+      val trunc = emb.select(col("vec_id"),
+        slice(col("embedding"), 1, 16).as("p"))
+      val q = trunc.filter(col("vec_id") === 0).select(col("p").as("qp"))
+      val approx = trunc.crossJoin(broadcast(q))
+        .select(col("vec_id"), VectorOps.cosine6(col("p"), col("qp")).as("sim"))
+        .orderBy(col("sim").desc, col("vec_id").asc).limit(10)
+        .select(col("vec_id"))
+      exact.join(approx, Seq("vec_id"), "left_semi")
+        .agg((count(lit(1)) / 10.0).as("recall_at_10"))
+    }),
+    // ---- [EXT] the production MRL shape: 16-dim-prefix shortlist
+    // (4× cheaper per candidate, zero model state) → exact 64-dim
+    // rerank of the shortlist only — the rproj/binary/PQ tier contract
+    // with the cheapest possible cheap tier
+    "mrl_rerank_recall" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val exact = Search.knn(emb, queryVec(s, dir), 10).select(col("vec_id"))
+      val trunc = emb.select(col("vec_id"),
+        slice(col("embedding"), 1, 16).as("p"))
+      val q = trunc.filter(col("vec_id") === 0).select(col("p").as("qp"))
+      val short = trunc.crossJoin(broadcast(q))
+        .select(col("vec_id"), VectorOps.cosine6(col("p"), col("qp")).as("sim"))
+        .orderBy(col("sim").desc, col("vec_id").asc).limit(100)
+        .select(col("vec_id"))
+      val rr = Search.knn(emb.join(short, Seq("vec_id"), "left_semi"),
+          queryVec(s, dir), 10)
+        .select(col("vec_id"))
+      exact.join(rr, Seq("vec_id"), "left_semi")
+        .agg((count(lit(1)) / 10.0).as("recall_at_10"))
+    }),
     // ---- [EXT] product quantization codes: every vector compressed to
     // m=8 byte codes (32× vs the float column) via per-subspace L2
     // k-means; exploded so the oracle pins every code exactly (the
@@ -316,6 +355,21 @@ object SparkEntry {
         .select(col("vec_id"))
       exact.join(got, Seq("vec_id"), "left_semi")
         .agg((count(lit(1)) / 5.0).as("recall_at_5"))
+    }),
+    // ---- [EXT] FILTERED IVF-PQ probe: the predicate applies before
+    // the ADC shortlist inside the probed partitions (so the shortlist
+    // ranks only matching candidates), exact rerank after — "top-k
+    // WHERE" on the composed modern index. Oracle replays probe →
+    // filtered candidates → ADC top-50 → exact rerank top-5.
+    "ivfpq_filtered_top5" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val cents = Ann.kmeansCentroids(emb, "vec_id", "embedding", 10, 2)
+      val cb = graft.search.Pq.train(emb, "vec_id", "embedding", 64, 8, 64, 2)
+      val path = scratchDir("ivfpq-filtered")
+      graft.search.Pq.buildIvfPqIndex(emb, cents, cb, path)
+      graft.search.Pq.ivfPqIndexTopKFiltered(s, path, queryVec(s, dir),
+          cents, cb, col("vec_id") % 3 =!= 0, 5, nprobe = 3, shortlist = 50)
+        .select(col("vec_id"), col("sim"))
     }),
     // ---- [EXT] batch IVF-PQ retrieval quality: MEAN recall@5 over 50
     // query vectors — the reference's real workload shape (a stream of
@@ -2363,6 +2417,52 @@ object SparkEntry {
        |       AS recall_at_5""".stripMargin
   }
 
+  /** IVF-PQ top-5 replay (probe → candidate filter → ADC shortlist →
+    * exact rerank) with an optional WHERE on the candidate list —
+    * the filtered-probe oracle ([[kmeansIvfTop5SqlWhere]]'s shape on
+    * the composed index). */
+  private def ivfPqTop5SqlWhere(candWhere: String): String = {
+    def rawCos(a: String, b: String) =
+      s"list_dot_product($a, $b) / (sqrt(list_dot_product($a, $a)) * sqrt(list_dot_product($b, $b)))"
+    val dots = (0 until PqM).map { mi =>
+      s"""list_dot_product((q.qvec::DOUBLE[])[${mi * PqSub + 1}:${(mi + 1) * PqSub}],
+         |                  c$mi.centroid) AS d$mi,
+         |         list_dot_product(c$mi.centroid, c$mi.centroid) AS n$mi""".stripMargin
+    }.mkString(",\n         ")
+    val joins = (1 until PqM).map(mi =>
+      s"JOIN af$mi ON af0.vec_id = af$mi.vec_id " +
+        s"JOIN cb${mi}_$PqIters c$mi ON af$mi.cid = c$mi.cid").mkString("\n       ")
+    val dSum = (0 until PqM).map(mi => s"d$mi").mkString(" + ")
+    val nSum = (0 until PqM).map(mi => s"n$mi").mkString(" + ")
+    s"""WITH q AS (SELECT embedding AS qvec FROM embeddings WHERE vec_id = 0),
+       |${ivfTrainSql(10, 2)},
+       |probes AS (
+       |  SELECT cid FROM ic2, q
+       |  ORDER BY round(${rawCos("centroid", "qvec::DOUBLE[]")}, 6) DESC, cid ASC
+       |  LIMIT 3),
+       |cand AS (SELECT iaf.vec_id FROM iaf JOIN probes USING (cid)$candWhere),
+       |$pqTrainSql,
+       |sc AS (
+       |  SELECT af0.vec_id,
+       |         $dots
+       |  FROM af0 JOIN cand ON af0.vec_id = cand.vec_id
+       |       JOIN cb0_$PqIters c0 ON af0.cid = c0.cid
+       |       $joins
+       |       CROSS JOIN q),
+       |qn AS (SELECT sqrt(list_dot_product(qvec::DOUBLE[], qvec::DOUBLE[])) AS qn FROM q),
+       |short AS (
+       |  SELECT vec_id FROM (
+       |    SELECT sc.vec_id,
+       |           round(CASE WHEN qn.qn = 0 OR ($nSum) = 0 THEN 0
+       |                      ELSE ($dSum) / (qn.qn * sqrt($nSum)) END, 6) AS sim
+       |    FROM sc, qn)
+       |  ORDER BY sim DESC, vec_id ASC LIMIT 50)
+       |SELECT vec_id, sim FROM (
+       |  SELECT e.vec_id, ${cosSql("e.embedding", "q.qvec")} AS sim
+       |  FROM embeddings e JOIN short USING (vec_id), q)
+       |ORDER BY sim DESC, vec_id ASC LIMIT 5""".stripMargin
+  }
+
   def oracleSql: Map[String, String] = Map(
     "knn_top5" ->
       s"""SELECT vec_id, sim FROM (
@@ -2436,6 +2536,41 @@ object SparkEntry {
          |SELECT (SELECT count(*) FROM exact5 JOIN rr USING (vec_id)) / 5.0
          |       AS recall_at_5""".stripMargin
     },
+    "mrl_recall" ->
+      s"""WITH fq AS (SELECT embedding AS qvec FROM embeddings WHERE vec_id = 0),
+         |exact10 AS (
+         |  SELECT vec_id FROM (
+         |    SELECT e.vec_id, ${cosSql("e.embedding", "fq.qvec")} AS sim
+         |    FROM embeddings e, fq)
+         |  ORDER BY sim DESC, vec_id ASC LIMIT 10),
+         |tr AS (SELECT vec_id, (embedding::DOUBLE[])[1:16] AS p FROM embeddings),
+         |tq AS (SELECT p AS qp FROM tr WHERE vec_id = 0),
+         |approx AS (
+         |  SELECT vec_id FROM (
+         |    SELECT tr.vec_id, ${cosSql("tr.p", "tq.qp")} AS sim FROM tr, tq)
+         |  ORDER BY sim DESC, vec_id ASC LIMIT 10)
+         |SELECT (SELECT count(*) FROM exact10 JOIN approx USING (vec_id)) / 10.0
+         |       AS recall_at_10""".stripMargin,
+    "mrl_rerank_recall" ->
+      s"""WITH fq AS (SELECT embedding AS qvec FROM embeddings WHERE vec_id = 0),
+         |exact10 AS (
+         |  SELECT vec_id FROM (
+         |    SELECT e.vec_id, ${cosSql("e.embedding", "fq.qvec")} AS sim
+         |    FROM embeddings e, fq)
+         |  ORDER BY sim DESC, vec_id ASC LIMIT 10),
+         |tr AS (SELECT vec_id, (embedding::DOUBLE[])[1:16] AS p FROM embeddings),
+         |tq AS (SELECT p AS qp FROM tr WHERE vec_id = 0),
+         |short AS (
+         |  SELECT vec_id FROM (
+         |    SELECT tr.vec_id, ${cosSql("tr.p", "tq.qp")} AS sim FROM tr, tq)
+         |  ORDER BY sim DESC, vec_id ASC LIMIT 100),
+         |rr AS (
+         |  SELECT vec_id FROM (
+         |    SELECT e.vec_id, ${cosSql("e.embedding", "fq.qvec")} AS sim
+         |    FROM embeddings e JOIN short USING (vec_id), fq)
+         |  ORDER BY sim DESC, vec_id ASC LIMIT 10)
+         |SELECT (SELECT count(*) FROM exact10 JOIN rr USING (vec_id)) / 10.0
+         |       AS recall_at_10""".stripMargin,
     "rproj_recall" ->
       s"""WITH fq AS (SELECT embedding AS qvec FROM embeddings WHERE vec_id = 0),
          |exact10 AS (
@@ -2532,6 +2667,8 @@ object SparkEntry {
     // after the 80/20 append) with the deterministic trainers ≡ the
     // in-memory full-corpus IVF-PQ replay
     "ivfpq_retrain_recall" -> ivfPqRecallSql,
+    "ivfpq_filtered_top5" ->
+      ivfPqTop5SqlWhere("\n  WHERE iaf.vec_id % 3 <> 0"),
     "ivfpq_batch_recall" -> {
       def rawCos(a: String, b: String) =
         s"list_dot_product($a, $b) / (sqrt(list_dot_product($a, $a)) * sqrt(list_dot_product($b, $b)))"

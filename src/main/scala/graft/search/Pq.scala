@@ -320,6 +320,43 @@ object Pq {
       .orderBy(col("sim").desc, col(idCol).asc).limit(k)
   }
 
+  /** FILTERED probe of a materialized IVF-PQ index —
+    * [[Ann.ivfIndexTopKFiltered]]'s contract on the composed index:
+    * the predicate (over the CODES side's columns — the id; encode
+    * routable attributes into the id space or keep them as codes-side
+    * columns) applies BEFORE the ADC shortlist inside the probed
+    * partitions, so the shortlist ranks only matching candidates and
+    * needs no over-fetch of its own; the exact-count fallback widens
+    * to every cluster (still filtered) when the probed ones hold fewer
+    * than `k` matches. Guarantee: min(k, matching survivors) results,
+    * never silently fewer because of cluster pruning. */
+  def ivfPqIndexTopKFiltered(spark: org.apache.spark.sql.SparkSession, path: String,
+                             query: DataFrame, cents: Seq[Seq[Double]], cb: Codebooks,
+                             predicate: Column, k: Int, nprobe: Int, shortlist: Int,
+                             idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val qvec = query.select(col("qvec")).head().getSeq[Number](0)
+      .map(_.doubleValue()).toSeq
+    val probes = Ann.probeIds(cents, qvec, nprobe)
+    def survivors(df: DataFrame): DataFrame =
+      Ann.dropTombstones(df, s"$path/codes", idCol)
+        .filter(predicate).drop("__cluster")
+    val probed = survivors(
+      spark.read.parquet(s"$path/codes")
+        .filter(col("__cluster").isin(probes: _*)))
+    val cand =
+      if (probed.limit(k).count() < k)
+        survivors(spark.read.parquet(s"$path/codes"))
+      else probed
+    val shortIds = adcTopKCoded(cand, query, shortlist, cb, idCol)
+      .select(col(idCol)).collect().map(_.get(0)).toSeq
+    spark.read.parquet(s"$path/vectors")
+      .filter(col(idCol).isin(shortIds: _*))
+      .crossJoin(broadcast(query))
+      .select(col(idCol),
+        round(VectorOps.cosine(col(vecCol), col("qvec")), 6).as("sim"))
+      .orderBy(col("sim").desc, col(idCol).asc).limit(k)
+  }
+
   /** Batch IVF-PQ retrieval — the multi-query production shape (the
     * reference's real workload is a stream of questions, one search per
     * `handleSendMessage`, `/root/reference/App.tsx:180-224`; a training

@@ -207,6 +207,38 @@ class PqSpec extends SparkSpec {
     assert(top(dst, cents1, cb1).forall(r => r._1 != 100L && r._1 != 350L))
   }
 
+  test("filtered IVF-PQ probe: predicate before shortlist; exact when everything probed") {
+    import spark.implicits._
+    val emb = graft.io.Tables.embeddings(spark, sf0001)
+    val cents = graft.search.Ann.kmeansCentroids(emb, "vec_id", "embedding", 10, 2)
+    val cb = Pq.train(emb, "vec_id", "embedding", 64, 8, 64, 2)
+    val tmp = java.nio.file.Files.createTempDirectory("graft-ivfpq-filt").toString
+    val idx = tmp + "/idx"
+    Pq.buildIvfPqIndex(emb, cents, cb, idx)
+    val q = emb.filter(col("vec_id") === 0L).select(col("embedding").as("qvec"))
+    // every result satisfies the predicate
+    val got = Pq.ivfPqIndexTopKFiltered(spark, idx, q, cents, cb,
+        col("vec_id") % 3 =!= 0, 5, nprobe = 3, shortlist = 50)
+      .collect().map(_.getLong(0)).toSeq
+    assert(got.size == 5 && got.forall(_ % 3 != 0), s"got $got")
+    // with ALL clusters probed and a corpus-sized shortlist the filtered
+    // probe degenerates to the exact filtered scan — rerank is exact
+    val allProbed = Pq.ivfPqIndexTopKFiltered(spark, idx, q, cents, cb,
+        col("vec_id") % 3 =!= 0, 5, nprobe = 10, shortlist = 1000)
+      .collect().map(_.getLong(0)).toSeq
+    val exact = graft.search.Search.knn(
+        emb.filter(col("vec_id") % 3 =!= 0), q, 5)
+      .collect().map(_.getLong(0)).toSeq
+    assert(allProbed == exact, s"$allProbed vs exact $exact")
+    // fallback: only 3 matching rows exist corpus-wide, nprobe=1 — the
+    // widened (still filtered) scan must surface all of them
+    val ids = Seq(7L, 11L, 13L)
+    val rare = Pq.ivfPqIndexTopKFiltered(spark, idx, q, cents, cb,
+        col("vec_id").isin(ids: _*), 5, nprobe = 1, shortlist = 50)
+      .collect().map(_.getLong(0)).toSet
+    assert(rare == ids.toSet, s"fallback must widen corpus-wide, got $rare")
+  }
+
   test("ADC top-k ranks the true neighbors of the query first") {
     val cb = Pq.train(corpus, "vec_id", "embedding", 8, 2, 4, 2)
     val q = corpus.filter(col("vec_id") === 0L)

@@ -107,4 +107,26 @@ class Round10PropertySpec extends AnyFunSuite {
       foldMerge(syms, l, r) == refMerge(syms, l, r)
     })
   }
+
+  test("BpeEncode kernel ≡ sequential greedy folds over random words and merge tables") {
+    // the round-11 native encode expression's JVM kernel, driven
+    // directly (no session): applying a whole random merge TABLE must
+    // equal folding each merge in rank order with the reference fold —
+    // including merges whose sides are earlier merges' outputs
+    val piece = Gen.oneOf("a", "b", "c", "aa", "ab", "ba", "abc")
+    val genWord = Gen.listOf(Gen.oneOf('a', 'b', 'c')).map(_.mkString)
+    val genMerges = Gen.listOfN(6, for { l <- piece; r <- piece } yield (l, r))
+    passes(Prop.forAll(for { w <- genWord; ms <- genMerges } yield (w, ms)) {
+      case (w, ms) =>
+        val got = graft.functions.BpeEncode
+          .encode(org.apache.spark.unsafe.types.UTF8String.fromString(w),
+            ms.map(_._1).toArray, ms.map(_._2).toArray)
+          .toObjectArray(org.apache.spark.sql.types.StringType)
+          .map(_.toString).toList
+        val ref = ms.foldLeft(w.map(_.toString).toList) {
+          case (s, (l, r)) => foldMerge(s, l, r)
+        }
+        got == ref
+    })
+  }
 }
