@@ -15,18 +15,36 @@ object Tables {
 
   def documents(spark: SparkSession, dir: String): DataFrame  = t(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = t(spark, dir, "embeddings")
-  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark's vectorized
-    * reader refuses; read nanos as long (legacy conf) and convert to a
-    * micros timestamp with FLOOR division — the same floor-to-micros
-    * DuckDB applies when it reads the file. Plain `div` truncates toward
-    * zero, which would round pre-epoch (negative) nanos UP by 1µs;
-    * subtracting the non-negative `pmod` remainder first floors for any
-    * sign. */
+  /** `events.ts` has shipped in two physical layouts across testdata
+    * generations, so the loader adapts on the INFERRED type and always
+    * returns the same logical column: a session-tz (UTC everywhere in
+    * this project) micros `TimestampType`.
+    *
+    *  - parquet TIMESTAMP(NANOS): Spark's vectorized reader refuses it
+    *    unless `spark.sql.legacy.parquet.nanosAsLong=true` is set AT
+    *    SESSION-BUILD TIME (a runtime `conf.set` is not consulted by
+    *    schema inference — measured on 4.1.2); every main in this repo
+    *    sets it in its builder, so the column arrives as LongType nanos
+    *    and is floored to micros. FLOOR, not `div`: plain `div`
+    *    truncates toward zero, rounding pre-epoch (negative) nanos UP
+    *    by 1µs; subtracting the non-negative `pmod` remainder first
+    *    floors for any sign — the same floor-to-micros DuckDB applies.
+    *  - parquet TIMESTAMP(MICROS) without the UTC-adjusted flag (the
+    *    current generation): arrives as TimestampNTZType; the cast to
+    *    TimestampType under the UTC session zone is value-identical
+    *    and keeps every downstream `ts` consumer (date_trunc, window,
+    *    epoch casts, oracles) on the type they were written against. */
   def events(spark: SparkSession, dir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    t(spark, dir, "events")
-      .withColumn("ts", org.apache.spark.sql.functions.expr(
-        "timestamp_micros((ts - pmod(ts, 1000)) div 1000)"))
+    import org.apache.spark.sql.functions.{col, expr}
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
+    val raw = t(spark, dir, "events")
+    raw.schema("ts").dataType match {
+      case LongType =>
+        raw.withColumn("ts", expr("timestamp_micros((ts - pmod(ts, 1000)) div 1000)"))
+      case TimestampNTZType =>
+        raw.withColumn("ts", col("ts").cast(TimestampType))
+      case _ => raw
+    }
   }
   def lineitem(spark: SparkSession, dir: String): DataFrame   = t(spark, dir, "lineitem")
   def orders(spark: SparkSession, dir: String): DataFrame     = t(spark, dir, "orders")
