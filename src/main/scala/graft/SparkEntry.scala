@@ -1066,6 +1066,22 @@ object SparkEntry {
           date_format(col("w.start"), "yyyy-MM-dd HH:mm:ss").as("session_start"),
           col("n"), col("sum_value"))
         .orderBy(col("user_id"), col("session_start"))),
+    // ---- [EXT] ordered funnel: users completing signup → view →
+    // click → purchase IN ORDER (step i counts only events strictly
+    // after step i-1's completion time) — stacked per-user window
+    // mins, one user-key shuffle for the whole funnel
+    "funnel_counts" -> ((s, dir) =>
+      graft.analysis.Funnel.funnelCounts(Tables.events(s, dir),
+          "user_id", "event_type", "ts",
+          Seq("signup", "view", "click", "purchase"))
+        .orderBy(col("step_idx"))),
+    // ---- [EXT] retention cohorts: users keyed by first-activity day,
+    // counted per (cohort, day-offset) — one map-side-deduped user
+    // shuffle carrying bounded day sets
+    "retention_cohorts" -> ((s, dir) =>
+      graft.analysis.Funnel.retentionCohorts(Tables.events(s, dir),
+          "user_id", "ts")
+        .orderBy(col("cohort_day"), col("offset_days"))),
     // ---- [EXT] TPC-H-style scan-agg (partial+final hash agg)
     "q1_agg" -> ((s, dir) =>
       Tables.lineitem(s, dir)
@@ -4076,6 +4092,52 @@ object SparkEntry {
         |       count(*) AS n, round(sum(value), 4) AS sum_value
         |FROM s GROUP BY user_id, sid
         |ORDER BY user_id, session_start""".stripMargin,
+    "funnel_counts" ->
+      """WITH s0 AS (
+        |  SELECT user_id, event_type, ts,
+        |         min(CASE WHEN event_type = 'signup' THEN ts END)
+        |           OVER (PARTITION BY user_id) AS t0
+        |  FROM events),
+        |s1 AS (SELECT *, min(CASE WHEN event_type = 'view' AND ts > t0 THEN ts END)
+        |                   OVER (PARTITION BY user_id) AS t1 FROM s0),
+        |s2 AS (SELECT *, min(CASE WHEN event_type = 'click' AND ts > t1 THEN ts END)
+        |                   OVER (PARTITION BY user_id) AS t2 FROM s1),
+        |s3 AS (SELECT *, min(CASE WHEN event_type = 'purchase' AND ts > t2 THEN ts END)
+        |                   OVER (PARTITION BY user_id) AS t3 FROM s2),
+        |u AS (SELECT user_id, max(t0) AS t0, max(t1) AS t1,
+        |             max(t2) AS t2, max(t3) AS t3 FROM s3 GROUP BY user_id),
+        |c AS (SELECT count(t0) AS c0, count(t1) AS c1,
+        |             count(t2) AS c2, count(t3) AS c3 FROM u)
+        |SELECT * FROM (
+        |  SELECT 0::BIGINT AS step_idx, 'signup' AS step, c0 AS users,
+        |         CASE WHEN c0 = 0 THEN NULL ELSE round(c0::DOUBLE / c0, 6) END AS conv_from_first,
+        |         1.0::DOUBLE AS conv_from_prev FROM c
+        |  UNION ALL
+        |  SELECT 1::BIGINT, 'view', c1,
+        |         CASE WHEN c0 = 0 THEN NULL ELSE round(c1::DOUBLE / c0, 6) END,
+        |         CASE WHEN c0 = 0 THEN NULL ELSE round(c1::DOUBLE / c0, 6) END FROM c
+        |  UNION ALL
+        |  SELECT 2::BIGINT, 'click', c2,
+        |         CASE WHEN c0 = 0 THEN NULL ELSE round(c2::DOUBLE / c0, 6) END,
+        |         CASE WHEN c1 = 0 THEN NULL ELSE round(c2::DOUBLE / c1, 6) END FROM c
+        |  UNION ALL
+        |  SELECT 3::BIGINT, 'purchase', c3,
+        |         CASE WHEN c0 = 0 THEN NULL ELSE round(c3::DOUBLE / c0, 6) END,
+        |         CASE WHEN c2 = 0 THEN NULL ELSE round(c3::DOUBLE / c2, 6) END FROM c)
+        |ORDER BY step_idx""".stripMargin,
+    "retention_cohorts" ->
+      """WITH ud AS (SELECT DISTINCT user_id, date_trunc('day', ts) AS day FROM events),
+        |ch AS (SELECT user_id, min(day) AS cohort FROM ud GROUP BY user_id),
+        |act AS (
+        |  SELECT ch.cohort, date_diff('day', ch.cohort, ud.day) AS offset_days,
+        |         count(*) AS active_users
+        |  FROM ud JOIN ch ON ud.user_id = ch.user_id GROUP BY 1, 2),
+        |sz AS (SELECT cohort, count(*) AS cohort_size FROM ch GROUP BY 1)
+        |SELECT strftime(act.cohort, '%Y-%m-%d') AS cohort_day, offset_days,
+        |       active_users, cohort_size,
+        |       round(active_users::DOUBLE / cohort_size, 6) AS retention
+        |FROM act JOIN sz ON act.cohort = sz.cohort
+        |ORDER BY cohort_day, offset_days""".stripMargin,
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,
         |       round(sum(l_quantity), 2) AS sum_qty,

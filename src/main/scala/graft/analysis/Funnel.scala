@@ -1,0 +1,116 @@
+package graft.analysis
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Behavioral analytics over an event stream — ordered funnels and
+  * retention cohorts, the two standard product-analytics reductions of
+  * an `(user, event_type, ts)` log.
+  *
+  * The reference has no event analytics at all (its only "events" are
+  * React UI callbacks, `/root/reference/App.tsx:26-101`); these are
+  * extension operators for the training-data/product-log side of the
+  * engine, shaped for the 100 TB log: every stage shuffles on the user
+  * key (or on day-bucket keys bounded by the calendar), nothing
+  * collects per-user state to the driver, and the per-user width is
+  * O(#steps) columns regardless of how many events a user has.
+  */
+object Funnel {
+
+  /** Per-user ordered-funnel completion times: one row per user,
+    * `__t0 … __t{n-1}` = the earliest time the user completed step i
+    * IN ORDER (step i counts only events STRICTLY after `__t{i-1}`;
+    * ties at the exact same micros do not advance the funnel — both
+    * engines agree because the comparison is on exact micros values).
+    *
+    * Plan shape: the step times are STACKED per-user windows (no ORDER
+    * BY, so no per-partition sort) — every window shares one hash
+    * exchange on the user key, and the closing per-user aggregate is
+    * co-partitioned with it, so the whole funnel is ONE shuffle of the
+    * projected `(user, type, ts)` rows. Window i's filter references
+    * window i-1's column, which Catalyst stacks in the same Window
+    * operator chain without re-exchanging. */
+  def stepTimes(events: DataFrame, userCol: String, typeCol: String,
+                tsCol: String, steps: Seq[String]): DataFrame = {
+    require(steps.nonEmpty, "funnel needs at least one step")
+    val w = Window.partitionBy(col(userCol))
+    val withSteps = steps.zipWithIndex.foldLeft(
+      events.select(col(userCol), col(typeCol), col(tsCol))) {
+      case (df, (step, i)) =>
+        val hit =
+          if (i == 0) col(typeCol) === lit(step)
+          else col(typeCol) === lit(step) && col(tsCol) > col(s"__t${i - 1}")
+        df.withColumn(s"__t$i", min(when(hit, col(tsCol))).over(w))
+    }
+    val stepAggs = steps.indices.map(i => first(col(s"__t$i")).as(s"__t$i"))
+    withSteps.groupBy(col(userCol)).agg(stepAggs.head, stepAggs.tail: _*)
+  }
+
+  /** The funnel report: one row per step with the user count that
+    * reached it in order and the conversion rates (vs the first step
+    * and vs the previous step, round-6 by the project float contract;
+    * a zero-user upstream step yields null conversions rather than a
+    * division artifact). The per-step counts reduce to ONE aggregated
+    * row (conditional counts over [[stepTimes]]), unpivoted with
+    * `stack` — so after the funnel's single user-key shuffle the
+    * report itself is a global aggregate of #steps longs. */
+  def funnelCounts(events: DataFrame, userCol: String, typeCol: String,
+                   tsCol: String, steps: Seq[String]): DataFrame = {
+    val st = stepTimes(events, userCol, typeCol, tsCol, steps)
+    val counted = st.agg(
+      count(when(col("__t0").isNotNull, lit(1))).as("__c0"),
+      steps.indices.tail.map(i =>
+        count(when(col(s"__t$i").isNotNull, lit(1))).as(s"__c$i")): _*)
+    // every step count sits in the ONE aggregated row, so the per-step
+    // conversions are plain column arithmetic on that row — computed
+    // BEFORE the stack unpivot, which keeps the report window-free (no
+    // single-partition Window node for the sweep to flag)
+    def conv(num: Int, den: Int): String =
+      s"(CASE WHEN __c$den = 0 THEN CAST(NULL AS DOUBLE) " +
+        s"ELSE round(CAST(__c$num AS DOUBLE) / __c$den, 6) END)"
+    counted.select(expr(
+      s"stack(${steps.size}, " +
+        steps.zipWithIndex.map { case (s, i) =>
+          val fromFirst = conv(i, 0)
+          val fromPrev = if (i == 0) "CAST(1.0 AS DOUBLE)" else conv(i, i - 1)
+          s"${i}L, '$s', __c$i, $fromFirst, $fromPrev"
+        }.mkString(", ") +
+        ") AS (step_idx, step, users, conv_from_first, conv_from_prev)"))
+  }
+
+  /** Retention cohorts: users grouped by their first-activity day, and
+    * for each `(cohort_day, offset_days)` the count still active that
+    * many days later, with the retention fraction of the cohort.
+    *
+    * Plan shape: ONE corpus-sized shuffle — a per-user aggregate whose
+    * map side already dedups days (`collect_set` partials combine
+    * per-partition), carrying `(min day, distinct days)`; per-user
+    * state is bounded by the calendar span (a user active daily for 30
+    * years holds ~11k day entries), not by event count. Everything
+    * after explodes those bounded sets and reduces on
+    * `(cohort_day, offset)` — at most calendar² keys — with cohort
+    * sizes (≤ one row per day) rejoined by broadcast. */
+  def retentionCohorts(events: DataFrame, userCol: String,
+                       tsCol: String): DataFrame = {
+    val perUser = events
+      .select(col(userCol), date_trunc("day", col(tsCol)).as("__day"))
+      .groupBy(col(userCol))
+      .agg(min(col("__day")).as("__cohort"),
+        collect_set(col("__day")).as("__days"))
+    val active = perUser
+      .select(col("__cohort"), explode(col("__days")).as("__day"))
+      .groupBy(col("__cohort").as("__cohort_day"),
+        datediff(col("__day"), col("__cohort")).cast("long").as("offset_days"))
+      .agg(count(lit(1)).as("active_users")) // rows are (user, day)-unique
+    val sizes = perUser
+      .groupBy(col("__cohort").as("__cohort_day"))
+      .agg(count(lit(1)).as("cohort_size"))
+    active.join(broadcast(sizes), Seq("__cohort_day"))
+      .select(
+        date_format(col("__cohort_day"), "yyyy-MM-dd").as("cohort_day"),
+        col("offset_days"), col("active_users"), col("cohort_size"),
+        round(col("active_users").cast("double") / col("cohort_size"), 6)
+          .as("retention"))
+  }
+}

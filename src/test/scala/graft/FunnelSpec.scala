@@ -1,0 +1,117 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+
+import graft.analysis.Funnel
+
+/** Ordered-funnel and retention-cohort semantics against hand-computed
+  * fixtures: in-order-only step credit, strict-after tie handling,
+  * skipped steps, cohort day assignment, and the one-shuffle plan
+  * contract for the funnel. */
+class FunnelSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+  private val steps = Seq("signup", "view", "buy")
+
+  private def ev(rows: (Long, String, String)*) =
+    rows.map { case (u, t, at) => (u, t, ts(at)) }.toDF("u", "et", "t")
+
+  test("funnel credits steps only in order, strictly after the previous step") {
+    val events = ev(
+      // user 1: full funnel in order
+      (1L, "signup", "2024-01-01 10:00:00"),
+      (1L, "view", "2024-01-01 11:00:00"),
+      (1L, "buy", "2024-01-01 12:00:00"),
+      // user 2: view BEFORE signup (doesn't count), then after -> depth 2
+      (2L, "view", "2024-01-01 09:00:00"),
+      (2L, "signup", "2024-01-01 10:00:00"),
+      (2L, "view", "2024-01-01 10:30:00"),
+      // user 3: signup + buy but never view -> buy must not count
+      (3L, "signup", "2024-01-01 10:00:00"),
+      (3L, "buy", "2024-01-01 11:00:00"),
+      // user 4: view at the EXACT signup micros -> strict 'after' rejects it
+      (4L, "signup", "2024-01-01 10:00:00"),
+      (4L, "view", "2024-01-01 10:00:00"),
+      // user 5: no signup at all -> depth 0 everywhere
+      (5L, "view", "2024-01-01 10:00:00"),
+      (5L, "buy", "2024-01-01 11:00:00"))
+    val got = Funnel.funnelCounts(events, "u", "et", "t", steps)
+      .orderBy(col("step_idx"))
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+      .toSeq
+    assert(got == Seq((0L, "signup", 4L), (1L, "view", 2L), (2L, "buy", 1L)),
+      s"got ${got.mkString(",")}")
+  }
+
+  test("funnel conversions: from-first and from-prev, round-6") {
+    val events = ev(
+      (1L, "signup", "2024-01-01 10:00:00"),
+      (1L, "view", "2024-01-01 11:00:00"),
+      (1L, "buy", "2024-01-01 12:00:00"),
+      (2L, "signup", "2024-01-01 10:00:00"),
+      (2L, "view", "2024-01-01 11:00:00"),
+      (3L, "signup", "2024-01-01 10:00:00"))
+    val got = Funnel.funnelCounts(events, "u", "et", "t", steps)
+      .orderBy(col("step_idx"))
+      .collect()
+      .map(r => (r.getString(1), r.getLong(2), r.getDouble(3), r.getDouble(4)))
+      .toSeq
+    assert(got == Seq(
+      ("signup", 3L, 1.0, 1.0),
+      ("view", 2L, 0.666667, 0.666667),
+      ("buy", 1L, 0.333333, 0.5)), s"got ${got.mkString(",")}")
+  }
+
+  test("a later out-of-order occurrence still advances the funnel") {
+    // view fires before signup AND again after it: the second one counts
+    val events = ev(
+      (1L, "view", "2024-01-01 09:00:00"),
+      (1L, "signup", "2024-01-01 10:00:00"),
+      (1L, "view", "2024-01-01 11:00:00"))
+    val got = Funnel.funnelCounts(events, "u", "et", "t", steps)
+      .filter(col("step") === "view").select(col("users")).head().getLong(0)
+    assert(got == 1L)
+  }
+
+  test("funnel is a single user-key shuffle (stacked windows share one exchange)") {
+    val events = ev((1L, "signup", "2024-01-01 10:00:00"))
+    val qe = Funnel.stepTimes(events, "u", "et", "t", steps).queryExecution
+    // every window keyed (no single-partition Window)...
+    import org.apache.spark.sql.catalyst.plans.logical
+    val unpartitioned = qe.optimizedPlan.collect {
+      case w: logical.Window if w.partitionSpec.isEmpty => w
+    }
+    assert(unpartitioned.isEmpty, s"single-partition window in:\n${qe.optimizedPlan}")
+    // ...and exactly ONE exchange end-to-end (string count survives the
+    // AQE wrapper, whose inner plan collect() does not traverse)
+    val planStr = qe.executedPlan.toString
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(planStr).size
+    assert(exchanges == 1, s"expected 1 shuffle, got $exchanges in:\n$planStr")
+  }
+
+  test("retention cohorts: first-day assignment, offsets, rates") {
+    val events = ev(
+      // cohort 01-01: users 1, 2
+      (1L, "view", "2024-01-01 10:00:00"),
+      (1L, "view", "2024-01-02 10:00:00"),
+      (1L, "view", "2024-01-02 12:00:00"), // same day twice -> one active row
+      (2L, "view", "2024-01-01 23:59:59"),
+      (2L, "view", "2024-01-03 00:00:00"),
+      // cohort 01-02: user 3 only
+      (3L, "view", "2024-01-02 01:00:00"))
+    val got = Funnel.retentionCohorts(events, "u", "t")
+      .orderBy(col("cohort_day"), col("offset_days"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))
+      .toSeq
+    assert(got == Seq(
+      ("2024-01-01", 0L, 2L, 2L, 1.0),
+      ("2024-01-01", 1L, 1L, 2L, 0.5),
+      ("2024-01-01", 2L, 1L, 2L, 0.5),
+      ("2024-01-02", 0L, 1L, 1L, 1.0)), s"got ${got.mkString(",")}")
+  }
+}
