@@ -1500,6 +1500,21 @@ object SparkEntry {
           col("vec_id") % 3 =!= 0, 5, 3)
         .select(col("vec_id"), col("sim"))
     }),
+    // ---- [EXT] exact RANGE search ("all vectors with sim >= tau")
+    // over the IVF index: per-cluster Cauchy-Schwarz bounds certify
+    // whole clusters below the threshold, so pruning is LOSSLESS —
+    // range ≡ brute-force filter on any data (how much prunes is the
+    // data's clusteredness; this corpus is near-uniform, so the win
+    // here is the contract, demonstrated on tight clusters in AnnSpec)
+    "ann_range_search" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val cents = Ann.kmeansCentroids(emb, "vec_id", "embedding", 10, 2)
+      val path = scratchDir("ivf-range")
+      Ann.buildIvfIndex(emb, cents, path)
+      Ann.recordRangeStats(s, path)
+      Ann.ivfRangeSearch(s, path, queryVec(s, dir), 0.2)
+        .orderBy(col("vec_id"))
+    }),
     // ---- [EXT] anti join (the dedup-subtract shape, SURVEY §2 semi/anti)
     "anti_join" -> ((s, dir) => {
       val bigItems = Tables.lineitem(s, dir)
@@ -2777,6 +2792,14 @@ object SparkEntry {
     // predicate on the candidate scan
     "ann_filtered_top5" ->
       kmeansIvfTop5SqlWhere("\n  WHERE e.vec_id % 3 <> 0"),
+    // Range pruning is lossless by the Cauchy-Schwarz certificate, so
+    // the oracle is simply the brute-force threshold filter.
+    "ann_range_search" ->
+      s"""SELECT vec_id, sim FROM (
+         |  SELECT e.vec_id, ${cosSql("e.embedding", "q.qvec")} AS sim
+         |  FROM embeddings e,
+         |       (SELECT embedding AS qvec FROM embeddings WHERE vec_id = 0) q)
+         |WHERE sim >= 0.2 ORDER BY vec_id""".stripMargin,
     "ann_index_drift" -> {
       def rawCos(a: String, b: String) =
         s"list_dot_product($a, $b) / (sqrt(list_dot_product($a, $a)) * sqrt(list_dot_product($b, $b)))"

@@ -372,6 +372,82 @@ object Ann {
     cents
   }
 
+  /** Record per-cluster RANGE-pruning stats for a materialized IVF
+    * index at `<path>.rstats`: the mean of the cluster's L2-NORMALIZED
+    * vectors (`mu`) and the max Euclidean distance of those normalized
+    * vectors to it (`radius`). For unit vectors q̂, x̂ Cauchy–Schwarz
+    * gives `cos(q, x) = q̂·x̂ ≤ q̂·mu + ‖x̂ − mu‖ ≤ q̂·mu + radius`, so
+    * a whole cluster is provably below a similarity threshold when its
+    * bound is — EXACT pruning, unlike the top-k probe's best-effort
+    * nprobe. Stats describe the index CONTENTS AT RECORD TIME:
+    * appending rows can exceed the recorded radius and silently break
+    * the bound, so re-record after appends (the [[recordIvfModel]]
+    * drift-baseline contract; deletes only shrink clusters and stay
+    * sound). Tombstoned rows are excluded for tightness. */
+  def recordRangeStats(spark: org.apache.spark.sql.SparkSession, path: String,
+                       idCol: String = "vec_id", vecCol: String = "embedding"): Unit = {
+    val normed = dropTombstones(spark.read.parquet(path), path, idCol)
+      .select(col("__cluster"), graft.functions.L2Normalize(col(vecCol)).as("__nv"))
+    val mu = normed.groupBy(col("__cluster"))
+      .agg(graft.functions.VectorAvg(col("__nv")).as("mu"))
+    // exact element-wise ‖x̂ − mu‖ (no a²−2ab+b² cancellation); one
+    // scan joined to the broadcast k-row centroid table
+    val dist = sqrt(aggregate(
+      zip_with(col("__nv"), col("mu"), (x, m) => (x - m) * (x - m)),
+      lit(0.0), (acc, v) => acc + v))
+    normed.join(broadcast(mu), Seq("__cluster"))
+      .select(col("__cluster"), col("mu"), dist.as("__d"))
+      .groupBy(col("__cluster"))
+      .agg(first(col("mu")).as("mu"), max(col("__d")).as("radius"))
+      .coalesce(1) // model state: k rows
+      .write.mode("overwrite").parquet(s"$path.rstats")
+  }
+
+  /** Clusters a range query at threshold `tau` must scan: those whose
+    * recorded upper bound `q̂·mu + radius` (+1e-6 margin, covering the
+    * round-6 result rounding and driver float error) reaches `tau`.
+    * Driver-side over the k-row stats table — model state, like
+    * [[probeIds]]. */
+  def rangeProbeClusters(spark: org.apache.spark.sql.SparkSession, path: String,
+                         qvec: Seq[Double], tau: Double): Seq[Int] = {
+    val qn = math.sqrt(qvec.map(x => x * x).sum)
+    val qhat = if (qn == 0.0) qvec.map(_ => 0.0) else qvec.map(_ / qn)
+    spark.read.parquet(s"$path.rstats").collect().toSeq
+      .map { r =>
+        val cluster = r.getInt(r.fieldIndex("__cluster"))
+        val mu = r.getSeq[Double](r.fieldIndex("mu"))
+        val radius = r.getDouble(r.fieldIndex("radius"))
+        val dot = qhat.zip(mu).map { case (a, b) => a * b }.sum
+        (cluster, dot + radius + 1e-6)
+      }
+      .filter(_._2 >= tau).map(_._1).sorted
+  }
+
+  /** EXACT range search over a materialized IVF index: every vector
+    * with round-6 cosine ≥ `tau`, scanning only the clusters whose
+    * recorded bound ([[recordRangeStats]]) can reach `tau` — partition
+    * pruning like [[ivfIndexTopK]], but LOSSLESS: the bound is a
+    * per-cluster certificate, so range ≡ brute-force filter on any
+    * data (spec-pinned). How much prunes is the data's clusteredness:
+    * tight clusters (the 100 TB case IVF presumes) skip most files; on
+    * uniform-random vectors the bounds stay near 1 + radius and
+    * nothing prunes — correctness is unconditional, speed is not. */
+  def ivfRangeSearch(spark: org.apache.spark.sql.SparkSession, path: String,
+                     query: DataFrame, tau: Double,
+                     idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val qvec = query.select(col("qvec")).head().getSeq[Number](0)
+      .map(_.doubleValue()).toSeq
+    val probes = rangeProbeClusters(spark, path, qvec, tau)
+    dropTombstones(
+      spark.read.parquet(path)
+        .filter(col("__cluster").isin(probes: _*)).drop("__cluster"),
+      path, idCol)
+      .crossJoin(broadcast(query))
+      .select(col(idCol),
+        round(VectorOps.cosine(col(vecCol), col("qvec")), 6).as("sim"))
+      .filter(col("sim") >= tau)
+  }
+
   /** Deterministic seeded hyperplanes (unit-free; only the sign of the
     * projection matters). */
   def planes(dim: Int, nbits: Int, seed: Long = 42L): Seq[Seq[Double]] = {

@@ -321,6 +321,80 @@ class AnnSpec extends SparkSpec {
       s"fallback must surface every matching row corpus-wide, got $rare")
   }
 
+  test("range search ≡ brute-force threshold filter at every tau") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft-ivf-range").toString
+    val idx = s"$tmp/index"
+    val cents = Ann.kmeansCentroids(emb, "vec_id", "embedding", 10, 2)
+    Ann.buildIvfIndex(emb, cents, idx)
+    Ann.recordRangeStats(spark, idx)
+    def brute(tau: Double): Set[(Long, Double)] =
+      emb.crossJoin(broadcast(q))
+        .select(col("vec_id"),
+          round(graft.vector.VectorOps.cosine(col("embedding"), col("qvec")), 6).as("sim"))
+        .filter(col("sim") >= tau)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSet
+    Seq(0.1, 0.25, 0.5, 0.99).foreach { tau =>
+      val got = Ann.ivfRangeSearch(spark, idx, q, tau)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSet
+      assert(got == brute(tau), s"tau=$tau: range result must be exact")
+    }
+  }
+
+  test("range pruning skips certified clusters on clustered data, losslessly") {
+    import spark.implicits._
+    // two tight clusters near orthogonal axes + the query aligned with
+    // the first: the second cluster's bound q·mu + radius sits far
+    // below a high tau, so it must be pruned — and the result must
+    // still be the exact brute-force answer
+    val dim = 8
+    def v(axis: Int, eps: Double, flip: Int): Seq[Float] =
+      Seq.tabulate(dim)(i =>
+        (if (i == axis) 1.0 else if (i == (axis + 1 + flip) % dim) eps else 0.0).toFloat)
+    val rows =
+      (0L until 20L).map(i => (i, v(0, 0.01 * (i % 3), (i % 2).toInt), 0)) ++
+        (20L until 40L).map(i => (i, v(4, 0.01 * (i % 3), (i % 2).toInt), 1))
+    val tight = rows.toDF("vec_id", "embedding", "label")
+    val tmp = java.nio.file.Files.createTempDirectory("graft-range-prune").toString
+    val idx = s"$tmp/index"
+    val cents = Ann.kmeansCentroids(tight, "vec_id", "embedding", 2, 3)
+    Ann.buildIvfIndex(tight, cents, idx)
+    Ann.recordRangeStats(spark, idx)
+    val qv = tight.filter(col("vec_id") === 0).select(col("embedding").as("qvec"))
+    val qvec = qv.head().getSeq[Number](0).map(_.doubleValue()).toSeq
+    val probes = Ann.rangeProbeClusters(spark, idx, qvec, 0.9)
+    assert(probes.size == 1, s"the off-axis cluster must be certified out, got $probes")
+    val got = Ann.ivfRangeSearch(spark, idx, qv, 0.9)
+      .collect().map(_.getLong(0)).toSet
+    val brute = tight.crossJoin(broadcast(qv))
+      .select(col("vec_id"),
+        round(graft.vector.VectorOps.cosine(col("embedding"), col("qvec")), 6).as("sim"))
+      .filter(col("sim") >= 0.9)
+      .collect().map(_.getLong(0)).toSet
+    assert(got == brute, "pruned range search must stay exact")
+    assert(got.nonEmpty && got.subsetOf((0L until 20L).toSet))
+  }
+
+  test("range stats re-recorded after an append restore exactness") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft-range-app").toString
+    val idx = s"$tmp/index"
+    val build = emb.filter(col("vec_id") < 400)
+    val cents = Ann.kmeansCentroids(build, "vec_id", "embedding", 10, 2)
+    Ann.buildIvfIndex(build, cents, idx)
+    Ann.recordRangeStats(spark, idx)
+    Ann.appendToIvfIndex(emb.filter(col("vec_id") >= 400), cents, idx)
+    Ann.recordRangeStats(spark, idx) // the documented post-append step
+    val got = Ann.ivfRangeSearch(spark, idx, q, 0.25)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSet
+    val brute = emb.crossJoin(broadcast(q))
+      .select(col("vec_id"),
+        round(graft.vector.VectorOps.cosine(col("embedding"), col("qvec")), 6).as("sim"))
+      .filter(col("sim") >= 0.25)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSet
+    assert(got == brute)
+  }
+
   test("LSH buckets are deterministic across runs (seeded planes)") {
     val p = Ann.planes(64, 8)
     val b1 = emb.withColumn("b", Ann.lshBucket(col("embedding"), p))
