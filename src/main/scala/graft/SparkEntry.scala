@@ -1500,6 +1500,14 @@ object SparkEntry {
           col("vec_id") % 3 =!= 0, 5, 3)
         .select(col("vec_id"), col("sim"))
     }),
+    // ---- [EXT] MMR diversified top-k (Carbonell-Goldstein): greedy
+    // lambda*rel - (1-lambda)*max-sim-to-picked over the knn shortlist;
+    // the sequential-in-k greedy runs driver-side on bounded model
+    // state (20 shortlist vectors), the corpus work is the knn scan
+    "mmr_top5" -> ((s, dir) =>
+      Search.mmrTopK(Tables.embeddings(s, dir), queryVec(s, dir),
+          k = 5, shortlist = 20, lambda = 0.75)
+        .orderBy(col("mmr_rank"))),
     // ---- [EXT] exact RANGE search ("all vectors with sim >= tau")
     // over the IVF index: per-cluster Cauchy-Schwarz bounds certify
     // whole clusters below the threshold, so pruning is LOSSLESS —
@@ -2792,6 +2800,44 @@ object SparkEntry {
     // predicate on the candidate scan
     "ann_filtered_top5" ->
       kmeansIvfTop5SqlWhere("\n  WHERE e.vec_id % 3 <> 0"),
+    // The MMR greedy is sequential in k, so the oracle UNROLLS it: one
+    // pick-CTE per rank, each scoring the remaining shortlist against
+    // the max round-6 pairwise cosine to everything picked so far.
+    // lambda = 0.75 is dyadic, so 0.75/0.25 inline exactly both sides.
+    "mmr_top5" -> {
+      val picks = (2 to 5).map { r =>
+        s"""pick$r AS (
+           |  SELECT c.vec_id, c.sim AS relevance,
+           |         round(0.75 * c.sim - 0.25 * m.ms, 6) AS score
+           |  FROM sl c JOIN (
+           |    SELECT ia, max(s) AS ms FROM p
+           |    WHERE ib IN (SELECT vec_id FROM sel${r - 1}) GROUP BY ia) m
+           |    ON m.ia = c.vec_id
+           |  WHERE c.vec_id NOT IN (SELECT vec_id FROM sel${r - 1})
+           |  ORDER BY score DESC, c.vec_id LIMIT 1),
+           |sel$r AS (SELECT vec_id FROM sel${r - 1}
+           |          UNION ALL SELECT vec_id FROM pick$r)""".stripMargin
+      }.mkString(",\n")
+      val unions = (2 to 5).map(r =>
+        s"UNION ALL SELECT vec_id, ${r}::BIGINT, relevance, score FROM pick$r")
+        .mkString("\n")
+      s"""WITH q AS (SELECT embedding AS qvec FROM embeddings WHERE vec_id = 0),
+         |sl AS (SELECT vec_id, embedding, sim FROM (
+         |  SELECT e.vec_id, e.embedding, ${cosSql("e.embedding", "q.qvec")} AS sim
+         |  FROM embeddings e, q)
+         |  ORDER BY sim DESC, vec_id LIMIT 20),
+         |p AS (SELECT a.vec_id AS ia, b.vec_id AS ib,
+         |             ${cosSql("a.embedding", "b.embedding")} AS s
+         |      FROM sl a JOIN sl b ON a.vec_id <> b.vec_id),
+         |pick1 AS (SELECT vec_id, sim AS relevance, round(0.75 * sim, 6) AS score
+         |          FROM sl ORDER BY sim DESC, vec_id LIMIT 1),
+         |sel1 AS (SELECT vec_id FROM pick1),
+         |$picks
+         |SELECT vec_id, mmr_rank, relevance, mmr_score FROM (
+         |  SELECT vec_id, 1::BIGINT AS mmr_rank, relevance, score AS mmr_score FROM pick1
+         |  $unions)
+         |ORDER BY mmr_rank""".stripMargin
+    },
     // Range pruning is lossless by the Cauchy-Schwarz certificate, so
     // the oracle is simply the brute-force threshold filter.
     "ann_range_search" ->

@@ -56,6 +56,68 @@ object Search {
       .orderBy(col("sim").desc, col(idCol).asc)
       .limit(k)
 
+  /** Maximal Marginal Relevance (Carbonell-Goldstein 1998) re-ranking:
+    * top-k diversified results from a relevance `shortlist`. Pure
+    * relevance ranking returns near-duplicates back to back; MMR picks
+    * greedily by `lambda·rel − (1−lambda)·max-sim-to-already-picked`,
+    * trading relevance against redundancy.
+    *
+    * The selection is inherently sequential in k, so it runs on the
+    * DRIVER over the collected shortlist — bounded model state
+    * (`shortlist` rows of one vector each, like Lloyd centroids), never
+    * the corpus: the distributed work is exactly the [[knn]] shortlist
+    * scan (TakeOrderedAndProject), and everything after is O(shortlist²)
+    * on kilobytes. Arithmetic is the project float contract: relevance
+    * and pairwise cosines round-6 (HALF_UP, the [[Ann.probeIds]]
+    * precedent), scores `r6(lambda·rel − (1−lambda)·maxSim)`, ties to
+    * the lower id — so a SQL engine replays the greedy fold exactly.
+    * Prefer a dyadic `lambda` (0.75, 0.5) so `1 − lambda` is exact and
+    * the replay can inline both factors bit-identically. */
+  def mmrTopK(corpus: DataFrame, query: DataFrame, k: Int, shortlist: Int,
+              lambda: Double,
+              idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    require(k >= 1 && shortlist >= k, "need shortlist >= k >= 1")
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    def r6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def cos(a: Seq[Double], b: Seq[Double]): Double = {
+      if (a.size != b.size) return -1.0
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.size) { dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      if (na == 0.0 || nb == 0.0) 0.0 else dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    // knn's total order (sim DESC, id ASC) survives the collect
+    val sl = knn(corpus, query, shortlist, idCol, vecCol)
+      .select(col(idCol).cast("long"), col("sim"), col(vecCol))
+      .collect()
+      .map(r => (r.getLong(0), r.getDouble(1),
+        r.getSeq[Number](2).map(_.doubleValue()).toSeq))
+    val mu = 1.0 - lambda
+    val picked = scala.collection.mutable.ArrayBuffer.empty[(Long, Int, Double, Double)]
+    val pickedVecs = scala.collection.mutable.ArrayBuffer.empty[Seq[Double]]
+    val remaining = scala.collection.mutable.LinkedHashMap(
+      sl.map { case (id, rel, v) => id -> ((rel, v)) }: _*)
+    while (picked.size < math.min(k, sl.length)) {
+      val scored = remaining.map { case (id, (rel, v)) =>
+        val maxSim =
+          if (pickedVecs.isEmpty) 0.0
+          else pickedVecs.map(p => r6(cos(v, p))).max
+        val score =
+          if (pickedVecs.isEmpty) r6(lambda * rel)
+          else r6(lambda * rel - mu * maxSim)
+        (id, rel, score)
+      }
+      val (id, rel, score) = scored.maxBy { case (i, _, s) => (s, -i) }
+      picked += ((id, picked.size + 1, rel, score))
+      pickedVecs += remaining(id)._2
+      remaining.remove(id)
+    }
+    picked.toSeq.toDF(idCol, "mmr_rank", "relevance", "mmr_score")
+      .select(col(idCol), col("mmr_rank").cast("long"),
+        col("relevance"), col("mmr_score"))
+  }
+
   /** Batch similarity join: for every row of `queries` (id `qid`, vector
     * `qvec`), the top-k most similar corpus rows. Broadcast nested-loop
     * join + per-qid window top-k (`row_number <= k`, total order

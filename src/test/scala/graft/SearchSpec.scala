@@ -77,6 +77,52 @@ class SearchSpec extends SparkSpec {
     assert(viaDot == raw)
   }
 
+  test("MMR demotes a near-duplicate that pure relevance ranks second") {
+    // doc 1 ≈ doc 0's direction (near-dup, rel ranks 1-2); doc 2 is
+    // less relevant but orthogonal to doc 1 — MMR must pick it at
+    // rank 2 and push the duplicate down
+    val corpus = Seq(
+      (0L, Seq(0.9f, 0.4359f, 0.0f, 0.0f)),  // rel ~0.90
+      (1L, Seq(0.88f, 0.47f, 0.07f, 0.0f)),  // rel ~0.88, cos to doc0 ~0.997
+      (2L, Seq(0.8f, 0.0f, 0.6f, 0.0f)),     // rel 0.80, cos to doc0 0.72
+      (3L, Seq(0.0f, 0.0f, 0.0f, 1.0f))      // irrelevant, orthogonal
+    ).toDF("vec_id", "embedding")
+    val q = Seq(Tuple1(Seq(1.0f, 0.0f, 0.0f, 0.0f))).toDF("qvec")
+    val byRel = Search.knn(corpus, q, 3).select("vec_id")
+      .collect().map(_.getLong(0)).toSeq
+    assert(byRel == Seq(0L, 1L, 2L))
+    val mmr = Search.mmrTopK(corpus, q, k = 3, shortlist = 4, lambda = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(mmr.map(_._1) == Seq(0L, 2L, 3L),
+      s"diversity must outrank the near-duplicate, got $mmr")
+    assert(mmr.map(_._2) == Seq(1L, 2L, 3L))
+  }
+
+  test("MMR at lambda=1 degenerates to the relevance ranking") {
+    val emb = spark.read.parquet(s"$sf0001/embeddings.parquet")
+    val q = emb.filter(col("vec_id") === 0).select(col("embedding").as("qvec"))
+    val rel = Search.knn(emb, q, 5).select("vec_id").collect().map(_.getLong(0)).toSeq
+    val mmr = Search.mmrTopK(emb, q, k = 5, shortlist = 20, lambda = 1.0)
+      .collect().map(_.getLong(0)).toSeq
+    assert(mmr == rel)
+  }
+
+  test("MMR scores carry the greedy arithmetic (round-6, dyadic lambda)") {
+    val emb = spark.read.parquet(s"$sf0001/embeddings.parquet")
+    val q = emb.filter(col("vec_id") === 0).select(col("embedding").as("qvec"))
+    val rows = Search.mmrTopK(emb, q, k = 3, shortlist = 10, lambda = 0.75)
+      .collect().map(r => (r.getLong(0), r.getDouble(2), r.getDouble(3)))
+    // rank 1 is the top relevance hit and its score is 0.75 * rel
+    val top = Search.knn(emb, q, 1).select(col("vec_id"), col("sim")).head()
+    assert(rows(0)._1 == top.getLong(0))
+    assert(rows(0)._3 ==
+      BigDecimal(0.75 * top.getDouble(1))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    // later scores are strictly below lambda * their relevance (the
+    // diversity penalty is active on this corpus)
+    rows.drop(1).foreach { case (_, rel, score) => assert(score < 0.75 * rel) }
+  }
+
   test("prompt template interpolates context and question") {
     val out = Seq(Tuple1("CTX")).toDF("context")
       .select(Search.prompt(col("context"), lit("Q?")).as("p"))
