@@ -356,6 +356,66 @@ object Lexical {
     * rankings (`qid`, id, ordering column), each already limited to its
     * per-query top `depth` — the rank windows sort ≤ depth rows per
     * qid, never the corpus. */
+  /** RM3 pseudo-relevance feedback (Lavrenko-Croft relevance models,
+    * the Abdul-Jaleel 2004 RM3 interpolation): expand a keyword query
+    * from its own top results, then re-rank with the expanded weighted
+    * query — the standard recall lift when users under-specify terms.
+    *
+    *  1. Feedback set: [[bm25TopK]] top-`fbDocs` for the original terms.
+    *  2. RM1 term model over those docs with a uniform doc prior:
+    *     `rw(t) = round6((1/fbDocs) · Σ_d tf(t,d)/dl(d))`; top-`fbTerms`
+    *     by `(rw DESC, term ASC)`.
+    *  3. Interpolated weights: `alpha/|Q|` per original term plus
+    *     `(1−alpha)·rw(t)` per expansion term (summed on overlap).
+    *  4. Final score: `round6(Σ_t w(t) · bm25(t, d))`, top-k.
+    *
+    * Every stage is the keyed-shuffle BM25 shape: the feedback set is a
+    * `fbDocs`-row broadcast semi-join, the term weights a ≤
+    * `|Q|+fbTerms`-row broadcast attached to postings BEFORE the
+    * shuffle (pruning and weighting in one join). Weights are round-6
+    * with dyadic `alpha` so a SQL engine replays selection and scores
+    * exactly; the RM1 divisor is the REQUESTED `fbDocs` even when the
+    * corpus returns fewer feedback docs (a constant, not data). At
+    * index scale, compose the same stages over [[bm25IndexTopKBatch]]'s
+    * postings instead of re-tokenizing. */
+  def rm3TopK(docs: DataFrame, textCol: String, idCol: String,
+              queryTerms: Seq[String], k: Int,
+              fbDocs: Int = 3, fbTerms: Int = 5, alpha: Double = 0.5): DataFrame = {
+    require(queryTerms.nonEmpty && fbDocs >= 1 && fbTerms >= 0)
+    import docs.sparkSession.implicits._
+    val withDl = docs
+      .select(col(idCol), TextAnalysis.tokens(col(textCol)).as("toks"))
+      .withColumn("dl", size(col("toks")))
+    val stats = withDl.agg(count(lit(1)).as("n_docs"), avg(col("dl")).as("avgdl"))
+    val fb = bm25TopK(docs, textCol, idCol, queryTerms, fbDocs).select(col(idCol))
+    val fbtf = withDl.join(broadcast(fb), Seq(idCol), "left_semi")
+      .select(col(idCol), col("dl"), explode(col("toks")).as("term"))
+      .groupBy(col(idCol), col("term"), col("dl")).agg(count(lit(1)).as("tf"))
+    val rm1 = fbtf
+      .groupBy(col("term"))
+      .agg(round(sum(col("tf").cast("double") / col("dl")) / lit(fbDocs.toDouble), 6)
+        .as("rw"))
+      .orderBy(col("rw").desc, col("term").asc)
+      .limit(fbTerms)
+    val origW = queryTerms.map(t => (t, alpha / queryTerms.size)).toDF("term", "w")
+    val wts = origW
+      .union(rm1.select(col("term"), (lit(1.0) - lit(alpha)) * col("rw")))
+      .groupBy(col("term")).agg(sum(col("w")).as("w"))
+    val postings = withDl
+      .select(col(idCol), col("dl"), explode(col("toks")).as("term"))
+      .join(broadcast(wts), Seq("term")) // prune AND weight before the shuffle
+      .groupBy(col(idCol), col("term"), col("dl"), col("w"))
+      .agg(count(lit(1)).as("tf"))
+    val dfreq = postings.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    postings
+      .join(broadcast(dfreq), "term")
+      .crossJoin(broadcast(stats))
+      .withColumn("bw", bm25Weight)
+      .groupBy(col(idCol)).agg(round(sum(col("w") * col("bw")), 6).as("score"))
+      .orderBy(col("score").desc, col(idCol).asc)
+      .limit(k)
+  }
+
   def rrfFuseBatch(a: DataFrame, b: DataFrame, idCol: String, orderColA: String,
                    orderColB: String, k: Int, c: Int = 60): DataFrame = {
     def ranked(df: DataFrame, ord: String, as: String): DataFrame =

@@ -136,6 +136,35 @@ class LexicalSpec extends SparkSpec {
     assert(e2.getMessage.contains("conflicting term_buckets"))
   }
 
+  test("rm3: feedback expansion surfaces a doc holding none of the original terms") {
+    val docs = Seq(
+      (1L, "spark shuffle"),
+      (2L, "spark partition shuffle"),
+      (3L, "shuffle partition tuning"), // no 'spark' — invisible to plain bm25
+      (4L, "entirely unrelated words")
+    ).toDF("doc_id", "text")
+    val plain = Lexical.bm25TopK(docs, "text", "doc_id", Seq("spark"), 10)
+      .collect().map(_.getLong(0)).toSet
+    assert(plain == Set(1L, 2L), "plain bm25 can only rank matching docs")
+    val rm3 = Lexical.rm3TopK(docs, "text", "doc_id", Seq("spark"), 10,
+        fbDocs = 2, fbTerms = 3, alpha = 0.5)
+      .collect().map(_.getLong(0)).toSet
+    assert(rm3.contains(3L),
+      s"expansion terms from the feedback docs must pull in doc 3, got $rm3")
+    assert(!rm3.contains(4L), "a doc matching no weighted term stays out")
+  }
+
+  test("rm3 at alpha=1 ranks exactly like plain bm25 (scaled scores)") {
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+    val terms = Seq("spark", "join")
+    val plain = Lexical.bm25TopK(docs, "text", "doc_id", terms, 5)
+      .collect().map(_.getLong(0)).toSeq
+    val rm3 = Lexical.rm3TopK(docs, "text", "doc_id", terms, 5,
+        fbDocs = 3, fbTerms = 5, alpha = 1.0)
+      .collect().map(_.getLong(0)).toSeq
+    assert(rm3 == plain)
+  }
+
   test("rrf: agreement across both rankings beats a single first place") {
     val a = Seq((10L, 0.9), (20L, 0.8), (30L, 0.7)).toDF("id", "sa")
     val b = Seq((10L, 0.95), (40L, 0.85)).toDF("id", "sb")
