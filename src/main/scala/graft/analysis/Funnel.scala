@@ -103,10 +103,16 @@ object Funnel {
       .groupBy(col("__cohort").as("__cohort_day"),
         datediff(col("__day"), col("__cohort")).cast("long").as("offset_days"))
       .agg(count(lit(1)).as("active_users")) // rows are (user, day)-unique
-    val sizes = perUser
-      .groupBy(col("__cohort").as("__cohort_day"))
-      .agg(count(lit(1)).as("cohort_size"))
-    active.join(broadcast(sizes), Seq("__cohort_day"))
+    // cohort size ≡ the offset-0 row (a user's first day IS an active
+    // day), fanned out by a cohort-keyed window over the aggregate's
+    // calendar²-bounded output — a separate per-user count branch
+    // would rescan the corpus (no exchange reuse: the pushed offset-0
+    // filter makes the subtrees differ), all for a value the frame
+    // already holds
+    val wC = Window.partitionBy(col("__cohort_day"))
+    active
+      .withColumn("cohort_size",
+        max(when(col("offset_days") === 0, col("active_users"))).over(wC))
       .select(
         date_format(col("__cohort_day"), "yyyy-MM-dd").as("cohort_day"),
         col("offset_days"), col("active_users"), col("cohort_size"),
