@@ -856,6 +856,22 @@ object SparkEntry {
     "rm3_top5" -> ((s, dir) =>
       Lexical.rm3TopK(Tables.documents(s, dir), "text", "doc_id",
         Seq("spark", "join"), 5, fbDocs = 3, fbTerms = 5, alpha = 0.5)),
+    // ---- [EXT] RM3 over the MATERIALIZED BM25 index — zero
+    // tokenization passes: feedback via the bucket-pruned probe, RM1
+    // from the feedback docs' complete posting rows, weighted re-rank
+    // through a second pruned probe; 80% build + 20% append exercises
+    // the mergeable-stats path. Same oracle as rm3_top5 (index ≡
+    // in-memory by construction).
+    "rm3_index_top5" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val path = scratchDir("rm3-idx")
+      Lexical.buildBm25Index(docs.filter(col("doc_id") % 5 =!= 0),
+        "text", "doc_id", path)
+      Lexical.appendToBm25Index(docs.filter(col("doc_id") % 5 === 0),
+        "text", "doc_id", path)
+      Lexical.rm3IndexTopK(s, path, Seq("spark", "join"), 5,
+        fbDocs = 3, fbTerms = 5, alpha = 0.5)
+    }),
     // ---- [EXT] hybrid retrieval: reciprocal-rank fusion of the BM25
     // ranking with the embedding kNN ranking (rrf@60 over two top-20s)
     "hybrid_rrf_top5" -> ((s, dir) => {
@@ -1996,6 +2012,49 @@ object SparkEntry {
     * so DuckDB's DECIMAL literal arithmetic never engages — decimal
     * folding of (1.2 + 1.0) diverges from the double the Spark side
     * computes. Association mirrors Lexical.bm25TopK token-for-token. */
+  /** RM3 replay shared by the in-memory and index-backed queries
+    * (index ≡ in-memory is the operator's contract): base retrieval
+    * for ('spark','join'), RM1 term model over the top-3 feedback
+    * docs (uniform prior, round-6, divisor = the requested fbDocs),
+    * alpha=0.5 interpolation (0.25 = 0.5/|Q| and 0.5 are dyadic —
+    * exact both engines), weighted re-rank. */
+  private lazy val rm3ReplaySql: String = {
+    def w25(tf: String) =
+        s"ln(1.0::DOUBLE + (s.n_docs - f.df + 0.5::DOUBLE) / (f.df + 0.5::DOUBLE)) " +
+          s"* $tf * 2.2::DOUBLE " +
+          s"/ ($tf + 1.2::DOUBLE * (0.25::DOUBLE + 0.75::DOUBLE * d.dl / s.avgdl))"
+      s"""WITH toks AS (SELECT doc_id, $toksSql AS toks FROM documents),
+         |dl AS (SELECT doc_id, len(toks)::BIGINT AS dl FROM toks),
+         |stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
+         |p0 AS (SELECT doc_id, term, count(*) AS tf FROM (
+         |    SELECT doc_id, unnest(toks) AS term FROM toks)
+         |  WHERE term IN ('spark', 'join') GROUP BY doc_id, term),
+         |df0 AS (SELECT term, count(*) AS df FROM p0 GROUP BY term),
+         |s0 AS (SELECT p.doc_id, round(sum(${w25("p.tf")}), 6) AS score
+         |       FROM p0 p JOIN df0 f USING (term) JOIN dl d USING (doc_id)
+         |       CROSS JOIN stats s GROUP BY p.doc_id),
+         |fb AS (SELECT doc_id FROM s0 ORDER BY score DESC, doc_id ASC LIMIT 3),
+         |ftf AS (SELECT doc_id, term, count(*) AS tf FROM (
+         |    SELECT doc_id, unnest(toks) AS term FROM toks
+         |    WHERE doc_id IN (SELECT doc_id FROM fb))
+         |  GROUP BY doc_id, term),
+         |rm1 AS (SELECT term, round(sum(tf::DOUBLE / d.dl) / 3.0, 6) AS rw
+         |        FROM ftf JOIN dl d USING (doc_id) GROUP BY term
+         |        ORDER BY rw DESC, term ASC LIMIT 5),
+         |wts AS (SELECT term, sum(w) AS w FROM (
+         |    SELECT term, 0.25::DOUBLE AS w FROM (VALUES ('spark'), ('join')) AS o(term)
+         |    UNION ALL SELECT term, 0.5::DOUBLE * rw AS w FROM rm1) GROUP BY term),
+         |p1 AS (SELECT doc_id, term, count(*) AS tf FROM (
+         |    SELECT doc_id, unnest(toks) AS term FROM toks)
+         |  WHERE term IN (SELECT term FROM wts) GROUP BY doc_id, term),
+         |df1 AS (SELECT term, count(*) AS df FROM p1 GROUP BY term),
+         |s1 AS (SELECT p.doc_id, round(sum(w.w * (${w25("p.tf")})), 6) AS score
+         |       FROM p1 p JOIN df1 f USING (term) JOIN dl d USING (doc_id)
+         |       JOIN wts w USING (term) CROSS JOIN stats s GROUP BY p.doc_id)
+         |SELECT doc_id, score FROM s1
+         |ORDER BY score DESC, doc_id ASC LIMIT 5""".stripMargin
+  }
+
   private lazy val bm25Ctes: String =
     s"""toks AS (SELECT doc_id, $toksSql AS toks FROM documents),
        |dl AS (SELECT doc_id, len(toks)::BIGINT AS dl FROM toks),
@@ -3627,42 +3686,12 @@ object SparkEntry {
     // over the top-3 feedback docs (uniform prior, round-6, divisor =
     // the requested fbDocs), alpha=0.5 interpolation (0.25 = 0.5/|Q|
     // and 0.5 are dyadic — exact both engines), weighted re-rank.
-    "rm3_top5" -> {
-      def w25(tf: String) =
-        s"ln(1.0::DOUBLE + (s.n_docs - f.df + 0.5::DOUBLE) / (f.df + 0.5::DOUBLE)) " +
-          s"* $tf * 2.2::DOUBLE " +
-          s"/ ($tf + 1.2::DOUBLE * (0.25::DOUBLE + 0.75::DOUBLE * d.dl / s.avgdl))"
-      s"""WITH toks AS (SELECT doc_id, $toksSql AS toks FROM documents),
-         |dl AS (SELECT doc_id, len(toks)::BIGINT AS dl FROM toks),
-         |stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
-         |p0 AS (SELECT doc_id, term, count(*) AS tf FROM (
-         |    SELECT doc_id, unnest(toks) AS term FROM toks)
-         |  WHERE term IN ('spark', 'join') GROUP BY doc_id, term),
-         |df0 AS (SELECT term, count(*) AS df FROM p0 GROUP BY term),
-         |s0 AS (SELECT p.doc_id, round(sum(${w25("p.tf")}), 6) AS score
-         |       FROM p0 p JOIN df0 f USING (term) JOIN dl d USING (doc_id)
-         |       CROSS JOIN stats s GROUP BY p.doc_id),
-         |fb AS (SELECT doc_id FROM s0 ORDER BY score DESC, doc_id ASC LIMIT 3),
-         |ftf AS (SELECT doc_id, term, count(*) AS tf FROM (
-         |    SELECT doc_id, unnest(toks) AS term FROM toks
-         |    WHERE doc_id IN (SELECT doc_id FROM fb))
-         |  GROUP BY doc_id, term),
-         |rm1 AS (SELECT term, round(sum(tf::DOUBLE / d.dl) / 3.0, 6) AS rw
-         |        FROM ftf JOIN dl d USING (doc_id) GROUP BY term
-         |        ORDER BY rw DESC, term ASC LIMIT 5),
-         |wts AS (SELECT term, sum(w) AS w FROM (
-         |    SELECT term, 0.25::DOUBLE AS w FROM (VALUES ('spark'), ('join')) AS o(term)
-         |    UNION ALL SELECT term, 0.5::DOUBLE * rw AS w FROM rm1) GROUP BY term),
-         |p1 AS (SELECT doc_id, term, count(*) AS tf FROM (
-         |    SELECT doc_id, unnest(toks) AS term FROM toks)
-         |  WHERE term IN (SELECT term FROM wts) GROUP BY doc_id, term),
-         |df1 AS (SELECT term, count(*) AS df FROM p1 GROUP BY term),
-         |s1 AS (SELECT p.doc_id, round(sum(w.w * (${w25("p.tf")})), 6) AS score
-         |       FROM p1 p JOIN df1 f USING (term) JOIN dl d USING (doc_id)
-         |       JOIN wts w USING (term) CROSS JOIN stats s GROUP BY p.doc_id)
-         |SELECT doc_id, score FROM s1
-         |ORDER BY score DESC, doc_id ASC LIMIT 5""".stripMargin
-    },
+    "rm3_top5" -> rm3ReplaySql,
+    // the index-backed RM3 must reproduce the in-memory RM3 exactly
+    // (mergeable stats, denormalized postings) — same replay
+    "rm3_index_top5" -> rm3ReplaySql,
+
+
     "bm25_batch_top3" ->
       s"""WITH $bm25BatchCtes
          |SELECT qid, doc_id, score FROM (

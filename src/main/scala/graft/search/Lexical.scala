@@ -416,6 +416,75 @@ object Lexical {
       .limit(k)
   }
 
+  /** [[rm3TopK]] over a MATERIALIZED index — the 100 TB form: zero
+    * tokenization passes. The feedback retrieval is the bucket-pruned
+    * [[bm25IndexTopKBatch]] probe; the RM1 term model reads the
+    * feedback docs' complete posting rows (tf and dl are denormalized
+    * into postings, so one `fbDocs`-row broadcast semi-join over the
+    * postings table replaces a corpus re-tokenize — this pass scans
+    * all buckets, as docs spread across them, but moves only
+    * |fb vocab| rows after the semi-join); the final re-rank is a
+    * second bucket-pruned probe over the ≤ |Q|+fbTerms weighted terms.
+    * Tombstones: the feedback set comes from the probe (live docs
+    * only), so RM1 needs no anti-join; the re-rank reuses the probe's
+    * own tombstone handling via stats/df adjustments mirrored here.
+    * Arithmetic is [[rm3TopK]]'s exactly (round-6 RM1, dyadic alpha,
+    * driver-literal corpus stats like every index probe), so
+    * index-RM3 ≡ in-memory RM3 on the same corpus (spec-pinned,
+    * including across an append). */
+  def rm3IndexTopK(spark: org.apache.spark.sql.SparkSession, path: String,
+                   queryTerms: Seq[String], k: Int,
+                   fbDocs: Int = 3, fbTerms: Int = 5, alpha: Double = 0.5,
+                   idCol: String = "doc_id"): DataFrame = {
+    require(queryTerms.nonEmpty && fbDocs >= 1 && fbTerms >= 0)
+    import spark.implicits._
+    val (termBuckets, rawDocs, rawDl) = bm25IndexStats(spark, path)
+    val tombs = bm25Tombstones(spark, path)
+    val tombAgg = tombs.map(_.agg(
+      count(lit(1)).cast("long").as("t_docs"),
+      coalesce(sum(col("dl").cast("long")), lit(0L)).as("t_dl")).head())
+    val (tDocs, tDl) = tombAgg.fold((0L, 0L))(r => (r.getLong(0), r.getLong(1)))
+    val nDocs = rawDocs - tDocs
+    val avgdl = (rawDl - tDl).toDouble / (rawDocs - tDocs).toDouble
+    val fb = bm25IndexTopKBatch(spark, path,
+        Seq((0L, queryTerms)).toDF("qid", "terms"), fbDocs, idCol)
+      .select(col(idCol))
+    val rm1 = spark.read.parquet(s"$path/postings")
+      .join(broadcast(fb), Seq(idCol), "left_semi")
+      .groupBy(col("term"))
+      .agg(round(sum(col("tf").cast("double") / col("dl")) / lit(fbDocs.toDouble), 6)
+        .as("rw"))
+      .orderBy(col("rw").desc, col("term").asc)
+      .limit(fbTerms)
+    val origW = queryTerms.map(t => (t, alpha / queryTerms.size)).toDF("term", "w")
+    val wts = origW
+      .union(rm1.select(col("term"), (lit(1.0) - lit(alpha)) * col("rw")))
+      .groupBy(col("term")).agg(sum(col("w")).as("w"))
+    // weighted-term probe: weight rows are bounded (|Q|+fbTerms), so
+    // they collect driver-side like every index probe's term set; the
+    // bucket literals derive with the SAME column expression the build
+    // used, so build/probe bucketing can never drift
+    val wRows = wts.collect().map(r => (r.getString(0), r.getDouble(1))).toSeq
+    val wDf = wRows.toDF("term", "w")
+    val buckets = wDf
+      .select(pmod(TextAnalysis.fingerprint(col("term")), lit(termBuckets)).as("tb"))
+      .distinct().collect().map(_.getLong(0)).toSeq
+    val postingsLive = spark.read.parquet(s"$path/postings")
+      .filter(col("__tb").isin(buckets: _*)) // partition pruning
+      .join(broadcast(wDf), Seq("term"))     // prune AND weight in one join
+    val postings = tombs.fold(postingsLive)(t =>
+      postingsLive.join(broadcast(t.select(col(idCol))), Seq(idCol), "left_anti"))
+    val dfreq = postings.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    postings
+      .join(broadcast(dfreq), "term")
+      .withColumn("n_docs", lit(nDocs))
+      .withColumn("avgdl", lit(avgdl))
+      .withColumn("bw", bm25Weight)
+      .groupBy(col(idCol)).agg(round(sum(col("w") * col("bw")), 6).as("score"))
+      .orderBy(col("score").desc, col(idCol).asc)
+      .limit(k)
+  }
+
   def rrfFuseBatch(a: DataFrame, b: DataFrame, idCol: String, orderColA: String,
                    orderColB: String, k: Int, c: Int = 60): DataFrame = {
     def ranked(df: DataFrame, ord: String, as: String): DataFrame =

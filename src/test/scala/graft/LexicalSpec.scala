@@ -165,6 +165,21 @@ class LexicalSpec extends SparkSpec {
     assert(rm3 == plain)
   }
 
+  test("index-backed rm3 ≡ in-memory rm3, including across an append") {
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+    val tmp = java.nio.file.Files.createTempDirectory("graft-rm3-idx").toString
+    val path = s"$tmp/idx"
+    Lexical.buildBm25Index(docs.filter(col("doc_id") % 5 =!= 0), "text", "doc_id", path)
+    Lexical.appendToBm25Index(docs.filter(col("doc_id") % 5 === 0), "text", "doc_id", path)
+    val mem = Lexical.rm3TopK(docs, "text", "doc_id", Seq("spark", "join"), 5,
+        fbDocs = 3, fbTerms = 5, alpha = 0.5)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val idx = Lexical.rm3IndexTopK(spark, path, Seq("spark", "join"), 5,
+        fbDocs = 3, fbTerms = 5, alpha = 0.5)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(idx == mem, s"index $idx vs in-memory $mem")
+  }
+
   test("rrf: agreement across both rankings beats a single first place") {
     val a = Seq((10L, 0.9), (20L, 0.8), (30L, 0.7)).toDF("id", "sa")
     val b = Seq((10L, 0.95), (40L, 0.85)).toDF("id", "sb")
