@@ -1098,6 +1098,15 @@ object SparkEntry {
           "user_id", "event_type", "ts",
           Seq("signup", "view", "click", "purchase"))
         .orderBy(col("step_idx"))),
+    // ---- [EXT] time-boxed funnel: each step must land within 24h of
+    // the previous step's completion ("converted within a day") —
+    // same one-shuffle stacked-window plan, tighter hit predicate
+    "funnel_windowed" -> ((s, dir) =>
+      graft.analysis.Funnel.funnelCounts(Tables.events(s, dir),
+          "user_id", "event_type", "ts",
+          Seq("signup", "view", "click", "purchase"),
+          maxGapSeconds = Some(86400L))
+        .orderBy(col("step_idx"))),
     // ---- [EXT] retention cohorts: users keyed by first-activity day,
     // counted per (cohort, day-offset) — one map-side-deduped user
     // shuffle carrying bounded day sets
@@ -2018,6 +2027,47 @@ object SparkEntry {
     * docs (uniform prior, round-6, divisor = the requested fbDocs),
     * alpha=0.5 interpolation (0.25 = 0.5/|Q| and 0.5 are dyadic —
     * exact both engines), weighted re-rank. */
+  /** Funnel replay shared by the unbounded and time-boxed queries: one
+    * chained window CTE per step (step i's condition references step
+    * i-1's completion time), per-user reduce, conditional counts,
+    * UNION-ALL unpivot with the same conversion arithmetic as the
+    * stack. `gap` adds the inclusive step-gap bound. */
+  private def funnelReplaySql(gap: Option[Long]): String = {
+    val steps = Seq("signup", "view", "click", "purchase")
+    def cond(i: Int): String =
+      if (i == 0) s"event_type = '${steps(0)}'"
+      else s"event_type = '${steps(i)}' AND ts > t${i - 1}" +
+        gap.fold("")(g => s" AND ts <= t${i - 1} + INTERVAL $g SECOND")
+    val chain = (1 to 3).map { i =>
+      s"s$i AS (SELECT *, min(CASE WHEN ${cond(i)} THEN ts END)\n" +
+        s"                   OVER (PARTITION BY user_id) AS t$i FROM s${i - 1})"
+    }.mkString(",\n")
+    val convFirst = (i: Int) =>
+      s"CASE WHEN c0 = 0 THEN NULL ELSE round(c$i::DOUBLE / c0, 6) END"
+    val convPrev = (i: Int) =>
+      if (i == 0) "1.0::DOUBLE"
+      else s"CASE WHEN c${i - 1} = 0 THEN NULL ELSE round(c$i::DOUBLE / c${i - 1}, 6) END"
+    val branches = steps.indices.map { i =>
+      val lead = if (i == 0) "SELECT" else "UNION ALL\n  SELECT"
+      s"  $lead $i::BIGINT AS step_idx, '${steps(i)}' AS step, c$i AS users,\n" +
+        s"         ${convFirst(i)} AS conv_from_first,\n" +
+        s"         ${convPrev(i)} AS conv_from_prev FROM c"
+    }.mkString("\n")
+    s"""WITH s0 AS (
+       |  SELECT user_id, event_type, ts,
+       |         min(CASE WHEN ${cond(0)} THEN ts END)
+       |           OVER (PARTITION BY user_id) AS t0
+       |  FROM events),
+       |$chain,
+       |u AS (SELECT user_id, max(t0) AS t0, max(t1) AS t1,
+       |             max(t2) AS t2, max(t3) AS t3 FROM s3 GROUP BY user_id),
+       |c AS (SELECT count(t0) AS c0, count(t1) AS c1,
+       |             count(t2) AS c2, count(t3) AS c3 FROM u)
+       |SELECT * FROM (
+       |$branches)
+       |ORDER BY step_idx""".stripMargin
+  }
+
   private lazy val rm3ReplaySql: String = {
     def w25(tf: String) =
         s"ln(1.0::DOUBLE + (s.n_docs - f.df + 0.5::DOUBLE) / (f.df + 0.5::DOUBLE)) " +
@@ -4237,39 +4287,9 @@ object SparkEntry {
         |       count(*) AS n, round(sum(value), 4) AS sum_value
         |FROM s GROUP BY user_id, sid
         |ORDER BY user_id, session_start""".stripMargin,
-    "funnel_counts" ->
-      """WITH s0 AS (
-        |  SELECT user_id, event_type, ts,
-        |         min(CASE WHEN event_type = 'signup' THEN ts END)
-        |           OVER (PARTITION BY user_id) AS t0
-        |  FROM events),
-        |s1 AS (SELECT *, min(CASE WHEN event_type = 'view' AND ts > t0 THEN ts END)
-        |                   OVER (PARTITION BY user_id) AS t1 FROM s0),
-        |s2 AS (SELECT *, min(CASE WHEN event_type = 'click' AND ts > t1 THEN ts END)
-        |                   OVER (PARTITION BY user_id) AS t2 FROM s1),
-        |s3 AS (SELECT *, min(CASE WHEN event_type = 'purchase' AND ts > t2 THEN ts END)
-        |                   OVER (PARTITION BY user_id) AS t3 FROM s2),
-        |u AS (SELECT user_id, max(t0) AS t0, max(t1) AS t1,
-        |             max(t2) AS t2, max(t3) AS t3 FROM s3 GROUP BY user_id),
-        |c AS (SELECT count(t0) AS c0, count(t1) AS c1,
-        |             count(t2) AS c2, count(t3) AS c3 FROM u)
-        |SELECT * FROM (
-        |  SELECT 0::BIGINT AS step_idx, 'signup' AS step, c0 AS users,
-        |         CASE WHEN c0 = 0 THEN NULL ELSE round(c0::DOUBLE / c0, 6) END AS conv_from_first,
-        |         1.0::DOUBLE AS conv_from_prev FROM c
-        |  UNION ALL
-        |  SELECT 1::BIGINT, 'view', c1,
-        |         CASE WHEN c0 = 0 THEN NULL ELSE round(c1::DOUBLE / c0, 6) END,
-        |         CASE WHEN c0 = 0 THEN NULL ELSE round(c1::DOUBLE / c0, 6) END FROM c
-        |  UNION ALL
-        |  SELECT 2::BIGINT, 'click', c2,
-        |         CASE WHEN c0 = 0 THEN NULL ELSE round(c2::DOUBLE / c0, 6) END,
-        |         CASE WHEN c1 = 0 THEN NULL ELSE round(c2::DOUBLE / c1, 6) END FROM c
-        |  UNION ALL
-        |  SELECT 3::BIGINT, 'purchase', c3,
-        |         CASE WHEN c0 = 0 THEN NULL ELSE round(c3::DOUBLE / c0, 6) END,
-        |         CASE WHEN c2 = 0 THEN NULL ELSE round(c3::DOUBLE / c2, 6) END FROM c)
-        |ORDER BY step_idx""".stripMargin,
+    "funnel_counts" -> funnelReplaySql(None),
+    // same replay with the 24h step-gap bound in each window condition
+    "funnel_windowed" -> funnelReplaySql(Some(86400L)),
     "retention_cohorts" ->
       """WITH ud AS (SELECT DISTINCT user_id, date_trunc('day', ts) AS day FROM events),
         |ch AS (SELECT user_id, min(day) AS cohort FROM ud GROUP BY user_id),

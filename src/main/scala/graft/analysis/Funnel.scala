@@ -32,15 +32,25 @@ object Funnel {
     * window i-1's column, which Catalyst stacks in the same Window
     * operator chain without re-exchanging. */
   def stepTimes(events: DataFrame, userCol: String, typeCol: String,
-                tsCol: String, steps: Seq[String]): DataFrame = {
+                tsCol: String, steps: Seq[String],
+                maxGapSeconds: Option[Long] = None): DataFrame = {
     require(steps.nonEmpty, "funnel needs at least one step")
+    require(maxGapSeconds.forall(_ > 0), "maxGapSeconds must be positive")
     val w = Window.partitionBy(col(userCol))
     val withSteps = steps.zipWithIndex.foldLeft(
       events.select(col(userCol), col(typeCol), col(tsCol))) {
       case (df, (step, i)) =>
         val hit =
           if (i == 0) col(typeCol) === lit(step)
-          else col(typeCol) === lit(step) && col(tsCol) > col(s"__t${i - 1}")
+          else {
+            val after = col(typeCol) === lit(step) && col(tsCol) > col(s"__t${i - 1}")
+            // time-boxed funnel: step i must land within the gap of
+            // step i-1's completion (the "converted within N hours"
+            // product question); inclusive bound, exact micros both
+            // engines
+            maxGapSeconds.fold(after)(g =>
+              after && col(tsCol) <= col(s"__t${i - 1}") + expr(s"INTERVAL $g SECOND"))
+          }
         df.withColumn(s"__t$i", min(when(hit, col(tsCol))).over(w))
     }
     val stepAggs = steps.indices.map(i => first(col(s"__t$i")).as(s"__t$i"))
@@ -56,8 +66,9 @@ object Funnel {
     * `stack` — so after the funnel's single user-key shuffle the
     * report itself is a global aggregate of #steps longs. */
   def funnelCounts(events: DataFrame, userCol: String, typeCol: String,
-                   tsCol: String, steps: Seq[String]): DataFrame = {
-    val st = stepTimes(events, userCol, typeCol, tsCol, steps)
+                   tsCol: String, steps: Seq[String],
+                   maxGapSeconds: Option[Long] = None): DataFrame = {
+    val st = stepTimes(events, userCol, typeCol, tsCol, steps, maxGapSeconds)
     val counted = st.agg(
       count(when(col("__t0").isNotNull, lit(1))).as("__c0"),
       steps.indices.tail.map(i =>

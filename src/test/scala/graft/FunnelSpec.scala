@@ -93,6 +93,40 @@ class FunnelSpec extends SparkSpec {
     assert(exchanges == 1, s"expected 1 shuffle, got $exchanges in:\n$planStr")
   }
 
+  test("time-boxed funnel rejects a step completing past the gap") {
+    val events = ev(
+      // user 1 converts within the hour at every step
+      (1L, "signup", "2024-01-01 10:00:00"),
+      (1L, "view", "2024-01-01 10:30:00"),
+      (1L, "buy", "2024-01-01 10:45:00"),
+      // user 2 views 2h after signup: outside a 1h gap, inside unbounded
+      (2L, "signup", "2024-01-01 10:00:00"),
+      (2L, "view", "2024-01-01 12:00:00"),
+      // user 3 views at EXACTLY the gap bound (inclusive)
+      (3L, "signup", "2024-01-01 10:00:00"),
+      (3L, "view", "2024-01-01 11:00:00"))
+    def users(gap: Option[Long]): Map[String, Long] =
+      Funnel.funnelCounts(events, "u", "et", "t", steps, gap)
+        .collect().map(r => r.getString(1) -> r.getLong(2)).toMap
+    assert(users(None) == Map("signup" -> 3L, "view" -> 3L, "buy" -> 1L))
+    assert(users(Some(3600L)) == Map("signup" -> 3L, "view" -> 2L, "buy" -> 1L),
+      "2h view must miss the 1h gap; the exactly-at-bound view is inclusive")
+  }
+
+  test("a missed gap forfeits later steps (first-completion semantics)") {
+    // the only view inside the gap is followed by a buy outside it;
+    // a later view would have put buy in range, but the funnel anchors
+    // on the FIRST in-window completion
+    val events = ev(
+      (1L, "signup", "2024-01-01 10:00:00"),
+      (1L, "view", "2024-01-01 10:10:00"),
+      (1L, "view", "2024-01-01 13:00:00"),
+      (1L, "buy", "2024-01-01 13:30:00"))
+    val got = Funnel.funnelCounts(events, "u", "et", "t", steps, Some(3600L))
+      .collect().map(r => r.getString(1) -> r.getLong(2)).toMap
+    assert(got == Map("signup" -> 1L, "view" -> 1L, "buy" -> 0L))
+  }
+
   test("retention cohorts: first-day assignment, offsets, rates") {
     val events = ev(
       // cohort 01-01: users 1, 2
