@@ -746,6 +746,36 @@ object SparkEntry {
     // determinism convention — raw ln drift must not flip ranks) with
     // term tie-break. df/tf are partial+final aggs; N is a 1-row
     // broadcast; top-3 is a keyed window, never a global sort.
+    // ---- [EXT] cluster LABELING: k-means doc clusters (vec_id ≡
+    // doc_id) named by their top aggregate-TF-IDF terms — the
+    // corpus-exploration op over a trained coarse quantizer; doc-keyed
+    // join of term counts onto assignments, cluster-keyed reduce,
+    // per-cluster rank window. Oracle replays Lloyd (the pinned
+    // ivfTrainSql) + the tfidf_keywords idf convention.
+    "cluster_top_terms" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val cents = Ann.kmeansCentroids(emb, "vec_id", "embedding", 10, 2)
+      val assigned = emb.select(col("vec_id").as("doc_id"),
+        Ann.assignCluster(col("embedding"), cents).as("cid"))
+      val toks = Tables.documents(s, dir).select(col("doc_id"),
+        explode(TextAnalysis.tokens(col("text"))).as("term"))
+      val tf = toks.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+      val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+      val n = Tables.documents(s, dir).agg(count(lit(1)).cast("double").as("n"))
+      val ctf = tf.join(assigned, Seq("doc_id"))
+        .groupBy(col("cid"), col("term")).agg(sum(col("tf")).as("ctf"))
+      val w = Window.partitionBy(col("cid"))
+        .orderBy(col("score").desc, col("term").asc)
+      ctf.join(df, Seq("term"))
+        .crossJoin(broadcast(n))
+        .select(col("cid"), col("term"),
+          round(col("ctf") * log(col("n") / col("df")), 6).as("score"))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 3)
+        .select(col("cid").cast("long").as("cluster"),
+          col("rank").cast("long").as("rank"), col("term"), col("score"))
+        .orderBy(col("cluster"), col("rank"))
+    }),
     "tfidf_keywords" -> ((s, dir) => {
       val toks = Tables.documents(s, dir).select(col("doc_id"),
         explode(TextAnalysis.tokens(col("text"))).as("term"))
@@ -3628,6 +3658,26 @@ object SparkEntry {
          |SELECT doc_id, reason,
          |       (CASE WHEN reason = 'ok' THEN 1 ELSE 0 END)::BIGINT AS keep
          |FROM dec ORDER BY doc_id""".stripMargin,
+    // Lloyd replay (the pinned ivfTrainSql assignments) + the
+    // tfidf_keywords idf convention, aggregated per cluster.
+    "cluster_top_terms" ->
+      s"""WITH ${ivfTrainSql(10, 2)},
+         |toks AS (SELECT doc_id, unnest($toksSql) AS term FROM documents),
+         |tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+         |df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+         |n AS (SELECT count(*)::DOUBLE AS n FROM documents),
+         |ctf AS (SELECT a.cid, tf.term, sum(tf.tf) AS ctf
+         |        FROM tf JOIN iaf a ON tf.doc_id = a.vec_id GROUP BY 1, 2),
+         |scored AS (
+         |  SELECT cid, term, round(ctf * ln(n.n / df.df), 6) AS score
+         |  FROM ctf JOIN df USING (term) CROSS JOIN n)
+         |SELECT cluster::BIGINT AS cluster, rank::BIGINT AS rank, term, score FROM (
+         |  SELECT cid AS cluster, term, score,
+         |         row_number() OVER (PARTITION BY cid
+         |                            ORDER BY score DESC, term ASC) AS rank
+         |  FROM scored)
+         |WHERE rank <= 3
+         |ORDER BY cluster, rank""".stripMargin,
     "tfidf_keywords" ->
       s"""WITH toks AS (SELECT doc_id, unnest($toksSql) AS term FROM documents),
          |tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
