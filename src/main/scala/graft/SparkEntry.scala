@@ -1137,6 +1137,12 @@ object SparkEntry {
           Seq("signup", "view", "click", "purchase"),
           maxGapSeconds = Some(86400L))
         .orderBy(col("step_idx"))),
+    // ---- [EXT] top event paths: most common per-user ordered 3-grams
+    // of event types — one user-key shuffle into bounded sequences,
+    // n-gram explode, |types|³-bounded reduce, global top-10
+    "event_paths_top10" -> ((s, dir) =>
+      graft.analysis.Funnel.topEventPaths(Tables.events(s, dir),
+        "user_id", "event_type", "ts", "event_id", n = 3, k = 10)),
     // ---- [EXT] retention cohorts: users keyed by first-activity day,
     // counted per (cohort, day-offset) — one map-side-deduped user
     // shuffle carrying bounded day sets
@@ -4340,6 +4346,15 @@ object SparkEntry {
     "funnel_counts" -> funnelReplaySql(None),
     // same replay with the 24h step-gap bound in each window condition
     "funnel_windowed" -> funnelReplaySql(Some(86400L)),
+    "event_paths_top10" ->
+      """WITH seqs AS (
+        |  SELECT user_id, list(event_type ORDER BY ts, event_id) AS seq
+        |  FROM events GROUP BY user_id)
+        |SELECT path, count(*) AS n_paths FROM (
+        |  SELECT unnest(list_transform(range(len(seq) - 2),
+        |                i -> array_to_string(seq[i + 1: i + 3], '>'))) AS path
+        |  FROM seqs WHERE len(seq) >= 3)
+        |GROUP BY path ORDER BY n_paths DESC, path ASC LIMIT 10""".stripMargin,
     "retention_cohorts" ->
       """WITH ud AS (SELECT DISTINCT user_id, date_trunc('day', ts) AS day FROM events),
         |ch AS (SELECT user_id, min(day) AS cohort FROM ud GROUP BY user_id),

@@ -90,6 +90,38 @@ object Funnel {
         ") AS (step_idx, step, users, conv_from_first, conv_from_prev)"))
   }
 
+  /** Top event paths: the most common length-`n` ordered event-type
+    * sequences across users ("what do people actually do?"). Per user,
+    * events sort by `(ts, idCol)` (the project total order) into one
+    * sequence; its sliding n-grams count corpus-wide; top-k by
+    * `(count DESC, path ASC)` with the path rendered `a>b>c`.
+    *
+    * Plan shape: ONE corpus shuffle to the user key (map-side partial
+    * `collect_list`), per-user state bounded by the user's event count
+    * (the same bound every sessionization carries — a pathological
+    * single-user log concentrates on one executor; cap upstream if
+    * that's real), then an n-gram explode into a `(path)` reduce whose
+    * keys are bounded by |event types|ⁿ, and a global top-k over that
+    * bounded set. */
+  def topEventPaths(events: DataFrame, userCol: String, typeCol: String,
+                    tsCol: String, idCol: String, n: Int, k: Int): DataFrame = {
+    require(n >= 2 && k >= 1, "need n >= 2, k >= 1")
+    val seqs = events
+      .select(col(userCol),
+        struct(col(tsCol), col(idCol), col(typeCol).as("et")).as("e"))
+      .groupBy(col(userCol))
+      .agg(sort_array(collect_list(col("e"))).as("es"))
+      .select(transform(col("es"), e => e.getField("et")).as("seq"))
+    seqs
+      .filter(size(col("seq")) >= n)
+      .select(explode(transform(
+        sequence(lit(0), size(col("seq")) - n),
+        i => concat_ws(">", slice(col("seq"), i + lit(1), lit(n))))).as("path"))
+      .groupBy(col("path")).agg(count(lit(1)).as("n_paths"))
+      .orderBy(col("n_paths").desc, col("path").asc)
+      .limit(k)
+  }
+
   /** Retention cohorts: users grouped by their first-activity day, and
     * for each `(cohort_day, offset_days)` the count still active that
     * many days later, with the retention fraction of the cohort.

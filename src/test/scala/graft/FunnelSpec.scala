@@ -127,6 +127,26 @@ class FunnelSpec extends SparkSpec {
     assert(got == Map("signup" -> 1L, "view" -> 1L, "buy" -> 0L))
   }
 
+  test("top event paths: total-order sequences, sliding n-grams, short users skipped") {
+    val events = Seq(
+      // user 1: a > b > a > b  ->  a>b>a, b>a>b
+      (1L, "a", ts("2024-01-01 10:00:00"), 1L),
+      (1L, "b", ts("2024-01-01 11:00:00"), 2L),
+      (1L, "a", ts("2024-01-01 12:00:00"), 3L),
+      (1L, "b", ts("2024-01-01 13:00:00"), 4L),
+      // user 2: same-ts tie broken by event_id: a (id 5) before b (id 6)
+      (2L, "b", ts("2024-01-01 10:00:00"), 6L),
+      (2L, "a", ts("2024-01-01 10:00:00"), 5L),
+      (2L, "b", ts("2024-01-01 11:00:00"), 7L),
+      // user 3: only two events -> no 3-gram
+      (3L, "a", ts("2024-01-01 10:00:00"), 8L),
+      (3L, "b", ts("2024-01-01 11:00:00"), 9L)
+    ).toDF("u", "et", "t", "id")
+    val got = Funnel.topEventPaths(events, "u", "et", "t", "id", n = 3, k = 10)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(got == Seq(("a>b>a", 1L), ("a>b>b", 1L), ("b>a>b", 1L)), s"got $got")
+  }
+
   test("retention cohorts: first-day assignment, offsets, rates") {
     val events = ev(
       // cohort 01-01: users 1, 2
