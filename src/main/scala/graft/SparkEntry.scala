@@ -1137,6 +1137,21 @@ object SparkEntry {
           Seq("signup", "view", "click", "purchase"),
           maxGapSeconds = Some(86400L))
         .orderBy(col("step_idx"))),
+    // ---- [EXT] funnel latency: time-to-convert distribution for
+    // full-funnel completers (purchase time − signup time), exact
+    // percentiles — the "how long does conversion take" follow-up;
+    // timestamps go to epoch seconds as exact-integer micros / 1e6 so
+    // both engines subtract identical doubles
+    "funnel_latency" -> ((s, dir) =>
+      graft.analysis.Funnel.stepTimes(Tables.events(s, dir),
+          "user_id", "event_type", "ts",
+          Seq("signup", "view", "click", "purchase"))
+        .filter(col("__t3").isNotNull)
+        .select((col("__t3").cast("double") - col("__t0").cast("double")).as("secs"))
+        .agg(count(lit(1)).as("completers"),
+          round(expr("percentile(secs, 0.5D)"), 6).as("p50_secs"),
+          round(expr("percentile(secs, 0.9D)"), 6).as("p90_secs"),
+          round(avg(col("secs")), 6).as("mean_secs"))),
     // ---- [EXT] top event paths: most common per-user ordered 3-grams
     // of event types — one user-key shuffle into bounded sequences,
     // n-gram explode, |types|³-bounded reduce, global top-10
@@ -2068,7 +2083,9 @@ object SparkEntry {
     * i-1's completion time), per-user reduce, conditional counts,
     * UNION-ALL unpivot with the same conversion arithmetic as the
     * stack. `gap` adds the inclusive step-gap bound. */
-  private def funnelReplaySql(gap: Option[Long]): String = {
+  /** The funnel step-time CTE chain through the per-user reduce `u` —
+    * shared by the counts replays and the latency replay. */
+  private def funnelStepCtes(gap: Option[Long]): String = {
     val steps = Seq("signup", "view", "click", "purchase")
     def cond(i: Int): String =
       if (i == 0) s"event_type = '${steps(0)}'"
@@ -2078,6 +2095,18 @@ object SparkEntry {
       s"s$i AS (SELECT *, min(CASE WHEN ${cond(i)} THEN ts END)\n" +
         s"                   OVER (PARTITION BY user_id) AS t$i FROM s${i - 1})"
     }.mkString(",\n")
+    s"""s0 AS (
+       |  SELECT user_id, event_type, ts,
+       |         min(CASE WHEN ${cond(0)} THEN ts END)
+       |           OVER (PARTITION BY user_id) AS t0
+       |  FROM events),
+       |$chain,
+       |u AS (SELECT user_id, max(t0) AS t0, max(t1) AS t1,
+       |             max(t2) AS t2, max(t3) AS t3 FROM s3 GROUP BY user_id)""".stripMargin
+  }
+
+  private def funnelReplaySql(gap: Option[Long]): String = {
+    val steps = Seq("signup", "view", "click", "purchase")
     val convFirst = (i: Int) =>
       s"CASE WHEN c0 = 0 THEN NULL ELSE round(c$i::DOUBLE / c0, 6) END"
     val convPrev = (i: Int) =>
@@ -2089,14 +2118,7 @@ object SparkEntry {
         s"         ${convFirst(i)} AS conv_from_first,\n" +
         s"         ${convPrev(i)} AS conv_from_prev FROM c"
     }.mkString("\n")
-    s"""WITH s0 AS (
-       |  SELECT user_id, event_type, ts,
-       |         min(CASE WHEN ${cond(0)} THEN ts END)
-       |           OVER (PARTITION BY user_id) AS t0
-       |  FROM events),
-       |$chain,
-       |u AS (SELECT user_id, max(t0) AS t0, max(t1) AS t1,
-       |             max(t2) AS t2, max(t3) AS t3 FROM s3 GROUP BY user_id),
+    s"""WITH ${funnelStepCtes(gap)},
        |c AS (SELECT count(t0) AS c0, count(t1) AS c1,
        |             count(t2) AS c2, count(t3) AS c3 FROM u)
        |SELECT * FROM (
@@ -4346,6 +4368,20 @@ object SparkEntry {
     "funnel_counts" -> funnelReplaySql(None),
     // same replay with the 24h step-gap bound in each window condition
     "funnel_windowed" -> funnelReplaySql(Some(86400L)),
+    // epoch_us is an exact integer; / 1e6 is the same IEEE division
+    // Spark's timestamp→double cast performs, so the subtraction is
+    // bit-identical; percentile ↔ quantile_cont is the pinned
+    // percentile_stats convention
+    "funnel_latency" ->
+      s"""WITH ${funnelStepCtes(None)},
+         |secs AS (
+         |  SELECT (epoch_us(t3)::DOUBLE / 1e6) - (epoch_us(t0)::DOUBLE / 1e6) AS secs
+         |  FROM u WHERE t3 IS NOT NULL)
+         |SELECT count(*) AS completers,
+         |       round(quantile_cont(secs, 0.5), 6) AS p50_secs,
+         |       round(quantile_cont(secs, 0.9), 6) AS p90_secs,
+         |       round(avg(secs), 6) AS mean_secs
+         |FROM secs""".stripMargin,
     "event_paths_top10" ->
       """WITH seqs AS (
         |  SELECT user_id, list(event_type ORDER BY ts, event_id) AS seq
