@@ -133,7 +133,9 @@ object Funnel {
     * years holds ~11k day entries), not by event count. Everything
     * after explodes those bounded sets and reduces on
     * `(cohort_day, offset)` — at most calendar² keys — with cohort
-    * sizes (≤ one row per day) rejoined by broadcast. */
+    * sizes fanned out from the offset-0 rows by a cohort-keyed window
+    * over that bounded aggregate (see the inline note: a separate
+    * size branch would rescan the corpus). */
   def retentionCohorts(events: DataFrame, userCol: String,
                        tsCol: String): DataFrame = {
     val perUser = events

@@ -150,20 +150,11 @@ object Ann {
     * contract of [[ivfTopK]]), ties to the lowest id. Mirrors the
     * DataFrame ranking exactly (asserted in AnnSpec); runs driver-side
     * because centroids are model state — k×dim doubles, kilobytes. */
-  def probeIds(cents: Seq[Seq[Double]], qvec: Seq[Double], nprobe: Int): Seq[Int] = {
-    def cos(a: Seq[Double], b: Seq[Double]): Double = {
-      if (a.size != b.size) return -1.0
-      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
-      while (i < a.size) { dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
-      if (na == 0.0 || nb == 0.0) 0.0 else dot / (math.sqrt(na) * math.sqrt(nb))
-    }
+  def probeIds(cents: Seq[Seq[Double]], qvec: Seq[Double], nprobe: Int): Seq[Int] =
     cents.zipWithIndex
-      .map { case (c, i) =>
-        (BigDecimal(cos(c, qvec)).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble, i)
-      }
+      .map { case (c, i) => (VectorOps.round6(VectorOps.cosineLocal(c, qvec)), i) }
       .sortBy { case (s, i) => (-s, i) }
       .take(nprobe).map(_._2)
-  }
 
   /** Materialize an IVF index: the corpus bucketed by nearest centroid
     * and WRITTEN `partitionBy` the cluster id. This is the 100 TB form
@@ -173,9 +164,16 @@ object Ann {
     * nprobe/k probe scans ~nprobe/k of the corpus bytes. */
   def buildIvfIndex(corpus: DataFrame, cents: Seq[Seq[Double]], path: String,
                     vecCol: String = "embedding"): Unit = {
-    // a fresh build resets the sibling tombstones — stale ones would
-    // anti-join valid vectors out of the new index
-    graft.io.Fs.delete(corpus.sparkSession, s"$path.tombstones")
+    // a fresh build resets EVERY sibling describing the old contents:
+    // stale tombstones would anti-join valid vectors out of the new
+    // index; stale range certificates (.rstats) would let
+    // ivfRangeSearch silently certify out clusters whose NEW contents
+    // exceed the old bounds (a range probe on a rebuilt-but-not-
+    // re-recorded path now fails loudly on the missing stats instead);
+    // stale .model/.stats would make assignmentDrift compare against
+    // the previous build's baseline
+    Seq(s"$path.tombstones", s"$path.rstats", s"$path.model", s"$path.stats")
+      .foreach(graft.io.Fs.delete(corpus.sparkSession, _))
     corpus.withColumn("__cluster", assignCluster(col(vecCol), cents))
       .repartition(col("__cluster")) // cluster: one task (not every task) writes a partition
       .write.partitionBy("__cluster").mode("overwrite").parquet(path)
@@ -338,10 +336,9 @@ object Ann {
   def assignmentDrift(spark: org.apache.spark.sql.SparkSession, path: String,
                       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     import spark.implicits._
-    // HALF_UP like the SQL round() both engines use (rint would be
-    // half-even — the probeIds rounding precedent)
-    def r6(x: Double): Double =
-      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    // HALF_UP like the SQL round() both engines use — the shared
+    // driver-side rounding (VectorOps.round6)
+    def r6(x: Double): Double = VectorOps.round6(x)
     val b6 = r6(spark.read.parquet(s"$path.stats").head().getDouble(0))
     val c6 = r6(meanAssignSim(spark, path, idCol, vecCol))
     Seq((b6, c6, r6(b6 - c6)))
@@ -383,7 +380,10 @@ object Ann {
     * appending rows can exceed the recorded radius and silently break
     * the bound, so re-record after appends (the [[recordIvfModel]]
     * drift-baseline contract; deletes only shrink clusters and stay
-    * sound). Tombstoned rows are excluded for tightness. */
+    * sound), and a fresh [[buildIvfIndex]] at the same path DELETES
+    * them so a stale certificate can never survive a rebuild — a
+    * range probe before the re-record fails loudly on the missing
+    * stats. Tombstoned rows are excluded for tightness. */
   def recordRangeStats(spark: org.apache.spark.sql.SparkSession, path: String,
                        idCol: String = "vec_id", vecCol: String = "embedding"): Unit = {
     val normed = dropTombstones(spark.read.parquet(path), path, idCol)

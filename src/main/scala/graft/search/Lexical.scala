@@ -315,6 +315,29 @@ object Lexical {
     val qterms = queries
       .select(col("qid"), explode(col("terms")).as("term")).distinct()
     val allTerms = qterms.select(col("term")).distinct()
+    val (nDocs, avgdl, postings) = probeIndexPostings(spark, path, allTerms, idCol)
+    val dfreq = postings.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val weights = postings
+      .join(broadcast(dfreq), "term")
+      .withColumn("n_docs", lit(nDocs))
+      .withColumn("avgdl", lit(avgdl))
+      .withColumn("w", bm25Weight)
+    rankPerQuery(weights.join(broadcast(qterms), Seq("term")), idCol, k)
+  }
+
+  /** The ONE probe preamble every index reader shares (batch probe,
+    * RM3): tombstone-adjusted corpus stats as driver literals, and the
+    * postings pruned to `terms` — partition pruning via bucket
+    * literals derived with the SAME column expression the build used
+    * (build/probe bucketing can never drift), a broadcast term
+    * semi-join, and the tombstone anti-join BEFORE any df count so
+    * deleted docs shrink document frequencies exactly like a rebuild.
+    * Returns `(n_docs, avgdl, postings)`; callers must keep df
+    * counting on the returned frame (the spec-pinned "index ≡
+    * in-memory" contracts all flow through here). */
+  private def probeIndexPostings(spark: org.apache.spark.sql.SparkSession,
+                                 path: String, terms: DataFrame,
+                                 idCol: String): (Long, Double, DataFrame) = {
     val (termBuckets, rawDocs, rawDl) = bm25IndexStats(spark, path)
     // tombstoned docs leave the corpus logically: their (id, dl) rows
     // subtract from the stats sums here and anti-join the candidate
@@ -330,26 +353,16 @@ object Lexical {
     // double arithmetic as before
     val nDocs = rawDocs - tDocs
     val avgdl = (rawDl - tDl).toDouble / (rawDocs - tDocs).toDouble
-    // driver-side: |union of query terms| bucket literals -> plan-time
-    // pruning; derived with the SAME column expression the build used,
-    // so build/probe bucketing can never drift
-    val buckets = allTerms
+    val termsOnly = terms.select(col("term")).distinct()
+    val buckets = termsOnly
       .select(pmod(TextAnalysis.fingerprint(col("term")), lit(termBuckets)).as("tb"))
       .distinct().collect().map(_.getLong(0)).toSeq
     val postingsLive = spark.read.parquet(s"$path/postings")
       .filter(col("__tb").isin(buckets: _*)) // partition pruning
-      .join(broadcast(allTerms), Seq("term"), "left_semi")
-    // tombstone anti-join BEFORE the df count, so deleted docs shrink
-    // document frequencies exactly like a rebuild would
+      .join(broadcast(termsOnly), Seq("term"), "left_semi")
     val postings = tombs.fold(postingsLive)(t =>
       postingsLive.join(broadcast(t.select(col(idCol))), Seq(idCol), "left_anti"))
-    val dfreq = postings.groupBy(col("term")).agg(count(lit(1)).as("df"))
-    val weights = postings
-      .join(broadcast(dfreq), "term")
-      .withColumn("n_docs", lit(nDocs))
-      .withColumn("avgdl", lit(avgdl))
-      .withColumn("w", bm25Weight)
-    rankPerQuery(weights.join(broadcast(qterms), Seq("term")), idCol, k)
+    (nDocs, avgdl, postings)
   }
 
   /** Batch reciprocal-rank fusion: [[rrfFuse]] per qid over two batch
@@ -438,17 +451,12 @@ object Lexical {
                    idCol: String = "doc_id"): DataFrame = {
     require(queryTerms.nonEmpty && fbDocs >= 1 && fbTerms >= 0)
     import spark.implicits._
-    val (termBuckets, rawDocs, rawDl) = bm25IndexStats(spark, path)
-    val tombs = bm25Tombstones(spark, path)
-    val tombAgg = tombs.map(_.agg(
-      count(lit(1)).cast("long").as("t_docs"),
-      coalesce(sum(col("dl").cast("long")), lit(0L)).as("t_dl")).head())
-    val (tDocs, tDl) = tombAgg.fold((0L, 0L))(r => (r.getLong(0), r.getLong(1)))
-    val nDocs = rawDocs - tDocs
-    val avgdl = (rawDl - tDl).toDouble / (rawDocs - tDocs).toDouble
     val fb = bm25IndexTopKBatch(spark, path,
         Seq((0L, queryTerms)).toDF("qid", "terms"), fbDocs, idCol)
       .select(col(idCol))
+    // RM1 over the feedback docs' COMPLETE posting rows: the fb set is
+    // live by construction (the probe tombstone-filters), so the
+    // semi-join needs no anti-join of its own
     val rm1 = spark.read.parquet(s"$path/postings")
       .join(broadcast(fb), Seq(idCol), "left_semi")
       .groupBy(col("term"))
@@ -460,22 +468,15 @@ object Lexical {
     val wts = origW
       .union(rm1.select(col("term"), (lit(1.0) - lit(alpha)) * col("rw")))
       .groupBy(col("term")).agg(sum(col("w")).as("w"))
-    // weighted-term probe: weight rows are bounded (|Q|+fbTerms), so
-    // they collect driver-side like every index probe's term set; the
-    // bucket literals derive with the SAME column expression the build
-    // used, so build/probe bucketing can never drift
-    val wRows = wts.collect().map(r => (r.getString(0), r.getDouble(1))).toSeq
-    val wDf = wRows.toDF("term", "w")
-    val buckets = wDf
-      .select(pmod(TextAnalysis.fingerprint(col("term")), lit(termBuckets)).as("tb"))
-      .distinct().collect().map(_.getLong(0)).toSeq
-    val postingsLive = spark.read.parquet(s"$path/postings")
-      .filter(col("__tb").isin(buckets: _*)) // partition pruning
-      .join(broadcast(wDf), Seq("term"))     // prune AND weight in one join
-    val postings = tombs.fold(postingsLive)(t =>
-      postingsLive.join(broadcast(t.select(col(idCol))), Seq(idCol), "left_anti"))
+    // weight rows are bounded (|Q|+fbTerms): collect driver-side like
+    // every index probe's term set, then run the SHARED probe preamble
+    // over them and re-attach the weight by one more broadcast join
+    val wDf = wts.collect().map(r => (r.getString(0), r.getDouble(1))).toSeq
+      .toDF("term", "w")
+    val (nDocs, avgdl, postings) = probeIndexPostings(spark, path, wDf, idCol)
     val dfreq = postings.groupBy(col("term")).agg(count(lit(1)).as("df"))
     postings
+      .join(broadcast(wDf), Seq("term"))
       .join(broadcast(dfreq), "term")
       .withColumn("n_docs", lit(nDocs))
       .withColumn("avgdl", lit(avgdl))

@@ -79,14 +79,10 @@ object Search {
     require(k >= 1 && shortlist >= k, "need shortlist >= k >= 1")
     val spark = corpus.sparkSession
     import spark.implicits._
-    def r6(x: Double): Double =
-      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
-    def cos(a: Seq[Double], b: Seq[Double]): Double = {
-      if (a.size != b.size) return -1.0
-      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
-      while (i < a.size) { dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
-      if (na == 0.0 || nb == 0.0) 0.0 else dot / (math.sqrt(na) * math.sqrt(nb))
-    }
+    // the shared driver-side kernel pair (VectorOps) — same
+    // accumulation order and HALF_UP rounding as every other scorer
+    def r6(x: Double): Double = VectorOps.round6(x)
+    def cos(a: Seq[Double], b: Seq[Double]): Double = VectorOps.cosineLocal(a, b)
     // knn's total order (sim DESC, id ASC) survives the collect
     val sl = knn(corpus, query, shortlist, idCol, vecCol)
       .select(col(idCol).cast("long"), col("sim"), col(vecCol))

@@ -18,6 +18,25 @@ import org.apache.spark.sql.functions._
   */
 object VectorOps {
 
+  /** DRIVER-side cosine over model state (probe ranking, MMR greedy):
+    * the same edge semantics and index-order double accumulation as
+    * the Column kernel, so driver scores replay in SQL exactly. ONE
+    * definition — every driver-side scorer must share it, or a change
+    * to accumulation order desynchronizes some scorer from the oracle
+    * with no test to catch it. */
+  def cosineLocal(a: Seq[Double], b: Seq[Double]): Double = {
+    if (a.size != b.size) return -1.0
+    var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+    while (i < a.size) { dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+    if (na == 0.0 || nb == 0.0) 0.0 else dot / (math.sqrt(na) * math.sqrt(nb))
+  }
+
+  /** DRIVER-side round-6, HALF_UP — the arithmetic of SQL `round(x, 6)`
+    * in both engines (rint would be half-even). Shared for the same
+    * one-definition reason as [[cosineLocal]]. */
+  def round6(x: Double): Double =
+    BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+
   /** Σ a_i·b_i accumulated in DoubleType, sequential order (parity with
     * DuckDB's `list_dot_product` over `DOUBLE[]`). */
   def dot(a: Column, b: Column): Column =

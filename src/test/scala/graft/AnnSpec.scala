@@ -375,6 +375,29 @@ class AnnSpec extends SparkSpec {
     assert(got.nonEmpty && got.subsetOf((0L until 20L).toSet))
   }
 
+  test("a rebuild deletes range stats: stale certificates cannot survive, re-record restores") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft-range-rebuild").toString
+    val idx = s"$tmp/index"
+    val cents = Ann.kmeansCentroids(emb, "vec_id", "embedding", 10, 2)
+    Ann.buildIvfIndex(emb.filter(col("vec_id") < 400), cents, idx)
+    Ann.recordRangeStats(spark, idx)
+    // fresh build at the same path: the old certificates describe the
+    // old contents and MUST NOT be consulted — the probe fails loudly
+    // on the missing stats instead of silently dropping vectors
+    Ann.buildIvfIndex(emb, cents, idx)
+    intercept[Exception] { Ann.ivfRangeSearch(spark, idx, q, 0.25).collect() }
+    Ann.recordRangeStats(spark, idx)
+    val got = Ann.ivfRangeSearch(spark, idx, q, 0.25)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSet
+    val brute = emb.crossJoin(broadcast(q))
+      .select(col("vec_id"),
+        round(graft.vector.VectorOps.cosine(col("embedding"), col("qvec")), 6).as("sim"))
+      .filter(col("sim") >= 0.25)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSet
+    assert(got == brute)
+  }
+
   test("range stats re-recorded after an append restore exactness") {
     import spark.implicits._
     val tmp = java.nio.file.Files.createTempDirectory("graft-range-app").toString
