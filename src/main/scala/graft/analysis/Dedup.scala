@@ -309,9 +309,16 @@ object Dedup {
     val cuts = (0 to bands).map(i => i * 64 / bands)
     // spread before the fingerprint so the single-split small-sf scan
     // doesn't serialize the SimHash computation (pinned count — AQE
-    // would coalesce a bare by-col repartition of small input bytes)
+    // would coalesce a bare by-col repartition of small input bytes).
+    // The fingerprints materialize ONCE (eager localCheckpoint — the
+    // `components` pattern; N × 16-byte rows, far smaller than the
+    // text they summarize): the band self-join otherwise executes the
+    // SimHash subtree per join side — the text scan and the 64-bit
+    // fold are the whole cost of this operator, and a broadcast-side
+    // build defeats exchange reuse.
     val fp = spread(df, col(idCol))
       .select(col(idCol).as("id"), simhash64(col(textCol)).as("fp"))
+      .localCheckpoint()
     val bandVals = (0 until bands).map { i =>
       val width = cuts(i + 1) - cuts(i)
       val mask = if (width >= 64) -1L else (1L << width) - 1 // 1L<<64 wraps to 1

@@ -75,19 +75,22 @@ object Funnel {
         count(when(col(s"__t$i").isNotNull, lit(1))).as(s"__c$i")): _*)
     // every step count sits in the ONE aggregated row, so the per-step
     // conversions are plain column arithmetic on that row — computed
-    // BEFORE the stack unpivot, which keeps the report window-free (no
-    // single-partition Window node for the sweep to flag)
-    def conv(num: Int, den: Int): String =
-      s"(CASE WHEN __c$den = 0 THEN CAST(NULL AS DOUBLE) " +
-        s"ELSE round(CAST(__c$num AS DOUBLE) / __c$den, 6) END)"
-    counted.select(expr(
-      s"stack(${steps.size}, " +
-        steps.zipWithIndex.map { case (s, i) =>
-          val fromFirst = conv(i, 0)
-          val fromPrev = if (i == 0) "CAST(1.0 AS DOUBLE)" else conv(i, i - 1)
-          s"${i}L, '$s', __c$i, $fromFirst, $fromPrev"
-        }.mkString(", ") +
-        ") AS (step_idx, step, users, conv_from_first, conv_from_prev)"))
+    // BEFORE the unpivot, which keeps the report window-free (no
+    // single-partition Window node for the sweep to flag). The unpivot
+    // is an explode over an array of per-step structs built from
+    // Column expressions: step names are caller data and pass through
+    // lit(), never spliced into a SQL string (a quote in a step name
+    // must stay a quote, not break — or inject into — a parser).
+    def conv(num: Int, den: Int): org.apache.spark.sql.Column =
+      when(col(s"__c$den") === 0, lit(null).cast("double"))
+        .otherwise(round(col(s"__c$num").cast("double") / col(s"__c$den"), 6))
+    counted
+      .select(explode(array(steps.zipWithIndex.map { case (s, i) =>
+        struct(lit(i.toLong).as("step_idx"), lit(s).as("step"),
+          col(s"__c$i").as("users"), conv(i, 0).as("conv_from_first"),
+          (if (i == 0) lit(1.0) else conv(i, i - 1)).as("conv_from_prev"))
+      }: _*)).as("__r"))
+      .select(col("__r.*"))
   }
 
   /** Top event paths: the most common length-`n` ordered event-type

@@ -192,10 +192,16 @@ object Ann {
     * [[graft.store.CorpusStore.compact]] on the hot cluster
     * directories. */
   def appendToIvfIndex(delta: DataFrame, cents: Seq[Seq[Double]], path: String,
-                       vecCol: String = "embedding"): Unit =
+                       vecCol: String = "embedding"): Unit = {
+    // appended rows can exceed a recorded range certificate's radius,
+    // silently certifying their cluster out of ivfRangeSearch — delete
+    // the stats (mirroring buildIvfIndex's sibling reset) so a
+    // post-append range probe fails loudly until recordRangeStats runs
+    graft.io.Fs.delete(delta.sparkSession, s"$path.rstats")
     delta.withColumn("__cluster", assignCluster(col(vecCol), cents))
       .repartition(col("__cluster")) // one file per cluster per append
       .write.partitionBy("__cluster").mode("append").parquet(path)
+  }
 
   /** Tombstone-delete vectors from a materialized IVF index — the
     * vector twin of [[Lexical.deleteFromBm25Index]], completing the
@@ -378,12 +384,12 @@ object Ann {
     * bound is — EXACT pruning, unlike the top-k probe's best-effort
     * nprobe. Stats describe the index CONTENTS AT RECORD TIME:
     * appending rows can exceed the recorded radius and silently break
-    * the bound, so re-record after appends (the [[recordIvfModel]]
-    * drift-baseline contract; deletes only shrink clusters and stay
-    * sound), and a fresh [[buildIvfIndex]] at the same path DELETES
-    * them so a stale certificate can never survive a rebuild — a
-    * range probe before the re-record fails loudly on the missing
-    * stats. Tombstoned rows are excluded for tightness. */
+    * the bound, so both [[buildIvfIndex]] and [[appendToIvfIndex]]
+    * DELETE the stats — a range probe between a write and the
+    * re-record fails loudly on the missing stats instead of consulting
+    * a stale certificate (deletes only shrink clusters and stay
+    * sound, so tombstones need no reset). Tombstoned rows are excluded
+    * for tightness. */
   def recordRangeStats(spark: org.apache.spark.sql.SparkSession, path: String,
                        idCol: String = "vec_id", vecCol: String = "embedding"): Unit = {
     val normed = dropTombstones(spark.read.parquet(path), path, idCol)

@@ -104,7 +104,13 @@ object Search {
           else r6(lambda * rel - mu * maxSim)
         (id, rel, score)
       }
-      val (id, rel, score) = scored.maxBy { case (i, _, s) => (s, -i) }
+      // rank 1 selects on the UNSCALED relevance (the oracle's pick1
+      // orders by sim DESC, id ASC): round6(lambda·rel) can collapse
+      // two distinct round-6 sims onto one score, and a rank-1 tie
+      // broken differently would diverge the whole greedy sequence
+      val (id, rel, score) =
+        if (pickedVecs.isEmpty) scored.maxBy { case (i, r, _) => (r, -i) }
+        else scored.maxBy { case (i, _, s) => (s, -i) }
       picked += ((id, picked.size + 1, rel, score))
       pickedVecs += remaining(id)._2
       remaining.remove(id)

@@ -407,6 +407,10 @@ class AnnSpec extends SparkSpec {
     Ann.buildIvfIndex(build, cents, idx)
     Ann.recordRangeStats(spark, idx)
     Ann.appendToIvfIndex(emb.filter(col("vec_id") >= 400), cents, idx)
+    // the append DELETED the build-time certificate (appended rows can
+    // exceed its radius): a range probe before the re-record must fail
+    // loudly, never consult the stale stats
+    intercept[Exception] { Ann.ivfRangeSearch(spark, idx, q, 0.25).collect() }
     Ann.recordRangeStats(spark, idx) // the documented post-append step
     val got = Ann.ivfRangeSearch(spark, idx, q, 0.25)
       .collect().map(r => (r.getLong(0), r.getDouble(1))).toSet
