@@ -8,7 +8,7 @@ import graft.analysis.{Contamination, Dedup, FreqSketch}
 import graft.embed.Featurizer
 import graft.io.Tables
 import graft.multimodal.Multimodal
-import graft.search.{Ann, Lexical, Search}
+import graft.search.{Ann, Lexical, Pq, Search}
 import graft.text.{Chunker, TextAnalysis}
 import graft.vector.VectorOps
 
@@ -45,6 +45,19 @@ object SparkEntry {
           .otherwise(col("text")).as("text"))
       .unionByName(docs.filter(col("doc_id") < 3)
         .select((col("doc_id") + 100000L).as("doc_id"), col("text")))
+
+  /** [[secondUpload]]'s shape on the VECTOR corpus (for the ANN index
+    * sync queries): remove vec_id %13, negate %11's embedding (float
+    * negation is exact, so the oracle's negate-after-double-cast is
+    * bit-identical), re-add the 3 lowest ids under +100000. Keep in
+    * lockstep with the v2 CTE in the sync oracles. */
+  private def secondUploadVec(emb: DataFrame): DataFrame =
+    emb.filter(col("vec_id") % 13 =!= 0)
+      .select(col("vec_id"),
+        when(col("vec_id") % 11 === 0, transform(col("embedding"), x => -x))
+          .otherwise(col("embedding")).as("embedding"))
+      .unionByName(emb.filter(col("vec_id") < 3)
+        .select((col("vec_id") + 100000L).as("vec_id"), col("embedding")))
 
   private val Question = "how does the engine scan tables"
 
@@ -1569,6 +1582,54 @@ object SparkEntry {
       Ann.appendToIvfIndex(emb.filter(col("vec_id") >= 400), cents, path)
       Ann.assignmentDrift(s, path)
     }),
+    // ---- [EXT] snapshot-driven VECTOR index sync — syncBm25Index's
+    // contract on the IVF index: corpus moves v1 → v2 (removes,
+    // negated-vector changes, adds), diff drives tombstone-delete →
+    // compact → append against the v1-trained centroids. The oracle
+    // probes a from-scratch v2 build with the same centroids — a
+    // changed vector's OLD row surviving (stale sim) or its NEW row
+    // tombstoned away both break the hash.
+    "ann_index_sync_top5" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
+      val snaps = scratchDir("ivf-sync-snaps")
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(snaps))
+      graft.store.Snapshots.write(emb, snaps, "v1")
+      graft.store.Snapshots.write(secondUploadVec(emb), snaps, "v2")
+      // models train on the base table (= the v1 rows; the snapshot
+      // store's different file layout must not perturb the verified
+      // partial-sum order of the Lloyd averages)
+      val cents = Ann.kmeansCentroids(emb, "vec_id", "embedding", 10, 2)
+      val src = scratchDir("ivf-sync-src")
+      val dst = scratchDir("ivf-sync-dst")
+      Ann.buildIvfIndex(emb, cents, src)
+      Ann.recordIvfModel(s, src, cents)
+      graft.store.Snapshots.syncIvfIndex(s, snaps, "v1", "v2",
+        "vec_id", "embedding", cents, src, dst)
+      Ann.ivfIndexTopK(s, dst, queryVec(s, dir), cents, 5, 3)
+        .select(col("vec_id"), col("sim"))
+    }),
+    // ---- [EXT] the same sync on the composed IVF-PQ index: both
+    // sides move (codes re-encode through the v1 codebooks, vectors
+    // rewrite without the tombstoned ids — a changed id keeping two
+    // vector rows would duplicate the rerank output). Oracle = v2
+    // re-assigned + re-encoded through the v1-trained models, ADC
+    // shortlist, exact rerank.
+    "ivfpq_index_sync_top5" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
+      val snaps = scratchDir("ivfpq-sync-snaps")
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(snaps))
+      graft.store.Snapshots.write(emb, snaps, "v1")
+      graft.store.Snapshots.write(secondUploadVec(emb), snaps, "v2")
+      val cents = Ann.kmeansCentroids(emb, "vec_id", "embedding", 10, 2)
+      val cb = Pq.train(emb, "vec_id", "embedding", 64, PqM, PqKsub, PqIters)
+      val src = scratchDir("ivfpq-sync-src")
+      val dst = scratchDir("ivfpq-sync-dst")
+      Pq.buildIvfPqIndex(emb, cents, cb, src)
+      graft.store.Snapshots.syncIvfPqIndex(s, snaps, "v1", "v2",
+        "vec_id", "embedding", cents, cb, src, dst)
+      Pq.ivfPqIndexTopK(s, dst, queryVec(s, dir), cents, cb, 5, 3, 50)
+        .select(col("vec_id"), col("sim"))
+    }),
     // ---- [EXT] FILTERED ANN — "top-k WHERE …" composed with the IVF
     // index: the predicate runs INSIDE the probed partitions (pruning
     // unchanged), with an exact-count fallback to the full index when
@@ -2676,6 +2737,112 @@ object SparkEntry {
        |ORDER BY sim DESC, vec_id ASC LIMIT 5""".stripMargin
   }
 
+  /** The sync fixture's v2 corpus (mirror of [[secondUploadVec]] —
+    * keep in lockstep) and its coarse assignment against the
+    * v1-trained centroids `ic2`, shared by both vector-index sync
+    * oracles. v1 = the full embeddings table, so the Lloyd chain
+    * ([[ivfTrainSql]]) trains unchanged. */
+  private lazy val ivfSyncV2Ctes: String = {
+    def rawCos(a: String, b: String) =
+      s"list_dot_product($a, $b) / (sqrt(list_dot_product($a, $a)) * sqrt(list_dot_product($b, $b)))"
+    s"""v2 AS (
+       |  SELECT vec_id,
+       |         CASE WHEN vec_id % 11 = 0
+       |              THEN list_transform(embedding::DOUBLE[], x -> -x)
+       |              ELSE embedding::DOUBLE[] END AS emb
+       |  FROM embeddings WHERE vec_id % 13 <> 0
+       |  UNION ALL
+       |  SELECT vec_id + 100000, embedding::DOUBLE[]
+       |  FROM embeddings WHERE vec_id < 3),
+       |v2a AS (
+       |  SELECT vec_id, emb, cid FROM (
+       |    SELECT v.vec_id, v.emb, c.cid,
+       |           row_number() OVER (PARTITION BY v.vec_id
+       |             ORDER BY ${rawCos("v.emb", "c.centroid")} DESC, c.cid ASC) AS rn
+       |    FROM v2 v CROSS JOIN ic2 c) WHERE rn = 1)""".stripMargin
+  }
+
+  /** IVF sync oracle: the synced index must answer exactly like a
+    * fresh build on v2 with the v1-trained centroids — probe ranking
+    * unchanged (same model), candidates = v2 rows assigned to the
+    * probed clusters, exact top-5 over v2 vectors. */
+  private lazy val annIndexSyncTop5Sql: String = {
+    def rawCos(a: String, b: String) =
+      s"list_dot_product($a, $b) / (sqrt(list_dot_product($a, $a)) * sqrt(list_dot_product($b, $b)))"
+    s"""WITH q AS (SELECT embedding AS qvec FROM embeddings WHERE vec_id = 0),
+       |${ivfTrainSql(10, 2)},
+       |$ivfSyncV2Ctes,
+       |probes AS (
+       |  SELECT cid FROM ic2, q
+       |  ORDER BY round(${rawCos("centroid", "qvec::DOUBLE[]")}, 6) DESC, cid ASC
+       |  LIMIT 3)
+       |SELECT vec_id, sim FROM (
+       |  SELECT a.vec_id, ${cosSql("a.emb", "q.qvec")} AS sim
+       |  FROM v2a a JOIN probes USING (cid), q)
+       |ORDER BY sim DESC, vec_id ASC LIMIT 5""".stripMargin
+  }
+
+  /** IVF-PQ sync oracle: v2 re-encoded per subspace through the
+    * v1-trained codebooks (fresh L2 argmin per v2 row — appended rows
+    * encode fresh, surviving rows' codes are identical because vector
+    * and codebooks are), ADC shortlist inside the probed clusters,
+    * exact rerank over v2 vectors. */
+  private lazy val ivfPqSyncTop5Sql: String = {
+    def rawCos(a: String, b: String) =
+      s"list_dot_product($a, $b) / (sqrt(list_dot_product($a, $a)) * sqrt(list_dot_product($b, $b)))"
+    def l2(a: String, b: String) =
+      s"list_reduce(list_transform(range(1, ${PqSub + 1}), " +
+        s"i -> ($a[i] - $b[i]) * ($a[i] - $b[i])), (x, y) -> x + y)"
+    val encodes = (0 until PqM).map { mi =>
+      val slice = s"(v.emb)[${mi * PqSub + 1}:${(mi + 1) * PqSub}]"
+      s"""e$mi AS (
+         |  SELECT vec_id, cid FROM (
+         |    SELECT v.vec_id, c.cid,
+         |           row_number() OVER (PARTITION BY v.vec_id
+         |             ORDER BY ${l2(slice, "c.centroid")} ASC, c.cid ASC) AS rn
+         |    FROM v2 v CROSS JOIN cb${mi}_$PqIters c) WHERE rn = 1)""".stripMargin
+    }.mkString(",\n")
+    val dots = (0 until PqM).map { mi =>
+      s"""list_dot_product((q.qvec::DOUBLE[])[${mi * PqSub + 1}:${(mi + 1) * PqSub}],
+         |                  c$mi.centroid) AS d$mi,
+         |         list_dot_product(c$mi.centroid, c$mi.centroid) AS n$mi""".stripMargin
+    }.mkString(",\n         ")
+    val joins = (1 until PqM).map(mi =>
+      s"JOIN e$mi ON e0.vec_id = e$mi.vec_id " +
+        s"JOIN cb${mi}_$PqIters c$mi ON e$mi.cid = c$mi.cid").mkString("\n       ")
+    val dSum = (0 until PqM).map(mi => s"d$mi").mkString(" + ")
+    val nSum = (0 until PqM).map(mi => s"n$mi").mkString(" + ")
+    s"""WITH q AS (SELECT embedding AS qvec FROM embeddings WHERE vec_id = 0),
+       |${ivfTrainSql(10, 2)},
+       |$ivfSyncV2Ctes,
+       |probes AS (
+       |  SELECT cid FROM ic2, q
+       |  ORDER BY round(${rawCos("centroid", "qvec::DOUBLE[]")}, 6) DESC, cid ASC
+       |  LIMIT 3),
+       |cand AS (SELECT v2a.vec_id FROM v2a JOIN probes USING (cid)),
+       |$pqTrainSql,
+       |$encodes,
+       |sc AS (
+       |  SELECT e0.vec_id,
+       |         $dots
+       |  FROM e0 JOIN cand ON e0.vec_id = cand.vec_id
+       |       JOIN cb0_$PqIters c0 ON e0.cid = c0.cid
+       |       $joins
+       |       CROSS JOIN q),
+       |qn AS (SELECT sqrt(list_dot_product(qvec::DOUBLE[], qvec::DOUBLE[])) AS qn FROM q),
+       |short AS (
+       |  SELECT vec_id FROM (
+       |    SELECT sc.vec_id,
+       |           round(CASE WHEN qn.qn = 0 OR ($nSum) = 0 THEN 0
+       |                      ELSE ($dSum) / (qn.qn * sqrt($nSum)) END, 6) AS sim
+       |    FROM sc, qn)
+       |  ORDER BY sim DESC, vec_id ASC LIMIT 50)
+       |SELECT vec_id, sim FROM (
+       |  SELECT v.vec_id, ${cosSql("v.emb", "q.qvec")} AS sim
+       |  FROM v2 v JOIN short USING (vec_id), q)
+       |ORDER BY sim DESC, vec_id ASC LIMIT 5""".stripMargin
+  }
+
   def oracleSql: Map[String, String] = Map(
     "knn_top5" ->
       s"""SELECT vec_id, sim FROM (
@@ -2974,6 +3141,10 @@ object SparkEntry {
     // predicate on the candidate scan
     "ann_filtered_top5" ->
       kmeansIvfTop5SqlWhere("\n  WHERE e.vec_id % 3 <> 0"),
+    // after the snapshot sync the vector index must answer as if
+    // built on v2 from scratch (with the v1-trained models)
+    "ann_index_sync_top5" -> annIndexSyncTop5Sql,
+    "ivfpq_index_sync_top5" -> ivfPqSyncTop5Sql,
     // The MMR greedy is sequential in k, so the oracle UNROLLS it: one
     // pick-CTE per rank, each scoring the remaining shortlist against
     // the max round-6 pairwise cosine to everything picked so far.

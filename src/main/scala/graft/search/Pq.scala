@@ -279,6 +279,30 @@ object Pq {
       .write.option("maxRecordsPerFile", recordsPerFile)
       .mode("overwrite").parquet(s"$dstPath/vectors")
 
+  /** Apply tombstones PHYSICALLY to both sides of a materialized
+    * IVF-PQ index in one rewrite at `dstPath`: codes via
+    * [[Ann.compactIvfIndex]] (partition layout kept, tombstoned rows
+    * dropped), and the vectors side anti-joined against the SAME
+    * codes-side tombstones during its id-ordered rewrite. The vectors
+    * half is not optional when a delete precedes a re-append of the
+    * same id (the update path): the codes side would shortlist only
+    * the new row, but the rerank's id filter would match BOTH vector
+    * rows and emit duplicates — [[compactIvfPqVectors]] alone is the
+    * layout-only remedy and keeps deleted rows by design. `dstPath`
+    * starts tombstone-free. */
+  def compactIvfPqIndex(spark: org.apache.spark.sql.SparkSession,
+                        srcPath: String, dstPath: String,
+                        recordsPerFile: Long = 1L << 20,
+                        idCol: String = "vec_id"): Unit = {
+    Ann.compactIvfIndex(spark, s"$srcPath/codes", s"$dstPath/codes",
+      recordsPerFile, idCol)
+    Ann.dropTombstones(spark.read.parquet(s"$srcPath/vectors"),
+        s"$srcPath/codes", idCol)
+      .repartitionByRange(col(idCol)).sortWithinPartitions(col(idCol))
+      .write.option("maxRecordsPerFile", recordsPerFile)
+      .mode("overwrite").parquet(s"$dstPath/vectors")
+  }
+
   /** The pruned-codes ADC shortlist of a materialized index probe —
     * the codes-only half of [[ivfPqIndexTopK]], exposed so scan-metric
     * tests can assert file skipping on the codes scan directly. */

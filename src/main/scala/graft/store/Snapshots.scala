@@ -91,9 +91,21 @@ object Snapshots {
     * absent from that snapshot", and null-content vs empty-content
     * rows compare distinct. */
   def diff(spark: SparkSession, path: String, a: String, b: String,
-           idCol: String, contentCol: String): DataFrame = {
+           idCol: String, contentCol: String): DataFrame =
+    diffBy(spark, path, a, b, idCol, contentCol, identity)
+
+  /** [[diff]] with the content column passed through `render` before
+    * hashing — the hook non-string corpora need: md5 takes a
+    * string/binary, so a VECTOR snapshot store renders its
+    * `array<float>` content via `cast(_ as string)` (deterministic
+    * element formatting; the cast of a null array stays null, so the
+    * null-vs-absent struct semantics of [[diff]] carry over
+    * unchanged). */
+  def diffBy(spark: SparkSession, path: String, a: String, b: String,
+             idCol: String, contentCol: String,
+             render: org.apache.spark.sql.Column => org.apache.spark.sql.Column): DataFrame = {
     def key(c: org.apache.spark.sql.Column) =
-      struct(c.isNull.as("n"), md5(coalesce(c, lit(""))).as("h"))
+      struct(c.isNull.as("n"), md5(coalesce(render(c), lit(""))).as("h"))
     val ha = read(spark, path, a)
       .select(col(idCol), key(col(contentCol)).as("__ha"))
     val hb = read(spark, path, b)
@@ -130,6 +142,76 @@ object Snapshots {
       d.filter(col("status").isin("added", "changed")).select(col(idCol)),
       Seq(idCol), "left_semi")
     graft.search.Lexical.appendToBm25Index(fresh, textCol, idCol, dstIdx)
+  }
+
+  /** Sync a materialized IVF index from snapshot `from` to `to` — the
+    * VECTOR twin of [[syncBm25Index]], closing the gap where a corpus
+    * version move got a synced lexical index but left the vector side
+    * to manual append/delete bookkeeping. Same delete → compact → add
+    * segment-rewrite order (compact is load-bearing for the same
+    * reason: tombstones are id-based, so a changed doc re-appended
+    * before they apply would be anti-joined away with its old
+    * version); the appended rows assign against the EXISTING `cents` —
+    * sync maintains the index, it does not retrain it. `srcIdx` is
+    * consumed (it carries the sync's tombstones); the synced index
+    * lands at `dstIdx`, probe-for-probe ≡ a fresh
+    * [[graft.search.Ann.buildIvfIndex]] on the `to` snapshot with the
+    * same centroids (spec-pinned, oracle-pinned).
+    *
+    * Returns the post-sync [[graft.search.Ann.assignmentDrift]] report
+    * when `srcIdx` carried a recorded drift baseline (`.model`/
+    * `.stats` siblings — the build-time baseline moves to `dstIdx`
+    * with the model the sync appended against): a sync is exactly the
+    * moment the "should this have been a retrain?" scalar is due, and
+    * without re-recording it here the baseline would be lost with the
+    * consumed src. `None` when no baseline was ever recorded. */
+  def syncIvfIndex(spark: SparkSession, path: String, from: String, to: String,
+                   idCol: String, vecCol: String, cents: Seq[Seq[Double]],
+                   srcIdx: String, dstIdx: String): Option[DataFrame] = {
+    import spark.implicits._
+    val d = diffBy(spark, path, from, to, idCol, vecCol, _.cast("string"))
+    graft.search.Ann.deleteFromIvfIndex(
+      d.filter(col("status").isin("removed", "changed")).select(col(idCol)),
+      srcIdx, idCol)
+    graft.search.Ann.compactIvfIndex(spark, srcIdx, dstIdx, idCol = idCol)
+    val fresh = read(spark, path, to).join(
+      d.filter(col("status").isin("added", "changed")).select(col(idCol)),
+      Seq(idCol), "left_semi")
+    graft.search.Ann.appendToIvfIndex(fresh, cents, dstIdx, vecCol)
+    if (!graft.io.Fs.exists(spark, s"$srcIdx.stats")) None
+    else {
+      // carry the BUILD-time baseline (not a fresh one — drift vs the
+      // original build is the question) and the model synced against
+      cents.zipWithIndex.map { case (c, i) => (i, c) }
+        .toDF("__cluster", "centroid")
+        .coalesce(1).write.mode("overwrite").parquet(s"$dstIdx.model")
+      spark.read.parquet(s"$srcIdx.stats")
+        .coalesce(1).write.mode("overwrite").parquet(s"$dstIdx.stats")
+      Some(graft.search.Ann.assignmentDrift(spark, dstIdx, idCol, vecCol))
+    }
+  }
+
+  /** [[syncIvfIndex]]'s contract on the composed IVF-PQ index: diff
+    * drives tombstone-delete (codes side owns delete state), a
+    * BOTH-SIDES compaction ([[graft.search.Pq.compactIvfPqIndex]] —
+    * the vectors side must drop tombstoned ids too, or a changed doc's
+    * re-append would leave two vector rows under one id and duplicate
+    * the rerank output), then append against the existing centroids
+    * AND codebooks. Synced ≡ fresh build on the `to` snapshot with the
+    * same models (spec-pinned, oracle-pinned). */
+  def syncIvfPqIndex(spark: SparkSession, path: String, from: String, to: String,
+                     idCol: String, vecCol: String, cents: Seq[Seq[Double]],
+                     cb: graft.search.Pq.Codebooks,
+                     srcIdx: String, dstIdx: String): Unit = {
+    val d = diffBy(spark, path, from, to, idCol, vecCol, _.cast("string"))
+    graft.search.Pq.deleteFromIvfPqIndex(
+      d.filter(col("status").isin("removed", "changed")).select(col(idCol)),
+      srcIdx, idCol)
+    graft.search.Pq.compactIvfPqIndex(spark, srcIdx, dstIdx, idCol = idCol)
+    val fresh = read(spark, path, to).join(
+      d.filter(col("status").isin("added", "changed")).select(col(idCol)),
+      Seq(idCol), "left_semi")
+    graft.search.Pq.appendToIvfPqIndex(fresh, cents, cb, dstIdx, idCol, vecCol)
   }
 
   /** The latest row per id ACROSS a sequence of snapshots — last-wins

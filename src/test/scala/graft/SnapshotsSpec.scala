@@ -119,6 +119,91 @@ class SnapshotsSpec extends SparkSpec {
       "synced index must probe identically to a fresh build on v2")
   }
 
+  test("syncIvfIndex: delete → compact → append reproduces a fresh v2 build, drift reported") {
+    val emb = spark.read.parquet(s"$sf0001/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+    val snaps = freshStore()
+    Snapshots.write(emb, snaps, "v1")
+    // v2: remove %13, CHANGE %11 (negated vector — its old row must
+    // die AND its new row must survive the tombstones), add 3 re-ids
+    val v2 = emb.filter(col("vec_id") % 13 =!= 0)
+      .select(col("vec_id"),
+        when(col("vec_id") % 11 === 0, transform(col("embedding"), x => -x))
+          .otherwise(col("embedding")).as("embedding"))
+      .unionByName(emb.filter(col("vec_id") < 3)
+        .select((col("vec_id") + 100000L).as("vec_id"), col("embedding")))
+    Snapshots.write(v2, snaps, "v2")
+    val cents = graft.search.Ann.kmeansCentroids(emb, "vec_id", "embedding", 8, 2)
+    val tmp = java.nio.file.Files.createTempDirectory("graft-ivf-sync").toString
+    graft.search.Ann.buildIvfIndex(emb, cents, tmp + "/v1idx")
+    graft.search.Ann.recordIvfModel(spark, tmp + "/v1idx", cents)
+    val drift = Snapshots.syncIvfIndex(spark, snaps, "v1", "v2",
+      "vec_id", "embedding", cents, tmp + "/v1idx", tmp + "/synced")
+    graft.search.Ann.buildIvfIndex(
+      Snapshots.read(spark, snaps, "v2"), cents, tmp + "/fresh")
+    val q = emb.filter(col("vec_id") === 1).select(col("embedding").as("qvec"))
+    def probe(p: String) =
+      graft.search.Ann.ivfIndexTopK(spark, p, q, cents, 10, 3)
+        .select(col("vec_id"), col("sim"))
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(probe(tmp + "/synced") == probe(tmp + "/fresh"),
+      "synced IVF index must probe identically to a fresh build on v2")
+    // the baseline carried: sync returns the drift report (negated
+    // vectors sit farther from their v1 centroids, so drift > 0 here)
+    val d = drift.getOrElse(fail("baseline was recorded — sync must report drift"))
+      .head()
+    assert(d.getDouble(d.fieldIndex("drift")) > 0.0)
+  }
+
+  test("syncIvfIndex without a recorded baseline returns None, still syncs") {
+    val emb = spark.read.parquet(s"$sf0001/embeddings.parquet")
+      .select(col("vec_id"), col("embedding")).filter(col("vec_id") < 60)
+    val snaps = freshStore()
+    Snapshots.write(emb, snaps, "v1")
+    Snapshots.write(emb.filter(col("vec_id") % 3 =!= 0), snaps, "v2")
+    val cents = graft.search.Ann.kmeansCentroids(emb, "vec_id", "embedding", 4, 1)
+    val tmp = java.nio.file.Files.createTempDirectory("graft-ivf-sync-nb").toString
+    graft.search.Ann.buildIvfIndex(emb, cents, tmp + "/v1idx")
+    val drift = Snapshots.syncIvfIndex(spark, snaps, "v1", "v2",
+      "vec_id", "embedding", cents, tmp + "/v1idx", tmp + "/synced")
+    assert(drift.isEmpty)
+    val q = emb.filter(col("vec_id") === 1).select(col("embedding").as("qvec"))
+    val got = graft.search.Ann.ivfIndexTopK(spark, tmp + "/synced", q, cents, 5, 2)
+      .collect().map(_.getLong(0)).toSet
+    assert(got.nonEmpty && got.forall(id => id % 3 != 0))
+  }
+
+  test("syncIvfPqIndex reproduces a fresh v2 build; no duplicate rerank rows for changed ids") {
+    val emb = spark.read.parquet(s"$sf0001/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+    val snaps = freshStore()
+    Snapshots.write(emb, snaps, "v1")
+    val v2 = emb.filter(col("vec_id") % 13 =!= 0)
+      .select(col("vec_id"),
+        when(col("vec_id") % 11 === 0, transform(col("embedding"), x => -x))
+          .otherwise(col("embedding")).as("embedding"))
+      .unionByName(emb.filter(col("vec_id") < 3)
+        .select((col("vec_id") + 100000L).as("vec_id"), col("embedding")))
+    Snapshots.write(v2, snaps, "v2")
+    val cents = graft.search.Ann.kmeansCentroids(emb, "vec_id", "embedding", 8, 2)
+    val cb = graft.search.Pq.train(emb, "vec_id", "embedding", 64, 8, 16, 1)
+    val tmp = java.nio.file.Files.createTempDirectory("graft-ivfpq-sync").toString
+    graft.search.Pq.buildIvfPqIndex(emb, cents, cb, tmp + "/v1idx")
+    Snapshots.syncIvfPqIndex(spark, snaps, "v1", "v2",
+      "vec_id", "embedding", cents, cb, tmp + "/v1idx", tmp + "/synced")
+    graft.search.Pq.buildIvfPqIndex(
+      Snapshots.read(spark, snaps, "v2"), cents, cb, tmp + "/fresh")
+    val q = emb.filter(col("vec_id") === 1).select(col("embedding").as("qvec"))
+    def probe(p: String) =
+      graft.search.Pq.ivfPqIndexTopK(spark, p, q, cents, cb, 10, 3, 40)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val synced = probe(tmp + "/synced")
+    assert(synced == probe(tmp + "/fresh"),
+      "synced IVF-PQ index must probe identically to a fresh build on v2")
+    assert(synced.map(_._1).distinct.size == synced.size,
+      "a changed id must not keep two vector rows (duplicate rerank output)")
+  }
+
   test("latest: later snapshot names win per id, untouched ids carry through") {
     val path = freshStore()
     Snapshots.write(Seq((1L, "a1"), (2L, "b1")).toDF("id", "text"), path, "v1")
