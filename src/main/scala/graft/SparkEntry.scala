@@ -404,6 +404,30 @@ object SparkEntry {
       exact.join(approx, Seq("qid", "vec_id"), "left_semi")
         .agg((count(lit(1)) / lit(250.0)).as("mean_recall_at_5"))
     }),
+    // ---- [EXT] BATCH FILTERED IVF-PQ: "top-k WHERE" over a query
+    // TABLE against the materialized index — per-qid probe windows,
+    // union-of-probes as a plan-time IN, predicate inside the probed
+    // partitions before the ADC shortlist, per-qid exact-count
+    // fallback as one bounded aggregate. Mean recall@5 of 20 queries
+    // vs the exact FILTERED scan; both trainings + every per-qid
+    // probe/shortlist/rerank replay in the oracle.
+    "ivfpq_filtered_batch_recall" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val cb = graft.search.Pq.train(emb, "vec_id", "embedding", 64, 8, 64, 2)
+      val cents = Ann.kmeansCentroids(emb, "vec_id", "embedding", 10, 2)
+      val path = scratchDir("ivfpq-filtered-batch")
+      graft.search.Pq.buildIvfPqIndex(emb, cents, cb, path)
+      val qs = emb.filter(col("vec_id") < 20)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+      val exact = Search.similarityJoin(
+          emb.filter(col("vec_id") % 3 =!= 0), qs, 5)
+        .select(col("qid"), col("vec_id"))
+      val approx = graft.search.Pq.ivfPqIndexTopKFilteredBatch(s, path, qs,
+          cents, cb, col("vec_id") % 3 =!= 0, 5, nprobe = 3, shortlist = 50)
+        .select(col("qid"), col("vec_id"))
+      exact.join(approx, Seq("qid", "vec_id"), "left_semi")
+        .agg((count(lit(1)) / lit(100.0)).as("mean_recall_at_5"))
+    }),
     // ---- [EXT] ANN quality as a verified number: recall@5 of the IVF
     // probe against the exact scan
     "ann_recall" -> ((s, dir) => {
@@ -914,6 +938,25 @@ object SparkEntry {
         "text", "doc_id", path)
       Lexical.rm3IndexTopK(s, path, Seq("spark", "join"), 5,
         fbDocs = 3, fbTerms = 5, alpha = 0.5)
+    }),
+    // ---- [EXT] BATCH RM3 — the query-table production shape (the
+    // reference's chat loop issues one retrieval per message,
+    // App.tsx:180-224): per-qid feedback probe, per-qid RM1 + expansion
+    // windows, one final pruned probe over the union of all weighted
+    // terms. No per-query driver loop; oracle replays each query's
+    // full RM3 chain per qid.
+    "rm3_batch_top3" -> ((s, dir) => {
+      import s.implicits._
+      val qs = Seq(
+        (0L, Seq("spark", "join")),
+        (1L, Seq("table", "filter")),
+        (2L, Seq("spark", "filter", "table"))).toDF("qid", "terms")
+      val docs = Tables.documents(s, dir)
+      val path = scratchDir("rm3-batch-idx")
+      Lexical.buildBm25Index(docs, "text", "doc_id", path)
+      Lexical.rm3IndexTopKBatch(s, path, qs, 3,
+          fbDocs = 3, fbTerms = 5, alpha = 0.5)
+        .orderBy(col("qid"), col("doc_id"))
     }),
     // ---- [EXT] hybrid retrieval: reciprocal-rank fusion of the BM25
     // ranking with the embedding kNN ranking (rrf@60 over two top-20s)
@@ -2224,6 +2267,71 @@ object SparkEntry {
          |ORDER BY score DESC, doc_id ASC LIMIT 5""".stripMargin
   }
 
+  /** Batch-RM3 replay: [[rm3ReplaySql]]'s chain generalized per qid —
+    * per-qid feedback top-3 (window), per-qid RM1 + top-5 expansion
+    * (windows over the feedback docs' term sums), per-(qid, term)
+    * interpolated weights (alpha/|Q_q| with the raw per-query term
+    * count), final weighted re-rank over the union of all queries'
+    * weighted terms with df per term (query-independent). Mirrors
+    * [[graft.search.Lexical.rm3IndexTopKBatch]] stage for stage. */
+  private lazy val rm3BatchReplaySql: String = {
+    def w25(tf: String) =
+      s"ln(1.0::DOUBLE + (s.n_docs - f.df + 0.5::DOUBLE) / (f.df + 0.5::DOUBLE)) " +
+        s"* $tf * 2.2::DOUBLE " +
+        s"/ ($tf + 1.2::DOUBLE * (0.25::DOUBLE + 0.75::DOUBLE * d.dl / s.avgdl))"
+    s"""WITH qt AS (SELECT qid::BIGINT AS qid, term FROM (VALUES
+       |  (0, 'spark'), (0, 'join'),
+       |  (1, 'table'), (1, 'filter'),
+       |  (2, 'spark'), (2, 'filter'), (2, 'table')) AS t(qid, term)),
+       |qcnt AS (SELECT qid, count(*)::DOUBLE AS nq FROM qt GROUP BY qid),
+       |toks AS (SELECT doc_id, $toksSql AS toks FROM documents),
+       |dl AS (SELECT doc_id, len(toks)::BIGINT AS dl FROM toks),
+       |stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
+       |p0 AS (SELECT doc_id, term, count(*) AS tf FROM (
+       |    SELECT doc_id, unnest(toks) AS term FROM toks)
+       |  WHERE term IN (SELECT DISTINCT term FROM qt) GROUP BY doc_id, term),
+       |df0 AS (SELECT term, count(*) AS df FROM p0 GROUP BY term),
+       |s0 AS (SELECT qt.qid, p.doc_id, round(sum(${w25("p.tf")}), 6) AS score
+       |       FROM p0 p JOIN df0 f USING (term) JOIN dl d USING (doc_id)
+       |       JOIN qt ON qt.term = p.term
+       |       CROSS JOIN stats s GROUP BY qt.qid, p.doc_id),
+       |fb AS (SELECT qid, doc_id FROM (
+       |    SELECT qid, doc_id,
+       |           row_number() OVER (PARTITION BY qid
+       |             ORDER BY score DESC, doc_id ASC) AS rn
+       |    FROM s0) WHERE rn <= 3),
+       |ftf AS (SELECT fb.qid, t.doc_id, t.term, count(*) AS tf FROM (
+       |    SELECT doc_id, unnest(toks) AS term FROM toks) t
+       |  JOIN fb ON fb.doc_id = t.doc_id
+       |  GROUP BY fb.qid, t.doc_id, t.term),
+       |rm1 AS (SELECT qid, term, rw FROM (
+       |    SELECT qid, term, rw,
+       |           row_number() OVER (PARTITION BY qid
+       |             ORDER BY rw DESC, term ASC) AS rn
+       |    FROM (SELECT qid, term, round(sum(tf::DOUBLE / d.dl) / 3.0, 6) AS rw
+       |          FROM ftf JOIN dl d USING (doc_id) GROUP BY qid, term))
+       |  WHERE rn <= 5),
+       |wq AS (SELECT qid, term, sum(w) AS w FROM (
+       |    SELECT qt.qid, qt.term, 0.5::DOUBLE / qcnt.nq AS w
+       |    FROM qt JOIN qcnt USING (qid)
+       |    UNION ALL SELECT qid, term, 0.5::DOUBLE * rw AS w FROM rm1)
+       |  GROUP BY qid, term),
+       |p1 AS (SELECT doc_id, term, count(*) AS tf FROM (
+       |    SELECT doc_id, unnest(toks) AS term FROM toks)
+       |  WHERE term IN (SELECT DISTINCT term FROM wq) GROUP BY doc_id, term),
+       |df1 AS (SELECT term, count(*) AS df FROM p1 GROUP BY term),
+       |s1 AS (SELECT w.qid, p.doc_id, round(sum(w.w * (${w25("p.tf")})), 6) AS score
+       |       FROM p1 p JOIN df1 f USING (term) JOIN dl d USING (doc_id)
+       |       JOIN wq w ON w.term = p.term CROSS JOIN stats s
+       |       GROUP BY w.qid, p.doc_id)
+       |SELECT qid, doc_id, score FROM (
+       |  SELECT qid, doc_id, score,
+       |         row_number() OVER (PARTITION BY qid
+       |           ORDER BY score DESC, doc_id ASC) AS rn
+       |  FROM s1) WHERE rn <= 3
+       |ORDER BY qid, doc_id""".stripMargin
+  }
+
   private lazy val bm25Ctes: String =
     s"""toks AS (SELECT doc_id, $toksSql AS toks FROM documents),
        |dl AS (SELECT doc_id, len(toks)::BIGINT AS dl FROM toks),
@@ -3111,6 +3219,72 @@ object SparkEntry {
          |SELECT (SELECT count(*) FROM exact5 JOIN rr USING (qid, vec_id)) / 250.0
          |       AS mean_recall_at_5""".stripMargin
     },
+    // the batch-recall replay with the predicate inside the candidate
+    // set AND the exact reference (filtered brute force), 20 queries
+    "ivfpq_filtered_batch_recall" -> {
+      def rawCos(a: String, b: String) =
+        s"list_dot_product($a, $b) / (sqrt(list_dot_product($a, $a)) * sqrt(list_dot_product($b, $b)))"
+      val dots = (0 until PqM).map { mi =>
+        s"""list_dot_product((qs.qvec::DOUBLE[])[${mi * PqSub + 1}:${(mi + 1) * PqSub}],
+           |                  c$mi.centroid) AS d$mi,
+           |         list_dot_product(c$mi.centroid, c$mi.centroid) AS n$mi""".stripMargin
+      }.mkString(",\n         ")
+      val joins = (1 until PqM).map(mi =>
+        s"JOIN af$mi ON af0.vec_id = af$mi.vec_id " +
+          s"JOIN cb${mi}_$PqIters c$mi ON af$mi.cid = c$mi.cid").mkString("\n       ")
+      val dSum = (0 until PqM).map(mi => s"d$mi").mkString(" + ")
+      val nSum = (0 until PqM).map(mi => s"n$mi").mkString(" + ")
+      s"""WITH qs AS (SELECT vec_id AS qid, embedding AS qvec
+         |            FROM embeddings WHERE vec_id < 20),
+         |${ivfTrainSql(10, 2)},
+         |probes AS (
+         |  SELECT qid, cid FROM (
+         |    SELECT qs.qid, c.cid,
+         |           row_number() OVER (PARTITION BY qs.qid
+         |             ORDER BY round(${rawCos("c.centroid", "qs.qvec::DOUBLE[]")}, 6) DESC,
+         |                      c.cid ASC) AS rn
+         |    FROM qs CROSS JOIN ic2 c) WHERE rn <= 3),
+         |cand AS (SELECT p.qid, iaf.vec_id FROM iaf JOIN probes p USING (cid)
+         |         WHERE iaf.vec_id % 3 <> 0),
+         |$pqTrainSql,
+         |exact5 AS (
+         |  SELECT qid, vec_id FROM (
+         |    SELECT qid, vec_id,
+         |           row_number() OVER (PARTITION BY qid
+         |             ORDER BY sim DESC, vec_id ASC) AS rn
+         |    FROM (SELECT qs.qid, e.vec_id, ${cosSql("e.embedding", "qs.qvec")} AS sim
+         |          FROM embeddings e CROSS JOIN qs
+         |          WHERE e.vec_id % 3 <> 0)) WHERE rn <= 5),
+         |sc AS (
+         |  SELECT cand.qid, af0.vec_id,
+         |         $dots
+         |  FROM af0 JOIN cand ON af0.vec_id = cand.vec_id
+         |       JOIN qs ON cand.qid = qs.qid
+         |       JOIN cb0_$PqIters c0 ON af0.cid = c0.cid
+         |       $joins),
+         |qn AS (SELECT qid, sqrt(list_dot_product(qvec::DOUBLE[], qvec::DOUBLE[])) AS qn
+         |       FROM qs),
+         |short AS (
+         |  SELECT qid, vec_id FROM (
+         |    SELECT qid, vec_id,
+         |           row_number() OVER (PARTITION BY qid
+         |             ORDER BY sim DESC, vec_id ASC) AS rn
+         |    FROM (
+         |      SELECT sc.qid, sc.vec_id,
+         |             round(CASE WHEN qn.qn = 0 OR ($nSum) = 0 THEN 0
+         |                        ELSE ($dSum) / (qn.qn * sqrt($nSum)) END, 6) AS sim
+         |      FROM sc JOIN qn ON sc.qid = qn.qid)) WHERE rn <= 50),
+         |rr AS (
+         |  SELECT qid, vec_id FROM (
+         |    SELECT qid, vec_id,
+         |           row_number() OVER (PARTITION BY qid
+         |             ORDER BY sim DESC, vec_id ASC) AS rn
+         |    FROM (SELECT s.qid, e.vec_id, ${cosSql("e.embedding", "qs.qvec")} AS sim
+         |          FROM embeddings e JOIN short s ON e.vec_id = s.vec_id
+         |          JOIN qs ON s.qid = qs.qid)) WHERE rn <= 5)
+         |SELECT (SELECT count(*) FROM exact5 JOIN rr USING (qid, vec_id)) / 100.0
+         |       AS mean_recall_at_5""".stripMargin
+    },
     "ann_ivf_top5" -> {
       val rawCos = (a: String, b: String) =>
         s"list_dot_product($a, $b) / (sqrt(list_dot_product($a, $a)) * sqrt(list_dot_product($b, $b)))"
@@ -3989,6 +4163,7 @@ object SparkEntry {
     // the index-backed RM3 must reproduce the in-memory RM3 exactly
     // (mergeable stats, denormalized postings) — same replay
     "rm3_index_top5" -> rm3ReplaySql,
+    "rm3_batch_top3" -> rm3BatchReplaySql,
 
 
     "bm25_batch_top3" ->

@@ -486,6 +486,68 @@ object Lexical {
       .limit(k)
   }
 
+  /** BATCH RM3 over a materialized index — the query-table form of
+    * [[rm3IndexTopK]] on the [[bm25IndexTopKBatch]] pattern, no
+    * per-query driver loop: feedback = ONE batch probe (per-qid
+    * window), RM1 = postings ⋈ the (qid, doc) feedback pairs (a doc
+    * feeding two queries' models contributes to both — the join keys
+    * it), per-qid top-`fbTerms` expansion window, interpolated weights
+    * per (qid, term), and one final bucket-pruned probe over the union
+    * of every query's weighted terms with the per-qid weight attached
+    * by the same broadcast that fans postings out to queries. Weight
+    * rows are bounded (Q·(|terms|+fbTerms)) and collect driver-side
+    * like every index probe's term set — the [[rm3IndexTopK]]
+    * precedent, which also spares the final plan a recompute of the
+    * whole feedback stage. Arithmetic is [[rm3TopK]]'s exactly, so
+    * batch-RM3 restricted to one query ≡ single-query RM3
+    * (spec-pinned). Returns (qid, id, score), k rows per qid. */
+  def rm3IndexTopKBatch(spark: org.apache.spark.sql.SparkSession, path: String,
+                        queries: DataFrame, k: Int,
+                        fbDocs: Int = 3, fbTerms: Int = 5, alpha: Double = 0.5,
+                        idCol: String = "doc_id"): DataFrame = {
+    require(fbDocs >= 1 && fbTerms >= 0)
+    val fb = bm25IndexTopKBatch(spark, path, queries, fbDocs, idCol)
+      .select(col("qid"), col(idCol))
+    val rm1All = spark.read.parquet(s"$path/postings")
+      .join(broadcast(fb), Seq(idCol))
+      .groupBy(col("qid"), col("term"))
+      .agg(round(sum(col("tf").cast("double") / col("dl")) / lit(fbDocs.toDouble), 6)
+        .as("rw"))
+    val wRm1 = Window.partitionBy(col("qid"))
+      .orderBy(col("rw").desc, col("term").asc)
+    val rm1 = rm1All
+      .withColumn("__rn", row_number().over(wRm1))
+      .filter(col("__rn") <= fbTerms)
+      .select(col("qid"), col("term"), col("rw"))
+    // alpha/|Q_q| per ORIGINAL term (raw array size, matching the
+    // single-query form's queryTerms.size), summed on overlap with the
+    // (1-alpha)-scaled expansion weights
+    val origW = queries
+      .select(col("qid"), size(col("terms")).as("__nq"), explode(col("terms")).as("term"))
+      .select(col("qid"), col("term"), (lit(alpha) / col("__nq")).as("w"))
+    val wts = origW.unionByName(
+        rm1.select(col("qid"), col("term"),
+          ((lit(1.0) - lit(alpha)) * col("rw")).as("w")))
+      .groupBy(col("qid"), col("term")).agg(sum(col("w")).as("w"))
+    val wDf = spark.createDataFrame(
+      java.util.Arrays.asList(wts.collect(): _*), wts.schema)
+    val (nDocs, avgdl, postings) = probeIndexPostings(spark, path,
+      wDf.select(col("term")), idCol)
+    val dfreq = postings.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val wTop = Window.partitionBy(col("qid"))
+      .orderBy(col("score").desc, col(idCol).asc)
+    postings
+      .join(broadcast(dfreq), "term")
+      .withColumn("n_docs", lit(nDocs))
+      .withColumn("avgdl", lit(avgdl))
+      .withColumn("bw", bm25Weight)
+      .join(broadcast(wDf), Seq("term"))
+      .groupBy(col("qid"), col(idCol)).agg(round(sum(col("w") * col("bw")), 6).as("score"))
+      .withColumn("__rn", row_number().over(wTop))
+      .filter(col("__rn") <= k)
+      .select(col("qid"), col(idCol), col("score"))
+  }
+
   def rrfFuseBatch(a: DataFrame, b: DataFrame, idCol: String, orderColA: String,
                    orderColB: String, k: Int, c: Int = 60): DataFrame = {
     def ranked(df: DataFrame, ord: String, as: String): DataFrame =

@@ -483,6 +483,76 @@ object Pq {
       .select(col("qid"), col(idCol), col("sim"))
   }
 
+  /** BATCH filtered probe of a materialized IVF-PQ index — the
+    * query-table form of [[ivfPqIndexTopKFiltered]] on the
+    * [[ivfPqIndexTopKBatch]] pattern: per-query probe selection as a
+    * join + per-qid window, the union of probed clusters a plan-time
+    * literal IN, the predicate applied INSIDE the probed partitions
+    * (before the ADC shortlist, so it ranks only matching candidates),
+    * and NO per-query driver loop. The per-query exact-count fallback
+    * becomes one bounded aggregate (matching-candidate counts per qid —
+    * Q rows of driver state, the probe-ranking precedent); short qids
+    * re-candidate against the full — still filtered — index via a
+    * broadcast of just those qids, and every qid still gets
+    * min(k, matching survivors) rows. Returns (qid, id, sim), k rows
+    * per qid. */
+  def ivfPqIndexTopKFilteredBatch(spark: org.apache.spark.sql.SparkSession, path: String,
+                                  queries: DataFrame, cents: Seq[Seq[Double]], cb: Codebooks,
+                                  predicate: Column, k: Int, nprobe: Int, shortlist: Int,
+                                  idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    import spark.implicits._
+    val centsDf = cents.zipWithIndex.map { case (c, i) => (i, c) }
+      .toDF("__cluster", "centroid")
+    val wProbe = Window.partitionBy(col("qid"))
+      .orderBy(col("csim").desc, col("__cluster").asc)
+    val probes = queries.crossJoin(broadcast(centsDf))
+      .withColumn("csim", round(VectorOps.cosine(col("centroid"), col("qvec")), 6))
+      .withColumn("__rn", row_number().over(wProbe))
+      .filter(col("__rn") <= nprobe)
+      .select(col("qid"), col("__cluster"))
+    val probedClusters = probes.select(col("__cluster")).distinct()
+      .collect().map(_.getInt(0)).toSeq
+    def survivors(df: DataFrame): DataFrame =
+      Ann.dropTombstones(df, s"$path/codes", idCol).filter(predicate)
+    val codesAll = spark.read.parquet(s"$path/codes")
+    val probedCands = survivors(
+        codesAll.filter(col("__cluster").isin(probedClusters: _*)))
+      .join(broadcast(probes), Seq("__cluster")).drop("__cluster")
+    // the fallback check: matching-candidate count per qid in ONE
+    // bounded aggregate (vs the single-query form's limit(k).count());
+    // a qid with zero matches is absent from the counts — the left
+    // join + coalesce keeps it in the fallback set
+    val counts = probedCands.groupBy(col("qid")).agg(count(lit(1)).as("__n"))
+    val fbQids = queries.select(col("qid"))
+      .join(counts, Seq("qid"), "left")
+      .filter(coalesce(col("__n"), lit(0L)) < k)
+      .select(col("qid")).collect().map(_.get(0)).toSeq
+    val cands =
+      if (fbQids.isEmpty) probedCands
+      else {
+        val fbFrame = queries.filter(col("qid").isin(fbQids: _*)).select(col("qid"))
+        probedCands.filter(!col("qid").isin(fbQids: _*))
+          .unionByName(survivors(codesAll).drop("__cluster")
+            .crossJoin(broadcast(fbFrame)))
+      }
+    val wTop = Window.partitionBy(col("qid"))
+      .orderBy(col("sim").desc, col(idCol).asc)
+    val short = cands.join(broadcast(queries), Seq("qid"))
+      .select(col("qid"), col(idCol),
+        round(adcSim(cb, col("codes"), col("qvec")), 6).as("sim"))
+      .withColumn("__rn", row_number().over(wTop))
+      .filter(col("__rn") <= shortlist)
+      .select(col("qid"), col(idCol))
+    spark.read.parquet(s"$path/vectors")
+      .join(broadcast(short), Seq(idCol))
+      .join(broadcast(queries), Seq("qid"))
+      .select(col("qid"), col(idCol),
+        VectorOps.cosine6(col(vecCol), col("qvec")).as("sim"))
+      .withColumn("__rn", row_number().over(wTop))
+      .filter(col("__rn") <= k)
+      .select(col("qid"), col(idCol), col("sim"))
+  }
+
   /** The production PQ pipeline: ADC shortlists `shortlist` candidates
     * from the compressed codes, then ONLY those rows re-read their
     * exact vectors for a float-cosine rerank to top-k. At scale the

@@ -180,6 +180,25 @@ class LexicalSpec extends SparkSpec {
     assert(idx == mem, s"index $idx vs in-memory $mem")
   }
 
+  test("batch rm3 restricted to one query ≡ single-query index rm3") {
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+    val tmp = java.nio.file.Files.createTempDirectory("graft-rm3-batch").toString
+    val path = s"$tmp/idx"
+    Lexical.buildBm25Index(docs, "text", "doc_id", path)
+    val qs = Seq((0L, Seq("spark", "join")), (1L, Seq("table", "filter")))
+      .toDF("qid", "terms")
+    val batch = Lexical.rm3IndexTopKBatch(spark, path, qs, 5,
+        fbDocs = 3, fbTerms = 5, alpha = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .groupBy(_._1).view.mapValues(_.map(t => (t._2, t._3)).sortBy(_._1).toSeq).toMap
+    for ((qid, terms) <- Seq(0L -> Seq("spark", "join"), 1L -> Seq("table", "filter"))) {
+      val single = Lexical.rm3IndexTopK(spark, path, terms, 5,
+          fbDocs = 3, fbTerms = 5, alpha = 0.5)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).sortBy(_._1).toSeq
+      assert(batch(qid) == single, s"qid $qid: batch ${batch(qid)} vs single $single")
+    }
+  }
+
   test("rrf: agreement across both rankings beats a single first place") {
     val a = Seq((10L, 0.9), (20L, 0.8), (30L, 0.7)).toDF("id", "sa")
     val b = Seq((10L, 0.95), (40L, 0.85)).toDF("id", "sb")

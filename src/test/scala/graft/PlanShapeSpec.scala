@@ -84,9 +84,17 @@ class PlanShapeSpec extends SparkSpec {
 
   test("batch lexical/hybrid retrieval: keyed term joins, no cartesian") {
     for (q <- Seq("bm25_batch_top3", "hybrid_rrf_batch_top3",
-        "bm25_index_delete_top3", "bm25_index_sync_top3", "snapshot_diff")) {
+        "bm25_index_delete_top3", "bm25_index_sync_top3", "snapshot_diff",
+        "rm3_batch_top3")) {
       val p = plan(q)
       assert(!p.contains("CartesianProduct"), q)
+    }
+  }
+
+  test("batch filtered IVF-PQ probe and index sync: keyed joins, no cartesian") {
+    for (q <- Seq("ivfpq_filtered_batch_recall", "ann_index_sync_top5",
+        "ivfpq_index_sync_top5")) {
+      assert(!plan(q).contains("CartesianProduct"), q)
     }
   }
 

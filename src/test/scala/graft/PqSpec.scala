@@ -239,6 +239,39 @@ class PqSpec extends SparkSpec {
     assert(rare == ids.toSet, s"fallback must widen corpus-wide, got $rare")
   }
 
+  test("batch filtered IVF-PQ ≡ per-query filtered probes; short qids fall back corpus-wide") {
+    import spark.implicits._
+    val emb = graft.io.Tables.embeddings(spark, sf0001)
+    val cents = graft.search.Ann.kmeansCentroids(emb, "vec_id", "embedding", 10, 2)
+    val cb = Pq.train(emb, "vec_id", "embedding", 64, 8, 64, 2)
+    val tmp = java.nio.file.Files.createTempDirectory("graft-ivfpq-fb").toString
+    val idx = tmp + "/idx"
+    Pq.buildIvfPqIndex(emb, cents, cb, idx)
+    val qs = emb.filter(col("vec_id") < 4)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    val pred = col("vec_id") % 3 =!= 0
+    val batch = Pq.ivfPqIndexTopKFilteredBatch(spark, idx, qs, cents, cb,
+        pred, 5, nprobe = 3, shortlist = 50)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .groupBy(_._1).view.mapValues(_.map(t => (t._2, t._3)).sortBy(_._1).toSeq).toMap
+    (0L until 4L).foreach { qid =>
+      val q = emb.filter(col("vec_id") === qid).select(col("embedding").as("qvec"))
+      val single = Pq.ivfPqIndexTopKFiltered(spark, idx, q, cents, cb,
+          pred, 5, nprobe = 3, shortlist = 50)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).sortBy(_._1).toSeq
+      assert(batch(qid) == single, s"qid $qid: batch ${batch(qid)} vs single $single")
+    }
+    // a predicate with only 3 matches corpus-wide forces EVERY qid
+    // through the fallback: each must still surface all 3
+    val ids = Seq(7L, 11L, 13L)
+    val rare = Pq.ivfPqIndexTopKFilteredBatch(spark, idx, qs, cents, cb,
+        col("vec_id").isin(ids: _*), 5, nprobe = 1, shortlist = 50)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    (0L until 4L).foreach(qid =>
+      assert(rare(qid) == ids.toSet, s"qid $qid fallback got ${rare.get(qid)}"))
+  }
+
   test("ADC top-k ranks the true neighbors of the query first") {
     val cb = Pq.train(corpus, "vec_id", "embedding", 8, 2, 4, 2)
     val q = corpus.filter(col("vec_id") === 0L)
