@@ -57,18 +57,41 @@ object Funnel {
     withSteps.groupBy(col(userCol)).agg(stepAggs.head, stepAggs.tail: _*)
   }
 
-  /** The funnel report: one row per step with the user count that
-    * reached it in order and the conversion rates (vs the first step
-    * and vs the previous step, round-6 by the project float contract;
-    * a zero-user upstream step yields null conversions rather than a
-    * division artifact). The per-step counts reduce to ONE aggregated
-    * row (conditional counts over [[stepTimes]]), unpivoted with
-    * `stack` — so after the funnel's single user-key shuffle the
-    * report itself is a global aggregate of #steps longs. */
-  def funnelCounts(events: DataFrame, userCol: String, typeCol: String,
-                   tsCol: String, steps: Seq[String],
-                   maxGapSeconds: Option[Long] = None): DataFrame = {
-    val st = stepTimes(events, userCol, typeCol, tsCol, steps, maxGapSeconds)
+  /** [[stepTimes]]'s semantics folded locally over ONE user's
+    * `(stepIndex, epoch-micros)` events — the kernel
+    * [[graft.streaming.StreamIngest.funnelStream]] keeps in per-user
+    * state. Event ORDER is irrelevant (exactly like the stacked
+    * min-when windows, which aggregate without an ORDER BY): step i's
+    * time is the min event time strictly after step i-1's completion
+    * (and within `maxGapMicros` of it when given), computed step by
+    * step. Kept in graft.analysis so the batch and streaming forms
+    * share one definition of the funnel semantics. */
+  private[graft] def foldStepTimes(events: Seq[(Int, Long)], nSteps: Int,
+                                   maxGapMicros: Option[Long]): Array[Option[Long]] = {
+    val times = Array.fill[Option[Long]](nSteps)(None)
+    var i = 0
+    var blocked = false
+    while (i < nSteps && !blocked) {
+      val prev = if (i == 0) None else times(i - 1)
+      var best = Long.MaxValue
+      events.foreach { case (si, t) =>
+        if (si == i && t < best &&
+            prev.forall(p => t > p && maxGapMicros.forall(g => t <= p + g)))
+          best = t
+      }
+      if (best != Long.MaxValue) times(i) = Some(best) else blocked = true
+      i += 1
+    }
+    times
+  }
+
+  /** The report tail of [[funnelCounts]] over an ALREADY-computed
+    * step-times frame (columns `__t0 … __t{n-1}`, one row per user;
+    * null = step not reached) — shared by the batch form and the
+    * drained-stream report. One global aggregate of #steps
+    * conditional counts, conversions as plain column arithmetic on
+    * that row, unpivoted window-free. */
+  def countsFromStepTimes(st: DataFrame, steps: Seq[String]): DataFrame = {
     val counted = st.agg(
       count(when(col("__t0").isNotNull, lit(1))).as("__c0"),
       steps.indices.tail.map(i =>
@@ -92,6 +115,20 @@ object Funnel {
       }: _*)).as("__r"))
       .select(col("__r.*"))
   }
+
+  /** The funnel report: one row per step with the user count that
+    * reached it in order and the conversion rates (vs the first step
+    * and vs the previous step, round-6 by the project float contract;
+    * a zero-user upstream step yields null conversions rather than a
+    * division artifact). The per-step counts reduce to ONE aggregated
+    * row (conditional counts over [[stepTimes]]), unpivoted — so after
+    * the funnel's single user-key shuffle the report itself is a
+    * global aggregate of #steps longs. */
+  def funnelCounts(events: DataFrame, userCol: String, typeCol: String,
+                   tsCol: String, steps: Seq[String],
+                   maxGapSeconds: Option[Long] = None): DataFrame =
+    countsFromStepTimes(
+      stepTimes(events, userCol, typeCol, tsCol, steps, maxGapSeconds), steps)
 
   /** Top event paths: the most common length-`n` ordered event-type
     * sequences across users ("what do people actually do?"). Per user,

@@ -246,6 +246,74 @@ object StreamIngest {
       }
   }
 
+  /** Per-user streaming-funnel state: the step events that can still
+    * affect future step times, plus the running step-event count. */
+  case class FunnelState(events: List[(Int, Long)], nEvents: Long)
+
+  /** One user's funnel progress as of the latest update: `step_times`
+    * holds epoch-micros per step (null = not reached in order);
+    * `n_events` is the user's step-event count — monotone, so a
+    * drained sink's latest row per user is the one with the max. */
+  case class FunnelUser(user: String, n_events: Long,
+                        step_times: Seq[Option[Long]])
+
+  /** Streaming ordered funnel — the stateful twin of
+    * [[graft.analysis.Funnel.funnelCounts]]: per-user
+    * `mapGroupsWithState` folds arriving step events through the SAME
+    * step-times kernel the batch windows compute
+    * ([[graft.analysis.Funnel.foldStepTimes]] — order-free, so
+    * out-of-order delivery and micro-batch boundaries cannot change
+    * the result: drained stream ≡ batch on the same events,
+    * spec-pinned). Non-step event types are filtered BEFORE the
+    * key shuffle.
+    *
+    * State: the un-gapped funnel prunes exactly — step times are
+    * non-increasing as events arrive (more step-(i−1) evidence only
+    * moves the window left), so a step-i event later than the current
+    * step-i time can never matter again and is dropped from state;
+    * what remains is the current answer plus events still below the
+    * previous step's time, O(#steps) in benign streams. The
+    * time-boxed funnel (`maxGapSeconds`) is NOT monotone — a lower
+    * step-(i−1) time can shift the gap window and REVOKE a later
+    * step's time — so it keeps every step event (the per-user
+    * sessionization bound, [[graft.analysis.Funnel.topEventPaths]]'s
+    * contract); bound it upstream with an ingest-lateness horizon
+    * when the stream is unbounded. Emits the user's current step
+    * times each batch (update mode); aggregate a drained sink with
+    * [[graft.analysis.Funnel.countsFromStepTimes]]. */
+  def funnelStream(events: DataFrame, userCol: String, typeCol: String,
+                   tsCol: String, steps: Seq[String],
+                   maxGapSeconds: Option[Long] = None): Dataset[FunnelUser] = {
+    require(steps.nonEmpty, "funnel needs at least one step")
+    val spark = events.sparkSession
+    import spark.implicits._
+    val n = steps.size
+    val gapMicros = maxGapSeconds.map(_ * 1000000L)
+    val stepIdx = steps.zipWithIndex.foldLeft(lit(-1)) { case (acc, (s, i)) =>
+      when(col(typeCol) === lit(s), lit(i)).otherwise(acc)
+    }
+    events
+      .select(col(userCol).cast("string").as("u"), stepIdx.as("si"),
+        unix_micros(col(tsCol)).as("t"))
+      .filter(col("si") >= 0)
+      .as[(String, Int, Long)]
+      .groupByKey(_._1)
+      .mapGroupsWithState[FunnelState, FunnelUser](
+        org.apache.spark.sql.streaming.GroupStateTimeout.NoTimeout) {
+        (u, it, state) =>
+          val prev = state.getOption.getOrElse(FunnelState(Nil, 0L))
+          val incoming = it.map(e => (e._2, e._3)).toList
+          val all = incoming reverse_::: prev.events
+          val times = graft.analysis.Funnel.foldStepTimes(all, n, gapMicros)
+          val kept =
+            if (gapMicros.isDefined) all
+            else all.filter { case (i, t) => times(i).forall(t <= _) }
+          val s = FunnelState(kept, prev.nEvents + incoming.size)
+          state.update(s)
+          FunnelUser(u, s.nEvents, times.toSeq)
+      }
+  }
+
   /** Stream-stream inner join with event-time bounds — each view
     * matched to the same user's clicks in the preceding `joinWindow`
     * (the streaming form of the events_range_join batch query). Both

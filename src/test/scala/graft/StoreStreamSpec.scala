@@ -352,6 +352,71 @@ class StoreStreamSpec extends SparkSpec {
     }
   }
 
+  test("streaming funnel: drained stream ≡ batch funnelCounts, worst-case out-of-order, both gap modes") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val steps = Seq("signup", "view", "click", "purchase")
+    val events = graft.io.Tables.events(spark, sf0001)
+      .select(col("user_id"), col("event_type"), col("ts"))
+    val rows = events.collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getTimestamp(2))).toSeq
+    // deliver NEWEST-FIRST: every batch boundary is maximally
+    // out-of-order vs event time — the fold must not care
+    val reversed = rows.sortBy(_._3.getTime).reverse
+    for ((gap, name) <- Seq((None, "funnel_plain"), (Some(86400L), "funnel_gap"))) {
+      val input = MemoryStream[(Long, String, java.sql.Timestamp)]
+      val q = StreamIngest.funnelStream(
+          input.toDF().toDF("user_id", "event_type", "ts"),
+          "user_id", "event_type", "ts", steps, gap)
+        .writeStream.outputMode("update").format("memory")
+        .queryName(name).start()
+      reversed.grouped(997).foreach { g => input.addData(g); q.processAllAvailable() }
+      q.stop()
+      // latest emitted row per user (n_events is monotone per user)
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user")).orderBy(col("n_events").desc)
+      val latest = spark.table(name)
+        .withColumn("__rn", org.apache.spark.sql.functions.row_number().over(w))
+        .filter(col("__rn") === 1)
+        .select(steps.indices.map(i => col("step_times")(i).as(s"__t$i")): _*)
+      val streamed = graft.analysis.Funnel.countsFromStepTimes(latest, steps)
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+          r.getDouble(3), r.getDouble(4))).toSeq.sorted
+      val batch = graft.analysis.Funnel.funnelCounts(
+          events, "user_id", "event_type", "ts", steps, gap)
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+          r.getDouble(3), r.getDouble(4))).toSeq.sorted
+      assert(streamed == batch, s"$name: drained $streamed vs batch $batch")
+      assert(batch.map(_._3).exists(_ > 0), s"$name: vacuous fixture")
+    }
+  }
+
+  test("streaming funnel state prunes to the answer on an in-order un-gapped stream") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    def ts(s: Int) = new java.sql.Timestamp(
+      java.sql.Timestamp.valueOf("2026-01-01 00:00:00").getTime + s * 1000L)
+    // one user walks the funnel twice over; later repeats of a
+    // completed step can never change a min and must leave state
+    val input = MemoryStream[(Long, String, java.sql.Timestamp)]
+    val q = StreamIngest.funnelStream(
+        input.toDF().toDF("user_id", "event_type", "ts"),
+        "user_id", "event_type", "ts", Seq("signup", "view"))
+      .writeStream.outputMode("update").format("memory")
+      .queryName("funnel_prune").start()
+    input.addData((1L, "signup", ts(0)), (1L, "view", ts(1)))
+    q.processAllAvailable()
+    input.addData((1L, "signup", ts(10)), (1L, "view", ts(11)), (1L, "other", ts(12)))
+    q.processAllAvailable()
+    q.stop()
+    val out = spark.table("funnel_prune")
+      .orderBy(col("n_events").desc).head()
+    // repeats counted as step events, but the times stay the first walk
+    assert(out.getLong(1) == 4L)
+    val times = out.getSeq[java.lang.Long](2)
+    assert(times(0) == ts(0).getTime * 1000 && times(1) == ts(1).getTime * 1000)
+  }
+
   test("streaming decayed counters: STALE key rescales to the batch anchor exactly") {
     // 'stale' last fires on day 1 while 'hot' runs to day 2 (the corpus
     // max) — the case the sf0.001 fixture cannot exercise (every
