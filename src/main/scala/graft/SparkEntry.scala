@@ -1710,6 +1710,23 @@ object SparkEntry {
       Ann.ivfRangeSearch(s, path, queryVec(s, dir), 0.2)
         .orderBy(col("vec_id"))
     }),
+    // ---- [EXT] exact RANGE search over the composed IVF-PQ index:
+    // clusters certify out by the recorded bound, the probed clusters'
+    // 8-byte CODES pre-filter by adc + qerr (a query-independent
+    // Cauchy-Schwarz bound on the quantization error), and only ADC
+    // survivors re-read float vectors for the final round-6 filter —
+    // lossless at both levels, so the oracle stays the brute-force
+    // threshold filter
+    "ivfpq_range_search" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val cents = Ann.kmeansCentroids(emb, "vec_id", "embedding", 10, 2)
+      val cb = Pq.train(emb, "vec_id", "embedding", 64, PqM, PqKsub, PqIters)
+      val path = scratchDir("ivfpq-range")
+      Pq.buildIvfPqIndex(emb, cents, cb, path)
+      Pq.recordIvfPqRangeStats(s, path, cb)
+      Pq.ivfPqRangeSearch(s, path, queryVec(s, dir), 0.2, cb)
+        .orderBy(col("vec_id"))
+    }),
     // ---- [EXT] anti join (the dedup-subtract shape, SURVEY §2 semi/anti)
     "anti_join" -> ((s, dir) => {
       val bigItems = Tables.lineitem(s, dir)
@@ -3360,6 +3377,14 @@ object SparkEntry {
     // Range pruning is lossless by the Cauchy-Schwarz certificate, so
     // the oracle is simply the brute-force threshold filter.
     "ann_range_search" ->
+      s"""SELECT vec_id, sim FROM (
+         |  SELECT e.vec_id, ${cosSql("e.embedding", "q.qvec")} AS sim
+         |  FROM embeddings e,
+         |       (SELECT embedding AS qvec FROM embeddings WHERE vec_id = 0) q)
+         |WHERE sim >= 0.2 ORDER BY vec_id""".stripMargin,
+    // losslessness at both pruning levels IS the contract — the
+    // composed-index range search answers the same brute-force filter
+    "ivfpq_range_search" ->
       s"""SELECT vec_id, sim FROM (
          |  SELECT e.vec_id, ${cosSql("e.embedding", "q.qvec")} AS sim
          |  FROM embeddings e,

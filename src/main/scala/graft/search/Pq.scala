@@ -189,8 +189,11 @@ object Pq {
       .repartition(col("__cluster")) // cluster: one task (not every task) writes a partition
       .write.partitionBy("__cluster").mode("overwrite").parquet(s"$path/codes")
     // fresh build resets delete metadata (stale tombstones would
-    // shortlist-exclude valid vectors)
+    // shortlist-exclude valid vectors) AND range certificates (the
+    // Ann.buildIvfIndex contract: new contents may exceed a recorded
+    // radius — a range probe before the re-record must fail loudly)
     graft.io.Fs.delete(corpus.sparkSession, s"$path/codes.tombstones")
+    graft.io.Fs.delete(corpus.sparkSession, s"$path/codes.rstats")
     corpus.select(col(idCol), col(vecCol))
       .repartitionByRange(col(idCol)).sortWithinPartitions(col(idCol))
       .write.mode("overwrite").parquet(s"$path/vectors")
@@ -211,6 +214,10 @@ object Pq {
   def appendToIvfPqIndex(delta: DataFrame, cents: Seq[Seq[Double]], cb: Codebooks,
                          path: String, idCol: String = "vec_id",
                          vecCol: String = "embedding"): Unit = {
+    // appended rows can exceed a recorded range certificate's radius —
+    // delete it (the Ann.appendToIvfIndex contract) so a post-append
+    // range probe fails loudly until recordIvfPqRangeStats runs
+    graft.io.Fs.delete(delta.sparkSession, s"$path/codes.rstats")
     delta
       .withColumn("__cluster", Ann.assignCluster(col(vecCol), cents))
       .select(col(idCol), col("__cluster"), encodeCol(col(vecCol), cb).as("codes"))
@@ -481,6 +488,98 @@ object Pq {
       .withColumn("__rn", row_number().over(wTop))
       .filter(col("__rn") <= k)
       .select(col("qid"), col(idCol), col("sim"))
+  }
+
+  /** The PQ reconstruction of a codes column — per-subspace codebook
+    * entries concatenated back into one `array<double>` of length
+    * m·sub. */
+  private def reconstructCol(codes: Column, cb: Codebooks): Column =
+    concat((0 until cb.m).map(mi =>
+      element_at(typedlit(cb.books(mi)),
+        element_at(codes, mi + 1).cast("int") + 1)): _*)
+
+  /** Record RANGE-pruning stats for a materialized IVF-PQ index at
+    * `<path>/codes.rstats` — [[Ann.recordRangeStats]]'s per-cluster
+    * `(mu, radius)` certificate (over the normalized TRUE vectors,
+    * joined from the vectors side) plus one PQ-specific column:
+    * `qerr`, the cluster's max `‖x̂ − r̂‖` between each normalized
+    * vector and its normalized PQ reconstruction. Cauchy–Schwarz gives
+    * `|cos(q, x) − adc(q, x)| = |q̂·(x̂ − r̂)| ≤ ‖x̂ − r̂‖ ≤ qerr`
+    * independent of the query, so `adc + qerr` is a per-row UPPER
+    * BOUND on the true cosine — the certificate that lets the range
+    * search filter on the 8-byte codes without ever losing a true
+    * answer. Same lifecycle contract as the IVF stats: build and
+    * append DELETE them (stale bounds may be exceeded), deletes only
+    * shrink and stay sound. */
+  def recordIvfPqRangeStats(spark: org.apache.spark.sql.SparkSession, path: String,
+                            cb: Codebooks, idCol: String = "vec_id",
+                            vecCol: String = "embedding"): Unit = {
+    val codes = Ann.dropTombstones(
+      spark.read.parquet(s"$path/codes"), s"$path/codes", idCol)
+    val rows = codes.join(spark.read.parquet(s"$path/vectors"), Seq(idCol))
+    def dist(a: Column, b: Column): Column =
+      sqrt(aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
+        lit(0.0), (acc, v) => acc + v))
+    val normed = rows.select(col("__cluster"),
+      graft.functions.L2Normalize(col(vecCol)).as("__nv"),
+      graft.functions.L2Normalize(reconstructCol(col("codes"), cb)).as("__rv"))
+    val mu = normed.groupBy(col("__cluster"))
+      .agg(graft.functions.VectorAvg(col("__nv")).as("mu"))
+    normed.join(broadcast(mu), Seq("__cluster"))
+      .select(col("__cluster"), col("mu"),
+        dist(col("__nv"), col("mu")).as("__d"),
+        dist(col("__nv"), col("__rv")).as("__e"))
+      .groupBy(col("__cluster"))
+      .agg(first(col("mu")).as("mu"), max(col("__d")).as("radius"),
+        max(col("__e")).as("qerr"))
+      .coalesce(1) // model state: k rows
+      .write.mode("overwrite").parquet(s"$path/codes.rstats")
+  }
+
+  /** EXACT range search over a materialized IVF-PQ index — every
+    * vector with round-6 cosine ≥ `tau`, LOSSLESS like
+    * [[Ann.ivfRangeSearch]] but pruning at BOTH index levels:
+    *
+    *   1. clusters certify out by the recorded `q̂·mu + radius` bound
+    *      (partition pruning — non-probed directories never open);
+    *   2. inside the probed clusters the CODES alone pre-filter:
+    *      a row survives only if `adc + qerr_cluster` can reach
+    *      `tau` — the ADC-bound filter touches no float vectors;
+    *   3. only the survivors re-read exact vectors for the final
+    *      `round-6 cos ≥ tau` filter.
+    *
+    * The 1e-6 margins cover the round-6 result rounding and driver
+    * float error (the [[Ann.rangeProbeClusters]] convention). At 100
+    * TB the query path reads probed clusters' 8-byte codes plus float
+    * rows for the ADC survivors only. Pruning power is the data's
+    * clusteredness times the codebook's fidelity (loose codebooks →
+    * large qerr → weak in-cluster pruning); correctness is
+    * unconditional. Fails loudly on missing stats
+    * ([[recordIvfPqRangeStats]]). */
+  def ivfPqRangeSearch(spark: org.apache.spark.sql.SparkSession, path: String,
+                       query: DataFrame, tau: Double, cb: Codebooks,
+                       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val qvec = query.select(col("qvec")).head().getSeq[Number](0)
+      .map(_.doubleValue()).toSeq
+    val probes = Ann.rangeProbeClusters(spark, s"$path/codes", qvec, tau)
+    // per-cluster qerr for the probed set — k rows of model state
+    val qerrs = spark.read.parquet(s"$path/codes.rstats")
+      .filter(col("__cluster").isin(probes: _*))
+      .select(col("__cluster"), col("qerr"))
+    val cand = Ann.dropTombstones(
+        spark.read.parquet(s"$path/codes")
+          .filter(col("__cluster").isin(probes: _*)),
+        s"$path/codes", idCol)
+      .join(broadcast(qerrs), Seq("__cluster"))
+      .crossJoin(broadcast(query))
+      .filter(adcSim(cb, col("codes"), col("qvec")) + col("qerr") + lit(1e-6) >= tau)
+      .select(col(idCol))
+    spark.read.parquet(s"$path/vectors")
+      .join(broadcast(cand), Seq(idCol), "left_semi")
+      .crossJoin(broadcast(query))
+      .select(col(idCol),
+        round(VectorOps.cosine(col(vecCol), col("qvec")), 6).as("sim"))
+      .filter(col("sim") >= tau)
   }
 
   /** BATCH filtered probe of a materialized IVF-PQ index — the

@@ -272,6 +272,66 @@ class PqSpec extends SparkSpec {
       assert(rare(qid) == ids.toSet, s"qid $qid fallback got ${rare.get(qid)}"))
   }
 
+  test("IVF-PQ range search ≡ brute-force threshold filter at every tau; stale certs fail loudly") {
+    import spark.implicits._
+    val emb = graft.io.Tables.embeddings(spark, sf0001)
+    val cents = graft.search.Ann.kmeansCentroids(emb, "vec_id", "embedding", 10, 2)
+    val cb = Pq.train(emb, "vec_id", "embedding", 64, 8, 64, 2)
+    val tmp = java.nio.file.Files.createTempDirectory("graft-ivfpq-range").toString
+    val idx = tmp + "/idx"
+    Pq.buildIvfPqIndex(emb.filter(col("vec_id") < 400), cents, cb, idx)
+    // a probe before any record fails loudly — no stats to consult
+    val q = emb.filter(col("vec_id") === 0L).select(col("embedding").as("qvec"))
+    intercept[Exception] { Pq.ivfPqRangeSearch(spark, idx, q, 0.25, cb).collect() }
+    Pq.recordIvfPqRangeStats(spark, idx, cb)
+    // an append DELETES the certificate: fail loudly until re-record
+    Pq.appendToIvfPqIndex(emb.filter(col("vec_id") >= 400), cents, cb, idx)
+    intercept[Exception] { Pq.ivfPqRangeSearch(spark, idx, q, 0.25, cb).collect() }
+    Pq.recordIvfPqRangeStats(spark, idx, cb)
+    def brute(tau: Double): Set[(Long, Double)] =
+      emb.crossJoin(broadcast(q))
+        .select(col("vec_id"),
+          round(graft.vector.VectorOps.cosine(col("embedding"), col("qvec")), 6).as("sim"))
+        .filter(col("sim") >= tau)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSet
+    Seq(0.1, 0.25, 0.5, 0.99).foreach { tau =>
+      val got = Pq.ivfPqRangeSearch(spark, idx, q, tau, cb)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSet
+      assert(got == brute(tau), s"tau=$tau: IVF-PQ range must be exact")
+    }
+  }
+
+  test("IVF-PQ range search: ADC bound pre-filters codes without losing answers on tight clusters") {
+    import spark.implicits._
+    // two tight antipodal clusters: the off cluster certifies out AND
+    // the in-cluster ADC bound (near-zero qerr on near-duplicate rows)
+    // discards the query-aligned cluster's far members by codes alone
+    val dim = 8
+    def v(sign: Double, eps: Double): Seq[Float] =
+      Seq.tabulate(dim)(i => ((if (i == 0) 1.0 else eps * (i % 3)) * sign).toFloat)
+    val rows = (0L until 20L).map(i => (i, v(1.0, 0.001 * (i % 2)))) ++
+      (20L until 40L).map(i => (i, v(-1.0, 0.001 * (i % 2))))
+    val tight = rows.toDF("vec_id", "embedding")
+    val cents = graft.search.Ann.kmeansCentroids(tight, "vec_id", "embedding", 2, 3)
+    val cb = Pq.train(tight, "vec_id", "embedding", dim, 2, 4, 2)
+    val tmp = java.nio.file.Files.createTempDirectory("graft-ivfpq-rp").toString
+    val idx = tmp + "/idx"
+    Pq.buildIvfPqIndex(tight, cents, cb, idx)
+    Pq.recordIvfPqRangeStats(spark, idx, cb)
+    val q = tight.filter(col("vec_id") === 0).select(col("embedding").as("qvec"))
+    val qvec = q.head().getSeq[Number](0).map(_.doubleValue()).toSeq
+    assert(graft.search.Ann.rangeProbeClusters(spark, s"$idx/codes", qvec, 0.9).size == 1,
+      "the antipodal cluster must be certified out")
+    val got = Pq.ivfPqRangeSearch(spark, idx, q, 0.9, cb)
+      .collect().map(_.getLong(0)).toSet
+    val brute = tight.crossJoin(broadcast(q))
+      .select(col("vec_id"),
+        round(graft.vector.VectorOps.cosine(col("embedding"), col("qvec")), 6).as("sim"))
+      .filter(col("sim") >= 0.9)
+      .collect().map(_.getLong(0)).toSet
+    assert(got == brute && got.nonEmpty && got.subsetOf((0L until 20L).toSet))
+  }
+
   test("ADC top-k ranks the true neighbors of the query first") {
     val cb = Pq.train(corpus, "vec_id", "embedding", 8, 2, 4, 2)
     val q = corpus.filter(col("vec_id") === 0L)
