@@ -683,6 +683,25 @@ object SparkEntry {
             col("label").as("qlabel")),
         k = 10)
     }),
+    // ---- [EXT] the SAME MRR/nDCG gate over the LEXICAL stack: batch
+    // BM25 rankings (qid, doc_id, score) scored by Eval.rankedEval
+    // against source labels — an index or weighting change on the
+    // keyword side now gates exactly like the vector side. Zero-hit
+    // queries would count as 0, not vanish (spec-pinned; these three
+    // all hit).
+    "lexical_eval" -> ((s, dir) => {
+      import s.implicits._
+      val qs = Seq(
+        (0L, Seq("spark", "join"), "src3"),
+        (1L, Seq("table", "filter"), "src5"),
+        (2L, Seq("spark", "filter", "table"), "src7"))
+        .toDF("qid", "terms", "qlabel")
+      val docs = Tables.documents(s, dir)
+      val bm = Lexical.bm25TopKBatch(docs, "text", "doc_id",
+        qs.select(col("qid"), col("terms")), 20)
+      graft.analysis.Eval.rankedEval(bm, "score",
+        qs.select(col("qid"), col("qlabel")), docs, 5, "doc_id", "source")
+    }),
     // ---- [EXT] hard-negative mining (contrastive retriever
     // training): per query, top-3 highest-cosine label-MISMATCHED
     // corpus rows; ranks computed over the filtered subset so a
@@ -3927,6 +3946,45 @@ object SparkEntry {
          |       round(avg(rr), 6) AS mrr_at_10,
          |       round(avg(CASE WHEN idcg > 0 THEN dcg / idcg ELSE 0e0 END),
          |             6) AS ndcg_at_10
+         |FROM wi""".stripMargin,
+    // the same metric replay over the batch-BM25 ranking; rel labels
+    // come from documents.source, idcg truncates at that source's size
+    "lexical_eval" ->
+      s"""WITH ${bm25BatchCtesOver("documents")},
+         |ql AS (SELECT qid::BIGINT AS qid, qlabel FROM (VALUES
+         |  (0, 'src3'), (1, 'src5'), (2, 'src7')) AS t(qid, qlabel)),
+         |topk AS (
+         |  SELECT qid, doc_id, rank FROM (
+         |    SELECT qid, doc_id,
+         |           row_number() OVER (PARTITION BY qid
+         |             ORDER BY score DESC, doc_id ASC) AS rank
+         |    FROM bscored) WHERE rank <= 5),
+         |perq AS (
+         |  SELECT t.qid, ql.qlabel,
+         |         coalesce(1e0 / min(CASE WHEN d.source = ql.qlabel THEN t.rank END),
+         |                  0e0) AS rr,
+         |         sum(CASE WHEN d.source = ql.qlabel THEN 1e0 / log2(t.rank + 1)
+         |                  ELSE 0e0 END) AS dcg
+         |  FROM topk t JOIN documents d USING (doc_id)
+         |       JOIN ql ON ql.qid = t.qid
+         |  GROUP BY 1, 2),
+         |pa AS (
+         |  SELECT ql.qid, ql.qlabel, coalesce(perq.rr, 0e0) AS rr,
+         |         coalesce(perq.dcg, 0e0) AS dcg
+         |  FROM ql LEFT JOIN perq ON perq.qid = ql.qid),
+         |rc AS (SELECT source AS qlabel, count(*)::BIGINT AS n_rel
+         |       FROM documents GROUP BY 1),
+         |wi AS (
+         |  SELECT pa.qid, pa.rr, pa.dcg,
+         |         CASE WHEN coalesce(rc.n_rel, 0) >= 1 THEN
+         |           list_reduce(list_transform(range(1, least(rc.n_rel, 5) + 1),
+         |             i -> 1e0 / log2((i + 1)::DOUBLE)), (x, y) -> x + y)
+         |         ELSE 0e0 END AS idcg
+         |  FROM pa LEFT JOIN rc USING (qlabel))
+         |SELECT count(*)::BIGINT AS n_queries,
+         |       round(avg(rr), 6) AS mrr_at_5,
+         |       round(avg(CASE WHEN idcg > 0 THEN dcg / idcg ELSE 0e0 END),
+         |             6) AS ndcg_at_5
          |FROM wi""".stripMargin,
     "hard_negatives" ->
       s"""WITH qs AS (SELECT vec_id AS qid, embedding AS qvec, label AS qlabel

@@ -34,22 +34,63 @@ object Eval {
   /** One-row frame: `n_queries`, `mrr_at_<k>`, `ndcg_at_<k>` (both
     * rounded to 6). `queries` must carry `qid`, `qvec`, `qlabel`;
     * `corpus` carries `idCol`, `vecCol`, `labelCol`. Rank order is the
-    * engine-wide retrieval total order: round-6 cosine DESC, id ASC. */
+    * engine-wide retrieval total order: round-6 cosine DESC, id ASC.
+    * The metric arithmetic is [[rankedEval]]'s — the vector path is
+    * just that gate fed by the batch similarity join. */
   def retrievalEval(corpus: DataFrame, queries: DataFrame, k: Int,
                     idCol: String = "vec_id", vecCol: String = "embedding",
-                    labelCol: String = "label"): DataFrame = {
-    val top = Search.similarityJoin(corpus, queries, k, idCol, vecCol)
-      .withColumn("rel", (col(labelCol) === col("qlabel")).cast("int"))
+                    labelCol: String = "label"): DataFrame =
+    rankedEval(
+      Search.similarityJoin(corpus, queries, k, idCol, vecCol)
+        .select(col("qid"), col(idCol), col("sim")),
+      "sim", queries.select(col("qid"), col("qlabel")), corpus, k,
+      idCol, labelCol)
+
+  /** The retrieval-quality gate over ANY ranked result frame — the
+    * generalization that lets the LEXICAL and HYBRID stacks (BM25,
+    * RRF, RM3 — anything emitting `(qid, id, <ordering column>)`)
+    * score under the same MRR@k / nDCG@k definitions as the vector
+    * path, so an index or weighting change on either side gates
+    * identically. `results` rows rank per qid by
+    * `(orderCol DESC, id ASC)` (the engine total order) truncated at
+    * `k`; `queries` carries `(qid, qlabel)`; `corpus` supplies the
+    * binary relevance labels and the per-label relevant counts for
+    * the IDCG truncation.
+    *
+    * Differences from a naive join, both load-bearing: a query with
+    * NO result rows at all (a term set matching nothing — impossible
+    * for cosine, routine for keyword retrieval) still counts, with
+    * rr = dcg = 0, via the left join back onto the query batch; and a
+    * result id absent from the corpus contributes rel = 0, never a
+    * null that would poison the per-query sums. Scale shape: one
+    * window over ≤ the results frame, one label-keyed count join —
+    * the reduction is O(queries · k). */
+  def rankedEval(results: DataFrame, orderCol: String, queries: DataFrame,
+                 corpus: DataFrame, k: Int,
+                 idCol: String = "vec_id", labelCol: String = "label"): DataFrame = {
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col(orderCol).desc, col(idCol).asc)
+    val top = results.select(col("qid"), col(idCol), col(orderCol))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .join(corpus.select(col(idCol), col(labelCol)), Seq(idCol), "left")
+      .join(broadcast(queries.select(col("qid"), col("qlabel"))), Seq("qid"))
+      .withColumn("rel",
+        coalesce((col(labelCol) === col("qlabel")).cast("int"), lit(0)))
     val perQuery = top.groupBy(col("qid"), col("qlabel")).agg(
       coalesce(lit(1.0) / min(when(col("rel") === 1, col("rank"))), lit(0.0))
         .as("rr"),
       sum(when(col("rel") === 1, lit(1.0) / log2(col("rank") + lit(1)))
         .otherwise(lit(0.0))).as("dcg"))
+    val perAll = queries.select(col("qid"), col("qlabel"))
+      .join(perQuery, Seq("qid", "qlabel"), "left")
+      .withColumn("rr", coalesce(col("rr"), lit(0.0)))
+      .withColumn("dcg", coalesce(col("dcg"), lit(0.0)))
     // #relevant per label — the IDCG truncation point. Labels absent
     // from the corpus coalesce to 0 so the ideal gain is 0, not NULL.
     val relCounts = corpus.groupBy(col(labelCol).as("qlabel"))
       .agg(count(lit(1)).as("n_rel"))
-    perQuery.join(relCounts, Seq("qlabel"), "left")
+    perAll.join(relCounts, Seq("qlabel"), "left")
       .withColumn("n_rel", coalesce(col("n_rel"), lit(0L)))
       .withColumn("idcg",
         when(col("n_rel") >= 1,

@@ -46,6 +46,40 @@ class EvalSpec extends SparkSpec {
     assert(row.getDouble(2) == 0.5)
   }
 
+  test("rankedEval: rank-input form — zero-hit query counts 0, unknown id counts rel 0") {
+    val corpus = Seq(
+      (10L, "a"), (11L, "b"), (12L, "a")
+    ).toDF("doc_id", "label")
+    // q1: hits at ranks 1 (rel) and 2 (not); q2: NO result rows at all
+    // (keyword retrieval with no matching term); q3: one hit on an id
+    // absent from the corpus (rel 0, not NULL)
+    val queries = Seq((1L, "a"), (2L, "a"), (3L, "a")).toDF("qid", "qlabel")
+    val results = Seq(
+      (1L, 10L, 0.9), (1L, 11L, 0.5),
+      (3L, 999L, 0.7)
+    ).toDF("qid", "doc_id", "score")
+    val row = Eval.rankedEval(results, "score", queries, corpus, k = 2,
+      idCol = "doc_id", labelCol = "label").collect().head
+    assert(row.getLong(0) == 3, "the zero-hit query must still count")
+    // rr: q1 = 1, q2 = 0, q3 = 0 → mean 1/3
+    assert(row.getDouble(1) == math.rint(1.0 / 3.0 * 1e6) / 1e6)
+    // ndcg: q1 dcg = 1 (rank 1 rel only), idcg (2 relevant, k=2)
+    // = 1 + 1/log2(3); q2 = q3 = 0
+    val idcg = 1.0 + 1.0 / (math.log(3) / math.log(2))
+    assert(math.abs(row.getDouble(2) - math.rint(1.0 / idcg / 3.0 * 1e6) / 1e6) < 1e-9)
+  }
+
+  test("rankedEval truncates to k and re-ranks by (order DESC, id ASC)") {
+    val corpus = Seq((1L, "a"), (2L, "a"), (3L, "a")).toDF("doc_id", "label")
+    val queries = Seq((0L, "a")).toDF("qid", "qlabel")
+    // score tie between ids 2 and 3 → id ASC breaks it; k=1 truncates
+    val results = Seq((0L, 3L, 0.8), (0L, 2L, 0.8), (0L, 1L, 0.1))
+      .toDF("qid", "doc_id", "score")
+    val row = Eval.rankedEval(results, "score", queries, corpus, k = 1,
+      idCol = "doc_id", labelCol = "label").collect().head
+    assert(row.getDouble(1) == 1.0, "rank 1 must be id 2 (tie to lower id), relevant")
+  }
+
   test("hardNegatives: only label-mismatched rows, ranked over the filtered subset") {
     val corpus = Seq(
       (0L, vec(1, 0), 0),      // relevant, sim 1.0 — must NOT take a slot
