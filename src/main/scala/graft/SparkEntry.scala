@@ -889,6 +889,20 @@ object SparkEntry {
       graft.text.Bpe.encodeSymbols(docs, "doc_id", "text", table)
         .orderBy(col("doc_id"), col("symbol"))
     }),
+    // ---- [EXT] BPE-TOKENIZED sequence packing — the tokenizer story
+    // end-to-end: window capacity is measured in TRAINED-BPE symbols
+    // (the unit a training pipeline actually packs by), not raw
+    // whitespace tokens. Doc weight = total encoded symbol count
+    // (Bpe.encodeSymbols with the 6-merge table), packing = the same
+    // two-phase distributed prefix sum as seq_pack.
+    "seq_pack_bpe" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val table = graft.text.Bpe.mergeTable(docs, "text", 6)
+      val weighted = graft.text.Bpe.encodeSymbols(docs, "doc_id", "text", table)
+        .groupBy(col("doc_id")).agg(sum(col("n")).as("weight"))
+      graft.analysis.SeqPack.packWindows(weighted, "doc_id", "weight", 512L)
+        .orderBy(col("doc_id"))
+    }),
     // ---- [EXT] character-entropy quality signal (the CCNet/Gopher
     // compression-ratio heuristic, codec-free so the oracle replays it
     // exactly): low entropy flags repetitive or degenerate text
@@ -1211,6 +1225,18 @@ object SparkEntry {
           "user_id", "event_type", "ts",
           Seq("signup", "view", "click", "purchase"),
           maxGapSeconds = Some(86400L))
+        .orderBy(col("step_idx"))),
+    // ---- [EXT] per-SESSION funnel: "did the visit convert" — the
+    // funnel evaluated inside 24h-inactivity-gap sessions instead of
+    // the user's lifetime (1214 sessions → 812/485/301/164 at sf0.01,
+    // non-degenerate at every step). One user-key shuffle still: the
+    // sessionization sort and the per-(user, session) step windows
+    // share the exchange.
+    "session_funnel_counts" -> ((s, dir) =>
+      graft.analysis.Funnel.sessionFunnelCounts(Tables.events(s, dir),
+          "user_id", "event_type", "ts",
+          Seq("signup", "view", "click", "purchase"),
+          sessionGapSeconds = 86400L)
         .orderBy(col("step_idx"))),
     // ---- [EXT] funnel latency: time-to-convert distribution for
     // full-funnel completers (purchase time − signup time), exact
@@ -2245,7 +2271,10 @@ object SparkEntry {
        |             max(t2) AS t2, max(t3) AS t3 FROM s3 GROUP BY user_id)""".stripMargin
   }
 
-  private def funnelReplaySql(gap: Option[Long]): String = {
+  /** The report tail over any step-times CTE chain ending in `u`
+    * (one row per funnel unit with t0…t3) — shared by the lifetime,
+    * windowed, and per-session funnel oracles. */
+  private def funnelReportSql(ctes: String): String = {
     val steps = Seq("signup", "view", "click", "purchase")
     val convFirst = (i: Int) =>
       s"CASE WHEN c0 = 0 THEN NULL ELSE round(c$i::DOUBLE / c0, 6) END"
@@ -2258,12 +2287,47 @@ object SparkEntry {
         s"         ${convFirst(i)} AS conv_from_first,\n" +
         s"         ${convPrev(i)} AS conv_from_prev FROM c"
     }.mkString("\n")
-    s"""WITH ${funnelStepCtes(gap)},
+    s"""WITH $ctes,
        |c AS (SELECT count(t0) AS c0, count(t1) AS c1,
        |             count(t2) AS c2, count(t3) AS c3 FROM u)
        |SELECT * FROM (
        |$branches)
        |ORDER BY step_idx""".stripMargin
+  }
+
+  private def funnelReplaySql(gap: Option[Long]): String =
+    funnelReportSql(funnelStepCtes(gap))
+
+  /** [[funnelStepCtes]] over inactivity-gap sessions: the boundary
+    * flag's running sum uses the default RANGE frame (timestamp ties
+    * share a session in both engines), and the step chain partitions
+    * by (user_id, sess); `u` has one row per session. */
+  private def sessionFunnelStepCtes(sessionGapSeconds: Long): String = {
+    val steps = Seq("signup", "view", "click", "purchase")
+    def cond(i: Int): String =
+      if (i == 0) s"event_type = '${steps(0)}'"
+      else s"event_type = '${steps(i)}' AND ts > t${i - 1}"
+    val chain = (1 to 3).map { i =>
+      s"s$i AS (SELECT *, min(CASE WHEN ${cond(i)} THEN ts END)\n" +
+        s"                   OVER (PARTITION BY user_id, sess) AS t$i FROM s${i - 1})"
+    }.mkString(",\n")
+    s"""sb AS (
+       |  SELECT user_id, event_type, ts,
+       |         CASE WHEN epoch_us(ts) - epoch_us(lag(ts)
+       |                OVER (PARTITION BY user_id ORDER BY ts)) >
+       |              ${sessionGapSeconds * 1000000L} THEN 1 ELSE 0 END AS nb
+       |  FROM events),
+       |ss AS (SELECT user_id, event_type, ts,
+       |              sum(nb) OVER (PARTITION BY user_id ORDER BY ts) AS sess
+       |       FROM sb),
+       |s0 AS (
+       |  SELECT *, min(CASE WHEN ${cond(0)} THEN ts END)
+       |              OVER (PARTITION BY user_id, sess) AS t0
+       |  FROM ss),
+       |$chain,
+       |u AS (SELECT user_id, sess, max(t0) AS t0, max(t1) AS t1,
+       |             max(t2) AS t2, max(t3) AS t3 FROM s3
+       |      GROUP BY user_id, sess)""".stripMargin
   }
 
   private lazy val rm3ReplaySql: String = {
@@ -2663,7 +2727,11 @@ object SparkEntry {
     * document's tokens with the same greedy `list_reduce` fold the
     * dictionary rewrite uses — mirroring
     * [[graft.functions.BpeEncode]]'s per-word kernel step for step. */
-  private def bpeEncodeSql(k: Int): String = {
+  /** The per-(doc, token) encode chain `e0 … e{k}` after the training
+    * chain — shared by the bpe_encode oracle and the BPE-weighted
+    * sequence-packing oracle. `e{k}.s` is each token's fully-merged
+    * `|`-delimited symbol string. */
+  private def bpeEncodeChainSql(k: Int): String = {
     val sb = new StringBuilder(bpeChainSql(k))
     sb.append(
       s""",
@@ -2687,14 +2755,16 @@ object SparkEntry {
            |""".stripMargin)
     }
     sb.setLength(sb.length - 2)
-    sb.append(
+    sb.toString
+  }
+
+  private def bpeEncodeSql(k: Int): String =
+    bpeEncodeChainSql(k) +
       s"""
          |SELECT doc_id, sym AS symbol, count(*)::BIGINT AS n FROM (
          |  SELECT doc_id, unnest(list_filter(string_split(s, '|'), x -> x <> '')) AS sym
          |  FROM e$k)
-         |GROUP BY 1, 2 ORDER BY doc_id, symbol""".stripMargin)
-    sb.toString
-  }
+         |GROUP BY 1, 2 ORDER BY doc_id, symbol""".stripMargin
 
   /** Second portable polynomial (simhash64's high half — seed 13, ×37,
     * mod 998244353; see functions/SimHash64.scala). */
@@ -4167,6 +4237,19 @@ object SparkEntry {
     "bpe_merges" -> bpeSql(6),
     "bpe_vocab" -> bpeVocabSql(6),
     "bpe_encode" -> bpeEncodeSql(6),
+    // the encode chain reduced to per-doc symbol totals, then the
+    // seq_pack exclusive-prefix-sum replay at the same capacity
+    "seq_pack_bpe" -> (bpeEncodeChainSql(6) +
+      s""",
+         |bw AS (SELECT doc_id, count(*)::BIGINT AS weight FROM (
+         |    SELECT doc_id, unnest(list_filter(string_split(s, '|'), x -> x <> '')) AS sym
+         |    FROM e6) GROUP BY doc_id),
+         |bc AS (SELECT doc_id, weight,
+         |              coalesce(sum(weight) OVER (ORDER BY doc_id
+         |                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum
+         |       FROM bw)
+         |SELECT doc_id, weight, (cum // 512)::BIGINT AS window_id
+         |FROM bc ORDER BY doc_id""".stripMargin),
     "repetition_stats" ->
       """WITH d AS (SELECT doc_id, string_split(text, ' ') AS ws,
         |                  length(text) AS nc FROM documents),
@@ -4797,6 +4880,9 @@ object SparkEntry {
     "funnel_counts" -> funnelReplaySql(None),
     // same replay with the 24h step-gap bound in each window condition
     "funnel_windowed" -> funnelReplaySql(Some(86400L)),
+    // the same report over 24h-inactivity sessions: sessionization
+    // windows + the step chain partitioned by (user_id, sess)
+    "session_funnel_counts" -> funnelReportSql(sessionFunnelStepCtes(86400L)),
     // epoch_us is an exact integer; / 1e6 is the same IEEE division
     // Spark's timestamp→double cast performs, so the subtraction is
     // bit-identical; percentile ↔ quantile_cont is the pinned

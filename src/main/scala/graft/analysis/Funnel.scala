@@ -37,9 +37,23 @@ object Funnel {
     require(steps.nonEmpty, "funnel needs at least one step")
     require(maxGapSeconds.forall(_ > 0), "maxGapSeconds must be positive")
     val w = Window.partitionBy(col(userCol))
-    val withSteps = steps.zipWithIndex.foldLeft(
-      events.select(col(userCol), col(typeCol), col(tsCol))) {
-      case (df, (step, i)) =>
+    val withSteps = stackTimes(
+      events.select(col(userCol), col(typeCol), col(tsCol)),
+      w, typeCol, tsCol, steps, maxGapSeconds)
+    val stepAggs = steps.indices.map(i => first(col(s"__t$i")).as(s"__t$i"))
+    withSteps.groupBy(col(userCol)).agg(stepAggs.head, stepAggs.tail: _*)
+  }
+
+  /** The stacked min-when window fold shared by the lifetime and
+    * per-session step times: adds `__t0 … __t{n-1}` over window `w`
+    * (which must partition by whatever unit the funnel is evaluated
+    * in — user, or (user, session)). */
+  private def stackTimes(df: DataFrame,
+                         w: org.apache.spark.sql.expressions.WindowSpec,
+                         typeCol: String, tsCol: String, steps: Seq[String],
+                         maxGapSeconds: Option[Long]): DataFrame =
+    steps.zipWithIndex.foldLeft(df) {
+      case (d, (step, i)) =>
         val hit =
           if (i == 0) col(typeCol) === lit(step)
           else {
@@ -51,11 +65,57 @@ object Funnel {
             maxGapSeconds.fold(after)(g =>
               after && col(tsCol) <= col(s"__t${i - 1}") + expr(s"INTERVAL $g SECOND"))
           }
-        df.withColumn(s"__t$i", min(when(hit, col(tsCol))).over(w))
+        d.withColumn(s"__t$i", min(when(hit, col(tsCol))).over(w))
     }
+
+  /** Per-SESSION step times: the funnel evaluated inside activity
+    * sessions instead of over the user's lifetime — "did the visit
+    * convert", the form session-scoped product analytics asks.
+    * Sessions are inactivity-gap derived from ALL of the user's events
+    * (`events_sessions`' semantics): a gap > `sessionGapSeconds` since
+    * the previous event starts a new session; the boundary flag's
+    * running sum uses the default RANGE frame, so events tied on the
+    * timestamp always share a session regardless of their order among
+    * peers — both engines agree without a tiebreak column. One row per
+    * (user, session).
+    *
+    * Plan shape: the ordered sessionization window and the unordered
+    * per-(user, session) step windows share the ONE user-key exchange
+    * (the session windows' partition key is a superset); the whole
+    * thing stays a single shuffle like [[stepTimes]], plus the
+    * per-user sort the sessionization inherently needs. */
+  def sessionStepTimes(events: DataFrame, userCol: String, typeCol: String,
+                       tsCol: String, steps: Seq[String],
+                       sessionGapSeconds: Long,
+                       maxGapSeconds: Option[Long] = None): DataFrame = {
+    require(steps.nonEmpty, "funnel needs at least one step")
+    require(sessionGapSeconds > 0, "sessionGapSeconds must be positive")
+    require(maxGapSeconds.forall(_ > 0), "maxGapSeconds must be positive")
+    val wOrd = Window.partitionBy(col(userCol)).orderBy(col(tsCol))
+    val boundary = when(
+      unix_micros(col(tsCol)) - unix_micros(lag(col(tsCol), 1).over(wOrd)) >
+        sessionGapSeconds * 1000000L, 1L).otherwise(0L)
+    val sess = events.select(col(userCol), col(typeCol), col(tsCol))
+      .withColumn("__nb", boundary)
+      .withColumn("__sess", sum(col("__nb")).over(wOrd))
+      .drop("__nb")
+    val w = Window.partitionBy(col(userCol), col("__sess"))
+    val withSteps = stackTimes(sess, w, typeCol, tsCol, steps, maxGapSeconds)
     val stepAggs = steps.indices.map(i => first(col(s"__t$i")).as(s"__t$i"))
-    withSteps.groupBy(col(userCol)).agg(stepAggs.head, stepAggs.tail: _*)
+    withSteps.groupBy(col(userCol), col("__sess"))
+      .agg(stepAggs.head, stepAggs.tail: _*)
   }
+
+  /** The funnel report over SESSIONS: [[funnelCounts]]'s shape where
+    * `users` counts (user, session) pairs that reached each step in
+    * order within one session. */
+  def sessionFunnelCounts(events: DataFrame, userCol: String, typeCol: String,
+                          tsCol: String, steps: Seq[String],
+                          sessionGapSeconds: Long,
+                          maxGapSeconds: Option[Long] = None): DataFrame =
+    countsFromStepTimes(
+      sessionStepTimes(events, userCol, typeCol, tsCol, steps,
+        sessionGapSeconds, maxGapSeconds), steps)
 
   /** [[stepTimes]]'s semantics folded locally over ONE user's
     * `(stepIndex, epoch-micros)` events — the kernel

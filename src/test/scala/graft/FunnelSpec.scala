@@ -127,6 +127,51 @@ class FunnelSpec extends SparkSpec {
     assert(got == Map("signup" -> 1L, "view" -> 1L, "buy" -> 0L))
   }
 
+  test("session funnel: the funnel resets at the inactivity boundary, units are sessions") {
+    // user 1 session A: full funnel; then >1h silence; session B: view
+    // then buy WITHOUT a signup — B must credit nothing even though
+    // the lifetime funnel would chain A's signup to B's view.
+    // user 2: signup at the end of session A, view early in session B
+    // — the cross-session pair must NOT convert per-session.
+    val events = ev(
+      (1L, "signup", "2024-01-01 10:00:00"),
+      (1L, "view", "2024-01-01 10:10:00"),
+      (1L, "buy", "2024-01-01 10:20:00"),
+      (1L, "view", "2024-01-01 14:00:00"),
+      (1L, "buy", "2024-01-01 14:05:00"),
+      (2L, "signup", "2024-01-01 10:00:00"),
+      (2L, "view", "2024-01-01 13:00:00"))
+    val got = Funnel.sessionFunnelCounts(events, "u", "et", "t", steps,
+        sessionGapSeconds = 3600L)
+      .orderBy(col("step_idx")).collect()
+      .map(r => (r.getString(1), r.getLong(2))).toSeq
+    // sessions: u1-A (full funnel), u1-B (no signup), u2-A (signup
+    // only), u2-B (no signup) → signup 2, view 1, buy 1
+    assert(got == Seq(("signup", 2L), ("view", 1L), ("buy", 1L)),
+      s"got ${got.mkString(",")}")
+    // same events per-user lifetime: u1 converts once, u2 chains
+    // across the silence (lifetime semantics keep it)
+    val lifetime = Funnel.funnelCounts(events, "u", "et", "t", steps)
+      .orderBy(col("step_idx")).collect().map(_.getLong(2)).toSeq
+    assert(lifetime == Seq(2L, 2L, 1L), s"lifetime $lifetime")
+  }
+
+  test("session funnel: timestamp ties at a would-be boundary share a session") {
+    // two events at the same micros, 2h after the previous: exactly one
+    // of the tied rows carries the boundary flag, but the RANGE-frame
+    // running sum gives both the same session id — the signup→view
+    // pair inside the tie's session must convert.
+    val events = ev(
+      (1L, "click", "2024-01-01 08:00:00"),
+      (1L, "click", "2024-01-01 10:00:00"),
+      (1L, "signup", "2024-01-01 10:00:00"),
+      (1L, "view", "2024-01-01 10:30:00"))
+    val got = Funnel.sessionFunnelCounts(events, "u", "et", "t", steps,
+        sessionGapSeconds = 3600L)
+      .orderBy(col("step_idx")).collect().map(_.getLong(2)).toSeq
+    assert(got == Seq(1L, 1L, 0L), s"got $got")
+  }
+
   test("top event paths: total-order sequences, sliding n-grams, short users skipped") {
     val events = Seq(
       // user 1: a > b > a > b  ->  a>b>a, b>a>b
