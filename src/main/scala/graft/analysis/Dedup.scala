@@ -310,15 +310,18 @@ object Dedup {
     // spread before the fingerprint so the single-split small-sf scan
     // doesn't serialize the SimHash computation (pinned count — AQE
     // would coalesce a bare by-col repartition of small input bytes).
-    // The fingerprints materialize ONCE (eager localCheckpoint — the
-    // `components` pattern; N × 16-byte rows, far smaller than the
-    // text they summarize): the band self-join otherwise executes the
-    // SimHash subtree per join side — the text scan and the 64-bit
-    // fold are the whole cost of this operator, and a broadcast-side
-    // build defeats exchange reuse.
+    // Single-fingerprint-pass note (measured, round 12): at bench
+    // scale Spark plans the band self-join as a broadcast hash join,
+    // executing the SimHash subtree once per side — two CHEAP passes
+    // (~0.15 s each at sf0.1). Forcing one pass via localCheckpoint
+    // was tried and is SLOWER here (eager 0.55-0.61 s, lazy 0.62 s vs
+    // 0.52 s without: the materialization job costs more than the
+    // second pass). At corpus scale the join exceeds the broadcast
+    // threshold, both sides become identical shuffle stages, and
+    // AQE's stage reuse runs the fingerprint computation once — so
+    // the no-checkpoint form is the right plan at BOTH ends.
     val fp = spread(df, col(idCol))
       .select(col(idCol).as("id"), simhash64(col(textCol)).as("fp"))
-      .localCheckpoint()
     val bandVals = (0 until bands).map { i =>
       val width = cuts(i + 1) - cuts(i)
       val mask = if (width >= 64) -1L else (1L << width) - 1 // 1L<<64 wraps to 1
