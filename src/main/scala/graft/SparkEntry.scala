@@ -1740,6 +1740,18 @@ object SparkEntry {
       Search.mmrTopK(Tables.embeddings(s, dir), queryVec(s, dir),
           k = 5, shortlist = 20, lambda = 0.75)
         .orderBy(col("mmr_rank"))),
+    // ---- [EXT] BATCH MMR: one distributed batch shortlist (per-qid
+    // windows), then the sequential greedy per qid over collected
+    // bounded model state — the diversified form of the multi-query
+    // production shape. Oracle unrolls every qid's greedy in one
+    // pick-CTE chain with per-qid windows.
+    "mmr_batch_top3" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val qs = emb.filter(col("vec_id") < 3)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+      Search.mmrTopKBatch(emb, qs, k = 3, shortlist = 20, lambda = 0.75)
+        .orderBy(col("qid"), col("mmr_rank"))
+    }),
     // ---- [EXT] exact RANGE search ("all vectors with sim >= tau")
     // over the IVF index: per-cluster Cauchy-Schwarz bounds certify
     // whole clusters below the threshold, so pruning is LOSSLESS —
@@ -3462,6 +3474,57 @@ object SparkEntry {
          |  SELECT vec_id, 1::BIGINT AS mmr_rank, relevance, score AS mmr_score FROM pick1
          |  $unions)
          |ORDER BY mmr_rank""".stripMargin
+    },
+    // the same unrolled greedy per qid: every pick/exclusion window
+    // partitions by qid, so all three queries' folds run in one chain
+    "mmr_batch_top3" -> {
+      val picks = (2 to 3).map { r =>
+        s"""pick$r AS (
+           |  SELECT qid, vec_id, relevance, score FROM (
+           |    SELECT c.qid, c.vec_id, c.sim AS relevance,
+           |           round(0.75 * c.sim - 0.25 * m.ms, 6) AS score,
+           |           row_number() OVER (PARTITION BY c.qid
+           |             ORDER BY round(0.75 * c.sim - 0.25 * m.ms, 6) DESC,
+           |                      c.vec_id ASC) AS rn
+           |    FROM sl c JOIN (
+           |      SELECT p.qid, p.ia, max(p.s) AS ms FROM p
+           |      WHERE EXISTS (SELECT 1 FROM sel${r - 1} s
+           |                    WHERE s.qid = p.qid AND s.vec_id = p.ib)
+           |      GROUP BY p.qid, p.ia) m
+           |      ON m.qid = c.qid AND m.ia = c.vec_id
+           |    WHERE NOT EXISTS (SELECT 1 FROM sel${r - 1} s
+           |                      WHERE s.qid = c.qid AND s.vec_id = c.vec_id))
+           |  WHERE rn = 1),
+           |sel$r AS (SELECT qid, vec_id FROM sel${r - 1}
+           |          UNION ALL SELECT qid, vec_id FROM pick$r)""".stripMargin
+      }.mkString(",\n")
+      val unions = (2 to 3).map(r =>
+        s"UNION ALL SELECT qid, vec_id, ${r}::BIGINT, relevance, score FROM pick$r")
+        .mkString("\n")
+      s"""WITH qs AS (SELECT vec_id AS qid, embedding AS qvec
+         |            FROM embeddings WHERE vec_id < 3),
+         |sl AS (SELECT qid, vec_id, embedding, sim FROM (
+         |  SELECT qs.qid, e.vec_id, e.embedding,
+         |         ${cosSql("e.embedding", "qs.qvec")} AS sim,
+         |         row_number() OVER (PARTITION BY qs.qid
+         |           ORDER BY ${cosSql("e.embedding", "qs.qvec")} DESC,
+         |                    e.vec_id ASC) AS rn
+         |  FROM embeddings e CROSS JOIN qs) WHERE rn <= 20),
+         |p AS (SELECT a.qid, a.vec_id AS ia, b.vec_id AS ib,
+         |             ${cosSql("a.embedding", "b.embedding")} AS s
+         |      FROM sl a JOIN sl b ON a.qid = b.qid AND a.vec_id <> b.vec_id),
+         |pick1 AS (SELECT qid, vec_id, relevance, score FROM (
+         |    SELECT qid, vec_id, sim AS relevance, round(0.75 * sim, 6) AS score,
+         |           row_number() OVER (PARTITION BY qid
+         |             ORDER BY sim DESC, vec_id ASC) AS rn
+         |    FROM sl) WHERE rn = 1),
+         |sel1 AS (SELECT qid, vec_id FROM pick1),
+         |$picks
+         |SELECT qid, vec_id, mmr_rank, relevance, mmr_score FROM (
+         |  SELECT qid, vec_id, 1::BIGINT AS mmr_rank, relevance,
+         |         score AS mmr_score FROM pick1
+         |  $unions)
+         |ORDER BY qid, mmr_rank""".stripMargin
     },
     // Range pruning is lossless by the Cauchy-Schwarz certificate, so
     // the oracle is simply the brute-force threshold filter.

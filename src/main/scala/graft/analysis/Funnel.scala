@@ -237,12 +237,19 @@ object Funnel {
     * over that bounded aggregate (see the inline note: a separate
     * size branch would rescan the corpus). */
   def retentionCohorts(events: DataFrame, userCol: String,
-                       tsCol: String): DataFrame = {
-    val perUser = events
+                       tsCol: String): DataFrame =
+    cohortsFromUserDays(events
       .select(col(userCol), date_trunc("day", col(tsCol)).as("__day"))
       .groupBy(col(userCol))
       .agg(min(col("__day")).as("__cohort"),
-        collect_set(col("__day")).as("__days"))
+        collect_set(col("__day")).as("__days")))
+
+  /** The report tail of [[retentionCohorts]] over an ALREADY-computed
+    * per-user frame (`__cohort` = first-activity day, `__days` =
+    * distinct active days — date or timestamp typed), one row per
+    * user — shared by the batch form and the drained-stream report
+    * ([[graft.streaming.StreamIngest.retentionStream]]). */
+  def cohortsFromUserDays(perUser: DataFrame): DataFrame = {
     val active = perUser
       .select(col("__cohort"), explode(col("__days")).as("__day"))
       .groupBy(col("__cohort").as("__cohort_day"),

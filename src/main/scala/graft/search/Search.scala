@@ -79,16 +79,27 @@ object Search {
     require(k >= 1 && shortlist >= k, "need shortlist >= k >= 1")
     val spark = corpus.sparkSession
     import spark.implicits._
-    // the shared driver-side kernel pair (VectorOps) — same
-    // accumulation order and HALF_UP rounding as every other scorer
-    def r6(x: Double): Double = VectorOps.round6(x)
-    def cos(a: Seq[Double], b: Seq[Double]): Double = VectorOps.cosineLocal(a, b)
     // knn's total order (sim DESC, id ASC) survives the collect
     val sl = knn(corpus, query, shortlist, idCol, vecCol)
       .select(col(idCol).cast("long"), col("sim"), col(vecCol))
       .collect()
       .map(r => (r.getLong(0), r.getDouble(1),
         r.getSeq[Number](2).map(_.doubleValue()).toSeq))
+      .toSeq
+    mmrGreedy(sl, k, lambda).toDF(idCol, "mmr_rank", "relevance", "mmr_score")
+      .select(col(idCol), col("mmr_rank").cast("long"),
+        col("relevance"), col("mmr_score"))
+  }
+
+  /** The sequential MMR greedy over ONE collected shortlist — shared
+    * by the single-query and batch forms. Uses the shared driver-side
+    * kernel pair (VectorOps): same accumulation order and HALF_UP
+    * rounding as every other scorer. Returns
+    * `(id, rank, relevance, score)` rows in pick order. */
+  private def mmrGreedy(sl: Seq[(Long, Double, Seq[Double])], k: Int,
+                        lambda: Double): Seq[(Long, Int, Double, Double)] = {
+    def r6(x: Double): Double = VectorOps.round6(x)
+    def cos(a: Seq[Double], b: Seq[Double]): Double = VectorOps.cosineLocal(a, b)
     val mu = 1.0 - lambda
     val picked = scala.collection.mutable.ArrayBuffer.empty[(Long, Int, Double, Double)]
     val pickedVecs = scala.collection.mutable.ArrayBuffer.empty[Seq[Double]]
@@ -115,9 +126,35 @@ object Search {
       pickedVecs += remaining(id)._2
       remaining.remove(id)
     }
-    picked.toSeq.toDF(idCol, "mmr_rank", "relevance", "mmr_score")
-      .select(col(idCol), col("mmr_rank").cast("long"),
-        col("relevance"), col("mmr_score"))
+    picked.toSeq
+  }
+
+  /** BATCH MMR — [[mmrTopK]] over a query TABLE: ONE distributed
+    * batch shortlist ([[similarityJoin]] — per-qid windows, no
+    * per-query Spark job), then the inherently-sequential greedy runs
+    * per qid over the collected shortlists (Q · shortlist rows of
+    * bounded model state — the single-query contract times Q). Batch
+    * restricted to one query ≡ [[mmrTopK]] (spec-pinned). Returns
+    * `(qid, id, mmr_rank, relevance, mmr_score)`, k rows per qid. */
+  def mmrTopKBatch(corpus: DataFrame, queries: DataFrame, k: Int, shortlist: Int,
+                   lambda: Double,
+                   idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    require(k >= 1 && shortlist >= k, "need shortlist >= k >= 1")
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val sl = similarityJoin(corpus, queries, shortlist, idCol, vecCol)
+      .select(col("qid").cast("long"), col(idCol).cast("long"), col("sim"), col(vecCol))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+        r.getSeq[Number](3).map(_.doubleValue()).toSeq))
+      .toSeq
+    sl.groupBy(_._1).toSeq.flatMap { case (qid, rows) =>
+      // restore the per-qid knn total order after the groupBy
+      val ordered = rows.sortBy(t => (-t._3, t._2)).map(t => (t._2, t._3, t._4))
+      mmrGreedy(ordered, k, lambda).map { case (id, rank, rel, score) =>
+        (qid, id, rank.toLong, rel, score)
+      }
+    }.toDF("qid", idCol, "mmr_rank", "relevance", "mmr_score")
   }
 
   /** Batch similarity join: for every row of `queries` (id `qid`, vector

@@ -314,6 +314,50 @@ object StreamIngest {
       }
   }
 
+  /** Per-user streaming-retention state: distinct active epoch days
+    * plus the running event count. */
+  case class RetentionState(nEvents: Long, days: Set[Int])
+
+  /** One user's retention inputs as of the latest update: `cohort_day`
+    * / `days` are epoch days (days since 1970-01-01); `n_events` is
+    * monotone, so a drained sink's latest row per user is the max. */
+  case class RetentionUser(user: String, n_events: Long, cohort_day: Int,
+                           days: Seq[Int])
+
+  /** Streaming retention cohorts — the stateful twin of
+    * [[graft.analysis.Funnel.retentionCohorts]]: per-user
+    * `mapGroupsWithState` folds arriving events into `(first-activity
+    * day, distinct active days)`. Day-set union is order-free, so
+    * out-of-order delivery and batch boundaries cannot change the
+    * result — INCLUDING a late event that precedes the user's known
+    * first day and silently moves their cohort (the case a
+    * cohort-keyed aggregation could not revise; spec-pinned). State
+    * per user is bounded by the CALENDAR SPAN, not the event count —
+    * the same bound the batch form documents (a user active daily for
+    * 30 years holds ~11k ints). Emits the user's current cohort and
+    * day set each update; aggregate a drained sink with
+    * [[graft.analysis.Funnel.cohortsFromUserDays]] after mapping
+    * epoch days back to dates. */
+  def retentionStream(events: DataFrame, userCol: String,
+                      tsCol: String): Dataset[RetentionUser] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .select(col(userCol).cast("string").as("u"),
+        datediff(date_trunc("day", col(tsCol)), lit("1970-01-01").cast("date"))
+          .cast("int").as("d"))
+      .as[(String, Int)]
+      .groupByKey(_._1)
+      .mapGroupsWithState[RetentionState, RetentionUser](
+        org.apache.spark.sql.streaming.GroupStateTimeout.NoTimeout) {
+        (u, it, state) =>
+          var s = state.getOption.getOrElse(RetentionState(0L, Set.empty))
+          it.foreach { case (_, d) => s = RetentionState(s.nEvents + 1, s.days + d) }
+          state.update(s)
+          RetentionUser(u, s.nEvents, s.days.min, s.days.toSeq.sorted)
+      }
+  }
+
   /** Stream-stream inner join with event-time bounds — each view
     * matched to the same user's clicks in the preceding `joinWindow`
     * (the streaming form of the events_range_join batch query). Both

@@ -123,6 +123,24 @@ class SearchSpec extends SparkSpec {
     rows.drop(1).foreach { case (_, rel, score) => assert(score < 0.75 * rel) }
   }
 
+  test("batch MMR restricted to one query ≡ single-query MMR") {
+    val emb = spark.read.parquet(s"$sf0001/embeddings.parquet")
+    val qs = emb.filter(col("vec_id") < 3)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    val batch = Search.mmrTopKBatch(emb, qs, k = 3, shortlist = 20, lambda = 0.75)
+      .collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4))))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sortBy(_._2).toSeq).toMap
+    (0L until 3L).foreach { qid =>
+      val q = emb.filter(col("vec_id") === qid).select(col("embedding").as("qvec"))
+      val single = Search.mmrTopK(emb, q, k = 3, shortlist = 20, lambda = 0.75)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+        .sortBy(_._2).toSeq
+      assert(batch(qid) == single, s"qid $qid: batch ${batch(qid)} vs single $single")
+    }
+  }
+
   test("prompt template interpolates context and question") {
     val out = Seq(Tuple1("CTX")).toDF("context")
       .select(Search.prompt(col("context"), lit("Q?")).as("p"))

@@ -391,6 +391,40 @@ class StoreStreamSpec extends SparkSpec {
     }
   }
 
+  test("streaming retention: drained stream ≡ batch cohorts, late events move cohorts exactly") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val events = graft.io.Tables.events(spark, sf0001)
+      .select(col("user_id"), col("ts"))
+    val rows = events.collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1))).toSeq
+    // newest-first delivery: every user's FIRST-activity day arrives
+    // LAST — the per-user day-set fold must revise cohorts all the way
+    val reversed = rows.sortBy(_._2.getTime).reverse
+    val input = MemoryStream[(Long, java.sql.Timestamp)]
+    val q = StreamIngest.retentionStream(
+        input.toDF().toDF("user_id", "ts"), "user_id", "ts")
+      .writeStream.outputMode("update").format("memory")
+      .queryName("retention_sink").start()
+    reversed.grouped(997).foreach { g => input.addData(g); q.processAllAvailable() }
+    q.stop()
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user")).orderBy(col("n_events").desc)
+    val epoch = lit("1970-01-01").cast("date")
+    val latest = spark.table("retention_sink")
+      .withColumn("__rn", org.apache.spark.sql.functions.row_number().over(w))
+      .filter(col("__rn") === 1)
+      .select(date_add(epoch, col("cohort_day")).cast("timestamp").as("__cohort"),
+        transform(col("days"), d => date_add(epoch, d).cast("timestamp")).as("__days"))
+    def report(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4))).toSeq.sorted
+    val streamed = report(graft.analysis.Funnel.cohortsFromUserDays(latest))
+    val batch = report(graft.analysis.Funnel.retentionCohorts(events, "user_id", "ts"))
+    assert(streamed == batch, s"drained $streamed vs batch $batch")
+    assert(batch.nonEmpty)
+  }
+
   test("streaming funnel state prunes to the answer on an in-order un-gapped stream") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx = spark.sqlContext
