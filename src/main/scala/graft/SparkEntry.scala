@@ -1732,6 +1732,23 @@ object SparkEntry {
           col("vec_id") % 3 =!= 0, 5, 3)
         .select(col("vec_id"), col("sim"))
     }),
+    // ---- [EXT] BATCH filtered IVF probe — "top-k WHERE" over a query
+    // TABLE against the plain IVF index (the PQ-free twin of
+    // ivfpq_filtered_batch_recall): per-qid probe windows, union of
+    // probes as plan-time IN, predicate inside the probed partitions,
+    // bounded-aggregate fallback. Oracle replays every qid's probe
+    // ranking + filtered pruned scan.
+    "ann_filtered_batch_top5" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val cents = Ann.kmeansCentroids(emb, "vec_id", "embedding", 10, 2)
+      val path = scratchDir("ivf-filtered-batch")
+      Ann.buildIvfIndex(emb, cents, path)
+      val qs = emb.filter(col("vec_id") < 3)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+      Ann.ivfIndexTopKFilteredBatch(s, path, qs, cents,
+          col("vec_id") % 3 =!= 0, 5, nprobe = 3)
+        .orderBy(col("qid"), col("vec_id"))
+    }),
     // ---- [EXT] MMR diversified top-k (Carbonell-Goldstein): greedy
     // lambda*rel - (1-lambda)*max-sim-to-picked over the knn shortlist;
     // the sequential-in-k greedy runs driver-side on bounded model
@@ -3433,6 +3450,31 @@ object SparkEntry {
     // predicate on the candidate scan
     "ann_filtered_top5" ->
       kmeansIvfTop5SqlWhere("\n  WHERE e.vec_id % 3 <> 0"),
+    // per-qid probe ranking + filtered pruned scan, exact top-5 per qid
+    "ann_filtered_batch_top5" -> {
+      def rawCos(a: String, b: String) =
+        s"list_dot_product($a, $b) / (sqrt(list_dot_product($a, $a)) * sqrt(list_dot_product($b, $b)))"
+      s"""WITH qs AS (SELECT vec_id AS qid, embedding AS qvec
+         |            FROM embeddings WHERE vec_id < 3),
+         |${ivfTrainSql(10, 2)},
+         |probes AS (
+         |  SELECT qid, cid FROM (
+         |    SELECT qs.qid, c.cid,
+         |           row_number() OVER (PARTITION BY qs.qid
+         |             ORDER BY round(${rawCos("c.centroid", "qs.qvec::DOUBLE[]")}, 6) DESC,
+         |                      c.cid ASC) AS rn
+         |    FROM qs CROSS JOIN ic2 c) WHERE rn <= 3)
+         |SELECT qid, vec_id, sim FROM (
+         |  SELECT qid, vec_id, sim,
+         |         row_number() OVER (PARTITION BY qid
+         |           ORDER BY sim DESC, vec_id ASC) AS rn
+         |  FROM (SELECT p.qid, e.vec_id, ${cosSql("e.embedding", "qs.qvec")} AS sim
+         |        FROM embeddings e JOIN iaf USING (vec_id)
+         |             JOIN probes p USING (cid)
+         |             JOIN qs ON p.qid = qs.qid
+         |        WHERE e.vec_id % 3 <> 0)) WHERE rn <= 5
+         |ORDER BY qid, vec_id""".stripMargin
+    },
     // after the snapshot sync the vector index must answer as if
     // built on v2 from scratch (with the v1-trained models)
     "ann_index_sync_top5" -> annIndexSyncTop5Sql,

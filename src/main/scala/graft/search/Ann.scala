@@ -300,6 +300,62 @@ object Ann {
     Search.knn(cand, query, k, idCol, vecCol)
   }
 
+  /** BATCH filtered probe of a materialized IVF index — the
+    * query-table form of [[ivfIndexTopKFiltered]] on the
+    * [[Pq.ivfPqTopKBatch]] pattern: per-query probe selection as a
+    * (queries × broadcast centroids) join + per-qid window, the union
+    * of probed clusters a plan-time literal IN (file skipping
+    * unchanged), the predicate inside the probed partitions, and NO
+    * per-query driver loop. The per-query exact-count fallback is one
+    * bounded aggregate (matching-candidate counts per qid — Q rows of
+    * driver state); short qids re-candidate against the full, still
+    * filtered, index via a broadcast of just those qids. Guarantee per
+    * qid: min(k, matching survivors) rows. Returns (qid, id, sim). */
+  def ivfIndexTopKFilteredBatch(spark: org.apache.spark.sql.SparkSession, path: String,
+                                queries: DataFrame, cents: Seq[Seq[Double]],
+                                predicate: Column, k: Int, nprobe: Int,
+                                idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val centsDf = cents.zipWithIndex.map { case (c, i) => (i, c) }
+      .toDF("__cluster", "centroid")
+    val wProbe = Window.partitionBy(col("qid"))
+      .orderBy(col("csim").desc, col("__cluster").asc)
+    val probes = queries.crossJoin(broadcast(centsDf))
+      .withColumn("csim", round(VectorOps.cosine(col("centroid"), col("qvec")), 6))
+      .withColumn("__rn", row_number().over(wProbe))
+      .filter(col("__rn") <= nprobe)
+      .select(col("qid"), col("__cluster"))
+    val probedClusters = probes.select(col("__cluster")).distinct()
+      .collect().map(_.getInt(0)).toSeq
+    def survivors(df: DataFrame): DataFrame =
+      dropTombstones(df, path, idCol).filter(predicate)
+    val all = spark.read.parquet(path)
+    val probedCands = survivors(
+        all.filter(col("__cluster").isin(probedClusters: _*)))
+      .join(broadcast(probes), Seq("__cluster")).drop("__cluster")
+    val counts = probedCands.groupBy(col("qid")).agg(count(lit(1)).as("__n"))
+    val fbQids = queries.select(col("qid"))
+      .join(counts, Seq("qid"), "left")
+      .filter(coalesce(col("__n"), lit(0L)) < k)
+      .select(col("qid")).collect().map(_.get(0)).toSeq
+    val cands =
+      if (fbQids.isEmpty) probedCands
+      else
+        probedCands.filter(!col("qid").isin(fbQids: _*))
+          .unionByName(survivors(all).drop("__cluster")
+            .crossJoin(broadcast(
+              queries.filter(col("qid").isin(fbQids: _*)).select(col("qid")))))
+    val wTop = Window.partitionBy(col("qid"))
+      .orderBy(col("sim").desc, col(idCol).asc)
+    cands.join(broadcast(queries), Seq("qid"))
+      .select(col("qid"), col(idCol),
+        VectorOps.cosine6(col(vecCol), col("qvec")).as("sim"))
+      .withColumn("__rn", row_number().over(wTop))
+      .filter(col("__rn") <= k)
+      .select(col("qid"), col(idCol), col("sim"))
+  }
+
   /** Record an index's model state next to its data: the centroid
     * table at `<path>.model/` and the current mean assignment
     * similarity at `<path>.stats/` — the drift BASELINE. Call right

@@ -321,6 +321,36 @@ class AnnSpec extends SparkSpec {
       s"fallback must surface every matching row corpus-wide, got $rare")
   }
 
+  test("batch filtered IVF probe ≡ per-query filtered probes; short qids fall back corpus-wide") {
+    import spark.implicits._
+    val cents = Ann.kmeansCentroids(emb, "vec_id", "embedding", 10, 2)
+    val tmp = java.nio.file.Files.createTempDirectory("graft-ivf-fb").toString
+    val idx = s"$tmp/index"
+    Ann.buildIvfIndex(emb, cents, idx)
+    val qs = emb.filter(col("vec_id") < 4)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    val pred = col("vec_id") % 3 =!= 0
+    val batch = Ann.ivfIndexTopKFilteredBatch(spark, idx, qs, cents, pred, 5, 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .groupBy(_._1).view.mapValues(_.map(t => (t._2, t._3)).sortBy(_._1).toSeq).toMap
+    (0L until 4L).foreach { qid =>
+      val q = emb.filter(col("vec_id") === qid).select(col("embedding").as("qvec"))
+      val single = Ann.ivfIndexTopKFiltered(spark, idx, q, cents, pred, 5, 3)
+        .select(col("vec_id"), col("sim"))
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).sortBy(_._1).toSeq
+      assert(batch(qid) == single, s"qid $qid: batch ${batch(qid)} vs single $single")
+    }
+    // 3 matches corpus-wide, nprobe=1: every qid falls back and still
+    // surfaces all 3
+    val ids = Seq(7L, 11L, 13L)
+    val rare = Ann.ivfIndexTopKFilteredBatch(spark, idx, qs, cents,
+        col("vec_id").isin(ids: _*), 5, 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    (0L until 4L).foreach(qid =>
+      assert(rare(qid) == ids.toSet, s"qid $qid fallback got ${rare.get(qid)}"))
+  }
+
   test("range search ≡ brute-force threshold filter at every tau") {
     import spark.implicits._
     val tmp = java.nio.file.Files.createTempDirectory("graft-ivf-range").toString
