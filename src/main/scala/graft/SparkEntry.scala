@@ -1109,6 +1109,17 @@ object SparkEntry {
       graft.analysis.SeqPack.packWindows(weighted, "doc_id", "weight", 512L)
         .orderBy(col("doc_id"))
     }),
+    // ---- [EXT] temperature-flattened source mixing (the
+    // multilingual-LM alpha-sampling primitive): keep rates from
+    // n_lang^0.5 scaled to an expected 250-doc budget — rare languages
+    // upsample RELATIVE to 'en' (at sf0.01: en 218 docs rate ~0.37 vs
+    // de 70 docs rate ~0.56); per-row Knuth-hash membership, so the
+    // exact kept set replays in the oracle
+    "temperature_mix" -> ((s, dir) =>
+      graft.analysis.Sampling.temperatureMix(Tables.documents(s, dir),
+          "doc_id", "lang", alpha = 0.5, budget = 250L)
+        .select(col("doc_id"), col("lang"))
+        .orderBy(col("doc_id"))),
     // ---- [EXT] upsert / merge (SCD-1 last-wins): a re-ingested slice
     // overrides the base corpus per key — the incremental-corpus-update
     // shape; keyed window, fully distributed
@@ -5124,6 +5135,24 @@ object SparkEntry {
         |       + ((doc_id % 4294967296) % 65536) * 2654435761) % 4294967296
         |      < CAST(0.2 * 4294967296 AS BIGINT)
         |ORDER BY doc_id""".stripMargin,
+    // alpha = 0.5 computes through IEEE sqrt (correctly rounded both
+    // engines); the denominator folds in SORTED lang order mirroring
+    // the driver-side fold; rate rounds to 6 before the integer cut
+    "temperature_mix" ->
+      """WITH cnt AS (SELECT lang, count(*)::BIGINT AS n FROM documents GROUP BY lang),
+        |den AS (SELECT list_reduce(list(sqrt(n::DOUBLE) ORDER BY lang),
+        |                           (x, y) -> x + y) AS d FROM cnt),
+        |rates AS (
+        |  SELECT lang,
+        |         CAST(floor(round(least(1e0,
+        |                250.0 * (sqrt(n::DOUBLE) / den.d) / n::DOUBLE), 6)
+        |              * 4294967296.0) AS BIGINT) AS cut
+        |  FROM cnt, den)
+        |SELECT d.doc_id, d.lang FROM documents d JOIN rates r ON d.lang = r.lang
+        |WHERE (((((d.doc_id % 4294967296) // 65536) * 2654435761) % 4294967296) * 65536
+        |       + ((d.doc_id % 4294967296) % 65536) * 2654435761) % 4294967296
+        |      < r.cut
+        |ORDER BY d.doc_id""".stripMargin,
     "sample_stratified" ->
       """SELECT lang, count(*) AS n FROM documents
         |WHERE (((((doc_id % 4294967296) // 65536) * 2654435761) % 4294967296) * 65536

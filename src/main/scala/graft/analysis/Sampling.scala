@@ -176,6 +176,52 @@ object Sampling {
       .drop("__cum")
   }
 
+  /** Temperature-flattened source mixing — the multilingual-LM
+    * alpha-sampling primitive (XLM-R, mBART; Dolma's source
+    * balancing): per-source keep rates derived from `n_s^alpha` so
+    * `alpha = 1` keeps natural proportions and `alpha → 0` approaches
+    * uniform across sources, scaled so the EXPECTED kept total is
+    * `budget` documents. `q_s = n_s^alpha / Σ_t n_t^alpha`,
+    * `rate_s = min(1, budget · q_s / n_s)` — a rate above 1 caps (a
+    * small source cannot be upsampled without replacement; the cap
+    * means the realized total can undershoot the budget, the standard
+    * trade). Membership is the [[consistentSample]] contract: decided
+    * per row from the Knuth hash of its OWN id, so the mix is
+    * reproducible cross-run/cross-engine and nests as the budget
+    * grows (rates grow monotonically with the budget, holding counts
+    * fixed).
+    *
+    * Determinism: per-source counts are MODEL STATE (k rows — the
+    * centroid-collect precedent), so the rate arithmetic runs once on
+    * the driver in a DEFINED order (strata sorted by name for the
+    * denominator fold); rates round to 6 (the project float contract)
+    * before the integer cut, and `alpha = 0.5` computes through IEEE
+    * sqrt (correctly rounded on every engine — the oracle's form).
+    * Other alphas go through `pow`, with the round-6 rate absorbing
+    * libm drift except within 5e-7 of a rounding boundary (the same
+    * documented exposure class as the PQ-code contract). Scale shape:
+    * one map-side-combined k-row count aggregate, then a stateless
+    * per-row filter against stratum-literal cuts in the scan stage. */
+  def temperatureMix(df: DataFrame, idCol: String, strataCol: String,
+                     alpha: Double, budget: Long): DataFrame = {
+    require(alpha > 0.0 && alpha <= 1.0, s"alpha in (0,1]: $alpha")
+    require(budget >= 0L, s"budget >= 0: $budget")
+    def p(n: Double): Double =
+      if (alpha == 0.5) math.sqrt(n) else math.pow(n, alpha)
+    val counts = df.groupBy(col(strataCol)).agg(count(lit(1)).as("__n"))
+      .collect().map(r => (r.get(0).toString, r.getLong(1))).sortBy(_._1)
+    require(counts.nonEmpty, "empty input")
+    val denom = counts.foldLeft(0.0) { case (acc, (_, n)) => acc + p(n.toDouble) }
+    val cuts = counts.map { case (s, n) =>
+      val rate = math.min(1.0, budget.toDouble * (p(n.toDouble) / denom) / n.toDouble)
+      s -> math.floor(graft.vector.VectorOps.round6(rate) * M.toDouble).toLong
+    }
+    val cut = cuts.foldLeft(lit(0L): Column) {
+      case (acc, (s, c)) => when(col(strataCol) === s, lit(c)).otherwise(acc)
+    }
+    df.filter(bucket(col(idCol)) < cut)
+  }
+
   /** Stratified deterministic sample: an independent fraction per
     * stratum value (e.g. per language), unlisted strata default to
     * `defaultFraction`. Same per-row determinism and nesting as

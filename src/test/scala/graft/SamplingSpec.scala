@@ -119,6 +119,42 @@ class SamplingSpec extends SparkSpec {
       s"window not keyed by hash-range bucket:\n${windowLines.mkString("\n")}")
   }
 
+  test("temperature mix: alpha=1 keeps natural proportions, alpha=0.5 flattens, budgets nest") {
+    def kept(alpha: Double, budget: Long): Map[String, Set[Long]] =
+      Sampling.temperatureMix(docs, "doc_id", "lang", alpha, budget)
+        .select(col("lang"), col("doc_id")).collect()
+        .map(r => (r.getString(0), r.getLong(1)))
+        .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val counts = docs.groupBy(col("lang")).agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val total = counts.values.sum.toDouble
+    // alpha = 1: every stratum's rate is exactly budget/N, so the mix
+    // degenerates to the plain consistent sample at that fraction —
+    // same Knuth cut, same rows (natural proportions survive exactly)
+    val nat = kept(1.0, 200L).values.flatten.toSet
+    val uniform = Sampling.consistentSample(docs, "doc_id", 200.0 / total)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(nat == uniform, "alpha=1 must equal the uniform consistent sample")
+    // alpha = 0.5: the rarest language keeps a HIGHER fraction of
+    // itself than the most common one (the flattening)
+    val flat = kept(0.5, 200L)
+    val rare = counts.minBy(_._2)._1
+    val common = counts.maxBy(_._2)._1
+    val rRate = flat.getOrElse(rare, Set.empty).size.toDouble / counts(rare)
+    val cRate = flat.getOrElse(common, Set.empty).size.toDouble / counts(common)
+    assert(rRate > cRate, s"flattening must upsample $rare ($rRate) over $common ($cRate)")
+    // expected total near the budget (hash-uniform up to granularity)
+    val totalKept = flat.values.map(_.size).sum
+    assert(math.abs(totalKept - 200) < 0.25 * 200, s"kept $totalKept of budget 200")
+    // budgets nest: rates grow monotonically with the budget
+    val small = kept(0.5, 100L)
+    small.foreach { case (l, ids) =>
+      assert(ids.subsetOf(flat.getOrElse(l, Set.empty)), s"$l must nest") }
+    // a budget >= N caps every rate at 1 — the full corpus comes back
+    val all = kept(0.5, total.toLong * 10)
+    assert(all.values.map(_.size).sum == total.toLong)
+  }
+
   test("stratified sample honors per-stratum rates and the default") {
     val out = Sampling.stratifiedSample(docs, "doc_id", "lang",
         Map("en" -> 1.0, "de" -> 0.0), defaultFraction = 0.2)
