@@ -404,6 +404,21 @@ object SparkEntry {
       exact.join(approx, Seq("qid", "vec_id"), "left_semi")
         .agg((count(lit(1)) / lit(250.0)).as("mean_recall_at_5"))
     }),
+    // ---- [EXT] codebook-staleness DRIFT — the PQ twin of
+    // ann_index_drift: build on 80% (codebooks trained on the FULL
+    // corpus so the oracle's training replay applies), record the
+    // reconstruction-error baseline, append 20% through the frozen
+    // codebooks, report (build_mean_err, current_mean_err, drift).
+    "ivfpq_recon_drift" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val cents = Ann.kmeansCentroids(emb, "vec_id", "embedding", 10, 2)
+      val cb = Pq.train(emb, "vec_id", "embedding", 64, PqM, PqKsub, PqIters)
+      val path = scratchDir("ivfpq-qdrift")
+      Pq.buildIvfPqIndex(emb.filter(col("vec_id") < 400), cents, cb, path)
+      Pq.recordIvfPqModel(s, path, cb)
+      Pq.appendToIvfPqIndex(emb.filter(col("vec_id") >= 400), cents, cb, path)
+      Pq.reconstructionDrift(s, path, cb)
+    }),
     // ---- [EXT] BATCH FILTERED IVF-PQ: "top-k WHERE" over a query
     // TABLE against the materialized index — per-qid probe windows,
     // union-of-probes as a plan-time IN, predicate inside the probed
@@ -700,6 +715,29 @@ object SparkEntry {
       val bm = Lexical.bm25TopKBatch(docs, "text", "doc_id",
         qs.select(col("qid"), col("terms")), 20)
       graft.analysis.Eval.rankedEval(bm, "score",
+        qs.select(col("qid"), col("qlabel")), docs, 5, "doc_id", "source")
+    }),
+    // ---- [EXT] the gate over the HYBRID stack: RRF-fused batch
+    // rankings (BM25 top-20 × vector top-20 per qid) scored by the
+    // same rankedEval — a fusion-weight or depth change now moves a
+    // verified metric instead of an eyeballed list
+    "hybrid_eval" -> ((s, dir) => {
+      import s.implicits._
+      val qs = Seq(
+        (0L, Seq("spark", "join"), "src3"),
+        (1L, Seq("table", "filter"), "src5"),
+        (2L, Seq("spark", "filter", "table"), "src7"))
+        .toDF("qid", "terms", "qlabel")
+      val docs = Tables.documents(s, dir)
+      val bm = Lexical.bm25TopKBatch(docs, "text", "doc_id",
+        qs.select(col("qid"), col("terms")), 20)
+      val emb = Tables.embeddings(s, dir)
+      val vq = emb.filter(col("vec_id") < 3)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+      val vec = Search.similarityJoin(emb, vq, 20)
+        .select(col("qid"), col("vec_id").as("doc_id"), col("sim"))
+      val fused = Lexical.rrfFuseBatch(bm, vec, "doc_id", "score", "sim", 20)
+      graft.analysis.Eval.rankedEval(fused, "rrf",
         qs.select(col("qid"), col("qlabel")), docs, 5, "doc_id", "source")
     }),
     // ---- [EXT] hard-negative mining (contrastive retriever
@@ -3365,6 +3403,37 @@ object SparkEntry {
          |SELECT (SELECT count(*) FROM exact5 JOIN rr USING (qid, vec_id)) / 250.0
          |       AS mean_recall_at_5""".stripMargin
     },
+    // both means from the full-corpus PQ training replay: per-row
+    // normalized reconstruction error, build mean over the 80% rows
+    "ivfpq_recon_drift" -> {
+      val reconJoins = (1 until PqM).map(mi =>
+        s"JOIN af$mi ON af0.vec_id = af$mi.vec_id " +
+          s"JOIN cb${mi}_$PqIters c$mi ON af$mi.cid = c$mi.cid").mkString("\n       ")
+      val cat = (0 until PqM).map(mi => s"c$mi.centroid").mkString(" || ")
+      s"""WITH $pqTrainSql,
+         |recon AS (
+         |  SELECT af0.vec_id, $cat AS r
+         |  FROM af0 JOIN cb0_$PqIters c0 ON af0.cid = c0.cid
+         |       $reconJoins),
+         |nrm AS (
+         |  SELECT e.vec_id,
+         |         list_transform(e.embedding::DOUBLE[],
+         |           x -> x / sqrt(list_dot_product(e.embedding::DOUBLE[],
+         |                                          e.embedding::DOUBLE[]))) AS xn,
+         |         list_transform(r.r,
+         |           x -> x / sqrt(list_dot_product(r.r, r.r))) AS rn
+         |  FROM recon r JOIN embeddings e USING (vec_id)),
+         |err AS (
+         |  SELECT vec_id,
+         |         sqrt(list_reduce(list_transform(range(1, 65),
+         |           i -> (xn[i] - rn[i]) * (xn[i] - rn[i])),
+         |           (x, y) -> x + y)) AS d
+         |  FROM nrm),
+         |m AS (SELECT round(avg(CASE WHEN vec_id < 400 THEN d END), 6) AS b6,
+         |             round(avg(d), 6) AS c6 FROM err)
+         |SELECT b6 AS build_mean_err, c6 AS current_mean_err,
+         |       round(c6 - b6, 6) AS drift FROM m""".stripMargin
+    },
     // the batch-recall replay with the predicate inside the candidate
     // set AND the exact reference (filtered brute force), 20 queries
     "ivfpq_filtered_batch_recall" -> {
@@ -4132,6 +4201,65 @@ object SparkEntry {
          |       round(avg(rr), 6) AS mrr_at_10,
          |       round(avg(CASE WHEN idcg > 0 THEN dcg / idcg ELSE 0e0 END),
          |             6) AS ndcg_at_10
+         |FROM wi""".stripMargin,
+    // the metric tail over the RRF fusion of the two batch rankings
+    // (the hybrid_rrf_batch_top3 CTE chain at depth 20, top-5 scored)
+    "hybrid_eval" ->
+      s"""WITH $bm25BatchCtes,
+         |brank AS (
+         |  SELECT qid, doc_id, ra FROM (
+         |    SELECT qid, doc_id,
+         |           row_number() OVER (PARTITION BY qid
+         |             ORDER BY score DESC, doc_id ASC) AS ra
+         |    FROM bscored) WHERE ra <= 20),
+         |qv AS (SELECT vec_id AS qid, embedding AS qvec
+         |       FROM embeddings WHERE vec_id < 3),
+         |vrank AS (
+         |  SELECT qid, doc_id, rb FROM (
+         |    SELECT qv.qid, e.vec_id AS doc_id,
+         |           row_number() OVER (PARTITION BY qv.qid
+         |             ORDER BY ${cosSql("e.embedding", "qv.qvec")} DESC,
+         |                      e.vec_id ASC) AS rb
+         |    FROM embeddings e CROSS JOIN qv) WHERE rb <= 20),
+         |fused AS (
+         |  SELECT qid, doc_id,
+         |         round(coalesce(1.0::DOUBLE / (60 + ra), 0.0::DOUBLE)
+         |             + coalesce(1.0::DOUBLE / (60 + rb), 0.0::DOUBLE), 6) AS rrf
+         |  FROM brank FULL JOIN vrank USING (qid, doc_id)),
+         |ql AS (SELECT qid::BIGINT AS qid, qlabel FROM (VALUES
+         |  (0, 'src3'), (1, 'src5'), (2, 'src7')) AS t(qid, qlabel)),
+         |topk AS (
+         |  SELECT qid, doc_id, rank FROM (
+         |    SELECT qid, doc_id,
+         |           row_number() OVER (PARTITION BY qid
+         |             ORDER BY rrf DESC, doc_id ASC) AS rank
+         |    FROM fused) WHERE rank <= 5),
+         |perq AS (
+         |  SELECT t.qid, ql.qlabel,
+         |         coalesce(1e0 / min(CASE WHEN d.source = ql.qlabel THEN t.rank END),
+         |                  0e0) AS rr,
+         |         sum(CASE WHEN d.source = ql.qlabel THEN 1e0 / log2(t.rank + 1)
+         |                  ELSE 0e0 END) AS dcg
+         |  FROM topk t JOIN documents d USING (doc_id)
+         |       JOIN ql ON ql.qid = t.qid
+         |  GROUP BY 1, 2),
+         |pa AS (
+         |  SELECT ql.qid, ql.qlabel, coalesce(perq.rr, 0e0) AS rr,
+         |         coalesce(perq.dcg, 0e0) AS dcg
+         |  FROM ql LEFT JOIN perq ON perq.qid = ql.qid),
+         |rc AS (SELECT source AS qlabel, count(*)::BIGINT AS n_rel
+         |       FROM documents GROUP BY 1),
+         |wi AS (
+         |  SELECT pa.qid, pa.rr, pa.dcg,
+         |         CASE WHEN coalesce(rc.n_rel, 0) >= 1 THEN
+         |           list_reduce(list_transform(range(1, least(rc.n_rel, 5) + 1),
+         |             i -> 1e0 / log2((i + 1)::DOUBLE)), (x, y) -> x + y)
+         |         ELSE 0e0 END AS idcg
+         |  FROM pa LEFT JOIN rc USING (qlabel))
+         |SELECT count(*)::BIGINT AS n_queries,
+         |       round(avg(rr), 6) AS mrr_at_5,
+         |       round(avg(CASE WHEN idcg > 0 THEN dcg / idcg ELSE 0e0 END),
+         |             6) AS ndcg_at_5
          |FROM wi""".stripMargin,
     // the same metric replay over the batch-BM25 ranking; rel labels
     // come from documents.source, idcg truncates at that source's size

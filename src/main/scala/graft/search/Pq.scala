@@ -194,6 +194,9 @@ object Pq {
     // radius — a range probe before the re-record must fail loudly)
     graft.io.Fs.delete(corpus.sparkSession, s"$path/codes.tombstones")
     graft.io.Fs.delete(corpus.sparkSession, s"$path/codes.rstats")
+    // ... and the reconstruction-drift baseline: a stale one would
+    // make reconstructionDrift compare against the previous build
+    graft.io.Fs.delete(corpus.sparkSession, s"$path/codes.qstats")
     corpus.select(col(idCol), col(vecCol))
       .repartitionByRange(col(idCol)).sortWithinPartitions(col(idCol))
       .write.mode("overwrite").parquet(s"$path/vectors")
@@ -580,6 +583,55 @@ object Pq {
       .select(col(idCol),
         round(VectorOps.cosine(col(vecCol), col("qvec")), 6).as("sim"))
       .filter(col("sim") >= tau)
+  }
+
+  /** Mean normalized reconstruction error of the index's current
+    * survivors: avg over rows of `‖x̂ − r̂‖` (normalized vector vs its
+    * normalized PQ reconstruction) — one codes ⋈ vectors scan. */
+  private def meanReconError(spark: org.apache.spark.sql.SparkSession, path: String,
+                             cb: Codebooks, idCol: String, vecCol: String): Double = {
+    val codes = Ann.dropTombstones(
+      spark.read.parquet(s"$path/codes"), s"$path/codes", idCol)
+    codes.join(spark.read.parquet(s"$path/vectors"), Seq(idCol))
+      .select(sqrt(aggregate(
+        zip_with(graft.functions.L2Normalize(col(vecCol)),
+          graft.functions.L2Normalize(reconstructCol(col("codes"), cb)),
+          (x, y) => (x - y) * (x - y)),
+        lit(0.0), (acc, v) => acc + v)).as("__e"))
+      .agg(avg(col("__e"))).head().getDouble(0)
+  }
+
+  /** Record the reconstruction-error BASELINE at `<path>/codes.qstats`
+    * — the PQ half of the drift story [[Ann.recordIvfModel]] covers
+    * for the coarse quantizer: appends encode through the FROZEN
+    * codebooks forever, so under distribution drift the quantization
+    * error grows while ADC rankings silently degrade. Call right after
+    * [[buildIvfPqIndex]] (which deletes a stale baseline) and after a
+    * retrain. */
+  def recordIvfPqModel(spark: org.apache.spark.sql.SparkSession, path: String,
+                       cb: Codebooks, idCol: String = "vec_id",
+                       vecCol: String = "embedding"): Unit = {
+    import spark.implicits._
+    Seq(meanReconError(spark, path, cb, idCol, vecCol)).toDF("mean_err")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/codes.qstats")
+  }
+
+  /** Codebook-staleness drift vs the recorded baseline — the
+    * "retrain the PQ side now?" scalar, [[Ann.assignmentDrift]]'s
+    * twin for the quantization error: one row `(build_mean_err,
+    * current_mean_err, drift)` (round-6), drift > 0 means the current
+    * contents reconstruct WORSE through the frozen codebooks than the
+    * build corpus did — schedule [[retrainIvfPqIndex]] when it
+    * crosses the deployment's threshold. */
+  def reconstructionDrift(spark: org.apache.spark.sql.SparkSession, path: String,
+                          cb: Codebooks, idCol: String = "vec_id",
+                          vecCol: String = "embedding"): DataFrame = {
+    import spark.implicits._
+    def r6(x: Double): Double = VectorOps.round6(x)
+    val b6 = r6(spark.read.parquet(s"$path/codes.qstats").head().getDouble(0))
+    val c6 = r6(meanReconError(spark, path, cb, idCol, vecCol))
+    Seq((b6, c6, r6(c6 - b6)))
+      .toDF("build_mean_err", "current_mean_err", "drift")
   }
 
   /** BATCH filtered probe of a materialized IVF-PQ index — the

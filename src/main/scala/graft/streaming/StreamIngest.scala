@@ -100,6 +100,33 @@ object StreamIngest {
         }
       }
 
+  /** Streaming maintenance of a materialized IVF VECTOR index — the
+    * vector twin of [[bm25MaintenanceSink]], making the spec-only
+    * streaming-append precedent a first-class operator: each
+    * micro-batch of (id, vector) rows assigns against the FROZEN
+    * centroids and appends into the index's `partitionBy(__cluster)`
+    * layout ([[graft.search.Ann.appendToIvfIndex]] through
+    * foreachBatch), so probes keep their plan-time pruning while the
+    * stream runs. The model is a parameter, not derived — training is
+    * a batch concern ([[graft.search.Ann.kmeansCentroids]]); watch
+    * [[graft.search.Ann.assignmentDrift]] and retrain when the stream
+    * drifts. An append to a fresh path CREATES the index, so the sink
+    * is self-initializing; a fresh [[graft.search.Ann.buildIvfIndex]]
+    * at the path clears old batch markers automatically (overwrite
+    * removes the directory, markers included). Batch-id markers make
+    * restart replays no-ops instead of double appends; probe-after-
+    * drain ≡ from-scratch build is pinned in StoreStreamSpec. */
+  def ivfMaintenanceSink(vecs: DataFrame, cents: Seq[Seq[Double]], path: String,
+                         vecCol: String = "embedding"): DataStreamWriter[org.apache.spark.sql.Row] =
+    vecs.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        oncePerBatch(batch.sparkSession, s"$path/_applied_batches", batchId) {
+          if (batch.isEmpty) ()
+          else graft.search.Ann.appendToIvfIndex(batch, cents, path, vecCol)
+        }
+      }
+
   /** Streaming maintenance of a persisted count-min sketch
     * ([[graft.analysis.FreqSketch]]): each micro-batch's cells append
     * next to the store's (cells are sums — no read-modify-write, the

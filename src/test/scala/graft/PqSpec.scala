@@ -332,6 +332,38 @@ class PqSpec extends SparkSpec {
     assert(got == brute && got.nonEmpty && got.subsetOf((0L until 20L).toSet))
   }
 
+  test("reconstruction drift: zero at build, moves after a stale append, zero after retrain") {
+    import spark.implicits._
+    val emb = graft.io.Tables.embeddings(spark, sf0001)
+    val cents = graft.search.Ann.kmeansCentroids(emb, "vec_id", "embedding", 8, 1)
+    val cb = Pq.train(emb.filter(col("vec_id") < 300), "vec_id", "embedding", 64, 8, 16, 1)
+    val tmp = java.nio.file.Files.createTempDirectory("graft-ivfpq-qd").toString
+    val idx = tmp + "/idx"
+    Pq.buildIvfPqIndex(emb.filter(col("vec_id") < 300), cents, cb, idx)
+    Pq.recordIvfPqModel(spark, idx, cb)
+    def drift(p: String, b: Pq.Codebooks): (Double, Double, Double) = {
+      val r = Pq.reconstructionDrift(spark, p, b).head()
+      (r.getDouble(0), r.getDouble(1), r.getDouble(2))
+    }
+    val atBuild = drift(idx, cb)
+    assert(atBuild._3 == 0.0 && atBuild._1 == atBuild._2,
+      s"baseline == current at record time: $atBuild")
+    // append rows the codebooks never saw: the mean error MOVES
+    Pq.appendToIvfPqIndex(emb.filter(col("vec_id") >= 300), cents, cb, idx)
+    val after = drift(idx, cb)
+    assert(after._1 == atBuild._1, "the recorded baseline must not change")
+    assert(after._3 != 0.0 && after._3 ==
+      BigDecimal(after._2 - after._1).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble ||
+      math.abs(after._3 - (after._2 - after._1)) < 2e-6,
+      s"drift must be round6(current - build): $after")
+    // a retrain re-fits the codebooks on the survivors and a fresh
+    // record resets the drift to zero
+    val dst = tmp + "/retrained"
+    val (cents2, cb2) = Pq.retrainIvfPqIndex(spark, idx, dst, 8, 1, 64, 8, 16, 1)
+    Pq.recordIvfPqModel(spark, dst, cb2)
+    assert(drift(dst, cb2)._3 == 0.0)
+  }
+
   test("ADC top-k ranks the true neighbors of the query first") {
     val cb = Pq.train(corpus, "vec_id", "embedding", 8, 2, 4, 2)
     val q = corpus.filter(col("vec_id") === 0L)

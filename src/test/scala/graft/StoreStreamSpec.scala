@@ -110,12 +110,10 @@ class StoreStreamSpec extends SparkSpec {
     val rows = emb.collect().map(r =>
       (r.getLong(0), r.getSeq[Float](1).toSeq)).toSeq
     val input = MemoryStream[(Long, Seq[Float])]
-    val q = input.toDF().toDF("vec_id", "embedding")
-      .writeStream
-      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
-        graft.search.Ann.appendToIvfIndex(batch, cents, dir)
-      }
-      .start()
+    // the first-class sink: self-initializing append into the
+    // partitioned layout, batch-id markers for replay idempotence
+    val q = graft.streaming.StreamIngest.ivfMaintenanceSink(
+      input.toDF().toDF("vec_id", "embedding"), cents, dir).start()
     rows.grouped(200).foreach { g => input.addData(g); q.processAllAvailable() }
     q.stop()
     val query = emb.filter(col("vec_id") === 0L).select(col("embedding").as("qvec"))
