@@ -1158,6 +1158,42 @@ object SparkEntry {
           "doc_id", "lang", alpha = 0.5, budget = 250L)
         .select(col("doc_id"), col("lang"))
         .orderBy(col("doc_id"))),
+    // ---- [EXT] MATERIALIZED packed windows — the training artifact
+    // seq_pack only assigns: per window, the docs' texts concatenated
+    // in id order (hash-pinned — the order is part of the artifact),
+    // doc count and token totals. Order is carried inside the
+    // collected structs (the contextAgg convention), never assumed
+    // from row order.
+    "packed_windows_text" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val weighted = docs.select(col("doc_id"),
+        TextAnalysis.tokenCount(col("text")).cast("long").as("weight"))
+      graft.analysis.SeqPack.packWindows(weighted, "doc_id", "weight", 512L)
+        .join(docs.select(col("doc_id"), col("text")), Seq("doc_id"))
+        .groupBy(col("window_id"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("weight")).as("total_tokens"),
+          md5(array_join(
+            transform(sort_array(collect_list(struct(col("doc_id"), col("text")))),
+              r => r.getField("text")), "\n\n")).as("content_hash"))
+        .orderBy(col("window_id"))
+    }),
+    // ---- [EXT] percentile-threshold curation (the Gopher adaptive
+    // cut): keep docs at or above the corpus's P10 quality — the
+    // threshold is DATA (a 1-row broadcast from the exact interpolated
+    // percentile), not a hand tuned constant, so it tracks corpus
+    // shifts; round-6 on both the scores and the threshold keeps the
+    // boundary decision cross-engine exact
+    "quality_percentile_cut" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+        .select(col("doc_id"), TextAnalysis.qualityScore(col("text")).as("q"))
+      val thr = docs.agg(
+        round(expr("percentile(q, CAST(0.1 AS DOUBLE))"), 6).as("p10"))
+      docs.crossJoin(broadcast(thr))
+        .filter(col("q") >= col("p10"))
+        .select(col("doc_id"), col("q"))
+        .orderBy(col("doc_id"))
+    }),
     // ---- [EXT] upsert / merge (SCD-1 last-wins): a re-ingested slice
     // overrides the base corpus per key — the incremental-corpus-update
     // shape; keyed window, fully distributed
@@ -4655,6 +4691,42 @@ object SparkEntry {
          |      FROM w)
          |SELECT doc_id, weight, (cum // 512)::BIGINT AS window_id
          |FROM c ORDER BY doc_id""".stripMargin,
+    // the packing replay joined back to the texts; id-ordered
+    // string_agg mirrors the sorted-struct concat
+    "packed_windows_text" ->
+      s"""WITH w AS (SELECT doc_id, len($toksSql)::BIGINT AS weight FROM documents),
+         |c AS (SELECT doc_id, weight,
+         |             coalesce(sum(weight) OVER (ORDER BY doc_id
+         |               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum
+         |      FROM w),
+         |p AS (SELECT doc_id, weight, (cum // 512)::BIGINT AS window_id FROM c)
+         |SELECT p.window_id, count(*)::BIGINT AS n_docs,
+         |       sum(p.weight)::BIGINT AS total_tokens,
+         |       md5(string_agg(d.text, chr(10) || chr(10) ORDER BY p.doc_id))
+         |         AS content_hash
+         |FROM p JOIN documents d USING (doc_id)
+         |GROUP BY p.window_id ORDER BY p.window_id""".stripMargin,
+    // the quality chain (the `quality` oracle's expressions), the
+    // exact interpolated P10 (quantile_cont — the percentile_stats
+    // convention) rounded to 6, and the keep filter
+    "quality_percentile_cut" ->
+      s"""WITH qd AS (
+         |  SELECT doc_id,
+         |         len($toksSql)::BIGINT AS tc,
+         |         (length(lower(text)) -
+         |          length(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g')))::DOUBLE /
+         |         greatest(length(text), 1) AS pr,
+         |         len(list_filter($toksSql,
+         |             t -> list_contains(['the','and','of','to','in','is'], t)))::DOUBLE /
+         |         greatest(len($toksSql), 1) AS sr
+         |  FROM documents),
+         |qs AS (SELECT doc_id,
+         |              round(0.4 * least(tc / 50.0, 1.0) + 0.3 * (1.0 - pr) +
+         |                    0.3 * least(sr * 5.0, 1.0), 6) AS q
+         |       FROM qd),
+         |thr AS (SELECT round(quantile_cont(q, 0.1), 6) AS p10 FROM qs)
+         |SELECT doc_id, q FROM qs, thr WHERE q >= thr.p10
+         |ORDER BY doc_id""".stripMargin,
     "upsert_latest" ->
       """SELECT doc_id, version, md5(text) AS content_hash FROM (
         |  SELECT doc_id, text, version,
