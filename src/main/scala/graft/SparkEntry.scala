@@ -499,6 +499,22 @@ object SparkEntry {
           col("chunk_id").cast("long").as("chunk_id"))
         .orderBy(col("doc_id"), col("pos"))
     }),
+    // ---- [EXT] chunk → document round trip: reassemble each doc from
+    // its overlapping windows (pos-0 chunk whole, later chunks minus
+    // the overlap prefix) and assert EXACT equality with the original
+    // — the inverse a chunk-granularity pipeline needs to emit a
+    // reconstituted corpus. roundtrip_ok must be 1 on every row.
+    "doc_reassembly" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val ch = Chunker.chunk(docs, "text", 100, 20)
+        .select(col("doc_id"), col("pos"), col("chunk"))
+      Chunker.reassemble(ch, "doc_id", 20)
+        .join(docs.select(col("doc_id"), col("text").as("orig")), Seq("doc_id"))
+        .select(col("doc_id"), col("n_chunks"),
+          length(col("text")).cast("long").as("n_chars"),
+          (col("text") === col("orig")).cast("long").as("roundtrip_ok"))
+        .orderBy(col("doc_id"))
+    }),
     // ---- A8: append/union (incremental add, `vectorDb.ts:7-9`)
     "append_union" -> ((s, dir) => {
       val e = Tables.embeddings(s, dir)
@@ -626,6 +642,16 @@ object SparkEntry {
           when(col("doc_id") === col("rep_id"), 1L).otherwise(0L).as("keep"))
         .orderBy(col("doc_id"))
     }),
+    // ---- [EXT] duplicate-aware sampling weights (SOFT dedup): every
+    // doc kept, weighted 1/|near-dup component| so duplicated content
+    // carries total mass 1 for a downstream weighted sampler or
+    // loss-weighting trainer — dedup as reweighting, not removal.
+    "dedup_weights" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val pairs = Dedup.minhashJaccardPairs(docs, "doc_id", "text", 5, 32, 8, 0.5)
+      Dedup.componentWeights(docs, pairs, "doc_id")
+        .orderBy(col("doc_id"))
+    }),
     // ---- [EXT] INCREMENTAL dedup: the 80% "corpus" persists its
     // MinHash/LSH signature store once; the 20% "delta" batch is then
     // deduped against store ∪ itself WITHOUT re-shingling the corpus —
@@ -697,6 +723,22 @@ object SparkEntry {
           .select(col("vec_id").as("qid"), col("embedding").as("qvec"),
             col("label").as("qlabel")),
         k = 10)
+    }),
+    // ---- [EXT] the multi-depth eval CURVE: one ranking pass at
+    // k=10, metrics (MRR/nDCG/recall@k) truncated at k ∈ {1,3,5,10}
+    // via a bounded explode — a reranker that helps at 10 and hurts
+    // at 1 is invisible to any single-k gate.
+    "recall_curve" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val corpus = emb.filter(col("vec_id") % 25 =!= 0)
+      val qs = emb.filter(col("vec_id") % 25 === 0)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec"),
+          col("label").as("qlabel"))
+      val res = Search.similarityJoin(corpus, qs, 10)
+        .select(col("qid"), col("vec_id"), col("sim"))
+      graft.analysis.Eval.rankedEvalCurve(res, "sim",
+          qs.select(col("qid"), col("qlabel")), corpus, Seq(1, 3, 5, 10))
+        .orderBy(col("k"))
     }),
     // ---- [EXT] the SAME MRR/nDCG gate over the LEXICAL stack: batch
     // BM25 rankings (qid, doc_id, score) scored by Eval.rankedEval
@@ -802,6 +844,29 @@ object SparkEntry {
           |  'n_chars', n, nc_nulls,     nc_distinct,     nc_min,               nc_max)
           |  AS (column_name, n, n_nulls, n_distinct, min_val, max_val)""".stripMargin))
         .orderBy(col("column_name"))
+    }),
+    // ---- [EXT] per-source dataset card (the "data statement" a
+    // corpus release ships): doc/token mass, mean quality, exact
+    // interpolated median length, language spread + dominant language
+    // (mode, lang-ASC tiebreak). One source-keyed agg + one
+    // (source, lang)-keyed agg with a per-source argmax window —
+    // never a global sort; exact percentile is per-GROUP state,
+    // bounded by the distinct-length count within a source.
+    "source_profile" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+      val base = d.groupBy(col("source")).agg(
+        count(lit(1)).as("n_docs"),
+        sum(TextAnalysis.tokenCount(col("text")).cast("long")).as("total_tokens"),
+        round(avg(TextAnalysis.qualityScore(col("text"))), 6).as("mean_quality"),
+        round(expr("percentile(n_chars, 0.5)"), 6).as("p50_chars"),
+        countDistinct(col("lang")).as("n_langs"))
+      val lc = d.groupBy(col("source"), col("lang")).agg(count(lit(1)).as("ln"))
+      val w = Window.partitionBy(col("source"))
+        .orderBy(col("ln").desc, col("lang").asc)
+      val top = lc.withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") === 1)
+        .select(col("source"), col("lang").as("top_lang"))
+      base.join(top, Seq("source")).orderBy(col("source"))
     }),
     // ---- [EXT] equi-width histogram with data-derived bounds: the
     // (lo, hi) scalars ride a 1-row broadcast (above_avg pattern), the
@@ -1037,6 +1102,17 @@ object SparkEntry {
       val vec = Search.knn(Tables.embeddings(s, dir), queryVec(s, dir), 20)
         .select(col("vec_id").as("doc_id"), col("sim"))
       Lexical.rrfFuse(bm, vec, "doc_id", "score", "sim", 5)
+    }),
+    // ---- [EXT] SCORE-level hybrid fusion: min-max normalized linear
+    // blend (alpha=0.5) of the same two top-20s — the score-shape-
+    // sensitive alternative to RRF (identical rank lists can fuse
+    // differently when one race is close and the other is a runaway).
+    "hybrid_linear_top5" -> ((s, dir) => {
+      val bm = Lexical.bm25TopK(Tables.documents(s, dir), "text", "doc_id",
+        Seq("spark", "join", "table", "filter"), 20)
+      val vec = Search.knn(Tables.embeddings(s, dir), queryVec(s, dir), 20)
+        .select(col("vec_id").as("doc_id"), col("sim"))
+      Lexical.linearFuse(bm, vec, "doc_id", "score", "sim", 5)
     }),
     // ---- [EXT] batch lexical retrieval: BM25 top-3 PER QUERY over a
     // query TABLE — the per-(doc, term) weight is query-independent and
@@ -1344,6 +1420,14 @@ object SparkEntry {
     "event_paths_top10" -> ((s, dir) =>
       graft.analysis.Funnel.topEventPaths(Tables.events(s, dir),
         "user_id", "event_type", "ts", "event_id", n = 3, k = 10)),
+    // ---- [EXT] first-order event-transition matrix: per consecutive
+    // (src → dst) pair inside each user's ordered stream, count +
+    // p(dst | src) — the Markov-chain baseline. One lead window on
+    // the user key, |types|²-bounded reduce.
+    "event_transitions" -> ((s, dir) =>
+      graft.analysis.Funnel.eventTransitions(Tables.events(s, dir),
+          "user_id", "event_type", "ts", "event_id")
+        .orderBy(col("src"), col("dst"))),
     // ---- [EXT] retention cohorts: users keyed by first-activity day,
     // counted per (cohort, day-offset) — one map-side-deduped user
     // shuffle carrying bounded day sets
@@ -3945,6 +4029,22 @@ object SparkEntry {
          |       (row_number() OVER (ORDER BY doc_id, pos) - 1)::BIGINT AS chunk_id
          |FROM ($chunksSql) WHERE length(trim(chunk)) > 0
          |ORDER BY doc_id, pos""".stripMargin,
+    // chunk → document round trip: pos-0 chunk whole, later chunks
+    // minus the 20-char overlap prefix, concatenated in pos order
+    "doc_reassembly" ->
+      s"""WITH ch AS ($chunksSql),
+         |pieces AS (
+         |  SELECT doc_id, pos,
+         |         CASE WHEN pos = 0 THEN chunk ELSE substring(chunk, 21) END AS piece
+         |  FROM ch),
+         |rebuilt AS (
+         |  SELECT doc_id, count(*) AS n_chunks,
+         |         string_agg(piece, '' ORDER BY pos) AS text
+         |  FROM pieces GROUP BY doc_id)
+         |SELECT r.doc_id, r.n_chunks, length(r.text) AS n_chars,
+         |       (r.text = d.text)::BIGINT AS roundtrip_ok
+         |FROM rebuilt r JOIN documents d USING (doc_id)
+         |ORDER BY r.doc_id""".stripMargin,
     "append_union" ->
       """SELECT label, count(*) AS n FROM (
         |  SELECT * FROM embeddings WHERE label < 5
@@ -4100,6 +4200,17 @@ object SparkEntry {
          |SELECT d.doc_id, coalesce(c.comp, d.doc_id) AS keep_id
          |FROM documents d LEFT JOIN comp c ON c.id = d.doc_id
          |ORDER BY d.doc_id""".stripMargin,
+    // soft dedup: component labels + 1/|component| weights
+    "dedup_weights" ->
+      s"""WITH RECURSIVE $nearDupComponentsCtes,
+         |labels AS (
+         |  SELECT d.doc_id, coalesce(c.comp, d.doc_id) AS comp
+         |  FROM documents d LEFT JOIN comp c ON c.id = d.doc_id),
+         |csz AS (SELECT comp, count(*) AS n_dup FROM labels GROUP BY comp)
+         |SELECT l.doc_id, l.comp, s.n_dup,
+         |       round(1.0 / s.n_dup, 6) AS weight
+         |FROM labels l JOIN csz s USING (comp)
+         |ORDER BY l.doc_id""".stripMargin,
     // components + per-component argmax on the round-6 quality score
     // (id tiebreak): keep the cleanest duplicate, not the min id
     "dedup_best_rep" ->
@@ -4238,6 +4349,45 @@ object SparkEntry {
          |       round(avg(CASE WHEN idcg > 0 THEN dcg / idcg ELSE 0e0 END),
          |             6) AS ndcg_at_10
          |FROM wi""".stripMargin,
+    // the multi-depth curve: one rank pass at 10, per-k truncation by
+    // a ks cross join; recall@k = hits / n_rel
+    "recall_curve" ->
+      s"""WITH ks AS (SELECT unnest([1, 3, 5, 10]) AS k),
+         |qs AS (SELECT vec_id AS qid, embedding AS qvec, label AS qlabel
+         |       FROM embeddings WHERE vec_id % 25 = 0),
+         |corpus AS (SELECT * FROM embeddings WHERE vec_id % 25 <> 0),
+         |ranked AS (
+         |  SELECT q.qid, q.qlabel, c.vec_id, c.label,
+         |         row_number() OVER (PARTITION BY q.qid
+         |           ORDER BY ${cosSql("c.embedding", "q.qvec")} DESC,
+         |                    c.vec_id ASC) AS rank
+         |  FROM corpus c CROSS JOIN qs q),
+         |top AS (SELECT * FROM ranked WHERE rank <= 10),
+         |perq AS (
+         |  SELECT ks.k, t.qid, t.qlabel,
+         |         coalesce(1e0 / min(CASE WHEN t.label = t.qlabel THEN t.rank END),
+         |                  0e0) AS rr,
+         |         sum(CASE WHEN t.label = t.qlabel THEN 1e0 / log2(t.rank + 1)
+         |                  ELSE 0e0 END) AS dcg,
+         |         sum(CASE WHEN t.label = t.qlabel THEN 1 ELSE 0 END) AS hits
+         |  FROM top t CROSS JOIN ks WHERE t.rank <= ks.k
+         |  GROUP BY 1, 2, 3),
+         |rc AS (SELECT label AS qlabel, count(*)::BIGINT AS n_rel
+         |       FROM corpus GROUP BY 1),
+         |wi AS (
+         |  SELECT perq.k, perq.rr, perq.dcg, perq.hits,
+         |         coalesce(rc.n_rel, 0) AS n_rel,
+         |         CASE WHEN coalesce(rc.n_rel, 0) >= 1 THEN
+         |           list_reduce(list_transform(range(1, least(rc.n_rel, perq.k) + 1),
+         |             i -> 1e0 / log2((i + 1)::DOUBLE)), (x, y) -> x + y)
+         |         ELSE 0e0 END AS idcg
+         |  FROM perq LEFT JOIN rc USING (qlabel))
+         |SELECT k::BIGINT AS k, count(*)::BIGINT AS n_queries,
+         |       round(avg(rr), 6) AS mrr,
+         |       round(avg(CASE WHEN idcg > 0 THEN dcg / idcg ELSE 0e0 END), 6) AS ndcg,
+         |       round(avg(CASE WHEN n_rel > 0 THEN hits::DOUBLE / n_rel
+         |                 ELSE 0e0 END), 6) AS recall
+         |FROM wi GROUP BY 1 ORDER BY k""".stripMargin,
     // the metric tail over the RRF fusion of the two batch rankings
     // (the hybrid_rrf_batch_top3 CTE chain at depth 20, top-5 scored)
     "hybrid_eval" ->
@@ -4398,6 +4548,40 @@ object SparkEntry {
          |       round(0.4 * least(tc / 50.0, 1.0) + 0.3 * (1.0 - pr) +
          |             0.3 * least(sr * 5.0, 1.0), 6) AS quality_score
          |FROM q ORDER BY doc_id""".stripMargin,
+    // per-source dataset card: doc/token mass, mean round-6 quality,
+    // interpolated median chars, language spread + mode (lang ASC ties)
+    "source_profile" ->
+      s"""WITH q AS (
+         |  SELECT source, lang, n_chars,
+         |         len($toksSql)::BIGINT AS tc,
+         |         round(0.4 * least(len($toksSql) / 50.0, 1.0)
+         |             + 0.3 * (1.0 - (length(lower(text)) -
+         |                 length(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g')))::DOUBLE /
+         |                 greatest(length(text), 1))
+         |             + 0.3 * least(len(list_filter($toksSql,
+         |                 t -> list_contains(['the','and','of','to','in','is'], t)))::DOUBLE /
+         |                 greatest(len($toksSql), 1) * 5.0, 1.0), 6) AS qs
+         |  FROM documents),
+         |base AS (
+         |  SELECT source, count(*)::BIGINT AS n_docs,
+         |         sum(tc)::BIGINT AS total_tokens,
+         |         round(avg(qs), 6) AS mean_quality,
+         |         round(quantile_cont(n_chars, 0.5), 6) AS p50_chars,
+         |         count(DISTINCT lang)::BIGINT AS n_langs
+         |  FROM q GROUP BY source),
+         |lc AS (SELECT source, lang, count(*) AS ln
+         |       FROM documents GROUP BY source, lang),
+         |top AS (
+         |  SELECT source, lang AS top_lang
+         |  FROM (SELECT source, lang,
+         |               row_number() OVER (PARTITION BY source
+         |                 ORDER BY ln DESC, lang ASC) AS rn
+         |        FROM lc)
+         |  WHERE rn = 1)
+         |SELECT b.source, b.n_docs, b.total_tokens, b.mean_quality,
+         |       b.p50_chars, b.n_langs, t.top_lang
+         |FROM base b JOIN top t USING (source)
+         |ORDER BY b.source""".stripMargin,
     "profile_stats" ->
       """WITH s AS (SELECT count(*) AS n,
         |                  sum(CASE WHEN lang IS NULL THEN 1 ELSE 0 END)::BIGINT AS lang_nulls,
@@ -4758,6 +4942,31 @@ object SparkEntry {
          |           + coalesce(1.0::DOUBLE / (60 + rb), 0.0::DOUBLE), 6) AS rrf
          |FROM brank FULL JOIN vrank USING (doc_id)
          |ORDER BY rrf DESC, doc_id ASC LIMIT 5""".stripMargin,
+    // min-max normalized linear blend of the same two top-20s
+    "hybrid_linear_top5" ->
+      s"""WITH $bm25Ctes,
+         |b20 AS (SELECT doc_id, score FROM scored
+         |        ORDER BY score DESC, doc_id ASC LIMIT 20),
+         |bb AS (SELECT min(score)::DOUBLE AS lo, max(score)::DOUBLE AS hi FROM b20),
+         |bn AS (SELECT doc_id,
+         |              CASE WHEN bb.hi = bb.lo THEN 1e0
+         |                   ELSE (score - bb.lo) / (bb.hi - bb.lo) END AS na
+         |       FROM b20, bb),
+         |q AS (SELECT embedding AS qvec FROM embeddings WHERE vec_id = 0),
+         |v20 AS (
+         |  SELECT vec_id AS doc_id, sim FROM (
+         |    SELECT e.vec_id, ${cosSql("e.embedding", "q.qvec")} AS sim
+         |    FROM embeddings e, q)
+         |  ORDER BY sim DESC, vec_id ASC LIMIT 20),
+         |vb AS (SELECT min(sim)::DOUBLE AS lo, max(sim)::DOUBLE AS hi FROM v20),
+         |vn AS (SELECT doc_id,
+         |              CASE WHEN vb.hi = vb.lo THEN 1e0
+         |                   ELSE (sim - vb.lo) / (vb.hi - vb.lo) END AS nb
+         |       FROM v20, vb)
+         |SELECT doc_id,
+         |       round(0.5e0 * coalesce(na, 0e0) + 0.5e0 * coalesce(nb, 0e0), 6) AS fused
+         |FROM bn FULL JOIN vn USING (doc_id)
+         |ORDER BY fused DESC, doc_id ASC LIMIT 5""".stripMargin,
     "featurize_check" ->
       s"""WITH tok AS (
          |  SELECT doc_id, unnest($toksSql) AS tok FROM documents),
@@ -5222,6 +5431,18 @@ object SparkEntry {
         |                i -> array_to_string(seq[i + 1: i + 3], '>'))) AS path
         |  FROM seqs WHERE len(seq) >= 3)
         |GROUP BY path ORDER BY n_paths DESC, path ASC LIMIT 10""".stripMargin,
+    "event_transitions" ->
+      """WITH pr AS (
+        |  SELECT event_type AS src,
+        |         lead(event_type) OVER (PARTITION BY user_id
+        |           ORDER BY ts, event_id) AS dst
+        |  FROM events),
+        |c AS (SELECT src, dst, count(*) AS n FROM pr
+        |      WHERE dst IS NOT NULL GROUP BY 1, 2),
+        |t AS (SELECT src, sum(n)::BIGINT AS tn FROM c GROUP BY 1)
+        |SELECT c.src, c.dst, c.n, round(c.n / t.tn, 6) AS p
+        |FROM c JOIN t USING (src)
+        |ORDER BY src, dst""".stripMargin,
     "retention_cohorts" ->
       """WITH ud AS (SELECT DISTINCT user_id, date_trunc('day', ts) AS day FROM events),
         |ch AS (SELECT user_id, min(day) AS cohort FROM ud GROUP BY user_id),

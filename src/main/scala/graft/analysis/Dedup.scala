@@ -410,6 +410,35 @@ object Dedup {
     labels
   }
 
+  /** Duplicate-aware sampling weights — the SOFT alternative to
+    * dropping duplicates (the "keep one copy" policies above): every
+    * document stays in the corpus but carries weight 1/|its near-dup
+    * component|, so a downstream weighted sampler (or a loss-weighting
+    * trainer) sees each duplicated CONTENT with total mass 1 regardless
+    * of how many copies exist. This is the published middle ground when
+    * hard dedup is too aggressive (e.g. boilerplate-heavy but distinct
+    * docs) — deduplication as reweighting rather than removal.
+    *
+    * `pairs` is any undirected near-dup pair frame (LSH/Jaccard/SimHash
+    * — same input as [[components]]); singleton docs get comp = own id,
+    * n_dup = 1, weight = 1. Weight rounds to 6 so the boundary
+    * arithmetic replays cross-engine. Scale shape: the [[components]]
+    * label propagation plus ONE comp-keyed count join — no global
+    * window, no pair re-enumeration; weights ride the same comp key the
+    * labels already shuffled on. */
+  def componentWeights(docs: DataFrame, pairs: DataFrame, idCol: String,
+                       aCol: String = "id_a", bCol: String = "id_b"): DataFrame = {
+    val comp = components(pairs, aCol, bCol)
+      .withColumnRenamed("id", idCol)
+    val labeled = docs.select(col(idCol))
+      .join(comp, Seq(idCol), "left")
+      .select(col(idCol), coalesce(col("comp"), col(idCol)).as("comp"))
+    val sizes = labeled.groupBy(col("comp")).agg(count(lit(1)).as("n_dup"))
+    labeled.join(sizes, Seq("comp"))
+      .select(col(idCol), col("comp"), col("n_dup"),
+        round(lit(1.0) / col("n_dup"), 6).as("weight"))
+  }
+
   /** Embedding-cosine near-duplicate pairs inside a blocking key
     * (`blockKey` — typically an LSH bucket, [[graft.search.Ann.lshBucket]],
     * or an IVF cluster id; fine-grained keys keep the per-block pair

@@ -105,6 +105,72 @@ object Eval {
           .otherwise(lit(0.0))), 6).as(s"ndcg_at_$k"))
   }
 
+  /** The multi-depth form of [[rankedEval]] — one row per cutoff k in
+    * `ks`, each carrying `n_queries`, `mrr`, `ndcg`, and `recall`
+    * (recall@k = #relevant retrieved in the top-k / #relevant in the
+    * corpus; 0 when the label has no relevant row). This is the eval
+    * CURVE a retrieval change is actually judged on — a reranker that
+    * helps at k=10 and hurts at k=1 is invisible to any single-k gate.
+    *
+    * One pass: a single window at max(ks) ranks the results once; the
+    * per-k truncation is an explode over the (bounded, tiny) `ks`
+    * literal array, so the result frame grows by |ks| — never a second
+    * window or a re-scan per cutoff. Metric definitions are exactly
+    * [[rankedEval]]'s at each k (including zero-hit queries counting 0
+    * via the (k × queries) left join, and unknown result ids scoring
+    * rel 0). */
+  def rankedEvalCurve(results: DataFrame, orderCol: String, queries: DataFrame,
+                      corpus: DataFrame, ks: Seq[Int],
+                      idCol: String = "vec_id", labelCol: String = "label"): DataFrame = {
+    require(ks.nonEmpty, "ks must be non-empty")
+    val kMax = ks.max
+    val kArr = array(ks.map(k => lit(k)): _*)
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col(orderCol).desc, col(idCol).asc)
+    val top = results.select(col("qid"), col(idCol), col(orderCol))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= kMax)
+      .join(corpus.select(col(idCol), col(labelCol)), Seq(idCol), "left")
+      .join(broadcast(queries.select(col("qid"), col("qlabel"))), Seq("qid"))
+      .withColumn("rel",
+        coalesce((col(labelCol) === col("qlabel")).cast("int"), lit(0)))
+    val perQuery = top.withColumn("k", explode(kArr))
+      .filter(col("rank") <= col("k"))
+      .groupBy(col("k"), col("qid"), col("qlabel")).agg(
+        coalesce(lit(1.0) / min(when(col("rel") === 1, col("rank"))), lit(0.0))
+          .as("rr"),
+        sum(when(col("rel") === 1, lit(1.0) / log2(col("rank") + lit(1)))
+          .otherwise(lit(0.0))).as("dcg"),
+        sum(col("rel")).cast("long").as("hits"))
+    val qK = queries.select(col("qid"), col("qlabel"))
+      .withColumn("k", explode(kArr))
+    val relCounts = corpus.groupBy(col(labelCol).as("qlabel"))
+      .agg(count(lit(1)).as("n_rel"))
+    qK.join(perQuery, Seq("k", "qid", "qlabel"), "left")
+      .withColumn("rr", coalesce(col("rr"), lit(0.0)))
+      .withColumn("dcg", coalesce(col("dcg"), lit(0.0)))
+      .withColumn("hits", coalesce(col("hits"), lit(0L)))
+      .join(relCounts, Seq("qlabel"), "left")
+      .withColumn("n_rel", coalesce(col("n_rel"), lit(0L)))
+      .withColumn("idcg",
+        when(col("n_rel") >= 1,
+          aggregate(
+            sequence(lit(1), least(col("n_rel"), col("k").cast("long")).cast("int")),
+            lit(0.0),
+            (acc, i) => acc + lit(1.0) / log2(i.cast("double") + lit(1.0))))
+          .otherwise(lit(0.0)))
+      .groupBy(col("k")).agg(
+        count(lit(1)).as("n_queries"),
+        round(avg(col("rr")), 6).as("mrr"),
+        round(avg(when(col("idcg") > 0, col("dcg") / col("idcg"))
+          .otherwise(lit(0.0))), 6).as("ndcg"),
+        round(avg(when(col("n_rel") >= 1,
+            col("hits").cast("double") / col("n_rel"))
+          .otherwise(lit(0.0))), 6).as("recall"))
+      .select(col("k").cast("long").as("k"), col("n_queries"),
+        col("mrr"), col("ndcg"), col("recall"))
+  }
+
   /** Hard-negative mining for contrastive retriever training: per
     * query, the k highest-cosine corpus rows whose label does NOT
     * match — the near-misses that make the strongest training

@@ -190,6 +190,34 @@ object Funnel {
     countsFromStepTimes(
       stepTimes(events, userCol, typeCol, tsCol, steps, maxGapSeconds), steps)
 
+  /** First-order event-transition matrix — for every consecutive
+    * `(src → dst)` event pair inside a user's (ts, id)-ordered stream:
+    * the count and the conditional probability
+    * `p(dst | src) = n(src, dst) / Σ_d n(src, d)`, rounded to 6. This
+    * is the Markov-chain view of [[topEventPaths]] at n = 2 — the
+    * normalized form a product analyst reads as "after a search, 38 %
+    * of next actions are a click" and a simulation/anomaly pipeline
+    * uses as the baseline transition model.
+    *
+    * Plan shape: ONE user-keyed window (`lead` — constant per-row
+    * state, no per-user array), then a `(src, dst)` reduce whose keys
+    * are bounded by |event types|², and a broadcast-sized src-total
+    * join off that bounded frame. The last event of each user has no
+    * successor and drops out — transitions never cross users. */
+  def eventTransitions(events: DataFrame, userCol: String, typeCol: String,
+                       tsCol: String, idCol: String): DataFrame = {
+    val w = Window.partitionBy(col(userCol)).orderBy(col(tsCol), col(idCol))
+    val counts = events
+      .withColumn("__dst", lead(col(typeCol), 1).over(w))
+      .filter(col("__dst").isNotNull)
+      .groupBy(col(typeCol).as("src"), col("__dst").as("dst"))
+      .agg(count(lit(1)).as("n"))
+    val totals = counts.groupBy(col("src")).agg(sum(col("n")).as("__tn"))
+    counts.join(totals, Seq("src"))
+      .select(col("src"), col("dst"), col("n"),
+        round(col("n") / col("__tn"), 6).as("p"))
+  }
+
   /** Top event paths: the most common length-`n` ordered event-type
     * sequences across users ("what do people actually do?"). Per user,
     * events sort by `(ts, idCol)` (the project total order) into one

@@ -588,4 +588,38 @@ object Lexical {
       .orderBy(col("rrf").desc, col(idCol).asc)
       .limit(k)
   }
+
+  /** SCORE-level hybrid fusion — the standard alternative to [[rrfFuse]]
+    * when the two scores' SHAPES should matter, not just their ranks
+    * (a close BM25 race and a runaway cosine winner fuse differently
+    * here; RRF sees identical rank lists). Each input ranking (already
+    * truncated to its retrieval depth) is min-max normalized to [0, 1]
+    * within itself, then blended `alpha·normA + (1−alpha)·normB`,
+    * rounded to 6. A degenerate list (max = min — one candidate, or
+    * uniform scores) normalizes to 1.0 for every member: its presence
+    * still votes, it just cannot discriminate. An id missing from one
+    * list contributes 0 on that side (same convention as RRF's
+    * coalesce). Scale shape: the min/max bounds are 1-row broadcasts
+    * over depth-bounded frames and the fuse is a full-outer join of two
+    * ≤-depth lists — nothing touches the corpus. */
+  def linearFuse(a: DataFrame, b: DataFrame, idCol: String, orderColA: String,
+                 orderColB: String, k: Int, alpha: Double = 0.5): DataFrame = {
+    def normed(df: DataFrame, ord: String, as: String): DataFrame = {
+      val bounds = df.agg(min(col(ord)).cast("double").as("__lo"),
+        max(col(ord)).cast("double").as("__hi"))
+      df.crossJoin(broadcast(bounds))
+        .withColumn(as,
+          when(col("__hi") === col("__lo"), lit(1.0))
+            .otherwise((col(ord).cast("double") - col("__lo")) /
+              (col("__hi") - col("__lo"))))
+        .select(col(idCol), col(as))
+    }
+    normed(a, orderColA, "na").join(normed(b, orderColB, "nb"), Seq(idCol), "full_outer")
+      .withColumn("fused", round(
+        lit(alpha) * coalesce(col("na"), lit(0.0)) +
+          lit(1.0 - alpha) * coalesce(col("nb"), lit(0.0)), 6))
+      .select(col(idCol), col("fused"))
+      .orderBy(col("fused").desc, col(idCol).asc)
+      .limit(k)
+  }
 }

@@ -38,6 +38,34 @@ object Chunker {
   /** A3 — drop whitespace-only chunks (`App.tsx:61`). */
   def nonEmpty(chunkCol: Column): Column = length(trim(chunkCol)) > 0
 
+  /** Inverse of [[chunk]] — rebuild each document from its overlapping
+    * (pos, chunk) rows: the chunk at pos 0 contributes whole, every
+    * later chunk drops its first `overlap` chars (those chars are the
+    * tail of the previous window — chunk at pos p covers [p, p+size)
+    * and the previous covered through p+overlap). A short final chunk
+    * of length ≤ overlap contributes '' and is already fully covered.
+    * The round trip is EXACT for any text — that is the contract the
+    * `doc_reassembly` query and spec pin.
+    *
+    * Why it exists: chunk-level pipelines (embed, dedup, quality-filter
+    * at chunk granularity) need to reconstitute documents afterwards —
+    * e.g. re-assembling a cleaned corpus where whole chunks were
+    * dropped or rewritten. Scale shape: one doc-keyed aggregate; the
+    * per-group sorted-struct fold holds one document's text, the same
+    * bounded-state contract as the packed-window materializer. Order
+    * is carried INSIDE `array_sort` over (pos, piece) structs — no
+    * window sort, no collect_list ordering assumption. */
+  def reassemble(chunks: DataFrame, docIdCol: String, overlap: Int): DataFrame =
+    chunks
+      .withColumn("__piece",
+        when(col("pos") === 0, col("chunk"))
+          .otherwise(col("chunk").substr(lit(overlap + 1), length(col("chunk")))))
+      .groupBy(col(docIdCol))
+      .agg(count(lit(1)).as("n_chunks"),
+        array_join(
+          transform(array_sort(collect_list(struct(col("pos"), col("__piece")))),
+            x => x("__piece")), "").as("text"))
+
   /** A7 — dense 0-based ordinal chunk ids in (docIdCol, pos) order.
     *
     * Fully distributed two-level prefix sum — NO single-partition stage

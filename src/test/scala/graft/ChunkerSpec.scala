@@ -74,6 +74,34 @@ class ChunkerSpec extends SparkSpec {
     }
   }
 
+  test("reassemble: exact round trip for varied lengths incl. a tail chunk shorter than the overlap") {
+    val rnd = new scala.util.Random(11)
+    def randText(n: Int): String =
+      (0 until n).map(_ => ('a' + rnd.nextInt(26)).toChar).mkString
+    // 810 → tail chunk at pos 800 has 10 chars ≤ overlap 200 (fully
+    // covered by the previous window; must contribute '' not garbage);
+    // 800 → no tail; 1 → single tiny chunk; plus random lengths
+    val lens = Seq(1, 799, 800, 801, 810, 1000, 1600, 2600) ++
+      Seq.fill(6)(1 + rnd.nextInt(4000))
+    val docs = lens.zipWithIndex.map { case (n, i) => (i.toLong, randText(n)) }
+    val ch = Chunker.chunk(docs.toDF("doc_id", "text"), "text", 1000, 200)
+      .select(col("doc_id"), col("pos"), col("chunk"))
+    val out = Chunker.reassemble(ch, "doc_id", 200)
+      .collect().map(r => (r.getLong(0), r.getString(2))).toMap
+    docs.foreach { case (id, text) =>
+      assert(out(id) == text, s"round trip broke for doc $id len ${text.length}")
+    }
+  }
+
+  test("reassemble: n_chunks matches the chunk count and empty docs are simply absent") {
+    val docs = Seq((1L, "z" * 1700), (2L, "")).toDF("doc_id", "text")
+    val ch = Chunker.chunk(docs, "text", 1000, 200)
+      .select(col("doc_id"), col("pos"), col("chunk"))
+    val out = Chunker.reassemble(ch, "doc_id", 200)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(out == Map(1L -> 3L)) // offsets 0, 800, 1600; doc 2 chunked to nothing
+  }
+
   test("ordinalIds: dense 0-based ids in (doc, pos) order across docs (App.tsx:72-76)") {
     val docs = Seq((2L, "b" * 1700), (1L, "a" * 700), (3L, "c" * 100 + " " * 900))
       .toDF("doc_id", "text")

@@ -158,4 +158,21 @@ class DedupSpec extends SparkSpec {
     assert(exact.exists(_._3 == 1.0)) // identical texts: jaccard exactly 1
     assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L))
   }
+
+  test("componentWeights: weight = 1/|component|, singletons weigh 1, total mass = #components") {
+    val ids = Seq(0L, 1L, 2L, 3L, 10L, 11L, 42L).toDF("doc_id")
+    // chain 0-1-2-3 (one component of 4, incl. transitively-only 0~3),
+    // pair 10-11, singleton 42 never appears in a pair
+    val pairs = Seq((0L, 1L), (1L, 2L), (2L, 3L), (10L, 11L)).toDF("id_a", "id_b")
+    val out = Dedup.componentWeights(ids, pairs, "doc_id")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toMap
+    assert(out.size == 7)
+    for (i <- Seq(0L, 1L, 2L, 3L)) assert(out(i) == (0L, 4L, 0.25))
+    for (i <- Seq(10L, 11L)) assert(out(i) == (10L, 2L, 0.5))
+    assert(out(42L) == (42L, 1L, 1.0))
+    // the invariant the reweighting exists for: duplicated content
+    // carries total mass 1, so Σ weights = #distinct contents
+    assert(math.abs(out.values.map(_._3).sum - 3.0) < 1e-9)
+  }
 }

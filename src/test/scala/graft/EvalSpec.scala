@@ -80,6 +80,39 @@ class EvalSpec extends SparkSpec {
     assert(row.getDouble(1) == 1.0, "rank 1 must be id 2 (tie to lower id), relevant")
   }
 
+  test("rankedEvalCurve: per-k rows match hand values and agree with rankedEval at each k") {
+    val corpus = Seq((10L, "a"), (11L, "b"), (12L, "a")).toDF("doc_id", "label")
+    val queries = Seq((1L, "a"), (2L, "a"), (3L, "a")).toDF("qid", "qlabel")
+    val results = Seq(
+      (1L, 10L, 0.9), (1L, 11L, 0.5),
+      (3L, 999L, 0.7)
+    ).toDF("qid", "doc_id", "score")
+    val curve = Eval.rankedEvalCurve(results, "score", queries, corpus,
+        ks = Seq(1, 2), idCol = "doc_id", labelCol = "label")
+      .orderBy("k").collect()
+    assert(curve.map(_.getLong(0)).toSeq == Seq(1L, 2L))
+    assert(curve.forall(_.getLong(1) == 3))
+    // k=1: q1 hits rank 1 (rel, n_rel=2 → recall 1/2), q2 zero-hit, q3
+    // unknown id → mrr = ndcg = 1/3, recall = 1/6
+    val r6 = (x: Double) => math.rint(x * 1e6) / 1e6
+    assert(curve(0).getDouble(2) == r6(1.0 / 3))
+    assert(curve(0).getDouble(3) == r6(1.0 / 3))
+    assert(curve(0).getDouble(4) == r6(0.5 / 3))
+    // k=2: q1 dcg = 1, idcg = 1 + 1/log2(3)
+    val idcg2 = 1.0 + 1.0 / (math.log(3) / math.log(2))
+    assert(curve(1).getDouble(2) == r6(1.0 / 3))
+    assert(math.abs(curve(1).getDouble(3) - r6(1.0 / idcg2 / 3)) < 1e-9)
+    assert(curve(1).getDouble(4) == r6(0.5 / 3))
+    // each curve row reproduces the single-k gate exactly
+    for (k <- Seq(1, 2)) {
+      val single = Eval.rankedEval(results, "score", queries, corpus, k,
+        idCol = "doc_id", labelCol = "label").collect().head
+      val row = curve(k - 1)
+      assert(row.getDouble(2) == single.getDouble(1) &&
+        row.getDouble(3) == single.getDouble(2), s"curve diverges at k=$k")
+    }
+  }
+
   test("hardNegatives: only label-mismatched rows, ranked over the filtered subset") {
     val corpus = Seq(
       (0L, vec(1, 0), 0),      // relevant, sim 1.0 — must NOT take a slot

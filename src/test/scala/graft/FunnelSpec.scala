@@ -213,4 +213,28 @@ class FunnelSpec extends SparkSpec {
       ("2024-01-01", 2L, 1L, 2L, 0.5),
       ("2024-01-02", 0L, 1L, 1L, 1.0)), s"got ${got.mkString(",")}")
   }
+
+  test("eventTransitions: per-user consecutive pairs, ts-tie broken by id, no cross-user transition") {
+    val events = Seq(
+      // user 1: a → b → a → c
+      (1L, 1L, "a", "2024-01-01 10:00:00"),
+      (2L, 1L, "b", "2024-01-01 10:01:00"),
+      (3L, 1L, "a", "2024-01-01 10:02:00"),
+      (4L, 1L, "c", "2024-01-01 10:03:00"),
+      // user 2: a → b with a ts TIE — event_id 5 before 6
+      (6L, 2L, "b", "2024-01-01 09:00:00"),
+      (5L, 2L, "a", "2024-01-01 09:00:00"),
+      // user 3: single event → no transition (and none into user 1's stream)
+      (7L, 3L, "c", "2024-01-01 08:00:00"))
+      .map { case (id, u, et, at) => (id, u, et, ts(at)) }
+      .toDF("eid", "u", "et", "t")
+    val got = Funnel.eventTransitions(events, "u", "et", "t", "eid")
+      .orderBy(col("src"), col("dst")).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+      .toSeq
+    // from a: a>b ×2, a>c ×1; from b: b>a ×1; c is always terminal
+    assert(got == Seq(
+      ("a", "b", 2L, 0.666667), ("a", "c", 1L, 0.333333),
+      ("b", "a", 1L, 1.0)), s"got ${got.mkString(",")}")
+  }
 }

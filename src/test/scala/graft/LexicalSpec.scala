@@ -210,6 +210,26 @@ class LexicalSpec extends SparkSpec {
     assert(out(1)._2 == out(2)._2)
   }
 
+  test("linearFuse: min-max blend, degenerate list normalizes to 1, one-sided ids score 0 on that side") {
+    val a = Seq((1L, 10.0), (2L, 5.0), (3L, 0.0)).toDF("id", "sa") // norms 1, 0.5, 0
+    val b = Seq((2L, 0.3), (4L, 0.3)).toDF("id", "sb")             // max = min → both 1
+    val out = Lexical.linearFuse(a, b, "id", "sa", "sb", 10)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(out(1L) == 0.5)   // 0.5·1   + 0.5·0 (absent from b)
+    assert(out(2L) == 0.75)  // 0.5·0.5 + 0.5·1
+    assert(out(3L) == 0.0)
+    assert(out(4L) == 0.5)   // absent from a
+    // total order (fused DESC, id ASC) + k truncation: tie at 0.5
+    // between ids 1 and 4 → id 1
+    val top2 = Lexical.linearFuse(a, b, "id", "sa", "sb", 2)
+      .collect().map(_.getLong(0)).toSeq
+    assert(top2 == Seq(2L, 1L))
+    // alpha weighting: alpha = 1 ignores the b side entirely
+    val aOnly = Lexical.linearFuse(a, b, "id", "sa", "sb", 10, alpha = 1.0)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(aOnly(1L) == 1.0 && aOnly(2L) == 0.5 && aOnly(4L) == 0.0)
+  }
+
   test("pii redaction replaces emails and phones, leaves clean text alone") {
     val out = Seq(
       (0L, "mail a.b+c@ex-ample.co.uk now or call +1-555-123-4567 ok"),
