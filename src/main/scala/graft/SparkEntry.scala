@@ -935,6 +935,25 @@ object SparkEntry {
           col("rank").cast("long").as("rank"), col("term"), col("score"))
         .orderBy(col("cluster"), col("rank"))
     }),
+    // ---- [EXT] IVF index health report: per-cluster population +
+    // corpus share (empty clusters included at 0 via the k-row left
+    // join) — the balance signal that decides probe fan-out and when
+    // drift should become a retrain. Assignment replay is the same
+    // deterministic Lloyd the index build pins.
+    "ivf_cluster_stats" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val cents = Ann.kmeansCentroids(emb, "vec_id", "embedding", 10, 2)
+      val counts = emb.select(Ann.assignCluster(col("embedding"), cents).as("cid"))
+        .groupBy(col("cid")).agg(count(lit(1)).as("n_vecs"))
+      val tot = emb.agg(count(lit(1)).as("__n"))
+      s.range(0, cents.length).select(col("id").cast("int").as("cid"))
+        .join(counts, Seq("cid"), "left")
+        .crossJoin(broadcast(tot))
+        .select(col("cid").cast("long").as("cid"),
+          coalesce(col("n_vecs"), lit(0L)).as("n_vecs"),
+          round(coalesce(col("n_vecs"), lit(0L)) / col("__n"), 6).as("frac"))
+        .orderBy(col("cid"))
+    }),
     "tfidf_keywords" -> ((s, dir) => {
       val toks = Tables.documents(s, dir).select(col("doc_id"),
         explode(TextAnalysis.tokens(col("text"))).as("term"))
@@ -1270,6 +1289,32 @@ object SparkEntry {
         .select(col("doc_id"), col("q"))
         .orderBy(col("doc_id"))
     }),
+    // ---- [EXT] SOURCE-RELATIVE percentile cut: each source keeps its
+    // docs at or above its OWN P10 quality — the grouped form of
+    // quality_percentile_cut, so a uniformly-noisy source isn't wiped
+    // out by a cleaner source's global threshold. Thresholds are a
+    // |sources|-row broadcast; the filter stays codegen'd per row.
+    "source_quality_cut" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+        .select(col("doc_id"), col("source"),
+          TextAnalysis.qualityScore(col("text")).as("q"))
+      val thr = docs.groupBy(col("source"))
+        .agg(round(expr("percentile(q, CAST(0.1 AS DOUBLE))"), 6).as("p10"))
+      docs.join(broadcast(thr), Seq("source"))
+        .filter(col("q") >= col("p10"))
+        .select(col("doc_id"), col("source"), col("q"))
+        .orderBy(col("doc_id"))
+    }),
+    // ---- [EXT] unigram KL drift between two corpus slices — the
+    // distribution-shift alarm a re-ingest runs before trusting a new
+    // crawl: KL of add-one-smoothed unigram distributions over the
+    // union vocabulary. Two token-keyed reduces + one term equi-join.
+    "unigram_kl" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      graft.analysis.CorpusDrift.unigramKl(
+        docs.filter(col("doc_id") % 2 === 0),
+        docs.filter(col("doc_id") % 2 === 1), "text")
+    }),
     // ---- [EXT] upsert / merge (SCD-1 last-wins): a re-ingested slice
     // overrides the base corpus per key — the incremental-corpus-update
     // shape; keyed window, fully distributed
@@ -1428,6 +1473,14 @@ object SparkEntry {
       graft.analysis.Funnel.eventTransitions(Tables.events(s, dir),
           "user_id", "event_type", "ts", "event_id")
         .orderBy(col("src"), col("dst"))),
+    // ---- [EXT] per-user path surprisal under the transition model:
+    // mean −ln p(dst|src) of each user's observed transitions, top-10
+    // most anomalous — the behavioral outlier detector (bots, broken
+    // flows). Matrix is a |types|²-bounded broadcast back onto the
+    // pair stream; top-k is a TakeOrdered over user rows.
+    "path_surprisal_top10" -> ((s, dir) =>
+      graft.analysis.Funnel.pathSurprisal(Tables.events(s, dir),
+        "user_id", "event_type", "ts", "event_id", 10)),
     // ---- [EXT] retention cohorts: users keyed by first-activity day,
     // counted per (cohort, day-offset) — one map-side-deduped user
     // shuffle carrying bounded day sets
@@ -4648,6 +4701,17 @@ object SparkEntry {
          |SELECT doc_id, reason,
          |       (CASE WHEN reason = 'ok' THEN 1 ELSE 0 END)::BIGINT AS keep
          |FROM dec ORDER BY doc_id""".stripMargin,
+    // Lloyd replay → per-cluster population + share, empty clusters at 0
+    "ivf_cluster_stats" ->
+      s"""WITH ${ivfTrainSql(10, 2)},
+         |cl AS (SELECT unnest(range(0, 10)) AS cid),
+         |cn AS (SELECT cid, count(*) AS n_vecs FROM iaf GROUP BY cid),
+         |tot AS (SELECT count(*)::BIGINT AS n FROM embeddings)
+         |SELECT cl.cid::BIGINT AS cid,
+         |       coalesce(cn.n_vecs, 0)::BIGINT AS n_vecs,
+         |       round(coalesce(cn.n_vecs, 0) / tot.n, 6) AS frac
+         |FROM cl LEFT JOIN cn USING (cid), tot
+         |ORDER BY cid""".stripMargin,
     // Lloyd replay (the pinned ivfTrainSql assignments) + the
     // tfidf_keywords idf convention, aggregated per cluster.
     "cluster_top_terms" ->
@@ -4911,6 +4975,44 @@ object SparkEntry {
          |thr AS (SELECT round(quantile_cont(q, 0.1), 6) AS p10 FROM qs)
          |SELECT doc_id, q FROM qs, thr WHERE q >= thr.p10
          |ORDER BY doc_id""".stripMargin,
+    // grouped percentile cut: each source's own interpolated P10
+    "source_quality_cut" ->
+      s"""WITH qd AS (
+         |  SELECT doc_id, source,
+         |         len($toksSql)::BIGINT AS tc,
+         |         (length(lower(text)) -
+         |          length(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g')))::DOUBLE /
+         |         greatest(length(text), 1) AS pr,
+         |         len(list_filter($toksSql,
+         |             t -> list_contains(['the','and','of','to','in','is'], t)))::DOUBLE /
+         |         greatest(len($toksSql), 1) AS sr
+         |  FROM documents),
+         |qs AS (SELECT doc_id, source,
+         |              round(0.4 * least(tc / 50.0, 1.0) + 0.3 * (1.0 - pr) +
+         |                    0.3 * least(sr * 5.0, 1.0), 6) AS q
+         |       FROM qd),
+         |thr AS (SELECT source, round(quantile_cont(q, 0.1), 6) AS p10
+         |        FROM qs GROUP BY source)
+         |SELECT qs.doc_id, qs.source, qs.q
+         |FROM qs JOIN thr USING (source) WHERE qs.q >= thr.p10
+         |ORDER BY qs.doc_id""".stripMargin,
+    // add-one-smoothed unigram KL over the union vocabulary
+    "unigram_kl" ->
+      s"""WITH ta AS (SELECT unnest($toksSql) AS t FROM documents WHERE doc_id % 2 = 0),
+         |tb AS (SELECT unnest($toksSql) AS t FROM documents WHERE doc_id % 2 = 1),
+         |ca AS (SELECT t, count(*) AS c FROM ta GROUP BY t),
+         |cb AS (SELECT t, count(*) AS c FROM tb GROUP BY t),
+         |j AS (SELECT coalesce(ca.t, cb.t) AS t,
+         |             coalesce(ca.c, 0)::BIGINT AS ca,
+         |             coalesce(cb.c, 0)::BIGINT AS cb
+         |      FROM ca FULL JOIN cb ON ca.t = cb.t),
+         |tot AS (SELECT sum(ca)::BIGINT AS ta, sum(cb)::BIGINT AS tb,
+         |               count(*)::BIGINT AS v FROM j)
+         |SELECT tot.v AS vocab, tot.ta AS tokens_a, tot.tb AS tokens_b,
+         |       round(sum(((j.ca + 1)::DOUBLE / (tot.ta + tot.v)) *
+         |             ln(((j.ca + 1)::DOUBLE / (tot.ta + tot.v)) /
+         |                ((j.cb + 1)::DOUBLE / (tot.tb + tot.v)))), 6) AS kl
+         |FROM j, tot GROUP BY 1, 2, 3""".stripMargin,
     "upsert_latest" ->
       """SELECT doc_id, version, md5(text) AS content_hash FROM (
         |  SELECT doc_id, text, version,
@@ -5431,6 +5533,22 @@ object SparkEntry {
         |                i -> array_to_string(seq[i + 1: i + 3], '>'))) AS path
         |  FROM seqs WHERE len(seq) >= 3)
         |GROUP BY path ORDER BY n_paths DESC, path ASC LIMIT 10""".stripMargin,
+    "path_surprisal_top10" ->
+      """WITH pr AS (
+        |  SELECT user_id, event_type AS src,
+        |         lead(event_type) OVER (PARTITION BY user_id
+        |           ORDER BY ts, event_id) AS dst
+        |  FROM events),
+        |pp AS (SELECT user_id, src, dst FROM pr WHERE dst IS NOT NULL),
+        |c AS (SELECT src, dst, count(*) AS n FROM pp GROUP BY 1, 2),
+        |t AS (SELECT src, sum(n)::BIGINT AS tn FROM c GROUP BY 1),
+        |m AS (SELECT c.src, c.dst, round(c.n / t.tn, 6) AS p
+        |      FROM c JOIN t USING (src))
+        |SELECT pp.user_id, count(*)::BIGINT AS n_trans,
+        |       round(avg(-ln(m.p)), 6) AS surprisal
+        |FROM pp JOIN m USING (src, dst)
+        |GROUP BY pp.user_id
+        |ORDER BY surprisal DESC, user_id ASC LIMIT 10""".stripMargin,
     "event_transitions" ->
       """WITH pr AS (
         |  SELECT event_type AS src,

@@ -218,6 +218,38 @@ object Funnel {
         round(col("n") / col("__tn"), 6).as("p"))
   }
 
+  /** Per-user path surprisal under the [[eventTransitions]] model —
+    * the anomaly score over behavioral streams: each user's observed
+    * transitions score `−ln p(dst | src)` against the corpus-wide
+    * matrix, averaged per user; the top-k most-surprising users (score
+    * DESC, user ASC) surface the sessions whose flow least resembles
+    * everyone else's (bot traffic, broken funnels, scraping). The
+    * model and the scoring both derive from the SAME event frame, so
+    * every observed pair exists in the matrix — p is never 0 and the
+    * log never sees it. p is the matrix's round-6 value (rank
+    * determinism), the mean rounds once more at 6.
+    *
+    * Scale shape: the [[eventTransitions]] plan plus one broadcast-
+    * sized join of the |types|²-bounded matrix back onto the pair
+    * stream and a user-keyed mean; top-k is a TakeOrdered over
+    * user-level rows, never a global sort of events. */
+  def pathSurprisal(events: DataFrame, userCol: String, typeCol: String,
+                    tsCol: String, idCol: String, k: Int): DataFrame = {
+    val w = Window.partitionBy(col(userCol)).orderBy(col(tsCol), col(idCol))
+    val prs = events
+      .withColumn("__dst", lead(col(typeCol), 1).over(w))
+      .filter(col("__dst").isNotNull)
+      .select(col(userCol), col(typeCol).as("src"), col("__dst").as("dst"))
+    val model = eventTransitions(events, userCol, typeCol, tsCol, idCol)
+      .select(col("src"), col("dst"), col("p"))
+    prs.join(broadcast(model), Seq("src", "dst"))
+      .groupBy(col(userCol)).agg(
+        count(lit(1)).as("n_trans"),
+        round(avg(-log(col("p"))), 6).as("surprisal"))
+      .orderBy(col("surprisal").desc, col(userCol).asc)
+      .limit(k)
+  }
+
   /** Top event paths: the most common length-`n` ordered event-type
     * sequences across users ("what do people actually do?"). Per user,
     * events sort by `(ts, idCol)` (the project total order) into one

@@ -40,4 +40,19 @@ class CurationSpec extends SparkSpec {
     assert(tighter.subsetOf(default), "tightening must be monotone")
     assert(tighter.size < default.size, "0.55 must actually drop more docs here")
   }
+
+  test("unigramKl: closed-form smoothed divergence; identical corpora diverge 0") {
+    import spark.implicits._
+    val a = Seq((1L, "a a b")).toDF("id", "text")
+    val b = Seq((2L, "a c")).toDF("id", "text")
+    val row = graft.analysis.CorpusDrift.unigramKl(a, b, "text").collect().head
+    assert(row.getLong(0) == 3 && row.getLong(1) == 3 && row.getLong(2) == 2)
+    // P = (2+1)/6, (1+1)/6, (0+1)/6 over {a,b,c}; Q = 2/5, 1/5, 2/5
+    val expected = 0.5 * math.log(0.5 / 0.4) +
+      (1.0 / 3) * math.log((1.0 / 3) / 0.2) +
+      (1.0 / 6) * math.log((1.0 / 6) / 0.4)
+    assert(row.getDouble(3) == math.rint(expected * 1e6) / 1e6)
+    val self = graft.analysis.CorpusDrift.unigramKl(a, a, "text").collect().head
+    assert(self.getDouble(3) == 0.0)
+  }
 }

@@ -236,5 +236,15 @@ class FunnelSpec extends SparkSpec {
     assert(got == Seq(
       ("a", "b", 2L, 0.666667), ("a", "c", 1L, 0.333333),
       ("b", "a", 1L, 1.0)), s"got ${got.mkString(",")}")
+
+    // path surprisal over the same fixture: user 1 averages the three
+    // −ln p of its path (rare a>c makes it the outlier), user 2 took
+    // only the common a>b hop, user 3 has no transitions → absent
+    val sup = Funnel.pathSurprisal(events, "u", "et", "t", "eid", 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    val r6 = (x: Double) => math.rint(x * 1e6) / 1e6
+    val u1 = r6((-math.log(0.666667) - math.log(1.0) - math.log(0.333333)) / 3)
+    val u2 = r6(-math.log(0.666667))
+    assert(sup == Seq((1L, 3L, u1), (2L, 1L, u2)), s"got ${sup.mkString(",")}")
   }
 }
