@@ -1315,6 +1315,36 @@ object SparkEntry {
         docs.filter(col("doc_id") % 2 === 0),
         docs.filter(col("doc_id") % 2 === 1), "text")
     }),
+    // ---- [EXT] PSI numeric drift: equal-width bins fixed from the
+    // BASELINE slice's [min,max] (the monitoring convention), add-one
+    // smoothed — the numeric twin of unigram_kl over events.value.
+    "psi_value_drift" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      graft.analysis.CorpusDrift.psi(
+        ev.filter(col("event_id") % 2 === 0),
+        ev.filter(col("event_id") % 2 === 1), "value")
+    }),
+    // ---- [EXT] exactly-100 deterministic uniform sample: rows rank
+    // by (Knuth bucket, id), first 100 win — fixed-SIZE companion of
+    // the rate-based sample_docs, nested (n' < n is a strict prefix),
+    // distributed TakeOrdered, never a global sort.
+    "sample_fixed100" -> ((s, dir) =>
+      graft.analysis.Sampling.fixedSizeSample(
+          Tables.documents(s, dir).select(col("doc_id"), col("lang")),
+          "doc_id", 100)
+        .orderBy(col("doc_id"))),
+    // ---- [EXT] duplicate-aware weighted sampling — the composition
+    // the soft-dedup weights exist FOR: sample with A-ES keys under
+    // weight 1/|near-dup component|, so duplicated content enters the
+    // sample with the mass of ONE document however many copies exist.
+    "dedup_weighted_sample" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val pairs = Dedup.minhashJaccardPairs(docs, "doc_id", "text", 5, 32, 8, 0.5)
+      val weighted = Dedup.componentWeights(docs, pairs, "doc_id")
+        .select(col("doc_id"), col("weight"))
+      graft.analysis.Sampling.weightedSample(weighted, "doc_id", "weight", 100)
+        .orderBy(col("doc_id"))
+    }),
     // ---- [EXT] upsert / merge (SCD-1 last-wins): a re-ingested slice
     // overrides the base corpus per key — the incremental-corpus-update
     // shape; keyed window, fully distributed
@@ -5013,6 +5043,59 @@ object SparkEntry {
          |             ln(((j.ca + 1)::DOUBLE / (tot.ta + tot.v)) /
          |                ((j.cb + 1)::DOUBLE / (tot.tb + tot.v)))), 6) AS kl
          |FROM j, tot GROUP BY 1, 2, 3""".stripMargin,
+    // PSI: baseline-defined equal-width grid, clamped edges, add-one
+    // smoothing — mirrors CorpusDrift.psi exactly
+    "psi_value_drift" ->
+      """WITH av AS (SELECT value FROM events WHERE event_id % 2 = 0),
+        |bv AS (SELECT value FROM events WHERE event_id % 2 = 1),
+        |bd AS (SELECT min(value)::DOUBLE AS lo, max(value)::DOUBLE AS hi FROM av),
+        |ha AS (SELECT CASE WHEN bd.hi = bd.lo THEN 0
+        |              ELSE greatest(least(floor((value::DOUBLE - bd.lo) /
+        |                     ((bd.hi - bd.lo) / 10.0)), 9), 0) END::BIGINT AS bucket
+        |       FROM av, bd),
+        |hb AS (SELECT CASE WHEN bd.hi = bd.lo THEN 0
+        |              ELSE greatest(least(floor((value::DOUBLE - bd.lo) /
+        |                     ((bd.hi - bd.lo) / 10.0)), 9), 0) END::BIGINT AS bucket
+        |       FROM bv, bd),
+        |ca AS (SELECT bucket, count(*) AS c FROM ha GROUP BY 1),
+        |cb AS (SELECT bucket, count(*) AS c FROM hb GROUP BY 1),
+        |g AS (SELECT unnest(range(0, 10)) AS bucket),
+        |j AS (SELECT g.bucket, coalesce(ca.c, 0)::BIGINT AS ca,
+        |             coalesce(cb.c, 0)::BIGINT AS cb
+        |      FROM g LEFT JOIN ca USING (bucket) LEFT JOIN cb USING (bucket)),
+        |tot AS (SELECT sum(ca)::BIGINT AS na, sum(cb)::BIGINT AS nb FROM j)
+        |SELECT tot.na AS n_a, tot.nb AS n_b,
+        |       round(sum((((j.ca + 1)::DOUBLE / (tot.na + 10)) -
+        |                  ((j.cb + 1)::DOUBLE / (tot.nb + 10))) *
+        |             ln(((j.ca + 1)::DOUBLE / (tot.na + 10)) /
+        |                ((j.cb + 1)::DOUBLE / (tot.nb + 10)))), 6) AS psi
+        |FROM j, tot GROUP BY 1, 2""".stripMargin,
+    // exactly-100 sample: global (Knuth bucket, id) rank, first 100
+    "sample_fixed100" ->
+      """SELECT doc_id, lang FROM (
+        |  SELECT doc_id, lang,
+        |         (((((doc_id % 4294967296) // 65536) * 2654435761) % 4294967296) * 65536
+        |          + ((doc_id % 4294967296) % 65536) * 2654435761) % 4294967296 AS bk
+        |  FROM documents
+        |  ORDER BY bk, doc_id LIMIT 100)
+        |ORDER BY doc_id""".stripMargin,
+    // soft-dedup weights feeding the A-ES weighted sampler: weight =
+    // 1/|component|, es_key = round(ln(u)/weight, 6), top-100
+    "dedup_weighted_sample" ->
+      s"""WITH RECURSIVE $nearDupComponentsCtes,
+         |labels AS (
+         |  SELECT d.doc_id, coalesce(c.comp, d.doc_id) AS comp
+         |  FROM documents d LEFT JOIN comp c ON c.id = d.doc_id),
+         |csz AS (SELECT comp, count(*) AS n_dup FROM labels GROUP BY comp),
+         |wt AS (SELECT l.doc_id, round(1e0 / s.n_dup, 6) AS weight
+         |       FROM labels l JOIN csz s USING (comp)),
+         |bk AS (SELECT doc_id, weight,
+         |              (((((doc_id % 4294967296) // 65536) * 2654435761) % 4294967296) * 65536
+         |               + ((doc_id % 4294967296) % 65536) * 2654435761) % 4294967296 AS bucket
+         |       FROM wt WHERE weight > 0)
+         |SELECT doc_id, weight,
+         |       round(ln((bucket + 1) / 4294967296.0) / weight, 6) AS es_key
+         |FROM bk ORDER BY es_key DESC, doc_id ASC LIMIT 100""".stripMargin,
     "upsert_latest" ->
       """SELECT doc_id, version, md5(text) AS content_hash FROM (
         |  SELECT doc_id, text, version,

@@ -49,4 +49,46 @@ object CorpusDrift {
         max(col("tb")).as("tokens_b"),
         round(sum(col("__p") * log(col("__p") / col("__q"))), 6).as("kl"))
   }
+
+  /** Population Stability Index of a NUMERIC column between a baseline
+    * slice `a` and a current slice `b` — the numeric twin of
+    * [[unigramKl]] and the standard production drift gate
+    * (rule of thumb: < 0.1 stable, 0.1–0.25 watch, > 0.25 shifted).
+    * Bins are `bins` equal-width buckets over the BASELINE's
+    * [min, max] (the monitoring convention: the reference
+    * distribution defines the grid); current-slice values outside the
+    * baseline range clamp into the edge bins. Both histograms are
+    * add-one smoothed (`(count+1)/(total+bins)`) so an empty bin never
+    * feeds ln a zero. `PSI = Σ_bins (p_a − p_b)·ln(p_a / p_b)`,
+    * rounded to 6. Returns one row `(n_a, n_b, psi)`.
+    *
+    * Scale shape: the (lo, hi) grid is a 1-row broadcast off the
+    * baseline scan, bucketing is codegen'd floor arithmetic, the two
+    * histograms are partial+final counts over `bins` keys, and the PSI
+    * fold runs over the bins-row frame — two corpus scans total. */
+  def psi(a: DataFrame, b: DataFrame, valueCol: String, bins: Int = 10): DataFrame = {
+    require(bins >= 2, s"bins must be >= 2: $bins")
+    val bounds = a.agg(min(col(valueCol)).cast("double").as("__lo"),
+      max(col(valueCol)).cast("double").as("__hi"))
+    def hist(df: DataFrame, as: String) = df.crossJoin(broadcast(bounds))
+      .select(when(col("__hi") === col("__lo"), lit(0L))
+        .otherwise(greatest(least(
+          floor((col(valueCol).cast("double") - col("__lo")) /
+            ((col("__hi") - col("__lo")) / lit(bins.toDouble))).cast("long"),
+          lit(bins - 1L)), lit(0L)))
+        .as("bucket"))
+      .groupBy(col("bucket")).agg(count(lit(1)).as(as))
+    val joined = a.sparkSession.range(0, bins).select(col("id").as("bucket"))
+      .join(hist(a, "ca"), Seq("bucket"), "left")
+      .join(hist(b, "cb"), Seq("bucket"), "left")
+      .select(col("bucket"), coalesce(col("ca"), lit(0L)).as("ca"),
+        coalesce(col("cb"), lit(0L)).as("cb"))
+    val tot = joined.agg(sum(col("ca")).as("na"), sum(col("cb")).as("nb"))
+    joined.crossJoin(broadcast(tot))
+      .withColumn("__pa", (col("ca") + lit(1)) / (col("na") + lit(bins)))
+      .withColumn("__pb", (col("cb") + lit(1)) / (col("nb") + lit(bins)))
+      .agg(max(col("na")).as("n_a"), max(col("nb")).as("n_b"),
+        round(sum((col("__pa") - col("__pb")) * log(col("__pa") / col("__pb"))), 6)
+          .as("psi"))
+  }
 }

@@ -48,6 +48,23 @@ object Sampling {
     df.filter(bucket(col(idCol)) < lit((fraction * M).toLong))
   }
 
+  /** Exactly-n deterministic uniform sample — the FIXED-SIZE companion
+    * of [[consistentSample]] (which is rate-based and only
+    * approximately sized): rows rank by `(Knuth bucket, id)` and the
+    * first `n` win. Reproducible cross-engine, stable per row, and
+    * NESTED — the bucket order is a fixed global permutation, so the
+    * n'-row sample is a strict prefix of the n-row sample for n' < n
+    * (grow a dev set without resampling the old one). Scale shape: a
+    * distributed TakeOrdered (per-partition top-n, driver merges
+    * n·partitions HEADS only) — never a global sort of the corpus. */
+  def fixedSizeSample(df: DataFrame, idCol: String, n: Int): DataFrame = {
+    require(n >= 1, s"n must be >= 1: $n")
+    df.withColumn("__bk", bucket(col(idCol)))
+      .orderBy(col("__bk").asc, col(idCol).asc)
+      .limit(n)
+      .drop("__bk")
+  }
+
   /** Deterministic named split (train/val/test): assign each row by its
     * hash bucket against cumulative fraction cut points. Splits are
     * disjoint, exhaustive, engine-reproducible, and STABLE under corpus

@@ -55,4 +55,25 @@ class CurationSpec extends SparkSpec {
     val self = graft.analysis.CorpusDrift.unigramKl(a, a, "text").collect().head
     assert(self.getDouble(3) == 0.0)
   }
+
+  test("psi: identical slices diverge 0; out-of-range values clamp into edge bins") {
+    import spark.implicits._
+    // baseline 0..9 → width 0.9, exactly one value per bin (9 clamps in)
+    val a = (0 until 10).map(_.toDouble).toDF("v")
+    val self = graft.analysis.CorpusDrift.psi(a, a, "v").collect().head
+    assert(self.getLong(0) == 10 && self.getLong(1) == 10)
+    assert(self.getDouble(2) == 0.0)
+    // current slice entirely OUTSIDE the baseline grid: -5 → bin 0,
+    // 100 → bin 9; all other bins empty but add-one smoothed
+    val b = Seq(-5.0, 100.0).toDF("v")
+    val row = graft.analysis.CorpusDrift.psi(a, b, "v").collect().head
+    val pa = (c: Long) => (c + 1.0) / 20.0
+    val pb = (c: Long) => (c + 1.0) / 12.0
+    val expected = (0 until 10).map { i =>
+      val cb = if (i == 0 || i == 9) 1L else 0L
+      (pa(1L) - pb(cb)) * math.log(pa(1L) / pb(cb))
+    }.sum
+    assert(row.getLong(0) == 10 && row.getLong(1) == 2)
+    assert(row.getDouble(2) == math.rint(expected * 1e6) / 1e6)
+  }
 }

@@ -20,6 +20,20 @@ class SamplingSpec extends SparkSpec {
     assert(ids(0.0).isEmpty && ids(1.0).size == n.toLong)
   }
 
+  test("fixedSizeSample: exact size, rerun-identical, nested (smaller n is a prefix)") {
+    def ids(n: Int): Set[Long] =
+      Sampling.fixedSizeSample(docs, "doc_id", n)
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+    val s40 = ids(40); val s100 = ids(100)
+    assert(s40.size == 40 && s100.size == 100)
+    assert(s40.subsetOf(s100), "bucket-order prefix property broken")
+    assert(ids(100) == s100, "must be rerun-identical")
+    // the sample set is a pure function of ids — partitioning-invariant
+    val repart = Sampling.fixedSizeSample(docs.repartition(16), "doc_id", 100)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(repart == s100)
+  }
+
   test("bucket is overflow-free under ANSI for ids up to Long.MaxValue") {
     // Residues >= ~3.47e9 used to overflow the plain Knuth multiply
     // (ANSI ArithmeticException). Pin the split-multiply result against
