@@ -98,6 +98,23 @@ class PlanShapeSpec extends SparkSpec {
     }
   }
 
+  test("round-12 additions: samples/fusion plan bounded top-k; drift/eval/transition joins stay keyed") {
+    // fixed-size + weighted samples and score fusion must be
+    // distributed TakeOrdered, never a global sort of the corpus
+    for (q <- Seq("sample_fixed100", "dedup_weighted_sample", "hybrid_linear_top5",
+        "path_surprisal_top10")) {
+      assert(plan(q).contains("TakeOrderedAndProject"), q)
+    }
+    // the drift gates, eval curve, transitions, round trip, and index
+    // health report must never degrade to an all-pairs strategy (their
+    // only cross joins are 1-row broadcast scalar frames)
+    for (q <- Seq("recall_curve", "event_transitions", "path_surprisal_top10",
+        "source_profile", "unigram_kl", "psi_value_drift", "doc_reassembly",
+        "dedup_weights", "source_quality_cut", "ivf_cluster_stats")) {
+      assert(!plan(q).contains("CartesianProduct"), q)
+    }
+  }
+
   test("grouping sets expand once; histogram aggregates partial+final") {
     val g = plan("grouping_sets_stats")
     assert(g.contains("Expand"), "grouping sets must plan a single Expand")
