@@ -464,6 +464,34 @@ object SparkEntry {
       exact.join(ann, Seq("vec_id"), "left_semi")
         .agg((count(lit(1)) / 5.0).as("recall_at_5"))
     }),
+    // ---- [EXT] the nprobe TUNING CURVE: recall@5 at nprobe ∈
+    // {1,2,4,8} over ONE k-means training — the accuracy/cost trade a
+    // deployment reads to pick its probe fan-out (each probe scans
+    // ~nprobe/k of the corpus). Model trains once; the four probe
+    // scans share the bucketed assignment.
+    "ann_nprobe_curve" -> ((s, dir) => {
+      import s.implicits._
+      val emb = Tables.embeddings(s, dir)
+      val q = queryVec(s, dir)
+      val exact = Search.knn(emb, q, 5).select(col("vec_id"))
+      val cents = Ann.kmeansCentroids(emb, "vec_id", "embedding", 10, 2)
+      val centsDf = cents.zipWithIndex.map { case (c, i) => (i, c) }
+        .toDF("__cluster", "centroid")
+      val ranked = centsDf.crossJoin(broadcast(q))
+        .withColumn("csim", round(VectorOps.cosine(col("centroid"), col("qvec")), 6))
+      val bucketed = emb.withColumn("__cluster",
+        Ann.assignCluster(col("embedding"), cents))
+      Seq(1, 2, 4, 8).map { np =>
+        val probes = ranked.orderBy(col("csim").desc, col("__cluster").asc)
+          .limit(np).select(col("__cluster"))
+        Search.knn(bucketed.join(broadcast(probes), Seq("__cluster"), "left_semi")
+            .drop("__cluster"), q, 5)
+          .select(col("vec_id"))
+          .join(exact, Seq("vec_id"), "left_semi")
+          .agg(count(lit(1)).as("__h"))
+          .select(lit(np.toLong).as("nprobe"), (col("__h") / 5.0).as("recall_at_5"))
+      }.reduce(_.unionByName(_)).orderBy(col("nprobe"))
+    }),
     // ---- [EXT] ANN quality for the LSH path: recall@5 vs the exact
     // scan; the seeded hyperplanes are model state, inlined into the
     // oracle SQL as double literals
@@ -1511,6 +1539,14 @@ object SparkEntry {
     "path_surprisal_top10" -> ((s, dir) =>
       graft.analysis.Funnel.pathSurprisal(Tables.events(s, dir),
         "user_id", "event_type", "ts", "event_id", 10)),
+    // ---- [EXT] first/last-touch attribution: conversions credited to
+    // the earliest / latest event type strictly before the user's
+    // first purchase — one keyed conversion join, two rank windows
+    // sharing the user exchange.
+    "touch_attribution" -> ((s, dir) =>
+      graft.analysis.Funnel.touchAttribution(Tables.events(s, dir),
+          "user_id", "event_type", "ts", "event_id", "purchase")
+        .orderBy(col("model"), col("event_type"))),
     // ---- [EXT] retention cohorts: users keyed by first-activity day,
     // counted per (cohort, day-offset) — one map-side-deduped user
     // shuffle carrying bounded day sets
@@ -4014,6 +4050,39 @@ object SparkEntry {
          |  ORDER BY sim DESC, vec_id ASC LIMIT 5)
          |SELECT (SELECT count(*) FROM exact5 JOIN ann5 USING (vec_id)) / 5.0 AS recall_at_5""".stripMargin
     },
+    // one Lloyd replay, probes ranked once, per-np truncation by a
+    // cross join over the literal nprobe list
+    "ann_nprobe_curve" ->
+      s"""WITH q AS (SELECT embedding AS qvec FROM embeddings WHERE vec_id = 0),
+         |${ivfTrainSql(10, 2)},
+         |pr AS (
+         |  SELECT cid, row_number() OVER (
+         |    ORDER BY round(${rawCosSql("centroid", "qvec::DOUBLE[]")}, 6) DESC,
+         |             cid ASC) AS prk
+         |  FROM ic2, q),
+         |nps AS (SELECT unnest([1, 2, 4, 8]) AS np),
+         |annk AS (
+         |  SELECT np, vec_id FROM (
+         |    SELECT n.np AS np, e.vec_id,
+         |           row_number() OVER (PARTITION BY n.np
+         |             ORDER BY ${cosSql("e.embedding", "q.qvec")} DESC,
+         |                      e.vec_id ASC) AS rk
+         |    FROM embeddings e
+         |    JOIN iaf ON e.vec_id = iaf.vec_id
+         |    JOIN pr ON iaf.cid = pr.cid
+         |    CROSS JOIN nps n, q
+         |    WHERE pr.prk <= n.np)
+         |  WHERE rk <= 5),
+         |ex5 AS (
+         |  SELECT vec_id FROM (
+         |    SELECT e.vec_id, ${cosSql("e.embedding", "q.qvec")} AS sim
+         |    FROM embeddings e, q)
+         |  ORDER BY sim DESC, vec_id ASC LIMIT 5),
+         |hits AS (SELECT a.np, count(*) AS h FROM annk a
+         |         JOIN ex5 USING (vec_id) GROUP BY a.np)
+         |SELECT n.np::BIGINT AS nprobe, coalesce(h.h, 0) / 5.0 AS recall_at_5
+         |FROM nps n LEFT JOIN hits h ON h.np = n.np
+         |ORDER BY nprobe""".stripMargin,
     "ann_kmeans_recall" -> {
       // Lloyd's k-means unrolled: assignment = raw-cosine argmax with
       // lowest cid on ties (row_number mirror of NearestCentroid),
@@ -5616,6 +5685,27 @@ object SparkEntry {
         |                i -> array_to_string(seq[i + 1: i + 3], '>'))) AS path
         |  FROM seqs WHERE len(seq) >= 3)
         |GROUP BY path ORDER BY n_paths DESC, path ASC LIMIT 10""".stripMargin,
+    "touch_attribution" ->
+      """WITH conv AS (SELECT user_id, min(ts) AS ct FROM events
+        |              WHERE event_type = 'purchase' GROUP BY user_id),
+        |pre AS (SELECT e.user_id, e.event_type, e.ts, e.event_id
+        |        FROM events e JOIN conv USING (user_id) WHERE e.ts < conv.ct),
+        |ft AS (SELECT user_id, event_type FROM (
+        |         SELECT user_id, event_type,
+        |                row_number() OVER (PARTITION BY user_id
+        |                  ORDER BY ts ASC, event_id ASC) AS rn FROM pre)
+        |       WHERE rn = 1),
+        |lt AS (SELECT user_id, event_type FROM (
+        |         SELECT user_id, event_type,
+        |                row_number() OVER (PARTITION BY user_id
+        |                  ORDER BY ts DESC, event_id DESC) AS rn FROM pre)
+        |       WHERE rn = 1)
+        |SELECT model, event_type, n FROM (
+        |  SELECT 'first_touch' AS model, event_type, count(*) AS n
+        |  FROM ft GROUP BY 2
+        |  UNION ALL
+        |  SELECT 'last_touch', event_type, count(*) FROM lt GROUP BY 2)
+        |ORDER BY model, event_type""".stripMargin,
     "path_surprisal_top10" ->
       """WITH pr AS (
         |  SELECT user_id, event_type AS src,

@@ -1,6 +1,6 @@
 package graft.analysis
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -248,6 +248,39 @@ object Funnel {
         round(avg(-log(col("p"))), 6).as("surprisal"))
       .orderBy(col("surprisal").desc, col(userCol).asc)
       .limit(k)
+  }
+
+  /** First-touch / last-touch conversion attribution — "which event
+    * type gets credit for the purchase": per user, conversion time is
+    * the FIRST `convType` event; the credited touches are the user's
+    * events STRICTLY before it (an event tied with the conversion
+    * timestamp is not a cause). First-touch credits the earliest such
+    * event's type, last-touch the latest ((ts, id) total order both
+    * ways); the report counts conversions per (model, event_type).
+    * Users who convert with no prior event appear in neither model —
+    * there is nothing to credit.
+    *
+    * Plan shape: one user-keyed aggregate for the conversion times,
+    * one keyed join back (never broadcast-dependent — both sides key
+    * on the user), and two rank windows that REUSE the join's user
+    * partitioning (same key, different sort order — one exchange, two
+    * sorts); the report reduces over ≤ 2 rows per converting user. */
+  def touchAttribution(events: DataFrame, userCol: String, typeCol: String,
+                       tsCol: String, idCol: String, convType: String): DataFrame = {
+    val conv = events.filter(col(typeCol) === convType)
+      .groupBy(col(userCol)).agg(min(col(tsCol)).as("__ct"))
+    val pre = events.join(conv, Seq(userCol))
+      .filter(col(tsCol) < col("__ct"))
+      .select(col(userCol), col(typeCol), col(tsCol), col(idCol))
+    def pick(ord: Seq[Column], model: String): DataFrame =
+      pre.withColumn("__rn", row_number().over(
+          Window.partitionBy(col(userCol)).orderBy(ord: _*)))
+        .filter(col("__rn") === 1)
+        .select(lit(model).as("model"), col(typeCol))
+    pick(Seq(col(tsCol).asc, col(idCol).asc), "first_touch")
+      .unionByName(pick(Seq(col(tsCol).desc, col(idCol).desc), "last_touch"))
+      .groupBy(col("model"), col(typeCol))
+      .agg(count(lit(1)).as("n"))
   }
 
   /** Top event paths: the most common length-`n` ordered event-type

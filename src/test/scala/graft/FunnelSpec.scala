@@ -247,4 +247,31 @@ class FunnelSpec extends SparkSpec {
     val u2 = r6(-math.log(0.666667))
     assert(sup == Seq((1L, 3L, u1), (2L, 1L, u2)), s"got ${sup.mkString(",")}")
   }
+
+  test("touchAttribution: strictly-before touches, post-conversion ignored, tie and no-touch converters excluded") {
+    val events = Seq(
+      // user 1: view → click → purchase; a view AFTER conversion must not count
+      (1L, 1L, "view", "2024-01-01 10:00:00"),
+      (2L, 1L, "click", "2024-01-01 10:30:00"),
+      (3L, 1L, "purchase", "2024-01-01 11:00:00"),
+      (4L, 1L, "view", "2024-01-01 12:00:00"),
+      // user 2: purchase with no prior event — nothing to credit
+      (5L, 2L, "purchase", "2024-01-01 09:00:00"),
+      // user 3: click at the EXACT conversion ts — not strictly before
+      (6L, 3L, "click", "2024-01-01 08:00:00"),
+      (7L, 3L, "purchase", "2024-01-01 08:00:00"),
+      // user 4: two purchases — conversion is the FIRST; signup credits both models
+      (8L, 4L, "signup", "2024-01-01 07:00:00"),
+      (9L, 4L, "purchase", "2024-01-01 09:00:00"),
+      (10L, 4L, "purchase", "2024-01-01 10:00:00"))
+      .map { case (id, u, et, at) => (id, u, et, ts(at)) }
+      .toDF("eid", "u", "et", "t")
+    val got = Funnel.touchAttribution(events, "u", "et", "t", "eid", "purchase")
+      .orderBy(col("model"), col("et")).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSeq
+    assert(got == Seq(
+      ("first_touch", "signup", 1L), ("first_touch", "view", 1L),
+      ("last_touch", "click", 1L), ("last_touch", "signup", 1L)),
+      s"got ${got.mkString(",")}")
+  }
 }
