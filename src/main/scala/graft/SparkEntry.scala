@@ -982,6 +982,17 @@ object SparkEntry {
           round(coalesce(col("n_vecs"), lit(0L)) / col("__n"), 6).as("frac"))
         .orderBy(col("cid"))
     }),
+    // ---- [EXT] embedding outliers (Ann.centroidOutliers): the 10
+    // vectors farthest from their OWN cluster centroid — the
+    // embedding-space noise gate (garbled decodes and off-distribution
+    // content land far from every centroid). Native argmax assignment
+    // per row, k-row centroid broadcast, bottom-k TakeOrdered; the
+    // per-row form of the assignment-drift scalar, worst-first.
+    "embed_outliers" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val cents = Ann.kmeansCentroids(emb, "vec_id", "embedding", 10, 2)
+      Ann.centroidOutliers(emb, cents, 10)
+    }),
     "tfidf_keywords" -> ((s, dir) => {
       val toks = Tables.documents(s, dir).select(col("doc_id"),
         explode(TextAnalysis.tokens(col("text"))).as("term"))
@@ -1352,6 +1363,15 @@ object SparkEntry {
         ev.filter(col("event_id") % 2 === 0),
         ev.filter(col("event_id") % 2 === 1), "value")
     }),
+    // ---- [EXT] distinctive terms (CorpusDrift.logOddsTerms): the
+    // Monroe et al. log-odds-ratio with informative Dirichlet prior
+    // between the English and German slices — the statistically-sound
+    // "what words characterize A vs B" (tf-diff over-weights common
+    // words, raw log-odds rare ones). One vocab-keyed conditional
+    // count + a 1-row totals broadcast + TakeOrdered top-|z|.
+    "log_odds_terms" -> ((s, dir) =>
+      graft.analysis.CorpusDrift.logOddsTerms(
+        Tables.documents(s, dir), "text", "lang", "en", "de", 1.0, 15)),
     // ---- [EXT] exactly-100 deterministic uniform sample: rows rank
     // by (Knuth bucket, id), first 100 win — fixed-SIZE companion of
     // the rate-based sample_docs, nested (n' < n is a strict prefix),
@@ -1360,6 +1380,18 @@ object SparkEntry {
       graft.analysis.Sampling.fixedSizeSample(
           Tables.documents(s, dir).select(col("doc_id"), col("lang")),
           "doc_id", 100)
+        .orderBy(col("doc_id"))),
+    // ---- [EXT] exactly-n PER STRATUM: 10 spot-check docs per
+    // language — the grouped form of sample_fixed100. Production path
+    // prefilters each stratum at rate ~8n/count (counts are k-row
+    // model state) so the rank window sorts survivors, not strata;
+    // exactness kept by the short-stratum fallback. Result ≡ the
+    // plain per-stratum window (spec-pinned) — which is what the
+    // oracle replays.
+    "sample_group_fixed" -> ((s, dir) =>
+      graft.analysis.Sampling.groupFixedSizeSample(
+          Tables.documents(s, dir).select(col("doc_id"), col("lang")),
+          "doc_id", "lang", 10)
         .orderBy(col("doc_id"))),
     // ---- [EXT] duplicate-aware weighted sampling — the composition
     // the soft-dedup weights exist FOR: sample with A-ES keys under
@@ -1388,6 +1420,21 @@ object SparkEntry {
         .select(col("doc_id"), col("version"), md5(col("text")).as("content_hash"))
         .orderBy(col("doc_id"))
     }),
+    // ---- [EXT] SCD-2 versioned history (store/Scd2): one row per
+    // VERSION of each user's event_type state — change-suppressed
+    // (repeat observations confirm, not version), half-open
+    // valid_from/valid_to intervals, null valid_to = current. One
+    // user-key exchange carries both the suppression lag and the
+    // interval lead. Times surface as epoch micros (exact integers);
+    // the open end as -1 (the no-NULL output convention).
+    "scd2_history" -> ((s, dir) =>
+      graft.store.Scd2.history(Tables.events(s, dir), "user_id", "ts",
+          Seq("event_type"))
+        .select(col("user_id"), col("event_type"),
+          unix_micros(col("valid_from")).as("valid_from"),
+          coalesce(unix_micros(col("valid_to")), lit(-1L)).as("valid_to"),
+          col("is_current").cast("long").as("is_current"))
+        .orderBy(col("user_id"), col("valid_from"), col("event_type"))),
     // ---- A5: deterministic featurizer (zero-egress embed substitution)
     "featurize_check" -> ((s, dir) => {
       val vec = Featurizer.featurize(64)(col("text"))
@@ -1463,6 +1510,19 @@ object SparkEntry {
         .groupBy(date_format(date_trunc("hour", col("ts")), "yyyy-MM-dd HH:mm:ss").as("hour"))
         .agg(count(lit(1)).as("n"), round(sum(col("value")), 4).as("sum_value"))
         .orderBy(col("hour"))),
+    // ---- [EXT] rate-spike detection (TimeSeries.rateAnomalies):
+    // hours whose event count sits >= 2 sigma above that type's own
+    // hourly baseline — variance from exact integer sums (E[n²]−E[n]²,
+    // a fixed IEEE sequence, not builtin stddev's order-dependent
+    // accumulation), z round-6 before the cut. Two keyed aggregates +
+    // a |types|-row broadcast; no window.
+    "event_anomalies" -> ((s, dir) =>
+      graft.analysis.TimeSeries.rateAnomalies(
+          Tables.events(s, dir), "event_type", "ts", 2.0)
+        .select(col("event_type"),
+          date_format(col("hour"), "yyyy-MM-dd HH:mm:ss").as("hour"),
+          col("n"), col("zscore"))
+        .orderBy(col("event_type"), col("hour"))),
     // ---- [EXT] session windows: gap-based per-user event sessions
     "events_sessions" -> ((s, dir) =>
       Tables.events(s, dir)
@@ -2203,6 +2263,15 @@ object SparkEntry {
         """SELECT l_returnflag, round(kmv_distinct(l_partkey, 256), 6) AS approx_parts
           |FROM graft_li_kmv GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)
     }),
+    // ---- [EXT] set operations ON sketches (analysis/SketchSetOps):
+    // distinct-union / intersection / Jaccard estimates between the
+    // returned-vs-refused part populations from their bottom-k KMV
+    // summaries alone — K(A∪B) is computable from K(A) ∪ K(B), so the
+    // slices never shuffle against each other; the merged-sketch
+    // estimator replays bit-for-bit through the portable hash.
+    "kmv_set_ops" -> ((s, dir) =>
+      graft.analysis.SketchSetOps.kmvSetOps(
+        Tables.lineitem(s, dir), "l_partkey", "l_returnflag", "A", "R", 256)),
     // ---- [EXT] semi join (EXISTS)
     "semi_join" -> ((s, dir) => {
       val bigItems = Tables.lineitem(s, dir)
@@ -4811,6 +4880,17 @@ object SparkEntry {
          |       round(coalesce(cn.n_vecs, 0) / tot.n, 6) AS frac
          |FROM cl LEFT JOIN cn USING (cid), tot
          |ORDER BY cid""".stripMargin,
+    // Lloyd replay → cosine of each vector to its ASSIGNED centroid,
+    // bottom-10 (sim ASC, id ASC) — the per-row drift form
+    "embed_outliers" ->
+      s"""WITH ${ivfTrainSql(10, 2)},
+         |sims AS (
+         |  SELECT e.vec_id, a.cid::BIGINT AS cluster,
+         |         ${cosSql("e.embedding", "c.centroid")} AS sim
+         |  FROM embeddings e JOIN iaf a USING (vec_id)
+         |  JOIN ic2 c USING (cid))
+         |SELECT vec_id, cluster, sim FROM sims
+         |ORDER BY sim ASC, vec_id ASC LIMIT 10""".stripMargin,
     // Lloyd replay (the pinned ivfTrainSql assignments) + the
     // tfidf_keywords idf convention, aggregated per cluster.
     "cluster_top_terms" ->
@@ -5139,6 +5219,43 @@ object SparkEntry {
         |             ln(((j.ca + 1)::DOUBLE / (tot.na + 10)) /
         |                ((j.cb + 1)::DOUBLE / (tot.nb + 10)))), 6) AS psi
         |FROM j, tot GROUP BY 1, 2""".stripMargin,
+    // Monroe et al. log-odds with informative Dirichlet prior:
+    // alpha_w = alpha0·(ya+yb)/(na+nb), z = delta/se — the exact
+    // IEEE op order of CorpusDrift.logOddsTerms, round-6, top-15 |z|
+    "log_odds_terms" ->
+      s"""WITH tok AS (
+         |  SELECT lang AS g, unnest($toksSql) AS term
+         |  FROM documents WHERE lang IN ('en', 'de')),
+         |cnt AS (
+         |  SELECT term,
+         |         sum(CASE WHEN g = 'en' THEN 1 ELSE 0 END)::BIGINT AS ya,
+         |         sum(CASE WHEN g = 'de' THEN 1 ELSE 0 END)::BIGINT AS yb
+         |  FROM tok GROUP BY 1),
+         |tot AS (SELECT sum(ya) AS na, sum(yb) AS nb FROM cnt),
+         |pri AS (
+         |  SELECT term, ya, yb, na, nb,
+         |         1.0 * (ya + yb)::DOUBLE / (na + nb)::DOUBLE AS aw
+         |  FROM cnt, tot),
+         |sc AS (
+         |  SELECT term, ya, yb,
+         |         round((ln((ya + aw) / (na + 1.0 - ya - aw)) -
+         |                ln((yb + aw) / (nb + 1.0 - yb - aw))) /
+         |               sqrt(1.0 / (ya + aw) + 1.0 / (yb + aw)), 6) AS z
+         |  FROM pri)
+         |SELECT term, ya, yb, z FROM sc
+         |ORDER BY abs(z) DESC, term ASC LIMIT 15""".stripMargin,
+    // per-stratum exactly-n: the (Knuth bucket, id) rank windowed by
+    // lang — the executable spec the prefiltered production path is
+    // equivalence-tested against
+    "sample_group_fixed" ->
+      """SELECT doc_id, lang FROM (
+        |  SELECT doc_id, lang,
+        |         row_number() OVER (PARTITION BY lang ORDER BY
+        |           (((((doc_id % 4294967296) // 65536) * 2654435761) % 4294967296) * 65536
+        |            + ((doc_id % 4294967296) % 65536) * 2654435761) % 4294967296,
+        |           doc_id) AS rn
+        |  FROM documents)
+        |WHERE rn <= 10 ORDER BY doc_id""".stripMargin,
     // exactly-100 sample: global (Knuth bucket, id) rank, first 100
     "sample_fixed100" ->
       """SELECT doc_id, lang FROM (
@@ -5175,6 +5292,27 @@ object SparkEntry {
         |    SELECT doc_id, upper(text) AS text, 2::BIGINT AS version
         |    FROM documents WHERE doc_id % 7 = 0))
         |WHERE rn = 1 ORDER BY doc_id""".stripMargin,
+    // SCD-2: change-suppression lag, then the interval lead, both
+    // under the (ts, event_type) order the Scala windows pin
+    "scd2_history" ->
+      """WITH chg AS (
+        |  SELECT user_id, ts, event_type,
+        |         lag(event_type) OVER (PARTITION BY user_id
+        |                               ORDER BY ts, event_type) AS prev
+        |  FROM events),
+        |vers AS (
+        |  SELECT user_id, ts, event_type FROM chg
+        |  WHERE prev IS NULL OR event_type <> prev),
+        |iv AS (
+        |  SELECT user_id, event_type, ts AS vf,
+        |         lead(ts) OVER (PARTITION BY user_id
+        |                        ORDER BY ts, event_type) AS vt
+        |  FROM vers)
+        |SELECT user_id, event_type,
+        |       epoch_us(vf) AS valid_from,
+        |       coalesce(epoch_us(vt), -1) AS valid_to,
+        |       (CASE WHEN vt IS NULL THEN 1 ELSE 0 END)::BIGINT AS is_current
+        |FROM iv ORDER BY user_id, valid_from, event_type""".stripMargin,
     "hybrid_rrf_top5" ->
       s"""WITH $bm25Ctes,
          |b20 AS (SELECT doc_id, score FROM scored
@@ -5639,6 +5777,26 @@ object SparkEntry {
       """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
         |       count(*) AS n, round(sum(value), 4) AS sum_value
         |FROM events GROUP BY 1 ORDER BY hour""".stripMargin,
+    // rate spikes: per-type hourly z-scores from exact integer sums
+    // (mean = s/c, var = ss/c - mean², the same IEEE sequence Scala
+    // runs), round-6 before the 2-sigma cut
+    "event_anomalies" ->
+      """WITH h AS (
+        |  SELECT event_type, date_trunc('hour', ts) AS hr, count(*) AS n
+        |  FROM events GROUP BY 1, 2),
+        |st AS (
+        |  SELECT event_type, sum(n) AS s, sum(n * n) AS ss, count(*) AS c
+        |  FROM h GROUP BY 1),
+        |z AS (
+        |  SELECT h.event_type, h.hr, h.n,
+        |         round((h.n - s::DOUBLE / c) /
+        |               sqrt(ss::DOUBLE / c - (s::DOUBLE / c) * (s::DOUBLE / c)),
+        |               6) AS zscore
+        |  FROM h JOIN st USING (event_type)
+        |  WHERE ss::DOUBLE / c - (s::DOUBLE / c) * (s::DOUBLE / c) > 0)
+        |SELECT event_type, strftime(hr, '%Y-%m-%d %H:%M:%S') AS hour, n, zscore
+        |FROM z WHERE zscore >= 2.0
+        |ORDER BY event_type, hour""".stripMargin,
     "events_sessions" ->
       """WITH e AS (
         |  SELECT user_id, ts, value,
@@ -6038,6 +6196,38 @@ object SparkEntry {
         |                  max(CASE WHEN rn = 256 THEN hv END) END, 6) AS approx_parts
         |FROM r WHERE rn <= 256
         |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    // sketch set ops: K(A∪B) = bottom-k(K(A) ∪ K(B)); union estimate =
+    // the plain KMV estimator on the merged sketch, intersection via
+    // the Jaccard ratio over it — the same IEEE op order as Scala
+    "kmv_set_ops" ->
+      s"""WITH ka AS (
+         |  SELECT h FROM (
+         |    SELECT DISTINCT ${graft.functions.KmvSketch.hashSql("l_partkey")} AS h
+         |    FROM lineitem WHERE l_returnflag = 'A')
+         |  ORDER BY h LIMIT 256),
+         |kb AS (
+         |  SELECT h FROM (
+         |    SELECT DISTINCT ${graft.functions.KmvSketch.hashSql("l_partkey")} AS h
+         |    FROM lineitem WHERE l_returnflag = 'R')
+         |  ORDER BY h LIMIT 256),
+         |ku AS (
+         |  SELECT h FROM (SELECT h FROM ka UNION SELECT h FROM kb)
+         |  ORDER BY h LIMIT 256),
+         |st AS (
+         |  SELECT count(*) AS nu, max(h) AS kth,
+         |         count(*) FILTER (WHERE h IN (SELECT h FROM ka)
+         |                            AND h IN (SELECT h FROM kb)) AS nboth
+         |  FROM ku),
+         |ue AS (
+         |  SELECT nu, nboth,
+         |         CASE WHEN nu = 0 THEN 0.0
+         |              WHEN nu < 256 THEN nu::DOUBLE
+         |              ELSE 255.0 * 1000000007.0 / kth END AS u
+         |  FROM st)
+         |SELECT round(u, 6) AS union_est,
+         |       round((nboth::DOUBLE / nu) * u, 6) AS intersect_est,
+         |       round(nboth::DOUBLE / nu, 6) AS jaccard
+         |FROM ue""".stripMargin,
     "events_range_join" ->
       """SELECT v.event_id AS view_id, p.event_id AS purchase_id,
         |       round(p.value, 4) AS value

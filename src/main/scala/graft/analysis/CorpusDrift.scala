@@ -91,4 +91,49 @@ object CorpusDrift {
         round(sum((col("__pa") - col("__pb")) * log(col("__pa") / col("__pb"))), 6)
           .as("psi"))
   }
+
+  /** Distinctive terms between two corpus slices — the log-odds-ratio
+    * with an informative Dirichlet prior (Monroe, Colaresi & Quinn,
+    * "Fightin' Words", Political Analysis 16(4) 2008 — public), the
+    * statistically-sound form of "what words characterize A vs B"
+    * (naive tf-diff over-weights common words; plain log-odds
+    * over-weights rare ones). Per term w with counts `y_aw`, `y_bw`,
+    * totals `n_a`, `n_b`, and prior `α_w = α0 · (y_aw+y_bw)/(n_a+n_b)`
+    * (prior mass proportional to overall frequency, Σα_w = α0):
+    *
+    *   δ_w = ln((y_aw+α_w)/(n_a+α0−y_aw−α_w)) − ln((y_bw+α_w)/(n_b+α0−y_bw−α_w))
+    *   z_w = δ_w / sqrt(1/(y_aw+α_w) + 1/(y_bw+α_w))
+    *
+    * Positive z → characteristic of `a`, negative → of `b`; output is
+    * the `topK` terms by |z| (z round-6 first — the float contract;
+    * ties by term). Counts are exact longs and the totals a 1-row
+    * broadcast, so the float chain is a fixed IEEE sequence both
+    * engines replay; the round-6 absorbs libm ln/sqrt drift except
+    * within 5e-7 of a rank boundary (the documented exposure class).
+    *
+    * Scale shape: one token-keyed conditional-count reduce over the
+    * two slices (map-side partial), a 1-row totals broadcast, and a
+    * TakeOrdered top-k — no join wider than |vocab| rows, no window. */
+  def logOddsTerms(docs: DataFrame, textCol: String, groupCol: String,
+                   a: String, b: String, alpha0: Double, topK: Int): DataFrame = {
+    require(alpha0 > 0.0, s"alpha0 must be positive: $alpha0")
+    require(topK >= 1, s"topK must be >= 1: $topK")
+    val counts = docs.filter(col(groupCol).isin(a, b))
+      .select(col(groupCol).as("__g"), explode(TextAnalysis.tokens(col(textCol))).as("term"))
+      .groupBy(col("term"))
+      .agg(sum(when(col("__g") === a, 1L).otherwise(0L)).as("ya"),
+        sum(when(col("__g") === b, 1L).otherwise(0L)).as("yb"))
+    val tot = counts.agg(sum(col("ya")).as("na"), sum(col("yb")).as("nb"))
+    val aw = lit(alpha0) * (col("ya") + col("yb")).cast("double") /
+      (col("na") + col("nb")).cast("double")
+    val delta =
+      log((col("ya") + aw) / (col("na") + lit(alpha0) - col("ya") - aw)) -
+        log((col("yb") + aw) / (col("nb") + lit(alpha0) - col("yb") - aw))
+    val z = delta / sqrt(lit(1.0) / (col("ya") + aw) + lit(1.0) / (col("yb") + aw))
+    counts.crossJoin(broadcast(tot))
+      .withColumn("z", round(z, 6))
+      .orderBy(abs(col("z")).desc, col("term").asc)
+      .limit(topK)
+      .select(col("term"), col("ya"), col("yb"), col("z"))
+  }
 }

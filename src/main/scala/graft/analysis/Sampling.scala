@@ -65,6 +65,66 @@ object Sampling {
       .drop("__bk")
   }
 
+  /** Exactly-n deterministic sample PER STRATUM — the grouped form of
+    * [[fixedSizeSample]] ("10 spot-check docs per language"): within
+    * each stratum rows rank by `(Knuth bucket, id)` and the first `n`
+    * win. Same contracts as the global form — reproducible
+    * cross-engine, partitioning-invariant, and nested per stratum
+    * (n' < n is a strict prefix of n, stratum by stratum).
+    *
+    * Scale shape: a per-stratum rank window would sort EVERY stratum's
+    * full population in one task each (the hot-key shape ruled out for
+    * [[tokenBudgetSample]]), so the production path PRE-FILTERS with
+    * the rate-based sampler first: per-stratum counts are k-row driver
+    * model state (the [[temperatureMix]] precedent), each stratum keeps
+    * rows at rate `min(1, oversample·n/count)` — an expected
+    * `oversample·n` survivors — and only the survivors rank. The n
+    * smallest buckets of a stratum all sit below the stratum's rate cut
+    * whenever the stratum has ≥ n surviving rows, so the result is
+    * EXACT, not approximate; strata the prefilter left short of n
+    * (possible — the hash is deterministic, not lucky) fall back to
+    * ranking their full population, detected by one bounded survivor
+    * count per stratum (the filtered-ANN fallback pattern). */
+  def groupFixedSizeSample(df: DataFrame, idCol: String, strataCol: String,
+                           n: Int, oversample: Double = 8.0): DataFrame = {
+    require(n >= 1, s"n must be >= 1: $n")
+    require(oversample >= 1.0, s"oversample must be >= 1: $oversample")
+    val counts = df.groupBy(col(strataCol)).agg(count(lit(1)).as("__n"))
+      .collect().map(r => (r.get(0).toString, r.getLong(1))).sortBy(_._1)
+    val cut = counts.foldLeft(lit(0L): Column) {
+      case (acc, (s, c)) =>
+        val rate = math.min(1.0, oversample * n / c.toDouble)
+        when(col(strataCol) === s, lit(math.ceil(rate * M.toDouble).toLong)).otherwise(acc)
+    }
+    val survivors = df.filter(bucket(col(idCol)) < cut)
+    val short = survivors.groupBy(col(strataCol)).agg(count(lit(1)).as("__sn"))
+      .filter(col("__sn") < n).collect().map(_.get(0).toString).toSeq
+    val cand =
+      if (short.isEmpty) survivors
+      else survivors.filter(!col(strataCol).isin(short: _*))
+        .unionByName(df.filter(col(strataCol).isin(short: _*)))
+    rankFirstN(cand, idCol, strataCol, n)
+  }
+
+  /** The one-window-per-stratum transcription of
+    * [[groupFixedSizeSample]] — the executable specification the
+    * prefiltered path is equivalence-tested against, and the shape the
+    * DuckDB oracle replays. NOT the production path: every stratum
+    * sorts whole in one task. */
+  private[graft] def groupFixedSizeSampleWindow(df: DataFrame, idCol: String,
+                                                strataCol: String, n: Int): DataFrame =
+    rankFirstN(df, idCol, strataCol, n)
+
+  private def rankFirstN(df: DataFrame, idCol: String, strataCol: String,
+                         n: Int): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(strataCol))
+      .orderBy(bucket(col(idCol)).asc, col(idCol).asc)
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= n)
+      .drop("__rn")
+  }
+
   /** Deterministic named split (train/val/test): assign each row by its
     * hash bucket against cumulative fraction cut points. Splits are
     * disjoint, exhaustive, engine-reproducible, and STABLE under corpus

@@ -141,4 +141,49 @@ object TimeSeries {
         round(sum(col("__w")), 6).as("n_decayed"),
         round(sum(col(valCol) * col("__w")), 4).as("value_decayed"))
   }
+
+  /** Rate-spike detection over an event log — the monitoring question
+    * "which hours saw anomalously MANY events of this type" (incident
+    * spikes, bot bursts, broken retry loops): bucket counts per
+    * `(key, hour)`, z-score each bucket against ITS KEY's own
+    * mean/stddev over the observed buckets, keep buckets at or above
+    * `zMin` standard deviations.
+    *
+    * Variance is computed EXPLICITLY as `E[n²] − E[n]²` from exact
+    * integer sums (counts and squared counts are longs; only the two
+    * final divisions and the subtraction are floats) — a fixed IEEE op
+    * sequence any engine replays, unlike builtin `stddev_pop`, whose
+    * Welford-style accumulation is reduction-order-dependent. The
+    * z-score rounds to 6 (the project float contract) BEFORE the
+    * threshold, so membership is deterministic except within 5e-7 of
+    * the boundary (the documented exposure class). Hours with zero
+    * events do not form buckets — the baseline is over OBSERVED hours
+    * (the monitoring convention; a silent-hours gate is [[resampleDailyLocf]]'s
+    * gap-fill composed upstream). A key with constant counts has zero
+    * variance and reports no anomalies — guarded EXPLICITLY
+    * (`variance > 0`), because 0/0 is NaN and both Spark and DuckDB
+    * order NaN ABOVE every threshold: without the guard a perfectly
+    * regular key would flag every hour.
+    *
+    * Scale shape: two keyed aggregations (hour buckets, then per-key
+    * stats — the second input is |keys|·|hours| rows, already tiny)
+    * and one broadcast join of the |keys|-row stats. No window, no
+    * global sort. */
+  def rateAnomalies(events: DataFrame, keyCol: String, tsCol: String,
+                    zMin: Double): DataFrame = {
+    val hourly = events
+      .groupBy(col(keyCol), date_trunc("hour", col(tsCol)).as("hour"))
+      .agg(count(lit(1)).as("n"))
+    val stats = hourly.groupBy(col(keyCol))
+      .agg(sum(col("n")).as("__s"),
+        sum(col("n") * col("n")).as("__ss"),
+        count(lit(1)).as("__c"))
+    val mean = col("__s").cast("double") / col("__c")
+    val variance = col("__ss").cast("double") / col("__c") - mean * mean
+    hourly.join(broadcast(stats), Seq(keyCol))
+      .filter(variance > lit(0.0))
+      .withColumn("zscore", round((col("n") - mean) / sqrt(variance), 6))
+      .filter(col("zscore") >= zMin)
+      .select(col(keyCol), col("hour"), col("n"), col("zscore"))
+  }
 }

@@ -37,6 +37,7 @@ import org.apache.spark.sql.types._
 case class KmvSketchAgg(
     child: Expression,
     k: Int,
+    asSet: Boolean = false,
     mutableAggBufferOffset: Int = 0,
     inputAggBufferOffset: Int = 0)
   extends TypedImperativeAggregate[java.util.TreeSet[java.lang.Long]] {
@@ -45,7 +46,8 @@ case class KmvSketchAgg(
 
   override def children: Seq[Expression] = Seq(child)
   override def nullable: Boolean = false
-  override def dataType: DataType = DoubleType
+  override def dataType: DataType =
+    if (asSet) ArrayType(LongType, containsNull = false) else DoubleType
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case LongType | IntegerType => TypeCheckResult.TypeCheckSuccess
@@ -87,7 +89,16 @@ case class KmvSketchAgg(
   }
 
   override def eval(buffer: java.util.TreeSet[java.lang.Long]): Any =
-    if (buffer.size() < k) buffer.size().toDouble
+    if (asSet) {
+      // the sketch CONTENTS, ascending (TreeSet order) — for set
+      // operations between sketches, where the estimator needs the
+      // hash values themselves, not just the k-th one
+      val arr = new Array[Long](buffer.size())
+      val it = buffer.iterator()
+      var i = 0
+      while (it.hasNext) { arr(i) = it.next().longValue(); i += 1 }
+      org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(arr)
+    } else if (buffer.size() < k) buffer.size().toDouble
     else (k - 1).toDouble * KmvSketch.P / buffer.last().doubleValue()
 
   override def serialize(buffer: java.util.TreeSet[java.lang.Long]): Array[Byte] = {
@@ -135,5 +146,13 @@ object KmvSketch {
   def distinctEstimate(key: Column, k: Int): Column = {
     val eu = org.apache.spark.sql.graftbridge.ColumnBridge
     eu.column(KmvSketchAgg(eu.expression(key), k).toAggregateExpression())
+  }
+
+  /** The bottom-k sketch itself as a sorted `array<long>` — the
+    * mergeable summary [[graft.analysis.SketchSetOps]] combines for
+    * union/intersection/Jaccard estimates between slices. */
+  def sketchSet(key: Column, k: Int): Column = {
+    val eu = org.apache.spark.sql.graftbridge.ColumnBridge
+    eu.column(KmvSketchAgg(eu.expression(key), k, asSet = true).toAggregateExpression())
   }
 }

@@ -510,6 +510,35 @@ object Ann {
       .filter(col("sim") >= tau)
   }
 
+  /** Embedding OUTLIERS — the k vectors farthest from their own
+    * cluster centroid (lowest cosine to the assigned centroid, ties to
+    * the lower id). The embedding-space noise gate of a curation
+    * pipeline: mislabeled scrapes, garbled decodes, and
+    * off-distribution content land far from every centroid, and
+    * "far from the NEAREST one" is the assignment-consistent distance
+    * the IVF machinery already computes. The same scalar underlies
+    * [[assignmentDrift]] — this is its per-row form, surfaced worst-
+    * first instead of averaged.
+    *
+    * Scale shape: one native argmax assignment per row (no join, the
+    * [[assignCluster]] expression), one broadcast join against the
+    * k-row centroid table for the score, and a TakeOrdered for the
+    * bottom-k — no shuffle wider than the k-row merge. */
+  def centroidOutliers(df: DataFrame, cents: Seq[Seq[Double]], k: Int,
+                       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    require(k >= 1, s"k must be >= 1: $k")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val centsDf = cents.zipWithIndex.map { case (c, i) => (i, c) }
+      .toDF("__cluster", "centroid")
+    df.withColumn("__cluster", assignCluster(col(vecCol), cents))
+      .join(broadcast(centsDf), Seq("__cluster"))
+      .select(col(idCol), col("__cluster").cast("long").as("cluster"),
+        VectorOps.cosine6(col(vecCol), col("centroid")).as("sim"))
+      .orderBy(col("sim").asc, col(idCol).asc)
+      .limit(k)
+  }
+
   /** Deterministic seeded hyperplanes (unit-free; only the sign of the
     * projection matters). */
   def planes(dim: Int, nbits: Int, seed: Long = 42L): Seq[Seq[Double]] = {

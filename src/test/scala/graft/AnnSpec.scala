@@ -452,6 +452,22 @@ class AnnSpec extends SparkSpec {
     assert(got == brute)
   }
 
+  test("centroidOutliers ≡ driver-side brute force: assignment-consistent bottom-k") {
+    import graft.vector.VectorOps
+    val cents = Ann.kmeansCentroids(emb, "vec_id", "embedding", 4, 2)
+    val vecs = emb.select(col("vec_id"), col("embedding")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Number](1).map(_.doubleValue()).toSeq)
+    val expected = vecs.map { case (id, v) =>
+      // same argmax convention as assignCluster: raw cosine, lowest cid ties
+      val sims = cents.map(c => VectorOps.cosineLocal(v, c))
+      val cid = sims.indices.maxBy(i => (sims(i), -i))
+      (id, cid.toLong, VectorOps.round6(sims(cid)))
+    }.sortBy { case (id, _, s) => (s, id) }.take(5).toSeq
+    val got = Ann.centroidOutliers(emb, cents, 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(got == expected, s"got $got\nexpected $expected")
+  }
+
   test("LSH buckets are deterministic across runs (seeded planes)") {
     val p = Ann.planes(64, 8)
     val b1 = emb.withColumn("b", Ann.lshBucket(col("embedding"), p))

@@ -56,6 +56,34 @@ class CurationSpec extends SparkSpec {
     assert(self.getDouble(3) == 0.0)
   }
 
+  test("logOddsTerms: closed-form z with the informative prior; symmetric slices mirror") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "x x y", "a"),
+      (2L, "x x z", "b")
+    ).toDF("id", "text", "g")
+    // replicate the exact formula: ya,yb per term, na=nb=3, alpha0=1
+    def z(ya: Long, yb: Long): Double = {
+      val na = 3.0; val nb = 3.0; val a0 = 1.0
+      val aw = a0 * (ya + yb) / (na + nb)
+      val d = math.log((ya + aw) / (na + a0 - ya - aw)) -
+        math.log((yb + aw) / (nb + a0 - yb - aw))
+      val se = math.sqrt(1.0 / (ya + aw) + 1.0 / (yb + aw))
+      graft.vector.VectorOps.round6(d / se)
+    }
+    val got = graft.analysis.CorpusDrift.logOddsTerms(docs, "text", "g", "a", "b", 1.0, 3)
+      .collect().map(r => (r.getString(0), r.getDouble(3))).toSeq
+    // y and z are count-mirrored under EQUAL slice totals → equal |z|,
+    // opposite sign; tie breaks term-ascending; the evenly-shared term
+    // x scores exactly 0
+    assert(z(1L, 0L) == -z(0L, 1L), "mirrored counts must mirror z")
+    assert(z(2L, 2L) == 0.0, "an evenly-shared term must score 0")
+    assert(got == Seq(("y", z(1L, 0L)), ("z", z(0L, 1L)), ("x", z(2L, 2L))),
+      s"got $got")
+    assert(math.abs(got.head._2) > math.abs(got.last._2),
+      "a slice-exclusive term must outrank the shared one")
+  }
+
   test("psi: identical slices diverge 0; out-of-range values clamp into edge bins") {
     import spark.implicits._
     // baseline 0..9 → width 0.9, exactly one value per bin (9 clamps in)

@@ -69,6 +69,43 @@ class KmvSpec extends SparkSpec {
     assert(viaSql == viaCol)
   }
 
+  test("sketchSet: ascending bottom-k contents; set ops exact below k") {
+    import graft.analysis.SketchSetOps
+    // distinct keys far below k=64 → sketches hold EVERYTHING and all
+    // three outputs are exact (modulo hash collisions — none here)
+    val df = Seq.tabulate(30)(i => (i.toLong, if (i < 20) "a" else "x")) // a: 0..19
+      .++(Seq.tabulate(15)(i => (i + 10L, "b")))                        // b: 10..24
+      .toDF("k", "g")
+    val sk = df.filter(col("g") === "a")
+      .agg(KmvSketch.sketchSet(col("k"), 64)).head().getSeq[Long](0)
+    assert(sk.size == 20 && sk == sk.sorted, "full contents, ascending")
+    assert(sk.toSet == (0L until 20L).map(KmvSketch.hash).toSet)
+    val row = SketchSetOps.kmvSetOps(df, "k", "g", "a", "b", 64).head()
+    // |A|=20, |B|=15, |A∩B|=10 (10..19), |A∪B|=25
+    assert(row.getDouble(0) == 25.0, s"union ${row.getDouble(0)}")
+    assert(row.getDouble(1) == 10.0, s"intersect ${row.getDouble(1)}")
+    assert(row.getDouble(2) == 0.4, s"jaccard ${row.getDouble(2)}")
+  }
+
+  test("kmvSetOps: full-sketch estimates land in the error band; order-invariant") {
+    import graft.analysis.SketchSetOps
+    val k = 256
+    val sliced = li.filter(col("l_returnflag").isin("A", "R"))
+    val exact = sliced.select(col("l_returnflag"), col("l_partkey")).distinct()
+      .collect().groupBy(_.getString(0))
+      .map { case (f, rs) => f -> rs.map(_.getLong(1)).toSet }
+    val u = (exact("A") ++ exact("R")).size.toDouble
+    val i = (exact("A") & exact("R")).size.toDouble
+    val row = SketchSetOps.kmvSetOps(li, "l_partkey", "l_returnflag", "A", "R", k).head()
+    val band = 4.0 / math.sqrt(k - 2.0)
+    assert(math.abs(row.getDouble(0) - u) / u < band, s"union ${row.getDouble(0)} vs $u")
+    assert(math.abs(row.getDouble(1) - i) / i < 2 * band, s"inter ${row.getDouble(1)} vs $i")
+    // sketch contents are a set property — partitioning cannot move them
+    val repart = SketchSetOps.kmvSetOps(li.repartition(16), "l_partkey",
+      "l_returnflag", "A", "R", k).head()
+    assert(row == repart, "estimates must be merge-order-invariant")
+  }
+
   test("Scala hash and its SQL replay fragment agree") {
     val keys = Seq(-5L, 0L, 1L, 7919L, 1000000007L, 123456789012L)
     val sqlHashes = spark.sql(

@@ -34,6 +34,27 @@ class SamplingSpec extends SparkSpec {
     assert(repart == s100)
   }
 
+  test("groupFixedSizeSample: exact n per stratum, ≡ the window spec, prefilter-exact") {
+    def asMap(df: org.apache.spark.sql.DataFrame): Map[String, Set[Long]] =
+      df.collect().groupBy(_.getAs[String]("lang"))
+        .map { case (l, rs) => l -> rs.map(_.getAs[Long]("doc_id")).toSet }
+    val d = docs.select(col("doc_id"), col("lang"))
+    val prod = asMap(Sampling.groupFixedSizeSample(d, "doc_id", "lang", 5))
+    val specForm = asMap(Sampling.groupFixedSizeSampleWindow(d, "doc_id", "lang", 5))
+    assert(prod == specForm, "prefiltered path must equal the window spec exactly")
+    val totals = docs.groupBy("lang").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    prod.foreach { case (l, ids) =>
+      assert(ids.size == math.min(5L, totals(l)), s"$l sample size ${ids.size}") }
+    assert(prod.keySet == totals.keySet, "every stratum must be represented")
+    // oversample=1.0 makes short strata likely — the fallback keeps it exact
+    val tight = asMap(Sampling.groupFixedSizeSample(d, "doc_id", "lang", 5, oversample = 1.0))
+    assert(tight == specForm, "fallback path must stay exact")
+    // nesting per stratum: n=3 is a prefix of n=5, stratum by stratum
+    val smaller = asMap(Sampling.groupFixedSizeSample(d, "doc_id", "lang", 3))
+    smaller.foreach { case (l, ids) => assert(ids.subsetOf(prod(l)), s"$l must nest") }
+  }
+
   test("bucket is overflow-free under ANSI for ids up to Long.MaxValue") {
     // Residues >= ~3.47e9 used to overflow the plain Knuth multiply
     // (ANSI ArithmeticException). Pin the split-multiply result against

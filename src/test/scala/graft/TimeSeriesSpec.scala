@@ -88,6 +88,25 @@ class TimeSeriesSpec extends SparkSpec {
     ), s"got $got")
   }
 
+  test("rateAnomalies: closed-form z against the key's own baseline; constant keys silent") {
+    // key A: hourly counts 1,1,1,5 → mean 2, var = (1+1+1+25)/4 − 4 = 3,
+    // z(5) = 3/sqrt(3) = sqrt(3) ≈ 1.732051; z(1) < 0
+    val ev = (
+      Seq.tabulate(1)(i => ("A", ts("2024-01-01 00:10:00"), i)) ++
+      Seq.tabulate(1)(i => ("A", ts("2024-01-01 01:10:00"), i)) ++
+      Seq.tabulate(1)(i => ("A", ts("2024-01-01 02:10:00"), i)) ++
+      Seq.tabulate(5)(i => ("A", ts("2024-01-01 03:10:00"), i)) ++
+      // key B: constant 2/hour → zero variance → never anomalous
+      Seq.tabulate(2)(i => ("B", ts("2024-01-01 00:20:00"), i)) ++
+      Seq.tabulate(2)(i => ("B", ts("2024-01-01 01:20:00"), i))
+    ).toDF("k", "t", "i")
+    val hits = TimeSeries.rateAnomalies(ev, "k", "t", 1.7)
+      .collect().map(r => (r.getString(0), r.getLong(2), r.getDouble(3)))
+    assert(hits.toSeq == Seq(("A", 5L, 1.732051)), s"got ${hits.toSeq}")
+    // raising the bar above sqrt(3) silences A too
+    assert(TimeSeries.rateAnomalies(ev, "k", "t", 1.8).count() == 0)
+  }
+
   test("every stage shuffles on the series key: no single-partition window") {
     val events = graft.io.Tables.events(spark, sf0001)
     val plan = TimeSeries.resampleDailyLocf(events, "user_id", "ts", "value", "event_id")
