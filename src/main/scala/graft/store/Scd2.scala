@@ -63,6 +63,25 @@ object Scd2 {
       .drop(tsCol)
   }
 
+  /** [[history]]'s semantics folded locally over ONE key's
+    * `(epoch-micros, attribute)` observations — the kernel
+    * [[graft.streaming.StreamIngest.scd2Stream]] keeps in per-key
+    * state. ORDER-FREE: observations sort under the same
+    * `(ts, attribute)` total order the batch windows pin, exact
+    * duplicates collapse (a duplicate sighting is a suppressed
+    * confirmation either way), and equal-attribute runs suppress —
+    * so any delivery order folds to the same version list. Returns
+    * `(valid_from, attribute)` per version, ascending; the last entry
+    * is the current version. Kept in graft.store so the batch and
+    * streaming forms share one definition of the versioning. */
+  private[graft] def foldVersions(obs: Seq[(Long, String)]): List[(Long, String)] = {
+    val sorted = obs.distinct.sorted
+    sorted.foldLeft(List.empty[(Long, String)]) {
+      case (acc, (t, a)) =>
+        if (acc.headOption.forall(_._2 != a)) (t, a) :: acc else acc
+    }.reverse
+  }
+
   /** Point-in-time lookup against a [[history]] table: the version of
     * each id live at `at` (half-open intervals — a version starting
     * exactly at `at` is live). Ids first observed after `at` are

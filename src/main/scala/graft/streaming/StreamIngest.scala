@@ -341,6 +341,57 @@ object StreamIngest {
       }
   }
 
+  /** Per-key streaming-SCD-2 state: the distinct `(epoch-micros,
+    * attribute)` observations, plus the running sighting count. */
+  case class Scd2State(obs: List[(Long, String)], nEvents: Long)
+
+  /** One key's CURRENT version as of the latest update: `state` /
+    * `since` are the open version's attribute and start micros,
+    * `n_versions` the history length so far; `n_events` is monotone,
+    * so a drained sink's latest row per key is the one with the max. */
+  case class Scd2Current(key: String, n_events: Long, n_versions: Long,
+                         state: String, since: Long)
+
+  /** Streaming SCD-2 maintenance — the stateful twin of
+    * [[graft.store.Scd2.history]]: per-key `mapGroupsWithState` folds
+    * arriving observations through the SAME order-free versioning
+    * kernel the batch windows compute
+    * ([[graft.store.Scd2.foldVersions]]), so out-of-order delivery and
+    * micro-batch boundaries cannot change the result: the drained
+    * stream's current version and version count equal the batch
+    * history on the same observations (spec-pinned).
+    *
+    * State: the DISTINCT observations per key — exact re-deliveries
+    * collapse, but suppressed sightings cannot be pruned, because a
+    * late observation landing BETWEEN two equal sightings revives the
+    * later one as a real version (A@1, A@2 then late B@1.5 →
+    * A, B, A); the bound is per-key observation count, the same class
+    * as the time-boxed funnel's documented state bound — cap it
+    * upstream with an ingest-lateness horizon when keys are long-lived.
+    * Emits the key's current version each batch (update mode). */
+  def scd2Stream(events: DataFrame, keyCol: String, tsCol: String,
+                 attrCol: String): Dataset[Scd2Current] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .select(col(keyCol).cast("string").as("k"),
+        unix_micros(col(tsCol)).as("t"), col(attrCol).cast("string").as("a"))
+      .as[(String, Long, String)]
+      .groupByKey(_._1)
+      .mapGroupsWithState[Scd2State, Scd2Current](
+        org.apache.spark.sql.streaming.GroupStateTimeout.NoTimeout) {
+        (k, it, state) =>
+          val prev = state.getOption.getOrElse(Scd2State(Nil, 0L))
+          val incoming = it.map(e => (e._2, e._3)).toList
+          val obs = (incoming reverse_::: prev.obs).distinct
+          val versions = graft.store.Scd2.foldVersions(obs)
+          val s = Scd2State(obs, prev.nEvents + incoming.size)
+          state.update(s)
+          val (since, attr) = versions.last
+          Scd2Current(k, s.nEvents, versions.size.toLong, attr, since)
+      }
+  }
+
   /** Per-user streaming-retention state: distinct active epoch days
     * plus the running event count. */
   case class RetentionState(nEvents: Long, days: Set[Int])

@@ -78,6 +78,24 @@ class Scd2Spec extends SparkSpec {
     assert(states == Seq("A", "B", "A"), s"got $states")
   }
 
+  test("foldVersions kernel ≡ the batch windows, any delivery order") {
+    val events = graft.io.Tables.events(spark, sf0001)
+      .select(col("user_id"), col("ts"), col("event_type"))
+    val byUser = events.select(col("user_id"), unix_micros(col("ts")), col("event_type"))
+      .collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getString(2))))
+      .groupBy(_._1).map { case (u, rs) => u -> rs.map(_._2).toSeq }
+    val batch = Scd2.history(events, "user_id", "ts", Seq("event_type"))
+      .select(col("user_id"), unix_micros(col("valid_from")), col("event_type"))
+      .collect().map(r => (r.getLong(0), (r.getLong(1), r.getString(2))))
+      .groupBy(_._1).map { case (u, rs) => u -> rs.map(_._2).sorted.toList }
+    byUser.foreach { case (u, obs) =>
+      // fold a shuffled delivery — order-free by construction
+      val shuffled = new scala.util.Random(u).shuffle(obs)
+      assert(Scd2.foldVersions(shuffled).sorted == batch(u), s"user $u diverges")
+    }
+  }
+
   test("multi-attribute tuples version on ANY attribute change, null-safely") {
     val multi = Seq(
       (1L, ts("2024-01-01 00:00:00"), "A", Some(1)),

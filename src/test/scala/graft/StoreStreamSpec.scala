@@ -423,6 +423,72 @@ class StoreStreamSpec extends SparkSpec {
     assert(batch.nonEmpty)
   }
 
+  test("streaming SCD-2: drained stream ≡ batch history, newest-first delivery") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val events = graft.io.Tables.events(spark, sf0001)
+      .select(col("user_id"), col("event_type"), col("ts"))
+    val rows = events.collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getTimestamp(2))).toSeq
+    // newest-first: every key's history arrives backwards — suppressed
+    // sightings must keep reviving earlier arrivals into real versions
+    val reversed = rows.sortBy(_._3.getTime).reverse
+    val input = MemoryStream[(Long, String, java.sql.Timestamp)]
+    val q = StreamIngest.scd2Stream(
+        input.toDF().toDF("user_id", "event_type", "ts"),
+        "user_id", "ts", "event_type")
+      .writeStream.outputMode("update").format("memory")
+      .queryName("scd2_sink").start()
+    reversed.grouped(997).foreach { g => input.addData(g); q.processAllAvailable() }
+    q.stop()
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("key")).orderBy(col("n_events").desc)
+    val streamed = spark.table("scd2_sink")
+      .withColumn("__rn", org.apache.spark.sql.functions.row_number().over(w))
+      .filter(col("__rn") === 1)
+      .collect().map(r => (r.getAs[String]("key").toLong,
+        (r.getAs[Long]("n_versions"), r.getAs[String]("state"),
+          r.getAs[Long]("since")))).toMap
+    val hist = graft.store.Scd2.history(events, "user_id", "ts", Seq("event_type"))
+    val nVers = hist.groupBy(col("user_id")).agg(count(lit(1)).as("nv"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val current = hist.filter(col("is_current"))
+      .select(col("user_id"), col("event_type"), unix_micros(col("valid_from")))
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2)))).toMap
+    assert(streamed.keySet == nVers.keySet)
+    streamed.foreach { case (u, (nv, st, since)) =>
+      assert(nv == nVers(u), s"user $u versions $nv vs batch ${nVers(u)}")
+      assert((st, since) == current(u), s"user $u current ($st,$since) vs ${current(u)}")
+    }
+    assert(nVers.values.exists(_ > 2), "vacuous fixture: no multi-version user")
+  }
+
+  test("streaming SCD-2 kernel: a late between-sightings arrival revives a suppressed observation") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    def ts(s: Int) = new java.sql.Timestamp(
+      java.sql.Timestamp.valueOf("2026-01-01 00:00:00").getTime + s * 1000L)
+    val input = MemoryStream[(Long, String, java.sql.Timestamp)]
+    val q = StreamIngest.scd2Stream(
+        input.toDF().toDF("id", "state", "ts"), "id", "ts", "state")
+      .writeStream.outputMode("update").format("memory")
+      .queryName("scd2_revive").start()
+    // A@0, A@20 → one version (the repeat is suppressed)
+    input.addData((1L, "A", ts(0)), (1L, "A", ts(20)))
+    q.processAllAvailable()
+    val mid = spark.table("scd2_revive").orderBy(col("n_events").desc).head()
+    assert(mid.getAs[Long]("n_versions") == 1L && mid.getAs[String]("state") == "A")
+    // late B@10 lands BETWEEN them: A@0, B@10, A@20 — three versions,
+    // current flips back to A with since = t20
+    input.addData(Seq((1L, "B", ts(10))))
+    q.processAllAvailable()
+    q.stop()
+    val fin = spark.table("scd2_revive").orderBy(col("n_events").desc).head()
+    assert(fin.getAs[Long]("n_versions") == 3L, s"got ${fin.getAs[Long]("n_versions")}")
+    assert(fin.getAs[String]("state") == "A")
+    assert(fin.getAs[Long]("since") == ts(20).getTime * 1000)
+  }
+
   test("streaming funnel state prunes to the answer on an in-order un-gapped stream") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx = spark.sqlContext
