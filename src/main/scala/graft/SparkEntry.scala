@@ -1206,6 +1206,16 @@ object SparkEntry {
       Lexical.bm25IndexTopKBatch(s, path, qs, 3)
         .orderBy(col("qid"), col("doc_id"))
     }),
+    // ---- [EXT] BM25 index health report (Lexical.bm25IndexHealth):
+    // the maintenance dashboard row — corpus stats, vocabulary and
+    // postings mass, the heaviest postings list (stopword/skew
+    // suspect), tombstone debt, bucket skew vs a perfectly even hash.
+    // One postings scan, two bounded aggregates, 1-row crossJoins.
+    "bm25_index_stats" -> ((s, dir) => {
+      val path = scratchDir("bm25-health")
+      Lexical.buildBm25Index(Tables.documents(s, dir), "text", "doc_id", path)
+      Lexical.bm25IndexHealth(s, path)
+    }),
     // ---- [EXT] index DELETE — the missing quarter of the index
     // lifecycle: build on the full corpus, tombstone-delete 20%, probe.
     // The oracle recomputes BM25 from the SURVIVING corpus only, so the
@@ -1435,6 +1445,17 @@ object SparkEntry {
           coalesce(unix_micros(col("valid_to")), lit(-1L)).as("valid_to"),
           col("is_current").cast("long").as("is_current"))
         .orderBy(col("user_id"), col("valid_from"), col("event_type"))),
+    // ---- [EXT] point-in-time state census (Scd2.asOf composed on the
+    // history): how many users sat in each state mid-log — the
+    // "dashboard as of last Tuesday" question SCD-2 exists to answer;
+    // a plain interval filter on the history, then one keyed count.
+    "scd2_asof" -> ((s, dir) =>
+      graft.store.Scd2.asOf(
+          graft.store.Scd2.history(Tables.events(s, dir), "user_id", "ts",
+            Seq("event_type")),
+          lit(java.sql.Timestamp.valueOf("2024-01-15 00:00:00")))
+        .groupBy(col("event_type")).agg(count(lit(1)).as("n_users"))
+        .orderBy(col("event_type"))),
     // ---- A5: deterministic featurizer (zero-egress embed substitution)
     "featurize_check" -> ((s, dir) => {
       val vec = Featurizer.featurize(64)(col("text"))
@@ -2394,6 +2415,24 @@ object SparkEntry {
           graft.analysis.Sampling.splitAssign(col("doc_id"),
             Seq("train" -> 0.75, "val" -> 0.125, "test" -> 0.125)).as("split"))
         .orderBy(col("doc_id"))),
+    // ---- [EXT] split LEAKAGE: near-duplicate pairs that straddle a
+    // train/val/test boundary — the eval-integrity gate (a test doc
+    // whose near-twin sits in train inflates every metric). Composes
+    // the hash splits with the MinHash+LSH pair generation, so the
+    // check is band-join bounded like the dedup it reuses; output is
+    // the actionable pair list with both sides' assignments.
+    "split_leakage" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val lbl = docs.select(col("doc_id"),
+        graft.analysis.Sampling.splitAssign(col("doc_id"),
+          Seq("train" -> 0.75, "val" -> 0.125, "test" -> 0.125)).as("split"))
+      Dedup.minhashJaccardPairs(docs, "doc_id", "text", 5, 32, 8, 0.5)
+        .join(lbl.select(col("doc_id").as("id_a"), col("split").as("split_a")), Seq("id_a"))
+        .join(lbl.select(col("doc_id").as("id_b"), col("split").as("split_b")), Seq("id_b"))
+        .filter(col("split_a") =!= col("split_b"))
+        .select(col("id_a"), col("id_b"), col("split_a"), col("split_b"), col("jaccard"))
+        .orderBy(col("id_a"), col("id_b"))
+    }),
     // ---- [EXT] exact percentiles (interpolated) + moment statistics —
     // Spark's `percentile` is the exact sort-based aggregate (vs the
     // approx_percentile sketch), interpolation-compatible with
@@ -5057,6 +5096,29 @@ object SparkEntry {
          |           ORDER BY score DESC, doc_id ASC) AS rn
          |  FROM bscored) WHERE rn <= 3
          |ORDER BY qid, doc_id""".stripMargin,
+    // fresh-build health: postings = distinct (term, doc) pairs,
+    // buckets by the fingerprint hash mod 64, heaviest list by
+    // (df DESC, term ASC), skew vs the perfectly even layout
+    "bm25_index_stats" ->
+      s"""WITH tok AS (SELECT doc_id, unnest($toksSql) AS term FROM documents),
+         |p AS (SELECT term, doc_id FROM tok GROUP BY 1, 2),
+         |pb AS (SELECT term, doc_id, (${polySql("term")}) % 64 AS tb FROM p),
+         |bs AS (SELECT tb, count(*) AS bn FROM pb GROUP BY 1),
+         |dfc AS (SELECT term, count(*) AS df FROM p GROUP BY 1),
+         |top AS (SELECT term AS top_term, df AS max_df FROM dfc
+         |        ORDER BY df DESC, term ASC LIMIT 1),
+         |tots AS (SELECT count(*) AS n_postings,
+         |                count(DISTINCT term) AS n_terms FROM p),
+         |doc AS (SELECT count(*) AS n_docs,
+         |               sum(len($toksSql)) AS sum_dl FROM documents),
+         |bmax AS (SELECT max(bn) AS max_bn FROM bs)
+         |SELECT doc.n_docs,
+         |       round(doc.sum_dl::DOUBLE / doc.n_docs, 6) AS avg_dl,
+         |       tots.n_terms, tots.n_postings, top.max_df, top.top_term,
+         |       0::BIGINT AS n_tombstones,
+         |       round(bmax.max_bn::DOUBLE /
+         |             (tots.n_postings::DOUBLE / 64.0), 6) AS bucket_skew
+         |FROM doc, tots, top, bmax""".stripMargin,
     // after the snapshot sync the index must answer as if built on the
     // v2 corpus from scratch
     "bm25_index_sync_top3" ->
@@ -5313,6 +5375,25 @@ object SparkEntry {
         |       coalesce(epoch_us(vt), -1) AS valid_to,
         |       (CASE WHEN vt IS NULL THEN 1 ELSE 0 END)::BIGINT AS is_current
         |FROM iv ORDER BY user_id, valid_from, event_type""".stripMargin,
+    // SCD-2 interval filter at the census instant, then one keyed count
+    "scd2_asof" ->
+      """WITH chg AS (
+        |  SELECT user_id, ts, event_type,
+        |         lag(event_type) OVER (PARTITION BY user_id
+        |                               ORDER BY ts, event_type) AS prev
+        |  FROM events),
+        |vers AS (
+        |  SELECT user_id, ts, event_type FROM chg
+        |  WHERE prev IS NULL OR event_type <> prev),
+        |iv AS (
+        |  SELECT user_id, event_type, ts AS vf,
+        |         lead(ts) OVER (PARTITION BY user_id
+        |                        ORDER BY ts, event_type) AS vt
+        |  FROM vers)
+        |SELECT event_type, count(*) AS n_users FROM iv
+        |WHERE vf <= TIMESTAMP '2024-01-15 00:00:00'
+        |  AND (vt IS NULL OR TIMESTAMP '2024-01-15 00:00:00' < vt)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "hybrid_rrf_top5" ->
       s"""WITH $bm25Ctes,
          |b20 AS (SELECT doc_id, score FROM scored
@@ -6110,6 +6191,33 @@ object SparkEntry {
         |              + ((doc_id % 4294967296) % 65536) * 2654435761) % 4294967296 AS bkt
         |      FROM documents)
         |ORDER BY doc_id""".stripMargin,
+    // near-dup pairs (the minhash CTE chain) × the split cut points;
+    // pairs straddling a boundary, with the round-6 jaccard re-joined
+    "split_leakage" ->
+      s"""WITH $nearDupPairsCtes,
+         |spl AS (
+         |  SELECT doc_id,
+         |         CASE WHEN bkt < 3221225472 THEN 'train'
+         |              WHEN bkt < 3758096384 THEN 'val'
+         |              ELSE 'test' END AS split
+         |  FROM (SELECT doc_id,
+         |               (((((doc_id % 4294967296) // 65536) * 2654435761) % 4294967296) * 65536
+         |                + ((doc_id % 4294967296) % 65536) * 2654435761) % 4294967296 AS bkt
+         |        FROM documents)),
+         |pj AS (
+         |  SELECT p.id_a, p.id_b,
+         |         round(x.ic::DOUBLE / (sa.n + sb.n - x.ic), 6) AS jaccard
+         |  FROM prs p
+         |  JOIN inter x ON x.id_a = p.id_a AND x.id_b = p.id_b
+         |  JOIN sizes sa ON sa.doc_id = p.id_a
+         |  JOIN sizes sb ON sb.doc_id = p.id_b)
+         |SELECT pj.id_a, pj.id_b, a.split AS split_a, b.split AS split_b,
+         |       pj.jaccard
+         |FROM pj
+         |JOIN spl a ON a.doc_id = pj.id_a
+         |JOIN spl b ON b.doc_id = pj.id_b
+         |WHERE a.split <> b.split
+         |ORDER BY pj.id_a, pj.id_b""".stripMargin,
     "percentile_stats" ->
       """SELECT l_returnflag,
         |       round(quantile_cont(l_quantity, 0.5), 6) AS p50_qty,

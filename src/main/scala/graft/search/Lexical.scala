@@ -299,6 +299,49 @@ object Lexical {
       .write.mode("overwrite").parquet(s"$dstPath/stats")
   }
 
+  /** Health report of a materialized BM25 index — the lexical sibling
+    * of the IVF cluster-stats report: one row of the signals that
+    * drive maintenance decisions. `n_docs`/`avg_dl` from the mergeable
+    * stats rows (a drifting avg_dl after appends quietly reweights
+    * every score); `n_terms`/`n_postings` from one postings scan;
+    * `max_df` + `top_term` (the heaviest postings list — the stopword
+    * / skew suspect, ties to the term ascending); `n_tombstones` (the
+    * logical-delete debt [[compactBm25Index]] would clear); and
+    * `bucket_skew` = max bucket postings ÷ (n_postings / term_buckets)
+    * — 1.0 is perfectly even, large values mean the bucket layout is
+    * hashing poorly and probe pruning degrades.
+    *
+    * Scale shape: one scan of postings feeding two map-side-combined
+    * aggregates (per-term df and per-bucket counts — both bounded by
+    * vocab/bucket cardinality), 1-row frames crossJoined at the end.
+    * Raw index contents by design: tombstoned docs still occupy
+    * postings until compaction, and this report is the measure of
+    * exactly that debt. */
+  def bm25IndexHealth(spark: org.apache.spark.sql.SparkSession,
+                      path: String): DataFrame = {
+    import spark.implicits._
+    val (buckets, nDocs, sumDl) = bm25IndexStats(spark, path)
+    val nTombs = bm25Tombstones(spark, path).map(_.count()).getOrElse(0L)
+    val postings = spark.read.parquet(s"$path/postings")
+    val tots = postings.agg(count(lit(1)).as("n_postings"),
+      countDistinct(col("term")).as("n_terms"))
+    val top = postings.groupBy(col("term")).agg(count(lit(1)).as("df"))
+      .orderBy(col("df").desc, col("term").asc).limit(1)
+      .select(col("term").as("top_term"), col("df").as("max_df"))
+    val bmax = postings.groupBy(col("__tb")).agg(count(lit(1)).as("bn"))
+      .agg(max(col("bn")).as("max_bn"))
+    Seq((nDocs, graft.vector.VectorOps.round6(sumDl.toDouble / nDocs), nTombs))
+      .toDF("n_docs", "avg_dl", "n_tombstones")
+      .crossJoin(broadcast(tots))
+      .crossJoin(broadcast(top))
+      .crossJoin(broadcast(bmax))
+      .select(col("n_docs"), col("avg_dl"), col("n_terms"), col("n_postings"),
+        col("max_df"), col("top_term"), col("n_tombstones"),
+        round(col("max_bn").cast("double") /
+          (col("n_postings").cast("double") / lit(buckets.toDouble)), 6)
+          .as("bucket_skew"))
+  }
+
   /** Batch BM25 probe of a materialized index — [[bm25TopKBatch]]
     * semantics without touching the corpus: the scan reads only the
     * query terms' hash-bucket partitions. The union of query terms is

@@ -256,6 +256,38 @@ class LexicalSpec extends SparkSpec {
     }
   }
 
+  test("bm25IndexHealth: counts match the corpus, tombstone debt surfaces, compaction clears it") {
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+    val path = java.nio.file.Files
+      .createTempDirectory("graft-bm25-health").toString + "/index"
+    Lexical.buildBm25Index(docs, "text", "doc_id", path)
+    val h = Lexical.bm25IndexHealth(spark, path).head()
+    val toks = docs.select(col("doc_id"),
+      explode(TextAnalysis.tokens(col("text"))).as("t"))
+    assert(h.getAs[Long]("n_docs") == docs.count())
+    assert(h.getAs[Long]("n_postings") == toks.distinct().count())
+    assert(h.getAs[Long]("n_terms") == toks.select("t").distinct().count())
+    assert(h.getAs[Long]("n_tombstones") == 0L)
+    assert(h.getAs[Double]("bucket_skew") >= 1.0, "max bucket can't be below the mean")
+    val df = toks.distinct().groupBy(col("t")).agg(count(lit(1)).as("df"))
+      .orderBy(col("df").desc, col("t").asc).head()
+    assert(h.getAs[Long]("max_df") == df.getLong(1) &&
+      h.getAs[String]("top_term") == df.getString(0))
+    // logical deletes: debt counted, postings mass unchanged
+    Lexical.deleteFromBm25Index(docs.filter(col("doc_id") < 2), "doc_id", path)
+    val h2 = Lexical.bm25IndexHealth(spark, path).head()
+    assert(h2.getAs[Long]("n_tombstones") == 2L)
+    assert(h2.getAs[Long]("n_postings") == h.getAs[Long]("n_postings"))
+    // compaction applies them physically: debt 0, docs down, postings down
+    val dst = java.nio.file.Files
+      .createTempDirectory("graft-bm25-health2").toString + "/index"
+    Lexical.compactBm25Index(spark, path, dst, "doc_id")
+    val h3 = Lexical.bm25IndexHealth(spark, dst).head()
+    assert(h3.getAs[Long]("n_tombstones") == 0L)
+    assert(h3.getAs[Long]("n_docs") == docs.count() - 2)
+    assert(h3.getAs[Long]("n_postings") < h.getAs[Long]("n_postings"))
+  }
+
   test("contamination flags exactly the docs sharing an n-token shingle") {
     val train = Seq(
       (1L, "alpha beta gamma delta"),
