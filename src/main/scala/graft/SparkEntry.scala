@@ -2451,6 +2451,14 @@ object SparkEntry {
           round(corr(col("l_quantity"), col("l_extendedprice")), 6).as("corr_qp"),
           round(covar_samp(col("l_quantity"), col("l_extendedprice")), 6).as("cov_qp"))
         .orderBy(col("l_returnflag"))),
+    // ---- [EXT] equal-DEPTH histogram (Quantiles.equiDepthHistogram):
+    // bins at the exact interpolated octiles, boundaries round-6
+    // before bucketing, left-closed with unbounded edge bins — the
+    // skew-proof complement of the equal-width value_histogram.
+    "equi_depth_hist" -> ((s, dir) =>
+      graft.analysis.Quantiles.equiDepthHistogram(
+          Tables.events(s, dir), "value", 8)
+        .orderBy(col("bin"))),
     // ---- [EXT] bounded-state quantile SKETCH — the scale-path twin of
     // percentile_stats: fixed-width bucket histogram (algebraic counts,
     // O(range/width) state per group at ANY row count), quantile = first
@@ -2545,6 +2553,14 @@ object SparkEntry {
         .groupBy(col("term")).agg(count(lit(1)).as("n"))
         .orderBy(col("n").desc, col("term").asc)
         .limit(20)),
+    // ---- [EXT] term associations (TextAnalysis.pmiPairs): top PMI
+    // pairs over the frequent vocabulary — document-presence
+    // co-occurrence vs independence. The quadratic pair step runs
+    // AFTER the df cut, so fan-out is bounded by the vocabulary cut,
+    // not document length.
+    "pmi_pairs" -> ((s, dir) =>
+      TextAnalysis.pmiPairs(Tables.documents(s, dir), "doc_id", "text",
+        30L, 10L, 15)),
     // ---- [EXT] count-min heavy hitters: top_terms' bounded-state twin
     // (analysis/FreqSketch) — depth x width counter cells regardless of
     // vocabulary size, estimates replayed bit-for-bit by the oracle
@@ -6218,6 +6234,28 @@ object SparkEntry {
          |JOIN spl b ON b.doc_id = pj.id_b
          |WHERE a.split <> b.split
          |ORDER BY pj.id_a, pj.id_b""".stripMargin,
+    // octile boundaries (quantile_cont ↔ percentile), round-6, then
+    // the same left-closed size(filter(...)) bucket assignment
+    "equi_depth_hist" ->
+      """WITH bs AS (
+        |  SELECT list_transform(
+        |           quantile_cont(value, [0.125, 0.25, 0.375, 0.5,
+        |                                 0.625, 0.75, 0.875]),
+        |           b -> round(b, 6)) AS bs
+        |  FROM events WHERE value IS NOT NULL),
+        |bk AS (
+        |  SELECT len(list_filter(bs.bs, b -> e.value >= b))::BIGINT AS bin
+        |  FROM events e, bs WHERE e.value IS NOT NULL),
+        |cnt AS (SELECT bin, count(*) AS n FROM bk GROUP BY 1),
+        |bins AS (SELECT unnest(range(0, 8)) AS bin)
+        |SELECT bins.bin::BIGINT AS bin,
+        |       CASE WHEN bins.bin = 0 THEN '-infinity'::DOUBLE
+        |            ELSE bs.bs[bins.bin::INT] END AS lo,
+        |       CASE WHEN bins.bin = 7 THEN 'infinity'::DOUBLE
+        |            ELSE bs.bs[bins.bin::INT + 1] END AS hi,
+        |       coalesce(cnt.n, 0)::BIGINT AS n
+        |FROM bins LEFT JOIN cnt USING (bin), bs
+        |ORDER BY bin""".stripMargin,
     "percentile_stats" ->
       """SELECT l_returnflag,
         |       round(quantile_cont(l_quantity, 0.5), 6) AS p50_qty,
@@ -6386,6 +6424,26 @@ object SparkEntry {
       s"""SELECT term, count(*) AS n FROM (
          |  SELECT unnest($toksSql) AS term FROM documents)
          |GROUP BY term ORDER BY n DESC, term ASC LIMIT 20""".stripMargin,
+    // document-presence PMI over the df>=30 vocabulary, n_ab>=10 floor
+    "pmi_pairs" ->
+      s"""WITH pres AS (
+         |  SELECT DISTINCT doc_id, term FROM (
+         |    SELECT doc_id, unnest($toksSql) AS term FROM documents)),
+         |dfc AS (SELECT term, count(*) AS df FROM pres
+         |        GROUP BY 1 HAVING count(*) >= 30),
+         |kept AS (SELECT p.doc_id, p.term, d.df
+         |         FROM pres p JOIN dfc d USING (term)),
+         |n AS (SELECT count(*) AS n FROM documents),
+         |pr AS (
+         |  SELECT a.term AS term_a, b.term AS term_b, count(*) AS n_ab,
+         |         max(a.df) AS dfa, max(b.df) AS dfb
+         |  FROM kept a JOIN kept b
+         |    ON a.doc_id = b.doc_id AND a.term < b.term
+         |  GROUP BY 1, 2 HAVING count(*) >= 10)
+         |SELECT term_a, term_b, n_ab,
+         |       round(ln((n_ab * n.n) / (dfa * dfb)::DOUBLE), 6) AS pmi
+         |FROM pr, n
+         |ORDER BY pmi DESC, term_a ASC, term_b ASC LIMIT 15""".stripMargin,
     "cmin_heavy_hitters" ->
       s"""WITH tok AS (SELECT unnest($toksSql) AS term FROM documents),
          |fp AS (SELECT term, ${polySql("term")} AS f FROM tok),

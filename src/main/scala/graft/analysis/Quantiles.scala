@@ -66,4 +66,48 @@ object Quantiles {
       .select(col(groupCol), col("q"),
         round((col("__qb") + lit(0.5)) * lit(width), 6).as("est"))
   }
+
+  /** Equal-DEPTH histogram: `bins` buckets holding (approximately)
+    * equal row counts, boundaries at the exact interpolated quantiles
+    * `i/bins` — the complement of the equal-width histogram
+    * (`value_histogram`) for skewed columns, where equal-width wastes
+    * most bins on empty ranges. The standard use is binning a feature
+    * for drift monitoring ([[CorpusDrift.psi]] composes directly: its
+    * baseline grid can be these boundaries) or equi-depth bucketing
+    * before stratification.
+    *
+    * Boundaries round to 6 BEFORE bucketing on both engines (the
+    * float contract — an interpolated quantile is a float whose last
+    * ulp must not decide a bin); bins are left-closed
+    * `[b_{i-1}, b_i)` with the first unbounded below and the last
+    * unbounded above, so ties ON a rounded boundary go to the higher
+    * bin deterministically. Duplicate-heavy columns collapse
+    * boundaries — duplicate boundaries leave interior bins legally
+    * EMPTY rather than double-counting.
+    *
+    * Scale shape: one exact-percentile aggregate for the bins-1
+    * boundary scalars (a 1-row broadcast), then one codegen'd
+    * `size(filter(...))` bucket assignment + keyed count; the
+    * bins-row left join restores empty bins at 0. */
+  def equiDepthHistogram(df: DataFrame, valueCol: String, bins: Int): DataFrame = {
+    require(bins >= 2, s"bins must be >= 2: $bins")
+    val spark = df.sparkSession
+    val qs = (1 until bins).map(i => i.toDouble / bins)
+    val bounds = df.filter(col(valueCol).isNotNull)
+      .agg(expr(s"percentile($valueCol, array(${qs.mkString(", ")}))").as("__bs"))
+      .select(transform(col("__bs"), b => round(b, 6)).as("__bs"))
+    val bucketed = df.filter(col(valueCol).isNotNull)
+      .crossJoin(broadcast(bounds))
+      .select(size(filter(col("__bs"), b => col(valueCol) >= b)).cast("long").as("bin"))
+      .groupBy(col("bin")).agg(count(lit(1)).as("n"))
+    spark.range(0, bins).select(col("id").as("bin"))
+      .join(bucketed, Seq("bin"), "left")
+      .crossJoin(broadcast(bounds))
+      .select(col("bin"),
+        when(col("bin") === 0, lit(Double.NegativeInfinity))
+          .otherwise(element_at(col("__bs"), col("bin").cast("int"))).as("lo"),
+        when(col("bin") === bins - 1, lit(Double.PositiveInfinity))
+          .otherwise(element_at(col("__bs"), col("bin").cast("int") + 1)).as("hi"),
+        coalesce(col("n"), lit(0L)).as("n"))
+  }
 }

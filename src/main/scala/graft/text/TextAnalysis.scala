@@ -149,6 +149,49 @@ object TextAnalysis {
   /** Rolling polynomial fingerprint over the full text: fold
     * (h*31 + charCode) mod 1e9+7, seed 7 — same hash family as
     * [[graft.embed.Featurizer]]; one HOF pass per row. */
+  /** Term-association mining — document-level pointwise mutual
+    * information over the frequent vocabulary: which term pairs
+    * co-occur in documents far more than their independent rates
+    * predict (collocations, topic anchors, template signatures).
+    * `PMI(a,b) = ln(n_ab · N / (n_a · n_b))` over document PRESENCE
+    * counts (a term counts once per doc), with a `minDf` vocabulary
+    * cut and a `minPair` co-occurrence floor (PMI is noise-dominated
+    * at tiny counts — the standard guards). Top-`topK` pairs by
+    * `(pmi DESC, term_a, term_b)`, pmi round-6.
+    *
+    * Scale shape: the pair generation is the quadratic step, so it
+    * runs AFTER the df cut — per-doc fan-out is C(kept terms in doc,
+    * 2), bounded by the vocabulary cut, not the document length (the
+    * PPJoin prefix-filter lesson applied to co-occurrence). One
+    * doc-keyed self-join on the filtered presence table, counts
+    * map-side combined, N a 1-row broadcast. Raise `minDf` to shrink
+    * the candidate vocabulary first at scale. */
+  def pmiPairs(docs: DataFrame, idCol: String, textCol: String,
+               minDf: Long, minPair: Long, topK: Int): DataFrame = {
+    require(minDf >= 1 && minPair >= 1 && topK >= 1, "positive guards required")
+    val pres = docs
+      .select(col(idCol).as("__id"), explode(tokens(col(textCol))).as("term"))
+      .distinct()
+    val dfc = pres.groupBy(col("term")).agg(count(lit(1)).as("__df"))
+      .filter(col("__df") >= minDf)
+    val kept = pres.join(dfc, Seq("term"))
+    val n = docs.agg(count(lit(1)).as("__n"))
+    val pairs = kept.select(col("__id"), col("term").as("term_a"), col("__df").as("__dfa"))
+      .join(kept.select(col("__id"), col("term").as("term_b"), col("__df").as("__dfb")),
+        Seq("__id"))
+      .filter(col("term_a") < col("term_b"))
+      .groupBy(col("term_a"), col("term_b"))
+      .agg(count(lit(1)).as("n_ab"),
+        first(col("__dfa")).as("__dfa"), first(col("__dfb")).as("__dfb"))
+      .filter(col("n_ab") >= minPair)
+    pairs.crossJoin(broadcast(n))
+      .select(col("term_a"), col("term_b"), col("n_ab"),
+        round(log(col("n_ab") * col("__n") /
+          (col("__dfa") * col("__dfb")).cast("double")), 6).as("pmi"))
+      .orderBy(col("pmi").desc, col("term_a").asc, col("term_b").asc)
+      .limit(topK)
+  }
+
   def fingerprint(text: Column): Column =
     aggregate(split(text, ""), lit(7L),
       (h, c) => (h * 31 + ascii(c)) % 1000000007L)

@@ -73,4 +73,25 @@ class QuantilesSpec extends SparkSpec {
     // the null row must not land in a null bucket or inflate __n
     assert(out == Seq(250.0, 250.0))
   }
+
+  test("equiDepthHistogram: near-equal depths on distinct data, edges unbounded, empty bins legal") {
+    // 0..79 into 4 bins: octile boundaries land between values → 20 each
+    val df = (0 until 80).map(_.toDouble).toDF("v")
+    val rows = Quantiles.equiDepthHistogram(df, "v", 4)
+      .orderBy(col("bin")).collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2), r.getLong(3)))
+    assert(rows.map(_._4).toSeq == Seq(20L, 20L, 20L, 20L), s"got ${rows.toSeq}")
+    assert(rows.head._2.isNegInfinity && rows.last._3.isPosInfinity)
+    // interior boundaries chain: bin i's hi == bin i+1's lo
+    rows.sliding(2).foreach { case Array(a, b) => assert(a._3 == b._2) }
+    // counts cover everything
+    assert(rows.map(_._4).sum == 80L)
+    // duplicate-heavy column: collapsed boundaries leave empty interior
+    // bins rather than double-counting — total mass preserved
+    val dup = Seq.fill(100)(1.0).toDF("v")
+    val drows = Quantiles.equiDepthHistogram(dup, "v", 4)
+      .orderBy(col("bin")).collect().map(_.getLong(3))
+    assert(drows.sum == 100L)
+    assert(drows.count(_ == 0L) == 3, s"got ${drows.toSeq}")
+  }
 }

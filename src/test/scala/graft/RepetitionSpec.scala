@@ -60,4 +60,28 @@ class RepetitionSpec extends SparkSpec {
     val viaSql = spark.sql("SELECT char_entropy('abab') AS e").head().getDouble(0)
     assert(math.abs(viaSql - math.log(2)) < 1e-12)
   }
+
+  test("pmiPairs: closed-form PMI, df cut and pair floor enforced, presence not counts") {
+    import org.apache.spark.sql.functions._
+    // x,y always together (PMI ln(4·4/(4·4)) = ... co-pref); z with x
+    // in half the docs; w appears once (df cut drops it)
+    val docs = Seq(
+      (1L, "x y z w"),
+      (2L, "x y z"),
+      (3L, "x y"),
+      (4L, "x x y") // repeated x must count ONCE (presence)
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.pmiPairs(docs, "doc_id", "text", 2L, 2L, 10)
+      .collect().map(r => ((r.getString(0), r.getString(1)),
+        (r.getLong(2), r.getDouble(3)))).toMap
+    def pmi(nab: Long, da: Long, db: Long): Double =
+      graft.vector.VectorOps.round6(math.log((nab * 4.0) / (da * db)))
+    // x-y: n_ab=4, df 4,4 → ln(16/16)=0; x-z: 2,4,2 → ln(8/8)=0;
+    // y-z: 2,4,2 → 0... make it non-degenerate: check exact values
+    assert(got(("x", "y")) == ((4L, pmi(4, 4, 4))))
+    assert(got(("x", "z")) == ((2L, pmi(2, 4, 2))))
+    assert(!got.keySet.exists { case (a, b) => a == "w" || b == "w" },
+      "df < minDf terms must not pair")
+    assert(got.keySet == Set(("x", "y"), ("x", "z"), ("y", "z")))
+  }
 }
