@@ -982,6 +982,15 @@ object SparkEntry {
           round(coalesce(col("n_vecs"), lit(0L)) / col("__n"), 6).as("frac"))
         .orderBy(col("cid"))
     }),
+    // ---- [EXT] spectral diagnostics (Spectral.spectralShare): top
+    // principal direction by matrix-free power iteration + its share
+    // of total energy — the anisotropy alarm for the embedding space
+    // (a dominant direction collapses cosine contrast under every ANN
+    // operator). Cross-row sums are DECIMAL(38,12)-exact so reduction
+    // order cannot leak; 3 iterations, d=64 driver model state.
+    "spectral_share" -> ((s, dir) =>
+      graft.analysis.Spectral.spectralShare(
+        Tables.embeddings(s, dir), "embedding", 64, 3)),
     // ---- [EXT] embedding outliers (Ann.centroidOutliers): the 10
     // vectors farthest from their OWN cluster centroid — the
     // embedding-space noise gate (garbled decodes and off-distribution
@@ -3011,6 +3020,31 @@ object SparkEntry {
     * — same Lloyd unroll as the ann_kmeans_recall oracle, under ic/ia
     * CTE name prefixes so it composes with the PQ chain): emits
     * `ic{iters}` (final centroids) and `iaf` (final assignments). */
+  /** Power-iteration replay (mirror of Spectral.topDirection): uniform
+    * init, per-iteration CTE triple — per-row dots against v_{n-1}
+    * (list_dot_product, the pinned sequential accumulation), per-dim
+    * DECIMAL(38,12)-exact cross-row sums (order-free, like the Scala
+    * side), index-ordered norm fold, element division. Emits v{iters}
+    * as a DOUBLE[64] list. */
+  private def spectralSql(iters: Int): String = {
+    def iter(n: Int): String =
+      s"""sd$n AS (
+         |  SELECT e.embedding,
+         |         list_dot_product(e.embedding::DOUBLE[], v${n - 1}.v) AS d
+         |  FROM embeddings e, v${n - 1}),
+         |ss$n AS (
+         |  SELECT i, sum(CAST(embedding[i]::DOUBLE * d AS DECIMAL(38,12)))::DOUBLE AS s
+         |  FROM sd$n, (SELECT unnest(range(1, 65)) AS i) ix$n GROUP BY i),
+         |sl$n AS (SELECT list(s ORDER BY i) AS sv FROM ss$n),
+         |v$n AS (
+         |  SELECT list_transform(sv, x -> x /
+         |           sqrt(list_reduce(list_transform(sv, y -> y * y),
+         |                            (a, b) -> a + b))) AS v
+         |  FROM sl$n)""".stripMargin
+    val v0 = "v0 AS (SELECT list_transform(range(1, 65), x -> 0.125::DOUBLE) AS v)"
+    (v0 +: (1 to iters).map(iter)).mkString(",\n")
+  }
+
   private def ivfTrainSql(k: Int, iters: Int): String = {
     def rawCos(a: String, b: String) =
       s"list_dot_product($a, $b) / (sqrt(list_dot_product($a, $a)) * sqrt(list_dot_product($b, $b)))"
@@ -4935,6 +4969,24 @@ object SparkEntry {
          |       round(coalesce(cn.n_vecs, 0) / tot.n, 6) AS frac
          |FROM cl LEFT JOIN cn USING (cid), tot
          |ORDER BY cid""".stripMargin,
+    // power-iteration replay → Rayleigh share + dominant coordinate
+    "spectral_share" ->
+      s"""WITH ${spectralSql(3)},
+         |dr AS (
+         |  SELECT list_dot_product(e.embedding::DOUBLE[], v3.v) AS d
+         |  FROM embeddings e, v3),
+         |num AS (SELECT sum(CAST(d * d AS DECIMAL(38,12)))::DOUBLE AS a FROM dr),
+         |den AS (
+         |  SELECT sum(CAST(x * x AS DECIMAL(38,12)))::DOUBLE AS b
+         |  FROM (SELECT unnest(embedding::DOUBLE[]) AS x FROM embeddings)),
+         |top AS (
+         |  SELECT i - 1 AS top_dim, v3.v[i::INT] AS w
+         |  FROM v3, (SELECT unnest(range(1, 65)) AS i) ix
+         |  ORDER BY abs(v3.v[i::INT]) DESC, i ASC LIMIT 1)
+         |SELECT round(num.a / den.b, 6) AS var_share,
+         |       top.top_dim::BIGINT AS top_dim,
+         |       round(top.w, 6) AS top_weight
+         |FROM num, den, top""".stripMargin,
     // Lloyd replay → cosine of each vector to its ASSIGNED centroid,
     // bottom-10 (sim ASC, id ASC) — the per-row drift form
     "embed_outliers" ->

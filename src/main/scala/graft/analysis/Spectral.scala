@@ -1,0 +1,85 @@
+package graft.analysis
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.vector.VectorOps
+
+/** Spectral diagnostics of an embedding column — the top principal
+  * direction by matrix-free power iteration, and the share of total
+  * (uncentered) variance it carries.
+  *
+  * Why an engine needs this: embedding spaces are notoriously
+  * ANISOTROPIC — a handful of rogue directions can carry most of the
+  * energy, which collapses cosine contrast and quietly degrades every
+  * retrieval operator built on it (a published, well-known failure
+  * mode of sentence/LLM embeddings). `spectral_share` is the one-row
+  * alarm: a share near 1/d is healthy isotropy, a share of 0.5+ says
+  * the space needs whitening/centering before the ANN indexes are
+  * trusted. Power iteration needs only `Σ_x x (x·v)` per step — no
+  * d×d covariance is ever materialized, so d can be thousands.
+  *
+  * Cross-engine determinism (this is the interesting part): the
+  * per-dimension cross-ROW sums are the one place reduction order
+  * could leak in, so each addend is cast to `DECIMAL(38,12)` and
+  * summed EXACTLY — decimal addition is associative, making the sum
+  * order-free and bit-identical on any engine; the per-row dot
+  * products and the driver-side norm fold are fixed-sequence IEEE
+  * (the `list_dot_product` parity the cosine kernels already pin).
+  * Only the final reported scalars round to 6.
+  *
+  * Scale shape: `iters` scans, each one explode + keyed sum to d rows
+  * (map-side combined); the direction vector is d doubles of driver
+  * model state between iterations (the Lloyd-centroid pattern).
+  * Deterministic init: the uniform unit vector (no randomness to
+  * seed-sync across engines); it converges to the top eigenvector
+  * whenever that is not orthogonal to it — generic data satisfies
+  * this.
+  */
+object Spectral {
+
+  private def dec(c: Column): Column = c.cast(DecimalType(38, 12))
+
+  /** The power-iterated direction after `iters` steps, as driver-side
+    * model state. */
+  def topDirection(df: DataFrame, vecCol: String, dim: Int,
+                   iters: Int): Seq[Double] = {
+    require(dim >= 2 && iters >= 1, "need dim >= 2, iters >= 1")
+    var v: Seq[Double] = Seq.fill(dim)(1.0 / math.sqrt(dim.toDouble))
+    (1 to iters).foreach { _ =>
+      val d = VectorOps.dot(col(vecCol), typedlit(v))
+      val s = df
+        .select(posexplode(col(vecCol)).as(Seq("j", "x")), d.as("d"))
+        .groupBy(col("j"))
+        .agg(sum(dec(col("x").cast("double") * col("d"))).as("s"))
+        .collect()
+        .map(r => r.getInt(0) -> r.getDecimal(1).doubleValue())
+        .sortBy(_._1).map(_._2).toSeq
+      val norm = math.sqrt(s.map(x => x * x).sum)
+      v = s.map(_ / norm)
+    }
+    v
+  }
+
+  /** One-row spectral report: `var_share` = Σ(x·v)² / Σ‖x‖² (round-6),
+    * `top_dim` = the coordinate with the largest |weight| in the
+    * direction (lowest index on ties), `top_weight` its round-6
+    * value. */
+  def spectralShare(df: DataFrame, vecCol: String, dim: Int,
+                    iters: Int): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val v = topDirection(df, vecCol, dim, iters)
+    val d = VectorOps.dot(col(vecCol), typedlit(v))
+    val num = df.agg(sum(dec(d * d)).as("a")).head().getDecimal(0).doubleValue()
+    val den = df.select(explode(col(vecCol)).as("x"))
+      .select(col("x").cast("double").as("x"))
+      .agg(sum(dec(col("x") * col("x"))).as("b"))
+      .head().getDecimal(0).doubleValue()
+    val topDim = v.indices.maxBy(j => (math.abs(v(j)), -j))
+    Seq((VectorOps.round6(num / den), topDim.toLong,
+      VectorOps.round6(v(topDim))))
+      .toDF("var_share", "top_dim", "top_weight")
+  }
+}

