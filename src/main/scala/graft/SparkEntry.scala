@@ -1553,6 +1553,30 @@ object SparkEntry {
           date_format(col("hour"), "yyyy-MM-dd HH:mm:ss").as("hour"),
           col("n"), col("zscore"))
         .orderBy(col("event_type"), col("hour"))),
+    // ---- [EXT] activity trend (TimeSeries.trendSlopes): least-squares
+    // slope of hourly counts per type — growth/decay direction; all
+    // five moments exact integer-valued sums, float only in the final
+    // division.
+    "trend_slopes" -> ((s, dir) =>
+      graft.analysis.TimeSeries.trendSlopes(
+          Tables.events(s, dir), "event_type", "ts")
+        .orderBy(col("event_type"))),
+    // ---- [EXT] cross-type activity correlation
+    // (TimeSeries.activityCorrelation): Pearson r between hourly count
+    // series over the shared observed-hour grid, silent hours
+    // zero-filled — which event families move together; exact integer
+    // moments, |types|²-bounded reduce.
+    "event_correlations" -> ((s, dir) =>
+      graft.analysis.TimeSeries.activityCorrelation(
+          Tables.events(s, dir), "event_type", "ts")
+        .orderBy(col("key_a"), col("key_b"))),
+    // ---- [EXT] session engagement rollup (Funnel.sessionStats):
+    // sessions, bounce rate, events/session, exact median duration —
+    // the report card over the same 24h-gap sessionization the
+    // per-session funnel uses.
+    "session_stats" -> ((s, dir) =>
+      graft.analysis.Funnel.sessionStats(
+        Tables.events(s, dir), "user_id", "ts", 86400L)),
     // ---- [EXT] session windows: gap-based per-user event sessions
     "events_sessions" -> ((s, dir) =>
       Tables.events(s, dir)
@@ -5946,6 +5970,72 @@ object SparkEntry {
         |SELECT event_type, strftime(hr, '%Y-%m-%d %H:%M:%S') AS hour, n, zscore
         |FROM z WHERE zscore >= 2.0
         |ORDER BY event_type, hour""".stripMargin,
+    // least-squares slope from exact integer moments, x = hour offset
+    // from the key's first observed hour
+    "trend_slopes" ->
+      """WITH h AS (
+        |  SELECT event_type,
+        |         epoch_us(date_trunc('hour', ts)) / 3600000000 AS hh,
+        |         count(*) AS y
+        |  FROM events GROUP BY 1, 2),
+        |f AS (SELECT event_type, min(hh) AS h0 FROM h GROUP BY 1),
+        |x AS (SELECT h.event_type, h.hh - f.h0 AS x, h.y
+        |      FROM h JOIN f USING (event_type)),
+        |m AS (SELECT event_type, count(*) AS c, sum(x) AS sx, sum(y) AS sy,
+        |             sum(x * y) AS sxy, sum(x * x) AS sxx
+        |      FROM x GROUP BY 1)
+        |SELECT event_type, c AS n_hours,
+        |       CASE WHEN c * sxx - sx * sx = 0 THEN 0.0
+        |            ELSE round((c * sxy - sx * sy)::DOUBLE /
+        |                       (c * sxx - sx * sx)::DOUBLE, 6) END AS slope_per_hour
+        |FROM m ORDER BY event_type""".stripMargin,
+    // Pearson over the zero-filled shared hour grid, exact moments
+    "event_correlations" ->
+      """WITH hc AS (
+        |  SELECT event_type, date_trunc('hour', ts) AS h, count(*) AS n
+        |  FROM events GROUP BY 1, 2),
+        |hrs AS (SELECT DISTINCT h FROM hc),
+        |ks AS (SELECT DISTINCT event_type FROM hc),
+        |grid AS (
+        |  SELECT ks.event_type, hrs.h, coalesce(hc.n, 0) AS n
+        |  FROM hrs CROSS JOIN ks
+        |  LEFT JOIN hc ON hc.event_type = ks.event_type AND hc.h = hrs.h),
+        |m AS (
+        |  SELECT a.event_type AS key_a, b.event_type AS key_b,
+        |         count(*) AS c, sum(a.n) AS sx, sum(b.n) AS sy,
+        |         sum(a.n * b.n) AS sxy, sum(a.n * a.n) AS sxx,
+        |         sum(b.n * b.n) AS syy
+        |  FROM grid a JOIN grid b ON a.h = b.h AND a.event_type < b.event_type
+        |  GROUP BY 1, 2)
+        |SELECT key_a, key_b,
+        |       CASE WHEN c * sxx - sx * sx = 0 OR c * syy - sy * sy = 0 THEN 0.0
+        |            ELSE round((c * sxy - sx * sy)::DOUBLE /
+        |                       (sqrt((c * sxx - sx * sx)::DOUBLE) *
+        |                        sqrt((c * syy - sy * sy)::DOUBLE)), 6) END AS pearson_r
+        |FROM m ORDER BY key_a, key_b""".stripMargin,
+    // the 24h-gap sessionization (RANGE-frame running boundary sum),
+    // then session-row aggregates + exact interpolated median duration
+    "session_stats" ->
+      """WITH e AS (
+        |  SELECT user_id, ts,
+        |         CASE WHEN epoch_us(ts) - epoch_us(lag(ts) OVER w)
+        |                   > 86400000000 THEN 1 ELSE 0 END AS nb
+        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+        |s AS (
+        |  SELECT user_id, ts,
+        |         sum(nb) OVER (PARTITION BY user_id ORDER BY ts) AS sess
+        |  FROM e),
+        |g AS (
+        |  SELECT user_id, sess, count(*) AS n,
+        |         epoch_us(max(ts)) - epoch_us(min(ts)) AS durus
+        |  FROM s GROUP BY 1, 2)
+        |SELECT count(*) AS n_sessions,
+        |       count(*) FILTER (WHERE n = 1) AS n_bounce,
+        |       round((count(*) FILTER (WHERE n = 1))::DOUBLE / count(*), 6)
+        |         AS bounce_rate,
+        |       round(sum(n)::DOUBLE / count(*), 6) AS avg_events,
+        |       round(quantile_cont(durus / 1e6, 0.5), 6) AS p50_duration_secs
+        |FROM g""".stripMargin,
     "events_sessions" ->
       """WITH e AS (
         |  SELECT user_id, ts, value,

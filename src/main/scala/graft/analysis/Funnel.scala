@@ -190,6 +190,43 @@ object Funnel {
     countsFromStepTimes(
       stepTimes(events, userCol, typeCol, tsCol, steps, maxGapSeconds), steps)
 
+  /** Session-level engagement rollup — the report card of the
+    * sessionization the per-session funnel and `events_sessions`
+    * share: total sessions, BOUNCES (single-event sessions) with the
+    * bounce rate, mean events per session, and the exact interpolated
+    * median session duration in seconds. Sessions derive exactly like
+    * [[sessionStepTimes]] (inactivity gap > `sessionGapSeconds`
+    * starts a new one; the boundary flag's RANGE-frame running sum
+    * keeps timestamp ties in one session on every engine). Durations
+    * compute on exact epoch micros and divide by 1e6 once (the same
+    * IEEE division both engines run); rates/means round 6.
+    *
+    * Scale shape: the one user-key exchange the sessionization needs,
+    * a (user, session)-keyed reduce (state = 3 longs per session),
+    * then a global aggregate + exact percentile over session rows —
+    * bounded by session count, not event count. */
+  def sessionStats(events: DataFrame, userCol: String, tsCol: String,
+                   sessionGapSeconds: Long): DataFrame = {
+    require(sessionGapSeconds > 0, "sessionGapSeconds must be positive")
+    val wOrd = Window.partitionBy(col(userCol)).orderBy(col(tsCol))
+    val boundary = when(
+      unix_micros(col(tsCol)) - unix_micros(lag(col(tsCol), 1).over(wOrd)) >
+        sessionGapSeconds * 1000000L, 1L).otherwise(0L)
+    val sessions = events.select(col(userCol), col(tsCol))
+      .withColumn("__nb", boundary)
+      .withColumn("__sess", sum(col("__nb")).over(wOrd))
+      .groupBy(col(userCol), col("__sess"))
+      .agg(count(lit(1)).as("__n"),
+        (unix_micros(max(col(tsCol))) - unix_micros(min(col(tsCol)))).as("__durus"))
+    sessions.agg(
+      count(lit(1)).as("n_sessions"),
+      count(when(col("__n") === 1L, lit(1))).as("n_bounce"),
+      round(count(when(col("__n") === 1L, lit(1))).cast("double") /
+        count(lit(1)), 6).as("bounce_rate"),
+      round(sum(col("__n")).cast("double") / count(lit(1)), 6).as("avg_events"),
+      round(expr("percentile(__durus / 1e6, 0.5D)"), 6).as("p50_duration_secs"))
+  }
+
   /** First-order event-transition matrix — for every consecutive
     * `(src → dst)` event pair inside a user's (ts, id)-ordered stream:
     * the count and the conditional probability

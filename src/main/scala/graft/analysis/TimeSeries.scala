@@ -186,4 +186,83 @@ object TimeSeries {
       .filter(col("zscore") >= zMin)
       .select(col(keyCol), col("hour"), col("n"), col("zscore"))
   }
+
+  /** Per-key activity TREND: the least-squares slope of hourly event
+    * counts over each key's observed hours — "is this event type
+    * growing or dying", the direction signal [[rateAnomalies]]'s
+    * point-spike z cannot see. `x` is the hour offset from the KEY's
+    * first observed hour (keeps every moment sum in exact Long range;
+    * raw epoch hours would overflow `c·Σx²`), `y` the hour's count;
+    * `slope = (c·Σxy − Σx·Σy) / (c·Σx² − Σx·Σx)` with all five moments
+    * EXACT integer sums — the only float op is the final division
+    * (round-6). A key observed in a single hour has zero denominator
+    * and is reported with slope 0 (no trend evidence, not NaN).
+    *
+    * Scale shape: hour-bucket reduce, a per-key min-hour aggregate
+    * joined back (both map-side combined, |keys|·|hours| rows), one
+    * |keys|-row moment reduce. No window, no sort. */
+  def trendSlopes(events: DataFrame, keyCol: String, tsCol: String): DataFrame = {
+    val hourly = events
+      .groupBy(col(keyCol),
+        (unix_micros(date_trunc("hour", col(tsCol))) / lit(3600000000L)).as("__h"))
+      .agg(count(lit(1)).as("__y"))
+    val firsts = hourly.groupBy(col(keyCol)).agg(min(col("__h")).as("__h0"))
+    val m = hourly.join(firsts, Seq(keyCol))
+      .select(col(keyCol), (col("__h") - col("__h0")).as("__x"), col("__y"))
+      .groupBy(col(keyCol))
+      .agg(count(lit(1)).as("__c"), sum(col("__x")).as("__sx"),
+        sum(col("__y")).as("__sy"), sum(col("__x") * col("__y")).as("__sxy"),
+        sum(col("__x") * col("__x")).as("__sxx"))
+    val den = m("__c") * m("__sxx") - m("__sx") * m("__sx")
+    m.select(col(keyCol), col("__c").as("n_hours"),
+      when(den === 0L, lit(0.0))
+        .otherwise(round((col("__c") * col("__sxy") - col("__sx") * col("__sy"))
+          .cast("double") / den.cast("double"), 6))
+        .as("slope_per_hour"))
+  }
+
+  /** Cross-key activity CORRELATION: Pearson r between every pair of
+    * keys' hourly count series over the corpus-wide observed hour
+    * grid (hours either key is silent count as 0 — correlation over
+    * a shared clock needs aligned series, so the grid is the DISTINCT
+    * observed hours crossed with the keys and zero-filled). All five
+    * moment sums are exact integers; `r = (cΣxy − ΣxΣy) /
+    * (√(cΣx²−(Σx)²)·√(cΣy²−(Σy)²))`, float only in the final
+    * sqrt/divide chain (round-6). Degenerate (constant) series have
+    * zero variance and report r = 0. The product question: which
+    * event families move together (shared funnels, cascading
+    * failures) vs independently.
+    *
+    * Scale shape: the grid is |hours|·|keys| rows (calendar-bounded ×
+    * key-bounded — tiny at any corpus size), the pair join is on the
+    * hour key with |keys|² fan-out per hour, and the moment reduce is
+    * |keys|² rows. The corpus is touched once, by the hourly count
+    * reduce. */
+  def activityCorrelation(events: DataFrame, keyCol: String,
+                          tsCol: String): DataFrame = {
+    val hourly = events
+      .groupBy(col(keyCol), date_trunc("hour", col(tsCol)).as("__h"))
+      .agg(count(lit(1)).as("__n"))
+    val hours = hourly.select(col("__h")).distinct()
+    val keys = hourly.select(col(keyCol)).distinct()
+    val grid = hours.crossJoin(broadcast(keys))
+      .join(hourly, Seq(keyCol, "__h"), "left")
+      .select(col(keyCol), col("__h"), coalesce(col("__n"), lit(0L)).as("__n"))
+    val m = grid.select(col(keyCol).as("key_a"), col("__h"), col("__n").as("__x"))
+      .join(grid.select(col(keyCol).as("key_b"), col("__h"), col("__n").as("__y")),
+        Seq("__h"))
+      .filter(col("key_a") < col("key_b"))
+      .groupBy(col("key_a"), col("key_b"))
+      .agg(count(lit(1)).as("__c"), sum(col("__x")).as("__sx"),
+        sum(col("__y")).as("__sy"), sum(col("__x") * col("__y")).as("__sxy"),
+        sum(col("__x") * col("__x")).as("__sxx"),
+        sum(col("__y") * col("__y")).as("__syy"))
+    val vx = m("__c") * m("__sxx") - m("__sx") * m("__sx")
+    val vy = m("__c") * m("__syy") - m("__sy") * m("__sy")
+    m.select(col("key_a"), col("key_b"),
+      when(vx === 0L || vy === 0L, lit(0.0))
+        .otherwise(round((m("__c") * m("__sxy") - m("__sx") * m("__sy")).cast("double") /
+          (sqrt(vx.cast("double")) * sqrt(vy.cast("double"))), 6))
+        .as("pearson_r"))
+  }
 }

@@ -172,6 +172,25 @@ class FunnelSpec extends SparkSpec {
     assert(got == Seq(1L, 1L, 0L), s"got $got")
   }
 
+  test("sessionStats: bounce, mean events, exact median duration on a hand fixture") {
+    val events = ev(
+      // u1 session A: 3 events over 30 min; session B: bounce
+      (1L, "a", "2024-01-01 10:00:00"),
+      (1L, "b", "2024-01-01 10:10:00"),
+      (1L, "c", "2024-01-01 10:30:00"),
+      (1L, "a", "2024-01-01 14:00:00"),
+      // u2: one 2-event session of 10 min
+      (2L, "a", "2024-01-01 09:00:00"),
+      (2L, "b", "2024-01-01 09:10:00"))
+    val r = Funnel.sessionStats(events, "u", "t", sessionGapSeconds = 3600L).head()
+    assert(r.getAs[Long]("n_sessions") == 3L)
+    assert(r.getAs[Long]("n_bounce") == 1L)
+    assert(r.getAs[Double]("bounce_rate") == graft.vector.VectorOps.round6(1.0 / 3))
+    assert(r.getAs[Double]("avg_events") == 2.0)
+    // durations: 1800, 0, 600 → interpolated median = 600
+    assert(r.getAs[Double]("p50_duration_secs") == 600.0)
+  }
+
   test("top event paths: total-order sequences, sliding n-grams, short users skipped") {
     val events = Seq(
       // user 1: a > b > a > b  ->  a>b>a, b>a>b

@@ -107,6 +107,34 @@ class TimeSeriesSpec extends SparkSpec {
     assert(TimeSeries.rateAnomalies(ev, "k", "t", 1.8).count() == 0)
   }
 
+  test("trendSlopes: exact closed-form slope; single-hour key reports 0") {
+    // key A: counts 1,2,3 at hours 0,1,2 → slope exactly 1.0
+    val ev = (
+      Seq.tabulate(1)(i => ("A", ts("2024-01-01 00:10:00"), i)) ++
+      Seq.tabulate(2)(i => ("A", ts("2024-01-01 01:10:00"), i)) ++
+      Seq.tabulate(3)(i => ("A", ts("2024-01-01 02:10:00"), i)) ++
+      Seq.tabulate(4)(i => ("B", ts("2024-01-01 05:00:00"), i))
+    ).toDF("k", "t", "i")
+    val got = TimeSeries.trendSlopes(ev, "k", "t")
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(got("A") == ((3L, 1.0)), s"got ${got("A")}")
+    assert(got("B") == ((1L, 0.0)), "single observed hour has no trend evidence")
+  }
+
+  test("activityCorrelation: perfectly aligned series r=1, opposed r=-1, silent hours zero-fill") {
+    // A and B move together over 3 hours; C moves opposite; D constant
+    def rows(k: String, ns: Seq[Int]) = ns.zipWithIndex.flatMap { case (n, h) =>
+      Seq.fill(n)((k, ts(s"2024-01-01 0$h:30:00"), 0))
+    }
+    val ev = (rows("A", Seq(1, 2, 3)) ++ rows("B", Seq(2, 4, 6)) ++
+      rows("C", Seq(3, 2, 1)) ++ rows("D", Seq(1, 1, 1))).toDF("k", "t", "i")
+    val got = TimeSeries.activityCorrelation(ev, "k", "t")
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getDouble(2)).toMap
+    assert(got(("A", "B")) == 1.0 && got(("A", "C")) == -1.0)
+    assert(got(("A", "D")) == 0.0, "zero-variance series must report r=0")
+    assert(got.size == 6, "all unordered pairs present")
+  }
+
   test("every stage shuffles on the series key: no single-partition window") {
     val events = graft.io.Tables.events(spark, sf0001)
     val plan = TimeSeries.resampleDailyLocf(events, "user_id", "ts", "value", "event_id")
