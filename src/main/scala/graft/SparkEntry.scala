@@ -1577,6 +1577,34 @@ object SparkEntry {
     "session_stats" -> ((s, dir) =>
       graft.analysis.Funnel.sessionStats(
         Tables.events(s, dir), "user_id", "ts", 86400L)),
+    // ---- [EXT] CUSUM change-point (TimeSeries.changePoints): the
+    // hour where each type's cumulative deviation from its own mean
+    // peaks — level-shift detection; cusum computed algebraically
+    // (integer running sum − i·mean) because float window sums are
+    // not portable across engines.
+    "change_points" -> ((s, dir) =>
+      graft.analysis.TimeSeries.changePoints(
+          Tables.events(s, dir), "event_type", "ts")
+        .select(col("event_type"),
+          date_format(col("change_hour"), "yyyy-MM-dd HH:mm:ss").as("change_hour"),
+          col("cusum"))
+        .orderBy(col("event_type"))),
+    // ---- [EXT] A/B experiment readout (Funnel.abTestFunnel): hash
+    // 50/50 variants, funnel conversion per variant, two-proportion
+    // z-test — one conditional-count row on top of the funnel's
+    // single user-key shuffle.
+    "ab_test_funnel" -> ((s, dir) =>
+      graft.analysis.Funnel.abTestFunnel(Tables.events(s, dir),
+        "user_id", "event_type", "ts",
+        Seq("signup", "view", "click", "purchase"),
+        maxGapSeconds = Some(86400L))),
+    // ---- [EXT] Markov model hold-out eval (Funnel.markovAccuracy):
+    // each user's last transition held out, matrix trained on the
+    // rest, argmax prediction scored — the eval gate for
+    // event_transitions.
+    "markov_accuracy" -> ((s, dir) =>
+      graft.analysis.Funnel.markovAccuracy(Tables.events(s, dir),
+        "user_id", "event_type", "ts", "event_id")),
     // ---- [EXT] session windows: gap-based per-user event sessions
     "events_sessions" -> ((s, dir) =>
       Tables.events(s, dir)
@@ -5970,6 +5998,86 @@ object SparkEntry {
         |SELECT event_type, strftime(hr, '%Y-%m-%d %H:%M:%S') AS hour, n, zscore
         |FROM z WHERE zscore >= 2.0
         |ORDER BY event_type, hour""".stripMargin,
+    // integer running sum − i·mean (the portable cusum), round-6
+    // before the per-key argmax rank
+    "change_points" ->
+      """WITH h AS (
+        |  SELECT event_type, date_trunc('hour', ts) AS hour, count(*) AS n
+        |  FROM events GROUP BY 1, 2),
+        |st AS (SELECT event_type, sum(n) AS s, count(*) AS c FROM h GROUP BY 1),
+        |r AS (
+        |  SELECT h.event_type, h.hour,
+        |         sum(h.n) OVER (PARTITION BY h.event_type ORDER BY h.hour
+        |                        ROWS UNBOUNDED PRECEDING) AS run,
+        |         row_number() OVER (PARTITION BY h.event_type
+        |                            ORDER BY h.hour) AS i,
+        |         st.s, st.c
+        |  FROM h JOIN st USING (event_type)),
+        |cs AS (SELECT event_type, hour,
+        |              round(run - i * (s::DOUBLE / c), 6) AS cusum FROM r),
+        |best AS (
+        |  SELECT event_type, hour, cusum,
+        |         row_number() OVER (PARTITION BY event_type
+        |                            ORDER BY abs(cusum) DESC, hour ASC) AS rk
+        |  FROM cs)
+        |SELECT event_type, strftime(hour, '%Y-%m-%d %H:%M:%S') AS change_hour,
+        |       cusum
+        |FROM best WHERE rk = 1 ORDER BY event_type""".stripMargin,
+    // hash 50/50 split over the per-user step times, pooled-variance
+    // two-proportion z — the exact Scala float chain
+    "ab_test_funnel" ->
+      s"""WITH ${funnelStepCtes(Some(86400L))},
+         |v AS (
+         |  SELECT u.*,
+         |         CASE WHEN (((((user_id % 4294967296) // 65536) * 2654435761) % 4294967296) * 65536
+         |                    + ((user_id % 4294967296) % 65536) * 2654435761) % 4294967296
+         |                   < 2147483648 THEN 'a' ELSE 'b' END AS vr
+         |  FROM u),
+         |agg AS (
+         |  SELECT count(*) FILTER (WHERE vr = 'a' AND t0 IS NOT NULL) AS n_a,
+         |         count(*) FILTER (WHERE vr = 'a' AND t3 IS NOT NULL) AS conv_a,
+         |         count(*) FILTER (WHERE vr = 'b' AND t0 IS NOT NULL) AS n_b,
+         |         count(*) FILTER (WHERE vr = 'b' AND t3 IS NOT NULL) AS conv_b
+         |  FROM v)
+         |SELECT n_a, conv_a, n_b, conv_b,
+         |       CASE WHEN n_a = 0 THEN NULL
+         |            ELSE round(conv_a::DOUBLE / n_a, 6) END AS p_a,
+         |       CASE WHEN n_b = 0 THEN NULL
+         |            ELSE round(conv_b::DOUBLE / n_b, 6) END AS p_b,
+         |       CASE WHEN n_a = 0 OR n_b = 0 OR conv_a + conv_b = 0
+         |              OR conv_a + conv_b = n_a + n_b THEN NULL
+         |            ELSE round((conv_a::DOUBLE / n_a - conv_b::DOUBLE / n_b) /
+         |                 sqrt(((conv_a + conv_b)::DOUBLE / (n_a + n_b)) *
+         |                      (1.0 - (conv_a + conv_b)::DOUBLE / (n_a + n_b)) *
+         |                      (1.0 / n_a + 1.0 / n_b)), 6) END AS z
+         |FROM agg""".stripMargin,
+    // lead pairs → hold out each user's last → train counts → argmax
+    // prediction (n DESC, dst ASC) → scored join
+    "markov_accuracy" ->
+      """WITH l AS (
+        |  SELECT user_id, event_type AS src, ts, event_id,
+        |         lead(event_type) OVER (PARTITION BY user_id
+        |                                ORDER BY ts, event_id) AS dst
+        |  FROM events),
+        |p AS (
+        |  SELECT user_id, src, dst,
+        |         row_number() OVER (PARTITION BY user_id
+        |                            ORDER BY ts DESC, event_id DESC) AS rn
+        |  FROM l WHERE dst IS NOT NULL),
+        |tr AS (SELECT src, dst, count(*) AS n FROM p WHERE rn <> 1 GROUP BY 1, 2),
+        |pred AS (
+        |  SELECT src, dst AS pr FROM (
+        |    SELECT src, dst,
+        |           row_number() OVER (PARTITION BY src
+        |                              ORDER BY n DESC, dst ASC) AS rk
+        |    FROM tr) WHERE rk = 1),
+        |ev AS (SELECT p.dst, pred.pr FROM p LEFT JOIN pred USING (src)
+        |       WHERE p.rn = 1)
+        |SELECT count(*) AS n_eval,
+        |       count(*) FILTER (WHERE dst = pr) AS n_correct,
+        |       round((count(*) FILTER (WHERE dst = pr))::DOUBLE / count(*), 6)
+        |         AS accuracy
+        |FROM ev""".stripMargin,
     // least-squares slope from exact integer moments, x = hour offset
     // from the key's first observed hour
     "trend_slopes" ->

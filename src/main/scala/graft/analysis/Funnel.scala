@@ -227,6 +227,102 @@ object Funnel {
       round(expr("percentile(__durus / 1e6, 0.5D)"), 6).as("p50_duration_secs"))
   }
 
+  /** A/B funnel experiment readout — the two-proportion z-test between
+    * hash-assigned variants: users split 50/50 by the deterministic
+    * [[Sampling.splitAssign]] cut (stable under corpus growth, no
+    * coordination — the property an experimentation system actually
+    * needs from its bucketing), conversion = reached the LAST step of
+    * the ordered funnel among users who entered the FIRST, and
+    *
+    *   z = (p_a − p_b) / √(p̂(1−p̂)(1/n_a + 1/n_b)),  p̂ pooled.
+    *
+    * |z| ≳ 1.96 is the conventional 95 % line. Counts are exact longs;
+    * the float chain is a fixed IEEE sequence (round-6 outputs).
+    * Degenerate readouts guard explicitly — a variant with no
+    * entrants has no rate, and a pooled rate of exactly 0 or 1 has
+    * zero variance: both yield null rather than a division artifact
+    * (under ANSI, even a DOUBLE divide-by-zero is an error, not an
+    * Infinity). Pass `maxGapSeconds` to time-box conversion (an
+    * unbounded lifetime funnel over long-lived users saturates both
+    * arms at p = 1 and measures nothing).
+    *
+    * Scale shape: the funnel's single user-key shuffle ([[stepTimes]]),
+    * variant label as stateless per-row hash arithmetic, and ONE
+    * conditional-count aggregate row — the test statistic never
+    * shuffles more than the funnel it measures. */
+  def abTestFunnel(events: DataFrame, userCol: String, typeCol: String,
+                   tsCol: String, steps: Seq[String],
+                   maxGapSeconds: Option[Long] = None): DataFrame = {
+    require(steps.size >= 2, "an experiment funnel needs entry and conversion steps")
+    val st = stepTimes(events, userCol, typeCol, tsCol, steps, maxGapSeconds)
+      .withColumn("__v", Sampling.splitAssign(col(userCol),
+        Seq("a" -> 0.5, "b" -> 0.5)))
+    val last = s"__t${steps.size - 1}"
+    def cnt(v: String, c: org.apache.spark.sql.Column) =
+      count(when(col("__v") === v && c, lit(1)))
+    val agg = st.agg(
+      cnt("a", col("__t0").isNotNull).as("n_a"),
+      cnt("a", col(last).isNotNull).as("conv_a"),
+      cnt("b", col("__t0").isNotNull).as("n_b"),
+      cnt("b", col(last).isNotNull).as("conv_b"))
+    val pa = agg("conv_a").cast("double") / agg("n_a")
+    val pb = agg("conv_b").cast("double") / agg("n_b")
+    val x = agg("conv_a") + agg("conv_b")
+    val n = agg("n_a") + agg("n_b")
+    val pp = x.cast("double") / n
+    val z = (pa - pb) /
+      sqrt(pp * (lit(1.0) - pp) *
+        (lit(1.0) / agg("n_a") + lit(1.0) / agg("n_b")))
+    def ifEntrants(v: String, c: org.apache.spark.sql.Column) =
+      when(agg(s"n_$v") === 0L, lit(null).cast("double")).otherwise(c)
+    agg.select(col("n_a"), col("conv_a"), col("n_b"), col("conv_b"),
+      ifEntrants("a", round(pa, 6)).as("p_a"),
+      ifEntrants("b", round(pb, 6)).as("p_b"),
+      when(agg("n_a") === 0L || agg("n_b") === 0L ||
+          x === 0L || x === n, lit(null).cast("double"))
+        .otherwise(round(z, 6)).as("z"))
+  }
+
+  /** Hold-out accuracy of the [[eventTransitions]] Markov model — the
+    * eval gate for the transition matrix: each user's LAST transition
+    * is held out, the matrix trains on the REST, and the model
+    * predicts the held-out destination as the argmax count for its
+    * source (ties to the destination ascending — rank determinism).
+    * One row: `(n_eval, n_correct, accuracy)`; a held-out source
+    * never seen in training predicts nothing and scores incorrect
+    * (the honest convention — the model genuinely has no answer).
+    *
+    * Scale shape: one user-key window builds ordered transition
+    * pairs and marks each user's last; training counts and the
+    * per-source argmax are |types|²-bounded reduces; the eval join is
+    * |types|-keyed over one row per user. */
+  def markovAccuracy(events: DataFrame, userCol: String, typeCol: String,
+                     tsCol: String, idCol: String): DataFrame = {
+    val w = Window.partitionBy(col(userCol)).orderBy(col(tsCol), col(idCol))
+    val pairs = events
+      .withColumn("__dst", lead(col(typeCol), 1).over(w))
+      .filter(col("__dst").isNotNull)
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy(col(userCol))
+          .orderBy(col(tsCol).desc, col(idCol).desc)))
+      .select(col(userCol), col(typeCol).as("src"), col("__dst").as("dst"),
+        (col("__rn") === 1).as("__held"))
+    val train = pairs.filter(!col("__held"))
+      .groupBy(col("src"), col("dst")).agg(count(lit(1)).as("n"))
+    val wBest = Window.partitionBy(col("src"))
+      .orderBy(col("n").desc, col("dst").asc)
+    val pred = train.withColumn("__r", row_number().over(wBest))
+      .filter(col("__r") === 1)
+      .select(col("src"), col("dst").as("__pred"))
+    val eval = pairs.filter(col("__held"))
+      .join(broadcast(pred), Seq("src"), "left")
+    eval.agg(
+      count(lit(1)).as("n_eval"),
+      count(when(col("dst") === col("__pred"), lit(1))).as("n_correct"),
+      round(count(when(col("dst") === col("__pred"), lit(1))).cast("double") /
+        count(lit(1)), 6).as("accuracy"))
+  }
+
   /** First-order event-transition matrix — for every consecutive
     * `(src → dst)` event pair inside a user's (ts, id)-ordered stream:
     * the count and the conditional probability

@@ -1,6 +1,7 @@
 package graft.analysis
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Time-series regularization: resample an irregular event stream to a
@@ -219,6 +220,48 @@ object TimeSeries {
         .otherwise(round((col("__c") * col("__sxy") - col("__sx") * col("__sy"))
           .cast("double") / den.cast("double"), 6))
         .as("slope_per_hour"))
+  }
+
+  /** CUSUM change-point detection over each key's hourly counts —
+    * "WHEN did this metric shift", the step-change signal a point-z
+    * ([[rateAnomalies]]) and a global slope ([[trendSlopes]]) both
+    * miss: the cumulative sum of deviations from the key's own mean
+    * peaks in magnitude exactly where a level shift happens (Page's
+    * CUSUM, the classic SPC statistic). Reports per key the hour of
+    * max |cusum| (ties to the earliest hour) and the round-6 signed
+    * cusum there — sign says shift-down-then-up vs up-then-down.
+    *
+    * Determinism: a float running sum is NOT portable — engines are
+    * free to evaluate window aggregates as segment trees rather than
+    * left folds, changing the addition order — so the cusum computes
+    * ALGEBRAICALLY: `Σ_{j≤i}(n_j − μ) = run_i − i·μ` with `run_i` an
+    * exact INTEGER running sum and `i` the hour rank; the only float
+    * ops are one multiply and one subtract per row, identical
+    * everywhere. cusum rounds to 6 BEFORE the argmax ranking (rank
+    * determinism, ties broken on the hour).
+    *
+    * Scale shape: one hour-bucket reduce, then windows over
+    * |hours|-bounded rows per key (the histogramQuantiles contract:
+    * windows over bucket rows, never event rows). */
+  def changePoints(events: DataFrame, keyCol: String, tsCol: String): DataFrame = {
+    val hourly = events
+      .groupBy(col(keyCol), date_trunc("hour", col(tsCol)).as("hour"))
+      .agg(count(lit(1)).as("n"))
+    val stats = hourly.groupBy(col(keyCol))
+      .agg(sum(col("n")).as("__s"), count(lit(1)).as("__c"))
+    val wOrd = Window.partitionBy(col(keyCol)).orderBy(col("hour").asc)
+    val wRun = wOrd.rowsBetween(Window.unboundedPreceding, 0)
+    val wBest = Window.partitionBy(col(keyCol))
+      .orderBy(abs(col("cusum")).desc, col("hour").asc)
+    hourly.join(broadcast(stats), Seq(keyCol))
+      .withColumn("__run", sum(col("n")).over(wRun))
+      .withColumn("__i", row_number().over(wOrd))
+      .withColumn("cusum",
+        round(col("__run") -
+          col("__i") * (col("__s").cast("double") / col("__c")), 6))
+      .withColumn("__r", row_number().over(wBest))
+      .filter(col("__r") === 1)
+      .select(col(keyCol), col("hour").as("change_hour"), col("cusum"))
   }
 
   /** Cross-key activity CORRELATION: Pearson r between every pair of

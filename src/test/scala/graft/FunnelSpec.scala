@@ -191,6 +191,49 @@ class FunnelSpec extends SparkSpec {
     assert(r.getAs[Double]("p50_duration_secs") == 600.0)
   }
 
+  test("abTestFunnel: saturated arms yield null z; closed-form z on a mixed fixture") {
+    // users 1..4: which hash-bucket variant each lands in is data; what
+    // matters is the degenerate guard and the closed-form replay
+    val all = ev(
+      (1L, "signup", "2024-01-01 10:00:00"), (1L, "view", "2024-01-01 11:00:00"),
+      (2L, "signup", "2024-01-01 10:00:00"), (2L, "view", "2024-01-01 11:00:00"))
+    val sat = Funnel.abTestFunnel(all, "u", "et", "t", Seq("signup", "view")).head()
+    assert(sat.isNullAt(sat.fieldIndex("z")),
+      "pooled p = 1 has zero variance — z must be null, not an artifact")
+    // mixed outcome: some convert, some don't → real z
+    val mixed = ev(
+      (1L, "signup", "2024-01-01 10:00:00"), (1L, "view", "2024-01-01 11:00:00"),
+      (2L, "signup", "2024-01-01 10:00:00"),
+      (3L, "signup", "2024-01-01 10:00:00"), (3L, "view", "2024-01-01 11:00:00"),
+      (4L, "signup", "2024-01-01 10:00:00"),
+      (5L, "signup", "2024-01-01 10:00:00"),
+      (6L, "signup", "2024-01-01 10:00:00"), (6L, "view", "2024-01-01 11:00:00"))
+    val r = Funnel.abTestFunnel(mixed, "u", "et", "t", Seq("signup", "view")).head()
+    val (na, xa) = (r.getAs[Long]("n_a"), r.getAs[Long]("conv_a"))
+    val (nb, xb) = (r.getAs[Long]("n_b"), r.getAs[Long]("conv_b"))
+    assert(na + nb == 6L && xa + xb == 3L, s"got $r")
+    val pa = xa.toDouble / na; val pb = xb.toDouble / nb
+    val pp = (xa + xb).toDouble / (na + nb)
+    val z = (pa - pb) / math.sqrt(pp * (1.0 - pp) * (1.0 / na + 1.0 / nb))
+    assert(r.getAs[Double]("z") == graft.vector.VectorOps.round6(z), s"got $r")
+  }
+
+  test("markovAccuracy: hold-out prediction scored against the trained argmax") {
+    // u1: a→b, b→a, a→b (held out: a→b; trains a→b, b→a)
+    // u2: a→b, b→c (held out: b→c; trains a→b)
+    // train: a→b ×2, b→a ×1 → pred(a)=b, pred(b)=a
+    // eval: u1 holds a→b (correct), u2 holds b→c (pred a, wrong)
+    def e(u: Long, t: String, s: Int) =
+      (u, t, java.sql.Timestamp.valueOf(f"2024-01-01 10:00:$s%02d"), u * 100 + s)
+    val events = Seq(
+      e(1L, "a", 1), e(1L, "b", 2), e(1L, "a", 3), e(1L, "b", 4),
+      e(2L, "a", 1), e(2L, "b", 2), e(2L, "c", 3)
+    ).toDF("u", "et", "t", "id")
+    val r = Funnel.markovAccuracy(events, "u", "et", "t", "id").head()
+    assert(r.getAs[Long]("n_eval") == 2L && r.getAs[Long]("n_correct") == 1L)
+    assert(r.getAs[Double]("accuracy") == 0.5)
+  }
+
   test("top event paths: total-order sequences, sliding n-grams, short users skipped") {
     val events = Seq(
       // user 1: a > b > a > b  ->  a>b>a, b>a>b

@@ -135,6 +135,18 @@ class TimeSeriesSpec extends SparkSpec {
     assert(got.size == 6, "all unordered pairs present")
   }
 
+  test("changePoints: the cusum peak lands at the level shift") {
+    // key A: counts 1,1,1,5,5,5 → mean 3; cusum -2,-4,-6,-4,-2,0 →
+    // peak |cusum| at hour 2 (the last low hour), value -6
+    val ev = (0 until 6).flatMap { h =>
+      Seq.fill(if (h < 3) 1 else 5)(("A", ts(s"2024-01-01 0$h:15:00"), h))
+    }.toDF("k", "t", "i")
+    val r = TimeSeries.changePoints(ev, "k", "t").head()
+    assert(r.getAs[java.sql.Timestamp]("change_hour") == ts("2024-01-01 02:00:00"),
+      s"got $r")
+    assert(r.getAs[Double]("cusum") == -6.0, s"got $r")
+  }
+
   test("every stage shuffles on the series key: no single-partition window") {
     val events = graft.io.Tables.events(spark, sf0001)
     val plan = TimeSeries.resampleDailyLocf(events, "user_id", "ts", "value", "event_id")
