@@ -1382,6 +1382,23 @@ object SparkEntry {
         ev.filter(col("event_id") % 2 === 0),
         ev.filter(col("event_id") % 2 === 1), "value")
     }),
+    // ---- [EXT] categorical drift (CorpusDrift.chiSquareDrift): the
+    // chi-square homogeneity test of the language mix between corpus
+    // halves — the categorical companion of the PSI gate.
+    "chi_square_drift" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      graft.analysis.CorpusDrift.chiSquareDrift(
+        docs.filter(col("doc_id") % 2 === 0),
+        docs.filter(col("doc_id") % 2 === 1), "lang")
+    }),
+    // ---- [EXT] Benford first-digit forensic
+    // (CorpusDrift.benfordDigits): digit extraction via exact integer
+    // strings (floor(log10) misbins powers of ten; double formatting
+    // differs across engines — integers don't).
+    "benford_digits" -> ((s, dir) =>
+      graft.analysis.CorpusDrift.benfordDigits(
+          Tables.lineitem(s, dir), "l_extendedprice", 2)
+        .orderBy(col("digit"))),
     // ---- [EXT] distinctive terms (CorpusDrift.logOddsTerms): the
     // Monroe et al. log-odds-ratio with informative Dirichlet prior
     // between the English and German slices — the statistically-sound
@@ -5401,6 +5418,40 @@ object SparkEntry {
         |             ln(((j.ca + 1)::DOUBLE / (tot.na + 10)) /
         |                ((j.cb + 1)::DOUBLE / (tot.nb + 10)))), 6) AS psi
         |FROM j, tot GROUP BY 1, 2""".stripMargin,
+    // two-way homogeneity: expected = rowTot·sliceTot/grand, χ² fold
+    // round-6 once (the unigramKl summation precedent)
+    "chi_square_drift" ->
+      """WITH u AS (
+        |  SELECT lang AS cat,
+        |         CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END AS ia,
+        |         CASE WHEN doc_id % 2 = 1 THEN 1 ELSE 0 END AS ib
+        |  FROM documents),
+        |c AS (SELECT cat, sum(ia)::BIGINT AS ca, sum(ib)::BIGINT AS cb
+        |      FROM u GROUP BY 1),
+        |t AS (SELECT sum(ca)::BIGINT AS na, sum(cb)::BIGINT AS nb FROM c),
+        |e AS (
+        |  SELECT c.ca, c.cb, t.na, t.nb,
+        |         (c.ca + c.cb)::DOUBLE * t.na / (t.na + t.nb)::DOUBLE AS ea,
+        |         (c.ca + c.cb)::DOUBLE * t.nb / (t.na + t.nb)::DOUBLE AS eb
+        |  FROM c, t)
+        |SELECT max(na) AS n_a, max(nb) AS n_b, count(*) AS n_categories,
+        |       CASE WHEN max(na) = 0 OR max(nb) = 0 THEN NULL
+        |            ELSE round(sum((ca - ea) * (ca - ea) / ea +
+        |                           (cb - eb) * (cb - eb) / eb), 6) END AS chi2
+        |FROM e""".stripMargin,
+    // exact-integer-string first digit vs log10(1 + 1/d)
+    "benford_digits" ->
+      """WITH d AS (
+        |  SELECT CAST(substring(CAST(round(l_extendedprice * 100)::BIGINT
+        |                             AS VARCHAR), 1, 1) AS BIGINT) AS digit
+        |  FROM lineitem
+        |  WHERE l_extendedprice IS NOT NULL AND l_extendedprice > 0),
+        |c AS (SELECT digit, count(*) AS n FROM d GROUP BY 1),
+        |t AS (SELECT sum(n)::BIGINT AS tt FROM c)
+        |SELECT digit, n, round(n::DOUBLE / tt, 6) AS freq,
+        |       round(log10(1.0 + 1.0 / digit), 6) AS benford_p,
+        |       round(n::DOUBLE / tt - log10(1.0 + 1.0 / digit), 6) AS deviation
+        |FROM c, t ORDER BY digit""".stripMargin,
     // Monroe et al. log-odds with informative Dirichlet prior:
     // alpha_w = alpha0·(ya+yb)/(na+nb), z = delta/se — the exact
     // IEEE op order of CorpusDrift.logOddsTerms, round-6, top-15 |z|

@@ -92,6 +92,79 @@ object CorpusDrift {
           .as("psi"))
   }
 
+  /** Chi-square homogeneity test of a CATEGORICAL column between two
+    * slices — the categorical companion of [[psi]] (which needs a
+    * numeric grid): "is the label/language/source mix of slice `b`
+    * the same distribution as slice `a`". Standard two-way test:
+    * expected cell = rowTotal·sliceTotal/grandTotal,
+    * `χ² = Σ_cells (obs − exp)²/exp`, dof = |categories| − 1. A χ²
+    * far above dof (≈ dof + 4·√(2·dof)) rejects homogeneity. One row:
+    * `(n_a, n_b, n_categories, chi2)`. Counts are exact longs; the
+    * per-cell float chain is fixed-order IEEE and the category fold
+    * rounds once at 6 (the unigramKl summation precedent). An empty
+    * slice has no distribution — chi2 is null.
+    *
+    * Scale shape: one category-keyed conditional-count reduce over
+    * both slices, a 1-row totals broadcast, a |categories|-row fold. */
+  def chiSquareDrift(a: DataFrame, b: DataFrame, catCol: String): DataFrame = {
+    val counts = a.select(col(catCol).as("__cat"), lit(1L).as("__ia"), lit(0L).as("__ib"))
+      .unionByName(
+        b.select(col(catCol).as("__cat"), lit(0L).as("__ia"), lit(1L).as("__ib")))
+      .groupBy(col("__cat"))
+      .agg(sum(col("__ia")).as("ca"), sum(col("__ib")).as("cb"))
+    val tot = counts.agg(sum(col("ca")).as("na"), sum(col("cb")).as("nb"))
+    val grand = (col("na") + col("nb")).cast("double")
+    val rowTot = (col("ca") + col("cb")).cast("double")
+    val ea = rowTot * col("na") / grand
+    val eb = rowTot * col("nb") / grand
+    // a zero expected cell only happens when a whole slice is empty
+    // (row totals are positive by construction) — the output is null
+    // then, but the per-row division must still not evaluate: when()
+    // is lazy, sum(child) is not
+    val cell = when(ea === 0.0 || eb === 0.0, lit(0.0))
+      .otherwise((col("ca") - ea) * (col("ca") - ea) / ea +
+        (col("cb") - eb) * (col("cb") - eb) / eb)
+    counts.crossJoin(broadcast(tot))
+      .agg(max(col("na")).as("n_a"), max(col("nb")).as("n_b"),
+        count(lit(1)).as("n_categories"),
+        when(max(col("na")) === 0L || max(col("nb")) === 0L,
+          lit(null).cast("double"))
+          .otherwise(round(sum(cell), 6)).as("chi2"))
+  }
+
+  /** Benford first-digit test of a positive numeric column — the
+    * fabricated-data forensic (invoice fraud, synthetic-metric
+    * detection): naturally-occurring multi-scale magnitudes put digit
+    * d first with probability `log10(1 + 1/d)`; flat or spiky digit
+    * histograms are the red flag. One row per digit 1–9 with the
+    * observed count/frequency, the Benford expectation, and the
+    * round-6 deviation.
+    *
+    * Digit extraction is ENGINE-PORTABLE by construction: the value
+    * scales to an exact integer (`round(x · 10^scale)` — pick `scale`
+    * to cover the column's precision, e.g. 2 for prices) and the
+    * first digit comes from the INTEGER's decimal string — integers
+    * print identically everywhere, unlike doubles, and
+    * `floor(log10(x))` misbins exact powers of ten under libm. Null
+    * and non-positive values are excluded (Benford is defined on
+    * positive magnitudes). */
+  def benfordDigits(df: DataFrame, valueCol: String, scale: Int = 2): DataFrame = {
+    require(scale >= 0 && scale <= 9, s"scale in [0,9]: $scale")
+    val cents = round(col(valueCol) * math.pow(10.0, scale).toLong, 0).cast("long")
+    val digit = substring(cents.cast("string"), 1, 1).cast("long")
+    val counts = df
+      .filter(col(valueCol).isNotNull && col(valueCol) > 0)
+      .select(digit.as("digit"))
+      .groupBy(col("digit")).agg(count(lit(1)).as("n"))
+    val tot = counts.agg(sum(col("n")).as("__t"))
+    counts.crossJoin(broadcast(tot))
+      .select(col("digit"), col("n"),
+        round(col("n").cast("double") / col("__t"), 6).as("freq"),
+        round(log10(lit(1.0) + lit(1.0) / col("digit")), 6).as("benford_p"),
+        round(col("n").cast("double") / col("__t") -
+          log10(lit(1.0) + lit(1.0) / col("digit")), 6).as("deviation"))
+  }
+
   /** Distinctive terms between two corpus slices — the log-odds-ratio
     * with an informative Dirichlet prior (Monroe, Colaresi & Quinn,
     * "Fightin' Words", Political Analysis 16(4) 2008 — public), the

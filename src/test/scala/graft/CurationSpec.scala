@@ -84,6 +84,39 @@ class CurationSpec extends SparkSpec {
       "a slice-exclusive term must outrank the shared one")
   }
 
+  test("chiSquareDrift: identical mixes score 0; disjoint mixes hit the closed form") {
+    import spark.implicits._
+    val a = Seq.fill(10)("x").++(Seq.fill(10)("y")).zipWithIndex
+      .map { case (c, i) => (i.toLong, c) }.toDF("id", "c")
+    val self = graft.analysis.CorpusDrift.chiSquareDrift(a, a, "c").head()
+    assert(self.getAs[Double]("chi2") == 0.0 &&
+      self.getAs[Long]("n_categories") == 2L)
+    // a: 10 x; b: 10 y — fully disjoint 2×2 → chi2 = N = 20
+    val ax = Seq.tabulate(10)(i => (i.toLong, "x")).toDF("id", "c")
+    val by = Seq.tabulate(10)(i => (i.toLong, "y")).toDF("id", "c")
+    val r = graft.analysis.CorpusDrift.chiSquareDrift(ax, by, "c").head()
+    assert(r.getAs[Double]("chi2") == 20.0, s"got $r")
+    // an empty slice has no distribution
+    val empty = ax.filter(col("id") < 0)
+    assert(graft.analysis.CorpusDrift.chiSquareDrift(ax, empty, "c")
+      .head().isNullAt(3))
+  }
+
+  test("benfordDigits: digit extraction exact on powers of ten; frequencies sum to 1") {
+    import spark.implicits._
+    // 10.00, 100.00, 999.99, 0.01 → digits 1,1,9,1 ; zero/negative dropped
+    val df = Seq(10.0, 100.0, 999.99, 0.01, 0.0, -5.0).toDF("v")
+    val rows = graft.analysis.CorpusDrift.benfordDigits(df, "v", 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(rows == Map(1L -> 3L, 9L -> 1L), s"got $rows")
+    val freqs = graft.analysis.CorpusDrift.benfordDigits(df, "v", 2)
+      .agg(sum(col("freq"))).head().getDouble(0)
+    assert(math.abs(freqs - 1.0) < 1e-9)
+    // the nine Benford probabilities themselves sum to 1
+    val p = (1 to 9).map(d => math.log10(1.0 + 1.0 / d)).sum
+    assert(math.abs(p - 1.0) < 1e-12)
+  }
+
   test("psi: identical slices diverge 0; out-of-range values clamp into edge bins") {
     import spark.implicits._
     // baseline 0..9 → width 0.9, exactly one value per bin (9 clamps in)
