@@ -1391,6 +1391,23 @@ object SparkEntry {
         docs.filter(col("doc_id") % 2 === 0),
         docs.filter(col("doc_id") % 2 === 1), "lang")
     }),
+    // ---- [EXT] binned two-sample KS (CorpusDrift.ksStatistic): max
+    // CDF gap between event-value halves over a width-10 grid — the
+    // localized-shift gate PSI's per-bin sum averages away; exact
+    // integer cumulative counts over bucket rows.
+    "ks_value_drift" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      graft.analysis.CorpusDrift.ksStatistic(
+        ev.filter(col("event_id") % 2 === 0),
+        ev.filter(col("event_id") % 2 === 1), "value", 10.0)
+    }),
+    // ---- [EXT] Gini concentration (CorpusDrift.giniConcentration):
+    // inequality of per-user event mass — the governance scalar behind
+    // caps and temperature mixing; integer arithmetic end-to-end, one
+    // |keys|-row rank window.
+    "activity_gini" -> ((s, dir) =>
+      graft.analysis.CorpusDrift.giniConcentration(
+        Tables.events(s, dir), "user_id")),
     // ---- [EXT] Benford first-digit forensic
     // (CorpusDrift.benfordDigits): digit extraction via exact integer
     // strings (floor(log10) misbins powers of ten; double formatting
@@ -5439,6 +5456,36 @@ object SparkEntry {
         |            ELSE round(sum((ca - ea) * (ca - ea) / ea +
         |                           (cb - eb) * (cb - eb) / eb), 6) END AS chi2
         |FROM e""".stripMargin,
+    // bucketed CDFs from exact integer cumulative sums, round-6 gap max
+    "ks_value_drift" ->
+      """WITH u AS (
+        |  SELECT floor(value / 10.0)::BIGINT AS b,
+        |         CASE WHEN event_id % 2 = 0 THEN 1 ELSE 0 END AS ia,
+        |         CASE WHEN event_id % 2 = 1 THEN 1 ELSE 0 END AS ib
+        |  FROM events WHERE value IS NOT NULL),
+        |c AS (SELECT b, sum(ia)::BIGINT AS ca, sum(ib)::BIGINT AS cb
+        |      FROM u GROUP BY 1),
+        |t AS (SELECT sum(ca)::BIGINT AS na, sum(cb)::BIGINT AS nb FROM c),
+        |cum AS (
+        |  SELECT b,
+        |         sum(ca) OVER (ORDER BY b ROWS UNBOUNDED PRECEDING) AS cuma,
+        |         sum(cb) OVER (ORDER BY b ROWS UNBOUNDED PRECEDING) AS cumb
+        |  FROM c)
+        |SELECT t.na AS n_a, t.nb AS n_b,
+        |       CASE WHEN t.na = 0 OR t.nb = 0 THEN NULL
+        |            ELSE max(round(abs(cuma::DOUBLE / t.na -
+        |                               cumb::DOUBLE / t.nb), 6)) END AS ks
+        |FROM cum, t GROUP BY t.na, t.nb""".stripMargin,
+    // ascending-rank Gini: all-integer numerator, one final division
+    "activity_gini" ->
+      """WITH c AS (SELECT user_id, count(*) AS x FROM events GROUP BY 1),
+        |t AS (SELECT count(*)::BIGINT AS n, sum(x)::BIGINT AS tt FROM c),
+        |r AS (SELECT x, row_number() OVER (ORDER BY x ASC, user_id ASC) AS i
+        |      FROM c)
+        |SELECT t.n AS n_keys, t.tt AS total,
+        |       round(sum((2 * r.i - t.n - 1) * r.x)::DOUBLE /
+        |             (t.n * t.tt)::DOUBLE, 6) AS gini
+        |FROM r, t GROUP BY t.n, t.tt""".stripMargin,
     // exact-integer-string first digit vs log10(1 + 1/d)
     "benford_digits" ->
       """WITH d AS (

@@ -24,7 +24,14 @@ object WinScan {
       ("rrfFuse ranks two inputs ALREADY limited to their top-20 " +
         "(bm25TopK limit + knn TakeOrderedAndProject), so the " +
         "row_number windows sort <= 20 rows and the fused full-outer " +
-        "frame <= 40 - bounded by the fusion depth, never the corpus"))
+        "frame <= 40 - bounded by the fusion depth, never the corpus"),
+    "ks_value_drift" ->
+      ("the cumulative window runs over BUCKET rows - O(range/width) " +
+        "regardless of row count (the histogramQuantiles contract), " +
+        "never data rows"),
+    "activity_gini" ->
+      ("the rank window runs over one row per KEY - bounded by key " +
+        "cardinality (users/sources), never event rows"))
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder()

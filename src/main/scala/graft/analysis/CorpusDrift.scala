@@ -1,6 +1,7 @@
 package graft.analysis
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.text.TextAnalysis
@@ -130,6 +131,79 @@ object CorpusDrift {
         when(max(col("na")) === 0L || max(col("nb")) === 0L,
           lit(null).cast("double"))
           .otherwise(round(sum(cell), 6)).as("chi2"))
+  }
+
+  /** Binned two-sample Kolmogorov–Smirnov statistic — the max CDF gap
+    * between two slices of a numeric column over a fixed-width bucket
+    * grid: the third drift gate next to [[psi]] (which sums
+    * per-bin divergence — KS catches a localized shift PSI averages
+    * away) and [[chiSquareDrift]] (categorical). Binned by the same
+    * `floor(value/width)` arithmetic as the quantile sketch, so the
+    * statistic is exact FOR THE BINNED distributions and within one
+    * bin's mass of the continuous KS — `width` is the resolution
+    * knob. Returns one row `(n_a, n_b, ks)`; an empty slice → null.
+    *
+    * Determinism: cumulative counts are exact integer window sums
+    * over BUCKET rows in bucket order; each CDF value is one integer
+    * division pair and the gap rounds to 6 before the max.
+    *
+    * Scale shape: bucket-keyed counts (map-side combined), then ONE
+    * unpartitioned window — bounded by O(range/width) bucket rows,
+    * never data rows (the histogramQuantiles contract; WinScan
+    * allowlisted on that bound). */
+  def ksStatistic(a: DataFrame, b: DataFrame, valueCol: String,
+                  width: Double): DataFrame = {
+    require(width > 0.0, s"width > 0: $width")
+    def bucketed(df: DataFrame, ia: Long, ib: Long) = df
+      .filter(col(valueCol).isNotNull)
+      .select(floor(col(valueCol) / lit(width)).cast("long").as("__b"),
+        lit(ia).as("__ia"), lit(ib).as("__ib"))
+    val counts = bucketed(a, 1L, 0L).unionByName(bucketed(b, 0L, 1L))
+      .groupBy(col("__b"))
+      .agg(sum(col("__ia")).as("ca"), sum(col("__ib")).as("cb"))
+    val tot = counts.agg(sum(col("ca")).as("na"), sum(col("cb")).as("nb"))
+    val wCum = Window.orderBy(col("__b").asc)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    // per-row lazy guard: with a slice empty the output is null, but
+    // the per-bucket CDF division must not evaluate (ANSI divide)
+    val gap = when(col("na") === 0L || col("nb") === 0L, lit(0.0))
+      .otherwise(round(abs(
+        col("__cuma").cast("double") / col("na") -
+          col("__cumb").cast("double") / col("nb")), 6))
+    counts
+      .withColumn("__cuma", sum(col("ca")).over(wCum))
+      .withColumn("__cumb", sum(col("cb")).over(wCum))
+      .crossJoin(broadcast(tot))
+      .agg(max(col("na")).as("n_a"), max(col("nb")).as("n_b"),
+        when(max(col("na")) === 0L || max(col("nb")) === 0L,
+          lit(null).cast("double"))
+          .otherwise(max(gap)).as("ks"))
+  }
+
+  /** Gini concentration of corpus mass over a key — "how unequal is
+    * the per-source (or per-language, per-domain) contribution":
+    * G = Σ_i (2i − n − 1)·x_(i) / (n·Σx) over counts sorted ascending
+    * (ties broken on the key — rank determinism). 0 = perfectly even,
+    * → 1 = one key dominates; the data-governance scalar behind
+    * source caps and temperature mixing. One row
+    * `(n_keys, total, gini)`. EVERYTHING except the single final
+    * division is exact integer arithmetic — no float order anywhere.
+    *
+    * Scale shape: key-keyed count reduce, then one unpartitioned rank
+    * window over |keys| rows (bounded by key cardinality, the WinScan
+    * allowlist argument) and an integer fold. */
+  def giniConcentration(df: DataFrame, keyCol: String): DataFrame = {
+    val counts = df.groupBy(col(keyCol)).agg(count(lit(1)).as("__x"))
+    val tot = counts.agg(count(lit(1)).as("__n"), sum(col("__x")).as("__t"))
+    val w = Window.orderBy(col("__x").asc, col(keyCol).asc)
+    counts
+      .withColumn("__i", row_number().over(w).cast("long"))
+      .crossJoin(broadcast(tot))
+      .agg(max(col("__n")).as("n_keys"), max(col("__t")).as("total"),
+        sum((lit(2L) * col("__i") - col("__n") - lit(1L)) * col("__x")).as("__num"))
+      .select(col("n_keys"), col("total"),
+        round(col("__num").cast("double") /
+          (col("n_keys") * col("total")).cast("double"), 6).as("gini"))
   }
 
   /** Benford first-digit test of a positive numeric column — the

@@ -117,6 +117,36 @@ class CurationSpec extends SparkSpec {
     assert(math.abs(p - 1.0) < 1e-12)
   }
 
+  test("ksStatistic: identical slices gap 0; disjoint ranges gap 1; closed-form shift") {
+    import spark.implicits._
+    val a = (0 until 10).map(_.toDouble).toDF("v")
+    assert(graft.analysis.CorpusDrift.ksStatistic(a, a, "v", 1.0)
+      .head().getAs[Double]("ks") == 0.0)
+    val b = (100 until 110).map(_.toDouble).toDF("v")
+    assert(graft.analysis.CorpusDrift.ksStatistic(a, b, "v", 1.0)
+      .head().getAs[Double]("ks") == 1.0, "disjoint supports must gap 1")
+    // half of b shifted out of a's support → CDF gap peaks at 0.5
+    val c = ((0 until 5) ++ (100 until 105)).map(_.toDouble).toDF("v")
+    val r = graft.analysis.CorpusDrift.ksStatistic(a, c, "v", 1.0).head()
+    assert(r.getAs[Double]("ks") == 0.5, s"got $r")
+    // empty slice → null
+    assert(graft.analysis.CorpusDrift.ksStatistic(a, a.filter(col("v") < 0), "v", 1.0)
+      .head().isNullAt(2))
+  }
+
+  test("giniConcentration: uniform mass 0; closed-form on a skewed fixture") {
+    import spark.implicits._
+    val even = Seq.tabulate(20)(i => (i.toLong % 4, i)).toDF("k", "i")
+    val ev = graft.analysis.CorpusDrift.giniConcentration(even, "k").head()
+    assert(ev.getAs[Long]("n_keys") == 4L && ev.getAs[Double]("gini") == 0.0)
+    // counts 1,1,1,7: G = Σ(2i−n−1)x_i/(n·Σx) = (−3·1 −1·1 +1·1 +3·7)/(4·10) = 18/40
+    val skew = (Seq.fill(7)(0L) ++ Seq(1L, 2L, 3L)).zipWithIndex
+      .map { case (k, i) => (k, i) }.toDF("k", "i")
+    val r = graft.analysis.CorpusDrift.giniConcentration(skew, "k").head()
+    assert(r.getAs[Long]("total") == 10L)
+    assert(r.getAs[Double]("gini") == 0.45, s"got $r")
+  }
+
   test("psi: identical slices diverge 0; out-of-range values clamp into edge bins") {
     import spark.implicits._
     // baseline 0..9 → width 0.9, exactly one value per bin (9 clamps in)
