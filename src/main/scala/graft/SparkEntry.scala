@@ -2248,6 +2248,22 @@ object SparkEntry {
       Ann.ivfRangeSearch(s, path, queryVec(s, dir), 0.2)
         .orderBy(col("vec_id"))
     }),
+    // ---- [EXT] BATCH range search: the query-table form of the
+    // certificate path — per-(qid, cluster) bounds as a distributed
+    // join against the broadcast k-row stats, union of survivors as
+    // the plan-time partition IN, per-qid probe join. Lossless per
+    // qid, so the oracle stays the per-qid brute-force filter.
+    "ann_range_batch" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val cents = Ann.kmeansCentroids(emb, "vec_id", "embedding", 10, 2)
+      val path = scratchDir("ivf-range-batch")
+      Ann.buildIvfIndex(emb, cents, path)
+      Ann.recordRangeStats(s, path)
+      val qs = emb.filter(col("vec_id") < 3)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+      Ann.ivfRangeSearchBatch(s, path, qs, 0.2)
+        .orderBy(col("qid"), col("vec_id"))
+    }),
     // ---- [EXT] exact RANGE search over the composed IVF-PQ index:
     // clusters certify out by the recorded bound, the probed clusters'
     // 8-byte CODES pre-filter by adc + qerr (a query-independent
@@ -2648,6 +2664,14 @@ object SparkEntry {
         .groupBy(col("term")).agg(count(lit(1)).as("n"))
         .orderBy(col("n").desc, col("term").asc)
         .limit(20)),
+    // ---- [EXT] vocabulary coverage (TextAnalysis.vocabCoverage): the
+    // tokenizer-fit gate — fraction of each language's token
+    // occurrences covered by the global top-100 vocabulary; minority
+    // languages pay the OOV cost of a frequency-built vocab, and low
+    // coverage says rebalance (temperatureMix is the lever).
+    "vocab_coverage" -> ((s, dir) =>
+      TextAnalysis.vocabCoverage(Tables.documents(s, dir), "text", "lang", 100)
+        .orderBy(col("lang"))),
     // ---- [EXT] term associations (TextAnalysis.pmiPairs): top PMI
     // pairs over the frequent vocabulary — document-presence
     // co-occurrence vs independence. The quadratic pair step runs
@@ -4139,6 +4163,14 @@ object SparkEntry {
          |  FROM embeddings e,
          |       (SELECT embedding AS qvec FROM embeddings WHERE vec_id = 0) q)
          |WHERE sim >= 0.2 ORDER BY vec_id""".stripMargin,
+    // per-qid brute force — batch losslessness is the same contract
+    "ann_range_batch" ->
+      s"""SELECT qid, vec_id, sim FROM (
+         |  SELECT q.vec_id AS qid, e.vec_id,
+         |         ${cosSql("e.embedding", "q.embedding")} AS sim
+         |  FROM embeddings e,
+         |       (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 3) q)
+         |WHERE sim >= 0.2 ORDER BY qid, vec_id""".stripMargin,
     // losslessness at both pruning levels IS the contract — the
     // composed-index range search answers the same brute-force filter
     "ivfpq_range_search" ->
@@ -6772,6 +6804,18 @@ object SparkEntry {
       s"""SELECT term, count(*) AS n FROM (
          |  SELECT unnest($toksSql) AS term FROM documents)
          |GROUP BY term ORDER BY n DESC, term ASC LIMIT 20""".stripMargin,
+    // global top-100 by (count DESC, term ASC), per-lang membership
+    "vocab_coverage" ->
+      s"""WITH tok AS (SELECT lang, unnest($toksSql) AS term FROM documents),
+         |v AS (SELECT term FROM (
+         |        SELECT term, count(*) AS n FROM tok GROUP BY 1
+         |        ORDER BY n DESC, term ASC LIMIT 100)),
+         |j AS (SELECT t.lang, t.term,
+         |             CASE WHEN v.term IS NOT NULL THEN 1 ELSE 0 END AS iv
+         |      FROM tok t LEFT JOIN v ON t.term = v.term)
+         |SELECT lang, count(*) AS n_tokens, sum(iv)::BIGINT AS in_vocab,
+         |       round(sum(iv)::DOUBLE / count(*), 6) AS coverage
+         |FROM j GROUP BY lang ORDER BY lang""".stripMargin,
     // document-presence PMI over the df>=30 vocabulary, n_ab>=10 floor
     "pmi_pairs" ->
       s"""WITH pres AS (

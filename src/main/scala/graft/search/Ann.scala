@@ -539,6 +539,40 @@ object Ann {
       .limit(k)
   }
 
+  /** BATCH range search over a materialized IVF index — the
+    * query-table form of [[ivfRangeSearch]], completing the batch
+    * story for the certificate path: per-(qid, cluster) bounds
+    * `q̂·mu + radius ≥ tau` compute DISTRIBUTED as a
+    * (queries × broadcast k-row stats) join — no per-query driver
+    * loop; the union of surviving clusters (≤ k ids, driver-bounded)
+    * becomes the plan-time partition IN like every index probe, and
+    * the per-qid probe table joins candidates so a cluster certified
+    * out for one query still never reaches that query's filter.
+    * LOSSLESS per qid, exactly like the single-query form (the same
+    * +1e-6 certificate margin). Returns `(qid, id, sim)` rows with
+    * round-6 `sim ≥ tau`. */
+  def ivfRangeSearchBatch(spark: org.apache.spark.sql.SparkSession, path: String,
+                          queries: DataFrame, tau: Double,
+                          idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val stats = spark.read.parquet(s"$path.rstats")
+    val qn = queries.select(col("qid"), col("qvec"),
+      graft.functions.L2Normalize(col("qvec")).as("__qhat"))
+    val probes = qn.crossJoin(broadcast(stats))
+      .filter(VectorOps.dot(col("__qhat"), col("mu")) + col("radius") + lit(1e-6)
+        >= tau)
+      .select(col("qid"), col("__cluster"))
+    val probed = probes.select(col("__cluster")).distinct()
+      .collect().map(_.getInt(0)).toSeq
+    dropTombstones(
+      spark.read.parquet(path).filter(col("__cluster").isin(probed: _*)),
+      path, idCol)
+      .join(broadcast(probes), Seq("__cluster")).drop("__cluster")
+      .join(broadcast(queries), Seq("qid"))
+      .select(col("qid"), col(idCol),
+        round(VectorOps.cosine(col(vecCol), col("qvec")), 6).as("sim"))
+      .filter(col("sim") >= tau)
+  }
+
   /** Deterministic seeded hyperplanes (unit-free; only the sign of the
     * projection matters). */
   def planes(dim: Int, nbits: Int, seed: Long = 42L): Seq[Seq[Double]] = {

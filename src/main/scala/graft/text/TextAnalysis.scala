@@ -149,6 +149,35 @@ object TextAnalysis {
   /** Rolling polynomial fingerprint over the full text: fold
     * (h*31 + charCode) mod 1e9+7, seed 7 — same hash family as
     * [[graft.embed.Featurizer]]; one HOF pass per row. */
+  /** Vocabulary coverage — the tokenizer-fit gate: what fraction of
+    * each group's token OCCURRENCES the global top-`vocabSize`
+    * vocabulary covers. The multilingual reality this surfaces: a
+    * frequency-built vocabulary is dominated by the majority language,
+    * and minority languages pay the OOV (or, for subword tokenizers,
+    * the fertility) cost — low coverage for a group says the
+    * vocabulary, or the mix it was built from, needs rebalancing
+    * ([[graft.analysis.Sampling.temperatureMix]] is the lever).
+    *
+    * Scale shape: one term-keyed count reduce, a TakeOrdered top-V
+    * (never a global sort), the V-row vocabulary broadcast back as a
+    * membership join, and one group-keyed conditional count. */
+  def vocabCoverage(docs: DataFrame, textCol: String, groupCol: String,
+                    vocabSize: Int): DataFrame = {
+    require(vocabSize >= 1, s"vocabSize >= 1: $vocabSize")
+    val tok = docs.select(col(groupCol).as("__g"),
+      explode(tokens(col(textCol))).as("term"))
+    val vocab = tok.groupBy(col("term")).agg(count(lit(1)).as("__n"))
+      .orderBy(col("__n").desc, col("term").asc)
+      .limit(vocabSize)
+      .select(col("term"), lit(1L).as("__iv"))
+    tok.join(broadcast(vocab), Seq("term"), "left")
+      .groupBy(col("__g").as(groupCol))
+      .agg(count(lit(1)).as("n_tokens"),
+        count(when(col("__iv").isNotNull, lit(1))).as("in_vocab"))
+      .withColumn("coverage",
+        round(col("in_vocab").cast("double") / col("n_tokens"), 6))
+  }
+
   /** Term-association mining — document-level pointwise mutual
     * information over the frequent vocabulary: which term pairs
     * co-occur in documents far more than their independent rates

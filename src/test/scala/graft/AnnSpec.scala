@@ -452,6 +452,26 @@ class AnnSpec extends SparkSpec {
     assert(got == brute)
   }
 
+  test("batch range search ≡ per-qid single-query range search") {
+    val cents = Ann.kmeansCentroids(emb, "vec_id", "embedding", 6, 2)
+    val path = java.nio.file.Files
+      .createTempDirectory("graft-range-batch").toString + "/idx"
+    Ann.buildIvfIndex(emb, cents, path)
+    Ann.recordRangeStats(spark, path)
+    val qids = Seq(0L, 7L, 21L)
+    val qs = emb.filter(col("vec_id").isin(qids: _*))
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    val batch = Ann.ivfRangeSearchBatch(spark, path, qs, 0.3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val singles = qids.flatMap { q =>
+      val one = emb.filter(col("vec_id") === q).select(col("embedding").as("qvec"))
+      Ann.ivfRangeSearch(spark, path, one, 0.3)
+        .collect().map(r => (q, r.getLong(0), r.getDouble(1)))
+    }.toSet
+    assert(batch == singles, s"batch diverges: ${batch.diff(singles)} / ${singles.diff(batch)}")
+    assert(batch.nonEmpty, "vacuous fixture")
+  }
+
   test("centroidOutliers ≡ driver-side brute force: assignment-consistent bottom-k") {
     import graft.vector.VectorOps
     val cents = Ann.kmeansCentroids(emb, "vec_id", "embedding", 4, 2)
