@@ -1639,6 +1639,21 @@ object SparkEntry {
     "markov_accuracy" -> ((s, dir) =>
       graft.analysis.Funnel.markovAccuracy(Tables.events(s, dir),
         "user_id", "event_type", "ts", "event_id")),
+    // ---- [EXT] Kaplan-Meier time-to-convert (Funnel.survivalCurve):
+    // signup → purchase survival with non-converters right-censored
+    // at the study end; hour buckets, at-risk/product tail over grid
+    // rows only, ascending-ordered IEEE product fold both engines.
+    "survival_curve" -> ((s, dir) =>
+      graft.analysis.Funnel.survivalCurve(Tables.events(s, dir),
+          "user_id", "event_type", "ts", "signup", "purchase", 3600L)
+        .orderBy(col("t_bucket"))),
+    // ---- [EXT] CUPED variance-reduced A/B readout
+    // (Funnel.cupedAbTest): post-cutoff activity adjusted by the
+    // pre-cutoff covariate, theta and all means from exact integer
+    // moments — one keyed reduce + one aggregate row.
+    "cuped_ab_test" -> ((s, dir) =>
+      graft.analysis.Funnel.cupedAbTest(Tables.events(s, dir),
+        "user_id", "ts", "2024-01-16 00:00:00")),
     // ---- [EXT] session windows: gap-based per-user event sessions
     "events_sessions" -> ((s, dir) =>
       Tables.events(s, dir)
@@ -6208,6 +6223,119 @@ object SparkEntry {
         |       round((count(*) FILTER (WHERE dst = pr))::DOUBLE / count(*), 6)
         |         AS accuracy
         |FROM ev""".stripMargin,
+    // step-times chain → integer hour buckets → at-risk via the
+    // cumulative grid window → ascending list_reduce product (the
+    // same IEEE sequence as the Scala sorted-struct aggregate fold)
+    "survival_curve" ->
+      """WITH w0 AS (
+        |  SELECT user_id, event_type, ts,
+        |         min(CASE WHEN event_type = 'signup' THEN ts END)
+        |           OVER (PARTITION BY user_id) AS t0
+        |  FROM events),
+        |w1 AS (
+        |  SELECT *, min(CASE WHEN event_type = 'purchase' AND ts > t0
+        |                     THEN ts END)
+        |              OVER (PARTITION BY user_id) AS t1
+        |  FROM w0),
+        |u AS (SELECT user_id, max(t0) AS t0, max(t1) AS t1 FROM w1
+        |      GROUP BY user_id),
+        |e AS (SELECT max(ts) AS obs_end FROM events),
+        |timed AS (
+        |  SELECT (epoch_us(coalesce(t1, obs_end)) - epoch_us(t0))
+        |           // 3600000000 AS t_bucket,
+        |         CASE WHEN t1 IS NOT NULL THEN 1 ELSE 0 END AS ev
+        |  FROM u CROSS JOIN e WHERE t0 IS NOT NULL),
+        |grid AS (SELECT t_bucket, sum(ev)::BIGINT AS n_event,
+        |                sum(1 - ev)::BIGINT AS c
+        |         FROM timed GROUP BY t_bucket),
+        |risky AS (
+        |  SELECT t_bucket, n_event,
+        |         (SELECT sum(n_event + c) FROM grid)::BIGINT
+        |           - coalesce(sum(n_event + c)
+        |               OVER (ORDER BY t_bucket
+        |                     ROWS BETWEEN UNBOUNDED PRECEDING
+        |                     AND 1 PRECEDING), 0)::BIGINT AS n_risk
+        |  FROM grid),
+        |evr AS (SELECT t_bucket, n_risk, n_event,
+        |               1.0::DOUBLE - n_event::DOUBLE / n_risk::DOUBLE AS f
+        |        FROM risky WHERE n_event > 0),
+        |fl AS (SELECT list(struct_pack(t := t_bucket, f := f)
+        |                   ORDER BY t_bucket) AS fl FROM evr)
+        |SELECT t_bucket, n_risk, n_event,
+        |       round(list_reduce(
+        |         list_prepend(1.0::DOUBLE,
+        |           list_transform(list_filter(fl, x -> x.t <= t_bucket),
+        |                          x -> x.f)),
+        |         (a, b) -> a * b), 6) AS survival
+        |FROM evr CROSS JOIN fl
+        |ORDER BY t_bucket""".stripMargin,
+    // per-user pre/post counts → Knuth 50/50 split → pooled integer
+    // moments → theta / adjusted means as the same fixed float chain
+    "cuped_ab_test" ->
+      """WITH pu AS (
+        |  SELECT user_id,
+        |         count(*) FILTER (WHERE ts < TIMESTAMP '2024-01-16 00:00:00')
+        |           ::BIGINT AS x,
+        |         count(*) FILTER (WHERE ts >= TIMESTAMP '2024-01-16 00:00:00')
+        |           ::BIGINT AS y
+        |  FROM events GROUP BY user_id),
+        |v AS (
+        |  SELECT *,
+        |         CASE WHEN (((((user_id % 4294967296) // 65536) * 2654435761)
+        |                     % 4294967296) * 65536
+        |                    + ((user_id % 4294967296) % 65536) * 2654435761)
+        |                   % 4294967296 < 2147483648
+        |              THEN 'a' ELSE 'b' END AS vr
+        |  FROM pu),
+        |agg AS (
+        |  SELECT count(*)::BIGINT AS c,
+        |         sum(x)::BIGINT AS sx, sum(y)::BIGINT AS sy,
+        |         sum(x * x)::BIGINT AS sxx, sum(x * y)::BIGINT AS sxy,
+        |         sum(y * y)::BIGINT AS syy,
+        |         count(*) FILTER (WHERE vr = 'a')::BIGINT AS n_a,
+        |         sum(CASE WHEN vr = 'a' THEN x ELSE 0 END)::BIGINT AS sx_a,
+        |         sum(CASE WHEN vr = 'a' THEN y ELSE 0 END)::BIGINT AS sy_a,
+        |         count(*) FILTER (WHERE vr = 'b')::BIGINT AS n_b,
+        |         sum(CASE WHEN vr = 'b' THEN x ELSE 0 END)::BIGINT AS sx_b,
+        |         sum(CASE WHEN vr = 'b' THEN y ELSE 0 END)::BIGINT AS sy_b
+        |  FROM v),
+        |m AS (
+        |  SELECT *,
+        |         c * sxy - sx * sy AS covn,
+        |         c * sxx - sx * sx AS varxn,
+        |         c * syy - sy * sy AS varyn
+        |  FROM agg),
+        |t AS (
+        |  SELECT *,
+        |         CASE WHEN varxn = 0 THEN 0.0::DOUBLE
+        |              ELSE covn::DOUBLE / varxn::DOUBLE END AS theta,
+        |         sx::DOUBLE / c AS mean_x
+        |  FROM m)
+        |SELECT n_a, n_b,
+        |       CASE WHEN n_a = 0 THEN NULL
+        |            ELSE round(sy_a::DOUBLE / n_a, 6) END AS mean_a,
+        |       CASE WHEN n_b = 0 THEN NULL
+        |            ELSE round(sy_b::DOUBLE / n_b, 6) END AS mean_b,
+        |       round(theta, 6) AS theta,
+        |       CASE WHEN n_a = 0 THEN NULL
+        |            ELSE round(sy_a::DOUBLE / n_a
+        |                       - theta * (sx_a::DOUBLE / n_a - mean_x), 6)
+        |            END AS adj_mean_a,
+        |       CASE WHEN n_b = 0 THEN NULL
+        |            ELSE round(sy_b::DOUBLE / n_b
+        |                       - theta * (sx_b::DOUBLE / n_b - mean_x), 6)
+        |            END AS adj_mean_b,
+        |       CASE WHEN n_a = 0 OR n_b = 0 THEN NULL
+        |            ELSE round((sy_a::DOUBLE / n_a
+        |                        - theta * (sx_a::DOUBLE / n_a - mean_x))
+        |                       - (sy_b::DOUBLE / n_b
+        |                          - theta * (sx_b::DOUBLE / n_b - mean_x)), 6)
+        |            END AS adj_diff,
+        |       CASE WHEN varxn = 0 OR varyn = 0 THEN 0.0::DOUBLE
+        |            ELSE round(covn::DOUBLE * covn::DOUBLE /
+        |                       (varxn::DOUBLE * varyn::DOUBLE), 6) END
+        |         AS var_reduction
+        |FROM t""".stripMargin,
     // least-squares slope from exact integer moments, x = hour offset
     // from the key's first observed hour
     "trend_slopes" ->

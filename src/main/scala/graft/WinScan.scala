@@ -31,7 +31,11 @@ object WinScan {
         "never data rows"),
     "activity_gini" ->
       ("the rank window runs over one row per KEY - bounded by key " +
-        "cardinality (users/sources), never event rows"))
+        "cardinality (users/sources), never event rows"),
+    "survival_curve" ->
+      ("the at-risk cumulative window runs over duration-bucket GRID " +
+        "rows - O(span/bucketSeconds) regardless of corpus size (the " +
+        "ks_value_drift class), never entrant rows"))
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder()

@@ -283,6 +283,79 @@ object Funnel {
         .otherwise(round(z, 6)).as("z"))
   }
 
+  /** CUPED variance-reduced A/B readout (Deng et al. 2013,
+    * "Improving the Sensitivity of Online Controlled Experiments") —
+    * the activity-metric companion of [[abTestFunnel]]: the
+    * experiment metric is each user's POST-cutoff event count, the
+    * covariate their PRE-cutoff count, and the adjusted metric
+    * `y − θ(x − x̄)` removes the variance the pre-period already
+    * explains (θ = cov(x,y)/var(x), pooled over both arms — using a
+    * pre-experiment covariate keeps the adjustment unbiased). The
+    * report derives every mean from ARM-LEVEL integer sums —
+    * `adj_mean = ȳ_arm − θ(x̄_arm − x̄)` — so no per-row float ever
+    * aggregates: all moments (Σx, Σy, Σx², Σxy, Σy², per-arm Σ) are
+    * exact longs and the float chain is a fixed IEEE sequence
+    * (round-6 outputs; the z-test precedent). `var_reduction` is the
+    * theoretical fraction removed, ρ² = cov²/(var·var). Degenerate
+    * guards: zero pre-period variance → θ = 0 (no adjustment — CUPED
+    * degrades to the plain diff, well-defined); an empty arm → null
+    * means.
+    *
+    * Scale shape: one user-keyed conditional-count reduce (map-side
+    * combined), variant label as stateless hash arithmetic
+    * ([[Sampling.splitAssign]] — the bucketing stability contract),
+    * and ONE aggregate row. Long moments bound: per-user counts up to
+    * ~2³¹ and ≤ ~2³¹ users stay exact; beyond that widen the moment
+    * sums to DECIMAL(38,0) (still algebraic, still portable). */
+  def cupedAbTest(events: DataFrame, userCol: String, tsCol: String,
+                  cutoff: String): DataFrame = {
+    val cut = lit(cutoff).cast("timestamp")
+    val perUser = events.groupBy(col(userCol))
+      .agg(count(when(col(tsCol) < cut, lit(1))).as("__x"),
+        count(when(col(tsCol) >= cut, lit(1))).as("__y"))
+      .withColumn("__v", Sampling.splitAssign(col(userCol),
+        Seq("a" -> 0.5, "b" -> 0.5)))
+    def armSum(v: String, c: Column) =
+      sum(when(col("__v") === v, c).otherwise(lit(0L)))
+    val agg = perUser.agg(
+      count(lit(1)).as("c"),
+      sum(col("__x")).as("sx"), sum(col("__y")).as("sy"),
+      sum(col("__x") * col("__x")).as("sxx"),
+      sum(col("__x") * col("__y")).as("sxy"),
+      sum(col("__y") * col("__y")).as("syy"),
+      count(when(col("__v") === "a", lit(1))).as("n_a"),
+      armSum("a", col("__x")).as("sx_a"), armSum("a", col("__y")).as("sy_a"),
+      count(when(col("__v") === "b", lit(1))).as("n_b"),
+      armSum("b", col("__x")).as("sx_b"), armSum("b", col("__y")).as("sy_b"))
+    // exact integer central-moment numerators (×c² scaling cancels in
+    // every ratio below)
+    val covN = agg("c") * agg("sxy") - agg("sx") * agg("sy")
+    val varXN = agg("c") * agg("sxx") - agg("sx") * agg("sx")
+    val varYN = agg("c") * agg("syy") - agg("sy") * agg("sy")
+    val theta = when(varXN === 0L, lit(0.0))
+      .otherwise(covN.cast("double") / varXN.cast("double"))
+    val meanX = agg("sx").cast("double") / agg("c")
+    def ifArm(n: Column, c: Column) =
+      when(n === 0L, lit(null).cast("double")).otherwise(round(c, 6))
+    val meanA = agg("sy_a").cast("double") / agg("n_a")
+    val meanB = agg("sy_b").cast("double") / agg("n_b")
+    val adjA = meanA - theta * (agg("sx_a").cast("double") / agg("n_a") - meanX)
+    val adjB = meanB - theta * (agg("sx_b").cast("double") / agg("n_b") - meanX)
+    val vr = when(varXN === 0L || varYN === 0L, lit(0.0))
+      .otherwise(covN.cast("double") * covN.cast("double") /
+        (varXN.cast("double") * varYN.cast("double")))
+    agg.select(col("n_a"), col("n_b"),
+      ifArm(agg("n_a"), meanA).as("mean_a"),
+      ifArm(agg("n_b"), meanB).as("mean_b"),
+      round(theta, 6).as("theta"),
+      ifArm(agg("n_a"), adjA).as("adj_mean_a"),
+      ifArm(agg("n_b"), adjB).as("adj_mean_b"),
+      when(agg("n_a") === 0L || agg("n_b") === 0L,
+        lit(null).cast("double"))
+        .otherwise(round(adjA - adjB, 6)).as("adj_diff"),
+      round(vr, 6).as("var_reduction"))
+  }
+
   /** Hold-out accuracy of the [[eventTransitions]] Markov model — the
     * eval gate for the transition matrix: each user's LAST transition
     * is held out, the matrix trains on the REST, and the model
@@ -469,6 +542,77 @@ object Funnel {
       .groupBy(col(userCol))
       .agg(min(col("__day")).as("__cohort"),
         collect_set(col("__day")).as("__days")))
+
+  /** Kaplan-Meier survival curve of TIME-TO-CONVERT — "how long after
+    * `entryStep` does `convStep` happen, accounting for users who
+    * haven't converted YET": the right-censoring-aware answer the
+    * naive mean-of-converters overstates (fast converters are
+    * over-represented among the observed). Entrants are users with an
+    * `entryStep` event (first one = their clock start, the
+    * [[stepTimes]] kernel); converters' duration is first in-order
+    * `convStep` minus that; non-converters are CENSORED at the study
+    * end (the frame's max timestamp — observation simply stopped).
+    * Durations bucket into `bucketSeconds` integer buckets (exact
+    * micros integer division — O(span/bucket) grid rows regardless of
+    * corpus size, the histogram-bounding convention), and for each
+    * bucket with ≥1 conversion the estimator reports
+    * `S(t) = Π_{t_j ≤ t} (1 − d_j / n_j)` with `n_j` = entrants whose
+    * event-or-censor time is ≥ t_j (censored-at-t still at risk at t —
+    * the standard "events before censorings" tie convention).
+    *
+    * Float determinism: each factor is one IEEE divide+subtract and
+    * the running product folds in ascending-bucket order on BOTH
+    * engines (sorted-struct `aggregate` here, ordered `list_reduce`
+    * in the oracle) — a window `exp(sum(ln))` product would not be
+    * bit-portable. Round-6 only on the final per-row value.
+    *
+    * Plan shape: the [[stepTimes]] user-key shuffle, a 1-row study-end
+    * broadcast, a bucket-keyed reduce to the O(span/bucket) grid, and
+    * the at-risk/product tail over GRID rows only (the unpartitioned
+    * cumulative window + sorted fold are bounded by the grid — the
+    * `ks_value_drift` WinScan class, never data rows). */
+  def survivalCurve(events: DataFrame, userCol: String, typeCol: String,
+                    tsCol: String, entryStep: String, convStep: String,
+                    bucketSeconds: Long): DataFrame = {
+    require(bucketSeconds > 0, "bucketSeconds must be positive")
+    val st = stepTimes(events, userCol, typeCol, tsCol,
+      Seq(entryStep, convStep))
+    val obsEnd = events.agg(max(col(tsCol)).as("__end"))
+    val timed = st.filter(col("__t0").isNotNull)
+      .crossJoin(broadcast(obsEnd))
+      .withColumn("__um",
+        unix_micros(coalesce(col("__t1"), col("__end"))) -
+          unix_micros(col("__t0")))
+      // exact integer bucket (non-negative, so DIV ≡ floor division)
+      .withColumn("t_bucket", expr(s"__um DIV ${bucketSeconds * 1000000L}"))
+      .withColumn("__ev", col("__t1").isNotNull.cast("long"))
+    val grid = timed.groupBy(col("t_bucket"))
+      .agg(sum(col("__ev")).as("n_event"),
+        sum(lit(1L) - col("__ev")).as("__c"))
+    // cumulative "left the risk set before this bucket" — integer
+    // window over grid rows (bounded, see Scaladoc)
+    val wCum = Window.orderBy(col("t_bucket"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val risky = grid
+      .withColumn("__gone",
+        coalesce(sum(col("n_event") + col("__c")).over(wCum), lit(0L)))
+      .crossJoin(broadcast(
+        grid.agg(sum(col("n_event") + col("__c")).as("__N"))))
+      .withColumn("n_risk", col("__N") - col("__gone"))
+    val ev = risky.filter(col("n_event") > 0)
+      .select(col("t_bucket"), col("n_risk"), col("n_event"))
+    // event-bucket factors as a sorted in-row list: the product is a
+    // per-row ordered fold, identical IEEE sequence in both engines
+    val factors = ev.agg(array_sort(collect_list(struct(
+      col("t_bucket").as("t"),
+      (lit(1.0) - col("n_event").cast("double") /
+        col("n_risk").cast("double")).as("f")))).as("__fl"))
+    ev.crossJoin(broadcast(factors))
+      .select(col("t_bucket"), col("n_risk"), col("n_event"),
+        round(aggregate(
+          filter(col("__fl"), x => x.getField("t") <= col("t_bucket")),
+          lit(1.0), (acc, x) => acc * x.getField("f")), 6).as("survival"))
+  }
 
   /** The report tail of [[retentionCohorts]] over an ALREADY-computed
     * per-user frame (`__cohort` = first-activity day, `__days` =

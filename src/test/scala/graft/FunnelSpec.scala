@@ -336,4 +336,83 @@ class FunnelSpec extends SparkSpec {
       ("last_touch", "click", 1L), ("last_touch", "signup", 1L)),
       s"got ${got.mkString(",")}")
   }
+
+  test("survivalCurve: hand-computed KM with censoring and strict-after entry") {
+    val events = ev(
+      // converter, bucket 0 (30 min)
+      (1L, "signup", "2024-01-01 10:00:00"),
+      (1L, "buy", "2024-01-01 10:30:00"),
+      // converter, bucket 2 (2.5 h)
+      (2L, "signup", "2024-01-01 10:00:00"),
+      (2L, "buy", "2024-01-01 12:30:00"),
+      // entrant, never converts — censored at study end (13:00), 3 h
+      (3L, "signup", "2024-01-01 10:00:00"),
+      // converter, bucket 1 (1.5 h)
+      (4L, "signup", "2024-01-01 09:00:00"),
+      (4L, "buy", "2024-01-01 10:30:00"),
+      // not an entrant; also pins the study end at 13:00
+      (5L, "view", "2024-01-01 13:00:00"),
+      // buy BEFORE signup doesn't convert — censored at 4 h
+      (6L, "buy", "2024-01-01 08:00:00"),
+      (6L, "signup", "2024-01-01 09:00:00"))
+    val got = Funnel.survivalCurve(events, "u", "et", "t", "signup", "buy", 3600L)
+      .orderBy(col("t_bucket")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSeq
+    // N = 5 entrants; events at buckets 0, 1, 2; censors at 3 and 4.
+    // n_risk: 5, 4, 3 -> S = 0.8, 0.8*0.75 = 0.6, 0.6*(2/3) = 0.4
+    assert(got == Seq(
+      (0L, 5L, 1L, 0.8), (1L, 4L, 1L, 0.6), (2L, 3L, 1L, 0.4)),
+      s"got ${got.mkString(",")}")
+  }
+
+  test("survivalCurve: no censoring reaches 0; all-censored is empty") {
+    val all = ev(
+      (1L, "signup", "2024-01-01 10:00:00"),
+      (1L, "buy", "2024-01-01 10:10:00"),
+      (2L, "signup", "2024-01-01 10:00:00"),
+      (2L, "buy", "2024-01-01 11:10:00"))
+    val got = Funnel.survivalCurve(all, "u", "et", "t", "signup", "buy", 3600L)
+      .orderBy(col("t_bucket")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSeq
+    assert(got == Seq((0L, 2L, 1L, 0.5), (1L, 1L, 1L, 0.0)),
+      s"got ${got.mkString(",")}")
+    val none = ev(
+      (1L, "signup", "2024-01-01 10:00:00"),
+      (2L, "view", "2024-01-01 12:00:00"))
+    assert(Funnel.survivalCurve(none, "u", "et", "t", "signup", "buy", 3600L)
+      .count() == 0L)
+  }
+
+  test("cupedAbTest: hand-computed theta and adjusted means") {
+    // Knuth buckets: users 2,4,5 -> arm a; 1,3 -> arm b. Pre/post
+    // counts (x, y): u2 (2,4), u4 (1,1), u5 (3,5), u1 (2,2), u3 (1,3)
+    // => theta = 20/14, pooled mean_x = 1.8, rho^2 = 400/700.
+    def n(u: Long, day: Int, k: Int) = (0 until k).map(i =>
+      (u, "e", f"2024-01-$day%02d 0$i:00:00"))
+    val events = ev(
+      (n(2L, 10, 2) ++ n(2L, 20, 4) ++ n(4L, 10, 1) ++ n(4L, 20, 1) ++
+        n(5L, 10, 3) ++ n(5L, 20, 5) ++ n(1L, 10, 2) ++ n(1L, 20, 2) ++
+        n(3L, 10, 1) ++ n(3L, 20, 3)): _*)
+    val r = Funnel.cupedAbTest(events, "u", "t", "2024-01-16 00:00:00").head()
+    assert(r.getLong(0) == 3L && r.getLong(1) == 2L, s"arm sizes $r")
+    assert(r.getDouble(2) == 3.333333 && r.getDouble(3) == 2.5, s"means $r")
+    assert(r.getDouble(4) == 1.428571, s"theta $r")
+    assert(r.getDouble(5) == 3.047619 && r.getDouble(6) == 2.928571,
+      s"adjusted $r")
+    assert(r.getDouble(7) == 0.119048 && r.getDouble(8) == 0.571429,
+      s"diff/vr $r")
+  }
+
+  test("cupedAbTest: zero pre-period variance degrades to the plain diff") {
+    // every user has x = 1 -> varX = 0 -> theta = 0, adj == raw means
+    val events = ev(
+      (1L, "e", "2024-01-10 10:00:00"), (1L, "e", "2024-01-20 10:00:00"),
+      (2L, "e", "2024-01-10 10:00:00"), (2L, "e", "2024-01-20 10:00:00"),
+      (2L, "e", "2024-01-20 11:00:00"))
+    val r = Funnel.cupedAbTest(events, "u", "t", "2024-01-16 00:00:00").head()
+    assert(r.getDouble(4) == 0.0, s"theta $r")
+    assert(r.getDouble(5) == r.getDouble(2) && r.getDouble(6) == r.getDouble(3),
+      s"adj == raw $r")
+    assert(r.getDouble(8) == 0.0, s"vr $r")
+  }
 }
