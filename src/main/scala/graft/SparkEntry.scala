@@ -1654,6 +1654,14 @@ object SparkEntry {
     "cuped_ab_test" -> ((s, dir) =>
       graft.analysis.Funnel.cupedAbTest(Tables.events(s, dir),
         "user_id", "ts", "2024-01-16 00:00:00")),
+    // ---- [EXT] transition-graph PageRank (Funnel.transitionPageRank):
+    // recursive event-type importance under the random-surfer model;
+    // corpus work = the one lead-window transition reduce, iteration
+    // over the bounded matrix as fixed-order driver folds.
+    "event_pagerank" -> ((s, dir) =>
+      graft.analysis.Funnel.transitionPageRank(Tables.events(s, dir),
+          "user_id", "event_type", "ts", "event_id", 0.85, 5)
+        .orderBy(col("event_type"))),
     // ---- [EXT] session windows: gap-based per-user event sessions
     "events_sessions" -> ((s, dir) =>
       Tables.events(s, dir)
@@ -2826,6 +2834,56 @@ object SparkEntry {
     * stack. `gap` adds the inclusive step-gap bound. */
   /** The funnel step-time CTE chain through the per-user reduce `u` —
     * shared by the counts replays and the latency replay. */
+  /** Unrolled PageRank replay: transition counts, then `iters` CTE
+    * blocks each computing the dangling mass (node-ordered fold) and
+    * per-destination incoming mass (src-ordered fold) exactly like
+    * [[graft.analysis.Funnel.pageRankLocal]]'s driver folds — ordered
+    * `list_reduce` with a prepended 0.0 init is the same IEEE add
+    * sequence as a Scala `foldLeft(0.0)`. */
+  private def pageRankReplaySql(alpha: Double, iters: Int): String = {
+    val a = s"$alpha::DOUBLE"
+    val steps = (1 to iters).map { i =>
+      val p = s"r${i - 1}"
+      s"""d$i AS (
+         |  SELECT coalesce(list_reduce(
+         |    list_prepend(0.0::DOUBLE,
+         |      coalesce(list(r ORDER BY node), [])),
+         |    (a, b) -> a + b), 0.0::DOUBLE) AS dang
+         |  FROM $p WHERE node NOT IN (SELECT src FROM e)),
+         |c$i AS (
+         |  SELECT e.dst AS node,
+         |         list_reduce(
+         |           list_prepend(0.0::DOUBLE,
+         |             list(p.r * e.n / o.o ORDER BY e.src)),
+         |           (a, b) -> a + b) AS inc
+         |  FROM e JOIN $p p ON p.node = e.src JOIN o ON o.src = e.src
+         |  GROUP BY e.dst),
+         |r$i AS (
+         |  SELECT nodes.node,
+         |         (1.0::DOUBLE - $a) / nn.n
+         |           + $a * (coalesce(c.inc, 0.0::DOUBLE) + d.dang / nn.n)
+         |           AS r
+         |  FROM nodes CROSS JOIN nn CROSS JOIN d$i d
+         |  LEFT JOIN c$i c USING (node))""".stripMargin
+    }.mkString(",\n")
+    s"""WITH pr AS (
+       |  SELECT event_type AS src,
+       |         lead(event_type) OVER (PARTITION BY user_id
+       |                                ORDER BY ts, event_id) AS dst
+       |  FROM events),
+       |e AS (SELECT src, dst, count(*)::BIGINT AS n FROM pr
+       |      WHERE dst IS NOT NULL GROUP BY src, dst),
+       |nodes AS (SELECT src AS node FROM e
+       |          UNION SELECT dst FROM e),
+       |nn AS (SELECT count(*)::BIGINT AS n FROM nodes),
+       |o AS (SELECT src, sum(n)::BIGINT AS o FROM e GROUP BY src),
+       |r0 AS (SELECT node, 1.0::DOUBLE / nn.n AS r
+       |       FROM nodes CROSS JOIN nn),
+       |$steps
+       |SELECT node AS event_type, round(r, 6) AS rank
+       |FROM r$iters ORDER BY event_type""".stripMargin
+  }
+
   private def funnelStepCtes(gap: Option[Long]): String = {
     val steps = Seq("signup", "view", "click", "purchase")
     def cond(i: Int): String =
@@ -6269,6 +6327,10 @@ object SparkEntry {
         |         (a, b) -> a * b), 6) AS survival
         |FROM evr CROSS JOIN fl
         |ORDER BY t_bucket""".stripMargin,
+    // lead-window transition counts → unrolled power iteration, each
+    // step's per-dst/dangling folds as ordered list_reduce (the same
+    // IEEE sequence as the Scala driver folds)
+    "event_pagerank" -> pageRankReplaySql(0.85, 5),
     // per-user pre/post counts → Knuth 50/50 split → pooled integer
     // moments → theta / adjusted means as the same fixed float chain
     "cuped_ab_test" ->

@@ -424,6 +424,90 @@ object Funnel {
         round(col("n") / col("__tn"), 6).as("p"))
   }
 
+  /** PageRank over the [[eventTransitions]] graph — the stationary
+    * importance of each event type under the random-surfer model
+    * (Brin & Page 1998): with probability `alpha` the surfer follows
+    * an observed transition (weighted by its count), otherwise
+    * teleports uniformly; dangling nodes (types never seen as a
+    * source) redistribute their mass uniformly, the standard
+    * treatment. Unlike raw transition counts, the rank is RECURSIVE —
+    * an event type fed by other important types outranks one fed the
+    * same number of times from noise.
+    *
+    * Scale/determinism shape: the corpus-scale work is the ONE
+    * user-keyed lead window + |types|²-bounded reduce of
+    * [[eventTransitions]]; the matrix it leaves is MODEL state (the
+    * centroid-collect precedent), so the power iteration folds
+    * driver-side in a FIXED order — per-destination contributions in
+    * UTF-8-ascending source order, dangling mass in node order, init
+    * 0.0 — making every iteration a replayable IEEE sequence (the
+    * oracle unrolls the same folds as ordered `list_reduce` CTEs).
+    * For graphs whose node set is NOT model-state bounded (user-user
+    * graphs), the same update runs distributed — rank frame joined to
+    * edges, per-dst ordered fold — one keyed join + reduce per
+    * iteration; the type graph never needs it. Round-6 on output
+    * only. */
+  def transitionPageRank(events: DataFrame, userCol: String, typeCol: String,
+                         tsCol: String, idCol: String,
+                         alpha: Double = 0.85, iters: Int = 5): DataFrame = {
+    require(iters >= 1, "iters must be >= 1")
+    require(alpha > 0.0 && alpha < 1.0, "alpha in (0,1)")
+    val spark = events.sparkSession
+    import spark.implicits._
+    val w = Window.partitionBy(col(userCol)).orderBy(col(tsCol), col(idCol))
+    val edges = events
+      .withColumn("__dst", lead(col(typeCol), 1).over(w))
+      .filter(col("__dst").isNotNull)
+      .groupBy(col(typeCol).as("src"), col("__dst").as("dst"))
+      .agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSeq
+    pageRankLocal(edges, alpha, iters)
+      .toDF("event_type", "rank")
+      .select(col("event_type"), round(col("rank"), 6).as("rank"))
+  }
+
+  /** Unsigned-UTF-8-byte string order — the binary string order both
+    * engines sort by (Java's `compareTo` diverges on supplementary
+    * characters). */
+  private def utf8Lt(a: String, b: String): Boolean = {
+    val x = a.getBytes("UTF-8"); val y = b.getBytes("UTF-8")
+    var i = 0
+    while (i < x.length && i < y.length) {
+      val c = (x(i) & 0xFF) - (y(i) & 0xFF)
+      if (c != 0) return c < 0
+      i += 1
+    }
+    x.length < y.length
+  }
+
+  /** The fixed-order power iteration behind [[transitionPageRank]]:
+    * edge weights and out-degrees are exact longs, every float fold
+    * runs in a deterministic order (see caller doc). */
+  private[graft] def pageRankLocal(edges: Seq[(String, String, Long)],
+                                   alpha: Double,
+                                   iters: Int): Seq[(String, Double)] = {
+    val ord = Ordering.fromLessThan(utf8Lt)
+    val nodes = (edges.map(_._1) ++ edges.map(_._2)).distinct.sorted(ord)
+    val n = nodes.size
+    if (n == 0) return Seq.empty
+    val out = edges.groupBy(_._1).map { case (s, es) => s -> es.map(_._3).sum }
+    val incoming = edges.groupBy(_._2).map { case (d, es) =>
+      d -> es.map(e => (e._1, e._3)).sortBy(_._1)(ord)
+    }
+    val dangling = nodes.filterNot(out.contains)
+    var rank: Map[String, Double] = nodes.map(_ -> 1.0 / n).toMap
+    (1 to iters).foreach { _ =>
+      val dang = dangling.foldLeft(0.0)((acc, d) => acc + rank(d))
+      rank = nodes.map { d =>
+        val inc = incoming.getOrElse(d, Nil).foldLeft(0.0) {
+          case (acc, (s, wgt)) => acc + rank(s) * wgt / out(s)
+        }
+        d -> ((1.0 - alpha) / n + alpha * (inc + dang / n))
+      }.toMap
+    }
+    nodes.map(d => (d, rank(d)))
+  }
+
   /** Per-user path surprisal under the [[eventTransitions]] model —
     * the anomaly score over behavioral streams: each user's observed
     * transitions score `−ln p(dst | src)` against the corpus-wide

@@ -403,6 +403,43 @@ class FunnelSpec extends SparkSpec {
       s"diff/vr $r")
   }
 
+  test("pageRankLocal: symmetric cycle is uniform; dangling mass redistributes") {
+    // a <-> b with equal weight: the stationary point is uniform and
+    // every iteration stays exactly there
+    val cyc = Funnel.pageRankLocal(Seq(("a", "b", 1L), ("b", "a", 1L)), 0.85, 7)
+    assert(cyc == Seq(("a", 0.5), ("b", 0.5)), s"got $cyc")
+    // a -> b (2), a -> c (1), b -> a (1); c dangles. One iteration
+    // from uniform, hand-computed (round-6).
+    val got = Funnel.pageRankLocal(
+      Seq(("a", "b", 2L), ("a", "c", 1L), ("b", "a", 1L)), 0.85, 1)
+      .map { case (k, v) => (k, graft.vector.VectorOps.round6(v)) }
+    assert(got == Seq(("a", 0.427778), ("b", 0.333333), ("c", 0.238889)),
+      s"got $got")
+    // mass conservation after several iterations
+    val r5 = Funnel.pageRankLocal(
+      Seq(("a", "b", 2L), ("a", "c", 1L), ("b", "a", 1L)), 0.85, 5)
+    assert(math.abs(r5.map(_._2).sum - 1.0) < 1e-9, s"sum ${r5.map(_._2).sum}")
+  }
+
+  test("transitionPageRank: matches the local fold over extracted transitions") {
+    val events = ev(
+      (1L, "view", "2024-01-01 10:00:00"),
+      (1L, "click", "2024-01-01 10:01:00"),
+      (1L, "buy", "2024-01-01 10:02:00"),
+      (2L, "view", "2024-01-01 10:00:00"),
+      (2L, "click", "2024-01-01 10:01:00"),
+      (3L, "click", "2024-01-01 10:00:00"),
+      (3L, "view", "2024-01-01 10:01:00"))
+      .withColumn("eid", col("u") * 10 + unix_micros(col("t")) % 7)
+    val got = Funnel.transitionPageRank(events, "u", "et", "t", "eid",
+        0.85, 3)
+      .collect().map(r => (r.getString(0), r.getDouble(1))).toSeq.sortBy(_._1)
+    val expected = Funnel.pageRankLocal(
+      Seq(("view", "click", 2L), ("click", "buy", 1L), ("click", "view", 1L)),
+      0.85, 3).map { case (k, v) => (k, graft.vector.VectorOps.round6(v)) }
+    assert(got == expected, s"got $got vs $expected")
+  }
+
   test("cupedAbTest: zero pre-period variance degrades to the plain diff") {
     // every user has x = 1 -> varX = 0 -> theta = 0, adj == raw means
     val events = ev(
