@@ -62,19 +62,114 @@ object Bpe {
         .otherwise(concat(acc, x, lit("|"))))
   }
 
-  /** Train `k` merges and return both the merge table rows and the
-    * final (rewritten) dictionary the last merge produced. */
-  private def train(docs: DataFrame, textCol: String,
-                    k: Int): (Seq[Row], DataFrame) = {
-    // the one corpus-scale pass; everything after runs on the dict
-    val dict = docs
+  /** The word-frequency dictionary — the ONE corpus-scale pass every
+    * trainer variant shares: tokenize, count, pipe. */
+  private def dict(docs: DataFrame, textCol: String): DataFrame =
+    docs
       .select(explode(TextAnalysis.tokens(col(textCol))).as("w"))
       .groupBy("w").agg(count(lit(1)).as("f"))
       .select(piped(col("w")).as("s"), col("f"))
-      .cache()
+
+  /** Greedy single-scan merge on a symbol vector — the local twin of
+    * [[applyMerge]]'s fold (spec-pinned equal): after emitting `lr`
+    * the scan continues PAST it, so a merged token never chain-merges
+    * within the same pass. */
+  private[graft] def applyMergeLocal(sym: Vector[String], l: String,
+                                    r: String): Vector[String] = {
+    val out = Vector.newBuilder[String]
+    var i = 0
+    while (i < sym.length) {
+      if (i + 1 < sym.length && sym(i) == l && sym(i + 1) == r) {
+        out += (l + r); i += 2
+      } else { out += sym(i); i += 1 }
+    }
+    out.result()
+  }
+
+  /** Unsigned UTF-8 byte order on the `"l r"` pair key — the binary
+    * string order the distributed argmax (`orderBy(col("p").asc)`)
+    * sorts by. */
+  private def pairLt(a: (String, String), b: (String, String)): Boolean = {
+    val x = (a._1 + " " + a._2).getBytes("UTF-8")
+    val y = (b._1 + " " + b._2).getBytes("UTF-8")
+    var i = 0
+    while (i < x.length && i < y.length) {
+      val c = (x(i) & 0xFF) - (y(i) & 0xFF)
+      if (c != 0) return c < 0
+      i += 1
+    }
+    x.length < y.length
+  }
+
+  /** INCREMENTAL driver-side trainer — the production form: the
+    * vocabulary-bounded dictionary (Heaps' law — model state, the
+    * centroid-collect precedent) collects ONCE, and each merge
+    * updates pair counts only for the words the merge touched
+    * (classic BPE trainer bookkeeping: pair → count and
+    * pair → containing-words index), instead of re-aggregating every
+    * pair of every word per iteration. [[trainDistributed]] runs k
+    * sequential corpus-dict aggregations — k Spark jobs whose
+    * scheduling overhead dominates at real vocabulary sizes (k ≈ 30k);
+    * this runs ONE. Selection order is identical: argmax by
+    * `(count DESC, "l r" ASC)` in unsigned-UTF-8 order, greedy
+    * single-scan application — ≡ [[trainDistributed]] row-for-row
+    * (spec-pinned in BpeSpec). Returns the merge rows and the final
+    * rewritten dictionary. */
+  private def trainLocal(docs: DataFrame, textCol: String,
+                         k: Int): (Seq[Row], Seq[(Vector[String], Long)]) = {
+    import scala.collection.mutable
+    val words: mutable.ArrayBuffer[(Vector[String], Long)] =
+      mutable.ArrayBuffer(dict(docs, textCol).collect().map { r =>
+        (r.getString(0).split("\\|").filter(_.nonEmpty).toVector, r.getLong(1))
+      }.toIndexedSeq: _*)
+    val pairCounts = mutable.HashMap.empty[(String, String), Long]
+    val pairWords = mutable.HashMap.empty[(String, String), mutable.Set[Int]]
+    def wordPairs(sym: Vector[String]): Iterator[(String, String)] =
+      if (sym.size < 2) Iterator.empty
+      else sym.iterator.zip(sym.iterator.drop(1))
+    def count(i: Int, sign: Long): Unit = {
+      val (sym, f) = words(i)
+      wordPairs(sym).foreach { p =>
+        val nc = pairCounts.getOrElse(p, 0L) + sign * f
+        if (nc == 0L) { pairCounts.remove(p); () } else pairCounts(p) = nc
+        if (sign > 0L) { pairWords.getOrElseUpdate(p, mutable.Set.empty) += i; () }
+      }
+    }
+    words.indices.foreach(count(_, 1L))
+    val out = Seq.newBuilder[Row]
+    var step = 1
+    while (step <= k && pairCounts.nonEmpty) {
+      val (best, cnt) = pairCounts.iterator.reduce[((String, String), Long)] {
+        case (a @ (pa, ca), b @ (pb, cb)) =>
+          if (cb > ca || (cb == ca && pairLt(pb, pa))) b else a
+      }
+      out += Row(step.toLong, best._1, best._2, cnt)
+      // rewrite only the words holding this pair; the index may carry
+      // stale entries from earlier rewrites — subtract/rewrite/re-add
+      // is a no-op for those, so no containment check is needed
+      pairWords.remove(best).foreach(_.toSeq.sorted.foreach { i =>
+        count(i, -1L)
+        words(i) = (applyMergeLocal(words(i)._1, best._1, best._2), words(i)._2)
+        count(i, 1L)
+      })
+      step += 1
+    }
+    (out.result(), words.toSeq)
+  }
+
+  /** Train `k` merges with k sequential DISTRIBUTED dict aggregations
+    * — the executable specification [[trainLocal]] is pinned against
+    * (each iteration replays as one SQL CTE, which is how the oracle
+    * verifies the semantics); production callers go through the
+    * incremental trainer. Returns the merge rows and the final
+    * (rewritten) dictionary the last merge produced. */
+  private def train(docs: DataFrame, textCol: String,
+                    k: Int): (Seq[Row], DataFrame) = {
+    // the one corpus-scale pass; everything after runs on the dict
+    val dictDf = dict(docs, textCol).cache()
     try {
       val out = Seq.newBuilder[Row]
-      var words = dict
+      var words = dictDf
       var step = 1
       var done = false
       while (step <= k && !done) {
@@ -95,21 +190,34 @@ object Bpe {
       }
       // materialize the final dict's lineage before releasing the cache
       (out.result(), words.localCheckpoint(eager = true))
-    } finally dict.unpersist()
+    } finally dictDf.unpersist()
   }
 
-  /** Learn `k` merges over the word dictionary of `textCol`. Returns
+  private val mergeSchema = StructType(Seq(
+    StructField("step", LongType, nullable = false),
+    StructField("lhs", StringType, nullable = false),
+    StructField("rhs", StringType, nullable = false),
+    StructField("cnt", LongType, nullable = false)))
+
+  /** Learn `k` merges over the word dictionary of `textCol` via the
+    * incremental trainer ([[trainLocal]]). Returns
     * `(step, lhs, rhs, cnt)` — merge rank, the two merged symbols, and
     * the pair's dictionary-weighted count at selection time. */
   def merges(docs: DataFrame, textCol: String, k: Int): DataFrame = {
     val spark = docs.sparkSession
-    val schema = StructType(Seq(
-      StructField("step", LongType, nullable = false),
-      StructField("lhs", StringType, nullable = false),
-      StructField("rhs", StringType, nullable = false),
-      StructField("cnt", LongType, nullable = false)))
     spark.createDataFrame(
-      spark.sparkContext.parallelize(train(docs, textCol, k)._1, 1), schema)
+      spark.sparkContext.parallelize(trainLocal(docs, textCol, k)._1, 1),
+      mergeSchema)
+  }
+
+  /** [[merges]] computed by the k-job distributed iteration — the
+    * executable spec the incremental trainer is pinned against
+    * (BpeSpec asserts row-for-row equality). */
+  def mergesDistributed(docs: DataFrame, textCol: String, k: Int): DataFrame = {
+    val spark = docs.sparkSession
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(train(docs, textCol, k)._1, 1),
+      mergeSchema)
   }
 
   /** The ENCODE side: corpus symbol vocabulary after `k` learned
@@ -118,6 +226,19 @@ object Bpe {
     * corpus occurrence count (and its size tracks how far k compressed
     * the character alphabet toward whole words). */
   def vocab(docs: DataFrame, textCol: String, k: Int): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val (_, words) = trainLocal(docs, textCol, k)
+    // the rewritten dict is already driver-side model state; the
+    // vocabulary reduce over it is dict-bounded, not corpus-bounded
+    words.flatMap { case (sym, f) => sym.map(_ -> f) }
+      .groupBy(_._1).map { case (s, xs) => (s, xs.map(_._2).sum) }
+      .toSeq.toDF("symbol", "n")
+  }
+
+  /** [[vocab]] computed by the distributed iteration — the executable
+    * spec (BpeSpec pins vocab ≡ vocabDistributed). */
+  def vocabDistributed(docs: DataFrame, textCol: String, k: Int): DataFrame = {
     val (_, words) = train(docs, textCol, k)
     words
       .select(explode(filter(split(col("s"), "\\|"), t => length(t) > 0))

@@ -98,4 +98,31 @@ class BpeSpec extends SparkSpec {
     assert(got == Map((1L, "aaab") -> 1L, (1L, "ab") -> 1L, (1L, "aa") -> 2L,
       (2L, "b") -> 1L, (2L, "a") -> 1L), s"got $got")
   }
+
+  test("incremental trainer ≡ the distributed iteration, merges and vocab") {
+    // real corpus slice: the full sf0.001 documents table — mixed
+    // languages, punctuation, self-overlapping runs
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val fast = Bpe.merges(docs, "text", 10).orderBy("step")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3))).toSeq
+    val dist = Bpe.mergesDistributed(docs, "text", 10).orderBy("step")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3))).toSeq
+    assert(fast == dist, s"fast $fast\nvs dist $dist")
+    val fv = Bpe.vocab(docs, "text", 6).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toMap
+    val dv = Bpe.vocabDistributed(docs, "text", 6).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(fv == dv, s"vocab sizes ${fv.size} vs ${dv.size}")
+  }
+
+  test("applyMergeLocal ≡ the applyMerge column fold") {
+    val words = Seq("aaaa", "abab", "ba", "a", "xaby", "abba")
+    val (l, r) = ("a", "b")
+    val viaCol = words.toDF("w")
+      .select(Bpe.applyMerge(Bpe.piped(org.apache.spark.sql.functions.col("w")), l, r).as("s"))
+      .collect().map(_.getString(0).split("\\|").filter(_.nonEmpty).toVector).toSeq
+    val viaLocal = words.map(w =>
+      Bpe.applyMergeLocal(w.map(_.toString).toVector, l, r))
+    assert(viaCol == viaLocal, s"$viaCol vs $viaLocal")
+  }
 }
