@@ -171,10 +171,19 @@ object TimeSeries {
     * and one broadcast join of the |keys|-row stats. No window, no
     * global sort. */
   def rateAnomalies(events: DataFrame, keyCol: String, tsCol: String,
-                    zMin: Double): DataFrame = {
-    val hourly = events
+                    zMin: Double): DataFrame =
+    anomaliesFromHourly(events
       .groupBy(col(keyCol), date_trunc("hour", col(tsCol)).as("hour"))
-      .agg(count(lit(1)).as("n"))
+      .agg(count(lit(1)).as("n")), keyCol, zMin)
+
+  /** The z-score tail of [[rateAnomalies]] over an ALREADY-bucketed
+    * `(key, hour, n)` frame — shared by the batch form and the
+    * drained-stream report
+    * ([[graft.streaming.StreamIngest.anomalyStream]] emits per-key
+    * hour→count state; exploding it yields exactly this frame), so
+    * stream and batch share one statistical definition. */
+  def anomaliesFromHourly(hourly: DataFrame, keyCol: String,
+                          zMin: Double): DataFrame = {
     val stats = hourly.groupBy(col(keyCol))
       .agg(sum(col("n")).as("__s"),
         sum(col("n") * col("n")).as("__ss"),

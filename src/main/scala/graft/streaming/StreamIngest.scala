@@ -436,6 +436,49 @@ object StreamIngest {
       }
   }
 
+  case class RateState(hours: Map[Long, Long], nEvents: Long)
+  /** One emitted row per key update: the key's full hour→count state,
+    * hours ascending, counts aligned. */
+  case class RateKeyHours(key: String, n_events: Long,
+                          hours: Seq[Long], counts: Seq[Long])
+
+  /** Streaming twin of [[graft.analysis.TimeSeries.rateAnomalies]] —
+    * a live per-key hour-bucket counter: each micro-batch folds events
+    * into the key's hour→count map and emits the full state, and a
+    * drained sink exploded back to `(key, hour, n)` feeds the SAME
+    * z-score tail ([[graft.analysis.TimeSeries.anomaliesFromHourly]])
+    * — drained ≡ batch under ANY delivery order or batch boundaries,
+    * because per-hour counting is order-free (the retentionStream
+    * contract class). State per key is bounded by the CALENDAR span
+    * (one long per observed hour — a key active hourly for a decade
+    * holds ~88k entries), never by event count; nothing prunes because
+    * a late event for any past hour must still land in that hour's
+    * bucket (the monitoring baseline is over all observed hours). */
+  def anomalyStream(events: DataFrame, keyCol: String,
+                    tsCol: String): Dataset[RateKeyHours] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .select(col(keyCol).cast("string").as("k"),
+        (unix_micros(date_trunc("hour", col(tsCol))) / lit(3600000000L))
+          .cast("long").as("h"))
+      .as[(String, Long)]
+      .groupByKey(_._1)
+      .mapGroupsWithState[RateState, RateKeyHours](
+        org.apache.spark.sql.streaming.GroupStateTimeout.NoTimeout) {
+        (k, it, state) =>
+          var s = state.getOption.getOrElse(RateState(Map.empty, 0L))
+          it.foreach { case (_, h) =>
+            s = RateState(
+              s.hours + (h -> (s.hours.getOrElse(h, 0L) + 1L)),
+              s.nEvents + 1L)
+          }
+          state.update(s)
+          val hs = s.hours.toSeq.sortBy(_._1)
+          RateKeyHours(k, s.nEvents, hs.map(_._1), hs.map(_._2))
+      }
+  }
+
   /** Stream-stream inner join with event-time bounds — each view
     * matched to the same user's clicks in the preceding `joinWindow`
     * (the streaming form of the events_range_join batch query). Both

@@ -560,4 +560,42 @@ class StoreStreamSpec extends SparkSpec {
       assert(vDec * scale == bVal, s"$k value_decayed ${vDec * scale} vs $bVal")
     }
   }
+
+  test("streaming rate anomalies: drained stream ≡ batch z-report, newest-first delivery") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val events = graft.io.Tables.events(spark, sf0001)
+      .select(col("event_type"), col("ts"))
+    val rows = events.collect()
+      .map(r => (r.getString(0), r.getTimestamp(1))).toSeq
+    // newest-first delivery across batch boundaries: hour counting is
+    // order-free, so the drained state must not care
+    val reversed = rows.sortBy(_._2.getTime).reverse
+    val input = MemoryStream[(String, java.sql.Timestamp)]
+    val q = StreamIngest.anomalyStream(
+        input.toDF().toDF("event_type", "ts"), "event_type", "ts")
+      .writeStream.outputMode("update").format("memory")
+      .queryName("anomaly_sink").start()
+    reversed.grouped(997).foreach { g => input.addData(g); q.processAllAvailable() }
+    q.stop()
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("key")).orderBy(col("n_events").desc)
+    val hourly = spark.table("anomaly_sink")
+      .withColumn("__rn", org.apache.spark.sql.functions.row_number().over(w))
+      .filter(col("__rn") === 1)
+      .select(col("key").as("event_type"),
+        explode(arrays_zip(col("hours"), col("counts"))).as("hc"))
+      .select(col("event_type"),
+        timestamp_micros(col("hc.hours") * 3600000000L).as("hour"),
+        col("hc.counts").as("n"))
+    def report(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getString(0), r.getTimestamp(1).getTime, r.getLong(2),
+        r.getDouble(3))).toSeq.sorted
+    val streamed = report(graft.analysis.TimeSeries.anomaliesFromHourly(
+      hourly, "event_type", 1.5))
+    val batch = report(graft.analysis.TimeSeries.rateAnomalies(
+      events, "event_type", "ts", 1.5))
+    assert(streamed == batch, s"drained $streamed vs batch $batch")
+    assert(batch.nonEmpty, "vacuous fixture: no bucket at z >= 1.5")
+  }
 }
