@@ -1999,6 +1999,27 @@ object SparkEntry {
           round(col("mean_rgb"), 6).as("mean_rgb"))
         .orderBy(col("id"))
     }),
+    // ---- [EXT] multimodal: perceptual-hash image near-dedup
+    // (Multimodal.decodeDHash + dhashNearDupPairs) — real PNG decode
+    // to a 9×8 grayscale grid, 64-bit difference hash as a portable
+    // bit string, pigeonhole band join + exact Hamming ≤ 3 (lossless
+    // at 4 bands). The fixture ramp makes every grid sample
+    // closed-form, so the oracle replays the full hash + join chain.
+    "image_neardup_pairs" -> ((s, dir) => {
+      import s.implicits._
+      val rows: Seq[(Long, Array[Byte])] = Seq(
+        (1L, graft.multimodal.ImageFixtures.png(520, 400)),
+        (2L, graft.multimodal.ImageFixtures.png(490, 400)),
+        (3L, graft.multimodal.ImageFixtures.png(520, 400)),
+        (4L, graft.multimodal.ImageFixtures.png(600, 480)),
+        (5L, graft.multimodal.ImageFixtures.png(150, 120)),
+        (6L, graft.multimodal.ImageFixtures.jpeg(5, 5)),
+        (7L, "not an image".getBytes("UTF-8")))
+      val hashes = graft.multimodal.Multimodal
+        .decodeDHash(s, rows.toDF("id", "bytes")).toDF()
+      graft.multimodal.Multimodal.dhashNearDupPairs(hashes, 3)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
     // ---- [EXT] multimodal: REAL audio decode — JDK javax.sound.sampled
     // parses the RIFF/fmt headers executor-side through the batched
     // pipeline. Fixtures are driver-built VALID PCM WAV files whose
@@ -6331,6 +6352,34 @@ object SparkEntry {
     // step's per-dst/dangling folds as ordered list_reduce (the same
     // IEEE sequence as the Scala driver folds)
     "event_pagerank" -> pageRankReplaySql(0.85, 5),
+    // closed-form ramp grays → 9×8 grid bits → band join → exact
+    // Hamming over the bit strings: the full dHash chain in integer
+    // arithmetic (invalid payloads never enter)
+    "image_neardup_pairs" ->
+      """WITH imgs(id, w, h) AS (VALUES
+        |    (1, 520, 400), (2, 490, 400), (3, 520, 400),
+        |    (4, 600, 480), (5, 150, 120)),
+        |g AS (
+        |  SELECT id, y, x,
+        |         CASE WHEN ((x + 1) * w // 9 + y * h // 8) % 256 >
+        |                   (x * w // 9 + y * h // 8) % 256
+        |              THEN '1' ELSE '0' END AS b
+        |  FROM imgs, range(8) t1(y), range(8) t2(x)),
+        |hs AS (SELECT id, string_agg(b, '' ORDER BY y, x) AS bits
+        |       FROM g GROUP BY id),
+        |bands AS (SELECT id, bits, q, substr(bits, q * 16 + 1, 16) AS bv
+        |          FROM hs, range(4) t(q)),
+        |cand AS (
+        |  SELECT DISTINCT a.id AS id_a, b.id AS id_b,
+        |                  a.bits AS ha, b.bits AS hb
+        |  FROM bands a JOIN bands b
+        |    ON a.q = b.q AND a.bv = b.bv AND a.id < b.id)
+        |SELECT id_a::BIGINT AS id_a, id_b::BIGINT AS id_b,
+        |       len(list_filter(range(1, 65), i -> ha[i] != hb[i]))::BIGINT
+        |         AS hamming
+        |FROM cand
+        |WHERE len(list_filter(range(1, 65), i -> ha[i] != hb[i])) <= 3
+        |ORDER BY id_a, id_b""".stripMargin,
     // per-user pre/post counts → Knuth 50/50 split → pooled integer
     // moments → theta / adjusted means as the same fixed float chain
     "cuped_ab_test" ->

@@ -120,6 +120,97 @@ object Multimodal {
       }
   }
 
+  /** Difference-hash row: `dhash_bits` is the 64-char '0'/'1' string
+    * (row-major over the 8×8 comparison grid) — the engine-portable
+    * rendering; `format` is the container, sentinel "invalid" (with an
+    * empty bit string) for undecodable payloads. */
+  case class ImageDHash(id: Long, format: String, dhash_bits: String)
+
+  /** Perceptual difference hash (dHash, 64-bit) of the image modality
+    * — the content fingerprint behind image NEAR-dedup: decode,
+    * sample a 9×8 grayscale grid (nearest-neighbor at
+    * `sx = x·w/9, sy = y·h/8` — integer floor arithmetic, so the
+    * fixture oracle replays every sample), and emit bit `(y,x)` = 1
+    * iff the right neighbor is brighter. Equal renderings hash equal
+    * regardless of byte-level differences (re-encode, metadata, small
+    * resize); visually distinct content diverges in many bits. Gray
+    * is the integer mean `(r+g+b)/3` (exact on the equal-channel
+    * fixtures). Same executor-side batched decode shape as
+    * [[decodePixelStats]]; sentinels, never throws. */
+  def decodeDHash(spark: SparkSession, media: DataFrame): Dataset[ImageDHash] = {
+    import spark.implicits._
+    media.select(col("id"), col("bytes"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, b) =>
+          val invalid = ImageDHash(id, "invalid", "")
+          try {
+            val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(b))
+            if (img == null) invalid
+            else {
+              val meta = graft.functions.ImageMeta.parse(b)
+              val fmt = if (meta == null) "unknown" else meta._1
+              val (w, h) = (img.getWidth, img.getHeight)
+              def gray(gx: Int, gy: Int): Int = {
+                val rgb = img.getRGB(gx * w / 9, gy * h / 8)
+                (((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)) / 3
+              }
+              val bits = new StringBuilder(64)
+              var y = 0
+              while (y < 8) {
+                var x = 0
+                while (x < 8) {
+                  bits += (if (gray(x + 1, y) > gray(x, y)) '1' else '0')
+                  x += 1
+                }
+                y += 1
+              }
+              ImageDHash(id, fmt, bits.result())
+            }
+          } catch { case scala.util.control.NonFatal(_) => invalid }
+        }
+      }
+  }
+
+  /** Near-duplicate image pairs from [[decodeDHash]] rows — the
+    * pigeonhole band join of the SimHash text path
+    * ([[graft.analysis.Dedup]]) applied to the image fingerprint: the
+    * 64-bit hash splits into 4 bands of 16, pairs agreeing on ANY
+    * band become candidates (a pair within Hamming distance ≤ 3 MUST
+    * agree on one — 4 bands, ≤ 3 differing bits — so the join is
+    * LOSSLESS at the enforced threshold), and exact bit-wise Hamming
+    * filters candidates. Band keys are 16-char substrings of the
+    * portable bit string, so the whole chain — bands, join, distance —
+    * replays in any SQL engine. Scale shape: band equi-join (never
+    * all-pairs), distance as a codegen'd 64-step compare on the
+    * candidate set only. */
+  def dhashNearDupPairs(hashes: DataFrame, maxHamming: Int): DataFrame = {
+    require(maxHamming >= 0 && maxHamming <= 3,
+      s"4 x 16-bit bands certify Hamming <= 3 losslessly: $maxHamming")
+    val valid = hashes
+      .filter(col("format") =!= "invalid" && length(col("dhash_bits")) === 64)
+      .select(col("id"), col("dhash_bits"))
+    val bands = valid.select(col("id"), col("dhash_bits"),
+      explode(array((0 until 4).map(b =>
+        struct(lit(b).as("band"),
+          substring(col("dhash_bits"), b * 16 + 1, 16).as("bv"))): _*)).as("bs"))
+      .select(col("id"), col("dhash_bits"),
+        col("bs.band").as("band"), col("bs.bv").as("bv"))
+    val cand = bands.as("a").join(bands.as("b"),
+        col("a.band") === col("b.band") && col("a.bv") === col("b.bv") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        col("a.dhash_bits").as("__ha"), col("b.dhash_bits").as("__hb"))
+      .distinct()
+    cand
+      .withColumn("hamming",
+        size(filter(sequence(lit(1), lit(64)),
+          i => col("__ha").substr(i, lit(1)) =!= col("__hb").substr(i, lit(1))))
+          .cast("long"))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("id_a"), col("id_b"), col("hamming"))
+  }
+
   /** WAV container metadata row — header fields only; sentinels on
     * undecodable payloads, per the comparator convention. */
   case class WavMeta(id: Long, format: String, sample_rate: Long,

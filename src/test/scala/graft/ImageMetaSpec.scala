@@ -75,4 +75,45 @@ class ImageMetaSpec extends SparkSpec {
       .select(ImageMeta(col("payload")).as("m")).collect().head
     assert(nullRow.isNullAt(0))
   }
+
+  test("dHash: decoded bits match the closed-form grid; invalids sentinel") {
+    import graft.multimodal.{ImageFixtures, Multimodal}
+    // closed form on the (x+y)%256 ramp: gray at grid (gx, gy) is
+    // (gx*w/9 + gy*h/8) % 256, bit = right neighbor brighter
+    def expectBits(w: Int, h: Int): String =
+      (for (y <- 0 until 8; x <- 0 until 8) yield {
+        val g1 = ((x + 1) * w / 9 + y * h / 8) % 256
+        val g0 = (x * w / 9 + y * h / 8) % 256
+        if (g1 > g0) '1' else '0'
+      }).mkString
+    val rows: Seq[(Long, Array[Byte])] = Seq(
+      (1L, ImageFixtures.png(520, 400)), (2L, ImageFixtures.png(97, 53)),
+      (3L, ImageFixtures.jpeg(5, 5)),
+      (4L, "not an image".getBytes("UTF-8")))
+    val got = Multimodal.decodeDHash(spark, rows.toDF("id", "bytes")).collect()
+      .map(r => r.id -> ((r.format, r.dhash_bits))).toMap
+    assert(got(1L) == (("png", expectBits(520, 400))), s"got ${got(1L)}")
+    assert(got(2L) == (("png", expectBits(97, 53))), s"got ${got(2L)}")
+    assert(got(3L)._1 == "invalid" && got(4L)._1 == "invalid")
+  }
+
+  test("dHash near-dup pairs: band join finds all pairs within Hamming 3, none beyond") {
+    import graft.multimodal.{ImageFixtures, Multimodal}
+    val rows: Seq[(Long, Array[Byte])] = Seq(
+      (1L, ImageFixtures.png(520, 400)),   // base
+      (2L, ImageFixtures.png(490, 400)),   // hamming 3 from base
+      (3L, ImageFixtures.png(520, 400)),   // exact dup of base
+      (4L, ImageFixtures.png(600, 480)),   // hamming 25 — out
+      (5L, ImageFixtures.png(150, 120)),   // hamming 14 — out
+      (6L, ImageFixtures.jpeg(5, 5)))      // invalid — excluded
+    val hashes = Multimodal.decodeDHash(spark, rows.toDF("id", "bytes")).toDF()
+    val got = Multimodal.dhashNearDupPairs(hashes, 3)
+      .orderBy(col("id_a"), col("id_b")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got == Seq((1L, 2L, 3L), (1L, 3L, 0L), (2L, 3L, 3L)), s"got $got")
+    // threshold 0 keeps only the exact duplicate
+    val exact = Multimodal.dhashNearDupPairs(hashes, 0)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(exact == Seq((1L, 3L)), s"got $exact")
+  }
 }
