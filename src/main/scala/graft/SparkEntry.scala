@@ -1999,6 +1999,13 @@ object SparkEntry {
           round(col("mean_rgb"), 6).as("mean_rgb"))
         .orderBy(col("id"))
     }),
+    // ---- [EXT] market-basket association rules (Association
+    // .pairRules): part pairs co-ordered in the same order —
+    // support/confidence/lift with presence semantics; pair fan-out
+    // bounded by basket size, supports map-side combined.
+    "basket_rules" -> ((s, dir) =>
+      graft.analysis.Association.pairRules(Tables.lineitem(s, dir),
+        "l_orderkey", "l_partkey", minSupport = 3L, k = 20)),
     // ---- [EXT] multimodal: perceptual-hash image near-dedup
     // (Multimodal.decodeDHash + dhashNearDupPairs) — real PNG decode
     // to a 9×8 grayscale grid, 64-bit difference hash as a portable
@@ -6352,6 +6359,26 @@ object SparkEntry {
     // step's per-dst/dangling folds as ordered list_reduce (the same
     // IEEE sequence as the Scala driver folds)
     "event_pagerank" -> pageRankReplaySql(0.85, 5),
+    // presence distinct → within-basket pair join → supports →
+    // confidence/lift as the same single-division float chain
+    "basket_rules" ->
+      """WITH p AS (SELECT DISTINCT l_orderkey AS b, l_partkey AS i
+        |           FROM lineitem),
+        |n AS (SELECT count(DISTINCT b)::BIGINT AS n FROM p),
+        |s AS (SELECT i, count(*)::BIGINT AS s FROM p GROUP BY i),
+        |pr AS (SELECT a.i AS item_a, b.i AS item_b,
+        |              count(*)::BIGINT AS support
+        |       FROM p a JOIN p b ON a.b = b.b AND a.i < b.i
+        |       GROUP BY 1, 2 HAVING count(*) >= 3)
+        |SELECT item_a, item_b, support, sa.s AS supp_a, sb.s AS supp_b,
+        |       round(support::DOUBLE / sa.s, 6) AS conf_a_to_b,
+        |       round(support::DOUBLE / sb.s, 6) AS conf_b_to_a,
+        |       round(support::DOUBLE * n.n / (sa.s::DOUBLE * sb.s), 6)
+        |         AS lift
+        |FROM pr JOIN s sa ON sa.i = pr.item_a
+        |JOIN s sb ON sb.i = pr.item_b
+        |CROSS JOIN n
+        |ORDER BY support DESC, item_a, item_b LIMIT 20""".stripMargin,
     // closed-form ramp grays → 9×8 grid bits → band join → exact
     // Hamming over the bit strings: the full dHash chain in integer
     // arithmetic (invalid payloads never enter)
