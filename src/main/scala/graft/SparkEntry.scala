@@ -1999,6 +1999,29 @@ object SparkEntry {
           round(col("mean_rgb"), 6).as("mean_rgb"))
         .orderBy(col("id"))
     }),
+    // ---- [EXT] declarative data-quality expectations
+    // (Expectations.evaluate): contract checks — uniqueness, null
+    // rate, domain membership, value bounds, time range — ALL in one
+    // aggregate pass; order-free observations only (count ratios,
+    // min/max), round-6 before the band compare.
+    "data_expectations" -> ((s, dir) => {
+      import graft.analysis.Expectations._
+      val ev = Tables.events(s, dir)
+      evaluate(ev, Seq(
+        Expectation("event_id_unique", uniqueRate(col("event_id")),
+          lo = Some(1.0), hi = Some(1.0)),
+        Expectation("user_id_null_rate", nullRate(col("user_id")),
+          hi = Some(0.0)),
+        Expectation("type_in_domain", satisfiedRate(col("event_type")
+          .isin("signup", "view", "click", "purchase", "error")),
+          lo = Some(1.0)),
+        Expectation("value_min", min(col("value")), lo = Some(0.0)),
+        Expectation("value_max", max(col("value")), hi = Some(1000.0)),
+        Expectation("ts_in_window", satisfiedRate(
+          col("ts") >= lit("2024-01-01 00:00:00").cast("timestamp") &&
+            col("ts") < lit("2025-01-01 00:00:00").cast("timestamp")),
+          lo = Some(1.0))))
+    }),
     // ---- [EXT] market-basket association rules (Association
     // .pairRules): part pairs co-ordered in the same order —
     // support/confidence/lift with presence semantics; pair fan-out
@@ -6359,6 +6382,35 @@ object SparkEntry {
     // step's per-dst/dangling folds as ordered list_reduce (the same
     // IEEE sequence as the Scala driver folds)
     "event_pagerank" -> pageRankReplaySql(0.85, 5),
+    // the same one-pass aggregate observations, stacked into report
+    // rows; bands compared on the round-6 value
+    "data_expectations" ->
+      """WITH a AS (
+        |  SELECT count(DISTINCT event_id)::DOUBLE / count(*) AS o0,
+        |         count(*) FILTER (WHERE user_id IS NULL)::DOUBLE
+        |           / count(*) AS o1,
+        |         count(*) FILTER (WHERE event_type IN
+        |           ('signup','view','click','purchase','error'))::DOUBLE
+        |           / count(*) AS o2,
+        |         min(value) AS o3,
+        |         max(value) AS o4,
+        |         count(*) FILTER (WHERE ts >= TIMESTAMP '2024-01-01 00:00:00'
+        |           AND ts < TIMESTAMP '2025-01-01 00:00:00')::DOUBLE
+        |           / count(*) AS o5
+        |  FROM events)
+        |SELECT 0::BIGINT AS check_idx, 'event_id_unique' AS check,
+        |       round(o0, 6) AS observed,
+        |       round(o0, 6) >= 1.0 AND round(o0, 6) <= 1.0 AS passed FROM a
+        |UNION ALL SELECT 1, 'user_id_null_rate', round(o1, 6),
+        |       round(o1, 6) <= 0.0 FROM a
+        |UNION ALL SELECT 2, 'type_in_domain', round(o2, 6),
+        |       round(o2, 6) >= 1.0 FROM a
+        |UNION ALL SELECT 3, 'value_min', round(o3, 6),
+        |       coalesce(round(o3, 6) >= 0.0, FALSE) FROM a
+        |UNION ALL SELECT 4, 'value_max', round(o4, 6),
+        |       coalesce(round(o4, 6) <= 1000.0, FALSE) FROM a
+        |UNION ALL SELECT 5, 'ts_in_window', round(o5, 6),
+        |       round(o5, 6) >= 1.0 FROM a""".stripMargin,
     // presence distinct → within-basket pair join → supports →
     // confidence/lift as the same single-division float chain
     "basket_rules" ->
