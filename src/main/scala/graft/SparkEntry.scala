@@ -1999,6 +1999,13 @@ object SparkEntry {
           round(col("mean_rgb"), 6).as("mean_rgb"))
         .orderBy(col("id"))
     }),
+    // ---- [EXT] rolling active users (TimeSeries.rollingActiveUsers):
+    // DAU + trailing-7-day distinct actives per calendar day — the
+    // presence set fans out ≤ 7×, the corpus reduces once.
+    "rolling_active_7d" -> ((s, dir) =>
+      graft.analysis.TimeSeries.rollingActiveUsers(
+          Tables.events(s, dir), "user_id", "ts", 7)
+        .orderBy(col("day"))),
     // ---- [EXT] declarative data-quality expectations
     // (Expectations.evaluate): contract checks — uniqueness, null
     // rate, domain membership, value bounds, time range — ALL in one
@@ -6382,6 +6389,25 @@ object SparkEntry {
     // step's per-dst/dangling folds as ordered list_reduce (the same
     // IEEE sequence as the Scala driver folds)
     "event_pagerank" -> pageRankReplaySql(0.85, 5),
+    // presence distinct → calendar grid → day fan-out ≤ 7 → distinct
+    // counts per report day
+    "rolling_active_7d" ->
+      """WITH p AS (SELECT DISTINCT user_id AS u,
+        |                  date_trunc('day', ts)::DATE AS d FROM events),
+        |span AS (SELECT min(d) AS d0, max(d) AS d1 FROM p),
+        |days AS (SELECT unnest(generate_series(d0, d1,
+        |                 INTERVAL 1 DAY))::DATE AS day FROM span),
+        |dau AS (SELECT d AS day, count(DISTINCT u)::BIGINT AS dau
+        |        FROM p GROUP BY d),
+        |w AS (SELECT u, unnest(generate_series(d, d + 6,
+        |                INTERVAL 1 DAY))::DATE AS day FROM p),
+        |wau AS (SELECT day, count(DISTINCT u)::BIGINT AS wau
+        |        FROM w GROUP BY day)
+        |SELECT strftime(days.day, '%Y-%m-%d') AS day,
+        |       coalesce(dau.dau, 0)::BIGINT AS dau,
+        |       coalesce(wau.wau, 0)::BIGINT AS active_window
+        |FROM days LEFT JOIN dau USING (day) LEFT JOIN wau USING (day)
+        |ORDER BY day""".stripMargin,
     // the same one-pass aggregate observations, stacked into report
     // rows; bands compared on the round-6 value
     "data_expectations" ->

@@ -317,4 +317,45 @@ object TimeSeries {
           (sqrt(vx.cast("double")) * sqrt(vy.cast("double"))), 6))
         .as("pearson_r"))
   }
+
+  /** Rolling active users — per calendar day, the distinct users
+    * active THAT day (DAU) and within the trailing `windowDays`-day
+    * window ending that day (WAU/MAU for 7/30): the standard product
+    * health series a raw daily count can't give, because the window
+    * metric must DEDUPLICATE users across days. Days reported are the
+    * observed span (min..max activity day); a day with no activity
+    * still appears with dau = 0 and whatever its trailing window
+    * holds.
+    *
+    * Scale shape: the corpus reduces ONCE to `(user, day)` presence
+    * (map-side-combined distinct); the window metric fans each
+    * presence row out to the ≤ `windowDays` report days it supports
+    * (bounded ×window blow-up of the PRESENCE set, not the corpus —
+    * the standard window-dedup shape) and reduces on the day key with
+    * a distinct count; the calendar grid is a |days|-row broadcast.
+    * No window function, no global sort. */
+  def rollingActiveUsers(events: DataFrame, userCol: String, tsCol: String,
+                         windowDays: Int): DataFrame = {
+    require(windowDays >= 1, s"windowDays >= 1: $windowDays")
+    val presence = events
+      .select(col(userCol).as("__u"),
+        date_trunc("day", col(tsCol)).cast("date").as("__d"))
+      .distinct()
+    val span = presence.agg(min(col("__d")).as("__d0"), max(col("__d")).as("__d1"))
+    val days = span.select(explode(sequence(col("__d0"), col("__d1"))).as("day"))
+    val dau = presence.groupBy(col("__d").as("day"))
+      .agg(countDistinct(col("__u")).as("__dau"))
+    val windowed = presence
+      .select(col("__u"),
+        explode(sequence(col("__d"),
+          date_add(col("__d"), windowDays - 1))).as("day"))
+      .groupBy(col("day"))
+      .agg(countDistinct(col("__u")).as("__wau"))
+    days
+      .join(dau, Seq("day"), "left")
+      .join(windowed, Seq("day"), "left")
+      .select(date_format(col("day"), "yyyy-MM-dd").as("day"),
+        coalesce(col("__dau"), lit(0L)).as("dau"),
+        coalesce(col("__wau"), lit(0L)).as("active_window"))
+  }
 }

@@ -147,6 +147,23 @@ class TimeSeriesSpec extends SparkSpec {
     assert(r.getAs[Double]("cusum") == -6.0, s"got $r")
   }
 
+  test("rollingActiveUsers: dedup across days, silent days zero-DAU, window carry") {
+    import java.sql.Timestamp
+    val events = Seq(
+      (1L, "2024-01-01 10:00:00"), (1L, "2024-01-01 11:00:00"), // same day dedups
+      (2L, "2024-01-01 12:00:00"),
+      (1L, "2024-01-02 09:00:00"),                              // u1 again next day
+      (3L, "2024-01-05 09:00:00"))                              // gap: 01-03/04 silent
+      .map { case (u, t) => (u, Timestamp.valueOf(t)) }.toDF("u", "t")
+    val got = graft.analysis.TimeSeries.rollingActiveUsers(events, "u", "t", 3)
+      .orderBy(col("day")).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    // window 3d: 01-01 {1,2}; 01-02 {1,2}; 01-03 {1,2}; 01-04 {1}; 01-05 {3}
+    assert(got == Seq(
+      ("2024-01-01", 2L, 2L), ("2024-01-02", 1L, 2L), ("2024-01-03", 0L, 2L),
+      ("2024-01-04", 0L, 1L), ("2024-01-05", 1L, 1L)), s"got $got")
+  }
+
   test("every stage shuffles on the series key: no single-partition window") {
     val events = graft.io.Tables.events(spark, sf0001)
     val plan = TimeSeries.resampleDailyLocf(events, "user_id", "ts", "value", "event_id")
