@@ -1999,6 +1999,26 @@ object SparkEntry {
           round(col("mean_rgb"), 6).as("mean_rgb"))
         .orderBy(col("id"))
     }),
+    // ---- [EXT] robust MAD outliers (Quantiles.madOutliers): modified
+    // z-score against exact interpolated median/MAD — the gate the
+    // mean/stddev z gets wrong when outliers inflate the baseline.
+    "mad_outliers" -> ((s, dir) =>
+      graft.analysis.Quantiles.madOutliers(Tables.events(s, dir),
+          "event_id", "value", 3.5)
+        .orderBy(col("event_id"))),
+    // ---- [EXT] token-window chunker (Chunker.tokenChunk): the
+    // unit-upgraded A2 — sliding token windows with overlap, final
+    // window short, token-less docs yield nothing.
+    "chunk_tokens" -> ((s, dir) =>
+      graft.text.Chunker.tokenChunk(Tables.documents(s, dir),
+          "doc_id", "text", 40, 10)
+        .orderBy(col("doc_id"), col("chunk_idx"))),
+    // ---- [EXT] k-anonymity audit (Curation.kAnonymity): quasi-id
+    // combinations held by fewer than k rows — the linkage-risk gate
+    // next to the PII scrub; one keyed reduce.
+    "k_anonymity" -> ((s, dir) =>
+      graft.analysis.Curation.kAnonymity(Tables.customer(s, dir),
+        Seq("c_nationkey", "c_mktsegment"), 8L)),
     // ---- [EXT] rolling active users (TimeSeries.rollingActiveUsers):
     // DAU + trailing-7-day distinct actives per calendar day — the
     // presence set fans out ≤ 7×, the corpus reduces once.
@@ -6389,6 +6409,37 @@ object SparkEntry {
     // step's per-dst/dangling folds as ordered list_reduce (the same
     // IEEE sequence as the Scala driver folds)
     "event_pagerank" -> pageRankReplaySql(0.85, 5),
+    // exact median/MAD via quantile_cont (≡ Spark percentile), the
+    // same single float chain, round-6 before the threshold
+    "mad_outliers" ->
+      """WITH m AS (SELECT quantile_cont(value, 0.5) AS med FROM events),
+        |d AS (SELECT event_id, value, abs(value - m.med) AS ad
+        |      FROM events CROSS JOIN m),
+        |md AS (SELECT quantile_cont(ad, 0.5) AS mad FROM d)
+        |SELECT event_id, value,
+        |       round(0.6745 * (value - m.med) / md.mad, 6) AS mod_z
+        |FROM events CROSS JOIN m CROSS JOIN md
+        |WHERE md.mad > 0.0
+        |  AND abs(round(0.6745 * (value - m.med) / md.mad, 6)) > 3.5
+        |ORDER BY event_id""".stripMargin,
+    // token stream → stride starts → slice windows re-joined with
+    // spaces; same loop semantics as the char chunker
+    "chunk_tokens" ->
+      s"""WITH toks AS (SELECT doc_id, $toksSql AS toks FROM documents),
+         |st AS (SELECT doc_id, toks,
+         |              unnest(range(0, greatest(len(toks), 1), 30)) AS s
+         |       FROM toks WHERE len(toks) > 0)
+         |SELECT doc_id, (s // 30)::BIGINT AS chunk_idx,
+         |       len(toks[s + 1 : s + 40])::BIGINT AS n_tokens,
+         |       list_aggregate(toks[s + 1 : s + 40], 'string_agg', ' ')
+         |         AS chunk
+         |FROM st ORDER BY doc_id, chunk_idx""".stripMargin,
+    // one keyed reduce over the quasi-id tuple, filter below k
+    "k_anonymity" ->
+      """SELECT c_nationkey, c_mktsegment, count(*)::BIGINT AS group_size
+        |FROM customer GROUP BY c_nationkey, c_mktsegment
+        |HAVING count(*) < 8
+        |ORDER BY group_size, c_nationkey, c_mktsegment""".stripMargin,
     // presence distinct → calendar grid → day fan-out ≤ 7 → distinct
     // counts per report day
     "rolling_active_7d" ->

@@ -36,4 +36,26 @@ object Curation {
       .select(col(idCol), reason.as("reason"),
         when(reason === "ok", 1L).otherwise(0L).as("keep"))
   }
+
+  /** k-anonymity audit over a quasi-identifier column set (Sweeney
+    * 2002) — the re-identification gate a PII scrub alone misses:
+    * a released row is k-anonymous when at least k−1 OTHER rows share
+    * its full quasi-identifier combination, so any combination held
+    * by fewer than `k` rows is a linkage risk. Reports each violating
+    * combination with its population (ascending — rarest, most
+    * identifying, first). NULL is treated as its own value (two nulls
+    * share a group — `groupBy` semantics, matching SQL `GROUP BY`).
+    *
+    * Scale shape: ONE keyed reduce on the quasi-identifier tuple
+    * (map-side combined) and a filter — the audit costs one shuffle
+    * of |distinct combinations| partial rows regardless of table
+    * size. */
+  def kAnonymity(df: DataFrame, quasiIds: Seq[String], k: Long): DataFrame = {
+    require(quasiIds.nonEmpty, "at least one quasi-identifier column")
+    require(k >= 2, s"k >= 2: $k")
+    df.groupBy(quasiIds.map(col): _*)
+      .agg(count(lit(1)).as("group_size"))
+      .filter(col("group_size") < k)
+      .orderBy(col("group_size").asc +: quasiIds.map(col(_).asc): _*)
+  }
 }

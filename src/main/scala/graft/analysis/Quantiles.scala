@@ -110,4 +110,36 @@ object Quantiles {
           .otherwise(element_at(col("__bs"), col("bin").cast("int") + 1)).as("hi"),
         coalesce(col("n"), lit(0L)).as("n"))
   }
+
+  /** Robust outliers by modified z-score (Iglewicz & Hoaglin 1993):
+    * `M = 0.6745 · (x − median) / MAD`, flag `|M| > threshold`
+    * (conventional 3.5). Median and MAD (median absolute deviation)
+    * are EXACT interpolated percentiles — the robust center/spread a
+    * mean/stddev gate gets wrong when the outliers themselves inflate
+    * the baseline (why this exists next to the z-score anomaly ops).
+    * Zero MAD (≥ half the values identical) flags nothing — the
+    * statistic is undefined and a 0/0 NaN would order above every
+    * threshold in both engines (the rateAnomalies guard class). M
+    * rounds to 6 BEFORE the threshold.
+    *
+    * Scale shape: two exact-percentile aggregates (each a 1-row
+    * broadcast; the second over the |rows| deviation frame — exact
+    * percentiles sort per group at 100 TB, so swap in
+    * [[histogramQuantiles]]' bounded-state form there) and one
+    * codegen'd per-row filter. */
+  def madOutliers(df: DataFrame, idCol: String, valueCol: String,
+                  threshold: Double = 3.5): DataFrame = {
+    val in = df.filter(col(valueCol).isNotNull)
+    val med = in.agg(expr(s"percentile($valueCol, 0.5)").as("__med"))
+    val dev = in.crossJoin(broadcast(med))
+    val mad = dev
+      .select(abs(col(valueCol) - col("__med")).as("__ad"))
+      .agg(expr("percentile(__ad, 0.5)").as("__mad"))
+    dev.crossJoin(broadcast(mad))
+      .filter(col("__mad") > 0.0)
+      .withColumn("mod_z", round(
+        lit(0.6745) * (col(valueCol) - col("__med")) / col("__mad"), 6))
+      .filter(abs(col("mod_z")) > threshold)
+      .select(col(idCol), col(valueCol), col("mod_z"))
+  }
 }

@@ -38,6 +38,35 @@ object Chunker {
   /** A3 — drop whitespace-only chunks (`App.tsx:61`). */
   def nonEmpty(chunkCol: Column): Column = length(trim(chunkCol)) > 0
 
+  /** TOKEN-window chunker — the unit-upgraded form of [[chunk]]
+    * (`App.tsx:56-59` slides over characters; an embedding/LLM
+    * pipeline budgets in tokens): sliding windows of `size` tokens
+    * with `overlap`-token overlap over the normalized token stream
+    * ([[TextAnalysis.tokens]] — the project's one tokenizer), chunk
+    * text re-joined with single spaces. Same loop semantics as the
+    * char form: start offsets 0, stride, … < n_tokens, final window
+    * may be short, token-less documents yield zero rows. One row per
+    * `(id, chunk_idx)` with the window's token count. Pure per-row
+    * explode — embarrassingly parallel, fan-out n_tokens/stride. */
+  def tokenChunk(df: DataFrame, idCol: String, textCol: String,
+                 size: Int, overlap: Int): DataFrame = {
+    require(overlap >= 0, s"overlap $overlap must be >= 0")
+    require(overlap < size, s"overlap $overlap must be < size $size")
+    val stride = size - overlap
+    df.select(col(idCol), TextAnalysis.tokens(col(textCol)).as("__ts"))
+      .withColumn("__start",
+        explode(when(org.apache.spark.sql.functions.size(col("__ts")) > 0,
+          sequence(lit(0),
+            org.apache.spark.sql.functions.size(col("__ts")) - 1,
+            lit(stride)))))
+      .select(col(idCol), (col("__start") / stride).cast("long").as("chunk_idx"),
+        slice(col("__ts"), col("__start") + lit(1), lit(size)).as("__w"))
+      .select(col(idCol), col("chunk_idx"),
+        org.apache.spark.sql.functions.size(col("__w")).cast("long")
+          .as("n_tokens"),
+        array_join(col("__w"), " ").as("chunk"))
+  }
+
   /** Inverse of [[chunk]] — rebuild each document from its overlapping
     * (pos, chunk) rows: the chunk at pos 0 contributes whole, every
     * later chunk drops its first `overlap` chars (those chars are the

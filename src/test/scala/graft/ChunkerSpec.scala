@@ -116,4 +116,16 @@ class ChunkerSpec extends SparkSpec {
     assert(ids.toSeq == Seq(
       (1L, 0, 0L), (2L, 0, 1L), (2L, 800, 2L), (2L, 1600, 3L), (3L, 0, 4L)))
   }
+
+  test("tokenChunk: sliding token windows, short tail, empty docs dropped") {
+    import graft.text.Chunker
+    val docs = Seq((1L, "a b  c d e"), (2L, "x"), (3L, "   "), (4L, ""))
+      .toDF("doc_id", "text")
+    val got = Chunker.tokenChunk(docs, "doc_id", "text", 3, 1)
+      .orderBy(col("doc_id"), col("chunk_idx")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3))).toSeq
+    assert(got == Seq(
+      (1L, 0L, 3L, "a b c"), (1L, 1L, 3L, "c d e"), (1L, 2L, 1L, "e"),
+      (2L, 0L, 1L, "x")), s"got $got")
+  }
 }

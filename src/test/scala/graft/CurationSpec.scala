@@ -167,4 +167,19 @@ class CurationSpec extends SparkSpec {
     assert(row.getLong(0) == 10 && row.getLong(1) == 2)
     assert(row.getDouble(2) == math.rint(expected * 1e6) / 1e6)
   }
+
+  test("kAnonymity: combinations below k surface rarest-first; nulls group together") {
+    import graft.analysis.Curation
+    import spark.implicits._
+    // sizes: (a,1) 3 — safe at k=3; (b,1) 1; (b,2) 2; nulls share a
+    // group of 2
+    val rows: Seq[(String, Int)] = Seq(
+      ("a", 1), ("a", 1), ("a", 1), ("b", 1), ("b", 2), ("b", 2),
+      (null, 1), (null, 1))
+    val df = rows.toDF("qa", "qb")
+    val got = Curation.kAnonymity(df, Seq("qa", "qb"), 3L)
+      .collect().map(r => (Option(r.getString(0)), r.getInt(1), r.getLong(2))).toSeq
+    assert(got == Seq(
+      (Some("b"), 1, 1L), (None, 1, 2L), (Some("b"), 2, 2L)), s"got $got")
+  }
 }

@@ -94,4 +94,17 @@ class QuantilesSpec extends SparkSpec {
     assert(drows.sum == 100L)
     assert(drows.count(_ == 0L) == 3, s"got ${drows.toSeq}")
   }
+
+  test("madOutliers: modified z flags the outlier; zero MAD flags nothing") {
+    import graft.analysis.Quantiles
+    val df = Seq((1L, 1.0), (2L, 2.0), (3L, 3.0), (4L, 4.0), (5L, 100.0))
+      .toDF("id", "v")
+    val got = Quantiles.madOutliers(df, "id", "v", 3.5)
+      .collect().map(r => (r.getLong(0), r.getDouble(2))).toSeq
+    // med = 3, MAD = 1: only 100 crosses 3.5 (0.6745 * 97)
+    assert(got == Seq((5L, 65.4265)), s"got $got")
+    val flat = Seq((1L, 1.0), (2L, 1.0), (3L, 1.0), (4L, 99.0)).toDF("id", "v")
+    assert(Quantiles.madOutliers(flat, "id", "v", 3.5).count() == 0L,
+      "zero MAD must flag nothing")
+  }
 }
