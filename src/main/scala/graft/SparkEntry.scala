@@ -634,6 +634,14 @@ object SparkEntry {
       Dedup.minhashJaccardPairs(Tables.documents(s, dir), "doc_id", "text",
           5, 32, 8, 0.5)
         .orderBy(col("id_a"), col("id_b"))),
+    // ---- [EXT] planted-duplicate recall gate (Dedup.plantedDupEval):
+    // the lowest-id docs re-injected with a deterministic token-drop
+    // perturbation; the configured MinHash+LSH pipeline's measured
+    // recall over the planted pairs — the dedup family's eval gate.
+    "dedup_eval" -> ((s, dir) =>
+      graft.analysis.Dedup.plantedDupEval(Tables.documents(s, dir),
+        "doc_id", "text", nPlants = 30L, dropEvery = 9, idOffset = 1000000L,
+        k = 5, numHashes = 32, rowsPerBand = 8, threshold = 0.5)),
     // ---- [EXT] dedup representative selection: connected components
     // over the global LSH near-dup pairs (A≈B, B≈C ⇒ one kept doc even
     // when A,C never paired) — every doc_id → min reachable doc_id
@@ -4774,6 +4782,55 @@ object SparkEntry {
          |JOIN sizes sb ON sb.doc_id = c.id_b
          |WHERE round(x.ic::DOUBLE / (sa.n + sb.n - x.ic), 6) >= 0.5
          |ORDER BY c.id_a, c.id_b""".stripMargin,
+    // the dedup_jaccard_lsh chain over the planted corpus (originals ∪
+    // token-dropped copies at id + 1e6), reduced to the recall report
+    "dedup_eval" ->
+      s"""WITH corpus AS (
+         |  SELECT doc_id, text FROM documents
+         |  UNION ALL
+         |  SELECT doc_id + 1000000,
+         |         list_aggregate(list_filter(string_split(text, ' '),
+         |           (x, i) -> i % 9 != 0), 'string_agg', ' ')
+         |  FROM documents WHERE doc_id < 30),
+         |sh AS (
+         |  SELECT DISTINCT doc_id, substring(text, g::INT + 1, 5) AS sh
+         |  FROM (SELECT doc_id, text,
+         |          unnest(range(0, greatest(length(text) - 4, 1), 1)) AS g
+         |        FROM corpus)),
+         |shh AS (SELECT DISTINCT doc_id, ${polySql("sh")} AS h FROM sh),
+         |sizes AS (SELECT doc_id, count(*) AS n FROM shh GROUP BY 1),
+         |m AS (
+         |  SELECT doc_id, i,
+         |         min((h * (2 * i + 1) + (7919 * (i + 1)) % 1000000007) % 1000000007) AS mh
+         |  FROM shh, (SELECT unnest(range(0, 32)) AS i) seeds
+         |  GROUP BY 1, 2),
+         |band AS (
+         |  SELECT doc_id, i // 8 AS band,
+         |         string_agg(mh::VARCHAR, ',' ORDER BY i) AS bandsig
+         |  FROM m GROUP BY 1, 2),
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         |  FROM band a JOIN band b
+         |    ON a.band = b.band AND a.bandsig = b.bandsig AND a.doc_id < b.doc_id),
+         |inter AS (
+         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS ic
+         |  FROM shh a JOIN shh b ON a.h = b.h AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2),
+         |pairs AS (
+         |  SELECT c.id_a, c.id_b,
+         |         round(x.ic::DOUBLE / (sa.n + sb.n - x.ic), 6) AS jaccard
+         |  FROM cand c
+         |  JOIN inter x ON x.id_a = c.id_a AND x.id_b = c.id_b
+         |  JOIN sizes sa ON sa.doc_id = c.id_a
+         |  JOIN sizes sb ON sb.doc_id = c.id_b
+         |  WHERE round(x.ic::DOUBLE / (sa.n + sb.n - x.ic), 6) >= 0.5),
+         |rec AS (SELECT * FROM pairs
+         |        WHERE id_b = id_a + 1000000 AND id_a < 30),
+         |np AS (SELECT count(*)::BIGINT AS np FROM documents WHERE doc_id < 30)
+         |SELECT np.np AS n_planted, count(rec.id_a)::BIGINT AS n_recovered,
+         |       round(count(rec.id_a)::DOUBLE / np.np, 6) AS recall,
+         |       coalesce(min(rec.jaccard), -1.0) AS min_jaccard
+         |FROM np LEFT JOIN rec ON TRUE GROUP BY np.np""".stripMargin,
     "dedup_components" ->
       s"""WITH RECURSIVE $nearDupComponentsCtes
          |SELECT d.doc_id, coalesce(c.comp, d.doc_id) AS keep_id

@@ -649,6 +649,49 @@ object Dedup {
         col("dup_of").isNull.as("keep"))
   }
 
+  /** Planted-duplicate EVAL of the MinHash+LSH near-dup pipeline —
+    * the dedup family's recall gate, mirroring the ANN recall oracles
+    * and the retrieval MRR/nDCG gates: the lowest-id documents are
+    * re-injected under `id + idOffset` with a deterministic
+    * perturbation (every `dropEvery`-th whitespace piece removed —
+    * content-derived, no randomness, cross-engine identical), the
+    * full [[minhashJaccardPairs]] pipeline runs on the augmented
+    * corpus, and the report says how many planted (original, copy)
+    * pairs the configured (k, numHashes, rowsPerBand, threshold)
+    * actually recovered. Recall below expectation means the LSH
+    * S-curve or the threshold is mistuned for the duplicate class you
+    * care about — measured, not assumed. `min_jaccard` (order-free,
+    * unlike a mean) reports the weakest recovered pair; −1 when none.
+    *
+    * Scale shape: adds one filtered scan (the planted slice) to the
+    * pipeline it evaluates; the band join dominates as before. */
+  def plantedDupEval(docs: DataFrame, idCol: String, textCol: String,
+                     nPlants: Long, dropEvery: Int, idOffset: Long,
+                     k: Int, numHashes: Int, rowsPerBand: Int,
+                     threshold: Double): DataFrame = {
+    require(nPlants >= 1 && dropEvery >= 2 && idOffset > 0,
+      s"nPlants >= 1, dropEvery >= 2, idOffset > 0")
+    val base = docs.select(col(idCol).as("id"), col(textCol).as("text"))
+    val sel = base.filter(col("id") < nPlants)
+    // drop every dropEvery-th whitespace piece, 1-based — raw split
+    // (empties kept), no case folding, so the perturbation is purely
+    // subtractive on the character shingles
+    val planted = sel.select((col("id") + idOffset).as("id"),
+      array_join(filter(split(col("text"), " "),
+        (_, i) => (i + lit(1)) % dropEvery =!= 0), " ").as("text"))
+    val nPlanted = sel.agg(count(lit(1)).as("__np"))
+    val pairs = minhashJaccardPairs(base.unionByName(planted),
+      "id", "text", k, numHashes, rowsPerBand, threshold)
+    pairs
+      .filter(col("id_b") === col("id_a") + idOffset && col("id_a") < nPlants)
+      .agg(count(lit(1)).as("n_recovered"),
+        min(col("jaccard")).as("__minj"))
+      .crossJoin(broadcast(nPlanted))
+      .select(col("__np").as("n_planted"), col("n_recovered"),
+        round(col("n_recovered").cast("double") / col("__np"), 6).as("recall"),
+        coalesce(col("__minj"), lit(-1.0)).as("min_jaccard"))
+  }
+
   def embeddingNearDup(df: DataFrame, idCol: String, vecCol: String,
                        blockKey: Column, threshold: Double): DataFrame = {
     val keyed = df.withColumn("grp", blockKey)

@@ -175,4 +175,26 @@ class DedupSpec extends SparkSpec {
     // carries total mass 1, so Σ weights = #distinct contents
     assert(math.abs(out.values.map(_._3).sum - 3.0) < 1e-9)
   }
+
+  test("plantedDupEval: exact copies recover fully; hostile config reports honest zero") {
+    import spark.implicits._
+    // long repetitive-ish sentences so shingle sets are rich; with
+    // dropEvery far beyond the token count the plants are EXACT
+    // copies -> jaccard 1.0 on every planted pair -> recall 1
+    val docs = (0L until 5L).map(i =>
+      (i, s"document number $i talks about spark joins shuffles and windows " +
+        s"in considerable repetitive detail variant $i")).toDF("doc_id", "text")
+    val full = Dedup.plantedDupEval(docs, "doc_id", "text",
+      nPlants = 3L, dropEvery = 1000, idOffset = 100L,
+      k = 5, numHashes = 32, rowsPerBand = 8, threshold = 0.5).head()
+    assert(full.getLong(0) == 3L && full.getLong(1) == 3L, s"got $full")
+    assert(full.getDouble(2) == 1.0 && full.getDouble(3) == 1.0, s"got $full")
+    // threshold above 1 keeps nothing: the report must still produce
+    // its row, with recall 0 and the -1 sentinel
+    val none = Dedup.plantedDupEval(docs, "doc_id", "text",
+      nPlants = 3L, dropEvery = 1000, idOffset = 100L,
+      k = 5, numHashes = 32, rowsPerBand = 8, threshold = 1.1).head()
+    assert(none.getLong(1) == 0L && none.getDouble(2) == 0.0 &&
+      none.getDouble(3) == -1.0, s"got $none")
+  }
 }
