@@ -2182,6 +2182,19 @@ object SparkEntry {
     // per-batch add composed with the index), probe the appended
     // layout. The oracle is the in-memory k-means IVF replay — append
     // must be invisible to the query.
+    // ---- [EXT] SQ8-IVF index (Sq.buildIvfSqIndex + ivfSqIndexTopK):
+    // the int8 rung of the compression ladder, indexed — partitioned
+    // int8 codes scans (4× smaller), symmetric-quantized approximate
+    // shortlist, exact float rerank over the shortlist only.
+    "ivfsq_top5" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val cents = Ann.kmeansCentroids(emb, "vec_id", "embedding", 10, 2)
+      val path = scratchDir("ivfsq")
+      graft.search.Sq.buildIvfSqIndex(emb, cents, path)
+      graft.search.Sq.ivfSqIndexTopK(s, path, queryVec(s, dir), cents,
+          5, 20, 3)
+        .select(col("vec_id"), col("sim"))
+    }),
     "ann_index_append_top5" -> ((s, dir) => {
       val emb = Tables.embeddings(s, dir)
       val cents = Ann.kmeansCentroids(emb, "vec_id", "embedding", 10, 2)
@@ -3593,6 +3606,38 @@ object SparkEntry {
        |ORDER BY sim DESC, vec_id ASC LIMIT 5""".stripMargin
   }
 
+  /** SQ8-IVF top-5 replay: the Lloyd build + probe selection of
+    * [[kmeansIvfTop5Sql]], the symmetric int8 quantization of the
+    * `knn_int8_recall` oracle, a 20-deep code-score shortlist inside
+    * the probed clusters, then the exact float rerank. */
+  private lazy val ivfSqTop5Sql: String = {
+    def rawCos(a: String, b: String) =
+      s"list_dot_product($a, $b) / (sqrt(list_dot_product($a, $a)) * sqrt(list_dot_product($b, $b)))"
+    s"""WITH q AS (SELECT embedding AS qvec FROM embeddings WHERE vec_id = 0),
+       |${ivfTrainSql(10, 2)},
+       |probes AS (
+       |  SELECT cid FROM ic2, q
+       |  ORDER BY round(${rawCos("centroid", "qvec::DOUBLE[]")}, 6) DESC, cid ASC
+       |  LIMIT 3),
+       |qz AS (
+       |  SELECT vec_id,
+       |         CASE WHEN m = 0 THEN list_transform(v, x -> 0.0)
+       |              ELSE list_transform(v, x -> floor(x / (m / 127.0) + 0.5)) END AS qv
+       |  FROM (SELECT vec_id, embedding::DOUBLE[] AS v,
+       |               list_max(list_transform(embedding::DOUBLE[], x -> abs(x))) AS m
+       |        FROM embeddings)),
+       |qq AS (SELECT qv FROM qz WHERE vec_id = 0),
+       |short AS (
+       |  SELECT vec_id FROM (
+       |    SELECT z.vec_id, ${cosSql("z.qv", "qq.qv")} AS asim
+       |    FROM qz z JOIN iaf USING (vec_id) JOIN probes USING (cid), qq)
+       |  ORDER BY asim DESC, vec_id ASC LIMIT 20)
+       |SELECT vec_id, sim FROM (
+       |  SELECT e.vec_id, ${cosSql("e.embedding", "q.qvec")} AS sim
+       |  FROM embeddings e JOIN short USING (vec_id), q)
+       |ORDER BY sim DESC, vec_id ASC LIMIT 5""".stripMargin
+  }
+
   /** Full IVF-PQ recall@5 replay (coarse Lloyd + per-subspace PQ
     * training + probe + ADC shortlist + exact rerank) over the full
     * corpus — the oracle of the in-memory `ivfpq_recall` AND the
@@ -4184,6 +4229,7 @@ object SparkEntry {
          |ORDER BY sim DESC, vec_id ASC LIMIT 5""".stripMargin
     },
     "ann_kmeans_top5" -> kmeansIvfTop5Sql,
+    "ivfsq_top5" -> ivfSqTop5Sql,
     // the appended materialized index must answer exactly like the
     // in-memory k-means IVF probe over the full corpus
     "ann_index_append_top5" -> kmeansIvfTop5Sql,
