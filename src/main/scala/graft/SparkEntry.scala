@@ -1127,6 +1127,13 @@ object SparkEntry {
     "bm25_top5" -> ((s, dir) =>
       Lexical.bm25TopK(Tables.documents(s, dir), "text", "doc_id",
         Seq("spark", "join", "table", "filter"), 5)),
+    // ---- [EXT] faceted search summary (Lexical.bm25Facets): per-lang
+    // match counts + best hit over the FULL match set — the search
+    // response sidebar; scoring chain shared with bm25_top5.
+    "search_facets" -> ((s, dir) =>
+      Lexical.bm25Facets(Tables.documents(s, dir), "text", "doc_id",
+          "lang", Seq("spark", "join", "table", "filter"))
+        .orderBy(col("lang"))),
     // ---- [EXT] RM3 pseudo-relevance feedback: expand ('spark','join')
     // from its own top-3 docs (RM1 uniform-prior term model, top-5
     // expansion terms), re-rank with the alpha=0.5 interpolated
@@ -5507,6 +5514,20 @@ object SparkEntry {
       s"""WITH $bm25Ctes
          |SELECT doc_id, score FROM scored
          |ORDER BY score DESC, doc_id ASC LIMIT 5""".stripMargin,
+    // the bm25_top5 scoring chain, joined to the facet column, two
+    // facet windows (count + rank-1)
+    "search_facets" ->
+      s"""WITH $bm25Ctes,
+         |fs AS (SELECT s.doc_id, s.score, d.lang
+         |       FROM scored s JOIN documents d USING (doc_id)),
+         |r AS (SELECT lang, doc_id, score,
+         |             count(*) OVER (PARTITION BY lang) AS n_matches,
+         |             row_number() OVER (PARTITION BY lang
+         |               ORDER BY score DESC, doc_id ASC) AS rn
+         |      FROM fs)
+         |SELECT lang, n_matches::BIGINT AS n_matches,
+         |       doc_id AS top_doc_id, score AS top_score
+         |FROM r WHERE rn = 1 ORDER BY lang""".stripMargin,
     // RM3 replay: base retrieval for ('spark','join'), RM1 term model
     // over the top-3 feedback docs (uniform prior, round-6, divisor =
     // the requested fbDocs), alpha=0.5 interpolation (0.25 = 0.5/|Q|

@@ -53,7 +53,16 @@ object Lexical {
     * The query-term prune happens INSIDE the token array (a codegen'd
     * array filter) so the generator only emits matching terms. */
   def bm25TopK(docs: DataFrame, textCol: String, idCol: String,
-               queryTerms: Seq[String], k: Int): DataFrame = {
+               queryTerms: Seq[String], k: Int): DataFrame =
+    bm25Scored(docs, textCol, idCol, queryTerms)
+      .orderBy(col("score").desc, col(idCol).asc)
+      .limit(k)
+
+  /** The full scored match set behind [[bm25TopK]] — every document
+    * containing ≥ 1 query term with its round-6 BM25 score (no
+    * truncation; the top-k and the facet report share this frame). */
+  private def bm25Scored(docs: DataFrame, textCol: String, idCol: String,
+                         queryTerms: Seq[String]): DataFrame = {
     val withDl = docs
       .select(col(idCol), TextAnalysis.tokens(col(textCol)).as("toks"))
       .withColumn("dl", size(col("toks")))
@@ -68,8 +77,32 @@ object Lexical {
       .crossJoin(broadcast(stats))
       .withColumn("w", bm25Weight)
       .groupBy(col(idCol)).agg(round(sum(col("w")), 6).as("score"))
+  }
+
+  /** Faceted search summary — the standard search-engine response
+    * shape next to the hit list: for each value of `facetCol` among
+    * the MATCHING documents (≥ 1 query term), the match count and the
+    * best-scoring document (`score DESC, id ASC`). Facets aggregate
+    * the FULL match set, not the top-k — that is the point (the
+    * "filter by language" sidebar must count everything the query
+    * touched).
+    *
+    * Scale shape: the [[bm25TopK]] scoring chain unchanged, one
+    * id-keyed join to fetch the facet column, and two facet-keyed
+    * windows sharing one exchange (count + rank). */
+  def bm25Facets(docs: DataFrame, textCol: String, idCol: String,
+                 facetCol: String, queryTerms: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val scored = bm25Scored(docs, textCol, idCol, queryTerms)
+    val wc = Window.partitionBy(col(facetCol))
+    val wr = Window.partitionBy(col(facetCol))
       .orderBy(col("score").desc, col(idCol).asc)
-      .limit(k)
+    scored.join(docs.select(col(idCol), col(facetCol)), Seq(idCol))
+      .withColumn("n_matches", count(lit(1)).over(wc))
+      .withColumn("__rn", row_number().over(wr))
+      .filter(col("__rn") === 1)
+      .select(col(facetCol), col("n_matches"),
+        col(idCol).as("top_doc_id"), col("score").as("top_score"))
   }
 
   /** Batch BM25: top-k per query over a QUERY TABLE (`qid`,

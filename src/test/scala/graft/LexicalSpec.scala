@@ -299,4 +299,23 @@ class LexicalSpec extends SparkSpec {
       .collect().map(_.getLong(0)).toSet
     assert(out == Set(1L, 3L))
   }
+
+  test("bm25Facets: full-match-set counts per facet, best hit by (score, id)") {
+    import graft.search.Lexical
+    val docs = Seq(
+      (1L, "en", "spark join spark"),
+      (2L, "en", "join"),
+      (3L, "de", "spark"),
+      (4L, "de", "nothing relevant here"),
+      (5L, "fr", "join join join")).toDF("doc_id", "lang", "text")
+    val got = Lexical.bm25Facets(docs, "text", "doc_id", "lang",
+        Seq("spark", "join"))
+      .orderBy(col("lang")).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    // matches: en {1, 2}, de {3} (4 matches nothing), fr {5}
+    assert(got.map(t => (t._1, t._2)) == Seq(("de", 1L), ("en", 2L), ("fr", 1L)),
+      s"got $got")
+    // en's best hit is doc 1 (two terms, higher tf)
+    assert(got.find(_._1 == "en").get._3 == 1L, s"got $got")
+  }
 }
