@@ -1094,6 +1094,18 @@ object SparkEntry {
       Tables.documents(s, dir)
         .select(col("doc_id"), TextAnalysis.langId(col("text")).as("lang_pred"))
         .orderBy(col("doc_id"))),
+    // ---- [EXT] lang-ID eval gate: confusion matrix of the n-gram
+    // heuristic against the corpus lang label, with per-class recall
+    // (the eval the heuristic never had; facet-bounded window).
+    "langid_confusion" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window.partitionBy(col("lang"))
+      Tables.documents(s, dir)
+        .select(col("lang"), TextAnalysis.langId(col("text")).as("lang_pred"))
+        .groupBy(col("lang"), col("lang_pred")).agg(count(lit(1)).as("n"))
+        .withColumn("recall",
+          round(col("n").cast("double") / sum(col("n")).over(w), 6))
+        .orderBy(col("lang"), col("lang_pred"))
+    }),
     // ---- [EXT] rolling-hash document fingerprint
     "fingerprint" -> ((s, dir) =>
       Tables.documents(s, dir)
@@ -5477,6 +5489,28 @@ object SparkEntry {
          |             ${hits(m("zh"))} AS s_zh
          |      FROM documents)
          |ORDER BY doc_id""".stripMargin
+    },
+    "langid_confusion" -> {
+      def hits(ms: Seq[String]): String =
+        s"len(list_filter($toksSql, t -> list_contains([${ms.map("'" + _ + "'").mkString(",")}], t)))"
+      val m = TextAnalysis.LangMarkers
+      s"""WITH p AS (
+         |  SELECT lang,
+         |    CASE
+         |      WHEN s_de >= s_en AND s_de >= s_es AND s_de >= s_fr AND s_de >= s_zh THEN 'de'
+         |      WHEN s_en >= s_es AND s_en >= s_fr AND s_en >= s_zh THEN 'en'
+         |      WHEN s_es >= s_fr AND s_es >= s_zh THEN 'es'
+         |      WHEN s_fr >= s_zh THEN 'fr'
+         |      ELSE 'zh' END AS lang_pred
+         |  FROM (SELECT lang, ${hits(m("de"))} AS s_de, ${hits(m("en"))} AS s_en,
+         |               ${hits(m("es"))} AS s_es, ${hits(m("fr"))} AS s_fr,
+         |               ${hits(m("zh"))} AS s_zh
+         |        FROM documents)),
+         |c AS (SELECT lang, lang_pred, count(*)::BIGINT AS n
+         |      FROM p GROUP BY 1, 2)
+         |SELECT lang, lang_pred, n,
+         |       round(n::DOUBLE / sum(n) OVER (PARTITION BY lang), 6) AS recall
+         |FROM c ORDER BY lang, lang_pred""".stripMargin
     },
     "fingerprint" ->
       s"SELECT doc_id, ${polySql("text")} AS fp FROM documents ORDER BY doc_id",
