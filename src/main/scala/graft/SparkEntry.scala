@@ -2026,6 +2026,21 @@ object SparkEntry {
           round(col("mean_rgb"), 6).as("mean_rgb"))
         .orderBy(col("id"))
     }),
+    // ---- [EXT] incremental materialized aggregate
+    // (MaterializedAgg.build/refresh): the view folds the delta's
+    // partial states — never rescans the base; refresh ≡ full
+    // recompute is the oracle contract itself.
+    "mv_refresh" -> ((s, dir) => {
+      import graft.store.MaterializedAgg
+      val keys = Seq("l_returnflag", "l_linestatus")
+      val li = Tables.lineitem(s, dir)
+        .withColumn("qty", col("l_quantity").cast("long"))
+      val view = MaterializedAgg.build(
+        li.filter(col("l_orderkey") < 30000), keys, "qty")
+      MaterializedAgg.refresh(view,
+          li.filter(col("l_orderkey") >= 30000), keys, "qty")
+        .orderBy(col("l_returnflag"), col("l_linestatus"))
+    }),
     // ---- [EXT] robust MAD outliers (Quantiles.madOutliers): modified
     // z-score against exact interpolated median/MAD — the gate the
     // mean/stddev z gets wrong when outliers inflate the baseline.
@@ -6567,6 +6582,14 @@ object SparkEntry {
     // step's per-dst/dangling folds as ordered list_reduce (the same
     // IEEE sequence as the Scala driver folds)
     "event_pagerank" -> pageRankReplaySql(0.85, 5),
+    // the IVM contract IS the oracle: refresh ≡ one full recompute
+    "mv_refresh" ->
+      """SELECT l_returnflag, l_linestatus, count(*)::BIGINT AS n,
+        |       sum(CAST(l_quantity AS BIGINT))::BIGINT AS sum,
+        |       min(CAST(l_quantity AS BIGINT)) AS min,
+        |       max(CAST(l_quantity AS BIGINT)) AS max
+        |FROM lineitem GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
     // exact median/MAD via quantile_cont (≡ Spark percentile), the
     // same single float chain, round-6 before the threshold
     "mad_outliers" ->
