@@ -2682,6 +2682,30 @@ object SparkEntry {
           graft.analysis.Sampling.splitAssign(col("doc_id"),
             Seq("train" -> 0.75, "val" -> 0.125, "test" -> 0.125)).as("split"))
         .orderBy(col("doc_id"))),
+    // ---- [EXT] split BALANCE: per-(split, lang) mass vs the corpus
+    // language mix — the stratification-quality gate next to the
+    // leakage gate (a skewed split biases eval): deviation =
+    // |split_frac − corpus_frac| on exact count ratios.
+    "split_balance" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val lbl = Tables.documents(s, dir).select(col("lang"),
+        graft.analysis.Sampling.splitAssign(col("doc_id"),
+          Seq("train" -> 0.75, "val" -> 0.125, "test" -> 0.125)).as("split"))
+      val counts = lbl.groupBy(col("split"), col("lang"))
+        .agg(count(lit(1)).as("n"))
+      val total = counts.agg(sum(col("n")).as("__t"))
+      val wS = Window.partitionBy(col("split"))
+      val wL = Window.partitionBy(col("lang"))
+      counts.crossJoin(broadcast(total))
+        .withColumn("__ns", sum(col("n")).over(wS))
+        .withColumn("__nl", sum(col("n")).over(wL))
+        .select(col("split"), col("lang"), col("n"),
+          round(col("n").cast("double") / col("__ns"), 6).as("split_frac"),
+          round(col("__nl").cast("double") / col("__t"), 6).as("corpus_frac"),
+          round(abs(col("n").cast("double") / col("__ns")
+            - col("__nl").cast("double") / col("__t")), 6).as("deviation"))
+        .orderBy(col("split"), col("lang"))
+    }),
     // ---- [EXT] split LEAKAGE: near-duplicate pairs that straddle a
     // train/val/test boundary — the eval-integrity gate (a test doc
     // whose near-twin sits in train inflates every metric). Composes
@@ -7163,6 +7187,29 @@ object SparkEntry {
         |              + ((doc_id % 4294967296) % 65536) * 2654435761) % 4294967296 AS bkt
         |      FROM documents)
         |ORDER BY doc_id""".stripMargin,
+    // the same hash CASE, count ratios and windowed totals
+    "split_balance" ->
+      """WITH lbl AS (
+        |  SELECT lang,
+        |         CASE WHEN bkt < 3221225472 THEN 'train'
+        |              WHEN bkt < 3758096384 THEN 'val'
+        |              ELSE 'test' END AS split
+        |  FROM (SELECT doc_id, lang,
+        |               (((((doc_id % 4294967296) // 65536) * 2654435761) % 4294967296) * 65536
+        |                + ((doc_id % 4294967296) % 65536) * 2654435761) % 4294967296 AS bkt
+        |        FROM documents)),
+        |c AS (SELECT split, lang, count(*)::BIGINT AS n
+        |      FROM lbl GROUP BY 1, 2),
+        |t AS (SELECT sum(n)::BIGINT AS t FROM c)
+        |SELECT split, lang, n,
+        |       round(n::DOUBLE / ns, 6) AS split_frac,
+        |       round(nl::DOUBLE / t.t, 6) AS corpus_frac,
+        |       round(abs(n::DOUBLE / ns - nl::DOUBLE / t.t), 6) AS deviation
+        |FROM (SELECT split, lang, n,
+        |             sum(n) OVER (PARTITION BY split)::BIGINT AS ns,
+        |             sum(n) OVER (PARTITION BY lang)::BIGINT AS nl
+        |      FROM c) CROSS JOIN t
+        |ORDER BY split, lang""".stripMargin,
     // near-dup pairs (the minhash CTE chain) × the split cut points;
     // pairs straddling a boundary, with the round-6 jaccard re-joined
     "split_leakage" ->

@@ -56,6 +56,23 @@ object Snapshots {
       .map(n => unescapePathName(n.stripPrefix(s"$SnapCol=")))
       .sorted
 
+  /** Retention: drop every snapshot except the `keep`
+    * lexicographically-LAST names (snapshot names are the retention
+    * order — use sortable names: dates, zero-padded versions), by
+    * deleting those partitions' directories — O(dropped dirs), no
+    * rewrite of surviving history, safe for readers of kept names.
+    * Returns the dropped names (empty when nothing expires). */
+  def expire(spark: SparkSession, path: String, keep: Int): Seq[String] = {
+    require(keep >= 1, s"keep >= 1: $keep")
+    val raw = graft.io.Fs.listDirNames(spark, path)
+      .filter(_.startsWith(s"$SnapCol="))
+    val dropped = raw
+      .map(r => unescapePathName(r.stripPrefix(s"$SnapCol=")) -> r)
+      .sortBy(_._1).dropRight(keep)
+    dropped.foreach { case (_, r) => graft.io.Fs.delete(spark, s"$path/$r") }
+    dropped.map(_._1)
+  }
+
   /** Inverse of Hive-style `escapePathName`: `%XX` (two hex digits) →
     * the char with that code; everything else — including `+` — passes
     * through verbatim. A `%` not followed by two hex digits is kept

@@ -216,4 +216,18 @@ class SnapshotsSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
     assert(rev(2L) == "b1")
   }
+
+  test("expire keeps the last names, drops the rest, survivors stay readable") {
+    val path = java.nio.file.Files.createTempDirectory("graft-snap-expire")
+      .toString + "/store"
+    Seq("v1", "v2", "v3").foreach(n =>
+      Snapshots.write(Seq((1L, n)).toDF("id", "text"), path, n))
+    val dropped = Snapshots.expire(spark, path, keep = 2)
+    assert(dropped == Seq("v1"), s"dropped $dropped")
+    assert(Snapshots.names(spark, path) == Seq("v2", "v3"))
+    assert(Snapshots.read(spark, path, "v3").count() == 1L)
+    // keep >= live count is a no-op
+    assert(Snapshots.expire(spark, path, keep = 5).isEmpty)
+    assert(Snapshots.names(spark, path) == Seq("v2", "v3"))
+  }
 }
