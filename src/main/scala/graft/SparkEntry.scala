@@ -579,6 +579,42 @@ object SparkEntry {
       Search.contextAgg(top, col("vec_id"), col("text"), col("sim"))
         .select(Search.prompt(col("context"), lit(Question)).as("prompt"))
     }),
+    // ---- [EXT] referential-integrity audit: orphaned foreign keys
+    // per relationship via left-anti joins — the star-schema
+    // data-quality gate (0 violations on the synthetic tables IS the
+    // assertion; a broken delivery surfaces here first).
+    "ref_integrity" -> ((s, dir) => {
+      def orphans(name: String, child: org.apache.spark.sql.DataFrame,
+                  fk: String, parent: org.apache.spark.sql.DataFrame,
+                  pk: String) =
+        child.join(parent.select(col(pk)), col(fk) === col(pk), "left_anti")
+          .agg(count(lit(1)).as("orphans"))
+          .select(lit(name).as("relationship"), col("orphans"))
+      orphans("lineitem_orders", Tables.lineitem(s, dir), "l_orderkey",
+          Tables.orders(s, dir), "o_orderkey")
+        .unionByName(orphans("orders_customer", Tables.orders(s, dir),
+          "o_custkey", Tables.customer(s, dir), "c_custkey"))
+        .unionByName(orphans("customer_nation", Tables.customer(s, dir),
+          "c_nationkey", Tables.nation(s, dir), "n_nationkey"))
+        .orderBy(col("relationship"))
+    }),
+    // ---- [EXT] batch RAG prompt assembly (Search.contextAggBatch):
+    // the reference's single-question ask pipeline (A12+A13) over a
+    // QUERY TABLE — per-qid top-5 contexts and per-qid prompts, no
+    // per-question driver loop.
+    "ask_prompt_batch" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      val qs = e.filter(col("vec_id") < 3)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+      val corpus = e.join(Tables.documents(s, dir),
+        col("vec_id") === col("doc_id"))
+      val top = Search.similarityJoin(corpus, qs, 5)
+      Search.contextAggBatch(top, col("vec_id"), col("text"), col("sim"))
+        .select(col("qid"),
+          Search.prompt(col("context"),
+            concat(lit("question "), col("qid"))).as("prompt"))
+        .orderBy(col("qid"))
+    }),
     // ---- [EXT] batch similarity join: per-query top-3
     "simjoin_top3" -> ((s, dir) => {
       val e = Tables.embeddings(s, dir)
@@ -3634,9 +3670,14 @@ object SparkEntry {
     * `context` expression: `---` fences, inline `Question: `, trailing
     * newline (mirrors [[graft.search.Search.prompt]]). */
   private def promptSql(contextExpr: String): String =
+    promptSqlQ(contextExpr, s"'$Question'")
+
+  /** [[promptSql]] with the question itself an SQL expression — the
+    * batch form, where each qid carries its own question. */
+  private def promptSqlQ(contextExpr: String, questionExpr: String): String =
     s"'$promptPrefix' || chr(10) || chr(10) || 'Context:' || chr(10) || '---' || chr(10) || " +
       s"$contextExpr || chr(10) || '---' || chr(10) || chr(10) || " +
-      s"'Question: ' || '$Question' || chr(10)"
+      s"'Question: ' || $questionExpr || chr(10)"
 
   /** k-means IVF top-5 replay (Lloyd build via [[ivfTrainSql]], probe
     * ranking at round-6, pruned exact scan) — the oracle of BOTH the
@@ -4763,6 +4804,37 @@ object SparkEntry {
          |FROM (SELECT string_agg(text, chr(10) || '---' || chr(10)
          |               ORDER BY sim DESC, vec_id ASC) AS context
          |      FROM ($top5DocsSql))""".stripMargin,
+    "ref_integrity" ->
+      """SELECT 'customer_nation' AS relationship,
+        |       (SELECT count(*) FROM customer c
+        |        WHERE NOT EXISTS (SELECT 1 FROM nation n
+        |                          WHERE n.n_nationkey = c.c_nationkey))
+        |         ::BIGINT AS orphans
+        |UNION ALL
+        |SELECT 'lineitem_orders',
+        |       (SELECT count(*) FROM lineitem l
+        |        WHERE NOT EXISTS (SELECT 1 FROM orders o
+        |                          WHERE o.o_orderkey = l.l_orderkey))::BIGINT
+        |UNION ALL
+        |SELECT 'orders_customer',
+        |       (SELECT count(*) FROM orders o
+        |        WHERE NOT EXISTS (SELECT 1 FROM customer c
+        |                          WHERE c.c_custkey = o.o_custkey))::BIGINT
+        |ORDER BY relationship""".stripMargin,
+    "ask_prompt_batch" ->
+      s"""WITH q AS (SELECT vec_id AS qid, embedding FROM embeddings
+         |           WHERE vec_id < 3),
+         |sc AS (SELECT q.qid, e.vec_id, d.text,
+         |              ${cosSql("e.embedding", "q.embedding")} AS sim
+         |       FROM embeddings e JOIN documents d ON e.vec_id = d.doc_id, q),
+         |r AS (SELECT *, row_number() OVER (PARTITION BY qid
+         |              ORDER BY sim DESC, vec_id ASC) AS rn FROM sc),
+         |ctx AS (SELECT qid,
+         |               string_agg(text, chr(10) || '---' || chr(10)
+         |                 ORDER BY sim DESC, vec_id ASC) AS context
+         |        FROM r WHERE rn <= 5 GROUP BY qid)
+         |SELECT qid, ${promptSqlQ("context", "'question ' || qid::VARCHAR")} AS prompt
+         |FROM ctx ORDER BY qid""".stripMargin,
     "simjoin_top3" ->
       s"""SELECT qid, vec_id, sim, rank::BIGINT AS rank FROM (
          |  SELECT qid, vec_id, sim,

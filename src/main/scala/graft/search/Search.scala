@@ -212,6 +212,20 @@ object Search {
       .agg(collect_list(struct((-simCol).as("nsim"), idCol.as("id"), textCol.as("text"))).as("rows"))
       .select(array_join(transform(sort_array(col("rows")), r => r.getField("text")), "\n---\n").as("context"))
 
+  /** Per-query [[contextAgg]] — the batch-RAG form: one context row
+    * per `qid`, the same rank-ordered concat with order carried
+    * inside the collected structs (shuffle-safe). Per-group state is
+    * bounded by the retrieval depth k, not the corpus. */
+  def contextAggBatch(topK: DataFrame, idCol: Column, textCol: Column,
+                      simCol: Column): DataFrame =
+    topK
+      .groupBy(col("qid"))
+      .agg(collect_list(struct((-simCol).as("nsim"), idCol.as("id"),
+        textCol.as("text"))).as("rows"))
+      .select(col("qid"),
+        array_join(transform(sort_array(col("rows")),
+          r => r.getField("text")), "\n---\n").as("context"))
+
   /** Prompt assembly — VERBATIM parity with the reference's template
     * literal (`/root/reference/services/geminiService.ts:80-88`):
     * instruction sentence, blank line, `Context:` with `---` fences
