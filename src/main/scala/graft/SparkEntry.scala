@@ -2097,6 +2097,13 @@ object SparkEntry {
     "k_anonymity" -> ((s, dir) =>
       graft.analysis.Curation.kAnonymity(Tables.customer(s, dir),
         Seq("c_nationkey", "c_mktsegment"), 8L)),
+    // ---- [EXT] hour-of-day seasonal profile
+    // (TimeSeries.seasonalProfile): per-type clock intensity index —
+    // the seasonality baseline the global-mean z misses.
+    "seasonal_profile" -> ((s, dir) =>
+      graft.analysis.TimeSeries.seasonalProfile(
+          Tables.events(s, dir), "event_type", "ts")
+        .orderBy(col("event_type"), col("hour_of_day"))),
     // ---- [EXT] rolling active users (TimeSeries.rollingActiveUsers):
     // DAU + trailing-7-day distinct actives per calendar day — the
     // presence set fans out ≤ 7×, the corpus reduces once.
@@ -2126,6 +2133,24 @@ object SparkEntry {
           col("ts") >= lit("2024-01-01 00:00:00").cast("timestamp") &&
             col("ts") < lit("2025-01-01 00:00:00").cast("timestamp")),
           lo = Some(1.0))))
+    }),
+    // ---- [EXT] image duplicate GROUPS: the dHash pair frame closed
+    // into connected components (Dedup.components — min-label
+    // propagation) — "these renderings are one image", the grouping a
+    // pair list alone doesn't give.
+    "image_dup_components" -> ((s, dir) => {
+      val rows: Seq[(Long, Array[Byte])] = Seq(
+        (1L, graft.multimodal.ImageFixtures.png(520, 400)),
+        (2L, graft.multimodal.ImageFixtures.png(490, 400)),
+        (3L, graft.multimodal.ImageFixtures.png(520, 400)),
+        (4L, graft.multimodal.ImageFixtures.png(600, 480)),
+        (5L, graft.multimodal.ImageFixtures.png(150, 120)))
+      import s.implicits._
+      val hashes = graft.multimodal.Multimodal
+        .decodeDHash(s, rows.toDF("id", "bytes")).toDF()
+      val pairs = graft.multimodal.Multimodal.dhashNearDupPairs(hashes, 3)
+      Dedup.components(pairs, "id_a", "id_b")
+        .orderBy(col("id"))
     }),
     // ---- [EXT] market-basket association rules (Association
     // .pairRules): part pairs co-ordered in the same order —
@@ -6717,6 +6742,21 @@ object SparkEntry {
         |FROM customer GROUP BY c_nationkey, c_mktsegment
         |HAVING count(*) < 8
         |ORDER BY group_size, c_nationkey, c_mktsegment""".stripMargin,
+    // keyed hour-of-day cells × 24-row grid, integer counts, one
+    // multiply+divide
+    "seasonal_profile" ->
+      """WITH c AS (SELECT event_type, hour(ts)::BIGINT AS hour_of_day,
+        |                  count(*)::BIGINT AS n
+        |           FROM events GROUP BY 1, 2),
+        |t AS (SELECT event_type, sum(n)::BIGINT AS t FROM c GROUP BY 1),
+        |g AS (SELECT t.event_type, t.t, h.hour_of_day
+        |      FROM t, (SELECT unnest(range(0, 24)) AS hour_of_day) h)
+        |SELECT g.event_type, g.hour_of_day,
+        |       coalesce(c.n, 0)::BIGINT AS n,
+        |       round(coalesce(c.n, 0)::DOUBLE * 24 / g.t, 6)
+        |         AS seasonal_index
+        |FROM g LEFT JOIN c USING (event_type, hour_of_day)
+        |ORDER BY event_type, hour_of_day""".stripMargin,
     // presence distinct → calendar grid → day fan-out ≤ 7 → distinct
     // counts per report day
     "rolling_active_7d" ->
@@ -6785,6 +6825,38 @@ object SparkEntry {
         |JOIN s sb ON sb.i = pr.item_b
         |CROSS JOIN n
         |ORDER BY support DESC, item_a, item_b LIMIT 20""".stripMargin,
+    // the dHash pair chain closed by the same recursive min-label
+    // walk as the text components oracle
+    "image_dup_components" ->
+      """WITH RECURSIVE imgs(id, w, h) AS (VALUES
+        |    (1, 520, 400), (2, 490, 400), (3, 520, 400),
+        |    (4, 600, 480), (5, 150, 120)),
+        |g AS (
+        |  SELECT id, y, x,
+        |         CASE WHEN ((x + 1) * w // 9 + y * h // 8) % 256 >
+        |                   (x * w // 9 + y * h // 8) % 256
+        |              THEN '1' ELSE '0' END AS b
+        |  FROM imgs, range(8) t1(y), range(8) t2(x)),
+        |hs AS (SELECT id, string_agg(b, '' ORDER BY y, x) AS bits
+        |       FROM g GROUP BY id),
+        |bands AS (SELECT id, bits, q, substr(bits, q * 16 + 1, 16) AS bv
+        |          FROM hs, range(4) t(q)),
+        |prs AS (
+        |  SELECT DISTINCT a.id AS id_a, b.id AS id_b
+        |  FROM bands a JOIN bands b
+        |    ON a.q = b.q AND a.bv = b.bv AND a.id < b.id
+        |  WHERE len(list_filter(range(1, 65),
+        |          i -> a.bits[i] != b.bits[i])) <= 3),
+        |edges AS (
+        |  SELECT id_a AS src, id_b AS dst FROM prs
+        |  UNION SELECT id_b, id_a FROM prs),
+        |reach AS (
+        |  SELECT src AS id, src AS comp FROM edges
+        |  UNION
+        |  SELECT e.src AS id, r.comp FROM edges e JOIN reach r ON r.id = e.dst),
+        |comp AS (SELECT id, min(comp) AS comp FROM reach GROUP BY id)
+        |SELECT id::BIGINT AS id, comp::BIGINT AS comp FROM comp
+        |ORDER BY id""".stripMargin,
     // closed-form ramp grays → 9×8 grid bits → band join → exact
     // Hamming over the bit strings: the full dHash chain in integer
     // arithmetic (invalid payloads never enter)

@@ -318,6 +318,37 @@ object TimeSeries {
         .as("pearson_r"))
   }
 
+  /** Hour-of-day seasonal profile per key — the intensity index
+    * `n(key, hour) · 24 / n(key)`: 1.0 is a flat clock, above 1 the
+    * key's busy hours (the baseline [[rateAnomalies]]' per-hour z
+    * cannot see, because it scores each wall-clock bucket against the
+    * key's GLOBAL mean — a key that's always busy at noon z-flags
+    * every noon; this profile is the fix's first half: score against
+    * the hour-of-day expectation instead). Exact integer counts, one
+    * IEEE multiply+divide, round-6.
+    *
+    * Scale shape: one keyed reduce to |keys|·24 cells + a |keys|-row
+    * totals join. Hours with zero events appear with index 0 via the
+    * 24-row grid per key. */
+  def seasonalProfile(events: DataFrame, keyCol: String,
+                      tsCol: String): DataFrame = {
+    val cells = events
+      .groupBy(col(keyCol), hour(col(tsCol)).cast("long").as("hour_of_day"))
+      .agg(count(lit(1)).as("n"))
+    val totals = cells.groupBy(col(keyCol)).agg(sum(col("n")).as("__t"))
+    val grid = totals.select(col(keyCol), col("__t"))
+      .crossJoin(spark_range24(events))
+    grid
+      .join(cells, Seq(keyCol, "hour_of_day"), "left")
+      .select(col(keyCol), col("hour_of_day"),
+        coalesce(col("n"), lit(0L)).as("n"),
+        round(coalesce(col("n"), lit(0L)).cast("double") * 24 / col("__t"), 6)
+          .as("seasonal_index"))
+  }
+
+  private def spark_range24(df: DataFrame): DataFrame =
+    df.sparkSession.range(0, 24).select(col("id").as("hour_of_day"))
+
   /** Rolling active users — per calendar day, the distinct users
     * active THAT day (DAU) and within the trailing `windowDays`-day
     * window ending that day (WAU/MAU for 7/30): the standard product
