@@ -1562,6 +1562,26 @@ object SparkEntry {
           lit(java.sql.Timestamp.valueOf("2024-01-15 00:00:00")))
         .groupBy(col("event_type")).agg(count(lit(1)).as("n_users"))
         .orderBy(col("event_type"))),
+    // ---- [EXT] point-in-time-correct feature join (Scd2.pointInTime-
+    // Join): every purchase is enriched with the user's browsing state
+    // (SCD-2 over the non-purchase events) valid AT THE PURCHASE
+    // INSTANT — the leakage-free feature-store join for training-data
+    // assembly. Lowers to the as-of union-and-carry: one user-key sort
+    // over facts + versions, no interval fan-out. Users purchasing
+    // before any tracked state carry the 'none' sentinel (never NULL).
+    "pit_state_join" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val hist = graft.store.Scd2.history(
+        ev.filter(col("event_type") =!= "purchase"), "user_id", "ts",
+        Seq("event_type"))
+      val facts = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      graft.store.Scd2.pointInTimeJoin(facts, hist, "user_id", "ts",
+          Seq("event_type"))
+        .select(col("event_id"), col("user_id"),
+          coalesce(col("asof_event_type"), lit("none")).as("state"))
+        .orderBy(col("event_id"))
+    }),
     // ---- A5: deterministic featurizer (zero-egress embed substitution)
     "featurize_check" -> ((s, dir) => {
       val vec = Featurizer.featurize(64)(col("text"))
@@ -6089,6 +6109,32 @@ object SparkEntry {
         |WHERE vf <= TIMESTAMP '2024-01-15 00:00:00'
         |  AND (vt IS NULL OR TIMESTAMP '2024-01-15 00:00:00' < vt)
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // PIT join: SCD-2 on non-purchase events, zero-width versions
+    // dropped, then DuckDB's native ASOF (contiguous intervals make
+    // interval membership ≡ latest valid_from <= ts)
+    "pit_state_join" ->
+      """WITH chg AS (
+        |  SELECT user_id, ts, event_type,
+        |         lag(event_type) OVER (PARTITION BY user_id
+        |                               ORDER BY ts, event_type) AS prev
+        |  FROM events WHERE event_type <> 'purchase'),
+        |vers AS (
+        |  SELECT user_id, ts, event_type FROM chg
+        |  WHERE prev IS NULL OR event_type <> prev),
+        |iv AS (
+        |  SELECT user_id, event_type, ts AS vf,
+        |         lead(ts) OVER (PARTITION BY user_id
+        |                        ORDER BY ts, event_type) AS vt
+        |  FROM vers),
+        |live AS (SELECT * FROM iv WHERE vt IS NULL OR vf < vt),
+        |facts AS (
+        |  SELECT event_id, user_id, ts FROM events
+        |  WHERE event_type = 'purchase')
+        |SELECT f.event_id, f.user_id,
+        |       coalesce(d.event_type, 'none') AS state
+        |FROM facts f ASOF LEFT JOIN live d
+        |  ON f.user_id = d.user_id AND f.ts >= d.vf
+        |ORDER BY f.event_id""".stripMargin,
     "hybrid_rrf_top5" ->
       s"""WITH $bm25Ctes,
          |b20 AS (SELECT doc_id, score FROM scored

@@ -90,4 +90,43 @@ object Scd2 {
   def asOf(history: DataFrame, at: org.apache.spark.sql.Column): DataFrame =
     history.filter(col("valid_from") <= at &&
       (col("valid_to").isNull || at < col("valid_to")))
+
+  /** Point-in-time-CORRECT enrichment: each fact row gains the
+    * dimension version live at ITS OWN timestamp (`asof_<attr>`
+    * columns, null when the id has no version yet) — the feature-store
+    * join that keeps training features leakage-free (a model trained
+    * on "state as of the label event" must never see a later version).
+    *
+    * Because [[history]]'s intervals are CONTIGUOUS per id (each
+    * `valid_to` is the next `valid_from`; the last is open), interval
+    * membership `valid_from <= t < valid_to` is equivalent to "the
+    * latest version with `valid_from <= t`" — so this lowers to the
+    * as-of union-and-carry ([[graft.plans.AsOf.asOfJoin]]): one keyed
+    * sort over |facts|+|versions| rows per id, never the O(|F|·|V|)
+    * range-join fan-out a naive interval join pays per key.
+    *
+    * Zero-width versions (`valid_from = valid_to`, the contradictory
+    * same-instant-tie shape [[history]] surfaces rather than hiding)
+    * are live at NO instant under the half-open convention, so they
+    * are dropped first — which also makes the carry deterministic:
+    * surviving versions are unique per (id, valid_from). Dropping them
+    * preserves contiguity (the predecessor's `valid_to` equals the
+    * zero-width version's successor's `valid_from`).
+    *
+    * @param facts    rows to enrich; must carry `idCol` and `tsCol`
+    * @param history  a [[history]] output for the same id key
+    * @param tsCol    the fact timestamp column (also used internally
+    *                 for the carried `valid_from` timeline)
+    * @param attrCols the dimension attributes to attach
+    * @return facts columns + `asof_<attr>` per requested attribute
+    */
+  def pointInTimeJoin(facts: DataFrame, history: DataFrame,
+                      idCol: String, tsCol: String,
+                      attrCols: Seq[String]): DataFrame = {
+    val live = history.filter(
+      col("valid_to").isNull || col("valid_from") < col("valid_to"))
+    val dim = live.select(
+      (col(idCol) +: col("valid_from").as(tsCol) +: attrCols.map(col)).toIndexedSeq: _*)
+    graft.plans.AsOf.asOfJoin(facts, dim, idCol, tsCol, attrCols)
+  }
 }

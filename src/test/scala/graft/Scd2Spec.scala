@@ -96,6 +96,40 @@ class Scd2Spec extends SparkSpec {
     }
   }
 
+  test("pointInTimeJoin: leakage-free version attach at each fact instant") {
+    val facts = Seq(
+      (1L, 1L, ts("2024-01-01 00:00:00")), // exactly at A's start → A
+      (2L, 1L, ts("2024-01-02 12:00:00")), // mid-A (after suppressed re-obs) → A
+      (3L, 1L, ts("2024-01-03 00:00:00")), // exactly at the A→B boundary → B (half-open)
+      (4L, 1L, ts("2024-01-04 18:00:00")), // inside B → B, NEVER the later A (leakage)
+      (5L, 1L, ts("2024-01-09 00:00:00")), // after last change → open current A
+      (6L, 2L, ts("2024-01-01 00:00:00"))  // before id 2's first version → null
+    ).toDF("fact_id", "id", "t")
+    val out = Scd2.pointInTimeJoin(facts, hist, "id", "t", Seq("state"))
+      .orderBy(col("fact_id"))
+      .select(col("fact_id"), col("asof_state")).collect()
+    val got = out.map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got(1L) == "A" && got(2L) == "A")
+    assert(got(3L) == "B", "a version starting exactly at the fact instant is live")
+    assert(got(4L) == "B", "a LATER version must never leak backward onto a fact")
+    assert(got(5L) == "A")
+    assert(got(6L) == null, "facts before the id's first version carry null")
+  }
+
+  test("pointInTimeJoin drops zero-width versions — live at no instant") {
+    val tied = Seq(
+      (1L, ts("2024-01-01 00:00:00"), "B"),
+      (1L, ts("2024-01-01 00:00:00"), "A")
+    ).toDF("id", "t", "state")
+    val h = Scd2.history(tied, "id", "t", Seq("state"))
+    val facts = Seq((1L, 1L, ts("2024-01-01 00:00:00")),
+                    (2L, 1L, ts("2024-06-01 00:00:00"))).toDF("fact_id", "id", "t")
+    val out = Scd2.pointInTimeJoin(facts, h, "id", "t", Seq("state"))
+      .orderBy(col("fact_id")).select(col("asof_state")).collect()
+    // the zero-width A ([t,t)) never attaches; B is live from t on
+    assert(out.map(_.getString(0)).toSeq == Seq("B", "B"))
+  }
+
   test("multi-attribute tuples version on ANY attribute change, null-safely") {
     val multi = Seq(
       (1L, ts("2024-01-01 00:00:00"), "A", Some(1)),
