@@ -1170,6 +1170,28 @@ object SparkEntry {
         "text", "doc_id", 3)
         .orderBy(col("doc_id"))
     }),
+    // ---- [EXT] winnowing fingerprints (text/Winnow, Schleimer 2003 /
+    // MOSS): k-token shingle hashes → window-w minima → distinct set.
+    // The LOCAL-guarantee sketch (any shared ≥ w+k−1-token run shares a
+    // fingerprint) complementing MinHash's whole-doc resemblance. The
+    // per-doc digest (count/sum/min over the selected set) pins every
+    // selected hash value.
+    "winnow_fingerprints" -> ((s, dir) =>
+      Tables.documents(s, dir)
+        .select(col("doc_id"),
+          explode(graft.text.Winnow.fingerprints(col("text"), 3, 4)).as("fp"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_fp"), sum(col("fp")).as("fp_sum"),
+          min(col("fp")).as("fp_min"))
+        .orderBy(col("doc_id"))),
+    // ---- [EXT] winnowing overlap pairs — the MOSS report: docs sharing
+    // ≥ 2 selected fingerprints, corpus-boilerplate fingerprints
+    // (df > 20) dropped BEFORE the pair join (PPJoin lesson: per-key
+    // fan-out stays C(maxDf,2)-bounded; no all-pairs step anywhere).
+    "winnow_overlap" -> ((s, dir) =>
+      graft.text.Winnow.overlapPairs(Tables.documents(s, dir),
+          "doc_id", "text", k = 3, w = 4, maxDf = 20, minShared = 2)
+        .orderBy(col("doc_a"), col("doc_b"))),
     // ---- [EXT] lexical retrieval: BM25 top-k (Robertson k1=1.2 b=0.75,
     // Lucene non-negative idf) — the keyword half of a hybrid stack
     "bm25_top5" -> ((s, dir) =>
@@ -3555,6 +3577,35 @@ object SparkEntry {
     s"list_reduce(list_prepend(7::BIGINT, [ord(x)::BIGINT for x in string_split_regex($e, '')]), " +
       "(a, b) -> (a * 31 + b) % 1000000007)"
 
+  /** Winnowing fingerprint selection replayed in SQL (mirror of
+    * `text.Winnow.fingerprints` at k=3, w=4): per-token polynomial
+    * hashes in position order, 3-token shingle folds, then each
+    * 4-shingle window's minimum, distinct per doc. Yields CTE `sel`
+    * with columns (doc_id, fp). */
+  private val winnowSelCte: String =
+    s"""toks AS (SELECT doc_id, $toksSql AS toks FROM documents),
+       |th AS (
+       |  SELECT doc_id, list(h ORDER BY pos) AS hs FROM (
+       |    SELECT doc_id, ${polySql("term")} AS h, pos FROM (
+       |      SELECT doc_id, unnest(toks) AS term,
+       |             unnest(range(1, len(toks) + 1)) AS pos
+       |      FROM toks))
+       |  GROUP BY doc_id),
+       |gl AS (
+       |  SELECT doc_id, list(g ORDER BY i) AS gs FROM (
+       |    SELECT doc_id, i,
+       |           list_reduce(list_prepend(7::BIGINT, hs[i:i+2]),
+       |                       (a, b) -> (a * 31 + b) % 1000000007) AS g
+       |    FROM (SELECT doc_id, hs,
+       |                 unnest(range(1, greatest(len(hs) - 3, 0) + 2)) AS i
+       |          FROM th))
+       |  GROUP BY doc_id),
+       |sel AS (
+       |  SELECT doc_id, unnest(list_distinct(list_transform(
+       |           range(1, greatest(len(gs) - 4, 0) + 2),
+       |           i -> list_aggregate(gs[i:i+3], 'min')))) AS fp
+       |  FROM gl)""".stripMargin
+
   /** BPE merge training replayed in SQL (mirror of Bpe.merges): the
     * word-frequency dict as `|`-delimited symbol strings, then one CTE
     * triple per iteration — pair counts (g), argmax under
@@ -5700,6 +5751,27 @@ object SparkEntry {
          |SELECT DISTINCT doc_id FROM grams
          |WHERE doc_id % 50 <> 0 AND gram IN (SELECT gram FROM bench)
          |ORDER BY doc_id""".stripMargin,
+    // winnowing: ordered 3-token shingle hashes per doc, window-4
+    // minima, distinct — then the per-doc digest
+    "winnow_fingerprints" ->
+      s"""WITH $winnowSelCte
+         |SELECT doc_id, count(*) AS n_fp, sum(fp)::BIGINT AS fp_sum,
+         |       min(fp) AS fp_min
+         |FROM sel GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // winnowing overlap: df-filter (boilerplate fingerprints out), then
+    // the fingerprint-keyed pair join
+    "winnow_overlap" ->
+      s"""WITH $winnowSelCte,
+         |rare AS (SELECT fp FROM (
+         |           SELECT fp, count(*) AS df FROM sel GROUP BY fp)
+         |         WHERE df <= 20),
+         |kept AS (SELECT s.doc_id, s.fp FROM sel s JOIN rare r USING (fp))
+         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |       count(*) AS n_shared
+         |FROM kept a JOIN kept b USING (fp)
+         |WHERE a.doc_id < b.doc_id
+         |GROUP BY 1, 2 HAVING count(*) >= 2
+         |ORDER BY doc_a, doc_b""".stripMargin,
     "bm25_top5" ->
       s"""WITH $bm25Ctes
          |SELECT doc_id, score FROM scored

@@ -1,0 +1,78 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.TokenShingleHashes
+
+/** Winnowing document fingerprints (Schleimer, Wilkerson, Aiken 2003 —
+  * the MOSS local fingerprinting algorithm).
+  *
+  * MinHash (`analysis.Dedup`) estimates WHOLE-document resemblance; it
+  * can miss a long verbatim passage pasted into an otherwise-different
+  * document. Winnowing is the complementary LOCAL guarantee: from the
+  * positional k-token shingle hash stream, every window of `w`
+  * consecutive shingles contributes its minimum hash, so **any shared
+  * token run of length ≥ w + k − 1 is certain to share at least one
+  * selected fingerprint** (the paper's correctness property), while the
+  * expected density of selected fingerprints is 2/(w+1) of all
+  * shingles — a tunable sketch size with a detection floor, which
+  * MinHash does not offer.
+  *
+  * Determinism: shingle hashes are the portable polynomial
+  * ([[graft.functions.TokenShingleHashes]], replayed verbatim in the
+  * DuckDB oracles), window minima are integer comparisons, and the
+  * output is the DISTINCT selected-hash set — so the whole fingerprint
+  * computation reproduces bit-for-bit cross-engine. (Positions are not
+  * recorded: overlap DETECTION needs only the set; the paper's
+  * positional variant is for locating matches.)
+  *
+  * Scale shape: [[fingerprints]] is a per-row column expression — one
+  * string walk + an O(n·w) integer loop per document, no shuffle.
+  * [[overlapPairs]] shuffles (doc, fingerprint) longs keyed by
+  * fingerprint; hot fingerprints (boilerplate shared by more than
+  * `maxDf` docs) are dropped BEFORE the pair join — the PPJoin
+  * prefix-filter lesson — so per-key fan-out is C(maxDf, 2)-bounded
+  * and there is never an all-pairs step.
+  */
+object Winnow {
+
+  /** The distinct winnowing fingerprint set of `text` as an
+    * `array<long>` column: k-token shingle hashes, window-w minima.
+    * A document with fewer than w shingles yields its global minimum
+    * (one fingerprint — the algorithm's natural short-input
+    * degeneration); an empty token list yields the seed hash. */
+  def fingerprints(text: Column, k: Int, w: Int): Column = {
+    require(k >= 1 && w >= 1, s"need k >= 1 and w >= 1, got k=$k w=$w")
+    val hs = TokenShingleHashes(text, k)
+    array_distinct(
+      transform(sequence(lit(0), greatest(size(hs) - w, lit(0))),
+        i => array_min(slice(hs, i + 1, lit(w)))))
+  }
+
+  /** Documents sharing ≥ `minShared` winnowing fingerprints — the MOSS
+    * overlap report. Fingerprints present in more than `maxDf`
+    * documents are corpus boilerplate and are excluded from pairing
+    * (df-filter before the join; bounds fan-out AND stops stop-phrase
+    * fingerprints from linking everything to everything).
+    *
+    * @return `(doc_a, doc_b, n_shared)`, doc_a < doc_b
+    */
+  def overlapPairs(docs: DataFrame, idCol: String, textCol: String,
+                   k: Int, w: Int, maxDf: Int, minShared: Int): DataFrame = {
+    val fps = docs.select(col(idCol).as("__id"),
+        explode(fingerprints(col(textCol), k, w)).as("fp"))
+      .distinct()
+    val rare = fps.groupBy(col("fp"))
+      .agg(count(lit(1)).as("__df"))
+      .filter(col("__df") <= maxDf)
+      .select("fp")
+    val kept = fps.join(rare, "fp")
+    kept.select(col("fp"), col("__id").as("doc_a"))
+      .join(kept.select(col("fp"), col("__id").as("doc_b")), "fp")
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+  }
+}
