@@ -1142,6 +1142,24 @@ object SparkEntry {
           round(col("n").cast("double") / sum(col("n")).over(w), 6))
         .orderBy(col("lang"), col("lang_pred"))
     }),
+    // ---- [EXT] trained Naive Bayes language identifier
+    // (LangModel.nbLangId): token-unigram multinomial NB with add-one
+    // smoothing, trained on even doc_ids, scored on the held-out odd
+    // half — per-class accuracy. Per-doc class scores are exact
+    // DECIMAL(38,12) sums of fixed double addends (the Spectral
+    // pattern), so the argmax replays bit-for-bit in the oracle.
+    // On this synthetic corpus the `lang` label is INDEPENDENT of the
+    // text (marker tokens are uniform across labels), so near-prior
+    // accuracy is the data's Bayes ceiling — the mrl_recall class of
+    // honest result; the training/scoring contract is what's pinned.
+    "nb_langid_accuracy" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      graft.text.LangModel.nbLangId(
+          docs.filter(col("doc_id") % 2 === 0),
+          docs.filter(col("doc_id") % 2 === 1),
+          "doc_id", "text", "lang")
+        .orderBy(col("lang"))
+    }),
     // ---- [EXT] rolling-hash document fingerprint
     "fingerprint" -> ((s, dir) =>
       Tables.documents(s, dir)
@@ -5719,6 +5737,54 @@ object SparkEntry {
          |       round(n::DOUBLE / sum(n) OVER (PARTITION BY lang), 6) AS recall
          |FROM c ORDER BY lang, lang_pred""".stripMargin
     },
+    // Naive Bayes lang-ID: full model training + decimal-exact scoring
+    // replay — round-6 log-likelihoods, DECIMAL(38,12) per-doc sums,
+    // argmax with lang-ASC ties
+    "nb_langid_accuracy" ->
+      s"""WITH tr AS (SELECT * FROM documents WHERE doc_id % 2 = 0),
+         |te AS (SELECT * FROM documents WHERE doc_id % 2 = 1),
+         |trtok AS (SELECT lang, unnest($toksSql) AS term FROM tr),
+         |tc AS (SELECT lang, term, count(*) AS c FROM trtok GROUP BY 1, 2),
+         |nl AS (SELECT lang, count(*) AS n_l FROM trtok GROUP BY 1),
+         |vocab AS (SELECT DISTINCT term FROM trtok),
+         |vs AS (SELECT count(*) AS v FROM vocab),
+         |pri AS (SELECT lang, count(*) AS n_docs FROM tr GROUP BY 1),
+         |tot AS (SELECT count(*) AS n_total FROM tr),
+         |model AS (
+         |  SELECT nl.lang, vocab.term,
+         |         round(ln((coalesce(tc.c, 0) + 1)::DOUBLE /
+         |                  (nl.n_l + vs.v)::DOUBLE), 6) AS lp
+         |  FROM vocab CROSS JOIN nl CROSS JOIN vs
+         |  LEFT JOIN tc ON tc.lang = nl.lang AND tc.term = vocab.term),
+         |tetok AS (
+         |  SELECT doc_id, term, count(*) AS cnt FROM (
+         |    SELECT doc_id, unnest($toksSql) AS term FROM te)
+         |  GROUP BY 1, 2),
+         |sums AS (
+         |  SELECT t.doc_id, m.lang,
+         |         sum(CAST(t.cnt::DOUBLE * m.lp AS DECIMAL(38,12))) AS s
+         |  FROM tetok t JOIN model m USING (term) GROUP BY 1, 2),
+         |lpri AS (
+         |  SELECT lang, round(ln(n_docs::DOUBLE / n_total::DOUBLE), 6) AS lprior
+         |  FROM pri CROSS JOIN tot),
+         |scored AS (
+         |  SELECT g.doc_id, g.true_lang, g.lang,
+         |         CAST(g.lprior AS DECIMAL(38,12)) +
+         |           coalesce(s.s, CAST(0 AS DECIMAL(38,12))) AS score
+         |  FROM (SELECT te.doc_id, te.lang AS true_lang, l.lang, l.lprior
+         |        FROM te CROSS JOIN lpri l) g
+         |  LEFT JOIN sums s ON s.doc_id = g.doc_id AND s.lang = g.lang),
+         |pred AS (
+         |  SELECT doc_id, true_lang, lang,
+         |         row_number() OVER (PARTITION BY doc_id
+         |                            ORDER BY score DESC, lang) AS rn
+         |  FROM scored)
+         |SELECT true_lang AS lang, count(*) AS n_test,
+         |       sum(CASE WHEN lang = true_lang THEN 1 ELSE 0 END)::BIGINT
+         |         AS n_correct,
+         |       round(sum(CASE WHEN lang = true_lang THEN 1 ELSE 0 END)::DOUBLE
+         |             / count(*)::DOUBLE, 6) AS accuracy
+         |FROM pred WHERE rn = 1 GROUP BY 1 ORDER BY 1""".stripMargin,
     "fingerprint" ->
       s"SELECT doc_id, ${polySql("text")} AS fp FROM documents ORDER BY doc_id",
     "pii_redact" ->

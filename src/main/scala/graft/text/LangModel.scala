@@ -55,4 +55,81 @@ object LangModel {
       .join(scored, Seq("doc_id"), "left_outer")
       .select(col("doc_id"), round(coalesce(col("s"), lit(0.0)), 6).as("surprisal"))
   }
+
+  /** Multinomial Naive Bayes language identifier, trained on a labeled
+    * split and scored on a held-out split — the TRAINED upgrade of the
+    * n-gram heuristic (`TextAnalysis.langId`), with the same shape as
+    * the `langid_confusion` gate: per-class test accuracy out.
+    *
+    * Model (token unigrams, add-one smoothing):
+    * `P(t|lang) = (c_lt + 1) / (n_l + V)`, prior = doc share. A test
+    * token absent from the training vocabulary is IGNORED (dropped by
+    * the inner join onto the model — the standard closed-vocabulary
+    * convention; it contributes the same unknown-mass to every class
+    * anyway under shared smoothing).
+    *
+    * Determinism: each per-term log-likelihood addend
+    * `count · ln(P(t|lang))` is one fixed double chain, CAST TO
+    * DECIMAL(38,12) and summed exactly (the Spectral pattern — decimal
+    * addition is associative, so per-doc scores are reduction-order
+    * free and bit-identical cross-engine); argmax ties break lang ASC.
+    *
+    * Scale shape: the model is DATA keyed by term (vocab × |langs|
+    * rows — never broadcast); scoring is one term-keyed join plus one
+    * (doc, lang)-keyed aggregate. Priors and V are k-row/1-row
+    * broadcasts. No driver state beyond those scalars.
+    *
+    * @return per true language: `lang, n_test, n_correct, accuracy`
+    */
+  def nbLangId(train: DataFrame, test: DataFrame, idCol: String,
+               textCol: String, labelCol: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    def dec(c: org.apache.spark.sql.Column) = c.cast(DecimalType(38, 12))
+    val trTok = train.select(col(labelCol).as("lang"),
+      explode(TextAnalysis.tokens(col(textCol))).as("term"))
+    val tc = trTok.groupBy(col("lang"), col("term")).agg(count(lit(1)).as("c"))
+    val nl = trTok.groupBy(col("lang")).agg(count(lit(1)).as("n_l"))
+    val vocab = trTok.select(col("term")).distinct()
+    val vSize = vocab.agg(count(lit(1)).as("v"))
+    val priors = train.groupBy(col(labelCol).as("lang"))
+      .agg(count(lit(1)).as("n_docs"))
+    val nTotal = train.agg(count(lit(1)).as("n_total"))
+    val model = vocab.crossJoin(broadcast(nl))
+      .join(tc, Seq("lang", "term"), "left_outer")
+      .crossJoin(broadcast(vSize))
+      .select(col("lang"), col("term"),
+        // round-6 BEFORE the decimal arithmetic: ln is not guaranteed
+        // correctly rounded on either engine; 6 dp is far below any
+        // meaningful likelihood difference and makes every addend an
+        // exactly-agreed value
+        round(log((coalesce(col("c"), lit(0L)) + lit(1L)).cast("double") /
+          (col("n_l") + col("v")).cast("double")), 6).as("lp"))
+    val teTok = test.select(col(idCol).as("doc_id"),
+        explode(TextAnalysis.tokens(col(textCol))).as("term"))
+      .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("cnt"))
+    val sums = teTok.join(model, Seq("term"))
+      .groupBy(col("doc_id"), col("lang"))
+      .agg(sum(dec(col("cnt").cast("double") * col("lp"))).as("s"))
+    val lpriors = priors.crossJoin(nTotal)
+      .select(col("lang"),
+        round(log(col("n_docs").cast("double") / col("n_total").cast("double")), 6)
+          .as("lprior"))
+    val grid = test.select(col(idCol).as("doc_id"), col(labelCol).as("true_lang"))
+      .crossJoin(broadcast(lpriors))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id"))
+      .orderBy(col("score").desc, col("lang").asc)
+    val pred = grid.join(sums, Seq("doc_id", "lang"), "left_outer")
+      .select(col("doc_id"), col("true_lang"), col("lang"),
+        (dec(col("lprior")) + coalesce(col("s"), dec(lit(0.0)))).as("score"))
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+    pred.groupBy(col("true_lang"))
+      .agg(count(lit(1)).as("n_test"),
+        sum(when(col("lang") === col("true_lang"), 1L).otherwise(0L))
+          .as("n_correct"))
+      .select(col("true_lang").as("lang"), col("n_test"), col("n_correct"),
+        round(col("n_correct").cast("double") / col("n_test").cast("double"), 6)
+          .as("accuracy"))
+  }
 }

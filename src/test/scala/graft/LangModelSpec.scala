@@ -34,4 +34,37 @@ class LangModelSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
     assert(out(1L) < out(2L), s"repetitive ${out(1L)} !< novel ${out(2L)}")
   }
+
+  test("nbLangId learns separable vocabularies and scores the held-out half") {
+    val train = Seq(
+      (0L, "der hund und die katze", "de"),
+      (2L, "und der baum der hund", "de"),
+      (4L, "the dog and the cat", "en"),
+      (6L, "the tree and a dog", "en"))
+      .toDF("doc_id", "text", "lang")
+    val test = Seq(
+      (1L, "der hund", "de"),
+      (3L, "die katze und der baum", "de"),
+      (5L, "the cat and the dog", "en"))
+      .toDF("doc_id", "text", "lang")
+    val out = LangModel.nbLangId(train, test, "doc_id", "text", "lang")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toList
+    assert(out.sorted == List(("de", 2L, 2L), ("en", 1L, 1L)),
+      s"separable vocab must classify perfectly, got $out")
+  }
+
+  test("nbLangId: unseen tokens are ignored; empty-vocab doc falls to the prior") {
+    val train = Seq(
+      (0L, "aa bb", "de"),
+      (2L, "cc dd", "en"),
+      (4L, "cc ee", "en")) // en has the majority prior (2 of 3 docs)
+      .toDF("doc_id", "text", "lang")
+    val test = Seq(
+      (1L, "zz qq ww", "de")) // every token unseen → prior-only → 'en'
+      .toDF("doc_id", "text", "lang")
+    val out = LangModel.nbLangId(train, test, "doc_id", "text", "lang")
+      .collect().map(r => (r.getString(0), r.getLong(2))).toMap
+    assert(out == Map("de" -> 0L),
+      "an all-unseen doc must fall back to the majority prior (en), scoring de wrong")
+  }
 }
