@@ -1414,6 +1414,17 @@ object SparkEntry {
           "doc_id", "lang", alpha = 0.5, budget = 250L)
         .select(col("doc_id"), col("lang"))
         .orderBy(col("doc_id"))),
+    // ---- [EXT] data-budget mix planner (Sampling.epochsPerSource,
+    // Muennighoff 2023): temperature-allocated token budget per source
+    // → implied epochs + the 4-epoch clamp. The audit that says which
+    // sources the budget would over-repeat (capped = needs more data,
+    // not more weight). k-row model-state arithmetic, sorted-stratum
+    // fold, round-6 shares — fully replayed in the oracle.
+    "source_epochs" -> ((s, dir) =>
+      graft.analysis.Sampling.epochsPerSource(Tables.documents(s, dir),
+          "source", TextAnalysis.tokenCount(col("text")).cast("long"),
+          alpha = 0.5, budget = 100000L, maxEpochs = 4.0)
+        .orderBy(col("source"))),
     // ---- [EXT] MATERIALIZED packed windows — the training artifact
     // seq_pack only assigns: per window, the docs' texts concatenated
     // in id order (hash-pinned — the order is part of the artifact),
@@ -7428,6 +7439,24 @@ object SparkEntry {
         |       + ((d.doc_id % 4294967296) % 65536) * 2654435761) % 4294967296
         |      < r.cut
         |ORDER BY d.doc_id""".stripMargin,
+    // mix planner: sorted-stratum sqrt fold, round-6 share, integer
+    // floor allocation, 4-epoch clamp
+    "source_epochs" ->
+      s"""WITH m AS (SELECT source, sum(len($toksSql))::BIGINT AS t
+         |           FROM documents GROUP BY 1),
+         |den AS (SELECT list_reduce(list(sqrt(t::DOUBLE) ORDER BY source),
+         |                           (x, y) -> x + y) AS d FROM m),
+         |r AS (SELECT source, t,
+         |             CAST(floor(round(sqrt(t::DOUBLE) / den.d, 6)
+         |                  * 100000.0) AS BIGINT) AS alloc
+         |      FROM m, den)
+         |SELECT source, t AS n_tokens, alloc AS alloc_tokens,
+         |       round(alloc::DOUBLE / t::DOUBLE, 6) AS epochs,
+         |       least(alloc, CAST(floor(4.0 * t::DOUBLE) AS BIGINT))
+         |         AS eff_tokens,
+         |       (CASE WHEN alloc > CAST(floor(4.0 * t::DOUBLE) AS BIGINT)
+         |             THEN 1 ELSE 0 END)::BIGINT AS capped
+         |FROM r ORDER BY source""".stripMargin,
     "sample_stratified" ->
       """SELECT lang, count(*) AS n FROM documents
         |WHERE (((((doc_id % 4294967296) // 65536) * 2654435761) % 4294967296) * 65536

@@ -299,6 +299,49 @@ object Sampling {
     df.filter(bucket(col(idCol)) < cut)
   }
 
+  /** Data-budget mix PLANNER (Muennighoff et al. 2023, "Scaling
+    * data-constrained language models": repeating data beyond ~4
+    * epochs yields rapidly diminishing returns) — the report that
+    * turns [[temperatureMix]]'s keep-rates into an epoch audit. Given
+    * per-stratum token masses, a total training-token budget, and
+    * temperature `alpha`, allocate the budget by flattened weights
+    * `mass^alpha` and report, per stratum: available tokens, allocated
+    * tokens, implied epochs, the `maxEpochs`-clamped effective tokens,
+    * and whether the clamp fired (a capped source needs MORE DATA, not
+    * more sampling weight — the planner's actionable output).
+    *
+    * Determinism: masses are k-row driver model state (the
+    * temperatureMix pattern); the weight denominator folds once in
+    * sorted-stratum order, shares round-6 before the integer floor
+    * multiply, alpha = 0.5 computes through IEEE sqrt. Scale: one
+    * map-side-combined aggregate; the report is k rows.
+    */
+  def epochsPerSource(df: DataFrame, strataCol: String,
+                      tokens: Column, alpha: Double, budget: Long,
+                      maxEpochs: Double): DataFrame = {
+    require(alpha > 0.0 && alpha <= 1.0, s"alpha in (0,1]: $alpha")
+    require(budget >= 0L && maxEpochs > 0.0, "budget >= 0, maxEpochs > 0")
+    def p(n: Double): Double =
+      if (alpha == 0.5) math.sqrt(n) else math.pow(n, alpha)
+    val masses = df.groupBy(col(strataCol)).agg(sum(tokens).as("__t"))
+      .collect().map(r => (r.get(0).toString, r.getLong(1))).sortBy(_._1)
+    require(masses.nonEmpty, "empty input")
+    val denom = masses.foldLeft(0.0) { case (acc, (_, t)) => acc + p(t.toDouble) }
+    val rows = masses.map { case (s, t) =>
+      val share = graft.vector.VectorOps.round6(p(t.toDouble) / denom)
+      val alloc = math.floor(share * budget.toDouble).toLong
+      val cap = math.floor(maxEpochs * t.toDouble).toLong
+      val eff = math.min(alloc, cap)
+      (s, t, alloc,
+        graft.vector.VectorOps.round6(alloc.toDouble / t.toDouble),
+        eff, if (alloc > eff) 1L else 0L)
+    }.toSeq
+    val spark = df.sparkSession
+    import spark.implicits._
+    rows.toDF(strataCol, "n_tokens", "alloc_tokens", "epochs",
+      "eff_tokens", "capped")
+  }
+
   /** Stratified deterministic sample: an independent fraction per
     * stratum value (e.g. per language), unlisted strata default to
     * `defaultFraction`. Same per-row determinism and nesting as

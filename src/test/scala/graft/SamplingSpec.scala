@@ -204,4 +204,24 @@ class SamplingSpec extends SparkSpec {
       others.toSeq.map(total).sum
     assert(math.abs(rate - 0.2) < 0.1, s"default rate $rate")
   }
+
+  test("epochsPerSource: closed-form allocation, clamp, and alpha=1 proportionality") {
+    import spark.implicits._
+    // masses: a=100 tokens, b=400 — sqrt weights 10 and 20 → shares 1/3, 2/3
+    val docs = Seq(("a", 100L), ("b", 400L)).toDF("src", "toks")
+    val out = Sampling.epochsPerSource(docs, "src", col("toks"),
+        alpha = 0.5, budget = 900L, maxEpochs = 2.0)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3), r.getLong(4), r.getLong(5))).toMap
+    // a: share round6(1/3) = 0.333333 → floor(0.333333·900) = 299
+    // (floor never exceeds the budget), epochs 2.99, cap 200 → capped
+    assert(out("a") == ((100L, 299L, 2.99, 200L, 1L)), s"got ${out("a")}")
+    // b: share 2/3 → alloc 600, epochs 1.5, under the 800 cap
+    assert(out("b") == ((400L, 600L, 1.5, 600L, 0L)), s"got ${out("b")}")
+    // alpha = 1 allocates in natural proportion: 100:400 → 180/720
+    val nat = Sampling.epochsPerSource(docs, "src", col("toks"),
+        alpha = 1.0, budget = 900L, maxEpochs = 10.0)
+      .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+    assert(nat == Map("a" -> 180L, "b" -> 720L), s"got $nat")
+  }
 }
