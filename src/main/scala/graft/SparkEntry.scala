@@ -940,6 +940,31 @@ object SparkEntry {
         .select(col("source"), col("lang").as("top_lang"))
       base.join(top, Seq("source")).orderBy(col("source"))
     }),
+    // ---- [EXT] Zipf rank-frequency slope (Diversity.zipfSlope): OLS
+    // of ln(freq) on ln(rank) over the top-1000 terms — natural text
+    // sits near −1; templated/synthetic mixes drift. Round-6 ln
+    // addends into DECIMAL(38,12) sums make the cancellation-heavy
+    // normal equations bit-replayable; the rank window sorts ≤ 1000
+    // rows (rrfFuse class), term counts stay a keyed reduce.
+    "zipf_slope" -> ((s, dir) =>
+      graft.analysis.Diversity.zipfSlope(Tables.documents(s, dir),
+        "text", 1000)),
+    // ---- [EXT] per-source distinct-n gate (Diversity): unique token
+    // trigrams / total trigrams — the templated-text detector (the
+    // distinct-n metric from generation eval applied to corpus
+    // health). Integer counts over portable gram hashes.
+    "distinct_ngram_ratio" -> ((s, dir) =>
+      graft.analysis.Diversity.distinctNgramRatio(Tables.documents(s, dir),
+          "source", "text", 3)
+        .orderBy(col("source"))),
+    // ---- [EXT] per-source token-entropy card (Diversity.termEntropy):
+    // Shannon entropy of each source's term distribution + the
+    // ln|V|-normalized form — low values flag dominated vocabularies.
+    // DECIMAL(38,12) addend sums, round-6 outputs.
+    "source_term_entropy" -> ((s, dir) =>
+      graft.analysis.Diversity.termEntropy(Tables.documents(s, dir),
+          "source", "text")
+        .orderBy(col("source"))),
     // ---- [EXT] equi-width histogram with data-derived bounds: the
     // (lo, hi) scalars ride a 1-row broadcast (above_avg pattern), the
     // bucketing is pure floor arithmetic in codegen, counts are
@@ -5519,6 +5544,64 @@ object SparkEntry {
          |       b.p50_chars, b.n_langs, t.top_lang
          |FROM base b JOIN top t USING (source)
          |ORDER BY b.source""".stripMargin,
+    // Zipf OLS: top-1000 term ranks, round-6 ln pairs, decimal-exact
+    // normal-equation moments
+    "zipf_slope" ->
+      s"""WITH tc AS (SELECT term, count(*) AS c FROM (
+         |              SELECT unnest($toksSql) AS term FROM documents)
+         |            GROUP BY 1),
+         |top AS (SELECT term, c FROM tc ORDER BY c DESC, term LIMIT 1000),
+         |rk AS (SELECT c, row_number() OVER (ORDER BY c DESC, term) AS r
+         |       FROM top),
+         |xy AS (SELECT round(ln(r::DOUBLE), 6) AS x,
+         |              round(ln(c::DOUBLE), 6) AS y FROM rk),
+         |m AS (SELECT count(*)::DOUBLE AS n,
+         |             sum(CAST(x AS DECIMAL(38,12)))::DOUBLE AS sx,
+         |             sum(CAST(y AS DECIMAL(38,12)))::DOUBLE AS sy,
+         |             sum(CAST(x * y AS DECIMAL(38,12)))::DOUBLE AS sxy,
+         |             sum(CAST(x * x AS DECIMAL(38,12)))::DOUBLE AS sxx
+         |      FROM xy)
+         |SELECT n::BIGINT AS n_terms,
+         |       round((n*sxy - sx*sy) / (n*sxx - sx*sx), 6) AS slope,
+         |       round((sy - ((n*sxy - sx*sy) / (n*sxx - sx*sx)) * sx) / n, 6)
+         |         AS intercept
+         |FROM m""".stripMargin,
+    // distinct-n: the positional trigram hash chain per source
+    "distinct_ngram_ratio" ->
+      s"""WITH toks AS (SELECT doc_id, source, $toksSql AS toks FROM documents),
+         |th AS (
+         |  SELECT doc_id, source, list(h ORDER BY pos) AS hs FROM (
+         |    SELECT doc_id, source, ${polySql("term")} AS h, pos FROM (
+         |      SELECT doc_id, source, unnest(toks) AS term,
+         |             unnest(range(1, len(toks) + 1)) AS pos
+         |      FROM toks))
+         |  GROUP BY doc_id, source),
+         |g AS (
+         |  SELECT source,
+         |         list_reduce(list_prepend(7::BIGINT, hs[i:i+2]),
+         |                     (a, b) -> (a * 31 + b) % 1000000007) AS g
+         |  FROM (SELECT doc_id, source, hs,
+         |               unnest(range(1, greatest(len(hs) - 3, 0) + 2)) AS i
+         |        FROM th))
+         |SELECT source, count(*) AS n_grams,
+         |       count(DISTINCT g) AS n_distinct,
+         |       round(count(DISTINCT g)::DOUBLE / count(*)::DOUBLE, 6) AS ratio
+         |FROM g GROUP BY 1 ORDER BY 1""".stripMargin,
+    // per-source entropy: decimal addend sums, explicit 0/0 guard
+    "source_term_entropy" ->
+      s"""WITH tok AS (SELECT source, unnest($toksSql) AS term FROM documents),
+         |tc AS (SELECT source, term, count(*) AS c FROM tok GROUP BY 1, 2),
+         |tot AS (SELECT source, sum(c)::BIGINT AS nt, count(*) AS v
+         |        FROM tc GROUP BY 1),
+         |s AS (SELECT tc.source, tot.v,
+         |             sum(CAST(-(tc.c::DOUBLE / tot.nt::DOUBLE) *
+         |                      ln(tc.c::DOUBLE / tot.nt::DOUBLE)
+         |                      AS DECIMAL(38,12)))::DOUBLE AS h
+         |      FROM tc JOIN tot USING (source) GROUP BY 1, 2)
+         |SELECT source, v AS n_vocab, round(h, 6) AS entropy,
+         |       CASE WHEN v <= 1 THEN 0.0
+         |            ELSE round(h / ln(v::DOUBLE), 6) END AS norm_entropy
+         |FROM s ORDER BY source""".stripMargin,
     "profile_stats" ->
       """WITH s AS (SELECT count(*) AS n,
         |                  sum(CASE WHEN lang IS NULL THEN 1 ELSE 0 END)::BIGINT AS lang_nulls,
