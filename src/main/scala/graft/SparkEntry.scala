@@ -1240,6 +1240,16 @@ object SparkEntry {
     "bm25_top5" -> ((s, dir) =>
       Lexical.bm25TopK(Tables.documents(s, dir), "text", "doc_id",
         Seq("spark", "join", "table", "filter"), 5)),
+    // ---- [EXT] PMI query expansion (Lexical.pmiExpandedTopK): each
+    // query term recruits its top document-presence-PMI associate from
+    // corpus-global co-occurrence (query-INDEPENDENT model state —
+    // unlike RM3, no first retrieval pass; the associate table is
+    // precomputable once per corpus), originals weight 1 / associates
+    // 0.5, weighted BM25 re-rank through the shared weighted tail.
+    "pmi_expanded_top5" -> ((s, dir) =>
+      Lexical.pmiExpandedTopK(Tables.documents(s, dir), "text", "doc_id",
+        Seq("spark", "join", "table", "filter"), 5, minDf = 2L,
+        expandWeight = 0.5)),
     // ---- [EXT] faceted search summary (Lexical.bm25Facets): per-lang
     // match counts + best hit over the FULL match set — the search
     // response sidebar; scoring chain shared with bm25_top5.
@@ -5934,6 +5944,62 @@ object SparkEntry {
          |ORDER BY doc_a, doc_b""".stripMargin,
     "bm25_top5" ->
       s"""WITH $bm25Ctes
+         |SELECT doc_id, score FROM scored
+         |ORDER BY score DESC, doc_id ASC LIMIT 5""".stripMargin,
+    // PMI expansion: presence/df stats → per-query-term best associate
+    // → weighted BM25 (originals 1.0, associates 0.5)
+    "pmi_expanded_top5" ->
+      s"""WITH td AS (SELECT doc_id, $toksSql AS toks FROM documents),
+         |wd AS (SELECT doc_id, toks, len(toks)::BIGINT AS dl FROM td),
+         |stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM wd),
+         |pres AS (SELECT DISTINCT doc_id, unnest(toks) AS term FROM td),
+         |dfc AS (SELECT term, count(*) AS df0 FROM pres
+         |        GROUP BY 1 HAVING count(*) >= 2),
+         |kept AS (SELECT p.doc_id, p.term, d.df0
+         |         FROM pres p JOIN dfc d USING (term)),
+         |nn AS (SELECT count(*) AS n FROM documents),
+         |qp AS (SELECT doc_id, term AS qterm, df0 AS dfq FROM kept
+         |       WHERE term IN ('spark', 'join', 'table', 'filter')),
+         |cand AS (
+         |  SELECT q.qterm, p.term AS partner, count(*) AS n_ab,
+         |         max(q.dfq) AS dfq, max(p.df0) AS dfp
+         |  FROM qp q JOIN kept p USING (doc_id)
+         |  WHERE p.term <> q.qterm
+         |    AND p.term NOT IN ('spark', 'join', 'table', 'filter')
+         |  GROUP BY 1, 2),
+         |pm AS (SELECT qterm, partner,
+         |              round(ln((n_ab * nn.n) / (dfq * dfp)::DOUBLE), 6) AS pmi
+         |       FROM cand, nn),
+         |assoc AS (
+         |  SELECT partner AS term, 0.5::DOUBLE AS w FROM (
+         |    SELECT qterm, partner,
+         |           row_number() OVER (PARTITION BY qterm
+         |                              ORDER BY pmi DESC, partner ASC) AS rn
+         |    FROM pm)
+         |  WHERE rn = 1),
+         |wts AS (SELECT term, sum(w) AS w FROM (
+         |          SELECT unnest(['spark', 'join', 'table', 'filter']) AS term,
+         |                 1.0::DOUBLE AS w
+         |          UNION ALL SELECT term, w FROM assoc)
+         |        GROUP BY term),
+         |post AS (
+         |  SELECT doc_id, term, dl, count(*) AS tf FROM (
+         |    SELECT doc_id, dl, unnest(toks) AS term FROM wd)
+         |  GROUP BY 1, 2, 3),
+         |wpost AS (SELECT p.doc_id, p.term, p.dl, p.tf, w.w
+         |          FROM post p JOIN wts w USING (term)),
+         |dfreq AS (SELECT term, count(*) AS df FROM wpost GROUP BY 1),
+         |scored AS (
+         |  SELECT p.doc_id,
+         |         round(sum(p.w *
+         |           ln(1.0::DOUBLE + (s.n_docs - f.df + 0.5::DOUBLE)
+         |              / (f.df + 0.5::DOUBLE))
+         |           * p.tf * 2.2::DOUBLE
+         |           / (p.tf + 1.2::DOUBLE *
+         |              (0.25::DOUBLE + 0.75::DOUBLE * p.dl / s.avgdl))), 6)
+         |           AS score
+         |  FROM wpost p JOIN dfreq f USING (term) CROSS JOIN stats s
+         |  GROUP BY p.doc_id)
          |SELECT doc_id, score FROM scored
          |ORDER BY score DESC, doc_id ASC LIMIT 5""".stripMargin,
     // the bm25_top5 scoring chain, joined to the facet column, two

@@ -475,7 +475,6 @@ object Lexical {
     val withDl = docs
       .select(col(idCol), TextAnalysis.tokens(col(textCol)).as("toks"))
       .withColumn("dl", size(col("toks")))
-    val stats = withDl.agg(count(lit(1)).as("n_docs"), avg(col("dl")).as("avgdl"))
     val fb = bm25TopK(docs, textCol, idCol, queryTerms, fbDocs).select(col(idCol))
     val fbtf = withDl.join(broadcast(fb), Seq(idCol), "left_semi")
       .select(col(idCol), col("dl"), explode(col("toks")).as("term"))
@@ -490,6 +489,17 @@ object Lexical {
     val wts = origW
       .union(rm1.select(col("term"), (lit(1.0) - lit(alpha)) * col("rw")))
       .groupBy(col("term")).agg(sum(col("w")).as("w"))
+    weightedBm25TopK(withDl, idCol, wts, k)
+  }
+
+  /** Weighted-query BM25 over a tokenized corpus: score =
+    * Σ_terms w(term) · bm25(term, doc). The shared re-rank tail of the
+    * expansion retrievers ([[rm3TopK]], [[pmiExpandedTopK]]). `wts`
+    * (term, w) joins the postings BEFORE the shuffle — pruning and
+    * weighting in one broadcast hop, so only weighted-term rows move. */
+  private def weightedBm25TopK(withDl: DataFrame, idCol: String,
+                               wts: DataFrame, k: Int): DataFrame = {
+    val stats = withDl.agg(count(lit(1)).as("n_docs"), avg(col("dl")).as("avgdl"))
     val postings = withDl
       .select(col(idCol), col("dl"), explode(col("toks")).as("term"))
       .join(broadcast(wts), Seq("term")) // prune AND weight before the shuffle
@@ -503,6 +513,58 @@ object Lexical {
       .groupBy(col(idCol)).agg(round(sum(col("w") * col("bw")), 6).as("score"))
       .orderBy(col("score").desc, col(idCol).asc)
       .limit(k)
+  }
+
+  /** PMI query expansion: each query term recruits its strongest
+    * document-presence PMI associate from the CORPUS-GLOBAL
+    * co-occurrence statistics (Monroe-free cousin of RM3 — RM3 expands
+    * from the query's own feedback docs and needs a first retrieval
+    * pass; PMI expansion is query-independent model state, so the
+    * associate table can be precomputed once per corpus and reused by
+    * every query). Original terms carry weight 1, associates
+    * `expandWeight`; duplicates sum. The pair step is |Q|-bounded:
+    * only query-term presence rows join the (df-cut) corpus presence
+    * table — never the full vocabulary self-join.
+    */
+  def pmiExpandedTopK(docs: DataFrame, textCol: String, idCol: String,
+                      queryTerms: Seq[String], k: Int, minDf: Long = 2,
+                      expandWeight: Double = 0.5): DataFrame = {
+    require(queryTerms.nonEmpty && k >= 1 && minDf >= 1)
+    import docs.sparkSession.implicits._
+    val withDl = docs
+      .select(col(idCol), TextAnalysis.tokens(col(textCol)).as("toks"))
+      .withColumn("dl", size(col("toks")))
+    val pres = docs.select(col(idCol).as("__id"),
+        explode(TextAnalysis.tokens(col(textCol))).as("term"))
+      .distinct()
+    val dfc = pres.groupBy(col("term")).agg(count(lit(1)).as("__df"))
+      .filter(col("__df") >= minDf)
+    val kept = pres.join(dfc, Seq("term"))
+    val n = docs.agg(count(lit(1)).as("__n"))
+    val qside = kept.filter(col("term").isin(queryTerms: _*))
+      .select(col("__id"), col("term").as("qterm"), col("__df").as("__dfq"))
+    val cand = qside
+      .join(kept.select(col("__id"), col("term").as("partner"),
+        col("__df").as("__dfp")), Seq("__id"))
+      .filter(col("partner") =!= col("qterm") &&
+        !col("partner").isin(queryTerms: _*))
+      .groupBy(col("qterm"), col("partner"))
+      .agg(count(lit(1)).as("n_ab"), max(col("__dfq")).as("__dfq"),
+        max(col("__dfp")).as("__dfp"))
+      .crossJoin(broadcast(n))
+      .select(col("qterm"), col("partner"),
+        round(log((col("n_ab") * col("__n")) /
+          (col("__dfq") * col("__dfp")).cast("double")), 6).as("pmi"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("qterm"))
+      .orderBy(col("pmi").desc, col("partner").asc)
+    val assoc = cand.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .select(col("partner").as("term"), lit(expandWeight).as("w"))
+    val orig = queryTerms.map(t => (t, 1.0)).toDF("term", "w")
+    val wts = orig.unionByName(assoc)
+      .groupBy(col("term")).agg(sum(col("w")).as("w"))
+    weightedBm25TopK(withDl, idCol, wts, k)
   }
 
   /** [[rm3TopK]] over a MATERIALIZED index — the 100 TB form: zero

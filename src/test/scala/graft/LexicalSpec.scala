@@ -154,6 +154,38 @@ class LexicalSpec extends SparkSpec {
     assert(!rm3.contains(4L), "a doc matching no weighted term stays out")
   }
 
+  test("pmi expansion recruits the co-occurring term and lifts recall") {
+    val docs = Seq(
+      (1L, "spark shuffle"),
+      (2L, "spark shuffle"),
+      (3L, "shuffle tuning notes"), // no 'spark' — invisible to plain bm25
+      (4L, "entirely unrelated words"),
+      (5L, "spark shuffle")
+    ).toDF("doc_id", "text")
+    val plain = Lexical.bm25TopK(docs, "text", "doc_id", Seq("spark"), 10)
+      .collect().map(_.getLong(0)).toSet
+    assert(!plain.contains(3L))
+    // 'shuffle' is the only term co-occurring with 'spark' → the
+    // associate; its 0.5 weight pulls doc 3 in
+    val exp = Lexical.pmiExpandedTopK(docs, "text", "doc_id",
+        Seq("spark"), 10, minDf = 1L, expandWeight = 0.5)
+      .collect().map(_.getLong(0)).toSet
+    assert(exp.contains(3L), s"associate must surface doc 3, got $exp")
+    assert(!exp.contains(4L), "a doc matching no weighted term stays out")
+  }
+
+  test("pmi expansion at weight 0 ranks exactly like plain bm25") {
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+    val terms = Seq("spark", "join")
+    val plain = Lexical.bm25TopK(docs, "text", "doc_id", terms, 5)
+      .collect().map(_.getLong(0)).toSeq
+    val exp = Lexical.pmiExpandedTopK(docs, "text", "doc_id", terms, 5,
+        minDf = 2L, expandWeight = 0.0)
+      .collect().map(_.getLong(0)).toSeq
+    assert(exp == plain,
+      "zero-weight associates must not perturb the plain ranking")
+  }
+
   test("rm3 at alpha=1 ranks exactly like plain bm25 (scaled scores)") {
     val docs = spark.read.parquet(s"$sf0001/documents.parquet")
     val terms = Seq("spark", "join")
