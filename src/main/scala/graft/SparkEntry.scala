@@ -1201,6 +1201,39 @@ object SparkEntry {
         .select(col("doc_id"),
           TextAnalysis.redactPii(col("dirty")).as("redacted"))
         .orderBy(col("doc_id"))),
+    // ---- [EXT] linkage-preserving PII pseudonymization
+    // (TextAnalysis.pseudonymizePii): each distinct email/phone maps
+    // to a STABLE portable-hash tag — same identity, same tag, in
+    // every document — so joins/dedup/frequency analysis survive the
+    // scrub (redact_pii destroys them). Same planted fixture as
+    // pii_redact; per-row replace-fold, no shuffle.
+    "pii_pseudonymize" -> ((s, dir) =>
+      Tables.documents(s, dir)
+        .select(col("doc_id"),
+          concat(col("text"), lit(" contact user"), col("doc_id"),
+            lit("@example.com or +1-555-000-"),
+            lpad(col("doc_id").cast("string"), 4, "0")).as("dirty"))
+        .select(col("doc_id"),
+          TextAnalysis.pseudonymizePii(col("dirty")).as("pseudo"))
+        .orderBy(col("doc_id"))),
+    // ---- [EXT] deterministic uniform negative sampling
+    // (Eval.uniformNegatives): per customer, the first k Knuth-hash
+    // item candidates that survive the true-interaction anti-join —
+    // reproducible implicit-feedback training negatives (hard_negatives
+    // mines embedding near-misses; this is the uniform complement).
+    // Catalog size is a 1-scalar model read (max part key + 1).
+    "uniform_negatives" -> ((s, dir) => {
+      val inter = Tables.orders(s, dir)
+        .join(Tables.lineitem(s, dir), col("o_orderkey") === col("l_orderkey"))
+        .select(col("o_custkey").as("user"), col("l_partkey").as("item"))
+        .distinct()
+      val nItems = Tables.part(s, dir)
+        .agg(max(col("p_partkey")).cast("long")).head().getLong(0) + 1L
+      graft.analysis.Eval.uniformNegatives(inter, "user", "item",
+          nItems, k = 3, oversample = 4)
+        .select(col("user").as("user_id"), col("rank"), col("neg_item"))
+        .orderBy(col("user_id"), col("rank"))
+    }),
     // ---- [EXT] benchmark-contamination detection: training docs that
     // share a 3-token shingle with the held-out benchmark slice
     // (doc_id % 50 == 0); n is a parameter — 3 keeps the synthetic
@@ -5891,6 +5924,58 @@ object SparkEntry {
          |FROM pred WHERE rn = 1 GROUP BY 1 ORDER BY 1""".stripMargin,
     "fingerprint" ->
       s"SELECT doc_id, ${polySql("text")} AS fp FROM documents ORDER BY doc_id",
+    // pseudonymize: two replace-folds over the extracted match lists,
+    // tag = portable polynomial fingerprint of the match mod 100000
+    "pii_pseudonymize" ->
+      s"""WITH d AS (
+         |  SELECT doc_id,
+         |         text || ' contact user' || doc_id::VARCHAR ||
+         |           '@example.com or +1-555-000-' ||
+         |           lpad(doc_id::VARCHAR, 4, '0') AS dirty
+         |  FROM documents),
+         |e AS (
+         |  SELECT doc_id,
+         |         list_reduce(list_prepend(dirty, regexp_extract_all(dirty,
+         |             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')),
+         |           (acc, m) -> replace(acc, m,
+         |             '[EMAIL_' || (${polySql("m")} % 100000)::VARCHAR || ']'))
+         |           AS t1
+         |  FROM d)
+         |SELECT doc_id,
+         |       list_reduce(list_prepend(t1, regexp_extract_all(t1,
+         |           '\\+[0-9]{1,2}-[0-9]{3}-[0-9]{3}-[0-9]{3,}')),
+         |         (acc, m) -> replace(acc, m,
+         |           '[PHONE_' || (${polySql("m")} % 100000)::VARCHAR || ']'))
+         |         AS pseudo
+         |FROM e ORDER BY doc_id""".stripMargin,
+    // uniform negatives: split-multiply Knuth bucket of user*1024+i mod
+    // the catalog size, min-i dedupe, true-interaction anti-join,
+    // first-3-by-i window
+    "uniform_negatives" ->
+      """WITH inter AS (
+        |  SELECT DISTINCT o_custkey AS u, l_partkey AS item
+        |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+        |ni AS (SELECT max(p_partkey)::BIGINT + 1 AS n FROM part),
+        |gen AS (
+        |  SELECT d.u, unnest(range(0, 12)) AS i
+        |  FROM (SELECT DISTINCT u FROM inter) d),
+        |cand0 AS (
+        |  SELECT u, i,
+        |         ((((((u * 1024 + i) % 4294967296) // 65536) * 2654435761)
+        |             % 4294967296) * 65536
+        |          + ((u * 1024 + i) % 65536) * 2654435761) % 4294967296
+        |         % ni.n AS item
+        |  FROM gen, ni),
+        |cand AS (SELECT u, item, min(i) AS i FROM cand0 GROUP BY 1, 2),
+        |surv AS (
+        |  SELECT c.u, c.item, c.i FROM cand c
+        |  LEFT JOIN inter t ON t.u = c.u AND t.item = c.item
+        |  WHERE t.u IS NULL),
+        |rk AS (SELECT u, item,
+        |              row_number() OVER (PARTITION BY u ORDER BY i) AS rank
+        |       FROM surv)
+        |SELECT u AS user_id, rank::BIGINT AS rank, item AS neg_item
+        |FROM rk WHERE rank <= 3 ORDER BY u, rank""".stripMargin,
     "pii_redact" ->
       """SELECT doc_id,
         |       regexp_replace(regexp_replace(

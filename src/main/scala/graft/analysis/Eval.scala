@@ -191,4 +191,53 @@ object Eval {
       .filter(col("rank") <= k)
       .select(col("qid"), col("rank"), col(idCol), col(labelCol), col("sim"))
   }
+
+  /** Deterministic UNIFORM negative sampling over interaction data —
+    * the other half of contrastive training-pair prep
+    * ([[hardNegatives]] mines near-misses from embeddings; implicit-
+    * feedback recommenders also need plain uniform negatives, and
+    * `rand()` negatives are unreproducible across runs/engines).
+    *
+    * Per user, candidate items derive from the Knuth bucket of
+    * `user·1024 + i` (i < k·oversample ≤ 1024) modulo `nItems` — the
+    * same portable hash family as every sampler here, so the exact
+    * negative set replays cross-engine. Candidates that collide with a
+    * TRUE interaction are rejected by an anti-join (a "negative" the
+    * user actually touched would poison the loss); duplicate candidate
+    * items keep their smallest i. The first k survivors in i-order win.
+    * `oversample` bounds the rejection head-room: with interaction
+    * density d, the chance a user fills fewer than k slots shrinks
+    * geometrically in (oversample − 1)·k — callers with dense users
+    * raise it.
+    *
+    * Scale shape: |users|·k·oversample generated rows, one
+    * (user, item)-keyed anti-join against the interactions, one
+    * user-keyed rank window over ≤ k·oversample rows. Item ids are
+    * assumed dense 0..nItems−1 (the fixture's part-key layout);
+    * non-dense catalogs map through a dense-rank first.
+    *
+    * @return `(user, rank, neg_item)` — up to k rows per user
+    */
+  def uniformNegatives(interactions: DataFrame, userCol: String,
+                       itemCol: String, nItems: Long, k: Int,
+                       oversample: Int = 2): DataFrame = {
+    require(nItems >= 1 && k >= 1 && oversample >= 1, "positive params")
+    require(k * oversample <= 1024, "k*oversample must stay <= 1024")
+    val users = interactions.select(col(userCol).as("user")).distinct()
+    val cand = users
+      .select(col("user"),
+        explode(sequence(lit(0), lit(k * oversample - 1))).as("i"))
+      .select(col("user"), col("i"),
+        pmod(Sampling.bucket(col("user") * lit(1024L) + col("i")),
+          lit(nItems)).as("item"))
+      .groupBy(col("user"), col("item")).agg(min(col("i")).as("i"))
+    val survivors = cand.join(
+      interactions.select(col(userCol).as("user"), col(itemCol).as("item")),
+      Seq("user", "item"), "left_anti")
+    val w = Window.partitionBy(col("user")).orderBy(col("i").asc)
+    survivors.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("user"), col("rank").cast("long").as("rank"),
+        col("item").as("neg_item"))
+  }
 }

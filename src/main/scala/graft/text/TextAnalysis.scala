@@ -95,6 +95,32 @@ object TextAnalysis {
   def redactPii(text: Column): Column =
     regexp_replace(regexp_replace(text, EmailRe, "[EMAIL]"), PhoneRe, "[PHONE]")
 
+  /** PII PSEUDONYMIZATION — the linkage-preserving alternative to
+    * [[redactPii]]: each distinct email/phone maps to a STABLE tag
+    * `[EMAIL_<h>]`/`[PHONE_<h>]` (h = the portable polynomial
+    * fingerprint of the matched string mod 100000), so the same
+    * identity carries the same tag across every document — joins,
+    * dedup and frequency analysis survive the scrub, while the raw
+    * identifier does not. (One-way, but NOT cryptographic: the tag
+    * space is deliberately small; treat it as unlinkable only against
+    * casual inspection — the k-anonymity audit composes for the rest.)
+    *
+    * Per-row, no shuffle: matches via `regexp_extract_all`, then a
+    * replace-fold over the match list. A match that is a substring of
+    * another match would corrupt the longer one if replaced first —
+    * impossible for these anchored-charset patterns (neither can
+    * properly contain another match of itself on this corpus's
+    * space-separated text), documented rather than defended. */
+  def pseudonymizePii(text: Column): Column = {
+    def tag(prefix: String)(m: Column): Column =
+      concat(lit("[" + prefix + "_"),
+        (fingerprint(m) % 100000L).cast("string"), lit("]"))
+    val e = aggregate(regexp_extract_all(text, lit(EmailRe), lit(0)), text,
+      (acc, m) => replace(acc, m, tag("EMAIL")(m)))
+    aggregate(regexp_extract_all(text, lit(PhoneRe), lit(0)), e,
+      (acc, m) => replace(acc, m, tag("PHONE")(m)))
+  }
+
   /** Text normalization scrub (standard ingest preprocessing): ASCII
     * control characters → space, space runs collapsed, ends trimmed.
     * The run-collapse pattern is a literal `" +"` ON PURPOSE: `\s` class

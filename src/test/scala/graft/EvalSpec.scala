@@ -176,4 +176,31 @@ class EvalSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(!p.contains("CartesianProduct"), p.take(1500))
   }
+
+  test("uniformNegatives: hash-exact candidates, no true interaction leaks, rerun-stable") {
+    import spark.implicits._
+    val inter = Seq((1L, 0L), (1L, 1L), (2L, 3L)).toDF("u", "it")
+    def run = Eval.uniformNegatives(inter, "u", "it", nItems = 4L, k = 2,
+        oversample = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toList
+    val out = run
+    assert(run == out, "must be rerun-identical")
+    // closed-form candidate stream: Knuth bucket of u*1024+i mod 4
+    def bucket(id: Long): Long = {
+      val K = 2654435761L; val M = 1L << 32
+      val r = id % M; val hi = r >> 16; val lo = r & 0xFFFFL
+      ((hi * K % M) * 65536 + lo * K) % M
+    }
+    def expected(u: Long, banned: Set[Long]): List[(Long, Long, Long)] = {
+      val cands = (0 until 6).map(i => (bucket(u * 1024 + i) % 4, i))
+      val firstI = cands.groupBy(_._1).map { case (it, xs) => (it, xs.map(_._2).min) }
+      firstI.toList.filterNot(x => banned(x._1)).sortBy(_._2)
+        .take(2).zipWithIndex.map { case ((it, _), r) => (u, (r + 1).toLong, it) }
+    }
+    assert(out.sorted == (expected(1L, Set(0L, 1L)) ++ expected(2L, Set(3L))).sorted,
+      s"got $out")
+    // no emitted negative is a true interaction
+    val pos = Set((1L, 0L), (1L, 1L), (2L, 3L))
+    assert(out.forall { case (u, _, it) => !pos((u, it)) })
+  }
 }

@@ -273,6 +273,25 @@ class LexicalSpec extends SparkSpec {
     assert(out(1L) == "no pii here @ not-an-email +1-55-1")
   }
 
+  test("pii pseudonymization: stable tags preserve linkage, distinct ids differ") {
+    val out = Seq(
+      (0L, "from a@b.com to c@d.org then a@b.com again"),
+      (1L, "reply to a@b.com or call +1-555-123-4567"),
+      (2L, "no pii here at all"))
+      .toDF("id", "t")
+      .select(col("id"), TextAnalysis.pseudonymizePii(col("t")).as("p"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val tagAB = "\\[EMAIL_\\d+\\]".r.findAllIn(out(0L)).toSeq
+    assert(tagAB.length == 3, s"three email sites tagged: ${out(0L)}")
+    assert(tagAB(0) == tagAB(2), "the SAME address must carry the SAME tag")
+    assert(tagAB(0) != tagAB(1), "distinct addresses must differ")
+    // cross-document stability — the linkage property redaction destroys
+    val inDoc1 = "\\[EMAIL_\\d+\\]".r.findFirstIn(out(1L)).get
+    assert(inDoc1 == tagAB(0), s"a@b.com must tag identically across docs")
+    assert(out(1L).contains("[PHONE_"), out(1L))
+    assert(out(2L) == "no pii here at all")
+  }
+
   test("fused token_shingle_hashes matches the composed HOF spec, incl. edges") {
     val real = spark.read.parquet(s"$sf0001/documents.parquet")
       .select(col("doc_id"), col("text"))
