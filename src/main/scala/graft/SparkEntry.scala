@@ -334,6 +334,33 @@ object SparkEntry {
     // IVF prunes to 3 probed clusters, PQ codes shortlist inside the
     // probed set, exact rerank of the shortlist only — recall@5 vs the
     // exact scan, every stage replayed in the oracle SQL
+    // ---- [EXT] RESIDUAL encoding gain (Pq.trainResidual /
+    // reconErrorCol — true IVFADC, Jégou 2011 §IV: PQ encodes
+    // x − mu_assigned, reconstruction = mu + r̂): mean ‖x − x̂‖ of the
+    // residual scheme vs vanilla whole-vector PQ at IDENTICAL code
+    // size. On this corpus (isotropic unit vectors — coarse clustering
+    // explains only ~2% of variance) the gain is honest-but-small
+    // (~4%) and RETRIEVAL recall does not improve (measured; the
+    // mrl_recall class of data-ceiling result) — the training/encode/
+    // reconstruction contract is what's pinned, via both full Lloyd
+    // chains in the oracle. Means are DECIMAL(38,12)-exact.
+    "residual_recon_gain" -> ((s, dir) => {
+      import org.apache.spark.sql.types.DecimalType
+      def dec(c: org.apache.spark.sql.Column) = c.cast(DecimalType(38, 12))
+      val emb = Tables.embeddings(s, dir)
+      val cents = graft.search.Ann.kmeansCentroids(emb, "vec_id", "embedding", 10, 2)
+      val cbP = graft.search.Pq.train(emb, "vec_id", "embedding", 64, 8, 64, 2)
+      val cbR = graft.search.Pq.trainResidual(emb, "vec_id", "embedding",
+        cents, 64, 8, 64, 2)
+      val pe = emb.select(graft.search.Pq.reconErrorCol(col("embedding"), cbP).as("e"))
+        .agg(round(sum(dec(col("e"))).cast("double") / count(lit(1)), 6)
+          .as("mean_err_plain"))
+      val re = emb.select(graft.search.Pq.reconErrorCol(
+          graft.search.Pq.residualCol(col("embedding"), cents), cbR).as("e"))
+        .agg(round(sum(dec(col("e"))).cast("double") / count(lit(1)), 6)
+          .as("mean_err_resid"))
+      pe.crossJoin(re)
+    }),
     "ivfpq_recall" -> ((s, dir) => {
       val emb = Tables.embeddings(s, dir)
       val cb = graft.search.Pq.train(emb, "vec_id", "embedding", 64, 8, 64, 2)
@@ -3627,47 +3654,58 @@ object SparkEntry {
     * index-order accumulation) with lowest cid on ties; re-estimation =
     * per-dimension avg; empty clusters carry. Emits cb{mi}_{iters}
     * (final codebooks) and af{mi} (final assignments) per subspace. */
-  private def pqTrainSql: String = {
+  /** [[pqTrainSql]] generalized over the training source: `src` must
+    * expose (vec_id, `vcol`); `cast` adds the ::DOUBLE[] cast raw
+    * float embeddings need (a residual CTE is already DOUBLE[]);
+    * `p` prefixes every CTE name so two trainings can share one WITH
+    * (the residual_recon_gain oracle trains on embeddings AND on
+    * residuals). Emits `<p>cb<mi>_<iters>` and `<p>af<mi>`. */
+  private def pqTrainSqlOn(src: String, vcol: String, cast: Boolean,
+                           p: String): String = {
     def lo(mi: Int) = mi * PqSub + 1
     def hi(mi: Int) = (mi + 1) * PqSub
+    val castArr = if (cast) "::DOUBLE[]" else ""
+    val castEl = if (cast) "::DOUBLE" else ""
     def l2(a: String, b: String) =
       s"list_reduce(list_transform(range(1, ${PqSub + 1}), " +
         s"i -> ($a[i] - $b[i]) * ($a[i] - $b[i])), (x, y) -> x + y)"
     (0 until PqM).flatMap { mi =>
-      val slice = s"(e.embedding::DOUBLE[])[${lo(mi)}:${hi(mi)}]"
+      val slice = s"(e.$vcol$castArr)[${lo(mi)}:${hi(mi)}]"
       val c0 =
-        s"""cb${mi}_0 AS (
+        s"""${p}cb${mi}_0 AS (
            |  SELECT (row_number() OVER (ORDER BY vec_id)) - 1 AS cid,
-           |         (embedding::DOUBLE[])[${lo(mi)}:${hi(mi)}] AS centroid
-           |  FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT $PqKsub))""".stripMargin
+           |         ($vcol$castArr)[${lo(mi)}:${hi(mi)}] AS centroid
+           |  FROM (SELECT vec_id, $vcol FROM $src ORDER BY vec_id LIMIT $PqKsub))""".stripMargin
       val its = (1 to PqIters).map { n =>
-        s"""a${mi}_$n AS (
+        s"""${p}a${mi}_$n AS (
            |  SELECT vec_id, cid FROM (
            |    SELECT e.vec_id, c.cid,
            |           row_number() OVER (PARTITION BY e.vec_id
            |             ORDER BY ${l2(slice, "c.centroid")} ASC, c.cid ASC) AS rn
-           |    FROM embeddings e CROSS JOIN cb${mi}_${n - 1} c) WHERE rn = 1),
-           |m${mi}_$n AS (
-           |  SELECT a.cid, i, avg(e.embedding[${mi * PqSub} + i]::DOUBLE) AS c
-           |  FROM a${mi}_$n a JOIN embeddings e USING (vec_id),
+           |    FROM $src e CROSS JOIN ${p}cb${mi}_${n - 1} c) WHERE rn = 1),
+           |${p}m${mi}_$n AS (
+           |  SELECT a.cid, i, avg(e.$vcol[${mi * PqSub} + i]$castEl) AS c
+           |  FROM ${p}a${mi}_$n a JOIN $src e USING (vec_id),
            |       (SELECT unnest(range(1, ${PqSub + 1})) AS i) ix
            |  GROUP BY 1, 2),
-           |ml${mi}_$n AS (SELECT cid, list(c ORDER BY i) AS centroid
-           |               FROM m${mi}_$n GROUP BY cid),
-           |cb${mi}_$n AS (
+           |${p}ml${mi}_$n AS (SELECT cid, list(c ORDER BY i) AS centroid
+           |               FROM ${p}m${mi}_$n GROUP BY cid),
+           |${p}cb${mi}_$n AS (
            |  SELECT p.cid, coalesce(u.centroid, p.centroid) AS centroid
-           |  FROM cb${mi}_${n - 1} p LEFT JOIN ml${mi}_$n u USING (cid))""".stripMargin
+           |  FROM ${p}cb${mi}_${n - 1} p LEFT JOIN ${p}ml${mi}_$n u USING (cid))""".stripMargin
       }
       val af =
-        s"""af$mi AS (
+        s"""${p}af$mi AS (
            |  SELECT vec_id, cid FROM (
            |    SELECT e.vec_id, c.cid,
            |           row_number() OVER (PARTITION BY e.vec_id
            |             ORDER BY ${l2(slice, "c.centroid")} ASC, c.cid ASC) AS rn
-           |    FROM embeddings e CROSS JOIN cb${mi}_$PqIters c) WHERE rn = 1)""".stripMargin
+           |    FROM $src e CROSS JOIN ${p}cb${mi}_$PqIters c) WHERE rn = 1)""".stripMargin
       (c0 +: its) :+ af
     }.mkString(",\n")
   }
+
+  private def pqTrainSql: String = pqTrainSqlOn("embeddings", "embedding", cast = true, "")
 
   /** Portable polynomial hash of a string expression (Featurizer.tokenHash). */
   private def polySql(e: String): String =
@@ -4338,6 +4376,45 @@ object SparkEntry {
          |       AS recall_at_5""".stripMargin
     },
     "ivfpq_recall" -> ivfPqRecallSql,
+    // residual gain: coarse Lloyd → residuals → BOTH PQ trainings
+    // (prefix-isolated CTEs) → per-row recon errors → decimal means
+    "residual_recon_gain" ->
+      s"""WITH ${ivfTrainSql(10, 2)},
+         |resid AS (
+         |  SELECT e.vec_id,
+         |         list_transform(range(1, 65),
+         |           i -> e.embedding[i]::DOUBLE - c.centroid[i]) AS rv
+         |  FROM embeddings e JOIN iaf a USING (vec_id)
+         |  JOIN ic2 c ON a.cid = c.cid),
+         |$pqTrainSql,
+         |${pqTrainSqlOn("resid", "rv", cast = false, "r")},
+         |prec AS (
+         |  SELECT e.vec_id, e.embedding::DOUBLE[] AS v,
+         |         ${(0 until 8).map(mi => s"c$mi.centroid").mkString(" || ")} AS rec
+         |  FROM embeddings e
+         |  ${(0 until 8).map(mi =>
+              s"JOIN af$mi a$mi ON a$mi.vec_id = e.vec_id " +
+                s"JOIN cb${mi}_2 c$mi ON a$mi.cid = c$mi.cid").mkString("\n  ")}),
+         |perr AS (SELECT sqrt(list_reduce(list_transform(range(1, 65),
+         |           i -> (v[i] - rec[i]) * (v[i] - rec[i])), (a, b) -> a + b))
+         |           AS e
+         |         FROM prec),
+         |pm AS (SELECT round(sum(CAST(e AS DECIMAL(38,12)))::DOUBLE
+         |                    / count(*), 6) AS mean_err_plain FROM perr),
+         |rrec AS (
+         |  SELECT r.vec_id, r.rv AS v,
+         |         ${(0 until 8).map(mi => s"rc$mi.centroid").mkString(" || ")} AS rec
+         |  FROM resid r
+         |  ${(0 until 8).map(mi =>
+              s"JOIN raf$mi ra$mi ON ra$mi.vec_id = r.vec_id " +
+                s"JOIN rcb${mi}_2 rc$mi ON ra$mi.cid = rc$mi.cid").mkString("\n  ")}),
+         |rerr AS (SELECT sqrt(list_reduce(list_transform(range(1, 65),
+         |           i -> (v[i] - rec[i]) * (v[i] - rec[i])), (a, b) -> a + b))
+         |           AS e
+         |         FROM rrec),
+         |rm AS (SELECT round(sum(CAST(e AS DECIMAL(38,12)))::DOUBLE
+         |                    / count(*), 6) AS mean_err_resid FROM rerr)
+         |SELECT pm.mean_err_plain, rm.mean_err_resid FROM pm, rm""".stripMargin,
     // retrain from the index's current survivors (= the full corpus
     // after the 80/20 append) with the deterministic trainers ≡ the
     // in-memory full-corpus IVF-PQ replay

@@ -136,6 +136,94 @@ object Pq {
       corpus.select(col(idCol), encodeCol(col(vecCol), cb).as("codes")),
       query, k, cb, idCol)
 
+  /** The residual of a vector against its assigned coarse centroid,
+    * given the assignment column (double array out). */
+  private def residualOf(vecCol: Column, cents: Seq[Seq[Double]],
+                         cluster: Column): Column =
+    zip_with(transform(vecCol, x => x.cast("double")),
+      element_at(typedlit(cents), cluster + 1), (a, b) => a - b)
+
+  /** `x − mu_assigned(x)`: the residual encoding input of true IVFADC
+    * (Jégou et al. 2011 §IV) — see [[trainResidual]]. */
+  def residualCol(vecCol: Column, cents: Seq[Seq[Double]]): Column =
+    residualOf(vecCol, cents, Ann.assignCluster(vecCol, cents))
+
+  /** Train PQ codebooks on coarse-assignment RESIDUALS — the encoding
+    * FAISS's IVFADC actually uses: `x ≈ mu_c + PQ(x − mu_c)`. Residuals
+    * concentrate near the origin with far less variance than raw
+    * vectors (the coarse quantizer has already explained the
+    * between-cluster spread), so the same codebook budget quantizes
+    * them more finely and ADC recall rises over [[train]]'s vanilla
+    * whole-vector codes at identical code size. Delegates to [[train]]
+    * over the materialized residual column — one extra map stage, same
+    * Lloyd determinism contract. */
+  def trainResidual(corpus: DataFrame, idCol: String, vecCol: String,
+                    cents: Seq[Seq[Double]], dim: Int, m: Int, ksub: Int,
+                    iters: Int): Codebooks =
+    train(corpus.select(col(idCol),
+        residualCol(col(vecCol), cents).as("rv")),
+      idCol, "rv", dim, m, ksub, iters)
+
+  /** ADC cosine of the exact query against the RESIDUAL reconstruction
+    * `mu + r̂`: dot = q·mu + Σ_mi q_mi·r̂_mi, ‖mu+r̂‖² expanded as
+    * mu·mu + 2·Σ mu_mi·r̂_mi + Σ r̂_mi·r̂_mi — every term a driver-
+    * literal lookup (centroids + codebooks as reference objects), so
+    * scoring stays a map-only pass over (cluster, codes) rows with the
+    * float vectors untouched. Term association mirrors the oracle SQL
+    * exactly (left-folded subspace sums). */
+  private def adcResidualSim(cb: Codebooks, cents: Seq[Seq[Double]],
+                             cluster: Column, codes: Column,
+                             qvec: Column): Column = {
+    def entry(mi: Int): Column =
+      element_at(typedlit(cb.books(mi)), element_at(codes, mi + 1).cast("int") + 1)
+    val mu = element_at(typedlit(cents), cluster + 1)
+    def muSub(mi: Int): Column = slice(mu, mi * cb.sub + 1, cb.sub)
+    val dotSum = VectorOps.dot(transform(qvec, x => x.cast("double")), mu) +
+      (0 until cb.m).map(mi =>
+        VectorOps.dot(subCol(qvec, mi, cb.sub), entry(mi))).reduce(_ + _)
+    val muDotR = (0 until cb.m).map(mi =>
+      VectorOps.dot(muSub(mi), entry(mi))).reduce(_ + _)
+    val rNorm2 = (0 until cb.m).map(mi =>
+      VectorOps.dot(entry(mi), entry(mi))).reduce(_ + _)
+    val norm2 = VectorOps.dot(mu, mu) + lit(2.0) * muDotR + rNorm2
+    val qn = VectorOps.l2Norm(transform(qvec, x => x.cast("double")))
+    when(qn === lit(0.0) || norm2 <= lit(0.0), lit(0.0))
+      .otherwise(dotSum / (qn * sqrt(norm2)))
+  }
+
+  /** Residual-encoded IVF-PQ retrieval (true IVFADC): probe the top
+    * `nprobe` coarse clusters, ADC-score the probed rows' RESIDUAL
+    * codes against the exact query, return the top k — no float-vector
+    * rerank, so the number measures the residual encoding itself
+    * (compare `pq_recall`, the vanilla whole-vector ADC). Same probe /
+    * candidate plan shape as [[ivfPqTopK]] with caller-supplied coarse
+    * centroids. */
+  def ivfPqResidualTopK(corpus: DataFrame, query: DataFrame, k: Int,
+                        nprobe: Int, cents: Seq[Seq[Double]], cb: Codebooks,
+                        idCol: String = "vec_id",
+                        vecCol: String = "embedding"): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val centsDf = cents.zipWithIndex.map { case (c, i) => (i, c) }
+      .toDF("__cluster", "centroid")
+    val probes = centsDf.crossJoin(broadcast(query))
+      .withColumn("csim", round(VectorOps.cosine(col("centroid"), col("qvec")), 6))
+      .orderBy(col("csim").desc, col("__cluster").asc)
+      .limit(nprobe)
+      .select(col("__cluster"))
+    val coded = corpus
+      .withColumn("__cluster", Ann.assignCluster(col(vecCol), cents))
+      .join(broadcast(probes), Seq("__cluster"), "left_semi")
+      .select(col(idCol), col("__cluster"),
+        encodeCol(residualOf(col(vecCol), cents, col("__cluster")), cb).as("codes"))
+    coded.crossJoin(broadcast(query))
+      .select(col(idCol),
+        round(adcResidualSim(cb, cents, col("__cluster"), col("codes"),
+          col("qvec")), 6).as("sim"))
+      .orderBy(col("sim").desc, col(idCol).asc)
+      .limit(k)
+  }
+
   /** The composed modern vector index — the FAISS-IVFPQ shape: IVF
     * coarse clustering prunes the corpus to `nprobe` probed clusters
     * (partition pruning when the index is written `partitionBy`
@@ -500,6 +588,19 @@ object Pq {
     concat((0 until cb.m).map(mi =>
       element_at(typedlit(cb.books(mi)),
         element_at(codes, mi + 1).cast("int") + 1)): _*)
+
+  /** Per-row reconstruction error `‖v − PQ(v)‖` of `v` through `cb` —
+    * encode + decode + L2 in one expression (raw, unnormalized: the
+    * codebook-quality metric; [[reconstructionDrift]] uses the
+    * normalized form for RANKING-impact monitoring). For residual
+    * codebooks pass the residual column: `‖r − r̂‖` IS the full
+    * reconstruction error of `mu + r̂` against `x`. */
+  def reconErrorCol(vec: Column, cb: Codebooks): Column = {
+    val v = transform(vec, x => x.cast("double"))
+    val rec = reconstructCol(encodeCol(vec, cb), cb)
+    sqrt(VectorOps.dot(zip_with(v, rec, (a, b) => a - b),
+      zip_with(v, rec, (a, b) => a - b)))
+  }
 
   /** Record RANGE-pruning stats for a materialized IVF-PQ index at
     * `<path>/codes.rstats` — [[Ann.recordRangeStats]]'s per-cluster

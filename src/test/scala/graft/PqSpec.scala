@@ -373,4 +373,34 @@ class PqSpec extends SparkSpec {
     // antipodal — ADC must keep the two groups apart
     assert(top == (0L until 12L by 2).toSet, s"got $top")
   }
+
+  test("residual IVFADC with one codeword per residual reconstructs exactly ≡ knn") {
+    import graft.search.{Ann, Search}
+    // ksub = corpus size → every residual is its own codeword → the
+    // reconstruction mu + r̂ equals x exactly and residual-ADC cosine
+    // IS the exact cosine: top-k must equal the brute-force scan
+    val cents = Ann.kmeansCentroids(corpus, "vec_id", "embedding", 2, 2)
+    val cb = Pq.trainResidual(corpus, "vec_id", "embedding", cents, 8, 2, 12, 2)
+    val q = corpus.filter(col("vec_id") === 3L)
+      .select(col("embedding").as("qvec"))
+    val got = Pq.ivfPqResidualTopK(corpus, q, 5, nprobe = 2, cents, cb)
+      .collect().map(_.getLong(0)).toSeq
+    val exact = Search.knn(corpus, q, 5).collect().map(_.getLong(0)).toSeq
+    assert(got == exact, s"got $got vs exact $exact")
+  }
+
+  test("residual codebooks reconstruct no worse than whole-vector PQ on the corpus") {
+    import graft.search.Ann
+    val emb = spark.read.parquet(s"$sf0001/embeddings.parquet")
+    val cents = Ann.kmeansCentroids(emb, "vec_id", "embedding", 10, 2)
+    val cbP = Pq.train(emb, "vec_id", "embedding", 64, 8, 64, 2)
+    val cbR = Pq.trainResidual(emb, "vec_id", "embedding", cents, 64, 8, 64, 2)
+    val plain = emb.select(Pq.reconErrorCol(col("embedding"), cbP).as("e"))
+      .agg(avg(col("e"))).head().getDouble(0)
+    val resid = emb.select(Pq.reconErrorCol(
+        Pq.residualCol(col("embedding"), cents), cbR).as("e"))
+      .agg(avg(col("e"))).head().getDouble(0)
+    assert(resid < plain,
+      s"residual encoding must be finer: resid $resid !< plain $plain")
+  }
 }
