@@ -519,6 +519,17 @@ object SparkEntry {
           .select(lit(np.toLong).as("nprobe"), (col("__h") / 5.0).as("recall_at_5"))
       }.reduce(_.unionByName(_)).orderBy(col("nprobe"))
     }),
+    // ---- [EXT] nprobe auto-tuner: the smallest probe count on the
+    // recall curve meeting the 0.8 target (falls back to the largest
+    // measured nprobe when none qualifies) — the knob-setting decision
+    // the curve exists to inform, folded to one deterministic row.
+    "nprobe_pick" -> ((s, dir) => {
+      val curve = queries("ann_nprobe_curve")(s, dir)
+      val ok = (col("recall_at_5") >= 0.8).cast("int")
+      curve.orderBy(ok.desc,
+          when(ok === 1, col("nprobe")).otherwise(-col("nprobe")).asc)
+        .limit(1)
+    }),
     // ---- [EXT] ANN quality for the LSH path: recall@5 vs the exact
     // scan; the seeded hyperplanes are model state, inlined into the
     // oracle SQL as double literals
@@ -1123,6 +1134,36 @@ object SparkEntry {
     "curation_keep" -> ((s, dir) =>
       graft.analysis.Curation.keep(Tables.documents(s, dir), "doc_id", "text")
         .orderBy(col("doc_id"))),
+    // ---- [EXT] the curation FUNNEL card — the "data funnel" every
+    // corpus release reports: docs/tokens surviving each pipeline
+    // stage (raw → exact-dedup keep → quality keep → per-source cap),
+    // stages composed from the verified operators themselves. One row
+    // per stage; each stage filters the previous stage's survivors.
+    "curation_funnel" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val base = docs.select(col("doc_id"), col("source"), col("text"),
+        TextAnalysis.tokenCount(col("text")).cast("long").as("n_tok"),
+        TextAnalysis.qualityScore(col("text")).as("q"))
+      val s1 = base.withColumn("__min",
+          min(col("doc_id")).over(Window.partitionBy(md5(col("text")))))
+        .filter(col("doc_id") === col("__min")).drop("__min")
+      val keepIds = graft.analysis.Curation.keep(docs, "doc_id", "text")
+        .filter(col("keep") === 1L).select(col("doc_id"))
+      val s2 = s1.join(keepIds, Seq("doc_id"), "left_semi")
+      val w = Window.partitionBy(col("source"))
+        .orderBy(col("q").desc, col("doc_id").asc)
+      val s3 = s2.withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") <= 10)
+      def stat(df: DataFrame, ord: Int, name: String) =
+        df.agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tokens"))
+          .select(lit(ord.toLong).as("stage_ord"), lit(name).as("stage"),
+            col("n_docs"), col("n_tokens"))
+      stat(base, 0, "raw")
+        .unionByName(stat(s1, 1, "exact_dedup"))
+        .unionByName(stat(s2, 2, "quality"))
+        .unionByName(stat(s3, 3, "source_cap"))
+        .orderBy(col("stage_ord"))
+    }),
     // ---- [EXT] corpus-trained bigram LM surprisal (perplexity-style
     // quality filter): add-k smoothed -ln P(w2|w1) averaged per doc;
     // the model is data (count tables joined on their keys), not
@@ -1168,6 +1209,25 @@ object SparkEntry {
         .groupBy(col("doc_id")).agg(sum(col("n")).as("weight"))
       graft.analysis.SeqPack.packWindows(weighted, "doc_id", "weight", 512L)
         .orderBy(col("doc_id"))
+    }),
+    // ---- [EXT] tokenizer FERTILITY per language (the multilingual-
+    // fairness gate, XLM-R/NLLB practice): BPE symbols emitted per
+    // whitespace token under the trained merge table — a language the
+    // tokenizer fragments pays more sequence length for the same text;
+    // composes Bpe.mergeTable + encodeSymbols with a lang-keyed reduce.
+    "bpe_fertility" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val table = graft.text.Bpe.mergeTable(docs, "text", 6)
+      val perDoc = graft.text.Bpe.encodeSymbols(docs, "doc_id", "text", table)
+        .groupBy(col("doc_id")).agg(sum(col("n")).as("n_sym"))
+      docs.select(col("doc_id"), col("lang"),
+          TextAnalysis.tokenCount(col("text")).cast("long").as("n_tok"))
+        .join(perDoc, Seq("doc_id"))
+        .groupBy(col("lang"))
+        .agg(sum(col("n_sym")).as("n_symbols"), sum(col("n_tok")).as("n_tokens"),
+          round(sum(col("n_sym")).cast("double") /
+            sum(col("n_tok")).cast("double"), 6).as("fertility"))
+        .orderBy(col("lang"))
     }),
     // ---- [EXT] character-entropy quality signal (the CCNet/Gopher
     // compression-ratio heuristic, codec-free so the oracle replays it
@@ -3707,6 +3767,79 @@ object SparkEntry {
 
   private def pqTrainSql: String = pqTrainSqlOn("embeddings", "embedding", cast = true, "")
 
+  /** Curation keep/drop decision replay (quality + repetition signals
+    * → first-failing reason), CTEs ending in `dec(doc_id, reason)` —
+    * shared by `curation_keep` and `curation_funnel`. */
+  private lazy val curationDecCtes: String =
+    s"""rq AS (
+       |  SELECT doc_id,
+       |         round(0.4 * least(len($toksSql) / 50.0, 1.0) +
+       |               0.3 * (1.0 - (length(lower(text)) -
+       |                 length(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g')))::DOUBLE /
+       |                 greatest(length(text), 1)) +
+       |               0.3 * least((len(list_filter($toksSql,
+       |                   t -> list_contains(['the','and','of','to','in','is'], t)))::DOUBLE /
+       |                 greatest(len($toksSql), 1)) * 5.0, 1.0), 6) AS qscore
+       |  FROM documents),
+       |d AS (SELECT doc_id, string_split(text, ' ') AS ws,
+       |             length(text) AS nc FROM documents),
+       |sst AS (SELECT doc_id, nc, len(ws) AS nw,
+       |               len(list_distinct(ws)) AS ndw FROM d),
+       |bg AS (SELECT doc_id, ws[i] || ' ' || ws[i+1] AS g
+       |       FROM d, LATERAL (SELECT unnest(range(1, len(ws))) AS i) t),
+       |cnt AS (SELECT doc_id, g, count(*) AS c FROM bg GROUP BY 1, 2),
+       |top AS (SELECT doc_id, c, g FROM
+       |         (SELECT doc_id, c, g,
+       |                 row_number() OVER (PARTITION BY doc_id
+       |                                    ORDER BY c DESC, g) AS rn
+       |          FROM cnt) WHERE rn = 1),
+       |rep AS (
+       |  SELECT sst.doc_id,
+       |         round((nw - ndw) / greatest(nw, 1)::DOUBLE, 6) AS dup_word_frac,
+       |         round(coalesce(c * length(g), 0) / greatest(nc, 1)::DOUBLE, 6) AS top2_frac
+       |  FROM sst LEFT JOIN top ON sst.doc_id = top.doc_id),
+       |dec AS (
+       |  SELECT rq.doc_id,
+       |         CASE WHEN qscore < 0.45 THEN 'low_quality'
+       |              WHEN dup_word_frac > 0.65 THEN 'repetitive_words'
+       |              WHEN top2_frac > 0.12 THEN 'repetitive_bigram'
+       |              ELSE 'ok' END AS reason
+       |  FROM rq JOIN rep ON rq.doc_id = rep.doc_id)""".stripMargin
+
+  /** The nprobe→recall@5 curve replay (shared by `ann_nprobe_curve`
+    * and the `nprobe_pick` auto-tuner). */
+  private lazy val annNprobeCurveSql: String =
+    s"""WITH q AS (SELECT embedding AS qvec FROM embeddings WHERE vec_id = 0),
+       |${ivfTrainSql(10, 2)},
+       |pr AS (
+       |  SELECT cid, row_number() OVER (
+       |    ORDER BY round(${rawCosSql("centroid", "qvec::DOUBLE[]")}, 6) DESC,
+       |             cid ASC) AS prk
+       |  FROM ic2, q),
+       |nps AS (SELECT unnest([1, 2, 4, 8]) AS np),
+       |annk AS (
+       |  SELECT np, vec_id FROM (
+       |    SELECT n.np AS np, e.vec_id,
+       |           row_number() OVER (PARTITION BY n.np
+       |             ORDER BY ${cosSql("e.embedding", "q.qvec")} DESC,
+       |                      e.vec_id ASC) AS rk
+       |    FROM embeddings e
+       |    JOIN iaf ON e.vec_id = iaf.vec_id
+       |    JOIN pr ON iaf.cid = pr.cid
+       |    CROSS JOIN nps n, q
+       |    WHERE pr.prk <= n.np)
+       |  WHERE rk <= 5),
+       |ex5 AS (
+       |  SELECT vec_id FROM (
+       |    SELECT e.vec_id, ${cosSql("e.embedding", "q.qvec")} AS sim
+       |    FROM embeddings e, q)
+       |  ORDER BY sim DESC, vec_id ASC LIMIT 5),
+       |hits AS (SELECT a.np, count(*) AS h FROM annk a
+       |         JOIN ex5 USING (vec_id) GROUP BY a.np)
+       |SELECT n.np::BIGINT AS nprobe, coalesce(h.h, 0) / 5.0 AS recall_at_5
+       |FROM nps n LEFT JOIN hits h ON h.np = n.np
+       |ORDER BY nprobe""".stripMargin
+
   /** Portable polynomial hash of a string expression (Featurizer.tokenHash). */
   private def polySql(e: String): String =
     s"list_reduce(list_prepend(7::BIGINT, [ord(x)::BIGINT for x in string_split_regex($e, '')]), " +
@@ -4902,37 +5035,14 @@ object SparkEntry {
     },
     // one Lloyd replay, probes ranked once, per-np truncation by a
     // cross join over the literal nprobe list
-    "ann_nprobe_curve" ->
-      s"""WITH q AS (SELECT embedding AS qvec FROM embeddings WHERE vec_id = 0),
-         |${ivfTrainSql(10, 2)},
-         |pr AS (
-         |  SELECT cid, row_number() OVER (
-         |    ORDER BY round(${rawCosSql("centroid", "qvec::DOUBLE[]")}, 6) DESC,
-         |             cid ASC) AS prk
-         |  FROM ic2, q),
-         |nps AS (SELECT unnest([1, 2, 4, 8]) AS np),
-         |annk AS (
-         |  SELECT np, vec_id FROM (
-         |    SELECT n.np AS np, e.vec_id,
-         |           row_number() OVER (PARTITION BY n.np
-         |             ORDER BY ${cosSql("e.embedding", "q.qvec")} DESC,
-         |                      e.vec_id ASC) AS rk
-         |    FROM embeddings e
-         |    JOIN iaf ON e.vec_id = iaf.vec_id
-         |    JOIN pr ON iaf.cid = pr.cid
-         |    CROSS JOIN nps n, q
-         |    WHERE pr.prk <= n.np)
-         |  WHERE rk <= 5),
-         |ex5 AS (
-         |  SELECT vec_id FROM (
-         |    SELECT e.vec_id, ${cosSql("e.embedding", "q.qvec")} AS sim
-         |    FROM embeddings e, q)
-         |  ORDER BY sim DESC, vec_id ASC LIMIT 5),
-         |hits AS (SELECT a.np, count(*) AS h FROM annk a
-         |         JOIN ex5 USING (vec_id) GROUP BY a.np)
-         |SELECT n.np::BIGINT AS nprobe, coalesce(h.h, 0) / 5.0 AS recall_at_5
-         |FROM nps n LEFT JOIN hits h ON h.np = n.np
-         |ORDER BY nprobe""".stripMargin,
+    "ann_nprobe_curve" -> annNprobeCurveSql,
+    // auto-tuner: the curve subquery + the qualify-first-else-largest
+    // pick order, LIMIT 1
+    "nprobe_pick" ->
+      s"""SELECT nprobe, recall_at_5 FROM ($annNprobeCurveSql)
+         |ORDER BY (CASE WHEN recall_at_5 >= 0.8 THEN 0 ELSE 1 END),
+         |         (CASE WHEN recall_at_5 >= 0.8 THEN nprobe ELSE -nprobe END)
+         |LIMIT 1""".stripMargin,
     "ann_kmeans_recall" -> {
       // Lloyd's k-means unrolled: assignment = raw-cosine argmax with
       // lowest cid on ties (row_number mirror of NearestCentroid),
@@ -5751,43 +5861,43 @@ object SparkEntry {
         |FROM lineitem, b
         |GROUP BY 1 ORDER BY bucket""".stripMargin,
     "curation_keep" ->
-      s"""WITH rq AS (
-         |  SELECT doc_id,
+      s"""WITH $curationDecCtes
+         |SELECT doc_id, reason,
+         |       (CASE WHEN reason = 'ok' THEN 1 ELSE 0 END)::BIGINT AS keep
+         |FROM dec ORDER BY doc_id""".stripMargin,
+    // funnel: each stage filters the previous stage's survivors —
+    // md5 min-id dedup, the curation 'ok' gate, the per-source top-10
+    // quality cap — with doc/token mass per stage
+    "curation_funnel" ->
+      s"""WITH $curationDecCtes,
+         |base AS (
+         |  SELECT doc_id, source, len($toksSql)::BIGINT AS n_tok,
          |         round(0.4 * least(len($toksSql) / 50.0, 1.0) +
          |               0.3 * (1.0 - (length(lower(text)) -
          |                 length(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g')))::DOUBLE /
          |                 greatest(length(text), 1)) +
          |               0.3 * least((len(list_filter($toksSql,
          |                   t -> list_contains(['the','and','of','to','in','is'], t)))::DOUBLE /
-         |                 greatest(len($toksSql), 1)) * 5.0, 1.0), 6) AS qscore
+         |                 greatest(len($toksSql), 1)) * 5.0, 1.0), 6) AS qs,
+         |         min(doc_id) OVER (PARTITION BY md5(text)) AS keep_id
          |  FROM documents),
-         |d AS (SELECT doc_id, string_split(text, ' ') AS ws,
-         |             length(text) AS nc FROM documents),
-         |sst AS (SELECT doc_id, nc, len(ws) AS nw,
-         |               len(list_distinct(ws)) AS ndw FROM d),
-         |bg AS (SELECT doc_id, ws[i] || ' ' || ws[i+1] AS g
-         |       FROM d, LATERAL (SELECT unnest(range(1, len(ws))) AS i) t),
-         |cnt AS (SELECT doc_id, g, count(*) AS c FROM bg GROUP BY 1, 2),
-         |top AS (SELECT doc_id, c, g FROM
-         |         (SELECT doc_id, c, g,
-         |                 row_number() OVER (PARTITION BY doc_id
-         |                                    ORDER BY c DESC, g) AS rn
-         |          FROM cnt) WHERE rn = 1),
-         |rep AS (
-         |  SELECT sst.doc_id,
-         |         round((nw - ndw) / greatest(nw, 1)::DOUBLE, 6) AS dup_word_frac,
-         |         round(coalesce(c * length(g), 0) / greatest(nc, 1)::DOUBLE, 6) AS top2_frac
-         |  FROM sst LEFT JOIN top ON sst.doc_id = top.doc_id),
-         |dec AS (
-         |  SELECT rq.doc_id,
-         |         CASE WHEN qscore < 0.45 THEN 'low_quality'
-         |              WHEN dup_word_frac > 0.65 THEN 'repetitive_words'
-         |              WHEN top2_frac > 0.12 THEN 'repetitive_bigram'
-         |              ELSE 'ok' END AS reason
-         |  FROM rq JOIN rep ON rq.doc_id = rep.doc_id)
-         |SELECT doc_id, reason,
-         |       (CASE WHEN reason = 'ok' THEN 1 ELSE 0 END)::BIGINT AS keep
-         |FROM dec ORDER BY doc_id""".stripMargin,
+         |s1 AS (SELECT * FROM base WHERE doc_id = keep_id),
+         |s2 AS (SELECT s1.* FROM s1 JOIN dec ON s1.doc_id = dec.doc_id
+         |       WHERE dec.reason = 'ok'),
+         |s3 AS (SELECT * FROM (
+         |         SELECT s2.*, row_number() OVER (PARTITION BY source
+         |                  ORDER BY qs DESC, doc_id ASC) AS rk
+         |         FROM s2) WHERE rk <= 10)
+         |SELECT * FROM (
+         |  SELECT 0::BIGINT AS stage_ord, 'raw' AS stage,
+         |         count(*) AS n_docs, sum(n_tok)::BIGINT AS n_tokens FROM base
+         |  UNION ALL
+         |  SELECT 1, 'exact_dedup', count(*), sum(n_tok)::BIGINT FROM s1
+         |  UNION ALL
+         |  SELECT 2, 'quality', count(*), sum(n_tok)::BIGINT FROM s2
+         |  UNION ALL
+         |  SELECT 3, 'source_cap', count(*), sum(n_tok)::BIGINT FROM s3)
+         |ORDER BY stage_ord""".stripMargin,
     // Lloyd replay → per-cluster population + share, empty clusters at 0
     "ivf_cluster_stats" ->
       s"""WITH ${ivfTrainSql(10, 2)},
@@ -5894,6 +6004,21 @@ object SparkEntry {
          |       FROM bw)
          |SELECT doc_id, weight, (cum // 512)::BIGINT AS window_id
          |FROM bc ORDER BY doc_id""".stripMargin),
+    // fertility: the 6-merge encode chain reduced to per-doc symbol
+    // totals, joined to whitespace token counts, lang-keyed
+    "bpe_fertility" -> (bpeEncodeChainSql(6) +
+      s""",
+         |bw AS (SELECT doc_id, count(*)::BIGINT AS n_sym FROM (
+         |    SELECT doc_id, unnest(list_filter(string_split(s, '|'), x -> x <> '')) AS sym
+         |    FROM e6) GROUP BY doc_id),
+         |wtok AS (SELECT doc_id, lang, len($toksSql)::BIGINT AS n_tok
+         |         FROM documents)
+         |SELECT t.lang, sum(b.n_sym)::BIGINT AS n_symbols,
+         |       sum(t.n_tok)::BIGINT AS n_tokens,
+         |       round(sum(b.n_sym)::DOUBLE / sum(t.n_tok)::DOUBLE, 6)
+         |         AS fertility
+         |FROM wtok t JOIN bw b USING (doc_id)
+         |GROUP BY 1 ORDER BY 1""".stripMargin),
     "repetition_stats" ->
       """WITH d AS (SELECT doc_id, string_split(text, ' ') AS ws,
         |                  length(text) AS nc FROM documents),
