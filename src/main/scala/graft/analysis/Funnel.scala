@@ -218,13 +218,53 @@ object Funnel {
       .groupBy(col(userCol), col("__sess"))
       .agg(count(lit(1)).as("__n"),
         (unix_micros(max(col(tsCol))) - unix_micros(min(col(tsCol)))).as("__durus"))
+    statsFromSessionRows(
+      sessions.select(col("__n").as("n_events"), col("__durus").as("dur_us")))
+  }
+
+  /** The [[sessionStats]] report tail over MATERIALIZED session rows
+    * `(n_events, dur_us)` — factored so the drained streaming twin
+    * ([[graft.streaming.StreamIngest.sessionStream]]) and the batch
+    * windows aggregate through one definition. */
+  def statsFromSessionRows(sessions: DataFrame): DataFrame =
     sessions.agg(
       count(lit(1)).as("n_sessions"),
-      count(when(col("__n") === 1L, lit(1))).as("n_bounce"),
-      round(count(when(col("__n") === 1L, lit(1))).cast("double") /
+      count(when(col("n_events") === 1L, lit(1))).as("n_bounce"),
+      round(count(when(col("n_events") === 1L, lit(1))).cast("double") /
         count(lit(1)), 6).as("bounce_rate"),
-      round(sum(col("__n")).cast("double") / count(lit(1)), 6).as("avg_events"),
-      round(expr("percentile(__durus / 1e6, 0.5D)"), 6).as("p50_duration_secs"))
+      round(sum(col("n_events")).cast("double") / count(lit(1)), 6).as("avg_events"),
+      round(expr("percentile(dur_us / 1e6, 0.5D)"), 6).as("p50_duration_secs"))
+
+  /** [[sessionStats]]'s gap sessionization folded locally over ONE
+    * user's event-time MULTISET (micros → occurrence count) — the
+    * kernel [[graft.streaming.StreamIngest.sessionStream]] keeps in
+    * per-key state. ORDER-FREE by construction: the multiset sorts
+    * before the walk, so any delivery order folds to the same session
+    * list — and a LATE event landing inside a gap merges the two
+    * sessions it separated, exactly as the batch windows would have.
+    * Duplicate timestamps are distinct events in the same session
+    * (count(*) semantics, the batch tie behavior). Returns
+    * `(n_events, duration_us)` per session, ascending by start. */
+  private[graft] def foldSessions(times: Map[Long, Long],
+                                  gapUs: Long): List[(Long, Long)] = {
+    val ts = times.keys.toSeq.sorted
+    if (ts.isEmpty) Nil
+    else {
+      var out = List.empty[(Long, Long)]
+      var sStart = ts.head
+      var sLast = ts.head
+      var n = times(ts.head)
+      ts.tail.foreach { t =>
+        if (t - sLast > gapUs) {
+          out = (n, sLast - sStart) :: out
+          sStart = t
+          n = 0L
+        }
+        n += times(t)
+        sLast = t
+      }
+      ((n, sLast - sStart) :: out).reverse
+    }
   }
 
   /** A/B funnel experiment readout — the two-proportion z-test between

@@ -436,6 +436,55 @@ object StreamIngest {
       }
   }
 
+  /** Per-user streaming-sessionization state: the event-time MULTISET
+    * (micros → occurrence count). */
+  case class SessionTimes(times: Map[Long, Long])
+
+  /** One user's sessions as of the latest update: parallel arrays of
+    * per-session event counts and durations (micros), ascending by
+    * session start; `n_events` is monotone — latest row per user is
+    * the max. */
+  case class UserSessions(user: String, n_events: Long,
+                          ns: Seq[Long], durs: Seq[Long])
+
+  /** Streaming gap-sessionization — the stateful twin of
+    * [[graft.analysis.Funnel.sessionStats]]'s sessionization: per-user
+    * `mapGroupsWithState` folds arriving event times into a multiset
+    * and re-derives the session list through the SAME order-free
+    * kernel the batch windows compute
+    * ([[graft.analysis.Funnel.foldSessions]]) — so drained ≡ batch
+    * under ANY delivery order, including the case no incremental
+    * sessionizer can fake: a LATE event landing inside a gap MERGES
+    * the two sessions it separated. That revisability is exactly why
+    * nothing prunes — any past time could bridge a future gap — so
+    * state per user is bounded by the user's distinct event times
+    * (the time-boxed-funnel documentation class, heavier than the
+    * step-times or day-set twins; cap upstream by retention window
+    * when users are unbounded). Feed a drained sink's latest rows,
+    * exploded to `(n_events, dur_us)`, into
+    * [[graft.analysis.Funnel.statsFromSessionRows]]. */
+  def sessionStream(events: DataFrame, userCol: String, tsCol: String,
+                    gapSeconds: Long): Dataset[UserSessions] = {
+    require(gapSeconds > 0, "gapSeconds must be positive")
+    val spark = events.sparkSession
+    import spark.implicits._
+    val gapUs = gapSeconds * 1000000L
+    events
+      .select(col(userCol).cast("string").as("u"),
+        unix_micros(col(tsCol)).as("t"))
+      .as[(String, Long)]
+      .groupByKey(_._1)
+      .mapGroupsWithState[SessionTimes, UserSessions](
+        org.apache.spark.sql.streaming.GroupStateTimeout.NoTimeout) {
+        (u, it, state) =>
+          var m = state.getOption.map(_.times).getOrElse(Map.empty[Long, Long])
+          it.foreach { case (_, t) => m = m.updated(t, m.getOrElse(t, 0L) + 1L) }
+          state.update(SessionTimes(m))
+          val ss = graft.analysis.Funnel.foldSessions(m, gapUs)
+          UserSessions(u, m.values.sum, ss.map(_._1), ss.map(_._2))
+      }
+  }
+
   case class RateState(hours: Map[Long, Long], nEvents: Long)
   /** One emitted row per key update: the key's full hour→count state,
     * hours ascending, counts aligned. */

@@ -389,6 +389,59 @@ class StoreStreamSpec extends SparkSpec {
     }
   }
 
+  test("streaming sessions: drained ≡ batch stats on newest-first delivery; late event merges sessions") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val events = graft.io.Tables.events(spark, sf0001)
+      .select(col("user_id"), col("ts"))
+    val rows = events.collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1))).toSeq
+    // newest-first: every session's START arrives last — the multiset
+    // fold must re-derive splits all the way down
+    val reversed = rows.sortBy(_._2.getTime).reverse
+    val input = MemoryStream[(Long, java.sql.Timestamp)]
+    val gap = 6L * 3600
+    val q = StreamIngest.sessionStream(
+        input.toDF().toDF("user_id", "ts"), "user_id", "ts", gap)
+      .writeStream.outputMode("update").format("memory")
+      .queryName("session_sink").start()
+    reversed.grouped(997).foreach { g => input.addData(g); q.processAllAvailable() }
+    q.stop()
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user")).orderBy(col("n_events").desc)
+    val latest = spark.table("session_sink")
+      .withColumn("__rn", org.apache.spark.sql.functions.row_number().over(w))
+      .filter(col("__rn") === 1)
+      .select(explode(arrays_zip(col("ns"), col("durs"))).as("s"))
+      .select(col("s.ns").as("n_events"), col("s.durs").as("dur_us"))
+    def row(df: org.apache.spark.sql.DataFrame) = df.collect().head.toSeq
+    val streamed = row(graft.analysis.Funnel.statsFromSessionRows(latest))
+    val batch = row(graft.analysis.Funnel.sessionStats(events, "user_id", "ts", gap))
+    assert(streamed == batch, s"drained $streamed vs batch $batch")
+    assert(streamed.head.asInstanceOf[Long] > 0L)
+  }
+
+  test("streaming sessions: a late mid-gap event merges the sessions it separated") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    def ts(h: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 $h%02d:00:00")
+    val input = MemoryStream[(Long, java.sql.Timestamp)]
+    val q = StreamIngest.sessionStream(
+        input.toDF().toDF("user_id", "ts"), "user_id", "ts", 3600L)
+      .writeStream.outputMode("update").format("memory")
+      .queryName("session_merge").start()
+    input.addData((1L, ts(0)), (1L, ts(3))) // 3h apart → two sessions
+    q.processAllAvailable()
+    val mid = spark.table("session_merge").orderBy(col("n_events").desc).head()
+    assert(mid.getSeq[Long](2).length == 2, "two sessions before the late event")
+    input.addData((1L, ts(1)), (1L, ts(2))) // late bridge: gaps now <= 1h
+    q.processAllAvailable()
+    q.stop()
+    val out = spark.table("session_merge").orderBy(col("n_events").desc).head()
+    assert(out.getSeq[Long](2).toSeq == Seq(4L), "bridge must merge into ONE session")
+    assert(out.getSeq[Long](3).toSeq == Seq(3L * 3600 * 1000000L))
+  }
+
   test("streaming retention: drained stream ≡ batch cohorts, late events move cohorts exactly") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx = spark.sqlContext
