@@ -4,7 +4,7 @@ import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 
-import graft.functions.{CosineSimilarity, DotProduct, FeaturizeCounts, ImageMeta, L2Normalize, BloomFilterAgg, BloomMightContain, GunzipText, MinHashSignature, PdfExtract, QuantizeInt8, SimHash64, SortedArrayIntersectCount, SortedJaccard, TokenShingleHashes, VectorAvg}
+import graft.functions.{CosineSimilarity, DotProduct, FeaturizeCounts, ImageMeta, PngText, L2Normalize, BloomFilterAgg, BloomMightContain, GunzipText, MinHashSignature, PdfExtract, QuantizeInt8, SimHash64, SortedArrayIntersectCount, SortedJaccard, TokenShingleHashes, VectorAvg}
 
 /** Registers the engine's native expressions as SQL functions, so the
   * full surface is reachable from `spark.sql(...)` as well as the Column
@@ -117,6 +117,9 @@ object GraftExtensions {
     ("image_meta",
       new ExpressionInfo(classOf[ImageMeta].getName, "image_meta"),
       (es: Seq[Expression]) => ImageMeta(es(0))),
+    ("png_text",
+      new ExpressionInfo(classOf[PngText].getName, "png_text"),
+      (es: Seq[Expression]) => PngText(es(0))),
     ("chunk_text",
       new ExpressionInfo(classOf[graft.functions.ChunkText].getName, "chunk_text"),
       (es: Seq[Expression]) => graft.functions.ChunkText(es(0),

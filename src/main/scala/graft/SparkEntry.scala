@@ -2246,6 +2246,34 @@ object SparkEntry {
     // the row id by arithmetic, so the oracle pins every decoded value
     // without an image library; corrupt/truncated payloads must decode
     // to NULL (surfaced as sentinels), never throw.
+    // ---- [EXT] PNG tEXt CAPTION extraction (functions.PngText): the
+    // image–text pairing read (LAION-style corpora carry captions in
+    // the image metadata itself) — a real bounds-checked chunk walk;
+    // fixture captions derive from the row id by arithmetic so the
+    // oracle pins every decoded string; corrupt payloads → −1/none
+    // sentinels, a valid PNG without tEXt → 0 texts.
+    "image_captions" -> ((s, dir) => {
+      import s.implicits._
+      val rows: Seq[(Long, Array[Byte])] = (0 until 30).map { i =>
+        (i.toLong, graft.multimodal.ImageFixtures.pngWithText(
+          i % 13 + 1, i % 11 + 1,
+          Seq("caption" -> s"image $i shows ${i % 7} objects",
+            "Author" -> s"author${i % 5}")))
+      } ++ Seq(
+        (30L, graft.multimodal.ImageFixtures.png(4, 4)), // valid, no tEXt
+        (31L, graft.multimodal.ImageFixtures
+          .pngWithText(3, 3, Seq("caption" -> "x")).take(30)), // truncated
+        (32L, "not a png".getBytes("UTF-8")))            // garbage
+      rows.toDF("id", "payload")
+        .select(col("id"), graft.functions.PngText(col("payload")).as("t"))
+        .select(col("id"),
+          coalesce(size(col("t")), lit(-1)).cast("long").as("n_texts"),
+          coalesce(
+            try_element_at(filter(col("t"), x => x("key") === "caption"),
+              lit(1))("value"),
+            lit("none")).as("caption"))
+        .orderBy(col("id"))
+    }),
     "image_meta" -> ((s, dir) => {
       import s.implicits._
       val rows: Seq[(Long, Array[Byte])] = (0 until 40).map { i =>
@@ -7015,6 +7043,16 @@ object SparkEntry {
     // the expected metadata is pure arithmetic on the row id (the
     // fixture writer derives dimensions the same way), so the oracle
     // verifies the real byte-level decode without any image library
+    // caption fixture is id arithmetic — the oracle recomputes every
+    // decoded keyword/value without touching bytes
+    "image_captions" ->
+      """SELECT i::BIGINT AS id, 2::BIGINT AS n_texts,
+        |       'image ' || i || ' shows ' || (i % 7) || ' objects' AS caption
+        |FROM range(0, 30) t(i)
+        |UNION ALL SELECT 30::BIGINT, 0::BIGINT, 'none'
+        |UNION ALL SELECT 31::BIGINT, -1::BIGINT, 'none'
+        |UNION ALL SELECT 32::BIGINT, -1::BIGINT, 'none'
+        |ORDER BY id""".stripMargin,
     "image_meta" ->
       """SELECT i::BIGINT AS id,
         |       CASE i % 3 WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg' ELSE 'gif' END AS format,

@@ -68,6 +68,25 @@ object ImageFixtures {
     out.toByteArray
   }
 
+  /** [[png]] with `tEXt` metadata chunks inserted between IHDR and
+    * IDAT (ISO 15948 §11.3.3: `keyword | 0x00 | text`, Latin-1) — the
+    * caption-bearing-image fixture for [[graft.functions.PngText]].
+    * Still a fully valid PNG (correct per-chunk CRCs). */
+  def pngWithText(width: Int, height: Int,
+                  texts: Seq[(String, String)]): Array[Byte] = {
+    val base = png(width, height)
+    // split after signature(8) + IHDR chunk (8 + 13 + 4 bytes)
+    val cut = 8 + 12 + 13
+    val out = new ByteArrayOutputStream()
+    out.write(base, 0, cut)
+    texts.foreach { case (k, v) =>
+      out.write(pngChunk("tEXt",
+        k.getBytes("ISO-8859-1") ++ Array(0.toByte) ++ v.getBytes("ISO-8859-1")))
+    }
+    out.write(base, cut, base.length - cut)
+    out.toByteArray
+  }
+
   /** Metadata-complete JPEG stream: SOI, APP0/JFIF, a SOF frame header
     * (baseline C0 by default; pass 0xC2 for progressive), EOI. */
   def jpeg(width: Int, height: Int, precision: Int = 8, sof: Int = 0xc0): Array[Byte] = {

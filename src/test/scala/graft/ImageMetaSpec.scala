@@ -116,4 +116,36 @@ class ImageMetaSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
     assert(exact == Seq((1L, 3L)), s"got $exact")
   }
+
+  test("PngText: tEXt pairs in order, Latin-1, empty/corrupt contracts") {
+    import graft.functions.PngText
+    val texts = Seq("caption" -> "a café scene", "Author" -> "böb")
+    val withText = ImageFixtures.pngWithText(6, 4, texts)
+    assert(PngText.parse(withText).toSeq == texts,
+      "pairs decode in file order with Latin-1 characters intact")
+    // the tEXt insertion keeps the file a fully valid PNG
+    assert(graft.functions.ImageMeta.parse(withText) == (("png", 6, 4, 8)))
+    assert(PngText.parse(ImageFixtures.png(4, 4)).toSeq == Seq(),
+      "a valid PNG without tEXt yields an empty list, not null")
+    assert(PngText.parse(withText.take(30)) == null, "truncated mid-chunk → null")
+    assert(PngText.parse("nope".getBytes("UTF-8")) == null)
+    assert(PngText.parse(Array.empty[Byte]) == null)
+    // unterminated keyword (no 0x00 in the tEXt data) is malformed
+    val base = ImageFixtures.png(2, 2)
+    val cut = 8 + 12 + 13
+    val badChunk = {
+      val out = new java.io.ByteArrayOutputStream()
+      val data = "nokeyseparator".getBytes("ISO-8859-1")
+      val crc = new java.util.zip.CRC32
+      crc.update("tEXt".getBytes("US-ASCII")); crc.update(data)
+      out.write(Array[Byte](0, 0, 0, data.length.toByte))
+      out.write("tEXt".getBytes("US-ASCII")); out.write(data)
+      out.write(Array(
+        (crc.getValue >> 24).toByte, (crc.getValue >> 16).toByte,
+        (crc.getValue >> 8).toByte, crc.getValue.toByte))
+      out.toByteArray
+    }
+    val malformed = base.take(cut) ++ badChunk ++ base.drop(cut)
+    assert(PngText.parse(malformed) == null)
+  }
 }
