@@ -1768,6 +1768,16 @@ object SparkEntry {
           lit(java.sql.Timestamp.valueOf("2024-01-15 00:00:00")))
         .groupBy(col("event_type")).agg(count(lit(1)).as("n_users"))
         .orderBy(col("event_type"))),
+    // ---- [EXT] weekly churn-label generation (TimeSeries.churn-
+    // Labels): supervised-training rows from the activity log —
+    // churn = no activity next week, features = this/previous week's
+    // counts, the censored last week EXCLUDED (emitting it would teach
+    // the model that the dataset boundary is churn). Keyed reduces +
+    // shifted-week self-joins; 1-row max-week broadcast.
+    "churn_labels" -> ((s, dir) =>
+      graft.analysis.TimeSeries.churnLabels(Tables.events(s, dir),
+          "user_id", "ts")
+        .orderBy(col("user_id"), col("week"))),
     // ---- [EXT] point-in-time-correct feature join (Scd2.pointInTime-
     // Join): every purchase is enriched with the user's browsing state
     // (SCD-2 over the non-purchase events) valid AT THE PURCHASE
@@ -6722,6 +6732,23 @@ object SparkEntry {
         |WHERE vf <= TIMESTAMP '2024-01-15 00:00:00'
         |  AND (vt IS NULL OR TIMESTAMP '2024-01-15 00:00:00' < vt)
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // churn labels: (user, week) reduce, ±7-day self-joins, last-week
+    // censoring via the max-week scalar
+    "churn_labels" ->
+      """WITH uw AS (
+        |  SELECT user_id, date_trunc('week', ts)::DATE AS week,
+        |         count(*) AS n_events
+        |  FROM events GROUP BY 1, 2),
+        |mw AS (SELECT max(week) AS m FROM uw)
+        |SELECT u.user_id, strftime(u.week, '%Y-%m-%d') AS week, u.n_events,
+        |       coalesce(p.n_events, 0)::BIGINT AS prev_events,
+        |       (CASE WHEN n.user_id IS NULL THEN 1 ELSE 0 END)::BIGINT AS churn
+        |FROM uw u
+        |LEFT JOIN uw n ON n.user_id = u.user_id AND n.week = u.week + 7
+        |LEFT JOIN uw p ON p.user_id = u.user_id AND p.week = u.week - 7
+        |CROSS JOIN mw
+        |WHERE u.week < mw.m
+        |ORDER BY u.user_id, week""".stripMargin,
     // PIT join: SCD-2 on non-purchase events, zero-width versions
     // dropped, then DuckDB's native ASOF (contiguous intervals make
     // interval membership ≡ latest valid_from <= ts)

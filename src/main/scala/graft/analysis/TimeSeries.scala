@@ -389,4 +389,42 @@ object TimeSeries {
         coalesce(col("__dau"), lit(0L)).as("dau"),
         coalesce(col("__wau"), lit(0L)).as("active_window"))
   }
+
+  /** Weekly CHURN-LABEL generation — supervised-training rows built
+    * leakage-free from the activity log: for every (user, active
+    * calendar week), `churn = 1` iff the user has NO activity in the
+    * FOLLOWING week, with the current and previous weeks' event counts
+    * as point-in-time features (everything a row carries was knowable
+    * at its own week's end — the temporal-correctness discipline
+    * [[graft.store.Scd2.pointInTimeJoin]] applies to dimensions,
+    * applied to label/feature windows). The corpus's LAST active week
+    * is censored out: its following week is unobserved, and emitting
+    * it as churn=1 would teach the model that the dataset boundary is
+    * churn — the classic label-leakage bug this operator exists to
+    * avoid.
+    *
+    * Scale shape: one (user, week) keyed reduce, two self-joins on the
+    * shifted week key (keyed, fan-out 1), a 1-row max-week broadcast.
+    *
+    * @return `(user_id, week, n_events, prev_events, churn)`
+    */
+  def churnLabels(events: DataFrame, userCol: String,
+                  tsCol: String): DataFrame = {
+    val uw = events
+      .select(col(userCol).as("user_id"),
+        date_trunc("week", col(tsCol)).cast("date").as("week"))
+      .groupBy(col("user_id"), col("week")).agg(count(lit(1)).as("n_events"))
+    val maxWeek = uw.agg(max(col("week")).as("__mw"))
+    val next = uw.select(col("user_id"), date_sub(col("week"), 7).as("week"),
+      col("n_events").as("__next"))
+    val prev = uw.select(col("user_id"), date_add(col("week"), 7).as("week"),
+      col("n_events").as("__prev"))
+    uw.join(next, Seq("user_id", "week"), "left_outer")
+      .join(prev, Seq("user_id", "week"), "left_outer")
+      .crossJoin(broadcast(maxWeek))
+      .filter(col("week") < col("__mw"))
+      .select(col("user_id"), date_format(col("week"), "yyyy-MM-dd").as("week"),
+        col("n_events"), coalesce(col("__prev"), lit(0L)).as("prev_events"),
+        when(col("__next").isNull, 1L).otherwise(0L).as("churn"))
+  }
 }

@@ -175,4 +175,30 @@ class TimeSeriesSpec extends SparkSpec {
     }
     assert(unpartitioned.isEmpty, s"single-partition window in:\n$plan")
   }
+
+  test("churnLabels: gap weeks churn, censored last week never emits") {
+    import spark.implicits._
+    def ts(s: String) = java.sql.Timestamp.valueOf(s + " 12:00:00")
+    // weeks (Mon-start): W1=2024-01-01 W2=01-08 W3=01-15 W4=01-22
+    val ev = Seq(
+      (1L, ts("2024-01-02")), (1L, ts("2024-01-03")), // A: W1 ×2
+      (1L, ts("2024-01-16")),                         // A: W3
+      (2L, ts("2024-01-04")), (2L, ts("2024-01-08")), // B: W1, W2,
+      (2L, ts("2024-01-18")), (2L, ts("2024-01-22"))  //    W3, W4
+    ).toDF("user_id", "ts")
+    val out = TimeSeries.churnLabels(ev, "user_id", "ts")
+      .collect().map(r => (r.getLong(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    // A@W1: 2 events, no W2 activity → churn; A@W3: W4 silent → churn
+    assert(out((1L, "2024-01-01")) == ((2L, 0L, 1L)))
+    assert(out((1L, "2024-01-15")) == ((1L, 0L, 1L)))
+    // B continuous: churn 0 with prev-week features carried
+    assert(out((2L, "2024-01-01")) == ((1L, 0L, 0L)))
+    assert(out((2L, "2024-01-08")) == ((1L, 1L, 0L)))
+    assert(out((2L, "2024-01-15")) == ((1L, 1L, 0L)))
+    // W4 is the corpus max week — censored, for BOTH users
+    assert(!out.keySet.exists(_._2 == "2024-01-22"),
+      "the unobservable last week must never become a labeled row")
+    assert(out.size == 5)
+  }
 }
