@@ -1333,6 +1333,25 @@ object SparkEntry {
         "text", "doc_id", 3)
         .orderBy(col("doc_id"))
     }),
+    // ---- [EXT] exact one-pass OLS (analysis/Regression.olsTwo):
+    // quality score regressed on (token count, char entropy) — the
+    // "fit a small model on the whole corpus in one pass" primitive.
+    // Nine DECIMAL(38,12)-exact moments solve the normal equations by
+    // Cramer with an oracle-verbatim float chain; degenerate systems
+    // surface as ok = 0, never a division artifact.
+    "quality_regression" -> ((s, dir) =>
+      graft.analysis.Regression.olsTwo(Tables.documents(s, dir),
+        TextAnalysis.qualityScore(col("text")),
+        TextAnalysis.tokenCount(col("text")).cast("double"),
+        round(graft.functions.CharEntropy(col("text")), 6))),
+    // ---- [EXT] per-doc duplicated-5-gram fraction (Dedup.dupNgram-
+    // Frac, Lee 2022): how much of EACH document is text recycled
+    // elsewhere in the corpus — the partial-recycling signal pair-based
+    // dedup dilutes away. Corpus-linear (gram-df reduce + join back),
+    // no pair join.
+    "dup_ngram_frac" -> ((s, dir) =>
+      Dedup.dupNgramFrac(Tables.documents(s, dir), "doc_id", "text", 5)
+        .orderBy(col("doc_id"))),
     // ---- [EXT] winnowing fingerprints (text/Winnow, Schleimer 2003 /
     // MOSS): k-token shingle hashes → window-w minima → distinct set.
     // The LOCAL-guarantee sketch (any shared ≥ w+k−1-token run shares a
@@ -6246,6 +6265,102 @@ object SparkEntry {
          |SELECT DISTINCT doc_id FROM grams
          |WHERE doc_id % 50 <> 0 AND gram IN (SELECT gram FROM bench)
          |ORDER BY doc_id""".stripMargin,
+    // OLS: decimal-exact moments, Cramer with the Scala-verbatim
+    // parenthesization, lazy degenerate guards
+    "quality_regression" ->
+      s"""WITH ch AS (
+         |  SELECT doc_id, unnest(string_split_regex(text, '')) AS c FROM documents),
+         |cc AS (SELECT doc_id, c, count(*)::DOUBLE AS n FROM ch WHERE c <> ''
+         |       GROUP BY 1, 2),
+         |ctot AS (SELECT doc_id, sum(n) AS t FROM cc GROUP BY 1),
+         |ent AS (
+         |  SELECT d.doc_id,
+         |         round(coalesce(-sum((cc.n / ctot.t) * ln(cc.n / ctot.t)), 0) + 0, 6)
+         |           AS entropy
+         |  FROM documents d
+         |  LEFT JOIN cc USING (doc_id) LEFT JOIN ctot USING (doc_id)
+         |  GROUP BY d.doc_id),
+         |feat AS (
+         |  SELECT d.doc_id,
+         |         round(0.4 * least(len($toksSql) / 50.0, 1.0) +
+         |               0.3 * (1.0 - (length(lower(text)) -
+         |                 length(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g')))::DOUBLE /
+         |                 greatest(length(text), 1)) +
+         |               0.3 * least((len(list_filter($toksSql,
+         |                   t -> list_contains(['the','and','of','to','in','is'], t)))::DOUBLE /
+         |                 greatest(len($toksSql), 1)) * 5.0, 1.0), 6) AS y,
+         |         len($toksSql)::DOUBLE AS x1, e.entropy AS x2
+         |  FROM documents d JOIN ent e USING (doc_id)),
+         |m AS (SELECT count(*)::DOUBLE AS n,
+         |             sum(CAST(x1 AS DECIMAL(38,12)))::DOUBLE AS sx1,
+         |             sum(CAST(x2 AS DECIMAL(38,12)))::DOUBLE AS sx2,
+         |             sum(CAST(y AS DECIMAL(38,12)))::DOUBLE AS sy,
+         |             sum(CAST(x1 * x1 AS DECIMAL(38,12)))::DOUBLE AS sx11,
+         |             sum(CAST(x1 * x2 AS DECIMAL(38,12)))::DOUBLE AS sx12,
+         |             sum(CAST(x2 * x2 AS DECIMAL(38,12)))::DOUBLE AS sx22,
+         |             sum(CAST(x1 * y AS DECIMAL(38,12)))::DOUBLE AS sx1y,
+         |             sum(CAST(x2 * y AS DECIMAL(38,12)))::DOUBLE AS sx2y,
+         |             sum(CAST(y * y AS DECIMAL(38,12)))::DOUBLE AS syy
+         |      FROM feat),
+         |sol AS (
+         |  SELECT m.*,
+         |         n * (sx11 * sx22 - sx12 * sx12) -
+         |           sx1 * (sx1 * sx22 - sx12 * sx2) +
+         |           sx2 * (sx1 * sx12 - sx11 * sx2) AS det,
+         |         syy - sy * sy / n AS sst
+         |  FROM m),
+         |b AS (
+         |  SELECT sol.*,
+         |         CASE WHEN det = 0 THEN 0.0 ELSE
+         |           (sy * (sx11 * sx22 - sx12 * sx12) -
+         |            sx1 * (sx1y * sx22 - sx12 * sx2y) +
+         |            sx2 * (sx1y * sx12 - sx11 * sx2y)) / det END AS b0r,
+         |         CASE WHEN det = 0 THEN 0.0 ELSE
+         |           (n * (sx1y * sx22 - sx12 * sx2y) -
+         |            sy * (sx1 * sx22 - sx12 * sx2) +
+         |            sx2 * (sx1 * sx2y - sx1y * sx2)) / det END AS b1r,
+         |         CASE WHEN det = 0 THEN 0.0 ELSE
+         |           (n * (sx11 * sx2y - sx1y * sx12) -
+         |            sx1 * (sx1 * sx2y - sx1y * sx2) +
+         |            sy * (sx1 * sx12 - sx11 * sx2)) / det END AS b2r
+         |  FROM sol)
+         |SELECT n::BIGINT AS n,
+         |       CASE WHEN det = 0 OR sst <= 0 THEN 0.0
+         |            ELSE round(b0r, 6) END AS b0,
+         |       CASE WHEN det = 0 OR sst <= 0 THEN 0.0
+         |            ELSE round(b1r, 6) END AS b1,
+         |       CASE WHEN det = 0 OR sst <= 0 THEN 0.0
+         |            ELSE round(b2r, 6) END AS b2,
+         |       CASE WHEN det = 0 OR sst <= 0 THEN 0.0
+         |            ELSE round((b1r * (sx1y - sx1 * sy / n) +
+         |                        b2r * (sx2y - sx2 * sy / n)) / sst, 6) END AS r2,
+         |       (CASE WHEN det = 0 OR sst <= 0 THEN 0 ELSE 1 END)::BIGINT AS ok
+         |FROM b""".stripMargin,
+    // duplicated 5-grams: distinct per-doc gram hashes, gram df,
+    // fraction with df >= 2
+    "dup_ngram_frac" ->
+      s"""WITH toks AS (SELECT doc_id, $toksSql AS toks FROM documents),
+         |th AS (
+         |  SELECT doc_id, list(h ORDER BY pos) AS hs FROM (
+         |    SELECT doc_id, ${polySql("term")} AS h, pos FROM (
+         |      SELECT doc_id, unnest(toks) AS term,
+         |             unnest(range(1, len(toks) + 1)) AS pos
+         |      FROM toks))
+         |  GROUP BY doc_id),
+         |g AS (
+         |  SELECT DISTINCT doc_id,
+         |         list_reduce(list_prepend(7::BIGINT, hs[i:i+4]),
+         |                     (a, b) -> (a * 31 + b) % 1000000007) AS g
+         |  FROM (SELECT doc_id, hs,
+         |               unnest(range(1, greatest(len(hs) - 5, 0) + 2)) AS i
+         |        FROM th)),
+         |gdf AS (SELECT g, count(*) AS df FROM g GROUP BY 1)
+         |SELECT doc_id, count(*) AS n_grams,
+         |       sum(CASE WHEN df >= 2 THEN 1 ELSE 0 END)::BIGINT AS n_dup,
+         |       round(sum(CASE WHEN df >= 2 THEN 1 ELSE 0 END)::DOUBLE
+         |             / count(*)::DOUBLE, 6) AS dup_frac
+         |FROM g JOIN gdf USING (g)
+         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     // winnowing: ordered 3-token shingle hashes per doc, window-4
     // minima, distinct — then the per-doc digest
     "winnow_fingerprints" ->

@@ -703,4 +703,40 @@ object Dedup {
       .filter(col("sim") >= threshold)
       .select(col("id_a"), col("id_b"), col("sim"))
   }
+
+  /** Per-document DUPLICATED-n-GRAM fraction (Lee et al. 2022,
+    * "Deduplicating training data makes language models better", the
+    * coverage metric behind exact-substring dedup): the share of a
+    * document's DISTINCT token n-grams that also occur in at least one
+    * OTHER document. Pair-based dedup answers "which documents are
+    * near-twins"; this answers "how much of THIS document is recycled
+    * text" — the per-row signal a curation gate thresholds directly,
+    * and it catches partial recycling (a pasted paragraph) that
+    * whole-document resemblance dilutes away.
+    *
+    * Grams are the portable positional shingle hashes
+    * ([[graft.functions.TokenShingleHashes]]) — a deterministic mod-p
+    * collision costs both engines the same count. Scale shape: one
+    * (doc, gram)-distinct reduce, a gram-keyed doc-frequency reduce
+    * (map-side combined), one gram-keyed join back, one doc-keyed
+    * fraction — no pair join anywhere, so cost is corpus-linear where
+    * the pair family is candidate-bounded.
+    *
+    * @return `(doc_id, n_grams, n_dup, dup_frac)` — docs with fewer
+    *         than n tokens carry their single truncated shingle
+    */
+  def dupNgramFrac(docs: DataFrame, idCol: String, textCol: String,
+                   n: Int): DataFrame = {
+    val grams = docs.select(col(idCol).as("doc_id"),
+        explode(graft.functions.TokenShingleHashes(col(textCol), n)).as("g"))
+      .distinct()
+    val df = grams.groupBy(col("g")).agg(count(lit(1)).as("__df"))
+    grams.join(df, Seq("g"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("__df") >= 2L, 1L).otherwise(0L)).as("n_dup"))
+      .select(col("doc_id"), col("n_grams"), col("n_dup"),
+        round(col("n_dup").cast("double") / col("n_grams").cast("double"), 6)
+          .as("dup_frac"))
+  }
 }

@@ -197,4 +197,21 @@ class DedupSpec extends SparkSpec {
     assert(none.getLong(1) == 0L && none.getDouble(2) == 0.0 &&
       none.getDouble(3) == -1.0, s"got $none")
   }
+
+  test("dupNgramFrac: shared runs count, unique text scores 0, fractions are per-doc") {
+    import spark.implicits._
+    // docs 1 and 2 share the 4-token run "p1 p2 p3 p4" → with n=3 the
+    // shared trigrams are (p1,p2,p3) and (p2,p3,p4)
+    val docs = Seq(
+      (1L, "a1 a2 p1 p2 p3 p4"),   // trigrams: 4 total, 2 shared
+      (2L, "p1 p2 p3 p4 b1 b2"),   // 4 total, 2 shared
+      (3L, "c1 c2 c3 c4 c5")       // 3 total, none shared
+    ).toDF("doc_id", "text")
+    val out = Dedup.dupNgramFrac(docs, "doc_id", "text", 3)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toMap
+    assert(out(1L) == ((4L, 2L, 0.5)), s"got ${out(1L)}")
+    assert(out(2L) == ((4L, 2L, 0.5)), s"got ${out(2L)}")
+    assert(out(3L) == ((3L, 0L, 0.0)), s"got ${out(3L)}")
+  }
 }
