@@ -1374,6 +1374,48 @@ object SparkEntry {
       graft.text.Winnow.overlapPairs(Tables.documents(s, dir),
           "doc_id", "text", k = 3, w = 4, maxDf = 20, minShared = 2)
         .orderBy(col("doc_a"), col("doc_b"))),
+    // ---- [EXT] winnowing CONTAINMENT — the asymmetric "doc A lives
+    // inside doc B" coefficient over the smaller doc's fingerprint
+    // count: catches an excerpt pasted into a longer document, which
+    // symmetric overlap dilutes away. Same df-filtered sketch.
+    "winnow_containment" -> ((s, dir) =>
+      graft.text.Winnow.containmentPairs(Tables.documents(s, dir),
+          "doc_id", "text", k = 3, w = 4, maxDf = 20, minContain = 0.25)
+        .orderBy(col("doc_a"), col("doc_b"))),
+    // ---- [EXT] embedding HUBNESS (Radovanović 2010): vectors that
+    // appear in disproportionately many other points' top-k lists —
+    // high-dimensional hubs distort every kNN-derived result. k-occur
+    // counts from a deterministic 100-query sample's 6-NN lists
+    // (self-match excluded), top-10 hubs out.
+    "hub_vectors_top10" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      val qs = e.filter(col("vec_id") % 5 === 0)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+      Search.similarityJoin(e, qs, 6)
+        .filter(col("vec_id") =!= col("qid")) // a point is not its own hub
+        .groupBy(col("vec_id")).agg(count(lit(1)).as("k_occurrences"))
+        .orderBy(col("k_occurrences").desc, col("vec_id").asc)
+        .limit(10)
+    }),
+    // ---- [EXT] per-label embedding norm profile: count + round-6
+    // mean/min/max L2 norm — the norm-collapse / outlier-scale gate
+    // (a label whose norms drift breaks cosine-vs-dot equivalences);
+    // means via DECIMAL(38,12)-exact sums.
+    "embed_norm_profile" -> ((s, dir) => {
+      import org.apache.spark.sql.types.DecimalType
+      Tables.embeddings(s, dir)
+        .select(col("label"),
+          round(VectorOps.l2Norm(transform(col("embedding"),
+            x => x.cast("double"))), 6).as("nrm"))
+        .groupBy(col("label"))
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("nrm").cast(DecimalType(38, 12))).cast("double") /
+            count(lit(1)), 6).as("mean_norm"),
+          min(col("nrm")).as("min_norm"), max(col("nrm")).as("max_norm"))
+        .select(col("label").cast("long").as("label"), col("n"),
+          col("mean_norm"), col("min_norm"), col("max_norm"))
+        .orderBy(col("label"))
+    }),
     // ---- [EXT] lexical retrieval: BM25 top-k (Robertson k1=1.2 b=0.75,
     // Lucene non-negative idf) — the keyword half of a hybrid stack
     "bm25_top5" -> ((s, dir) =>
@@ -6368,6 +6410,51 @@ object SparkEntry {
          |SELECT doc_id, count(*) AS n_fp, sum(fp)::BIGINT AS fp_sum,
          |       min(fp) AS fp_min
          |FROM sel GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // containment: shared counts over the smaller doc's kept-fp count
+    "winnow_containment" ->
+      s"""WITH $winnowSelCte,
+         |rare AS (SELECT fp FROM (
+         |           SELECT fp, count(*) AS df FROM sel GROUP BY fp)
+         |         WHERE df <= 20),
+         |kept AS (SELECT s.doc_id, s.fp FROM sel s JOIN rare r USING (fp)),
+         |cnts AS (SELECT doc_id, count(*) AS nfp FROM kept GROUP BY 1),
+         |sh AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |              count(*) AS n_shared
+         |       FROM kept a JOIN kept b USING (fp)
+         |       WHERE a.doc_id < b.doc_id GROUP BY 1, 2)
+         |SELECT doc_a, doc_b, n_shared,
+         |       round(n_shared::DOUBLE / least(ca.nfp, cb.nfp)::DOUBLE, 6)
+         |         AS containment
+         |FROM sh JOIN cnts ca ON ca.doc_id = sh.doc_a
+         |        JOIN cnts cb ON cb.doc_id = sh.doc_b
+         |WHERE round(n_shared::DOUBLE / least(ca.nfp, cb.nfp)::DOUBLE, 6) >= 0.25
+         |ORDER BY doc_a, doc_b""".stripMargin,
+    // hubness: per-qid round-6 cosine rank windows over the sampled
+    // queries, self excluded, k-occurrence counts
+    "hub_vectors_top10" ->
+      s"""WITH qs AS (SELECT vec_id AS qid, embedding FROM embeddings
+         |            WHERE vec_id % 5 = 0),
+         |rk AS (
+         |  SELECT qid, vec_id FROM (
+         |    SELECT q.qid, e.vec_id,
+         |           row_number() OVER (PARTITION BY q.qid
+         |             ORDER BY ${cosSql("e.embedding", "q.embedding")} DESC,
+         |                      e.vec_id ASC) AS rk
+         |    FROM embeddings e CROSS JOIN qs q) WHERE rk <= 6)
+         |SELECT vec_id, count(*) AS k_occurrences FROM rk
+         |WHERE vec_id <> qid
+         |GROUP BY 1 ORDER BY k_occurrences DESC, vec_id LIMIT 10""".stripMargin,
+    // norm profile: round-6 per-row norms, decimal-exact means
+    "embed_norm_profile" ->
+      """SELECT label::BIGINT AS label, count(*) AS n,
+        |       round(sum(CAST(nrm AS DECIMAL(38,12)))::DOUBLE / count(*), 6)
+        |         AS mean_norm,
+        |       min(nrm) AS min_norm, max(nrm) AS max_norm
+        |FROM (SELECT label,
+        |             round(sqrt(list_dot_product(embedding::DOUBLE[],
+        |                                         embedding::DOUBLE[])), 6) AS nrm
+        |      FROM embeddings)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     // winnowing overlap: df-filter (boilerplate fingerprints out), then
     // the fingerprint-keyed pair join
     "winnow_overlap" ->

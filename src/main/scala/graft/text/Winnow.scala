@@ -59,7 +59,40 @@ object Winnow {
     * @return `(doc_a, doc_b, n_shared)`, doc_a < doc_b
     */
   def overlapPairs(docs: DataFrame, idCol: String, textCol: String,
-                   k: Int, w: Int, maxDf: Int, minShared: Int): DataFrame = {
+                   k: Int, w: Int, maxDf: Int, minShared: Int): DataFrame =
+    sharedCounts(keptFps(docs, idCol, textCol, k, w, maxDf))
+      .filter(col("n_shared") >= minShared)
+
+  /** ASYMMETRIC containment report — "document A lives inside document
+    * B": shared fingerprints over the SMALLER document's fingerprint
+    * count (Broder's containment coefficient on the winnowing sketch).
+    * Jaccard-style overlap dilutes when a short document is pasted
+    * into a long one; containment does not — the quote/boilerplate/
+    * excerpt detector. Counts are over the df-filtered fingerprint
+    * sets (the same boilerplate exclusion as [[overlapPairs]]).
+    *
+    * @return `(doc_a, doc_b, n_shared, containment)` round-6,
+    *         containment ≥ `minContain`
+    */
+  def containmentPairs(docs: DataFrame, idCol: String, textCol: String,
+                       k: Int, w: Int, maxDf: Int,
+                       minContain: Double): DataFrame = {
+    val kept = keptFps(docs, idCol, textCol, k, w, maxDf)
+    val counts = kept.groupBy(col("__id")).agg(count(lit(1)).as("__nfp"))
+    sharedCounts(kept)
+      .join(counts.select(col("__id").as("doc_a"), col("__nfp").as("__na")), "doc_a")
+      .join(counts.select(col("__id").as("doc_b"), col("__nfp").as("__nb")), "doc_b")
+      .withColumn("containment",
+        round(col("n_shared").cast("double") /
+          least(col("__na"), col("__nb")).cast("double"), 6))
+      .filter(col("containment") >= minContain)
+      .select(col("doc_a"), col("doc_b"), col("n_shared"), col("containment"))
+  }
+
+  /** Per-doc distinct fingerprints with corpus-boilerplate
+    * (df > maxDf) fingerprints removed. */
+  private def keptFps(docs: DataFrame, idCol: String, textCol: String,
+                      k: Int, w: Int, maxDf: Int): DataFrame = {
     val fps = docs.select(col(idCol).as("__id"),
         explode(fingerprints(col(textCol), k, w)).as("fp"))
       .distinct()
@@ -67,12 +100,13 @@ object Winnow {
       .agg(count(lit(1)).as("__df"))
       .filter(col("__df") <= maxDf)
       .select("fp")
-    val kept = fps.join(rare, "fp")
+    fps.join(rare, "fp")
+  }
+
+  private def sharedCounts(kept: DataFrame): DataFrame =
     kept.select(col("fp"), col("__id").as("doc_a"))
       .join(kept.select(col("fp"), col("__id").as("doc_b")), "fp")
       .filter(col("doc_a") < col("doc_b"))
       .groupBy(col("doc_a"), col("doc_b"))
       .agg(count(lit(1)).as("n_shared"))
-      .filter(col("n_shared") >= minShared)
-  }
 }

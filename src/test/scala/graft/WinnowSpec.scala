@@ -54,6 +54,29 @@ class WinnowSpec extends SparkSpec {
     assert(run("   ") == Set(7L))
   }
 
+  test("containmentPairs: an excerpt inside a long doc scores ~1 where overlap dilutes") {
+    val excerpt = "e1 e2 e3 e4 e5 e6 e7 e8"
+    val filler = (1 to 60).map(i => s"f$i").mkString(" ")
+    val docs = Seq(
+      (1L, excerpt),                  // the short source
+      (2L, s"$filler $excerpt"),      // pasted into a long doc
+      (3L, "z1 z2 z3 z4 z5 z6 z7")
+    ).toDF("doc_id", "text")
+    val out = Winnow.containmentPairs(docs, "doc_id", "text",
+        k = 3, w = 4, maxDf = 10, minContain = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(3)))
+    assert(out.length == 1 && out.head._1 == 1L && out.head._2 == 2L,
+      s"got ${out.toSeq}")
+    assert(out.head._3 >= 0.5,
+      "every fingerprint of the excerpt must reappear in its host")
+    // the symmetric overlap report would need a LOW threshold to see
+    // this pair at all relative to doc 2's size — containment is the
+    // right lens; sanity: the shared count is bounded by the excerpt
+    val shared = Winnow.overlapPairs(docs, "doc_id", "text", 3, 4, 10, 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(shared.toSeq == out.map(x => (x._1, x._2, shared.head._3)).toSeq)
+  }
+
   test("overlapPairs finds planted overlap and df-filters boilerplate") {
     val passage = "p1 p2 p3 p4 p5 p6 p7 p8" // 8 tokens ≥ w+k-1
     val docs = Seq(
