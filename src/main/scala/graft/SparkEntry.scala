@@ -2964,6 +2964,68 @@ object SparkEntry {
           col("l_quantity") < 24)
         .agg(round(sum(col("l_extendedprice") * col("l_discount")), 2).as("revenue"),
           count(lit(1)).as("n"))),
+    // ---- classic "large orders" shape (TPC-H Q18): HAVING-filtered
+    // aggregate semi-joined back to the detail table — the aggregate
+    // runs ONCE, then a keyed join; never a correlated per-row subquery.
+    "large_orders_top10" -> ((s, dir) => {
+      val big = Tables.lineitem(s, dir)
+        .groupBy(col("l_orderkey"))
+        .agg(sum(col("l_quantity")).as("total_qty"))
+        .filter(col("total_qty") > 250.0)
+      Tables.orders(s, dir)
+        .join(big, col("o_orderkey") === col("l_orderkey"))
+        .select(col("o_orderkey"), col("o_custkey"),
+          round(col("total_qty"), 4).as("total_qty"),
+          round(col("o_totalprice"), 2).as("o_totalprice"))
+        .orderBy(col("total_qty").desc, col("o_orderkey").asc)
+        .limit(10)
+    }),
+    // ---- classic disjunctive-predicate shape (TPC-H Q19): OR-of-ANDs
+    // across both join sides — Catalyst pushes the part-only and
+    // lineitem-only conjuncts into each scan (common-factor
+    // extraction); revenue summed DECIMAL(38,12)-exact.
+    "q19_revenue" -> ((s, dir) => {
+      import org.apache.spark.sql.types.DecimalType
+      val l = Tables.lineitem(s, dir)
+      val p = Tables.part(s, dir)
+      val cond =
+        (col("p_brand") === "Brand#4" && col("p_size").between(1, 15) &&
+          col("l_quantity") >= 10) ||
+        (col("p_brand") === "Brand#2" && col("p_size").between(10, 30) &&
+          col("l_quantity") >= 20) ||
+        (col("p_brand") === "Brand#19" && col("p_size").between(20, 50) &&
+          col("l_quantity") >= 30)
+      l.join(p, col("p_partkey") === col("l_partkey"))
+        .filter(cond)
+        .agg(count(lit(1)).as("n_items"),
+          round(sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+            .cast(DecimalType(38, 12))).cast("double"), 2).as("revenue"))
+    }),
+    // ---- [EXT] one-row CORPUS CARD — the dataset README header:
+    // doc/token mass, language/source spread, exact-dup rate, mean
+    // quality (decimal-exact), median length. Every number composes a
+    // verified operator; one scan + one md5-distinct reduce.
+    "corpus_card" -> ((s, dir) => {
+      import org.apache.spark.sql.types.DecimalType
+      Tables.documents(s, dir).agg(
+        count(lit(1)).as("n_docs"),
+        sum(TextAnalysis.tokenCount(col("text")).cast("long")).as("n_tokens"),
+        countDistinct(col("lang")).as("n_langs"),
+        countDistinct(col("source")).as("n_sources"),
+        round(lit(1.0) - countDistinct(md5(col("text"))).cast("double") /
+          count(lit(1)), 6).as("exact_dup_rate"),
+        round(sum(TextAnalysis.qualityScore(col("text"))
+          .cast(DecimalType(38, 12))).cast("double") / count(lit(1)), 6)
+          .as("mean_quality"),
+        round(expr("percentile(n_chars, 0.5)"), 6).as("p50_chars"))
+    }),
+    // ---- [EXT] effective dimensionality (Spectral.effectiveDim):
+    // participation ratio of per-coordinate variances — the diagonal
+    // anisotropy gate beside spectral_share's rotated top direction;
+    // decimal-exact moments, ascending-dim folds.
+    "effective_dim" -> ((s, dir) =>
+      graft.analysis.Spectral.effectiveDim(Tables.embeddings(s, dir),
+        "embedding")),
     // ---- [EXT] deterministic consistent sampling (reproducible corpus
     // curation: same subset on every run/engine, fractions nest, the
     // membership filter pushes into the scan — no rand(), no shuffle)
@@ -8107,6 +8169,67 @@ object SparkEntry {
         |WHERE EXISTS (SELECT 1 FROM lineitem
         |              WHERE l_orderkey = o_orderkey AND l_quantity > 45)
         |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    "large_orders_top10" ->
+      """WITH big AS (
+        |  SELECT l_orderkey, sum(l_quantity) AS tq FROM lineitem
+        |  GROUP BY 1 HAVING sum(l_quantity) > 250)
+        |SELECT o_orderkey, o_custkey, round(tq, 4) AS total_qty,
+        |       round(o_totalprice, 2) AS o_totalprice
+        |FROM orders JOIN big ON o_orderkey = l_orderkey
+        |ORDER BY total_qty DESC, o_orderkey LIMIT 10""".stripMargin,
+    "q19_revenue" ->
+      """SELECT count(*) AS n_items,
+        |       round(sum(CAST(l_extendedprice * (1.0 - l_discount)
+        |                      AS DECIMAL(38,12)))::DOUBLE, 2) AS revenue
+        |FROM lineitem JOIN part ON p_partkey = l_partkey
+        |WHERE (p_brand = 'Brand#4' AND p_size BETWEEN 1 AND 15
+        |       AND l_quantity >= 10)
+        |   OR (p_brand = 'Brand#2' AND p_size BETWEEN 10 AND 30
+        |       AND l_quantity >= 20)
+        |   OR (p_brand = 'Brand#19' AND p_size BETWEEN 20 AND 50
+        |       AND l_quantity >= 30)""".stripMargin,
+    "corpus_card" ->
+      s"""SELECT count(*) AS n_docs,
+         |       sum(len($toksSql))::BIGINT AS n_tokens,
+         |       count(DISTINCT lang) AS n_langs,
+         |       count(DISTINCT source) AS n_sources,
+         |       round(1.0 - count(DISTINCT md5(text))::DOUBLE / count(*), 6)
+         |         AS exact_dup_rate,
+         |       round(sum(CAST(
+         |         round(0.4 * least(len($toksSql) / 50.0, 1.0) +
+         |               0.3 * (1.0 - (length(lower(text)) -
+         |                 length(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g')))::DOUBLE /
+         |                 greatest(length(text), 1)) +
+         |               0.3 * least((len(list_filter($toksSql,
+         |                   t -> list_contains(['the','and','of','to','in','is'], t)))::DOUBLE /
+         |                 greatest(len($toksSql), 1)) * 5.0, 1.0), 6)
+         |         AS DECIMAL(38,12)))::DOUBLE / count(*), 6) AS mean_quality,
+         |       round(quantile_cont(n_chars, 0.5), 6) AS p50_chars
+         |FROM documents""".stripMargin,
+    "effective_dim" ->
+      """WITH pd AS (
+        |  SELECT j, count(*)::DOUBLE AS n,
+        |         sum(CAST(x AS DECIMAL(38,12)))::DOUBLE AS sx,
+        |         sum(CAST(x * x AS DECIMAL(38,12)))::DOUBLE AS sxx
+        |  FROM (SELECT unnest(embedding::DOUBLE[]) AS x,
+        |               unnest(range(0, 64)) AS j
+        |        FROM embeddings)
+        |  GROUP BY 1),
+        |v AS (SELECT list((sxx - sx * sx / n) / n ORDER BY j) AS vs FROM pd),
+        |f AS (SELECT
+        |        list_reduce(list_prepend(0.0::DOUBLE, vs),
+        |                    (a, b) -> a + b) AS sv,
+        |        list_reduce(list_prepend(0.0::DOUBLE,
+        |                      list_transform(vs, x -> x * x)),
+        |                    (a, b) -> a + b) AS svv
+        |      FROM v),
+        |t AS (SELECT j, (sxx - sx * sx / n) / n AS var FROM pd
+        |      ORDER BY var DESC, j LIMIT 1)
+        |SELECT 64::BIGINT AS n_dims, round(f.sv * f.sv / f.svv, 6)
+        |         AS effective_dim,
+        |       t.j::BIGINT AS top_var_dim, round(t.var / f.sv, 6)
+        |         AS top_var_share
+        |FROM f, t""".stripMargin,
     "q6_revenue" ->
       """SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue,
         |       count(*) AS n

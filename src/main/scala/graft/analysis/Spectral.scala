@@ -82,4 +82,43 @@ object Spectral {
       VectorOps.round6(v(topDim))))
       .toDF("var_share", "top_dim", "top_weight")
   }
+
+  /** EFFECTIVE-DIMENSIONALITY report via the participation ratio of
+    * the per-coordinate variances, `PR = (Σv_j)² / Σv_j²` ∈ [1, d] —
+    * d when variance spreads evenly, → 1 when one coordinate carries
+    * everything. This is the DIAGONAL approximation (no rotation —
+    * [[spectralShare]] measures the rotated top direction; together
+    * they bracket the anisotropy story) and costs one scan + a d-row
+    * reduce. Per-dim Σx / Σx² accumulate as DECIMAL(38,12); both PR
+    * folds run in ascending-dimension order, making the scalar a
+    * replayable IEEE sequence.
+    *
+    * @return one row `(n_dims, effective_dim, top_var_dim,
+    *         top_var_share)` — the highest-variance coordinate
+    *         (lowest index on ties) and its share of total variance
+    */
+  def effectiveDim(df: DataFrame, vecCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val perDim = df
+      .select(posexplode(col(vecCol)).as(Seq("j", "x")))
+      .select(col("j"), col("x").cast("double").as("x"))
+      .groupBy(col("j"))
+      .agg(count(lit(1)).cast("double").as("n"),
+        sum(dec(col("x"))).cast("double").as("sx"),
+        sum(dec(col("x") * col("x"))).cast("double").as("sxx"))
+      .collect()
+      .map(r => r.getInt(0) -> {
+        val n = r.getDouble(1); val sx = r.getDouble(2); val sxx = r.getDouble(3)
+        (sxx - sx * sx / n) / n
+      })
+      .sortBy(_._1)
+    val vars = perDim.map(_._2)
+    val sv = vars.foldLeft(0.0)(_ + _)
+    val svv = vars.foldLeft(0.0)((a, x) => a + x * x)
+    val top = vars.indices.maxBy(j => (vars(j), -j))
+    Seq((vars.length.toLong, VectorOps.round6(sv * sv / svv), top.toLong,
+      VectorOps.round6(vars(top) / sv)))
+      .toDF("n_dims", "effective_dim", "top_var_dim", "top_var_share")
+  }
 }

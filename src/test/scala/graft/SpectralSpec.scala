@@ -38,4 +38,19 @@ class SpectralSpec extends SparkSpec {
     // the top direction can never carry less than the 1/d average
     assert(share > 1.0 / 64 && share <= 1.0, s"share $share")
   }
+
+  test("effectiveDim: 1 when one coordinate varies, d when all vary equally") {
+    import spark.implicits._
+    // variance only in dim 0
+    val one = Seq(Seq(1.0f, 5.0f, 5.0f), Seq(3.0f, 5.0f, 5.0f),
+      Seq(9.0f, 5.0f, 5.0f)).map(Tuple1(_)).toDF("embedding")
+    val r1 = Spectral.effectiveDim(one, "embedding").head()
+    assert(r1.getLong(0) == 3L && r1.getDouble(1) == 1.0, r1.toString)
+    assert(r1.getLong(2) == 0L && r1.getDouble(3) == 1.0)
+    // equal variance in every coordinate → PR = d exactly
+    val eq = Seq(Seq(0.0f, 0.0f, 0.0f), Seq(2.0f, 2.0f, 2.0f))
+      .map(Tuple1(_)).toDF("embedding")
+    val r2 = Spectral.effectiveDim(eq, "embedding").head()
+    assert(r2.getDouble(1) == 3.0, r2.toString)
+  }
 }
