@@ -2402,6 +2402,23 @@ object SparkEntry {
           li.filter(col("l_orderkey") >= 30000), keys, "qty")
         .orderBy(col("l_returnflag"), col("l_linestatus"))
     }),
+    // ---- [EXT] view maintenance under DELETES (MaterializedAgg.
+    // refreshWithDeletes): count/sum retract algebraically with NO
+    // rescan; only keys whose deleted rows touched the stored extremum
+    // recompute min/max from survivors (semi-join-pruned). The
+    // contract IS the oracle: refresh ≡ one full recompute over the
+    // survivors.
+    "mv_refresh_delete" -> ((s, dir) => {
+      import graft.store.MaterializedAgg
+      val keys = Seq("l_returnflag", "l_linestatus")
+      val li = Tables.lineitem(s, dir)
+        .withColumn("qty", col("l_quantity").cast("long"))
+      val view = MaterializedAgg.build(li, keys, "qty")
+      val deleted = li.filter(col("l_orderkey") % 5 === 0)
+      val survivors = li.filter(col("l_orderkey") % 5 =!= 0)
+      MaterializedAgg.refreshWithDeletes(view, survivors, deleted, keys, "qty")
+        .orderBy(col("l_returnflag"), col("l_linestatus"))
+    }),
     // ---- [EXT] robust MAD outliers (Quantiles.madOutliers): modified
     // z-score against exact interpolated median/MAD — the gate the
     // mean/stddev z gets wrong when outliers inflate the baseline.
@@ -7670,6 +7687,16 @@ object SparkEntry {
         |       min(CAST(l_quantity AS BIGINT)) AS min,
         |       max(CAST(l_quantity AS BIGINT)) AS max
         |FROM lineitem GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    // delete maintenance: the contract is refresh ≡ full recompute
+    // over the survivors
+    "mv_refresh_delete" ->
+      """SELECT l_returnflag, l_linestatus, count(*)::BIGINT AS n,
+        |       sum(CAST(l_quantity AS BIGINT))::BIGINT AS sum,
+        |       min(CAST(l_quantity AS BIGINT)) AS min,
+        |       max(CAST(l_quantity AS BIGINT)) AS max
+        |FROM lineitem WHERE l_orderkey % 5 <> 0
+        |GROUP BY l_returnflag, l_linestatus
         |ORDER BY l_returnflag, l_linestatus""".stripMargin,
     // exact median/MAD via quantile_cont (≡ Spark percentile), the
     // same single float chain, round-6 before the threshold

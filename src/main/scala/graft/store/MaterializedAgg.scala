@@ -52,4 +52,47 @@ object MaterializedAgg {
         mergeNum("min", "__dmin", least(_, _)).as("min"),
         mergeNum("max", "__dmax", greatest(_, _)).as("max")): _*)
   }
+
+  /** Maintain the view under DELETES — the retraction case the
+    * append-only [[refresh]] documents as out of scope, closed with
+    * the classic split: count/sum RETRACT algebraically (no rescan at
+    * all — they are group homomorphisms), while min/max are not
+    * retractable, so exactly the RISKY keys — those whose deleted
+    * batch touched the current extremum (`deleted min <= view min` or
+    * `deleted max >= view max`) — recompute their extrema from the
+    * survivor rows; every other key keeps its stored extrema
+    * untouched. Keys whose count reaches zero leave the view.
+    *
+    * `survivors` is the base AFTER deletion (the caller owns row
+    * identity — e.g. an id anti-join); it is read ONLY through a
+    * semi-join on the risky keys, so at scale the rescan touches the
+    * affected keys' partitions, not the base. Contract (spec-pinned):
+    * result ≡ [[build]] over `survivors`, row-for-row.
+    *
+    * Deleting rows of a key absent from the view is a caller error
+    * and surfaces as a negative count rather than silence. */
+  def refreshWithDeletes(view: DataFrame, survivors: DataFrame,
+                         deletes: DataFrame, keys: Seq[String],
+                         valueCol: String): DataFrame = {
+    val d = build(deletes, keys, valueCol)
+      .withColumnsRenamed(Map("n" -> "__dn", "sum" -> "__dsum",
+        "min" -> "__dmin", "max" -> "__dmax"))
+    val retracted = view.join(d, keys, "left_outer")
+      .select(keys.map(col) ++ Seq(
+        (col("n") - coalesce(col("__dn"), lit(0L))).as("n"),
+        (col("sum") - coalesce(col("__dsum"), lit(0L))).as("sum"),
+        col("min"), col("max"), col("__dmin"), col("__dmax")): _*)
+      .filter(col("n") > 0)
+    val risky = retracted
+      .filter(col("__dmin").isNotNull &&
+        (col("__dmin") <= col("min") || col("__dmax") >= col("max")))
+      .select(keys.map(col): _*)
+    val recomputed = build(survivors.join(risky, keys, "left_semi"),
+        keys, valueCol)
+      .select(keys.map(col) :+ col("min").as("__rmin") :+ col("max").as("__rmax"): _*)
+    retracted.join(recomputed, keys, "left_outer")
+      .select(keys.map(col) ++ Seq(col("n"), col("sum"),
+        coalesce(col("__rmin"), col("min")).as("min"),
+        coalesce(col("__rmax"), col("max")).as("max")): _*)
+  }
 }

@@ -32,4 +32,27 @@ class MaterializedAggSpec extends SparkSpec {
     val same = MaterializedAgg.refresh(view, rows().limit(0), Seq("k"), "v")
     assert(collect(same) == collect(view))
   }
+
+  test("refreshWithDeletes ≡ rebuild on survivors: extremum deletion, interior deletion, key removal") {
+    val base = rows(("a", 1L), ("a", 5L), ("a", 9L),
+      ("b", 3L), ("b", 4L), ("b", 8L), ("c", 2L))
+    val view = MaterializedAgg.build(base, Seq("k"), "v")
+    // delete a's MAX (forces a rescan of a), b's INTERIOR row (stored
+    // extrema stand — no rescan), and ALL of c (the key leaves)
+    val deletes = rows(("a", 9L), ("b", 4L), ("c", 2L))
+    val survivors = rows(("a", 1L), ("a", 5L), ("b", 3L), ("b", 8L))
+    val out = MaterializedAgg.refreshWithDeletes(
+      view, survivors, deletes, Seq("k"), "v")
+    val full = MaterializedAgg.build(survivors, Seq("k"), "v")
+    assert(collect(out) == collect(full), "delete refresh must equal rebuild")
+    assert(collect(out) == Seq(("a", 2L, 6L, 1L, 5L), ("b", 2L, 11L, 3L, 8L)))
+  }
+
+  test("refreshWithDeletes: empty delete set is the identity") {
+    val base = rows(("a", 5L), ("b", 2L))
+    val view = MaterializedAgg.build(base, Seq("k"), "v")
+    val out = MaterializedAgg.refreshWithDeletes(
+      view, base, rows().limit(0), Seq("k"), "v")
+    assert(collect(out) == collect(view))
+  }
 }
