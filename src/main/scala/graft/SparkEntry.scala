@@ -1095,6 +1095,14 @@ object SparkEntry {
     // (a dominant direction collapses cosine contrast under every ANN
     // operator). Cross-row sums are DECIMAL(38,12)-exact so reduction
     // order cannot leak; 3 iterations, d=64 driver model state.
+    // ---- [EXT] two-direction spectral report (Spectral.spectralTop2):
+    // top + DEFLATED-second variance shares and their ratio — the
+    // spectrum-shape gate one share can't see (≈1 ratio = rotated
+    // isotropy; ≫1 = a dominant axis). Both power chains + the
+    // Gram-Schmidt deflation replay in SQL with decimal-exact sums.
+    "spectral_top2" -> ((s, dir) =>
+      graft.analysis.Spectral.spectralTop2(Tables.embeddings(s, dir),
+        "embedding", 64, 3)),
     "spectral_share" -> ((s, dir) =>
       graft.analysis.Spectral.spectralShare(
         Tables.embeddings(s, dir), "embedding", 64, 3)),
@@ -3850,6 +3858,40 @@ object SparkEntry {
     (v0 +: (1 to iters).map(iter)).mkString(",\n")
   }
 
+  /** The DEFLATED second-direction chain (mirror of
+    * `Spectral.secondDirection`): uniform start Gram-Schmidt'd against
+    * `v<iters>` (the first chain's output), then per iteration the
+    * decimal-exact X'(Xw) sums, re-orthogonalization, normalization —
+    * emits `w<iters>`. Compose after `spectralSql(iters)`. */
+  private def spectral2Sql(iters: Int): String = {
+    def orth(srcList: String, srcCte: String, n: Int): String =
+      s"""wdd$n AS (SELECT list_dot_product($srcCte.$srcList, v$iters.v) AS dd
+         |          FROM $srcCte, v$iters),
+         |wor$n AS (
+         |  SELECT list_transform(range(1, 65),
+         |           i -> $srcCte.$srcList[i::INT] - wdd$n.dd * v$iters.v[i::INT]) AS o
+         |  FROM $srcCte, wdd$n, v$iters),
+         |w$n AS (
+         |  SELECT list_transform(o, x -> x /
+         |           sqrt(list_reduce(list_transform(o, y -> y * y),
+         |                            (a, b) -> a + b))) AS v
+         |  FROM wor$n)""".stripMargin
+    def iter(n: Int): String =
+      s"""wsd$n AS (
+         |  SELECT e.embedding,
+         |         list_dot_product(e.embedding::DOUBLE[], w${n - 1}.v) AS d
+         |  FROM embeddings e, w${n - 1}),
+         |wss$n AS (
+         |  SELECT i, sum(CAST(embedding[i]::DOUBLE * d AS DECIMAL(38,12)))::DOUBLE AS s
+         |  FROM wsd$n, (SELECT unnest(range(1, 65)) AS i) wix$n GROUP BY i),
+         |wsl$n AS (SELECT list(s ORDER BY i) AS sv FROM wss$n),
+         |${orth("sv", s"wsl$n", n)}""".stripMargin
+    val w0 =
+      s"""wu0 AS (SELECT list_transform(range(1, 65), x -> 0.125::DOUBLE) AS u),
+         |${orth("u", "wu0", 0)}""".stripMargin
+    (w0 +: (1 to iters).map(iter)).mkString(",\n")
+  }
+
   private def ivfTrainSql(k: Int, iters: Int): String = {
     def rawCos(a: String, b: String) =
       s"list_dot_product($a, $b) / (sqrt(list_dot_product($a, $a)) * sqrt(list_dot_product($b, $b)))"
@@ -6088,6 +6130,25 @@ object SparkEntry {
          |FROM cl LEFT JOIN cn USING (cid), tot
          |ORDER BY cid""".stripMargin,
     // power-iteration replay → Rayleigh share + dominant coordinate
+    "spectral_top2" ->
+      s"""WITH ${spectralSql(3)},
+         |${spectral2Sql(3)},
+         |dr1 AS (
+         |  SELECT list_dot_product(e.embedding::DOUBLE[], v3.v) AS d
+         |  FROM embeddings e, v3),
+         |num1 AS (SELECT sum(CAST(d * d AS DECIMAL(38,12)))::DOUBLE AS a FROM dr1),
+         |dr2 AS (
+         |  SELECT list_dot_product(e.embedding::DOUBLE[], w3.v) AS d
+         |  FROM embeddings e, w3),
+         |num2 AS (SELECT sum(CAST(d * d AS DECIMAL(38,12)))::DOUBLE AS a FROM dr2),
+         |den AS (
+         |  SELECT sum(CAST(x * x AS DECIMAL(38,12)))::DOUBLE AS b
+         |  FROM (SELECT unnest(embedding::DOUBLE[]) AS x FROM embeddings))
+         |SELECT round(num1.a / den.b, 6) AS share_1,
+         |       round(num2.a / den.b, 6) AS share_2,
+         |       round((num1.a / den.b) / (num2.a / den.b), 6)
+         |         AS anisotropy_ratio
+         |FROM num1, num2, den""".stripMargin,
     "spectral_share" ->
       s"""WITH ${spectralSql(3)},
          |dr AS (

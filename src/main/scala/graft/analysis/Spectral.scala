@@ -41,6 +41,18 @@ object Spectral {
 
   private def dec(c: Column): Column = c.cast(DecimalType(38, 12))
 
+  /** One matrix-free step `X'(Xv)` as driver model state: per-dim
+    * DECIMAL(38,12)-exact sums, ascending-dim order. */
+  private def xtxv(df: DataFrame, vecCol: String, v: Seq[Double]): Seq[Double] = {
+    val d = VectorOps.dot(col(vecCol), typedlit(v))
+    df.select(posexplode(col(vecCol)).as(Seq("j", "x")), d.as("d"))
+      .groupBy(col("j"))
+      .agg(sum(dec(col("x").cast("double") * col("d"))).as("s"))
+      .collect()
+      .map(r => r.getInt(0) -> r.getDecimal(1).doubleValue())
+      .sortBy(_._1).map(_._2).toSeq
+  }
+
   /** The power-iterated direction after `iters` steps, as driver-side
     * model state. */
   def topDirection(df: DataFrame, vecCol: String, dim: Int,
@@ -48,18 +60,33 @@ object Spectral {
     require(dim >= 2 && iters >= 1, "need dim >= 2, iters >= 1")
     var v: Seq[Double] = Seq.fill(dim)(1.0 / math.sqrt(dim.toDouble))
     (1 to iters).foreach { _ =>
-      val d = VectorOps.dot(col(vecCol), typedlit(v))
-      val s = df
-        .select(posexplode(col(vecCol)).as(Seq("j", "x")), d.as("d"))
-        .groupBy(col("j"))
-        .agg(sum(dec(col("x").cast("double") * col("d"))).as("s"))
-        .collect()
-        .map(r => r.getInt(0) -> r.getDecimal(1).doubleValue())
-        .sortBy(_._1).map(_._2).toSeq
+      val s = xtxv(df, vecCol, v)
       val norm = math.sqrt(s.map(x => x * x).sum)
       v = s.map(_ / norm)
     }
     v
+  }
+
+  /** The SECOND principal direction by DEFLATED power iteration:
+    * every step re-orthogonalizes against the recorded top direction
+    * (classic Hotelling deflation, matrix-free — no d×d covariance
+    * ever materialized), so the iterate converges inside v1's
+    * orthogonal complement. All folds (Gram-Schmidt dot, subtraction,
+    * normalization) run in ascending-dim order over the decimal-exact
+    * per-dim sums — the whole second chain replays in SQL like the
+    * first. */
+  def secondDirection(df: DataFrame, vecCol: String, dim: Int,
+                      iters: Int, v1: Seq[Double]): Seq[Double] = {
+    require(v1.length == dim, "v1 must have length dim")
+    def orthNorm(s: Seq[Double]): Seq[Double] = {
+      val d = s.zip(v1).foldLeft(0.0) { case (a, (x, y)) => a + x * y }
+      val o = s.zip(v1).map { case (x, y) => x - d * y }
+      val n = math.sqrt(o.map(x => x * x).sum)
+      o.map(_ / n)
+    }
+    var w = orthNorm(Seq.fill(dim)(1.0 / math.sqrt(dim.toDouble)))
+    (1 to iters).foreach(_ => w = orthNorm(xtxv(df, vecCol, w)))
+    w
   }
 
   /** One-row spectral report: `var_share` = Σ(x·v)² / Σ‖x‖² (round-6),
@@ -81,6 +108,32 @@ object Spectral {
     Seq((VectorOps.round6(num / den), topDim.toLong,
       VectorOps.round6(v(topDim))))
       .toDF("var_share", "top_dim", "top_weight")
+  }
+
+  /** Two-direction spectral report: variance shares of the top
+    * direction AND the deflated second direction, plus their ratio —
+    * the spectrum-shape gate a single share can't see (share1 ≈
+    * share2 = a rotated isotropic cloud; share1 ≫ share2 = one
+    * dominant axis crushing cosine contrast). */
+  def spectralTop2(df: DataFrame, vecCol: String, dim: Int,
+                   iters: Int): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val v1 = topDirection(df, vecCol, dim, iters)
+    val v2 = secondDirection(df, vecCol, dim, iters, v1)
+    def numOf(v: Seq[Double]): Double = {
+      val d = VectorOps.dot(col(vecCol), typedlit(v))
+      df.agg(sum(dec(d * d)).as("a")).head().getDecimal(0).doubleValue()
+    }
+    val den = df.select(explode(col(vecCol)).as("x"))
+      .select(col("x").cast("double").as("x"))
+      .agg(sum(dec(col("x") * col("x"))).as("b"))
+      .head().getDecimal(0).doubleValue()
+    val s1 = numOf(v1) / den
+    val s2 = numOf(v2) / den
+    Seq((VectorOps.round6(s1), VectorOps.round6(s2),
+      VectorOps.round6(s1 / s2)))
+      .toDF("share_1", "share_2", "anisotropy_ratio")
   }
 
   /** EFFECTIVE-DIMENSIONALITY report via the participation ratio of

@@ -39,6 +39,26 @@ class SpectralSpec extends SparkSpec {
     assert(share > 1.0 / 64 && share <= 1.0, s"share $share")
   }
 
+  test("spectralTop2: recovers both planted axes, orthogonal, shares ordered") {
+    import spark.implicits._
+    // energy concentrated on axes 0 (heavy) and 2 (lighter)
+    val vecs = Seq(
+      Seq(10.0f, 0f, 3.0f, 0f), Seq(-10.0f, 0f, 3.0f, 0f),
+      Seq(10.0f, 0f, -3.0f, 0f), Seq(-10.0f, 0f, -3.0f, 0f))
+      .map(Tuple1(_)).toDF("embedding")
+    val v1 = Spectral.topDirection(vecs, "embedding", 4, 8)
+    val v2 = Spectral.secondDirection(vecs, "embedding", 4, 8, v1)
+    assert(math.abs(v1(0)) > 0.99, s"v1 must find axis 0: $v1")
+    assert(math.abs(v2(2)) > 0.99, s"v2 must find axis 2: $v2")
+    val dot = v1.zip(v2).map { case (a, b) => a * b }.sum
+    assert(math.abs(dot) < 1e-9, s"deflation must keep v2 ⊥ v1, dot=$dot")
+    val r = Spectral.spectralTop2(vecs, "embedding", 4, 8).head()
+    // total energy 4·(100+9)=436; axis0 carries 400/436, axis2 36/436
+    assert(math.abs(r.getDouble(0) - 400.0 / 436) < 1e-4, r.toString)
+    assert(math.abs(r.getDouble(1) - 36.0 / 436) < 1e-4, r.toString)
+    assert(r.getDouble(2) > 10.0, "anisotropy ratio must reflect the 100:9 split")
+  }
+
   test("effectiveDim: 1 when one coordinate varies, d when all vary equally") {
     import spark.implicits._
     // variance only in dim 0
