@@ -2114,6 +2114,41 @@ object SparkEntry {
       graft.analysis.Funnel.touchAttribution(Tables.events(s, dir),
           "user_id", "event_type", "ts", "event_id", "purchase")
         .orderBy(col("model"), col("event_type"))),
+    // ---- [EXT] linear multi-touch attribution (Funnel.linear-
+    // Attribution): every pre-conversion touch shares the user's unit
+    // of credit equally — DECIMAL-exact fraction sums, so the per-type
+    // totals replay bit-for-bit.
+    "linear_attribution" -> ((s, dir) =>
+      graft.analysis.Funnel.linearAttribution(Tables.events(s, dir),
+          "user_id", "event_type", "ts", "purchase")
+        .orderBy(col("event_type"))),
+    // ---- [EXT] join fan-out audit: per star-schema relationship, the
+    // parent-side fan-out profile (max + mean child rows per parent,
+    // zero-child parents included) — the exploding-join pre-check run
+    // BEFORE a pipeline multiplies a skewed key; sibling of the
+    // ref_integrity orphan audit. Keyed count + parent left join ×4.
+    "join_fanout" -> ((s, dir) => {
+      def audit(parent: DataFrame, pk: String, child: DataFrame,
+                fk: String, name: String) = {
+        val cnt = child.groupBy(col(fk)).agg(count(lit(1)).as("__c"))
+        parent.join(cnt, col(pk) === col(fk), "left_outer")
+          .agg(count(lit(1)).as("n_parents"),
+            max(coalesce(col("__c"), lit(0L))).as("max_fanout"),
+            round(sum(coalesce(col("__c"), lit(0L))).cast("double") /
+              count(lit(1)), 6).as("avg_fanout"))
+          .select(lit(name).as("relationship"), col("n_parents"),
+            col("max_fanout"), col("avg_fanout"))
+      }
+      audit(Tables.orders(s, dir), "o_orderkey",
+          Tables.lineitem(s, dir), "l_orderkey", "orders->lineitem")
+        .unionByName(audit(Tables.customer(s, dir), "c_custkey",
+          Tables.orders(s, dir), "o_custkey", "customer->orders"))
+        .unionByName(audit(Tables.part(s, dir), "p_partkey",
+          Tables.lineitem(s, dir), "l_partkey", "part->lineitem"))
+        .unionByName(audit(Tables.supplier(s, dir), "s_suppkey",
+          Tables.lineitem(s, dir), "l_suppkey", "supplier->lineitem"))
+        .orderBy(col("relationship"))
+    }),
     // ---- [EXT] retention cohorts: users keyed by first-activity day,
     // counted per (cohort, day-offset) — one map-side-deduped user
     // shuffle carrying bounded day sets
@@ -8112,6 +8147,52 @@ object SparkEntry {
         |                i -> array_to_string(seq[i + 1: i + 3], '>'))) AS path
         |  FROM seqs WHERE len(seq) >= 3)
         |GROUP BY path ORDER BY n_paths DESC, path ASC LIMIT 10""".stripMargin,
+    // linear attribution: per-user fraction (exact rational) cast to
+    // decimal, exact per-type sums
+    "linear_attribution" ->
+      """WITH conv AS (SELECT user_id, min(ts) AS ct FROM events
+        |              WHERE event_type = 'purchase' GROUP BY user_id),
+        |pre AS (SELECT e.user_id, e.event_type
+        |        FROM events e JOIN conv USING (user_id) WHERE e.ts < conv.ct),
+        |pu AS (SELECT user_id, count(*) AS n FROM pre GROUP BY 1),
+        |pt AS (SELECT user_id, event_type, count(*) AS c FROM pre GROUP BY 1, 2)
+        |SELECT pt.event_type,
+        |       round(sum(CAST(pt.c::DOUBLE / pu.n::DOUBLE
+        |                      AS DECIMAL(38,12)))::DOUBLE, 6) AS credit
+        |FROM pt JOIN pu USING (user_id)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // fan-out audit: child counts per parent key, parents without
+    // children at 0
+    "join_fanout" ->
+      """SELECT * FROM (
+        |  SELECT 'orders->lineitem' AS relationship, count(*) AS n_parents,
+        |         max(coalesce(c.c, 0)) AS max_fanout,
+        |         round(sum(coalesce(c.c, 0))::DOUBLE / count(*), 6) AS avg_fanout
+        |  FROM orders LEFT JOIN (SELECT l_orderkey, count(*) AS c
+        |                         FROM lineitem GROUP BY 1) c
+        |    ON o_orderkey = l_orderkey
+        |  UNION ALL
+        |  SELECT 'customer->orders', count(*),
+        |         max(coalesce(c.c, 0)),
+        |         round(sum(coalesce(c.c, 0))::DOUBLE / count(*), 6)
+        |  FROM customer LEFT JOIN (SELECT o_custkey, count(*) AS c
+        |                           FROM orders GROUP BY 1) c
+        |    ON c_custkey = o_custkey
+        |  UNION ALL
+        |  SELECT 'part->lineitem', count(*),
+        |         max(coalesce(c.c, 0)),
+        |         round(sum(coalesce(c.c, 0))::DOUBLE / count(*), 6)
+        |  FROM part LEFT JOIN (SELECT l_partkey, count(*) AS c
+        |                       FROM lineitem GROUP BY 1) c
+        |    ON p_partkey = l_partkey
+        |  UNION ALL
+        |  SELECT 'supplier->lineitem', count(*),
+        |         max(coalesce(c.c, 0)),
+        |         round(sum(coalesce(c.c, 0))::DOUBLE / count(*), 6)
+        |  FROM supplier LEFT JOIN (SELECT l_suppkey, count(*) AS c
+        |                           FROM lineitem GROUP BY 1) c
+        |    ON s_suppkey = l_suppkey)
+        |ORDER BY relationship""".stripMargin,
     "touch_attribution" ->
       """WITH conv AS (SELECT user_id, min(ts) AS ct FROM events
         |              WHERE event_type = 'purchase' GROUP BY user_id),

@@ -613,6 +613,34 @@ object Funnel {
       .agg(count(lit(1)).as("n"))
   }
 
+  /** LINEAR (even-credit) attribution — the multi-touch companion of
+    * [[touchAttribution]]'s first/last picks: every event strictly
+    * before the user's first conversion shares the user's one unit of
+    * credit equally (credit per touch = 1/n_touches), so channels that
+    * assist mid-journey are visible where single-touch models erase
+    * them. Per-user fractions are exact small-denominator rationals;
+    * they accumulate as DECIMAL(38,12) addends (order-free, exact), so
+    * the per-type totals replay bit-for-bit. Same plan skeleton as the
+    * single-touch models: one keyed conversion join, two keyed
+    * reduces. */
+  def linearAttribution(events: DataFrame, userCol: String, typeCol: String,
+                        tsCol: String, convType: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val conv = events.filter(col(typeCol) === convType)
+      .groupBy(col(userCol)).agg(min(col(tsCol)).as("__ct"))
+    val pre = events.join(conv, Seq(userCol))
+      .filter(col(tsCol) < col("__ct"))
+      .select(col(userCol), col(typeCol))
+    val perUser = pre.groupBy(col(userCol)).agg(count(lit(1)).as("__n"))
+    pre.groupBy(col(userCol), col(typeCol)).agg(count(lit(1)).as("__c"))
+      .join(perUser, Seq(userCol))
+      .select(col(typeCol),
+        (col("__c").cast("double") / col("__n").cast("double"))
+          .cast(DecimalType(38, 12)).as("__credit"))
+      .groupBy(col(typeCol))
+      .agg(round(sum(col("__credit")).cast("double"), 6).as("credit"))
+  }
+
   /** Top event paths: the most common length-`n` ordered event-type
     * sequences across users ("what do people actually do?"). Per user,
     * events sort by `(ts, idCol)` (the project total order) into one

@@ -452,4 +452,21 @@ class FunnelSpec extends SparkSpec {
       s"adj == raw $r")
     assert(r.getDouble(8) == 0.0, s"vr $r")
   }
+
+  test("linearAttribution: even credit per touch, mass conserved, post-conversion excluded") {
+    import spark.implicits._
+    def ts(h: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 $h%02d:00:00")
+    val ev = Seq(
+      (1L, "click", ts(0)), (1L, "view", ts(1)), (1L, "click", ts(2)),
+      (1L, "purchase", ts(3)), (1L, "view", ts(4)), // post-conversion: no credit
+      (2L, "view", ts(0)), (2L, "purchase", ts(1)),
+      (3L, "click", ts(0)) // never converts: no credit
+    ).toDF("user_id", "event_type", "ts")
+    val out = Funnel.linearAttribution(ev, "user_id", "event_type", "ts", "purchase")
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    // user 1: 3 touches → click 2/3, view 1/3; user 2: view 1
+    assert(out == Map("click" -> 0.666667, "view" -> 1.333333), s"got $out")
+    assert(math.abs(out.values.sum - 2.0) < 1e-6,
+      "credit mass must equal the number of converting users with touches")
+  }
 }
