@@ -1394,10 +1394,13 @@ object SparkEntry {
     // appear in disproportionately many other points' top-k lists —
     // high-dimensional hubs distort every kNN-derived result. k-occur
     // counts from a deterministic 100-query sample's 6-NN lists
-    // (self-match excluded), top-10 hubs out.
+    // (self-match excluded), top-10 hubs out. The sample is CAPPED
+    // (vec_id < 500), not rate-based: a %-sample would scale the
+    // query side with the corpus and turn the probe quadratic at
+    // bench scale — 100 probes measure hubness at any sf.
     "hub_vectors_top10" -> ((s, dir) => {
       val e = Tables.embeddings(s, dir)
-      val qs = e.filter(col("vec_id") % 5 === 0)
+      val qs = e.filter(col("vec_id") < 500 && col("vec_id") % 5 === 0)
         .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
       Search.similarityJoin(e, qs, 6)
         .filter(col("vec_id") =!= col("qid")) // a point is not its own hub
@@ -6608,7 +6611,7 @@ object SparkEntry {
     // queries, self excluded, k-occurrence counts
     "hub_vectors_top10" ->
       s"""WITH qs AS (SELECT vec_id AS qid, embedding FROM embeddings
-         |            WHERE vec_id % 5 = 0),
+         |            WHERE vec_id < 500 AND vec_id % 5 = 0),
          |rk AS (
          |  SELECT qid, vec_id FROM (
          |    SELECT q.qid, e.vec_id,
