@@ -1840,6 +1840,15 @@ object SparkEntry {
           lit(java.sql.Timestamp.valueOf("2024-01-15 00:00:00")))
         .groupBy(col("event_type")).agg(count(lit(1)).as("n_users"))
         .orderBy(col("event_type"))),
+    // ---- [EXT] weekly PSI drift TREND (CorpusDrift.psiTrend): one
+    // PSI per calendar week vs the FIRST week's value distribution —
+    // drift as an alarmable series, with the baseline week's 0 as a
+    // built-in self-check. One bucketing scan + bounded grid folds,
+    // never a per-week psi() call.
+    "psi_weekly_trend" -> ((s, dir) =>
+      graft.analysis.CorpusDrift.psiTrend(Tables.events(s, dir),
+          "ts", "value", 10)
+        .orderBy(col("week"))),
     // ---- [EXT] weekly churn-label generation (TimeSeries.churn-
     // Labels): supervised-training rows from the activity log —
     // churn = no activity next week, features = this/previous week's
@@ -7112,6 +7121,38 @@ object SparkEntry {
         |WHERE vf <= TIMESTAMP '2024-01-15 00:00:00'
         |  AND (vt IS NULL OR TIMESTAMP '2024-01-15 00:00:00' < vt)
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // weekly PSI: baseline-week bounds, clamped bucketing, smoothed
+    // per-week fold over the weeks × bins grid
+    "psi_weekly_trend" ->
+      """WITH wk AS (SELECT date_trunc('week', ts)::DATE AS week,
+        |                   value::DOUBLE AS v FROM events),
+        |w0 AS (SELECT min(week) AS w FROM wk),
+        |bounds AS (SELECT min(v) AS lo, max(v) AS hi FROM wk, w0
+        |           WHERE week = w0.w),
+        |bk AS (SELECT week,
+        |              CASE WHEN hi = lo THEN 0
+        |                   ELSE greatest(least(
+        |                     floor((v - lo) / ((hi - lo) / 10.0))::BIGINT,
+        |                     9), 0) END AS bucket
+        |       FROM wk, bounds),
+        |cwb AS (SELECT week, bucket, count(*) AS c FROM bk GROUP BY 1, 2),
+        |grid AS (SELECT w.week, b.bucket
+        |         FROM (SELECT DISTINCT week FROM wk) w,
+        |              (SELECT unnest(range(0, 10)) AS bucket) b),
+        |fill AS (SELECT g.week, g.bucket, coalesce(c.c, 0) AS cb
+        |         FROM grid g LEFT JOIN cwb c
+        |           ON c.week = g.week AND c.bucket = g.bucket),
+        |basec AS (SELECT bucket, cb AS ca FROM fill, w0 WHERE week = w0.w),
+        |na AS (SELECT sum(ca) AS na FROM basec),
+        |nbs AS (SELECT week, sum(cb) AS nb FROM fill GROUP BY 1)
+        |SELECT strftime(f.week, '%Y-%m-%d') AS week,
+        |       max(nbs.nb)::BIGINT AS n,
+        |       round(sum(((b.ca + 1) / (na.na + 10) - (f.cb + 1) / (nbs.nb + 10))
+        |             * ln(((b.ca + 1) / (na.na + 10))
+        |                  / ((f.cb + 1) / (nbs.nb + 10)))), 6) AS psi
+        |FROM fill f JOIN basec b USING (bucket)
+        |JOIN nbs ON nbs.week = f.week CROSS JOIN na
+        |GROUP BY f.week ORDER BY week""".stripMargin,
     // churn labels: (user, week) reduce, ±7-day self-joins, last-week
     // censoring via the max-week scalar
     "churn_labels" ->

@@ -93,6 +93,58 @@ object CorpusDrift {
           .as("psi"))
   }
 
+  /** [[psi]] unrolled into a MONITORING TREND: one PSI value per
+    * calendar week against the FIRST week's distribution (bins fixed
+    * from the baseline week's [min,max], out-of-range weeks clamp into
+    * edge bins — the monitoring convention), so drift becomes a series
+    * a dashboard can alarm on instead of a single after-the-fact
+    * scalar. The baseline week scores 0 against itself — a built-in
+    * self-check row.
+    *
+    * Scale shape: ONE scan buckets every row (never a per-week psi()
+    * call), one (week, bucket) reduce, then the PSI fold over the
+    * weeks × bins grid — bounded rows, baseline counts joined by
+    * bucket. */
+  def psiTrend(df: DataFrame, tsCol: String, valueCol: String,
+               bins: Int = 10): DataFrame = {
+    require(bins >= 2, s"bins must be >= 2: $bins")
+    val wk = df.select(date_trunc("week", col(tsCol)).cast("date").as("week"),
+      col(valueCol).cast("double").as("v"))
+    val w0 = wk.agg(min(col("week")).as("__w0"))
+    val bounds = wk.crossJoin(broadcast(w0))
+      .filter(col("week") === col("__w0"))
+      .agg(min(col("v")).as("__lo"), max(col("v")).as("__hi"))
+    val bucketed = wk.crossJoin(broadcast(bounds))
+      .select(col("week"),
+        when(col("__hi") === col("__lo"), lit(0L))
+          .otherwise(greatest(least(
+            floor((col("v") - col("__lo")) /
+              ((col("__hi") - col("__lo")) / lit(bins.toDouble))).cast("long"),
+            lit(bins - 1L)), lit(0L))).as("bucket"))
+    val cwb = bucketed.groupBy(col("week"), col("bucket"))
+      .agg(count(lit(1)).as("__c"))
+    val grid = wk.select(col("week")).distinct()
+      .crossJoin(df.sparkSession.range(0, bins).select(col("id").as("bucket")))
+    val fill = grid.join(cwb, Seq("week", "bucket"), "left")
+      .select(col("week"), col("bucket"), coalesce(col("__c"), lit(0L)).as("cb"))
+    val basec = fill.crossJoin(broadcast(w0))
+      .filter(col("week") === col("__w0"))
+      .select(col("bucket"), col("cb").as("ca"))
+    val na = basec.agg(sum(col("ca")).as("__na"))
+    val nbs = fill.groupBy(col("week")).agg(sum(col("cb")).as("__nb"))
+    fill.join(basec, Seq("bucket"))
+      .join(nbs, Seq("week"))
+      .crossJoin(broadcast(na))
+      .withColumn("__pa", (col("ca") + lit(1)) / (col("__na") + lit(bins)))
+      .withColumn("__pb", (col("cb") + lit(1)) / (col("__nb") + lit(bins)))
+      .groupBy(col("week"))
+      .agg(max(col("__nb")).as("n"),
+        round(sum((col("__pa") - col("__pb")) * log(col("__pa") / col("__pb"))), 6)
+          .as("psi"))
+      .select(date_format(col("week"), "yyyy-MM-dd").as("week"),
+        col("n"), col("psi"))
+  }
+
   /** Chi-square homogeneity test of a CATEGORICAL column between two
     * slices — the categorical companion of [[psi]] (which needs a
     * numeric grid): "is the label/language/source mix of slice `b`

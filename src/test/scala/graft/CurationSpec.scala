@@ -168,6 +168,23 @@ class CurationSpec extends SparkSpec {
     assert(row.getDouble(2) == math.rint(expected * 1e6) / 1e6)
   }
 
+  test("psiTrend: baseline week is exactly 0, a shifted week registers, stable weeks stay low") {
+    import spark.implicits._
+    def ts(d: Int, i: Int) =
+      new java.sql.Timestamp(
+        java.sql.Timestamp.valueOf(f"2024-01-$d%02d 00:00:00").getTime + i * 1000L)
+    // week 2024-01-01: values 0..9 (the baseline grid); week -08: the
+    // same distribution; week -15: all mass collapsed onto one value
+    val ev = ((0 until 10).map(i => (ts(1, i), i.toDouble)) ++
+      (0 until 10).map(i => (ts(8, i), i.toDouble)) ++
+      (0 until 10).map(i => (ts(15, i), 9.0))).toDF("ts", "v")
+    val out = graft.analysis.CorpusDrift.psiTrend(ev, "ts", "v", 10)
+      .collect().map(r => r.getString(0) -> r.getDouble(2)).toMap
+    assert(out("2024-01-01") == 0.0, "baseline self-PSI must be exactly 0")
+    assert(out("2024-01-08") == 0.0, "an identical week must also be 0")
+    assert(out("2024-01-15") > 0.5, s"a collapsed week must alarm: ${out("2024-01-15")}")
+  }
+
   test("kAnonymity: combinations below k surface rarest-first; nulls group together") {
     import graft.analysis.Curation
     import spark.implicits._
