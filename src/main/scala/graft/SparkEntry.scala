@@ -2126,6 +2126,14 @@ object SparkEntry {
       graft.analysis.Funnel.touchAttribution(Tables.events(s, dir),
           "user_id", "event_type", "ts", "event_id", "purchase")
         .orderBy(col("model"), col("event_type"))),
+    // ---- [EXT] peak session concurrency (Funnel.maxConcurrent-
+    // Sessions): sweep-line over session intervals via the
+    // HIERARCHICAL prefix (within-hour keyed running sums + the
+    // bounded hour-grid cumulation) — the load gauge, without a
+    // single-partition global sort. 24h gap, inclusive overlap.
+    "max_concurrent_sessions" -> ((s, dir) =>
+      graft.analysis.Funnel.maxConcurrentSessions(Tables.events(s, dir),
+        "user_id", "ts", 24L * 3600)),
     // ---- [EXT] linear multi-touch attribution (Funnel.linear-
     // Attribution): every pre-conversion touch shares the user's unit
     // of credit equally — DECIMAL-exact fraction sums, so the per-type
@@ -8191,6 +8199,42 @@ object SparkEntry {
         |                i -> array_to_string(seq[i + 1: i + 3], '>'))) AS path
         |  FROM seqs WHERE len(seq) >= 3)
         |GROUP BY path ORDER BY n_paths DESC, path ASC LIMIT 10""".stripMargin,
+    // peak concurrency: sessionize, ±1 sweep with starts-first tie
+    // order, hierarchical hour prefix
+    "max_concurrent_sessions" ->
+      """WITH chg AS (
+        |  SELECT user_id, ts,
+        |         CASE WHEN epoch_us(ts) - epoch_us(lag(ts) OVER
+        |                (PARTITION BY user_id ORDER BY ts)) > 86400000000
+        |              THEN 1 ELSE 0 END AS nb
+        |  FROM events),
+        |sess AS (
+        |  SELECT user_id,
+        |         sum(nb) OVER (PARTITION BY user_id ORDER BY ts
+        |                       ROWS UNBOUNDED PRECEDING) AS sid,
+        |         ts
+        |  FROM chg),
+        |iv AS (SELECT user_id, sid, epoch_us(min(ts)) AS s,
+        |              epoch_us(max(ts)) AS e
+        |       FROM sess GROUP BY 1, 2),
+        |pts AS (SELECT s AS t, 1 AS d FROM iv
+        |        UNION ALL SELECT e AS t, -1 AS d FROM iv),
+        |runs AS (
+        |  SELECT t // 3600000000 AS hour, d,
+        |         sum(d) OVER (PARTITION BY (t // 3600000000)
+        |                      ORDER BY t ASC, d DESC
+        |                      ROWS UNBOUNDED PRECEDING) AS run
+        |  FROM pts),
+        |hr AS (SELECT hour, sum(d) AS tot, max(run) AS peak
+        |       FROM runs GROUP BY 1),
+        |off AS (SELECT hour, peak,
+        |               coalesce(sum(tot) OVER (ORDER BY hour
+        |                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+        |                 0) AS o
+        |        FROM hr)
+        |SELECT (SELECT count(*) FROM iv) AS n_sessions,
+        |       max(o + peak)::BIGINT AS max_concurrent
+        |FROM off""".stripMargin,
     // linear attribution: per-user fraction (exact rational) cast to
     // decimal, exact per-type sums
     "linear_attribution" ->

@@ -613,6 +613,56 @@ object Funnel {
       .agg(count(lit(1)).as("n"))
   }
 
+  /** PEAK CONCURRENCY — the load gauge: the maximum number of
+    * simultaneously-open sessions (inclusive `[start, end]` intervals
+    * from the same gap sessionization [[sessionStats]] pins), by
+    * sweep-line: +1 at each session start, −1 at each end, peak of the
+    * running sum. At equal instants starts order before ends, so
+    * touching sessions count as overlapping (the inclusive
+    * convention).
+    *
+    * A naive sweep is one global ordered prefix — a SinglePartition
+    * sort. This is the HIERARCHICAL form (the seq-pack two-phase
+    * lesson applied to prefix-max): within-hour running sums under an
+    * hour-keyed window, per-hour totals cumulated over the BOUNDED
+    * hour grid (the one small global window, ks_value_drift class),
+    * peak = max over hours of (hour offset + within-hour peak). One
+    * user-keyed sessionization shuffle + one hour-keyed shuffle.
+    *
+    * @return one row `(n_sessions, max_concurrent)`
+    */
+  def maxConcurrentSessions(events: DataFrame, userCol: String,
+                            tsCol: String, gapSeconds: Long): DataFrame = {
+    require(gapSeconds > 0, "gapSeconds must be positive")
+    val wOrd = Window.partitionBy(col(userCol)).orderBy(col(tsCol))
+    val boundary = when(
+      unix_micros(col(tsCol)) - unix_micros(lag(col(tsCol), 1).over(wOrd)) >
+        gapSeconds * 1000000L, 1L).otherwise(0L)
+    val sessions = events.select(col(userCol), col(tsCol))
+      .withColumn("__nb", boundary)
+      .withColumn("__sess", sum(col("__nb")).over(wOrd))
+      .groupBy(col(userCol), col("__sess"))
+      .agg(unix_micros(min(col(tsCol))).as("__s"),
+        unix_micros(max(col(tsCol))).as("__e"))
+    val pts = sessions.select(col("__s").as("t"), lit(1L).as("d"))
+      .unionByName(sessions.select(col("__e").as("t"), lit(-1L).as("d")))
+      .withColumn("__hour", floor(col("t") / lit(3600000000L)))
+    val wIn = Window.partitionBy(col("__hour"))
+      .orderBy(col("t").asc, col("d").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val inHour = pts.withColumn("__run", sum(col("d")).over(wIn))
+      .groupBy(col("__hour"))
+      .agg(sum(col("d")).as("__tot"), max(col("__run")).as("__peak"))
+    // offsets over the bounded hour grid: everything BEFORE this hour
+    val wH = Window.orderBy(col("__hour"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val peaks = inHour
+      .withColumn("__off", coalesce(sum(col("__tot")).over(wH), lit(0L)))
+      .select((col("__off") + col("__peak")).as("__p"))
+    val n = sessions.agg(count(lit(1)).as("n_sessions"))
+    n.crossJoin(peaks.agg(max(col("__p")).as("max_concurrent")))
+  }
+
   /** LINEAR (even-credit) attribution — the multi-touch companion of
     * [[touchAttribution]]'s first/last picks: every event strictly
     * before the user's first conversion shares the user's one unit of

@@ -453,6 +453,30 @@ class FunnelSpec extends SparkSpec {
     assert(r.getDouble(8) == 0.0, s"vr $r")
   }
 
+  test("maxConcurrentSessions: hand-computed peak across hour boundaries, touching sessions overlap") {
+    import spark.implicits._
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    // gap 1800s → per-user sessions:
+    //  u1: [00:10, 02:10] (events every 20 min), u2: [00:50, 01:20],
+    //  u3: [02:10, 02:15] — touches u1's end exactly (inclusive → overlap)
+    val ev = Seq(
+      (1L, "00:10"), (1L, "00:30"), (1L, "00:50"), (1L, "01:10"),
+      (1L, "01:30"), (1L, "01:50"), (1L, "02:10"),
+      (2L, "00:50"), (2L, "01:20"),
+      (3L, "02:10"), (3L, "02:15")
+    ).map { case (u, t) => (u, ts(s"2024-01-01 $t:00")) }.toDF("user_id", "ts")
+    val r = Funnel.maxConcurrentSessions(ev, "user_id", "ts", 1800L).head()
+    assert(r.getLong(0) == 3L, s"3 sessions expected: $r")
+    // peak 2: u1+u2 between 00:50 and 01:20, and u1+u3 at exactly 02:10
+    assert(r.getLong(1) == 2L, s"peak must be 2: $r")
+    // without u3's touching start the peak is still 2 (u1+u2) but
+    // dropping u2 isolates every interval except the touch point
+    val r2 = Funnel.maxConcurrentSessions(
+      ev.filter(col("user_id") =!= 2L), "user_id", "ts", 1800L).head()
+    assert(r2.getLong(1) == 2L,
+      "a session STARTING exactly at another's end counts as concurrent")
+  }
+
   test("linearAttribution: even credit per touch, mass conserved, post-conversion excluded") {
     import spark.implicits._
     def ts(h: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 $h%02d:00:00")
