@@ -892,6 +892,31 @@ object SparkEntry {
       graft.analysis.Eval.rankedEval(fused, "rrf",
         qs.select(col("qid"), col("qlabel")), docs, 5, "doc_id", "source")
     }),
+    // ---- [EXT] the fusion CHOICE gate (Lexical.linearFuseBatch +
+    // rankedEval): the same hybrid stack as hybrid_eval scored through
+    // score-level min-max fusion instead of RRF — with both gates
+    // verified, switching fusion strategies moves a measured metric,
+    // not a hunch. Per-qid bounds are keyed aggregates, never global.
+    "linear_fusion_eval" -> ((s, dir) => {
+      import s.implicits._
+      val qs = Seq(
+        (0L, Seq("spark", "join"), "src3"),
+        (1L, Seq("table", "filter"), "src5"),
+        (2L, Seq("spark", "filter", "table"), "src7"))
+        .toDF("qid", "terms", "qlabel")
+      val docs = Tables.documents(s, dir)
+      val bm = Lexical.bm25TopKBatch(docs, "text", "doc_id",
+        qs.select(col("qid"), col("terms")), 20)
+      val emb = Tables.embeddings(s, dir)
+      val vq = emb.filter(col("vec_id") < 3)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+      val vec = Search.similarityJoin(emb, vq, 20)
+        .select(col("qid"), col("vec_id").as("doc_id"), col("sim"))
+      val fused = Lexical.linearFuseBatch(bm, vec, "doc_id", "score", "sim",
+        20, alpha = 0.5)
+      graft.analysis.Eval.rankedEval(fused, "fused",
+        qs.select(col("qid"), col("qlabel")), docs, 5, "doc_id", "source")
+    }),
     // ---- [EXT] hard-negative mining (contrastive retriever
     // training): per query, top-3 highest-cosine label-MISMATCHED
     // corpus rows; ranks computed over the filtered subset so a
@@ -5886,6 +5911,80 @@ object SparkEntry {
          |    SELECT qid, doc_id,
          |           row_number() OVER (PARTITION BY qid
          |             ORDER BY rrf DESC, doc_id ASC) AS rank
+         |    FROM fused) WHERE rank <= 5),
+         |perq AS (
+         |  SELECT t.qid, ql.qlabel,
+         |         coalesce(1e0 / min(CASE WHEN d.source = ql.qlabel THEN t.rank END),
+         |                  0e0) AS rr,
+         |         sum(CASE WHEN d.source = ql.qlabel THEN 1e0 / log2(t.rank + 1)
+         |                  ELSE 0e0 END) AS dcg
+         |  FROM topk t JOIN documents d USING (doc_id)
+         |       JOIN ql ON ql.qid = t.qid
+         |  GROUP BY 1, 2),
+         |pa AS (
+         |  SELECT ql.qid, ql.qlabel, coalesce(perq.rr, 0e0) AS rr,
+         |         coalesce(perq.dcg, 0e0) AS dcg
+         |  FROM ql LEFT JOIN perq ON perq.qid = ql.qid),
+         |rc AS (SELECT source AS qlabel, count(*)::BIGINT AS n_rel
+         |       FROM documents GROUP BY 1),
+         |wi AS (
+         |  SELECT pa.qid, pa.rr, pa.dcg,
+         |         CASE WHEN coalesce(rc.n_rel, 0) >= 1 THEN
+         |           list_reduce(list_transform(range(1, least(rc.n_rel, 5) + 1),
+         |             i -> 1e0 / log2((i + 1)::DOUBLE)), (x, y) -> x + y)
+         |         ELSE 0e0 END AS idcg
+         |  FROM pa LEFT JOIN rc USING (qlabel))
+         |SELECT count(*)::BIGINT AS n_queries,
+         |       round(avg(rr), 6) AS mrr_at_5,
+         |       round(avg(CASE WHEN idcg > 0 THEN dcg / idcg ELSE 0e0 END),
+         |             6) AS ndcg_at_5
+         |FROM wi""".stripMargin,
+    // linear-fusion gate: per-qid min-max over the round-6 score/sim
+    // top-20 lists, alpha blend, then the shared metric tail
+    "linear_fusion_eval" ->
+      s"""WITH $bm25BatchCtes,
+         |b20 AS (
+         |  SELECT qid, doc_id, score FROM (
+         |    SELECT qid, doc_id, score,
+         |           row_number() OVER (PARTITION BY qid
+         |             ORDER BY score DESC, doc_id ASC) AS ra
+         |    FROM bscored) WHERE ra <= 20),
+         |qv AS (SELECT vec_id AS qid, embedding AS qvec
+         |       FROM embeddings WHERE vec_id < 3),
+         |v20 AS (
+         |  SELECT qid, doc_id, sim FROM (
+         |    SELECT qv.qid, e.vec_id AS doc_id,
+         |           ${cosSql("e.embedding", "qv.qvec")} AS sim,
+         |           row_number() OVER (PARTITION BY qv.qid
+         |             ORDER BY ${cosSql("e.embedding", "qv.qvec")} DESC,
+         |                      e.vec_id ASC) AS rb
+         |    FROM embeddings e CROSS JOIN qv) WHERE rb <= 20),
+         |bb AS (SELECT qid, min(score)::DOUBLE AS lo, max(score)::DOUBLE AS hi
+         |       FROM b20 GROUP BY 1),
+         |nba AS (SELECT b20.qid, doc_id,
+         |               CASE WHEN bb.hi = bb.lo THEN 1.0
+         |                    ELSE (score::DOUBLE - bb.lo) / (bb.hi - bb.lo)
+         |               END AS na
+         |        FROM b20 JOIN bb USING (qid)),
+         |vb AS (SELECT qid, min(sim)::DOUBLE AS lo, max(sim)::DOUBLE AS hi
+         |       FROM v20 GROUP BY 1),
+         |nvb AS (SELECT v20.qid, doc_id,
+         |               CASE WHEN vb.hi = vb.lo THEN 1.0
+         |                    ELSE (sim::DOUBLE - vb.lo) / (vb.hi - vb.lo)
+         |               END AS nb
+         |        FROM v20 JOIN vb USING (qid)),
+         |fused AS (
+         |  SELECT qid, doc_id,
+         |         round(0.5::DOUBLE * coalesce(na, 0.0::DOUBLE)
+         |             + 0.5::DOUBLE * coalesce(nb, 0.0::DOUBLE), 6) AS fs
+         |  FROM nba FULL JOIN nvb USING (qid, doc_id)),
+         |ql AS (SELECT qid::BIGINT AS qid, qlabel FROM (VALUES
+         |  (0, 'src3'), (1, 'src5'), (2, 'src7')) AS t(qid, qlabel)),
+         |topk AS (
+         |  SELECT qid, doc_id, rank FROM (
+         |    SELECT qid, doc_id,
+         |           row_number() OVER (PARTITION BY qid
+         |             ORDER BY fs DESC, doc_id ASC) AS rank
          |    FROM fused) WHERE rank <= 5),
          |perq AS (
          |  SELECT t.qid, ql.qlabel,

@@ -760,4 +760,36 @@ object Lexical {
       .orderBy(col("fused").desc, col(idCol).asc)
       .limit(k)
   }
+
+  /** [[linearFuse]] over a QUERY BATCH — per-qid min-max bounds (a
+    * keyed k-row aggregate, not a broadcast scalar) and a per-qid rank
+    * window, on the [[rrfFuseBatch]] pattern: both inputs carry
+    * (qid, id, order column) already depth-bounded, so every window
+    * sorts ≤ depth rows. Same degenerate-list (→ 1.0) and one-sided
+    * (→ 0 on that side) conventions as the single-query form. */
+  def linearFuseBatch(a: DataFrame, b: DataFrame, idCol: String,
+                      orderColA: String, orderColB: String, k: Int,
+                      alpha: Double = 0.5): DataFrame = {
+    def normed(df: DataFrame, ord: String, as: String): DataFrame = {
+      val bounds = df.groupBy(col("qid"))
+        .agg(min(col(ord)).cast("double").as("__lo"),
+          max(col(ord)).cast("double").as("__hi"))
+      df.join(bounds, Seq("qid"))
+        .withColumn(as,
+          when(col("__hi") === col("__lo"), lit(1.0))
+            .otherwise((col(ord).cast("double") - col("__lo")) /
+              (col("__hi") - col("__lo"))))
+        .select(col("qid"), col(idCol), col(as))
+    }
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("fused").desc, col(idCol).asc)
+    normed(a, orderColA, "na")
+      .join(normed(b, orderColB, "nb"), Seq("qid", idCol), "full_outer")
+      .withColumn("fused", round(
+        lit(alpha) * coalesce(col("na"), lit(0.0)) +
+          lit(1.0 - alpha) * coalesce(col("nb"), lit(0.0)), 6))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col(idCol), col("fused"))
+  }
 }

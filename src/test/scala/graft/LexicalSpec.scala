@@ -262,6 +262,23 @@ class LexicalSpec extends SparkSpec {
     assert(aOnly(1L) == 1.0 && aOnly(2L) == 0.5 && aOnly(4L) == 0.0)
   }
 
+  test("linearFuseBatch restricted to one qid ≡ single-query linearFuse") {
+    val a = Seq((0L, 1L, 5.0), (0L, 2L, 3.0), (0L, 3L, 1.0),
+      (1L, 1L, 9.0), (1L, 4L, 2.0)).toDF("qid", "id", "s")
+    val b = Seq((0L, 2L, 0.9), (0L, 5L, 0.7),
+      (1L, 4L, 0.5), (1L, 6L, 0.4)).toDF("qid", "id", "v")
+    val batch = Lexical.linearFuseBatch(a, b, "id", "s", "v", 10)
+      .filter(col("qid") === 0L)
+      .select(col("id"), col("fused"))
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).sorted.toSeq
+    val single = Lexical.linearFuse(
+        a.filter(col("qid") === 0L).select(col("id"), col("s")),
+        b.filter(col("qid") === 0L).select(col("id"), col("v")),
+        "id", "s", "v", 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).sorted.toSeq
+    assert(batch == single, s"batch $batch vs single $single")
+  }
+
   test("pii redaction replaces emails and phones, leaves clean text alone") {
     val out = Seq(
       (0L, "mail a.b+c@ex-ample.co.uk now or call +1-555-123-4567 ok"),
