@@ -728,6 +728,29 @@ object SparkEntry {
         .select(col("doc_id"), coalesce(col("comp"), col("doc_id")).as("keep_id"))
         .orderBy(col("doc_id"))
     }),
+    // ---- [EXT] per-SOURCE duplication dashboard: the near-dup
+    // component frame rolled up by provenance — which sources ship
+    // recycled content (the number a crawl-source triage meeting
+    // actually reads). A doc is "duplicated" when its component holds
+    // >1 member; rate = duplicated/docs per source.
+    "dedup_rate_by_source" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val pairs = Dedup.minhashJaccardPairs(docs, "doc_id", "text", 5, 32, 8, 0.5)
+      val comp = Dedup.components(pairs, "id_a", "id_b")
+      val labeled = docs.select(col("doc_id"), col("source"))
+        .join(comp.withColumnRenamed("id", "doc_id"), Seq("doc_id"), "left")
+        .select(col("doc_id"), col("source"),
+          coalesce(col("comp"), col("doc_id")).as("__comp"))
+      val sizes = labeled.groupBy(col("__comp")).agg(count(lit(1)).as("__sz"))
+      labeled.join(sizes, Seq("__comp"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("__sz") > 1L, 1L).otherwise(0L)).as("n_duplicated"))
+        .select(col("source"), col("n_docs"), col("n_duplicated"),
+          round(col("n_duplicated").cast("double") / col("n_docs").cast("double"), 6)
+            .as("dup_rate"))
+        .orderBy(col("source"))
+    }),
     // ---- [EXT] curation-grade dedup: within each near-dup component,
     // keep the HIGHEST-QUALITY document (not the arbitrary min-id) —
     // the representative-selection policy a real pipeline wants when
@@ -833,6 +856,47 @@ object SparkEntry {
           .select(col("vec_id").as("qid"), col("embedding").as("qvec"),
             col("label").as("qlabel")),
         k = 10)
+    }),
+    // ---- [EXT] retrieval FAIRNESS slice: precision@5 per query
+    // LABEL — the per-class view an aggregate MRR averages away (one
+    // under-served class hides inside a healthy mean). Integer
+    // hit-counts → exact mean (total_hits / 5n), no float sums.
+    "retrieval_p5_by_label" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val corpus = emb.filter(col("vec_id") % 25 =!= 0)
+      val qs = emb.filter(col("vec_id") % 25 === 0)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec"),
+          col("label").as("qlabel"))
+      Search.similarityJoin(corpus, qs, 5)
+        .groupBy(col("qlabel"))
+        .agg(countDistinct(col("qid")).as("n_queries"),
+          sum(when(col("label") === col("qlabel"), 1L).otherwise(0L))
+            .as("total_hits"))
+        .select(col("qlabel").cast("long").as("qlabel"), col("n_queries"),
+          col("total_hits"),
+          round(col("total_hits").cast("double") /
+            (col("n_queries") * 5).cast("double"), 6).as("p_at_5"))
+        .orderBy(col("qlabel"))
+    }),
+    // ---- [EXT] per-user engagement mass: total in-session time under
+    // the pinned 24h-gap sessionization — top-10 most-engaged users
+    // (exact integer micros; seconds at output).
+    "user_active_time_top10" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"))
+      val boundary = when(
+        unix_micros(col("ts")) - unix_micros(lag(col("ts"), 1).over(w)) >
+          24L * 3600 * 1000000L, 1L).otherwise(0L)
+      Tables.events(s, dir).select(col("user_id"), col("ts"))
+        .withColumn("__nb", boundary)
+        .withColumn("__sess", sum(col("__nb")).over(w))
+        .groupBy(col("user_id"), col("__sess"))
+        .agg((unix_micros(max(col("ts"))) - unix_micros(min(col("ts"))))
+          .as("__dur"))
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_sessions"),
+          round(sum(col("__dur")).cast("double") / 1e6, 6).as("active_secs"))
+        .orderBy(col("active_secs").desc, col("user_id").asc)
+        .limit(10)
     }),
     // ---- [EXT] the multi-depth eval CURVE: one ranking pass at
     // k=10, metrics (MRR/nDCG/recall@k) truncated at k ∈ {1,3,5,10}
@@ -5692,6 +5756,21 @@ object SparkEntry {
          |SELECT d.doc_id, coalesce(c.comp, d.doc_id) AS keep_id
          |FROM documents d LEFT JOIN comp c ON c.id = d.doc_id
          |ORDER BY d.doc_id""".stripMargin,
+    // per-source dup rate: component labels + sizes + provenance rollup
+    "dedup_rate_by_source" ->
+      s"""WITH RECURSIVE $nearDupComponentsCtes,
+         |lab AS (
+         |  SELECT d.doc_id, d.source,
+         |         coalesce(c.comp, d.doc_id) AS cmp
+         |  FROM documents d LEFT JOIN comp c ON c.id = d.doc_id),
+         |sz AS (SELECT cmp, count(*) AS s FROM lab GROUP BY 1)
+         |SELECT lab.source, count(*) AS n_docs,
+         |       sum(CASE WHEN sz.s > 1 THEN 1 ELSE 0 END)::BIGINT
+         |         AS n_duplicated,
+         |       round(sum(CASE WHEN sz.s > 1 THEN 1 ELSE 0 END)::DOUBLE
+         |             / count(*)::DOUBLE, 6) AS dup_rate
+         |FROM lab JOIN sz USING (cmp)
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
     // soft dedup: component labels + 1/|component| weights
     "dedup_weights" ->
       s"""WITH RECURSIVE $nearDupComponentsCtes,
@@ -8298,6 +8377,48 @@ object SparkEntry {
         |                i -> array_to_string(seq[i + 1: i + 3], '>'))) AS path
         |  FROM seqs WHERE len(seq) >= 3)
         |GROUP BY path ORDER BY n_paths DESC, path ASC LIMIT 10""".stripMargin,
+    // per-label precision@5: per-qid cosine rank windows, integer hits
+    "retrieval_p5_by_label" ->
+      s"""WITH qs AS (SELECT vec_id AS qid, embedding AS qvec,
+         |                   label AS qlabel
+         |            FROM embeddings WHERE vec_id % 25 = 0),
+         |topk AS (
+         |  SELECT qid, qlabel, label FROM (
+         |    SELECT q.qid, q.qlabel, e.label,
+         |           row_number() OVER (PARTITION BY q.qid
+         |             ORDER BY ${cosSql("e.embedding", "q.qvec")} DESC,
+         |                      e.vec_id ASC) AS rk
+         |    FROM embeddings e CROSS JOIN qs q
+         |    WHERE e.vec_id % 25 <> 0) WHERE rk <= 5)
+         |SELECT qlabel::BIGINT AS qlabel,
+         |       count(DISTINCT qid) AS n_queries,
+         |       sum(CASE WHEN label = qlabel THEN 1 ELSE 0 END)::BIGINT
+         |         AS total_hits,
+         |       round(sum(CASE WHEN label = qlabel THEN 1 ELSE 0 END)::DOUBLE
+         |             / (count(DISTINCT qid) * 5)::DOUBLE, 6) AS p_at_5
+         |FROM topk GROUP BY 1 ORDER BY 1""".stripMargin,
+    // engagement mass: the pinned sessionization + per-user duration
+    // sums (exact micros), top-10
+    "user_active_time_top10" ->
+      """WITH chg AS (
+        |  SELECT user_id, ts,
+        |         CASE WHEN epoch_us(ts) - epoch_us(lag(ts) OVER
+        |                (PARTITION BY user_id ORDER BY ts)) > 86400000000
+        |              THEN 1 ELSE 0 END AS nb
+        |  FROM events),
+        |sess AS (
+        |  SELECT user_id,
+        |         sum(nb) OVER (PARTITION BY user_id ORDER BY ts
+        |                       ROWS UNBOUNDED PRECEDING) AS sid,
+        |         ts
+        |  FROM chg),
+        |iv AS (SELECT user_id, sid,
+        |              epoch_us(max(ts)) - epoch_us(min(ts)) AS dur
+        |       FROM sess GROUP BY 1, 2)
+        |SELECT user_id, count(*) AS n_sessions,
+        |       round(sum(dur)::DOUBLE / 1e6, 6) AS active_secs
+        |FROM iv GROUP BY 1
+        |ORDER BY active_secs DESC, user_id ASC LIMIT 10""".stripMargin,
     // peak concurrency: sessionize, ±1 sweep with starts-first tie
     // order, hierarchical hour prefix
     "max_concurrent_sessions" ->
