@@ -2765,6 +2765,19 @@ object SparkEntry {
     "ann_lsh_top5" -> ((s, dir) =>
       Ann.lshTopK(Tables.embeddings(s, dir), queryVec(s, dir), 5, Ann.planes(64, 8))
         .select(col("vec_id"), col("sim"))),
+    // ---- [EXT] query-DIRECTED multi-probe LSH (Ann.lshTopKDirected,
+    // Lv 2007): flip only the t=3 lowest-|margin| bits instead of the
+    // full Hamming-1 ring — 4 probes instead of 9, aimed at the
+    // boundaries the query actually sits near. Recall@5 vs the exact
+    // scan, with the probe-selection margins replayed round-6.
+    "ann_lsh_directed_recall" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val exact = Search.knn(emb, queryVec(s, dir), 5).select(col("vec_id"))
+      Ann.lshTopKDirected(emb, queryVec(s, dir), 5, Ann.planes(64, 8), t = 3)
+        .select(col("vec_id"))
+        .join(exact, Seq("vec_id"), "left_semi")
+        .agg((count(lit(1)) / 5.0).as("recall_at_5"))
+    }),
     // ---- [EXT] incremental index maintenance THROUGH the correctness
     // gate: build the materialized IVF index on 80% of the corpus,
     // append the rest against the existing centroids (the reference's
@@ -5458,6 +5471,43 @@ object SparkEntry {
          |    FROM embeddings e JOIN af USING (vec_id) JOIN probes USING (cid), q)
          |  ORDER BY sim DESC, vec_id ASC LIMIT 5)
          |SELECT (SELECT count(*) FROM exact5 JOIN ann5 USING (vec_id)) / 5.0 AS recall_at_5""".stripMargin
+    },
+    // directed probes: per-plane round-6 |margin| rows, the t=3
+    // smallest (bit ties ascending) + the home bucket
+    "ann_lsh_directed_recall" -> {
+      val planeLits = graft.search.Ann.planes(64, 8).map(p =>
+        p.map(x => "%.17e".formatLocal(java.util.Locale.ROOT, x))
+          .mkString("[", ", ", "]::DOUBLE[]"))
+      def bucketExpr(v: String): String =
+        planeLits.zipWithIndex.map { case (p, i) =>
+          s"(CASE WHEN list_dot_product($v, $p) > 0 THEN ${1 << i} ELSE 0 END)"
+        }.mkString(" + ")
+      val marginRows = planeLits.zipWithIndex.map { case (p, i) =>
+        s"SELECT ${1 << i} AS b, round(abs(list_dot_product(qvec::DOUBLE[], $p)), 6) AS m FROM q"
+      }.mkString("\n  UNION ALL ")
+      s"""WITH q AS (SELECT embedding AS qvec FROM embeddings WHERE vec_id = 0),
+         |exact5 AS (
+         |  SELECT vec_id FROM (
+         |    SELECT e.vec_id, ${cosSql("e.embedding", "q.qvec")} AS sim
+         |    FROM embeddings e, q)
+         |  ORDER BY sim DESC, vec_id ASC LIMIT 5),
+         |bks AS (SELECT vec_id, ${bucketExpr("embedding::DOUBLE[]")} AS bucket
+         |        FROM embeddings),
+         |qb AS (SELECT ${bucketExpr("qvec::DOUBLE[]")} AS qbucket FROM q),
+         |mg AS (
+         |  $marginRows),
+         |fl AS (SELECT b FROM mg ORDER BY m ASC, b ASC LIMIT 3),
+         |probes AS (
+         |  SELECT DISTINCT xor(qbucket, f) AS bucket FROM qb,
+         |       (SELECT 0 AS f UNION ALL SELECT b FROM fl) x),
+         |cand AS (SELECT vec_id FROM bks JOIN probes USING (bucket)),
+         |ann5 AS (
+         |  SELECT vec_id FROM (
+         |    SELECT e.vec_id, ${cosSql("e.embedding", "q.qvec")} AS sim
+         |    FROM embeddings e JOIN cand USING (vec_id), q)
+         |  ORDER BY sim DESC, vec_id ASC LIMIT 5)
+         |SELECT count(*) / 5.0 AS recall_at_5
+         |FROM ann5 JOIN exact5 USING (vec_id)""".stripMargin
     },
     "ann_lsh_recall" -> {
       // Seeded hyperplanes (Ann.planes(64, 8)) inlined as exact double

@@ -602,4 +602,36 @@ object Ann {
     val candidates = bucketed.join(broadcast(probeBuckets), Seq("bucket"), "left_semi")
     Search.knn(candidates.drop("bucket"), query, k, idCol, vecCol)
   }
+
+  /** Query-DIRECTED multi-probe LSH (Lv et al. 2007): instead of
+    * [[lshTopK]]'s blanket Hamming-1 ring (nbits+1 probes), flip only
+    * the `t` bits whose hyperplane MARGIN |q·p_i| is smallest — the
+    * boundaries the query actually sits near, where its true
+    * neighbours fall on the other side. Recall concentrates in those
+    * low-margin flips, so t ≪ nbits probes buy most of the ring's
+    * recall at a fraction of its candidate scan. Margins round to 6
+    * (bit-index ties ascending) so the probe SET replays exactly
+    * cross-engine; probe selection is per-query driver-free column
+    * arithmetic over the plane literals. */
+  def lshTopKDirected(corpus: DataFrame, query: DataFrame, k: Int,
+                      planes: Seq[Seq[Double]], t: Int,
+                      idCol: String = "vec_id",
+                      vecCol: String = "embedding"): DataFrame = {
+    val nbits = planes.size
+    require(t >= 0 && t <= nbits, s"t must be in [0, $nbits]")
+    val bucketed = corpus.withColumn("bucket", lshBucket(col(vecCol), planes))
+    val margins = array(planes.zipWithIndex.map { case (p, i) =>
+      struct(round(abs(VectorOps.dot(col("qvec"), typedlit(p))), 6).as("m"),
+        lit(1 << i).as("b"))
+    }: _*)
+    val qb = query.withColumn("qbucket", lshBucket(col("qvec"), planes))
+      .withColumn("__flips",
+        transform(slice(sort_array(margins), 1, t), f => f("b")))
+    val probeBuckets = qb.select(col("qbucket"),
+        explode(concat(array(lit(0)), col("__flips"))).as("flip"))
+      .select((col("qbucket").bitwiseXOR(col("flip"))).as("bucket"))
+      .distinct()
+    val candidates = bucketed.join(broadcast(probeBuckets), Seq("bucket"), "left_semi")
+    Search.knn(candidates.drop("bucket"), query, k, idCol, vecCol)
+  }
 }

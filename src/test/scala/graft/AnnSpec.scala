@@ -496,4 +496,20 @@ class AnnSpec extends SparkSpec {
       .select("vec_id", "b").collect().map(r => (r.getLong(0), r.getInt(1))).toMap
     assert(b1 == b2)
   }
+
+  test("directed multi-probe: t=nbits ≡ the full Hamming-1 ring; t=0 = home bucket only") {
+    val emb = spark.read.parquet(s"$sf0001/embeddings.parquet")
+    val q = emb.filter(col("vec_id") === 0).select(col("embedding").as("qvec"))
+    val planes = Ann.planes(64, 8)
+    def ids(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.getLong(0)).toSeq
+    // flipping ALL bits = the same probe set as the blanket ring
+    assert(ids(Ann.lshTopKDirected(emb, q, 5, planes, t = 8)) ==
+      ids(Ann.lshTopK(emb, q, 5, planes)))
+    // t=0 searches only the home bucket — a subset of any directed set
+    val home = ids(Ann.lshTopKDirected(emb, q, 20, planes, t = 0)).toSet
+    val t3 = ids(Ann.lshTopKDirected(emb, q, 200, planes, t = 3)).toSet
+    assert(home.subsetOf(t3),
+      "home-bucket results must survive when probes widen")
+  }
 }
