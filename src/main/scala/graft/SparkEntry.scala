@@ -3201,6 +3201,43 @@ object SparkEntry {
           .as("mean_quality"),
         round(expr("percentile(n_chars, 0.5)"), 6).as("p50_chars"))
     }),
+    // ---- [EXT] embedding centroid drift (Spectral.centroidDrift):
+    // cosine between the mean vectors of the corpus's two id-halves —
+    // the vector-modality drift gate beside unigram_kl/psi (an
+    // embedding refresh that moves the centroid silently breaks every
+    // stored index). Decimal-exact per-dim means, ascending-dim folds.
+    "embedding_drift" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val mid = emb.agg(max(col("vec_id"))).head().getLong(0) / 2
+      graft.analysis.Spectral.centroidDrift(
+        emb.filter(col("vec_id") <= mid),
+        emb.filter(col("vec_id") > mid), "embedding")
+    }),
+    // ---- [EXT] quality × length CALIBRATION curve: mean quality per
+    // equi-depth length quartile (boundaries = exact interpolated
+    // quantiles of n_chars, round-6 before bucketing both engines) —
+    // the confound readout behind quality_regression's b1: is "high
+    // quality" just "long"? Decimal-exact per-bin means.
+    "quality_by_length_quartile" -> ((s, dir) => {
+      import org.apache.spark.sql.types.DecimalType
+      val docs = Tables.documents(s, dir)
+      val qtl = docs.agg(
+        round(expr("percentile(n_chars, 0.25D)"), 6).as("q1"),
+        round(expr("percentile(n_chars, 0.5D)"), 6).as("q2"),
+        round(expr("percentile(n_chars, 0.75D)"), 6).as("q3"))
+      docs.crossJoin(broadcast(qtl))
+        .select(
+          when(col("n_chars") < col("q1"), 0L)
+            .when(col("n_chars") < col("q2"), 1L)
+            .when(col("n_chars") < col("q3"), 2L)
+            .otherwise(3L).as("quartile"),
+          TextAnalysis.qualityScore(col("text")).as("q"))
+        .groupBy(col("quartile"))
+        .agg(count(lit(1)).as("n_docs"),
+          round(sum(col("q").cast(DecimalType(38, 12))).cast("double") /
+            count(lit(1)), 6).as("mean_quality"))
+        .orderBy(col("quartile"))
+    }),
     // ---- [EXT] effective dimensionality (Spectral.effectiveDim):
     // participation ratio of per-coordinate variances — the diagonal
     // anisotropy gate beside spectral_share's rotated top direction;
@@ -8733,6 +8770,55 @@ object SparkEntry {
          |         AS DECIMAL(38,12)))::DOUBLE / count(*), 6) AS mean_quality,
          |       round(quantile_cont(n_chars, 0.5), 6) AS p50_chars
          |FROM documents""".stripMargin,
+    "embedding_drift" ->
+      """WITH mid AS (SELECT max(vec_id) // 2 AS m FROM embeddings),
+        |pa AS (
+        |  SELECT j, count(*) AS n,
+        |         sum(CAST(x AS DECIMAL(38,12)))::DOUBLE AS s
+        |  FROM (SELECT unnest(embedding::DOUBLE[]) AS x,
+        |               unnest(range(0, 64)) AS j
+        |        FROM embeddings, mid WHERE vec_id <= mid.m)
+        |  GROUP BY 1),
+        |pb AS (
+        |  SELECT j, count(*) AS n,
+        |         sum(CAST(x AS DECIMAL(38,12)))::DOUBLE AS s
+        |  FROM (SELECT unnest(embedding::DOUBLE[]) AS x,
+        |               unnest(range(0, 64)) AS j
+        |        FROM embeddings, mid WHERE vec_id > mid.m)
+        |  GROUP BY 1),
+        |ma AS (SELECT list(s / n ORDER BY j) AS v, max(n) AS na FROM pa),
+        |mb AS (SELECT list(s / n ORDER BY j) AS v, max(n) AS nb FROM pb),
+        |f AS (SELECT ma.na, mb.nb,
+        |             list_dot_product(ma.v, mb.v) AS d,
+        |             sqrt(list_dot_product(ma.v, ma.v)) AS la,
+        |             sqrt(list_dot_product(mb.v, mb.v)) AS lb
+        |      FROM ma, mb)
+        |SELECT na::BIGINT AS n_a, nb::BIGINT AS n_b,
+        |       round(CASE WHEN la = 0 OR lb = 0 THEN 0.0
+        |                  ELSE d / (la * lb) END, 6) AS centroid_cosine
+        |FROM f""".stripMargin,
+    "quality_by_length_quartile" ->
+      s"""WITH qtl AS (
+         |  SELECT round(quantile_cont(n_chars, 0.25), 6) AS q1,
+         |         round(quantile_cont(n_chars, 0.5), 6) AS q2,
+         |         round(quantile_cont(n_chars, 0.75), 6) AS q3
+         |  FROM documents)
+         |SELECT quartile, count(*) AS n_docs,
+         |       round(sum(CAST(
+         |         round(0.4 * least(len($toksSql) / 50.0, 1.0) +
+         |               0.3 * (1.0 - (length(lower(text)) -
+         |                 length(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g')))::DOUBLE /
+         |                 greatest(length(text), 1)) +
+         |               0.3 * least((len(list_filter($toksSql,
+         |                   t -> list_contains(['the','and','of','to','in','is'], t)))::DOUBLE /
+         |                 greatest(len($toksSql), 1)) * 5.0, 1.0), 6)
+         |         AS DECIMAL(38,12)))::DOUBLE / count(*), 6) AS mean_quality
+         |FROM (SELECT (CASE WHEN n_chars < q1 THEN 0
+         |                   WHEN n_chars < q2 THEN 1
+         |                   WHEN n_chars < q3 THEN 2
+         |                   ELSE 3 END)::BIGINT AS quartile, text
+         |      FROM documents, qtl)
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
     "effective_dim" ->
       """WITH pd AS (
         |  SELECT j, count(*)::DOUBLE AS n,

@@ -136,6 +136,39 @@ object Spectral {
       .toDF("share_1", "share_2", "anisotropy_ratio")
   }
 
+  /** EMBEDDING-DRIFT gate between two corpus slices: cosine between
+    * the slices' MEAN vectors (the centroid-shift scalar an embedding
+    * refresh / re-crawl is judged by — [[graft.analysis.CorpusDrift]]
+    * covers tokens and numerics; this is the vector modality). Per-dim
+    * means accumulate as DECIMAL(38,12) (order-free), the cosine folds
+    * ascending-dim driver-side — one replayable IEEE chain. Zero-norm
+    * means (a slice of zero vectors) yield cosine 0 explicitly.
+    *
+    * @return one row `(n_a, n_b, centroid_cosine)` round-6
+    */
+  def centroidDrift(a: DataFrame, b: DataFrame, vecCol: String): DataFrame = {
+    val spark = a.sparkSession
+    import spark.implicits._
+    def meanVec(df: DataFrame): (Long, Seq[Double]) = {
+      val rows = df
+        .select(posexplode(col(vecCol)).as(Seq("j", "x")))
+        .groupBy(col("j"))
+        .agg(count(lit(1)).as("n"), sum(dec(col("x").cast("double"))).as("s"))
+        .collect()
+      val n = if (rows.isEmpty) 0L else rows.head.getLong(1)
+      (n, rows.map(r => r.getInt(0) ->
+        (r.getDecimal(2).doubleValue() / r.getLong(1))).sortBy(_._1).map(_._2).toSeq)
+    }
+    val (na, ma) = meanVec(a)
+    val (nb, mb) = meanVec(b)
+    val dot = ma.zip(mb).foldLeft(0.0) { case (acc, (x, y)) => acc + x * y }
+    val nna = math.sqrt(ma.foldLeft(0.0)((acc, x) => acc + x * x))
+    val nnb = math.sqrt(mb.foldLeft(0.0)((acc, x) => acc + x * x))
+    val cos = if (nna == 0.0 || nnb == 0.0) 0.0 else dot / (nna * nnb)
+    Seq((na, nb, VectorOps.round6(cos)))
+      .toDF("n_a", "n_b", "centroid_cosine")
+  }
+
   /** EFFECTIVE-DIMENSIONALITY report via the participation ratio of
     * the per-coordinate variances, `PR = (Σv_j)² / Σv_j²` ∈ [1, d] —
     * d when variance spreads evenly, → 1 when one coordinate carries

@@ -59,6 +59,19 @@ class SpectralSpec extends SparkSpec {
     assert(r.getDouble(2) > 10.0, "anisotropy ratio must reflect the 100:9 split")
   }
 
+  test("centroidDrift: identical halves cos 1, mirrored halves cos −1, zero slice guards to 0") {
+    import spark.implicits._
+    val a = Seq(Seq(1.0f, 2.0f), Seq(3.0f, 0.0f)).map(Tuple1(_)).toDF("embedding")
+    val same = Spectral.centroidDrift(a, a, "embedding").head()
+    assert(same.getLong(0) == 2L && same.getLong(1) == 2L)
+    assert(same.getDouble(2) == 1.0)
+    val neg = Seq(Seq(-1.0f, -2.0f), Seq(-3.0f, 0.0f)).map(Tuple1(_)).toDF("embedding")
+    assert(Spectral.centroidDrift(a, neg, "embedding").head().getDouble(2) == -1.0)
+    val zero = Seq(Seq(0.0f, 0.0f)).map(Tuple1(_)).toDF("embedding")
+    assert(Spectral.centroidDrift(a, zero, "embedding").head().getDouble(2) == 0.0,
+      "a zero-norm centroid must yield 0, not a division artifact")
+  }
+
   test("effectiveDim: 1 when one coordinate varies, d when all vary equally") {
     import spark.implicits._
     // variance only in dim 0
