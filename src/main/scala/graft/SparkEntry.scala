@@ -3201,6 +3201,28 @@ object SparkEntry {
           .as("mean_quality"),
         round(expr("percentile(n_chars, 0.5)"), 6).as("p50_chars"))
     }),
+    // ---- [EXT] "do I need whitening?" probe: top-5 OVERLAP between
+    // raw-cosine and diagonally-WHITENED-cosine rankings (per-dim
+    // standardization from Spectral.dimStats' decimal-exact moments —
+    // the cheap tier of embedding post-processing, Su 2021's whitening
+    // restricted to the diagonal). High overlap = whitening would
+    // change nothing (this corpus); divergence = the anisotropy gates
+    // fired and post-processing will move retrieval.
+    "whitened_recall" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val (mu, sd) = graft.analysis.Spectral.dimStats(emb, "embedding")
+      def whiten(v: org.apache.spark.sql.Column) =
+        zip_with(
+          zip_with(transform(v, x => x.cast("double")), typedlit(mu),
+            (x, m) => x - m),
+          typedlit(sd), (x, s_) => x / s_)
+      val corpus = emb.select(col("vec_id"), whiten(col("embedding")).as("wvec"))
+      val q = queryVec(s, dir).select(whiten(col("qvec")).as("qvec"))
+      val exact = Search.knn(emb, queryVec(s, dir), 5).select(col("vec_id"))
+      Search.knn(corpus, q, 5, vecCol = "wvec").select(col("vec_id"))
+        .join(exact, Seq("vec_id"), "left_semi")
+        .agg((count(lit(1)) / 5.0).as("overlap_at_5"))
+    }),
     // ---- [EXT] embedding centroid drift (Spectral.centroidDrift):
     // cosine between the mean vectors of the corpus's two id-halves —
     // the vector-modality drift gate beside unigram_kl/psi (an
@@ -8770,6 +8792,37 @@ object SparkEntry {
          |         AS DECIMAL(38,12)))::DOUBLE / count(*), 6) AS mean_quality,
          |       round(quantile_cont(n_chars, 0.5), 6) AS p50_chars
          |FROM documents""".stripMargin,
+    "whitened_recall" ->
+      s"""WITH st AS (
+         |  SELECT j, count(*) AS n,
+         |         sum(CAST(x AS DECIMAL(38,12)))::DOUBLE AS sx,
+         |         sum(CAST(x * x AS DECIMAL(38,12)))::DOUBLE AS sxx
+         |  FROM (SELECT unnest(embedding::DOUBLE[]) AS x,
+         |               unnest(range(0, 64)) AS j FROM embeddings)
+         |  GROUP BY 1),
+         |ml AS (SELECT list(sx / n ORDER BY j) AS mu,
+         |              list(CASE WHEN (sxx - sx * sx / n) / n <= 0 THEN 1.0
+         |                        ELSE sqrt((sxx - sx * sx / n) / n) END
+         |                   ORDER BY j) AS sd
+         |       FROM st),
+         |wv AS (SELECT vec_id,
+         |              list_transform(range(1, 65),
+         |                i -> (embedding[i]::DOUBLE - mu[i]) / sd[i]) AS w
+         |       FROM embeddings, ml),
+         |q AS (SELECT embedding AS qvec FROM embeddings WHERE vec_id = 0),
+         |wq AS (SELECT w AS qw FROM wv WHERE vec_id = 0),
+         |exact5 AS (
+         |  SELECT vec_id FROM (
+         |    SELECT e.vec_id, ${cosSql("e.embedding", "q.qvec")} AS sim
+         |    FROM embeddings e, q)
+         |  ORDER BY sim DESC, vec_id ASC LIMIT 5),
+         |w5 AS (
+         |  SELECT vec_id FROM (
+         |    SELECT wv.vec_id, ${cosSql("wv.w", "wq.qw")} AS sim
+         |    FROM wv, wq)
+         |  ORDER BY sim DESC, vec_id ASC LIMIT 5)
+         |SELECT count(*) / 5.0 AS overlap_at_5
+         |FROM w5 JOIN exact5 USING (vec_id)""".stripMargin,
     "embedding_drift" ->
       """WITH mid AS (SELECT max(vec_id) // 2 AS m FROM embeddings),
         |pa AS (

@@ -136,6 +136,29 @@ object Spectral {
       .toDF("share_1", "share_2", "anisotropy_ratio")
   }
 
+  /** Per-dimension (mean, std) model state from DECIMAL-exact moments
+    * — the diagonal-whitening statistics. Zero-variance dimensions
+    * carry sd = 1 (whitening must not divide by zero and an exactly
+    * constant coordinate carries no signal either way). */
+  def dimStats(df: DataFrame, vecCol: String): (Seq[Double], Seq[Double]) = {
+    val rows = df
+      .select(posexplode(col(vecCol)).as(Seq("j", "x")))
+      .select(col("j"), col("x").cast("double").as("x"))
+      .groupBy(col("j"))
+      .agg(count(lit(1)).cast("double").as("n"),
+        sum(dec(col("x"))).cast("double").as("sx"),
+        sum(dec(col("x") * col("x"))).cast("double").as("sxx"))
+      .collect()
+      .map(r => (r.getInt(0), r.getDouble(1), r.getDouble(2), r.getDouble(3)))
+      .sortBy(_._1)
+    val mu = rows.map(t => t._3 / t._2).toSeq
+    val sd = rows.map { t =>
+      val v = (t._4 - t._3 * t._3 / t._2) / t._2
+      if (v <= 0.0) 1.0 else math.sqrt(v)
+    }.toSeq
+    (mu, sd)
+  }
+
   /** EMBEDDING-DRIFT gate between two corpus slices: cosine between
     * the slices' MEAN vectors (the centroid-shift scalar an embedding
     * refresh / re-crawl is judged by — [[graft.analysis.CorpusDrift]]

@@ -59,6 +59,16 @@ class SpectralSpec extends SparkSpec {
     assert(r.getDouble(2) > 10.0, "anisotropy ratio must reflect the 100:9 split")
   }
 
+  test("dimStats: closed-form means/stds, zero-variance dims carry sd 1") {
+    import spark.implicits._
+    val vecs = Seq(Seq(1.0f, 7.0f, 5.0f), Seq(3.0f, 7.0f, 1.0f))
+      .map(Tuple1(_)).toDF("embedding")
+    val (mu, sd) = Spectral.dimStats(vecs, "embedding")
+    assert(mu == Seq(2.0, 7.0, 3.0), s"mu $mu")
+    assert(sd(0) == 1.0 && sd(2) == 2.0, s"sd $sd") // pop-std of {1,3}/{5,1}
+    assert(sd(1) == 1.0, "a constant dimension must guard to sd 1")
+  }
+
   test("centroidDrift: identical halves cos 1, mirrored halves cos −1, zero slice guards to 0") {
     import spark.implicits._
     val a = Seq(Seq(1.0f, 2.0f), Seq(3.0f, 0.0f)).map(Tuple1(_)).toDF("embedding")
