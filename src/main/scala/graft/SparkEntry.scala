@@ -2674,6 +2674,36 @@ object SparkEntry {
       graft.multimodal.Multimodal.dhashNearDupPairs(hashes, 3)
         .orderBy(col("id_a"), col("id_b"))
     }),
+    // ---- [EXT] image dedup DELTA against a persisted dHash store —
+    // the round-12 verdict gap: an arriving image batch dedups against
+    // the corpus WITHOUT re-decoding it. Corpus fingerprints persist
+    // once (writeDHashStore — band-bucket partitioned); the delta's
+    // hashes probe the store's pruned band partitions plus themselves.
+    // Oracle = the batch pair chain over (store ∪ delta) restricted to
+    // pairs involving a delta image (spec-pinned equivalence).
+    "image_dedup_delta" -> ((s, dir) => {
+      import s.implicits._
+      val corpus: Seq[(Long, Array[Byte])] = Seq(
+        (1L, graft.multimodal.ImageFixtures.png(520, 400)),
+        (2L, graft.multimodal.ImageFixtures.png(490, 400)),
+        (3L, graft.multimodal.ImageFixtures.png(520, 400)),
+        (4L, graft.multimodal.ImageFixtures.png(600, 480)),
+        (5L, graft.multimodal.ImageFixtures.png(150, 120)))
+      val delta: Seq[(Long, Array[Byte])] = Seq(
+        (11L, graft.multimodal.ImageFixtures.png(520, 400)), // dup of 1/3
+        (12L, graft.multimodal.ImageFixtures.png(600, 480)), // dup of 4
+        (13L, graft.multimodal.ImageFixtures.png(333, 200)), // fresh content
+        (14L, graft.multimodal.ImageFixtures.png(490, 400)), // dup of 2
+        (15L, "not an image".getBytes("UTF-8")))             // sentinel, never bands
+      val store = scratchDir("dhash-store")
+      graft.multimodal.Multimodal.writeDHashStore(
+        graft.multimodal.Multimodal.decodeDHash(s, corpus.toDF("id", "bytes")).toDF(),
+        store, bandBuckets = 8)
+      graft.multimodal.Multimodal.imageDeltaDupPairs(
+          graft.multimodal.Multimodal.decodeDHash(s, delta.toDF("id", "bytes")).toDF(),
+          store, maxHamming = 3)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
     // ---- [EXT] multimodal: REAL audio decode — JDK javax.sound.sampled
     // parses the RIFF/fmt headers executor-side through the batched
     // pipeline. Fixtures are driver-built VALID PCM WAV files whose
@@ -2794,6 +2824,44 @@ object SparkEntry {
       val path = scratchDir("ivfsq")
       graft.search.Sq.buildIvfSqIndex(emb, cents, path)
       graft.search.Sq.ivfSqIndexTopK(s, path, queryVec(s, dir), cents,
+          5, 20, 3)
+        .select(col("vec_id"), col("sim"))
+    }),
+    // ---- [EXT] SQ8-IVF index APPEND — the maintenance lifecycle on
+    // the int8 rung (round-12 verdict gap: SQ8 had build+probe only):
+    // build on 80% of the corpus, append the rest against the frozen
+    // centroids (quantization itself is parameterless per-row
+    // scaling), probe the appended layout. Oracle = the full-corpus
+    // SQ8 replay — append must be invisible to the query.
+    "ivfsq_index_append_top5" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val cents = Ann.kmeansCentroids(emb, "vec_id", "embedding", 10, 2)
+      val path = scratchDir("ivfsq-append")
+      graft.search.Sq.buildIvfSqIndex(emb.filter(col("vec_id") < 400), cents, path)
+      graft.search.Sq.appendToIvfSqIndex(emb.filter(col("vec_id") >= 400), cents, path)
+      graft.search.Sq.ivfSqIndexTopK(s, path, queryVec(s, dir), cents,
+          5, 20, 3)
+        .select(col("vec_id"), col("sim"))
+    }),
+    // ---- [EXT] snapshot-driven SQ8-IVF index sync — syncIvfPqIndex's
+    // contract on the int8 rung: corpus moves v1 → v2, diff drives
+    // tombstone-delete → both-sides compact → append against the
+    // v1-trained centroids. Oracle probes a from-scratch v2 build
+    // with the same centroids: approximate int8 shortlist over the
+    // probed v2 assignment, exact rerank over v2 floats.
+    "ivfsq_index_sync_top5" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
+      val snaps = scratchDir("ivfsq-sync-snaps")
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(snaps))
+      graft.store.Snapshots.write(emb, snaps, "v1")
+      graft.store.Snapshots.write(secondUploadVec(emb), snaps, "v2")
+      val cents = Ann.kmeansCentroids(emb, "vec_id", "embedding", 10, 2)
+      val src = scratchDir("ivfsq-sync-src")
+      val dst = scratchDir("ivfsq-sync-dst")
+      graft.search.Sq.buildIvfSqIndex(emb, cents, src)
+      graft.store.Snapshots.syncIvfSqIndex(s, snaps, "v1", "v2",
+        "vec_id", "embedding", cents, src, dst)
+      graft.search.Sq.ivfSqIndexTopK(s, dst, queryVec(s, dir), cents,
           5, 20, 3)
         .select(col("vec_id"), col("sim"))
     }),
@@ -4684,6 +4752,45 @@ object SparkEntry {
        |ORDER BY sim DESC, vec_id ASC LIMIT 5""".stripMargin
   }
 
+  /** SQ8-IVF sync oracle: the synced index must answer exactly like a
+    * fresh SQ8 build on v2 with the v1-trained centroids — surviving
+    * rows re-quantize identically (same vector, parameterless scheme),
+    * changed/added rows quantize fresh; approximate int8 shortlist
+    * inside the probed v2 assignment, exact rerank over v2 floats. */
+  private lazy val ivfSqSyncTop5Sql: String = {
+    def rawCos(a: String, b: String) =
+      s"list_dot_product($a, $b) / (sqrt(list_dot_product($a, $a)) * sqrt(list_dot_product($b, $b)))"
+    s"""WITH q AS (SELECT embedding AS qvec FROM embeddings WHERE vec_id = 0),
+       |${ivfTrainSql(10, 2)},
+       |$ivfSyncV2Ctes,
+       |probes AS (
+       |  SELECT cid FROM ic2, q
+       |  ORDER BY round(${rawCos("centroid", "qvec::DOUBLE[]")}, 6) DESC, cid ASC
+       |  LIMIT 3),
+       |vz AS (
+       |  SELECT vec_id,
+       |         CASE WHEN m = 0 THEN list_transform(v, x -> 0.0)
+       |              ELSE list_transform(v, x -> floor(x / (m / 127.0) + 0.5)) END AS qv
+       |  FROM (SELECT vec_id, emb AS v,
+       |               list_max(list_transform(emb, x -> abs(x))) AS m
+       |        FROM v2)),
+       |qq AS (
+       |  SELECT CASE WHEN m = 0 THEN list_transform(v, x -> 0.0)
+       |              ELSE list_transform(v, x -> floor(x / (m / 127.0) + 0.5)) END AS qv
+       |  FROM (SELECT qvec::DOUBLE[] AS v,
+       |               list_max(list_transform(qvec::DOUBLE[], x -> abs(x))) AS m
+       |        FROM q)),
+       |short AS (
+       |  SELECT vec_id FROM (
+       |    SELECT z.vec_id, ${cosSql("z.qv", "qq.qv")} AS asim
+       |    FROM vz z JOIN v2a USING (vec_id) JOIN probes USING (cid), qq)
+       |  ORDER BY asim DESC, vec_id ASC LIMIT 20)
+       |SELECT vec_id, sim FROM (
+       |  SELECT a.vec_id, ${cosSql("a.emb", "q.qvec")} AS sim
+       |  FROM v2a a JOIN short USING (vec_id), q)
+       |ORDER BY sim DESC, vec_id ASC LIMIT 5""".stripMargin
+  }
+
   /** IVF-PQ sync oracle: v2 re-encoded per subspace through the
     * v1-trained codebooks (fresh L2 argmin per v2 row — appended rows
     * encode fresh, surviving rows' codes are identical because vector
@@ -5209,6 +5316,10 @@ object SparkEntry {
     // built on v2 from scratch (with the v1-trained models)
     "ann_index_sync_top5" -> annIndexSyncTop5Sql,
     "ivfpq_index_sync_top5" -> ivfPqSyncTop5Sql,
+    // SQ8 maintenance: append is invisible to the probe (same replay
+    // as the fresh build); sync ≡ fresh v2 build with the v1 models
+    "ivfsq_index_append_top5" -> ivfSqTop5Sql,
+    "ivfsq_index_sync_top5" -> ivfSqSyncTop5Sql,
     // The MMR greedy is sequential in k, so the oracle UNROLLS it: one
     // pick-CTE per rank, each scoring the remaining shortlist against
     // the max round-6 pairwise cosine to everything picked so far.
@@ -8306,6 +8417,37 @@ object SparkEntry {
         |         AS hamming
         |FROM cand
         |WHERE len(list_filter(range(1, 65), i -> ha[i] != hb[i])) <= 3
+        |ORDER BY id_a, id_b""".stripMargin,
+    // the delta-vs-store contract: the batch pair chain over
+    // (store ∪ delta) restricted to pairs involving a delta image
+    // (delta ids start at 11, so id_b >= 11 iff the pair touches the
+    // delta; invalid payloads never band)
+    "image_dedup_delta" ->
+      """WITH imgs(id, w, h) AS (VALUES
+        |    (1, 520, 400), (2, 490, 400), (3, 520, 400),
+        |    (4, 600, 480), (5, 150, 120),
+        |    (11, 520, 400), (12, 600, 480), (13, 333, 200), (14, 490, 400)),
+        |g AS (
+        |  SELECT id, y, x,
+        |         CASE WHEN ((x + 1) * w // 9 + y * h // 8) % 256 >
+        |                   (x * w // 9 + y * h // 8) % 256
+        |              THEN '1' ELSE '0' END AS b
+        |  FROM imgs, range(8) t1(y), range(8) t2(x)),
+        |hs AS (SELECT id, string_agg(b, '' ORDER BY y, x) AS bits
+        |       FROM g GROUP BY id),
+        |bands AS (SELECT id, bits, q, substr(bits, q * 16 + 1, 16) AS bv
+        |          FROM hs, range(4) t(q)),
+        |cand AS (
+        |  SELECT DISTINCT a.id AS id_a, b.id AS id_b,
+        |                  a.bits AS ha, b.bits AS hb
+        |  FROM bands a JOIN bands b
+        |    ON a.q = b.q AND a.bv = b.bv AND a.id < b.id)
+        |SELECT id_a::BIGINT AS id_a, id_b::BIGINT AS id_b,
+        |       len(list_filter(range(1, 65), i -> ha[i] != hb[i]))::BIGINT
+        |         AS hamming
+        |FROM cand
+        |WHERE len(list_filter(range(1, 65), i -> ha[i] != hb[i])) <= 3
+        |  AND id_b >= 11
         |ORDER BY id_a, id_b""".stripMargin,
     // per-user pre/post counts → Knuth 50/50 split → pooled integer
     // moments → theta / adjusted means as the same fixed float chain

@@ -33,4 +33,16 @@ object Fs {
     val (f, p) = fs(spark, dir)
     f.listStatus(p).toSeq.filter(_.isDirectory).map(_.getPath.getName)
   }
+
+  /** Last-write time of `dir` in epoch millis: the max mtime over its
+    * immediate entries, falling back to the directory's own status
+    * when empty. The max-over-entries form is deliberate — appending
+    * a file into an old directory refreshes its age, and object
+    * stores (S3A) carry no real directory mtime, only the entries'. */
+  def dirLastWriteMillis(spark: SparkSession, dir: String): Long = {
+    val (f, p) = fs(spark, dir)
+    val entries = f.listStatus(p)
+    if (entries.isEmpty) f.getFileStatus(p).getModificationTime
+    else entries.map(_.getModificationTime).max
+  }
 }

@@ -1,6 +1,6 @@
 package graft.multimodal
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Multimodal columns: image/audio/video as opaque `binary` payloads
@@ -187,15 +187,7 @@ object Multimodal {
   def dhashNearDupPairs(hashes: DataFrame, maxHamming: Int): DataFrame = {
     require(maxHamming >= 0 && maxHamming <= 3,
       s"4 x 16-bit bands certify Hamming <= 3 losslessly: $maxHamming")
-    val valid = hashes
-      .filter(col("format") =!= "invalid" && length(col("dhash_bits")) === 64)
-      .select(col("id"), col("dhash_bits"))
-    val bands = valid.select(col("id"), col("dhash_bits"),
-      explode(array((0 until 4).map(b =>
-        struct(lit(b).as("band"),
-          substring(col("dhash_bits"), b * 16 + 1, 16).as("bv"))): _*)).as("bs"))
-      .select(col("id"), col("dhash_bits"),
-        col("bs.band").as("band"), col("bs.bv").as("bv"))
+    val bands = dhashBands(validDHashes(hashes))
     val cand = bands.as("a").join(bands.as("b"),
         col("a.band") === col("b.band") && col("a.bv") === col("b.bv") &&
           col("a.id") < col("b.id"))
@@ -203,12 +195,158 @@ object Multimodal {
         col("a.dhash_bits").as("__ha"), col("b.dhash_bits").as("__hb"))
       .distinct()
     cand
-      .withColumn("hamming",
-        size(filter(sequence(lit(1), lit(64)),
-          i => col("__ha").substr(i, lit(1)) =!= col("__hb").substr(i, lit(1))))
-          .cast("long"))
+      .withColumn("hamming", hamming64(col("__ha"), col("__hb")))
       .filter(col("hamming") <= maxHamming)
       .select(col("id_a"), col("id_b"), col("hamming"))
+  }
+
+  /** Valid fingerprint rows of a [[decodeDHash]] frame — undecodable
+    * sentinels carry an empty bit string and must never band. */
+  private def validDHashes(hashes: DataFrame): DataFrame =
+    hashes
+      .filter(col("format") =!= "invalid" && length(col("dhash_bits")) === 64)
+      .select(col("id"), col("dhash_bits"))
+
+  /** The 4 × 16-bit pigeonhole bands of a 64-bit dHash row —
+    * `(id, dhash_bits, band, bv)`, the shared candidate-key shape of
+    * the batch pair join and the persisted store. */
+  private def dhashBands(valid: DataFrame): DataFrame =
+    valid.select(col("id"), col("dhash_bits"),
+      explode(array((0 until 4).map(b =>
+        struct(lit(b).as("band"),
+          substring(col("dhash_bits"), b * 16 + 1, 16).as("bv"))): _*)).as("bs"))
+      .select(col("id"), col("dhash_bits"),
+        col("bs.band").as("band"), col("bs.bv").as("bv"))
+
+  /** Exact bit-wise Hamming distance between two 64-char bit strings —
+    * a codegen'd 64-step compare, engine-portable. */
+  private def hamming64(a: Column, b: Column): Column =
+    size(filter(sequence(lit(1), lit(64)),
+      i => a.substr(i, lit(1)) =!= b.substr(i, lit(1)))).cast("long")
+
+  /** PERSISTED image-signature store — the image twin of the text
+    * MinHash signature store ([[graft.analysis.Dedup.writeSignatureStore]]),
+    * closing the gap where an arriving image batch had to re-decode
+    * and re-pair against the WHOLE corpus: fingerprints decode once at
+    * ingest and persist; a delta dedups against the store by joining
+    * band keys, never touching corpus bytes again.
+    *
+    * Layout (all derived from [[decodeDHash]] rows, so the store never
+    * holds image bytes):
+    *   - `bands/`: `(id, band, bv)` partitioned by
+    *     `__bb = pmod(hash(band, bv), bandBuckets)` — a delta probe
+    *     collects its own ≤ bandBuckets bucket ids and prunes unprobed
+    *     partitions at PLAN time (the text store's trick; `hash()` is
+    *     physical layout only — build and probe derive it with the
+    *     same expression and cannot drift).
+    *   - `hashes/`: `(id, dhash_bits)` — the exact-Hamming rerank
+    *     input.
+    *   - `stats/`: one config row per write/append carrying
+    *     `band_buckets`; reads assert the rows agree. */
+  def writeDHashStore(hashes: DataFrame, path: String,
+                      bandBuckets: Int = 64): Unit = {
+    require(bandBuckets >= 1, s"bandBuckets >= 1: $bandBuckets")
+    val valid = validDHashes(hashes)
+    dhashBands(valid).drop("dhash_bits")
+      .withColumn("__bb", pmod(hash(col("band"), col("bv")), lit(bandBuckets)))
+      .repartition(col("__bb")) // cluster: one task (not every task) writes a bucket
+      .write.partitionBy("__bb").mode("overwrite").parquet(s"$path/bands")
+    valid.write.mode("overwrite").parquet(s"$path/hashes")
+    hashes.sparkSession.range(1)
+      .select(lit(bandBuckets.toLong).as("band_buckets"))
+      .write.mode("overwrite").parquet(s"$path/stats")
+  }
+
+  /** Read the store's config, asserting the stats rows agree — the
+    * consistency guard an append/probe needs before trusting the
+    * bucket layout. */
+  private def dhashStoreConfig(spark: SparkSession, path: String): Int = {
+    val stats =
+      try spark.read.parquet(s"$path/stats")
+      catch {
+        case e: org.apache.spark.sql.AnalysisException =>
+          throw new IllegalStateException(
+            s"dhash store at $path has no stats/ — not a store built by " +
+              s"writeDHashStore", e)
+      }
+    val agg = stats.agg(countDistinct(col("band_buckets")).as("variants"),
+      max(col("band_buckets"))).head()
+    require(agg.getLong(0) == 1L,
+      s"dhash store at $path has ${agg.getLong(0)} conflicting config rows in " +
+        s"stats/ — appends must use the builder's bandBuckets")
+    agg.getLong(1).toInt
+  }
+
+  /** Incrementally add NEW image fingerprints to a dHash store. Bands
+    * append into the same bucket layout (config read from stats/, so
+    * build/append bucketing cannot drift). Ids must be new — a
+    * re-ingested id would pair with itself at Hamming 0 on the next
+    * probe. Repeated small appends leave a file per batch per bucket:
+    * compact with [[graft.store.CorpusStore.compact]] on the bucket
+    * directories. */
+  def appendToDHashStore(hashes: DataFrame, path: String): Unit = {
+    val bandBuckets = dhashStoreConfig(hashes.sparkSession, path)
+    val valid = validDHashes(hashes)
+    dhashBands(valid).drop("dhash_bits")
+      .withColumn("__bb", pmod(hash(col("band"), col("bv")), lit(bandBuckets)))
+      .repartition(col("__bb")) // one file per bucket per append
+      .write.partitionBy("__bb").mode("append").parquet(s"$path/bands")
+    valid.write.mode("append").parquet(s"$path/hashes")
+    hashes.sparkSession.range(1)
+      .select(lit(bandBuckets.toLong).as("band_buckets"))
+      .write.mode("append").parquet(s"$path/stats")
+  }
+
+  /** Near-dup image pairs of a DELTA against a dHash store ∪ itself —
+    * [[dhashNearDupPairs]] over (store ∪ delta) restricted to pairs
+    * that involve at least one delta image, WITHOUT re-decoding or
+    * re-pairing the store's images (spec-pinned equivalence — the
+    * [[graft.analysis.Dedup.deltaDupPairs]] contract on the image
+    * modality). Emits `(id_a, id_b, hamming)`, `id_a < id_b`.
+    *
+    * Scale shape: the store's bands scan reads only the delta's
+    * band-bucket partitions (plan-time pruning; the driver collects
+    * ≤ bandBuckets literals); both candidate joins shuffle on
+    * (band, bv) keys; the rerank joins full bit strings by id — keyed
+    * shuffles all the way, no broadcast of the store side, candidates
+    * bounded by the pigeonhole S-curve. The delta's band rows are
+    * MATERIALIZED ONCE (localCheckpoint) — the bucket collect, the
+    * store probe, and the internal self-join all reuse them. */
+  def imageDeltaDupPairs(deltaHashes: DataFrame, path: String,
+                         maxHamming: Int): DataFrame = {
+    require(maxHamming >= 0 && maxHamming <= 3,
+      s"4 x 16-bit bands certify Hamming <= 3 losslessly: $maxHamming")
+    val spark = deltaHashes.sparkSession
+    val bandBuckets = dhashStoreConfig(spark, path)
+    val dValid = validDHashes(deltaHashes)
+    val dBands = dhashBands(dValid)
+      .withColumn("__bb", pmod(hash(col("band"), col("bv")), lit(bandBuckets)))
+      .localCheckpoint(true)
+    val dBuckets = dBands.select(col("__bb")).distinct()
+      .collect().map(_.getInt(0)).toSeq
+    val storeBands = spark.read.parquet(s"$path/bands")
+      .filter(col("__bb").isin(dBuckets: _*)) // partition pruning
+    val storeCands = dBands.as("d").join(storeBands.as("s"),
+        col("d.band") === col("s.band") && col("d.bv") === col("s.bv"))
+      .select(col("d.id").as("did"), col("s.id").as("sid"))
+      .distinct()
+    val internalCands = dBands.as("a").join(dBands.as("b"),
+        col("a.band") === col("b.band") && col("a.bv") === col("b.bv") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("did"), col("b.id").as("sid"))
+      .distinct()
+    val dHashesKeyed = dValid.select(col("id"), col("dhash_bits"))
+    val storeHashes = spark.read.parquet(s"$path/hashes")
+    def rerank(cands: DataFrame, otherHashes: DataFrame): DataFrame = cands
+      .join(dHashesKeyed.select(col("id").as("did"),
+        col("dhash_bits").as("__ha")), Seq("did"))
+      .join(otherHashes.select(col("id").as("sid"),
+        col("dhash_bits").as("__hb")), Seq("sid"))
+      .withColumn("hamming", hamming64(col("__ha"), col("__hb")))
+      .filter(col("hamming") <= maxHamming)
+      .select(least(col("did"), col("sid")).as("id_a"),
+        greatest(col("did"), col("sid")).as("id_b"), col("hamming"))
+    rerank(storeCands, storeHashes).unionAll(rerank(internalCands, dHashesKeyed))
   }
 
   /** WAV container metadata row — header fields only; sentinels on

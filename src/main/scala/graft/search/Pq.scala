@@ -285,6 +285,10 @@ object Pq {
     // ... and the reconstruction-drift baseline: a stale one would
     // make reconstructionDrift compare against the previous build
     graft.io.Fs.delete(corpus.sparkSession, s"$path/codes.qstats")
+    // ... and streaming batch markers (StreamIngest.oncePerBatch —
+    // a new stream's batch ids restart at 0; stale markers would
+    // silently swallow its first micro-batches)
+    graft.io.Fs.delete(corpus.sparkSession, s"$path/_applied_batches")
     corpus.select(col(idCol), col(vecCol))
       .repartitionByRange(col(idCol)).sortWithinPartitions(col(idCol))
       .write.mode("overwrite").parquet(s"$path/vectors")

@@ -129,12 +129,17 @@ object Search {
     picked.toSeq
   }
 
-  /** BATCH MMR — [[mmrTopK]] over a query TABLE: ONE distributed
-    * batch shortlist ([[similarityJoin]] — per-qid windows, no
-    * per-query Spark job), then the inherently-sequential greedy runs
-    * per qid over the collected shortlists (Q · shortlist rows of
-    * bounded model state — the single-query contract times Q). Batch
-    * restricted to one query ≡ [[mmrTopK]] (spec-pinned). Returns
+  /** BATCH MMR — [[mmrTopK]] over a query TABLE, fully DISTRIBUTED:
+    * ONE distributed batch shortlist ([[similarityJoin]] — per-qid
+    * windows, no per-query Spark job), then the inherently-sequential
+    * greedy runs EXECUTOR-SIDE per qid (`groupByKey(qid).flatMapGroups`
+    * over the same pure [[mmrGreedy]] kernel the single-query form
+    * uses) — the driver never sees a shortlist row or a vector.
+    * Per-group state is one shortlist (the single-query contract);
+    * across a 100 k-query batch the greedies parallelize over
+    * executors instead of serializing through one driver thread.
+    * Batch restricted to one query ≡ [[mmrTopK]] (spec-pinned, both
+    * against the driver-fold). Returns
     * `(qid, id, mmr_rank, relevance, mmr_score)`, k rows per qid. */
   def mmrTopKBatch(corpus: DataFrame, queries: DataFrame, k: Int, shortlist: Int,
                    lambda: Double,
@@ -142,19 +147,20 @@ object Search {
     require(k >= 1 && shortlist >= k, "need shortlist >= k >= 1")
     val spark = corpus.sparkSession
     import spark.implicits._
-    val sl = similarityJoin(corpus, queries, shortlist, idCol, vecCol)
-      .select(col("qid").cast("long"), col(idCol).cast("long"), col("sim"), col(vecCol))
-      .collect()
-      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
-        r.getSeq[Number](3).map(_.doubleValue()).toSeq))
-      .toSeq
-    sl.groupBy(_._1).toSeq.flatMap { case (qid, rows) =>
-      // restore the per-qid knn total order after the groupBy
-      val ordered = rows.sortBy(t => (-t._3, t._2)).map(t => (t._2, t._3, t._4))
-      mmrGreedy(ordered, k, lambda).map { case (id, rank, rel, score) =>
-        (qid, id, rank.toLong, rel, score)
+    similarityJoin(corpus, queries, shortlist, idCol, vecCol)
+      .select(col("qid").cast("long"), col(idCol).cast("long"), col("sim"),
+        col(vecCol).cast("array<double>"))
+      .as[(Long, Long, Double, Seq[Double])]
+      .groupByKey(_._1)
+      .flatMapGroups { (qid, it) =>
+        // restore the per-qid knn total order after the group shuffle
+        val ordered = it.toSeq.sortBy(t => (-t._3, t._2))
+          .map(t => (t._2, t._3, t._4))
+        mmrGreedy(ordered, k, lambda).map { case (id, rank, rel, score) =>
+          (qid, id, rank.toLong, rel, score)
+        }
       }
-    }.toDF("qid", idCol, "mmr_rank", "relevance", "mmr_score")
+      .toDF("qid", idCol, "mmr_rank", "relevance", "mmr_score")
   }
 
   /** Batch similarity join: for every row of `queries` (id `qid`, vector

@@ -1,6 +1,6 @@
 package graft.search
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 import graft.vector.VectorOps
@@ -21,12 +21,16 @@ import graft.vector.VectorOps
   * double — both engines rank identically with no rounding exposure
   * (the `knn_int8_recall` contract, indexed).
   *
-  * Maintenance composes exactly like the sibling indexes (append =
-  * assign-against-frozen-centroids + quantize; delete = id
-  * tombstones; compact/retrain = the [[Ann]] patterns on the codes
-  * side + an id-keyed rewrite of the vectors side) — the build here
-  * resets stale delete state the way every fresh build in the family
-  * does.
+  * Maintenance is at full parity with the IVF ([[Ann]]) and IVF-PQ
+  * ([[Pq]]) siblings: [[appendToIvfSqIndex]] assigns against the
+  * frozen centroids and quantizes with the (parameterless — per-row
+  * max-abs scaling) SQ8 scheme, [[deleteFromIvfSqIndex]] tombstones
+  * ids on the codes side, [[compactIvfSqIndex]] applies tombstones
+  * physically to BOTH sides, [[retrainIvfSqIndex]] re-learns the
+  * coarse centroids from the survivors, and
+  * [[graft.store.Snapshots.syncIvfSqIndex]] drives the whole
+  * lifecycle from a snapshot diff. A fresh build resets stale delete
+  * state the way every fresh build in the family does.
   */
 object Sq {
 
@@ -37,6 +41,10 @@ object Sq {
                       idCol: String = "vec_id",
                       vecCol: String = "embedding"): Unit = {
     graft.io.Fs.delete(corpus.sparkSession, s"$path/codes.tombstones")
+    // streaming batch markers reset with the build (the
+    // StreamIngest.oncePerBatch contract: a new stream's batch ids
+    // restart at 0, and stale markers would swallow its first batches)
+    graft.io.Fs.delete(corpus.sparkSession, s"$path/_applied_batches")
     corpus
       .withColumn("__cluster", Ann.assignCluster(col(vecCol), cents))
       .select(col(idCol), col("__cluster"),
@@ -68,8 +76,10 @@ object Sq {
     val qq = query.select(
       transform(VectorOps.quantizeInt8(col("qvec")), _.cast("double"))
         .as("__qq"))
-    val short = spark.read.parquet(s"$path/codes")
-      .filter(col("__cluster").isin(probes: _*))
+    val short = Ann.dropTombstones(
+        spark.read.parquet(s"$path/codes")
+          .filter(col("__cluster").isin(probes: _*)),
+        s"$path/codes", idCol)
       .crossJoin(broadcast(qq))
       .select(col(idCol),
         VectorOps.cosine6(transform(col("codes"), _.cast("double")),
@@ -80,5 +90,181 @@ object Sq {
       spark.read.parquet(s"$path/vectors")
         .join(short.select(col(idCol)), Seq(idCol), "left_semi"),
       query, k, idCol, vecCol)
+  }
+
+  /** The symmetric approximate score both the single and batch probes
+    * rank the shortlist by: cosine between the stored int8 codes and
+    * the int8-quantized query, widened to double (exact — ≤ d·127²
+    * ≪ 2⁵³; the per-vector scale cancels in cosine). */
+  private def sqSim(codes: Column, qvec: Column): Column =
+    VectorOps.cosine6(transform(codes, _.cast("double")),
+      transform(VectorOps.quantizeInt8(qvec), _.cast("double")))
+
+  /** Incrementally add vectors to a materialized SQ8-IVF index — the
+    * [[Ann.appendToIvfIndex]] / [[Pq.appendToIvfPqIndex]] contract on
+    * the SQ rung: delta rows are assigned against the EXISTING
+    * centroids (no retrain — assignment drifts until the next
+    * rebuild; SQ8 quantization itself is parameterless per-row
+    * max-abs scaling, so unlike PQ codebooks it never staleness-
+    * drifts) and appended into the same `partitionBy(__cluster)`
+    * codes layout plus the id-sorted vectors side. Repeated appends
+    * leave one file per batch per cluster — remedy with
+    * [[compactIvfSqIndex]]. Append-then-probe ≡ rebuild-with-the-
+    * same-centroids-then-probe (spec-pinned in SqSpec). */
+  def appendToIvfSqIndex(delta: DataFrame, cents: Seq[Seq[Double]], path: String,
+                         idCol: String = "vec_id",
+                         vecCol: String = "embedding"): Unit = {
+    delta
+      .withColumn("__cluster", Ann.assignCluster(col(vecCol), cents))
+      .select(col(idCol), col("__cluster"),
+        VectorOps.quantizeInt8(col(vecCol)).as("codes"))
+      .repartition(col("__cluster")) // one file per cluster per append
+      .write.partitionBy("__cluster").mode("append").parquet(s"$path/codes")
+    delta.select(col(idCol), col(vecCol))
+      .repartitionByRange(col(idCol)).sortWithinPartitions(col(idCol))
+      .write.mode("append").parquet(s"$path/vectors")
+  }
+
+  /** Tombstone-delete vectors from a materialized SQ8-IVF index —
+    * [[Ann.deleteFromIvfIndex]]'s contract; the codes side owns the
+    * delete state (deleted ids never enter the shortlist, so the
+    * rerank never sees them). [[compactIvfSqIndex]] applies the
+    * tombstones physically to both sides. */
+  def deleteFromIvfSqIndex(ids: DataFrame, path: String,
+                           idCol: String = "vec_id"): Unit =
+    Ann.deleteFromIvfIndex(ids, s"$path/codes", idCol)
+
+  /** Apply tombstones PHYSICALLY to both sides of a materialized
+    * SQ8-IVF index in one rewrite at `dstPath` — the
+    * [[Pq.compactIvfPqIndex]] contract: codes keep their partition
+    * layout minus tombstoned rows; the vectors side anti-joins the
+    * SAME codes-side tombstones during its id-ordered rewrite (not
+    * optional when a delete precedes a re-append of the same id — the
+    * rerank's id filter would match both vector rows and emit
+    * duplicates). `dstPath` starts tombstone-free. */
+  def compactIvfSqIndex(spark: org.apache.spark.sql.SparkSession,
+                        srcPath: String, dstPath: String,
+                        recordsPerFile: Long = 1L << 20,
+                        idCol: String = "vec_id"): Unit = {
+    Ann.compactIvfIndex(spark, s"$srcPath/codes", s"$dstPath/codes",
+      recordsPerFile, idCol)
+    Ann.dropTombstones(spark.read.parquet(s"$srcPath/vectors"),
+        s"$srcPath/codes", idCol)
+      .repartitionByRange(col(idCol)).sortWithinPartitions(col(idCol))
+      .write.option("maxRecordsPerFile", recordsPerFile)
+      .mode("overwrite").parquet(s"$dstPath/vectors")
+  }
+
+  /** Re-train an appended/deleted SQ8-IVF index from its CURRENT
+    * survivors and rewrite it at `dstPath` — [[Ann.retrainIvfIndex]]'s
+    * contract on the SQ rung. Only the coarse centroids re-learn
+    * (deterministic Lloyd, init = the k lowest-id rows); the SQ8
+    * scheme has no trainable state. Survivors come from the vectors
+    * side anti-joined against the codes-side tombstones; retrained ≡
+    * a from-scratch [[buildIvfSqIndex]] on the same surviving rows,
+    * probe-for-probe (spec-pinned in SqSpec). Returns the fresh
+    * centroids for subsequent probes. */
+  def retrainIvfSqIndex(spark: org.apache.spark.sql.SparkSession,
+                        srcPath: String, dstPath: String, k: Int, iters: Int,
+                        idCol: String = "vec_id",
+                        vecCol: String = "embedding"): Seq[Seq[Double]] = {
+    require(srcPath != dstPath,
+      "retrain rewrites the layout: dstPath must differ from srcPath")
+    val survivors = Ann.dropTombstones(
+      spark.read.parquet(s"$srcPath/vectors"), s"$srcPath/codes", idCol)
+    val cents = Ann.kmeansCentroids(survivors, idCol, vecCol, k, iters)
+    buildIvfSqIndex(survivors, cents, dstPath, idCol, vecCol)
+    cents
+  }
+
+  /** FILTERED probe of a materialized SQ8-IVF index —
+    * [[Ann.ivfIndexTopKFiltered]]'s contract on the SQ rung: the
+    * predicate (over codes-side columns) applies BEFORE the
+    * approximate shortlist inside the probed partitions, so the
+    * shortlist ranks only matching candidates; the exact-count
+    * fallback widens to every cluster (still filtered) when the
+    * probed ones hold fewer than `k` matches. Guarantee: min(k,
+    * matching survivors) results, never silently fewer because of
+    * cluster pruning. */
+  def ivfSqIndexTopKFiltered(spark: org.apache.spark.sql.SparkSession, path: String,
+                             query: DataFrame, cents: Seq[Seq[Double]],
+                             predicate: Column, k: Int, shortlist: Int, nprobe: Int,
+                             idCol: String = "vec_id",
+                             vecCol: String = "embedding"): DataFrame = {
+    require(shortlist >= k, s"shortlist ($shortlist) must cover k ($k)")
+    val qvec = query.select(col("qvec")).head().getSeq[Number](0)
+      .map(_.doubleValue()).toSeq
+    val probes = Ann.probeIds(cents, qvec, nprobe)
+    def survivors(df: DataFrame): DataFrame =
+      Ann.dropTombstones(df, s"$path/codes", idCol)
+        .filter(predicate).drop("__cluster")
+    val probed = survivors(
+      spark.read.parquet(s"$path/codes")
+        .filter(col("__cluster").isin(probes: _*)))
+    val cand =
+      if (probed.limit(k).count() < k)
+        survivors(spark.read.parquet(s"$path/codes"))
+      else probed
+    val short = cand.crossJoin(broadcast(query.select(col("qvec"))))
+      .select(col(idCol), sqSim(col("codes"), col("qvec")).as("__asim"))
+      .orderBy(col("__asim").desc, col(idCol).asc)
+      .limit(shortlist)
+    Search.knn(
+      spark.read.parquet(s"$path/vectors")
+        .join(short.select(col(idCol)), Seq(idCol), "left_semi"),
+      query, k, idCol, vecCol)
+  }
+
+  /** BATCH probe of a materialized SQ8-IVF index — the
+    * [[Pq.ivfPqIndexTopKBatch]] contract on the SQ rung. Everything
+    * is a join, nothing loops per query on the driver: per-query
+    * probe selection as (queries × broadcast centroids) + per-qid
+    * window top-nprobe, the union of probed clusters a plan-time
+    * literal IN (file skipping unchanged), the approximate int8
+    * shortlist per qid as a window over the probed codes, exact float
+    * rerank of shortlist rows only. Probe/shortlist frames broadcast
+    * (Q·nprobe and Q·shortlist rows — bounded for interactive Q; flip
+    * to shuffle joins for a huge query side, the shapes are already
+    * keyed). Returns (qid, id, sim), k rows per qid. */
+  def ivfSqIndexTopKBatch(spark: org.apache.spark.sql.SparkSession, path: String,
+                          queries: DataFrame, cents: Seq[Seq[Double]],
+                          k: Int, shortlist: Int, nprobe: Int,
+                          idCol: String = "vec_id",
+                          vecCol: String = "embedding"): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    require(shortlist >= k, s"shortlist ($shortlist) must cover k ($k)")
+    val centsDf = cents.zipWithIndex.map { case (c, i) => (i, c) }
+      .toDF("__cluster", "centroid")
+    val wProbe = Window.partitionBy(col("qid"))
+      .orderBy(col("csim").desc, col("__cluster").asc)
+    val probes = queries.crossJoin(broadcast(centsDf))
+      .withColumn("csim", round(VectorOps.cosine(col("centroid"), col("qvec")), 6))
+      .withColumn("__rn", row_number().over(wProbe))
+      .filter(col("__rn") <= nprobe)
+      .select(col("qid"), col("__cluster"))
+    // union of probed clusters: bounded by numClusters — model state
+    val probedClusters = probes.select(col("__cluster")).distinct()
+      .collect().map(_.getInt(0)).toSeq
+    val codes = Ann.dropTombstones(
+      spark.read.parquet(s"$path/codes")
+        .filter(col("__cluster").isin(probedClusters: _*)),
+      s"$path/codes", idCol)
+    val cands = codes.join(broadcast(probes), Seq("__cluster")).drop("__cluster")
+    val wTop = Window.partitionBy(col("qid"))
+      .orderBy(col("sim").desc, col(idCol).asc)
+    val short = cands.join(broadcast(queries), Seq("qid"))
+      .select(col("qid"), col(idCol), sqSim(col("codes"), col("qvec")).as("sim"))
+      .withColumn("__rn", row_number().over(wTop))
+      .filter(col("__rn") <= shortlist)
+      .select(col("qid"), col(idCol))
+    spark.read.parquet(s"$path/vectors")
+      .join(broadcast(short), Seq(idCol))
+      .join(broadcast(queries), Seq("qid"))
+      .select(col("qid"), col(idCol),
+        VectorOps.cosine6(col(vecCol), col("qvec")).as("sim"))
+      .withColumn("__rn", row_number().over(wTop))
+      .filter(col("__rn") <= k)
+      .select(col("qid"), col(idCol), col("sim"))
   }
 }

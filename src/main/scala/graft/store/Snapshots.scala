@@ -73,6 +73,26 @@ object Snapshots {
     dropped.map(_._1)
   }
 
+  /** Retention by AGE — the compliance contract [[expire]]'s
+    * keep-last-N cannot express ("delete everything older than 90
+    * days"): drop every snapshot whose last write predates
+    * `cutoffMillis` (epoch ms). Age is the filesystem's, not the
+    * name's — max file mtime inside the partition directory
+    * ([[graft.io.Fs.dirLastWriteMillis]]), so appending into an old
+    * snapshot refreshes it (it was written to, so it is not stale)
+    * and non-sortable names work. Partition-directory deletes only;
+    * survivors are untouched and stay readable throughout. Returns
+    * the dropped names. The cutoff is caller-supplied (`now − ttl`)
+    * — retention policy is deployment state, not library state. */
+  def expireOlderThan(spark: SparkSession, path: String,
+                      cutoffMillis: Long): Seq[String] = {
+    val dropped = graft.io.Fs.listDirNames(spark, path)
+      .filter(_.startsWith(s"$SnapCol="))
+      .filter(r => graft.io.Fs.dirLastWriteMillis(spark, s"$path/$r") < cutoffMillis)
+    dropped.foreach(r => graft.io.Fs.delete(spark, s"$path/$r"))
+    dropped.map(r => unescapePathName(r.stripPrefix(s"$SnapCol="))).sorted
+  }
+
   /** Inverse of Hive-style `escapePathName`: `%XX` (two hex digits) →
     * the char with that code; everything else — including `+` — passes
     * through verbatim. A `%` not followed by two hex digits is kept
@@ -229,6 +249,31 @@ object Snapshots {
       d.filter(col("status").isin("added", "changed")).select(col(idCol)),
       Seq(idCol), "left_semi")
     graft.search.Pq.appendToIvfPqIndex(fresh, cents, cb, dstIdx, idCol, vecCol)
+  }
+
+  /** [[syncIvfPqIndex]]'s contract on the SQ8-IVF index — the middle
+    * rung of the compression ladder gets the same snapshot-driven
+    * maintenance as its float and PQ siblings: diff drives
+    * tombstone-delete (codes side owns delete state), a BOTH-SIDES
+    * compaction ([[graft.search.Sq.compactIvfSqIndex]] — the vectors
+    * side must drop tombstoned ids too, or a changed doc's re-append
+    * would leave two vector rows under one id and duplicate the
+    * rerank output), then append against the existing centroids (SQ8
+    * itself is parameterless — no codebook to carry). Synced ≡ fresh
+    * build on the `to` snapshot with the same centroids (spec-pinned,
+    * oracle-pinned). */
+  def syncIvfSqIndex(spark: SparkSession, path: String, from: String, to: String,
+                     idCol: String, vecCol: String, cents: Seq[Seq[Double]],
+                     srcIdx: String, dstIdx: String): Unit = {
+    val d = diffBy(spark, path, from, to, idCol, vecCol, _.cast("string"))
+    graft.search.Sq.deleteFromIvfSqIndex(
+      d.filter(col("status").isin("removed", "changed")).select(col(idCol)),
+      srcIdx, idCol)
+    graft.search.Sq.compactIvfSqIndex(spark, srcIdx, dstIdx, idCol = idCol)
+    val fresh = read(spark, path, to).join(
+      d.filter(col("status").isin("added", "changed")).select(col(idCol)),
+      Seq(idCol), "left_semi")
+    graft.search.Sq.appendToIvfSqIndex(fresh, cents, dstIdx, idCol, vecCol)
   }
 
   /** The latest row per id ACROSS a sequence of snapshots — last-wins

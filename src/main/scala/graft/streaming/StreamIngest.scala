@@ -127,6 +127,56 @@ object StreamIngest {
         }
       }
 
+  /** Streaming maintenance of a materialized IVF-PQ index — the
+    * COMPRESSED-codes twin of [[ivfMaintenanceSink]], closing the gap
+    * where a streaming ingest could maintain the coarse float index
+    * but not the composed one: each micro-batch of (id, vector) rows
+    * encodes against the FROZEN centroids AND codebooks and appends
+    * into both sides of the index layout
+    * ([[graft.search.Pq.appendToIvfPqIndex]] through foreachBatch —
+    * codes into the `partitionBy(__cluster)` directories, floats into
+    * the id-sorted rerank side), so probes keep plan-time pruning
+    * while the stream runs. Both models are parameters, not derived —
+    * training is a batch concern; watch
+    * [[graft.search.Pq.reconstructionDrift]] and retrain when the
+    * stream drifts. An append to a fresh path CREATES the index, so
+    * the sink is self-initializing; a fresh
+    * [[graft.search.Pq.buildIvfPqIndex]] at the path clears old batch
+    * markers (batch ids restart with a new stream). Batch-id markers
+    * make restart replays no-ops instead of double appends;
+    * probe-after-drain ≡ from-scratch build is pinned in
+    * StoreStreamSpec. */
+  def ivfPqMaintenanceSink(vecs: DataFrame, cents: Seq[Seq[Double]],
+                           cb: graft.search.Pq.Codebooks, path: String,
+                           idCol: String = "vec_id",
+                           vecCol: String = "embedding"): DataStreamWriter[org.apache.spark.sql.Row] =
+    vecs.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        oncePerBatch(batch.sparkSession, s"$path/_applied_batches", batchId) {
+          if (batch.isEmpty) ()
+          else graft.search.Pq.appendToIvfPqIndex(batch, cents, cb, path, idCol, vecCol)
+        }
+      }
+
+  /** [[ivfPqMaintenanceSink]]'s contract on the SQ8-IVF index — the
+    * middle compression rung gets the same arrival-shaped maintenance:
+    * encode against the frozen centroids (SQ8 itself is parameterless
+    * per-row scaling), append into both sides
+    * ([[graft.search.Sq.appendToIvfSqIndex]]), batch-id markers for
+    * replay idempotence, self-initializing on a fresh path. */
+  def ivfSqMaintenanceSink(vecs: DataFrame, cents: Seq[Seq[Double]],
+                           path: String, idCol: String = "vec_id",
+                           vecCol: String = "embedding"): DataStreamWriter[org.apache.spark.sql.Row] =
+    vecs.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        oncePerBatch(batch.sparkSession, s"$path/_applied_batches", batchId) {
+          if (batch.isEmpty) ()
+          else graft.search.Sq.appendToIvfSqIndex(batch, cents, path, idCol, vecCol)
+        }
+      }
+
   /** Streaming maintenance of a persisted count-min sketch
     * ([[graft.analysis.FreqSketch]]): each micro-batch's cells append
     * next to the store's (cells are sums — no read-modify-write, the

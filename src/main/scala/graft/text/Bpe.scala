@@ -199,15 +199,38 @@ object Bpe {
     StructField("rhs", StringType, nullable = false),
     StructField("cnt", LongType, nullable = false)))
 
+  /** Dictionary-size bound above which the incremental trainer's
+    * dict collect is refused and training falls back to the k-job
+    * distributed iteration. 2 M piped words ≈ a few hundred MB of
+    * driver heap (symbols + pair index) — comfortably model state;
+    * a 100 TB multilingual corpus's ~10⁸-word dict is not. The check
+    * is ONE extra pre-pass (`approx_count_distinct` over the token
+    * stream — no shuffle, HLL-bounded state); an estimate is the
+    * right tool for a safety switch, and both paths are spec-pinned
+    * equal so the switch never changes results. */
+  val MaxLocalDictWords: Long = 2L * 1000 * 1000
+
+  private def dictFitsLocal(docs: DataFrame, textCol: String,
+                            bound: Long): Boolean =
+    docs.select(explode(TextAnalysis.tokens(col(textCol))).as("w"))
+      .agg(approx_count_distinct(col("w")).as("n"))
+      .head().getLong(0) <= bound
+
   /** Learn `k` merges over the word dictionary of `textCol` via the
-    * incremental trainer ([[trainLocal]]). Returns
+    * incremental trainer ([[trainLocal]]) when the dictionary fits
+    * driver memory (`maxLocalDictWords`, estimated by one HLL
+    * pre-pass), else via the distributed iteration — same results
+    * either way (spec-pinned across the switch). Returns
     * `(step, lhs, rhs, cnt)` — merge rank, the two merged symbols, and
     * the pair's dictionary-weighted count at selection time. */
-  def merges(docs: DataFrame, textCol: String, k: Int): DataFrame = {
+  def merges(docs: DataFrame, textCol: String, k: Int,
+             maxLocalDictWords: Long = MaxLocalDictWords): DataFrame = {
     val spark = docs.sparkSession
-    spark.createDataFrame(
-      spark.sparkContext.parallelize(trainLocal(docs, textCol, k)._1, 1),
-      mergeSchema)
+    val rows =
+      if (dictFitsLocal(docs, textCol, maxLocalDictWords))
+        trainLocal(docs, textCol, k)._1
+      else train(docs, textCol, k)._1
+    spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), mergeSchema)
   }
 
   /** [[merges]] computed by the k-job distributed iteration — the
@@ -225,9 +248,12 @@ object Bpe {
     * word frequency. This is the table a tokenizer ships: symbol →
     * corpus occurrence count (and its size tracks how far k compressed
     * the character alphabet toward whole words). */
-  def vocab(docs: DataFrame, textCol: String, k: Int): DataFrame = {
+  def vocab(docs: DataFrame, textCol: String, k: Int,
+            maxLocalDictWords: Long = MaxLocalDictWords): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
+    if (!dictFitsLocal(docs, textCol, maxLocalDictWords))
+      return vocabDistributed(docs, textCol, k)
     val (_, words) = trainLocal(docs, textCol, k)
     // the rewritten dict is already driver-side model state; the
     // vocabulary reduce over it is dict-bounded, not corpus-bounded

@@ -90,17 +90,28 @@ object Winnow {
   }
 
   /** Per-doc distinct fingerprints with corpus-boilerplate
-    * (df > maxDf) fingerprints removed. */
+    * (df > maxDf) fingerprints removed.
+    *
+    * The fingerprint pass is MATERIALIZED ONCE (localCheckpoint) and
+    * so is the df-filtered result: without it, the df-count branch
+    * and both sides of [[sharedCounts]]' self-join (plus
+    * [[containmentPairs]]' per-doc counts) each re-derive the explode
+    * from the raw text — O(n·w) token walks per document repeated up
+    * to six times per query plan. Checkpointing trades one
+    * executor-storage write of (doc, fp) longs for five corpus
+    * re-scans — the [[graft.analysis.Dedup.deltaDupPairs]]
+    * precedent. */
   private def keptFps(docs: DataFrame, idCol: String, textCol: String,
                       k: Int, w: Int, maxDf: Int): DataFrame = {
     val fps = docs.select(col(idCol).as("__id"),
         explode(fingerprints(col(textCol), k, w)).as("fp"))
       .distinct()
+      .localCheckpoint(true)
     val rare = fps.groupBy(col("fp"))
       .agg(count(lit(1)).as("__df"))
       .filter(col("__df") <= maxDf)
       .select("fp")
-    fps.join(rare, "fp")
+    fps.join(rare, "fp").localCheckpoint(true)
   }
 
   private def sharedCounts(kept: DataFrame): DataFrame =
