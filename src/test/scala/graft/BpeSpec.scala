@@ -115,6 +115,23 @@ class BpeSpec extends SparkSpec {
     assert(fv == dv, s"vocab sizes ${fv.size} vs ${dv.size}")
   }
 
+  test("dict-size guard: merges/vocab identical across the local/distributed switch") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    // maxLocalDictWords = 0 forces every call through the distributed
+    // trainer; the default bound takes the incremental local path —
+    // the guard must never change results, only the execution strategy
+    val local = Bpe.merges(docs, "text", 8).orderBy("step")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3))).toSeq
+    val forced = Bpe.merges(docs, "text", 8, maxLocalDictWords = 0L).orderBy("step")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3))).toSeq
+    assert(local == forced, s"guard changed the merges: $local vs $forced")
+    val lv = Bpe.vocab(docs, "text", 5).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toMap
+    val fv = Bpe.vocab(docs, "text", 5, maxLocalDictWords = 0L).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(lv == fv, s"guard changed the vocab: ${lv.size} vs ${fv.size}")
+  }
+
   test("applyMergeLocal ≡ the applyMerge column fold") {
     val words = Seq("aaaa", "abab", "ba", "a", "xaby", "abba")
     val (l, r) = ("a", "b")

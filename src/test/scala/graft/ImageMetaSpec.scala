@@ -117,6 +117,64 @@ class ImageMetaSpec extends SparkSpec {
     assert(exact == Seq((1L, 3L)), s"got $exact")
   }
 
+  test("dHash store: delta pairs ≡ batch pairs restricted to the delta, store pruned") {
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import graft.multimodal.{ImageFixtures, Multimodal}
+    val corpus: Seq[(Long, Array[Byte])] = Seq(
+      (1L, ImageFixtures.png(520, 400)), (2L, ImageFixtures.png(490, 400)),
+      (3L, ImageFixtures.png(520, 400)), (4L, ImageFixtures.png(600, 480)),
+      (5L, ImageFixtures.png(150, 120)))
+    val delta: Seq[(Long, Array[Byte])] = Seq(
+      (11L, ImageFixtures.png(520, 400)),     // dup of 1/3
+      (12L, ImageFixtures.png(600, 480)),     // dup of 4
+      (14L, ImageFixtures.png(490, 400)),     // dup of 2, near 11
+      (15L, "junk".getBytes("UTF-8")))        // invalid — never bands
+    val store = java.nio.file.Files.createTempDirectory("graft-dhash").toString + "/store"
+    val cHashes = Multimodal.decodeDHash(spark, corpus.toDF("id", "bytes")).toDF()
+    Multimodal.writeDHashStore(cHashes, store, bandBuckets = 8)
+    val dHashes = Multimodal.decodeDHash(spark, delta.toDF("id", "bytes")).toDF()
+    val got = Multimodal.imageDeltaDupPairs(dHashes, store, 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq.sorted
+    // the contract: batch pairs over (corpus ∪ delta), keep only pairs
+    // involving a delta image
+    val want = Multimodal.dhashNearDupPairs(
+        cHashes.unionByName(dHashes), 3)
+      .filter(col("id_b") >= 11L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq.sorted
+    assert(got == want, s"delta $got vs batch-restricted $want")
+    assert(got.nonEmpty, "fixture must produce cross and internal dup pairs")
+    // the store's bands scan is partition-pruned to the delta's buckets
+    def scans(p: SparkPlan): Seq[FileSourceScanExec] = p match {
+      case a: AdaptiveSparkPlanExec => scans(a.executedPlan)
+      case s: org.apache.spark.sql.execution.adaptive.QueryStageExec => scans(s.plan)
+      case r: org.apache.spark.sql.execution.exchange.ReusedExchangeExec => scans(r.child)
+      case f: FileSourceScanExec => Seq(f)
+      case other => other.children.flatMap(scans)
+    }
+    // a one-band probe opens only that band's bucket partition
+    val one = spark.read.parquet(s"$store/bands").filter(col("__bb") === 0)
+    one.collect()
+    val scan = scans(one.queryExecution.executedPlan)
+      .headOption.getOrElse(fail("no parquet scan over the bands table"))
+    val totalFiles = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
+      walk(new java.io.File(s"$store/bands")).count(_.getName.endsWith(".parquet"))
+    }
+    assert(scan.metrics("numFiles").value < totalFiles,
+      "bucket filter must prune band partitions at plan time")
+    // append: new fingerprints join the store and pair on later probes
+    Multimodal.appendToDHashStore(dHashes, store)
+    val after = Multimodal.imageDeltaDupPairs(
+        Multimodal.decodeDHash(spark,
+          Seq((21L, ImageFixtures.png(520, 400))).toDF("id", "bytes")).toDF(),
+        store, 0)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq.sorted
+    assert(after.contains((11L, 21L)),
+      s"appended fingerprints must become dedup targets: $after")
+  }
+
   test("PngText: tEXt pairs in order, Latin-1, empty/corrupt contracts") {
     import graft.functions.PngText
     val texts = Seq("caption" -> "a café scene", "Author" -> "böb")

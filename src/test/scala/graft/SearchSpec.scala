@@ -141,6 +141,20 @@ class SearchSpec extends SparkSpec {
     }
   }
 
+  test("batch MMR greedy runs executor-side: MapGroups in the plan, no driver collect") {
+    val emb = spark.read.parquet(s"$sf0001/embeddings.parquet")
+    val qs = emb.filter(col("vec_id") < 3)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    val batch = Search.mmrTopKBatch(emb, qs, k = 3, shortlist = 20, lambda = 0.75)
+    // the batch path must be one lazy distributed plan whose greedy is
+    // a MapGroups over the shuffled shortlists — building the frame
+    // runs no job, and the plan carries the executor-side fold
+    val plan = batch.queryExecution.optimizedPlan.toString
+    assert(plan.contains("MapGroups"),
+      s"batch MMR must run the greedy in flatMapGroups, got plan:\n$plan")
+    assert(batch.count() == 9L)
+  }
+
   test("prompt template interpolates context and question") {
     val out = Seq(Tuple1("CTX")).toDF("context")
       .select(Search.prompt(col("context"), lit("Q?")).as("p"))

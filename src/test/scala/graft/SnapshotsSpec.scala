@@ -204,6 +204,65 @@ class SnapshotsSpec extends SparkSpec {
       "a changed id must not keep two vector rows (duplicate rerank output)")
   }
 
+  test("syncIvfSqIndex reproduces a fresh v2 build; no duplicate rerank rows for changed ids") {
+    val emb = spark.read.parquet(s"$sf0001/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+    val snaps = freshStore()
+    Snapshots.write(emb, snaps, "v1")
+    val v2 = emb.filter(col("vec_id") % 13 =!= 0)
+      .select(col("vec_id"),
+        when(col("vec_id") % 11 === 0, transform(col("embedding"), x => -x))
+          .otherwise(col("embedding")).as("embedding"))
+      .unionByName(emb.filter(col("vec_id") < 3)
+        .select((col("vec_id") + 100000L).as("vec_id"), col("embedding")))
+    Snapshots.write(v2, snaps, "v2")
+    val cents = graft.search.Ann.kmeansCentroids(emb, "vec_id", "embedding", 8, 2)
+    val tmp = java.nio.file.Files.createTempDirectory("graft-ivfsq-sync").toString
+    graft.search.Sq.buildIvfSqIndex(emb, cents, tmp + "/v1idx")
+    Snapshots.syncIvfSqIndex(spark, snaps, "v1", "v2",
+      "vec_id", "embedding", cents, tmp + "/v1idx", tmp + "/synced")
+    graft.search.Sq.buildIvfSqIndex(
+      Snapshots.read(spark, snaps, "v2"), cents, tmp + "/fresh")
+    val q = emb.filter(col("vec_id") === 1).select(col("embedding").as("qvec"))
+    def probe(p: String) =
+      graft.search.Sq.ivfSqIndexTopK(spark, p, q, cents, 10, 40, 3)
+        .select(col("vec_id"), col("sim"))
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val synced = probe(tmp + "/synced")
+    assert(synced == probe(tmp + "/fresh"),
+      "synced SQ8-IVF index must probe identically to a fresh build on v2")
+    assert(synced.map(_._1).distinct.size == synced.size,
+      "a changed id must not keep two vector rows (duplicate rerank output)")
+  }
+
+  test("expireOlderThan drops stale snapshots by write time, survivors untouched") {
+    val path = java.nio.file.Files.createTempDirectory("graft-snap-ttl")
+      .toString + "/store"
+    Seq("old1", "old2", "live").foreach(n =>
+      Snapshots.write(Seq((1L, n)).toDF("id", "text"), path, n))
+    // age the first two below any realistic cutoff by back-dating
+    // their files (mtime is the age source — dirLastWriteMillis)
+    def backdate(name: String, ts: Long): Unit = {
+      def walk(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(walk)
+        f.setLastModified(ts): Unit
+      }
+      walk(new java.io.File(s"$path/__snap=$name"))
+    }
+    val cutoff = System.currentTimeMillis() - 60L * 1000
+    backdate("old1", cutoff - 10000); backdate("old2", cutoff - 10000)
+    val dropped = Snapshots.expireOlderThan(spark, path, cutoff)
+    assert(dropped == Seq("old1", "old2"), s"dropped $dropped")
+    assert(Snapshots.names(spark, path) == Seq("live"))
+    assert(Snapshots.read(spark, path, "live").count() == 1L)
+    // nothing below the cutoff → no-op
+    assert(Snapshots.expireOlderThan(spark, path, cutoff).isEmpty)
+    // appending into an old snapshot refreshes its age: it survives
+    Snapshots.write(Seq((2L, "more")).toDF("id", "text"), path, "live")
+    assert(Snapshots.expireOlderThan(spark, path, cutoff).isEmpty)
+    assert(Snapshots.read(spark, path, "live").count() == 2L)
+  }
+
   test("latest: later snapshot names win per id, untouched ids carry through") {
     val path = freshStore()
     Snapshots.write(Seq((1L, "a1"), (2L, "b1")).toDF("id", "text"), path, "v1")

@@ -61,4 +61,97 @@ class SqSpec extends SparkSpec {
     assert(!codesScan.schema.fieldNames.contains("embedding"),
       "query path must not read float vectors before the rerank")
   }
+
+  test("SQ8-IVF lifecycle: append/delete/compact/retrain ≡ rebuild") {
+    val emb = graft.io.Tables.embeddings(spark, sf0001)
+    val q = emb.filter(col("vec_id") === 0L).select(col("embedding").as("qvec"))
+    val cents = Ann.kmeansCentroids(emb, "vec_id", "embedding", 10, 2)
+    val tmp = java.nio.file.Files.createTempDirectory("graft-ivfsq-life").toString
+    def probe(path: String) =
+      Sq.ivfSqIndexTopK(spark, path, q, cents, 5, 20, 3)
+        .select(col("vec_id"), col("sim"))
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    // the reference answer: one fresh full build
+    Sq.buildIvfSqIndex(emb, cents, s"$tmp/full")
+    val want = probe(s"$tmp/full")
+    // append is invisible to the probe
+    Sq.buildIvfSqIndex(emb.filter(col("vec_id") < 300), cents, s"$tmp/ap")
+    Sq.appendToIvfSqIndex(emb.filter(col("vec_id") >= 300), cents, s"$tmp/ap")
+    assert(probe(s"$tmp/ap") == want, "append-then-probe must ≡ rebuild")
+    // delete: tombstoned ids (incl. the query's sim-1 self-hit) vanish;
+    // probe ≡ a fresh build on the survivors with the same centroids
+    Sq.buildIvfSqIndex(emb, cents, s"$tmp/del")
+    Sq.deleteFromIvfSqIndex(
+      emb.filter(col("vec_id") % 5 === 0).select(col("vec_id")), s"$tmp/del")
+    Sq.buildIvfSqIndex(emb.filter(col("vec_id") % 5 =!= 0), cents, s"$tmp/surv")
+    val delGot = probe(s"$tmp/del")
+    assert(delGot == probe(s"$tmp/surv"), "delete must ≡ rebuild on survivors")
+    assert(!delGot.map(_._1).contains(0L), "the deleted self-hit must vanish")
+    // compact applies tombstones physically: probe unchanged, both
+    // sides rewritten, destination starts tombstone-free
+    Sq.compactIvfSqIndex(spark, s"$tmp/del", s"$tmp/cmp")
+    assert(probe(s"$tmp/cmp") == delGot, "compaction must not move rows")
+    assert(!graft.io.Fs.exists(spark, s"$tmp/cmp/codes.tombstones"))
+    assert(spark.read.parquet(s"$tmp/cmp/vectors")
+      .filter(col("vec_id") % 5 === 0).count() == 0L,
+      "compaction must drop tombstoned ids from the vectors side too")
+    // retrain ≡ a from-scratch build on the survivors (deterministic
+    // trainer), probed with the returned fresh centroids
+    val cents2 = Sq.retrainIvfSqIndex(spark, s"$tmp/del", s"$tmp/rt", 10, 2)
+    val survivors = emb.filter(col("vec_id") % 5 =!= 0)
+    val centsFresh = Ann.kmeansCentroids(survivors, "vec_id", "embedding", 10, 2)
+    assert(cents2 == centsFresh, "retrain must learn the from-scratch centroids")
+    Sq.buildIvfSqIndex(survivors, centsFresh, s"$tmp/rtFresh")
+    def probe2(path: String) =
+      Sq.ivfSqIndexTopK(spark, path, q, cents2, 5, 20, 3)
+        .select(col("vec_id"), col("sim"))
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(probe2(s"$tmp/rt") == probe2(s"$tmp/rtFresh"),
+      "retrained index must probe like a fresh build on its contents")
+  }
+
+  test("SQ8-IVF filtered probe: predicate honored, exact-count fallback widens") {
+    val emb = graft.io.Tables.embeddings(spark, sf0001)
+    val q = emb.filter(col("vec_id") === 0L).select(col("embedding").as("qvec"))
+    val cents = Ann.kmeansCentroids(emb, "vec_id", "embedding", 10, 2)
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivfsq-f").toString + "/index"
+    Sq.buildIvfSqIndex(emb, cents, dir)
+    // with every cluster probed and a corpus-sized shortlist the
+    // approximate stage is total — filtered probe ≡ exact filtered knn
+    val n = emb.count().toInt
+    val got = Sq.ivfSqIndexTopKFiltered(spark, dir, q, cents,
+        col("vec_id") % 3 =!= 0, 5, n, 10)
+      .select(col("vec_id"), col("sim"))
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val want = Search.knn(emb.filter(col("vec_id") % 3 =!= 0), q, 5)
+      .select(col("vec_id"), col("sim"))
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(got == want, s"filtered probe $got vs exact $want")
+    // a predicate with fewer matches than k inside nprobe=1 probed
+    // clusters must widen to the full index: min(k, matches) rows
+    val rare = Sq.ivfSqIndexTopKFiltered(spark, dir, q, cents,
+        col("vec_id").isin(7L, 13L), 5, 20, 1)
+      .select(col("vec_id")).collect().map(_.getLong(0)).toSet
+    assert(rare == Set(7L, 13L), s"fallback must find all matches: $rare")
+  }
+
+  test("SQ8-IVF batch probe restricted to one query ≡ single probe") {
+    val emb = graft.io.Tables.embeddings(spark, sf0001)
+    val cents = Ann.kmeansCentroids(emb, "vec_id", "embedding", 10, 2)
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivfsq-b").toString + "/index"
+    Sq.buildIvfSqIndex(emb, cents, dir)
+    val qs = emb.filter(col("vec_id") < 3)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    val batch = Sq.ivfSqIndexTopKBatch(spark, dir, qs, cents, 5, 20, 3)
+      .collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getDouble(2))))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sortBy(t => (-t._2, t._1)).toSeq).toMap
+    (0L until 3L).foreach { qid =>
+      val q = emb.filter(col("vec_id") === qid).select(col("embedding").as("qvec"))
+      val single = Sq.ivfSqIndexTopK(spark, dir, q, cents, 5, 20, 3)
+        .select(col("vec_id"), col("sim"))
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      assert(batch(qid) == single, s"qid $qid: batch ${batch(qid)} vs $single")
+    }
+  }
 }

@@ -126,6 +126,60 @@ class StoreStreamSpec extends SparkSpec {
     assert(streamed == rebuilt, s"streamed $streamed != rebuilt $rebuilt")
   }
 
+  test("streaming IVF-PQ maintenance: codes+vectors append per batch, probe ≡ rebuild") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.functions.col
+    implicit val sqlCtx = spark.sqlContext
+    val emb = spark.read.parquet(s"$sf0001/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+    val cents = graft.search.Ann.kmeansCentroids(emb, "vec_id", "embedding", 8, 2)
+    val cb = graft.search.Pq.train(emb, "vec_id", "embedding", 64, 8, 16, 1)
+    val dir = java.nio.file.Files.createTempDirectory("graft-stream-ivfpq").toString + "/index"
+    val rows = emb.collect().map(r =>
+      (r.getLong(0), r.getSeq[Float](1).toSeq)).toSeq
+    val input = MemoryStream[(Long, Seq[Float])]
+    val q = graft.streaming.StreamIngest.ivfPqMaintenanceSink(
+      input.toDF().toDF("vec_id", "embedding"), cents, cb, dir).start()
+    rows.grouped(200).foreach { g => input.addData(g); q.processAllAvailable() }
+    q.stop()
+    val query = emb.filter(col("vec_id") === 0L).select(col("embedding").as("qvec"))
+    def probe(p: String) =
+      graft.search.Pq.ivfPqIndexTopK(spark, p, query, cents, cb, 5, 3, 40)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val rebuiltDir = java.nio.file.Files
+      .createTempDirectory("graft-stream-ivfpq2").toString + "/index"
+    graft.search.Pq.buildIvfPqIndex(emb, cents, cb, rebuiltDir)
+    assert(probe(dir) == probe(rebuiltDir),
+      "drained IVF-PQ sink must probe like a from-scratch build")
+  }
+
+  test("streaming SQ8-IVF maintenance: drained sink probe ≡ rebuild") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.functions.col
+    implicit val sqlCtx = spark.sqlContext
+    val emb = spark.read.parquet(s"$sf0001/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+    val cents = graft.search.Ann.kmeansCentroids(emb, "vec_id", "embedding", 8, 2)
+    val dir = java.nio.file.Files.createTempDirectory("graft-stream-ivfsq").toString + "/index"
+    val rows = emb.collect().map(r =>
+      (r.getLong(0), r.getSeq[Float](1).toSeq)).toSeq
+    val input = MemoryStream[(Long, Seq[Float])]
+    val q = graft.streaming.StreamIngest.ivfSqMaintenanceSink(
+      input.toDF().toDF("vec_id", "embedding"), cents, dir).start()
+    rows.grouped(200).foreach { g => input.addData(g); q.processAllAvailable() }
+    q.stop()
+    val query = emb.filter(col("vec_id") === 0L).select(col("embedding").as("qvec"))
+    def probe(p: String) =
+      graft.search.Sq.ivfSqIndexTopK(spark, p, query, cents, 5, 20, 3)
+        .select(col("vec_id"), col("sim"))
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val rebuiltDir = java.nio.file.Files
+      .createTempDirectory("graft-stream-ivfsq2").toString + "/index"
+    graft.search.Sq.buildIvfSqIndex(emb, cents, rebuiltDir)
+    assert(probe(dir) == probe(rebuiltDir),
+      "drained SQ8 sink must probe like a from-scratch build")
+  }
+
   test("streaming BM25 maintenance: first batch builds, later batches append, probe ≡ rebuild") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import org.apache.spark.sql.functions.col
