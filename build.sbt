@@ -26,5 +26,12 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // 24g on the 128 GiB box: 8g forced measurable GC stalls across the
+  // 276-query bench suite at local[32] (a suite-level fixed cost that
+  // grew with the suite, not a per-operator regression)
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
+  // the whole-stage-codegen class cache is STATIC and defaults to 100
+  // entries; a 276-query suite thrashes it, so even a repeat pass
+  // re-pays codegen compile per query — size it to the suite
+  "-Dspark.sql.codegen.cache.maxEntries=4096",
 )

@@ -2875,6 +2875,48 @@ object SparkEntry {
       Ann.ivfIndexTopK(s, path, queryVec(s, dir), cents, 5, 3)
         .select(col("vec_id"), col("sim"))
     }),
+    // ---- [EXT] FILTERED SQ8 probe — "top-k WHERE" on the int8 rung:
+    // the predicate applies to the codes side BEFORE the approximate
+    // shortlist (inside the probed partitions), exact-count fallback
+    // widens when the probed clusters hold fewer than k matches (not
+    // triggered here — SqSpec covers it).
+    "ivfsq_filtered_top5" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val cents = Ann.kmeansCentroids(emb, "vec_id", "embedding", 10, 2)
+      val path = scratchDir("ivfsq-filtered")
+      graft.search.Sq.buildIvfSqIndex(emb, cents, path)
+      graft.search.Sq.ivfSqIndexTopKFiltered(s, path, queryVec(s, dir), cents,
+          col("vec_id") % 3 =!= 0, 5, 20, 3)
+        .select(col("vec_id"), col("sim"))
+    }),
+    // ---- [EXT] BATCH SQ8 probe — the multi-query production shape on
+    // the int8 rung: per-qid probe windows, union-of-probes plan-time
+    // IN, per-qid int8 shortlist windows, exact float rerank.
+    "ivfsq_batch_top3" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val cents = Ann.kmeansCentroids(emb, "vec_id", "embedding", 10, 2)
+      val path = scratchDir("ivfsq-batch")
+      graft.search.Sq.buildIvfSqIndex(emb, cents, path)
+      val qs = emb.filter(col("vec_id") < 3)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+      graft.search.Sq.ivfSqIndexTopKBatch(s, path, qs, cents, 3, 20, 3)
+        .orderBy(col("qid"), col("vec_id"))
+    }),
+    // ---- [EXT] doc-granular maxP over the MATERIALIZED IVF index —
+    // the long-document composition (rank parent docs by their best
+    // chunk) on the pruned index probe instead of a full scan: every
+    // surviving probed row scores (no pre-aggregation cut — it could
+    // drop a doc's best chunk), per-doc max is algebraic, doc ranking
+    // bounded. Parent key = vec_id/8 (the fixture's chunk→doc map),
+    // carried as an index column through the partitioned write.
+    "ivf_docs_maxp_top5" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+        .withColumn("doc_id", floor(col("vec_id") / 8).cast("long"))
+      val cents = Ann.kmeansCentroids(emb, "vec_id", "embedding", 10, 2)
+      val path = scratchDir("ivf-maxp")
+      Ann.buildIvfIndex(emb, cents, path)
+      Ann.ivfIndexMaxPTopK(s, path, queryVec(s, dir), cents, 5, 3, "doc_id")
+    }),
     // ---- [EXT] vector-index DELETE: build on the full corpus (the
     // k-means training SAW the deleted rows — deletes don't retrain),
     // tombstone 20% (including vec_id 0, the query vector itself — its
@@ -4577,9 +4619,10 @@ object SparkEntry {
     * [[kmeansIvfTop5Sql]], the symmetric int8 quantization of the
     * `knn_int8_recall` oracle, a 20-deep code-score shortlist inside
     * the probed clusters, then the exact float rerank. */
-  private lazy val ivfSqTop5Sql: String = {
+  private def ivfSqTop5SqlWhere(candWhere: String): String = {
     def rawCos(a: String, b: String) =
       s"list_dot_product($a, $b) / (sqrt(list_dot_product($a, $a)) * sqrt(list_dot_product($b, $b)))"
+    val where = if (candWhere.isEmpty) "" else s"\n    WHERE $candWhere"
     s"""WITH q AS (SELECT embedding AS qvec FROM embeddings WHERE vec_id = 0),
        |${ivfTrainSql(10, 2)},
        |probes AS (
@@ -4597,12 +4640,57 @@ object SparkEntry {
        |short AS (
        |  SELECT vec_id FROM (
        |    SELECT z.vec_id, ${cosSql("z.qv", "qq.qv")} AS asim
-       |    FROM qz z JOIN iaf USING (vec_id) JOIN probes USING (cid), qq)
+       |    FROM qz z JOIN iaf USING (vec_id) JOIN probes USING (cid), qq$where)
        |  ORDER BY asim DESC, vec_id ASC LIMIT 20)
        |SELECT vec_id, sim FROM (
        |  SELECT e.vec_id, ${cosSql("e.embedding", "q.qvec")} AS sim
        |  FROM embeddings e JOIN short USING (vec_id), q)
        |ORDER BY sim DESC, vec_id ASC LIMIT 5""".stripMargin
+  }
+
+  private lazy val ivfSqTop5Sql: String = ivfSqTop5SqlWhere("")
+
+  /** SQ8-IVF BATCH probe replay: per-qid probe ranking, per-qid int8
+    * shortlist inside the probed clusters, per-qid exact rerank —
+    * the [[ivfPqTop5SqlWhere]] shape on the SQ rung, sharing the
+    * quantization CTE (`qz`) with the single-query oracle. */
+  private lazy val ivfSqBatchTop3Sql: String = {
+    def rawCos(a: String, b: String) =
+      s"list_dot_product($a, $b) / (sqrt(list_dot_product($a, $a)) * sqrt(list_dot_product($b, $b)))"
+    s"""WITH qs AS (SELECT vec_id AS qid, embedding AS qvec
+       |            FROM embeddings WHERE vec_id < 3),
+       |${ivfTrainSql(10, 2)},
+       |probes AS (
+       |  SELECT qid, cid FROM (
+       |    SELECT qs.qid, c.cid,
+       |           row_number() OVER (PARTITION BY qs.qid
+       |             ORDER BY round(${rawCos("c.centroid", "qs.qvec::DOUBLE[]")}, 6) DESC,
+       |                      c.cid ASC) AS rn
+       |    FROM qs CROSS JOIN ic2 c) WHERE rn <= 3),
+       |qz AS (
+       |  SELECT vec_id,
+       |         CASE WHEN m = 0 THEN list_transform(v, x -> 0.0)
+       |              ELSE list_transform(v, x -> floor(x / (m / 127.0) + 0.5)) END AS qv
+       |  FROM (SELECT vec_id, embedding::DOUBLE[] AS v,
+       |               list_max(list_transform(embedding::DOUBLE[], x -> abs(x))) AS m
+       |        FROM embeddings)),
+       |qq AS (SELECT vec_id AS qid, qv FROM qz WHERE vec_id < 3),
+       |short AS (
+       |  SELECT qid, vec_id FROM (
+       |    SELECT p.qid, z.vec_id,
+       |           row_number() OVER (PARTITION BY p.qid
+       |             ORDER BY ${cosSql("z.qv", "qq.qv")} DESC, z.vec_id ASC) AS rn
+       |    FROM qz z JOIN iaf USING (vec_id) JOIN probes p USING (cid)
+       |         JOIN qq ON qq.qid = p.qid) WHERE rn <= 20),
+       |rr AS (
+       |  SELECT s.qid, s.vec_id, ${cosSql("e.embedding", "qs.qvec")} AS sim
+       |  FROM short s JOIN embeddings e USING (vec_id) JOIN qs USING (qid))
+       |SELECT qid, vec_id, sim FROM (
+       |  SELECT qid, vec_id, sim,
+       |         row_number() OVER (PARTITION BY qid
+       |           ORDER BY sim DESC, vec_id ASC) AS rn
+       |  FROM rr) WHERE rn <= 3
+       |ORDER BY qid, vec_id""".stripMargin
   }
 
   /** Full IVF-PQ recall@5 replay (coarse Lloyd + per-subspace PQ
@@ -5320,6 +5408,26 @@ object SparkEntry {
     // as the fresh build); sync ≡ fresh v2 build with the v1 models
     "ivfsq_index_append_top5" -> ivfSqTop5Sql,
     "ivfsq_index_sync_top5" -> ivfSqSyncTop5Sql,
+    "ivfsq_filtered_top5" -> ivfSqTop5SqlWhere("z.vec_id % 3 <> 0"),
+    "ivfsq_batch_top3" -> ivfSqBatchTop3Sql,
+    // maxP over the probed clusters: score every surviving probed row,
+    // max per parent doc (vec_id // 8), top-5 docs
+    "ivf_docs_maxp_top5" -> {
+      def rawCos(a: String, b: String) =
+        s"list_dot_product($a, $b) / (sqrt(list_dot_product($a, $a)) * sqrt(list_dot_product($b, $b)))"
+      s"""WITH q AS (SELECT embedding AS qvec FROM embeddings WHERE vec_id = 0),
+         |${ivfTrainSql(10, 2)},
+         |probes AS (
+         |  SELECT cid FROM ic2, q
+         |  ORDER BY round(${rawCos("centroid", "qvec::DOUBLE[]")}, 6) DESC, cid ASC
+         |  LIMIT 3),
+         |sims AS (
+         |  SELECT e.vec_id // 8 AS doc_id,
+         |         ${cosSql("e.embedding", "q.qvec")} AS sim
+         |  FROM embeddings e JOIN iaf USING (vec_id) JOIN probes USING (cid), q)
+         |SELECT doc_id::BIGINT AS doc_id, max(sim) AS maxp FROM sims
+         |GROUP BY doc_id ORDER BY maxp DESC, doc_id ASC LIMIT 5""".stripMargin
+    },
     // The MMR greedy is sequential in k, so the oracle UNROLLS it: one
     // pick-CTE per rank, each scoring the remaining shortlist against
     // the max round-6 pairwise cosine to everything picked so far.

@@ -269,6 +269,39 @@ object Ann {
       query, k, idCol, vecCol)
   }
 
+  /** Document-granular maxP retrieval over a materialized IVF index —
+    * the long-document retrieval composition (score chunk vectors,
+    * rank their PARENT documents by the best chunk; Dai & Callan
+    * 2019's maxP) on the index instead of a full scan: the index is
+    * built over chunk-level vectors CARRYING the parent key
+    * (`docCol` — any extra column survives [[buildIvfIndex]]'s
+    * partitioned write), the probe prunes to the query-nearest
+    * clusters at plan time, EVERY surviving probed row is scored (no
+    * pre-aggregation truncation — a top-k cut before the per-doc max
+    * could drop a document's best chunk), the per-doc max is an
+    * algebraic aggregate (map-side combined), and the doc ranking is
+    * a bounded TakeOrdered. Approximation boundary = the probe's,
+    * exactly like [[ivfIndexTopK]]: a document whose best chunk lives
+    * outside the probed clusters is missed, the standard IVF trade.
+    * Returns `(docCol, maxp)`, `maxp DESC, doc ASC`. */
+  def ivfIndexMaxPTopK(spark: org.apache.spark.sql.SparkSession, path: String,
+                       query: DataFrame, cents: Seq[Seq[Double]],
+                       k: Int, nprobe: Int, docCol: String,
+                       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val qvec = query.select(col("qvec")).head().getSeq[Number](0)
+      .map(_.doubleValue()).toSeq
+    val probes = probeIds(cents, qvec, nprobe)
+    dropTombstones(
+      spark.read.parquet(path)
+        .filter(col("__cluster").isin(probes: _*)).drop("__cluster"),
+      path, idCol)
+      .crossJoin(broadcast(query))
+      .select(col(docCol), VectorOps.cosine6(col(vecCol), col("qvec")).as("sim"))
+      .groupBy(col(docCol)).agg(max(col("sim")).as("maxp"))
+      .orderBy(col("maxp").desc, col(docCol).asc)
+      .limit(k)
+  }
+
   /** FILTERED index probe — the production shape "top-k WHERE
     * lang = 'en'" composed with the IVF index. The predicate is applied
     * INSIDE the probed partitions (pushed below the exact top-k, next

@@ -198,6 +198,29 @@ object StreamIngest {
         }
       }
 
+  /** Streaming RANKING LOG — the persistence half of a continuous
+    * retrieval-eval gate: each micro-batch of ranked results
+    * `(qid, id, <score>)` (from any retrieval stack — vector, BM25,
+    * hybrid) appends into one parquet log, with the usual batch-id
+    * markers for replay idempotence. After (or during) the stream,
+    * [[graft.analysis.Eval.rankedEval]] over `spark.read.parquet
+    * (s"$path/log")` IS the live quality gate — drained-log eval ≡
+    * the batch eval over the same result rows (spec-pinned in
+    * StoreStreamSpec), because rankedEval is order-free over its
+    * input frame. The log is append-only corpus data (not model
+    * state); compact with [[graft.store.CorpusStore.compact]] when
+    * micro-batches leave small files. */
+  def rankingLogSink(results: DataFrame,
+                     path: String): DataStreamWriter[org.apache.spark.sql.Row] =
+    results.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        oncePerBatch(batch.sparkSession, s"$path/_applied_batches", batchId) {
+          if (batch.isEmpty) ()
+          else batch.write.mode("append").parquet(s"$path/log")
+        }
+      }
+
   /** Streaming ingest-time dedup GATE against a persisted signature
     * store: each arriving micro-batch is deduped against the corpus ∪
     * itself ([[graft.analysis.Dedup.dedupDelta]]), the kept docs are

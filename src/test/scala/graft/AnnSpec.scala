@@ -157,6 +157,39 @@ class AnnSpec extends SparkSpec {
       s"expected file skipping: read $numFiles of $totalFiles files")
   }
 
+  test("ivfIndexMaxPTopK: per-doc best chunk over probed clusters; all-probes ≡ exact maxP") {
+    val docEmb = emb.withColumn("doc_id", floor(col("vec_id") / 8).cast("long"))
+    val cents = Ann.kmeansCentroids(docEmb, "vec_id", "embedding", 10, 2)
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivf-maxp").toString + "/index"
+    Ann.buildIvfIndex(docEmb, cents, dir)
+    // nprobe = every cluster degenerates to the exact full-scan maxP
+    val all = Ann.ivfIndexMaxPTopK(spark, dir, q, cents, 5, 10, "doc_id")
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val exactMaxP = docEmb.crossJoin(q)
+      .select(col("doc_id"),
+        graft.vector.VectorOps.cosine6(col("embedding"), col("qvec")).as("sim"))
+      .groupBy(col("doc_id")).agg(max(col("sim")).as("maxp"))
+      .orderBy(col("maxp").desc, col("doc_id").asc).limit(5)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(all == exactMaxP, s"all-probe maxP $all vs exact $exactMaxP")
+    // a pruned probe ranks docs by max over the PROBED rows only —
+    // replay the restriction directly
+    val qv = q.head().getSeq[Number](0).map(_.doubleValue()).toSeq
+    val probes = Ann.probeIds(cents, qv, 3)
+    val pruned = Ann.ivfIndexMaxPTopK(spark, dir, q, cents, 5, 3, "doc_id")
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val want = docEmb
+      .withColumn("__cluster", Ann.assignCluster(col("embedding"), cents))
+      .filter(col("__cluster").isin(probes: _*))
+      .crossJoin(q)
+      .select(col("doc_id"),
+        graft.vector.VectorOps.cosine6(col("embedding"), col("qvec")).as("sim"))
+      .groupBy(col("doc_id")).agg(max(col("sim")).as("maxp"))
+      .orderBy(col("maxp").desc, col("doc_id").asc).limit(5)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(pruned == want, s"pruned maxP $pruned vs probed-rows replay $want")
+  }
+
   test("incremental IVF append: append-then-probe ≡ rebuild-then-probe, pruning intact") {
     import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
     import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec

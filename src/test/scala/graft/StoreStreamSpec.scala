@@ -180,6 +180,35 @@ class StoreStreamSpec extends SparkSpec {
       "drained SQ8 sink must probe like a from-scratch build")
   }
 
+  test("streaming retrieval-eval gate: rankedEval over the drained ranking log ≡ batch") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.functions.col
+    implicit val sqlCtx = spark.sqlContext
+    val emb = spark.read.parquet(s"$sf0001/embeddings.parquet")
+    val qs = emb.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"),
+        col("label").as("qlabel"))
+    // the batch result frame a production stack would emit per query
+    val results = graft.search.Search.similarityJoin(
+        emb, qs.select(col("qid"), col("qvec")), 5)
+      .select(col("qid"), col("vec_id"), col("sim"))
+    val rows = results.collect().map(r =>
+      (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    val dir = java.nio.file.Files.createTempDirectory("graft-ranklog").toString + "/ranks"
+    val input = MemoryStream[(Long, Long, Double)]
+    val q = graft.streaming.StreamIngest.rankingLogSink(
+      input.toDF().toDF("qid", "vec_id", "sim"), dir).start()
+    rows.grouped(7).foreach { g => input.addData(g); q.processAllAvailable() }
+    q.stop()
+    def evalOf(df: org.apache.spark.sql.DataFrame) =
+      graft.analysis.Eval.rankedEval(df, "sim",
+          qs.select(col("qid"), col("qlabel")), emb, 5)
+        .collect().map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2))).toSeq
+    val streamed = evalOf(spark.read.parquet(s"$dir/log"))
+    val batch = evalOf(results)
+    assert(streamed == batch, s"drained-log eval $streamed != batch eval $batch")
+  }
+
   test("streaming BM25 maintenance: first batch builds, later batches append, probe ≡ rebuild") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import org.apache.spark.sql.functions.col
