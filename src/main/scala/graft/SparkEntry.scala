@@ -1268,6 +1268,30 @@ object SparkEntry {
     "bigram_surprisal" -> ((s, dir) =>
       graft.text.LangModel.bigramSurprisal(Tables.documents(s, dir), "doc_id", "text")
         .orderBy(col("doc_id"))),
+    // ---- [EXT] Kneser-Ney bigram surprisal (LangModel.knSurprisal) —
+    // the smoothing KenLM uses (continuation probability: a word ranks
+    // by how many contexts it follows), upgrading the add-k filter;
+    // model stays DATA (keyed count tables), probability is one fixed
+    // double chain the oracle mirrors shape-for-shape.
+    "kn_surprisal" -> ((s, dir) =>
+      graft.text.LangModel.knSurprisal(Tables.documents(s, dir), "doc_id", "text")
+        .orderBy(col("doc_id"))),
+    // ---- [EXT] CCNet head/middle/tail buckets (Wenzek 2020 §4.3):
+    // per-language KN-surprisal tertiles (exact interpolated
+    // percentiles, round-6 before the boundary compare) — CCNet's
+    // published output shape, cuts per language because perplexity
+    // scales don't compare across languages.
+    "ccnet_buckets" -> ((s, dir) =>
+      graft.text.LangModel.perplexityBuckets(Tables.documents(s, dir),
+          "doc_id", "text", "lang")
+        .orderBy(col("lang"), col("bucket"))),
+    // ---- [EXT] DSIR importance-weighted selection (Xie 2023): hashed
+    // bag-of-buckets models on the target slice (lang='en') vs the raw
+    // corpus, per-doc decimal-exact sum of round-6 bucket log-ratios,
+    // deterministic top-k — "make the corpus look like the target".
+    "dsir_top20" -> ((s, dir) =>
+      graft.analysis.Dsir.selectTopK(Tables.documents(s, dir),
+        col("lang") === "en", "doc_id", "text", 256, 20)),
     // ---- [EXT] BPE merge training (text/Bpe): k distributed pair-count
     // iterations over the word-frequency dict; the merge table is model
     // state (k rows, like centroids). Oracle unrolls every iteration as
@@ -6788,6 +6812,80 @@ object SparkEntry {
          |SELECT d.doc_id AS doc_id, round(coalesce(agg.s, 0), 6) AS surprisal
          |FROM documents d LEFT JOIN agg ON d.doc_id = agg.doc_id
          |ORDER BY doc_id""".stripMargin,
+    // Kneser-Ney: context mass and fan-out from the bigram table,
+    // continuation counts, the same fixed probability chain
+    "kn_surprisal" ->
+      s"""WITH t AS (SELECT doc_id, $toksSql AS ts FROM documents),
+         |db AS (SELECT doc_id, ts[i] AS w1, ts[i+1] AS w2
+         |       FROM t, LATERAL (SELECT unnest(range(1, len(ts))) AS i) x),
+         |bc AS (SELECT w1, w2, count(*) AS cb FROM db GROUP BY 1, 2),
+         |cx AS (SELECT w1, sum(cb) AS cx, count(*) AS n1f FROM bc GROUP BY 1),
+         |ct AS (SELECT w2, count(*) AS n1b FROM bc GROUP BY 1),
+         |tt AS (SELECT count(*)::DOUBLE AS t FROM bc),
+         |nll AS (SELECT doc_id,
+         |               -ln(greatest(cb - 0.75, 0) / cx +
+         |                   0.75 * n1f / cx * (n1b / t)) AS s
+         |        FROM db JOIN bc USING (w1, w2) JOIN cx USING (w1)
+         |             JOIN ct USING (w2) CROSS JOIN tt),
+         |agg AS (SELECT doc_id, avg(s) AS s FROM nll GROUP BY 1)
+         |SELECT d.doc_id AS doc_id, round(coalesce(agg.s, 0), 6) AS surprisal
+         |FROM documents d LEFT JOIN agg ON d.doc_id = agg.doc_id
+         |ORDER BY doc_id""".stripMargin,
+    // the KN chain reduced per doc, then per-lang tertile cuts
+    // (quantile_cont ≡ Spark's exact percentile) and boundary buckets
+    "ccnet_buckets" ->
+      s"""WITH t AS (SELECT doc_id, $toksSql AS ts FROM documents),
+         |db AS (SELECT doc_id, ts[i] AS w1, ts[i+1] AS w2
+         |       FROM t, LATERAL (SELECT unnest(range(1, len(ts))) AS i) x),
+         |bc AS (SELECT w1, w2, count(*) AS cb FROM db GROUP BY 1, 2),
+         |cx AS (SELECT w1, sum(cb) AS cx, count(*) AS n1f FROM bc GROUP BY 1),
+         |ct AS (SELECT w2, count(*) AS n1b FROM bc GROUP BY 1),
+         |tt AS (SELECT count(*)::DOUBLE AS t FROM bc),
+         |nll AS (SELECT doc_id,
+         |               -ln(greatest(cb - 0.75, 0) / cx +
+         |                   0.75 * n1f / cx * (n1b / t)) AS s
+         |        FROM db JOIN bc USING (w1, w2) JOIN cx USING (w1)
+         |             JOIN ct USING (w2) CROSS JOIN tt),
+         |agg AS (SELECT doc_id, avg(s) AS s FROM nll GROUP BY 1),
+         |sc AS (SELECT d.doc_id, d.lang, round(coalesce(agg.s, 0), 6) AS surprisal
+         |       FROM documents d LEFT JOIN agg ON d.doc_id = agg.doc_id),
+         |cuts AS (SELECT lang,
+         |                round(quantile_cont(surprisal, 1.0/3), 6) AS cut_head,
+         |                round(quantile_cont(surprisal, 2.0/3), 6) AS cut_middle
+         |         FROM sc GROUP BY 1)
+         |SELECT sc.lang,
+         |       CASE WHEN surprisal <= cut_head THEN 'head'
+         |            WHEN surprisal <= cut_middle THEN 'middle'
+         |            ELSE 'tail' END AS bucket,
+         |       count(*)::BIGINT AS n_docs, cut_head, cut_middle
+         |FROM sc JOIN cuts USING (lang)
+         |GROUP BY 1, 2, 4, 5 ORDER BY lang, bucket""".stripMargin,
+    // DSIR: portable token hash mod 256, add-one smoothed target/raw
+    // bucket models, round-6 log-ratios, decimal-exact per-doc sums
+    "dsir_top20" ->
+      s"""WITH tok AS (SELECT doc_id, unnest($toksSql) AS tok FROM documents),
+         |tb AS (SELECT doc_id, ${polySql("tok")} % 256 AS b FROM tok),
+         |tgt AS (SELECT b, count(*) AS ctn
+         |        FROM tb JOIN documents USING (doc_id)
+         |        WHERE lang = 'en' GROUP BY 1),
+         |raw AS (SELECT b, count(*) AS cr FROM tb GROUP BY 1),
+         |nt AS (SELECT sum(ctn) AS n FROM tgt),
+         |nr AS (SELECT sum(cr) AS n FROM raw),
+         |grid AS (SELECT unnest(range(256)) AS b),
+         |model AS (
+         |  SELECT g.b,
+         |         round(ln((coalesce(t.ctn, 0) + 1)::DOUBLE / (nt.n + 256)::DOUBLE)
+         |             - ln((coalesce(r.cr, 0) + 1)::DOUBLE / (nr.n + 256)::DOUBLE),
+         |           6) AS lr
+         |  FROM grid g LEFT JOIN tgt t USING (b) LEFT JOIN raw r USING (b)
+         |       CROSS JOIN nt CROSS JOIN nr),
+         |dbk AS (SELECT doc_id, b, count(*) AS cnt FROM tb GROUP BY 1, 2),
+         |wsum AS (SELECT doc_id,
+         |                sum(CAST(cnt::DOUBLE * lr AS DECIMAL(38,12))) AS w
+         |         FROM dbk JOIN model USING (b) GROUP BY 1)
+         |SELECT d.doc_id, round(coalesce(w, 0)::DOUBLE, 6) AS weight
+         |FROM documents d LEFT JOIN wsum USING (doc_id)
+         |ORDER BY weight DESC, d.doc_id ASC LIMIT 20""".stripMargin,
     "bpe_merges" -> bpeSql(6),
     "bpe_vocab" -> bpeVocabSql(6),
     "bpe_encode" -> bpeEncodeSql(6),

@@ -56,6 +56,92 @@ object LangModel {
       .select(col("doc_id"), round(coalesce(col("s"), lit(0.0)), 6).as("surprisal"))
   }
 
+  /** Interpolated Kneser-Ney bigram surprisal (Kneser & Ney 1995; the
+    * smoothing KenLM itself uses, upgrading [[bigramSurprisal]]'s
+    * add-k): `P(w2|w1) = max(c(w1,w2) − D, 0)/c(w1·) +
+    * D·N₁₊(w1,·)/c(w1·) · N₁₊(·,w2)/N₁₊(·,·)` — the continuation
+    * probability ranks a word by how many CONTEXTS it follows, not how
+    * often it occurs, which is what makes KN the standard for
+    * perplexity-quality filtering (CCNet trains KenLM models for
+    * exactly this gate). Trained on the scored corpus itself, so every
+    * scored bigram has c ≥ 1 and no backoff-to-unseen path is needed
+    * (the max() guard stays for composition with a discount ≥ 1).
+    * Score = mean −ln P over a document's bigrams; < 2 tokens → 0.
+    *
+    * Scale shape identical to [[bigramSurprisal]]: the model is DATA
+    * ((w1,w2) / w1 / w2-keyed count tables — never broadcast), scoring
+    * is keyed joins; the one scalar (distinct-bigram total) rides a
+    * 1-row broadcast. Float parity: the probability is one fixed
+    * double chain mirrored shape-for-shape in the oracle; the per-doc
+    * mean absorbs sub-ulp drift under the round-6 contract. */
+  def knSurprisal(docs: DataFrame, idCol: String, textCol: String,
+                  discount: Double = 0.75): DataFrame = {
+    require(discount > 0 && discount < 1, s"KN discount in (0,1): $discount")
+    val toks = docs.select(col(idCol).as("doc_id"),
+      TextAnalysis.tokens(col(textCol)).as("ts"))
+    val nBi = greatest(size(col("ts")) - 1, lit(0))
+    val docBi = toks.select(col("doc_id"),
+        explode(zip_with(slice(col("ts"), lit(1), nBi), slice(col("ts"), lit(2), nBi),
+          (a, b) => struct(a.as("w1"), b.as("w2")))).as("bg"))
+      .select(col("doc_id"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+    val bi = docBi.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("cb"))
+    // context mass and fan-out from the BIGRAM table (not raw unigram
+    // counts: a document's final token heads no bigram)
+    val ctx = bi.groupBy(col("w1"))
+      .agg(sum(col("cb")).as("cx"), count(lit(1)).as("n1f"))
+    val cont = bi.groupBy(col("w2")).agg(count(lit(1)).as("n1b"))
+    val totBi = bi.agg(count(lit(1)).cast("double").as("t"))
+    val scored = docBi
+      .join(bi, Seq("w1", "w2"))
+      .join(ctx, Seq("w1"))
+      .join(cont, Seq("w2"))
+      .crossJoin(broadcast(totBi))
+      .select(col("doc_id"),
+        (-log(
+          greatest(col("cb") - lit(discount), lit(0.0)) / col("cx") +
+            lit(discount) * col("n1f") / col("cx") * (col("n1b") / col("t"))))
+          .as("nll"))
+      .groupBy(col("doc_id")).agg(avg(col("nll")).as("s"))
+    docs.select(col(idCol).as("doc_id"))
+      .join(scored, Seq("doc_id"), "left_outer")
+      .select(col("doc_id"), round(coalesce(col("s"), lit(0.0)), 6).as("surprisal"))
+  }
+
+  /** CCNet-style perplexity BUCKETS (Wenzek et al. 2020 §4.3): each
+    * language's documents split into head / middle / tail at the
+    * per-language surprisal tertiles — CCNet's actual published
+    * output shape (per-language cuts, because perplexity scales are
+    * not comparable across languages). Cuts are EXACT interpolated
+    * percentiles (round-6 before the compare, so the boundary
+    * decision replays); `head` = lowest surprisal (the cleanest
+    * third). Returns one row per (lang, bucket) with the doc count
+    * and the two cut values.
+    *
+    * Scale shape: the KN scoring above + one exact-percentile
+    * aggregate per language (k-row cut table broadcast back) + one
+    * keyed count. At 100 TB swap the exact percentile for
+    * `approx_percentile` — the documented [[graft.analysis.Quantiles]]
+    * trade. */
+  def perplexityBuckets(docs: DataFrame, idCol: String, textCol: String,
+                        langCol: String,
+                        discount: Double = 0.75): DataFrame = {
+    val scored = knSurprisal(docs, idCol, textCol, discount)
+    val withLang = docs.select(col(idCol).as("doc_id"), col(langCol).as("lang"))
+      .join(scored, Seq("doc_id"))
+    val cuts = withLang.groupBy(col("lang")).agg(
+      round(expr(s"percentile(surprisal, ${1.0 / 3})"), 6).as("cut_head"),
+      round(expr(s"percentile(surprisal, ${2.0 / 3})"), 6).as("cut_middle"))
+    withLang.join(broadcast(cuts), Seq("lang"))
+      .select(col("lang"), col("cut_head"), col("cut_middle"),
+        when(col("surprisal") <= col("cut_head"), "head")
+          .when(col("surprisal") <= col("cut_middle"), "middle")
+          .otherwise("tail").as("bucket"))
+      .groupBy(col("lang"), col("bucket"), col("cut_head"), col("cut_middle"))
+      .agg(count(lit(1)).as("n_docs"))
+      .select(col("lang"), col("bucket"), col("n_docs"),
+        col("cut_head"), col("cut_middle"))
+  }
+
   /** Multinomial Naive Bayes language identifier, trained on a labeled
     * split and scored on a held-out split — the TRAINED upgrade of the
     * n-gram heuristic (`TextAnalysis.langId`), with the same shape as
