@@ -1285,6 +1285,29 @@ object SparkEntry {
       graft.text.LangModel.perplexityBuckets(Tables.documents(s, dir),
           "doc_id", "text", "lang")
         .orderBy(col("lang"), col("bucket"))),
+    // ---- [EXT] Gopher quality rules (Rae 2021 Table A1): the
+    // published document-format gate — word-count/mean-word-length
+    // bands, symbol ratio, bullet/ellipsis line fractions, alphabetic
+    // fraction, stop-word presence — each rule a per-row expression
+    // (gate runs at scan speed), every boolean oracle-pinned.
+    // minStopwords=1 on this corpus (its vocabulary carries 'the' but
+    // rarely two of Gopher's eight).
+    "gopher_rules" -> ((s, dir) =>
+      graft.text.GopherRules.gopherQualityRules(Tables.documents(s, dir),
+          "doc_id", "text", minStopwords = 1)
+        .orderBy(col("doc_id"))),
+    // ---- [EXT] C4 line cleaning (Raffel 2020 §2.2): per-line
+    // retention (terminal punctuation + >= 5 words + no code/
+    // boilerplate markers), doc survives at >= 2 kept lines. The
+    // single-line corpus gets deterministic line breaks first
+    // (replace ' table ' -> '.\n' — replayed verbatim), so the
+    // per-line decisions are mixed and the oracle pins each count.
+    "c4_line_stats" -> ((s, dir) =>
+      graft.text.GopherRules.c4LineStats(
+          Tables.documents(s, dir).select(col("doc_id"),
+            regexp_replace(col("text"), " table ", ".\n").as("text")),
+          "doc_id", "text", minLineWords = 5, minKeptLines = 2)
+        .orderBy(col("doc_id"))),
     // ---- [EXT] DSIR importance-weighted selection (Xie 2023): hashed
     // bag-of-buckets models on the target slice (lang='en') vs the raw
     // corpus, per-doc decimal-exact sum of round-6 bucket log-ratios,
@@ -6860,6 +6883,73 @@ object SparkEntry {
          |       count(*)::BIGINT AS n_docs, cut_head, cut_middle
          |FROM sc JOIN cuts USING (lang)
          |GROUP BY 1, 2, 4, 5 ORDER BY lang, bucket""".stripMargin,
+    // every Gopher rule replayed: token lists, length-difference
+    // substring counts, trimmed line lists, presence counts
+    "gopher_rules" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, text, $toksSql AS ts,
+         |         list_filter(list_transform(string_split(text, chr(10)),
+         |           l -> trim(l)), l -> len(l) > 0) AS ls
+         |  FROM documents),
+         |m AS (
+         |  SELECT doc_id,
+         |    len(ts) AS nw,
+         |    CASE WHEN len(ts) = 0 THEN 0.0
+         |         ELSE round(list_sum(list_transform(ts, x -> len(x)))::DOUBLE
+         |                    / len(ts), 6) END AS mean_len,
+         |    CASE WHEN len(ts) = 0 THEN 0.0
+         |         ELSE round(((len(text) - len(replace(text, '#', ''))) / 1
+         |                   + (len(text) - len(replace(text, '...', ''))) / 3
+         |                   + (len(text) - len(replace(text, '…', ''))) / 1)
+         |                    / len(ts), 6) END AS sym_ratio,
+         |    CASE WHEN len(ls) = 0 THEN 0.0
+         |         ELSE round(len(list_filter(ls, l -> substr(l, 1, 1) IN ('-', '*', '•')))::DOUBLE
+         |                    / len(ls), 6) END AS bullet_frac,
+         |    CASE WHEN len(ls) = 0 THEN 0.0
+         |         ELSE round(len(list_filter(ls, l -> l LIKE '%...' OR l LIKE '%…'))::DOUBLE
+         |                    / len(ls), 6) END AS ellipsis_frac,
+         |    CASE WHEN len(ts) = 0 THEN 0.0
+         |         ELSE round(len(list_filter(ts, x -> regexp_matches(x, '[a-z]')))::DOUBLE
+         |                    / len(ts), 6) END AS alpha_frac,
+         |    len(list_filter(['the', 'be', 'to', 'of', 'and', 'that', 'have', 'with'],
+         |        s -> list_contains(ts, s))) AS stop_hits
+         |  FROM t)
+         |SELECT doc_id,
+         |       (nw >= 50 AND nw <= 100000) AS ok_word_count,
+         |       (mean_len >= 3.0 AND mean_len <= 10.0) AS ok_mean_word_len,
+         |       (sym_ratio <= 0.1) AS ok_symbol_ratio,
+         |       (bullet_frac <= 0.9) AS ok_bullet_lines,
+         |       (ellipsis_frac <= 0.3) AS ok_ellipsis_lines,
+         |       (alpha_frac >= 0.8) AS ok_alpha_words,
+         |       (stop_hits >= 1) AS ok_stopwords,
+         |       (nw >= 50 AND nw <= 100000 AND mean_len >= 3.0 AND mean_len <= 10.0
+         |        AND sym_ratio <= 0.1 AND bullet_frac <= 0.9
+         |        AND ellipsis_frac <= 0.3 AND alpha_frac >= 0.8
+         |        AND stop_hits >= 1) AS keep
+         |FROM m ORDER BY doc_id""".stripMargin,
+    // the C4 per-line decision replayed over the deterministic line
+    // breaks: terminal punctuation, word count, marker absence
+    "c4_line_stats" ->
+      s"""WITH d AS (
+         |  SELECT doc_id, replace(text, ' table ', '.' || chr(10)) AS text
+         |  FROM documents),
+         |t AS (
+         |  SELECT doc_id,
+         |         list_filter(list_transform(string_split(text, chr(10)),
+         |           l -> trim(l)), l -> len(l) > 0) AS ls
+         |  FROM d),
+         |m AS (
+         |  SELECT doc_id, len(ls)::BIGINT AS n_lines,
+         |         len(list_filter(ls, l ->
+         |           (l LIKE '%.' OR l LIKE '%!' OR l LIKE '%?' OR
+         |            l LIKE '%"' OR l LIKE '%''')
+         |           AND len(list_filter(string_split(l, ' '), w -> len(w) > 0)) >= 5
+         |           AND NOT contains(lower(l), 'javascript')
+         |           AND NOT contains(lower(l), 'lorem ipsum')
+         |           AND NOT contains(l, '{')))::BIGINT AS n_kept
+         |  FROM t)
+         |SELECT doc_id, n_lines, n_kept, (n_kept >= 2) AS keep
+         |FROM m ORDER BY doc_id""".stripMargin,
     // DSIR: portable token hash mod 256, add-one smoothed target/raw
     // bucket models, round-6 log-ratios, decimal-exact per-doc sums
     "dsir_top20" ->
