@@ -1285,6 +1285,21 @@ object SparkEntry {
       graft.text.LangModel.perplexityBuckets(Tables.documents(s, dir),
           "doc_id", "text", "lang")
         .orderBy(col("lang"), col("bucket"))),
+    // ---- [EXT] EXACT shared-token-span detection (Lee 2021's
+    // exact-substring dedup, Spark-shaped: positional gram seeds →
+    // df-filtered pair join → gaps-and-islands run lengths on the
+    // alignment diagonal). The corpus plants each of the 10 lowest
+    // docs' 30-token prefix under +100000, so the operator must
+    // recover exactly those spans (plus any organic duplicates).
+    "shared_spans" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val planted = docs.filter(col("doc_id") < 10)
+        .select((col("doc_id") + 100000L).as("doc_id"),
+          array_join(slice(split(col("text"), " "), 1, 30), " ").as("text"))
+      val corpus = docs.select(col("doc_id"), col("text")).unionByName(planted)
+      Dedup.sharedSpans(corpus, "doc_id", "text", n = 8, maxDf = 4, minSpan = 15)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
     // ---- [EXT] Gopher quality rules (Rae 2021 Table A1): the
     // published document-format gate — word-count/mean-word-length
     // bands, symbol ratio, bullet/ellipsis line fractions, alphabetic
@@ -6883,6 +6898,51 @@ object SparkEntry {
          |       count(*)::BIGINT AS n_docs, cut_head, cut_middle
          |FROM sc JOIN cuts USING (lang)
          |GROUP BY 1, 2, 4, 5 ORDER BY lang, bucket""".stripMargin,
+    // positional 8-gram folds, df filter, pair join, diagonal
+    // gaps-and-islands: span = run + n − 1
+    "shared_spans" ->
+      s"""WITH corpus AS (
+         |  SELECT doc_id, text FROM documents
+         |  UNION ALL
+         |  SELECT doc_id + 100000,
+         |         array_to_string(list_slice(string_split(text, ' '), 1, 30), ' ')
+         |  FROM documents WHERE doc_id < 10),
+         |toks AS (SELECT doc_id,
+         |                list_filter(string_split(lower(text), ' '), t -> t <> '') AS toks
+         |         FROM corpus),
+         |th AS (
+         |  SELECT doc_id, list(h ORDER BY pos) AS hs FROM (
+         |    SELECT doc_id, ${polySql("term")} AS h, pos FROM (
+         |      SELECT doc_id, unnest(toks) AS term,
+         |             unnest(range(1, len(toks) + 1)) AS pos
+         |      FROM toks))
+         |  GROUP BY doc_id),
+         |gr AS (
+         |  SELECT doc_id, i AS pos,
+         |         list_reduce(list_prepend(7::BIGINT, hs[i:i+7]),
+         |                     (a, b) -> (a * 31 + b) % 1000000007) AS gram
+         |  FROM (SELECT doc_id, hs,
+         |               unnest(range(1, greatest(len(hs) - 8, 0) + 2)) AS i
+         |        FROM th)),
+         |rare AS (SELECT gram FROM (
+         |    SELECT gram, count(DISTINCT doc_id) AS df FROM gr GROUP BY 1)
+         |  WHERE df <= 4),
+         |kept AS (SELECT gr.* FROM gr JOIN rare USING (gram)),
+         |prs AS (
+         |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+         |                  a.pos AS pa, b.pos AS pb
+         |  FROM kept a JOIN kept b
+         |    ON a.gram = b.gram AND a.doc_id < b.doc_id),
+         |isl AS (
+         |  SELECT id_a, id_b, pa - pb AS d, pa,
+         |         pa - row_number() OVER (PARTITION BY id_a, id_b, pa - pb
+         |                                 ORDER BY pa) AS grp
+         |  FROM prs),
+         |runs AS (SELECT id_a, id_b, d, grp, count(*) + 7 AS span
+         |         FROM isl GROUP BY 1, 2, 3, 4)
+         |SELECT id_a, id_b, max(span)::BIGINT AS max_span
+         |FROM runs GROUP BY 1, 2 HAVING max(span) >= 15
+         |ORDER BY id_a, id_b""".stripMargin,
     // every Gopher rule replayed: token lists, length-difference
     // substring counts, trimmed line lists, presence counts
     "gopher_rules" ->

@@ -367,6 +367,58 @@ object Dedup {
     * ids not appearing in any pair are absent from the output (they
     * represent themselves — join back with a coalesce, see the
     * `dedup_components` query). */
+  /** EXACT shared-token-span detection (the distributed shape of Lee
+    * et al. 2021's "Deduplicating Training Data Makes Language Models
+    * Better" exact-substring dedup — their suffix array is a
+    * single-machine structure; the Spark-native equivalent is a gram
+    * seed-and-extend): for every document pair sharing at least one
+    * n-token gram, the length in TOKENS of their longest shared
+    * contiguous run. A run of `L` consecutive shared grams on one
+    * alignment diagonal is a shared span of exactly `L + n − 1`
+    * tokens (the classic diagonal identity), and runs resolve with
+    * gaps-and-islands: positions on a (pair, diagonal) group with
+    * `pos − row_number()` constant iff consecutive.
+    *
+    * Scale shape: positional gram rows are one fused pass per doc
+    * ([[graft.functions.TokenShingleHashes]] + posexplode); grams
+    * present in more than `maxDf` docs are dropped BEFORE the pair
+    * join (boilerplate n-grams would otherwise quadratically link the
+    * corpus — the PPJoin prefix-filter lesson, same as [[graft.text
+    * .Winnow]]); the join shuffles on the gram key; the island windows
+    * partition by (pair, diagonal) — per-partition state bounded by
+    * one pair's shared-gram count. No all-pairs step anywhere.
+    *
+    * Returns `(id_a, id_b, max_span)` for pairs whose longest shared
+    * run is at least `minSpan` tokens, `id_a < id_b`. */
+  def sharedSpans(df: DataFrame, idCol: String, textCol: String,
+                  n: Int, maxDf: Int, minSpan: Int): DataFrame = {
+    require(n >= 1 && minSpan >= n,
+      s"minSpan ($minSpan) must cover the seed gram ($n)")
+    val grams = df.select(col(idCol).as("__id"),
+        posexplode(graft.functions.TokenShingleHashes(col(textCol), n)))
+      .select(col("__id"), col("pos"), col("col").as("gram"))
+    val rare = grams.groupBy(col("gram"))
+      .agg(countDistinct(col("__id")).as("__df"))
+      .filter(col("__df") <= maxDf)
+      .select(col("gram"))
+    val kept = grams.join(rare, Seq("gram"))
+    val pairs = kept.as("a").join(kept.as("b"),
+        col("a.gram") === col("b.gram") && col("a.__id") < col("b.__id"))
+      .select(col("a.__id").as("id_a"), col("b.__id").as("id_b"),
+        col("a.pos").as("pa"), col("b.pos").as("pb"))
+      .distinct()
+      .withColumn("d", col("pa") - col("pb"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("id_a"), col("id_b"), col("d")).orderBy(col("pa"))
+    pairs
+      .withColumn("__grp", col("pa") - row_number().over(w))
+      .groupBy(col("id_a"), col("id_b"), col("d"), col("__grp"))
+      .agg((count(lit(1)) + lit(n - 1)).as("span"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(max(col("span")).as("max_span"))
+      .filter(col("max_span") >= minSpan)
+  }
+
   def components(pairs: DataFrame, aCol: String, bCol: String,
                  maxIters: Int = 20): DataFrame = {
     // both directions PLUS self-loops in one explode (no self-union of

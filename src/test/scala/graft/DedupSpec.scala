@@ -1,4 +1,5 @@
 package graft
+// (sharedSpans tests appended at the bottom of this suite)
 
 import org.apache.spark.sql.functions._
 
@@ -213,5 +214,37 @@ class DedupSpec extends SparkSpec {
     assert(out(1L) == ((4L, 2L, 0.5)), s"got ${out(1L)}")
     assert(out(2L) == ((4L, 2L, 0.5)), s"got ${out(2L)}")
     assert(out(3L) == ((3L, 0L, 0.0)), s"got ${out(3L)}")
+  }
+
+  test("sharedSpans: longest shared token run via diagonal islands") {
+    import spark.implicits._
+    // docs 1/2 share the 10-token run w1..w10 at different offsets;
+    // docs 1/4 additionally share the 5-token run w1..w5 — the max
+    // must pick the longest run per pair, not the first
+    val run10 = (1 to 10).map(i => s"w$i").mkString(" ")
+    val docs = Seq(
+      (1L, s"a1 a2 $run10 a3"),
+      (2L, s"b1 $run10 b2 b3"),
+      (3L, "c1 c2 c3 c4 c5 c6 c7 c8 c9"),
+      (4L, s"w1 w2 w3 w4 w5 d1 d2 d3 d4")
+    ).toDF("doc_id", "text")
+    val out = Dedup.sharedSpans(docs, "doc_id", "text",
+        n = 3, maxDf = 4, minSpan = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(out((1L, 2L)) == 10L, s"got $out")
+    assert(out((1L, 4L)) == 5L && out((2L, 4L)) == 5L, s"got $out")
+    assert(!out.contains((1L, 3L)) && !out.contains((2L, 3L)),
+      "disjoint docs never pair")
+    // minSpan above the longest run silences the pair entirely
+    val strict = Dedup.sharedSpans(docs, "doc_id", "text",
+        n = 3, maxDf = 4, minSpan = 11)
+      .collect()
+    assert(strict.isEmpty, s"no run reaches 11 tokens: ${strict.toSeq}")
+    // df filter: a gram shared by every doc is boilerplate and must
+    // not link anything at maxDf = 1
+    val all = Dedup.sharedSpans(docs, "doc_id", "text",
+        n = 3, maxDf = 1, minSpan = 3)
+      .collect()
+    assert(all.isEmpty, "df-filtered grams cannot seed any pair")
   }
 }
