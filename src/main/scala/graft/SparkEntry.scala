@@ -857,6 +857,20 @@ object SparkEntry {
             col("label").as("qlabel")),
         k = 10)
     }),
+    // ---- [EXT] Poisson-bootstrap 95% CI for MRR@10 (Chamandy 2012 —
+    // the distributed bootstrap): per-(query, replicate) Poisson(1)
+    // weights from a deterministic Knuth inverse-CDF draw (exact
+    // dyadic u vs 6-dp CDF literals — every draw replays), 200
+    // replicate means as one fan-out + reduce, exact percentiles.
+    "mrr_bootstrap_ci" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      graft.analysis.Eval.mrrBootstrapCi(
+        emb.filter(col("vec_id") % 25 =!= 0),
+        emb.filter(col("vec_id") % 25 === 0)
+          .select(col("vec_id").as("qid"), col("embedding").as("qvec"),
+            col("label").as("qlabel")),
+        k = 10)
+    }),
     // ---- [EXT] retrieval FAIRNESS slice: precision@5 per query
     // LABEL — the per-class view an aggregate MRR averages away (one
     // under-served class hides inside a healthy mean). Integer
@@ -6310,6 +6324,51 @@ object SparkEntry {
          |       round(avg(CASE WHEN idcg > 0 THEN dcg / idcg ELSE 0e0 END),
          |             6) AS ndcg_at_10
          |FROM wi""".stripMargin,
+    // the rr chain + 200 Knuth inverse-CDF Poisson weights + decimal
+    // replicate means + exact percentiles
+    "mrr_bootstrap_ci" ->
+      s"""WITH qs AS (SELECT vec_id AS qid, embedding AS qvec, label AS qlabel
+         |            FROM embeddings WHERE vec_id % 25 = 0),
+         |corpus AS (SELECT * FROM embeddings WHERE vec_id % 25 <> 0),
+         |ranked AS (
+         |  SELECT q.qid, q.qlabel, c.vec_id, c.label,
+         |         row_number() OVER (PARTITION BY q.qid
+         |           ORDER BY ${cosSql("c.embedding", "q.qvec")} DESC,
+         |                    c.vec_id ASC) AS rank
+         |  FROM corpus c CROSS JOIN qs q),
+         |top AS (SELECT * FROM ranked WHERE rank <= 10),
+         |perq AS (
+         |  SELECT qid,
+         |         coalesce(1e0 / min(CASE WHEN label = qlabel THEN rank END),
+         |                  0e0) AS rr
+         |  FROM top GROUP BY 1),
+         |pa AS (SELECT qs.qid, round(coalesce(perq.rr, 0e0), 6) AS rr
+         |       FROM qs LEFT JOIN perq ON perq.qid = qs.qid),
+         |grid AS (SELECT qid, rr, unnest(range(200)) AS j FROM pa),
+         |wg AS (
+         |  SELECT qid, rr, j,
+         |         CASE WHEN u < 0.367879 THEN 0 WHEN u < 0.735759 THEN 1
+         |              WHEN u < 0.919699 THEN 2 WHEN u < 0.981012 THEN 3
+         |              WHEN u < 0.996340 THEN 4 WHEN u < 0.999406 THEN 5
+         |              ELSE 6 END AS w
+         |  FROM (SELECT qid, rr, j,
+         |          ((((((qid * 200 + j) % 4294967296) // 65536) * 2654435761)
+         |            % 4294967296) * 65536
+         |           + ((qid * 200 + j) % 4294967296) % 65536 * 2654435761)
+         |          % 4294967296 / 4294967296.0 AS u
+         |        FROM grid)),
+         |means AS (
+         |  SELECT j,
+         |         round(CASE WHEN sum(w) = 0 THEN 0e0
+         |                    ELSE CAST(sum(CAST(rr * w AS DECIMAL(38,12)))
+         |                              AS DOUBLE) / sum(w) END, 6) AS m
+         |  FROM wg GROUP BY 1)
+         |SELECT (SELECT count(*) FROM pa)::BIGINT AS n_queries,
+         |       (SELECT round(avg(rr), 6) FROM pa) AS mrr_at_10,
+         |       round(quantile_cont(m, 0.025), 6) AS ci_lo,
+         |       round(quantile_cont(m, 0.975), 6) AS ci_hi,
+         |       200::BIGINT AS n_resamples
+         |FROM means""".stripMargin,
     // the multi-depth curve: one rank pass at 10, per-k truncation by
     // a ks cross join; recall@k = hits / n_rel
     "recall_curve" ->

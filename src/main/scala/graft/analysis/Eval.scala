@@ -240,4 +240,73 @@ object Eval {
       .select(col("user"), col("rank").cast("long").as("rank"),
         col("item").as("neg_item"))
   }
+
+  /** Cumulative Poisson(1) probabilities at 6 dp — the weight ladder
+    * of the distributed bootstrap (draws above 6 are ~1e-7 and cap). */
+  private val PoissonCdf = Seq(0.367879, 0.735759, 0.919699, 0.981012,
+    0.996340, 0.999406)
+
+  /** 95% bootstrap confidence interval for MRR@k — the Poisson
+    * bootstrap (Chamandy et al. 2012, the streaming/distributed
+    * bootstrap Google published for exactly this shape): instead of
+    * materializing B resampled query sets, every query carries an
+    * independent Poisson(1) weight per replicate, so the whole
+    * procedure is ONE fan-out of the per-query metric rows by B and
+    * two bounded aggregates — no resample ever exists as data, and
+    * per-replicate weighted means are the resample estimates.
+    *
+    * Determinism: the "random" weight for (query, replicate) inverts
+    * the Poisson CDF at `u = knuthBucket(qid·B + j) / 2³²` — u is an
+    * EXACT dyadic rational (division by a power of two) compared
+    * against fixed 6-dp CDF literals, so every draw replays
+    * bit-identically cross-engine (the [[uniformNegatives]] /
+    * CUPED-split precedent, extended from bucketing to inverse-CDF
+    * sampling). Per-replicate sums are DECIMAL-exact over round-6
+    * `rr·w` products (each exact in double: ≤6 dp × small int).
+    *
+    * Returns one row: `(n_queries, mrr_at_<k>, ci_lo, ci_hi,
+    * n_resamples)` — the point estimate with the 2.5%/97.5% exact
+    * percentiles of the B replicate means. Scale shape: the batch
+    * top-k join once, a ×B fan-out of Q METRIC rows (not corpus
+    * rows), one (j)-keyed reduce, one percentile over B rows. */
+  def mrrBootstrapCi(corpus: DataFrame, queries: DataFrame, k: Int,
+                     resamples: Int = 200,
+                     idCol: String = "vec_id", vecCol: String = "embedding",
+                     labelCol: String = "label"): DataFrame = {
+    require(resamples >= 2, s"resamples >= 2: $resamples")
+    import org.apache.spark.sql.types.DecimalType
+    def dec(c: org.apache.spark.sql.Column) = c.cast(DecimalType(38, 12))
+    val top = Search.similarityJoin(corpus,
+      queries.select(col("qid"), col("qvec")), k, idCol, vecCol)
+    val perQuery = top
+      .join(broadcast(queries.select(col("qid"), col("qlabel"))), Seq("qid"))
+      .groupBy(col("qid"))
+      .agg(coalesce(lit(1.0) /
+        min(when(col(labelCol) === col("qlabel"), col("rank"))), lit(0.0))
+        .as("rr"))
+    val perAll = queries.select(col("qid"))
+      .join(perQuery, Seq("qid"), "left")
+      .select(col("qid"), round(coalesce(col("rr"), lit(0.0)), 6).as("rr"))
+    val grid = perAll.select(col("qid"), col("rr"),
+      explode(sequence(lit(0), lit(resamples - 1))).as("j"))
+    val u = Sampling.bucket(col("qid") * lit(resamples.toLong) + col("j"))
+      .cast("double") / lit(4294967296.0)
+    val wgt = PoissonCdf.zipWithIndex.reverse
+      .foldLeft(lit(PoissonCdf.size.toLong)) { case (acc, (p, i)) =>
+        when(u < p, i.toLong).otherwise(acc)
+      }
+    val means = grid.withColumn("w", wgt)
+      .groupBy(col("j"))
+      .agg(sum(dec(col("rr") * col("w").cast("double"))).as("s"),
+        sum(col("w")).as("sw"))
+      .select(round(when(col("sw") === 0, 0.0)
+        .otherwise(col("s").cast("double") / col("sw").cast("double")), 6)
+        .as("m"))
+    val point = perAll.agg(count(lit(1)).as("n_queries"),
+      round(avg(col("rr")), 6).as(s"mrr_at_$k"))
+    point.crossJoin(means.agg(
+      round(expr("percentile(m, 0.025)"), 6).as("ci_lo"),
+      round(expr("percentile(m, 0.975)"), 6).as("ci_hi")))
+      .withColumn("n_resamples", lit(resamples.toLong))
+  }
 }

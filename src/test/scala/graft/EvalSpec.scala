@@ -203,4 +203,25 @@ class EvalSpec extends SparkSpec {
     val pos = Set((1L, 0L), (1L, 1L), (2L, 3L))
     assert(out.forall { case (u, _, it) => !pos((u, it)) })
   }
+
+  test("mrrBootstrapCi: CI brackets the point estimate and is reproducible") {
+    import org.apache.spark.sql.functions._
+    import graft.analysis.Eval
+    val emb = spark.read.parquet(s"$sf0001/embeddings.parquet")
+    val corpus = emb.filter(col("vec_id") % 25 =!= 0)
+    val qs = emb.filter(col("vec_id") % 25 === 0)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"),
+        col("label").as("qlabel"))
+    def run() = Eval.mrrBootstrapCi(corpus, qs, k = 10, resamples = 100).head()
+    val r = run()
+    val (mrr, lo, hi) = (r.getDouble(1), r.getDouble(2), r.getDouble(3))
+    assert(lo <= mrr && mrr <= hi, s"CI [$lo, $hi] must bracket point $mrr")
+    assert(lo < hi, "a non-degenerate query set has a non-zero-width CI")
+    // the draws are deterministic: identical rerun, identical interval
+    val r2 = run()
+    assert(r.toSeq == r2.toSeq, s"rerun diverged: ${r.toSeq} vs ${r2.toSeq}")
+    // point estimate agrees with the plain eval's MRR
+    val plain = Eval.retrievalEval(corpus, qs, 10).head().getDouble(1)
+    assert(mrr == plain, s"bootstrap point $mrr vs rankedEval $plain")
+  }
 }
