@@ -1314,6 +1314,22 @@ object SparkEntry {
       Dedup.sharedSpans(corpus, "doc_id", "text", n = 8, maxDf = 4, minSpan = 15)
         .orderBy(col("id_a"), col("id_b"))
     }),
+    // ---- [EXT] APPLY exact-substring dedup (Lee 2021): every
+    // qualifying shared span cut out of the higher-id copy
+    // (min-id-wins), overlapping cuts merged per doc, text rebuilt
+    // from surviving token positions. Planted prefix copies empty out
+    // (their whole text IS the span); organic duplicate twins lose
+    // their full body; everything else passes through.
+    "span_removed_docs" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val planted = docs.filter(col("doc_id") < 10)
+        .select((col("doc_id") + 100000L).as("doc_id"),
+          array_join(slice(split(col("text"), " "), 1, 30), " ").as("text"))
+      val corpus = docs.select(col("doc_id"), col("text")).unionByName(planted)
+      Dedup.removeSharedSpans(corpus, "doc_id", "text",
+          n = 8, maxDf = 4, minSpan = 15)
+        .orderBy(col("doc_id"))
+    }),
     // ---- [EXT] Gopher quality rules (Rae 2021 Table A1): the
     // published document-format gate — word-count/mean-word-length
     // bands, symbol ratio, bullet/ellipsis line fractions, alphabetic
@@ -7002,6 +7018,82 @@ object SparkEntry {
          |SELECT id_a, id_b, max(span)::BIGINT AS max_span
          |FROM runs GROUP BY 1, 2 HAVING max(span) >= 15
          |ORDER BY id_a, id_b""".stripMargin,
+    // the span chain extended through the APPLY: per-run ranges,
+    // running-max interval merge, range anti-join, ordered rebuild
+    "span_removed_docs" ->
+      s"""WITH corpus AS (
+         |  SELECT doc_id, text FROM documents
+         |  UNION ALL
+         |  SELECT doc_id + 100000,
+         |         array_to_string(list_slice(string_split(text, ' '), 1, 30), ' ')
+         |  FROM documents WHERE doc_id < 10),
+         |toks AS (SELECT doc_id,
+         |                list_filter(string_split(lower(text), ' '), t -> t <> '') AS toks
+         |         FROM corpus),
+         |th AS (
+         |  SELECT doc_id, list(h ORDER BY pos) AS hs FROM (
+         |    SELECT doc_id, ${polySql("term")} AS h, pos FROM (
+         |      SELECT doc_id, unnest(toks) AS term,
+         |             unnest(range(1, len(toks) + 1)) AS pos
+         |      FROM toks))
+         |  GROUP BY doc_id),
+         |gr AS (
+         |  SELECT doc_id, i AS pos,
+         |         list_reduce(list_prepend(7::BIGINT, hs[i:i+7]),
+         |                     (a, b) -> (a * 31 + b) % 1000000007) AS gram
+         |  FROM (SELECT doc_id, hs,
+         |               unnest(range(1, greatest(len(hs) - 8, 0) + 2)) AS i
+         |        FROM th)),
+         |rare AS (SELECT gram FROM (
+         |    SELECT gram, count(DISTINCT doc_id) AS df FROM gr GROUP BY 1)
+         |  WHERE df <= 4),
+         |kept AS (SELECT gr.* FROM gr JOIN rare USING (gram)),
+         |prs AS (
+         |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+         |                  a.pos AS pa, b.pos AS pb
+         |  FROM kept a JOIN kept b
+         |    ON a.gram = b.gram AND a.doc_id < b.doc_id),
+         |isl AS (
+         |  SELECT id_a, id_b, pa - pb AS d, pa, pb,
+         |         pa - row_number() OVER (PARTITION BY id_a, id_b, pa - pb
+         |                                 ORDER BY pa) AS grp
+         |  FROM prs),
+         |runs AS (SELECT id_a, id_b, d, grp, min(pa) AS pa, min(pb) AS pb,
+         |                count(*) + 7 AS span
+         |         FROM isl GROUP BY 1, 2, 3, 4),
+         |cuts AS (SELECT DISTINCT id_b AS id, pb AS s, pb + span AS e
+         |         FROM runs WHERE span >= 15),
+         |mrk AS (
+         |  SELECT id, s, e,
+         |         CASE WHEN s > coalesce(max(e) OVER (PARTITION BY id
+         |                ORDER BY s, e
+         |                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+         |              -1) THEN 1 ELSE 0 END AS ni
+         |  FROM cuts),
+         |isl2 AS (SELECT id, s, e,
+         |                sum(ni) OVER (PARTITION BY id ORDER BY s, e
+         |                  ROWS UNBOUNDED PRECEDING) AS grp2
+         |         FROM mrk),
+         |rng AS (SELECT id, min(s) AS s, max(e) AS e FROM isl2 GROUP BY id, grp2),
+         |tk AS (SELECT doc_id AS id, unnest(tks) AS tok,
+         |              unnest(range(1, len(tks) + 1)) AS pos
+         |       FROM (SELECT doc_id,
+         |                    list_filter(string_split(text, ' '), t -> len(t) > 0) AS tks
+         |             FROM corpus)),
+         |surv AS (SELECT t.id, t.pos, t.tok FROM tk t
+         |         WHERE NOT EXISTS (SELECT 1 FROM rng r
+         |           WHERE r.id = t.id AND t.pos >= r.s AND t.pos < r.e)),
+         |reb AS (SELECT id, string_agg(tok, ' ' ORDER BY pos) AS cleaned,
+         |               count(*) AS keptn
+         |        FROM surv GROUP BY id),
+         |base AS (SELECT doc_id AS id,
+         |                len(list_filter(string_split(text, ' '),
+         |                    t -> len(t) > 0)) AS ntok
+         |         FROM corpus)
+         |SELECT b.id AS doc_id, coalesce(reb.cleaned, '') AS cleaned,
+         |       (b.ntok - coalesce(reb.keptn, 0))::BIGINT AS n_removed
+         |FROM base b LEFT JOIN reb USING (id)
+         |ORDER BY doc_id""".stripMargin,
     // every Gopher rule replayed: token lists, length-difference
     // substring counts, trimmed line lists, presence counts
     "gopher_rules" ->

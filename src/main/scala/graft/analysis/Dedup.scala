@@ -419,6 +419,98 @@ object Dedup {
       .filter(col("max_span") >= minSpan)
   }
 
+  /** Every qualifying shared run of [[sharedSpans]] WITH its token
+    * positions — `(id_a, id_b, pa, pb, span)`: the run starts at
+    * 0-based token `pa` in doc a / `pb` in doc b and covers `span`
+    * tokens on both sides. The evidence/apply form ([[sharedSpans]]
+    * reduces this to the per-pair max). */
+  def sharedSpanRanges(df: DataFrame, idCol: String, textCol: String,
+                       n: Int, maxDf: Int, minSpan: Int): DataFrame = {
+    require(n >= 1 && minSpan >= n,
+      s"minSpan ($minSpan) must cover the seed gram ($n)")
+    val grams = df.select(col(idCol).as("__id"),
+        posexplode(graft.functions.TokenShingleHashes(col(textCol), n)))
+      .select(col("__id"), col("pos"), col("col").as("gram"))
+    val rare = grams.groupBy(col("gram"))
+      .agg(countDistinct(col("__id")).as("__df"))
+      .filter(col("__df") <= maxDf)
+      .select(col("gram"))
+    val kept = grams.join(rare, Seq("gram"))
+    val pairs = kept.as("a").join(kept.as("b"),
+        col("a.gram") === col("b.gram") && col("a.__id") < col("b.__id"))
+      .select(col("a.__id").as("id_a"), col("b.__id").as("id_b"),
+        col("a.pos").as("pa"), col("b.pos").as("pb"))
+      .distinct()
+      .withColumn("d", col("pa") - col("pb"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("id_a"), col("id_b"), col("d")).orderBy(col("pa"))
+    pairs
+      .withColumn("__grp", col("pa") - row_number().over(w))
+      .groupBy(col("id_a"), col("id_b"), col("d"), col("__grp"))
+      .agg(min(col("pa")).as("pa"), min(col("pb")).as("pb"),
+        (count(lit(1)) + lit(n - 1)).as("span"))
+      .filter(col("span") >= minSpan)
+      .select(col("id_a"), col("id_b"), col("pa"), col("pb"), col("span"))
+  }
+
+  /** APPLY Lee 2021's exact-substring dedup: rewrite each document
+    * with every qualifying shared span CUT OUT OF THE HIGHER-ID COPY
+    * (min-id-wins, the [[exact]] convention — one copy of every long
+    * shared run survives, in the document that carried it first).
+    * Span ranges come from [[sharedSpanRanges]]; a document's cut
+    * ranges merge where they overlap (running-max gaps-and-islands —
+    * two overlapping cuts must not double-free the overlap), then the
+    * text rebuilds from the surviving token positions in order.
+    *
+    * Returns one row per input document: `(idCol, cleaned,
+    * n_removed)` — untouched documents pass through verbatim-joined
+    * (token re-join normalizes whitespace runs; `n_removed` 0).
+    *
+    * Scale shape: the range frame is pair-evidence-sized (not
+    * corpus-sized); the merge windows partition per doc; the cut is
+    * one range anti-join of (doc, pos) token rows against ≤
+    * ranges-per-doc merged intervals; reconstruction is one keyed
+    * sort-agg with order carried inside the collected structs. */
+  def removeSharedSpans(df: DataFrame, idCol: String, textCol: String,
+                        n: Int, maxDf: Int, minSpan: Int): DataFrame = {
+    val ranges = sharedSpanRanges(df, idCol, textCol, n, maxDf, minSpan)
+      .select(col("id_b").as("__id"), col("pb").as("start"),
+        (col("pb") + col("span")).as("end"))
+      .distinct()
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__id")).orderBy(col("start"), col("end"))
+    val wPrev = w.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val merged = ranges
+      .withColumn("__newIsland",
+        when(col("start") > coalesce(max(col("end")).over(wPrev), lit(-1L)), 1)
+          .otherwise(0))
+      .withColumn("__island", sum(col("__newIsland")).over(w))
+      .groupBy(col("__id"), col("__island"))
+      .agg(min(col("start")).as("start"), max(col("end")).as("end"))
+    // positions must align with TokenShingleHashes' tokenization:
+    // drop empty tokens BEFORE positions are assigned (double spaces
+    // would otherwise shift every later cut)
+    val toks = df.select(col(idCol).as("__id"),
+        posexplode(filter(split(col(textCol), " "), t => length(t) > 0)))
+      .select(col("__id"), col("pos"), col("col").as("tok"))
+    val kept = toks.join(merged,
+      toks("__id") === merged("__id") &&
+        toks("pos") >= merged("start") && toks("pos") < merged("end"),
+      "left_anti")
+    val rebuilt = kept.groupBy(col("__id"))
+      .agg(
+        array_join(transform(
+          sort_array(collect_list(struct(col("pos"), col("tok")))),
+          r => r.getField("tok")), " ").as("cleaned"),
+        count(lit(1)).as("__kept"))
+    df.select(col(idCol), col(textCol))
+      .withColumn("__n", size(filter(split(col(textCol), " "), t => length(t) > 0)))
+      .join(rebuilt.withColumnRenamed("__id", idCol), Seq(idCol), "left_outer")
+      .select(col(idCol),
+        coalesce(col("cleaned"), lit("")).as("cleaned"),
+        (col("__n") - coalesce(col("__kept"), lit(0L))).cast("long").as("n_removed"))
+  }
+
   def components(pairs: DataFrame, aCol: String, bCol: String,
                  maxIters: Int = 20): DataFrame = {
     // both directions PLUS self-loops in one explode (no self-union of

@@ -247,4 +247,23 @@ class DedupSpec extends SparkSpec {
       .collect()
     assert(all.isEmpty, "df-filtered grams cannot seed any pair")
   }
+
+  test("removeSharedSpans: min-id-wins cuts, overlapping cuts merge") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a w1 w2 w3 w4 w5 w6 b"),
+      (2L, "w3 w4 w5 w6 w7 w8 c d"),
+      (3L, "e w1 w2 w3 w4 w5 w6 w7 w8 f")
+    ).toDF("doc_id", "text")
+    val out = Dedup.removeSharedSpans(docs, "doc_id", "text",
+        n = 3, maxDf = 4, minSpan = 4)
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getLong(2))).toMap
+    // doc 1 is the lowest id of every pair it joins — untouched
+    assert(out(1L) == (("a w1 w2 w3 w4 w5 w6 b", 0L)), s"got ${out(1L)}")
+    // doc 2 loses its shared w3..w6 run against doc 1
+    assert(out(2L) == (("w7 w8 c d", 4L)), s"got ${out(2L)}")
+    // doc 3's cuts from doc 1 ([1,7) — w1..w6) and doc 2 ([3,9) —
+    // w3..w8) OVERLAP and must merge to [1,9): w1..w8 all removed once
+    assert(out(3L) == (("e f", 8L)), s"got ${out(3L)}")
+  }
 }
