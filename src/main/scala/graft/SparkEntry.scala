@@ -1314,6 +1314,18 @@ object SparkEntry {
       Dedup.sharedSpans(corpus, "doc_id", "text", n = 8, maxDf = 4, minSpan = 15)
         .orderBy(col("id_a"), col("id_b"))
     }),
+    // ---- [EXT] trained logistic quality classifier (analysis/Logit,
+    // the fastText-classifier pattern in exactly-replayable form):
+    // two Newton/IRLS iterations of P(lang='en' | token_count/100),
+    // each ONE decimal-exact aggregate + a fixed 2×2 driver solve;
+    // coefficients round-6 between iterations.
+    "logit_quality" -> ((s, dir) => {
+      val feats = Tables.documents(s, dir).select(
+        round(graft.text.TextAnalysis.tokenCount(col("text")).cast("double") /
+          lit(100.0), 6).as("x"),
+        (col("lang") === "en").cast("int").as("y"))
+      graft.analysis.Logit.newtonPath(feats, 2).orderBy(col("iter"))
+    }),
     // ---- [EXT] APPLY exact-substring dedup (Lee 2021): every
     // qualifying shared span cut out of the higher-id copy
     // (min-id-wins), overlapping cuts merged per doc, text rebuilt
@@ -7018,6 +7030,49 @@ object SparkEntry {
          |SELECT id_a, id_b, max(span)::BIGINT AS max_span
          |FROM runs GROUP BY 1, 2 HAVING max(span) >= 15
          |ORDER BY id_a, id_b""".stripMargin,
+    // two unrolled Newton iterations: round-6 sigmoid/weight chains,
+    // decimal sufficient statistics, the same 2×2 solve arithmetic
+    "logit_quality" ->
+      s"""WITH feats AS (
+         |  SELECT round(len($toksSql) / 100.0, 6) AS x,
+         |         CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+         |  FROM documents),
+         |s1 AS (
+         |  SELECT x, y, p, round(p * (1e0 - p), 6) AS w FROM (
+         |    SELECT x, y,
+         |           round(1e0 / (1e0 + exp(-round(0e0 + 0e0 * x, 6))), 6) AS p
+         |    FROM feats)),
+         |it1 AS (
+         |  SELECT CAST(sum(CAST(y - p AS DECIMAL(38,12))) AS DOUBLE) AS g0,
+         |         CAST(sum(CAST(round((y - p) * x, 6) AS DECIMAL(38,12))) AS DOUBLE) AS g1,
+         |         CAST(sum(CAST(w AS DECIMAL(38,12))) AS DOUBLE) AS h00,
+         |         CAST(sum(CAST(round(w * x, 6) AS DECIMAL(38,12))) AS DOUBLE) AS h01,
+         |         CAST(sum(CAST(round(w * x * x, 6) AS DECIMAL(38,12))) AS DOUBLE) AS h11
+         |  FROM s1),
+         |c1 AS (
+         |  SELECT round(0e0 + (h11 * g0 - h01 * g1) / (h00 * h11 - h01 * h01), 6) AS b0,
+         |         round(0e0 + (h00 * g1 - h01 * g0) / (h00 * h11 - h01 * h01), 6) AS b1
+         |  FROM it1),
+         |s2 AS (
+         |  SELECT x, y, p, round(p * (1e0 - p), 6) AS w FROM (
+         |    SELECT f.x, f.y,
+         |           round(1e0 / (1e0 + exp(-round(c1.b0 + c1.b1 * f.x, 6))), 6) AS p
+         |    FROM feats f CROSS JOIN c1)),
+         |it2 AS (
+         |  SELECT CAST(sum(CAST(y - p AS DECIMAL(38,12))) AS DOUBLE) AS g0,
+         |         CAST(sum(CAST(round((y - p) * x, 6) AS DECIMAL(38,12))) AS DOUBLE) AS g1,
+         |         CAST(sum(CAST(w AS DECIMAL(38,12))) AS DOUBLE) AS h00,
+         |         CAST(sum(CAST(round(w * x, 6) AS DECIMAL(38,12))) AS DOUBLE) AS h01,
+         |         CAST(sum(CAST(round(w * x * x, 6) AS DECIMAL(38,12))) AS DOUBLE) AS h11
+         |  FROM s2),
+         |c2 AS (
+         |  SELECT round(c1.b0 + (h11 * g0 - h01 * g1) / (h00 * h11 - h01 * h01), 6) AS b0,
+         |         round(c1.b1 + (h00 * g1 - h01 * g0) / (h00 * h11 - h01 * h01), 6) AS b1
+         |  FROM it2 CROSS JOIN c1)
+         |SELECT 1::BIGINT AS iter, b0, b1 FROM c1
+         |UNION ALL
+         |SELECT 2::BIGINT, b0, b1 FROM c2
+         |ORDER BY iter""".stripMargin,
     // the span chain extended through the APPLY: per-run ranges,
     // running-max interval merge, range anti-join, ordered rebuild
     "span_removed_docs" ->
