@@ -1823,6 +1823,25 @@ object SparkEntry {
       graft.analysis.SeqPack.packWindows(weighted, "doc_id", "weight", 512L)
         .orderBy(col("doc_id"))
     }),
+    // ---- [EXT] packing-efficiency report (SeqPack.packEfficiency):
+    // the padding-waste metric a training pipeline budgets by —
+    // per-window fills reduced to one row, integer sums + one
+    // division; max_fill can exceed capacity (contiguous packing's
+    // one-tail overshoot, documented).
+    "pack_efficiency" -> ((s, dir) => {
+      val weighted = Tables.documents(s, dir).select(col("doc_id"),
+        TextAnalysis.tokenCount(col("text")).cast("long").as("weight"))
+      graft.analysis.SeqPack.packEfficiency(weighted, "doc_id", "weight", 512L)
+    }),
+    // ---- [EXT] deterministic multi-epoch training order
+    // (Sampling.epochShuffle): epoch e ranks ids by
+    // (knuth(id·1024+e), id) — an independent-looking permutation per
+    // epoch that every engine derives identically; first 10 ranks of
+    // both epochs verified.
+    "epoch_shuffle" -> ((s, dir) =>
+      graft.analysis.Sampling.epochShuffle(Tables.documents(s, dir), "doc_id", 2)
+        .filter(col("rank") <= 10)
+        .orderBy(col("epoch"), col("rank"))),
     // ---- [EXT] temperature-flattened source mixing (the
     // multilingual-LM alpha-sampling primitive): keep rates from
     // n_lang^0.5 scaled to an expected 250-doc budget — rare languages
@@ -7811,6 +7830,37 @@ object SparkEntry {
          |      FROM w)
          |SELECT doc_id, weight, (cum // 512)::BIGINT AS window_id
          |FROM c ORDER BY doc_id""".stripMargin,
+    // the packing replay reduced to per-window fills + one division
+    "pack_efficiency" ->
+      s"""WITH w AS (SELECT doc_id, len($toksSql)::BIGINT AS weight FROM documents),
+         |c AS (SELECT doc_id, weight,
+         |             coalesce(sum(weight) OVER (ORDER BY doc_id
+         |               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum
+         |      FROM w),
+         |f AS (SELECT (cum // 512) AS window_id, sum(weight) AS fill
+         |      FROM c GROUP BY 1)
+         |SELECT count(*)::BIGINT AS n_windows, sum(fill)::BIGINT AS total_weight,
+         |       min(fill)::BIGINT AS min_fill, max(fill)::BIGINT AS max_fill,
+         |       round(sum(fill)::DOUBLE / (count(*) * 512)::DOUBLE, 6)
+         |         AS utilization
+         |FROM f""".stripMargin,
+    // per-epoch Knuth permutation + per-epoch rank windows
+    "epoch_shuffle" ->
+      s"""WITH g AS (SELECT doc_id, unnest([1, 2]) AS epoch FROM documents),
+         |b AS (
+         |  SELECT epoch, doc_id,
+         |         ((((((doc_id * 1024 + epoch) % 4294967296) // 65536) * 2654435761)
+         |           % 4294967296) * 65536
+         |          + ((doc_id * 1024 + epoch) % 4294967296) % 65536 * 2654435761)
+         |         % 4294967296 AS bk
+         |  FROM g),
+         |r AS (SELECT epoch::BIGINT AS epoch,
+         |             row_number() OVER (PARTITION BY epoch
+         |               ORDER BY bk, doc_id)::BIGINT AS rank,
+         |             doc_id
+         |      FROM b)
+         |SELECT epoch, rank, doc_id FROM r WHERE rank <= 10
+         |ORDER BY epoch, rank""".stripMargin,
     // the packing replay joined back to the texts; id-ordered
     // string_agg mirrors the sorted-struct concat
     "packed_windows_text" ->

@@ -357,4 +357,28 @@ object Sampling {
     }
     df.filter(bucket(col(idCol)) < cut)
   }
+
+  /** Deterministic per-EPOCH training order — the "global shuffle"
+    * every multi-epoch LLM run needs (sequential corpus order biases
+    * gradients; `rand()` orders don't reproduce): epoch e ranks row
+    * id by `(knuthBucket(id·1024 + e), id)`, so each epoch is an
+    * independent-looking permutation, every engine derives the
+    * identical order, and re-running epoch e replays it exactly.
+    * Returns `(epoch, rank, idCol)`, ranks 1-based per epoch.
+    *
+    * Scale shape: materializing a training order IS a global sort —
+    * one per epoch, partitioned by epoch (write
+    * `partitionBy("epoch")` sorted files and the ranks never need to
+    * exist as a column). The ×epochs fan-out carries id rows only,
+    * never document bodies — join bodies back by id at read time. */
+  def epochShuffle(df: DataFrame, idCol: String, epochs: Int): DataFrame = {
+    require(epochs >= 1, s"epochs >= 1: $epochs")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("epoch"))
+      .orderBy(bucket(col(idCol) * lit(1024L) + col("epoch")), col(idCol))
+    df.select(col(idCol), explode(sequence(lit(1), lit(epochs))).as("epoch"))
+      .withColumn("rank", row_number().over(w))
+      .select(col("epoch").cast("long").as("epoch"),
+        col("rank").cast("long").as("rank"), col(idCol))
+  }
 }

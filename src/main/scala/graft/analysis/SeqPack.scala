@@ -47,4 +47,27 @@ object SeqPack {
       .select(col(idCol), col("weight"),
         expr(s"(__poff + __run - weight) div ${capacity}L").as("window_id"))
   }
+
+  /** Packing-efficiency report over [[packWindows]] — the padding-
+    * waste metric a training pipeline budgets by: per-window fills
+    * reduced to one row `(n_windows, total_weight, min_fill,
+    * max_fill, utilization)` with utilization =
+    * total/(windows·capacity) round-6. Contiguous packing overshoots
+    * by at most one document tail per window (so `max_fill` can
+    * exceed `capacity`) and only the LAST window under-fills
+    * structurally — a utilization far below 1 means oversized
+    * documents, not packing slack. Integer sums throughout; one
+    * division at the end. */
+  def packEfficiency(df: DataFrame, idCol: String, weightCol: String,
+                     capacity: Long): DataFrame = {
+    val fills = packWindows(df, idCol, weightCol, capacity)
+      .groupBy(col("window_id")).agg(sum(col("weight")).as("fill"))
+    fills.agg(
+      count(lit(1)).as("n_windows"),
+      sum(col("fill")).as("total_weight"),
+      min(col("fill")).as("min_fill"),
+      max(col("fill")).as("max_fill"),
+      round(sum(col("fill")).cast("double") /
+        (count(lit(1)) * lit(capacity)).cast("double"), 6).as("utilization"))
+  }
 }

@@ -198,6 +198,52 @@ object StreamIngest {
         }
       }
 
+  /** Streaming ingest-time IMAGE dedup gate against a persisted dHash
+    * store — [[dedupGateSink]]'s contract on the image modality: each
+    * arriving micro-batch of `(id, bytes)` rows decodes its
+    * fingerprints ONCE, pairs against the corpus store ∪ itself
+    * ([[graft.multimodal.Multimodal.imageDeltaDupPairs]] — the store's
+    * images are never re-decoded), keeps rows with no qualifying
+    * partner (a store image always wins; inside the batch the
+    * smaller id wins — the [[graft.analysis.Dedup.dedupDelta]]
+    * convention), hands kept rows to `onKept`, and appends only KEPT
+    * fingerprints to the store so later batches dedup against them.
+    * Undecodable payloads never band, so they pass the gate —
+    * content-based dedup cannot judge bytes it cannot decode; compose
+    * an exact-hash gate upstream for those. Replays are no-ops via
+    * batch-id markers (`onKept` shares the idempotence boundary). */
+  def imageDedupGateSink(media: DataFrame, storePath: String, maxHamming: Int)(
+      onKept: DataFrame => Unit): DataStreamWriter[org.apache.spark.sql.Row] =
+    media.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        oncePerBatch(batch.sparkSession, s"$storePath/_applied_batches", batchId) {
+          if (!batch.isEmpty) {
+            val hashes = graft.multimodal.Multimodal
+              .decodeDHash(batch.sparkSession, batch).toDF()
+              .localCheckpoint(true)
+            val pairs = graft.multimodal.Multimodal
+              .imageDeltaDupPairs(hashes, storePath, maxHamming)
+            val deltaIds = hashes.select(col("id"))
+            val directed = pairs.select(col("id_a").as("id"), col("id_b").as("other"))
+              .unionAll(pairs.select(col("id_b").as("id"), col("id_a").as("other")))
+              .join(deltaIds, Seq("id"), "left_semi")
+            val qualifying = directed
+              .join(deltaIds.select(col("id").as("other"), lit(true).as("__isd")),
+                Seq("other"), "left")
+              .filter(!coalesce(col("__isd"), lit(false)) || col("other") < col("id"))
+            val kept = batch.join(qualifying.select(col("id")).distinct(),
+              Seq("id"), "left_anti")
+            onKept(kept)
+            // only KEPT fingerprints enter the store: a dropped
+            // duplicate must not become a future batch's dedup target
+            graft.multimodal.Multimodal.appendToDHashStore(
+              hashes.join(kept.select(col("id")), Seq("id"), "left_semi"),
+              storePath)
+          }
+        }
+      }
+
   /** Streaming RANKING LOG — the persistence half of a continuous
     * retrieval-eval gate: each micro-batch of ranked results
     * `(qid, id, <score>)` (from any retrieval stack — vector, BM25,

@@ -180,6 +180,40 @@ class StoreStreamSpec extends SparkSpec {
       "drained SQ8 sink must probe like a from-scratch build")
   }
 
+  test("streaming image dedup gate: arriving duplicates drop, kept images guard later batches") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.functions.col
+    import graft.multimodal.{ImageFixtures, Multimodal}
+    implicit val sqlCtx = spark.sqlContext
+    val store = java.nio.file.Files.createTempDirectory("graft-img-gate").toString + "/store"
+    // corpus: two known images
+    val corpus: Seq[(Long, Array[Byte])] =
+      Seq((1L, ImageFixtures.png(520, 400)), (2L, ImageFixtures.png(150, 120)))
+    Multimodal.writeDHashStore(
+      Multimodal.decodeDHash(spark, corpus.toDF("id", "bytes")).toDF(), store, 8)
+    val keptIds = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val input = MemoryStream[(Long, Array[Byte])]
+    val q = graft.streaming.StreamIngest.imageDedupGateSink(
+      input.toDF().toDF("id", "bytes"), store, maxHamming = 3) { kept =>
+      keptIds ++= kept.select(col("id")).collect().map(_.getLong(0)); ()
+    }.start()
+    // batch 1: a dup of corpus image 1, a novel image, an in-batch
+    // dup pair (13/14 — min id wins)
+    input.addData(Seq(
+      (11L, ImageFixtures.png(520, 400)),   // dup of corpus 1 → dropped
+      (12L, ImageFixtures.png(600, 480)),   // novel → kept
+      (13L, ImageFixtures.png(333, 200)),   // novel, min of the pair → kept
+      (14L, ImageFixtures.png(333, 200)))) // in-batch dup of 13 → dropped
+    q.processAllAvailable()
+    // batch 2: a dup of batch-1's KEPT image must now drop too
+    input.addData(Seq(
+      (21L, ImageFixtures.png(600, 480)),   // dup of kept 12 → dropped
+      (22L, ImageFixtures.png(222, 180)))) // novel → kept
+    q.processAllAvailable()
+    q.stop()
+    assert(keptIds.sorted == Seq(12L, 13L, 22L), s"kept $keptIds")
+  }
+
   test("streaming retrieval-eval gate: rankedEval over the drained ranking log ≡ batch") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import org.apache.spark.sql.functions.col
