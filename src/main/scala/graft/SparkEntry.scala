@@ -1326,6 +1326,43 @@ object SparkEntry {
         (col("lang") === "en").cast("int").as("y"))
       graft.analysis.Logit.newtonPath(feats, 2).orderBy(col("iter"))
     }),
+    // ---- [EXT] calibration (reliability) report of the trained
+    // logistic gate: scores bucket into deciles, each reporting count,
+    // decimal-exact mean predicted probability, and observed positive
+    // rate — well-calibrated ⇔ the two track. Train + calibrate in one
+    // query; oracle chains the Newton replay into the bucket reduce.
+    // (y = the Gopher word-count gate: a separable signal, so the fit
+    // sharpens and the scores SPREAD across deciles — obs_rate 0/1 at
+    // the extremes, mixed mid-bins where the sigmoid crosses)
+    "logit_calibration" -> ((s, dir) => {
+      val feats = Tables.documents(s, dir).select(
+        round(graft.text.TextAnalysis.tokenCount(col("text")).cast("double") /
+          lit(100.0), 6).as("x"),
+        (graft.text.TextAnalysis.tokenCount(col("text")) >= 50).cast("int").as("y"))
+      val fit = graft.analysis.Logit.newtonPath(feats, 2)
+        .orderBy(col("iter")).collect().last
+      graft.analysis.Logit.calibration(feats,
+        fit.getDouble(1), fit.getDouble(2), bins = 10)
+    }),
+    // ---- [EXT] TPC-H Q17 shape — the correlated-aggregate-subquery
+    // classic ("small-quantity orders below 20% of the part's mean"),
+    // written as its decorrelated plan: one per-part mean (decimal-
+    // exact sum / count), one keyed join, the guarded revenue sum.
+    "q17_avg_yearly" -> ((s, dir) => {
+      import org.apache.spark.sql.types.DecimalType
+      def dec(c: org.apache.spark.sql.Column) = c.cast(DecimalType(38, 12))
+      val l = Tables.lineitem(s, dir)
+      val thresh = l.groupBy(col("l_partkey"))
+        .agg((lit(0.2) * (sum(dec(col("l_quantity"))).cast("double") /
+          count(lit(1)).cast("double"))).as("qty_cut"))
+      l.join(Tables.part(s, dir).filter(col("p_brand") === "Brand#1"),
+          col("p_partkey") === col("l_partkey"))
+        .join(thresh, Seq("l_partkey"))
+        .filter(col("l_quantity") < col("qty_cut"))
+        .agg(count(lit(1)).as("n_items"),
+          round(sum(dec(col("l_extendedprice"))).cast("double") / lit(7.0), 2)
+            .as("avg_yearly"))
+    }),
     // ---- [EXT] APPLY exact-substring dedup (Lee 2021): every
     // qualifying shared span cut out of the higher-id copy
     // (min-id-wins), overlapping cuts merged per doc, text rebuilt
@@ -5002,6 +5039,56 @@ object SparkEntry {
        |ORDER BY sim DESC, vec_id ASC LIMIT 5""".stripMargin
   }
 
+  /** The two-iteration Newton replay (mirror of the `logit_quality`
+    * oracle) chained into decile calibration buckets. */
+  private lazy val logitCalibrationSql: String =
+    s"""WITH feats AS (
+       |  SELECT round(len($toksSql) / 100.0, 6) AS x,
+       |         CASE WHEN len($toksSql) >= 50 THEN 1 ELSE 0 END AS y
+       |  FROM documents),
+       |s1 AS (
+       |  SELECT x, y, p, round(p * (1e0 - p), 6) AS w FROM (
+       |    SELECT x, y,
+       |           round(1e0 / (1e0 + exp(-round(0e0 + 0e0 * x, 6))), 6) AS p
+       |    FROM feats)),
+       |it1 AS (
+       |  SELECT CAST(sum(CAST(y - p AS DECIMAL(38,12))) AS DOUBLE) AS g0,
+       |         CAST(sum(CAST(round((y - p) * x, 6) AS DECIMAL(38,12))) AS DOUBLE) AS g1,
+       |         CAST(sum(CAST(w AS DECIMAL(38,12))) AS DOUBLE) AS h00,
+       |         CAST(sum(CAST(round(w * x, 6) AS DECIMAL(38,12))) AS DOUBLE) AS h01,
+       |         CAST(sum(CAST(round(w * x * x, 6) AS DECIMAL(38,12))) AS DOUBLE) AS h11
+       |  FROM s1),
+       |c1 AS (
+       |  SELECT round(0e0 + (h11 * g0 - h01 * g1) / (h00 * h11 - h01 * h01), 6) AS b0,
+       |         round(0e0 + (h00 * g1 - h01 * g0) / (h00 * h11 - h01 * h01), 6) AS b1
+       |  FROM it1),
+       |s2 AS (
+       |  SELECT x, y, p, round(p * (1e0 - p), 6) AS w FROM (
+       |    SELECT f.x, f.y,
+       |           round(1e0 / (1e0 + exp(-round(c1.b0 + c1.b1 * f.x, 6))), 6) AS p
+       |    FROM feats f CROSS JOIN c1)),
+       |it2 AS (
+       |  SELECT CAST(sum(CAST(y - p AS DECIMAL(38,12))) AS DOUBLE) AS g0,
+       |         CAST(sum(CAST(round((y - p) * x, 6) AS DECIMAL(38,12))) AS DOUBLE) AS g1,
+       |         CAST(sum(CAST(w AS DECIMAL(38,12))) AS DOUBLE) AS h00,
+       |         CAST(sum(CAST(round(w * x, 6) AS DECIMAL(38,12))) AS DOUBLE) AS h01,
+       |         CAST(sum(CAST(round(w * x * x, 6) AS DECIMAL(38,12))) AS DOUBLE) AS h11
+       |  FROM s2),
+       |c2 AS (
+       |  SELECT round(c1.b0 + (h11 * g0 - h01 * g1) / (h00 * h11 - h01 * h01), 6) AS b0,
+       |         round(c1.b1 + (h00 * g1 - h01 * g0) / (h00 * h11 - h01 * h01), 6) AS b1
+       |  FROM it2 CROSS JOIN c1),
+       |sc AS (
+       |  SELECT f.y,
+       |         round(1e0 / (1e0 + exp(-round(c2.b0 + c2.b1 * f.x, 6))), 6) AS s
+       |  FROM feats f CROSS JOIN c2),
+       |bk AS (SELECT least(floor(s * 10), 9)::BIGINT AS bucket, y, s FROM sc)
+       |SELECT bucket, count(*)::BIGINT AS n,
+       |       round(CAST(sum(CAST(s AS DECIMAL(38,12))) AS DOUBLE)
+       |             / count(*), 6) AS mean_pred,
+       |       round(sum(y)::DOUBLE / count(*), 6) AS obs_rate
+       |FROM bk GROUP BY 1 ORDER BY bucket""".stripMargin
+
   /** IVF-PQ sync oracle: v2 re-encoded per subspace through the
     * v1-trained codebooks (fresh L2 argmin per v2 row — appended rows
     * encode fresh, surviving rows' codes are identical because vector
@@ -7092,6 +7179,23 @@ object SparkEntry {
          |UNION ALL
          |SELECT 2::BIGINT, b0, b1 FROM c2
          |ORDER BY iter""".stripMargin,
+    // the same two-iteration Newton replay chained into the decile
+    // bucket reduce (shared CTE prefix via the lazy builder below)
+    "logit_calibration" -> logitCalibrationSql,
+    // the decorrelated Q17: per-part mean threshold, keyed join,
+    // guarded decimal-exact revenue sum
+    "q17_avg_yearly" ->
+      """WITH t AS (
+        |  SELECT l_partkey,
+        |         0.2e0 * (CAST(sum(CAST(l_quantity AS DECIMAL(38,12)))
+        |                       AS DOUBLE) / count(*)) AS qty_cut
+        |  FROM lineitem GROUP BY 1)
+        |SELECT count(*)::BIGINT AS n_items,
+        |       round(CAST(sum(CAST(l_extendedprice AS DECIMAL(38,12)))
+        |                  AS DOUBLE) / 7e0, 2) AS avg_yearly
+        |FROM lineitem JOIN part ON p_partkey = l_partkey
+        |     JOIN t USING (l_partkey)
+        |WHERE p_brand = 'Brand#1' AND l_quantity < qty_cut""".stripMargin,
     // the span chain extended through the APPLY: per-run ranges,
     // running-max interval merge, range anti-join, ordered rebuild
     "span_removed_docs" ->

@@ -43,10 +43,20 @@ object Dsir {
     * (tokenless documents weigh 0) — selection is the caller's
     * ranking; see [[selectTopK]]. */
   def logWeights(corpus: DataFrame, targetPred: Column, idCol: String,
+                 textCol: String, buckets: Int = 256): DataFrame =
+    scoreWithModel(corpus, trainModel(corpus, targetPred, idCol, textCol, buckets),
+      idCol, textCol, buckets)
+
+  /** Fit the B-row log-ratio model — `(b, lr)` for every bucket. The
+    * model is the PERSISTABLE artifact of the production shape (train
+    * once on a frozen corpus snapshot, gate every future ingest batch
+    * with [[scoreWithModel]] — the frozen-centroid convention of the
+    * index family): write it with plain parquet and read it back; no
+    * state beyond these B rows exists. */
+  def trainModel(corpus: DataFrame, targetPred: Column, idCol: String,
                  textCol: String, buckets: Int = 256): DataFrame = {
     require(buckets >= 2, s"buckets >= 2: $buckets")
     val spark = corpus.sparkSession
-    def dec(c: Column) = c.cast(DecimalType(38, 12))
     val tb = corpus
       .select(col(idCol).as("__id"), targetPred.as("__tgt"),
         explode(Contamination.tokenHashes(col(textCol))).as("__h"))
@@ -58,7 +68,7 @@ object Dsir {
     // the B-row smoothed log-ratio model: round-6 BEFORE the decimal
     // sums (ln is not correctly rounded on either engine; 6 dp is far
     // below any meaningful ratio difference)
-    val model = spark.range(buckets).select(col("id").as("b"))
+    spark.range(buckets).select(col("id").as("b"))
       .join(tgt, Seq("b"), "left_outer")
       .join(raw, Seq("b"), "left_outer")
       .crossJoin(broadcast(nt)).crossJoin(broadcast(nr))
@@ -68,11 +78,25 @@ object Dsir {
             (col("n_t") + lit(buckets.toLong)).cast("double")) -
             log((coalesce(col("cr"), lit(0L)) + lit(1L)).cast("double") /
               (col("n_r") + lit(buckets.toLong)).cast("double")), 6).as("lr"))
+  }
+
+  /** Score ANY document frame against a trained `(b, lr)` model —
+    * the ingest-time half: a new batch weighs against the frozen
+    * target/raw models without touching the training corpus.
+    * `buckets` must be the trainer's (the bucket arithmetic must not
+    * drift — same contract as the signature stores' config rows). */
+  def scoreWithModel(docs: DataFrame, model: DataFrame, idCol: String,
+                     textCol: String, buckets: Int): DataFrame = {
+    def dec(c: Column) = c.cast(DecimalType(38, 12))
+    val tb = docs
+      .select(col(idCol).as("__id"),
+        explode(Contamination.tokenHashes(col(textCol))).as("__h"))
+      .select(col("__id"), pmod(col("__h"), lit(buckets.toLong)).as("b"))
     val perDoc = tb.groupBy(col("__id"), col("b")).agg(count(lit(1)).as("cnt"))
       .join(broadcast(model), Seq("b"))
       .groupBy(col("__id"))
       .agg(sum(dec(col("cnt").cast("double") * col("lr"))).as("w"))
-    corpus.select(col(idCol))
+    docs.select(col(idCol))
       .join(perDoc.withColumnRenamed("__id", idCol), Seq(idCol), "left_outer")
       .select(col(idCol),
         round(coalesce(col("w").cast("double"), lit(0.0)), 6).as("weight"))

@@ -70,4 +70,27 @@ object Logit {
     * the gate a curation pipeline applies corpus-wide after training. */
   def scoreCol(x: org.apache.spark.sql.Column, b0: Double, b1: Double): org.apache.spark.sql.Column =
     round(lit(1.0) / (lit(1.0) + exp(-round(lit(b0) + lit(b1) * x, 6))), 6)
+
+  /** Reliability (calibration) report of a fitted score over labeled
+    * rows — the eval a probability-emitting gate needs before its
+    * scores can THRESHOLD anything: scores bucket into `bins`
+    * equal-width bins (the top edge folds into the last bin) and each
+    * bin reports its count, DECIMAL-exact mean predicted probability,
+    * and observed positive rate — well-calibrated ⇔ the two columns
+    * track. One keyed reduce; bins-row output. */
+  def calibration(feats: DataFrame, b0: Double, b1: Double,
+                  bins: Int = 10): DataFrame = {
+    require(bins >= 2, s"bins >= 2: $bins")
+    def dec(c: org.apache.spark.sql.Column) = c.cast(DecimalType(38, 12))
+    feats.select(col("y"), scoreCol(col("x"), b0, b1).as("s"))
+      .withColumn("bucket",
+        least(floor(col("s") * bins), lit((bins - 1).toLong)).cast("long"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n"),
+        round(sum(dec(col("s"))).cast("double") /
+          count(lit(1)).cast("double"), 6).as("mean_pred"),
+        round(sum(col("y")).cast("double") /
+          count(lit(1)).cast("double"), 6).as("obs_rate"))
+      .orderBy(col("bucket"))
+  }
 }

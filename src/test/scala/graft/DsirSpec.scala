@@ -48,6 +48,28 @@ class DsirSpec extends SparkSpec {
     assert(w(3L) == r6(2.0 * lr(ctX, crX)), "counts multiply the bucket ratio")
   }
 
+  test("persisted model: train once, score a NEW batch without the training corpus") {
+    val docs = Seq(
+      (0L, "x x y x"), (1L, "y x y"), (2L, "x y x"), (3L, "z w z")).toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("graft-dsir").toString + "/model"
+    Dsir.trainModel(docs, col("doc_id") < 2, "doc_id", "text", buckets = 16)
+      .write.mode("overwrite").parquet(dir)
+    val model = spark.read.parquet(dir)
+    // scoring the training corpus through the persisted model ≡ the
+    // one-shot logWeights
+    val viaModel = Dsir.scoreWithModel(docs, model, "doc_id", "text", 16)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val oneShot = Dsir.logWeights(docs, col("doc_id") < 2, "doc_id", "text", 16)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(viaModel == oneShot, s"$viaModel vs $oneShot")
+    // a NEW batch scores with the frozen model: target-vocab text
+    // outweighs off-target, no training rows touched
+    val batch = Seq((10L, "x y x y"), (11L, "w z w")).toDF("doc_id", "text")
+    val scored = Dsir.scoreWithModel(batch, model, "doc_id", "text", 16)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(scored(10L) > scored(11L), s"got $scored")
+  }
+
   test("selectTopK returns k rows in (weight DESC, id ASC) order") {
     val docs = spark.read.parquet(s"$sf0001/documents.parquet")
     val top = Dsir.selectTopK(docs, col("lang") === "en", "doc_id", "text", 256, 10)
