@@ -2931,6 +2931,43 @@ object SparkEntry {
           round(col("duration_ms"), 6).as("duration_ms"))
         .orderBy(col("id"))
     }),
+    // ---- [EXT] video FRAME INDEX — the no-codec half of frame
+    // sampling: real idx1 parsing (top-level RIFF walk, 16-byte
+    // entries) to one row per frame with keyframe flag, offset, size;
+    // fixture frame layouts derive from id arithmetic so every parsed
+    // number replays closed-form. Index-less/invalid payloads → 0 rows.
+    "avi_frame_index" -> ((s, dir) => {
+      import s.implicits._
+      val rows: Seq[(Long, Array[Byte])] = (0 until 5).map { i =>
+        val frames = (0 until i + 3).map(f =>
+          ((100 + 2 * ((i * 7 + f * 13) % 25)).toLong, f % 4 == 0))
+        (i.toLong, graft.multimodal.VideoFixtures.aviWithIndex(
+          40000L, 1, 160, 120, frames))
+      } ++ Seq(
+        (10L, graft.multimodal.VideoFixtures.avi(40000L, 7, 1, 160, 120)),
+        (11L, "not a video".getBytes("UTF-8")))
+      graft.multimodal.Multimodal.decodeAviFrameIndex(s, rows.toDF("id", "bytes"))
+        .toDF()
+        .orderBy(col("id"), col("frame_no"))
+    }),
+    // ---- [EXT] keyframe sampling budget over the frame index — the
+    // selection a sampler runs BEFORE any decode: keyframes per video
+    // with their byte cost.
+    "avi_keyframes" -> ((s, dir) => {
+      import s.implicits._
+      val rows: Seq[(Long, Array[Byte])] = (0 until 5).map { i =>
+        val frames = (0 until i + 3).map(f =>
+          ((100 + 2 * ((i * 7 + f * 13) % 25)).toLong, f % 4 == 0))
+        (i.toLong, graft.multimodal.VideoFixtures.aviWithIndex(
+          40000L, 1, 160, 120, frames))
+      }
+      graft.multimodal.Multimodal.decodeAviFrameIndex(s, rows.toDF("id", "bytes"))
+        .toDF()
+        .filter(col("keyframe"))
+        .groupBy(col("id"))
+        .agg(count(lit(1)).as("n_keyframes"), sum(col("size")).as("bytes"))
+        .orderBy(col("id"))
+    }),
     // ---- [EXT] multimodal: binary payload + batched stub decode
     "multimodal_meta" -> ((s, dir) => {
       val media = Multimodal.asBinary(Tables.documents(s, dir), "doc_id", "text")
@@ -8680,6 +8717,32 @@ object SparkEntry {
         |UNION ALL
         |SELECT 10::BIGINT, -1, -1.0, -1, -1.0
         |ORDER BY id""".stripMargin,
+    // closed-form frame layout: size/keyframe from id arithmetic,
+    // offsets by exclusive prefix sum over (header + size)
+    "avi_frame_index" ->
+      """WITH vids(id, nf) AS (VALUES (0, 3), (1, 4), (2, 5), (3, 6), (4, 7)),
+        |fr AS (
+        |  SELECT id, f, 100 + 2 * ((id * 7 + f * 13) % 25) AS size,
+        |         (f % 4 = 0) AS keyframe
+        |  FROM vids, LATERAL (SELECT unnest(range(nf)) AS f) x),
+        |o AS (
+        |  SELECT id, f, size, keyframe,
+        |         4 + coalesce(sum(8 + size) OVER (PARTITION BY id ORDER BY f
+        |               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |           AS idx_offset
+        |  FROM fr)
+        |SELECT id::BIGINT AS id, f::BIGINT AS frame_no, '00dc' AS fourcc,
+        |       keyframe, idx_offset::BIGINT AS offset, size::BIGINT AS size
+        |FROM o ORDER BY id, frame_no""".stripMargin,
+    "avi_keyframes" ->
+      """WITH vids(id, nf) AS (VALUES (0, 3), (1, 4), (2, 5), (3, 6), (4, 7)),
+        |fr AS (
+        |  SELECT id, f, 100 + 2 * ((id * 7 + f * 13) % 25) AS size
+        |  FROM vids, LATERAL (SELECT unnest(range(nf)) AS f) x
+        |  WHERE f % 4 = 0)
+        |SELECT id::BIGINT AS id, count(*)::BIGINT AS n_keyframes,
+        |       sum(size)::BIGINT AS bytes
+        |FROM fr GROUP BY id ORDER BY id""".stripMargin,
     "avi_meta" ->
       """WITH params AS (
         |  SELECT i::BIGINT AS id,

@@ -477,6 +477,71 @@ object Multimodal {
       }
   }
 
+  /** One parsed `idx1` entry: frame ordinal, chunk fourcc, the
+    * AVIIF_KEYFRAME flag, chunk offset (relative to the 'movi'
+    * fourcc — the common convention) and payload size. */
+  case class AviFrame(id: Long, frame_no: Long, fourcc: String,
+                      keyframe: Boolean, offset: Long, size: Long)
+
+  /** The `idx1` entries of an AVI payload — REAL container parsing
+    * (bounds-checked top-level RIFF chunk walk to `idx1`, 16-byte
+    * entries), or Nil for payloads without a valid index. */
+  private[graft] def parseAviIndex(b: Array[Byte]): Seq[(String, Boolean, Long, Long)] = {
+    def u32(off: Int): Long =
+      (b(off) & 0xffL) | ((b(off + 1) & 0xffL) << 8) |
+        ((b(off + 2) & 0xffL) << 16) | ((b(off + 3) & 0xffL) << 24)
+    def fourcc(off: Int): String =
+      new String(b.slice(off, off + 4), "US-ASCII")
+    try {
+      if (b.length < 12 || fourcc(0) != "RIFF" || fourcc(8) != "AVI ") Nil
+      else {
+        var off = 12
+        var found = -1
+        while (found < 0 && off >= 0 && off + 8 <= b.length) {
+          val size = u32(off + 4)
+          if (fourcc(off) == "idx1") found = off
+          else {
+            val next = off + 8 + size + (size % 2)
+            off = if (next > Int.MaxValue || next <= off) -1 else next.toInt
+          }
+        }
+        if (found < 0) Nil
+        else {
+          val size = u32(found + 4)
+          val n = (size / 16).toInt
+          if (found + 8 + n * 16 > b.length) Nil
+          else (0 until n).map { i =>
+            val e = found + 8 + i * 16
+            (fourcc(e), (u32(e + 4) & 0x10L) != 0L, u32(e + 8), u32(e + 12))
+          }
+        }
+      }
+    } catch { case scala.util.control.NonFatal(_) => Nil }
+  }
+
+  /** The FRAME INDEX of the video modality — the half of "video frame
+    * sampling" that needs no codec: each payload's `idx1` entries
+    * become one row per frame `(id, frame_no, fourcc, keyframe,
+    * offset, size)`, the table a frame sampler selects from (every
+    * k-th frame, keyframes only, byte-budgeted prefixes) before the
+    * stubbed pixel decode fetches `[offset, offset+size)`. Payloads
+    * without a valid index contribute zero rows (an index-less AVI has
+    * nothing to sample — callers compose [[decodeAviMeta]]'s sentinel
+    * for the invalid-payload audit). Executor-side batched parse,
+    * same shape as every decode here. */
+  def decodeAviFrameIndex(spark: SparkSession, media: DataFrame): Dataset[AviFrame] = {
+    import spark.implicits._
+    media.select(col("id"), col("bytes"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.flatMap { case (id, b) =>
+          parseAviIndex(b).zipWithIndex.map { case ((fc, key, off, sz), i) =>
+            AviFrame(id, i.toLong, fc, key, off, sz)
+          }
+        }
+      }
+  }
+
   /** REAL PCM decode: `javax.sound.sampled` opens the stream, the
     * interleaved little-endian frames are read to exhaustion and
     * reduced to (count, mean, peak, rms) in one pass. Supports the PCM

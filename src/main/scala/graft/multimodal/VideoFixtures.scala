@@ -23,6 +23,50 @@ object VideoFixtures {
     Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
       ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
 
+  /** [[avi]] extended with a real frame layout: a `LIST('movi')` of
+    * `00dc` video chunks (payloads are zero bytes — the codec stub
+    * boundary; SIZES are the signal) and the standard `idx1` index
+    * whose 16-byte entries carry (ckid, flags with AVIIF_KEYFRAME,
+    * offset-from-'movi', size). Frame sizes must be EVEN (no RIFF
+    * padding ambiguity in the offset arithmetic — enforced). */
+  def aviWithIndex(usPerFrame: Long, streams: Long, width: Long,
+                   height: Long,
+                   frames: Seq[(Long, Boolean)]): Array[Byte] = {
+    require(frames.forall(_._1 % 2 == 0), "frame sizes must be even")
+    val head = avi(usPerFrame, frames.size.toLong, streams, width, height)
+    // movi list: '00dc' chunks back to back; offsets are relative to
+    // the position of the 'movi' fourcc (the common idx1 convention)
+    val movi = new ByteArrayOutputStream()
+    movi.write("movi".getBytes("US-ASCII"))
+    val offsets = Seq.newBuilder[Long]
+    frames.foreach { case (size, _) =>
+      offsets += movi.size().toLong
+      movi.write("00dc".getBytes("US-ASCII"))
+      movi.write(le32(size))
+      movi.write(new Array[Byte](size.toInt))
+    }
+    val moviBytes = movi.toByteArray
+    val idx = new ByteArrayOutputStream()
+    idx.write("idx1".getBytes("US-ASCII"))
+    idx.write(le32(16L * frames.size))
+    frames.zip(offsets.result()).foreach { case ((size, key), off) =>
+      idx.write("00dc".getBytes("US-ASCII"))
+      idx.write(le32(if (key) 0x10L else 0L))
+      idx.write(le32(off))
+      idx.write(le32(size))
+    }
+    val out = new ByteArrayOutputStream()
+    // splice: head is RIFF(sizeS)'AVI ' + hdrl list; append movi+idx1
+    // and fix the RIFF size
+    val tail = ("LIST".getBytes("US-ASCII") ++ le32(moviBytes.length.toLong) ++
+      moviBytes) ++ idx.toByteArray
+    out.write("RIFF".getBytes("US-ASCII"))
+    out.write(le32((head.length - 8) + tail.length.toLong))
+    out.write(head, 8, head.length - 8)
+    out.write(tail)
+    out.toByteArray
+  }
+
   /** Valid AVI header-only container with the given main-header
     * fields. */
   def avi(usPerFrame: Long, totalFrames: Long, streams: Long,

@@ -50,4 +50,27 @@ class VideoSpec extends SparkSpec {
       .collect()(0)
     assert(got.format == "invalid")
   }
+
+  test("idx1 frame index: entries parse with keyframe flags and movi-relative offsets") {
+    val frames = Seq((100L, true), (40L, false), (60L, false), (80L, true))
+    val b = VideoFixtures.aviWithIndex(40000L, 1, 160, 120, frames)
+    // the extended container still parses as a valid AVI header
+    val meta = Multimodal.decodeAviMeta(spark, Seq((1L, b)).toDF("id", "bytes"))
+      .collect()(0)
+    assert(meta.format == "avi" && meta.n_frames == 4L)
+    val idx = Multimodal.decodeAviFrameIndex(spark, Seq((1L, b)).toDF("id", "bytes"))
+      .collect().sortBy(_.frame_no)
+      .map(f => (f.frame_no, f.fourcc, f.keyframe, f.offset, f.size)).toSeq
+    // offsets: 4, then +8+size per prior frame
+    assert(idx == Seq(
+      (0L, "00dc", true, 4L, 100L),
+      (1L, "00dc", false, 112L, 40L),
+      (2L, "00dc", false, 160L, 60L),
+      (3L, "00dc", true, 228L, 80L)), s"got ${idx.toSeq}")
+    // a header-only AVI (no idx1) and garbage contribute zero rows
+    val none = Multimodal.decodeAviFrameIndex(spark, Seq(
+      (2L, VideoFixtures.avi(40000L, 7, 1, 160, 120)),
+      (3L, "junk".getBytes("UTF-8"))).toDF("id", "bytes"))
+    assert(none.count() == 0L)
+  }
 }
