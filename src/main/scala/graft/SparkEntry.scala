@@ -1314,6 +1314,20 @@ object SparkEntry {
       Dedup.sharedSpans(corpus, "doc_id", "text", n = 8, maxDf = 4, minSpan = 15)
         .orderBy(col("id_a"), col("id_b"))
     }),
+    // ---- [EXT] sentence-level BLEU-2 (Papineni 2002) at corpus
+    // scale: each doc scored against a deterministic every-5th-token-
+    // dropped candidate — clipped n-gram precisions over portable
+    // shingle hashes, brevity penalty, the fixed ln/exp chain.
+    "bleu_pairs" -> ((s, dir) => {
+      val toks = filter(split(col("text"), " "), t => length(t) > 0)
+      val pairs = Tables.documents(s, dir).filter(col("doc_id") < 10)
+        .select(col("doc_id"),
+          array_join(filter(toks, (t, i) => (i + lit(1)) % 5 =!= 0), " ")
+            .as("cand"),
+          col("text").as("ref"))
+      graft.text.TextEval.bleu2(pairs, "doc_id", "cand", "ref")
+        .orderBy(col("doc_id"))
+    }),
     // ---- [EXT] trained logistic quality classifier (analysis/Logit,
     // the fastText-classifier pattern in exactly-replayable form):
     // two Newton/IRLS iterations of P(lang='en' | token_count/100),
@@ -5076,6 +5090,69 @@ object SparkEntry {
        |ORDER BY sim DESC, vec_id ASC LIMIT 5""".stripMargin
   }
 
+  /** BLEU-2 replay: per-side token-hash lists, per-n gram folds,
+    * clipped-precision joins, the rounded BP and ln/exp chain. */
+  private lazy val bleuPairsSql: String = {
+    def hashCte(name: String, srcExpr: String) =
+      s"""$name AS (
+         |  SELECT doc_id, list(h ORDER BY pos) AS hs FROM (
+         |    SELECT doc_id, ${polySql("term")} AS h, pos FROM (
+         |      SELECT doc_id, unnest(ts) AS term,
+         |             unnest(range(1, len(ts) + 1)) AS pos
+         |      FROM (SELECT doc_id, $srcExpr AS ts FROM p)))
+         |  GROUP BY doc_id)""".stripMargin
+    def gramCte(name: String, src: String, n: Int) =
+      s"""$name AS (
+         |  SELECT doc_id, gram, count(*) AS c FROM (
+         |    SELECT doc_id,
+         |           list_reduce(list_prepend(7::BIGINT, hs[i:i+${n - 1}]),
+         |                       (a, b) -> (a * 31 + b) % 1000000007) AS gram
+         |    FROM (SELECT doc_id, hs,
+         |                 unnest(range(1, greatest(len(hs) - $n, 0) + 2)) AS i
+         |          FROM $src))
+         |  GROUP BY 1, 2)""".stripMargin
+    def precCte(name: String, cSrc: String, rSrc: String) =
+      s"""$name AS (
+         |  SELECT c.doc_id,
+         |         round(sum(least(c.c, coalesce(r.c, 0)))::DOUBLE / sum(c.c), 6) AS p
+         |  FROM $cSrc c LEFT JOIN $rSrc r USING (doc_id, gram)
+         |  GROUP BY 1)""".stripMargin
+    s"""WITH d AS (
+       |  SELECT doc_id, text,
+       |         list_filter(string_split(text, ' '), t -> t <> '') AS rt
+       |  FROM documents WHERE doc_id < 10),
+       |p AS (
+       |  SELECT doc_id,
+       |         array_to_string(list_transform(
+       |           list_filter(range(1, len(rt) + 1), i -> i % 5 <> 0),
+       |           i -> rt[i]), ' ') AS cand,
+       |         text AS ref
+       |  FROM d),
+       |${hashCte("hc", "list_filter(string_split(lower(cand), ' '), t -> t <> '')")},
+       |${hashCte("hr", "list_filter(string_split(lower(ref), ' '), t -> t <> '')")},
+       |${gramCte("c1g", "hc", 1)},
+       |${gramCte("r1g", "hr", 1)},
+       |${gramCte("c2g", "hc", 2)},
+       |${gramCte("r2g", "hr", 2)},
+       |${precCte("p1", "c1g", "r1g")},
+       |${precCte("p2", "c2g", "r2g")},
+       |lens AS (
+       |  SELECT doc_id,
+       |         len(list_filter(string_split(lower(cand), ' '), t -> t <> ''))::DOUBLE AS cl,
+       |         len(list_filter(string_split(lower(ref), ' '), t -> t <> ''))::DOUBLE AS rl
+       |  FROM p),
+       |bpf AS (
+       |  SELECT doc_id, round(least(1e0, exp(1e0 - rl / cl)), 6) AS bp
+       |  FROM lens)
+       |SELECT l.doc_id, p1.p AS p1, p2.p AS p2, bpf.bp,
+       |       CASE WHEN p1.p > 0 AND p2.p > 0
+       |            THEN round(bpf.bp * exp((ln(p1.p) + ln(p2.p)) / 2e0), 6)
+       |            ELSE 0e0 END AS bleu2
+       |FROM lens l JOIN p1 USING (doc_id) JOIN p2 USING (doc_id)
+       |     JOIN bpf USING (doc_id)
+       |ORDER BY doc_id""".stripMargin
+  }
+
   /** The two-iteration Newton replay (mirror of the `logit_quality`
     * oracle) chained into decile calibration buckets. */
   private lazy val logitCalibrationSql: String =
@@ -7219,6 +7296,7 @@ object SparkEntry {
     // the same two-iteration Newton replay chained into the decile
     // bucket reduce (shared CTE prefix via the lazy builder below)
     "logit_calibration" -> logitCalibrationSql,
+    "bleu_pairs" -> bleuPairsSql,
     // the decorrelated Q17: per-part mean threshold, keyed join,
     // guarded decimal-exact revenue sum
     "q17_avg_yearly" ->
