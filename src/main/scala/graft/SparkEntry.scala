@@ -1377,6 +1377,24 @@ object SparkEntry {
           round(sum(dec(col("l_extendedprice"))).cast("double") / lit(7.0), 2)
             .as("avg_yearly"))
     }),
+    // ---- [EXT] INCREMENTAL exact-substring dedup: the corpus
+    // shingles once into a bucket-partitioned gram store; an arriving
+    // batch finds its shared spans against the corpus by probing only
+    // its own grams' bucket partitions (plan-time pruning) — the
+    // corpus is never re-shingled. Oracle = the batch span chain over
+    // store ∪ delta restricted to pairs involving the delta.
+    "span_store_delta" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val store = scratchDir("gram-store")
+      Dedup.writeGramStore(docs.select(col("doc_id"), col("text")),
+        "doc_id", "text", n = 8, store, buckets = 16)
+      val delta = docs.filter(col("doc_id") < 10)
+        .select((col("doc_id") + 100000L).as("doc_id"),
+          array_join(slice(split(col("text"), " "), 1, 30), " ").as("text"))
+      Dedup.deltaSharedSpans(delta, "doc_id", "text", store,
+          maxDf = 4, minSpan = 15)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
     // ---- [EXT] APPLY exact-substring dedup (Lee 2021): every
     // qualifying shared span cut out of the higher-id copy
     // (min-id-wins), overlapping cuts merged per doc, text rebuilt
@@ -7240,6 +7258,53 @@ object SparkEntry {
          |                  a.pos AS pa, b.pos AS pb
          |  FROM kept a JOIN kept b
          |    ON a.gram = b.gram AND a.doc_id < b.doc_id),
+         |isl AS (
+         |  SELECT id_a, id_b, pa - pb AS d, pa,
+         |         pa - row_number() OVER (PARTITION BY id_a, id_b, pa - pb
+         |                                 ORDER BY pa) AS grp
+         |  FROM prs),
+         |runs AS (SELECT id_a, id_b, d, grp, count(*) + 7 AS span
+         |         FROM isl GROUP BY 1, 2, 3, 4)
+         |SELECT id_a, id_b, max(span)::BIGINT AS max_span
+         |FROM runs GROUP BY 1, 2 HAVING max(span) >= 15
+         |ORDER BY id_a, id_b""".stripMargin,
+    // the same batch chain over store ∪ delta, restricted to pairs
+    // involving the delta (delta ids are the +100000 block, so
+    // id_b >= 100000 iff the pair touches it)
+    "span_store_delta" ->
+      s"""WITH corpus AS (
+         |  SELECT doc_id, text FROM documents
+         |  UNION ALL
+         |  SELECT doc_id + 100000,
+         |         array_to_string(list_slice(string_split(text, ' '), 1, 30), ' ')
+         |  FROM documents WHERE doc_id < 10),
+         |toks AS (SELECT doc_id,
+         |                list_filter(string_split(lower(text), ' '), t -> t <> '') AS toks
+         |         FROM corpus),
+         |th AS (
+         |  SELECT doc_id, list(h ORDER BY pos) AS hs FROM (
+         |    SELECT doc_id, ${polySql("term")} AS h, pos FROM (
+         |      SELECT doc_id, unnest(toks) AS term,
+         |             unnest(range(1, len(toks) + 1)) AS pos
+         |      FROM toks))
+         |  GROUP BY doc_id),
+         |gr AS (
+         |  SELECT doc_id, i AS pos,
+         |         list_reduce(list_prepend(7::BIGINT, hs[i:i+7]),
+         |                     (a, b) -> (a * 31 + b) % 1000000007) AS gram
+         |  FROM (SELECT doc_id, hs,
+         |               unnest(range(1, greatest(len(hs) - 8, 0) + 2)) AS i
+         |        FROM th)),
+         |rare AS (SELECT gram FROM (
+         |    SELECT gram, count(DISTINCT doc_id) AS df FROM gr GROUP BY 1)
+         |  WHERE df <= 4),
+         |kept AS (SELECT gr.* FROM gr JOIN rare USING (gram)),
+         |prs AS (
+         |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+         |                  a.pos AS pa, b.pos AS pb
+         |  FROM kept a JOIN kept b
+         |    ON a.gram = b.gram AND a.doc_id < b.doc_id
+         |  WHERE b.doc_id >= 100000),
          |isl AS (
          |  SELECT id_a, id_b, pa - pb AS d, pa,
          |         pa - row_number() OVER (PARTITION BY id_a, id_b, pa - pb

@@ -394,9 +394,7 @@ object Dedup {
                   n: Int, maxDf: Int, minSpan: Int): DataFrame = {
     require(n >= 1 && minSpan >= n,
       s"minSpan ($minSpan) must cover the seed gram ($n)")
-    val grams = df.select(col(idCol).as("__id"),
-        posexplode(graft.functions.TokenShingleHashes(col(textCol), n)))
-      .select(col("__id"), col("pos"), col("col").as("gram"))
+    val grams = positionalGrams(df, idCol, textCol, n)
     val rare = grams.groupBy(col("gram"))
       .agg(countDistinct(col("__id")).as("__df"))
       .filter(col("__df") <= maxDf)
@@ -407,16 +405,30 @@ object Dedup {
       .select(col("a.__id").as("id_a"), col("b.__id").as("id_b"),
         col("a.pos").as("pa"), col("b.pos").as("pb"))
       .distinct()
-      .withColumn("d", col("pa") - col("pb"))
+    maxSpanPerPair(pairs, n).filter(col("max_span") >= minSpan)
+  }
+
+  /** Positional n-gram rows `(__id, pos, gram)` — one fused pass per
+    * document, 0-based positions. */
+  private def positionalGrams(df: DataFrame, idCol: String,
+                              textCol: String, n: Int): DataFrame =
+    df.select(col(idCol).as("__id"),
+        posexplode(graft.functions.TokenShingleHashes(col(textCol), n)))
+      .select(col("__id"), col("pos"), col("col").as("gram"))
+
+  /** Gaps-and-islands reduction of shared-gram position pairs
+    * `(id_a, id_b, pa, pb)` to the per-pair longest run:
+    * `(id_a, id_b, max_span)` with span = run + n − 1. */
+  private def maxSpanPerPair(pairs: DataFrame, n: Int): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("id_a"), col("id_b"), col("d")).orderBy(col("pa"))
     pairs
+      .withColumn("d", col("pa") - col("pb"))
       .withColumn("__grp", col("pa") - row_number().over(w))
       .groupBy(col("id_a"), col("id_b"), col("d"), col("__grp"))
       .agg((count(lit(1)) + lit(n - 1)).as("span"))
       .groupBy(col("id_a"), col("id_b"))
       .agg(max(col("span")).as("max_span"))
-      .filter(col("max_span") >= minSpan)
   }
 
   /** Every qualifying shared run of [[sharedSpans]] WITH its token
@@ -428,9 +440,7 @@ object Dedup {
                        n: Int, maxDf: Int, minSpan: Int): DataFrame = {
     require(n >= 1 && minSpan >= n,
       s"minSpan ($minSpan) must cover the seed gram ($n)")
-    val grams = df.select(col(idCol).as("__id"),
-        posexplode(graft.functions.TokenShingleHashes(col(textCol), n)))
-      .select(col("__id"), col("pos"), col("col").as("gram"))
+    val grams = positionalGrams(df, idCol, textCol, n)
     val rare = grams.groupBy(col("gram"))
       .agg(countDistinct(col("__id")).as("__df"))
       .filter(col("__df") <= maxDf)
@@ -451,6 +461,136 @@ object Dedup {
         (count(lit(1)) + lit(n - 1)).as("span"))
       .filter(col("span") >= minSpan)
       .select(col("id_a"), col("id_b"), col("pa"), col("pb"), col("span"))
+  }
+
+  /** PERSISTED positional-gram store — the incremental form of
+    * [[sharedSpans]] (the [[writeSignatureStore]] pattern on the
+    * exact-substring path): the corpus shingles ONCE into a
+    * bucket-partitioned gram table, and every arriving batch finds
+    * its shared spans against the corpus by probing only its own
+    * grams' bucket partitions — the corpus is never re-shingled.
+    *
+    * Layout:
+    *   - `grams/`: `(id, pos, gram)` partitioned by
+    *     `__gb = pmod(hash(gram), buckets)` (plan-time pruning for
+    *     delta probes; Murmur3 is physical layout only — build and
+    *     probe derive it with the same expression);
+    *   - `df/`: per-write `(gram, cnt)` distinct-doc counts in the
+    *     same bucket layout (ids are unique across writes, so
+    *     summing the rows IS the store-wide document frequency —
+    *     the probe's boilerplate filter needs it without a
+    *     corpus-wide aggregate);
+    *   - `stats/`: config rows `(n, buckets)`; reads assert they
+    *     agree. */
+  def writeGramStore(df: DataFrame, idCol: String, textCol: String,
+                     n: Int, path: String, buckets: Int = 64): Unit = {
+    require(n >= 1 && buckets >= 1, s"need n >= 1, buckets >= 1")
+    val grams = positionalGrams(df, idCol, textCol, n)
+      .withColumn("__gb", pmod(hash(col("gram")), lit(buckets)))
+    grams.repartition(col("__gb"))
+      .write.partitionBy("__gb").mode("overwrite").parquet(s"$path/grams")
+    grams.groupBy(col("__gb"), col("gram"))
+      .agg(countDistinct(col("__id")).as("cnt"))
+      .repartition(col("__gb"))
+      .write.partitionBy("__gb").mode("overwrite").parquet(s"$path/df")
+    df.sparkSession.range(1)
+      .select(lit(n.toLong).as("n"), lit(buckets.toLong).as("buckets"))
+      .write.mode("overwrite").parquet(s"$path/stats")
+  }
+
+  private def gramStoreConfig(spark: org.apache.spark.sql.SparkSession,
+                              path: String): (Int, Int) = {
+    val stats =
+      try spark.read.parquet(s"$path/stats")
+      catch {
+        case e: org.apache.spark.sql.AnalysisException =>
+          throw new IllegalStateException(
+            s"gram store at $path has no stats/ — not a store built by " +
+              s"writeGramStore", e)
+      }
+    val agg = stats.agg(
+      countDistinct(col("n"), col("buckets")).as("variants"),
+      max(col("n")), max(col("buckets"))).head()
+    require(agg.getLong(0) == 1L,
+      s"gram store at $path has ${agg.getLong(0)} conflicting config rows — " +
+        s"appends must use the builder's (n, buckets)")
+    (agg.getLong(1).toInt, agg.getLong(2).toInt)
+  }
+
+  /** Incrementally add NEW documents' grams to a gram store (config
+    * from stats/ — bucketing cannot drift; ids must be new). */
+  def appendToGramStore(delta: DataFrame, idCol: String, textCol: String,
+                        path: String): Unit = {
+    val (n, buckets) = gramStoreConfig(delta.sparkSession, path)
+    val grams = positionalGrams(delta, idCol, textCol, n)
+      .withColumn("__gb", pmod(hash(col("gram")), lit(buckets)))
+    grams.repartition(col("__gb"))
+      .write.partitionBy("__gb").mode("append").parquet(s"$path/grams")
+    grams.groupBy(col("__gb"), col("gram"))
+      .agg(countDistinct(col("__id")).as("cnt"))
+      .repartition(col("__gb"))
+      .write.partitionBy("__gb").mode("append").parquet(s"$path/df")
+    delta.sparkSession.range(1)
+      .select(lit(n.toLong).as("n"), lit(buckets.toLong).as("buckets"))
+      .write.mode("append").parquet(s"$path/stats")
+  }
+
+  /** Shared spans of a DELTA against a gram store ∪ itself —
+    * [[sharedSpans]] over (store ∪ delta) restricted to pairs
+    * involving a delta doc, WITHOUT re-shingling the store (the
+    * [[deltaDupPairs]] contract on the exact-substring path,
+    * spec-pinned). The document-frequency boilerplate filter counts
+    * store df (summed from the mergeable `df/` rows) PLUS delta df,
+    * exactly as the batch chain would over the union. Returns
+    * `(id_a, id_b, max_span)`, `id_a < id_b`, spans ≥ `minSpan`.
+    *
+    * Scale shape: the store's grams and df scans read only the
+    * delta's gram-bucket partitions (plan-time pruning; the driver
+    * collects ≤ buckets literals); both pair joins shuffle on the
+    * gram key; island windows partition per (pair, diagonal). The
+    * delta's gram rows materialize once (localCheckpoint). */
+  def deltaSharedSpans(delta: DataFrame, idCol: String, textCol: String,
+                       path: String, maxDf: Int, minSpan: Int): DataFrame = {
+    val spark = delta.sparkSession
+    val (n, buckets) = gramStoreConfig(spark, path)
+    require(minSpan >= n, s"minSpan ($minSpan) must cover the seed gram ($n)")
+    val dGrams = positionalGrams(delta, idCol, textCol, n)
+      .withColumn("__gb", pmod(hash(col("gram")), lit(buckets)))
+      .localCheckpoint(true)
+    val dBuckets = dGrams.select(col("__gb")).distinct()
+      .collect().map(_.getInt(0)).toSeq
+    val dGramSet = dGrams.select(col("gram")).distinct()
+    val storeGrams = spark.read.parquet(s"$path/grams")
+      .filter(col("__gb").isin(dBuckets: _*)) // partition pruning
+      .join(dGramSet, Seq("gram"), "left_semi")
+    val storeDf = spark.read.parquet(s"$path/df")
+      .filter(col("__gb").isin(dBuckets: _*))
+      .join(dGramSet, Seq("gram"), "left_semi")
+      .groupBy(col("gram")).agg(sum(col("cnt")).as("sdf"))
+    val deltaDf = dGrams.groupBy(col("gram"))
+      .agg(countDistinct(col("__id")).as("ddf"))
+    // df over store ∪ delta, exactly as the batch chain counts it
+    val rare = deltaDf.join(storeDf, Seq("gram"), "left_outer")
+      .filter(coalesce(col("sdf"), lit(0L)) + col("ddf") <= maxDf)
+      .select(col("gram"))
+    val dKept = dGrams.join(rare, Seq("gram"))
+    val sKept = storeGrams.join(rare, Seq("gram"))
+    val cross = dKept.as("d").join(sKept.as("s"), Seq("gram"))
+      .select(
+        least(col("d.__id"), col("s.__id")).as("id_a"),
+        greatest(col("d.__id"), col("s.__id")).as("id_b"),
+        when(col("d.__id") < col("s.__id"), col("d.pos"))
+          .otherwise(col("s.pos")).as("pa"),
+        when(col("d.__id") < col("s.__id"), col("s.pos"))
+          .otherwise(col("d.pos")).as("pb"))
+      .distinct()
+    val internal = dKept.as("a").join(dKept.as("b"),
+        col("a.gram") === col("b.gram") && col("a.__id") < col("b.__id"))
+      .select(col("a.__id").as("id_a"), col("b.__id").as("id_b"),
+        col("a.pos").as("pa"), col("b.pos").as("pb"))
+      .distinct()
+    maxSpanPerPair(cross.unionByName(internal), n)
+      .filter(col("max_span") >= minSpan)
   }
 
   /** APPLY Lee 2021's exact-substring dedup: rewrite each document

@@ -248,6 +248,38 @@ class DedupSpec extends SparkSpec {
     assert(all.isEmpty, "df-filtered grams cannot seed any pair")
   }
 
+  test("gram store: deltaSharedSpans ≡ batch restricted to the delta; append extends it") {
+    import spark.implicits._
+    val corpus = Seq(
+      (1L, "a w1 w2 w3 w4 w5 w6 b"),
+      (2L, "w3 w4 w5 w6 w7 w8 c d"),
+      (3L, "q r s t u v")).toDF("doc_id", "text")
+    val delta = Seq(
+      (11L, "e w1 w2 w3 w4 w5 w6 w7 w8 f"),
+      (12L, "k l m n o p")).toDF("doc_id", "text")
+    val store = java.nio.file.Files.createTempDirectory("graft-gramstore")
+      .toString + "/store"
+    Dedup.writeGramStore(corpus, "doc_id", "text", n = 3, store, buckets = 8)
+    val got = Dedup.deltaSharedSpans(delta, "doc_id", "text", store,
+        maxDf = 4, minSpan = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq.sorted
+    val want = Dedup.sharedSpans(corpus.unionByName(delta), "doc_id", "text",
+        n = 3, maxDf = 4, minSpan = 4)
+      .filter(col("id_b") >= 11L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq.sorted
+    assert(got == want && got.nonEmpty, s"delta $got vs batch-restricted $want")
+    // append: a later batch finds spans against the FIRST delta too
+    Dedup.appendToGramStore(delta, "doc_id", "text", store)
+    val later = Seq((21L, "z e w1 w2 w3 w4 w5 y")).toDF("doc_id", "text")
+    val got2m = Dedup.deltaSharedSpans(later, "doc_id", "text", store,
+        maxDf = 5, minSpan = 4)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+    assert(got2m.contains((11L, 21L)),
+      s"appended doc 11 must be a span target: $got2m")
+    // doc 21 shares "e w1 w2 w3 w4 w5" (6 tokens) with the appended 11
+    assert(got2m((11L, 21L)) == 6L, s"shared e+w1..w5 run: $got2m")
+  }
+
   test("removeSharedSpans: min-id-wins cuts, overlapping cuts merge") {
     import spark.implicits._
     val docs = Seq(
