@@ -121,6 +121,31 @@ object SparkEntry {
       Search.knnDot(corpus, q, 5, vecCol = "nvec")
         .select(col("vec_id"), col("sim"))
     }),
+    // ---- [EXT] exact all-pairs kNN GRAPH (search/KnnGraph.exact):
+    // every node's top-5 cosine neighbors — the backbone artifact for
+    // SemDeDup-style dedup, graph clustering, and hubness audits.
+    // Block-partitioned brute force: the small-SF baseline the
+    // NN-Descent path is judged against (its O(n²) is the point).
+    "knn_graph_top5" -> ((s, dir) =>
+      graft.search.KnnGraph.exact(Tables.embeddings(s, dir), 5)
+        .orderBy(col("src"), col("rank"))),
+    // ---- [EXT] NN-Descent approximate kNN graph (Dong et al., WWW
+    // 2011 — the 100 TB path: O(n·K²) candidate pairs per round
+    // instead of O(n²)). Fully deterministic: hash-permutation ring
+    // init, reverse-capped 2-hop expansion, fixed 5 rounds — the
+    // oracle replays the EXACT chain as a per-round CTE ladder.
+    "nn_descent_top5" -> ((s, dir) =>
+      graft.search.KnnGraph.nnDescent(Tables.embeddings(s, dir), 5)
+        .orderBy(col("src"), col("rank"))),
+    // ---- [EXT] honest convergence gate: edge recall@5 of the
+    // NN-Descent graph against the exact graph (0.9704 at sf0.01 —
+    // both sides replayed independently by the oracle)
+    "nn_descent_recall" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      graft.search.KnnGraph.recallVs(
+        graft.search.KnnGraph.exact(emb, 5),
+        graft.search.KnnGraph.nnDescent(emb, 5))
+    }),
     // ---- [EXT] int8 scalar quantization of the embedding corpus —
     // exploded to (vec_id, idx, q) so the oracle pins every quantized
     // value exactly (the fused kernel and DuckDB's floor-form agree
@@ -1377,6 +1402,81 @@ object SparkEntry {
           round(sum(dec(col("l_extendedprice"))).cast("double") / lit(7.0), 2)
             .as("avg_yearly"))
     }),
+    // ---- [EXT] TPC-H Q21 shape — "the only late supplier in a
+    // multi-supplier order": the classic correlated EXISTS +
+    // NOT-EXISTS pair, written as its decorrelated plan — one
+    // per-order profile agg (distinct suppliers / distinct LATE
+    // suppliers), one keyed join back, broadcast supplier dim. Two
+    // shuffles total; the EXISTS pair never materializes a fan-out
+    // self-join. (Our lineitem has no commit/receipt dates, so "late"
+    // = shipped >60 days after the order date.)
+    "q21_late_suppliers" -> ((s, dir) => {
+      val late = Tables.lineitem(s, dir)
+        .join(Tables.orders(s, dir).filter(col("o_orderstatus") === "F"),
+          col("o_orderkey") === col("l_orderkey"))
+        .select(col("l_orderkey"), col("l_suppkey"),
+          (col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAYS"))
+            .as("is_late"))
+      val perOrder = late.groupBy("l_orderkey").agg(
+        countDistinct(col("l_suppkey")).as("n_supp"),
+        countDistinct(when(col("is_late"), col("l_suppkey"))).as("n_late"))
+      late.filter(col("is_late"))
+        .join(perOrder.filter(col("n_supp") > 1 && col("n_late") === 1),
+          Seq("l_orderkey"))
+        .join(broadcast(Tables.supplier(s, dir).filter(col("s_nationkey") < 3)),
+          col("s_suppkey") === col("l_suppkey"))
+        .groupBy("s_name")
+        .agg(countDistinct(col("l_orderkey")).as("numwait"))
+        .orderBy(col("numwait").desc, col("s_name").asc)
+        .limit(10)
+    }),
+    // ---- [EXT] TPC-H Q22 shape — scalar-subquery threshold + anti
+    // join ("rich customers with no recent orders, by country code"):
+    // the positive-balance average is ONE broadcast scalar (decimal-
+    // exact sum/count — a double sum's order-dependence would flip
+    // boundary rows), the NOT EXISTS is a left-anti join on custkey,
+    // and the final rollup groups by the derived code. Anti-join side
+    // is pre-filtered to the date window before the shuffle.
+    "q22_idle_customers" -> ((s, dir) => {
+      import org.apache.spark.sql.types.DecimalType
+      def dec(c: org.apache.spark.sql.Column) = c.cast(DecimalType(38, 12))
+      val cust = Tables.customer(s, dir)
+      val avgBal = cust.filter(col("c_acctbal") > 0)
+        .agg((sum(dec(col("c_acctbal"))) / count(lit(1))).cast("double").as("ab"))
+      cust.crossJoin(broadcast(avgBal))
+        .filter(col("c_acctbal") > col("ab"))
+        .join(Tables.orders(s, dir)
+            .filter(col("o_orderdate") >= lit("2000-01-01").cast("timestamp"))
+            .select(col("o_custkey")),
+          col("o_custkey") === col("c_custkey"), "left_anti")
+        .groupBy((col("c_nationkey") % 5).as("cntrycode"))
+        .agg(count(lit(1)).as("numcust"),
+          round(sum(dec(col("c_acctbal"))).cast("double"), 2).as("totacctbal"))
+        .orderBy(col("cntrycode"))
+    }),
+    // ---- [EXT] TPC-H Q16 shape — "how many suppliers can serve this
+    // part profile": DISTINCT pair projection (lineitem stands in for
+    // partsupp), NOT-IN exclusion list as a left-anti join against a
+    // broadcast-small subquery (negative-balance suppliers ≈ the
+    // complaints filter), then count-distinct per part profile. The
+    // exclusion is applied BEFORE the distinct-pair shuffle so the
+    // heavy agg never sees excluded rows.
+    "q16_supplier_count" -> ((s, dir) => {
+      val excluded = Tables.supplier(s, dir)
+        .filter(col("s_acctbal") < 0).select(col("s_suppkey"))
+      Tables.lineitem(s, dir)
+        .join(broadcast(excluded), col("s_suppkey") === col("l_suppkey"),
+          "left_anti")
+        .select(col("l_partkey"), col("l_suppkey")).distinct()
+        .join(Tables.part(s, dir).filter(col("p_brand") =!= "Brand#3"),
+          col("p_partkey") === col("l_partkey"))
+        .groupBy(col("p_brand"), col("p_type"),
+          (col("p_size") % 5).as("size_bucket"))
+        .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+        .orderBy(col("supplier_cnt").desc, col("p_brand"), col("p_type"),
+          col("size_bucket"))
+        .limit(20)
+    }),
     // ---- [EXT] INCREMENTAL exact-substring dedup: the corpus
     // shingles once into a bucket-partitioned gram store; an arriving
     // batch finds its shared spans against the corpus by probing only
@@ -2198,6 +2298,45 @@ object SparkEntry {
           floor(col("value")).cast("long"),
           hour(col("ts")).cast("long")), 10).as("z"))
         .orderBy(col("event_id"))),
+    // ---- [EXT] Hilbert-curve cells (store/Hilbert + the native
+    // codegen walk in functions/HilbertIndex): the locality-tightened
+    // layout curve (liquid-clustering practice) on the SAME grid as
+    // `zorder_cells` — integer-only per-bit state rotation, replayed
+    // exactly by the oracle as a per-bit CTE chain (the rotation makes
+    // each bit's (x,y) depend on the previous bit's BOTH outputs, so
+    // the SQL twin names stages instead of inlining one fragment).
+    "hilbert_cells" -> ((s, dir) =>
+      Tables.events(s, dir).select(col("event_id"),
+        graft.store.Hilbert.hValue(col("user_id"),
+          floor(col("value")).cast("long"), 11).as("h"))
+        .orderBy(col("event_id"))),
+    // ---- [EXT] layout-quality gate: per-FILE bounding-box tightness,
+    // Hilbert vs Z on the same grid. Blocks of 512 consecutive curve
+    // positions stand in for files; a block's (gx, gy) bounding-box
+    // area is exactly what parquet min/max stats store, so smaller
+    // mean area = more row groups skipped by a selective predicate.
+    // The +217 offset makes the cuts UNALIGNED — real file cuts land
+    // at arbitrary curve positions, and that is where the curves
+    // separate: any power-of-4-ALIGNED block is the same square under
+    // both curves, but an unaligned Hilbert run stays a connected
+    // neighborhood while an unaligned Z run straddles a quadrant
+    // diagonal (measured here: ~408 vs ~822 mean area at sf0.01).
+    // Two keyed aggs + a broadcast cross join of two 1-row frames —
+    // no global sort, no window; scales as a pair of group-bys.
+    "hilbert_locality" -> ((s, dir) => {
+      val grid = Tables.events(s, dir).select(col("user_id").as("gx"),
+        floor(col("value")).cast("long").as("gy"))
+      def bbox(curve: org.apache.spark.sql.Column, out: String) =
+        grid.select(shiftright(curve + lit(217L), 9).as("blk"),
+            col("gx"), col("gy"))
+          .groupBy("blk")
+          .agg(((max(col("gx")) - min(col("gx")) + 1) *
+            (max(col("gy")) - min(col("gy")) + 1)).as("area"))
+          .agg(round(sum(col("area")).cast("double") / count(lit(1)), 6).as(out))
+      bbox(graft.store.Hilbert.hValue(col("gx"), col("gy"), 11), "avg_bbox_h")
+        .crossJoin(
+          bbox(graft.store.ZOrder.zValue(col("gx"), col("gy"), 11), "avg_bbox_z"))
+    }),
     // ---- [EXT] resample + gap-fill (analysis/TimeSeries): irregular
     // events -> aligned daily panel with last-observation-carried-
     // forward; keyed shuffles only, calendar bounds are two broadcast
@@ -5289,6 +5428,24 @@ object SparkEntry {
          |  FROM embeddings e,
          |       (SELECT embedding AS qvec FROM embeddings WHERE vec_id = 0) q)
          |ORDER BY sim DESC, vec_id ASC LIMIT 5""".stripMargin,
+    "knn_graph_top5" ->
+      ("WITH " + graft.search.KnnGraph.exactSqlCtes(
+        "embeddings", "vec_id", "embedding", 5) +
+        "\nSELECT src, dst, sim, rank FROM ex ORDER BY src, rank"),
+    "nn_descent_top5" ->
+      ("WITH " + graft.search.KnnGraph.nnDescentSqlCtes(
+        "embeddings", "vec_id", "embedding", 5) +
+        "\nSELECT src, dst, sim, rank FROM nnd ORDER BY src, rank"),
+    "nn_descent_recall" ->
+      ("WITH " + graft.search.KnnGraph.exactSqlCtes(
+        "embeddings", "vec_id", "embedding", 5) + ",\n" +
+        graft.search.KnnGraph.nnDescentSqlCtes(
+          "embeddings", "vec_id", "embedding", 5) +
+        """
+          |SELECT round(sum(CASE WHEN n.src IS NULL THEN 0 ELSE 1 END)::DOUBLE
+          |             / count(*), 6) AS recall
+          |FROM ex e LEFT JOIN nnd n ON e.src = n.src AND e.dst = n.dst"""
+          .stripMargin),
     "binary_hamming_top5" -> {
       def packSql(lo: Int): String = (1 to 32).map(i =>
         s"(CASE WHEN embedding[${lo + i}] > 0 THEN ${1L << (i - 1)} ELSE 0 END)")
@@ -7376,6 +7533,49 @@ object SparkEntry {
         |FROM lineitem JOIN part ON p_partkey = l_partkey
         |     JOIN t USING (l_partkey)
         |WHERE p_brand = 'Brand#1' AND l_quantity < qty_cut""".stripMargin,
+    // oracle keeps the CORRELATED exists/not-exists form — independent
+    // derivation of the same semantics as our decorrelated plan
+    "q21_late_suppliers" ->
+      """WITH late AS (
+        |  SELECT l_orderkey, l_suppkey,
+        |         (l_shipdate > o_orderdate + INTERVAL 60 DAY) AS is_late
+        |  FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+        |  WHERE o_orderstatus = 'F')
+        |SELECT s_name, count(DISTINCT l1.l_orderkey)::BIGINT AS numwait
+        |FROM late l1 JOIN supplier ON s_suppkey = l1.l_suppkey
+        |WHERE l1.is_late AND s_nationkey < 3
+        |  AND EXISTS (SELECT 1 FROM late l2
+        |              WHERE l2.l_orderkey = l1.l_orderkey
+        |                AND l2.l_suppkey <> l1.l_suppkey)
+        |  AND NOT EXISTS (SELECT 1 FROM late l3
+        |                  WHERE l3.l_orderkey = l1.l_orderkey
+        |                    AND l3.l_suppkey <> l1.l_suppkey AND l3.is_late)
+        |GROUP BY 1 ORDER BY numwait DESC, s_name ASC LIMIT 10""".stripMargin,
+    "q22_idle_customers" ->
+      """WITH avgbal AS (
+        |  SELECT CAST(sum(CAST(c_acctbal AS DECIMAL(38,12))) / count(*)
+        |              AS DOUBLE) AS ab
+        |  FROM customer WHERE c_acctbal > 0)
+        |SELECT (c_nationkey % 5)::BIGINT AS cntrycode,
+        |       count(*)::BIGINT AS numcust,
+        |       round(CAST(sum(CAST(c_acctbal AS DECIMAL(38,12))) AS DOUBLE), 2)
+        |         AS totacctbal
+        |FROM customer, avgbal
+        |WHERE c_acctbal > ab
+        |  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+        |                  AND o_orderdate >= TIMESTAMP '2000-01-01')
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q16_supplier_count" ->
+      """SELECT p_brand, p_type, (p_size % 5)::BIGINT AS size_bucket,
+        |       count(DISTINCT l_suppkey)::BIGINT AS supplier_cnt
+        |FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) ps
+        |JOIN part ON p_partkey = l_partkey
+        |WHERE p_brand <> 'Brand#3'
+        |  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier
+        |                        WHERE s_acctbal < 0)
+        |GROUP BY 1, 2, 3
+        |ORDER BY supplier_cnt DESC, p_brand, p_type, size_bucket
+        |LIMIT 20""".stripMargin,
     // the span chain extended through the APPLY: per-run ranges,
     // running-max interval merge, range anti-join, ordered rebuild
     "span_removed_docs" ->
@@ -8926,6 +9126,28 @@ object SparkEntry {
                 "datepart('hour', ts)::BIGINT"), 10)}
          |  )::BIGINT AS z
          |FROM events ORDER BY event_id""".stripMargin,
+    "hilbert_cells" ->
+      (graft.store.Hilbert.hSqlCte(Seq("event_id"), "user_id",
+        "floor(value)::BIGINT", 11, "events") + " ORDER BY event_id"),
+    "hilbert_locality" -> {
+      val hq = graft.store.Hilbert.hSqlCte(Seq("gx", "gy"), "gx", "gy", 11,
+        "(SELECT user_id AS gx, floor(value)::BIGINT AS gy FROM events)")
+      s"""WITH hb AS (
+         |  SELECT (h + 217) >> 9 AS blk,
+         |         (max(gx) - min(gx) + 1) * (max(gy) - min(gy) + 1) AS area
+         |  FROM ($hq) q GROUP BY 1),
+         |zb AS (
+         |  SELECT (z + 217) >> 9 AS blk,
+         |         (max(gx) - min(gx) + 1) * (max(gy) - min(gy) + 1) AS area
+         |  FROM (SELECT user_id AS gx, floor(value)::BIGINT AS gy,
+         |               (${graft.store.ZOrder.zSql("user_id",
+                            "floor(value)::BIGINT", 11)})::BIGINT AS z
+         |        FROM events) q GROUP BY 1)
+         |SELECT (SELECT round(sum(area)::DOUBLE / count(*), 6) FROM hb)
+         |         AS avg_bbox_h,
+         |       (SELECT round(sum(area)::DOUBLE / count(*), 6) FROM zb)
+         |         AS avg_bbox_z""".stripMargin
+    },
     "events_gapfill" ->
       """WITH pd AS (
         |  SELECT user_id, date_trunc('day', ts) AS d, value,

@@ -1,0 +1,269 @@
+package graft.search
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.vector.VectorOps
+
+/** All-pairs kNN GRAPH construction — the backbone artifact for
+  * embedding-space corpus work: SemDeDup-style cluster dedup, graph
+  * clustering, hubness audits, and kNN-classifier eval all start from
+  * "every node's top-k neighbors", not from a handful of queries.
+  *
+  * Two paths, one contract:
+  *  - [[exact]]: block-partitioned brute force — O(n²/blocks) per
+  *    block. The small-scale baseline and the recall oracle.
+  *  - [[nnDescent]]: NN-Descent (Dong, Charikar, Li, WWW 2011) — the
+  *    100 TB path. Cost per iteration is O(n·(K+R)²) candidate pairs
+  *    instead of O(n²): each round joins the graph's undirected
+  *    2-hop neighborhood ("my neighbor's neighbor is probably my
+  *    neighbor") and keeps each node's best K. Everything is a keyed
+  *    equi-join or a per-node window — no global sort, no driver
+  *    state beyond one count.
+  *
+  * Determinism contract (the oracle replays every step in SQL):
+  * pseudo-randomness comes from the engine's portable polynomial hash
+  * ([[graft.functions.KmvSketch.hash]]), the init ring is a dense
+  * ordinal over (hash, id), reverse-edge sampling keeps the R lowest
+  * (hash, id) sources, and every top-K breaks ties (sim DESC round-6,
+  * id ASC). Same inputs → bit-identical graph in any engine.
+  */
+object KnnGraph {
+
+  private val P = 1000000007L
+
+  /** The engine's portable polynomial hash as a Column — the Column
+    * twin of `KmvSketch.hash`/`hashSql` (kept in that family so the
+    * three can't drift). */
+  def portableHash(c: Column): Column =
+    (((c % P) + P) % P * lit(2654435761L) + lit(7919L)) % P
+
+  /** Exact kNN graph: every node's top-k cosine neighbors (self
+    * excluded). Block-partitioned brute force — corpus hashed into
+    * `blocks` on one side, replicated per block on the other, local
+    * then global top-k (the `Search.similarityJoinBlocked` shape with
+    * the self-edge dropped before ranking). The n² cost is the point:
+    * this is the small-SF baseline the approximate path is judged
+    * against, not the production path. */
+  def exact(corpus: DataFrame, k: Int, blocks: Int = 8,
+            idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val nodes = corpus.select(col(idCol).as("dst"), col(vecCol).as("__dvec"))
+      .withColumn("__block", pmod(hash(col("dst")), lit(blocks)))
+    val rep = corpus.select(col(idCol).as("src"), col(vecCol).as("__svec"))
+      .withColumn("__block", explode(sequence(lit(0), lit(blocks - 1))))
+    val scored = nodes.join(rep, Seq("__block"))
+      .filter(col("src") =!= col("dst"))
+      .withColumn("sim", VectorOps.cosine6(col("__svec"), col("__dvec")))
+    val wLocal = Window.partitionBy(col("src"), col("__block"))
+      .orderBy(col("sim").desc, col("dst").asc)
+    val wGlobal = Window.partitionBy(col("src"))
+      .orderBy(col("sim").desc, col("dst").asc)
+    scored
+      .withColumn("__lr", row_number().over(wLocal)).filter(col("__lr") <= k)
+      .withColumn("rank", row_number().over(wGlobal)).filter(col("rank") <= k)
+      .select(col("src"), col("dst"), col("sim"), col("rank"))
+  }
+
+  /** Dense 0-based ordinal over (portableHash(id), id) — the
+    * pseudo-random permutation the init ring walks. Two-phase prefix
+    * sum (partition-local row_number + broadcast partition offsets,
+    * the `Chunker.withOrdinalIds` pattern), NOT a global window. */
+  private def ordinals(ids: DataFrame): DataFrame = {
+    val spark = ids.sparkSession
+    val p = spark.conf.get("spark.sql.shuffle.partitions", "200").toInt
+    val keyed = ids.withColumn("__h", portableHash(col("id")))
+    val local = keyed.repartitionByRange(p, col("__h"), col("id"))
+      .withColumn("__pid", spark_partition_id())
+    val wLocal = Window.partitionBy(col("__pid"))
+      .orderBy(col("__h"), col("id"))
+    val withLocal = local.withColumn("__lr", row_number().over(wLocal))
+      .persist()
+    val counts = withLocal.groupBy(col("__pid")).agg(count(lit(1)).as("__pn"))
+    val offsets = counts.as("a")
+      .join(broadcast(counts.as("b")), col("b.__pid") < col("a.__pid"), "left")
+      .groupBy(col("a.__pid").as("__pid"))
+      .agg(coalesce(sum(col("b.__pn")), lit(0L)).as("__poff"))
+    withLocal.join(broadcast(offsets), Seq("__pid"))
+      .select(col("id"), (col("__poff") + col("__lr") - 1).as("ord"))
+  }
+
+  /** NN-Descent approximate kNN graph. `workK` is the working degree
+    * (the paper's K — bigger K = bigger candidate pools = faster
+    * convergence; 20 reaches recall@5 ≈ 0.97 in 5 rounds on our
+    * data), `revCap` the per-node reverse-edge sample (the paper's
+    * ρ·K — bounds hub fan-in so one popular node can't make a
+    * quadratic candidate pool; sources kept are the R lowest by
+    * (hash, id), deterministically), `iters` the fixed round count
+    * (fixed, not convergence-tested, so the oracle can replay the
+    * exact chain). Emits each node's top `k` of its final working
+    * list as (src, dst, sim, rank).
+    *
+    * Per round: one window per dst (reverse cap), two keyed
+    * self-joins (2-hop candidates), a distinct, two vector-table
+    * joins to score, one per-src top-K window — all shuffles on node
+    * ids. `localCheckpoint` truncates the per-round lineage (the
+    * Dedup components convention) so `iters` rounds don't stack a
+    * deep unresolved plan. */
+  def nnDescent(corpus: DataFrame, k: Int, workK: Int = 20, revCap: Int = 30,
+                iters: Int = 5,
+                idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val vecs = corpus.select(col(idCol).as("id"), col(vecCol).as("__vec"))
+    val ords = ordinals(vecs.select(col("id")))
+    val n = ords.count() // bounded driver state: one long
+    // init ring: ordinal r -> ordinals (r+1 .. r+workK) mod n of the
+    // hash permutation — workK distinct pseudo-random neighbors
+    var edges = ords
+      .withColumn("__j", explode(sequence(lit(1), lit(workK))))
+      .withColumn("__dord", (col("ord") + col("__j")) % lit(n))
+      .join(ords.select(col("id").as("dst"), col("ord").as("__dord")),
+        Seq("__dord"))
+      .select(col("id").as("src"), col("dst"))
+      .localCheckpoint()
+    (1 to iters).foreach { _ =>
+      // undirected view: forward edges + reverse edges capped at
+      // revCap per target (keep the revCap lowest (hash(src), src) —
+      // deterministic hub-fan-in bound)
+      val wRev = Window.partitionBy(col("dst"))
+        .orderBy(portableHash(col("src")), col("src"))
+      val rev = edges
+        .withColumn("__rr", row_number().over(wRev))
+        .filter(col("__rr") <= revCap)
+        .select(col("dst").as("src"), col("src").as("dst"))
+      val und = edges.select(col("src"), col("dst")).union(rev).distinct()
+      // 2-hop candidates through the undirected view, plus the
+      // current edges (monotone: a kept neighbor can only be
+      // displaced by a better one)
+      val cands = und.as("a")
+        .join(und.as("b"), col("a.dst") === col("b.src"))
+        .select(col("a.src").as("src"), col("b.dst").as("dst"))
+        .filter(col("src") =!= col("dst"))
+        .union(edges.select(col("src"), col("dst")))
+        .distinct()
+      val scored = cands
+        .join(vecs.select(col("id").as("src"), col("__vec").as("__svec")),
+          Seq("src"))
+        .join(vecs.select(col("id").as("dst"), col("__vec").as("__dvec")),
+          Seq("dst"))
+        .withColumn("sim", VectorOps.cosine6(col("__svec"), col("__dvec")))
+      val w = Window.partitionBy(col("src"))
+        .orderBy(col("sim").desc, col("dst").asc)
+      edges = scored
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= workK)
+        .select(col("src"), col("dst"))
+        .localCheckpoint()
+    }
+    // final top-k of the working list, re-scored (edges carry ids only)
+    val w = Window.partitionBy(col("src"))
+      .orderBy(col("sim").desc, col("dst").asc)
+    edges
+      .join(vecs.select(col("id").as("src"), col("__vec").as("__svec")), Seq("src"))
+      .join(vecs.select(col("id").as("dst"), col("__vec").as("__dvec")), Seq("dst"))
+      .withColumn("sim", VectorOps.cosine6(col("__svec"), col("__dvec")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("src"), col("dst"), col("sim"), col("rank"))
+  }
+
+  /** Edge recall of `approx` against the `truth` graph (same (src,
+    * dst) schema): |approx ∩ truth| / |truth| as one round-6 row.
+    * One keyed left join + one global agg. */
+  def recallVs(truth: DataFrame, approx: DataFrame): DataFrame =
+    truth.select(col("src"), col("dst"))
+      .join(approx.select(col("src"), col("dst")).withColumn("__hit", lit(1)),
+        Seq("src", "dst"), "left")
+      .agg(round(sum(coalesce(col("__hit"), lit(0))).cast("double") /
+        count(lit(1)), 6).as("recall"))
+
+  // ---------------------------------------------------------------
+  // DuckDB replay (kept beside the Scala so the two can't drift —
+  // the ZOrder.zSql / Hilbert.hSqlCte convention)
+
+  import graft.functions.KmvSketch
+
+  private def cosSql(a: String, b: String): String =
+    s"round(list_dot_product($a::DOUBLE[], $b::DOUBLE[]) / " +
+      s"(sqrt(list_dot_product($a::DOUBLE[], $a::DOUBLE[])) * " +
+      s"sqrt(list_dot_product($b::DOUBLE[], $b::DOUBLE[]))), 6)"
+
+  /** CTE body replaying [[exact]]: final relation `ex` with columns
+    * (src, dst, sim, rank ≤ k). */
+  def exactSqlCtes(table: String, idCol: String, vecCol: String,
+                   k: Int): String =
+    s"""exs AS (
+       |  SELECT a.$idCol AS src, b.$idCol AS dst,
+       |         ${cosSql(s"a.$vecCol", s"b.$vecCol")} AS sim
+       |  FROM $table a JOIN $table b ON a.$idCol <> b.$idCol),
+       |ex AS (
+       |  SELECT src, dst, sim, rank FROM (
+       |    SELECT src, dst, sim,
+       |           row_number() OVER (PARTITION BY src
+       |                              ORDER BY sim DESC, dst ASC) AS rank
+       |    FROM exs) WHERE rank <= $k)""".stripMargin
+
+  /** CTE body replaying [[nnDescent]] step for step: hash-permutation
+    * ring init, `iters` rounds of reverse-capped 2-hop expansion +
+    * per-node top-workK, final re-scored top-k. Final relation `nnd`
+    * with columns (src, dst, sim, rank ≤ k). Linear in `iters` the
+    * same way the Hilbert CTE chain is linear in bits: each round's
+    * graph is a named stage — and the multiply-referenced stages are
+    * MATERIALIZED, because DuckDB inlines plain CTEs per reference
+    * and each round references its predecessor three times (direct +
+    * reverse + candidate-union): inlined, the tree is 3^iters copies
+    * of round 0 and the planner OOMs before it scans a row. */
+  def nnDescentSqlCtes(table: String, idCol: String, vecCol: String,
+                       k: Int, workK: Int = 20, revCap: Int = 30,
+                       iters: Int = 5): String = {
+    val init =
+      s"""nno AS MATERIALIZED (
+         |  SELECT $idCol AS id, $vecCol AS vec,
+         |         row_number() OVER (ORDER BY ${KmvSketch.hashSql(idCol)},
+         |                            $idCol) - 1 AS ord
+         |  FROM $table),
+         |nnc AS (SELECT count(*) AS n FROM nno),
+         |nng0 AS MATERIALIZED (
+         |  SELECT a.id AS src, b.id AS dst
+         |  FROM nno a, nnc c,
+         |       (SELECT unnest(generate_series(1, $workK)) AS j) js, nno b
+         |  WHERE b.ord = (a.ord + js.j) % c.n)""".stripMargin
+    val rounds = (1 to iters).map { i =>
+      val g = s"nng${i - 1}"
+      s"""nnr$i AS (
+         |  SELECT dst AS src, src AS dst FROM (
+         |    SELECT src, dst,
+         |           row_number() OVER (PARTITION BY dst
+         |                              ORDER BY ${KmvSketch.hashSql("src")},
+         |                              src) AS rr
+         |    FROM $g) WHERE rr <= $revCap),
+         |nnu$i AS MATERIALIZED (
+         |  SELECT src, dst FROM $g UNION SELECT src, dst FROM nnr$i),
+         |nnx$i AS (
+         |  SELECT a.src, b.dst FROM nnu$i a JOIN nnu$i b ON a.dst = b.src
+         |  WHERE a.src <> b.dst
+         |  UNION SELECT src, dst FROM $g),
+         |nns$i AS (
+         |  SELECT c.src, c.dst, ${cosSql("e1.vec", "e2.vec")} AS sim
+         |  FROM nnx$i c JOIN nno e1 ON e1.id = c.src
+         |       JOIN nno e2 ON e2.id = c.dst),
+         |nng$i AS MATERIALIZED (
+         |  SELECT src, dst FROM (
+         |    SELECT src, dst,
+         |           row_number() OVER (PARTITION BY src
+         |                              ORDER BY sim DESC, dst ASC) AS rk
+         |    FROM nns$i) WHERE rk <= $workK)""".stripMargin
+    }
+    val fin =
+      s"""nnf AS (
+         |  SELECT g.src, g.dst, ${cosSql("e1.vec", "e2.vec")} AS sim
+         |  FROM nng$iters g JOIN nno e1 ON e1.id = g.src
+         |       JOIN nno e2 ON e2.id = g.dst),
+         |nnd AS (
+         |  SELECT src, dst, sim, rank FROM (
+         |    SELECT src, dst, sim,
+         |           row_number() OVER (PARTITION BY src
+         |                              ORDER BY sim DESC, dst ASC) AS rank
+         |    FROM nnf) WHERE rank <= $k)""".stripMargin
+    ((init +: rounds) :+ fin).mkString(",\n")
+  }
+}

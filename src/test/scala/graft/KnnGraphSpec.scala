@@ -1,0 +1,97 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.search.KnnGraph
+import graft.vector.VectorOps
+
+/** kNN graph construction: the exact graph against a driver-side
+  * brute force (and block-count invariance — the blocked two-phase
+  * top-k must not depend on how the corpus is split), the
+  * deterministic NN-Descent machinery (ring init shape, full
+  * convergence on clustered data, run-to-run determinism), and the
+  * recall gate arithmetic. */
+class KnnGraphSpec extends SparkSpec {
+  import spark.implicits._
+
+  // 40 points in 4 tight clusters on the unit circle — enough metric
+  // structure that NN-Descent must fully converge in 3 rounds
+  private def clustered = {
+    val pts = for {
+      c <- 0 until 4
+      i <- 0 until 10
+    } yield {
+      val angle = c * math.Pi / 2 + i * 0.01
+      ((c * 10 + i).toLong, Seq(math.cos(angle), math.sin(angle)))
+    }
+    pts.toDF("vec_id", "embedding")
+      .select(col("vec_id"),
+        col("embedding").cast("array<double>").as("embedding"))
+  }
+
+  private def bruteTop(k: Int): Map[Long, Seq[Long]] = {
+    val rows = clustered.collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1)))
+    rows.map { case (i, vi) =>
+      i -> rows.filter(_._1 != i)
+        .map { case (j, vj) =>
+          (j, VectorOps.round6(VectorOps.cosineLocal(vi, vj)))
+        }
+        .sortBy { case (j, s) => (-s, j) }.take(k).map(_._1).toSeq
+    }.toMap
+  }
+
+  test("exact graph matches driver brute force; self excluded; block-count invariant") {
+    val expected = bruteTop(3)
+    Seq(1, 7).foreach { blocks =>
+      val got = KnnGraph.exact(clustered, 3, blocks = blocks).collect()
+        .groupBy(_.getLong(0))
+        .map { case (src, rs) =>
+          src -> rs.sortBy(_.getInt(3)).map(_.getLong(1)).toSeq
+        }
+      assert(got == expected, s"blocks=$blocks")
+      got.foreach { case (src, dsts) =>
+        assert(!dsts.contains(src), "self edge leaked")
+      }
+    }
+  }
+
+  test("NN-Descent fully converges to the exact graph on clustered data") {
+    val exact = KnnGraph.exact(clustered, 2)
+      .select(col("src"), col("dst")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // workK must be ~cluster size: at workK=4 the deterministic walk
+    // can stall in a within-cluster local optimum (observed); at
+    // workK=8 each working list spans its whole 10-point cluster
+    // after one expansion and the top-2 is exact.
+    val approx = KnnGraph.nnDescent(clustered, 2, workK = 8, revCap = 12,
+        iters = 4)
+      .select(col("src"), col("dst")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(approx == exact, s"missing ${exact -- approx}, extra ${approx -- exact}")
+    val recall = KnnGraph.recallVs(
+      KnnGraph.exact(clustered, 2),
+      KnnGraph.nnDescent(clustered, 2, workK = 8, revCap = 12, iters = 4))
+      .head().getDouble(0)
+    assert(recall == 1.0)
+  }
+
+  test("ring init: run-to-run deterministic, workK edges per node, no self") {
+    def run() = KnnGraph.nnDescent(clustered, 2, workK = 4, revCap = 6,
+        iters = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+        r.getInt(3))).sortBy(r => (r._1, r._4)).toSeq
+    val a = run(); val b = run()
+    assert(a == b, "NN-Descent must be bit-deterministic across runs")
+    val perNode = a.groupBy(_._1)
+    assert(perNode.size == 40 && perNode.values.forall(_.size == 2))
+    a.foreach { case (s, d, _, _) => assert(s != d) }
+  }
+
+  test("recallVs arithmetic on a hand fixture") {
+    val truth = Seq((1L, 2L), (1L, 3L), (2L, 1L), (2L, 4L)).toDF("src", "dst")
+    val approx = Seq((1L, 2L), (2L, 4L), (9L, 9L)).toDF("src", "dst")
+    val r = KnnGraph.recallVs(truth, approx).head().getDouble(0)
+    assert(r == 0.5)
+  }
+}
