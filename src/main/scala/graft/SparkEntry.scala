@@ -146,6 +146,55 @@ object SparkEntry {
         graft.search.KnnGraph.exact(emb, 5),
         graft.search.KnnGraph.nnDescent(emb, 5))
     }),
+    // ---- [EXT] mutual-kNN clustering: symmetrize the top-5 graph to
+    // its mutual edges (u lists v AND v lists u), then connected
+    // components — mutual-kNN graphs disconnect between clusters long
+    // before one-way graphs do, so the components ARE the corpus's
+    // cluster structure (the SemDeDup-adjacent grouping that needs no
+    // k-means). Per-node label + cluster size; singletons labeled by
+    // their own id.
+    "mutual_knn_clusters" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val mut = graft.search.KnnGraph.mutualEdges(
+          graft.search.KnnGraph.exact(emb, 5))
+        .filter(col("src") < col("dst"))
+      val labels = Dedup.components(mut, "src", "dst")
+      val lab = emb.select(col("vec_id"))
+        .join(labels.select(col("id").as("vec_id"), col("comp")),
+          Seq("vec_id"), "left")
+        .select(col("vec_id"), coalesce(col("comp"), col("vec_id")).as("comp"))
+      lab.join(lab.groupBy(col("comp")).agg(count(lit(1)).as("csize")),
+          Seq("comp"))
+        .select(col("vec_id"), col("comp"), col("csize"))
+        .orderBy(col("vec_id"))
+    }),
+    // ---- [EXT] greedy beam search over the kNN graph — the
+    // DiskANN/HNSW-layer-0 probe: deterministic entry node, 4
+    // frontier-expand-and-cut hops at beam 8, answer = top-5 of the
+    // final beam. Scores only visited nodes (O(hops·beam·degree)
+    // cosines, not O(n)); the oracle replays the walk hop for hop.
+    "graph_search_top5" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      graft.search.KnnGraph.beamSearch(
+          graft.search.KnnGraph.exact(emb, 5), emb, queryVec(s, dir), 5)
+        .select(col("id").as("vec_id"), col("sim"))
+        .orderBy(col("sim").desc, col("vec_id"))
+    }),
+    // ---- [EXT] EXACT incremental kNN-graph maintenance: an arriving
+    // batch updates the persisted graph with O((n+d)·d) cosines — an
+    // existing node's top-k can only be displaced by delta nodes, so
+    // old edges ∪ old×delta ∪ delta×all re-ranked per node IS the
+    // exact rebuilt graph (oracle = brute-force rebuild over the
+    // union; the standard +100000/reversed-vector delta fixture).
+    "knn_graph_delta" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val delta = emb.filter(col("vec_id") < 10)
+        .select((col("vec_id") + 100000).as("vec_id"),
+          reverse(col("embedding")).as("embedding"))
+      graft.search.KnnGraph.appendToGraph(
+          graft.search.KnnGraph.exact(emb, 5), emb, delta, 5)
+        .orderBy(col("src"), col("rank"))
+    }),
     // ---- [EXT] int8 scalar quantization of the embedding corpus —
     // exploded to (vec_id, idx, q) so the oracle pins every quantized
     // value exactly (the fused kernel and DuckDB's floor-form agree
@@ -5446,6 +5495,41 @@ object SparkEntry {
           |             / count(*), 6) AS recall
           |FROM ex e LEFT JOIN nnd n ON e.src = n.src AND e.dst = n.dst"""
           .stripMargin),
+    "mutual_knn_clusters" ->
+      ("WITH RECURSIVE " + graft.search.KnnGraph.exactSqlCtes(
+        "embeddings", "vec_id", "embedding", 5) +
+        """,
+          |mut AS (
+          |  SELECT a.src, a.dst FROM ex a JOIN ex b
+          |    ON a.src = b.dst AND a.dst = b.src
+          |  WHERE a.src < a.dst),
+          |medges AS (SELECT src, dst FROM mut UNION SELECT dst, src FROM mut),
+          |reach AS (
+          |  SELECT src AS id, src AS comp FROM medges
+          |  UNION
+          |  SELECT e.src AS id, r.comp FROM medges e JOIN reach r ON r.id = e.dst),
+          |cmp AS (SELECT id, min(comp) AS comp FROM reach GROUP BY id),
+          |lab AS (
+          |  SELECT e.vec_id, coalesce(c.comp, e.vec_id) AS comp
+          |  FROM embeddings e LEFT JOIN cmp c ON c.id = e.vec_id),
+          |sz AS (SELECT comp, count(*) AS csize FROM lab GROUP BY 1)
+          |SELECT lab.vec_id, lab.comp, sz.csize::BIGINT AS csize
+          |FROM lab JOIN sz USING (comp) ORDER BY vec_id""".stripMargin),
+    "graph_search_top5" ->
+      ("WITH " + graft.search.KnnGraph.exactSqlCtes(
+        "embeddings", "vec_id", "embedding", 5) + ",\n" +
+        graft.search.KnnGraph.beamSearchSqlCtes("embeddings", "vec_id",
+          "embedding",
+          "SELECT embedding AS qvec FROM embeddings WHERE vec_id = 0", 5) +
+        "\nSELECT id AS vec_id, sim FROM bsf ORDER BY sim DESC, vec_id"),
+    "knn_graph_delta" ->
+      ("WITH un AS MATERIALIZED (\n" +
+        "  SELECT vec_id, embedding FROM embeddings\n" +
+        "  UNION ALL\n" +
+        "  SELECT vec_id + 100000 AS vec_id, list_reverse(embedding) AS embedding\n" +
+        "  FROM embeddings WHERE vec_id < 10),\n" +
+        graft.search.KnnGraph.exactSqlCtes("un", "vec_id", "embedding", 5) +
+        "\nSELECT src, dst, sim, rank FROM ex ORDER BY src, rank"),
     "binary_hamming_top5" -> {
       def packSql(lo: Int): String = (1 to 32).map(i =>
         s"(CASE WHEN embedding[${lo + i}] > 0 THEN ${1L << (i - 1)} ELSE 0 END)")

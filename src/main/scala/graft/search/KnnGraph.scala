@@ -166,6 +166,82 @@ object KnnGraph {
       .select(col("src"), col("dst"), col("sim"), col("rank"))
   }
 
+  /** Mutual edges of a directed kNN graph: (u, v) kept iff u lists v
+    * AND v lists u — the standard symmetrization that turns a kNN
+    * graph into cluster structure (mutual-kNN graphs disconnect
+    * between clusters long before one-way graphs do). One keyed
+    * self-semi-join. */
+  def mutualEdges(graph: DataFrame): DataFrame =
+    graph.select(col("src"), col("dst"))
+      .join(graph.select(col("dst").as("src"), col("src").as("dst")),
+        Seq("src", "dst"), "left_semi")
+
+  /** Greedy BEAM SEARCH over a kNN graph — the DiskANN/HNSW-layer-0
+    * probe pattern: start from the deterministic entry node (lowest
+    * (portableHash, id)), repeatedly expand the beam's out-neighbors,
+    * keep the `beam` best by similarity to the query, answer top-k of
+    * the final beam. Each hop scores ONLY the frontier (≤ beam·degree
+    * rows — the point of graph search: O(hops·beam·degree) cosines,
+    * not O(n)); the beam itself is a ≤ beam-row frame, so the hop
+    * joins broadcast it against the (bucketable) edge table. Fixed
+    * `hops`, total tie order — the oracle replays the walk hop for
+    * hop. */
+  def beamSearch(graph: DataFrame, corpus: DataFrame, query: DataFrame,
+                 k: Int, beam: Int = 8, hops: Int = 4,
+                 idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val vecs = corpus.select(col(idCol).as("id"), col(vecCol).as("__vec"))
+    def score(ids: DataFrame): DataFrame =
+      ids.join(vecs, Seq("id")).crossJoin(broadcast(query))
+        .select(col("id"), VectorOps.cosine6(col("__vec"), col("qvec")).as("sim"))
+    val entry = vecs.select(col("id"))
+      .orderBy(portableHash(col("id")), col("id")).limit(1)
+    var beamDf = score(entry).localCheckpoint()
+    (1 to hops).foreach { _ =>
+      val frontier = beamDf.select(col("id").as("src"))
+        .join(graph.select(col("src"), col("dst")), Seq("src"))
+        .select(col("dst").as("id"))
+      val cands = beamDf.select(col("id")).union(frontier).distinct()
+      beamDf = score(cands)
+        .orderBy(col("sim").desc, col("id").asc).limit(beam)
+        .localCheckpoint()
+    }
+    beamDf.orderBy(col("sim").desc, col("id").asc).limit(k)
+  }
+
+  /** EXACT incremental maintenance of the kNN graph under append —
+    * the reason to persist the graph at all. For an existing node u,
+    * the only candidates that can enter its top-k are the arriving
+    * delta nodes (its old top-k already beat every other old node),
+    * so the union of (old edges, old×delta scores, delta×everything
+    * scores) re-ranked per node IS the exact graph over
+    * corpus ∪ delta — O((n+d)·d) cosines instead of the O((n+d)²)
+    * rebuild. Delta is broadcast (the arriving-batch-vs-corpus shape
+    * shared with `Dedup.deltaDupPairs`); a corpus-sized "delta"
+    * belongs in [[exact]] or [[nnDescent]] instead. */
+  def appendToGraph(graph: DataFrame, corpus: DataFrame, delta: DataFrame,
+                    k: Int,
+                    idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val oldNodes = corpus.select(col(idCol).as("src"), col(vecCol).as("__svec"))
+    val deltaDst = delta.select(col(idCol).as("dst"), col(vecCol).as("__dvec"))
+    val oldToDelta = oldNodes.crossJoin(broadcast(deltaDst))
+      .withColumn("sim", VectorOps.cosine6(col("__svec"), col("__dvec")))
+      .select(col("src"), col("dst"), col("sim"))
+    val allDst = corpus.select(col(idCol).as("dst"), col(vecCol).as("__dvec"))
+      .union(deltaDst)
+    val deltaToAll = allDst
+      .crossJoin(broadcast(delta.select(col(idCol).as("src"),
+        col(vecCol).as("__svec"))))
+      .filter(col("src") =!= col("dst"))
+      .withColumn("sim", VectorOps.cosine6(col("__svec"), col("__dvec")))
+      .select(col("src"), col("dst"), col("sim"))
+    val w = Window.partitionBy(col("src"))
+      .orderBy(col("sim").desc, col("dst").asc)
+    graph.select(col("src"), col("dst"), col("sim"))
+      .union(oldToDelta).union(deltaToAll)
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+
   /** Edge recall of `approx` against the `truth` graph (same (src,
     * dst) schema): |approx ∩ truth| / |truth| as one round-6 row.
     * One keyed left join + one global agg. */
@@ -188,19 +264,52 @@ object KnnGraph {
       s"sqrt(list_dot_product($b::DOUBLE[], $b::DOUBLE[]))), 6)"
 
   /** CTE body replaying [[exact]]: final relation `ex` with columns
-    * (src, dst, sim, rank ≤ k). */
+    * (src, dst, sim, rank ≤ k). MATERIALIZED — downstream consumers
+    * (mutual join, beam-search hops) reference it several times and
+    * each inlined copy would re-run the n² scoring. */
   def exactSqlCtes(table: String, idCol: String, vecCol: String,
                    k: Int): String =
     s"""exs AS (
        |  SELECT a.$idCol AS src, b.$idCol AS dst,
        |         ${cosSql(s"a.$vecCol", s"b.$vecCol")} AS sim
        |  FROM $table a JOIN $table b ON a.$idCol <> b.$idCol),
-       |ex AS (
+       |ex AS MATERIALIZED (
        |  SELECT src, dst, sim, rank FROM (
        |    SELECT src, dst, sim,
        |           row_number() OVER (PARTITION BY src
        |                              ORDER BY sim DESC, dst ASC) AS rank
        |    FROM exs) WHERE rank <= $k)""".stripMargin
+
+  /** CTE body replaying [[beamSearch]] over the `ex` graph relation
+    * (compose after [[exactSqlCtes]]): deterministic entry, `hops`
+    * frontier-expand-and-cut rounds, final relation `bsf` with
+    * columns (id, sim) = the answer top-k. `qRel` is a one-row
+    * relation exposing `qvec`. */
+  def beamSearchSqlCtes(table: String, idCol: String, vecCol: String,
+                        qRel: String, k: Int, beam: Int = 8,
+                        hops: Int = 4): String = {
+    val init =
+      s"""bq AS ($qRel),
+         |be AS (SELECT $idCol AS id FROM $table
+         |       ORDER BY ${KmvSketch.hashSql(idCol)}, $idCol LIMIT 1),
+         |bs0 AS (
+         |  SELECT e.$idCol AS id, ${cosSql(s"e.$vecCol", "q.qvec")} AS sim
+         |  FROM $table e JOIN be ON be.id = e.$idCol, bq q)""".stripMargin
+    val rounds = (1 to hops).map { i =>
+      s"""bf$i AS (
+         |  SELECT g.dst AS id FROM bs${i - 1} b JOIN ex g ON g.src = b.id
+         |  UNION SELECT id FROM bs${i - 1}),
+         |bs$i AS MATERIALIZED (
+         |  SELECT f.id, ${cosSql(s"e.$vecCol", "q.qvec")} AS sim
+         |  FROM bf$i f JOIN $table e ON e.$idCol = f.id, bq q
+         |  ORDER BY sim DESC, f.id ASC LIMIT $beam)""".stripMargin
+    }
+    val fin =
+      s"""bsf AS (
+         |  SELECT id, sim FROM bs$hops
+         |  ORDER BY sim DESC, id ASC LIMIT $k)""".stripMargin
+    ((init +: rounds) :+ fin).mkString(",\n")
+  }
 
   /** CTE body replaying [[nnDescent]] step for step: hash-permutation
     * ring init, `iters` rounds of reverse-capped 2-hop expansion +

@@ -94,4 +94,60 @@ class KnnGraphSpec extends SparkSpec {
     val r = KnnGraph.recallVs(truth, approx).head().getDouble(0)
     assert(r == 0.5)
   }
+
+  test("mutualEdges keeps exactly the reciprocated pairs") {
+    val g = Seq((1L, 2L), (2L, 1L), (1L, 3L), (3L, 4L), (4L, 3L))
+      .toDF("src", "dst")
+    val got = KnnGraph.mutualEdges(g).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == Set((1L, 2L), (2L, 1L), (3L, 4L), (4L, 3L)))
+  }
+
+  test("mutual edges of the clustered graph never cross clusters") {
+    val mut = KnnGraph.mutualEdges(KnnGraph.exact(clustered, 3)).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(mut.nonEmpty)
+    mut.foreach { case (s, d) =>
+      assert(s / 10 == d / 10, s"cross-cluster mutual edge ($s,$d)")
+    }
+  }
+
+  test("beam search on a connected ring graph reaches the true top-k") {
+    // 40 points uniformly on the circle: the top-3 graph is a
+    // connected ring, so greedy descent from ANY entry walks the arc
+    // to the query's neighborhood given enough hops
+    val ring = (0 until 40).map { i =>
+      val a = i * 2 * math.Pi / 40
+      (i.toLong, Seq(math.cos(a), math.sin(a)))
+    }.toDF("vec_id", "embedding")
+      .select(col("vec_id"),
+        col("embedding").cast("array<double>").as("embedding"))
+    val q = ring.filter(col("vec_id") === 17)
+      .select(col("embedding").as("qvec"))
+    val got = KnnGraph.beamSearch(KnnGraph.exact(ring, 3), ring, q,
+        k = 3, beam = 8, hops = 25)
+      .collect().map(_.getLong(0)).toSeq
+    // brute truth: 17 itself, then its arc neighbors (16/18 tie -> id)
+    val truth = ring.crossJoin(broadcast(q))
+      .select(col("vec_id"),
+        VectorOps.cosine6(col("embedding"), col("qvec")).as("sim"))
+      .orderBy(col("sim").desc, col("vec_id").asc).limit(3)
+      .collect().map(_.getLong(0)).toSeq
+    assert(got == truth, s"got $got, want $truth")
+  }
+
+  test("appendToGraph equals the brute-force rebuild over the union") {
+    val base = clustered.filter(col("vec_id") < 30)
+    val delta = clustered.filter(col("vec_id") >= 30)
+    val incremental = KnnGraph.appendToGraph(
+        KnnGraph.exact(base, 3), base, delta, 3)
+      .select(col("src"), col("dst"), col("sim"), col("rank")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+      .toSet
+    val rebuilt = KnnGraph.exact(clustered, 3)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+      .toSet
+    assert(incremental == rebuilt)
+  }
 }
