@@ -193,12 +193,17 @@ object KnnGraph {
     def score(ids: DataFrame): DataFrame =
       ids.join(vecs, Seq("id")).crossJoin(broadcast(query))
         .select(col("id"), VectorOps.cosine6(col("__vec"), col("qvec")).as("sim"))
+    // materialize the edge list ONCE: every hop joins it, and an
+    // unmaterialized graph plan (e.g. a fresh exact() build) would be
+    // re-executed per hop — in production the graph is a persisted
+    // index and this is its in-query stand-in
+    val edges = graph.select(col("src"), col("dst")).localCheckpoint()
     val entry = vecs.select(col("id"))
       .orderBy(portableHash(col("id")), col("id")).limit(1)
     var beamDf = score(entry).localCheckpoint()
     (1 to hops).foreach { _ =>
       val frontier = beamDf.select(col("id").as("src"))
-        .join(graph.select(col("src"), col("dst")), Seq("src"))
+        .join(edges, Seq("src"))
         .select(col("dst").as("id"))
       val cands = beamDf.select(col("id")).union(frontier).distinct()
       beamDf = score(cands)
