@@ -195,6 +195,27 @@ object SparkEntry {
           graft.search.KnnGraph.exact(emb, 5), emb, delta, 5)
         .orderBy(col("src"), col("rank"))
     }),
+    // ---- [EXT] the PERSISTED graph-index lifecycle: base edges
+    // bucketed by src + nodes side, exact overlay append (the
+    // arriving batch scores against the index's OWN nodes side — no
+    // caller-side corpus replay), plan-time bucket-pruned probe of a
+    // bounded node set. Base rows never rewritten; probe re-ranks
+    // base ∪ overlay = exact graph over the grown corpus (oracle =
+    // brute-force rebuild over the union, restricted to the probed
+    // nodes).
+    "knn_graph_store_delta" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val delta = emb.filter(col("vec_id") < 10)
+        .select((col("vec_id") + 100000).as("vec_id"),
+          reverse(col("embedding")).as("embedding"))
+      val path = scratchDir("knn-graph-index")
+      graft.search.KnnGraph.writeGraphIndex(
+        graft.search.KnnGraph.exact(emb, 5), emb, path)
+      graft.search.KnnGraph.appendToGraphIndex(delta, path)
+      val probeIds = (0L until 15L) ++ (100000L until 100010L)
+      graft.search.KnnGraph.graphIndexTopK(s, path, probeIds, 5)
+        .orderBy(col("src"), col("rank"))
+    }),
     // ---- [EXT] int8 scalar quantization of the embedding corpus —
     // exploded to (vec_id, idx, q) so the oracle pins every quantized
     // value exactly (the fused kernel and DuckDB's floor-form agree
@@ -5530,6 +5551,15 @@ object SparkEntry {
         "  FROM embeddings WHERE vec_id < 10),\n" +
         graft.search.KnnGraph.exactSqlCtes("un", "vec_id", "embedding", 5) +
         "\nSELECT src, dst, sim, rank FROM ex ORDER BY src, rank"),
+    "knn_graph_store_delta" ->
+      ("WITH un AS MATERIALIZED (\n" +
+        "  SELECT vec_id, embedding FROM embeddings\n" +
+        "  UNION ALL\n" +
+        "  SELECT vec_id + 100000 AS vec_id, list_reverse(embedding) AS embedding\n" +
+        "  FROM embeddings WHERE vec_id < 10),\n" +
+        graft.search.KnnGraph.exactSqlCtes("un", "vec_id", "embedding", 5) +
+        "\nSELECT src, dst, sim, rank FROM ex" +
+        "\nWHERE src < 15 OR src >= 100000 ORDER BY src, rank"),
     "binary_hamming_top5" -> {
       def packSql(lo: Int): String = (1 to 32).map(i =>
         s"(CASE WHEN embedding[${lo + i}] > 0 THEN ${1L << (i - 1)} ELSE 0 END)")

@@ -247,6 +247,117 @@ object KnnGraph {
       .filter(col("rank") <= k)
   }
 
+  // ---------------------------------------------------------------
+  // Persisted graph index: base + overlay edge layout, nodes side
+
+  /** Materialize a kNN graph as a queryable INDEX: edges partitioned
+    * by a hash bucket of `src` (probes prune to their nodes' buckets
+    * at plan time, the `Ann.buildIvfIndex` convention) plus a
+    * `<path>.nodes` side table of (id, vector) — the corpus snapshot
+    * later appends score against, which is what makes the index
+    * self-contained across arriving batches (batch 2's candidates
+    * must include batch 1's nodes; a frozen caller-side corpus would
+    * miss them). A fresh build resets both sides. */
+  def writeGraphIndex(graph: DataFrame, corpus: DataFrame, path: String,
+                      buckets: Int = 16,
+                      idCol: String = "vec_id", vecCol: String = "embedding"): Unit = {
+    graft.io.Fs.delete(corpus.sparkSession, s"$path.nodes")
+    graph.select(col("src"), col("dst"), col("sim"))
+      .withColumn("__bucket", pmod(hash(col("src")), lit(buckets)))
+      .repartition(col("__bucket"))
+      .write.partitionBy("__bucket").mode("overwrite").parquet(path)
+    corpus.select(col(idCol).as("id"), col(vecCol).as("vec"))
+      .write.mode("overwrite").parquet(s"$path.nodes")
+  }
+
+  /** EXACT incremental append to a materialized graph index — the
+    * [[appendToGraph]] candidate argument applied as an OVERLAY: the
+    * arriving batch appends (a) every stored node's edges TO the
+    * delta and (b) each delta node's full list vs stored ∪ delta,
+    * into the same bucketed layout (one file per bucket per batch —
+    * compact periodically). Existing base rows are untouched: a
+    * node's stored top-k plus its overlay candidates re-ranked at
+    * probe time IS the exact top-k over the grown corpus. Delta also
+    * lands in the nodes side, so the NEXT append scores against it.
+    * O((n+d)·d) cosines per batch, no rebuild, no base rewrite. */
+  def appendToGraphIndex(delta: DataFrame, path: String, buckets: Int = 16,
+                         idCol: String = "vec_id", vecCol: String = "embedding"): Unit = {
+    val spark = delta.sparkSession
+    val deltaN = delta.select(col(idCol).as("id"), col(vecCol).as("vec"))
+    // self-initializing (the streaming sink's first batch): a missing
+    // nodes side is an empty corpus — the "overlay" is then just the
+    // delta's own exact graph
+    val stored =
+      if (graft.io.Fs.exists(spark, s"$path.nodes"))
+        spark.read.parquet(s"$path.nodes")
+      else deltaN.filter(lit(false))
+    val deltaDst = deltaN.select(col("id").as("dst"), col("vec").as("__dvec"))
+    val oldToDelta = stored.select(col("id").as("src"), col("vec").as("__svec"))
+      .crossJoin(broadcast(deltaDst))
+      .withColumn("sim", VectorOps.cosine6(col("__svec"), col("__dvec")))
+      .select(col("src"), col("dst"), col("sim"))
+    val allDst = stored.select(col("id").as("dst"), col("vec").as("__dvec"))
+      .union(deltaDst)
+    val deltaToAll = allDst
+      .crossJoin(broadcast(deltaN.select(col("id").as("src"),
+        col("vec").as("__svec"))))
+      .filter(col("src") =!= col("dst"))
+      .withColumn("sim", VectorOps.cosine6(col("__svec"), col("__dvec")))
+      .select(col("src"), col("dst"), col("sim"))
+    oldToDelta.union(deltaToAll)
+      .withColumn("__bucket", pmod(hash(col("src")), lit(buckets)))
+      .repartition(col("__bucket"))
+      .write.partitionBy("__bucket").mode("append").parquet(path)
+    deltaN.write.mode("append").parquet(s"$path.nodes")
+  }
+
+  /** Probe the index for a bounded node set: top-k neighbors of each
+    * probe node over base ∪ overlay. The probe ids are driver
+    * literals, so both the bucket filter (partition pruning — only
+    * the probed buckets' directories open) and the src filter reach
+    * the scan at PLAN time. */
+  def graphIndexTopK(spark: org.apache.spark.sql.SparkSession, path: String,
+                     nodeIds: Seq[Long], k: Int,
+                     buckets: Int = 16): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy(col("src"))
+      .orderBy(col("sim").desc, col("dst").asc)
+    // literal bucket list via the SAME hash the writer used
+    val bucketLits = nodeIds.toDF("src")
+      .select(pmod(hash(col("src")), lit(buckets)).as("b"))
+      .distinct().collect().map(_.getInt(0)).toSeq
+    spark.read.parquet(path)
+      .filter(col("__bucket").isin(bucketLits: _*) &&
+        col("src").isin(nodeIds: _*))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("src"), col("dst"), col("sim"), col("rank"))
+  }
+
+  /** Compact an appended graph index: per-node top-k over
+    * base ∪ overlay rewritten as the new base (displaced candidate
+    * rows drop out — the edge count returns to ≤ n·k), fresh
+    * one-file-per-bucket layout, nodes side copied. Probes are
+    * unchanged before/after (pinned in KnnGraphSpec). */
+  def compactGraphIndex(spark: org.apache.spark.sql.SparkSession,
+                        srcPath: String, dstPath: String, k: Int,
+                        buckets: Int = 16,
+                        recordsPerFile: Long = 1L << 20): Unit = {
+    val w = Window.partitionBy(col("src"))
+      .orderBy(col("sim").desc, col("dst").asc)
+    spark.read.parquet(srcPath)
+      .withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") <= k)
+      .select(col("src"), col("dst"), col("sim"))
+      .withColumn("__bucket", pmod(hash(col("src")), lit(buckets)))
+      .repartition(col("__bucket"))
+      .write.partitionBy("__bucket")
+      .option("maxRecordsPerFile", recordsPerFile)
+      .mode("overwrite").parquet(dstPath)
+    spark.read.parquet(s"$srcPath.nodes")
+      .write.mode("overwrite").parquet(s"$dstPath.nodes")
+  }
+
   /** Edge recall of `approx` against the `truth` graph (same (src,
     * dst) schema): |approx ∩ truth| / |truth| as one round-6 row.
     * One keyed left join + one global agg. */

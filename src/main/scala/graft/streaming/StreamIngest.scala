@@ -159,6 +159,36 @@ object StreamIngest {
         }
       }
 
+  /** Streaming maintenance of a materialized kNN GRAPH index — the
+    * graph twin of [[ivfMaintenanceSink]]: each micro-batch of (id,
+    * vector) rows appends its EXACT overlay edges (stored-nodes→batch
+    * and batch→everything, scored against the index's own nodes side)
+    * via [[graft.search.KnnGraph.appendToGraphIndex]], so a probe
+    * after any batch re-ranks base ∪ overlay to the exact top-k over
+    * everything ingested so far. Unlike the IVF sinks there is no
+    * frozen model parameter at all — exactness comes from the
+    * candidate argument (an old node's list can only be displaced by
+    * arriving nodes), not from an approximation being tolerated.
+    * The nodes side is what carries state BETWEEN batches: batch 2
+    * scores against batch 1's rows without the caller replaying them.
+    * Batch-id markers make restart replays no-ops; drained ≡ batch
+    * append ≡ rebuild is pinned in StoreStreamSpec. Compact
+    * periodically ([[graft.search.KnnGraph.compactGraphIndex]]) —
+    * each batch leaves a file per bucket and O((n+d)·d) overlay rows. */
+  def knnGraphMaintenanceSink(vecs: DataFrame, path: String,
+                              buckets: Int = 16,
+                              idCol: String = "vec_id",
+                              vecCol: String = "embedding"): DataStreamWriter[org.apache.spark.sql.Row] =
+    vecs.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        oncePerBatch(batch.sparkSession, s"$path/_applied_batches", batchId) {
+          if (batch.isEmpty) ()
+          else graft.search.KnnGraph.appendToGraphIndex(batch, path, buckets,
+            idCol, vecCol)
+        }
+      }
+
   /** [[ivfPqMaintenanceSink]]'s contract on the SQ8-IVF index — the
     * middle compression rung gets the same arrival-shaped maintenance:
     * encode against the frozen centroids (SQ8 itself is parameterless

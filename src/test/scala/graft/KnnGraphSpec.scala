@@ -136,6 +136,52 @@ class KnnGraphSpec extends SparkSpec {
     assert(got == truth, s"got $got, want $truth")
   }
 
+  test("graph index: append+probe equals rebuild; compact shrinks the overlay, probes unchanged; probe prunes files") {
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    val base = clustered.filter(col("vec_id") < 30)
+    val delta = clustered.filter(col("vec_id") >= 30)
+    val root = java.nio.file.Files.createTempDirectory("graft-knng").toString
+    val path = s"$root/index"
+    KnnGraph.writeGraphIndex(KnnGraph.exact(base, 3), base, path, buckets = 4)
+    KnnGraph.appendToGraphIndex(delta, path, buckets = 4)
+    val probeIds = (0L until 5L) ++ (30L until 35L)
+    def norm(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
+    val probed = KnnGraph.graphIndexTopK(spark, path, probeIds, 3, buckets = 4)
+    val rebuilt = KnnGraph.exact(clustered, 3)
+      .filter(col("src").isin(probeIds: _*))
+    assert(norm(probed) == norm(rebuilt))
+    // plan-time pruning: the probe must not open every bucket's files
+    def scans(p: SparkPlan): Seq[FileSourceScanExec] = p match {
+      case a: AdaptiveSparkPlanExec => scans(a.executedPlan)
+      case s: org.apache.spark.sql.execution.adaptive.QueryStageExec => scans(s.plan)
+      case r: org.apache.spark.sql.execution.exchange.ReusedExchangeExec => scans(r.child)
+      case f: FileSourceScanExec => Seq(f)
+      case other => other.children.flatMap(scans)
+    }
+    probed.collect()
+    val scan = scans(probed.queryExecution.executedPlan)
+      .find(_.metadata.get("Location").exists(_.contains("graft-knng")))
+      .getOrElse(fail("no parquet scan over the graph index"))
+    def walk(f: java.io.File): Seq[java.io.File] =
+      if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
+    val totalFiles = walk(new java.io.File(path))
+      .count(_.getName.endsWith(".parquet"))
+    val numFiles = scan.metrics("numFiles").value
+    assert(numFiles > 0 && numFiles < totalFiles,
+      s"expected bucket pruning: read $numFiles of $totalFiles files")
+    // compact: probes unchanged, overlay candidates dropped
+    val compacted = s"$root/compacted"
+    KnnGraph.compactGraphIndex(spark, path, compacted, 3, buckets = 4)
+    assert(norm(KnnGraph.graphIndexTopK(spark, compacted, probeIds, 3,
+      buckets = 4)) == norm(probed))
+    val before = spark.read.parquet(path).count()
+    val after = spark.read.parquet(compacted).count()
+    assert(after == 40 * 3 && before > after,
+      s"compact must shrink to n*k edges: $before -> $after")
+  }
+
   test("appendToGraph equals the brute-force rebuild over the union") {
     val base = clustered.filter(col("vec_id") < 30)
     val delta = clustered.filter(col("vec_id") >= 30)

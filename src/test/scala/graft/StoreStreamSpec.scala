@@ -153,6 +153,39 @@ class StoreStreamSpec extends SparkSpec {
       "drained IVF-PQ sink must probe like a from-scratch build")
   }
 
+  test("streaming kNN-graph maintenance: drained sink probe ≡ exact rebuild") {
+    // the graph sink is EXACT, not model-frozen: each micro-batch
+    // appends overlay edges scored against the index's own nodes side
+    // (which the previous batches populated), so after draining, a
+    // probe over base ∪ overlay must equal the brute-force graph over
+    // everything ingested — including cross-batch edges the first
+    // batch could not have seen
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.functions.col
+    implicit val sqlCtx = spark.sqlContext
+    val emb = spark.read.parquet(s"$sf0001/embeddings.parquet")
+      .select(col("vec_id"), col("embedding")).filter(col("vec_id") < 40)
+    val dir = java.nio.file.Files.createTempDirectory("graft-stream-knng")
+      .toString + "/index"
+    val rows = emb.collect().map(r =>
+      (r.getLong(0), r.getSeq[Float](1).toSeq)).toSeq
+    val input = MemoryStream[(Long, Seq[Float])]
+    val q = graft.streaming.StreamIngest.knnGraphMaintenanceSink(
+      input.toDF().toDF("vec_id", "embedding"), dir, buckets = 4).start()
+    rows.grouped(15).foreach { g => input.addData(g); q.processAllAvailable() }
+    q.stop()
+    val probeIds = rows.map(_._1)
+    val streamed = graft.search.KnnGraph
+      .graphIndexTopK(spark, dir, probeIds, 3, buckets = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+        r.getInt(3))).toSet
+    val rebuilt = graft.search.KnnGraph.exact(emb, 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+        r.getInt(3))).toSet
+    assert(streamed == rebuilt,
+      "drained graph sink must probe like the brute-force rebuild")
+  }
+
   test("streaming SQ8-IVF maintenance: drained sink probe ≡ rebuild") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import org.apache.spark.sql.functions.col
