@@ -168,6 +168,74 @@ object SparkEntry {
         .select(col("vec_id"), col("comp"), col("csize"))
         .orderBy(col("vec_id"))
     }),
+    // ---- [EXT] prefix-cache planning gate: how much would an
+    // inference server's prefix (KV) cache save on this corpus? Docs
+    // sharing their first-L tokens hit the same cache entry, so for
+    // L ∈ {4, 8, 16}: the shared-prefix groups, the docs in them, and
+    // the saved-token fraction ((size−1)·L per group over the corpus
+    // total). One keyed agg per L over a string prefix key — the
+    // explode is 3 literal rows, nothing quadratic.
+    "prefix_cache_stats" -> ((s, dir) => {
+      import s.implicits._
+      val toks = Tables.documents(s, dir).select(
+        graft.text.TextAnalysis.tokens(col("text")).as("toks"))
+      val total = toks.agg(sum(size(col("toks"))).as("total_tokens"))
+      toks.crossJoin(broadcast(Seq(4, 8, 16).toDF("prefix_len")))
+        .filter(size(col("toks")) >= col("prefix_len"))
+        .select(col("prefix_len"),
+          concat_ws(" ", slice(col("toks"), lit(1), col("prefix_len")))
+            .as("prefix"))
+        .groupBy(col("prefix_len"), col("prefix"))
+        .agg(count(lit(1)).as("gs"))
+        .filter(col("gs") > 1)
+        .groupBy(col("prefix_len"))
+        .agg(count(lit(1)).as("n_groups_shared"),
+          sum(col("gs")).as("n_shared_docs"),
+          sum((col("gs") - 1) * col("prefix_len")).as("saved_tokens"))
+        .crossJoin(broadcast(total))
+        .select(col("prefix_len").cast("long").as("prefix_len"),
+          col("n_groups_shared"), col("n_shared_docs"), col("saved_tokens"),
+          round(col("saved_tokens").cast("double") / col("total_tokens"), 6)
+            .as("saved_frac"))
+        .orderBy(col("prefix_len"))
+    }),
+    // ---- [EXT] kNN-classifier eval over the graph: each node's
+    // label predicted by the MAJORITY label of its top-5 neighbors
+    // (ties → smaller label id — total order), scored against its own
+    // label. The standard embedding-quality probe: structured
+    // embeddings score far above the 1/|labels| chance floor; ours
+    // are near-random and the honest accuracy says so. One keyed
+    // join + two keyed aggs over the graph.
+    "knn_label_eval" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val votes = graft.search.KnnGraph.exact(emb, 5)
+        .join(emb.select(col("vec_id").as("dst"),
+          col("label").as("nlabel")), Seq("dst"))
+        .groupBy(col("src"), col("nlabel"))
+        .agg(count(lit(1)).as("nv"))
+      val w = Window.partitionBy(col("src"))
+        .orderBy(col("nv").desc, col("nlabel").asc)
+      votes.withColumn("__r", row_number().over(w)).filter(col("__r") === 1)
+        .join(emb.select(col("vec_id").as("src"), col("label")), Seq("src"))
+        .agg(round(sum(when(col("nlabel") === col("label"), 1)
+          .otherwise(0)).cast("double") / count(lit(1)), 6).as("accuracy"),
+          count(lit(1)).as("n_nodes"))
+    }),
+    // ---- [EXT] graph-health gate: reciprocity of the directed top-5
+    // graph (how many edges are mutual) — random high-dim data gives
+    // low reciprocity (hubs absorb one-way edges; the hubness query's
+    // sibling view), clustered data high. Drives the mutual-kNN
+    // clustering above: its component structure is only as good as
+    // the mutual-edge supply.
+    "knn_graph_reciprocity" -> ((s, dir) => {
+      val g = graft.search.KnnGraph.exact(Tables.embeddings(s, dir), 5)
+      val mut = graft.search.KnnGraph.mutualEdges(g)
+      g.agg(count(lit(1)).as("n_edges")).crossJoin(
+        broadcast(mut.agg(count(lit(1)).as("n_mutual"))))
+        .select(col("n_edges"), col("n_mutual"),
+          round(col("n_mutual").cast("double") / col("n_edges"), 6)
+            .as("reciprocity"))
+    }),
     // ---- [EXT] greedy beam search over the kNN graph — the
     // DiskANN/HNSW-layer-0 probe: deterministic entry node, 4
     // frontier-expand-and-cut hops at beam 8, answer = top-5 of the
@@ -5536,6 +5604,57 @@ object SparkEntry {
           |sz AS (SELECT comp, count(*) AS csize FROM lab GROUP BY 1)
           |SELECT lab.vec_id, lab.comp, sz.csize::BIGINT AS csize
           |FROM lab JOIN sz USING (comp) ORDER BY vec_id""".stripMargin),
+    "prefix_cache_stats" ->
+      s"""WITH toks AS (SELECT $toksSql AS toks FROM documents),
+         |tot AS (SELECT sum(len(toks)) AS total_tokens FROM toks),
+         |pl AS (SELECT unnest([4, 8, 16]) AS prefix_len),
+         |px AS (
+         |  SELECT p.prefix_len,
+         |         array_to_string(list_slice(t.toks, 1, p.prefix_len), ' ')
+         |           AS prefix
+         |  FROM toks t, pl p WHERE len(t.toks) >= p.prefix_len),
+         |grp AS (SELECT prefix_len, prefix, count(*) AS gs
+         |        FROM px GROUP BY 1, 2),
+         |agg AS (
+         |  SELECT prefix_len, count(*) AS n_groups_shared,
+         |         sum(gs) AS n_shared_docs,
+         |         sum((gs - 1) * prefix_len) AS saved_tokens
+         |  FROM grp WHERE gs > 1 GROUP BY 1)
+         |SELECT a.prefix_len::BIGINT AS prefix_len,
+         |       a.n_groups_shared::BIGINT AS n_groups_shared,
+         |       a.n_shared_docs::BIGINT AS n_shared_docs,
+         |       a.saved_tokens::BIGINT AS saved_tokens,
+         |       round(a.saved_tokens::DOUBLE / t.total_tokens, 6) AS saved_frac
+         |FROM agg a, tot t ORDER BY prefix_len""".stripMargin,
+    "knn_label_eval" ->
+      ("WITH " + graft.search.KnnGraph.exactSqlCtes(
+        "embeddings", "vec_id", "embedding", 5) +
+        """,
+          |votes AS (
+          |  SELECT e.src, l.label AS nlabel, count(*) AS nv
+          |  FROM ex e JOIN embeddings l ON l.vec_id = e.dst
+          |  GROUP BY 1, 2),
+          |pred AS (
+          |  SELECT src, nlabel FROM (
+          |    SELECT src, nlabel,
+          |           row_number() OVER (PARTITION BY src
+          |                              ORDER BY nv DESC, nlabel ASC) AS r
+          |    FROM votes) WHERE r = 1)
+          |SELECT round(sum(CASE WHEN p.nlabel = l.label THEN 1 ELSE 0
+          |                 END)::DOUBLE / count(*), 6) AS accuracy,
+          |       count(*)::BIGINT AS n_nodes
+          |FROM pred p JOIN embeddings l ON l.vec_id = p.src""".stripMargin),
+    "knn_graph_reciprocity" ->
+      ("WITH " + graft.search.KnnGraph.exactSqlCtes(
+        "embeddings", "vec_id", "embedding", 5) +
+        """
+          |SELECT (SELECT count(*) FROM ex)::BIGINT AS n_edges,
+          |       (SELECT count(*) FROM ex a JOIN ex b
+          |          ON a.src = b.dst AND a.dst = b.src)::BIGINT AS n_mutual,
+          |       round((SELECT count(*) FROM ex a JOIN ex b
+          |          ON a.src = b.dst AND a.dst = b.src)::DOUBLE
+          |          / (SELECT count(*) FROM ex), 6) AS reciprocity"""
+          .stripMargin),
     "graph_search_top5" ->
       ("WITH " + graft.search.KnnGraph.exactSqlCtes(
         "embeddings", "vec_id", "embedding", 5) + ",\n" +
