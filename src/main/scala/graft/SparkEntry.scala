@@ -168,6 +168,46 @@ object SparkEntry {
         .select(col("vec_id"), col("comp"), col("csize"))
         .orderBy(col("vec_id"))
     }),
+    // ---- [EXT] image→text ALIGNMENT (the LAION-style pairing step a
+    // multimodal training pipeline runs after caption extraction):
+    // captions ride inside real PNG tEXt chunks — the Spark side pays
+    // the full binary round trip (encode at fixture build, decode via
+    // functions.PngText executor-side), tokenizes the decoded string,
+    // and pairs each image to its best document by token-set Jaccard
+    // (top-1, ties → doc_id). The oracle never touches a byte: it
+    // derives the same captions straight from the text — a PASS
+    // proves the binary caption path is lossless AND the pairing math
+    // matches. 30 captions broadcast against the corpus (the
+    // bounded-query-side join shape; corpus-scale caption sets would
+    // block by token prefix like dedup_jaccard).
+    "image_text_match" -> ((s, dir) => {
+      import s.implicits._
+      val docs = Tables.documents(s, dir)
+      val caps = docs.filter(col("doc_id") < 30)
+        .select(col("doc_id"), concat_ws(" ",
+          slice(TextAnalysis.tokens(col("text")), 1, 5)).as("cap"))
+        .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+      val images = caps.map { case (id, cap) =>
+        (id, graft.multimodal.ImageFixtures.pngWithText(4, 4,
+          Seq("caption" -> cap)))
+      }.toDF("img_id", "payload")
+      val ctoks = images.select(col("img_id"),
+        TextAnalysis.tokens(
+          try_element_at(filter(graft.functions.PngText(col("payload")),
+            x => x("key") === "caption"), lit(1))("value")).as("ctoks"))
+      val dtoks = docs.select(col("doc_id"),
+        TextAnalysis.tokens(col("text")).as("dtoks"))
+      val w = Window.partitionBy(col("img_id"))
+        .orderBy(col("jac").desc, col("doc_id").asc)
+      dtoks.crossJoin(broadcast(ctoks))
+        .select(col("img_id"), col("doc_id"),
+          round(size(array_intersect(col("ctoks"), col("dtoks")))
+            .cast("double") /
+            size(array_union(col("ctoks"), col("dtoks"))), 6).as("jac"))
+        .withColumn("__r", row_number().over(w)).filter(col("__r") === 1)
+        .select(col("img_id"), col("doc_id"), col("jac"))
+        .orderBy(col("img_id"))
+    }),
     // ---- [EXT] prefix-cache planning gate: how much would an
     // inference server's prefix (KV) cache save on this corpus? Docs
     // sharing their first-L tokens hit the same cache entry, so for
@@ -5604,6 +5644,23 @@ object SparkEntry {
           |sz AS (SELECT comp, count(*) AS csize FROM lab GROUP BY 1)
           |SELECT lab.vec_id, lab.comp, sz.csize::BIGINT AS csize
           |FROM lab JOIN sz USING (comp) ORDER BY vec_id""".stripMargin),
+    // no bytes here: captions re-derived from text directly — equality
+    // with the Spark side pins the PNG tEXt round trip as lossless
+    "image_text_match" ->
+      s"""WITH toks AS (SELECT doc_id, $toksSql AS toks FROM documents),
+         |caps AS (
+         |  SELECT doc_id AS img_id, list_slice(toks, 1, 5) AS ctoks
+         |  FROM toks WHERE doc_id < 30),
+         |scored AS (
+         |  SELECT c.img_id, t.doc_id,
+         |         round(len(list_intersect(c.ctoks, t.toks))::DOUBLE /
+         |               len(list_distinct(c.ctoks || t.toks)), 6) AS jac
+         |  FROM caps c, toks t)
+         |SELECT img_id, doc_id, jac FROM (
+         |  SELECT img_id, doc_id, jac,
+         |         row_number() OVER (PARTITION BY img_id
+         |                            ORDER BY jac DESC, doc_id ASC) AS r
+         |  FROM scored) WHERE r = 1 ORDER BY img_id""".stripMargin,
     "prefix_cache_stats" ->
       s"""WITH toks AS (SELECT $toksSql AS toks FROM documents),
          |tot AS (SELECT sum(len(toks)) AS total_tokens FROM toks),
