@@ -1972,6 +1972,23 @@ object SparkEntry {
     "bm25_top5" -> ((s, dir) =>
       Lexical.bm25TopK(Tables.documents(s, dir), "text", "doc_id",
         Seq("spark", "join", "table", "filter"), 5)),
+    // ---- [EXT] proximity-boosted search (Lexical.bm25ProximityTopK):
+    // the "terms near each other beat terms far apart" rerank — BM25
+    // plus 1/(1+min gap between two DISTINCT query terms' positions).
+    // Pair search is keyed on doc_id over the filtered posexplode;
+    // single-term docs keep a zero boost.
+    "bm25_proximity_top5" -> ((s, dir) =>
+      Lexical.bm25ProximityTopK(Tables.documents(s, dir), "text", "doc_id",
+        Seq("spark", "join", "table", "filter"), 5)),
+    // ---- [EXT] typo-tolerant search (Lexical.bm25FuzzyTopK): every
+    // query term here is MISSPELLED — "spork"/"joi"/"tble" reach
+    // spark/join/table through the vocabulary expansion (first-char +
+    // length-band blocking, Levenshtein ≤ 1) at a 1/(1+dist)
+    // discount. The Lucene fuzzy-query feature, determinized and
+    // oracle-replayed (DuckDB's levenshtein is the same classic DP).
+    "bm25_fuzzy_top5" -> ((s, dir) =>
+      Lexical.bm25FuzzyTopK(Tables.documents(s, dir), "text", "doc_id",
+        Seq("spork", "joi", "tble"), 5)),
     // ---- [EXT] PMI query expansion (Lexical.pmiExpandedTopK): each
     // query term recruits its top document-presence-PMI associate from
     // corpus-global co-occurrence (query-INDEPENDENT model state —
@@ -8419,6 +8436,61 @@ object SparkEntry {
          |ORDER BY doc_a, doc_b""".stripMargin,
     "bm25_top5" ->
       s"""WITH $bm25Ctes
+         |SELECT doc_id, score FROM scored
+         |ORDER BY score DESC, doc_id ASC LIMIT 5""".stripMargin,
+    "bm25_proximity_top5" ->
+      s"""WITH $bm25Ctes,
+         |pos AS (
+         |  SELECT doc_id, term, p FROM (
+         |    SELECT doc_id, unnest(toks) AS term,
+         |           generate_subscripts(toks, 1) AS p
+         |    FROM toks)
+         |  WHERE term IN ('spark', 'join', 'table', 'filter')),
+         |md AS (
+         |  SELECT a.doc_id, min(abs(a.p - b.p)) AS min_dist
+         |  FROM pos a JOIN pos b
+         |    ON a.doc_id = b.doc_id AND a.term < b.term
+         |  GROUP BY 1)
+         |SELECT doc_id, score, prox_boost,
+         |       round(score + prox_boost, 6) AS final
+         |FROM (
+         |  SELECT s.doc_id, s.score,
+         |         coalesce(round(1.0::DOUBLE / (1.0::DOUBLE + m.min_dist), 6),
+         |                  0.0::DOUBLE) AS prox_boost
+         |  FROM scored s LEFT JOIN md m USING (doc_id))
+         |ORDER BY final DESC, doc_id ASC LIMIT 5""".stripMargin,
+    "bm25_fuzzy_top5" ->
+      s"""WITH toks AS (SELECT doc_id, $toksSql AS toks FROM documents),
+         |dl AS (SELECT doc_id, len(toks)::BIGINT AS dl FROM toks),
+         |stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
+         |vocab AS (SELECT DISTINCT unnest(toks) AS term FROM toks),
+         |qt AS (SELECT unnest(['spork', 'joi', 'tble']) AS qterm),
+         |exp AS (
+         |  SELECT q.qterm, v.term,
+         |         levenshtein(v.term, q.qterm)::BIGINT AS dist
+         |  FROM vocab v JOIN qt q
+         |    ON substr(v.term, 1, 1) = substr(q.qterm, 1, 1)
+         |  WHERE abs(length(v.term) - length(q.qterm)) <= 1
+         |    AND levenshtein(v.term, q.qterm) <= 1),
+         |postings AS (
+         |  SELECT u.doc_id, e.qterm, e.term, e.dist, count(*) AS tf
+         |  FROM (SELECT doc_id, unnest(toks) AS term FROM toks) u
+         |  JOIN exp e USING (term)
+         |  GROUP BY 1, 2, 3, 4),
+         |dfreq AS (SELECT term, count(*) AS df FROM (
+         |    SELECT DISTINCT doc_id, term FROM postings) GROUP BY 1),
+         |scored AS (
+         |  SELECT p.doc_id,
+         |         round(sum(
+         |           ln(1.0::DOUBLE + (s.n_docs - f.df + 0.5::DOUBLE) / (f.df + 0.5::DOUBLE))
+         |           * p.tf * 2.2::DOUBLE
+         |           / (p.tf + 1.2::DOUBLE * (0.25::DOUBLE + 0.75::DOUBLE * d.dl / s.avgdl))
+         |           * (1.0::DOUBLE / (1.0::DOUBLE + p.dist))), 6) AS score
+         |  FROM postings p
+         |  JOIN dfreq f USING (term)
+         |  JOIN dl d USING (doc_id)
+         |  CROSS JOIN stats s
+         |  GROUP BY p.doc_id)
          |SELECT doc_id, score FROM scored
          |ORDER BY score DESC, doc_id ASC LIMIT 5""".stripMargin,
     // PMI expansion: presence/df stats → per-query-term best associate

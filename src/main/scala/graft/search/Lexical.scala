@@ -58,6 +58,87 @@ object Lexical {
       .orderBy(col("score").desc, col(idCol).asc)
       .limit(k)
 
+  /** Typo-tolerant BM25 (Lucene fuzzy-query semantics, determinized):
+    * each query term expands to the corpus-VOCABULARY terms within
+    * Levenshtein distance `maxDist`, under the standard first-char +
+    * length-band blocking (the fuzzy automaton's cheap prefilter —
+    * an unblocked expansion is a vocab × queries cross join). Every
+    * matched vocabulary term then scores as plain BM25 discounted by
+    * `1/(1+dist)`, so an exact match (dist 0) keeps exactly its
+    * [[bm25TopK]] weight and a doc reached through several
+    * (query term → vocab term) routes sums each route once.
+    *
+    * Scale shape: vocab = one distinct over the token explode
+    * (keyed); the expansion joins the BROADCAST query bag on the
+    * first-char key then filters by the edit bound; everything
+    * downstream is the [[bm25TopK]] chain. df stays per matched term
+    * over distinct docs — double-matched routes can't inflate it. */
+  def bm25FuzzyTopK(docs: DataFrame, textCol: String, idCol: String,
+                    queryTerms: Seq[String], k: Int, maxDist: Int = 1): DataFrame = {
+    import docs.sparkSession.implicits._
+    val withDl = docs
+      .select(col(idCol), TextAnalysis.tokens(col(textCol)).as("toks"))
+      .withColumn("dl", size(col("toks")))
+    val stats = withDl.agg(count(lit(1)).as("n_docs"), avg(col("dl")).as("avgdl"))
+    val vocab = withDl.select(explode(col("toks")).as("term")).distinct()
+    val expanded = vocab
+      .withColumn("__c1", substring(col("term"), 1, 1))
+      .join(broadcast(queryTerms.toDF("qterm")
+        .withColumn("__c1", substring(col("qterm"), 1, 1))), Seq("__c1"))
+      .filter(abs(length(col("term")) - length(col("qterm"))) <= maxDist &&
+        levenshtein(col("term"), col("qterm")) <= maxDist)
+      .select(col("qterm"), col("term"),
+        levenshtein(col("term"), col("qterm")).cast("long").as("dist"))
+    val postings = withDl
+      .select(col(idCol), col("dl"), explode(col("toks")).as("term"))
+      .join(broadcast(expanded), Seq("term"))
+      .groupBy(col(idCol), col("qterm"), col("term"), col("dl"), col("dist"))
+      .agg(count(lit(1)).as("tf"))
+    val dfreq = postings.select(col(idCol), col("term")).distinct()
+      .groupBy(col("term")).agg(count(lit(1)).as("df"))
+    postings
+      .join(broadcast(dfreq), "term")
+      .crossJoin(broadcast(stats))
+      .withColumn("w", bm25Weight * (lit(1.0) / (lit(1.0) + col("dist"))))
+      .groupBy(col(idCol)).agg(round(sum(col("w")), 6).as("score"))
+      .orderBy(col("score").desc, col(idCol).asc)
+      .limit(k)
+  }
+
+  /** PROXIMITY-boosted BM25 — the classic "terms near each other beat
+    * terms far apart" rerank (Lucene's span/phrase scoring, reduced
+    * to its deterministic core): the [[bm25TopK]] score plus
+    * `1/(1+minDist)`, where minDist is the smallest token-position
+    * gap between occurrences of two DISTINCT query terms in the doc.
+    * Docs matching fewer than two distinct terms get no boost — bag
+    * scoring already said everything about them.
+    *
+    * Scale shape: positions are a filtered posexplode (only query
+    * terms survive), the pair search is a SELF-JOIN KEYED ON doc_id
+    * over those few positions per doc — never a corpus-wide window —
+    * and the boost joins back to the scored frame by id. */
+  def bm25ProximityTopK(docs: DataFrame, textCol: String, idCol: String,
+                        queryTerms: Seq[String], k: Int): DataFrame = {
+    val scored = bm25Scored(docs, textCol, idCol, queryTerms)
+    val pos = docs
+      .select(col(idCol), posexplode(TextAnalysis.tokens(col(textCol)))
+        .as(Seq("pos", "term")))
+      .filter(col("term").isin(queryTerms: _*))
+    val minDist = pos.as("a")
+      .join(pos.as("b"),
+        col(s"a.$idCol") === col(s"b.$idCol") &&
+          col("a.term") < col("b.term"))
+      .groupBy(col(s"a.$idCol").as(idCol))
+      .agg(min(abs(col("a.pos") - col("b.pos"))).as("min_dist"))
+    scored.join(minDist, Seq(idCol), "left")
+      .select(col(idCol), col("score"),
+        coalesce(round(lit(1.0) / (lit(1.0) + col("min_dist")), 6), lit(0.0))
+          .as("prox_boost"))
+      .withColumn("final", round(col("score") + col("prox_boost"), 6))
+      .orderBy(col("final").desc, col(idCol).asc)
+      .limit(k)
+  }
+
   /** The full scored match set behind [[bm25TopK]] — every document
     * containing ≥ 1 query term with its round-6 BM25 score (no
     * truncation; the top-k and the facet report share this frame). */

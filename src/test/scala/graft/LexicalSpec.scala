@@ -32,6 +32,49 @@ class LexicalSpec extends SparkSpec {
     assert(out.sameElements(again))
   }
 
+  test("fuzzy bm25: typos reach vocabulary terms at a distance discount; exact matches keep their score") {
+    val docs = Seq(
+      (1L, "spark engine runs"),
+      (2L, "sparl engine runs"),   // vocab term at dist 1 from "spark"
+      (3L, "plain filler words")
+    ).toDF("doc_id", "text")
+    // exact query: fuzzy with an exact term scores doc 1 exactly like
+    // plain bm25 (dist 0 -> boost 1)... and ALSO reaches doc 2 via
+    // the dist-1 vocab term "sparl"
+    val plain = Lexical.bm25TopK(docs, "text", "doc_id", Seq("spark"), 10)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val fuzzy = Lexical.bm25FuzzyTopK(docs, "text", "doc_id", Seq("spark"), 10)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(fuzzy.contains(1L) && fuzzy.contains(2L) && !fuzzy.contains(3L))
+    assert(fuzzy(1L) == plain(1L), "exact match must keep its bm25 score")
+    assert(fuzzy(2L) < fuzzy(1L), "dist-1 route must score below exact (same tf/dl)")
+    // misspelled query: no exact matches anywhere, still retrieves both
+    val typo = Lexical.bm25FuzzyTopK(docs, "text", "doc_id", Seq("spariz"), 10)
+      .collect().map(_.getLong(0)).toSet
+    assert(typo.isEmpty, "dist-2 typos must NOT match at maxDist=1")
+    val typo1 = Lexical.bm25FuzzyTopK(docs, "text", "doc_id", Seq("sparc"), 10)
+      .collect().map(_.getLong(0)).toSet
+    assert(typo1 == Set(1L, 2L), s"dist-1 typo reaches both variants: $typo1")
+  }
+
+  test("proximity bm25: adjacent terms outrank the same bag spread apart") {
+    val docs = Seq(
+      (1L, "spark join now and some other words follow here"),
+      (2L, "spark starts here and many words later comes join"),
+      (3L, "unrelated filler")
+    ).toDF("doc_id", "text")
+    val out = Lexical.bm25ProximityTopK(docs, "text", "doc_id",
+        Seq("spark", "join"), 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2)))
+    val byId = out.map(r => r._1 -> r).toMap
+    // identical bags -> identical bm25; proximity separates them
+    assert(byId(1L)._2 == byId(2L)._2, "same bag must tie on bm25")
+    assert(byId(1L)._3 == 0.5, s"adjacent terms: boost 1/(1+1), got ${byId(1L)._3}")
+    assert(byId(1L)._3 > byId(2L)._3)
+    assert(out.head._1 == 1L, "proximity must break the tie")
+    assert(!byId.contains(3L))
+  }
+
   test("materialized BM25 index ≡ in-memory batch, probe scans only matching buckets") {
     import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
     import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
