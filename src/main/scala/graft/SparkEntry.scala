@@ -1972,6 +1972,29 @@ object SparkEntry {
     "bm25_top5" -> ((s, dir) =>
       Lexical.bm25TopK(Tables.documents(s, dir), "text", "doc_id",
         Seq("spark", "join", "table", "filter"), 5)),
+    // ---- [EXT] result SNIPPETS (Lexical.searchSnippets): the
+    // highlighted-excerpt surface — per top-3 hit, the 8-token window
+    // covering the most distinct query terms (tie → earliest),
+    // candidate windows anchored at term occurrences (lossless for
+    // coverage, bounds candidates per doc).
+    "search_snippets" -> ((s, dir) =>
+      Lexical.searchSnippets(Tables.documents(s, dir), "text", "doc_id",
+        Seq("spark", "join", "table", "filter"), 3)),
+    // ---- [EXT] exact PHRASE search (Lexical.phraseTopK): positional-
+    // index intersection — "spark join" as ADJACENT tokens, word i
+    // joined at start-offset i, keyed on (doc, position). The feature
+    // bag-of-words BM25 cannot express.
+    "phrase_match_top5" -> ((s, dir) =>
+      Lexical.phraseTopK(Tables.documents(s, dir), "text", "doc_id",
+        Seq("spark", "join"), 5)),
+    // ---- [EXT] "did you mean" (Lexical.spellSuggest): best
+    // vocabulary correction per query term by (edit distance, corpus
+    // frequency, term) within distance 2 — the suggestion surface the
+    // fuzzy search family implies; an unreachable term ("qwzx")
+    // correctly suggests nothing.
+    "spell_suggest" -> ((s, dir) =>
+      Lexical.spellSuggest(Tables.documents(s, dir), "text",
+        Seq("spork", "joinn", "tble", "qwzx")).orderBy(col("qterm"))),
     // ---- [EXT] proximity-boosted search (Lexical.bm25ProximityTopK):
     // the "terms near each other beat terms far apart" rerank — BM25
     // plus 1/(1+min gap between two DISTINCT query terms' positions).
@@ -8438,6 +8461,61 @@ object SparkEntry {
       s"""WITH $bm25Ctes
          |SELECT doc_id, score FROM scored
          |ORDER BY score DESC, doc_id ASC LIMIT 5""".stripMargin,
+    "search_snippets" ->
+      s"""WITH $bm25Ctes,
+         |top3 AS (SELECT doc_id, score FROM scored
+         |         ORDER BY score DESC, doc_id ASC LIMIT 3),
+         |tt AS (SELECT t.doc_id, t.toks FROM toks t JOIN top3 USING (doc_id)),
+         |pos AS (
+         |  SELECT doc_id, term, pos FROM (
+         |    SELECT doc_id, unnest(toks) AS term,
+         |           generate_subscripts(toks, 1) AS pos FROM tt)
+         |  WHERE term IN ('spark', 'join', 'table', 'filter')),
+         |cov AS (
+         |  SELECT a.doc_id, a.pos AS start,
+         |         count(DISTINCT b.term) AS n_terms
+         |  FROM pos a JOIN pos b
+         |    ON a.doc_id = b.doc_id AND b.pos >= a.pos AND b.pos < a.pos + 8
+         |  GROUP BY 1, 2),
+         |best AS (
+         |  SELECT doc_id, start, n_terms FROM (
+         |    SELECT doc_id, start, n_terms,
+         |           row_number() OVER (PARTITION BY doc_id
+         |             ORDER BY n_terms DESC, start ASC) AS r
+         |    FROM cov) WHERE r = 1)
+         |SELECT b.doc_id, t3.score, b.n_terms::BIGINT AS n_terms,
+         |       array_to_string(list_slice(t.toks, b.start, b.start + 7), ' ')
+         |         AS snippet
+         |FROM best b JOIN tt t USING (doc_id) JOIN top3 t3 USING (doc_id)
+         |ORDER BY t3.score DESC, b.doc_id ASC""".stripMargin,
+    "phrase_match_top5" ->
+      s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+         |p AS (SELECT doc_id, unnest(toks) AS term,
+         |             generate_subscripts(toks, 1) AS pos FROM t),
+         |s AS (
+         |  SELECT a.doc_id FROM p a JOIN p b
+         |    ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+         |  WHERE a.term = 'spark' AND b.term = 'join')
+         |SELECT doc_id, count(*)::BIGINT AS n_occurrences FROM s
+         |GROUP BY 1 ORDER BY n_occurrences DESC, doc_id ASC LIMIT 5"""
+        .stripMargin,
+    "spell_suggest" ->
+      s"""WITH tf AS (
+         |  SELECT term, count(*) AS tf_corpus FROM (
+         |    SELECT unnest($toksSql) AS term FROM documents) GROUP BY 1),
+         |qt AS (SELECT unnest(['spork', 'joinn', 'tble', 'qwzx']) AS qterm),
+         |cand AS (
+         |  SELECT q.qterm, t.term, levenshtein(t.term, q.qterm)::BIGINT AS dist,
+         |         t.tf_corpus
+         |  FROM tf t JOIN qt q ON substr(t.term, 1, 1) = substr(q.qterm, 1, 1)
+         |  WHERE abs(length(t.term) - length(q.qterm)) <= 2
+         |    AND levenshtein(t.term, q.qterm) <= 2)
+         |SELECT qterm, term AS suggestion, dist, tf_corpus::BIGINT AS tf_corpus
+         |FROM (
+         |  SELECT qterm, term, dist, tf_corpus,
+         |         row_number() OVER (PARTITION BY qterm
+         |           ORDER BY dist ASC, tf_corpus DESC, term ASC) AS r
+         |  FROM cand) WHERE r = 1 ORDER BY qterm""".stripMargin,
     "bm25_proximity_top5" ->
       s"""WITH $bm25Ctes,
          |pos AS (

@@ -139,6 +139,103 @@ object Lexical {
       .limit(k)
   }
 
+  /** Exact PHRASE match — consecutive-position search ("spark join"
+    * must appear as adjacent tokens, not just co-occur): the posting
+    * positions of the first word join the second word's positions at
+    * `pos + 1`, keyed on (doc, position) — the classic positional-
+    * index intersection, generalized to any phrase length by folding
+    * word i at offset i. Returns (id, n_occurrences) ranked by count
+    * then id. Keyed equi-joins only; each join leg carries one word's
+    * positions. */
+  def phraseTopK(docs: DataFrame, textCol: String, idCol: String,
+                 phrase: Seq[String], k: Int): DataFrame = {
+    require(phrase.nonEmpty, "empty phrase")
+    val pos = docs
+      .select(col(idCol), posexplode(TextAnalysis.tokens(col(textCol)))
+        .as(Seq("pos", "term")))
+    def wordAt(i: Int): DataFrame =
+      pos.filter(col("term") === phrase(i))
+        .select(col(idCol), (col("pos") - i).as("start"))
+    val starts = phrase.indices.tail.foldLeft(wordAt(0))((acc, i) =>
+      acc.join(wordAt(i), Seq(idCol, "start")))
+    starts.groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_occurrences"))
+      .orderBy(col("n_occurrences").desc, col(idCol).asc)
+      .limit(k)
+  }
+
+  /** Result SNIPPETS — the highlighted-excerpt surface of a search
+    * response: for each of the BM25 top-k docs, the best
+    * `window`-token excerpt, where best = covers the most DISTINCT
+    * query terms (tie → earliest). Candidate windows start at query-
+    * term occurrences only (a best window with no term at its left
+    * edge could shift left to one that has one — same coverage, so
+    * the restriction is lossless for coverage, and it keeps the
+    * candidate count at the per-doc term-occurrence count). Coverage
+    * = a (doc, start)-keyed range join over the same few positions;
+    * the excerpt text slices the token array by the winning offset.
+    * Everything is keyed on the top-k ids — corpus cost is the
+    * scoring chain it already shares with [[bm25TopK]]. */
+  def searchSnippets(docs: DataFrame, textCol: String, idCol: String,
+                     queryTerms: Seq[String], k: Int,
+                     window: Int = 8): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val top = bm25Scored(docs, textCol, idCol, queryTerms)
+      .orderBy(col("score").desc, col(idCol).asc).limit(k)
+    val toks = docs.join(top.select(col(idCol)), Seq(idCol))
+      .select(col(idCol), TextAnalysis.tokens(col(textCol)).as("toks"))
+    val pos = toks
+      .select(col(idCol), posexplode(col("toks")).as(Seq("pos", "term")))
+      .filter(col("term").isin(queryTerms: _*))
+    val covered = pos.select(col(idCol), col("pos").as("start")).as("a")
+      .join(pos.as("b"),
+        col(s"a.$idCol") === col(s"b.$idCol") &&
+          col("b.pos") >= col("a.start") &&
+          col("b.pos") < col("a.start") + window)
+      .groupBy(col(s"a.$idCol").as(idCol), col("a.start").as("start"))
+      .agg(countDistinct(col("b.term")).as("n_terms"))
+    val wBest = Window.partitionBy(col(idCol))
+      .orderBy(col("n_terms").desc, col("start").asc)
+    covered.withColumn("__r", row_number().over(wBest))
+      .filter(col("__r") === 1)
+      .join(toks, Seq(idCol))
+      .join(top, Seq(idCol))
+      .select(col(idCol), col("score"), col("n_terms"),
+        concat_ws(" ", slice(col("toks"), col("start") + 1, lit(window)))
+          .as("snippet"))
+      .orderBy(col("score").desc, col(idCol).asc)
+  }
+
+  /** "Did you mean" — the spell-correction suggestion the fuzzy
+    * search family implies: for each (possibly misspelled) query
+    * term, the best corpus-vocabulary term by (edit distance ASC,
+    * document frequency DESC, term ASC) within `maxDist`, under the
+    * same first-char + length-band blocking as [[bm25FuzzyTopK]].
+    * Terms with no candidate in range emit no row (nothing to
+    * suggest). Vocab+df = one distinct-explode aggregation; the
+    * candidate join broadcasts the query bag. */
+  def spellSuggest(docs: DataFrame, textCol: String,
+                   queryTerms: Seq[String], maxDist: Int = 2): DataFrame = {
+    import docs.sparkSession.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val termDf = docs
+      .select(explode(TextAnalysis.tokens(col(textCol))).as("term"))
+      .groupBy(col("term")).agg(count(lit(1)).as("tf_corpus"))
+    val w = Window.partitionBy(col("qterm"))
+      .orderBy(col("dist").asc, col("tf_corpus").desc, col("term").asc)
+    termDf
+      .withColumn("__c1", substring(col("term"), 1, 1))
+      .join(broadcast(queryTerms.toDF("qterm")
+        .withColumn("__c1", substring(col("qterm"), 1, 1))), Seq("__c1"))
+      .filter(abs(length(col("term")) - length(col("qterm"))) <= maxDist &&
+        levenshtein(col("term"), col("qterm")) <= maxDist)
+      .withColumn("dist", levenshtein(col("term"), col("qterm")).cast("long"))
+      .withColumn("__r", row_number().over(w))
+      .filter(col("__r") === 1)
+      .select(col("qterm"), col("term").as("suggestion"), col("dist"),
+        col("tf_corpus"))
+  }
+
   /** The full scored match set behind [[bm25TopK]] — every document
     * containing ≥ 1 query term with its round-6 BM25 score (no
     * truncation; the top-k and the facet report share this frame). */

@@ -75,6 +75,54 @@ class LexicalSpec extends SparkSpec {
     assert(!byId.contains(3L))
   }
 
+  test("phrase match: adjacency required, multi-word fold, repeated occurrences counted") {
+    val docs = Seq(
+      (1L, "spark join table now"),      // "spark join table" once
+      (2L, "spark x join table"),        // broken adjacency
+      (3L, "spark join table spark join table"), // twice
+      (4L, "table join spark")           // wrong order
+    ).toDF("doc_id", "text")
+    val two = Lexical.phraseTopK(docs, "text", "doc_id",
+        Seq("spark", "join"), 10)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(two == Map(1L -> 1L, 3L -> 2L))
+    val three = Lexical.phraseTopK(docs, "text", "doc_id",
+        Seq("spark", "join", "table"), 10)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(three == Map(1L -> 1L, 3L -> 2L))
+  }
+
+  test("spell suggest: nearest wins, frequency breaks distance ties, out-of-range suggests nothing") {
+    val docs = Seq(
+      (1L, "spark spark spark sparse"),
+      (2L, "spark sparse stark")
+    ).toDF("doc_id", "text")
+    val out = Lexical.spellSuggest(docs, "text", Seq("spariz", "stakr", "qqq"))
+      .collect().map(r => r.getString(0) -> ((r.getString(1), r.getLong(2))))
+      .toMap
+    // "spariz": spark dist 2 (freq 4) beats sparse dist 2 (freq 2)
+    assert(out("spariz") == (("spark", 2L)), out.toString)
+    // "stakr": stark is 2 (trailing swap = 2 substitutions); spark is
+    // 3 (t, k, r all differ) — distance decides before frequency can
+    assert(out("stakr") == (("stark", 2L)), out.toString)
+    assert(!out.contains("qqq"))
+  }
+
+  test("snippets: the window covering the most distinct terms wins, earliest on ties") {
+    val docs = Seq(
+      (1L, "spark padpad padpad padpad padpad padpad padpad padpad padpad join table spark filler"),
+      (2L, "noise noise spark join noise noise noise noise noise noise")
+    ).toDF("doc_id", "text")
+    val out = Lexical.searchSnippets(docs, "text", "doc_id",
+        Seq("spark", "join", "table"), 2, window = 4)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(2), r.getString(3)))).toMap
+    // doc 1: window at "join table spark filler" covers 3 distinct terms
+    assert(out(1L) == ((3L, "join table spark filler")), out.toString)
+    // doc 2: best = 2 terms starting at its "spark"
+    assert(out(2L) == ((2L, "spark join noise noise")), out.toString)
+  }
+
   test("materialized BM25 index ≡ in-memory batch, probe scans only matching buckets") {
     import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
     import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
