@@ -1655,6 +1655,91 @@ object SparkEntry {
           col("size_bucket"))
         .limit(20)
     }),
+    // ---- [EXT] TPC-H Q3 shape — shipping-priority top-10: segment-
+    // filtered customers (broadcast dim) → orders in window → still-
+    // unshipped lineitems, revenue per order, TakeOrdered top-10 with
+    // a total tiebreak. Decimal-exact revenue products.
+    "q3_shipping_priority" -> ((s, dir) => {
+      import org.apache.spark.sql.types.DecimalType
+      def dec(c: org.apache.spark.sql.Column) = c.cast(DecimalType(38, 12))
+      val cut = lit("1999-01-01").cast("timestamp")
+      Tables.customer(s, dir).filter(col("c_mktsegment") === "BUILDING")
+        .select(col("c_custkey"))
+        .join(Tables.orders(s, dir).filter(col("o_orderdate") < cut),
+          col("c_custkey") === col("o_custkey"))
+        .join(Tables.lineitem(s, dir).filter(col("l_shipdate") > cut),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+        .agg(round(sum(dec(col("l_extendedprice")) *
+          (lit(1) - dec(col("l_discount")))).cast("double"), 2).as("revenue"))
+        .orderBy(col("revenue").desc, col("o_orderdate").asc,
+          col("l_orderkey").asc)
+        .limit(10)
+    }),
+    // ---- [EXT] TPC-H Q4 shape — order-priority count with EXISTS:
+    // the correlated EXISTS (a lineitem shipped >30 days after the
+    // order) written DIRECTLY as a conditioned left-semi join — the
+    // join condition carries the correlation, no per-order agg needed.
+    "q4_order_priority" -> ((s, dir) =>
+      Tables.orders(s, dir)
+        .filter(col("o_orderdate") >= lit("1998-01-01").cast("timestamp") &&
+          col("o_orderdate") < lit("1999-01-01").cast("timestamp"))
+        .join(Tables.lineitem(s, dir),
+          col("l_orderkey") === col("o_orderkey") &&
+            col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 30 DAYS"),
+          "left_semi")
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("order_count"))
+        .orderBy(col("o_orderpriority"))),
+    // ---- [EXT] TPC-H Q10 shape — returned-item revenue: customers
+    // ranked by the revenue they returned in a window; join fan-out
+    // bounded by the R-flag filter BEFORE the shuffle, top-10 via
+    // TakeOrdered with id tiebreak.
+    "q10_returned_revenue" -> ((s, dir) => {
+      import org.apache.spark.sql.types.DecimalType
+      def dec(c: org.apache.spark.sql.Column) = c.cast(DecimalType(38, 12))
+      Tables.lineitem(s, dir).filter(col("l_returnflag") === "R")
+        .join(Tables.orders(s, dir)
+            .filter(col("o_orderdate") >= lit("1999-01-01").cast("timestamp") &&
+              col("o_orderdate") < lit("2000-01-01").cast("timestamp")),
+          col("o_orderkey") === col("l_orderkey"))
+        .join(Tables.customer(s, dir),
+          col("c_custkey") === col("o_custkey"))
+        .groupBy(col("c_custkey"), col("c_name"), col("c_nationkey"))
+        .agg(round(sum(dec(col("l_extendedprice")) *
+          (lit(1) - dec(col("l_discount")))).cast("double"), 2).as("revenue"))
+        .orderBy(col("revenue").desc, col("c_custkey").asc)
+        .limit(10)
+    }),
+    // ---- [EXT] TPC-H Q12 shape — the two-way conditional count
+    // rollup (CASE aggregation): late vs on-time shipping buckets ×
+    // high vs low order priority, one joined pass.
+    "q12_priority_class" -> ((s, dir) => {
+      val high = col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+      Tables.orders(s, dir)
+        .join(Tables.lineitem(s, dir), col("l_orderkey") === col("o_orderkey"))
+        .groupBy(when(col("l_shipdate") >
+            col("o_orderdate") + expr("INTERVAL 60 DAYS"), "late")
+          .otherwise("ontime").as("ship_bucket"))
+        .agg(sum(when(high, 1).otherwise(0)).as("high_line_count"),
+          sum(when(high, 0).otherwise(1)).as("low_line_count"))
+        .orderBy(col("ship_bucket"))
+    }),
+    // ---- [EXT] TPC-H Q14 shape — the conditional-revenue-share
+    // scalar (promo revenue %): two decimal-exact sums in one pass,
+    // one division at the end.
+    "q14_promo_share" -> ((s, dir) => {
+      import org.apache.spark.sql.types.DecimalType
+      def dec(c: org.apache.spark.sql.Column) = c.cast(DecimalType(38, 12))
+      val rev = dec(col("l_extendedprice")) * (lit(1) - dec(col("l_discount")))
+      Tables.lineitem(s, dir)
+        .filter(col("l_shipdate") >= lit("1999-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1999-07-01").cast("timestamp"))
+        .join(Tables.part(s, dir), col("p_partkey") === col("l_partkey"))
+        .agg(round((lit(100) * sum(when(col("p_type") === "PROMO", rev)
+            .otherwise(lit(0)))
+          / sum(rev)).cast("double"), 6).as("promo_share"))
+    }),
     // ---- [EXT] INCREMENTAL exact-substring dedup: the corpus
     // shingles once into a bucket-partitioned gram store; an arriving
     // batch finds its shared spans against the corpus by probing only
@@ -1987,6 +2072,17 @@ object SparkEntry {
     "phrase_match_top5" -> ((s, dir) =>
       Lexical.phraseTopK(Tables.documents(s, dir), "text", "doc_id",
         Seq("spark", "join"), 5)),
+    // ---- [EXT] autocomplete (prefix search over the vocabulary):
+    // the type-ahead surface — terms starting with the typed prefix,
+    // ranked by corpus frequency then term; one distinct-explode agg,
+    // and at scale the vocabulary table is tiny next to the corpus.
+    "autocomplete_terms" -> ((s, dir) =>
+      Tables.documents(s, dir)
+        .select(explode(TextAnalysis.tokens(col("text"))).as("term"))
+        .filter(col("term").startsWith("s"))
+        .groupBy(col("term")).agg(count(lit(1)).as("tf_corpus"))
+        .orderBy(col("tf_corpus").desc, col("term").asc)
+        .limit(8)),
     // ---- [EXT] "did you mean" (Lexical.spellSuggest): best
     // vocabulary correction per query term by (edit distance, corpus
     // frequency, term) within distance 2 — the suggestion surface the
@@ -4326,6 +4422,21 @@ object SparkEntry {
         .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
           col("rn").cast("long").as("rn"))
         .orderBy(col("o_custkey"), col("rn"))
+    }),
+    // ---- [EXT] distribution window functions (percent_rank /
+    // cume_dist) — the relative-standing shape (e.g. "this order is
+    // in its customer's top X%"). Both are rank-derived, so value
+    // ties land identical ranks in any engine; keyed partitions only.
+    // Restricted to a bounded customer set for a bounded output.
+    "window_dist_ranks" -> ((s, dir) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_totalprice").asc)
+      Tables.orders(s, dir)
+        .filter(col("o_custkey") < 20)
+        .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
+          round(percent_rank().over(w), 6).as("pct_rank"),
+          round(cume_dist().over(w), 6).as("cume"))
+        .orderBy(col("o_custkey"), col("o_orderkey"))
     }),
     // ---- [EXT] offset window functions (lag/lead) — per-user event
     // deltas, the session-stitching / time-series shape. One keyed
@@ -7895,6 +8006,61 @@ object SparkEntry {
         |  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
         |                  AND o_orderdate >= TIMESTAMP '2000-01-01')
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q3_shipping_priority" ->
+      """SELECT l_orderkey,
+        |       round(CAST(sum(CAST(l_extendedprice AS DECIMAL(38,12)) *
+        |                      (1 - CAST(l_discount AS DECIMAL(38,12))))
+        |                  AS DOUBLE), 2) AS revenue,
+        |       o_orderdate, o_orderpriority
+        |FROM customer JOIN orders ON c_custkey = o_custkey
+        |     JOIN lineitem ON l_orderkey = o_orderkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |  AND o_orderdate < TIMESTAMP '1999-01-01'
+        |  AND l_shipdate > TIMESTAMP '1999-01-01'
+        |GROUP BY l_orderkey, o_orderdate, o_orderpriority
+        |ORDER BY revenue DESC, o_orderdate ASC, l_orderkey ASC
+        |LIMIT 10""".stripMargin,
+    "q4_order_priority" ->
+      """SELECT o_orderpriority, count(*)::BIGINT AS order_count
+        |FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1998-01-01'
+        |  AND o_orderdate < TIMESTAMP '1999-01-01'
+        |  AND EXISTS (SELECT 1 FROM lineitem
+        |              WHERE l_orderkey = o_orderkey
+        |                AND l_shipdate > o_orderdate + INTERVAL 30 DAY)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q10_returned_revenue" ->
+      """SELECT c_custkey, c_name, c_nationkey,
+        |       round(CAST(sum(CAST(l_extendedprice AS DECIMAL(38,12)) *
+        |                      (1 - CAST(l_discount AS DECIMAL(38,12))))
+        |                  AS DOUBLE), 2) AS revenue
+        |FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+        |     JOIN customer ON c_custkey = o_custkey
+        |WHERE l_returnflag = 'R'
+        |  AND o_orderdate >= TIMESTAMP '1999-01-01'
+        |  AND o_orderdate < TIMESTAMP '2000-01-01'
+        |GROUP BY 1, 2, 3
+        |ORDER BY revenue DESC, c_custkey ASC LIMIT 10""".stripMargin,
+    "q12_priority_class" ->
+      """SELECT CASE WHEN l_shipdate > o_orderdate + INTERVAL 60 DAY
+        |            THEN 'late' ELSE 'ontime' END AS ship_bucket,
+        |       sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |                THEN 1 ELSE 0 END)::BIGINT AS high_line_count,
+        |       sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |                THEN 0 ELSE 1 END)::BIGINT AS low_line_count
+        |FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q14_promo_share" ->
+      """SELECT round(CAST(100 * sum(CASE WHEN p_type = 'PROMO'
+        |                  THEN CAST(l_extendedprice AS DECIMAL(38,12)) *
+        |                       (1 - CAST(l_discount AS DECIMAL(38,12)))
+        |                  ELSE 0 END)
+        |             / sum(CAST(l_extendedprice AS DECIMAL(38,12)) *
+        |                   (1 - CAST(l_discount AS DECIMAL(38,12))))
+        |             AS DOUBLE), 6) AS promo_share
+        |FROM lineitem JOIN part ON p_partkey = l_partkey
+        |WHERE l_shipdate >= TIMESTAMP '1999-01-01'
+        |  AND l_shipdate < TIMESTAMP '1999-07-01'""".stripMargin,
     "q16_supplier_count" ->
       """SELECT p_brand, p_type, (p_size % 5)::BIGINT AS size_bucket,
         |       count(DISTINCT l_suppkey)::BIGINT AS supplier_cnt
@@ -8499,6 +8665,11 @@ object SparkEntry {
          |SELECT doc_id, count(*)::BIGINT AS n_occurrences FROM s
          |GROUP BY 1 ORDER BY n_occurrences DESC, doc_id ASC LIMIT 5"""
         .stripMargin,
+    "autocomplete_terms" ->
+      s"""SELECT term, count(*)::BIGINT AS tf_corpus FROM (
+         |  SELECT unnest($toksSql) AS term FROM documents)
+         |WHERE term LIKE 's%'
+         |GROUP BY 1 ORDER BY tf_corpus DESC, term ASC LIMIT 8""".stripMargin,
     "spell_suggest" ->
       s"""WITH tf AS (
          |  SELECT term, count(*) AS tf_corpus FROM (
@@ -11085,6 +11256,13 @@ object SparkEntry {
         |                            ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
         |  FROM orders)
         |WHERE rn <= 2 ORDER BY o_custkey, rn""".stripMargin,
+    "window_dist_ranks" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice,
+        |       round(percent_rank() OVER w, 6) AS pct_rank,
+        |       round(cume_dist() OVER w, 6) AS cume
+        |FROM orders WHERE o_custkey < 20
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice ASC)
+        |ORDER BY o_custkey, o_orderkey""".stripMargin,
     "window_lag" ->
       """SELECT event_id, user_id, value,
         |       lag(value, 1) OVER w AS prev_value,
