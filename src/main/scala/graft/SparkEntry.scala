@@ -276,6 +276,15 @@ object SparkEntry {
           round(col("n_mutual").cast("double") / col("n_edges"), 6)
             .as("reciprocity"))
     }),
+    // ---- [EXT] triangle census of the mutual-kNN graph: the
+    // two-join wedge closure (every join keyed on a node id) plus the
+    // global clustering coefficient 3Δ/wedges — the graph-health
+    // number that says whether neighbor-of-neighbor reasoning has
+    // purchase on this corpus.
+    "knn_graph_triangles" -> ((s, dir) =>
+      graft.search.KnnGraph.triangleCensus(
+        graft.search.KnnGraph.mutualEdges(
+          graft.search.KnnGraph.exact(Tables.embeddings(s, dir), 5)))),
     // ---- [EXT] greedy beam search over the kNN graph — the
     // DiskANN/HNSW-layer-0 probe: deterministic entry node, 4
     // frontier-expand-and-cut hops at beam 8, answer = top-5 of the
@@ -5863,6 +5872,30 @@ object SparkEntry {
           |          ON a.src = b.dst AND a.dst = b.src)::DOUBLE
           |          / (SELECT count(*) FROM ex), 6) AS reciprocity"""
           .stripMargin),
+    "knn_graph_triangles" ->
+      ("WITH " + graft.search.KnnGraph.exactSqlCtes(
+        "embeddings", "vec_id", "embedding", 5) +
+        """,
+          |me AS MATERIALIZED (
+          |  SELECT a.src, a.dst FROM ex a JOIN ex b
+          |    ON a.src = b.dst AND a.dst = b.src
+          |  WHERE a.src < a.dst),
+          |tri AS (
+          |  SELECT count(*) AS n_triangles
+          |  FROM me e1 JOIN me e2 ON e2.src = e1.dst
+          |       JOIN me e3 ON e3.src = e1.src AND e3.dst = e2.dst),
+          |wg AS (
+          |  SELECT sum(d * (d - 1) / 2) AS n_wedges FROM (
+          |    SELECT v, count(*) AS d FROM (
+          |      SELECT src AS v FROM me UNION ALL SELECT dst FROM me)
+          |    GROUP BY 1))
+          |SELECT (SELECT count(*) FROM me)::BIGINT AS n_edges,
+          |       t.n_triangles::BIGINT AS n_triangles,
+          |       w.n_wedges::BIGINT AS n_wedges,
+          |       CASE WHEN w.n_wedges = 0 THEN 0.0
+          |            ELSE round(3.0 * t.n_triangles / w.n_wedges, 6)
+          |       END AS clustering_coeff
+          |FROM tri t, wg w""".stripMargin),
     "graph_search_top5" ->
       ("WITH " + graft.search.KnnGraph.exactSqlCtes(
         "embeddings", "vec_id", "embedding", 5) + ",\n" +

@@ -358,6 +358,42 @@ object KnnGraph {
       .write.mode("overwrite").parquet(s"$dstPath.nodes")
   }
 
+  /** Triangle census of an UNDIRECTED edge set (canonical (src <
+    * dst) pairs): triangle count via the classic two-join wedge
+    * closure — E(a,b) ⋈ E(b,c) gives the a<b<c wedges, ⋈ E(a,c)
+    * closes them; every join is a keyed equi-join on a node id, the
+    * standard distributed formulation. Also the global clustering
+    * coefficient 3·triangles / wedges (wedges = Σ_v C(deg v, 2) —
+    * one degree agg), the graph-health score that says whether
+    * "neighbor-of-neighbor" reasoning (NN-Descent, mutual-kNN
+    * clustering) has any purchase on this corpus. */
+  def triangleCensus(undirected: DataFrame): DataFrame = {
+    val e = undirected
+      .select(least(col("src"), col("dst")).as("src"),
+        greatest(col("src"), col("dst")).as("dst"))
+      .filter(col("src") < col("dst")) // drop self-loops
+      .distinct()
+      .localCheckpoint() // referenced three times below
+    val wedges = e.select(col("src").as("a"), col("dst").as("b"))
+      .join(e.select(col("src").as("b"), col("dst").as("c")), Seq("b"))
+    val triangles = wedges
+      .join(e.select(col("src").as("a"), col("dst").as("c")), Seq("a", "c"))
+      .agg(count(lit(1)).as("n_triangles"))
+    // d·(d−1)/2 is exact in double (always even product, counts far
+    // below 2^53) — cast back to long to match the census's count
+    // column types in either engine
+    val deg = e.select(col("src").as("v")).union(e.select(col("dst").as("v")))
+      .groupBy(col("v")).agg(count(lit(1)).as("d"))
+      .agg(sum(col("d") * (col("d") - 1) / 2).cast("long").as("n_wedges"))
+    e.agg(count(lit(1)).as("n_edges"))
+      .crossJoin(broadcast(triangles))
+      .crossJoin(broadcast(deg))
+      .select(col("n_edges"), col("n_triangles"), col("n_wedges"),
+        when(col("n_wedges") === 0, lit(0.0))
+          .otherwise(round(lit(3.0) * col("n_triangles") / col("n_wedges"), 6))
+          .as("clustering_coeff"))
+  }
+
   /** Edge recall of `approx` against the `truth` graph (same (src,
     * dst) schema): |approx ∩ truth| / |truth| as one round-6 row.
     * One keyed left join + one global agg. */

@@ -88,6 +88,23 @@ class KnnGraphSpec extends SparkSpec {
     a.foreach { case (s, d, _, _) => assert(s != d) }
   }
 
+  test("triangle census on hand graphs") {
+    // K4: 6 edges, 4 triangles, 12 wedges, coeff 3*4/12 = 1
+    val k4 = (for { a <- 0 to 3; b <- 0 to 3 if a < b }
+      yield (a.toLong, b.toLong)).toDF("src", "dst")
+    val r1 = KnnGraph.triangleCensus(k4).head()
+    assert((r1.getLong(0), r1.getLong(1), r1.getLong(2), r1.getDouble(3)) ==
+      ((6L, 4L, 12L, 1.0)))
+    // path 0-1-2: 2 edges, no triangle, one wedge at node 1, coeff 0;
+    // input has duplicates + reversed orientations + a self-loop to
+    // exercise canonicalization
+    val path = Seq((0L, 1L), (2L, 1L), (1L, 0L), (0L, 1L), (2L, 2L))
+      .toDF("src", "dst")
+    val r2 = KnnGraph.triangleCensus(path).head()
+    assert((r2.getLong(0), r2.getLong(1), r2.getLong(2), r2.getDouble(3)) ==
+      ((2L, 0L, 1L, 0.0)))
+  }
+
   test("recallVs arithmetic on a hand fixture") {
     val truth = Seq((1L, 2L), (1L, 3L), (2L, 1L), (2L, 4L)).toDF("src", "dst")
     val approx = Seq((1L, 2L), (2L, 4L), (9L, 9L)).toDF("src", "dst")
