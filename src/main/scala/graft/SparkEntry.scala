@@ -529,6 +529,29 @@ object SparkEntry {
       exact.join(approx, Seq("vec_id"), "left_semi")
         .agg((count(lit(1)) / 5.0).as("recall_at_5"))
     }),
+    // ---- [EXT] OPQ-lite (Ge 2013 reduced to its deterministic core):
+    // a fixed ORTHOGONAL rotation — two seeded Householder
+    // reflections, O(d) each, no d×d matrix — spreads energy across
+    // PQ subspaces before the codebooks train; encode and query
+    // rotate identically, cosine is preserved, and recall@5 gates ADC
+    // over the ROTATED space vs its exact scan. The oracle replays
+    // rotation + full PQ training + both rankings.
+    "opq_recall" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val (v1, v2) = graft.search.Pq.rotationVectors(64)
+      val rot = emb.select(col("vec_id"),
+        graft.search.Pq.rotate(col("embedding"), v1, v2).as("rvec"))
+      val cb = graft.search.Pq.train(rot, "vec_id", "rvec", 64,
+        PqM, PqKsub, PqIters)
+      val qrot = queryVec(s, dir).select(
+        graft.search.Pq.rotate(col("qvec"), v1, v2).as("qvec"))
+      val exact = Search.knn(rot, qrot, 5, vecCol = "rvec")
+        .select(col("vec_id"))
+      val approx = graft.search.Pq.adcTopK(rot, qrot, 5, cb, vecCol = "rvec")
+        .select(col("vec_id"))
+      exact.join(approx, Seq("vec_id"), "left_semi")
+        .agg((count(lit(1)) / 5.0).as("recall_at_5"))
+    }),
     // ---- [EXT] the production PQ pipeline: ADC shortlist (top-50
     // from 8-byte codes) → exact float rerank of only those rows →
     // recall@5 vs the exact scan. The rerank touches 10% of the
@@ -6077,6 +6100,46 @@ object SparkEntry {
          |${(0 until PqM).map(mi => s"  SELECT vec_id, $mi AS m, cid FROM af$mi")
             .mkString("\n  UNION ALL\n")})
          |ORDER BY vec_id, m""".stripMargin,
+    // rotation chain -> rotated query -> prefixed PQ-training replay
+    // -> exact + ADC rankings over the rotated space
+    "opq_recall" -> {
+      val (v1, v2) = graft.search.Pq.rotationVectors(64)
+      val dots = (0 until PqM).map { mi =>
+        s"""list_dot_product((q.qvec)[${mi * PqSub + 1}:${(mi + 1) * PqSub}],
+           |                  c$mi.centroid) AS d$mi,
+           |         list_dot_product(c$mi.centroid, c$mi.centroid) AS n$mi""".stripMargin
+      }.mkString(",\n         ")
+      val joins = (1 until PqM).map(mi =>
+        s"JOIN raf$mi ON raf0.vec_id = raf$mi.vec_id " +
+          s"JOIN rcb${mi}_$PqIters c$mi ON raf$mi.cid = c$mi.cid").mkString("\n       ")
+      val dSum = (0 until PqM).map(mi => s"d$mi").mkString(" + ")
+      val nSum = (0 until PqM).map(mi => s"n$mi").mkString(" + ")
+      s"""WITH ${graft.search.Pq.rotateSqlCtes("embeddings", "vec_id",
+            "embedding", 64, v1, v2)},
+         |q AS (SELECT rvec AS qvec FROM rv WHERE vec_id = 0),
+         |${pqTrainSqlOn("rv", "rvec", cast = false, "r")},
+         |exact5 AS (
+         |  SELECT vec_id FROM (
+         |    SELECT e.vec_id, ${cosSql("e.rvec", "q.qvec")} AS sim
+         |    FROM rv e, q)
+         |  ORDER BY sim DESC, vec_id ASC LIMIT 5),
+         |sc AS (
+         |  SELECT raf0.vec_id,
+         |         $dots
+         |  FROM raf0 JOIN rcb0_$PqIters c0 ON raf0.cid = c0.cid
+         |       $joins
+         |       CROSS JOIN q),
+         |qn AS (SELECT sqrt(list_dot_product(qvec, qvec)) AS qn FROM q),
+         |approx AS (
+         |  SELECT vec_id FROM (
+         |    SELECT sc.vec_id,
+         |           round(CASE WHEN qn.qn = 0 OR ($nSum) = 0 THEN 0
+         |                      ELSE ($dSum) / (qn.qn * sqrt($nSum)) END, 6) AS sim
+         |    FROM sc, qn)
+         |  ORDER BY sim DESC, vec_id ASC LIMIT 5)
+         |SELECT count(*) / 5.0 AS recall_at_5
+         |FROM exact5 JOIN approx USING (vec_id)""".stripMargin
+    },
     "pq_recall" -> {
       val dots = (0 until PqM).map { mi =>
         s"""list_dot_product((q.qvec::DOUBLE[])[${mi * PqSub + 1}:${(mi + 1) * PqSub}],

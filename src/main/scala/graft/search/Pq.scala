@@ -61,6 +61,70 @@ object Pq {
     * it, verify codes via reconstruction error or recall instead of
     * exact equality — the retrieval-quality oracles (`pq_recall*`,
     * `ivfpq_*`) already do. */
+  /** Deterministic OPQ-lite rotation (Ge et al. 2013's optimized
+    * product quantization, reduced to its deterministic core): PQ's
+    * one blind spot is energy concentrated in a few dims of one
+    * subspace — a fixed ORTHOGONAL rotation spreads it across
+    * subspaces before the codebooks train. Here R = H(v₂)·H(v₁), two
+    * Householder reflections over seeded unit vectors: orthogonal by
+    * construction, applied as x → x − 2·v·(v·x) per reflection — no
+    * d×d matrix anywhere, O(d) per reflection. The projection dot is
+    * round-6 (the [[graft.vector.VectorOps.dot]] ↔ `list_dot_product`
+    * contract); every other op is a single IEEE arithmetic op, so the
+    * rotated values replay bit-for-bit cross-engine and the whole
+    * downstream PQ chain stays hash-exact. Encode and query must
+    * rotate with the SAME vectors — cosine is preserved (orthogonal),
+    * so exact-vs-ADC recall gates compose unchanged. */
+  def rotationVectors(dim: Int, seed: Long = 7L): (Seq[Double], Seq[Double]) = {
+    val rnd = new scala.util.Random(seed)
+    def unit(): Seq[Double] = {
+      val v = Seq.fill(dim)(rnd.nextGaussian())
+      val n = math.sqrt(v.map(x => x * x).sum)
+      v.map(_ / n)
+    }
+    (unit(), unit())
+  }
+
+  /** Apply the OPQ rotation: two Householder reflections in sequence
+    * (see [[rotationVectors]]). */
+  def rotate(x: Column, v1: Seq[Double], v2: Seq[Double]): Column = {
+    def refl(y: Column, v: Seq[Double]): Column = {
+      val d = round(graft.vector.VectorOps.dot(y, typedlit(v)), 6)
+      zip_with(transform(y, e => e.cast("double")), typedlit(v),
+        (yi, vi) => yi - lit(2.0) * vi * d)
+    }
+    refl(refl(x, v1), v2)
+  }
+
+  /** DuckDB twin of [[rotate]] as CTEs (the Hilbert `hSqlCte`
+    * convention — kept beside the Scala so the two can't drift).
+    * Emits `<out>` exposing (vec_id, rvec DOUBLE[]). Scala's
+    * Double.toString literals are shortest-round-trip, so the SQL
+    * parses back to bit-identical doubles. */
+  def rotateSqlCtes(table: String, idCol: String, vecCol: String,
+                    dim: Int, v1: Seq[Double], v2: Seq[Double],
+                    out: String = "rv"): String = {
+    def lits(v: Seq[Double]) = s"[${v.mkString(",")}]::DOUBLE[]"
+    // the final relation is MATERIALIZED: a PQ-training replay
+    // references it once per subspace per iteration, and each plain-
+    // CTE reference would inline (and re-run) the whole chain
+    def stage(src: String, xcol: String, v: Seq[Double], dst: String,
+              ycol: String, mat: Boolean): String =
+      s"""${dst}_d AS (
+         |  SELECT vec_id, $xcol AS x,
+         |         round(list_dot_product($xcol::DOUBLE[], ${lits(v)}), 6) AS d
+         |  FROM $src),
+         |$dst AS ${if (mat) "MATERIALIZED " else ""}(
+         |  SELECT vec_id,
+         |         list_transform(range(1, ${dim + 1}),
+         |           i -> (x::DOUBLE[])[i] - 2.0 * (${lits(v)})[i] * d)
+         |           AS $ycol
+         |  FROM ${dst}_d)""".stripMargin
+    s"""${out}0 AS (SELECT $idCol AS vec_id, $vecCol FROM $table),
+       |${stage(s"${out}0", vecCol, v1, s"${out}1", "x1", mat = false)},
+       |${stage(s"${out}1", "x1", v2, out, "rvec", mat = true)}""".stripMargin
+  }
+
   def train(corpus: DataFrame, idCol: String, vecCol: String,
             dim: Int, m: Int, ksub: Int, iters: Int): Codebooks = {
     require(m >= 1 && dim % m == 0, s"m ($m) must divide dim ($dim)")

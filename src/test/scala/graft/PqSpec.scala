@@ -38,6 +38,37 @@ class PqSpec extends SparkSpec {
             -hi, -hi, -hi, -hi + i * 0.01f))
   }.toDF("vec_id", "embedding")
 
+  test("OPQ rotation: orthogonal (norms + cosines preserved), deterministic, actually moves coordinates") {
+    import org.apache.spark.sql.functions._
+    val vecs = Seq(
+      (1L, Seq.tabulate(64)(i => (i % 7 - 3).toDouble)),
+      (2L, Seq.tabulate(64)(i => math.sin(i.toDouble))),
+      (3L, Seq.tabulate(64)(i => if (i == 0) 5.0 else 0.0))
+    ).toDF("vec_id", "embedding")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("embedding"))
+    val (v1, v2) = graft.search.Pq.rotationVectors(64)
+    val rot = vecs.select(col("vec_id"),
+      graft.search.Pq.rotate(col("embedding"), v1, v2).as("rvec"))
+    val raw = vecs.collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    val rotated = rot.collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    def norm(v: Seq[Double]) = math.sqrt(v.map(x => x * x).sum)
+    def cos(a: Seq[Double], b: Seq[Double]) =
+      a.zip(b).map { case (x, y) => x * y }.sum / (norm(a) * norm(b))
+    raw.keys.foreach { id =>
+      assert(math.abs(norm(rotated(id)) - norm(raw(id))) < 1e-4,
+        s"norm not preserved for $id")
+      // and the rotation is not a no-op
+      assert(raw(id).zip(rotated(id)).exists { case (a, b) => math.abs(a - b) > 0.1 },
+        s"rotation left $id in place")
+    }
+    assert(math.abs(cos(rotated(1L), rotated(2L)) - cos(raw(1L), raw(2L))) < 1e-5)
+    // bit-determinism across invocations
+    val again = vecs.select(col("vec_id"),
+      graft.search.Pq.rotate(col("embedding"), v1, v2).as("rvec"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    assert(again == rotated)
+  }
+
   test("train: shapes, determinism, and encode code range") {
     val cb1 = Pq.train(corpus, "vec_id", "embedding", 8, 2, 4, 2)
     val cb2 = Pq.train(corpus, "vec_id", "embedding", 8, 2, 4, 2)
