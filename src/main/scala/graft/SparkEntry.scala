@@ -333,6 +333,23 @@ object SparkEntry {
       graft.search.KnnGraph.graphIndexTopK(s, path, probeIds, 5)
         .orderBy(col("src"), col("rank"))
     }),
+    // ---- [EXT] graph-index DELETE + exact REPAIR: tombstoned nodes
+    // vanish from both edge sides at probe time, and repair re-scores
+    // ONLY the nodes whose stored lists referenced a deleted neighbor
+    // (O(|affected|·n), write cost follows the damage) — after which
+    // a probe equals the brute-force rebuild over the survivors
+    // (which is exactly what the oracle computes).
+    "knn_graph_delete_repair" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val path = scratchDir("knn-graph-del")
+      graft.search.KnnGraph.writeGraphIndex(
+        graft.search.KnnGraph.exact(emb, 5), emb, path)
+      graft.search.KnnGraph.deleteFromGraphIndex(
+        emb.filter(col("vec_id") % 50 === 0), path)
+      graft.search.KnnGraph.repairGraphIndex(s, path)
+      graft.search.KnnGraph.graphIndexTopK(s, path, 0L until 15L, 5)
+        .orderBy(col("src"), col("rank"))
+    }),
     // ---- [EXT] int8 scalar quantization of the embedding corpus —
     // exploded to (vec_id, idx, q) so the oracle pins every quantized
     // value exactly (the fused kernel and DuckDB's floor-form agree
@@ -5934,6 +5951,12 @@ object SparkEntry {
         "  FROM embeddings WHERE vec_id < 10),\n" +
         graft.search.KnnGraph.exactSqlCtes("un", "vec_id", "embedding", 5) +
         "\nSELECT src, dst, sim, rank FROM ex ORDER BY src, rank"),
+    "knn_graph_delete_repair" ->
+      ("WITH sv AS MATERIALIZED (\n" +
+        "  SELECT vec_id, embedding FROM embeddings WHERE vec_id % 50 <> 0),\n" +
+        graft.search.KnnGraph.exactSqlCtes("sv", "vec_id", "embedding", 5) +
+        "\nSELECT src, dst, sim, rank FROM ex WHERE src < 15" +
+        "\nORDER BY src, rank"),
     "knn_graph_store_delta" ->
       ("WITH un AS MATERIALIZED (\n" +
         "  SELECT vec_id, embedding FROM embeddings\n" +

@@ -261,7 +261,11 @@ object KnnGraph {
   def writeGraphIndex(graph: DataFrame, corpus: DataFrame, path: String,
                       buckets: Int = 16,
                       idCol: String = "vec_id", vecCol: String = "embedding"): Unit = {
+    // fresh build resets every sibling describing the old contents
+    // (the `Ann.buildIvfIndex` contract): stale tombstones would
+    // anti-join valid nodes out of the new graph
     graft.io.Fs.delete(corpus.sparkSession, s"$path.nodes")
+    graft.io.Fs.delete(corpus.sparkSession, s"$path.tombstones")
     graph.select(col("src"), col("dst"), col("sim"))
       .withColumn("__bucket", pmod(hash(col("src")), lit(buckets)))
       .repartition(col("__bucket"))
@@ -326,12 +330,89 @@ object KnnGraph {
     val bucketLits = nodeIds.toDF("src")
       .select(pmod(hash(col("src")), lit(buckets)).as("b"))
       .distinct().collect().map(_.getInt(0)).toSeq
-    spark.read.parquet(path)
-      .filter(col("__bucket").isin(bucketLits: _*) &&
-        col("src").isin(nodeIds: _*))
+    dropGraphTombstones(
+      spark.read.parquet(path)
+        .filter(col("__bucket").isin(bucketLits: _*) &&
+          col("src").isin(nodeIds: _*)),
+      path)
+      // rank the edge SET: overlay/repair appends may duplicate a base
+      // row verbatim, and a duplicate would occupy two ranks and push
+      // the true k-th edge out
+      .select(col("src"), col("dst"), col("sim")).distinct()
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("src"), col("dst"), col("sim"), col("rank"))
+  }
+
+  /** Tombstone-DELETE nodes from a materialized graph index — the
+    * graph twin of `Ann.deleteFromIvfIndex`, completing the
+    * build/append/probe/delete lifecycle. Deletes are LOGICAL: ids
+    * append to `<path>.tombstones/`; probes drop tombstoned rows on
+    * BOTH sides (a deleted node has no list, and can't be anyone's
+    * neighbor). Deleting a neighbor leaves its ex-neighbors with an
+    * UNDER-k stored list — the probe is still correct on what it
+    * returns, but exact top-k needs [[repairGraphIndex]] (which this
+    * method is deliberately separate from: deletes are cheap and
+    * batched, repair is one keyed recompute when you choose). */
+  def deleteFromGraphIndex(ids: DataFrame, path: String,
+                           idCol: String = "vec_id"): Unit =
+    ids.select(col(idCol)).write.mode("append").parquet(s"$path.tombstones")
+
+  private def graphTombstones(spark: org.apache.spark.sql.SparkSession,
+                              path: String): Option[DataFrame] =
+    if (!graft.io.Fs.exists(spark, s"$path.tombstones")) None
+    else Some(spark.read.parquet(s"$path.tombstones").distinct())
+
+  private def dropGraphTombstones(edges: DataFrame, path: String): DataFrame =
+    graphTombstones(edges.sparkSession, path).fold(edges) { t =>
+      val ids = t.select(col(t.columns.head).as("__tomb"))
+      edges
+        .join(broadcast(ids), col("src") === col("__tomb"), "left_anti")
+        .join(broadcast(ids), col("dst") === col("__tomb"), "left_anti")
+    }
+
+  /** EXACT repair after deletes: only nodes whose STORED candidate
+    * rows referenced a tombstoned neighbor can have an under-k list —
+    * everyone else's top-k over the survivors is already stored. Those
+    * affected nodes (a keyed semi-join finds them) re-score against
+    * the full surviving nodes side — O(|affected|·n) cosines, not a
+    * rebuild — and their fresh edges append into the layout. The
+    * tombstones stay: stale rows pointing AT deleted neighbors remain
+    * in the base until [[compactGraphIndex]] drops them physically,
+    * and the probe's anti-join is what keeps them out of rankings
+    * meanwhile. Done = probe ≡ brute-force rebuild over survivors
+    * (KnnGraphSpec).
+    *
+    * Deliberately NOT lossy: repair rewrites the affected nodes'
+    * buckets only via append — base rows for unaffected nodes are
+    * untouched, so the write cost follows the damage, not the corpus. */
+  def repairGraphIndex(spark: org.apache.spark.sql.SparkSession, path: String,
+                       buckets: Int = 16): Unit = {
+    graphTombstones(spark, path).foreach { t =>
+      val ids = t.select(col(t.columns.head).as("__tomb"))
+      val edges = spark.read.parquet(path)
+      val affected = edges
+        .join(broadcast(ids), col("dst") === col("__tomb"), "left_semi")
+        .select(col("src")).distinct()
+        .join(broadcast(ids), col("src") === col("__tomb"), "left_anti")
+      val nodes = spark.read.parquet(s"$path.nodes")
+        .join(broadcast(ids), col("id") === col("__tomb"), "left_anti")
+      val fresh = nodes.select(col("id").as("src"), col("vec").as("__svec"))
+        .join(affected, Seq("src"), "left_semi")
+        .crossJoin(nodes.select(col("id").as("dst"), col("vec").as("__dvec")))
+        .filter(col("src") =!= col("dst"))
+        .withColumn("sim", VectorOps.cosine6(col("__svec"), col("__dvec")))
+        .select(col("src"), col("dst"), col("sim"))
+      fresh
+        .withColumn("__bucket", pmod(hash(col("src")), lit(buckets)))
+        .repartition(col("__bucket"))
+        .write.partitionBy("__bucket").mode("append").parquet(path)
+      // rewrite the nodes side without the deleted rows (checkpoint
+      // first — the write overwrites its own input files); tombstones
+      // stay until compact drops the stale edge rows physically
+      nodes.localCheckpoint().write.mode("overwrite")
+        .parquet(s"$path.nodes")
+    }
   }
 
   /** Compact an appended graph index: per-node top-k over
@@ -345,7 +426,11 @@ object KnnGraph {
                         recordsPerFile: Long = 1L << 20): Unit = {
     val w = Window.partitionBy(col("src"))
       .orderBy(col("sim").desc, col("dst").asc)
-    spark.read.parquet(srcPath)
+    // tombstones apply physically here (the `Ann.compactIvfIndex`
+    // contract): the fresh layout carries no deleted node on either
+    // edge side, and no tombstone sidecar
+    dropGraphTombstones(spark.read.parquet(srcPath), srcPath)
+      .select(col("src"), col("dst"), col("sim")).distinct()
       .withColumn("__rk", row_number().over(w))
       .filter(col("__rk") <= k)
       .select(col("src"), col("dst"), col("sim"))
@@ -354,7 +439,13 @@ object KnnGraph {
       .write.partitionBy("__bucket")
       .option("maxRecordsPerFile", recordsPerFile)
       .mode("overwrite").parquet(dstPath)
-    spark.read.parquet(s"$srcPath.nodes")
+    // nodes side drops tombstoned rows too (repair already removes
+    // them, but compact must not depend on repair having run)
+    val nodes = spark.read.parquet(s"$srcPath.nodes")
+    graphTombstones(spark, srcPath)
+      .fold(nodes)(t => nodes.join(
+        broadcast(t.select(col(t.columns.head).as("__tomb"))),
+        col("id") === col("__tomb"), "left_anti"))
       .write.mode("overwrite").parquet(s"$dstPath.nodes")
   }
 

@@ -199,6 +199,40 @@ class KnnGraphSpec extends SparkSpec {
       s"compact must shrink to n*k edges: $before -> $after")
   }
 
+  test("graph index delete+repair: probe ≡ rebuild over survivors; compact applies tombstones physically") {
+    val root = java.nio.file.Files.createTempDirectory("graft-knng-del").toString
+    val path = s"$root/index"
+    KnnGraph.writeGraphIndex(KnnGraph.exact(clustered, 3), clustered, path,
+      buckets = 4)
+    // delete two nodes: one that IS a stored neighbor of others (11)
+    // and one isolated-ish (38)
+    KnnGraph.deleteFromGraphIndex(
+      clustered.filter(col("vec_id").isin(11L, 38L)), path)
+    KnnGraph.repairGraphIndex(spark, path, buckets = 4)
+    val survivors = clustered.filter(!col("vec_id").isin(11L, 38L))
+    val probeIds = (0L until 40L)
+    def norm(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
+    val probed = norm(KnnGraph.graphIndexTopK(spark, path, probeIds, 3,
+      buckets = 4))
+    val rebuilt = norm(KnnGraph.exact(survivors, 3))
+    assert(probed == rebuilt)
+    probed.foreach { case (s, d, _, _) =>
+      assert(s != 11L && s != 38L && d != 11L && d != 38L)
+    }
+    // compact: physical apply — no deleted node in any row, sidecar
+    // gone from the ranking path, probes unchanged
+    val compacted = s"$root/compacted"
+    KnnGraph.compactGraphIndex(spark, path, compacted, 3, buckets = 4)
+    assert(norm(KnnGraph.graphIndexTopK(spark, compacted, probeIds, 3,
+      buckets = 4)) == probed)
+    val raw = spark.read.parquet(compacted)
+    assert(raw.filter(col("src").isin(11L, 38L) ||
+      col("dst").isin(11L, 38L)).count() == 0)
+    assert(spark.read.parquet(s"$compacted.nodes")
+      .filter(col("id").isin(11L, 38L)).count() == 0)
+  }
+
   test("appendToGraph equals the brute-force rebuild over the union") {
     val base = clustered.filter(col("vec_id") < 30)
     val delta = clustered.filter(col("vec_id") >= 30)
