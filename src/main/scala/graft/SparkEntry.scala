@@ -4399,6 +4399,31 @@ object SparkEntry {
         .select(explode(TextAnalysis.tokens(col("text"))).as("term"))
       FreqSketch.heavyHitters(toks, "term", 3, 64, 10)
     }),
+    // ---- [EXT] sketch-based JOIN-SIZE estimation (count-min inner
+    // product — the cardinality estimate an optimizer consults before
+    // picking a join strategy): min over hash rows of the cell-wise
+    // inner product upper-bounds Σ_k fA(k)·fB(k) at depth×width state
+    // per side instead of a per-distinct-key group-count join. The
+    // exact size rides along for the honest over-ratio (1.16× at
+    // width 4096; at width 256 collisions inflated it 7× — the
+    // inner-product error grows with colliding MASS, so width must
+    // scale with distinct keys, the same sizing contract as the
+    // point estimates).
+    "cm_join_size" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val ord = Tables.orders(s, dir)
+      val est = FreqSketch.joinSizeEstimate(ev, "user_id", ord, "o_custkey",
+        3, 4096)
+      val exact = ev.groupBy(col("user_id").as("k"))
+        .agg(count(lit(1)).as("ca"))
+        .join(ord.groupBy(col("o_custkey").as("k"))
+          .agg(count(lit(1)).as("cb")), Seq("k"))
+        .agg(sum(col("ca") * col("cb")).as("join_size_exact"))
+      exact.crossJoin(broadcast(est))
+        .select(col("join_size_exact"), col("join_size_est"),
+          round(col("join_size_est").cast("double") /
+            col("join_size_exact"), 6).as("over_ratio"))
+    }),
     // ---- [EXT] per-domain vocabulary profile with per-group bounded
     // state: one sketch per source, top-3 terms per source by a keyed
     // window (the kmv_distinct_groups shape for frequency).
@@ -11324,6 +11349,29 @@ object SparkEntry {
          |       round(ln((n_ab * n.n) / (dfa * dfb)::DOUBLE), 6) AS pmi
          |FROM pr, n
          |ORDER BY pmi DESC, term_a ASC, term_b ASC LIMIT 15""".stripMargin,
+    "cm_join_size" ->
+      s"""WITH js AS (SELECT unnest(range(0, 3)) AS j),
+         |fa AS (SELECT ${polySql("user_id::VARCHAR")} AS f FROM events),
+         |fb AS (SELECT ${polySql("o_custkey::VARCHAR")} AS f FROM orders),
+         |ca AS (SELECT j, ${graft.analysis.FreqSketch.cellSql("f", "j", 4096)}
+         |         AS c, count(*) AS cnt
+         |       FROM fa CROSS JOIN js GROUP BY 1, 2),
+         |cb AS (SELECT j, ${graft.analysis.FreqSketch.cellSql("f", "j", 4096)}
+         |         AS c, count(*) AS cnt
+         |       FROM fb CROSS JOIN js GROUP BY 1, 2),
+         |ip AS (SELECT a.j, sum(a.cnt * b.cnt) AS ip
+         |       FROM ca a JOIN cb b ON a.j = b.j AND a.c = b.c GROUP BY 1),
+         |est AS (SELECT min(ip) AS join_size_est FROM ip),
+         |ex AS (
+         |  SELECT sum(ea.n * ob.n) AS join_size_exact FROM
+         |    (SELECT user_id AS k, count(*) AS n FROM events GROUP BY 1) ea
+         |    JOIN (SELECT o_custkey AS k, count(*) AS n FROM orders
+         |          GROUP BY 1) ob USING (k))
+         |SELECT ex.join_size_exact::BIGINT AS join_size_exact,
+         |       est.join_size_est::BIGINT AS join_size_est,
+         |       round(est.join_size_est::DOUBLE / ex.join_size_exact, 6)
+         |         AS over_ratio
+         |FROM ex, est""".stripMargin,
     "cmin_heavy_hitters" ->
       s"""WITH tok AS (SELECT unnest($toksSql) AS term FROM documents),
          |fp AS (SELECT term, ${polySql("term")} AS f FROM tok),

@@ -61,6 +61,28 @@ object FreqSketch {
   def merge(a: DataFrame, b: DataFrame): DataFrame =
     a.unionByName(b).groupBy("__row", "__col").agg(sum("cnt").as("cnt"))
 
+  /** Sketch-based equi-JOIN-SIZE estimation (Cormode & Muthukrishnan's
+    * count-min inner product — the AGMS-style estimator an optimizer
+    * consults before choosing a join strategy): the true size is
+    * `Σ_k fA(k)·fB(k)`, and `min over hash rows of the cell-wise
+    * inner product` upper-bounds it (collisions only ADD non-negative
+    * cross terms — same one-sided guarantee as the point estimate).
+    * Cost: `depth·width` cells per side instead of a group-count join
+    * over every distinct key; the cell join is sketch-sized. Keys are
+    * string-fingerprinted like every sketch probe, so the estimate
+    * replays bit-for-bit in the oracle. */
+  def joinSizeEstimate(a: DataFrame, aKey: String, b: DataFrame, bKey: String,
+                       depth: Int, width: Int): DataFrame = {
+    val sa = sketch(a.select(col(aKey).cast("string").as("__k")), "__k",
+      depth, width)
+    val sb = sketch(b.select(col(bKey).cast("string").as("__k")), "__k",
+      depth, width)
+    sa.as("x").join(sb.as("y"), Seq("__row", "__col"))
+      .groupBy(col("__row"))
+      .agg(sum(col("x.cnt") * col("y.cnt")).as("__ip"))
+      .agg(min(col("__ip")).as("join_size_est"))
+  }
+
   /** Point-query the sketch for every distinct probe term:
     * `est = min over rows of the term's cell` (0 when a cell was never
     * touched). The sketch side is at most `depth·width` rows —

@@ -30,6 +30,20 @@ class FreqSketchSpec extends SparkSpec {
     }
   }
 
+  test("join-size estimate: upper bound always, exact under collision-free geometry") {
+    val a = Seq(1L, 1L, 1L, 2L, 2L, 3L, 7L).toDF("k")
+    val b = Seq(1L, 2L, 2L, 2L, 3L, 9L).toDF("k")
+    val exact = 3 * 1 + 2 * 3 + 1 * 1 // = 10 (keys 1, 2, 3; 7 and 9 match nothing)
+    // tight width: collisions may only INFLATE
+    val tight = FreqSketch.joinSizeEstimate(a, "k", b, "k", 3, 4)
+      .head().getLong(0)
+    assert(tight >= exact, s"estimate $tight must upper-bound $exact")
+    // wide width: 5 distinct keys in 512 cells -> collision-free, exact
+    val wide = FreqSketch.joinSizeEstimate(a, "k", b, "k", 3, 512)
+      .head().getLong(0)
+    assert(wide == exact, s"collision-free estimate must be exact: $wide vs $exact")
+  }
+
   test("collision-free geometry reproduces the exact counts and ranking") {
     val got = FreqSketch.heavyHitters(skewed, "term", 3, 512, 6)
       .collect().map(r => (r.getString(0), r.getLong(1)))
