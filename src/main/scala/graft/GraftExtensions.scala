@@ -63,6 +63,14 @@ object GraftExtensions {
       (es: Seq[Expression]) => graft.functions.RandomProject(es(0),
         graft.vector.VectorOps.rpSigns(intArg(es(1), "random_project"),
           intArg(es(2), "random_project")))),
+    ("hilbert_index",
+      new ExpressionInfo(classOf[graft.functions.HilbertIndex].getName, "hilbert_index"),
+      (es: Seq[Expression]) => {
+        import org.apache.spark.sql.catalyst.expressions.Cast
+        import org.apache.spark.sql.types.LongType
+        graft.functions.HilbertIndex(Cast(es(0), LongType),
+          Cast(es(1), LongType), intArg(es(2), "hilbert_index"))
+      }),
     ("zvalue",
       new ExpressionInfo(graft.store.ZOrder.getClass.getName, "zvalue"),
       (es: Seq[Expression]) => {

@@ -556,8 +556,8 @@ object SparkEntry {
     "opq_recall" -> ((s, dir) => {
       val emb = Tables.embeddings(s, dir)
       val (v1, v2) = graft.search.Pq.rotationVectors(64)
-      val rot = emb.select(col("vec_id"),
-        graft.search.Pq.rotate(col("embedding"), v1, v2).as("rvec"))
+      val rot = graft.search.Pq.rotateCorpus(emb, "embedding", "rvec", v1, v2)
+        .select(col("vec_id"), col("rvec"))
       val cb = graft.search.Pq.train(rot, "vec_id", "rvec", 64,
         PqM, PqKsub, PqIters)
       val qrot = queryVec(s, dir).select(
@@ -2106,6 +2106,25 @@ object SparkEntry {
     "bm25_top5" -> ((s, dir) =>
       Lexical.bm25TopK(Tables.documents(s, dir), "text", "doc_id",
         Seq("spark", "join", "table", "filter"), 5)),
+    // ---- [EXT] query-performance prediction (Lexical.queryClarity —
+    // Cronen-Townsend 2002): KL between the query's RM1 feedback
+    // model and the corpus LM — the triage gate that flags "these
+    // results are mush" without reading them. On THIS corpus the two
+    // probes land close (~1.1 each): the word soup has no Zipfian
+    // stopword mass for the "mushy" query to dilute into, and the
+    // honest gate says so — on natural text the stopword probe
+    // collapses toward 0 while focused queries stay high.
+    "query_clarity" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      Lexical.queryClarity(docs, "text", "doc_id",
+          Seq("spark", "join", "table", "filter"))
+        .withColumn("q", lit("focused"))
+        .unionByName(Lexical.queryClarity(docs, "text", "doc_id",
+            Seq("a", "the"))
+          .withColumn("q", lit("stopword")))
+        .select(col("q"), col("clarity"), col("n_terms"))
+        .orderBy(col("q"))
+    }),
     // ---- [EXT] result SNIPPETS (Lexical.searchSnippets): the
     // highlighted-excerpt surface — per top-3 hit, the 8-token window
     // covering the most distinct query terms (tie → earliest),
@@ -4382,6 +4401,22 @@ object SparkEntry {
     "vocab_coverage" -> ((s, dir) =>
       TextAnalysis.vocabCoverage(Tables.documents(s, dir), "text", "lang", 100)
         .orderBy(col("lang"))),
+    // ---- [EXT] vocabulary-SIZING curve: coverage per language at
+    // vocab sizes {50, 100, 200} — the tokenizer-budget decision
+    // (where does coverage saturate, and which language pays the OOV
+    // cost at each size) as one frame instead of three runs. Three
+    // keyed passes over the token explode; the vocab tables stay
+    // broadcast-sized at every point on the curve.
+    "vocab_coverage_curve" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      Seq(50, 100, 200).map { n =>
+        TextAnalysis.vocabCoverage(docs, "text", "lang", n)
+          .withColumn("vocab_size", lit(n.toLong))
+      }.reduce(_.unionByName(_))
+        .select(col("vocab_size"), col("lang"), col("n_tokens"),
+          col("in_vocab"), col("coverage"))
+        .orderBy(col("vocab_size"), col("lang"))
+    }),
     // ---- [EXT] term associations (TextAnalysis.pmiPairs): top PMI
     // pairs over the frequent vocabulary — document-presence
     // co-occurrence vs independence. The quadratic pair step runs
@@ -8771,6 +8806,54 @@ object SparkEntry {
       s"""WITH $bm25Ctes
          |SELECT doc_id, score FROM scored
          |ORDER BY score DESC, doc_id ASC LIMIT 5""".stripMargin,
+    "query_clarity" -> {
+      def chain(tag: String, terms: Seq[String]): String = {
+        val inList = terms.map(t => s"'$t'").mkString(", ")
+        s"""${tag}post AS (
+           |  SELECT doc_id, term, count(*) AS tf FROM (
+           |    SELECT doc_id, unnest(toks) AS term FROM toks)
+           |  WHERE term IN ($inList) GROUP BY 1, 2),
+           |${tag}df AS (SELECT term, count(*) AS df FROM ${tag}post GROUP BY 1),
+           |${tag}sc AS (
+           |  SELECT p.doc_id, round(sum(
+           |    ln(1.0::DOUBLE + (s.n_docs - f.df + 0.5::DOUBLE) / (f.df + 0.5::DOUBLE))
+           |    * p.tf * 2.2::DOUBLE
+           |    / (p.tf + 1.2::DOUBLE * (0.25::DOUBLE + 0.75::DOUBLE * d.dl / s.avgdl))), 6)
+           |    AS score
+           |  FROM ${tag}post p JOIN ${tag}df f USING (term)
+           |       JOIN dl d USING (doc_id) CROSS JOIN stats s
+           |  GROUP BY 1),
+           |${tag}fb AS (SELECT doc_id FROM ${tag}sc
+           |             ORDER BY score DESC, doc_id ASC LIMIT 3),
+           |${tag}tf AS (
+           |  SELECT x.doc_id, x.term, d.dl, count(*) AS tf FROM
+           |    (SELECT doc_id, unnest(toks) AS term FROM toks) x
+           |    JOIN ${tag}fb USING (doc_id) JOIN dl d USING (doc_id)
+           |  GROUP BY 1, 2, 3),
+           |${tag}rm1 AS (
+           |  SELECT term, round(sum(tf::DOUBLE / dl) / 3.0, 6) AS rw
+           |  FROM ${tag}tf GROUP BY 1 ORDER BY rw DESC, term ASC LIMIT 10),
+           |${tag}z AS (SELECT sum(rw) AS z FROM ${tag}rm1),
+           |${tag}cl AS (
+           |  SELECT round(sum((rw / z.z) * ln((rw / z.z)
+           |           / (cf.cf::DOUBLE / ct.ct))), 6) AS clarity,
+           |         count(*)::BIGINT AS n_terms
+           |  FROM ${tag}rm1 r JOIN cf ON cf.term = r.term, ${tag}z z, ct)"""
+          .stripMargin
+      }
+      s"""WITH toks AS MATERIALIZED (
+         |  SELECT doc_id, $toksSql AS toks FROM documents),
+         |dl AS (SELECT doc_id, len(toks)::BIGINT AS dl FROM toks),
+         |stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
+         |cf AS (SELECT term, count(*) AS cf FROM (
+         |         SELECT unnest(toks) AS term FROM toks) GROUP BY 1),
+         |ct AS (SELECT sum(cf) AS ct FROM cf),
+         |${chain("f", Seq("spark", "join", "table", "filter"))},
+         |${chain("s", Seq("a", "the"))}
+         |SELECT 'focused' AS q, clarity, n_terms FROM fcl
+         |UNION ALL SELECT 'stopword', clarity, n_terms FROM scl
+         |ORDER BY q""".stripMargin
+    },
     "search_snippets" ->
       s"""WITH $bm25Ctes,
          |top3 AS (SELECT doc_id, score FROM scored
@@ -11329,6 +11412,24 @@ object SparkEntry {
          |SELECT lang, count(*) AS n_tokens, sum(iv)::BIGINT AS in_vocab,
          |       round(sum(iv)::DOUBLE / count(*), 6) AS coverage
          |FROM j GROUP BY lang ORDER BY lang""".stripMargin,
+    "vocab_coverage_curve" -> {
+      def at(n: Int): String =
+        s"""(WITH v$n AS (SELECT term FROM (
+           |        SELECT term, count(*) AS n FROM tok GROUP BY 1
+           |        ORDER BY n DESC, term ASC LIMIT $n))
+           | SELECT $n::BIGINT AS vocab_size, t.lang,
+           |        count(*) AS n_tokens,
+           |        sum(CASE WHEN v$n.term IS NOT NULL THEN 1 ELSE 0
+           |            END)::BIGINT AS in_vocab,
+           |        round(sum(CASE WHEN v$n.term IS NOT NULL THEN 1 ELSE 0
+           |              END)::DOUBLE / count(*), 6) AS coverage
+           | FROM tok t LEFT JOIN v$n ON t.term = v$n.term
+           | GROUP BY t.lang)""".stripMargin
+      s"""WITH tok AS MATERIALIZED (
+         |  SELECT lang, unnest($toksSql) AS term FROM documents)
+         |${Seq(50, 100, 200).map(at).mkString("\nUNION ALL\n")}
+         |ORDER BY vocab_size, lang""".stripMargin
+    },
     // document-presence PMI over the df>=30 vocabulary, n_ab>=10 floor
     "pmi_pairs" ->
       s"""WITH pres AS (

@@ -670,6 +670,46 @@ object Lexical {
     weightedBm25TopK(withDl, idCol, wts, k)
   }
 
+  /** Query-performance prediction — the CLARITY score
+    * (Cronen-Townsend 2002): KL divergence between the query's
+    * relevance model (the same RM1 the RM3 expander distills from the
+    * top-`fbDocs` feedback set, renormalized over its `fbTerms`
+    * support) and the corpus language model. A focused query
+    * concentrates feedback probability on corpus-RARE terms → high
+    * clarity; a query whose feedback set looks like the corpus →
+    * clarity ≈ 0. The retrieval-triage gate that flags "this query's
+    * results are mush" before anyone reads them. One extra broadcast
+    * join over the RM3 machinery; corpus LM = one token-explode agg. */
+  def queryClarity(docs: DataFrame, textCol: String, idCol: String,
+                   queryTerms: Seq[String], fbDocs: Int = 3,
+                   fbTerms: Int = 10): DataFrame = {
+    val withDl = docs
+      .select(col(idCol), TextAnalysis.tokens(col(textCol)).as("toks"))
+      .withColumn("dl", size(col("toks")))
+    val fb = bm25TopK(docs, textCol, idCol, queryTerms, fbDocs)
+      .select(col(idCol))
+    val rm1 = withDl.join(broadcast(fb), Seq(idCol), "left_semi")
+      .select(col(idCol), col("dl"), explode(col("toks")).as("term"))
+      .groupBy(col(idCol), col("term"), col("dl")).agg(count(lit(1)).as("tf"))
+      .groupBy(col("term"))
+      .agg(round(sum(col("tf").cast("double") / col("dl")) /
+        lit(fbDocs.toDouble), 6).as("rw"))
+      .orderBy(col("rw").desc, col("term").asc)
+      .limit(fbTerms)
+    val corpusLm = docs
+      .select(explode(TextAnalysis.tokens(col(textCol))).as("term"))
+      .groupBy(col("term")).agg(count(lit(1)).as("cf"))
+    val total = corpusLm.agg(sum(col("cf")).as("ct"))
+    val norm = rm1.agg(sum(col("rw")).as("z"))
+    rm1.join(broadcast(corpusLm), Seq("term")) // support ⊆ corpus by construction
+      .crossJoin(broadcast(total)).crossJoin(broadcast(norm))
+      .select(((col("rw") / col("z")) *
+        log((col("rw") / col("z")) /
+          (col("cf").cast("double") / col("ct")))).as("contrib"))
+      .agg(round(sum(col("contrib")), 6).as("clarity"),
+        count(lit(1)).as("n_terms"))
+  }
+
   /** Weighted-query BM25 over a tokenized corpus: score =
     * Σ_terms w(term) · bm25(term, doc). The shared re-rank tail of the
     * expansion retrievers ([[rm3TopK]], [[pmiExpandedTopK]]). `wts`

@@ -86,7 +86,14 @@ object Pq {
   }
 
   /** Apply the OPQ rotation: two Householder reflections in sequence
-    * (see [[rotationVectors]]). */
+    * (see [[rotationVectors]]). ONE-ROW / query-vector use only — the
+    * lambda captures the projection dot as a subexpression, and the
+    * evaluator re-computes a captured non-trivial expression PER
+    * ELEMENT (d · d per reflection, squared across the nesting:
+    * measured 240 s on a 5000-row corpus). Corpus-side, use
+    * [[rotateCorpus]] — staged projections hold each dot in a named
+    * column, which `CollapseProject` refuses to inline into the
+    * lambdas precisely because it is not cheap. */
   def rotate(x: Column, v1: Seq[Double], v2: Seq[Double]): Column = {
     def refl(y: Column, v: Seq[Double]): Column = {
       val d = round(graft.vector.VectorOps.dot(y, typedlit(v)), 6)
@@ -94,6 +101,25 @@ object Pq {
         (yi, vi) => yi - lit(2.0) * vi * d)
     }
     refl(refl(x, v1), v2)
+  }
+
+  /** Corpus-side OPQ rotation: same arithmetic as [[rotate]], staged
+    * so each reflection's projection dot is computed ONCE per row
+    * (its own projection stage) instead of once per element inside
+    * the rewrite lambda. Returns `df` with `out` added. */
+  def rotateCorpus(df: DataFrame, vecCol: String, out: String,
+                   v1: Seq[Double], v2: Seq[Double]): DataFrame = {
+    def refl(src: DataFrame, xcol: String, v: Seq[Double], dcol: String,
+             ycol: String): DataFrame =
+      src
+        .withColumn(dcol,
+          round(graft.vector.VectorOps.dot(col(xcol), typedlit(v)), 6))
+        .withColumn(ycol,
+          zip_with(transform(col(xcol), e => e.cast("double")), typedlit(v),
+            (yi, vi) => yi - lit(2.0) * vi * col(dcol)))
+    refl(refl(df, vecCol, v1, "__opq_d1", "__opq_x1"),
+      "__opq_x1", v2, "__opq_d2", out)
+      .drop("__opq_d1", "__opq_x1", "__opq_d2")
   }
 
   /** DuckDB twin of [[rotate]] as CTEs (the Hilbert `hSqlCte`

@@ -83,6 +83,15 @@ class SqlSurfaceSpec extends SparkSpec {
     Seq((7L, 5L)).toDF("x", "y").createOrReplaceTempView("zv_t")
     val viaSql = spark.sql("SELECT zvalue(x, y, 8) FROM zv_t").head().getLong(0)
     assert(viaCol == viaSql)
+    // hilbert_index: the bits=1 classics, SQL ≡ Column kernel, int args cast
+    val h = spark.sql(
+      "SELECT hilbert_index(1L, 0L, 1) AS a, hilbert_index(1, 1, 1) AS b")
+      .head()
+    assert(h.getLong(0) == 3L && h.getLong(1) == 2L)
+    val hCol = Seq((9L, 4L)).toDF("x", "y")
+      .select(graft.store.Hilbert.hValue(col("x"), col("y"), 5)).head().getLong(0)
+    val hSql = spark.sql("SELECT hilbert_index(9L, 4L, 5)").head().getLong(0)
+    assert(hCol == hSql)
   }
 
   test("nfc_normalize: composes decomposed text, identity on NFC, null-safe, via SQL") {
