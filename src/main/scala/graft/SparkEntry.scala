@@ -276,6 +276,42 @@ object SparkEntry {
           round(col("n_mutual").cast("double") / col("n_edges"), 6)
             .as("reciprocity"))
     }),
+    // ---- [EXT] k-RECIPROCAL re-ranking (Zhong 2017, the image-
+    // retrieval rerank, reduced to its deterministic core): a
+    // candidate is promoted when its k-reciprocal neighbor set (its
+    // mutual-kNN edges) overlaps the QUERY's — "we agree on who our
+    // close friends are" beats raw distance for near-duplicate
+    // retrieval. Top-20 cosine candidates re-ranked by Jaccard of
+    // reciprocal sets (ties → cosine, id). All keyed joins over the
+    // mutual-edge frame; R(q) is one bounded broadcast set.
+    "k_reciprocal_rerank" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val mut = graft.search.KnnGraph.mutualEdges(
+        graft.search.KnnGraph.exact(emb, 10))
+      val rq = mut.filter(col("src") === 0).select(col("dst").as("r"))
+      val rqN = rq.agg(count(lit(1)).as("nq"))
+      val cands = Search.knn(emb, queryVec(s, dir), 21)
+        .filter(col("vec_id") =!= 0)
+        .select(col("vec_id"), col("sim"))
+      val rSize = mut.groupBy(col("src").as("vec_id"))
+        .agg(count(lit(1)).as("rn"))
+      val inter = mut.join(broadcast(rq), col("dst") === col("r"))
+        .groupBy(col("src").as("vec_id")).agg(count(lit(1)).as("ni"))
+      cands
+        .join(rSize, Seq("vec_id"), "left")
+        .join(inter, Seq("vec_id"), "left")
+        .crossJoin(broadcast(rqN))
+        .select(col("vec_id"), col("sim"),
+          (coalesce(col("rn"), lit(0L)) + col("nq") -
+            coalesce(col("ni"), lit(0L))).as("__den"),
+          coalesce(col("ni"), lit(0L)).as("__ni"))
+        .select(col("vec_id"), col("sim"),
+          when(col("__den") === 0, lit(0.0)) // both reciprocal sets empty
+            .otherwise(round(col("__ni").cast("double") / col("__den"), 6))
+            .as("rjac"))
+        .orderBy(col("rjac").desc, col("sim").desc, col("vec_id").asc)
+        .limit(5)
+    }),
     // ---- [EXT] triangle census of the mutual-kNN graph: the
     // two-join wedge closure (every join keyed on a node id) plus the
     // global clustering coefficient 3Δ/wedges — the graph-health
@@ -294,6 +330,26 @@ object SparkEntry {
       val emb = Tables.embeddings(s, dir)
       graft.search.KnnGraph.beamSearch(
           graft.search.KnnGraph.exact(emb, 5), emb, queryVec(s, dir), 5)
+        .select(col("id").as("vec_id"), col("sim"))
+        .orderBy(col("sim").desc, col("vec_id"))
+    }),
+    // ---- [EXT] FILTERED graph search: the metadata-constrained probe
+    // — the beam ROUTES through every node (restricting routing
+    // disconnects the graph, the DiskANN filtered-search lesson),
+    // while the answer is the top-5 of all VISITED nodes sharing the
+    // query's label. Post-filtering thins the candidate pool by the
+    // filter's selectivity (~10% here), so the probe WIDENS (beam 16,
+    // 6 hops — at beam 8 / 4 hops only one same-label node was ever
+    // visited): the standard post-filter beam-sizing trade, priced
+    // at hops·beam·degree visited scores.
+    "graph_search_filtered_top5" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val allowed = emb.join(broadcast(emb.filter(col("vec_id") === 0)
+          .select(col("label").as("__ql"))), col("label") === col("__ql"))
+        .select(col("vec_id"))
+      graft.search.KnnGraph.beamSearchFiltered(
+          graft.search.KnnGraph.exact(emb, 5), emb, queryVec(s, dir),
+          allowed, 5, beam = 16, hops = 6)
         .select(col("id").as("vec_id"), col("sim"))
         .orderBy(col("sim").desc, col("vec_id"))
     }),
@@ -5972,6 +6028,35 @@ object SparkEntry {
           |          ON a.src = b.dst AND a.dst = b.src)::DOUBLE
           |          / (SELECT count(*) FROM ex), 6) AS reciprocity"""
           .stripMargin),
+    "k_reciprocal_rerank" ->
+      ("WITH " + graft.search.KnnGraph.exactSqlCtes(
+        "embeddings", "vec_id", "embedding", 10) +
+        s""",
+           |mu AS MATERIALIZED (
+           |  SELECT a.src, a.dst FROM ex a JOIN ex b
+           |    ON a.src = b.dst AND a.dst = b.src),
+           |rq AS (SELECT dst AS r FROM mu WHERE src = 0),
+           |nq AS (SELECT count(*) AS nq FROM rq),
+           |q AS (SELECT embedding AS qvec FROM embeddings WHERE vec_id = 0),
+           |cands AS (
+           |  SELECT vec_id, sim FROM (
+           |    SELECT e.vec_id, ${cosSql("e.embedding", "q.qvec")} AS sim
+           |    FROM embeddings e, q)
+           |  ORDER BY sim DESC, vec_id ASC LIMIT 21),
+           |c20 AS (SELECT vec_id, sim FROM cands WHERE vec_id <> 0),
+           |rs AS (SELECT src AS vec_id, count(*) AS rn FROM mu GROUP BY 1),
+           |iq AS (SELECT m.src AS vec_id, count(*) AS ni
+           |       FROM mu m JOIN rq ON m.dst = rq.r GROUP BY 1)
+           |SELECT vec_id, sim, rjac FROM (
+           |  SELECT c.vec_id, c.sim,
+           |         CASE WHEN coalesce(rs.rn, 0) + nq.nq - coalesce(iq.ni, 0) = 0
+           |              THEN 0.0
+           |              ELSE round(coalesce(iq.ni, 0)::DOUBLE /
+           |                (coalesce(rs.rn, 0) + nq.nq - coalesce(iq.ni, 0)), 6)
+           |         END AS rjac
+           |  FROM c20 c LEFT JOIN rs USING (vec_id)
+           |       LEFT JOIN iq USING (vec_id) CROSS JOIN nq)
+           |ORDER BY rjac DESC, sim DESC, vec_id ASC LIMIT 5""".stripMargin),
     "knn_graph_triangles" ->
       ("WITH " + graft.search.KnnGraph.exactSqlCtes(
         "embeddings", "vec_id", "embedding", 5) +
@@ -6003,6 +6088,16 @@ object SparkEntry {
           "embedding",
           "SELECT embedding AS qvec FROM embeddings WHERE vec_id = 0", 5) +
         "\nSELECT id AS vec_id, sim FROM bsf ORDER BY sim DESC, vec_id"),
+    "graph_search_filtered_top5" ->
+      ("WITH " + graft.search.KnnGraph.exactSqlCtes(
+        "embeddings", "vec_id", "embedding", 5) + ",\n" +
+        graft.search.KnnGraph.beamSearchFilteredSqlCtes("embeddings",
+          "vec_id", "embedding",
+          "SELECT embedding AS qvec FROM embeddings WHERE vec_id = 0",
+          "SELECT vec_id AS aid FROM embeddings WHERE label = " +
+            "(SELECT label FROM embeddings WHERE vec_id = 0)", 5,
+          beam = 16, hops = 6) +
+        "\nSELECT id AS vec_id, sim FROM bsvf ORDER BY sim DESC, vec_id"),
     "knn_graph_delta" ->
       ("WITH un AS MATERIALIZED (\n" +
         "  SELECT vec_id, embedding FROM embeddings\n" +

@@ -213,6 +213,43 @@ object KnnGraph {
     beamDf.orderBy(col("sim").desc, col("id").asc).limit(k)
   }
 
+  /** FILTERED beam search — the metadata-constrained probe (the
+    * graph-side sibling of the filtered IVF probes): the beam ROUTES
+    * through every node (restricting routing disconnects the graph —
+    * the DiskANN filtered-search lesson), while the ANSWER is the
+    * top-k of all VISITED nodes that pass `allowed`. Visited set is
+    * bounded by hops·beam·degree; the final re-score joins it against
+    * the allowed-id frame. Same determinism contract as
+    * [[beamSearch]], replayed hop for hop by the oracle. */
+  def beamSearchFiltered(graph: DataFrame, corpus: DataFrame,
+                         query: DataFrame, allowed: DataFrame,
+                         k: Int, beam: Int = 8, hops: Int = 4,
+                         idCol: String = "vec_id",
+                         vecCol: String = "embedding"): DataFrame = {
+    val vecs = corpus.select(col(idCol).as("id"), col(vecCol).as("__vec"))
+    def score(ids: DataFrame): DataFrame =
+      ids.join(vecs, Seq("id")).crossJoin(broadcast(query))
+        .select(col("id"), VectorOps.cosine6(col("__vec"), col("qvec")).as("sim"))
+    val edges = graph.select(col("src"), col("dst")).localCheckpoint()
+    val entry = vecs.select(col("id"))
+      .orderBy(portableHash(col("id")), col("id")).limit(1)
+    var beamDf = score(entry).localCheckpoint()
+    var visited = beamDf.select(col("id")).localCheckpoint()
+    (1 to hops).foreach { _ =>
+      val frontier = beamDf.select(col("id").as("src"))
+        .join(edges, Seq("src"))
+        .select(col("dst").as("id"))
+      val cands = beamDf.select(col("id")).union(frontier).distinct()
+      visited = visited.union(cands).distinct().localCheckpoint()
+      beamDf = score(cands)
+        .orderBy(col("sim").desc, col("id").asc).limit(beam)
+        .localCheckpoint()
+    }
+    score(visited)
+      .join(allowed.select(col(idCol).as("id")), Seq("id"), "left_semi")
+      .orderBy(col("sim").desc, col("id").asc).limit(k)
+  }
+
   /** EXACT incremental maintenance of the kNN graph under append —
     * the reason to persist the graph at all. For an existing node u,
     * the only candidates that can enter its top-k are the arriving
@@ -552,6 +589,25 @@ object KnnGraph {
          |  SELECT id, sim FROM bs$hops
          |  ORDER BY sim DESC, id ASC LIMIT $k)""".stripMargin
     ((init +: rounds) :+ fin).mkString(",\n")
+  }
+
+  /** CTE body replaying [[beamSearchFiltered]]: the [[beamSearchSqlCtes]]
+    * walk plus a visited accumulator per hop; final relation `bsvf` =
+    * top-k of visited ∩ `allowedRel` (a relation exposing `aid`). */
+  def beamSearchFilteredSqlCtes(table: String, idCol: String, vecCol: String,
+                                qRel: String, allowedRel: String, k: Int,
+                                beam: Int = 8, hops: Int = 4): String = {
+    val walk = beamSearchSqlCtes(table, idCol, vecCol, qRel, k, beam, hops)
+    val acc = (1 to hops).map { i =>
+      s"""bv$i AS (SELECT id FROM bv${i - 1} UNION SELECT id FROM bf$i)"""
+    }
+    (Seq(walk, "bv0 AS (SELECT id FROM bs0)") ++ acc :+
+      s"""bsvf AS (
+         |  SELECT v.id, ${cosSql(s"e.$vecCol", "q.qvec")} AS sim
+         |  FROM bv$hops v JOIN $table e ON e.$idCol = v.id
+         |       JOIN ($allowedRel) al ON al.aid = v.id, bq q
+         |  ORDER BY sim DESC, v.id ASC LIMIT $k)""".stripMargin)
+      .mkString(",\n")
   }
 
   /** CTE body replaying [[nnDescent]] step for step: hash-permutation
