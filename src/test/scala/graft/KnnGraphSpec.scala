@@ -153,6 +153,32 @@ class KnnGraphSpec extends SparkSpec {
     assert(got == truth, s"got $got, want $truth")
   }
 
+  test("filtered beam search: routes through excluded nodes, answers only allowed ones") {
+    // ring of 40 points; allow only even ids. The true filtered top-3
+    // around the query (node 17's vector) are even nodes 18, 16, 20 —
+    // reachable only by routing THROUGH odd nodes.
+    val ring = (0 until 40).map { i =>
+      val a = i * 2 * math.Pi / 40
+      (i.toLong, Seq(math.cos(a), math.sin(a)))
+    }.toDF("vec_id", "embedding")
+      .select(col("vec_id"),
+        col("embedding").cast("array<double>").as("embedding"))
+    val q = ring.filter(col("vec_id") === 17)
+      .select(col("embedding").as("qvec"))
+    val allowed = ring.filter(col("vec_id") % 2 === 0).select(col("vec_id"))
+    val got = KnnGraph.beamSearchFiltered(KnnGraph.exact(ring, 3), ring, q,
+        allowed, k = 3, beam = 8, hops = 25)
+      .collect().map(_.getLong(0)).toSeq
+    val truth = ring.join(allowed, Seq("vec_id"), "left_semi")
+      .crossJoin(broadcast(q))
+      .select(col("vec_id"),
+        VectorOps.cosine6(col("embedding"), col("qvec")).as("sim"))
+      .orderBy(col("sim").desc, col("vec_id").asc).limit(3)
+      .collect().map(_.getLong(0)).toSeq
+    assert(got == truth, s"got $got, want $truth")
+    got.foreach(id => assert(id % 2 == 0, "answer leaked an excluded node"))
+  }
+
   test("graph index: append+probe equals rebuild; compact shrinks the overlay, probes unchanged; probe prunes files") {
     import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
     import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
