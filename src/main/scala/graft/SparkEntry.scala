@@ -1636,6 +1636,24 @@ object SparkEntry {
       graft.text.TextEval.bleu2(pairs, "doc_id", "cand", "ref")
         .orderBy(col("doc_id"))
     }),
+    // ---- [EXT] ROUGE-L on the same pairs (text/TextEval.rougeL, Lin
+    // 2004): the recall-oriented complement — every-5th-token-dropped
+    // candidates are exact SUBSEQUENCES of their references, so
+    // LCS = |cand|, rouge_p = 1, rouge_r = 0.8: precisely the
+    // faithful-but-compressed rewrite BLEU's clipped 2-grams punish.
+    // The full DP fold (classic LCS, nested in-row HOF aggregates
+    // over portable token hashes) replays as the identical
+    // list_reduce ladder in the oracle — integer-exact to the end.
+    "rouge_pairs" -> ((s, dir) => {
+      val toks = filter(split(col("text"), " "), t => length(t) > 0)
+      val pairs = Tables.documents(s, dir).filter(col("doc_id") < 10)
+        .select(col("doc_id"),
+          array_join(filter(toks, (t, i) => (i + lit(1)) % 5 =!= 0), " ")
+            .as("cand"),
+          col("text").as("ref"))
+      graft.text.TextEval.rougeL(pairs, "doc_id", "cand", "ref")
+        .orderBy(col("doc_id"))
+    }),
     // ---- [EXT] trained logistic quality classifier (analysis/Logit,
     // the fastText-classifier pattern in exactly-replayable form):
     // two Newton/IRLS iterations of P(lang='en' | token_count/100),
@@ -8234,6 +8252,65 @@ object SparkEntry {
     // bucket reduce (shared CTE prefix via the lazy builder below)
     "logit_calibration" -> logitCalibrationSql,
     "bleu_pairs" -> bleuPairsSql,
+    "rouge_pairs" -> {
+      def hashCte(name: String, srcCol: String) =
+        s"""$name AS (
+           |  SELECT doc_id,
+           |         list((7 * 31 + h) % 1000000007 ORDER BY pos) AS hs
+           |  FROM (
+           |    SELECT doc_id, ${polySql("term")} AS h, pos FROM (
+           |      SELECT doc_id, unnest(ts) AS term,
+           |             unnest(range(1, len(ts) + 1)) AS pos
+           |      FROM (SELECT doc_id,
+           |              list_filter(string_split($srcCol, ' '), t -> t <> '')
+           |                AS ts FROM p)))
+           |  GROUP BY doc_id)""".stripMargin
+      s"""WITH d AS (
+         |  SELECT doc_id, text,
+         |         list_filter(string_split(text, ' '), t -> t <> '') AS rt
+         |  FROM documents WHERE doc_id < 10),
+         |p AS (
+         |  SELECT doc_id,
+         |         array_to_string(list_transform(
+         |           list_filter(range(1, len(rt) + 1), i -> i % 5 <> 0),
+         |           i -> rt[i]), ' ') AS cand,
+         |         text AS ref
+         |  FROM d),
+         |${hashCte("hcn", "cand")},
+         |${hashCte("hrf", "ref")},
+         |l AS (
+         |  SELECT p.doc_id,
+         |    CASE WHEN len(r.hs) = 0 OR len(c.hs) = 0 THEN 0::BIGINT
+         |    ELSE list_reduce(
+         |      list_prepend(
+         |        list_transform(range(0, len(r.hs) + 1), i -> 0::BIGINT),
+         |        list_transform(c.hs, t -> [t])),
+         |      (row, al) -> list_reduce(
+         |        list_prepend([0::BIGINT],
+         |          list_transform(range(1, len(r.hs) + 1), j -> [j::BIGINT])),
+         |        (acc, jl) -> list_append(acc,
+         |          greatest(row[jl[1] + 1], acc[len(acc)],
+         |            row[jl[1]] + CASE WHEN r.hs[jl[1]] = al[1]
+         |                              THEN 1 ELSE 0 END))))[len(r.hs) + 1]
+         |    END AS lcs,
+         |    len(c.hs) AS nc, len(r.hs) AS nr
+         |  FROM p JOIN hcn c USING (doc_id) JOIN hrf r USING (doc_id))
+         |SELECT doc_id, lcs::BIGINT AS lcs,
+         |  CASE WHEN nc = 0 THEN 0.0 ELSE round(lcs::DOUBLE / nc, 6) END
+         |    AS rouge_p,
+         |  CASE WHEN nr = 0 THEN 0.0 ELSE round(lcs::DOUBLE / nr, 6) END
+         |    AS rouge_r,
+         |  CASE WHEN (CASE WHEN nc = 0 THEN 0.0
+         |             ELSE round(lcs::DOUBLE / nc, 6) END
+         |           + CASE WHEN nr = 0 THEN 0.0
+         |             ELSE round(lcs::DOUBLE / nr, 6) END) = 0 THEN 0.0
+         |       ELSE round(2.0 * round(lcs::DOUBLE / nc, 6)
+         |              * round(lcs::DOUBLE / nr, 6)
+         |              / (round(lcs::DOUBLE / nc, 6)
+         |                 + round(lcs::DOUBLE / nr, 6)), 6)
+         |  END AS rouge_f1
+         |FROM l ORDER BY doc_id""".stripMargin
+    },
     // the decorrelated Q17: per-part mean threshold, keyed join,
     // guarded decimal-exact revenue sum
     "q17_avg_yearly" ->

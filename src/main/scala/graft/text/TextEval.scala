@@ -65,4 +65,58 @@ object TextEval {
           round(col("bp") * exp((log(col("p1")) + log(col("p2"))) / lit(2.0)), 6))
           .otherwise(lit(0.0)))
   }
+
+  /** ROUGE-L per pair (Lin 2004) — BLEU's recall-oriented sibling:
+    * the longest common SUBSEQUENCE between candidate and reference
+    * (order-preserving but gap-tolerant, so a faithful-but-compressed
+    * rewrite scores high where clipped n-grams punish every splice),
+    * with P = LCS/|cand|, R = LCS/|ref|, and the β=1 F-measure.
+    *
+    * The LCS runs the classic DP entirely INSIDE the row as a nested
+    * builtin-HOF fold — `aggregate` over candidate tokens carrying
+    * the DP row, an inner `aggregate` over reference positions
+    * building the next row (each cell = max(up, left, diag+match)) —
+    * over the engine's portable token hashes, so the oracle replays
+    * the identical fold with `list_reduce` (integer-only: LCS is
+    * exact, no float contract needed until the final ratios).
+    * O(|cand|·|ref|) per pair, zero cross-pair state — the same
+    * corpus-scale shape as [[bleu2]]; pathological documents are the
+    * caller's length-cap problem, as with every per-pair DP here
+    * (edit_neardup's banded-Levenshtein precedent). */
+  def rougeL(pairs: DataFrame, idCol: String, candCol: String,
+             refCol: String): DataFrame = {
+    val withH = pairs.select(col(idCol).as("__id"),
+      graft.functions.TokenShingleHashes(col(candCol), 1).as("__ch"),
+      graft.functions.TokenShingleHashes(col(refCol), 1).as("__rh"))
+    val m = size(col("__rh"))
+    val dp = aggregate(col("__ch"),
+      transform(sequence(lit(0), m), _ => lit(0L)),
+      (row, a) =>
+        aggregate(sequence(lit(1), m), array(lit(0L)), (acc, j) =>
+          concat(acc, array(greatest(
+            element_at(row, j + 1),
+            element_at(acc, size(acc)),
+            element_at(row, j) +
+              when(element_at(col("__rh"), j) === a, lit(1L))
+                .otherwise(lit(0L)))))))
+    // m == 0 guard: sequence(1, 0) would DESCEND in Spark — the empty
+    // side short-circuits to LCS 0 before the fold is ever evaluated
+    val lcs = when(size(col("__rh")) === 0 || size(col("__ch")) === 0, lit(0L))
+      .otherwise(element_at(dp, size(col("__rh")) + 1))
+    withH
+      .select(col("__id").as(idCol), lcs.as("lcs"),
+        size(col("__ch")).cast("long").as("__nc"),
+        size(col("__rh")).cast("long").as("__nr"))
+      .select(col(idCol), col("lcs"),
+        when(col("__nc") === 0, lit(0.0))
+          .otherwise(round(col("lcs").cast("double") / col("__nc"), 6))
+          .as("rouge_p"),
+        when(col("__nr") === 0, lit(0.0))
+          .otherwise(round(col("lcs").cast("double") / col("__nr"), 6))
+          .as("rouge_r"))
+      .withColumn("rouge_f1",
+        when(col("rouge_p") + col("rouge_r") === 0, lit(0.0))
+          .otherwise(round(lit(2.0) * col("rouge_p") * col("rouge_r") /
+            (col("rouge_p") + col("rouge_r")), 6)))
+  }
 }

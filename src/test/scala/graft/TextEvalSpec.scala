@@ -10,6 +10,26 @@ class TextEvalSpec extends SparkSpec {
   private def r6(v: Double) =
     BigDecimal(v).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
 
+  test("rougeL: hand LCS cases — identity, subsequence, reorder, disjoint, empty") {
+    import org.apache.spark.sql.functions.col
+    val pairs = Seq(
+      (1L, "a b c d", "a b c d"),      // identical: lcs 4, p=r=f=1
+      (2L, "a c", "a b c d"),          // subsequence: lcs 2, p 1, r 0.5
+      (3L, "d c b a", "a b c d"),      // full reversal: lcs 1
+      (4L, "x y z", "a b c d"),        // disjoint: 0 everywhere
+      (5L, "", "a b")                  // empty candidate: 0, no div-by-0
+    ).toDF("id", "cand", "ref")
+    val got = graft.text.TextEval.rougeL(pairs, "id", "cand", "ref")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4))))
+      .toMap
+    assert(got(1L) == ((4L, 1.0, 1.0, 1.0)))
+    assert(got(2L) == ((2L, 1.0, 0.5, r6(2.0 * 1.0 * 0.5 / 1.5))))
+    assert(got(3L)._1 == 1L)
+    assert(got(4L) == ((0L, 0.0, 0.0, 0.0)))
+    assert(got(5L) == ((0L, 0.0, 0.0, 0.0)))
+  }
+
   test("clipped precisions and the ln/exp chain match the hand computation") {
     // cand "a a b" vs ref "a b b": p1 = (min(2,1)+min(1,1))/3 = 2/3,
     // p2 = (0 + min(1,1))/2 = 1/2, equal lengths → bp = 1
