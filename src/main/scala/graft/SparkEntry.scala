@@ -2754,6 +2754,29 @@ object SparkEntry {
           floor(col("value")).cast("long"),
           hour(col("ts")).cast("long")), 10).as("z"))
         .orderBy(col("event_id"))),
+    // ---- [EXT] partition BACKFILL (CorpusStore.backfillPartitions —
+    // the lakehouse INSERT OVERWRITE dynamic mode): the corpus lands
+    // day-partitioned, one corrupted day is recomputed (values
+    // doubled) and written back, and ONLY that day's files move — a
+    // plain overwrite would clobber the table. The oracle computes
+    // the expected post-backfill state directly; equality across ALL
+    // days pins both halves: the target day changed, the rest did not.
+    "backfill_day" -> ((s, dir) => {
+      import org.apache.spark.sql.types.DecimalType
+      def dec(c: org.apache.spark.sql.Column) = c.cast(DecimalType(38, 12))
+      val path = scratchDir("backfill-events")
+      val ev = Tables.events(s, dir)
+        .select(to_date(col("ts")).as("day"), col("event_id"), col("value"))
+      graft.store.CorpusStore.overwrite(ev, path, Seq("day"))
+      val patch = ev.filter(col("day") === lit("2024-01-05").cast("date"))
+        .withColumn("value", col("value") * 2)
+      graft.store.CorpusStore.backfillPartitions(patch, path, Seq("day"))
+      s.read.parquet(path)
+        .groupBy(col("day"))
+        .agg(count(lit(1)).as("n"),
+          round(sum(dec(col("value"))).cast("double"), 2).as("sum_value"))
+        .orderBy(col("day"))
+    }),
     // ---- [EXT] Hilbert-curve cells (store/Hilbert + the native
     // codegen walk in functions/HilbertIndex): the locality-tightened
     // layout curve (liquid-clustering practice) on the SAME grid as
@@ -10136,6 +10159,16 @@ object SparkEntry {
                 "datepart('hour', ts)::BIGINT"), 10)}
          |  )::BIGINT AS z
          |FROM events ORDER BY event_id""".stripMargin,
+    "backfill_day" ->
+      """SELECT day, count(*)::BIGINT AS n,
+        |       round(CAST(sum(CAST(v AS DECIMAL(38,12))) AS DOUBLE), 2)
+        |         AS sum_value
+        |FROM (
+        |  SELECT ts::DATE AS day,
+        |         CASE WHEN ts::DATE = DATE '2024-01-05'
+        |              THEN value * 2 ELSE value END AS v
+        |  FROM events)
+        |GROUP BY day ORDER BY day""".stripMargin,
     "hilbert_cells" ->
       (graft.store.Hilbert.hSqlCte(Seq("event_id"), "user_id",
         "floor(value)::BIGINT", 11, "events") + " ORDER BY event_id"),

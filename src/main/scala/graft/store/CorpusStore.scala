@@ -34,6 +34,23 @@ object CorpusStore {
   def load(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path)
 
+  /** Partition BACKFILL — the lakehouse `INSERT OVERWRITE ... PARTITION`
+    * dynamic mode: only the partitions PRESENT IN `df` are replaced;
+    * every other partition's files are untouched (a plain Overwrite
+    * would clobber the whole table — the classic reprocessing
+    * footgun). This is the day-level reprocessing primitive: recompute
+    * one corrupted day, write it back, nothing else moves. The mode
+    * rides as a WRITER option, not a session conf, so concurrent
+    * writers keep their own semantics. */
+  def backfillPartitions(df: DataFrame, path: String,
+                         partitionBy: Seq[String]): Unit = {
+    require(partitionBy.nonEmpty, "backfill needs partition columns")
+    df.write.mode(SaveMode.Overwrite)
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy(partitionBy: _*)
+      .parquet(path)
+  }
+
   /** Compaction write — the small-files remedy for an incrementally
     * appended corpus. Streaming/batch appends leave one file per task
     * per trigger; at 100 TB that is millions of kilobyte files and an

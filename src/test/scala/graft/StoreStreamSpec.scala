@@ -23,6 +23,34 @@ class StoreStreamSpec extends SparkSpec {
     assert(CorpusStore.load(spark, dir).count() == 2)
   }
 
+  test("backfillPartitions replaces only the written partitions; other files untouched; plain overwrite clobbers") {
+    import org.apache.spark.sql.functions.col
+    val dir = Files.createTempDirectory("graft-backfill").toString + "/t"
+    val base = Seq(("a", 1L, 10.0), ("a", 2L, 20.0),
+      ("b", 3L, 30.0), ("c", 4L, 40.0)).toDF("day", "id", "v")
+    CorpusStore.overwrite(base, dir, Seq("day"))
+    def files(day: String): Set[(String, Long)] = {
+      val d = new java.io.File(s"$dir/day=$day")
+      d.listFiles().filter(_.getName.endsWith(".parquet"))
+        .map(f => (f.getName, f.length())).toSet
+    }
+    val bBefore = files("b"); val cBefore = files("c")
+    // backfill day a only: values doubled
+    CorpusStore.backfillPartitions(
+      base.filter(col("day") === "a").withColumn("v", col("v") * 2),
+      dir, Seq("day"))
+    val back = CorpusStore.load(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSet
+    assert(back == Set((1L, 20.0), (2L, 40.0), (3L, 30.0), (4L, 40.0)))
+    assert(files("b") == bBefore && files("c") == cBefore,
+      "untouched partitions' files must not be rewritten")
+    // contrast: a PLAIN overwrite of the same patch clobbers the table
+    CorpusStore.overwrite(
+      base.filter(col("day") === "a"), dir, Seq("day"))
+    assert(CorpusStore.load(spark, dir).count() == 2,
+      "static overwrite drops the other partitions — the footgun backfill avoids")
+  }
+
   test("streaming ingest: file source -> chunk+featurize -> append sink") {
     val src = Files.createTempDirectory("graft-stream-src").toString
     val dst = Files.createTempDirectory("graft-stream-dst").toString
