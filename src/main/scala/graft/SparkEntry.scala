@@ -121,6 +121,24 @@ object SparkEntry {
       Search.knnDot(corpus, q, 5, vecCol = "nvec")
         .select(col("vec_id"), col("sim"))
     }),
+    // ---- [EXT] snapshot-keyed RESULT cache (search/RankCache): a
+    // ranking against corpus version v is immutable, so it persists
+    // under v=<version>/q=<key>/ and the repeat probe is a k-row file
+    // read, not a corpus scan (scan-metric-pinned in the spec).
+    // Invalidation is structural — a new version misses the path.
+    // The query probes twice through the cache (second hit served
+    // from the store) and must still equal the plain brute-force
+    // oracle: the cache is semantically invisible.
+    "cached_knn_top5" -> ((s, dir) => {
+      val cacheDir = scratchDir("rank-cache")
+      def probe() = graft.search.RankCache.cachedResult(s, cacheDir,
+        "corpus1", "qvec0") {
+        Search.knn(Tables.embeddings(s, dir), queryVec(s, dir), 5)
+          .select(col("vec_id"), col("sim"))
+      }
+      probe() // fills
+      probe().orderBy(col("sim").desc, col("vec_id")) // served from cache
+    }),
     // ---- [EXT] exact all-pairs kNN GRAPH (search/KnnGraph.exact):
     // every node's top-5 cosine neighbors — the backbone artifact for
     // SemDeDup-style dedup, graph clustering, and hubness audits.
@@ -5958,6 +5976,13 @@ object SparkEntry {
 
   def oracleSql: Map[String, String] = Map(
     "knn_top5" ->
+      s"""SELECT vec_id, sim FROM (
+         |  SELECT e.vec_id, ${cosSql("e.embedding", "q.qvec")} AS sim
+         |  FROM embeddings e,
+         |       (SELECT embedding AS qvec FROM embeddings WHERE vec_id = 0) q)
+         |ORDER BY sim DESC, vec_id ASC LIMIT 5""".stripMargin,
+    // the cache is semantically invisible: the oracle is the plain scan
+    "cached_knn_top5" ->
       s"""SELECT vec_id, sim FROM (
          |  SELECT e.vec_id, ${cosSql("e.embedding", "q.qvec")} AS sim
          |  FROM embeddings e,

@@ -7,6 +7,40 @@ import graft.search.Search
 /** kNN semantics from `/root/reference/services/vectorDb.ts:11-24` +
   * context aggregation from `App.tsx:192` (FIXTURES.md §B). */
 class SearchSpec extends SparkSpec {
+
+  test("RankCache: second probe reads only the cache; new version recomputes; cache is invisible") {
+    import org.apache.spark.sql.functions._
+    import graft.search.RankCache
+    val emb = spark.read.parquet(s"$sf0001/embeddings.parquet")
+    val q = emb.filter(col("vec_id") === 0).select(col("embedding").as("qvec"))
+    val cacheDir = java.nio.file.Files.createTempDirectory("graft-rc").toString
+    var computes = 0
+    def probe(version: String) = RankCache.cachedResult(spark, cacheDir,
+      version, "q0") {
+      computes += 1
+      graft.search.Search.knn(emb, q, 5).select(col("vec_id"), col("sim"))
+    }
+    val first = probe("v1").collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val second = probe("v1").collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(computes == 1, "second probe must be served from the cache")
+    assert(first.toSet == second.toSet)
+    // the served plan scans ONLY the cache entry, never the corpus
+    val served = probe("v1")
+    served.collect()
+    val locations = served.queryExecution.executedPlan.collectLeaves()
+      .map(_.toString).mkString("\n")
+    assert(locations.contains("graft-rc") && !locations.contains("embeddings"),
+      s"cache hit must not scan the corpus:\n$locations")
+    // structural invalidation: a new version tag misses and recomputes
+    probe("v2").collect()
+    assert(computes == 2, "a new corpus version must recompute")
+    // and the cached result equals the direct computation
+    val direct = graft.search.Search.knn(emb, q, 5)
+      .select(col("vec_id"), col("sim"))
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSet
+    assert(first.toSet == direct)
+  }
+
   import spark.implicits._
 
   private val q = Seq(Tuple1(Seq(1f, 0f))).toDF("qvec")
