@@ -3660,6 +3660,31 @@ object SparkEntry {
     "ann_lsh_top5" -> ((s, dir) =>
       Ann.lshTopK(Tables.embeddings(s, dir), queryVec(s, dir), 5, Ann.planes(64, 8))
         .select(col("vec_id"), col("sim"))),
+    // ---- [EXT] MATERIALIZED LSH index (Ann.buildLshIndex): the
+    // missing sibling in the index family — rows in partitionBy
+    // bucket directories of the frozen seeded planes; the probe's
+    // Hamming-1 ring lands as driver-literal partition filters, so
+    // only ≤ 9 of 256 bucket directories open (file skipping pinned
+    // in AnnSpec).
+    "lsh_index_top5" -> ((s, dir) => {
+      val planes = Ann.planes(64, 8)
+      val path = scratchDir("lsh-index")
+      Ann.buildLshIndex(Tables.embeddings(s, dir), planes, path)
+      Ann.lshIndexTopK(s, path, queryVec(s, dir), planes, 5)
+        .select(col("vec_id"), col("sim"))
+    }),
+    // ---- [EXT] LSH index APPEND: assignment is stateless (frozen
+    // planes, no training), so append-then-probe ≡ rebuild EXACTLY —
+    // the one index in the family with nothing to drift.
+    "lsh_index_append_top5" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val planes = Ann.planes(64, 8)
+      val path = scratchDir("lsh-index-append")
+      Ann.buildLshIndex(emb.filter(col("vec_id") % 2 === 0), planes, path)
+      Ann.appendToLshIndex(emb.filter(col("vec_id") % 2 === 1), planes, path)
+      Ann.lshIndexTopK(s, path, queryVec(s, dir), planes, 5)
+        .select(col("vec_id"), col("sim"))
+    }),
     // ---- [EXT] query-DIRECTED multi-probe LSH (Ann.lshTopKDirected,
     // Lv 2007): flip only the t=3 lowest-|margin| bits instead of the
     // full Hamming-1 ring — 4 probes instead of 9, aimed at the
@@ -5052,6 +5077,33 @@ object SparkEntry {
        |  UNION
        |  SELECT e.src AS id, r.comp FROM edges e JOIN reach r ON r.id = e.dst),
        |comp AS (SELECT id, min(comp) AS comp FROM reach GROUP BY id)""".stripMargin
+
+  /** Shared replay of the Hamming-1 multi-probe LSH ranking — the
+    * oracle for the in-memory probe AND both materialized-index forms
+    * (the index moves rows into bucket directories; the match set is
+    * identical, and append ≡ rebuild because assignment is
+    * stateless). */
+  private lazy val lshTop5Sql: String = {
+    val planeLits = graft.search.Ann.planes(64, 8).map(p =>
+      p.map(x => "%.17e".formatLocal(java.util.Locale.ROOT, x))
+        .mkString("[", ", ", "]::DOUBLE[]"))
+    def bucketExpr(v: String): String =
+      planeLits.zipWithIndex.map { case (p, i) =>
+        s"(CASE WHEN list_dot_product($v, $p) > 0 THEN ${1 << i} ELSE 0 END)"
+      }.mkString(" + ")
+    s"""WITH q AS (SELECT embedding AS qvec FROM embeddings WHERE vec_id = 0),
+       |bks AS (SELECT vec_id, ${bucketExpr("embedding::DOUBLE[]")} AS bucket
+       |        FROM embeddings),
+       |qb AS (SELECT ${bucketExpr("qvec::DOUBLE[]")} AS qbucket FROM q),
+       |probes AS (
+       |  SELECT DISTINCT xor(qbucket, f) AS bucket FROM qb,
+       |       (SELECT unnest([0, 1, 2, 4, 8, 16, 32, 64, 128]) AS f) fl),
+       |cand AS (SELECT vec_id FROM bks JOIN probes USING (bucket))
+       |SELECT vec_id, sim FROM (
+       |  SELECT e.vec_id, ${cosSql("e.embedding", "q.qvec")} AS sim
+       |  FROM embeddings e JOIN cand USING (vec_id), q)
+       |ORDER BY sim DESC, vec_id ASC LIMIT 5""".stripMargin
+  }
 
   /** Unrounded cosine, for oracle-internal RANKING where the Spark side
     * also compares raw (k-means assignment argmax): both engines drift
@@ -6839,27 +6891,12 @@ object SparkEntry {
          |       round(build_mean_sim - current_mean_sim, 6) AS drift
          |FROM b, cu""".stripMargin
     },
-    "ann_lsh_top5" -> {
-      val planeLits = graft.search.Ann.planes(64, 8).map(p =>
-        p.map(x => "%.17e".formatLocal(java.util.Locale.ROOT, x))
-          .mkString("[", ", ", "]::DOUBLE[]"))
-      def bucketExpr(v: String): String =
-        planeLits.zipWithIndex.map { case (p, i) =>
-          s"(CASE WHEN list_dot_product($v, $p) > 0 THEN ${1 << i} ELSE 0 END)"
-        }.mkString(" + ")
-      s"""WITH q AS (SELECT embedding AS qvec FROM embeddings WHERE vec_id = 0),
-         |bks AS (SELECT vec_id, ${bucketExpr("embedding::DOUBLE[]")} AS bucket
-         |        FROM embeddings),
-         |qb AS (SELECT ${bucketExpr("qvec::DOUBLE[]")} AS qbucket FROM q),
-         |probes AS (
-         |  SELECT DISTINCT xor(qbucket, f) AS bucket FROM qb,
-         |       (SELECT unnest([0, 1, 2, 4, 8, 16, 32, 64, 128]) AS f) fl),
-         |cand AS (SELECT vec_id FROM bks JOIN probes USING (bucket))
-         |SELECT vec_id, sim FROM (
-         |  SELECT e.vec_id, ${cosSql("e.embedding", "q.qvec")} AS sim
-         |  FROM embeddings e JOIN cand USING (vec_id), q)
-         |ORDER BY sim DESC, vec_id ASC LIMIT 5""".stripMargin
-    },
+    "ann_lsh_top5" -> lshTop5Sql,
+    // the materialized index changes WHERE rows live, not WHICH rows
+    // match: both index forms share the in-memory probe's oracle, and
+    // append ≡ rebuild because bucket assignment is stateless
+    "lsh_index_top5" -> lshTop5Sql,
+    "lsh_index_append_top5" -> lshTop5Sql,
     "pq_recall_reranked" -> {
       val dots = (0 until PqM).map { mi =>
         s"""list_dot_product((q.qvec::DOUBLE[])[${mi * PqSub + 1}:${(mi + 1) * PqSub}],

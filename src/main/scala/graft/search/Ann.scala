@@ -646,6 +646,57 @@ object Ann {
     * (bit-index ties ascending) so the probe SET replays exactly
     * cross-engine; probe selection is per-query driver-free column
     * arithmetic over the plane literals. */
+  /** Materialize the LSH-bucketed corpus as an INDEX — the missing
+    * sibling of [[buildIvfIndex]]: rows land in `partitionBy(__bucket)`
+    * directories keyed by the sign-bit bucket of the FROZEN seeded
+    * planes, so a probe prunes to the query's multi-probe ring at
+    * PLAN time (driver-literal IN over ≤ nbits+1 buckets — file-level
+    * skipping, the same contract every other index here honors).
+    * The model is the plane set: seeded literals, no training, which
+    * is LSH's whole appeal — append needs no retrain ever, only the
+    * same frozen planes. */
+  def buildLshIndex(corpus: DataFrame, planes: Seq[Seq[Double]], path: String,
+                    vecCol: String = "embedding"): Unit =
+    corpus.withColumn("__bucket", lshBucket(col(vecCol), planes))
+      .repartition(col("__bucket"))
+      .write.partitionBy("__bucket").mode("overwrite").parquet(path)
+
+  /** Incremental append against the frozen planes — bucket assignment
+    * is stateless, so append-then-probe ≡ rebuild-then-probe exactly
+    * (no drift to watch, unlike the centroid indexes; pinned in
+    * AnnSpec). One file per bucket per batch; compact with
+    * [[graft.store.CorpusStore.compact]] on hot buckets. */
+  def appendToLshIndex(delta: DataFrame, planes: Seq[Seq[Double]], path: String,
+                       vecCol: String = "embedding"): Unit =
+    delta.withColumn("__bucket", lshBucket(col(vecCol), planes))
+      .repartition(col("__bucket"))
+      .write.partitionBy("__bucket").mode("append").parquet(path)
+
+  /** Probe the materialized LSH index: the query's bucket + its full
+    * Hamming-1 ring as driver LITERALS (the probe math replays the
+    * codegen dot's ascending accumulation, so driver and executor
+    * agree on every sign), applied as a partition filter — only the
+    * probed buckets' files open. Exact rerank inside the candidates. */
+  def lshIndexTopK(spark: org.apache.spark.sql.SparkSession, path: String,
+                   query: DataFrame, planes: Seq[Seq[Double]], k: Int,
+                   idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val qv = query.head().getSeq[Number](0).map(_.doubleValue())
+    def dotLocal(p: Seq[Double]): Double = {
+      // ascending index fold — bit-identical to the DotProduct loop
+      var s = 0.0; var i = 0
+      while (i < math.min(p.size, qv.size)) { s += qv(i) * p(i); i += 1 }
+      s
+    }
+    val qbucket = planes.zipWithIndex
+      .map { case (p, i) => if (dotLocal(p) > 0) 1 << i else 0 }.sum
+    val probes = qbucket +: planes.indices.map(i => qbucket ^ (1 << i))
+    Search.knn(
+      spark.read.parquet(path)
+        .filter(col("__bucket").isin(probes: _*))
+        .drop("__bucket"),
+      query, k, idCol, vecCol)
+  }
+
   def lshTopKDirected(corpus: DataFrame, query: DataFrame, k: Int,
                       planes: Seq[Seq[Double]], t: Int,
                       idCol: String = "vec_id",

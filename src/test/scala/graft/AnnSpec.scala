@@ -109,6 +109,47 @@ class AnnSpec extends SparkSpec {
     assert(out(3L) == null)
   }
 
+  test("materialized LSH index: probe ≡ in-memory, append ≡ rebuild, files prune") {
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.functions.col
+    val planes = Ann.planes(64, 6)
+    val root = java.nio.file.Files.createTempDirectory("graft-lsh-ix").toString
+    val dir = s"$root/index"
+    Ann.buildLshIndex(emb, planes, dir)
+    def got(p: String) = Ann.lshIndexTopK(spark, p, q, planes, 5)
+      .select(col("vec_id"), col("sim"))
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val mem = Ann.lshTopK(emb, q, 5, planes)
+      .select(col("vec_id"), col("sim"))
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(got(dir) == mem, "index probe must equal the in-memory probe")
+    // append half-by-half ≡ the full build (stateless assignment)
+    val dir2 = s"$root/appended"
+    Ann.buildLshIndex(emb.filter(col("vec_id") % 2 === 0), planes, dir2)
+    Ann.appendToLshIndex(emb.filter(col("vec_id") % 2 === 1), planes, dir2)
+    assert(got(dir2) == got(dir))
+    // plan-time pruning: only the probed buckets' files open
+    val res = Ann.lshIndexTopK(spark, dir, q, planes, 5)
+    res.collect()
+    def scans(p: SparkPlan): Seq[FileSourceScanExec] = p match {
+      case a: AdaptiveSparkPlanExec => scans(a.executedPlan)
+      case s: org.apache.spark.sql.execution.adaptive.QueryStageExec => scans(s.plan)
+      case r: org.apache.spark.sql.execution.exchange.ReusedExchangeExec => scans(r.child)
+      case f: FileSourceScanExec => Seq(f)
+      case other => other.children.flatMap(scans)
+    }
+    val scan = scans(res.queryExecution.executedPlan)
+      .find(_.metadata.get("Location").exists(_.contains("graft-lsh-ix")))
+      .getOrElse(fail("no parquet scan over the LSH index"))
+    def walk(f: java.io.File): Seq[java.io.File] =
+      if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
+    val total = walk(new java.io.File(dir)).count(_.getName.endsWith(".parquet"))
+    val opened = scan.metrics("numFiles").value
+    assert(opened > 0 && opened < total,
+      s"expected bucket file skipping: read $opened of $total")
+  }
+
   test("materialized IVF index: probe filter becomes file-level partition pruning") {
     import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
     import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
