@@ -1866,6 +1866,65 @@ object SparkEntry {
           sum(when(high, 0).otherwise(1)).as("low_line_count"))
         .orderBy(col("ship_bucket"))
     }),
+    // ---- [EXT] TPC-H Q13 shape — the customers-per-order-count
+    // distribution INCLUDING zero-order customers: the outer join
+    // whose condition filters the RIGHT side (a WHERE would silently
+    // turn it inner and drop the zero bucket — the classic Q13 trap),
+    // then a histogram of a grouped count.
+    "q13_custdist" -> ((s, dir) =>
+      Tables.customer(s, dir)
+        .join(Tables.orders(s, dir)
+            .filter(col("o_orderpriority") =!= "1-URGENT"),
+          col("c_custkey") === col("o_custkey"), "left_outer")
+        .groupBy(col("c_custkey"))
+        .agg(count(col("o_orderkey")).as("c_count"))
+        .groupBy(col("c_count"))
+        .agg(count(lit(1)).as("custdist"))
+        .orderBy(col("custdist").desc, col("c_count").desc)
+        .limit(5)),
+    // ---- [EXT] TPC-H Q7 shape — two-nation shipping volume: the
+    // symmetric disjunctive join predicate ((s=1∧c=2)∨(s=2∧c=1))
+    // applied AFTER the three keyed joins assemble the supplier and
+    // customer nations onto each lineitem; dims broadcast.
+    "q7_nation_volume" -> ((s, dir) => {
+      import org.apache.spark.sql.types.DecimalType
+      def dec(c: org.apache.spark.sql.Column) = c.cast(DecimalType(38, 12))
+      Tables.lineitem(s, dir)
+        .join(broadcast(Tables.supplier(s, dir)
+          .select(col("s_suppkey"), col("s_nationkey"))),
+          col("s_suppkey") === col("l_suppkey"))
+        .join(Tables.orders(s, dir)
+          .select(col("o_orderkey"), col("o_custkey")),
+          col("o_orderkey") === col("l_orderkey"))
+        .join(Tables.customer(s, dir)
+          .select(col("c_custkey"), col("c_nationkey")),
+          col("c_custkey") === col("o_custkey"))
+        .filter((col("s_nationkey") === 1 && col("c_nationkey") === 2) ||
+          (col("s_nationkey") === 2 && col("c_nationkey") === 1))
+        .groupBy(col("s_nationkey").as("supp_nation"),
+          col("c_nationkey").as("cust_nation"))
+        .agg(count(lit(1)).as("n_lines"),
+          round(sum(dec(col("l_extendedprice")) *
+            (lit(1) - dec(col("l_discount")))).cast("double"), 2).as("volume"))
+        .orderBy(col("supp_nation"), col("cust_nation"))
+    }),
+    // ---- [EXT] TPC-H Q11 shape — the HAVING-against-a-global-scalar
+    // classic ("parts worth more than a fixed fraction of total
+    // inventory value"): one keyed per-part sum, one broadcast scalar
+    // of the SAME sum, the comparison as a post-aggregation filter.
+    // Decimal-exact both sides so the boundary can't flip.
+    "q11_important_parts" -> ((s, dir) => {
+      import org.apache.spark.sql.types.DecimalType
+      def dec(c: org.apache.spark.sql.Column) = c.cast(DecimalType(38, 12))
+      val pv = Tables.lineitem(s, dir)
+        .groupBy(col("l_partkey"))
+        .agg(sum(dec(col("l_extendedprice"))).as("v"))
+      pv.crossJoin(broadcast(pv.agg(sum(col("v")).as("t"))))
+        .filter(col("v") > col("t") * lit(0.0007))
+        .select(col("l_partkey"), round(col("v").cast("double"), 2).as("value"))
+        .orderBy(col("value").desc, col("l_partkey"))
+        .limit(20)
+    }),
     // ---- [EXT] TPC-H Q14 shape — the conditional-revenue-share
     // scalar (promo revenue %): two decimal-exact sums in one pass,
     // one division at the end.
@@ -3673,6 +3732,21 @@ object SparkEntry {
       Ann.lshIndexTopK(s, path, queryVec(s, dir), planes, 5)
         .select(col("vec_id"), col("sim"))
     }),
+    // ---- [EXT] LSH index DELETE + COMPACT: the shared logical-delete
+    // contract (tombstone sidecar, probe anti-join) and the physical
+    // apply — probed through the COMPACTED layout so the query pins
+    // both halves (oracle = the in-memory probe over survivors).
+    "lsh_index_delete_top5" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val planes = Ann.planes(64, 8)
+      val path = scratchDir("lsh-index-del")
+      Ann.buildLshIndex(emb, planes, path)
+      Ann.deleteFromLshIndex(emb.filter(col("vec_id") % 7 === 0), path)
+      val compacted = scratchDir("lsh-index-del-c")
+      Ann.compactLshIndex(s, path, compacted)
+      Ann.lshIndexTopK(s, compacted, queryVec(s, dir), planes, 5)
+        .select(col("vec_id"), col("sim"))
+    }),
     // ---- [EXT] LSH index APPEND: assignment is stateless (frozen
     // planes, no training), so append-then-probe ≡ rebuild EXACTLY —
     // the one index in the family with nothing to drift.
@@ -5083,7 +5157,7 @@ object SparkEntry {
     * (the index moves rows into bucket directories; the match set is
     * identical, and append ≡ rebuild because assignment is
     * stateless). */
-  private lazy val lshTop5Sql: String = {
+  private def lshTop5SqlWhere(corpusWhere: String): String = {
     val planeLits = graft.search.Ann.planes(64, 8).map(p =>
       p.map(x => "%.17e".formatLocal(java.util.Locale.ROOT, x))
         .mkString("[", ", ", "]::DOUBLE[]"))
@@ -5093,7 +5167,7 @@ object SparkEntry {
       }.mkString(" + ")
     s"""WITH q AS (SELECT embedding AS qvec FROM embeddings WHERE vec_id = 0),
        |bks AS (SELECT vec_id, ${bucketExpr("embedding::DOUBLE[]")} AS bucket
-       |        FROM embeddings),
+       |        FROM embeddings WHERE $corpusWhere),
        |qb AS (SELECT ${bucketExpr("qvec::DOUBLE[]")} AS qbucket FROM q),
        |probes AS (
        |  SELECT DISTINCT xor(qbucket, f) AS bucket FROM qb,
@@ -5104,6 +5178,8 @@ object SparkEntry {
        |  FROM embeddings e JOIN cand USING (vec_id), q)
        |ORDER BY sim DESC, vec_id ASC LIMIT 5""".stripMargin
   }
+
+  private lazy val lshTop5Sql: String = lshTop5SqlWhere("TRUE")
 
   /** Unrounded cosine, for oracle-internal RANKING where the Spark side
     * also compares raw (k-means assignment argmax): both engines drift
@@ -6897,6 +6973,7 @@ object SparkEntry {
     // append ≡ rebuild because bucket assignment is stateless
     "lsh_index_top5" -> lshTop5Sql,
     "lsh_index_append_top5" -> lshTop5Sql,
+    "lsh_index_delete_top5" -> lshTop5SqlWhere("vec_id % 7 <> 0"),
     "pq_recall_reranked" -> {
       val dots = (0 until PqM).map { mi =>
         s"""list_dot_product((q.qvec::DOUBLE[])[${mi * PqSub + 1}:${(mi + 1) * PqSub}],
@@ -8486,6 +8563,34 @@ object SparkEntry {
         |                THEN 0 ELSE 1 END)::BIGINT AS low_line_count
         |FROM orders JOIN lineitem ON l_orderkey = o_orderkey
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q13_custdist" ->
+      """SELECT c_count, count(*)::BIGINT AS custdist FROM (
+        |  SELECT c_custkey, count(o_orderkey)::BIGINT AS c_count
+        |  FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+        |    AND o_orderpriority <> '1-URGENT'
+        |  GROUP BY 1)
+        |GROUP BY 1 ORDER BY custdist DESC, c_count DESC LIMIT 5""".stripMargin,
+    "q7_nation_volume" ->
+      """SELECT s_nationkey AS supp_nation, c_nationkey AS cust_nation,
+        |       count(*)::BIGINT AS n_lines,
+        |       round(CAST(sum(CAST(l_extendedprice AS DECIMAL(38,12)) *
+        |                      (1 - CAST(l_discount AS DECIMAL(38,12))))
+        |                  AS DOUBLE), 2) AS volume
+        |FROM lineitem
+        |JOIN supplier ON s_suppkey = l_suppkey
+        |JOIN orders ON o_orderkey = l_orderkey
+        |JOIN customer ON c_custkey = o_custkey
+        |WHERE (s_nationkey = 1 AND c_nationkey = 2)
+        |   OR (s_nationkey = 2 AND c_nationkey = 1)
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q11_important_parts" ->
+      """WITH pv AS (
+        |  SELECT l_partkey, sum(CAST(l_extendedprice AS DECIMAL(38,12))) AS v
+        |  FROM lineitem GROUP BY 1),
+        |tot AS (SELECT sum(v) AS t FROM pv)
+        |SELECT l_partkey, round(v::DOUBLE, 2) AS value
+        |FROM pv, tot WHERE v > t * 0.0007
+        |ORDER BY value DESC, l_partkey LIMIT 20""".stripMargin,
     "q14_promo_share" ->
       """SELECT round(CAST(100 * sum(CASE WHEN p_type = 'PROMO'
         |                  THEN CAST(l_extendedprice AS DECIMAL(38,12)) *

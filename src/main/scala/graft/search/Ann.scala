@@ -656,10 +656,14 @@ object Ann {
     * is LSH's whole appeal — append needs no retrain ever, only the
     * same frozen planes. */
   def buildLshIndex(corpus: DataFrame, planes: Seq[Seq[Double]], path: String,
-                    vecCol: String = "embedding"): Unit =
+                    vecCol: String = "embedding"): Unit = {
+    // fresh build resets the delete sidecar (the buildIvfIndex
+    // contract: stale tombstones would anti-join valid rows out)
+    graft.io.Fs.delete(corpus.sparkSession, s"$path.tombstones")
     corpus.withColumn("__bucket", lshBucket(col(vecCol), planes))
       .repartition(col("__bucket"))
       .write.partitionBy("__bucket").mode("overwrite").parquet(path)
+  }
 
   /** Incremental append against the frozen planes — bucket assignment
     * is stateless, so append-then-probe ≡ rebuild-then-probe exactly
@@ -676,7 +680,9 @@ object Ann {
     * Hamming-1 ring as driver LITERALS (the probe math replays the
     * codegen dot's ascending accumulation, so driver and executor
     * agree on every sign), applied as a partition filter — only the
-    * probed buckets' files open. Exact rerank inside the candidates. */
+    * probed buckets' files open. Exact rerank inside the candidates;
+    * tombstoned ids drop before ranking (the shared logical-delete
+    * contract). */
   def lshIndexTopK(spark: org.apache.spark.sql.SparkSession, path: String,
                    query: DataFrame, planes: Seq[Seq[Double]], k: Int,
                    idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
@@ -691,11 +697,34 @@ object Ann {
       .map { case (p, i) => if (dotLocal(p) > 0) 1 << i else 0 }.sum
     val probes = qbucket +: planes.indices.map(i => qbucket ^ (1 << i))
     Search.knn(
-      spark.read.parquet(path)
-        .filter(col("__bucket").isin(probes: _*))
+      dropTombstones(
+        spark.read.parquet(path)
+          .filter(col("__bucket").isin(probes: _*)), path, idCol)
         .drop("__bucket"),
       query, k, idCol, vecCol)
   }
+
+  /** Tombstone-delete from the LSH index — the same sidecar contract
+    * as [[deleteFromIvfIndex]] (logical append to `<path>.tombstones`,
+    * probes anti-join, [[compactLshIndex]] applies physically;
+    * idempotent on unknown ids). */
+  def deleteFromLshIndex(ids: DataFrame, path: String,
+                         idCol: String = "vec_id"): Unit =
+    deleteFromIvfIndex(ids, path, idCol)
+
+  /** Compact an appended/deleted LSH index into a fresh layout:
+    * tombstones applied, one bounded file set per bucket — the
+    * [[compactIvfIndex]] shape on the plane buckets (assignment is
+    * frozen, so compact never re-buckets). */
+  def compactLshIndex(spark: org.apache.spark.sql.SparkSession,
+                      srcPath: String, dstPath: String,
+                      recordsPerFile: Long = 1L << 20,
+                      idCol: String = "vec_id"): Unit =
+    dropTombstones(spark.read.parquet(srcPath), srcPath, idCol)
+      .repartition(col("__bucket"))
+      .write.partitionBy("__bucket")
+      .option("maxRecordsPerFile", recordsPerFile)
+      .mode("overwrite").parquet(dstPath)
 
   def lshTopKDirected(corpus: DataFrame, query: DataFrame, k: Int,
                       planes: Seq[Seq[Double]], t: Int,

@@ -148,6 +148,21 @@ class AnnSpec extends SparkSpec {
     val opened = scan.metrics("numFiles").value
     assert(opened > 0 && opened < total,
       s"expected bucket file skipping: read $opened of $total")
+    // delete + compact: probe ≡ in-memory over survivors; idempotent;
+    // compacted layout carries no deleted row and no sidecar effect
+    Ann.deleteFromLshIndex(emb.filter(col("vec_id") % 3 === 0), dir)
+    Ann.deleteFromLshIndex(emb.filter(col("vec_id") % 3 === 0), dir) // idempotent
+    val survivors = emb.filter(col("vec_id") % 3 =!= 0)
+    val memSurv = Ann.lshTopK(survivors, q, 5, planes)
+      .select(col("vec_id"), col("sim"))
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(got(dir) == memSurv, "post-delete probe must rank only survivors")
+    val dir3 = s"$root/compacted"
+    Ann.compactLshIndex(spark, dir, dir3)
+    assert(got(dir3) == memSurv)
+    assert(spark.read.parquet(dir3)
+      .filter(col("vec_id") % 3 === 0).count() == 0,
+      "compact must apply tombstones physically")
   }
 
   test("materialized IVF index: probe filter becomes file-level partition pruning") {
