@@ -407,6 +407,24 @@ object SparkEntry {
       graft.search.KnnGraph.graphIndexTopK(s, path, probeIds, 5)
         .orderBy(col("src"), col("rank"))
     }),
+    // ---- [EXT] graph-index health report (the bm25IndexHealth
+    // convention): nodes, raw edge rows (base + overlay — the
+    // compaction-debt signal), distinct sources, worst per-source
+    // re-rank width, tombstone debt. The oracle RE-DERIVES every
+    // number from the construction arithmetic over the union fixture:
+    // base n·5, overlay n·d + d·(n+d−1), max per source =
+    // max(5+d, n+d−1).
+    "knn_graph_index_health" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val delta = emb.filter(col("vec_id") < 10)
+        .select((col("vec_id") + 100000).as("vec_id"),
+          reverse(col("embedding")).as("embedding"))
+      val path = scratchDir("knn-graph-health")
+      graft.search.KnnGraph.writeGraphIndex(
+        graft.search.KnnGraph.exact(emb, 5), emb, path)
+      graft.search.KnnGraph.appendToGraphIndex(delta, path)
+      graft.search.KnnGraph.graphIndexHealth(s, path)
+    }),
     // ---- [EXT] graph-index DELETE + exact REPAIR: tombstoned nodes
     // vanish from both edge sides at probe time, and repair re-scores
     // ONLY the nodes whose stored lists referenced a deleted neighbor
@@ -6300,6 +6318,16 @@ object SparkEntry {
         "  FROM embeddings WHERE vec_id < 10),\n" +
         graft.search.KnnGraph.exactSqlCtes("un", "vec_id", "embedding", 5) +
         "\nSELECT src, dst, sim, rank FROM ex ORDER BY src, rank"),
+    "knn_graph_index_health" ->
+      """WITH n AS (SELECT count(*) AS n FROM embeddings),
+        |d AS (SELECT count(*) AS d FROM embeddings WHERE vec_id < 10)
+        |SELECT (n.n + d.d)::BIGINT AS n_nodes,
+        |       (n.n * 5 + n.n * d.d + d.d * (n.n + d.d - 1))::BIGINT
+        |         AS n_edge_rows,
+        |       (n.n + d.d)::BIGINT AS n_src,
+        |       greatest(5 + d.d, n.n + d.d - 1)::BIGINT AS max_rows_per_src,
+        |       0::BIGINT AS tombstone_debt
+        |FROM n, d""".stripMargin,
     "knn_graph_delete_repair" ->
       ("WITH sv AS MATERIALIZED (\n" +
         "  SELECT vec_id, embedding FROM embeddings WHERE vec_id % 50 <> 0),\n" +

@@ -452,6 +452,30 @@ object KnnGraph {
     }
   }
 
+  /** One-row operational health report of a graph index — the
+    * `bm25IndexHealth` convention: node count, raw edge rows (base +
+    * overlay — the compaction-debt signal: a freshly compacted index
+    * sits at ≤ n·k, every append adds O((n+d)·d) candidate rows),
+    * distinct sources, the worst per-source row count (how much one
+    * probe re-ranks), and tombstone debt. All counts derive from the
+    * layout, so the oracle re-derives them from the construction
+    * arithmetic. */
+  def graphIndexHealth(spark: org.apache.spark.sql.SparkSession,
+                       path: String): DataFrame = {
+    val edges = spark.read.parquet(path)
+    val nodes = spark.read.parquet(s"$path.nodes")
+    val perSrc = edges.groupBy(col("src")).agg(count(lit(1)).as("__r"))
+      .agg(count(lit(1)).as("n_src"), max(col("__r")).as("max_rows_per_src"))
+    val tomb = graphTombstones(spark, path)
+      .map(_.agg(count(lit(1)).as("tombstone_debt")))
+      .getOrElse(edges.sparkSession.range(1)
+        .select(lit(0L).as("tombstone_debt")))
+    nodes.agg(count(lit(1)).as("n_nodes"))
+      .crossJoin(broadcast(edges.agg(count(lit(1)).as("n_edge_rows"))))
+      .crossJoin(broadcast(perSrc))
+      .crossJoin(broadcast(tomb))
+  }
+
   /** Compact an appended graph index: per-node top-k over
     * base ∪ overlay rewritten as the new base (displaced candidate
     * rows drop out — the edge count returns to ≤ n·k), fresh
