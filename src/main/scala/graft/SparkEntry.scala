@@ -1884,6 +1884,48 @@ object SparkEntry {
           sum(when(high, 0).otherwise(1)).as("low_line_count"))
         .orderBy(col("ship_bucket"))
     }),
+    // ---- [EXT] TPC-H Q15 shape — "the top supplier(s)": per-supplier
+    // revenue, then equality against the broadcast scalar MAX — the
+    // no-LIMIT formulation that keeps ALL ties (a top-1 LIMIT would
+    // drop a tied supplier silently; the shape exists precisely for
+    // that case).
+    "q15_top_supplier" -> ((s, dir) => {
+      import org.apache.spark.sql.types.DecimalType
+      def dec(c: org.apache.spark.sql.Column) = c.cast(DecimalType(38, 12))
+      val rev = Tables.lineitem(s, dir)
+        .filter(col("l_shipdate") >= lit("1999-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1999-04-01").cast("timestamp"))
+        .groupBy(col("l_suppkey"))
+        .agg(sum(dec(col("l_extendedprice")) *
+          (lit(1) - dec(col("l_discount")))).as("__rev"))
+      rev.crossJoin(broadcast(rev.agg(max(col("__rev")).as("__mx"))))
+        .filter(col("__rev") === col("__mx"))
+        .join(broadcast(Tables.supplier(s, dir)
+          .select(col("s_suppkey"), col("s_name"))),
+          col("s_suppkey") === col("l_suppkey"))
+        .select(col("s_suppkey"), col("s_name"),
+          round(col("__rev").cast("double"), 2).as("total_revenue"))
+        .orderBy(col("s_suppkey"))
+    }),
+    // ---- [EXT] TPC-H Q2 shape — the per-group ARGMIN join-back
+    // ("who offers this part at its minimum price"): the correlated
+    // MIN subquery decorrelated to one keyed min + an equality join
+    // back to the offer rows, keeping ALL tied suppliers. Lineitem
+    // stands in for partsupp; bounded to 10 parts for a bounded
+    // answer, the shape is per-group regardless.
+    "q2_min_cost_supplier" -> ((s, dir) => {
+      val offers = Tables.lineitem(s, dir)
+        .filter(col("l_partkey") < 10)
+        .select(col("l_partkey"), col("l_suppkey"), col("l_extendedprice"))
+      val mins = offers.groupBy(col("l_partkey"))
+        .agg(min(col("l_extendedprice")).as("__minp"))
+      offers.join(mins, Seq("l_partkey"))
+        .filter(col("l_extendedprice") === col("__minp"))
+        .select(col("l_partkey"), col("l_suppkey"),
+          col("l_extendedprice").as("min_price"))
+        .distinct()
+        .orderBy(col("l_partkey"), col("l_suppkey"))
+    }),
     // ---- [EXT] TPC-H Q13 shape — the customers-per-order-count
     // distribution INCLUDING zero-order customers: the outer join
     // whose condition filters the RIGHT side (a WHERE would silently
@@ -8591,6 +8633,28 @@ object SparkEntry {
         |                THEN 0 ELSE 1 END)::BIGINT AS low_line_count
         |FROM orders JOIN lineitem ON l_orderkey = o_orderkey
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q15_top_supplier" ->
+      """WITH rev AS (
+        |  SELECT l_suppkey,
+        |         sum(CAST(l_extendedprice AS DECIMAL(38,12)) *
+        |             (1 - CAST(l_discount AS DECIMAL(38,12)))) AS r
+        |  FROM lineitem
+        |  WHERE l_shipdate >= TIMESTAMP '1999-01-01'
+        |    AND l_shipdate < TIMESTAMP '1999-04-01'
+        |  GROUP BY 1)
+        |SELECT s_suppkey, s_name, round(r::DOUBLE, 2) AS total_revenue
+        |FROM rev JOIN supplier ON s_suppkey = l_suppkey
+        |WHERE r = (SELECT max(r) FROM rev)
+        |ORDER BY s_suppkey""".stripMargin,
+    "q2_min_cost_supplier" ->
+      """SELECT DISTINCT l_partkey, l_suppkey,
+        |       l_extendedprice AS min_price
+        |FROM lineitem o
+        |WHERE l_partkey < 10
+        |  AND l_extendedprice = (
+        |    SELECT min(l_extendedprice) FROM lineitem i
+        |    WHERE i.l_partkey = o.l_partkey AND i.l_partkey < 10)
+        |ORDER BY l_partkey, l_suppkey""".stripMargin,
     "q13_custdist" ->
       """SELECT c_count, count(*)::BIGINT AS custdist FROM (
         |  SELECT c_custkey, count(o_orderkey)::BIGINT AS c_count
