@@ -16,6 +16,27 @@ class PlanShapeSpec extends SparkSpec {
     }
   }
 
+  test("TPC-H correlation shapes: EXISTS pairs plan as joins/aggregates, never cartesian; Q4 is one semi join") {
+    // the decorrelated plans must keep their strategy: a refactor that
+    // re-correlates (or drops a join key) would silently plan a
+    // nested-loop or cartesian stage
+    for (q <- Seq("q21_late_suppliers", "q22_idle_customers",
+        "q16_supplier_count", "q3_shipping_priority", "q10_returned_revenue",
+        "q13_custdist", "q7_nation_volume", "q2_min_cost_supplier")) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), s"$q plans a cartesian")
+    }
+    // Q4's correlated EXISTS must stay ONE conditioned semi join — no
+    // per-order aggregate, no subplan
+    val q4 = plan("q4_order_priority")
+    assert(q4.contains("LeftSemi"), q4.take(1500))
+    // top-k TPC-H answers are TakeOrderedAndProject, never sort+limit
+    for (q <- Seq("q21_late_suppliers", "q3_shipping_priority",
+        "q10_returned_revenue", "q16_supplier_count")) {
+      assert(plan(q).contains("TakeOrderedAndProject"), q)
+    }
+  }
+
   test("count-min probe joins the broadcast sketch; no shuffle join, no cartesian") {
     val p = plan("cmin_heavy_hitters")
     assert(p.contains("BroadcastHashJoin"), p.take(2000))
