@@ -77,8 +77,12 @@ object KnnGraph {
       .withColumn("__pid", spark_partition_id())
     val wLocal = Window.partitionBy(col("__pid"))
       .orderBy(col("__h"), col("id"))
+    // localCheckpoint (the per-round edges' convention), NOT persist:
+    // a persisted frame leaks cached blocks for the session lifetime
+    // (nothing here unpersists), while checkpoint blocks are reclaimed
+    // by the ContextCleaner once the frame is unreferenced
     val withLocal = local.withColumn("__lr", row_number().over(wLocal))
-      .persist()
+      .localCheckpoint(true)
     val counts = withLocal.groupBy(col("__pid")).agg(count(lit(1)).as("__pn"))
     val offsets = counts.as("a")
       .join(broadcast(counts.as("b")), col("b.__pid") < col("a.__pid"), "left")

@@ -24,11 +24,15 @@ object RankCache {
   def entryPath(cacheDir: String, version: String, queryKey: String): String =
     s"$cacheDir/v=$version/q=$queryKey"
 
-  /** Serve from cache, or compute-and-fill: the read-through memo. */
+  /** Serve from cache, or compute-and-fill: the read-through memo.
+    * A hit requires the committer's `_SUCCESS` marker, not just the
+    * directory: an interrupted fill leaves a partial directory, and
+    * "cache is semantically invisible" forbids ever serving it —
+    * incomplete entries are recomputed and overwritten. */
   def cachedResult(spark: SparkSession, cacheDir: String, version: String,
                    queryKey: String)(compute: => DataFrame): DataFrame = {
     val path = entryPath(cacheDir, version, queryKey)
-    if (!graft.io.Fs.exists(spark, path)) {
+    if (!graft.io.Fs.exists(spark, s"$path/_SUCCESS")) {
       // checkpoint before writing: the computed plan must not re-run
       // during its own write, and the caller may hold lazy upstream
       compute.localCheckpoint().write.mode("overwrite").parquet(path)

@@ -39,6 +39,16 @@ class SearchSpec extends SparkSpec {
       .select(col("vec_id"), col("sim"))
       .collect().map(r => (r.getLong(0), r.getDouble(1))).toSet
     assert(first.toSet == direct)
+    // a PARTIAL entry (interrupted fill: directory without _SUCCESS)
+    // must miss and be recomputed, never served truncated
+    val partial = RankCache.entryPath(cacheDir, "v3", "q0")
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(partial))
+    graft.search.Search.knn(emb, q, 2).select(col("vec_id"), col("sim"))
+      .write.mode("overwrite").parquet(partial)
+    java.nio.file.Files.delete(java.nio.file.Paths.get(s"$partial/_SUCCESS"))
+    val v3 = probe("v3").collect().map(r => (r.getLong(0), r.getDouble(1))).toSet
+    assert(computes == 3, "a partial cache entry must recompute")
+    assert(v3 == direct, "recompute must overwrite the partial entry")
   }
 
   import spark.implicits._

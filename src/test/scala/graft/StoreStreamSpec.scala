@@ -275,6 +275,38 @@ class StoreStreamSpec extends SparkSpec {
     assert(keptIds.sorted == Seq(12L, 13L, 22L), s"kept $keptIds")
   }
 
+  test("dHash store rebuild resets stream batch markers: a fresh stream's batch 0 is not swallowed") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.functions.col
+    import graft.multimodal.{ImageFixtures, Multimodal}
+    implicit val sqlCtx = spark.sqlContext
+    val store = java.nio.file.Files.createTempDirectory("graft-img-gate2").toString + "/store"
+    def build(): Unit = Multimodal.writeDHashStore(
+      Multimodal.decodeDHash(spark,
+        Seq((1L, ImageFixtures.png(520, 400))).toDF("id", "bytes")).toDF(),
+      store, 8)
+    def runOne(id: Long, img: Array[Byte]): Seq[Long] = {
+      val keptIds = scala.collection.mutable.ArrayBuffer.empty[Long]
+      val input = MemoryStream[(Long, Array[Byte])]
+      val q = graft.streaming.StreamIngest.imageDedupGateSink(
+        input.toDF().toDF("id", "bytes"), store, maxHamming = 3) { kept =>
+        keptIds ++= kept.select(col("id")).collect().map(_.getLong(0)); ()
+      }.start()
+      input.addData(Seq((id, img)))
+      q.processAllAvailable()
+      q.stop()
+      keptIds.toSeq
+    }
+    build()
+    // stream 1 lays down the batch-0 marker under the store path
+    assert(runOne(11L, ImageFixtures.png(600, 480)) == Seq(11L))
+    // REBUILD: markers must reset with the store, or the new stream's
+    // batch 0 (ids restart at 0 per stream) is silently swallowed
+    build()
+    assert(runOne(21L, ImageFixtures.png(333, 200)) == Seq(21L),
+      "fresh build must clear stale _applied_batches markers")
+  }
+
   test("streaming retrieval-eval gate: rankedEval over the drained ranking log ≡ batch") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import org.apache.spark.sql.functions.col
