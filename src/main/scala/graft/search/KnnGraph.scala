@@ -180,9 +180,42 @@ object KnnGraph {
       .join(graph.select(col("dst").as("src"), col("src").as("dst")),
         Seq("src", "dst"), "left_semi")
 
+  /** Per-dimension DECIMAL(38,12)-exact sums of the corpus vectors —
+    * the CENTROID DIRECTION (unnormalized mean; cosine is scale-
+    * invariant, so the division by n is dropped). Decimal addition is
+    * associative, making the cross-row sums order-free and
+    * bit-identical in any engine (the [[graft.analysis.Spectral]]
+    * contract); the result is d doubles of bounded driver model
+    * state. */
+  private[graft] def centroidDirection(vecs: DataFrame): Seq[Double] =
+    vecs.select(posexplode(col("__vec")).as(Seq("j", "x")))
+      .groupBy(col("j"))
+      .agg(sum(col("x").cast("double")
+        .cast(org.apache.spark.sql.types.DecimalType(38, 12))).as("s"))
+      .collect()
+      .map(r => r.getInt(0) -> r.getDecimal(1).doubleValue())
+      .sortBy(_._1).map(_._2).toSeq
+
+  /** MEDOID entry node: the stored node most cosine-similar to the
+    * corpus centroid direction (ties → id asc) — DiskANN's entry rule.
+    * A pseudo-random entry (the pre-round-14 form: lowest (hash, id))
+    * starts a fixed-hop walk an unbounded graph-distance from the
+    * query's neighborhood; the medoid is the node with the smallest
+    * EXPECTED graph distance to everyone, so a fixed small hop budget
+    * keeps working as the corpus grows. One d-row agg + one scan —
+    * both bounded; at serving time the entry is computed once per
+    * index build, not per query. */
+  private[graft] def medoidEntry(vecs: DataFrame): DataFrame = {
+    val c = centroidDirection(vecs)
+    vecs.select(col("id"),
+        VectorOps.cosine6(col("__vec"), typedlit(c)).as("__cs"))
+      .orderBy(col("__cs").desc, col("id").asc).limit(1).select(col("id"))
+  }
+
   /** Greedy BEAM SEARCH over a kNN graph — the DiskANN/HNSW-layer-0
-    * probe pattern: start from the deterministic entry node (lowest
-    * (portableHash, id)), repeatedly expand the beam's out-neighbors,
+    * probe pattern: start from the deterministic MEDOID entry node
+    * ([[medoidEntry]] — nearest stored node to the corpus centroid),
+    * repeatedly expand the beam's out-neighbors,
     * keep the `beam` best by similarity to the query, answer top-k of
     * the final beam. Each hop scores ONLY the frontier (≤ beam·degree
     * rows — the point of graph search: O(hops·beam·degree) cosines,
@@ -202,8 +235,7 @@ object KnnGraph {
     // re-executed per hop — in production the graph is a persisted
     // index and this is its in-query stand-in
     val edges = graph.select(col("src"), col("dst")).localCheckpoint()
-    val entry = vecs.select(col("id"))
-      .orderBy(portableHash(col("id")), col("id")).limit(1)
+    val entry = medoidEntry(vecs)
     var beamDf = score(entry).localCheckpoint()
     (1 to hops).foreach { _ =>
       val frontier = beamDf.select(col("id").as("src"))
@@ -235,8 +267,7 @@ object KnnGraph {
       ids.join(vecs, Seq("id")).crossJoin(broadcast(query))
         .select(col("id"), VectorOps.cosine6(col("__vec"), col("qvec")).as("sim"))
     val edges = graph.select(col("src"), col("dst")).localCheckpoint()
-    val entry = vecs.select(col("id"))
-      .orderBy(portableHash(col("id")), col("id")).limit(1)
+    val entry = medoidEntry(vecs)
     var beamDf = score(entry).localCheckpoint()
     var visited = beamDf.select(col("id")).localCheckpoint()
     (1 to hops).foreach { _ =>
@@ -588,24 +619,34 @@ object KnnGraph {
        |                              ORDER BY sim DESC, dst ASC) AS rank
        |    FROM exs) WHERE rank <= $k)""".stripMargin
 
-  /** CTE body replaying [[beamSearch]] over the `ex` graph relation
-    * (compose after [[exactSqlCtes]]): deterministic entry, `hops`
+  /** CTE body replaying [[beamSearch]] over the graph relation named
+    * `graphRel` (compose after [[exactSqlCtes]] / [[nnDescentSqlCtes]]):
+    * centroid-medoid entry ([[medoidEntry]] — the per-dim decimal sums
+    * replay as `sum(x::DECIMAL(38,12))`, order-free), `hops`
     * frontier-expand-and-cut rounds, final relation `bsf` with
     * columns (id, sim) = the answer top-k. `qRel` is a one-row
     * relation exposing `qvec`. */
   def beamSearchSqlCtes(table: String, idCol: String, vecCol: String,
                         qRel: String, k: Int, beam: Int = 8,
-                        hops: Int = 4): String = {
+                        hops: Int = 4, graphRel: String = "ex"): String = {
     val init =
       s"""bq AS ($qRel),
-         |be AS (SELECT $idCol AS id FROM $table
-         |       ORDER BY ${KmvSketch.hashSql(idCol)}, $idCol LIMIT 1),
+         |bcv AS (
+         |  SELECT list(s ORDER BY j) AS cvec FROM (
+         |    SELECT j, (sum(x::DECIMAL(38,12)))::DOUBLE AS s FROM (
+         |      SELECT generate_subscripts($vecCol, 1) AS j,
+         |             unnest($vecCol) AS x FROM $table) GROUP BY j)),
+         |be AS (
+         |  SELECT id FROM (
+         |    SELECT e.$idCol AS id, ${cosSql(s"e.$vecCol", "c.cvec")} AS cs
+         |    FROM $table e, bcv c)
+         |  ORDER BY cs DESC, id ASC LIMIT 1),
          |bs0 AS (
          |  SELECT e.$idCol AS id, ${cosSql(s"e.$vecCol", "q.qvec")} AS sim
          |  FROM $table e JOIN be ON be.id = e.$idCol, bq q)""".stripMargin
     val rounds = (1 to hops).map { i =>
       s"""bf$i AS (
-         |  SELECT g.dst AS id FROM bs${i - 1} b JOIN ex g ON g.src = b.id
+         |  SELECT g.dst AS id FROM bs${i - 1} b JOIN $graphRel g ON g.src = b.id
          |  UNION SELECT id FROM bs${i - 1}),
          |bs$i AS MATERIALIZED (
          |  SELECT f.id, ${cosSql(s"e.$vecCol", "q.qvec")} AS sim
@@ -624,8 +665,10 @@ object KnnGraph {
     * top-k of visited ∩ `allowedRel` (a relation exposing `aid`). */
   def beamSearchFilteredSqlCtes(table: String, idCol: String, vecCol: String,
                                 qRel: String, allowedRel: String, k: Int,
-                                beam: Int = 8, hops: Int = 4): String = {
-    val walk = beamSearchSqlCtes(table, idCol, vecCol, qRel, k, beam, hops)
+                                beam: Int = 8, hops: Int = 4,
+                                graphRel: String = "ex"): String = {
+    val walk = beamSearchSqlCtes(table, idCol, vecCol, qRel, k, beam, hops,
+      graphRel)
     val acc = (1 to hops).map { i =>
       s"""bv$i AS (SELECT id FROM bv${i - 1} UNION SELECT id FROM bf$i)"""
     }
@@ -694,7 +737,7 @@ object KnnGraph {
          |  SELECT g.src, g.dst, ${cosSql("e1.vec", "e2.vec")} AS sim
          |  FROM nng$iters g JOIN nno e1 ON e1.id = g.src
          |       JOIN nno e2 ON e2.id = g.dst),
-         |nnd AS (
+         |nnd AS MATERIALIZED (
          |  SELECT src, dst, sim, rank FROM (
          |    SELECT src, dst, sim,
          |           row_number() OVER (PARTITION BY src

@@ -153,6 +153,54 @@ class KnnGraphSpec extends SparkSpec {
     assert(got == truth, s"got $got, want $truth")
   }
 
+  test("medoid entry starts in the dominant cluster; bounded hops converge where the old random entry provably cannot") {
+    // Two clusters with NO cross-cluster edges in the k=3 graph:
+    // A = ids 10..39 near angle 0 (dominant), B = ids 0..9 near π.
+    // id 0 is the global (portableHash, id) minimum — the pre-round-14
+    // pseudo-random entry — and it sits in B: a fixed-hop walk from it
+    // can NEVER reach A (disconnected), no matter the hop budget. The
+    // medoid entry (nearest node to the corpus centroid direction)
+    // lands in A because A dominates the centroid, and a small hop
+    // budget reaches the true top-k.
+    val pts = ((0 until 10).map { i =>
+      val a = math.Pi + i * 0.01
+      (i.toLong, Seq(math.cos(a), math.sin(a)))
+    } ++ (10 until 40).map { i =>
+      val a = (i - 10) * 0.01
+      (i.toLong, Seq(math.cos(a), math.sin(a)))
+    }).toDF("vec_id", "embedding")
+      .select(col("vec_id"),
+        col("embedding").cast("array<double>").as("embedding"))
+    val graph = KnnGraph.exact(pts, 3)
+    // no cross-cluster edges: B's component is unreachable from A
+    graph.collect().foreach { r =>
+      val (s, d) = (r.getLong(0), r.getLong(1))
+      assert((s < 10) == (d < 10), s"cross-cluster edge ($s,$d)")
+    }
+    // the old entry rule picks id 0 (min portable hash) — in B
+    val oldEntry = pts.select(col("vec_id"))
+      .orderBy(KnnGraph.portableHash(col("vec_id")), col("vec_id"))
+      .limit(1).collect().head.getLong(0)
+    assert(oldEntry == 0L && oldEntry < 10, "fixture: old entry must sit in B")
+    // the medoid entry sits in A
+    val vecs = pts.select(col("vec_id").as("id"), col("embedding").as("__vec"))
+    val entry = KnnGraph.medoidEntry(vecs).collect().head.getLong(0)
+    assert(entry >= 10, s"medoid entry $entry must be in the dominant cluster")
+    // bounded hops from the medoid reach the exact top-k (the A arc
+    // advances ~2 positions per hop; 12 hops cover its 30 nodes from
+    // any entry inside A — while NO budget covers a B entry)
+    val q = pts.filter(col("vec_id") === 12)
+      .select(col("embedding").as("qvec"))
+    val got = KnnGraph.beamSearch(graph, pts, q, k = 3, beam = 8, hops = 12)
+      .collect().map(_.getLong(0)).toSeq
+    val truth = pts.crossJoin(broadcast(q))
+      .select(col("vec_id"),
+        VectorOps.cosine6(col("embedding"), col("qvec")).as("sim"))
+      .orderBy(col("sim").desc, col("vec_id").asc).limit(3)
+      .collect().map(_.getLong(0)).toSeq
+    assert(got == truth, s"got $got, want $truth")
+  }
+
   test("filtered beam search: routes through excluded nodes, answers only allowed ones") {
     // ring of 40 points; allow only even ids. The true filtered top-3
     // around the query (node 17's vector) are even nodes 18, 16, 20 —
