@@ -2040,6 +2040,72 @@ object SparkEntry {
             .otherwise(lit(0)))
           / sum(rev)).cast("double"), 6).as("promo_share"))
     }),
+    // ---- [EXT] TPC-H Q9 shape — "product-type profit by nation and
+    // year": the part-name-filtered 5-way star (lineitem spine; part/
+    // supplier/nation are broadcast dims, orders is the one shuffle
+    // join, on orderkey) with a per-(nation, year) profit rollup.
+    // ps_supplycost has no partsupp table here, so it stands in as a
+    // deterministic integer of (partkey, suppkey) — exact in both
+    // engines. The profit sum is DECIMAL(38,12)-exact (the q22
+    // convention: a double sum's order-dependence would flip cents).
+    "q9_profit" -> ((s, dir) => {
+      import org.apache.spark.sql.types.DecimalType
+      def dec(c: org.apache.spark.sql.Column) = c.cast(DecimalType(38, 12))
+      val supplycost = (col("l_partkey") * 3 + col("l_suppkey") * 5) % 20 + 5
+      Tables.lineitem(s, dir)
+        .join(broadcast(Tables.part(s, dir)
+            .filter(col("p_name").contains("bolt"))),
+          col("p_partkey") === col("l_partkey"))
+        .join(broadcast(Tables.supplier(s, dir)),
+          col("s_suppkey") === col("l_suppkey"))
+        .join(broadcast(Tables.nation(s, dir)),
+          col("n_nationkey") === col("s_nationkey"))
+        .join(Tables.orders(s, dir), col("o_orderkey") === col("l_orderkey"))
+        .groupBy(col("n_name").as("nation"),
+          year(col("o_orderdate")).cast("long").as("o_year"))
+        .agg(round((sum(dec(col("l_extendedprice")) *
+              (lit(1) - dec(col("l_discount")))) -
+            sum(dec(supplycost * col("l_quantity"))))
+          .cast("double"), 2).as("profit"))
+        .orderBy(col("nation"), col("o_year").desc)
+    }),
+    // ---- [EXT] TPC-H Q20 shape — "suppliers with excess stock of
+    // interesting parts": the nested IN/EXISTS chain (supplier IN →
+    // partsupp IN part-prefix → availqty > 0.5 × correlated shipped
+    // quantity) DECORRELATED: the correlated scalar subquery becomes
+    // one grouped agg over the date-windowed lineitem joined back on
+    // (partkey, suppkey) — the q21/q22 pattern — and both IN clauses
+    // become semi-joins (part prefix list broadcast; the final
+    // supplier probe against the small excess set). partsupp stands in
+    // as the distinct (partkey, suppkey) projection with a
+    // deterministic integer availqty. An inner join to the shipped agg
+    // reproduces SQL's NULL-comparison exclusion for pairs with no
+    // shipments in the window. l_quantity is integer-valued, so the
+    // half-sum compare is exact without decimals.
+    "q20_excess_suppliers" -> ((s, dir) => {
+      val li = Tables.lineitem(s, dir)
+      val redParts = Tables.part(s, dir)
+        .filter(col("p_name").startsWith("red")).select(col("p_partkey"))
+      val ps = li.select(col("l_partkey"), col("l_suppkey")).distinct()
+        .join(broadcast(redParts), col("p_partkey") === col("l_partkey"),
+          "left_semi")
+        .withColumn("availqty",
+          (col("l_partkey") * 7 + col("l_suppkey") * 13) % 500 + 50)
+      val shipped = li
+        .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1998-01-01").cast("timestamp"))
+        .groupBy(col("l_partkey"), col("l_suppkey"))
+        .agg(sum(col("l_quantity")).as("qty"))
+      val excess = ps.join(shipped, Seq("l_partkey", "l_suppkey"))
+        .filter(col("availqty") > lit(0.5) * col("qty"))
+        .select(col("l_suppkey")).distinct()
+      Tables.supplier(s, dir)
+        .filter(col("s_nationkey") < 3)
+        .join(broadcast(excess), col("s_suppkey") === col("l_suppkey"),
+          "left_semi")
+        .select(col("s_name"))
+        .orderBy(col("s_name"))
+    }),
     // ---- [EXT] INCREMENTAL exact-substring dedup: the corpus
     // shingles once into a bucket-partitioned gram store; an arriving
     // batch finds its shared spans against the corpus by probing only
@@ -8818,6 +8884,33 @@ object SparkEntry {
         |FROM lineitem JOIN part ON p_partkey = l_partkey
         |WHERE l_shipdate >= TIMESTAMP '1999-01-01'
         |  AND l_shipdate < TIMESTAMP '1999-07-01'""".stripMargin,
+    "q9_profit" ->
+      """SELECT n_name AS nation, year(o_orderdate)::BIGINT AS o_year,
+        |       round(CAST(sum(CAST(l_extendedprice AS DECIMAL(38,12)) *
+        |                      (1 - CAST(l_discount AS DECIMAL(38,12)))) -
+        |                  sum(CAST(((l_partkey * 3 + l_suppkey * 5) % 20 + 5) *
+        |                           l_quantity AS DECIMAL(38,12)))
+        |              AS DOUBLE), 2) AS profit
+        |FROM lineitem
+        |JOIN part ON p_partkey = l_partkey AND p_name LIKE '%bolt%'
+        |JOIN supplier ON s_suppkey = l_suppkey
+        |JOIN nation ON n_nationkey = s_nationkey
+        |JOIN orders ON o_orderkey = l_orderkey
+        |GROUP BY 1, 2 ORDER BY nation, o_year DESC""".stripMargin,
+    "q20_excess_suppliers" ->
+      """SELECT s_name FROM supplier
+        |WHERE s_suppkey IN (
+        |  SELECT ps.l_suppkey
+        |  FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) ps
+        |  WHERE ps.l_partkey IN (SELECT p_partkey FROM part
+        |                         WHERE p_name LIKE 'red%')
+        |    AND ((ps.l_partkey * 7 + ps.l_suppkey * 13) % 500 + 50) > (
+        |      SELECT 0.5 * sum(l.l_quantity) FROM lineitem l
+        |      WHERE l.l_partkey = ps.l_partkey AND l.l_suppkey = ps.l_suppkey
+        |        AND l.l_shipdate >= TIMESTAMP '1997-01-01'
+        |        AND l.l_shipdate < TIMESTAMP '1998-01-01'))
+        |  AND s_nationkey < 3
+        |ORDER BY s_name""".stripMargin,
     "q16_supplier_count" ->
       """SELECT p_brand, p_type, (p_size % 5)::BIGINT AS size_bucket,
         |       count(DISTINCT l_suppkey)::BIGINT AS supplier_cnt

@@ -22,10 +22,16 @@ class PlanShapeSpec extends SparkSpec {
     // nested-loop or cartesian stage
     for (q <- Seq("q21_late_suppliers", "q22_idle_customers",
         "q16_supplier_count", "q3_shipping_priority", "q10_returned_revenue",
-        "q13_custdist", "q7_nation_volume", "q2_min_cost_supplier")) {
+        "q13_custdist", "q7_nation_volume", "q2_min_cost_supplier",
+        "q9_profit", "q20_excess_suppliers")) {
       val p = plan(q)
       assert(!p.contains("CartesianProduct"), s"$q plans a cartesian")
     }
+    // Q9's three dims broadcast (the star spine shuffles only on the
+    // orders join); Q20's decorrelated availqty gate keeps both IN
+    // clauses as semi joins
+    assert(plan("q9_profit").contains("BroadcastHashJoin"), "q9 dims")
+    assert(plan("q20_excess_suppliers").contains("LeftSemi"), "q20 semi")
     // Q4's correlated EXISTS must stay ONE conditioned semi join — no
     // per-order aggregate, no subplan
     val q4 = plan("q4_order_priority")
