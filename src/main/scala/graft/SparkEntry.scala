@@ -3861,6 +3861,30 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_keyframes"), sum(col("size")).as("bytes"))
         .orderBy(col("id"))
     }),
+    // ---- [EXT] MJPEG frame PIXEL decode — the last multimodal stub
+    // closed: real JPEG frames (DC-only baseline streams whose decode
+    // is exact integer arithmetic — jpegDecodable's contract, pinned
+    // in VideoSpec) ride inside real AVI `movi` chunks; the engine
+    // composes the idx1 byte ranges with the JDK ImageIO pixel path
+    // and reduces each frame to O(1) stats executor-side. The oracle
+    // never touches a byte: it recomputes every mean from the block-
+    // value arithmetic — a PASS proves container walk + byte slicing
+    // + entropy decode + IDCT + color conversion all land exactly.
+    "avi_frame_pixel_stats" -> ((s, dir) => {
+      import s.implicits._
+      val rows: Seq[(Long, Array[Byte])] = (0 until 3).map { i =>
+        val frames = (0 until i + 3).map { f =>
+          (graft.multimodal.ImageFixtures.jpegDecodable(16, 16,
+            (bx, by) => (37 * i + 11 * f + 5 * (by * 2 + bx)) % 256),
+            f % 3 == 0)
+        }
+        (i.toLong,
+          graft.multimodal.VideoFixtures.mjpegAvi(40000L, 1, 16, 16, frames))
+      }
+      graft.multimodal.Multimodal.decodeAviFramePixels(s,
+          rows.toDF("id", "bytes")).toDF()
+        .orderBy(col("id"), col("frame_no"))
+    }),
     // ---- [EXT] multimodal: binary payload + batched stub decode
     "multimodal_meta" -> ((s, dir) => {
       val media = Multimodal.asBinary(Tables.documents(s, dir), "doc_id", "text")
@@ -10586,6 +10610,22 @@ object SparkEntry {
         |SELECT id::BIGINT AS id, f::BIGINT AS frame_no, '00dc' AS fourcc,
         |       keyframe, idx_offset::BIGINT AS offset, size::BIGINT AS size
         |FROM o ORDER BY id, frame_no""".stripMargin,
+    // every decoded mean recomputed from the block-value arithmetic:
+    // 4 blocks of 8x8 at value (37·id + 11·f + 5·block) % 256
+    "avi_frame_pixel_stats" ->
+      """WITH vids(id, nf) AS (VALUES (0, 3), (1, 4), (2, 5)),
+        |fr AS (SELECT id, f FROM vids,
+        |       LATERAL (SELECT unnest(range(nf)) AS f) x),
+        |px AS (
+        |  SELECT id, f,
+        |         (((37 * id + 11 * f) % 256) +
+        |          ((37 * id + 11 * f + 5) % 256) +
+        |          ((37 * id + 11 * f + 10) % 256) +
+        |          ((37 * id + 11 * f + 15) % 256)) / 4.0 AS mean_rgb
+        |  FROM fr)
+        |SELECT id::BIGINT AS id, f::BIGINT AS frame_no, 16::BIGINT AS width,
+        |       16::BIGINT AS height, mean_rgb
+        |FROM px ORDER BY id, frame_no""".stripMargin,
     "avi_keyframes" ->
       """WITH vids(id, nf) AS (VALUES (0, 3), (1, 4), (2, 5), (3, 6), (4, 7)),
         |fr AS (

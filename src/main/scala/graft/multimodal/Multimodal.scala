@@ -547,6 +547,84 @@ object Multimodal {
       }
   }
 
+  /** Position of the `movi` fourcc in an AVI payload (the base the
+    * `idx1` offsets are relative to), or -1 — a bounds-checked
+    * top-level RIFF walk like [[parseAviIndex]]'s. */
+  private[graft] def parseMoviPos(b: Array[Byte]): Int = {
+    def u32(off: Int): Long =
+      (b(off) & 0xffL) | ((b(off + 1) & 0xffL) << 8) |
+        ((b(off + 2) & 0xffL) << 16) | ((b(off + 3) & 0xffL) << 24)
+    def fourcc(off: Int): String =
+      new String(b.slice(off, off + 4), "US-ASCII")
+    try {
+      if (b.length < 12 || fourcc(0) != "RIFF" || fourcc(8) != "AVI ") -1
+      else {
+        var off = 12
+        while (off >= 0 && off + 12 <= b.length) {
+          val size = u32(off + 4)
+          if (fourcc(off) == "LIST" && fourcc(off + 8) == "movi") return off + 8
+          val next = off + 8 + size + (size % 2)
+          off = if (next > Int.MaxValue || next <= off) -1 else next.toInt
+        }
+        -1
+      }
+    } catch { case scala.util.control.NonFatal(_) => -1 }
+  }
+
+  /** Per-frame decoded-pixel stats row; sentinels (-1) on frames that
+    * cannot be located or decoded, per the comparator convention. */
+  case class AviFramePixels(id: Long, frame_no: Long, width: Long,
+                            height: Long, mean_rgb: Double)
+
+  /** REAL video-frame pixel decode for MJPEG-in-AVI — the last
+    * multimodal stub closed for the one codec the JDK already ships:
+    * MJPEG frames are plain JPEGs, so composing the `idx1` byte
+    * ranges ([[decodeAviFrameIndex]]) with the `javax.imageio` pixel
+    * path ([[decodePixelStats]]) decodes real frames with no new
+    * dependency. Each payload's frames cut `[movi + offset + 8,
+    * +size)` (offsets are movi-relative and address the chunk header,
+    * the common idx1 convention) and reduce to O(1) per-frame stats
+    * inside the batched executor pass — frame count never touches the
+    * driver. Non-JDK codecs (H.264 etc.) remain behind the
+    * [[decodeFeatures]] stub boundary. */
+  def decodeAviFramePixels(spark: SparkSession, media: DataFrame): Dataset[AviFramePixels] = {
+    import spark.implicits._
+    media.select(col("id"), col("bytes"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.flatMap { case (id, b) =>
+          val movi = parseMoviPos(b)
+          parseAviIndex(b).zipWithIndex.map { case ((_, _, off, sz), i) =>
+            val invalid = AviFramePixels(id, i.toLong, -1L, -1L, -1.0)
+            val start = movi + off + 8
+            if (movi < 0 || off < 0 || sz <= 0 || start + sz > b.length) invalid
+            else try {
+              val img = javax.imageio.ImageIO.read(
+                new java.io.ByteArrayInputStream(b, start.toInt, sz.toInt))
+              if (img == null) invalid
+              else {
+                val (w, h) = (img.getWidth, img.getHeight)
+                var sum = 0.0
+                var y = 0
+                while (y < h) {
+                  var x = 0
+                  while (x < w) {
+                    val rgb = img.getRGB(x, y)
+                    sum += (((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) +
+                      (rgb & 0xff)) / 3.0
+                    x += 1
+                  }
+                  y += 1
+                }
+                AviFramePixels(id, i.toLong, w.toLong, h.toLong,
+                  sum / (w.toLong * h))
+              }
+            } catch { case scala.util.control.NonFatal(_) => invalid }
+          }
+        }
+      }
+  }
+
   /** REAL PCM decode: `javax.sound.sampled` opens the stream, the
     * interleaved little-endian frames are read to exhaustion and
     * reduced to (count, mean, peak, rms) in one pass. Supports the PCM

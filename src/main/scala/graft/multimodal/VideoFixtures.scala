@@ -67,6 +67,46 @@ object VideoFixtures {
     out.toByteArray
   }
 
+  /** [[aviWithIndex]] with REAL frame payloads — the MJPEG fixture:
+    * each `00dc` chunk carries actual JPEG bytes (built by
+    * [[ImageFixtures.jpegDecodable]] for exact-arithmetic decode), the
+    * `idx1` entries carry their true offsets/sizes, and odd-sized
+    * payloads get the RIFF even-padding byte (outside the recorded
+    * size, per spec). This is what a real MJPEG-in-AVI file looks
+    * like: the container is the index, the frames are plain JPEGs. */
+  def mjpegAvi(usPerFrame: Long, streams: Long, width: Long, height: Long,
+               frames: Seq[(Array[Byte], Boolean)]): Array[Byte] = {
+    val head = avi(usPerFrame, frames.size.toLong, streams, width, height)
+    val movi = new ByteArrayOutputStream()
+    movi.write("movi".getBytes("US-ASCII"))
+    val offsets = Seq.newBuilder[Long]
+    frames.foreach { case (payload, _) =>
+      offsets += movi.size().toLong
+      movi.write("00dc".getBytes("US-ASCII"))
+      movi.write(le32(payload.length.toLong))
+      movi.write(payload)
+      if (payload.length % 2 == 1) movi.write(0) // RIFF pad, not in size
+    }
+    val moviBytes = movi.toByteArray
+    val idx = new ByteArrayOutputStream()
+    idx.write("idx1".getBytes("US-ASCII"))
+    idx.write(le32(16L * frames.size))
+    frames.zip(offsets.result()).foreach { case ((payload, key), off) =>
+      idx.write("00dc".getBytes("US-ASCII"))
+      idx.write(le32(if (key) 0x10L else 0L))
+      idx.write(le32(off))
+      idx.write(le32(payload.length.toLong))
+    }
+    val out = new ByteArrayOutputStream()
+    val tail = ("LIST".getBytes("US-ASCII") ++ le32(moviBytes.length.toLong) ++
+      moviBytes) ++ idx.toByteArray
+    out.write("RIFF".getBytes("US-ASCII"))
+    out.write(le32((head.length - 8) + tail.length.toLong))
+    out.write(head, 8, head.length - 8)
+    out.write(tail)
+    out.toByteArray
+  }
+
   /** Valid AVI header-only container with the given main-header
     * fields. */
   def avi(usPerFrame: Long, totalFrames: Long, streams: Long,

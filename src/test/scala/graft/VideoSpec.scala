@@ -1,6 +1,6 @@
 package graft
 
-import graft.multimodal.{AudioFixtures, Multimodal, VideoFixtures}
+import graft.multimodal.{AudioFixtures, ImageFixtures, Multimodal, VideoFixtures}
 
 /** AVI container metadata decode: field-exact parse of the fixture
   * header, and hostile-input robustness — every truncation prefix of a
@@ -72,5 +72,54 @@ class VideoSpec extends SparkSpec {
       (2L, VideoFixtures.avi(40000L, 7, 1, 160, 120)),
       (3L, "junk".getBytes("UTF-8"))).toDF("id", "bytes"))
     assert(none.count() == 0L)
+  }
+
+  test("jpegDecodable round-trips EXACT block values through the JDK decoder") {
+    // the contract the MJPEG arithmetic oracle rests on: DC-only
+    // blocks + unit quant + zero chroma decode to the exact target
+    // value in every channel of every pixel
+    val vals = Map((0, 0) -> 0, (1, 0) -> 255, (0, 1) -> 37, (1, 1) -> 200)
+    val b = ImageFixtures.jpegDecodable(16, 16, (bx, by) => vals((bx, by)))
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(b))
+    assert(img != null, "decoder rejected the baseline stream")
+    assert(img.getWidth == 16 && img.getHeight == 16)
+    for (y <- 0 until 16; x <- 0 until 16) {
+      val want = vals((x / 8, y / 8))
+      val rgb = img.getRGB(x, y)
+      val (r, g, bl) = ((rgb >> 16) & 0xff, (rgb >> 8) & 0xff, rgb & 0xff)
+      assert(r == want && g == want && bl == want,
+        s"pixel ($x,$y): got ($r,$g,$bl), want $want")
+    }
+  }
+
+  test("MJPEG frame pixel decode: exact per-frame means; corrupt frames map to sentinels") {
+    val frames = (0 until 4).map { f =>
+      (ImageFixtures.jpegDecodable(16, 16,
+        (bx, by) => (11 * f + 5 * (by * 2 + bx)) % 256), f % 3 == 0)
+    }
+    val avi = VideoFixtures.mjpegAvi(40000L, 1, 16, 16, frames)
+    val got = Multimodal.decodeAviFramePixels(spark,
+        Seq((7L, avi)).toDF("id", "bytes"))
+      .collect().sortBy(_.frame_no)
+      .map(p => (p.frame_no, p.width, p.height, p.mean_rgb)).toSeq
+    val want = (0 until 4).map { f =>
+      val m = (0 until 4).map(bi => (11 * f + 5 * bi) % 256).sum / 4.0
+      (f.toLong, 16L, 16L, m)
+    }
+    assert(got == want, s"got $got, want $want")
+    // a frame whose payload bytes are garbage yields a sentinel row,
+    // the others still decode
+    val mixed = VideoFixtures.mjpegAvi(40000L, 1, 16, 16, Seq(
+      (frames.head._1, true),
+      ("not a jpeg at all".getBytes("UTF-8"), false)))
+    val rows = Multimodal.decodeAviFramePixels(spark,
+        Seq((8L, mixed)).toDF("id", "bytes"))
+      .collect().sortBy(_.frame_no)
+    assert(rows(0).width == 16L && rows(1).width == -1L &&
+      rows(1).mean_rgb == -1.0)
+    // index-less AVIs and garbage payloads contribute zero rows
+    assert(Multimodal.decodeAviFramePixels(spark, Seq(
+      (9L, VideoFixtures.avi(40000L, 7, 1, 160, 120)),
+      (10L, "junk".getBytes("UTF-8"))).toDF("id", "bytes")).count() == 0L)
   }
 }
