@@ -2486,8 +2486,9 @@ object SparkEntry {
         Seq("spark", "join", "table", "filter"), 5)),
     // ---- [EXT] typo-tolerant search (Lexical.bm25FuzzyTopK): every
     // query term here is MISSPELLED — "spork"/"joi"/"tble" reach
-    // spark/join/table through the vocabulary expansion (first-char +
-    // length-band blocking, Levenshtein ≤ 1) at a 1/(1+dist)
+    // spark/join/table through the vocabulary expansion (end-char +
+    // length-band blocking — lossless at Levenshtein ≤ 1, so even
+    // first-character edits match) at a 1/(1+dist)
     // discount. The Lucene fuzzy-query feature, determinized and
     // oracle-replayed (DuckDB's levenshtein is the same classic DP).
     "bm25_fuzzy_top5" -> ((s, dir) =>
@@ -9600,7 +9601,10 @@ object SparkEntry {
          |cand AS (
          |  SELECT q.qterm, t.term, levenshtein(t.term, q.qterm)::BIGINT AS dist,
          |         t.tf_corpus
-         |  FROM tf t JOIN qt q ON substr(t.term, 1, 1) = substr(q.qterm, 1, 1)
+         |  FROM tf t JOIN qt q
+         |    ON (substr(t.term, 1, 1) = substr(q.qterm, 1, 1)
+         |        OR substr(t.term, -1, 1) = substr(q.qterm, -1, 1)
+         |        OR (length(t.term) <= 1 AND length(q.qterm) <= 1))
          |  WHERE abs(length(t.term) - length(q.qterm)) <= 2
          |    AND levenshtein(t.term, q.qterm) <= 2)
          |SELECT qterm, term AS suggestion, dist, tf_corpus::BIGINT AS tf_corpus
@@ -9640,7 +9644,9 @@ object SparkEntry {
          |  SELECT q.qterm, v.term,
          |         levenshtein(v.term, q.qterm)::BIGINT AS dist
          |  FROM vocab v JOIN qt q
-         |    ON substr(v.term, 1, 1) = substr(q.qterm, 1, 1)
+         |    ON (substr(v.term, 1, 1) = substr(q.qterm, 1, 1)
+         |        OR substr(v.term, -1, 1) = substr(q.qterm, -1, 1)
+         |        OR (length(v.term) <= 1 AND length(q.qterm) <= 1))
          |  WHERE abs(length(v.term) - length(q.qterm)) <= 1
          |    AND levenshtein(v.term, q.qterm) <= 1),
          |postings AS (

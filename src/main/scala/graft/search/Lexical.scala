@@ -58,11 +58,50 @@ object Lexical {
       .orderBy(col("score").desc, col(idCol).asc)
       .limit(k)
 
+  /** END-CHARACTER band keys for edit-distance candidate blocking:
+    * one key per string end ("F:"+first, "L:"+last, plus a shared
+    * "1:" key for length ≤ 1). For dist ≤ 1 the key OVERLAP test is
+    * LOSSLESS: a single edit cannot change BOTH ends of a length-≥2
+    * string (a substitution touches one position; an insert/delete
+    * shifts one end but leaves the other character in place), and the
+    * length-1 key covers the single-character substitution the ends
+    * can't. At dist ≥ 2, pairs whose edits touch both ends (e.g.
+    * "ab"→"ba") are EXCLUDED — the documented, deliberate lossiness
+    * of banding at that radius; Lucene's automaton with prefixLength
+    * 0 would include them. */
+  private def editBandKeys(c: Column): Column = {
+    val f = concat(lit("F:"), substring(c, 1, 1))
+    val l = concat(lit("L:"), substring(c, -1, 1))
+    when(length(c) <= 1, array(f, l, lit("1:"))).otherwise(array(f, l))
+  }
+
+  /** Vocabulary expansion of a broadcast query bag within Levenshtein
+    * `maxDist`, blocked on [[editBandKeys]] + the length band — the
+    * shared candidate generator of [[bm25FuzzyTopK]] and
+    * [[spellSuggest]]. Emits (qterm, term, dist). */
+  private def editExpand(vocab: DataFrame, queryTerms: Seq[String],
+                         maxDist: Int): DataFrame = {
+    import vocab.sparkSession.implicits._
+    vocab
+      .select(col("term"), explode(editBandKeys(col("term"))).as("__bk"))
+      .join(broadcast(queryTerms.toDF("qterm")
+        .select(col("qterm"), explode(editBandKeys(col("qterm"))).as("__bk"))),
+        Seq("__bk"))
+      .select(col("qterm"), col("term")).distinct()
+      .filter(abs(length(col("term")) - length(col("qterm"))) <= maxDist &&
+        levenshtein(col("term"), col("qterm")) <= maxDist)
+      .select(col("qterm"), col("term"),
+        levenshtein(col("term"), col("qterm")).cast("long").as("dist"))
+  }
+
   /** Typo-tolerant BM25 (Lucene fuzzy-query semantics, determinized):
     * each query term expands to the corpus-VOCABULARY terms within
-    * Levenshtein distance `maxDist`, under the standard first-char +
-    * length-band blocking (the fuzzy automaton's cheap prefilter —
-    * an unblocked expansion is a vocab × queries cross join). Every
+    * Levenshtein distance `maxDist`, under end-character + length-band
+    * blocking (the fuzzy automaton's cheap prefilter — an unblocked
+    * expansion is a vocab × queries cross join). The blocking is
+    * LOSSLESS at the default maxDist = 1 ([[editBandKeys]]): unlike
+    * plain first-char blocking it keeps corrections that edit the
+    * first character ("park" reaches "spark"). Every
     * matched vocabulary term then scores as plain BM25 discounted by
     * `1/(1+dist)`, so an exact match (dist 0) keeps exactly its
     * [[bm25TopK]] weight and a doc reached through several
@@ -70,25 +109,17 @@ object Lexical {
     *
     * Scale shape: vocab = one distinct over the token explode
     * (keyed); the expansion joins the BROADCAST query bag on the
-    * first-char key then filters by the edit bound; everything
+    * band keys then filters by the edit bound; everything
     * downstream is the [[bm25TopK]] chain. df stays per matched term
     * over distinct docs — double-matched routes can't inflate it. */
   def bm25FuzzyTopK(docs: DataFrame, textCol: String, idCol: String,
                     queryTerms: Seq[String], k: Int, maxDist: Int = 1): DataFrame = {
-    import docs.sparkSession.implicits._
     val withDl = docs
       .select(col(idCol), TextAnalysis.tokens(col(textCol)).as("toks"))
       .withColumn("dl", size(col("toks")))
     val stats = withDl.agg(count(lit(1)).as("n_docs"), avg(col("dl")).as("avgdl"))
     val vocab = withDl.select(explode(col("toks")).as("term")).distinct()
-    val expanded = vocab
-      .withColumn("__c1", substring(col("term"), 1, 1))
-      .join(broadcast(queryTerms.toDF("qterm")
-        .withColumn("__c1", substring(col("qterm"), 1, 1))), Seq("__c1"))
-      .filter(abs(length(col("term")) - length(col("qterm"))) <= maxDist &&
-        levenshtein(col("term"), col("qterm")) <= maxDist)
-      .select(col("qterm"), col("term"),
-        levenshtein(col("term"), col("qterm")).cast("long").as("dist"))
+    val expanded = editExpand(vocab, queryTerms, maxDist)
     val postings = withDl
       .select(col(idCol), col("dl"), explode(col("toks")).as("term"))
       .join(broadcast(expanded), Seq("term"))
@@ -210,26 +241,23 @@ object Lexical {
     * search family implies: for each (possibly misspelled) query
     * term, the best corpus-vocabulary term by (edit distance ASC,
     * document frequency DESC, term ASC) within `maxDist`, under the
-    * same first-char + length-band blocking as [[bm25FuzzyTopK]].
+    * same end-character + length-band blocking as [[bm25FuzzyTopK]]
+    * ([[editBandKeys]] — lossless at dist ≤ 1; at the default
+    * maxDist = 2, candidates whose two edits touch BOTH the first and
+    * last characters are deliberately excluded and documented so).
     * Terms with no candidate in range emit no row (nothing to
     * suggest). Vocab+df = one distinct-explode aggregation; the
     * candidate join broadcasts the query bag. */
   def spellSuggest(docs: DataFrame, textCol: String,
                    queryTerms: Seq[String], maxDist: Int = 2): DataFrame = {
-    import docs.sparkSession.implicits._
     import org.apache.spark.sql.expressions.Window
     val termDf = docs
       .select(explode(TextAnalysis.tokens(col(textCol))).as("term"))
       .groupBy(col("term")).agg(count(lit(1)).as("tf_corpus"))
     val w = Window.partitionBy(col("qterm"))
       .orderBy(col("dist").asc, col("tf_corpus").desc, col("term").asc)
-    termDf
-      .withColumn("__c1", substring(col("term"), 1, 1))
-      .join(broadcast(queryTerms.toDF("qterm")
-        .withColumn("__c1", substring(col("qterm"), 1, 1))), Seq("__c1"))
-      .filter(abs(length(col("term")) - length(col("qterm"))) <= maxDist &&
-        levenshtein(col("term"), col("qterm")) <= maxDist)
-      .withColumn("dist", levenshtein(col("term"), col("qterm")).cast("long"))
+    editExpand(termDf.select(col("term")), queryTerms, maxDist)
+      .join(termDf, Seq("term"))
       .withColumn("__r", row_number().over(w))
       .filter(col("__r") === 1)
       .select(col("qterm"), col("term").as("suggestion"), col("dist"),

@@ -55,6 +55,23 @@ class LexicalSpec extends SparkSpec {
     val typo1 = Lexical.bm25FuzzyTopK(docs, "text", "doc_id", Seq("sparc"), 10)
       .collect().map(_.getLong(0)).toSet
     assert(typo1 == Set(1L, 2L), s"dist-1 typo reaches both variants: $typo1")
+    // FIRST-character edits are inside the dist-1 match set (the
+    // round-13 advice item: plain first-char blocking silently dropped
+    // them; the end-char band keys are lossless at dist <= 1)
+    val firstChar = Lexical.bm25FuzzyTopK(docs, "text", "doc_id",
+        Seq("park"), 10) // deletion of the leading 's' of "spark"
+      .collect().map(_.getLong(0)).toSet
+    assert(firstChar == Set(1L), s"first-char edit must match: $firstChar")
+    val firstSub = Lexical.bm25FuzzyTopK(docs, "text", "doc_id",
+        Seq("tuns"), 10) // first-char substitution of "runs"
+      .collect().map(_.getLong(0)).toSet
+    assert(firstSub == Set(1L, 2L), s"first-char substitution: $firstSub")
+    // single-character vocabulary: the len-1 band key catches the
+    // substitution that changes the only (= first = last) character
+    val one = Seq((1L, "x y")).toDF("doc_id", "text")
+    val oneHit = Lexical.bm25FuzzyTopK(one, "text", "doc_id", Seq("z"), 10)
+      .collect().map(_.getLong(0)).toSet
+    assert(oneHit == Set(1L), s"len-1 substitution must match: $oneHit")
   }
 
   test("proximity bm25: adjacent terms outrank the same bag spread apart") {
