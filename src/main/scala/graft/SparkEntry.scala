@@ -701,6 +701,51 @@ object SparkEntry {
       exact.join(approx, Seq("vec_id"), "left_semi")
         .agg((count(lit(1)) / 5.0).as("recall_at_5"))
     }),
+    // ---- [EXT] DATA-DRIVEN OPQ (Ge 2013's eigenvalue allocation as
+    // a deterministic Householder pair — Pq.pcaRotationVectors): on a
+    // deliberately ANISOTROPIC corpus (dims 0-3 scaled ×8/7/6/5 —
+    // four dominant, unequal directions, ALL inside subspace 0; the
+    // rest ×0.25, all float-exact scalings) vanilla PQ funnels
+    // nearly all the variance into subspace 0's codebook and ADC
+    // recall degrades; rotating the top two PCA directions
+    // (Spectral's decimal-exact power iteration — driver model
+    // state) onto energy-balanced targets spreads it
+    // across all 8 subspaces. One row, BOTH recalls — the oracle
+    // replays the anisotropic scaling, the rotation, and BOTH full
+    // PQ training chains + rankings, so the "data-driven beats
+    // data-blind here" comparison is itself hash-pinned. The rotation
+    // literals inline into the SQL (the NearDupPlanes convention);
+    // their derivation chain is pinned by spectral_top2's oracle.
+    "opq_pca_recall" -> ((s, dir) => {
+      val aniso = Tables.embeddings(s, dir).select(col("vec_id"),
+        transform(col("embedding"), (x, i) =>
+          x.cast("double") * when(i === 0, lit(8.0)).when(i === 1, lit(7.0))
+            .when(i === 2, lit(6.0)).when(i === 3, lit(5.0))
+            .otherwise(lit(0.25))).as("wvec"))
+      // 6 power iterations: the heavy eigenvalues here are close
+      // (64:49:36:25 ratios), and at 3 iterations the directions are
+      // still mixed enough that the rotation buys nothing (measured)
+      val u1 = graft.analysis.Spectral.topDirection(aniso, "wvec", 64, 6)
+      val u2 = graft.analysis.Spectral.secondDirection(aniso, "wvec", 64, 6, u1)
+      val (v1, v2) = graft.search.Pq.pcaRotationVectors(u1, u2)
+      val rot = graft.search.Pq.rotateCorpus(aniso, "wvec", "rvec", v1, v2)
+        .select(col("vec_id"), col("rvec"))
+      def recallOf(corpus: DataFrame, vcol: String, as: String): DataFrame = {
+        val q = corpus.filter(col("vec_id") === 0)
+          .select(col(vcol).as("qvec"))
+        val cb = graft.search.Pq.train(corpus, "vec_id", vcol, 64,
+          PqM, 16, PqIters) // ksub 16: capacity low enough that
+          // variance ALLOCATION (not memorization) decides recall
+        val exact = Search.knn(corpus, q, 5, vecCol = vcol)
+          .select(col("vec_id"))
+        val approx = graft.search.Pq.adcTopK(corpus, q, 5, cb, vecCol = vcol)
+          .select(col("vec_id"))
+        exact.join(approx, Seq("vec_id"), "left_semi")
+          .agg((count(lit(1)) / 5.0).as(as))
+      }
+      recallOf(aniso, "wvec", "pq_recall_aniso")
+        .crossJoin(broadcast(recallOf(rot, "rvec", "opq_recall_aniso")))
+    }),
     // ---- [EXT] the production PQ pipeline: ADC shortlist (top-50
     // from 8-byte codes) → exact float rerank of only those rows →
     // recall@5 vs the exact scan. The rerank touches 10% of the
@@ -5405,12 +5450,13 @@ object SparkEntry {
     * DECIMAL(38,12)-exact cross-row sums (order-free, like the Scala
     * side), index-ordered norm fold, element division. Emits v{iters}
     * as a DOUBLE[64] list. */
-  private def spectralSql(iters: Int): String = {
+  private def spectralSql(iters: Int, src: String = "embeddings",
+                          vcol: String = "embedding"): String = {
     def iter(n: Int): String =
       s"""sd$n AS (
-         |  SELECT e.embedding,
-         |         list_dot_product(e.embedding::DOUBLE[], v${n - 1}.v) AS d
-         |  FROM embeddings e, v${n - 1}),
+         |  SELECT e.$vcol AS embedding,
+         |         list_dot_product(e.$vcol::DOUBLE[], v${n - 1}.v) AS d
+         |  FROM $src e, v${n - 1}),
          |ss$n AS (
          |  SELECT i, sum(CAST(embedding[i]::DOUBLE * d AS DECIMAL(38,12)))::DOUBLE AS s
          |  FROM sd$n, (SELECT unnest(range(1, 65)) AS i) ix$n GROUP BY i),
@@ -5429,7 +5475,8 @@ object SparkEntry {
     * `v<iters>` (the first chain's output), then per iteration the
     * decimal-exact X'(Xw) sums, re-orthogonalization, normalization —
     * emits `w<iters>`. Compose after `spectralSql(iters)`. */
-  private def spectral2Sql(iters: Int): String = {
+  private def spectral2Sql(iters: Int, src: String = "embeddings",
+                           vcol: String = "embedding"): String = {
     def orth(srcList: String, srcCte: String, n: Int): String =
       s"""wdd$n AS (SELECT list_dot_product($srcCte.$srcList, v$iters.v) AS dd
          |          FROM $srcCte, v$iters),
@@ -5444,9 +5491,9 @@ object SparkEntry {
          |  FROM wor$n)""".stripMargin
     def iter(n: Int): String =
       s"""wsd$n AS (
-         |  SELECT e.embedding,
-         |         list_dot_product(e.embedding::DOUBLE[], w${n - 1}.v) AS d
-         |  FROM embeddings e, w${n - 1}),
+         |  SELECT e.$vcol AS embedding,
+         |         list_dot_product(e.$vcol::DOUBLE[], w${n - 1}.v) AS d
+         |  FROM $src e, w${n - 1}),
          |wss$n AS (
          |  SELECT i, sum(CAST(embedding[i]::DOUBLE * d AS DECIMAL(38,12)))::DOUBLE AS s
          |  FROM wsd$n, (SELECT unnest(range(1, 65)) AS i) wix$n GROUP BY i),
@@ -5507,7 +5554,7 @@ object SparkEntry {
     * (the residual_recon_gain oracle trains on embeddings AND on
     * residuals). Emits `<p>cb<mi>_<iters>` and `<p>af<mi>`. */
   private def pqTrainSqlOn(src: String, vcol: String, cast: Boolean,
-                           p: String): String = {
+                           p: String, ksub: Int = PqKsub): String = {
     def lo(mi: Int) = mi * PqSub + 1
     def hi(mi: Int) = (mi + 1) * PqSub
     val castArr = if (cast) "::DOUBLE[]" else ""
@@ -5521,7 +5568,7 @@ object SparkEntry {
         s"""${p}cb${mi}_0 AS (
            |  SELECT (row_number() OVER (ORDER BY vec_id)) - 1 AS cid,
            |         ($vcol$castArr)[${lo(mi)}:${hi(mi)}] AS centroid
-           |  FROM (SELECT vec_id, $vcol FROM $src ORDER BY vec_id LIMIT $PqKsub))""".stripMargin
+           |  FROM (SELECT vec_id, $vcol FROM $src ORDER BY vec_id LIMIT $ksub))""".stripMargin
       val its = (1 to PqIters).map { n =>
         s"""${p}a${mi}_$n AS (
            |  SELECT vec_id, cid FROM (
@@ -6796,6 +6843,85 @@ object SparkEntry {
          |  ORDER BY sim DESC, vec_id ASC LIMIT 5)
          |SELECT count(*) / 5.0 AS recall_at_5
          |FROM exact5 JOIN approx USING (vec_id)""".stripMargin
+    },
+    // full replay of the DATA-DRIVEN rotation: anisotropic scaling →
+    // both power-iteration chains (the spectral_top2 machinery on the
+    // scaled corpus) → Householder-pair derivation (every fold
+    // op-for-op the driver's pcaRotationVectors) → rotation → BOTH PQ
+    // trainings and rankings. Nothing is a literal: the oracle
+    // re-derives the rotation from the data itself.
+    "opq_pca_recall" -> {
+      def recallSql(src: String, vcol: String, p: String): String = {
+        val dots = (0 until PqM).map { mi =>
+          s"""list_dot_product((${p}q.qvec)[${mi * PqSub + 1}:${(mi + 1) * PqSub}],
+             |                  c$mi.centroid) AS d$mi,
+             |         list_dot_product(c$mi.centroid, c$mi.centroid) AS n$mi""".stripMargin
+        }.mkString(",\n         ")
+        val joins = (1 until PqM).map(mi =>
+          s"JOIN ${p}af$mi ON ${p}af0.vec_id = ${p}af$mi.vec_id " +
+            s"JOIN ${p}cb${mi}_$PqIters c$mi ON ${p}af$mi.cid = c$mi.cid")
+          .mkString("\n       ")
+        val dSum = (0 until PqM).map(mi => s"d$mi").mkString(" + ")
+        val nSum = (0 until PqM).map(mi => s"n$mi").mkString(" + ")
+        s"""${p}q AS (SELECT $vcol AS qvec FROM $src WHERE vec_id = 0),
+           |${p}exact5 AS (
+           |  SELECT vec_id FROM (
+           |    SELECT e.vec_id, ${cosSql(s"e.$vcol", s"${p}q.qvec")} AS sim
+           |    FROM $src e, ${p}q)
+           |  ORDER BY sim DESC, vec_id ASC LIMIT 5),
+           |${p}sc AS (
+           |  SELECT ${p}af0.vec_id,
+           |         $dots
+           |  FROM ${p}af0 JOIN ${p}cb0_$PqIters c0 ON ${p}af0.cid = c0.cid
+           |       $joins
+           |       CROSS JOIN ${p}q),
+           |${p}qn AS (SELECT sqrt(list_dot_product(qvec, qvec)) AS qn
+           |           FROM ${p}q),
+           |${p}approx AS (
+           |  SELECT vec_id FROM (
+           |    SELECT sc.vec_id,
+           |           round(CASE WHEN qn.qn = 0 OR ($nSum) = 0 THEN 0
+           |                      ELSE ($dSum) / (qn.qn * sqrt($nSum)) END, 6) AS sim
+           |    FROM ${p}sc sc, ${p}qn qn)
+           |  ORDER BY sim DESC, vec_id ASC LIMIT 5),
+           |${p}rec AS (SELECT count(*) / 5.0 AS r
+           |            FROM ${p}exact5 JOIN ${p}approx USING (vec_id))""".stripMargin
+      }
+      s"""WITH an AS MATERIALIZED (
+         |  SELECT vec_id, list_transform(range(1, 65),
+         |    i -> (embedding::DOUBLE[])[i] *
+         |         (CASE WHEN i = 1 THEN 8.0 WHEN i = 2 THEN 7.0
+         |               WHEN i = 3 THEN 6.0 WHEN i = 4 THEN 5.0
+         |               ELSE 0.25 END)) AS wvec
+         |  FROM embeddings),
+         |${spectralSql(6, "an", "wvec")},
+         |${spectral2Sql(6, "an", "wvec")},
+         |pt1 AS (SELECT list_transform(range(1, 65), x -> 0.125::DOUBLE) AS t),
+         |pt2 AS (SELECT list_transform(range(1, 65),
+         |  i -> CASE WHEN i % 2 = 1 THEN 0.125::DOUBLE
+         |            ELSE -0.125::DOUBLE END) AS t),
+         |pv1d AS (SELECT list_transform(range(1, 65),
+         |  i -> v3.v[i::INT] - pt1.t[i::INT]) AS dv FROM v3, pt1),
+         |pv1 AS (SELECT list_transform(dv, x -> x /
+         |  sqrt(list_reduce(list_transform(dv, y -> y * y),
+         |                   (a, b) -> a + b))) AS v FROM pv1d),
+         |pru AS (SELECT list_dot_product(w3.v, pv1.v) AS dd FROM w3, pv1),
+         |pu2r AS (SELECT list_transform(range(1, 65),
+         |  i -> w3.v[i::INT] - 2.0 * pv1.v[i::INT] * pru.dd) AS u
+         |  FROM w3, pv1, pru),
+         |pv2d AS (SELECT list_transform(range(1, 65),
+         |  i -> pu2r.u[i::INT] - pt2.t[i::INT]) AS dv FROM pu2r, pt2),
+         |pv2 AS (SELECT list_transform(dv, x -> x /
+         |  sqrt(list_reduce(list_transform(dv, y -> y * y),
+         |                   (a, b) -> a + b))) AS v FROM pv2d),
+         |${graft.search.Pq.rotateSqlCtesFromRel("an", "vec_id", "wvec", 64,
+             "pv1", "pv2")},
+         |${pqTrainSqlOn("an", "wvec", cast = false, "pa", ksub = 16)},
+         |${pqTrainSqlOn("rv", "rvec", cast = false, "ra", ksub = 16)},
+         |${recallSql("an", "wvec", "pa")},
+         |${recallSql("rv", "rvec", "ra")}
+         |SELECT pa.r AS pq_recall_aniso, ra.r AS opq_recall_aniso
+         |FROM parec pa, rarec ra""".stripMargin
     },
     "pq_recall" -> {
       val dots = (0 until PqM).map { mi =>

@@ -85,6 +85,51 @@ object Pq {
     (unit(), unit())
   }
 
+  /** DATA-DRIVEN OPQ rotation (Ge et al. 2013's eigenvalue-allocation
+    * idea, reduced to this engine's deterministic Householder form):
+    * given the corpus's top two principal directions u₁, u₂ (from
+    * [[graft.analysis.Spectral]]'s decimal-exact power iteration —
+    * bounded driver model state, like the k-means centroids), build
+    * the reflection pair that maps u₁ onto the UNIFORM unit vector
+    * and (the reflected) u₂ onto the alternating-sign unit vector.
+    * Both targets spread their energy equally across every PQ
+    * subspace — exactly the failure mode a data-BLIND seeded rotation
+    * ([[rotationVectors]]) cannot fix: if the corpus concentrates its
+    * variance in a few dimensions of one subspace, that subspace's
+    * codebook eats all the quantization error and ADC recall
+    * collapses. H(v) maps a → b (unit norms) when v = (a−b)/‖a−b‖;
+    * the second vector aims H(v₁)·u₂ (u₂ is orthogonal to u₁, hence
+    * its image is orthogonal to the first target and the second
+    * reflection leaves it fixed up to float noise). All driver-side
+    * folds run in ascending-dimension order — deterministic, so the
+    * resulting literals inline into the oracle SQL byte-for-byte
+    * (the `NearDupPlanes` convention). */
+  def pcaRotationVectors(u1: Seq[Double], u2: Seq[Double]): (Seq[Double], Seq[Double]) = {
+    val d = u1.length
+    require(d % 2 == 0 && u2.length == d, "even dim, matching lengths")
+    val s = 1.0 / math.sqrt(d.toDouble)
+    val t1 = Seq.fill(d)(s)
+    val t2 = (0 until d).map(i => if (i % 2 == 0) s else -s)
+    // x / sqrt(Σx²) with a sequential ascending-index square fold —
+    // op-for-op the SQL replay's list_reduce/list_transform normalize
+    // (a reciprocal-multiply would differ in the last ulp)
+    def normalize(v: Seq[Double]): Seq[Double] = {
+      var n = 0.0; var i = 0
+      while (i < v.length) { n += v(i) * v(i); i += 1 }
+      require(n > 1e-24, "degenerate rotation: direction equals its target")
+      val s = math.sqrt(n)
+      v.map(_ / s)
+    }
+    def reflect(y: Seq[Double], v: Seq[Double]): Seq[Double] = {
+      var dot = 0.0; var i = 0
+      while (i < y.length) { dot += y(i) * v(i); i += 1 }
+      y.zip(v).map { case (yi, vi) => yi - 2.0 * vi * dot }
+    }
+    val v1 = normalize(u1.zip(t1).map { case (a, b) => a - b })
+    val v2 = normalize(reflect(u2, v1).zip(t2).map { case (a, b) => a - b })
+    (v1, v2)
+  }
+
   /** Apply the OPQ rotation: two Householder reflections in sequence
     * (see [[rotationVectors]]). ONE-ROW / query-vector use only — the
     * lambda captures the projection dot as a subexpression, and the
@@ -149,6 +194,34 @@ object Pq {
     s"""${out}0 AS (SELECT $idCol AS vec_id, $vecCol FROM $table),
        |${stage(s"${out}0", vecCol, v1, s"${out}1", "x1", mat = false)},
        |${stage(s"${out}1", "x1", v2, out, "rvec", mat = true)}""".stripMargin
+  }
+
+  /** [[rotateSqlCtes]] with the reflection vectors taken from 1-row
+    * CTE RELATIONS (each exposing a `v` DOUBLE[] column) instead of
+    * inlined literals — the form the DATA-DRIVEN rotation's oracle
+    * needs: `oracleSql` is built without a SparkSession, so vectors
+    * derived from the corpus ([[pcaRotationVectors]] over the
+    * Spectral chains) must be re-derived inside the SQL itself and
+    * fed through here. Same staged arithmetic as [[rotateSqlCtes]]
+    * (round-6 projection dot, per-element Householder update). */
+  def rotateSqlCtesFromRel(table: String, idCol: String, vecCol: String,
+                           dim: Int, v1Rel: String, v2Rel: String,
+                           out: String = "rv"): String = {
+    def stage(src: String, xcol: String, vRel: String, dst: String,
+              ycol: String, mat: Boolean): String =
+      s"""${dst}_d AS (
+         |  SELECT e.vec_id, e.$xcol AS x,
+         |         round(list_dot_product(e.$xcol::DOUBLE[], $vRel.v), 6) AS d
+         |  FROM $src e, $vRel),
+         |$dst AS ${if (mat) "MATERIALIZED " else ""}(
+         |  SELECT e.vec_id,
+         |         list_transform(range(1, ${dim + 1}),
+         |           i -> (e.x::DOUBLE[])[i] - 2.0 * $vRel.v[i::INT] * e.d)
+         |           AS $ycol
+         |  FROM ${dst}_d e, $vRel)""".stripMargin
+    s"""${out}0 AS (SELECT $idCol AS vec_id, $vecCol FROM $table),
+       |${stage(s"${out}0", vecCol, v1Rel, s"${out}1", "x1", mat = false)},
+       |${stage(s"${out}1", "x1", v2Rel, out, "rvec", mat = true)}""".stripMargin
   }
 
   def train(corpus: DataFrame, idCol: String, vecCol: String,
