@@ -722,11 +722,12 @@ object SparkEntry {
           x.cast("double") * when(i === 0, lit(8.0)).when(i === 1, lit(7.0))
             .when(i === 2, lit(6.0)).when(i === 3, lit(5.0))
             .otherwise(lit(0.25))).as("wvec"))
-      // 6 power iterations: the heavy eigenvalues here are close
-      // (64:49:36:25 ratios), and at 3 iterations the directions are
-      // still mixed enough that the rotation buys nothing (measured)
-      val u1 = graft.analysis.Spectral.topDirection(aniso, "wvec", 64, 6)
-      val u2 = graft.analysis.Spectral.secondDirection(aniso, "wvec", 64, 6, u1)
+      // OpqPcaIters power iterations (shared with the oracle CTE names
+      // so the two sides can't diverge): the heavy eigenvalues here are
+      // close (64:49:36:25 ratios), and at 3 iterations the directions
+      // are still mixed enough that the rotation buys nothing (measured)
+      val u1 = graft.analysis.Spectral.topDirection(aniso, "wvec", 64, OpqPcaIters)
+      val u2 = graft.analysis.Spectral.secondDirection(aniso, "wvec", 64, OpqPcaIters, u1)
       val (v1, v2) = graft.search.Pq.pcaRotationVectors(u1, u2)
       val rot = graft.search.Pq.rotateCorpus(aniso, "wvec", "rvec", v1, v2)
         .select(col("vec_id"), col("rvec"))
@@ -2531,8 +2532,8 @@ object SparkEntry {
         Seq("spark", "join", "table", "filter"), 5)),
     // ---- [EXT] typo-tolerant search (Lexical.bm25FuzzyTopK): every
     // query term here is MISSPELLED — "spork"/"joi"/"tble" reach
-    // spark/join/table through the vocabulary expansion (end-char +
-    // length-band blocking — lossless at Levenshtein ≤ 1, so even
+    // spark/join/table through the vocabulary expansion (pigeonhole
+    // segment + length-band blocking — lossless at any radius, so even
     // first-character edits match) at a 1/(1+dist)
     // discount. The Lucene fuzzy-query feature, determinized and
     // oracle-replayed (DuckDB's levenshtein is the same classic DP).
@@ -5440,6 +5441,18 @@ object SparkEntry {
   private val PqKsub = 64
   private val PqIters = 2
 
+  /** Power-iteration depth shared by BOTH sides of `opq_pca_recall`
+    * (the Spark `Spectral.topDirection`/`secondDirection` calls AND the
+    * oracle's `spectralSql`/`spectral2Sql` CTE chains + the `v$n`/`w$n`
+    * CTE references that consume them). Round 14 shipped the two sides
+    * at different depths — the oracle emitted v6/w6 but READ the
+    * mid-chain v3/w3 CTEs (valid SQL, so nothing errored; the replay
+    * just rotated with half-converged directions and the hash
+    * mismatched). One constant means the depths cannot diverge again.
+    * 6 because the heavy eigenvalues are close (64:49:36:25) and 3
+    * iterations measurably leave the directions mixed. */
+  private val OpqPcaIters = 6
+
   /** Cosine IVF k-means replayed in SQL (mirror of Ann.kmeansCentroids
     * — same Lloyd unroll as the ann_kmeans_recall oracle, under ic/ia
     * CTE name prefixes so it composes with the PQ chain): emits
@@ -6894,21 +6907,23 @@ object SparkEntry {
          |               WHEN i = 3 THEN 6.0 WHEN i = 4 THEN 5.0
          |               ELSE 0.25 END)) AS wvec
          |  FROM embeddings),
-         |${spectralSql(6, "an", "wvec")},
-         |${spectral2Sql(6, "an", "wvec")},
+         |${spectralSql(OpqPcaIters, "an", "wvec")},
+         |${spectral2Sql(OpqPcaIters, "an", "wvec")},
          |pt1 AS (SELECT list_transform(range(1, 65), x -> 0.125::DOUBLE) AS t),
          |pt2 AS (SELECT list_transform(range(1, 65),
          |  i -> CASE WHEN i % 2 = 1 THEN 0.125::DOUBLE
          |            ELSE -0.125::DOUBLE END) AS t),
          |pv1d AS (SELECT list_transform(range(1, 65),
-         |  i -> v3.v[i::INT] - pt1.t[i::INT]) AS dv FROM v3, pt1),
+         |  i -> v$OpqPcaIters.v[i::INT] - pt1.t[i::INT]) AS dv
+         |  FROM v$OpqPcaIters, pt1),
          |pv1 AS (SELECT list_transform(dv, x -> x /
          |  sqrt(list_reduce(list_transform(dv, y -> y * y),
          |                   (a, b) -> a + b))) AS v FROM pv1d),
-         |pru AS (SELECT list_dot_product(w3.v, pv1.v) AS dd FROM w3, pv1),
+         |pru AS (SELECT list_dot_product(w$OpqPcaIters.v, pv1.v) AS dd
+         |        FROM w$OpqPcaIters, pv1),
          |pu2r AS (SELECT list_transform(range(1, 65),
-         |  i -> w3.v[i::INT] - 2.0 * pv1.v[i::INT] * pru.dd) AS u
-         |  FROM w3, pv1, pru),
+         |  i -> w$OpqPcaIters.v[i::INT] - 2.0 * pv1.v[i::INT] * pru.dd) AS u
+         |  FROM w$OpqPcaIters, pv1, pru),
          |pv2d AS (SELECT list_transform(range(1, 65),
          |  i -> pu2r.u[i::INT] - pt2.t[i::INT]) AS dv FROM pu2r, pt2),
          |pv2 AS (SELECT list_transform(dv, x -> x /
@@ -9727,10 +9742,7 @@ object SparkEntry {
          |cand AS (
          |  SELECT q.qterm, t.term, levenshtein(t.term, q.qterm)::BIGINT AS dist,
          |         t.tf_corpus
-         |  FROM tf t JOIN qt q
-         |    ON (substr(t.term, 1, 1) = substr(q.qterm, 1, 1)
-         |        OR substr(t.term, -1, 1) = substr(q.qterm, -1, 1)
-         |        OR (length(t.term) <= 1 AND length(q.qterm) <= 1))
+         |  FROM tf t CROSS JOIN qt q
          |  WHERE abs(length(t.term) - length(q.qterm)) <= 2
          |    AND levenshtein(t.term, q.qterm) <= 2)
          |SELECT qterm, term AS suggestion, dist, tf_corpus::BIGINT AS tf_corpus
@@ -9769,10 +9781,7 @@ object SparkEntry {
          |exp AS (
          |  SELECT q.qterm, v.term,
          |         levenshtein(v.term, q.qterm)::BIGINT AS dist
-         |  FROM vocab v JOIN qt q
-         |    ON (substr(v.term, 1, 1) = substr(q.qterm, 1, 1)
-         |        OR substr(v.term, -1, 1) = substr(q.qterm, -1, 1)
-         |        OR (length(v.term) <= 1 AND length(q.qterm) <= 1))
+         |  FROM vocab v CROSS JOIN qt q
          |  WHERE abs(length(v.term) - length(q.qterm)) <= 1
          |    AND levenshtein(v.term, q.qterm) <= 1),
          |postings AS (

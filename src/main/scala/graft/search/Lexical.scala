@@ -58,35 +58,75 @@ object Lexical {
       .orderBy(col("score").desc, col(idCol).asc)
       .limit(k)
 
-  /** END-CHARACTER band keys for edit-distance candidate blocking:
-    * one key per string end ("F:"+first, "L:"+last, plus a shared
-    * "1:" key for length ≤ 1). For dist ≤ 1 the key OVERLAP test is
-    * LOSSLESS: a single edit cannot change BOTH ends of a length-≥2
-    * string (a substitution touches one position; an insert/delete
-    * shifts one end but leaves the other character in place), and the
-    * length-1 key covers the single-character substitution the ends
-    * can't. At dist ≥ 2, pairs whose edits touch both ends (e.g.
-    * "ab"→"ba") are EXCLUDED — the documented, deliberate lossiness
-    * of banding at that radius; Lucene's automaton with prefixLength
-    * 0 would include them. */
-  private def editBandKeys(c: Column): Column = {
-    val f = concat(lit("F:"), substring(c, 1, 1))
-    val l = concat(lit("L:"), substring(c, -1, 1))
-    when(length(c) <= 1, array(f, l, lit("1:"))).otherwise(array(f, l))
+  /** PIGEONHOLE segment keys for edit-distance candidate blocking
+    * (the Pass-Join partition scheme, Li 2011 — LOSSLESS at ANY
+    * radius, unlike the end-character bands these replaced, which
+    * dropped dist-2 pairs whose two edits touch both ends): the
+    * INDEXED string of length L splits into `maxDist+1` contiguous
+    * segments at the floor boundaries `⌊i·L/(maxDist+1)⌋`; if
+    * ed(q, t) ≤ maxDist, fix an optimal alignment — at most maxDist
+    * of the maxDist+1 segments contain an edit, so some segment t_i
+    * aligns EDIT-FREE to a substring of q whose start differs from
+    * t_i's by the net indel count before it, i.e. by at most
+    * maxDist. The probe side ([[editProbeKeys]]) therefore
+    * enumerates, per candidate indexed length, each segment window
+    * shifted by −maxDist..maxDist, and key equality on
+    * (segmentIdx, indexedLen, segmentText) catches every true pair.
+    * Strings of length ≤ maxDist carry a single "S:len" key instead
+    * (too short for maxDist+1 non-empty segments; the pigeonhole
+    * argument needs every segment non-empty). */
+  private def editSegmentKeys(c: Column, maxDist: Int): Column = {
+    val n = maxDist + 1
+    val len = length(c)
+    val segs = (0 until n).map { i =>
+      val st = floor(len * i / n).cast("int")
+      val en = floor(len * (i + 1) / n).cast("int")
+      concat(lit(s"$i:"), len.cast("string"), lit(":"),
+        c.substr(st + 1, en - st))
+    }
+    when(len <= maxDist,
+      array(concat(lit("S:"), len.cast("string")))).otherwise(array(segs: _*))
+  }
+
+  /** The PROBE side of [[editSegmentKeys]], evaluated on the driver
+    * (query bags are literal broadcast state): for every indexed
+    * length within the length band, the segment window of that length
+    * shifted by every net-indel offset in ±maxDist. ≤ (2·maxDist+1) ·
+    * (maxDist+1) · (2·maxDist+1) keys per term — bounded, query-side
+    * only. */
+  private def editProbeKeys(q: String, maxDist: Int): Seq[String] = {
+    val n = maxDist + 1
+    (math.max(0, q.length - maxDist) to (q.length + maxDist)).flatMap { l =>
+      if (l <= maxDist) Seq(s"S:$l")
+      else (0 until n).flatMap { i =>
+        val st = l * i / n
+        val segLen = l * (i + 1) / n - st
+        (-maxDist to maxDist).flatMap { d =>
+          val p = st + d
+          if (p >= 0 && p + segLen <= q.length)
+            Some(s"$i:$l:${q.substring(p, p + segLen)}")
+          else None
+        }
+      }
+    }.distinct
   }
 
   /** Vocabulary expansion of a broadcast query bag within Levenshtein
-    * `maxDist`, blocked on [[editBandKeys]] + the length band — the
-    * shared candidate generator of [[bm25FuzzyTopK]] and
-    * [[spellSuggest]]. Emits (qterm, term, dist). */
+    * `maxDist`, blocked on [[editSegmentKeys]] (lossless at the given
+    * radius) + the length band — the shared candidate generator of
+    * [[bm25FuzzyTopK]] and [[spellSuggest]]. Emits (qterm, term,
+    * dist). The oracle replays the UNBLOCKED semantics (full vocab ×
+    * query expansion under the levenshtein bound), so the hash
+    * compare is itself the losslessness proof on real data. */
   private def editExpand(vocab: DataFrame, queryTerms: Seq[String],
                          maxDist: Int): DataFrame = {
     import vocab.sparkSession.implicits._
+    val probes = queryTerms
+      .flatMap(q => editProbeKeys(q, maxDist).map(k => (q, k)))
+      .toDF("qterm", "__bk")
     vocab
-      .select(col("term"), explode(editBandKeys(col("term"))).as("__bk"))
-      .join(broadcast(queryTerms.toDF("qterm")
-        .select(col("qterm"), explode(editBandKeys(col("qterm"))).as("__bk"))),
-        Seq("__bk"))
+      .select(col("term"), explode(editSegmentKeys(col("term"), maxDist)).as("__bk"))
+      .join(broadcast(probes), Seq("__bk"))
       .select(col("qterm"), col("term")).distinct()
       .filter(abs(length(col("term")) - length(col("qterm"))) <= maxDist &&
         levenshtein(col("term"), col("qterm")) <= maxDist)
@@ -96,10 +136,10 @@ object Lexical {
 
   /** Typo-tolerant BM25 (Lucene fuzzy-query semantics, determinized):
     * each query term expands to the corpus-VOCABULARY terms within
-    * Levenshtein distance `maxDist`, under end-character + length-band
-    * blocking (the fuzzy automaton's cheap prefilter — an unblocked
-    * expansion is a vocab × queries cross join). The blocking is
-    * LOSSLESS at the default maxDist = 1 ([[editBandKeys]]): unlike
+    * Levenshtein distance `maxDist`, under pigeonhole-segment +
+    * length-band blocking (the fuzzy automaton's cheap prefilter — an
+    * unblocked expansion is a vocab × queries cross join). The
+    * blocking is LOSSLESS at ANY radius ([[editSegmentKeys]]): unlike
     * plain first-char blocking it keeps corrections that edit the
     * first character ("park" reaches "spark"). Every
     * matched vocabulary term then scores as plain BM25 discounted by
@@ -241,10 +281,10 @@ object Lexical {
     * search family implies: for each (possibly misspelled) query
     * term, the best corpus-vocabulary term by (edit distance ASC,
     * document frequency DESC, term ASC) within `maxDist`, under the
-    * same end-character + length-band blocking as [[bm25FuzzyTopK]]
-    * ([[editBandKeys]] — lossless at dist ≤ 1; at the default
-    * maxDist = 2, candidates whose two edits touch BOTH the first and
-    * last characters are deliberately excluded and documented so).
+    * same pigeonhole-segment + length-band blocking as
+    * [[bm25FuzzyTopK]] ([[editSegmentKeys]] — lossless at ANY radius,
+    * so the default maxDist = 2 now finds corrections whose two edits
+    * touch both ends, e.g. "tparkx" → "spark").
     * Terms with no candidate in range emit no row (nothing to
     * suggest). Vocab+df = one distinct-explode aggregation; the
     * candidate join broadcasts the query bag. */

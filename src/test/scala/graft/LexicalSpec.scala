@@ -57,7 +57,7 @@ class LexicalSpec extends SparkSpec {
     assert(typo1 == Set(1L, 2L), s"dist-1 typo reaches both variants: $typo1")
     // FIRST-character edits are inside the dist-1 match set (the
     // round-13 advice item: plain first-char blocking silently dropped
-    // them; the end-char band keys are lossless at dist <= 1)
+    // them; the pigeonhole segment keys are lossless at any radius)
     val firstChar = Lexical.bm25FuzzyTopK(docs, "text", "doc_id",
         Seq("park"), 10) // deletion of the leading 's' of "spark"
       .collect().map(_.getLong(0)).toSet
@@ -66,8 +66,8 @@ class LexicalSpec extends SparkSpec {
         Seq("tuns"), 10) // first-char substitution of "runs"
       .collect().map(_.getLong(0)).toSet
     assert(firstSub == Set(1L, 2L), s"first-char substitution: $firstSub")
-    // single-character vocabulary: the len-1 band key catches the
-    // substitution that changes the only (= first = last) character
+    // single-character vocabulary: the short-string "S:len" key
+    // catches the substitution that changes the only character
     val one = Seq((1L, "x y")).toDF("doc_id", "text")
     val oneHit = Lexical.bm25FuzzyTopK(one, "text", "doc_id", Seq("z"), 10)
       .collect().map(_.getLong(0)).toSet
@@ -123,6 +123,24 @@ class LexicalSpec extends SparkSpec {
     // 3 (t, k, r all differ) — distance decides before frequency can
     assert(out("stakr") == (("stark", 2L)), out.toString)
     assert(!out.contains("qqq"))
+  }
+
+  test("spell suggest: dist-2 corrections touching BOTH ends are found (round-14 advice)") {
+    val docs = Seq((1L, "spark spark")).toDF("doc_id", "text")
+    // "tparkx" -> "spark" = sub t->s at the FIRST char + delete the
+    // LAST char: both end characters differ, so the retired end-char
+    // band keys provably dropped it; the pigeonhole segment keys must
+    // keep it (segment "pa" of "spark" survives edit-free in "tparkx")
+    val both = Lexical.spellSuggest(docs, "text", Seq("tparkx"))
+      .collect().map(r => r.getString(0) -> ((r.getString(1), r.getLong(2))))
+      .toMap
+    assert(both("tparkx") == (("spark", 2L)), both.toString)
+    // the end-swap shape ("ab" -> "ba" writ large): "kpars" substitutes
+    // BOTH the first and last characters of "spark"
+    val swap = Lexical.spellSuggest(docs, "text", Seq("kpars"))
+      .collect().map(r => r.getString(0) -> ((r.getString(1), r.getLong(2))))
+      .toMap
+    assert(swap("kpars") == (("spark", 2L)), swap.toString)
   }
 
   test("snippets: the window covering the most distinct terms wins, earliest on ties") {
