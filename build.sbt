@@ -36,13 +36,27 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // box may export SPARK_DRIVER_MEM=24g; unset, the detection picks it
   // there anyway).
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", {
-    val memKb = try {
-      scala.io.Source.fromFile("/proc/meminfo").getLines()
-        .collectFirst { case l if l.startsWith("MemTotal:") =>
-          l.split("\\s+")(1).toLong }
-        .getOrElse(0L)
-    } catch { case scala.util.control.NonFatal(_) => 0L }
-    if (memKb >= 64L * 1024 * 1024) "24g" else "8g"
+    // /proc/meminfo is NOT cgroup-virtualized: inside a memory-limited
+    // container on a big host it still reports host physical memory,
+    // which is exactly the OOM-kill trap the fallback exists to avoid.
+    // Take min(host MemTotal, cgroup v2 memory.max, cgroup v1 limit);
+    // absent/"max"/unparseable entries fall back to "no limit".
+    def fileLong(path: String, pick: Iterator[String] => Option[Long]): Option[Long] =
+      try {
+        val src = scala.io.Source.fromFile(path)
+        try pick(src.getLines()) finally src.close()
+      } catch { case scala.util.control.NonFatal(_) => None }
+    val memTotalKb = fileLong("/proc/meminfo",
+      _.collectFirst { case l if l.startsWith("MemTotal:") =>
+        l.split("\\s+")(1).toLong })
+    def cgLimitKb(path: String): Option[Long] =
+      fileLong(path, it => (if (it.hasNext) Some(it.next()) else None)
+        .map(_.trim).filter(s => s.nonEmpty && s.forall(_.isDigit))
+        .map(_.toLong / 1024))
+    val limits = memTotalKb.toSeq ++
+      cgLimitKb("/sys/fs/cgroup/memory.max") ++
+      cgLimitKb("/sys/fs/cgroup/memory/memory.limit_in_bytes")
+    if (limits.nonEmpty && limits.min >= 64L * 1024 * 1024) "24g" else "8g"
   })}",
   // the whole-stage-codegen class cache is STATIC and defaults to 100
   // entries; a 276-query suite thrashes it, so even a repeat pass

@@ -88,16 +88,30 @@ object SparkEntry {
     * consumer takes the rank-prefix it needs: both builders rank by
     * (sim DESC, dst ASC), so top-k is literally `rank <= k` of the
     * widest build. Keyed by SparkSession so a stopped session's
-    * checkpoint blocks are never served to a new one. */
+    * checkpoint blocks are never served to a new one; entries of
+    * STOPPED sessions are purged on every access ([[graphMemoGet]] —
+    * round-14 advice: a strong-keyed memo in a long-lived process
+    * cycling sessions would otherwise pin every dead session and its
+    * checkpoint block references forever). */
   private val graphMemo =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String, String), DataFrame]()
+
+  /** Memo access with stopped-session eviction: the map stays bounded
+    * by the LIVE sessions (one or two entries each), never by process
+    * history. O(|entries|) per access — entries are a handful. */
+  private def graphMemoGet(s: SparkSession, dir: String, kind: String)
+                          (build: => DataFrame): DataFrame = {
+    val it = graphMemo.keySet.iterator()
+    while (it.hasNext) if (it.next()._1.sparkContext.isStopped) it.remove()
+    graphMemo.computeIfAbsent((s, dir, kind), _ => build)
+  }
 
   /** The exact O(n²) graph at top-5 — kept ONLY for the two queries
     * where the brute-force baseline IS the semantics
     * (`knn_graph_top5`, `nn_descent_recall`). */
   private def exactGraph(s: SparkSession, dir: String): DataFrame =
-    graphMemo.computeIfAbsent((s, dir, "exact5"),
-      _ => graft.search.KnnGraph.exact(Tables.embeddings(s, dir), 5)
+    graphMemoGet(s, dir, "exact5")(
+      graft.search.KnnGraph.exact(Tables.embeddings(s, dir), 5)
         .localCheckpoint())
 
   /** The scalable NN-Descent graph (workK = 20), rank-prefixed to
@@ -106,8 +120,8 @@ object SparkEntry {
     * normalize, the O(n²) baseline). */
   private def nndGraph(s: SparkSession, dir: String, k: Int): DataFrame = {
     require(k <= 20, s"nnd memo is built at workK=20; k=$k")
-    graphMemo.computeIfAbsent((s, dir, "nnd20"),
-      _ => graft.search.KnnGraph.nnDescent(Tables.embeddings(s, dir), 20)
+    graphMemoGet(s, dir, "nnd20")(
+      graft.search.KnnGraph.nnDescent(Tables.embeddings(s, dir), 20)
         .localCheckpoint())
       .filter(col("rank") <= k)
   }
