@@ -476,6 +476,71 @@ object SparkEntry {
       graft.search.KnnGraph.appendToGraphIndex(delta, path)
       graft.search.KnnGraph.graphIndexHealth(s, path)
     }),
+    // ---- [EXT] AUTO-MAINTENANCE POLICY (Maintenance.indexMaintain —
+    // the op that CLOSES the lifecycle loop): four live index stores
+    // in deliberately different states of disrepair — a graph index
+    // carrying append candidate-row debt, a BM25 index with 20% of its
+    // docs tombstoned, an IVF index drifted by 200 out-of-distribution
+    // (negated) appends against its frozen centroids, and an IVF index
+    // whose 100 WORST-assigned rows were pruned so its recorded
+    // baseline understates the survivors — read through their verified
+    // health/drift reports and evaluated against the default policy
+    // into the ranked compact/retrain/re-record action list. The
+    // healthy signals (bucket skew, graph tombstones, the zero-floored
+    // drift sides) must emit NO row, and the oracle replays every
+    // signal derivation, the rule join, and the severity ranking.
+    "index_maintenance_plan" -> ((s, dir) => {
+      import s.implicits._
+      val emb = Tables.embeddings(s, dir)
+      val docs = Tables.documents(s, dir)
+      // graph: production NN-Descent base + 10 appended nodes (the
+      // knn_graph_index_health construction — its debt arithmetic is
+      // already hash-pinned)
+      val gPath = scratchDir("maint-graph")
+      graft.search.KnnGraph.writeGraphIndex(nndGraph(s, dir, 5), emb, gPath)
+      graft.search.KnnGraph.appendToGraphIndex(
+        emb.filter(col("vec_id") < 10)
+          .select((col("vec_id") + 100000).as("vec_id"),
+            reverse(col("embedding")).as("embedding")), gPath)
+      // bm25: full build, every 5th doc tombstoned
+      val bPath = scratchDir("maint-bm25")
+      Lexical.buildBm25Index(docs, "text", "doc_id", bPath)
+      Lexical.deleteFromBm25Index(
+        docs.filter(col("doc_id") % 5 === 0).select(col("doc_id")),
+        "doc_id", bPath)
+      // the shared label-centroid model (the ann_index_drift
+      // convention: deterministic, oracle-cheap)
+      val cents: Seq[Seq[Double]] = Ann.centroids(emb, "label", "embedding")
+        .orderBy(col("key")).collect().map(_.getSeq[Double](1).toSeq).toSeq
+      // ivf A: build full + record, append 200 NEGATED vectors — the
+      // frozen centroids fit them badly, mean assigned sim decays
+      val iPath = scratchDir("maint-ivf-drift")
+      Ann.buildIvfIndex(emb, cents, iPath)
+      Ann.recordIvfModel(s, iPath, cents)
+      Ann.appendToIvfIndex(
+        emb.filter(col("vec_id") < 200)
+          .select((col("vec_id") + 100000).as("vec_id"),
+            transform(col("embedding"), x => -x).as("embedding"),
+            col("label")), cents, iPath)
+      // ivf B: build full + record, DELETE the 100 worst-assigned rows
+      // (raw max-centroid cosine ASC, id ASC — bounded TakeOrdered) —
+      // the survivors now sit CLOSER than the recorded baseline claims
+      val pPath = scratchDir("maint-ivf-pruned")
+      Ann.buildIvfIndex(emb, cents, pPath)
+      Ann.recordIvfModel(s, pPath, cents)
+      val centsDf = cents.zipWithIndex.map { case (c, i) => (i, c) }
+        .toDF("__cid", "centroid")
+      Ann.deleteFromIvfIndex(
+        emb.crossJoin(broadcast(centsDf))
+          .groupBy(col("vec_id"))
+          .agg(max(VectorOps.cosine(col("embedding"), col("centroid"))).as("__ms"))
+          .orderBy(col("__ms").asc, col("vec_id").asc).limit(100)
+          .select(col("vec_id")), pPath)
+      graft.store.Maintenance.indexMaintain(s,
+        ivf = Seq("events_vec_drifted" -> iPath, "events_vec_pruned" -> pPath),
+        bm25 = Seq("docs_bm25" -> bPath),
+        graph = Seq(("embeddings_graph", gPath, 5)))
+    }),
     // ---- [EXT] graph-index DELETE + exact REPAIR: tombstoned nodes
     // vanish from both edge sides at probe time, and repair re-scores
     // ONLY the nodes whose stored lists referenced a deleted neighbor
@@ -6610,6 +6675,93 @@ object SparkEntry {
         |       greatest(5 + d.d, n.n + d.d - 1)::BIGINT AS max_rows_per_src,
         |       0::BIGINT AS tombstone_debt
         |FROM n, d""".stripMargin,
+    // every signal re-derives from data: label centroids → per-row max
+    // raw cosine → the two drift baselines/currents; bm25 doc/tomb/
+    // postings-skew counts; graph debt arithmetic (the
+    // knn_graph_index_health construction); then rules join + severity
+    // ranking. Healthy signals fall out of the >= threshold filter.
+    "index_maintenance_plan" -> {
+      def rawCos(a: String, b: String) =
+        s"list_dot_product($a, $b) / (sqrt(list_dot_product($a, $a)) * sqrt(list_dot_product($b, $b)))"
+      s"""WITH bc AS (
+         |  SELECT label, i, avg(embedding[i]::DOUBLE) AS c
+         |  FROM embeddings, (SELECT unnest(range(1, 65)) AS i) ix
+         |  GROUP BY 1, 2),
+         |bcl AS (SELECT label, list(c ORDER BY i) AS centroid
+         |        FROM bc GROUP BY label),
+         |ms AS MATERIALIZED (
+         |  SELECT e.vec_id,
+         |         max(${rawCos("e.embedding::DOUBLE[]", "c.centroid")}) AS ms
+         |  FROM embeddings e CROSS JOIN bcl c GROUP BY e.vec_id),
+         |mneg AS (
+         |  SELECT e.vec_id + 100000 AS vec_id,
+         |         max(${rawCos("list_transform(e.embedding, x -> -x)::DOUBLE[]",
+                        "c.centroid")}) AS ms
+         |  FROM embeddings e CROSS JOIN bcl c
+         |  WHERE e.vec_id < 200 GROUP BY e.vec_id),
+         |mb AS (SELECT round(avg(ms), 6) AS b FROM ms),
+         |mdc AS (SELECT round(avg(ms), 6) AS c FROM
+         |        (SELECT ms FROM ms UNION ALL SELECT ms FROM mneg)),
+         |mdd AS (SELECT round(mb.b - mdc.c, 6) AS drift FROM mb, mdc),
+         |mcut AS (SELECT vec_id FROM ms ORDER BY ms ASC, vec_id ASC LIMIT 100),
+         |mpc AS (SELECT round(avg(ms), 6) AS c FROM ms
+         |        WHERE vec_id NOT IN (SELECT vec_id FROM mcut)),
+         |mpd AS (SELECT round(mb.b - mpc.c, 6) AS drift FROM mb, mpc),
+         |mtok AS (SELECT doc_id, unnest($toksSql) AS term FROM documents),
+         |mp AS (SELECT term, doc_id FROM mtok GROUP BY 1, 2),
+         |mpb AS (SELECT (${polySql("term")}) % 64 AS tb, count(*) AS bn
+         |        FROM mp GROUP BY 1),
+         |mtots AS (SELECT count(*) AS n_postings FROM mp),
+         |mskew AS (SELECT round(max(bn)::DOUBLE /
+         |                 (mtots.n_postings::DOUBLE / 64.0), 6) AS v
+         |          FROM mpb, mtots GROUP BY mtots.n_postings),
+         |mdocs AS (SELECT count(*) AS n_docs FROM documents),
+         |mtmb AS (SELECT count(*) AS t FROM documents WHERE doc_id % 5 = 0),
+         |mtr AS (SELECT round(mtmb.t::DOUBLE / mdocs.n_docs, 6) AS v
+         |        FROM mtmb, mdocs),
+         |gn AS (SELECT count(*) AS n FROM embeddings),
+         |gd AS (SELECT count(*) AS d FROM embeddings WHERE vec_id < 10),
+         |gdebt AS (SELECT round((gn.n * 5 + gn.n * gd.d +
+         |                        gd.d * (gn.n + gd.d - 1))::DOUBLE /
+         |                       (5.0 * (gn.n + gd.d)), 6) AS v FROM gn, gd),
+         |sig AS (
+         |  SELECT 'ivf' AS index_kind, 'events_vec_drifted' AS index_name,
+         |         'assignment_drift' AS signal, greatest(drift, 0.0) AS value
+         |  FROM mdd
+         |  UNION ALL SELECT 'ivf', 'events_vec_drifted', 'baseline_stale',
+         |                   greatest(-drift, 0.0) FROM mdd
+         |  UNION ALL SELECT 'ivf', 'events_vec_pruned', 'assignment_drift',
+         |                   greatest(drift, 0.0) FROM mpd
+         |  UNION ALL SELECT 'ivf', 'events_vec_pruned', 'baseline_stale',
+         |                   greatest(-drift, 0.0) FROM mpd
+         |  UNION ALL SELECT 'bm25', 'docs_bm25', 'tombstone_ratio', v FROM mtr
+         |  UNION ALL SELECT 'bm25', 'docs_bm25', 'bucket_skew', v FROM mskew
+         |  UNION ALL SELECT 'graph', 'embeddings_graph', 'edge_debt', v
+         |            FROM gdebt
+         |  UNION ALL SELECT 'graph', 'embeddings_graph', 'tombstone_ratio',
+         |                   0.0 FROM gn),
+         |rules AS (
+         |  SELECT * FROM (VALUES
+         |    ('ivf', 'assignment_drift', 0.01, 'retrain'),
+         |    ('ivf', 'baseline_stale', 0.01, 're_record'),
+         |    ('ivfpq', 'recon_drift', 0.01, 'retrain'),
+         |    ('bm25', 'tombstone_ratio', 0.10, 'compact'),
+         |    ('bm25', 'bucket_skew', 3.0, 'rebucket'),
+         |    ('graph', 'edge_debt', 2.0, 'compact'),
+         |    ('graph', 'tombstone_ratio', 0.05, 'compact'))
+         |    t(index_kind, signal, threshold, action)),
+         |fired AS (
+         |  SELECT s.index_kind, s.index_name, r.action, s.signal,
+         |         round(s.value, 6) AS value, r.threshold,
+         |         round(s.value / r.threshold, 6) AS severity
+         |  FROM sig s JOIN rules r USING (index_kind, signal)
+         |  WHERE s.value >= r.threshold)
+         |SELECT row_number() OVER (ORDER BY severity DESC, index_kind ASC,
+         |         index_name ASC, action ASC, signal ASC)::BIGINT AS priority,
+         |       index_kind, index_name, action, signal, value, threshold,
+         |       severity
+         |FROM fired ORDER BY priority""".stripMargin
+    },
     // base = NN-Descent over the FULL corpus; delete drops both edge
     // sides; repair re-scores ONLY the affected srcs fully (their
     // fresh rows subsume their surviving base rows, so UNION dedups

@@ -1,0 +1,154 @@
+package graft.store
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** One threshold rule of an index-maintenance policy: when a health
+  * `signal` of an index of `indexKind` reaches `threshold`, schedule
+  * `action` (a verified lifecycle op — compact / retrain / re_record /
+  * rebucket). Thresholds are deployment policy: the defaults below are
+  * sensible starting points, not laws. */
+case class MaintenanceRule(indexKind: String, signal: String,
+                           threshold: Double, action: String)
+
+/** The auto-maintenance policy op over the engine's index health
+  * surface — the closing piece of every index lifecycle this library
+  * ships (build → append/delete → HEALTH → decide → compact/retrain/
+  * re-record): normalizes the per-index health/drift reports
+  * ([[graft.search.Ann.assignmentDrift]],
+  * [[graft.search.Pq.reconstructionDrift]],
+  * [[graft.search.Lexical.bm25IndexHealth]],
+  * [[graft.search.KnnGraph.graphIndexHealth]]) into one
+  * `(index_kind, index_name, signal, value)` frame, joins the policy
+  * rules, and emits the RANKED action list an operator (or a cron'd
+  * maintenance job) would execute top-down.
+  *
+  * Scale shape: every input report is already a 1-row frame produced
+  * by a verified bounded op; the plan itself is |indexes|·|signals|
+  * rows joined against a broadcast |rules| frame — driver-scale
+  * arithmetic, no corpus scan here. The ranking window is global but
+  * provably bounded by |indexes|·|rules| rows (the no-global-windows-
+  * over-unbounded-rows contract holds). */
+object Maintenance {
+
+  /** Default policy. Signals are defined so that BIGGER is always
+    * WORSE and every rule is a `value >= threshold` test:
+    *  - `assignment_drift` (IVF): recorded-baseline mean assigned-
+    *    centroid similarity minus current — positive when appends
+    *    drifted the contents away from the frozen centroids → retrain.
+    *  - `baseline_stale` (IVF): the NEGATIVE side of the same drift —
+    *    deletes pruned the worst rows, the index now sits CLOSER than
+    *    its recorded baseline claims, so gates keyed to the baseline
+    *    misfire → re-record the model stats (cheap, no rebuild).
+    *  - `recon_drift` (IVF-PQ): current mean reconstruction error
+    *    minus the recorded build baseline → retrain codebooks.
+    *  - `tombstone_ratio` (BM25): logical-delete debt per stats-row
+    *    doc count → compact.
+    *  - `bucket_skew` (BM25): max bucket postings over the even-hash
+    *    expectation → rebucket (rebuild with more/better buckets).
+    *  - `edge_debt` (graph): raw edge rows over the compacted n·k
+    *    floor — append candidate-row debt → compact.
+    *  - `tombstone_ratio` (graph): tombstoned nodes per node → compact
+    *    (repair already fixed affected lists; compact drops the rows).
+    */
+  val DefaultRules: Seq[MaintenanceRule] = Seq(
+    MaintenanceRule("ivf", "assignment_drift", 0.01, "retrain"),
+    MaintenanceRule("ivf", "baseline_stale", 0.01, "re_record"),
+    MaintenanceRule("ivfpq", "recon_drift", 0.01, "retrain"),
+    MaintenanceRule("bm25", "tombstone_ratio", 0.10, "compact"),
+    MaintenanceRule("bm25", "bucket_skew", 3.0, "rebucket"),
+    MaintenanceRule("graph", "edge_debt", 2.0, "compact"),
+    MaintenanceRule("graph", "tombstone_ratio", 0.05, "compact"))
+
+  /** [[graft.search.Ann.assignmentDrift]]'s one-row report → the two
+    * one-sided signals (`assignment_drift` = positive drift,
+    * `baseline_stale` = positive NEGATIVE drift; both zero-floored so
+    * the healthy side never fires its rule). */
+  def ivfSignals(drift: DataFrame, name: String): DataFrame =
+    drift.select(lit("ivf").as("index_kind"), lit(name).as("index_name"),
+        lit("assignment_drift").as("signal"),
+        greatest(col("drift"), lit(0.0)).as("value"))
+      .unionAll(drift.select(lit("ivf"), lit(name),
+        lit("baseline_stale"), greatest(-col("drift"), lit(0.0))))
+
+  /** [[graft.search.Pq.reconstructionDrift]] → `recon_drift`
+    * (zero-floored: shrinking error never schedules a retrain). */
+  def pqSignals(drift: DataFrame, name: String): DataFrame =
+    drift.select(lit("ivfpq").as("index_kind"), lit(name).as("index_name"),
+      lit("recon_drift").as("signal"),
+      greatest(col("drift"), lit(0.0)).as("value"))
+
+  /** [[graft.search.Lexical.bm25IndexHealth]] → `tombstone_ratio` +
+    * `bucket_skew`. The ratio is against the RAW stats-row doc count
+    * (build + appends, deletes not subtracted) — exactly the debt
+    * compaction clears. */
+  def bm25Signals(health: DataFrame, name: String): DataFrame =
+    health.select(lit("bm25").as("index_kind"), lit(name).as("index_name"),
+        lit("tombstone_ratio").as("signal"),
+        round(col("n_tombstones").cast("double") / col("n_docs"), 6).as("value"))
+      .unionAll(health.select(lit("bm25"), lit(name),
+        lit("bucket_skew"), col("bucket_skew").cast("double")))
+
+  /** [[graft.search.KnnGraph.graphIndexHealth]] → `edge_debt` (raw
+    * edge rows over the compacted `n_nodes·k` floor) +
+    * `tombstone_ratio`. */
+  def graphSignals(health: DataFrame, k: Int, name: String): DataFrame =
+    health.select(lit("graph").as("index_kind"), lit(name).as("index_name"),
+        lit("edge_debt").as("signal"),
+        round(col("n_edge_rows").cast("double") /
+          (col("n_nodes") * lit(k.toDouble)), 6).as("value"))
+      .unionAll(health.select(lit("graph"), lit(name),
+        lit("tombstone_ratio"),
+        round(col("tombstone_debt").cast("double") / col("n_nodes"), 6)))
+
+  /** The policy evaluation: normalized signals × broadcast rules →
+    * the rows at/over threshold, ranked by how far over (severity =
+    * value/threshold — the unit-free "how urgent", comparable across
+    * signals with different scales), deterministic tie-break by
+    * (kind, name, action, signal). Healthy signals emit NO row: an
+    * empty frame is the "all indexes healthy" answer. */
+  def plan(signals: DataFrame,
+           rules: Seq[MaintenanceRule] = DefaultRules): DataFrame = {
+    import signals.sparkSession.implicits._
+    require(rules.nonEmpty && rules.forall(_.threshold > 0),
+      "maintenance rules need positive thresholds")
+    val ruleDf = rules.toDF("index_kind", "signal", "threshold", "action")
+    // global window: bounded by |indexes|·|rules| rows (every input is
+    // a 1-row health report fanned to a handful of signals)
+    val w = Window.orderBy(col("severity").desc, col("index_kind").asc,
+      col("index_name").asc, col("action").asc, col("signal").asc)
+    signals.join(broadcast(ruleDf), Seq("index_kind", "signal"))
+      .filter(col("value") >= col("threshold"))
+      .withColumn("severity", round(col("value") / col("threshold"), 6))
+      .withColumn("priority", row_number().over(w).cast("long"))
+      .select(col("priority"), col("index_kind"), col("index_name"),
+        col("action"), col("signal"), round(col("value"), 6).as("value"),
+        col("threshold"), col("severity"))
+      .orderBy(col("priority"))
+  }
+
+  /** The one-call policy op: read every registered index's health
+    * through its verified report op, evaluate [[plan]]. `ivf`/`bm25`
+    * are (name, path); `graph` is (name, path, k); `ivfPq` is
+    * (name, path, codebooks) — reconstruction drift needs the frozen
+    * codebooks the index encodes through. */
+  def indexMaintain(spark: org.apache.spark.sql.SparkSession,
+                    ivf: Seq[(String, String)] = Nil,
+                    bm25: Seq[(String, String)] = Nil,
+                    graph: Seq[(String, String, Int)] = Nil,
+                    ivfPq: Seq[(String, String, graft.search.Pq.Codebooks)] = Nil,
+                    rules: Seq[MaintenanceRule] = DefaultRules): DataFrame = {
+    val sigs =
+      ivf.map { case (n, p) =>
+        ivfSignals(graft.search.Ann.assignmentDrift(spark, p), n) } ++
+      bm25.map { case (n, p) =>
+        bm25Signals(graft.search.Lexical.bm25IndexHealth(spark, p), n) } ++
+      graph.map { case (n, p, k) =>
+        graphSignals(graft.search.KnnGraph.graphIndexHealth(spark, p), k, n) } ++
+      ivfPq.map { case (n, p, cb) =>
+        pqSignals(graft.search.Pq.reconstructionDrift(spark, p, cb), n) }
+    require(sigs.nonEmpty, "indexMaintain needs at least one index")
+    plan(sigs.reduce(_ unionAll _), rules)
+  }
+}

@@ -1,0 +1,88 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.store.{Maintenance, MaintenanceRule}
+
+/** The auto-maintenance policy op: every default rule fires at/over
+  * its threshold, healthy signals emit nothing, severity ranks the
+  * plan, and the signal extractors normalize each health report shape
+  * correctly. The full composed path over real stores is the
+  * oracle-verified `index_maintenance_plan` query. */
+class MaintenanceSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def sig(rows: (String, String, String, Double)*) =
+    rows.toSeq.toDF("index_kind", "index_name", "signal", "value")
+
+  test("every default rule fires exactly at its threshold") {
+    for (r <- Maintenance.DefaultRules) {
+      val out = Maintenance.plan(
+        sig((r.indexKind, "idx", r.signal, r.threshold))).collect()
+      assert(out.length == 1, s"rule $r must fire at threshold: ${out.toSeq}")
+      assert(out.head.getAs[String]("action") == r.action)
+      assert(out.head.getAs[Double]("severity") == 1.0)
+      val under = Maintenance.plan(
+        sig((r.indexKind, "idx", r.signal, r.threshold * 0.999))).collect()
+      assert(under.isEmpty, s"rule $r must NOT fire under threshold")
+    }
+  }
+
+  test("severity ranks the plan; unknown signals and kinds are ignored") {
+    val out = Maintenance.plan(sig(
+      ("bm25", "a", "tombstone_ratio", 0.2),  // severity 2.0
+      ("graph", "b", "edge_debt", 9.0),       // severity 4.5
+      ("ivf", "c", "assignment_drift", 0.02), // severity 2.0 (tie w/ bm25)
+      ("ivf", "c", "made_up_signal", 99.0),   // no rule -> no row
+      ("hnsw", "d", "edge_debt", 99.0)        // no such kind -> no row
+    )).collect()
+    assert(out.map(_.getAs[String]("index_name")).toSeq == Seq("b", "a", "c"),
+      out.toSeq.toString) // tie at 2.0 broken by index_kind asc: bm25 < ivf
+    assert(out.map(_.getAs[Long]("priority")).toSeq == Seq(1L, 2L, 3L))
+  }
+
+  test("healthy signals produce the empty plan") {
+    assert(Maintenance.plan(sig(
+      ("ivf", "a", "assignment_drift", 0.0),
+      ("bm25", "b", "bucket_skew", 1.1),
+      ("graph", "c", "edge_debt", 1.0))).isEmpty)
+  }
+
+  test("extractors: drift reports split into one-sided zero-floored signals") {
+    val pos = Seq((0.30, 0.27, 0.03)).toDF(
+      "build_mean_sim", "current_mean_sim", "drift")
+    val vals = Maintenance.ivfSignals(pos, "i").collect()
+      .map(r => r.getAs[String]("signal") -> r.getAs[Double]("value")).toMap
+    assert(vals == Map("assignment_drift" -> 0.03, "baseline_stale" -> 0.0))
+    val neg = Seq((0.30, 0.34, -0.04)).toDF(
+      "build_mean_sim", "current_mean_sim", "drift")
+    val nvals = Maintenance.ivfSignals(neg, "i").collect()
+      .map(r => r.getAs[String]("signal") -> r.getAs[Double]("value")).toMap
+    assert(nvals == Map("assignment_drift" -> 0.0, "baseline_stale" -> 0.04))
+    val pq = Seq((0.10, 0.13, 0.03)).toDF(
+      "build_mean_err", "current_mean_err", "drift")
+    val pv = Maintenance.pqSignals(pq, "p").collect()
+    assert(pv.length == 1 && pv.head.getAs[Double]("value") == 0.03)
+  }
+
+  test("extractors: bm25 + graph health reports normalize to ratios") {
+    val bh = Seq((500L, 12.5, 3000L, 9000L, 40L, "the", 100L, 4.2)).toDF(
+      "n_docs", "avg_dl", "n_terms", "n_postings", "max_df", "top_term",
+      "n_tombstones", "bucket_skew")
+    val bv = Maintenance.bm25Signals(bh, "b").collect()
+      .map(r => r.getAs[String]("signal") -> r.getAs[Double]("value")).toMap
+    assert(bv == Map("tombstone_ratio" -> 0.2, "bucket_skew" -> 4.2))
+    val gh = Seq((510L, 12590L, 510L, 519L, 17L)).toDF(
+      "n_nodes", "n_edge_rows", "n_src", "max_rows_per_src", "tombstone_debt")
+    val gv = Maintenance.graphSignals(gh, 5, "g").collect()
+      .map(r => r.getAs[String]("signal") -> r.getAs[Double]("value")).toMap
+    assert(gv("edge_debt") == 4.937255 && gv("tombstone_ratio") == 0.033333)
+  }
+
+  test("rules must carry positive thresholds") {
+    intercept[IllegalArgumentException] {
+      Maintenance.plan(sig(("ivf", "a", "assignment_drift", 1.0)),
+        Seq(MaintenanceRule("ivf", "assignment_drift", 0.0, "retrain")))
+    }
+  }
+}
