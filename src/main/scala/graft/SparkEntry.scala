@@ -5544,21 +5544,27 @@ object SparkEntry {
     * as a DOUBLE[64] list. */
   private def spectralSql(iters: Int, src: String = "embeddings",
                           vcol: String = "embedding"): String = {
+    // every per-iteration CTE is MATERIALIZED: DuckDB inlines plain
+    // CTEs per REFERENCE, so a downstream chain referencing v$iters
+    // k times would re-evaluate the whole power iteration k times —
+    // and the deflated second chain (which references v$iters every
+    // level) turned exponential in `iters`. Each of these frames is
+    // ≤ |corpus| (sd) or 64 rows, so materialization is free.
     def iter(n: Int): String =
-      s"""sd$n AS (
+      s"""sd$n AS MATERIALIZED (
          |  SELECT e.$vcol AS embedding,
          |         list_dot_product(e.$vcol::DOUBLE[], v${n - 1}.v) AS d
          |  FROM $src e, v${n - 1}),
-         |ss$n AS (
+         |ss$n AS MATERIALIZED (
          |  SELECT i, sum(CAST(embedding[i]::DOUBLE * d AS DECIMAL(38,12)))::DOUBLE AS s
          |  FROM sd$n, (SELECT unnest(range(1, 65)) AS i) ix$n GROUP BY i),
-         |sl$n AS (SELECT list(s ORDER BY i) AS sv FROM ss$n),
-         |v$n AS (
+         |sl$n AS MATERIALIZED (SELECT list(s ORDER BY i) AS sv FROM ss$n),
+         |v$n AS MATERIALIZED (
          |  SELECT list_transform(sv, x -> x /
          |           sqrt(list_reduce(list_transform(sv, y -> y * y),
          |                            (a, b) -> a + b))) AS v
          |  FROM sl$n)""".stripMargin
-    val v0 = "v0 AS (SELECT list_transform(range(1, 65), x -> 0.125::DOUBLE) AS v)"
+    val v0 = "v0 AS MATERIALIZED (SELECT list_transform(range(1, 65), x -> 0.125::DOUBLE) AS v)"
     (v0 +: (1 to iters).map(iter)).mkString(",\n")
   }
 
@@ -5569,30 +5575,34 @@ object SparkEntry {
     * emits `w<iters>`. Compose after `spectralSql(iters)`. */
   private def spectral2Sql(iters: Int, src: String = "embeddings",
                            vcol: String = "embedding"): String = {
+    // MATERIALIZED per level for the same inlining reason as
+    // [[spectralSql]] — wsl$n is referenced twice per level (wdd, wor)
+    // and v$iters once per level, which is exactly the 2^iters blowup
     def orth(srcList: String, srcCte: String, n: Int): String =
-      s"""wdd$n AS (SELECT list_dot_product($srcCte.$srcList, v$iters.v) AS dd
-         |          FROM $srcCte, v$iters),
-         |wor$n AS (
+      s"""wdd$n AS MATERIALIZED (
+         |  SELECT list_dot_product($srcCte.$srcList, v$iters.v) AS dd
+         |  FROM $srcCte, v$iters),
+         |wor$n AS MATERIALIZED (
          |  SELECT list_transform(range(1, 65),
          |           i -> $srcCte.$srcList[i::INT] - wdd$n.dd * v$iters.v[i::INT]) AS o
          |  FROM $srcCte, wdd$n, v$iters),
-         |w$n AS (
+         |w$n AS MATERIALIZED (
          |  SELECT list_transform(o, x -> x /
          |           sqrt(list_reduce(list_transform(o, y -> y * y),
          |                            (a, b) -> a + b))) AS v
          |  FROM wor$n)""".stripMargin
     def iter(n: Int): String =
-      s"""wsd$n AS (
+      s"""wsd$n AS MATERIALIZED (
          |  SELECT e.$vcol AS embedding,
          |         list_dot_product(e.$vcol::DOUBLE[], w${n - 1}.v) AS d
          |  FROM $src e, w${n - 1}),
-         |wss$n AS (
+         |wss$n AS MATERIALIZED (
          |  SELECT i, sum(CAST(embedding[i]::DOUBLE * d AS DECIMAL(38,12)))::DOUBLE AS s
          |  FROM wsd$n, (SELECT unnest(range(1, 65)) AS i) wix$n GROUP BY i),
-         |wsl$n AS (SELECT list(s ORDER BY i) AS sv FROM wss$n),
+         |wsl$n AS MATERIALIZED (SELECT list(s ORDER BY i) AS sv FROM wss$n),
          |${orth("sv", s"wsl$n", n)}""".stripMargin
     val w0 =
-      s"""wu0 AS (SELECT list_transform(range(1, 65), x -> 0.125::DOUBLE) AS u),
+      s"""wu0 AS MATERIALIZED (SELECT list_transform(range(1, 65), x -> 0.125::DOUBLE) AS u),
          |${orth("u", "wu0", 0)}""".stripMargin
     (w0 +: (1 to iters).map(iter)).mkString(",\n")
   }
@@ -7082,17 +7092,17 @@ object SparkEntry {
          |pv1d AS (SELECT list_transform(range(1, 65),
          |  i -> v$OpqPcaIters.v[i::INT] - pt1.t[i::INT]) AS dv
          |  FROM v$OpqPcaIters, pt1),
-         |pv1 AS (SELECT list_transform(dv, x -> x /
+         |pv1 AS MATERIALIZED (SELECT list_transform(dv, x -> x /
          |  sqrt(list_reduce(list_transform(dv, y -> y * y),
          |                   (a, b) -> a + b))) AS v FROM pv1d),
          |pru AS (SELECT list_dot_product(w$OpqPcaIters.v, pv1.v) AS dd
          |        FROM w$OpqPcaIters, pv1),
-         |pu2r AS (SELECT list_transform(range(1, 65),
+         |pu2r AS MATERIALIZED (SELECT list_transform(range(1, 65),
          |  i -> w$OpqPcaIters.v[i::INT] - 2.0 * pv1.v[i::INT] * pru.dd) AS u
          |  FROM w$OpqPcaIters, pv1, pru),
          |pv2d AS (SELECT list_transform(range(1, 65),
          |  i -> pu2r.u[i::INT] - pt2.t[i::INT]) AS dv FROM pu2r, pt2),
-         |pv2 AS (SELECT list_transform(dv, x -> x /
+         |pv2 AS MATERIALIZED (SELECT list_transform(dv, x -> x /
          |  sqrt(list_reduce(list_transform(dv, y -> y * y),
          |                   (a, b) -> a + b))) AS v FROM pv2d),
          |${graft.search.Pq.rotateSqlCtesFromRel("an", "vec_id", "wvec", 64,

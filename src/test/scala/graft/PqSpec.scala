@@ -434,4 +434,72 @@ class PqSpec extends SparkSpec {
     assert(resid < plain,
       s"residual encoding must be finer: resid $resid !< plain $plain")
   }
+
+  test("PCA rotation parity: pcaRotationVectors matches the oracle's SQL-derived pv1/pv2") {
+    // The round-14 red query: the Spark side ran 6 power iterations
+    // while the oracle's rotation CTEs read the iteration-3 directions
+    // — valid SQL, silently wrong rotation. This pins the DRIVER chain
+    // (aniso scaling → Spectral 6 iters → pcaRotationVectors) against
+    // the SQL derivation's output on the sf0.001 fixture (literals
+    // generated once from the oracle CTE chain cut at pv1/pv2). A
+    // depth or formula divergence on either side shifts these by
+    // ~1e-2..1e-4; tolerance 1e-12 allows only last-ulp float noise.
+    val pv1 = Seq(0.658047833841971, 0.01991792911030551, -0.12610336829676555,
+      -0.06440557391276994, -0.09500058838493419, -0.09547000979470453,
+      -0.09659022642232408, -0.09515108568570006, -0.09495958770939389,
+      -0.09574702669832999, -0.09712622012416214, -0.09393362615101432,
+      -0.09355184526196314, -0.09635302336773487, -0.09637722074421044,
+      -0.09439269708875371, -0.09717402783705728, -0.09650399032232491,
+      -0.0949793882040395, -0.0962030343837477, -0.09616631530515578,
+      -0.0942475979781319, -0.09377630491658376, -0.09634533718333026,
+      -0.09447245997937104, -0.09668725868950133, -0.09452303277973914,
+      -0.09518223490938621, -0.09515826374537038, -0.0957418874388633,
+      -0.09315953661252507, -0.09693019175702682, -0.09394863788135574,
+      -0.09688324796798939, -0.09492420047160412, -0.09589076653427173,
+      -0.09519152954408351, -0.09405997737103139, -0.09631736347149754,
+      -0.09497209796872383, -0.09731018947639676, -0.09667237159396543,
+      -0.0977907373968664, -0.09631566870151767, -0.094590727669685,
+      -0.09425898310905817, -0.09529506465971993, -0.09677025016107603,
+      -0.0970276789591727, -0.09419610074519182, -0.09582000246329728,
+      -0.09538642691901701, -0.09533214335111269, -0.09548494707990243,
+      -0.09456114127087568, -0.09403328801869175, -0.09643489759079917,
+      -0.09627535825044332, -0.09383828768942963, -0.09589574604283395,
+      -0.09397328805034576, -0.09566436313572103, -0.09367187054596637,
+      -0.09531028918449728)
+    val pv2 = Seq(-0.0710900384915497, 0.7154140533206262, 0.16343649392888632,
+      0.06272429194219395, -0.0987609097163243, 0.0704728447739686,
+      -0.10048353119432378, 0.07139674817319544, -0.10224234717684852,
+      0.07189402598040277, -0.10099756851261095, 0.07069701887108645,
+      -0.10132990078074458, 0.07185030744182777, -0.10156543089483597,
+      0.07121450000858041, -0.10140929988452013, 0.07136404898536126,
+      -0.09928984592930336, 0.07055454450025953, -0.09981711675972413,
+      0.0729793162779084, -0.10024507063450455, 0.07216697557899074,
+      -0.09842711197734615, 0.07035826050104806, -0.0980512097760803,
+      0.07045778333839349, -0.10138005742216992, 0.07084898830604655,
+      -0.09940640430894682, 0.07005257283765709, -0.09885596873296096,
+      0.0705172644133785, -0.09990754091770251, 0.06978354438429274,
+      -0.10151553349286616, 0.07180513408435049, -0.10038682944291849,
+      0.06884427348764831, -0.10014191155651352, 0.06956297083169272,
+      -0.09940001861224575, 0.07290278300145696, -0.09948193200544715,
+      0.07022221563879487, -0.1016775268003933, 0.07114468054860061,
+      -0.10046708515127802, 0.07305232944240006, -0.09924990762760624,
+      0.07068297560243146, -0.10110417433075315, 0.0717287841783286,
+      -0.09974737099206998, 0.07158074085771435, -0.10026511042989182,
+      0.07148854240686585, -0.10037723708328701, 0.07210071718464742,
+      -0.09921017230928, 0.07058606564145299, -0.09848110708152501,
+      0.07087947355608337)
+    val aniso = spark.read.parquet(s"$sf0001/embeddings.parquet")
+      .select(col("vec_id"),
+        transform(col("embedding"), (x, i) =>
+          x.cast("double") * when(i === 0, lit(8.0)).when(i === 1, lit(7.0))
+            .when(i === 2, lit(6.0)).when(i === 3, lit(5.0))
+            .otherwise(lit(0.25))).as("wvec"))
+    val u1 = graft.analysis.Spectral.topDirection(aniso, "wvec", 64, 6)
+    val u2 = graft.analysis.Spectral.secondDirection(aniso, "wvec", 64, 6, u1)
+    val (v1, v2) = Pq.pcaRotationVectors(u1, u2)
+    def maxDiff(a: Seq[Double], b: Seq[Double]): Double =
+      a.zip(b).map { case (x, y) => math.abs(x - y) }.max
+    assert(maxDiff(v1, pv1) < 1e-12, s"v1 off by ${maxDiff(v1, pv1)}")
+    assert(maxDiff(v2, pv2) < 1e-12, s"v2 off by ${maxDiff(v2, pv2)}")
+  }
 }
