@@ -796,11 +796,18 @@ object SparkEntry {
     // literals inline into the SQL (the NearDupPlanes convention);
     // their derivation chain is pinned by spectral_top2's oracle.
     "opq_pca_recall" -> ((s, dir) => {
+      // the anisotropic frame feeds 13 spectral aggregates, both PQ
+      // trainings, and both rankings: localCheckpoint it (and the
+      // rotated twin) ONCE so every downstream job reads 5000 cached
+      // rows instead of re-deriving its projection lineage — the
+      // Winnow.keptFps precedent; this was the suite's most expensive
+      // query at 19.6 s before sharing
       val aniso = Tables.embeddings(s, dir).select(col("vec_id"),
         transform(col("embedding"), (x, i) =>
           x.cast("double") * when(i === 0, lit(8.0)).when(i === 1, lit(7.0))
             .when(i === 2, lit(6.0)).when(i === 3, lit(5.0))
             .otherwise(lit(0.25))).as("wvec"))
+        .localCheckpoint()
       // OpqPcaIters power iterations (shared with the oracle CTE names
       // so the two sides can't diverge): the heavy eigenvalues here are
       // close (64:49:36:25 ratios), and at 3 iterations the directions
@@ -810,6 +817,7 @@ object SparkEntry {
       val (v1, v2) = graft.search.Pq.pcaRotationVectors(u1, u2)
       val rot = graft.search.Pq.rotateCorpus(aniso, "wvec", "rvec", v1, v2)
         .select(col("vec_id"), col("rvec"))
+        .localCheckpoint()
       def recallOf(corpus: DataFrame, vcol: String, as: String): DataFrame = {
         val q = corpus.filter(col("vec_id") === 0)
           .select(col(vcol).as("qvec"))
@@ -823,8 +831,20 @@ object SparkEntry {
         exact.join(approx, Seq("vec_id"), "left_semi")
           .agg((count(lit(1)) / 5.0).as(as))
       }
-      recallOf(aniso, "wvec", "pq_recall_aniso")
-        .crossJoin(broadcast(recallOf(rot, "rvec", "opq_recall_aniso")))
+      // the two chains are INDEPENDENT after the shared checkpoints;
+      // their driver-blocking training collects AND the 1-row recall
+      // materializations overlap on two threads (no shared mutation,
+      // and local[32] has idle cores either way), so the final frame
+      // is a crossJoin of two cached 1-row results
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.ExecutionContext.Implicits.global
+      val fPq = Future(
+        recallOf(aniso, "wvec", "pq_recall_aniso").localCheckpoint())
+      val fOpq = Future(
+        recallOf(rot, "rvec", "opq_recall_aniso").localCheckpoint())
+      Await.result(fPq, scala.concurrent.duration.Duration.Inf)
+        .crossJoin(broadcast(
+          Await.result(fOpq, scala.concurrent.duration.Duration.Inf)))
     }),
     // ---- [EXT] the production PQ pipeline: ADC shortlist (top-50
     // from 8-byte codes) → exact float rerank of only those rows →

@@ -42,15 +42,21 @@ object Spectral {
   private def dec(c: Column): Column = c.cast(DecimalType(38, 12))
 
   /** One matrix-free step `X'(Xv)` as driver model state: per-dim
-    * DECIMAL(38,12)-exact sums, ascending-dim order. */
+    * DECIMAL(38,12)-exact sums, ascending-dim order. The d sums run as
+    * d aggregate COLUMNS of one scan (row stays a row) rather than a
+    * posexplode + d-group shuffle: decimal addition is exact and
+    * order-free, so regrouping the identical addend set cannot change
+    * a bit of the result — but it drops the d× row blowup and the
+    * shuffle from every power iteration, and this runs `iters` times
+    * per chain. */
   private def xtxv(df: DataFrame, vecCol: String, v: Seq[Double]): Seq[Double] = {
-    val d = VectorOps.dot(col(vecCol), typedlit(v))
-    df.select(posexplode(col(vecCol)).as(Seq("j", "x")), d.as("d"))
-      .groupBy(col("j"))
-      .agg(sum(dec(col("x").cast("double") * col("d"))).as("s"))
-      .collect()
-      .map(r => r.getInt(0) -> r.getDecimal(1).doubleValue())
-      .sortBy(_._1).map(_._2).toSeq
+    val staged = df.select(col(vecCol).as("__v"),
+      VectorOps.dot(col(vecCol), typedlit(v)).as("__d"))
+    val sums = v.indices.map(j =>
+      sum(dec(element_at(col("__v"), j + 1).cast("double") * col("__d")))
+        .as(s"s$j"))
+    val row = staged.agg(sums.head, sums.tail: _*).head()
+    v.indices.map(j => row.getDecimal(j).doubleValue())
   }
 
   /** The power-iterated direction after `iters` steps, as driver-side
