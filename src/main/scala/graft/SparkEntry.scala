@@ -420,6 +420,34 @@ object SparkEntry {
         .select(col("id").as("vec_id"), col("sim"))
         .orderBy(col("sim").desc, col("vec_id"))
     }),
+    // ---- [EXT] FILTERED graph search at SERVING PARITY — the probe
+    // runs against the MATERIALIZED index (base = NN-Descent, plus an
+    // exact overlay append), not an in-memory graph: vectors from the
+    // nodes side, medoid entry over the STORED nodes, each hop's
+    // out-edges read through the bucket-pruned index probe (beam ids
+    // are bounded driver literals, so pruning lands at plan time) and
+    // re-ranked base ∪ overlay to the stored top-5 on the fly. Same
+    // routing-unfiltered/answer-filtered semantics and beam sizing as
+    // graph_search_filtered_top5; the oracle replays the NN-Descent
+    // chain, the overlay arithmetic, and the walk hop for hop over
+    // the composed graph.
+    "graph_index_filtered_top5" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val path = scratchDir("graph-idx-filtered")
+      graft.search.KnnGraph.writeGraphIndex(nndGraph(s, dir, 5), emb, path)
+      graft.search.KnnGraph.appendToGraphIndex(
+        emb.filter(col("vec_id") < 10)
+          .select((col("vec_id") + 100000).as("vec_id"),
+            reverse(col("embedding")).as("embedding")), path)
+      val allowed = emb.join(broadcast(emb.filter(col("vec_id") === 0)
+          .select(col("label").as("__ql"))), col("label") === col("__ql"))
+        .select(col("vec_id"))
+      graft.search.KnnGraph.graphIndexBeamSearchFiltered(
+          s, path, queryVec(s, dir), allowed, 5, degree = 5,
+          beam = 16, hops = 6)
+        .select(col("id").as("vec_id"), col("sim"))
+        .orderBy(col("sim").desc, col("vec_id"))
+    }),
     // ---- [EXT] EXACT incremental kNN-graph maintenance: an arriving
     // batch updates the persisted graph with O((n+d)·d) cosines — an
     // existing node's top-k can only be displaced by delta nodes, so
@@ -6662,6 +6690,49 @@ object SparkEntry {
           "SELECT vec_id AS aid FROM embeddings WHERE label = " +
             "(SELECT label FROM embeddings WHERE vec_id = 0)", 5,
           beam = 16, hops = 6, graphRel = "nnd") +
+        "\nSELECT id AS vec_id, sim FROM bsvf ORDER BY sim DESC, vec_id"),
+    // index-served filtered walk: the logical graph of the store is
+    // base(NN-Descent) ∪ overlay re-ranked per src to the stored
+    // top-5 (the knn_graph_store_delta arithmetic, unrestricted);
+    // nodes side = corpus ∪ delta; then the SAME filtered walk as
+    // graph_search_filtered_top5 over that composed graph
+    "graph_index_filtered_top5" ->
+      ("WITH " + graft.search.KnnGraph.nnDescentSqlCtes(
+        "embeddings", "vec_id", "embedding", 5) +
+        s""",
+           |qdl AS MATERIALIZED (
+           |  SELECT vec_id + 100000 AS vec_id,
+           |         list_reverse(embedding) AS embedding
+           |  FROM embeddings WHERE vec_id < 10),
+           |qnode AS MATERIALIZED (
+           |  SELECT vec_id, embedding FROM embeddings
+           |  UNION ALL SELECT vec_id, embedding FROM qdl),
+           |qo2d AS (
+           |  SELECT e.vec_id AS src, d.vec_id AS dst,
+           |         ${cosSql("e.embedding", "d.embedding")} AS sim
+           |  FROM embeddings e, qdl d),
+           |qd2a AS (
+           |  SELECT d.vec_id AS src, a.vec_id AS dst,
+           |         ${cosSql("d.embedding", "a.embedding")} AS sim
+           |  FROM qdl d, qnode a
+           |  WHERE a.vec_id <> d.vec_id),
+           |qun AS (
+           |  SELECT src, dst, sim FROM nnd
+           |  UNION ALL SELECT src, dst, sim FROM qo2d
+           |  UNION ALL SELECT src, dst, sim FROM qd2a),
+           |qidx AS MATERIALIZED (
+           |  SELECT src, dst, sim FROM (
+           |    SELECT src, dst, sim,
+           |           row_number() OVER (PARTITION BY src
+           |                              ORDER BY sim DESC, dst ASC) AS rank
+           |    FROM qun) WHERE rank <= 5),
+           |""".stripMargin +
+        graft.search.KnnGraph.beamSearchFilteredSqlCtes("qnode",
+          "vec_id", "embedding",
+          "SELECT embedding AS qvec FROM embeddings WHERE vec_id = 0",
+          "SELECT vec_id AS aid FROM embeddings WHERE label = " +
+            "(SELECT label FROM embeddings WHERE vec_id = 0)", 5,
+          beam = 16, hops = 6, graphRel = "qidx") +
         "\nSELECT id AS vec_id, sim FROM bsvf ORDER BY sim DESC, vec_id"),
     // the maintained base is the NN-Descent graph: replay its chain,
     // then the append arithmetic (old×delta + delta×all re-ranked per

@@ -416,6 +416,54 @@ object KnnGraph {
       .select(col("src"), col("dst"), col("sim"), col("rank"))
   }
 
+  /** FILTERED beam search SERVED FROM the materialized index — the
+    * composition the in-memory [[beamSearchFiltered]] stands in for
+    * (the `Ann.ivfIndexTopKFiltered` pattern on the graph side): the
+    * walk never touches a caller-side corpus or an in-memory graph.
+    * Vectors come from the index's nodes side (tombstones dropped),
+    * the entry is the medoid of the STORED nodes, and each hop reads
+    * the beam's out-edges through [[graphIndexTopK]] — the beam ids
+    * are ≤ `beam` rows of driver state (the `Ann.probeIds`
+    * precedent), so every hop's scan prunes to the beam's buckets at
+    * PLAN time and re-ranks base ∪ overlay to the stored graph's
+    * top-`degree` on the fly. Routing is UNfiltered (restricting
+    * routing disconnects the graph — the DiskANN filtered-search
+    * lesson); the answer is top-k of all VISITED nodes passing
+    * `allowed`. O(hops · beam · degree) cosines + `hops` bounded
+    * pruned scans; same determinism contract as
+    * [[beamSearchFiltered]], replayed hop for hop by the oracle. */
+  def graphIndexBeamSearchFiltered(spark: org.apache.spark.sql.SparkSession,
+                                   path: String, query: DataFrame,
+                                   allowed: DataFrame, k: Int, degree: Int,
+                                   beam: Int = 8, hops: Int = 4,
+                                   buckets: Int = 16,
+                                   idCol: String = "vec_id"): DataFrame = {
+    val nodesRaw = spark.read.parquet(s"$path.nodes")
+      .select(col("id"), col("vec").as("__vec"))
+    val vecs = graphTombstones(spark, path).fold(nodesRaw) { t =>
+      nodesRaw.join(broadcast(t.select(col(t.columns.head).as("__tomb"))),
+        col("id") === col("__tomb"), "left_anti")
+    }.localCheckpoint()
+    def score(ids: DataFrame): DataFrame =
+      ids.join(vecs, Seq("id")).crossJoin(broadcast(query))
+        .select(col("id"), VectorOps.cosine6(col("__vec"), col("qvec")).as("sim"))
+    var beamDf = score(medoidEntry(vecs)).localCheckpoint()
+    var visited = beamDf.select(col("id")).localCheckpoint()
+    (1 to hops).foreach { _ =>
+      val beamIds = beamDf.select(col("id")).collect().map(_.getLong(0)).toSeq
+      val frontier = graphIndexTopK(spark, path, beamIds, degree, buckets)
+        .select(col("dst").as("id"))
+      val cands = beamDf.select(col("id")).union(frontier).distinct()
+      visited = visited.union(cands).distinct().localCheckpoint()
+      beamDf = score(cands)
+        .orderBy(col("sim").desc, col("id").asc).limit(beam)
+        .localCheckpoint()
+    }
+    score(visited)
+      .join(allowed.select(col(idCol).as("id")), Seq("id"), "left_semi")
+      .orderBy(col("sim").desc, col("id").asc).limit(k)
+  }
+
   /** Tombstone-DELETE nodes from a materialized graph index — the
     * graph twin of `Ann.deleteFromIvfIndex`, completing the
     * build/append/probe/delete lifecycle. Deletes are LOGICAL: ids

@@ -227,6 +227,40 @@ class KnnGraphSpec extends SparkSpec {
     got.foreach(id => assert(id % 2 == 0, "answer leaked an excluded node"))
   }
 
+  test("index-served filtered beam search ≡ the in-memory walk; tombstoned nodes vanish from routing and answers") {
+    val ring = (0 until 40).map { i =>
+      val a = i * 2 * math.Pi / 40
+      (i.toLong, Seq(math.cos(a), math.sin(a)))
+    }.toDF("vec_id", "embedding")
+      .select(col("vec_id"),
+        col("embedding").cast("array<double>").as("embedding"))
+    val q = ring.filter(col("vec_id") === 17)
+      .select(col("embedding").as("qvec"))
+    val allowed = ring.filter(col("vec_id") % 2 === 0).select(col("vec_id"))
+    val graph = KnnGraph.exact(ring, 3)
+    val root = java.nio.file.Files.createTempDirectory("graft-knng-bsf").toString
+    val path = s"$root/index"
+    KnnGraph.writeGraphIndex(graph, ring, path, buckets = 4)
+    // serving parity: the walk through the store must land exactly
+    // where the in-memory walk does (same entry rule, same hops)
+    val inMem = KnnGraph.beamSearchFiltered(graph, ring, q, allowed,
+        k = 3, beam = 8, hops = 25)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val served = KnnGraph.graphIndexBeamSearchFiltered(spark, path, q,
+        allowed, k = 3, degree = 3, beam = 8, hops = 25, buckets = 4)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(served == inMem, s"served $served, in-memory $inMem")
+    // tombstone the best answer: it must vanish from the served
+    // answer set (and from routing) without touching the layout
+    val best = served.head._1
+    KnnGraph.deleteFromGraphIndex(Seq(best).toDF("vec_id"), path)
+    val afterDel = KnnGraph.graphIndexBeamSearchFiltered(spark, path, q,
+        allowed, k = 3, degree = 3, beam = 8, hops = 25, buckets = 4)
+      .collect().map(_.getLong(0)).toSeq
+    assert(!afterDel.contains(best), s"tombstoned $best still served: $afterDel")
+    assert(afterDel.nonEmpty && afterDel.forall(_ % 2 == 0))
+  }
+
   test("graph index: append+probe equals rebuild; compact shrinks the overlay, probes unchanged; probe prunes files") {
     import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
     import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
