@@ -1428,6 +1428,23 @@ object SparkEntry {
             col("label").as("qlabel")),
         k = 10)
     }),
+    // ---- [EXT] RAG answer-quality gate (Eval.contextPrecisionGate):
+    // context precision over the batch of prompts the A12-A14 tail
+    // assembles — of each query's 5 context chunks, the fraction that
+    // is label-relevant, reduced to the batch gate row (exact-integer
+    // mean, worst prompt, fully-on-topic fraction). The per-rank
+    // metrics reward ONE early hit; this is the "what did the
+    // answerer actually read" number. Same corpus/query split as
+    // retrieval_eval so the two gates are comparable side by side.
+    "rag_context_precision" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val corpus = emb.filter(col("vec_id") % 25 =!= 0)
+      val qs = emb.filter(col("vec_id") % 25 === 0)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec"),
+          col("label").as("qlabel"))
+      graft.analysis.Eval.contextPrecisionGate(
+        Search.similarityJoin(corpus, qs, 5), qs, 5)
+    }),
     // ---- [EXT] retrieval FAIRNESS slice: precision@5 per query
     // LABEL — the per-class view an aggregate MRR averages away (one
     // under-served class hides inside a healthy mean). Integer
@@ -11740,6 +11757,33 @@ object SparkEntry {
         |  FROM seqs WHERE len(seq) >= 3)
         |GROUP BY path ORDER BY n_paths DESC, path ASC LIMIT 10""".stripMargin,
     // per-label precision@5: per-qid cosine rank windows, integer hits
+    // the gate reduces per-qid integer hit counts; queries with no
+    // retrieved rows enter as 0 hits via the roster left join
+    "rag_context_precision" ->
+      s"""WITH qs AS (SELECT vec_id AS qid, embedding AS qvec,
+         |                   label AS qlabel
+         |            FROM embeddings WHERE vec_id % 25 = 0),
+         |topk AS (
+         |  SELECT qid, qlabel, label FROM (
+         |    SELECT q.qid, q.qlabel, e.label,
+         |           row_number() OVER (PARTITION BY q.qid
+         |             ORDER BY ${cosSql("e.embedding", "q.qvec")} DESC,
+         |                      e.vec_id ASC) AS rk
+         |    FROM embeddings e CROSS JOIN qs q
+         |    WHERE e.vec_id % 25 <> 0) WHERE rk <= 5),
+         |per AS (
+         |  SELECT qid, sum(CASE WHEN label = qlabel THEN 1 ELSE 0 END) AS h
+         |  FROM topk GROUP BY qid),
+         |ros AS (
+         |  SELECT coalesce(p.h, 0) AS h
+         |  FROM (SELECT DISTINCT qid FROM qs) r LEFT JOIN per p USING (qid))
+         |SELECT count(*)::BIGINT AS n_queries,
+         |       round(sum(h)::DOUBLE / (count(*) * 5)::DOUBLE, 6)
+         |         AS mean_context_precision,
+         |       round(min(h)::DOUBLE / 5.0, 6) AS min_context_precision,
+         |       round(sum(CASE WHEN h = 5 THEN 1 ELSE 0 END)::DOUBLE
+         |             / count(*)::DOUBLE, 6) AS frac_fully_relevant
+         |FROM ros""".stripMargin,
     "retrieval_p5_by_label" ->
       s"""WITH qs AS (SELECT vec_id AS qid, embedding AS qvec,
          |                   label AS qlabel

@@ -309,4 +309,45 @@ object Eval {
       round(expr("percentile(m, 0.975)"), 6).as("ci_hi")))
       .withColumn("n_resamples", lit(resamples.toLong))
   }
+
+  /** CONTEXT-PRECISION gate over a RAG batch — the answer-quality
+    * metric for the A12–A14 tail (context assembly → prompt →
+    * answer): of the k context chunks each query's prompt is built
+    * from, what fraction is label-relevant? The ANSWERER can only be
+    * as grounded as its context, so this is the end-to-end gate the
+    * per-rank metrics (MRR/nDCG reward ONE early hit) don't give:
+    * a prompt whose context is 4/5 off-topic scores 0.2 here while
+    * MRR happily reports 1.0.
+    *
+    * `results` is the per-qid top-k frame FEEDING the context
+    * assembly (must carry `qid`, `qlabel`, `labelCol` — the
+    * [[graft.search.Search.similarityJoin]] output shape); `queries`
+    * supplies the batch roster so a query retrieving NOTHING gates as
+    * precision 0 rather than silently dropping out (the rankedEval
+    * no-results lesson). One row: `n_queries`,
+    * `mean_context_precision` (= total hits / (k·n) — exact integer
+    * arithmetic, no order-dependent float mean),
+    * `min_context_precision` (the worst prompt in the batch — the
+    * number an SLA gates on), `frac_fully_relevant` (prompts whose
+    * whole context is on-topic). Bounded: |queries| rows into one
+    * aggregate. */
+  def contextPrecisionGate(results: DataFrame, queries: DataFrame, k: Int,
+                           labelCol: String = "label"): DataFrame = {
+    require(k >= 1, "k >= 1")
+    val per = results
+      .groupBy(col("qid"))
+      .agg(sum(when(col(labelCol) === col("qlabel"), 1L).otherwise(0L))
+        .as("__hits"))
+    val rostered = queries.select(col("qid")).distinct()
+      .join(per, Seq("qid"), "left")
+      .select(coalesce(col("__hits"), lit(0L)).as("h"))
+    rostered.agg(
+      count(lit(1)).as("n_queries"),
+      round(sum(col("h")).cast("double") /
+        (count(lit(1)) * k).cast("double"), 6).as("mean_context_precision"),
+      round(min(col("h")).cast("double") / lit(k.toDouble), 6)
+        .as("min_context_precision"),
+      round(sum(when(col("h") === k.toLong, 1L).otherwise(0L)).cast("double") /
+        count(lit(1)).cast("double"), 6).as("frac_fully_relevant"))
+  }
 }

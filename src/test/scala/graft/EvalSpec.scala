@@ -224,4 +224,25 @@ class EvalSpec extends SparkSpec {
     val plain = Eval.retrievalEval(corpus, qs, 10).head().getDouble(1)
     assert(mrr == plain, s"bootstrap point $mrr vs rankedEval $plain")
   }
+
+  test("contextPrecisionGate: exact integer arithmetic, no-result queries gate as zero") {
+    import org.apache.spark.sql.functions._
+    import graft.analysis.Eval
+    // q1: 2/2 relevant; q2: 1/2; q3 retrieved NOTHING (in roster only)
+    val results = Seq(
+      (1L, 0, 0), (1L, 0, 0),
+      (2L, 1, 1), (2L, 1, 0)
+    ).toDF("qid", "qlabel", "label")
+    val roster = Seq(1L, 2L, 3L).toDF("qid")
+    val r = Eval.contextPrecisionGate(results, roster, k = 2).head()
+    assert(r.getLong(0) == 3L)
+    assert(r.getDouble(1) == 0.5, s"mean: (2+1+0)/(3*2) = 0.5, got ${r.getDouble(1)}")
+    assert(r.getDouble(2) == 0.0, "the no-result query is the worst prompt")
+    assert(r.getDouble(3) == 0.333333, "only q1's context is fully on-topic")
+    // MRR blindness pinned: q2 has MRR-at-2 of 1.0 (first hit at rank 1)
+    // but only half its context is relevant - the gate sees the half
+    val one = Eval.contextPrecisionGate(
+      results.filter(col("qid") === 2L), Seq(2L).toDF("qid"), k = 2).head()
+    assert(one.getDouble(1) == 0.5 && one.getDouble(3) == 0.0)
+  }
 }
