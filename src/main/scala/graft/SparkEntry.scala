@@ -569,6 +569,92 @@ object SparkEntry {
         bm25 = Seq("docs_bm25" -> bPath),
         graph = Seq(("embeddings_graph", gPath, 5)))
     }),
+    // ---- [EXT] the maintenance loop CLOSED END-TO-END: the same four
+    // disrepaired stores → the SAME policy plan (frozen by
+    // localCheckpoint BEFORE any store mutates — re-evaluating it
+    // after would read the repaired state) → each planned action
+    // EXECUTED through its verified lifecycle op (graph compact, bm25
+    // rebucket-with-compact at the data-derived bucket count, IVF
+    // retrain, baseline re-record) → health re-read from the
+    // maintained generations → the per-action resolution report. The
+    // oracle replays the plan, the rebucketed skew over the surviving
+    // postings at the same floor-division bucket count, the (n+d)·k
+    // compacted-edge arithmetic, and the re-recorded-baseline zero
+    // identities — every `resolved` boolean is independently derived.
+    "index_maintenance_applied" -> ((s, dir) => {
+      import s.implicits._
+      val emb = Tables.embeddings(s, dir)
+      val docs = Tables.documents(s, dir)
+      val gPath = scratchDir("maintap-graph")
+      graft.search.KnnGraph.writeGraphIndex(nndGraph(s, dir, 5), emb, gPath)
+      graft.search.KnnGraph.appendToGraphIndex(
+        emb.filter(col("vec_id") < 10)
+          .select((col("vec_id") + 100000).as("vec_id"),
+            reverse(col("embedding")).as("embedding")), gPath)
+      val bPath = scratchDir("maintap-bm25")
+      Lexical.buildBm25Index(docs, "text", "doc_id", bPath)
+      Lexical.deleteFromBm25Index(
+        docs.filter(col("doc_id") % 5 === 0).select(col("doc_id")),
+        "doc_id", bPath)
+      val cents: Seq[Seq[Double]] = Ann.centroids(emb, "label", "embedding")
+        .orderBy(col("key")).collect().map(_.getSeq[Double](1).toSeq).toSeq
+      val iPath = scratchDir("maintap-ivf-drift")
+      Ann.buildIvfIndex(emb, cents, iPath)
+      Ann.recordIvfModel(s, iPath, cents)
+      Ann.appendToIvfIndex(
+        emb.filter(col("vec_id") < 200)
+          .select((col("vec_id") + 100000).as("vec_id"),
+            transform(col("embedding"), x => -x).as("embedding"),
+            col("label")), cents, iPath)
+      val pPath = scratchDir("maintap-ivf-pruned")
+      Ann.buildIvfIndex(emb, cents, pPath)
+      Ann.recordIvfModel(s, pPath, cents)
+      val centsDf = cents.zipWithIndex.map { case (c, i) => (i, c) }
+        .toDF("__cid", "centroid")
+      Ann.deleteFromIvfIndex(
+        emb.crossJoin(broadcast(centsDf))
+          .groupBy(col("vec_id"))
+          .agg(max(VectorOps.cosine(col("embedding"), col("centroid"))).as("__ms"))
+          .orderBy(col("__ms").asc, col("vec_id").asc).limit(100)
+          .select(col("vec_id")), pPath)
+      val planned = graft.store.Maintenance.indexMaintain(s,
+        ivf = Seq("events_vec_drifted" -> iPath, "events_vec_pruned" -> pPath),
+        bm25 = Seq("docs_bm25" -> bPath),
+        graph = Seq(("embeddings_graph", gPath, 5)))
+        .localCheckpoint()
+      // dispatch: execute exactly the actions the plan ordered (the
+      // collected rows are the bounded plan — ≤ |indexes|·|rules|)
+      val acts = planned
+        .select(col("index_kind"), col("index_name"), col("action"))
+        .collect()
+        .map(r => (r.getString(0), r.getString(1), r.getString(2))).toSet
+      val gPath2 = scratchDir("maintap-graph-v2")
+      if (acts(("graph", "embeddings_graph", "compact")))
+        graft.search.KnnGraph.compactGraphIndex(s, gPath, gPath2, 5)
+      val bPath2 = scratchDir("maintap-bm25-v2")
+      if (acts(("bm25", "docs_bm25", "compact")) ||
+          acts(("bm25", "docs_bm25", "rebucket"))) {
+        val h = Lexical.bm25IndexHealth(s, bPath).head()
+        Lexical.rebucketBm25Index(s, bPath, bPath2,
+          graft.store.Maintenance.skewTargetBuckets(
+            h.getAs[Long]("n_postings"), h.getAs[Long]("max_df")))
+      }
+      val iPath2 = scratchDir("maintap-ivf-drift-v2")
+      if (acts(("ivf", "events_vec_drifted", "retrain")))
+        Ann.retrainIvfIndex(s, iPath, iPath2, 10, 2): Unit
+      if (acts(("ivf", "events_vec_pruned", "re_record")))
+        Ann.recordIvfModel(s, pPath, cents)
+      val after = graft.store.Maintenance
+        .ivfSignals(Ann.assignmentDrift(s, iPath2), "events_vec_drifted")
+        .unionAll(graft.store.Maintenance
+          .ivfSignals(Ann.assignmentDrift(s, pPath), "events_vec_pruned"))
+        .unionAll(graft.store.Maintenance
+          .bm25Signals(Lexical.bm25IndexHealth(s, bPath2), "docs_bm25"))
+        .unionAll(graft.store.Maintenance.graphSignals(
+          graft.search.KnnGraph.graphIndexHealth(s, gPath2), 5,
+          "embeddings_graph"))
+      graft.store.Maintenance.resolutionReport(planned, after)
+    }),
     // ---- [EXT] graph-index DELETE + exact REPAIR: tombstoned nodes
     // vanish from both edge sides at probe time, and repair re-scores
     // ONLY the nodes whose stored lists referenced a deleted neighbor
@@ -5579,6 +5665,96 @@ object SparkEntry {
   /** Lowercased whitespace tokens, empties dropped (TextAnalysis.tokens). */
   private val toksSql = "list_filter(string_split(lower(text), ' '), t -> t <> '')"
 
+  /** The shared CTE block of the maintenance oracles
+    * (`index_maintenance_plan` re-ranks `fired`;
+    * `index_maintenance_applied` joins it to the post-remedy values):
+    * label centroids → per-row max raw cosine (`ms`, materialized —
+    * four drift chains read it) → the drifted/pruned drift scalars;
+    * bm25 doc/tombstone/postings-skew/max-df counts; graph debt
+    * arithmetic (the knn_graph_index_health construction); the
+    * normalized signal union; the rule VALUES; the `fired` filter.
+    * Unreferenced plain CTEs (e.g. `mtop` in the plan oracle) are
+    * pruned by the planner — shared text, per-query cost. */
+  private def maintSignalCtes: String = {
+    def rawCos(a: String, b: String) =
+      s"list_dot_product($a, $b) / (sqrt(list_dot_product($a, $a)) * sqrt(list_dot_product($b, $b)))"
+    s"""bc AS (
+       |  SELECT label, i, avg(embedding[i]::DOUBLE) AS c
+       |  FROM embeddings, (SELECT unnest(range(1, 65)) AS i) ix
+       |  GROUP BY 1, 2),
+       |bcl AS (SELECT label, list(c ORDER BY i) AS centroid
+       |        FROM bc GROUP BY label),
+       |ms AS MATERIALIZED (
+       |  SELECT e.vec_id,
+       |         max(${rawCos("e.embedding::DOUBLE[]", "c.centroid")}) AS ms
+       |  FROM embeddings e CROSS JOIN bcl c GROUP BY e.vec_id),
+       |mneg AS (
+       |  SELECT e.vec_id + 100000 AS vec_id,
+       |         max(${rawCos("list_transform(e.embedding, x -> -x)::DOUBLE[]",
+                      "c.centroid")}) AS ms
+       |  FROM embeddings e CROSS JOIN bcl c
+       |  WHERE e.vec_id < 200 GROUP BY e.vec_id),
+       |mb AS (SELECT round(avg(ms), 6) AS b FROM ms),
+       |mdc AS (SELECT round(avg(ms), 6) AS c FROM
+       |        (SELECT ms FROM ms UNION ALL SELECT ms FROM mneg)),
+       |mdd AS (SELECT round(mb.b - mdc.c, 6) AS drift FROM mb, mdc),
+       |mcut AS (SELECT vec_id FROM ms ORDER BY ms ASC, vec_id ASC LIMIT 100),
+       |mpc AS (SELECT round(avg(ms), 6) AS c FROM ms
+       |        WHERE vec_id NOT IN (SELECT vec_id FROM mcut)),
+       |mpd AS (SELECT round(mb.b - mpc.c, 6) AS drift FROM mb, mpc),
+       |mtok AS (SELECT doc_id, unnest($toksSql) AS term FROM documents),
+       |mp AS MATERIALIZED (SELECT term, doc_id FROM mtok GROUP BY 1, 2),
+       |mpb AS (SELECT (${polySql("term")}) % 64 AS tb, count(*) AS bn
+       |        FROM mp GROUP BY 1),
+       |mtots AS (SELECT count(*) AS n_postings FROM mp),
+       |mtop AS (SELECT count(*) AS max_df FROM mp GROUP BY term
+       |         ORDER BY max_df DESC LIMIT 1),
+       |mskew AS (SELECT round(max(bn)::DOUBLE /
+       |                 (mtots.n_postings::DOUBLE / 64.0), 6) AS v
+       |          FROM mpb, mtots GROUP BY mtots.n_postings),
+       |mdocs AS (SELECT count(*) AS n_docs FROM documents),
+       |mtmb AS (SELECT count(*) AS t FROM documents WHERE doc_id % 5 = 0),
+       |mtr AS (SELECT round(mtmb.t::DOUBLE / mdocs.n_docs, 6) AS v
+       |        FROM mtmb, mdocs),
+       |gn AS (SELECT count(*) AS n FROM embeddings),
+       |gd AS (SELECT count(*) AS d FROM embeddings WHERE vec_id < 10),
+       |gdebt AS (SELECT round((gn.n * 5 + gn.n * gd.d +
+       |                        gd.d * (gn.n + gd.d - 1))::DOUBLE /
+       |                       (5.0 * (gn.n + gd.d)), 6) AS v FROM gn, gd),
+       |sig AS (
+       |  SELECT 'ivf' AS index_kind, 'events_vec_drifted' AS index_name,
+       |         'assignment_drift' AS signal, greatest(drift, 0.0) AS value
+       |  FROM mdd
+       |  UNION ALL SELECT 'ivf', 'events_vec_drifted', 'baseline_stale',
+       |                   greatest(-drift, 0.0) FROM mdd
+       |  UNION ALL SELECT 'ivf', 'events_vec_pruned', 'assignment_drift',
+       |                   greatest(drift, 0.0) FROM mpd
+       |  UNION ALL SELECT 'ivf', 'events_vec_pruned', 'baseline_stale',
+       |                   greatest(-drift, 0.0) FROM mpd
+       |  UNION ALL SELECT 'bm25', 'docs_bm25', 'tombstone_ratio', v FROM mtr
+       |  UNION ALL SELECT 'bm25', 'docs_bm25', 'bucket_skew', v FROM mskew
+       |  UNION ALL SELECT 'graph', 'embeddings_graph', 'edge_debt', v
+       |            FROM gdebt
+       |  UNION ALL SELECT 'graph', 'embeddings_graph', 'tombstone_ratio',
+       |                   0.0 FROM gn),
+       |rules AS (
+       |  SELECT * FROM (VALUES
+       |    ('ivf', 'assignment_drift', 0.01, 'retrain'),
+       |    ('ivf', 'baseline_stale', 0.01, 're_record'),
+       |    ('ivfpq', 'recon_drift', 0.01, 'retrain'),
+       |    ('bm25', 'tombstone_ratio', 0.10, 'compact'),
+       |    ('bm25', 'bucket_skew', 3.0, 'rebucket'),
+       |    ('graph', 'edge_debt', 2.0, 'compact'),
+       |    ('graph', 'tombstone_ratio', 0.05, 'compact'))
+       |    t(index_kind, signal, threshold, action)),
+       |fired AS (
+       |  SELECT s.index_kind, s.index_name, r.action, s.signal,
+       |         round(s.value, 6) AS value, r.threshold,
+       |         round(s.value / r.threshold, 6) AS severity
+       |  FROM sig s JOIN rules r USING (index_kind, signal)
+       |  WHERE s.value >= r.threshold)""".stripMargin
+  }
+
   /** PQ geometry shared by the Spark queries and the oracle replay. */
   private val PqM = 8
   private val PqSub = 8    // 64 / PqM
@@ -6798,88 +6974,59 @@ object SparkEntry {
     // postings-skew counts; graph debt arithmetic (the
     // knn_graph_index_health construction); then rules join + severity
     // ranking. Healthy signals fall out of the >= threshold filter.
-    "index_maintenance_plan" -> {
-      def rawCos(a: String, b: String) =
-        s"list_dot_product($a, $b) / (sqrt(list_dot_product($a, $a)) * sqrt(list_dot_product($b, $b)))"
-      s"""WITH bc AS (
-         |  SELECT label, i, avg(embedding[i]::DOUBLE) AS c
-         |  FROM embeddings, (SELECT unnest(range(1, 65)) AS i) ix
-         |  GROUP BY 1, 2),
-         |bcl AS (SELECT label, list(c ORDER BY i) AS centroid
-         |        FROM bc GROUP BY label),
-         |ms AS MATERIALIZED (
-         |  SELECT e.vec_id,
-         |         max(${rawCos("e.embedding::DOUBLE[]", "c.centroid")}) AS ms
-         |  FROM embeddings e CROSS JOIN bcl c GROUP BY e.vec_id),
-         |mneg AS (
-         |  SELECT e.vec_id + 100000 AS vec_id,
-         |         max(${rawCos("list_transform(e.embedding, x -> -x)::DOUBLE[]",
-                        "c.centroid")}) AS ms
-         |  FROM embeddings e CROSS JOIN bcl c
-         |  WHERE e.vec_id < 200 GROUP BY e.vec_id),
-         |mb AS (SELECT round(avg(ms), 6) AS b FROM ms),
-         |mdc AS (SELECT round(avg(ms), 6) AS c FROM
-         |        (SELECT ms FROM ms UNION ALL SELECT ms FROM mneg)),
-         |mdd AS (SELECT round(mb.b - mdc.c, 6) AS drift FROM mb, mdc),
-         |mcut AS (SELECT vec_id FROM ms ORDER BY ms ASC, vec_id ASC LIMIT 100),
-         |mpc AS (SELECT round(avg(ms), 6) AS c FROM ms
-         |        WHERE vec_id NOT IN (SELECT vec_id FROM mcut)),
-         |mpd AS (SELECT round(mb.b - mpc.c, 6) AS drift FROM mb, mpc),
-         |mtok AS (SELECT doc_id, unnest($toksSql) AS term FROM documents),
-         |mp AS (SELECT term, doc_id FROM mtok GROUP BY 1, 2),
-         |mpb AS (SELECT (${polySql("term")}) % 64 AS tb, count(*) AS bn
-         |        FROM mp GROUP BY 1),
-         |mtots AS (SELECT count(*) AS n_postings FROM mp),
-         |mskew AS (SELECT round(max(bn)::DOUBLE /
-         |                 (mtots.n_postings::DOUBLE / 64.0), 6) AS v
-         |          FROM mpb, mtots GROUP BY mtots.n_postings),
-         |mdocs AS (SELECT count(*) AS n_docs FROM documents),
-         |mtmb AS (SELECT count(*) AS t FROM documents WHERE doc_id % 5 = 0),
-         |mtr AS (SELECT round(mtmb.t::DOUBLE / mdocs.n_docs, 6) AS v
-         |        FROM mtmb, mdocs),
-         |gn AS (SELECT count(*) AS n FROM embeddings),
-         |gd AS (SELECT count(*) AS d FROM embeddings WHERE vec_id < 10),
-         |gdebt AS (SELECT round((gn.n * 5 + gn.n * gd.d +
-         |                        gd.d * (gn.n + gd.d - 1))::DOUBLE /
-         |                       (5.0 * (gn.n + gd.d)), 6) AS v FROM gn, gd),
-         |sig AS (
-         |  SELECT 'ivf' AS index_kind, 'events_vec_drifted' AS index_name,
-         |         'assignment_drift' AS signal, greatest(drift, 0.0) AS value
-         |  FROM mdd
-         |  UNION ALL SELECT 'ivf', 'events_vec_drifted', 'baseline_stale',
-         |                   greatest(-drift, 0.0) FROM mdd
-         |  UNION ALL SELECT 'ivf', 'events_vec_pruned', 'assignment_drift',
-         |                   greatest(drift, 0.0) FROM mpd
-         |  UNION ALL SELECT 'ivf', 'events_vec_pruned', 'baseline_stale',
-         |                   greatest(-drift, 0.0) FROM mpd
-         |  UNION ALL SELECT 'bm25', 'docs_bm25', 'tombstone_ratio', v FROM mtr
-         |  UNION ALL SELECT 'bm25', 'docs_bm25', 'bucket_skew', v FROM mskew
-         |  UNION ALL SELECT 'graph', 'embeddings_graph', 'edge_debt', v
-         |            FROM gdebt
-         |  UNION ALL SELECT 'graph', 'embeddings_graph', 'tombstone_ratio',
-         |                   0.0 FROM gn),
-         |rules AS (
-         |  SELECT * FROM (VALUES
-         |    ('ivf', 'assignment_drift', 0.01, 'retrain'),
-         |    ('ivf', 'baseline_stale', 0.01, 're_record'),
-         |    ('ivfpq', 'recon_drift', 0.01, 'retrain'),
-         |    ('bm25', 'tombstone_ratio', 0.10, 'compact'),
-         |    ('bm25', 'bucket_skew', 3.0, 'rebucket'),
-         |    ('graph', 'edge_debt', 2.0, 'compact'),
-         |    ('graph', 'tombstone_ratio', 0.05, 'compact'))
-         |    t(index_kind, signal, threshold, action)),
-         |fired AS (
-         |  SELECT s.index_kind, s.index_name, r.action, s.signal,
-         |         round(s.value, 6) AS value, r.threshold,
-         |         round(s.value / r.threshold, 6) AS severity
-         |  FROM sig s JOIN rules r USING (index_kind, signal)
-         |  WHERE s.value >= r.threshold)
+    "index_maintenance_plan" ->
+      s"""WITH $maintSignalCtes
          |SELECT row_number() OVER (ORDER BY severity DESC, index_kind ASC,
          |         index_name ASC, action ASC, signal ASC)::BIGINT AS priority,
          |       index_kind, index_name, action, signal, value, threshold,
          |       severity
-         |FROM fired ORDER BY priority""".stripMargin
-    },
+         |FROM fired ORDER BY priority""".stripMargin,
+    // plan → act → verify: the planned rows (the shared fired CTE)
+    // joined to the POST-maintenance signal values. graph compact
+    // rewrites to exactly (n+d)·k edges (the arithmetic, not a
+    // literal); the bm25 rebucket replays the skew over the SURVIVING
+    // postings at the data-derived bucket count (floor division, the
+    // skewTargetBuckets arithmetic); compaction clears the tombstone
+    // debt; the two IVF remedies re-record the baseline from the very
+    // contents the drift is measured on, so the after-drift is 0 by
+    // identity (both sides of b6 - c6 are the same aggregate over the
+    // same store — the r6 rounding absorbs sub-1e-12 reorder noise).
+    "index_maintenance_applied" ->
+      s"""WITH $maintSignalCtes,
+         |asnb AS (SELECT greatest(1, t.n_postings // (2 * p.max_df)) AS b
+         |         FROM mtots t, mtop p),
+         |asurv AS (SELECT term FROM mp WHERE doc_id % 5 <> 0),
+         |aspb AS (SELECT (${polySql("term")}) % nb.b AS tb, count(*) AS bn
+         |         FROM asurv, asnb nb GROUP BY 1),
+         |astot AS (SELECT count(*) AS np FROM asurv),
+         |askew AS (SELECT round(max(pb.bn)::DOUBLE /
+         |                  (st.np::DOUBLE / nb.b::DOUBLE), 6) AS v
+         |          FROM aspb pb, astot st, asnb nb
+         |          GROUP BY st.np, nb.b),
+         |aft AS (
+         |  SELECT 'graph' AS index_kind, 'embeddings_graph' AS index_name,
+         |         'edge_debt' AS signal,
+         |         round(((gn.n + gd.d) * 5)::DOUBLE /
+         |               (5.0 * (gn.n + gd.d)), 6) AS value_after
+         |  FROM gn, gd
+         |  UNION ALL SELECT 'bm25', 'docs_bm25', 'tombstone_ratio', 0.0
+         |  UNION ALL SELECT 'bm25', 'docs_bm25', 'bucket_skew', v FROM askew
+         |  UNION ALL SELECT 'ivf', 'events_vec_drifted', 'assignment_drift',
+         |                   0.0
+         |  UNION ALL SELECT 'ivf', 'events_vec_pruned', 'baseline_stale',
+         |                   0.0),
+         |aplan AS (
+         |  SELECT row_number() OVER (ORDER BY severity DESC, index_kind ASC,
+         |           index_name ASC, action ASC, signal ASC)::BIGINT
+         |           AS priority,
+         |         index_kind, index_name, action, signal, value, threshold
+         |  FROM fired)
+         |SELECT p.priority, p.index_kind, p.index_name, p.action, p.signal,
+         |       p.value AS value_before, round(a.value_after, 6) AS value_after,
+         |       p.threshold, a.value_after < p.threshold AS resolved
+         |FROM aplan p LEFT JOIN aft a
+         |  USING (index_kind, index_name, signal)
+         |ORDER BY p.priority""".stripMargin,
     // base = NN-Descent over the FULL corpus; delete drops both edge
     // sides; repair re-scores ONLY the affected srcs fully (their
     // fresh rows subsume their surviving base rows, so UNION dedups

@@ -578,6 +578,55 @@ object Lexical {
       .write.mode("overwrite").parquet(s"$dstPath/stats")
   }
 
+  /** REBUCKET a materialized BM25 index: rewrite the postings into a
+    * NEW term-bucket count — the remedy for the `bucket_skew` health
+    * signal when the bucket layout no longer matches the term-mass
+    * distribution. Rebucketing needs NO corpus text: postings already
+    * carry the term, so `__tb` recomputes with the same fingerprint
+    * hash mod the new count ([[buildBm25Index]]'s expression — build
+    * and probe bucketing can never drift). Applies tombstones
+    * physically on the way (this IS also a compact — one rewrite
+    * resolves the tombstone debt and the skew together) and resets the
+    * destination's sidecars like a fresh build. `dstPath` must differ
+    * (immutable-layout rewrite, the [[compactBm25Index]] contract).
+    *
+    * Note the direction of the remedy: a skew driven by one heavy
+    * TERM cannot be hashed away — a term's postings live in exactly
+    * one bucket, so max bucket mass ≥ max_df and MORE buckets make
+    * the ratio WORSE (smaller expected mass under the same floor).
+    * The fix is FEWER buckets, sized so the expected bucket mass
+    * dominates the heaviest term — see
+    * [[graft.store.Maintenance.skewTargetBuckets]]. */
+  def rebucketBm25Index(spark: org.apache.spark.sql.SparkSession,
+                        srcPath: String, dstPath: String,
+                        newTermBuckets: Int,
+                        idCol: String = "doc_id",
+                        recordsPerFile: Long = 1L << 20): Unit = {
+    require(srcPath != dstPath,
+      "rebucket rewrites the layout: dstPath must differ from srcPath")
+    require(newTermBuckets >= 1, s"termBuckets >= 1: $newTermBuckets")
+    bm25IndexBuckets(spark, srcPath): Unit // consistency guard only
+    graft.io.Fs.delete(spark, s"$dstPath/tombstones")
+    graft.io.Fs.delete(spark, s"$dstPath/_applied_batches")
+    val tombs = bm25Tombstones(spark, srcPath)
+    def dropTombs(df: DataFrame): DataFrame =
+      tombs.fold(df)(t =>
+        df.join(broadcast(t.select(col(idCol))), Seq(idCol), "left_anti"))
+    dropTombs(spark.read.parquet(s"$srcPath/postings"))
+      .drop("__tb")
+      .withColumn("__tb",
+        pmod(TextAnalysis.fingerprint(col("term")), lit(newTermBuckets.toLong)))
+      .repartition(col("__tb"))
+      .write.partitionBy("__tb").option("maxRecordsPerFile", recordsPerFile)
+      .mode("overwrite").parquet(s"$dstPath/postings")
+    val doclens = dropTombs(spark.read.parquet(s"$srcPath/doclens"))
+    doclens.write.mode("overwrite").parquet(s"$dstPath/doclens")
+    spark.read.parquet(s"$dstPath/doclens")
+      .agg(count(lit(1)).as("n_docs"), sum(col("dl").cast("long")).as("sum_dl"))
+      .withColumn("term_buckets", lit(newTermBuckets.toLong))
+      .write.mode("overwrite").parquet(s"$dstPath/stats")
+  }
+
   /** Health report of a materialized BM25 index — the lexical sibling
     * of the IVF cluster-stats report: one row of the signals that
     * drive maintenance decisions. `n_docs`/`avg_dl` from the mergeable

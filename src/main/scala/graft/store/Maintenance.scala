@@ -128,6 +128,40 @@ object Maintenance {
       .orderBy(col("priority"))
   }
 
+  /** Data-derived term-bucket count for the `bucket_skew` → `rebucket`
+    * remedy: a term's postings live in exactly ONE bucket, so the max
+    * bucket mass is floored at the heaviest term's df and MORE buckets
+    * only shrink the denominator (expected mass) — the ratio gets
+    * worse. Resolution means sizing buckets so the EXPECTED mass
+    * dominates the heaviest term: `buckets = n_postings / (2·max_df)`
+    * targets a skew around 2 under even hashing (floor division,
+    * min 1). Same integer arithmetic on both engines. */
+  def skewTargetBuckets(nPostings: Long, maxDf: Long): Int = {
+    require(nPostings >= 0 && maxDf >= 1, "need nPostings >= 0, maxDf >= 1")
+    math.max(1L, nPostings / (2L * maxDf)).toInt
+  }
+
+  /** The plan → act → VERIFY report: join the (frozen) planned action
+    * rows against the re-read post-maintenance signals and say, per
+    * action, whether the remedy actually resolved the signal
+    * (`value_after < threshold`). `planned` is a [[plan]] output
+    * materialized BEFORE the actions mutated any store (re-evaluating
+    * it after would read the repaired state and report the wrong
+    * before-values); `after` is a fresh signals union over the
+    * maintained generations. A missing after-signal surfaces as NULL
+    * rather than being dropped — a disappeared signal is a bug, not a
+    * resolution. */
+  def resolutionReport(planned: DataFrame, after: DataFrame): DataFrame =
+    planned.join(
+        after.select(col("index_kind"), col("index_name"), col("signal"),
+          round(col("value"), 6).as("value_after")),
+        Seq("index_kind", "index_name", "signal"), "left")
+      .select(col("priority"), col("index_kind"), col("index_name"),
+        col("action"), col("signal"), col("value").as("value_before"),
+        col("value_after"), col("threshold"),
+        (col("value_after") < col("threshold")).as("resolved"))
+      .orderBy(col("priority"))
+
   /** The one-call policy op: read every registered index's health
     * through its verified report op, evaluate [[plan]]. `ivf`/`bm25`
     * are (name, path); `graph` is (name, path, k); `ivfPq` is

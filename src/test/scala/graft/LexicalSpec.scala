@@ -242,6 +242,39 @@ class LexicalSpec extends SparkSpec {
       "a fresh build must clear stale tombstones at the path")
   }
 
+  test("BM25 rebucket: probes unchanged, tombstones applied, skew actually drops at the derived count") {
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+    val qs = Seq(
+      (0L, Seq("spark", "join")),
+      (1L, Seq("table", "filter"))).toDF("qid", "terms")
+    val tmp = java.nio.file.Files.createTempDirectory("graft-bm25-rb").toString
+    val idx = tmp + "/full"
+    Lexical.buildBm25Index(docs, "text", "doc_id", idx)
+    Lexical.deleteFromBm25Index(
+      docs.filter(col("doc_id") % 5 === 0).select(col("doc_id")), "doc_id", idx)
+    def probe(p: String) = Lexical.bm25IndexTopKBatch(spark, p, qs, 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq.sorted
+    val before = probe(idx)
+    val h = Lexical.bm25IndexHealth(spark, idx).head()
+    val nb = graft.store.Maintenance.skewTargetBuckets(
+      h.getAs[Long]("n_postings"), h.getAs[Long]("max_df"))
+    val rb = tmp + "/rebucketed"
+    Lexical.rebucketBm25Index(spark, idx, rb, nb)
+    // bucketing moves WHERE postings live, never WHICH docs match
+    assert(probe(rb) == before, "rebucket must not change probe results")
+    // tombstones applied physically on the way
+    assert(!new java.io.File(s"$rb/tombstones").exists())
+    val h2 = Lexical.bm25IndexHealth(spark, rb).head()
+    assert(h2.getAs[Long]("n_tombstones") == 0L)
+    // the point of the remedy: the skew ratio actually resolves (the
+    // heaviest term's floor dominates at the OLD count, not the new)
+    assert(h2.getAs[Double]("bucket_skew") < h.getAs[Double]("bucket_skew"),
+      s"skew must drop: ${h.getAs[Double]("bucket_skew")} -> ${h2.getAs[Double]("bucket_skew")}")
+    // layout really changed: the new stats row carries the new count
+    val tb = spark.read.parquet(s"$rb/stats").head().getAs[Long]("term_buckets")
+    assert(tb == nb.toLong && tb != 64L)
+  }
+
   test("BM25 index append guards: missing stats/ and conflicting bucket layouts fail loudly") {
     val docs = spark.read.parquet(s"$sf0001/documents.parquet")
     val none = java.nio.file.Files.createTempDirectory("graft-bm25-none").toString

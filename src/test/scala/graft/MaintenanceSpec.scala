@@ -85,4 +85,30 @@ class MaintenanceSpec extends SparkSpec {
         Seq(MaintenanceRule("ivf", "assignment_drift", 0.0, "retrain")))
     }
   }
+
+  test("skewTargetBuckets: floor division, min 1, heavy-term dominance rationale") {
+    // the index_maintenance_applied fixture numbers: 11695 postings,
+    // max_df 402 -> 14 buckets (expected mass 835 dominates the 402
+    // floor; 64 buckets put the expectation UNDER the floor -> 4.3x)
+    assert(Maintenance.skewTargetBuckets(11695L, 402L) == 14)
+    assert(Maintenance.skewTargetBuckets(10L, 400L) == 1, "never below 1")
+    intercept[IllegalArgumentException] {
+      Maintenance.skewTargetBuckets(100L, 0L)
+    }
+  }
+
+  test("resolutionReport: resolved per action; a vanished after-signal surfaces as NULL") {
+    val planned = Maintenance.plan(sig(
+      ("graph", "g", "edge_debt", 5.0),
+      ("bm25", "b", "tombstone_ratio", 0.2)))
+    val after = sig(
+      ("graph", "g", "edge_debt", 1.0)) // bm25 signal MISSING post-act
+    val rows = Maintenance.resolutionReport(planned, after)
+      .collect().map(r => r.getAs[String]("signal") ->
+        ((Option(r.getAs[java.lang.Double]("value_after")),
+          Option(r.getAs[java.lang.Boolean]("resolved"))))).toMap
+    assert(rows("edge_debt") == ((Some(1.0), Some(true))))
+    assert(rows("tombstone_ratio") == ((None, None)),
+      "a disappeared signal is a bug and must surface as NULL, not drop")
+  }
 }
