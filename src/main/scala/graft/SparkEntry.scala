@@ -583,40 +583,59 @@ object SparkEntry {
     // identities — every `resolved` boolean is independently derived.
     "index_maintenance_applied" -> ((s, dir) => {
       import s.implicits._
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.ExecutionContext.Implicits.global
+      import scala.concurrent.duration.Duration
+      def par(thunks: (() => Unit)*): Unit =
+        thunks.map(t => Future(t())).foreach(Await.result(_, Duration.Inf))
       val emb = Tables.embeddings(s, dir)
       val docs = Tables.documents(s, dir)
       val gPath = scratchDir("maintap-graph")
-      graft.search.KnnGraph.writeGraphIndex(nndGraph(s, dir, 5), emb, gPath)
-      graft.search.KnnGraph.appendToGraphIndex(
-        emb.filter(col("vec_id") < 10)
-          .select((col("vec_id") + 100000).as("vec_id"),
-            reverse(col("embedding")).as("embedding")), gPath)
       val bPath = scratchDir("maintap-bm25")
-      Lexical.buildBm25Index(docs, "text", "doc_id", bPath)
-      Lexical.deleteFromBm25Index(
-        docs.filter(col("doc_id") % 5 === 0).select(col("doc_id")),
-        "doc_id", bPath)
+      val iPath = scratchDir("maintap-ivf-drift")
+      val pPath = scratchDir("maintap-ivf-pruned")
       val cents: Seq[Seq[Double]] = Ann.centroids(emb, "label", "embedding")
         .orderBy(col("key")).collect().map(_.getSeq[Double](1).toSeq).toSeq
-      val iPath = scratchDir("maintap-ivf-drift")
-      Ann.buildIvfIndex(emb, cents, iPath)
-      Ann.recordIvfModel(s, iPath, cents)
-      Ann.appendToIvfIndex(
-        emb.filter(col("vec_id") < 200)
-          .select((col("vec_id") + 100000).as("vec_id"),
-            transform(col("embedding"), x => -x).as("embedding"),
-            col("label")), cents, iPath)
-      val pPath = scratchDir("maintap-ivf-pruned")
-      Ann.buildIvfIndex(emb, cents, pPath)
-      Ann.recordIvfModel(s, pPath, cents)
-      val centsDf = cents.zipWithIndex.map { case (c, i) => (i, c) }
-        .toDF("__cid", "centroid")
-      Ann.deleteFromIvfIndex(
-        emb.crossJoin(broadcast(centsDf))
-          .groupBy(col("vec_id"))
-          .agg(max(VectorOps.cosine(col("embedding"), col("centroid"))).as("__ms"))
-          .orderBy(col("__ms").asc, col("vec_id").asc).limit(100)
-          .select(col("vec_id")), pPath)
+      // the four stores are independent: build them (and later run
+      // their remedies) on parallel driver threads — per-store
+      // sequencing stays inside its thunk, paths never overlap
+      par(
+        () => {
+          graft.search.KnnGraph.writeGraphIndex(
+            nndGraph(s, dir, 5), emb, gPath)
+          graft.search.KnnGraph.appendToGraphIndex(
+            emb.filter(col("vec_id") < 10)
+              .select((col("vec_id") + 100000).as("vec_id"),
+                reverse(col("embedding")).as("embedding")), gPath)
+        },
+        () => {
+          Lexical.buildBm25Index(docs, "text", "doc_id", bPath)
+          Lexical.deleteFromBm25Index(
+            docs.filter(col("doc_id") % 5 === 0).select(col("doc_id")),
+            "doc_id", bPath)
+        },
+        () => {
+          Ann.buildIvfIndex(emb, cents, iPath)
+          Ann.recordIvfModel(s, iPath, cents)
+          Ann.appendToIvfIndex(
+            emb.filter(col("vec_id") < 200)
+              .select((col("vec_id") + 100000).as("vec_id"),
+                transform(col("embedding"), x => -x).as("embedding"),
+                col("label")), cents, iPath)
+        },
+        () => {
+          Ann.buildIvfIndex(emb, cents, pPath)
+          Ann.recordIvfModel(s, pPath, cents)
+          val centsDf = cents.zipWithIndex.map { case (c, i) => (i, c) }
+            .toDF("__cid", "centroid")
+          Ann.deleteFromIvfIndex(
+            emb.crossJoin(broadcast(centsDf))
+              .groupBy(col("vec_id"))
+              .agg(max(VectorOps.cosine(col("embedding"), col("centroid")))
+                .as("__ms"))
+              .orderBy(col("__ms").asc, col("vec_id").asc).limit(100)
+              .select(col("vec_id")), pPath)
+        })
       val planned = graft.store.Maintenance.indexMaintain(s,
         ivf = Seq("events_vec_drifted" -> iPath, "events_vec_pruned" -> pPath),
         bm25 = Seq("docs_bm25" -> bPath),
@@ -628,30 +647,42 @@ object SparkEntry {
         .select(col("index_kind"), col("index_name"), col("action"))
         .collect()
         .map(r => (r.getString(0), r.getString(1), r.getString(2))).toSet
+      // each remedy produces a NEW generation; indexes whose signals
+      // never fired keep serving their current one (the thresholds
+      // are data-dependent — a different scale factor may fire a
+      // different subset, and the after-read must not assume). The
+      // remedies are independent like the builds: parallel threads.
       val gPath2 = scratchDir("maintap-graph-v2")
-      if (acts(("graph", "embeddings_graph", "compact")))
-        graft.search.KnnGraph.compactGraphIndex(s, gPath, gPath2, 5)
+      val gEff =
+        if (acts(("graph", "embeddings_graph", "compact"))) gPath2 else gPath
       val bPath2 = scratchDir("maintap-bm25-v2")
-      if (acts(("bm25", "docs_bm25", "compact")) ||
-          acts(("bm25", "docs_bm25", "rebucket"))) {
-        val h = Lexical.bm25IndexHealth(s, bPath).head()
-        Lexical.rebucketBm25Index(s, bPath, bPath2,
-          graft.store.Maintenance.skewTargetBuckets(
-            h.getAs[Long]("n_postings"), h.getAs[Long]("max_df")))
-      }
+      val bEff =
+        if (acts(("bm25", "docs_bm25", "compact")) ||
+          acts(("bm25", "docs_bm25", "rebucket"))) bPath2 else bPath
       val iPath2 = scratchDir("maintap-ivf-drift-v2")
-      if (acts(("ivf", "events_vec_drifted", "retrain")))
-        Ann.retrainIvfIndex(s, iPath, iPath2, 10, 2): Unit
-      if (acts(("ivf", "events_vec_pruned", "re_record")))
-        Ann.recordIvfModel(s, pPath, cents)
+      val iEff =
+        if (acts(("ivf", "events_vec_drifted", "retrain"))) iPath2 else iPath
+      par(
+        () => if (gEff == gPath2)
+          graft.search.KnnGraph.compactGraphIndex(s, gPath, gPath2, 5),
+        () => if (bEff == bPath2) {
+          val h = Lexical.bm25IndexHealth(s, bPath).head()
+          Lexical.rebucketBm25Index(s, bPath, bPath2,
+            graft.store.Maintenance.skewTargetBuckets(
+              h.getAs[Long]("n_postings"), h.getAs[Long]("max_df")))
+        },
+        () => if (iEff == iPath2)
+          Ann.retrainIvfIndex(s, iPath, iPath2, 10, 2): Unit,
+        () => if (acts(("ivf", "events_vec_pruned", "re_record")))
+          Ann.recordIvfModel(s, pPath, cents))
       val after = graft.store.Maintenance
-        .ivfSignals(Ann.assignmentDrift(s, iPath2), "events_vec_drifted")
+        .ivfSignals(Ann.assignmentDrift(s, iEff), "events_vec_drifted")
         .unionAll(graft.store.Maintenance
           .ivfSignals(Ann.assignmentDrift(s, pPath), "events_vec_pruned"))
         .unionAll(graft.store.Maintenance
-          .bm25Signals(Lexical.bm25IndexHealth(s, bPath2), "docs_bm25"))
+          .bm25Signals(Lexical.bm25IndexHealth(s, bEff), "docs_bm25"))
         .unionAll(graft.store.Maintenance.graphSignals(
-          graft.search.KnnGraph.graphIndexHealth(s, gPath2), 5,
+          graft.search.KnnGraph.graphIndexHealth(s, gEff), 5,
           "embeddings_graph"))
       graft.store.Maintenance.resolutionReport(planned, after)
     }),
