@@ -519,55 +519,88 @@ object SparkEntry {
     // signal derivation, the rule join, and the severity ranking.
     "index_maintenance_plan" -> ((s, dir) => {
       import s.implicits._
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.ExecutionContext.Implicits.global
+      import scala.concurrent.duration.Duration
+      def par(thunks: (() => Unit)*): Unit =
+        thunks.map(t => Future(t())).foreach(Await.result(_, Duration.Inf))
       val emb = Tables.embeddings(s, dir)
       val docs = Tables.documents(s, dir)
-      // graph: production NN-Descent base + 10 appended nodes (the
-      // knn_graph_index_health construction — its debt arithmetic is
-      // already hash-pinned)
       val gPath = scratchDir("maint-graph")
-      graft.search.KnnGraph.writeGraphIndex(nndGraph(s, dir, 5), emb, gPath)
-      graft.search.KnnGraph.appendToGraphIndex(
-        emb.filter(col("vec_id") < 10)
-          .select((col("vec_id") + 100000).as("vec_id"),
-            reverse(col("embedding")).as("embedding")), gPath)
-      // bm25: full build, every 5th doc tombstoned
       val bPath = scratchDir("maint-bm25")
-      Lexical.buildBm25Index(docs, "text", "doc_id", bPath)
-      Lexical.deleteFromBm25Index(
-        docs.filter(col("doc_id") % 5 === 0).select(col("doc_id")),
-        "doc_id", bPath)
+      val iPath = scratchDir("maint-ivf-drift")
+      val pPath = scratchDir("maint-ivf-pruned")
+      val qPath = scratchDir("maint-ivfpq")
       // the shared label-centroid model (the ann_index_drift
-      // convention: deterministic, oracle-cheap)
+      // convention: deterministic, oracle-cheap) + the PQ codebooks
       val cents: Seq[Seq[Double]] = Ann.centroids(emb, "label", "embedding")
         .orderBy(col("key")).collect().map(_.getSeq[Double](1).toSeq).toSeq
-      // ivf A: build full + record, append 200 NEGATED vectors — the
-      // frozen centroids fit them badly, mean assigned sim decays
-      val iPath = scratchDir("maint-ivf-drift")
-      Ann.buildIvfIndex(emb, cents, iPath)
-      Ann.recordIvfModel(s, iPath, cents)
-      Ann.appendToIvfIndex(
-        emb.filter(col("vec_id") < 200)
-          .select((col("vec_id") + 100000).as("vec_id"),
-            transform(col("embedding"), x => -x).as("embedding"),
-            col("label")), cents, iPath)
-      // ivf B: build full + record, DELETE the 100 worst-assigned rows
-      // (raw max-centroid cosine ASC, id ASC — bounded TakeOrdered) —
-      // the survivors now sit CLOSER than the recorded baseline claims
-      val pPath = scratchDir("maint-ivf-pruned")
-      Ann.buildIvfIndex(emb, cents, pPath)
-      Ann.recordIvfModel(s, pPath, cents)
-      val centsDf = cents.zipWithIndex.map { case (c, i) => (i, c) }
-        .toDF("__cid", "centroid")
-      Ann.deleteFromIvfIndex(
-        emb.crossJoin(broadcast(centsDf))
-          .groupBy(col("vec_id"))
-          .agg(max(VectorOps.cosine(col("embedding"), col("centroid"))).as("__ms"))
-          .orderBy(col("__ms").asc, col("vec_id").asc).limit(100)
-          .select(col("vec_id")), pPath)
+      val cb = graft.search.Pq.train(emb, "vec_id", "embedding", 64,
+        PqM, PqKsub, PqIters)
+      // the five stores are independent — build each one's sequenced
+      // disrepair on its own driver thread:
+      //  - graph: production NN-Descent base + 10 appended nodes (the
+      //    knn_graph_index_health construction, debt arithmetic pinned)
+      //  - bm25: full build, every 5th doc tombstoned
+      //  - ivf A: build full + record, append 200 NEGATED vectors —
+      //    the frozen centroids fit them badly, assigned sim decays
+      //  - ivf B: build full + record, DELETE the 100 worst-assigned
+      //    rows (raw max-centroid cosine ASC, id ASC — bounded
+      //    TakeOrdered): survivors sit CLOSER than the baseline claims
+      //  - ivf-pq: full build + recorded error baseline, the same 200
+      //    negated appends encode through the FROZEN codebooks —
+      //    quantization error grows, recon_drift fires retrain
+      par(
+        () => {
+          graft.search.KnnGraph.writeGraphIndex(
+            nndGraph(s, dir, 5), emb, gPath)
+          graft.search.KnnGraph.appendToGraphIndex(
+            emb.filter(col("vec_id") < 10)
+              .select((col("vec_id") + 100000).as("vec_id"),
+                reverse(col("embedding")).as("embedding")), gPath)
+        },
+        () => {
+          Lexical.buildBm25Index(docs, "text", "doc_id", bPath)
+          Lexical.deleteFromBm25Index(
+            docs.filter(col("doc_id") % 5 === 0).select(col("doc_id")),
+            "doc_id", bPath)
+        },
+        () => {
+          Ann.buildIvfIndex(emb, cents, iPath)
+          Ann.recordIvfModel(s, iPath, cents)
+          Ann.appendToIvfIndex(
+            emb.filter(col("vec_id") < 200)
+              .select((col("vec_id") + 100000).as("vec_id"),
+                transform(col("embedding"), x => -x).as("embedding"),
+                col("label")), cents, iPath)
+        },
+        () => {
+          Ann.buildIvfIndex(emb, cents, pPath)
+          Ann.recordIvfModel(s, pPath, cents)
+          val centsDf = cents.zipWithIndex.map { case (c, i) => (i, c) }
+            .toDF("__cid", "centroid")
+          Ann.deleteFromIvfIndex(
+            emb.crossJoin(broadcast(centsDf))
+              .groupBy(col("vec_id"))
+              .agg(max(VectorOps.cosine(col("embedding"), col("centroid")))
+                .as("__ms"))
+              .orderBy(col("__ms").asc, col("vec_id").asc).limit(100)
+              .select(col("vec_id")), pPath)
+        },
+        () => {
+          graft.search.Pq.buildIvfPqIndex(emb, cents, cb, qPath)
+          graft.search.Pq.recordIvfPqModel(s, qPath, cb)
+          graft.search.Pq.appendToIvfPqIndex(
+            emb.filter(col("vec_id") < 200)
+              .select((col("vec_id") + 100000).as("vec_id"),
+                transform(col("embedding"), x => -x).as("embedding"),
+                col("label")), cents, cb, qPath)
+        })
       graft.store.Maintenance.indexMaintain(s,
         ivf = Seq("events_vec_drifted" -> iPath, "events_vec_pruned" -> pPath),
         bm25 = Seq("docs_bm25" -> bPath),
-        graph = Seq(("embeddings_graph", gPath, 5)))
+        graph = Seq(("embeddings_graph", gPath, 5)),
+        ivfPq = Seq(("events_vec_pq", qPath, cb)))
     }),
     // ---- [EXT] the maintenance loop CLOSED END-TO-END: the same four
     // disrepaired stores → the SAME policy plan (frozen by
@@ -594,12 +627,24 @@ object SparkEntry {
       val bPath = scratchDir("maintap-bm25")
       val iPath = scratchDir("maintap-ivf-drift")
       val pPath = scratchDir("maintap-ivf-pruned")
+      val qPath = scratchDir("maintap-ivfpq")
       val cents: Seq[Seq[Double]] = Ann.centroids(emb, "label", "embedding")
         .orderBy(col("key")).collect().map(_.getSeq[Double](1).toSeq).toSeq
-      // the four stores are independent: build them (and later run
+      val cb = graft.search.Pq.train(emb, "vec_id", "embedding", 64,
+        PqM, PqKsub, PqIters)
+      // the five stores are independent: build them (and later run
       // their remedies) on parallel driver threads — per-store
       // sequencing stays inside its thunk, paths never overlap
       par(
+        () => {
+          graft.search.Pq.buildIvfPqIndex(emb, cents, cb, qPath)
+          graft.search.Pq.recordIvfPqModel(s, qPath, cb)
+          graft.search.Pq.appendToIvfPqIndex(
+            emb.filter(col("vec_id") < 200)
+              .select((col("vec_id") + 100000).as("vec_id"),
+                transform(col("embedding"), x => -x).as("embedding"),
+                col("label")), cents, cb, qPath)
+        },
         () => {
           graft.search.KnnGraph.writeGraphIndex(
             nndGraph(s, dir, 5), emb, gPath)
@@ -639,7 +684,8 @@ object SparkEntry {
       val planned = graft.store.Maintenance.indexMaintain(s,
         ivf = Seq("events_vec_drifted" -> iPath, "events_vec_pruned" -> pPath),
         bm25 = Seq("docs_bm25" -> bPath),
-        graph = Seq(("embeddings_graph", gPath, 5)))
+        graph = Seq(("embeddings_graph", gPath, 5)),
+        ivfPq = Seq(("events_vec_pq", qPath, cb)))
         .localCheckpoint()
       // dispatch: execute exactly the actions the plan ordered (the
       // collected rows are the bounded plan — ≤ |indexes|·|rules|)
@@ -662,6 +708,12 @@ object SparkEntry {
       val iPath2 = scratchDir("maintap-ivf-drift-v2")
       val iEff =
         if (acts(("ivf", "events_vec_drifted", "retrain"))) iPath2 else iPath
+      val qPath2 = scratchDir("maintap-ivfpq-v2")
+      val qRetrain = acts(("ivfpq", "events_vec_pq", "retrain"))
+      val qEff = if (qRetrain) qPath2 else qPath
+      // the retrained codebooks cross the thread boundary through the
+      // Await (promise completion happens-before the read)
+      var cbEff: graft.search.Pq.Codebooks = cb
       par(
         () => if (gEff == gPath2)
           graft.search.KnnGraph.compactGraphIndex(s, gPath, gPath2, 5),
@@ -673,6 +725,12 @@ object SparkEntry {
         },
         () => if (iEff == iPath2)
           Ann.retrainIvfIndex(s, iPath, iPath2, 10, 2): Unit,
+        () => if (qRetrain) {
+          val (_, cb2) = graft.search.Pq.retrainIvfPqIndex(
+            s, qPath, qPath2, 10, 2, 64, PqM, PqKsub, PqIters)
+          graft.search.Pq.recordIvfPqModel(s, qPath2, cb2)
+          cbEff = cb2
+        },
         () => if (acts(("ivf", "events_vec_pruned", "re_record")))
           Ann.recordIvfModel(s, pPath, cents))
       val after = graft.store.Maintenance
@@ -684,6 +742,9 @@ object SparkEntry {
         .unionAll(graft.store.Maintenance.graphSignals(
           graft.search.KnnGraph.graphIndexHealth(s, gEff), 5,
           "embeddings_graph"))
+        .unionAll(graft.store.Maintenance.pqSignals(
+          graft.search.Pq.reconstructionDrift(s, qEff, cbEff),
+          "events_vec_pq"))
       graft.store.Maintenance.resolutionReport(planned, after)
     }),
     // ---- [EXT] graph-index DELETE + exact REPAIR: tombstoned nodes
@@ -5709,6 +5770,30 @@ object SparkEntry {
   private def maintSignalCtes: String = {
     def rawCos(a: String, b: String) =
       s"list_dot_product($a, $b) / (sqrt(list_dot_product($a, $a)) * sqrt(list_dot_product($b, $b)))"
+    // the IVF-PQ recon-drift chain: codebooks = the standard PQ
+    // training over the corpus (mq prefix); the negated delta assigns
+    // through the FROZEN codebooks (the same l2-argmin form the
+    // trainer's af CTEs use, over mqd); recon/normalize/error mirror
+    // the ivfpq_recon_drift oracle; baseline = corpus rows, current =
+    // corpus ∪ delta
+    def l2d(mi: Int) = {
+      val slice = s"(e.nv)[${mi * PqSub + 1}:${(mi + 1) * PqSub}]"
+      s"list_reduce(list_transform(range(1, ${PqSub + 1}), " +
+        s"i -> ($slice[i] - c.centroid[i]) * ($slice[i] - c.centroid[i])), " +
+        "(x, y) -> x + y)"
+    }
+    val mqdAssign = (0 until PqM).map { mi =>
+      s"""mqda$mi AS (
+         |  SELECT vec_id, cid FROM (
+         |    SELECT e.vec_id, c.cid,
+         |           row_number() OVER (PARTITION BY e.vec_id
+         |             ORDER BY ${l2d(mi)} ASC, c.cid ASC) AS rn
+         |    FROM mqd e CROSS JOIN mqcb${mi}_$PqIters c) WHERE rn = 1)""".stripMargin
+    }.mkString(",\n")
+    def reconJoins(af: String) = (1 until PqM).map(mi =>
+      s"JOIN $af$mi ON ${af}0.vec_id = $af$mi.vec_id " +
+        s"JOIN mqcb${mi}_$PqIters c$mi ON $af$mi.cid = c$mi.cid").mkString("\n       ")
+    val cat = (0 until PqM).map(mi => s"c$mi.centroid").mkString(" || ")
     s"""bc AS (
        |  SELECT label, i, avg(embedding[i]::DOUBLE) AS c
        |  FROM embeddings, (SELECT unnest(range(1, 65)) AS i) ix
@@ -5752,6 +5837,50 @@ object SparkEntry {
        |gdebt AS (SELECT round((gn.n * 5 + gn.n * gd.d +
        |                        gd.d * (gn.n + gd.d - 1))::DOUBLE /
        |                       (5.0 * (gn.n + gd.d)), 6) AS v FROM gn, gd),
+       |${pqTrainSqlOn("embeddings", "embedding", cast = true, "mq")},
+       |mqd AS MATERIALIZED (
+       |  SELECT vec_id + 100000 AS vec_id,
+       |         list_transform(embedding::DOUBLE[], x -> -x) AS nv
+       |  FROM embeddings WHERE vec_id < 200),
+       |$mqdAssign,
+       |mqrb AS (
+       |  SELECT mqaf0.vec_id, $cat AS r
+       |  FROM mqaf0 JOIN mqcb0_$PqIters c0 ON mqaf0.cid = c0.cid
+       |       ${reconJoins("mqaf")}),
+       |mqrd AS (
+       |  SELECT mqda0.vec_id, $cat AS r
+       |  FROM mqda0 JOIN mqcb0_$PqIters c0 ON mqda0.cid = c0.cid
+       |       ${reconJoins("mqda")}),
+       |mqnb AS (
+       |  SELECT e.vec_id,
+       |         list_transform(e.embedding::DOUBLE[],
+       |           x -> x / sqrt(list_dot_product(e.embedding::DOUBLE[],
+       |                                          e.embedding::DOUBLE[]))) AS xn,
+       |         list_transform(r.r,
+       |           x -> x / sqrt(list_dot_product(r.r, r.r))) AS rn
+       |  FROM mqrb r JOIN embeddings e USING (vec_id)),
+       |mqnd AS (
+       |  SELECT e.vec_id,
+       |         list_transform(e.nv,
+       |           x -> x / sqrt(list_dot_product(e.nv, e.nv))) AS xn,
+       |         list_transform(r.r,
+       |           x -> x / sqrt(list_dot_product(r.r, r.r))) AS rn
+       |  FROM mqrd r JOIN mqd e USING (vec_id)),
+       |mqeb AS (
+       |  SELECT sqrt(list_reduce(list_transform(range(1, 65),
+       |           i -> (xn[i] - rn[i]) * (xn[i] - rn[i])),
+       |           (x, y) -> x + y)) AS d
+       |  FROM mqnb),
+       |mqed AS (
+       |  SELECT sqrt(list_reduce(list_transform(range(1, 65),
+       |           i -> (xn[i] - rn[i]) * (xn[i] - rn[i])),
+       |           (x, y) -> x + y)) AS d
+       |  FROM mqnd),
+       |mqm AS (SELECT (SELECT round(avg(d), 6) FROM mqeb) AS b6,
+       |               (SELECT round(avg(d), 6) FROM
+       |                 (SELECT d FROM mqeb UNION ALL SELECT d FROM mqed))
+       |                 AS c6),
+       |mqdd AS (SELECT round(c6 - b6, 6) AS drift FROM mqm),
        |sig AS (
        |  SELECT 'ivf' AS index_kind, 'events_vec_drifted' AS index_name,
        |         'assignment_drift' AS signal, greatest(drift, 0.0) AS value
@@ -5762,6 +5891,8 @@ object SparkEntry {
        |                   greatest(drift, 0.0) FROM mpd
        |  UNION ALL SELECT 'ivf', 'events_vec_pruned', 'baseline_stale',
        |                   greatest(-drift, 0.0) FROM mpd
+       |  UNION ALL SELECT 'ivfpq', 'events_vec_pq', 'recon_drift',
+       |                   greatest(drift, 0.0) FROM mqdd
        |  UNION ALL SELECT 'bm25', 'docs_bm25', 'tombstone_ratio', v FROM mtr
        |  UNION ALL SELECT 'bm25', 'docs_bm25', 'bucket_skew', v FROM mskew
        |  UNION ALL SELECT 'graph', 'embeddings_graph', 'edge_debt', v
@@ -7045,7 +7176,8 @@ object SparkEntry {
          |  UNION ALL SELECT 'ivf', 'events_vec_drifted', 'assignment_drift',
          |                   0.0
          |  UNION ALL SELECT 'ivf', 'events_vec_pruned', 'baseline_stale',
-         |                   0.0),
+         |                   0.0
+         |  UNION ALL SELECT 'ivfpq', 'events_vec_pq', 'recon_drift', 0.0),
          |aplan AS (
          |  SELECT row_number() OVER (ORDER BY severity DESC, index_kind ASC,
          |           index_name ASC, action ASC, signal ASC)::BIGINT
