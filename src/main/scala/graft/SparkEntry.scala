@@ -973,17 +973,26 @@ object SparkEntry {
     "opq_recall" -> ((s, dir) => {
       val emb = Tables.embeddings(s, dir)
       val (v1, v2) = graft.search.Pq.rotationVectors(64)
+      // the rotated corpus feeds the training init, both Lloyd
+      // passes, the exact scan, AND the ADC encode — checkpoint it
+      // once (the opq_pca_recall treatment); the exact branch is
+      // independent of the training collects, so it materializes on
+      // a second thread while Lloyd runs
       val rot = graft.search.Pq.rotateCorpus(emb, "embedding", "rvec", v1, v2)
         .select(col("vec_id"), col("rvec"))
-      val cb = graft.search.Pq.train(rot, "vec_id", "rvec", 64,
-        PqM, PqKsub, PqIters)
+        .localCheckpoint()
       val qrot = queryVec(s, dir).select(
         graft.search.Pq.rotate(col("qvec"), v1, v2).as("qvec"))
-      val exact = Search.knn(rot, qrot, 5, vecCol = "rvec")
-        .select(col("vec_id"))
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.ExecutionContext.Implicits.global
+      val fExact = Future(Search.knn(rot, qrot, 5, vecCol = "rvec")
+        .select(col("vec_id")).localCheckpoint())
+      val cb = graft.search.Pq.train(rot, "vec_id", "rvec", 64,
+        PqM, PqKsub, PqIters)
       val approx = graft.search.Pq.adcTopK(rot, qrot, 5, cb, vecCol = "rvec")
         .select(col("vec_id"))
-      exact.join(approx, Seq("vec_id"), "left_semi")
+      Await.result(fExact, scala.concurrent.duration.Duration.Inf)
+        .join(approx, Seq("vec_id"), "left_semi")
         .agg((count(lit(1)) / 5.0).as("recall_at_5"))
     }),
     // ---- [EXT] DATA-DRIVEN OPQ (Ge 2013's eigenvalue allocation as
