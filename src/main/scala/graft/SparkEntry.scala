@@ -79,6 +79,18 @@ object SparkEntry {
   private def scratchDir(name: String): String =
     scratchRoot.resolve(name).toString
 
+  /** Run independent driver-blocking thunks (store builds, lifecycle
+    * remedies — each internally sequenced, none sharing a path) on
+    * parallel driver threads. Concurrent actions on one SparkSession
+    * are supported; Await on each future gives the happens-before
+    * edge for anything a thunk wrote. */
+  private def parUnit(thunks: (() => Unit)*): Unit = {
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.ExecutionContext.Implicits.global
+    thunks.map(t => Future(t()))
+      .foreach(Await.result(_, scala.concurrent.duration.Duration.Inf))
+  }
+
   /** Per-process memo of the kNN-graph builds (keyed by session +
     * corpus dir). A dozen queries consume "the corpus's kNN graph";
     * without sharing, each rebuilt it from scratch — 34% of the
@@ -519,11 +531,6 @@ object SparkEntry {
     // signal derivation, the rule join, and the severity ranking.
     "index_maintenance_plan" -> ((s, dir) => {
       import s.implicits._
-      import scala.concurrent.{Await, Future}
-      import scala.concurrent.ExecutionContext.Implicits.global
-      import scala.concurrent.duration.Duration
-      def par(thunks: (() => Unit)*): Unit =
-        thunks.map(t => Future(t())).foreach(Await.result(_, Duration.Inf))
       val emb = Tables.embeddings(s, dir)
       val docs = Tables.documents(s, dir)
       val gPath = scratchDir("maint-graph")
@@ -550,7 +557,7 @@ object SparkEntry {
       //  - ivf-pq: full build + recorded error baseline, the same 200
       //    negated appends encode through the FROZEN codebooks —
       //    quantization error grows, recon_drift fires retrain
-      par(
+      parUnit(
         () => {
           graft.search.KnnGraph.writeGraphIndex(
             nndGraph(s, dir, 5), emb, gPath)
@@ -616,11 +623,6 @@ object SparkEntry {
     // identities — every `resolved` boolean is independently derived.
     "index_maintenance_applied" -> ((s, dir) => {
       import s.implicits._
-      import scala.concurrent.{Await, Future}
-      import scala.concurrent.ExecutionContext.Implicits.global
-      import scala.concurrent.duration.Duration
-      def par(thunks: (() => Unit)*): Unit =
-        thunks.map(t => Future(t())).foreach(Await.result(_, Duration.Inf))
       val emb = Tables.embeddings(s, dir)
       val docs = Tables.documents(s, dir)
       val gPath = scratchDir("maintap-graph")
@@ -635,7 +637,7 @@ object SparkEntry {
       // the five stores are independent: build them (and later run
       // their remedies) on parallel driver threads — per-store
       // sequencing stays inside its thunk, paths never overlap
-      par(
+      parUnit(
         () => {
           graft.search.Pq.buildIvfPqIndex(emb, cents, cb, qPath)
           graft.search.Pq.recordIvfPqModel(s, qPath, cb)
@@ -714,7 +716,7 @@ object SparkEntry {
       // the retrained codebooks cross the thread boundary through the
       // Await (promise completion happens-before the read)
       var cbEff: graft.search.Pq.Codebooks = cb
-      par(
+      parUnit(
         () => if (gEff == gPath2)
           graft.search.KnnGraph.compactGraphIndex(s, gPath, gPath2, 5),
         () => if (bEff == bPath2) {
