@@ -127,6 +127,45 @@ object StreamIngest {
         }
       }
 
+  /** POLICY-DRIVEN streaming maintenance — [[ivfMaintenanceSink]]
+    * plus the auto-maintenance policy
+    * ([[graft.store.Maintenance.plan]]) evaluated after each applied
+    * batch: the index's assignment-drift signals run through the rule
+    * set and every FIRED action appends to `<path>.oplog` stamped
+    * with the batch id — the stream's maintenance ORDER BOOK. An
+    * operator (or a scheduled executor) drains the log and runs the
+    * remedies through the verified lifecycle ops (the
+    * `index_maintenance_applied` composition); the same action logged
+    * across consecutive batches is the signal STAYING over threshold,
+    * not a duplicate. Policy evaluation needs the recorded baseline
+    * ([[graft.search.Ann.recordIvfModel]]) — batches applied before
+    * one exists append WITHOUT evaluation (drift against a baseline
+    * that was never recorded is undefined, not zero). The batch-id
+    * marker covers the append AND its log rows together, so a restart
+    * replay is a no-op for both. */
+  def ivfPolicySink(vecs: DataFrame, cents: Seq[Seq[Double]], path: String,
+                    indexName: String,
+                    rules: Seq[graft.store.MaintenanceRule] =
+                      graft.store.Maintenance.DefaultRules,
+                    vecCol: String = "embedding"): DataStreamWriter[org.apache.spark.sql.Row] =
+    vecs.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        oncePerBatch(batch.sparkSession, s"$path/_applied_batches", batchId) {
+          if (batch.isEmpty) ()
+          else {
+            graft.search.Ann.appendToIvfIndex(batch, cents, path, vecCol)
+            if (graft.io.Fs.exists(batch.sparkSession, s"$path.stats"))
+              graft.store.Maintenance.plan(
+                  graft.store.Maintenance.ivfSignals(
+                    graft.search.Ann.assignmentDrift(batch.sparkSession,
+                      path, vecCol = vecCol), indexName), rules)
+                .withColumn("batch_id", lit(batchId))
+                .write.mode("append").parquet(s"$path.oplog")
+          }
+        }
+      }
+
   /** Streaming maintenance of a materialized IVF-PQ index — the
     * COMPRESSED-codes twin of [[ivfMaintenanceSink]], closing the gap
     * where a streaming ingest could maintain the coarse float index

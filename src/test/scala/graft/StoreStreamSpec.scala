@@ -154,6 +154,55 @@ class StoreStreamSpec extends SparkSpec {
     assert(streamed == rebuilt, s"streamed $streamed != rebuilt $rebuilt")
   }
 
+  test("policy sink: in-distribution batch logs nothing, drifting batch logs the retrain order, replay is a no-op") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.functions.col
+    implicit val sqlCtx = spark.sqlContext
+    val emb = spark.read.parquet(s"$sf0001/embeddings.parquet")
+    val cents: Seq[Seq[Double]] = graft.search.Ann
+      .centroids(emb, "label", "embedding")
+      .orderBy(col("key")).collect().map(_.getSeq[Double](1).toSeq).toSeq
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-stream-policy").toString + "/index"
+    graft.search.Ann.buildIvfIndex(
+      emb.select(col("vec_id"), col("embedding")), cents, dir)
+    graft.search.Ann.recordIvfModel(spark, dir, cents)
+    // thresholds are POLICY: micro-batches dilute drift by |batch|/n,
+    // so the per-batch gate sits tighter than the batch default
+    val rules = Seq(graft.store.MaintenanceRule(
+      "ivf", "assignment_drift", 0.001, "retrain"))
+    val rows = emb.collect().map(r => (r.getLong(0), r.getSeq[Float](1).toSeq))
+    val input = MemoryStream[(Long, Seq[Float])]
+    val q = graft.streaming.StreamIngest.ivfPolicySink(
+      input.toDF().toDF("vec_id", "embedding"), cents, dir,
+      "events_vec", rules).start()
+    // batch 0: 30 duplicated in-distribution rows — mean assigned sim
+    // barely moves, NO action may be logged
+    input.addData(rows.take(30).map { case (id, v) => (id + 100000, v) })
+    q.processAllAvailable()
+    // batch 1: 30 NEGATED rows — the frozen centroids fit them badly,
+    // cumulative drift crosses the gate, the retrain order is logged
+    input.addData(rows.take(30).map { case (id, v) =>
+      (id + 200000, v.map(x => -x)) })
+    q.processAllAvailable()
+    q.stop()
+    val log = spark.read.parquet(s"$dir.oplog")
+      .collect().map(r => (r.getAs[Long]("batch_id"),
+        r.getAs[String]("action"), r.getAs[String]("index_name")))
+    assert(log.toSeq == Seq((1L, "retrain", "events_vec")),
+      s"order book must carry exactly the drifting batch's retrain: ${log.toSeq}")
+    // restart replay of the same batches: markers make it a no-op for
+    // the append AND the log together
+    val q2 = graft.streaming.StreamIngest.ivfPolicySink(
+      input.toDF().toDF("vec_id", "embedding"), cents, dir,
+      "events_vec", rules).start()
+    q2.processAllAvailable(); q2.stop()
+    assert(spark.read.parquet(s"$dir.oplog").count() == 1L,
+      "replay must not double-log")
+    val n = spark.read.parquet(dir).count()
+    assert(n == emb.count() + 60, s"replay must not double-append: $n")
+  }
+
   test("streaming IVF-PQ maintenance: codes+vectors append per batch, probe ≡ rebuild") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import org.apache.spark.sql.functions.col
