@@ -75,7 +75,7 @@ object Lexical {
     * Strings of length ≤ maxDist carry a single "S:len" key instead
     * (too short for maxDist+1 non-empty segments; the pigeonhole
     * argument needs every segment non-empty). */
-  private def editSegmentKeys(c: Column, maxDist: Int): Column = {
+  private[graft] def editSegmentKeys(c: Column, maxDist: Int): Column = {
     val n = maxDist + 1
     val len = length(c)
     val segs = (0 until n).map { i =>
@@ -94,7 +94,7 @@ object Lexical {
     * shifted by every net-indel offset in ±maxDist. ≤ (2·maxDist+1) ·
     * (maxDist+1) · (2·maxDist+1) keys per term — bounded, query-side
     * only. */
-  private def editProbeKeys(q: String, maxDist: Int): Seq[String] = {
+  private[graft] def editProbeKeys(q: String, maxDist: Int): Seq[String] = {
     val n = maxDist + 1
     (math.max(0, q.length - maxDist) to (q.length + maxDist)).flatMap { l =>
       if (l <= maxDist) Seq(s"S:$l")

@@ -125,6 +125,45 @@ class LexicalSpec extends SparkSpec {
     assert(!out.contains("qqq"))
   }
 
+  test("segment blocking is lossless: 600 random ≤2-edit pairs ALL share a key") {
+    // randomized proof of the pigeonhole claim over the shapes that
+    // broke earlier schemes: short strings, both-end edits, indel
+    // shifts, small alphabet (forced structure collisions). For every
+    // generated (word, ≤2-edits word) pair, the INDEX side's segment
+    // keys must intersect the PROBE side's shifted-window keys — one
+    // miss is one silently unreachable correction.
+    val rnd = new scala.util.Random(42)
+    val alpha = "abc"
+    def word(n: Int) = (1 to n).map(_ => alpha(rnd.nextInt(alpha.length))).mkString
+    def edit(w: String): String = rnd.nextInt(3) match {
+      case 0 if w.nonEmpty => // substitute
+        val i = rnd.nextInt(w.length)
+        w.updated(i, alpha(rnd.nextInt(alpha.length)))
+      case 1 => // insert
+        val i = rnd.nextInt(w.length + 1)
+        w.substring(0, i) + alpha(rnd.nextInt(alpha.length)) + w.substring(i)
+      case _ if w.nonEmpty => // delete
+        val i = rnd.nextInt(w.length)
+        w.substring(0, i) + w.substring(i + 1)
+      case _ => w
+    }
+    val pairs = (1 to 600).map { _ =>
+      val base = word(1 + rnd.nextInt(9))
+      val edited = (1 to 1 + rnd.nextInt(2)).foldLeft(base)((w, _) => edit(w))
+      (base, edited)
+    }.filter { case (a, b) => a.nonEmpty && b.nonEmpty }
+    // one pass evaluates every vocab term's segment keys
+    val segKeys = pairs.map(_._1).distinct.toDF("term")
+      .select(col("term"), Lexical.editSegmentKeys(col("term"), 2).as("ks"))
+      .collect().map(r => r.getString(0) -> r.getSeq[String](1).toSet).toMap
+    val misses = pairs.filter { case (vocabTerm, query) =>
+      val probeKeys = Lexical.editProbeKeys(query, 2).toSet
+      (segKeys(vocabTerm) intersect probeKeys).isEmpty
+    }
+    assert(misses.isEmpty,
+      s"blocking dropped true ≤2-edit pairs: ${misses.take(10)}")
+  }
+
   test("spell suggest: dist-2 corrections touching BOTH ends are found (round-14 advice)") {
     val docs = Seq((1L, "spark spark")).toDF("doc_id", "text")
     // "tparkx" -> "spark" = sub t->s at the FIRST char + delete the
