@@ -7,12 +7,9 @@ object Bench {
   private def loadAvg: Double =
     java.lang.management.ManagementFactory.getOperatingSystemMXBean.getSystemLoadAverage
 
-  /** Per-query seconds from a committed quiet-run reference
-    * (BENCH_REF.json in cwd), for self-diagnosing ambient-load noise:
-    * a benched total that's 1.3x+ the reference over the SAME query
-    * names is the box being busy, not a regression, and the JSON says so. */
-  private def refQueries(): Map[String, Double] = {
-    val f = new java.io.File("BENCH_REF.json")
+  /** Per-query seconds parsed from a bench-record JSON file (the
+    * one-line format this main prints). Missing/invalid → empty. */
+  private def queriesOf(f: java.io.File): Map[String, Double] = {
     if (!f.exists()) return Map.empty
     try {
       val root = new com.fasterxml.jackson.databind.ObjectMapper().readTree(f)
@@ -25,6 +22,40 @@ object Bench {
         b.result().filter(_._2 >= 0)
       }
     } catch { case scala.util.control.NonFatal(_) => Map.empty }
+  }
+
+  /** Per-query seconds from the committed quiet-run FLOOR set
+    * (BENCH_REF.json in cwd), for self-diagnosing ambient-load noise:
+    * a benched total that's 1.3x+ the reference over the SAME query
+    * names is the box being busy, not a regression, and the JSON says so. */
+  private def refQueries(): Map[String, Double] = queriesOf(new java.io.File("BENCH_REF.json"))
+
+  /** The PREVIOUS round's committed record from bench/r{N}*.json —
+    * the highest round number on disk, preferring its `-final` tag
+    * (the close-sequence convention), then the bare `r{N}.json`, then
+    * the newest file of that round. Reported as a SECOND ratio next to
+    * the BENCH_REF one so a floor re-baseline (round-15 verdict item:
+    * commit 1b7d81a made `inflation` nearly self-referential) can
+    * never silently absorb a cross-round regression — the vs-prev
+    * ratio always compares against history, whatever the floors say. */
+  private def prevRecord(): Option[(String, Map[String, Double])] = {
+    val rx = "^r(\\d+)([.-].*)?\\.json$".r
+    val files = Option(new java.io.File("bench").listFiles())
+      .getOrElse(Array.empty[java.io.File])
+      .flatMap { f =>
+        f.getName match {
+          case rx(n, _) => Some((n.toInt, f))
+          case _ => None
+        }
+      }
+    if (files.isEmpty) return None
+    val maxRound = files.map(_._1).max
+    val ofRound = files.filter(_._1 == maxRound).map(_._2)
+    val pick = ofRound.find(_.getName == s"r$maxRound-final.json")
+      .orElse(ofRound.find(_.getName == s"r$maxRound.json"))
+      .getOrElse(ofRound.maxBy(_.lastModified()))
+    val qs = queriesOf(pick)
+    if (qs.isEmpty) None else Some((pick.getName, qs))
   }
 
   /** Block until the 1-minute loadavg drops below `threshold`
@@ -153,9 +184,18 @@ object Bench {
       else ""
     val refPart =
       if (refCarried > 0)
-        f""","carried_total":$carried%.3f,"ref_total":$refCarried%.3f,"ref_queries":${common.size},"inflation":$inflation%.3f"""
+        f""","carried_total":$carried%.3f,"ref_total":$refCarried%.3f,"ref_queries":${common.size},"inflation":$inflation%.3f,"inflation_vs_ref":$inflation%.3f"""
       else ""
-    val line = f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir","loadavg_start":$ambientLoad%.2f,"loadavg_pass1":$loadPass1%.2f,"loadavg_pass2":$loadPass2%.2f,"waited_sec":${waitedStart + waitedMid},"loadavg_end":$loadAvg%.2f$refPart$note}"""
+    // the second, re-baseline-proof ratio: this run vs the PREVIOUS
+    // round's committed record over their common query names
+    val prevPart = prevRecord().map { case (fname, prev) =>
+      val pc = prev.keySet intersect mins.keySet
+      val (c, p) = (pc.toSeq.map(mins).sum, pc.toSeq.map(prev).sum)
+      if (p > 0)
+        f""","prev_file":"$fname","prev_carried_total":$c%.3f,"prev_total":$p%.3f,"prev_queries":${pc.size},"inflation_vs_prev":${c / p}%.3f"""
+      else ""
+    }.getOrElse("")
+    val line = f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir","loadavg_start":$ambientLoad%.2f,"loadavg_pass1":$loadPass1%.2f,"loadavg_pass2":$loadPass2%.2f,"waited_sec":${waitedStart + waitedMid},"loadavg_end":$loadAvg%.2f$refPart$prevPart$note}"""
     println(line)
     // Persist the COMPLETE per-query record inside the repo: the
     // driver's committed BENCH_r{N}.json keeps only a truncated tail,

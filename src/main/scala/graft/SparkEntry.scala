@@ -81,14 +81,24 @@ object SparkEntry {
 
   /** Run independent driver-blocking thunks (store builds, lifecycle
     * remedies — each internally sequenced, none sharing a path) on
-    * parallel driver threads. Concurrent actions on one SparkSession
-    * are supported; Await on each future gives the happens-before
-    * edge for anything a thunk wrote. */
+    * parallel driver threads. A DEDICATED pool sized to the thunk
+    * count (not the global fork-join pool: Spark actions block their
+    * thread, and thunk counts near core count would starve shared
+    * executors); every thunk SETTLES before the first failure
+    * rethrows, so no background write is still in flight when the
+    * caller sees the error. Await gives the happens-before edge for
+    * anything a thunk wrote. */
   private def parUnit(thunks: (() => Unit)*): Unit = {
-    import scala.concurrent.{Await, Future}
-    import scala.concurrent.ExecutionContext.Implicits.global
-    thunks.map(t => Future(t()))
-      .foreach(Await.result(_, scala.concurrent.duration.Duration.Inf))
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(
+      math.max(1, thunks.size))
+    implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+    try {
+      val settled = thunks.map(t => Future(t()).transform(scala.util.Success(_)))
+      Await.result(Future.sequence(settled),
+          scala.concurrent.duration.Duration.Inf)
+        .foreach(_.get) // rethrows the FIRST failure, after all settled
+    } finally { pool.shutdown(); () }
   }
 
   /** Per-process memo of the kNN-graph builds (keyed by session +
@@ -4721,10 +4731,20 @@ object SparkEntry {
           coalesce(col("n_low"), lit(0L)).as("n_low"))
         .orderBy(col("custkey"))
     }),
-    // ---- [EXT] dedup subtract: the rows exact-dedup would drop
-    "dedup_dropped" -> ((s, dir) =>
-      Dedup.exactDropped(Tables.documents(s, dir), "doc_id", "text")
-        .select(col("doc_id")).orderBy(col("doc_id"))),
+    // ---- [EXT] dedup subtract: the rows exact-dedup would drop. The
+    // corpus carries a PLANTED duplicated slice (the 25 lowest-id docs
+    // re-injected verbatim under +1000000 — the dedup_eval precedent):
+    // at sf0.01 the raw table has no exact dups, so without the plant
+    // both engines return 0 rows and the hash compare proves nothing
+    // (round-15 verdict item 3). With it, every planted copy must be
+    // dropped in favor of its lower-id original.
+    "dedup_dropped" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+      val corpus = docs.unionByName(docs.filter(col("doc_id") < 25)
+        .select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
+      Dedup.exactDropped(corpus, "doc_id", "text")
+        .select(col("doc_id")).orderBy(col("doc_id"))
+    }),
     // ---- [EXT] engine-portable Bloom filter: build the sketch over
     // big-order custkeys (one 4096-bit bitmap, map-side OR-combined),
     // broadcast it, probe every customer in codegen — the shuffle-free
@@ -7177,15 +7197,29 @@ object SparkEntry {
          |          FROM aspb pb, astot st, asnb nb
          |          GROUP BY st.np, nb.b),
          |aft AS (
+         |  -- one row per signal that CAN appear in `fired` (the Spark
+         |  -- side's dispatch is subset-agnostic — a different scale
+         |  -- factor may fire a different subset, and a fired signal
+         |  -- with no aft row would surface as a NULL value_after and a
+         |  -- silent red). Signals a remedy resolves derive the
+         |  -- post-remedy identity; signals NO dispatch arm handles
+         |  -- (the drifted index's stale side, the pruned index's drift
+         |  -- side) keep their before-values — nothing ran.
          |  SELECT 'graph' AS index_kind, 'embeddings_graph' AS index_name,
          |         'edge_debt' AS signal,
          |         round(((gn.n + gd.d) * 5)::DOUBLE /
          |               (5.0 * (gn.n + gd.d)), 6) AS value_after
          |  FROM gn, gd
+         |  UNION ALL SELECT 'graph', 'embeddings_graph', 'tombstone_ratio',
+         |                   0.0
          |  UNION ALL SELECT 'bm25', 'docs_bm25', 'tombstone_ratio', 0.0
          |  UNION ALL SELECT 'bm25', 'docs_bm25', 'bucket_skew', v FROM askew
          |  UNION ALL SELECT 'ivf', 'events_vec_drifted', 'assignment_drift',
          |                   0.0
+         |  UNION ALL SELECT 'ivf', 'events_vec_drifted', 'baseline_stale',
+         |                   greatest(-drift, 0.0) FROM mdd
+         |  UNION ALL SELECT 'ivf', 'events_vec_pruned', 'assignment_drift',
+         |                   greatest(drift, 0.0) FROM mpd
          |  UNION ALL SELECT 'ivf', 'events_vec_pruned', 'baseline_stale',
          |                   0.0
          |  UNION ALL SELECT 'ivfpq', 'events_vec_pq', 'recon_drift', 0.0),
@@ -12365,8 +12399,12 @@ object SparkEntry {
         |FROM u FULL OUTER JOIN l ON cu = cl
         |ORDER BY custkey""".stripMargin,
     "dedup_dropped" ->
-      """SELECT doc_id FROM documents
-        |WHERE doc_id NOT IN (SELECT min(doc_id) FROM documents GROUP BY md5(text))
+      """WITH corpus AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, text FROM documents WHERE doc_id < 25)
+        |SELECT doc_id FROM corpus
+        |WHERE doc_id NOT IN (SELECT min(doc_id) FROM corpus GROUP BY md5(text))
         |ORDER BY doc_id""".stripMargin,
     "semi_join" ->
       """SELECT o_orderstatus, count(*) AS n FROM orders

@@ -56,6 +56,10 @@ object Spectral {
       sum(dec(element_at(col("__v"), j + 1).cast("double") * col("__d")))
         .as(s"s$j"))
     val row = staged.agg(sums.head, sums.tail: _*).head()
+    // sum over zero rows is NULL in every dim — fail with the real
+    // cause, not an NPE from inside a power iteration
+    require(!row.isNullAt(0),
+      "power iteration over an empty frame: X'Xv needs at least one row")
     v.indices.map(j => row.getDecimal(j).doubleValue())
   }
 

@@ -138,7 +138,9 @@ object Maintenance {
     * min 1). Same integer arithmetic on both engines. */
   def skewTargetBuckets(nPostings: Long, maxDf: Long): Int = {
     require(nPostings >= 0 && maxDf >= 1, "need nPostings >= 0, maxDf >= 1")
-    math.max(1L, nPostings / (2L * maxDf)).toInt
+    // clamp before the narrowing cast: a quotient past Int.MaxValue
+    // must saturate, not wrap negative into rebucket's `>= 1` require
+    math.min(Int.MaxValue.toLong, math.max(1L, nPostings / (2L * maxDf))).toInt
   }
 
   /** The plan → act → VERIFY report: join the (frozen) planned action
