@@ -157,6 +157,12 @@ object SparkEntry {
     * each block was ~N/16 and the pair join quadratic at corpus scale). */
   private val NearDupPlanes: Seq[Seq[Double]] = Ann.planes(64, 12)
 
+  /** Planes of the maintenance-fleet LSH store (4 bits → 16 buckets:
+    * the store exists to exercise its HEALTH surface, whose signals
+    * are plane-free counting — small bucket fan keeps the fixture
+    * build cheap at every scale factor). */
+  private val FleetLshPlanes: Seq[Seq[Double]] = Ann.planes(64, 4)
+
   /** DuckDB form of [[Ann.lshBucket]] over the same plane literals.
     * Scala's Double.toString is shortest-round-trip, so the SQL parses
     * back to bit-identical doubles. */
@@ -757,6 +763,117 @@ object SparkEntry {
         .unionAll(graft.store.Maintenance.pqSignals(
           graft.search.Pq.reconstructionDrift(s, qEff, cbEff),
           "events_vec_pq"))
+      graft.store.Maintenance.resolutionReport(planned, after)
+    }),
+    // ---- [EXT] maintenance policy across the REST of the index
+    // fleet — the two families round 15 left unwatched (verdict item
+    // 1): an SQ8 index in TWO simultaneous disrepair states (400
+    // negated out-of-distribution appends against its frozen coarse
+    // centroids AND a quarter of its original rows tombstoned — one
+    // store, two rules firing) and an LSH index with delete debt
+    // (every 6th id tombstoned). LSH is the one family with NO drift
+    // signal BY CONSTRUCTION — the planes are stateless seeded
+    // literals (Ann.lshIndexHealth documents it); it accumulates only
+    // mechanical debt (tombstones, small files). The healthy signals
+    // (sq8 baseline_stale, lsh file_debt at the fresh build's
+    // 1-file-per-bucket) must emit NO row; the oracle replays every
+    // signal derivation, the rule join, and the severity ranking.
+    "index_maintenance_fleet" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val sqPath = scratchDir("maint-sq8")
+      val lPath = scratchDir("maint-lsh")
+      val cents: Seq[Seq[Double]] = Ann.centroids(emb, "label", "embedding")
+        .orderBy(col("key")).collect().map(_.getSeq[Double](1).toSeq).toSeq
+      parUnit(
+        () => {
+          graft.search.Sq.buildIvfSqIndex(emb, cents, sqPath)
+          graft.search.Sq.recordIvfSqModel(s, sqPath, cents)
+          graft.search.Sq.appendToIvfSqIndex(
+            emb.filter(col("vec_id") < 400)
+              .select((col("vec_id") + 100000).as("vec_id"),
+                transform(col("embedding"), x => -x).as("embedding")),
+            cents, sqPath)
+          graft.search.Sq.deleteFromIvfSqIndex(
+            emb.filter(col("vec_id") % 4 === 0).select(col("vec_id")), sqPath)
+        },
+        () => {
+          Ann.buildLshIndex(emb, FleetLshPlanes, lPath)
+          Ann.deleteFromLshIndex(
+            emb.filter(col("vec_id") % 6 === 0).select(col("vec_id")), lPath)
+        })
+      graft.store.Maintenance.indexMaintain(s,
+        sq = Seq("events_vec_sq8" -> sqPath),
+        lsh = Seq("embeddings_lsh" -> lPath))
+    }),
+    // ---- [EXT] the fleet loop CLOSED for the SQ8/LSH families — the
+    // index_maintenance_applied contract on the remaining index kinds:
+    // plan frozen before any store mutates, remedies dispatched
+    // through the verified lifecycle ops (SQ8 retrain SUBSUMES its
+    // compact when both fire — retraining reads the survivors, so the
+    // rebuilt layout is tombstone-free with a fresh baseline; LSH
+    // compact applies its tombstones physically), health re-read from
+    // the maintained generations, per-action resolution report. The
+    // dispatch is subset-agnostic (a different scale factor may fire
+    // a different subset — compact-without-retrain carries the model
+    // sidecars, re_record without either re-records in place); the
+    // oracle replays the plan and the post-remedy identities (retrain/
+    // re_record baselines re-recorded from the very contents the
+    // drift reads → 0; compaction clears tombstones → 0; LSH compact
+    // leaves one file per bucket → debt 1).
+    "index_maintenance_fleet_applied" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val sqPath = scratchDir("maintap-sq8")
+      val lPath = scratchDir("maintap-lsh")
+      val cents: Seq[Seq[Double]] = Ann.centroids(emb, "label", "embedding")
+        .orderBy(col("key")).collect().map(_.getSeq[Double](1).toSeq).toSeq
+      parUnit(
+        () => {
+          graft.search.Sq.buildIvfSqIndex(emb, cents, sqPath)
+          graft.search.Sq.recordIvfSqModel(s, sqPath, cents)
+          graft.search.Sq.appendToIvfSqIndex(
+            emb.filter(col("vec_id") < 400)
+              .select((col("vec_id") + 100000).as("vec_id"),
+                transform(col("embedding"), x => -x).as("embedding")),
+            cents, sqPath)
+          graft.search.Sq.deleteFromIvfSqIndex(
+            emb.filter(col("vec_id") % 4 === 0).select(col("vec_id")), sqPath)
+        },
+        () => {
+          Ann.buildLshIndex(emb, FleetLshPlanes, lPath)
+          Ann.deleteFromLshIndex(
+            emb.filter(col("vec_id") % 6 === 0).select(col("vec_id")), lPath)
+        })
+      val planned = graft.store.Maintenance.indexMaintain(s,
+        sq = Seq("events_vec_sq8" -> sqPath),
+        lsh = Seq("embeddings_lsh" -> lPath))
+        .localCheckpoint()
+      val acts = planned
+        .select(col("index_kind"), col("index_name"), col("action"))
+        .collect()
+        .map(r => (r.getString(0), r.getString(1), r.getString(2))).toSet
+      val sqRetrain = acts(("sq8", "events_vec_sq8", "retrain"))
+      val sqCompact = acts(("sq8", "events_vec_sq8", "compact"))
+      val sqRerec = acts(("sq8", "events_vec_sq8", "re_record"))
+      val sqPath2 = scratchDir("maintap-sq8-v2")
+      val sqEff = if (sqRetrain || sqCompact) sqPath2 else sqPath
+      val lPath2 = scratchDir("maintap-lsh-v2")
+      val lEff =
+        if (acts(("lsh", "embeddings_lsh", "compact"))) lPath2 else lPath
+      parUnit(
+        () => {
+          if (sqRetrain) // subsumes compact: reads survivors, fresh baseline
+            graft.search.Sq.retrainIvfSqIndex(s, sqPath, sqPath2, 10, 2): Unit
+          else if (sqCompact)
+            graft.search.Sq.compactIvfSqIndex(s, sqPath, sqPath2)
+          if (sqRerec && !sqRetrain)
+            graft.search.Sq.recordIvfSqModel(s, sqEff, cents)
+        },
+        () => if (lEff == lPath2) Ann.compactLshIndex(s, lPath, lPath2))
+      val after = graft.store.Maintenance.sqSignals(
+          graft.search.Sq.ivfSqDrift(s, sqEff),
+          graft.search.Sq.ivfSqHealth(s, sqEff), "events_vec_sq8")
+        .unionAll(graft.store.Maintenance.lshSignals(
+          Ann.lshIndexHealth(s, lEff), "embeddings_lsh"))
       graft.store.Maintenance.resolutionReport(planned, after)
     }),
     // ---- [EXT] graph-index DELETE + exact REPAIR: tombstoned nodes
@@ -5798,6 +5915,96 @@ object SparkEntry {
     * normalized signal union; the rule VALUES; the `fired` filter.
     * Unreferenced plain CTEs (e.g. `mtop` in the plan oracle) are
     * pruned by the planner — shared text, per-query cost. */
+  /** The label-centroid drift BASE shared by the maintenance oracles
+    * (ivf and sq8 drift replays): per-label centroids (`bcl`) →
+    * per-row max raw cosine (`ms`, materialized — every drift chain
+    * reads it) → the recorded-baseline mean (`mb`). */
+  private def labelDriftCtes: String = {
+    def rawCos(a: String, b: String) =
+      s"list_dot_product($a, $b) / (sqrt(list_dot_product($a, $a)) * sqrt(list_dot_product($b, $b)))"
+    s"""bc AS (
+       |  SELECT label, i, avg(embedding[i]::DOUBLE) AS c
+       |  FROM embeddings, (SELECT unnest(range(1, 65)) AS i) ix
+       |  GROUP BY 1, 2),
+       |bcl AS (SELECT label, list(c ORDER BY i) AS centroid
+       |        FROM bc GROUP BY label),
+       |ms AS MATERIALIZED (
+       |  SELECT e.vec_id,
+       |         max(${rawCos("e.embedding::DOUBLE[]", "c.centroid")}) AS ms
+       |  FROM embeddings e CROSS JOIN bcl c GROUP BY e.vec_id),
+       |mb AS (SELECT round(avg(ms), 6) AS b FROM ms)""".stripMargin
+  }
+
+  /** The full maintenance-rule table as oracle VALUES — keep in
+    * lockstep with [[graft.store.Maintenance.DefaultRules]]. */
+  private val rulesSqlCte: String =
+    """rules AS (
+      |  SELECT * FROM (VALUES
+      |    ('ivf', 'assignment_drift', 0.01, 'retrain'),
+      |    ('ivf', 'baseline_stale', 0.01, 're_record'),
+      |    ('ivfpq', 'recon_drift', 0.01, 'retrain'),
+      |    ('bm25', 'tombstone_ratio', 0.10, 'compact'),
+      |    ('bm25', 'bucket_skew', 3.0, 'rebucket'),
+      |    ('graph', 'edge_debt', 2.0, 'compact'),
+      |    ('graph', 'tombstone_ratio', 0.05, 'compact'),
+      |    ('sq8', 'assignment_drift', 0.01, 'retrain'),
+      |    ('sq8', 'baseline_stale', 0.01, 're_record'),
+      |    ('sq8', 'tombstone_ratio', 0.10, 'compact'),
+      |    ('lsh', 'tombstone_ratio', 0.10, 'compact'),
+      |    ('lsh', 'file_debt', 3.0, 'compact'))
+      |    t(index_kind, signal, threshold, action))""".stripMargin
+
+  /** The shared CTE block of the SQ8/LSH fleet-maintenance oracles
+    * (`index_maintenance_fleet` re-ranks `fired`;
+    * `index_maintenance_fleet_applied` joins it to the post-remedy
+    * identities): the label-centroid drift base, the 400-negated-
+    * appends drift over the %4-tombstone survivors, the two tombstone
+    * ratios (RAW row-count denominators — build + appends, the debt
+    * compaction clears), the LSH file-debt construction identity (a
+    * fresh build writes exactly one file per non-empty bucket —
+    * repartition by the partition column — so debt = 1), the rule
+    * VALUES, the `fired` filter. */
+  private def fleetSignalCtes: String = {
+    def rawCos(a: String, b: String) =
+      s"list_dot_product($a, $b) / (sqrt(list_dot_product($a, $a)) * sqrt(list_dot_product($b, $b)))"
+    s"""$labelDriftCtes,
+       |fneg AS (
+       |  SELECT e.vec_id + 100000 AS vec_id,
+       |         max(${rawCos("list_transform(e.embedding, x -> -x)::DOUBLE[]",
+                    "c.centroid")}) AS ms
+       |  FROM embeddings e CROSS JOIN bcl c
+       |  WHERE e.vec_id < 400 GROUP BY e.vec_id),
+       |sqc AS (SELECT round(avg(ms), 6) AS c FROM
+       |        (SELECT ms FROM ms WHERE vec_id % 4 <> 0
+       |         UNION ALL SELECT ms FROM fneg)),
+       |sqd AS (SELECT round(mb.b - sqc.c, 6) AS drift FROM mb, sqc),
+       |fn AS (SELECT count(*) AS n FROM embeddings),
+       |sqtr AS (SELECT round((SELECT count(*) FROM embeddings
+       |                       WHERE vec_id % 4 = 0)::DOUBLE /
+       |                      (fn.n + 400), 6) AS v FROM fn),
+       |ltr AS (SELECT round((SELECT count(*) FROM embeddings
+       |                      WHERE vec_id % 6 = 0)::DOUBLE / fn.n, 6) AS v
+       |        FROM fn),
+       |sig AS (
+       |  SELECT 'sq8' AS index_kind, 'events_vec_sq8' AS index_name,
+       |         'assignment_drift' AS signal, greatest(drift, 0.0) AS value
+       |  FROM sqd
+       |  UNION ALL SELECT 'sq8', 'events_vec_sq8', 'baseline_stale',
+       |                   greatest(-drift, 0.0) FROM sqd
+       |  UNION ALL SELECT 'sq8', 'events_vec_sq8', 'tombstone_ratio', v
+       |            FROM sqtr
+       |  UNION ALL SELECT 'lsh', 'embeddings_lsh', 'tombstone_ratio', v
+       |            FROM ltr
+       |  UNION ALL SELECT 'lsh', 'embeddings_lsh', 'file_debt', 1.0),
+       |$rulesSqlCte,
+       |fired AS (
+       |  SELECT s.index_kind, s.index_name, r.action, s.signal,
+       |         round(s.value, 6) AS value, r.threshold,
+       |         round(s.value / r.threshold, 6) AS severity
+       |  FROM sig s JOIN rules r USING (index_kind, signal)
+       |  WHERE s.value >= r.threshold)""".stripMargin
+  }
+
   private def maintSignalCtes: String = {
     def rawCos(a: String, b: String) =
       s"list_dot_product($a, $b) / (sqrt(list_dot_product($a, $a)) * sqrt(list_dot_product($b, $b)))"
@@ -5825,23 +6032,13 @@ object SparkEntry {
       s"JOIN $af$mi ON ${af}0.vec_id = $af$mi.vec_id " +
         s"JOIN mqcb${mi}_$PqIters c$mi ON $af$mi.cid = c$mi.cid").mkString("\n       ")
     val cat = (0 until PqM).map(mi => s"c$mi.centroid").mkString(" || ")
-    s"""bc AS (
-       |  SELECT label, i, avg(embedding[i]::DOUBLE) AS c
-       |  FROM embeddings, (SELECT unnest(range(1, 65)) AS i) ix
-       |  GROUP BY 1, 2),
-       |bcl AS (SELECT label, list(c ORDER BY i) AS centroid
-       |        FROM bc GROUP BY label),
-       |ms AS MATERIALIZED (
-       |  SELECT e.vec_id,
-       |         max(${rawCos("e.embedding::DOUBLE[]", "c.centroid")}) AS ms
-       |  FROM embeddings e CROSS JOIN bcl c GROUP BY e.vec_id),
+    s"""$labelDriftCtes,
        |mneg AS (
        |  SELECT e.vec_id + 100000 AS vec_id,
        |         max(${rawCos("list_transform(e.embedding, x -> -x)::DOUBLE[]",
                       "c.centroid")}) AS ms
        |  FROM embeddings e CROSS JOIN bcl c
        |  WHERE e.vec_id < 200 GROUP BY e.vec_id),
-       |mb AS (SELECT round(avg(ms), 6) AS b FROM ms),
        |mdc AS (SELECT round(avg(ms), 6) AS c FROM
        |        (SELECT ms FROM ms UNION ALL SELECT ms FROM mneg)),
        |mdd AS (SELECT round(mb.b - mdc.c, 6) AS drift FROM mb, mdc),
@@ -5930,16 +6127,7 @@ object SparkEntry {
        |            FROM gdebt
        |  UNION ALL SELECT 'graph', 'embeddings_graph', 'tombstone_ratio',
        |                   0.0 FROM gn),
-       |rules AS (
-       |  SELECT * FROM (VALUES
-       |    ('ivf', 'assignment_drift', 0.01, 'retrain'),
-       |    ('ivf', 'baseline_stale', 0.01, 're_record'),
-       |    ('ivfpq', 'recon_drift', 0.01, 'retrain'),
-       |    ('bm25', 'tombstone_ratio', 0.10, 'compact'),
-       |    ('bm25', 'bucket_skew', 3.0, 'rebucket'),
-       |    ('graph', 'edge_debt', 2.0, 'compact'),
-       |    ('graph', 'tombstone_ratio', 0.05, 'compact'))
-       |    t(index_kind, signal, threshold, action)),
+       |$rulesSqlCte,
        |fired AS (
        |  SELECT s.index_kind, s.index_name, r.action, s.signal,
        |         round(s.value, 6) AS value, r.threshold,
@@ -7223,6 +7411,44 @@ object SparkEntry {
          |  UNION ALL SELECT 'ivf', 'events_vec_pruned', 'baseline_stale',
          |                   0.0
          |  UNION ALL SELECT 'ivfpq', 'events_vec_pq', 'recon_drift', 0.0),
+         |aplan AS (
+         |  SELECT row_number() OVER (ORDER BY severity DESC, index_kind ASC,
+         |           index_name ASC, action ASC, signal ASC)::BIGINT
+         |           AS priority,
+         |         index_kind, index_name, action, signal, value, threshold
+         |  FROM fired)
+         |SELECT p.priority, p.index_kind, p.index_name, p.action, p.signal,
+         |       p.value AS value_before, round(a.value_after, 6) AS value_after,
+         |       p.threshold, a.value_after < p.threshold AS resolved
+         |FROM aplan p LEFT JOIN aft a
+         |  USING (index_kind, index_name, signal)
+         |ORDER BY p.priority""".stripMargin,
+    // the SQ8/LSH fleet plan: every signal re-derives from data (the
+    // sq8 drift over survivors ∪ negated appends; raw-denominator
+    // tombstone ratios; the file-debt construction identity), rules
+    // join + severity ranking; healthy signals fall out of the filter
+    "index_maintenance_fleet" ->
+      s"""WITH $fleetSignalCtes
+         |SELECT row_number() OVER (ORDER BY severity DESC, index_kind ASC,
+         |         index_name ASC, action ASC, signal ASC)::BIGINT AS priority,
+         |       index_kind, index_name, action, signal, value, threshold,
+         |       severity
+         |FROM fired ORDER BY priority""".stripMargin,
+    // fleet plan → act → verify: one aft row per signal that can fire
+    // (the subset-agnostic contract). Remedies that re-record the
+    // baseline from the very contents the drift reads (sq8 retrain /
+    // re_record) leave drift = 0 by identity; compaction clears the
+    // tombstone debt on either family; an LSH compact rewrites to
+    // exactly one file per bucket (the build identity) → debt 1.
+    "index_maintenance_fleet_applied" ->
+      s"""WITH $fleetSignalCtes,
+         |aft AS (
+         |  SELECT 'sq8' AS index_kind, 'events_vec_sq8' AS index_name,
+         |         'assignment_drift' AS signal, 0.0 AS value_after
+         |  UNION ALL SELECT 'sq8', 'events_vec_sq8', 'baseline_stale', 0.0
+         |  UNION ALL SELECT 'sq8', 'events_vec_sq8', 'tombstone_ratio', 0.0
+         |  UNION ALL SELECT 'lsh', 'embeddings_lsh', 'tombstone_ratio', 0.0
+         |  UNION ALL SELECT 'lsh', 'embeddings_lsh', 'file_debt', 1.0),
          |aplan AS (
          |  SELECT row_number() OVER (ORDER BY severity DESC, index_kind ASC,
          |           index_name ASC, action ASC, signal ASC)::BIGINT

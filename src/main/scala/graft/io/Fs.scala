@@ -34,6 +34,19 @@ object Fs {
     f.listStatus(p).toSeq.filter(_.isDirectory).map(_.getPath.getName)
   }
 
+  /** Recursive count of parquet data files under `dir` (markers,
+    * _SUCCESS and other metadata excluded) — the small-files debt
+    * metric of an incrementally appended store. Driver-side O(files)
+    * METADATA listing, never a data scan; at 100 TB this is the same
+    * listing cost every query's file-source planning already pays. */
+  def countDataFiles(spark: SparkSession, dir: String): Long = {
+    val (f, p) = fs(spark, dir)
+    val it = f.listFiles(p, true)
+    var n = 0L
+    while (it.hasNext) if (it.next().getPath.getName.endsWith(".parquet")) n += 1
+    n
+  }
+
   /** Last-write time of `dir` in epoch millis: the max mtime over its
     * immediate entries, falling back to the directory's own status
     * when empty. The max-over-entries form is deliberate — appending

@@ -712,6 +712,30 @@ object Ann {
                          idCol: String = "vec_id"): Unit =
     deleteFromIvfIndex(ids, path, idCol)
 
+  /** Health report of a materialized LSH index — the maintenance
+    * surface of the one index family with NO drift signal to watch:
+    * the planes are frozen seeded literals with no trained state, so
+    * bucket assignment can never decay the way centroid assignment
+    * does ([[assignmentDrift]]) — LSH accumulates only MECHANICAL
+    * debt: logical deletes awaiting [[compactLshIndex]] and the
+    * one-file-per-bucket-per-append small-files tax. One row
+    * `(n_rows, n_tombstones, n_buckets, n_files)`: raw stored rows
+    * (build + appends — deletes not subtracted, exactly the debt
+    * compaction clears), distinct tombstoned ids, live bucket
+    * directories, and parquet data files (driver metadata listing,
+    * the cost every probe's planning already pays). */
+  def lshIndexHealth(spark: org.apache.spark.sql.SparkSession, path: String,
+                     idCol: String = "vec_id"): DataFrame = {
+    import spark.implicits._
+    val nRows = spark.read.parquet(path).count()
+    val nTombs = tombstoneIds(spark, path).map(_.count()).getOrElse(0L)
+    val nBuckets = graft.io.Fs.listDirNames(spark, path)
+      .count(_.startsWith("__bucket=")).toLong
+    val nFiles = graft.io.Fs.countDataFiles(spark, path)
+    Seq((nRows, nTombs, nBuckets, nFiles))
+      .toDF("n_rows", "n_tombstones", "n_buckets", "n_files")
+  }
+
   /** Compact an appended/deleted LSH index into a fresh layout:
     * tombstones applied, one bounded file set per bucket — the
     * [[compactIvfIndex]] shape on the plane buckets (assignment is

@@ -43,8 +43,12 @@ object Sq {
     graft.io.Fs.delete(corpus.sparkSession, s"$path/codes.tombstones")
     // streaming batch markers reset with the build (the
     // StreamIngest.oncePerBatch contract: a new stream's batch ids
-    // restart at 0, and stale markers would swallow its first batches)
+    // restart at 0, and stale markers would swallow its first batches);
+    // stale model/stats would make ivfSqDrift compare against the
+    // previous build's baseline (the buildIvfIndex sibling-reset rule)
     graft.io.Fs.delete(corpus.sparkSession, s"$path/_applied_batches")
+    graft.io.Fs.delete(corpus.sparkSession, s"$path.model")
+    graft.io.Fs.delete(corpus.sparkSession, s"$path.stats")
     corpus
       .withColumn("__cluster", Ann.assignCluster(col(vecCol), cents))
       .select(col(idCol), col("__cluster"),
@@ -153,6 +157,16 @@ object Sq {
       .repartitionByRange(col(idCol)).sortWithinPartitions(col(idCol))
       .write.option("maxRecordsPerFile", recordsPerFile)
       .mode("overwrite").parquet(s"$dstPath/vectors")
+    // recorded model sidecars MOVE with the layout: compaction changes
+    // bytes, not contents — the drift baseline stays valid (current
+    // mean already excluded tombstoned rows), and a compacted index
+    // that silently lost its baseline would fail the next drift read
+    if (graft.io.Fs.exists(spark, s"$srcPath.model")) {
+      spark.read.parquet(s"$srcPath.model").coalesce(1)
+        .write.mode("overwrite").parquet(s"$dstPath.model")
+      spark.read.parquet(s"$srcPath.stats").coalesce(1)
+        .write.mode("overwrite").parquet(s"$dstPath.stats")
+    }
   }
 
   /** Re-train an appended/deleted SQ8-IVF index from its CURRENT
@@ -162,7 +176,10 @@ object Sq {
     * scheme has no trainable state. Survivors come from the vectors
     * side anti-joined against the codes-side tombstones; retrained ≡
     * a from-scratch [[buildIvfSqIndex]] on the same surviving rows,
-    * probe-for-probe (spec-pinned in SqSpec). Returns the fresh
+    * probe-for-probe (spec-pinned in SqSpec). A fresh drift baseline
+    * is recorded over the retrained contents ([[recordIvfSqModel]],
+    * the retrainIvfIndex convention — a retrain that kept the old
+    * baseline would report phantom drift forever). Returns the fresh
     * centroids for subsequent probes. */
   def retrainIvfSqIndex(spark: org.apache.spark.sql.SparkSession,
                         srcPath: String, dstPath: String, k: Int, iters: Int,
@@ -174,7 +191,79 @@ object Sq {
       spark.read.parquet(s"$srcPath/vectors"), s"$srcPath/codes", idCol)
     val cents = Ann.kmeansCentroids(survivors, idCol, vecCol, k, iters)
     buildIvfSqIndex(survivors, cents, dstPath, idCol, vecCol)
+    recordIvfSqModel(spark, dstPath, cents, idCol, vecCol)
     cents
+  }
+
+  /** Record the SQ8 index's coarse model state — [[Ann.recordIvfModel]]
+    * on the SQ8 layout: the centroid table at `<path>.model/` and the
+    * current mean assigned-centroid similarity at `<path>.stats/`, the
+    * [[ivfSqDrift]] BASELINE. The mean is computed over the FLOAT
+    * vectors side (codes are a storage form; assignment quality is a
+    * property of the vectors the coarse layer routes), tombstones
+    * excluded. Call right after [[buildIvfSqIndex]] and after a
+    * retrain ([[retrainIvfSqIndex]] does it itself). */
+  def recordIvfSqModel(spark: org.apache.spark.sql.SparkSession, path: String,
+                       cents: Seq[Seq[Double]],
+                       idCol: String = "vec_id",
+                       vecCol: String = "embedding"): Unit = {
+    import spark.implicits._
+    cents.zipWithIndex.map { case (c, i) => (i, c) }
+      .toDF("__cluster", "centroid")
+      .coalesce(1) // model state: k × dim doubles, one file
+      .write.mode("overwrite").parquet(s"$path.model")
+    Seq(meanAssignSim(spark, path, idCol, vecCol)).toDF("mean_sim")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path.stats")
+  }
+
+  /** Mean cosine between each surviving vector and its ASSIGNED coarse
+    * centroid — [[Ann]]'s drift scalar on the SQ8 layout. The vectors
+    * side carries no cluster column, so assignment re-derives from the
+    * recorded model via the native argmax (identical to the stored
+    * codes-side assignment: same centroids, same deterministic
+    * argmax); one scan + a broadcast k-row model join. */
+  private def meanAssignSim(spark: org.apache.spark.sql.SparkSession, path: String,
+                            idCol: String, vecCol: String): Double = {
+    val model = spark.read.parquet(s"$path.model")
+    val cents = model.orderBy(col("__cluster")).collect()
+      .map(_.getSeq[Double](1).toSeq).toSeq
+    Ann.dropTombstones(spark.read.parquet(s"$path/vectors"),
+        s"$path/codes", idCol)
+      .withColumn("__cluster", Ann.assignCluster(col(vecCol), cents))
+      .join(broadcast(model), Seq("__cluster"))
+      .agg(avg(VectorOps.cosine(col(vecCol), col("centroid"))).as("m"))
+      .head().getDouble(0)
+  }
+
+  /** Assignment-quality drift of a maintained SQ8 index vs its
+    * recorded build-time baseline — [[Ann.assignmentDrift]]'s contract
+    * on the SQ rung (appends assign against the frozen coarse
+    * centroids forever; the SQ8 quantization itself is parameterless
+    * and never drifts, so the COARSE layer is the only trained state
+    * to watch). One row `(build_mean_sim, current_mean_sim, drift)`
+    * at round-6; drift > 0 → schedule [[retrainIvfSqIndex]]. */
+  def ivfSqDrift(spark: org.apache.spark.sql.SparkSession, path: String,
+                 idCol: String = "vec_id",
+                 vecCol: String = "embedding"): DataFrame = {
+    import spark.implicits._
+    def r6(x: Double): Double = VectorOps.round6(x)
+    val b6 = r6(spark.read.parquet(s"$path.stats").head().getDouble(0))
+    val c6 = r6(meanAssignSim(spark, path, idCol, vecCol))
+    Seq((b6, c6, r6(b6 - c6)))
+      .toDF("build_mean_sim", "current_mean_sim", "drift")
+  }
+
+  /** Tombstone-debt health report of a materialized SQ8 index: RAW
+    * codes-side rows (build + appends — deletes not subtracted,
+    * exactly the debt [[compactIvfSqIndex]] clears) and distinct
+    * tombstoned ids. One row `(n_rows, n_tombstones)`. */
+  def ivfSqHealth(spark: org.apache.spark.sql.SparkSession, path: String,
+                  idCol: String = "vec_id"): DataFrame = {
+    import spark.implicits._
+    val nRows = spark.read.parquet(s"$path/codes").count()
+    val nTombs = Ann.tombstoneIds(spark, s"$path/codes")
+      .map(_.count()).getOrElse(0L)
+    Seq((nRows, nTombs)).toDF("n_rows", "n_tombstones")
   }
 
   /** FILTERED probe of a materialized SQ8-IVF index —

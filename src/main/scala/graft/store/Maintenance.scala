@@ -51,6 +51,18 @@ object Maintenance {
     *    floor — append candidate-row debt → compact.
     *  - `tombstone_ratio` (graph): tombstoned nodes per node → compact
     *    (repair already fixed affected lists; compact drops the rows).
+    *  - `assignment_drift` / `baseline_stale` (SQ8): the IVF coarse
+    *    layer's signals on the SQ8 layout — the only trained state an
+    *    SQ8 index carries (the int8 scheme is parameterless) → retrain
+    *    / re-record.
+    *  - `tombstone_ratio` (SQ8): codes-side delete debt → compact.
+    *  - `tombstone_ratio` (LSH): delete debt → compact. LSH is the one
+    *    family with NO drift rule BY CONSTRUCTION: planes are frozen
+    *    seeded literals with no trained state ([[graft.search.Ann
+    *    .lshIndexHealth]]) — only mechanical debt accumulates.
+    *  - `file_debt` (LSH): data files per bucket directory — the
+    *    one-file-per-bucket-per-append small-files tax (O(files)
+    *    planning cost on every probe) → compact.
     */
   val DefaultRules: Seq[MaintenanceRule] = Seq(
     MaintenanceRule("ivf", "assignment_drift", 0.01, "retrain"),
@@ -59,7 +71,12 @@ object Maintenance {
     MaintenanceRule("bm25", "tombstone_ratio", 0.10, "compact"),
     MaintenanceRule("bm25", "bucket_skew", 3.0, "rebucket"),
     MaintenanceRule("graph", "edge_debt", 2.0, "compact"),
-    MaintenanceRule("graph", "tombstone_ratio", 0.05, "compact"))
+    MaintenanceRule("graph", "tombstone_ratio", 0.05, "compact"),
+    MaintenanceRule("sq8", "assignment_drift", 0.01, "retrain"),
+    MaintenanceRule("sq8", "baseline_stale", 0.01, "re_record"),
+    MaintenanceRule("sq8", "tombstone_ratio", 0.10, "compact"),
+    MaintenanceRule("lsh", "tombstone_ratio", 0.10, "compact"),
+    MaintenanceRule("lsh", "file_debt", 3.0, "compact"))
 
   /** [[graft.search.Ann.assignmentDrift]]'s one-row report → the two
     * one-sided signals (`assignment_drift` = positive drift,
@@ -89,6 +106,29 @@ object Maintenance {
         round(col("n_tombstones").cast("double") / col("n_docs"), 6).as("value"))
       .unionAll(health.select(lit("bm25"), lit(name),
         lit("bucket_skew"), col("bucket_skew").cast("double")))
+
+  /** [[graft.search.Sq.ivfSqDrift]] + [[graft.search.Sq.ivfSqHealth]]
+    * → the coarse-layer drift sides (the [[ivfSignals]] split) plus
+    * codes-side `tombstone_ratio` against the RAW row count. */
+  def sqSignals(drift: DataFrame, health: DataFrame, name: String): DataFrame =
+    drift.select(lit("sq8").as("index_kind"), lit(name).as("index_name"),
+        lit("assignment_drift").as("signal"),
+        greatest(col("drift"), lit(0.0)).as("value"))
+      .unionAll(drift.select(lit("sq8"), lit(name),
+        lit("baseline_stale"), greatest(-col("drift"), lit(0.0))))
+      .unionAll(health.select(lit("sq8"), lit(name), lit("tombstone_ratio"),
+        round(col("n_tombstones").cast("double") / col("n_rows"), 6)))
+
+  /** [[graft.search.Ann.lshIndexHealth]] → `tombstone_ratio` +
+    * `file_debt` (files per bucket). Deliberately NO drift signal:
+    * the planes are stateless seeded literals — there is nothing
+    * trained to drift (documented on the health op and the rule). */
+  def lshSignals(health: DataFrame, name: String): DataFrame =
+    health.select(lit("lsh").as("index_kind"), lit(name).as("index_name"),
+        lit("tombstone_ratio").as("signal"),
+        round(col("n_tombstones").cast("double") / col("n_rows"), 6).as("value"))
+      .unionAll(health.select(lit("lsh"), lit(name), lit("file_debt"),
+        round(col("n_files").cast("double") / col("n_buckets"), 6)))
 
   /** [[graft.search.KnnGraph.graphIndexHealth]] → `edge_debt` (raw
     * edge rows over the compacted `n_nodes·k` floor) +
@@ -164,16 +204,21 @@ object Maintenance {
         (col("value_after") < col("threshold")).as("resolved"))
       .orderBy(col("priority"))
 
-  /** The one-call policy op: read every registered index's health
-    * through its verified report op, evaluate [[plan]]. `ivf`/`bm25`
-    * are (name, path); `graph` is (name, path, k); `ivfPq` is
-    * (name, path, codebooks) — reconstruction drift needs the frozen
-    * codebooks the index encodes through. */
+  /** The one-call policy op over the WHOLE index fleet: read every
+    * registered index's health through its verified report op,
+    * evaluate [[plan]]. `ivf`/`bm25`/`sq`/`lsh` are (name, path);
+    * `graph` is (name, path, k); `ivfPq` is (name, path, codebooks) —
+    * reconstruction drift needs the frozen codebooks the index encodes
+    * through. Every index family this library ships an incremental
+    * lifecycle for is watchable here — an index kind with maintenance
+    * ops but no policy eyes would accumulate debt silently. */
   def indexMaintain(spark: org.apache.spark.sql.SparkSession,
                     ivf: Seq[(String, String)] = Nil,
                     bm25: Seq[(String, String)] = Nil,
                     graph: Seq[(String, String, Int)] = Nil,
                     ivfPq: Seq[(String, String, graft.search.Pq.Codebooks)] = Nil,
+                    sq: Seq[(String, String)] = Nil,
+                    lsh: Seq[(String, String)] = Nil,
                     rules: Seq[MaintenanceRule] = DefaultRules): DataFrame = {
     val sigs =
       ivf.map { case (n, p) =>
@@ -183,7 +228,12 @@ object Maintenance {
       graph.map { case (n, p, k) =>
         graphSignals(graft.search.KnnGraph.graphIndexHealth(spark, p), k, n) } ++
       ivfPq.map { case (n, p, cb) =>
-        pqSignals(graft.search.Pq.reconstructionDrift(spark, p, cb), n) }
+        pqSignals(graft.search.Pq.reconstructionDrift(spark, p, cb), n) } ++
+      sq.map { case (n, p) =>
+        sqSignals(graft.search.Sq.ivfSqDrift(spark, p),
+          graft.search.Sq.ivfSqHealth(spark, p), n) } ++
+      lsh.map { case (n, p) =>
+        lshSignals(graft.search.Ann.lshIndexHealth(spark, p), n) }
     require(sigs.nonEmpty, "indexMaintain needs at least one index")
     plan(sigs.reduce(_ unionAll _), rules)
   }

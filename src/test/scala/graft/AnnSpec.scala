@@ -163,6 +163,21 @@ class AnnSpec extends SparkSpec {
     assert(spark.read.parquet(dir3)
       .filter(col("vec_id") % 3 === 0).count() == 0,
       "compact must apply tombstones physically")
+    // health report — LSH's whole maintenance surface is MECHANICAL
+    // debt (no drift: planes are stateless literals): raw row count
+    // (deletes not subtracted), distinct tombstones, file-per-bucket
+    // debt that appends grow and compact resets to exactly 1
+    val h = Ann.lshIndexHealth(spark, dir).head()
+    assert(h.getAs[Long]("n_rows") == emb.count(), h.toString)
+    assert(h.getAs[Long]("n_tombstones") ==
+      emb.filter(col("vec_id") % 3 === 0).count(), h.toString)
+    val hAp = Ann.lshIndexHealth(spark, dir2).head() // half build + half append
+    assert(hAp.getAs[Long]("n_files") > hAp.getAs[Long]("n_buckets"),
+      s"append batches must register as file debt: $hAp")
+    val h3 = Ann.lshIndexHealth(spark, dir3).head()
+    assert(h3.getAs[Long]("n_tombstones") == 0L, h3.toString)
+    assert(h3.getAs[Long]("n_files") == h3.getAs[Long]("n_buckets"),
+      s"compact leaves exactly one file per bucket: $h3")
   }
 
   test("materialized IVF index: probe filter becomes file-level partition pruning") {

@@ -79,6 +79,25 @@ class MaintenanceSpec extends SparkSpec {
     assert(gv("edge_debt") == 4.937255 && gv("tombstone_ratio") == 0.033333)
   }
 
+  test("extractors: sq8 drift+health and lsh health normalize to signals") {
+    val drift = Seq((0.30, 0.27, 0.03)).toDF(
+      "build_mean_sim", "current_mean_sim", "drift")
+    val health = Seq((800L, 120L)).toDF("n_rows", "n_tombstones")
+    val sv = Maintenance.sqSignals(drift, health, "s").collect()
+      .map(r => r.getAs[String]("signal") -> r.getAs[Double]("value")).toMap
+    assert(sv == Map("assignment_drift" -> 0.03, "baseline_stale" -> 0.0,
+      "tombstone_ratio" -> 0.15), sv.toString)
+    assert(Maintenance.sqSignals(drift, health, "s").collect()
+      .forall(_.getAs[String]("index_kind") == "sq8"))
+    val lh = Seq((900L, 90L, 16L, 48L)).toDF(
+      "n_rows", "n_tombstones", "n_buckets", "n_files")
+    val lv = Maintenance.lshSignals(lh, "l").collect()
+      .map(r => r.getAs[String]("signal") -> r.getAs[Double]("value")).toMap
+    // deliberately exactly TWO signals: planes are stateless literals,
+    // no drift signal exists for LSH by construction
+    assert(lv == Map("tombstone_ratio" -> 0.1, "file_debt" -> 3.0), lv.toString)
+  }
+
   test("rules must carry positive thresholds") {
     intercept[IllegalArgumentException] {
       Maintenance.plan(sig(("ivf", "a", "assignment_drift", 1.0)),

@@ -135,6 +135,49 @@ class SqSpec extends SparkSpec {
     assert(rare == Set(7L, 13L), s"fallback must find all matches: $rare")
   }
 
+  test("SQ8-IVF maintenance surface: drift identity at record, decay after bad appends, raw-count health, compact carries the model") {
+    val emb = graft.io.Tables.embeddings(spark, sf0001)
+    val cents = Ann.kmeansCentroids(emb, "vec_id", "embedding", 10, 2)
+    val tmp = java.nio.file.Files.createTempDirectory("graft-ivfsq-maint").toString
+    val p = s"$tmp/idx"
+    Sq.buildIvfSqIndex(emb, cents, p)
+    Sq.recordIvfSqModel(spark, p, cents)
+    // drift right after record is the 0 identity: baseline and current
+    // are the same aggregate over the same contents
+    assert(Sq.ivfSqDrift(spark, p).head().getAs[Double]("drift") == 0.0)
+    // out-of-distribution (negated) appends assign badly against the
+    // frozen coarse centroids -> mean assigned sim decays -> drift > 0
+    Sq.appendToIvfSqIndex(
+      emb.filter(col("vec_id") < 50)
+        .select((col("vec_id") + 100000).as("vec_id"),
+          transform(col("embedding"), x => -x).as("embedding")), cents, p)
+    Sq.deleteFromIvfSqIndex(
+      emb.filter(col("vec_id") % 5 === 0).select(col("vec_id")), p)
+    val d1 = Sq.ivfSqDrift(spark, p).head().getAs[Double]("drift")
+    assert(d1 > 0.0, s"negated appends must register positive drift: $d1")
+    // health counts the RAW codes rows (build + appends, deletes not
+    // subtracted — exactly the debt compaction clears)
+    val n = emb.count()
+    val nTomb = emb.filter(col("vec_id") % 5 === 0).count()
+    val h = Sq.ivfSqHealth(spark, p).head()
+    assert(h.getAs[Long]("n_rows") == n + 50, h.toString)
+    assert(h.getAs[Long]("n_tombstones") == nTomb, h.toString)
+    // compact: tombstones applied physically, model sidecars carried —
+    // the drift baseline survives the rewrite (contents unchanged, so
+    // the drift value is preserved up to one round-6 ulp)
+    Sq.compactIvfSqIndex(spark, p, s"$tmp/idx2")
+    val h2 = Sq.ivfSqHealth(spark, s"$tmp/idx2").head()
+    assert(h2.getAs[Long]("n_rows") == n + 50 - nTomb, h2.toString)
+    assert(h2.getAs[Long]("n_tombstones") == 0L, h2.toString)
+    val d2 = Sq.ivfSqDrift(spark, s"$tmp/idx2").head().getAs[Double]("drift")
+    assert(math.abs(d2 - d1) <= 1e-6, s"compact must preserve drift: $d1 -> $d2")
+    // retrain re-records: the fresh generation reads drift 0 again
+    Sq.retrainIvfSqIndex(spark, p, s"$tmp/idx3", 10, 2)
+    assert(Sq.ivfSqDrift(spark, s"$tmp/idx3").head().getAs[Double]("drift") == 0.0)
+    assert(Sq.ivfSqHealth(spark, s"$tmp/idx3").head()
+      .getAs[Long]("n_tombstones") == 0L)
+  }
+
   test("SQ8-IVF batch probe restricted to one query ≡ single probe") {
     val emb = graft.io.Tables.embeddings(spark, sf0001)
     val cents = Ann.kmeansCentroids(emb, "vec_id", "embedding", 10, 2)
