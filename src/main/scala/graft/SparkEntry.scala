@@ -1761,6 +1761,23 @@ object SparkEntry {
       graft.analysis.Eval.contextPrecisionGate(
         Search.similarityJoin(corpus, qs, 5), qs, 5)
     }),
+    // ---- [EXT] the RAGAS-pair DUAL (Eval.contextRecallGate): of each
+    // query's relevant corpus chunks, what fraction reached its 5-chunk
+    // context — the coverage number precision can't see (a 5/5
+    // on-topic prompt may still cover 5 of 50 relevant chunks). Both
+    // denominators reported: total-relevant (the honest corpus
+    // coverage, k-bounded) and min(k, relevant) (context-window-
+    // relative). Same corpus/query split as rag_context_precision so
+    // the pair reads side by side.
+    "rag_context_recall" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val corpus = emb.filter(col("vec_id") % 25 =!= 0)
+      val qs = emb.filter(col("vec_id") % 25 === 0)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec"),
+          col("label").as("qlabel"))
+      graft.analysis.Eval.contextRecallGate(
+        Search.similarityJoin(corpus, qs, 5), qs, corpus, 5)
+    }),
     // ---- [EXT] retrieval FAIRNESS slice: precision@5 per query
     // LABEL — the per-class view an aggregate MRR averages away (one
     // under-served class hides inside a healthy mean). Integer
@@ -12364,6 +12381,38 @@ object SparkEntry {
          |       round(min(h)::DOUBLE / 5.0, 6) AS min_context_precision,
          |       round(sum(CASE WHEN h = 5 THEN 1 ELSE 0 END)::DOUBLE
          |             / count(*)::DOUBLE, 6) AS frac_fully_relevant
+         |FROM ros""".stripMargin,
+    "rag_context_recall" ->
+      s"""WITH qs AS (SELECT vec_id AS qid, embedding AS qvec,
+         |                   label AS qlabel
+         |            FROM embeddings WHERE vec_id % 25 = 0),
+         |topk AS (
+         |  SELECT qid, qlabel, label FROM (
+         |    SELECT q.qid, q.qlabel, e.label,
+         |           row_number() OVER (PARTITION BY q.qid
+         |             ORDER BY ${cosSql("e.embedding", "q.qvec")} DESC,
+         |                      e.vec_id ASC) AS rk
+         |    FROM embeddings e CROSS JOIN qs q
+         |    WHERE e.vec_id % 25 <> 0) WHERE rk <= 5),
+         |rel AS (SELECT label AS qlabel, count(*) AS r FROM embeddings
+         |        WHERE vec_id % 25 <> 0 GROUP BY 1),
+         |per AS (
+         |  SELECT qid, sum(CASE WHEN label = qlabel THEN 1 ELSE 0 END) AS h
+         |  FROM topk GROUP BY qid),
+         |ros AS (
+         |  SELECT coalesce(p.h, 0) AS h, coalesce(rel.r, 0) AS r
+         |  FROM (SELECT DISTINCT qid, qlabel FROM qs) q
+         |  LEFT JOIN per p USING (qid) LEFT JOIN rel USING (qlabel))
+         |SELECT count(*)::BIGINT AS n_queries,
+         |       round(avg(CASE WHEN r = 0 THEN 1.0
+         |                      ELSE h::DOUBLE / r END), 6)
+         |         AS mean_context_recall,
+         |       round(min(CASE WHEN r = 0 THEN 1.0
+         |                      ELSE h::DOUBLE / r END), 6)
+         |         AS min_context_recall,
+         |       round(avg(CASE WHEN r = 0 THEN 1.0
+         |                      ELSE h::DOUBLE / least(5, r) END), 6)
+         |         AS mean_capped_recall
          |FROM ros""".stripMargin,
     "retrieval_p5_by_label" ->
       s"""WITH qs AS (SELECT vec_id AS qid, embedding AS qvec,

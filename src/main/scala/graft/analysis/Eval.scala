@@ -350,4 +350,52 @@ object Eval {
       round(sum(when(col("h") === k.toLong, 1L).otherwise(0L)).cast("double") /
         count(lit(1)).cast("double"), 6).as("frac_fully_relevant"))
   }
+
+  /** CONTEXT-RECALL gate — [[contextPrecisionGate]]'s RAGAS-style
+    * dual, closing the pair: of each query's RELEVANT chunks in the
+    * corpus (same label), what fraction reached its k-chunk context?
+    * Precision gates what the answerer READ; recall gates what it was
+    * never shown — a prompt can be 5/5 on-topic (precision 1.0) while
+    * covering 5 of 500 relevant chunks, and only this number says so.
+    *
+    * Same conventions as the precision gate: `results` is the per-qid
+    * top-k frame carrying `qid`/`qlabel`/`labelCol`; `queries` is the
+    * roster (a query retrieving nothing gates as recall 0, never
+    * drops); `corpus` supplies the per-label relevant counts. A query
+    * whose label has ZERO corpus rows is vacuously complete (recall
+    * 1.0) — there was nothing to retrieve, and gating it 0 would page
+    * an operator about an empty class. Two recall forms per query:
+    * the RAGAS total-relevant denominator (bounded by k/|relevant|
+    * when the class outnumbers the context window — the honest
+    * corpus-coverage number) and the k-capped denominator
+    * `min(k, |relevant|)` (1.0 = the context window did the best any
+    * k-chunk context could). Bounded: |queries| rows into one
+    * aggregate; the per-label counts are one map-side-combined
+    * aggregate over the corpus. */
+  def contextRecallGate(results: DataFrame, queries: DataFrame,
+                        corpus: DataFrame, k: Int,
+                        labelCol: String = "label"): DataFrame = {
+    require(k >= 1, "k >= 1")
+    val rel = corpus.groupBy(col(labelCol).as("qlabel"))
+      .agg(count(lit(1)).as("__rel"))
+    val per = results
+      .groupBy(col("qid"))
+      .agg(sum(when(col(labelCol) === col("qlabel"), 1L).otherwise(0L))
+        .as("__hits"))
+    val rostered = queries.select(col("qid"), col("qlabel")).distinct()
+      .join(per, Seq("qid"), "left")
+      .join(rel, Seq("qlabel"), "left")
+      .select(coalesce(col("__hits"), lit(0L)).as("h"),
+        coalesce(col("__rel"), lit(0L)).as("r"))
+    val recall = when(col("r") === 0, lit(1.0))
+      .otherwise(col("h").cast("double") / col("r").cast("double"))
+    val capped = when(col("r") === 0, lit(1.0))
+      .otherwise(col("h").cast("double") /
+        least(lit(k.toLong), col("r")).cast("double"))
+    rostered.agg(
+      count(lit(1)).as("n_queries"),
+      round(avg(recall), 6).as("mean_context_recall"),
+      round(min(recall), 6).as("min_context_recall"),
+      round(avg(capped), 6).as("mean_capped_recall"))
+  }
 }

@@ -245,4 +245,34 @@ class EvalSpec extends SparkSpec {
       results.filter(col("qid") === 2L), Seq(2L).toDF("qid"), k = 2).head()
     assert(one.getDouble(1) == 0.5 && one.getDouble(3) == 0.0)
   }
+
+  test("contextRecallGate: both denominators, no-result zero, zero-relevant vacuous 1.0") {
+    import graft.analysis.Eval
+    // corpus classes: label 0 has 4 relevant rows, label 1 has 1,
+    // label 2 has 0 (an empty class in the corpus)
+    val corpus = Seq((10L, 0), (11L, 0), (12L, 0), (13L, 0), (14L, 1))
+      .toDF("vec_id", "label")
+    // q1 (label 0): 2 of its 4 relevant retrieved -> recall 0.5,
+    //   capped 2/min(2,4) = 1.0 (its context window did the best it could)
+    // q2 (label 1): retrieved both slots off-topic -> 0/1 = 0
+    // q3 (label 2): zero relevant exist -> vacuously complete, 1.0
+    // q4: in roster, retrieved NOTHING, label 0 -> recall 0
+    val results = Seq(
+      (1L, 0, 0), (1L, 0, 0),
+      (2L, 1, 0), (2L, 1, 0)
+    ).toDF("qid", "qlabel", "label")
+    val roster = Seq((1L, 0), (2L, 1), (3L, 2), (4L, 0))
+      .toDF("qid", "qlabel")
+    val r = Eval.contextRecallGate(results, roster, corpus, k = 2).head()
+    assert(r.getLong(0) == 4L)
+    assert(r.getDouble(1) == 0.375, s"mean (0.5+0+1+0)/4, got ${r.getDouble(1)}")
+    assert(r.getDouble(2) == 0.0, "worst prompt: a no-hit query")
+    assert(r.getDouble(3) == 0.5, s"capped (1.0+0+1+0)/4, got ${r.getDouble(3)}")
+    // precision blindness pinned: q1 is 2/2 on-topic (precision 1.0)
+    // yet covers only half its relevant class — recall sees it
+    val one = Eval.contextRecallGate(
+      results.filter(col("qid") === 1L), Seq((1L, 0)).toDF("qid", "qlabel"),
+      corpus, k = 2).head()
+    assert(one.getDouble(1) == 0.5 && one.getDouble(3) == 1.0)
+  }
 }
