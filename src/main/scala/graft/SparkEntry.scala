@@ -876,6 +876,54 @@ object SparkEntry {
           Ann.lshIndexHealth(s, lEff), "embeddings_lsh"))
       graft.store.Maintenance.resolutionReport(planned, after)
     }),
+    // ---- [EXT] COSTED maintenance plan (Maintenance.
+    // indexMaintainCosted): the fleet plan with the remedy's price
+    // attached — cost_rows = the RAW stored rows the rewrite must
+    // read (raw is the I/O bound: compact/retrain/rebucket scan every
+    // raw row and write survivors; re_record rewrites only the 1-row
+    // stats sidecar → 0), each derived from the same verified health
+    // report the signal came from. Severity still ranks — cost
+    // informs the operator, it does not demote an urgent remedy.
+    // Fixture = the fleet stores plus the tombstoned BM25 store, so
+    // three index kinds price three different remedies in one plan
+    // (sq8 rows, lsh rows, bm25 postings); the oracle replays every
+    // signal, the ranking, and every cost count.
+    "index_maintenance_costed" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val docs = Tables.documents(s, dir)
+      val sqPath = scratchDir("maintc-sq8")
+      val lPath = scratchDir("maintc-lsh")
+      val bPath = scratchDir("maintc-bm25")
+      val cents: Seq[Seq[Double]] = Ann.centroids(emb, "label", "embedding")
+        .orderBy(col("key")).collect().map(_.getSeq[Double](1).toSeq).toSeq
+      parUnit(
+        () => {
+          graft.search.Sq.buildIvfSqIndex(emb, cents, sqPath)
+          graft.search.Sq.recordIvfSqModel(s, sqPath, cents)
+          graft.search.Sq.appendToIvfSqIndex(
+            emb.filter(col("vec_id") < 400)
+              .select((col("vec_id") + 100000).as("vec_id"),
+                transform(col("embedding"), x => -x).as("embedding")),
+            cents, sqPath)
+          graft.search.Sq.deleteFromIvfSqIndex(
+            emb.filter(col("vec_id") % 4 === 0).select(col("vec_id")), sqPath)
+        },
+        () => {
+          Ann.buildLshIndex(emb, FleetLshPlanes, lPath)
+          Ann.deleteFromLshIndex(
+            emb.filter(col("vec_id") % 6 === 0).select(col("vec_id")), lPath)
+        },
+        () => {
+          Lexical.buildBm25Index(docs, "text", "doc_id", bPath)
+          Lexical.deleteFromBm25Index(
+            docs.filter(col("doc_id") % 5 === 0).select(col("doc_id")),
+            "doc_id", bPath)
+        })
+      graft.store.Maintenance.indexMaintainCosted(s,
+        bm25 = Seq("docs_bm25" -> bPath),
+        sq = Seq("events_vec_sq8" -> sqPath),
+        lsh = Seq("embeddings_lsh" -> lPath))
+    }),
     // ---- [EXT] graph-index DELETE + exact REPAIR: tombstoned nodes
     // vanish from both edge sides at probe time, and repair re-scores
     // ONLY the nodes whose stored lists referenced a deleted neighbor
@@ -5952,6 +6000,26 @@ object SparkEntry {
        |mb AS (SELECT round(avg(ms), 6) AS b FROM ms)""".stripMargin
   }
 
+  /** BM25 index-health replay shared by the maintenance oracles: the
+    * doc/tombstone/postings-skew/max-df counts of the docs_bm25
+    * fixture (full build over `documents`, every 5th doc
+    * tombstoned). */
+  private def bm25MaintCtes: String =
+    s"""mtok AS (SELECT doc_id, unnest($toksSql) AS term FROM documents),
+       |mp AS MATERIALIZED (SELECT term, doc_id FROM mtok GROUP BY 1, 2),
+       |mpb AS (SELECT (${polySql("term")}) % 64 AS tb, count(*) AS bn
+       |        FROM mp GROUP BY 1),
+       |mtots AS (SELECT count(*) AS n_postings FROM mp),
+       |mtop AS (SELECT count(*) AS max_df FROM mp GROUP BY term
+       |         ORDER BY max_df DESC LIMIT 1),
+       |mskew AS (SELECT round(max(bn)::DOUBLE /
+       |                 (mtots.n_postings::DOUBLE / 64.0), 6) AS v
+       |          FROM mpb, mtots GROUP BY mtots.n_postings),
+       |mdocs AS (SELECT count(*) AS n_docs FROM documents),
+       |mtmb AS (SELECT count(*) AS t FROM documents WHERE doc_id % 5 = 0),
+       |mtr AS (SELECT round(mtmb.t::DOUBLE / mdocs.n_docs, 6) AS v
+       |        FROM mtmb, mdocs)""".stripMargin
+
   /** The full maintenance-rule table as oracle VALUES — keep in
     * lockstep with [[graft.store.Maintenance.DefaultRules]]. */
   private val rulesSqlCte: String =
@@ -5981,7 +6049,10 @@ object SparkEntry {
     * fresh build writes exactly one file per non-empty bucket —
     * repartition by the partition column — so debt = 1), the rule
     * VALUES, the `fired` filter. */
-  private def fleetSignalCtes: String = {
+  /** Base CTEs of the fleet oracles: the sq8 drift chain over the
+    * %4-tombstone survivors ∪ 400 negated appends, and the two
+    * tombstone ratios (raw denominators). */
+  private def fleetBaseCtes: String = {
     def rawCos(a: String, b: String) =
       s"list_dot_product($a, $b) / (sqrt(list_dot_product($a, $a)) * sqrt(list_dot_product($b, $b)))"
     s"""$labelDriftCtes,
@@ -6001,26 +6072,36 @@ object SparkEntry {
        |                      (fn.n + 400), 6) AS v FROM fn),
        |ltr AS (SELECT round((SELECT count(*) FROM embeddings
        |                      WHERE vec_id % 6 = 0)::DOUBLE / fn.n, 6) AS v
-       |        FROM fn),
-       |sig AS (
-       |  SELECT 'sq8' AS index_kind, 'events_vec_sq8' AS index_name,
-       |         'assignment_drift' AS signal, greatest(drift, 0.0) AS value
-       |  FROM sqd
-       |  UNION ALL SELECT 'sq8', 'events_vec_sq8', 'baseline_stale',
-       |                   greatest(-drift, 0.0) FROM sqd
-       |  UNION ALL SELECT 'sq8', 'events_vec_sq8', 'tombstone_ratio', v
-       |            FROM sqtr
-       |  UNION ALL SELECT 'lsh', 'embeddings_lsh', 'tombstone_ratio', v
-       |            FROM ltr
-       |  UNION ALL SELECT 'lsh', 'embeddings_lsh', 'file_debt', 1.0),
-       |$rulesSqlCte,
-       |fired AS (
-       |  SELECT s.index_kind, s.index_name, r.action, s.signal,
-       |         round(s.value, 6) AS value, r.threshold,
-       |         round(s.value / r.threshold, 6) AS severity
-       |  FROM sig s JOIN rules r USING (index_kind, signal)
-       |  WHERE s.value >= r.threshold)""".stripMargin
+       |        FROM fn)""".stripMargin
   }
+
+  /** The fleet stores' normalized signal rows (the body of `sig`). */
+  private val fleetSigRows: String =
+    """  SELECT 'sq8' AS index_kind, 'events_vec_sq8' AS index_name,
+      |         'assignment_drift' AS signal, greatest(drift, 0.0) AS value
+      |  FROM sqd
+      |  UNION ALL SELECT 'sq8', 'events_vec_sq8', 'baseline_stale',
+      |                   greatest(-drift, 0.0) FROM sqd
+      |  UNION ALL SELECT 'sq8', 'events_vec_sq8', 'tombstone_ratio', v
+      |            FROM sqtr
+      |  UNION ALL SELECT 'lsh', 'embeddings_lsh', 'tombstone_ratio', v
+      |            FROM ltr
+      |  UNION ALL SELECT 'lsh', 'embeddings_lsh', 'file_debt', 1.0""".stripMargin
+
+  private val firedSqlCte: String =
+    """fired AS (
+      |  SELECT s.index_kind, s.index_name, r.action, s.signal,
+      |         round(s.value, 6) AS value, r.threshold,
+      |         round(s.value / r.threshold, 6) AS severity
+      |  FROM sig s JOIN rules r USING (index_kind, signal)
+      |  WHERE s.value >= r.threshold)""".stripMargin
+
+  private def fleetSignalCtes: String =
+    s"""$fleetBaseCtes,
+       |sig AS (
+       |$fleetSigRows),
+       |$rulesSqlCte,
+       |$firedSqlCte""".stripMargin
 
   private def maintSignalCtes: String = {
     def rawCos(a: String, b: String) =
@@ -6063,20 +6144,7 @@ object SparkEntry {
        |mpc AS (SELECT round(avg(ms), 6) AS c FROM ms
        |        WHERE vec_id NOT IN (SELECT vec_id FROM mcut)),
        |mpd AS (SELECT round(mb.b - mpc.c, 6) AS drift FROM mb, mpc),
-       |mtok AS (SELECT doc_id, unnest($toksSql) AS term FROM documents),
-       |mp AS MATERIALIZED (SELECT term, doc_id FROM mtok GROUP BY 1, 2),
-       |mpb AS (SELECT (${polySql("term")}) % 64 AS tb, count(*) AS bn
-       |        FROM mp GROUP BY 1),
-       |mtots AS (SELECT count(*) AS n_postings FROM mp),
-       |mtop AS (SELECT count(*) AS max_df FROM mp GROUP BY term
-       |         ORDER BY max_df DESC LIMIT 1),
-       |mskew AS (SELECT round(max(bn)::DOUBLE /
-       |                 (mtots.n_postings::DOUBLE / 64.0), 6) AS v
-       |          FROM mpb, mtots GROUP BY mtots.n_postings),
-       |mdocs AS (SELECT count(*) AS n_docs FROM documents),
-       |mtmb AS (SELECT count(*) AS t FROM documents WHERE doc_id % 5 = 0),
-       |mtr AS (SELECT round(mtmb.t::DOUBLE / mdocs.n_docs, 6) AS v
-       |        FROM mtmb, mdocs),
+       |$bm25MaintCtes,
        |gn AS (SELECT count(*) AS n FROM embeddings),
        |gd AS (SELECT count(*) AS d FROM embeddings WHERE vec_id < 10),
        |gdebt AS (SELECT round((gn.n * 5 + gn.n * gd.d +
@@ -7477,6 +7545,45 @@ object SparkEntry {
          |       p.threshold, a.value_after < p.threshold AS resolved
          |FROM aplan p LEFT JOIN aft a
          |  USING (index_kind, index_name, signal)
+         |ORDER BY p.priority""".stripMargin,
+    // the costed plan: fleet signals ∪ the bm25 store's, ranked, then
+    // each fired action joined to its replayed RAW-row cost (sq8 codes
+    // = n + 400 appends; lsh = n; bm25 = the build's posting count;
+    // re_record = 0 — stats-only)
+    "index_maintenance_costed" ->
+      s"""WITH $fleetBaseCtes,
+         |$bm25MaintCtes,
+         |sig AS (
+         |$fleetSigRows
+         |  UNION ALL SELECT 'bm25', 'docs_bm25', 'tombstone_ratio', v FROM mtr
+         |  UNION ALL SELECT 'bm25', 'docs_bm25', 'bucket_skew', v FROM mskew),
+         |$rulesSqlCte,
+         |$firedSqlCte,
+         |costs AS (
+         |  SELECT 'sq8' AS index_kind, 'events_vec_sq8' AS index_name,
+         |         'retrain' AS action, (fn.n + 400)::BIGINT AS cost_rows
+         |  FROM fn
+         |  UNION ALL SELECT 'sq8', 'events_vec_sq8', 'compact',
+         |                   (fn.n + 400)::BIGINT FROM fn
+         |  UNION ALL SELECT 'sq8', 'events_vec_sq8', 're_record', 0
+         |  UNION ALL SELECT 'lsh', 'embeddings_lsh', 'compact',
+         |                   fn.n::BIGINT FROM fn
+         |  UNION ALL SELECT 'bm25', 'docs_bm25', 'compact',
+         |                   n_postings::BIGINT FROM mtots
+         |  UNION ALL SELECT 'bm25', 'docs_bm25', 'rebucket',
+         |                   n_postings::BIGINT FROM mtots),
+         |cplan AS (
+         |  SELECT row_number() OVER (ORDER BY severity DESC, index_kind ASC,
+         |           index_name ASC, action ASC, signal ASC)::BIGINT
+         |           AS priority,
+         |         index_kind, index_name, action, signal, value, threshold,
+         |         severity
+         |  FROM fired)
+         |SELECT p.priority, p.index_kind, p.index_name, p.action, p.signal,
+         |       p.value, p.threshold, p.severity,
+         |       coalesce(c.cost_rows, 0)::BIGINT AS cost_rows
+         |FROM cplan p LEFT JOIN costs c
+         |  USING (index_kind, index_name, action)
          |ORDER BY p.priority""".stripMargin,
     // base = NN-Descent over the FULL corpus; delete drops both edge
     // sides; repair re-scores ONLY the affected srcs fully (their

@@ -418,6 +418,21 @@ object Ann {
       .agg(avg(VectorOps.cosine(col(vecCol), col("centroid"))).as("m"))
       .head().getDouble(0)
 
+  /** Tombstone-debt health report of a materialized IVF(-layout)
+    * index: RAW stored rows (build + appends — deletes not
+    * subtracted, exactly the I/O a compact/retrain rewrite must read)
+    * and distinct tombstoned ids. One row `(n_rows, n_tombstones)`.
+    * Works on any store honoring the `<path>.tombstones` sidecar
+    * contract — the IVF-PQ codes side reads through
+    * `ivfIndexHealth(spark, s"$path/codes")`. */
+  def ivfIndexHealth(spark: org.apache.spark.sql.SparkSession, path: String,
+                     idCol: String = "vec_id"): DataFrame = {
+    import spark.implicits._
+    val nRows = spark.read.parquet(path).count()
+    val nTombs = tombstoneIds(spark, path).map(_.count()).getOrElse(0L)
+    Seq((nRows, nTombs)).toDF("n_rows", "n_tombstones")
+  }
+
   /** Assignment-quality drift of a maintained index vs its recorded
     * build-time baseline — the "is it time to retrain?" scalar the
     * append path otherwise hides: [[appendToIvfIndex]] assigns deltas

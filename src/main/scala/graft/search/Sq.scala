@@ -253,18 +253,14 @@ object Sq {
       .toDF("build_mean_sim", "current_mean_sim", "drift")
   }
 
-  /** Tombstone-debt health report of a materialized SQ8 index: RAW
-    * codes-side rows (build + appends — deletes not subtracted,
-    * exactly the debt [[compactIvfSqIndex]] clears) and distinct
-    * tombstoned ids. One row `(n_rows, n_tombstones)`. */
+  /** Tombstone-debt health report of a materialized SQ8 index — the
+    * codes side owns the delete state, so this is
+    * [[Ann.ivfIndexHealth]] on the codes layout: RAW rows (build +
+    * appends — deletes not subtracted, exactly the debt
+    * [[compactIvfSqIndex]] clears) and distinct tombstoned ids. */
   def ivfSqHealth(spark: org.apache.spark.sql.SparkSession, path: String,
-                  idCol: String = "vec_id"): DataFrame = {
-    import spark.implicits._
-    val nRows = spark.read.parquet(s"$path/codes").count()
-    val nTombs = Ann.tombstoneIds(spark, s"$path/codes")
-      .map(_.count()).getOrElse(0L)
-    Seq((nRows, nTombs)).toDF("n_rows", "n_tombstones")
-  }
+                  idCol: String = "vec_id"): DataFrame =
+    Ann.ivfIndexHealth(spark, s"$path/codes", idCol)
 
   /** FILTERED probe of a materialized SQ8-IVF index —
     * [[Ann.ivfIndexTopKFiltered]]'s contract on the SQ rung: the

@@ -1,6 +1,6 @@
 package graft.store
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -236,5 +236,61 @@ object Maintenance {
         lshSignals(graft.search.Ann.lshIndexHealth(spark, p), n) }
     require(sigs.nonEmpty, "indexMaintain needs at least one index")
     plan(sigs.reduce(_ unionAll _), rules)
+  }
+
+  /** [[indexMaintain]] with a remedy COST estimate attached — the
+    * number that lets an operator weigh urgency (severity) against
+    * price: `cost_rows` = the RAW stored rows the remedy's rewrite
+    * must READ (compact/retrain/rebucket scan every raw row and write
+    * the survivors, so raw is the I/O bound; `re_record` rewrites only
+    * the 1-row stats sidecar → 0). Every number comes from the same
+    * verified health reports the signals do: IVF/IVF-PQ/SQ8/LSH row
+    * counts, BM25 `n_postings`, graph `n_edge_rows`. Ranking stays
+    * severity-first — cost informs the operator, it does not demote an
+    * urgent remedy; an action no rule fired never appears, and a fired
+    * action with no registered cost surfaces as 0 (nothing to read —
+    * only `re_record` today). */
+  def indexMaintainCosted(spark: org.apache.spark.sql.SparkSession,
+                          ivf: Seq[(String, String)] = Nil,
+                          bm25: Seq[(String, String)] = Nil,
+                          graph: Seq[(String, String, Int)] = Nil,
+                          ivfPq: Seq[(String, String, graft.search.Pq.Codebooks)] = Nil,
+                          sq: Seq[(String, String)] = Nil,
+                          lsh: Seq[(String, String)] = Nil,
+                          rules: Seq[MaintenanceRule] = DefaultRules): DataFrame = {
+    val planned = indexMaintain(spark, ivf, bm25, graph, ivfPq, sq, lsh, rules)
+    def costRows(kind: String, name: String, health: DataFrame,
+                 actions: (String, Column)*): DataFrame =
+      actions.map { case (a, c) =>
+        health.select(lit(kind).as("index_kind"), lit(name).as("index_name"),
+          lit(a).as("action"), c.cast("long").as("cost_rows"))
+      }.reduce(_ unionAll _)
+    val costs =
+      ivf.map { case (n, p) =>
+        costRows("ivf", n, graft.search.Ann.ivfIndexHealth(spark, p),
+          "retrain" -> col("n_rows"), "re_record" -> lit(0L)) } ++
+      bm25.map { case (n, p) =>
+        costRows("bm25", n, graft.search.Lexical.bm25IndexHealth(spark, p),
+          "compact" -> col("n_postings"), "rebucket" -> col("n_postings")) } ++
+      graph.map { case (n, p, _) =>
+        costRows("graph", n, graft.search.KnnGraph.graphIndexHealth(spark, p),
+          "compact" -> col("n_edge_rows")) } ++
+      ivfPq.map { case (n, p, _) =>
+        costRows("ivfpq", n,
+          graft.search.Ann.ivfIndexHealth(spark, s"$p/codes"),
+          "retrain" -> col("n_rows")) } ++
+      sq.map { case (n, p) =>
+        costRows("sq8", n, graft.search.Sq.ivfSqHealth(spark, p),
+          "retrain" -> col("n_rows"), "compact" -> col("n_rows"),
+          "re_record" -> lit(0L)) } ++
+      lsh.map { case (n, p) =>
+        costRows("lsh", n, graft.search.Ann.lshIndexHealth(spark, p),
+          "compact" -> col("n_rows")) }
+    planned.join(broadcast(costs.reduce(_ unionAll _)),
+        Seq("index_kind", "index_name", "action"), "left")
+      .select(col("priority"), col("index_kind"), col("index_name"),
+        col("action"), col("signal"), col("value"), col("threshold"),
+        col("severity"), coalesce(col("cost_rows"), lit(0L)).as("cost_rows"))
+      .orderBy(col("priority"))
   }
 }

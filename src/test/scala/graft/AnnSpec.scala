@@ -332,6 +332,13 @@ class AnnSpec extends SparkSpec {
     Ann.buildIvfIndex(emb.filter(col("vec_id") % 5 =!= 0), cents, survivors)
     assert(deleted == top(survivors),
       "tombstoned probe must reproduce a from-scratch build on the survivors")
+    // health counts the RAW rows (the rewrite's I/O bound — the cost
+    // basis of indexMaintainCosted) and DISTINCT tombstones (the
+    // repeated 0L and the unknown 999999L collapse to one real id)
+    val h = Ann.ivfIndexHealth(spark, idx).head()
+    assert(h.getAs[Long]("n_rows") == emb.count(), h.toString)
+    assert(h.getAs[Long]("n_tombstones") ==
+      emb.filter(col("vec_id") % 5 === 0).count() + 1, h.toString)
     val compacted = tmp + "/compacted"
     Ann.compactIvfIndex(spark, idx, compacted)
     assert(top(compacted) == deleted, "compaction must not change probe results")
