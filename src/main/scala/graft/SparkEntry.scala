@@ -476,6 +476,29 @@ object SparkEntry {
         .select(col("id").as("vec_id"), col("sim"))
         .orderBy(col("sim").desc, col("vec_id"))
     }),
+    // ---- [EXT] LAYERED (HNSW-style) graph search served from the
+    // materialized index (round-15 verdict item 6): a deterministic
+    // 1/8 hash-sample of the stored nodes, kNN-graphed among
+    // themselves at .layer1, gives the walk a COARSE entry level —
+    // enter at the layer's medoid, stride the corpus in ~8× hops,
+    // then seed the fine layer-0 walk with the coarse beam instead of
+    // the global medoid. Same per-hop serving shape as every graph
+    // probe (≤ beam driver literals, bucket-pruned scans); the hop
+    // budget stops scaling with corpus diameter. The oracle replays
+    // the sample, the layer's exact kNN build, and both walks hop for
+    // hop (the coarse walk under the b-prefix, the seeded fine walk
+    // under c).
+    "graph_layered_top5" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val path = scratchDir("graph-layered")
+      graft.search.KnnGraph.writeGraphIndex(nndGraph(s, dir, 5), emb, path)
+      graft.search.KnnGraph.writeGraphLayer(s, path, sampleEvery = 8, k = 5)
+      graft.search.KnnGraph.graphIndexBeamSearchLayered(
+          s, path, queryVec(s, dir), 5, degree = 5, beam = 8,
+          hopsCoarse = 2, hopsFine = 2)
+        .select(col("id").as("vec_id"), col("sim"))
+        .orderBy(col("sim").desc, col("vec_id"))
+    }),
     // ---- [EXT] EXACT incremental kNN-graph maintenance: an arriving
     // batch updates the persisted graph with O((n+d)·d) cosines — an
     // existing node's top-k can only be displaced by delta nodes, so
@@ -7393,6 +7416,29 @@ object SparkEntry {
             "(SELECT label FROM embeddings WHERE vec_id = 0)", 5,
           beam = 16, hops = 6, graphRel = "qidx") +
         "\nSELECT id AS vec_id, sim FROM bsvf ORDER BY sim DESC, vec_id"),
+    // the layered walk: sample by the portable hash, exact-kNN the
+    // layer (exactSqlCtes -> ex), coarse walk over the layer (medoid
+    // entry, b-prefix; k set to the beam so bs2 IS the final beam),
+    // fine walk over the production nnd graph SEEDED by bs2 (c-prefix)
+    "graph_layered_top5" ->
+      ("WITH " + graft.search.KnnGraph.nnDescentSqlCtes(
+        "embeddings", "vec_id", "embedding", 5) +
+        s""",
+           |lls AS MATERIALIZED (
+           |  SELECT vec_id, embedding FROM embeddings
+           |  WHERE (${graft.functions.KmvSketch.hashSql("vec_id")}) % 8 = 0),
+           |""".stripMargin +
+        graft.search.KnnGraph.exactSqlCtes("lls", "vec_id", "embedding", 5) +
+        ",\n" +
+        graft.search.KnnGraph.beamSearchSqlCtes("lls", "vec_id", "embedding",
+          "SELECT embedding AS qvec FROM embeddings WHERE vec_id = 0",
+          k = 8, beam = 8, hops = 2, graphRel = "ex") + ",\n" +
+        graft.search.KnnGraph.beamSearchSeededSqlCtes("embeddings", "vec_id",
+          "embedding",
+          "SELECT embedding AS qvec FROM embeddings WHERE vec_id = 0",
+          seedRel = "bs2", k = 5, beam = 8, hops = 2, graphRel = "nnd",
+          prefix = "c") +
+        "\nSELECT id AS vec_id, sim FROM csf ORDER BY sim DESC, vec_id"),
     // the maintained base is the NN-Descent graph: replay its chain,
     // then the append arithmetic (old×delta + delta×all re-ranked per
     // node). No (src, dst) overlaps between the three legs (delta ids

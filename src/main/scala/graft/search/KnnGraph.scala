@@ -335,9 +335,12 @@ object KnnGraph {
                       idCol: String = "vec_id", vecCol: String = "embedding"): Unit = {
     // fresh build resets every sibling describing the old contents
     // (the `Ann.buildIvfIndex` contract): stale tombstones would
-    // anti-join valid nodes out of the new graph
+    // anti-join valid nodes out of the new graph, and a stale coarse
+    // layer would route walks through the OLD corpus's sampled nodes
+    // (a missing layer fails loudly in the layered search instead)
     graft.io.Fs.delete(corpus.sparkSession, s"$path.nodes")
     graft.io.Fs.delete(corpus.sparkSession, s"$path.tombstones")
+    graft.io.Fs.delete(corpus.sparkSession, s"$path.layer1")
     graph.select(col("src"), col("dst"), col("sim"))
       .withColumn("__bucket", pmod(hash(col("src")), lit(buckets)))
       .repartition(col("__bucket"))
@@ -461,6 +464,95 @@ object KnnGraph {
     }
     score(visited)
       .join(allowed.select(col(idCol).as("id")), Seq("id"), "left_semi")
+      .orderBy(col("sim").desc, col("id").asc).limit(k)
+  }
+
+  /** Add an HNSW-style COARSE ENTRY LAYER to a materialized graph
+    * index: a deterministic hash-sample of the stored nodes
+    * (`portableHash(id) % sampleEvery == 0` — replayable, no RNG
+    * state), kNN-graphed among THEMSELVES and written in the same
+    * bucketed edge layout at `<path>.layer1`. Why: a single-layer
+    * walk's hop budget grows with graph diameter — the medoid entry
+    * fixes the start point, but on a corpus 100× bigger the fixed
+    * budget strands the beam mid-graph. The coarse layer has
+    * n/sampleEvery nodes, so each hop strides ~sampleEvery× farther;
+    * the layered walk ([[graphIndexBeamSearchLayered]]) crosses the
+    * corpus on the layer and spends its fine hops refining locally —
+    * the HNSW argument, one level deep (chain levels by building a
+    * `.layer1` on a path whose nodes are themselves a sample when one
+    * level is not enough). The layer build is exact kNN over the
+    * sample — O((n/sampleEvery)²) scores; pick `sampleEvery` so that
+    * fits, or graph a huge layer with [[nnDescent]] and write it
+    * through [[writeGraphIndex]]-style buckets yourself (same layout,
+    * same probe). Rebuild the layer after retrain/compact generations
+    * move the node set — it is derived state, cheap by construction. */
+  def writeGraphLayer(spark: org.apache.spark.sql.SparkSession, path: String,
+                      sampleEvery: Int, k: Int, buckets: Int = 16): Unit = {
+    require(sampleEvery >= 2, s"sampleEvery must be >= 2: $sampleEvery")
+    val sampled = spark.read.parquet(s"$path.nodes")
+      .filter(pmod(portableHash(col("id")), lit(sampleEvery)) === 0)
+      .select(col("id").as("vec_id"), col("vec").as("embedding"))
+    require(sampled.limit(2).count() == 2,
+      s"layer sample is empty or a single node at 1/$sampleEvery — " +
+        "lower sampleEvery (a layer needs at least one edge)")
+    exact(sampled, k)
+      .select(col("src"), col("dst"), col("sim"))
+      .withColumn("__bucket", pmod(hash(col("src")), lit(buckets)))
+      .repartition(col("__bucket"))
+      .write.partitionBy("__bucket").mode("overwrite").parquet(s"$path.layer1")
+  }
+
+  /** LAYERED beam search over the materialized index — coarse-to-fine:
+    * enter at the LAYER's medoid, walk `hopsCoarse` hops on the
+    * `.layer1` edges (each hop a plan-time bucket-pruned probe of the
+    * layer store, ≤ beam driver literals — the [[graphIndexTopK]]
+    * serving shape), then seed the layer-0 walk with the coarse beam
+    * (NOT the global medoid) and refine `hopsFine` hops on the full
+    * graph. Total cost O((hopsCoarse + hopsFine) · beam · degree)
+    * cosines + one bounded pruned scan per hop — same per-hop shape
+    * as the flat walk, but the budget no longer scales with corpus
+    * diameter: the layer crosses in strides of ~sampleEvery.
+    * Deterministic like every walk here (round-6 sims, id
+    * tie-breaks); the oracle replays coarse and fine hops
+    * individually. Answer = top-k of the final beam (the
+    * [[beamSearch]] convention). */
+  def graphIndexBeamSearchLayered(spark: org.apache.spark.sql.SparkSession,
+                                  path: String, query: DataFrame,
+                                  k: Int, degree: Int, beam: Int = 8,
+                                  hopsCoarse: Int = 2, hopsFine: Int = 2,
+                                  buckets: Int = 16): DataFrame = {
+    require(graft.io.Fs.exists(spark, s"$path.layer1"),
+      s"no coarse layer at $path.layer1 — run writeGraphLayer after the build")
+    val nodesRaw = spark.read.parquet(s"$path.nodes")
+      .select(col("id"), col("vec").as("__vec"))
+    val vecs = graphTombstones(spark, path).fold(nodesRaw) { t =>
+      nodesRaw.join(broadcast(t.select(col(t.columns.head).as("__tomb"))),
+        col("id") === col("__tomb"), "left_anti")
+    }.localCheckpoint()
+    def score(ids: DataFrame): DataFrame =
+      ids.join(vecs, Seq("id")).crossJoin(broadcast(query))
+        .select(col("id"), VectorOps.cosine6(col("__vec"), col("qvec")).as("sim"))
+    def walk(beam0: DataFrame, edgePath: String, hops: Int): DataFrame = {
+      var beamDf = beam0
+      (1 to hops).foreach { _ =>
+        val beamIds = beamDf.select(col("id")).collect().map(_.getLong(0)).toSeq
+        val frontier = graphIndexTopK(spark, edgePath, beamIds, degree, buckets)
+          .select(col("dst").as("id"))
+        val cands = beamDf.select(col("id")).union(frontier).distinct()
+        beamDf = score(cands)
+          .orderBy(col("sim").desc, col("id").asc).limit(beam)
+          .localCheckpoint()
+      }
+      beamDf
+    }
+    // entry = the LAYER's own medoid (nearest layer node to the layer
+    // centroid — self-contained, replayable)
+    val layerIds = spark.read.parquet(s"$path.layer1")
+      .select(col("src").as("id")).distinct()
+    val layerVecs = vecs.join(layerIds, Seq("id"), "left_semi")
+    val coarse = walk(score(medoidEntry(layerVecs)).localCheckpoint(),
+      s"$path.layer1", hopsCoarse)
+    walk(coarse, path, hopsFine)
       .orderBy(col("sim").desc, col("id").asc).limit(k)
   }
 
@@ -676,34 +768,69 @@ object KnnGraph {
     * relation exposing `qvec`. */
   def beamSearchSqlCtes(table: String, idCol: String, vecCol: String,
                         qRel: String, k: Int, beam: Int = 8,
-                        hops: Int = 4, graphRel: String = "ex"): String = {
+                        hops: Int = 4, graphRel: String = "ex",
+                        prefix: String = "b"): String = {
+    val p = prefix
     val init =
-      s"""bq AS ($qRel),
-         |bcv AS (
+      s"""${p}q AS ($qRel),
+         |${p}cv AS (
          |  SELECT list(s ORDER BY j) AS cvec FROM (
          |    SELECT j, (sum(x::DECIMAL(38,12)))::DOUBLE AS s FROM (
          |      SELECT generate_subscripts($vecCol, 1) AS j,
          |             unnest($vecCol) AS x FROM $table) GROUP BY j)),
-         |be AS (
+         |${p}e AS (
          |  SELECT id FROM (
          |    SELECT e.$idCol AS id, ${cosSql(s"e.$vecCol", "c.cvec")} AS cs
-         |    FROM $table e, bcv c)
+         |    FROM $table e, ${p}cv c)
          |  ORDER BY cs DESC, id ASC LIMIT 1),
-         |bs0 AS (
+         |${p}s0 AS (
          |  SELECT e.$idCol AS id, ${cosSql(s"e.$vecCol", "q.qvec")} AS sim
-         |  FROM $table e JOIN be ON be.id = e.$idCol, bq q)""".stripMargin
+         |  FROM $table e JOIN ${p}e ON ${p}e.id = e.$idCol, ${p}q q)""".stripMargin
     val rounds = (1 to hops).map { i =>
-      s"""bf$i AS (
-         |  SELECT g.dst AS id FROM bs${i - 1} b JOIN $graphRel g ON g.src = b.id
-         |  UNION SELECT id FROM bs${i - 1}),
-         |bs$i AS MATERIALIZED (
+      s"""${p}f$i AS (
+         |  SELECT g.dst AS id FROM ${p}s${i - 1} b JOIN $graphRel g ON g.src = b.id
+         |  UNION SELECT id FROM ${p}s${i - 1}),
+         |${p}s$i AS MATERIALIZED (
          |  SELECT f.id, ${cosSql(s"e.$vecCol", "q.qvec")} AS sim
-         |  FROM bf$i f JOIN $table e ON e.$idCol = f.id, bq q
+         |  FROM ${p}f$i f JOIN $table e ON e.$idCol = f.id, ${p}q q
          |  ORDER BY sim DESC, f.id ASC LIMIT $beam)""".stripMargin
     }
     val fin =
-      s"""bsf AS (
-         |  SELECT id, sim FROM bs$hops
+      s"""${p}sf AS (
+         |  SELECT id, sim FROM ${p}s$hops
+         |  ORDER BY sim DESC, id ASC LIMIT $k)""".stripMargin
+    ((init +: rounds) :+ fin).mkString(",\n")
+  }
+
+  /** [[beamSearchSqlCtes]] SEEDED from an existing relation instead of
+    * the medoid entry — the fine half of the layered walk
+    * ([[graphIndexBeamSearchLayered]]): `seedRel` exposes the coarse
+    * walk's final beam ids (column `id`); hop CTEs carry `prefix` so
+    * two walks compose in one statement. Final relation
+    * `<prefix>sf` = (id, sim) top-k. */
+  def beamSearchSeededSqlCtes(table: String, idCol: String, vecCol: String,
+                              qRel: String, seedRel: String, k: Int,
+                              beam: Int = 8, hops: Int = 4,
+                              graphRel: String = "ex",
+                              prefix: String = "c"): String = {
+    val p = prefix
+    val init =
+      s"""${p}q AS ($qRel),
+         |${p}s0 AS (
+         |  SELECT e.$idCol AS id, ${cosSql(s"e.$vecCol", "q.qvec")} AS sim
+         |  FROM $table e JOIN $seedRel s ON s.id = e.$idCol, ${p}q q)""".stripMargin
+    val rounds = (1 to hops).map { i =>
+      s"""${p}f$i AS (
+         |  SELECT g.dst AS id FROM ${p}s${i - 1} b JOIN $graphRel g ON g.src = b.id
+         |  UNION SELECT id FROM ${p}s${i - 1}),
+         |${p}s$i AS MATERIALIZED (
+         |  SELECT f.id, ${cosSql(s"e.$vecCol", "q.qvec")} AS sim
+         |  FROM ${p}f$i f JOIN $table e ON e.$idCol = f.id, ${p}q q
+         |  ORDER BY sim DESC, f.id ASC LIMIT $beam)""".stripMargin
+    }
+    val fin =
+      s"""${p}sf AS (
+         |  SELECT id, sim FROM ${p}s$hops
          |  ORDER BY sim DESC, id ASC LIMIT $k)""".stripMargin
     ((init +: rounds) :+ fin).mkString(",\n")
   }

@@ -201,6 +201,48 @@ class KnnGraphSpec extends SparkSpec {
     assert(got == truth, s"got $got, want $truth")
   }
 
+  test("layered walk crosses a chain the flat hop budget provably cannot") {
+    // 160 points on a smooth arc: the k=3 graph is a CHAIN (each
+    // node's neighbors are its angular neighbors), so a flat walk
+    // advances ≤ ~2 positions per hop. The query sits at position 0;
+    // the medoid entry sits mid-arc (~80); 8 flat hops strand the beam
+    // ~65 positions short — no fixed budget scales with the diameter.
+    // The 1/8 hash-sample layer (21 nodes, every ~8 positions) strides
+    // the same distance in 4 coarse hops, and 4 fine hops then refine
+    // to the exact top-3. Same TOTAL budget, opposite outcome.
+    val pts = (0 until 160).map { i =>
+      val a = (math.Pi / 2) * i / 159.0
+      (i.toLong, Seq(math.cos(a), math.sin(a)))
+    }.toDF("vec_id", "embedding")
+      .select(col("vec_id"),
+        col("embedding").cast("array<double>").as("embedding"))
+    val graph = KnnGraph.exact(pts, 3)
+    val path = java.nio.file.Files
+      .createTempDirectory("graft-layered").toString + "/idx"
+    KnnGraph.writeGraphIndex(graph, pts, path)
+    KnnGraph.writeGraphLayer(spark, path, sampleEvery = 8, k = 6)
+    val q = pts.filter(col("vec_id") === 0).select(col("embedding").as("qvec"))
+    val truth = pts.crossJoin(broadcast(q))
+      .select(col("vec_id"),
+        VectorOps.cosine6(col("embedding"), col("qvec")).as("sim"))
+      .orderBy(col("sim").desc, col("vec_id").asc).limit(3)
+      .collect().map(_.getLong(0)).toSeq
+    val layered = KnnGraph.graphIndexBeamSearchLayered(spark, path, q,
+        k = 3, degree = 6, beam = 6, hopsCoarse = 4, hopsFine = 4)
+      .collect().map(_.getLong(0)).toSeq
+    assert(layered == truth, s"layered $layered must reach the truth $truth")
+    // the flat walk with the SAME total hop budget falls short
+    val flat = KnnGraph.beamSearch(graph, pts, q, k = 3, beam = 6, hops = 8)
+      .collect().map(_.getLong(0)).toSeq
+    assert(flat != truth,
+      s"fixture must defeat the flat budget, got $flat — tighten the chain")
+    // a fresh build resets the layer: stale routing cannot survive
+    KnnGraph.writeGraphIndex(graph, pts, path)
+    intercept[IllegalArgumentException] {
+      KnnGraph.graphIndexBeamSearchLayered(spark, path, q, 3, 6)
+    }
+  }
+
   test("filtered beam search: routes through excluded nodes, answers only allowed ones") {
     // ring of 40 points; allow only even ids. The true filtered top-3
     // around the query (node 17's vector) are even nodes 18, 16, 20 —
