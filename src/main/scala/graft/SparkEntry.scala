@@ -499,6 +499,28 @@ object SparkEntry {
         .select(col("id").as("vec_id"), col("sim"))
         .orderBy(col("sim").desc, col("vec_id"))
     }),
+    // ---- [EXT] the coarse layer WATCHED by the fleet policy: 200
+    // appended nodes land in the base graph and the nodes side, but
+    // the layer's node set froze at its build — the nodes the sample
+    // rule says are due (portableHash % 8 == 0) accumulate OUTSIDE
+    // the layer, and the coarse strides stop covering the new
+    // regions. graphLayerHealth measures the gap (missing/due);
+    // the policy fires the relayer remedy alongside the append's
+    // edge-debt compact. The oracle replays the debt arithmetic, the
+    // hash-sample membership of every id, and the ranking.
+    "index_maintenance_layer" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val path = scratchDir("maint-layer")
+      graft.search.KnnGraph.writeGraphIndex(nndGraph(s, dir, 5), emb, path)
+      graft.search.KnnGraph.writeGraphLayer(s, path, sampleEvery = 8, k = 5)
+      graft.search.KnnGraph.appendToGraphIndex(
+        emb.filter(col("vec_id") < 200)
+          .select((col("vec_id") + 100000).as("vec_id"),
+            reverse(col("embedding")).as("embedding")), path)
+      graft.store.Maintenance.indexMaintain(s,
+        graph = Seq(("embeddings_graph", path, 5)),
+        graphLayer = Seq("embeddings_graph" -> path))
+    }),
     // ---- [EXT] EXACT incremental kNN-graph maintenance: an arriving
     // batch updates the persisted graph with O((n+d)·d) cosines — an
     // existing node's top-k can only be displaced by delta nodes, so
@@ -6055,6 +6077,7 @@ object SparkEntry {
       |    ('bm25', 'bucket_skew', 3.0, 'rebucket'),
       |    ('graph', 'edge_debt', 2.0, 'compact'),
       |    ('graph', 'tombstone_ratio', 0.05, 'compact'),
+      |    ('graph', 'layer_missing', 0.2, 'relayer'),
       |    ('sq8', 'assignment_drift', 0.01, 'retrain'),
       |    ('sq8', 'baseline_stale', 0.01, 're_record'),
       |    ('sq8', 'tombstone_ratio', 0.10, 'compact'),
@@ -7439,6 +7462,40 @@ object SparkEntry {
           seedRel = "bs2", k = 5, beam = 8, hops = 2, graphRel = "nnd",
           prefix = "c") +
         "\nSELECT id AS vec_id, sim FROM csf ORDER BY sim DESC, vec_id"),
+    // layer staleness: edge debt replays the append arithmetic at
+    // d = 200; layer_missing replays the hash-sample membership of
+    // every live id (due = sampled originals ∪ sampled appends;
+    // missing = the sampled appends — the layer froze before them)
+    "index_maintenance_layer" ->
+      s"""WITH gn AS (SELECT count(*) AS n FROM embeddings),
+         |gdebt AS (SELECT round((gn.n * 5 + gn.n * 200 +
+         |                        200 * (gn.n + 199))::DOUBLE /
+         |                       (5.0 * (gn.n + 200)), 6) AS v FROM gn),
+         |ldue AS (
+         |  SELECT vec_id AS id FROM embeddings
+         |  WHERE (${graft.functions.KmvSketch.hashSql("vec_id")}) % 8 = 0
+         |  UNION ALL
+         |  SELECT vec_id + 100000 FROM embeddings
+         |  WHERE vec_id < 200
+         |    AND (${graft.functions.KmvSketch.hashSql("(vec_id + 100000)")}) % 8
+         |        = 0),
+         |lmr AS (SELECT round(
+         |          (SELECT count(*) FROM ldue WHERE id >= 100000)::DOUBLE /
+         |          (SELECT count(*) FROM ldue), 6) AS v),
+         |sig AS (
+         |  SELECT 'graph' AS index_kind, 'embeddings_graph' AS index_name,
+         |         'edge_debt' AS signal, v AS value FROM gdebt
+         |  UNION ALL SELECT 'graph', 'embeddings_graph', 'tombstone_ratio',
+         |                   0.0 FROM gn
+         |  UNION ALL SELECT 'graph', 'embeddings_graph', 'layer_missing', v
+         |            FROM lmr),
+         |$rulesSqlCte,
+         |$firedSqlCte
+         |SELECT row_number() OVER (ORDER BY severity DESC, index_kind ASC,
+         |         index_name ASC, action ASC, signal ASC)::BIGINT AS priority,
+         |       index_kind, index_name, action, signal, value, threshold,
+         |       severity
+         |FROM fired ORDER BY priority""".stripMargin,
     // the maintained base is the NN-Descent graph: replay its chain,
     // then the append arithmetic (old×delta + delta×all re-ranked per
     // node). No (src, dst) overlaps between the three legs (delta ids

@@ -341,6 +341,7 @@ object KnnGraph {
     graft.io.Fs.delete(corpus.sparkSession, s"$path.nodes")
     graft.io.Fs.delete(corpus.sparkSession, s"$path.tombstones")
     graft.io.Fs.delete(corpus.sparkSession, s"$path.layer1")
+    graft.io.Fs.delete(corpus.sparkSession, s"$path.layer1_conf")
     graph.select(col("src"), col("dst"), col("sim"))
       .withColumn("__bucket", pmod(hash(col("src")), lit(buckets)))
       .repartition(col("__bucket"))
@@ -488,6 +489,7 @@ object KnnGraph {
     * move the node set — it is derived state, cheap by construction. */
   def writeGraphLayer(spark: org.apache.spark.sql.SparkSession, path: String,
                       sampleEvery: Int, k: Int, buckets: Int = 16): Unit = {
+    import spark.implicits._
     require(sampleEvery >= 2, s"sampleEvery must be >= 2: $sampleEvery")
     val sampled = spark.read.parquet(s"$path.nodes")
       .filter(pmod(portableHash(col("id")), lit(sampleEvery)) === 0)
@@ -500,6 +502,45 @@ object KnnGraph {
       .withColumn("__bucket", pmod(hash(col("src")), lit(buckets)))
       .repartition(col("__bucket"))
       .write.partitionBy("__bucket").mode("overwrite").parquet(s"$path.layer1")
+    // the layer's build parameters persist next to it: the health op
+    // and the relayer remedy need the sample rule, and guessing it
+    // from the data would mis-measure coverage
+    Seq((sampleEvery, k)).toDF("sample_every", "k")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path.layer1_conf")
+  }
+
+  /** Coverage health of the coarse layer — the staleness signal the
+    * layered walk needs watched: appends land in the base graph and
+    * the nodes side, but the layer's node set is FROZEN at its build,
+    * so nodes the sample rule says are DUE (`portableHash % rate == 0`
+    * among live nodes) accumulate OUTSIDE the layer and the coarse
+    * strides stop covering the new regions. Routing-only damage — the
+    * fine walk still answers from the full graph — but recall decays
+    * exactly the way the flat walk's does, which is what the layer
+    * exists to prevent. One row `(sample_every, n_nodes, n_due,
+    * n_in_layer, n_missing)`; remedy = [[writeGraphLayer]] again (the
+    * layer is derived state — a relayer is one sampled rebuild, cost
+    * bounded by the nodes-side scan). */
+  def graphLayerHealth(spark: org.apache.spark.sql.SparkSession,
+                       path: String): DataFrame = {
+    import spark.implicits._
+    require(graft.io.Fs.exists(spark, s"$path.layer1_conf"),
+      s"no layer at $path — run writeGraphLayer first")
+    val conf = spark.read.parquet(s"$path.layer1_conf").head()
+    val sampleEvery = conf.getAs[Int]("sample_every")
+    val nodesRaw = spark.read.parquet(s"$path.nodes").select(col("id"))
+    val live = graphTombstones(spark, path).fold(nodesRaw) { t =>
+      nodesRaw.join(broadcast(t.select(col(t.columns.head).as("__tomb"))),
+        col("id") === col("__tomb"), "left_anti")
+    }
+    val due = live.filter(pmod(portableHash(col("id")), lit(sampleEvery)) === 0)
+    val inLayer = spark.read.parquet(s"$path.layer1")
+      .select(col("src").as("id")).distinct()
+    val nNodes = live.count()
+    val nDue = due.count()
+    val nMissing = due.join(inLayer, Seq("id"), "left_anti").count()
+    Seq((sampleEvery.toLong, nNodes, nDue, nDue - nMissing, nMissing))
+      .toDF("sample_every", "n_nodes", "n_due", "n_in_layer", "n_missing")
   }
 
   /** LAYERED beam search over the materialized index — coarse-to-fine:

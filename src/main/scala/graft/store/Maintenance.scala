@@ -56,6 +56,10 @@ object Maintenance {
     *    SQ8 index carries (the int8 scheme is parameterless) → retrain
     *    / re-record.
     *  - `tombstone_ratio` (SQ8): codes-side delete debt → compact.
+    *  - `layer_missing` (graph): due-but-absent coarse-layer nodes
+    *    per due node ([[graft.search.KnnGraph.graphLayerHealth]]) —
+    *    the layered walk's routing coverage decays as appends land
+    *    outside the frozen layer → relayer (one sampled rebuild).
     *  - `tombstone_ratio` (LSH): delete debt → compact. LSH is the one
     *    family with NO drift rule BY CONSTRUCTION: planes are frozen
     *    seeded literals with no trained state ([[graft.search.Ann
@@ -72,6 +76,7 @@ object Maintenance {
     MaintenanceRule("bm25", "bucket_skew", 3.0, "rebucket"),
     MaintenanceRule("graph", "edge_debt", 2.0, "compact"),
     MaintenanceRule("graph", "tombstone_ratio", 0.05, "compact"),
+    MaintenanceRule("graph", "layer_missing", 0.2, "relayer"),
     MaintenanceRule("sq8", "assignment_drift", 0.01, "retrain"),
     MaintenanceRule("sq8", "baseline_stale", 0.01, "re_record"),
     MaintenanceRule("sq8", "tombstone_ratio", 0.10, "compact"),
@@ -129,6 +134,18 @@ object Maintenance {
         round(col("n_tombstones").cast("double") / col("n_rows"), 6).as("value"))
       .unionAll(health.select(lit("lsh"), lit(name), lit("file_debt"),
         round(col("n_files").cast("double") / col("n_buckets"), 6)))
+
+  /** [[graft.search.KnnGraph.graphLayerHealth]] → `layer_missing`
+    * (due-but-absent layer nodes per due node; 0 when nothing is due —
+    * an empty sample is covered, not broken). Emitted under the
+    * `graph` kind: the layer is part of the graph index, not a store
+    * of its own. */
+  def layerSignals(health: DataFrame, name: String): DataFrame =
+    health.select(lit("graph").as("index_kind"), lit(name).as("index_name"),
+      lit("layer_missing").as("signal"),
+      when(col("n_due") === 0, lit(0.0))
+        .otherwise(round(col("n_missing").cast("double") / col("n_due"), 6))
+        .as("value"))
 
   /** [[graft.search.KnnGraph.graphIndexHealth]] → `edge_debt` (raw
     * edge rows over the compacted `n_nodes·k` floor) +
@@ -219,6 +236,7 @@ object Maintenance {
                     ivfPq: Seq[(String, String, graft.search.Pq.Codebooks)] = Nil,
                     sq: Seq[(String, String)] = Nil,
                     lsh: Seq[(String, String)] = Nil,
+                    graphLayer: Seq[(String, String)] = Nil,
                     rules: Seq[MaintenanceRule] = DefaultRules): DataFrame = {
     val sigs =
       ivf.map { case (n, p) =>
@@ -233,7 +251,9 @@ object Maintenance {
         sqSignals(graft.search.Sq.ivfSqDrift(spark, p),
           graft.search.Sq.ivfSqHealth(spark, p), n) } ++
       lsh.map { case (n, p) =>
-        lshSignals(graft.search.Ann.lshIndexHealth(spark, p), n) }
+        lshSignals(graft.search.Ann.lshIndexHealth(spark, p), n) } ++
+      graphLayer.map { case (n, p) =>
+        layerSignals(graft.search.KnnGraph.graphLayerHealth(spark, p), n) }
     require(sigs.nonEmpty, "indexMaintain needs at least one index")
     plan(sigs.reduce(_ unionAll _), rules)
   }
@@ -257,8 +277,10 @@ object Maintenance {
                           ivfPq: Seq[(String, String, graft.search.Pq.Codebooks)] = Nil,
                           sq: Seq[(String, String)] = Nil,
                           lsh: Seq[(String, String)] = Nil,
+                          graphLayer: Seq[(String, String)] = Nil,
                           rules: Seq[MaintenanceRule] = DefaultRules): DataFrame = {
-    val planned = indexMaintain(spark, ivf, bm25, graph, ivfPq, sq, lsh, rules)
+    val planned =
+      indexMaintain(spark, ivf, bm25, graph, ivfPq, sq, lsh, graphLayer, rules)
     def costRows(kind: String, name: String, health: DataFrame,
                  actions: (String, Column)*): DataFrame =
       actions.map { case (a, c) =>
@@ -285,7 +307,11 @@ object Maintenance {
           "re_record" -> lit(0L)) } ++
       lsh.map { case (n, p) =>
         costRows("lsh", n, graft.search.Ann.lshIndexHealth(spark, p),
-          "compact" -> col("n_rows")) }
+          "compact" -> col("n_rows")) } ++
+      graphLayer.map { case (n, p) =>
+        // a relayer scans the nodes side to re-sample: read cost = n
+        costRows("graph", n, graft.search.KnnGraph.graphLayerHealth(spark, p),
+          "relayer" -> col("n_nodes")) }
     planned.join(broadcast(costs.reduce(_ unionAll _)),
         Seq("index_kind", "index_name", "action"), "left")
       .select(col("priority"), col("index_kind"), col("index_name"),

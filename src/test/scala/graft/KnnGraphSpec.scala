@@ -236,6 +236,21 @@ class KnnGraphSpec extends SparkSpec {
       .collect().map(_.getLong(0)).toSeq
     assert(flat != truth,
       s"fixture must defeat the flat budget, got $flat — tighten the chain")
+    // layer coverage health: fresh layer -> nothing missing; appended
+    // nodes whose ids hash into the sample rule (6 of ids 1000..1039)
+    // are due-but-absent; the relayer remedy restores full coverage
+    val h0 = KnnGraph.graphLayerHealth(spark, path).head()
+    assert(h0.getAs[Long]("n_missing") == 0L, h0.toString)
+    KnnGraph.appendToGraphIndex(
+      pts.filter(col("vec_id") < 40)
+        .select((col("vec_id") + 1000).as("vec_id"), col("embedding")), path)
+    val h1 = KnnGraph.graphLayerHealth(spark, path).head()
+    assert(h1.getAs[Long]("n_missing") == 6L, h1.toString)
+    assert(h1.getAs[Long]("n_due") == h0.getAs[Long]("n_due") + 6L, h1.toString)
+    KnnGraph.writeGraphLayer(spark, path, 8, 6)
+    val h2 = KnnGraph.graphLayerHealth(spark, path).head()
+    assert(h2.getAs[Long]("n_missing") == 0L &&
+      h2.getAs[Long]("n_due") == h1.getAs[Long]("n_due"), h2.toString)
     // a fresh build resets the layer: stale routing cannot survive
     KnnGraph.writeGraphIndex(graph, pts, path)
     intercept[IllegalArgumentException] {

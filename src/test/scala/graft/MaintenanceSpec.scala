@@ -96,6 +96,16 @@ class MaintenanceSpec extends SparkSpec {
     // deliberately exactly TWO signals: planes are stateless literals,
     // no drift signal exists for LSH by construction
     assert(lv == Map("tombstone_ratio" -> 0.1, "file_debt" -> 3.0), lv.toString)
+    val lay = Seq((8L, 700L, 88L, 63L, 25L)).toDF(
+      "sample_every", "n_nodes", "n_due", "n_in_layer", "n_missing")
+    val layv = Maintenance.layerSignals(lay, "g").collect()
+    assert(layv.length == 1 && layv.head.getAs[String]("index_kind") == "graph"
+      && layv.head.getAs[Double]("value") == 0.284091, layv.toSeq.toString)
+    // an empty sample is covered, not broken: no due nodes -> 0.0
+    val empty = Seq((8L, 0L, 0L, 0L, 0L)).toDF(
+      "sample_every", "n_nodes", "n_due", "n_in_layer", "n_missing")
+    assert(Maintenance.layerSignals(empty, "g").head()
+      .getAs[Double]("value") == 0.0)
   }
 
   test("rules must carry positive thresholds") {
