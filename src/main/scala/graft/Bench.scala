@@ -30,32 +30,36 @@ object Bench {
     * names is the box being busy, not a regression, and the JSON says so. */
   private def refQueries(): Map[String, Double] = queriesOf(new java.io.File("BENCH_REF.json"))
 
-  /** The PREVIOUS round's committed record from bench/r{N}*.json —
-    * the highest round number on disk, preferring its `-final` tag
-    * (the close-sequence convention), then the bare `r{N}.json`, then
-    * the newest file of that round. Reported as a SECOND ratio next to
-    * the BENCH_REF one so a floor re-baseline (round-15 verdict item:
+  /** The PREVIOUS round's committed record — the second ratio next to
+    * the BENCH_REF one, so a floor re-baseline (round-15 verdict item:
     * commit 1b7d81a made `inflation` nearly self-referential) can
-    * never silently absorb a cross-round regression — the vs-prev
-    * ratio always compares against history, whatever the floors say. */
+    * never silently absorb a cross-round regression. "Previous round"
+    * is anchored to the DRIVER's judged artifacts: `BENCH_r{N}.json`
+    * files exist in cwd only for COMPLETED rounds (the in-flight
+    * round's is written after this very run), so max N over them is
+    * always the prior round — a mid-round subset tag under bench/
+    * (r16-newq etc.) can never masquerade as history. The per-query
+    * record is read from `bench/r{N}-final.json` (the close-sequence
+    * convention: the builder's full quiet close run), falling back to
+    * the bare `bench/r{N}.json`, then the driver artifact itself
+    * (which may carry a truncated query map — the intersection
+    * compare still holds). */
   private def prevRecord(): Option[(String, Map[String, Double])] = {
-    val rx = "^r(\\d+)([.-].*)?\\.json$".r
-    val files = Option(new java.io.File("bench").listFiles())
+    val rx = "^BENCH_r0*(\\d+)\\.json$".r
+    val rounds = Option(new java.io.File(".").listFiles())
       .getOrElse(Array.empty[java.io.File])
-      .flatMap { f =>
-        f.getName match {
-          case rx(n, _) => Some((n.toInt, f))
-          case _ => None
-        }
+      .flatMap(f => f.getName match {
+        case rx(n) => Some(n.toInt)
+        case _ => None
+      })
+    if (rounds.isEmpty) return None
+    val prev = rounds.max
+    Seq(s"bench/r$prev-final.json", s"bench/r$prev.json",
+        f"BENCH_r$prev%02d.json", s"BENCH_r$prev.json")
+      .map(new java.io.File(_))
+      .collectFirst {
+        case f if queriesOf(f).nonEmpty => (f.getPath, queriesOf(f))
       }
-    if (files.isEmpty) return None
-    val maxRound = files.map(_._1).max
-    val ofRound = files.filter(_._1 == maxRound).map(_._2)
-    val pick = ofRound.find(_.getName == s"r$maxRound-final.json")
-      .orElse(ofRound.find(_.getName == s"r$maxRound.json"))
-      .getOrElse(ofRound.maxBy(_.lastModified()))
-    val qs = queriesOf(pick)
-    if (qs.isEmpty) None else Some((pick.getName, qs))
   }
 
   /** Block until the 1-minute loadavg drops below `threshold`
