@@ -521,6 +521,52 @@ object SparkEntry {
         graph = Seq(("embeddings_graph", path, 5)),
         graphLayer = Seq("embeddings_graph" -> path))
     }),
+    // ---- [EXT] the layer loop CLOSED: the same appended store →
+    // frozen plan → remedies. The dispatch encodes the operational
+    // rule the compact scaladoc states: the layer is DERIVED state
+    // pinned to a node-set generation, so ANY generation rewrite
+    // re-derives it (a compact without a relayer order still
+    // re-layers the fresh generation — its sample may reference
+    // dropped nodes); a relayer without a compact rebuilds in place.
+    // Health re-read from the maintained generation; the oracle
+    // replays the plan and the post-remedy identities (compacted
+    // edges = exactly (n+d)·k → debt 1; a fresh layer has nothing
+    // missing → 0).
+    "index_maintenance_layer_applied" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val path = scratchDir("maintap-layer")
+      graft.search.KnnGraph.writeGraphIndex(nndGraph(s, dir, 5), emb, path)
+      graft.search.KnnGraph.writeGraphLayer(s, path, sampleEvery = 8, k = 5)
+      graft.search.KnnGraph.appendToGraphIndex(
+        emb.filter(col("vec_id") < 200)
+          .select((col("vec_id") + 100000).as("vec_id"),
+            reverse(col("embedding")).as("embedding")), path)
+      val planned = graft.store.Maintenance.indexMaintain(s,
+        graph = Seq(("embeddings_graph", path, 5)),
+        graphLayer = Seq("embeddings_graph" -> path))
+        .localCheckpoint()
+      val acts = planned
+        .select(col("index_kind"), col("index_name"), col("action"))
+        .collect()
+        .map(r => (r.getString(0), r.getString(1), r.getString(2))).toSet
+      val path2 = scratchDir("maintap-layer-v2")
+      val compacted = acts(("graph", "embeddings_graph", "compact"))
+      val eff = if (compacted) path2 else path
+      if (compacted)
+        graft.search.KnnGraph.compactGraphIndex(s, path, path2, 5)
+      if (compacted || acts(("graph", "embeddings_graph", "relayer"))) {
+        val conf = s.read.parquet(s"$path.layer1_conf").head()
+        graft.search.KnnGraph.writeGraphLayer(s, eff,
+          conf.getAs[Int]("sample_every"), conf.getAs[Int]("k"))
+      }
+      val after = graft.store.Maintenance.graphSignals(
+          graft.search.KnnGraph.graphIndexHealth(s, eff), 5,
+          "embeddings_graph")
+        .unionAll(graft.store.Maintenance.layerSignals(
+          graft.search.KnnGraph.graphLayerHealth(s, eff),
+          "embeddings_graph"))
+      graft.store.Maintenance.resolutionReport(planned, after)
+    }),
     // ---- [EXT] EXACT incremental kNN-graph maintenance: an arriving
     // batch updates the persisted graph with O((n+d)·d) cosines — an
     // existing node's top-k can only be displaced by delta nodes, so
@@ -7496,6 +7542,57 @@ object SparkEntry {
          |       index_kind, index_name, action, signal, value, threshold,
          |       severity
          |FROM fired ORDER BY priority""".stripMargin,
+    // layer plan → act → verify: the same fired chain joined to the
+    // post-remedy identities — compact rewrites to exactly (n+d)·k
+    // edges (debt 1), the re-derived layer has nothing missing, the
+    // tombstone side was empty to begin with
+    "index_maintenance_layer_applied" ->
+      s"""WITH gn AS (SELECT count(*) AS n FROM embeddings),
+         |gdebt AS (SELECT round((gn.n * 5 + gn.n * 200 +
+         |                        200 * (gn.n + 199))::DOUBLE /
+         |                       (5.0 * (gn.n + 200)), 6) AS v FROM gn),
+         |ldue AS (
+         |  SELECT vec_id AS id FROM embeddings
+         |  WHERE (${graft.functions.KmvSketch.hashSql("vec_id")}) % 8 = 0
+         |  UNION ALL
+         |  SELECT vec_id + 100000 FROM embeddings
+         |  WHERE vec_id < 200
+         |    AND (${graft.functions.KmvSketch.hashSql("(vec_id + 100000)")}) % 8
+         |        = 0),
+         |lmr AS (SELECT round(
+         |          (SELECT count(*) FROM ldue WHERE id >= 100000)::DOUBLE /
+         |          (SELECT count(*) FROM ldue), 6) AS v),
+         |sig AS (
+         |  SELECT 'graph' AS index_kind, 'embeddings_graph' AS index_name,
+         |         'edge_debt' AS signal, v AS value FROM gdebt
+         |  UNION ALL SELECT 'graph', 'embeddings_graph', 'tombstone_ratio',
+         |                   0.0 FROM gn
+         |  UNION ALL SELECT 'graph', 'embeddings_graph', 'layer_missing', v
+         |            FROM lmr),
+         |$rulesSqlCte,
+         |$firedSqlCte,
+         |aft AS (
+         |  SELECT 'graph' AS index_kind, 'embeddings_graph' AS index_name,
+         |         'edge_debt' AS signal,
+         |         round(((gn.n + 200) * 5)::DOUBLE /
+         |               (5.0 * (gn.n + 200)), 6) AS value_after
+         |  FROM gn
+         |  UNION ALL SELECT 'graph', 'embeddings_graph', 'tombstone_ratio',
+         |                   0.0
+         |  UNION ALL SELECT 'graph', 'embeddings_graph', 'layer_missing',
+         |                   0.0),
+         |aplan AS (
+         |  SELECT row_number() OVER (ORDER BY severity DESC, index_kind ASC,
+         |           index_name ASC, action ASC, signal ASC)::BIGINT
+         |           AS priority,
+         |         index_kind, index_name, action, signal, value, threshold
+         |  FROM fired)
+         |SELECT p.priority, p.index_kind, p.index_name, p.action, p.signal,
+         |       p.value AS value_before, round(a.value_after, 6) AS value_after,
+         |       p.threshold, a.value_after < p.threshold AS resolved
+         |FROM aplan p LEFT JOIN aft a
+         |  USING (index_kind, index_name, signal)
+         |ORDER BY p.priority""".stripMargin,
     // the maintained base is the NN-Descent graph: replay its chain,
     // then the append arithmetic (old×delta + delta×all re-ranked per
     // node). No (src, dst) overlaps between the three legs (delta ids

@@ -724,6 +724,11 @@ object KnnGraph {
         broadcast(t.select(col(t.columns.head).as("__tomb"))),
         col("id") === col("__tomb"), "left_anti"))
       .write.mode("overwrite").parquet(s"$dstPath.nodes")
+    // the coarse layer does NOT move: it is derived state pinned to a
+    // node-set generation (its sample may reference nodes this rewrite
+    // dropped) — re-derive it on the fresh generation with
+    // [[writeGraphLayer]]; until then the layered search fails loudly
+    // on the missing layer rather than routing through a stale one
   }
 
   /** Triangle census of an UNDIRECTED edge set (canonical (src <
