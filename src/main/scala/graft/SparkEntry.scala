@@ -521,6 +521,49 @@ object SparkEntry {
         graph = Seq(("embeddings_graph", path, 5)),
         graphLayer = Seq("embeddings_graph" -> path))
     }),
+    // ---- [EXT] the policy ORDER BOOK (Maintenance.orderBook): the
+    // READ side of the streaming policy sinks' <path>.oplog — an SQ8
+    // store drifts over two logged evaluation batches (batch 0: 100
+    // negated appends cross a per-batch drift gate; a 25% delete
+    // lands between batches; batch 1: 100 more appends — drift fires
+    // AGAIN and the tombstone debt fires for the first time), and the
+    // book aggregates the log to the executor's worklist: per
+    // (action, signal) — first/last firing batch, firing count
+    // (persistence), and the LATEST value/severity (what a remedy
+    // would act on now), ranked by latest severity. Per-batch
+    // thresholds are policy (micro-batches dilute drift by |batch|/n
+    // — the StoreStreamSpec convention). The oracle replays both
+    // batches' drift means, the raw-count tombstone ratio, and the
+    // book aggregation.
+    "maintenance_order_book" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val path = scratchDir("maint-book")
+      val cents: Seq[Seq[Double]] = Ann.centroids(emb, "label", "embedding")
+        .orderBy(col("key")).collect().map(_.getSeq[Double](1).toSeq).toSeq
+      val rules = Seq(
+        graft.store.MaintenanceRule("sq8", "assignment_drift", 0.005, "retrain"),
+        graft.store.MaintenanceRule("sq8", "tombstone_ratio", 0.10, "compact"))
+      graft.search.Sq.buildIvfSqIndex(emb, cents, path)
+      graft.search.Sq.recordIvfSqModel(s, path, cents)
+      def applyAndLog(batchId: Long, lo: Int, hi: Int): Unit = {
+        graft.search.Sq.appendToIvfSqIndex(
+          emb.filter(col("vec_id") >= lo && col("vec_id") < hi)
+            .select((col("vec_id") + 100000).as("vec_id"),
+              transform(col("embedding"), x => -x).as("embedding")),
+          cents, path)
+        graft.store.Maintenance.plan(
+            graft.store.Maintenance.sqSignals(
+              graft.search.Sq.ivfSqDrift(s, path),
+              graft.search.Sq.ivfSqHealth(s, path), "events_vec_sq8"), rules)
+          .withColumn("batch_id", lit(batchId))
+          .write.mode("append").parquet(s"$path.oplog")
+      }
+      applyAndLog(0L, 0, 100)
+      graft.search.Sq.deleteFromIvfSqIndex(
+        emb.filter(col("vec_id") % 4 === 0).select(col("vec_id")), path)
+      applyAndLog(1L, 100, 200)
+      graft.store.Maintenance.orderBook(s, path)
+    }),
     // ---- [EXT] the layer loop CLOSED: the same appended store →
     // frozen plan → remedies. The dispatch encodes the operational
     // rule the compact scaladoc states: the layer is DERIVED state
@@ -7508,6 +7551,58 @@ object SparkEntry {
           seedRel = "bs2", k = 5, beam = 8, hops = 2, graphRel = "nnd",
           prefix = "c") +
         "\nSELECT id AS vec_id, sim FROM csf ORDER BY sim DESC, vec_id"),
+    // the order book: both batches' drift evaluations replay (means
+    // over the growing union, survivors after the mid-stream delete),
+    // the per-batch FIRING is the same >= filter the plan applies, and
+    // the book aggregation (first/last/count/latest-by-batch) runs
+    // over the replayed log rows
+    "maintenance_order_book" ->
+      s"""WITH $labelDriftCtes,
+         |bng AS MATERIALIZED (
+         |  SELECT e.vec_id + 100000 AS vec_id,
+         |         max(list_dot_product(list_transform(e.embedding, x -> -x)::DOUBLE[],
+         |                              c.centroid) /
+         |             (sqrt(list_dot_product(e.embedding::DOUBLE[],
+         |                                    e.embedding::DOUBLE[])) *
+         |              sqrt(list_dot_product(c.centroid, c.centroid)))) AS ms
+         |  FROM embeddings e CROSS JOIN bcl c
+         |  WHERE e.vec_id < 200 GROUP BY e.vec_id),
+         |bc0 AS (SELECT round(avg(ms), 6) AS c FROM
+         |        (SELECT ms FROM ms
+         |         UNION ALL SELECT ms FROM bng WHERE vec_id < 100100)),
+         |bd0 AS (SELECT round(mb.b - bc0.c, 6) AS drift FROM mb, bc0),
+         |bc1 AS (SELECT round(avg(ms), 6) AS c FROM
+         |        (SELECT ms FROM ms WHERE vec_id % 4 <> 0
+         |         UNION ALL SELECT ms FROM bng)),
+         |bd1 AS (SELECT round(mb.b - bc1.c, 6) AS drift FROM mb, bc1),
+         |btr AS (SELECT round((SELECT count(*) FROM embeddings
+         |                      WHERE vec_id % 4 = 0)::DOUBLE /
+         |                     ((SELECT count(*) FROM embeddings) + 200), 6)
+         |          AS v),
+         |blog AS (
+         |  SELECT 0::BIGINT AS batch_id, 'retrain' AS action,
+         |         'assignment_drift' AS signal,
+         |         round(greatest(drift, 0.0), 6) AS value,
+         |         0.005 AS threshold
+         |  FROM bd0 WHERE greatest(drift, 0.0) >= 0.005
+         |  UNION ALL
+         |  SELECT 1::BIGINT, 'retrain', 'assignment_drift',
+         |         round(greatest(drift, 0.0), 6), 0.005
+         |  FROM bd1 WHERE greatest(drift, 0.0) >= 0.005
+         |  UNION ALL
+         |  SELECT 1::BIGINT, 'compact', 'tombstone_ratio', v, 0.10
+         |  FROM btr WHERE v >= 0.10)
+         |SELECT 'sq8' AS index_kind, 'events_vec_sq8' AS index_name,
+         |       action, signal,
+         |       min(batch_id) AS first_batch, max(batch_id) AS last_batch,
+         |       count(*)::BIGINT AS n_fired,
+         |       arg_max(value, batch_id) AS last_value,
+         |       first(threshold) AS threshold,
+         |       round(arg_max(value, batch_id) / first(threshold), 6)
+         |         AS last_severity
+         |FROM blog GROUP BY action, signal
+         |ORDER BY last_severity DESC, index_kind, index_name, action,
+         |         signal""".stripMargin,
     // layer staleness: edge debt replays the append arithmetic at
     // d = 200; layer_missing replays the hash-sample membership of
     // every live id (due = sampled originals ∪ sampled appends;

@@ -258,6 +258,35 @@ object Maintenance {
     plan(sigs.reduce(_ unionAll _), rules)
   }
 
+  /** The outstanding ORDER BOOK of a policy oplog — the READ side of
+    * the streaming policy sinks ([[graft.streaming.StreamIngest]]'s
+    * `*PolicySink` family appends one plan per applied micro-batch to
+    * `<path>.oplog`): the same action logged across consecutive
+    * batches is the signal STAYING over threshold, not N separate
+    * orders, so the executor's view aggregates per
+    * (kind, name, action, signal) to — first/last firing batch, how
+    * many batches it has fired (persistence = urgency corroboration),
+    * and the LATEST observation's value/severity (what the remedy
+    * would act on NOW). Ranked by latest severity, the maintenance
+    * executor's worklist. Bounded: the book is ≤ |signals| rows; the
+    * log itself is ≤ batches·|rules| rows of plan output. */
+  def orderBookOf(log: DataFrame): DataFrame =
+    log.groupBy(col("index_kind"), col("index_name"), col("action"),
+        col("signal"))
+      .agg(min(col("batch_id")).as("first_batch"),
+        max(col("batch_id")).as("last_batch"),
+        count(lit(1)).as("n_fired"),
+        max_by(col("value"), col("batch_id")).as("last_value"),
+        first(col("threshold")).as("threshold"),
+        max_by(col("severity"), col("batch_id")).as("last_severity"))
+      .orderBy(col("last_severity").desc, col("index_kind").asc,
+        col("index_name").asc, col("action").asc, col("signal").asc)
+
+  /** [[orderBookOf]] over an index's persisted oplog. */
+  def orderBook(spark: org.apache.spark.sql.SparkSession,
+                path: String): DataFrame =
+    orderBookOf(spark.read.parquet(s"$path.oplog"))
+
   /** [[indexMaintain]] with a remedy COST estimate attached — the
     * number that lets an operator weigh urgency (severity) against
     * price: `cost_rows` = the RAW stored rows the remedy's rewrite

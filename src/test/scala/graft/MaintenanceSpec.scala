@@ -108,6 +108,27 @@ class MaintenanceSpec extends SparkSpec {
       .getAs[Double]("value") == 0.0)
   }
 
+  test("orderBookOf: persistence counts, latest-by-batch values, severity ranking") {
+    val log = Seq(
+      ("ivf", "a", "retrain", "assignment_drift", 0.02, 0.01, 2.0, 0L),
+      ("ivf", "a", "retrain", "assignment_drift", 0.05, 0.01, 5.0, 2L),
+      ("bm25", "b", "compact", "tombstone_ratio", 0.30, 0.10, 3.0, 1L)
+    ).toDF("index_kind", "index_name", "action", "signal", "value",
+      "threshold", "severity", "batch_id")
+    val rows = Maintenance.orderBookOf(log).collect()
+    assert(rows.length == 2)
+    // ranked by the LATEST severity (5.0 beats 3.0), not the firing count
+    assert(rows(0).getAs[String]("index_name") == "a", rows.toSeq.toString)
+    assert(rows(0).getAs[Long]("first_batch") == 0L &&
+      rows(0).getAs[Long]("last_batch") == 2L &&
+      rows(0).getAs[Long]("n_fired") == 2L)
+    assert(rows(0).getAs[Double]("last_value") == 0.05 &&
+      rows(0).getAs[Double]("last_severity") == 5.0,
+      "the book must carry the LATEST observation, not the first")
+    assert(rows(1).getAs[String]("index_name") == "b" &&
+      rows(1).getAs[Long]("n_fired") == 1L)
+  }
+
   test("rules must carry positive thresholds") {
     intercept[IllegalArgumentException] {
       Maintenance.plan(sig(("ivf", "a", "assignment_drift", 1.0)),
