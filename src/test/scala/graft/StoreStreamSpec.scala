@@ -357,6 +357,15 @@ class StoreStreamSpec extends SparkSpec {
     q2.processAllAvailable(); q2.stop()
     assert(spark.read.parquet(s"$dir.oplog").count() == 1L,
       "replay must not double-log")
+    // the order book over the sink's own oplog: one outstanding order,
+    // fired once, at the drifting batch — the executor's worklist
+    // composes directly over what the sink wrote
+    val book = graft.store.Maintenance.orderBook(spark, dir).collect()
+    assert(book.length == 1 &&
+      book.head.getAs[String]("action") == "retrain" &&
+      book.head.getAs[Long]("first_batch") == 1L &&
+      book.head.getAs[Long]("last_batch") == 1L &&
+      book.head.getAs[Long]("n_fired") == 1L, book.toSeq.toString)
   }
 
   test("streaming IVF-PQ maintenance: codes+vectors append per batch, probe ≡ rebuild") {
