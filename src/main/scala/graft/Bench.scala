@@ -30,6 +30,19 @@ object Bench {
     * names is the box being busy, not a regression, and the JSON says so. */
   private def refQueries(): Map[String, Double] = queriesOf(new java.io.File("BENCH_REF.json"))
 
+  /** The round the judge last graded, parsed from VERDICT.md's header
+    * (`# VERDICT — round N ...`). None before the first verdict or if
+    * the header moves — callers then fall back to max-N behavior. */
+  private def judgedRound(): Option[Int] = {
+    val f = new java.io.File("VERDICT.md")
+    if (!f.exists()) return None
+    try {
+      val src = scala.io.Source.fromFile(f)
+      val head = try src.getLines().take(3).mkString(" ") finally src.close()
+      "round\\s+(\\d+)".r.findFirstMatchIn(head).map(_.group(1).toInt)
+    } catch { case scala.util.control.NonFatal(_) => None }
+  }
+
   /** The PREVIOUS round's committed record — the second ratio next to
     * the BENCH_REF one, so a floor re-baseline (round-15 verdict item:
     * commit 1b7d81a made `inflation` nearly self-referential) can
@@ -52,6 +65,13 @@ object Bench {
         case rx(n) => Some(n.toInt)
         case _ => None
       })
+      // cap at the last JUDGED round (round-16 advice): once the
+      // driver writes the IN-FLIGHT round's BENCH_r{N}.json, a later
+      // re-run in the same round would otherwise anchor "previous" to
+      // its own round's record — exactly the self-referential compare
+      // this second ratio exists to prevent. VERDICT.md's header names
+      // the judged round; rounds past it are the in-flight one.
+      .filter(n => judgedRound().forall(n <= _))
     if (rounds.isEmpty) return None
     val prev = rounds.max
     Seq(s"bench/r$prev-final.json", s"bench/r$prev.json",

@@ -171,8 +171,13 @@ object Ann {
     // exceed the old bounds (a range probe on a rebuilt-but-not-
     // re-recorded path now fails loudly on the missing stats instead);
     // stale .model/.stats would make assignmentDrift compare against
-    // the previous build's baseline
-    Seq(s"$path.tombstones", s"$path.rstats", s"$path.model", s"$path.stats")
+    // the previous build's baseline; a stale policy oplog (and its
+    // resolutions sidecar) would merge the PREVIOUS generation's
+    // orders into the new stream's order book — batch ids restart at
+    // 0 with a fresh stream, so old rows are indistinguishable from
+    // new ones (round-16 advice)
+    Seq(s"$path.tombstones", s"$path.rstats", s"$path.model", s"$path.stats",
+        s"$path.oplog", s"$path.resolutions")
       .foreach(graft.io.Fs.delete(corpus.sparkSession, _))
     corpus.withColumn("__cluster", assignCluster(col(vecCol), cents))
       .repartition(col("__cluster")) // cluster: one task (not every task) writes a partition
@@ -424,9 +429,11 @@ object Ann {
     * and distinct tombstoned ids. One row `(n_rows, n_tombstones)`.
     * Works on any store honoring the `<path>.tombstones` sidecar
     * contract — the IVF-PQ codes side reads through
-    * `ivfIndexHealth(spark, s"$path/codes")`. */
-  def ivfIndexHealth(spark: org.apache.spark.sql.SparkSession, path: String,
-                     idCol: String = "vec_id"): DataFrame = {
+    * `ivfIndexHealth(spark, s"$path/codes")`. (No id-column parameter:
+    * both counts are column-name-free — a silent no-op parameter was
+    * round-16 advice item 4.) */
+  def ivfIndexHealth(spark: org.apache.spark.sql.SparkSession,
+                     path: String): DataFrame = {
     import spark.implicits._
     val nRows = spark.read.parquet(path).count()
     val nTombs = tombstoneIds(spark, path).map(_.count()).getOrElse(0L)
@@ -673,8 +680,11 @@ object Ann {
   def buildLshIndex(corpus: DataFrame, planes: Seq[Seq[Double]], path: String,
                     vecCol: String = "embedding"): Unit = {
     // fresh build resets the delete sidecar (the buildIvfIndex
-    // contract: stale tombstones would anti-join valid rows out)
-    graft.io.Fs.delete(corpus.sparkSession, s"$path.tombstones")
+    // contract: stale tombstones would anti-join valid rows out) and
+    // the policy oplog/resolutions (stale orders would merge into the
+    // new generation's order book)
+    Seq(s"$path.tombstones", s"$path.oplog", s"$path.resolutions")
+      .foreach(graft.io.Fs.delete(corpus.sparkSession, _))
     corpus.withColumn("__bucket", lshBucket(col(vecCol), planes))
       .repartition(col("__bucket"))
       .write.partitionBy("__bucket").mode("overwrite").parquet(path)

@@ -342,6 +342,11 @@ object KnnGraph {
     graft.io.Fs.delete(corpus.sparkSession, s"$path.tombstones")
     graft.io.Fs.delete(corpus.sparkSession, s"$path.layer1")
     graft.io.Fs.delete(corpus.sparkSession, s"$path.layer1_conf")
+    // the policy oplog/resolutions describe the OLD generation's
+    // orders; a rebuilt index starts with an empty order book
+    // (round-16 advice: restarting batch ids merge into a stale log)
+    graft.io.Fs.delete(corpus.sparkSession, s"$path.oplog")
+    graft.io.Fs.delete(corpus.sparkSession, s"$path.resolutions")
     graph.select(col("src"), col("dst"), col("sim"))
       .withColumn("__bucket", pmod(hash(col("src")), lit(buckets)))
       .repartition(col("__bucket"))

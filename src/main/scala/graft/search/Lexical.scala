@@ -431,6 +431,11 @@ object Lexical {
     // restarting at 0) silently skip its first appends
     graft.io.Fs.delete(docs.sparkSession, s"$path/tombstones")
     graft.io.Fs.delete(docs.sparkSession, s"$path/_applied_batches")
+    // the policy oplog/resolutions describe the OLD generation's
+    // orders; a rebuilt index starts with an empty order book
+    // (round-16 advice: restarting batch ids merge into a stale log)
+    graft.io.Fs.delete(docs.sparkSession, s"$path.oplog")
+    graft.io.Fs.delete(docs.sparkSession, s"$path.resolutions")
     val withDl = docs
       .select(col(idCol), TextAnalysis.tokens(col(textCol)).as("toks"))
       .withColumn("dl", size(col("toks")))
@@ -608,6 +613,8 @@ object Lexical {
     bm25IndexBuckets(spark, srcPath): Unit // consistency guard only
     graft.io.Fs.delete(spark, s"$dstPath/tombstones")
     graft.io.Fs.delete(spark, s"$dstPath/_applied_batches")
+    graft.io.Fs.delete(spark, s"$dstPath.oplog")
+    graft.io.Fs.delete(spark, s"$dstPath.resolutions")
     val tombs = bm25Tombstones(spark, srcPath)
     def dropTombs(df: DataFrame): DataFrame =
       tombs.fold(df)(t =>

@@ -452,6 +452,11 @@ object Pq {
     // a new stream's batch ids restart at 0; stale markers would
     // silently swallow its first micro-batches)
     graft.io.Fs.delete(corpus.sparkSession, s"$path/_applied_batches")
+    // ... and the policy oplog/resolutions: stale orders from the old
+    // generation would merge into the new stream's order book under
+    // its restarting batch ids (round-16 advice)
+    graft.io.Fs.delete(corpus.sparkSession, s"$path.oplog")
+    graft.io.Fs.delete(corpus.sparkSession, s"$path.resolutions")
     corpus.select(col(idCol), col(vecCol))
       .repartitionByRange(col(idCol)).sortWithinPartitions(col(idCol))
       .write.mode("overwrite").parquet(s"$path/vectors")

@@ -49,6 +49,12 @@ object Sq {
     graft.io.Fs.delete(corpus.sparkSession, s"$path/_applied_batches")
     graft.io.Fs.delete(corpus.sparkSession, s"$path.model")
     graft.io.Fs.delete(corpus.sparkSession, s"$path.stats")
+    // the policy oplog (and its resolutions sidecar) describes the OLD
+    // generation's orders: a rebuilt store starts with an empty order
+    // book, or the new stream's restarting batch ids would merge into
+    // the stale log (round-16 advice)
+    graft.io.Fs.delete(corpus.sparkSession, s"$path.oplog")
+    graft.io.Fs.delete(corpus.sparkSession, s"$path.resolutions")
     corpus
       .withColumn("__cluster", Ann.assignCluster(col(vecCol), cents))
       .select(col(idCol), col("__cluster"),
@@ -160,13 +166,18 @@ object Sq {
     // recorded model sidecars MOVE with the layout: compaction changes
     // bytes, not contents — the drift baseline stays valid (current
     // mean already excluded tombstoned rows), and a compacted index
-    // that silently lost its baseline would fail the next drift read
-    if (graft.io.Fs.exists(spark, s"$srcPath.model")) {
+    // that silently lost its baseline would fail the next drift read.
+    // Each sidecar is guarded by ITS OWN existence (round-16 advice):
+    // recordIvfSqModel writes model before stats, so a crash between
+    // the two leaves model-without-stats — a single gate on .model
+    // would then fail this compact on the missing stats read, while
+    // independent guards carry over exactly what exists
+    if (graft.io.Fs.exists(spark, s"$srcPath.model"))
       spark.read.parquet(s"$srcPath.model").coalesce(1)
         .write.mode("overwrite").parquet(s"$dstPath.model")
+    if (graft.io.Fs.exists(spark, s"$srcPath.stats"))
       spark.read.parquet(s"$srcPath.stats").coalesce(1)
         .write.mode("overwrite").parquet(s"$dstPath.stats")
-    }
   }
 
   /** Re-train an appended/deleted SQ8-IVF index from its CURRENT
@@ -258,9 +269,9 @@ object Sq {
     * [[Ann.ivfIndexHealth]] on the codes layout: RAW rows (build +
     * appends — deletes not subtracted, exactly the debt
     * [[compactIvfSqIndex]] clears) and distinct tombstoned ids. */
-  def ivfSqHealth(spark: org.apache.spark.sql.SparkSession, path: String,
-                  idCol: String = "vec_id"): DataFrame =
-    Ann.ivfIndexHealth(spark, s"$path/codes", idCol)
+  def ivfSqHealth(spark: org.apache.spark.sql.SparkSession,
+                  path: String): DataFrame =
+    Ann.ivfIndexHealth(spark, s"$path/codes")
 
   /** FILTERED probe of a materialized SQ8-IVF index —
     * [[Ann.ivfIndexTopKFiltered]]'s contract on the SQ rung: the

@@ -291,7 +291,7 @@ object StreamIngest {
               logFired(path, batchId, rules)(
                 graft.store.Maintenance.sqSignals(
                   graft.search.Sq.ivfSqDrift(batch.sparkSession, path, idCol, vecCol),
-                  graft.search.Sq.ivfSqHealth(batch.sparkSession, path, idCol),
+                  graft.search.Sq.ivfSqHealth(batch.sparkSession, path),
                   indexName))
           }
         }
