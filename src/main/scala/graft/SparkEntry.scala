@@ -564,6 +564,48 @@ object SparkEntry {
       applyAndLog(1L, 100, 200)
       graft.store.Maintenance.orderBook(s, path)
     }),
+    // ---- [EXT] the order book on the LAST index family to get
+    // streaming policy eyes (round-16 verdict item 1): an LSH store
+    // under the lshPolicySink per-batch hook — batch 0 appends 100
+    // copied rows (tombstone side clean; the append's per-bucket files
+    // may already cross the file-debt gate — LSH's ONLY debts are
+    // mechanical, the planes have no trained state to drift), an
+    // out-of-band delete of every 5th id lands between batches (the
+    // bm25 convention: invisible until the NEXT evaluation), batch 1
+    // appends 100 more — tombstone debt fires for the first time and
+    // file debt fires AGAIN. The oracle replays the sign-bit bucket
+    // membership of every row (files per append = distinct buckets
+    // touched — the one-file-per-bucket-per-append write shape), both
+    // batches' health arithmetic, the per-batch >= rule filter, and
+    // the book aggregation.
+    "maintenance_order_book_lsh" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val path = scratchDir("maint-book-lsh")
+      val rules = Seq(
+        graft.store.MaintenanceRule("lsh", "tombstone_ratio", 0.10, "compact"),
+        graft.store.MaintenanceRule("lsh", "file_debt", 1.5, "compact"))
+      Ann.buildLshIndex(emb, FleetLshPlanes, path)
+      // the lshPolicySink per-batch hook, replayed batch-synchronously
+      // (the maintenance_order_book convention): apply, evaluate,
+      // append fired actions to the oplog under the batch id
+      def applyAndLog(batchId: Long, lo: Int, hi: Int): Unit = {
+        Ann.appendToLshIndex(
+          emb.filter(col("vec_id") >= lo && col("vec_id") < hi)
+            .select((col("vec_id") + 100000).as("vec_id"), col("embedding"),
+              col("label")),
+          FleetLshPlanes, path)
+        graft.store.Maintenance.plan(
+            graft.store.Maintenance.lshSignals(
+              Ann.lshIndexHealth(s, path), "events_vec_lsh"), rules)
+          .withColumn("batch_id", lit(batchId))
+          .write.mode("append").parquet(s"$path.oplog")
+      }
+      applyAndLog(0L, 0, 100)
+      Ann.deleteFromLshIndex(
+        emb.filter(col("vec_id") % 5 === 0).select(col("vec_id")), path)
+      applyAndLog(1L, 100, 200)
+      graft.store.Maintenance.orderBook(s, path)
+    }),
     // ---- [EXT] the layer loop CLOSED: the same appended store →
     // frozen plan → remedies. The dispatch encodes the operational
     // rule the compact scaladoc states: the layer is DERIVED state
@@ -7593,6 +7635,56 @@ object SparkEntry {
          |  SELECT 1::BIGINT, 'compact', 'tombstone_ratio', v, 0.10
          |  FROM btr WHERE v >= 0.10)
          |SELECT 'sq8' AS index_kind, 'events_vec_sq8' AS index_name,
+         |       action, signal,
+         |       min(batch_id) AS first_batch, max(batch_id) AS last_batch,
+         |       count(*)::BIGINT AS n_fired,
+         |       arg_max(value, batch_id) AS last_value,
+         |       first(threshold) AS threshold,
+         |       round(arg_max(value, batch_id) / first(threshold), 6)
+         |         AS last_severity
+         |FROM blog GROUP BY action, signal
+         |ORDER BY last_severity DESC, index_kind, index_name, action,
+         |         signal""".stripMargin,
+    // the LSH order book: every number is counting arithmetic over
+    // the sign-bit bucket membership — build writes one file per
+    // distinct corpus bucket, each append one file per distinct
+    // bucket IT touches (copied rows, so batch buckets replay from
+    // the original vectors); tombstones are the out-of-band delete's
+    // distinct ids over the RAW row count as of each batch
+    "maintenance_order_book_lsh" ->
+      s"""WITH lb AS MATERIALIZED (
+         |  SELECT vec_id,
+         |         (${lshBucketSql("embedding", FleetLshPlanes)}) AS b
+         |  FROM embeddings),
+         |agg AS (SELECT count(DISTINCT b) AS nb, count(*) AS n FROM lb),
+         |fa AS (SELECT count(DISTINCT CASE WHEN vec_id < 100 THEN b END)
+         |         AS f FROM lb),
+         |fb AS (SELECT count(DISTINCT CASE WHEN vec_id >= 100
+         |                                   AND vec_id < 200 THEN b END)
+         |         AS f FROM lb),
+         |dl AS (SELECT count(*) AS d FROM embeddings WHERE vec_id % 5 = 0),
+         |blog AS (
+         |  SELECT 0::BIGINT AS batch_id, 'compact' AS action,
+         |         'file_debt' AS signal,
+         |         round((agg.nb + fa.f)::DOUBLE / agg.nb, 6) AS value,
+         |         1.5 AS threshold
+         |  FROM agg, fa
+         |  WHERE round((agg.nb + fa.f)::DOUBLE / agg.nb, 6) >= 1.5
+         |  UNION ALL
+         |  SELECT 0::BIGINT, 'compact', 'tombstone_ratio',
+         |         round(0.0 / (agg.n + 100), 6), 0.10
+         |  FROM agg WHERE round(0.0 / (agg.n + 100), 6) >= 0.10
+         |  UNION ALL
+         |  SELECT 1::BIGINT, 'compact', 'file_debt',
+         |         round((agg.nb + fa.f + fb.f)::DOUBLE / agg.nb, 6), 1.5
+         |  FROM agg, fa, fb
+         |  WHERE round((agg.nb + fa.f + fb.f)::DOUBLE / agg.nb, 6) >= 1.5
+         |  UNION ALL
+         |  SELECT 1::BIGINT, 'compact', 'tombstone_ratio',
+         |         round(dl.d::DOUBLE / (agg.n + 200), 6), 0.10
+         |  FROM agg, dl
+         |  WHERE round(dl.d::DOUBLE / (agg.n + 200), 6) >= 0.10)
+         |SELECT 'lsh' AS index_kind, 'events_vec_lsh' AS index_name,
          |       action, signal,
          |       min(batch_id) AS first_batch, max(batch_id) AS last_batch,
          |       count(*)::BIGINT AS n_fired,

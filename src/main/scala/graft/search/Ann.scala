@@ -749,8 +749,8 @@ object Ann {
     * compaction clears), distinct tombstoned ids, live bucket
     * directories, and parquet data files (driver metadata listing,
     * the cost every probe's planning already pays). */
-  def lshIndexHealth(spark: org.apache.spark.sql.SparkSession, path: String,
-                     idCol: String = "vec_id"): DataFrame = {
+  def lshIndexHealth(spark: org.apache.spark.sql.SparkSession,
+                     path: String): DataFrame = {
     import spark.implicits._
     val nRows = spark.read.parquet(path).count()
     val nTombs = tombstoneIds(spark, path).map(_.count()).getOrElse(0L)

@@ -297,6 +297,42 @@ object StreamIngest {
         }
       }
 
+  /** [[ivfPolicySink]]'s contract on the LSH index — the LAST index
+    * family with a streaming lifecycle but no policy eyes (round-16
+    * verdict item 1: "an index kind with maintenance ops but no
+    * policy eyes would accumulate debt silently" — under streaming
+    * ingest, LSH did exactly that): apply the batch against the
+    * FROZEN seeded planes ([[graft.search.Ann.appendToLshIndex]] —
+    * stateless assignment, self-initializing on a fresh path), then
+    * evaluate the index health against the rule set. No baseline
+    * gate and no drift signal BY CONSTRUCTION ([[graft.search.Ann
+    * .lshIndexHealth]] documents it: the planes carry no trained
+    * state) — LSH accumulates only MECHANICAL debt, and exactly that
+    * is watched: tombstone_ratio (out-of-band deletes via
+    * [[graft.search.Ann.deleteFromLshIndex]] surface at the NEXT
+    * applied batch, the [[bm25PolicySink]] convention) and file_debt
+    * (each append leaves one file per touched bucket — the
+    * small-files planning tax every probe pays). */
+  def lshPolicySink(vecs: DataFrame, planes: Seq[Seq[Double]], path: String,
+                    indexName: String,
+                    rules: Seq[graft.store.MaintenanceRule] =
+                      graft.store.Maintenance.DefaultRules,
+                    vecCol: String = "embedding"): DataStreamWriter[org.apache.spark.sql.Row] =
+    vecs.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        oncePerBatch(batch.sparkSession, s"$path/_applied_batches", batchId) {
+          if (batch.isEmpty) ()
+          else {
+            graft.search.Ann.appendToLshIndex(batch, planes, path, vecCol)
+            logFired(path, batchId, rules)(
+              graft.store.Maintenance.lshSignals(
+                graft.search.Ann.lshIndexHealth(batch.sparkSession, path),
+                indexName))
+          }
+        }
+      }
+
   /** Streaming maintenance of a materialized IVF-PQ index — the
     * COMPRESSED-codes twin of [[ivfMaintenanceSink]], closing the gap
     * where a streaming ingest could maintain the coarse float index

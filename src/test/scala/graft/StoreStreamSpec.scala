@@ -368,6 +368,57 @@ class StoreStreamSpec extends SparkSpec {
       book.head.getAs[Long]("n_fired") == 1L, book.toSeq.toString)
   }
 
+  test("LSH policy sink: clean batch logs nothing, out-of-band delete debt surfaces at the next batch, replay is a no-op") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.functions.col
+    implicit val sqlCtx = spark.sqlContext
+    val emb = spark.read.parquet(s"$sf0001/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+    val planes = graft.search.Ann.planes(64, 4)
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-stream-lshpolicy").toString + "/index"
+    graft.search.Ann.buildLshIndex(emb, planes, dir)
+    // tombstone rule only: the file-debt threshold is bucket-count
+    // arithmetic this fixture doesn't aim at (lshSignals still emits
+    // the signal; no rule joins it)
+    val rules = Seq(graft.store.MaintenanceRule(
+      "lsh", "tombstone_ratio", 0.10, "compact"))
+    val rows = emb.collect().map(r => (r.getLong(0), r.getSeq[Float](1).toSeq))
+    val input = MemoryStream[(Long, Seq[Float])]
+    val q = graft.streaming.StreamIngest.lshPolicySink(
+      input.toDF().toDF("vec_id", "embedding"), planes, dir,
+      "emb_lsh", rules).start()
+    // batch 0: plain appends, no deletes anywhere — nothing may log
+    input.addData(rows.take(30).map { case (id, v) => (id + 100000, v) })
+    q.processAllAvailable()
+    // out-of-band delete (a third of the corpus): invisible until the
+    // NEXT applied batch evaluates — the bm25PolicySink convention
+    graft.search.Ann.deleteFromLshIndex(
+      emb.filter(col("vec_id") % 3 === 0), dir)
+    input.addData(rows.take(30).map { case (id, v) => (id + 200000, v) })
+    q.processAllAvailable()
+    q.stop()
+    val log = spark.read.parquet(s"$dir.oplog")
+      .collect().map(r => (r.getAs[Long]("batch_id"),
+        r.getAs[String]("action"), r.getAs[String]("signal")))
+    assert(log.toSeq == Seq((1L, "compact", "tombstone_ratio")),
+      log.toSeq.toString)
+    val q2 = graft.streaming.StreamIngest.lshPolicySink(
+      input.toDF().toDF("vec_id", "embedding"), planes, dir,
+      "emb_lsh", rules).start()
+    q2.processAllAvailable(); q2.stop()
+    assert(spark.read.parquet(s"$dir.oplog").count() == 1L,
+      "replay must not double-log")
+    val n = spark.read.parquet(dir).count()
+    assert(n == emb.count() + 60, s"replay must not double-append: $n")
+    // the order book composes over the sink's oplog
+    val book = graft.store.Maintenance.orderBook(spark, dir).collect()
+    assert(book.length == 1 &&
+      book.head.getAs[String]("action") == "compact" &&
+      book.head.getAs[Long]("first_batch") == 1L &&
+      book.head.getAs[Long]("n_fired") == 1L, book.toSeq.toString)
+  }
+
   test("streaming IVF-PQ maintenance: codes+vectors append per batch, probe ≡ rebuild") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import org.apache.spark.sql.functions.col
