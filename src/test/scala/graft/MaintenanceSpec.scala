@@ -147,6 +147,50 @@ class MaintenanceSpec extends SparkSpec {
     }
   }
 
+  test("orderBookDrain: one dispatch per distinct action in severity order; resolutions acknowledge; openOrders closes, keeps failures, re-opens") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-drain").toString + "/index"
+    def logRows(rows: (String, String, String, String, Double, Double, Double, Long)*) =
+      rows.toSeq.toDF("index_kind", "index_name", "action", "signal",
+        "value", "threshold", "severity", "batch_id")
+    // compact fired by TWO signals (dispatch must dedup to one call);
+    // retrain carries the higher latest severity (dispatch order)
+    logRows(
+      ("lsh", "a", "compact", "tombstone_ratio", 0.30, 0.10, 3.0, 0L),
+      ("lsh", "a", "compact", "tombstone_ratio", 0.40, 0.10, 4.0, 1L),
+      ("lsh", "a", "compact", "file_debt", 6.0, 1.5, 4.0, 1L),
+      ("ivf", "b", "retrain", "assignment_drift", 0.09, 0.01, 9.0, 1L))
+      .write.parquet(s"$dir.oplog")
+    var calls = List.empty[(String, String, String)]
+    val rep = Maintenance.orderBookDrain(spark, dir) {
+      (k, n, a) => calls :+= ((k, n, a))
+    } {
+      sig(("lsh", "a", "tombstone_ratio", 0.0), ("lsh", "a", "file_debt", 1.0),
+        ("ivf", "b", "assignment_drift", 0.05)) // retrain did NOT clear
+    }.collect()
+    assert(calls == List(("ivf", "b", "retrain"), ("lsh", "a", "compact")),
+      s"severity-ranked, deduped dispatch: $calls")
+    val resolved = rep.map(r => r.getAs[String]("signal") ->
+      r.getAs[Boolean]("resolved")).toMap
+    assert(resolved == Map("tombstone_ratio" -> true, "file_debt" -> true,
+      "assignment_drift" -> false), rep.toSeq.toString)
+    // acknowledged orders close; the FAILED remedy's order stays open
+    val open = Maintenance.openOrders(spark, dir).collect()
+    assert(open.map(_.getAs[String]("action")).toSeq == Seq("retrain"),
+      open.toSeq.toString)
+    // a post-drain firing re-opens with a fresh batch span — the old
+    // acknowledged rows stay closed
+    logRows(("lsh", "a", "compact", "tombstone_ratio", 0.50, 0.10, 5.0, 2L))
+      .write.mode("append").parquet(s"$dir.oplog")
+    val open2 = Maintenance.openOrders(spark, dir).collect()
+    assert(open2.length == 2, open2.toSeq.toString)
+    val c = open2.find(_.getAs[String]("action") == "compact").get
+    assert(c.getAs[Long]("first_batch") == 2L &&
+      c.getAs[Long]("n_fired") == 1L, c.toString)
+    // the resolutions sidecar carries the appended report
+    assert(spark.read.parquet(s"$dir.resolutions").count() == 3L)
+  }
+
   test("resolutionReport: resolved per action; a vanished after-signal surfaces as NULL") {
     val planned = Maintenance.plan(sig(
       ("graph", "g", "edge_debt", 5.0),
