@@ -2068,6 +2068,41 @@ object SparkEntry {
       graft.analysis.Eval.contextRecallGate(
         Search.similarityJoin(corpus, qs, 5), qs, corpus, 5)
     }),
+    // ---- [EXT] the ANSWER half of the RAGAS quartet
+    // (Eval.faithfulnessGate — round-16 verdict item 3): context
+    // precision/recall graded what the answerer READ; this grades what
+    // it SAID — the reference's actual product (App.tsx:199-206 streams
+    // the answer, and nothing judged it until now). Three questions of
+    // deliberately different corpus affinity run the FULL batch ask
+    // pipeline (featurize -> per-qid top-5 -> context -> template
+    // answer), then deterministic token support: faithfulness = the
+    // fraction of each answer's claim tokens (answer minus question
+    // echo) present in its context — template scaffolding counts
+    // against it, honestly; relevance = question/answer token Jaccard.
+    // The oracle replays all three retrievals, the answer templates,
+    // and the set arithmetic.
+    "rag_faithfulness" -> ((s, dir) => {
+      import s.implicits._
+      val docs = Tables.documents(s, dir)
+      val corpus = docs.select(col("doc_id"), col("text"),
+        graft.embed.Featurizer.featurizeCounts(64)(col("text")).as("dvec"))
+      val qs = Seq((0L, Question),
+        (1L, "which engine rewrites reference semantics"),
+        (2L, "tell me about glaciers and penguins"))
+        .toDF("qid", "question")
+        .withColumn("qvec",
+          graft.embed.Featurizer.featurizeCounts(64)(col("question")))
+      val top = Search.similarityJoin(corpus,
+        qs.select(col("qid"), col("qvec")), 5,
+        idCol = "doc_id", vecCol = "dvec")
+      val answers = Search
+        .contextAggBatch(top, col("doc_id"), col("text"), col("sim"))
+        .join(qs.select(col("qid"), col("question")), Seq("qid"))
+        .withColumn("prompt", Search.prompt(col("context"), col("question")))
+        .withColumn("answer", graft.answer.TemplateAnswerer.answer(
+          col("prompt"), col("question"), col("context")))
+      graft.analysis.Eval.faithfulnessGate(answers, qs)
+    }),
     // ---- [EXT] retrieval FAIRNESS slice: precision@5 per query
     // LABEL — the per-class view an aggregate MRR averages away (one
     // under-served class hides inside a healthy mean). Integer
@@ -13027,6 +13062,88 @@ object SparkEntry {
          |                      ELSE h::DOUBLE / least(5, r) END), 6)
          |         AS mean_capped_recall
          |FROM ros""".stripMargin,
+    // three full ask-pipeline replays (shared doc featurization, one
+    // retrieval chain per question), the template answers, then the
+    // claim/support set arithmetic over (qid, token) relations
+    "rag_faithfulness" -> {
+      val fqs = Seq((0, Question),
+        (1, "which engine rewrites reference semantics"),
+        (2, "tell me about glaciers and penguins"))
+      def chain(i: Int, q: String) =
+        s"""q${i}t AS (SELECT unnest(list_filter(string_split(lower('$q'), ' '),
+           |                  t -> t <> '')) AS tok),
+           |q${i}b AS (SELECT ${polySql("tok")} % 64 AS b, count(*)::DOUBLE AS c
+           |        FROM q${i}t GROUP BY 1),
+           |q${i}n AS (SELECT sqrt(sum(c * c)) AS nrm FROM q${i}b),
+           |q${i}dp AS (SELECT d.doc_id, sum(d.c * q.c) AS dp
+           |         FROM db d JOIN q${i}b q USING (b) GROUP BY 1),
+           |q${i}top AS (
+           |  SELECT dd.doc_id,
+           |         CASE WHEN dn.nrm IS NULL THEN 0.0
+           |              ELSE round(coalesce(dp.dp, 0) /
+           |                     (dn.nrm * (SELECT nrm FROM q${i}n)), 6)
+           |         END AS sim
+           |  FROM documents dd LEFT JOIN dn USING (doc_id)
+           |                    LEFT JOIN q${i}dp dp USING (doc_id)
+           |  ORDER BY sim DESC, dd.doc_id ASC LIMIT 5),
+           |q${i}ctx AS (
+           |  SELECT string_agg(d.text, chr(10) || '---' || chr(10)
+           |           ORDER BY t.sim DESC, t.doc_id ASC) AS context
+           |  FROM q${i}top t JOIN documents d USING (doc_id)),
+           |q${i}ans AS (
+           |  SELECT $i::BIGINT AS qid, '$q' AS question, context,
+           |         'Q: ' || '$q' || ' | top context: ' ||
+           |         substring(string_split(context,
+           |           chr(10) || '---' || chr(10))[1], 1, 80) ||
+           |         ' | context chars: ' || length(context)::VARCHAR AS answer
+           |  FROM q${i}ctx)""".stripMargin
+      def toksOf(e: String) =
+        s"list_filter(string_split(lower($e), ' '), t -> t <> '')"
+      s"""WITH tok AS (SELECT doc_id, unnest($toksSql) AS tok FROM documents),
+         |db AS MATERIALIZED (
+         |  SELECT doc_id, ${polySql("tok")} % 64 AS b, count(*)::DOUBLE AS c
+         |  FROM tok GROUP BY 1, 2),
+         |dn AS MATERIALIZED (
+         |  SELECT doc_id, sqrt(sum(c * c)) AS nrm FROM db GROUP BY 1),
+         |${fqs.map { case (i, q) => chain(i, q) }.mkString(",\n")},
+         |ans AS MATERIALIZED (
+         |  SELECT * FROM q0ans UNION ALL SELECT * FROM q1ans
+         |  UNION ALL SELECT * FROM q2ans),
+         |atok AS (SELECT DISTINCT qid, unnest(${toksOf("answer")}) AS tok
+         |         FROM ans),
+         |qtok AS (SELECT DISTINCT qid, unnest(${toksOf("question")}) AS tok
+         |         FROM ans),
+         |ctok AS (SELECT DISTINCT qid, unnest(${toksOf("context")}) AS tok
+         |         FROM ans),
+         |claims AS (SELECT qid, tok FROM atok
+         |           EXCEPT SELECT qid, tok FROM qtok),
+         |ncl AS (SELECT qid, count(*) AS nc FROM claims GROUP BY 1),
+         |nsp AS (SELECT qid, count(*) AS ns FROM
+         |        (SELECT qid, tok FROM claims
+         |         INTERSECT SELECT qid, tok FROM ctok) GROUP BY 1),
+         |nin AS (SELECT qid, count(*) AS ni FROM
+         |        (SELECT qid, tok FROM qtok
+         |         INTERSECT SELECT qid, tok FROM atok) GROUP BY 1),
+         |nun AS (SELECT qid, count(*) AS nu FROM
+         |        (SELECT qid, tok FROM qtok
+         |         UNION SELECT qid, tok FROM atok) GROUP BY 1),
+         |per AS (
+         |  SELECT a.qid,
+         |         CASE WHEN coalesce(ncl.nc, 0) = 0 THEN 1.0
+         |              ELSE coalesce(nsp.ns, 0)::DOUBLE / ncl.nc END AS f,
+         |         CASE WHEN coalesce(nun.nu, 0) = 0 THEN 1.0
+         |              ELSE coalesce(nin.ni, 0)::DOUBLE / nun.nu END AS r
+         |  FROM ans a LEFT JOIN ncl USING (qid) LEFT JOIN nsp USING (qid)
+         |             LEFT JOIN nin USING (qid) LEFT JOIN nun USING (qid))
+         |SELECT count(*)::BIGINT AS n_queries,
+         |       round(avg(f), 6) AS mean_faithfulness,
+         |       round(min(f), 6) AS min_faithfulness,
+         |       round(sum(CASE WHEN f = 1.0 THEN 1 ELSE 0 END)::DOUBLE /
+         |             count(*), 6) AS frac_fully_faithful,
+         |       round(avg(r), 6) AS mean_answer_relevance,
+         |       round(min(r), 6) AS min_answer_relevance
+         |FROM per""".stripMargin
+    },
     "retrieval_p5_by_label" ->
       s"""WITH qs AS (SELECT vec_id AS qid, embedding AS qvec,
          |                   label AS qlabel

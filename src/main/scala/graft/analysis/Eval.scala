@@ -398,4 +398,61 @@ object Eval {
       round(min(recall), 6).as("min_context_recall"),
       round(avg(capped), 6).as("mean_capped_recall"))
   }
+
+  /** FAITHFULNESS + ANSWER-RELEVANCE gate — the ANSWER half of the
+    * RAGAS quartet (context precision/recall grade what the answerer
+    * READ; these grade what it SAID — the reference's actual product,
+    * `App.tsx:199-206`, was the streamed answer, and until now nothing
+    * judged it). Deterministic token-support over the
+    * [[graft.answer.Answerer]] output, so the whole end-to-end gate
+    * replays in the oracle — no LLM judge, the engine-side analogue of
+    * RAGAS's claim decomposition:
+    *
+    *  - `faithfulness`: of the answer's CLAIM tokens — its distinct
+    *    tokens minus the question's (the echo of the question is not a
+    *    claim about the corpus) — the fraction present in the context
+    *    the answerer was shown. Unsupported tokens (including template
+    *    scaffolding) count against it, honestly. No claims → vacuously
+    *    1.0 (an answer that only restates the question asserts
+    *    nothing).
+    *  - `answer_relevance`: Jaccard overlap of the question's and
+    *    answer's distinct token sets — low when the answer ignores the
+    *    question (misses its terms) AND when it buries it in
+    *    off-question content (the RAGAS redundancy penalty).
+    *
+    * `answers` carries one row per answered query (`qid`, `question`,
+    * `context`, `answer` — the ask() output shape plus the batch key);
+    * `queries` is the roster — a query with NO answer row gates as
+    * 0/0 rather than silently dropping (the rankedEval no-results
+    * lesson). One row out: `n_queries`, mean/min of both metrics, and
+    * `frac_fully_faithful` (answers whose every claim is supported —
+    * the exact-1.0 test is integer-ratio-safe). Bounded: |queries|
+    * rows into one aggregate; token sets are per-row scalar arrays. */
+  def faithfulnessGate(answers: DataFrame, queries: DataFrame): DataFrame = {
+    import graft.text.TextAnalysis.tokens
+    val qt = array_distinct(tokens(col("question")))
+    val at = array_distinct(tokens(col("answer")))
+    val ct = array_distinct(tokens(col("context")))
+    val claims = array_except(at, qt)
+    val f = when(size(claims) === 0, lit(1.0))
+      .otherwise(size(array_intersect(claims, ct)).cast("double") /
+        size(claims).cast("double"))
+    val unionN = size(array_union(qt, at))
+    val r = when(unionN === 0, lit(1.0))
+      .otherwise(size(array_intersect(qt, at)).cast("double") /
+        unionN.cast("double"))
+    val per = answers.select(col("qid"), f.as("__f"), r.as("__r"))
+    val rostered = queries.select(col("qid")).distinct()
+      .join(per, Seq("qid"), "left")
+      .select(coalesce(col("__f"), lit(0.0)).as("f"),
+        coalesce(col("__r"), lit(0.0)).as("r"))
+    rostered.agg(
+      count(lit(1)).as("n_queries"),
+      round(avg(col("f")), 6).as("mean_faithfulness"),
+      round(min(col("f")), 6).as("min_faithfulness"),
+      round(sum(when(col("f") === 1.0, 1L).otherwise(0L)).cast("double") /
+        count(lit(1)).cast("double"), 6).as("frac_fully_faithful"),
+      round(avg(col("r")), 6).as("mean_answer_relevance"),
+      round(min(col("r")), 6).as("min_answer_relevance"))
+  }
 }

@@ -275,4 +275,38 @@ class EvalSpec extends SparkSpec {
       corpus, k = 2).head()
     assert(one.getDouble(1) == 0.5 && one.getDouble(3) == 1.0)
   }
+
+  test("faithfulnessGate: hand values, echo-only vacuous 1.0, missing answer gates 0/0") {
+    import graft.analysis.Eval
+    // q1: question {what, is, spark}; answer adds claims {fast, engine,
+    //   alien}; context holds {spark, fast, engine, data} -> supported
+    //   2/3; relevance: qt∩at = {what,is,spark} wait answer carries the
+    //   echo -> |∩|=3, |∪|=6 -> 0.5
+    // q2: answer = the question verbatim -> no claims, vacuous 1.0;
+    //   relevance 1.0 (identical token sets)
+    // q3: in roster, NO answer row -> 0/0
+    val answers = Seq(
+      (1L, "what is spark", "what is spark fast engine alien",
+        "spark fast engine data"),
+      (2L, "какой индекс", "какой индекс", "unrelated context")
+    ).toDF("qid", "question", "answer", "context")
+    val roster = Seq(Tuple1(1L), Tuple1(2L), Tuple1(3L)).toDF("qid")
+    val r = Eval.faithfulnessGate(answers, roster).head()
+    assert(r.getAs[Long]("n_queries") == 3L)
+    // f: q1 = 2/3, q2 = 1.0, q3 = 0 -> mean round((2/3 + 1)/3, 6)
+    assert(r.getAs[Double]("mean_faithfulness") == 0.555556, r.toString)
+    assert(r.getAs[Double]("min_faithfulness") == 0.0)
+    assert(r.getAs[Double]("frac_fully_faithful") == 0.333333)
+    // r: q1 = 3/6, q2 = 1.0, q3 = 0 -> mean 0.5
+    assert(r.getAs[Double]("mean_answer_relevance") == 0.5)
+    assert(r.getAs[Double]("min_answer_relevance") == 0.0)
+    // an unfaithful answer next to a perfect context-precision is the
+    // case the retrieval gates cannot see: same context, answer claims
+    // only the alien token -> faithfulness 0
+    val bad = Eval.faithfulnessGate(
+      Seq((1L, "what is spark", "what is spark alien",
+        "spark fast engine data")).toDF("qid", "question", "answer", "context"),
+      Seq(Tuple1(1L)).toDF("qid")).head()
+    assert(bad.getAs[Double]("mean_faithfulness") == 0.0)
+  }
 }
