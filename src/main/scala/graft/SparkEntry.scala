@@ -499,6 +499,28 @@ object SparkEntry {
         .select(col("id").as("vec_id"), col("sim"))
         .orderBy(col("sim").desc, col("vec_id"))
     }),
+    // ---- [EXT] the layered walk with the layer built by NN-DESCENT
+    // (round-16 verdict item 4: the exact layer build is
+    // O((n/rate)²) — fine while the sample fits, a wall at 100 TB;
+    // writeGraphLayer(method = "nndescent") swaps the build for the
+    // same banded NN-Descent the base graph uses, keeping the serving
+    // shape identical). The layer is ROUTING state, so the
+    // approximation costs coarse-hop quality, never answer
+    // correctness of the fine re-rank. The oracle replays BOTH
+    // NN-Descent chains (base graph under the nn-prefix, layer over
+    // the hash sample under ln) and both walks hop for hop.
+    "graph_layered_nnd_top5" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val path = scratchDir("graph-layered-nnd")
+      graft.search.KnnGraph.writeGraphIndex(nndGraph(s, dir, 5), emb, path)
+      graft.search.KnnGraph.writeGraphLayer(s, path, sampleEvery = 8, k = 5,
+        method = "nndescent")
+      graft.search.KnnGraph.graphIndexBeamSearchLayered(
+          s, path, queryVec(s, dir), 5, degree = 5, beam = 8,
+          hopsCoarse = 2, hopsFine = 2)
+        .select(col("id").as("vec_id"), col("sim"))
+        .orderBy(col("sim").desc, col("vec_id"))
+    }),
     // ---- [EXT] the coarse layer WATCHED by the fleet policy: 200
     // appended nodes land in the base graph and the nodes side, but
     // the layer's node set froze at its build — the nodes the sample
@@ -708,7 +730,8 @@ object SparkEntry {
       if (compacted || acts(("graph", "embeddings_graph", "relayer"))) {
         val conf = s.read.parquet(s"$path.layer1_conf").head()
         graft.search.KnnGraph.writeGraphLayer(s, eff,
-          conf.getAs[Int]("sample_every"), conf.getAs[Int]("k"))
+          conf.getAs[Int]("sample_every"), conf.getAs[Int]("k"),
+          method = conf.getAs[String]("method"))
       }
       val after = graft.store.Maintenance.graphSignals(
           graft.search.KnnGraph.graphIndexHealth(s, eff), 5,
@@ -7688,6 +7711,28 @@ object SparkEntry {
         graft.search.KnnGraph.beamSearchSqlCtes("lls", "vec_id", "embedding",
           "SELECT embedding AS qvec FROM embeddings WHERE vec_id = 0",
           k = 8, beam = 8, hops = 2, graphRel = "ex") + ",\n" +
+        graft.search.KnnGraph.beamSearchSeededSqlCtes("embeddings", "vec_id",
+          "embedding",
+          "SELECT embedding AS qvec FROM embeddings WHERE vec_id = 0",
+          seedRel = "bs2", k = 5, beam = 8, hops = 2, graphRel = "nnd",
+          prefix = "c") +
+        "\nSELECT id AS vec_id, sim FROM csf ORDER BY sim DESC, vec_id"),
+    // the NN-Descent-layered walk: the SAME shape with the layer's
+    // exact-kNN CTEs swapped for a second NN-Descent chain (ln-prefix)
+    // over the hash sample
+    "graph_layered_nnd_top5" ->
+      ("WITH " + graft.search.KnnGraph.nnDescentSqlCtes(
+        "embeddings", "vec_id", "embedding", 5) +
+        s""",
+           |lls AS MATERIALIZED (
+           |  SELECT vec_id, embedding FROM embeddings
+           |  WHERE (${graft.functions.KmvSketch.hashSql("vec_id")}) % 8 = 0),
+           |""".stripMargin +
+        graft.search.KnnGraph.nnDescentSqlCtes("lls", "vec_id", "embedding",
+          5, prefix = "ln") + ",\n" +
+        graft.search.KnnGraph.beamSearchSqlCtes("lls", "vec_id", "embedding",
+          "SELECT embedding AS qvec FROM embeddings WHERE vec_id = 0",
+          k = 8, beam = 8, hops = 2, graphRel = "lnd") + ",\n" +
         graft.search.KnnGraph.beamSearchSeededSqlCtes("embeddings", "vec_id",
           "embedding",
           "SELECT embedding AS qvec FROM embeddings WHERE vec_id = 0",

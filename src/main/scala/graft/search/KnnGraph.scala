@@ -486,31 +486,43 @@ object KnnGraph {
     * corpus on the layer and spends its fine hops refining locally —
     * the HNSW argument, one level deep (chain levels by building a
     * `.layer1` on a path whose nodes are themselves a sample when one
-    * level is not enough). The layer build is exact kNN over the
-    * sample — O((n/sampleEvery)²) scores; pick `sampleEvery` so that
-    * fits, or graph a huge layer with [[nnDescent]] and write it
-    * through [[writeGraphIndex]]-style buckets yourself (same layout,
-    * same probe). Rebuild the layer after retrain/compact generations
-    * move the node set — it is derived state, cheap by construction. */
+    * level is not enough). Two build methods (round-16 verdict item
+    * 4): `"exact"` kNN over the sample — O((n/sampleEvery)²) scores,
+    * the right default while the sample fits — and `"nndescent"`
+    * ([[nnDescent]] over the sampled nodes), which removes the
+    * quadratic bound for huge layers at 100 TB: the layer is ROUTING
+    * state, so NN-Descent's approximation costs coarse-hop quality
+    * (recall class, like the flat walk's own approximation), never
+    * answer correctness — the fine walk still re-ranks against the
+    * full layer-0 graph. The method persists in the conf so the
+    * relayer remedy rebuilds the way the operator chose. Rebuild the
+    * layer after retrain/compact generations move the node set — it
+    * is derived state, cheap by construction. */
   def writeGraphLayer(spark: org.apache.spark.sql.SparkSession, path: String,
-                      sampleEvery: Int, k: Int, buckets: Int = 16): Unit = {
+                      sampleEvery: Int, k: Int, buckets: Int = 16,
+                      method: String = "exact"): Unit = {
     import spark.implicits._
     require(sampleEvery >= 2, s"sampleEvery must be >= 2: $sampleEvery")
+    require(method == "exact" || method == "nndescent",
+      s"layer method must be 'exact' or 'nndescent': $method")
     val sampled = spark.read.parquet(s"$path.nodes")
       .filter(pmod(portableHash(col("id")), lit(sampleEvery)) === 0)
       .select(col("id").as("vec_id"), col("vec").as("embedding"))
     require(sampled.limit(2).count() == 2,
       s"layer sample is empty or a single node at 1/$sampleEvery — " +
         "lower sampleEvery (a layer needs at least one edge)")
-    exact(sampled, k)
+    val layerGraph =
+      if (method == "exact") exact(sampled, k) else nnDescent(sampled, k)
+    layerGraph
       .select(col("src"), col("dst"), col("sim"))
       .withColumn("__bucket", pmod(hash(col("src")), lit(buckets)))
       .repartition(col("__bucket"))
       .write.partitionBy("__bucket").mode("overwrite").parquet(s"$path.layer1")
     // the layer's build parameters persist next to it: the health op
-    // and the relayer remedy need the sample rule, and guessing it
-    // from the data would mis-measure coverage
-    Seq((sampleEvery, k)).toDF("sample_every", "k")
+    // and the relayer remedy need the sample rule (and the method),
+    // and guessing them from the data would mis-measure coverage /
+    // silently change the rebuild's cost class
+    Seq((sampleEvery, k, method)).toDF("sample_every", "k", "method")
       .coalesce(1).write.mode("overwrite").parquet(s"$path.layer1_conf")
   }
 
@@ -919,56 +931,57 @@ object KnnGraph {
     * of round 0 and the planner OOMs before it scans a row. */
   def nnDescentSqlCtes(table: String, idCol: String, vecCol: String,
                        k: Int, workK: Int = 20, revCap: Int = 30,
-                       iters: Int = 5): String = {
+                       iters: Int = 5, prefix: String = "nn"): String = {
+    val p = prefix
     val init =
-      s"""nno AS MATERIALIZED (
+      s"""${p}o AS MATERIALIZED (
          |  SELECT $idCol AS id, $vecCol AS vec,
          |         row_number() OVER (ORDER BY ${KmvSketch.hashSql(idCol)},
          |                            $idCol) - 1 AS ord
          |  FROM $table),
-         |nnc AS (SELECT count(*) AS n FROM nno),
-         |nng0 AS MATERIALIZED (
+         |${p}c AS (SELECT count(*) AS n FROM ${p}o),
+         |${p}g0 AS MATERIALIZED (
          |  SELECT a.id AS src, b.id AS dst
-         |  FROM nno a, nnc c,
-         |       (SELECT unnest(generate_series(1, $workK)) AS j) js, nno b
+         |  FROM ${p}o a, ${p}c c,
+         |       (SELECT unnest(generate_series(1, $workK)) AS j) js, ${p}o b
          |  WHERE b.ord = (a.ord + js.j) % c.n)""".stripMargin
     val rounds = (1 to iters).map { i =>
-      val g = s"nng${i - 1}"
-      s"""nnr$i AS (
+      val g = s"${p}g${i - 1}"
+      s"""${p}r$i AS (
          |  SELECT dst AS src, src AS dst FROM (
          |    SELECT src, dst,
          |           row_number() OVER (PARTITION BY dst
          |                              ORDER BY ${KmvSketch.hashSql("src")},
          |                              src) AS rr
          |    FROM $g) WHERE rr <= $revCap),
-         |nnu$i AS MATERIALIZED (
-         |  SELECT src, dst FROM $g UNION SELECT src, dst FROM nnr$i),
-         |nnx$i AS (
-         |  SELECT a.src, b.dst FROM nnu$i a JOIN nnu$i b ON a.dst = b.src
+         |${p}u$i AS MATERIALIZED (
+         |  SELECT src, dst FROM $g UNION SELECT src, dst FROM ${p}r$i),
+         |${p}x$i AS (
+         |  SELECT a.src, b.dst FROM ${p}u$i a JOIN ${p}u$i b ON a.dst = b.src
          |  WHERE a.src <> b.dst
          |  UNION SELECT src, dst FROM $g),
-         |nns$i AS (
+         |${p}s$i AS (
          |  SELECT c.src, c.dst, ${cosSql("e1.vec", "e2.vec")} AS sim
-         |  FROM nnx$i c JOIN nno e1 ON e1.id = c.src
-         |       JOIN nno e2 ON e2.id = c.dst),
-         |nng$i AS MATERIALIZED (
+         |  FROM ${p}x$i c JOIN ${p}o e1 ON e1.id = c.src
+         |       JOIN ${p}o e2 ON e2.id = c.dst),
+         |${p}g$i AS MATERIALIZED (
          |  SELECT src, dst FROM (
          |    SELECT src, dst,
          |           row_number() OVER (PARTITION BY src
          |                              ORDER BY sim DESC, dst ASC) AS rk
-         |    FROM nns$i) WHERE rk <= $workK)""".stripMargin
+         |    FROM ${p}s$i) WHERE rk <= $workK)""".stripMargin
     }
     val fin =
-      s"""nnf AS (
+      s"""${p}f AS (
          |  SELECT g.src, g.dst, ${cosSql("e1.vec", "e2.vec")} AS sim
-         |  FROM nng$iters g JOIN nno e1 ON e1.id = g.src
-         |       JOIN nno e2 ON e2.id = g.dst),
-         |nnd AS MATERIALIZED (
+         |  FROM ${p}g$iters g JOIN ${p}o e1 ON e1.id = g.src
+         |       JOIN ${p}o e2 ON e2.id = g.dst),
+         |${p}d AS MATERIALIZED (
          |  SELECT src, dst, sim, rank FROM (
          |    SELECT src, dst, sim,
          |           row_number() OVER (PARTITION BY src
          |                              ORDER BY sim DESC, dst ASC) AS rank
-         |    FROM nnf) WHERE rank <= $k)""".stripMargin
+         |    FROM ${p}f) WHERE rank <= $k)""".stripMargin
     ((init +: rounds) :+ fin).mkString(",\n")
   }
 }

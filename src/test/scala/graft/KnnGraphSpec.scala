@@ -258,6 +258,49 @@ class KnnGraphSpec extends SparkSpec {
     }
   }
 
+  test("NN-Descent-built coarse layer: layered walk reaches the truth, conf records the method, relayer preserves it") {
+    // same arc chain as the layered-walk test; the 21-node sample is
+    // small enough that NN-Descent (workK=20 ≈ n−1) provably converges
+    // to the exact layer graph, so the walk's outcome is pinned — the
+    // method's value is the COST CLASS (no O((n/rate)²) build at
+    // 100 TB), not a different answer here
+    val pts = (0 until 160).map { i =>
+      val a = (math.Pi / 2) * i / 159.0
+      (i.toLong, Seq(math.cos(a), math.sin(a)))
+    }.toDF("vec_id", "embedding")
+      .select(col("vec_id"),
+        col("embedding").cast("array<double>").as("embedding"))
+    val path = java.nio.file.Files
+      .createTempDirectory("graft-layered-nnd").toString + "/idx"
+    KnnGraph.writeGraphIndex(KnnGraph.exact(pts, 3), pts, path)
+    KnnGraph.writeGraphLayer(spark, path, sampleEvery = 8, k = 6,
+      method = "nndescent")
+    val conf = spark.read.parquet(s"$path.layer1_conf").head()
+    assert(conf.getAs[String]("method") == "nndescent", conf.toString)
+    val q = pts.filter(col("vec_id") === 0).select(col("embedding").as("qvec"))
+    val truth = pts.crossJoin(broadcast(q))
+      .select(col("vec_id"),
+        VectorOps.cosine6(col("embedding"), col("qvec")).as("sim"))
+      .orderBy(col("sim").desc, col("vec_id").asc).limit(3)
+      .collect().map(_.getLong(0)).toSeq
+    val layered = KnnGraph.graphIndexBeamSearchLayered(spark, path, q,
+        k = 3, degree = 6, beam = 6, hopsCoarse = 4, hopsFine = 4)
+      .collect().map(_.getLong(0)).toSeq
+    assert(layered == truth, s"layered $layered must reach the truth $truth")
+    // the relayer rebuild path (the conf round trip the policy remedy
+    // takes) keeps the operator's chosen method
+    KnnGraph.writeGraphLayer(spark, path,
+      conf.getAs[Int]("sample_every"), conf.getAs[Int]("k"),
+      method = conf.getAs[String]("method"))
+    assert(spark.read.parquet(s"$path.layer1_conf").head()
+      .getAs[String]("method") == "nndescent")
+    assert(KnnGraph.graphLayerHealth(spark, path).head()
+      .getAs[Long]("n_missing") == 0L)
+    intercept[IllegalArgumentException] {
+      KnnGraph.writeGraphLayer(spark, path, 8, 6, method = "psychic")
+    }
+  }
+
   test("filtered beam search: routes through excluded nodes, answers only allowed ones") {
     // ring of 40 points; allow only even ids. The true filtered top-3
     // around the query (node 17's vector) are even nodes 18, 16, 20 —
