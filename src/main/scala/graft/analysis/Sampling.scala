@@ -89,14 +89,20 @@ object Sampling {
                            n: Int, oversample: Double = 8.0): DataFrame = {
     require(n >= 1, s"n must be >= 1: $n")
     require(oversample >= 1.0, s"oversample must be >= 1: $oversample")
-    val counts = df.groupBy(col(strataCol)).agg(count(lit(1)).as("__n"))
-      .collect().map(r => (r.get(0).toString, r.getLong(1))).sortBy(_._1)
-    val cut = counts.foldLeft(lit(0L): Column) {
-      case (acc, (s, c)) =>
-        val rate = math.min(1.0, oversample * n / c.toDouble)
-        when(col(strataCol) === s, lit(math.ceil(rate * M.toDouble).toLong)).otherwise(acc)
-    }
-    val survivors = df.filter(bucket(col(idCol)) < cut)
+    // per-stratum cut as a BROADCAST-JOINED rate table (the
+    // token_budget_mix pattern), not a nested when-chain: a collected
+    // fold built an O(|strata|)-deep expression — fine at low
+    // cardinality, but a high-cardinality strata column blows up plan
+    // size on the driver (round-16 verdict). Same arithmetic, same
+    // IEEE doubles: rate = min(1, oversample·n / count), cut =
+    // ceil(rate · M) — both engines' ceil agree on longs < 2^53.
+    val cuts = df.groupBy(col(strataCol)).agg(count(lit(1)).as("__n"))
+      .select(col(strataCol),
+        ceil(least(lit(1.0), lit(oversample * n) / col("__n").cast("double"))
+          * lit(M.toDouble)).cast("long").as("__cut"))
+    val survivors = df.join(broadcast(cuts), Seq(strataCol))
+      .filter(bucket(col(idCol)) < col("__cut"))
+      .drop("__cut")
     val short = survivors.groupBy(col(strataCol)).agg(count(lit(1)).as("__sn"))
       .filter(col("__sn") < n).collect().map(_.get(0).toString).toSeq
     val cand =
