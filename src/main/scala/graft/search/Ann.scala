@@ -628,6 +628,24 @@ object Ann {
       .filter(col("sim") >= tau)
   }
 
+  /** Shuffle-partition count for a bucket-keyed partitioned WRITE with
+    * `buckets` ≫ `spark.sql.shuffle.partitions`: hash-repartitioning
+    * by the bucket column alone caps non-empty partitions at the
+    * bucket count, and when several buckets land in one task the
+    * dynamic-partition writer falls back to its SORT-based path — one
+    * serially-opened-and-closed file per directory per task, which is
+    * what made a 256-bucket LSH write ~2× slower than the same rows
+    * through one-bucket-per-task (measured: 5.4 s vs 2.5 s at sf0.1,
+    * PLANS.md round-17). One partition per bucket keeps every task on
+    * the single-writer fast path; the 1024 cap bounds empty-task
+    * scheduling overhead for very wide bucket spaces, and the
+    * shuffle-partitions floor never REDUCES parallelism below the
+    * session's setting. */
+  private def bucketWriteParts(spark: org.apache.spark.sql.SparkSession,
+                               buckets: Long): Int =
+    math.max(spark.conf.get("spark.sql.shuffle.partitions", "200").toInt,
+      math.min(buckets, 1024L).toInt)
+
   /** Deterministic seeded hyperplanes (unit-free; only the sign of the
     * projection matters). */
   def planes(dim: Int, nbits: Int, seed: Long = 42L): Seq[Seq[Double]] = {
@@ -686,7 +704,8 @@ object Ann {
     Seq(s"$path.tombstones", s"$path.oplog", s"$path.resolutions")
       .foreach(graft.io.Fs.delete(corpus.sparkSession, _))
     corpus.withColumn("__bucket", lshBucket(col(vecCol), planes))
-      .repartition(col("__bucket"))
+      .repartition(bucketWriteParts(corpus.sparkSession, 1L << planes.size),
+        col("__bucket"))
       .write.partitionBy("__bucket").mode("overwrite").parquet(path)
   }
 
@@ -698,7 +717,8 @@ object Ann {
   def appendToLshIndex(delta: DataFrame, planes: Seq[Seq[Double]], path: String,
                        vecCol: String = "embedding"): Unit =
     delta.withColumn("__bucket", lshBucket(col(vecCol), planes))
-      .repartition(col("__bucket"))
+      .repartition(bucketWriteParts(delta.sparkSession, 1L << planes.size),
+        col("__bucket"))
       .write.partitionBy("__bucket").mode("append").parquet(path)
 
   /** Probe the materialized LSH index: the query's bucket + its full
@@ -768,12 +788,18 @@ object Ann {
   def compactLshIndex(spark: org.apache.spark.sql.SparkSession,
                       srcPath: String, dstPath: String,
                       recordsPerFile: Long = 1L << 20,
-                      idCol: String = "vec_id"): Unit =
+                      idCol: String = "vec_id"): Unit = {
+    // bucket fan from the source layout (driver metadata listing —
+    // the planes aren't a parameter here)
+    val nBuckets = graft.io.Fs.listDirNames(spark, srcPath)
+      .count(_.startsWith("__bucket=")).toLong
     dropTombstones(spark.read.parquet(srcPath), srcPath, idCol)
-      .repartition(col("__bucket"))
+      .repartition(bucketWriteParts(spark, math.max(1L, nBuckets)),
+        col("__bucket"))
       .write.partitionBy("__bucket")
       .option("maxRecordsPerFile", recordsPerFile)
       .mode("overwrite").parquet(dstPath)
+  }
 
   def lshTopKDirected(corpus: DataFrame, query: DataFrame, k: Int,
                       planes: Seq[Seq[Double]], t: Int,
