@@ -1465,16 +1465,6 @@ object SparkEntry {
             .when(i === 2, lit(6.0)).when(i === 3, lit(5.0))
             .otherwise(lit(0.25))).as("wvec"))
         .localCheckpoint()
-      // OpqPcaIters power iterations (shared with the oracle CTE names
-      // so the two sides can't diverge): the heavy eigenvalues here are
-      // close (64:49:36:25 ratios), and at 3 iterations the directions
-      // are still mixed enough that the rotation buys nothing (measured)
-      val u1 = graft.analysis.Spectral.topDirection(aniso, "wvec", 64, OpqPcaIters)
-      val u2 = graft.analysis.Spectral.secondDirection(aniso, "wvec", 64, OpqPcaIters, u1)
-      val (v1, v2) = graft.search.Pq.pcaRotationVectors(u1, u2)
-      val rot = graft.search.Pq.rotateCorpus(aniso, "wvec", "rvec", v1, v2)
-        .select(col("vec_id"), col("rvec"))
-        .localCheckpoint()
       def recallOf(corpus: DataFrame, vcol: String, as: String): DataFrame = {
         val q = corpus.filter(col("vec_id") === 0)
           .select(col(vcol).as("qvec"))
@@ -1488,15 +1478,28 @@ object SparkEntry {
         exact.join(approx, Seq("vec_id"), "left_semi")
           .agg((count(lit(1)) / 5.0).as(as))
       }
-      // the two chains are INDEPENDENT after the shared checkpoints;
-      // their driver-blocking training collects AND the 1-row recall
-      // materializations overlap on two threads (no shared mutation,
-      // and local[32] has idle cores either way), so the final frame
-      // is a crossJoin of two cached 1-row results
+      // the PQ chain needs only `aniso` — start it BEFORE the spectral
+      // work (round-17: the sequential shape left it waiting behind
+      // two power-iteration chains it doesn't read; each iteration's
+      // driver collect leaves executors idle, and the overlapped
+      // training collects fill exactly those gaps). The OPQ chain
+      // starts once the rotation exists; both then materialize their
+      // cached 1-row results concurrently — no shared mutation, same
+      // values, same hashes.
       import scala.concurrent.{Await, Future}
       import scala.concurrent.ExecutionContext.Implicits.global
       val fPq = Future(
         recallOf(aniso, "wvec", "pq_recall_aniso").localCheckpoint())
+      // OpqPcaIters power iterations (shared with the oracle CTE names
+      // so the two sides can't diverge): the heavy eigenvalues here are
+      // close (64:49:36:25 ratios), and at 3 iterations the directions
+      // are still mixed enough that the rotation buys nothing (measured)
+      val u1 = graft.analysis.Spectral.topDirection(aniso, "wvec", 64, OpqPcaIters)
+      val u2 = graft.analysis.Spectral.secondDirection(aniso, "wvec", 64, OpqPcaIters, u1)
+      val (v1, v2) = graft.search.Pq.pcaRotationVectors(u1, u2)
+      val rot = graft.search.Pq.rotateCorpus(aniso, "wvec", "rvec", v1, v2)
+        .select(col("vec_id"), col("rvec"))
+        .localCheckpoint()
       val fOpq = Future(
         recallOf(rot, "rvec", "opq_recall_aniso").localCheckpoint())
       Await.result(fPq, scala.concurrent.duration.Duration.Inf)
