@@ -694,6 +694,69 @@ object SparkEntry {
           graft.search.Sq.ivfSqHealth(s, eff), "events_vec_sq8")
       }
     }),
+    // ---- [EXT] the OPEN-orders view after a drain
+    // (Maintenance.openOrders): the drained fixture plus a THIRD
+    // policy batch against the original store — the drain
+    // acknowledged both orders through the batch span it covered
+    // (resolved at the rebuilt generation), so the old log rows are
+    // CLOSED, and the new batch's firings re-open both orders with
+    // fresh spans (first_batch = 2, n_fired = 1 — not 3: an
+    // acknowledged order does not drag its history back into the
+    // book). The oracle replays all three batches' firing arithmetic,
+    // derives each key's drained-through batch from the ≤-drain
+    // rows, and aggregates only the rows past it.
+    "maintenance_order_book_open" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val path = scratchDir("maint-book-open")
+      val cents: Seq[Seq[Double]] = Ann.centroids(emb, "label", "embedding")
+        .orderBy(col("key")).collect().map(_.getSeq[Double](1).toSeq).toSeq
+      val rules = Seq(
+        graft.store.MaintenanceRule("sq8", "assignment_drift", 0.005, "retrain"),
+        graft.store.MaintenanceRule("sq8", "tombstone_ratio", 0.10, "compact"))
+      graft.search.Sq.buildIvfSqIndex(emb, cents, path)
+      graft.search.Sq.recordIvfSqModel(s, path, cents)
+      def applyAndLog(batchId: Long, lo: Int, hi: Int): Unit = {
+        graft.search.Sq.appendToIvfSqIndex(
+          emb.filter(col("vec_id") >= lo && col("vec_id") < hi)
+            .select((col("vec_id") + 100000).as("vec_id"),
+              transform(col("embedding"), x => -x).as("embedding")),
+          cents, path)
+        graft.store.Maintenance.plan(
+            graft.store.Maintenance.sqSignals(
+              graft.search.Sq.ivfSqDrift(s, path),
+              graft.search.Sq.ivfSqHealth(s, path), "events_vec_sq8"), rules)
+          .withColumn("batch_id", lit(batchId))
+          .write.mode("append").parquet(s"$path.oplog")
+      }
+      applyAndLog(0L, 0, 100)
+      graft.search.Sq.deleteFromIvfSqIndex(
+        emb.filter(col("vec_id") % 4 === 0).select(col("vec_id")), path)
+      applyAndLog(1L, 100, 200)
+      // drain: remedies act on a NEW generation (the operational
+      // shape — the stream's path keeps receiving batches)
+      val path2 = scratchDir("maint-book-open-v2")
+      val path3 = scratchDir("maint-book-open-v3")
+      var eff = path
+      var retrained = false
+      graft.store.Maintenance.orderBookDrain(s, path) { (kind, _, action) =>
+        (kind, action) match {
+          case ("sq8", "retrain") =>
+            graft.search.Sq.retrainIvfSqIndex(s, eff, path2, cents.size, 2): Unit
+            eff = path2; retrained = true
+          case ("sq8", "compact") =>
+            if (!retrained) {
+              graft.search.Sq.compactIvfSqIndex(s, eff, path3); eff = path3
+            }
+          case _ => ()
+        }
+      } {
+        graft.store.Maintenance.sqSignals(
+          graft.search.Sq.ivfSqDrift(s, eff),
+          graft.search.Sq.ivfSqHealth(s, eff), "events_vec_sq8")
+      }
+      applyAndLog(2L, 200, 300)
+      graft.store.Maintenance.openOrders(s, path)
+    }),
     // ---- [EXT] the layer loop CLOSED: the same appended store →
     // frozen plan → remedies. The dispatch encodes the operational
     // rule the compact scaladoc states: the layer is DERIVED state
@@ -7895,6 +7958,74 @@ object SparkEntry {
          |         AS last_severity,
          |       0.0::DOUBLE AS value_after, TRUE AS resolved
          |FROM blog GROUP BY action, signal
+         |ORDER BY last_severity DESC, index_kind, index_name, action,
+         |         signal""".stripMargin,
+    // the open book after a drain: three batches' firings replay; the
+    // drain acknowledged each key through its last ≤-drain firing
+    // (resolutions always resolve by the zero identities), so the
+    // book aggregates ONLY the rows past each key's drained-through
+    // batch — both orders re-open with first_batch = 2, n_fired = 1
+    "maintenance_order_book_open" ->
+      s"""WITH $labelDriftCtes,
+         |bng AS MATERIALIZED (
+         |  SELECT e.vec_id + 100000 AS vec_id,
+         |         max(list_dot_product(list_transform(e.embedding, x -> -x)::DOUBLE[],
+         |                              c.centroid) /
+         |             (sqrt(list_dot_product(e.embedding::DOUBLE[],
+         |                                    e.embedding::DOUBLE[])) *
+         |              sqrt(list_dot_product(c.centroid, c.centroid)))) AS ms
+         |  FROM embeddings e CROSS JOIN bcl c
+         |  WHERE e.vec_id < 300 GROUP BY e.vec_id),
+         |bc0 AS (SELECT round(avg(ms), 6) AS c FROM
+         |        (SELECT ms FROM ms
+         |         UNION ALL SELECT ms FROM bng WHERE vec_id < 100100)),
+         |bd0 AS (SELECT round(mb.b - bc0.c, 6) AS drift FROM mb, bc0),
+         |bc1 AS (SELECT round(avg(ms), 6) AS c FROM
+         |        (SELECT ms FROM ms WHERE vec_id % 4 <> 0
+         |         UNION ALL SELECT ms FROM bng WHERE vec_id < 100200)),
+         |bd1 AS (SELECT round(mb.b - bc1.c, 6) AS drift FROM mb, bc1),
+         |bc2 AS (SELECT round(avg(ms), 6) AS c FROM
+         |        (SELECT ms FROM ms WHERE vec_id % 4 <> 0
+         |         UNION ALL SELECT ms FROM bng)),
+         |bd2 AS (SELECT round(mb.b - bc2.c, 6) AS drift FROM mb, bc2),
+         |bn AS (SELECT count(*) AS n FROM embeddings),
+         |bdl AS (SELECT count(*) AS d FROM embeddings WHERE vec_id % 4 = 0),
+         |blog AS (
+         |  SELECT 0::BIGINT AS batch_id, 'retrain' AS action,
+         |         'assignment_drift' AS signal,
+         |         round(greatest(drift, 0.0), 6) AS value,
+         |         0.005 AS threshold
+         |  FROM bd0 WHERE greatest(drift, 0.0) >= 0.005
+         |  UNION ALL
+         |  SELECT 1::BIGINT, 'retrain', 'assignment_drift',
+         |         round(greatest(drift, 0.0), 6), 0.005
+         |  FROM bd1 WHERE greatest(drift, 0.0) >= 0.005
+         |  UNION ALL
+         |  SELECT 1::BIGINT, 'compact', 'tombstone_ratio',
+         |         round(bdl.d::DOUBLE / (bn.n + 200), 6), 0.10
+         |  FROM bdl, bn WHERE round(bdl.d::DOUBLE / (bn.n + 200), 6) >= 0.10
+         |  UNION ALL
+         |  SELECT 2::BIGINT, 'retrain', 'assignment_drift',
+         |         round(greatest(drift, 0.0), 6), 0.005
+         |  FROM bd2 WHERE greatest(drift, 0.0) >= 0.005
+         |  UNION ALL
+         |  SELECT 2::BIGINT, 'compact', 'tombstone_ratio',
+         |         round(bdl.d::DOUBLE / (bn.n + 300), 6), 0.10
+         |  FROM bdl, bn WHERE round(bdl.d::DOUBLE / (bn.n + 300), 6) >= 0.10),
+         |drained AS (SELECT action, signal, max(batch_id) AS dt
+         |            FROM blog WHERE batch_id <= 1 GROUP BY 1, 2),
+         |openrows AS (
+         |  SELECT b.* FROM blog b LEFT JOIN drained d USING (action, signal)
+         |  WHERE d.dt IS NULL OR b.batch_id > d.dt)
+         |SELECT 'sq8' AS index_kind, 'events_vec_sq8' AS index_name,
+         |       action, signal,
+         |       min(batch_id) AS first_batch, max(batch_id) AS last_batch,
+         |       count(*)::BIGINT AS n_fired,
+         |       arg_max(value, batch_id) AS last_value,
+         |       first(threshold) AS threshold,
+         |       round(arg_max(value, batch_id) / first(threshold), 6)
+         |         AS last_severity
+         |FROM openrows GROUP BY action, signal
          |ORDER BY last_severity DESC, index_kind, index_name, action,
          |         signal""".stripMargin,
     // layer staleness: edge debt replays the append arithmetic at
