@@ -521,6 +521,28 @@ object SparkEntry {
         .select(col("id").as("vec_id"), col("sim"))
         .orderBy(col("sim").desc, col("vec_id"))
     }),
+    // ---- [EXT] the TWO-LEVEL hierarchy (writeGraphLayer2 +
+    // graphIndexBeamSearchLayered2): a 1/64 sample-of-the-sample
+    // above the 1/8 layer — the next HNSW rung, entry descending
+    // layer2 medoid → layer2 hop → layer1 hop → fine hops, each hop
+    // the same bucket-pruned bounded probe. With two levels the
+    // crossing budget is ~log_r(diameter); the nesting (layer2 ⊂
+    // layer1 by h%r² ⇒ h%r) is what makes the descent sound. The
+    // oracle replays the base NN-Descent chain, BOTH exact layer
+    // builds over the nested hash samples, and all three walks hop
+    // for hop.
+    "graph_layered2_top5" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val path = scratchDir("graph-layered2")
+      graft.search.KnnGraph.writeGraphIndex(nndGraph(s, dir, 5), emb, path)
+      graft.search.KnnGraph.writeGraphLayer(s, path, sampleEvery = 8, k = 5)
+      graft.search.KnnGraph.writeGraphLayer2(s, path, sampleEvery = 8, k = 5)
+      graft.search.KnnGraph.graphIndexBeamSearchLayered2(
+          s, path, queryVec(s, dir), 5, degree = 5, beam = 8,
+          hopsCoarse = 1, hopsMid = 1, hopsFine = 2)
+        .select(col("id").as("vec_id"), col("sim"))
+        .orderBy(col("sim").desc, col("vec_id"))
+    }),
     // ---- [EXT] the coarse layer WATCHED by the fleet policy: 200
     // appended nodes land in the base graph and the nodes side, but
     // the layer's node set froze at its build — the nodes the sample
@@ -7805,6 +7827,39 @@ object SparkEntry {
           seedRel = "bs2", k = 5, beam = 8, hops = 2, graphRel = "nnd",
           prefix = "c") +
         "\nSELECT id AS vec_id, sim FROM csf ORDER BY sim DESC, vec_id"),
+    // the 3-level walk: nested hash samples (lls at %8, lls2 at %64 —
+    // a subset by construction), exact layer graphs ex/fx, coarse
+    // walk over fx (k = beam so bs1 IS the beam), seeded mid walk
+    // over ex (cs1), seeded fine walk over nnd (dsf)
+    "graph_layered2_top5" ->
+      ("WITH " + graft.search.KnnGraph.nnDescentSqlCtes(
+        "embeddings", "vec_id", "embedding", 5) +
+        s""",
+           |lls AS MATERIALIZED (
+           |  SELECT vec_id, embedding FROM embeddings
+           |  WHERE (${graft.functions.KmvSketch.hashSql("vec_id")}) % 8 = 0),
+           |lls2 AS MATERIALIZED (
+           |  SELECT vec_id, embedding FROM embeddings
+           |  WHERE (${graft.functions.KmvSketch.hashSql("vec_id")}) % 64 = 0),
+           |""".stripMargin +
+        graft.search.KnnGraph.exactSqlCtes("lls", "vec_id", "embedding", 5) +
+        ",\n" +
+        graft.search.KnnGraph.exactSqlCtes("lls2", "vec_id", "embedding", 5,
+          prefix = "fx") + ",\n" +
+        graft.search.KnnGraph.beamSearchSqlCtes("lls2", "vec_id", "embedding",
+          "SELECT embedding AS qvec FROM embeddings WHERE vec_id = 0",
+          k = 8, beam = 8, hops = 1, graphRel = "fx") + ",\n" +
+        graft.search.KnnGraph.beamSearchSeededSqlCtes("lls", "vec_id",
+          "embedding",
+          "SELECT embedding AS qvec FROM embeddings WHERE vec_id = 0",
+          seedRel = "bs1", k = 8, beam = 8, hops = 1, graphRel = "ex",
+          prefix = "c") + ",\n" +
+        graft.search.KnnGraph.beamSearchSeededSqlCtes("embeddings", "vec_id",
+          "embedding",
+          "SELECT embedding AS qvec FROM embeddings WHERE vec_id = 0",
+          seedRel = "cs1", k = 5, beam = 8, hops = 2, graphRel = "nnd",
+          prefix = "d") +
+        "\nSELECT id AS vec_id, sim FROM dsf ORDER BY sim DESC, vec_id"),
     // the order book: both batches' drift evaluations replay (means
     // over the growing union, survivors after the mid-stream delete),
     // the per-batch FIRING is the same >= filter the plan applies, and

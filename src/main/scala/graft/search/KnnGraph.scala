@@ -342,6 +342,8 @@ object KnnGraph {
     graft.io.Fs.delete(corpus.sparkSession, s"$path.tombstones")
     graft.io.Fs.delete(corpus.sparkSession, s"$path.layer1")
     graft.io.Fs.delete(corpus.sparkSession, s"$path.layer1_conf")
+    graft.io.Fs.delete(corpus.sparkSession, s"$path.layer2")
+    graft.io.Fs.delete(corpus.sparkSession, s"$path.layer2_conf")
     // the policy oplog/resolutions describe the OLD generation's
     // orders; a rebuilt index starts with an empty order book
     // (round-16 advice: restarting batch ids merge into a stale log)
@@ -500,16 +502,53 @@ object KnnGraph {
     * is derived state, cheap by construction. */
   def writeGraphLayer(spark: org.apache.spark.sql.SparkSession, path: String,
                       sampleEvery: Int, k: Int, buckets: Int = 16,
-                      method: String = "exact"): Unit = {
+                      method: String = "exact"): Unit =
+    writeLayerAt(spark, path, sampleEvery, k, buckets, method, level = 1)
+
+  /** A SECOND coarse level above `.layer1` — the next rung of the
+    * HNSW-style hierarchy the layer-1 scaladoc promises ("chain levels
+    * by building a layer on a sample of a sample"): nodes are the
+    * base rule SQUARED, `portableHash(id) % sampleEvery² == 0`, which
+    * is a strict SUBSET of the layer-1 nodes (h % r² = 0 ⇒ h % r = 0),
+    * so the entry descends sample → sample-of-sample → corpus exactly
+    * like HNSW's geometric level assignment. Hops at this level
+    * stride ~sampleEvery²×; with both levels the walk's total budget
+    * is ~log_r(diameter) instead of the flat walk's linear one.
+    * `sampleEvery` must equal the layer-1 rate (the nesting is the
+    * point — a mismatched rate would route coarse hops onto nodes the
+    * mid level never refines). Same method choice, same conf
+    * contract, same [[graphLayerHealth]] watching (level = 2). */
+  def writeGraphLayer2(spark: org.apache.spark.sql.SparkSession, path: String,
+                       sampleEvery: Int, k: Int, buckets: Int = 16,
+                       method: String = "exact"): Unit = {
+    require(graft.io.Fs.exists(spark, s"$path.layer1_conf"),
+      s"no layer1 at $path — layer2 nests the layer1 sample; build that first")
+    val r1 = spark.read.parquet(s"$path.layer1_conf").head()
+      .getAs[Int]("sample_every")
+    require(r1 == sampleEvery,
+      s"layer2 nests the layer1 rule: sampleEvery $sampleEvery != layer1's $r1")
+    require(sampleEvery.toLong * sampleEvery <= Int.MaxValue,
+      s"sampleEvery² overflows Int: $sampleEvery")
+    writeLayerAt(spark, path, sampleEvery * sampleEvery, k, buckets, method,
+      level = 2)
+  }
+
+  /** Shared layer writer: sample `.nodes` at `rate`, graph the sample
+    * (exact or NN-Descent), persist edges + conf at `.layer<level>`.
+    * The conf records the rate ACTUALLY APPLIED, so health and the
+    * relayer remedy generalize across levels with no special cases. */
+  private def writeLayerAt(spark: org.apache.spark.sql.SparkSession,
+                           path: String, rate: Int, k: Int, buckets: Int,
+                           method: String, level: Int): Unit = {
     import spark.implicits._
-    require(sampleEvery >= 2, s"sampleEvery must be >= 2: $sampleEvery")
+    require(rate >= 2, s"sample rate must be >= 2: $rate")
     require(method == "exact" || method == "nndescent",
       s"layer method must be 'exact' or 'nndescent': $method")
     val sampled = spark.read.parquet(s"$path.nodes")
-      .filter(pmod(portableHash(col("id")), lit(sampleEvery)) === 0)
+      .filter(pmod(portableHash(col("id")), lit(rate)) === 0)
       .select(col("id").as("vec_id"), col("vec").as("embedding"))
     require(sampled.limit(2).count() == 2,
-      s"layer sample is empty or a single node at 1/$sampleEvery — " +
+      s"layer sample is empty or a single node at 1/$rate — " +
         "lower sampleEvery (a layer needs at least one edge)")
     val layerGraph =
       if (method == "exact") exact(sampled, k) else nnDescent(sampled, k)
@@ -517,13 +556,14 @@ object KnnGraph {
       .select(col("src"), col("dst"), col("sim"))
       .withColumn("__bucket", pmod(hash(col("src")), lit(buckets)))
       .repartition(col("__bucket"))
-      .write.partitionBy("__bucket").mode("overwrite").parquet(s"$path.layer1")
+      .write.partitionBy("__bucket").mode("overwrite")
+      .parquet(s"$path.layer$level")
     // the layer's build parameters persist next to it: the health op
     // and the relayer remedy need the sample rule (and the method),
     // and guessing them from the data would mis-measure coverage /
     // silently change the rebuild's cost class
-    Seq((sampleEvery, k, method)).toDF("sample_every", "k", "method")
-      .coalesce(1).write.mode("overwrite").parquet(s"$path.layer1_conf")
+    Seq((rate, k, method)).toDF("sample_every", "k", "method")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path.layer${level}_conf")
   }
 
   /** Coverage health of the coarse layer — the staleness signal the
@@ -537,13 +577,16 @@ object KnnGraph {
     * exists to prevent. One row `(sample_every, n_nodes, n_due,
     * n_in_layer, n_missing)`; remedy = [[writeGraphLayer]] again (the
     * layer is derived state — a relayer is one sampled rebuild, cost
-    * bounded by the nodes-side scan). */
+    * bounded by the nodes-side scan). `level` selects the rung
+    * ([[writeGraphLayer2]]'s `.layer2` at level 2): the conf records
+    * the rate actually applied, so the due rule generalizes with no
+    * special cases. */
   def graphLayerHealth(spark: org.apache.spark.sql.SparkSession,
-                       path: String): DataFrame = {
+                       path: String, level: Int = 1): DataFrame = {
     import spark.implicits._
-    require(graft.io.Fs.exists(spark, s"$path.layer1_conf"),
-      s"no layer at $path — run writeGraphLayer first")
-    val conf = spark.read.parquet(s"$path.layer1_conf").head()
+    require(graft.io.Fs.exists(spark, s"$path.layer${level}_conf"),
+      s"no layer$level at $path — run writeGraphLayer${if (level == 2) "2" else ""} first")
+    val conf = spark.read.parquet(s"$path.layer${level}_conf").head()
     val sampleEvery = conf.getAs[Int]("sample_every")
     val nodesRaw = spark.read.parquet(s"$path.nodes").select(col("id"))
     val live = graphTombstones(spark, path).fold(nodesRaw) { t =>
@@ -551,7 +594,7 @@ object KnnGraph {
         col("id") === col("__tomb"), "left_anti")
     }
     val due = live.filter(pmod(portableHash(col("id")), lit(sampleEvery)) === 0)
-    val inLayer = spark.read.parquet(s"$path.layer1")
+    val inLayer = spark.read.parquet(s"$path.layer$level")
       .select(col("src").as("id")).distinct()
     val nNodes = live.count()
     val nDue = due.count()
@@ -611,6 +654,60 @@ object KnnGraph {
     val coarse = walk(score(medoidEntry(layerVecs)).localCheckpoint(),
       s"$path.layer1", hopsCoarse)
     walk(coarse, path, hopsFine)
+      .orderBy(col("sim").desc, col("id").asc).limit(k)
+  }
+
+  /** THREE-level beam search — [[graphIndexBeamSearchLayered]] with
+    * the [[writeGraphLayer2]] rung on top: enter at the `.layer2`
+    * medoid (n/r² nodes — strides of ~r²), walk `hopsCoarse` hops
+    * there, seed the `.layer1` walk (`hopsMid` hops at ~r strides),
+    * seed the layer-0 walk (`hopsFine` hops), answer top-k of the
+    * final beam. Every hop keeps the serving shape of every graph
+    * probe here — ≤ `beam` driver-literal ids, a plan-time
+    * bucket-pruned scan of one edge store, base ∪ overlay re-ranked
+    * on the fly — so adding a level adds O(hops · beam · degree)
+    * cosines, not a scan. With both levels the budget to cross a
+    * diameter-D corpus is ~log_r D; the oracle replays all three
+    * walks hop for hop. */
+  def graphIndexBeamSearchLayered2(spark: org.apache.spark.sql.SparkSession,
+                                   path: String, query: DataFrame,
+                                   k: Int, degree: Int, beam: Int = 8,
+                                   hopsCoarse: Int = 1, hopsMid: Int = 1,
+                                   hopsFine: Int = 2,
+                                   buckets: Int = 16): DataFrame = {
+    Seq("layer1", "layer2").foreach { l =>
+      require(graft.io.Fs.exists(spark, s"$path.$l"),
+        s"no $l at $path — build both layers before the 3-level walk")
+    }
+    val nodesRaw = spark.read.parquet(s"$path.nodes")
+      .select(col("id"), col("vec").as("__vec"))
+    val vecs = graphTombstones(spark, path).fold(nodesRaw) { t =>
+      nodesRaw.join(broadcast(t.select(col(t.columns.head).as("__tomb"))),
+        col("id") === col("__tomb"), "left_anti")
+    }.localCheckpoint()
+    def score(ids: DataFrame): DataFrame =
+      ids.join(vecs, Seq("id")).crossJoin(broadcast(query))
+        .select(col("id"), VectorOps.cosine6(col("__vec"), col("qvec")).as("sim"))
+    def walk(beam0: DataFrame, edgePath: String, hops: Int): DataFrame = {
+      var beamDf = beam0
+      (1 to hops).foreach { _ =>
+        val beamIds = beamDf.select(col("id")).collect().map(_.getLong(0)).toSeq
+        val frontier = graphIndexTopK(spark, edgePath, beamIds, degree, buckets)
+          .select(col("dst").as("id"))
+        val cands = beamDf.select(col("id")).union(frontier).distinct()
+        beamDf = score(cands)
+          .orderBy(col("sim").desc, col("id").asc).limit(beam)
+          .localCheckpoint()
+      }
+      beamDf
+    }
+    val topIds = spark.read.parquet(s"$path.layer2")
+      .select(col("src").as("id")).distinct()
+    val topVecs = vecs.join(topIds, Seq("id"), "left_semi")
+    val top = walk(score(medoidEntry(topVecs)).localCheckpoint(),
+      s"$path.layer2", hopsCoarse)
+    val mid = walk(top, s"$path.layer1", hopsMid)
+    walk(mid, path, hopsFine)
       .orderBy(col("sim").desc, col("id").asc).limit(k)
   }
 
@@ -810,17 +907,17 @@ object KnnGraph {
     * (mutual join, beam-search hops) reference it several times and
     * each inlined copy would re-run the n² scoring. */
   def exactSqlCtes(table: String, idCol: String, vecCol: String,
-                   k: Int): String =
-    s"""exs AS (
+                   k: Int, prefix: String = "ex"): String =
+    s"""${prefix}s AS (
        |  SELECT a.$idCol AS src, b.$idCol AS dst,
        |         ${cosSql(s"a.$vecCol", s"b.$vecCol")} AS sim
        |  FROM $table a JOIN $table b ON a.$idCol <> b.$idCol),
-       |ex AS MATERIALIZED (
+       |$prefix AS MATERIALIZED (
        |  SELECT src, dst, sim, rank FROM (
        |    SELECT src, dst, sim,
        |           row_number() OVER (PARTITION BY src
        |                              ORDER BY sim DESC, dst ASC) AS rank
-       |    FROM exs) WHERE rank <= $k)""".stripMargin
+       |    FROM ${prefix}s) WHERE rank <= $k)""".stripMargin
 
   /** CTE body replaying [[beamSearch]] over the graph relation named
     * `graphRel` (compose after [[exactSqlCtes]] / [[nnDescentSqlCtes]]):

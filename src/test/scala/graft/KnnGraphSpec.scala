@@ -301,6 +301,56 @@ class KnnGraphSpec extends SparkSpec {
     }
   }
 
+  test("two-level layer: nested sample, 3-level walk reaches the truth, level-2 health, rate mismatch fails") {
+    // longer arc so the 1/64 level-2 sample is non-degenerate
+    val pts = (0 until 640).map { i =>
+      val a = (math.Pi / 2) * i / 639.0
+      (i.toLong, Seq(math.cos(a), math.sin(a)))
+    }.toDF("vec_id", "embedding")
+      .select(col("vec_id"),
+        col("embedding").cast("array<double>").as("embedding"))
+    val path = java.nio.file.Files
+      .createTempDirectory("graft-layer2").toString + "/idx"
+    KnnGraph.writeGraphIndex(KnnGraph.exact(pts, 3), pts, path)
+    KnnGraph.writeGraphLayer(spark, path, sampleEvery = 8, k = 6)
+    KnnGraph.writeGraphLayer2(spark, path, sampleEvery = 8, k = 6)
+    // nesting: the level-2 node set is a strict subset of level 1's
+    val l1 = spark.read.parquet(s"$path.layer1").select(col("src")).distinct()
+    val l2 = spark.read.parquet(s"$path.layer2").select(col("src")).distinct()
+    assert(l2.join(l1, Seq("src"), "left_anti").count() == 0L,
+      "layer2 nodes must nest inside layer1")
+    assert(l2.count() > 1 && l2.count() < l1.count())
+    val q = pts.filter(col("vec_id") === 0).select(col("embedding").as("qvec"))
+    val truth = pts.crossJoin(broadcast(q))
+      .select(col("vec_id"),
+        VectorOps.cosine6(col("embedding"), col("qvec")).as("sim"))
+      .orderBy(col("sim").desc, col("vec_id").asc).limit(3)
+      .collect().map(_.getLong(0)).toSeq
+    val walked = KnnGraph.graphIndexBeamSearchLayered2(spark, path, q,
+        k = 3, degree = 6, beam = 6, hopsCoarse = 2, hopsMid = 3,
+        hopsFine = 4)
+      .collect().map(_.getLong(0)).toSeq
+    assert(walked == truth, s"3-level walk $walked must reach $truth")
+    // level-2 health: fresh layer covered; appends accumulate due
+    // nodes under the r² rule exactly as level 1 does under r
+    assert(KnnGraph.graphLayerHealth(spark, path, level = 2).head()
+      .getAs[Long]("n_missing") == 0L)
+    KnnGraph.appendToGraphIndex(
+      pts.filter(col("vec_id") < 200)
+        .select((col("vec_id") + 10000).as("vec_id"), col("embedding")), path)
+    val h2 = KnnGraph.graphLayerHealth(spark, path, level = 2).head()
+    assert(h2.getAs[Long]("sample_every") == 64L, h2.toString)
+    assert(h2.getAs[Long]("n_missing") ==
+      h2.getAs[Long]("n_due") - h2.getAs[Long]("n_in_layer"), h2.toString)
+    KnnGraph.writeGraphLayer2(spark, path, 8, 6)
+    assert(KnnGraph.graphLayerHealth(spark, path, level = 2).head()
+      .getAs[Long]("n_missing") == 0L, "relayer restores level-2 coverage")
+    // a mismatched rate breaks the nesting argument and must refuse
+    intercept[IllegalArgumentException] {
+      KnnGraph.writeGraphLayer2(spark, path, sampleEvery = 4, k = 6)
+    }
+  }
+
   test("filtered beam search: routes through excluded nodes, answers only allowed ones") {
     // ring of 40 points; allow only even ids. The true filtered top-3
     // around the query (node 17's vector) are even nodes 18, 16, 20 —
