@@ -565,6 +565,86 @@ object SparkEntry {
         graph = Seq(("embeddings_graph", path, 5)),
         graphLayer = Seq("embeddings_graph" -> path))
     }),
+    // ---- [EXT] BOTH layer rungs under the policy: the two-level
+    // store takes the same 200 appends — the base graph accumulates
+    // edge debt, and each layer's frozen node set misses its newly
+    // due nodes under ITS OWN rule (layer1 at h%8, layer2 at h%64 —
+    // distinct signals, so one store's two rungs stay separable
+    // through the plan and any later resolution join). The oracle
+    // replays the debt arithmetic and the hash-sample membership at
+    // both rates.
+    "index_maintenance_layer2" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val path = scratchDir("maint-layer2q")
+      graft.search.KnnGraph.writeGraphIndex(nndGraph(s, dir, 5), emb, path)
+      graft.search.KnnGraph.writeGraphLayer(s, path, sampleEvery = 8, k = 5)
+      graft.search.KnnGraph.writeGraphLayer2(s, path, sampleEvery = 8, k = 5)
+      graft.search.KnnGraph.appendToGraphIndex(
+        emb.filter(col("vec_id") < 200)
+          .select((col("vec_id") + 100000).as("vec_id"),
+            reverse(col("embedding")).as("embedding")), path)
+      graft.store.Maintenance.indexMaintain(s,
+        graph = Seq(("embeddings_graph", path, 5)),
+        graphLayer = Seq("embeddings_graph" -> path),
+        graphLayer2 = Seq("embeddings_graph" -> path))
+    }),
+    // ---- [EXT] the two-rung loop CLOSED: same fixture → frozen plan
+    // → remedies. The dispatch extends the layer_applied rule to both
+    // rungs — the layers are DERIVED state pinned to a node-set
+    // generation, so a compact re-derives BOTH on the fresh
+    // generation whatever the layer orders said; relayer/relayer2
+    // without a compact rebuild their rung in place. Health re-read
+    // from the maintained generation; the oracle replays the plan and
+    // the post-remedy identities (edges = (n+d)·k → debt 1, both
+    // fresh layers 0 missing).
+    "index_maintenance_layer2_applied" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val path = scratchDir("maintap-layer2q")
+      graft.search.KnnGraph.writeGraphIndex(nndGraph(s, dir, 5), emb, path)
+      graft.search.KnnGraph.writeGraphLayer(s, path, sampleEvery = 8, k = 5)
+      graft.search.KnnGraph.writeGraphLayer2(s, path, sampleEvery = 8, k = 5)
+      graft.search.KnnGraph.appendToGraphIndex(
+        emb.filter(col("vec_id") < 200)
+          .select((col("vec_id") + 100000).as("vec_id"),
+            reverse(col("embedding")).as("embedding")), path)
+      val planned = graft.store.Maintenance.indexMaintain(s,
+        graph = Seq(("embeddings_graph", path, 5)),
+        graphLayer = Seq("embeddings_graph" -> path),
+        graphLayer2 = Seq("embeddings_graph" -> path))
+        .localCheckpoint()
+      val acts = planned
+        .select(col("index_kind"), col("index_name"), col("action"))
+        .collect()
+        .map(r => (r.getString(0), r.getString(1), r.getString(2))).toSet
+      val path2 = scratchDir("maintap-layer2q-v2")
+      val compacted = acts(("graph", "embeddings_graph", "compact"))
+      val eff = if (compacted) path2 else path
+      if (compacted)
+        graft.search.KnnGraph.compactGraphIndex(s, path, path2, 5)
+      def relayerConf(level: Int): (Int, Int, String) = {
+        val c = s.read.parquet(s"$path.layer${level}_conf").head()
+        (c.getAs[Int]("sample_every"), c.getAs[Int]("k"),
+          c.getAs[String]("method"))
+      }
+      if (compacted || acts(("graph", "embeddings_graph", "relayer"))) {
+        val (_, k1, m1) = relayerConf(1)
+        graft.search.KnnGraph.writeGraphLayer(s, eff, 8, k1, method = m1)
+      }
+      if (compacted || acts(("graph", "embeddings_graph", "relayer2"))) {
+        val (_, k2, m2) = relayerConf(2)
+        graft.search.KnnGraph.writeGraphLayer2(s, eff, 8, k2, method = m2)
+      }
+      val after = graft.store.Maintenance.graphSignals(
+          graft.search.KnnGraph.graphIndexHealth(s, eff), 5,
+          "embeddings_graph")
+        .unionAll(graft.store.Maintenance.layerSignals(
+          graft.search.KnnGraph.graphLayerHealth(s, eff),
+          "embeddings_graph"))
+        .unionAll(graft.store.Maintenance.layerSignals(
+          graft.search.KnnGraph.graphLayerHealth(s, eff, 2),
+          "embeddings_graph", 2))
+      graft.store.Maintenance.resolutionReport(planned, after)
+    }),
     // ---- [EXT] the policy ORDER BOOK (Maintenance.orderBook): the
     // READ side of the streaming policy sinks' <path>.oplog — an SQ8
     // store drifts over two logged evaluation batches (batch 0: 100
@@ -6421,6 +6501,7 @@ object SparkEntry {
       |    ('graph', 'edge_debt', 2.0, 'compact'),
       |    ('graph', 'tombstone_ratio', 0.05, 'compact'),
       |    ('graph', 'layer_missing', 0.2, 'relayer'),
+      |    ('graph', 'layer2_missing', 0.2, 'relayer2'),
       |    ('sq8', 'assignment_drift', 0.01, 'retrain'),
       |    ('sq8', 'baseline_stale', 0.01, 're_record'),
       |    ('sq8', 'tombstone_ratio', 0.10, 'compact'),
@@ -8155,6 +8236,119 @@ object SparkEntry {
          |  UNION ALL SELECT 'graph', 'embeddings_graph', 'tombstone_ratio',
          |                   0.0
          |  UNION ALL SELECT 'graph', 'embeddings_graph', 'layer_missing',
+         |                   0.0),
+         |aplan AS (
+         |  SELECT row_number() OVER (ORDER BY severity DESC, index_kind ASC,
+         |           index_name ASC, action ASC, signal ASC)::BIGINT
+         |           AS priority,
+         |         index_kind, index_name, action, signal, value, threshold
+         |  FROM fired)
+         |SELECT p.priority, p.index_kind, p.index_name, p.action, p.signal,
+         |       p.value AS value_before, round(a.value_after, 6) AS value_after,
+         |       p.threshold, a.value_after < p.threshold AS resolved
+         |FROM aplan p LEFT JOIN aft a
+         |  USING (index_kind, index_name, signal)
+         |ORDER BY p.priority""".stripMargin,
+    // both rungs' staleness: the layer oracle with a second due-rule
+    // CTE at the squared rate (%64) feeding the distinct
+    // layer2_missing signal
+    "index_maintenance_layer2" ->
+      s"""WITH gn AS (SELECT count(*) AS n FROM embeddings),
+         |gdebt AS (SELECT round((gn.n * 5 + gn.n * 200 +
+         |                        200 * (gn.n + 199))::DOUBLE /
+         |                       (5.0 * (gn.n + 200)), 6) AS v FROM gn),
+         |ldue AS (
+         |  SELECT vec_id AS id FROM embeddings
+         |  WHERE (${graft.functions.KmvSketch.hashSql("vec_id")}) % 8 = 0
+         |  UNION ALL
+         |  SELECT vec_id + 100000 FROM embeddings
+         |  WHERE vec_id < 200
+         |    AND (${graft.functions.KmvSketch.hashSql("(vec_id + 100000)")}) % 8
+         |        = 0),
+         |lmr AS (SELECT round(
+         |          (SELECT count(*) FROM ldue WHERE id >= 100000)::DOUBLE /
+         |          (SELECT count(*) FROM ldue), 6) AS v),
+         |l2due AS (
+         |  SELECT vec_id AS id FROM embeddings
+         |  WHERE (${graft.functions.KmvSketch.hashSql("vec_id")}) % 64 = 0
+         |  UNION ALL
+         |  SELECT vec_id + 100000 FROM embeddings
+         |  WHERE vec_id < 200
+         |    AND (${graft.functions.KmvSketch.hashSql("(vec_id + 100000)")}) % 64
+         |        = 0),
+         |l2mr AS (SELECT CASE WHEN (SELECT count(*) FROM l2due) = 0 THEN 0.0
+         |                ELSE round(
+         |          (SELECT count(*) FROM l2due WHERE id >= 100000)::DOUBLE /
+         |          (SELECT count(*) FROM l2due), 6) END AS v),
+         |sig AS (
+         |  SELECT 'graph' AS index_kind, 'embeddings_graph' AS index_name,
+         |         'edge_debt' AS signal, v AS value FROM gdebt
+         |  UNION ALL SELECT 'graph', 'embeddings_graph', 'tombstone_ratio',
+         |                   0.0 FROM gn
+         |  UNION ALL SELECT 'graph', 'embeddings_graph', 'layer_missing', v
+         |            FROM lmr
+         |  UNION ALL SELECT 'graph', 'embeddings_graph', 'layer2_missing', v
+         |            FROM l2mr),
+         |$rulesSqlCte,
+         |$firedSqlCte
+         |SELECT row_number() OVER (ORDER BY severity DESC, index_kind ASC,
+         |         index_name ASC, action ASC, signal ASC)::BIGINT AS priority,
+         |       index_kind, index_name, action, signal, value, threshold,
+         |       severity
+         |FROM fired ORDER BY priority""".stripMargin,
+    // the two-rung loop closed: same fired chain joined to the
+    // post-remedy identities — compacted edges = (n+d)·k → debt 1,
+    // both re-derived layers have nothing missing
+    "index_maintenance_layer2_applied" ->
+      s"""WITH gn AS (SELECT count(*) AS n FROM embeddings),
+         |gdebt AS (SELECT round((gn.n * 5 + gn.n * 200 +
+         |                        200 * (gn.n + 199))::DOUBLE /
+         |                       (5.0 * (gn.n + 200)), 6) AS v FROM gn),
+         |ldue AS (
+         |  SELECT vec_id AS id FROM embeddings
+         |  WHERE (${graft.functions.KmvSketch.hashSql("vec_id")}) % 8 = 0
+         |  UNION ALL
+         |  SELECT vec_id + 100000 FROM embeddings
+         |  WHERE vec_id < 200
+         |    AND (${graft.functions.KmvSketch.hashSql("(vec_id + 100000)")}) % 8
+         |        = 0),
+         |lmr AS (SELECT round(
+         |          (SELECT count(*) FROM ldue WHERE id >= 100000)::DOUBLE /
+         |          (SELECT count(*) FROM ldue), 6) AS v),
+         |l2due AS (
+         |  SELECT vec_id AS id FROM embeddings
+         |  WHERE (${graft.functions.KmvSketch.hashSql("vec_id")}) % 64 = 0
+         |  UNION ALL
+         |  SELECT vec_id + 100000 FROM embeddings
+         |  WHERE vec_id < 200
+         |    AND (${graft.functions.KmvSketch.hashSql("(vec_id + 100000)")}) % 64
+         |        = 0),
+         |l2mr AS (SELECT CASE WHEN (SELECT count(*) FROM l2due) = 0 THEN 0.0
+         |                ELSE round(
+         |          (SELECT count(*) FROM l2due WHERE id >= 100000)::DOUBLE /
+         |          (SELECT count(*) FROM l2due), 6) END AS v),
+         |sig AS (
+         |  SELECT 'graph' AS index_kind, 'embeddings_graph' AS index_name,
+         |         'edge_debt' AS signal, v AS value FROM gdebt
+         |  UNION ALL SELECT 'graph', 'embeddings_graph', 'tombstone_ratio',
+         |                   0.0 FROM gn
+         |  UNION ALL SELECT 'graph', 'embeddings_graph', 'layer_missing', v
+         |            FROM lmr
+         |  UNION ALL SELECT 'graph', 'embeddings_graph', 'layer2_missing', v
+         |            FROM l2mr),
+         |$rulesSqlCte,
+         |$firedSqlCte,
+         |aft AS (
+         |  SELECT 'graph' AS index_kind, 'embeddings_graph' AS index_name,
+         |         'edge_debt' AS signal,
+         |         round(((gn.n + 200) * 5)::DOUBLE /
+         |               (5.0 * (gn.n + 200)), 6) AS value_after
+         |  FROM gn
+         |  UNION ALL SELECT 'graph', 'embeddings_graph', 'tombstone_ratio',
+         |                   0.0
+         |  UNION ALL SELECT 'graph', 'embeddings_graph', 'layer_missing',
+         |                   0.0
+         |  UNION ALL SELECT 'graph', 'embeddings_graph', 'layer2_missing',
          |                   0.0),
          |aplan AS (
          |  SELECT row_number() OVER (ORDER BY severity DESC, index_kind ASC,

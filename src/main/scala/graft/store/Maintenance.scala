@@ -77,6 +77,7 @@ object Maintenance {
     MaintenanceRule("graph", "edge_debt", 2.0, "compact"),
     MaintenanceRule("graph", "tombstone_ratio", 0.05, "compact"),
     MaintenanceRule("graph", "layer_missing", 0.2, "relayer"),
+    MaintenanceRule("graph", "layer2_missing", 0.2, "relayer2"),
     MaintenanceRule("sq8", "assignment_drift", 0.01, "retrain"),
     MaintenanceRule("sq8", "baseline_stale", 0.01, "re_record"),
     MaintenanceRule("sq8", "tombstone_ratio", 0.10, "compact"),
@@ -139,10 +140,15 @@ object Maintenance {
     * (due-but-absent layer nodes per due node; 0 when nothing is due —
     * an empty sample is covered, not broken). Emitted under the
     * `graph` kind: the layer is part of the graph index, not a store
-    * of its own. */
-  def layerSignals(health: DataFrame, name: String): DataFrame =
+    * of its own. `level` names the rung (`layer2_missing` for the
+    * [[graft.search.KnnGraph.writeGraphLayer2]] rung) so one store's
+    * two layers keep distinct signals through the plan, the order
+    * book, and the resolution joins. */
+  def layerSignals(health: DataFrame, name: String,
+                   level: Int = 1): DataFrame =
     health.select(lit("graph").as("index_kind"), lit(name).as("index_name"),
-      lit("layer_missing").as("signal"),
+      lit(if (level == 1) "layer_missing" else s"layer${level}_missing")
+        .as("signal"),
       when(col("n_due") === 0, lit(0.0))
         .otherwise(round(col("n_missing").cast("double") / col("n_due"), 6))
         .as("value"))
@@ -237,6 +243,7 @@ object Maintenance {
                     sq: Seq[(String, String)] = Nil,
                     lsh: Seq[(String, String)] = Nil,
                     graphLayer: Seq[(String, String)] = Nil,
+                    graphLayer2: Seq[(String, String)] = Nil,
                     rules: Seq[MaintenanceRule] = DefaultRules): DataFrame = {
     val sigs =
       ivf.map { case (n, p) =>
@@ -253,7 +260,10 @@ object Maintenance {
       lsh.map { case (n, p) =>
         lshSignals(graft.search.Ann.lshIndexHealth(spark, p), n) } ++
       graphLayer.map { case (n, p) =>
-        layerSignals(graft.search.KnnGraph.graphLayerHealth(spark, p), n) }
+        layerSignals(graft.search.KnnGraph.graphLayerHealth(spark, p), n) } ++
+      graphLayer2.map { case (n, p) =>
+        layerSignals(graft.search.KnnGraph.graphLayerHealth(spark, p, 2), n,
+          2) }
     require(sigs.nonEmpty, "indexMaintain needs at least one index")
     plan(sigs.reduce(_ unionAll _), rules)
   }
@@ -379,9 +389,11 @@ object Maintenance {
                           sq: Seq[(String, String)] = Nil,
                           lsh: Seq[(String, String)] = Nil,
                           graphLayer: Seq[(String, String)] = Nil,
+                          graphLayer2: Seq[(String, String)] = Nil,
                           rules: Seq[MaintenanceRule] = DefaultRules): DataFrame = {
     val planned =
-      indexMaintain(spark, ivf, bm25, graph, ivfPq, sq, lsh, graphLayer, rules)
+      indexMaintain(spark, ivf, bm25, graph, ivfPq, sq, lsh, graphLayer,
+        graphLayer2, rules)
     def costRows(kind: String, name: String, health: DataFrame,
                  actions: (String, Column)*): DataFrame =
       actions.map { case (a, c) =>
@@ -412,7 +424,11 @@ object Maintenance {
       graphLayer.map { case (n, p) =>
         // a relayer scans the nodes side to re-sample: read cost = n
         costRows("graph", n, graft.search.KnnGraph.graphLayerHealth(spark, p),
-          "relayer" -> col("n_nodes")) }
+          "relayer" -> col("n_nodes")) } ++
+      graphLayer2.map { case (n, p) =>
+        costRows("graph", n,
+          graft.search.KnnGraph.graphLayerHealth(spark, p, 2),
+          "relayer2" -> col("n_nodes")) }
     planned.join(broadcast(costs.reduce(_ unionAll _)),
         Seq("index_kind", "index_name", "action"), "left")
       .select(col("priority"), col("index_kind"), col("index_name"),
