@@ -796,6 +796,75 @@ object SparkEntry {
           graft.search.Sq.ivfSqHealth(s, eff), "events_vec_sq8")
       }
     }),
+    // ---- [EXT] the drain under a COST BUDGET
+    // (Maintenance.orderBookDrainCosted — the costed plan's price
+    // axis composed with the order book): the same SQ8 two-batch
+    // fixture, with a maintenance window of exactly the store's raw
+    // row count. Both remedies cost that full scan (the
+    // indexMaintainCosted sq8 cost model), so the window admits ONLY
+    // the top-severity order — severity decides order, budget decides
+    // admission, and the skipped order stays unacknowledged for the
+    // next window (it would top maintenance_order_book_open's view).
+    // The oracle replays the firing arithmetic, the ranked greedy
+    // admission (degenerate to top-1 when each action costs the whole
+    // budget), and the admitted remedy's zero-identity resolution.
+    "maintenance_order_book_drain_costed" -> ((s, dir) => {
+      import s.implicits._
+      val emb = Tables.embeddings(s, dir)
+      val path = scratchDir("maint-book-costdrain")
+      val cents: Seq[Seq[Double]] = Ann.centroids(emb, "label", "embedding")
+        .orderBy(col("key")).collect().map(_.getSeq[Double](1).toSeq).toSeq
+      val rules = Seq(
+        graft.store.MaintenanceRule("sq8", "assignment_drift", 0.005, "retrain"),
+        graft.store.MaintenanceRule("sq8", "tombstone_ratio", 0.10, "compact"))
+      graft.search.Sq.buildIvfSqIndex(emb, cents, path)
+      graft.search.Sq.recordIvfSqModel(s, path, cents)
+      def applyAndLog(batchId: Long, lo: Int, hi: Int): Unit = {
+        graft.search.Sq.appendToIvfSqIndex(
+          emb.filter(col("vec_id") >= lo && col("vec_id") < hi)
+            .select((col("vec_id") + 100000).as("vec_id"),
+              transform(col("embedding"), x => -x).as("embedding")),
+          cents, path)
+        graft.store.Maintenance.plan(
+            graft.store.Maintenance.sqSignals(
+              graft.search.Sq.ivfSqDrift(s, path),
+              graft.search.Sq.ivfSqHealth(s, path), "events_vec_sq8"), rules)
+          .withColumn("batch_id", lit(batchId))
+          .write.mode("append").parquet(s"$path.oplog")
+      }
+      applyAndLog(0L, 0, 100)
+      graft.search.Sq.deleteFromIvfSqIndex(
+        emb.filter(col("vec_id") % 4 === 0).select(col("vec_id")), path)
+      applyAndLog(1L, 100, 200)
+      // both remedies read every raw stored row (the costed plan's
+      // sq8 model); the window fits exactly one such scan
+      val nRows = graft.search.Sq.ivfSqHealth(s, path).head()
+        .getAs[Long]("n_rows")
+      val costs = Seq(("sq8", "events_vec_sq8", "retrain", nRows),
+        ("sq8", "events_vec_sq8", "compact", nRows))
+        .toDF("index_kind", "index_name", "action", "cost_rows")
+      val path2 = scratchDir("maint-book-costdrain-v2")
+      val path3 = scratchDir("maint-book-costdrain-v3")
+      var eff = path
+      var retrained = false
+      graft.store.Maintenance.orderBookDrainCosted(s, path, costs, nRows) {
+        (kind, _, action) =>
+          (kind, action) match {
+            case ("sq8", "retrain") =>
+              graft.search.Sq.retrainIvfSqIndex(s, eff, path2, cents.size, 2): Unit
+              eff = path2; retrained = true
+            case ("sq8", "compact") =>
+              if (!retrained) {
+                graft.search.Sq.compactIvfSqIndex(s, eff, path3); eff = path3
+              }
+            case _ => ()
+          }
+      } {
+        graft.store.Maintenance.sqSignals(
+          graft.search.Sq.ivfSqDrift(s, eff),
+          graft.search.Sq.ivfSqHealth(s, eff), "events_vec_sq8")
+      }
+    }),
     // ---- [EXT] the OPEN-orders view after a drain
     // (Maintenance.openOrders): the drained fixture plus a THIRD
     // policy batch against the original store — the drain
@@ -8096,6 +8165,68 @@ object SparkEntry {
          |FROM blog GROUP BY action, signal
          |ORDER BY last_severity DESC, index_kind, index_name, action,
          |         signal""".stripMargin,
+    // the budgeted drain: the drained oracle's firing replay, book
+    // aggregation, then the ranked greedy admission — each action
+    // costs the full raw-row scan (n + 200) and the budget is one
+    // such scan, so exactly the top-severity order admits; its
+    // remedy's own signal resolves at the zero identity
+    "maintenance_order_book_drain_costed" ->
+      s"""WITH $labelDriftCtes,
+         |bng AS MATERIALIZED (
+         |  SELECT e.vec_id + 100000 AS vec_id,
+         |         max(list_dot_product(list_transform(e.embedding, x -> -x)::DOUBLE[],
+         |                              c.centroid) /
+         |             (sqrt(list_dot_product(e.embedding::DOUBLE[],
+         |                                    e.embedding::DOUBLE[])) *
+         |              sqrt(list_dot_product(c.centroid, c.centroid)))) AS ms
+         |  FROM embeddings e CROSS JOIN bcl c
+         |  WHERE e.vec_id < 200 GROUP BY e.vec_id),
+         |bc0 AS (SELECT round(avg(ms), 6) AS c FROM
+         |        (SELECT ms FROM ms
+         |         UNION ALL SELECT ms FROM bng WHERE vec_id < 100100)),
+         |bd0 AS (SELECT round(mb.b - bc0.c, 6) AS drift FROM mb, bc0),
+         |bc1 AS (SELECT round(avg(ms), 6) AS c FROM
+         |        (SELECT ms FROM ms WHERE vec_id % 4 <> 0
+         |         UNION ALL SELECT ms FROM bng)),
+         |bd1 AS (SELECT round(mb.b - bc1.c, 6) AS drift FROM mb, bc1),
+         |btr AS (SELECT round((SELECT count(*) FROM embeddings
+         |                      WHERE vec_id % 4 = 0)::DOUBLE /
+         |                     ((SELECT count(*) FROM embeddings) + 200), 6)
+         |          AS v),
+         |blog AS (
+         |  SELECT 0::BIGINT AS batch_id, 'retrain' AS action,
+         |         'assignment_drift' AS signal,
+         |         round(greatest(drift, 0.0), 6) AS value,
+         |         0.005 AS threshold
+         |  FROM bd0 WHERE greatest(drift, 0.0) >= 0.005
+         |  UNION ALL
+         |  SELECT 1::BIGINT, 'retrain', 'assignment_drift',
+         |         round(greatest(drift, 0.0), 6), 0.005
+         |  FROM bd1 WHERE greatest(drift, 0.0) >= 0.005
+         |  UNION ALL
+         |  SELECT 1::BIGINT, 'compact', 'tombstone_ratio', v, 0.10
+         |  FROM btr WHERE v >= 0.10),
+         |book AS (
+         |  SELECT action, signal,
+         |         min(batch_id) AS first_batch, max(batch_id) AS last_batch,
+         |         count(*)::BIGINT AS n_fired,
+         |         arg_max(value, batch_id) AS last_value,
+         |         first(threshold) AS threshold,
+         |         round(arg_max(value, batch_id) / first(threshold), 6)
+         |           AS last_severity
+         |  FROM blog GROUP BY action, signal),
+         |ranked AS (
+         |  SELECT *, row_number() OVER (ORDER BY last_severity DESC,
+         |           action ASC, signal ASC) AS rk
+         |  FROM book)
+         |SELECT 'sq8' AS index_kind, 'events_vec_sq8' AS index_name,
+         |       action, signal, first_batch, last_batch, n_fired,
+         |       last_value, threshold, last_severity,
+         |       ((SELECT count(*) FROM embeddings) + 200)::BIGINT
+         |         AS cost_rows,
+         |       0.0::DOUBLE AS value_after, TRUE AS resolved
+         |FROM ranked WHERE rk = 1
+         |ORDER BY last_severity DESC, action, signal""".stripMargin,
     // the open book after a drain: three batches' firings replay; the
     // drain acknowledged each key through its last ≤-drain firing
     // (resolutions always resolve by the zero identities), so the

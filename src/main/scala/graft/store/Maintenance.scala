@@ -343,6 +343,79 @@ object Maintenance {
     report
   }
 
+  /** [[orderBookDrain]] under a COST BUDGET — the maintenance WINDOW
+    * operator composing the book with [[indexMaintainCosted]]'s price
+    * axis: `costs` carries `(index_kind, index_name, action,
+    * cost_rows)` (the raw rows each remedy's rewrite must read — the
+    * same numbers the costed plan derives from the verified health
+    * reports; an unknown action costs 0), and the drain admits orders
+    * GREEDILY in severity order while the cumulative cost fits
+    * `budgetRows`. Severity still decides ORDER, the budget only
+    * decides ADMISSION: an urgent-but-expensive order that misses the
+    * window is never demoted — it stays unacknowledged at the top of
+    * [[openOrders]] for the next window — while cheaper lower-ranked
+    * orders still use the window's remainder (deferring them too
+    * would idle paid-for capacity). An action fired by several
+    * signals costs (and dispatches) once. Only ADMITTED orders are
+    * dispatched, verified against `after`, and acknowledged to
+    * `<path>.resolutions` (same sidecar schema as the un-budgeted
+    * drain — the two compose on one store); the report adds
+    * `cost_rows`. Bounded exactly like [[orderBookDrain]]. */
+  def orderBookDrainCosted(spark: org.apache.spark.sql.SparkSession,
+                           path: String, costs: DataFrame, budgetRows: Long)
+                          (dispatch: (String, String, String) => Unit)
+                          (after: => DataFrame): DataFrame = {
+    require(budgetRows >= 0, s"budgetRows must be >= 0: $budgetRows")
+    import spark.implicits._
+    val book = orderBook(spark, path)
+      .join(broadcast(costs.select(col("index_kind"), col("index_name"),
+        col("action"), col("cost_rows").cast("long").as("cost_rows"))),
+        Seq("index_kind", "index_name", "action"), "left")
+      .withColumn("cost_rows", coalesce(col("cost_rows"), lit(0L)))
+      .orderBy(col("last_severity").desc, col("index_kind").asc,
+        col("index_name").asc, col("action").asc, col("signal").asc)
+      .localCheckpoint()
+    val ranked = book
+      .select(col("index_kind"), col("index_name"), col("action"),
+        col("cost_rows"))
+      .collect()
+      .map(r => ((r.getString(0), r.getString(1), r.getString(2)),
+        r.getLong(3)))
+    var cum = 0L
+    val seen = scala.collection.mutable.Set.empty[(String, String, String)]
+    val admitted = scala.collection.mutable
+      .LinkedHashSet.empty[(String, String, String)]
+    ranked.foreach { case (k, c) =>
+      if (!seen(k)) {
+        seen += k
+        if (cum + c <= budgetRows) { cum += c; admitted += k }
+      }
+    }
+    admitted.foreach { case (k, n, a) => dispatch(k, n, a) }
+    val admittedDf = admitted.toSeq
+      .toDF("index_kind", "index_name", "action")
+    val report = book
+      .join(broadcast(admittedDf),
+        Seq("index_kind", "index_name", "action"), "left_semi")
+      .join(
+        after.select(col("index_kind"), col("index_name"), col("signal"),
+          round(col("value"), 6).as("value_after")),
+        Seq("index_kind", "index_name", "signal"), "left")
+      .select(col("index_kind"), col("index_name"), col("action"),
+        col("signal"), col("first_batch"), col("last_batch"),
+        col("n_fired"), col("last_value"), col("threshold"),
+        col("last_severity"), col("cost_rows"), col("value_after"),
+        (col("value_after") < col("threshold")).as("resolved"))
+      .orderBy(col("last_severity").desc, col("index_kind").asc,
+        col("index_name").asc, col("action").asc, col("signal").asc)
+      .localCheckpoint()
+    // the acknowledgment sidecar keeps the un-budgeted drain's exact
+    // schema so both drains compose on one store's resolutions
+    report.drop("cost_rows")
+      .write.mode("append").parquet(s"$path.resolutions")
+    report
+  }
+
   /** The OPEN orders of a drained book: the [[orderBook]] aggregation
     * over only the log rows no successful drain has acknowledged — a
     * resolution row closes its `(kind, name, action, signal)` through

@@ -191,6 +191,43 @@ class MaintenanceSpec extends SparkSpec {
     assert(spark.read.parquet(s"$dir.resolutions").count() == 3L)
   }
 
+  test("orderBookDrainCosted: greedy severity-order admission, boundary inclusive, skipped orders stay open") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-drain-cost").toString + "/index"
+    // three actions by severity: retrain (9) cost 100, compact-b (4)
+    // cost 60, compact-c (3, two signals -> cost counted ONCE) cost 50.
+    // Budget 150: admit retrain (100), skip compact-b (160 > 150),
+    // admit compact-c (150 <= 150 — boundary inclusive).
+    Seq(
+      ("ivf", "a", "retrain", "assignment_drift", 0.09, 0.01, 9.0, 1L),
+      ("bm25", "b", "compact", "tombstone_ratio", 0.40, 0.10, 4.0, 1L),
+      ("lsh", "c", "compact", "tombstone_ratio", 0.30, 0.10, 3.0, 0L),
+      ("lsh", "c", "compact", "file_debt", 4.5, 1.5, 3.0, 1L)
+    ).toDF("index_kind", "index_name", "action", "signal", "value",
+      "threshold", "severity", "batch_id")
+      .write.parquet(s"$dir.oplog")
+    val costs = Seq(("ivf", "a", "retrain", 100L),
+      ("bm25", "b", "compact", 60L), ("lsh", "c", "compact", 50L))
+      .toDF("index_kind", "index_name", "action", "cost_rows")
+    var calls = List.empty[(String, String, String)]
+    val rep = Maintenance.orderBookDrainCosted(spark, dir, costs, 150L) {
+      (k, n, a) => calls :+= ((k, n, a))
+    } {
+      sig(("ivf", "a", "assignment_drift", 0.0),
+        ("lsh", "c", "tombstone_ratio", 0.0), ("lsh", "c", "file_debt", 1.0))
+    }.collect()
+    assert(calls == List(("ivf", "a", "retrain"), ("lsh", "c", "compact")),
+      s"admitted in severity order, budget-skipped b: $calls")
+    // report = admitted rows only (c has two signal rows), all resolved
+    assert(rep.length == 3 && rep.forall(_.getAs[Boolean]("resolved")),
+      rep.toSeq.toString)
+    assert(rep.map(_.getAs[Long]("cost_rows")).toSet == Set(100L, 50L))
+    // the skipped order is NOT acknowledged: it is the whole open book
+    val open = Maintenance.openOrders(spark, dir).collect()
+    assert(open.length == 1 &&
+      open.head.getAs[String]("index_name") == "b", open.toSeq.toString)
+  }
+
   test("resolutionReport: resolved per action; a vanished after-signal surfaces as NULL") {
     val planned = Maintenance.plan(sig(
       ("graph", "g", "edge_debt", 5.0),

@@ -601,6 +601,37 @@ class StoreStreamSpec extends SparkSpec {
     assert(streamed == batch, s"drained-log eval $streamed != batch eval $batch")
   }
 
+  test("streaming answer-quality gate: faithfulnessGate over the drained answer log ≡ batch") {
+    // the answer-side twin of the ranking-log gate: a serving stack
+    // logs each answered query's (qid, question, context, answer)
+    // through the content-agnostic log sink, and the RAGAS-style
+    // faithfulness/relevance gate over the drained log equals the
+    // batch gate over the same rows — the gate is order-free over its
+    // input frame, so micro-batch boundaries cannot move the numbers
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val answers = Seq(
+      (0L, "what is spark", "spark is a fast engine", "spark fast engine data"),
+      (1L, "how to join", "broadcast the small side", "join types and hints"),
+      (2L, "what is shuffle", "what is shuffle", "partitions move between stages"),
+      (3L, "why parquet", "columnar footer statistics", "parquet is columnar"))
+      .toDF("qid", "question", "answer", "context")
+    val roster = answers.select(col("qid"))
+    val rows = answers.collect().map(r =>
+      (r.getLong(0), r.getString(1), r.getString(2), r.getString(3))).toSeq
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-anslog").toString + "/answers"
+    val input = MemoryStream[(Long, String, String, String)]
+    val q = graft.streaming.StreamIngest.rankingLogSink(
+      input.toDF().toDF("qid", "question", "answer", "context"), dir).start()
+    rows.grouped(3).foreach { g => input.addData(g); q.processAllAvailable() }
+    q.stop()
+    def gate(df: org.apache.spark.sql.DataFrame) =
+      graft.analysis.Eval.faithfulnessGate(df, roster).collect().toSeq
+    assert(gate(spark.read.parquet(s"$dir/log")) == gate(answers),
+      "drained-log gate must equal the batch gate")
+  }
+
   test("streaming BM25 maintenance: first batch builds, later batches append, probe ≡ rebuild") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import org.apache.spark.sql.functions.col
