@@ -59,6 +59,9 @@ object Bench {
     * compare still holds). */
   private def prevRecord(): Option[(String, Map[String, Double])] = {
     val rx = "^BENCH_r0*(\\d+)\\.json$".r
+    // parse VERDICT.md once, not once per candidate file (round-17
+    // advice)
+    val judged = judgedRound()
     val rounds = Option(new java.io.File(".").listFiles())
       .getOrElse(Array.empty[java.io.File])
       .flatMap(f => f.getName match {
@@ -71,7 +74,7 @@ object Bench {
       // its own round's record — exactly the self-referential compare
       // this second ratio exists to prevent. VERDICT.md's header names
       // the judged round; rounds past it are the in-flight one.
-      .filter(n => judgedRound().forall(n <= _))
+      .filter(n => judged.forall(n <= _))
     if (rounds.isEmpty) return None
     val prev = rounds.max
     Seq(s"bench/r$prev-final.json", s"bench/r$prev.json",

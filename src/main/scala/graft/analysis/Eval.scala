@@ -424,10 +424,17 @@ object Eval {
     * `context`, `answer` — the ask() output shape plus the batch key);
     * `queries` is the roster — a query with NO answer row gates as
     * 0/0 rather than silently dropping (the rankedEval no-results
-    * lesson). One row out: `n_queries`, mean/min of both metrics, and
-    * `frac_fully_faithful` (answers whose every claim is supported —
-    * the exact-1.0 test is integer-ratio-safe). Bounded: |queries|
-    * rows into one aggregate; token sets are per-row scalar arrays. */
+    * lesson). Duplicate answer rows per qid — an at-least-once answer
+    * LOG replay's shape — reduce to the per-qid WORST observation
+    * (min f, min r) BEFORE the roster join (round-17 advice: a raw
+    * left join would fan out the roster, weight means by answer-row
+    * multiplicity, and let a replayed log silently move the gate), so
+    * `n_queries` is always the roster size and a re-delivered answer
+    * can only hold the gate down, never inflate it. One row out:
+    * `n_queries`, mean/min of both metrics, and `frac_fully_faithful`
+    * (answers whose every claim is supported — the exact-1.0 test is
+    * integer-ratio-safe). Bounded: |queries| rows into one aggregate;
+    * token sets are per-row scalar arrays. */
   def faithfulnessGate(answers: DataFrame, queries: DataFrame): DataFrame = {
     import graft.text.TextAnalysis.tokens
     val qt = array_distinct(tokens(col("question")))
@@ -442,6 +449,8 @@ object Eval {
       .otherwise(size(array_intersect(qt, at)).cast("double") /
         unionN.cast("double"))
     val per = answers.select(col("qid"), f.as("__f"), r.as("__r"))
+      .groupBy(col("qid"))
+      .agg(min(col("__f")).as("__f"), min(col("__r")).as("__r"))
     val rostered = queries.select(col("qid")).distinct()
       .join(per, Seq("qid"), "left")
       .select(coalesce(col("__f"), lit(0.0)).as("f"),

@@ -246,12 +246,30 @@ object Ann {
     * the layout moves, the rows don't (pinned in AnnSpec). */
   def compactIvfIndex(spark: org.apache.spark.sql.SparkSession, srcPath: String,
                       dstPath: String, recordsPerFile: Long = 1L << 20,
-                      idCol: String = "vec_id"): Unit =
+                      idCol: String = "vec_id"): Unit = {
+    resetDstSidecars(spark, dstPath)
     dropTombstones(spark.read.parquet(srcPath), srcPath, idCol)
       .repartition(col("__cluster"))
       .write.partitionBy("__cluster")
       .option("maxRecordsPerFile", recordsPerFile)
       .mode("overwrite").parquet(dstPath)
+  }
+
+  /** Reset a compact DESTINATION's stale sidecars — the
+    * [[buildIvfIndex]] contract applied to every `compact*Index` dst
+    * (round-17 advice): the overwrite replaces the data directory but
+    * NOT its siblings, so a reused dst path would keep the previous
+    * generation's tombstones (anti-joining valid rows out of the new
+    * layout) and its policy oplog/resolutions — and since stream batch
+    * ids restart at 0, a stale `.resolutions` with a high
+    * drained-through batch makes [[graft.store.Maintenance.openOrders]]
+    * silently close the new generation's firings. The data dir's own
+    * `_applied_batches` markers go with the overwrite for single-dir
+    * indexes; composed stores (SQ8/IVF-PQ) reset theirs explicitly. */
+  private[search] def resetDstSidecars(spark: org.apache.spark.sql.SparkSession,
+                                       dstPath: String): Unit =
+    Seq(s"$dstPath.tombstones", s"$dstPath.oplog", s"$dstPath.resolutions")
+      .foreach(graft.io.Fs.delete(spark, _))
 
   /** Search a materialized IVF index: probes are ranked driver-side
     * ([[probeIds]]) and applied as a LITERAL `IN` filter on the
@@ -646,6 +664,15 @@ object Ann {
     math.max(spark.conf.get("spark.sql.shuffle.partitions", "200").toInt,
       math.min(buckets, 1024L).toInt)
 
+  /** Write-task count for the LSH bucket space — `2^nbits` clamped
+    * BEFORE the shift (round-17 advice: `1L << 63` wraps negative and
+    * would feed a degenerate partition count into repartition).
+    * [[bucketWriteParts]] caps at 1024 anyway, so any nbits ≥ 10
+    * saturates there. */
+  private def lshWriteParts(spark: org.apache.spark.sql.SparkSession,
+                            nbits: Int): Int =
+    bucketWriteParts(spark, if (nbits >= 10) 1024L else 1L << nbits)
+
   /** Deterministic seeded hyperplanes (unit-free; only the sign of the
     * projection matters). */
   def planes(dim: Int, nbits: Int, seed: Long = 42L): Seq[Seq[Double]] = {
@@ -704,7 +731,7 @@ object Ann {
     Seq(s"$path.tombstones", s"$path.oplog", s"$path.resolutions")
       .foreach(graft.io.Fs.delete(corpus.sparkSession, _))
     corpus.withColumn("__bucket", lshBucket(col(vecCol), planes))
-      .repartition(bucketWriteParts(corpus.sparkSession, 1L << planes.size),
+      .repartition(lshWriteParts(corpus.sparkSession, planes.size),
         col("__bucket"))
       .write.partitionBy("__bucket").mode("overwrite").parquet(path)
   }
@@ -717,7 +744,7 @@ object Ann {
   def appendToLshIndex(delta: DataFrame, planes: Seq[Seq[Double]], path: String,
                        vecCol: String = "embedding"): Unit =
     delta.withColumn("__bucket", lshBucket(col(vecCol), planes))
-      .repartition(bucketWriteParts(delta.sparkSession, 1L << planes.size),
+      .repartition(lshWriteParts(delta.sparkSession, planes.size),
         col("__bucket"))
       .write.partitionBy("__bucket").mode("append").parquet(path)
 
@@ -789,6 +816,7 @@ object Ann {
                       srcPath: String, dstPath: String,
                       recordsPerFile: Long = 1L << 20,
                       idCol: String = "vec_id"): Unit = {
+    resetDstSidecars(spark, dstPath)
     // bucket fan from the source layout (driver metadata listing —
     // the planes aren't a parameter here)
     val nBuckets = graft.io.Fs.listDirNames(spark, srcPath)

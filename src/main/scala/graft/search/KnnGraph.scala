@@ -624,6 +624,26 @@ object KnnGraph {
                                   buckets: Int = 16): DataFrame = {
     require(graft.io.Fs.exists(spark, s"$path.layer1"),
       s"no coarse layer at $path.layer1 — run writeGraphLayer after the build")
+    layeredWalk(spark, path, query,
+      Seq(s"$path.layer1" -> hopsCoarse, path -> hopsFine),
+      k, degree, beam, buckets)
+  }
+
+  /** The shared coarse-to-fine walk both layered searches run over
+    * (round-17 advice: the two walks were verbatim twins — a tombstone
+    * or scoring fix in one could silently diverge from the other):
+    * `rungs` lists (edge store, hop budget) pairs top-down, the LAST
+    * rung being the layer-0 graph at `path` itself. Entry = the TOP
+    * rung's own medoid (nearest top-rung node to the top-rung
+    * centroid — self-contained, replayable); each rung's final beam
+    * seeds the next. Vectors/tombstones come from the shared
+    * `<path>.nodes` side exactly once; every hop keeps the serving
+    * shape (≤ beam driver-literal ids, plan-time bucket-pruned scan,
+    * base ∪ overlay re-rank). Answer = top-k of the final beam. */
+  private def layeredWalk(spark: org.apache.spark.sql.SparkSession,
+                          path: String, query: DataFrame,
+                          rungs: Seq[(String, Int)], k: Int, degree: Int,
+                          beam: Int, buckets: Int): DataFrame = {
     val nodesRaw = spark.read.parquet(s"$path.nodes")
       .select(col("id"), col("vec").as("__vec"))
     val vecs = graphTombstones(spark, path).fold(nodesRaw) { t =>
@@ -646,15 +666,13 @@ object KnnGraph {
       }
       beamDf
     }
-    // entry = the LAYER's own medoid (nearest layer node to the layer
-    // centroid — self-contained, replayable)
-    val layerIds = spark.read.parquet(s"$path.layer1")
+    val topIds = spark.read.parquet(rungs.head._1)
       .select(col("src").as("id")).distinct()
-    val layerVecs = vecs.join(layerIds, Seq("id"), "left_semi")
-    val coarse = walk(score(medoidEntry(layerVecs)).localCheckpoint(),
-      s"$path.layer1", hopsCoarse)
-    walk(coarse, path, hopsFine)
-      .orderBy(col("sim").desc, col("id").asc).limit(k)
+    val topVecs = vecs.join(topIds, Seq("id"), "left_semi")
+    val walked = rungs.foldLeft(score(medoidEntry(topVecs)).localCheckpoint()) {
+      case (beamDf, (edgePath, hops)) => walk(beamDf, edgePath, hops)
+    }
+    walked.orderBy(col("sim").desc, col("id").asc).limit(k)
   }
 
   /** THREE-level beam search — [[graphIndexBeamSearchLayered]] with
@@ -679,36 +697,10 @@ object KnnGraph {
       require(graft.io.Fs.exists(spark, s"$path.$l"),
         s"no $l at $path — build both layers before the 3-level walk")
     }
-    val nodesRaw = spark.read.parquet(s"$path.nodes")
-      .select(col("id"), col("vec").as("__vec"))
-    val vecs = graphTombstones(spark, path).fold(nodesRaw) { t =>
-      nodesRaw.join(broadcast(t.select(col(t.columns.head).as("__tomb"))),
-        col("id") === col("__tomb"), "left_anti")
-    }.localCheckpoint()
-    def score(ids: DataFrame): DataFrame =
-      ids.join(vecs, Seq("id")).crossJoin(broadcast(query))
-        .select(col("id"), VectorOps.cosine6(col("__vec"), col("qvec")).as("sim"))
-    def walk(beam0: DataFrame, edgePath: String, hops: Int): DataFrame = {
-      var beamDf = beam0
-      (1 to hops).foreach { _ =>
-        val beamIds = beamDf.select(col("id")).collect().map(_.getLong(0)).toSeq
-        val frontier = graphIndexTopK(spark, edgePath, beamIds, degree, buckets)
-          .select(col("dst").as("id"))
-        val cands = beamDf.select(col("id")).union(frontier).distinct()
-        beamDf = score(cands)
-          .orderBy(col("sim").desc, col("id").asc).limit(beam)
-          .localCheckpoint()
-      }
-      beamDf
-    }
-    val topIds = spark.read.parquet(s"$path.layer2")
-      .select(col("src").as("id")).distinct()
-    val topVecs = vecs.join(topIds, Seq("id"), "left_semi")
-    val top = walk(score(medoidEntry(topVecs)).localCheckpoint(),
-      s"$path.layer2", hopsCoarse)
-    val mid = walk(top, s"$path.layer1", hopsMid)
-    walk(mid, path, hopsFine)
-      .orderBy(col("sim").desc, col("id").asc).limit(k)
+    layeredWalk(spark, path, query,
+      Seq(s"$path.layer2" -> hopsCoarse, s"$path.layer1" -> hopsMid,
+        path -> hopsFine),
+      k, degree, beam, buckets)
   }
 
   /** Tombstone-DELETE nodes from a materialized graph index — the
@@ -815,6 +807,15 @@ object KnnGraph {
                         srcPath: String, dstPath: String, k: Int,
                         buckets: Int = 16,
                         recordsPerFile: Long = 1L << 20): Unit = {
+    // dst sidecar reset (round-17 advice, the writeGraphIndex list): a
+    // reused dst path must not keep a previous generation's
+    // tombstones, policy order book, or — worse — a stale coarse
+    // LAYER, which the layered walk would route through silently
+    // (this compact deliberately does NOT derive a layer; see below)
+    Seq(s"$dstPath.tombstones", s"$dstPath.oplog", s"$dstPath.resolutions",
+        s"$dstPath.layer1", s"$dstPath.layer1_conf",
+        s"$dstPath.layer2", s"$dstPath.layer2_conf")
+      .foreach(graft.io.Fs.delete(spark, _))
     val w = Window.partitionBy(col("src"))
       .orderBy(col("sim").desc, col("dst").asc)
     // tombstones apply physically here (the `Ann.compactIvfIndex`

@@ -564,6 +564,12 @@ object Pq {
                         srcPath: String, dstPath: String,
                         recordsPerFile: Long = 1L << 20,
                         idCol: String = "vec_id"): Unit = {
+    // store-level dst sidecar reset (round-17 advice; the
+    // Sq.compactIvfSqIndex rationale — a reused dst path must not keep
+    // the previous generation's order book or batch markers)
+    Seq(s"$dstPath.oplog", s"$dstPath.resolutions",
+        s"$dstPath/_applied_batches")
+      .foreach(graft.io.Fs.delete(spark, _))
     Ann.compactIvfIndex(spark, s"$srcPath/codes", s"$dstPath/codes",
       recordsPerFile, idCol)
     Ann.dropTombstones(spark.read.parquet(s"$srcPath/vectors"),

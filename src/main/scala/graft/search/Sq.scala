@@ -156,6 +156,17 @@ object Sq {
                         srcPath: String, dstPath: String,
                         recordsPerFile: Long = 1L << 20,
                         idCol: String = "vec_id"): Unit = {
+    // store-level dst sidecars reset like compactBm25Index's (round-17
+    // advice): a reused dst path must not keep the previous
+    // generation's order book — stream batch ids restart at 0, so a
+    // stale .resolutions would silently close the new generation's
+    // firings in openOrders. The composed store's own _applied_batches
+    // markers live INSIDE dstPath (the per-side overwrites don't
+    // remove the parent dir), so they reset here too; the codes-side
+    // sidecars reset inside compactIvfIndex.
+    Seq(s"$dstPath.oplog", s"$dstPath.resolutions",
+        s"$dstPath/_applied_batches")
+      .foreach(graft.io.Fs.delete(spark, _))
     Ann.compactIvfIndex(spark, s"$srcPath/codes", s"$dstPath/codes",
       recordsPerFile, idCol)
     Ann.dropTombstones(spark.read.parquet(s"$srcPath/vectors"),

@@ -309,4 +309,26 @@ class EvalSpec extends SparkSpec {
       Seq(Tuple1(1L)).toDF("qid")).head()
     assert(bad.getAs[Double]("mean_faithfulness") == 0.0)
   }
+
+  test("faithfulnessGate: duplicate answer rows per qid reduce to the worst, not fan out") {
+    import graft.analysis.Eval
+    // an at-least-once answer-log replay delivers q1 twice: once clean
+    // (f = 1.0) and once with an unsupported claim (f = 0.5). The gate
+    // must keep n_queries at the roster size and score q1 by the WORST
+    // observation — a raw roster join would count q1 twice and weight
+    // the mean by delivery multiplicity (round-17 advice).
+    val answers = Seq(
+      (1L, "what is spark", "what is spark fast", "spark fast engine"),
+      (1L, "what is spark", "what is spark fast alien", "spark fast engine"),
+      (2L, "какой индекс", "какой индекс", "unrelated")
+    ).toDF("qid", "question", "answer", "context")
+    val roster = Seq(Tuple1(1L), Tuple1(2L)).toDF("qid")
+    val r = Eval.faithfulnessGate(answers, roster).head()
+    assert(r.getAs[Long]("n_queries") == 2L, r.toString)
+    // q1 min(1.0, 0.5) = 0.5; q2 vacuous 1.0 -> mean 0.75
+    assert(r.getAs[Double]("mean_faithfulness") == 0.75, r.toString)
+    assert(r.getAs[Double]("min_faithfulness") == 0.5)
+    // fully-faithful counts the deduped q2 only
+    assert(r.getAs[Double]("frac_fully_faithful") == 0.5)
+  }
 }

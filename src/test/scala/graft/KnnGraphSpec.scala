@@ -491,6 +491,36 @@ class KnnGraphSpec extends SparkSpec {
       .filter(col("id").isin(11L, 38L)).count() == 0)
   }
 
+  test("compact destination resets stale sidecars, including a stale coarse layer") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft-knng-sc").toString
+    val (src, dst) = (s"$root/src", s"$root/dst")
+    KnnGraph.writeGraphIndex(KnnGraph.exact(clustered, 3), clustered, src,
+      buckets = 4)
+    // plant a PREVIOUS generation's residue at dst: a coarse layer the
+    // layered walk would route through silently (round-17 advice: the
+    // compact deliberately does not derive a layer — a stale one must
+    // not stand in), tombstones, and an order book
+    KnnGraph.writeGraphIndex(KnnGraph.exact(clustered, 3), clustered, dst,
+      buckets = 4)
+    KnnGraph.writeGraphLayer(spark, dst, sampleEvery = 3, k = 2, buckets = 4)
+    Seq(Tuple1(0L)).toDF("vec_id").write.parquet(s"$dst.tombstones")
+    Seq(Tuple1(1)).toDF("x").write.parquet(s"$dst.oplog")
+    Seq(Tuple1(1)).toDF("x").write.parquet(s"$dst.resolutions")
+    KnnGraph.compactGraphIndex(spark, src, dst, 3, buckets = 4)
+    for (side <- Seq(".tombstones", ".oplog", ".resolutions",
+        ".layer1", ".layer1_conf", ".layer2", ".layer2_conf"))
+      assert(!graft.io.Fs.exists(spark, s"$dst$side"),
+        s"compact must reset the stale $side sidecar at the destination")
+    // the layered search now fails loudly instead of routing through
+    // the stale layer
+    val q = clustered.filter(col("vec_id") === 0L)
+      .select(col("embedding").as("qvec"))
+    intercept[IllegalArgumentException] {
+      KnnGraph.graphIndexBeamSearchLayered(spark, dst, q, 3, 3, buckets = 4)
+    }
+  }
+
   test("appendToGraph equals the brute-force rebuild over the union") {
     val base = clustered.filter(col("vec_id") < 30)
     val delta = clustered.filter(col("vec_id") >= 30)

@@ -110,6 +110,39 @@ class SqSpec extends SparkSpec {
       "retrained index must probe like a fresh build on its contents")
   }
 
+  test("compact destination resets stale sidecars: a reused dst keeps no old order book") {
+    import spark.implicits._
+    val emb = graft.io.Tables.embeddings(spark, sf0001)
+    val cents = Ann.kmeansCentroids(emb, "vec_id", "embedding", 10, 2)
+    val tmp = java.nio.file.Files.createTempDirectory("graft-sq-sidecar").toString
+    Sq.buildIvfSqIndex(emb, cents, s"$tmp/src")
+    // plant a PREVIOUS generation's residue at the destination: an
+    // order book with a high drained-through batch (the round-17
+    // hazard — stream batch ids restart at 0, so a stale .resolutions
+    // would silently close the new generation's firings in
+    // openOrders), plus stale tombstones and batch markers
+    Seq(("sq8", "old", "retrain", "assignment_drift", 0L, 9L, 1L, 0.5, 0.01,
+        50.0, 0.0, true))
+      .toDF("index_kind", "index_name", "action", "signal", "first_batch",
+        "last_batch", "n_fired", "last_value", "threshold", "last_severity",
+        "value_after", "resolved")
+      .write.parquet(s"$tmp/dst.resolutions")
+    Seq(Tuple1(0L)).toDF("vec_id").write.parquet(s"$tmp/dst/codes.tombstones")
+    graft.io.Fs.createMarker(spark, s"$tmp/dst/_applied_batches", "batch-9")
+    Seq(Tuple1(1)).toDF("x").write.parquet(s"$tmp/dst.oplog")
+    Sq.compactIvfSqIndex(spark, s"$tmp/src", s"$tmp/dst")
+    for (side <- Seq("dst.oplog", "dst.resolutions", "dst/_applied_batches",
+        "dst/codes.tombstones"))
+      assert(!graft.io.Fs.exists(spark, s"$tmp/$side"),
+        s"compact must reset the stale $side sidecar at the destination")
+    // and the compacted store still probes: row 0 was NOT deleted by
+    // the stale tombstone the reset cleared
+    val q = emb.filter(col("vec_id") === 0L).select(col("embedding").as("qvec"))
+    val got = Sq.ivfSqIndexTopK(spark, s"$tmp/dst", q, cents, 5, 20, 3)
+      .select(col("vec_id")).collect().map(_.getLong(0))
+    assert(got.contains(0L), "the fresh generation's row 0 must survive")
+  }
+
   test("SQ8-IVF filtered probe: predicate honored, exact-count fallback widens") {
     val emb = graft.io.Tables.embeddings(spark, sf0001)
     val q = emb.filter(col("vec_id") === 0L).select(col("embedding").as("qvec"))
