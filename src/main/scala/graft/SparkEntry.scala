@@ -163,6 +163,53 @@ object SparkEntry {
     * build cheap at every scale factor). */
   private val FleetLshPlanes: Seq[Seq[Double]] = Ann.planes(64, 4)
 
+  /** The order-book family's SQ8 rule set: per-batch thresholds are
+    * policy (micro-batches dilute drift by |batch|/n — the
+    * StoreStreamSpec convention), sized so every fired value clears
+    * its threshold by ≥ 1.3× at any tested scale factor. */
+  private val SqBookRules = Seq(
+    graft.store.MaintenanceRule("sq8", "assignment_drift", 0.005, "retrain"),
+    graft.store.MaintenanceRule("sq8", "tombstone_ratio", 0.10, "compact"))
+
+  /** The SQ8 two-batch ORDER-BOOK fixture shared by the whole drain
+    * family (round-17 verdict item 4: four queries rebuilt it
+    * independently): build + record a drift baseline at `path`, then
+    * replay the ivfSqPolicySink per-batch hook batch-synchronously —
+    * batch 0 appends 100 NEGATED rows (drift crosses the per-batch
+    * gate), an out-of-band 25% delete lands between batches, batch 1
+    * appends 100 more (drift fires AGAIN, tombstone debt for the
+    * first time) — each evaluation's fired actions appended to
+    * `<path>.oplog` under its batch id. Returns the frozen centroids
+    * and the apply+evaluate+log closure so callers can extend the
+    * stream (the open/flap queries' later batches). */
+  private def sqOrderBookFixture(s: SparkSession, dir: String, path: String)
+      : (Seq[Seq[Double]], (Long, Int, Int) => Unit) = {
+    val emb = Tables.embeddings(s, dir)
+    val cents: Seq[Seq[Double]] = Ann.centroids(emb, "label", "embedding")
+      .orderBy(col("key")).collect().map(_.getSeq[Double](1).toSeq).toSeq
+    graft.search.Sq.buildIvfSqIndex(emb, cents, path)
+    graft.search.Sq.recordIvfSqModel(s, path, cents)
+    def applyAndLog(batchId: Long, lo: Int, hi: Int): Unit = {
+      graft.search.Sq.appendToIvfSqIndex(
+        emb.filter(col("vec_id") >= lo && col("vec_id") < hi)
+          .select((col("vec_id") + 100000).as("vec_id"),
+            transform(col("embedding"), x => -x).as("embedding")),
+        cents, path)
+      graft.store.Maintenance.plan(
+          graft.store.Maintenance.sqSignals(
+            graft.search.Sq.ivfSqDrift(s, path),
+            graft.search.Sq.ivfSqHealth(s, path), "events_vec_sq8"),
+          SqBookRules)
+        .withColumn("batch_id", lit(batchId))
+        .write.mode("append").parquet(s"$path.oplog")
+    }
+    applyAndLog(0L, 0, 100)
+    graft.search.Sq.deleteFromIvfSqIndex(
+      emb.filter(col("vec_id") % 4 === 0).select(col("vec_id")), path)
+    applyAndLog(1L, 100, 200)
+    (cents, applyAndLog)
+  }
+
   /** DuckDB form of [[Ann.lshBucket]] over the same plane literals.
     * Scala's Double.toString is shortest-round-trip, so the SQL parses
     * back to bit-identical doubles. */
@@ -660,32 +707,8 @@ object SparkEntry {
     // batches' drift means, the raw-count tombstone ratio, and the
     // book aggregation.
     "maintenance_order_book" -> ((s, dir) => {
-      val emb = Tables.embeddings(s, dir)
       val path = scratchDir("maint-book")
-      val cents: Seq[Seq[Double]] = Ann.centroids(emb, "label", "embedding")
-        .orderBy(col("key")).collect().map(_.getSeq[Double](1).toSeq).toSeq
-      val rules = Seq(
-        graft.store.MaintenanceRule("sq8", "assignment_drift", 0.005, "retrain"),
-        graft.store.MaintenanceRule("sq8", "tombstone_ratio", 0.10, "compact"))
-      graft.search.Sq.buildIvfSqIndex(emb, cents, path)
-      graft.search.Sq.recordIvfSqModel(s, path, cents)
-      def applyAndLog(batchId: Long, lo: Int, hi: Int): Unit = {
-        graft.search.Sq.appendToIvfSqIndex(
-          emb.filter(col("vec_id") >= lo && col("vec_id") < hi)
-            .select((col("vec_id") + 100000).as("vec_id"),
-              transform(col("embedding"), x => -x).as("embedding")),
-          cents, path)
-        graft.store.Maintenance.plan(
-            graft.store.Maintenance.sqSignals(
-              graft.search.Sq.ivfSqDrift(s, path),
-              graft.search.Sq.ivfSqHealth(s, path), "events_vec_sq8"), rules)
-          .withColumn("batch_id", lit(batchId))
-          .write.mode("append").parquet(s"$path.oplog")
-      }
-      applyAndLog(0L, 0, 100)
-      graft.search.Sq.deleteFromIvfSqIndex(
-        emb.filter(col("vec_id") % 4 === 0).select(col("vec_id")), path)
-      applyAndLog(1L, 100, 200)
+      sqOrderBookFixture(s, dir, path)
       graft.store.Maintenance.orderBook(s, path)
     }),
     // ---- [EXT] the order book on the LAST index family to get
@@ -747,54 +770,16 @@ object SparkEntry {
     // resolves at 0.0. The oracle replays both batches' firing
     // arithmetic, the book aggregation, and the zero identities.
     "maintenance_order_book_drained" -> ((s, dir) => {
-      val emb = Tables.embeddings(s, dir)
       val path = scratchDir("maint-book-drain")
-      val cents: Seq[Seq[Double]] = Ann.centroids(emb, "label", "embedding")
-        .orderBy(col("key")).collect().map(_.getSeq[Double](1).toSeq).toSeq
-      val rules = Seq(
-        graft.store.MaintenanceRule("sq8", "assignment_drift", 0.005, "retrain"),
-        graft.store.MaintenanceRule("sq8", "tombstone_ratio", 0.10, "compact"))
-      graft.search.Sq.buildIvfSqIndex(emb, cents, path)
-      graft.search.Sq.recordIvfSqModel(s, path, cents)
-      def applyAndLog(batchId: Long, lo: Int, hi: Int): Unit = {
-        graft.search.Sq.appendToIvfSqIndex(
-          emb.filter(col("vec_id") >= lo && col("vec_id") < hi)
-            .select((col("vec_id") + 100000).as("vec_id"),
-              transform(col("embedding"), x => -x).as("embedding")),
-          cents, path)
-        graft.store.Maintenance.plan(
-            graft.store.Maintenance.sqSignals(
-              graft.search.Sq.ivfSqDrift(s, path),
-              graft.search.Sq.ivfSqHealth(s, path), "events_vec_sq8"), rules)
-          .withColumn("batch_id", lit(batchId))
-          .write.mode("append").parquet(s"$path.oplog")
-      }
-      applyAndLog(0L, 0, 100)
-      graft.search.Sq.deleteFromIvfSqIndex(
-        emb.filter(col("vec_id") % 4 === 0).select(col("vec_id")), path)
-      applyAndLog(1L, 100, 200)
-      val path2 = scratchDir("maint-book-drain-v2")
-      val path3 = scratchDir("maint-book-drain-v3")
-      var eff = path
-      var retrained = false
-      graft.store.Maintenance.orderBookDrain(s, path) { (kind, _, action) =>
-        (kind, action) match {
-          case ("sq8", "retrain") =>
-            graft.search.Sq.retrainIvfSqIndex(s, eff, path2, cents.size, 2): Unit
-            eff = path2; retrained = true
-          case ("sq8", "compact") =>
-            // subsumed by a retrain (fresh build from survivors); runs
-            // for real when the drift order was not in the book
-            if (!retrained) {
-              graft.search.Sq.compactIvfSqIndex(s, eff, path3); eff = path3
-            }
-          case _ => ()
-        }
-      } {
-        graft.store.Maintenance.sqSignals(
-          graft.search.Sq.ivfSqDrift(s, eff),
-          graft.search.Sq.ivfSqHealth(s, eff), "events_vec_sq8")
-      }
+      val (cents, _) = sqOrderBookFixture(s, dir, path)
+      // the shared dispatcher registry (round-17 verdict item 3): the
+      // retrain-subsumes-compact rule lives ONCE in SqDrainDispatcher,
+      // pinned by MaintenanceSpec, not re-implemented per query body
+      val d = new graft.store.Maintenance.SqDrainDispatcher(s,
+        "events_vec_sq8", path, cents.size, 2,
+        scratchDir("maint-book-drain-v2"), scratchDir("maint-book-drain-v3"))
+      graft.store.Maintenance.orderBookDrain(s, path)(d.dispatch)(
+        d.afterSignals)
     }),
     // ---- [EXT] the drain under a COST BUDGET
     // (Maintenance.orderBookDrainCosted — the costed plan's price
@@ -810,32 +795,8 @@ object SparkEntry {
     // budget), and the admitted remedy's zero-identity resolution.
     "maintenance_order_book_drain_costed" -> ((s, dir) => {
       import s.implicits._
-      val emb = Tables.embeddings(s, dir)
       val path = scratchDir("maint-book-costdrain")
-      val cents: Seq[Seq[Double]] = Ann.centroids(emb, "label", "embedding")
-        .orderBy(col("key")).collect().map(_.getSeq[Double](1).toSeq).toSeq
-      val rules = Seq(
-        graft.store.MaintenanceRule("sq8", "assignment_drift", 0.005, "retrain"),
-        graft.store.MaintenanceRule("sq8", "tombstone_ratio", 0.10, "compact"))
-      graft.search.Sq.buildIvfSqIndex(emb, cents, path)
-      graft.search.Sq.recordIvfSqModel(s, path, cents)
-      def applyAndLog(batchId: Long, lo: Int, hi: Int): Unit = {
-        graft.search.Sq.appendToIvfSqIndex(
-          emb.filter(col("vec_id") >= lo && col("vec_id") < hi)
-            .select((col("vec_id") + 100000).as("vec_id"),
-              transform(col("embedding"), x => -x).as("embedding")),
-          cents, path)
-        graft.store.Maintenance.plan(
-            graft.store.Maintenance.sqSignals(
-              graft.search.Sq.ivfSqDrift(s, path),
-              graft.search.Sq.ivfSqHealth(s, path), "events_vec_sq8"), rules)
-          .withColumn("batch_id", lit(batchId))
-          .write.mode("append").parquet(s"$path.oplog")
-      }
-      applyAndLog(0L, 0, 100)
-      graft.search.Sq.deleteFromIvfSqIndex(
-        emb.filter(col("vec_id") % 4 === 0).select(col("vec_id")), path)
-      applyAndLog(1L, 100, 200)
+      val (cents, _) = sqOrderBookFixture(s, dir, path)
       // both remedies read every raw stored row (the costed plan's
       // sq8 model); the window fits exactly one such scan
       val nRows = graft.search.Sq.ivfSqHealth(s, path).head()
@@ -843,27 +804,12 @@ object SparkEntry {
       val costs = Seq(("sq8", "events_vec_sq8", "retrain", nRows),
         ("sq8", "events_vec_sq8", "compact", nRows))
         .toDF("index_kind", "index_name", "action", "cost_rows")
-      val path2 = scratchDir("maint-book-costdrain-v2")
-      val path3 = scratchDir("maint-book-costdrain-v3")
-      var eff = path
-      var retrained = false
-      graft.store.Maintenance.orderBookDrainCosted(s, path, costs, nRows) {
-        (kind, _, action) =>
-          (kind, action) match {
-            case ("sq8", "retrain") =>
-              graft.search.Sq.retrainIvfSqIndex(s, eff, path2, cents.size, 2): Unit
-              eff = path2; retrained = true
-            case ("sq8", "compact") =>
-              if (!retrained) {
-                graft.search.Sq.compactIvfSqIndex(s, eff, path3); eff = path3
-              }
-            case _ => ()
-          }
-      } {
-        graft.store.Maintenance.sqSignals(
-          graft.search.Sq.ivfSqDrift(s, eff),
-          graft.search.Sq.ivfSqHealth(s, eff), "events_vec_sq8")
-      }
+      val d = new graft.store.Maintenance.SqDrainDispatcher(s,
+        "events_vec_sq8", path, cents.size, 2,
+        scratchDir("maint-book-costdrain-v2"),
+        scratchDir("maint-book-costdrain-v3"))
+      graft.store.Maintenance.orderBookDrainCosted(s, path, costs, nRows)(
+        d.dispatch)(d.afterSignals)
     }),
     // ---- [EXT] the OPEN-orders view after a drain
     // (Maintenance.openOrders): the drained fixture plus a THIRD
@@ -877,48 +823,47 @@ object SparkEntry {
     // derives each key's drained-through batch from the ≤-drain
     // rows, and aggregates only the rows past it.
     "maintenance_order_book_open" -> ((s, dir) => {
-      val emb = Tables.embeddings(s, dir)
       val path = scratchDir("maint-book-open")
-      val cents: Seq[Seq[Double]] = Ann.centroids(emb, "label", "embedding")
-        .orderBy(col("key")).collect().map(_.getSeq[Double](1).toSeq).toSeq
-      val rules = Seq(
-        graft.store.MaintenanceRule("sq8", "assignment_drift", 0.005, "retrain"),
-        graft.store.MaintenanceRule("sq8", "tombstone_ratio", 0.10, "compact"))
-      graft.search.Sq.buildIvfSqIndex(emb, cents, path)
-      graft.search.Sq.recordIvfSqModel(s, path, cents)
-      def applyAndLog(batchId: Long, lo: Int, hi: Int): Unit = {
-        graft.search.Sq.appendToIvfSqIndex(
-          emb.filter(col("vec_id") >= lo && col("vec_id") < hi)
-            .select((col("vec_id") + 100000).as("vec_id"),
-              transform(col("embedding"), x => -x).as("embedding")),
-          cents, path)
-        graft.store.Maintenance.plan(
-            graft.store.Maintenance.sqSignals(
-              graft.search.Sq.ivfSqDrift(s, path),
-              graft.search.Sq.ivfSqHealth(s, path), "events_vec_sq8"), rules)
-          .withColumn("batch_id", lit(batchId))
-          .write.mode("append").parquet(s"$path.oplog")
-      }
-      applyAndLog(0L, 0, 100)
-      graft.search.Sq.deleteFromIvfSqIndex(
-        emb.filter(col("vec_id") % 4 === 0).select(col("vec_id")), path)
-      applyAndLog(1L, 100, 200)
+      val (cents, applyAndLog) = sqOrderBookFixture(s, dir, path)
       // drain: remedies act on a NEW generation (the operational
       // shape — the stream's path keeps receiving batches)
-      val path2 = scratchDir("maint-book-open-v2")
-      val path3 = scratchDir("maint-book-open-v3")
+      val d = new graft.store.Maintenance.SqDrainDispatcher(s,
+        "events_vec_sq8", path, cents.size, 2,
+        scratchDir("maint-book-open-v2"), scratchDir("maint-book-open-v3"))
+      graft.store.Maintenance.orderBookDrain(s, path)(d.dispatch)(
+        d.afterSignals)
+      applyAndLog(2L, 200, 300)
+      graft.store.Maintenance.openOrders(s, path)
+    }),
+    // ---- [EXT] FLAP vs STALE in the open book (round-17 verdict item
+    // 8): both look identical in the span columns — a fresh
+    // first_batch and a small n_fired — but demand opposite responses,
+    // and n_acks tells them apart. Fixture: the shared two-batch
+    // store, drained through a dispatcher that serves ONLY compact
+    // (the retrain remedy is deliberately unregistered — a no-op
+    // dispatch): compact clears the tombstones (resolved — and the
+    // drift baseline survives the compact unchanged, so the retrain
+    // order's value_after is EXACTLY the batch-1 drift, still over
+    // threshold -> resolved = false); then batch 2 re-fires both.
+    // Open book: the retrain order is STALE — never acknowledged, its
+    // full history stands (first_batch 0, n_fired 3, n_acks 0); the
+    // compact order FLAPPED — acknowledged once, re-opened by batch 2
+    // with a fresh span (first_batch 2, n_fired 1, n_acks 1: the
+    // identical remedy resolved it and the debt came back — at scale
+    // the distinction routes to different operators: flap = change
+    // the policy/data, stale = fix the executor). The oracle replays
+    // all three batches' firing arithmetic, the compact-preserves-
+    // drift identity, and both acknowledgment counts.
+    "maintenance_order_book_flap" -> ((s, dir) => {
+      val path = scratchDir("maint-book-flap")
+      val (_, applyAndLog) = sqOrderBookFixture(s, dir, path)
+      // compact-only drain: route compact through the real lifecycle
+      // op on a new generation; leave retrain unserved (resolved=false)
+      val cPath = scratchDir("maint-book-flap-cmp")
       var eff = path
-      var retrained = false
       graft.store.Maintenance.orderBookDrain(s, path) { (kind, _, action) =>
-        (kind, action) match {
-          case ("sq8", "retrain") =>
-            graft.search.Sq.retrainIvfSqIndex(s, eff, path2, cents.size, 2): Unit
-            eff = path2; retrained = true
-          case ("sq8", "compact") =>
-            if (!retrained) {
-              graft.search.Sq.compactIvfSqIndex(s, eff, path3); eff = path3
-            }
-          case _ => ()
+        if (kind == "sq8" && action == "compact") {
+          graft.search.Sq.compactIvfSqIndex(s, eff, cPath); eff = cPath
         }
       } {
         graft.store.Maintenance.sqSignals(
@@ -8291,7 +8236,81 @@ object SparkEntry {
          |       arg_max(value, batch_id) AS last_value,
          |       first(threshold) AS threshold,
          |       round(arg_max(value, batch_id) / first(threshold), 6)
-         |         AS last_severity
+         |         AS last_severity,
+         |       1::BIGINT AS n_acks
+         |FROM openrows GROUP BY action, signal
+         |ORDER BY last_severity DESC, index_kind, index_name, action,
+         |         signal""".stripMargin,
+    // flap vs stale: the open oracle's three-batch firing replay, but
+    // the drain acknowledged ONLY the compact order (the retrain
+    // remedy was unserved, and compact preserves drift — the
+    // value_after identity — so its resolution row is resolved=false
+    // and closes nothing): the retrain order keeps its FULL history
+    // with n_acks = 0 (stale), the compact order re-opens with a
+    // fresh span and n_acks = 1 (flap)
+    "maintenance_order_book_flap" ->
+      s"""WITH $labelDriftCtes,
+         |bng AS MATERIALIZED (
+         |  SELECT e.vec_id + 100000 AS vec_id,
+         |         max(list_dot_product(list_transform(e.embedding, x -> -x)::DOUBLE[],
+         |                              c.centroid) /
+         |             (sqrt(list_dot_product(e.embedding::DOUBLE[],
+         |                                    e.embedding::DOUBLE[])) *
+         |              sqrt(list_dot_product(c.centroid, c.centroid)))) AS ms
+         |  FROM embeddings e CROSS JOIN bcl c
+         |  WHERE e.vec_id < 300 GROUP BY e.vec_id),
+         |bc0 AS (SELECT round(avg(ms), 6) AS c FROM
+         |        (SELECT ms FROM ms
+         |         UNION ALL SELECT ms FROM bng WHERE vec_id < 100100)),
+         |bd0 AS (SELECT round(mb.b - bc0.c, 6) AS drift FROM mb, bc0),
+         |bc1 AS (SELECT round(avg(ms), 6) AS c FROM
+         |        (SELECT ms FROM ms WHERE vec_id % 4 <> 0
+         |         UNION ALL SELECT ms FROM bng WHERE vec_id < 100200)),
+         |bd1 AS (SELECT round(mb.b - bc1.c, 6) AS drift FROM mb, bc1),
+         |bc2 AS (SELECT round(avg(ms), 6) AS c FROM
+         |        (SELECT ms FROM ms WHERE vec_id % 4 <> 0
+         |         UNION ALL SELECT ms FROM bng)),
+         |bd2 AS (SELECT round(mb.b - bc2.c, 6) AS drift FROM mb, bc2),
+         |bn AS (SELECT count(*) AS n FROM embeddings),
+         |bdl AS (SELECT count(*) AS d FROM embeddings WHERE vec_id % 4 = 0),
+         |blog AS (
+         |  SELECT 0::BIGINT AS batch_id, 'retrain' AS action,
+         |         'assignment_drift' AS signal,
+         |         round(greatest(drift, 0.0), 6) AS value,
+         |         0.005 AS threshold
+         |  FROM bd0 WHERE greatest(drift, 0.0) >= 0.005
+         |  UNION ALL
+         |  SELECT 1::BIGINT, 'retrain', 'assignment_drift',
+         |         round(greatest(drift, 0.0), 6), 0.005
+         |  FROM bd1 WHERE greatest(drift, 0.0) >= 0.005
+         |  UNION ALL
+         |  SELECT 1::BIGINT, 'compact', 'tombstone_ratio',
+         |         round(bdl.d::DOUBLE / (bn.n + 200), 6), 0.10
+         |  FROM bdl, bn WHERE round(bdl.d::DOUBLE / (bn.n + 200), 6) >= 0.10
+         |  UNION ALL
+         |  SELECT 2::BIGINT, 'retrain', 'assignment_drift',
+         |         round(greatest(drift, 0.0), 6), 0.005
+         |  FROM bd2 WHERE greatest(drift, 0.0) >= 0.005
+         |  UNION ALL
+         |  SELECT 2::BIGINT, 'compact', 'tombstone_ratio',
+         |         round(bdl.d::DOUBLE / (bn.n + 300), 6), 0.10
+         |  FROM bdl, bn WHERE round(bdl.d::DOUBLE / (bn.n + 300), 6) >= 0.10),
+         |drained AS (SELECT action, signal, max(batch_id) AS dt
+         |            FROM blog WHERE batch_id <= 1 AND action = 'compact'
+         |            GROUP BY 1, 2),
+         |openrows AS (
+         |  SELECT b.* FROM blog b LEFT JOIN drained d USING (action, signal)
+         |  WHERE d.dt IS NULL OR b.batch_id > d.dt)
+         |SELECT 'sq8' AS index_kind, 'events_vec_sq8' AS index_name,
+         |       action, signal,
+         |       min(batch_id) AS first_batch, max(batch_id) AS last_batch,
+         |       count(*)::BIGINT AS n_fired,
+         |       arg_max(value, batch_id) AS last_value,
+         |       first(threshold) AS threshold,
+         |       round(arg_max(value, batch_id) / first(threshold), 6)
+         |         AS last_severity,
+         |       (CASE WHEN action = 'compact' THEN 1 ELSE 0 END)::BIGINT
+         |         AS n_acks
          |FROM openrows GROUP BY action, signal
          |ORDER BY last_severity DESC, index_kind, index_name, action,
          |         signal""".stripMargin,

@@ -244,6 +244,15 @@ object Sq {
     * recorded model via the native argmax (identical to the stored
     * codes-side assignment: same centroids, same deterministic
     * argmax); one scan + a broadcast k-row model join. */
+  /** The recorded coarse centroids of an SQ8 index, cluster-ordered —
+    * the `<path>.model` sidecar read back as the probe-ready literal
+    * form ([[recordIvfSqModel]] wrote it). k×dim doubles of model
+    * state, a driver read by construction. */
+  def readIvfSqModel(spark: org.apache.spark.sql.SparkSession,
+                     path: String): Seq[Seq[Double]] =
+    spark.read.parquet(s"$path.model").orderBy(col("__cluster")).collect()
+      .map(_.getSeq[Double](1).toSeq).toSeq
+
   private def meanAssignSim(spark: org.apache.spark.sql.SparkSession, path: String,
                             idCol: String, vecCol: String): Double = {
     val model = spark.read.parquet(s"$path.model")

@@ -422,24 +422,139 @@ object Maintenance {
     * the `last_batch` it covered IFF `resolved` was true (a failed
     * remedy leaves the order standing), and any later firing re-opens
     * the order with fresh batch spans. A never-drained store's open
-    * book is its full book. */
+    * book is its full book.
+    *
+    * `n_acks` (round-17 verdict item 8) counts the key's SUCCESSFUL
+    * past acknowledgments, which is what tells a FLAPPING signal from
+    * a STALE one — both look identical in the span columns (fresh
+    * first_batch, small n_fired): n_acks = 0 means no remedy ever
+    * resolved it (never drained, or the remedy keeps failing — check
+    * `.resolutions` for resolved = false rows); n_acks ≥ 1 means a
+    * remedy RESOLVED it and the signal came back (remedy fires, store
+    * drifts back, fires again) — a data-distribution problem the next
+    * identical remedy won't fix, not a backlog problem. */
   def openOrders(spark: org.apache.spark.sql.SparkSession,
                  path: String): DataFrame = {
     val log = spark.read.parquet(s"$path.oplog")
-    if (!graft.io.Fs.exists(spark, s"$path.resolutions")) orderBookOf(log)
+    if (!graft.io.Fs.exists(spark, s"$path.resolutions"))
+      orderBookOf(log).withColumn("n_acks", lit(0L))
     else {
+      val keys = Seq("index_kind", "index_name", "action", "signal")
       val drained = spark.read.parquet(s"$path.resolutions")
         .filter(col("resolved"))
-        .groupBy(col("index_kind"), col("index_name"), col("action"),
-          col("signal"))
-        .agg(max(col("last_batch")).as("__drained_through"))
+        .groupBy(keys.map(col): _*)
+        .agg(max(col("last_batch")).as("__drained_through"),
+          count(lit(1)).as("__n_acks"))
       orderBookOf(log
-        .join(broadcast(drained),
-          Seq("index_kind", "index_name", "action", "signal"), "left")
-        .filter(col("__drained_through").isNull ||
-          col("batch_id") > col("__drained_through"))
-        .drop("__drained_through"))
+          .join(broadcast(drained.drop("__n_acks")), keys, "left")
+          .filter(col("__drained_through").isNull ||
+            col("batch_id") > col("__drained_through"))
+          .drop("__drained_through"))
+        .join(broadcast(drained.drop("__drained_through")), keys, "left")
+        .withColumn("n_acks", coalesce(col("__n_acks"), lit(0L)))
+        .drop("__n_acks")
+        .orderBy(col("last_severity").desc, col("index_kind").asc,
+          col("index_name").asc, col("action").asc, col("signal").asc)
     }
+  }
+
+  /** One store's DRAIN EXECUTOR — the registry entry [[orderBookDrain]]
+    * / [[orderBookDrainCosted]] take their `dispatch` closure from
+    * (round-17 verdict item 3: four query bodies re-implemented the
+    * same dispatch + subsumption with local `var`s — the fourth copy
+    * is where a divergence slips in). A dispatcher owns the store's
+    * lifecycle specifics: which verified op serves each action, where
+    * rewrites land, and the SUBSUMPTION rule; it tracks the store's
+    * effective generation across remedies so the drain's `after`
+    * signals read the maintained state. */
+  trait DrainDispatcher {
+    /** The store's CURRENT generation path (moves as remedies rewrite;
+      * starts at the watched path). */
+    def eff: String
+    /** Route one book row's (kind, name, action); rows belonging to
+      * other stores must be ignored (the fleet composition). */
+    def dispatch(kind: String, name: String, action: String): Unit
+    /** The store's signals re-read from the current generation — the
+      * drain's `after` frame. */
+    def afterSignals: DataFrame
+  }
+
+  /** Compose a fleet of per-store dispatchers into the single
+    * (dispatch, after) pair the drain ops consume: every dispatcher
+    * sees every order (each ignores the ones it doesn't own), and the
+    * after-frame is the union of every store's re-read signals. */
+  def defaultDispatch(dispatchers: Seq[DrainDispatcher])
+      : ((String, String, String) => Unit, () => DataFrame) = {
+    require(dispatchers.nonEmpty, "defaultDispatch needs at least one store")
+    ((k, n, a) => dispatchers.foreach(_.dispatch(k, n, a)),
+      () => dispatchers.map(_.afterSignals).reduce(_ unionAll _))
+  }
+
+  /** The default dispatcher for an SQ8-IVF store — the lifecycle
+    * registry entry matching [[indexMaintainCosted]]'s `sq` cost rows,
+    * with the subsumption rule the applied-loop queries encode pinned
+    * ONCE (MaintenanceSpec): a RETRAIN rebuilds from survivors with a
+    * fresh baseline, clearing the tombstone debt too, so a compact
+    * order dispatched after it is a no-op (an action fired by several
+    * signals already dispatches once — this is the cross-ACTION rule);
+    * a compact dispatched BEFORE a retrain still runs (severity chose
+    * that order; the retrain then reads the compacted generation).
+    * `re_record` re-records the baseline in place over the current
+    * generation's contents with its stored model centroids — skipped
+    * after a retrain, which already recorded a fresh baseline. */
+  final class SqDrainDispatcher(spark: org.apache.spark.sql.SparkSession,
+                                name: String, path: String,
+                                k: Int, iters: Int,
+                                retrainPath: String, compactPath: String,
+                                idCol: String = "vec_id",
+                                vecCol: String = "embedding")
+      extends DrainDispatcher {
+    private var effPath = path
+    private var retrained = false
+    def eff: String = effPath
+    def dispatch(kind: String, n: String, action: String): Unit =
+      if (kind == "sq8" && n == name) action match {
+        case "retrain" =>
+          graft.search.Sq.retrainIvfSqIndex(spark, effPath, retrainPath,
+            k, iters, idCol, vecCol): Unit
+          effPath = retrainPath; retrained = true
+        case "compact" =>
+          if (!retrained) {
+            graft.search.Sq.compactIvfSqIndex(spark, effPath, compactPath,
+              idCol = idCol)
+            effPath = compactPath
+          }
+        case "re_record" =>
+          if (!retrained)
+            graft.search.Sq.recordIvfSqModel(spark, effPath,
+              graft.search.Sq.readIvfSqModel(spark, effPath), idCol, vecCol)
+        case _ => ()
+      }
+    def afterSignals: DataFrame =
+      sqSignals(graft.search.Sq.ivfSqDrift(spark, effPath, idCol, vecCol),
+        graft.search.Sq.ivfSqHealth(spark, effPath), name)
+  }
+
+  /** The default dispatcher for an LSH store: the one index family
+    * whose only remedy is mechanical — `compact` applies tombstones
+    * and re-bounds the per-bucket file set ([[graft.search.Ann
+    * .compactLshIndex]]); there is no trained state to retrain or
+    * re-record, so no subsumption arises. */
+  final class LshDrainDispatcher(spark: org.apache.spark.sql.SparkSession,
+                                 name: String, path: String,
+                                 compactPath: String,
+                                 idCol: String = "vec_id")
+      extends DrainDispatcher {
+    private var effPath = path
+    def eff: String = effPath
+    def dispatch(kind: String, n: String, action: String): Unit =
+      if (kind == "lsh" && n == name && action == "compact") {
+        graft.search.Ann.compactLshIndex(spark, effPath, compactPath,
+          idCol = idCol)
+        effPath = compactPath
+      }
+    def afterSignals: DataFrame =
+      lshSignals(graft.search.Ann.lshIndexHealth(spark, effPath), name)
   }
 
   /** [[indexMaintain]] with a remedy COST estimate attached — the

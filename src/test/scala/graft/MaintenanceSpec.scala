@@ -178,6 +178,8 @@ class MaintenanceSpec extends SparkSpec {
     val open = Maintenance.openOrders(spark, dir).collect()
     assert(open.map(_.getAs[String]("action")).toSeq == Seq("retrain"),
       open.toSeq.toString)
+    // the failed remedy is STALE: zero successful acknowledgments
+    assert(open.head.getAs[Long]("n_acks") == 0L, open.head.toString)
     // a post-drain firing re-opens with a fresh batch span — the old
     // acknowledged rows stay closed
     logRows(("lsh", "a", "compact", "tombstone_ratio", 0.50, 0.10, 5.0, 2L))
@@ -187,8 +189,56 @@ class MaintenanceSpec extends SparkSpec {
     val c = open2.find(_.getAs[String]("action") == "compact").get
     assert(c.getAs[Long]("first_batch") == 2L &&
       c.getAs[Long]("n_fired") == 1L, c.toString)
+    // ...and the re-opened order is a FLAP, not stale: its remedy
+    // resolved once before the signal came back (round-17 item 8)
+    assert(c.getAs[Long]("n_acks") == 1L, c.toString)
+    assert(open2.find(_.getAs[String]("action") == "retrain").get
+      .getAs[Long]("n_acks") == 0L)
     // the resolutions sidecar carries the appended report
     assert(spark.read.parquet(s"$dir.resolutions").count() == 3L)
+  }
+
+  test("SqDrainDispatcher: retrain subsumes a later compact; compact-only moves the generation; re_record skipped after retrain") {
+    import graft.search.{Ann, Sq}
+    val emb = graft.io.Tables.embeddings(spark, sf0001)
+    val cents = Ann.centroids(emb, "label", "embedding")
+      .orderBy(col("key")).collect().map(_.getSeq[Double](1).toSeq).toSeq
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-dispatch").toString
+    // case 1: retrain then compact — the compact must be a no-op (the
+    // retrain rebuilt from survivors, tombstone debt included), so the
+    // compact path is never created and eff stays at the retrain gen
+    Sq.buildIvfSqIndex(emb, cents, s"$root/a")
+    Sq.recordIvfSqModel(spark, s"$root/a", cents)
+    Sq.deleteFromIvfSqIndex(
+      emb.filter(col("vec_id") % 5 === 0).select(col("vec_id")), s"$root/a")
+    val d1 = new Maintenance.SqDrainDispatcher(spark, "idx", s"$root/a",
+      cents.size, 2, s"$root/a-rt", s"$root/a-cmp")
+    d1.dispatch("sq8", "idx", "retrain")
+    d1.dispatch("sq8", "idx", "compact")
+    d1.dispatch("sq8", "idx", "re_record") // also subsumed: fresh baseline
+    assert(d1.eff == s"$root/a-rt")
+    assert(!graft.io.Fs.exists(spark, s"$root/a-cmp"),
+      "a compact after a retrain must not run")
+    // the retrained generation is tombstone-free with a zero baseline
+    val sig1 = d1.afterSignals.collect()
+      .map(r => r.getAs[String]("signal") -> r.getAs[Double]("value")).toMap
+    assert(sig1("assignment_drift") == 0.0 && sig1("tombstone_ratio") == 0.0)
+    // rows belonging to OTHER stores are ignored
+    d1.dispatch("sq8", "other", "compact")
+    d1.dispatch("lsh", "idx", "compact")
+    assert(d1.eff == s"$root/a-rt")
+    // case 2: compact WITHOUT a retrain runs for real
+    Sq.buildIvfSqIndex(emb, cents, s"$root/b")
+    Sq.recordIvfSqModel(spark, s"$root/b", cents)
+    Sq.deleteFromIvfSqIndex(
+      emb.filter(col("vec_id") % 5 === 0).select(col("vec_id")), s"$root/b")
+    val d2 = new Maintenance.SqDrainDispatcher(spark, "idx", s"$root/b",
+      cents.size, 2, s"$root/b-rt", s"$root/b-cmp")
+    d2.dispatch("sq8", "idx", "compact")
+    assert(d2.eff == s"$root/b-cmp")
+    assert(d2.afterSignals.filter(col("signal") === "tombstone_ratio")
+      .head().getAs[Double]("value") == 0.0)
   }
 
   test("orderBookDrainCosted: greedy severity-order admission, boundary inclusive, skipped orders stay open") {
