@@ -873,6 +873,58 @@ object SparkEntry {
       applyAndLog(2L, 200, 300)
       graft.store.Maintenance.openOrders(s, path)
     }),
+    // ---- [EXT] the drain SCHEDULED INTO the stream (StreamIngest.
+    // ivfSqPolicyDrainSink — round-17 verdict item 1, the last
+    // human-in-the-loop step): four policy batches at drainEvery = 2,
+    // the sink's per-batch hook replayed batch-synchronously (the
+    // maintenance_order_book convention; the REAL stream's replay
+    // idempotence is StoreStreamSpec's). Batch 0 appends 100 negated
+    // rows (drift fires), an out-of-band 25% delete lands, batch 1
+    // fires drift + tombstone and ENDS WINDOW 1 — the sink drains the
+    // open book (retrain subsumes compact, acknowledgments to
+    // .resolutions). The stream keeps appending to the WATCHED path,
+    // so batches 2-3 re-fire both signals, and window 2 (after batch
+    // 3) drains ONLY the re-opened spans — the openOrders-based
+    // worklist never re-dispatches what window 1 acknowledged.
+    // Output = the acknowledgment sidecar: two orders per window,
+    // every one resolved at the zero identities (each window's
+    // retrain rebuilt a fresh generation from the watched path's
+    // CURRENT survivors). The oracle replays all four batches' firing
+    // arithmetic and both windows' open-book aggregation.
+    "maintenance_order_book_stream_drained" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val path = scratchDir("maint-book-sdrain")
+      val cents: Seq[Seq[Double]] = Ann.centroids(emb, "label", "embedding")
+        .orderBy(col("key")).collect().map(_.getSeq[Double](1).toSeq).toSeq
+      graft.search.Sq.buildIvfSqIndex(emb, cents, path)
+      graft.search.Sq.recordIvfSqModel(s, path, cents)
+      // fresh destination generations per window (retrain requires
+      // src != dst, and window 2 must not overwrite window 1's output)
+      var win = 0
+      val dispatcherFor: Long => graft.store.Maintenance.DrainDispatcher =
+        _ => {
+          win += 1
+          new graft.store.Maintenance.SqDrainDispatcher(s, "events_vec_sq8",
+            path, cents.size, 2, scratchDir(s"maint-book-sdrain-rt$win"),
+            scratchDir(s"maint-book-sdrain-cmp$win"))
+        }
+      def runBatch(id: Long, lo: Int, hi: Int): Unit =
+        graft.streaming.StreamIngest.ivfSqPolicyDrainBatch(
+          emb.filter(col("vec_id") >= lo && col("vec_id") < hi)
+            .select((col("vec_id") + 100000).as("vec_id"),
+              transform(col("embedding"), x => -x).as("embedding")),
+          id, cents, path, "events_vec_sq8", SqBookRules,
+          drainEvery = 2, budgetRows = Long.MaxValue, dispatcherFor,
+          "vec_id", "embedding")
+      runBatch(0L, 0, 100)
+      graft.search.Sq.deleteFromIvfSqIndex(
+        emb.filter(col("vec_id") % 4 === 0).select(col("vec_id")), path)
+      runBatch(1L, 100, 200) // window 1 drains here
+      runBatch(2L, 200, 300)
+      runBatch(3L, 300, 400) // window 2 drains here
+      s.read.parquet(s"$path.resolutions")
+        .orderBy(col("first_batch"), col("action"))
+    }),
     // ---- [EXT] the layer loop CLOSED: the same appended store →
     // frozen plan → remedies. The dispatch encodes the operational
     // rule the compact scaladoc states: the layer is DERIVED state
@@ -8314,6 +8366,95 @@ object SparkEntry {
          |FROM openrows GROUP BY action, signal
          |ORDER BY last_severity DESC, index_kind, index_name, action,
          |         signal""".stripMargin,
+    // the stream-scheduled drain: four batches' firing replay, split
+    // into the two drain windows (window 1 = batches <= 1, window 2 =
+    // the rows past window 1's acknowledgment batch), each window
+    // aggregated to its open book and resolved at the zero identities
+    // (each window's retrain rebuilds from the watched path's current
+    // survivors and records a fresh baseline)
+    "maintenance_order_book_stream_drained" ->
+      s"""WITH $labelDriftCtes,
+         |bng AS MATERIALIZED (
+         |  SELECT e.vec_id + 100000 AS vec_id,
+         |         max(list_dot_product(list_transform(e.embedding, x -> -x)::DOUBLE[],
+         |                              c.centroid) /
+         |             (sqrt(list_dot_product(e.embedding::DOUBLE[],
+         |                                    e.embedding::DOUBLE[])) *
+         |              sqrt(list_dot_product(c.centroid, c.centroid)))) AS ms
+         |  FROM embeddings e CROSS JOIN bcl c
+         |  WHERE e.vec_id < 400 GROUP BY e.vec_id),
+         |bc0 AS (SELECT round(avg(ms), 6) AS c FROM
+         |        (SELECT ms FROM ms
+         |         UNION ALL SELECT ms FROM bng WHERE vec_id < 100100)),
+         |bd0 AS (SELECT round(mb.b - bc0.c, 6) AS drift FROM mb, bc0),
+         |bc1 AS (SELECT round(avg(ms), 6) AS c FROM
+         |        (SELECT ms FROM ms WHERE vec_id % 4 <> 0
+         |         UNION ALL SELECT ms FROM bng WHERE vec_id < 100200)),
+         |bd1 AS (SELECT round(mb.b - bc1.c, 6) AS drift FROM mb, bc1),
+         |bc2 AS (SELECT round(avg(ms), 6) AS c FROM
+         |        (SELECT ms FROM ms WHERE vec_id % 4 <> 0
+         |         UNION ALL SELECT ms FROM bng WHERE vec_id < 100300)),
+         |bd2 AS (SELECT round(mb.b - bc2.c, 6) AS drift FROM mb, bc2),
+         |bc3 AS (SELECT round(avg(ms), 6) AS c FROM
+         |        (SELECT ms FROM ms WHERE vec_id % 4 <> 0
+         |         UNION ALL SELECT ms FROM bng)),
+         |bd3 AS (SELECT round(mb.b - bc3.c, 6) AS drift FROM mb, bc3),
+         |bn AS (SELECT count(*) AS n FROM embeddings),
+         |bdl AS (SELECT count(*) AS d FROM embeddings WHERE vec_id % 4 = 0),
+         |blog AS (
+         |  SELECT 0::BIGINT AS batch_id, 'retrain' AS action,
+         |         'assignment_drift' AS signal,
+         |         round(greatest(drift, 0.0), 6) AS value,
+         |         0.005 AS threshold
+         |  FROM bd0 WHERE greatest(drift, 0.0) >= 0.005
+         |  UNION ALL
+         |  SELECT 1::BIGINT, 'retrain', 'assignment_drift',
+         |         round(greatest(drift, 0.0), 6), 0.005
+         |  FROM bd1 WHERE greatest(drift, 0.0) >= 0.005
+         |  UNION ALL
+         |  SELECT 1::BIGINT, 'compact', 'tombstone_ratio',
+         |         round(bdl.d::DOUBLE / (bn.n + 200), 6), 0.10
+         |  FROM bdl, bn WHERE round(bdl.d::DOUBLE / (bn.n + 200), 6) >= 0.10
+         |  UNION ALL
+         |  SELECT 2::BIGINT, 'retrain', 'assignment_drift',
+         |         round(greatest(drift, 0.0), 6), 0.005
+         |  FROM bd2 WHERE greatest(drift, 0.0) >= 0.005
+         |  UNION ALL
+         |  SELECT 2::BIGINT, 'compact', 'tombstone_ratio',
+         |         round(bdl.d::DOUBLE / (bn.n + 300), 6), 0.10
+         |  FROM bdl, bn WHERE round(bdl.d::DOUBLE / (bn.n + 300), 6) >= 0.10
+         |  UNION ALL
+         |  SELECT 3::BIGINT, 'retrain', 'assignment_drift',
+         |         round(greatest(drift, 0.0), 6), 0.005
+         |  FROM bd3 WHERE greatest(drift, 0.0) >= 0.005
+         |  UNION ALL
+         |  SELECT 3::BIGINT, 'compact', 'tombstone_ratio',
+         |         round(bdl.d::DOUBLE / (bn.n + 400), 6), 0.10
+         |  FROM bdl, bn WHERE round(bdl.d::DOUBLE / (bn.n + 400), 6) >= 0.10),
+         |w1 AS (
+         |  SELECT action, signal,
+         |         min(batch_id) AS first_batch, max(batch_id) AS last_batch,
+         |         count(*)::BIGINT AS n_fired,
+         |         arg_max(value, batch_id) AS last_value,
+         |         first(threshold) AS threshold,
+         |         round(arg_max(value, batch_id) / first(threshold), 6)
+         |           AS last_severity
+         |  FROM blog WHERE batch_id <= 1 GROUP BY action, signal),
+         |w2 AS (
+         |  SELECT action, signal,
+         |         min(batch_id) AS first_batch, max(batch_id) AS last_batch,
+         |         count(*)::BIGINT AS n_fired,
+         |         arg_max(value, batch_id) AS last_value,
+         |         first(threshold) AS threshold,
+         |         round(arg_max(value, batch_id) / first(threshold), 6)
+         |           AS last_severity
+         |  FROM blog WHERE batch_id > 1 GROUP BY action, signal)
+         |SELECT 'sq8' AS index_kind, 'events_vec_sq8' AS index_name,
+         |       action, signal, first_batch, last_batch, n_fired,
+         |       last_value, threshold, last_severity,
+         |       0.0::DOUBLE AS value_after, TRUE AS resolved
+         |FROM (SELECT * FROM w1 UNION ALL SELECT * FROM w2)
+         |ORDER BY first_batch, action""".stripMargin,
     // layer staleness: edge debt replays the append arithmetic at
     // d = 200; layer_missing replays the hash-sample membership of
     // every live id (due = sampled originals ∪ sampled appends;

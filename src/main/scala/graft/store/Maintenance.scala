@@ -364,10 +364,33 @@ object Maintenance {
   def orderBookDrainCosted(spark: org.apache.spark.sql.SparkSession,
                            path: String, costs: DataFrame, budgetRows: Long)
                           (dispatch: (String, String, String) => Unit)
-                          (after: => DataFrame): DataFrame = {
+                          (after: => DataFrame): DataFrame =
+    drainCosted(spark, path, orderBook(spark, path), costs, budgetRows)(
+      dispatch)(after)
+
+  /** [[orderBookDrainCosted]] over only the OPEN orders — the
+    * RECURRING-window form: a scheduled drain (cron, or the streaming
+    * sink's `drainEvery` cadence) must not re-dispatch remedies for
+    * orders an earlier window already acknowledged, so its worklist is
+    * [[openOrders]] (unacknowledged firings only), not the full book.
+    * A first drain on a never-drained store sees the full book (open ≡
+    * book then); acknowledgments append to the same `<path>
+    * .resolutions` sidecar with the same schema, so windows compose. */
+  def openOrdersDrainCosted(spark: org.apache.spark.sql.SparkSession,
+                            path: String, costs: DataFrame, budgetRows: Long)
+                           (dispatch: (String, String, String) => Unit)
+                           (after: => DataFrame): DataFrame =
+    drainCosted(spark, path, openOrders(spark, path).drop("n_acks"), costs,
+      budgetRows)(dispatch)(after)
+
+  private def drainCosted(spark: org.apache.spark.sql.SparkSession,
+                          path: String, bookDf: DataFrame,
+                          costs: DataFrame, budgetRows: Long)
+                         (dispatch: (String, String, String) => Unit)
+                         (after: => DataFrame): DataFrame = {
     require(budgetRows >= 0, s"budgetRows must be >= 0: $budgetRows")
     import spark.implicits._
-    val book = orderBook(spark, path)
+    val book = bookDf
       .join(broadcast(costs.select(col("index_kind"), col("index_name"),
         col("action"), col("cost_rows").cast("long").as("cost_rows"))),
         Seq("index_kind", "index_name", "action"), "left")
@@ -391,6 +414,18 @@ object Maintenance {
         if (cum + c <= budgetRows) { cum += c; admitted += k }
       }
     }
+    // an empty window — empty book, or nothing fit the budget — must
+    // not touch any store: no dispatch ran, so the (possibly eager)
+    // `after` signal re-read is skipped and the report is the empty
+    // frame with the report schema
+    if (admitted.isEmpty)
+      return book.select(col("index_kind"), col("index_name"),
+        col("action"), col("signal"), col("first_batch"), col("last_batch"),
+        col("n_fired"), col("last_value"), col("threshold"),
+        col("last_severity"), col("cost_rows"),
+        lit(null).cast("double").as("value_after"),
+        lit(null).cast("boolean").as("resolved"))
+        .filter(lit(false))
     admitted.foreach { case (k, n, a) => dispatch(k, n, a) }
     val admittedDf = admitted.toSeq
       .toDF("index_kind", "index_name", "action")
@@ -410,9 +445,13 @@ object Maintenance {
         col("index_name").asc, col("action").asc, col("signal").asc)
       .localCheckpoint()
     // the acknowledgment sidecar keeps the un-budgeted drain's exact
-    // schema so both drains compose on one store's resolutions
-    report.drop("cost_rows")
-      .write.mode("append").parquet(s"$path.resolutions")
+    // schema so both drains compose on one store's resolutions; an
+    // EMPTY window (healthy store / nothing admitted) appends nothing
+    // — a recurring scheduled drain must not grow the sidecar one
+    // empty file set per window
+    if (!report.isEmpty)
+      report.drop("cost_rows")
+        .write.mode("append").parquet(s"$path.resolutions")
     report
   }
 

@@ -368,6 +368,87 @@ class StoreStreamSpec extends SparkSpec {
       book.head.getAs[Long]("n_fired") == 1L, book.toSeq.toString)
   }
 
+  test("SQ8 policy DRAIN sink: the window drains the open book inside the batch marker; an empty window appends nothing; restart replay double-drains nothing") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.functions.col
+    implicit val sqlCtx = spark.sqlContext
+    val emb = spark.read.parquet(s"$sf0001/embeddings.parquet")
+    val cents: Seq[Seq[Double]] = graft.search.Ann
+      .centroids(emb, "label", "embedding")
+      .orderBy(col("key")).collect().map(_.getSeq[Double](1).toSeq).toSeq
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-stream-sqdrain").toString
+    val dir = s"$root/index"
+    graft.search.Sq.buildIvfSqIndex(
+      emb.select(col("vec_id"), col("embedding")), cents, dir)
+    graft.search.Sq.recordIvfSqModel(spark, dir, cents)
+    val rules = Seq(graft.store.MaintenanceRule(
+      "sq8", "assignment_drift", 0.001, "retrain"))
+    var win = 0
+    val dispatcherFor: Long => graft.store.Maintenance.DrainDispatcher =
+      _ => {
+        win += 1
+        new graft.store.Maintenance.SqDrainDispatcher(spark, "events_sq8",
+          dir, cents.size, 2, s"$root/rt$win", s"$root/cmp$win")
+      }
+    def sink(input: MemoryStream[(Long, Seq[Float])]) =
+      graft.streaming.StreamIngest.ivfSqPolicyDrainSink(
+        input.toDF().toDF("vec_id", "embedding"), cents, dir, "events_sq8",
+        drainEvery = 2, budgetRows = Long.MaxValue, dispatcherFor, rules)
+    val rows = emb.collect().map(r => (r.getAs[Long]("vec_id"),
+      r.getAs[scala.collection.Seq[Float]]("embedding").toSeq))
+    val input = MemoryStream[(Long, Seq[Float])]
+    val q = sink(input).start()
+    // batches 0 and 1 drift (negated rows); the window closes at
+    // batch 1 and the sink itself drains — no human caller
+    input.addData(rows.take(50).map { case (id, v) =>
+      (id + 100000, v.map(x => -x)) })
+    q.processAllAvailable()
+    input.addData(rows.slice(50, 100).map { case (id, v) =>
+      (id + 200000, v.map(x => -x)) })
+    q.processAllAvailable()
+    q.stop()
+    assert(spark.read.parquet(s"$dir.oplog").count() == 2L)
+    val acks = spark.read.parquet(s"$dir.resolutions").collect()
+    assert(acks.length == 1 && acks.head.getAs[String]("action") == "retrain"
+      && acks.head.getAs[Long]("first_batch") == 0L
+      && acks.head.getAs[Long]("last_batch") == 1L
+      && acks.head.getAs[Long]("n_fired") == 2L
+      && acks.head.getAs[Boolean]("resolved"), acks.toSeq.toString)
+    assert(win == 1, "exactly one drain window ran")
+    // the acknowledged book is fully closed
+    assert(graft.store.Maintenance.openOrders(spark, dir).isEmpty)
+    // restart replay: the same batch id re-delivers; the marker skips
+    // append + log + drain together
+    val nIndexed = spark.read.parquet(s"$dir/codes").count()
+    val q2 = sink(input).start()
+    q2.processAllAvailable(); q2.stop()
+    assert(spark.read.parquet(s"$dir.oplog").count() == 2L,
+      "replay must not double-log")
+    assert(spark.read.parquet(s"$dir.resolutions").count() == 1L,
+      "replay must not double-drain")
+    assert(spark.read.parquet(s"$dir/codes").count() == nIndexed,
+      "replay must not double-append")
+    assert(win == 1, "replay must not open a second drain window")
+    // two IN-distribution batches: nothing fires, and the batch-3
+    // window sees an EMPTY open book — it must not dispatch, not
+    // re-read signals, and not grow the acknowledgment sidecar
+    val q3 = sink(input).start()
+    input.addData(rows.take(30).map { case (id, v) => (id + 300000, v) })
+    q3.processAllAvailable()
+    input.addData(rows.take(30).map { case (id, v) => (id + 400000, v) })
+    q3.processAllAvailable()
+    q3.stop()
+    assert(spark.read.parquet(s"$dir.oplog").count() == 2L)
+    assert(spark.read.parquet(s"$dir.resolutions").count() == 1L,
+      "an empty window must append no acknowledgments")
+    // the window-2 dispatcher was constructed (cheap) but never
+    // dispatched: no remedy generation was written
+    assert(!graft.io.Fs.exists(spark, s"$root/rt2") &&
+      !graft.io.Fs.exists(spark, s"$root/cmp2"),
+      "an empty open book must not run any remedy")
+  }
+
   test("LSH policy sink: clean batch logs nothing, out-of-band delete debt surfaces at the next batch, replay is a no-op") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import org.apache.spark.sql.functions.col
