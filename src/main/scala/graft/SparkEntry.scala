@@ -590,6 +590,32 @@ object SparkEntry {
         .select(col("id").as("vec_id"), col("sim"))
         .orderBy(col("sim").desc, col("vec_id"))
     }),
+    // ---- [EXT] the 100 TB CONFIGURATION of the hierarchy: NN-Descent
+    // at EVERY rung (round-17 verdict item 3: writeGraphLayer2(method
+    // = "nndescent") existed but only the exact build ever ran under
+    // an oracle — the configuration that actually removes the
+    // O((n/r)²) and O((n/r²)²) layer-build walls never had its hash
+    // checked). Base graph, 1/8 layer, and 1/64 layer-of-layer all
+    // build by the same banded NN-Descent; both layers are ROUTING
+    // state, so the approximation costs coarse-hop quality only — the
+    // fine walk still re-ranks on the full base graph. The oracle
+    // replays THREE NN-Descent chains (nn over the corpus, ln over
+    // the 1/8 hash sample, mn over the 1/64 nested sample) and all
+    // three walks hop for hop.
+    "graph_layered2_nnd_top5" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val path = scratchDir("graph-layered2-nnd")
+      graft.search.KnnGraph.writeGraphIndex(nndGraph(s, dir, 5), emb, path)
+      graft.search.KnnGraph.writeGraphLayer(s, path, sampleEvery = 8, k = 5,
+        method = "nndescent")
+      graft.search.KnnGraph.writeGraphLayer2(s, path, sampleEvery = 8, k = 5,
+        method = "nndescent")
+      graft.search.KnnGraph.graphIndexBeamSearchLayered2(
+          s, path, queryVec(s, dir), 5, degree = 5, beam = 8,
+          hopsCoarse = 1, hopsMid = 1, hopsFine = 2)
+        .select(col("id").as("vec_id"), col("sim"))
+        .orderBy(col("sim").desc, col("vec_id"))
+    }),
     // ---- [EXT] the coarse layer WATCHED by the fleet policy: 200
     // appended nodes land in the base graph and the nodes side, but
     // the layer's node set froze at its build — the nodes the sample
@@ -8000,6 +8026,38 @@ object SparkEntry {
           "embedding",
           "SELECT embedding AS qvec FROM embeddings WHERE vec_id = 0",
           seedRel = "bs1", k = 8, beam = 8, hops = 1, graphRel = "ex",
+          prefix = "c") + ",\n" +
+        graft.search.KnnGraph.beamSearchSeededSqlCtes("embeddings", "vec_id",
+          "embedding",
+          "SELECT embedding AS qvec FROM embeddings WHERE vec_id = 0",
+          seedRel = "cs1", k = 5, beam = 8, hops = 2, graphRel = "nnd",
+          prefix = "d") +
+        "\nSELECT id AS vec_id, sim FROM dsf ORDER BY sim DESC, vec_id"),
+    // the all-NN-Descent hierarchy: the layered2 oracle with BOTH
+    // exact layer builds swapped for NN-Descent chains over the same
+    // nested hash samples (ln over lls, mn over lls2)
+    "graph_layered2_nnd_top5" ->
+      ("WITH " + graft.search.KnnGraph.nnDescentSqlCtes(
+        "embeddings", "vec_id", "embedding", 5) +
+        s""",
+           |lls AS MATERIALIZED (
+           |  SELECT vec_id, embedding FROM embeddings
+           |  WHERE (${graft.functions.KmvSketch.hashSql("vec_id")}) % 8 = 0),
+           |lls2 AS MATERIALIZED (
+           |  SELECT vec_id, embedding FROM embeddings
+           |  WHERE (${graft.functions.KmvSketch.hashSql("vec_id")}) % 64 = 0),
+           |""".stripMargin +
+        graft.search.KnnGraph.nnDescentSqlCtes("lls", "vec_id", "embedding",
+          5, prefix = "ln") + ",\n" +
+        graft.search.KnnGraph.nnDescentSqlCtes("lls2", "vec_id", "embedding",
+          5, prefix = "mn") + ",\n" +
+        graft.search.KnnGraph.beamSearchSqlCtes("lls2", "vec_id", "embedding",
+          "SELECT embedding AS qvec FROM embeddings WHERE vec_id = 0",
+          k = 8, beam = 8, hops = 1, graphRel = "mnd") + ",\n" +
+        graft.search.KnnGraph.beamSearchSeededSqlCtes("lls", "vec_id",
+          "embedding",
+          "SELECT embedding AS qvec FROM embeddings WHERE vec_id = 0",
+          seedRel = "bs1", k = 8, beam = 8, hops = 1, graphRel = "lnd",
           prefix = "c") + ",\n" +
         graft.search.KnnGraph.beamSearchSeededSqlCtes("embeddings", "vec_id",
           "embedding",

@@ -349,6 +349,28 @@ class KnnGraphSpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       KnnGraph.writeGraphLayer2(spark, path, sampleEvery = 4, k = 6)
     }
+    // the 100 TB configuration at the upper rung: NN-Descent builds
+    // level 2, the conf records the method (so a relayer2 remedy
+    // rebuilds the way the operator chose), and the 3-level walk still
+    // reaches the truth — now over the APPENDED corpus (the +10000
+    // rows duplicate vecs 0..199, so the true top-3 gained vec 10000)
+    KnnGraph.writeGraphLayer2(spark, path, sampleEvery = 8, k = 6,
+      method = "nndescent")
+    assert(spark.read.parquet(s"$path.layer2_conf").head()
+      .getAs[String]("method") == "nndescent")
+    val pts2 = pts.unionAll(pts.filter(col("vec_id") < 200)
+      .select((col("vec_id") + 10000).as("vec_id"), col("embedding")))
+    val truth2 = pts2.crossJoin(broadcast(q))
+      .select(col("vec_id"),
+        VectorOps.cosine6(col("embedding"), col("qvec")).as("sim"))
+      .orderBy(col("sim").desc, col("vec_id").asc).limit(3)
+      .collect().map(_.getLong(0)).toSeq
+    val walkedNnd = KnnGraph.graphIndexBeamSearchLayered2(spark, path, q,
+        k = 3, degree = 6, beam = 6, hopsCoarse = 2, hopsMid = 3,
+        hopsFine = 4)
+      .collect().map(_.getLong(0)).toSeq
+    assert(walkedNnd == truth2,
+      s"nnd-layer2 walk $walkedNnd must reach $truth2")
   }
 
   test("filtered beam search: routes through excluded nodes, answers only allowed ones") {
