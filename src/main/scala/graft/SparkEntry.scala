@@ -195,10 +195,12 @@ object SparkEntry {
           .select((col("vec_id") + 100000).as("vec_id"),
             transform(col("embedding"), x => -x).as("embedding")),
         cents, path)
+      // drift + health are independent eager reads — overlap them
+      val (d, h) = graft.io.Par.join2(
+        graft.search.Sq.ivfSqDrift(s, path),
+        graft.search.Sq.ivfSqHealth(s, path))
       graft.store.Maintenance.plan(
-          graft.store.Maintenance.sqSignals(
-            graft.search.Sq.ivfSqDrift(s, path),
-            graft.search.Sq.ivfSqHealth(s, path), "events_vec_sq8"),
+          graft.store.Maintenance.sqSignals(d, h, "events_vec_sq8"),
           SqBookRules)
         .withColumn("batch_id", lit(batchId))
         .write.mode("append").parquet(s"$path.oplog")
@@ -674,6 +676,8 @@ object SparkEntry {
       val emb = Tables.embeddings(s, dir)
       val path = scratchDir("maintap-layer2q")
       graft.search.KnnGraph.writeGraphIndex(nndGraph(s, dir, 5), emb, path)
+      // layer1 strictly before layer2: the nesting guard reads the
+      // layer1 conf, so the rungs' builds cannot overlap
       graft.search.KnnGraph.writeGraphLayer(s, path, sampleEvery = 8, k = 5)
       graft.search.KnnGraph.writeGraphLayer2(s, path, sampleEvery = 8, k = 5)
       graft.search.KnnGraph.appendToGraphIndex(
@@ -707,14 +711,17 @@ object SparkEntry {
         val (_, k2, m2) = relayerConf(2)
         graft.search.KnnGraph.writeGraphLayer2(s, eff, 8, k2, method = m2)
       }
-      val after = graft.store.Maintenance.graphSignals(
-          graft.search.KnnGraph.graphIndexHealth(s, eff), 5,
+      // the three post-remedy health reads are independent (the layer
+      // reads are eager count chains) — overlap them on driver threads
+      val (gh, lh1, lh2) = graft.io.Par.join3(
+        graft.search.KnnGraph.graphIndexHealth(s, eff),
+        graft.search.KnnGraph.graphLayerHealth(s, eff),
+        graft.search.KnnGraph.graphLayerHealth(s, eff, 2))
+      val after = graft.store.Maintenance.graphSignals(gh, 5,
           "embeddings_graph")
-        .unionAll(graft.store.Maintenance.layerSignals(
-          graft.search.KnnGraph.graphLayerHealth(s, eff),
+        .unionAll(graft.store.Maintenance.layerSignals(lh1,
           "embeddings_graph"))
-        .unionAll(graft.store.Maintenance.layerSignals(
-          graft.search.KnnGraph.graphLayerHealth(s, eff, 2),
+        .unionAll(graft.store.Maintenance.layerSignals(lh2,
           "embeddings_graph", 2))
       graft.store.Maintenance.resolutionReport(planned, after)
     }),

@@ -349,12 +349,16 @@ object KnnGraph {
     // (round-16 advice: restarting batch ids merge into a stale log)
     graft.io.Fs.delete(corpus.sparkSession, s"$path.oplog")
     graft.io.Fs.delete(corpus.sparkSession, s"$path.resolutions")
-    graph.select(col("src"), col("dst"), col("sim"))
-      .withColumn("__bucket", pmod(hash(col("src")), lit(buckets)))
-      .repartition(col("__bucket"))
-      .write.partitionBy("__bucket").mode("overwrite").parquet(path)
-    corpus.select(col(idCol).as("id"), col(vecCol).as("vec"))
-      .write.mode("overwrite").parquet(s"$path.nodes")
+    // the edge store and the nodes side are independent writes — run
+    // them as concurrent jobs (graft.io.Par: at small scale the
+    // build's cost is job scheduling, not data)
+    graft.io.Par.unit(
+      () => graph.select(col("src"), col("dst"), col("sim"))
+        .withColumn("__bucket", pmod(hash(col("src")), lit(buckets)))
+        .repartition(col("__bucket"))
+        .write.partitionBy("__bucket").mode("overwrite").parquet(path),
+      () => corpus.select(col(idCol).as("id"), col(vecCol).as("vec"))
+        .write.mode("overwrite").parquet(s"$path.nodes"))
   }
 
   /** EXACT incremental append to a materialized graph index — the
@@ -818,27 +822,32 @@ object KnnGraph {
       .foreach(graft.io.Fs.delete(spark, _))
     val w = Window.partitionBy(col("src"))
       .orderBy(col("sim").desc, col("dst").asc)
-    // tombstones apply physically here (the `Ann.compactIvfIndex`
-    // contract): the fresh layout carries no deleted node on either
-    // edge side, and no tombstone sidecar
-    dropGraphTombstones(spark.read.parquet(srcPath), srcPath)
-      .select(col("src"), col("dst"), col("sim")).distinct()
-      .withColumn("__rk", row_number().over(w))
-      .filter(col("__rk") <= k)
-      .select(col("src"), col("dst"), col("sim"))
-      .withColumn("__bucket", pmod(hash(col("src")), lit(buckets)))
-      .repartition(col("__bucket"))
-      .write.partitionBy("__bucket")
-      .option("maxRecordsPerFile", recordsPerFile)
-      .mode("overwrite").parquet(dstPath)
-    // nodes side drops tombstoned rows too (repair already removes
-    // them, but compact must not depend on repair having run)
-    val nodes = spark.read.parquet(s"$srcPath.nodes")
-    graphTombstones(spark, srcPath)
-      .fold(nodes)(t => nodes.join(
-        broadcast(t.select(col(t.columns.head).as("__tomb"))),
-        col("id") === col("__tomb"), "left_anti"))
-      .write.mode("overwrite").parquet(s"$dstPath.nodes")
+    // the edge rewrite and the nodes rewrite read different inputs and
+    // write different outputs — concurrent jobs (graft.io.Par)
+    graft.io.Par.unit(
+      // tombstones apply physically here (the `Ann.compactIvfIndex`
+      // contract): the fresh layout carries no deleted node on either
+      // edge side, and no tombstone sidecar
+      () => dropGraphTombstones(spark.read.parquet(srcPath), srcPath)
+        .select(col("src"), col("dst"), col("sim")).distinct()
+        .withColumn("__rk", row_number().over(w))
+        .filter(col("__rk") <= k)
+        .select(col("src"), col("dst"), col("sim"))
+        .withColumn("__bucket", pmod(hash(col("src")), lit(buckets)))
+        .repartition(col("__bucket"))
+        .write.partitionBy("__bucket")
+        .option("maxRecordsPerFile", recordsPerFile)
+        .mode("overwrite").parquet(dstPath),
+      // nodes side drops tombstoned rows too (repair already removes
+      // them, but compact must not depend on repair having run)
+      () => {
+        val nodes = spark.read.parquet(s"$srcPath.nodes")
+        graphTombstones(spark, srcPath)
+          .fold(nodes)(t => nodes.join(
+            broadcast(t.select(col(t.columns.head).as("__tomb"))),
+            col("id") === col("__tomb"), "left_anti"))
+          .write.mode("overwrite").parquet(s"$dstPath.nodes")
+      })
     // the coarse layer does NOT move: it is derived state pinned to a
     // node-set generation (its sample may reference nodes this rewrite
     // dropped) — re-derive it on the fresh generation with

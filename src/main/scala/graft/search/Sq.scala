@@ -55,15 +55,20 @@ object Sq {
     // the stale log (round-16 advice)
     graft.io.Fs.delete(corpus.sparkSession, s"$path.oplog")
     graft.io.Fs.delete(corpus.sparkSession, s"$path.resolutions")
-    corpus
-      .withColumn("__cluster", Ann.assignCluster(col(vecCol), cents))
-      .select(col(idCol), col("__cluster"),
-        VectorOps.quantizeInt8(col(vecCol)).as("codes"))
-      .repartition(col("__cluster"))
-      .write.partitionBy("__cluster").mode("overwrite").parquet(s"$path/codes")
-    corpus.select(col(idCol), col(vecCol))
-      .repartitionByRange(col(idCol)).sortWithinPartitions(col(idCol))
-      .write.mode("overwrite").parquet(s"$path/vectors")
+    // the two sides are independent writes — run them as concurrent
+    // jobs (graft.io.Par: the build's cost at small scale is job
+    // scheduling, not data)
+    graft.io.Par.unit(
+      () => corpus
+        .withColumn("__cluster", Ann.assignCluster(col(vecCol), cents))
+        .select(col(idCol), col("__cluster"),
+          VectorOps.quantizeInt8(col(vecCol)).as("codes"))
+        .repartition(col("__cluster"))
+        .write.partitionBy("__cluster").mode("overwrite")
+        .parquet(s"$path/codes"),
+      () => corpus.select(col(idCol), col(vecCol))
+        .repartitionByRange(col(idCol)).sortWithinPartitions(col(idCol))
+        .write.mode("overwrite").parquet(s"$path/vectors"))
   }
 
   /** Probe the SQ8-IVF index: plan-time partition pruning to the
@@ -123,17 +128,19 @@ object Sq {
     * same-centroids-then-probe (spec-pinned in SqSpec). */
   def appendToIvfSqIndex(delta: DataFrame, cents: Seq[Seq[Double]], path: String,
                          idCol: String = "vec_id",
-                         vecCol: String = "embedding"): Unit = {
-    delta
-      .withColumn("__cluster", Ann.assignCluster(col(vecCol), cents))
-      .select(col(idCol), col("__cluster"),
-        VectorOps.quantizeInt8(col(vecCol)).as("codes"))
-      .repartition(col("__cluster")) // one file per cluster per append
-      .write.partitionBy("__cluster").mode("append").parquet(s"$path/codes")
-    delta.select(col(idCol), col(vecCol))
-      .repartitionByRange(col(idCol)).sortWithinPartitions(col(idCol))
-      .write.mode("append").parquet(s"$path/vectors")
-  }
+                         vecCol: String = "embedding"): Unit =
+    // independent sides → concurrent append jobs (the build's shape)
+    graft.io.Par.unit(
+      () => delta
+        .withColumn("__cluster", Ann.assignCluster(col(vecCol), cents))
+        .select(col(idCol), col("__cluster"),
+          VectorOps.quantizeInt8(col(vecCol)).as("codes"))
+        .repartition(col("__cluster")) // one file per cluster per append
+        .write.partitionBy("__cluster").mode("append")
+        .parquet(s"$path/codes"),
+      () => delta.select(col(idCol), col(vecCol))
+        .repartitionByRange(col(idCol)).sortWithinPartitions(col(idCol))
+        .write.mode("append").parquet(s"$path/vectors"))
 
   /** Tombstone-delete vectors from a materialized SQ8-IVF index —
     * [[Ann.deleteFromIvfIndex]]'s contract; the codes side owns the
@@ -230,11 +237,18 @@ object Sq {
                        idCol: String = "vec_id",
                        vecCol: String = "embedding"): Unit = {
     import spark.implicits._
-    cents.zipWithIndex.map { case (c, i) => (i, c) }
-      .toDF("__cluster", "centroid")
-      .coalesce(1) // model state: k × dim doubles, one file
-      .write.mode("overwrite").parquet(s"$path.model")
-    Seq(meanAssignSim(spark, path, idCol, vecCol)).toDF("mean_sim")
+    // model MUST land before stats (the crash-ordering contract the
+    // compact's independent sidecar guards rely on), but the baseline
+    // SCAN is independent of the model write — it runs against the
+    // caller-held centroids, never the sidecar — so overlap them and
+    // write stats last
+    val (_, m) = graft.io.Par.join2(
+      cents.zipWithIndex.map { case (c, i) => (i, c) }
+        .toDF("__cluster", "centroid")
+        .coalesce(1) // model state: k × dim doubles, one file
+        .write.mode("overwrite").parquet(s"$path.model"),
+      meanAssignSimWith(spark, path, cents, idCol, vecCol))
+    Seq(m).toDF("mean_sim")
       .coalesce(1).write.mode("overwrite").parquet(s"$path.stats")
   }
 
@@ -254,10 +268,19 @@ object Sq {
       .map(_.getSeq[Double](1).toSeq).toSeq
 
   private def meanAssignSim(spark: org.apache.spark.sql.SparkSession, path: String,
-                            idCol: String, vecCol: String): Double = {
-    val model = spark.read.parquet(s"$path.model")
-    val cents = model.orderBy(col("__cluster")).collect()
-      .map(_.getSeq[Double](1).toSeq).toSeq
+                            idCol: String, vecCol: String): Double =
+    meanAssignSimWith(spark, path, readIvfSqModel(spark, path), idCol, vecCol)
+
+  /** [[meanAssignSim]] against CALLER-HELD centroids — the form
+    * [[recordIvfSqModel]] needs so the baseline scan never reads the
+    * very model sidecar it is being recorded next to (same doubles
+    * either way: parquet round-trips them exactly). */
+  private def meanAssignSimWith(spark: org.apache.spark.sql.SparkSession,
+                                path: String, cents: Seq[Seq[Double]],
+                                idCol: String, vecCol: String): Double = {
+    import spark.implicits._
+    val model = cents.zipWithIndex.map { case (c, i) => (i, c) }
+      .toDF("__cluster", "centroid")
     Ann.dropTombstones(spark.read.parquet(s"$path/vectors"),
         s"$path/codes", idCol)
       .withColumn("__cluster", Ann.assignCluster(col(vecCol), cents))

@@ -245,27 +245,33 @@ object Maintenance {
                     graphLayer: Seq[(String, String)] = Nil,
                     graphLayer2: Seq[(String, String)] = Nil,
                     rules: Seq[MaintenanceRule] = DefaultRules): DataFrame = {
-    val sigs =
-      ivf.map { case (n, p) =>
+    // the per-store report ops are EAGER driver-blocking reads (drift
+    // means, health counts) over independent stores — evaluate them on
+    // parallel driver threads (graft.io.Par, order-preserving) so a
+    // fleet's policy read costs one store's latency, not the sum
+    val thunks: Seq[() => DataFrame] =
+      ivf.map { case (n, p) => () =>
         ivfSignals(graft.search.Ann.assignmentDrift(spark, p), n) } ++
-      bm25.map { case (n, p) =>
+      bm25.map { case (n, p) => () =>
         bm25Signals(graft.search.Lexical.bm25IndexHealth(spark, p), n) } ++
-      graph.map { case (n, p, k) =>
+      graph.map { case (n, p, k) => () =>
         graphSignals(graft.search.KnnGraph.graphIndexHealth(spark, p), k, n) } ++
-      ivfPq.map { case (n, p, cb) =>
+      ivfPq.map { case (n, p, cb) => () =>
         pqSignals(graft.search.Pq.reconstructionDrift(spark, p, cb), n) } ++
-      sq.map { case (n, p) =>
-        sqSignals(graft.search.Sq.ivfSqDrift(spark, p),
-          graft.search.Sq.ivfSqHealth(spark, p), n) } ++
-      lsh.map { case (n, p) =>
+      sq.map { case (n, p) => () =>
+        val (d, h) = graft.io.Par.join2(
+          graft.search.Sq.ivfSqDrift(spark, p),
+          graft.search.Sq.ivfSqHealth(spark, p))
+        sqSignals(d, h, n) } ++
+      lsh.map { case (n, p) => () =>
         lshSignals(graft.search.Ann.lshIndexHealth(spark, p), n) } ++
-      graphLayer.map { case (n, p) =>
+      graphLayer.map { case (n, p) => () =>
         layerSignals(graft.search.KnnGraph.graphLayerHealth(spark, p), n) } ++
-      graphLayer2.map { case (n, p) =>
+      graphLayer2.map { case (n, p) => () =>
         layerSignals(graft.search.KnnGraph.graphLayerHealth(spark, p, 2), n,
           2) }
-    require(sigs.nonEmpty, "indexMaintain needs at least one index")
-    plan(sigs.reduce(_ unionAll _), rules)
+    require(thunks.nonEmpty, "indexMaintain needs at least one index")
+    plan(graft.io.Par.seq(thunks).reduce(_ unionAll _), rules)
   }
 
   /** The outstanding ORDER BOOK of a policy oplog — the READ side of
@@ -569,9 +575,13 @@ object Maintenance {
               graft.search.Sq.readIvfSqModel(spark, effPath), idCol, vecCol)
         case _ => ()
       }
-    def afterSignals: DataFrame =
-      sqSignals(graft.search.Sq.ivfSqDrift(spark, effPath, idCol, vecCol),
-        graft.search.Sq.ivfSqHealth(spark, effPath), name)
+    def afterSignals: DataFrame = {
+      // drift and health are independent eager reads — overlap them
+      val (d, h) = graft.io.Par.join2(
+        graft.search.Sq.ivfSqDrift(spark, effPath, idCol, vecCol),
+        graft.search.Sq.ivfSqHealth(spark, effPath))
+      sqSignals(d, h, name)
+    }
   }
 
   /** The default dispatcher for an LSH store: the one index family

@@ -287,12 +287,14 @@ object StreamIngest {
           if (batch.isEmpty) ()
           else {
             graft.search.Sq.appendToIvfSqIndex(batch, cents, path, idCol, vecCol)
-            if (graft.io.Fs.exists(batch.sparkSession, s"$path.stats"))
+            if (graft.io.Fs.exists(batch.sparkSession, s"$path.stats")) {
+              // drift + health are independent eager reads — overlap
+              val (d, h) = graft.io.Par.join2(
+                graft.search.Sq.ivfSqDrift(batch.sparkSession, path, idCol, vecCol),
+                graft.search.Sq.ivfSqHealth(batch.sparkSession, path))
               logFired(path, batchId, rules)(
-                graft.store.Maintenance.sqSignals(
-                  graft.search.Sq.ivfSqDrift(batch.sparkSession, path, idCol, vecCol),
-                  graft.search.Sq.ivfSqHealth(batch.sparkSession, path),
-                  indexName))
+                graft.store.Maintenance.sqSignals(d, h, indexName))
+            }
           }
         }
       }
@@ -347,11 +349,14 @@ object StreamIngest {
     val s = batch.sparkSession
     import s.implicits._
     graft.search.Sq.appendToIvfSqIndex(batch, cents, path, idCol, vecCol)
-    if (graft.io.Fs.exists(s, s"$path.stats"))
+    if (graft.io.Fs.exists(s, s"$path.stats")) {
+      // drift + health are independent eager reads — overlap them
+      val (d, h) = graft.io.Par.join2(
+        graft.search.Sq.ivfSqDrift(s, path, idCol, vecCol),
+        graft.search.Sq.ivfSqHealth(s, path))
       logFired(path, batchId, rules)(
-        graft.store.Maintenance.sqSignals(
-          graft.search.Sq.ivfSqDrift(s, path, idCol, vecCol),
-          graft.search.Sq.ivfSqHealth(s, path), indexName))
+        graft.store.Maintenance.sqSignals(d, h, indexName))
+    }
     // the drain window: every drainEvery-th APPLIED batch (batch ids
     // are the stream's own sequence — the cadence replays stably)
     if ((batchId + 1) % drainEvery == 0 &&

@@ -1,0 +1,197 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Unigram-LM (SentencePiece-style) tokenizer training — Kudo 2018's
+  * subword regularization vocabulary, the multilingual-pipeline
+  * tokenizer the BPE family ([[Bpe]]) doesn't cover: where BPE GROWS
+  * a vocabulary bottom-up by merging, the unigram trainer SHRINKS a
+  * large seed vocabulary top-down by expectation-maximization over a
+  * piece-probability model, which is what lets it score alternative
+  * segmentations (BPE has exactly one). This implementation is the
+  * DETERMINISTIC hard-EM (Viterbi-EM) variant, chosen so every round
+  * replays bit-for-bit in the DuckDB oracle:
+  *
+  *  1. Seed: every substring of the word dictionary up to
+  *     `maxPieceLen` chars, occurrence-weighted by word frequency;
+  *     all single characters (coverage floor) plus the top
+  *     `seedSize − |chars|` multi-char pieces under the total order
+  *     `(count DESC, piece ASC)`.
+  *  2. E-step: segment each dictionary word by VITERBI under piece
+  *     log-probabilities `round6(ln(count/total))` — the DP folds a
+  *     `(end, start, piece)`-sorted edge list left-to-right with
+  *     strictly-greater replacement, so ties break to the FIRST edge
+  *     in that order on both engines, and the round-6 log weights sum
+  *     in identical order — bit-identical scores cross-engine (the
+  *     weighted-sampling round-6 ln precedent).
+  *  3. M-step + prune: piece counts = frequency-weighted usage in the
+  *     Viterbi segmentations; keep ALL single chars (a char with zero
+  *     usage keeps count 1 — the coverage floor; dropping it could
+  *     leave a future word unsegmentable) and the top
+  *     `vocabSize − |chars|` multi-char pieces by `(count DESC,
+  *     piece ASC)`.
+  *
+  * Like [[Bpe]], training runs on the WORD-FREQUENCY DICTIONARY
+  * (Heaps-law bounded — orders of magnitude below corpus rows), so at
+  * 100 TB the one corpus-scale pass is the token count; every EM
+  * round is then a keyed join of the dictionary against the
+  * broadcast ≤ `seedSize`-row vocabulary plus per-word O(len ·
+  * maxPieceLen) fold arithmetic. Driver state per round is two
+  * scalars (the count total and the alphabet size) and the
+  * vocabulary itself — model state, the k-means-centroids class.
+  * Words longer than `maxWordLen` are excluded from training (the
+  * SentencePiece max-sentencepiece-length trimming convention,
+  * documented; they still ENCODE via their characters).
+  */
+object Unigram {
+
+  /** The word-frequency dictionary (the [[Bpe]] `dict` shape):
+    * whitespace tokens of `textCol`, length-capped, counted. */
+  def wordDict(docs: DataFrame, textCol: String,
+               maxWordLen: Int = 16): DataFrame =
+    docs.select(explode(TextAnalysis.tokens(col(textCol))).as("w"))
+      .filter(length(col("w")) <= maxWordLen)
+      .groupBy("w").agg(count(lit(1)).as("wc"))
+
+  /** All (start, piece) substrings of `w` up to `maxPieceLen` chars,
+    * as an array of structs — the seed generator AND the DP's edge
+    * generator share it (one definition, both engines replay it as a
+    * position range join). 0-based `s0`, exclusive `e0`. */
+  private def substrings(w: Column, maxPieceLen: Int): Column =
+    flatten(transform(sequence(lit(1), length(w)), i =>
+      transform(sequence(lit(1), least(lit(maxPieceLen), length(w) - i + 1)),
+        l => struct((i - 1).cast("int").as("s0"), (i - 1 + l).cast("int").as("e0"),
+          w.substr(i, l).as("piece")))))
+
+  /** The seed vocabulary: substring counts weighted by word frequency,
+    * all single chars + top multi-char pieces. `(piece, cnt)`. */
+  def seedVocab(wd: DataFrame, maxPieceLen: Int = 4,
+                seedSize: Int = 400): DataFrame = {
+    val cand = wd
+      .select(col("wc"), explode(substrings(col("w"), maxPieceLen)).as("m"))
+      .groupBy(col("m.piece").as("piece")).agg(sum(col("wc")).as("cnt"))
+      .localCheckpoint() // referenced twice (chars + multi)
+    val chars = cand.filter(length(col("piece")) === 1)
+    val nChars = chars.count() // alphabet-bounded driver scalar
+    chars.unionAll(
+      cand.filter(length(col("piece")) > 1)
+        .orderBy(col("cnt").desc, col("piece").asc)
+        .limit(math.max(0, seedSize - nChars.toInt)))
+  }
+
+  /** Viterbi-segment every row's `w` against the broadcast
+    * `(piece, lp)` table: adds a `pieces` array column (left-to-right;
+    * empty only for the empty word — single-char coverage guarantees
+    * reachability for any word over the vocab's alphabet). The DP is
+    * a per-row fold over the `(e0, s0, piece)`-sorted matched edges:
+    * state = per-position (best score, backpointer); strictly-greater
+    * replacement makes ties first-edge-deterministic. */
+  def segmented(withWords: DataFrame, lp: DataFrame, maxPieceLen: Int,
+                wCol: String = "w"): DataFrame = {
+    val edges = withWords
+      .withColumn("__m", explode(substrings(col(wCol), maxPieceLen)))
+      .join(broadcast(lp.select(col("piece").as("__p"), col("lp"))),
+        col("__m.piece") === col("__p"))
+      .groupBy(withWords.columns.map(col): _*)
+      .agg(sort_array(collect_list(struct(col("__m.e0").as("e0"),
+        col("__m.s0").as("s0"), col("__m.piece").as("piece"),
+        col("lp").as("lp")))).as("__edges"))
+    val init = transform(sequence(lit(0), length(col(wCol))), i =>
+      struct(when(i === 0, lit(0.0)).otherwise(lit(-1e18)).as("sc"),
+        lit(-1).cast("int").as("bi"), lit("").as("bp")))
+    val dp = aggregate(col("__edges"), init, (acc, ed) =>
+      transform(acc, (st, ix) => {
+        val pre = element_at(acc, ed.getField("s0") + 1)
+        when(ix === ed.getField("e0") &&
+            pre.getField("sc") > -1e17 &&
+            pre.getField("sc") + ed.getField("lp") > st.getField("sc"),
+          struct((pre.getField("sc") + ed.getField("lp")).as("sc"),
+            ed.getField("s0").as("bi"), ed.getField("piece").as("bp")))
+          .otherwise(st)
+      }))
+    val bt = aggregate(sequence(lit(1), length(col(wCol))),
+      struct(length(col(wCol)).cast("int").as("pos"),
+        array().cast("array<string>").as("ps")),
+      (st, _) => {
+        val node = element_at(col("__dp"), st.getField("pos") + 1)
+        when(st.getField("pos") > 0,
+          struct(node.getField("bi").as("pos"),
+            concat(array(node.getField("bp")), st.getField("ps")).as("ps")))
+          .otherwise(st)
+      })
+    edges.withColumn("__dp", dp)
+      .withColumn("pieces", bt.getField("ps"))
+      .drop("__edges", "__dp")
+  }
+
+  /** Piece log-probabilities of a `(piece, cnt)` vocabulary:
+    * `round6(ln(cnt/total))`. The total is one model-state scalar. */
+  def logProbs(vocab: DataFrame): DataFrame = {
+    val total = vocab.agg(sum(col("cnt"))).head().getLong(0)
+    vocab.select(col("piece"),
+      round(log(col("cnt").cast("double") / total.toDouble), 6).as("lp"))
+  }
+
+  /** One hard-EM round: Viterbi usage counts under the current
+    * vocabulary, then the prune (chars floored at 1, top multi-char
+    * pieces up to `vocabSize`). */
+  def emRound(wd: DataFrame, vocab: DataFrame, maxPieceLen: Int,
+              vocabSize: Int): DataFrame = {
+    val usage = segmented(wd, logProbs(vocab), maxPieceLen)
+      .select(col("wc"), explode(col("pieces")).as("piece"))
+      .groupBy("piece").agg(sum(col("wc")).as("cnt"))
+      .localCheckpoint() // referenced twice (chars join + multi cut)
+    val chars = vocab.filter(length(col("piece")) === 1)
+      .select(col("piece"))
+      .join(usage, Seq("piece"), "left")
+      .select(col("piece"),
+        greatest(coalesce(col("cnt"), lit(0L)), lit(1L)).as("cnt"))
+    val nChars = chars.count() // alphabet-bounded driver scalar
+    chars.unionAll(
+      usage.filter(length(col("piece")) > 1)
+        .orderBy(col("cnt").desc, col("piece").asc)
+        .limit(math.max(0, vocabSize - nChars.toInt)))
+  }
+
+  /** The full trainer: seed → `rounds` hard-EM rounds → final
+    * `(piece, cnt, logp)` under the final total, ranked `(cnt DESC,
+    * piece ASC)`. */
+  def trainUnigram(docs: DataFrame, textCol: String, vocabSize: Int = 120,
+                   maxPieceLen: Int = 4, maxWordLen: Int = 16,
+                   seedSize: Int = 400, rounds: Int = 2): DataFrame = {
+    require(rounds >= 1 && vocabSize >= 1 && seedSize >= vocabSize,
+      s"need rounds >= 1 and seedSize ($seedSize) >= vocabSize ($vocabSize)")
+    val wd = wordDict(docs, textCol, maxWordLen).localCheckpoint()
+    var vocab = seedVocab(wd, maxPieceLen, seedSize).localCheckpoint()
+    (1 to rounds).foreach { _ =>
+      vocab = emRound(wd, vocab, maxPieceLen, vocabSize).localCheckpoint()
+    }
+    val total = vocab.agg(sum(col("cnt"))).head().getLong(0)
+    vocab.select(col("piece"), col("cnt"),
+        round(log(col("cnt").cast("double") / total.toDouble), 6).as("logp"))
+      .orderBy(col("cnt").desc, col("piece").asc)
+  }
+
+  /** Encode documents with a trained vocabulary: per doc, whitespace
+    * words in order, each Viterbi-segmented (the training DP, serving
+    * form). Output `(idCol, wpos, ppos, piece)` — word position in
+    * the doc, piece position in the word. Words the vocabulary's
+    * alphabet cannot cover (a char never seen in training) are
+    * DROPPED with their doc position intact (documented: an unknown
+    * byte needs a byte-fallback vocab, out of scope); words longer
+    * than the training cap still encode — the DP is length-generic. */
+  def encode(docs: DataFrame, textCol: String, vocab: DataFrame,
+             maxPieceLen: Int = 4, idCol: String = "doc_id"): DataFrame = {
+    val words = docs.select(col(idCol),
+        posexplode(TextAnalysis.tokens(col(textCol))).as(Seq("wpos", "w")))
+    // segment each DISTINCT word once, then join back to positions
+    val segs = segmented(words.select(col("w")).distinct(),
+      logProbs(vocab), maxPieceLen)
+    words.join(segs, Seq("w"))
+      .filter(size(col("pieces")) > 0 &&
+        element_at(col("pieces"), 1) =!= lit("")) // unreachable words drop
+      .select(col(idCol), col("wpos"),
+        posexplode(col("pieces")).as(Seq("ppos", "piece")))
+  }
+}
