@@ -3366,6 +3366,36 @@ object SparkEntry {
             sum(col("n_tok")).cast("double"), 6).as("fertility"))
         .orderBy(col("lang"))
     }),
+    // ---- [EXT] UNIGRAM-LM (SentencePiece-style) tokenizer trainer
+    // (Unigram.trainUnigram, Kudo 2018 as deterministic hard-EM) —
+    // the top-down sibling BPE doesn't cover: seed = every substring
+    // ≤ 4 chars of the word dictionary (frequency-weighted, top 400 +
+    // all chars), then 2 Viterbi-EM rounds — segment each word by DP
+    // under round-6 ln(count/total) piece scores (first-edge
+    // deterministic ties), recount usage, prune to all chars (count
+    // floored at 1 — the coverage guarantee) + top multi-char pieces
+    // up to 120. The oracle replays the seed, BOTH rounds' DP
+    // segmentations (unrolled backtrack), prunes, and the final
+    // log-probabilities.
+    "unigram_vocab" -> ((s, dir) =>
+      graft.text.Unigram.trainUnigram(Tables.documents(s, dir), "text",
+        vocabSize = 120, maxPieceLen = 4, maxWordLen = 16,
+        seedSize = 400, rounds = 2)),
+    // ---- [EXT] the ENCODE side of the unigram tokenizer: every
+    // document's words Viterbi-segmented against the trained vocab
+    // (each DISTINCT word segmented once, joined back to positions) —
+    // the serving form of the training DP. Output (doc_id, wpos,
+    // ppos, piece); the oracle re-trains the vocabulary and replays
+    // the segmentation of every word.
+    "unigram_encode" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val vocab = graft.text.Unigram.trainUnigram(docs, "text",
+        vocabSize = 120, maxPieceLen = 4, maxWordLen = 16,
+        seedSize = 400, rounds = 2)
+      graft.text.Unigram.encode(docs.filter(col("doc_id") < 20), "text",
+          vocab, maxPieceLen = 4)
+        .orderBy(col("doc_id"), col("wpos"), col("ppos"))
+    }),
     // ---- [EXT] character-entropy quality signal (the CCNet/Gopher
     // compression-ratio heuristic, codec-free so the oracle replays it
     // exactly): low entropy flags repetitive or degenerate text
@@ -7191,6 +7221,130 @@ object SparkEntry {
          |  SELECT doc_id, unnest(list_filter(string_split(s, '|'), x -> x <> '')) AS sym
          |  FROM e$k)
          |GROUP BY 1, 2 ORDER BY doc_id, symbol""".stripMargin
+
+  /** The unigram trainer's full SQL replay (Unigram.trainUnigram's
+    * deterministic hard-EM): seed substring counts, then per round —
+    * round-6 ln piece scores, the per-word Viterbi DP as a
+    * `list_reduce` over the `(e0, s0, piece)`-sorted edge list
+    * (strictly-greater replacement ⇒ first-edge ties, matching the
+    * Spark fold), an UNROLLED 16-step backtrack as nested projections
+    * (a lateral-alias form re-inlines the DP expression per step —
+    * the exponential-CTE class; 269 s → 0.5 s measured), and the
+    * prune. Every iterative relation is AS MATERIALIZED (the spectral
+    * lesson). */
+  private object UnigramSqlGen {
+    val MaxW = 16; val MaxP = 4; val Seed = 400; val Vocab = 120
+
+    /** Segment every `wd` word against vocab `vRel` → `{p}use`. */
+    private def segCtes(vRel: String, p: String): String = {
+      val steps = (0 until MaxW).foldLeft(
+        s"SELECT w, wc, dp, len(w)::BIGINT AS n0 FROM ${p}dp") { (inner, k) =>
+        s"""SELECT *,
+           |      CASE WHEN n$k > 0 THEN dp[(n$k+1)::INT].bp END AS p${k + 1},
+           |      CASE WHEN n$k > 0 THEN dp[(n$k+1)::INT].bi
+           |           ELSE (0)::BIGINT END AS n${k + 1}
+           |    FROM ($inner) q$k""".stripMargin
+      }
+      val rev = (MaxW to 1 by -1).map(k => s"p$k").mkString(", ")
+      s"""${p}tot AS (SELECT sum(cnt)::DOUBLE AS t FROM $vRel),
+         |${p}lp AS MATERIALIZED (
+         |  SELECT piece, round(ln(cnt::DOUBLE / t), 6) AS lp FROM $vRel, ${p}tot),
+         |${p}ed AS MATERIALIZED (
+         |  SELECT m.w, m.wc,
+         |         list_sort(list({'e': m.e0, 's': m.s0, 'p': m.piece,
+         |                         'lp': l.lp})) AS edges
+         |  FROM (SELECT w, wc, i - 1 AS s0, i - 1 + l AS e0,
+         |               substr(w, i::INT, l::INT) AS piece
+         |        FROM wd, range(1, $MaxW+1) t(i), range(1, $MaxP+1) u(l)
+         |        WHERE i + l - 1 <= len(w)) m
+         |  JOIN ${p}lp l ON l.piece = m.piece
+         |  GROUP BY m.w, m.wc),
+         |${p}dp AS MATERIALIZED (
+         |  SELECT w, wc,
+         |    list_reduce(
+         |      list_prepend(
+         |        list_transform(range(0, len(w) + 1),
+         |          x -> {'sc': CASE WHEN x = 0 THEN 0.0 ELSE -1e18 END,
+         |                'bi': (-1)::BIGINT, 'bp': '', 'e': (-1)::BIGINT}),
+         |        list_transform(edges,
+         |          ed -> [{'sc': ed.lp, 'bi': ed.s::BIGINT, 'bp': ed.p,
+         |                  'e': ed.e::BIGINT}])),
+         |      (acc, el) -> list_transform(acc, (st, ix) ->
+         |        CASE WHEN ix - 1 = el[1].e
+         |              AND acc[el[1].bi + 1].sc > -1e17
+         |              AND acc[el[1].bi + 1].sc + el[1].sc > st.sc
+         |             THEN {'sc': acc[el[1].bi + 1].sc + el[1].sc,
+         |                   'bi': el[1].bi, 'bp': el[1].bp, 'e': st.e}
+         |             ELSE st END)) AS dp
+         |  FROM ${p}ed),
+         |${p}seg AS MATERIALIZED (
+         |  SELECT w, wc, list_filter([$rev], x -> x IS NOT NULL) AS bt
+         |  FROM ($steps) qf),
+         |${p}use AS MATERIALIZED (
+         |  SELECT piece, sum(wc)::BIGINT AS cnt FROM (
+         |    SELECT wc, unnest(bt) AS piece FROM ${p}seg) GROUP BY piece)""".stripMargin
+    }
+
+    /** The prune: all chars kept (count floored at 1), top multi-char
+      * pieces up to the vocab budget. */
+    private def nextVocab(useRel: String, prevVocab: String,
+                          out: String): String =
+      s"""${out}ch AS (SELECT v.piece, greatest(coalesce(u.cnt, 0), 1)::BIGINT AS cnt
+         |            FROM $prevVocab v LEFT JOIN $useRel u USING (piece)
+         |            WHERE len(v.piece) = 1),
+         |${out}mu AS (SELECT piece, cnt FROM $useRel WHERE len(piece) > 1
+         |            ORDER BY cnt DESC, piece
+         |            LIMIT $Vocab - (SELECT count(*) FROM ${out}ch)),
+         |$out AS MATERIALIZED (SELECT * FROM ${out}ch UNION ALL SELECT * FROM ${out}mu)""".stripMargin
+
+    /** wd → seed v0 → round a → v1 → round b → v2 (the 2-round chain
+      * both unigram oracles share). */
+    val chain: String =
+      s"""wd AS MATERIALIZED (
+         |  SELECT w, count(*)::BIGINT AS wc FROM (
+         |    SELECT unnest($toksSql) AS w FROM documents)
+         |  WHERE len(w) <= $MaxW GROUP BY w),
+         |cand AS MATERIALIZED (
+         |  SELECT piece, sum(wc)::BIGINT AS cnt FROM (
+         |    SELECT wc, substr(w, i::INT, l::INT) AS piece
+         |    FROM wd, range(1, $MaxW+1) t(i), range(1, $MaxP+1) u(l)
+         |    WHERE i + l - 1 <= len(w))
+         |  GROUP BY piece),
+         |v0ch AS (SELECT piece, cnt FROM cand WHERE len(piece) = 1),
+         |v0mu AS (SELECT piece, cnt FROM cand WHERE len(piece) > 1
+         |         ORDER BY cnt DESC, piece
+         |         LIMIT $Seed - (SELECT count(*) FROM v0ch)),
+         |v0 AS MATERIALIZED (SELECT * FROM v0ch UNION ALL SELECT * FROM v0mu),
+         |${segCtes("v0", "a")},
+         |${nextVocab("ause", "v0", "v1")},
+         |${segCtes("v1", "b")},
+         |${nextVocab("buse", "v1", "v2")}""".stripMargin
+
+    val vocabSql: String =
+      s"""WITH $chain,
+         |ftot AS (SELECT sum(cnt)::DOUBLE AS t FROM v2)
+         |SELECT piece, cnt, round(ln(cnt::DOUBLE / t), 6) AS logp
+         |FROM v2, ftot ORDER BY cnt DESC, piece""".stripMargin
+
+    /** Encode replay: the final vocab's DP over the dictionary words
+      * (every encodable word is in `wd` — the corpus max word length
+      * is under the training cap), joined back to per-doc word
+      * positions. */
+    val encodeSql: String =
+      s"""WITH $chain,
+         |${segCtes("v2", "f")},
+         |wp AS (
+         |  SELECT doc_id, unnest(toks) AS w,
+         |         generate_subscripts(toks, 1) - 1 AS wpos
+         |  FROM (SELECT doc_id, $toksSql AS toks FROM documents
+         |        WHERE doc_id < 20))
+         |SELECT doc_id, wpos::BIGINT AS wpos, ppos::BIGINT AS ppos, piece
+         |FROM (
+         |  SELECT wp.doc_id, wp.wpos, unnest(s.bt) AS piece,
+         |         generate_subscripts(s.bt, 1) - 1 AS ppos
+         |  FROM wp JOIN fseg s USING (w))
+         |ORDER BY doc_id, wpos, ppos""".stripMargin
+  }
 
   /** Second portable polynomial (simhash64's high half — seed 13, ×37,
     * mod 998244353; see functions/SimHash64.scala). */
@@ -11572,6 +11726,8 @@ object SparkEntry {
          |FROM documents d LEFT JOIN wsum USING (doc_id)
          |ORDER BY weight DESC, d.doc_id ASC LIMIT 20""".stripMargin,
     "bpe_merges" -> bpeSql(6),
+    "unigram_vocab" -> UnigramSqlGen.vocabSql,
+    "unigram_encode" -> UnigramSqlGen.encodeSql,
     "bpe_vocab" -> bpeVocabSql(6),
     "bpe_encode" -> bpeEncodeSql(6),
     // the encode chain reduced to per-doc symbol totals, then the

@@ -1,0 +1,102 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.text.Unigram
+
+/** Unigram-LM tokenizer trainer: the distributed Viterbi DP against a
+  * local reference implementation, the coverage floor, the prune
+  * budget, and the encode join's position contract. */
+class UnigramSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** Local reference Viterbi — same edge order, same strictly-greater
+    * first-edge tie rule as [[Unigram.segmented]]'s fold. */
+  private def refViterbi(w: String, logp: Map[String, Double],
+                         maxPieceLen: Int): Seq[String] = {
+    val n = w.length
+    val edges = (for {
+      i <- 0 until n
+      l <- 1 to math.min(maxPieceLen, n - i)
+      p = w.substring(i, i + l) if logp.contains(p)
+    } yield (i + l, i, p)).sortBy(e => (e._1, e._2, e._3))
+    val best = Array.fill(n + 1)(-1e18); best(0) = 0.0
+    val back = Array.fill[(Int, String)](n + 1)(null)
+    edges.foreach { case (j, i, p) =>
+      if (best(i) > -1e17 && best(i) + logp(p) > best(j)) {
+        best(j) = best(i) + logp(p); back(j) = (i, p)
+      }
+    }
+    var pos = n
+    val out = List.newBuilder[String]
+    val rev = scala.collection.mutable.ListBuffer.empty[String]
+    while (pos > 0) { val (i, p) = back(pos); rev.prepend(p); pos = i }
+    out ++= rev
+    out.result()
+  }
+
+  test("distributed Viterbi DP ≡ local reference on every corpus word") {
+    val docs = graft.io.Tables.documents(spark, sf0001)
+    val wd = Unigram.wordDict(docs, "text")
+    val vocab = Unigram.seedVocab(wd).localCheckpoint()
+    val lp = Unigram.logProbs(vocab)
+    val logp = lp.collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val got = Unigram.segmented(wd, lp, maxPieceLen = 4)
+      .select(col("w"), col("pieces")).collect()
+      .map(r => r.getString(0) -> r.getSeq[String](1).toSeq).toMap
+    assert(got.nonEmpty)
+    got.foreach { case (w, pieces) =>
+      assert(pieces == refViterbi(w, logp, 4),
+        s"word '$w': got $pieces, want ${refViterbi(w, logp, 4)}")
+    }
+  }
+
+  test("coverage floor: unused single chars survive the prune with count 1") {
+    // 'ab' dominates, so neither char is ever USED in a segmentation —
+    // but dropping a char could leave a future word unsegmentable
+    val docs = Seq((0L, "ab ab ab ab")).toDF("doc_id", "text")
+    val v = Unigram.trainUnigram(docs, "text", vocabSize = 10,
+      maxPieceLen = 2, seedSize = 10, rounds = 1)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(v("ab") == 4L, v.toString)
+    assert(v("a") == 1L && v("b") == 1L,
+      s"unused chars must stay at the floor: $v")
+  }
+
+  test("prune budget: multi-char pieces capped at vocabSize minus the alphabet") {
+    val docs = graft.io.Tables.documents(spark, sf0001)
+    val v = Unigram.trainUnigram(docs, "text", vocabSize = 30,
+      maxPieceLen = 4, seedSize = 400, rounds = 1).collect()
+    val (chars, multi) = v.partition(_.getString(0).length == 1)
+    assert(multi.length <= 30 - chars.length,
+      s"${multi.length} multi pieces vs budget ${30 - chars.length}")
+    // every piece of the WORD alphabet is present
+    val alphabet = graft.io.Tables.documents(spark, sf0001)
+      .select(explode(graft.text.TextAnalysis.tokens(col("text"))).as("w"))
+      .filter(length(col("w")) <= 16)
+      .select(explode(split(col("w"), "")).as("c"))
+      .filter(length(col("c")) === 1).distinct().collect()
+      .map(_.getString(0)).toSet
+    assert(chars.map(_.getString(0)).toSet == alphabet)
+  }
+
+  test("encode: every word position appears once, pieces concatenate back to the word") {
+    val docs = graft.io.Tables.documents(spark, sf0001)
+      .filter(col("doc_id") < 3)
+    val vocab = Unigram.trainUnigram(
+      graft.io.Tables.documents(spark, sf0001), "text",
+      vocabSize = 120, rounds = 2)
+    val enc = Unigram.encode(docs, "text", vocab).localCheckpoint()
+    val rebuilt = enc
+      .groupBy(col("doc_id"), col("wpos"))
+      .agg(concat_ws("", sort_array(collect_list(
+        struct(col("ppos"), col("piece"))))
+        .getField("piece")).as("w2"))
+    val words = docs.select(col("doc_id"),
+      posexplode(graft.text.TextAnalysis.tokens(col("text")))
+        .as(Seq("wpos", "w")))
+    val joined = words.join(rebuilt, Seq("doc_id", "wpos"), "left")
+    assert(joined.filter(col("w2").isNull || col("w2") =!= col("w"))
+      .count() == 0L, "every word must rebuild from its pieces in order")
+  }
+}
