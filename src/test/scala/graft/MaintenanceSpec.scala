@@ -241,6 +241,29 @@ class MaintenanceSpec extends SparkSpec {
       .head().getAs[Double]("value") == 0.0)
   }
 
+  test("LshDrainDispatcher: compact applies tombstones on a new generation; foreign orders ignored") {
+    import graft.search.Ann
+    val emb = graft.io.Tables.embeddings(spark, sf0001)
+    val planes = Ann.planes(64, 4)
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-lsh-dispatch").toString
+    Ann.buildLshIndex(emb, planes, s"$root/l")
+    Ann.deleteFromLshIndex(
+      emb.filter(col("vec_id") % 5 === 0).select(col("vec_id")), s"$root/l")
+    val d = new Maintenance.LshDrainDispatcher(spark, "emb_lsh", s"$root/l",
+      s"$root/l-cmp")
+    d.dispatch("sq8", "emb_lsh", "compact") // wrong kind: ignored
+    d.dispatch("lsh", "other", "compact")   // wrong store: ignored
+    assert(d.eff == s"$root/l")
+    d.dispatch("lsh", "emb_lsh", "compact")
+    assert(d.eff == s"$root/l-cmp")
+    val sigs = d.afterSignals.collect()
+      .map(r => r.getAs[String]("signal") -> r.getAs[Double]("value")).toMap
+    assert(sigs("tombstone_ratio") == 0.0, sigs.toString)
+    assert(sigs("file_debt") == 1.0,
+      s"compact leaves one file per bucket: $sigs")
+  }
+
   test("orderBookDrainCosted: greedy severity-order admission, boundary inclusive, skipped orders stay open") {
     val dir = java.nio.file.Files
       .createTempDirectory("graft-drain-cost").toString + "/index"
