@@ -212,6 +212,39 @@ object SparkEntry {
     (cents, applyAndLog)
   }
 
+  /** The LSH rule set of the order-book family — the one index with
+    * only MECHANICAL debts (no trained state to drift). */
+  private val LshBookRules = Seq(
+    graft.store.MaintenanceRule("lsh", "tombstone_ratio", 0.10, "compact"),
+    graft.store.MaintenanceRule("lsh", "file_debt", 1.5, "compact"))
+
+  /** The LSH two-batch order-book fixture ([[sqOrderBookFixture]]'s
+    * sibling on the stateless-planes family): build at `path`, batch 0
+    * appends 100 copied rows (file debt may already cross), an
+    * out-of-band 20% delete lands, batch 1 appends 100 more (tombstone
+    * debt fires for the first time, file debt again). */
+  private def lshOrderBookFixture(s: SparkSession, dir: String,
+                                  path: String): Unit = {
+    val emb = Tables.embeddings(s, dir)
+    Ann.buildLshIndex(emb, FleetLshPlanes, path)
+    def applyAndLog(batchId: Long, lo: Int, hi: Int): Unit = {
+      Ann.appendToLshIndex(
+        emb.filter(col("vec_id") >= lo && col("vec_id") < hi)
+          .select((col("vec_id") + 100000).as("vec_id"), col("embedding"),
+            col("label")),
+        FleetLshPlanes, path)
+      graft.store.Maintenance.plan(
+          graft.store.Maintenance.lshSignals(
+            Ann.lshIndexHealth(s, path), "events_vec_lsh"), LshBookRules)
+        .withColumn("batch_id", lit(batchId))
+        .write.mode("append").parquet(s"$path.oplog")
+    }
+    applyAndLog(0L, 0, 100)
+    Ann.deleteFromLshIndex(
+      emb.filter(col("vec_id") % 5 === 0).select(col("vec_id")), path)
+    applyAndLog(1L, 100, 200)
+  }
+
   /** DuckDB form of [[Ann.lshBucket]] over the same plane literals.
     * Scala's Double.toString is shortest-round-trip, so the SQL parses
     * back to bit-identical doubles. */
@@ -759,32 +792,27 @@ object SparkEntry {
     // batches' health arithmetic, the per-batch >= rule filter, and
     // the book aggregation.
     "maintenance_order_book_lsh" -> ((s, dir) => {
-      val emb = Tables.embeddings(s, dir)
       val path = scratchDir("maint-book-lsh")
-      val rules = Seq(
-        graft.store.MaintenanceRule("lsh", "tombstone_ratio", 0.10, "compact"),
-        graft.store.MaintenanceRule("lsh", "file_debt", 1.5, "compact"))
-      Ann.buildLshIndex(emb, FleetLshPlanes, path)
-      // the lshPolicySink per-batch hook, replayed batch-synchronously
-      // (the maintenance_order_book convention): apply, evaluate,
-      // append fired actions to the oplog under the batch id
-      def applyAndLog(batchId: Long, lo: Int, hi: Int): Unit = {
-        Ann.appendToLshIndex(
-          emb.filter(col("vec_id") >= lo && col("vec_id") < hi)
-            .select((col("vec_id") + 100000).as("vec_id"), col("embedding"),
-              col("label")),
-          FleetLshPlanes, path)
-        graft.store.Maintenance.plan(
-            graft.store.Maintenance.lshSignals(
-              Ann.lshIndexHealth(s, path), "events_vec_lsh"), rules)
-          .withColumn("batch_id", lit(batchId))
-          .write.mode("append").parquet(s"$path.oplog")
-      }
-      applyAndLog(0L, 0, 100)
-      Ann.deleteFromLshIndex(
-        emb.filter(col("vec_id") % 5 === 0).select(col("vec_id")), path)
-      applyAndLog(1L, 100, 200)
+      lshOrderBookFixture(s, dir, path)
       graft.store.Maintenance.orderBook(s, path)
+    }),
+    // ---- [EXT] the LSH book DRAINED through the shared registry
+    // (Maintenance.LshDrainDispatcher): the one-remedy family — the
+    // compact order, fired by BOTH mechanical signals, dispatches
+    // ONCE, applies tombstones physically on a fresh generation and
+    // re-bounds the file set; the acknowledgments carry EXACT
+    // value_after identities (tombstone_ratio 0 — the debt is gone;
+    // file_debt exactly 1.0 — compact leaves one file per bucket, the
+    // AnnSpec file-count invariant). The oracle replays both batches'
+    // bucket-membership arithmetic, the book aggregation, and both
+    // identities.
+    "maintenance_order_book_lsh_drained" -> ((s, dir) => {
+      val path = scratchDir("maint-book-lsh-drain")
+      lshOrderBookFixture(s, dir, path)
+      val d = new graft.store.Maintenance.LshDrainDispatcher(s,
+        "events_vec_lsh", path, scratchDir("maint-book-lsh-drain-cmp"))
+      graft.store.Maintenance.orderBookDrain(s, path)(d.dispatch)(
+        d.afterSignals)
     }),
     // ---- [EXT] the order book DRAINED (Maintenance.orderBookDrain —
     // round-16 verdict item 2: the book was read-side only; this
@@ -3395,6 +3423,32 @@ object SparkEntry {
       graft.text.Unigram.encode(docs.filter(col("doc_id") < 20), "text",
           vocab, maxPieceLen = 4)
         .orderBy(col("doc_id"), col("wpos"), col("ppos"))
+    }),
+    // ---- [EXT] unigram FERTILITY per language — the bpe_fertility
+    // gate on the trained unigram vocabulary (pieces emitted per
+    // whitespace token; a language the tokenizer fragments pays more
+    // sequence length for the same text). Oracle = the training chain
+    // + the final vocab's DP over every document's words, reduced per
+    // language. (The corpus's words all sit under the training length
+    // cap, so encode and the dictionary segmentation coincide —
+    // documented; longer words would encode Scala-side but need a
+    // deeper oracle unroll.)
+    "unigram_fertility" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val vocab = graft.text.Unigram.trainUnigram(docs, "text",
+        vocabSize = 120, maxPieceLen = 4, maxWordLen = 16,
+        seedSize = 400, rounds = 2)
+      val perDoc = graft.text.Unigram.encode(docs, "text", vocab)
+        .groupBy(col("doc_id")).agg(count(lit(1)).as("n_pieces"))
+      docs.select(col("doc_id"), col("lang"),
+          TextAnalysis.tokenCount(col("text")).cast("long").as("n_tok"))
+        .join(perDoc, Seq("doc_id"))
+        .groupBy(col("lang"))
+        .agg(sum(col("n_pieces")).as("n_pieces"),
+          sum(col("n_tok")).as("n_tokens"),
+          round(sum(col("n_pieces")).cast("double") /
+            sum(col("n_tok")).cast("double"), 6).as("fertility"))
+        .orderBy(col("lang"))
     }),
     // ---- [EXT] character-entropy quality signal (the CCNet/Gopher
     // compression-ratio heuristic, codec-free so the oracle replays it
@@ -7344,6 +7398,26 @@ object SparkEntry {
          |         generate_subscripts(s.bt, 1) - 1 AS ppos
          |  FROM wp JOIN fseg s USING (w))
          |ORDER BY doc_id, wpos, ppos""".stripMargin
+
+    /** Fertility replay: per-doc piece counts from the final vocab's
+      * dictionary segmentation, reduced per language. */
+    val fertilitySql: String =
+      s"""WITH $chain,
+         |${segCtes("v2", "f")},
+         |wp AS (
+         |  SELECT doc_id, unnest(toks) AS w
+         |  FROM (SELECT doc_id, $toksSql AS toks FROM documents)),
+         |pd AS (
+         |  SELECT doc_id, sum(len(s.bt))::BIGINT AS np
+         |  FROM wp JOIN fseg s USING (w) GROUP BY doc_id),
+         |nt AS (
+         |  SELECT doc_id, lang, len($toksSql)::BIGINT AS n_tok
+         |  FROM documents)
+         |SELECT lang, sum(np)::BIGINT AS n_pieces,
+         |       sum(n_tok)::BIGINT AS n_tokens,
+         |       round(sum(np)::DOUBLE / sum(n_tok)::DOUBLE, 6) AS fertility
+         |FROM nt JOIN pd USING (doc_id)
+         |GROUP BY lang ORDER BY lang""".stripMargin
   }
 
   /** Second portable polynomial (simhash64's high half — seed 13, ×37,
@@ -8325,6 +8399,56 @@ object SparkEntry {
          |       first(threshold) AS threshold,
          |       round(arg_max(value, batch_id) / first(threshold), 6)
          |         AS last_severity
+         |FROM blog GROUP BY action, signal
+         |ORDER BY last_severity DESC, index_kind, index_name, action,
+         |         signal""".stripMargin,
+    // the LSH book drained: the lsh book replay plus the exact
+    // post-compact identities — tombstones applied (0) and one file
+    // per bucket (file_debt exactly 1.0)
+    "maintenance_order_book_lsh_drained" ->
+      s"""WITH lb AS MATERIALIZED (
+         |  SELECT vec_id,
+         |         (${lshBucketSql("embedding", FleetLshPlanes)}) AS b
+         |  FROM embeddings),
+         |agg AS (SELECT count(DISTINCT b) AS nb, count(*) AS n FROM lb),
+         |fa AS (SELECT count(DISTINCT CASE WHEN vec_id < 100 THEN b END)
+         |         AS f FROM lb),
+         |fb AS (SELECT count(DISTINCT CASE WHEN vec_id >= 100
+         |                                   AND vec_id < 200 THEN b END)
+         |         AS f FROM lb),
+         |dl AS (SELECT count(*) AS d FROM embeddings WHERE vec_id % 5 = 0),
+         |blog AS (
+         |  SELECT 0::BIGINT AS batch_id, 'compact' AS action,
+         |         'file_debt' AS signal,
+         |         round((agg.nb + fa.f)::DOUBLE / agg.nb, 6) AS value,
+         |         1.5 AS threshold
+         |  FROM agg, fa
+         |  WHERE round((agg.nb + fa.f)::DOUBLE / agg.nb, 6) >= 1.5
+         |  UNION ALL
+         |  SELECT 0::BIGINT, 'compact', 'tombstone_ratio',
+         |         round(0.0 / (agg.n + 100), 6), 0.10
+         |  FROM agg WHERE round(0.0 / (agg.n + 100), 6) >= 0.10
+         |  UNION ALL
+         |  SELECT 1::BIGINT, 'compact', 'file_debt',
+         |         round((agg.nb + fa.f + fb.f)::DOUBLE / agg.nb, 6), 1.5
+         |  FROM agg, fa, fb
+         |  WHERE round((agg.nb + fa.f + fb.f)::DOUBLE / agg.nb, 6) >= 1.5
+         |  UNION ALL
+         |  SELECT 1::BIGINT, 'compact', 'tombstone_ratio',
+         |         round(dl.d::DOUBLE / (agg.n + 200), 6), 0.10
+         |  FROM agg, dl
+         |  WHERE round(dl.d::DOUBLE / (agg.n + 200), 6) >= 0.10)
+         |SELECT 'lsh' AS index_kind, 'events_vec_lsh' AS index_name,
+         |       action, signal,
+         |       min(batch_id) AS first_batch, max(batch_id) AS last_batch,
+         |       count(*)::BIGINT AS n_fired,
+         |       arg_max(value, batch_id) AS last_value,
+         |       first(threshold) AS threshold,
+         |       round(arg_max(value, batch_id) / first(threshold), 6)
+         |         AS last_severity,
+         |       (CASE WHEN signal = 'file_debt' THEN 1.0 ELSE 0.0 END)::DOUBLE
+         |         AS value_after,
+         |       TRUE AS resolved
          |FROM blog GROUP BY action, signal
          |ORDER BY last_severity DESC, index_kind, index_name, action,
          |         signal""".stripMargin,
@@ -11728,6 +11852,7 @@ object SparkEntry {
     "bpe_merges" -> bpeSql(6),
     "unigram_vocab" -> UnigramSqlGen.vocabSql,
     "unigram_encode" -> UnigramSqlGen.encodeSql,
+    "unigram_fertility" -> UnigramSqlGen.fertilitySql,
     "bpe_vocab" -> bpeVocabSql(6),
     "bpe_encode" -> bpeEncodeSql(6),
     // the encode chain reduced to per-doc symbol totals, then the
