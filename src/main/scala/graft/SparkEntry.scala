@@ -1404,33 +1404,25 @@ object SparkEntry {
         sq = Seq("events_vec_sq8" -> sqPath),
         lsh = Seq("embeddings_lsh" -> lPath))
         .localCheckpoint()
+      // the shared dispatcher registry (the drain queries' path): the
+      // frozen plan's actions route in PRIORITY order through each
+      // store's dispatcher — subsumption and generation tracking live
+      // in Maintenance, not here; the two stores' remedies run on
+      // parallel driver threads (each dispatcher ignores foreign rows)
+      val sqD = new graft.store.Maintenance.SqDrainDispatcher(s,
+        "events_vec_sq8", sqPath, cents.size, 2,
+        scratchDir("maintap-sq8-rt"), scratchDir("maintap-sq8-cmp"))
+      val lshD = new graft.store.Maintenance.LshDrainDispatcher(s,
+        "embeddings_lsh", lPath, scratchDir("maintap-lsh-v2"))
       val acts = planned
         .select(col("index_kind"), col("index_name"), col("action"))
         .collect()
-        .map(r => (r.getString(0), r.getString(1), r.getString(2))).toSet
-      val sqRetrain = acts(("sq8", "events_vec_sq8", "retrain"))
-      val sqCompact = acts(("sq8", "events_vec_sq8", "compact"))
-      val sqRerec = acts(("sq8", "events_vec_sq8", "re_record"))
-      val sqPath2 = scratchDir("maintap-sq8-v2")
-      val sqEff = if (sqRetrain || sqCompact) sqPath2 else sqPath
-      val lPath2 = scratchDir("maintap-lsh-v2")
-      val lEff =
-        if (acts(("lsh", "embeddings_lsh", "compact"))) lPath2 else lPath
+        .map(r => (r.getString(0), r.getString(1), r.getString(2)))
+        .distinct
       parUnit(
-        () => {
-          if (sqRetrain) // subsumes compact: reads survivors, fresh baseline
-            graft.search.Sq.retrainIvfSqIndex(s, sqPath, sqPath2, 10, 2): Unit
-          else if (sqCompact)
-            graft.search.Sq.compactIvfSqIndex(s, sqPath, sqPath2)
-          if (sqRerec && !sqRetrain)
-            graft.search.Sq.recordIvfSqModel(s, sqEff, cents)
-        },
-        () => if (lEff == lPath2) Ann.compactLshIndex(s, lPath, lPath2))
-      val after = graft.store.Maintenance.sqSignals(
-          graft.search.Sq.ivfSqDrift(s, sqEff),
-          graft.search.Sq.ivfSqHealth(s, sqEff), "events_vec_sq8")
-        .unionAll(graft.store.Maintenance.lshSignals(
-          Ann.lshIndexHealth(s, lEff), "embeddings_lsh"))
+        () => acts.foreach { case (k, n, a) => sqD.dispatch(k, n, a) },
+        () => acts.foreach { case (k, n, a) => lshD.dispatch(k, n, a) })
+      val after = sqD.afterSignals.unionAll(lshD.afterSignals)
       graft.store.Maintenance.resolutionReport(planned, after)
     }),
     // ---- [EXT] COSTED maintenance plan (Maintenance.
