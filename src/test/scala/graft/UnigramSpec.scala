@@ -51,6 +51,18 @@ class UnigramSpec extends SparkSpec {
     }
   }
 
+  test("plan guard: the edge match is one broadcast hash join, no cartesian") {
+    val docs = graft.io.Tables.documents(spark, sf0001)
+    val wd = Unigram.wordDict(docs, "text")
+    val seg = Unigram.segmented(wd,
+      Unigram.logProbs(Unigram.seedVocab(wd)), 4)
+    val plan = seg.queryExecution.executedPlan.toString
+    assert("BroadcastHashJoin".r.findAllIn(plan).size == 1, plan.take(2000))
+    for (bad <- Seq("CartesianProduct", "SortMergeJoin",
+        "BroadcastNestedLoop"))
+      assert(!plan.contains(bad), s"$bad in the segmentation plan")
+  }
+
   test("coverage floor: unused single chars survive the prune with count 1") {
     // 'ab' dominates, so neither char is ever USED in a segmentation —
     // but dropping a char could leave a future word unsegmentable
