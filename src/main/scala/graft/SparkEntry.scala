@@ -722,41 +722,18 @@ object SparkEntry {
         graphLayer = Seq("embeddings_graph" -> path),
         graphLayer2 = Seq("embeddings_graph" -> path))
         .localCheckpoint()
-      val acts = planned
-        .select(col("index_kind"), col("index_name"), col("action"))
+      // both rungs' re-derive rules live in the shared graph
+      // dispatcher (compact re-derives EVERY layer the store carries;
+      // relayer/relayer2 without a compact rebuild their rung in
+      // place from its recorded conf)
+      val d = new graft.store.Maintenance.GraphDrainDispatcher(s,
+        "embeddings_graph", path, 5, scratchDir("maintap-layer2q-v2"))
+      planned.select(col("index_kind"), col("index_name"), col("action"))
         .collect()
-        .map(r => (r.getString(0), r.getString(1), r.getString(2))).toSet
-      val path2 = scratchDir("maintap-layer2q-v2")
-      val compacted = acts(("graph", "embeddings_graph", "compact"))
-      val eff = if (compacted) path2 else path
-      if (compacted)
-        graft.search.KnnGraph.compactGraphIndex(s, path, path2, 5)
-      def relayerConf(level: Int): (Int, Int, String) = {
-        val c = s.read.parquet(s"$path.layer${level}_conf").head()
-        (c.getAs[Int]("sample_every"), c.getAs[Int]("k"),
-          c.getAs[String]("method"))
-      }
-      if (compacted || acts(("graph", "embeddings_graph", "relayer"))) {
-        val (_, k1, m1) = relayerConf(1)
-        graft.search.KnnGraph.writeGraphLayer(s, eff, 8, k1, method = m1)
-      }
-      if (compacted || acts(("graph", "embeddings_graph", "relayer2"))) {
-        val (_, k2, m2) = relayerConf(2)
-        graft.search.KnnGraph.writeGraphLayer2(s, eff, 8, k2, method = m2)
-      }
-      // the three post-remedy health reads are independent (the layer
-      // reads are eager count chains) — overlap them on driver threads
-      val (gh, lh1, lh2) = graft.io.Par.join3(
-        graft.search.KnnGraph.graphIndexHealth(s, eff),
-        graft.search.KnnGraph.graphLayerHealth(s, eff),
-        graft.search.KnnGraph.graphLayerHealth(s, eff, 2))
-      val after = graft.store.Maintenance.graphSignals(gh, 5,
-          "embeddings_graph")
-        .unionAll(graft.store.Maintenance.layerSignals(lh1,
-          "embeddings_graph"))
-        .unionAll(graft.store.Maintenance.layerSignals(lh2,
-          "embeddings_graph", 2))
-      graft.store.Maintenance.resolutionReport(planned, after)
+        .map(r => (r.getString(0), r.getString(1), r.getString(2)))
+        .distinct
+        .foreach { case (k2, n, a) => d.dispatch(k2, n, a) }
+      graft.store.Maintenance.resolutionReport(planned, d.afterSignals)
     }),
     // ---- [EXT] the policy ORDER BOOK (Maintenance.orderBook): the
     // READ side of the streaming policy sinks' <path>.oplog — an SQ8
@@ -1010,28 +987,17 @@ object SparkEntry {
         graph = Seq(("embeddings_graph", path, 5)),
         graphLayer = Seq("embeddings_graph" -> path))
         .localCheckpoint()
-      val acts = planned
-        .select(col("index_kind"), col("index_name"), col("action"))
+      // the shared graph dispatcher owns the layer rule (a compact
+      // re-derives the rung from its recorded conf; a relayer without
+      // a compact rebuilds in place)
+      val d = new graft.store.Maintenance.GraphDrainDispatcher(s,
+        "embeddings_graph", path, 5, scratchDir("maintap-layer-v2"))
+      planned.select(col("index_kind"), col("index_name"), col("action"))
         .collect()
-        .map(r => (r.getString(0), r.getString(1), r.getString(2))).toSet
-      val path2 = scratchDir("maintap-layer-v2")
-      val compacted = acts(("graph", "embeddings_graph", "compact"))
-      val eff = if (compacted) path2 else path
-      if (compacted)
-        graft.search.KnnGraph.compactGraphIndex(s, path, path2, 5)
-      if (compacted || acts(("graph", "embeddings_graph", "relayer"))) {
-        val conf = s.read.parquet(s"$path.layer1_conf").head()
-        graft.search.KnnGraph.writeGraphLayer(s, eff,
-          conf.getAs[Int]("sample_every"), conf.getAs[Int]("k"),
-          method = conf.getAs[String]("method"))
-      }
-      val after = graft.store.Maintenance.graphSignals(
-          graft.search.KnnGraph.graphIndexHealth(s, eff), 5,
-          "embeddings_graph")
-        .unionAll(graft.store.Maintenance.layerSignals(
-          graft.search.KnnGraph.graphLayerHealth(s, eff),
-          "embeddings_graph"))
-      graft.store.Maintenance.resolutionReport(planned, after)
+        .map(r => (r.getString(0), r.getString(1), r.getString(2)))
+        .distinct
+        .foreach { case (k2, n, a) => d.dispatch(k2, n, a) }
+      graft.store.Maintenance.resolutionReport(planned, d.afterSignals)
     }),
     // ---- [EXT] EXACT incremental kNN-graph maintenance: an arriving
     // batch updates the persisted graph with O((n+d)·d) cosines — an
@@ -1262,64 +1228,38 @@ object SparkEntry {
         graph = Seq(("embeddings_graph", gPath, 5)),
         ivfPq = Seq(("events_vec_pq", qPath, cb)))
         .localCheckpoint()
-      // dispatch: execute exactly the actions the plan ordered (the
-      // collected rows are the bounded plan — ≤ |indexes|·|rules|)
+      // the shared dispatcher registry, fleet-wide: every family's
+      // lifecycle routing (and subsumption) lives in Maintenance —
+      // indexes whose signals never fired keep serving their current
+      // generation (the dispatch is subset-agnostic: a different
+      // scale factor may fire a different subset). The five stores'
+      // remedies are independent — each dispatcher consumes the
+      // priority-ordered plan on its own driver thread.
+      val dIvfDrift = new graft.store.Maintenance.IvfDrainDispatcher(s,
+        "events_vec_drifted", iPath, cents.size, 2,
+        scratchDir("maintap-ivf-drift-v2"), cents)
+      val dIvfPruned = new graft.store.Maintenance.IvfDrainDispatcher(s,
+        "events_vec_pruned", pPath, cents.size, 2,
+        scratchDir("maintap-ivf-pruned-v2"), cents)
+      val dBm25 = new graft.store.Maintenance.Bm25DrainDispatcher(s,
+        "docs_bm25", bPath, scratchDir("maintap-bm25-v2"))
+      val dGraph = new graft.store.Maintenance.GraphDrainDispatcher(s,
+        "embeddings_graph", gPath, 5, scratchDir("maintap-graph-v2"))
+      val dPq = new graft.store.Maintenance.IvfPqDrainDispatcher(s,
+        "events_vec_pq", qPath, cents.size, 2, 64, PqM, PqKsub, PqIters,
+        cb, scratchDir("maintap-ivfpq-v2"))
       val acts = planned
         .select(col("index_kind"), col("index_name"), col("action"))
         .collect()
-        .map(r => (r.getString(0), r.getString(1), r.getString(2))).toSet
-      // each remedy produces a NEW generation; indexes whose signals
-      // never fired keep serving their current one (the thresholds
-      // are data-dependent — a different scale factor may fire a
-      // different subset, and the after-read must not assume). The
-      // remedies are independent like the builds: parallel threads.
-      val gPath2 = scratchDir("maintap-graph-v2")
-      val gEff =
-        if (acts(("graph", "embeddings_graph", "compact"))) gPath2 else gPath
-      val bPath2 = scratchDir("maintap-bm25-v2")
-      val bEff =
-        if (acts(("bm25", "docs_bm25", "compact")) ||
-          acts(("bm25", "docs_bm25", "rebucket"))) bPath2 else bPath
-      val iPath2 = scratchDir("maintap-ivf-drift-v2")
-      val iEff =
-        if (acts(("ivf", "events_vec_drifted", "retrain"))) iPath2 else iPath
-      val qPath2 = scratchDir("maintap-ivfpq-v2")
-      val qRetrain = acts(("ivfpq", "events_vec_pq", "retrain"))
-      val qEff = if (qRetrain) qPath2 else qPath
-      // the retrained codebooks cross the thread boundary through the
-      // Await (promise completion happens-before the read)
-      var cbEff: graft.search.Pq.Codebooks = cb
-      parUnit(
-        () => if (gEff == gPath2)
-          graft.search.KnnGraph.compactGraphIndex(s, gPath, gPath2, 5),
-        () => if (bEff == bPath2) {
-          val h = Lexical.bm25IndexHealth(s, bPath).head()
-          Lexical.rebucketBm25Index(s, bPath, bPath2,
-            graft.store.Maintenance.skewTargetBuckets(
-              h.getAs[Long]("n_postings"), h.getAs[Long]("max_df")))
-        },
-        () => if (iEff == iPath2)
-          Ann.retrainIvfIndex(s, iPath, iPath2, 10, 2): Unit,
-        () => if (qRetrain) {
-          val (_, cb2) = graft.search.Pq.retrainIvfPqIndex(
-            s, qPath, qPath2, 10, 2, 64, PqM, PqKsub, PqIters)
-          graft.search.Pq.recordIvfPqModel(s, qPath2, cb2)
-          cbEff = cb2
-        },
-        () => if (acts(("ivf", "events_vec_pruned", "re_record")))
-          Ann.recordIvfModel(s, pPath, cents))
-      val after = graft.store.Maintenance
-        .ivfSignals(Ann.assignmentDrift(s, iEff), "events_vec_drifted")
-        .unionAll(graft.store.Maintenance
-          .ivfSignals(Ann.assignmentDrift(s, pPath), "events_vec_pruned"))
-        .unionAll(graft.store.Maintenance
-          .bm25Signals(Lexical.bm25IndexHealth(s, bEff), "docs_bm25"))
-        .unionAll(graft.store.Maintenance.graphSignals(
-          graft.search.KnnGraph.graphIndexHealth(s, gEff), 5,
-          "embeddings_graph"))
-        .unionAll(graft.store.Maintenance.pqSignals(
-          graft.search.Pq.reconstructionDrift(s, qEff, cbEff),
-          "events_vec_pq"))
+        .map(r => (r.getString(0), r.getString(1), r.getString(2)))
+        .distinct
+      parUnit(Seq(dIvfDrift, dIvfPruned, dBm25, dGraph, dPq).map(d =>
+        () => acts.foreach { case (k2, n, a) => d.dispatch(k2, n, a) }): _*)
+      val after = dIvfDrift.afterSignals
+        .unionAll(dIvfPruned.afterSignals)
+        .unionAll(dBm25.afterSignals)
+        .unionAll(dGraph.afterSignals)
+        .unionAll(dPq.afterSignals)
       graft.store.Maintenance.resolutionReport(planned, after)
     }),
     // ---- [EXT] maintenance policy across the REST of the index

@@ -606,6 +606,184 @@ object Maintenance {
       lshSignals(graft.search.Ann.lshIndexHealth(spark, effPath), name)
   }
 
+  /** The default dispatcher for a plain IVF store: `retrain` rebuilds
+    * from survivors with fresh centroids AND a fresh baseline
+    * ([[graft.search.Ann.retrainIvfIndex]] records it), so a later
+    * `re_record` is subsumed; `re_record` alone re-records the
+    * baseline IN PLACE over the current contents with the caller-held
+    * frozen model (`cents` — the centroids the index assigns by; the
+    * stats-only remedy for the deletes-pruned-the-worst-rows case). */
+  final class IvfDrainDispatcher(spark: org.apache.spark.sql.SparkSession,
+                                 name: String, path: String,
+                                 k: Int, iters: Int, retrainPath: String,
+                                 cents: Seq[Seq[Double]],
+                                 idCol: String = "vec_id",
+                                 vecCol: String = "embedding")
+      extends DrainDispatcher {
+    private var effPath = path
+    private var retrained = false
+    def eff: String = effPath
+    def dispatch(kind: String, n: String, action: String): Unit =
+      if (kind == "ivf" && n == name) action match {
+        case "retrain" =>
+          graft.search.Ann.retrainIvfIndex(spark, effPath, retrainPath,
+            k, iters, idCol, vecCol): Unit
+          effPath = retrainPath; retrained = true
+        case "re_record" =>
+          if (!retrained)
+            graft.search.Ann.recordIvfModel(spark, effPath, cents, idCol,
+              vecCol)
+        case _ => ()
+      }
+    def afterSignals: DataFrame =
+      ivfSignals(graft.search.Ann.assignmentDrift(spark, effPath, idCol,
+        vecCol), name)
+  }
+
+  /** The default dispatcher for an IVF-PQ store: `retrain` re-learns
+    * coarse centroids AND codebooks from the survivors, rebuilds at
+    * `retrainPath`, and records the fresh error baseline; the
+    * retrained codebooks are tracked so [[afterSignals]] (and the
+    * caller, via [[codebooks]]) read drift against the model the new
+    * generation actually encodes through. */
+  final class IvfPqDrainDispatcher(spark: org.apache.spark.sql.SparkSession,
+                                   name: String, path: String,
+                                   numClusters: Int, ivfIters: Int,
+                                   dim: Int, m: Int, ksub: Int, pqIters: Int,
+                                   cb: graft.search.Pq.Codebooks,
+                                   retrainPath: String,
+                                   idCol: String = "vec_id",
+                                   vecCol: String = "embedding")
+      extends DrainDispatcher {
+    private var effPath = path
+    private var cbEff = cb
+    def eff: String = effPath
+    /** The codebooks of the CURRENT generation (fresh after retrain). */
+    def codebooks: graft.search.Pq.Codebooks = cbEff
+    def dispatch(kind: String, n: String, action: String): Unit =
+      if (kind == "ivfpq" && n == name && action == "retrain") {
+        val (_, cb2) = graft.search.Pq.retrainIvfPqIndex(spark, effPath,
+          retrainPath, numClusters, ivfIters, dim, m, ksub, pqIters,
+          idCol, vecCol)
+        graft.search.Pq.recordIvfPqModel(spark, retrainPath, cb2, idCol,
+          vecCol)
+        effPath = retrainPath; cbEff = cb2
+      }
+    def afterSignals: DataFrame =
+      pqSignals(graft.search.Pq.reconstructionDrift(spark, effPath, cbEff,
+        idCol, vecCol), name)
+  }
+
+  /** The default dispatcher for a BM25 store: BOTH mechanical orders
+    * route to ONE rewrite — [[graft.search.Lexical.rebucketBm25Index]]
+    * at the data-derived [[skewTargetBuckets]] count applies the
+    * tombstones (a compact) AND fixes the bucket skew in the same
+    * pass, so whichever of `compact`/`rebucket` dispatches first does
+    * the work and the other is subsumed. The target bucket count is
+    * priced from the health of the generation being rewritten. */
+  final class Bm25DrainDispatcher(spark: org.apache.spark.sql.SparkSession,
+                                  name: String, path: String,
+                                  dstPath: String,
+                                  idCol: String = "doc_id")
+      extends DrainDispatcher {
+    private var effPath = path
+    private var rebuilt = false
+    def eff: String = effPath
+    def dispatch(kind: String, n: String, action: String): Unit =
+      if (kind == "bm25" && n == name &&
+          (action == "compact" || action == "rebucket") && !rebuilt) {
+        val h = graft.search.Lexical.bm25IndexHealth(spark, effPath).head()
+        graft.search.Lexical.rebucketBm25Index(spark, effPath, dstPath,
+          skewTargetBuckets(h.getAs[Long]("n_postings"),
+            h.getAs[Long]("max_df")), idCol)
+        effPath = dstPath; rebuilt = true
+      }
+    def afterSignals: DataFrame =
+      bm25Signals(graft.search.Lexical.bm25IndexHealth(spark, effPath), name)
+  }
+
+  /** The default dispatcher for a kNN-graph store, LAYERS INCLUDED:
+    * `compact` rewrites the generation and — the compact scaladoc's
+    * operational rule — re-derives EVERY coarse layer the watched
+    * store carries (the layers are derived state pinned to a node-set
+    * generation; the rewrite's fresh generation starts layer-less, and
+    * a compact without the re-derive would strand the layered walk on
+    * a loud missing-layer failure); `relayer`/`relayer2` without a
+    * compact rebuild their rung IN PLACE from its recorded conf (rate,
+    * k, build method — so an NN-Descent-built layer rebuilds the way
+    * the operator chose). A compact subsumes pending relayer orders;
+    * a relayer arriving BEFORE the compact still runs (severity chose
+    * that order) and the compact's re-derive reproduces the identical
+    * derived state on the fresh generation — order cannot change the
+    * final stores. */
+  final class GraphDrainDispatcher(spark: org.apache.spark.sql.SparkSession,
+                                   name: String, path: String, k: Int,
+                                   compactPath: String, buckets: Int = 16)
+      extends DrainDispatcher {
+    private var effPath = path
+    private var relayered = Set.empty[Int]
+    def eff: String = effPath
+    private def layerConf(level: Int): Option[(Int, Int, String)] = {
+      // conf read from the ORIGINAL path: a fresh compact destination
+      // carries no layers yet, but the derived state's parameters are
+      // a property of the watched store, not of one generation
+      val p = s"$path.layer${level}_conf"
+      if (!graft.io.Fs.exists(spark, p)) None
+      else {
+        val c = spark.read.parquet(p).head()
+        Some((c.getAs[Int]("sample_every"), c.getAs[Int]("k"),
+          c.getAs[String]("method")))
+      }
+    }
+    private def relayer(level: Int): Unit =
+      if (level == 1)
+        layerConf(1).foreach { case (r, lk, m) =>
+          graft.search.KnnGraph.writeGraphLayer(spark, effPath, r, lk,
+            buckets, m)
+        }
+      else
+        // level 2 nests the LEVEL-1 rate (its own conf records the
+        // applied rate r² — writeGraphLayer2 wants the base r)
+        layerConf(1).foreach { case (r, _, _) =>
+          layerConf(2).foreach { case (_, lk2, m2) =>
+            graft.search.KnnGraph.writeGraphLayer2(spark, effPath, r, lk2,
+              buckets, m2)
+          }
+        }
+    def dispatch(kind: String, n: String, action: String): Unit =
+      if (kind == "graph" && n == name) action match {
+        case "compact" =>
+          graft.search.KnnGraph.compactGraphIndex(spark, effPath,
+            compactPath, k, buckets)
+          effPath = compactPath
+          relayer(1); relayer(2)
+          relayered = Set(1, 2)
+        case "relayer" =>
+          if (!relayered(1)) { relayer(1); relayered += 1 }
+        case "relayer2" =>
+          if (!relayered(2)) { relayer(2); relayered += 2 }
+        case _ => ()
+      }
+    def afterSignals: DataFrame = {
+      // the graph health chain is lazy but the layer reads are eager
+      // count chains — overlap whatever layers exist
+      val hasL1 = graft.io.Fs.exists(spark, s"$effPath.layer1_conf")
+      val hasL2 = graft.io.Fs.exists(spark, s"$effPath.layer2_conf")
+      val base = graphSignals(
+        graft.search.KnnGraph.graphIndexHealth(spark, effPath), k, name)
+      if (hasL1 && hasL2) {
+        val (l1, l2) = graft.io.Par.join2(
+          graft.search.KnnGraph.graphLayerHealth(spark, effPath),
+          graft.search.KnnGraph.graphLayerHealth(spark, effPath, 2))
+        base.unionAll(layerSignals(l1, name))
+          .unionAll(layerSignals(l2, name, 2))
+      } else if (hasL1)
+        base.unionAll(layerSignals(
+          graft.search.KnnGraph.graphLayerHealth(spark, effPath), name))
+      else base
+    }
+  }
+
   /** [[indexMaintain]] with a remedy COST estimate attached — the
     * number that lets an operator weigh urgency (severity) against
     * price: `cost_rows` = the RAW stored rows the remedy's rewrite
