@@ -418,6 +418,60 @@ object StreamIngest {
       }
   }
 
+  /** The per-batch body of [[lshPolicyDrainSink]] — apply + evaluate
+    * + (on cadence) drain; `private[graft]` for the oracle replay. */
+  private[graft] def lshPolicyDrainBatch(
+      batch: DataFrame, batchId: Long, planes: Seq[Seq[Double]],
+      path: String, indexName: String,
+      rules: Seq[graft.store.MaintenanceRule], drainEvery: Int,
+      budgetRows: Long,
+      dispatcherFor: Long => graft.store.Maintenance.DrainDispatcher,
+      vecCol: String): Unit = {
+    val s = batch.sparkSession
+    import s.implicits._
+    graft.search.Ann.appendToLshIndex(batch, planes, path, vecCol)
+    logFired(path, batchId, rules)(
+      graft.store.Maintenance.lshSignals(
+        graft.search.Ann.lshIndexHealth(s, path), indexName))
+    if ((batchId + 1) % drainEvery == 0 &&
+        graft.io.Fs.exists(s, s"$path.oplog")) {
+      // the one LSH remedy reads every raw stored row (the
+      // indexMaintainCosted lsh cost model, priced at drain time)
+      val nRows = graft.search.Ann.lshIndexHealth(s, path).head()
+        .getAs[Long]("n_rows")
+      val costs = Seq(("lsh", indexName, "compact", nRows))
+        .toDF("index_kind", "index_name", "action", "cost_rows")
+      val d = dispatcherFor(batchId)
+      graft.store.Maintenance.openOrdersDrainCosted(s, path, costs,
+        budgetRows)(d.dispatch)(d.afterSignals): Unit
+    }
+  }
+
+  /** [[ivfSqPolicyDrainSink]]'s contract on the LSH family — the
+    * stateless-planes store gets the same scheduled window: every
+    * `drainEvery` applied batches the sink drains the OPEN orders
+    * under the budget, inside the batch marker. LSH's one remedy is
+    * the compact ([[graft.store.Maintenance.LshDrainDispatcher]]);
+    * its cost is the raw-row scan. */
+  def lshPolicyDrainSink(vecs: DataFrame, planes: Seq[Seq[Double]],
+                         path: String, indexName: String,
+                         drainEvery: Int, budgetRows: Long,
+                         dispatcherFor: Long => graft.store.Maintenance.DrainDispatcher,
+                         rules: Seq[graft.store.MaintenanceRule] =
+                           graft.store.Maintenance.DefaultRules,
+                         vecCol: String = "embedding"): DataStreamWriter[org.apache.spark.sql.Row] = {
+    require(drainEvery >= 1, s"drainEvery must be >= 1: $drainEvery")
+    vecs.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        oncePerBatch(batch.sparkSession, s"$path/_applied_batches", batchId) {
+          if (batch.isEmpty) ()
+          else lshPolicyDrainBatch(batch, batchId, planes, path, indexName,
+            rules, drainEvery, budgetRows, dispatcherFor, vecCol)
+        }
+      }
+  }
+
   /** Streaming maintenance of a materialized IVF-PQ index — the
     * COMPRESSED-codes twin of [[ivfMaintenanceSink]], closing the gap
     * where a streaming ingest could maintain the coarse float index

@@ -241,6 +241,26 @@ class MaintenanceSpec extends SparkSpec {
       .head().getAs[Double]("value") == 0.0)
   }
 
+  test("defaultDispatch: every dispatcher sees every order, after = ordered union") {
+    var seen = List.empty[(String, String)]
+    def sigOf(rows: (String, String, String, Double)*) =
+      rows.toSeq.toDF("index_kind", "index_name", "signal", "value")
+    def mk(own: String, sg: String) = new Maintenance.DrainDispatcher {
+      def eff: String = own
+      def dispatch(kind: String, n: String, action: String): Unit =
+        if (n == own) seen :+= ((own, action))
+      def afterSignals = sigOf(("x", own, sg, 0.0))
+    }
+    val (dispatch, after) = Maintenance.defaultDispatch(
+      Seq(mk("a", "s1"), mk("b", "s2")))
+    dispatch("x", "a", "compact")
+    dispatch("x", "b", "retrain")
+    dispatch("x", "c", "compact") // owned by neither: ignored by both
+    assert(seen == List(("a", "compact"), ("b", "retrain")), seen.toString)
+    // the after frame unions per-store signals in dispatcher order
+    assert(after().collect().map(_.getString(1)).toSeq == Seq("a", "b"))
+  }
+
   test("LshDrainDispatcher: compact applies tombstones on a new generation; foreign orders ignored") {
     import graft.search.Ann
     val emb = graft.io.Tables.embeddings(spark, sf0001)

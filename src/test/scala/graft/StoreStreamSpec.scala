@@ -449,6 +449,55 @@ class StoreStreamSpec extends SparkSpec {
       "an empty open book must not run any remedy")
   }
 
+  test("LSH policy DRAIN sink: the window compacts the open debt and acknowledges; replay double-drains nothing") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.functions.col
+    implicit val sqlCtx = spark.sqlContext
+    val emb = spark.read.parquet(s"$sf0001/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+    val planes = graft.search.Ann.planes(64, 4)
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-stream-lshdrain").toString
+    val dir = s"$root/index"
+    graft.search.Ann.buildLshIndex(emb, planes, dir)
+    val rules = Seq(graft.store.MaintenanceRule(
+      "lsh", "tombstone_ratio", 0.10, "compact"))
+    var win = 0
+    val dispatcherFor: Long => graft.store.Maintenance.DrainDispatcher =
+      _ => {
+        win += 1
+        new graft.store.Maintenance.LshDrainDispatcher(spark, "emb_lsh",
+          dir, s"$root/cmp$win")
+      }
+    def sink(input: MemoryStream[(Long, Seq[Float])]) =
+      graft.streaming.StreamIngest.lshPolicyDrainSink(
+        input.toDF().toDF("vec_id", "embedding"), planes, dir, "emb_lsh",
+        drainEvery = 2, budgetRows = Long.MaxValue, dispatcherFor, rules)
+    val rows = emb.collect().map(r => (r.getLong(0), r.getSeq[Float](1).toSeq))
+    val input = MemoryStream[(Long, Seq[Float])]
+    val q = sink(input).start()
+    input.addData(rows.take(30).map { case (id, v) => (id + 100000, v) })
+    q.processAllAvailable()
+    // out-of-band delete: surfaces at the NEXT batch's evaluation,
+    // whose window then drains it — no human caller
+    graft.search.Ann.deleteFromLshIndex(
+      emb.filter(col("vec_id") % 3 === 0), dir)
+    input.addData(rows.take(30).map { case (id, v) => (id + 200000, v) })
+    q.processAllAvailable()
+    q.stop()
+    val acks = spark.read.parquet(s"$dir.resolutions").collect()
+    assert(acks.length == 1 && acks.head.getAs[String]("action") == "compact"
+      && acks.head.getAs[Boolean]("resolved")
+      && acks.head.getAs[Double]("value_after") == 0.0, acks.toSeq.toString)
+    assert(graft.store.Maintenance.openOrders(spark, dir).isEmpty)
+    // restart replay: marker skips append + log + drain together
+    val q2 = sink(input).start()
+    q2.processAllAvailable(); q2.stop()
+    assert(spark.read.parquet(s"$dir.resolutions").count() == 1L,
+      "replay must not double-drain")
+    assert(win == 1)
+  }
+
   test("LSH policy sink: clean batch logs nothing, out-of-band delete debt surfaces at the next batch, replay is a no-op") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import org.apache.spark.sql.functions.col
