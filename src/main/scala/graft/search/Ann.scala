@@ -247,6 +247,10 @@ object Ann {
   def compactIvfIndex(spark: org.apache.spark.sql.SparkSession, srcPath: String,
                       dstPath: String, recordsPerFile: Long = 1L << 20,
                       idCol: String = "vec_id"): Unit = {
+    // the retrain/rebucket convention: a compact is a REWRITE — an
+    // in-place call would overwrite the very layout it is reading
+    require(srcPath != dstPath,
+      "compact rewrites the layout: dstPath must differ from srcPath")
     resetDstSidecars(spark, dstPath)
     dropTombstones(spark.read.parquet(srcPath), srcPath, idCol)
       .repartition(col("__cluster"))
@@ -816,6 +820,8 @@ object Ann {
                       srcPath: String, dstPath: String,
                       recordsPerFile: Long = 1L << 20,
                       idCol: String = "vec_id"): Unit = {
+    require(srcPath != dstPath,
+      "compact rewrites the layout: dstPath must differ from srcPath")
     resetDstSidecars(spark, dstPath)
     // bucket fan from the source layout (driver metadata listing —
     // the planes aren't a parameter here)

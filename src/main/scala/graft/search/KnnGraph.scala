@@ -811,6 +811,8 @@ object KnnGraph {
                         srcPath: String, dstPath: String, k: Int,
                         buckets: Int = 16,
                         recordsPerFile: Long = 1L << 20): Unit = {
+    require(srcPath != dstPath,
+      "compact rewrites the layout: dstPath must differ from srcPath")
     // dst sidecar reset (round-17 advice, the writeGraphIndex list): a
     // reused dst path must not keep a previous generation's
     // tombstones, policy order book, or — worse — a stale coarse

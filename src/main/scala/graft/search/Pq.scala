@@ -564,6 +564,8 @@ object Pq {
                         srcPath: String, dstPath: String,
                         recordsPerFile: Long = 1L << 20,
                         idCol: String = "vec_id"): Unit = {
+    require(srcPath != dstPath,
+      "compact rewrites the layout: dstPath must differ from srcPath")
     // store-level dst sidecar reset (round-17 advice; the
     // Sq.compactIvfSqIndex rationale — a reused dst path must not keep
     // the previous generation's order book or batch markers)

@@ -163,6 +163,8 @@ object Sq {
                         srcPath: String, dstPath: String,
                         recordsPerFile: Long = 1L << 20,
                         idCol: String = "vec_id"): Unit = {
+    require(srcPath != dstPath,
+      "compact rewrites the layout: dstPath must differ from srcPath")
     // store-level dst sidecars reset like compactBm25Index's (round-17
     // advice): a reused dst path must not keep the previous
     // generation's order book — stream batch ids restart at 0, so a
