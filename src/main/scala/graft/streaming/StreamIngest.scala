@@ -358,21 +358,17 @@ object StreamIngest {
         graft.store.Maintenance.sqSignals(d, h, indexName))
     }
     // the drain window: every drainEvery-th APPLIED batch (batch ids
-    // are the stream's own sequence — the cadence replays stably)
-    if ((batchId + 1) % drainEvery == 0 &&
-        graft.io.Fs.exists(s, s"$path.oplog")) {
-      // both rewrite remedies read every raw stored row; re_record is
-      // stats-only (the indexMaintainCosted sq8 cost model, priced
-      // from the store's own health at drain time)
+    // are the stream's own sequence — the cadence replays stably);
+    // both rewrite remedies read every raw stored row, re_record is
+    // stats-only (the indexMaintainCosted sq8 cost model, priced
+    // from the store's own health at drain time)
+    drainWindow(s, path, batchId, drainEvery, budgetRows, dispatcherFor) {
       val nRows = graft.search.Sq.ivfSqHealth(s, path).head()
         .getAs[Long]("n_rows")
-      val costs = Seq(("sq8", indexName, "retrain", nRows),
+      Seq(("sq8", indexName, "retrain", nRows),
         ("sq8", indexName, "compact", nRows),
         ("sq8", indexName, "re_record", 0L))
         .toDF("index_kind", "index_name", "action", "cost_rows")
-      val d = dispatcherFor(batchId)
-      graft.store.Maintenance.openOrdersDrainCosted(s, path, costs,
-        budgetRows)(d.dispatch)(d.afterSignals): Unit
     }
   }
 
@@ -418,6 +414,190 @@ object StreamIngest {
       }
   }
 
+  /** The shared drain WINDOW of every `*PolicyDrainSink`: on cadence,
+    * price the store's remedies (`costs` — the family's
+    * indexMaintainCosted model, read at drain time) and run the
+    * open-orders drain through a fresh per-window dispatcher. Runs
+    * INSIDE the caller's batch marker. */
+  private def drainWindow(spark: SparkSession, path: String, batchId: Long,
+                          drainEvery: Int, budgetRows: Long,
+                          dispatcherFor: Long => graft.store.Maintenance.DrainDispatcher)
+                         (costs: => DataFrame): Unit =
+    if ((batchId + 1) % drainEvery == 0 &&
+        graft.io.Fs.exists(spark, s"$path.oplog")) {
+      val d = dispatcherFor(batchId)
+      graft.store.Maintenance.openOrdersDrainCosted(spark, path, costs,
+        budgetRows)(d.dispatch)(d.afterSignals): Unit
+    }
+
+  /** [[ivfSqPolicyDrainSink]]'s contract on the plain IVF family:
+    * append + gated policy evaluation + the scheduled open-orders
+    * window. Costs: retrain reads every raw row; re_record is
+    * stats-only. The caller's dispatcher ([[graft.store.Maintenance
+    * .IvfDrainDispatcher]]) owns retrain-subsumes-re_record. */
+  def ivfPolicyDrainSink(vecs: DataFrame, cents: Seq[Seq[Double]],
+                         path: String, indexName: String,
+                         drainEvery: Int, budgetRows: Long,
+                         dispatcherFor: Long => graft.store.Maintenance.DrainDispatcher,
+                         rules: Seq[graft.store.MaintenanceRule] =
+                           graft.store.Maintenance.DefaultRules,
+                         vecCol: String = "embedding"): DataStreamWriter[org.apache.spark.sql.Row] = {
+    require(drainEvery >= 1, s"drainEvery must be >= 1: $drainEvery")
+    vecs.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        oncePerBatch(batch.sparkSession, s"$path/_applied_batches", batchId) {
+          if (batch.isEmpty) ()
+          else {
+            val s = batch.sparkSession
+            import s.implicits._
+            graft.search.Ann.appendToIvfIndex(batch, cents, path, vecCol)
+            if (graft.io.Fs.exists(s, s"$path.stats"))
+              logFired(path, batchId, rules)(
+                graft.store.Maintenance.ivfSignals(
+                  graft.search.Ann.assignmentDrift(s, path, vecCol = vecCol),
+                  indexName))
+            drainWindow(s, path, batchId, drainEvery, budgetRows,
+              dispatcherFor) {
+              val n = graft.search.Ann.ivfIndexHealth(s, path).head()
+                .getAs[Long]("n_rows")
+              Seq(("ivf", indexName, "retrain", n),
+                ("ivf", indexName, "re_record", 0L))
+                .toDF("index_kind", "index_name", "action", "cost_rows")
+            }
+          }
+        }
+      }
+  }
+
+  /** [[ivfSqPolicyDrainSink]]'s contract on the IVF-PQ family: the
+    * one remedy (retrain) reads every raw code row. */
+  def ivfPqPolicyDrainSink(vecs: DataFrame, cents: Seq[Seq[Double]],
+                           cb: graft.search.Pq.Codebooks, path: String,
+                           indexName: String,
+                           drainEvery: Int, budgetRows: Long,
+                           dispatcherFor: Long => graft.store.Maintenance.DrainDispatcher,
+                           rules: Seq[graft.store.MaintenanceRule] =
+                             graft.store.Maintenance.DefaultRules,
+                           idCol: String = "vec_id",
+                           vecCol: String = "embedding"): DataStreamWriter[org.apache.spark.sql.Row] = {
+    require(drainEvery >= 1, s"drainEvery must be >= 1: $drainEvery")
+    vecs.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        oncePerBatch(batch.sparkSession, s"$path/_applied_batches", batchId) {
+          if (batch.isEmpty) ()
+          else {
+            val s = batch.sparkSession
+            import s.implicits._
+            graft.search.Pq.appendToIvfPqIndex(batch, cents, cb, path,
+              idCol, vecCol)
+            if (graft.io.Fs.exists(s, s"$path/codes.qstats"))
+              logFired(path, batchId, rules)(
+                graft.store.Maintenance.pqSignals(
+                  graft.search.Pq.reconstructionDrift(s, path, cb, idCol,
+                    vecCol), indexName))
+            drainWindow(s, path, batchId, drainEvery, budgetRows,
+              dispatcherFor) {
+              val n = graft.search.Ann.ivfIndexHealth(s, s"$path/codes")
+                .head().getAs[Long]("n_rows")
+              Seq(("ivfpq", indexName, "retrain", n))
+                .toDF("index_kind", "index_name", "action", "cost_rows")
+            }
+          }
+        }
+      }
+  }
+
+  /** [[ivfSqPolicyDrainSink]]'s contract on the BM25 family: both
+    * mechanical remedies price the postings scan; the dispatcher
+    * routes either to the one rebucket rewrite. */
+  def bm25PolicyDrainSink(docs: DataFrame, textCol: String, idCol: String,
+                          path: String, indexName: String,
+                          drainEvery: Int, budgetRows: Long,
+                          dispatcherFor: Long => graft.store.Maintenance.DrainDispatcher,
+                          rules: Seq[graft.store.MaintenanceRule] =
+                            graft.store.Maintenance.DefaultRules): DataStreamWriter[org.apache.spark.sql.Row] = {
+    require(drainEvery >= 1, s"drainEvery must be >= 1: $drainEvery")
+    docs.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        oncePerBatch(batch.sparkSession, s"$path/_applied_batches", batchId) {
+          if (batch.isEmpty) ()
+          else {
+            val s = batch.sparkSession
+            import s.implicits._
+            try graft.search.Lexical.appendToBm25Index(batch, textCol, idCol, path)
+            catch {
+              case _: IllegalStateException => // no stats/ yet: first batch builds
+                graft.search.Lexical.buildBm25Index(batch, textCol, idCol, path)
+            }
+            logFired(path, batchId, rules)(
+              graft.store.Maintenance.bm25Signals(
+                graft.search.Lexical.bm25IndexHealth(s, path), indexName))
+            drainWindow(s, path, batchId, drainEvery, budgetRows,
+              dispatcherFor) {
+              val n = graft.search.Lexical.bm25IndexHealth(s, path).head()
+                .getAs[Long]("n_postings")
+              Seq(("bm25", indexName, "compact", n),
+                ("bm25", indexName, "rebucket", n))
+                .toDF("index_kind", "index_name", "action", "cost_rows")
+            }
+          }
+        }
+      }
+  }
+
+  /** [[ivfSqPolicyDrainSink]]'s contract on the kNN-graph family:
+    * compact prices the raw edge scan; relayer orders (when the store
+    * carries layers) price the nodes-side scan. The dispatcher
+    * ([[graft.store.Maintenance.GraphDrainDispatcher]]) re-derives
+    * every layer on a compacted generation. */
+  def knnGraphPolicyDrainSink(vecs: DataFrame, path: String, k: Int,
+                              indexName: String,
+                              drainEvery: Int, budgetRows: Long,
+                              dispatcherFor: Long => graft.store.Maintenance.DrainDispatcher,
+                              rules: Seq[graft.store.MaintenanceRule] =
+                                graft.store.Maintenance.DefaultRules,
+                              buckets: Int = 16,
+                              idCol: String = "vec_id",
+                              vecCol: String = "embedding"): DataStreamWriter[org.apache.spark.sql.Row] = {
+    require(drainEvery >= 1, s"drainEvery must be >= 1: $drainEvery")
+    vecs.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        oncePerBatch(batch.sparkSession, s"$path/_applied_batches", batchId) {
+          if (batch.isEmpty) ()
+          else {
+            val s = batch.sparkSession
+            import s.implicits._
+            graft.search.KnnGraph.appendToGraphIndex(batch, path, buckets,
+              idCol, vecCol)
+            logFired(path, batchId, rules)(
+              graft.store.Maintenance.graphSignals(
+                graft.search.KnnGraph.graphIndexHealth(s, path), k,
+                indexName))
+            drainWindow(s, path, batchId, drainEvery, budgetRows,
+              dispatcherFor) {
+              val h = graft.search.KnnGraph.graphIndexHealth(s, path).head()
+              val base = Seq(
+                ("graph", indexName, "compact", h.getAs[Long]("n_edge_rows")))
+              val relayers =
+                if (!graft.io.Fs.exists(s, s"$path.layer1_conf")) Nil
+                else {
+                  val n = h.getAs[Long]("n_nodes")
+                  Seq(("graph", indexName, "relayer", n)) ++
+                    (if (graft.io.Fs.exists(s, s"$path.layer2_conf"))
+                      Seq(("graph", indexName, "relayer2", n)) else Nil)
+                }
+              (base ++ relayers)
+                .toDF("index_kind", "index_name", "action", "cost_rows")
+            }
+          }
+        }
+      }
+  }
+
   /** The per-batch body of [[lshPolicyDrainSink]] — apply + evaluate
     * + (on cadence) drain; `private[graft]` for the oracle replay. */
   private[graft] def lshPolicyDrainBatch(
@@ -433,17 +613,13 @@ object StreamIngest {
     logFired(path, batchId, rules)(
       graft.store.Maintenance.lshSignals(
         graft.search.Ann.lshIndexHealth(s, path), indexName))
-    if ((batchId + 1) % drainEvery == 0 &&
-        graft.io.Fs.exists(s, s"$path.oplog")) {
-      // the one LSH remedy reads every raw stored row (the
-      // indexMaintainCosted lsh cost model, priced at drain time)
+    // the one LSH remedy reads every raw stored row (the
+    // indexMaintainCosted lsh cost model, priced at drain time)
+    drainWindow(s, path, batchId, drainEvery, budgetRows, dispatcherFor) {
       val nRows = graft.search.Ann.lshIndexHealth(s, path).head()
         .getAs[Long]("n_rows")
-      val costs = Seq(("lsh", indexName, "compact", nRows))
+      Seq(("lsh", indexName, "compact", nRows))
         .toDF("index_kind", "index_name", "action", "cost_rows")
-      val d = dispatcherFor(batchId)
-      graft.store.Maintenance.openOrdersDrainCosted(s, path, costs,
-        budgetRows)(d.dispatch)(d.afterSignals): Unit
     }
   }
 

@@ -498,6 +498,121 @@ class StoreStreamSpec extends SparkSpec {
     assert(win == 1)
   }
 
+  test("IVF / IVF-PQ / BM25 / graph policy DRAIN sinks: every family's window drains its open debt and acknowledges") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.functions.col
+    implicit val sqlCtx = spark.sqlContext
+    val emb = spark.read.parquet(s"$sf0001/embeddings.parquet")
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+    val cents: Seq[Seq[Double]] = graft.search.Ann
+      .centroids(emb, "label", "embedding")
+      .orderBy(col("key")).collect().map(_.getSeq[Double](1).toSeq).toSeq
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-stream-famdrain").toString
+    val rows = emb.collect().map(r => (r.getAs[Long]("vec_id"),
+      r.getAs[scala.collection.Seq[Float]]("embedding").toSeq))
+    def ack(dir: String): org.apache.spark.sql.Row = {
+      val a = spark.read.parquet(s"$dir.resolutions").collect()
+      assert(a.length == 1 && a.head.getAs[Boolean]("resolved"),
+        s"$dir: ${a.toSeq}")
+      assert(graft.store.Maintenance.openOrders(spark, dir).isEmpty,
+        s"$dir: open orders must be empty after the window")
+      a.head
+    }
+    // IVF: batch 0 in-distribution, batch 1 negated -> drift fires,
+    // the batch-1 window retrains and acknowledges
+    locally {
+      val dir = s"$root/ivf"
+      graft.search.Ann.buildIvfIndex(
+        emb.select(col("vec_id"), col("embedding")), cents, dir)
+      graft.search.Ann.recordIvfModel(spark, dir, cents)
+      val input = MemoryStream[(Long, Seq[Float])]
+      val q = graft.streaming.StreamIngest.ivfPolicyDrainSink(
+        input.toDF().toDF("vec_id", "embedding"), cents, dir, "ivf",
+        drainEvery = 2, budgetRows = Long.MaxValue,
+        _ => new graft.store.Maintenance.IvfDrainDispatcher(spark, "ivf",
+          dir, cents.size, 2, s"$root/ivf-rt", cents),
+        Seq(graft.store.MaintenanceRule(
+          "ivf", "assignment_drift", 0.001, "retrain"))).start()
+      input.addData(rows.map { case (id, v) => (id + 100000, v) })
+      q.processAllAvailable()
+      input.addData(rows.take(50).map { case (id, v) =>
+        (id + 200000, v.map(x => -x)) })
+      q.processAllAvailable(); q.stop()
+      assert(ack(dir).getAs[String]("action") == "retrain")
+    }
+    // IVF-PQ: same arrival shape through the codes+vectors layout
+    locally {
+      val dir = s"$root/pq"
+      val cb = graft.search.Pq.train(emb, "vec_id", "embedding", 64, 8, 16, 2)
+      graft.search.Pq.buildIvfPqIndex(emb, cents, cb, dir)
+      graft.search.Pq.recordIvfPqModel(spark, dir, cb)
+      val input = MemoryStream[(Long, Seq[Float])]
+      val q = graft.streaming.StreamIngest.ivfPqPolicyDrainSink(
+        input.toDF().toDF("vec_id", "embedding"), cents, cb, dir, "pq",
+        drainEvery = 2, budgetRows = Long.MaxValue,
+        _ => new graft.store.Maintenance.IvfPqDrainDispatcher(spark, "pq",
+          dir, cents.size, 2, 64, 8, 16, 2, cb, s"$root/pq-rt"),
+        Seq(graft.store.MaintenanceRule(
+          "ivfpq", "recon_drift", 0.0001, "retrain"))).start()
+      input.addData(rows.map { case (id, v) => (id + 100000, v) })
+      q.processAllAvailable()
+      input.addData(rows.take(50).map { case (id, v) =>
+        (id + 200000, v.map(x => -x)) })
+      q.processAllAvailable(); q.stop()
+      assert(ack(dir).getAs[String]("action") == "retrain")
+    }
+    // BM25: self-initializing first batch; an out-of-band delete's
+    // debt surfaces at batch 1 and its window rebuckets + acknowledges
+    locally {
+      val dir = s"$root/bm25"
+      val drows = docs.select(col("doc_id"), col("text")).collect()
+        .map(r => (r.getLong(0), r.getString(1)))
+      val input = MemoryStream[(Long, String)]
+      val q = graft.streaming.StreamIngest.bm25PolicyDrainSink(
+        input.toDF().toDF("doc_id", "text"), "text", "doc_id", dir, "bm",
+        drainEvery = 2, budgetRows = Long.MaxValue,
+        _ => new graft.store.Maintenance.Bm25DrainDispatcher(spark, "bm",
+          dir, s"$root/bm25-v2"),
+        Seq(graft.store.MaintenanceRule(
+          "bm25", "tombstone_ratio", 0.10, "compact"))).start()
+      input.addData(drows.take(100).toSeq)
+      q.processAllAvailable()
+      graft.search.Lexical.deleteFromBm25Index(
+        docs.filter(col("doc_id") < 30).select(col("doc_id")), "doc_id", dir)
+      input.addData(drows.slice(100, 150).toSeq)
+      q.processAllAvailable(); q.stop()
+      assert(ack(dir).getAs[String]("signal") == "tombstone_ratio")
+    }
+    // graph: overlay appends cross the edge-debt gate; the window
+    // compacts back to the n·k floor and acknowledges
+    locally {
+      val dir = s"$root/graph"
+      val base = emb.select(col("vec_id"), col("embedding"))
+        .filter(col("vec_id") < 60)
+      graft.search.KnnGraph.writeGraphIndex(
+        graft.search.KnnGraph.exact(base, 3), base, dir, buckets = 4)
+      val input = MemoryStream[(Long, Seq[Float])]
+      val q = graft.streaming.StreamIngest.knnGraphPolicyDrainSink(
+        input.toDF().toDF("vec_id", "embedding"), dir, 3, "g",
+        drainEvery = 2, budgetRows = Long.MaxValue,
+        _ => new graft.store.Maintenance.GraphDrainDispatcher(spark, "g",
+          dir, 3, s"$root/graph-v2", buckets = 4),
+        Seq(graft.store.MaintenanceRule(
+          "graph", "edge_debt", 2.0, "compact")), buckets = 4).start()
+      input.addData(rows.take(10).map { case (id, v) => (id + 100000, v) })
+      q.processAllAvailable()
+      input.addData(rows.slice(10, 40).map { case (id, v) =>
+        (id + 200000, v) })
+      q.processAllAvailable(); q.stop()
+      assert(ack(dir).getAs[String]("action") == "compact")
+      assert(graft.search.KnnGraph
+        .graphIndexHealth(spark, s"$root/graph-v2").head()
+        .getAs[Long]("n_edge_rows") == 100L * 3,
+        "compacted generation back at the n*k floor")
+    }
+  }
+
   test("LSH policy sink: clean batch logs nothing, out-of-band delete debt surfaces at the next batch, replay is a no-op") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import org.apache.spark.sql.functions.col
