@@ -963,6 +963,61 @@ object SparkEntry {
       s.read.parquet(s"$path.resolutions")
         .orderBy(col("first_batch"), col("action"))
     }),
+    // ---- [EXT] the scheduled drain on the BM25 family (StreamIngest.
+    // bm25PolicyDrainSink — the richest remedy set: compact AND
+    // rebucket, both routed through Maintenance.Bm25DrainDispatcher's
+    // one tombstone-applying rebucket rewrite at the data-derived
+    // skewTargetBuckets count). The maintenance_order_book_stream_
+    // drained convention: four policy batches at drainEvery = 2, the
+    // sink's per-batch hook replayed batch-synchronously. The index
+    // builds at 512 term buckets — deliberately oversized, so the
+    // heaviest term's single-bucket postings mass dwarfs the expected
+    // even-hash mass and bucket_skew fires from batch 0 (a skew driven
+    // by one heavy TERM cannot be hashed away; the remedy is FEWER
+    // buckets — the rebucketBm25Index scaladoc). An out-of-band 25%
+    // delete lands after batch 0; batch 1 fires skew + tombstone and
+    // ENDS WINDOW 1 — the drain dispatches the rebucket ONCE (the
+    // compact order is subsumed: the rebucket rewrite already applied
+    // the tombstones), acknowledges BOTH orders with exact after
+    // values (tombstone 0; skew re-measured over the surviving
+    // postings at the target count). The stream keeps appending to
+    // the WATCHED path, so batches 2-3 re-fire both signals and
+    // window 2 drains only the re-opened spans. The oracle replays
+    // all four batches' skew/tombstone arithmetic (postings = distinct
+    // (term, doc) pairs, buckets = the build's fingerprint hash mod
+    // 512), both windows' open-book aggregation, the raw-health
+    // floor-division bucket targets, and both after-skews.
+    "maintenance_order_book_bm25_stream_drained" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val path = scratchDir("maint-book-bm25-sdrain")
+      Lexical.buildBm25Index(docs, "text", "doc_id", path,
+        termBuckets = 512)
+      // fresh destination generations per window (rebucket requires
+      // src != dst, and window 2 must not overwrite window 1's output)
+      var win = 0
+      val dispatcherFor: Long => graft.store.Maintenance.DrainDispatcher =
+        _ => {
+          win += 1
+          new graft.store.Maintenance.Bm25DrainDispatcher(s, "docs_bm25",
+            path, scratchDir(s"maint-book-bm25-sdrain-rb$win"))
+        }
+      def runBatch(id: Long, lo: Int, hi: Int): Unit =
+        graft.streaming.StreamIngest.bm25PolicyDrainBatch(
+          docs.filter(col("doc_id") >= lo && col("doc_id") < hi)
+            .select((col("doc_id") + 100000).as("doc_id"), col("text")),
+          id, "text", "doc_id", path, "docs_bm25",
+          graft.store.Maintenance.DefaultRules, drainEvery = 2,
+          budgetRows = Long.MaxValue, dispatcherFor)
+      runBatch(0L, 0, 100)
+      Lexical.deleteFromBm25Index(
+        docs.filter(col("doc_id") % 4 === 0).select(col("doc_id")),
+        "doc_id", path)
+      runBatch(1L, 100, 200) // window 1 drains here
+      runBatch(2L, 200, 300)
+      runBatch(3L, 300, 400) // window 2 drains here
+      s.read.parquet(s"$path.resolutions")
+        .orderBy(col("first_batch"), col("action"))
+    }),
     // ---- [EXT] the layer loop CLOSED: the same appended store →
     // frozen plan → remedies. The dispatch encodes the operational
     // rule the compact scaladoc states: the layer is DERIVED state
@@ -8730,6 +8785,91 @@ object SparkEntry {
          |       0.0::DOUBLE AS value_after, TRUE AS resolved
          |FROM (SELECT * FROM w1 UNION ALL SELECT * FROM w2)
          |ORDER BY first_batch, action""".stripMargin,
+    // the BM25 scheduled-drain replay: per-batch postings states
+    // (base ∪ cumulative shifted deltas), skew = max bucket mass over
+    // the 512-bucket even-hash expectation, tombstone ratios against
+    // the growing raw doc count, the fired log, both windows' book
+    // aggregation, the raw-health floor-division rebucket targets,
+    // and the after-skews over each window's SURVIVING postings at
+    // those targets (tombstone after = 0 — the rebucket rewrite
+    // applied them physically)
+    "maintenance_order_book_bm25_stream_drained" ->
+      s"""WITH btok AS (SELECT doc_id, unnest($toksSql) AS term FROM documents),
+         |bmp AS MATERIALIZED (SELECT term, doc_id FROM btok GROUP BY 1, 2),
+         |bn AS (SELECT count(*) AS n FROM documents),
+         |bst AS (SELECT unnest(range(0, 4)) AS b),
+         |stp AS MATERIALIZED (
+         |  SELECT s.b, p.term, p.doc_id FROM bst s, bmp p
+         |  UNION ALL
+         |  SELECT s.b, p.term, p.doc_id + 100000 FROM bst s, bmp p
+         |  WHERE p.doc_id < 100 * (s.b + 1)),
+         |spb AS (SELECT b, (${polySql("term")}) % 512 AS tb, count(*) AS bn
+         |        FROM stp GROUP BY 1, 2),
+         |stot AS (SELECT b, count(*) AS np FROM stp GROUP BY 1),
+         |skb AS (SELECT m.b, round(m.mx::DOUBLE / (t.np::DOUBLE / 512.0), 6)
+         |          AS v
+         |        FROM (SELECT b, max(bn) AS mx FROM spb GROUP BY b) m
+         |        JOIN stot t USING (b)),
+         |btmb AS (SELECT count(*) AS t FROM documents WHERE doc_id % 4 = 0),
+         |bdn AS (SELECT s.b, bn.n +
+         |          (SELECT count(*) FROM documents
+         |           WHERE doc_id < 100 * (s.b + 1)) AS nd
+         |        FROM bst s, bn),
+         |blog AS (
+         |  SELECT b::BIGINT AS batch_id, 'rebucket' AS action,
+         |         'bucket_skew' AS signal, v AS value,
+         |         3.0::DOUBLE AS threshold
+         |  FROM skb WHERE v >= 3.0
+         |  UNION ALL
+         |  SELECT b::BIGINT, 'compact', 'tombstone_ratio',
+         |         round(btmb.t::DOUBLE / bdn.nd, 6), 0.10::DOUBLE
+         |  FROM bdn, btmb
+         |  WHERE b >= 1 AND round(btmb.t::DOUBLE / bdn.nd, 6) >= 0.10),
+         |rdf AS (SELECT b, max(df) AS mdf FROM
+         |        (SELECT b, term, count(*) AS df FROM stp WHERE b IN (1, 3)
+         |         GROUP BY 1, 2) GROUP BY b),
+         |rtg AS (SELECT t.b, greatest(1, t.np // (2 * d.mdf)) AS tb
+         |        FROM stot t JOIN rdf d USING (b)),
+         |sv AS MATERIALIZED (
+         |  SELECT b, term FROM stp
+         |  WHERE b IN (1, 3) AND NOT (doc_id < 100000 AND doc_id % 4 = 0)),
+         |avb AS (SELECT s.b, (${polySql("s.term")}) % g.tb AS bb,
+         |          count(*) AS bn
+         |        FROM sv s JOIN rtg g USING (b) GROUP BY 1, 2),
+         |avt AS (SELECT b, count(*) AS np FROM sv GROUP BY 1),
+         |ask AS (SELECT m.b,
+         |          round(m.mx::DOUBLE / (t.np::DOUBLE / g.tb::DOUBLE), 6) AS v
+         |        FROM (SELECT b, max(bn) AS mx FROM avb GROUP BY b) m
+         |        JOIN avt t USING (b) JOIN rtg g USING (b)),
+         |w1 AS (
+         |  SELECT action, signal,
+         |         min(batch_id) AS first_batch, max(batch_id) AS last_batch,
+         |         count(*)::BIGINT AS n_fired,
+         |         arg_max(value, batch_id) AS last_value,
+         |         first(threshold) AS threshold,
+         |         round(arg_max(value, batch_id) / first(threshold), 6)
+         |           AS last_severity
+         |  FROM blog WHERE batch_id <= 1 GROUP BY action, signal),
+         |w2 AS (
+         |  SELECT action, signal,
+         |         min(batch_id) AS first_batch, max(batch_id) AS last_batch,
+         |         count(*)::BIGINT AS n_fired,
+         |         arg_max(value, batch_id) AS last_value,
+         |         first(threshold) AS threshold,
+         |         round(arg_max(value, batch_id) / first(threshold), 6)
+         |           AS last_severity
+         |  FROM blog WHERE batch_id > 1 GROUP BY action, signal),
+         |res AS (SELECT 1 AS wd, * FROM w1
+         |        UNION ALL SELECT 2 AS wd, * FROM w2)
+         |SELECT 'bm25' AS index_kind, 'docs_bm25' AS index_name,
+         |       r.action, r.signal, r.first_batch, r.last_batch, r.n_fired,
+         |       r.last_value, r.threshold, r.last_severity,
+         |       CASE WHEN r.signal = 'tombstone_ratio' THEN 0.0 ELSE a.v END
+         |         AS value_after,
+         |       (CASE WHEN r.signal = 'tombstone_ratio' THEN 0.0 ELSE a.v END)
+         |         < r.threshold AS resolved
+         |FROM res r LEFT JOIN ask a ON a.b = CASE WHEN r.wd = 1 THEN 1 ELSE 3 END
+         |ORDER BY r.first_batch, r.action""".stripMargin,
     // layer staleness: edge debt replays the append arithmetic at
     // d = 200; layer_missing replays the hash-sample membership of
     // every live id (due = sampled originals ∪ sampled appends;

@@ -257,6 +257,19 @@ object Ann {
       .write.partitionBy("__cluster")
       .option("maxRecordsPerFile", recordsPerFile)
       .mode("overwrite").parquet(dstPath)
+    // the recorded drift baseline MOVES with the layout (the
+    // Sq.compactIvfSqIndex contract): compaction changes bytes, not
+    // contents — meanAssignSim already excluded tombstoned rows, so
+    // the baseline stays valid on the compacted generation. Guarded
+    // per sidecar (recordIvfModel writes model before stats; a crash
+    // between the two must not fail the compact); the stale-dst case
+    // is covered by resetDstSidecars' unconditional delete above.
+    if (graft.io.Fs.exists(spark, s"$srcPath.model"))
+      spark.read.parquet(s"$srcPath.model").coalesce(1)
+        .write.mode("overwrite").parquet(s"$dstPath.model")
+    if (graft.io.Fs.exists(spark, s"$srcPath.stats"))
+      spark.read.parquet(s"$srcPath.stats").coalesce(1)
+        .write.mode("overwrite").parquet(s"$dstPath.stats")
   }
 
   /** Reset a compact DESTINATION's stale sidecars — the
@@ -269,10 +282,15 @@ object Ann {
     * drained-through batch makes [[graft.store.Maintenance.openOrders]]
     * silently close the new generation's firings. The data dir's own
     * `_applied_batches` markers go with the overwrite for single-dir
-    * indexes; composed stores (SQ8/IVF-PQ) reset theirs explicitly. */
+    * indexes; composed stores (SQ8/IVF-PQ) reset theirs explicitly.
+    * `.model`/`.stats` reset UNCONDITIONALLY before any guarded copy
+    * (round-18 advice): a reused dst whose source never recorded a
+    * baseline must not keep the previous generation's — the next
+    * drift read would serve a wrong baseline instead of failing. */
   private[search] def resetDstSidecars(spark: org.apache.spark.sql.SparkSession,
                                        dstPath: String): Unit =
-    Seq(s"$dstPath.tombstones", s"$dstPath.oplog", s"$dstPath.resolutions")
+    Seq(s"$dstPath.tombstones", s"$dstPath.oplog", s"$dstPath.resolutions",
+        s"$dstPath.model", s"$dstPath.stats")
       .foreach(graft.io.Fs.delete(spark, _))
 
   /** Search a materialized IVF index: probes are ranked driver-side

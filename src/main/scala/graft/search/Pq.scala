@@ -568,9 +568,12 @@ object Pq {
       "compact rewrites the layout: dstPath must differ from srcPath")
     // store-level dst sidecar reset (round-17 advice; the
     // Sq.compactIvfSqIndex rationale — a reused dst path must not keep
-    // the previous generation's order book or batch markers)
+    // the previous generation's order book or batch markers). The
+    // recorded error baseline resets UNCONDITIONALLY before the
+    // guarded copy (round-18 advice): a reused dst whose source never
+    // recorded one must not serve a stale previous-generation baseline.
     Seq(s"$dstPath.oplog", s"$dstPath.resolutions",
-        s"$dstPath/_applied_batches")
+        s"$dstPath/_applied_batches", s"$dstPath/codes.qstats")
       .foreach(graft.io.Fs.delete(spark, _))
     Ann.compactIvfIndex(spark, s"$srcPath/codes", s"$dstPath/codes",
       recordsPerFile, idCol)
@@ -579,6 +582,14 @@ object Pq {
       .repartitionByRange(col(idCol)).sortWithinPartitions(col(idCol))
       .write.option("maxRecordsPerFile", recordsPerFile)
       .mode("overwrite").parquet(s"$dstPath/vectors")
+    // the recorded recon-error baseline MOVES with the layout (the
+    // Sq.compactIvfSqIndex contract): compaction changes bytes, not
+    // contents — reconstructionDrift's current side already excludes
+    // tombstoned rows, so the baseline stays valid, and a compacted
+    // index that silently lost it would fail the next drift read
+    if (graft.io.Fs.exists(spark, s"$srcPath/codes.qstats"))
+      spark.read.parquet(s"$srcPath/codes.qstats").coalesce(1)
+        .write.mode("overwrite").parquet(s"$dstPath/codes.qstats")
   }
 
   /** The pruned-codes ADC shortlist of a materialized index probe —

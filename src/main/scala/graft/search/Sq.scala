@@ -172,9 +172,13 @@ object Sq {
     // firings in openOrders. The composed store's own _applied_batches
     // markers live INSIDE dstPath (the per-side overwrites don't
     // remove the parent dir), so they reset here too; the codes-side
-    // sidecars reset inside compactIvfIndex.
+    // sidecars reset inside compactIvfIndex. The recorded .model/.stats
+    // reset UNCONDITIONALLY before the guarded copy below (round-18
+    // advice): a reused dst whose SOURCE never recorded a baseline must
+    // not keep the previous generation's — the next drift read would
+    // serve a wrong baseline instead of failing on the missing sidecar.
     Seq(s"$dstPath.oplog", s"$dstPath.resolutions",
-        s"$dstPath/_applied_batches")
+        s"$dstPath/_applied_batches", s"$dstPath.model", s"$dstPath.stats")
       .foreach(graft.io.Fs.delete(spark, _))
     Ann.compactIvfIndex(spark, s"$srcPath/codes", s"$dstPath/codes",
       recordsPerFile, idCol)

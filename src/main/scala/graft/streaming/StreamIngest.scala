@@ -357,19 +357,11 @@ object StreamIngest {
       logFired(path, batchId, rules)(
         graft.store.Maintenance.sqSignals(d, h, indexName))
     }
-    // the drain window: every drainEvery-th APPLIED batch (batch ids
-    // are the stream's own sequence — the cadence replays stably);
-    // both rewrite remedies read every raw stored row, re_record is
-    // stats-only (the indexMaintainCosted sq8 cost model, priced
-    // from the store's own health at drain time)
-    drainWindow(s, path, batchId, drainEvery, budgetRows, dispatcherFor) {
-      val nRows = graft.search.Sq.ivfSqHealth(s, path).head()
-        .getAs[Long]("n_rows")
-      Seq(("sq8", indexName, "retrain", nRows),
-        ("sq8", indexName, "compact", nRows),
-        ("sq8", indexName, "re_record", 0L))
-        .toDF("index_kind", "index_name", "action", "cost_rows")
-    }
+    // the drain window: every drainEvery-th batch id (the stream's own
+    // sequence — the cadence replays stably); both rewrite remedies
+    // read every raw stored row, re_record is stats-only
+    drainWindow(s, path, batchId, drainEvery, budgetRows, dispatcherFor)(
+      sqDrainCosts(s, path, indexName))
   }
 
   /** [[ivfSqPolicySink]] with the drain SCHEDULED INTO the stream —
@@ -407,7 +399,14 @@ object StreamIngest {
       .outputMode("append")
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         oncePerBatch(batch.sparkSession, s"$path/_applied_batches", batchId) {
-          if (batch.isEmpty) ()
+          // an EMPTY cadence batch still runs its window (round-18
+          // advice): the batch id is consumed either way, and open
+          // orders must not wait another drainEvery batches because
+          // the source happened to idle
+          if (batch.isEmpty)
+            drainWindow(batch.sparkSession, path, batchId, drainEvery,
+              budgetRows, dispatcherFor)(
+              sqDrainCosts(batch.sparkSession, path, indexName))
           else ivfSqPolicyDrainBatch(batch, batchId, cents, path, indexName,
             rules, drainEvery, budgetRows, dispatcherFor, idCol, vecCol)
         }
@@ -418,7 +417,13 @@ object StreamIngest {
     * price the store's remedies (`costs` — the family's
     * indexMaintainCosted model, read at drain time) and run the
     * open-orders drain through a fresh per-window dispatcher. Runs
-    * INSIDE the caller's batch marker. */
+    * INSIDE the caller's batch marker, on EVERY `drainEvery`-th batch
+    * id — empty batches included (round-18 advice: an empty cadence
+    * batch still consumes its batch id and marker, so skipping its
+    * window would silently park open orders for up to another
+    * `drainEvery` batches). The oplog-exists guard keeps the
+    * never-applied-a-row stream a no-op: no orders, no store to
+    * price. */
   private def drainWindow(spark: SparkSession, path: String, batchId: Long,
                           drainEvery: Int, budgetRows: Long,
                           dispatcherFor: Long => graft.store.Maintenance.DrainDispatcher)
@@ -429,6 +434,78 @@ object StreamIngest {
       graft.store.Maintenance.openOrdersDrainCosted(spark, path, costs,
         budgetRows)(d.dispatch)(d.afterSignals): Unit
     }
+
+  /** Each family's drain-window PRICES — the indexMaintainCosted cost
+    * model read from the store's OWN health at drain time (rewrite
+    * remedies scan every raw stored row; stats-only remedies cost 0).
+    * One helper per family so the non-empty batch body and the
+    * empty-cadence-batch window price identically. */
+  private def sqDrainCosts(s: SparkSession, path: String,
+                           indexName: String): DataFrame = {
+    import s.implicits._
+    val nRows = graft.search.Sq.ivfSqHealth(s, path).head()
+      .getAs[Long]("n_rows")
+    Seq(("sq8", indexName, "retrain", nRows),
+      ("sq8", indexName, "compact", nRows),
+      ("sq8", indexName, "re_record", 0L))
+      .toDF("index_kind", "index_name", "action", "cost_rows")
+  }
+
+  private def ivfDrainCosts(s: SparkSession, path: String,
+                            indexName: String): DataFrame = {
+    import s.implicits._
+    val n = graft.search.Ann.ivfIndexHealth(s, path).head()
+      .getAs[Long]("n_rows")
+    Seq(("ivf", indexName, "retrain", n),
+      ("ivf", indexName, "re_record", 0L))
+      .toDF("index_kind", "index_name", "action", "cost_rows")
+  }
+
+  private def ivfPqDrainCosts(s: SparkSession, path: String,
+                              indexName: String): DataFrame = {
+    import s.implicits._
+    val n = graft.search.Ann.ivfIndexHealth(s, s"$path/codes").head()
+      .getAs[Long]("n_rows")
+    Seq(("ivfpq", indexName, "retrain", n))
+      .toDF("index_kind", "index_name", "action", "cost_rows")
+  }
+
+  private def bm25DrainCosts(s: SparkSession, path: String,
+                             indexName: String): DataFrame = {
+    import s.implicits._
+    val n = graft.search.Lexical.bm25IndexHealth(s, path).head()
+      .getAs[Long]("n_postings")
+    Seq(("bm25", indexName, "compact", n),
+      ("bm25", indexName, "rebucket", n))
+      .toDF("index_kind", "index_name", "action", "cost_rows")
+  }
+
+  private def graphDrainCosts(s: SparkSession, path: String,
+                              indexName: String): DataFrame = {
+    import s.implicits._
+    val h = graft.search.KnnGraph.graphIndexHealth(s, path).head()
+    val base = Seq(
+      ("graph", indexName, "compact", h.getAs[Long]("n_edge_rows")))
+    val relayers =
+      if (!graft.io.Fs.exists(s, s"$path.layer1_conf")) Nil
+      else {
+        val n = h.getAs[Long]("n_nodes")
+        Seq(("graph", indexName, "relayer", n)) ++
+          (if (graft.io.Fs.exists(s, s"$path.layer2_conf"))
+            Seq(("graph", indexName, "relayer2", n)) else Nil)
+      }
+    (base ++ relayers)
+      .toDF("index_kind", "index_name", "action", "cost_rows")
+  }
+
+  private def lshDrainCosts(s: SparkSession, path: String,
+                            indexName: String): DataFrame = {
+    import s.implicits._
+    val nRows = graft.search.Ann.lshIndexHealth(s, path).head()
+      .getAs[Long]("n_rows")
+    Seq(("lsh", indexName, "compact", nRows))
+      .toDF("index_kind", "index_name", "action", "cost_rows")
+  }
 
   /** [[ivfSqPolicyDrainSink]]'s contract on the plain IVF family:
     * append + gated policy evaluation + the scheduled open-orders
@@ -447,25 +524,18 @@ object StreamIngest {
       .outputMode("append")
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         oncePerBatch(batch.sparkSession, s"$path/_applied_batches", batchId) {
-          if (batch.isEmpty) ()
-          else {
-            val s = batch.sparkSession
-            import s.implicits._
+          val s = batch.sparkSession
+          if (!batch.isEmpty) {
             graft.search.Ann.appendToIvfIndex(batch, cents, path, vecCol)
             if (graft.io.Fs.exists(s, s"$path.stats"))
               logFired(path, batchId, rules)(
                 graft.store.Maintenance.ivfSignals(
                   graft.search.Ann.assignmentDrift(s, path, vecCol = vecCol),
                   indexName))
-            drainWindow(s, path, batchId, drainEvery, budgetRows,
-              dispatcherFor) {
-              val n = graft.search.Ann.ivfIndexHealth(s, path).head()
-                .getAs[Long]("n_rows")
-              Seq(("ivf", indexName, "retrain", n),
-                ("ivf", indexName, "re_record", 0L))
-                .toDF("index_kind", "index_name", "action", "cost_rows")
-            }
           }
+          // runs for empty cadence batches too (round-18 advice)
+          drainWindow(s, path, batchId, drainEvery, budgetRows,
+            dispatcherFor)(ivfDrainCosts(s, path, indexName))
         }
       }
   }
@@ -486,10 +556,8 @@ object StreamIngest {
       .outputMode("append")
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         oncePerBatch(batch.sparkSession, s"$path/_applied_batches", batchId) {
-          if (batch.isEmpty) ()
-          else {
-            val s = batch.sparkSession
-            import s.implicits._
+          val s = batch.sparkSession
+          if (!batch.isEmpty) {
             graft.search.Pq.appendToIvfPqIndex(batch, cents, cb, path,
               idCol, vecCol)
             if (graft.io.Fs.exists(s, s"$path/codes.qstats"))
@@ -497,16 +565,37 @@ object StreamIngest {
                 graft.store.Maintenance.pqSignals(
                   graft.search.Pq.reconstructionDrift(s, path, cb, idCol,
                     vecCol), indexName))
-            drainWindow(s, path, batchId, drainEvery, budgetRows,
-              dispatcherFor) {
-              val n = graft.search.Ann.ivfIndexHealth(s, s"$path/codes")
-                .head().getAs[Long]("n_rows")
-              Seq(("ivfpq", indexName, "retrain", n))
-                .toDF("index_kind", "index_name", "action", "cost_rows")
-            }
           }
+          // runs for empty cadence batches too (round-18 advice)
+          drainWindow(s, path, batchId, drainEvery, budgetRows,
+            dispatcherFor)(ivfPqDrainCosts(s, path, indexName))
         }
       }
+  }
+
+  /** The per-batch body of [[bm25PolicyDrainSink]] — apply + evaluate
+    * + (on cadence) drain — exposed `private[graft]` so the
+    * oracle-verified query (`maintenance_order_book_bm25_stream_
+    * drained`) can replay the sink's exact logic batch-synchronously
+    * (the [[ivfSqPolicyDrainBatch]] convention). */
+  private[graft] def bm25PolicyDrainBatch(
+      batch: DataFrame, batchId: Long, textCol: String, idCol: String,
+      path: String, indexName: String,
+      rules: Seq[graft.store.MaintenanceRule], drainEvery: Int,
+      budgetRows: Long,
+      dispatcherFor: Long => graft.store.Maintenance.DrainDispatcher): Unit = {
+    val s = batch.sparkSession
+    try graft.search.Lexical.appendToBm25Index(batch, textCol, idCol, path)
+    catch {
+      case _: IllegalStateException => // no stats/ yet: first batch builds
+        graft.search.Lexical.buildBm25Index(batch, textCol, idCol, path)
+    }
+    logFired(path, batchId, rules)(
+      graft.store.Maintenance.bm25Signals(
+        graft.search.Lexical.bm25IndexHealth(s, path), indexName))
+    // both mechanical remedies price the raw postings scan
+    drainWindow(s, path, batchId, drainEvery, budgetRows, dispatcherFor)(
+      bm25DrainCosts(s, path, indexName))
   }
 
   /** [[ivfSqPolicyDrainSink]]'s contract on the BM25 family: both
@@ -523,27 +612,15 @@ object StreamIngest {
       .outputMode("append")
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         oncePerBatch(batch.sparkSession, s"$path/_applied_batches", batchId) {
-          if (batch.isEmpty) ()
-          else {
-            val s = batch.sparkSession
-            import s.implicits._
-            try graft.search.Lexical.appendToBm25Index(batch, textCol, idCol, path)
-            catch {
-              case _: IllegalStateException => // no stats/ yet: first batch builds
-                graft.search.Lexical.buildBm25Index(batch, textCol, idCol, path)
-            }
-            logFired(path, batchId, rules)(
-              graft.store.Maintenance.bm25Signals(
-                graft.search.Lexical.bm25IndexHealth(s, path), indexName))
-            drainWindow(s, path, batchId, drainEvery, budgetRows,
-              dispatcherFor) {
-              val n = graft.search.Lexical.bm25IndexHealth(s, path).head()
-                .getAs[Long]("n_postings")
-              Seq(("bm25", indexName, "compact", n),
-                ("bm25", indexName, "rebucket", n))
-                .toDF("index_kind", "index_name", "action", "cost_rows")
-            }
-          }
+          // empty cadence batches still run their window (round-18
+          // advice); the oplog-exists guard covers the
+          // first-batch-never-built case
+          if (batch.isEmpty)
+            drainWindow(batch.sparkSession, path, batchId, drainEvery,
+              budgetRows, dispatcherFor)(
+              bm25DrainCosts(batch.sparkSession, path, indexName))
+          else bm25PolicyDrainBatch(batch, batchId, textCol, idCol, path,
+            indexName, rules, drainEvery, budgetRows, dispatcherFor)
         }
       }
   }
@@ -567,33 +644,18 @@ object StreamIngest {
       .outputMode("append")
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         oncePerBatch(batch.sparkSession, s"$path/_applied_batches", batchId) {
-          if (batch.isEmpty) ()
-          else {
-            val s = batch.sparkSession
-            import s.implicits._
+          val s = batch.sparkSession
+          if (!batch.isEmpty) {
             graft.search.KnnGraph.appendToGraphIndex(batch, path, buckets,
               idCol, vecCol)
             logFired(path, batchId, rules)(
               graft.store.Maintenance.graphSignals(
                 graft.search.KnnGraph.graphIndexHealth(s, path), k,
                 indexName))
-            drainWindow(s, path, batchId, drainEvery, budgetRows,
-              dispatcherFor) {
-              val h = graft.search.KnnGraph.graphIndexHealth(s, path).head()
-              val base = Seq(
-                ("graph", indexName, "compact", h.getAs[Long]("n_edge_rows")))
-              val relayers =
-                if (!graft.io.Fs.exists(s, s"$path.layer1_conf")) Nil
-                else {
-                  val n = h.getAs[Long]("n_nodes")
-                  Seq(("graph", indexName, "relayer", n)) ++
-                    (if (graft.io.Fs.exists(s, s"$path.layer2_conf"))
-                      Seq(("graph", indexName, "relayer2", n)) else Nil)
-                }
-              (base ++ relayers)
-                .toDF("index_kind", "index_name", "action", "cost_rows")
-            }
           }
+          // runs for empty cadence batches too (round-18 advice)
+          drainWindow(s, path, batchId, drainEvery, budgetRows,
+            dispatcherFor)(graphDrainCosts(s, path, indexName))
         }
       }
   }
@@ -615,12 +677,8 @@ object StreamIngest {
         graft.search.Ann.lshIndexHealth(s, path), indexName))
     // the one LSH remedy reads every raw stored row (the
     // indexMaintainCosted lsh cost model, priced at drain time)
-    drainWindow(s, path, batchId, drainEvery, budgetRows, dispatcherFor) {
-      val nRows = graft.search.Ann.lshIndexHealth(s, path).head()
-        .getAs[Long]("n_rows")
-      Seq(("lsh", indexName, "compact", nRows))
-        .toDF("index_kind", "index_name", "action", "cost_rows")
-    }
+    drainWindow(s, path, batchId, drainEvery, budgetRows, dispatcherFor)(
+      lshDrainCosts(s, path, indexName))
   }
 
   /** [[ivfSqPolicyDrainSink]]'s contract on the LSH family — the
@@ -641,7 +699,12 @@ object StreamIngest {
       .outputMode("append")
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         oncePerBatch(batch.sparkSession, s"$path/_applied_batches", batchId) {
-          if (batch.isEmpty) ()
+          // empty cadence batches still run their window (round-18
+          // advice)
+          if (batch.isEmpty)
+            drainWindow(batch.sparkSession, path, batchId, drainEvery,
+              budgetRows, dispatcherFor)(
+              lshDrainCosts(batch.sparkSession, path, indexName))
           else lshPolicyDrainBatch(batch, batchId, planes, path, indexName,
             rules, drainEvery, budgetRows, dispatcherFor, vecCol)
         }
