@@ -171,6 +171,17 @@ object SparkEntry {
     graft.store.MaintenanceRule("sq8", "assignment_drift", 0.005, "retrain"),
     graft.store.MaintenanceRule("sq8", "tombstone_ratio", 0.10, "compact"))
 
+  /** The TWO-FAMILY book's rule set (`maintenance_order_book_mixed_
+    * drained`): the sq8 drift gate drops to 0.002 because the fixture
+    * appends a FIXED 400 negated rows against a corpus that grows with
+    * the scale factor — dilution is |appends|/n, and 0.002 keeps the
+    * firing ≥ 1.3× at every tested SF (0.018 at sf0.01, 0.0029 at
+    * sf0.1). Graph edge debt keeps its DefaultRules threshold. */
+  private val MixedBookRules = Seq(
+    graft.store.MaintenanceRule("sq8", "assignment_drift", 0.002, "retrain"),
+    graft.store.MaintenanceRule("sq8", "tombstone_ratio", 0.10, "compact"),
+    graft.store.MaintenanceRule("graph", "edge_debt", 2.0, "compact"))
+
   /** The SQ8 two-batch ORDER-BOOK fixture shared by the whole drain
     * family (round-17 verdict item 4: four queries rebuilt it
     * independently): build + record a drift baseline at `path`, then
@@ -1017,6 +1028,76 @@ object SparkEntry {
       runBatch(3L, 300, 400) // window 2 drains here
       s.read.parquet(s"$path.resolutions")
         .orderBy(col("first_batch"), col("action"))
+    }),
+    // ---- [EXT] a TWO-FAMILY book drained through ONE
+    // Maintenance.defaultDispatch call — foreign-order isolation
+    // pinned end-to-end under a hash (round-18 verdict item 7: the
+    // registry composes all six dispatchers, but every drained query
+    // exercised one family at a time; MaintenanceSpec pins only the
+    // unit case). Fixture: an SQ8 store drifted by 400 negated
+    // appends with a 25% out-of-band delete, and a kNN-graph store
+    // carrying 10 appended nodes' candidate-row debt — BOTH stores'
+    // signals evaluated into ONE shared order book (cross-family
+    // severity ranking in one plan call). The drain walks the ranked
+    // book once; EVERY dispatcher sees EVERY order and acts only on
+    // its own (kind, name) — the sq8 dispatcher must ignore the graph
+    // compact and vice versa, or a foreign remedy rewrites the wrong
+    // store. Acknowledgments carry exact identities: retrain re-records
+    // from the very contents the drift reads (0 by identity) and
+    // clears the tombstones; the graph compact rewrites to exactly
+    // (n+d)·k edges (debt 1). The oracle replays both stores' signal
+    // derivations, the shared rule join, and all three after values.
+    "maintenance_order_book_mixed_drained" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val bk = scratchDir("maint-book-mixed")
+      val sqPath = scratchDir("maint-book-mixed-sq")
+      val gPath = scratchDir("maint-book-mixed-g")
+      val cents: Seq[Seq[Double]] = Ann.centroids(emb, "label", "embedding")
+        .orderBy(col("key")).collect().map(_.getSeq[Double](1).toSeq).toSeq
+      // the two stores' disrepair sequences are independent — build
+      // each on its own driver thread
+      parUnit(
+        () => {
+          graft.search.Sq.buildIvfSqIndex(emb, cents, sqPath)
+          graft.search.Sq.recordIvfSqModel(s, sqPath, cents)
+          graft.search.Sq.appendToIvfSqIndex(
+            emb.filter(col("vec_id") < 400)
+              .select((col("vec_id") + 100000).as("vec_id"),
+                transform(col("embedding"), x => -x).as("embedding")),
+            cents, sqPath)
+          graft.search.Sq.deleteFromIvfSqIndex(
+            emb.filter(col("vec_id") % 4 === 0).select(col("vec_id")),
+            sqPath)
+        },
+        () => {
+          graft.search.KnnGraph.writeGraphIndex(
+            nndGraph(s, dir, 5), emb, gPath)
+          graft.search.KnnGraph.appendToGraphIndex(
+            emb.filter(col("vec_id") < 10)
+              .select((col("vec_id") + 100000).as("vec_id"),
+                reverse(col("embedding")).as("embedding")), gPath)
+        })
+      // ONE shared book: both families' signals through one plan call
+      val (d, h) = graft.io.Par.join2(
+        graft.search.Sq.ivfSqDrift(s, sqPath),
+        graft.search.Sq.ivfSqHealth(s, sqPath))
+      graft.store.Maintenance.plan(
+          graft.store.Maintenance.sqSignals(d, h, "events_vec_sq8")
+            .unionAll(graft.store.Maintenance.graphSignals(
+              graft.search.KnnGraph.graphIndexHealth(s, gPath), 5,
+              "embeddings_graph")),
+          MixedBookRules)
+        .withColumn("batch_id", lit(0L))
+        .write.mode("append").parquet(s"$bk.oplog")
+      val sqD = new graft.store.Maintenance.SqDrainDispatcher(s,
+        "events_vec_sq8", sqPath, cents.size, 2,
+        scratchDir("maint-book-mixed-rt"),
+        scratchDir("maint-book-mixed-cmp"))
+      val gD = new graft.store.Maintenance.GraphDrainDispatcher(s,
+        "embeddings_graph", gPath, 5, scratchDir("maint-book-mixed-gcmp"))
+      val (disp, after) = graft.store.Maintenance.defaultDispatch(
+        Seq(sqD, gD))
+      graft.store.Maintenance.orderBookDrain(s, bk)(disp)(after())
     }),
     // ---- [EXT] the layer loop CLOSED: the same appended store →
     // frozen plan → remedies. The dispatch encodes the operational
@@ -8870,6 +8951,72 @@ object SparkEntry {
          |         < r.threshold AS resolved
          |FROM res r LEFT JOIN ask a ON a.b = CASE WHEN r.wd = 1 THEN 1 ELSE 3 END
          |ORDER BY r.first_batch, r.action""".stripMargin,
+    // the mixed two-family drain replay: the sq8 drift over survivors
+    // ∪ 400 negated appends, the raw-denominator tombstone ratio, the
+    // graph append's candidate-row debt identity, the shared rule
+    // join, and the three exact after values (retrain re-records from
+    // the contents the drift reads → 0; compact clears tombstones →
+    // 0; graph compact rewrites to exactly (n+d)·k edges → 1)
+    "maintenance_order_book_mixed_drained" ->
+      s"""WITH $labelDriftCtes,
+         |xng AS MATERIALIZED (
+         |  SELECT e.vec_id + 100000 AS vec_id,
+         |         max(list_dot_product(list_transform(e.embedding, x -> -x)::DOUBLE[],
+         |                              c.centroid) /
+         |             (sqrt(list_dot_product(e.embedding::DOUBLE[],
+         |                                    e.embedding::DOUBLE[])) *
+         |              sqrt(list_dot_product(c.centroid, c.centroid)))) AS ms
+         |  FROM embeddings e CROSS JOIN bcl c
+         |  WHERE e.vec_id < 400 GROUP BY e.vec_id),
+         |xc AS (SELECT round(avg(ms), 6) AS c FROM
+         |       (SELECT ms FROM ms WHERE vec_id % 4 <> 0
+         |        UNION ALL SELECT ms FROM xng)),
+         |xd AS (SELECT round(mb.b - xc.c, 6) AS drift FROM mb, xc),
+         |xn AS (SELECT count(*) AS n FROM embeddings),
+         |xt AS (SELECT count(*) AS t FROM embeddings WHERE vec_id % 4 = 0),
+         |sig AS (
+         |  SELECT 'sq8' AS index_kind, 'events_vec_sq8' AS index_name,
+         |         'assignment_drift' AS signal,
+         |         greatest(drift, 0.0) AS value
+         |  FROM xd
+         |  UNION ALL
+         |  SELECT 'sq8', 'events_vec_sq8', 'tombstone_ratio',
+         |         round(xt.t::DOUBLE / (xn.n + 400), 6)
+         |  FROM xn, xt
+         |  UNION ALL
+         |  SELECT 'graph', 'embeddings_graph', 'edge_debt',
+         |         round((xn.n * 5 + xn.n * 10 + 10 * (xn.n + 9))::DOUBLE /
+         |               (5.0 * (xn.n + 10)), 6)
+         |  FROM xn),
+         |mrules AS (
+         |  SELECT * FROM (VALUES
+         |    ('sq8', 'assignment_drift', 0.002, 'retrain'),
+         |    ('sq8', 'tombstone_ratio', 0.10, 'compact'),
+         |    ('graph', 'edge_debt', 2.0, 'compact'))
+         |    t(index_kind, signal, threshold, action)),
+         |fired AS (
+         |  SELECT s.index_kind, s.index_name, r.action, s.signal,
+         |         round(s.value, 6) AS value, r.threshold::DOUBLE AS threshold,
+         |         round(s.value / r.threshold, 6) AS severity
+         |  FROM sig s JOIN mrules r USING (index_kind, signal)
+         |  WHERE s.value >= r.threshold),
+         |aft AS (
+         |  SELECT 'sq8' AS index_kind, 'events_vec_sq8' AS index_name,
+         |         'assignment_drift' AS signal, 0.0 AS value_after
+         |  UNION ALL SELECT 'sq8', 'events_vec_sq8', 'tombstone_ratio', 0.0
+         |  UNION ALL SELECT 'graph', 'embeddings_graph', 'edge_debt',
+         |    (SELECT round(((xn.n + 10) * 5)::DOUBLE /
+         |                  (5.0 * (xn.n + 10)), 6) FROM xn))
+         |SELECT f.index_kind, f.index_name, f.action, f.signal,
+         |       0::BIGINT AS first_batch, 0::BIGINT AS last_batch,
+         |       1::BIGINT AS n_fired, f.value AS last_value, f.threshold,
+         |       f.severity AS last_severity,
+         |       round(a.value_after, 6) AS value_after,
+         |       a.value_after < f.threshold AS resolved
+         |FROM fired f LEFT JOIN aft a
+         |  USING (index_kind, index_name, signal)
+         |ORDER BY last_severity DESC, index_kind, index_name, action,
+         |         signal""".stripMargin,
     // layer staleness: edge debt replays the append arithmetic at
     // d = 200; layer_missing replays the hash-sample membership of
     // every live id (due = sampled originals ∪ sampled appends;
