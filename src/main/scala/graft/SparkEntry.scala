@@ -3492,6 +3492,33 @@ object SparkEntry {
           vocab, maxPieceLen = 4)
         .orderBy(col("doc_id"), col("wpos"), col("ppos"))
     }),
+    // ---- [EXT] encode OUT-OF-VOCABULARY text (round-18 verdict item
+    // 3: unknown-alphabet words used to be silently dropped): every
+    // doc's text gains three fixture words — 'exza7ple' and 'q#ix'
+    // mix trained chars with chars NO training document contains
+    // ('x', 'z', '7', '#' — the corpus alphabet is a-w,y), and an
+    // 18-char word exceeds the encode length cap. Unknown chars emit
+    // forced '<unk>' single-char pieces (the char-fallback
+    // convention; the penalty cancels — the fallback edge is the ONLY
+    // edge covering its position, so every path pays it equally);
+    // known substrings of the same words still segment normally; the
+    // over-cap word is dropped with doc positions intact on BOTH
+    // engines (the round-18-advice symmetric cap). The oracle replays
+    // the training chain, the LEFT-join fallback edge set, and the
+    // capped word relation.
+    "unigram_encode_oov" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val vocab = graft.text.Unigram.trainUnigram(docs, "text",
+        vocabSize = 120, maxPieceLen = 4, maxWordLen = 16,
+        seedSize = 400, rounds = 2)
+      graft.text.Unigram.encode(
+          docs.filter(col("doc_id") < 20)
+            .select(col("doc_id"),
+              concat(col("text"),
+                lit(" exza7ple q#ix abcdefghijklmnopqr")).as("text")),
+          "text", vocab, maxPieceLen = 4)
+        .orderBy(col("doc_id"), col("wpos"), col("ppos"))
+    }),
     // ---- [EXT] unigram FERTILITY per language — the bpe_fertility
     // gate on the trained unigram vocabulary (pieces emitted per
     // whitespace token; a language the tokenizer fragments pays more
@@ -7357,8 +7384,12 @@ object SparkEntry {
   private object UnigramSqlGen {
     val MaxW = 16; val MaxP = 4; val Seed = 400; val Vocab = 120
 
-    /** Segment every `wd` word against vocab `vRel` → `{p}use`. */
-    private def segCtes(vRel: String, p: String): String = {
+    /** Segment every `wordsRel` word against vocab `vRel` → `{p}use`.
+      * With `unk`, single-char substrings with no vocab piece become
+      * forced `<unk>` edges at the serving penalty (LEFT join + the
+      * single-char filter — Unigram.segmented's fallback, replayed). */
+    private def segCtes(vRel: String, p: String, wordsRel: String = "wd",
+                        unk: Boolean = false): String = {
       val steps = (0 until MaxW).foldLeft(
         s"SELECT w, wc, dp, len(w)::BIGINT AS n0 FROM ${p}dp") { (inner, k) =>
         s"""SELECT *,
@@ -7368,18 +7399,24 @@ object SparkEntry {
            |    FROM ($inner) q$k""".stripMargin
       }
       val rev = (MaxW to 1 by -1).map(k => s"p$k").mkString(", ")
+      val (joinKind, edgeFilter, pieceExpr, lpExpr) =
+        if (!unk) ("JOIN", "", "m.piece", "l.lp")
+        else ("LEFT JOIN",
+          "\n  WHERE l.piece IS NOT NULL OR m.e0 - m.s0 = 1",
+          "CASE WHEN l.piece IS NULL THEN '<unk>' ELSE m.piece END",
+          "coalesce(l.lp, -100.0)")
       s"""${p}tot AS (SELECT sum(cnt)::DOUBLE AS t FROM $vRel),
          |${p}lp AS MATERIALIZED (
          |  SELECT piece, round(ln(cnt::DOUBLE / t), 6) AS lp FROM $vRel, ${p}tot),
          |${p}ed AS MATERIALIZED (
          |  SELECT m.w, m.wc,
-         |         list_sort(list({'e': m.e0, 's': m.s0, 'p': m.piece,
-         |                         'lp': l.lp})) AS edges
+         |         list_sort(list({'e': m.e0, 's': m.s0, 'p': $pieceExpr,
+         |                         'lp': $lpExpr})) AS edges
          |  FROM (SELECT w, wc, i - 1 AS s0, i - 1 + l AS e0,
          |               substr(w, i::INT, l::INT) AS piece
-         |        FROM wd, range(1, $MaxW+1) t(i), range(1, $MaxP+1) u(l)
+         |        FROM $wordsRel, range(1, $MaxW+1) t(i), range(1, $MaxP+1) u(l)
          |        WHERE i + l - 1 <= len(w)) m
-         |  JOIN ${p}lp l ON l.piece = m.piece
+         |  $joinKind ${p}lp l ON l.piece = m.piece$edgeFilter
          |  GROUP BY m.w, m.wc),
          |${p}dp AS MATERIALIZED (
          |  SELECT w, wc,
@@ -7465,6 +7502,32 @@ object SparkEntry {
          |  SELECT wp.doc_id, wp.wpos, unnest(s.bt) AS piece,
          |         generate_subscripts(s.bt, 1) - 1 AS ppos
          |  FROM wp JOIN fseg s USING (w))
+         |ORDER BY doc_id, wpos, ppos""".stripMargin
+
+    /** OOV encode replay: the modified docs' DISTINCT capped words
+      * (originals + the appended OOV fixture words) segmented against
+      * the final vocab WITH the `<unk>` char fallback; the
+      * 18-char appended word falls out of the length-capped word
+      * relation on both engines (the symmetric encode cap). */
+    val encodeOovSql: String =
+      s"""WITH $chain,
+         |xdoc AS (
+         |  SELECT doc_id, text || ' exza7ple q#ix abcdefghijklmnopqr' AS text
+         |  FROM documents WHERE doc_id < 20),
+         |xwd AS MATERIALIZED (
+         |  SELECT w, 1::BIGINT AS wc FROM (
+         |    SELECT DISTINCT unnest($toksSql) AS w FROM xdoc)
+         |  WHERE len(w) <= $MaxW),
+         |${segCtes("v2", "x", "xwd", unk = true)},
+         |wp AS (
+         |  SELECT doc_id, unnest(toks) AS w,
+         |         generate_subscripts(toks, 1) - 1 AS wpos
+         |  FROM (SELECT doc_id, $toksSql AS toks FROM xdoc))
+         |SELECT doc_id, wpos::BIGINT AS wpos, ppos::BIGINT AS ppos, piece
+         |FROM (
+         |  SELECT wp.doc_id, wp.wpos, unnest(s.bt) AS piece,
+         |         generate_subscripts(s.bt, 1) - 1 AS ppos
+         |  FROM wp JOIN xseg s USING (w))
          |ORDER BY doc_id, wpos, ppos""".stripMargin
 
     /** Fertility replay: per-doc piece counts from the final vocab's
@@ -12071,6 +12134,7 @@ object SparkEntry {
     "bpe_merges" -> bpeSql(6),
     "unigram_vocab" -> UnigramSqlGen.vocabSql,
     "unigram_encode" -> UnigramSqlGen.encodeSql,
+    "unigram_encode_oov" -> UnigramSqlGen.encodeOovSql,
     "unigram_fertility" -> UnigramSqlGen.fertilitySql,
     "bpe_vocab" -> bpeVocabSql(6),
     "bpe_encode" -> bpeEncodeSql(6),

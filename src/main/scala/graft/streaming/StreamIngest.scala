@@ -347,7 +347,6 @@ object StreamIngest {
       dispatcherFor: Long => graft.store.Maintenance.DrainDispatcher,
       idCol: String, vecCol: String): Unit = {
     val s = batch.sparkSession
-    import s.implicits._
     graft.search.Sq.appendToIvfSqIndex(batch, cents, path, idCol, vecCol)
     if (graft.io.Fs.exists(s, s"$path.stats")) {
       // drift + health are independent eager reads — overlap them
@@ -670,7 +669,6 @@ object StreamIngest {
       dispatcherFor: Long => graft.store.Maintenance.DrainDispatcher,
       vecCol: String): Unit = {
     val s = batch.sparkSession
-    import s.implicits._
     graft.search.Ann.appendToLshIndex(batch, planes, path, vecCol)
     logFired(path, batchId, rules)(
       graft.store.Maintenance.lshSignals(

@@ -111,4 +111,30 @@ class UnigramSpec extends SparkSpec {
     assert(joined.filter(col("w2").isNull || col("w2") =!= col("w"))
       .count() == 0L, "every word must rebuild from its pieces in order")
   }
+
+  test("encode OOV: unknown chars emit <unk>, known substrings still segment, over-cap words drop") {
+    val base = graft.io.Tables.documents(spark, sf0001)
+    val vocab = Unigram.trainUnigram(base, "text", vocabSize = 120,
+      rounds = 2).localCheckpoint()
+    val docs = Seq((0L, "exza7ple " + "a" * 17)).toDF("doc_id", "text")
+    val enc = Unigram.encode(docs, "text", vocab).localCheckpoint()
+    // the 17-char word exceeds the cap: no rows at wpos 1
+    assert(enc.filter(col("wpos") === 1).count() == 0L,
+      "over-cap words must drop symmetrically with the oracle unroll")
+    val pieces = enc.filter(col("wpos") === 0)
+      .orderBy(col("ppos")).select(col("piece")).collect()
+      .map(_.getString(0)).toSeq
+    // 'x', 'z', '7' are outside the trained alphabet (a-w,y): each
+    // covered by exactly one forced <unk>; the rest rebuilds the word
+    assert(pieces.count(_ == Unigram.UnkPiece) == 3, pieces.toString)
+    // substituting each <unk> back with the word's char at that
+    // offset must rebuild the word exactly
+    var off = 0
+    val w = "exza7ple"
+    val rebuilt2 = pieces.map { p =>
+      val s = if (p == Unigram.UnkPiece) w.substring(off, off + 1) else p
+      off += s.length; s
+    }.mkString
+    assert(rebuilt2 == w, s"pieces $pieces must tile '$w'")
+  }
 }
