@@ -165,15 +165,22 @@ object Unigram {
       round(log(col("cnt").cast("double") / total.toDouble), 6).as("lp"))
   }
 
-  /** One hard-EM round: Viterbi usage counts under the current
-    * vocabulary, then the prune (chars floored at 1, top multi-char
-    * pieces up to `vocabSize`). */
-  def emRound(wd: DataFrame, vocab: DataFrame, maxPieceLen: Int,
-              vocabSize: Int): DataFrame = {
-    val usage = segmented(wd, logProbs(vocab), maxPieceLen)
-      .select(col("wc"), explode(col("pieces")).as("piece"))
-      .groupBy("piece").agg(sum(col("wc")).as("cnt"))
-      .localCheckpoint() // referenced twice (chars join + multi cut)
+  /** Piece PROBABILITIES (not logs) of a `(piece, cnt)` vocabulary —
+    * the soft-EM form. `cnt / total` is one IEEE division per piece
+    * (correctly rounded, bit-identical on any IEEE-754 engine), so
+    * unlike `ln` it needs no round-6 pin. */
+  def pieceProbs(vocab: DataFrame): DataFrame = {
+    val total = vocab.agg(sum(col("cnt"))).head().getLong(0)
+    vocab.select(col("piece"),
+      (col("cnt").cast("double") / total.toDouble).as("pp"))
+  }
+
+  /** The shared prune: keep every single char from the previous
+    * vocabulary (usage floored at 1 — the coverage floor), plus the
+    * top multi-char pieces by `(cnt DESC, piece ASC)` up to the
+    * vocabulary budget. `usage` is `(piece, cnt)` with cnt > 0. */
+  private def prune(usage: DataFrame, vocab: DataFrame,
+                    vocabSize: Int): DataFrame = {
     val chars = vocab.filter(length(col("piece")) === 1)
       .select(col("piece"))
       .join(usage, Seq("piece"), "left")
@@ -184,6 +191,124 @@ object Unigram {
       usage.filter(length(col("piece")) > 1)
         .orderBy(col("cnt").desc, col("piece").asc)
         .limit(math.max(0, vocabSize - nChars.toInt)))
+  }
+
+  /** One hard-EM round: Viterbi usage counts under the current
+    * vocabulary, then the prune (chars floored at 1, top multi-char
+    * pieces up to `vocabSize`). */
+  def emRound(wd: DataFrame, vocab: DataFrame, maxPieceLen: Int,
+              vocabSize: Int): DataFrame = {
+    val usage = segmented(wd, logProbs(vocab), maxPieceLen)
+      .select(col("wc"), explode(col("pieces")).as("piece"))
+      .groupBy("piece").agg(sum(col("wc")).as("cnt"))
+      .localCheckpoint() // referenced twice (chars join + multi cut)
+    prune(usage, vocab, vocabSize)
+  }
+
+  /** SOFT (full-EM, Kudo 2018 §3.2) expected piece counts under the
+    * current vocabulary — the faithful E-step the Viterbi variant
+    * approximates: per word, forward–backward over the segmentation
+    * lattice gives each edge's posterior probability, and the count of
+    * a piece is the frequency-weighted posterior mass of its edges.
+    *
+    * Cross-engine determinism contract (the logsumexp question the
+    * round-18 verdict left open, answered by AVOIDING logs entirely):
+    *
+    *  - The lattice runs in PROBABILITY space. `α`/`β`/posteriors use
+    *    only `+ * /` — IEEE-754 correctly-rounded ops, bit-identical
+    *    on the JVM and DuckDB — never `exp`/`ln`, whose libm
+    *    implementations differ in the last ulp. Underflow is bounded:
+    *    a path's probability is ≥ pmin^maxWordLen, and with
+    *    pmin = 1/Σcnt this stays normal for Σcnt up to ~10^19 at
+    *    maxWordLen 16 (double min-normal 1e-308) — the micro-count
+    *    totals below keep Σcnt far under that.
+    *  - Per-word fold order is PINNED: forward folds the
+    *    `(e0, s0, piece)`-sorted edge list (every edge into `s0` ends
+    *    before `e0`, so α(s0) is final when an edge out of it folds);
+    *    backward folds the exact REVERSE (descending end position, so
+    *    β(e0) is final first). Both engines replay the same additions
+    *    in the same order.
+    *  - Expected counts QUANTIZE to micro-units before the
+    *    corpus-wide sum: `floor(ec·10⁶ + 0.5)` per edge — `floor` is
+    *    an exact IEEE operation (unlike `round`, whose decimal
+    *    re-rendering is engine-specific) — and the M-step then sums
+    *    LONGS, which is exact and order-free, so Spark's partial
+    *    aggregation order can't perturb the result. Posterior mass
+    *    below 0.5 micro-units prunes to zero on both engines alike.
+    *
+    * Output `(piece, cnt)` with cnt in micro-units, cnt > 0 rows only
+    * (the scale cancels in `cnt/total`, so downstream probability and
+    * prune arithmetic is unit-agnostic). */
+  def softUsage(wd: DataFrame, vocab: DataFrame,
+                maxPieceLen: Int): DataFrame = {
+    val edges = wd
+      .withColumn("__m", explode(substrings(col("w"), maxPieceLen)))
+      .join(broadcast(pieceProbs(vocab).select(col("piece").as("__p"),
+        col("pp"))), col("__m.piece") === col("__p"))
+      .groupBy("w", "wc")
+      .agg(sort_array(collect_list(struct(col("__m.e0").as("e0"),
+        col("__m.s0").as("s0"), col("__m.piece").as("piece"),
+        col("pp")))).as("__ef"))
+    val initF = transform(sequence(lit(0), length(col("w"))), i =>
+      when(i === 0, lit(1.0)).otherwise(lit(0.0)))
+    val alpha = aggregate(col("__ef"), initF, (acc, ed) =>
+      transform(acc, (v, ix) =>
+        when(ix === ed.getField("e0"),
+          v + element_at(acc, ed.getField("s0") + 1) * ed.getField("pp"))
+          .otherwise(v)))
+    val initB = transform(sequence(lit(0), length(col("w"))), i =>
+      when(i === length(col("w")), lit(1.0)).otherwise(lit(0.0)))
+    val beta = aggregate(reverse(col("__ef")), initB, (acc, ed) =>
+      transform(acc, (v, ix) =>
+        when(ix === ed.getField("s0"),
+          v + ed.getField("pp") * element_at(acc, ed.getField("e0") + 1))
+          .otherwise(v)))
+    edges
+      .withColumn("__a", alpha).withColumn("__b", beta)
+      .select(col("wc"), col("__a"), col("__b"),
+        length(col("w")).as("__lw"), explode(col("__ef")).as("ed"))
+      .select(col("ed.piece").as("piece"),
+        floor(col("wc").cast("double")
+          * element_at(col("__a"), col("ed.s0") + 1)
+          * col("ed.pp")
+          * element_at(col("__b"), col("ed.e0") + 1)
+          / element_at(col("__a"), col("__lw") + 1)
+          * lit(1000000.0) + lit(0.5)).as("ecq"))
+      .groupBy("piece").agg(sum(col("ecq")).as("cnt"))
+      .filter(col("cnt") > 0)
+  }
+
+  /** One soft-EM round: [[softUsage]] expected counts, then the same
+    * prune as the hard round (the floor/budget semantics are
+    * unit-agnostic — see [[softUsage]]). */
+  def softEmRound(wd: DataFrame, vocab: DataFrame, maxPieceLen: Int,
+                  vocabSize: Int): DataFrame =
+    prune(softUsage(wd, vocab, maxPieceLen).localCheckpoint(),
+      vocab, vocabSize)
+
+  /** The FULL-EM trainer — [[trainUnigram]]'s faithful Kudo-2018 twin:
+    * same seed, same prune, but each E-step distributes each word's
+    * frequency across ALL its segmentations by posterior probability
+    * instead of crediting only the Viterbi path, so pieces that are
+    * competitive-but-never-optimal retain mass and the prune ranks on
+    * true expected usage. Output `(piece, cnt, logp)` with cnt in
+    * micro-units (see [[softUsage]]) and `logp = round6(ln(cnt/total))`
+    * — the one `ln` in the pipeline, pinned by the round-6 precedent. */
+  def trainUnigramSoft(docs: DataFrame, textCol: String,
+                       vocabSize: Int = 120, maxPieceLen: Int = 4,
+                       maxWordLen: Int = 16, seedSize: Int = 400,
+                       rounds: Int = 2): DataFrame = {
+    require(rounds >= 1 && vocabSize >= 1 && seedSize >= vocabSize,
+      s"need rounds >= 1 and seedSize ($seedSize) >= vocabSize ($vocabSize)")
+    val wd = wordDict(docs, textCol, maxWordLen).localCheckpoint()
+    var vocab = seedVocab(wd, maxPieceLen, seedSize).localCheckpoint()
+    (1 to rounds).foreach { _ =>
+      vocab = softEmRound(wd, vocab, maxPieceLen, vocabSize).localCheckpoint()
+    }
+    val total = vocab.agg(sum(col("cnt"))).head().getLong(0)
+    vocab.select(col("piece"), col("cnt"),
+        round(log(col("cnt").cast("double") / total.toDouble), 6).as("logp"))
+      .orderBy(col("cnt").desc, col("piece").asc)
   }
 
   /** The full trainer: seed → `rounds` hard-EM rounds → final

@@ -137,4 +137,41 @@ class UnigramSpec extends SparkSpec {
     }.mkString
     assert(rebuilt2 == w, s"pieces $pieces must tile '$w'")
   }
+
+  test("soft E-step: forward–backward posteriors match the hand lattice") {
+    // wd = {ab: 2}, vocab {a:1, b:1, ab:2}, total 4 → p_a=p_b=.25,
+    // p_ab=.5. Z = .5 + .0625 = .5625; posterior(ab)=.888…,
+    // posterior(a)=posterior(b)=.111…; ×wc=2, ×1e6, floor(+.5):
+    val wd = Seq(("ab", 2L)).toDF("w", "wc")
+    val vocab = Seq(("a", 1L), ("b", 1L), ("ab", 2L)).toDF("piece", "cnt")
+    val got = Unigram.softUsage(wd, vocab, maxPieceLen = 2)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == Map("ab" -> 1777778L, "a" -> 222222L, "b" -> 222222L),
+      got.toString)
+  }
+
+  test("soft vs hard: competitive-but-never-optimal pieces keep real mass") {
+    // hard EM credits only the Viterbi path [ab], so 'a'/'b' sit at
+    // the floor (count 1); soft EM gives them their posterior share
+    val docs = Seq((0L, "ab ab ab ab")).toDF("doc_id", "text")
+    val soft = Unigram.trainUnigramSoft(docs, "text", vocabSize = 10,
+      maxPieceLen = 2, seedSize = 10, rounds = 1)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(soft("a") > 1L && soft("b") > 1L,
+      s"soft must distribute posterior mass to the char path: $soft")
+    assert(soft("ab") > soft("a"), s"the dominant piece still wins: $soft")
+  }
+
+  test("soft trainer: budget, alphabet coverage, and rerun determinism") {
+    val docs = graft.io.Tables.documents(spark, sf0001)
+    def run() = Unigram.trainUnigramSoft(docs, "text", vocabSize = 30,
+      maxPieceLen = 4, seedSize = 400, rounds = 2)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    val a = run(); val b = run()
+    assert(a.toSeq == b.toSeq,
+      "micro-count quantization must make the soft M-step order-free")
+    val (chars, multi) = a.partition(_._1.length == 1)
+    assert(multi.length <= 30 - chars.length && multi.nonEmpty)
+    assert(chars.forall(_._2 >= 1L), "the coverage floor holds")
+  }
 }
