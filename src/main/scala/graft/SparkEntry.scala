@@ -628,8 +628,7 @@ object SparkEntry {
       val emb = Tables.embeddings(s, dir)
       val path = scratchDir("graph-layered2")
       graft.search.KnnGraph.writeGraphIndex(nndGraph(s, dir, 5), emb, path)
-      graft.search.KnnGraph.writeGraphLayer(s, path, sampleEvery = 8, k = 5)
-      graft.search.KnnGraph.writeGraphLayer2(s, path, sampleEvery = 8, k = 5)
+      graft.search.KnnGraph.writeGraphLayers(s, path, sampleEvery = 8, k = 5)
       graft.search.KnnGraph.graphIndexBeamSearchLayered2(
           s, path, queryVec(s, dir), 5, degree = 5, beam = 8,
           hopsCoarse = 1, hopsMid = 1, hopsFine = 2)
@@ -652,9 +651,7 @@ object SparkEntry {
       val emb = Tables.embeddings(s, dir)
       val path = scratchDir("graph-layered2-nnd")
       graft.search.KnnGraph.writeGraphIndex(nndGraph(s, dir, 5), emb, path)
-      graft.search.KnnGraph.writeGraphLayer(s, path, sampleEvery = 8, k = 5,
-        method = "nndescent")
-      graft.search.KnnGraph.writeGraphLayer2(s, path, sampleEvery = 8, k = 5,
+      graft.search.KnnGraph.writeGraphLayers(s, path, sampleEvery = 8, k = 5,
         method = "nndescent")
       graft.search.KnnGraph.graphIndexBeamSearchLayered2(
           s, path, queryVec(s, dir), 5, degree = 5, beam = 8,
@@ -696,8 +693,7 @@ object SparkEntry {
       val emb = Tables.embeddings(s, dir)
       val path = scratchDir("maint-layer2q")
       graft.search.KnnGraph.writeGraphIndex(nndGraph(s, dir, 5), emb, path)
-      graft.search.KnnGraph.writeGraphLayer(s, path, sampleEvery = 8, k = 5)
-      graft.search.KnnGraph.writeGraphLayer2(s, path, sampleEvery = 8, k = 5)
+      graft.search.KnnGraph.writeGraphLayers(s, path, sampleEvery = 8, k = 5)
       graft.search.KnnGraph.appendToGraphIndex(
         emb.filter(col("vec_id") < 200)
           .select((col("vec_id") + 100000).as("vec_id"),
@@ -720,10 +716,9 @@ object SparkEntry {
       val emb = Tables.embeddings(s, dir)
       val path = scratchDir("maintap-layer2q")
       graft.search.KnnGraph.writeGraphIndex(nndGraph(s, dir, 5), emb, path)
-      // layer1 strictly before layer2: the nesting guard reads the
-      // layer1 conf, so the rungs' builds cannot overlap
-      graft.search.KnnGraph.writeGraphLayer(s, path, sampleEvery = 8, k = 5)
-      graft.search.KnnGraph.writeGraphLayer2(s, path, sampleEvery = 8, k = 5)
+      // both rungs overlap: one caller owns both rates, so the
+      // two-call conf handshake is unnecessary (writeGraphLayers)
+      graft.search.KnnGraph.writeGraphLayers(s, path, sampleEvery = 8, k = 5)
       graft.search.KnnGraph.appendToGraphIndex(
         emb.filter(col("vec_id") < 200)
           .select((col("vec_id") + 100000).as("vec_id"),
@@ -1023,6 +1018,57 @@ object SparkEntry {
       Lexical.deleteFromBm25Index(
         docs.filter(col("doc_id") % 4 === 0).select(col("doc_id")),
         "doc_id", path)
+      runBatch(1L, 100, 200) // window 1 drains here
+      runBatch(2L, 200, 300)
+      runBatch(3L, 300, 400) // window 2 drains here
+      s.read.parquet(s"$path.resolutions")
+        .orderBy(col("first_batch"), col("action"))
+    }),
+    // ---- [EXT] the scheduled drain on the plain-IVF family
+    // (StreamIngest.ivfPolicyDrainSink — the third family under the
+    // maintenance_order_book_stream_drained oracle convention, closing
+    // the round-18 'spec-only drains' gap one more rung): four policy
+    // batches at drainEvery = 2, the sink's per-batch hook replayed
+    // batch-synchronously. IVF's signal set is the pure-drift pair
+    // (assignment_drift / baseline_stale — no tombstone signal: the
+    // family's deletes are compact-free until retrain), so the
+    // fixture drives ONLY drift: each batch appends 100 negated
+    // vectors, the mean row↔assigned-centroid similarity decays, and
+    // assignment_drift fires every batch while baseline_stale stays
+    // zero-floored. Window 1 (after batch 1) retrains a fresh
+    // generation from the watched path's current contents —
+    // value_after is 0 BY IDENTITY (retrain re-records the baseline
+    // from the very rows the drift re-read); batches 2-3 re-fire and
+    // window 2 drains only the re-opened span. The oracle replays all
+    // four batches' drift means (base ∪ cumulative negated appends vs
+    // the recorded baseline), the >= 0.01 rule filter, and both
+    // windows' open-book aggregation.
+    "maintenance_order_book_ivf_stream_drained" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val path = scratchDir("maint-book-ivf-sdrain")
+      val cents: Seq[Seq[Double]] = Ann.centroids(emb, "label", "embedding")
+        .orderBy(col("key")).collect().map(_.getSeq[Double](1).toSeq).toSeq
+      Ann.buildIvfIndex(emb, cents, path)
+      Ann.recordIvfModel(s, path, cents)
+      // fresh destination generations per window (retrain requires
+      // src != dst, and window 2 must not overwrite window 1's output)
+      var win = 0
+      val dispatcherFor: Long => graft.store.Maintenance.DrainDispatcher =
+        _ => {
+          win += 1
+          new graft.store.Maintenance.IvfDrainDispatcher(s, "embeddings_ivf",
+            path, cents.size, 2,
+            scratchDir(s"maint-book-ivf-sdrain-rt$win"), cents)
+        }
+      def runBatch(id: Long, lo: Int, hi: Int): Unit =
+        graft.streaming.StreamIngest.ivfPolicyDrainBatch(
+          emb.filter(col("vec_id") >= lo && col("vec_id") < hi)
+            .select((col("vec_id") + 100000).as("vec_id"),
+              transform(col("embedding"), x => -x).as("embedding")),
+          id, cents, path, "embeddings_ivf",
+          graft.store.Maintenance.DefaultRules, drainEvery = 2,
+          budgetRows = Long.MaxValue, dispatcherFor, "embedding")
+      runBatch(0L, 0, 100)
       runBatch(1L, 100, 200) // window 1 drains here
       runBatch(2L, 200, 300)
       runBatch(3L, 300, 400) // window 2 drains here
@@ -9025,6 +9071,81 @@ object SparkEntry {
          |       last_value, threshold, last_severity,
          |       0.0::DOUBLE AS value_after, TRUE AS resolved
          |FROM (SELECT * FROM w1 UNION ALL SELECT * FROM w2)
+         |ORDER BY first_batch, action""".stripMargin,
+    // the IVF scheduled-drain replay: four batches' drift means over
+    // base ∪ cumulative negated appends vs the recorded baseline
+    // (no tombstone arithmetic — the family's signal set is the pure
+    // drift pair and baseline_stale stays zero-floored), the >= 0.01
+    // rule filter, both windows' open-book aggregation, and the
+    // retrain acknowledgments at the zero identity
+    "maintenance_order_book_ivf_stream_drained" ->
+      s"""WITH $labelDriftCtes,
+         |ing AS MATERIALIZED (
+         |  SELECT e.vec_id + 100000 AS vec_id,
+         |         max(list_dot_product(list_transform(e.embedding, x -> -x)::DOUBLE[],
+         |                              c.centroid) /
+         |             (sqrt(list_dot_product(e.embedding::DOUBLE[],
+         |                                    e.embedding::DOUBLE[])) *
+         |              sqrt(list_dot_product(c.centroid, c.centroid)))) AS ms
+         |  FROM embeddings e CROSS JOIN bcl c
+         |  WHERE e.vec_id < 400 GROUP BY e.vec_id),
+         |ic0 AS (SELECT round(avg(ms), 6) AS c FROM
+         |        (SELECT ms FROM ms
+         |         UNION ALL SELECT ms FROM ing WHERE vec_id < 100100)),
+         |id0 AS (SELECT round(mb.b - ic0.c, 6) AS drift FROM mb, ic0),
+         |ic1 AS (SELECT round(avg(ms), 6) AS c FROM
+         |        (SELECT ms FROM ms
+         |         UNION ALL SELECT ms FROM ing WHERE vec_id < 100200)),
+         |id1 AS (SELECT round(mb.b - ic1.c, 6) AS drift FROM mb, ic1),
+         |ic2 AS (SELECT round(avg(ms), 6) AS c FROM
+         |        (SELECT ms FROM ms
+         |         UNION ALL SELECT ms FROM ing WHERE vec_id < 100300)),
+         |id2 AS (SELECT round(mb.b - ic2.c, 6) AS drift FROM mb, ic2),
+         |ic3 AS (SELECT round(avg(ms), 6) AS c FROM
+         |        (SELECT ms FROM ms
+         |         UNION ALL SELECT ms FROM ing)),
+         |id3 AS (SELECT round(mb.b - ic3.c, 6) AS drift FROM mb, ic3),
+         |ilog AS (
+         |  SELECT 0::BIGINT AS batch_id, 'retrain' AS action,
+         |         'assignment_drift' AS signal,
+         |         round(greatest(drift, 0.0), 6) AS value,
+         |         0.01 AS threshold
+         |  FROM id0 WHERE greatest(drift, 0.0) >= 0.01
+         |  UNION ALL
+         |  SELECT 1::BIGINT, 'retrain', 'assignment_drift',
+         |         round(greatest(drift, 0.0), 6), 0.01
+         |  FROM id1 WHERE greatest(drift, 0.0) >= 0.01
+         |  UNION ALL
+         |  SELECT 2::BIGINT, 'retrain', 'assignment_drift',
+         |         round(greatest(drift, 0.0), 6), 0.01
+         |  FROM id2 WHERE greatest(drift, 0.0) >= 0.01
+         |  UNION ALL
+         |  SELECT 3::BIGINT, 'retrain', 'assignment_drift',
+         |         round(greatest(drift, 0.0), 6), 0.01
+         |  FROM id3 WHERE greatest(drift, 0.0) >= 0.01),
+         |iw1 AS (
+         |  SELECT action, signal,
+         |         min(batch_id) AS first_batch, max(batch_id) AS last_batch,
+         |         count(*)::BIGINT AS n_fired,
+         |         arg_max(value, batch_id) AS last_value,
+         |         first(threshold) AS threshold,
+         |         round(arg_max(value, batch_id) / first(threshold), 6)
+         |           AS last_severity
+         |  FROM ilog WHERE batch_id <= 1 GROUP BY action, signal),
+         |iw2 AS (
+         |  SELECT action, signal,
+         |         min(batch_id) AS first_batch, max(batch_id) AS last_batch,
+         |         count(*)::BIGINT AS n_fired,
+         |         arg_max(value, batch_id) AS last_value,
+         |         first(threshold) AS threshold,
+         |         round(arg_max(value, batch_id) / first(threshold), 6)
+         |           AS last_severity
+         |  FROM ilog WHERE batch_id > 1 GROUP BY action, signal)
+         |SELECT 'ivf' AS index_kind, 'embeddings_ivf' AS index_name,
+         |       action, signal, first_batch, last_batch, n_fired,
+         |       last_value, threshold, last_severity,
+         |       0.0::DOUBLE AS value_after, TRUE AS resolved
+         |FROM (SELECT * FROM iw1 UNION ALL SELECT * FROM iw2)
          |ORDER BY first_batch, action""".stripMargin,
     // the BM25 scheduled-drain replay: per-batch postings states
     // (base ∪ cumulative shifted deltas), skew = max bucket mass over

@@ -537,11 +537,32 @@ object KnnGraph {
       level = 2)
   }
 
+  /** BOTH rungs in one call — the serial two-call form exists because
+    * [[writeGraphLayer2]] validates nesting against the layer-1 conf
+    * on disk, but when ONE caller owns both rates the handshake is
+    * satisfied by construction: the two rungs sample the SAME frozen
+    * `.nodes` side at rate and rate² and write disjoint outputs, so
+    * they are independent distributed jobs and run in parallel
+    * ([[graft.io.Par]]). Same persisted state, bit for bit, as
+    * writeGraphLayer + writeGraphLayer2 — only the wall-clock chain
+    * shortens (round-18 verdict item 5: the layer builds were the
+    * serial residual of the maintenance chain). */
+  def writeGraphLayers(spark: org.apache.spark.sql.SparkSession,
+                       path: String, sampleEvery: Int, k: Int,
+                       buckets: Int = 16, method: String = "exact"): Unit = {
+    require(sampleEvery.toLong * sampleEvery <= Int.MaxValue,
+      s"sampleEvery² overflows Int: $sampleEvery")
+    graft.io.Par.unit(
+      () => writeLayerAt(spark, path, sampleEvery, k, buckets, method, 1),
+      () => writeLayerAt(spark, path, sampleEvery * sampleEvery, k, buckets,
+        method, 2))
+  }
+
   /** Shared layer writer: sample `.nodes` at `rate`, graph the sample
     * (exact or NN-Descent), persist edges + conf at `.layer<level>`.
     * The conf records the rate ACTUALLY APPLIED, so health and the
     * relayer remedy generalize across levels with no special cases. */
-  private def writeLayerAt(spark: org.apache.spark.sql.SparkSession,
+  private[graft] def writeLayerAt(spark: org.apache.spark.sql.SparkSession,
                            path: String, rate: Int, k: Int, buckets: Int,
                            method: String, level: Int): Unit = {
     import spark.implicits._
@@ -597,12 +618,22 @@ object KnnGraph {
       nodesRaw.join(broadcast(t.select(col(t.columns.head).as("__tomb"))),
         col("id") === col("__tomb"), "left_anti")
     }
-    val due = live.filter(pmod(portableHash(col("id")), lit(sampleEvery)) === 0)
     val inLayer = spark.read.parquet(s"$path.layer$level")
       .select(col("src").as("id")).distinct()
-    val nNodes = live.count()
-    val nDue = due.count()
-    val nMissing = due.join(inLayer, Seq("id"), "left_anti").count()
+    // one fused pass (node count, due count, missing count) — this
+    // health runs on every plan AND every post-drain verification, so
+    // three separate .count() driver jobs tripled the fixed per-job
+    // cost everywhere the policy loop breathes (round-18 verdict
+    // item 5); same exact integers, one job
+    val s = live
+      .withColumn("__due",
+        (pmod(portableHash(col("id")), lit(sampleEvery)) === 0).cast("long"))
+      .join(inLayer.withColumn("__in", lit(1L)), Seq("id"), "left")
+      .agg(count(lit(1)).as("n"), coalesce(sum(col("__due")), lit(0L)).as("due"),
+        coalesce(sum(when(col("__due") === 1 && col("__in").isNull, 1L)
+          .otherwise(0L)), lit(0L)).as("missing"))
+      .head()
+    val (nNodes, nDue, nMissing) = (s.getLong(0), s.getLong(1), s.getLong(2))
     Seq((sampleEvery.toLong, nNodes, nDue, nDue - nMissing, nMissing))
       .toDF("sample_every", "n_nodes", "n_due", "n_in_layer", "n_missing")
   }

@@ -756,7 +756,19 @@ object Maintenance {
           graft.search.KnnGraph.compactGraphIndex(spark, effPath,
             compactPath, k, buckets)
           effPath = compactPath
-          relayer(1); relayer(2)
+          // both rungs re-derive from their RECORDED confs (layer 2's
+          // conf carries the applied rate r², so the nesting handshake
+          // is already satisfied) — independent jobs over the fresh
+          // .nodes side, overlapped (round-18 verdict item 5)
+          (layerConf(1), layerConf(2)) match {
+            case (Some((r1, lk1, m1)), Some((r2, lk2, m2))) =>
+              graft.io.Par.unit(
+                () => graft.search.KnnGraph.writeLayerAt(spark, effPath,
+                  r1, lk1, buckets, m1, 1),
+                () => graft.search.KnnGraph.writeLayerAt(spark, effPath,
+                  r2, lk2, buckets, m2, 2))
+            case _ => relayer(1); relayer(2)
+          }
           relayered = Set(1, 2)
         case "relayer" =>
           if (!relayered(1)) { relayer(1); relayered += 1 }

@@ -506,6 +506,28 @@ object StreamIngest {
       .toDF("index_kind", "index_name", "action", "cost_rows")
   }
 
+  /** The per-batch body of [[ivfPolicyDrainSink]] — apply + evaluate
+    * + (on cadence) DRAIN — exposed `private[graft]` so the
+    * oracle-verified query can replay the sink's exact logic
+    * batch-synchronously (the [[ivfSqPolicyDrainBatch]] convention). */
+  private[graft] def ivfPolicyDrainBatch(
+      batch: DataFrame, batchId: Long, cents: Seq[Seq[Double]],
+      path: String, indexName: String,
+      rules: Seq[graft.store.MaintenanceRule], drainEvery: Int,
+      budgetRows: Long,
+      dispatcherFor: Long => graft.store.Maintenance.DrainDispatcher,
+      vecCol: String): Unit = {
+    val s = batch.sparkSession
+    graft.search.Ann.appendToIvfIndex(batch, cents, path, vecCol)
+    if (graft.io.Fs.exists(s, s"$path.stats"))
+      logFired(path, batchId, rules)(
+        graft.store.Maintenance.ivfSignals(
+          graft.search.Ann.assignmentDrift(s, path, vecCol = vecCol),
+          indexName))
+    drainWindow(s, path, batchId, drainEvery, budgetRows, dispatcherFor)(
+      ivfDrainCosts(s, path, indexName))
+  }
+
   /** [[ivfSqPolicyDrainSink]]'s contract on the plain IVF family:
     * append + gated policy evaluation + the scheduled open-orders
     * window. Costs: retrain reads every raw row; re_record is
@@ -524,17 +546,13 @@ object StreamIngest {
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         oncePerBatch(batch.sparkSession, s"$path/_applied_batches", batchId) {
           val s = batch.sparkSession
-          if (!batch.isEmpty) {
-            graft.search.Ann.appendToIvfIndex(batch, cents, path, vecCol)
-            if (graft.io.Fs.exists(s, s"$path.stats"))
-              logFired(path, batchId, rules)(
-                graft.store.Maintenance.ivfSignals(
-                  graft.search.Ann.assignmentDrift(s, path, vecCol = vecCol),
-                  indexName))
-          }
-          // runs for empty cadence batches too (round-18 advice)
-          drainWindow(s, path, batchId, drainEvery, budgetRows,
-            dispatcherFor)(ivfDrainCosts(s, path, indexName))
+          // an empty cadence batch still runs its window (round-18
+          // advice): the batch id is consumed either way
+          if (batch.isEmpty)
+            drainWindow(s, path, batchId, drainEvery, budgetRows,
+              dispatcherFor)(ivfDrainCosts(s, path, indexName))
+          else ivfPolicyDrainBatch(batch, batchId, cents, path, indexName,
+            rules, drainEvery, budgetRows, dispatcherFor, vecCol)
         }
       }
   }
