@@ -1075,6 +1075,106 @@ object SparkEntry {
       s.read.parquet(s"$path.resolutions")
         .orderBy(col("first_batch"), col("action"))
     }),
+    // ---- [EXT] the scheduled drain on the kNN-GRAPH family
+    // (StreamIngest.knnGraphPolicyDrainSink — the fourth family under
+    // the stream-drained oracle convention): four append batches at
+    // drainEvery = 2, each adding 100 nodes through the EXACT
+    // incremental append (old→delta + delta→everything candidate
+    // rows — the O((n+d)·d) maintenance arithmetic the edge_debt
+    // signal exists to watch: debt explodes past its 2.0 threshold
+    // from batch 0); an out-of-band 10% delete lands after batch 0
+    // (invisible until batch 1 — the bm25 convention), so
+    // tombstone_ratio joins from batch 1. BOTH signals order the SAME
+    // remedy (compact), which the window dispatches ONCE per the
+    // (kind, name, action) admission rule and acknowledges under each
+    // signal separately: edge_debt's value_after is EXACTLY 1.0 (the
+    // per-src top-k rewrite lands at n_live·k edges over an n_live·k
+    // floor) and tombstone_ratio's is 0 (fresh generation, no
+    // sidecar). Batches 2-3 re-fire both; window 2 drains only the
+    // re-opened spans. The oracle replays all four batches' cumulative
+    // append row arithmetic, the delete-visibility boundary, the rule
+    // filters, both windows' open-book aggregation, and both
+    // identities.
+    "maintenance_order_book_graph_stream_drained" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val path = scratchDir("maint-book-graph-sdrain")
+      graft.search.KnnGraph.writeGraphIndex(nndGraph(s, dir, 5), emb, path)
+      // fresh destination generations per window (compact requires
+      // src != dst, and window 2 must not overwrite window 1's output)
+      var win = 0
+      val dispatcherFor: Long => graft.store.Maintenance.DrainDispatcher =
+        _ => {
+          win += 1
+          new graft.store.Maintenance.GraphDrainDispatcher(s,
+            "embeddings_graph", path, 5,
+            scratchDir(s"maint-book-graph-sdrain-cmp$win"))
+        }
+      def runBatch(id: Long, lo: Int, hi: Int): Unit =
+        graft.streaming.StreamIngest.knnGraphPolicyDrainBatch(
+          emb.filter(col("vec_id") >= lo && col("vec_id") < hi)
+            .select((col("vec_id") + 100000).as("vec_id"),
+              reverse(col("embedding")).as("embedding")),
+          id, path, 5, "embeddings_graph",
+          graft.store.Maintenance.DefaultRules, drainEvery = 2,
+          budgetRows = Long.MaxValue, dispatcherFor,
+          buckets = 16, "vec_id", "embedding")
+      runBatch(0L, 0, 100)
+      graft.search.KnnGraph.deleteFromGraphIndex(
+        emb.filter(col("vec_id") % 10 === 0), path)
+      runBatch(1L, 100, 200) // window 1 drains here
+      runBatch(2L, 200, 300)
+      runBatch(3L, 300, 400) // window 2 drains here
+      s.read.parquet(s"$path.resolutions")
+        .orderBy(col("first_batch"), col("signal"))
+    }),
+    // ---- [EXT] the scheduled drain on the IVF-PQ family
+    // (StreamIngest.ivfPqPolicyDrainSink — the LAST family without an
+    // oracle-verified drain window: with this, all six index families'
+    // streaming maintenance loops are hash-checked end-to-end). Four
+    // policy batches at drainEvery = 2, each appending 100 REVERSED
+    // embeddings encoded through the FROZEN codebooks — vectors from
+    // the wrong distribution quantize badly, so the normalized
+    // reconstruction error climbs and recon_drift (the family's one
+    // signal) fires every batch. Window 1 retrains coarse centroids
+    // AND codebooks from the watched path's current contents and
+    // re-records the error baseline — value_after 0 by identity;
+    // batches 2-3 re-fire, window 2 drains the re-opened span. The
+    // oracle replays the full PQ training (all 8 subspaces × 2 Lloyd
+    // rounds), the appended rows' frozen-codebook assignments, every
+    // batch's normalized-error mean, the >= 0.01 rule filter, and
+    // both windows' open-book aggregation.
+    "maintenance_order_book_ivfpq_stream_drained" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val path = scratchDir("maint-book-ivfpq-sdrain")
+      val cents = Ann.kmeansCentroids(emb, "vec_id", "embedding", 10, 2)
+      val cb = Pq.train(emb, "vec_id", "embedding", 64, PqM, PqKsub, PqIters)
+      Pq.buildIvfPqIndex(emb, cents, cb, path)
+      Pq.recordIvfPqModel(s, path, cb)
+      // fresh destination generations per window (retrain requires
+      // src != dst, and window 2 must not overwrite window 1's output)
+      var win = 0
+      val dispatcherFor: Long => graft.store.Maintenance.DrainDispatcher =
+        _ => {
+          win += 1
+          new graft.store.Maintenance.IvfPqDrainDispatcher(s,
+            "embeddings_ivfpq", path, 10, 2, 64, PqM, PqKsub, PqIters, cb,
+            scratchDir(s"maint-book-ivfpq-sdrain-rt$win"))
+        }
+      def runBatch(id: Long, lo: Int, hi: Int): Unit =
+        graft.streaming.StreamIngest.ivfPqPolicyDrainBatch(
+          emb.filter(col("vec_id") >= lo && col("vec_id") < hi)
+            .select((col("vec_id") + 100000).as("vec_id"),
+              reverse(col("embedding")).as("embedding")),
+          id, cents, cb, path, "embeddings_ivfpq",
+          graft.store.Maintenance.DefaultRules, drainEvery = 2,
+          budgetRows = Long.MaxValue, dispatcherFor, "vec_id", "embedding")
+      runBatch(0L, 0, 100)
+      runBatch(1L, 100, 200) // window 1 drains here
+      runBatch(2L, 200, 300)
+      runBatch(3L, 300, 400) // window 2 drains here
+      s.read.parquet(s"$path.resolutions")
+        .orderBy(col("first_batch"), col("action"))
+    }),
     // ---- [EXT] a TWO-FAMILY book drained through ONE
     // Maintenance.defaultDispatch call — foreign-order isolation
     // pinned end-to-end under a hash (round-18 verdict item 7: the
@@ -9147,6 +9247,172 @@ object SparkEntry {
          |       0.0::DOUBLE AS value_after, TRUE AS resolved
          |FROM (SELECT * FROM iw1 UNION ALL SELECT * FROM iw2)
          |ORDER BY first_batch, action""".stripMargin,
+    // the IVF-PQ scheduled-drain replay: the full PQ training (the
+    // ivfpq_recon_drift chain), the appended reversed rows'
+    // frozen-codebook subspace assignments, per-batch normalized-error
+    // means over base ∪ cumulative appends, the >= 0.01 rule filter,
+    // both windows' open-book aggregation; retrain acknowledges at the
+    // zero identity (the baseline re-records from the rows the drift
+    // re-read)
+    "maintenance_order_book_ivfpq_stream_drained" -> {
+      def lo(mi: Int) = mi * PqSub + 1
+      def hi(mi: Int) = (mi + 1) * PqSub
+      def l2(a: String, b: String) =
+        s"list_reduce(list_transform(range(1, ${PqSub + 1}), " +
+          s"i -> ($a[i] - $b[i]) * ($a[i] - $b[i])), (x, y) -> x + y)"
+      val reconJoins = (1 until PqM).map(mi =>
+        s"JOIN af$mi ON af0.vec_id = af$mi.vec_id " +
+          s"JOIN cb${mi}_$PqIters c$mi ON af$mi.cid = c$mi.cid").mkString("\n       ")
+      val cat = (0 until PqM).map(mi => s"c$mi.centroid").mkString(" || ")
+      val qafs = (0 until PqM).map { mi =>
+        s"""qaf$mi AS (
+           |  SELECT vec_id, cid FROM (
+           |    SELECT x.vec_id, c.cid,
+           |           row_number() OVER (PARTITION BY x.vec_id
+           |             ORDER BY ${l2(s"(x.xe)[${lo(mi)}:${hi(mi)}]", "c.centroid")} ASC,
+           |                      c.cid ASC) AS rn
+           |    FROM qx x CROSS JOIN cb${mi}_$PqIters c) WHERE rn = 1)""".stripMargin
+      }.mkString(",\n")
+      val qreconJoins = (1 until PqM).map(mi =>
+        s"JOIN qaf$mi ON qaf0.vec_id = qaf$mi.vec_id " +
+          s"JOIN cb${mi}_$PqIters c$mi ON qaf$mi.cid = c$mi.cid").mkString("\n       ")
+      val qcs = (0 to 3).map { b =>
+        s"""qc$b AS (SELECT round(avg(d), 6) AS c FROM
+           |        (SELECT d FROM err
+           |         UNION ALL SELECT d FROM qerr
+           |         WHERE vec_id < ${100000 + 100 * (b + 1)})),
+           |qd$b AS (SELECT round(qc$b.c - qb.b, 6) AS drift FROM qb, qc$b)""".stripMargin
+      }.mkString(",\n")
+      val qlogs = (0 to 3).map { b =>
+        s"""  SELECT $b::BIGINT AS batch_id, 'retrain' AS action,
+           |         'recon_drift' AS signal,
+           |         round(greatest(drift, 0.0), 6) AS value,
+           |         0.01 AS threshold
+           |  FROM qd$b WHERE greatest(drift, 0.0) >= 0.01""".stripMargin
+      }.mkString("\n  UNION ALL\n")
+      s"""WITH $pqTrainSql,
+         |recon AS (
+         |  SELECT af0.vec_id, $cat AS r
+         |  FROM af0 JOIN cb0_$PqIters c0 ON af0.cid = c0.cid
+         |       $reconJoins),
+         |nrm AS (
+         |  SELECT e.vec_id,
+         |         list_transform(e.embedding::DOUBLE[],
+         |           x -> x / sqrt(list_dot_product(e.embedding::DOUBLE[],
+         |                                          e.embedding::DOUBLE[]))) AS xn,
+         |         list_transform(r.r,
+         |           x -> x / sqrt(list_dot_product(r.r, r.r))) AS rn
+         |  FROM recon r JOIN embeddings e USING (vec_id)),
+         |err AS (
+         |  SELECT vec_id,
+         |         sqrt(list_reduce(list_transform(range(1, 65),
+         |           i -> (xn[i] - rn[i]) * (xn[i] - rn[i])),
+         |           (x, y) -> x + y)) AS d
+         |  FROM nrm),
+         |qx AS MATERIALIZED (
+         |  SELECT vec_id + 100000 AS vec_id,
+         |         list_reverse(embedding::DOUBLE[]) AS xe
+         |  FROM embeddings WHERE vec_id < 400),
+         |$qafs,
+         |qrecon AS (
+         |  SELECT qaf0.vec_id, $cat AS r
+         |  FROM qaf0 JOIN cb0_$PqIters c0 ON qaf0.cid = c0.cid
+         |       $qreconJoins),
+         |qnrm AS (
+         |  SELECT x.vec_id,
+         |         list_transform(x.xe,
+         |           v -> v / sqrt(list_dot_product(x.xe, x.xe))) AS xn,
+         |         list_transform(r.r,
+         |           v -> v / sqrt(list_dot_product(r.r, r.r))) AS rn
+         |  FROM qrecon r JOIN qx x USING (vec_id)),
+         |qerr AS (
+         |  SELECT vec_id,
+         |         sqrt(list_reduce(list_transform(range(1, 65),
+         |           i -> (xn[i] - rn[i]) * (xn[i] - rn[i])),
+         |           (x, y) -> x + y)) AS d
+         |  FROM qnrm),
+         |qb AS (SELECT round(avg(d), 6) AS b FROM err),
+         |$qcs,
+         |qlog AS (
+         |$qlogs),
+         |qw1 AS (
+         |  SELECT action, signal,
+         |         min(batch_id) AS first_batch, max(batch_id) AS last_batch,
+         |         count(*)::BIGINT AS n_fired,
+         |         arg_max(value, batch_id) AS last_value,
+         |         first(threshold) AS threshold,
+         |         round(arg_max(value, batch_id) / first(threshold), 6)
+         |           AS last_severity
+         |  FROM qlog WHERE batch_id <= 1 GROUP BY action, signal),
+         |qw2 AS (
+         |  SELECT action, signal,
+         |         min(batch_id) AS first_batch, max(batch_id) AS last_batch,
+         |         count(*)::BIGINT AS n_fired,
+         |         arg_max(value, batch_id) AS last_value,
+         |         first(threshold) AS threshold,
+         |         round(arg_max(value, batch_id) / first(threshold), 6)
+         |           AS last_severity
+         |  FROM qlog WHERE batch_id > 1 GROUP BY action, signal)
+         |SELECT 'ivfpq' AS index_kind, 'embeddings_ivfpq' AS index_name,
+         |       action, signal, first_batch, last_batch, n_fired,
+         |       last_value, threshold, last_severity,
+         |       0.0::DOUBLE AS value_after, TRUE AS resolved
+         |FROM (SELECT * FROM qw1 UNION ALL SELECT * FROM qw2)
+         |ORDER BY first_batch, action""".stripMargin
+    },
+    // the kNN-graph scheduled-drain replay: per-batch cumulative
+    // append row arithmetic in closed form — rows(b) = 5n +
+    // (b+1)(200n+9900) + 10000·b(b+1), the sum of each batch's
+    // old→delta (n_prev·100) and delta→all (100·(n_prev+99)) candidate
+    // rows — the delete-visibility boundary (no sidecar at batch 0),
+    // the rule filters, both windows' open-book aggregation, and the
+    // compact identities (edge_debt lands exactly at 1.0 — n_live·k
+    // edges over the n_live·k floor; tombstone_ratio at 0)
+    "maintenance_order_book_graph_stream_drained" ->
+      s"""WITH gn AS (SELECT count(*) AS n FROM embeddings),
+         |gt AS (SELECT count(*) AS t FROM embeddings WHERE vec_id % 10 = 0),
+         |gst AS (
+         |  SELECT b, gn.n + 100 * (b + 1) AS nodes,
+         |         5 * gn.n + (b + 1) * (200 * gn.n + 9900)
+         |           + 10000 * b * (b + 1) AS nrows
+         |  FROM gn, range(0, 4) r(b)),
+         |glog AS (
+         |  SELECT b::BIGINT AS batch_id, 'compact' AS action,
+         |         'edge_debt' AS signal,
+         |         round(nrows::DOUBLE / (5.0 * nodes), 6) AS value,
+         |         2.0 AS threshold
+         |  FROM gst WHERE round(nrows::DOUBLE / (5.0 * nodes), 6) >= 2.0
+         |  UNION ALL
+         |  SELECT b::BIGINT, 'compact', 'tombstone_ratio',
+         |         round(gt.t::DOUBLE / nodes, 6), 0.05
+         |  FROM gst, gt
+         |  WHERE b >= 1 AND round(gt.t::DOUBLE / nodes, 6) >= 0.05),
+         |gw1 AS (
+         |  SELECT action, signal,
+         |         min(batch_id) AS first_batch, max(batch_id) AS last_batch,
+         |         count(*)::BIGINT AS n_fired,
+         |         arg_max(value, batch_id) AS last_value,
+         |         first(threshold) AS threshold,
+         |         round(arg_max(value, batch_id) / first(threshold), 6)
+         |           AS last_severity
+         |  FROM glog WHERE batch_id <= 1 GROUP BY action, signal),
+         |gw2 AS (
+         |  SELECT action, signal,
+         |         min(batch_id) AS first_batch, max(batch_id) AS last_batch,
+         |         count(*)::BIGINT AS n_fired,
+         |         arg_max(value, batch_id) AS last_value,
+         |         first(threshold) AS threshold,
+         |         round(arg_max(value, batch_id) / first(threshold), 6)
+         |           AS last_severity
+         |  FROM glog WHERE batch_id > 1 GROUP BY action, signal)
+         |SELECT 'graph' AS index_kind, 'embeddings_graph' AS index_name,
+         |       action, signal, first_batch, last_batch, n_fired,
+         |       last_value, threshold, last_severity,
+         |       CASE WHEN signal = 'edge_debt' THEN 1.0 ELSE 0.0 END
+         |         AS value_after,
+         |       TRUE AS resolved
+         |FROM (SELECT * FROM gw1 UNION ALL SELECT * FROM gw2)
+         |ORDER BY first_batch, signal""".stripMargin,
     // the BM25 scheduled-drain replay: per-batch postings states
     // (base ∪ cumulative shifted deltas), skew = max bucket mass over
     // the 512-bucket even-hash expectation, tombstone ratios against

@@ -557,6 +557,27 @@ object StreamIngest {
       }
   }
 
+  /** The per-batch body of [[ivfPqPolicyDrainSink]] — apply +
+    * evaluate + (on cadence) drain; `private[graft]` for the oracle
+    * replay (the [[ivfSqPolicyDrainBatch]] convention). */
+  private[graft] def ivfPqPolicyDrainBatch(
+      batch: DataFrame, batchId: Long, cents: Seq[Seq[Double]],
+      cb: graft.search.Pq.Codebooks, path: String, indexName: String,
+      rules: Seq[graft.store.MaintenanceRule], drainEvery: Int,
+      budgetRows: Long,
+      dispatcherFor: Long => graft.store.Maintenance.DrainDispatcher,
+      idCol: String, vecCol: String): Unit = {
+    val s = batch.sparkSession
+    graft.search.Pq.appendToIvfPqIndex(batch, cents, cb, path, idCol, vecCol)
+    if (graft.io.Fs.exists(s, s"$path/codes.qstats"))
+      logFired(path, batchId, rules)(
+        graft.store.Maintenance.pqSignals(
+          graft.search.Pq.reconstructionDrift(s, path, cb, idCol, vecCol),
+          indexName))
+    drainWindow(s, path, batchId, drainEvery, budgetRows, dispatcherFor)(
+      ivfPqDrainCosts(s, path, indexName))
+  }
+
   /** [[ivfSqPolicyDrainSink]]'s contract on the IVF-PQ family: the
     * one remedy (retrain) reads every raw code row. */
   def ivfPqPolicyDrainSink(vecs: DataFrame, cents: Seq[Seq[Double]],
@@ -573,19 +594,15 @@ object StreamIngest {
       .outputMode("append")
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         oncePerBatch(batch.sparkSession, s"$path/_applied_batches", batchId) {
-          val s = batch.sparkSession
-          if (!batch.isEmpty) {
-            graft.search.Pq.appendToIvfPqIndex(batch, cents, cb, path,
-              idCol, vecCol)
-            if (graft.io.Fs.exists(s, s"$path/codes.qstats"))
-              logFired(path, batchId, rules)(
-                graft.store.Maintenance.pqSignals(
-                  graft.search.Pq.reconstructionDrift(s, path, cb, idCol,
-                    vecCol), indexName))
-          }
-          // runs for empty cadence batches too (round-18 advice)
-          drainWindow(s, path, batchId, drainEvery, budgetRows,
-            dispatcherFor)(ivfPqDrainCosts(s, path, indexName))
+          // an empty cadence batch still runs its window (round-18
+          // advice): the batch id is consumed either way
+          if (batch.isEmpty)
+            drainWindow(batch.sparkSession, path, batchId, drainEvery,
+              budgetRows, dispatcherFor)(
+              ivfPqDrainCosts(batch.sparkSession, path, indexName))
+          else ivfPqPolicyDrainBatch(batch, batchId, cents, cb, path,
+            indexName, rules, drainEvery, budgetRows, dispatcherFor,
+            idCol, vecCol)
         }
       }
   }
@@ -642,6 +659,26 @@ object StreamIngest {
       }
   }
 
+  /** The per-batch body of [[knnGraphPolicyDrainSink]] — apply +
+    * evaluate + (on cadence) drain; `private[graft]` for the oracle
+    * replay (the [[ivfSqPolicyDrainBatch]] convention). */
+  private[graft] def knnGraphPolicyDrainBatch(
+      batch: DataFrame, batchId: Long, path: String, k: Int,
+      indexName: String,
+      rules: Seq[graft.store.MaintenanceRule], drainEvery: Int,
+      budgetRows: Long,
+      dispatcherFor: Long => graft.store.Maintenance.DrainDispatcher,
+      buckets: Int, idCol: String, vecCol: String): Unit = {
+    val s = batch.sparkSession
+    graft.search.KnnGraph.appendToGraphIndex(batch, path, buckets,
+      idCol, vecCol)
+    logFired(path, batchId, rules)(
+      graft.store.Maintenance.graphSignals(
+        graft.search.KnnGraph.graphIndexHealth(s, path), k, indexName))
+    drainWindow(s, path, batchId, drainEvery, budgetRows, dispatcherFor)(
+      graphDrainCosts(s, path, indexName))
+  }
+
   /** [[ivfSqPolicyDrainSink]]'s contract on the kNN-graph family:
     * compact prices the raw edge scan; relayer orders (when the store
     * carries layers) price the nodes-side scan. The dispatcher
@@ -661,18 +698,15 @@ object StreamIngest {
       .outputMode("append")
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         oncePerBatch(batch.sparkSession, s"$path/_applied_batches", batchId) {
-          val s = batch.sparkSession
-          if (!batch.isEmpty) {
-            graft.search.KnnGraph.appendToGraphIndex(batch, path, buckets,
-              idCol, vecCol)
-            logFired(path, batchId, rules)(
-              graft.store.Maintenance.graphSignals(
-                graft.search.KnnGraph.graphIndexHealth(s, path), k,
-                indexName))
-          }
-          // runs for empty cadence batches too (round-18 advice)
-          drainWindow(s, path, batchId, drainEvery, budgetRows,
-            dispatcherFor)(graphDrainCosts(s, path, indexName))
+          // an empty cadence batch still runs its window (round-18
+          // advice): the batch id is consumed either way
+          if (batch.isEmpty)
+            drainWindow(batch.sparkSession, path, batchId, drainEvery,
+              budgetRows, dispatcherFor)(
+              graphDrainCosts(batch.sparkSession, path, indexName))
+          else knnGraphPolicyDrainBatch(batch, batchId, path, k, indexName,
+            rules, drainEvery, budgetRows, dispatcherFor, buckets, idCol,
+            vecCol)
         }
       }
   }
