@@ -1175,6 +1175,56 @@ object SparkEntry {
       s.read.parquet(s"$path.resolutions")
         .orderBy(col("first_batch"), col("action"))
     }),
+    // ---- [EXT] the TOKENIZER as a maintained store — the SEVENTH
+    // family in the maintenance registry (graft.text.Tokenizer +
+    // StreamIngest.tokenizerPolicyDrainSink): a trained vocabulary is
+    // model state exactly like a centroid table, and at 100 TB the
+    // corpus mixture drifts under it — new domains fragment into more
+    // pieces per token (fertility_drift: every downstream token
+    // budget pays it), new scripts fall off the trained alphabet
+    // (oov_rate). Four observed batches at drainEvery = 2, each
+    // appending 100 docs with 'e' mangled to '#' — unseen words AND
+    // an unseen char, so BOTH signals fire under the frozen gen-0
+    // vocab; window 1 retrains from everything observed (the .seen
+    // stream) onto a fresh generation and re-evaluates the LAST
+    // observed batch under the new vocab (OOV lands at exactly 0 —
+    // the retrain's alphabet covers every seen char by the coverage
+    // floor; fertility re-measures against the new mixed-corpus
+    // baseline); batches 2-3 re-fire under the still-frozen watched
+    // generation and window 2 drains the re-opened spans. The oracle
+    // replays THREE full unigram trainings (gen 0 on documents, gen 1
+    // on documents ∪ batches 0-1, gen 2 on documents ∪ batches 0-3),
+    // six batch segmentations, every fertility/OOV mean, the rule
+    // filters, both windows' open-book aggregation, and both windows'
+    // after values.
+    "maintenance_order_book_tokenizer_stream_drained" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val path = scratchDir("maint-book-tok-sdrain")
+      graft.text.Tokenizer.writeTokenizer(docs, "text", path)
+      // fresh destination generations per window (retrain requires
+      // src != dst, and window 2 must not overwrite window 1's output)
+      var win = 0
+      val dispatcherFor: Long => graft.store.Maintenance.DrainDispatcher =
+        _ => {
+          win += 1
+          new graft.store.Maintenance.TokenizerDrainDispatcher(s,
+            "docs_tokenizer", path, scratchDir(s"maint-book-tok-sdrain-rt$win"))
+        }
+      def runBatch(id: Long, lo: Int, hi: Int): Unit =
+        graft.streaming.StreamIngest.tokenizerPolicyDrainBatch(
+          docs.filter(col("doc_id") >= lo && col("doc_id") < hi)
+            .select((col("doc_id") + 100000).as("doc_id"),
+              translate(col("text"), "e", "#").as("text")),
+          id, "text", "doc_id", path, "docs_tokenizer",
+          graft.store.Maintenance.DefaultRules, drainEvery = 2,
+          budgetRows = Long.MaxValue, dispatcherFor)
+      runBatch(0L, 0, 100)
+      runBatch(1L, 100, 200) // window 1 drains here
+      runBatch(2L, 200, 300)
+      runBatch(3L, 300, 400) // window 2 drains here
+      s.read.parquet(s"$path.resolutions")
+        .orderBy(col("first_batch"), col("signal"))
+    }),
     // ---- [EXT] a TWO-FAMILY book drained through ONE
     // Maintenance.defaultDispatch call — foreign-order isolation
     // pinned end-to-end under a hash (round-18 verdict item 7: the
@@ -7627,33 +7677,63 @@ object SparkEntry {
          |            LIMIT $Vocab - (SELECT count(*) FROM ${out}ch)),
          |$out AS MATERIALIZED (SELECT * FROM ${out}ch UNION ALL SELECT * FROM ${out}mu)""".stripMargin
 
-    /** wd → seed v0: the dictionary + seed-vocabulary CTEs both the
-      * hard and the soft chain start from. */
-    private val seedChain: String =
-      s"""wd AS MATERIALIZED (
+    /** `${p}wd` → seed `${p}v0`: the dictionary + seed-vocabulary CTEs
+      * every training chain starts from, over any relation exposing a
+      * `text` column. `p = ""` over `documents` reproduces the
+      * original CTE names, so the existing unigram oracles are
+      * byte-stable. */
+    private def seedChainOn(srcRel: String, p: String): String =
+      s"""${p}wd AS MATERIALIZED (
          |  SELECT w, count(*)::BIGINT AS wc FROM (
-         |    SELECT unnest($toksSql) AS w FROM documents)
+         |    SELECT unnest($toksSql) AS w FROM $srcRel)
          |  WHERE len(w) <= $MaxW GROUP BY w),
-         |cand AS MATERIALIZED (
+         |${p}cand AS MATERIALIZED (
          |  SELECT piece, sum(wc)::BIGINT AS cnt FROM (
          |    SELECT wc, substr(w, i::INT, l::INT) AS piece
-         |    FROM wd, range(1, $MaxW+1) t(i), range(1, $MaxP+1) u(l)
+         |    FROM ${p}wd, range(1, $MaxW+1) t(i), range(1, $MaxP+1) u(l)
          |    WHERE i + l - 1 <= len(w))
          |  GROUP BY piece),
-         |v0ch AS (SELECT piece, cnt FROM cand WHERE len(piece) = 1),
-         |v0mu AS (SELECT piece, cnt FROM cand WHERE len(piece) > 1
+         |${p}v0ch AS (SELECT piece, cnt FROM ${p}cand WHERE len(piece) = 1),
+         |${p}v0mu AS (SELECT piece, cnt FROM ${p}cand WHERE len(piece) > 1
          |         ORDER BY cnt DESC, piece
-         |         LIMIT $Seed - (SELECT count(*) FROM v0ch)),
-         |v0 AS MATERIALIZED (SELECT * FROM v0ch UNION ALL SELECT * FROM v0mu)""".stripMargin
+         |         LIMIT $Seed - (SELECT count(*) FROM ${p}v0ch)),
+         |${p}v0 AS MATERIALIZED (SELECT * FROM ${p}v0ch UNION ALL SELECT * FROM ${p}v0mu)""".stripMargin
+
+    private val seedChain: String = seedChainOn("documents", "")
+
+    /** The full 2-round hard-EM training chain over `srcRel` →
+      * `${p}v2` (the tokenizer-store retrain replays this over the
+      * observed stream). */
+    def chainOn(srcRel: String, p: String): String =
+      s"""${seedChainOn(srcRel, p)},
+         |${segCtes(s"${p}v0", s"${p}a", s"${p}wd")},
+         |${nextVocab(s"${p}ause", s"${p}v0", s"${p}v1")},
+         |${segCtes(s"${p}v1", s"${p}b", s"${p}wd")},
+         |${nextVocab(s"${p}buse", s"${p}v1", s"${p}v2")}""".stripMargin
 
     /** wd → seed v0 → round a → v1 → round b → v2 (the 2-round chain
       * the hard-EM unigram oracles share). */
-    val chain: String =
-      s"""$seedChain,
-         |${segCtes("v0", "a")},
-         |${nextVocab("ause", "v0", "v1")},
-         |${segCtes("v1", "b")},
-         |${nextVocab("buse", "v1", "v2")}""".stripMargin
+    val chain: String = chainOn("documents", "")
+
+    /** Fertility + OOV of `docsRel` under vocab `vRel` → one-row
+      * `${p}f (fert, oov)` — graft.text.Tokenizer.fertilityStats'
+      * replay: capped word dict, unk-fallback segmentation of each
+      * distinct word, occurrence-weighted piece totals over the
+      * uncapped token denominator. */
+    def fertCtes(vRel: String, p: String, docsRel: String): String =
+      s"""${p}wd2 AS MATERIALIZED (
+         |  SELECT w, count(*)::BIGINT AS wc FROM (
+         |    SELECT unnest($toksSql) AS w FROM $docsRel)
+         |  WHERE len(w) <= $MaxW GROUP BY w),
+         |${segCtes(vRel, p, s"${p}wd2", unk = true)},
+         |${p}tot2 AS (
+         |  SELECT (SELECT count(*) FROM (
+         |            SELECT unnest($toksSql) AS w FROM $docsRel)) AS nt,
+         |         (SELECT sum(wc * len(bt)) FROM ${p}seg) AS np,
+         |         (SELECT sum(wc * len(list_filter(bt, x -> x = '<unk>')))
+         |          FROM ${p}seg) AS nu),
+         |${p}f AS (SELECT round(np::DOUBLE / nt, 6) AS fert,
+         |                 round(nu::DOUBLE / np, 6) AS oov FROM ${p}tot2)""".stripMargin
 
     /** One SOFT E-step of `wd` against vocab `vRel` → `{p}use`
       * expected micro-counts (Unigram.softUsage's replay). Probability
@@ -9172,6 +9252,89 @@ object SparkEntry {
          |       0.0::DOUBLE AS value_after, TRUE AS resolved
          |FROM (SELECT * FROM w1 UNION ALL SELECT * FROM w2)
          |ORDER BY first_batch, action""".stripMargin,
+    // the TOKENIZER scheduled-drain replay: three full unigram
+    // training chains (gen 0 over documents; gen 1 over documents ∪
+    // batches 0-1; gen 2 over documents ∪ batches 0-3), the baseline
+    // and per-batch fertility/OOV arithmetic under each generation's
+    // vocab, the rule filters, both windows' open-book aggregation,
+    // and both windows' after values (OOV after is exactly 0 — the
+    // retrain's alphabet covers every seen char by the coverage
+    // floor; fertility after re-measures the drifted batch against
+    // the mixed-corpus baseline)
+    "maintenance_order_book_tokenizer_stream_drained" -> {
+      val batchFerts = (0 to 3).map(b =>
+        UnigramSqlGen.fertCtes("v2", s"x$b", s"tb$b")).mkString(",\n")
+      val tlogs = (0 to 3).map { b =>
+        s"""  SELECT $b::BIGINT AS batch_id, 'retrain' AS action,
+           |         'fertility_drift' AS signal,
+           |         greatest(round(x${b}f.fert - f0f.fert, 6), 0.0) AS value,
+           |         0.2 AS threshold
+           |  FROM x${b}f, f0f
+           |  WHERE greatest(round(x${b}f.fert - f0f.fert, 6), 0.0) >= 0.2
+           |  UNION ALL
+           |  SELECT $b::BIGINT, 'retrain', 'oov_rate', x${b}f.oov, 0.01
+           |  FROM x${b}f WHERE x${b}f.oov >= 0.01""".stripMargin
+      }.mkString("\n  UNION ALL\n")
+      s"""WITH ${UnigramSqlGen.chain},
+         |tb AS MATERIALIZED (
+         |  SELECT doc_id + 100000 AS doc_id, replace(text, 'e', '#') AS text,
+         |         (doc_id // 100)::BIGINT AS b
+         |  FROM documents WHERE doc_id < 400),
+         |tb0 AS (SELECT doc_id, text FROM tb WHERE b = 0),
+         |tb1 AS (SELECT doc_id, text FROM tb WHERE b = 1),
+         |tb2 AS (SELECT doc_id, text FROM tb WHERE b = 2),
+         |tb3 AS (SELECT doc_id, text FROM tb WHERE b = 3),
+         |seen1 AS (SELECT doc_id, text FROM documents
+         |          UNION ALL SELECT doc_id, text FROM tb WHERE b <= 1),
+         |seen3 AS (SELECT doc_id, text FROM documents
+         |          UNION ALL SELECT doc_id, text FROM tb),
+         |${UnigramSqlGen.fertCtes("v2", "f0", "documents")},
+         |$batchFerts,
+         |${UnigramSqlGen.chainOn("seen1", "s1")},
+         |${UnigramSqlGen.fertCtes("s1v2", "g1", "seen1")},
+         |${UnigramSqlGen.fertCtes("s1v2", "h1", "tb1")},
+         |${UnigramSqlGen.chainOn("seen3", "s2")},
+         |${UnigramSqlGen.fertCtes("s2v2", "g2", "seen3")},
+         |${UnigramSqlGen.fertCtes("s2v2", "h2", "tb3")},
+         |tlog AS (
+         |$tlogs),
+         |tw1 AS (
+         |  SELECT action, signal,
+         |         min(batch_id) AS first_batch, max(batch_id) AS last_batch,
+         |         count(*)::BIGINT AS n_fired,
+         |         arg_max(value, batch_id) AS last_value,
+         |         first(threshold) AS threshold,
+         |         round(arg_max(value, batch_id) / first(threshold), 6)
+         |           AS last_severity
+         |  FROM tlog WHERE batch_id <= 1 GROUP BY action, signal),
+         |tw2 AS (
+         |  SELECT action, signal,
+         |         min(batch_id) AS first_batch, max(batch_id) AS last_batch,
+         |         count(*)::BIGINT AS n_fired,
+         |         arg_max(value, batch_id) AS last_value,
+         |         first(threshold) AS threshold,
+         |         round(arg_max(value, batch_id) / first(threshold), 6)
+         |           AS last_severity
+         |  FROM tlog WHERE batch_id > 1 GROUP BY action, signal),
+         |taft AS (
+         |  SELECT 1 AS w, 'fertility_drift' AS signal,
+         |         greatest(round(h1f.fert - g1f.fert, 6), 0.0) AS value_after
+         |  FROM h1f, g1f
+         |  UNION ALL SELECT 1, 'oov_rate', h1f.oov FROM h1f
+         |  UNION ALL
+         |  SELECT 2, 'fertility_drift',
+         |         greatest(round(h2f.fert - g2f.fert, 6), 0.0)
+         |  FROM h2f, g2f
+         |  UNION ALL SELECT 2, 'oov_rate', h2f.oov FROM h2f)
+         |SELECT 'tokenizer' AS index_kind, 'docs_tokenizer' AS index_name,
+         |       action, signal, first_batch, last_batch, n_fired,
+         |       last_value, threshold, last_severity,
+         |       a.value_after, a.value_after < threshold AS resolved
+         |FROM ((SELECT 1 AS w, * FROM tw1)
+         |      UNION ALL (SELECT 2 AS w, * FROM tw2)) wnd
+         |JOIN taft a USING (w, signal)
+         |ORDER BY first_batch, signal""".stripMargin
+    },
     // the IVF scheduled-drain replay: four batches' drift means over
     // base ∪ cumulative negated appends vs the recorded baseline
     // (no tombstone arithmetic — the family's signal set is the pure

@@ -82,7 +82,15 @@ object Maintenance {
     MaintenanceRule("sq8", "baseline_stale", 0.01, "re_record"),
     MaintenanceRule("sq8", "tombstone_ratio", 0.10, "compact"),
     MaintenanceRule("lsh", "tombstone_ratio", 0.10, "compact"),
-    MaintenanceRule("lsh", "file_debt", 3.0, "compact"))
+    MaintenanceRule("lsh", "file_debt", 3.0, "compact"),
+    // the tokenizer family (graft.text.Tokenizer): the trained
+    // vocabulary is model state — a mixture shift fragments new text
+    // into more pieces per token (fertility_drift: every downstream
+    // token budget pays it) or off the trained alphabet entirely
+    // (oov_rate: the new-script signal fertility alone can miss);
+    // both remedies are one retrain from the observed stream
+    MaintenanceRule("tokenizer", "fertility_drift", 0.2, "retrain"),
+    MaintenanceRule("tokenizer", "oov_rate", 0.01, "retrain"))
 
   /** [[graft.search.Ann.assignmentDrift]]'s one-row report → the two
     * one-sided signals (`assignment_drift` = positive drift,
@@ -135,6 +143,18 @@ object Maintenance {
         round(col("n_tombstones").cast("double") / col("n_rows"), 6).as("value"))
       .unionAll(health.select(lit("lsh"), lit(name), lit("file_debt"),
         round(col("n_files").cast("double") / col("n_buckets"), 6)))
+
+  /** [[graft.text.Tokenizer.tokenizerDrift]] → `fertility_drift`
+    * (zero-floored: a batch that tokenizes BETTER than the training
+    * corpus never schedules a retrain) + `oov_rate` (already a
+    * one-sided ratio). */
+  def tokenizerSignals(drift: DataFrame, name: String): DataFrame =
+    drift.select(lit("tokenizer").as("index_kind"),
+        lit(name).as("index_name"),
+        lit("fertility_drift").as("signal"),
+        greatest(col("drift"), lit(0.0)).as("value"))
+      .unionAll(drift.select(lit("tokenizer"), lit(name),
+        lit("oov_rate"), col("oov_rate")))
 
   /** [[graft.search.KnnGraph.graphLayerHealth]] → `layer_missing`
     * (due-but-absent layer nodes per due node; 0 when nothing is due —
@@ -700,6 +720,33 @@ object Maintenance {
       }
     def afterSignals: DataFrame =
       bm25Signals(graft.search.Lexical.bm25IndexHealth(spark, effPath), name)
+  }
+
+  /** The default dispatcher for a TOKENIZER store ([[graft.text
+    * .Tokenizer]]): both signals route to the ONE remedy — retrain
+    * from everything observed — which lands on a fresh generation at
+    * `retrainPath` (the watched store keeps serving and observing,
+    * like every family here). [[afterSignals]] re-evaluates the LAST
+    * observed batch — the drifted data itself — under the fresh
+    * vocab, so the acknowledgment answers "does the new tokenizer
+    * handle the data that fired the order": OOV lands at exactly 0
+    * (the retrain's alphabet covers every seen char by the coverage
+    * floor) and fertility re-measures against the new full-corpus
+    * baseline. */
+  final class TokenizerDrainDispatcher(spark: org.apache.spark.sql.SparkSession,
+                                       name: String, path: String,
+                                       retrainPath: String)
+      extends DrainDispatcher {
+    private var effPath = path
+    def eff: String = effPath
+    def dispatch(kind: String, n: String, action: String): Unit =
+      if (kind == "tokenizer" && n == name && action == "retrain") {
+        graft.text.Tokenizer.retrainTokenizer(spark, effPath, retrainPath)
+        effPath = retrainPath
+      }
+    def afterSignals: DataFrame =
+      tokenizerSignals(graft.text.Tokenizer.tokenizerDrift(spark, effPath,
+        graft.text.Tokenizer.lastSeenBatch(spark, effPath), "text"), name)
   }
 
   /** The default dispatcher for a kNN-graph store, LAYERS INCLUDED:

@@ -506,6 +506,16 @@ object StreamIngest {
       .toDF("index_kind", "index_name", "action", "cost_rows")
   }
 
+  private def tokenizerDrainCosts(s: SparkSession, path: String,
+                                  indexName: String): DataFrame = {
+    import s.implicits._
+    // the one remedy re-reads everything observed (the retrain's word
+    // dict is one pass over .seen)
+    val nSeen = s.read.parquet(s"$path.seen").count()
+    Seq(("tokenizer", indexName, "retrain", nSeen))
+      .toDF("index_kind", "index_name", "action", "cost_rows")
+  }
+
   /** The per-batch body of [[ivfPolicyDrainSink]] — apply + evaluate
     * + (on cadence) DRAIN — exposed `private[graft]` so the
     * oracle-verified query can replay the sink's exact logic
@@ -707,6 +717,61 @@ object StreamIngest {
           else knnGraphPolicyDrainBatch(batch, batchId, path, k, indexName,
             rules, drainEvery, budgetRows, dispatcherFor, buckets, idCol,
             vecCol)
+        }
+      }
+  }
+
+  /** The per-batch body of [[tokenizerPolicyDrainSink]] — observe +
+    * evaluate + (on cadence) drain; `private[graft]` for the oracle
+    * replay (the [[ivfSqPolicyDrainBatch]] convention). The
+    * tokenizer's "apply" is OBSERVATION: the vocab is read-only at
+    * serving time, the batch lands in `.seen` (what a retrain trains
+    * on), and the policy evaluation measures the batch's fertility and
+    * OOV under the current vocab against the recorded baseline. */
+  private[graft] def tokenizerPolicyDrainBatch(
+      batch: DataFrame, batchId: Long, textCol: String, idCol: String,
+      path: String, indexName: String,
+      rules: Seq[graft.store.MaintenanceRule], drainEvery: Int,
+      budgetRows: Long,
+      dispatcherFor: Long => graft.store.Maintenance.DrainDispatcher): Unit = {
+    val s = batch.sparkSession
+    graft.text.Tokenizer.observeBatch(batch, textCol, path, batchId, idCol)
+    logFired(path, batchId, rules)(
+      graft.store.Maintenance.tokenizerSignals(
+        graft.text.Tokenizer.tokenizerDrift(s, path, batch, textCol),
+        indexName))
+    drainWindow(s, path, batchId, drainEvery, budgetRows, dispatcherFor)(
+      tokenizerDrainCosts(s, path, indexName))
+  }
+
+  /** [[ivfSqPolicyDrainSink]]'s contract on the TOKENIZER family —
+    * the seventh store under the scheduled maintenance loop, because
+    * a trained vocabulary is model state like any centroid table: the
+    * stream observes each batch into `.seen`, evaluates its fertility
+    * and OOV under the frozen vocab, and every `drainEvery` batches
+    * drains the open orders through the caller's
+    * [[graft.store.Maintenance.TokenizerDrainDispatcher]] (retrain
+    * from everything observed, on a fresh generation). */
+  def tokenizerPolicyDrainSink(docs: DataFrame, textCol: String,
+                               idCol: String, path: String,
+                               indexName: String,
+                               drainEvery: Int, budgetRows: Long,
+                               dispatcherFor: Long => graft.store.Maintenance.DrainDispatcher,
+                               rules: Seq[graft.store.MaintenanceRule] =
+                                 graft.store.Maintenance.DefaultRules): DataStreamWriter[org.apache.spark.sql.Row] = {
+    require(drainEvery >= 1, s"drainEvery must be >= 1: $drainEvery")
+    docs.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        oncePerBatch(batch.sparkSession, s"$path/_applied_batches", batchId) {
+          // an empty cadence batch still runs its window (round-18
+          // advice): the batch id is consumed either way
+          if (batch.isEmpty)
+            drainWindow(batch.sparkSession, path, batchId, drainEvery,
+              budgetRows, dispatcherFor)(
+              tokenizerDrainCosts(batch.sparkSession, path, indexName))
+          else tokenizerPolicyDrainBatch(batch, batchId, textCol, idCol,
+            path, indexName, rules, drainEvery, budgetRows, dispatcherFor)
         }
       }
   }

@@ -1,0 +1,149 @@
+package graft.text
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The TOKENIZER as a maintained store — the seventh family in the
+  * maintenance registry, because at 100 TB the trained vocabulary is
+  * model state exactly like an IVF centroid table: the corpus mixture
+  * drifts (a new domain fragments into more pieces per token, a new
+  * script falls off the trained alphabet entirely), serving quality
+  * decays silently (every downstream token budget and context window
+  * pays the extra fertility), and the remedy is a retrain from the
+  * observed stream. This file gives the [[Unigram]] trainer the same
+  * lifecycle every index store has: build → observe → drift → retrain,
+  * with the policy loop (signals → order book → budgeted drain →
+  * acknowledgment) supplied by [[graft.store.Maintenance]] and
+  * [[graft.streaming.StreamIngest.tokenizerPolicyDrainSink]].
+  *
+  * Layout: trained vocab `(piece, cnt, logp)` at `<path>`; the drift
+  * BASELINE (training-corpus fertility) at `<path>.stats`; the build
+  * parameters at `<path>.conf` (the relayer convention — a retrain
+  * rebuilds the way the operator chose, not a guessed configuration);
+  * the OBSERVED corpus at `<path>.seen` (`__batch` = -1 for the build
+  * corpus, the stream's batch id after) — what a retrain trains on.
+  *
+  * Scale shape: the per-batch health is one token count plus a
+  * DICTIONARY-scale segmentation (each distinct word segments once —
+  * Heaps-bounded, never corpus-row work), and the retrain is the
+  * [[Unigram.trainUnigram]] cost class (one corpus pass for the word
+  * dict, then vocabulary-scale EM). Driver state is the one-row stats
+  * frame and the vocabulary itself.
+  */
+object Tokenizer {
+
+  /** Fertility + OOV of `docs` under `vocab` — one row `(n_tokens,
+    * n_pieces, n_unk, fertility, oov_rate)`. Fertility = pieces per
+    * whitespace token (the [[Unigram]] fertility convention: words
+    * over `maxWordLen` drop from the piece count, every token counts
+    * in the denominator); OOV = `<unk>` fallback pieces over all
+    * pieces (chars outside the trained alphabet — the
+    * new-script/new-symbol signal fertility alone can miss). Each
+    * DISTINCT word segments once; totals re-weight by occurrence. */
+  def fertilityStats(docs: DataFrame, textCol: String, vocab: DataFrame,
+                     maxPieceLen: Int = 4, maxWordLen: Int = 16): DataFrame = {
+    val toks = docs.select(explode(TextAnalysis.tokens(col(textCol))).as("w"))
+      .localCheckpoint() // referenced twice (token total + word dict)
+    val wd = toks.filter(length(col("w")) <= maxWordLen)
+      .groupBy("w").agg(count(lit(1)).as("wc"))
+    val segs = Unigram.segmented(wd, Unigram.logProbs(vocab), maxPieceLen,
+      unkFallback = true)
+    segs.agg(
+        sum(col("wc") * size(col("pieces"))).as("n_pieces"),
+        sum(col("wc") * size(filter(col("pieces"),
+          p => p === lit(Unigram.UnkPiece)))).as("n_unk"))
+      .crossJoin(broadcast(toks.agg(count(lit(1)).as("n_tokens"))))
+      .select(col("n_tokens"), col("n_pieces"), col("n_unk"),
+        round(col("n_pieces").cast("double") / col("n_tokens"), 6)
+          .as("fertility"),
+        round(col("n_unk").cast("double") / col("n_pieces"), 6)
+          .as("oov_rate"))
+  }
+
+  /** Train and persist a tokenizer store: vocab at `path`, the
+    * training-corpus fertility baseline at `.stats`, the build
+    * parameters at `.conf`, the corpus itself at `.seen` (batch -1). */
+  def writeTokenizer(docs: DataFrame, textCol: String, path: String,
+                     vocabSize: Int = 120, maxPieceLen: Int = 4,
+                     maxWordLen: Int = 16, seedSize: Int = 400,
+                     rounds: Int = 2, idCol: String = "doc_id"): Unit = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val vocab = Unigram.trainUnigram(docs, textCol, vocabSize, maxPieceLen,
+      maxWordLen, seedSize, rounds).localCheckpoint()
+    vocab.coalesce(1).write.mode("overwrite").parquet(path)
+    docs.select(col(idCol).cast("long").as("doc_id"),
+        col(textCol).as("text"), lit(-1L).as("__batch"))
+      .write.mode("overwrite").parquet(s"$path.seen")
+    fertilityStats(docs, textCol, vocab, maxPieceLen, maxWordLen)
+      .select(col("fertility"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$path.stats")
+    Seq((vocabSize, maxPieceLen, maxWordLen, seedSize, rounds))
+      .toDF("vocab_size", "max_piece_len", "max_word_len", "seed_size",
+        "rounds")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path.conf")
+  }
+
+  /** Observe a batch: append it to `.seen` under its stream batch id.
+    * Observation is the tokenizer's whole "apply" step — the vocab is
+    * read-only at serving time; what accumulates is the evidence a
+    * retrain trains on. */
+  def observeBatch(batch: DataFrame, textCol: String, path: String,
+                   batchId: Long, idCol: String = "doc_id"): Unit =
+    batch.select(col(idCol).cast("long").as("doc_id"),
+        col(textCol).as("text"), lit(batchId).as("__batch"))
+      .write.mode("append").parquet(s"$path.seen")
+
+  /** Batch-scoped drift report: the batch's fertility and OOV under
+    * the CURRENT vocab vs the recorded baseline — one row
+    * `(build_fertility, batch_fertility, drift, oov_rate)` (round-6,
+    * the float-determinism contract). Like every micro-batch health
+    * here, per-batch thresholds are policy: a small batch measures its
+    * own mixture, not the corpus average. */
+  def tokenizerDrift(spark: SparkSession, path: String, batch: DataFrame,
+                     textCol: String): DataFrame = {
+    val conf = spark.read.parquet(s"$path.conf").head()
+    val b6 = spark.read.parquet(s"$path.stats").head().getDouble(0)
+    val vocab = spark.read.parquet(path)
+    fertilityStats(batch, textCol, vocab,
+        conf.getAs[Int]("max_piece_len"), conf.getAs[Int]("max_word_len"))
+      .select(lit(b6).as("build_fertility"),
+        col("fertility").as("batch_fertility"),
+        round(col("fertility") - lit(b6), 6).as("drift"),
+        col("oov_rate"))
+  }
+
+  /** Retrain from everything observed: a fresh generation at
+    * `dstPath` trained on ALL of `.seen` under the recorded conf —
+    * new vocab, new baseline (over the full seen corpus), conf and
+    * seen carried. `dstPath != srcPath` (immutable-layout rewrite,
+    * the compact/retrain convention everywhere in this repo). */
+  def retrainTokenizer(spark: SparkSession, srcPath: String,
+                       dstPath: String): Unit = {
+    require(srcPath != dstPath,
+      "retrain rewrites the layout: dstPath must differ from srcPath")
+    val conf = spark.read.parquet(s"$srcPath.conf").head()
+    val seen = spark.read.parquet(s"$srcPath.seen").localCheckpoint()
+    val vocab = Unigram.trainUnigram(seen, "text",
+      conf.getAs[Int]("vocab_size"), conf.getAs[Int]("max_piece_len"),
+      conf.getAs[Int]("max_word_len"), conf.getAs[Int]("seed_size"),
+      conf.getAs[Int]("rounds")).localCheckpoint()
+    vocab.coalesce(1).write.mode("overwrite").parquet(dstPath)
+    seen.write.mode("overwrite").parquet(s"$dstPath.seen")
+    fertilityStats(seen, "text", vocab, conf.getAs[Int]("max_piece_len"),
+        conf.getAs[Int]("max_word_len"))
+      .select(col("fertility"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$dstPath.stats")
+    spark.read.parquet(s"$srcPath.conf")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dstPath.conf")
+  }
+
+  /** The LAST observed batch of a store — what a post-retrain
+    * verification re-evaluates: the drifted data itself, under the
+    * fresh generation's vocab. */
+  def lastSeenBatch(spark: SparkSession, path: String): DataFrame = {
+    val seen = spark.read.parquet(s"$path.seen")
+    val last = seen.agg(max(col("__batch"))).head().getLong(0)
+    seen.filter(col("__batch") === last)
+  }
+}

@@ -498,7 +498,7 @@ class StoreStreamSpec extends SparkSpec {
     assert(win == 1)
   }
 
-  test("IVF / IVF-PQ / BM25 / graph policy DRAIN sinks: every family's window drains its open debt and acknowledges") {
+  test("IVF / IVF-PQ / BM25 / graph / tokenizer policy DRAIN sinks: every family's window drains its open debt and acknowledges") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import org.apache.spark.sql.functions.col
     implicit val sqlCtx = spark.sqlContext
@@ -610,6 +610,36 @@ class StoreStreamSpec extends SparkSpec {
         .graphIndexHealth(spark, s"$root/graph-v2").head()
         .getAs[Long]("n_edge_rows") == 100L * 3,
         "compacted generation back at the n*k floor")
+    }
+    // tokenizer (the seventh family): an in-distribution batch logs
+    // nothing; a mangled batch ('e' -> '#', an unseen char) fires
+    // fertility + OOV and the window retrains from everything
+    // observed — the fresh generation's alphabet covers the new char
+    locally {
+      val dir = s"$root/tok"
+      graft.text.Tokenizer.writeTokenizer(docs, "text", dir)
+      val drows = docs.select(col("doc_id"), col("text")).collect()
+        .map(r => (r.getLong(0), r.getString(1)))
+      val input = MemoryStream[(Long, String)]
+      val q = graft.streaming.StreamIngest.tokenizerPolicyDrainSink(
+        input.toDF().toDF("doc_id", "text"), "text", "doc_id", dir, "tok",
+        drainEvery = 2, budgetRows = Long.MaxValue,
+        _ => new graft.store.Maintenance.TokenizerDrainDispatcher(spark,
+          "tok", dir, s"$root/tok-rt")).start()
+      input.addData(drows.take(20).map { case (id, t) =>
+        (id + 100000, t) }.toSeq)
+      q.processAllAvailable()
+      input.addData(drows.take(20).map { case (id, t) =>
+        (id + 200000, t.replace('e', '#')) }.toSeq)
+      q.processAllAvailable(); q.stop()
+      val acks = spark.read.parquet(s"$dir.resolutions").collect()
+      assert(acks.nonEmpty && acks.forall(_.getAs[Boolean]("resolved")),
+        acks.toSeq.toString)
+      assert(acks.exists(_.getAs[String]("signal") == "oov_rate"))
+      assert(spark.read.parquet(s"$root/tok-rt")
+        .filter(col("piece") === "#").count() == 1,
+        "the retrained alphabet must cover the observed new char")
+      assert(graft.store.Maintenance.openOrders(spark, dir).isEmpty)
     }
   }
 

@@ -1,0 +1,61 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.text.Tokenizer
+
+/** The tokenizer STORE (the seventh maintenance family): the
+  * fertility/OOV arithmetic against a hand lattice, the store
+  * lifecycle (write → observe → drift → retrain), and the
+  * coverage-floor consequence the after-check relies on (a retrain's
+  * alphabet covers every observed char → OOV lands at exactly 0). */
+class TokenizerSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("fertilityStats: hand-checked pieces, unks, and denominators") {
+    // tokens: ab, ab, zz → 3; 'ab' segments to [ab] (1 piece ×2),
+    // 'zz' has no trained 'z' → [<unk>, <unk>] (2 pieces ×1);
+    // n_pieces 4, n_unk 2, fertility 4/3, oov 2/4
+    val docs = Seq((0L, "ab ab zz")).toDF("doc_id", "text")
+    val vocab = Seq(("a", 1L), ("b", 1L), ("ab", 4L)).toDF("piece", "cnt")
+    val r = Tokenizer.fertilityStats(docs, "text", vocab, maxPieceLen = 2)
+      .head()
+    assert(r.getAs[Long]("n_tokens") == 3L)
+    assert(r.getAs[Long]("n_pieces") == 4L)
+    assert(r.getAs[Long]("n_unk") == 2L)
+    assert(r.getAs[Double]("fertility") == 1.333333)
+    assert(r.getAs[Double]("oov_rate") == 0.5)
+  }
+
+  test("store lifecycle: write → observe → drift fires on a mangled batch → retrain resolves OOV to exactly 0") {
+    val docs = graft.io.Tables.documents(spark, sf0001)
+    val root = java.nio.file.Files.createTempDirectory("graft-tok").toString
+    val path = s"$root/tok"
+    Tokenizer.writeTokenizer(docs, "text", path)
+    // clean batch: fertility ≈ baseline, no OOV
+    val clean = docs.filter(col("doc_id") < 10)
+      .select((col("doc_id") + 100000).as("doc_id"), col("text"))
+    val d0 = Tokenizer.tokenizerDrift(spark, path, clean, "text").head()
+    assert(d0.getAs[Double]("oov_rate") == 0.0)
+    assert(math.abs(d0.getAs[Double]("drift")) < 0.2, d0.toString)
+    // mangled batch: unseen words AND an unseen char
+    val mangled = docs.filter(col("doc_id") < 10)
+      .select((col("doc_id") + 200000).as("doc_id"),
+        translate(col("text"), "e", "#").as("text"))
+    val d1 = Tokenizer.tokenizerDrift(spark, path, mangled, "text").head()
+    assert(d1.getAs[Double]("oov_rate") > 0.01, d1.toString)
+    assert(d1.getAs[Double]("drift") > 0.2, d1.toString)
+    // observe + retrain: the fresh generation's alphabet covers '#',
+    // so the SAME batch re-evaluates to OOV exactly 0
+    Tokenizer.observeBatch(mangled, "text", path, 0L)
+    Tokenizer.retrainTokenizer(spark, path, s"$root/tok2")
+    val d2 = Tokenizer.tokenizerDrift(spark, s"$root/tok2",
+      Tokenizer.lastSeenBatch(spark, s"$root/tok2"), "text").head()
+    assert(d2.getAs[Double]("oov_rate") == 0.0, d2.toString)
+    assert(spark.read.parquet(s"$root/tok2")
+      .filter(col("piece") === "#").count() == 1)
+    // the conf rides along: the retrained store can retrain again
+    assert(spark.read.parquet(s"$root/tok2.conf").head()
+      .getAs[Int]("vocab_size") == 120)
+  }
+}
