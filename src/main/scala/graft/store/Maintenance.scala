@@ -264,6 +264,7 @@ object Maintenance {
                     lsh: Seq[(String, String)] = Nil,
                     graphLayer: Seq[(String, String)] = Nil,
                     graphLayer2: Seq[(String, String)] = Nil,
+                    tokenizer: Seq[(String, String)] = Nil,
                     rules: Seq[MaintenanceRule] = DefaultRules): DataFrame = {
     // the per-store report ops are EAGER driver-blocking reads (drift
     // means, health counts) over independent stores — evaluate them on
@@ -289,7 +290,13 @@ object Maintenance {
         layerSignals(graft.search.KnnGraph.graphLayerHealth(spark, p), n) } ++
       graphLayer2.map { case (n, p) => () =>
         layerSignals(graft.search.KnnGraph.graphLayerHealth(spark, p, 2), n,
-          2) }
+          2) } ++
+      // the tokenizer's drift is batch-scoped by design; the fleet
+      // planner evaluates the LAST observed batch — the freshest
+      // evidence of the serving mixture
+      tokenizer.map { case (n, p) => () =>
+        tokenizerSignals(graft.text.Tokenizer.tokenizerDrift(spark, p,
+          graft.text.Tokenizer.lastSeenBatch(spark, p), "text"), n) }
     require(thunks.nonEmpty, "indexMaintain needs at least one index")
     plan(graft.io.Par.seq(thunks).reduce(_ unionAll _), rules)
   }
@@ -864,10 +871,11 @@ object Maintenance {
                           lsh: Seq[(String, String)] = Nil,
                           graphLayer: Seq[(String, String)] = Nil,
                           graphLayer2: Seq[(String, String)] = Nil,
+                          tokenizer: Seq[(String, String)] = Nil,
                           rules: Seq[MaintenanceRule] = DefaultRules): DataFrame = {
     val planned =
       indexMaintain(spark, ivf, bm25, graph, ivfPq, sq, lsh, graphLayer,
-        graphLayer2, rules)
+        graphLayer2, tokenizer, rules)
     def costRows(kind: String, name: String, health: DataFrame,
                  actions: (String, Column)*): DataFrame =
       actions.map { case (a, c) =>
@@ -902,7 +910,14 @@ object Maintenance {
       graphLayer2.map { case (n, p) =>
         costRows("graph", n,
           graft.search.KnnGraph.graphLayerHealth(spark, p, 2),
-          "relayer2" -> col("n_nodes")) }
+          "relayer2" -> col("n_nodes")) } ++
+      tokenizer.map { case (n, p) =>
+        // a retrain's word dict is one pass over everything observed
+        costRows("tokenizer", n,
+          spark.read.parquet(s"$p.seen")
+            .agg(org.apache.spark.sql.functions.count(
+              org.apache.spark.sql.functions.lit(1)).as("n_seen")),
+          "retrain" -> col("n_seen")) }
     planned.join(broadcast(costs.reduce(_ unionAll _)),
         Seq("index_kind", "index_name", "action"), "left")
       .select(col("priority"), col("index_kind"), col("index_name"),

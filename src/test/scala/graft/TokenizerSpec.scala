@@ -58,4 +58,28 @@ class TokenizerSpec extends SparkSpec {
     assert(spark.read.parquet(s"$root/tok2.conf").head()
       .getAs[Int]("vocab_size") == 120)
   }
+
+  test("fleet planner: the tokenizer registers like any family, retrain priced at the observed row count") {
+    val docs = graft.io.Tables.documents(spark, sf0001)
+    val root = java.nio.file.Files.createTempDirectory("graft-tokf").toString
+    val path = s"$root/tok"
+    Tokenizer.writeTokenizer(docs, "text", path)
+    Tokenizer.observeBatch(
+      docs.filter(col("doc_id") < 10)
+        .select((col("doc_id") + 100000).as("doc_id"),
+          translate(col("text"), "e", "#").as("text")),
+      "text", path, 0L)
+    val planned = graft.store.Maintenance.indexMaintainCosted(spark,
+      tokenizer = Seq("tok" -> path)).collect()
+    val nSeen = spark.read.parquet(s"$path.seen").count()
+    assert(planned.nonEmpty, "the mangled batch must fire")
+    planned.foreach { r =>
+      assert(r.getAs[String]("index_kind") == "tokenizer")
+      assert(r.getAs[String]("action") == "retrain")
+      assert(r.getAs[Long]("cost_rows") == nSeen,
+        s"retrain reads everything observed: $r vs $nSeen")
+    }
+    assert(planned.map(_.getAs[String]("signal")).toSet ==
+      Set("fertility_drift", "oov_rate"))
+  }
 }
