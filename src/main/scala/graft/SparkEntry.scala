@@ -171,6 +171,20 @@ object SparkEntry {
     graft.store.MaintenanceRule("sq8", "assignment_drift", 0.005, "retrain"),
     graft.store.MaintenanceRule("sq8", "tombstone_ratio", 0.10, "compact"))
 
+  /** The IVF/IVF-PQ stream-drained books' rule sets: drift gates drop
+    * to 0.001 because these fixtures append FIXED 100-row batches
+    * against a corpus that grows with the scale factor (dilution is
+    * |appends|/n — the MixedBookRules rationale), and unlike the sq8
+    * book these families have NO second mechanical signal to keep the
+    * window non-empty when the drift side dilutes under a default
+    * threshold (the sf0.1 lesson: 100 negated rows among 6000 shift
+    * the mean by ~0.004 — under DefaultRules' 0.01, over 0.001 with
+    * 4× margin). Per-batch thresholds are policy, as everywhere. */
+  private val IvfBookRules = Seq(
+    graft.store.MaintenanceRule("ivf", "assignment_drift", 0.001, "retrain"))
+  private val IvfPqBookRules = Seq(
+    graft.store.MaintenanceRule("ivfpq", "recon_drift", 0.001, "retrain"))
+
   /** The TWO-FAMILY book's rule set (`maintenance_order_book_mixed_
     * drained`): the sq8 drift gate drops to 0.002 because the fixture
     * appends a FIXED 400 negated rows against a corpus that grows with
@@ -1065,8 +1079,8 @@ object SparkEntry {
           emb.filter(col("vec_id") >= lo && col("vec_id") < hi)
             .select((col("vec_id") + 100000).as("vec_id"),
               transform(col("embedding"), x => -x).as("embedding")),
-          id, cents, path, "embeddings_ivf",
-          graft.store.Maintenance.DefaultRules, drainEvery = 2,
+          id, cents, path, "embeddings_ivf", IvfBookRules,
+          drainEvery = 2,
           budgetRows = Long.MaxValue, dispatcherFor, "embedding")
       runBatch(0L, 0, 100)
       runBatch(1L, 100, 200) // window 1 drains here
@@ -1165,8 +1179,8 @@ object SparkEntry {
           emb.filter(col("vec_id") >= lo && col("vec_id") < hi)
             .select((col("vec_id") + 100000).as("vec_id"),
               reverse(col("embedding")).as("embedding")),
-          id, cents, cb, path, "embeddings_ivfpq",
-          graft.store.Maintenance.DefaultRules, drainEvery = 2,
+          id, cents, cb, path, "embeddings_ivfpq", IvfPqBookRules,
+          drainEvery = 2,
           budgetRows = Long.MaxValue, dispatcherFor, "vec_id", "embedding")
       runBatch(0L, 0, 100)
       runBatch(1L, 100, 200) // window 1 drains here
@@ -9372,20 +9386,20 @@ object SparkEntry {
          |  SELECT 0::BIGINT AS batch_id, 'retrain' AS action,
          |         'assignment_drift' AS signal,
          |         round(greatest(drift, 0.0), 6) AS value,
-         |         0.01 AS threshold
-         |  FROM id0 WHERE greatest(drift, 0.0) >= 0.01
+         |         0.001 AS threshold
+         |  FROM id0 WHERE greatest(drift, 0.0) >= 0.001
          |  UNION ALL
          |  SELECT 1::BIGINT, 'retrain', 'assignment_drift',
-         |         round(greatest(drift, 0.0), 6), 0.01
-         |  FROM id1 WHERE greatest(drift, 0.0) >= 0.01
+         |         round(greatest(drift, 0.0), 6), 0.001
+         |  FROM id1 WHERE greatest(drift, 0.0) >= 0.001
          |  UNION ALL
          |  SELECT 2::BIGINT, 'retrain', 'assignment_drift',
-         |         round(greatest(drift, 0.0), 6), 0.01
-         |  FROM id2 WHERE greatest(drift, 0.0) >= 0.01
+         |         round(greatest(drift, 0.0), 6), 0.001
+         |  FROM id2 WHERE greatest(drift, 0.0) >= 0.001
          |  UNION ALL
          |  SELECT 3::BIGINT, 'retrain', 'assignment_drift',
-         |         round(greatest(drift, 0.0), 6), 0.01
-         |  FROM id3 WHERE greatest(drift, 0.0) >= 0.01),
+         |         round(greatest(drift, 0.0), 6), 0.001
+         |  FROM id3 WHERE greatest(drift, 0.0) >= 0.001),
          |iw1 AS (
          |  SELECT action, signal,
          |         min(batch_id) AS first_batch, max(batch_id) AS last_batch,
@@ -9450,8 +9464,8 @@ object SparkEntry {
         s"""  SELECT $b::BIGINT AS batch_id, 'retrain' AS action,
            |         'recon_drift' AS signal,
            |         round(greatest(drift, 0.0), 6) AS value,
-           |         0.01 AS threshold
-           |  FROM qd$b WHERE greatest(drift, 0.0) >= 0.01""".stripMargin
+           |         0.001 AS threshold
+           |  FROM qd$b WHERE greatest(drift, 0.0) >= 0.001""".stripMargin
       }.mkString("\n  UNION ALL\n")
       s"""WITH $pqTrainSql,
          |recon AS (
