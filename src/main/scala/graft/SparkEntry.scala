@@ -3712,6 +3712,21 @@ object SparkEntry {
       graft.text.Unigram.trainUnigramSoft(Tables.documents(s, dir), "text",
         vocabSize = 120, maxPieceLen = 4, maxWordLen = 16,
         seedSize = 400, rounds = 2)),
+    // ---- [EXT] ENCODE under the soft-trained vocabulary — the
+    // full-EM model exercised end-to-end at serving time (the same
+    // serving-form Viterbi DP as unigram_encode, driven by the soft
+    // counts' piece probabilities). Soft EM redistributes prune mass,
+    // so the segmentations genuinely differ from the hard vocab's
+    // where competitive pieces survived.
+    "unigram_encode_soft" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val vocab = graft.text.Unigram.trainUnigramSoft(docs, "text",
+        vocabSize = 120, maxPieceLen = 4, maxWordLen = 16,
+        seedSize = 400, rounds = 2)
+      graft.text.Unigram.encode(docs.filter(col("doc_id") < 20), "text",
+          vocab, maxPieceLen = 4)
+        .orderBy(col("doc_id"), col("wpos"), col("ppos"))
+    }),
     // ---- [EXT] the ENCODE side of the unigram tokenizer: every
     // document's words Viterbi-segmented against the trained vocab
     // (each DISTINCT word segmented once, joined back to positions) —
@@ -7804,17 +7819,42 @@ object SparkEntry {
          |          FROM ${p}ab) q)
          |  GROUP BY piece HAVING sum(ecq) > 0)""".stripMargin
 
-    /** The soft trainer's full replay: shared seed, two soft rounds
-      * (sa/sb), the shared prune, final round-6 log-probabilities. */
-    val vocabSoftSql: String =
-      s"""WITH $seedChain,
+    /** Shared seed + two soft rounds (sa/sb) + the shared prune →
+      * `sv2` (the soft trainer's chain, shared by the vocab and the
+      * soft-encode oracles). */
+    private val softChain: String =
+      s"""$seedChain,
          |${softCtes("v0", "sa")},
          |${nextVocab("sause", "v0", "sv1")},
          |${softCtes("sv1", "sb")},
-         |${nextVocab("sbuse", "sv1", "sv2")},
+         |${nextVocab("sbuse", "sv1", "sv2")}""".stripMargin
+
+    /** The soft trainer's full replay: [[softChain]] + final round-6
+      * log-probabilities. */
+    val vocabSoftSql: String =
+      s"""WITH $softChain,
          |stot AS (SELECT sum(cnt)::DOUBLE AS t FROM sv2)
          |SELECT piece, cnt, round(ln(cnt::DOUBLE / t), 6) AS logp
          |FROM sv2, stot ORDER BY cnt DESC, piece""".stripMargin
+
+    /** Encode replay under the SOFT vocab: the soft chain's final
+      * `sv2` drives the same serving-form Viterbi DP and position
+      * join as [[encodeSql]] — the full-EM vocabulary exercised
+      * end-to-end at serving time, not just as a trained table. */
+    val encodeSoftSql: String =
+      s"""WITH $softChain,
+         |${segCtes("sv2", "sf")},
+         |wp AS (
+         |  SELECT doc_id, unnest(toks) AS w,
+         |         generate_subscripts(toks, 1) - 1 AS wpos
+         |  FROM (SELECT doc_id, $toksSql AS toks FROM documents
+         |        WHERE doc_id < 20))
+         |SELECT doc_id, wpos::BIGINT AS wpos, ppos::BIGINT AS ppos, piece
+         |FROM (
+         |  SELECT wp.doc_id, wp.wpos, unnest(s.bt) AS piece,
+         |         generate_subscripts(s.bt, 1) - 1 AS ppos
+         |  FROM wp JOIN sfseg s USING (w))
+         |ORDER BY doc_id, wpos, ppos""".stripMargin
 
     val vocabSql: String =
       s"""WITH $chain,
@@ -12795,6 +12835,7 @@ object SparkEntry {
     "bpe_merges" -> bpeSql(6),
     "unigram_vocab" -> UnigramSqlGen.vocabSql,
     "unigram_vocab_soft" -> UnigramSqlGen.vocabSoftSql,
+    "unigram_encode_soft" -> UnigramSqlGen.encodeSoftSql,
     "unigram_encode" -> UnigramSqlGen.encodeSql,
     "unigram_encode_oov" -> UnigramSqlGen.encodeOovSql,
     "unigram_fertility" -> UnigramSqlGen.fertilitySql,
