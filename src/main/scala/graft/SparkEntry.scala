@@ -1239,6 +1239,32 @@ object SparkEntry {
       s.read.parquet(s"$path.resolutions")
         .orderBy(col("first_batch"), col("signal"))
     }),
+    // ---- [EXT] vocabulary ALIGNMENT across a tokenizer retrain —
+    // the migration bill a fresh generation hands every downstream
+    // consumer keyed by piece (embedding matrices, cached encodings):
+    // kept pieces copy by id, dropped pieces force their rows to
+    // re-encode, new pieces need initialization. Per class: piece
+    // count + each side's probability MASS (the mass of `dropped` is
+    // the fraction of the old model's probability the migration
+    // re-routes — a better cost signal than the raw count). Gen 0
+    // trains on documents; gen 1 on documents ∪ a 'e'→'#' mangled
+    // slice (the drift fixture). The oracle replays BOTH trainings
+    // and the full-outer-join class arithmetic.
+    "tokenizer_retrain_alignment" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val g0 = graft.text.Unigram.trainUnigram(docs, "text",
+        vocabSize = 120, maxPieceLen = 4, maxWordLen = 16,
+        seedSize = 400, rounds = 2)
+      val seen = docs.select(col("doc_id"), col("text"))
+        .unionAll(docs.filter(col("doc_id") < 200)
+          .select((col("doc_id") + 100000).as("doc_id"),
+            translate(col("text"), "e", "#").as("text")))
+      val g1 = graft.text.Unigram.trainUnigram(seen, "text",
+        vocabSize = 120, maxPieceLen = 4, maxWordLen = 16,
+        seedSize = 400, rounds = 2)
+      graft.text.Tokenizer.vocabAlignment(g0, g1)
+        .orderBy(col("piece_class"))
+    }),
     // ---- [EXT] a TWO-FAMILY book drained through ONE
     // Maintenance.defaultDispatch call — foreign-order isolation
     // pinned end-to-end under a hash (round-18 verdict item 7: the
@@ -9306,6 +9332,31 @@ object SparkEntry {
          |       0.0::DOUBLE AS value_after, TRUE AS resolved
          |FROM (SELECT * FROM w1 UNION ALL SELECT * FROM w2)
          |ORDER BY first_batch, action""".stripMargin,
+    // the retrain-alignment replay: both trainings (gen 0 over
+    // documents, gen 1 over documents ∪ the mangled slice), each
+    // side's probability shares, the full-outer-join classes
+    "tokenizer_retrain_alignment" ->
+      s"""WITH ${UnigramSqlGen.chain},
+         |atb AS (SELECT doc_id + 100000 AS doc_id,
+         |               replace(text, 'e', '#') AS text
+         |        FROM documents WHERE doc_id < 200),
+         |aseen AS (SELECT doc_id, text FROM documents
+         |          UNION ALL SELECT doc_id, text FROM atb),
+         |${UnigramSqlGen.chainOn("aseen", "al")},
+         |aod AS (SELECT piece,
+         |               cnt::DOUBLE / (SELECT sum(cnt) FROM v2)::DOUBLE AS so
+         |        FROM v2),
+         |anw AS (SELECT piece,
+         |               cnt::DOUBLE / (SELECT sum(cnt) FROM alv2)::DOUBLE AS sn
+         |        FROM alv2)
+         |SELECT CASE WHEN so IS NOT NULL AND sn IS NOT NULL THEN 'kept'
+         |            WHEN sn IS NULL THEN 'dropped'
+         |            ELSE 'new' END AS piece_class,
+         |       count(*)::BIGINT AS n_pieces,
+         |       round(coalesce(sum(so), 0.0), 6) AS old_mass,
+         |       round(coalesce(sum(sn), 0.0), 6) AS new_mass
+         |FROM aod FULL OUTER JOIN anw USING (piece)
+         |GROUP BY 1 ORDER BY piece_class""".stripMargin,
     // the TOKENIZER scheduled-drain replay: three full unigram
     // training chains (gen 0 over documents; gen 1 over documents ∪
     // batches 0-1; gen 2 over documents ∪ batches 0-3), the baseline

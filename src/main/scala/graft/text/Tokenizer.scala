@@ -146,4 +146,35 @@ object Tokenizer {
     val last = seen.agg(max(col("__batch"))).head().getLong(0)
     seen.filter(col("__batch") === last)
   }
+
+  /** Vocabulary ALIGNMENT across a retrain — the migration bill a
+    * fresh generation hands every downstream consumer keyed by piece
+    * (embedding matrices, learned routing tables, cached encodings):
+    * full outer join of the two vocabularies classifies each piece as
+    * `kept` (re-embeddable by id copy), `dropped` (its rows must
+    * re-encode), or `new` (needs initialization), with the piece
+    * count and each side's probability MASS per class — the mass of
+    * `dropped` is the fraction of the OLD model's probability the
+    * migration must re-route, a better cost signal than the raw
+    * count (round-6 on cnt/total, the shared contract). One
+    * vocabulary-scale join: bounded model-state work, never corpus
+    * rows. */
+  def vocabAlignment(oldVocab: DataFrame, newVocab: DataFrame): DataFrame = {
+    def withShare(v: DataFrame, shareCol: String): DataFrame = {
+      val total = v.agg(sum(col("cnt"))).head().getLong(0)
+      v.select(col("piece"),
+        (col("cnt").cast("double") / total.toDouble).as(shareCol))
+    }
+    withShare(oldVocab, "__so")
+      .join(withShare(newVocab, "__sn"), Seq("piece"), "full_outer")
+      .select(
+        when(col("__so").isNotNull && col("__sn").isNotNull, lit("kept"))
+          .when(col("__sn").isNull, lit("dropped"))
+          .otherwise(lit("new")).as("piece_class"),
+        col("__so"), col("__sn"))
+      .groupBy(col("piece_class"))
+      .agg(count(lit(1)).as("n_pieces"),
+        round(coalesce(sum(col("__so")), lit(0.0)), 6).as("old_mass"),
+        round(coalesce(sum(col("__sn")), lit(0.0)), 6).as("new_mass"))
+  }
 }
