@@ -1805,11 +1805,14 @@ object SparkEntry {
         nndGraph(s, dir, 5), emb, path)
       graft.search.KnnGraph.deleteFromGraphIndex(
         emb.filter(col("vec_id") % 50 === 0), path)
-      // beam 48: this synthetic corpus is weakly clustered (top-5 sims
-      // ~0.25-0.32, near noise), so exact recovery of a 5th-nearest at
-      // sim margin <1e-3 needs a wide walk — the cost bound is still
+      // DEFAULT beam (auto = max(16, 10·k) = 50 here): this synthetic
+      // corpus is weakly clustered (top-5 sims ~0.25-0.32, near
+      // noise), so exact recovery of a 5th-nearest at sim margin
+      // <1e-3 needs a wide walk — exactly the case the k-scaled
+      // default exists for (round-19 advice: the fixed-16 default
+      // silently under-repaired); the cost bound is still
       // O(|affected|·hops·beam·degree), never O(n) per affected
-      graft.search.KnnGraph.repairGraphIndex(s, path, beam = 48)
+      graft.search.KnnGraph.repairGraphIndex(s, path)
       graft.search.KnnGraph.graphIndexTopK(s, path, 0L until 15L, 5)
         .orderBy(col("src"), col("rank"))
     }),
@@ -9334,7 +9337,10 @@ object SparkEntry {
          |ORDER BY first_batch, action""".stripMargin,
     // the retrain-alignment replay: both trainings (gen 0 over
     // documents, gen 1 over documents ∪ the mangled slice), each
-    // side's probability shares, the full-outer-join classes
+    // side's probability shares quantized to micro-unit longs
+    // (floor(share*1e6 + 0.5) — the softUsage contract: the class
+    // sum adds integers, order-free on both engines), the
+    // full-outer-join classes
     "tokenizer_retrain_alignment" ->
       s"""WITH ${UnigramSqlGen.chain},
          |atb AS (SELECT doc_id + 100000 AS doc_id,
@@ -9344,17 +9350,19 @@ object SparkEntry {
          |          UNION ALL SELECT doc_id, text FROM atb),
          |${UnigramSqlGen.chainOn("aseen", "al")},
          |aod AS (SELECT piece,
-         |               cnt::DOUBLE / (SELECT sum(cnt) FROM v2)::DOUBLE AS so
+         |               floor(cnt::DOUBLE / (SELECT sum(cnt) FROM v2)::DOUBLE
+         |                     * 1000000.0 + 0.5)::BIGINT AS so
          |        FROM v2),
          |anw AS (SELECT piece,
-         |               cnt::DOUBLE / (SELECT sum(cnt) FROM alv2)::DOUBLE AS sn
+         |               floor(cnt::DOUBLE / (SELECT sum(cnt) FROM alv2)::DOUBLE
+         |                     * 1000000.0 + 0.5)::BIGINT AS sn
          |        FROM alv2)
          |SELECT CASE WHEN so IS NOT NULL AND sn IS NOT NULL THEN 'kept'
          |            WHEN sn IS NULL THEN 'dropped'
          |            ELSE 'new' END AS piece_class,
          |       count(*)::BIGINT AS n_pieces,
-         |       round(coalesce(sum(so), 0.0), 6) AS old_mass,
-         |       round(coalesce(sum(sn), 0.0), 6) AS new_mass
+         |       round(coalesce(sum(so), 0)::DOUBLE / 1000000.0, 6) AS old_mass,
+         |       round(coalesce(sum(sn), 0)::DOUBLE / 1000000.0, 6) AS new_mass
          |FROM aod FULL OUTER JOIN anw USING (piece)
          |GROUP BY 1 ORDER BY piece_class""".stripMargin,
     // the TOKENIZER scheduled-drain replay: three full unigram

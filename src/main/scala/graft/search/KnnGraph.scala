@@ -789,6 +789,18 @@ object KnnGraph {
     * the clustered fixture; the oracle query pins it on the embeddings
     * corpus), and `beam`/`hops` buy more when a corpus needs it.
     *
+    * The DEFAULT beam SCALES WITH THE STORE'S LIST WIDTH (round-19
+    * advice: a fixed 16 silently under-repairs a wide-k store — the
+    * default parameter was the trap): `beam < 0` derives k from the
+    * layout as the MINIMUM per-source stored row count (a base graph
+    * stores exactly k rows per source and appends only add rows, so
+    * the min can only land at or above k) and walks with
+    * `max(16, 10·k)` — the margin the oracle fixture needed for exact
+    * top-5 recovery on the WEAKLY-clustered embeddings corpus
+    * (beam 48 ≈ 10·k at k = 5); locally-clustered corpora need far
+    * less, and walk cost is linear in beam. Pass an explicit beam to
+    * override either way.
+    *
     * The tombstones stay: stale rows pointing AT deleted neighbors
     * remain in the base until [[compactGraphIndex]] drops them
     * physically, and the probe's anti-join keeps them out of rankings
@@ -796,11 +808,22 @@ object KnnGraph {
     * affected nodes' fresh candidates — base rows for unaffected
     * nodes are untouched, so the write cost follows the damage. */
   def repairGraphIndex(spark: org.apache.spark.sql.SparkSession, path: String,
-                       buckets: Int = 16, beam: Int = 16,
+                       buckets: Int = 16, beam: Int = -1,
                        hops: Int = 3): Unit = {
     graphTombstones(spark, path).foreach { t =>
       val ids = t.select(col(t.columns.head).as("__tomb"))
       val rawEdges = spark.read.parquet(path)
+      val beamW =
+        if (beam > 0) beam
+        else {
+          // k from the layout: min per-source row count (= the built k
+          // on the base rows; append debt only adds rows) — one
+          // bounded agg over edges the repair scans anyway
+          val kEst = rawEdges.groupBy(col("src"))
+            .agg(count(lit(1)).as("__r"))
+            .agg(min(col("__r"))).head().getLong(0).toInt
+          math.max(16, 10 * kEst)
+        }
       val affected = rawEdges
         .join(broadcast(ids), col("dst") === col("__tomb"), "left_semi")
         .select(col("src")).distinct()
@@ -839,7 +862,7 @@ object KnnGraph {
         .orderBy(col("sim").desc, col("id").asc)
       def rank(scored: DataFrame): DataFrame = scored
         .withColumn("__rn", row_number().over(byQ))
-        .filter(col("__rn") <= beam).drop("__rn")
+        .filter(col("__rn") <= beamW).drop("__rn")
       var beamDf = rank(score(seeds)).localCheckpoint()
       var visited = seeds.localCheckpoint()
       (1 to hops).foreach { _ =>

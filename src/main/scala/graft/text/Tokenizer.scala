@@ -156,14 +156,23 @@ object Tokenizer {
     * count and each side's probability MASS per class — the mass of
     * `dropped` is the fraction of the OLD model's probability the
     * migration must re-route, a better cost signal than the raw
-    * count (round-6 on cnt/total, the shared contract). One
-    * vocabulary-scale join: bounded model-state work, never corpus
-    * rows. */
+    * count. One vocabulary-scale join: bounded model-state work,
+    * never corpus rows.
+    *
+    * Determinism: per-piece shares QUANTIZE to micro-unit longs
+    * (`floor(share·10⁶ + 0.5)` — floor is IEEE-exact) BEFORE the
+    * class sum, so the distributed aggregation sums integers
+    * (partial-order-free) and one exact division lands the round-6
+    * mass — the [[Unigram.softUsage]] contract; summing raw doubles
+    * across Spark partitions left the accumulation order unpinned,
+    * and a class mass near a 5e-7 boundary could round differently
+    * from the oracle's single-threaded sum. */
   def vocabAlignment(oldVocab: DataFrame, newVocab: DataFrame): DataFrame = {
     def withShare(v: DataFrame, shareCol: String): DataFrame = {
       val total = v.agg(sum(col("cnt"))).head().getLong(0)
       v.select(col("piece"),
-        (col("cnt").cast("double") / total.toDouble).as(shareCol))
+        floor(col("cnt").cast("double") / total.toDouble
+          * lit(1000000.0) + lit(0.5)).as(shareCol))
     }
     withShare(oldVocab, "__so")
       .join(withShare(newVocab, "__sn"), Seq("piece"), "full_outer")
@@ -174,7 +183,9 @@ object Tokenizer {
         col("__so"), col("__sn"))
       .groupBy(col("piece_class"))
       .agg(count(lit(1)).as("n_pieces"),
-        round(coalesce(sum(col("__so")), lit(0.0)), 6).as("old_mass"),
-        round(coalesce(sum(col("__sn")), lit(0.0)), 6).as("new_mass"))
+        round(coalesce(sum(col("__so")), lit(0L)).cast("double")
+          / lit(1000000.0), 6).as("old_mass"),
+        round(coalesce(sum(col("__sn")), lit(0L)).cast("double")
+          / lit(1000000.0), 6).as("new_mass"))
   }
 }
