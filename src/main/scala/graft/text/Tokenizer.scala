@@ -1,6 +1,7 @@
 package graft.text
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** The TOKENIZER as a maintained store — the seventh family in the
@@ -21,7 +22,10 @@ import org.apache.spark.sql.functions._
   * parameters at `<path>.conf` (the relayer convention — a retrain
   * rebuilds the way the operator chose, not a guessed configuration);
   * the OBSERVED corpus at `<path>.seen` (`__batch` = -1 for the build
-  * corpus, the stream's batch id after) — what a retrain trains on.
+  * corpus, the stream's batch id after; `__w` = row weight — 1 for
+  * raw rows, token multiplicity once [[compactSeen]] has collapsed an
+  * old tail to its weighted dictionary under `__batch` = −2) — what a
+  * retrain trains on.
   *
   * Scale shape: the per-batch health is one token count plus a
   * DICTIONARY-scale segmentation (each distinct word segments once —
@@ -39,20 +43,25 @@ object Tokenizer {
     * in the denominator); OOV = `<unk>` fallback pieces over all
     * pieces (chars outside the trained alphabet — the
     * new-script/new-symbol signal fertility alone can miss). Each
-    * DISTINCT word segments once; totals re-weight by occurrence. */
+    * DISTINCT word segments once; totals re-weight by occurrence. A
+    * `__w` column on `docs` weights every total (the [[Unigram
+    * .wordDict]] compacted-corpus convention), so a compacted `.seen`
+    * yields the identical baseline. */
   def fertilityStats(docs: DataFrame, textCol: String, vocab: DataFrame,
                      maxPieceLen: Int = 4, maxWordLen: Int = 16): DataFrame = {
-    val toks = docs.select(explode(TextAnalysis.tokens(col(textCol))).as("w"))
+    val w0 = if (docs.columns.contains("__w")) col("__w") else lit(1L)
+    val toks = docs.select(explode(TextAnalysis.tokens(col(textCol))).as("w"),
+        w0.cast("long").as("__w"))
       .localCheckpoint() // referenced twice (token total + word dict)
     val wd = toks.filter(length(col("w")) <= maxWordLen)
-      .groupBy("w").agg(count(lit(1)).as("wc"))
+      .groupBy("w").agg(sum(col("__w")).as("wc"))
     val segs = Unigram.segmented(wd, Unigram.logProbs(vocab), maxPieceLen,
       unkFallback = true)
     segs.agg(
         sum(col("wc") * size(col("pieces"))).as("n_pieces"),
         sum(col("wc") * size(filter(col("pieces"),
           p => p === lit(Unigram.UnkPiece)))).as("n_unk"))
-      .crossJoin(broadcast(toks.agg(count(lit(1)).as("n_tokens"))))
+      .crossJoin(broadcast(toks.agg(sum(col("__w")).as("n_tokens"))))
       .select(col("n_tokens"), col("n_pieces"), col("n_unk"),
         round(col("n_pieces").cast("double") / col("n_tokens"), 6)
           .as("fertility"),
@@ -73,7 +82,8 @@ object Tokenizer {
       maxWordLen, seedSize, rounds).localCheckpoint()
     vocab.coalesce(1).write.mode("overwrite").parquet(path)
     docs.select(col(idCol).cast("long").as("doc_id"),
-        col(textCol).as("text"), lit(-1L).as("__batch"))
+        col(textCol).as("text"), lit(-1L).as("__batch"),
+        lit(1L).as("__w"))
       .write.mode("overwrite").parquet(s"$path.seen")
     fertilityStats(docs, textCol, vocab, maxPieceLen, maxWordLen)
       .select(col("fertility"))
@@ -91,7 +101,8 @@ object Tokenizer {
   def observeBatch(batch: DataFrame, textCol: String, path: String,
                    batchId: Long, idCol: String = "doc_id"): Unit =
     batch.select(col(idCol).cast("long").as("doc_id"),
-        col(textCol).as("text"), lit(batchId).as("__batch"))
+        col(textCol).as("text"), lit(batchId).as("__batch"),
+        lit(1L).as("__w"))
       .write.mode("append").parquet(s"$path.seen")
 
   /** Batch-scoped drift report: the batch's fertility and OOV under
@@ -136,6 +147,47 @@ object Tokenizer {
       .coalesce(1).write.mode("overwrite").parquet(s"$dstPath.stats")
     spark.read.parquet(s"$srcPath.conf")
       .coalesce(1).write.mode("overwrite").parquet(s"$dstPath.conf")
+  }
+
+  /** COMPACT the observed stream — the retention policy that bounds
+    * `.seen` (round-19 advice: [[observeBatch]] appends every batch
+    * forever and a retrain reads all of it, so retrain cost and
+    * storage grew monotonically with stream lifetime): batches BELOW
+    * `keepFrom` collapse to ONE WEIGHTED ROW PER DISTINCT TOKEN
+    * (`__w` = the token's occurrence count across the compacted
+    * tail, `__batch` = −2, synthetic negative doc ids), batches at or
+    * above it stay raw. LOSSLESS for every consumer by construction:
+    * training and the fertility baseline read only the TOKEN MULTISET
+    * (the [[Unigram.wordDict]] / [[fertilityStats]] weighted paths
+    * reproduce identical counts — TokenizerSpec pins retrain ≡ the
+    * uncompacted retrain, vocabulary row for row), and the per-batch
+    * consumers ([[lastSeenBatch]], [[tokenizerDrift]]) read only the
+    * RAW retained batches — keep at least the most recent batch raw
+    * (`keepFrom` ≤ its id) so the drift evidence survives. At 100 TB
+    * the compacted tail is Heaps-law bounded (the dictionary, not the
+    * stream), so a long-lived store's retrain cost converges to
+    * dictionary scale + the raw retention window. Idempotent: the
+    * tail marker −2 sits below `keepFrom`, so re-compacting
+    * re-aggregates the same multiset. */
+  def compactSeen(spark: SparkSession, path: String,
+                  keepFrom: Long): Unit = {
+    val seen = spark.read.parquet(s"$path.seen")
+    val w = if (seen.columns.contains("__w")) col("__w").cast("long")
+      else lit(1L)
+    val recent = seen.filter(col("__batch") >= keepFrom)
+      .select(col("doc_id"), col("text"), col("__batch"), w.as("__w"))
+    // dictionary-bounded: one row per distinct token; the global
+    // window orders ≤ |dictionary| rows (the bounded-window contract)
+    val tail = seen.filter(col("__batch") < keepFrom)
+      .select(explode(TextAnalysis.tokens(col("text"))).as("text"),
+        w.as("__w"))
+      .groupBy(col("text")).agg(sum(col("__w")).as("__w"))
+      .select(
+        (-row_number().over(Window.orderBy(col("text"))))
+          .cast("long").as("doc_id"),
+        col("text"), lit(-2L).as("__batch"), col("__w"))
+    val out = tail.unionByName(recent).localCheckpoint()
+    out.write.mode("overwrite").parquet(s"$path.seen")
   }
 
   /** The LAST observed batch of a store — what a post-retrain

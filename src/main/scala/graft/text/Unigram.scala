@@ -48,12 +48,20 @@ import org.apache.spark.sql.functions._
 object Unigram {
 
   /** The word-frequency dictionary (the [[Bpe]] `dict` shape):
-    * whitespace tokens of `textCol`, length-capped, counted. */
+    * whitespace tokens of `textCol`, length-capped, counted. A `__w`
+    * column on `docs` weights each row's tokens (the compacted-corpus
+    * convention — [[Tokenizer.compactSeen]] collapses an observed
+    * stream to one weighted row per distinct token, and the weighted
+    * dictionary is exactly the raw stream's: `sum(__w)` over
+    * occurrences ≡ `count(*)` when every weight is 1). */
   def wordDict(docs: DataFrame, textCol: String,
-               maxWordLen: Int = 16): DataFrame =
-    docs.select(explode(TextAnalysis.tokens(col(textCol))).as("w"))
+               maxWordLen: Int = 16): DataFrame = {
+    val w = if (docs.columns.contains("__w")) col("__w") else lit(1L)
+    docs.select(explode(TextAnalysis.tokens(col(textCol))).as("w"),
+        w.cast("long").as("__w"))
       .filter(length(col("w")) <= maxWordLen)
-      .groupBy("w").agg(count(lit(1)).as("wc"))
+      .groupBy("w").agg(sum(col("__w")).as("wc"))
+  }
 
   /** All (start, piece) substrings of `w` up to `maxPieceLen` chars,
     * as an array of structs — the seed generator AND the DP's edge

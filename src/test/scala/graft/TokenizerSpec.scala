@@ -82,4 +82,57 @@ class TokenizerSpec extends SparkSpec {
     assert(planned.map(_.getAs[String]("signal")).toSet ==
       Set("fertility_drift", "oov_rate"))
   }
+
+  test("compactSeen: the weighted-dictionary tail retrains to the IDENTICAL vocabulary and baseline; recent batches stay raw") {
+    val docs = graft.io.Tables.documents(spark, sf0001)
+    val root = java.nio.file.Files.createTempDirectory("graft-tokc").toString
+    def build(path: String): Unit = {
+      Tokenizer.writeTokenizer(docs, "text", path)
+      Tokenizer.observeBatch(
+        docs.filter(col("doc_id") < 20)
+          .select((col("doc_id") + 100000).as("doc_id"),
+            translate(col("text"), "e", "#").as("text")), "text", path, 0L)
+      Tokenizer.observeBatch(
+        docs.filter(col("doc_id") >= 20 && col("doc_id") < 30)
+          .select((col("doc_id") + 200000).as("doc_id"),
+            translate(col("text"), "a", "@").as("text")), "text", path, 1L)
+    }
+    build(s"$root/raw"); build(s"$root/cmp")
+    // compact everything below the most recent batch (build corpus +
+    // batch 0 collapse to the weighted token dictionary)
+    Tokenizer.compactSeen(spark, s"$root/cmp", keepFrom = 1L)
+    val rawSeen = spark.read.parquet(s"$root/raw.seen")
+    val cmpSeen = spark.read.parquet(s"$root/cmp.seen")
+    assert(cmpSeen.count() < rawSeen.count(),
+      "the dictionary tail must be smaller than the raw stream")
+    // per-batch consumers: the retained raw batch is untouched
+    assert(Tokenizer.lastSeenBatch(spark, s"$root/cmp")
+      .agg(max(col("__batch"))).head().getLong(0) == 1L)
+    assert(Tokenizer.lastSeenBatch(spark, s"$root/cmp").count() ==
+      Tokenizer.lastSeenBatch(spark, s"$root/raw").count())
+    // the token multiset is preserved exactly
+    def multiset(df: org.apache.spark.sql.DataFrame): Map[String, Long] =
+      df.select(explode(graft.text.TextAnalysis.tokens(col("text")))
+          .as("t"), col("__w"))
+        .groupBy("t").agg(sum(col("__w")).as("n"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(multiset(cmpSeen) == multiset(rawSeen))
+    // retrain from each: identical vocabulary, row for row, and the
+    // identical fertility baseline
+    Tokenizer.retrainTokenizer(spark, s"$root/raw", s"$root/raw2")
+    Tokenizer.retrainTokenizer(spark, s"$root/cmp", s"$root/cmp2")
+    def vocabOf(p: String): Seq[(String, Long, Double)] =
+      spark.read.parquet(p).orderBy(col("cnt").desc, col("piece"))
+        .collect()
+        .map(r => (r.getAs[String]("piece"), r.getAs[Long]("cnt"),
+          r.getAs[Double]("logp"))).toSeq
+    assert(vocabOf(s"$root/raw2") == vocabOf(s"$root/cmp2"))
+    assert(spark.read.parquet(s"$root/raw2.stats").head().getDouble(0) ==
+      spark.read.parquet(s"$root/cmp2.stats").head().getDouble(0))
+    // idempotent: a second compaction over the already-compacted tail
+    // re-aggregates the same multiset
+    Tokenizer.compactSeen(spark, s"$root/cmp", keepFrom = 1L)
+    assert(multiset(spark.read.parquet(s"$root/cmp.seen")) ==
+      multiset(rawSeen))
+  }
 }
