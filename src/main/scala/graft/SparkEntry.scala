@@ -1335,6 +1335,52 @@ object SparkEntry {
         Seq(sqD, gD))
       graft.store.Maintenance.orderBookDrain(s, bk)(disp)(after())
     }),
+    // ---- [EXT] the CROSS-FAMILY CASCADE drained end-to-end (round-19
+    // verdict item 2 — the retrain-alignment bill ACTED ON): a
+    // tokenizer store (50-piece budget) plus its piece-keyed DEPENDENT
+    // — an encoded-corpus store over a 30-doc slice. A mangled batch
+    // (unseen words + an unseen char) fires the tokenizer signals into
+    // the book; the cascade drain dispatches the retrain, MEASURES the
+    // dependent's post-retrain staleness (gen 0's encode against gen
+    // 1's vocabulary — the actual migration bill, nonzero because the
+    // tight budget displaces pieces the encode used), then drains the
+    // derived re-encode order strictly AFTER the parent (topological:
+    // the child reads the FRESH generation via the parent dispatcher's
+    // eff). Both after-checks replay: the tokenizer re-evaluates the
+    // drifted batch under gen 1 (OOV exactly 0 by the coverage floor),
+    // and the re-encoded store speaks the serving vocabulary exactly
+    // (staleness 0). The oracle replays both trainings at the 50
+    // budget, the signal/book arithmetic, the gen-0 encode, the
+    // staleness anti-join, and both levels' acknowledgments.
+    "maintenance_order_book_cascade_drained" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val tok = scratchDir("maint-book-casc-tok")
+      val enc = scratchDir("maint-book-casc-enc")
+      val bk = scratchDir("maint-book-casc")
+      graft.text.Tokenizer.writeTokenizer(docs, "text", tok, vocabSize = 50)
+      graft.text.Tokenizer.writeEncodedStore(s,
+        docs.filter(col("doc_id") < 30), "text", tok, enc)
+      val mangled = docs.filter(col("doc_id") < 200)
+        .select((col("doc_id") + 100000).as("doc_id"),
+          translate(col("text"), "e", "#").as("text"))
+      graft.text.Tokenizer.observeBatch(mangled, "text", tok, 0L)
+      graft.store.Maintenance.plan(graft.store.Maintenance.tokenizerSignals(
+          graft.text.Tokenizer.tokenizerDrift(s, tok, mangled, "text"),
+          "docs_tokenizer"))
+        .withColumn("batch_id", lit(0L))
+        .write.mode("append").parquet(s"$bk.oplog")
+      val tokD = new graft.store.Maintenance.TokenizerDrainDispatcher(s,
+        "docs_tokenizer", tok, scratchDir("maint-book-casc-tok2"))
+      val encD = new graft.store.Maintenance.EncodedDrainDispatcher(s,
+        "docs_encoded", enc, scratchDir("maint-book-casc-enc2"),
+        () => tokD.eff)
+      val (disp, after) = graft.store.Maintenance.defaultDispatch(
+        Seq(tokD, encD))
+      graft.store.Maintenance.orderBookDrainCascade(s, bk,
+        Seq(graft.store.Maintenance.CascadeEdge("tokenizer",
+          "docs_tokenizer", "retrain", "encoded", "docs_encoded",
+          "reencode", () => encD.afterSignals)))(disp)(after())
+    }),
     // ---- [EXT] the layer loop CLOSED: the same appended store →
     // frozen plan → remedies. The dispatch encodes the operational
     // rule the compact scaladoc states: the layer is DERIVED state
@@ -7667,7 +7713,7 @@ object SparkEntry {
       * With `unk`, single-char substrings with no vocab piece become
       * forced `<unk>` edges at the serving penalty (LEFT join + the
       * single-char filter — Unigram.segmented's fallback, replayed). */
-    private def segCtes(vRel: String, p: String, wordsRel: String = "wd",
+    def segCtes(vRel: String, p: String, wordsRel: String = "wd",
                         unk: Boolean = false): String = {
       val steps = (0 until MaxW).foldLeft(
         s"SELECT w, wc, dp, len(w)::BIGINT AS n0 FROM ${p}dp") { (inner, k) =>
@@ -7724,15 +7770,16 @@ object SparkEntry {
     }
 
     /** The prune: all chars kept (count floored at 1), top multi-char
-      * pieces up to the vocab budget. */
+      * pieces up to the vocab budget (default the shared 120; the
+      * cascade fixture trains a tighter 50-piece store). */
     private def nextVocab(useRel: String, prevVocab: String,
-                          out: String): String =
+                          out: String, vocab: Int = Vocab): String =
       s"""${out}ch AS (SELECT v.piece, greatest(coalesce(u.cnt, 0), 1)::BIGINT AS cnt
          |            FROM $prevVocab v LEFT JOIN $useRel u USING (piece)
          |            WHERE len(v.piece) = 1),
          |${out}mu AS (SELECT piece, cnt FROM $useRel WHERE len(piece) > 1
          |            ORDER BY cnt DESC, piece
-         |            LIMIT $Vocab - (SELECT count(*) FROM ${out}ch)),
+         |            LIMIT $vocab - (SELECT count(*) FROM ${out}ch)),
          |$out AS MATERIALIZED (SELECT * FROM ${out}ch UNION ALL SELECT * FROM ${out}mu)""".stripMargin
 
     /** `${p}wd` → seed `${p}v0`: the dictionary + seed-vocabulary CTEs
@@ -7761,13 +7808,13 @@ object SparkEntry {
 
     /** The full 2-round hard-EM training chain over `srcRel` →
       * `${p}v2` (the tokenizer-store retrain replays this over the
-      * observed stream). */
-    def chainOn(srcRel: String, p: String): String =
+      * observed stream); `vocab` overrides the kept-piece budget. */
+    def chainOn(srcRel: String, p: String, vocab: Int = Vocab): String =
       s"""${seedChainOn(srcRel, p)},
          |${segCtes(s"${p}v0", s"${p}a", s"${p}wd")},
-         |${nextVocab(s"${p}ause", s"${p}v0", s"${p}v1")},
+         |${nextVocab(s"${p}ause", s"${p}v0", s"${p}v1", vocab)},
          |${segCtes(s"${p}v1", s"${p}b", s"${p}wd")},
-         |${nextVocab(s"${p}buse", s"${p}v1", s"${p}v2")}""".stripMargin
+         |${nextVocab(s"${p}buse", s"${p}v1", s"${p}v2", vocab)}""".stripMargin
 
     /** wd → seed v0 → round a → v1 → round b → v2 (the 2-round chain
       * the hard-EM unigram oracles share). */
@@ -9365,6 +9412,70 @@ object SparkEntry {
          |       round(coalesce(sum(sn), 0)::DOUBLE / 1000000.0, 6) AS new_mass
          |FROM aod FULL OUTER JOIN anw USING (piece)
          |GROUP BY 1 ORDER BY piece_class""".stripMargin,
+    // the cascade replay: both trainings at the 50-piece budget
+    // (gen 0 over documents, gen 1 over documents ∪ the mangled
+    // slice), the drift-signal/book arithmetic of the single logged
+    // batch, the gen-0 encode of the 30-doc slice, the staleness
+    // anti-join against gen 1 (the MEASURED migration bill the
+    // cascade row carries), and both levels' acknowledgments — the
+    // tokenizer's after re-measured under gen 1 (OOV exactly 0 by
+    // the coverage floor), the re-encode's after exactly 0 (the
+    // fresh encode speaks the serving vocabulary)
+    "maintenance_order_book_cascade_drained" ->
+      s"""WITH ${UnigramSqlGen.chainOn("documents", "c0", 50)},
+         |ctb AS MATERIALIZED (
+         |  SELECT doc_id + 100000 AS doc_id, replace(text, 'e', '#') AS text
+         |  FROM documents WHERE doc_id < 200),
+         |cseen AS (SELECT doc_id, text FROM documents
+         |          UNION ALL SELECT doc_id, text FROM ctb),
+         |${UnigramSqlGen.chainOn("cseen", "c1", 50)},
+         |${UnigramSqlGen.fertCtes("c0v2", "cb", "documents")},
+         |${UnigramSqlGen.fertCtes("c0v2", "cx", "ctb")},
+         |${UnigramSqlGen.fertCtes("c1v2", "cg", "cseen")},
+         |${UnigramSqlGen.fertCtes("c1v2", "ch", "ctb")},
+         |${UnigramSqlGen.segCtes("c0v2", "ce", "c0wd")},
+         |cwp AS (SELECT doc_id, unnest(toks) AS w
+         |        FROM (SELECT doc_id, $toksSql AS toks FROM documents
+         |              WHERE doc_id < 30)),
+         |cenc AS (SELECT cwp.doc_id, unnest(s.bt) AS piece
+         |         FROM cwp JOIN ceseg s USING (w)),
+         |cst AS (SELECT count(*)::BIGINT AS n,
+         |               sum(CASE WHEN v.piece IS NULL
+         |                   THEN 1 ELSE 0 END)::BIGINT AS st
+         |        FROM cenc LEFT JOIN c1v2 v USING (piece)),
+         |clog AS (
+         |  SELECT 'retrain' AS action, 'fertility_drift' AS signal,
+         |         greatest(round(cxf.fert - cbf.fert, 6), 0.0) AS value,
+         |         0.2 AS threshold
+         |  FROM cxf, cbf
+         |  WHERE greatest(round(cxf.fert - cbf.fert, 6), 0.0) >= 0.2
+         |  UNION ALL
+         |  SELECT 'retrain', 'oov_rate', cxf.oov, 0.01
+         |  FROM cxf WHERE cxf.oov >= 0.01),
+         |cbook AS (
+         |  SELECT 'tokenizer' AS index_kind, 'docs_tokenizer' AS index_name,
+         |         action, signal, 0::BIGINT AS first_batch,
+         |         0::BIGINT AS last_batch, 1::BIGINT AS n_fired,
+         |         round(value, 6) AS last_value, threshold,
+         |         round(round(value, 6) / threshold, 6) AS last_severity
+         |  FROM clog
+         |  UNION ALL
+         |  SELECT 'encoded', 'docs_encoded', 'reencode', 'encoding_stale',
+         |         0::BIGINT, 0::BIGINT, 0::BIGINT,
+         |         round(st::DOUBLE / n, 6), 0.01,
+         |         round(round(st::DOUBLE / n, 6) / 0.01, 6)
+         |  FROM cst),
+         |caft AS (
+         |  SELECT 'fertility_drift' AS signal,
+         |         greatest(round(chf.fert - cgf.fert, 6), 0.0) AS value_after
+         |  FROM chf, cgf
+         |  UNION ALL SELECT 'oov_rate', chf.oov FROM chf
+         |  UNION ALL SELECT 'encoding_stale', 0.0)
+         |SELECT index_kind, index_name, action, signal, first_batch,
+         |       last_batch, n_fired, last_value, threshold, last_severity,
+         |       a.value_after, a.value_after < threshold AS resolved
+         |FROM cbook JOIN caft a USING (signal)
+         |ORDER BY index_kind, signal""".stripMargin,
     // the TOKENIZER scheduled-drain replay: three full unigram
     // training chains (gen 0 over documents; gen 1 over documents ∪
     // batches 0-1; gen 2 over documents ∪ batches 0-3), the baseline

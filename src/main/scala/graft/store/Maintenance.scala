@@ -90,7 +90,16 @@ object Maintenance {
     // (oov_rate: the new-script signal fertility alone can miss);
     // both remedies are one retrain from the observed stream
     MaintenanceRule("tokenizer", "fertility_drift", 0.2, "retrain"),
-    MaintenanceRule("tokenizer", "oov_rate", 0.01, "retrain"))
+    MaintenanceRule("tokenizer", "oov_rate", 0.01, "retrain"),
+    // the encoded-corpus family (graft.text.Tokenizer.writeEncodedStore):
+    // a tokenizer retrain strands every piece-keyed dependent —
+    // encoding_stale is the fraction of encoded piece occurrences the
+    // serving vocabulary no longer carries, and the remedy re-encodes
+    // the store's own corpus under the fresh generation. Usually fired
+    // through a CASCADE edge ([[CascadeEdge]]) rather than the log:
+    // the staleness only exists AFTER the parent retrain the frozen
+    // book predates
+    MaintenanceRule("encoded", "encoding_stale", 0.01, "reencode"))
 
   /** [[graft.search.Ann.assignmentDrift]]'s one-row report → the two
     * one-sided signals (`assignment_drift` = positive drift,
@@ -155,6 +164,14 @@ object Maintenance {
         greatest(col("drift"), lit(0.0)).as("value"))
       .unionAll(drift.select(lit("tokenizer"), lit(name),
         lit("oov_rate"), col("oov_rate")))
+
+  /** [[graft.text.Tokenizer.encodedStaleness]] → `encoding_stale`
+    * (already a one-sided ratio). */
+  def encodedSignals(health: DataFrame, name: String): DataFrame =
+    health.select(lit("encoded").as("index_kind"),
+      lit(name).as("index_name"),
+      lit("encoding_stale").as("signal"),
+      col("stale_ratio").as("value"))
 
   /** [[graft.search.KnnGraph.graphLayerHealth]] → `layer_missing`
     * (due-but-absent layer nodes per due node; 0 when nothing is due —
@@ -361,6 +378,122 @@ object Maintenance {
       .distinct // an action fired by two signals dispatches once
       .foreach { case (k, n, a) => dispatch(k, n, a) }
     val report = book.join(
+        after.select(col("index_kind"), col("index_name"), col("signal"),
+          round(col("value"), 6).as("value_after")),
+        Seq("index_kind", "index_name", "signal"), "left")
+      .select(col("index_kind"), col("index_name"), col("action"),
+        col("signal"), col("first_batch"), col("last_batch"),
+        col("n_fired"), col("last_value"), col("threshold"),
+        col("last_severity"), col("value_after"),
+        (col("value_after") < col("threshold")).as("resolved"))
+      .orderBy(col("last_severity").desc, col("index_kind").asc,
+        col("index_name").asc, col("action").asc, col("signal").asc)
+      .localCheckpoint()
+    report.write.mode("append").parquet(s"$path.resolutions")
+    report
+  }
+
+  /** A DEPENDENCY EDGE of the order book — the cross-family cascade
+    * (round-19 verdict item 2): when the drain dispatches the PARENT
+    * order `(parentKind, parentName, parentAction)`, the CHILD order
+    * `(childKind, childName, childAction)` is derived and drained in
+    * the SAME window, strictly AFTER every parent (topological
+    * order). The canonical instance: `tokenizer.retrain` ⇒
+    * `encoded.reencode` — a retrained vocabulary strands every
+    * piece-keyed dependent, and the re-encode must read the FRESH
+    * generation, never the one its parent is about to replace.
+    * `childSignals` re-reads the child store's health frame (the
+    * dispatcher's `afterSignals`); the drain calls it between the
+    * parent and child dispatches, so the child's book row carries the
+    * MEASURED migration bill (the staleness the parent's rewrite
+    * actually caused), not a guess. */
+  case class CascadeEdge(parentKind: String, parentName: String,
+                        parentAction: String, childKind: String,
+                        childName: String, childAction: String,
+                        childSignals: () => DataFrame)
+
+  /** [[orderBookDrain]] WITH dependency edges — the cascade window.
+    * Semantics (argued in PLANS.md round-20 notes, pinned by
+    * MaintenanceSpec): a fired parent's dependents drain in the SAME
+    * window, strictly after ALL parents have acted —
+    *
+    *  1. parents dispatch in severity order (the frozen book's ranked
+    *     worklist, exactly [[orderBookDrain]]);
+    *  2. each fired edge's child measures its post-parent signal
+    *     (the actual bill), then dispatches — a child never acts
+    *     before its parent, so a window cannot re-encode against a
+    *     vocabulary it is about to retrain, and the paid-for parent
+    *     rewrite serves fresh state the same window rather than
+    *     stranding the dependent stale until the next one;
+    *  3. the composed `after` frame re-reads every store (children
+    *     included) and acknowledges both levels to
+    *     `<path>.resolutions` — child rows carry `n_fired` = 0 (a
+    *     derived order, never log-fired), the parent's `last_batch`
+    *     as their span (the batches whose evidence triggered the
+    *     cascade), and the rule threshold for `(childKind,
+    *     childSignal)`.
+    *
+    * A child that is ALSO a book order (its own signal fired from the
+    * log) dispatches once as a book order and is not re-derived. One
+    * child shared by several fired parents derives once (first edge
+    * in `edges` order). Bounded exactly like [[orderBookDrain]]:
+    * the worklist is the ≤ |signals|-row book plus ≤ |edges| derived
+    * rows. */
+  def orderBookDrainCascade(spark: org.apache.spark.sql.SparkSession,
+                            path: String, edges: Seq[CascadeEdge],
+                            rules: Seq[MaintenanceRule] = DefaultRules)
+                           (dispatch: (String, String, String) => Unit)
+                           (after: => DataFrame): DataFrame = {
+    import spark.implicits._
+    val book = orderBook(spark, path).localCheckpoint()
+    val parentRows = book.select(col("index_kind"), col("index_name"),
+        col("action"), col("last_batch")).collect()
+      .map(r => ((r.getString(0), r.getString(1), r.getString(2)),
+        r.getLong(3)))
+    val parents = parentRows.map(_._1).distinct
+    parents.foreach { case (k, n, a) => dispatch(k, n, a) }
+    // topological barrier: every parent has acted before any child
+    // measures or dispatches
+    val fired = edges
+      .filter(e => parents.contains((e.parentKind, e.parentName,
+        e.parentAction)))
+      .filter(e => !parents.contains((e.childKind, e.childName,
+        e.childAction)))
+      .distinctBy(e => (e.childKind, e.childName, e.childAction))
+    val childRows: Seq[(String, String, String, String, Long, Long,
+        Long, Double, Double)] =
+      fired.flatMap { e =>
+        val span = parentRows.collect {
+          case (key, lb) if key == (e.parentKind, e.parentName,
+            e.parentAction) => lb
+        }.max
+        val thr = rules.collectFirst {
+          case r if r.indexKind == e.childKind &&
+            r.action == e.childAction => r.threshold
+        }.getOrElse(throw new IllegalArgumentException(
+          s"no rule prices (${e.childKind}, ${e.childAction})"))
+        val before = e.childSignals()
+          .filter(col("index_kind") === e.childKind &&
+            col("index_name") === e.childName)
+          .select(col("signal"), round(col("value"), 6).as("value"))
+          .collect()
+          .map(r => (e.childKind, e.childName, e.childAction,
+            r.getString(0), span, span, 0L, r.getDouble(1), thr))
+        dispatch(e.childKind, e.childName, e.childAction)
+        before
+      }
+    val childBook = childRows
+      .toDF("index_kind", "index_name", "action", "signal",
+        "first_batch", "last_batch", "n_fired", "last_value", "threshold")
+      .withColumn("last_severity",
+        round(col("last_value") / col("threshold"), 6))
+    val report = book
+      .select(col("index_kind"), col("index_name"), col("action"),
+        col("signal"), col("first_batch"), col("last_batch"),
+        col("n_fired"), col("last_value"), col("threshold"),
+        col("last_severity"))
+      .unionByName(childBook)
+      .join(
         after.select(col("index_kind"), col("index_name"), col("signal"),
           round(col("value"), 6).as("value_after")),
         Seq("index_kind", "index_name", "signal"), "left")
@@ -754,6 +887,41 @@ object Maintenance {
     def afterSignals: DataFrame =
       tokenizerSignals(graft.text.Tokenizer.tokenizerDrift(spark, effPath,
         graft.text.Tokenizer.lastSeenBatch(spark, effPath), "text"), name)
+  }
+
+  /** The default dispatcher for an ENCODED-CORPUS store — the
+    * piece-keyed DEPENDENT of a tokenizer store ([[graft.text
+    * .Tokenizer.writeEncodedStore]]): `reencode` re-reads the store's
+    * own corpus and encodes it under the tokenizer's CURRENT
+    * generation (`tokEff` — typically the parent
+    * [[TokenizerDrainDispatcher]]'s `eff`, so a cascade window's
+    * child reads the freshly retrained vocabulary, never the one the
+    * parent replaced), landing on a fresh generation at
+    * `reencodePath`. One re-encode per window (the subsumption flag —
+    * a cascade derivation and a log-fired order for the same store
+    * must not encode twice). [[afterSignals]] measures staleness
+    * against the same current generation, so the acknowledgment
+    * answers "does the dependent now speak the serving vocabulary" —
+    * exactly 0 after a re-encode under a generation whose alphabet
+    * covers the corpus. */
+  final class EncodedDrainDispatcher(spark: org.apache.spark.sql.SparkSession,
+                                     name: String, path: String,
+                                     reencodePath: String,
+                                     tokEff: () => String)
+      extends DrainDispatcher {
+    private var effPath = path
+    private var reencoded = false
+    def eff: String = effPath
+    def dispatch(kind: String, n: String, action: String): Unit =
+      if (kind == "encoded" && n == name && action == "reencode" &&
+          !reencoded) {
+        graft.text.Tokenizer.reencodeStore(spark, effPath, reencodePath,
+          tokEff())
+        effPath = reencodePath; reencoded = true
+      }
+    def afterSignals: DataFrame =
+      encodedSignals(graft.text.Tokenizer.encodedStaleness(spark, effPath,
+        tokEff()), name)
   }
 
   /** The default dispatcher for a kNN-graph store, LAYERS INCLUDED:

@@ -219,6 +219,67 @@ object Tokenizer {
     * across Spark partitions left the accumulation order unpinned,
     * and a class mass near a 5e-7 boundary could round differently
     * from the oracle's single-threaded sum. */
+  /** Persist an ENCODED-CORPUS store — the canonical piece-keyed
+    * DEPENDENT of a tokenizer store (the downstream state
+    * [[vocabAlignment]] prices the migration bill for): documents
+    * encoded under the tokenizer's CURRENT vocabulary, `(doc_id,
+    * wpos, ppos, piece)` at `path`, the source documents at
+    * `<path>.docs` (what a re-encode re-reads — the store owns its
+    * corpus, the re-encode convention every rewrite here follows).
+    * Encode parameters come from the tokenizer store's `.conf`, so a
+    * re-encode segments the way the tokenizer was built. */
+  def writeEncodedStore(spark: SparkSession, docs: DataFrame,
+                        textCol: String, tokPath: String, path: String,
+                        idCol: String = "doc_id"): Unit = {
+    docs.select(col(idCol).cast("long").as("doc_id"),
+        col(textCol).as("text"))
+      .write.mode("overwrite").parquet(s"$path.docs")
+    reencodeInto(spark, s"$path.docs", tokPath, path)
+  }
+
+  /** RE-ENCODE an encoded store under the (possibly retrained)
+    * tokenizer generation at `tokPath` — the `reencode` remedy: a
+    * fresh generation at `dstPath` (immutable-layout rewrite, src ≠
+    * dst), source docs carried. One corpus-scale encode; the verified
+    * [[Unigram.encode]] plan (each DISTINCT word segments once). */
+  def reencodeStore(spark: SparkSession, srcPath: String, dstPath: String,
+                    tokPath: String): Unit = {
+    require(srcPath != dstPath,
+      "reencode rewrites the layout: dstPath must differ from srcPath")
+    reencodeInto(spark, s"$srcPath.docs", tokPath, dstPath)
+    spark.read.parquet(s"$srcPath.docs")
+      .write.mode("overwrite").parquet(s"$dstPath.docs")
+  }
+
+  private def reencodeInto(spark: SparkSession, docsPath: String,
+                           tokPath: String, dstPath: String): Unit = {
+    val conf = spark.read.parquet(s"$tokPath.conf").head()
+    Unigram.encode(spark.read.parquet(docsPath), "text",
+        spark.read.parquet(tokPath), conf.getAs[Int]("max_piece_len"),
+        "doc_id", conf.getAs[Int]("max_word_len"))
+      .write.mode("overwrite").parquet(dstPath)
+  }
+
+  /** STALENESS of an encoded store against the tokenizer generation at
+    * `tokPath` — the dependent's health signal: the fraction of
+    * encoded piece OCCURRENCES the serving vocabulary no longer
+    * carries (dropped pieces, plus `<unk>` fallbacks — an encode the
+    * current model couldn't reproduce either way). One row `(n_rows,
+    * n_stale, stale_ratio)`, round-6. Scale shape: one pass over the
+    * encoded rows against the broadcast vocabulary — partial
+    * aggregation, no shuffle. */
+  def encodedStaleness(spark: SparkSession, path: String,
+                       tokPath: String): DataFrame =
+    spark.read.parquet(path)
+      .join(broadcast(spark.read.parquet(tokPath)
+        .select(col("piece"), lit(1).as("__in"))), Seq("piece"), "left")
+      .agg(count(lit(1)).as("n_rows"),
+        coalesce(sum(when(col("__in").isNull, 1L).otherwise(0L)), lit(0L))
+          .as("n_stale"))
+      .select(col("n_rows"), col("n_stale"),
+        round(col("n_stale").cast("double") / col("n_rows"), 6)
+          .as("stale_ratio"))
+
   def vocabAlignment(oldVocab: DataFrame, newVocab: DataFrame): DataFrame = {
     def withShare(v: DataFrame, shareCol: String): DataFrame = {
       val total = v.agg(sum(col("cnt"))).head().getLong(0)

@@ -198,6 +198,113 @@ class MaintenanceSpec extends SparkSpec {
     assert(spark.read.parquet(s"$dir.resolutions").count() == 3L)
   }
 
+  test("orderBookDrainCascade: parents dispatch before dependents; the child re-encodes under the FRESH generation; the measured bill acknowledges") {
+    import graft.text.Tokenizer
+    val docs = graft.io.Tables.documents(spark, sf0001)
+    val root = java.nio.file.Files.createTempDirectory("graft-casc").toString
+    val tok = s"$root/tok"; val enc = s"$root/enc"; val bk = s"$root/book"
+    // a 60-piece budget: tight enough that the retrain's mixture
+    // shift displaces pieces gen 0's encode actually used (at 120
+    // the union corpus keeps every gen-0 piece and the bill is 0)
+    Tokenizer.writeTokenizer(docs, "text", tok, vocabSize = 60)
+    Tokenizer.writeEncodedStore(spark, docs.filter(col("doc_id") < 20),
+      "text", tok, enc)
+    // a fresh encode speaks its own vocabulary exactly
+    assert(Tokenizer.encodedStaleness(spark, enc, tok).head()
+      .getAs[Double]("stale_ratio") == 0.0)
+    // the drift fixture: a mangled copy of the WHOLE corpus — unseen
+    // words + an unseen char fire both tokenizer signals, and the
+    // mixture shift is large enough that the retrained 120-piece
+    // budget genuinely displaces pieces gen 0's encode used (the
+    // measured bill below must be > 0); observe so the retrain
+    // trains on it
+    val mangled = docs
+      .select((col("doc_id") + 100000).as("doc_id"),
+        translate(col("text"), "e", "#").as("text"))
+    Tokenizer.observeBatch(mangled, "text", tok, 0L)
+    Maintenance.plan(Maintenance.tokenizerSignals(
+        Tokenizer.tokenizerDrift(spark, tok, mangled, "text"), "t"))
+      .withColumn("batch_id", lit(0L))
+      .write.parquet(s"$bk.oplog")
+    val tokD = new Maintenance.TokenizerDrainDispatcher(spark, "t", tok,
+      s"$root/tok2")
+    val encD = new Maintenance.EncodedDrainDispatcher(spark, "e", enc,
+      s"$root/enc2", () => tokD.eff)
+    val (disp, after) = Maintenance.defaultDispatch(Seq(tokD, encD))
+    var calls = List.empty[(String, String, String)]
+    val rep = Maintenance.orderBookDrainCascade(spark, bk,
+      Seq(Maintenance.CascadeEdge("tokenizer", "t", "retrain",
+        "encoded", "e", "reencode", () => encD.afterSignals))) {
+      (k, n, a) => calls :+= ((k, n, a)); disp(k, n, a)
+    }(after()).collect()
+    // topological order: the parent retrain acted before the child
+    assert(calls == List(("tokenizer", "t", "retrain"),
+      ("encoded", "e", "reencode")), calls.toString)
+    // the child read the FRESH generation: its rewrite speaks the
+    // retrained alphabet (the mangled '#' only exists in gen 1)...
+    assert(tokD.eff == s"$root/tok2" && encD.eff == s"$root/enc2")
+    assert(Tokenizer.encodedStaleness(spark, encD.eff, tokD.eff).head()
+      .getAs[Double]("stale_ratio") == 0.0)
+    // ...and the cascade row carries the MEASURED post-parent bill
+    // (gen 0's encode vs gen 1's vocab — genuinely stale), a derived
+    // (never log-fired) order, the parent's batch span, resolved
+    val c = rep.find(_.getAs[String]("index_kind") == "encoded").get
+    assert(c.getAs[String]("action") == "reencode" &&
+      c.getAs[String]("signal") == "encoding_stale")
+    assert(c.getAs[Double]("last_value") > 0.01, c.toString)
+    assert(c.getAs[Long]("n_fired") == 0L &&
+      c.getAs[Long]("first_batch") == 0L &&
+      c.getAs[Long]("last_batch") == 0L)
+    assert(c.getAs[Double]("value_after") == 0.0 &&
+      c.getAs[Boolean]("resolved"), c.toString)
+    // both levels acknowledged to the shared sidecar
+    assert(spark.read.parquet(s"$bk.resolutions")
+      .filter(col("index_kind") === "encoded").count() == 1L)
+  }
+
+  test("orderBookDrainCascade: an unfired parent derives no child; a child already in the book dispatches once, not twice") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-casc2").toString + "/book"
+    def edge(calls: () => Unit) = Maintenance.CascadeEdge(
+      "tokenizer", "t", "retrain", "encoded", "e", "reencode",
+      () => { calls(); sig(("encoded", "e", "encoding_stale", 0.5)) })
+    // book fires only an UNRELATED order: the edge must stay cold
+    Seq(("lsh", "a", "compact", "tombstone_ratio", 0.3, 0.1, 3.0, 0L))
+      .toDF("index_kind", "index_name", "action", "signal",
+        "value", "threshold", "severity", "batch_id")
+      .write.parquet(s"$dir.oplog")
+    var calls = List.empty[(String, String, String)]
+    var probed = false
+    val rep = Maintenance.orderBookDrainCascade(spark, dir,
+      Seq(edge(() => probed = true))) {
+      (k, n, a) => calls :+= ((k, n, a))
+    }(sig(("lsh", "a", "tombstone_ratio", 0.0))).collect()
+    assert(calls == List(("lsh", "a", "compact")) && !probed,
+      s"$calls probed=$probed")
+    assert(rep.forall(_.getAs[String]("index_kind") == "lsh"))
+    // book that ALREADY carries the child order: one dispatch, no
+    // derived duplicate row
+    val dir2 = java.nio.file.Files
+      .createTempDirectory("graft-casc3").toString + "/book"
+    Seq(
+      ("tokenizer", "t", "retrain", "oov_rate", 0.5, 0.01, 50.0, 0L),
+      ("encoded", "e", "reencode", "encoding_stale", 0.4, 0.01, 40.0, 0L))
+      .toDF("index_kind", "index_name", "action", "signal",
+        "value", "threshold", "severity", "batch_id")
+      .write.parquet(s"$dir2.oplog")
+    var calls2 = List.empty[(String, String, String)]
+    val rep2 = Maintenance.orderBookDrainCascade(spark, dir2,
+      Seq(edge(() => fail("a book-fired child must not re-derive")))) {
+      (k, n, a) => calls2 :+= ((k, n, a))
+    }(sig(("tokenizer", "t", "oov_rate", 0.0),
+        ("encoded", "e", "encoding_stale", 0.0))).collect()
+    assert(calls2.count(_ == (("encoded", "e", "reencode"))) == 1, calls2)
+    assert(rep2.count(_.getAs[String]("index_kind") == "encoded") == 1)
+    // the book-fired child keeps its log-derived n_fired
+    assert(rep2.find(_.getAs[String]("index_kind") == "encoded").get
+      .getAs[Long]("n_fired") == 1L)
+  }
+
   test("SqDrainDispatcher: retrain subsumes a later compact; compact-only moves the generation; re_record skipped after retrain") {
     import graft.search.{Ann, Sq}
     val emb = graft.io.Tables.embeddings(spark, sf0001)
