@@ -3817,6 +3817,31 @@ object SparkEntry {
           vocab, maxPieceLen = 4)
         .orderBy(col("doc_id"), col("wpos"), col("ppos"))
     }),
+    // ---- [EXT] unigram N-BEST segmentation (Kudo 2018 §3 — the
+    // subword-regularization serving form; round-19 verdict item 4):
+    // the top-3 segmentations per distinct word of the 20-doc slice
+    // under the hard-trained vocabulary, with round-6 path scores.
+    // The k-best DP generalizes the Viterbi fold to a per-position
+    // sorted top-k candidate list; ties break on the full candidate
+    // struct, so rank 1 is EXACTLY the Viterbi path (UnigramSpec
+    // pins k=1 ≡ Viterbi on every corpus word). The oracle replays
+    // the training chain, the k-wide merge fold, and a k-wide
+    // backtrack unroll carrying (position, slot) pairs.
+    "unigram_nbest" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val vocab = graft.text.Unigram.trainUnigram(docs, "text",
+        vocabSize = 120, maxPieceLen = 4, maxWordLen = 16,
+        seedSize = 400, rounds = 2)
+      val words = docs.filter(col("doc_id") < 20)
+        .select(explode(graft.text.TextAnalysis.tokens(col("text")))
+          .as("w"))
+        .filter(length(col("w")) <= 16).distinct()
+      graft.text.Unigram.nbest(words,
+          graft.text.Unigram.logProbs(vocab), maxPieceLen = 4, k = 3)
+        .select(col("w"), col("rnk"), col("score"),
+          array_join(col("pieces"), " ").as("seg"))
+        .orderBy(col("w"), col("rnk"))
+    }),
     // ---- [EXT] encode OUT-OF-VOCABULARY text (round-18 verdict item
     // 3: unknown-alphabet words used to be silently dropped): every
     // doc's text gains three fixture words — 'exza7ple' and 'q#ix'
@@ -7982,6 +8007,84 @@ object SparkEntry {
          |         generate_subscripts(s.bt, 1) - 1 AS ppos
          |  FROM wp JOIN xseg s USING (w))
          |ORDER BY doc_id, wpos, ppos""".stripMargin
+
+    /** N-best replay: the k-wide merge fold over the same sorted edge
+      * list — each candidate struct `(ns, bi, bs, bp)` (negated
+      * score, back-position, back-slot, back-piece; edges ride the
+      * same struct shape with `bs` carrying their end position) is
+      * merged into its end position's list by one full-struct
+      * `list_sort` + `list_slice`, exactly the Spark fold — then a
+      * k-wide backtrack unrolled `MaxW` deep carrying (position,
+      * slot) pairs from each final-position rank. */
+    val nbestSql: String = {
+      val K = 3
+      val steps = (0 until MaxW).foldLeft(
+        "SELECT w, j, dp, len(w)::BIGINT AS n0, (j - 1)::BIGINT AS s0 FROM nbr") { (inner, t) =>
+        s"""SELECT *,
+           |      CASE WHEN n$t > 0
+           |           THEN dp[(n$t+1)::INT][(s$t+1)::INT].bp END AS p${t + 1},
+           |      CASE WHEN n$t > 0
+           |           THEN dp[(n$t+1)::INT][(s$t+1)::INT].bi
+           |           ELSE (0)::BIGINT END AS n${t + 1},
+           |      CASE WHEN n$t > 0
+           |           THEN dp[(n$t+1)::INT][(s$t+1)::INT].bs
+           |           ELSE (0)::BIGINT END AS s${t + 1}
+           |    FROM ($inner) q$t""".stripMargin
+      }
+      val rev = (MaxW to 1 by -1).map(i => s"p$i").mkString(", ")
+      s"""WITH $chain,
+         |ntot AS (SELECT sum(cnt)::DOUBLE AS t FROM v2),
+         |nlp AS MATERIALIZED (
+         |  SELECT piece, round(ln(cnt::DOUBLE / t), 6) AS lp FROM v2, ntot),
+         |nwc AS (
+         |  SELECT w FROM (
+         |    SELECT DISTINCT unnest($toksSql) AS w
+         |    FROM documents WHERE doc_id < 20)
+         |  WHERE len(w) <= $MaxW),
+         |ned AS MATERIALIZED (
+         |  SELECT m.w,
+         |         list_sort(list({'e': m.e0, 's': m.s0, 'p': m.piece,
+         |                         'lp': l.lp})) AS edges
+         |  FROM (SELECT w, i - 1 AS s0, i - 1 + l AS e0,
+         |               substr(w, i::INT, l::INT) AS piece
+         |        FROM nwc, range(1, $MaxW+1) t(i), range(1, $MaxP+1) u(l)
+         |        WHERE i + l - 1 <= len(w)) m
+         |  JOIN nlp l ON l.piece = m.piece
+         |  GROUP BY m.w),
+         |ndp AS MATERIALIZED (
+         |  SELECT w,
+         |    list_reduce(
+         |      list_prepend(
+         |        list_transform(range(0, len(w) + 1),
+         |          x -> CASE WHEN x = 0
+         |               THEN [{'ns': 0.0, 'bi': (-1)::BIGINT,
+         |                      'bs': (-1)::BIGINT, 'bp': ''}]
+         |               ELSE []::STRUCT(ns DOUBLE, bi BIGINT, bs BIGINT,
+         |                               bp VARCHAR)[] END),
+         |        list_transform(edges, ed ->
+         |          [[{'ns': ed.lp, 'bi': ed.s::BIGINT,
+         |             'bs': ed.e::BIGINT, 'bp': ed.p}]])),
+         |      (acc, el) -> list_transform(acc, (lst, ix) ->
+         |        CASE WHEN ix - 1 = el[1][1].bs
+         |             THEN list_slice(list_sort(list_concat(lst,
+         |                    list_transform(acc[(el[1][1].bi + 1)::INT],
+         |                      (pre, si) ->
+         |                        {'ns': pre.ns - el[1][1].ns,
+         |                         'bi': el[1][1].bi,
+         |                         'bs': (si - 1)::BIGINT,
+         |                         'bp': el[1][1].bp}))), 1, $K)
+         |             ELSE lst END)) AS dp
+         |  FROM ned),
+         |nbr AS MATERIALIZED (
+         |  SELECT w, dp, unnest(range(1, len(dp[(len(w)+1)::INT]) + 1)) AS j
+         |  FROM ndp)
+         |SELECT w, j::BIGINT AS rnk,
+         |       round(-dp[(len(w)+1)::INT][j::INT].ns, 6) AS score,
+         |       array_to_string(list_filter([$rev], x -> x IS NOT NULL),
+         |                       ' ') AS seg
+         |FROM ($steps) qf
+         |ORDER BY w, rnk""".stripMargin
+    }
 
     /** Fertility replay: per-doc piece counts from the final vocab's
       * dictionary segmentation, reduced per language. */
@@ -13007,6 +13110,7 @@ object SparkEntry {
     "unigram_vocab_soft" -> UnigramSqlGen.vocabSoftSql,
     "unigram_encode_soft" -> UnigramSqlGen.encodeSoftSql,
     "unigram_encode" -> UnigramSqlGen.encodeSql,
+    "unigram_nbest" -> UnigramSqlGen.nbestSql,
     "unigram_encode_oov" -> UnigramSqlGen.encodeOovSql,
     "unigram_fertility" -> UnigramSqlGen.fertilitySql,
     "bpe_vocab" -> bpeVocabSql(6),

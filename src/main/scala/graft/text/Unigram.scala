@@ -165,6 +165,81 @@ object Unigram {
       .drop("__edges", "__dp")
   }
 
+  /** K-BEST segmentation (Kudo 2018 §3's n-best lattice decode — the
+    * subword-regularization serving form the soft trainer's lattice
+    * scaffolds): per input word, the top `k` DISTINCT segmentations
+    * under the `(piece, lp)` model, ranked by path score. The DP
+    * generalizes the Viterbi fold: per position, a SORTED list of at
+    * most `k` candidate structs `(ns, bi, bs, bp)` — NEGATED score
+    * (so ascending struct sort ranks best-first), back-position,
+    * back-slot, back-piece — and each edge folds its predecessor
+    * list's candidates into the end position's list through one
+    * sort-and-slice merge. Every comparison is on the full struct, so
+    * score ties break deterministically by `(bi ASC, bs ASC, bp
+    * ASC)`: rank 1 is EXACTLY the [[segmented]] Viterbi path
+    * (first-edge-in-`(e0, s0, piece)`-order tie-break ≡ smallest
+    * `(bi, bp)` at equal score through the best predecessor slot —
+    * UnigramSpec pins the equivalence), and the oracle replays the
+    * identical fold with a k-wide backtrack unroll.
+    *
+    * Adds `(rnk, score, pieces)` per input row — 1-based rank,
+    * round-6 path score (the sum of round-6 edge log-probs in path
+    * order), the pieces left-to-right; a word with fewer than `k`
+    * reachable segmentations yields fewer rows. Same scale shape as
+    * [[segmented]]: per-word O(len · maxPieceLen · k) fold arithmetic
+    * against the broadcast vocabulary. */
+  def nbest(withWords: DataFrame, lp: DataFrame, maxPieceLen: Int,
+            k: Int, wCol: String = "w"): DataFrame = {
+    require(k >= 1, s"k must be >= 1: $k")
+    val edges = withWords
+      .withColumn("__m", explode(substrings(col(wCol), maxPieceLen)))
+      .join(broadcast(lp.select(col("piece").as("__p"), col("lp"))),
+        col("__m.piece") === col("__p"))
+      .groupBy(withWords.columns.map(col): _*)
+      .agg(sort_array(collect_list(struct(col("__m.e0").as("e0"),
+        col("__m.s0").as("s0"), col("__m.piece").as("piece"),
+        col("lp")))).as("__edges"))
+    val entryType = "array<struct<ns:double,bi:int,bs:int,bp:string>>"
+    val init = transform(sequence(lit(0), length(col(wCol))), i =>
+      when(i === 0, array(struct(lit(0.0).as("ns"),
+        lit(-1).cast("int").as("bi"), lit(-1).cast("int").as("bs"),
+        lit("").as("bp"))))
+        .otherwise(array().cast(entryType)))
+    val dp = aggregate(col("__edges"), init, (acc, ed) =>
+      transform(acc, (lst, ix) =>
+        when(ix === ed.getField("e0"),
+          slice(sort_array(concat(lst,
+            transform(element_at(acc, ed.getField("s0") + 1), (pre, si) =>
+              struct((pre.getField("ns") - ed.getField("lp")).as("ns"),
+                ed.getField("s0").cast("int").as("bi"),
+                si.cast("int").as("bs"),
+                ed.getField("piece").as("bp"))))), 1, k))
+          .otherwise(lst)))
+    val bt = aggregate(sequence(lit(1), length(col(wCol))),
+      struct(length(col(wCol)).cast("int").as("pos"),
+        col("__r0").cast("int").as("slot"),
+        array().cast("array<string>").as("ps")),
+      (st, _) => {
+        val node = element_at(
+          element_at(col("__dp"), st.getField("pos") + 1),
+          st.getField("slot") + 1)
+        when(st.getField("pos") > 0,
+          struct(node.getField("bi").as("pos"),
+            node.getField("bs").as("slot"),
+            concat(array(node.getField("bp")), st.getField("ps")).as("ps")))
+          .otherwise(st)
+      })
+    edges.withColumn("__dp", dp)
+      .select(withWords.columns.map(col) :+
+        col("__dp") :+
+        posexplode(element_at(col("__dp"), length(col(wCol)) + 1))
+          .as(Seq("__r0", "__node")): _*)
+      .withColumn("rnk", (col("__r0") + 1).cast("long"))
+      .withColumn("score", round(-col("__node").getField("ns"), 6))
+      .withColumn("pieces", bt.getField("ps"))
+      .drop("__dp", "__r0", "__node")
+  }
+
   /** Piece log-probabilities of a `(piece, cnt)` vocabulary:
     * `round6(ln(cnt/total))`. The total is one model-state scalar. */
   def logProbs(vocab: DataFrame): DataFrame = {

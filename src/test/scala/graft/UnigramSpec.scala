@@ -174,4 +174,54 @@ class UnigramSpec extends SparkSpec {
     assert(multi.length <= 30 - chars.length && multi.nonEmpty)
     assert(chars.forall(_._2 >= 1L), "the coverage floor holds")
   }
+
+  test("nbest: hand lattice — ranks, deterministic score ties, distinct segmentations") {
+    // w = "abc": [a,bc] = -2.5, [ab,c] = -2.5, [a,b,c] = -3.
+    // The -2.5 tie breaks by back-position ASC ([a,bc]'s final edge
+    // starts at 1 < [ab,c]'s 2) — the same first-edge-in-order
+    // preference the Viterbi fold has.
+    val words = Seq("abc").toDF("w")
+    val lp = Seq(("a", -1.0), ("b", -1.0), ("c", -1.0),
+      ("ab", -1.5), ("bc", -1.5)).toDF("piece", "lp")
+    val out = Unigram.nbest(words, lp, maxPieceLen = 2, k = 3)
+      .orderBy(col("rnk")).collect()
+      .map(r => (r.getAs[Long]("rnk"), r.getAs[Double]("score"),
+        r.getSeq[String](r.fieldIndex("pieces")).toSeq))
+    assert(out.toSeq == Seq(
+      (1L, -2.5, Seq("a", "bc")),
+      (2L, -2.5, Seq("ab", "c")),
+      (3L, -3.0, Seq("a", "b", "c"))), out.toSeq.toString)
+    // k caps the list
+    assert(Unigram.nbest(words, lp, 2, 2).count() == 2L)
+  }
+
+  test("nbest: rank 1 ≡ the Viterbi segmentation and score on every corpus word") {
+    val docs = graft.io.Tables.documents(spark, sf0001)
+    val vocab = Unigram.trainUnigram(docs, "text")
+    val lp = Unigram.logProbs(vocab).localCheckpoint()
+    val words = Unigram.wordDict(docs, "text").select(col("w"))
+      .localCheckpoint()
+    val vit = Unigram.segmented(words, lp, maxPieceLen = 4)
+      .select(col("w"), col("pieces")).collect()
+      .map(r => r.getString(0) -> r.getSeq[String](1).toSeq).toMap
+    val r1 = Unigram.nbest(words, lp, maxPieceLen = 4, k = 1).collect()
+      .map(r => r.getAs[String]("w") ->
+        (r.getSeq[String](r.fieldIndex("pieces")).toSeq,
+          r.getAs[Double]("score"))).toMap
+    assert(r1.keySet == vit.keySet)
+    val logp = lp.collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    r1.foreach { case (w, (pieces, score)) =>
+      assert(pieces == vit(w), s"word '$w': $pieces vs viterbi ${vit(w)}")
+      // the path score is the fold-order sum of round-6 edge lps
+      val want = BigDecimal(pieces.foldLeft(0.0)((s, p) => s + logp(p)))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(score == want, s"word '$w': score $score vs $want")
+    }
+    // a larger k never changes rank 1
+    val r3 = Unigram.nbest(words, lp, 4, 3).filter(col("rnk") === 1)
+      .collect()
+      .map(r => r.getAs[String]("w") ->
+        r.getSeq[String](r.fieldIndex("pieces")).toSeq).toMap
+    assert(r3 == r1.view.mapValues(_._1).toMap)
+  }
 }
