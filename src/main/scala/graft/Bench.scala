@@ -34,7 +34,19 @@ object Bench {
     * two-pass-min run in a memo-warm context (BENCH_REF's
     * `floor_rerecords` logs each re-record's provenance) — a floor
     * recorded for a different query body rings the >2x alarm forever
-    * and grades as noise, not signal. */
+    * and grades as noise, not signal.
+    *
+    * STALE-floor extension (round-19 verdict item 3, adopted): a
+    * floor THREE OR MORE rounds old whose query sits in a PERSISTENT
+    * >1.8x band on UNCHANGED code (reproduced across isolated quiet
+    * re-measures, not one loaded run) also re-records with
+    * provenance — a years-old floor captured a different JVM/process
+    * mix, and an alarm that rings every round on unchanged code has
+    * stopped carrying information (dedup_jaccard was the motivating
+    * case: 1.8-2.1x vs its round-15 floor since round 18, body
+    * untouched). Re-record the floor, cite the rule and the
+    * unchanged-body evidence in `floor_rerecords`, and the alarm
+    * band measures the engine again. */
   private def refQueries(): Map[String, Double] = queriesOf(new java.io.File("BENCH_REF.json"))
 
   /** The round the judge last graded, parsed from VERDICT.md's header
