@@ -282,6 +282,7 @@ object Maintenance {
                     graphLayer: Seq[(String, String)] = Nil,
                     graphLayer2: Seq[(String, String)] = Nil,
                     tokenizer: Seq[(String, String)] = Nil,
+                    encoded: Seq[(String, String, String)] = Nil,
                     rules: Seq[MaintenanceRule] = DefaultRules): DataFrame = {
     // the per-store report ops are EAGER driver-blocking reads (drift
     // means, health counts) over independent stores — evaluate them on
@@ -313,7 +314,13 @@ object Maintenance {
       // evidence of the serving mixture
       tokenizer.map { case (n, p) => () =>
         tokenizerSignals(graft.text.Tokenizer.tokenizerDrift(spark, p,
-          graft.text.Tokenizer.lastSeenBatch(spark, p), "text"), n) }
+          graft.text.Tokenizer.lastSeenBatch(spark, p), "text"), n) } ++
+      // an encoded store watches its staleness against the SERVING
+      // tokenizer generation (name, path, tokPath) — the dependent's
+      // fleet eyes outside a cascade window
+      encoded.map { case (n, p, tp) => () =>
+        encodedSignals(graft.text.Tokenizer.encodedStaleness(spark, p, tp),
+          n) }
     require(thunks.nonEmpty, "indexMaintain needs at least one index")
     plan(graft.io.Par.seq(thunks).reduce(_ unionAll _), rules)
   }
@@ -1040,10 +1047,11 @@ object Maintenance {
                           graphLayer: Seq[(String, String)] = Nil,
                           graphLayer2: Seq[(String, String)] = Nil,
                           tokenizer: Seq[(String, String)] = Nil,
+                          encoded: Seq[(String, String, String)] = Nil,
                           rules: Seq[MaintenanceRule] = DefaultRules): DataFrame = {
     val planned =
       indexMaintain(spark, ivf, bm25, graph, ivfPq, sq, lsh, graphLayer,
-        graphLayer2, tokenizer, rules)
+        graphLayer2, tokenizer, encoded, rules)
     def costRows(kind: String, name: String, health: DataFrame,
                  actions: (String, Column)*): DataFrame =
       actions.map { case (a, c) =>
@@ -1085,7 +1093,14 @@ object Maintenance {
           spark.read.parquet(s"$p.seen")
             .agg(org.apache.spark.sql.functions.count(
               org.apache.spark.sql.functions.lit(1)).as("n_seen")),
-          "retrain" -> col("n_seen")) }
+          "retrain" -> col("n_seen")) } ++
+      encoded.map { case (n, p, _) =>
+        // a re-encode re-reads the store's own corpus
+        costRows("encoded", n,
+          spark.read.parquet(s"$p.docs")
+            .agg(org.apache.spark.sql.functions.count(
+              org.apache.spark.sql.functions.lit(1)).as("n_docs")),
+          "reencode" -> col("n_docs")) }
     planned.join(broadcast(costs.reduce(_ unionAll _)),
         Seq("index_kind", "index_name", "action"), "left")
       .select(col("priority"), col("index_kind"), col("index_name"),

@@ -305,6 +305,33 @@ class MaintenanceSpec extends SparkSpec {
       .getAs[Long]("n_fired") == 1L)
   }
 
+  test("fleet planners: the encoded family registers like any store; reencode priced at its corpus row count") {
+    import graft.text.Tokenizer
+    val docs = graft.io.Tables.documents(spark, sf0001)
+    val root = java.nio.file.Files.createTempDirectory("graft-encf").toString
+    val tok = s"$root/tok"; val enc = s"$root/enc"
+    Tokenizer.writeTokenizer(docs, "text", tok, vocabSize = 60)
+    Tokenizer.writeEncodedStore(spark, docs.filter(col("doc_id") < 20),
+      "text", tok, enc)
+    // against its own generation the store is healthy — no plan row
+    assert(graft.store.Maintenance.indexMaintainCosted(spark,
+      encoded = Seq(("e", enc, tok))).isEmpty)
+    // a retrained serving generation strands the encode → the planner
+    // fires reencode, priced at the store's own corpus rows
+    Tokenizer.observeBatch(docs
+      .select((col("doc_id") + 100000).as("doc_id"),
+        translate(col("text"), "e", "#").as("text")), "text", tok, 0L)
+    Tokenizer.retrainTokenizer(spark, tok, s"$root/tok2")
+    val planned = graft.store.Maintenance.indexMaintainCosted(spark,
+      encoded = Seq(("e", enc, s"$root/tok2"))).collect()
+    assert(planned.length == 1, planned.toSeq.toString)
+    assert(planned.head.getAs[String]("index_kind") == "encoded" &&
+      planned.head.getAs[String]("action") == "reencode" &&
+      planned.head.getAs[String]("signal") == "encoding_stale")
+    assert(planned.head.getAs[Long]("cost_rows") == 20L,
+      planned.head.toString)
+  }
+
   test("SqDrainDispatcher: retrain subsumes a later compact; compact-only moves the generation; re_record skipped after retrain") {
     import graft.search.{Ann, Sq}
     val emb = graft.io.Tables.embeddings(spark, sf0001)
