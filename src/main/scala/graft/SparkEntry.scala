@@ -3766,6 +3766,37 @@ object SparkEntry {
     // up to 120. The oracle replays the seed, BOTH rounds' DP
     // segmentations (unrolled backtrack), prunes, and the final
     // log-probabilities.
+    // ---- [EXT] tokenizer-store RETRAIN FROM A COMPACTED observed
+    // stream — the Tokenizer.compactSeen retention policy's
+    // equivalence contract under a HASH (the spec pins it on
+    // sf0.001; this pins it against the oracle): build the store on
+    // documents, observe the mangled drift batch, compact EVERYTHING
+    // observed to the weighted token dictionary (one row per
+    // distinct token, `__w` = multiplicity — Heaps-bounded), retrain
+    // from the compacted store. Training reads only the token
+    // multiset, which compaction preserves exactly, so the output
+    // vocabulary must equal — piece for piece, count for count — the
+    // plain training chain over the RAW documents ∪ batch corpus,
+    // which is exactly what the oracle replays (it never sees the
+    // compacted form at all: the strongest possible equivalence
+    // check).
+    "tokenizer_compact_retrain" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val path = scratchDir("tok-compact-rt")
+      graft.text.Tokenizer.writeTokenizer(docs, "text", path)
+      graft.text.Tokenizer.observeBatch(
+        docs.filter(col("doc_id") < 200)
+          .select((col("doc_id") + 100000).as("doc_id"),
+            translate(col("text"), "e", "#").as("text")),
+        "text", path, 0L)
+      // keepFrom past the last batch: the whole stream (build corpus
+      // + batch 0) collapses to the weighted dictionary
+      graft.text.Tokenizer.compactSeen(s, path, keepFrom = 1L)
+      graft.text.Tokenizer.retrainTokenizer(s, path,
+        scratchDir("tok-compact-rt2"))
+      s.read.parquet(scratchDir("tok-compact-rt2"))
+        .orderBy(col("cnt").desc, col("piece"))
+    }),
     "unigram_vocab" -> ((s, dir) =>
       graft.text.Unigram.trainUnigram(Tables.documents(s, dir), "text",
         vocabSize = 120, maxPieceLen = 4, maxWordLen = 16,
@@ -3841,6 +3872,27 @@ object SparkEntry {
         .select(col("w"), col("rnk"), col("score"),
           array_join(col("pieces"), " ").as("seg"))
         .orderBy(col("w"), col("rnk"))
+    }),
+    // ---- [EXT] SAMPLED segmentation — subword regularization's
+    // serving form (Kudo 2018 §3.2, sample-from-l-best, α = 1): each
+    // word OCCURRENCE draws one of its top-3 segmentations with
+    // probability proportional to path probability, deterministically
+    // (the no-rand() contract): the k-best lattice runs in the
+    // MULTIPLICATIVE semiring (products of cnt/total — IEEE-exact
+    // cross-engine, no exp/ln), slot weights quantize to micro-unit
+    // longs relative to rank 1 (integer cumulative sums — immune to
+    // window-summation trees), and the per-occurrence draw is the
+    // Knuth split-multiply bucket of doc_id·2^20 + wpos with the
+    // exact-rational selection u·tot ≤ cum. The chosen rank rides
+    // along in the output.
+    "unigram_sampled_encode" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val vocab = graft.text.Unigram.trainUnigram(docs, "text",
+        vocabSize = 120, maxPieceLen = 4, maxWordLen = 16,
+        seedSize = 400, rounds = 2)
+      graft.text.Unigram.sampledEncode(docs.filter(col("doc_id") < 20),
+          "text", vocab, maxPieceLen = 4, k = 3)
+        .orderBy(col("doc_id"), col("wpos"), col("ppos"))
     }),
     // ---- [EXT] encode OUT-OF-VOCABULARY text (round-18 verdict item
     // 3: unknown-alphabet words used to be silently dropped): every
@@ -8084,6 +8136,116 @@ object SparkEntry {
          |                       ' ') AS seg
          |FROM ($steps) qf
          |ORDER BY w, rnk""".stripMargin
+    }
+
+    /** Sampled-encode replay: the MULTIPLICATIVE k-best fold (path
+      * probabilities — products of `cnt/total`, init −1 so ascending
+      * struct sort ranks largest probability first), slot weights
+      * quantized to micro-unit longs relative to rank 1 (integer
+      * cumulative sums — window-summation-tree-proof), the Knuth
+      * split-multiply draw per occurrence, the exact-rational
+      * selection `u·tot ≤ cum`, and the backtrack unroll for each
+      * occurrence's CHOSEN slot. */
+    val sampledEncodeSql: String = {
+      val K = 3
+      val steps = (0 until MaxW).foldLeft(
+        "SELECT doc_id, wpos, j, dp, len(w)::BIGINT AS n0, (j - 1)::BIGINT AS s0 FROM smbr") { (inner, t) =>
+        s"""SELECT *,
+           |      CASE WHEN n$t > 0
+           |           THEN dp[(n$t+1)::INT][(s$t+1)::INT].bp END AS p${t + 1},
+           |      CASE WHEN n$t > 0
+           |           THEN dp[(n$t+1)::INT][(s$t+1)::INT].bi
+           |           ELSE (0)::BIGINT END AS n${t + 1},
+           |      CASE WHEN n$t > 0
+           |           THEN dp[(n$t+1)::INT][(s$t+1)::INT].bs
+           |           ELSE (0)::BIGINT END AS s${t + 1}
+           |    FROM ($inner) q$t""".stripMargin
+      }
+      val rev = (MaxW to 1 by -1).map(i => s"p$i").mkString(", ")
+      def knuth(e: String): String =
+        s"(((($e % 4294967296) // 65536) * 2654435761) % 4294967296 * 65536" +
+          s" + ($e % 4294967296) % 65536 * 2654435761) % 4294967296"
+      s"""WITH $chain,
+         |smtot AS (SELECT sum(cnt)::DOUBLE AS t FROM v2),
+         |smpp AS MATERIALIZED (
+         |  SELECT piece, cnt::DOUBLE / t AS pp FROM v2, smtot),
+         |smwp AS MATERIALIZED (
+         |  SELECT doc_id, unnest(toks) AS w,
+         |         generate_subscripts(toks, 1) - 1 AS wpos
+         |  FROM (SELECT doc_id, $toksSql AS toks FROM documents
+         |        WHERE doc_id < 20)),
+         |smwc AS (SELECT DISTINCT w FROM smwp WHERE len(w) <= $MaxW),
+         |smed AS MATERIALIZED (
+         |  SELECT m.w,
+         |         list_sort(list({'e': m.e0, 's': m.s0, 'p': m.piece,
+         |                         'pp': l.pp})) AS edges
+         |  FROM (SELECT w, i - 1 AS s0, i - 1 + l AS e0,
+         |               substr(w, i::INT, l::INT) AS piece
+         |        FROM smwc, range(1, $MaxW+1) t(i), range(1, $MaxP+1) u(l)
+         |        WHERE i + l - 1 <= len(w)) m
+         |  JOIN smpp l ON l.piece = m.piece
+         |  GROUP BY m.w),
+         |smdp AS MATERIALIZED (
+         |  SELECT w,
+         |    list_reduce(
+         |      list_prepend(
+         |        list_transform(range(0, len(w) + 1),
+         |          x -> CASE WHEN x = 0
+         |               THEN [{'ns': -1.0, 'bi': (-1)::BIGINT,
+         |                      'bs': (-1)::BIGINT, 'bp': ''}]
+         |               ELSE []::STRUCT(ns DOUBLE, bi BIGINT, bs BIGINT,
+         |                               bp VARCHAR)[] END),
+         |        list_transform(edges, ed ->
+         |          [[{'ns': ed.pp, 'bi': ed.s::BIGINT,
+         |             'bs': ed.e::BIGINT, 'bp': ed.p}]])),
+         |      (acc, el) -> list_transform(acc, (lst, ix) ->
+         |        CASE WHEN ix - 1 = el[1][1].bs
+         |             THEN list_slice(list_sort(list_concat(lst,
+         |                    list_transform(acc[(el[1][1].bi + 1)::INT],
+         |                      (pre, si) ->
+         |                        {'ns': pre.ns * el[1][1].ns,
+         |                         'bi': el[1][1].bi,
+         |                         'bs': (si - 1)::BIGINT,
+         |                         'bp': el[1][1].bp}))), 1, $K)
+         |             ELSE lst END)) AS dp
+         |  FROM smed),
+         |smsl0 AS (
+         |  SELECT w, sl.j AS j, sl.prob AS prob FROM (
+         |    SELECT w, unnest(list_transform(dp[(len(w)+1)::INT],
+         |             (n, i) -> {'j': i, 'prob': -n.ns})) AS sl
+         |    FROM smdp)),
+         |smsl AS MATERIALIZED (
+         |  SELECT w, j, cum, max(cum) OVER (PARTITION BY w) AS tot
+         |  FROM (
+         |    SELECT w, j, sum(q) OVER (PARTITION BY w ORDER BY j
+         |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         |             AS cum
+         |    FROM (
+         |      SELECT w, j,
+         |             floor(prob / max(prob) OVER (PARTITION BY w)
+         |                   * 1000000.0 + 0.5)::BIGINT AS q
+         |      FROM smsl0))),
+         |smch AS (
+         |  SELECT o.doc_id, o.wpos, o.w, min(s.j) AS j
+         |  FROM (SELECT doc_id, wpos, w,
+         |               (${knuth("(doc_id * 1048576 + wpos)")} + 1)::DOUBLE
+         |                 / 4294967296.0 AS u
+         |        FROM smwp WHERE len(w) <= $MaxW) o
+         |  JOIN smsl s USING (w)
+         |  WHERE o.u * s.tot::DOUBLE <= s.cum::DOUBLE
+         |  GROUP BY o.doc_id, o.wpos, o.w),
+         |smbr AS MATERIALIZED (
+         |  SELECT c.doc_id, c.wpos, c.j, d.dp, d.w
+         |  FROM smch c JOIN smdp d USING (w))
+         |SELECT doc_id, wpos::BIGINT AS wpos, j::BIGINT AS rnk,
+         |       ppos::BIGINT AS ppos, piece
+         |FROM (
+         |  SELECT doc_id, wpos, j, unnest(bt) AS piece,
+         |         generate_subscripts(bt, 1) - 1 AS ppos
+         |  FROM (SELECT doc_id, wpos, j,
+         |               list_filter([$rev], x -> x IS NOT NULL) AS bt
+         |        FROM ($steps) qf))
+         |ORDER BY doc_id, wpos, ppos""".stripMargin
     }
 
     /** Fertility replay: per-doc piece counts from the final vocab's
@@ -13107,10 +13269,25 @@ object SparkEntry {
          |ORDER BY weight DESC, d.doc_id ASC LIMIT 20""".stripMargin,
     "bpe_merges" -> bpeSql(6),
     "unigram_vocab" -> UnigramSqlGen.vocabSql,
+    // the compacted-retrain equivalence: the oracle trains over the
+    // RAW documents ∪ mangled-batch corpus and never sees the
+    // compacted weighted-dictionary form — a hash match proves the
+    // compaction preserved the token multiset exactly
+    "tokenizer_compact_retrain" ->
+      s"""WITH rtb AS (
+         |  SELECT doc_id + 100000 AS doc_id, replace(text, 'e', '#') AS text
+         |  FROM documents WHERE doc_id < 200),
+         |rseen AS (SELECT doc_id, text FROM documents
+         |          UNION ALL SELECT doc_id, text FROM rtb),
+         |${UnigramSqlGen.chainOn("rseen", "rc")},
+         |rtot AS (SELECT sum(cnt)::DOUBLE AS t FROM rcv2)
+         |SELECT piece, cnt, round(ln(cnt::DOUBLE / t), 6) AS logp
+         |FROM rcv2, rtot ORDER BY cnt DESC, piece""".stripMargin,
     "unigram_vocab_soft" -> UnigramSqlGen.vocabSoftSql,
     "unigram_encode_soft" -> UnigramSqlGen.encodeSoftSql,
     "unigram_encode" -> UnigramSqlGen.encodeSql,
     "unigram_nbest" -> UnigramSqlGen.nbestSql,
+    "unigram_sampled_encode" -> UnigramSqlGen.sampledEncodeSql,
     "unigram_encode_oov" -> UnigramSqlGen.encodeOovSql,
     "unigram_fertility" -> UnigramSqlGen.fertilitySql,
     "bpe_vocab" -> bpeVocabSql(6),

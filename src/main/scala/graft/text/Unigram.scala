@@ -189,28 +189,48 @@ object Unigram {
     * [[segmented]]: per-word O(len · maxPieceLen · k) fold arithmetic
     * against the broadcast vocabulary. */
   def nbest(withWords: DataFrame, lp: DataFrame, maxPieceLen: Int,
-            k: Int, wCol: String = "w"): DataFrame = {
+            k: Int, wCol: String = "w"): DataFrame =
+    kbestSegs(withWords, lp, "lp", maxPieceLen, k, wCol,
+        multiplicative = false)
+      .withColumn("score", round(-col("__node").getField("ns"), 6))
+      .drop("__node")
+
+  /** The shared k-best fold over either semiring: ADDITIVE (weights =
+    * round-6 log-probs, `ns` = negated score, init 0) or
+    * MULTIPLICATIVE (weights = piece probabilities, `ns` = negated
+    * path probability, init −1 — multiplying by a positive `pp`
+    * preserves the sign, so ascending struct sort ranks largest
+    * probability first in both). k-best optimal substructure holds
+    * for any order-monotone combine, which both are. Emits the input
+    * columns + `(rnk, pieces, __node)` — callers derive their score
+    * column from `__node.ns` and drop it. */
+  private def kbestSegs(withWords: DataFrame, wts: DataFrame,
+                        wtCol: String, maxPieceLen: Int, k: Int,
+                        wCol: String, multiplicative: Boolean): DataFrame = {
     require(k >= 1, s"k must be >= 1: $k")
     val edges = withWords
       .withColumn("__m", explode(substrings(col(wCol), maxPieceLen)))
-      .join(broadcast(lp.select(col("piece").as("__p"), col("lp"))),
-        col("__m.piece") === col("__p"))
+      .join(broadcast(wts.select(col("piece").as("__p"),
+        col(wtCol).as("__wt"))), col("__m.piece") === col("__p"))
       .groupBy(withWords.columns.map(col): _*)
       .agg(sort_array(collect_list(struct(col("__m.e0").as("e0"),
         col("__m.s0").as("s0"), col("__m.piece").as("piece"),
-        col("lp")))).as("__edges"))
+        col("__wt").as("wt")))).as("__edges"))
     val entryType = "array<struct<ns:double,bi:int,bs:int,bp:string>>"
     val init = transform(sequence(lit(0), length(col(wCol))), i =>
-      when(i === 0, array(struct(lit(0.0).as("ns"),
+      when(i === 0, array(struct(
+        lit(if (multiplicative) -1.0 else 0.0).as("ns"),
         lit(-1).cast("int").as("bi"), lit(-1).cast("int").as("bs"),
         lit("").as("bp"))))
         .otherwise(array().cast(entryType)))
+    def comb(pre: Column, wt: Column): Column =
+      if (multiplicative) pre * wt else pre - wt
     val dp = aggregate(col("__edges"), init, (acc, ed) =>
       transform(acc, (lst, ix) =>
         when(ix === ed.getField("e0"),
           slice(sort_array(concat(lst,
             transform(element_at(acc, ed.getField("s0") + 1), (pre, si) =>
-              struct((pre.getField("ns") - ed.getField("lp")).as("ns"),
+              struct(comb(pre.getField("ns"), ed.getField("wt")).as("ns"),
                 ed.getField("s0").cast("int").as("bi"),
                 si.cast("int").as("bs"),
                 ed.getField("piece").as("bp"))))), 1, k))
@@ -235,9 +255,89 @@ object Unigram {
         posexplode(element_at(col("__dp"), length(col(wCol)) + 1))
           .as(Seq("__r0", "__node")): _*)
       .withColumn("rnk", (col("__r0") + 1).cast("long"))
-      .withColumn("score", round(-col("__node").getField("ns"), 6))
       .withColumn("pieces", bt.getField("ps"))
-      .drop("__dp", "__r0", "__node")
+      .drop("__dp", "__r0")
+  }
+
+  /** SAMPLED segmentation — subword regularization's serving form
+    * (Kudo 2018 §3.2's sample-from-l-best, α = 1): each word
+    * OCCURRENCE draws one of its top-`k` segmentations with
+    * probability proportional to the segmentation's path probability,
+    * so repeated occurrences of the same word segment differently —
+    * the training-time augmentation that makes a subword model robust
+    * to segmentation ambiguity. Deterministic end-to-end (the
+    * no-rand() contract shared with [[graft.analysis.Sampling]]):
+    *
+    *  - the k-best lattice runs in the MULTIPLICATIVE semiring
+    *    ([[kbestSegs]]): path probabilities are products of
+    *    `cnt/total` piece probabilities — correctly-rounded IEEE
+    *    multiplies, bit-identical cross-engine, no exp/ln anywhere;
+    *  - slot weights QUANTIZE to micro-unit longs RELATIVE to the
+    *    rank-1 probability (`floor(p_j/p_1 · 1e6 + 0.5)` — floor is
+    *    IEEE-exact; rank 1 is always 1e6), so the cumulative weights
+    *    are integer sums — order-free, immune to window-aggregation
+    *    summation trees on either engine;
+    *  - the draw `u = (knuthBucket(doc_id·2^20 + wpos) + 1)/2^32` is
+    *    a dyadic rational in (0, 1], and the selection compares
+    *    `u·total ≤ cum_j` where `u·total` is EXACT (total < 2^22, so
+    *    the product fits double's 53-bit mantissa before the exact
+    *    power-of-two division) — the first rank passing wins, and
+    *    `u ≤ 1` guarantees a winner at the last slot.
+    *
+    * `alpha` is Kudo's smoothing temperature over the l-best weights
+    * (`p_j^α` — smaller α flattens the draw toward uniform, more
+    * augmentation diversity). Only α = 1 and α = 0.5 are accepted:
+    * they are the two exponents computable with IEEE-exact operations
+    * (identity, and `sqrt` — correctly rounded by the standard);
+    * any other temperature needs `pow`, whose libm rounding is
+    * engine-specific and would break the replay.
+    *
+    * Output `(idCol, wpos, rnk, ppos, piece)` — the chosen
+    * segmentation's rank rides along (rnk = 1 is the Viterbi path;
+    * UnigramSpec pins the k = 1 degeneration and the exact-rational
+    * selection against hand-computed draws at both temperatures).
+    * Words over `maxWordLen` drop (the symmetric cap); words outside
+    * the trained alphabet drop (a TRAINING-corpus op by design —
+    * serving-time OOV goes through [[encode]]'s deterministic
+    * `<unk>` fallback instead). */
+  def sampledEncode(docs: DataFrame, textCol: String, vocab: DataFrame,
+                    maxPieceLen: Int = 4, k: Int = 3,
+                    idCol: String = "doc_id",
+                    maxWordLen: Int = 16,
+                    alpha: Double = 1.0): DataFrame = {
+    require(alpha == 1.0 || alpha == 0.5,
+      s"alpha must be 1.0 or 0.5 (the IEEE-exact temperatures): $alpha")
+    import org.apache.spark.sql.expressions.Window
+    val words = docs.select(col(idCol),
+        posexplode(TextAnalysis.tokens(col(textCol))).as(Seq("wpos", "w")))
+      .filter(length(col("w")) <= maxWordLen)
+    val byW = Window.partitionBy(col("w"))
+    val slots = kbestSegs(words.select(col("w")).distinct(),
+        pieceProbs(vocab), "pp", maxPieceLen, k, "w",
+        multiplicative = true)
+      .select(col("w"), col("rnk"),
+        (-col("__node").getField("ns")).as("__prob"), col("pieces"))
+      .withColumn("__r", col("__prob") / max(col("__prob")).over(byW))
+      .withColumn("__q", floor(
+        (if (alpha == 0.5) sqrt(col("__r")) else col("__r"))
+          * lit(1000000.0) + lit(0.5)).cast("long"))
+      .drop("__r")
+      .withColumn("__cum", sum(col("__q")).over(
+        Window.partitionBy(col("w")).orderBy(col("rnk"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("__tot", max(col("__cum")).over(byW))
+    val u = (graft.analysis.Sampling.bucket(
+        col(idCol).cast("long") * lit(1048576L) + col("wpos")) + lit(1L))
+      .cast("double") / lit(4294967296.0)
+    words.withColumn("__u", u)
+      .join(slots, Seq("w"))
+      .filter(col("__u") * col("__tot").cast("double") <=
+        col("__cum").cast("double"))
+      .groupBy(col(idCol), col("wpos"))
+      .agg(min(col("rnk")).as("rnk"),
+        min_by(col("pieces"), col("rnk")).as("__ps"))
+      .select(col(idCol), col("wpos"), col("rnk"),
+        posexplode(col("__ps")).as(Seq("ppos", "piece")))
   }
 
   /** Piece log-probabilities of a `(piece, cnt)` vocabulary:

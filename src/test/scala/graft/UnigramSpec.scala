@@ -224,4 +224,58 @@ class UnigramSpec extends SparkSpec {
         r.getSeq[String](r.fieldIndex("pieces")).toSeq).toMap
     assert(r3 == r1.view.mapValues(_._1).toMap)
   }
+
+  test("sampledEncode: hand-checked draws follow the exact-rational selection rule; k=1 degenerates to Viterbi") {
+    // vocab: pp(a) = pp(b) = 0.25, pp(ab) = 0.5; "ab" segments as
+    // [ab] (p = .5, rank 1, q = 1e6) or [a, b] (p = .0625, rank 2,
+    // q = floor(.125e6 + .5) = 125000); tot = 1125000 — rank 2 wins
+    // iff u·tot > 1e6, i.e. u > 8/9
+    val docs = (0L until 50L).map(i => (i, "ab")).toDF("doc_id", "text")
+    val vocab = Seq(("a", 4L), ("b", 4L), ("ab", 8L)).toDF("piece", "cnt")
+    val out = Unigram.sampledEncode(docs, "text", vocab,
+        maxPieceLen = 2, k = 3)
+      .groupBy("doc_id").agg(first(col("rnk")).as("rnk"),
+        count(lit(1)).as("np"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2)))
+      .toMap
+    // the expected draw per occurrence, replayed with the same bucket
+    val us = docs.select(col("doc_id"),
+        ((graft.analysis.Sampling.bucket(col("doc_id") * lit(1048576L))
+          + lit(1L)).cast("double") / lit(4294967296.0)).as("u"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    (0L until 50L).foreach { i =>
+      val want = if (us(i) * 1125000.0 <= 1000000.0) (1L, 1L) else (2L, 2L)
+      assert(out(i) == want, s"doc $i u=${us(i)}: got ${out(i)}, want $want")
+    }
+    // both branches exercised by the fixture
+    assert(out.values.map(_._1).toSet == Set(1L, 2L), out.toString)
+    // k = 1 degenerates to the deterministic Viterbi encode
+    val s1 = Unigram.sampledEncode(docs, "text", vocab,
+      maxPieceLen = 2, k = 1)
+    assert(s1.filter(col("rnk") =!= 1).isEmpty)
+    assert(s1.select("doc_id", "wpos", "ppos", "piece").collect().toSet ==
+      Unigram.encode(docs, "text", vocab, maxPieceLen = 2)
+        .collect().toSet)
+    // determinism: a rerun reproduces every draw
+    val again = Unigram.sampledEncode(docs, "text", vocab,
+      maxPieceLen = 2, k = 3).collect().toSet
+    assert(again == Unigram.sampledEncode(docs, "text", vocab,
+      maxPieceLen = 2, k = 3).collect().toSet)
+    // alpha = 0.5 (IEEE-exact sqrt temperature): q2 = floor(sqrt(.125)
+    // * 1e6 + .5) = 353553, tot = 1353553 — flatter draw, same rule
+    val half = Unigram.sampledEncode(docs, "text", vocab,
+        maxPieceLen = 2, k = 3, alpha = 0.5)
+      .groupBy("doc_id").agg(first(col("rnk")).as("rnk"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    (0L until 50L).foreach { i =>
+      val want = if (us(i) * 1353553.0 <= 1000000.0) 1L else 2L
+      assert(half(i) == want, s"doc $i u=${us(i)}: got ${half(i)}, want $want")
+    }
+    // the flatter temperature draws MORE non-Viterbi segmentations
+    assert(half.values.count(_ == 2L) > out.values.count(_._1 == 2L))
+    // other temperatures are refused (pow is not engine-portable)
+    intercept[IllegalArgumentException] {
+      Unigram.sampledEncode(docs, "text", vocab, alpha = 0.7)
+    }
+  }
 }
