@@ -1381,6 +1381,54 @@ object SparkEntry {
           "docs_tokenizer", "retrain", "encoded", "docs_encoded",
           "reencode", () => encD.afterSignals)))(disp)(after())
     }),
+    // ---- [EXT] the STREAMING cascade — the dependency-graph book
+    // under the scheduled window (tokenizerCascadePolicyDrainSink's
+    // per-batch body): four mangled micro-batches against a 50-piece
+    // tokenizer store with an encoded dependent; windows at batches 1
+    // and 3 drain the open orders AND derive + drain the dependent's
+    // re-encode after each admitted retrain, acknowledging the
+    // measured bill (gen 0's encode vs each window's fresh
+    // generation) to the shared sidecar. The oracle replays THREE
+    // trainings at the 50 budget, every batch's signal arithmetic,
+    // BOTH windows' open books — window 2's span is computed from
+    // window 1's replayed resolution (a per-signal cutoff: an
+    // unresolved order never closes and re-aggregates its full
+    // history), both windows' after values, the gen-0 encode, and
+    // both staleness anti-joins.
+    "maintenance_order_book_cascade_stream_drained" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val path = scratchDir("maint-book-cascs-tok")
+      val enc = scratchDir("maint-book-cascs-enc")
+      graft.text.Tokenizer.writeTokenizer(docs, "text", path,
+        vocabSize = 50)
+      graft.text.Tokenizer.writeEncodedStore(s,
+        docs.filter(col("doc_id") < 30), "text", path, enc)
+      var win = 0
+      val windowFor: Long => (graft.store.Maintenance.TokenizerDrainDispatcher,
+          graft.store.Maintenance.EncodedDrainDispatcher) = _ => {
+        win += 1
+        val t = new graft.store.Maintenance.TokenizerDrainDispatcher(s,
+          "docs_tokenizer", path, scratchDir(s"maint-book-cascs-rt$win"))
+        val e = new graft.store.Maintenance.EncodedDrainDispatcher(s,
+          "docs_encoded", enc, scratchDir(s"maint-book-cascs-re$win"),
+          () => t.eff)
+        (t, e)
+      }
+      def runBatch(id: Long, lo: Int, hi: Int): Unit =
+        graft.streaming.StreamIngest.tokenizerCascadePolicyDrainBatch(
+          docs.filter(col("doc_id") >= lo && col("doc_id") < hi)
+            .select((col("doc_id") + 100000).as("doc_id"),
+              translate(col("text"), "e", "#").as("text")),
+          id, "text", "doc_id", path, "docs_tokenizer", enc,
+          "docs_encoded", graft.store.Maintenance.DefaultRules,
+          drainEvery = 2, budgetRows = Long.MaxValue, windowFor)
+      runBatch(0L, 0, 100)
+      runBatch(1L, 100, 200) // window 1: retrain + cascade re-encode
+      runBatch(2L, 200, 300)
+      runBatch(3L, 300, 400) // window 2: same, against generation 2
+      s.read.parquet(s"$path.resolutions")
+        .orderBy(col("first_batch"), col("index_kind"), col("signal"))
+    }),
     // ---- [EXT] the layer loop CLOSED: the same appended store →
     // frozen plan → remedies. The dispatch encodes the operational
     // rule the compact scaladoc states: the layer is DERIVED state
@@ -9741,6 +9789,145 @@ object SparkEntry {
          |       a.value_after, a.value_after < threshold AS resolved
          |FROM cbook JOIN caft a USING (signal)
          |ORDER BY index_kind, signal""".stripMargin,
+    // the STREAMING cascade replay: three trainings at the 50-piece
+    // budget (gen 0; gen 1 over documents ∪ batches 0-1; gen 2 over
+    // documents ∪ batches 0-3), each batch's signal arithmetic, both
+    // windows' open books — window 2's per-signal span computed from
+    // window 1's REPLAYED resolution (an unresolved order never
+    // closes: its cutoff stays -1 and the full history re-aggregates)
+    // — both windows' after values, the gen-0 encode of the 30-doc
+    // dependent, and both staleness bills (vs gen 1 and gen 2; the
+    // watched store keeps serving gen 0's encode between windows)
+    "maintenance_order_book_cascade_stream_drained" -> {
+      val batchFerts = (0 to 3).map(b =>
+        UnigramSqlGen.fertCtes("y0v2", s"yx$b", s"ytb$b")).mkString(",\n")
+      val ylogs = (0 to 3).map { b =>
+        s"""  SELECT $b::BIGINT AS batch_id, 'retrain' AS action,
+           |         'fertility_drift' AS signal,
+           |         greatest(round(yx${b}f.fert - ybf.fert, 6), 0.0) AS value,
+           |         0.2 AS threshold
+           |  FROM yx${b}f, ybf
+           |  WHERE greatest(round(yx${b}f.fert - ybf.fert, 6), 0.0) >= 0.2
+           |  UNION ALL
+           |  SELECT $b::BIGINT, 'retrain', 'oov_rate', yx${b}f.oov, 0.01
+           |  FROM yx${b}f WHERE yx${b}f.oov >= 0.01""".stripMargin
+      }.mkString("\n  UNION ALL\n")
+      s"""WITH ${UnigramSqlGen.chainOn("documents", "y0", 50)},
+         |ytb AS MATERIALIZED (
+         |  SELECT doc_id + 100000 AS doc_id, replace(text, 'e', '#') AS text,
+         |         (doc_id // 100)::BIGINT AS b
+         |  FROM documents WHERE doc_id < 400),
+         |ytb0 AS (SELECT doc_id, text FROM ytb WHERE b = 0),
+         |ytb1 AS (SELECT doc_id, text FROM ytb WHERE b = 1),
+         |ytb2 AS (SELECT doc_id, text FROM ytb WHERE b = 2),
+         |ytb3 AS (SELECT doc_id, text FROM ytb WHERE b = 3),
+         |yseen1 AS (SELECT doc_id, text FROM documents
+         |           UNION ALL SELECT doc_id, text FROM ytb WHERE b <= 1),
+         |yseen3 AS (SELECT doc_id, text FROM documents
+         |           UNION ALL SELECT doc_id, text FROM ytb),
+         |${UnigramSqlGen.fertCtes("y0v2", "yb", "documents")},
+         |$batchFerts,
+         |${UnigramSqlGen.chainOn("yseen1", "y1", 50)},
+         |${UnigramSqlGen.fertCtes("y1v2", "yg1", "yseen1")},
+         |${UnigramSqlGen.fertCtes("y1v2", "yh1", "ytb1")},
+         |${UnigramSqlGen.chainOn("yseen3", "y2", 50)},
+         |${UnigramSqlGen.fertCtes("y2v2", "yg2", "yseen3")},
+         |${UnigramSqlGen.fertCtes("y2v2", "yh2", "ytb3")},
+         |${UnigramSqlGen.segCtes("y0v2", "ye", "y0wd")},
+         |ywp AS (SELECT doc_id, unnest(toks) AS w
+         |        FROM (SELECT doc_id, $toksSql AS toks FROM documents
+         |              WHERE doc_id < 30)),
+         |yenc AS (SELECT ywp.doc_id, unnest(s2.bt) AS piece
+         |         FROM ywp JOIN yeseg s2 USING (w)),
+         |yst1 AS (SELECT count(*)::BIGINT AS n,
+         |                sum(CASE WHEN v.piece IS NULL
+         |                    THEN 1 ELSE 0 END)::BIGINT AS st
+         |         FROM yenc LEFT JOIN y1v2 v USING (piece)),
+         |yst2 AS (SELECT count(*)::BIGINT AS n,
+         |                sum(CASE WHEN v.piece IS NULL
+         |                    THEN 1 ELSE 0 END)::BIGINT AS st
+         |         FROM yenc LEFT JOIN y2v2 v USING (piece)),
+         |ylog AS (
+         |$ylogs),
+         |yw1 AS (
+         |  SELECT action, signal,
+         |         min(batch_id) AS first_batch, max(batch_id) AS last_batch,
+         |         count(*)::BIGINT AS n_fired,
+         |         arg_max(value, batch_id) AS last_value,
+         |         first(threshold) AS threshold,
+         |         round(arg_max(value, batch_id) / first(threshold), 6)
+         |           AS last_severity
+         |  FROM ylog WHERE batch_id <= 1 GROUP BY action, signal),
+         |yaft1 AS (
+         |  SELECT 'fertility_drift' AS signal,
+         |         greatest(round(yh1f.fert - yg1f.fert, 6), 0.0)
+         |           AS value_after
+         |  FROM yh1f, yg1f
+         |  UNION ALL SELECT 'oov_rate', yh1f.oov FROM yh1f),
+         |ycut AS (
+         |  SELECT w1.signal,
+         |         CASE WHEN a.value_after < w1.threshold
+         |              THEN 1 ELSE -1 END AS cut
+         |  FROM yw1 w1 JOIN yaft1 a USING (signal)),
+         |yw2 AS (
+         |  SELECT action, signal,
+         |         min(batch_id) AS first_batch, max(batch_id) AS last_batch,
+         |         count(*)::BIGINT AS n_fired,
+         |         arg_max(value, batch_id) AS last_value,
+         |         first(threshold) AS threshold,
+         |         round(arg_max(value, batch_id) / first(threshold), 6)
+         |           AS last_severity
+         |  FROM ylog l LEFT JOIN ycut c USING (signal)
+         |  WHERE l.batch_id > coalesce(c.cut, -1)
+         |  GROUP BY action, signal),
+         |yaft2 AS (
+         |  SELECT 'fertility_drift' AS signal,
+         |         greatest(round(yh2f.fert - yg2f.fert, 6), 0.0)
+         |           AS value_after
+         |  FROM yh2f, yg2f
+         |  UNION ALL SELECT 'oov_rate', yh2f.oov FROM yh2f),
+         |ytokrows AS (
+         |  SELECT 'tokenizer' AS index_kind,
+         |         'docs_tokenizer' AS index_name,
+         |         action, signal, first_batch, last_batch, n_fired,
+         |         last_value, threshold, last_severity,
+         |         a.value_after, a.value_after < threshold AS resolved
+         |  FROM yw1 JOIN yaft1 a USING (signal)
+         |  UNION ALL
+         |  SELECT 'tokenizer', 'docs_tokenizer',
+         |         action, signal, first_batch, last_batch, n_fired,
+         |         last_value, threshold, last_severity,
+         |         a.value_after, a.value_after < threshold
+         |  FROM yw2 JOIN yaft2 a USING (signal)),
+         |yencrows AS (
+         |  SELECT 'encoded' AS index_kind, 'docs_encoded' AS index_name,
+         |         'reencode' AS action, 'encoding_stale' AS signal,
+         |         (SELECT max(batch_id) FROM ylog WHERE batch_id <= 1)
+         |           AS first_batch,
+         |         (SELECT max(batch_id) FROM ylog WHERE batch_id <= 1)
+         |           AS last_batch,
+         |         0::BIGINT AS n_fired,
+         |         round(st::DOUBLE / n, 6) AS last_value,
+         |         0.01 AS threshold,
+         |         round(round(st::DOUBLE / n, 6) / 0.01, 6)
+         |           AS last_severity,
+         |         0.0 AS value_after, TRUE AS resolved
+         |  FROM yst1
+         |  UNION ALL
+         |  SELECT 'encoded', 'docs_encoded', 'reencode', 'encoding_stale',
+         |         (SELECT max(l.batch_id) FROM ylog l
+         |          LEFT JOIN ycut c USING (signal)
+         |          WHERE l.batch_id > coalesce(c.cut, -1)),
+         |         (SELECT max(l.batch_id) FROM ylog l
+         |          LEFT JOIN ycut c USING (signal)
+         |          WHERE l.batch_id > coalesce(c.cut, -1)),
+         |         0::BIGINT, round(st::DOUBLE / n, 6), 0.01,
+         |         round(round(st::DOUBLE / n, 6) / 0.01, 6), 0.0, TRUE
+         |  FROM yst2)
+         |SELECT * FROM (SELECT * FROM ytokrows
+         |               UNION ALL SELECT * FROM yencrows)
+         |ORDER BY first_batch, index_kind, signal""".stripMargin
+    },
     // the TOKENIZER scheduled-drain replay: three full unigram
     // training chains (gen 0 over documents; gen 1 over documents ∪
     // batches 0-1; gen 2 over documents ∪ batches 0-3), the baseline

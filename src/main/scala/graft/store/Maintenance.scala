@@ -541,6 +541,143 @@ object Maintenance {
     drainCosted(spark, path, orderBook(spark, path), costs, budgetRows)(
       dispatch)(after)
 
+  /** The CASCADE window under a COST BUDGET over the OPEN orders —
+    * [[orderBookDrainCascade]] composed with [[openOrdersDrainCosted]]
+    * (the streaming-scheduled form: recurring windows must not
+    * re-dispatch acknowledged orders, and remedies compete for a
+    * bounded window). Admission prices a fired parent and its derived
+    * dependents as ONE decision (the PLANS.md §Round 20 argument: a
+    * retrain whose re-encode does not fit the window should not be
+    * admitted either — admitting it would leave the fleet serving a
+    * vocabulary/encoding pair that disagrees until some later window):
+    * walking the ranked worklist, a parent with fired edges charges
+    * `own cost + Σ child costs` and admits only if the WHOLE charge
+    * fits; its children are then implicitly admitted and dispatch
+    * after every admitted parent (the topological barrier), each with
+    * the measured post-parent bill. A child that is ALSO an open
+    * order admits on its own (and never re-derives); cheaper
+    * lower-ranked orders still use a skipped pair's window remainder.
+    * Acknowledgments append to the same `.resolutions` sidecar —
+    * windows with and without edges compose on one store. */
+  def openOrdersDrainCascadeCosted(spark: org.apache.spark.sql.SparkSession,
+                                   path: String, costs: DataFrame,
+                                   budgetRows: Long, edges: Seq[CascadeEdge],
+                                   rules: Seq[MaintenanceRule] = DefaultRules)
+                                  (dispatch: (String, String, String) => Unit)
+                                  (after: => DataFrame): DataFrame = {
+    require(budgetRows >= 0, s"budgetRows must be >= 0: $budgetRows")
+    import spark.implicits._
+    val book = openOrders(spark, path).drop("n_acks")
+      .join(broadcast(costs.select(col("index_kind"), col("index_name"),
+        col("action"), col("cost_rows").cast("long").as("cost_rows"))),
+        Seq("index_kind", "index_name", "action"), "left")
+      .withColumn("cost_rows", coalesce(col("cost_rows"), lit(0L)))
+      .orderBy(col("last_severity").desc, col("index_kind").asc,
+        col("index_name").asc, col("action").asc, col("signal").asc)
+      .localCheckpoint()
+    val ranked = book
+      .select(col("index_kind"), col("index_name"), col("action"),
+        col("cost_rows"), col("last_batch"))
+      .collect()
+      .map(r => ((r.getString(0), r.getString(1), r.getString(2)),
+        r.getLong(3), r.getLong(4)))
+    val openKeys = ranked.map(_._1).distinct.toSet
+    val costOf = costs.select(col("index_kind"), col("index_name"),
+        col("action"), col("cost_rows").cast("long"))
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2)) ->
+        r.getLong(3)).toMap
+    def firedEdges(key: (String, String, String)): Seq[CascadeEdge] =
+      edges.filter(e => (e.parentKind, e.parentName, e.parentAction) == key)
+        .filter(e => !openKeys.contains((e.childKind, e.childName,
+          e.childAction)))
+        .distinctBy(e => (e.childKind, e.childName, e.childAction))
+    var cum = 0L
+    val seen = scala.collection.mutable.Set.empty[(String, String, String)]
+    val admitted = scala.collection.mutable
+      .LinkedHashSet.empty[(String, String, String)]
+    ranked.foreach { case (k, c, _) =>
+      if (!seen(k)) {
+        seen += k
+        val charge = c + firedEdges(k)
+          .map(e => costOf.getOrElse((e.childKind, e.childName,
+            e.childAction), 0L)).sum
+        if (cum + charge <= budgetRows) { cum += charge; admitted += k }
+      }
+    }
+    if (admitted.isEmpty)
+      return book.select(col("index_kind"), col("index_name"),
+        col("action"), col("signal"), col("first_batch"), col("last_batch"),
+        col("n_fired"), col("last_value"), col("threshold"),
+        col("last_severity"), col("cost_rows"),
+        lit(null).cast("double").as("value_after"),
+        lit(null).cast("boolean").as("resolved"))
+        .filter(lit(false))
+    admitted.foreach { case (k, n, a) => dispatch(k, n, a) }
+    // topological barrier: every admitted parent has acted before any
+    // derived child measures or dispatches
+    val childRows: Seq[(String, String, String, String, Long, Long,
+        Long, Double, Double, Long)] =
+      admitted.toSeq
+        .flatMap(k => firedEdges(k).map(k -> _))
+        .distinctBy { case (_, e) =>
+          (e.childKind, e.childName, e.childAction) }
+        .flatMap { case (k, e) =>
+          val span = ranked.collect { case (`k`, _, lb) => lb }.max
+          val thr = rules.collectFirst {
+            case r if r.indexKind == e.childKind &&
+              r.action == e.childAction => r.threshold
+          }.getOrElse(throw new IllegalArgumentException(
+            s"no rule prices (${e.childKind}, ${e.childAction})"))
+          val cost = costOf.getOrElse((e.childKind, e.childName,
+            e.childAction), 0L)
+          val before = e.childSignals()
+            .filter(col("index_kind") === e.childKind &&
+              col("index_name") === e.childName)
+            .select(col("signal"), round(col("value"), 6).as("value"))
+            .collect()
+            .map(r => (e.childKind, e.childName, e.childAction,
+              r.getString(0), span, span, 0L, r.getDouble(1), thr, cost))
+          dispatch(e.childKind, e.childName, e.childAction)
+          before
+        }
+    val childBook = childRows
+      .toDF("index_kind", "index_name", "action", "signal",
+        "first_batch", "last_batch", "n_fired", "last_value", "threshold",
+        "cost_rows")
+      .withColumn("last_severity",
+        round(col("last_value") / col("threshold"), 6))
+    val admittedDf = admitted.toSeq
+      .toDF("index_kind", "index_name", "action")
+    val report = book
+      .join(broadcast(admittedDf),
+        Seq("index_kind", "index_name", "action"), "left_semi")
+      .select(col("index_kind"), col("index_name"), col("action"),
+        col("signal"), col("first_batch"), col("last_batch"),
+        col("n_fired"), col("last_value"), col("threshold"),
+        col("last_severity"), col("cost_rows"))
+      .unionByName(childBook.select(col("index_kind"), col("index_name"),
+        col("action"), col("signal"), col("first_batch"),
+        col("last_batch"), col("n_fired"), col("last_value"),
+        col("threshold"), col("last_severity"), col("cost_rows")))
+      .join(
+        after.select(col("index_kind"), col("index_name"), col("signal"),
+          round(col("value"), 6).as("value_after")),
+        Seq("index_kind", "index_name", "signal"), "left")
+      .select(col("index_kind"), col("index_name"), col("action"),
+        col("signal"), col("first_batch"), col("last_batch"),
+        col("n_fired"), col("last_value"), col("threshold"),
+        col("last_severity"), col("cost_rows"), col("value_after"),
+        (col("value_after") < col("threshold")).as("resolved"))
+      .orderBy(col("last_severity").desc, col("index_kind").asc,
+        col("index_name").asc, col("action").asc, col("signal").asc)
+      .localCheckpoint()
+    if (!report.isEmpty)
+      report.drop("cost_rows")
+        .write.mode("append").parquet(s"$path.resolutions")
+    report
+  }
+
   /** [[orderBookDrainCosted]] over only the OPEN orders — the
     * RECURRING-window form: a scheduled drain (cron, or the streaming
     * sink's `drainEvery` cadence) must not re-dispatch remedies for

@@ -776,6 +776,88 @@ object StreamIngest {
       }
   }
 
+  private def encodedDrainCosts(s: SparkSession, path: String,
+                                indexName: String): DataFrame = {
+    import s.implicits._
+    // a re-encode re-reads the store's own corpus
+    val nDocs = s.read.parquet(s"$path.docs").count()
+    Seq(("encoded", indexName, "reencode", nDocs))
+      .toDF("index_kind", "index_name", "action", "cost_rows")
+  }
+
+  /** The per-batch body of [[tokenizerCascadePolicyDrainSink]] —
+    * observe + evaluate + (on cadence) the CASCADE window;
+    * `private[graft]` for the oracle replay. Identical to
+    * [[tokenizerPolicyDrainBatch]] up to the drain, which runs
+    * [[graft.store.Maintenance.openOrdersDrainCascadeCosted]] with
+    * the `tokenizer.retrain ⇒ encoded.reencode` dependency edge: an
+    * admitted retrain's re-encode drains in the SAME window, strictly
+    * after it, against the fresh generation (`encD.tokEff` is wired
+    * to the window's tokenizer dispatcher by the caller's
+    * `windowFor`), and the admission prices the pair as one decision.
+    * Both stores keep serving their WATCHED generations between
+    * windows (the dispatcherFor convention — remedies land on
+    * per-window destination paths). */
+  private[graft] def tokenizerCascadePolicyDrainBatch(
+      batch: DataFrame, batchId: Long, textCol: String, idCol: String,
+      path: String, indexName: String, encPath: String, encName: String,
+      rules: Seq[graft.store.MaintenanceRule], drainEvery: Int,
+      budgetRows: Long,
+      windowFor: Long => (graft.store.Maintenance.TokenizerDrainDispatcher,
+        graft.store.Maintenance.EncodedDrainDispatcher)): Unit = {
+    val s = batch.sparkSession
+    if (!batch.isEmpty) {
+      graft.text.Tokenizer.observeBatch(batch, textCol, path, batchId, idCol)
+      logFired(path, batchId, rules)(
+        graft.store.Maintenance.tokenizerSignals(
+          graft.text.Tokenizer.tokenizerDrift(s, path, batch, textCol),
+          indexName))
+    }
+    if ((batchId + 1) % drainEvery == 0 &&
+        graft.io.Fs.exists(s, s"$path.oplog")) {
+      val (tokD, encD) = windowFor(batchId)
+      val (disp, after) = graft.store.Maintenance.defaultDispatch(
+        Seq(tokD, encD))
+      graft.store.Maintenance.openOrdersDrainCascadeCosted(s, path,
+        tokenizerDrainCosts(s, path, indexName)
+          .unionAll(encodedDrainCosts(s, encPath, encName)),
+        budgetRows,
+        Seq(graft.store.Maintenance.CascadeEdge("tokenizer", indexName,
+          "retrain", "encoded", encName, "reencode",
+          () => encD.afterSignals)), rules)(disp)(after()): Unit
+    }
+  }
+
+  /** [[tokenizerPolicyDrainSink]] WITH the cascade — the streaming
+    * form of the dependency-graph book: every `drainEvery` batches
+    * the scheduled window drains the tokenizer's open orders AND, for
+    * each admitted retrain, derives + drains the dependent encoded
+    * store's re-encode in the same window (topologically after the
+    * parent, with the measured post-retrain bill acknowledged to the
+    * shared `.resolutions` sidecar). `windowFor` builds the window's
+    * dispatcher pair on the WATCHED paths with the encoded
+    * dispatcher's `tokEff` wired to the tokenizer dispatcher. */
+  def tokenizerCascadePolicyDrainSink(docs: DataFrame, textCol: String,
+                                      idCol: String, path: String,
+                                      indexName: String, encPath: String,
+                                      encName: String,
+                                      drainEvery: Int, budgetRows: Long,
+                                      windowFor: Long => (graft.store.Maintenance.TokenizerDrainDispatcher,
+                                        graft.store.Maintenance.EncodedDrainDispatcher),
+                                      rules: Seq[graft.store.MaintenanceRule] =
+                                        graft.store.Maintenance.DefaultRules): DataStreamWriter[org.apache.spark.sql.Row] = {
+    require(drainEvery >= 1, s"drainEvery must be >= 1: $drainEvery")
+    docs.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        oncePerBatch(batch.sparkSession, s"$path/_applied_batches", batchId) {
+          tokenizerCascadePolicyDrainBatch(batch, batchId, textCol, idCol,
+            path, indexName, encPath, encName, rules, drainEvery,
+            budgetRows, windowFor)
+        }
+      }
+  }
+
   /** The per-batch body of [[lshPolicyDrainSink]] — apply + evaluate
     * + (on cadence) drain; `private[graft]` for the oracle replay. */
   private[graft] def lshPolicyDrainBatch(

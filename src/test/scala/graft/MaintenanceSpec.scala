@@ -305,6 +305,83 @@ class MaintenanceSpec extends SparkSpec {
       .getAs[Long]("n_fired") == 1L)
   }
 
+  test("openOrdersDrainCascadeCosted: a parent and its dependents price as ONE admission decision") {
+    def mkBook(dir: String): Unit =
+      Seq(
+        ("tokenizer", "t", "retrain", "oov_rate", 0.5, 0.01, 50.0, 0L),
+        ("lsh", "a", "compact", "tombstone_ratio", 0.3, 0.1, 3.0, 0L))
+        .toDF("index_kind", "index_name", "action", "signal",
+          "value", "threshold", "severity", "batch_id")
+        .write.parquet(s"$dir.oplog")
+    val costs = Seq(
+      ("tokenizer", "t", "retrain", 100L),
+      ("lsh", "a", "compact", 50L),
+      ("encoded", "e", "reencode", 80L))
+      .toDF("index_kind", "index_name", "action", "cost_rows")
+    def edge(probed: () => Unit) = Maintenance.CascadeEdge(
+      "tokenizer", "t", "retrain", "encoded", "e", "reencode",
+      () => { probed(); sig(("encoded", "e", "encoding_stale", 0.5)) })
+    val aft = sig(("tokenizer", "t", "oov_rate", 0.0),
+      ("lsh", "a", "tombstone_ratio", 0.0),
+      ("encoded", "e", "encoding_stale", 0.0))
+    // budget 150: the pair charges 100 + 80 = 180 > 150 — the parent
+    // defers WITH its dependent (a retrain whose re-encode cannot run
+    // would leave a mixed-generation fleet); the cheaper lower-ranked
+    // order still uses the window
+    val d1 = java.nio.file.Files
+      .createTempDirectory("graft-ccw1").toString + "/book"
+    mkBook(d1)
+    var calls1 = List.empty[(String, String, String)]
+    var probed1 = false
+    val r1 = Maintenance.openOrdersDrainCascadeCosted(spark, d1, costs,
+      150L, Seq(edge(() => probed1 = true))) {
+      (k, n, a) => calls1 :+= ((k, n, a))
+    }(aft).collect()
+    assert(calls1 == List(("lsh", "a", "compact")) && !probed1,
+      s"$calls1 probed=$probed1")
+    assert(r1.map(_.getAs[String]("index_kind")).toSeq == Seq("lsh"))
+    // the deferred pair stays OPEN for the next window
+    assert(Maintenance.openOrders(spark, d1).collect()
+      .map(_.getAs[String]("index_kind")).toSeq == Seq("tokenizer"))
+    // budget 200: the pair (180) admits first by severity and leaves
+    // no room for the cheaper order; the child dispatches AFTER the
+    // parent with the measured bill and its own cost in the report
+    val d2 = java.nio.file.Files
+      .createTempDirectory("graft-ccw2").toString + "/book"
+    mkBook(d2)
+    var calls2 = List.empty[(String, String, String)]
+    val r2 = Maintenance.openOrdersDrainCascadeCosted(spark, d2, costs,
+      200L, Seq(edge(() => ()))) {
+      (k, n, a) => calls2 :+= ((k, n, a))
+    }(aft).collect()
+    assert(calls2 == List(("tokenizer", "t", "retrain"),
+      ("encoded", "e", "reencode")), calls2.toString)
+    val c2 = r2.find(_.getAs[String]("index_kind") == "encoded").get
+    assert(c2.getAs[Long]("cost_rows") == 80L &&
+      c2.getAs[Double]("last_value") == 0.5 &&
+      c2.getAs[Boolean]("resolved"), c2.toString)
+    assert(!r2.exists(_.getAs[String]("index_kind") == "lsh"))
+    // a child that is ALSO an open order admits on its own cost and
+    // never re-derives: parent charge drops to its own 100
+    val d3 = java.nio.file.Files
+      .createTempDirectory("graft-ccw3").toString + "/book"
+    Seq(
+      ("tokenizer", "t", "retrain", "oov_rate", 0.5, 0.01, 50.0, 0L),
+      ("encoded", "e", "reencode", "encoding_stale", 0.4, 0.01, 40.0, 0L))
+      .toDF("index_kind", "index_name", "action", "signal",
+        "value", "threshold", "severity", "batch_id")
+      .write.parquet(s"$d3.oplog")
+    var calls3 = List.empty[(String, String, String)]
+    val r3 = Maintenance.openOrdersDrainCascadeCosted(spark, d3, costs,
+      180L, Seq(edge(() => fail("a book-fired child must not re-derive")))) {
+      (k, n, a) => calls3 :+= ((k, n, a))
+    }(aft).collect()
+    assert(calls3.count(_ == (("encoded", "e", "reencode"))) == 1, calls3)
+    assert(r3.count(_.getAs[String]("index_kind") == "encoded") == 1)
+    assert(r3.find(_.getAs[String]("index_kind") == "encoded").get
+      .getAs[Long]("n_fired") == 1L)
+  }
+
   test("fleet planners: the encoded family registers like any store; reencode priced at its corpus row count") {
     import graft.text.Tokenizer
     val docs = graft.io.Tables.documents(spark, sf0001)

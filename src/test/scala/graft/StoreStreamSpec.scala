@@ -643,6 +643,71 @@ class StoreStreamSpec extends SparkSpec {
     }
   }
 
+  test("tokenizer CASCADE sink: the scheduled window retrains AND re-encodes the dependent topologically in ONE window") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val docs = graft.io.Tables.documents(spark, sf0001)
+    val root = Files.createTempDirectory("graft-stream-casc").toString
+    val dir = s"$root/tok"; val enc = s"$root/enc"
+    // the MaintenanceSpec cascade fixture: a 60-piece budget so the
+    // full-corpus mangle displaces pieces the dependent's encode used
+    graft.text.Tokenizer.writeTokenizer(docs, "text", dir, vocabSize = 60)
+    graft.text.Tokenizer.writeEncodedStore(spark,
+      docs.filter(col("doc_id") < 20), "text", dir, enc)
+    var lastEnc: graft.store.Maintenance.EncodedDrainDispatcher = null
+    var lastTok: graft.store.Maintenance.TokenizerDrainDispatcher = null
+    val windowFor: Long => (graft.store.Maintenance.TokenizerDrainDispatcher,
+        graft.store.Maintenance.EncodedDrainDispatcher) = b => {
+      val t = new graft.store.Maintenance.TokenizerDrainDispatcher(spark,
+        "tok", dir, s"$root/tok-rt$b")
+      val e = new graft.store.Maintenance.EncodedDrainDispatcher(spark,
+        "e", enc, s"$root/enc-re$b", () => t.eff)
+      lastTok = t; lastEnc = e; (t, e)
+    }
+    val drows = docs.select(col("doc_id"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val input = MemoryStream[(Long, String)]
+    // OOV + the encoded rule only (the restricted-rules convention of
+    // the other sink specs): the full-corpus mangle leaves the batch
+    // legitimately drifted vs even the retrained baseline at this
+    // tight budget, which would keep a fertility order open — not the
+    // behavior under test here
+    val q = graft.streaming.StreamIngest.tokenizerCascadePolicyDrainSink(
+      input.toDF().toDF("doc_id", "text"), "text", "doc_id", dir, "tok",
+      enc, "e", drainEvery = 2, budgetRows = Long.MaxValue,
+      windowFor,
+      rules = Seq(
+        graft.store.MaintenanceRule("tokenizer", "oov_rate", 0.01,
+          "retrain"),
+        graft.store.MaintenanceRule("encoded", "encoding_stale", 0.01,
+          "reencode"))).start()
+    // batch 0: in-distribution — logs nothing; batch 1: the mangled
+    // full corpus fires both signals and the cadence window drains
+    input.addData(drows.take(20).map { case (id, t) =>
+      (id + 100000, t) }.toSeq)
+    q.processAllAvailable()
+    input.addData(drows.map { case (id, t) =>
+      (id + 200000, t.replace('e', '#')) }.toSeq)
+    q.processAllAvailable(); q.stop()
+    val acks = spark.read.parquet(s"$dir.resolutions").collect()
+    // both levels acknowledged in the shared sidecar, all resolved
+    assert(acks.nonEmpty && acks.forall(_.getAs[Boolean]("resolved")),
+      acks.toSeq.toString)
+    val encAck = acks.filter(_.getAs[String]("index_kind") == "encoded")
+    assert(encAck.length == 1, acks.toSeq.toString)
+    assert(encAck.head.getAs[String]("action") == "reencode" &&
+      encAck.head.getAs[Long]("n_fired") == 0L &&
+      encAck.head.getAs[Double]("last_value") > 0.01 &&
+      encAck.head.getAs[Double]("value_after") == 0.0,
+      encAck.head.toString)
+    // the re-encoded generation speaks the retrained vocabulary
+    assert(lastEnc.eff != enc && lastTok.eff != dir)
+    assert(graft.text.Tokenizer.encodedStaleness(spark, lastEnc.eff,
+      lastTok.eff).head().getAs[Double]("stale_ratio") == 0.0)
+    // nothing left open; the window consumed its orders
+    assert(graft.store.Maintenance.openOrders(spark, dir).isEmpty)
+  }
+
   test("LSH policy sink: clean batch logs nothing, out-of-band delete debt surfaces at the next batch, replay is a no-op") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import org.apache.spark.sql.functions.col
