@@ -459,27 +459,39 @@ object Maintenance {
         r.getLong(3)))
     val parents = parentRows.map(_._1).distinct
     parents.foreach { case (k, n, a) => dispatch(k, n, a) }
-    // topological barrier: every parent has acted before any child
-    // measures or dispatches
-    val fired = edges
-      .filter(e => parents.contains((e.parentKind, e.parentName,
-        e.parentAction)))
-      .filter(e => !parents.contains((e.childKind, e.childName,
-        e.childAction)))
-      .distinctBy(e => (e.childKind, e.childName, e.childAction))
-    val childRows: Seq[(String, String, String, String, Long, Long,
-        Long, Double, Double)] =
-      fired.flatMap { e =>
-        val span = parentRows.collect {
-          case (key, lb) if key == (e.parentKind, e.parentName,
-            e.parentAction) => lb
-        }.max
+    // topological levels (round-20 open thread closed: chains deeper
+    // than one edge — e.g. retrain ⇒ re-encode ⇒ re-fit — dispatch
+    // level by level): a level's dependents derive only from keys the
+    // PREVIOUS level dispatched, measure after every one of those has
+    // acted, and become the next frontier; a key never derives twice
+    // (the cycle guard — a cyclic edge set terminates when every key
+    // has dispatched once).
+    val dispatched = scala.collection.mutable.Set(parents: _*)
+    val spanOf = scala.collection.mutable.Map.empty[(String, String,
+      String), Long]
+    parents.foreach { k =>
+      spanOf(k) = parentRows.collect { case (`k`, lb) => lb }.max
+    }
+    var frontier: Seq[(String, String, String)] = parents
+    val childRows = scala.collection.mutable.Buffer.empty[(String,
+      String, String, String, Long, Long, Long, Double, Double)]
+    while (frontier.nonEmpty) {
+      val fired = edges
+        .filter(e => frontier.contains((e.parentKind, e.parentName,
+          e.parentAction)))
+        .filter(e => !dispatched.contains((e.childKind, e.childName,
+          e.childAction)))
+        .distinctBy(e => (e.childKind, e.childName, e.childAction))
+      frontier = fired.map { e =>
+        val key = (e.childKind, e.childName, e.childAction)
+        val span = spanOf((e.parentKind, e.parentName, e.parentAction))
+        spanOf(key) = span
         val thr = rules.collectFirst {
           case r if r.indexKind == e.childKind &&
             r.action == e.childAction => r.threshold
         }.getOrElse(throw new IllegalArgumentException(
           s"no rule prices (${e.childKind}, ${e.childAction})"))
-        val before = e.childSignals()
+        childRows ++= e.childSignals()
           .filter(col("index_kind") === e.childKind &&
             col("index_name") === e.childName)
           .select(col("signal"), round(col("value"), 6).as("value"))
@@ -487,9 +499,11 @@ object Maintenance {
           .map(r => (e.childKind, e.childName, e.childAction,
             r.getString(0), span, span, 0L, r.getDouble(1), thr))
         dispatch(e.childKind, e.childName, e.childAction)
-        before
+        dispatched += key
+        key
       }
-    val childBook = childRows
+    }
+    val childBook = childRows.toSeq
       .toDF("index_kind", "index_name", "action", "signal",
         "first_batch", "last_batch", "n_fired", "last_value", "threshold")
       .withColumn("last_severity",
@@ -551,12 +565,14 @@ object Maintenance {
     * admitted either — admitting it would leave the fleet serving a
     * vocabulary/encoding pair that disagrees until some later window):
     * walking the ranked worklist, a parent with fired edges charges
-    * `own cost + Σ child costs` and admits only if the WHOLE charge
-    * fits; its children are then implicitly admitted and dispatch
-    * after every admitted parent (the topological barrier), each with
-    * the measured post-parent bill. A child that is ALSO an open
-    * order admits on its own (and never re-derives); cheaper
-    * lower-ranked orders still use a skipped pair's window remainder.
+    * `own cost + Σ over its TRANSITIVE derived closure` (grandchildren
+    * included — chains like retrain ⇒ re-encode ⇒ re-fit price as one
+    * decision) and admits only if the WHOLE charge fits; its
+    * dependents are then implicitly admitted and dispatch in
+    * topological levels after every admitted parent, each with the
+    * measured post-parent bill. A child that is ALSO an open order
+    * admits on its own (and never re-derives); cheaper lower-ranked
+    * orders still use a skipped pair's window remainder.
     * Acknowledgments append to the same `.resolutions` sidecar —
     * windows with and without edges compose on one store. */
   def openOrdersDrainCascadeCosted(spark: org.apache.spark.sql.SparkSession,
@@ -587,11 +603,33 @@ object Maintenance {
       .collect()
       .map(r => (r.getString(0), r.getString(1), r.getString(2)) ->
         r.getLong(3)).toMap
-    def firedEdges(key: (String, String, String)): Seq[CascadeEdge] =
-      edges.filter(e => (e.parentKind, e.parentName, e.parentAction) == key)
-        .filter(e => !openKeys.contains((e.childKind, e.childName,
+    // the TRANSITIVE derived closure of a key (grandchildren included;
+    // keys that are open orders admit on their own and are excluded):
+    // what a parent's admission implicitly admits, and therefore what
+    // its charge must cover. Two admitted parents sharing a descendant
+    // each price it (conservative: the shared descendant derives once
+    // but the budget never over-admits).
+    def derivedClosure(root: (String, String, String)): Seq[CascadeEdge] = {
+      val out = scala.collection.mutable.Buffer.empty[CascadeEdge]
+      val seenKeys = scala.collection.mutable.Set(root)
+      var frontier = Seq(root)
+      while (frontier.nonEmpty) {
+        val fired = edges
+          .filter(e => frontier.contains((e.parentKind, e.parentName,
+            e.parentAction)))
+          .filter(e => !openKeys.contains((e.childKind, e.childName,
+            e.childAction)))
+          .filter(e => !seenKeys.contains((e.childKind, e.childName,
+            e.childAction)))
+          .distinctBy(e => (e.childKind, e.childName, e.childAction))
+        fired.foreach(e => seenKeys += ((e.childKind, e.childName,
           e.childAction)))
-        .distinctBy(e => (e.childKind, e.childName, e.childAction))
+        out ++= fired
+        frontier = fired.map(e => (e.childKind, e.childName,
+          e.childAction))
+      }
+      out.toSeq
+    }
     var cum = 0L
     val seen = scala.collection.mutable.Set.empty[(String, String, String)]
     val admitted = scala.collection.mutable
@@ -599,7 +637,7 @@ object Maintenance {
     ranked.foreach { case (k, c, _) =>
       if (!seen(k)) {
         seen += k
-        val charge = c + firedEdges(k)
+        val charge = c + derivedClosure(k)
           .map(e => costOf.getOrElse((e.childKind, e.childName,
             e.childAction), 0L)).sum
         if (cum + charge <= budgetRows) { cum += charge; admitted += k }
@@ -614,34 +652,52 @@ object Maintenance {
         lit(null).cast("boolean").as("resolved"))
         .filter(lit(false))
     admitted.foreach { case (k, n, a) => dispatch(k, n, a) }
-    // topological barrier: every admitted parent has acted before any
-    // derived child measures or dispatches
-    val childRows: Seq[(String, String, String, String, Long, Long,
-        Long, Double, Double, Long)] =
-      admitted.toSeq
-        .flatMap(k => firedEdges(k).map(k -> _))
-        .distinctBy { case (_, e) =>
-          (e.childKind, e.childName, e.childAction) }
-        .flatMap { case (k, e) =>
-          val span = ranked.collect { case (`k`, _, lb) => lb }.max
-          val thr = rules.collectFirst {
-            case r if r.indexKind == e.childKind &&
-              r.action == e.childAction => r.threshold
-          }.getOrElse(throw new IllegalArgumentException(
-            s"no rule prices (${e.childKind}, ${e.childAction})"))
-          val cost = costOf.getOrElse((e.childKind, e.childName,
-            e.childAction), 0L)
-          val before = e.childSignals()
-            .filter(col("index_kind") === e.childKind &&
-              col("index_name") === e.childName)
-            .select(col("signal"), round(col("value"), 6).as("value"))
-            .collect()
-            .map(r => (e.childKind, e.childName, e.childAction,
-              r.getString(0), span, span, 0L, r.getDouble(1), thr, cost))
-          dispatch(e.childKind, e.childName, e.childAction)
-          before
-        }
-    val childBook = childRows
+    // topological levels after the admitted-parent barrier (the
+    // orderBookDrainCascade loop, cost column added): each level's
+    // dependents derive from the previous level's dispatches, measure
+    // the post-parent bill, dispatch, and become the next frontier;
+    // the dispatched-set cycle guard terminates any edge set
+    val dispatchedKeys = scala.collection.mutable.Set(admitted.toSeq: _*)
+    val spanOf = scala.collection.mutable.Map.empty[(String, String,
+      String), Long]
+    admitted.foreach { k =>
+      spanOf(k) = ranked.collect { case (`k`, _, lb) => lb }.max
+    }
+    var frontier: Seq[(String, String, String)] = admitted.toSeq
+    val childRows = scala.collection.mutable.Buffer.empty[(String,
+      String, String, String, Long, Long, Long, Double, Double, Long)]
+    while (frontier.nonEmpty) {
+      val fired = edges
+        .filter(e => frontier.contains((e.parentKind, e.parentName,
+          e.parentAction)))
+        .filter(e => !openKeys.contains((e.childKind, e.childName,
+          e.childAction)))
+        .filter(e => !dispatchedKeys.contains((e.childKind, e.childName,
+          e.childAction)))
+        .distinctBy(e => (e.childKind, e.childName, e.childAction))
+      frontier = fired.map { e =>
+        val key = (e.childKind, e.childName, e.childAction)
+        val span = spanOf((e.parentKind, e.parentName, e.parentAction))
+        spanOf(key) = span
+        val thr = rules.collectFirst {
+          case r if r.indexKind == e.childKind &&
+            r.action == e.childAction => r.threshold
+        }.getOrElse(throw new IllegalArgumentException(
+          s"no rule prices (${e.childKind}, ${e.childAction})"))
+        val cost = costOf.getOrElse(key, 0L)
+        childRows ++= e.childSignals()
+          .filter(col("index_kind") === e.childKind &&
+            col("index_name") === e.childName)
+          .select(col("signal"), round(col("value"), 6).as("value"))
+          .collect()
+          .map(r => (e.childKind, e.childName, e.childAction,
+            r.getString(0), span, span, 0L, r.getDouble(1), thr, cost))
+        dispatch(e.childKind, e.childName, e.childAction)
+        dispatchedKeys += key
+        key
+      }
+    }
+    val childBook = childRows.toSeq
       .toDF("index_kind", "index_name", "action", "signal",
         "first_batch", "last_batch", "n_fired", "last_value", "threshold",
         "cost_rows")

@@ -382,6 +382,72 @@ class MaintenanceSpec extends SparkSpec {
       .getAs[Long]("n_fired") == 1L)
   }
 
+  test("cascade chains: grandchildren dispatch in topological levels; the costed charge covers the transitive closure; cycles terminate") {
+    val rules = Maintenance.DefaultRules :+
+      MaintenanceRule("embedding", "refit_stale", 0.01, "refit")
+    // retrain ⇒ reencode ⇒ refit, plus a BACK-EDGE refit ⇒ retrain
+    // (the cycle guard: a key never derives twice)
+    val edges = Seq(
+      Maintenance.CascadeEdge("tokenizer", "t", "retrain",
+        "encoded", "e", "reencode",
+        () => sig(("encoded", "e", "encoding_stale", 0.5))),
+      Maintenance.CascadeEdge("encoded", "e", "reencode",
+        "embedding", "m", "refit",
+        () => sig(("embedding", "m", "refit_stale", 0.3))),
+      Maintenance.CascadeEdge("embedding", "m", "refit",
+        "tokenizer", "t", "retrain",
+        () => fail("the cycle guard must stop a dispatched key")))
+    val aft = sig(("tokenizer", "t", "oov_rate", 0.0),
+      ("encoded", "e", "encoding_stale", 0.0),
+      ("embedding", "m", "refit_stale", 0.0))
+    def mkBook(dir: String): Unit =
+      Seq(("tokenizer", "t", "retrain", "oov_rate", 0.5, 0.01, 50.0, 2L))
+        .toDF("index_kind", "index_name", "action", "signal",
+          "value", "threshold", "severity", "batch_id")
+        .write.parquet(s"$dir.oplog")
+    val d1 = java.nio.file.Files
+      .createTempDirectory("graft-chain1").toString + "/book"
+    mkBook(d1)
+    var calls = List.empty[(String, String, String)]
+    val rep = Maintenance.orderBookDrainCascade(spark, d1, edges, rules) {
+      (k, n, a) => calls :+= ((k, n, a))
+    }(aft).collect()
+    assert(calls == List(("tokenizer", "t", "retrain"),
+      ("encoded", "e", "reencode"), ("embedding", "m", "refit")),
+      calls.toString)
+    // spans propagate down the chain from the root parent's last_batch
+    val g = rep.find(_.getAs[String]("index_kind") == "embedding").get
+    assert(g.getAs[Long]("first_batch") == 2L &&
+      g.getAs[Long]("last_batch") == 2L &&
+      g.getAs[Boolean]("resolved"), g.toString)
+    // costed: the whole chain (100 + 80 + 40 = 220) is one decision
+    val costs = Seq(("tokenizer", "t", "retrain", 100L),
+      ("encoded", "e", "reencode", 80L), ("embedding", "m", "refit", 40L))
+      .toDF("index_kind", "index_name", "action", "cost_rows")
+    val d2 = java.nio.file.Files
+      .createTempDirectory("graft-chain2").toString + "/book"
+    mkBook(d2)
+    var calls2 = List.empty[(String, String, String)]
+    val r2 = Maintenance.openOrdersDrainCascadeCosted(spark, d2, costs,
+      219L, edges, rules) {
+      (k, n, a) => calls2 :+= ((k, n, a))
+    }(aft).collect()
+    assert(calls2.isEmpty && r2.isEmpty, s"219 < 220 defers the chain: $calls2")
+    val d3 = java.nio.file.Files
+      .createTempDirectory("graft-chain3").toString + "/book"
+    mkBook(d3)
+    var calls3 = List.empty[(String, String, String)]
+    val r3 = Maintenance.openOrdersDrainCascadeCosted(spark, d3, costs,
+      220L, edges, rules) {
+      (k, n, a) => calls3 :+= ((k, n, a))
+    }(aft).collect()
+    assert(calls3 == List(("tokenizer", "t", "retrain"),
+      ("encoded", "e", "reencode"), ("embedding", "m", "refit")),
+      calls3.toString)
+    assert(r3.find(_.getAs[String]("index_kind") == "embedding").get
+      .getAs[Long]("cost_rows") == 40L)
+  }
+
   test("fleet planners: the encoded family registers like any store; reencode priced at its corpus row count") {
     import graft.text.Tokenizer
     val docs = graft.io.Tables.documents(spark, sf0001)
