@@ -382,6 +382,37 @@ class MaintenanceSpec extends SparkSpec {
       .getAs[Long]("n_fired") == 1L)
   }
 
+  test("cascade drain with NO edges degenerates to orderBookDrain: same dispatches, same report, same acknowledgments") {
+    def mkBook(dir: String): Unit =
+      Seq(
+        ("lsh", "a", "compact", "tombstone_ratio", 0.30, 0.10, 3.0, 0L),
+        ("ivf", "b", "retrain", "assignment_drift", 0.09, 0.01, 9.0, 1L))
+        .toDF("index_kind", "index_name", "action", "signal",
+          "value", "threshold", "severity", "batch_id")
+        .write.parquet(s"$dir.oplog")
+    val aft = sig(("lsh", "a", "tombstone_ratio", 0.0),
+      ("ivf", "b", "assignment_drift", 0.0))
+    val d1 = java.nio.file.Files
+      .createTempDirectory("graft-deg1").toString + "/book"
+    val d2 = java.nio.file.Files
+      .createTempDirectory("graft-deg2").toString + "/book"
+    mkBook(d1); mkBook(d2)
+    var c1 = List.empty[(String, String, String)]
+    var c2 = List.empty[(String, String, String)]
+    val plain = Maintenance.orderBookDrain(spark, d1) {
+      (k, n, a) => c1 :+= ((k, n, a))
+    }(aft).collect()
+    val casc = Maintenance.orderBookDrainCascade(spark, d2, Nil) {
+      (k, n, a) => c2 :+= ((k, n, a))
+    }(aft).collect()
+    assert(c1 == c2, s"$c1 vs $c2")
+    assert(plain.map(_.toSeq).toSeq == casc.map(_.toSeq).toSeq)
+    assert(spark.read.parquet(s"$d1.resolutions").collect().map(_.toSeq)
+      .sortBy(_.toString).toSeq ==
+      spark.read.parquet(s"$d2.resolutions").collect().map(_.toSeq)
+        .sortBy(_.toString).toSeq)
+  }
+
   test("cascade chains: grandchildren dispatch in topological levels; the costed charge covers the transitive closure; cycles terminate") {
     val rules = Maintenance.DefaultRules :+
       MaintenanceRule("embedding", "refit_stale", 0.01, "refit")
