@@ -453,6 +453,7 @@ object KnnGraph {
                                    beam: Int = 8, hops: Int = 4,
                                    buckets: Int = 16,
                                    idCol: String = "vec_id"): DataFrame = {
+    import spark.implicits._
     val nodesRaw = spark.read.parquet(s"$path.nodes")
       .select(col("id"), col("vec").as("__vec"))
     val vecs = graphTombstones(spark, path).fold(nodesRaw) { t =>
@@ -462,19 +463,36 @@ object KnnGraph {
     def score(ids: DataFrame): DataFrame =
       ids.join(vecs, Seq("id")).crossJoin(broadcast(query))
         .select(col("id"), VectorOps.cosine6(col("__vec"), col("qvec")).as("sim"))
-    var beamDf = score(medoidEntry(vecs)).localCheckpoint()
-    var visited = beamDf.select(col("id")).localCheckpoint()
+    // Beam AND visited set are bounded driver state (≤ beam and
+    // ≤ hops·beam·(degree+1) ids — the probeIds class), so each hop is
+    // ONE fused job: probe + union + distinct + score, ALL candidate
+    // scores collected (bounded), the visited ids and the top-beam
+    // both derived on the driver — instead of the round-20 form's
+    // per-hop ids-collect, visited union-distinct-checkpoint, and
+    // beam checkpoint (3 jobs + 2 shuffles per hop → 1). The driver
+    // top-beam uses java.lang.Double.compare — exactly Spark's
+    // DoubleType ordering (SQLOrderingUtil) — with the id-ASC
+    // tie-break, so every hop's beam SET and the final answer are
+    // unchanged; the oracle's hop-for-hop replay holds.
+    val beamOrd = Ordering.fromLessThan[(Long, Double)] { (a, b) =>
+      val c = java.lang.Double.compare(b._2, a._2) // sim DESC
+      if (c != 0) c < 0 else a._1 < b._1           // id ASC
+    }
+    var beamRows: Seq[(Long, Double)] = score(medoidEntry(vecs)).collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val visited = scala.collection.mutable.LinkedHashSet(
+      beamRows.map(_._1): _*)
     (1 to hops).foreach { _ =>
-      val beamIds = beamDf.select(col("id")).collect().map(_.getLong(0)).toSeq
+      val beamIds = beamRows.map(_._1)
       val frontier = graphIndexTopK(spark, path, beamIds, degree, buckets)
         .select(col("dst").as("id"))
-      val cands = beamDf.select(col("id")).union(frontier).distinct()
-      visited = visited.union(cands).distinct().localCheckpoint()
-      beamDf = score(cands)
-        .orderBy(col("sim").desc, col("id").asc).limit(beam)
-        .localCheckpoint()
+      val cands = beamIds.toDF("id").union(frontier).distinct()
+      val scored = score(cands).collect()
+        .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      visited ++= scored.map(_._1)
+      beamRows = scored.sorted(beamOrd).take(beam)
     }
-    score(visited)
+    score(visited.toSeq.toDF("id"))
       .join(allowed.select(col(idCol).as("id")), Seq("id"), "left_semi")
       .orderBy(col("sim").desc, col("id").asc).limit(k)
   }
@@ -679,6 +697,7 @@ object KnnGraph {
                           path: String, query: DataFrame,
                           rungs: Seq[(String, Int)], k: Int, degree: Int,
                           beam: Int, buckets: Int): DataFrame = {
+    import spark.implicits._
     val nodesRaw = spark.read.parquet(s"$path.nodes")
       .select(col("id"), col("vec").as("__vec"))
     val vecs = graphTombstones(spark, path).fold(nodesRaw) { t =>
@@ -688,26 +707,38 @@ object KnnGraph {
     def score(ids: DataFrame): DataFrame =
       ids.join(vecs, Seq("id")).crossJoin(broadcast(query))
         .select(col("id"), VectorOps.cosine6(col("__vec"), col("qvec")).as("sim"))
-    def walk(beam0: DataFrame, edgePath: String, hops: Int): DataFrame = {
-      var beamDf = beam0
+    // The beam is BOUNDED DRIVER STATE (≤ beam rows — the probeIds
+    // class), so each hop is ONE fused job: probe the beam's out-edges
+    // (plan-time bucket-pruned), union the beam ids, score, TakeOrdered
+    // top-beam straight to the driver. The round-20 form kept the beam
+    // as a checkpointed frame and paid an ids-collect plus a checkpoint
+    // job per hop for the same ≤ beam rows (2 jobs + a shuffle → 1
+    // bounded TakeOrdered); sims and tie-breaks are computed by the
+    // identical expressions, so every hop's beam SET is unchanged.
+    def walk(beam0: Seq[(Long, Double)], edgePath: String,
+             hops: Int): Seq[(Long, Double)] = {
+      var beamRows = beam0
       (1 to hops).foreach { _ =>
-        val beamIds = beamDf.select(col("id")).collect().map(_.getLong(0)).toSeq
+        val beamIds = beamRows.map(_._1)
         val frontier = graphIndexTopK(spark, edgePath, beamIds, degree, buckets)
           .select(col("dst").as("id"))
-        val cands = beamDf.select(col("id")).union(frontier).distinct()
-        beamDf = score(cands)
+        val cands = beamIds.toDF("id").union(frontier).distinct()
+        beamRows = score(cands)
           .orderBy(col("sim").desc, col("id").asc).limit(beam)
-          .localCheckpoint()
+          .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
       }
-      beamDf
+      beamRows
     }
     val topIds = spark.read.parquet(rungs.head._1)
       .select(col("src").as("id")).distinct()
     val topVecs = vecs.join(topIds, Seq("id"), "left_semi")
-    val walked = rungs.foldLeft(score(medoidEntry(topVecs)).localCheckpoint()) {
-      case (beamDf, (edgePath, hops)) => walk(beamDf, edgePath, hops)
+    val entry = score(medoidEntry(topVecs)).collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val walked = rungs.foldLeft(entry) {
+      case (beamRows, (edgePath, hops)) => walk(beamRows, edgePath, hops)
     }
-    walked.orderBy(col("sim").desc, col("id").asc).limit(k)
+    walked.toDF("id", "sim")
+      .orderBy(col("sim").desc, col("id").asc).limit(k)
   }
 
   /** THREE-level beam search — [[graphIndexBeamSearchLayered]] with
@@ -819,9 +850,12 @@ object KnnGraph {
           // k from the layout: min per-source row count (= the built k
           // on the base rows; append debt only adds rows) — one
           // bounded agg over edges the repair scans anyway
-          val kEst = rawEdges.groupBy(col("src"))
+          val kRow = rawEdges.groupBy(col("src"))
             .agg(count(lit(1)).as("__r"))
-            .agg(min(col("__r"))).head().getLong(0).toInt
+            .agg(min(col("__r"))).head()
+          // empty edge store → min is NULL: fall through to the floor
+          // instead of an NPE (round-20 advice)
+          val kEst = if (kRow.isNullAt(0)) 0 else kRow.getLong(0).toInt
           math.max(16, 10 * kEst)
         }
       val affected = rawEdges
@@ -898,14 +932,17 @@ object KnnGraph {
                        path: String): DataFrame = {
     val edges = spark.read.parquet(path)
     val nodes = spark.read.parquet(s"$path.nodes")
+    // ONE edges scan (round-21 optimization: n_edge_rows is the sum of
+    // the per-src counts the n_src/max aggregate already computes — the
+    // old second count(*) scan re-read every edge row for it)
     val perSrc = edges.groupBy(col("src")).agg(count(lit(1)).as("__r"))
-      .agg(count(lit(1)).as("n_src"), max(col("__r")).as("max_rows_per_src"))
+      .agg(coalesce(sum(col("__r")), lit(0L)).as("n_edge_rows"),
+        count(lit(1)).as("n_src"), max(col("__r")).as("max_rows_per_src"))
     val tomb = graphTombstones(spark, path)
       .map(_.agg(count(lit(1)).as("tombstone_debt")))
       .getOrElse(edges.sparkSession.range(1)
         .select(lit(0L).as("tombstone_debt")))
     nodes.agg(count(lit(1)).as("n_nodes"))
-      .crossJoin(broadcast(edges.agg(count(lit(1)).as("n_edge_rows"))))
       .crossJoin(broadcast(perSrc))
       .crossJoin(broadcast(tomb))
   }

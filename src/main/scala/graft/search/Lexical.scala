@@ -439,19 +439,23 @@ object Lexical {
     val withDl = docs
       .select(col(idCol), TextAnalysis.tokens(col(textCol)).as("toks"))
       .withColumn("dl", size(col("toks")))
-    withDl
-      .select(col(idCol), col("dl"), explode(col("toks")).as("term"))
-      .groupBy(col("term"), col(idCol), col("dl")).agg(count(lit(1)).as("tf"))
-      .withColumn("__tb",
-        pmod(TextAnalysis.fingerprint(col("term")), lit(termBuckets.toLong)))
-      // cluster by bucket before the partitioned write: without this,
-      // every shuffle task writes a sliver into every bucket directory
-      // (tasks × buckets tiny files per build — 2048 locally, worse at
-      // scale); clustered, each bucket is written by one task
-      .repartition(col("__tb"))
-      .write.partitionBy("__tb").mode("overwrite").parquet(s"$path/postings")
-    withDl.select(col(idCol), col("dl"))
-      .write.mode("overwrite").parquet(s"$path/doclens")
+    // postings and doclens are independent outputs of the same
+    // tokenization — concurrent jobs (graft.io.Par, the writeGraphIndex
+    // convention); stats then reads the written doclens
+    graft.io.Par.unit(
+      () => withDl
+        .select(col(idCol), col("dl"), explode(col("toks")).as("term"))
+        .groupBy(col("term"), col(idCol), col("dl")).agg(count(lit(1)).as("tf"))
+        .withColumn("__tb",
+          pmod(TextAnalysis.fingerprint(col("term")), lit(termBuckets.toLong)))
+        // cluster by bucket before the partitioned write: without this,
+        // every shuffle task writes a sliver into every bucket directory
+        // (tasks × buckets tiny files per build — 2048 locally, worse at
+        // scale); clustered, each bucket is written by one task
+        .repartition(col("__tb"))
+        .write.partitionBy("__tb").mode("overwrite").parquet(s"$path/postings"),
+      () => withDl.select(col(idCol), col("dl"))
+        .write.mode("overwrite").parquet(s"$path/doclens"))
     // stats from the just-written doclens (tiny (id, dl) read) — NOT a
     // third tokenization pass over the corpus
     docs.sparkSession.read.parquet(s"$path/doclens")
@@ -510,22 +514,25 @@ object Lexical {
     val withDl = delta
       .select(col(idCol), TextAnalysis.tokens(col(textCol)).as("toks"))
       .withColumn("dl", size(col("toks")))
-    withDl
-      .select(col(idCol), col("dl"), explode(col("toks")).as("term"))
-      .groupBy(col("term"), col(idCol), col("dl")).agg(count(lit(1)).as("tf"))
-      .withColumn("__tb",
-        pmod(TextAnalysis.fingerprint(col("term")), lit(termBuckets)))
-      .repartition(col("__tb")) // one file per bucket per append
-      .write.partitionBy("__tb").mode("append").parquet(s"$path/postings")
-    withDl.select(col(idCol), col("dl"))
-      .write.mode("append").parquet(s"$path/doclens")
-    // re-deriving the delta's stats tokenizes the DELTA a third time —
-    // deltas are small by contract; the build path (corpus-sized)
-    // aggregates its written doclens instead
-    withDl
-      .agg(count(lit(1)).as("n_docs"), sum(col("dl").cast("long")).as("sum_dl"))
-      .withColumn("term_buckets", lit(termBuckets))
-      .write.mode("append").parquet(s"$path/stats")
+    // the three appended outputs are independent derivations of the
+    // same (small, by contract) delta — concurrent jobs (graft.io.Par)
+    graft.io.Par.unit(
+      () => withDl
+        .select(col(idCol), col("dl"), explode(col("toks")).as("term"))
+        .groupBy(col("term"), col(idCol), col("dl")).agg(count(lit(1)).as("tf"))
+        .withColumn("__tb",
+          pmod(TextAnalysis.fingerprint(col("term")), lit(termBuckets)))
+        .repartition(col("__tb")) // one file per bucket per append
+        .write.partitionBy("__tb").mode("append").parquet(s"$path/postings"),
+      () => withDl.select(col(idCol), col("dl"))
+        .write.mode("append").parquet(s"$path/doclens"),
+      // re-deriving the delta's stats tokenizes the DELTA a third time —
+      // deltas are small by contract; the build path (corpus-sized)
+      // aggregates its written doclens instead
+      () => withDl
+        .agg(count(lit(1)).as("n_docs"), sum(col("dl").cast("long")).as("sum_dl"))
+        .withColumn("term_buckets", lit(termBuckets))
+        .write.mode("append").parquet(s"$path/stats"))
   }
 
   /** Tombstone-delete documents from a materialized BM25 index — the
@@ -646,32 +653,40 @@ object Lexical {
     * — 1.0 is perfectly even, large values mean the bucket layout is
     * hashing poorly and probe pruning degrades.
     *
-    * Scale shape: one scan of postings feeding two map-side-combined
-    * aggregates (per-term df and per-bucket counts — both bounded by
-    * vocab/bucket cardinality), 1-row frames crossJoined at the end.
-    * Raw index contents by design: tombstoned docs still occupy
-    * postings until compaction, and this report is the measure of
-    * exactly that debt. */
+    * Scale shape: ONE scan of postings (round-21 optimization: the
+    * first form scanned postings three times — totals, top term,
+    * bucket max — for numbers that all derive from one per-(term,
+    * bucket) aggregate): postings → df per (term, __tb) — a term's
+    * postings live in exactly one bucket, so distinct terms ≡ the
+    * aggregate's rows and per-bucket postings ≡ per-bucket Σdf — then
+    * two vocab-/bucket-bounded re-aggregations. The top term rides as
+    * `min(struct(-df, term))` so the (df DESC, term ASC) tie-break is
+    * the struct order, value-identical to the old sort-limit-1. Raw
+    * index contents by design: tombstoned docs still occupy postings
+    * until compaction, and this report is the measure of exactly that
+    * debt. */
   def bm25IndexHealth(spark: org.apache.spark.sql.SparkSession,
                       path: String): DataFrame = {
     import spark.implicits._
     val (buckets, nDocs, sumDl) = bm25IndexStats(spark, path)
     val nTombs = bm25Tombstones(spark, path).map(_.count()).getOrElse(0L)
     val postings = spark.read.parquet(s"$path/postings")
-    val tots = postings.agg(count(lit(1)).as("n_postings"),
-      countDistinct(col("term")).as("n_terms"))
-    val top = postings.groupBy(col("term")).agg(count(lit(1)).as("df"))
-      .orderBy(col("df").desc, col("term").asc).limit(1)
-      .select(col("term").as("top_term"), col("df").as("max_df"))
-    val bmax = postings.groupBy(col("__tb")).agg(count(lit(1)).as("bn"))
-      .agg(max(col("bn")).as("max_bn"))
+    val perBucket = postings
+      .groupBy(col("term"), col("__tb")).agg(count(lit(1)).as("df"))
+      .groupBy(col("__tb"))
+      .agg(sum(col("df")).as("bn"), count(lit(1)).as("bterms"),
+        min(struct((-col("df")).as("ndf"), col("term").as("t"))).as("btop"))
+    val tots = perBucket.agg(sum(col("bn")).as("n_postings"),
+      sum(col("bterms")).as("n_terms"), max(col("bn")).as("max_bn"),
+      min(col("btop")).as("top"))
+      // empty postings → empty report, like the old limit(1) crossJoin
+      .filter(col("n_postings").isNotNull)
     Seq((nDocs, graft.vector.VectorOps.round6(sumDl.toDouble / nDocs), nTombs))
       .toDF("n_docs", "avg_dl", "n_tombstones")
       .crossJoin(broadcast(tots))
-      .crossJoin(broadcast(top))
-      .crossJoin(broadcast(bmax))
       .select(col("n_docs"), col("avg_dl"), col("n_terms"), col("n_postings"),
-        col("max_df"), col("top_term"), col("n_tombstones"),
+        (-col("top.ndf")).as("max_df"), col("top.t").as("top_term"),
+        col("n_tombstones"),
         round(col("max_bn").cast("double") /
           (col("n_postings").cast("double") / lit(buckets.toDouble)), 6)
           .as("bucket_skew"))

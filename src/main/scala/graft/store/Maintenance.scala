@@ -486,18 +486,28 @@ object Maintenance {
         val key = (e.childKind, e.childName, e.childAction)
         val span = spanOf((e.parentKind, e.parentName, e.parentAction))
         spanOf(key) = span
-        val thr = rules.collectFirst {
+        val thrDefault = rules.collectFirst {
           case r if r.indexKind == e.childKind &&
             r.action == e.childAction => r.threshold
         }.getOrElse(throw new IllegalArgumentException(
           s"no rule prices (${e.childKind}, ${e.childAction})"))
+        // threshold per MEASURED SIGNAL (round-20 advice): a child kind
+        // whose action is priced by several per-signal rules must not
+        // stamp the first rule's threshold on every row — match
+        // (kind, action, signal) per row, falling back to the
+        // action-level rule above
+        def thrOf(sig: String): Double = rules.collectFirst {
+          case r if r.indexKind == e.childKind &&
+            r.action == e.childAction && r.signal == sig => r.threshold
+        }.getOrElse(thrDefault)
         childRows ++= e.childSignals()
           .filter(col("index_kind") === e.childKind &&
             col("index_name") === e.childName)
           .select(col("signal"), round(col("value"), 6).as("value"))
           .collect()
           .map(r => (e.childKind, e.childName, e.childAction,
-            r.getString(0), span, span, 0L, r.getDouble(1), thr))
+            r.getString(0), span, span, 0L, r.getDouble(1),
+            thrOf(r.getString(0))))
         dispatch(e.childKind, e.childName, e.childAction)
         dispatched += key
         key
@@ -603,44 +613,60 @@ object Maintenance {
       .collect()
       .map(r => (r.getString(0), r.getString(1), r.getString(2)) ->
         r.getLong(3)).toMap
-    // the TRANSITIVE derived closure of a key (grandchildren included;
-    // keys that are open orders admit on their own and are excluded):
-    // what a parent's admission implicitly admits, and therefore what
-    // its charge must cover. Two admitted parents sharing a descendant
-    // each price it (conservative: the shared descendant derives once
-    // but the budget never over-admits).
-    def derivedClosure(root: (String, String, String)): Seq[CascadeEdge] = {
-      val out = scala.collection.mutable.Buffer.empty[CascadeEdge]
+    var cum = 0L
+    val seen = scala.collection.mutable.Set.empty[(String, String, String)]
+    val admitted = scala.collection.mutable
+      .LinkedHashSet.empty[(String, String, String)]
+    // the TRANSITIVE closure of keys a parent's admission implicitly
+    // commits the window to — grandchildren included, and INCLUDING
+    // dependents that are themselves open orders (round-20 advice,
+    // medium: excluding them priced a retrain without its re-encode —
+    // if the budget then never admitted the child's own order, the
+    // window dispatched exactly the mixed vocabulary/encoding state
+    // joint pricing exists to prevent). Keys already admitted are
+    // excluded (already paid, already dispatching). Two admitted
+    // parents sharing an unadmitted descendant each price it
+    // (conservative: it derives/dispatches once but the budget never
+    // over-admits).
+    def closureKeys(root: (String, String, String))
+        : Seq[(String, String, String)] = {
+      val out = scala.collection.mutable
+        .Buffer.empty[(String, String, String)]
       val seenKeys = scala.collection.mutable.Set(root)
       var frontier = Seq(root)
       while (frontier.nonEmpty) {
         val fired = edges
           .filter(e => frontier.contains((e.parentKind, e.parentName,
             e.parentAction)))
-          .filter(e => !openKeys.contains((e.childKind, e.childName,
-            e.childAction)))
           .filter(e => !seenKeys.contains((e.childKind, e.childName,
             e.childAction)))
+          .filter(e => !admitted.contains((e.childKind, e.childName,
+            e.childAction)))
           .distinctBy(e => (e.childKind, e.childName, e.childAction))
-        fired.foreach(e => seenKeys += ((e.childKind, e.childName,
-          e.childAction)))
-        out ++= fired
-        frontier = fired.map(e => (e.childKind, e.childName,
+        val keys = fired.map(e => (e.childKind, e.childName,
           e.childAction))
+        seenKeys ++= keys
+        out ++= keys
+        frontier = keys
       }
       out.toSeq
     }
-    var cum = 0L
-    val seen = scala.collection.mutable.Set.empty[(String, String, String)]
-    val admitted = scala.collection.mutable
-      .LinkedHashSet.empty[(String, String, String)]
     ranked.foreach { case (k, c, _) =>
       if (!seen(k)) {
         seen += k
-        val charge = c + derivedClosure(k)
-          .map(e => costOf.getOrElse((e.childKind, e.childName,
-            e.childAction), 0L)).sum
-        if (cum + charge <= budgetRows) { cum += charge; admitted += k }
+        val closure = closureKeys(k)
+        val charge = c + closure.map(costOf.getOrElse(_, 0L)).sum
+        if (cum + charge <= budgetRows) {
+          cum += charge; admitted += k
+          // CO-ADMIT closure members that are open orders: they were
+          // priced with the parent, so their own later walk must not
+          // re-charge or re-admit them; insertion after the parent
+          // makes them dispatch after it. Derived (non-order) members
+          // dispatch through the topological level loop below instead.
+          closure.filter(openKeys).foreach { ck =>
+            seen += ck; admitted += ck
+          }
+        }
       }
     }
     if (admitted.isEmpty)
@@ -679,11 +705,17 @@ object Maintenance {
         val key = (e.childKind, e.childName, e.childAction)
         val span = spanOf((e.parentKind, e.parentName, e.parentAction))
         spanOf(key) = span
-        val thr = rules.collectFirst {
+        val thrDefault = rules.collectFirst {
           case r if r.indexKind == e.childKind &&
             r.action == e.childAction => r.threshold
         }.getOrElse(throw new IllegalArgumentException(
           s"no rule prices (${e.childKind}, ${e.childAction})"))
+        // per-signal threshold match (round-20 advice) — the
+        // orderBookDrainCascade convention
+        def thrOf(sig: String): Double = rules.collectFirst {
+          case r if r.indexKind == e.childKind &&
+            r.action == e.childAction && r.signal == sig => r.threshold
+        }.getOrElse(thrDefault)
         val cost = costOf.getOrElse(key, 0L)
         childRows ++= e.childSignals()
           .filter(col("index_kind") === e.childKind &&
@@ -691,7 +723,8 @@ object Maintenance {
           .select(col("signal"), round(col("value"), 6).as("value"))
           .collect()
           .map(r => (e.childKind, e.childName, e.childAction,
-            r.getString(0), span, span, 0L, r.getDouble(1), thr, cost))
+            r.getString(0), span, span, 0L, r.getDouble(1),
+            thrOf(r.getString(0)), cost))
         dispatch(e.childKind, e.childName, e.childAction)
         dispatchedKeys += key
         key

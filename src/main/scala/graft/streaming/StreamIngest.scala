@@ -348,19 +348,26 @@ object StreamIngest {
       idCol: String, vecCol: String): Unit = {
     val s = batch.sparkSession
     graft.search.Sq.appendToIvfSqIndex(batch, cents, path, idCol, vecCol)
-    if (graft.io.Fs.exists(s, s"$path.stats")) {
-      // drift + health are independent eager reads — overlap them
-      val (d, h) = graft.io.Par.join2(
-        graft.search.Sq.ivfSqDrift(s, path, idCol, vecCol),
-        graft.search.Sq.ivfSqHealth(s, path))
-      logFired(path, batchId, rules)(
-        graft.store.Maintenance.sqSignals(d, h, indexName))
-    }
+    // one health read serves BOTH the policy signals and the cadence
+    // window's cost model (round-21: the window re-read the store's
+    // health it had just measured — same state, the append is the last
+    // mutation before the drain)
+    val hShared: Option[DataFrame] =
+      if (graft.io.Fs.exists(s, s"$path.stats")) {
+        // drift + health are independent eager reads — overlap them
+        val (d, h) = graft.io.Par.join2(
+          graft.search.Sq.ivfSqDrift(s, path, idCol, vecCol),
+          graft.search.Sq.ivfSqHealth(s, path))
+        logFired(path, batchId, rules)(
+          graft.store.Maintenance.sqSignals(d, h, indexName))
+        Some(h)
+      } else None
     // the drain window: every drainEvery-th batch id (the stream's own
     // sequence — the cadence replays stably); both rewrite remedies
     // read every raw stored row, re_record is stats-only
     drainWindow(s, path, batchId, drainEvery, budgetRows, dispatcherFor)(
-      sqDrainCosts(s, path, indexName))
+      hShared.map(sqDrainCostsOf(s, _, indexName))
+        .getOrElse(sqDrainCosts(s, path, indexName)))
   }
 
   /** [[ivfSqPolicySink]] with the drain SCHEDULED INTO the stream —
@@ -440,10 +447,16 @@ object StreamIngest {
     * One helper per family so the non-empty batch body and the
     * empty-cadence-batch window price identically. */
   private def sqDrainCosts(s: SparkSession, path: String,
-                           indexName: String): DataFrame = {
+                           indexName: String): DataFrame =
+    sqDrainCostsOf(s, graft.search.Sq.ivfSqHealth(s, path), indexName)
+
+  /** [[sqDrainCosts]] from an ALREADY-READ health frame — the batch
+    * body measured the store for its signals; the window prices from
+    * the same read instead of scanning the store again. */
+  private def sqDrainCostsOf(s: SparkSession, health: DataFrame,
+                             indexName: String): DataFrame = {
     import s.implicits._
-    val nRows = graft.search.Sq.ivfSqHealth(s, path).head()
-      .getAs[Long]("n_rows")
+    val nRows = health.head().getAs[Long]("n_rows")
     Seq(("sq8", indexName, "retrain", nRows),
       ("sq8", indexName, "compact", nRows),
       ("sq8", indexName, "re_record", 0L))
@@ -470,19 +483,33 @@ object StreamIngest {
   }
 
   private def bm25DrainCosts(s: SparkSession, path: String,
-                             indexName: String): DataFrame = {
+                             indexName: String): DataFrame =
+    bm25DrainCostsOf(s, graft.search.Lexical.bm25IndexHealth(s, path),
+      indexName)
+
+  /** [[bm25DrainCosts]] from an already-read health frame (the
+    * [[sqDrainCostsOf]] convention). */
+  private def bm25DrainCostsOf(s: SparkSession, health: DataFrame,
+                               indexName: String): DataFrame = {
     import s.implicits._
-    val n = graft.search.Lexical.bm25IndexHealth(s, path).head()
-      .getAs[Long]("n_postings")
+    val n = health.head().getAs[Long]("n_postings")
     Seq(("bm25", indexName, "compact", n),
       ("bm25", indexName, "rebucket", n))
       .toDF("index_kind", "index_name", "action", "cost_rows")
   }
 
   private def graphDrainCosts(s: SparkSession, path: String,
-                              indexName: String): DataFrame = {
+                              indexName: String): DataFrame =
+    graphDrainCostsOf(s, graft.search.KnnGraph.graphIndexHealth(s, path),
+      path, indexName)
+
+  /** [[graphDrainCosts]] from an already-read health frame (the
+    * [[sqDrainCostsOf]] convention). */
+  private def graphDrainCostsOf(s: SparkSession, health: DataFrame,
+                                path: String,
+                                indexName: String): DataFrame = {
     import s.implicits._
-    val h = graft.search.KnnGraph.graphIndexHealth(s, path).head()
+    val h = health.head()
     val base = Seq(
       ("graph", indexName, "compact", h.getAs[Long]("n_edge_rows")))
     val relayers =
@@ -634,12 +661,15 @@ object StreamIngest {
       case _: IllegalStateException => // no stats/ yet: first batch builds
         graft.search.Lexical.buildBm25Index(batch, textCol, idCol, path)
     }
+    // one postings-scan health read, pinned by localCheckpoint, serves
+    // the policy signals AND the cadence window's cost model (round-21:
+    // the window re-scanned the store it had just measured)
+    val h = graft.search.Lexical.bm25IndexHealth(s, path).localCheckpoint()
     logFired(path, batchId, rules)(
-      graft.store.Maintenance.bm25Signals(
-        graft.search.Lexical.bm25IndexHealth(s, path), indexName))
+      graft.store.Maintenance.bm25Signals(h, indexName))
     // both mechanical remedies price the raw postings scan
     drainWindow(s, path, batchId, drainEvery, budgetRows, dispatcherFor)(
-      bm25DrainCosts(s, path, indexName))
+      bm25DrainCostsOf(s, h, indexName))
   }
 
   /** [[ivfSqPolicyDrainSink]]'s contract on the BM25 family: both
@@ -682,11 +712,13 @@ object StreamIngest {
     val s = batch.sparkSession
     graft.search.KnnGraph.appendToGraphIndex(batch, path, buckets,
       idCol, vecCol)
+    // one edges-scan health read serves the signals and the window's
+    // cost model (the bm25PolicyDrainBatch convention)
+    val h = graft.search.KnnGraph.graphIndexHealth(s, path).localCheckpoint()
     logFired(path, batchId, rules)(
-      graft.store.Maintenance.graphSignals(
-        graft.search.KnnGraph.graphIndexHealth(s, path), k, indexName))
+      graft.store.Maintenance.graphSignals(h, k, indexName))
     drainWindow(s, path, batchId, drainEvery, budgetRows, dispatcherFor)(
-      graphDrainCosts(s, path, indexName))
+      graphDrainCostsOf(s, h, path, indexName))
   }
 
   /** [[ivfSqPolicyDrainSink]]'s contract on the kNN-graph family:

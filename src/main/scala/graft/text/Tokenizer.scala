@@ -49,7 +49,9 @@ object Tokenizer {
     * yields the identical baseline. */
   def fertilityStats(docs: DataFrame, textCol: String, vocab: DataFrame,
                      maxPieceLen: Int = 4, maxWordLen: Int = 16): DataFrame = {
-    val w0 = if (docs.columns.contains("__w")) col("__w") else lit(1L)
+    // coalesce: legacy rows without __w weigh 1, not null-dropped
+    val w0 = if (docs.columns.contains("__w")) coalesce(col("__w"), lit(1L))
+      else lit(1L)
     val toks = docs.select(explode(TextAnalysis.tokens(col(textCol))).as("w"),
         w0.cast("long").as("__w"))
       .localCheckpoint() // referenced twice (token total + word dict)
@@ -80,18 +82,22 @@ object Tokenizer {
     import spark.implicits._
     val vocab = Unigram.trainUnigram(docs, textCol, vocabSize, maxPieceLen,
       maxWordLen, seedSize, rounds).localCheckpoint()
-    vocab.coalesce(1).write.mode("overwrite").parquet(path)
-    docs.select(col(idCol).cast("long").as("doc_id"),
-        col(textCol).as("text"), lit(-1L).as("__batch"),
-        lit(1L).as("__w"))
-      .write.mode("overwrite").parquet(s"$path.seen")
-    fertilityStats(docs, textCol, vocab, maxPieceLen, maxWordLen)
-      .select(col("fertility"))
-      .coalesce(1).write.mode("overwrite").parquet(s"$path.stats")
-    Seq((vocabSize, maxPieceLen, maxWordLen, seedSize, rounds))
-      .toDF("vocab_size", "max_piece_len", "max_word_len", "seed_size",
-        "rounds")
-      .coalesce(1).write.mode("overwrite").parquet(s"$path.conf")
+    // the four store sides are independent once the vocab frame is
+    // pinned (the baseline reads the FRAME, not the written file) —
+    // concurrent jobs (graft.io.Par, the writeGraphIndex convention)
+    graft.io.Par.unit(
+      () => vocab.coalesce(1).write.mode("overwrite").parquet(path),
+      () => docs.select(col(idCol).cast("long").as("doc_id"),
+          col(textCol).as("text"), lit(-1L).as("__batch"),
+          lit(1L).as("__w"))
+        .write.mode("overwrite").parquet(s"$path.seen"),
+      () => fertilityStats(docs, textCol, vocab, maxPieceLen, maxWordLen)
+        .select(col("fertility"))
+        .coalesce(1).write.mode("overwrite").parquet(s"$path.stats"),
+      () => Seq((vocabSize, maxPieceLen, maxWordLen, seedSize, rounds))
+        .toDF("vocab_size", "max_piece_len", "max_word_len", "seed_size",
+          "rounds")
+        .coalesce(1).write.mode("overwrite").parquet(s"$path.conf"))
   }
 
   /** Observe a batch: append it to `.seen` under its stream batch id.
@@ -139,14 +145,16 @@ object Tokenizer {
       conf.getAs[Int]("vocab_size"), conf.getAs[Int]("max_piece_len"),
       conf.getAs[Int]("max_word_len"), conf.getAs[Int]("seed_size"),
       conf.getAs[Int]("rounds")).localCheckpoint()
-    vocab.coalesce(1).write.mode("overwrite").parquet(dstPath)
-    seen.write.mode("overwrite").parquet(s"$dstPath.seen")
-    fertilityStats(seen, "text", vocab, conf.getAs[Int]("max_piece_len"),
-        conf.getAs[Int]("max_word_len"))
-      .select(col("fertility"))
-      .coalesce(1).write.mode("overwrite").parquet(s"$dstPath.stats")
-    spark.read.parquet(s"$srcPath.conf")
-      .coalesce(1).write.mode("overwrite").parquet(s"$dstPath.conf")
+    // independent store sides — concurrent jobs (writeTokenizer's shape)
+    graft.io.Par.unit(
+      () => vocab.coalesce(1).write.mode("overwrite").parquet(dstPath),
+      () => seen.write.mode("overwrite").parquet(s"$dstPath.seen"),
+      () => fertilityStats(seen, "text", vocab,
+          conf.getAs[Int]("max_piece_len"), conf.getAs[Int]("max_word_len"))
+        .select(col("fertility"))
+        .coalesce(1).write.mode("overwrite").parquet(s"$dstPath.stats"),
+      () => spark.read.parquet(s"$srcPath.conf")
+        .coalesce(1).write.mode("overwrite").parquet(s"$dstPath.conf"))
   }
 
   /** COMPACT the observed stream — the retention policy that bounds
@@ -172,21 +180,48 @@ object Tokenizer {
   def compactSeen(spark: SparkSession, path: String,
                   keepFrom: Long): Unit = {
     val seen = spark.read.parquet(s"$path.seen")
-    val w = if (seen.columns.contains("__w")) col("__w").cast("long")
-      else lit(1L)
+    // coalesce: legacy rows without __w weigh 1, not null-dropped
+    val w = if (seen.columns.contains("__w"))
+      coalesce(col("__w").cast("long"), lit(1L))
+    else lit(1L)
     val recent = seen.filter(col("__batch") >= keepFrom)
       .select(col("doc_id"), col("text"), col("__batch"), w.as("__w"))
-    // dictionary-bounded: one row per distinct token; the global
-    // window orders ≤ |dictionary| rows (the bounded-window contract)
-    val tail = seen.filter(col("__batch") < keepFrom)
+    // dictionary-bounded: one row per distinct token. The minted ids
+    // are the NEGATED dense rank of the token in text-ASC order —
+    // assigned by the repo's two-level distributed prefix sum
+    // (Chunker.withOrdinalIds / SeqPack), NOT a global
+    // row_number().over(Window.orderBy(...)): training reads only the
+    // (text, __w) multiset, but at 100 TB multilingual the dictionary
+    // is ~10⁸ rows and an unpartitioned window is a single-task sort —
+    // exactly the hazard the prefix-sum pattern exists to avoid
+    // (round-20 verdict item 3). Same ids, no single-partition stage:
+    // a range exchange on text gives partition p a contiguous text
+    // range, so global rank = (earlier partitions' row counts) +
+    // (rank within the partition).
+    val dict = seen.filter(col("__batch") < keepFrom)
       .select(explode(TextAnalysis.tokens(col("text"))).as("text"),
         w.as("__w"))
       .groupBy(col("text")).agg(sum(col("__w")).as("__w"))
-      .select(
-        (-row_number().over(Window.orderBy(col("text"))))
-          .cast("long").as("doc_id"),
+    val p = spark.conf.get("spark.sql.shuffle.partitions", "200").toInt
+    val wLocal = Window.partitionBy(col("__pid")).orderBy(col("text"))
+    // persist pin (the Chunker.withOrdinalIds rationale):
+    // spark_partition_id() over a sampled range exchange is
+    // nondeterministic across executions, and the stamped frame feeds
+    // both the subtotal branch and the final rows
+    val local = dict.repartitionByRange(p, col("text"))
+      .withColumn("__pid", spark_partition_id())
+      .withColumn("__r", row_number().over(wLocal))
+      .persist()
+    val sub = local.groupBy(col("__pid")).agg(count(lit(1)).as("__pn"))
+    val offsets = sub.as("a")
+      .join(broadcast(sub.as("b")), col("b.__pid") < col("a.__pid"), "left")
+      .groupBy(col("a.__pid").as("__pid"))
+      .agg(coalesce(sum(col("b.__pn")), lit(0L)).as("__poff"))
+    val tail = local.join(broadcast(offsets), Seq("__pid"))
+      .select((-(col("__poff") + col("__r"))).cast("long").as("doc_id"),
         col("text"), lit(-2L).as("__batch"), col("__w"))
     val out = tail.unionByName(recent).localCheckpoint()
+    local.unpersist()
     out.write.mode("overwrite").parquet(s"$path.seen")
   }
 

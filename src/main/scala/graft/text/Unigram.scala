@@ -56,7 +56,10 @@ object Unigram {
     * occurrences ≡ `count(*)` when every weight is 1). */
   def wordDict(docs: DataFrame, textCol: String,
                maxWordLen: Int = 16): DataFrame = {
-    val w = if (docs.columns.contains("__w")) col("__w") else lit(1L)
+    // coalesce: a legacy store whose old files predate the __w column
+    // reads them as null — those rows are raw (weight 1), not zero
+    val w = if (docs.columns.contains("__w")) coalesce(col("__w"), lit(1L))
+      else lit(1L)
     docs.select(explode(TextAnalysis.tokens(col(textCol))).as("w"),
         w.cast("long").as("__w"))
       .filter(length(col("w")) <= maxWordLen)
@@ -341,20 +344,34 @@ object Unigram {
   }
 
   /** Piece log-probabilities of a `(piece, cnt)` vocabulary:
-    * `round6(ln(cnt/total))`. The total is one model-state scalar. */
+    * `round6(ln(cnt/total))`. The vocabulary is bounded model state
+    * (≤ seedSize rows), so ONE collect serves both the total and the
+    * piece list, and the lp frame becomes a LOCAL relation — the
+    * downstream broadcast no longer re-scans the vocab's source (a
+    * parquet-backed vocab used to be read twice: the total's agg job
+    * plus the broadcast's scan). The total is the exact integer sum
+    * either way, and lp still evaluates through the same Catalyst
+    * `round(log(...), 6)` expression. */
   def logProbs(vocab: DataFrame): DataFrame = {
-    val total = vocab.agg(sum(col("cnt"))).head().getLong(0)
-    vocab.select(col("piece"),
+    import vocab.sparkSession.implicits._
+    val rows = vocab.select(col("piece"), col("cnt").cast("long")).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+    val total = rows.map(_._2).sum
+    rows.toDF("piece", "cnt").select(col("piece"),
       round(log(col("cnt").cast("double") / total.toDouble), 6).as("lp"))
   }
 
   /** Piece PROBABILITIES (not logs) of a `(piece, cnt)` vocabulary —
     * the soft-EM form. `cnt / total` is one IEEE division per piece
     * (correctly rounded, bit-identical on any IEEE-754 engine), so
-    * unlike `ln` it needs no round-6 pin. */
+    * unlike `ln` it needs no round-6 pin. Same one-collect local form
+    * as [[logProbs]]. */
   def pieceProbs(vocab: DataFrame): DataFrame = {
-    val total = vocab.agg(sum(col("cnt"))).head().getLong(0)
-    vocab.select(col("piece"),
+    import vocab.sparkSession.implicits._
+    val rows = vocab.select(col("piece"), col("cnt").cast("long")).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+    val total = rows.map(_._2).sum
+    rows.toDF("piece", "cnt").select(col("piece"),
       (col("cnt").cast("double") / total.toDouble).as("pp"))
   }
 
@@ -469,6 +486,103 @@ object Unigram {
     prune(softUsage(wd, vocab, maxPieceLen).localCheckpoint(),
       vocab, vocabSize)
 
+  // ------------------------------------------------------------------
+  // Driver-state trainer internals (round-21 optimization). The
+  // vocabulary is BOUNDED MODEL STATE (≤ seedSize rows — the k-means-
+  // centroids class), so the EM loop keeps it on the driver instead of
+  // re-materializing a distributed frame every round: each round is
+  // then ONE distributed job (the dictionary-scale usage aggregate,
+  // collected vocab-bounded) instead of four (logProbs total `head`,
+  // usage localCheckpoint, prune's chars `count`, vocab
+  // localCheckpoint). Fewer dictionary passes per round at ANY scale;
+  // every VALUE is produced by the same engine arithmetic as before —
+  // counts are exact long sums, and the one non-trivial float (the
+  // final `round6(ln(cnt/total))`) still evaluates through the same
+  // Catalyst `round(log(...), 6)` expression over a local relation, so
+  // no driver-libm-vs-engine question arises. [[seedVocab]] /
+  // [[emRound]] / [[softEmRound]] remain the public per-step ops
+  // (UnigramSpec pins them); the trainers below fold the same steps.
+
+  /** Spark's string ordering (UTF8String.compareTo): unsigned
+    * byte-wise over the UTF-8 encoding, then length. The driver-side
+    * prune must break count ties exactly like `orderBy(piece ASC)`. */
+  private def utf8Lt(a: String, b: String): Boolean = {
+    val x = a.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val y = b.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    var i = 0
+    val n = math.min(x.length, y.length)
+    while (i < n) {
+      val c = (x(i) & 0xff) - (y(i) & 0xff)
+      if (c != 0) return c < 0
+      i += 1
+    }
+    x.length < y.length
+  }
+
+  /** `(cnt DESC, piece ASC)` — the prune/seed total order, driver
+    * form. */
+  private def byCntDescPieceAsc(a: (String, Long), b: (String, Long)): Boolean =
+    if (a._2 != b._2) a._2 > b._2 else utf8Lt(a._1, b._1)
+
+  /** [[seedVocab]] collected to driver model state: same candidate
+    * aggregate (dictionary-substring-scale, stays distributed), chars
+    * collected (alphabet-bounded), top multi-char pieces via the same
+    * `(cnt DESC, piece ASC)` limit (TakeOrdered — seed-bounded). */
+  private def seedVocabLocal(wd: DataFrame, maxPieceLen: Int,
+                             seedSize: Int): Seq[(String, Long)] = {
+    val cand = wd
+      .select(col("wc"), explode(substrings(col("w"), maxPieceLen)).as("m"))
+      .groupBy(col("m.piece").as("piece")).agg(sum(col("wc")).as("cnt"))
+      .localCheckpoint() // referenced twice (chars + multi)
+    def rows(df: DataFrame): Seq[(String, Long)] =
+      df.collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    val chars = rows(cand.filter(length(col("piece")) === 1))
+    chars ++ rows(cand.filter(length(col("piece")) > 1)
+      .orderBy(col("cnt").desc, col("piece").asc)
+      .limit(math.max(0, seedSize - chars.size)))
+  }
+
+  /** The `(piece, lp)` frame of a driver-held vocabulary — a LOCAL
+    * relation whose `round6(ln(cnt/total))` still evaluates through
+    * Catalyst's own `round(log(...))` (bit-parity with [[logProbs]] by
+    * construction); the total is the exact integer sum. */
+  private def logProbsLocal(spark: org.apache.spark.sql.SparkSession,
+                            vocab: Seq[(String, Long)]): DataFrame = {
+    import spark.implicits._
+    val total = vocab.map(_._2).sum
+    vocab.toDF("piece", "cnt").select(col("piece"),
+      round(log(col("cnt").cast("double") / total.toDouble), 6).as("lp"))
+  }
+
+  /** The shared prune ([[prune]]'s semantics), driver form: every
+    * single char of the previous vocabulary floored at max(usage, 1),
+    * plus the top multi-char pieces by `(cnt DESC, piece ASC)` up to
+    * the budget. */
+  private def pruneLocal(usage: Seq[(String, Long)],
+                         vocab: Seq[(String, Long)],
+                         vocabSize: Int): Seq[(String, Long)] = {
+    val used = usage.toMap
+    val chars = vocab.collect { case (p, _) if p.codePointCount(0, p.length) == 1 =>
+      (p, math.max(used.getOrElse(p, 0L), 1L))
+    }
+    val multi = usage.filter(pc => pc._1.codePointCount(0, pc._1.length) > 1)
+      .sortWith(byCntDescPieceAsc)
+      .take(math.max(0, vocabSize - chars.size))
+    chars ++ multi
+  }
+
+  /** Ranked `(piece, cnt, logp)` output frame of a driver-held
+    * vocabulary (the trainers' final step — same Catalyst
+    * `round(log(...), 6)` as always). */
+  private def vocabFrame(spark: org.apache.spark.sql.SparkSession,
+                         vocab: Seq[(String, Long)]): DataFrame = {
+    import spark.implicits._
+    val total = vocab.map(_._2).sum
+    vocab.toDF("piece", "cnt").select(col("piece"), col("cnt"),
+        round(log(col("cnt").cast("double") / total.toDouble), 6).as("logp"))
+      .orderBy(col("cnt").desc, col("piece").asc)
+  }
+
   /** The FULL-EM trainer — [[trainUnigram]]'s faithful Kudo-2018 twin:
     * same seed, same prune, but each E-step distributes each word's
     * frequency across ALL its segmentations by posterior probability
@@ -483,15 +597,18 @@ object Unigram {
                        rounds: Int = 2): DataFrame = {
     require(rounds >= 1 && vocabSize >= 1 && seedSize >= vocabSize,
       s"need rounds >= 1 and seedSize ($seedSize) >= vocabSize ($vocabSize)")
+    val spark = docs.sparkSession
+    import spark.implicits._
     val wd = wordDict(docs, textCol, maxWordLen).localCheckpoint()
-    var vocab = seedVocab(wd, maxPieceLen, seedSize).localCheckpoint()
+    var vocab = seedVocabLocal(wd, maxPieceLen, seedSize)
     (1 to rounds).foreach { _ =>
-      vocab = softEmRound(wd, vocab, maxPieceLen, vocabSize).localCheckpoint()
+      // one distributed job per round: the expected-usage aggregate,
+      // collected vocab-bounded (cnt > 0 pieces ⊆ the current vocab)
+      val usage = softUsage(wd, vocab.toDF("piece", "cnt"), maxPieceLen)
+        .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+      vocab = pruneLocal(usage, vocab, vocabSize)
     }
-    val total = vocab.agg(sum(col("cnt"))).head().getLong(0)
-    vocab.select(col("piece"), col("cnt"),
-        round(log(col("cnt").cast("double") / total.toDouble), 6).as("logp"))
-      .orderBy(col("cnt").desc, col("piece").asc)
+    vocabFrame(spark, vocab)
   }
 
   /** The full trainer: seed → `rounds` hard-EM rounds → final
@@ -502,15 +619,19 @@ object Unigram {
                    seedSize: Int = 400, rounds: Int = 2): DataFrame = {
     require(rounds >= 1 && vocabSize >= 1 && seedSize >= vocabSize,
       s"need rounds >= 1 and seedSize ($seedSize) >= vocabSize ($vocabSize)")
+    val spark = docs.sparkSession
     val wd = wordDict(docs, textCol, maxWordLen).localCheckpoint()
-    var vocab = seedVocab(wd, maxPieceLen, seedSize).localCheckpoint()
+    var vocab = seedVocabLocal(wd, maxPieceLen, seedSize)
     (1 to rounds).foreach { _ =>
-      vocab = emRound(wd, vocab, maxPieceLen, vocabSize).localCheckpoint()
+      // one distributed job per round: Viterbi usage, collected
+      // vocab-bounded (only vocab pieces can appear in a segmentation)
+      val usage = segmented(wd, logProbsLocal(spark, vocab), maxPieceLen)
+        .select(col("wc"), explode(col("pieces")).as("piece"))
+        .groupBy("piece").agg(sum(col("wc")).as("cnt"))
+        .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+      vocab = pruneLocal(usage, vocab, vocabSize)
     }
-    val total = vocab.agg(sum(col("cnt"))).head().getLong(0)
-    vocab.select(col("piece"), col("cnt"),
-        round(log(col("cnt").cast("double") / total.toDouble), 6).as("logp"))
-      .orderBy(col("cnt").desc, col("piece").asc)
+    vocabFrame(spark, vocab)
   }
 
   /** Encode documents with a trained vocabulary: per doc, whitespace

@@ -361,8 +361,9 @@ class MaintenanceSpec extends SparkSpec {
       c2.getAs[Double]("last_value") == 0.5 &&
       c2.getAs[Boolean]("resolved"), c2.toString)
     assert(!r2.exists(_.getAs[String]("index_kind") == "lsh"))
-    // a child that is ALSO an open order admits on its own cost and
-    // never re-derives: parent charge drops to its own 100
+    // a child that is ALSO an open order CO-ADMITS with its parent
+    // (priced once in the parent's 100 + 80 charge — round-20 advice)
+    // and never re-derives; at budget 180 the pair fits exactly
     val d3 = java.nio.file.Files
       .createTempDirectory("graft-ccw3").toString + "/book"
     Seq(
@@ -380,6 +381,78 @@ class MaintenanceSpec extends SparkSpec {
     assert(r3.count(_.getAs[String]("index_kind") == "encoded") == 1)
     assert(r3.find(_.getAs[String]("index_kind") == "encoded").get
       .getAs[Long]("n_fired") == 1L)
+    // the child dispatches AFTER its parent even as a book order
+    assert(calls3 == List(("tokenizer", "t", "retrain"),
+      ("encoded", "e", "reencode")), calls3.toString)
+  }
+
+  test("openOrdersDrainCascadeCosted: a parent whose OPEN-ORDER child does not fit is not admitted either (round-20 advice)") {
+    // parent costs 100, its child's own open order costs 80; budget 120
+    // fits the parent ALONE but not the pair. The old admission charged
+    // the parent only its own 100 (open children were excluded from the
+    // closure), dispatched the retrain, and the child's order then
+    // failed its own 100+80 > 120 admission — a retrained vocabulary
+    // serving over a stale encoding until some later window. Joint
+    // pricing defers the parent; the child may still admit ALONE
+    // (re-encoding under the unchanged current generation is
+    // consistent).
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-ccw4").toString + "/book"
+    Seq(
+      ("tokenizer", "t", "retrain", "oov_rate", 0.5, 0.01, 50.0, 0L),
+      ("encoded", "e", "reencode", "encoding_stale", 0.4, 0.01, 40.0, 0L))
+      .toDF("index_kind", "index_name", "action", "signal",
+        "value", "threshold", "severity", "batch_id")
+      .write.parquet(s"$dir.oplog")
+    val costs = Seq(
+      ("tokenizer", "t", "retrain", 100L),
+      ("encoded", "e", "reencode", 80L))
+      .toDF("index_kind", "index_name", "action", "cost_rows")
+    val edge = Maintenance.CascadeEdge(
+      "tokenizer", "t", "retrain", "encoded", "e", "reencode",
+      () => fail("a book-fired child must not re-derive"))
+    var calls = List.empty[(String, String, String)]
+    val rep = Maintenance.openOrdersDrainCascadeCosted(spark, dir, costs,
+      120L, Seq(edge)) {
+      (k, n, a) => calls :+= ((k, n, a))
+    }(sig(("tokenizer", "t", "oov_rate", 0.0),
+        ("encoded", "e", "encoding_stale", 0.0))).collect()
+    // no retrain without its re-encode; the child alone still uses the
+    // window's remainder
+    assert(calls == List(("encoded", "e", "reencode")), calls.toString)
+    assert(rep.map(_.getAs[String]("index_kind")).toSeq == Seq("encoded"))
+    // the deferred parent stays OPEN for the next window
+    assert(Maintenance.openOrders(spark, dir).collect()
+      .map(_.getAs[String]("index_kind")).toSeq == Seq("tokenizer"))
+  }
+
+  test("cascade child thresholds match per MEASURED SIGNAL, not per first (kind, action) rule (round-20 advice)") {
+    // child = a tokenizer store: its one action (retrain) is priced by
+    // TWO per-signal rules (fertility_drift 0.2, oov_rate 0.01); the
+    // derived book rows must carry each signal's own threshold — the
+    // old lookup stamped the first rule's 0.2 on both, mispricing the
+    // oov severity 20x
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-cthr").toString + "/book"
+    Seq(("lsh", "a", "compact", "tombstone_ratio", 0.3, 0.1, 3.0, 0L))
+      .toDF("index_kind", "index_name", "action", "signal",
+        "value", "threshold", "severity", "batch_id")
+      .write.parquet(s"$dir.oplog")
+    val edge = Maintenance.CascadeEdge(
+      "lsh", "a", "compact", "tokenizer", "t", "retrain",
+      () => sig(("tokenizer", "t", "fertility_drift", 0.4),
+        ("tokenizer", "t", "oov_rate", 0.4)))
+    val rep = Maintenance.orderBookDrainCascade(spark, dir, Seq(edge)) {
+      (_, _, _) => ()
+    }(sig(("lsh", "a", "tombstone_ratio", 0.0),
+        ("tokenizer", "t", "fertility_drift", 0.0),
+        ("tokenizer", "t", "oov_rate", 0.0))).collect()
+    val bySig = rep.filter(_.getAs[String]("index_kind") == "tokenizer")
+      .map(r => r.getAs[String]("signal") ->
+        (r.getAs[Double]("threshold"), r.getAs[Double]("last_severity")))
+      .toMap
+    assert(bySig("fertility_drift") == ((0.2, 2.0)), bySig.toString)
+    assert(bySig("oov_rate") == ((0.01, 40.0)), bySig.toString)
   }
 
   test("cascade drain with NO edges degenerates to orderBookDrain: same dispatches, same report, same acknowledgments") {
