@@ -395,11 +395,14 @@ object KnnGraph {
       .filter(col("src") =!= col("dst"))
       .withColumn("sim", VectorOps.cosine6(col("__svec"), col("__dvec")))
       .select(col("src"), col("dst"), col("sim"))
-    oldToDelta.union(deltaToAll)
-      .withColumn("__bucket", pmod(hash(col("src")), lit(buckets)))
-      .repartition(col("__bucket"))
-      .write.partitionBy("__bucket").mode("append").parquet(path)
-    deltaN.write.mode("append").parquet(s"$path.nodes")
+    // the edge overlay and the nodes side are independent appends —
+    // concurrent jobs (the writeGraphIndex convention)
+    graft.io.Par.unit(
+      () => oldToDelta.union(deltaToAll)
+        .withColumn("__bucket", pmod(hash(col("src")), lit(buckets)))
+        .repartition(col("__bucket"))
+        .write.partitionBy("__bucket").mode("append").parquet(path),
+      () => deltaN.write.mode("append").parquet(s"$path.nodes"))
   }
 
   /** Probe the index for a bounded node set: top-k neighbors of each

@@ -767,11 +767,17 @@ object StreamIngest {
       budgetRows: Long,
       dispatcherFor: Long => graft.store.Maintenance.DrainDispatcher): Unit = {
     val s = batch.sparkSession
-    graft.text.Tokenizer.observeBatch(batch, textCol, path, batchId, idCol)
-    logFired(path, batchId, rules)(
-      graft.store.Maintenance.tokenizerSignals(
-        graft.text.Tokenizer.tokenizerDrift(s, path, batch, textCol),
-        indexName))
+    // the .seen append and the drift evaluation are independent — the
+    // drift measures the batch under the CURRENT (read-only) vocab and
+    // never reads .seen; both sit inside the same batch marker, so a
+    // partial failure is replayed as before. Concurrent jobs (Par).
+    graft.io.Par.unit(
+      () => graft.text.Tokenizer.observeBatch(batch, textCol, path, batchId,
+        idCol),
+      () => logFired(path, batchId, rules)(
+        graft.store.Maintenance.tokenizerSignals(
+          graft.text.Tokenizer.tokenizerDrift(s, path, batch, textCol),
+          indexName)))
     drainWindow(s, path, batchId, drainEvery, budgetRows, dispatcherFor)(
       tokenizerDrainCosts(s, path, indexName))
   }
@@ -839,20 +845,27 @@ object StreamIngest {
         graft.store.Maintenance.EncodedDrainDispatcher)): Unit = {
     val s = batch.sparkSession
     if (!batch.isEmpty) {
-      graft.text.Tokenizer.observeBatch(batch, textCol, path, batchId, idCol)
-      logFired(path, batchId, rules)(
-        graft.store.Maintenance.tokenizerSignals(
-          graft.text.Tokenizer.tokenizerDrift(s, path, batch, textCol),
-          indexName))
+      // observe ∥ drift: the tokenizerPolicyDrainBatch convention (the
+      // drift reads only the frozen vocab + the batch, never .seen)
+      graft.io.Par.unit(
+        () => graft.text.Tokenizer.observeBatch(batch, textCol, path,
+          batchId, idCol),
+        () => logFired(path, batchId, rules)(
+          graft.store.Maintenance.tokenizerSignals(
+            graft.text.Tokenizer.tokenizerDrift(s, path, batch, textCol),
+            indexName)))
     }
     if ((batchId + 1) % drainEvery == 0 &&
         graft.io.Fs.exists(s, s"$path.oplog")) {
       val (tokD, encD) = windowFor(batchId)
       val (disp, after) = graft.store.Maintenance.defaultDispatch(
         Seq(tokD, encD))
+      // the two stores' cost reads are independent counts — overlap
+      val (tokCosts, encCosts) = graft.io.Par.join2(
+        tokenizerDrainCosts(s, path, indexName),
+        encodedDrainCosts(s, encPath, encName))
       graft.store.Maintenance.openOrdersDrainCascadeCosted(s, path,
-        tokenizerDrainCosts(s, path, indexName)
-          .unionAll(encodedDrainCosts(s, encPath, encName)),
+        tokCosts.unionAll(encCosts),
         budgetRows,
         Seq(graft.store.Maintenance.CascadeEdge("tokenizer", indexName,
           "retrain", "encoded", encName, "reencode",

@@ -119,9 +119,11 @@ object Tokenizer {
     * own mixture, not the corpus average. */
   def tokenizerDrift(spark: SparkSession, path: String, batch: DataFrame,
                      textCol: String): DataFrame = {
-    val conf = spark.read.parquet(s"$path.conf").head()
-    val b6 = spark.read.parquet(s"$path.stats").head().getDouble(0)
-    val vocab = spark.read.parquet(path)
+    // three independent eager reads of tiny store sides — overlap
+    val (conf, b6, vocab) = graft.io.Par.join3(
+      spark.read.parquet(s"$path.conf").head(),
+      spark.read.parquet(s"$path.stats").head().getDouble(0),
+      spark.read.parquet(path).localCheckpoint())
     fertilityStats(batch, textCol, vocab,
         conf.getAs[Int]("max_piece_len"), conf.getAs[Int]("max_word_len"))
       .select(lit(b6).as("build_fertility"),
@@ -266,10 +268,22 @@ object Tokenizer {
   def writeEncodedStore(spark: SparkSession, docs: DataFrame,
                         textCol: String, tokPath: String, path: String,
                         idCol: String = "doc_id"): Unit = {
-    docs.select(col(idCol).cast("long").as("doc_id"),
+    // pin one evaluation of the normalized corpus: the encode and the
+    // .docs side then run as concurrent INDEPENDENT writes over the
+    // same rows (the encode used to wait for the .docs write and
+    // re-read it)
+    val d = docs.select(col(idCol).cast("long").as("doc_id"),
         col(textCol).as("text"))
-      .write.mode("overwrite").parquet(s"$path.docs")
-    reencodeInto(spark, s"$path.docs", tokPath, path)
+      .localCheckpoint()
+    graft.io.Par.unit(
+      () => d.write.mode("overwrite").parquet(s"$path.docs"),
+      () => {
+        val conf = spark.read.parquet(s"$tokPath.conf").head()
+        Unigram.encode(d, "text",
+            spark.read.parquet(tokPath), conf.getAs[Int]("max_piece_len"),
+            "doc_id", conf.getAs[Int]("max_word_len"))
+          .write.mode("overwrite").parquet(path)
+      })
   }
 
   /** RE-ENCODE an encoded store under the (possibly retrained)
@@ -281,9 +295,12 @@ object Tokenizer {
                     tokPath: String): Unit = {
     require(srcPath != dstPath,
       "reencode rewrites the layout: dstPath must differ from srcPath")
-    reencodeInto(spark, s"$srcPath.docs", tokPath, dstPath)
-    spark.read.parquet(s"$srcPath.docs")
-      .write.mode("overwrite").parquet(s"$dstPath.docs")
+    // the re-encode and the corpus copy are independent writes —
+    // concurrent jobs (the writeGraphIndex convention)
+    graft.io.Par.unit(
+      () => reencodeInto(spark, s"$srcPath.docs", tokPath, dstPath),
+      () => spark.read.parquet(s"$srcPath.docs")
+        .write.mode("overwrite").parquet(s"$dstPath.docs"))
   }
 
   private def reencodeInto(spark: SparkSession, docsPath: String,
