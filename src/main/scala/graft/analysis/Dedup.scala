@@ -113,6 +113,11 @@ object Dedup {
     val sets = spread(df, col(idCol))
       .select(col(idCol).as("id"), col(groupCol).as("grp"),
         shinglesHashes(col(textCol), k).as("ss")) // distinct, sorted per doc
+      // pinned: consumed FOUR times (df aggregate, prefix build, both
+      // rerank sides) — without the pin each consumer re-shingles the
+      // corpus (the Winnow.keptFps lesson); the pinned frame is one
+      // (id, grp, hashes) row per doc
+      .localCheckpoint()
     val toks = sets.select(col("id"), col("grp"), explode(col("ss")).as("h"))
     // in-group document frequency, map-side combined; only the hot tail
     // (df > hotCap) survives, aggregated to one small array per group
