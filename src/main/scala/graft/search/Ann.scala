@@ -475,8 +475,10 @@ object Ann {
   def ivfIndexHealth(spark: org.apache.spark.sql.SparkSession,
                      path: String): DataFrame = {
     import spark.implicits._
-    val nRows = spark.read.parquet(path).count()
-    val nTombs = tombstoneIds(spark, path).map(_.count()).getOrElse(0L)
+    // two independent eager counts — overlap (graft.io.Par)
+    val (nRows, nTombs) = graft.io.Par.join2(
+      spark.read.parquet(path).count(),
+      tombstoneIds(spark, path).map(_.count()).getOrElse(0L))
     Seq((nRows, nTombs)).toDF("n_rows", "n_tombstones")
   }
 
@@ -496,8 +498,11 @@ object Ann {
     // HALF_UP like the SQL round() both engines use — the shared
     // driver-side rounding (VectorOps.round6)
     def r6(x: Double): Double = VectorOps.round6(x)
-    val b6 = r6(spark.read.parquet(s"$path.stats").head().getDouble(0))
-    val c6 = r6(meanAssignSim(spark, path, idCol, vecCol))
+    // the recorded baseline and the current mean are independent eager
+    // reads — overlap them (graft.io.Par)
+    val (b6, c6) = graft.io.Par.join2(
+      r6(spark.read.parquet(s"$path.stats").head().getDouble(0)),
+      r6(meanAssignSim(spark, path, idCol, vecCol)))
     Seq((b6, c6, r6(b6 - c6)))
       .toDF("build_mean_sim", "current_mean_sim", "drift")
   }
@@ -821,11 +826,13 @@ object Ann {
   def lshIndexHealth(spark: org.apache.spark.sql.SparkSession,
                      path: String): DataFrame = {
     import spark.implicits._
-    val nRows = spark.read.parquet(path).count()
-    val nTombs = tombstoneIds(spark, path).map(_.count()).getOrElse(0L)
+    // three independent eager reads + a driver listing — overlap
+    val (nRows, nTombs, nFiles) = graft.io.Par.join3(
+      spark.read.parquet(path).count(),
+      tombstoneIds(spark, path).map(_.count()).getOrElse(0L),
+      graft.io.Fs.countDataFiles(spark, path))
     val nBuckets = graft.io.Fs.listDirNames(spark, path)
       .count(_.startsWith("__bucket=")).toLong
-    val nFiles = graft.io.Fs.countDataFiles(spark, path)
     Seq((nRows, nTombs, nBuckets, nFiles))
       .toDF("n_rows", "n_tombstones", "n_buckets", "n_files")
   }

@@ -920,8 +920,10 @@ object Pq {
                           vecCol: String = "embedding"): DataFrame = {
     import spark.implicits._
     def r6(x: Double): Double = VectorOps.round6(x)
-    val b6 = r6(spark.read.parquet(s"$path/codes.qstats").head().getDouble(0))
-    val c6 = r6(meanReconError(spark, path, cb, idCol, vecCol))
+    // baseline + current error are independent eager reads — overlap
+    val (b6, c6) = graft.io.Par.join2(
+      r6(spark.read.parquet(s"$path/codes.qstats").head().getDouble(0)),
+      r6(meanReconError(spark, path, cb, idCol, vecCol)))
     Seq((b6, c6, r6(c6 - b6)))
       .toDF("build_mean_err", "current_mean_err", "drift")
   }

@@ -307,8 +307,10 @@ object Sq {
                  vecCol: String = "embedding"): DataFrame = {
     import spark.implicits._
     def r6(x: Double): Double = VectorOps.round6(x)
-    val b6 = r6(spark.read.parquet(s"$path.stats").head().getDouble(0))
-    val c6 = r6(meanAssignSim(spark, path, idCol, vecCol))
+    // baseline + current mean are independent eager reads — overlap
+    val (b6, c6) = graft.io.Par.join2(
+      r6(spark.read.parquet(s"$path.stats").head().getDouble(0)),
+      r6(meanAssignSim(spark, path, idCol, vecCol)))
     Seq((b6, c6, r6(b6 - c6)))
       .toDF("build_mean_sim", "current_mean_sim", "drift")
   }
