@@ -444,12 +444,34 @@ object Ann {
                      cents: Seq[Seq[Double]],
                      idCol: String = "vec_id", vecCol: String = "embedding"): Unit = {
     import spark.implicits._
-    cents.zipWithIndex.map { case (c, i) => (i, c) }
-      .toDF("__cluster", "centroid")
-      .coalesce(1) // model state: k × dim doubles, one file
-      .write.mode("overwrite").parquet(s"$path.model")
-    Seq(meanAssignSim(spark, path, idCol, vecCol)).toDF("mean_sim")
+    // model MUST land before stats (the crash-ordering contract), but
+    // the baseline SCAN runs against the caller-held centroids, never
+    // the sidecar — overlap it with the model write and write stats
+    // last (the Sq.recordIvfSqModel convention)
+    val (_, m) = graft.io.Par.join2(
+      cents.zipWithIndex.map { case (c, i) => (i, c) }
+        .toDF("__cluster", "centroid")
+        .coalesce(1) // model state: k × dim doubles, one file
+        .write.mode("overwrite").parquet(s"$path.model"),
+      meanAssignSimWith(spark, path, cents, idCol, vecCol))
+    Seq(m).toDF("mean_sim")
       .coalesce(1).write.mode("overwrite").parquet(s"$path.stats")
+  }
+
+  /** [[meanAssignSim]] against CALLER-HELD centroids (no sidecar
+    * read): same rows, same per-row cosine, same mean — the overlap
+    * form [[recordIvfModel]] uses while its model write is in
+    * flight. */
+  private def meanAssignSimWith(spark: org.apache.spark.sql.SparkSession,
+                                path: String, cents: Seq[Seq[Double]],
+                                idCol: String, vecCol: String): Double = {
+    import spark.implicits._
+    val model = cents.zipWithIndex.map { case (c, i) => (i, c) }
+      .toDF("__cluster", "centroid")
+    dropTombstones(spark.read.parquet(path), path, idCol)
+      .join(broadcast(model), Seq("__cluster"))
+      .agg(avg(VectorOps.cosine(col(vecCol), col("centroid"))).as("m"))
+      .head().getDouble(0)
   }
 
   /** Mean cosine between each surviving index row and its ASSIGNED

@@ -578,16 +578,20 @@ object Lexical {
     val tombs = bm25Tombstones(spark, srcPath)
     def dropTombs(df: DataFrame): DataFrame =
       tombs.fold(df)(t => df.join(broadcast(t.select(col(idCol))), Seq(idCol), "left_anti"))
-    dropTombs(spark.read.parquet(s"$srcPath/postings"))
-      .repartition(col("__tb"))
-      .write.partitionBy("__tb").option("maxRecordsPerFile", recordsPerFile)
-      .mode("overwrite").parquet(s"$dstPath/postings")
+    // the three rewritten sides are independent outputs — concurrent
+    // jobs (the buildBm25Index convention); stats aggregates the
+    // doclens FRAME, not the written file
     val doclens = dropTombs(spark.read.parquet(s"$srcPath/doclens"))
-    doclens.write.mode("overwrite").parquet(s"$dstPath/doclens")
-    doclens
-      .agg(count(lit(1)).as("n_docs"), sum(col("dl").cast("long")).as("sum_dl"))
-      .withColumn("term_buckets", lit(termBuckets))
-      .write.mode("overwrite").parquet(s"$dstPath/stats")
+    graft.io.Par.unit(
+      () => dropTombs(spark.read.parquet(s"$srcPath/postings"))
+        .repartition(col("__tb"))
+        .write.partitionBy("__tb").option("maxRecordsPerFile", recordsPerFile)
+        .mode("overwrite").parquet(s"$dstPath/postings"),
+      () => doclens.write.mode("overwrite").parquet(s"$dstPath/doclens"),
+      () => doclens
+        .agg(count(lit(1)).as("n_docs"), sum(col("dl").cast("long")).as("sum_dl"))
+        .withColumn("term_buckets", lit(termBuckets))
+        .write.mode("overwrite").parquet(s"$dstPath/stats"))
   }
 
   /** REBUCKET a materialized BM25 index: rewrite the postings into a
@@ -626,19 +630,23 @@ object Lexical {
     def dropTombs(df: DataFrame): DataFrame =
       tombs.fold(df)(t =>
         df.join(broadcast(t.select(col(idCol))), Seq(idCol), "left_anti"))
-    dropTombs(spark.read.parquet(s"$srcPath/postings"))
-      .drop("__tb")
-      .withColumn("__tb",
-        pmod(TextAnalysis.fingerprint(col("term")), lit(newTermBuckets.toLong)))
-      .repartition(col("__tb"))
-      .write.partitionBy("__tb").option("maxRecordsPerFile", recordsPerFile)
-      .mode("overwrite").parquet(s"$dstPath/postings")
+    // the three rewritten sides are independent outputs — concurrent
+    // jobs (the buildBm25Index convention); stats aggregates the
+    // doclens FRAME, not the written file (same rows either way)
     val doclens = dropTombs(spark.read.parquet(s"$srcPath/doclens"))
-    doclens.write.mode("overwrite").parquet(s"$dstPath/doclens")
-    spark.read.parquet(s"$dstPath/doclens")
-      .agg(count(lit(1)).as("n_docs"), sum(col("dl").cast("long")).as("sum_dl"))
-      .withColumn("term_buckets", lit(newTermBuckets.toLong))
-      .write.mode("overwrite").parquet(s"$dstPath/stats")
+    graft.io.Par.unit(
+      () => dropTombs(spark.read.parquet(s"$srcPath/postings"))
+        .drop("__tb")
+        .withColumn("__tb",
+          pmod(TextAnalysis.fingerprint(col("term")), lit(newTermBuckets.toLong)))
+        .repartition(col("__tb"))
+        .write.partitionBy("__tb").option("maxRecordsPerFile", recordsPerFile)
+        .mode("overwrite").parquet(s"$dstPath/postings"),
+      () => doclens.write.mode("overwrite").parquet(s"$dstPath/doclens"),
+      () => doclens
+        .agg(count(lit(1)).as("n_docs"), sum(col("dl").cast("long")).as("sum_dl"))
+        .withColumn("term_buckets", lit(newTermBuckets.toLong))
+        .write.mode("overwrite").parquet(s"$dstPath/stats"))
   }
 
   /** Health report of a materialized BM25 index — the lexical sibling
